@@ -1,0 +1,117 @@
+"""End-to-end engine tests: validate() verdicts, violations, partition
+summary, valid?, with_status — the Spark renderings of decode/valid?/
+with-status (core.clj:263-285; parser.clj:345-400)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from xmlschemavalidator_spark.compiler import FieldRule, RuleSet
+from xmlschemavalidator_spark.engine import DOC_OK, ok_col_name, validate, with_status
+from xmlschemavalidator_spark.rules.attributes import RequiredAttr
+from xmlschemavalidator_spark.rules.facets import Enumeration, MaxInclusive, MinInclusive
+from xmlschemavalidator_spark.rules.types import Restriction
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            ("u1", "en", 40),
+            ("u2", "de", 36),
+            ("u3", "xx", 42),   # lang violation
+            ("u4", "en", 35),   # range violation
+            ("u5", "yy", 43),   # both
+            ("u6", None, 40),   # lang null -> violation
+        ],
+        "url string, lang string, n_chars bigint",
+    )
+
+
+def _ruleset():
+    return RuleSet(
+        rules=[
+            FieldRule(
+                "lang_enum",
+                Restriction(facets=(Enumeration("en"), Enumeration("de"), Enumeration("sv"))),
+                column="lang",
+            ),
+            FieldRule(
+                "chars_range",
+                Restriction(base="integer", facets=(MinInclusive(36), MaxInclusive(42))),
+                column="n_chars",
+            ),
+            FieldRule("url_required", RequiredAttr(), column="url"),
+        ]
+    )
+
+
+def test_verdict_columns(spark):
+    res = validate(_docs(spark), _ruleset(), key="url")
+    got = {
+        r["url"]: (r[ok_col_name("lang_enum")], r[ok_col_name("chars_range")], r[DOC_OK])
+        for r in res.verdicts.collect()
+    }
+    assert got == {
+        "u1": (True, True, True),
+        "u2": (True, True, True),
+        "u3": (False, True, False),
+        "u4": (True, False, False),
+        "u5": (False, False, False),
+        "u6": (False, True, False),
+    }
+
+
+def test_violation_rows_exact(spark):
+    res = validate(_docs(spark), _ruleset(), key="url")
+    got = sorted(tuple(r) for r in res.violations.collect())
+    assert got == [
+        ("u3", "lang_enum", "xx"),
+        ("u4", "chars_range", "35"),
+        ("u5", "chars_range", "43"),
+        ("u5", "lang_enum", "yy"),
+        ("u6", "lang_enum", None),
+    ]
+
+
+def test_partition_summary_counts(spark):
+    df = _docs(spark).repartition(2)
+    res = validate(df, _ruleset(), key="url")
+    summary = res.partition_summary.collect()
+    assert sum(r["n_rows"] for r in summary) == 6
+    assert sum(r["n_failed_docs"] for r in summary) == 4
+    for r in summary:
+        assert r["pass"] == (r["n_failed_docs"] == 0)
+
+
+def test_valid_fold(spark):
+    assert not validate(_docs(spark), _ruleset(), key="url").valid()
+    clean = _docs(spark).filter(F.col("url").isin("u1", "u2"))
+    assert validate(clean, _ruleset(), key="url").valid()
+
+
+def test_with_status_decoration(spark):
+    out = with_status(_docs(spark), _ruleset(), ["lang"])
+    got = {r["url"]: (r["lang_status"]["value"], r["lang_status"]["status"]) for r in out.collect()}
+    assert got["u1"] == ("en", True)
+    assert got["u3"] == ("xx", False)
+
+
+def test_single_pass_plan(spark):
+    """All rule booleans must evaluate in ONE projection over ONE scan —
+    the plan must not contain a Union or a second scan of the input."""
+    res = validate(_docs(spark), _ruleset(), key="url")
+    plan = res.verdicts._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" not in plan
+    viol_plan = res.violations._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" not in viol_plan
+    assert viol_plan.lower().count("logicalrdd") <= 1
+
+
+def test_duplicate_rule_id_rejected(spark):
+    rs = _ruleset()
+    rs.add(FieldRule("lang_enum", RequiredAttr(), column="lang"))
+    try:
+        rs.compile()
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass

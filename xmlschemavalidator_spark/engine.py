@@ -1,0 +1,122 @@
+"""Validation engine: apply a compiled RuleSet to a DataFrame in one pass.
+
+Output model (SURVEY.md §1.3) — the reference's verdict tree
+(``[status value tag]`` leaves, core.clj parser_test.clj:311-316) becomes:
+
+* **wide verdicts**  — one boolean column per rule plus ``_doc_ok`` (the
+  AND-fold that is the reference's ``valid?``, core.clj:279-285);
+* **violations**     — a long DataFrame ``(key, rule_id, observed_value)``,
+  built from ONE array-of-structs projection + ``filter`` + ``explode`` so N
+  rules never cause N scans or a union of N subplans;
+* **partition summary** — per ``spark_partition_id()`` pass/fail counts
+  (the dataset-level analogue of per-node status metadata from ``decode``,
+  core.clj:263-276).
+
+Scale notes: the whole verdict computation is narrow (no shuffle); the only
+shuffle is the partition-summary aggregation, which is a partial+final hash
+aggregate over at most O(#partitions) groups. Violations inherit the input's
+partitioning. At 10^12 rows, nothing here is a bottleneck beyond the scan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from xmlschemavalidator_spark.compiler import RuleSet
+
+OK_PREFIX = "rule_"
+OK_SUFFIX = "_ok"
+DOC_OK = "_doc_ok"
+
+
+def ok_col_name(rule_id: str) -> str:
+    return f"{OK_PREFIX}{rule_id}{OK_SUFFIX}"
+
+
+@dataclass
+class ValidationResult:
+    """Handle over the three output shapes. All are lazy DataFrames."""
+
+    verdicts: DataFrame  # input + rule_<id>_ok booleans + _doc_ok
+    violations: DataFrame  # (key, rule_id, observed_value:string)
+    partition_summary: DataFrame  # (partition_id, n_rows, n_failed_docs, pass)
+
+    def valid(self) -> bool:
+        """Fold-AND over every verdict — the reference's ``valid?``
+        (core.clj:279-285). Implemented as `no violating document exists`,
+        which lets Spark stop at the first counterexample."""
+        return self.verdicts.filter(~F.col(DOC_OK)).isEmpty()
+
+
+def validate(df: DataFrame, ruleset: RuleSet, key: str = "url") -> ValidationResult:
+    """Compile ``ruleset`` (driver-side) and evaluate it over ``df``.
+
+    One projection computes every rule boolean; ``_doc_ok`` is their
+    conjunction. The violations frame filters/explodes an inline array of
+    ``(rule_id, ok, observed_value)`` structs — a single narrow pass.
+    """
+    ruleset.check_schema(df)
+    compiled = ruleset.compile()  # rule_id -> Column, once, on the driver
+
+    verdict_cols = {ok_col_name(rid): c for rid, c in compiled.items()}
+    verdicts = df.withColumns(verdict_cols)
+    doc_ok = F.lit(True)
+    for name in verdict_cols:
+        doc_ok = doc_ok & F.col(name)
+    verdicts = verdicts.withColumn(DOC_OK, doc_ok)
+
+    # --- violations: one array-of-structs, filter ok=false, explode -------
+    structs = [
+        F.struct(
+            F.lit(rule.rule_id).alias("rule_id"),
+            compiled[rule.rule_id].alias("ok"),
+            F.expr(rule.observed_expr).cast("string").alias("observed_value"),
+        )
+        for rule in ruleset.rules
+    ]
+    failed = F.filter(F.array(*structs), lambda s: ~F.coalesce(s["ok"], F.lit(False)))
+    violations = (
+        df.select(F.col(key).alias("key"), F.explode(failed).alias("v"))
+        .select(
+            F.col("key").alias(key),
+            F.col("v.rule_id").alias("rule_id"),
+            F.col("v.observed_value").alias("observed_value"),
+        )
+    )
+
+    # --- per-partition pass/fail (north rule: per-partition verdicts) -----
+    partition_summary = (
+        verdicts.select(F.spark_partition_id().alias("partition_id"), F.col(DOC_OK))
+        .groupBy("partition_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum((~F.col(DOC_OK)).cast("long")).alias("n_failed_docs"),
+        )
+        .withColumn("pass", F.col("n_failed_docs") == F.lit(0))
+    )
+
+    return ValidationResult(
+        verdicts=verdicts, violations=violations, partition_summary=partition_summary
+    )
+
+
+def with_status(df: DataFrame, ruleset: RuleSet, value_columns: list[str]) -> DataFrame:
+    """Inline ``{value, status}`` decoration — the reference's ``with-status``
+    (parser.clj:384-400): for each requested column, a struct of the value and
+    the AND of every rule bound to that column."""
+    compiled = ruleset.compile()
+    by_col: dict[str, Column] = {}
+    for rule in ruleset.rules:
+        if rule.column in value_columns:
+            c = compiled[rule.rule_id]
+            by_col[rule.column] = c if rule.column not in by_col else by_col[rule.column] & c
+    out = df
+    for name in value_columns:
+        status = by_col.get(name, F.lit(True))
+        out = out.withColumn(
+            f"{name}_status", F.struct(F.col(name).alias("value"), status.alias("status"))
+        )
+    return out

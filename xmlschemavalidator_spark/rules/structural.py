@@ -1,0 +1,153 @@
+"""Structural particles — shape-of-record operators (SURVEY.md §2.4).
+
+The reference validates a *collection of child elements* against a declared
+particle. On a fixed-schema DataFrame, a "record" is either
+
+* the **row itself** (flat columns) — presence = non-null, order = the
+  DataFrame's column order, checked once at compile time; or
+* a **nested array of child structs** ``array<struct<tag:string, ...>>`` —
+  the faithful rose-tree encoding; order/arity checked with ``arrays_zip`` /
+  ``size`` expressions.
+
+Reference semantics:
+* ``sequence`` — child tags equal declared tags **in order** (`=` on key
+  lists, core.clj:138-146; per-child verdicts parser.clj:208-226); an
+  undeclared child yields the pseudo-verdict ``[false :undefined tag]``
+  (parser.clj:216);
+* ``all`` — same children, **any order** (set equality, core.clj:161-171;
+  parser.clj:228-230);
+* ``choice`` — exactly one child (count = 1; v1 also requires the tag to be
+  declared, core.clj:150-159; parser.clj:232-234);
+* ``minOccurs``/``maxOccurs`` — parsed and defaulted in the reference
+  (parser.clj:35-42) but never enforced (the occurs test is half-commented
+  out, parser_test.clj:319-328). We implement the declared semantics:
+  ``lo <= size(children) <= hi``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class SequenceRule:
+    """Declared fields present, in declared order (core.clj:138-146).
+
+    Flat-row form: order is a compile-time property of the DataFrame schema —
+    :meth:`check_schema` raises if the declared fields don't appear in order;
+    the per-row residue is the non-null conjunction.
+    """
+
+    fields: tuple[str, ...]
+
+    def check_schema(self, df: DataFrame) -> None:
+        cols = [c for c in df.columns if c in self.fields]
+        if cols != list(self.fields):
+            raise ValueError(
+                f"sequence order violated: declared {list(self.fields)}, "
+                f"schema has {cols}"
+            )
+
+    def to_column(self) -> Column:
+        out = F.col(self.fields[0]).isNotNull()
+        for f in self.fields[1:]:
+            out = out & F.col(f).isNotNull()
+        return out
+
+    def sql_expr(self) -> str:
+        return "(" + " AND ".join(f"{f} IS NOT NULL" for f in self.fields) + ")"
+
+
+@dataclass(frozen=True)
+class AllRule:
+    """Same declared fields, any order (set semantics, core.clj:161-171)."""
+
+    fields: tuple[str, ...]
+
+    def to_column(self) -> Column:
+        out = F.col(self.fields[0]).isNotNull()
+        for f in self.fields[1:]:
+            out = out & F.col(f).isNotNull()
+        return out
+
+    def sql_expr(self) -> str:
+        return "(" + " AND ".join(f"{f} IS NOT NULL" for f in self.fields) + ")"
+
+
+@dataclass(frozen=True)
+class ChoiceRule:
+    """Exactly one of the candidate fields non-null (core.clj:150-159:
+    count must be 1 and the present tag must be declared)."""
+
+    fields: tuple[str, ...]
+
+    def to_column(self) -> Column:
+        total = F.lit(0)
+        for f in self.fields:
+            total = total + F.col(f).isNotNull().cast("int")
+        return total == F.lit(1)
+
+    def sql_expr(self) -> str:
+        s = " + ".join(f"CAST({f} IS NOT NULL AS INT)" for f in self.fields)
+        return f"(({s}) = 1)"
+
+
+@dataclass(frozen=True)
+class Occurs:
+    """minOccurs/maxOccurs over an array column: lo <= size <= hi
+    (declared but unenforced in the reference, parser.clj:35-42,323-324 —
+    we enforce the spec)."""
+
+    lo: int = 1
+    hi: Optional[int] = 1  # None = "unbounded"
+
+    def to_column(self, arr: Column) -> Column:
+        size = F.size(F.coalesce(arr, F.array()))
+        out = size >= F.lit(self.lo)
+        if self.hi is not None:
+            out = out & (size <= F.lit(self.hi))
+        return out
+
+    def sql_expr(self, arr_sql: str) -> str:
+        size = f"coalesce(len({arr_sql}), 0)"
+        parts = [f"{size} >= {self.lo}"]
+        if self.hi is not None:
+            parts.append(f"{size} <= {self.hi}")
+        return "(" + " AND ".join(parts) + ")"
+
+
+# --- nested (rose-tree faithful) variants over array<struct<tag,...>> ------
+
+
+def sequence_tags_ok(children: Column, declared: Sequence[str]) -> Column:
+    """Nested-array sequence check: the array's ``tag`` fields equal the
+    declared tag list in order (the `=` on key lists at core.clj:143)."""
+    tags = F.transform(children, lambda c: c["tag"])
+    return tags == F.array(*[F.lit(t) for t in declared])
+
+
+def all_tags_ok(children: Column, declared: Sequence[str]) -> Column:
+    """Nested-array `all` check: tag multiset equality, order-insensitive
+    (set + count equality as in v1, core.clj:161-171)."""
+    tags = F.array_sort(F.transform(children, lambda c: c["tag"]))
+    return tags == F.array(*[F.lit(t) for t in sorted(declared)])
+
+
+def choice_tags_ok(children: Column, declared: Sequence[str]) -> Column:
+    """Nested-array choice: exactly one child AND its tag declared
+    (core.clj:150-159)."""
+    one = F.size(children) == F.lit(1)
+    tag0 = F.element_at(children, 1)["tag"]
+    return one & tag0.isin(list(declared))
+
+
+def undefined_children(children: Column, declared: Sequence[str]) -> Column:
+    """Tags present but not declared — the reference's ``[false :undefined
+    tag]`` pseudo-verdict (parser.clj:216). Returns the array of offending
+    tags (empty array = none)."""
+    tags = F.transform(children, lambda c: c["tag"])
+    return F.filter(tags, lambda t: ~t.isin(list(declared)))
