@@ -1,0 +1,119 @@
+"""Dataset-level check tests: stats, distinct, uniqueness, referential,
+histogram, KS drift — exact expectations on tiny frames plus plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from xmlschemavalidator_spark.checks.drift import histogram, ks_drift, quantile_drift
+from xmlschemavalidator_spark.checks.referential import (
+    referential_violation_counts,
+    referential_violations,
+)
+from xmlschemavalidator_spark.checks.stats import column_stats, distinct_counts, length_histogram
+from xmlschemavalidator_spark.checks.uniqueness import duplicate_keys, uniqueness_violations
+
+
+def test_column_stats_exact(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("bb", 2), (None, 3), ("dddd", None)], "s string, n bigint"
+    )
+    got = {r["column"]: r.asDict() for r in column_stats(df).collect()}
+    assert got["s"]["n_rows"] == 4
+    assert got["s"]["n_null"] == 1
+    assert got["s"]["null_rate"] == 0.25
+    assert got["s"]["min_value"] == "a"
+    assert got["s"]["max_value"] == "dddd"
+    assert got["s"]["avg_length"] == pytest.approx((1 + 2 + 4) / 3)
+    assert got["n"]["n_null"] == 1
+    assert got["n"]["min_value"] == "1"
+    assert got["n"]["max_value"] == "3"
+
+
+def test_column_stats_single_pass(spark):
+    df = spark.createDataFrame([("a", 1)], "s string, n bigint")
+    plan = column_stats(df)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.lower().count("logicalrdd") == 1  # exactly one scan
+    assert "Union" not in plan
+
+
+def test_distinct_counts(spark):
+    df = spark.createDataFrame([("a",), ("a",), ("b",), (None,)], "s string")
+    exact = {r["column"]: r["n_distinct"] for r in distinct_counts(df, exact=True).collect()}
+    assert exact["s"] == 2
+    approx = {r["column"]: r["n_distinct"] for r in distinct_counts(df).collect()}
+    assert approx["s"] == 2  # HLL exact at tiny cardinality
+
+
+def test_duplicate_keys_salted_equals_plain(spark):
+    data = [("u1",), ("u1",), ("u1",), ("u2",), ("u3",), ("u3",)]
+    df = spark.createDataFrame(data, "url string").repartition(4)
+    salted = sorted(tuple(r) for r in duplicate_keys(df, ["url"], salted=True).collect())
+    plain = sorted(tuple(r) for r in duplicate_keys(df, ["url"], salted=False).collect())
+    assert salted == plain == [("u1", 3), ("u3", 2)]
+
+
+def test_uniqueness_violations_shape(spark):
+    df = spark.createDataFrame([("u1",), ("u1",)], "url string")
+    got = [tuple(r) for r in uniqueness_violations(df, ["url"], rule_id="uniq_url").collect()]
+    assert got == [("u1", "uniq_url", "2")]
+
+
+def test_referential_broadcast_and_nulls(spark):
+    fact = spark.createDataFrame([(1,), (2,), (99,), (None,)], "k bigint")
+    dim = spark.createDataFrame([(1,), (2,), (3,)], "dk bigint")
+    v = referential_violations(fact, "k", dim, "dk", strategy="broadcast")
+    got = sorted([(r["k"],) for r in v.collect()], key=lambda t: (t[0] is None, t[0]))
+    assert got == [(99,), (None,)]
+    # broadcast hint must survive into the optimized plan
+    plan = v._jdf.queryExecution().sparkPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_referential_shuffle_hash(spark):
+    fact = spark.createDataFrame([(1,), (99,)], "k bigint")
+    dim = spark.createDataFrame([(1,)], "dk bigint")
+    v = referential_violations(fact, "k", dim, "dk", strategy="shuffle_hash")
+    assert sorted(r["k"] for r in v.collect()) == [99]
+    plan = v._jdf.queryExecution().sparkPlan().toString()
+    assert "ShuffledHashJoin" in plan
+
+
+def test_referential_counts(spark):
+    fact = spark.createDataFrame([(9,), (9,), (8,)], "k bigint")
+    dim = spark.createDataFrame([(1,)], "dk bigint")
+    got = sorted(tuple(r) for r in referential_violation_counts(fact, "k", dim, "dk").collect())
+    assert got == [(8, 1), (9, 2)]
+
+
+def test_histogram_and_ks_zero_drift(spark):
+    df = spark.createDataFrame([(i % 10,) for i in range(100)], "v bigint")
+    h = histogram(df, "v", bucket_width=2)
+    assert sorted(tuple(r) for r in h.collect()) == [(i, 20) for i in range(5)]
+    ks = ks_drift(h, h).collect()[0]["ks_stat"]
+    assert ks == 0.0
+
+
+def test_ks_detects_shift(spark):
+    base = spark.createDataFrame([(i % 10,) for i in range(100)], "v bigint")
+    shifted = spark.createDataFrame([(i % 10 + 5,) for i in range(100)], "v bigint")
+    ks = ks_drift(
+        histogram(shifted, "v", 1), histogram(base, "v", 1)
+    ).collect()[0]["ks_stat"]
+    assert ks == 0.5  # exact: half the mass is displaced
+
+
+def test_quantile_drift_gap(spark):
+    base = spark.createDataFrame([(float(i),) for i in range(1000)], "v double")
+    cur = spark.createDataFrame([(float(i) + 100.0,) for i in range(1000)], "v double")
+    rows = quantile_drift(cur, base, "v").collect()
+    assert all(r["gap"] > 0.15 for r in rows)  # shift of 100 vs IQR 500
+    same = quantile_drift(base, base, "v").collect()
+    assert all(r["gap"] == 0.0 for r in same)
+
+
+def test_length_histogram(spark):
+    df = spark.createDataFrame([("a" * 5,), ("b" * 150,), ("c" * 150,)], "s string")
+    got = sorted(tuple(r) for r in length_histogram(df, "s", 100).collect())
+    assert got == [(0, 0, 1), (1, 100, 2)]

@@ -1,0 +1,76 @@
+"""Resume-manifest tests (SURVEY.md §5 item 4): partial run → resume →
+outputs identical to a single full run; commits are write-once."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from xmlschemavalidator_spark.datagen import pages
+from xmlschemavalidator_spark.flagship import web_ruleset
+from xmlschemavalidator_spark.manifest import (
+    MetricsManifest,
+    PartitionMetrics,
+    resumable_validate,
+)
+
+
+@pytest.fixture()
+def paged(spark):
+    # a partition column like an Iceberg partition: 6 buckets over url hash
+    return pages(spark, 1200, seed=11).withColumn(
+        "part", F.pmod(F.xxhash64("url"), F.lit(6)).cast("int")
+    ).cache()
+
+
+def test_resume_skips_committed_and_matches_full_run(spark, paged, tmp_path):
+    rs = web_ruleset()
+    man_dir, out = str(tmp_path / "manifest"), str(tmp_path / "viols")
+
+    # partial run: only partitions 0..2 (simulate a killed job by filtering)
+    man = MetricsManifest(man_dir)
+    first = resumable_validate(
+        paged.where(F.col("part") < 3), rs, key="url", partition_col="part",
+        snapshot="snap1", manifest=man, violations_out=out,
+    )
+    assert {m.partition for m in first} == {"0", "1", "2"}
+    assert man.committed("snap1") == {"0", "1", "2"}
+
+    # resume over the FULL input: must process only 3..5
+    second = resumable_validate(
+        paged, rs, key="url", partition_col="part",
+        snapshot="snap1", manifest=man, violations_out=out,
+    )
+    assert {m.partition for m in second} == {"3", "4", "5"}
+
+    # union of both runs == one fresh full run
+    man2 = MetricsManifest(str(tmp_path / "manifest2"))
+    full = resumable_validate(
+        paged, rs, key="url", partition_col="part",
+        snapshot="snapX", manifest=man2, violations_out=str(tmp_path / "viols2"),
+    )
+    resumed = {m.partition: (m.n_rows, m.n_failed_docs, m.n_violations) for m in first + second}
+    fresh = {m.partition: (m.n_rows, m.n_failed_docs, m.n_violations) for m in full}
+    assert resumed == fresh
+    got = sorted(tuple(r) for r in spark.read.parquet(out).drop("part").collect())
+    want = sorted(tuple(r) for r in spark.read.parquet(str(tmp_path / "viols2")).drop("part").collect())
+    assert got == want and len(got) > 0
+
+
+def test_commit_is_write_once(tmp_path):
+    man = MetricsManifest(str(tmp_path / "m"))
+    m = PartitionMetrics("s", "7", 10, 1, 2, 0.5, 0.0)
+    assert man.commit(m) is True
+    assert man.commit(m) is False  # idempotent under retry/speculation
+    assert len(man.metrics("s")) == 1
+
+
+def test_rerun_after_full_commit_is_noop(spark, paged, tmp_path):
+    man = MetricsManifest(str(tmp_path / "m"))
+    rs = web_ruleset()
+    out = str(tmp_path / "v")
+    resumable_validate(paged, rs, key="url", partition_col="part",
+                       snapshot="s", manifest=man, violations_out=out)
+    again = resumable_validate(paged, rs, key="url", partition_col="part",
+                               snapshot="s", manifest=man, violations_out=out)
+    assert again == []

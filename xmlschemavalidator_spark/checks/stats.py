@@ -1,0 +1,98 @@
+"""Per-column statistics in ONE pass over the table.
+
+Design for 100 TB: a single ``df.agg(...)`` with 5 expressions per profiled
+column — Catalyst executes it as one partial+final hash aggregate (map-side
+combine, one shuffle of ONE row per partition). The wide 1-row result is
+unpivoted driver-side into the long ``(column, ...)`` shape; no second scan.
+
+Distinct counts use ``approx_count_distinct`` (HyperLogLog++ — mergeable,
+constant memory per partition) by default; ``exact=True`` switches to
+``count_distinct`` for oracle comparisons at small SF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def column_stats(df: DataFrame, columns: list[str] | None = None, round_to: int = 6) -> DataFrame:
+    """null-rate, min, max, mean length per column — one aggregation pass.
+
+    Returns a long DataFrame
+    ``(column, n_rows, n_null, null_rate, min_value, max_value, avg_length)``
+    with min/max rendered as strings so heterogeneous column types stack.
+    """
+    columns = columns or df.columns
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in columns:
+        col = F.col(c)
+        aggs += [
+            F.sum(col.isNull().cast("long")).alias(f"{c}__nulls"),
+            F.min(col).cast("string").alias(f"{c}__min"),
+            F.max(col).cast("string").alias(f"{c}__max"),
+            F.avg(F.length(col.cast("string"))).alias(f"{c}__avglen"),
+        ]
+    wide = df.agg(*aggs)
+
+    # Unpivot the single wide row into long form with a stack expression —
+    # still zero extra scans (operates on the 1-row aggregate).
+    n = F.col("_n")
+    stacked = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        n.alias("n_rows"),
+                        F.col(f"{c}__nulls").alias("n_null"),
+                        F.round(F.col(f"{c}__nulls") / n, round_to).alias("null_rate"),
+                        F.col(f"{c}__min").alias("min_value"),
+                        F.col(f"{c}__max").alias("max_value"),
+                        F.round(F.col(f"{c}__avglen"), round_to).alias("avg_length"),
+                    )
+                    for c in columns
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
+    return stacked
+
+
+def distinct_counts(df: DataFrame, columns: list[str] | None = None, exact: bool = False,
+                    rsd: float = 0.01) -> DataFrame:
+    """Distinct count per column: HLL++ sketch by default (mergeable,
+    O(1) memory — the 100 TB path), exact for small-SF oracle checks.
+
+    Returns ``(column, n_distinct)``.
+    """
+    columns = columns or df.columns
+    if exact:
+        aggs = [F.count_distinct(F.col(c)).alias(c) for c in columns]
+    else:
+        aggs = [F.approx_count_distinct(F.col(c), rsd).alias(c) for c in columns]
+    wide = df.agg(*aggs)
+    return wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(c).alias("column"), F.col(c).alias("n_distinct"))
+                    for c in columns
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
+
+
+def length_histogram(df: DataFrame, column: str, bucket_width: int = 100) -> DataFrame:
+    """Histogram of string lengths: ``(bucket, bucket_lo, n)`` where
+    ``bucket = floor(length/width)``. One groupBy — partial+final agg;
+    cardinality is tiny (#buckets), so the shuffle is negligible."""
+    bucket = F.floor(F.length(F.col(column)) / F.lit(bucket_width))
+    return (
+        df.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("bucket_lo", F.col("bucket") * F.lit(bucket_width))
+        .select("bucket", "bucket_lo", "n")
+    )

@@ -30,6 +30,25 @@ from xmlschemavalidator_spark.rules.types import PREDEF_TYPES, TypeRegistry
 _STRUCTURAL = (SequenceRule, AllRule, ChoiceRule)
 
 
+@dataclass(frozen=True)
+class ExprRule:
+    """Escape hatch: an arbitrary boolean SQL expression over the row.
+
+    Used for cross-column invariants the facet vocabulary can't express —
+    e.g. the byte-identical extraction invariant ``extract(html) == text``
+    (the per-row analogue of the reference's decode-returns-the-value
+    contract, core.clj:274-276). Null-safe: NULL evaluates to False.
+    """
+
+    expr: str
+
+    def to_column(self, col: Optional[Column], registry: "TypeRegistry") -> Column:
+        return F.coalesce(F.expr(self.expr), F.lit(False))
+
+    def sql_expr(self, col_sql: Optional[str], registry: "TypeRegistry") -> str:
+        return f"coalesce({self.expr}, FALSE)"
+
+
 def compile_rule(rule: Any, col: Optional[Column], registry: TypeRegistry) -> Column:
     """Compile one rule node to a boolean Column.
 

