@@ -1,0 +1,98 @@
+"""Dedup tests: exact, minhash-LSH, jaccard, simhash, embedding near-dup."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from xmlschemavalidator_spark.dedup import (
+    drop_exact_duplicates,
+    embedding_near_duplicates,
+    exact_duplicate_groups,
+    jaccard_pairs,
+    minhash_lsh_candidates,
+    minhash_signature,
+    shingles,
+    simhash,
+    simhash_near_duplicates,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog and runs far away today"
+NEAR = "the quick brown fox jumps over the lazy dog and runs far away now"
+OTHER = "completely different content about spark catalyst optimizer internals here"
+
+
+def corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, BASE),
+            (2, BASE),          # exact dup of 1
+            (3, NEAR),          # near dup of 1
+            (4, OTHER),
+            (5, "the  QUICK brown fox jumps over the lazy dog and runs far away today"),
+        ],
+        "doc_id bigint, text string",
+    )
+
+
+def test_exact_duplicate_groups(spark):
+    got = exact_duplicate_groups(corpus(spark), "doc_id").collect()
+    assert len(got) == 1
+    # normalization folds case/whitespace: 1, 2 and 5 are one group
+    assert sorted(got[0]["doc_ids"]) == [1, 2, 5]
+
+
+def test_drop_exact_duplicates_keeps_min_id(spark):
+    kept = sorted(r["doc_id"] for r in drop_exact_duplicates(corpus(spark), "doc_id").collect())
+    assert kept == [1, 3, 4]
+
+
+def test_shingles_and_signature(spark):
+    df = spark.createDataFrame([(BASE,), ("a b",)], "t string")
+    sh = df.select(F.size(shingles(F.col("t"), 3)).alias("n")).collect()
+    assert sh[0]["n"] > 5 and sh[1]["n"] == 0  # too short -> empty
+    sig = df.select(minhash_signature(F.col("t"), 16).alias("s")).collect()
+    assert len(sig[0]["s"]) == 16 and sig[1]["s"][0] is None
+
+
+def test_minhash_lsh_finds_near_dup(spark):
+    pairs = minhash_lsh_candidates(corpus(spark), "doc_id", num_hashes=32, bands=16).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in found  # exact dups always collide
+    assert (1, 3) in found or (2, 3) in found  # near dup collides in some band
+    assert (1, 4) not in found and (3, 4) not in found
+
+
+def test_jaccard_pairs_exact(spark):
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(corpus(spark), "doc_id", threshold=0.5).collect()
+    }
+    assert got[(1, 2)] == 1.0
+    assert 0.5 <= got[(1, 3)] < 1.0
+    assert (1, 4) not in got
+
+
+def test_simhash_stability_and_near_dup(spark):
+    df = corpus(spark)
+    s1 = {r["doc_id"]: r["s"] for r in df.select("doc_id", simhash(F.col("text")).alias("s")).collect()}
+    s2 = {r["doc_id"]: r["s"] for r in df.select("doc_id", simhash(F.col("text")).alias("s")).collect()}
+    assert s1 == s2  # deterministic across runs (FNV-1a, not builtin hash)
+    assert s1[1] == s1[2]
+    pairs = simhash_near_duplicates(df, "doc_id", hamming_max=6).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in found
+    assert (1, 4) not in found
+
+
+def test_embedding_near_duplicates(spark):
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.99, 0.01, 0.0, 0.0]),   # near dup of 1
+            (3, [0.0, 1.0, 0.0, 0.0]),     # orthogonal
+        ],
+        "vec_id bigint, vec array<float>",
+    )
+    got = {(r["id_a"], r["id_b"]) for r in
+           embedding_near_duplicates(df, "vec_id", "vec", threshold=0.95, nbits=4).collect()}
+    assert (1, 2) in got and (1, 3) not in got

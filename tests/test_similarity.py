@@ -1,0 +1,73 @@
+"""Similarity-search tests: brute-force exact top-k, LSH recall, IVF probe."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from xmlschemavalidator_spark.similarity import (
+    brute_force_topk,
+    hyperplane_bucket,
+    ivf_assign,
+    ivf_topk,
+    lsh_topk,
+)
+
+
+def embeddings(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    import numpy as np
+
+    df = embeddings(spark)
+    rows = df.collect()
+    q = list(rows[0]["embedding"])
+    got = brute_force_topk(df, "embedding", q, k=5).collect()
+    # numpy oracle
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = np.array([r["vec_id"] for r in rows])
+    qv = np.array(q, dtype=np.float64)
+    cos = (mat @ qv) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(qv))
+    order = sorted(zip(-np.round(cos, 6), ids))[:5]
+    want = [(i, round(-c, 6)) for c, i in order]
+    assert [(r["vec_id"], round(r["cosine"], 6)) for r in got] == want
+    assert got[0]["vec_id"] == rows[0]["vec_id"] and got[0]["cosine"] == pytest.approx(1.0)
+
+
+def test_topk_plan_is_take_ordered(spark):
+    df = embeddings(spark)
+    q = list(df.limit(1).collect()[0]["embedding"])
+    plan = brute_force_topk(df, "embedding", q, 5)._jdf.queryExecution().sparkPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # no global sort shuffle
+
+
+def test_hyperplane_bucket_deterministic(spark):
+    df = embeddings(spark).limit(50)
+    a = [r[0] for r in df.select(hyperplane_bucket(F.col("embedding"), 8)).collect()]
+    b = [r[0] for r in df.select(hyperplane_bucket(F.col("embedding"), 8)).collect()]
+    assert a == b
+    assert all(0 <= x < 256 for x in a)
+
+
+def test_lsh_topk_self_hit(spark):
+    df = embeddings(spark)
+    q = list(df.limit(1).collect()[0]["embedding"])
+    got = lsh_topk(df, "embedding", q, k=3, nbits=6)
+    rows = got.collect()
+    assert rows and rows[0]["cosine"] == pytest.approx(1.0)
+
+
+def test_ivf_assign_and_topk(spark):
+    df = embeddings(spark)
+    sample = [list(r["embedding"]) for r in df.limit(4).collect()]
+    assigned = ivf_assign(df, "embedding", sample).cache()
+    lists = [r["_list"] for r in assigned.select("_list").distinct().collect()]
+    assert set(lists).issubset({0, 1, 2, 3})
+    q = sample[2]
+    got = ivf_topk(assigned, "embedding", sample, q, k=3, nprobe=2).collect()
+    assert got and got[0]["cosine"] == pytest.approx(1.0)
+    assigned.unpersist()

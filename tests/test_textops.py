@@ -1,0 +1,88 @@
+"""Text-analysis op tests: token counts, quality, lang-id, fingerprint."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from xmlschemavalidator_spark.textops import (
+    bpe_token_estimate,
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    stopword_ratio,
+    token_count,
+    with_text_analysis,
+)
+
+
+def one(spark, col, value):
+    df = spark.createDataFrame([(value,)], "t string")
+    return df.select(col(F.col("t")).alias("v")).collect()[0]["v"]
+
+
+def test_token_count(spark):
+    assert one(spark, token_count, "a b  c") == 3
+    assert one(spark, token_count, "  ") == 0
+    assert one(spark, token_count, None) == 0
+
+
+def test_bpe_estimate_monotone(spark):
+    short = one(spark, bpe_token_estimate, "hi there")
+    long = one(spark, bpe_token_estimate, "internationalization of documentation")
+    assert 0 < short < long
+
+
+def test_stopword_ratio(spark):
+    assert one(spark, lambda c: stopword_ratio(c, "en"), "the cat and the dog") == 0.6
+
+
+def test_quality_score_ranges(spark):
+    good = one(spark, quality_score, "the quick brown fox jumps over the lazy dog again")
+    bad = one(spark, quality_score, "!!! ??? ,,, ;;; :::")
+    assert 0.0 <= bad < good <= 1.0
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat is in the house and it was good",),
+            ("der hund ist nicht auf der straße und das ist gut",),
+            ("le chat est dans la maison pour le moment",),
+            ("zzz qqq www",),
+        ],
+        "t string",
+    )
+    got = [r[0] for r in df.select(lang_id(F.col("t"))).collect()]
+    assert got == ["en", "de", "fr", "und"]
+
+
+def test_fingerprint_normalizes(spark):
+    a = one(spark, doc_fingerprint, "Hello   World")
+    b = one(spark, doc_fingerprint, "hello world ")
+    c = one(spark, doc_fingerprint, "hello worlds")
+    assert a == b != c
+    assert len(a) == 32  # md5 hex
+
+
+def test_with_text_analysis_single_projection(spark):
+    df = spark.createDataFrame([("the data is here",)], "text string")
+    out = with_text_analysis(df)
+    row = out.collect()[0]
+    assert row["n_tokens"] == 4 and row["lang_pred"] == "en"
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.lower().count("logicalrdd") == 1 and "Union" not in plan
+
+
+def test_fingerprint_matches_duckdb(spark):
+    import duckdb
+
+    vals = ["Hello   World", "x", ""]
+    df = spark.createDataFrame([(v,) for v in vals], "t string")
+    got = [r[0] for r in df.select(doc_fingerprint(F.col("t"))).collect()]
+    want = [
+        duckdb.sql(
+            "SELECT md5(lower(regexp_replace(trim(?::VARCHAR), '\\s+', ' ', 'g')))", params=[v]
+        ).fetchone()[0]
+        for v in vals
+    ]
+    assert got == want

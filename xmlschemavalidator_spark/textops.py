@@ -1,0 +1,139 @@
+"""Text analysis for web-scale training-data pipelines: token counting,
+quality scoring, language ID, document fingerprinting.
+
+All hot paths are Catalyst built-ins (split/transform/filter/aggregate) —
+no Python in the row loop; everything whole-stage-codegens. Each op is a
+narrow projection (zero shuffles), so it composes with the validation pass
+for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Distinctive stopwords per language — tiny on purpose (a heuristic, not a
+# model). Deterministic and SQL-portable.
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "une", "pour", "dans", "que"],
+    "sv": ["och", "att", "det", "som", "en", "av", "är", "den", "till", "med"],
+    "es": ["el", "la", "los", "de", "que", "y", "es", "en", "un", "por"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization; null/empty-safe (empty text → empty array)."""
+    t = F.trim(F.coalesce(text, F.lit("")))
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+def bpe_token_estimate(text: Column) -> Column:
+    """BPE-ish subword count estimate: word-piece splits on a regex of
+    letter-runs / digit-runs / punctuation, ~the pre-tokenizer of byte-pair
+    schemes. Cheap proxy for tokenizer cost accounting at corpus scale."""
+    t = F.coalesce(text, F.lit(""))
+    pieces = F.regexp_count(t, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+    # long letter-runs split ~every 6 chars in BPE vocabularies
+    long_run_extra = F.regexp_count(t, F.lit(r"[A-Za-z]{7,}"))
+    return (pieces + long_run_extra).cast("long")
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    """Fraction of tokens that are (per-language) stopwords."""
+    toks = tokens(text)
+    sw = _STOPWORDS[lang]
+    hits = F.size(F.filter(toks, lambda x: F.lower(x).isin(sw)))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """The standard web-text quality signals (length / punctuation /
+    stopword ratios) as named Columns — compose into one projection."""
+    t = F.coalesce(text, F.lit(""))
+    n_chars = F.length(t)
+    toks = tokens(text)
+    n_tokens = F.size(toks)
+    alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", ""))
+    avg_tok = F.when(n_tokens > 0, (n_chars - (n_tokens - 1)) / n_tokens).otherwise(F.lit(0.0))
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "avg_token_len": avg_tok.cast("double"),
+        "alpha_ratio": F.when(n_chars > 0, alpha / n_chars).otherwise(F.lit(0.0)),
+        "punct_ratio": F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0)),
+        "stopword_ratio": stopword_ratio(text, "en"),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Scalar quality score in [0,1]: penalize too-short/too-long docs, low
+    alpha ratio, extreme punctuation. Deterministic, documented weights."""
+    f = quality_features(text)
+    len_ok = F.when((f["n_tokens"] >= 5) & (f["n_tokens"] <= 100000), 1.0).otherwise(0.2)
+    alpha_term = F.least(f["alpha_ratio"] * 1.25, F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - f["punct_ratio"] * 5.0)
+    return (0.4 * len_ok + 0.4 * alpha_term + 0.2 * punct_pen).cast("double")
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language stopword-hit counts (the n-gram-heuristic family)."""
+    toks = tokens(text)
+    return {
+        lang: F.size(F.filter(toks, lambda x: F.lower(x).isin(sw)))
+        for lang, sw in _STOPWORDS.items()
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax language by stopword hits; deterministic tie-break on language
+    code order; 'und' (undetermined) when no stopword hits at all."""
+    scores = lang_scores(text)
+    pairs = F.array(
+        *[
+            F.struct(score.alias("score"), F.lit(lang).alias("lang"))
+            for lang, score in sorted(scores.items())
+        ]
+    )
+    # max by (score, lang-reversed) — array_max on structs compares fieldwise;
+    # sorted() insertion + score first gives: highest score, then latest code,
+    # so flip: compare on (score, negated-position) for a stable earliest-code
+    # winner. Simpler: reduce with an explicit comparator.
+    best = F.reduce(
+        pairs,
+        F.struct(F.lit(-1).alias("score"), F.lit("und").alias("lang")),
+        lambda acc, x: F.when(x["score"] > acc["score"], x).otherwise(acc),
+    )
+    return F.when(best["score"] <= 0, F.lit("und")).otherwise(best["lang"])
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Deterministic content fingerprint: md5 of the whitespace-normalized,
+    lower-cased text. md5 (not xxhash64) so SQL oracles in other engines
+    reproduce it bit-for-bit."""
+    norm = F.lower(F.regexp_replace(F.trim(F.coalesce(text, F.lit(""))), r"\s+", " "))
+    return F.md5(norm)
+
+
+def with_text_analysis(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """All text ops in ONE projection pass."""
+    t = F.col(text_col)
+    feats = quality_features(t)
+    return df.withColumns(
+        {
+            **feats,
+            "bpe_tokens_est": bpe_token_estimate(t),
+            "quality": quality_score(t),
+            "lang_pred": lang_id(t),
+            "fingerprint": doc_fingerprint(t),
+        }
+    )
