@@ -1,38 +1,46 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship validation over sf0.001;
+``queries()``/``oracle_sql()`` expose one entry per implemented operator
+from SURVEY.md §2 plus the dataset-level and training-data ops, each
+checked against a DuckDB oracle at sf0.01 (row-count + schema +
+order-insensitive value-hash).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from xmlschemavalidator_spark.driver_queries import all_oracles, all_queries  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the full documents ruleset
+    (enum/range/pattern/required/invariant) evaluated in one pass; returns
+    the long violations DataFrame (doc_id, rule_id, observed_value)."""
+    from xmlschemavalidator_spark.engine import validate
+    from xmlschemavalidator_spark.flagship import documents_ruleset
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    return validate(docs, documents_ruleset(), key="doc_id").violations
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator (SURVEY.md §2 + §2.7 + training
+    ops). Each callable takes (spark, sf_dir) and returns a DataFrame with
+    columns aliased to match the oracle."""
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL per query (omitted for ops whose results are
+    engine-specific by design: HLL estimates, xxhash64 MinHash/LSH
+    signatures, approximate ANN candidates, generated-input pages jobs —
+    those get the driver's rows-only check)."""
+    return all_oracles()

@@ -1,0 +1,154 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
+
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "docs_per_sec": ..., "scaling": {...}}
+
+The north-rule metric is validated docs/sec through the flagship web-page
+ruleset (pass/fail + violation rows materialized). The scaling block is the
+sandbox proxy for the N→4N-executor criterion (BASELINE.md): the identical
+pages-validation job at local[8] vs local[32] on the same deterministic
+input; efficiency = (throughput_32 / throughput_8) / 4.
+
+Set SPARK_GRAFT_BENCH_SCALING=0 to skip the scaling runs (they restart the
+SparkSession twice).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+PAGES_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "2000000"))
+DO_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
+
+
+def _count(df) -> int:
+    return df.count()
+
+
+def headline_queries():
+    """name -> fn(spark) returning a DataFrame to be fully materialized."""
+    from pyspark.sql import functions as F
+
+    from xmlschemavalidator_spark.checks import (
+        column_stats,
+        duplicate_keys,
+        referential_violations,
+    )
+    from xmlschemavalidator_spark.checks.drift import histogram, ks_drift
+    from xmlschemavalidator_spark.dedup import minhash_lsh_candidates
+    from xmlschemavalidator_spark.driver_queries import (
+        agg_pricing_summary,
+        ann_cosine_topk,
+        join_revenue_segment,
+        window_daily_events,
+    )
+    from xmlschemavalidator_spark.engine import validate
+    from xmlschemavalidator_spark.flagship import documents_ruleset
+
+    def t(spark, name):
+        return spark.read.parquet(f"{SF_DIR}/{name}.parquet")
+
+    return {
+        "validate_documents": lambda s: validate(
+            t(s, "documents"), documents_ruleset(), key="doc_id"
+        ).violations,
+        "column_stats": lambda s: column_stats(t(s, "documents")),
+        "uniqueness_lineitem": lambda s: duplicate_keys(t(s, "lineitem"), ["l_orderkey"]),
+        "referential_orders": lambda s: referential_violations(
+            t(s, "orders"), "o_custkey", t(s, "customer"), "c_custkey"
+        ),
+        "ks_drift": lambda s: ks_drift(
+            histogram(t(s, "documents").where(F.col("lang") == "en"), "n_chars", 50),
+            histogram(t(s, "documents").where(F.col("lang") != "en"), "n_chars", 50),
+        ),
+        "agg_pricing": lambda s: agg_pricing_summary(s, SF_DIR),
+        "join_revenue": lambda s: join_revenue_segment(s, SF_DIR),
+        "window_daily": lambda s: window_daily_events(s, SF_DIR),
+        "minhash_lsh": lambda s: minhash_lsh_candidates(t(s, "documents"), "doc_id"),
+        "ann_topk": lambda s: ann_cosine_topk(s, SF_DIR),
+    }
+
+
+def pages_validation_docs_per_sec(spark, n_rows: int) -> float:
+    """The north-rule workload: generate + validate n_rows pages, count
+    violations AND materialize per-partition verdicts. Returns docs/sec."""
+    from xmlschemavalidator_spark.datagen import pages
+    from xmlschemavalidator_spark.flagship import run_flagship
+
+    df = pages(spark, n_rows, partitions=spark.sparkContext.defaultParallelism * 2)
+    t0 = time.time()
+    res = run_flagship(df)
+    res.violations.write.mode("overwrite").format("noop").save()
+    res.partition_summary.collect()
+    return n_rows / (time.time() - t0)
+
+
+def run_scaling(n_rows: int) -> dict:
+    """Same job at local[8] and local[32]; efficiency = (T8/T32)/4 in
+    throughput terms."""
+    from xmlschemavalidator_spark.session import get_spark
+
+    out = {}
+    for cores in (8, 32):
+        spark = get_spark(
+            app_name=f"bench-scaling-{cores}",
+            master=f"local[{cores}]",
+            shuffle_partitions=cores,
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        # warm the JVM/codegen once at small size so both runs are steady-state
+        pages_validation_docs_per_sec(spark, 50_000)
+        out[f"docs_per_sec_local{cores}"] = round(
+            pages_validation_docs_per_sec(spark, n_rows), 1
+        )
+        spark.stop()
+    out["efficiency_8_to_32"] = round(
+        (out["docs_per_sec_local32"] / out["docs_per_sec_local8"]) / 4.0, 3
+    )
+    return out
+
+
+def main() -> None:
+    from xmlschemavalidator_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    times: dict[str, float] = {}
+    for name, fn in headline_queries().items():
+        t0 = time.time()
+        _count(fn(spark))
+        times[name] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    dps = pages_validation_docs_per_sec(spark, PAGES_ROWS)
+    times["pages_validate_2m"] = round(time.time() - t0, 3)
+    spark.stop()
+
+    scaling = run_scaling(PAGES_ROWS) if DO_SCALING else {}
+
+    result = {
+        "metric": "headline suite wall time (validated docs/sec in docs_per_sec)",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "docs_per_sec": round(dps, 1),
+        "pages_rows": PAGES_ROWS,
+        "cpus": CPUS,
+        "scaling": scaling,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

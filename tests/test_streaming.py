@@ -1,0 +1,86 @@
+"""Structured Streaming tests: the compiled ruleset over a file-source
+stream, availableNow trigger, memory sink; windowed violation counts with
+watermark."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from xmlschemavalidator_spark.compiler import FieldRule, RuleSet
+from xmlschemavalidator_spark.engine import DOC_OK
+from xmlschemavalidator_spark.rules.facets import Enumeration
+from xmlschemavalidator_spark.rules.types import Restriction
+from xmlschemavalidator_spark.streaming import stream_validate, windowed_violation_counts
+from xmlschemavalidator_spark.streaming.validate_stream import stream_violations
+
+
+@pytest.fixture()
+def stream_src(spark, tmp_path):
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [
+            ("u1", "en", "2024-01-01 00:00:10"),
+            ("u2", "xx", "2024-01-01 00:00:20"),
+            ("u3", "de", "2024-01-01 00:01:30"),
+            ("u4", "yy", "2024-01-01 00:01:40"),
+            ("u5", "yy", "2024-01-01 00:03:40"),
+        ],
+        "url string, lang string, ts_s string",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s").write.parquet(src)
+    return src
+
+
+def _ruleset():
+    return RuleSet(rules=[FieldRule(
+        "lang_enum",
+        Restriction(facets=(Enumeration("en"), Enumeration("de"))),
+        column="lang",
+    )])
+
+
+def _run(stream_df, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    return q
+
+
+def test_stream_validate_verdicts(spark, stream_src):
+    sdf = spark.readStream.schema("url string, lang string, ts timestamp").parquet(stream_src)
+    out = stream_validate(sdf, _ruleset(), key="url")
+    assert out.isStreaming
+    _run(out, "t_verdicts")
+    got = {r["url"]: r[DOC_OK] for r in spark.sql("SELECT * FROM t_verdicts").collect()}
+    assert got == {"u1": True, "u2": False, "u3": True, "u4": False, "u5": False}
+
+
+def test_stream_violations_rows(spark, stream_src):
+    sdf = spark.readStream.schema("url string, lang string, ts timestamp").parquet(stream_src)
+    _run(stream_violations(sdf, _ruleset(), key="url"), "t_viols")
+    got = sorted(tuple(r) for r in spark.sql("SELECT * FROM t_viols").collect())
+    assert got == [("u2", "lang_enum", "xx"), ("u4", "lang_enum", "yy"), ("u5", "lang_enum", "yy")]
+
+
+def test_windowed_violation_counts(spark, stream_src):
+    sdf = spark.readStream.schema("url string, lang string, ts timestamp").parquet(stream_src)
+    w = windowed_violation_counts(sdf, _ruleset(), key="url", ts_col="ts", window="1 minute")
+    q = (
+        w.writeStream.format("memory").queryName("t_win")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(60)
+    got = {
+        (str(r["window_start"]), r["rule_id"]): r["n_violations"]
+        for r in spark.sql("SELECT * FROM t_win").collect()
+    }
+    assert got == {
+        ("2024-01-01 00:00:00", "lang_enum"): 1,
+        ("2024-01-01 00:01:00", "lang_enum"): 1,
+        ("2024-01-01 00:03:00", "lang_enum"): 1,
+    }

@@ -71,19 +71,79 @@ def shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+# Universal-hash permutation family over the Mersenne prime 2^61-1:
+# perm_i(h) = (a_i * h + b_i) mod p with h < 2^31 keeps every product far
+# under 2^63 — no overflow even under Spark 4's default ANSI mode.
+_MINHASH_P = (1 << 31) - 1  # Mersenne prime
+
+
+def _perm_consts(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs, a_i odd and nonzero."""
+    out = []
+    state = seed
+    for _ in range(num_hashes):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (state % (_MINHASH_P - 2)) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % _MINHASH_P
+        out.append((a, b))
+    return out
+
+
 def minhash_signature(text: Column, num_hashes: int = 32, shingle_n: int = 3) -> Column:
-    """MinHash signature: for permutation i, min over shingles of
-    xxhash64(shingle, i). k narrow array_min's — one projection, no shuffle."""
-    sh = shingles(text, shingle_n)
-    return F.array(
-        *[
-            F.coalesce(
-                F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i)))),
-                F.lit(None).cast("long"),
-            )
-            for i in range(num_hashes)
-        ]
+    """MinHash signature as ONE array expression: the shingle array is hashed
+    once (pmod(xxhash64) base hash), then the k permutations are cheap
+    affine transforms of the precomputed base hashes — the expensive
+    shingle-string construction is NOT repeated per permutation (HOF
+    subtrees are not common-subexpression-eliminated by codegen, so naive
+    per-permutation expressions re-shingle k times; measured 30x slower).
+
+    For corpus-scale signature computation prefer
+    :func:`minhash_signatures_df` (explode + 32 partial-aggregated mins)."""
+    base = F.transform(
+        shingles(text, shingle_n), lambda s: F.pmod(F.xxhash64(s), F.lit(_MINHASH_P))
     )
+    consts = _perm_consts(num_hashes)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                base,
+                lambda h: F.pmod(
+                    h
+                    * F.element_at(F.array(*[F.lit(a) for a, _ in consts]), i + 1)
+                    + F.element_at(F.array(*[F.lit(b) for _, b in consts]), i + 1),
+                    F.lit(_MINHASH_P),
+                ),
+            )
+        ),
+    )
+
+
+def minhash_signatures_df(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Corpus-scale MinHash: explode distinct shingles (strings built ONCE),
+    base-hash each once, then num_hashes partial-aggregable ``min`` columns.
+    The shuffle carries (doc, 32 longs) after map-side combine — independent
+    of document length. Returns (doc, mh_0..mh_{k-1}); docs too short to
+    shingle are absent."""
+    ex = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"),
+        )
+        .withColumn("h", F.pmod(F.xxhash64("sh"), F.lit(_MINHASH_P)))
+    )
+    aggs = [
+        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MINHASH_P))).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(_perm_consts(num_hashes))
+    ]
+    return ex.groupBy("doc").agg(*aggs)
 
 
 def minhash_lsh_candidates(
@@ -103,10 +163,7 @@ def minhash_lsh_candidates(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sig = minhash_signature(F.col(text_col), num_hashes, shingle_n)
-    with_sig = df.select(F.col(id_col).alias("doc"), sig.alias("sig")).where(
-        F.element_at(F.col("sig"), 1).isNotNull()
-    )
+    with_sig = minhash_signatures_df(df, id_col, text_col, num_hashes, shingle_n)
     banded = with_sig.select(
         "doc",
         F.explode(
@@ -115,7 +172,7 @@ def minhash_lsh_candidates(
                     F.struct(
                         F.lit(b).alias("band"),
                         F.xxhash64(
-                            *[F.element_at(F.col("sig"), b * r + j + 1) for j in range(r)]
+                            *[F.col(f"mh_{b * r + j}") for j in range(r)]
                         ).alias("bucket"),
                     )
                     for b in range(bands)

@@ -1,0 +1,837 @@
+"""Driver-contract queries: one entry per implemented operator
+(SURVEY.md §2), each with a DuckDB oracle SQL string.
+
+Conventions that make the driver's order-insensitive value-hash compare
+work (it sorts columns by name, then hashes values):
+
+* every computed column is aliased IDENTICALLY in the Spark plan and the
+  oracle SQL;
+* doubles are rounded (6 dp for ratios, 2 dp for money) on BOTH sides;
+* sums over integers/doubles go through DECIMAL arithmetic in both engines
+  (exact, order-independent) before the final rounded DOUBLE cast —
+  float-sum reordering across partitions can never flip a hash;
+* DuckDB's SUM(BIGINT) returns HUGEINT → always CAST in the oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from xmlschemavalidator_spark.checks.drift import histogram, ks_drift
+from xmlschemavalidator_spark.checks.referential import referential_violation_counts
+from xmlschemavalidator_spark.checks.stats import column_stats, distinct_counts, length_histogram
+from xmlschemavalidator_spark.checks.uniqueness import duplicate_keys
+from xmlschemavalidator_spark.compiler import FieldRule, RuleSet
+from xmlschemavalidator_spark.dedup import exact_duplicate_groups, jaccard_pairs
+from xmlschemavalidator_spark.engine import ok_col_name, validate
+from xmlschemavalidator_spark.flagship import documents_ruleset
+from xmlschemavalidator_spark.rules.attributes import DefaultAttr, FixedAttr, RequiredAttr
+from xmlschemavalidator_spark.rules.facets import (
+    Enumeration,
+    Length,
+    MaxExclusive,
+    MaxInclusive,
+    MaxLength,
+    MinExclusive,
+    MinInclusive,
+    MinLength,
+    Pattern,
+)
+from xmlschemavalidator_spark.rules.structural import AllRule, ChoiceRule, SequenceRule
+from xmlschemavalidator_spark.rules.types import PREDEF_TYPES, Restriction, Union
+from xmlschemavalidator_spark.textops import (
+    doc_fingerprint,
+    lang_id,
+    quality_features,
+    token_count,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# ===========================================================================
+# §2.1 value facets
+# ===========================================================================
+
+_LANG3 = ("en", "de", "sv")
+
+@q(
+    "facet_enumeration",
+    """SELECT doc_id, 'lang_enum' AS rule_id, lang AS observed_value
+       FROM documents
+       WHERE NOT coalesce(lang = 'en' OR lang = 'de' OR lang = 'sv', FALSE)""",
+)
+def facet_enumeration(spark, sf_dir):
+    """Enumeration facet (core.clj:43-44,58): violations of lang ∈ {en,de,sv}."""
+    rs = RuleSet(rules=[FieldRule(
+        "lang_enum", Restriction(facets=tuple(Enumeration(v) for v in _LANG3)), column="lang")])
+    return validate(_t(spark, sf_dir, "documents"), rs, key="doc_id").violations
+
+
+_RANGE_RULE = Restriction(base="integer", facets=(MinInclusive(100), MaxInclusive(400)))
+
+@q(
+    "facet_range",
+    f"""SELECT doc_id, {_RANGE_RULE.sql_expr('n_chars', PREDEF_TYPES)} AS ok
+        FROM documents""",
+)
+def facet_range(spark, sf_dir):
+    """min/maxInclusive (core.clj:46-47,56-57) + integer base chain."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", _RANGE_RULE.to_column(F.col("n_chars"), PREDEF_TYPES).alias("ok")
+    )
+
+
+_EXCL_RULE = Restriction(facets=(MinExclusive(100), MaxExclusive(400)))
+
+@q(
+    "facet_range_exclusive",
+    f"""SELECT doc_id, {_EXCL_RULE.sql_expr('n_chars', PREDEF_TYPES)} AS ok
+        FROM documents""",
+)
+def facet_range_exclusive(spark, sf_dir):
+    """min/maxExclusive (parser.clj:140-143, v2-only facets)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", _EXCL_RULE.to_column(F.col("n_chars"), PREDEF_TYPES).alias("ok")
+    )
+
+
+@q(
+    "facet_pattern",
+    """SELECT doc_id, regexp_full_match(CAST(source AS VARCHAR), 'src[0-9]') AS ok
+       FROM documents""",
+)
+def facet_pattern(spark, sf_dir):
+    """Anchored full-string pattern (core.clj:49-50): src0..src9 pass,
+    src10..src19 FAIL (substring match would wrongly pass them)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", Pattern("src[0-9]").to_column(F.col("source")).alias("ok"))
+
+
+_LEN_RULE = Restriction(facets=(MinLength(4), MaxLength(4)))
+
+@q(
+    "facet_length",
+    """SELECT doc_id,
+              (length(CAST(source AS VARCHAR)) = 4) AS len_ok,
+              ((length(CAST(source AS VARCHAR)) >= 4) AND (length(CAST(source AS VARCHAR)) <= 4)) AS minmax_ok
+       FROM documents""",
+)
+def facet_length(spark, sf_dir):
+    """length / minLength / maxLength (parser.clj:144-149; spec semantics,
+    v2's strict-> copy-paste bug deliberately not replicated)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        Length(4).to_column(F.col("source")).alias("len_ok"),
+        _LEN_RULE.to_column(F.col("source"), PREDEF_TYPES).alias("minmax_ok"),
+    )
+
+
+# ===========================================================================
+# §2.2 builtin type lattice
+# ===========================================================================
+
+@q(
+    "type_lattice",
+    f"""SELECT doc_id,
+               {PREDEF_TYPES.resolve('byte').sql_expr('n_chars', PREDEF_TYPES)} AS byte_ok,
+               {PREDEF_TYPES.resolve('short').sql_expr('n_chars', PREDEF_TYPES)} AS short_ok,
+               {PREDEF_TYPES.resolve('int').sql_expr('n_chars', PREDEF_TYPES)} AS int_ok,
+               {PREDEF_TYPES.resolve('positiveInteger').sql_expr('n_chars', PREDEF_TYPES)} AS pos_ok,
+               {PREDEF_TYPES.resolve('string').sql_expr('lang', PREDEF_TYPES)} AS lang_is_string
+        FROM documents""",
+)
+def type_lattice(spark, sf_dir):
+    """Predefined type checks incl. derivation chains (core.clj:222-242)."""
+    docs = _t(spark, sf_dir, "documents")
+    n = F.col("n_chars")
+    return docs.select(
+        "doc_id",
+        PREDEF_TYPES.resolve("byte").to_column(n, PREDEF_TYPES).alias("byte_ok"),
+        PREDEF_TYPES.resolve("short").to_column(n, PREDEF_TYPES).alias("short_ok"),
+        PREDEF_TYPES.resolve("int").to_column(n, PREDEF_TYPES).alias("int_ok"),
+        PREDEF_TYPES.resolve("positiveInteger").to_column(n, PREDEF_TYPES).alias("pos_ok"),
+        PREDEF_TYPES.resolve("string").to_column(F.col("lang"), PREDEF_TYPES).alias("lang_is_string"),
+    )
+
+
+# ===========================================================================
+# §2.3 union (ordered first-success)
+# ===========================================================================
+
+_UNION = Union(
+    members=(
+        Restriction(base="integer", facets=(MinInclusive(100), MaxInclusive(400))),
+        Restriction(base="string", facets=(Enumeration("en"), Enumeration("zh"))),
+    )
+)
+_U_MIXED_SQL = "(CASE WHEN doc_id % 2 = 0 THEN CAST(n_chars AS VARCHAR) ELSE lang END)"
+_U_M0 = _UNION.members[0].sql_expr(_U_MIXED_SQL, PREDEF_TYPES)
+_U_M1 = _UNION.members[1].sql_expr(_U_MIXED_SQL, PREDEF_TYPES)
+
+@q(
+    "type_union",
+    f"""SELECT doc_id,
+               ({_U_M0} OR {_U_M1}) AS ok,
+               (CASE WHEN {_U_M0} THEN 0 WHEN {_U_M1} THEN 1 ELSE -1 END) AS matched_member
+        FROM documents""",
+)
+def type_union(spark, sf_dir):
+    """Union first-success over a dynamically-typed value (core.clj:75-78,
+    95-107): even doc_ids present a number-like string, odd ones a lang."""
+    docs = _t(spark, sf_dir, "documents")
+    mixed = F.expr("CASE WHEN doc_id % 2 = 0 THEN CAST(n_chars AS STRING) ELSE lang END")
+    return docs.select(
+        "doc_id",
+        _UNION.to_column(mixed, PREDEF_TYPES).alias("ok"),
+        _UNION.matched_member_column(mixed, PREDEF_TYPES).alias("matched_member"),
+    )
+
+
+# ===========================================================================
+# §2.5 attributes
+# ===========================================================================
+
+_DEFAULT_RULE = DefaultAttr(
+    default="en",
+    type=Restriction(facets=tuple(Enumeration(v) for v in ("en", "de", "fr", "zh"))),
+)
+
+@q(
+    "attr_default",
+    """SELECT doc_id,
+              coalesce(nullif(lang, 'es'), 'en') AS decoded,
+              (coalesce(nullif(lang, 'es'), 'en') = 'en'
+               OR coalesce(nullif(lang, 'es'), 'en') = 'de'
+               OR coalesce(nullif(lang, 'es'), 'en') = 'fr'
+               OR coalesce(nullif(lang, 'es'), 'en') = 'zh') AS ok
+       FROM documents""",
+)
+def attr_default(spark, sf_dir):
+    """default= semantics (parser.clj:279-283): 'es' is nulled out, the
+    default 'en' is validated AND reported as the decoded value."""
+    docs = _t(spark, sf_dir, "documents")
+    col = F.expr("nullif(lang, 'es')")
+    return docs.select(
+        "doc_id",
+        _DEFAULT_RULE.decoded(col).alias("decoded"),
+        _DEFAULT_RULE.to_column(col, PREDEF_TYPES).alias("ok"),
+    )
+
+
+@q(
+    "attr_fixed",
+    "SELECT doc_id, coalesce(source = 'src1', FALSE) AS ok FROM documents",
+)
+def attr_fixed(spark, sf_dir):
+    """fixed= semantics (parser.clj:284-288): equality with the constant."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", FixedAttr("src1").to_column(F.col("source")).alias("ok"))
+
+
+@q(
+    "attr_required",
+    """SELECT doc_id,
+              (text IS NOT NULL
+               AND text IS NOT NULL
+               AND TRY_CAST(CAST(text AS VARCHAR) AS DOUBLE) IS NULL) AS ok
+       FROM documents""",
+)
+def attr_required(spark, sf_dir):
+    """use="required" + type check (parser.clj:289-293)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", RequiredAttr("string").to_column(F.col("text"), PREDEF_TYPES).alias("ok")
+    )
+
+
+# ===========================================================================
+# §2.4 structural particles
+# ===========================================================================
+
+@q(
+    "structural_presence",
+    """SELECT doc_id,
+              (doc_id IS NOT NULL AND text IS NOT NULL AND lang IS NOT NULL) AS seq_ok,
+              (doc_id IS NOT NULL AND text IS NOT NULL AND lang IS NOT NULL) AS all_ok
+       FROM documents""",
+)
+def structural_presence(spark, sf_dir):
+    """sequence (order checked compile-time on the schema, core.clj:138-146)
+    and all (order-insensitive, core.clj:161-171) over flat columns."""
+    docs = _t(spark, sf_dir, "documents")
+    seq = SequenceRule(("doc_id", "text", "lang"))
+    seq.check_schema(docs)  # compile-time order verification
+    return docs.select(
+        "doc_id",
+        seq.to_column().alias("seq_ok"),
+        AllRule(("doc_id", "text", "lang")).to_column().alias("all_ok"),
+    )
+
+
+@q(
+    "structural_choice",
+    """SELECT doc_id,
+              ((CAST(text IS NOT NULL AS INT)
+                + CAST((CASE WHEN lang = 'en' THEN source END) IS NOT NULL AS INT)) = 1) AS ok
+       FROM (SELECT doc_id, text, lang, source FROM documents)""",
+)
+def structural_choice(spark, sf_dir):
+    """choice: exactly one of N non-null (core.clj:150-159) — 'en' docs have
+    both variants populated and must FAIL."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.expr("CASE WHEN lang = 'en' THEN source END").alias("b")
+    )
+    return docs.select("doc_id", ChoiceRule(("text", "b")).to_column().alias("ok"))
+
+
+# ===========================================================================
+# engine end-to-end (decode / valid? / violations analogues)
+# ===========================================================================
+
+_DOC_RS_SQL = {
+    "lang_enum": "coalesce(lang = 'en' OR lang = 'de' OR lang = 'sv' OR lang = 'fr' OR lang = 'zh', FALSE)",
+    "chars_range": (
+        "(TRY_CAST(CAST(n_chars AS VARCHAR) AS DOUBLE) IS NOT NULL"
+        " AND TRY_CAST(CAST(n_chars AS VARCHAR) AS DOUBLE) = floor(TRY_CAST(CAST(n_chars AS VARCHAR) AS DOUBLE))"
+        " AND coalesce(TRY_CAST(CAST(n_chars AS VARCHAR) AS DOUBLE) >= 36.0, FALSE)"
+        " AND coalesce(TRY_CAST(CAST(n_chars AS VARCHAR) AS DOUBLE) <= 4200.0, FALSE))"
+    ),
+    "source_pattern": "coalesce(regexp_full_match(CAST(source AS VARCHAR), 'src[0-9]+'), FALSE)",
+    "text_required": "(text IS NOT NULL)",
+    "nchars_consistent": "coalesce(n_chars = length(text), FALSE)",
+}
+
+@q(
+    "verdicts_wide",
+    f"""SELECT doc_id,
+               {_DOC_RS_SQL['lang_enum']} AS rule_lang_enum_ok,
+               {_DOC_RS_SQL['chars_range']} AS rule_chars_range_ok,
+               {_DOC_RS_SQL['source_pattern']} AS rule_source_pattern_ok,
+               {_DOC_RS_SQL['text_required']} AS rule_text_required_ok,
+               {_DOC_RS_SQL['nchars_consistent']} AS rule_nchars_consistent_ok,
+               ({' AND '.join(_DOC_RS_SQL.values())}) AS _doc_ok
+        FROM documents""",
+)
+def verdicts_wide(spark, sf_dir):
+    """Full documents ruleset as wide per-row verdict columns — the
+    reference's decode-with-status-metadata (core.clj:263-276)."""
+    res = validate(_t(spark, sf_dir, "documents"), documents_ruleset(), key="doc_id")
+    cols = ["doc_id"] + [ok_col_name(r) for r in documents_ruleset().rule_ids()] + ["_doc_ok"]
+    return res.verdicts.select(*cols)
+
+
+_VIOL_ORACLE = " UNION ALL ".join(
+    f"SELECT doc_id, '{rid}' AS rule_id, CAST({obs} AS VARCHAR) AS observed_value "
+    f"FROM documents WHERE NOT {sql}"
+    for rid, sql, obs in [
+        ("lang_enum", _DOC_RS_SQL["lang_enum"], "lang"),
+        ("chars_range", _DOC_RS_SQL["chars_range"], "n_chars"),
+        ("source_pattern", _DOC_RS_SQL["source_pattern"], "source"),
+        ("text_required", _DOC_RS_SQL["text_required"], "text"),
+        ("nchars_consistent", _DOC_RS_SQL["nchars_consistent"], "n_chars"),
+    ]
+)
+
+@q("violations_long", _VIOL_ORACLE)
+def violations_long(spark, sf_dir):
+    """Long violation rows (key, rule_id, observed_value) for the full
+    documents ruleset — the verdict-tree-as-table rendering."""
+    return validate(_t(spark, sf_dir, "documents"), documents_ruleset(), key="doc_id").violations
+
+
+@q(
+    "validation_summary",
+    f"""SELECT rule_id, CAST(count(*) AS BIGINT) AS n_violations
+        FROM ({_VIOL_ORACLE}) GROUP BY rule_id""",
+)
+def validation_summary(spark, sf_dir):
+    """Per-rule violation counts — the dataset-level valid? report."""
+    v = validate(_t(spark, sf_dir, "documents"), documents_ruleset(), key="doc_id").violations
+    return v.groupBy("rule_id").agg(F.count(F.lit(1)).alias("n_violations"))
+
+
+# ===========================================================================
+# dataset-level checks (§2.7)
+# ===========================================================================
+
+@q(
+    "column_stats",
+    """SELECT * FROM (
+         SELECT 'lang' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                round(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS null_rate,
+                CAST(min(lang) AS VARCHAR) AS min_value, CAST(max(lang) AS VARCHAR) AS max_value,
+                round(avg(length(CAST(lang AS VARCHAR))), 6) AS avg_length
+         FROM documents
+         UNION ALL
+         SELECT 'source', CAST(count(*) AS BIGINT),
+                CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                round(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6),
+                CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR),
+                round(avg(length(CAST(source AS VARCHAR))), 6)
+         FROM documents
+         UNION ALL
+         SELECT 'n_chars', CAST(count(*) AS BIGINT),
+                CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                round(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6),
+                CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR),
+                round(avg(length(CAST(n_chars AS VARCHAR))), 6)
+         FROM documents
+       )""",
+)
+def column_stats_q(spark, sf_dir):
+    """Single-pass per-column stats (null-rate/min/max/mean-length)."""
+    return column_stats(_t(spark, sf_dir, "documents"), ["lang", "source", "n_chars"])
+
+
+@q(
+    "distinct_exact",
+    """SELECT * FROM (
+         SELECT 'lang' AS "column", CAST(count(DISTINCT lang) AS BIGINT) AS n_distinct FROM documents
+         UNION ALL
+         SELECT 'source', CAST(count(DISTINCT source) AS BIGINT) FROM documents
+       )""",
+)
+def distinct_exact(spark, sf_dir):
+    """Distinct counts (exact mode; production path is HLL++ sketches —
+    see distinct_approx, rows-only checked)."""
+    return distinct_counts(_t(spark, sf_dir, "documents"), ["lang", "source"], exact=True)
+
+
+@q("distinct_approx")  # no oracle: HLL estimate is engine-specific
+def distinct_approx(spark, sf_dir):
+    return distinct_counts(_t(spark, sf_dir, "documents"), ["lang", "source", "text"])
+
+
+@q(
+    "length_histogram",
+    """SELECT CAST(floor(length(text) / 100) AS BIGINT) AS bucket,
+              CAST(floor(length(text) / 100) * 100 AS BIGINT) AS bucket_lo,
+              CAST(count(*) AS BIGINT) AS n
+       FROM documents GROUP BY 1, 2""",
+)
+def length_histogram_q(spark, sf_dir):
+    return length_histogram(_t(spark, sf_dir, "documents"), "text", 100)
+
+
+@q(
+    "uniqueness_duplicates",
+    """SELECT l_orderkey, CAST(count(*) AS BIGINT) AS dup_count
+       FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1""",
+)
+def uniqueness_duplicates(spark, sf_dir):
+    """Salted two-phase duplicate detection == plain group-count."""
+    return duplicate_keys(_t(spark, sf_dir, "lineitem"), ["l_orderkey"], salted=True)
+
+
+@q(
+    "referential_orders_customer",
+    """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n
+       FROM orders WHERE o_custkey IS NULL
+          OR o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)
+       GROUP BY o_custkey""",
+)
+def referential_orders_customer(spark, sf_dir):
+    """Broadcast anti-join referential check (orders → customer)."""
+    return referential_violation_counts(
+        _t(spark, sf_dir, "orders"), "o_custkey", _t(spark, sf_dir, "customer"), "c_custkey",
+        strategy="broadcast",
+    )
+
+
+@q(
+    "referential_events_customer",
+    """SELECT user_id, CAST(count(*) AS BIGINT) AS n
+       FROM events WHERE user_id IS NULL
+          OR user_id NOT IN (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)
+       GROUP BY user_id""",
+)
+def referential_events_customer(spark, sf_dir):
+    """Shuffle-hash variant of the referential check (events → customer)."""
+    return referential_violation_counts(
+        _t(spark, sf_dir, "events"), "user_id", _t(spark, sf_dir, "customer"), "c_custkey",
+        strategy="shuffle_hash",
+    )
+
+
+@q(
+    "ks_drift_lang",
+    """WITH cur AS (
+         SELECT CAST(floor(n_chars / 50) AS BIGINT) AS bucket, count(*) AS n_cur
+         FROM documents WHERE lang = 'en' AND n_chars IS NOT NULL GROUP BY 1
+       ), base AS (
+         SELECT CAST(floor(n_chars / 50) AS BIGINT) AS bucket, count(*) AS n_base
+         FROM documents WHERE lang <> 'en' AND n_chars IS NOT NULL GROUP BY 1
+       ), j AS (
+         SELECT coalesce(cur.bucket, base.bucket) AS bucket,
+                coalesce(n_cur, 0) AS n_cur, coalesce(n_base, 0) AS n_base
+         FROM cur FULL OUTER JOIN base ON cur.bucket = base.bucket
+       ), c AS (
+         SELECT sum(n_cur) OVER (ORDER BY bucket) * 1.0 / sum(n_cur) OVER () AS cdf_cur,
+                sum(n_base) OVER (ORDER BY bucket) * 1.0 / sum(n_base) OVER () AS cdf_base
+         FROM j
+       )
+       SELECT round(max(abs(cdf_cur - cdf_base)), 6) AS ks_stat FROM c""",
+)
+def ks_drift_lang(spark, sf_dir):
+    """Exact histogram-CDF KS statistic: en vs non-en n_chars distributions."""
+    docs = _t(spark, sf_dir, "documents")
+    cur = histogram(docs.where(F.col("lang") == "en"), "n_chars", 50)
+    base = histogram(docs.where(F.col("lang") != "en"), "n_chars", 50)
+    return ks_drift(cur, base).select(F.round("ks_stat", 6).alias("ks_stat"))
+
+
+# ===========================================================================
+# relational workloads (agg / join / window) — Catalyst bread-and-butter
+# ===========================================================================
+
+@q(
+    "agg_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+              CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+              CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS sum_disc_price,
+              CAST(round(avg(CAST(l_quantity AS DECIMAL(18,2))), 6) AS DOUBLE) AS avg_qty,
+              CAST(count(*) AS BIGINT) AS count_order
+       FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+)
+def agg_pricing_summary(spark, sf_dir):
+    """TPC-H-Q1-shaped aggregate: exact DECIMAL arithmetic so hashes are
+    partition-order independent; partial+final hash agg, one shuffle of
+    (flag,status) groups."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).cast("double").alias("sum_qty"),
+        F.round(F.sum(price), 2).cast("double").alias("sum_base_price"),
+        F.round(F.sum(price * (F.lit(1) - disc)), 2).cast("double").alias("sum_disc_price"),
+        F.round(F.avg(qty), 6).cast("double").alias("avg_qty"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@q(
+    "join_broadcast_dims",
+    """SELECT r_name, CAST(count(*) AS BIGINT) AS n_customers
+       FROM customer JOIN nation ON c_nationkey = n_nationkey
+                     JOIN region ON n_regionkey = r_regionkey
+       GROUP BY r_name""",
+)
+def join_broadcast_dims(spark, sf_dir):
+    """Star join through two broadcast dims — no fact-side shuffle."""
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@q(
+    "join_revenue_segment",
+    """SELECT c_mktsegment,
+              CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
+              CAST(count(*) AS BIGINT) AS n_orders
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       GROUP BY c_mktsegment""",
+)
+def join_revenue_segment(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@q(
+    "window_daily_events",
+    """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+       FROM events GROUP BY 1, 2""",
+)
+def window_daily_events(spark, sf_dir):
+    """Tumbling daily windows over the events table (batch form of the
+    streaming windowed aggregation — see streaming/)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2).cast("double").alias("total_value"),
+    )
+
+
+@q(
+    "window_first_event",
+    """SELECT user_id, event_id AS first_event_id FROM (
+         SELECT user_id, event_id,
+                row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+         FROM events
+       ) WHERE rn = 1""",
+)
+def window_first_event(spark, sf_dir):
+    """Analytic window function: first event per user (deterministic
+    tie-break on event_id)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("event_id").alias("first_event_id"))
+    )
+
+
+# ===========================================================================
+# text analysis / dedup / similarity (training-data ops)
+# ===========================================================================
+
+@q(
+    "text_token_count",
+    """SELECT doc_id,
+              CAST(CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+                   ELSE len(string_split_regex(trim(text), '\\s+')) END AS INT) AS n_tokens
+       FROM documents""",
+)
+def text_token_count(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+
+
+@q(
+    "text_quality",
+    """SELECT doc_id,
+              round(CASE WHEN length(text) > 0
+                    THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text)
+                    ELSE 0 END, 6) AS alpha_ratio,
+              round(CASE WHEN length(text) > 0
+                    THEN length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / length(text)
+                    ELSE 0 END, 6) AS punct_ratio
+       FROM documents""",
+)
+def text_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.round(feats["alpha_ratio"], 6).alias("alpha_ratio"),
+        F.round(feats["punct_ratio"], 6).alias("punct_ratio"),
+    )
+
+
+_LANGID_SQL_SCORES = {
+    "de": "['der','die','das','und','ist','nicht','ein','mit','auf','zu']",
+    "en": "['the','and','of','to','in','is','that','it','was','for']",
+    "es": "['el','la','los','de','que','y','es','en','un','por']",
+    "fr": "['le','la','les','et','est','pas','une','pour','dans','que']",
+    "sv": "['och','att','det','som','en','av','är','den','till','med']",
+}
+_LANGID_SCORE_EXPRS = ", ".join(
+    f"len(list_filter(string_split_regex(trim(coalesce(text,'')), '\\s+'), x -> list_contains({arr}, lower(x)))) AS s_{lang}"
+    for lang, arr in _LANGID_SQL_SCORES.items()
+)
+
+@q(
+    "text_lang_id",
+    f"""WITH s AS (SELECT doc_id, {_LANGID_SCORE_EXPRS} FROM documents)
+        SELECT doc_id,
+               CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_sv) <= 0 THEN 'und'
+                    WHEN s_de >= greatest(s_en, s_es, s_fr, s_sv) THEN 'de'
+                    WHEN s_en >= greatest(s_es, s_fr, s_sv) THEN 'en'
+                    WHEN s_es >= greatest(s_fr, s_sv) THEN 'es'
+                    WHEN s_fr >= s_sv THEN 'fr'
+                    ELSE 'sv' END AS lang_pred
+        FROM s""",
+)
+def text_lang_id(spark, sf_dir):
+    """Stopword-heuristic language ID; the oracle reproduces the exact
+    earliest-code tie-break of the reduce in textops.lang_id."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+@q(
+    "dedup_exact_groups",
+    """SELECT fingerprint, CAST(count(*) AS BIGINT) AS n_docs FROM (
+         SELECT md5(lower(regexp_replace(trim(coalesce(text, '')), '\\s+', ' ', 'g'))) AS fingerprint
+         FROM documents
+       ) GROUP BY fingerprint HAVING count(*) > 1""",
+)
+def dedup_exact_groups(spark, sf_dir):
+    return exact_duplicate_groups(_t(spark, sf_dir, "documents"), "doc_id").select(
+        "fingerprint", "n_docs"
+    )
+
+
+_JACCARD_SQL = """
+WITH sh AS (
+  SELECT doc_id AS doc, unnest(list_distinct(sl)) AS shingle, len(list_distinct(sl)) AS n_sh
+  FROM (
+    SELECT doc_id,
+           CASE WHEN len(string_split_regex(trim(coalesce(text,'')), '\\s+')) < 3 THEN []
+           ELSE list_transform(
+             range(1, len(string_split_regex(trim(text), '\\s+')) - 1),
+             i -> array_to_string(string_split_regex(trim(text), '\\s+')[i:i+2], ' ')
+           ) END AS sl
+    FROM documents
+  ) WHERE len(sl) > 0
+), sizes AS (SELECT DISTINCT doc, n_sh FROM sh),
+common AS (
+  SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(common * 1.0 / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+FROM common JOIN sizes sa ON sa.doc = id_a JOIN sizes sb ON sb.doc = id_b
+WHERE common * 1.0 / (sa.n_sh + sb.n_sh - common) >= {thr}
+"""
+
+@q("ngram_jaccard_pairs", _JACCARD_SQL.format(thr=0.12))
+def ngram_jaccard_pairs(spark, sf_dir):
+    """Exact token-3-gram Jaccard pairs via shingle inverted index."""
+    return jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", shingle_n=3, threshold=0.12,
+        max_posting=100000,
+    )
+
+
+@q("minhash_lsh_pairs")  # no oracle: xxhash64 signatures are Spark-specific
+def minhash_lsh_pairs(spark, sf_dir):
+    from xmlschemavalidator_spark.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(_t(spark, sf_dir, "documents"), "doc_id")
+
+
+@q("simhash_near_dups")  # no oracle: signature blocking is engine-specific
+def simhash_near_dups(spark, sf_dir):
+    from xmlschemavalidator_spark.dedup import simhash_near_duplicates
+
+    return simhash_near_duplicates(_t(spark, sf_dir, "documents"), "doc_id", hamming_max=10)
+
+
+@q(
+    "embedding_norms",
+    """SELECT vec_id,
+              round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 5) AS l2_norm
+       FROM embeddings""",
+)
+def embedding_norms(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x))
+    return emb.select("vec_id", F.round(norm, 5).alias("l2_norm"))
+
+
+@q(
+    "ann_cosine_topk",
+    """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+       SELECT vec_id,
+              round(list_dot_product(embedding::DOUBLE[], qv)
+                    / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                       * sqrt(list_dot_product(qv, qv))), 5) AS cosine
+       FROM embeddings, q
+       ORDER BY round(list_dot_product(embedding::DOUBLE[], qv)
+                    / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                       * sqrt(list_dot_product(qv, qv))), 5) DESC, vec_id
+       LIMIT 10""",
+)
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 around vec_id=0 (exact ANN baseline).
+    Double-precision math both sides; ties broken on vec_id."""
+    from xmlschemavalidator_spark.dedup import cosine_similarity
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "vec", F.col("embedding").cast("array<double>")
+    )
+    qrow = emb.where(F.col("vec_id") == 0).select("vec").collect()[0]["vec"]
+    qv = F.array(*[F.lit(float(x)) for x in qrow])
+    return (
+        emb.select(
+            "vec_id", F.round(cosine_similarity(F.col("vec"), qv), 5).alias("cosine")
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+@q("ann_lsh_topk")  # no oracle: approximate candidate set is engine-specific
+def ann_lsh_topk(spark, sf_dir):
+    from xmlschemavalidator_spark.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "vec", F.col("embedding").cast("array<double>")
+    )
+    qrow = emb.where(F.col("vec_id") == 0).select("vec").collect()[0]["vec"]
+    return lsh_topk(emb, "vec", list(qrow), k=10, nbits=6)
+
+
+# ===========================================================================
+# engine-native (pages) queries — deterministic generator, rows-only checks
+# ===========================================================================
+
+@q("pages_flagship_summary")  # no oracle: input generated, not a view
+def pages_flagship_summary(spark, sf_dir):
+    """Flagship web-page validation on the deterministic synthetic pages
+    table — per-rule violation counts. (10k rows regardless of sf.)"""
+    from xmlschemavalidator_spark.datagen import pages
+    from xmlschemavalidator_spark.flagship import run_flagship
+
+    res = run_flagship(pages(spark, 10_000))
+    return res.violations.groupBy("rule_id").agg(F.count(F.lit(1)).alias("n_violations"))
+
+
+@q("pages_extract_invariant")  # no oracle: generated input
+def pages_extract_invariant(spark, sf_dir):
+    """Byte-identical extraction invariant count over synthetic pages."""
+    from xmlschemavalidator_spark.datagen import extract_text, pages
+
+    df = pages(spark, 10_000)
+    bad = df.where(
+        ~(extract_text(F.col("html")) == F.coalesce(F.col("text"), F.lit("")))
+    )
+    return bad.agg(F.count(F.lit(1)).alias("n_corrupted"))
+
+
+def all_queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    return dict(_ORACLES)

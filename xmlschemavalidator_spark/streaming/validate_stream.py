@@ -1,0 +1,85 @@
+"""Streaming validation: compiled rulesets over Structured Streaming.
+
+Because the engine compiles rules to pure Column expressions (stateless,
+narrow), the SAME RuleSet runs unchanged on a streaming DataFrame — the
+rule projection is a map-only stage, so the stream has no state store at
+all for row-level validation. Dataset-level monitoring (violation rates
+per window) adds a watermarked windowed aggregation — Spark's incremental
+hash-agg state, mergeable and bounded by the watermark horizon.
+
+This mirrors the reference's compile-once/apply-many contract
+(README.md:62-67): compilation happens once on the driver; micro-batches
+reuse the same generated code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from xmlschemavalidator_spark.compiler import RuleSet
+from xmlschemavalidator_spark.engine import DOC_OK, ok_col_name
+
+
+def stream_validate(stream_df: DataFrame, ruleset: RuleSet, key: str) -> DataFrame:
+    """Per-row verdicts on a streaming DataFrame: input + rule booleans +
+    _doc_ok + exploded violations struct column. Stateless (append mode)."""
+    compiled = ruleset.compile()
+    out = stream_df.withColumns({ok_col_name(rid): c for rid, c in compiled.items()})
+    doc_ok = F.lit(True)
+    for rid in compiled:
+        doc_ok = doc_ok & F.col(ok_col_name(rid))
+    return out.withColumn(DOC_OK, doc_ok)
+
+
+def stream_violations(stream_df: DataFrame, ruleset: RuleSet, key: str) -> DataFrame:
+    """Long violation rows (key, rule_id, observed_value) as a stream —
+    same single-pass array/filter/explode as the batch engine."""
+    compiled = ruleset.compile()
+    structs = [
+        F.struct(
+            F.lit(r.rule_id).alias("rule_id"),
+            compiled[r.rule_id].alias("ok"),
+            F.expr(r.observed_expr).cast("string").alias("observed_value"),
+        )
+        for r in ruleset.rules
+    ]
+    failed = F.filter(F.array(*structs), lambda s: ~F.coalesce(s["ok"], F.lit(False)))
+    return stream_df.select(F.col(key), F.explode(failed).alias("v")).select(
+        key, F.col("v.rule_id").alias("rule_id"), F.col("v.observed_value").alias("observed_value")
+    )
+
+
+def windowed_violation_counts(
+    stream_df: DataFrame,
+    ruleset: RuleSet,
+    key: str,
+    ts_col: str,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Per-(event-time window, rule) violation counts with late-data
+    handling: watermark bounds the agg state; output is append-complete
+    per closed window."""
+    compiled = ruleset.compile()
+    structs = [
+        F.struct(
+            F.lit(r.rule_id).alias("rule_id"),
+            compiled[r.rule_id].alias("ok"),
+        )
+        for r in ruleset.rules
+    ]
+    failed = F.filter(F.array(*structs), lambda s: ~F.coalesce(s["ok"], F.lit(False)))
+    exploded = (
+        stream_df.withWatermark(ts_col, watermark)
+        .select(F.col(ts_col), F.explode(failed).alias("v"))
+        .select(F.col(ts_col), F.col("v.rule_id").alias("rule_id"))
+    )
+    return exploded.groupBy(
+        F.window(F.col(ts_col), window).alias("w"), F.col("rule_id")
+    ).agg(F.count(F.lit(1)).alias("n_violations")).select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "rule_id",
+        "n_violations",
+    )
