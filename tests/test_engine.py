@@ -115,3 +115,55 @@ def test_duplicate_rule_id_rejected(spark):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_extension_merges_rule_sets(spark):
+    # complexContent/extension (core.clj:177-195): extended = base ∪ ext,
+    # ext shadows same-id base rules; pure compile-time dict merge
+    from xmlschemavalidator_spark.compiler import RuleRef
+
+    base = _ruleset()
+    ext = RuleSet(rules=[
+        FieldRule("nchars_positive", Restriction(base="positiveInteger"), column="n_chars"),
+        FieldRule("lang_enum",  # shadows base's lang_enum: only 'en' allowed now
+                  Restriction(facets=(Enumeration("en"),)), column="lang"),
+    ])
+    merged = base.extend(ext)
+    assert [r for r, _ in merged.introspect()] == [
+        "lang_enum", "chars_range", "url_required", "nchars_positive",
+    ]
+    df = spark.createDataFrame([("u1", "de", 40)], "url string, lang string, n_chars bigint")
+    res = validate(df, merged, key="url")
+    row = res.verdicts.collect()[0]
+    assert row[ok_col_name("lang_enum")] is False  # shadowed: de no longer ok
+    assert row[ok_col_name("nchars_positive")] is True
+
+
+def test_rule_ref_indirection(spark):
+    # ref= element indirection (core.clj:80-93): delegate to a named rule
+    from xmlschemavalidator_spark.compiler import RuleRef
+
+    rs = RuleSet(rules=[
+        FieldRule("lang_rule", Restriction(facets=(Enumeration("en"),)), column="lang"),
+        FieldRule("lang_alias", RuleRef("lang_rule")),
+    ])
+    df = spark.createDataFrame([("u1", "en"), ("u2", "de")], "url string, lang string")
+    res = validate(df, rs, key="url")
+    got = {r["url"]: (r[ok_col_name("lang_rule")], r[ok_col_name("lang_alias")])
+           for r in res.verdicts.collect()}
+    assert got == {"u1": (True, True), "u2": (False, False)}
+    # violations report the ref target's column as observed
+    v = sorted(tuple(r) for r in res.violations.collect())
+    assert ("u2", "lang_alias", "de") in v and ("u2", "lang_rule", "de") in v
+
+
+def test_rule_ref_cycle_and_missing(spark):
+    from xmlschemavalidator_spark.compiler import RuleRef
+
+    import pytest as _pytest
+    rs = RuleSet(rules=[FieldRule("a", RuleRef("b")), FieldRule("b", RuleRef("a"))])
+    with _pytest.raises(ValueError, match="circular"):
+        rs.compile()
+    rs2 = RuleSet(rules=[FieldRule("a", RuleRef("nope"))])
+    with _pytest.raises(KeyError):
+        rs2.compile()

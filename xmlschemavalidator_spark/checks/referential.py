@@ -25,23 +25,31 @@ def referential_violations(
     strategy: str = "broadcast",
     rule_id: str | None = None,
 ) -> DataFrame:
-    """Rows of ``fact`` whose ``fact_key`` has no match in ``dim.dim_key``
-    — a LEFT ANTI join, so only fact columns flow and Spark never
-    materializes matches. NULL fact keys are violations too (a missing key
-    can't reference anything); anti-join semantics would pass them silently,
-    so they are OR'd in explicitly."""
-    keys = dim.select(F.col(dim_key).alias(fact_key)).where(F.col(dim_key).isNotNull()).distinct()
+    """Rows of ``fact`` whose ``fact_key`` has no match in ``dim.dim_key``.
+
+    ONE scan of the (huge) fact side: a LEFT OUTER join against the distinct
+    dim keys decorated with a hit marker, keeping rows where the marker is
+    null. This covers NULL fact keys too (null join keys never match → the
+    marker stays null → violation) — a plain LEFT ANTI would silently pass
+    them, and anti+union-of-nulls would scan the fact table twice.
+    """
+    keys = (
+        dim.select(F.col(dim_key).alias(fact_key))
+        .where(F.col(dim_key).isNotNull())
+        .distinct()
+        .withColumn("_ref_hit", F.lit(1))
+    )
     if strategy == "broadcast":
         keys = F.broadcast(keys)
     elif strategy == "shuffle_hash":
         keys = keys.hint("shuffle_hash")
     elif strategy != "auto":
         raise ValueError(f"unknown strategy {strategy!r}")
-    non_null_violation = fact.where(F.col(fact_key).isNotNull()).join(
-        keys, on=fact_key, how="left_anti"
+    out = (
+        fact.join(keys, on=fact_key, how="left")
+        .where(F.col("_ref_hit").isNull())
+        .drop("_ref_hit")
     )
-    null_violation = fact.where(F.col(fact_key).isNull())
-    out = non_null_violation.unionByName(null_violation)
     if rule_id is not None:
         out = out.select(
             F.col(fact_key).cast("string").alias("key"),

@@ -1,0 +1,131 @@
+"""Per-partition mergeable quantile sketches (t-digest-style) for
+distribution-drift checks at 100 TB.
+
+The exact histogram-CDF path (drift.py) needs a bounded value domain; this
+sketch handles unbounded/continuous columns: each partition compresses its
+values into at most ``delta`` weighted centroids (one mapInPandas pass,
+numpy-vectorized), the tiny centroid sets are merged on the driver (≤
+delta × #partitions rows — kilobytes), and quantiles interpolate over the
+merged centroid CDF. Mergeability is what makes it a treeAggregate-shaped
+computation: partial sketches combine associatively, so the same code
+serves incremental/streaming baselines.
+
+This is the centroid-compression core of the t-digest family (Dunning's
+t-digest adds non-uniform centroid sizing near the tails; we use uniform
+sizing — simpler, deterministic, and adequate for KS-style max-gap drift
+which probes mid-distribution quantiles).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class Digest:
+    """Weighted centroids, sorted by mean."""
+
+    means: np.ndarray  # float64
+    weights: np.ndarray  # int64
+
+    @property
+    def total(self) -> int:
+        return int(self.weights.sum())
+
+    def quantile(self, q: float) -> float:
+        """Interpolated quantile over the centroid CDF."""
+        if len(self.means) == 0:
+            return float("nan")
+        cum = np.cumsum(self.weights) - self.weights / 2.0
+        target = q * self.total
+        return float(np.interp(target, cum, self.means))
+
+    def quantiles(self, qs: list[float]) -> list[float]:
+        return [self.quantile(q) for q in qs]
+
+
+def _compress(values: np.ndarray, weights: np.ndarray, delta: int) -> tuple[np.ndarray, np.ndarray]:
+    """Merge sorted weighted points into <= delta centroids of ~equal weight."""
+    if len(values) <= delta:
+        return values, weights
+    order = np.argsort(values, kind="stable")
+    v, w = values[order], weights[order]
+    cum = np.cumsum(w)
+    total = cum[-1]
+    bounds = np.searchsorted(cum, np.linspace(total / delta, total, delta), side="left")
+    bounds = np.unique(np.concatenate([[0], bounds + 1]))
+    means, weights_out = [], []
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        ww = w[lo:hi]
+        if ww.sum() == 0:
+            continue
+        means.append(float(np.average(v[lo:hi], weights=ww)))
+        weights_out.append(int(ww.sum()))
+    return np.array(means), np.array(weights_out, dtype=np.int64)
+
+
+def partition_digests(df: DataFrame, column: str, delta: int = 200) -> DataFrame:
+    """One sketch per partition: (partition_id, mean, weight) centroid rows.
+    A single narrow mapInPandas pass; output size ≤ delta per partition."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyspark
+
+        vals: list[np.ndarray] = []
+        pid = pyspark.TaskContext.get().partitionId()
+        for b in batches:
+            a = b[column].dropna().to_numpy(dtype=np.float64)
+            if len(a):
+                vals.append(a)
+        if not vals:
+            yield pd.DataFrame({"partition_id": [], "mean": [], "weight": []})
+            return
+        allv = np.concatenate(vals)
+        m, w = _compress(allv, np.ones(len(allv), dtype=np.int64), delta)
+        yield pd.DataFrame({"partition_id": pid, "mean": m, "weight": w})
+
+    return df.select(column).mapInPandas(
+        run, "partition_id int, mean double, weight long"
+    )
+
+
+def merge_digests(centroids: pd.DataFrame, delta: int = 200) -> Digest:
+    """Driver-side merge of per-partition centroid rows (associative)."""
+    if len(centroids) == 0:
+        return Digest(np.array([]), np.array([], dtype=np.int64))
+    m, w = _compress(
+        centroids["mean"].to_numpy(np.float64),
+        centroids["weight"].to_numpy(np.int64),
+        delta,
+    )
+    return Digest(m, w)
+
+
+def digest_of(df: DataFrame, column: str, delta: int = 200) -> Digest:
+    """End-to-end: per-partition sketch pass → driver merge."""
+    return merge_digests(partition_digests(df, column, delta).toPandas(), delta)
+
+
+def quantile_gap_drift(
+    current: Digest, baseline: Digest, qs: list[float] | None = None
+) -> float:
+    """KS-style drift: max over the quantile grid of
+    |F_base(q_cur) - q| — how far the baseline CDF is from where the
+    current distribution puts its quantiles. 0 = identical."""
+    qs = qs or [0.05, 0.1, 0.25, 0.5, 0.75, 0.9, 0.95]
+    if baseline.total == 0 or current.total == 0:
+        return float("nan")
+    cum = np.cumsum(baseline.weights) - baseline.weights / 2.0
+    gaps = []
+    for q in qs:
+        x = current.quantile(q)
+        # baseline CDF at x, by interpolation over centroid positions
+        fx = float(np.interp(x, baseline.means, cum / baseline.total))
+        gaps.append(abs(fx - q))
+    return float(max(gaps))

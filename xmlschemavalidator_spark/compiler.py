@@ -108,6 +108,16 @@ class FieldRule:
         return "NULL"
 
 
+@dataclass(frozen=True)
+class RuleRef:
+    """``ref=`` indirection (core.clj:80-93; parser.clj:186-191): a rule that
+    delegates to another named rule in the same RuleSet, resolved at compile
+    time through the rule registry — the Spark analogue of the reference's
+    element-registry lookup."""
+
+    rule_id: str
+
+
 @dataclass
 class RuleSet:
     """An ordered, named collection of field rules plus a type environment.
@@ -123,6 +133,47 @@ class RuleSet:
         self.rules.append(rule)
         return self
 
+    def extend(self, extension: "RuleSet") -> "RuleSet":
+        """complexContent/extension semantics (core.clj:177-195 ``ext-and``,
+        ``parse-extension``): the extended type validates the base's rules
+        AND the extension's rules — rules(extended) = rules(base) ∪
+        rules(ext). Extension rules with a base rule's id SHADOW it (the
+        type-env merge rule); everything happens at compile time, zero
+        runtime cost."""
+        by_id = {r.rule_id: r for r in self.rules}
+        order = [r.rule_id for r in self.rules]
+        for r in extension.rules:
+            if r.rule_id not in by_id:
+                order.append(r.rule_id)
+            by_id[r.rule_id] = r
+        merged_registry = self.registry.merge(
+            {name: extension.registry.resolve(name) for name in extension.registry.names()}
+        )
+        return RuleSet(rules=[by_id[i] for i in order], registry=merged_registry)
+
+    def introspect(self) -> list[tuple[str, Optional[str]]]:
+        """Introspection mode (the reference returns the combined field list
+        when called with nil input, core.clj:186-195): (rule_id, column)
+        pairs — what the compiled validator would check, without compiling."""
+        return [(r.rule_id, r.column) for r in self.rules]
+
+    def _resolve_ref(self, rule: FieldRule, seen: frozenset[str] = frozenset()) -> FieldRule:
+        if not isinstance(rule.rule, RuleRef):
+            return rule
+        target_id = rule.rule.rule_id
+        if target_id in seen:
+            raise ValueError(f"circular rule ref through {target_id!r}")
+        for r in self.rules:
+            if r.rule_id == target_id:
+                target = self._resolve_ref(r, seen | {target_id})
+                return FieldRule(
+                    rule_id=rule.rule_id,
+                    rule=target.rule,
+                    column=rule.column if rule.column is not None else target.column,
+                    observed=rule.observed if rule.observed is not None else target.observed,
+                )
+        raise KeyError(f"rule ref {target_id!r} not found in ruleset")
+
     def rule_ids(self) -> list[str]:
         return [r.rule_id for r in self.rules]
 
@@ -132,12 +183,17 @@ class RuleSet:
         for r in self.rules:
             if r.rule_id in out:
                 raise ValueError(f"duplicate rule_id {r.rule_id!r}")
-            out[r.rule_id] = r.ok_column(self.registry)
+            out[r.rule_id] = self._resolve_ref(r).ok_column(self.registry)
         return out
 
     def compile_sql(self) -> dict[str, str]:
         """rule_id → ANSI-SQL boolean expression (oracle rendering)."""
-        return {r.rule_id: r.ok_sql(self.registry) for r in self.rules}
+        return {r.rule_id: self._resolve_ref(r).ok_sql(self.registry) for r in self.rules}
+
+    def resolved_rules(self) -> list[FieldRule]:
+        """Rules with ref= indirections resolved — what the engine iterates
+        (violation observed-value expressions need the target's column)."""
+        return [self._resolve_ref(r) for r in self.rules]
 
     def check_schema(self, df: DataFrame) -> None:
         """Compile-time structural checks (e.g. sequence column order) —

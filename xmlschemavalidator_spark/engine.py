@@ -75,7 +75,7 @@ def validate(df: DataFrame, ruleset: RuleSet, key: str = "url") -> ValidationRes
             compiled[rule.rule_id].alias("ok"),
             F.expr(rule.observed_expr).cast("string").alias("observed_value"),
         )
-        for rule in ruleset.rules
+        for rule in ruleset.resolved_rules()
     ]
     failed = F.filter(F.array(*structs), lambda s: ~F.coalesce(s["ok"], F.lit(False)))
     violations = (
@@ -109,7 +109,7 @@ def with_status(df: DataFrame, ruleset: RuleSet, value_columns: list[str]) -> Da
     the AND of every rule bound to that column."""
     compiled = ruleset.compile()
     by_col: dict[str, Column] = {}
-    for rule in ruleset.rules:
+    for rule in ruleset.resolved_rules():
         if rule.column in value_columns:
             c = compiled[rule.rule_id]
             by_col[rule.column] = c if rule.column not in by_col else by_col[rule.column] & c

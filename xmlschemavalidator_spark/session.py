@@ -32,4 +32,39 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _ship_package(spark)
+    return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via addPyFile.
+
+    pandas-UDF / mapInPandas closures reference module-level helpers, which
+    cloudpickle serializes BY REFERENCE (module + qualname) — so executors
+    must be able to import ``xmlschemavalidator_spark``. Driver-side
+    ``sys.path`` edits don't propagate to workers; a --py-files zip does.
+    Building + registering the zip here makes the package location-independent
+    (no-op if the zip was already added, e.g. by spark-submit)."""
+    import tempfile
+    import zipfile
+
+    import xmlschemavalidator_spark as pkg
+
+    pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
+    out = os.path.join(tempfile.gettempdir(), "xmlschemavalidator_spark_autoship.zip")
+    try:
+        with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
+            for dirpath, _dirs, files in os.walk(pkg_dir):
+                if "__pycache__" in dirpath:
+                    continue
+                for f in sorted(files):
+                    if f.endswith(".py"):
+                        full = os.path.join(dirpath, f)
+                        rel = os.path.join(
+                            "xmlschemavalidator_spark", os.path.relpath(full, pkg_dir)
+                        )
+                        z.write(full, rel)
+        spark.sparkContext.addPyFile(out)
+    except Exception:
+        pass  # e.g. Spark Connect without addPyFile; --py-files covers prod

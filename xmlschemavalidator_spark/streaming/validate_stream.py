@@ -42,7 +42,7 @@ def stream_violations(stream_df: DataFrame, ruleset: RuleSet, key: str) -> DataF
             compiled[r.rule_id].alias("ok"),
             F.expr(r.observed_expr).cast("string").alias("observed_value"),
         )
-        for r in ruleset.rules
+        for r in ruleset.resolved_rules()
     ]
     failed = F.filter(F.array(*structs), lambda s: ~F.coalesce(s["ok"], F.lit(False)))
     return stream_df.select(F.col(key), F.explode(failed).alias("v")).select(
@@ -67,7 +67,7 @@ def windowed_violation_counts(
             F.lit(r.rule_id).alias("rule_id"),
             compiled[r.rule_id].alias("ok"),
         )
-        for r in ruleset.rules
+        for r in ruleset.resolved_rules()
     ]
     failed = F.filter(F.array(*structs), lambda s: ~F.coalesce(s["ok"], F.lit(False)))
     exploded = (
