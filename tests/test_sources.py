@@ -1,0 +1,100 @@
+"""Source tests: WARC round-trip (plain + gzip), lenient parsing, readers
+with schema contracts, validate-on-read."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from xmlschemavalidator_spark.compiler import FieldRule, RuleSet
+from xmlschemavalidator_spark.datagen import render_html
+from xmlschemavalidator_spark.rules.attributes import RequiredAttr
+from xmlschemavalidator_spark.sources import read_table, read_warc, validated_read, write_fake_warc
+from xmlschemavalidator_spark.sources.readers import expect_schema
+
+
+def _render(text: str) -> bytes:
+    return (
+        b"<html><head><title>p</title></head><body>" + text.encode() + b"</body></html>"
+    )
+
+
+def _pages_rows():
+    return [
+        {"url": "https://a.example/p1", "warc_ts": "2024-03-01T00:00:00Z", "html": _render("hello world")},
+        {"url": "https://b.example/p2", "warc_ts": "2024-03-02T12:30:00Z", "html": _render("två tre fyra")},
+    ]
+
+
+def test_warc_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "f.warc")
+    write_fake_warc(path, _pages_rows())
+    df = read_warc(spark, path)
+    rows = {r["url"]: r for r in df.collect()}
+    assert set(rows) == {"https://a.example/p1", "https://b.example/p2"}
+    assert rows["https://a.example/p1"]["text"] == "hello world"
+    assert rows["https://b.example/p2"]["text"] == "två tre fyra"
+    assert str(rows["https://b.example/p2"]["warc_ts"]).startswith("2024-03-02 12:30:00")
+    assert bytes(rows["https://a.example/p1"]["html"]) == _render("hello world")[
+        _render("hello world").index(b"<html>"):]
+
+
+def test_warc_gzip(spark, tmp_path):
+    path = str(tmp_path / "f.warc.gz")
+    write_fake_warc(path, _pages_rows(), gz=True)
+    assert read_warc(spark, path).count() == 2
+
+
+def test_warc_lenient_on_garbage(spark, tmp_path):
+    path = str(tmp_path / "bad.warc")
+    good = _pages_rows()[:1]
+    write_fake_warc(path, good)
+    with open(path, "ab") as fh:
+        fh.write(b"WARC/1.0\r\nContent-Length: notanumber\r\n\r\ngarbage")
+    df = read_warc(spark, path)
+    assert df.count() == 1  # good record survives, garbage skipped
+
+
+def test_warc_non_response_records_skipped(spark, tmp_path):
+    path = str(tmp_path / "meta.warc")
+    block = b"software: test"
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: "
+        + str(len(block)).encode() + b"\r\n\r\n" + block + b"\r\n\r\n"
+    )
+    with open(path, "wb") as fh:
+        fh.write(rec)
+    write_fake_warc(str(tmp_path / "resp.warc"), _pages_rows()[:1])
+    assert read_warc(spark, str(tmp_path / "meta.warc")).count() == 0
+    assert read_warc(spark, str(tmp_path / "*.warc")).count() == 1
+
+
+def test_read_table_formats(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a")], "id bigint, s string")
+    for fmt in ("parquet", "json", "csv", "orc"):
+        p = str(tmp_path / fmt)
+        df.write.format(fmt).option("header", "true").save(p)
+        back = read_table(spark, p, fmt=fmt, schema="id bigint, s string")
+        assert [tuple(r) for r in back.collect()] == [(1, "a")]
+    with pytest.raises(ValueError, match="unsupported format"):
+        read_table(spark, "x", fmt="xml")
+
+
+def test_expect_schema_contract(spark):
+    df = spark.createDataFrame([(1, "a")], "id bigint, s string")
+    expect_schema(df, {"id": "bigint"})
+    with pytest.raises(ValueError, match="missing column 'nope'"):
+        expect_schema(df, {"nope": "string"})
+    with pytest.raises(ValueError, match="expected string, got bigint"):
+        expect_schema(df, {"id": "string"})
+
+
+def test_validated_read(spark, tmp_path):
+    p = str(tmp_path / "t")
+    spark.createDataFrame([("u1", "x"), ("u2", None)], "url string, text string").write.parquet(p)
+    rs = RuleSet(rules=[FieldRule("text_required", RequiredAttr(), column="text")])
+    df, res = validated_read(
+        spark, p, rs, key="url", expected={"url": "string", "text": "string"}
+    )
+    assert df.count() == 2
+    assert [tuple(r) for r in res.violations.collect()] == [("u2", "text_required", None)]

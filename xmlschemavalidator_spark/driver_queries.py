@@ -829,6 +829,122 @@ def pages_extract_invariant(spark, sf_dir):
     return bad.agg(F.count(F.lit(1)).alias("n_corrupted"))
 
 
+# ===========================================================================
+# skew / sketch / source ops (round-1 additions)
+# ===========================================================================
+
+@q(
+    "salted_agg_returnflag",
+    """SELECT l_returnflag,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(max(l_quantity) AS DOUBLE) AS max_qty,
+              CAST(min(l_quantity) AS DOUBLE) AS min_qty
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def salted_agg_returnflag(spark, sf_dir):
+    """Two-phase salted aggregation == plain groupBy for partial-aggregable
+    fns (skew-safety demonstrated against the SQL oracle)."""
+    from xmlschemavalidator_spark.checks.skew import salted_agg
+
+    li = _t(spark, sf_dir, "lineitem").repartition(8)
+    return salted_agg(
+        li,
+        ["l_returnflag"],
+        {"n": ("1", "count"), "max_qty": ("l_quantity", "max"), "min_qty": ("l_quantity", "min")},
+    )
+
+
+@q(
+    "structural_occurs",
+    """SELECT o_custkey,
+              (count(*) BETWEEN 1 AND 20) AS occurs_ok,
+              CAST(count(*) AS BIGINT) AS n_orders
+       FROM orders GROUP BY o_custkey""",
+)
+def structural_occurs(spark, sf_dir):
+    """minOccurs/maxOccurs over a collected child array (parser.clj:35-42,
+    spec-enforced): each customer's orders as the children collection."""
+    from xmlschemavalidator_spark.rules.structural import Occurs
+
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(F.collect_list("o_orderkey").alias("children"))
+    return per_cust.select(
+        "o_custkey",
+        Occurs(1, 20).to_column(F.col("children")).alias("occurs_ok"),
+        F.size("children").cast("long").alias("n_orders"),
+    )
+
+
+@q(
+    "embedding_bruteforce_pairs",
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                    / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                       * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 5) AS cosine
+       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       WHERE a.vec_id < 100 AND b.vec_id < 100
+         AND list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.3""",
+)
+def embedding_bruteforce_pairs(spark, sf_dir):
+    """Exact cosine near-dup pairs (brute force over a 100-vector slice) —
+    the verifier baseline for the LSH-bucketed path."""
+    from xmlschemavalidator_spark.dedup import cosine_similarity
+
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 100)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("vec"))
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vb"))
+    cos = cosine_similarity(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .where(cos >= 0.3)
+        .select("id_a", "id_b", F.round(cos, 5).alias("cosine"))
+    )
+
+
+@q("tdigest_quantiles")  # no oracle: sketch estimates are engine-specific
+def tdigest_quantiles(spark, sf_dir):
+    """Mergeable per-partition quantile sketch (t-digest-style)."""
+    from xmlschemavalidator_spark.checks.tdigest import digest_of
+
+    d = digest_of(_t(spark, sf_dir, "documents").repartition(8), "n_chars")
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9]
+    return spark.createDataFrame(
+        [(q, float(v)) for q, v in zip(qs, d.quantiles(qs))], "quantile double, value double"
+    )
+
+
+@q("warc_roundtrip")  # no oracle: source-format op over generated files
+def warc_roundtrip(spark, sf_dir):
+    """WARC source: write a fake archive, read it back through the
+    binaryFile + mapInPandas parser, return per-file record counts."""
+    import tempfile
+
+    from xmlschemavalidator_spark.sources import read_warc, write_fake_warc
+
+    tmp = tempfile.mkdtemp(prefix="warcq_")
+    rows = [
+        {
+            "url": f"https://w.example/p{i}",
+            "warc_ts": "2024-05-01T00:00:00Z",
+            "html": b"<html><head><title>p</title></head><body>doc " + str(i).encode() + b"</body></html>",
+        }
+        for i in range(20)
+    ]
+    write_fake_warc(f"{tmp}/a.warc", rows[:10])
+    write_fake_warc(f"{tmp}/b.warc.gz", rows[10:], gz=True)
+    df = read_warc(spark, f"{tmp}/*")
+    return df.groupBy().agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.count("text").alias("n_extracted"),
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 

