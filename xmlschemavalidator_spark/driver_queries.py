@@ -945,6 +945,90 @@ def warc_roundtrip(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# XSD front-end (the reference's native input format)
+# ===========================================================================
+
+_DOCS_XSD = """<schema>
+  <simpleType name="langtype">
+    <restriction base="string">
+      <enumeration value="en"/><enumeration value="de"/><enumeration value="sv"/>
+      <enumeration value="fr"/><enumeration value="zh"/><enumeration value="es"/>
+    </restriction>
+  </simpleType>
+  <simpleType name="charstype">
+    <restriction base="integer">
+      <minInclusive value="36"/><maxInclusive value="4200"/>
+    </restriction>
+  </simpleType>
+  <complexType name="doctype">
+    <sequence>
+      <element name="text" type="string"/>
+      <element name="lang" type="langtype"/>
+      <element name="n_chars" type="charstype"/>
+    </sequence>
+    <attribute name="source" type="string" use="required"/>
+  </complexType>
+  <element name="document" type="doctype"/>
+</schema>"""
+
+_XSD_ORACLE_RULES = """
+              (text IS NOT NULL AND lang IS NOT NULL AND n_chars IS NOT NULL) AS rule_document__sequence_ok,
+              (text IS NOT NULL AND TRY_CAST(CAST(text AS VARCHAR) AS DOUBLE) IS NULL) AS rule_document__text_ok,
+              (lang IS NOT NULL AND TRY_CAST(CAST(lang AS VARCHAR) AS DOUBLE) IS NULL
+               AND (lang = 'en' OR lang = 'de' OR lang = 'sv' OR lang = 'fr' OR lang = 'zh' OR lang = 'es')) AS rule_document__lang_ok,
+              (TRY_CAST(CAST(n_chars AS VARCHAR) AS DOUBLE) IS NOT NULL
+               AND TRY_CAST(CAST(n_chars AS VARCHAR) AS DOUBLE) = floor(TRY_CAST(CAST(n_chars AS VARCHAR) AS DOUBLE))
+               AND TRY_CAST(CAST(n_chars AS VARCHAR) AS DOUBLE) >= 36.0
+               AND TRY_CAST(CAST(n_chars AS VARCHAR) AS DOUBLE) <= 4200.0) AS rule_document__n_chars_ok,
+              (source IS NOT NULL AND source IS NOT NULL
+               AND TRY_CAST(CAST(source AS VARCHAR) AS DOUBLE) IS NULL) AS rule_document__attr_source_ok
+"""
+
+@q(
+    "xsd_columnar_verdicts",
+    f"SELECT doc_id, {_XSD_ORACLE_RULES} FROM documents",
+)
+def xsd_columnar_verdicts(spark, sf_dir):
+    """An XSD schema (the reference's input dialect) compiled straight to
+    the columnar engine: documents columns validated against the parsed
+    complexType's particle, element types, and required attribute."""
+    from xmlschemavalidator_spark.xsd import parse_xsd
+
+    schema = parse_xsd(_DOCS_XSD)
+    rs = schema.ruleset_for("document")
+    res = validate(_t(spark, sf_dir, "documents"), rs, key="doc_id")
+    cols = ["doc_id"] + [ok_col_name(r) for r in rs.rule_ids()]
+    return res.verdicts.select(*cols)
+
+
+@q(
+    "xsd_xml_documents",
+    f"""SELECT doc_id, ({_XSD_ORACLE_RULES.replace(' AS rule_document__sequence_ok,', ' AND').replace(' AS rule_document__text_ok,', ' AND').replace(' AS rule_document__lang_ok,', ' AND').replace(' AS rule_document__n_chars_ok,', ' AND').replace(' AS rule_document__attr_source_ok', '')}) AS _doc_ok
+        FROM documents""",
+)
+def xsd_xml_documents(spark, sf_dir):
+    """The document path (reference decode over a table): render each
+    documents row as an XML string, parse with from_xml using the schema
+    derived from the XSD, validate — verdict equals validating the source
+    columns directly (round-trip identity)."""
+    from xmlschemavalidator_spark.xsd import parse_xsd
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "xml",
+        F.concat(
+            F.lit('<document source="'), F.col("source"), F.lit('">'),
+            F.lit("<text>"), F.col("text"), F.lit("</text>"),
+            F.lit("<lang>"), F.col("lang"), F.lit("</lang>"),
+            F.lit("<n_chars>"), F.col("n_chars").cast("string"), F.lit("</n_chars>"),
+            F.lit("</document>"),
+        ),
+    )
+    schema = parse_xsd(_DOCS_XSD)
+    res = schema.validate_xml_column(docs, "xml", root="document", key="doc_id")
+    return res.verdicts.select("doc_id", "_doc_ok")
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 

@@ -1,0 +1,401 @@
+"""XSD front-end: the reference's actual input format, compiled to RuleSets.
+
+Covers the reference-supported XSD subset (no namespaces in its corpus;
+namespaced schemas are handled by stripping prefixes):
+
+* ``simpleType`` — named / anonymous / ``type=`` ref (core.clj:37-41);
+* ``restriction base=`` + facets ``enumeration minInclusive maxInclusive
+  minExclusive maxExclusive pattern length minLength maxLength``
+  (core.clj:43-61; parser.clj:133-158);
+* ``union`` — ``memberTypes=`` and nested anonymous simpleTypes, ordered
+  first-success (core.clj:95-107);
+* ``complexType`` — ``sequence``/``all``/``choice`` particles of element
+  declarations + ``attribute`` declarations with ``default= fixed=
+  use="required"`` (parser.clj:237-293);
+* ``complexContent``/``extension base=`` — child/attribute set union
+  (core.clj:177-195);
+* ``element`` — ``name= type=``, inline type, ``ref=`` (core.clj:80-93);
+* ``schema`` root — named-type registry with merge-shadowing over the
+  predefined lattice + element registry (core.clj:128-134).
+
+Two execution paths:
+
+1. :func:`ruleset_for` — the **columnar path**: a root complexType's child
+   elements/attributes are columns of a DataFrame; the compiled RuleSet
+   validates them in one projection (the engine's native mode).
+2. :func:`validate_xml_column` — the **document path**: a column of XML
+   strings is parsed with Spark's ``from_xml`` (schema derived from the
+   XSD), then the same RuleSet runs over the parsed struct. Leaf values
+   parse as strings and the rule compiler's try_cast probes reproduce the
+   reference's dynamic ``read-string`` typing (parser.clj:14-22) exactly.
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from xmlschemavalidator_spark.compiler import FieldRule, RuleSet
+from xmlschemavalidator_spark.engine import ValidationResult, validate
+from xmlschemavalidator_spark.rules.attributes import DefaultAttr, FixedAttr, RequiredAttr
+from xmlschemavalidator_spark.rules.facets import (
+    Enumeration,
+    Facet,
+    Length,
+    MaxExclusive,
+    MaxInclusive,
+    MaxLength,
+    MinExclusive,
+    MinInclusive,
+    MinLength,
+    Pattern,
+)
+from xmlschemavalidator_spark.rules.structural import AllRule, ChoiceRule, SequenceRule
+from xmlschemavalidator_spark.rules.types import (
+    PREDEF_TYPES,
+    Restriction,
+    Type,
+    TypeRegistry,
+    Union,
+)
+
+_FACETS = {
+    "enumeration": Enumeration,
+    "minInclusive": MinInclusive,
+    "maxInclusive": MaxInclusive,
+    "minExclusive": MinExclusive,
+    "maxExclusive": MaxExclusive,
+    "pattern": Pattern,
+    "length": Length,
+    "minLength": MinLength,
+    "maxLength": MaxLength,
+}
+
+
+def _read_value(raw: str) -> Any:
+    """The facet-literal analogue of the reference's read-string: numeric
+    strings become numbers (core.clj:122-126)."""
+    try:
+        return int(raw)
+    except ValueError:
+        pass
+    try:
+        return float(raw)
+    except ValueError:
+        return raw
+
+
+def _tag(el: ET.Element) -> str:
+    """Local tag name, namespace-stripped."""
+    t = el.tag
+    return t.rsplit("}", 1)[-1] if "}" in t else t
+
+
+@dataclass
+class AttrDecl:
+    name: str
+    type: Optional[str] = None
+    default: Optional[Any] = None
+    fixed: Optional[Any] = None
+    required: bool = False
+
+
+@dataclass
+class ElementDecl:
+    name: str
+    type: Any = None  # Type | ComplexDecl | str (named) | None
+    ref: Optional[str] = None
+
+
+@dataclass
+class ComplexDecl:
+    particle: str = "sequence"  # sequence | all | choice
+    children: list[ElementDecl] = field(default_factory=list)
+    attributes: list[AttrDecl] = field(default_factory=list)
+    base: Optional[str] = None  # complexContent/extension base
+
+
+@dataclass
+class XsdSchema:
+    types: TypeRegistry
+    complex_types: dict[str, ComplexDecl]
+    elements: dict[str, ElementDecl]
+
+    # ------------------------------------------------------------------
+    def _resolve_complex(self, decl: ComplexDecl) -> ComplexDecl:
+        """Flatten complexContent/extension: children/attrs = base ∪ ext
+        (ext-and, core.clj:177-195)."""
+        if decl.base is None:
+            return decl
+        base = self._resolve_complex(self.complex_types[decl.base])
+        return ComplexDecl(
+            particle=decl.particle or base.particle,
+            children=base.children + decl.children,
+            attributes=base.attributes + decl.attributes,
+        )
+
+    def _element_complex(self, root: str) -> ComplexDecl:
+        el = self.elements[root]
+        t = el.type
+        if isinstance(t, str):
+            if t in self.complex_types:
+                return self._resolve_complex(self.complex_types[t])
+            raise ValueError(f"element {root!r} has simple type {t!r}, not a complexType")
+        if isinstance(t, ComplexDecl):
+            return self._resolve_complex(t)
+        raise ValueError(f"element {root!r} has no complexType")
+
+    # ------------------------------------------------------------------
+    def ruleset_for(self, root: str, prefix: str = "") -> RuleSet:
+        """Compile the RuleSet validating a flat record shaped like the
+        root element's complexType: one column per child element (named
+        ``<child>``) and per attribute (named ``@<attr>``, overridable via
+        ``prefix``-handling at the call site)."""
+        ct = self._element_complex(root)
+        rules: list[FieldRule] = []
+
+        child_cols = [f"{prefix}{c.name}" for c in ct.children]
+        if ct.children:
+            particle_rule = {
+                "sequence": SequenceRule(tuple(child_cols)),
+                "all": AllRule(tuple(child_cols)),
+                "choice": ChoiceRule(tuple(child_cols)),
+            }[ct.particle]
+            rules.append(FieldRule(f"{root}__{ct.particle}", particle_rule))
+
+        for c in ct.children:
+            decl = self.elements[c.ref] if c.ref else c
+            t = decl.type
+            col = f"{prefix}{c.name}"
+            if isinstance(t, ComplexDecl):  # nested records flatten upstream
+                continue
+            type_obj: Optional[Type]
+            if isinstance(t, str):
+                type_obj = self.types.resolve(t)
+            else:
+                type_obj = t
+            if type_obj is not None:
+                rule: Any = type_obj
+                if ct.particle == "choice":
+                    # absent alternatives must not fail their type check
+                    rule = _NullOr(type_obj)
+                rules.append(FieldRule(f"{root}__{c.name}", rule, column=col))
+
+        for a in ct.attributes:
+            col = f"{prefix}{a.name}"
+            t = self.types.resolve(a.type) if a.type else None
+            if a.fixed is not None:
+                rules.append(FieldRule(f"{root}__attr_{a.name}", FixedAttr(a.fixed), column=col))
+            elif a.default is not None:
+                rules.append(
+                    FieldRule(f"{root}__attr_{a.name}", DefaultAttr(a.default, t), column=col)
+                )
+            elif a.required:
+                rules.append(FieldRule(f"{root}__attr_{a.name}", RequiredAttr(t), column=col))
+            elif t is not None:
+                rules.append(FieldRule(f"{root}__attr_{a.name}", _NullOr(t), column=col))
+
+        return RuleSet(rules=rules, registry=self.types)
+
+    # ------------------------------------------------------------------
+    def xml_struct_ddl(self, root: str) -> str:
+        """from_xml schema for the root element: every child element and
+        attribute as a string field (dynamic typing happens in the rules,
+        matching special-read-string). Attributes use the ``_`` prefix
+        (Spark XML's attributePrefix)."""
+        ct = self._element_complex(root)
+        fields = [f"`{c.name}` string" for c in ct.children]
+        fields += [f"`_{a.name}` string" for a in ct.attributes]
+        return "struct<" + ", ".join(fields) + ">"
+
+    def validate_xml_column(
+        self, df: DataFrame, xml_col: str, root: str, key: str
+    ) -> ValidationResult:
+        """Document path: parse the XML column with from_xml, flatten the
+        struct to columns, run the compiled RuleSet — the reference's
+        ``decode`` over a table of documents."""
+        ddl = self.xml_struct_ddl(root)
+        parsed = df.withColumn("_x", F.from_xml(F.col(xml_col), ddl))
+        ct = self._element_complex(root)
+        flat = parsed
+        for c in ct.children:
+            flat = flat.withColumn(c.name, F.col(f"_x.{c.name}"))
+        for a in ct.attributes:
+            flat = flat.withColumn(f"_{a.name}", F.col(f"_x._{a.name}"))
+        rs = self.ruleset_for(root)
+        # attribute columns carry the Spark XML '_' prefix
+        rs_attr = RuleSet(rules=[
+            FieldRule(r.rule_id, r.rule,
+                      ("_" + r.column) if (r.column and any(r.column == a.name for a in ct.attributes)) else r.column,
+                      r.observed)
+            for r in rs.rules
+        ], registry=rs.registry)
+        return validate(flat.drop("_x"), rs_attr, key=key)
+
+
+@dataclass(frozen=True)
+class _NullOr:
+    """Wrap a type so that NULL passes — used for choice alternatives and
+    optional attributes, where presence is the particle's concern."""
+
+    inner: Type
+
+    def to_column(self, col: Column, registry: Optional[TypeRegistry] = None) -> Column:
+        return col.isNull() | self.inner.to_column(col, registry)
+
+    def sql_expr(self, col_sql: str, registry: Optional[TypeRegistry] = None) -> str:
+        return f"(({col_sql} IS NULL) OR {self.inner.sql_expr(col_sql, registry)})"
+
+
+# ===========================================================================
+# parsing
+# ===========================================================================
+
+
+def _parse_facets(el: ET.Element) -> tuple[Facet, ...]:
+    out = []
+    for child in el:
+        tag = _tag(child)
+        if tag in _FACETS:
+            raw = child.get("value", "")
+            cls = _FACETS[tag]
+            if cls is Pattern:
+                out.append(Pattern(raw))
+            elif cls in (Length, MinLength, MaxLength):
+                out.append(cls(int(raw)))
+            else:
+                out.append(cls(_read_value(raw)))
+    return tuple(out)
+
+
+def _parse_simple_type(el: ET.Element, types: TypeRegistry) -> Type:
+    """simpleType body: restriction | union | type= ref."""
+    ref = el.get("type")
+    if ref is not None:
+        return types.resolve(ref)
+    for child in el:
+        tag = _tag(child)
+        if tag == "restriction":
+            return Restriction(base=child.get("base"), facets=_parse_facets(child))
+        if tag == "union":
+            members: list[Any] = []
+            mt = child.get("memberTypes")
+            if mt:
+                members.extend(mt.split())
+            for sub in child:
+                if _tag(sub) == "simpleType":
+                    members.append(_parse_simple_type(sub, types))
+            return Union(members=tuple(members))
+    raise ValueError(f"unsupported simpleType body: {ET.tostring(el)[:120]!r}")
+
+
+def _parse_attribute(el: ET.Element) -> AttrDecl:
+    default = el.get("default")
+    fixed = el.get("fixed")
+    return AttrDecl(
+        name=el.get("name", ""),
+        type=el.get("type"),
+        default=_read_value(default) if default is not None else None,
+        fixed=_read_value(fixed) if fixed is not None else None,
+        required=el.get("use") == "required",
+    )
+
+
+def _parse_element(el: ET.Element, types: TypeRegistry) -> ElementDecl:
+    ref = el.get("ref")
+    if ref:
+        return ElementDecl(name=ref, ref=ref)
+    name = el.get("name", "")
+    t = el.get("type")
+    if t is not None:
+        return ElementDecl(name=name, type=t)
+    for child in el:
+        tag = _tag(child)
+        if tag == "simpleType":
+            return ElementDecl(name=name, type=_parse_simple_type(child, types))
+        if tag == "complexType":
+            return ElementDecl(name=name, type=_parse_complex_type(child, types))
+    return ElementDecl(name=name, type="string")
+
+
+def _parse_complex_type(el: ET.Element, types: TypeRegistry) -> ComplexDecl:
+    decl = ComplexDecl()
+    for child in el:
+        tag = _tag(child)
+        if tag in ("sequence", "all", "choice"):
+            decl.particle = tag
+            decl.children = [
+                _parse_element(e, types) for e in child if _tag(e) == "element"
+            ]
+        elif tag == "attribute":
+            decl.attributes.append(_parse_attribute(child))
+        elif tag == "complexContent":
+            for ext in child:
+                if _tag(ext) == "extension":
+                    decl.base = ext.get("base")
+                    for sub in ext:
+                        stag = _tag(sub)
+                        if stag in ("sequence", "all", "choice"):
+                            decl.particle = stag
+                            decl.children = [
+                                _parse_element(e, types)
+                                for e in sub
+                                if _tag(e) == "element"
+                            ]
+                        elif stag == "attribute":
+                            decl.attributes.append(_parse_attribute(sub))
+    return decl
+
+
+def parse_xsd(xsd: str) -> XsdSchema:
+    """Parse an XSD string (the reference's schema dialect) into registries —
+    the analogue of the reference's compile stage up to code-gen
+    (core.clj:128-134, parser.clj:197-204)."""
+    root = ET.fromstring(xsd)
+    if _tag(root) != "schema":
+        # allow fragments by wrapping (validation-fn-of's any-start property)
+        wrapper = ET.Element("schema")
+        wrapper.append(root)
+        root = wrapper
+
+    types = PREDEF_TYPES.merge({})  # fresh layer: schema-local shadowing
+    complex_types: dict[str, ComplexDecl] = {}
+    elements: dict[str, ElementDecl] = {}
+
+    # two passes: named types first (forward refs), then elements
+    for child in root:
+        tag = _tag(child)
+        name = child.get("name")
+        if tag == "simpleType" and name:
+            types.define(name, _parse_simple_type(child, types))
+        elif tag == "complexType" and name:
+            complex_types[name] = _parse_complex_type(child, types)
+    for child in root:
+        if _tag(child) == "element":
+            decl = _parse_element(child, types)
+            elements[decl.name] = decl
+
+    return XsdSchema(types=types, complex_types=complex_types, elements=elements)
+
+
+def compile_fragment(xsd_fragment: str) -> Type:
+    """Compile any simple-type-shaped grammar fragment (restriction /
+    simpleType / union) to a standalone Type — preserving the reference's
+    property that every fragment is independently compilable
+    (``validation-fn-of`` with a start rule, parser.clj:331-341)."""
+    el = ET.fromstring(xsd_fragment)
+    tag = _tag(el)
+    schema = parse_xsd("<schema/>")
+    if tag == "restriction":
+        return Restriction(base=el.get("base"), facets=_parse_facets(el))
+    if tag == "simpleType":
+        return _parse_simple_type(el, schema.types)
+    if tag == "union":
+        wrapped = ET.Element("simpleType")
+        wrapped.append(el)
+        return _parse_simple_type(wrapped, schema.types)
+    raise ValueError(f"unsupported fragment start {tag!r}")
