@@ -1,0 +1,96 @@
+"""Property-based Spark↔DuckDB parity: random facet parameters and random
+(string/number/null) values must produce identical verdicts through the
+Column compiler and the sql_expr rendering — the generalization of the
+hand-picked boundary tests."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from xmlschemavalidator_spark.rules.facets import (
+    Enumeration,
+    Length,
+    MaxExclusive,
+    MaxInclusive,
+    MaxLength,
+    MinExclusive,
+    MinInclusive,
+    MinLength,
+)
+from xmlschemavalidator_spark.rules.types import PREDEF_TYPES, Restriction, Union
+
+# value pool: numeric-looking strings, plain words, empties, nulls —
+# exercising the dynamic-typing boundary (special-read-string semantics)
+VALUES = st.lists(
+    st.one_of(
+        st.integers(-200, 200).map(str),
+        st.floats(-100, 100, allow_nan=False).map(lambda f: f"{f:.3f}"),
+        st.sampled_from(["small", "medium", "large", "asdf", "", " ", "12abc"]),
+        st.none(),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+BOUNDS = st.tuples(st.integers(-150, 150), st.integers(-150, 150)).map(
+    lambda t: (min(t), max(t))
+)
+
+
+def _rule_strategy():
+    range_rule = BOUNDS.map(
+        lambda b: Restriction(
+            base="integer", facets=(MinInclusive(b[0]), MaxInclusive(b[1]))
+        )
+    )
+    excl_rule = BOUNDS.map(
+        lambda b: Restriction(facets=(MinExclusive(b[0]), MaxExclusive(b[1])))
+    )
+    enum_rule = st.lists(
+        st.sampled_from(["small", "medium", "large", "42", "0"]), min_size=1, max_size=3
+    ).map(lambda vs: Restriction(facets=tuple(Enumeration(v) for v in vs)))
+    len_rule = st.tuples(st.integers(0, 6), st.integers(0, 12)).map(
+        lambda t: Restriction(
+            facets=(MinLength(min(t)), MaxLength(max(t)))
+        )
+    )
+    exact_len = st.integers(0, 8).map(lambda n: Restriction(facets=(Length(n),)))
+    union_rule = st.tuples(BOUNDS, st.sampled_from(["small", "large"])).map(
+        lambda t: Union(
+            members=(
+                Restriction(base="integer", facets=(MinInclusive(t[0][0]), MaxInclusive(t[0][1]))),
+                Restriction(base="string", facets=(Enumeration(t[1]),)),
+            )
+        )
+    )
+    return st.one_of(range_rule, excl_rule, enum_rule, len_rule, exact_len, union_rule)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    return duckdb.connect()
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rule=_rule_strategy(), values=VALUES)
+def test_spark_duckdb_verdict_parity(spark, duck, rule, values):
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    spark_ok = [
+        bool(r[0]) for r in df.select(
+            F.coalesce(rule.to_column(F.col("v"), PREDEF_TYPES), F.lit(False))
+        ).collect()
+    ]
+    sql = rule.sql_expr("v", PREDEF_TYPES)
+    duck.execute("CREATE OR REPLACE TABLE t(v VARCHAR)")
+    duck.executemany("INSERT INTO t VALUES (?)", [(v,) for v in values])
+    duck_ok = [bool(r[0]) for r in duck.execute(
+        f"SELECT coalesce({sql}, FALSE) FROM t").fetchall()]
+    assert spark_ok == duck_ok, f"divergence for {rule} on {values}"

@@ -277,3 +277,42 @@ def test_dynamic_typing_matches_reference(spark):
            </simpleType>""".replace("intrange", "integer").replace("stringenum", "string")
     )
     assert eval_type(spark, t, ["36", "small", None]) == [True, True, False]
+
+
+def test_dispatch_on_root_tag(spark):
+    # schema-fn dispatch on the document's root tag (core.clj:128-134:
+    # test-schema-with-predefs validates <anint>, <abyte>, <my> against one
+    # schema); undeclared roots -> :undefined failure (parser.clj:216)
+    xsd = """<schema>
+      <simpleType name="mytype">
+        <restriction base="integer">
+          <minInclusive value="36"/><maxInclusive value="42"/>
+        </restriction>
+      </simpleType>
+      <element name="abyte" type="byte"/>
+      <element name="my" type="mytype"/>
+      <complexType name="c"><sequence><element name="size" type="string"/></sequence></complexType>
+      <element name="udr" type="c"/>
+    </schema>"""
+    schema = parse_xsd(xsd)
+    df = spark.createDataFrame(
+        [
+            ("1", "<abyte>0</abyte>"),       # core_test.clj:86 — true
+            ("2", "<abyte>128</abyte>"),     # core_test.clj:88 — false
+            ("3", "<my>36</my>"),            # core_test.clj:106 — true
+            ("4", "<my>35</my>"),            # core_test.clj:107 — false
+            ("5", "<udr><size>big</size></udr>"),   # complex root — true
+            ("6", "<unknown>1</unknown>"),   # undeclared -> :undefined false
+        ],
+        "id string, xml string",
+    )
+    out = schema.dispatch_validate_xml(df, "xml", key="id")
+    got = {r["id"]: (r["root_tag"], r["_doc_ok"]) for r in out.collect()}
+    assert got == {
+        "1": ("abyte", True),
+        "2": ("abyte", False),
+        "3": ("my", True),
+        "4": ("my", False),
+        "5": ("udr", True),
+        "6": ("unknown", False),
+    }
