@@ -51,12 +51,23 @@ class ValidationResult:
         return self.verdicts.filter(~F.col(DOC_OK)).isEmpty()
 
 
-def validate(df: DataFrame, ruleset: RuleSet, key: str = "url") -> ValidationResult:
+def validate(
+    df: DataFrame,
+    ruleset: RuleSet,
+    key: str = "url",
+    violation_cols: list[str] | None = None,
+) -> ValidationResult:
     """Compile ``ruleset`` (driver-side) and evaluate it over ``df``.
 
     One projection computes every rule boolean; ``_doc_ok`` is their
     conjunction. The violations frame filters/explodes an inline array of
     ``(rule_id, ok, observed_value)`` structs — a single narrow pass.
+
+    ``violation_cols``: extra input columns carried through onto each
+    violation row (e.g. the partition column for partitioned sinks). They
+    ride the same single pass — never join violations back to the input to
+    recover context columns; at 10^12 rows that join is a full second scan
+    plus a key shuffle.
     """
     ruleset.check_schema(df)
     compiled = ruleset.compile()  # rule_id -> Column, once, on the driver
@@ -78,12 +89,14 @@ def validate(df: DataFrame, ruleset: RuleSet, key: str = "url") -> ValidationRes
         for rule in ruleset.resolved_rules()
     ]
     failed = F.filter(F.array(*structs), lambda s: ~F.coalesce(s["ok"], F.lit(False)))
+    extra = violation_cols or []
     violations = (
-        df.select(F.col(key).alias("key"), F.explode(failed).alias("v"))
+        df.select(F.col(key).alias("key"), *[F.col(c) for c in extra], F.explode(failed).alias("v"))
         .select(
             F.col("key").alias(key),
             F.col("v.rule_id").alias("rule_id"),
             F.col("v.observed_value").alias("observed_value"),
+            *[F.col(c) for c in extra],
         )
     )
 

@@ -134,47 +134,46 @@ def resumable_validate(
         batch = pending[i : i + batch_size]
         t0 = time.time()
         sub = df.where(F.col(partition_col).cast("string").isin(batch))
-        res = validate(sub, ruleset, key=key)
 
-        # durable outputs first, commit markers second
-        (
-            res.violations.join(
-                sub.select(F.col(key), F.col(partition_col)).dropDuplicates([key]),
-                on=key,
-                how="left",
-            )
-            .write.mode("overwrite")
-            .partitionBy(partition_col)
-            .parquet(violations_out)
+        # ONE full-width pass: violations carry the partition column through
+        # the same projection (violation_cols) — never joined back to the
+        # input (that join is a second full scan + key shuffle at scale).
+        res = validate(sub, ruleset, key=key, violation_cols=[partition_col])
+        res.violations.write.mode("overwrite").partitionBy(partition_col).parquet(
+            violations_out
         )
 
-        stats = (
-            res.verdicts.groupBy(F.col(partition_col).cast("string").alias("p"))
-            .agg(
-                F.count(F.lit(1)).alias("n_rows"),
-                F.sum((~F.col("_doc_ok")).cast("long")).alias("n_failed"),
-            )
+        # n_rows per partition: a column-pruned scan reading ONLY the
+        # partition column (parquet row-group metadata does most of it).
+        rows = {
+            str(r["p"]): r["n_rows"]
+            for r in sub.groupBy(F.col(partition_col).cast("string").alias("p"))
+            .agg(F.count(F.lit(1)).alias("n_rows"))
             .collect()
-        )
-        nviol = {
-            str(r["p"]): r["n"]
-            for r in res.violations.join(
-                sub.select(F.col(key), F.col(partition_col).cast("string").alias("p")).dropDuplicates([key]),
-                on=key, how="left",
+        }
+        # failure metrics from the WRITTEN violations (tiny, already durable;
+        # a doc fails iff it has >= 1 violation row)
+        vstats = {
+            str(r["p"]): (r["n_failed"], r["n_viol"])
+            for r in df.sparkSession.read.parquet(violations_out)
+            .where(F.col(partition_col).cast("string").isin(batch))
+            .groupBy(F.col(partition_col).cast("string").alias("p"))
+            .agg(
+                F.count_distinct(F.col(key)).alias("n_failed"),
+                F.count(F.lit(1)).alias("n_viol"),
             )
-            .groupBy("p")
-            .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
         wall = time.time() - t0
-        for r in stats:
+        for p, n_rows in rows.items():
+            n_failed, n_viol = vstats.get(p, (0, 0))
             m = PartitionMetrics(
                 snapshot=snapshot,
-                partition=str(r["p"]),
-                n_rows=r["n_rows"],
-                n_failed_docs=r["n_failed"],
-                n_violations=int(nviol.get(str(r["p"]), 0)),
-                wall_s=wall / max(len(stats), 1),
+                partition=p,
+                n_rows=n_rows,
+                n_failed_docs=int(n_failed),
+                n_violations=int(n_viol),
+                wall_s=wall / max(len(rows), 1),
                 committed_at=time.time(),
             )
             if manifest.commit(m):
