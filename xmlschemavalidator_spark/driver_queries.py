@@ -1029,6 +1029,42 @@ def xsd_xml_documents(spark, sf_dir):
     return res.verdicts.select("doc_id", "_doc_ok")
 
 
+@q(
+    "with_status_decode",
+    """SELECT doc_id, lang AS lang_value,
+              coalesce(lang = 'en' OR lang = 'de' OR lang = 'sv' OR lang = 'fr' OR lang = 'zh', FALSE) AS lang_status
+       FROM documents""",
+)
+def with_status_decode(spark, sf_dir):
+    """with-status decoration (parser.clj:384-400): inline (value, status)
+    pairs — flattened struct fields for the oracle compare."""
+    from xmlschemavalidator_spark.engine import with_status
+
+    rs = RuleSet(rules=[FieldRule(
+        "lang_enum",
+        Restriction(facets=tuple(Enumeration(v) for v in ("en", "de", "sv", "fr", "zh"))),
+        column="lang")])
+    out = with_status(_t(spark, sf_dir, "documents"), rs, ["lang"])
+    return out.select(
+        "doc_id",
+        F.col("lang_status.value").alias("lang_value"),
+        F.col("lang_status.status").alias("lang_status"),
+    )
+
+
+@q("ann_ivf_topk")  # no oracle: IVF probe set is engine-specific
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-style ANN: assign to broadcast centroids, probe nearest lists."""
+    from xmlschemavalidator_spark.similarity import ivf_assign, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "vec", F.col("embedding").cast("array<double>")
+    )
+    cents = [list(r["vec"]) for r in emb.orderBy("vec_id").limit(4).collect()]
+    assigned = ivf_assign(emb, "vec", cents)
+    return ivf_topk(assigned, "vec", cents, cents[1], k=5, nprobe=2)
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 
