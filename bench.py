@@ -48,6 +48,7 @@ def headline_queries():
     from xmlschemavalidator_spark.driver_queries import (
         agg_pricing_summary,
         ann_cosine_topk,
+        join_q3_shipping_priority,
         join_revenue_segment,
         window_daily_events,
     )
@@ -72,6 +73,7 @@ def headline_queries():
         ),
         "agg_pricing": lambda s: agg_pricing_summary(s, SF_DIR),
         "join_revenue": lambda s: join_revenue_segment(s, SF_DIR),
+        "join_q3": lambda s: join_q3_shipping_priority(s, SF_DIR),
         "window_daily": lambda s: window_daily_events(s, SF_DIR),
         "minhash_lsh": lambda s: minhash_lsh_candidates(t(s, "documents"), "doc_id"),
         "ann_topk": lambda s: ann_cosine_topk(s, SF_DIR),
@@ -170,6 +172,11 @@ def main() -> None:
 
     spark = get_spark(app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM (parquet reader, codegen, broadcast machinery) so the
+    # first timed query doesn't absorb session startup
+    for t in ("documents", "lineitem", "customer"):
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
 
     times: dict[str, float] = {}
     for name, fn in headline_queries().items():

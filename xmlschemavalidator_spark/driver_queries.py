@@ -1030,6 +1030,77 @@ def xsd_xml_documents(spark, sf_dir):
 
 
 @q(
+    "join_q3_shipping_priority",
+    """SELECT o_orderkey,
+              CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                             * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue,
+              strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+       FROM customer JOIN orders ON c_custkey = o_custkey
+                     JOIN lineitem ON l_orderkey = o_orderkey
+       WHERE c_mktsegment = 'BUILDING' AND l_shipdate > TIMESTAMP '2000-01-01'
+       GROUP BY o_orderkey, o_orderdate
+       ORDER BY revenue DESC, o_orderkey LIMIT 20""",
+)
+def join_q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter -> 3-way join -> agg -> top-k.
+    The customer filter pushes to the scan; AQE turns the filtered dim side
+    into a broadcast; top-k is TakeOrderedAndProject."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("2000-01-01").cast("timestamp")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,4)")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .select(
+            "o_orderkey", "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+@q(
+    "join_q5_region_revenue",
+    """SELECT n_name,
+              CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                             * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
+       FROM region JOIN nation ON n_regionkey = r_regionkey
+                   JOIN customer ON c_nationkey = n_nationkey
+                   JOIN orders ON o_custkey = c_custkey
+                   JOIN lineitem ON l_orderkey = o_orderkey
+       WHERE r_name = 'ASIA'
+       GROUP BY n_name""",
+)
+def join_q5_region_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: 5-way star join rooted at a 1-row region filter —
+    Catalyst reorders so the tiny filtered dims broadcast down the chain."""
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,4)")
+    )
+    return (
+        r.join(n, n.n_regionkey == r.r_regionkey)
+        .join(c, c.c_nationkey == n.n_nationkey)
+        .join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+    )
+
+
+@q(
     "with_status_decode",
     """SELECT doc_id, lang AS lang_value,
               coalesce(lang = 'en' OR lang = 'de' OR lang = 'sv' OR lang = 'fr' OR lang = 'zh', FALSE) AS lang_status
