@@ -96,3 +96,37 @@ def test_embedding_near_duplicates(spark):
     got = {(r["id_a"], r["id_b"]) for r in
            embedding_near_duplicates(df, "vec_id", "vec", threshold=0.95, nbits=4).collect()}
     assert (1, 2) in got and (1, 3) not in got
+
+
+def test_near_duplicate_clusters_transitive(spark):
+    from xmlschemavalidator_spark.dedup import drop_near_duplicates, near_duplicate_clusters
+
+    # chain 1-2, 2-3 plus island 7-8: clusters must close transitively
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a bigint, id_b bigint"
+    )
+    got = {r["doc"]: r["cluster"] for r in near_duplicate_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
+    df = spark.createDataFrame([(i,) for i in [1, 2, 3, 5, 7, 8]], "doc_id bigint")
+    kept = sorted(r["doc_id"] for r in drop_near_duplicates(df, "doc_id", pairs).collect())
+    assert kept == [1, 5, 7]  # cluster reps + untouched doc 5
+
+
+def test_observe_rule_counts(spark):
+    from xmlschemavalidator_spark.compiler import FieldRule, RuleSet
+    from xmlschemavalidator_spark.engine import validate
+    from xmlschemavalidator_spark.rules.facets import Enumeration
+    from xmlschemavalidator_spark.rules.types import Restriction
+
+    df = spark.createDataFrame(
+        [("u1", "en"), ("u2", "xx"), ("u3", "yy")], "url string, lang string"
+    )
+    rs = RuleSet(rules=[FieldRule(
+        "lang_enum", Restriction(facets=(Enumeration("en"),)), column="lang")])
+    res = validate(df, rs, key="url", observe=True)
+    res.verdicts.write.mode("overwrite").format("noop").save()  # one action
+    counts = res.rule_counts()
+    assert counts["n_rows"] == 3
+    assert counts["n_failed_docs"] == 2
+    assert counts["viol_lang_enum"] == 2

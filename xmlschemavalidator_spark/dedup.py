@@ -325,6 +325,74 @@ def simhash_near_duplicates(
 
 
 # --------------------------------------------------------------------------
+# clustering: pairs -> connected components -> canonical survivor
+# --------------------------------------------------------------------------
+
+def near_duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs via min-label propagation:
+    ``(doc, cluster)`` where cluster = the smallest doc id reachable.
+
+    Each iteration is one join + one min-aggregate; labels converge in
+    O(diameter) rounds (near-dup graphs are overwhelmingly tiny cliques, so
+    2-3 rounds in practice). ``localCheckpoint`` cuts lineage every round —
+    without it the plan doubles per iteration and the driver OOMs long
+    before the data does. Stops early at fixpoint (zero changed labels).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc"))
+        .distinct()
+        .withColumn("cluster", F.col("doc"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        msgs = (
+            edges.join(labels, edges.src == labels.doc)
+            .select(F.col("dst").alias("doc"), F.col("cluster"))
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("doc")
+            .agg(F.min("cluster").alias("cluster"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="doc")
+            .where(F.col("n.cluster") != F.col("o.cluster"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def drop_near_duplicates(
+    df: DataFrame, id_col: str, pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Keep one canonical doc per near-dup cluster (the smallest id); docs
+    not in any pair pass through. A left join against the (small relative to
+    the corpus) cluster table — no shuffle of untouched rows when AQE
+    broadcasts it."""
+    clusters = near_duplicate_clusters(pairs, id_a, id_b)
+    losers = clusters.where(F.col("doc") != F.col("cluster")).select(
+        F.col("doc").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+# --------------------------------------------------------------------------
 # embedding-cosine near-dup
 # --------------------------------------------------------------------------
 

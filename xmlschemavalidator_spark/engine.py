@@ -20,9 +20,10 @@ partitioning. At 10^12 rows, nothing here is a bottleneck beyond the scan.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
+from typing import Optional
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 from xmlschemavalidator_spark.compiler import RuleSet
@@ -43,6 +44,18 @@ class ValidationResult:
     verdicts: DataFrame  # input + rule_<id>_ok booleans + _doc_ok
     violations: DataFrame  # (key, rule_id, observed_value:string)
     partition_summary: DataFrame  # (partition_id, n_rows, n_failed_docs, pass)
+    observation: Optional[Observation] = None  # filled when observe=True
+
+    def rule_counts(self) -> dict[str, int]:
+        """Per-rule violation counts + n_rows/n_failed_docs, harvested from
+        the Observation attached to the verdicts plan: Spark accumulates
+        these DURING whatever action the caller runs on ``verdicts`` —
+        ZERO additional scans (at 100 TB a separate count-per-rule pass is
+        a whole extra job). Blocks until some action has materialized the
+        verdicts at least once."""
+        if self.observation is None:
+            raise ValueError("validate(..., observe=True) was not requested")
+        return dict(self.observation.get)
 
     def valid(self) -> bool:
         """Fold-AND over every verdict — the reference's ``valid?``
@@ -56,6 +69,7 @@ def validate(
     ruleset: RuleSet,
     key: str = "url",
     violation_cols: list[str] | None = None,
+    observe: bool = False,
 ) -> ValidationResult:
     """Compile ``ruleset`` (driver-side) and evaluate it over ``df``.
 
@@ -78,6 +92,21 @@ def validate(
     for name in verdict_cols:
         doc_ok = doc_ok & F.col(name)
     verdicts = verdicts.withColumn(DOC_OK, doc_ok)
+
+    observation: Optional[Observation] = None
+    if observe:
+        observation = Observation()
+        verdicts = verdicts.observe(
+            observation,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum((~F.col(DOC_OK)).cast("long")).alias("n_failed_docs"),
+            *[
+                F.sum((~F.coalesce(F.col(name), F.lit(False))).cast("long")).alias(
+                    f"viol_{name[len(OK_PREFIX):-len(OK_SUFFIX)]}"
+                )
+                for name in verdict_cols
+            ],
+        )
 
     # --- violations: one array-of-structs, filter ok=false, explode -------
     structs = [
@@ -112,7 +141,10 @@ def validate(
     )
 
     return ValidationResult(
-        verdicts=verdicts, violations=violations, partition_summary=partition_summary
+        verdicts=verdicts,
+        violations=violations,
+        partition_summary=partition_summary,
+        observation=observation,
     )
 
 
