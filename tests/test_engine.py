@@ -167,3 +167,23 @@ def test_rule_ref_cycle_and_missing(spark):
     rs2 = RuleSet(rules=[FieldRule("a", RuleRef("nope"))])
     with _pytest.raises(KeyError):
         rs2.compile()
+
+
+def test_split_valid_quarantine(spark):
+    from xmlschemavalidator_spark.engine import split_valid
+
+    clean, quarantined = split_valid(_docs(spark), _ruleset(), key="url")
+    assert clean.columns == _docs(spark).columns  # original schema preserved
+    assert sorted(r["url"] for r in clean.collect()) == ["u1", "u2"]
+    assert sorted(r["url"] for r in quarantined.collect()) == ["u3", "u4", "u5", "u6"]
+
+
+def test_repaired_defaults(spark):
+    from xmlschemavalidator_spark.engine import repaired
+    from xmlschemavalidator_spark.rules.attributes import DefaultAttr
+
+    rs = RuleSet(rules=[FieldRule("lang_def", DefaultAttr("en", "string"), column="lang")])
+    out = repaired(_docs(spark), rs)
+    got = {r["url"]: r["lang"] for r in out.collect()}
+    assert got["u6"] == "en"   # null repaired to the default
+    assert got["u3"] == "xx"   # non-null untouched

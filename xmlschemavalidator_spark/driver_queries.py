@@ -732,6 +732,34 @@ def ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
+_CLUSTER_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_JACCARD_SQL.format(thr=0.12)}),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(doc, r) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.doc
+)
+SELECT doc, CAST(min(r) AS BIGINT) AS cluster FROM reach GROUP BY doc
+"""
+
+@q("dedup_clusters", _CLUSTER_ORACLE)
+def dedup_clusters(spark, sf_dir):
+    """Near-dup connected components: Spark min-label propagation vs a
+    DuckDB recursive-CTE transitive closure — an oracle-checked iterative
+    algorithm."""
+    from xmlschemavalidator_spark.dedup import near_duplicate_clusters
+
+    pairs = jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", shingle_n=3, threshold=0.12,
+        max_posting=100000,
+    )
+    return near_duplicate_clusters(pairs)
+
+
 @q("minhash_lsh_pairs")  # no oracle: xxhash64 signatures are Spark-specific
 def minhash_lsh_pairs(spark, sf_dir):
     from xmlschemavalidator_spark.dedup import minhash_lsh_candidates

@@ -148,6 +148,33 @@ def validate(
     )
 
 
+def split_valid(
+    df: DataFrame, ruleset: RuleSet, key: str = "url"
+) -> tuple[DataFrame, DataFrame]:
+    """Quarantine flow: ``(clean, quarantined)`` — rows passing every rule
+    vs rows failing any, both with the original schema. Two filters over
+    the same compiled plan; when both are written in one job the scan is
+    shared (same exchange-reuse as any self-filtered write pair)."""
+    res = validate(df, ruleset, key=key)
+    drop = [ok_col_name(r) for r in ruleset.rule_ids()] + [DOC_OK]
+    clean = res.verdicts.where(F.col(DOC_OK)).drop(*drop)
+    quarantined = res.verdicts.where(~F.col(DOC_OK)).drop(*drop)
+    return clean, quarantined
+
+
+def repaired(df: DataFrame, ruleset: RuleSet) -> DataFrame:
+    """Apply every DefaultAttr rule's decode (null → declared default) to
+    its column — the reference's decode-returns-the-coalesced-value
+    semantics (parser.clj:279-283) as a repair projection."""
+    from xmlschemavalidator_spark.rules.attributes import DefaultAttr
+
+    out = df
+    for rule in ruleset.resolved_rules():
+        if isinstance(rule.rule, DefaultAttr) and rule.column in df.columns:
+            out = out.withColumn(rule.column, rule.rule.decoded(F.col(rule.column)))
+    return out
+
+
 def with_status(df: DataFrame, ruleset: RuleSet, value_columns: list[str]) -> DataFrame:
     """Inline ``{value, status}`` decoration — the reference's ``with-status``
     (parser.clj:384-400): for each requested column, a struct of the value and
