@@ -187,3 +187,21 @@ def test_repaired_defaults(spark):
     got = {r["url"]: r["lang"] for r in out.collect()}
     assert got["u6"] == "en"   # null repaired to the default
     assert got["u3"] == "xx"   # non-null untouched
+
+
+def test_validate_empty_dataframe(spark):
+    empty = _docs(spark).limit(0)
+    res = validate(empty, _ruleset(), key="url")
+    assert res.violations.count() == 0
+    assert res.partition_summary.count() == 0
+    assert res.valid() is True  # vacuously valid (AND over nothing)
+
+
+def test_numeric_rule_on_typed_numeric_column(spark):
+    # rules written for dynamic strings must also work on typed columns
+    df = spark.createDataFrame([("u1", 40.0), ("u2", 35.5)], "url string, v double")
+    rs = RuleSet(rules=[FieldRule(
+        "r", Restriction(base="integer", facets=(MinInclusive(36), MaxInclusive(42))),
+        column="v")])
+    got = {r["url"]: r[ok_col_name("r")] for r in validate(df, rs, key="url").verdicts.collect()}
+    assert got == {"u1": True, "u2": False}  # 35.5 fails integer base too

@@ -84,3 +84,35 @@ def test_windowed_violation_counts(spark, stream_src):
         ("2024-01-01 00:01:00", "lang_enum"): 1,
         ("2024-01-01 00:03:00", "lang_enum"): 1,
     }
+
+
+def test_streaming_violations_sink_idempotent(spark, tmp_path):
+    from xmlschemavalidator_spark.streaming.sink import (
+        StreamingViolationsSink,
+        write_violations_stream,
+    )
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [("u1", "en"), ("u2", "xx"), ("u3", "yy")], "url string, lang string"
+    ).write.parquet(src)
+    sdf = spark.readStream.schema("url string, lang string").parquet(src)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = write_violations_stream(sdf, _ruleset(), "url", out, ckpt)
+    q.awaitTermination(120)
+
+    written = spark.read.parquet(f"{out}/violations")
+    got = sorted((r["url"], r["rule_id"]) for r in written.collect())
+    assert got == [("u2", "lang_enum"), ("u3", "lang_enum")]
+
+    sink = StreamingViolationsSink(_ruleset(), "url", out)
+    epochs = sink.committed_epochs()
+    assert len(epochs) >= 1
+    # replay of a committed epoch must no-op (at-least-once -> exactly-once)
+    batch = spark.createDataFrame([("u9", "zz")], "url string, lang string")
+    sink(batch, batch_id=min(epochs))
+    still = spark.read.parquet(f"{out}/violations").count()
+    assert still == 2  # unchanged
+    import json, os
+    commit = json.load(open(os.path.join(out, "_commits", f"epoch={min(epochs)}.json")))
+    assert commit["n_violations"] == 2 and commit["n_failed_docs"] == 2

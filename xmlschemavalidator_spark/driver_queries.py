@@ -1129,6 +1129,28 @@ def join_q5_region_revenue(spark, sf_dir):
 
 
 @q(
+    "json_props_extract",
+    """SELECT event_id,
+              CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+              (TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+               AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) BETWEEN 0 AND 100) AS k_ok
+       FROM events""",
+)
+def json_props_extract(spark, sf_dir):
+    """Semi-structured metadata: parse the events.props JSON column and
+    validate the extracted field with a range rule — the everyday webtext
+    shape (JSON sidecar per record)."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k")
+    k_num = k.try_cast("bigint")
+    return e.select(
+        "event_id",
+        k.cast("bigint").alias("k"),
+        (k_num.isNotNull() & k_num.between(0, 100)).alias("k_ok"),
+    )
+
+
+@q(
     "with_status_decode",
     """SELECT doc_id, lang AS lang_value,
               coalesce(lang = 'en' OR lang = 'de' OR lang = 'sv' OR lang = 'fr' OR lang = 'zh', FALSE) AS lang_status
