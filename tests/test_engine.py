@@ -205,3 +205,22 @@ def test_numeric_rule_on_typed_numeric_column(spark):
         column="v")])
     got = {r["url"]: r[ok_col_name("r")] for r in validate(df, rs, key="url").verdicts.collect()}
     assert got == {"u1": True, "u2": False}  # 35.5 fails integer base too
+
+
+def test_pandas_rule_vectorized_predicate(spark):
+    from xmlschemavalidator_spark.compiler import PandasRule
+
+    def looks_like_url(s):
+        return s.str.startswith("https://").fillna(False)
+
+    rs = RuleSet(rules=[
+        FieldRule("url_shape", PandasRule(looks_like_url), column="url"),
+        FieldRule("lang_enum", Restriction(facets=(Enumeration("en"),)), column="lang"),
+    ])
+    df = spark.createDataFrame(
+        [("https://a/x", "en"), ("ftp://b/y", "en"), (None, "en")],
+        "url string, lang string",
+    )
+    res = validate(df, rs, key="lang")
+    got = [r[ok_col_name("url_shape")] for r in res.verdicts.collect()]
+    assert got == [True, False, False]

@@ -76,6 +76,34 @@ def compile_rule_sql(rule: Any, col_sql: Optional[str], registry: TypeRegistry) 
 
 
 @dataclass(frozen=True)
+class PandasRule:
+    """Arrow-vectorized predicate rule: a ``pd.Series -> bool pd.Series``
+    function evaluated as a pandas UDF over whole Arrow batches.
+
+    The escape hatch for checks Catalyst genuinely can't express (model
+    scoring, codec probes, third-party validators). Everything else should
+    stay a Column expression — a pandas UDF breaks the whole-stage-codegen
+    span and pays an Arrow serialization round trip; it is the SLOW path,
+    vectorized or not. Null inputs are the function's responsibility; the
+    result is null-coalesced to False like every other rule.
+    """
+
+    fn: Any  # Callable[[pd.Series], pd.Series]
+
+    def to_column(self, col: Column, registry: "TypeRegistry") -> Column:
+        from pyspark.sql.functions import pandas_udf
+
+        ok = pandas_udf(self.fn, "boolean")(col)
+        return F.coalesce(ok, F.lit(False))
+
+    def sql_expr(self, col_sql: Optional[str], registry: "TypeRegistry") -> str:
+        raise NotImplementedError(
+            "PandasRule has no SQL rendering (Python predicate) — register "
+            "its query without an oracle (rows-only check)"
+        )
+
+
+@dataclass(frozen=True)
 class FieldRule:
     """Binds a rule to a column/expression of the input table — the analogue
     of an element declaration ``name= type=`` (core.clj:80-93): look up the

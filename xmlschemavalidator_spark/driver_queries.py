@@ -42,12 +42,7 @@ from xmlschemavalidator_spark.rules.facets import (
 )
 from xmlschemavalidator_spark.rules.structural import AllRule, ChoiceRule, SequenceRule
 from xmlschemavalidator_spark.rules.types import PREDEF_TYPES, Restriction, Union
-from xmlschemavalidator_spark.textops import (
-    doc_fingerprint,
-    lang_id,
-    quality_features,
-    token_count,
-)
+from xmlschemavalidator_spark.textops import lang_id, quality_features, token_count
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 

@@ -20,7 +20,7 @@ partitioning. At 10^12 rows, nothing here is a bottleneck beyond the scan.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 from pyspark.sql import Column, DataFrame, Observation

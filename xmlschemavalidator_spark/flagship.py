@@ -9,13 +9,11 @@ stats, and drift as separate (aggregate) passes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
-
+from pyspark.sql import DataFrame
 from xmlschemavalidator_spark.compiler import ExprRule, FieldRule, RuleSet
 from xmlschemavalidator_spark.datagen import _HTML_PREFIX, _HTML_SUFFIX
 from xmlschemavalidator_spark.engine import ValidationResult, validate
-from xmlschemavalidator_spark.rules.attributes import DefaultAttr, RequiredAttr
+from xmlschemavalidator_spark.rules.attributes import RequiredAttr
 from xmlschemavalidator_spark.rules.facets import (
     Enumeration,
     MaxInclusive,

@@ -24,14 +24,13 @@ Reference semantics:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Union as TUnion
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from xmlschemavalidator_spark.rules.facets import (
-    Enumeration,
     Facet,
     Length,
     MaxLength,

@@ -44,7 +44,7 @@ from xmlschemavalidator_spark.rules.facets import (
     Pattern,
 )
 from xmlschemavalidator_spark.rules.structural import AllRule, ChoiceRule, SequenceRule
-from xmlschemavalidator_spark.rules.types import Restriction, Type, Union
+from xmlschemavalidator_spark.rules.types import Restriction, Union
 
 _FACET_NAMES = {
     "enumeration": Enumeration,

@@ -14,7 +14,7 @@ reuse the same generated code.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from xmlschemavalidator_spark.compiler import RuleSet
