@@ -224,3 +224,14 @@ def test_pandas_rule_vectorized_predicate(spark):
     res = validate(df, rs, key="lang")
     got = [r[ok_col_name("url_shape")] for r in res.verdicts.collect()]
     assert got == [True, False, False]
+
+
+def test_compile_sql_skips_pandas_rules(spark):
+    from xmlschemavalidator_spark.compiler import PandasRule
+
+    rs = RuleSet(rules=[
+        FieldRule("py", PandasRule(lambda s: s.notna()), column="lang"),
+        FieldRule("lang_enum", Restriction(facets=(Enumeration("en"),)), column="lang"),
+    ])
+    sqls = rs.compile_sql()
+    assert "lang_enum" in sqls and "py" not in sqls  # mixed ruleset still renders

@@ -215,8 +215,18 @@ class RuleSet:
         return out
 
     def compile_sql(self) -> dict[str, str]:
-        """rule_id → ANSI-SQL boolean expression (oracle rendering)."""
-        return {r.rule_id: self._resolve_ref(r).ok_sql(self.registry) for r in self.rules}
+        """rule_id → ANSI-SQL boolean expression (oracle rendering).
+
+        Rules with no SQL form (PandasRule — Python predicates) are OMITTED
+        rather than failing the whole ruleset: a mixed ruleset still yields
+        oracles for every SQL-expressible rule."""
+        out: dict[str, str] = {}
+        for r in self.rules:
+            try:
+                out[r.rule_id] = self._resolve_ref(r).ok_sql(self.registry)
+            except NotImplementedError:
+                continue
+        return out
 
     def resolved_rules(self) -> list[FieldRule]:
         """Rules with ref= indirections resolved — what the engine iterates

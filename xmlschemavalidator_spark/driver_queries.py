@@ -1123,6 +1123,23 @@ def join_q5_region_revenue(spark, sf_dir):
     )
 
 
+@q("pandas_udf_rule")  # no oracle: Python predicate, rows-only by design
+def pandas_udf_rule(spark, sf_dir):
+    """Arrow-vectorized pandas-UDF predicate rule (the input_hint's
+    'vectorized pandas/Arrow UDF' path): a Python text check evaluated per
+    Arrow batch, reported through the standard violations shape. Also
+    exercises executor-side package import (addPyFile auto-ship)."""
+    from xmlschemavalidator_spark.compiler import PandasRule
+
+    def balanced_spaces(s):
+        # tokens must not be empty (no double spaces / leading space)
+        return (~s.str.contains("  ", regex=False) & ~s.str.startswith(" ")).fillna(False)
+
+    rs = RuleSet(rules=[FieldRule("ws_clean", PandasRule(balanced_spaces), column="text")])
+    res = validate(_t(spark, sf_dir, "documents"), rs, key="doc_id")
+    return res.verdicts.select("doc_id", F.col(ok_col_name("ws_clean")).alias("ws_clean_ok"))
+
+
 @q(
     "json_props_extract",
     """SELECT event_id,
