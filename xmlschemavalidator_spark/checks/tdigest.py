@@ -51,10 +51,10 @@ class Digest:
 
 def _compress(values: np.ndarray, weights: np.ndarray, delta: int) -> tuple[np.ndarray, np.ndarray]:
     """Merge sorted weighted points into <= delta centroids of ~equal weight."""
-    if len(values) <= delta:
-        return values, weights
     order = np.argsort(values, kind="stable")
     v, w = values[order], weights[order]
+    if len(v) <= delta:
+        return v, w
     cum = np.cumsum(w)
     total = cum[-1]
     bounds = np.searchsorted(cum, np.linspace(total / delta, total, delta), side="left")

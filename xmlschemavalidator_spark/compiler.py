@@ -55,6 +55,8 @@ def compile_rule(rule: Any, col: Optional[Column], registry: TypeRegistry) -> Co
     Dispatch mirrors the reference's tag→parser dispatch map
     (core.clj:206-218 / parser.clj:297-326), but over Python types.
     """
+    if isinstance(rule, str):  # named type ref, e.g. {"type": "byte"}
+        rule = registry.resolve(rule)
     if isinstance(rule, _STRUCTURAL):
         return rule.to_column()
     if isinstance(rule, Facet):
@@ -67,6 +69,8 @@ def compile_rule(rule: Any, col: Optional[Column], registry: TypeRegistry) -> Co
 
 
 def compile_rule_sql(rule: Any, col_sql: Optional[str], registry: TypeRegistry) -> str:
+    if isinstance(rule, str):
+        rule = registry.resolve(rule)
     if isinstance(rule, _STRUCTURAL):
         return rule.sql_expr()
     if isinstance(rule, Facet):

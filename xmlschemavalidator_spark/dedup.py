@@ -13,9 +13,9 @@ Scale design notes (the part that matters at 10^12 docs):
   ``max_bucket`` docs is dropped with a count, not exploded into O(n²)
   pairs (the "no silent caps" rule: the cap is reported);
 * SimHash — 64-bit signatures via an Arrow-batched pandas UDF (numpy bit
-  ops); near-dup = signatures within ``hamming_max`` — blocked by 4 16-bit
-  chunks (pigeonhole: ≤3 differing bits ⇒ at least one identical chunk),
-  again groupBy not cross-join.
+  ops); near-dup = signatures within ``hamming_max`` — pigeonhole blocking
+  into hamming_max+1 chunks (at least one chunk identical for any
+  qualifying pair), again groupBy not cross-join.
 """
 
 from __future__ import annotations
@@ -47,7 +47,6 @@ def exact_duplicate_groups(df: DataFrame, id_col: str, text_col: str = "text") -
 def drop_exact_duplicates(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """Keep the lowest-id doc per fingerprint. Window-free: min-id per group
     then semi join (two hash aggs beat a global sort at scale)."""
-    fp = doc_fingerprint(F.col(text_col)).alias("fingerprint")
     keyed = df.withColumn("fingerprint", doc_fingerprint(F.col(text_col)))
     keep = keyed.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
     return keyed.join(keep, on=["fingerprint", id_col], how="left_semi").drop("fingerprint")
@@ -290,10 +289,16 @@ def simhash_near_duplicates(
 ) -> DataFrame:
     """Pairs with SimHash Hamming distance <= hamming_max.
 
-    Pigeonhole blocking: split the 64-bit signature into 4 × 16-bit chunks;
-    ≤3 differing bits ⇒ at least one chunk identical → groupBy (chunk_idx,
-    chunk_value) buckets, verify distance inside buckets only.
+    Pigeonhole blocking: the 64-bit signature is split into
+    ``hamming_max + 1`` chunks — at most hamming_max bits differ, so at
+    least one chunk is IDENTICAL between any qualifying pair (sound for
+    every hamming_max, not just <= 3; a fixed 4-chunk split silently loses
+    recall above 3). More chunks = coarser buckets = more candidates to
+    verify: keep hamming_max small at corpus scale.
     """
+    n_chunks = min(hamming_max + 1, 16)
+    width = -(-64 // n_chunks)  # ceil
+    mask = (1 << width) - 1
     sigd = df.select(F.col(id_col).alias("doc"), simhash(F.col(text_col)).alias("sig"))
     chunks = sigd.select(
         "doc",
@@ -303,9 +308,12 @@ def simhash_near_duplicates(
                 *[
                     F.struct(
                         F.lit(i).alias("ci"),
-                        F.shiftright(F.col("sig"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("cv"),
+                        # AND after the shift strips arithmetic sign-extension
+                        F.shiftright(F.col("sig"), i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("cv"),
                     )
-                    for i in range(4)
+                    for i in range(n_chunks)
                 ]
             )
         ).alias("c"),

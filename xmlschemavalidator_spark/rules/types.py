@@ -39,6 +39,11 @@ from xmlschemavalidator_spark.rules.facets import (
 )
 
 _NUMERIC_RANGE_VIEW = "double"
+# doubles represent integers exactly only up to 2^53; range bounds beyond
+# that (long, unsignedLong) must compare on DECIMAL or 2^63 would be
+# indistinguishable from 2^63-1 and out-of-range values would falsely pass
+_SAFE_DOUBLE_INT = 2**53
+_BIG_DECIMAL = "decimal(38,6)"
 
 
 class Type:
@@ -94,6 +99,14 @@ class BuiltinType(Type):
         if self.kind == "integer":
             return integral
         if self.kind == "range":
+            if self._needs_decimal():
+                dec = col.cast("string").try_cast(_BIG_DECIMAL)
+                out = dec.isNotNull() & (dec == F.floor(dec).cast(_BIG_DECIMAL))
+                if self.lo is not None:
+                    out = out & (dec >= F.lit(str(self.lo)).cast(_BIG_DECIMAL))
+                if self.hi is not None:
+                    out = out & (dec <= F.lit(str(self.hi)).cast(_BIG_DECIMAL))
+                return out
             out = integral
             if self.lo is not None:
                 out = out & (num >= F.lit(float(self.lo)))
@@ -101,6 +114,11 @@ class BuiltinType(Type):
                 out = out & (num <= F.lit(float(self.hi)))
             return out
         raise ValueError(f"unknown builtin kind {self.kind!r}")  # pragma: no cover
+
+    def _needs_decimal(self) -> bool:
+        return any(
+            b is not None and abs(b) > _SAFE_DOUBLE_INT for b in (self.lo, self.hi)
+        )
 
     def sql_expr(self, col_sql: str, registry: Optional["TypeRegistry"] = None) -> str:
         num = _num_sql(col_sql)
@@ -112,6 +130,14 @@ class BuiltinType(Type):
         if self.kind == "integer":
             return integral
         if self.kind == "range":
+            if self._needs_decimal():
+                dec = f"TRY_CAST(CAST({col_sql} AS VARCHAR) AS DECIMAL(38,6))"
+                parts = [f"({dec} IS NOT NULL AND {dec} = CAST(floor({dec}) AS DECIMAL(38,6)))"]
+                if self.lo is not None:
+                    parts.append(f"{dec} >= CAST('{self.lo}' AS DECIMAL(38,6))")
+                if self.hi is not None:
+                    parts.append(f"{dec} <= CAST('{self.hi}' AS DECIMAL(38,6))")
+                return "(" + " AND ".join(parts) + ")"
             parts = [integral]
             if self.lo is not None:
                 parts.append(f"{num} >= {float(self.lo)!r}")
@@ -210,6 +236,10 @@ class Union(Type):
     """
 
     members: tuple[TypeRef, ...]
+
+    def __post_init__(self):
+        if not self.members:
+            raise ValueError("Union requires at least one member type")
 
     def _member_cols(self, col: Column, registry: Optional["TypeRegistry"]) -> list[Column]:
         out = []

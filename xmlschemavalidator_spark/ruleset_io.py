@@ -93,7 +93,7 @@ def _type_to(t: Any) -> Any:
             "restriction": {
                 **({"base": t.base} if isinstance(t.base, str) else {}),
                 "facets": [
-                    {_FACET_CLASSES[type(f)]: getattr(f, "pattern", None) or getattr(f, "value")}
+                    {_FACET_CLASSES[type(f)]: f.pattern}
                     if isinstance(f, Pattern)
                     else {_FACET_CLASSES[type(f)]: f.value}
                     for f in t.facets

@@ -20,7 +20,7 @@ def get_spark(
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
-    shuffle = shuffle_partitions or int(cpus) if str(cpus).isdigit() else 32
+    shuffle = shuffle_partitions or (int(cpus) if str(cpus).isdigit() else 32)
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)

@@ -17,10 +17,10 @@ then ONE ``mapInPandas`` pass parses records per Arrow batch. Parsing is
 pure bytes work; no shuffle. gzip members (``.warc.gz``) are handled via
 ``gzip.decompress`` per file.
 
-The parser is lenient: malformed records are skipped and counted in the
-``_errors`` column of a per-file summary row rather than failing the job —
-at crawl scale some corruption is a certainty, and a validation engine
-must report it, not die on it.
+The parser is lenient: malformed records are skipped (never fail the job —
+at crawl scale some corruption is a certainty) and unreadable files are
+reported by :func:`read_warc_errors`, which scans the same inputs and
+returns one row per undecodable/recordless file so losses are visible.
 """
 
 from __future__ import annotations
@@ -116,7 +116,7 @@ def read_warc(
                     try:
                         data = gzip.decompress(data)
                     except OSError:
-                        continue  # corrupted member: count via summary path
+                        continue  # unreadable file: reported by read_warc_errors
                 for rec in _parse_warc_bytes(data, fname):
                     rec["text"] = extract(rec["html"]) if rec["html"] else None
                     rec["lang"] = None
@@ -159,3 +159,28 @@ def write_fake_warc(path: str, pages_rows: list[dict], gz: bool = False) -> str:
     with open(path, "wb") as fh:
         fh.write(data)
     return path
+
+
+def read_warc_errors(spark: SparkSession, path: str) -> DataFrame:
+    """Per-file corruption report: ``(warc_file, error)`` for files that
+    cannot be decompressed or contain no parseable response record despite
+    being non-empty. Pair with :func:`read_warc` so silent loss is
+    impossible: records come from one, losses from the other."""
+    files = spark.read.format("binaryFile").load(path)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for fname, content in zip(b["path"], b["content"]):
+                data = bytes(content)
+                if fname.endswith(".gz"):
+                    try:
+                        data = gzip.decompress(data)
+                    except OSError as e:
+                        rows.append({"warc_file": fname, "error": f"gzip: {e}"})
+                        continue
+                if len(data) > 0 and not _parse_warc_bytes(data, fname):
+                    rows.append({"warc_file": fname, "error": "no parseable response records"})
+            yield pd.DataFrame(rows, columns=["warc_file", "error"])
+
+    return files.select("path", "content").mapInPandas(run, "warc_file string, error string")

@@ -36,7 +36,7 @@ class StreamingViolationsSink:
         return {
             int(f[len("epoch="):-len(".json")])
             for f in os.listdir(self.commits_dir)
-            if f.startswith("epoch=")
+            if f.startswith("epoch=") and f.endswith(".json")
         }
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:

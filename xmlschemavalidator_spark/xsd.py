@@ -113,7 +113,10 @@ class ElementDecl:
 
 @dataclass
 class ComplexDecl:
-    particle: str = "sequence"  # sequence | all | choice
+    # particle is None until a sequence/all/choice element is actually seen —
+    # an extension that declares only attributes must INHERIT the base's
+    # particle, so a truthy default would silently overwrite choice/all bases
+    particle: Optional[str] = None  # sequence | all | choice
     children: list[ElementDecl] = field(default_factory=list)
     attributes: list[AttrDecl] = field(default_factory=list)
     base: Optional[str] = None  # complexContent/extension base
@@ -159,13 +162,14 @@ class XsdSchema:
         rules: list[FieldRule] = []
 
         child_cols = [f"{prefix}{c.name}" for c in ct.children]
+        particle = ct.particle or "sequence"
         if ct.children:
             particle_rule = {
                 "sequence": SequenceRule(tuple(child_cols)),
                 "all": AllRule(tuple(child_cols)),
                 "choice": ChoiceRule(tuple(child_cols)),
-            }[ct.particle]
-            rules.append(FieldRule(f"{root}__{ct.particle}", particle_rule))
+            }[particle]
+            rules.append(FieldRule(f"{root}__{particle}", particle_rule))
 
         for c in ct.children:
             decl = self.elements[c.ref] if c.ref else c
@@ -180,7 +184,7 @@ class XsdSchema:
                 type_obj = t
             if type_obj is not None:
                 rule: Any = type_obj
-                if ct.particle == "choice":
+                if particle == "choice":
                     # absent alternatives must not fail their type check
                     rule = _NullOr(type_obj)
                 rules.append(FieldRule(f"{root}__{c.name}", rule, column=col))
@@ -251,8 +255,13 @@ class XsdSchema:
         complex root over its matching subset (Catalyst prunes each subset
         scan with the pushed-down root_tag filter), plus the undeclared
         remainder."""
+        # first ELEMENT tag: '<' followed by a name-start char — skips the
+        # XML prolog (<?xml?>), doctypes (<!DOCTYPE>) and comments (<!--),
+        # whose second character is never a name-start. (A comment that
+        # itself contains an element-like token before the root would still
+        # confuse this; full prolog parsing belongs in from_xml itself.)
         tagged = df.withColumn(
-            "root_tag", F.regexp_extract(F.col(xml_col), r"^\s*<([A-Za-z_][\w.-]*)", 1)
+            "root_tag", F.regexp_extract(F.col(xml_col), r"<([A-Za-z_][\w.-]*)", 1)
         )
         outs: list[DataFrame] = []
         complex_roots = [
@@ -337,6 +346,11 @@ def _parse_simple_type(el: ET.Element, types: TypeRegistry) -> Type:
             for sub in child:
                 if _tag(sub) == "simpleType":
                     members.append(_parse_simple_type(sub, types))
+            if not members:
+                raise ValueError(
+                    "union with no members (empty memberTypes and no nested "
+                    "simpleTypes) — malformed schema"
+                )
             return Union(members=tuple(members))
     raise ValueError(f"unsupported simpleType body: {ET.tostring(el)[:120]!r}")
 
