@@ -1141,6 +1141,50 @@ def pandas_udf_rule(spark, sf_dir):
 
 
 @q(
+    "sessionization",
+    """WITH g AS (
+         SELECT user_id, ts,
+                CASE WHEN date_part('epoch', ts) - lag(date_part('epoch', ts))
+                          OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800.0 OR
+                          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                     THEN 1 ELSE 0 END AS new_session
+         FROM events
+       ), s AS (
+         SELECT user_id, ts,
+                sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+         FROM g
+       )
+       SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+              CAST(count(*) AS BIGINT) AS n_events,
+              CAST(round(max(date_part('epoch', ts)) - min(date_part('epoch', ts)), 0) AS BIGINT) AS duration_s
+       FROM s GROUP BY user_id, session_id""",
+)
+def sessionization(spark, sf_dir):
+    """Sessionization (30-min inactivity gap) via gaps-and-islands window
+    functions — the batch formulation of streaming session windows. One
+    shuffle on user_id serves both window passes."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_s = F.col("ts").cast("timestamp").cast("double")  # fractional epoch s
+    gap = ts_s - F.lag(ts_s).over(w)
+    new_session = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ws = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sessions = e.withColumn("new_session", new_session).withColumn(
+        "session_id", F.sum("new_session").over(ws)
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.max(F.col("ts").cast("timestamp").cast("double"))
+            - F.min(F.col("ts").cast("timestamp").cast("double")), 0
+        ).cast("long").alias("duration_s"),
+    )
+
+
+@q(
     "json_props_extract",
     """SELECT event_id,
               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
