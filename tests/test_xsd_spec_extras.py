@@ -1,0 +1,273 @@
+"""Spec-enforced XSD features the reference PARSES but cannot EXECUTE:
+``list`` (grammar parser.clj:97), ``attributeGroup`` (parser.clj:73-76),
+``group`` (parser.clj:81-82), ``simpleContent`` (parser.clj:69) — none have
+transform entries in the v2 dispatch map (parser.clj:297-326), and README.md
+lists them as unimplemented in v1. We implement the XSD spec semantics the
+grammar declares, going beyond the reference on its own declared surface.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from xmlschemavalidator_spark.rules.types import PREDEF_TYPES, ListType
+from xmlschemavalidator_spark.xsd import compile_fragment, parse_xsd
+
+
+def eval_type(spark, t, values, registry=PREDEF_TYPES):
+    df = spark.createDataFrame(
+        [(str(v) if v is not None else None,) for v in values], "v string"
+    )
+    return [r[0] for r in df.select(t.to_column(F.col("v"), registry)).collect()]
+
+
+# ---------------------------------------------------------------------------
+# xs:list
+# ---------------------------------------------------------------------------
+
+
+def test_list_of_integers(spark):
+    t = compile_fragment('<list itemType="integer"/>')
+    assert isinstance(t, ListType)
+    assert eval_type(spark, t, ["1 2 3", "  7\t8  ", "1 x 3", "x", "", None]) == [
+        True,   # all tokens integral
+        True,   # whitespace-insensitive
+        False,  # one bad token fails the list
+        False,
+        True,   # empty string = empty list (valid per spec)
+        False,  # NULL is no value at all
+    ]
+
+
+def test_list_of_restricted_type(spark):
+    t = compile_fragment(
+        """<simpleType>
+             <list>
+               <simpleType>
+                 <restriction base="integer">
+                   <minInclusive value="0"/>
+                   <maxInclusive value="9"/>
+                 </restriction>
+               </simpleType>
+             </list>
+           </simpleType>"""
+    )
+    assert eval_type(spark, t, ["0 9 5", "0 10", "9"]) == [True, False, True]
+
+
+def test_list_named_item_type_via_schema(spark):
+    schema = parse_xsd(
+        """<schema>
+             <simpleType name="digit">
+               <restriction base="integer">
+                 <minInclusive value="0"/><maxInclusive value="9"/>
+               </restriction>
+             </simpleType>
+             <simpleType name="digits"><list itemType="digit"/></simpleType>
+           </schema>"""
+    )
+    t = schema.types.resolve("digits")
+    assert eval_type(spark, t, ["1 2 3", "1 22"], registry=schema.types) == [True, False]
+
+
+def test_list_sql_oracle_parity(spark):
+    """ListType.sql_expr must agree with to_column on the same data (the
+    driver's oracle property, checked here in-process via DuckDB)."""
+    t = compile_fragment('<list itemType="integer"/>')
+    values = ["1 2 3", "1 x", "", "  4  ", "3.5 1", None]
+    spark_ok = eval_type(spark, t, values)
+    pdf = pd.DataFrame({"v": values})
+    sql = t.sql_expr("v", PREDEF_TYPES)
+    con = duckdb.connect()
+    con.register("tbl", pdf)
+    duck_ok = [r[0] for r in con.execute(f"SELECT {sql} FROM tbl").fetchall()]
+    assert spark_ok == duck_ok
+
+
+# ---------------------------------------------------------------------------
+# attributeGroup
+# ---------------------------------------------------------------------------
+
+_ATTR_GROUP_XSD = """<schema>
+  <attributeGroup name="provenance">
+    <attribute name="source" type="string" use="required"/>
+    <attribute name="rank" type="byte"/>
+  </attributeGroup>
+  <attributeGroup name="full">
+    <attribute name="note" type="string"/>
+    <attributeGroup ref="provenance"/>
+  </attributeGroup>
+  <complexType name="docType">
+    <sequence><element name="body" type="string"/></sequence>
+    <attributeGroup ref="full"/>
+  </complexType>
+  <element name="doc" type="docType"/>
+</schema>"""
+
+
+def test_attribute_group_ref_expands(spark):
+    schema = parse_xsd(_ATTR_GROUP_XSD)
+    ct = schema._element_complex("doc")
+    assert [a.name for a in ct.attributes] == ["note", "source", "rank"]
+    assert ct.attributes[1].required
+
+    df = spark.createDataFrame(
+        [("good", "crawl", "3", "x"), ("noattr", None, "999", None)],
+        "body string, source string, rank string, note string",
+    )
+    rs = schema.ruleset_for("doc")
+    compiled = rs.compile()
+    out = df.select(
+        "body",
+        compiled["doc__attr_source"].alias("src_ok"),
+        compiled["doc__attr_rank"].alias("rank_ok"),
+    ).collect()
+    by_body = {r["body"]: (r["src_ok"], r["rank_ok"]) for r in out}
+    assert by_body["good"] == (True, True)
+    assert by_body["noattr"] == (False, False)  # required missing; 999 > byte
+
+
+def test_attribute_group_cycle_raises():
+    with pytest.raises(ValueError, match="circular attributeGroup"):
+        parse_xsd(
+            """<schema>
+                 <attributeGroup name="a"><attributeGroup ref="b"/></attributeGroup>
+                 <attributeGroup name="b"><attributeGroup ref="a"/></attributeGroup>
+                 <complexType name="t"><attributeGroup ref="a"/></complexType>
+               </schema>"""
+        )
+
+
+# ---------------------------------------------------------------------------
+# group (named model group)
+# ---------------------------------------------------------------------------
+
+
+def test_group_ref_particle(spark):
+    schema = parse_xsd(
+        """<schema>
+             <group name="pair">
+               <sequence>
+                 <element name="a" type="integer"/>
+                 <element name="b" type="string"/>
+               </sequence>
+             </group>
+             <complexType name="t"><group ref="pair"/></complexType>
+             <element name="root" type="t"/>
+           </schema>"""
+    )
+    ct = schema._element_complex("root")
+    assert ct.particle == "sequence"
+    assert [c.name for c in ct.children] == ["a", "b"]
+
+    df = spark.createDataFrame([("1", "x"), ("y", "x")], "a string, b string")
+    rs = schema.ruleset_for("root")
+    compiled = rs.compile()
+    got = [r[0] for r in df.select(compiled["root__a"]).collect()]
+    assert got == [True, False]
+
+
+def test_group_ref_inside_extension(spark):
+    schema = parse_xsd(
+        """<schema>
+             <group name="extra"><choice>
+               <element name="x" type="integer"/>
+               <element name="y" type="string"/>
+             </choice></group>
+             <complexType name="base">
+               <sequence><element name="a" type="string"/></sequence>
+             </complexType>
+             <complexType name="ext">
+               <complexContent><extension base="base">
+                 <group ref="extra"/>
+               </extension></complexContent>
+             </complexType>
+             <element name="root" type="ext"/>
+           </schema>"""
+    )
+    ct = schema._element_complex("root")
+    assert ct.particle == "choice"
+    assert [c.name for c in ct.children] == ["a", "x", "y"]
+
+
+# ---------------------------------------------------------------------------
+# simpleContent
+# ---------------------------------------------------------------------------
+
+_SIMPLE_CONTENT_XSD = """<schema>
+  <complexType name="price">
+    <simpleContent>
+      <restriction base="integer">
+        <minInclusive value="0"/>
+        <maxInclusive value="100"/>
+      </restriction>
+    </simpleContent>
+    <attribute name="currency" type="string" use="required"/>
+  </complexType>
+  <element name="price" type="price"/>
+</schema>"""
+
+
+def test_simple_content_columnar(spark):
+    schema = parse_xsd(_SIMPLE_CONTENT_XSD)
+    rs = schema.ruleset_for("price")
+    assert "price__value" in rs.rule_ids()
+    df = spark.createDataFrame(
+        [("50", "SEK"), ("101", "SEK"), ("50", None)],
+        "_VALUE string, currency string",
+    )
+    compiled = rs.compile()
+    out = df.select(
+        "_VALUE", "currency",
+        compiled["price__value"].alias("v_ok"),
+        compiled["price__attr_currency"].alias("c_ok"),
+    ).collect()
+    got = {(r["_VALUE"], r["currency"]): (r["v_ok"], r["c_ok"]) for r in out}
+    assert got[("50", "SEK")] == (True, True)
+    assert got[("101", "SEK")] == (False, True)
+    assert got[("50", None)] == (True, False)
+
+
+def test_simple_content_extension_with_attribute_group(spark):
+    schema = parse_xsd(
+        """<schema>
+             <attributeGroup name="meta">
+               <attribute name="unit" type="string" use="required"/>
+             </attributeGroup>
+             <complexType name="qty">
+               <simpleContent>
+                 <extension base="nonNegativeInteger">
+                   <attributeGroup ref="meta"/>
+                 </extension>
+               </simpleContent>
+             </complexType>
+             <element name="qty" type="qty"/>
+           </schema>"""
+    )
+    ct = schema._element_complex("qty")
+    assert ct.simple_content is not None
+    assert [a.name for a in ct.attributes] == ["unit"]
+    df = spark.createDataFrame([("3", "kg"), ("-1", "kg")], "_VALUE string, unit string")
+    compiled = schema.ruleset_for("qty").compile()
+    got = [r[0] for r in df.select(compiled["qty__value"]).collect()]
+    assert got == [True, False]
+
+
+def test_simple_content_xml_document_path(spark):
+    """Document path: <price currency="SEK">50</price> round-trips through
+    from_xml (valueTag _VALUE) and validates content + attribute."""
+    schema = parse_xsd(_SIMPLE_CONTENT_XSD)
+    docs = spark.createDataFrame(
+        [
+            (1, '<price currency="SEK">50</price>'),
+            (2, '<price currency="SEK">500</price>'),
+            (3, "<price>50</price>"),
+        ],
+        "id long, xml string",
+    )
+    res = schema.validate_xml_column(docs, "xml", root="price", key="id")
+    got = {r["id"]: r["_doc_ok"] for r in res.verdicts.collect()}
+    assert got == {1: True, 2: False, 3: False}

@@ -1052,6 +1052,33 @@ def xsd_xml_documents(spark, sf_dir):
     return res.verdicts.select("doc_id", "_doc_ok")
 
 
+def _list_type():
+    """xs:list over documents.text: every whitespace token must be a string
+    (not numeric-parseable) of length <= 5 — spec-enforced list semantics
+    (grammar parser.clj:97; parse-only in the reference)."""
+    from xmlschemavalidator_spark.xsd import compile_fragment
+
+    return compile_fragment(
+        """<list><simpleType><restriction base="string">
+             <maxLength value="5"/>
+           </restriction></simpleType></list>"""
+    )
+
+
+@q(
+    "xsd_list_type",
+    f"SELECT doc_id, {_list_type().sql_expr('text', PREDEF_TYPES)} AS list_ok FROM documents",
+)
+def xsd_list_type(spark, sf_dir):
+    """ListType verdict per document: compiled to ONE higher-order forall
+    over a split — no explode, no shuffle, stays in whole-stage codegen."""
+    t = _list_type()
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", t.to_column(F.col("text"), PREDEF_TYPES).alias("list_ok")
+    )
+
+
 @q(
     "join_q3_shipping_priority",
     """SELECT o_orderkey,

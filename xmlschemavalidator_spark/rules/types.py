@@ -273,6 +273,44 @@ class Union(Type):
         return "(" + " OR ".join(parts) + ")"
 
 
+@dataclass(frozen=True)
+class ListType(Type):
+    """``xs:list itemType=`` — value is a whitespace-separated token list and
+    EVERY token must validate against the item type (XSD spec semantics).
+
+    The reference's v2 grammar parses LIST (parser.clj:97) but its transform
+    dispatch map has no entry for it (parser.clj:297-326), so it parses-but-
+    cannot-execute there; we enforce the spec the grammar declares. An empty
+    string is the empty list (valid); NULL is invalid (no value at all).
+
+    Spark form: split → filter empty tokens → ``F.forall`` with the item
+    predicate applied to the lambda variable — one HOF pass, stays inside
+    whole-stage codegen, no explode/shuffle.
+    """
+
+    item: TypeRef
+
+    def _item(self, registry: Optional["TypeRegistry"]) -> Type:
+        return registry.resolve(self.item) if isinstance(self.item, str) else self.item
+
+    def to_column(self, col: Column, registry: Optional["TypeRegistry"] = None) -> Column:
+        item_t = self._item(registry)
+        tokens = F.filter(
+            F.split(F.trim(col.cast("string")), r"\s+"), lambda t: t != F.lit("")
+        )
+        ok = F.forall(tokens, lambda t: item_t.to_column(t, registry))
+        return col.isNotNull() & F.coalesce(ok, F.lit(False))
+
+    def sql_expr(self, col_sql: str, registry: Optional["TypeRegistry"] = None) -> str:
+        item_t = self._item(registry)
+        pred = item_t.sql_expr("t", registry)
+        arr = f"regexp_split_to_array(trim(CAST({col_sql} AS VARCHAR)), '\\s+')"
+        return (
+            f"(({col_sql} IS NOT NULL) AND "
+            f"len(list_filter({arr}, t -> t <> '' AND NOT {pred})) = 0)"
+        )
+
+
 class TypeRegistry:
     """name → Type map with merge-shadowing: schema-local types shadow the
     predefined environment exactly as the reference merges type maps at each

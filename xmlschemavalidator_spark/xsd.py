@@ -9,6 +9,13 @@ namespaced schemas are handled by stripping prefixes):
   (core.clj:43-61; parser.clj:133-158);
 * ``union`` — ``memberTypes=`` and nested anonymous simpleTypes, ordered
   first-success (core.clj:95-107);
+* ``list`` — ``itemType=`` / nested simpleType, every whitespace token
+  validates (grammar parser.clj:97; spec-enforced here, parse-only there);
+* ``attributeGroup`` / ``group`` — named attribute sets and model-group
+  particles with ``ref=`` expansion (grammar parser.clj:73-76,81-82;
+  spec-enforced here, parse-only there);
+* ``simpleContent`` — restriction/extension over text content plus
+  attributes, content column ``_VALUE`` (grammar parser.clj:69);
 * ``complexType`` — ``sequence``/``all``/``choice`` particles of element
   declarations + ``attribute`` declarations with ``default= fixed=
   use="required"`` (parser.clj:237-293);
@@ -57,6 +64,7 @@ from xmlschemavalidator_spark.rules.facets import (
 from xmlschemavalidator_spark.rules.structural import AllRule, ChoiceRule, SequenceRule
 from xmlschemavalidator_spark.rules.types import (
     PREDEF_TYPES,
+    ListType,
     Restriction,
     Type,
     TypeRegistry,
@@ -120,6 +128,9 @@ class ComplexDecl:
     children: list[ElementDecl] = field(default_factory=list)
     attributes: list[AttrDecl] = field(default_factory=list)
     base: Optional[str] = None  # complexContent/extension base
+    # simpleContent: text content validates against this Type (the element
+    # has attributes but no child elements; content column is _VALUE)
+    simple_content: Optional[Type] = None
 
 
 @dataclass
@@ -139,6 +150,7 @@ class XsdSchema:
             particle=decl.particle or base.particle,
             children=base.children + decl.children,
             attributes=base.attributes + decl.attributes,
+            simple_content=decl.simple_content or base.simple_content,
         )
 
     def _element_complex(self, root: str) -> ComplexDecl:
@@ -160,6 +172,13 @@ class XsdSchema:
         ``prefix``-handling at the call site)."""
         ct = self._element_complex(root)
         rules: list[FieldRule] = []
+
+        if ct.simple_content is not None:
+            # simpleContent: the element's text content (valueTag _VALUE)
+            # validates against the base simple type + facets
+            rules.append(
+                FieldRule(f"{root}__value", ct.simple_content, column=f"{prefix}_VALUE")
+            )
 
         child_cols = [f"{prefix}{c.name}" for c in ct.children]
         particle = ct.particle or "sequence"
@@ -214,6 +233,8 @@ class XsdSchema:
         ct = self._element_complex(root)
         fields = [f"`{c.name}` string" for c in ct.children]
         fields += [f"`_{a.name}` string" for a in ct.attributes]
+        if ct.simple_content is not None:
+            fields.append("`_VALUE` string")
         return "struct<" + ", ".join(fields) + ">"
 
     def validate_xml_column(
@@ -230,6 +251,8 @@ class XsdSchema:
             flat = flat.withColumn(c.name, F.col(f"_x.{c.name}"))
         for a in ct.attributes:
             flat = flat.withColumn(f"_{a.name}", F.col(f"_x._{a.name}"))
+        if ct.simple_content is not None:
+            flat = flat.withColumn("_VALUE", F.col("_x._VALUE"))
         rs = self.ruleset_for(root)
         # attribute columns carry the Spark XML '_' prefix
         rs_attr = RuleSet(rules=[
@@ -338,6 +361,17 @@ def _parse_simple_type(el: ET.Element, types: TypeRegistry) -> Type:
         tag = _tag(child)
         if tag == "restriction":
             return Restriction(base=child.get("base"), facets=_parse_facets(child))
+        if tag == "list":
+            # xs:list itemType= or nested anonymous simpleType (spec-enforced;
+            # the reference's grammar parses LIST at parser.clj:97 but has no
+            # transform entry for it — see rules/types.py:ListType)
+            item_ref = child.get("itemType")
+            if item_ref is not None:
+                return ListType(item=item_ref)
+            for sub in child:
+                if _tag(sub) == "simpleType":
+                    return ListType(item=_parse_simple_type(sub, types))
+            raise ValueError("list without itemType or nested simpleType")
         if tag == "union":
             members: list[Any] = []
             mt = child.get("memberTypes")
@@ -367,7 +401,51 @@ def _parse_attribute(el: ET.Element) -> AttrDecl:
     )
 
 
-def _parse_element(el: ET.Element, types: TypeRegistry) -> ElementDecl:
+@dataclass
+class _NamedGroups:
+    """Schema-level named groups: ``attributeGroup name=`` and ``group
+    name=`` bodies, kept as raw XML elements and expanded at use sites
+    (``ref=``). The reference's grammar declares both (ATTRIBUTEGROUP
+    parser.clj:73-76, GROUP parser.clj:81-82) but its transform map cannot
+    execute them (parser.clj:297-326); we enforce the spec semantics:
+    expansion = inline substitution of the named body."""
+
+    attr_groups: dict[str, ET.Element] = field(default_factory=dict)
+    groups: dict[str, ET.Element] = field(default_factory=dict)
+
+    def expand_attrs(self, name: str, seen: frozenset[str] = frozenset()) -> list[AttrDecl]:
+        if name in seen:
+            raise ValueError(f"circular attributeGroup ref through {name!r}")
+        try:
+            body = self.attr_groups[name]
+        except KeyError:
+            raise KeyError(f"attributeGroup {name!r} not defined") from None
+        out: list[AttrDecl] = []
+        for child in body:
+            tag = _tag(child)
+            if tag == "attribute":
+                out.append(_parse_attribute(child))
+            elif tag == "attributeGroup" and child.get("ref"):
+                out.extend(self.expand_attrs(child.get("ref"), seen | {name}))
+        return out
+
+    def group_body(self, name: str) -> ET.Element:
+        try:
+            body = self.groups[name]
+        except KeyError:
+            raise KeyError(f"group {name!r} not defined") from None
+        for child in body:
+            if _tag(child) in ("sequence", "all", "choice"):
+                return child
+        raise ValueError(f"group {name!r} has no sequence/all/choice particle")
+
+
+_EMPTY_GROUPS = _NamedGroups()
+
+
+def _parse_element(
+    el: ET.Element, types: TypeRegistry, named: _NamedGroups = _EMPTY_GROUPS
+) -> ElementDecl:
     ref = el.get("ref")
     if ref:
         return ElementDecl(name=ref, ref=ref)
@@ -380,21 +458,59 @@ def _parse_element(el: ET.Element, types: TypeRegistry) -> ElementDecl:
         if tag == "simpleType":
             return ElementDecl(name=name, type=_parse_simple_type(child, types))
         if tag == "complexType":
-            return ElementDecl(name=name, type=_parse_complex_type(child, types))
+            return ElementDecl(name=name, type=_parse_complex_type(child, types, named))
     return ElementDecl(name=name, type="string")
 
 
-def _parse_complex_type(el: ET.Element, types: TypeRegistry) -> ComplexDecl:
+def _parse_particle(
+    particle_el: ET.Element, types: TypeRegistry, named: _NamedGroups
+) -> tuple[str, list[ElementDecl]]:
+    return (
+        _tag(particle_el),
+        [_parse_element(e, types, named) for e in particle_el if _tag(e) == "element"],
+    )
+
+
+def _parse_simple_content(
+    sc: ET.Element, types: TypeRegistry, named: _NamedGroups, decl: ComplexDecl
+) -> None:
+    """simpleContent (grammar: parser.clj:69): restriction → base + facets on
+    the text content; extension → base type on the text content plus declared
+    attributes. Attributes land on the ComplexDecl like particle attributes."""
+    for sub in sc:
+        stag = _tag(sub)
+        if stag == "restriction":
+            decl.simple_content = Restriction(base=sub.get("base"), facets=_parse_facets(sub))
+        elif stag == "extension":
+            decl.simple_content = Restriction(base=sub.get("base"))
+        else:
+            continue
+        for a in sub:
+            atag = _tag(a)
+            if atag == "attribute":
+                decl.attributes.append(_parse_attribute(a))
+            elif atag == "attributeGroup" and a.get("ref"):
+                decl.attributes.extend(named.expand_attrs(a.get("ref")))
+
+
+def _parse_complex_type(
+    el: ET.Element, types: TypeRegistry, named: _NamedGroups = _EMPTY_GROUPS
+) -> ComplexDecl:
     decl = ComplexDecl()
     for child in el:
         tag = _tag(child)
         if tag in ("sequence", "all", "choice"):
-            decl.particle = tag
-            decl.children = [
-                _parse_element(e, types) for e in child if _tag(e) == "element"
-            ]
+            decl.particle, decl.children = _parse_particle(child, types, named)
+        elif tag == "group" and child.get("ref"):
+            decl.particle, decl.children = _parse_particle(
+                named.group_body(child.get("ref")), types, named
+            )
         elif tag == "attribute":
             decl.attributes.append(_parse_attribute(child))
+        elif tag == "attributeGroup" and child.get("ref"):
+            decl.attributes.extend(named.expand_attrs(child.get("ref")))
+        elif tag == "simpleContent":
+            _parse_simple_content(child, types, named, decl)
         elif tag == "complexContent":
             for ext in child:
                 if _tag(ext) == "extension":
@@ -402,14 +518,15 @@ def _parse_complex_type(el: ET.Element, types: TypeRegistry) -> ComplexDecl:
                     for sub in ext:
                         stag = _tag(sub)
                         if stag in ("sequence", "all", "choice"):
-                            decl.particle = stag
-                            decl.children = [
-                                _parse_element(e, types)
-                                for e in sub
-                                if _tag(e) == "element"
-                            ]
+                            decl.particle, decl.children = _parse_particle(sub, types, named)
+                        elif stag == "group" and sub.get("ref"):
+                            decl.particle, decl.children = _parse_particle(
+                                named.group_body(sub.get("ref")), types, named
+                            )
                         elif stag == "attribute":
                             decl.attributes.append(_parse_attribute(sub))
+                        elif stag == "attributeGroup" and sub.get("ref"):
+                            decl.attributes.extend(named.expand_attrs(sub.get("ref")))
     return decl
 
 
@@ -428,17 +545,26 @@ def parse_xsd(xsd: str) -> XsdSchema:
     complex_types: dict[str, ComplexDecl] = {}
     elements: dict[str, ElementDecl] = {}
 
-    # two passes: named types first (forward refs), then elements
+    # three passes (forward refs): named attribute/model groups, then named
+    # types, then elements
+    named = _NamedGroups()
+    for child in root:
+        tag = _tag(child)
+        name = child.get("name")
+        if tag == "attributeGroup" and name:
+            named.attr_groups[name] = child
+        elif tag == "group" and name:
+            named.groups[name] = child
     for child in root:
         tag = _tag(child)
         name = child.get("name")
         if tag == "simpleType" and name:
             types.define(name, _parse_simple_type(child, types))
         elif tag == "complexType" and name:
-            complex_types[name] = _parse_complex_type(child, types)
+            complex_types[name] = _parse_complex_type(child, types, named)
     for child in root:
         if _tag(child) == "element":
-            decl = _parse_element(child, types)
+            decl = _parse_element(child, types, named)
             elements[decl.name] = decl
 
     return XsdSchema(types=types, complex_types=complex_types, elements=elements)
@@ -456,7 +582,7 @@ def compile_fragment(xsd_fragment: str) -> Type:
         return Restriction(base=el.get("base"), facets=_parse_facets(el))
     if tag == "simpleType":
         return _parse_simple_type(el, schema.types)
-    if tag == "union":
+    if tag in ("union", "list"):
         wrapped = ET.Element("simpleType")
         wrapped.append(el)
         return _parse_simple_type(wrapped, schema.types)
