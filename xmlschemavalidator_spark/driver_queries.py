@@ -1052,6 +1052,195 @@ def xsd_xml_documents(spark, sf_dir):
     return res.verdicts.select("doc_id", "_doc_ok")
 
 
+@q(
+    "join_q4_order_priority",
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+       FROM orders
+       WHERE EXISTS (SELECT 1 FROM lineitem
+                     WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+       GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+)
+def join_q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS → LEFT SEMI join (Spark never materializes the
+    probe side's payload columns; at scale the semi-join build side carries
+    only (l_orderkey, l_shipdate), and AQE can pick broadcast when the
+    filtered orders side is small)."""
+    orders = _t(spark, sf_dir, "orders")
+    line = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    sub = orders.join(
+        line,
+        (orders.o_orderkey == line.l_orderkey) & (line.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return (
+        sub.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@q(
+    "agg_q6_revenue",
+    """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                             * CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE)
+              AS revenue,
+              CAST(count(*) AS BIGINT) AS n_lines
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         AND l_shipdate < TIMESTAMP '1997-01-01'
+         AND l_discount BETWEEN 0.03 AND 0.07
+         AND l_quantity < 24""",
+)
+def agg_q6_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: highly selective scan-side filters + a single global
+    aggregate. All four predicates push down to the parquet scan
+    (PushedFilters); the agg is partial→final with a 1-row shuffle."""
+    line = _t(spark, sf_dir, "lineitem")
+    return (
+        line.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * F.col("l_discount").cast("decimal(18,4)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )
+
+
+@q(
+    "rollup_source_lang",
+    """SELECT coalesce(source, '(all)') AS source,
+              coalesce(lang, '(all)') AS lang,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(round(sum(CAST(n_chars AS DECIMAL(18,0))), 0) AS BIGINT) AS total_chars
+       FROM documents
+       GROUP BY ROLLUP(source, lang)""",
+)
+def rollup_source_lang(spark, sf_dir):
+    """Hierarchical subtotal stats via GROUP BY ROLLUP — one pass computes
+    per-(source,lang), per-source, and grand-total tiers (Catalyst Expand +
+    single hash aggregate; no self-union of three scans)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.rollup("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.col("n_chars").cast("decimal(18,0)")).cast("bigint").alias("total_chars"),
+        )
+        .select(
+            F.coalesce("source", F.lit("(all)")).alias("source"),
+            F.coalesce("lang", F.lit("(all)")).alias("lang"),
+            "n_docs",
+            "total_chars",
+        )
+    )
+
+
+@q(
+    "percentiles_event_value",
+    """SELECT event_type,
+              CAST(round(quantile_cont(value, 0.5), 5) AS DOUBLE) AS p50,
+              CAST(round(quantile_cont(value, 0.9), 5) AS DOUBLE) AS p90,
+              CAST(round(quantile_cont(value, 0.99), 5) AS DOUBLE) AS p99
+       FROM events GROUP BY event_type ORDER BY event_type""",
+)
+def percentiles_event_value(spark, sf_dir):
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`). The exact form is the correctness oracle for
+    the mergeable t-digest sketch path (checks/tdigest.py), which is what
+    actually runs at 10^12-row scale."""
+    ev = _t(spark, sf_dir, "events")
+    pct = F.expr("percentile(value, array(0.5D, 0.9D, 0.99D))")
+    return (
+        ev.groupBy("event_type")
+        .agg(pct.alias("_p"))
+        .select(
+            "event_type",
+            F.round(F.col("_p")[0], 5).cast("double").alias("p50"),
+            F.round(F.col("_p")[1], 5).cast("double").alias("p90"),
+            F.round(F.col("_p")[2], 5).cast("double").alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "heavy_hitters_source",
+    """SELECT source,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(round(count(*) / CAST((SELECT count(*) FROM documents) AS DOUBLE), 6)
+                   AS DOUBLE) AS share
+       FROM documents GROUP BY source
+       HAVING count(*) >= 10
+       ORDER BY n_docs DESC, source""",
+)
+def heavy_hitters_source(spark, sf_dir):
+    """Heavy-hitter domains (skew detection input for salting decisions):
+    group counts + global share, support-thresholded. The total rides along
+    as a window-less scalar via a broadcast cross join of the 1-row count —
+    no second scan of the grouped data, no global window."""
+    docs = _t(spark, sf_dir, "documents")
+    total = docs.agg(F.count(F.lit(1)).cast("double").alias("_total"))
+    return (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .where(F.col("n_docs") >= 10)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("_total"), 6).cast("double").alias("share"),
+        )
+        .orderBy(F.desc("n_docs"), "source")
+    )
+
+
+@q(
+    "freshness_events",
+    """SELECT event_type,
+              strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS latest_ts,
+              CAST(round(epoch(TIMESTAMP '2024-02-01 00:00:00'
+                               - date_trunc('second', max(ts))) / 3600.0, 4)
+                   AS DOUBLE) AS hours_stale
+       FROM events GROUP BY event_type ORDER BY event_type""",
+)
+def freshness_events(spark, sf_dir):
+    """Freshness check: per-stream latest event time and staleness against a
+    reference instant — the dataset-level 'is this partition up to date'
+    gate a validation run emits alongside pass/fail."""
+    ev = _t(spark, sf_dir, "events")
+    # events.ts is TIMESTAMP_NTZ — no epoch cast; timestampdiff handles NTZ.
+    # Truncate to whole seconds first: Spark truncates the interval while
+    # DuckDB's epoch() keeps fractional seconds, so sub-second parts would
+    # diverge between the two engines otherwise.
+    stale_s = F.expr(
+        "timestampdiff(SECOND, date_trunc('second', _max_ts), "
+        "TIMESTAMP_NTZ '2024-02-01 00:00:00')"
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(F.max("ts").alias("_max_ts"))
+        .select(
+            "event_type",
+            F.date_format("_max_ts", "yyyy-MM-dd HH:mm:ss").alias("latest_ts"),
+            F.round(stale_s / 3600.0, 4).cast("double").alias("hours_stale"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _list_type():
     """xs:list over documents.text: every whitespace token must be a string
     (not numeric-parseable) of length <= 5 — spec-enforced list semantics
