@@ -28,6 +28,19 @@ from pyspark.sql import functions as F
 from xmlschemavalidator_spark.textops import doc_fingerprint, tokens
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure the CPU-heavy narrow stages (shingling, hashing, signatures)
+    run at cluster parallelism. A small parquet input arrives as 1-2
+    partitions and would otherwise serialize the whole pipeline onto one
+    core (measured: the entire minhash_lsh wall time was one task). At real
+    scale input partitions >> defaultParallelism and this is a no-op — the
+    round-robin shuffle only ever moves data when the input is tiny."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # --------------------------------------------------------------------------
 # exact
 # --------------------------------------------------------------------------
@@ -132,7 +145,8 @@ def minhash_signatures_df(
     of document length. Returns (doc, mh_0..mh_{k-1}); docs too short to
     shingle are absent."""
     ex = (
-        df.select(
+        _spread(df)
+        .select(
             F.col(id_col).alias("doc"),
             F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"),
         )
@@ -215,7 +229,7 @@ def jaccard_pairs(
     shingles with posting lists above ``max_posting`` are skipped (they are
     boilerplate and would dominate the pair explosion).
     """
-    base = df.select(
+    base = _spread(df).select(
         F.col(id_col).alias("doc"), shingles(F.col(text_col), shingle_n).alias("sh")
     )
     sizes = base.select("doc", F.size("sh").alias("n_sh")).where(F.col("n_sh") > 0)
@@ -249,25 +263,39 @@ def jaccard_pairs(
 # --------------------------------------------------------------------------
 
 def _simhash_batch(texts: pd.Series) -> pd.Series:
-    """numpy-vectorized 64-bit SimHash per Arrow batch."""
-    out = np.zeros(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        if not t:
-            continue
-        toks = t.lower().split()
-        if not toks:
-            continue
-        # stable FNV-1a token hashes — reproducible across processes/executors
-        # (Python's builtin hash() is salted per process; never use it here)
-        hs = np.array([_fnv1a64(tok) for tok in toks], dtype=np.uint64)
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
-        votes = (2 * bits - 1).sum(axis=0)
-        sig = np.uint64(0)
-        for b in range(64):
-            if votes[b] > 0:
-                sig |= np.uint64(1) << np.uint64(b)
-        out[i] = np.int64(sig.astype(np.int64))
-    return pd.Series(out)
+    """Vectorized 64-bit SimHash over a whole Arrow batch.
+
+    The per-byte FNV-1a loop runs ONCE PER UNIQUE TOKEN in the batch
+    (pd.factorize), not once per occurrence — natural-language token
+    frequency is Zipfian, so unique tokens are a small fraction of total.
+    Per-document bit votes are segment sums over the flattened ±1 bit rows
+    (np.add.reduceat), no per-document Python loop."""
+    n = len(texts)
+    token_lists = [t.lower().split() if isinstance(t, str) else [] for t in texts]
+    lengths = np.array([len(tl) for tl in token_lists], dtype=np.int64)
+    total = int(lengths.sum())
+    if total == 0:
+        return pd.Series(np.zeros(n, dtype=np.int64))
+    flat = np.empty(total, dtype=object)
+    pos = 0
+    for tl in token_lists:
+        flat[pos : pos + len(tl)] = tl
+        pos += len(tl)
+    codes, uniques = pd.factorize(flat)
+    # stable FNV-1a token hashes — reproducible across processes/executors
+    # (Python's builtin hash() is salted per process; never use it here)
+    uh = np.array([_fnv1a64(tok) for tok in uniques], dtype=np.uint64)
+    shifts = np.arange(64, dtype=np.uint64)
+    contrib = (
+        ((uh[:, None] >> shifts) & np.uint64(1)).astype(np.int64) * 2 - 1
+    )  # (U, 64) rows of +-1
+    rows = np.vstack([contrib[codes], np.zeros((1, 64), dtype=np.int64)])  # + sentinel
+    starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+    votes = np.add.reduceat(rows, starts, axis=0)
+    # reduceat returns rows[start] for empty segments; zero them explicitly
+    votes[lengths == 0] = 0
+    sig = ((votes > 0).astype(np.uint64) << shifts).sum(axis=1).astype(np.uint64)
+    return pd.Series(sig.astype(np.int64))
 
 
 def _fnv1a64(s: str) -> np.uint64:
@@ -299,7 +327,7 @@ def simhash_near_duplicates(
     n_chunks = min(hamming_max + 1, 16)
     width = -(-64 // n_chunks)  # ceil
     mask = (1 << width) - 1
-    sigd = df.select(F.col(id_col).alias("doc"), simhash(F.col(text_col)).alias("sig"))
+    sigd = _spread(df).select(F.col(id_col).alias("doc"), simhash(F.col(text_col)).alias("sig"))
     chunks = sigd.select(
         "doc",
         "sig",
