@@ -184,6 +184,10 @@ def main() -> None:
         _count(fn(spark))
         times[name] = round(time.time() - t0, 3)
 
+    # JIT/codegen warmup for the pages path (measured: the first run is
+    # ~2.4x slower than steady state; the BENCH/BASELINE.md protocol times
+    # steady-state after a warmup run)
+    pages_validation_docs_per_sec(spark, max(PAGES_ROWS // 10, 50_000))
     t0 = time.time()
     dps = pages_validation_docs_per_sec(spark, PAGES_ROWS)
     times["pages_validate_2m"] = round(time.time() - t0, 3)
