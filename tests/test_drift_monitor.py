@@ -1,0 +1,61 @@
+"""Streaming drift monitor: foreachBatch sketches vs persisted baseline."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from xmlschemavalidator_spark.checks.baseline import snapshot_baseline
+from xmlschemavalidator_spark.streaming.drift_monitor import StreamingDriftMonitor
+
+
+def _write_batch(spark, path, lo, hi, n=5000):
+    (
+        spark.range(0, n)
+        .select(((F.col("id") % (hi - lo)) + lo).cast("double").alias("v"))
+        .coalesce(1)  # one file -> one micro-batch under maxFilesPerTrigger=1
+        .write.mode("append")
+        .parquet(path)
+    )
+
+
+def test_streaming_drift_monitor(spark, tmp_path):
+    baseline_path = str(tmp_path / "baseline")
+    stream_src = str(tmp_path / "src")
+    out_dir = str(tmp_path / "drift_out")
+
+    # baseline: uniform over [0, 1000)
+    base = spark.range(0, 20_000).select((F.col("id") % 1000).cast("double").alias("v"))
+    snapshot_baseline(base.repartition(4), ["v"], baseline_path, "snapB")
+
+    # stream input: one in-distribution file, one shifted file
+    _write_batch(spark, stream_src, 0, 1000)
+    _write_batch(spark, stream_src, 5000, 6000)
+
+    monitor = StreamingDriftMonitor(
+        ["v"], baseline_path, "snapB", out_dir, alert_threshold=0.2
+    )
+    sdf = spark.readStream.schema("v double").option("maxFilesPerTrigger", 1).parquet(
+        stream_src
+    )
+    q = (
+        sdf.writeStream.foreachBatch(monitor)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rep = monitor.reports(spark).orderBy("epoch").collect()
+    assert len(rep) == 2
+    by_epoch = {r["epoch"]: r for r in rep}
+    drifts = sorted(r["drift"] for r in rep)
+    assert drifts[0] < 0.05          # in-distribution batch
+    assert drifts[1] > 0.5           # fully shifted batch
+    assert sorted(r["alert"] for r in rep) == [False, True]
+    assert all(r["baseline_total"] == 20_000 for r in rep)
+    assert monitor.committed_epochs() == set(by_epoch)
+
+    # replay of a committed epoch must no-op (exactly-once sink contract)
+    before = monitor.reports(spark).count()
+    monitor(spark.read.parquet(stream_src), min(by_epoch))
+    assert monitor.reports(spark).count() == before

@@ -1,0 +1,79 @@
+"""Row-level diff between two snapshots of a keyed table.
+
+The validation-engine counterpart of table time travel: given the previous
+and current version of a table, emit ``(key, change)`` with change in
+``added | removed | changed``. Used to gate incremental revalidation (only
+added/changed keys need the rule pass) and to audit unexpected churn
+between Iceberg snapshots.
+
+Scale shape: content is collapsed to ONE md5 fingerprint per row inside
+the scan projection, so the full-outer join shuffles ``(key, 32-byte
+fingerprint)`` — never the row payload. Unchanged rows are dropped
+post-join; with sorted/bucketed tables on ``key`` the shuffle disappears
+entirely (storage-partitioned join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# unit-separator between columns makes ("ab","c") vs ("a","bc") differ; the
+# per-column null-flag prefix makes NULL differ from EVERY string value
+# (a bare sentinel would collide with a value equal to the sentinel)
+_SEP = "\x1f"
+_NULL_TAG = "\x00"
+_VALUE_TAG = "v"
+
+
+def row_fingerprint(df: DataFrame, cols: list[str]) -> "F.Column":
+    # a requested column the side doesn't have reads as NULL there (schema
+    # evolution: adding a column makes every old row 'changed' only when
+    # the caller explicitly compares it)
+    have = set(df.columns)
+    vals = [F.col(c) if c in have else F.lit(None).cast("string") for c in cols]
+    parts = [
+        F.when(v.isNull(), F.lit(_NULL_TAG)).otherwise(
+            F.concat(F.lit(_VALUE_TAG), v.cast("string"))
+        )
+        for v in vals
+    ]
+    return F.md5(F.concat_ws(_SEP, *parts))
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """``(key, change)`` for every key that was added, removed, or whose
+    compared columns changed. ``compare_cols`` defaults to every shared
+    non-key column (schema evolution: columns only one side has are
+    ignored unless explicitly requested)."""
+    if compare_cols is None:
+        shared = [c for c in old.columns if c in set(new.columns)]
+        compare_cols = [c for c in shared if c != key]
+    o = old.select(F.col(key).alias("_k"), row_fingerprint(old, compare_cols).alias("_fp_old"))
+    n = new.select(F.col(key).alias("_k"), row_fingerprint(new, compare_cols).alias("_fp_new"))
+    joined = o.join(n, on="_k", how="full_outer")
+    change = (
+        F.when(F.col("_fp_old").isNull(), F.lit("added"))
+        .when(F.col("_fp_new").isNull(), F.lit("removed"))
+        .when(F.col("_fp_old") != F.col("_fp_new"), F.lit("changed"))
+    )
+    return (
+        joined.withColumn("change", change)
+        .where(F.col("change").isNotNull())
+        .select(F.col("_k").alias(key), "change")
+    )
+
+
+def diff_summary(old: DataFrame, new: DataFrame, key: str) -> DataFrame:
+    """Counts per change type — the one-line churn gate."""
+    return (
+        snapshot_diff(old, new, key)
+        .groupBy("change")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("change")
+    )

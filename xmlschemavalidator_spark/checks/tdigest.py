@@ -49,12 +49,26 @@ class Digest:
         return [self.quantile(q) for q in qs]
 
 
+def _dedup_means(means: np.ndarray, weights: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Collapse centroids with identical means (discrete/low-cardinality
+    columns produce many). np.interp over a non-strictly-increasing grid is
+    ill-conditioned — duplicate means made an IDENTICAL distribution show
+    ~0.1 self-drift before this."""
+    if len(means) == 0:
+        return means, weights
+    um, inv = np.unique(means, return_inverse=True)
+    if len(um) == len(means):
+        return means, weights
+    uw = np.bincount(inv, weights=weights).astype(np.int64)
+    return um, uw
+
+
 def _compress(values: np.ndarray, weights: np.ndarray, delta: int) -> tuple[np.ndarray, np.ndarray]:
     """Merge sorted weighted points into <= delta centroids of ~equal weight."""
     order = np.argsort(values, kind="stable")
     v, w = values[order], weights[order]
     if len(v) <= delta:
-        return v, w
+        return _dedup_means(v, w)
     cum = np.cumsum(w)
     total = cum[-1]
     bounds = np.searchsorted(cum, np.linspace(total / delta, total, delta), side="left")
@@ -66,7 +80,7 @@ def _compress(values: np.ndarray, weights: np.ndarray, delta: int) -> tuple[np.n
             continue
         means.append(float(np.average(v[lo:hi], weights=ww)))
         weights_out.append(int(ww.sum()))
-    return np.array(means), np.array(weights_out, dtype=np.int64)
+    return _dedup_means(np.array(means), np.array(weights_out, dtype=np.int64))
 
 
 def partition_digests(df: DataFrame, column: str, delta: int = 200) -> DataFrame:

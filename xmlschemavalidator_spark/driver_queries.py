@@ -1241,6 +1241,78 @@ def freshness_events(spark, sf_dir):
     )
 
 
+@q(
+    "snapshot_diff_documents",
+    """WITH new AS (
+         SELECT doc_id, text, lang, source,
+                CASE WHEN doc_id % 50 = 0 THEN n_chars + 1 ELSE n_chars END AS n_chars
+         FROM documents WHERE doc_id % 97 <> 0
+         UNION ALL
+         SELECT doc_id + 1000000, text, lang, source, n_chars
+         FROM documents WHERE doc_id < 10
+       )
+       SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+              CASE WHEN o.doc_id IS NULL THEN 'added'
+                   WHEN n.doc_id IS NULL THEN 'removed'
+                   ELSE 'changed' END AS change
+       FROM documents o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+       WHERE o.doc_id IS NULL OR n.doc_id IS NULL
+          OR o.text IS DISTINCT FROM n.text
+          OR o.lang IS DISTINCT FROM n.lang
+          OR o.source IS DISTINCT FROM n.source
+          OR o.n_chars IS DISTINCT FROM n.n_chars""",
+)
+def snapshot_diff_documents(spark, sf_dir):
+    """Row-level snapshot diff (checks/diff.py): the 'new' snapshot is a
+    deterministic mutation of documents (drop doc_id%97, bump n_chars on
+    doc_id%50, add 10 re-keyed rows); the diff must classify every key as
+    added/removed/changed. The join shuffles (key, md5 fingerprint) only —
+    the oracle compares the raw columns, so fingerprint collapse is itself
+    under test."""
+    from xmlschemavalidator_spark.checks.diff import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    mutated = docs.where(F.col("doc_id") % 97 != 0).withColumn(
+        "n_chars",
+        F.when(F.col("doc_id") % 50 == 0, F.col("n_chars") + 1).otherwise(
+            F.col("n_chars")
+        ),
+    )
+    added = docs.where(F.col("doc_id") < 10).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    new = mutated.unionByName(added)
+    return snapshot_diff(docs, new, "doc_id")
+
+
+@q("pages_domain_stats")
+def pages_domain_stats(spark, sf_dir):
+    """Hot-domain detection over web pages (rows-only by design: the input
+    is the deterministic pages generator, which DuckDB cannot see): doc
+    count + corpus share per host — the decision input for salting hot
+    lang/domain partitions (checks/skew.py); the generator plants two hot
+    hosts at ~20% each, which must surface at the top. The total rides
+    along as a broadcast 1-row aggregate, not a second scan."""
+    from xmlschemavalidator_spark.datagen import pages
+    from xmlschemavalidator_spark.textops import url_host
+
+    df = pages(spark, 20_000, partitions=8)
+    per = df.groupBy(url_host(F.col("url")).alias("domain")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    total = df.agg(F.count(F.lit(1)).cast("double").alias("_t"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "domain",
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("_t"), 6).cast("double").alias("share"),
+        )
+        .orderBy(F.desc("n_docs"), "domain")
+        .limit(20)
+    )
+
+
 def _list_type():
     """xs:list over documents.text: every whitespace token must be a string
     (not numeric-parseable) of length <= 5 — spec-enforced list semantics

@@ -124,6 +124,60 @@ def doc_fingerprint(text: Column) -> Column:
     return F.md5(norm)
 
 
+# --------------------------------------------------------------------------
+# URL analysis (web-page tables: the input_hint url column)
+# --------------------------------------------------------------------------
+
+
+def url_host(url: Column) -> Column:
+    """Lower-cased host component (JVM parse_url — no Python, no regex
+    backtracking on adversarial inputs)."""
+    return F.lower(F.parse_url(url, F.lit("HOST")))
+
+
+def url_registrable_domain(url: Column) -> Column:
+    """Last-two-labels heuristic for the registrable domain
+    (``a.b.example.com`` → ``example.com``). A public-suffix list would be
+    a broadcast join against a suffix dim at scale; the heuristic is
+    deterministic and dependency-free."""
+    parts = F.split(url_host(url), r"\.")
+    n = F.size(parts)
+    return F.when(n <= 2, F.array_join(parts, ".")).otherwise(
+        F.array_join(F.slice(parts, -2, 2), ".")
+    )
+
+
+def url_path_depth(url: Column) -> Column:
+    """Number of non-empty path segments (``/a/b/c`` → 3; no path → 0)."""
+    path = F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit(""))
+    return F.size(F.filter(F.split(path, "/"), lambda s: s != F.lit("")))
+
+
+def url_normalize(url: Column) -> Column:
+    """Canonical URL form for dedup/uniqueness keys: lower-cased scheme and
+    host, default ports stripped (http:80 / https:443), fragment dropped,
+    trailing path slashes collapsed, empty path → ``/``. Query string kept
+    verbatim (order is semantic for many sites). All Catalyst built-ins —
+    safe inside the single validation projection."""
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = url_host(url)
+    port = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]+:(\d+)", 1)
+    default_port = ((scheme == "http") & (port == "80")) | (
+        (scheme == "https") & (port == "443")
+    )
+    port_part = F.when((port == "") | default_port, F.lit("")).otherwise(
+        F.concat(F.lit(":"), port)
+    )
+    raw_path = F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit(""))
+    trimmed = F.regexp_replace(raw_path, "/+$", "")
+    path = F.when(trimmed == "", F.lit("/")).otherwise(trimmed)
+    query = F.parse_url(url, F.lit("QUERY"))
+    q_part = F.when(
+        query.isNull() | (query == ""), F.lit("")
+    ).otherwise(F.concat(F.lit("?"), query))
+    return F.concat(scheme, F.lit("://"), host, port_part, path, q_part)
+
+
 def with_text_analysis(df: DataFrame, text_col: str = "text") -> DataFrame:
     """All text ops in ONE projection pass."""
     t = F.col(text_col)
