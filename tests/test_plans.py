@@ -1,0 +1,126 @@
+"""Physical-plan regression tests: the scale claims in BENCH/BASELINE.md
+("zero shuffles", "one scan", "pushdown reaches parquet") asserted on the
+actual optimized plans, so a refactor cannot silently regress them.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from xmlschemavalidator_spark.checks.referential import referential_violations
+from xmlschemavalidator_spark.checks.stats import column_stats
+from xmlschemavalidator_spark.engine import validate
+from xmlschemavalidator_spark.flagship import documents_ruleset
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def fmt(df) -> str:
+    qe = df._jdf.queryExecution()
+    jvm = df.sparkSession._jvm
+    return qe.explainString(jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+
+def n_scans(plan: str) -> int:
+    """Count physical scans via the numbered detail entries (the tree
+    summary repeats each operator name, so a raw substring count doubles)."""
+    import re
+
+    return len(re.findall(r"\(\d+\) Scan parquet", plan))
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_violations_plan_no_shuffle(spark):
+    """N rules compile into ONE projection + filter-explode over one scan:
+    no Exchange, no Union, exactly one parquet scan."""
+    res = validate(_docs(spark), documents_ruleset(), key="doc_id")
+    p = fmt(res.violations)
+    assert n_scans(p) == 1
+    assert "Exchange" not in p
+    assert "Union" not in p
+
+
+def test_verdicts_plan_single_scan_no_shuffle(spark):
+    res = validate(_docs(spark), documents_ruleset(), key="doc_id")
+    p = fmt(res.verdicts)
+    assert n_scans(p) == 1
+    assert "Exchange" not in p
+
+
+def test_referential_single_fact_scan(spark):
+    """The fact side is scanned ONCE (left join + null-hit filter), never
+    anti-join + union of two scans."""
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    customer = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    out = referential_violations(orders, "o_custkey", customer, "c_custkey")
+    p = fmt(out)
+    assert n_scans(p) == 2  # one fact + one dim, no more
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+
+
+def test_column_stats_single_scan(spark):
+    p = fmt(column_stats(_docs(spark)))
+    assert n_scans(p) == 1
+
+
+def test_q6_pushdown_and_pruning(spark):
+    """All Q6 predicates reach PushedFilters; the scan reads only the four
+    referenced columns."""
+    from xmlschemavalidator_spark.driver_queries import agg_q6_revenue
+
+    p = fmt(agg_q6_revenue(spark, SF_DIR))
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    assert pushed and "l_shipdate" in pushed[0] and "l_discount" in pushed[0]
+    schema_lines = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert schema_lines
+    read = schema_lines[0]
+    assert "l_extendedprice" in read and "l_orderkey" not in read
+
+
+def test_q4_semi_join_shape(spark):
+    from xmlschemavalidator_spark.driver_queries import join_q4_order_priority
+
+    p = fmt(join_q4_order_priority(spark, SF_DIR))
+    assert "LeftSemi" in p
+    # the build side carries only the two needed lineitem columns
+    li_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln and "l_orderkey" in ln]
+    assert li_schema and "l_extendedprice" not in li_schema[0]
+
+
+def test_topk_never_global_sort(spark):
+    from xmlschemavalidator_spark.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = brute_force_topk(emb, "embedding", [0.1] * 64, k=5)
+    p = fmt(out)
+    assert "TakeOrderedAndProject" in p
+    assert "Sort " not in p.replace("TakeOrderedAndProject", "")
+
+
+def test_rollup_is_expand_one_scan(spark):
+    from xmlschemavalidator_spark.driver_queries import rollup_source_lang
+
+    p = fmt(rollup_source_lang(spark, SF_DIR))
+    assert "Expand" in p
+    assert n_scans(p) == 1
+    assert "Union" not in p
+
+
+def test_minhash_exactly_one_shuffle(spark):
+    """Signature computation: explode + ONE groupBy (map-side combined) —
+    one Exchange in the plan, not one per permutation."""
+    from xmlschemavalidator_spark.dedup import minhash_signatures_df
+
+    import re
+
+    out = minhash_signatures_df(_docs(spark), "doc_id")
+    p = fmt(out)
+    # one Exchange for the groupBy; _spread adds a round-robin one when the
+    # test file is single-partition
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", p))
+    assert 1 <= n_exchanges <= 2
+    assert n_scans(p) == 1
