@@ -71,3 +71,22 @@ def test_ivf_assign_and_topk(spark):
     got = ivf_topk(assigned, "embedding", sample, q, k=3, nprobe=2).collect()
     assert got and got[0]["cosine"] == pytest.approx(1.0)
     assigned.unpersist()
+
+
+def test_lsh_multiprobe_monotone(spark):
+    """More probes -> candidate pool grows -> hits vs exact never decrease;
+    probes=1 keeps the original single-bucket behavior."""
+    from xmlschemavalidator_spark.similarity import brute_force_topk
+
+    df = embeddings(spark)
+    q = list(df.limit(1).collect()[0]["embedding"])
+    exact = brute_force_topk(df, "embedding", q, k=5)
+    prev = -1
+    for probes in (1, 3, 7):
+        approx = lsh_topk(df, "embedding", q, k=5, nbits=6, probes=probes)
+        hits = exact.join(approx, "vec_id", "left_semi").count()
+        assert hits >= prev
+        prev = hits
+        # the query vector itself is always retrieved (it is in its own bucket)
+        top = approx.collect()
+        assert top and top[0]["cosine"] == pytest.approx(1.0)

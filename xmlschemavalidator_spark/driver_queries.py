@@ -1285,6 +1285,51 @@ def snapshot_diff_documents(spark, sf_dir):
     return snapshot_diff(docs, new, "doc_id")
 
 
+@q("multimodal_decode_features")
+def multimodal_decode_features(spark, sf_dir):
+    """Multimodal plumbing end-to-end (rows-only by design: the codec is a
+    deterministic stub, multimodal.py — the Spark side is real): binary
+    media table → mapInPandas decode + byte-histogram features → per-kind
+    aggregate. Schema, Arrow batch shape, and partitioning are what a real
+    PIL/ffmpeg decode would use."""
+    from xmlschemavalidator_spark.multimodal import decode_features, fake_media
+
+    media = fake_media(spark, 2000)
+    decoded = decode_features(media)
+    return (
+        decoded.join(media.select("media_id", "kind"), "media_id")
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_media"),
+            F.round(F.avg("mean_intensity"), 3).alias("avg_intensity"),
+            F.round(F.avg(F.element_at("features", 1)), 5).alias("avg_f0"),
+        )
+        .orderBy("kind")
+    )
+
+
+@q("ann_lsh_recall")
+def ann_lsh_recall(spark, sf_dir):
+    """Recall@10 of the LSH-bucketed ANN vs the exact brute-force top-10,
+    across the multi-probe dial (rows-only: the metric IS the quality
+    check — LSH is approximate by construction, so an oracle equality
+    would be wrong). Query = an in-corpus vector (the realistic ANN
+    scenario; this synthetic corpus is near-random apart from planted
+    near-dups, which bounds achievable recall for ANY bucketing method —
+    the monotone probe curve is the property under test)."""
+    from xmlschemavalidator_spark.similarity import brute_force_topk, lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.orderBy("vec_id").first()["embedding"]
+    exact = brute_force_topk(emb, "embedding", query, k=10)
+    rows = []
+    for probes in (1, 4, 7):
+        approx = lsh_topk(emb, "embedding", query, k=10, nbits=6, probes=probes)
+        hits = exact.join(approx, "vec_id", "left_semi").count()
+        rows.append((10, probes, hits, round(hits / 10.0, 2)))
+    return spark.createDataFrame(rows, "k int, probes int, n_hits long, recall double")
+
+
 @q("pages_domain_stats")
 def pages_domain_stats(spark, sf_dir):
     """Hot-domain detection over web pages (rows-only by design: the input

@@ -72,14 +72,20 @@ def lsh_topk(
     id_col: str = "vec_id",
     nbits: int = 8,
     seed: int = 42,
+    probes: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: score only vectors in the query's LSH bucket.
-    Falls back to neighboring buckets implicitly via fewer bits (recall/cost
-    dial). Returns the same shape as brute_force_topk."""
+    """Approximate top-k: score only vectors in the query's LSH bucket,
+    multi-probing the ``probes - 1`` single-bit-flip neighbor buckets too
+    (a near-boundary query's true neighbors land one sign flip away —
+    multi-probe buys recall WITHOUT re-bucketing or more hash tables; the
+    probe set is a tiny isin() literal list, still a pushed-down scan
+    filter). probes <= nbits + 1. Returns the same shape as
+    brute_force_topk."""
     bucketed = df.withColumn("_b", hyperplane_bucket(F.col(vec_col), nbits, seed))
     qdf = df.sparkSession.range(1).select(_lit_vec(query).alias("q"))
     qbucket = qdf.select(hyperplane_bucket(F.col("q"), nbits, seed).alias("b")).collect()[0]["b"]
-    cand = bucketed.where(F.col("_b") == F.lit(qbucket))
+    probe_set = [qbucket] + [qbucket ^ (1 << i) for i in range(min(probes - 1, nbits))]
+    cand = bucketed.where(F.col("_b").isin(probe_set))
     return brute_force_topk(cand, vec_col, query, k, id_col)
 
 
