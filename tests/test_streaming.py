@@ -116,3 +116,23 @@ def test_streaming_violations_sink_idempotent(spark, tmp_path):
     import json, os
     commit = json.load(open(os.path.join(out, "_commits", f"epoch={min(epochs)}.json")))
     assert commit["n_violations"] == 2 and commit["n_failed_docs"] == 2
+
+
+def test_stream_referential(spark, stream_src):
+    """Stream-static referential: langs missing from the dim (and NULL FKs)
+    surface as violation rows; the static side broadcasts per batch."""
+    from xmlschemavalidator_spark.streaming.validate_stream import stream_referential
+
+    dim = spark.createDataFrame([("en",), ("de",), ("sv",)], "lang_code string")
+    sdf = spark.readStream.schema("url string, lang string, ts timestamp").parquet(stream_src)
+    out = stream_referential(sdf, "lang", dim, "lang_code", key="url", rule_id="lang_fk")
+    _run(out, "t_ref")
+    rows = sorted(
+        (r["url"], r["rule_id"], r["observed_value"])
+        for r in spark.sql("SELECT * FROM t_ref").collect()
+    )
+    assert rows == [
+        ("u2", "lang_fk", "xx"),
+        ("u4", "lang_fk", "yy"),
+        ("u5", "lang_fk", "yy"),
+    ]

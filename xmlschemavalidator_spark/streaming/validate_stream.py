@@ -83,3 +83,32 @@ def windowed_violation_counts(
         "rule_id",
         "n_violations",
     )
+
+
+def stream_referential(
+    stream_df: DataFrame,
+    fk_col: str,
+    dim_df: DataFrame,
+    pk_col: str,
+    key: str,
+    rule_id: str = "referential",
+) -> DataFrame:
+    """Referential check on a stream: rows whose foreign key has no match
+    in the STATIC dimension table become violation rows
+    ``(key, rule_id, observed_value)``.
+
+    Stream-static joins are stateless in Structured Streaming — the dim is
+    broadcast per micro-batch, no state store, so this composes with the
+    rule projection in append mode. NULL foreign keys never equal any dim
+    key, so the anti join emits them as violations too — the right
+    semantics for a required FK.
+    """
+    dim_keys = F.broadcast(dim_df.select(F.col(pk_col).alias("_pk")).distinct())
+    missing = stream_df.join(
+        dim_keys, on=stream_df[fk_col] == dim_keys["_pk"], how="left_anti"
+    )
+    return missing.select(
+        F.col(key),
+        F.lit(rule_id).alias("rule_id"),
+        F.col(fk_col).cast("string").alias("observed_value"),
+    )
