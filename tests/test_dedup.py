@@ -130,3 +130,35 @@ def test_observe_rule_counts(spark):
     assert counts["n_rows"] == 3
     assert counts["n_failed_docs"] == 2
     assert counts["viol_lang_enum"] == 2
+
+
+def test_jaccard_capped_sizes_consistent(spark):
+    """Docs that are near-identical apart from boilerplate shingles must
+    still score ~1.0 when the boilerplate exceeds max_posting: sizes and
+    intersection use the same capped shingle universe."""
+    boiler = " ".join(f"b{i}" for i in range(12))
+    docs = [(d, f"unique{d} mark{d} tail{d} " + boiler) for d in range(40)]
+    docs += [(100, "alpha beta gamma delta epsilon zeta"),
+             (101, "alpha beta gamma delta epsilon zeta")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    # boilerplate 3-gram shingles appear in 40 docs; cap at 30 drops them
+    pairs = jaccard_pairs(df, "doc_id", shingle_n=3, threshold=0.9, max_posting=30)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got.get((100, 101)) == 1.0
+    # the 40 boilerplate docs share ONLY hot shingles -> no spurious pairs
+    assert all(k == (100, 101) for k in got)
+
+
+def test_hot_audit_surfaces(spark):
+    from xmlschemavalidator_spark.dedup import jaccard_hot_shingles, minhash_hot_buckets
+
+    boiler = " ".join(f"b{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [(d, boiler) for d in range(40)], "doc_id long, text string"
+    )
+    hot = jaccard_hot_shingles(df, "doc_id", max_posting=30)
+    assert hot.count() == 10  # 12 tokens -> 10 3-gram shingles, each in 40 docs
+    assert hot.agg({"posting_len": "min"}).collect()[0][0] == 40
+    hb = minhash_hot_buckets(df, "doc_id", max_bucket=30)
+    # identical docs -> identical signatures -> every band bucket is hot
+    assert hb.count() == 8 and hb.agg({"n_docs": "min"}).collect()[0][0] == 40

@@ -59,3 +59,18 @@ def test_streaming_drift_monitor(spark, tmp_path):
     before = monitor.reports(spark).count()
     monitor(spark.read.parquet(stream_src), min(by_epoch))
     assert monitor.reports(spark).count() == before
+
+
+def test_empty_batch_nan_never_alerts(spark, tmp_path):
+    """NaN drift (empty micro-batch) must not alert: Spark sorts NaN above
+    every number, so a bare >= threshold fired on every idle interval."""
+    baseline_path = str(tmp_path / "b")
+    base = spark.range(0, 1000).select(F.col("id").cast("double").alias("v"))
+    snapshot_baseline(base, ["v"], baseline_path, "s")
+    monitor = StreamingDriftMonitor(["v"], baseline_path, "s", str(tmp_path / "out"))
+    empty = spark.createDataFrame([], "v double")
+    monitor(empty, 0)
+    rep = monitor.reports(spark).collect()
+    assert len(rep) == 1
+    import math
+    assert math.isnan(rep[0]["drift"]) and rep[0]["alert"] is False

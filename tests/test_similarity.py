@@ -32,9 +32,9 @@ def test_brute_force_topk_matches_numpy(spark):
     ids = np.array([r["vec_id"] for r in rows])
     qv = np.array(q, dtype=np.float64)
     cos = (mat @ qv) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(qv))
-    order = sorted(zip(-np.round(cos, 6), ids))[:5]
-    want = [(i, round(-c, 6)) for c, i in order]
-    assert [(r["vec_id"], round(r["cosine"], 6)) for r in got] == want
+    order = sorted(zip(-np.round(cos, 5), ids))[:5]
+    want = [(i, round(-c, 5)) for c, i in order]
+    assert [(r["vec_id"], round(r["cosine"], 5)) for r in got] == want
     assert got[0]["vec_id"] == rows[0]["vec_id"] and got[0]["cosine"] == pytest.approx(1.0)
 
 

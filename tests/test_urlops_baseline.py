@@ -137,3 +137,31 @@ def test_resnapshot_overwrites_only_itself(spark, tmp_path):
     snapshot_baseline(b, ["v"], path, "s2")  # overwrite s2 only
     assert load_baseline(spark, path, "s1")["v"].total == 1000
     assert load_baseline(spark, path, "s2")["v"].total == 2000
+
+
+def test_constant_column_zero_self_drift(spark, tmp_path):
+    """A constant (single-centroid) column must NOT self-drift — the old
+    quantile-grid formulation reported 0.45 here."""
+    path = str(tmp_path / "b")
+    const = spark.range(0, 5000).select(F.lit(5.0).alias("v"))
+    snapshot_baseline(const, ["v"], path, "s")
+    rep = drift_report(const, ["v"], path, "s")
+    assert rep.loc[0, "drift"] == 0.0
+    # and a fully moved constant is maximal drift
+    moved = spark.range(0, 5000).select(F.lit(9.0).alias("v"))
+    rep2 = drift_report(moved, ["v"], path, "s")
+    assert rep2.loc[0, "drift"] == pytest.approx(0.5)
+
+
+def test_compute_digests_one_scan_many_columns(spark):
+    from xmlschemavalidator_spark.checks.baseline import compute_digests
+
+    df = spark.range(0, 4000).select(
+        (F.col("id") % 10).cast("double").alias("a"),
+        (F.col("id") % 100).cast("double").alias("b"),
+        F.lit(None).cast("double").alias("c"),  # all-null column -> empty digest
+    ).repartition(4)
+    d = compute_digests(df, ["a", "b", "c"])
+    assert d["a"].total == 4000 and d["b"].total == 4000
+    assert d["c"].total == 0
+    assert d["b"].quantile(0.5) == pytest.approx(49.5, abs=2.0)

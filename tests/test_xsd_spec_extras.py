@@ -271,3 +271,33 @@ def test_simple_content_xml_document_path(spark):
     res = schema.validate_xml_column(docs, "xml", root="price", key="id")
     got = {r["id"]: r["_doc_ok"] for r in res.verdicts.collect()}
     assert got == {1: True, 2: False, 3: False}
+
+
+def test_validate_xml_key_collision_raises(spark):
+    """A key column named like a declared child element would be silently
+    overwritten by the from_xml flatten — must raise instead."""
+    schema = parse_xsd(
+        """<schema><element name="r"><complexType><sequence>
+             <element name="id" type="integer"/>
+           </sequence></complexType></element></schema>"""
+    )
+    df = spark.createDataFrame([(1, "<r><id>5</id></r>")], "id long, xml string")
+    with pytest.raises(ValueError, match="collides"):
+        schema.validate_xml_column(df, "xml", root="r", key="id")
+
+
+def test_validate_xml_input_column_not_clobbered(spark):
+    """An input column sharing a child-element name must not leak into or
+    replace the parsed value (the flatten selects, never overwrites)."""
+    schema = parse_xsd(
+        """<schema><element name="r"><complexType><sequence>
+             <element name="v" type="integer"/>
+           </sequence></complexType></element></schema>"""
+    )
+    df = spark.createDataFrame(
+        [(1, "not-a-number", "<r><v>5</v></r>"), (2, "x", "<r><v>bad</v></r>")],
+        "k long, v string, xml string",
+    )
+    res = schema.validate_xml_column(df, "xml", root="r", key="k")
+    got = {r["k"]: r["_doc_ok"] for r in res.verdicts.collect()}
+    assert got == {1: True, 2: False}  # parsed <v>, not the input column

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from xmlschemavalidator_spark.checks.tdigest import (
     Digest,
     merge_digests,
-    partition_digests,
+    partition_digests_multi,
     quantile_gap_drift,
 )
 
@@ -41,11 +41,16 @@ _STORE_SCHEMA = "snapshot string, column string, mean double, weight long"
 def compute_digests(
     df: DataFrame, columns: list[str], delta: int = 200
 ) -> dict[str, Digest]:
-    """One merged digest per column. Each column is one narrow sketch pass;
-    the driver merge sees ≤ delta × #partitions centroid rows per column."""
+    """One merged digest per column, from ONE narrow sketch pass over the
+    table for ALL columns (partition_digests_multi) — N columns no longer
+    cost N scans. The driver merge sees ≤ delta × #partitions rows per
+    column."""
+    pdf = partition_digests_multi(df, columns, delta).toPandas()
     out: dict[str, Digest] = {}
+    empty = Digest(np.array([]), np.array([], dtype=np.int64))
     for c in columns:
-        out[c] = merge_digests(partition_digests(df, c, delta).toPandas(), delta)
+        grp = pdf[pdf["column"] == c]
+        out[c] = merge_digests(grp, delta) if len(grp) else empty
     return out
 
 
@@ -58,8 +63,6 @@ def save_baseline(
     for col, d in digests.items():
         for m, w in zip(d.means, d.weights):
             rows.append((snapshot, col, float(m), int(w)))
-    if not rows:
-        rows = []  # empty snapshot still legal: writes an empty partition
     sdf = spark.createDataFrame(rows, _STORE_SCHEMA)
     (
         sdf.write.mode("overwrite")
@@ -82,9 +85,7 @@ def load_baseline(
     )
     out: dict[str, Digest] = {}
     for col, grp in pdf.groupby("column"):
-        out[str(col)] = merge_digests(
-            grp.rename(columns={"mean": "mean", "weight": "weight"}), delta
-        )
+        out[str(col)] = merge_digests(grp, delta)
     return out
 
 

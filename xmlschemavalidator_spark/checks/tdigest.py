@@ -108,6 +108,43 @@ def partition_digests(df: DataFrame, column: str, delta: int = 200) -> DataFrame
     )
 
 
+def partition_digests_multi(
+    df: DataFrame, columns: list[str], delta: int = 200
+) -> DataFrame:
+    """Sketches for N columns in ONE pass over the table:
+    ``(column, partition_id, mean, weight)`` rows. The per-column loop the
+    earlier API forced (one full scan per column) collapses to a single
+    mapInPandas stage; output stays ≤ delta × N per partition."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyspark
+
+        pid = pyspark.TaskContext.get().partitionId()
+        vals: dict[str, list[np.ndarray]] = {c: [] for c in columns}
+        for b in batches:
+            for c in columns:
+                a = b[c].dropna().to_numpy(dtype=np.float64)
+                if len(a):
+                    vals[c].append(a)
+        frames = []
+        for c in columns:
+            if not vals[c]:
+                continue
+            allv = np.concatenate(vals[c])
+            m, w = _compress(allv, np.ones(len(allv), dtype=np.int64), delta)
+            frames.append(
+                pd.DataFrame({"column": c, "partition_id": pid, "mean": m, "weight": w})
+            )
+        if not frames:
+            yield pd.DataFrame({"column": [], "partition_id": [], "mean": [], "weight": []})
+            return
+        yield pd.concat(frames, ignore_index=True)
+
+    return df.select(*columns).mapInPandas(
+        run, "column string, partition_id int, mean double, weight long"
+    )
+
+
 def merge_digests(centroids: pd.DataFrame, delta: int = 200) -> Digest:
     """Driver-side merge of per-partition centroid rows (associative)."""
     if len(centroids) == 0:
@@ -125,20 +162,32 @@ def digest_of(df: DataFrame, column: str, delta: int = 200) -> Digest:
     return merge_digests(partition_digests(df, column, delta).toPandas(), delta)
 
 
+def _cdf_at(d: Digest, xs: np.ndarray) -> np.ndarray:
+    """Step-CDF over the centroid point masses, mid-mass at an exact
+    centroid position: F(x) = W(<x)/total + 0.5·w(=x)/total."""
+    cum = np.cumsum(d.weights)
+    left = np.searchsorted(d.means, xs, side="left")
+    right = np.searchsorted(d.means, xs, side="right")
+    below = np.where(left > 0, cum[np.maximum(left - 1, 0)], 0)
+    upto = np.where(right > 0, cum[np.maximum(right - 1, 0)], 0)
+    return (below + 0.5 * (upto - below)) / d.total
+
+
 def quantile_gap_drift(
     current: Digest, baseline: Digest, qs: list[float] | None = None
 ) -> float:
-    """KS-style drift: max over the quantile grid of
-    |F_base(q_cur) - q| — how far the baseline CDF is from where the
-    current distribution puts its quantiles. 0 = identical."""
-    qs = qs or [0.05, 0.1, 0.25, 0.5, 0.75, 0.9, 0.95]
+    """Two-sample KS statistic over the sketch CDFs:
+    ``sup_x |F_cur(x) - F_base(x)|`` evaluated on the pooled centroid
+    support (the sup of a difference of step functions is attained at a
+    step). 0 = identical — including for constant / low-cardinality
+    columns, where the earlier quantile-grid formulation reported up to
+    0.45 self-drift (a single centroid pins every quantile to the median
+    while the grid q ranged 0.05–0.95). ``qs`` adds extra probe quantiles
+    of the current digest to the evaluation grid (kept for API compat;
+    the pooled support already dominates it)."""
     if baseline.total == 0 or current.total == 0:
         return float("nan")
-    cum = np.cumsum(baseline.weights) - baseline.weights / 2.0
-    gaps = []
-    for q in qs:
-        x = current.quantile(q)
-        # baseline CDF at x, by interpolation over centroid positions
-        fx = float(np.interp(x, baseline.means, cum / baseline.total))
-        gaps.append(abs(fx - q))
-    return float(max(gaps))
+    xs = np.union1d(current.means, baseline.means)
+    if qs:
+        xs = np.union1d(xs, np.array([current.quantile(q) for q in qs]))
+    return float(np.max(np.abs(_cdf_at(current, xs) - _cdf_at(baseline, xs))))

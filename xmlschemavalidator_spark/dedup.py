@@ -10,8 +10,10 @@ Scale design notes (the part that matters at 10^12 docs):
   quadratic candidate problem into a groupBy on (band_id, band_hash);
   candidate pairs are verified with exact Jaccard ONLY within buckets;
 * hot buckets (boilerplate shingles) are capped — a bucket with more than
-  ``max_bucket`` docs is dropped with a count, not exploded into O(n²)
-  pairs (the "no silent caps" rule: the cap is reported);
+  ``max_bucket`` docs is dropped, not exploded into O(n²) pairs; the "no
+  silent caps" rule is served by the audit surfaces
+  :func:`minhash_hot_buckets` / :func:`jaccard_hot_shingles`, which return
+  exactly what was dropped (empty = full coverage);
 * SimHash — 64-bit signatures via an Arrow-batched pandas UDF (numpy bit
   ops); near-dup = signatures within ``hamming_max`` — pigeonhole blocking
   into hamming_max+1 chunks (at least one chunk identical for any
@@ -159,21 +161,17 @@ def minhash_signatures_df(
     return ex.groupBy("doc").agg(*aggs)
 
 
-def minhash_lsh_candidates(
+def minhash_band_buckets(
     df: DataFrame,
     id_col: str,
     text_col: str = "text",
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
-    max_bucket: int = 1000,
 ) -> DataFrame:
-    """Candidate near-dup pairs via banding: ``(id_a, id_b, n_shared_bands)``.
-
-    rows-per-band r = num_hashes/bands; two docs collide if any band of r
-    minhashes is identical. Pairs are generated inside buckets only; hot
-    buckets above ``max_bucket`` are excluded (boilerplate guard).
-    """
+    """LSH band buckets with their member doc lists:
+    ``(band, bucket, docs)`` — the shared core of candidate generation and
+    the hot-bucket audit."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
     with_sig = minhash_signatures_df(df, id_col, text_col, num_hashes, shingle_n)
@@ -193,9 +191,67 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("doc", "bb.band", "bb.bucket")
-    grouped = banded.groupBy("band", "bucket").agg(
+    return banded.groupBy("band", "bucket").agg(
         F.sort_array(F.collect_list("doc")).alias("docs")
     )
+
+
+def minhash_hot_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """The buckets :func:`minhash_lsh_candidates` DROPS under its
+    ``max_bucket`` cap: ``(band, bucket, n_docs)`` — the 'no silent caps'
+    audit surface. Empty result = full candidate coverage."""
+    grouped = minhash_band_buckets(df, id_col, text_col, num_hashes, bands, shingle_n)
+    return grouped.where(F.size("docs") > max_bucket).select(
+        "band", "bucket", F.size("docs").alias("n_docs")
+    )
+
+
+def jaccard_hot_shingles(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    max_posting: int = 1000,
+) -> DataFrame:
+    """The shingles :func:`jaccard_pairs` excludes under ``max_posting``:
+    ``(shingle, posting_len)``. Empty result = the capped Jaccard equals
+    exact Jaccard."""
+    ex = _spread(df).select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    )
+    return (
+        ex.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("posting_len"))
+        .where(F.col("posting_len") > max_posting)
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate near-dup pairs via banding: ``(id_a, id_b, n_shared_bands)``.
+
+    rows-per-band r = num_hashes/bands; two docs collide if any band of r
+    minhashes is identical. Pairs are generated inside buckets only; hot
+    buckets above ``max_bucket`` are excluded (boilerplate guard) — audit
+    what was dropped with :func:`minhash_hot_buckets`.
+    """
+    grouped = minhash_band_buckets(df, id_col, text_col, num_hashes, bands, shingle_n)
     ok = grouped.filter((F.size("docs") > 1) & (F.size("docs") <= max_bucket))
     pairs = (
         ok.select(
@@ -226,13 +282,14 @@ def jaccard_pairs(
 
     Inverted-index self-join on shingle (ids ordered to halve the pairs),
     count of common shingles per pair, then |A∪B| = |A|+|B|-common. Hot
-    shingles with posting lists above ``max_posting`` are skipped (they are
-    boilerplate and would dominate the pair explosion).
+    shingles with posting lists above ``max_posting`` are excluded from the
+    ENTIRE computation — intersection AND sizes — so the result is exact
+    Jaccard over the capped shingle universe (audit the exclusions with
+    :func:`jaccard_hot_shingles`).
     """
     base = _spread(df).select(
         F.col(id_col).alias("doc"), shingles(F.col(text_col), shingle_n).alias("sh")
     )
-    sizes = base.select("doc", F.size("sh").alias("n_sh")).where(F.col("n_sh") > 0)
     exploded = base.select("doc", F.explode("sh").alias("shingle"))
     # posting-list cap
     hot = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("pl")).where(
@@ -247,8 +304,13 @@ def jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    sa = sizes.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("nb"))
+    # |A| and |B| over the SAME capped shingle universe as the intersection:
+    # counting hot shingles in the sizes but not in `common` would
+    # systematically underestimate Jaccard (two near-identical docs that
+    # are 50% boilerplate would score ~0.5, not ~1.0)
+    cold_sizes = cold.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = cold_sizes.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = cold_sizes.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("nb"))
     jac = (
         common.join(sa, "id_a").join(sb, "id_b")
         .withColumn("jaccard", F.col("common") / (F.col("na") + F.col("nb") - F.col("common")))
@@ -462,8 +524,11 @@ def embedding_near_duplicates(
     return (
         a.join(b, "bucket")
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(cosine_similarity(F.col("va"), F.col("vb")), 6))
-        .where(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+        # threshold the UNROUNDED cosine (rounding first would admit pairs
+        # up to 5e-7 below threshold and diverge from the exact oracle);
+        # round only in the output projection
+        .withColumn("_cos", cosine_similarity(F.col("va"), F.col("vb")))
+        .where(F.col("_cos") >= threshold)
+        .select("id_a", "id_b", F.round("_cos", 6).alias("cosine"))
         .dropDuplicates(["id_a", "id_b"])
     )

@@ -797,21 +797,13 @@ def embedding_norms(spark, sf_dir):
 )
 def ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-10 around vec_id=0 (exact ANN baseline).
-    Double-precision math both sides; ties broken on vec_id."""
-    from xmlschemavalidator_spark.dedup import cosine_similarity
+    Reuses similarity.brute_force_topk directly — double math and 5dp
+    rounding are the library defaults, matching the oracle convention."""
+    from xmlschemavalidator_spark.similarity import brute_force_topk
 
-    emb = _t(spark, sf_dir, "embeddings").withColumn(
-        "vec", F.col("embedding").cast("array<double>")
-    )
-    qrow = emb.where(F.col("vec_id") == 0).select("vec").collect()[0]["vec"]
-    qv = F.array(*[F.lit(float(x)) for x in qrow])
-    return (
-        emb.select(
-            "vec_id", F.round(cosine_similarity(F.col("vec"), qv), 5).alias("cosine")
-        )
-        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
-        .limit(10)
-    )
+    emb = _t(spark, sf_dir, "embeddings")
+    qrow = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0]["embedding"]
+    return brute_force_topk(emb, "embedding", [float(x) for x in qrow], k=10)
 
 
 @q("ann_lsh_topk")  # no oracle: approximate candidate set is engine-specific

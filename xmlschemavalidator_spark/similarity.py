@@ -28,10 +28,12 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k by cosine: ``(id, cosine)``. orderBy+limit compiles to
     TakeOrderedAndProject — per-partition top-k then a k-row merge on the
-    driver, NOT a global sort shuffle."""
-    cos = cosine_similarity(F.col(vec_col), _lit_vec(query))
+    driver, NOT a global sort shuffle. Math in double (float32 accumulation
+    would diverge from double-precision oracles); cosines rounded to 5dp
+    per the repo-wide oracle-parity convention."""
+    cos = cosine_similarity(F.col(vec_col).cast("array<double>"), _lit_vec(query))
     return (
-        df.select(F.col(id_col), F.round(cos, 6).alias("cosine"))
+        df.select(F.col(id_col), F.round(cos, 5).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
@@ -94,14 +96,17 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (by cosine): adds ``_list``.
     Centroids arrive as literals in the plan (they're small — IVF lists are
-    built once per corpus snapshot); the pass is narrow, no shuffle."""
-    best = F.lit(0)
-    best_score = cosine_similarity(F.col(vec_col), _lit_vec(centroids[0]))
-    for i, c in enumerate(centroids[1:], start=1):
-        s = cosine_similarity(F.col(vec_col), _lit_vec(c))
-        best = F.when(s > best_score, F.lit(i)).otherwise(best)
-        best_score = F.greatest(s, best_score)
-    return df.withColumn("_list", best)
+    built once per corpus snapshot); the pass is narrow, no shuffle.
+
+    All k cosines are computed ONCE into a scores array, then argmax'd.
+    The earlier when/greatest chain re-embedded every previous cosine
+    subtree at each level (HOF subtrees are not CSE'd) — ~k²/2 aggregate
+    evaluations per row instead of k."""
+    cents = F.array(*[_lit_vec(c) for c in centroids])
+    scores = F.transform(cents, lambda c: cosine_similarity(F.col(vec_col), c))
+    df = df.withColumn("_scores", scores)
+    best = (F.array_position(F.col("_scores"), F.array_max(F.col("_scores"))) - 1).cast("int")
+    return df.withColumn("_list", best).drop("_scores")
 
 
 def ivf_topk(

@@ -80,7 +80,6 @@ class StreamingDriftMonitor:
         if batch_id in self.committed_epochs():
             return
         spark = batch_df.sparkSession
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         base = self._get_baseline(spark)
         current = compute_digests(batch_df, self.columns, self.delta)
         rows = []
@@ -92,11 +91,22 @@ class StreamingDriftMonitor:
             )
         report = (
             spark.createDataFrame(rows, _REPORT_SCHEMA)
-            .withColumn("alert", F.col("drift") >= self.alert_threshold)
+            # NaN drift (empty batch / no baseline for the column) must NOT
+            # alert: Spark orders NaN above every number, so a bare >= would
+            # fire on every idle trigger interval
+            .withColumn(
+                "alert",
+                F.when(F.isnan("drift"), F.lit(False)).otherwise(
+                    F.col("drift") >= self.alert_threshold
+                ),
+            )
             .withColumn("epoch", F.lit(batch_id))
         )
         (
             report.write.mode("overwrite")
+            # scoped to this writer — a session-global conf flip would change
+            # overwrite semantics for every other write in the application
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("epoch")
             .parquet(os.path.join(self.out_dir, "reports"))
         )

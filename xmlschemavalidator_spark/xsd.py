@@ -244,24 +244,40 @@ class XsdSchema:
         struct to columns, run the compiled RuleSet — the reference's
         ``decode`` over a table of documents."""
         ddl = self.xml_struct_ddl(root)
-        parsed = df.withColumn("_x", F.from_xml(F.col(xml_col), ddl))
         ct = self._element_complex(root)
-        flat = parsed
-        for c in ct.children:
-            flat = flat.withColumn(c.name, F.col(f"_x.{c.name}"))
-        for a in ct.attributes:
-            flat = flat.withColumn(f"_{a.name}", F.col(f"_x._{a.name}"))
+        # flatten by SELECT, keeping only the key + parsed fields: a
+        # withColumn flatten would silently OVERWRITE input columns that
+        # share a child-element name — including the key column itself,
+        # which would re-key verdicts by document content
+        reserved = {c.name for c in ct.children} | {f"_{a.name}" for a in ct.attributes}
+        if key in reserved or key == "_VALUE":
+            raise ValueError(
+                f"key column {key!r} collides with a declared element/attribute "
+                f"of root {root!r}; rename the key column before validating"
+            )
+        parsed = df.withColumn("_x", F.from_xml(F.col(xml_col), ddl))
+        cols = [F.col(key)] + [
+            F.col(f"_x.{c.name}").alias(c.name) for c in ct.children
+        ] + [F.col(f"_x._{a.name}").alias(f"_{a.name}") for a in ct.attributes]
         if ct.simple_content is not None:
-            flat = flat.withColumn("_VALUE", F.col("_x._VALUE"))
+            cols.append(F.col("_x._VALUE").alias("_VALUE"))
+        # root_tag is carried when present (dispatch_validate_xml selects it)
+        if "root_tag" in df.columns and "root_tag" not in reserved:
+            cols.append(F.col("root_tag"))
+        flat = parsed.select(*cols)
         rs = self.ruleset_for(root)
-        # attribute columns carry the Spark XML '_' prefix
+        # attribute columns carry the Spark XML '_' prefix; remap ONLY the
+        # attribute rules (ids start with '<root>__attr_') — matching on the
+        # column name would also prefix an element rule that happens to
+        # share its name with an attribute
+        attr_prefix = f"{root}__attr_"
         rs_attr = RuleSet(rules=[
             FieldRule(r.rule_id, r.rule,
-                      ("_" + r.column) if (r.column and any(r.column == a.name for a in ct.attributes)) else r.column,
+                      ("_" + r.column) if (r.column and r.rule_id.startswith(attr_prefix)) else r.column,
                       r.observed)
             for r in rs.rules
         ], registry=rs.registry)
-        return validate(flat.drop("_x"), rs_attr, key=key)
+        return validate(flat, rs_attr, key=key)
 
 
     # ------------------------------------------------------------------
