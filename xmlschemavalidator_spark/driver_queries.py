@@ -1322,6 +1322,21 @@ def ann_lsh_recall(spark, sf_dir):
     return spark.createDataFrame(rows, "k int, probes int, n_hits long, recall double")
 
 
+@q("ivf_kmeans_topk")
+def ivf_kmeans_topk(spark, sf_dir):
+    """IVF with TRAINED centroids (rows-only: k-means is iterative, no
+    single SQL equivalent): Lloyd iterations where each update shuffles
+    only k x dim partial sums, then a 2-probe search. The scale path for
+    ANN once LSH bucket skew or recall demands data-adaptive lists."""
+    from xmlschemavalidator_spark.similarity import ivf_assign, ivf_topk, kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, "embedding", k=8, iters=3)
+    assigned = ivf_assign(emb, "embedding", cents)
+    query = emb.orderBy("vec_id").first()["embedding"]
+    return ivf_topk(assigned, "embedding", cents, [float(x) for x in query], k=5, nprobe=2)
+
+
 @q("pages_domain_stats")
 def pages_domain_stats(spark, sf_dir):
     """Hot-domain detection over web pages (rows-only by design: the input

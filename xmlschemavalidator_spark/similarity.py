@@ -109,6 +109,46 @@ def ivf_assign(
     return df.withColumn("_list", best).drop("_scores")
 
 
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str,
+    k: int,
+    iters: int = 5,
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Lloyd's k-means over a DataFrame of vectors — the centroid trainer
+    for the IVF index (ivf_assign/ivf_topk probe quality depends on
+    centroids matching the data's clusters; sampled rows are a poor stand-in).
+
+    Iteration = one assign pass (ivf_assign: k cosines per row, narrow) +
+    one mean-update: posexplode the vector, partial-aggregate per
+    (cluster, dim) — the shuffle carries k x dim partial sums, independent
+    of row count; the driver sees k x dim floats per iteration. Init is
+    the first k rows by id (deterministic). Empty clusters keep their
+    previous centroid. This is genuinely iterative — one of the ops with
+    no single SQL equivalent (rows-only in the driver contract).
+    """
+    first = df.orderBy(id_col).limit(k).select(vec_col).collect()
+    cents = [list(map(float, r[vec_col])) for r in first]
+    for _ in range(iters):
+        assigned = ivf_assign(df, vec_col, cents, id_col)
+        rows = (
+            assigned.select(F.col("_list"), F.posexplode(vec_col).alias("i", "x"))
+            .groupBy("_list", "i")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = [list(c) for c in cents]
+        by_list: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_list.setdefault(r["_list"], {})[r["i"]] = r["m"]
+        for li, dims in by_list.items():
+            for i, m in dims.items():
+                new[li][i] = float(m)
+        cents = new
+    return cents
+
+
 def ivf_topk(
     assigned: DataFrame,
     vec_col: str,
