@@ -1277,6 +1277,87 @@ def snapshot_diff_documents(spark, sf_dir):
     return snapshot_diff(docs, new, "doc_id")
 
 
+_CORR_ORACLE = """
+WITH s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(l_quantity AS DECIMAL(28,6)) * CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6)) * CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS syy,
+         CAST(sum(CAST(l_quantity AS DECIMAL(28,6)) * CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sxy
+  FROM lineitem)
+SELECT CAST(round((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS DOUBLE)
+       AS corr_qty_price
+FROM s"""
+
+
+@q("profile_correlation", _CORR_ORACLE)
+def profile_correlation(spark, sf_dir):
+    """Pearson correlation from EXACT decimal co-moments: the five sums are
+    decimal (order-independent, identical in any engine), only the final
+    combination is double — so the result is bit-stable across partition
+    counts and engines, unlike a float corr() aggregate whose partial
+    merges reorder float additions. One scan, one partial+final agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(28,6)")
+    y = F.col("l_extendedprice").cast("decimal(28,6)")
+    s = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(F.round(num / den, 6).cast("double").alias("corr_qty_price"))
+
+
+@q(
+    "cohort_retention",
+    """WITH first_seen AS (
+         SELECT user_id, date_trunc('week', min(ts)) AS cohort
+         FROM events GROUP BY user_id
+       ), activity AS (
+         SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+       )
+       SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+              CAST(date_diff('week', cohort, wk) AS INT) AS weeks_later,
+              CAST(count(*) AS BIGINT) AS n_users
+       FROM first_seen JOIN activity USING (user_id)
+       GROUP BY cohort, wk
+       ORDER BY cohort_week, weeks_later""",
+)
+def cohort_retention(spark, sf_dir):
+    """Weekly cohort retention (training-pipeline freshness analytics):
+    cohort = user's first-event week; one distinct-activity pass + one
+    join on user_id + one count. Both sides week-truncate to Monday so
+    the week arithmetic is exact integer day-diff / 7."""
+    ev = _t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort")
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+    ).distinct()
+    return (
+        first.join(act, "user_id")
+        .groupBy("cohort", "wk")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff("wk", "cohort") / 7).cast("int").alias("weeks_later"),
+            "n_users",
+        )
+        .orderBy("cohort_week", "weeks_later")
+    )
+
+
 @q("multimodal_decode_features")
 def multimodal_decode_features(spark, sf_dir):
     """Multimodal plumbing end-to-end (rows-only by design: the codec is a
