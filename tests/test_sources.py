@@ -98,3 +98,14 @@ def test_validated_read(spark, tmp_path):
     )
     assert df.count() == 2
     assert [tuple(r) for r in res.violations.collect()] == [("u2", "text_required", None)]
+
+
+def test_read_iceberg_actionable_error_without_runtime(spark):
+    """This container has no Iceberg jar: the reader must explain how to
+    enable it rather than surface DATA_SOURCE_NOT_FOUND."""
+    import pytest
+
+    from xmlschemavalidator_spark.sources.readers import read_iceberg
+
+    with pytest.raises(RuntimeError, match="--packages org.apache.iceberg"):
+        read_iceberg(spark, "db.pages", snapshot_id=123)

@@ -73,3 +73,40 @@ def validated_read(
     if expected:
         expect_schema(df, expected)
     return df, validate(df, ruleset, key=key)
+
+
+def read_iceberg(
+    spark: SparkSession,
+    table: str,
+    snapshot_id: int | None = None,
+    as_of_timestamp_ms: int | None = None,
+) -> DataFrame:
+    """Iceberg table read with optional time travel — the deployment-shape
+    source for the 10^12-doc table (partition values drive the manifest's
+    commit key; ``snapshot_id`` is the lineage key resumable_validate
+    records).
+
+    Needs the iceberg-spark-runtime jar + a catalog config on the cluster
+    (not bundled in this environment — parquet paths exercise the same
+    engine paths since Iceberg IS parquet under a transactional metadata
+    layer, with the same pushdown/pruning surface). Raises an actionable
+    error when the runtime is absent instead of Spark's generic
+    DATA_SOURCE_NOT_FOUND.
+    """
+    reader = spark.read.format("iceberg")
+    if snapshot_id is not None:
+        reader = reader.option("snapshot-id", str(snapshot_id))
+    if as_of_timestamp_ms is not None:
+        reader = reader.option("as-of-timestamp", str(as_of_timestamp_ms))
+    try:
+        return reader.load(table)
+    except Exception as e:  # AnalysisException or ClassNotFound wrapped
+        msg = str(e)
+        if "iceberg" in msg.lower() or "DATA_SOURCE_NOT_FOUND" in msg:
+            raise RuntimeError(
+                "Iceberg runtime not available: submit with "
+                "--packages org.apache.iceberg:iceberg-spark-runtime-3.5_2.13:<ver> "
+                "and configure a catalog (spark.sql.catalog.<name>=...); "
+                "plain parquet paths work without it"
+            ) from e
+        raise
