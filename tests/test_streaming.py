@@ -136,3 +136,31 @@ def test_stream_referential(spark, stream_src):
         ("u4", "lang_fk", "yy"),
         ("u5", "lang_fk", "yy"),
     ]
+
+
+def test_session_violation_bursts(spark, stream_src):
+    """u2@00:20 is an isolated violation; u4@01:40 and u5@03:40 are >30s
+    apart too -> three singleton sessions. With a 3-minute gap the last
+    two merge."""
+    from xmlschemavalidator_spark.streaming.validate_stream import session_violation_bursts
+
+    sdf = spark.readStream.schema("url string, lang string, ts timestamp").parquet(stream_src)
+    out = session_violation_bursts(sdf, _ruleset(), "ts", gap="30 seconds")
+    q = (
+        out.writeStream.format("memory").queryName("t_sess")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(60)
+    rows = spark.sql("SELECT * FROM t_sess ORDER BY session_start").collect()
+    assert [r["n_violations"] for r in rows] == [1, 1, 1]
+
+    # violation gaps are 80s (00:20->01:40) and 120s (01:40->03:40):
+    # a 90s session gap merges the first pair only
+    out2 = session_violation_bursts(sdf, _ruleset(), "ts", gap="90 seconds")
+    q2 = (
+        out2.writeStream.format("memory").queryName("t_sess2")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q2.awaitTermination(60)
+    rows2 = spark.sql("SELECT * FROM t_sess2 ORDER BY session_start").collect()
+    assert [r["n_violations"] for r in rows2] == [2, 1]

@@ -1277,6 +1277,57 @@ def snapshot_diff_documents(spark, sf_dir):
     return snapshot_diff(docs, new, "doc_id")
 
 
+@q(
+    "join_q18_large_orders",
+    """SELECT c_name, o_orderkey,
+              strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+              CAST(round(CAST(o_totalprice AS DECIMAL(18,2)), 2) AS DOUBLE) AS totalprice,
+              CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_qty
+       FROM customer JOIN orders ON c_custkey = o_custkey
+                     JOIN lineitem ON o_orderkey = l_orderkey
+       WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                            GROUP BY l_orderkey HAVING sum(l_quantity) > 350)
+       GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
+       ORDER BY totalprice DESC, o_orderkey""",
+)
+def join_q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: agg-HAVING subquery as a semi-join filter before
+    the 3-way join — Catalyst evaluates the grouped HAVING once and
+    semi-joins its (small) key set into the fact scan; the re-aggregation
+    after the join only sees surviving orders."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_q"))
+        .where(F.col("_q") > 350)
+        .select("l_orderkey")
+    )
+    orders = _t(spark, sf_dir, "orders").join(
+        big, F.col("o_orderkey") == big["l_orderkey"], "left_semi"
+    )
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("o_orderkey") == li["l_orderkey"])
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_qty")
+        )
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round(F.col("o_totalprice").cast("decimal(18,2)"), 2)
+            .cast("double")
+            .alias("totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("totalprice"), "o_orderkey")
+    )
+
+
 _CORR_ORACLE = """
 WITH s AS (
   SELECT CAST(count(*) AS DOUBLE) AS n,

@@ -85,6 +85,48 @@ def windowed_violation_counts(
     )
 
 
+def session_violation_bursts(
+    stream_df: DataFrame,
+    ruleset: RuleSet,
+    ts_col: str,
+    gap: str = "30 seconds",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Violation BURSTS via event-time session windows: consecutive
+    violations closer than ``gap`` merge into one session row
+    ``(session_start, session_end, n_violations)``. A burst of schema
+    violations usually means one bad upstream deploy/crawl segment — the
+    session boundary localizes it in time better than fixed windows.
+    Session-window state is merged incrementally and closed by the
+    watermark (bounded state)."""
+    compiled = ruleset.compile()
+    structs = [
+        F.struct(F.lit(r.rule_id).alias("rule_id"), compiled[r.rule_id].alias("ok"))
+        for r in ruleset.resolved_rules()
+    ]
+    failed = F.filter(F.array(*structs), lambda s: ~F.coalesce(s["ok"], F.lit(False)))
+    exploded = (
+        stream_df.withWatermark(ts_col, watermark)
+        .select(F.col(ts_col), F.explode(failed).alias("v"))
+        .select(F.col(ts_col), F.col("v.rule_id").alias("rule_id"))
+    )
+    # streaming session windows need a companion grouping key (a global
+    # session agg is unsupported) — per-rule sessions are also the more
+    # useful diagnostic: bursts localize to the rule that fired
+    return (
+        exploded.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("s"), F.col("rule_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "rule_id",
+            "n_violations",
+        )
+    )
+
+
 def stream_referential(
     stream_df: DataFrame,
     fk_col: str,
