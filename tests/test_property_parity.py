@@ -94,3 +94,41 @@ def test_spark_duckdb_verdict_parity(spark, duck, rule, values):
     duck_ok = [bool(r[0]) for r in duck.execute(
         f"SELECT coalesce({sql}, FALSE) FROM t").fetchall()]
     assert spark_ok == duck_ok, f"divergence for {rule} on {values}"
+
+
+LIST_VALUES = st.lists(
+    st.one_of(
+        st.lists(
+            st.one_of(
+                st.integers(-200, 200).map(str),
+                st.sampled_from(["x", "3.5", "12abc", ""]),
+            ),
+            max_size=5,
+        ).map(" ".join),
+        st.sampled_from(["", "   ", "\t1\t2\t"]),
+        st.none(),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(values=LIST_VALUES, bounds=BOUNDS)
+def test_list_type_parity(spark, values, bounds):
+    """xs:list verdicts agree between the Column compiler and the DuckDB
+    sql_expr rendering for random token lists and random item ranges."""
+    from xmlschemavalidator_spark.rules.types import ListType
+
+    lo, hi = bounds
+    item = Restriction(base="integer", facets=(MinInclusive(lo), MaxInclusive(hi)))
+    t = ListType(item=item)
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    spark_ok = [r[0] for r in df.select(t.to_column(F.col("v"), PREDEF_TYPES)).collect()]
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.register("tbl", pd.DataFrame({"v": pd.array(values, dtype="string")}))
+    sql = t.sql_expr("v", PREDEF_TYPES)
+    duck_ok = [r[0] for r in con.execute(f"SELECT {sql} FROM tbl").fetchall()]
+    assert spark_ok == duck_ok

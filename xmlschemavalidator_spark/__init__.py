@@ -35,6 +35,7 @@ from xmlschemavalidator_spark.rules.facets import (
 from xmlschemavalidator_spark.rules.types import (
     PREDEF_TYPES,
     BuiltinType,
+    ListType,
     Restriction,
     TypeRegistry,
     Union,
@@ -57,6 +58,7 @@ __all__ = [
     "Pattern",
     "PREDEF_TYPES",
     "BuiltinType",
+    "ListType",
     "Restriction",
     "TypeRegistry",
     "Union",
