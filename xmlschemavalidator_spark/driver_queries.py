@@ -1409,6 +1409,58 @@ def cohort_retention(spark, sf_dir):
     )
 
 
+def _inc_rule() -> FieldRule:
+    return FieldRule(
+        "n_chars_range",
+        Restriction(base="integer", facets=(MinInclusive(36), MaxInclusive(4200))),
+        column="n_chars",
+    )
+
+
+_INC_MUTATION_SQL = """
+  SELECT doc_id, text, lang, source,
+         CASE WHEN doc_id % 50 = 0 THEN n_chars + 3000 ELSE n_chars END AS n_chars
+  FROM documents WHERE doc_id % 97 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, text, lang, source, n_chars + 4000
+  FROM documents WHERE doc_id < 10
+"""
+
+
+@q(
+    "incremental_revalidation",
+    f"""WITH new AS ({_INC_MUTATION_SQL})
+        SELECT doc_id, 'n_chars_range' AS rule_id,
+               CAST(n_chars AS VARCHAR) AS observed_value
+        FROM new
+        WHERE NOT coalesce({_inc_rule().ok_sql(PREDEF_TYPES)}, FALSE)""",
+)
+def incremental_revalidation(spark, sf_dir):
+    """Incremental revalidation invariant as the oracle: Spark validates
+    ONLY the diff (added/changed keys) and carries prior violations
+    forward (incremental.py); the oracle fully validates the mutated
+    table. Equality proves the carry/fresh/retire algebra — the operator
+    that makes a 10^12-row daily revalidation affordable."""
+    from xmlschemavalidator_spark.incremental import incremental_revalidate
+
+    rs = RuleSet(rules=[_inc_rule()])
+    docs = _t(spark, sf_dir, "documents")
+    mutated = docs.where(F.col("doc_id") % 97 != 0).withColumn(
+        "n_chars",
+        F.when(F.col("doc_id") % 50 == 0, F.col("n_chars") + 3000).otherwise(
+            F.col("n_chars")
+        ),
+    )
+    added = (
+        docs.where(F.col("doc_id") < 10)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(1000000))
+        .withColumn("n_chars", F.col("n_chars") + 4000)
+    )
+    new = mutated.unionByName(added)
+    prev = validate(docs, rs, key="doc_id").violations
+    return incremental_revalidate(prev, docs, new, rs, key="doc_id")
+
+
 @q("multimodal_decode_features")
 def multimodal_decode_features(spark, sf_dir):
     """Multimodal plumbing end-to-end (rows-only by design: the codec is a

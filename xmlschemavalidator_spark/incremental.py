@@ -1,0 +1,47 @@
+"""Incremental revalidation across table snapshots.
+
+At 10^12 documents, a new Iceberg snapshot typically changes a sliver of
+rows; re-running the rule pass over the whole table wastes 99%+ of the
+scan. This module composes :func:`checks.diff.snapshot_diff` with the rule
+engine so that only ADDED or CHANGED keys are revalidated, prior violation
+rows are carried forward for unchanged keys, and violations of REMOVED
+keys are retired:
+
+    new_violations =  prev_violations ⋉̸ (changed ∪ removed keys)   [carry]
+                   ∪  validate(new ⋉ (added ∪ changed keys))        [fresh]
+
+The invariant (asserted by the tests and the driver oracle): the result is
+ROW-IDENTICAL to fully validating the new snapshot. Cost shape: one
+fingerprint diff (shuffles (key, 16B) per side) + one rule pass over only
+the touched rows; the carry-forward is a broadcast-able anti join when
+churn is small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from xmlschemavalidator_spark.checks.diff import snapshot_diff
+from xmlschemavalidator_spark.compiler import RuleSet
+from xmlschemavalidator_spark.engine import validate
+
+
+def incremental_revalidate(
+    prev_violations: DataFrame,
+    old_df: DataFrame,
+    new_df: DataFrame,
+    ruleset: RuleSet,
+    key: str,
+) -> DataFrame:
+    """Violations of ``new_df`` computed incrementally from the previous
+    run. ``prev_violations`` must be the (key, rule_id, observed_value)
+    output of validating ``old_df`` with the same ruleset."""
+    diff = snapshot_diff(old_df, new_df, key)
+    touched = diff.select(key)  # added + changed + removed
+    fresh_keys = diff.where(F.col("change") != "removed").select(key)
+    carried = prev_violations.join(touched, key, "left_anti")
+    fresh = validate(
+        new_df.join(fresh_keys, key, "left_semi"), ruleset, key=key
+    ).violations
+    return carried.unionByName(fresh)
