@@ -1409,6 +1409,58 @@ def cohort_retention(spark, sf_dir):
     )
 
 
+_SUGGEST_ORACLE = """
+SELECT * FROM (
+  SELECT 'doc_id' AS col, 'range' AS kind,
+         '[' || CAST(min(doc_id) AS VARCHAR) || ', ' || CAST(max(doc_id) AS VARCHAR) || ']' AS detail
+  FROM documents
+  UNION ALL
+  SELECT 'n_chars', 'range',
+         '[' || CAST(min(n_chars) AS VARCHAR) || ', ' || CAST(max(n_chars) AS VARCHAR) || ']'
+  FROM documents
+  UNION ALL
+  SELECT 'doc_id', 'required', 'no nulls observed' FROM documents
+    HAVING count(CASE WHEN doc_id IS NULL THEN 1 END) = 0
+  UNION ALL
+  SELECT 'text', 'required', 'no nulls observed' FROM documents
+    HAVING count(CASE WHEN text IS NULL THEN 1 END) = 0
+  UNION ALL
+  SELECT 'lang', 'required', 'no nulls observed' FROM documents
+    HAVING count(CASE WHEN lang IS NULL THEN 1 END) = 0
+  UNION ALL
+  SELECT 'source', 'required', 'no nulls observed' FROM documents
+    HAVING count(CASE WHEN source IS NULL THEN 1 END) = 0
+  UNION ALL
+  SELECT 'n_chars', 'required', 'no nulls observed' FROM documents
+    HAVING count(CASE WHEN n_chars IS NULL THEN 1 END) = 0
+  UNION ALL
+  SELECT 'lang', 'enumeration', CAST(count(DISTINCT lang) AS VARCHAR) || ' values'
+  FROM documents HAVING count(DISTINCT lang) BETWEEN 1 AND 20
+  UNION ALL
+  SELECT 'source', 'enumeration', CAST(count(DISTINCT source) AS VARCHAR) || ' values'
+  FROM documents HAVING count(DISTINCT source) BETWEEN 1 AND 20
+  UNION ALL
+  SELECT 'text', 'enumeration', CAST(count(DISTINCT text) AS VARCHAR) || ' values'
+  FROM documents HAVING count(DISTINCT text) BETWEEN 1 AND 20
+) ORDER BY col, kind"""
+
+
+@q("suggest_constraints", _SUGGEST_ORACLE)
+def suggest_constraints(spark, sf_dir):
+    """Deequ-style constraint suggestion: one profiling pass proposes the
+    declaration a human would tighten — observed ranges, completeness as
+    required checks, low-cardinality strings as enumerations. The oracle
+    recomputes every suggestion from SQL aggregates, so the profile
+    signals themselves are verified, not just the plumbing."""
+    from xmlschemavalidator_spark.checks.suggest import suggest_rules
+
+    docs = _t(spark, sf_dir, "documents")
+    rows = [(s.column, s.kind, s.detail) for s in suggest_rules(docs)]
+    return spark.createDataFrame(rows, "col string, kind string, detail string").orderBy(
+        "col", "kind"
+    )
+
+
 def _inc_rule() -> FieldRule:
     return FieldRule(
         "n_chars_range",
