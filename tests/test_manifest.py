@@ -74,3 +74,35 @@ def test_rerun_after_full_commit_is_noop(spark, paged, tmp_path):
     again = resumable_validate(paged, rs, key="url", partition_col="part",
                                snapshot="s", manifest=man, violations_out=out)
     assert again == []
+
+
+def test_metrics_anomalies(tmp_path):
+    """A partition whose violation rate jumps far outside its history is
+    flagged; stable partitions and cold starts are not."""
+    import time as _time
+
+    from xmlschemavalidator_spark.manifest import MetricsManifest, PartitionMetrics
+
+    man = MetricsManifest(str(tmp_path / "m"))
+    # three history snapshots: p0 stable at ~1% violations, p1 noisy-stable
+    for i, snap in enumerate(("s1", "s2", "s3")):
+        man.commit(PartitionMetrics(snap, "p0", 1000, 10, 10 + i, 1.0, _time.time()))
+        man.commit(PartitionMetrics(snap, "p1", 1000, 50, 50 + 5 * i, 1.0, _time.time()))
+        man.commit(PartitionMetrics(snap, "pcold", 1000, 5, 5, 1.0, _time.time()))
+    # current: p0 explodes, p1 stays in range; pnew has no history at all
+    man.commit(PartitionMetrics("s4", "p0", 1000, 400, 400, 1.0, _time.time()))
+    man.commit(PartitionMetrics("s4", "p1", 1000, 55, 55, 1.0, _time.time()))
+    man.commit(PartitionMetrics("s4", "pnew", 1000, 999, 999, 1.0, _time.time()))
+
+    flagged = man.anomalies("s4", z=3.0)
+    parts = {f["partition"] for f in flagged}
+    assert "p0" in parts
+    assert "p1" not in parts
+    assert "pnew" not in parts  # cold start: no judgement
+    p0 = [f for f in flagged if f["partition"] == "p0" and f["metric"] == "violation_rate"][0]
+    assert p0["z"] > 3
+
+    # two-point history is below min_history -> silent
+    assert man.anomalies("s4", history=["s1", "s2"], z=3.0) == [] or all(
+        f["partition"] != "pcold" for f in man.anomalies("s4", history=["s1", "s2"])
+    )

@@ -99,6 +99,66 @@ class MetricsManifest:
                     out.append(PartitionMetrics(**json.load(fh)))
         return out
 
+    def snapshots(self) -> list[str]:
+        return sorted(
+            d[len("snapshot="):]
+            for d in os.listdir(self.root)
+            if d.startswith("snapshot=")
+        )
+
+    def anomalies(
+        self,
+        snapshot: str,
+        history: list[str] | None = None,
+        z: float = 3.0,
+        min_history: int = 3,
+    ) -> list[dict]:
+        """Per-partition metric anomalies vs the history of previous runs:
+        the monitoring layer over the lineage/metrics log. For each
+        partition of ``snapshot``, the violation rate and failed-doc rate
+        are z-scored against the same partition's history (default: every
+        earlier snapshot); |z| >= ``z`` is flagged. Fewer than
+        ``min_history`` prior points → no judgement (cold start is not an
+        anomaly). Driver-side only — the commit log is kilobytes.
+        """
+        import math
+
+        if history is None:
+            history = [s for s in self.snapshots() if s != snapshot]
+        hist: dict[str, list[tuple[float, float]]] = {}
+        for s in history:
+            for m in self.metrics(s):
+                if m.n_rows:
+                    hist.setdefault(m.partition, []).append(
+                        (m.n_violations / m.n_rows, m.n_failed_docs / m.n_rows)
+                    )
+        out: list[dict] = []
+        for m in self.metrics(snapshot):
+            pts = hist.get(m.partition, [])
+            if len(pts) < min_history or not m.n_rows:
+                continue
+            for idx, name in ((0, "violation_rate"), (1, "failed_doc_rate")):
+                vals = [p[idx] for p in pts]
+                mean = sum(vals) / len(vals)
+                var = sum((v - mean) ** 2 for v in vals) / len(vals)
+                # relative std floor: a perfectly-flat history would turn ANY
+                # deviation into z=inf — 5% of the mean is the noise floor
+                std = max(math.sqrt(var), max(mean, 1e-9) * 0.05)
+                cur = (m.n_violations if idx == 0 else m.n_failed_docs) / m.n_rows
+                score = (cur - mean) / std
+                if abs(score) >= z:
+                    out.append(
+                        {
+                            "partition": m.partition,
+                            "metric": name,
+                            "value": cur,
+                            "mean": mean,
+                            "std": std,
+                            "z": score,
+                        }
+                    )
+        return out
+
 
 def resumable_validate(
     df: DataFrame,
@@ -119,9 +179,6 @@ def resumable_validate(
     overwrite, so a partially-failed run leaves no duplicates after retry.
     Returns metrics for every partition committed by THIS call.
     """
-    spark = df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-
     done = manifest.committed(snapshot)
     parts = [
         str(r[0])
@@ -139,8 +196,13 @@ def resumable_validate(
         # the same projection (violation_cols) — never joined back to the
         # input (that join is a second full scan + key shuffle at scale).
         res = validate(sub, ruleset, key=key, violation_cols=[partition_col])
-        res.violations.write.mode("overwrite").partitionBy(partition_col).parquet(
-            violations_out
+        # dynamic overwrite scoped to THIS writer (a session-global conf flip
+        # would silently change overwrite semantics for unrelated writes)
+        (
+            res.violations.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(violations_out)
         )
 
         # n_rows per partition: a column-pruned scan reading ONLY the

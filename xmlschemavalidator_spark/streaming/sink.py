@@ -44,12 +44,13 @@ class StreamingViolationsSink:
         if batch_id in self.committed_epochs():
             return
         spark = batch_df.sparkSession
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         res = validate(batch_df, self.ruleset, key=self.key)
         viol_path = os.path.join(self.out_dir, "violations")
         (
             res.violations.withColumn("epoch", F.lit(batch_id))
             .write.mode("overwrite")
+            # scoped to this writer, not the shared session conf
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("epoch")
             .parquet(viol_path)
         )
