@@ -86,3 +86,28 @@ def test_fingerprint_matches_duckdb(spark):
         for v in vals
     ]
     assert got == want
+
+
+def test_gopher_signals_and_pass(spark):
+    from pyspark.sql import functions as F
+
+    from xmlschemavalidator_spark.textops import gopher_pass, gopher_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog ran over the hill"),   # clean -> keep
+            (2, "### ## # ### ## # ### ## # ###"),          # symbols -> drop
+            (3, "pneumonoultramicroscopic words exceedingly longwinded terminology"),  # long words, no stopwords
+            (4, "a b"),                                     # too short
+        ],
+        "id long, text string",
+    )
+    s = gopher_signals(F.col("text"))
+    out = df.select("id", s["mean_word_len"].alias("mwl"),
+                    s["stopword_hits"].alias("stops"),
+                    gopher_pass(F.col("text")).alias("keep")).collect()
+    by = {r["id"]: r for r in out}
+    assert by[1]["keep"] is True and by[1]["stops"] >= 3
+    assert by[2]["keep"] is False
+    assert by[3]["keep"] is False and by[3]["mwl"] > 10
+    assert by[4]["keep"] is False

@@ -1409,6 +1409,58 @@ def cohort_retention(spark, sf_dir):
     )
 
 
+def _gopher_oracle() -> str:
+    from xmlschemavalidator_spark.textops import _STOPWORDS
+
+    stops = ", ".join(f"'{w}'" for w in _STOPWORDS["en"])
+    return f"""
+WITH t AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(text), '\\s+') AS arr
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         len(arr) AS n_words,
+         list_aggregate(list_transform(arr, x -> length(x)), 'sum')
+           / CAST(len(arr) AS DOUBLE) AS mwl,
+         len(list_filter(arr, x -> regexp_matches(x, '[A-Za-z]')))
+           / CAST(len(arr) AS DOUBLE) AS falpha,
+         ((length(text) - length(replace(text, '#', '')))
+          + (length(text) - length(replace(text, '...', ''))) / 3.0)
+           / CAST(len(arr) AS DOUBLE) AS symr,
+         len(list_filter(arr, x -> list_contains([{stops}], lower(x)))) AS stops
+  FROM t)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(round(mwl, 6) AS DOUBLE) AS mean_word_len,
+       CAST(round(falpha, 6) AS DOUBLE) AS frac_alpha_words,
+       CAST(round(symr, 6) AS DOUBLE) AS symbol_ratio,
+       CAST(stops AS BIGINT) AS stopword_hits,
+       (n_words >= 5 AND mwl BETWEEN 3.0 AND 10.0 AND falpha >= 0.8
+        AND symr <= 0.1 AND stops >= 2) AS keep
+FROM s"""
+
+
+@q("text_gopher_filters", _gopher_oracle())
+def text_gopher_filters(spark, sf_dir):
+    """Gopher-style quality-filter signals + keep/drop verdict per doc —
+    the standard web-corpus filtering pass, entirely in Catalyst HOFs over
+    one tokenization (one scan, zero shuffles)."""
+    from xmlschemavalidator_spark.textops import gopher_pass, gopher_signals
+
+    docs = _t(spark, sf_dir, "documents")
+    s = gopher_signals(F.col("text"))
+    return docs.select(
+        "doc_id",
+        s["n_words"].cast("bigint").alias("n_words"),
+        F.round(s["mean_word_len"], 6).cast("double").alias("mean_word_len"),
+        F.round(s["frac_alpha_words"], 6).cast("double").alias("frac_alpha_words"),
+        F.round(s["symbol_ratio"], 6).cast("double").alias("symbol_ratio"),
+        s["stopword_hits"].cast("bigint").alias("stopword_hits"),
+        gopher_pass(F.col("text")).alias("keep"),
+    )
+
+
 _SUGGEST_ORACLE = """
 SELECT * FROM (
   SELECT 'doc_id' AS col, 'range' AS kind,

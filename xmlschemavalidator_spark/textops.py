@@ -124,6 +124,48 @@ def doc_fingerprint(text: Column) -> Column:
     return F.md5(norm)
 
 
+def gopher_signals(text: Column) -> dict[str, Column]:
+    """Gopher-style document-quality signals (the publicly documented
+    filter family used for web-scale training corpora): mean word length,
+    alphabetic-word fraction, symbol ratio, stopword hits. All Catalyst
+    HOFs over ONE tokenization — no Python, composes into the single
+    validation projection."""
+    toks = tokens(text)
+    n = F.size(toks)
+    nf = n.cast("double")
+    total_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    hashes = F.length(text) - F.length(F.regexp_replace(text, "#", ""))
+    ellipses = (
+        F.length(text) - F.length(F.regexp_replace(text, r"\.\.\.", ""))
+    ) / 3
+    stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(_STOPWORDS["en"])))
+    safe = F.when(n > 0, nf).otherwise(F.lit(None))
+    return {
+        "n_words": n,
+        "mean_word_len": total_chars / safe,
+        "frac_alpha_words": alpha / safe,
+        "symbol_ratio": (hashes + ellipses) / safe,
+        "stopword_hits": stop,
+    }
+
+
+def gopher_pass(text: Column) -> Column:
+    """The combined Gopher-style keep/drop verdict: 50..100k words relaxed
+    to >=5 here (synthetic docs are short), mean word length in [3, 10],
+    >=80% words alphabetic, symbol ratio <= 0.1, >=2 stopword hits."""
+    s = gopher_signals(text)
+    return (
+        (s["n_words"] >= 5)
+        & s["mean_word_len"].between(3.0, 10.0)
+        & (s["frac_alpha_words"] >= 0.8)
+        & (s["symbol_ratio"] <= 0.1)
+        & (s["stopword_hits"] >= 2)
+    )
+
+
 # --------------------------------------------------------------------------
 # URL analysis (web-page tables: the input_hint url column)
 # --------------------------------------------------------------------------
