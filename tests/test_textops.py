@@ -111,3 +111,40 @@ def test_gopher_signals_and_pass(spark):
     assert by[2]["keep"] is False
     assert by[3]["keep"] is False and by[3]["mwl"] > 10
     assert by[4]["keep"] is False
+
+
+def test_duplicate_ngram_fraction(spark):
+    from pyspark.sql import functions as F
+
+    from xmlschemavalidator_spark.textops import duplicate_ngram_fraction
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "w x y z"), (3, "solo"), (4, None)],
+        "id long, text string",
+    )
+    got = {
+        r["id"]: r["f"]
+        for r in df.select(
+            "id", F.round(duplicate_ngram_fraction(F.col("text"), 2), 3).alias("f")
+        ).collect()
+    }
+    assert got[1] == 0.6   # 5 grams, 2 distinct -> 1 - 2/5
+    assert got[2] == 0.0
+    assert got[3] is None  # too short for a 2-gram
+    assert got[4] is None
+
+
+def test_pii_counts(spark):
+    from pyspark.sql import functions as F
+
+    from xmlschemavalidator_spark.textops import pii_counts
+
+    df = spark.createDataFrame(
+        [(1, "mail a@b.com and c.d@e.org, call 555-123-4567, host 10.0.0.1"),
+         (2, "nothing here")],
+        "id long, text string",
+    )
+    c = pii_counts(F.col("text"))
+    r = {x["id"]: x for x in df.select("id", *[v.alias(k) for k, v in c.items()]).collect()}
+    assert (r[1]["n_email"], r[1]["n_phone"], r[1]["n_ipv4"]) == (2, 1, 1)
+    assert (r[2]["n_email"], r[2]["n_phone"], r[2]["n_ipv4"]) == (0, 0, 0)

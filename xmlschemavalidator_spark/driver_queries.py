@@ -1461,6 +1461,83 @@ def text_gopher_filters(spark, sf_dir):
     )
 
 
+@q(
+    "text_repetition",
+    """WITH t AS (
+         SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+         FROM documents
+       ), g AS (
+         SELECT doc_id,
+                list_transform(range(1, greatest(len(arr) - 1, 0) + 1),
+                               i -> arr[i] || ' ' || arr[i + 1]) AS grams
+         FROM t)
+       SELECT doc_id,
+              CASE WHEN len(grams) > 0
+                   THEN CAST(round(1.0 - len(list_distinct(grams))
+                                   / CAST(len(grams) AS DOUBLE), 6) AS DOUBLE)
+              END AS dup_2gram_frac
+       FROM g""",
+)
+def text_repetition(spark, sf_dir):
+    """C4/Gopher repetition filter: fraction of word 2-grams that repeat
+    within the document — boilerplate/spam pages score high. One HOF pass,
+    no shuffle."""
+    from xmlschemavalidator_spark.textops import duplicate_ngram_fraction
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(duplicate_ngram_fraction(F.col("text"), 2), 6)
+        .cast("double")
+        .alias("dup_2gram_frac"),
+    )
+
+
+@q(
+    "text_pii_scan",
+    r"""WITH t AS (
+          SELECT doc_id,
+                 text || CASE WHEN doc_id % 10 = 0
+                              THEN ' contact: user' || CAST(doc_id AS VARCHAR)
+                                   || '@example.com or 555-123-4567'
+                              ELSE '' END AS text
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+               CAST(len(regexp_extract_all(text,
+                 '\+?\d{3}[-. ]\d{3}[-. ]\d{4}')) AS BIGINT) AS n_phone
+        FROM t""",
+)
+def text_pii_scan(spark, sf_dir):
+    """PII pattern scan (email/phone counts per doc). The corpus is
+    synthetic and clean, so a deterministic contact line is appended to
+    every 10th doc IN BOTH ENGINES — the oracle then verifies nonzero
+    counts, not a trivially all-zero table."""
+    from xmlschemavalidator_spark.textops import pii_counts
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 10 == 0,
+                F.concat(
+                    F.lit(" contact: user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com or 555-123-4567"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    c = pii_counts(F.col("text"))
+    return docs.select(
+        "doc_id",
+        c["n_email"].cast("bigint").alias("n_email"),
+        c["n_phone"].cast("bigint").alias("n_phone"),
+    )
+
+
 _SUGGEST_ORACLE = """
 SELECT * FROM (
   SELECT 'doc_id' AS col, 'range' AS kind,

@@ -152,6 +152,42 @@ def gopher_signals(text: Column) -> dict[str, Column]:
     }
 
 
+def duplicate_ngram_fraction(text: Column, n: int = 2) -> Column:
+    """Fraction of word n-grams that are repeats of an earlier n-gram in
+    the SAME document (the C4/Gopher repetition filter):
+    ``1 - distinct/total``. 0 = no internal repetition; NULL when the doc
+    is too short to form an n-gram. Pure HOFs — one pass, no shuffle."""
+    toks = tokens(text)
+    k = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    total = F.size(grams).cast("double")
+    return F.when(
+        k > 0, F.lit(1.0) - F.size(F.array_distinct(grams)) / total
+    )
+
+
+_PII_PATTERNS = {
+    # deliberately simple, deterministic regexes — a PII *scan* flags rows
+    # for human/policy review, it is not a redaction guarantee
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-document counts of PII-looking patterns (email/phone/IPv4) —
+    JVM regexp_count, no Python. The keep/quarantine decision input for a
+    training-data pipeline."""
+    return {
+        f"n_{name}": F.regexp_count(text, F.lit(pat))
+        for name, pat in _PII_PATTERNS.items()
+    }
+
+
 def gopher_pass(text: Column) -> Column:
     """The combined Gopher-style keep/drop verdict: 50..100k words relaxed
     to >=5 here (synthetic docs are short), mean word length in [3, 10],
