@@ -1730,6 +1730,148 @@ def pages_domain_stats(spark, sf_dir):
     )
 
 
+@q(
+    "type_numeric_family",
+    """SELECT doc_id,
+              (TRY_CAST(CAST(n_chars AS VARCHAR) AS DOUBLE) IS NOT NULL) AS float_ok,
+              (TRY_CAST(CAST(lang AS VARCHAR) AS DOUBLE) IS NOT NULL) AS lang_numeric_ok
+       FROM documents""",
+)
+def type_numeric_family(spark, sf_dir):
+    """float/double/decimal are all aliases of the numeric? check
+    (core.clj:220,225-228): numeric strings pass, words fail — the
+    dynamic-typing boundary on real columns."""
+    docs = _t(spark, sf_dir, "documents")
+    flt = PREDEF_TYPES.resolve("float")
+    return docs.select(
+        "doc_id",
+        flt.to_column(F.col("n_chars"), PREDEF_TYPES).alias("float_ok"),
+        flt.to_column(F.col("lang"), PREDEF_TYPES).alias("lang_numeric_ok"),
+    )
+
+
+@q(
+    "type_unsigned_chain",
+    """SELECT doc_id,
+              (TRY_CAST(CAST(n_chars AS VARCHAR) AS DOUBLE) IS NOT NULL
+               AND TRY_CAST(CAST(n_chars AS VARCHAR) AS DOUBLE)
+                   = floor(TRY_CAST(CAST(n_chars AS VARCHAR) AS DOUBLE))
+               AND TRY_CAST(CAST(n_chars AS VARCHAR) AS DOUBLE) >= 0.0
+               AND TRY_CAST(CAST(n_chars AS VARCHAR) AS DOUBLE) <= 255.0) AS ubyte_ok,
+              (TRY_CAST(CAST(n_chars AS VARCHAR) AS DOUBLE) IS NOT NULL
+               AND TRY_CAST(CAST(n_chars AS VARCHAR) AS DOUBLE)
+                   = floor(TRY_CAST(CAST(n_chars AS VARCHAR) AS DOUBLE))
+               AND TRY_CAST(CAST(n_chars AS VARCHAR) AS DOUBLE) >= 0.0
+               AND TRY_CAST(CAST(n_chars AS VARCHAR) AS DOUBLE) <= 65535.0) AS ushort_ok
+       FROM documents""",
+)
+def type_unsigned_chain(spark, sf_dir):
+    """unsignedByte/unsignedShort from the derivation chain
+    (core.clj:237-240): n_chars (47..4200 at this SF) straddles the
+    255 boundary, so the two levels disagree on real rows."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        PREDEF_TYPES.resolve("unsignedByte")
+        .to_column(F.col("n_chars"), PREDEF_TYPES)
+        .alias("ubyte_ok"),
+        PREDEF_TYPES.resolve("unsignedShort")
+        .to_column(F.col("n_chars"), PREDEF_TYPES)
+        .alias("ushort_ok"),
+    )
+
+
+@q(
+    "ruleset_extension_verdicts",
+    """SELECT doc_id,
+              (lang IS NOT NULL) AS rule_base_lang_ok,
+              (TRY_CAST(CAST(n_chars AS VARCHAR) AS DOUBLE) IS NOT NULL
+               AND TRY_CAST(CAST(n_chars AS VARCHAR) AS DOUBLE)
+                   = floor(TRY_CAST(CAST(n_chars AS VARCHAR) AS DOUBLE))
+               AND TRY_CAST(CAST(n_chars AS VARCHAR) AS DOUBLE) >= 100.0
+               AND TRY_CAST(CAST(n_chars AS VARCHAR) AS DOUBLE) <= 500.0) AS rule_ext_range_ok
+       FROM documents""",
+)
+def ruleset_extension_verdicts(spark, sf_dir):
+    """complexContent/extension semantics end-to-end (core.clj:177-195):
+    rules(extended) = rules(base) UNION rules(ext), evaluated in one pass;
+    the extension's shadowing range REPLACES the base's looser one."""
+    from xmlschemavalidator_spark.engine import ok_col_name
+
+    base = RuleSet(rules=[
+        FieldRule("base_lang", RequiredAttr(), column="lang"),
+        FieldRule("ext_range", _RANGE_RULE, column="n_chars"),  # shadowed below
+    ])
+    ext = RuleSet(rules=[
+        FieldRule(
+            "ext_range",
+            Restriction(base="integer", facets=(MinInclusive(100), MaxInclusive(500))),
+            column="n_chars",
+        ),
+    ])
+    merged = base.extend(ext)
+    res = validate(_t(spark, sf_dir, "documents"), merged, key="doc_id")
+    return res.verdicts.select(
+        "doc_id",
+        F.col(ok_col_name("base_lang")).alias("rule_base_lang_ok"),
+        F.col(ok_col_name("ext_range")).alias("rule_ext_range_ok"),
+    )
+
+
+@q(
+    "rule_ref_indirection",
+    """SELECT doc_id, 'alias_of_range' AS rule_id,
+              CAST(n_chars AS VARCHAR) AS observed_value
+       FROM documents
+       WHERE NOT coalesce(TRY_CAST(CAST(n_chars AS VARCHAR) AS DOUBLE) IS NOT NULL
+               AND TRY_CAST(CAST(n_chars AS VARCHAR) AS DOUBLE)
+                   = floor(TRY_CAST(CAST(n_chars AS VARCHAR) AS DOUBLE))
+               AND TRY_CAST(CAST(n_chars AS VARCHAR) AS DOUBLE) >= 100.0
+               AND TRY_CAST(CAST(n_chars AS VARCHAR) AS DOUBLE) <= 400.0, FALSE)""",
+)
+def rule_ref_indirection(spark, sf_dir):
+    """ref= indirection (core.clj:80-93; parser.clj:186-191): a rule that
+    delegates to a named rule resolves at compile time; its violations are
+    byte-identical to the target's, under the alias's rule_id."""
+    from xmlschemavalidator_spark.compiler import RuleRef
+
+    rs = RuleSet(rules=[
+        FieldRule("target_range", _RANGE_RULE, column="n_chars"),
+        FieldRule("alias_of_range", RuleRef("target_range")),
+    ])
+    res = validate(_t(spark, sf_dir, "documents"), rs, key="doc_id")
+    return res.violations.where(F.col("rule_id") == "alias_of_range")
+
+
+@q(
+    "structural_undefined_children",
+    """SELECT doc_id,
+              coalesce(array_to_string(
+                list_filter(['text', lang],
+                            t -> NOT list_contains(['text','en','de','sv'], t)),
+                ','), '') AS undefined_tags
+       FROM documents""",
+)
+def structural_undefined_children(spark, sf_dir):
+    """Undeclared-child detection (the reference's [false :undefined tag]
+    pseudo-verdict, parser.clj:216) over a constructed children array:
+    tags ('text', <lang>) vs declared ('text','en','de','sv') — out-of-enum
+    langs surface as undefined tags."""
+    from xmlschemavalidator_spark.rules.structural import undefined_children
+
+    docs = _t(spark, sf_dir, "documents")
+    children = F.array(
+        F.struct(F.lit("text").alias("tag")),
+        F.struct(F.col("lang").alias("tag")),
+    )
+    return docs.select(
+        "doc_id",
+        F.array_join(
+            undefined_children(children, ("text", "en", "de", "sv")), ","
+        ).alias("undefined_tags"),
+    )
+
+
 def _list_type():
     """xs:list over documents.text: every whitespace token must be a string
     (not numeric-parseable) of length <= 5 — spec-enforced list semantics
