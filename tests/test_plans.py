@@ -124,3 +124,12 @@ def test_minhash_exactly_one_shuffle(spark):
     n_exchanges = len(re.findall(r"\(\d+\) Exchange", p))
     assert 1 <= n_exchanges <= 2
     assert n_scans(p) == 1
+
+
+def test_cohort_retention_single_scan(spark):
+    """Cohort = min week + collect_set of weeks per user in one pass; the
+    naive first-seen-join-activity form scans events twice."""
+    from xmlschemavalidator_spark.driver_queries import cohort_retention
+
+    p = fmt(cohort_retention(spark, SF_DIR))
+    assert n_scans(p) == 1

@@ -1386,18 +1386,19 @@ def profile_correlation(spark, sf_dir):
 )
 def cohort_retention(spark, sf_dir):
     """Weekly cohort retention (training-pipeline freshness analytics):
-    cohort = user's first-event week; one distinct-activity pass + one
-    join on user_id + one count. Both sides week-truncate to Monday so
-    the week arithmetic is exact integer day-diff / 7."""
+    cohort = user's first-event week. ONE scan: per-user collect_set of
+    active weeks (bounded by the week count, not event count) carries the
+    cohort along, then explode + count — the join-of-two-scans formulation
+    reads the events table twice at 10^12 scale. Weeks truncate to Monday
+    so the week arithmetic is exact integer day-diff / 7."""
     ev = _t(spark, sf_dir, "events")
-    first = ev.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort")
+    per_user = (
+        ev.select("user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk"))
+        .groupBy("user_id")
+        .agg(F.min("wk").alias("cohort"), F.collect_set("wk").alias("wks"))
     )
-    act = ev.select(
-        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
-    ).distinct()
     return (
-        first.join(act, "user_id")
+        per_user.select("cohort", F.explode("wks").alias("wk"))
         .groupBy("cohort", "wk")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
         .select(
