@@ -133,3 +133,12 @@ def test_cohort_retention_single_scan(spark):
 
     p = fmt(cohort_retention(spark, SF_DIR))
     assert n_scans(p) == 1
+
+
+def test_heavy_hitters_single_scan(spark):
+    """Global share via a window over the GROUPED rows — not a broadcast of
+    a second base-table aggregate."""
+    from xmlschemavalidator_spark.driver_queries import heavy_hitters_source
+
+    p = fmt(heavy_hitters_source(spark, SF_DIR))
+    assert n_scans(p) == 1

@@ -1180,21 +1180,19 @@ def percentiles_event_value(spark, sf_dir):
 )
 def heavy_hitters_source(spark, sf_dir):
     """Heavy-hitter domains (skew detection input for salting decisions):
-    group counts + global share, support-thresholded. The total rides along
-    as a window-less scalar via a broadcast cross join of the 1-row count —
-    no second scan of the grouped data, no global window."""
+    group counts + global share, support-thresholded. ONE scan: the global
+    total is a window sum over the GROUPED rows (group-count cardinality,
+    tiny next to the table) — a broadcast of a separate total aggregate
+    would re-scan the base table."""
+    from pyspark.sql import Window
+
     docs = _t(spark, sf_dir, "documents")
-    total = docs.agg(F.count(F.lit(1)).cast("double").alias("_total"))
+    per = docs.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    total = F.sum("n_docs").over(Window.partitionBy()).cast("double")
     return (
-        docs.groupBy("source")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        per.withColumn("share", F.round(F.col("n_docs") / total, 6).cast("double"))
         .where(F.col("n_docs") >= 10)
-        .crossJoin(F.broadcast(total))
-        .select(
-            "source",
-            "n_docs",
-            F.round(F.col("n_docs") / F.col("_total"), 6).cast("double").alias("share"),
-        )
+        .select("source", "n_docs", "share")
         .orderBy(F.desc("n_docs"), "source")
     )
 
