@@ -53,3 +53,19 @@ def test_diff_summary_counts(spark):
     got = dict(rows(diff_summary(old, new, "k"), "change", "n"))
     # changed keys are the multiples of 10 in [5, 100): 10..90 -> 9 keys
     assert got == {"added": 3, "removed": 5, "changed": 9}
+
+
+def test_schema_diff(spark):
+    from xmlschemavalidator_spark.checks.diff import schema_diff
+
+    old = _df(spark, [(1, "x", 10)])
+    new = old.withColumn("b", F.col("b").cast("string")).withColumn(
+        "extra", F.lit(1)
+    ).drop("a")
+    got = schema_diff(old, new)
+    assert got == [
+        {"column": "a", "change": "removed", "type": "string"},
+        {"column": "b", "change": "type_changed", "type": "bigint -> string"},
+        {"column": "extra", "change": "added", "type": "int"},
+    ]
+    assert schema_diff(old, old) == []

@@ -69,6 +69,27 @@ def snapshot_diff(
     )
 
 
+def schema_diff(old: DataFrame, new: DataFrame) -> list[dict]:
+    """Column-level drift between two snapshots: added / removed /
+    type-changed columns, driver-side (schemas only — no job runs). The
+    companion gate to the row-level diff: a type change means the rule
+    compiler's try_cast probes may silently change meaning, so surface it
+    BEFORE validating."""
+    o = {f.name: f.dataType.simpleString() for f in old.schema.fields}
+    n = {f.name: f.dataType.simpleString() for f in new.schema.fields}
+    out: list[dict] = []
+    for c in sorted(set(o) | set(n)):
+        if c not in o:
+            out.append({"column": c, "change": "added", "type": n[c]})
+        elif c not in n:
+            out.append({"column": c, "change": "removed", "type": o[c]})
+        elif o[c] != n[c]:
+            out.append(
+                {"column": c, "change": "type_changed", "type": f"{o[c]} -> {n[c]}"}
+            )
+    return out
+
+
 def diff_summary(old: DataFrame, new: DataFrame, key: str) -> DataFrame:
     """Counts per change type — the one-line churn gate."""
     return (
