@@ -64,8 +64,18 @@ def main(argv: list[str] | None = None) -> int:
     drift = None
     if drift_cols:
         if args.baseline_snapshot:
+            import math
+
             rep = drift_report(df, drift_cols, baselines_path, args.baseline_snapshot)
-            drift = rep.to_dict("records")
+            # NaN -> null: json.dumps would emit a bare NaN token (invalid
+            # JSON for strict consumers) for no-baseline/empty columns
+            drift = [
+                {
+                    k: (None if isinstance(v, float) and math.isnan(v) else v)
+                    for k, v in rec.items()
+                }
+                for rec in rep.to_dict("records")
+            ]
         snapshot_baseline(df, drift_cols, baselines_path, args.snapshot)
 
     print(

@@ -69,3 +69,22 @@ def test_schema_diff(spark):
         {"column": "extra", "change": "added", "type": "int"},
     ]
     assert schema_diff(old, old) == []
+
+
+def test_fingerprint_separator_injection(spark):
+    """Values containing the internal separator must not make distinct rows
+    collide: ('x', 'y\\x1fvz') vs ('x\\x1fvy', 'z') hashed identically
+    under plain concat_ws tagging."""
+    old = spark.createDataFrame([(1, "x", "y\x1fvz")], "k long, a string, b string")
+    new = spark.createDataFrame([(1, "x\x1fvy", "z")], "k long, a string, b string")
+    got = rows(snapshot_diff(old, new, "k", compare_cols=["a", "b"]))
+    assert got == [(1, "changed")]
+
+
+def test_null_key_rows_diff_null_safely(spark):
+    old = spark.createDataFrame([(None, "v1"), (1, "x")], "k string, a string")
+    same = spark.createDataFrame([(None, "v1"), (1, "x")], "k string, a string")
+    changed = spark.createDataFrame([(None, "v2"), (1, "x")], "k string, a string")
+    assert snapshot_diff(old, same, "k").count() == 0
+    got = rows(snapshot_diff(old, changed, "k"))
+    assert got == [(None, "changed")]

@@ -55,3 +55,15 @@ def test_incremental_no_changes_is_carry_only(spark):
     prev = validate(df, rs, key="k").violations
     inc = incremental_revalidate(prev, df, df, rs, key="k")
     assert rows(inc) == rows(prev)
+
+
+def test_incremental_with_null_keys(spark):
+    """A changed NULL-key row must leave the carry and re-validate."""
+    old = spark.createDataFrame([(None, 200), (1, 50)], "k string, v long")
+    new = spark.createDataFrame([(None, 55), (1, 50)], "k string, v long")
+    rs = _rs()
+    prev = validate(old, rs, key="k").violations
+    assert prev.count() == 1  # the null-key row violates (200 > 90)
+    inc = incremental_revalidate(prev, old, new, rs, key="k")
+    full = validate(new, rs, key="k").violations
+    assert rows(inc) == rows(full) == []

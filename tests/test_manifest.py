@@ -106,3 +106,32 @@ def test_metrics_anomalies(tmp_path):
     assert man.anomalies("s4", history=["s1", "s2"], z=3.0) == [] or all(
         f["partition"] != "pcold" for f in man.anomalies("s4", history=["s1", "s2"])
     )
+
+
+def test_resumable_validate_all_clean(spark, tmp_path):
+    """A batch with ZERO violations writes no parquet data files; the
+    metrics read-back must not crash on the empty dataset (the clean table
+    is the common case for a validation job)."""
+    from pyspark.sql import functions as F
+
+    from xmlschemavalidator_spark.compiler import FieldRule, RuleSet
+    from xmlschemavalidator_spark.manifest import MetricsManifest, resumable_validate
+    from xmlschemavalidator_spark.rules.facets import MinInclusive
+    from xmlschemavalidator_spark.rules.types import Restriction
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).alias("part"),
+        (F.col("id") % 50 + 100).alias("v"),  # all pass v >= 0
+    )
+    rs = RuleSet(rules=[FieldRule(
+        "v_min", Restriction(base="integer", facets=(MinInclusive(0),)), column="v"
+    )])
+    man = MetricsManifest(str(tmp_path / "m"))
+    committed = resumable_validate(
+        df, rs, key="k", partition_col="part", snapshot="clean",
+        manifest=man, violations_out=str(tmp_path / "viols"),
+    )
+    assert len(committed) == 4
+    assert all(m.n_violations == 0 and m.n_failed_docs == 0 for m in committed)
+    assert sum(m.n_rows for m in committed) == 1000

@@ -53,7 +53,7 @@ def _run(stream_df, name):
 
 def test_stream_validate_verdicts(spark, stream_src):
     sdf = spark.readStream.schema("url string, lang string, ts timestamp").parquet(stream_src)
-    out = stream_validate(sdf, _ruleset(), key="url")
+    out = stream_validate(sdf, _ruleset())
     assert out.isStreaming
     _run(out, "t_verdicts")
     got = {r["url"]: r[DOC_OK] for r in spark.sql("SELECT * FROM t_verdicts").collect()}
@@ -69,7 +69,7 @@ def test_stream_violations_rows(spark, stream_src):
 
 def test_windowed_violation_counts(spark, stream_src):
     sdf = spark.readStream.schema("url string, lang string, ts timestamp").parquet(stream_src)
-    w = windowed_violation_counts(sdf, _ruleset(), key="url", ts_col="ts", window="1 minute")
+    w = windowed_violation_counts(sdf, _ruleset(), ts_col="ts", window="1 minute")
     q = (
         w.writeStream.format("memory").queryName("t_win")
         .outputMode("complete").trigger(availableNow=True).start()

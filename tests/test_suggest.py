@@ -41,3 +41,17 @@ def test_out_of_profile_row_fails(spark):
     res = validate(bad, rs, key="doc_id")
     viols = {r["rule_id"] for r in res.violations.collect()}
     assert "suggested__n_chars_range" in viols
+
+
+def test_nullable_table_passes_its_own_suggestions(spark):
+    """Value suggestions on a nullable column must let NULL pass (the
+    facets are null-safe-FALSE): the invariant holds for nullable inputs."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    nullable = docs.withColumn(
+        "maybe", F.when(F.col("doc_id") % 7 == 0, None).otherwise(F.lit("x"))
+    ).withColumn(
+        "maybe_num",
+        F.when(F.col("doc_id") % 5 == 0, None).otherwise(F.col("n_chars")),
+    )
+    rs = suggested_ruleset(nullable)
+    assert validate(nullable, rs, key="doc_id").valid()

@@ -18,24 +18,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# unit-separator between columns makes ("ab","c") vs ("a","bc") differ; the
-# per-column null-flag prefix makes NULL differ from EVERY string value
-# (a bare sentinel would collide with a value equal to the sentinel)
 _SEP = "\x1f"
-_NULL_TAG = "\x00"
-_VALUE_TAG = "v"
+_NULL_TAG = "N"
 
 
 def row_fingerprint(df: DataFrame, cols: list[str]) -> "F.Column":
-    # a requested column the side doesn't have reads as NULL there (schema
-    # evolution: adding a column makes every old row 'changed' only when
-    # the caller explicitly compares it)
+    """Each column contributes either the fixed 32-hex md5 of its string
+    value or the 1-char null tag; the concatenation is therefore
+    unambiguous for ANY value content — separator-escaping schemes break
+    when a value itself contains the separator (('x', 'y\\x1fz') vs
+    ('x\\x1fy', 'z') collided under plain concat_ws). A requested column
+    the side doesn't have reads as NULL there (schema evolution: adding a
+    column makes old rows 'changed' only when explicitly compared)."""
     have = set(df.columns)
     vals = [F.col(c) if c in have else F.lit(None).cast("string") for c in cols]
     parts = [
-        F.when(v.isNull(), F.lit(_NULL_TAG)).otherwise(
-            F.concat(F.lit(_VALUE_TAG), v.cast("string"))
-        )
+        F.when(v.isNull(), F.lit(_NULL_TAG)).otherwise(F.md5(v.cast("string")))
         for v in vals
     ]
     return F.md5(F.concat_ws(_SEP, *parts))
@@ -54,18 +52,22 @@ def snapshot_diff(
     if compare_cols is None:
         shared = [c for c in old.columns if c in set(new.columns)]
         compare_cols = [c for c in shared if c != key]
-    o = old.select(F.col(key).alias("_k"), row_fingerprint(old, compare_cols).alias("_fp_old"))
-    n = new.select(F.col(key).alias("_k"), row_fingerprint(new, compare_cols).alias("_fp_new"))
-    joined = o.join(n, on="_k", how="full_outer")
+    o = old.select(F.col(key).alias("_ko"), row_fingerprint(old, compare_cols).alias("_fp_old"))
+    n = new.select(F.col(key).alias("_kn"), row_fingerprint(new, compare_cols).alias("_fp_new"))
+    # null-safe key equality: a NULL key row would otherwise always appear
+    # as removed+added even when its content is unchanged
+    joined = o.join(n, o["_ko"].eqNullSafe(n["_kn"]), "full_outer")
+    present_old = F.col("_ko").isNotNull() | F.col("_fp_old").isNotNull()
+    present_new = F.col("_kn").isNotNull() | F.col("_fp_new").isNotNull()
     change = (
-        F.when(F.col("_fp_old").isNull(), F.lit("added"))
-        .when(F.col("_fp_new").isNull(), F.lit("removed"))
+        F.when(~present_old, F.lit("added"))
+        .when(~present_new, F.lit("removed"))
         .when(F.col("_fp_old") != F.col("_fp_new"), F.lit("changed"))
     )
     return (
         joined.withColumn("change", change)
         .where(F.col("change").isNotNull())
-        .select(F.col("_k").alias(key), "change")
+        .select(F.coalesce("_ko", "_kn").alias(key), "change")
     )
 
 

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from xmlschemavalidator_spark.compiler import FieldRule, RuleSet
 from xmlschemavalidator_spark.rules.attributes import RequiredAttr
 from xmlschemavalidator_spark.rules.facets import Enumeration, MaxInclusive, MinInclusive
-from xmlschemavalidator_spark.rules.types import Restriction
+from xmlschemavalidator_spark.rules.types import NullOr, Restriction
 
 _NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double"}
 
@@ -62,9 +62,16 @@ def suggest_rules(
     row = df.agg(*aggs).collect()[0]
 
     out: list[Suggestion] = []
-    for c in df.columns:
-        if row[f"nulls_{c}"] == 0:
-            out.append(Suggestion(c, "required", "no nulls observed", RequiredAttr()))
+    complete = {c for c in df.columns if row[f"nulls_{c}"] == 0}
+    for c in sorted(complete):
+        out.append(Suggestion(c, "required", "no nulls observed", RequiredAttr()))
+
+    def _maybe_nullable(c: str, rule):
+        # facets are null-safe-FALSE; on a nullable column the value rule
+        # must let NULL pass or the profiled table fails its own suggestion
+        # (completeness is the separate 'required' suggestion's concern)
+        return rule if c in complete else NullOr(rule)
+
     for c in numeric_cols:
         lo, hi = row[f"min_{c}"], row[f"max_{c}"]
         if lo is not None and hi is not None:
@@ -73,7 +80,9 @@ def suggest_rules(
                     c,
                     "range",
                     f"[{lo}, {hi}]",
-                    Restriction(facets=(MinInclusive(lo), MaxInclusive(hi))),
+                    _maybe_nullable(
+                        c, Restriction(facets=(MinInclusive(lo), MaxInclusive(hi)))
+                    ),
                 )
             )
     # enumerations: only for plausibly-categorical columns (approx distinct
@@ -90,7 +99,12 @@ def suggest_rules(
                         c,
                         "enumeration",
                         f"{len(vals)} values",
-                        Restriction(facets=tuple(Enumeration(v) for v in sorted(vals))),
+                        _maybe_nullable(
+                            c,
+                            Restriction(
+                                facets=tuple(Enumeration(v) for v in sorted(vals))
+                            ),
+                        ),
                     )
                 )
     return sorted(out, key=lambda s: (s.column, s.kind))

@@ -1989,7 +1989,7 @@ def pandas_udf_rule(spark, sf_dir):
 @q(
     "sessionization",
     """WITH g AS (
-         SELECT user_id, ts,
+         SELECT user_id, ts, event_id,
                 CASE WHEN date_part('epoch', ts) - lag(date_part('epoch', ts))
                           OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800.0 OR
                           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -1997,7 +1997,7 @@ def pandas_udf_rule(spark, sf_dir):
          FROM events
        ), s AS (
          SELECT user_id, ts,
-                sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                        ROWS UNBOUNDED PRECEDING) AS session_id
          FROM g
        )

@@ -64,6 +64,23 @@ class ValidationResult:
         return self.verdicts.filter(~F.col(DOC_OK)).isEmpty()
 
 
+def failed_rules_array(ruleset: RuleSet, compiled=None) -> "F.Column":
+    """The single-pass violations core: an inline array of
+    ``(rule_id, ok, observed_value)`` structs filtered to failures — shared
+    by the batch engine and the streaming violation paths so the two can
+    never drift."""
+    compiled = compiled if compiled is not None else ruleset.compile()
+    structs = [
+        F.struct(
+            F.lit(rule.rule_id).alias("rule_id"),
+            compiled[rule.rule_id].alias("ok"),
+            F.expr(rule.observed_expr).cast("string").alias("observed_value"),
+        )
+        for rule in ruleset.resolved_rules()
+    ]
+    return F.filter(F.array(*structs), lambda s: ~F.coalesce(s["ok"], F.lit(False)))
+
+
 def validate(
     df: DataFrame,
     ruleset: RuleSet,
@@ -109,15 +126,7 @@ def validate(
         )
 
     # --- violations: one array-of-structs, filter ok=false, explode -------
-    structs = [
-        F.struct(
-            F.lit(rule.rule_id).alias("rule_id"),
-            compiled[rule.rule_id].alias("ok"),
-            F.expr(rule.observed_expr).cast("string").alias("observed_value"),
-        )
-        for rule in ruleset.resolved_rules()
-    ]
-    failed = F.filter(F.array(*structs), lambda s: ~F.coalesce(s["ok"], F.lit(False)))
+    failed = failed_rules_array(ruleset, compiled)
     extra = violation_cols or []
     violations = (
         df.select(F.col(key).alias("key"), *[F.col(c) for c in extra], F.explode(failed).alias("v"))

@@ -38,10 +38,16 @@ def incremental_revalidate(
     run. ``prev_violations`` must be the (key, rule_id, observed_value)
     output of validating ``old_df`` with the same ruleset."""
     diff = snapshot_diff(old_df, new_df, key)
-    touched = diff.select(key)  # added + changed + removed
-    fresh_keys = diff.where(F.col("change") != "removed").select(key)
-    carried = prev_violations.join(touched, key, "left_anti")
+    touched = diff.select(F.col(key).alias("_tk"))  # added + changed + removed
+    fresh_keys = diff.where(F.col("change") != "removed").select(F.col(key).alias("_fk"))
+    # null-safe joins: a NULL-key row that changed must drop out of the
+    # carry AND re-enter the fresh pass, or the invariant breaks on it
+    carried = prev_violations.join(
+        touched, prev_violations[key].eqNullSafe(touched["_tk"]), "left_anti"
+    )
     fresh = validate(
-        new_df.join(fresh_keys, key, "left_semi"), ruleset, key=key
+        new_df.join(fresh_keys, new_df[key].eqNullSafe(fresh_keys["_fk"]), "left_semi"),
+        ruleset,
+        key=key,
     ).violations
     return carried.unionByName(fresh)

@@ -84,10 +84,14 @@ class MetricsManifest:
         with open(tmp, "w") as fh:
             json.dump(m.__dict__, fh)
         try:
-            os.rename(tmp, path)  # atomic on POSIX
+            # link (not rename): rename REPLACES an existing file, so two
+            # concurrent committers would both "win"; link fails with EEXIST
+            # for the loser — true write-once under speculation/races
+            os.link(tmp, path)
         except OSError:
             os.unlink(tmp)
             return False
+        os.unlink(tmp)
         return True
 
     def metrics(self, snapshot: str) -> list[PartitionMetrics]:
@@ -179,18 +183,22 @@ def resumable_validate(
     overwrite, so a partially-failed run leaves no duplicates after retry.
     Returns metrics for every partition committed by THIS call.
     """
+    # normalize the partition column to a non-null STRING up front: a NULL
+    # partition value would otherwise never match the isin() resume filter
+    # (NULL isin [...] is NULL) and its rows would stay pending forever
+    df = df.withColumn(
+        partition_col,
+        F.coalesce(F.col(partition_col).cast("string"), F.lit("__null__")),
+    )
     done = manifest.committed(snapshot)
-    parts = [
-        str(r[0])
-        for r in df.select(F.col(partition_col).cast("string")).distinct().collect()
-    ]
+    parts = [str(r[0]) for r in df.select(partition_col).distinct().collect()]
     pending = sorted(p for p in parts if p not in done)
 
     committed: list[PartitionMetrics] = []
     for i in range(0, len(pending), batch_size):
         batch = pending[i : i + batch_size]
         t0 = time.time()
-        sub = df.where(F.col(partition_col).cast("string").isin(batch))
+        sub = df.where(F.col(partition_col).isin(batch))
 
         # ONE full-width pass: violations carry the partition column through
         # the same projection (violation_cols) — never joined back to the
@@ -214,10 +222,14 @@ def resumable_validate(
             .collect()
         }
         # failure metrics from the WRITTEN violations (tiny, already durable;
-        # a doc fails iff it has >= 1 violation row)
+        # a doc fails iff it has >= 1 violation row). Read back with the
+        # EXPLICIT schema: an all-clean batch writes zero data files, and a
+        # schema-inferring read of a dataset with no files throws — the
+        # clean table is the common case, it must not crash the job.
+        viol_schema = res.violations.schema
         vstats = {
             str(r["p"]): (r["n_failed"], r["n_viol"])
-            for r in df.sparkSession.read.parquet(violations_out)
+            for r in df.sparkSession.read.schema(viol_schema).parquet(violations_out)
             .where(F.col(partition_col).cast("string").isin(batch))
             .groupBy(F.col(partition_col).cast("string").alias("p"))
             .agg(

@@ -311,6 +311,24 @@ class ListType(Type):
         )
 
 
+@dataclass(frozen=True)
+class NullOr(Type):
+    """Wrap a type so that NULL passes — optional-presence semantics
+    (choice alternatives, optional attributes, nullable-column constraint
+    suggestions): presence is some OTHER rule's concern."""
+
+    inner: TypeRef
+
+    def _resolved(self, registry: Optional["TypeRegistry"]) -> Type:
+        return registry.resolve(self.inner) if isinstance(self.inner, str) else self.inner
+
+    def to_column(self, col: Column, registry: Optional["TypeRegistry"] = None) -> Column:
+        return col.isNull() | self._resolved(registry).to_column(col, registry)
+
+    def sql_expr(self, col_sql: str, registry: Optional["TypeRegistry"] = None) -> str:
+        return f"(({col_sql} IS NULL) OR {self._resolved(registry).sql_expr(col_sql, registry)})"
+
+
 class TypeRegistry:
     """name → Type map with merge-shadowing: schema-local types shadow the
     predefined environment exactly as the reference merges type maps at each

@@ -117,9 +117,10 @@ class StreamingDriftMonitor:
                 fh,
             )
         try:
-            os.rename(tmp, self._commit_path(batch_id))
+            os.link(tmp, self._commit_path(batch_id))  # write-once: EEXIST loses
         except OSError:
-            os.unlink(tmp)  # lost a commit race: the other writer won
+            pass
+        os.unlink(tmp)
 
     def reports(self, spark) -> DataFrame:
         """The accumulated drift log across epochs."""

@@ -69,7 +69,11 @@ class StreamingViolationsSink:
         tmp = self._commit_path(batch_id) + f".tmp.{os.getpid()}"
         with open(tmp, "w") as fh:
             json.dump({"batch_id": batch_id, "committed_at": time.time(), **counts}, fh)
-        os.rename(tmp, self._commit_path(batch_id))
+        try:
+            os.link(tmp, self._commit_path(batch_id))  # write-once: EEXIST loses
+        except OSError:
+            pass
+        os.unlink(tmp)
 
 
 def write_violations_stream(

@@ -18,12 +18,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from xmlschemavalidator_spark.compiler import RuleSet
-from xmlschemavalidator_spark.engine import DOC_OK, ok_col_name
+from xmlschemavalidator_spark.engine import DOC_OK, failed_rules_array, ok_col_name
 
 
-def stream_validate(stream_df: DataFrame, ruleset: RuleSet, key: str) -> DataFrame:
-    """Per-row verdicts on a streaming DataFrame: input + rule booleans +
-    _doc_ok + exploded violations struct column. Stateless (append mode)."""
+def stream_validate(stream_df: DataFrame, ruleset: RuleSet) -> DataFrame:
+    """Per-row verdicts on a streaming DataFrame: the input columns plus
+    one boolean per rule and the ``_doc_ok`` conjunction. Stateless
+    (append mode); keying is the caller's concern — every input column is
+    carried through."""
     compiled = ruleset.compile()
     out = stream_df.withColumns({ok_col_name(rid): c for rid, c in compiled.items()})
     doc_ok = F.lit(True)
@@ -34,17 +36,9 @@ def stream_validate(stream_df: DataFrame, ruleset: RuleSet, key: str) -> DataFra
 
 def stream_violations(stream_df: DataFrame, ruleset: RuleSet, key: str) -> DataFrame:
     """Long violation rows (key, rule_id, observed_value) as a stream —
-    same single-pass array/filter/explode as the batch engine."""
-    compiled = ruleset.compile()
-    structs = [
-        F.struct(
-            F.lit(r.rule_id).alias("rule_id"),
-            compiled[r.rule_id].alias("ok"),
-            F.expr(r.observed_expr).cast("string").alias("observed_value"),
-        )
-        for r in ruleset.resolved_rules()
-    ]
-    failed = F.filter(F.array(*structs), lambda s: ~F.coalesce(s["ok"], F.lit(False)))
+    the SAME failed-array core as the batch engine (engine.
+    failed_rules_array), so batch and streaming semantics cannot drift."""
+    failed = failed_rules_array(ruleset)
     return stream_df.select(F.col(key), F.explode(failed).alias("v")).select(
         key, F.col("v.rule_id").alias("rule_id"), F.col("v.observed_value").alias("observed_value")
     )
@@ -53,7 +47,6 @@ def stream_violations(stream_df: DataFrame, ruleset: RuleSet, key: str) -> DataF
 def windowed_violation_counts(
     stream_df: DataFrame,
     ruleset: RuleSet,
-    key: str,
     ts_col: str,
     window: str = "1 minute",
     watermark: str = "2 minutes",
@@ -61,15 +54,7 @@ def windowed_violation_counts(
     """Per-(event-time window, rule) violation counts with late-data
     handling: watermark bounds the agg state; output is append-complete
     per closed window."""
-    compiled = ruleset.compile()
-    structs = [
-        F.struct(
-            F.lit(r.rule_id).alias("rule_id"),
-            compiled[r.rule_id].alias("ok"),
-        )
-        for r in ruleset.resolved_rules()
-    ]
-    failed = F.filter(F.array(*structs), lambda s: ~F.coalesce(s["ok"], F.lit(False)))
+    failed = failed_rules_array(ruleset)
     exploded = (
         stream_df.withWatermark(ts_col, watermark)
         .select(F.col(ts_col), F.explode(failed).alias("v"))
@@ -99,12 +84,7 @@ def session_violation_bursts(
     session boundary localizes it in time better than fixed windows.
     Session-window state is merged incrementally and closed by the
     watermark (bounded state)."""
-    compiled = ruleset.compile()
-    structs = [
-        F.struct(F.lit(r.rule_id).alias("rule_id"), compiled[r.rule_id].alias("ok"))
-        for r in ruleset.resolved_rules()
-    ]
-    failed = F.filter(F.array(*structs), lambda s: ~F.coalesce(s["ok"], F.lit(False)))
+    failed = failed_rules_array(ruleset)
     exploded = (
         stream_df.withWatermark(ts_col, watermark)
         .select(F.col(ts_col), F.explode(failed).alias("v"))

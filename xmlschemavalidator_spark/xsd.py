@@ -65,6 +65,7 @@ from xmlschemavalidator_spark.rules.structural import AllRule, ChoiceRule, Seque
 from xmlschemavalidator_spark.rules.types import (
     PREDEF_TYPES,
     ListType,
+    NullOr,
     Restriction,
     Type,
     TypeRegistry,
@@ -333,18 +334,9 @@ class XsdSchema:
         return out
 
 
-@dataclass(frozen=True)
-class _NullOr:
-    """Wrap a type so that NULL passes — used for choice alternatives and
-    optional attributes, where presence is the particle's concern."""
-
-    inner: Type
-
-    def to_column(self, col: Column, registry: Optional[TypeRegistry] = None) -> Column:
-        return col.isNull() | self.inner.to_column(col, registry)
-
-    def sql_expr(self, col_sql: str, registry: Optional[TypeRegistry] = None) -> str:
-        return f"(({col_sql} IS NULL) OR {self.inner.sql_expr(col_sql, registry)})"
+# NullOr moved to rules/types.py (shared with constraint suggestion);
+# the private alias keeps existing imports working
+_NullOr = NullOr
 
 
 # ===========================================================================
