@@ -33,11 +33,23 @@ def incremental_revalidate(
     new_df: DataFrame,
     ruleset: RuleSet,
     key: str,
+    diff: DataFrame | None = None,
 ) -> DataFrame:
     """Violations of ``new_df`` computed incrementally from the previous
     run. ``prev_violations`` must be the (key, rule_id, observed_value)
-    output of validating ``old_df`` with the same ruleset."""
-    diff = snapshot_diff(old_df, new_df, key)
+    output of validating ``old_df`` with the same ruleset.
+
+    Cost economics (measured, 1M rows / 1% churn, cheap rules): computing
+    the diff by fingerprinting costs TWO extra scans, which cheap
+    Column-expression rules don't amortize — full revalidation was 4x
+    faster there. The incremental path wins when (a) rules are expensive
+    (regex-heavy packs, pandas-UDF predicates, the extract invariant), or
+    (b) ``diff`` is supplied from the table format's changelog (Iceberg
+    CDC / Delta CDF), which is the intended 10^12-row deployment: then the
+    cost is one pruned rule pass over the churn plus a broadcast-able
+    anti join, independent of table size."""
+    if diff is None:
+        diff = snapshot_diff(old_df, new_df, key)
     touched = diff.select(F.col(key).alias("_tk"))  # added + changed + removed
     fresh_keys = diff.where(F.col("change") != "removed").select(F.col(key).alias("_fk"))
     # null-safe joins: a NULL-key row that changed must drop out of the
