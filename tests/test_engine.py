@@ -235,3 +235,58 @@ def test_compile_sql_skips_pandas_rules(spark):
     ])
     sqls = rs.compile_sql()
     assert "lang_enum" in sqls and "py" not in sqls  # mixed ruleset still renders
+
+
+def test_null_verdict_rule_counts_failed_everywhere(spark):
+    """A rule yielding NULL must fail consistently: in violations AND in
+    _doc_ok / valid() / partition summary (it used to appear only in
+    violations, so split flows silently lost the row)."""
+    class NullRule:
+        def to_column(self, col, registry):
+            return F.when(col > 100, True)  # NULL for col <= 100
+
+        def sql_expr(self, col_sql, registry):
+            raise NotImplementedError
+
+    df = spark.createDataFrame([(1, 50), (2, 200)], "k long, v long")
+    rs = RuleSet(rules=[FieldRule("maybe", NullRule(), column="v")])
+    res = validate(df, rs, key="k")
+    assert [r["k"] for r in res.violations.collect()] == [1]
+    got = {r["k"]: r["_doc_ok"] for r in res.verdicts.collect()}
+    assert got == {1: False, 2: True}
+    assert not res.valid()
+
+
+def test_ruleset_registry_isolated(spark):
+    """Defining a type on one default RuleSet must not leak into others or
+    into the predefined lattice."""
+    from xmlschemavalidator_spark.rules.types import PREDEF_TYPES, Restriction
+    from xmlschemavalidator_spark.rules.facets import MinInclusive
+
+    rs1 = RuleSet()
+    rs1.registry.define("mytype", Restriction(base="integer", facets=(MinInclusive(5),)))
+    rs2 = RuleSet()
+    assert "mytype" in rs1.registry
+    assert "mytype" not in rs2.registry
+    assert "mytype" not in PREDEF_TYPES
+
+
+def test_extend_preserves_base_local_shadow(spark):
+    """extend() must not let the extension's untouched builtins revert the
+    base's schema-local shadow of a predefined type name."""
+    from xmlschemavalidator_spark.rules.types import BuiltinType, PREDEF_TYPES, Restriction
+    from xmlschemavalidator_spark.rules.facets import MinLength
+
+    # inline base (a name ref would resolve to the shadow itself)
+    strict_string = Restriction(
+        base=BuiltinType("string", "string"), facets=(MinLength(3),)
+    )
+    base = RuleSet(
+        rules=[FieldRule("s", "string", column="v")],
+        registry=PREDEF_TYPES.merge({"string": strict_string}),
+    )
+    extended = base.extend(RuleSet(rules=[]))
+    assert extended.registry.resolve("string") is strict_string
+    df = spark.createDataFrame([("ab",), ("abcd",)], "v string")
+    got = [r[0] for r in df.select(extended.compile()["s"]).collect()]
+    assert got == [False, True]  # the strict local shadow survived

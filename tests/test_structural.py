@@ -137,3 +137,28 @@ def test_structural_sql_parity_duckdb(spark):
         spark_ok = [r[0] for r in df.select(rule.to_column()).collect()]
         duck_ok = [bool(r[0]) for r in con.execute(f"SELECT {rule.sql_expr()} FROM t").fetchall()]
         assert spark_ok == duck_ok
+
+
+def test_choice_tags_empty_and_null_children(spark):
+    """choice over an empty or NULL children array is False, never an ANSI
+    INVALID_ARRAY_INDEX error and never a NULL verdict."""
+    from xmlschemavalidator_spark.rules.structural import (
+        all_tags_ok,
+        choice_tags_ok,
+        sequence_tags_ok,
+    )
+
+    df = spark.createDataFrame(
+        [(1, []), (2, None), (3, [("a",)])],
+        "id long, children array<struct<tag:string>>",
+    )
+    out = df.select(
+        "id",
+        choice_tags_ok(F.col("children"), ("a", "b")).alias("c"),
+        sequence_tags_ok(F.col("children"), ("a",)).alias("s"),
+        all_tags_ok(F.col("children"), ("a",)).alias("al"),
+    ).collect()
+    got = {r["id"]: (r["c"], r["s"], r["al"]) for r in out}
+    assert got[1] == (False, False, False)
+    assert got[2] == (False, False, False)
+    assert got[3] == (True, True, True)

@@ -83,3 +83,18 @@ def test_salted_join_preserves_semantics(spark):
     # salt spreads the hot key across multiple join keys
     n_keys = f.where(F.col("lang") == "en").select("_salted_key").distinct().count()
     assert n_keys > 1
+
+
+def test_salted_join_key_with_hash_char(spark):
+    """A cold key whose value contains '#' must NOT collide with a salted
+    hot key (the old '<key>#<salt>' string encoding did)."""
+    fact = spark.createDataFrame(
+        [("en", 1), ("en#3", 2), ("en", 3)], "lang string, x long"
+    )
+    dim = spark.createDataFrame([("en", "hotname"), ("en#3", "coldname")], "lang string, name string")
+    f = salt_hot_keys(fact, "lang", ["en"], salt_buckets=4)
+    d = explode_hot_dim(dim, "lang", ["en"], salt_buckets=4)
+    joined = f.join(d.select("_salted_key", "name"), on="_salted_key", how="left")
+    got = {(r["lang"], r["x"]): r["name"] for r in joined.collect()}
+    assert got[("en#3", 2)] == "coldname"
+    assert got[("en", 1)] == "hotname" and got[("en", 3)] == "hotname"

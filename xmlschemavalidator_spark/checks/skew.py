@@ -35,7 +35,11 @@ def salted_agg(
     contributes ≤ #partitions rows to the phase-2 shuffle.
     """
     fold = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
-    phase1 = df.groupBy(*keys, F.spark_partition_id().alias("_salt")).agg(
+    # salt = partition id folded into salt_buckets: co-located (rows of one
+    # input partition share one salt, so phase 1 is map-side only) while the
+    # knob bounds the phase-2 fan-in per key
+    salt = F.pmod(F.spark_partition_id(), F.lit(salt_buckets))
+    phase1 = df.groupBy(*keys, salt.alias("_salt")).agg(
         *[
             getattr(F, fn)(F.expr(expr)).alias(name)
             for name, (expr, fn) in aggs.items()
@@ -57,12 +61,16 @@ def salt_hot_keys(
     keys pass through. Join the other side against an exploded hot-key dim
     (each hot key replicated salt_buckets times) to keep equality."""
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
+    # STRUCT key, not string concat: a '<key>#<salt>' encoding collides when
+    # a cold key's value itself contains '#' (URLs with fragments do)
     return df.withColumn(
         "_salted_key",
-        F.when(
-            F.col(key).isin(hot_keys),
-            F.concat(F.col(key).cast("string"), F.lit("#"), salt.cast("string")),
-        ).otherwise(F.col(key).cast("string")),
+        F.struct(
+            F.col(key).cast("string").alias("k"),
+            F.when(F.col(key).isin(hot_keys), salt.cast("int"))
+            .otherwise(F.lit(-1))
+            .alias("s"),
+        ),
     )
 
 
@@ -78,8 +86,7 @@ def explode_hot_dim(
     exploded = dim.withColumn("_s", F.explode(salts))
     return exploded.withColumn(
         "_salted_key",
-        F.when(
-            F.col("_s") >= 0,
-            F.concat(F.col(key).cast("string"), F.lit("#"), F.col("_s").cast("string")),
-        ).otherwise(F.col(key).cast("string")),
+        F.struct(
+            F.col(key).cast("string").alias("k"), F.col("_s").cast("int").alias("s")
+        ),
     ).drop("_s")

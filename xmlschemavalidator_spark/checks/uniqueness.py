@@ -35,14 +35,17 @@ def duplicate_keys(df: DataFrame, key_cols: list[str], salted: bool = True) -> D
 
 def uniqueness_violations(df: DataFrame, key_cols: list[str], rule_id: str = "unique",
                           salted: bool = True) -> DataFrame:
-    """Violation-row rendering of duplicate keys: ``(key, rule_id,
-    observed_value)`` where observed_value is the duplicate count — matching
-    the engine's violations shape so dataset-level and row-level violations
-    union cleanly."""
+    """Violation-row rendering of duplicate keys: ``(<key>, rule_id,
+    observed_value)`` where observed_value is the duplicate count. The key
+    column is NAMED like the engine's violations key (the single key
+    column's own name, or ``<a|b|...>`` for composites) so the two frames
+    actually unionByName cleanly — the engine aliases its key back to the
+    original column name, never the literal 'key'."""
     dups = duplicate_keys(df, key_cols, salted=salted)
     key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    key_name = key_cols[0] if len(key_cols) == 1 else "|".join(key_cols)
     return dups.select(
-        key.alias("key"),
+        key.alias(key_name),
         F.lit(rule_id).alias("rule_id"),
         F.col("dup_count").cast("string").alias("observed_value"),
     )

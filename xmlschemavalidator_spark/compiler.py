@@ -159,7 +159,10 @@ class RuleSet:
     """
 
     rules: list[FieldRule] = field(default_factory=list)
-    registry: TypeRegistry = field(default_factory=lambda: PREDEF_TYPES)
+    # fresh layer per ruleset: handing out the PREDEF_TYPES singleton would
+    # let one ruleset's registry.define() pollute every other ruleset (and
+    # the predefined lattice itself) process-wide
+    registry: TypeRegistry = field(default_factory=lambda: PREDEF_TYPES.merge({}))
 
     def add(self, rule: FieldRule) -> "RuleSet":
         self.rules.append(rule)
@@ -178,9 +181,16 @@ class RuleSet:
             if r.rule_id not in by_id:
                 order.append(r.rule_id)
             by_id[r.rule_id] = r
-        merged_registry = self.registry.merge(
-            {name: extension.registry.resolve(name) for name in extension.registry.names()}
-        )
+        # merge only the extension's SCHEMA-LOCAL types (identity-diff vs
+        # the predefined lattice): blindly merging all names would let the
+        # extension's untouched builtins silently revert a base ruleset's
+        # local shadow of a predefined type name
+        ext_local = {}
+        for name in extension.registry.names():
+            t = extension.registry.resolve(name)
+            if name not in PREDEF_TYPES or PREDEF_TYPES.resolve(name) is not t:
+                ext_local[name] = t
+        merged_registry = self.registry.merge(ext_local)
         return RuleSet(rules=[by_id[i] for i in order], registry=merged_registry)
 
     def introspect(self) -> list[tuple[str, Optional[str]]]:

@@ -107,7 +107,10 @@ def validate(
     verdicts = df.withColumns(verdict_cols)
     doc_ok = F.lit(True)
     for name in verdict_cols:
-        doc_ok = doc_ok & F.col(name)
+        # coalesce like the violations path (failed_rules_array): a custom
+        # rule yielding NULL must count as failed EVERYWHERE, or the row
+        # shows in violations while _doc_ok/valid()/split_valid miss it
+        doc_ok = doc_ok & F.coalesce(F.col(name), F.lit(False))
     verdicts = verdicts.withColumn(DOC_OK, doc_ok)
 
     observation: Optional[Observation] = None

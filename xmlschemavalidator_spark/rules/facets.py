@@ -50,6 +50,13 @@ def _null_safe(pred: Column) -> Column:
     return F.coalesce(pred, F.lit(False))
 
 
+def _sql_null_safe(expr: str) -> str:
+    """SQL mirror of :func:`_null_safe`: without it, compile_sql() oracles
+    evaluate to NULL where the Spark verdict is FALSE on null input — the
+    generated SQL must be EQUIVALENT, not merely similar."""
+    return f"coalesce({expr}, FALSE)"
+
+
 def _sql_lit(value: Any) -> str:
     if isinstance(value, str):
         escaped = value.replace("'", "''")
@@ -69,7 +76,7 @@ class MinInclusive(Facet):
         return _null_safe(col >= F.lit(self.value))
 
     def sql_expr(self, col_sql: str) -> str:
-        return f"({col_sql} >= {_sql_lit(self.value)})"
+        return _sql_null_safe(f"({col_sql} >= {_sql_lit(self.value)})")
 
 
 @dataclass(frozen=True)
@@ -82,7 +89,7 @@ class MaxInclusive(Facet):
         return _null_safe(col <= F.lit(self.value))
 
     def sql_expr(self, col_sql: str) -> str:
-        return f"({col_sql} <= {_sql_lit(self.value)})"
+        return _sql_null_safe(f"({col_sql} <= {_sql_lit(self.value)})")
 
 
 @dataclass(frozen=True)
@@ -95,7 +102,7 @@ class MinExclusive(Facet):
         return _null_safe(col > F.lit(self.value))
 
     def sql_expr(self, col_sql: str) -> str:
-        return f"({col_sql} > {_sql_lit(self.value)})"
+        return _sql_null_safe(f"({col_sql} > {_sql_lit(self.value)})")
 
 
 @dataclass(frozen=True)
@@ -108,7 +115,7 @@ class MaxExclusive(Facet):
         return _null_safe(col < F.lit(self.value))
 
     def sql_expr(self, col_sql: str) -> str:
-        return f"({col_sql} < {_sql_lit(self.value)})"
+        return _sql_null_safe(f"({col_sql} < {_sql_lit(self.value)})")
 
 
 @dataclass(frozen=True)
@@ -122,7 +129,7 @@ class Enumeration(Facet):
         return _null_safe(col == F.lit(self.value))
 
     def sql_expr(self, col_sql: str) -> str:
-        return f"({col_sql} = {_sql_lit(self.value)})"
+        return _sql_null_safe(f"({col_sql} = {_sql_lit(self.value)})")
 
     @property
     def is_enumeration(self) -> bool:
@@ -146,7 +153,7 @@ class Pattern(Facet):
 
     def sql_expr(self, col_sql: str) -> str:
         # DuckDB regexp_full_match == Java String.matches semantics.
-        return f"regexp_full_match(CAST({col_sql} AS VARCHAR), {_sql_lit(self.pattern)})"
+        return _sql_null_safe(f"regexp_full_match(CAST({col_sql} AS VARCHAR), {_sql_lit(self.pattern)})")
 
 
 @dataclass(frozen=True)
@@ -159,7 +166,7 @@ class Length(Facet):
         return _null_safe(F.length(col.cast("string")) == F.lit(self.value))
 
     def sql_expr(self, col_sql: str) -> str:
-        return f"(length(CAST({col_sql} AS VARCHAR)) = {self.value})"
+        return _sql_null_safe(f"(length(CAST({col_sql} AS VARCHAR)) = {self.value})")
 
 
 @dataclass(frozen=True)
@@ -173,7 +180,7 @@ class MinLength(Facet):
         return _null_safe(F.length(col.cast("string")) >= F.lit(self.value))
 
     def sql_expr(self, col_sql: str) -> str:
-        return f"(length(CAST({col_sql} AS VARCHAR)) >= {self.value})"
+        return _sql_null_safe(f"(length(CAST({col_sql} AS VARCHAR)) >= {self.value})")
 
 
 @dataclass(frozen=True)
@@ -187,23 +194,27 @@ class MaxLength(Facet):
         return _null_safe(F.length(col.cast("string")) <= F.lit(self.value))
 
     def sql_expr(self, col_sql: str) -> str:
-        return f"(length(CAST({col_sql} AS VARCHAR)) <= {self.value})"
+        return _sql_null_safe(f"(length(CAST({col_sql} AS VARCHAR)) <= {self.value})")
 
 
-def combine_facets(facets: list[Facet], col: Column) -> Column:
+def combine_facets(facets: list[Facet], col: Column, view=None) -> Column:
     """Combine facet predicates per the reference's combiner
     (core.clj:66-71, parser.clj:154-158): enumeration facets OR together,
-    everything else ANDs; the two groups AND with each other."""
+    everything else ANDs; the two groups AND with each other. ``view``
+    optionally maps each facet to the column view it should compare on
+    (Restriction passes its numeric/raw view chooser) — this is THE single
+    combiner implementation; Restriction delegates here."""
+    cc = (lambda f: f.to_column(view(f))) if view is not None else (lambda f: f.to_column(col))
     enums = [f for f in facets if f.is_enumeration]
     others = [f for f in facets if not f.is_enumeration]
     parts: list[Column] = []
     if enums:
-        enum_col = enums[0].to_column(col)
+        enum_col = cc(enums[0])
         for f in enums[1:]:
-            enum_col = enum_col | f.to_column(col)
+            enum_col = enum_col | cc(f)
         parts.append(enum_col)
     for f in others:
-        parts.append(f.to_column(col))
+        parts.append(cc(f))
     if not parts:
         return F.lit(True)
     out = parts[0]
@@ -212,14 +223,15 @@ def combine_facets(facets: list[Facet], col: Column) -> Column:
     return out
 
 
-def combine_facets_sql(facets: list[Facet], col_sql: str) -> str:
+def combine_facets_sql(facets: list[Facet], col_sql: str, view=None) -> str:
     """SQL rendering of :func:`combine_facets` (same OR-enums/AND-rest rule)."""
+    cs = (lambda f: f.sql_expr(view(f))) if view is not None else (lambda f: f.sql_expr(col_sql))
     enums = [f for f in facets if f.is_enumeration]
     others = [f for f in facets if not f.is_enumeration]
     parts: list[str] = []
     if enums:
-        parts.append("(" + " OR ".join(f.sql_expr(col_sql) for f in enums) + ")")
-    parts.extend(f.sql_expr(col_sql) for f in others)
+        parts.append("(" + " OR ".join(cs(f) for f in enums) + ")")
+    parts.extend(cs(f) for f in others)
     if not parts:
         return "TRUE"
     return "(" + " AND ".join(parts) + ")"

@@ -125,24 +125,31 @@ class Occurs:
 
 def sequence_tags_ok(children: Column, declared: Sequence[str]) -> Column:
     """Nested-array sequence check: the array's ``tag`` fields equal the
-    declared tag list in order (the `=` on key lists at core.clj:143)."""
+    declared tag list in order (the `=` on key lists at core.clj:143).
+    NULL children array -> False (never NULL: a NULL verdict would poison
+    the _doc_ok conjunction and vanish from ~ok filters)."""
     tags = F.transform(children, lambda c: c["tag"])
-    return tags == F.array(*[F.lit(t) for t in declared])
+    return F.coalesce(tags == F.array(*[F.lit(t) for t in declared]), F.lit(False))
 
 
 def all_tags_ok(children: Column, declared: Sequence[str]) -> Column:
     """Nested-array `all` check: tag multiset equality, order-insensitive
     (set + count equality as in v1, core.clj:161-171)."""
     tags = F.array_sort(F.transform(children, lambda c: c["tag"]))
-    return tags == F.array(*[F.lit(t) for t in sorted(declared)])
+    return F.coalesce(
+        tags == F.array(*[F.lit(t) for t in sorted(declared)]), F.lit(False)
+    )
 
 
 def choice_tags_ok(children: Column, declared: Sequence[str]) -> Column:
     """Nested-array choice: exactly one child AND its tag declared
     (core.clj:150-159)."""
     one = F.size(children) == F.lit(1)
-    tag0 = F.element_at(children, 1)["tag"]
-    return one & tag0.isin(list(declared))
+    # F.get (0-based) returns NULL out of bounds; element_at THROWS on an
+    # empty array under Spark 4 ANSI mode if the conjunct is ever evaluated
+    # independently of `one`
+    tag0 = F.get(children, 0)["tag"]
+    return F.coalesce(one & tag0.isin(list(declared)), F.lit(False))
 
 
 def undefined_children(children: Column, declared: Sequence[str]) -> Column:

@@ -184,19 +184,18 @@ class Restriction(Type):
     facets: tuple[Facet, ...] = ()
 
     def to_column(self, col: Column, registry: Optional["TypeRegistry"] = None) -> Column:
+        from xmlschemavalidator_spark.rules.facets import combine_facets
+
         parts: list[Column] = []
         if self.base is not None:
             base_t = registry.resolve(self.base) if isinstance(self.base, str) else self.base
             parts.append(base_t.to_column(col, registry))
-        enums = [f for f in self.facets if f.is_enumeration]
-        others = [f for f in self.facets if not f.is_enumeration]
-        if enums:
-            enum_col = enums[0].to_column(_range_facet_views(enums[0], col))
-            for f in enums[1:]:
-                enum_col = enum_col | f.to_column(_range_facet_views(f, col))
-            parts.append(enum_col)
-        for f in others:
-            parts.append(f.to_column(_range_facet_views(f, col)))
+        if self.facets:
+            parts.append(
+                combine_facets(
+                    list(self.facets), col, view=lambda f: _range_facet_views(f, col)
+                )
+            )
         if not parts:
             return F.lit(True)
         out = parts[0]
@@ -205,21 +204,20 @@ class Restriction(Type):
         return out
 
     def sql_expr(self, col_sql: str, registry: Optional["TypeRegistry"] = None) -> str:
+        from xmlschemavalidator_spark.rules.facets import combine_facets_sql
+
         parts: list[str] = []
         if self.base is not None:
             base_t = registry.resolve(self.base) if isinstance(self.base, str) else self.base
             parts.append(base_t.sql_expr(col_sql, registry))
-        enums = [f for f in self.facets if f.is_enumeration]
-        others = [f for f in self.facets if not f.is_enumeration]
-        if enums:
+        if self.facets:
             parts.append(
-                "("
-                + " OR ".join(
-                    f.sql_expr(_range_facet_views_sql(f, col_sql)) for f in enums
+                combine_facets_sql(
+                    list(self.facets),
+                    col_sql,
+                    view=lambda f: _range_facet_views_sql(f, col_sql),
                 )
-                + ")"
             )
-        parts.extend(f.sql_expr(_range_facet_views_sql(f, col_sql)) for f in others)
         if not parts:
             return "TRUE"
         return "(" + " AND ".join(parts) + ")"
