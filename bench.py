@@ -44,7 +44,10 @@ def headline_queries():
         referential_violations,
     )
     from xmlschemavalidator_spark.checks.drift import histogram, ks_drift
-    from xmlschemavalidator_spark.dedup import minhash_lsh_candidates
+    from xmlschemavalidator_spark.dedup import (
+        minhash_lsh_candidates,
+        simhash_signatures_df,
+    )
     from xmlschemavalidator_spark.driver_queries import (
         agg_pricing_summary,
         ann_cosine_topk,
@@ -76,6 +79,7 @@ def headline_queries():
         "join_q3": lambda s: join_q3_shipping_priority(s, SF_DIR),
         "window_daily": lambda s: window_daily_events(s, SF_DIR),
         "minhash_lsh": lambda s: minhash_lsh_candidates(t(s, "documents"), "doc_id"),
+        "simhash_sigs": lambda s: simhash_signatures_df(t(s, "documents"), "doc_id"),
         "ann_topk": lambda s: ann_cosine_topk(s, SF_DIR),
     }
 

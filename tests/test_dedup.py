@@ -76,12 +76,72 @@ def test_simhash_stability_and_near_dup(spark):
     df = corpus(spark)
     s1 = {r["doc_id"]: r["s"] for r in df.select("doc_id", simhash(F.col("text")).alias("s")).collect()}
     s2 = {r["doc_id"]: r["s"] for r in df.select("doc_id", simhash(F.col("text")).alias("s")).collect()}
-    assert s1 == s2  # deterministic across runs (FNV-1a, not builtin hash)
+    assert s1 == s2  # deterministic across runs (xxhash64, not builtin hash)
     assert s1[1] == s1[2]
     pairs = simhash_near_duplicates(df, "doc_id", hamming_max=6).collect()
     found = {(r["id_a"], r["id_b"]) for r in pairs}
     assert (1, 2) in found
     assert (1, 4) not in found
+
+
+def test_simhash_jvm_python_parity(spark):
+    """The JVM Column expression and the pure-Python reference (both
+    xxhash64-token-hash based) produce identical signatures — the pin that
+    replaced the old pandas-UDF FNV path."""
+    from xmlschemavalidator_spark.dedup import simhash_py
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "one",
+        "repeated repeated repeated token token",
+        "  leading and   multiple   spaces trailing  ",
+        "MiXeD CaSe ToKeNs MIXED case tokens",
+        "",
+        None,
+        "a b c d e f g h i j k l m n o p q r s t u v w x y z",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i int, text string"
+    )
+    got = {
+        r["i"]: r["s"]
+        for r in df.select("i", simhash(F.col("text")).alias("s")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == simhash_py(t), f"parity broke for {t!r}"
+
+    # corpus-scale explode path produces the same signatures as both
+    from xmlschemavalidator_spark.dedup import simhash_signatures_df
+
+    got_df = {
+        r["doc"]: r["sig"] for r in simhash_signatures_df(df, "i").collect()
+    }
+    assert got_df == got
+
+
+def test_simhash_parity_on_testdata_corpus(spark, sf_dir="/root/testdata/sf0.001"):
+    """Parity on real synthetic web text (ASCII docs — Python and Spark
+    tokenization agree there; exotic Unicode case/space chars are out of
+    the parity contract, see simhash_py docstring)."""
+    import os
+
+    if not os.path.isdir(sf_dir):
+        import pytest
+
+        pytest.skip("no testdata")
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .where(F.col("text").rlike(r"^[\x20-\x7E\s]*$"))
+        .select("doc_id", "text")
+        .limit(50)
+    )
+    rows = docs.withColumn("s", simhash(F.col("text"))).collect()
+    from xmlschemavalidator_spark.dedup import simhash_py
+
+    assert len(rows) > 0
+    for r in rows:
+        assert r["s"] == simhash_py(r["text"]), f"doc {r['doc_id']}"
 
 
 def test_embedding_near_duplicates(spark):

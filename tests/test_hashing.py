@@ -1,0 +1,80 @@
+"""Pin the pure-Python XXH64 (hashing.py) to Spark's real ``xxhash64``.
+
+These are the load-bearing tests for two perf fixes: the driver-side LSH
+query bucket (similarity.lsh_topk) and the JVM-vs-Python SimHash parity
+check — both assume hashing.py reproduces Spark's hash bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from xmlschemavalidator_spark.hashing import (
+    spark_xxhash64_ints,
+    xxh64_int,
+    xxh64_long,
+    xxh64_str,
+)
+
+INTS = [0, 1, -1, 42, -42, 2**31 - 1, -(2**31), 123456789]
+LONGS = [0, 1, -1, 2**31, 2**63 - 1, -(2**63), 987654321012345]
+STRINGS = [
+    "",
+    "a",
+    "abc",
+    "abcd",
+    "abcde",
+    "1234567",  # 7 bytes: byte tail only
+    "12345678",  # exactly one 8-byte word
+    "123456789012",  # 8 + 4
+    "the quick brown fox",  # 8*2 + tail
+    "x" * 31,
+    "x" * 32,  # exactly one 32-byte stripe
+    "x" * 33,
+    "Zürich — naïve déjà vu ✓",  # multi-byte UTF-8
+    "a reasonably long sentence that spans several 32-byte stripes of input",
+]
+
+
+def test_xxh64_int_matches_spark(spark):
+    df = spark.createDataFrame([(v,) for v in INTS], "v int")
+    got = {r["v"]: r["h"] for r in df.select("v", F.xxhash64("v").alias("h")).collect()}
+    for v in INTS:
+        assert xxh64_int(v) == got[v], f"int {v}"
+
+
+def test_xxh64_long_matches_spark(spark):
+    df = spark.createDataFrame([(v,) for v in LONGS], "v long")
+    got = {r["v"]: r["h"] for r in df.select("v", F.xxhash64("v").alias("h")).collect()}
+    for v in LONGS:
+        assert xxh64_long(v) == got[v], f"long {v}"
+
+
+def test_xxh64_str_matches_spark(spark):
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(STRINGS)], "i int, s string")
+    got = {r["i"]: r["h"] for r in df.select("i", F.xxhash64("s").alias("h")).collect()}
+    for i, s in enumerate(STRINGS):
+        assert xxh64_str(s) == got[i], f"str {s!r}"
+
+
+def test_multi_arg_int_chain_matches_spark(spark):
+    """xxhash64(lit(i), lit(j), lit(seed)) — the exact shape
+    similarity.hyperplane_bucket uses for its plane coefficients."""
+    triples = [(0, 0, 42), (1, 2, 3), (7, 63, 42), (11, 127, 99), (-1, 5, 42)]
+    df = spark.createDataFrame(triples, "a int, b int, c int")
+    got = {
+        (r["a"], r["b"], r["c"]): r["h"]
+        for r in df.select("a", "b", "c", F.xxhash64("a", "b", "c").alias("h")).collect()
+    }
+    for t in triples:
+        assert spark_xxhash64_ints(list(t)) == got[t], f"chain {t}"
+
+
+@pytest.mark.parametrize("n", [15, 16, 17, 39, 40, 41, 63, 64, 65, 100])
+def test_xxh64_str_length_sweep(spark, n):
+    s = "abcdefgh" * 13
+    s = s[:n]
+    df = spark.createDataFrame([(s,)], "s string")
+    h = df.select(F.xxhash64("s").alias("h")).collect()[0]["h"]
+    assert xxh64_str(s) == h

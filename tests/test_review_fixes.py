@@ -58,17 +58,26 @@ def test_simhash_blocking_sound_above_3(spark):
 
     sig_a = 0
     sig_b = (1 << 0) | (1 << 16) | (1 << 32) | (1 << 48)  # d=4, one per quarter
-    orig = dd.simhash
+    orig = dd.simhash_signatures_df
+
+    def fixed_sigs(df, id_col, text_col="text"):
+        return df.select(
+            F.col(id_col).alias("doc"),
+            F.when(F.col(text_col) == "da", F.lit(sig_a))
+            .otherwise(F.lit(sig_b))
+            .cast("long")
+            .alias("sig"),
+        )
+
     try:
-        mapping = {"da": np.int64(sig_a), "db": np.int64(sig_b)}
-        dd.simhash = lambda col: F.when(col == "da", F.lit(sig_a)).otherwise(F.lit(sig_b)).cast("long")
+        dd.simhash_signatures_df = fixed_sigs
         df = spark.createDataFrame([(1, "da"), (2, "db")], "doc_id bigint, text string")
         pairs = dd.simhash_near_duplicates(df, "doc_id", hamming_max=4).collect()
         assert [(r["id_a"], r["id_b"], r["hamming"]) for r in pairs] == [(1, 2, 4)]
         none = dd.simhash_near_duplicates(df, "doc_id", hamming_max=3).collect()
         assert none == []  # d=4 excluded at hamming_max=3
     finally:
-        dd.simhash = orig
+        dd.simhash_signatures_df = orig
 
 
 def test_sink_ignores_stale_tmp_commit(spark, tmp_path):

@@ -115,3 +115,29 @@ def test_kmeans_fit_recovers_clusters(spark):
         assigned.groupBy("_list").count().collect()
     )
     assert sorted(r["count"] for r in purity) == [50, 50]
+
+
+def test_hyperplane_bucket_py_matches_jvm(spark):
+    """The driver-side bucket replica (hyperplane_bucket_py) equals the JVM
+    hyperplane_bucket on double-literal vectors — the contract lsh_topk now
+    relies on instead of launching a 1-row Spark job per query."""
+    from xmlschemavalidator_spark.similarity import (
+        _lit_vec,
+        hyperplane_bucket,
+        hyperplane_bucket_py,
+    )
+
+    vecs = [
+        [1.0, 0.0, 0.0, 0.0],
+        [0.3, -0.7, 0.2, 0.9],
+        [-0.5] * 8,
+        [0.123456, -0.654321, 0.0, 1.0, -1.0, 0.5],
+    ]
+    for nbits, seed in [(6, 42), (8, 42), (12, 7)]:
+        for v in vecs:
+            jvm = (
+                spark.range(1)
+                .select(hyperplane_bucket(_lit_vec(v), nbits, seed).alias("b"))
+                .collect()[0]["b"]
+            )
+            assert hyperplane_bucket_py(v, nbits, seed) == jvm, (nbits, seed, v)

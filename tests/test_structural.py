@@ -162,3 +162,103 @@ def test_choice_tags_empty_and_null_children(spark):
     assert got[1] == (False, False, False)
     assert got[2] == (False, False, False)
     assert got[3] == (True, True, True)
+
+
+# --- per-child verdicts (parser.clj:208-226; parser_test.clj:305-355) ------
+
+
+def _tagged_children_df(spark, *children):
+    """One row whose `children` column is array<struct<tag,value>>."""
+    data = [([{"tag": t, "value": v} for t, v in children],)]
+    return spark.createDataFrame(
+        data, "children array<struct<tag:string, value:string>>"
+    )
+
+
+def _seq_decl():
+    from xmlschemavalidator_spark.rules.types import PREDEF_TYPES
+
+    return [
+        ("seq1", PREDEF_TYPES.resolve("integer")),
+        ("seq2", PREDEF_TYPES.resolve("string")),
+    ]
+
+
+def _verdict(spark, kind, *children):
+    from xmlschemavalidator_spark.rules.structural import container_verdict
+
+    df = _tagged_children_df(spark, *children)
+    row = df.select(
+        container_verdict(F.col("children"), _seq_decl(), kind).alias("v")
+    ).collect()[0]["v"]
+    return row["ok"], [(c["tag"], c["ok"], c["value"]) for c in row["children"]]
+
+
+def test_sequence_child_verdicts_reference_cases(spark):
+    # parser_test.clj:306-321 (test-sequence), verdict triples [ok value tag]
+    ok, ch = _verdict(spark, "sequence", ("seq1", "1"), ("seq2", "adsf"))
+    assert ok and ch == [("seq1", True, "1"), ("seq2", True, "adsf")]
+
+    # wrong order: container false, each child judged against ITS tag's type
+    ok, ch = _verdict(spark, "sequence", ("seq2", "2"), ("seq1", "asdf"))
+    assert not ok and ch == [("seq2", False, "2"), ("seq1", False, "asdf")]
+
+    # missing child: container false, present child still true
+    ok, ch = _verdict(spark, "sequence", ("seq1", "1"))
+    assert not ok and ch == [("seq1", True, "1")]
+
+    # undeclared child -> [false :undefined tag] (parser.clj:216)
+    ok, ch = _verdict(
+        spark, "sequence", ("seq1", "1"), ("seq2", "2"), ("seq3", "3")
+    )
+    assert not ok
+    assert ch == [
+        ("seq1", True, "1"),
+        ("seq2", False, "2"),
+        ("seq3", False, ":undefined"),
+    ]
+
+    # duplicate declared tag: both children validated (parser_test.clj:316)
+    ok, ch = _verdict(spark, "sequence", ("seq1", "1"), ("seq1", "2"))
+    assert not ok and ch == [("seq1", True, "1"), ("seq1", True, "2")]
+
+
+def test_all_child_verdicts_reference_cases(spark):
+    # parser_test.clj:335-343 (test-all): any order passes the condition
+    ok, ch = _verdict(spark, "all", ("seq2", "asdf"), ("seq1", "10"))
+    assert ok and ch == [("seq2", True, "asdf"), ("seq1", True, "10")]
+
+    ok, ch = _verdict(spark, "all", ("seq1", "1"), ("seq3", "1"))
+    assert not ok and ch == [("seq1", True, "1"), ("seq3", False, ":undefined")]
+
+
+def test_choice_child_verdicts_reference_cases(spark):
+    # parser_test.clj:345-355 (test-choice): two children -> condition false,
+    # both still judged per-tag
+    ok, ch = _verdict(spark, "choice", ("seq1", "1"), ("seq2", "2"))
+    assert not ok and ch == [("seq1", True, "1"), ("seq2", False, "2")]
+
+    ok, ch = _verdict(spark, "choice", ("seq2", "asdf"))
+    assert ok and ch == [("seq2", True, "asdf")]
+
+
+def test_nested_valid_fold(spark):
+    from xmlschemavalidator_spark.rules.structural import (
+        container_verdict,
+        nested_valid,
+    )
+
+    cases = {
+        # (children) -> expected valid? (container ok AND all children ok)
+        (("seq1", "1"), ("seq2", "a")): True,
+        (("seq1", "x"), ("seq2", "a")): False,  # child fails, order fine
+        (("seq2", "a"), ("seq1", "1")): False,  # order fails, children fine
+    }
+    for children, want in cases.items():
+        df = _tagged_children_df(spark, *children)
+        got = df.select(
+            nested_valid(
+                container_verdict(F.col("children"), _seq_decl(), "sequence")
+            ).alias("ok")
+        ).collect()[0]["ok"]
+        assert got is want, children

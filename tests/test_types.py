@@ -95,6 +95,34 @@ def test_union_matched_member_detail(spark):
     assert got == [0, 1, -1]
 
 
+def test_union_verdict_struct_detail(spark):
+    # core.clj:75-78: the try-chain's failure detail — the reference tests
+    # (parser_test.clj:295-301) pin [false 35 :theunion] for a below-range
+    # number and [false "asdf" :theunion] for a non-member string: on total
+    # failure every member was tried and the observed value is reported.
+    u = Union(
+        members=(
+            Restriction(base="integer", facets=(MinInclusive(36), MaxInclusive(42))),
+            Restriction(base="string", facets=(Enumeration("small"), Enumeration("medium"))),
+        )
+    )
+    df = spark.createDataFrame(
+        [("35",), ("36",), ("small",), ("medium",), ("asdf",), (None,)], "v string"
+    )
+    got = [
+        (r["d"]["ok"], r["d"]["matched_member"], r["d"]["n_tried"], r["d"]["last_value"])
+        for r in df.select(u.verdict_struct(F.col("v"), PREDEF_TYPES).alias("d")).collect()
+    ]
+    assert got == [
+        (False, -1, 2, "35"),     # [false 35 :theunion]
+        (True, 0, 1, None),       # [true 36 :theunion]
+        (True, 1, 2, None),       # [true "small" :theunion]
+        (True, 1, 2, None),
+        (False, -1, 2, "asdf"),   # [false "asdf" :theunion]
+        (False, -1, 2, None),     # no value at all
+    ]
+
+
 def test_registry_merge_shadowing(spark):
     # schema-local types shadow predefined (core.clj:131-134)
     local = TypeRegistry({"string": PREDEF_TYPES.resolve("byte")})

@@ -22,8 +22,6 @@ Scale design notes (the part that matters at 10^12 docs):
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -324,54 +322,121 @@ def jaccard_pairs(
 # SimHash
 # --------------------------------------------------------------------------
 
-def _simhash_batch(texts: pd.Series) -> pd.Series:
-    """Vectorized 64-bit SimHash over a whole Arrow batch.
+def _simhash_bit_votes(h: Column) -> Column:
+    """±1 vote per bit of an already-computed 64-bit token hash.
 
-    The per-byte FNV-1a loop runs ONCE PER UNIQUE TOKEN in the batch
-    (pd.factorize), not once per occurrence — natural-language token
-    frequency is Zipfian, so unique tokens are a small fraction of total.
-    Per-document bit votes are segment sums over the flattened ±1 bit rows
-    (np.add.reduceat), no per-document Python loop."""
-    n = len(texts)
-    token_lists = [t.lower().split() if isinstance(t, str) else [] for t in texts]
-    lengths = np.array([len(tl) for tl in token_lists], dtype=np.int64)
-    total = int(lengths.sum())
-    if total == 0:
-        return pd.Series(np.zeros(n, dtype=np.int64))
-    flat = np.empty(total, dtype=object)
-    pos = 0
-    for tl in token_lists:
-        flat[pos : pos + len(tl)] = tl
-        pos += len(tl)
-    codes, uniques = pd.factorize(flat)
-    # stable FNV-1a token hashes — reproducible across processes/executors
-    # (Python's builtin hash() is salted per process; never use it here)
-    uh = np.array([_fnv1a64(tok) for tok in uniques], dtype=np.uint64)
-    shifts = np.arange(64, dtype=np.uint64)
-    contrib = (
-        ((uh[:, None] >> shifts) & np.uint64(1)).astype(np.int64) * 2 - 1
-    )  # (U, 64) rows of +-1
-    rows = np.vstack([contrib[codes], np.zeros((1, 64), dtype=np.int64)])  # + sentinel
-    starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
-    votes = np.add.reduceat(rows, starts, axis=0)
-    # reduceat returns rows[start] for empty segments; zero them explicitly
-    votes[lengths == 0] = 0
-    sig = ((votes > 0).astype(np.uint64) << shifts).sum(axis=1).astype(np.uint64)
-    return pd.Series(sig.astype(np.int64))
+    ``h`` must be a cheap reference (a lambda variable) — the hash itself is
+    computed ONCE in an enclosing ``transform`` (the HOF-no-CSE lesson:
+    embedding ``xxhash64(t)`` here would evaluate it 64× per token).
+    ``shiftright`` is arithmetic, but ``(h >> i) & 1`` still extracts the
+    true bit i for every i including the sign bit."""
+    return F.array(
+        *[
+            (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+            for i in range(64)
+        ]
+    )
 
 
-def _fnv1a64(s: str) -> np.uint64:
-    h = np.uint64(0xCBF29CE484222325)
-    for byte in s.encode("utf-8"):
-        h = np.uint64(h ^ np.uint64(byte))
-        h = np.uint64(h * np.uint64(0x100000001B3))
-    return h
+# powers of two as signed longs; bit 63 is the long sign bit
+_SIMHASH_POW2 = [(1 << i) if i < 63 else -(1 << 63) for i in range(64)]
 
 
 def simhash(text: Column) -> Column:
-    """64-bit SimHash signature (Arrow-batched pandas UDF; stable FNV-1a
-    token hashes so signatures are reproducible across runs/executors)."""
-    return F.pandas_udf(_simhash_batch, "long")(text)
+    """64-bit SimHash signature — pure JVM Column expression, no UDF.
+
+    tokenize(lower) → hash each token ONCE (inner ``transform`` +
+    ``xxhash64``) → fold 64 bit-vote accumulators (``aggregate`` over a
+    64-long array) → assemble the sign bits. Narrow (no shuffle, no Python
+    workers); per-occurrence votes, ties → 0-bit, empty/NULL text → 0, all
+    matching the previous pandas-UDF semantics. The token hash changed from
+    FNV-1a to ``xxhash64`` with this rewrite — signatures are pinned by the
+    JVM-vs-Python parity test (tests/test_dedup.py) against
+    :func:`simhash_py`."""
+    tokens = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != F.lit(""))
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    zero64 = F.array_repeat(F.lit(0).cast("long"), 64)
+    votes = F.aggregate(
+        hashes,
+        zero64,
+        lambda acc, h: F.zip_with(acc, _simhash_bit_votes(h), lambda a, v: a + v),
+    )
+    sig_bits = F.zip_with(
+        votes,
+        F.array(*[F.lit(p).cast("long") for p in _SIMHASH_POW2]),
+        lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")),
+    )
+    # bits are disjoint, so sum == bitwise OR and cannot overflow (ANSI-safe)
+    sig = F.aggregate(sig_bits, F.lit(0).cast("long"), lambda a, x: a + x)
+    return F.coalesce(sig, F.lit(0).cast("long"))
+
+
+def simhash_signatures_df(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-scale SimHash: ``(doc, sig)`` via explode(tokens) →
+    ``xxhash64`` once per occurrence → 64 bit-vote partial aggregates —
+    the same partial-agg shape as :func:`minhash_signatures_df`. The
+    shuffle carries (doc, 64 longs) after map-side combine, independent of
+    document length; everything stays in whole-stage codegen, no Python
+    workers. Signatures are identical to :func:`simhash` (same hash, same
+    vote/tie rules) — pinned by tests/test_dedup.py.
+
+    Measured at 250k docs, local[32], warm (BENCH/BASELINE.md): 2.9 s here
+    vs 5.5 s for the per-row HOF form vs 1.7 s for the retired pandas UDF —
+    the UDF wins locally when its workers are warm, but pins Python CPU at
+    cluster scale; this path has no Python in it at all.
+
+    Docs with no tokens get sig=0 (LEFT join back to the doc set), matching
+    :func:`simhash` on empty text."""
+    ids = _spread(df).select(F.col(id_col).alias("doc"), F.col(text_col).alias("_t"))
+    toks = ids.select(
+        "doc",
+        F.explode(
+            F.filter(F.split(F.lower("_t"), r"\s+"), lambda t: t != F.lit(""))
+        ).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    aggs = [
+        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"_v{i}")
+        for i in range(64)
+    ]
+    votes = toks.groupBy("doc").agg(*aggs)
+    sig = None
+    for i in range(64):
+        term = (
+            F.when(F.col(f"_v{i}") > 0, F.lit(_SIMHASH_POW2[i]).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+        sig = term if sig is None else sig + term
+    with_sig = votes.select("doc", sig.alias("sig"))
+    return (
+        ids.select("doc")
+        .join(with_sig, "doc", "left")
+        .select("doc", F.coalesce("sig", F.lit(0).cast("long")).alias("sig"))
+    )
+
+
+def simhash_py(text) -> int:
+    """Driver-side pure-Python reference of :func:`simhash` — same
+    tokenization, same ``xxhash64`` token hash (hashing.py), same vote/tie
+    rules. Exists ONLY for cross-implementation parity tests; never put
+    this in a row path. Caveat: Python ``str.lower``/``str.split`` and
+    Spark ``lower``/``\\s+`` agree on ASCII; exotic Unicode case/space
+    chars can differ — parity tests use ASCII corpora."""
+    from xmlschemavalidator_spark.hashing import xxh64_str
+
+    if not isinstance(text, str):
+        return 0
+    votes = [0] * 64
+    for tok in text.lower().split():
+        h = xxh64_str(tok) & ((1 << 64) - 1)  # unsigned view for bit tests
+        for i in range(64):
+            votes[i] += 1 if (h >> i) & 1 else -1
+    sig = 0
+    for i in range(64):
+        if votes[i] > 0:
+            sig |= 1 << i
+    return sig - (1 << 64) if sig >= (1 << 63) else sig
 
 
 def simhash_near_duplicates(
@@ -389,7 +454,7 @@ def simhash_near_duplicates(
     n_chunks = min(hamming_max + 1, 16)
     width = -(-64 // n_chunks)  # ceil
     mask = (1 << width) - 1
-    sigd = _spread(df).select(F.col(id_col).alias("doc"), simhash(F.col(text_col)).alias("sig"))
+    sigd = simhash_signatures_df(df, id_col, text_col)
     chunks = sigd.select(
         "doc",
         "sig",

@@ -206,6 +206,35 @@ def type_union(spark, sf_dir):
     )
 
 
+_U_DETAIL = _UNION.verdict_struct_sql(_U_MIXED_SQL, PREDEF_TYPES)
+
+@q(
+    "type_union_detail",
+    f"""SELECT doc_id,
+               {_U_DETAIL['ok']} AS ok,
+               {_U_DETAIL['matched_member']} AS matched_member,
+               {_U_DETAIL['n_tried']} AS n_tried,
+               {_U_DETAIL['last_value']} AS last_value
+        FROM documents""",
+)
+def type_union_detail(spark, sf_dir):
+    """Union failure detail (core.clj:75-78): the reference's try-chain
+    returns the first passing member's verdict, or the LAST member's failing
+    verdict with the observed value on total failure — surfaced as
+    matched_member / n_tried / last_value columns; the oracle SQL is
+    generated from the same member declarations (verdict_struct_sql)."""
+    docs = _t(spark, sf_dir, "documents")
+    mixed = F.expr("CASE WHEN doc_id % 2 = 0 THEN CAST(n_chars AS STRING) ELSE lang END")
+    v = _UNION.verdict_struct(mixed, PREDEF_TYPES)
+    return docs.select(
+        "doc_id",
+        v["ok"].alias("ok"),
+        v["matched_member"].alias("matched_member"),
+        v["n_tried"].alias("n_tried"),
+        v["last_value"].alias("last_value"),
+    )
+
+
 # ===========================================================================
 # §2.5 attributes
 # ===========================================================================
@@ -1868,6 +1897,75 @@ def structural_undefined_children(spark, sf_dir):
         F.array_join(
             undefined_children(children, ("text", "en", "de", "sv")), ","
         ).alias("undefined_tags"),
+    )
+
+
+_CV_STRING = PREDEF_TYPES.resolve("string")
+_CV_NC = Restriction(base="integer", facets=(MinInclusive(200), MaxInclusive(2500)))
+_CV_STRING_SQL_TEXT = _CV_STRING.sql_expr("text", PREDEF_TYPES)
+_CV_STRING_SQL_LANG = _CV_STRING.sql_expr("lang", PREDEF_TYPES)
+_CV_NC_SQL = _CV_NC.sql_expr("CAST(n_chars AS VARCHAR)", PREDEF_TYPES)
+_CV_NC_SQL_LANG = _CV_NC.sql_expr("lang", PREDEF_TYPES)
+# child 3's tag is DATA (the doc's lang): replicate the when-chain dispatch
+_CV_C3_OK = (
+    f"(CASE WHEN lang = 'text' THEN coalesce({_CV_STRING_SQL_LANG}, FALSE) "
+    f"WHEN lang = 'nc' THEN coalesce({_CV_NC_SQL_LANG}, FALSE) "
+    f"WHEN lang = 'en' THEN coalesce({_CV_STRING_SQL_LANG}, FALSE) "
+    f"ELSE FALSE END)"
+)
+
+@q(
+    "structural_child_verdicts",
+    f"""SELECT doc_id,
+               coalesce(lang = 'en', FALSE) AS seq_ok,
+               coalesce({_CV_STRING_SQL_TEXT}, FALSE) AS c1_ok,
+               CAST(text AS VARCHAR) AS c1_value,
+               coalesce({_CV_NC_SQL}, FALSE) AS c2_ok,
+               CAST(n_chars AS VARCHAR) AS c2_value,
+               lang AS c3_tag,
+               {_CV_C3_OK} AS c3_ok,
+               (CASE WHEN lang IN ('text','nc','en') THEN lang
+                     ELSE ':undefined' END) AS c3_value,
+               (coalesce(lang = 'en', FALSE)
+                AND coalesce({_CV_STRING_SQL_TEXT}, FALSE)
+                AND coalesce({_CV_NC_SQL}, FALSE)
+                AND {_CV_C3_OK}) AS doc_ok
+        FROM documents""",
+)
+def structural_child_verdicts(spark, sf_dir):
+    """Per-child verdicts inside a (possibly failing) container
+    (parser.clj:208-226; parser_test.clj:305-355): every child is judged
+    against the element declared FOR ITS TAG even when the sequence
+    condition fails; undeclared tags get the [false :undefined tag]
+    pseudo-verdict. Children here are built from documents columns — the
+    third child's tag is the doc's lang, so non-'en' docs exercise both
+    the failing container and the undeclared-child paths. Flattened to
+    scalar columns for the oracle compare."""
+    from xmlschemavalidator_spark.rules.structural import (
+        container_verdict,
+        nested_valid,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    children = F.array(
+        F.struct(F.lit("text").alias("tag"), F.col("text").cast("string").alias("value")),
+        F.struct(F.lit("nc").alias("tag"), F.col("n_chars").cast("string").alias("value")),
+        F.struct(F.col("lang").alias("tag"), F.col("lang").alias("value")),
+    )
+    decl = [("text", _CV_STRING), ("nc", _CV_NC), ("en", _CV_STRING)]
+    v = container_verdict(children, decl, "sequence", PREDEF_TYPES)
+    cv = v["children"]
+    return docs.select(
+        "doc_id",
+        v["ok"].alias("seq_ok"),
+        F.get(cv, 0)["ok"].alias("c1_ok"),
+        F.get(cv, 0)["value"].alias("c1_value"),
+        F.get(cv, 1)["ok"].alias("c2_ok"),
+        F.get(cv, 1)["value"].alias("c2_value"),
+        F.get(cv, 2)["tag"].alias("c3_tag"),
+        F.get(cv, 2)["ok"].alias("c3_ok"),
+        F.get(cv, 2)["value"].alias("c3_value"),
+        nested_valid(v).alias("doc_ok"),
     )
 
 

@@ -158,3 +158,86 @@ def undefined_children(children: Column, declared: Sequence[str]) -> Column:
     tags (empty array = none)."""
     tags = F.transform(children, lambda c: c["tag"])
     return F.filter(tags, lambda t: ~t.isin(list(declared)))
+
+
+def child_verdicts(
+    children: Column,
+    declared,
+    registry=None,
+    value_field: str = "value",
+) -> Column:
+    """Per-child verdicts in document order — the reference evaluates EVERY
+    child against the element declared *for its tag* and reports each
+    child's verdict even when the container condition fails
+    (``(map #(if-let [e# (elements (:tag %))] ...) value)``,
+    parser.clj:208-226; asserted through parser_test.clj:305-355).
+
+    ``declared`` is an ordered list of ``(tag, type)`` where each type is a
+    rules.types.Type (``to_column(col, registry)``). Returns
+    ``array<struct<tag:string, ok:boolean, value:string>>``:
+
+    * declared tag  → ok = that tag's type verdict on the child's value
+      (never NULL; NULL value → False), value = the observed value string;
+    * undeclared tag → ``(tag, false, ':undefined')`` — the literal
+      pseudo-verdict the reference emits (parser.clj:216).
+
+    Dispatch is a lazily-evaluated when-chain on the tag, applied inside
+    ONE ``transform`` — per child, only the matching tag's rule subtree is
+    evaluated (CaseWhen branches are lazy), so cost is O(children), not
+    O(children × declared)."""
+    decl = list(declared)
+    declared_tags = [tag for tag, _ in decl]
+
+    def verdict(c: Column) -> Column:
+        v = c[value_field]
+        expr = None
+        for tag, t in decl:
+            this_ok = F.coalesce(t.to_column(v, registry), F.lit(False))
+            cond = c["tag"] == F.lit(tag)
+            expr = F.when(cond, this_ok) if expr is None else expr.when(cond, this_ok)
+        ok = expr.otherwise(F.lit(False)) if expr is not None else F.lit(False)
+        value_out = (
+            F.when(c["tag"].isin(declared_tags), v.cast("string"))
+            .otherwise(F.lit(":undefined"))
+        )
+        return F.struct(
+            c["tag"].alias("tag"), ok.alias("ok"), value_out.alias("value")
+        )
+
+    return F.transform(children, verdict)
+
+
+def container_verdict(
+    children: Column,
+    declared,
+    kind: str,
+    registry=None,
+    value_field: str = "value",
+) -> Column:
+    """The reference's full container verdict ``(conj child-verdicts
+    container-ok)`` (parser.clj:210-219) as
+    ``struct<ok:boolean, children:array<struct<tag, ok, value>>>``:
+    ``ok`` is the container *condition only* (sequence order / all set /
+    choice arity — core.clj:138-171), per-child verdicts ride alongside.
+    Overall validity is the ``valid?`` fold — :func:`nested_valid`."""
+    tags = [t for t, _ in declared]
+    if kind == "sequence":
+        cond = sequence_tags_ok(children, tags)
+    elif kind == "all":
+        cond = all_tags_ok(children, tags)
+    elif kind == "choice":
+        cond = choice_tags_ok(children, tags)
+    else:
+        raise ValueError(f"unknown container kind: {kind!r}")
+    return F.struct(
+        cond.alias("ok"),
+        child_verdicts(children, declared, registry, value_field).alias("children"),
+    )
+
+
+def nested_valid(verdict: Column) -> Column:
+    """``valid?`` over a :func:`container_verdict`: fold-AND of the
+    container condition and every child verdict (core.clj's valid? walks
+    the whole verdict tree). Never NULL."""
+    all_children_ok = F.forall(verdict["children"], lambda cv: cv["ok"])
+    return verdict["ok"] & F.coalesce(all_children_ok, F.lit(True))

@@ -263,6 +263,53 @@ class Union(Type):
             expr = F.when(cols[i], F.lit(i)).otherwise(expr)
         return expr
 
+    def verdict_struct(self, col: Column, registry: Optional["TypeRegistry"] = None) -> Column:
+        """Member-wise failure detail mirroring the reference's try-chain
+        (core.clj:75-78): on success the FIRST passing member's verdict is
+        returned; on total failure the reference propagates the LAST-tried
+        member's failing verdict with the observed value. Returns
+        ``struct<ok:boolean, matched_member:int, n_tried:int,
+        last_value:string>``:
+
+        * ``matched_member`` — index of the first passing member, −1 if none;
+        * ``n_tried`` — members evaluated before stopping (matched_member+1,
+          or len(members) on total failure — every member was tried);
+        * ``last_value`` — the observed value as the last member saw it,
+          populated ONLY on total failure (NULL on success, where the
+          matched member's verdict carries no failure payload)."""
+        ok = self.to_column(col, registry)
+        ok = F.coalesce(ok, F.lit(False))
+        mm = self.matched_member_column(col, registry)
+        n_tried = F.when(mm >= 0, mm + 1).otherwise(F.lit(len(self.members)))
+        last_value = F.when(~ok, col.cast("string"))
+        return F.struct(
+            ok.alias("ok"),
+            mm.alias("matched_member"),
+            n_tried.cast("int").alias("n_tried"),
+            last_value.alias("last_value"),
+        )
+
+    def verdict_struct_sql(self, col_sql: str, registry: Optional["TypeRegistry"] = None) -> dict[str, str]:
+        """DuckDB oracle expressions for each :meth:`verdict_struct` field —
+        generated from the same member declarations so the driver's
+        side-by-side compare exercises the failure detail."""
+        member_sqls = []
+        for m in self.members:
+            t = registry.resolve(m) if isinstance(m, str) else m
+            member_sqls.append(t.sql_expr(col_sql, registry))
+        ok = "coalesce(" + " OR ".join(member_sqls) + ", FALSE)"
+        mm = "CASE " + " ".join(
+            f"WHEN {s} THEN {i}" for i, s in enumerate(member_sqls)
+        ) + " ELSE -1 END"
+        n_tried = f"CAST(CASE WHEN ({mm}) >= 0 THEN ({mm}) + 1 ELSE {len(self.members)} END AS INT)"
+        last_value = f"CASE WHEN NOT ({ok}) THEN CAST({col_sql} AS VARCHAR) END"
+        return {
+            "ok": ok,
+            "matched_member": mm,
+            "n_tried": n_tried,
+            "last_value": last_value,
+        }
+
     def sql_expr(self, col_sql: str, registry: Optional["TypeRegistry"] = None) -> str:
         parts = []
         for m in self.members:

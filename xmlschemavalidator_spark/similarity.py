@@ -66,6 +66,26 @@ def hyperplane_bucket(vec: Column, nbits: int = 12, seed: int = 42) -> Column:
     return out.cast("long")
 
 
+def hyperplane_bucket_py(vec: list[float], nbits: int = 12, seed: int = 42) -> int:
+    """Driver-side replica of :func:`hyperplane_bucket` for a *literal*
+    vector — same plane coefficients via the pure-Python Spark-compatible
+    ``xxhash64`` (hashing.py), so the bucket matches the JVM expression
+    bit-for-bit (pinned in tests/test_similarity.py). Replaces the 1-row
+    Spark job lsh_topk used to launch per query."""
+    from xmlschemavalidator_spark.hashing import spark_xxhash64_ints
+
+    bucket = 0
+    for i in range(nbits):
+        dot = 0.0
+        for j, x in enumerate(vec):
+            h = spark_xxhash64_ints([i, j, seed])
+            coeff = (h % 100000) / 50000.0 - 1.0  # pmod: non-negative remainder
+            dot += x * coeff
+        if dot >= 0:
+            bucket |= 1 << i
+    return bucket
+
+
 def lsh_topk(
     df: DataFrame,
     vec_col: str,
@@ -84,8 +104,7 @@ def lsh_topk(
     filter). probes <= nbits + 1. Returns the same shape as
     brute_force_topk."""
     bucketed = df.withColumn("_b", hyperplane_bucket(F.col(vec_col), nbits, seed))
-    qdf = df.sparkSession.range(1).select(_lit_vec(query).alias("q"))
-    qbucket = qdf.select(hyperplane_bucket(F.col("q"), nbits, seed).alias("b")).collect()[0]["b"]
+    qbucket = hyperplane_bucket_py(query, nbits, seed)
     probe_set = [qbucket] + [qbucket ^ (1 << i) for i in range(min(probes - 1, nbits))]
     cand = bucketed.where(F.col("_b").isin(probe_set))
     return brute_force_topk(cand, vec_col, query, k, id_col)
