@@ -117,3 +117,43 @@ def test_length_histogram(spark):
     df = spark.createDataFrame([("a" * 5,), ("b" * 150,), ("c" * 150,)], "s string")
     got = sorted(tuple(r) for r in length_histogram(df, "s", 100).collect())
     assert got == [(0, 0, 1), (1, 100, 2)]
+
+
+def test_ks_drift_degenerate_inputs(spark):
+    """Empty/single-bucket corner cases (round-1 verdict item): an empty
+    side yields NULL (undefined CDF), never a division by zero; identical
+    single buckets → 0; disjoint single buckets → 1."""
+    def hist(rows):
+        return spark.createDataFrame(rows, "bucket long, n long")
+
+    empty = spark.createDataFrame([], "bucket long, n long")
+    one_a = hist([(1, 10)])
+    one_b = hist([(5, 7)])
+
+    assert ks_drift(empty, one_a).collect()[0]["ks_stat"] is None
+    assert ks_drift(one_a, empty).collect()[0]["ks_stat"] is None
+    assert ks_drift(empty, empty).collect()[0]["ks_stat"] is None
+    assert ks_drift(one_a, one_a).collect()[0]["ks_stat"] == 0.0
+    assert ks_drift(one_a, one_b).collect()[0]["ks_stat"] == 1.0
+
+
+def test_tdigest_ks_disjoint_point_masses_score_one(spark):
+    """Round-1 advisor finding: the mid-mass CDF convention halved the gap
+    at atoms — two fully disjoint point-mass distributions scored 0.5.
+    With both one-sided limits evaluated, they score 1.0."""
+    import pandas as pd
+
+    from xmlschemavalidator_spark.checks.tdigest import (
+        digest_of,
+        quantile_gap_drift,
+    )
+
+    a = spark.createDataFrame(pd.DataFrame({"v": [1.0] * 50}))
+    b = spark.createDataFrame(pd.DataFrame({"v": [2.0] * 50}))
+    da, db = digest_of(a, "v"), digest_of(b, "v")
+    assert quantile_gap_drift(da, db) == 1.0
+    assert quantile_gap_drift(da, da) == 0.0
+    # shared atom, different masses: sup gap is the mass difference
+    c = spark.createDataFrame(pd.DataFrame({"v": [1.0] * 25 + [2.0] * 75}))
+    d = spark.createDataFrame(pd.DataFrame({"v": [1.0] * 75 + [2.0] * 25}))
+    assert abs(quantile_gap_drift(digest_of(c, "v"), digest_of(d, "v")) - 0.5) < 1e-9

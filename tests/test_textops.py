@@ -148,3 +148,52 @@ def test_pii_counts(spark):
     r = {x["id"]: x for x in df.select("id", *[v.alias(k) for k, v in c.items()]).collect()}
     assert (r[1]["n_email"], r[1]["n_phone"], r[1]["n_ipv4"]) == (2, 1, 1)
     assert (r[2]["n_email"], r[2]["n_phone"], r[2]["n_ipv4"]) == (0, 0, 0)
+
+
+def test_gopher_oracle_empty_text_parity(spark):
+    """Round-1 advisor finding: Spark tokens() gives [] for empty or
+    whitespace-only text while the DuckDB oracle's bare regexp_split gave
+    [''] (n_words=1) — the gap was masked because the synthetic corpus has
+    no empty docs. Pin the parity on exactly those corner rows."""
+    import duckdb
+    import pandas as pd
+
+    import xmlschemavalidator_spark.driver_queries as dq
+
+    docs_pd = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                "the quick brown fox and the lazy dog ran away",
+                "",
+                "   ",
+                None,
+                "x",
+            ],
+        }
+    )
+    sdf = spark.createDataFrame(docs_pd.astype(object).where(docs_pd.notna(), None),
+                                "doc_id bigint, text string")
+    orig_t = dq._t
+    try:
+        dq._t = lambda s, sf, name: sdf
+        got_gopher = dq.text_gopher_filters(spark, "ignored").toPandas()
+        got_rep = dq.text_repetition(spark, "ignored").toPandas()
+    finally:
+        dq._t = orig_t
+
+    con = duckdb.connect()
+    con.register("documents", docs_pd)
+    oracles = dq.all_oracles()
+    want_gopher = con.execute(oracles["text_gopher_filters"]).df()
+    want_rep = con.execute(oracles["text_repetition"]).df()
+
+    for got, want in ((got_gopher, want_gopher), (got_rep, want_rep)):
+        got = got.sort_values("doc_id").reset_index(drop=True)
+        want = want.sort_values("doc_id").reset_index(drop=True)
+        assert list(got.columns) == list(want.columns)
+        for c in got.columns:
+            for i in range(len(got)):
+                g, w = got[c][i], want[c][i]
+                both_na = pd.isna(g) and pd.isna(w)
+                assert both_na or g == w, (c, i, g, w)

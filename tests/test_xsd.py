@@ -316,3 +316,51 @@ def test_dispatch_on_root_tag(spark):
         "5": ("udr", True),
         "6": ("unknown", False),
     }
+
+
+def test_child_named_attr_x_not_remapped_as_attribute(spark):
+    # round-1 advisor finding: attribute rules were identified by the
+    # rule_id prefix '<root>__attr_', so a child ELEMENT literally named
+    # 'attr_x' was remapped to the nonexistent '_attr_x' column. The
+    # structural is_attr flag fixes the dispatch.
+    xsd = """<schema>
+      <complexType name="c">
+        <sequence>
+          <element name="attr_x" type="integer"/>
+        </sequence>
+        <attribute name="y" type="string" use="required"/>
+      </complexType>
+      <element name="root" type="c"/>
+    </schema>"""
+    schema = parse_xsd(xsd)
+    df = spark.createDataFrame(
+        [
+            ("d1", '<root y="ok"><attr_x>5</attr_x></root>'),
+            ("d2", '<root y="ok"><attr_x>nope</attr_x></root>'),
+        ],
+        "doc_id string, xml string",
+    )
+    res = schema.validate_xml_column(df, "xml", root="root", key="doc_id")
+    got = {r["doc_id"]: r[DOC_OK] for r in res.verdicts.collect()}
+    assert got == {"d1": True, "d2": False}
+    v = [tuple(r) for r in res.violations.collect()]
+    assert ("d2", "root__attr_x", "nope") in v  # element rule, element column
+
+
+def test_rule_id_collision_raises(spark):
+    # a child 'attr_y' AND an attribute 'y' both compile to 'root__attr_y'
+    # — must fail loudly at compile time, not silently shadow
+    import pytest
+
+    xsd = """<schema>
+      <complexType name="c">
+        <sequence>
+          <element name="attr_y" type="integer"/>
+        </sequence>
+        <attribute name="y" type="string" use="required"/>
+      </complexType>
+      <element name="root" type="c"/>
+    </schema>"""
+    schema = parse_xsd(xsd)
+    with pytest.raises(ValueError, match="rule id collision"):
+        schema.ruleset_for("root")

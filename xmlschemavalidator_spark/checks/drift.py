@@ -39,6 +39,11 @@ def ks_drift(current_hist: DataFrame, baseline_hist: DataFrame) -> DataFrame:
 
     Returns a 1-row DataFrame ``(ks_stat: double)``. Runs entirely on
     #buckets rows — the window sort is over a tiny frame, not the data.
+
+    Degenerate inputs (no judgement is better than a fabricated one): if a
+    side has no observations, its CDF is undefined and ``ks_stat`` is NULL
+    — never a division by zero. Single-bucket inputs are fine (identical →
+    0.0, fully disjoint → 1.0).
     """
     cur = current_hist.select("bucket", F.col("n").alias("n_cur"))
     base = baseline_hist.select("bucket", F.col("n").alias("n_base"))
@@ -49,8 +54,8 @@ def ks_drift(current_hist: DataFrame, baseline_hist: DataFrame) -> DataFrame:
     tot_cur = F.sum("n_cur").over(Window.partitionBy())
     tot_base = F.sum("n_base").over(Window.partitionBy())
     cdf = joined.select(
-        (F.sum("n_cur").over(w) / tot_cur).alias("cdf_cur"),
-        (F.sum("n_base").over(w) / tot_base).alias("cdf_base"),
+        F.when(tot_cur > 0, F.sum("n_cur").over(w) / tot_cur).alias("cdf_cur"),
+        F.when(tot_base > 0, F.sum("n_base").over(w) / tot_base).alias("cdf_base"),
     )
     return cdf.agg(F.max(F.abs(F.col("cdf_cur") - F.col("cdf_base"))).alias("ks_stat"))
 

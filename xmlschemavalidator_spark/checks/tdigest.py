@@ -162,15 +162,19 @@ def digest_of(df: DataFrame, column: str, delta: int = 200) -> Digest:
     return merge_digests(partition_digests(df, column, delta).toPandas(), delta)
 
 
-def _cdf_at(d: Digest, xs: np.ndarray) -> np.ndarray:
-    """Step-CDF over the centroid point masses, mid-mass at an exact
-    centroid position: F(x) = W(<x)/total + 0.5·w(=x)/total."""
+def _cdf_sided(d: Digest, xs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Step-CDF over the centroid point masses, BOTH one-sided limits at
+    each x: ``(F(x−), F(x+)) = (W(<x), W(<=x)) / total``. The sup of
+    |F1 − F2| for step functions must consider both limits at every jump —
+    the earlier mid-mass convention (½·w(=x)) halved the gap at shared
+    atoms, so two fully disjoint point masses scored 0.5 instead of 1.0
+    and discrete-column thresholds under-fired (round-1 advisor finding)."""
     cum = np.cumsum(d.weights)
     left = np.searchsorted(d.means, xs, side="left")
     right = np.searchsorted(d.means, xs, side="right")
-    below = np.where(left > 0, cum[np.maximum(left - 1, 0)], 0)
-    upto = np.where(right > 0, cum[np.maximum(right - 1, 0)], 0)
-    return (below + 0.5 * (upto - below)) / d.total
+    f_minus = np.where(left > 0, cum[np.maximum(left - 1, 0)], 0) / d.total
+    f_plus = np.where(right > 0, cum[np.maximum(right - 1, 0)], 0) / d.total
+    return f_minus, f_plus
 
 
 def quantile_gap_drift(
@@ -179,15 +183,21 @@ def quantile_gap_drift(
     """Two-sample KS statistic over the sketch CDFs:
     ``sup_x |F_cur(x) - F_base(x)|`` evaluated on the pooled centroid
     support (the sup of a difference of step functions is attained at a
-    step). 0 = identical — including for constant / low-cardinality
-    columns, where the earlier quantile-grid formulation reported up to
-    0.45 self-drift (a single centroid pins every quantile to the median
-    while the grid q ranged 0.05–0.95). ``qs`` adds extra probe quantiles
-    of the current digest to the evaluation grid (kept for API compat;
-    the pooled support already dominates it)."""
+    step — checking BOTH the right-continuous value and the left limit at
+    each support point, so disjoint point masses correctly score 1.0 and
+    thresholds are comparable to textbook KS critical values). 0 =
+    identical — including for constant / low-cardinality columns, where
+    the earlier quantile-grid formulation reported up to 0.45 self-drift.
+    ``qs`` adds extra probe quantiles of the current digest to the
+    evaluation grid (kept for API compat; the pooled support already
+    dominates it)."""
     if baseline.total == 0 or current.total == 0:
         return float("nan")
     xs = np.union1d(current.means, baseline.means)
     if qs:
         xs = np.union1d(xs, np.array([current.quantile(q) for q in qs]))
-    return float(np.max(np.abs(_cdf_at(current, xs) - _cdf_at(baseline, xs))))
+    c_minus, c_plus = _cdf_sided(current, xs)
+    b_minus, b_plus = _cdf_sided(baseline, xs)
+    return float(
+        max(np.max(np.abs(c_plus - b_plus)), np.max(np.abs(c_minus - b_minus)))
+    )

@@ -116,13 +116,18 @@ class FieldRule:
     ``column`` is a column name or SQL expression string (evaluated with
     ``F.expr``); ``None`` for structural rules that reference their own
     fields. ``observed`` optionally overrides the expression reported as
-    ``observed_value`` in violation rows.
+    ``observed_value`` in violation rows. ``is_attr`` marks rules compiled
+    from XSD *attribute* declarations — consumers that need to treat
+    attribute columns specially (xsd.validate_xml_column's ``_`` column
+    remap) must use this flag, never infer from the rule_id string (a
+    child element literally named ``attr_<x>`` would be misclassified).
     """
 
     rule_id: str
     rule: Any
     column: Optional[str] = None
     observed: Optional[str] = None
+    is_attr: bool = False
 
     def ok_column(self, registry: TypeRegistry) -> Column:
         col = F.expr(self.column) if self.column is not None else None

@@ -1441,21 +1441,27 @@ def _gopher_oracle() -> str:
     from xmlschemavalidator_spark.textops import _STOPWORDS
 
     stops = ", ".join(f"'{w}'" for w in _STOPWORDS["en"])
+    # empty-token filter + nullif divisor: Spark's tokens() yields [] for
+    # empty/whitespace-only text (ratios NULL), while a bare
+    # regexp_split_to_array gives [''] (n_words=1, ratios 0) — the oracle
+    # must replicate the Spark semantics exactly (round-1 advisor finding;
+    # exercised by tests/test_textops.py::test_gopher_oracle_empty_text_parity)
     return f"""
 WITH t AS (
   SELECT doc_id, text,
-         regexp_split_to_array(trim(text), '\\s+') AS arr
+         list_filter(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'),
+                     x -> x <> '') AS arr
   FROM documents
 ), s AS (
   SELECT doc_id,
          len(arr) AS n_words,
          list_aggregate(list_transform(arr, x -> length(x)), 'sum')
-           / CAST(len(arr) AS DOUBLE) AS mwl,
+           / nullif(CAST(len(arr) AS DOUBLE), 0) AS mwl,
          len(list_filter(arr, x -> regexp_matches(x, '[A-Za-z]')))
-           / CAST(len(arr) AS DOUBLE) AS falpha,
+           / nullif(CAST(len(arr) AS DOUBLE), 0) AS falpha,
          ((length(text) - length(replace(text, '#', '')))
           + (length(text) - length(replace(text, '...', ''))) / 3.0)
-           / CAST(len(arr) AS DOUBLE) AS symr,
+           / nullif(CAST(len(arr) AS DOUBLE), 0) AS symr,
          len(list_filter(arr, x -> list_contains([{stops}], lower(x)))) AS stops
   FROM t)
 SELECT doc_id,
@@ -1492,7 +1498,9 @@ def text_gopher_filters(spark, sf_dir):
 @q(
     "text_repetition",
     """WITH t AS (
-         SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+         SELECT doc_id,
+                list_filter(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'),
+                            x -> x <> '') AS arr
          FROM documents
        ), g AS (
          SELECT doc_id,

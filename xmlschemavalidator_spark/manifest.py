@@ -121,14 +121,16 @@ class MetricsManifest:
         the monitoring layer over the lineage/metrics log. For each
         partition of ``snapshot``, the violation rate and failed-doc rate
         are z-scored against the same partition's history (default: every
-        earlier snapshot); |z| >= ``z`` is flagged. Fewer than
-        ``min_history`` prior points → no judgement (cold start is not an
-        anomaly). Driver-side only — the commit log is kilobytes.
+        snapshot sorting strictly BEFORE the scored one — ids must sort
+        chronologically, e.g. date-stamped; scoring a non-latest snapshot
+        never sees data committed after it); |z| >= ``z`` is flagged.
+        Fewer than ``min_history`` prior points → no judgement (cold start
+        is not an anomaly). Driver-side only — the commit log is kilobytes.
         """
         import math
 
         if history is None:
-            history = [s for s in self.snapshots() if s != snapshot]
+            history = [s for s in self.snapshots() if s < snapshot]
         hist: dict[str, list[tuple[float, float]]] = {}
         for s in history:
             for m in self.metrics(s):

@@ -212,17 +212,29 @@ class XsdSchema:
         for a in ct.attributes:
             col = f"{prefix}{a.name}"
             t = self.types.resolve(a.type) if a.type else None
+            rid = f"{root}__attr_{a.name}"
             if a.fixed is not None:
-                rules.append(FieldRule(f"{root}__attr_{a.name}", FixedAttr(a.fixed), column=col))
+                rules.append(FieldRule(rid, FixedAttr(a.fixed), column=col, is_attr=True))
             elif a.default is not None:
-                rules.append(
-                    FieldRule(f"{root}__attr_{a.name}", DefaultAttr(a.default, t), column=col)
-                )
+                rules.append(FieldRule(rid, DefaultAttr(a.default, t), column=col, is_attr=True))
             elif a.required:
-                rules.append(FieldRule(f"{root}__attr_{a.name}", RequiredAttr(t), column=col))
+                rules.append(FieldRule(rid, RequiredAttr(t), column=col, is_attr=True))
             elif t is not None:
-                rules.append(FieldRule(f"{root}__attr_{a.name}", _NullOr(t), column=col))
+                rules.append(FieldRule(rid, _NullOr(t), column=col, is_attr=True))
 
+        # rule ids must be unique: a child element named 'attr_<x>' next to
+        # an attribute '<x>' (or 'value' next to simpleContent) would
+        # otherwise emit two rules under one id and silently shadow in the
+        # wide-verdict output — fail loudly at compile time instead
+        seen: dict[str, FieldRule] = {}
+        for r in rules:
+            if r.rule_id in seen:
+                raise ValueError(
+                    f"rule id collision in complexType of {root!r}: {r.rule_id!r} "
+                    f"produced by two declarations (element/attribute/simpleContent "
+                    f"name clash) — rename one of the colliding declarations"
+                )
+            seen[r.rule_id] = r
         return RuleSet(rules=rules, registry=self.types)
 
     # ------------------------------------------------------------------
@@ -268,14 +280,13 @@ class XsdSchema:
         flat = parsed.select(*cols)
         rs = self.ruleset_for(root)
         # attribute columns carry the Spark XML '_' prefix; remap ONLY the
-        # attribute rules (ids start with '<root>__attr_') — matching on the
-        # column name would also prefix an element rule that happens to
-        # share its name with an attribute
-        attr_prefix = f"{root}__attr_"
+        # attribute rules, identified by the structural is_attr flag set in
+        # ruleset_for — matching on rule_id strings misclassified a child
+        # element literally named 'attr_<x>' (round-1 advisor finding)
         rs_attr = RuleSet(rules=[
             FieldRule(r.rule_id, r.rule,
-                      ("_" + r.column) if (r.column and r.rule_id.startswith(attr_prefix)) else r.column,
-                      r.observed)
+                      ("_" + r.column) if (r.column and r.is_attr) else r.column,
+                      r.observed, is_attr=r.is_attr)
             for r in rs.rules
         ], registry=rs.registry)
         return validate(flat, rs_attr, key=key)
