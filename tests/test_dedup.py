@@ -222,3 +222,71 @@ def test_hot_audit_surfaces(spark):
     hb = minhash_hot_buckets(df, "doc_id", max_bucket=30)
     # identical docs -> identical signatures -> every band bucket is hot
     assert hb.count() == 8 and hb.agg({"n_docs": "min"}).collect()[0][0] == 40
+
+
+def test_alternating_star_equals_min_label(spark):
+    """Large-star/small-star contraction (Kiveris SoCC'14) must produce
+    exactly the same (doc, cluster) assignment as min-label propagation on
+    random, path (high-diameter), and hub graphs."""
+    import random
+
+    from xmlschemavalidator_spark.dedup import (
+        alternating_star_clusters,
+        near_duplicate_clusters,
+    )
+
+    rng = random.Random(7)
+    graphs = {
+        # two cliques + isolated pair
+        "cliques": [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (20, 21)],
+        # a 30-node path: diameter 29 stresses the O(diameter) propagation
+        "path": [(i, i + 1) for i in range(100, 130)],
+        # hub-heavy: two hubs sharing a bridge
+        "hubs": [(0, i) for i in range(2, 12)] + [(1, i) for i in range(12, 22)] + [(0, 1)],
+        # random sparse graph
+        "random": [(rng.randrange(50), rng.randrange(50)) for _ in range(60)],
+    }
+    for name, raw in graphs.items():
+        edges = [(a, b) for a, b in raw if a != b]
+        df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+        # max_iterations must exceed the path graph's diameter (30):
+        # min-label moves one hop per round — at the 20-round default it
+        # silently returned SPLIT components (now warns; found by this test)
+        want = {
+            (r["doc"], r["cluster"])
+            for r in near_duplicate_clusters(df, max_iterations=40).collect()
+        }
+        got = {
+            (r["doc"], r["cluster"])
+            for r in alternating_star_clusters(df).collect()
+        }
+        assert got == want, f"graph {name}: {sorted(got)[:5]} vs {sorted(want)[:5]}"
+
+
+def test_min_label_observe_fixpoint_early_exit(spark):
+    """The Observation-based fixpoint must still converge and early-exit:
+    a 3-clique converges in <= 3 rounds regardless of max_iterations."""
+    from xmlschemavalidator_spark.dedup import near_duplicate_clusters
+
+    df = spark.createDataFrame(
+        [(5, 9), (9, 7), (7, 5)], "id_a bigint, id_b bigint"
+    )
+    got = {
+        (r["doc"], r["cluster"])
+        for r in near_duplicate_clusters(df, max_iterations=50).collect()
+    }
+    assert got == {(5, 5), (7, 5), (9, 5)}
+
+
+def test_min_label_warns_on_non_convergence(spark):
+    import warnings
+
+    from xmlschemavalidator_spark.dedup import near_duplicate_clusters
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "id_a bigint, id_b bigint"
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        near_duplicate_clusters(path, max_iterations=3).collect()
+    assert any("did not reach a fixpoint" in str(x.message) for x in w)

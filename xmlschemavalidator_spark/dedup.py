@@ -500,12 +500,20 @@ def near_duplicate_clusters(
     """Connected components over near-dup pairs via min-label propagation:
     ``(doc, cluster)`` where cluster = the smallest doc id reachable.
 
-    Each iteration is one join + one min-aggregate; labels converge in
-    O(diameter) rounds (near-dup graphs are overwhelmingly tiny cliques, so
-    2-3 rounds in practice). ``localCheckpoint`` cuts lineage every round —
-    without it the plan doubles per iteration and the driver OOMs long
-    before the data does. Stops early at fixpoint (zero changed labels).
-    """
+    Each iteration is ONE job: the propagation join feeds a min-aggregate
+    that also carries each doc's previous label (a `_self` marker row per
+    doc — every doc has exactly one), and the changed-label count rides the
+    same job as an ``Observation`` metric collected by the eager
+    ``localCheckpoint``. The earlier form re-joined new vs old labels and
+    ran a second action per round purely for the fixpoint check (round-1
+    verdict watch item). ``localCheckpoint`` also cuts lineage every round
+    — without it the plan doubles per iteration and the driver OOMs long
+    before the data does. Converges in O(diameter) rounds (near-dup graphs
+    are overwhelmingly tiny cliques, so 2-3 rounds in practice); for
+    hub-heavy graphs see :func:`alternating_star_clusters`, which contracts
+    in O(log² n) rounds."""
+    from pyspark.sql import Observation
+
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -522,23 +530,135 @@ def near_duplicate_clusters(
             edges.join(labels, edges.src == labels.doc)
             .select(F.col("dst").alias("doc"), F.col("cluster"))
         )
-        new_labels = (
-            labels.unionByName(msgs)
+        obs = Observation()
+        new_all = (
+            labels.withColumn("_self", F.lit(True))
+            .unionByName(msgs.withColumn("_self", F.lit(False)))
             .groupBy("doc")
-            .agg(F.min("cluster").alias("cluster"))
+            .agg(
+                F.min("cluster").alias("cluster"),
+                F.min(F.when(F.col("_self"), F.col("cluster"))).alias("_prev"),
+            )
+            .observe(
+                obs,
+                F.sum((F.col("cluster") != F.col("_prev")).cast("long")).alias(
+                    "n_changed"
+                ),
+            )
+        )
+        labels = new_all.select("doc", "cluster").localCheckpoint()
+        if obs.get["n_changed"] == 0:
+            break
+    else:
+        # labels move one hop per round: a component with diameter >
+        # max_iterations exits here with SPLIT clusters. Surface it —
+        # silently returning partial components corrupts dedup decisions.
+        # (Found by the star-vs-propagation equivalence test on a 30-node
+        # path graph.) High-diameter graphs should use
+        # alternating_star_clusters, which converges in O(log²) rounds.
+        import warnings
+
+        warnings.warn(
+            f"near_duplicate_clusters did not reach a fixpoint in "
+            f"{max_iterations} iterations — components with diameter > "
+            f"{max_iterations} are split; raise max_iterations or use "
+            f"alternating_star_clusters",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    return labels
+
+
+def alternating_star_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star edge
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14 — a published algorithm, reimplemented on DataFrames).
+    Same output contract as :func:`near_duplicate_clusters`:
+    ``(doc, cluster)``, cluster = component-minimum id.
+
+    Why it exists: min-label propagation converges in O(diameter) rounds —
+    fine for near-dup cliques, but a hub-and-path-heavy graph (boilerplate
+    chains) makes diameter large. Star contraction converges in O(log²)
+    rounds by rewiring every node toward its neighborhood minimum:
+
+    * large-star: every neighbor LARGER than u is re-pointed at
+      m = min(Γ(u) ∪ {u});
+    * small-star: every neighbor ≤ u (and u itself) is re-pointed at the
+      minimum of that down-neighborhood.
+
+    Each half-step is one groupBy + one join on the (shrinking) edge set;
+    the fixpoint check (edge multiset unchanged, via count + canonical
+    hash-sum) rides the same job as Observation metrics. Equivalence with
+    min-label propagation is pinned by tests on random + hub graphs;
+    measured rounds/throughput on a 1M-edge hub-heavy graph are in
+    SCALE.md."""
+    from pyspark.sql import Observation
+
+    # symmetric edge list without self-loops
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .unionByName(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_sig = None
+    for _ in range(max_iterations):
+        # ---- large-star: every neighbor v > u re-points at m(u) -----------
+        # each undirected edge {a,b}, a<b, is emitted exactly once, from its
+        # smaller endpoint's group (u=a, v=b) — as (b, m(a)) with m(a) <= a,
+        # so connectivity is preserved (Kiveris Thm 1) and no self-loops form
+        mins = edges.groupBy("u").agg(F.min("v").alias("_mv"))
+        mins = mins.select("u", F.least(F.col("u"), F.col("_mv")).alias("m"))
+        big = edges.where(F.col("v") > F.col("u"))
+        ls = big.join(mins, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
+        edges = (
+            ls.unionByName(ls.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .distinct()
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="doc")
-            .where(F.col("n.cluster") != F.col("o.cluster"))
-            .limit(1)
-            .count()
+        # ---- small-star: down-neighborhood re-points at its minimum -------
+        down = edges.where(F.col("v") < F.col("u"))  # orient big -> small
+        dmins = down.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            down.join(dmins, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .unionByName(dmins.select(F.col("u").alias("a"), F.col("m").alias("b")))
         )
-        labels = new_labels
-        if changed == 0:
+        obs = Observation()
+        sym = (
+            ss.unionByName(ss.select(F.col("b").alias("a"), F.col("a").alias("b")))
+            .select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .distinct()
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n_edges"),
+                # ANSI-safe multiset signature: decimal sum can't overflow
+                # (a raw long sum of xxhash64 values does, CLAUDE.md rule)
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("sig"),
+            )
+        )
+        edges = sym.localCheckpoint()
+        sig = (obs.get["n_edges"], obs.get["sig"])
+        if sig == prev_sig:
             break
-    return labels
+        prev_sig = sig
+    # stars: every edge points big <-> small with small = component min
+    down = edges.where(F.col("v") < F.col("u"))
+    labels = down.select(F.col("u").alias("doc"), F.col("v").alias("cluster"))
+    centers = (
+        edges.select(F.col("u").alias("doc"))
+        .distinct()
+        .join(labels.select("doc"), "doc", "left_anti")
+        .withColumn("cluster", F.col("doc"))
+    )
+    return labels.unionByName(centers)
 
 
 def drop_near_duplicates(

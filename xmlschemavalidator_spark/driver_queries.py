@@ -784,6 +784,22 @@ def dedup_clusters(spark, sf_dir):
     return near_duplicate_clusters(pairs)
 
 
+@q("dedup_clusters_star", _CLUSTER_ORACLE)
+def dedup_clusters_star(spark, sf_dir):
+    """Same components, different algorithm: alternating large-star/
+    small-star contraction (Kiveris SoCC'14) vs the same DuckDB
+    recursive-CTE transitive closure — O(log²) rounds instead of
+    O(diameter), the hub-heavy-graph scale path (SCALE.md has measured
+    rounds/throughput)."""
+    from xmlschemavalidator_spark.dedup import alternating_star_clusters
+
+    pairs = jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", shingle_n=3, threshold=0.12,
+        max_posting=100000,
+    )
+    return alternating_star_clusters(pairs)
+
+
 @q("minhash_lsh_pairs")  # no oracle: xxhash64 signatures are Spark-specific
 def minhash_lsh_pairs(spark, sf_dir):
     from xmlschemavalidator_spark.dedup import minhash_lsh_candidates
