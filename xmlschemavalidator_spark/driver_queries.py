@@ -1696,20 +1696,22 @@ def incremental_revalidation(spark, sf_dir):
 
 @q("multimodal_decode_features")
 def multimodal_decode_features(spark, sf_dir):
-    """Multimodal plumbing end-to-end (rows-only by design: the codec is a
-    deterministic stub, multimodal.py — the Spark side is real): binary
-    media table → mapInPandas decode + byte-histogram features → per-kind
-    aggregate. Schema, Arrow batch shape, and partitioning are what a real
-    PIL/ffmpeg decode would use."""
-    from xmlschemavalidator_spark.multimodal import decode_features, fake_media
+    """Multimodal decode end-to-end over REAL byte formats (round 2):
+    spec-implemented uncompressed BMP images + PCM16 WAV audio (video stays
+    on the disclosed fake container — compressed video needs ffmpeg, absent
+    here). Binary media table → mapInPandas decode + histogram features →
+    per-kind aggregate; malformed blobs surface as decode_error rows, and
+    n_decode_errors must be 0 on the generated corpus. Rows-only by design
+    (binary codecs aren't SQL-expressible)."""
+    from xmlschemavalidator_spark.multimodal import decode_real_features, real_media
 
-    media = fake_media(spark, 2000)
-    decoded = decode_features(media)
+    media = real_media(spark, 2000)
+    decoded = decode_real_features(media)
     return (
-        decoded.join(media.select("media_id", "kind"), "media_id")
-        .groupBy("kind")
+        decoded.groupBy("kind")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_media"),
+            F.sum(F.col("decode_error").isNotNull().cast("bigint")).alias("n_decode_errors"),
             F.round(F.avg("mean_intensity"), 3).alias("avg_intensity"),
             F.round(F.avg(F.element_at("features", 1)), 5).alias("avg_f0"),
         )
