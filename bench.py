@@ -123,6 +123,30 @@ def _validate_parquet_docs_per_sec(spark, path: str, n_rows: int, reps: int = 2)
     return best
 
 
+def _cpu_bound_rows_per_sec(spark, n_rows: int, reps: int = 2) -> float:
+    """The Amdahl control workload: 32 chained xxhash64 rounds per row over
+    ``spark.range`` — pure register arithmetic on 8-byte rows, near-zero
+    memory traffic per unit compute, no parquet scan, no shuffle, no
+    Python. If the 16→32-thread collapse seen on the validation workload
+    were a hidden serial section in the engine (Amdahl), it would show
+    here too; if this workload keeps scaling past 16 threads while the
+    scan-heavy one flattens, the collapse is memory bandwidth."""
+    from pyspark.sql import functions as F
+
+    col = F.col("id")
+    for i in range(32):
+        col = F.xxhash64(col, F.lit(i))
+    # pmod keeps the ANSI sum in safe range (CLAUDE.md hash-arithmetic rule)
+    expr = F.sum(F.pmod(col, F.lit(1_000_000)))
+    spark.range(n_rows // 10).select(expr).collect()  # warm codegen
+    best = 0.0
+    for _ in range(reps):
+        t0 = time.time()
+        spark.range(n_rows).select(expr).collect()
+        best = max(best, n_rows / (time.time() - t0))
+    return best
+
+
 def run_scaling(n_rows: int) -> dict:
     """The sandbox proxy for the north rule's N→4N-executor criterion:
     the identical validation job over the same materialized parquet input
@@ -161,6 +185,9 @@ def run_scaling(n_rows: int) -> dict:
             out[f"docs_per_sec_local{cores}"] = round(
                 _validate_parquet_docs_per_sec(spark, path, n_rows, reps), 1
             )
+            out[f"cpu_rows_per_sec_local{cores}"] = round(
+                _cpu_bound_rows_per_sec(spark, 40_000_000, reps=2), 1
+            )
             spark.stop()
         out["efficiency_4_to_16"] = round(
             (out["docs_per_sec_local16"] / out["docs_per_sec_local4"]) / 4.0, 3
@@ -168,9 +195,19 @@ def run_scaling(n_rows: int) -> dict:
         out["efficiency_8_to_32"] = round(
             (out["docs_per_sec_local32"] / out["docs_per_sec_local8"]) / 4.0, 3
         )
+        out["cpu_efficiency_4_to_16"] = round(
+            (out["cpu_rows_per_sec_local16"] / out["cpu_rows_per_sec_local4"]) / 4.0, 3
+        )
+        out["cpu_efficiency_8_to_32"] = round(
+            (out["cpu_rows_per_sec_local32"] / out["cpu_rows_per_sec_local8"]) / 4.0, 3
+        )
         out["note"] = (
             "4->16 is the primary N->4N proxy; >16 threads saturates this "
-            "host's single memory bus (not representative of 4N executors)"
+            "host's single memory bus (not representative of 4N executors). "
+            "cpu_* rows are the Amdahl control: a register-arithmetic "
+            "workload with near-zero memory traffic — if it scales past 16 "
+            "threads while the scan-heavy validation flattens, the collapse "
+            "is bandwidth, not a serial section in the engine."
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -142,3 +142,16 @@ def test_heavy_hitters_single_scan(spark):
 
     p = fmt(heavy_hitters_source(spark, SF_DIR))
     assert n_scans(p) == 1
+
+
+def test_simhash_signatures_plan_partial_agg_one_shuffle(spark):
+    """The JVM SimHash scale path: the 64 bit-vote sums are map-side
+    combined (partial aggregate below the Exchange), so the shuffle
+    carries (doc, 64 longs) per doc — never the exploded token stream —
+    and no Python worker appears anywhere in the plan."""
+    from xmlschemavalidator_spark.dedup import simhash_signatures_df
+
+    out = simhash_signatures_df(_docs(spark), "doc_id")
+    p = fmt(out)
+    assert "partial_sum" in p  # map-side combine before the shuffle
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p

@@ -150,7 +150,10 @@ def test_constant_column_zero_self_drift(spark, tmp_path):
     # and a fully moved constant is maximal drift
     moved = spark.range(0, 5000).select(F.lit(9.0).alias("v"))
     rep2 = drift_report(moved, ["v"], path, "s")
-    assert rep2.loc[0, "drift"] == pytest.approx(0.5)
+    # disjoint point masses = maximal KS drift. The mid-mass CDF convention
+    # used to report 0.5 here (halved gap at atoms — round-1 advisor
+    # finding); the one-sided-limits fix makes this the textbook 1.0
+    assert rep2.loc[0, "drift"] == pytest.approx(1.0)
 
 
 def test_compute_digests_one_scan_many_columns(spark):
