@@ -290,3 +290,83 @@ def test_min_label_warns_on_non_convergence(spark):
         warnings.simplefilter("always")
         near_duplicate_clusters(path, max_iterations=3).collect()
     assert any("did not reach a fixpoint" in str(x.message) for x in w)
+
+
+# --- corpus line dedup (C4) + decontamination (round 2) --------------------
+
+
+def _line_corpus(spark):
+    boiler = "accept all cookies to continue reading this site"
+    return spark.createDataFrame(
+        [
+            (1, f"unique first line of doc one\n{boiler}\nshort\nmore unique prose here"),
+            (2, f"{boiler}\ncompletely different second document body text"),
+            (3, "no boilerplate at all in this document\njust original writing"),
+            (4, f"  {boiler}  \npadded boilerplate still counts after trim"),
+            (5, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+
+
+def test_duplicate_lines_detection(spark):
+    from xmlschemavalidator_spark.dedup import duplicate_lines
+
+    got = duplicate_lines(_line_corpus(spark), "doc_id").collect()
+    assert len(got) == 1  # only the boilerplate line crosses min_docs=2
+    row = got[0]
+    assert row["line"] == "accept all cookies to continue reading this site"
+    assert row["n_docs"] == 3 and row["n_occurrences"] == 3
+
+
+def test_drop_duplicate_lines_rebuild(spark):
+    from xmlschemavalidator_spark.dedup import drop_duplicate_lines
+
+    out = {r["doc_id"]: r["text"] for r in
+           drop_duplicate_lines(_line_corpus(spark), "doc_id").collect()}
+    # boilerplate removed everywhere, order preserved, short lines kept
+    assert out[1] == "unique first line of doc one\nshort\nmore unique prose here"
+    assert out[2] == "completely different second document body text"
+    assert out[3] == "no boilerplate at all in this document\njust original writing"
+    assert out[4] == "padded boilerplate still counts after trim"
+    assert out[5] == ""  # empty doc survives as empty
+    # column order/schema unchanged
+    assert drop_duplicate_lines(_line_corpus(spark), "doc_id").columns == ["doc_id", "text"]
+
+
+def test_line_dedup_stats_consistent(spark):
+    from xmlschemavalidator_spark.dedup import line_dedup_stats
+
+    got = {r["doc"]: (r["n_lines"], r["n_kept"]) for r in
+           line_dedup_stats(_line_corpus(spark), "doc_id").collect()}
+    assert got[1] == (4, 3)
+    assert got[2] == (2, 1)
+    assert got[3] == (2, 2)
+    assert got[5] == (1, 1)  # the single empty line is short -> kept
+
+
+def test_contamination_matches_and_drop(spark):
+    from xmlschemavalidator_spark.dedup import (
+        contamination_matches,
+        drop_contaminated,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "what is the capital of france paris is the capital")],
+        "qid bigint, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "trivia dump: what is the capital of france paris is the answer"),
+            (2, "a completely unrelated document about spark aggregation physics"),
+            (3, "the capital of france appears here but the full gram does not"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc"]: r["n_matched_ngrams"] for r in
+           contamination_matches(docs, "doc_id", bench, ngram=6).collect()}
+    assert 1 in got and got[1] >= 1   # shares a 6-gram with the benchmark
+    assert 2 not in got and 3 not in got
+    kept = sorted(r["doc_id"] for r in
+                  drop_contaminated(docs, "doc_id", bench, ngram=6).collect())
+    assert kept == [2, 3]

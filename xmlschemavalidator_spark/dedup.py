@@ -676,6 +676,181 @@ def drop_near_duplicates(
 
 
 # --------------------------------------------------------------------------
+# corpus-level line dedup (C4-style boilerplate removal) and benchmark
+# decontamination (n-gram overlap with held-out eval sets) — both standard,
+# publicly documented web-pipeline passes (C4/T5 paper §2.2; GPT-3 paper
+# appendix C uses 13-gram overlap).
+# --------------------------------------------------------------------------
+
+
+def _doc_lines(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, pos, line, lnorm): newline-split lines with their position —
+    the shared base of the line-dedup family. ``lnorm`` is the trimmed
+    line; position is kept so text can be rebuilt in order."""
+    return (
+        _spread(df)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).alias(
+                "pos", "line"
+            ),
+        )
+        .withColumn("lnorm", F.trim("line"))
+    )
+
+
+def duplicate_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    min_line_chars: int = 15,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-corpus duplicated lines (C4 boilerplate detection):
+    ``(line_md5, line, n_occurrences, n_docs)`` for every trimmed line of
+    >= ``min_line_chars`` chars appearing in >= ``min_docs`` DISTINCT
+    docs. md5 (not xxhash64) so SQL oracles reproduce it bit-for-bit.
+    The shuffle carries (line_md5, doc) — never full texts — and the
+    result is tiny relative to the corpus (boilerplate is heavy-tailed)."""
+    eligible = _doc_lines(df, id_col, text_col).where(
+        F.length("lnorm") >= min_line_chars
+    )
+    return (
+        eligible.groupBy(F.md5("lnorm").alias("line_md5"))
+        .agg(
+            F.min("lnorm").alias("line"),  # identical within the md5 group
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc").alias("n_docs"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def _kept_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_line_chars: int,
+    min_docs: int,
+) -> DataFrame:
+    """Lines surviving C4-style removal: a line is dropped from EVERY doc
+    when its trimmed form is >= min_line_chars and appears in >= min_docs
+    distinct docs; short lines (headings, blanks) always survive. The dup
+    set is small → AQE broadcasts the anti-join side."""
+    lines = _doc_lines(df, id_col, text_col)
+    dups = duplicate_lines(df, id_col, text_col, min_line_chars, min_docs).select(
+        "line_md5"
+    )
+    eligible = F.length("lnorm") >= min_line_chars
+    keyed = lines.withColumn(
+        "_m", F.when(eligible, F.md5("lnorm")).otherwise(F.lit(None))
+    )
+    return keyed.join(dups, keyed["_m"] == dups["line_md5"], "left_anti").drop("_m")
+
+
+def line_dedup_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    min_line_chars: int = 15,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-doc effect of line dedup: ``(doc, n_lines, n_kept)`` — computed
+    on the lines frame itself (no string rebuild ambiguity), same internals
+    as :func:`drop_duplicate_lines`."""
+    lines = _doc_lines(df, id_col, text_col)
+    kept = _kept_lines(df, id_col, text_col, min_line_chars, min_docs)
+    n_all = lines.groupBy("doc").agg(F.count(F.lit(1)).alias("n_lines"))
+    n_kept = kept.groupBy("doc").agg(F.count(F.lit(1)).alias("n_kept"))
+    return n_all.join(n_kept, "doc", "left").select(
+        "doc", "n_lines", F.coalesce("n_kept", F.lit(0)).alias("n_kept")
+    )
+
+
+def drop_duplicate_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    min_line_chars: int = 15,
+    min_docs: int = 2,
+) -> DataFrame:
+    """C4-style boilerplate removal: rebuild ``text_col`` with cross-corpus
+    duplicated lines deleted (order preserved via the kept positions); all
+    other columns pass through. A doc whose every line was boilerplate ends
+    up with empty text — downstream length filters (gopher_pass) are the
+    intended next stage, mirroring the published pipeline order."""
+    kept = _kept_lines(df, id_col, text_col, min_line_chars, min_docs)
+    rebuilt = (
+        kept.groupBy("doc")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "line"))).alias("_ls"))
+        .select(
+            "doc",
+            F.array_join(F.transform("_ls", lambda s: s["line"]), "\n").alias("_new"),
+        )
+    )
+    out = df.join(rebuilt, df[id_col] == rebuilt["doc"], "left")
+    return out.select(
+        *[
+            F.coalesce("_new", F.lit("")).alias(text_col)
+            if c == text_col
+            else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
+def contamination_matches(
+    df: DataFrame,
+    id_col: str,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    ngram: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination scan (the GPT-3-style 13-gram overlap
+    test): ``(doc, n_matched_ngrams)`` — how many DISTINCT word n-grams of
+    each doc occur anywhere in the benchmark corpus. Benchmark n-gram sets
+    are megabytes even for large eval suites, so the join side is tiny and
+    AQE broadcasts it: the corpus is never shuffled, one narrow pass.
+    Benchmark documents present in ``df`` match themselves — exclude them
+    upstream or ignore their rows, per pipeline policy."""
+    bench_grams = (
+        benchmark.select(F.explode(shingles(F.col(bench_text_col), ngram)).alias("g"))
+        .select(F.md5("g").alias("gm"))
+        .distinct()
+    )
+    doc_grams = _spread(df).select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles(F.col(text_col), ngram)).alias("g"),
+    ).select("doc", F.md5("g").alias("gm"))
+    return (
+        doc_grams.join(F.broadcast(bench_grams), "gm")
+        .groupBy("doc")
+        .agg(F.countDistinct("gm").alias("n_matched_ngrams"))
+    )
+
+
+def drop_contaminated(
+    df: DataFrame,
+    id_col: str,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    ngram: int = 13,
+    max_matches: int = 0,
+) -> DataFrame:
+    """Remove docs overlapping the benchmark by more than ``max_matches``
+    distinct n-grams (0 = any overlap contaminates). Left-anti against the
+    (small) flagged set — untouched rows are not shuffled."""
+    flagged = (
+        contamination_matches(df, id_col, benchmark, text_col, bench_text_col, ngram)
+        .where(F.col("n_matched_ngrams") > max_matches)
+        .select(F.col("doc").alias(id_col))
+    )
+    return df.join(flagged, id_col, "left_anti")
+
+
+# --------------------------------------------------------------------------
 # embedding-cosine near-dup
 # --------------------------------------------------------------------------
 

@@ -800,6 +800,112 @@ def dedup_clusters_star(spark, sf_dir):
     return alternating_star_clusters(pairs)
 
 
+# planted boilerplate so the line-dedup queries have guaranteed non-empty
+# results (the synthetic corpus has no natural newline-duplicated lines;
+# CLAUDE.md: never accept a 0-row oracle match as evidence)
+_BOILER_A = "ACCEPT ALL COOKIES TO CONTINUE READING THIS PAGE"
+_BOILER_B = "subscribe to our newsletter for more articles like this"
+_LINES_TX_SQL = (
+    "(text"
+    f" || CASE WHEN doc_id % 3 = 0 THEN chr(10) || '{_BOILER_A}' ELSE '' END"
+    f" || CASE WHEN doc_id % 5 = 0 THEN chr(10) || '{_BOILER_B}' ELSE '' END)"
+)
+_LINES_L_SQL = f"""
+t AS (SELECT doc_id, {_LINES_TX_SQL} AS tx FROM documents),
+l AS (SELECT doc_id,
+             unnest(list_transform(string_split(tx, chr(10)), x -> trim(x))) AS lnorm
+      FROM t)"""
+
+
+def _planted_lines_df(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    tx = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("\n"), F.lit(_BOILER_A))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("\n"), F.lit(_BOILER_B))).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", tx.alias("text"))
+
+
+@q(
+    "corpus_duplicate_lines",
+    f"""WITH {_LINES_L_SQL}
+       SELECT md5(lnorm) AS line_md5,
+              min(lnorm) AS line,
+              CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+              CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+       FROM l
+       WHERE length(lnorm) >= 15
+       GROUP BY md5(lnorm)
+       HAVING COUNT(DISTINCT doc_id) >= 2""",
+)
+def corpus_duplicate_lines(spark, sf_dir):
+    """C4-style cross-corpus duplicated-line detection (the boilerplate
+    table): trimmed lines >= 15 chars appearing in >= 2 distinct docs.
+    Boilerplate is planted deterministically (docs %3 / %5) so the check
+    exercises multi-doc counting; md5 keys make the DuckDB oracle
+    bit-exact."""
+    from xmlschemavalidator_spark.dedup import duplicate_lines
+
+    return duplicate_lines(_planted_lines_df(spark, sf_dir), "doc_id")
+
+
+@q(
+    "corpus_line_dedup_stats",
+    f"""WITH {_LINES_L_SQL},
+       d AS (SELECT md5(lnorm) AS m FROM l WHERE length(lnorm) >= 15
+             GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2)
+       SELECT doc_id AS doc,
+              CAST(COUNT(*) AS BIGINT) AS n_lines,
+              CAST(SUM(CASE WHEN length(lnorm) >= 15
+                             AND md5(lnorm) IN (SELECT m FROM d)
+                        THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
+       FROM l GROUP BY doc_id""",
+)
+def corpus_line_dedup_stats(spark, sf_dir):
+    """Per-doc effect of C4 line removal: (doc, n_lines, n_kept) computed
+    by the same internals as drop_duplicate_lines — boilerplate lines are
+    deleted from EVERY doc, short lines always survive."""
+    from xmlschemavalidator_spark.dedup import line_dedup_stats
+
+    return line_dedup_stats(_planted_lines_df(spark, sf_dir), "doc_id")
+
+
+_DECON_N = 8
+_DECON_GRAMS_SQL = f"""
+toks AS (SELECT doc_id,
+                list_filter(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'),
+                            x -> x <> '') AS arr
+         FROM documents),
+grams AS (SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                     range(1, greatest(len(arr) - {_DECON_N} + 1, 0) + 1),
+                     i -> array_to_string(list_slice(arr, i, i + {_DECON_N} - 1), ' ')))) AS g
+          FROM toks)"""
+
+@q(
+    "decontamination_overlap",
+    f"""WITH {_DECON_GRAMS_SQL},
+       bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0)
+       SELECT g2.doc_id AS doc,
+              CAST(COUNT(DISTINCT g2.g) AS BIGINT) AS n_matched_ngrams
+       FROM grams g2 JOIN bench USING (g)
+       GROUP BY g2.doc_id""",
+)
+def decontamination_overlap(spark, sf_dir):
+    """Benchmark decontamination scan (GPT-3 appendix-C style n-gram
+    overlap, 8-grams here for the short synthetic docs): benchmark = every
+    50th doc; output = docs sharing at least one benchmark n-gram with the
+    count of distinct shared grams. Benchmark docs match themselves by
+    construction — the pipeline's drop policy decides what to do with
+    them (drop_contaminated)."""
+    from xmlschemavalidator_spark.dedup import contamination_matches
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    return contamination_matches(docs, "doc_id", bench, ngram=_DECON_N)
+
+
 @q("minhash_lsh_pairs")  # no oracle: xxhash64 signatures are Spark-specific
 def minhash_lsh_pairs(spark, sf_dir):
     from xmlschemavalidator_spark.dedup import minhash_lsh_candidates
