@@ -1,0 +1,103 @@
+"""Sampling/mixing tests: determinism, engine parity, budget semantics."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from xmlschemavalidator_spark.sampling import (
+    deterministic_sample,
+    md5_threshold,
+    sample_key_sql,
+    stratified_sample,
+    token_budget_select,
+)
+
+
+def test_md5_threshold_bounds():
+    assert md5_threshold(0.0) == "0" * 32
+    assert md5_threshold(1.0) == "f" * 32
+    assert md5_threshold(0.5).startswith("8")
+    with pytest.raises(ValueError):
+        md5_threshold(1.5)
+
+
+def test_deterministic_sample_stable_and_calibrated(spark):
+    df = spark.range(20000).withColumnRenamed("id", "doc_id")
+    s1 = {r["doc_id"] for r in deterministic_sample(df, "doc_id", 0.2).collect()}
+    s2 = {r["doc_id"] for r in deterministic_sample(df, "doc_id", 0.2).collect()}
+    assert s1 == s2  # pure function of the id
+    assert 0.17 < len(s1) / 20000 < 0.23  # calibrated
+    # independent salts give (near-)independent samples
+    s3 = {r["doc_id"] for r in
+          deterministic_sample(df, "doc_id", 0.2, salt="other").collect()}
+    overlap = len(s1 & s3) / 20000
+    assert 0.02 < overlap < 0.07  # ~= 0.04 expected under independence
+    # nested property: a smaller fraction with the same salt is a subset
+    s_small = {r["doc_id"] for r in deterministic_sample(df, "doc_id", 0.1).collect()}
+    assert s_small <= s1
+
+
+def test_deterministic_sample_matches_duckdb(spark):
+    """The engine-portability claim, checked directly: the same predicate
+    in DuckDB selects exactly the same ids."""
+    df = spark.range(5000).withColumnRenamed("id", "doc_id")
+    got = sorted(r["doc_id"] for r in deterministic_sample(df, "doc_id", 0.15).collect())
+    con = duckdb.connect()
+    want = [
+        r[0]
+        for r in con.execute(
+            f"SELECT i FROM range(5000) t(i) "
+            f"WHERE {sample_key_sql('i', 'sample')} < '{md5_threshold(0.15)}' ORDER BY i"
+        ).fetchall()
+    ]
+    assert got == want
+
+
+def test_stratified_sample_fractions(spark):
+    df = spark.range(30000).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("de"), F.lit("sv")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("lang"),
+    )
+    out = stratified_sample(
+        df, "doc_id", "lang", {"en": 1.0, "de": 0.3}, default_fraction=0.05
+    )
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts["en"] == 10000                # keep all
+    assert 2500 < counts["de"] < 3500           # ~30%
+    assert 300 < counts.get("sv", 0) < 700      # ~5% default
+
+
+def test_token_budget_select_semantics(spark):
+    df = spark.createDataFrame(
+        [
+            # group a: costs 50, 40, 30 (ordered desc) — budget 80 keeps
+            # 50 (spent_before 0) and 40 (spent_before 50 < 80); the 40
+            # crosses the line and IS included; 30 (spent_before 90) is out
+            (1, "a", 50),
+            (2, "a", 40),
+            (3, "a", 30),
+            # group b: single row over budget still kept (first-to-exceed)
+            (4, "b", 500),
+        ],
+        "doc_id bigint, grp string, cost long",
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in token_budget_select(df, "doc_id", "grp", "cost", budget=80).collect()
+    )
+    assert got == [1, 2, 4]
+    # ascending=True flips the order: cheapest first
+    got_asc = sorted(
+        r["doc_id"]
+        for r in token_budget_select(
+            df, "doc_id", "grp", "cost", budget=80, ascending=True
+        ).collect()
+    )
+    # ascending: 30 (spent_before 0), 40 (30 < 80), 50 (70 < 80) — all kept
+    assert got_asc == [1, 2, 3, 4]

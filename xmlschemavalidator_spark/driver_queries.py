@@ -800,6 +800,83 @@ def dedup_clusters_star(spark, sf_dir):
     return alternating_star_clusters(pairs)
 
 
+# ---------------------------------------------------------------------------
+# data-recipe ops: deterministic sampling / mixing / token budgeting
+# ---------------------------------------------------------------------------
+
+def _sampling_sql_bits():
+    from xmlschemavalidator_spark.sampling import md5_threshold, sample_key_sql
+
+    return md5_threshold, sample_key_sql
+
+
+_S_THRESH, _S_KEY = _sampling_sql_bits()
+
+@q(
+    "sample_deterministic",
+    f"""SELECT doc_id, lang FROM documents
+        WHERE {_S_KEY('doc_id', 'sample')} < '{_S_THRESH(0.2)}'""",
+)
+def sample_deterministic(spark, sf_dir):
+    """Content-addressed 20% sample: membership = md5(salt:id) < threshold,
+    a pure narrow filter — stable across runs/retries/engines (a rand()
+    sample re-drawn after a failed stage silently changes the corpus).
+    The oracle runs the IDENTICAL predicate in DuckDB: exact id parity,
+    not just calibration."""
+    from xmlschemavalidator_spark.sampling import deterministic_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return deterministic_sample(docs, "doc_id", 0.2).select("doc_id", "lang")
+
+
+_MIX = {"en": 1.0, "de": 0.3, "sv": 0.1}
+
+@q(
+    "sample_stratified_mix",
+    f"""SELECT doc_id, lang FROM documents
+        WHERE {_S_KEY('doc_id', 'mix')} <
+              CASE lang WHEN 'en' THEN '{_S_THRESH(1.0)}'
+                        WHEN 'de' THEN '{_S_THRESH(0.3)}'
+                        WHEN 'sv' THEN '{_S_THRESH(0.1)}'
+                        ELSE '{_S_THRESH(0.02)}' END""",
+)
+def sample_stratified_mix(spark, sf_dir):
+    """Corpus mixing: per-language keep fractions (all en, 30% de, 10% sv,
+    2% rest) via the same content-addressed predicate — the recipe layer
+    of a training pipeline, exact to the oracle per id."""
+    from xmlschemavalidator_spark.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "doc_id", "lang", _MIX, default_fraction=0.02, salt="mix"
+    ).select("doc_id", "lang")
+
+
+@q(
+    "token_budget_per_lang",
+    """SELECT doc_id, lang, n_chars FROM (
+         SELECT doc_id, lang, n_chars,
+                SUM(n_chars) OVER (PARTITION BY lang
+                                   ORDER BY n_chars DESC, doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_chars
+                  AS spent_before
+         FROM documents)
+       WHERE spent_before < 40000""",
+)
+def token_budget_per_lang(spark, sf_dir):
+    """Token budgeting: keep the largest docs per language until each
+    language has spent a 40k-char budget (first-to-exceed row included,
+    ties broken by id — fully deterministic). The published pipeline
+    order is filter → budget; the window sorts only within bounded
+    language groups."""
+    from xmlschemavalidator_spark.sampling import token_budget_select
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return token_budget_select(
+        docs, "doc_id", "lang", "n_chars", budget=40000
+    )
+
+
 # planted boilerplate so the line-dedup queries have guaranteed non-empty
 # results (the synthetic corpus has no natural newline-duplicated lines;
 # CLAUDE.md: never accept a 0-row oracle match as evidence)
