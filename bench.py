@@ -51,6 +51,8 @@ def headline_queries():
     from xmlschemavalidator_spark.driver_queries import (
         agg_pricing_summary,
         ann_cosine_topk,
+        corpus_line_dedup_stats,
+        decontamination_overlap,
         join_q3_shipping_priority,
         join_revenue_segment,
         window_daily_events,
@@ -80,6 +82,8 @@ def headline_queries():
         "window_daily": lambda s: window_daily_events(s, SF_DIR),
         "minhash_lsh": lambda s: minhash_lsh_candidates(t(s, "documents"), "doc_id"),
         "simhash_sigs": lambda s: simhash_signatures_df(t(s, "documents"), "doc_id"),
+        "line_dedup": lambda s: corpus_line_dedup_stats(s, SF_DIR),
+        "decontam": lambda s: decontamination_overlap(s, SF_DIR),
         "ann_topk": lambda s: ann_cosine_topk(s, SF_DIR),
     }
 

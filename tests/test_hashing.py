@@ -78,3 +78,33 @@ def test_xxh64_str_length_sweep(spark, n):
     df = spark.createDataFrame([(s,)], "s string")
     h = df.select(F.xxhash64("s").alias("h")).collect()[0]["h"]
     assert xxh64_str(s) == h
+
+
+def test_xxh64_property_random_strings(spark):
+    """Property pin: arbitrary unicode strings hash identically in the
+    pure-Python replica and Spark's JVM expression (hypothesis-generated,
+    fixed seed via derandomize for CI stability)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    cases: list[str] = []
+
+    @settings(
+        max_examples=60,
+        derandomize=True,
+        suppress_health_check=list(HealthCheck),
+        deadline=None,
+    )
+    @given(st.text(max_size=200))
+    def collect(s):
+        cases.append(s)
+
+    collect()
+    # surrogates can't round-trip through Arrow/UTF-8; Spark strings are
+    # valid UTF-8 by construction
+    cases = [s for s in cases if not any(0xD800 <= ord(c) <= 0xDFFF for c in s)]
+    assert len(cases) > 30
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(cases)], "i int, s string")
+    got = {r["i"]: r["h"] for r in df.select("i", F.xxhash64("s").alias("h")).collect()}
+    for i, s in enumerate(cases):
+        assert got[i] == xxh64_str(s), repr(s)
