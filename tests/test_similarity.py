@@ -141,3 +141,32 @@ def test_hyperplane_bucket_py_matches_jvm(spark):
                 .collect()[0]["b"]
             )
             assert hyperplane_bucket_py(v, nbits, seed) == jvm, (nbits, seed, v)
+
+
+def test_lsh_multitable_recall_dominates_single(spark):
+    """L independent tables must find at least everything the single-table
+    search finds (table 0 uses the same seed), and measured recall vs the
+    exact top-k should improve on this near-random corpus."""
+    import os
+
+    from xmlschemavalidator_spark.similarity import (
+        brute_force_topk,
+        lsh_topk,
+        lsh_topk_multitable,
+    )
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    if not os.path.exists(path):
+        pytest.skip("no testdata")
+    emb = spark.read.parquet(path)
+    q = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    exact = {r["vec_id"] for r in brute_force_topk(emb, "embedding", q, k=10).collect()}
+    single = {r["vec_id"] for r in lsh_topk(emb, "embedding", q, k=10, nbits=6).collect()}
+    multi4 = {
+        r["vec_id"]
+        for r in lsh_topk_multitable(emb, "embedding", q, k=10, nbits=6, tables=4).collect()
+    }
+    r1 = len(exact & single) / 10
+    r4 = len(exact & multi4) / 10
+    assert r4 >= r1  # more tables never lose the seed-42 table's hits
+    assert q is not None and len(multi4) <= 10

@@ -1924,6 +1924,35 @@ def ann_lsh_recall(spark, sf_dir):
     return spark.createDataFrame(rows, "k int, probes int, n_hits long, recall double")
 
 
+@q("ann_lsh_multitable_recall")
+def ann_lsh_multitable_recall(spark, sf_dir):
+    """Recall@10 across the number-of-tables dial (rows-only: the metric
+    IS the quality check). L independent plane families: a neighbor with
+    single-table collision probability r is found with 1-(1-r)^L — the
+    standard recall lever when multi-probe alone is not enough. One scan
+    per search regardless of L (all bucket ids in one projection)."""
+    from xmlschemavalidator_spark.similarity import (
+        brute_force_topk,
+        lsh_topk_multitable,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    exact = brute_force_topk(emb, "embedding", query, k=10)
+    rows = []
+    # nbits=3 so the dial is visible on this near-random corpus (measured:
+    # recall 0.5 -> 0.7 from 1 to 8 tables; at nbits=6 near-orthogonal
+    # vectors collide at ~0.5^6 per table and recall flatlines at the
+    # noise floor for any L — the corpus, not the index, is the bound)
+    for tables in (1, 2, 4, 8):
+        approx = lsh_topk_multitable(
+            emb, "embedding", query, k=10, nbits=3, tables=tables
+        )
+        hits = exact.join(approx, "vec_id", "left_semi").count()
+        rows.append((10, tables, hits, round(hits / 10.0, 2)))
+    return spark.createDataFrame(rows, "k int, tables int, n_hits long, recall double")
+
+
 @q("ivf_kmeans_topk")
 def ivf_kmeans_topk(spark, sf_dir):
     """IVF with TRAINED centroids (rows-only: k-means is iterative, no

@@ -110,6 +110,36 @@ def lsh_topk(
     return brute_force_topk(cand, vec_col, query, k, id_col)
 
 
+def lsh_topk_multitable(
+    df: DataFrame,
+    vec_col: str,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    nbits: int = 8,
+    tables: int = 4,
+    probes: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k with L independent hash tables — the standard
+    recall lever: a true neighbor colliding with probability r in one
+    table is found with probability 1-(1-r)^L across L tables (each table
+    re-seeds its hyperplanes). Still ONE scan: all L bucket ids are
+    computed in a single projection and the candidate predicate is an OR
+    of tiny ``isin`` lists (driver-side query buckets via
+    :func:`hyperplane_bucket_py` — no per-table Spark jobs). Cost: L*nbits
+    hyperplane dot products per row, traded for recall; candidates are
+    verified exactly, so precision is unaffected."""
+    cond = None
+    for t in range(tables):
+        ts = seed + 7919 * t  # distinct plane family per table
+        qb = hyperplane_bucket_py(query, nbits, ts)
+        probe_set = [qb] + [qb ^ (1 << i) for i in range(min(probes - 1, nbits))]
+        c = hyperplane_bucket(F.col(vec_col), nbits, ts).isin(probe_set)
+        cond = c if cond is None else (cond | c)
+    return brute_force_topk(df.where(cond), vec_col, query, k, id_col)
+
+
 def ivf_assign(
     df: DataFrame, vec_col: str, centroids: list[list[float]], id_col: str = "vec_id"
 ) -> DataFrame:
