@@ -370,3 +370,39 @@ def test_contamination_matches_and_drop(spark):
     kept = sorted(r["doc_id"] for r in
                   drop_contaminated(docs, "doc_id", bench, ngram=6).collect())
     assert kept == [2, 3]
+
+
+def test_incremental_exact_dedup_across_batches(spark, tmp_path):
+    from xmlschemavalidator_spark.dedup import (
+        commit_seen_fingerprints,
+        incremental_exact_dedup,
+    )
+
+    store = str(tmp_path / "fps")
+    b1 = spark.createDataFrame(
+        [(1, "alpha doc"), (2, "beta doc"), (3, "alpha doc")],  # 3 dups 1 in-batch
+        "doc_id bigint, text string",
+    )
+    kept1 = incremental_exact_dedup(b1, "doc_id", store)
+    assert sorted(r["doc_id"] for r in kept1.collect()) == [1, 2]
+    commit_seen_fingerprints(kept1, store)
+
+    b2 = spark.createDataFrame(
+        [
+            (10, "alpha doc"),      # dup of batch 1 -> dropped
+            (11, "gamma doc"),      # fresh
+            (12, "  ALPHA   doc "), # normalization folds to batch-1 doc
+            (13, "gamma doc"),      # in-batch dup of 11
+        ],
+        "doc_id bigint, text string",
+    )
+    kept2 = incremental_exact_dedup(b2, "doc_id", store)
+    assert sorted(r["doc_id"] for r in kept2.collect()) == [11]
+    commit_seen_fingerprints(kept2, store)
+
+    # retrying the commit must not change future decisions
+    commit_seen_fingerprints(kept2, store)
+    b3 = spark.createDataFrame([(20, "gamma doc"), (21, "delta doc")],
+                               "doc_id bigint, text string")
+    kept3 = incremental_exact_dedup(b3, "doc_id", store)
+    assert sorted(r["doc_id"] for r in kept3.collect()) == [21]

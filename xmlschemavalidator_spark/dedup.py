@@ -676,6 +676,58 @@ def drop_near_duplicates(
 
 
 # --------------------------------------------------------------------------
+# incremental (cross-batch) exact dedup against a persistent fingerprint
+# store — the batch analogue of streaming/stateful.py's first-seen dedup,
+# for the daily-crawl-increment shape: each batch drops docs whose content
+# was seen in ANY earlier batch, then commits its own fingerprints.
+# --------------------------------------------------------------------------
+
+
+def _seen_fingerprints(spark, state_path: str) -> DataFrame:
+    try:
+        return spark.read.parquet(state_path).select("fingerprint")
+    except Exception:  # first batch: no store yet
+        return spark.createDataFrame([], "fingerprint string")
+
+
+def incremental_exact_dedup(
+    new_df: DataFrame, id_col: str, state_path: str, text_col: str = "text"
+) -> DataFrame:
+    """Docs of this batch that are NOT exact duplicates of (a) any earlier
+    batch's docs (fingerprint store at ``state_path``) or (b) an
+    earlier-id doc in the same batch. Pure read side — call
+    :func:`commit_seen_fingerprints` AFTER the kept output is durably
+    written, so a failed job never marks documents seen without having
+    emitted them (the write-once ordering the manifest layer uses too).
+
+    Scale shape: the store holds one 32-char md5 per unique doc ever seen
+    — the anti-join shuffles (fingerprint) pairs only, and AQE broadcasts
+    the store side while it is small."""
+    within = drop_exact_duplicates(new_df, id_col, text_col)
+    keyed = within.withColumn("_fp", doc_fingerprint(F.col(text_col)))
+    seen = _seen_fingerprints(new_df.sparkSession, state_path)
+    return (
+        keyed.join(seen, keyed["_fp"] == seen["fingerprint"], "left_anti")
+        .drop("_fp")
+    )
+
+
+def commit_seen_fingerprints(
+    kept_df: DataFrame, state_path: str, text_col: str = "text"
+) -> None:
+    """Append the kept batch's distinct fingerprints to the store. Safe to
+    retry: duplicate fingerprints in the store change no dedup decision
+    (membership is a set semantics); compact with
+    ``spark.read.parquet(path).distinct().write`` when growth matters."""
+    (
+        kept_df.select(doc_fingerprint(F.col(text_col)).alias("fingerprint"))
+        .distinct()
+        .write.mode("append")
+        .parquet(state_path)
+    )
+
+
+# --------------------------------------------------------------------------
 # corpus-level line dedup (C4-style boilerplate removal) and benchmark
 # decontamination (n-gram overlap with held-out eval sets) — both standard,
 # publicly documented web-pipeline passes (C4/T5 paper §2.2; GPT-3 paper
