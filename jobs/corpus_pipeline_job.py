@@ -1,0 +1,160 @@
+"""spark-submit entry point for the full training-corpus pipeline — the
+composed "a user of the reference could run their whole prep here" job:
+
+    validate → quality filter (gopher) → C4 line dedup → exact dedup
+    (incremental vs a fingerprint store) → near-dup drop (MinHash-LSH +
+    connected components) → decontaminate vs a benchmark → stratified mix
+    → per-language token budget → write kept corpus + audit tables
+
+Usage:
+
+    python tools/make_pyfiles.py   # builds dist/xmlschemavalidator_spark.zip
+    spark-submit \\
+        --py-files dist/xmlschemavalidator_spark.zip \\
+        jobs/corpus_pipeline_job.py \\
+        --input  /data/documents        # parquet: (doc_id, text, lang, ...)
+        --output /data/corpus_out       # kept/ + audit/ + fingerprint store
+        [--benchmark /data/eval_docs]   # decontamination reference corpus
+        [--budget-per-lang N]           # chars kept per language (0 = off)
+        [--synthetic-rows N]            # no --input: use testdata documents
+
+Every stage is the library operator the test suite and the DuckDB oracle
+gate cover — this file only composes them and writes audit surfaces
+(drop counts per stage), so the pipeline's data movement is exactly what
+OPERATORS.md/SCALE.md document per stage.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def run_pipeline(
+    spark: SparkSession,
+    docs,
+    output: str,
+    benchmark=None,
+    mix: dict[str, float] | None = None,
+    budget_per_lang: int = 0,
+    id_col: str = "doc_id",
+) -> dict:
+    """Compose the pipeline over an in-memory DataFrame; returns the
+    per-stage audit dict (also written to <output>/audit/stages.json).
+    Factored out of main() so tests can drive it without spark-submit."""
+    from xmlschemavalidator_spark.dedup import (
+        commit_seen_fingerprints,
+        drop_contaminated,
+        drop_duplicate_lines,
+        drop_near_duplicates,
+        incremental_exact_dedup,
+        minhash_lsh_candidates,
+    )
+    from xmlschemavalidator_spark.engine import validate
+    from xmlschemavalidator_spark.flagship import documents_ruleset
+    from xmlschemavalidator_spark.sampling import stratified_sample, token_budget_select
+    from xmlschemavalidator_spark.textops import gopher_pass
+
+    audit: dict = {}
+
+    def stage(name, df):
+        n = df.count()
+        audit[name] = n
+        return df
+
+    stage("input", docs)
+
+    # 1. schema/constraint validation — violations kept as an audit table
+    res = validate(docs, documents_ruleset(), key=id_col)
+    res.violations.write.mode("overwrite").parquet(f"{output}/audit/violations")
+    ok_ids = res.verdicts.where(F.col("_doc_ok")).select(id_col)
+    cur = stage("validated", docs.join(ok_ids, id_col, "left_semi"))
+
+    # 2. quality filter (gopher pass)
+    cur = stage("quality", cur.where(gopher_pass(F.col("text"))))
+
+    # 3. C4 line dedup (boilerplate removal) — may empty some docs; the
+    # published order re-applies a length floor right after
+    cur = drop_duplicate_lines(cur, id_col)
+    cur = stage("line_dedup", cur.where(F.length(F.trim("text")) > 0))
+
+    # 4. exact dedup, incremental vs the persistent store
+    store = f"{output}/fingerprints"
+    cur = stage("exact_dedup", incremental_exact_dedup(cur, id_col, store))
+
+    # 5. near-dup drop (MinHash-LSH candidates -> CC survivors)
+    pairs = minhash_lsh_candidates(cur, id_col)
+    cur = stage("near_dedup", drop_near_duplicates(cur, id_col, pairs))
+
+    # 6. decontamination vs the benchmark corpus
+    if benchmark is not None:
+        cur = stage("decontaminated", drop_contaminated(cur, id_col, benchmark))
+
+    # 7. stratified mixing
+    if mix:
+        cur = stage(
+            "mixed",
+            stratified_sample(cur, id_col, "lang", mix, default_fraction=0.0),
+        )
+
+    # 8. per-language token budget (largest docs first)
+    if budget_per_lang > 0:
+        with_cost = cur.withColumn("_cost", F.length("text"))
+        cur = stage(
+            "budgeted",
+            token_budget_select(
+                with_cost, id_col, "lang", "_cost", budget_per_lang
+            ).drop("_cost"),
+        )
+
+    cur.write.mode("overwrite").parquet(f"{output}/kept")
+    commit_seen_fingerprints(  # AFTER the kept output is durable
+        spark.read.parquet(f"{output}/kept"), store
+    )
+    audit["kept"] = audit[list(audit)[-1]]
+    with open_spark_safe(f"{output}/audit/stages.json") as fh:
+        json.dump(audit, fh, indent=2)
+    return audit
+
+
+def open_spark_safe(path: str):
+    """Local-filesystem JSON sink for the tiny audit dict (the driver runs
+    where --output is mounted in this deployment; swap for a DataFrame
+    write on object stores)."""
+    import os
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    return open(path, "w")
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", default=None)
+    p.add_argument("--output", required=True)
+    p.add_argument("--benchmark", default=None)
+    p.add_argument("--mix", default=None, help='JSON dict, e.g. {"en":1.0,"de":0.3}')
+    p.add_argument("--budget-per-lang", type=int, default=0)
+    p.add_argument("--id-col", default="doc_id")
+    args = p.parse_args(argv)
+
+    spark = (
+        SparkSession.builder.appName("corpus-pipeline")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .getOrCreate()
+    )
+    docs = spark.read.parquet(args.input or "/root/testdata/sf0.001/documents.parquet")
+    bench = spark.read.parquet(args.benchmark) if args.benchmark else None
+    mix = json.loads(args.mix) if args.mix else None
+    audit = run_pipeline(
+        spark, docs, args.output, bench, mix, args.budget_per_lang, args.id_col
+    )
+    print(json.dumps(audit))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

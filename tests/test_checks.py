@@ -157,3 +157,26 @@ def test_tdigest_ks_disjoint_point_masses_score_one(spark):
     c = spark.createDataFrame(pd.DataFrame({"v": [1.0] * 25 + [2.0] * 75}))
     d = spark.createDataFrame(pd.DataFrame({"v": [1.0] * 75 + [2.0] * 25}))
     assert abs(quantile_gap_drift(digest_of(c, "v"), digest_of(d, "v")) - 0.5) < 1e-9
+
+
+def test_heavy_hitters_exact_and_nulls(spark):
+    from xmlschemavalidator_spark.checks.stats import heavy_hitters
+
+    df = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [(None,)] * 2 + [("c",)],
+        "v string",
+    )
+    got = [(r["value"], r["n"], r["share"]) for r in heavy_hitters(df, "v", k=3).collect()]
+    assert got[0] == ("a", 5, round(5 / 11, 6))
+    assert got[1] == ("b", 3, round(3 / 11, 6))
+    assert got[2] == (None, 2, round(2 / 11, 6))  # null takeover is visible
+
+
+def test_approx_heavy_hitters_verified_counts(spark):
+    from xmlschemavalidator_spark.checks.stats import approx_heavy_hitters
+
+    rows = [("hot",)] * 400 + [(f"cold{i}",) for i in range(100)]
+    df = spark.createDataFrame(rows, "v string")
+    got = {r["value"]: r["share"] for r in approx_heavy_hitters(df, "v", 0.5).collect()}
+    assert set(got) == {"hot"}  # only the dominant value survives min_share
+    assert abs(got["hot"] - 0.8) < 1e-6  # exact share from the verify pass

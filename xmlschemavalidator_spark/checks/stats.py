@@ -96,3 +96,47 @@ def length_histogram(df: DataFrame, column: str, bucket_width: int = 100) -> Dat
         .withColumn("bucket_lo", F.col("bucket") * F.lit(bucket_width))
         .select("bucket", "bucket_lo", "n")
     )
+
+
+def heavy_hitters(df: DataFrame, column: str, k: int = 10) -> DataFrame:
+    """Top-k most frequent values of a column with their share of rows:
+    ``(value, n, share)`` — the frequent-items data-quality check (a value
+    suddenly dominating a column is a classic upstream-pipeline bug).
+    Exact: one partial+final count aggregate, then TakeOrderedAndProject
+    on #distinct rows (never a global sort of the data); deterministic
+    ties by value. NULLs are counted as a value (reported as NULL) — a
+    null takeover is exactly the failure this check exists to catch."""
+    total = df.count()
+    counts = (
+        df.groupBy(F.col(column).alias("value"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("value"))
+        .limit(k)
+    )
+    return counts.withColumn(
+        "share", F.round(F.col("n") / F.lit(max(total, 1)), 6)
+    )
+
+
+def approx_heavy_hitters(
+    df: DataFrame, column: str, min_share: float = 0.01
+) -> DataFrame:
+    """Sketched variant for unbounded-cardinality columns:
+    ``freqItems``-style single-pass candidates (Karp/Misra-Gries family,
+    Spark's built-in stat machinery) verified with ONE exact count pass
+    over the small candidate set — two scans total, no full groupBy of a
+    high-cardinality key. Returns the same shape as :func:`heavy_hitters`
+    filtered to ``share >= min_share``."""
+    [row] = df.stat.freqItems([column], min_share).collect()
+    candidates = [v for v in row[0] if v is not None]
+    if not candidates:
+        return df.sparkSession.createDataFrame([], "value string, n long, share double")
+    total = df.count()
+    cand = df.where(F.col(column).isin(candidates))
+    return (
+        cand.groupBy(F.col(column).cast("string").alias("value"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("share", F.round(F.col("n") / F.lit(max(total, 1)), 6))
+        .where(F.col("share") >= min_share)
+        .orderBy(F.col("n").desc(), F.col("value"))
+    )

@@ -463,6 +463,24 @@ def length_histogram_q(spark, sf_dir):
 
 
 @q(
+    "heavy_hitters_lang",
+    """SELECT value, n, share FROM (
+         SELECT lang AS value, CAST(count(*) AS BIGINT) AS n,
+                CAST(round(count(*) / CAST((SELECT count(*) FROM documents) AS DOUBLE), 6) AS DOUBLE) AS share
+         FROM documents GROUP BY lang
+         ORDER BY n DESC, value LIMIT 5)""",
+)
+def heavy_hitters_lang(spark, sf_dir):
+    """Frequent-values data-quality check: top-k values of a column with
+    their row share (a value suddenly dominating a column is a classic
+    upstream bug). Exact path: partial+final count agg + top-k (never a
+    global sort); deterministic ties."""
+    from xmlschemavalidator_spark.checks.stats import heavy_hitters
+
+    return heavy_hitters(_t(spark, sf_dir, "documents"), "lang", k=5)
+
+
+@q(
     "uniqueness_duplicates",
     """SELECT l_orderkey, CAST(count(*) AS BIGINT) AS dup_count
        FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1""",
