@@ -155,3 +155,31 @@ def test_simhash_signatures_plan_partial_agg_one_shuffle(spark):
     p = fmt(out)
     assert "partial_sum" in p  # map-side combine before the shuffle
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    """The benchmark n-gram set must reach the join as a broadcast — the
+    corpus side is never shuffled."""
+    from xmlschemavalidator_spark.dedup import contamination_matches
+
+    docs = _docs(spark)
+    bench = docs.limit(5)
+    p = fmt(contamination_matches(docs, "doc_id", bench, ngram=5))
+    assert "BroadcastExchange" in p
+    # the corpus side must meet the benchmark via BroadcastHashJoin —
+    # never a sort-merge join that shuffles the exploded corpus grams
+    # (the remaining Exchanges are _spread round-robins, the tiny bench
+    # distinct, and the final per-doc aggregate)
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_deterministic_sample_is_narrow(spark):
+    """Content-addressed sampling is a pure filter: one scan, no Exchange,
+    no RNG — the plan a resumable sampler must have."""
+    from xmlschemavalidator_spark.sampling import deterministic_sample
+
+    p = fmt(deterministic_sample(_docs(spark), "doc_id", 0.25))
+    assert n_scans(p) == 1
+    assert "Exchange" not in p
+    assert "rand" not in p.lower().replace("operand", "")

@@ -102,19 +102,23 @@ def heavy_hitters(df: DataFrame, column: str, k: int = 10) -> DataFrame:
     """Top-k most frequent values of a column with their share of rows:
     ``(value, n, share)`` — the frequent-items data-quality check (a value
     suddenly dominating a column is a classic upstream-pipeline bug).
-    Exact: one partial+final count aggregate, then TakeOrderedAndProject
-    on #distinct rows (never a global sort of the data); deterministic
-    ties by value. NULLs are counted as a value (reported as NULL) — a
-    null takeover is exactly the failure this check exists to catch."""
-    total = df.count()
-    counts = (
-        df.groupBy(F.col(column).alias("value"))
-        .agg(F.count(F.lit(1)).alias("n"))
+    Exact: one partial+final count aggregate, then top-k on #distinct rows
+    (never a global sort of the data); deterministic ties by value. The
+    global total is a window sum over the GROUPED rows (tiny), not a
+    separate count() action — ONE scan total, same trick as the
+    heavy_hitters_source driver query. NULLs are counted as a value
+    (reported as NULL) — a null takeover is exactly the failure this
+    check exists to catch."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(column).alias("value")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = F.sum("n").over(Window.partitionBy())
+    return (
+        counts.withColumn("share", F.round(F.col("n") / total, 6))
         .orderBy(F.col("n").desc(), F.col("value"))
         .limit(k)
-    )
-    return counts.withColumn(
-        "share", F.round(F.col("n") / F.lit(max(total, 1)), 6)
     )
 
 
