@@ -406,3 +406,22 @@ def test_incremental_exact_dedup_across_batches(spark, tmp_path):
                                "doc_id bigint, text string")
     kept3 = incremental_exact_dedup(b3, "doc_id", store)
     assert sorted(r["doc_id"] for r in kept3.collect()) == [21]
+
+
+def test_dedup_lines_within_doc(spark):
+    from xmlschemavalidator_spark.dedup import dedup_lines_within_doc
+
+    df = spark.createDataFrame(
+        [
+            (1, "nav menu\nbody text one\nnav menu\nbody text two\nnav menu"),
+            (2, "only\nunique\nlines"),
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r["t"] for r in
+           df.select("doc_id", dedup_lines_within_doc(F.col("text")).alias("t")).collect()}
+    assert got[1] == "nav menu\nbody text one\nbody text two"  # first kept, order kept
+    assert got[2] == "only\nunique\nlines"
+    assert got[3] == "" and got[4] == ""

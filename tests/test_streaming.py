@@ -164,3 +164,49 @@ def test_session_violation_bursts(spark, stream_src):
     q2.awaitTermination(60)
     rows2 = spark.sql("SELECT * FROM t_sess2 ORDER BY session_start").collect()
     assert [r["n_violations"] for r in rows2] == [2, 1]
+
+
+def test_streaming_corpus_filters_compose(spark, tmp_path):
+    """The corpus-prep narrow ops (deterministic sampling, quality pass,
+    within-doc line dedup, char entropy) are pure Column transforms, so
+    they compose onto a stream unchanged — the batch/stream parity that
+    content-addressed (rand-free) operators buy."""
+    from xmlschemavalidator_spark.dedup import dedup_lines_within_doc
+    from xmlschemavalidator_spark.sampling import md5_threshold
+    from xmlschemavalidator_spark.textops import char_entropy, gopher_pass
+
+    src = str(tmp_path / "docs_src")
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "the dog is of all dogs the most patient one indeed")
+    spark.createDataFrame(
+        [(i, good + "\nnav\nnav") for i in range(40)],
+        "doc_id bigint, text string",
+    ).write.parquet(src)
+
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+    # content-addressed sample is a deterministic Column predicate —
+    # legal in a stream (rand()/sampleBy are not reproducible there)
+    from pyspark.sql import functions as SF
+
+    key = SF.md5(SF.concat(SF.lit("s"), SF.lit(":"), SF.col("doc_id").cast("string")))
+    out = (
+        stream.where(key < SF.lit(md5_threshold(0.5)))
+        .where(gopher_pass(SF.col("text")))
+        .select(
+            "doc_id",
+            dedup_lines_within_doc(SF.col("text")).alias("text"),
+            SF.round(char_entropy(SF.col("text")), 3).alias("h"),
+        )
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("corpus_filters")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM corpus_filters").collect()
+    assert 10 < len(rows) < 30  # ~50% sample of the 40 quality-passing docs
+    for r in rows:
+        assert r["text"].count("nav") == 1  # within-doc dedup applied
+        assert r["h"] is not None and r["h"] > 0

@@ -197,3 +197,18 @@ def test_gopher_oracle_empty_text_parity(spark):
                 g, w = got[c][i], want[c][i]
                 both_na = pd.isna(g) and pd.isna(w)
                 assert both_na or g == w, (c, i, g, w)
+
+
+def test_char_entropy_known_values(spark):
+    from xmlschemavalidator_spark.textops import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "ab"), (3, "abcd"), (4, ""), (5, None)],
+        "i bigint, text string",
+    )
+    got = {r["i"]: r["h"] for r in
+           df.select("i", F.round(char_entropy(F.col("text")), 6).alias("h")).collect()}
+    assert got[1] == 0.0       # single symbol: zero entropy
+    assert got[2] == 1.0       # two equiprobable symbols: 1 bit
+    assert got[3] == 2.0       # four equiprobable symbols: 2 bits
+    assert got[4] is None and got[5] is None

@@ -851,6 +851,20 @@ def drop_duplicate_lines(
     )
 
 
+def dedup_lines_within_doc(text: Column) -> Column:
+    """Remove REPEATED lines within a single document, keeping the first
+    occurrence in order (the intra-document half of the C4 line pass —
+    nav menus and footers repeat inside a page long before they repeat
+    across pages). Pure narrow HOF: keep line i iff the first position of
+    its value is i (``array_position`` is 1-based); no shuffle, no state.
+    Cost is O(lines²) per doc in the worst case — document line counts are
+    small; the cross-corpus pass (:func:`drop_duplicate_lines`) stays the
+    groupBy formulation."""
+    lines = F.split(F.coalesce(text, F.lit("")), "\n")
+    kept = F.filter(lines, lambda x, i: F.array_position(lines, x) - 1 == i)
+    return F.array_join(kept, "\n")
+
+
 def contamination_matches(
     df: DataFrame,
     id_col: str,

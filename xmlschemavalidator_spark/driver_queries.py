@@ -1001,6 +1001,39 @@ def decontamination_overlap(spark, sf_dir):
     return contamination_matches(docs, "doc_id", bench, ngram=_DECON_N)
 
 
+@q(
+    "lines_within_doc_dedup",
+    f"""WITH t AS (
+         SELECT doc_id,
+                string_split({_LINES_TX_SQL} || chr(10) || {_LINES_TX_SQL}, chr(10)) AS ls
+         FROM documents)
+       SELECT doc_id,
+              array_to_string(
+                list_transform(
+                  list_filter(range(1, len(ls) + 1),
+                              i -> list_position(ls, ls[i]) = i),
+                  i -> ls[i]),
+                chr(10)) AS deduped
+       FROM t""",
+)
+def lines_within_doc_dedup(spark, sf_dir):
+    """Intra-document repeated-line removal (first occurrence kept, order
+    preserved): input = each doc's text concatenated with itself line-wise
+    (so every line repeats — the dedup must reconstruct the original
+    shape). Spark = one narrow HOF; oracle = the same first-position
+    filter in DuckDB list functions."""
+    from xmlschemavalidator_spark.dedup import dedup_lines_within_doc
+
+    base = _planted_lines_df(spark, sf_dir)
+    doubled = base.select(
+        "doc_id",
+        F.concat_ws("\n", F.col("text"), F.col("text")).alias("text"),
+    )
+    return doubled.select(
+        "doc_id", dedup_lines_within_doc(F.col("text")).alias("deduped")
+    )
+
+
 @q("minhash_lsh_pairs")  # no oracle: xxhash64 signatures are Spark-specific
 def minhash_lsh_pairs(spark, sf_dir):
     from xmlschemavalidator_spark.dedup import minhash_lsh_candidates
@@ -1743,6 +1776,36 @@ def text_repetition(spark, sf_dir):
         F.round(duplicate_ngram_fraction(F.col("text"), 2), 6)
         .cast("double")
         .alias("dup_2gram_frac"),
+    )
+
+
+@q(
+    "text_char_entropy",
+    """WITH t AS (
+         SELECT doc_id, string_split(substr(coalesce(text, ''), 1, 2000), '') AS cs
+         FROM documents),
+       u AS (SELECT doc_id, unnest(cs) AS c FROM t),
+       f AS (SELECT doc_id, c, COUNT(*) AS n FROM u WHERE c <> '' GROUP BY 1, 2),
+       s AS (SELECT doc_id, SUM(n) AS tn FROM f GROUP BY 1)
+       SELECT f.doc_id,
+              CAST(round(-SUM((f.n / CAST(s.tn AS DOUBLE))
+                              * log2(f.n / CAST(s.tn AS DOUBLE))), 5) AS DOUBLE)
+                AS char_entropy
+       FROM f JOIN s USING (doc_id)
+       GROUP BY f.doc_id""",
+)
+def text_char_entropy(spark, sf_dir):
+    """Character-entropy quality signal (deterministic perplexity proxy,
+    CCNet-family): bits/char over the first 2000 chars. Spark = one
+    narrow HOF pass (no explode — a char-exploded table at 10^12 docs is
+    a ~10^15-row shuffle); oracle = the groupBy formulation in DuckDB.
+    Rounded 5dp (float summation order differs between engines)."""
+    from xmlschemavalidator_spark.textops import char_entropy
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(char_entropy(F.col("text")), 5).cast("double").alias("char_entropy"),
     )
 
 

@@ -169,6 +169,31 @@ def duplicate_ngram_fraction(text: Column, n: int = 2) -> Column:
     )
 
 
+def char_entropy(text: Column, max_chars: int = 2000) -> Column:
+    """Shannon entropy (bits/char) of the document's character
+    distribution over its first ``max_chars`` chars — the deterministic
+    stand-in for LM-perplexity quality scoring (CCNet-family pipelines):
+    gibberish/encoded blobs score high, template spam scores low, prose
+    sits in a narrow band. NULL for empty text.
+
+    Pure narrow HOF — per doc: distinct chars × prefix length comparisons,
+    all JVM, no explode/shuffle (an exploded char table at 10^12 docs is a
+    ~10^15-row shuffle; the prefix cap bounds the narrow cost instead)."""
+    t = F.substring(F.coalesce(text, F.lit("")), 1, max_chars)
+    chars = F.filter(F.split(t, ""), lambda c: c != F.lit(""))
+    n = F.size(chars)
+    counts = F.transform(
+        F.array_distinct(chars),
+        lambda c: F.size(F.filter(chars, lambda x: x == c)),
+    )
+    h = -F.aggregate(
+        F.transform(counts, lambda k: k / n),
+        F.lit(0.0),
+        lambda acc, p: acc + p * F.log2(p),
+    )
+    return F.when(n > 0, h)
+
+
 _PII_PATTERNS = {
     # deliberately simple, deterministic regexes — a PII *scan* flags rows
     # for human/policy review, it is not a redaction guarantee
