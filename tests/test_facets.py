@@ -106,3 +106,75 @@ def test_sql_rendering_matches_duckdb(spark):
             for r in con.execute(f"SELECT coalesce({f.sql_expr('v')}, FALSE) FROM t").fetchall()
         ]
         assert spark_ok == duck_ok, f"divergence for {f}"
+
+
+def test_total_and_fraction_digits(spark):
+    from xmlschemavalidator_spark.rules.facets import FractionDigits, TotalDigits
+
+    vals = ["123", "1234", "0", "007", "1.50", "0.123", "12.34", "1e5", "abc", None, "-123"]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    td = [r[0] for r in df.select(TotalDigits(3).to_column(F.col("v"))).collect()]
+    #        123  1234   0   007(→7) 1.50(→1.5=2) 0.123(3) 12.34(4) 1e5 abc None -123
+    assert td == [True, False, True, True, True, True, False, False, False, False, True]
+    fd = [r[0] for r in df.select(FractionDigits(1).to_column(F.col("v"))).collect()]
+    assert fd == [True, True, True, True, True, False, False, False, False, False, True]
+
+
+def test_digit_facets_sql_parity(spark):
+    import duckdb
+
+    from xmlschemavalidator_spark.rules.facets import FractionDigits, TotalDigits
+
+    vals = ["123", "1234", "0", "007", "1.50", "0.123", "12.34", "1e5",
+            "abc", None, "-123", "+4.20", ".5", "5.", "000.000"]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    con = duckdb.connect()
+    import pandas as pd
+
+    con.register("t", pd.DataFrame({"v": vals}))
+    for facet in (TotalDigits(3), FractionDigits(1)):
+        got = [r[0] for r in df.select(facet.to_column(F.col("v"))).collect()]
+        want = [r[0] for r in con.execute(
+            f"SELECT {facet.sql_expr('v')} FROM t").fetchall()]
+        assert got == want, (facet, got, want)
+
+
+def test_whitespace_facet_modes(spark):
+    from xmlschemavalidator_spark.rules.facets import Enumeration
+    from xmlschemavalidator_spark.rules.types import PREDEF_TYPES, Restriction, WhiteSpace
+
+    inner = Restriction(facets=(Enumeration("a b"),))
+    df = spark.createDataFrame(
+        [("a b",), ("a\tb",), ("  a   b  ",), ("a\n\nb",)], "v string"
+    )
+    def run(mode):
+        t = WhiteSpace(mode, inner)
+        return [r[0] for r in df.select(t.to_column(F.col("v"), PREDEF_TYPES)).collect()]
+
+    assert run("preserve") == [True, False, False, False]
+    assert run("replace") == [True, True, False, False]   # tab -> one space
+    assert run("collapse") == [True, True, True, True]
+
+
+def test_whitespace_xsd_parse_and_sql_parity(spark):
+    import duckdb
+    import pandas as pd
+
+    from xmlschemavalidator_spark.xsd import compile_fragment
+    from xmlschemavalidator_spark.rules.types import PREDEF_TYPES
+
+    t = compile_fragment(
+        """<simpleType><restriction base="string">
+             <whiteSpace value="collapse"/>
+             <enumeration value="a b"/>
+           </restriction></simpleType>"""
+    )
+    vals = ["a b", "a\tb", "  a   b  ", "a  \n b", "ab", None]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = [r[0] for r in df.select(t.to_column(F.col("v"), PREDEF_TYPES)).collect()]
+    assert got == [True, True, True, True, False, False]
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"v": vals}))
+    want = [r[0] for r in con.execute(
+        f"SELECT {t.sql_expr('v', PREDEF_TYPES)} FROM t").fetchall()]
+    assert [bool(w) if w is not None else False for w in want] == got

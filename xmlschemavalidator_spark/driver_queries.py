@@ -2288,6 +2288,59 @@ def structural_child_verdicts(spark, sf_dir):
     )
 
 
+def _digits_type():
+    from xmlschemavalidator_spark.xsd import compile_fragment
+
+    return compile_fragment(
+        """<simpleType><restriction base="decimal">
+             <totalDigits value="5"/>
+             <fractionDigits value="1"/>
+           </restriction></simpleType>"""
+    )
+
+
+def _ws_type():
+    from xmlschemavalidator_spark.xsd import compile_fragment
+
+    return compile_fragment(
+        """<simpleType><restriction base="string">
+             <whiteSpace value="collapse"/>
+             <enumeration value="en"/>
+             <enumeration value="de"/>
+           </restriction></simpleType>"""
+    )
+
+
+_DIGITS_VAL_SQL = "(CAST(n_chars AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR))"
+_WS_VAL_SQL = "('  ' || lang || chr(9) || '')"
+
+@q(
+    "facet_digits_whitespace",
+    f"""SELECT doc_id,
+               {_digits_type().sql_expr(_DIGITS_VAL_SQL, PREDEF_TYPES)} AS digits_ok,
+               {_ws_type().sql_expr(_WS_VAL_SQL, PREDEF_TYPES)} AS ws_ok
+        FROM documents""",
+)
+def facet_digits_whitespace(spark, sf_dir):
+    """Beyond-reference XSD spec facets, parsed from real XSD fragments:
+    totalDigits/fractionDigits over a synthesized decimal literal
+    (lexical canonicalization — both engines count significant digits on
+    the regex-normalized form) and whiteSpace=collapse normalizing a
+    padded lang before an enumeration. The oracle SQL is generated by the
+    same compiled types (sql_expr), so Spark and DuckDB share one
+    definition."""
+    docs = _t(spark, sf_dir, "documents")
+    digits_val = F.concat(
+        F.col("n_chars").cast("string"), F.lit("."), (F.col("doc_id") % 100).cast("string")
+    )
+    ws_val = F.concat(F.lit("  "), F.col("lang"), F.lit("\t"))
+    return docs.select(
+        "doc_id",
+        _digits_type().to_column(digits_val, PREDEF_TYPES).alias("digits_ok"),
+        _ws_type().to_column(ws_val, PREDEF_TYPES).alias("ws_ok"),
+    )
+
+
 def _list_type():
     """xs:list over documents.text: every whitespace token must be a string
     (not numeric-parseable) of length <= 5 — spec-enforced list semantics

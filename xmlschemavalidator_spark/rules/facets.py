@@ -197,6 +197,73 @@ class MaxLength(Facet):
         return _sql_null_safe(f"(length(CAST({col_sql} AS VARCHAR)) <= {self.value})")
 
 
+_DECIMAL_LEXICAL = r"^[0-9]+(\.[0-9]*)?$|^\.[0-9]+$"
+
+
+def _digit_count_parts(col: Column) -> tuple[Column, Column, Column]:
+    """(is_decimal_literal, significant int digits, significant frac
+    digits) of the value's LEXICAL form — sign stripped, leading zeros of
+    the integer part and trailing zeros of the fraction part discarded
+    (the canonical decimal representation XSD counts digits over). A
+    regex-only canonicalization, so the DuckDB oracle is bit-identical —
+    casting through double/decimal formats differently across engines."""
+    s = F.regexp_replace(F.trim(col.cast("string")), "^[+-]", "")
+    is_dec = s.rlike(_DECIMAL_LEXICAL)
+    int_part = F.regexp_extract(s, r"^([0-9]*)", 1)
+    frac_part = F.regexp_extract(s, r"\.([0-9]*)$", 1)
+    int_n = F.length(F.regexp_replace(int_part, "^0+", ""))
+    frac_n = F.length(F.regexp_replace(frac_part, "0+$", ""))
+    return is_dec, int_n, frac_n
+
+
+def _digit_count_parts_sql(col_sql: str) -> tuple[str, str, str]:
+    s = f"regexp_replace(trim(CAST({col_sql} AS VARCHAR)), '^[+-]', '')"
+    is_dec = f"regexp_matches({s}, '{_DECIMAL_LEXICAL}')"
+    int_n = f"length(regexp_replace(regexp_extract({s}, '^([0-9]*)', 1), '^0+', ''))"
+    frac_n = f"length(regexp_replace(regexp_extract({s}, '\\.([0-9]*)$', 1), '0+$', ''))"
+    return is_dec, int_n, frac_n
+
+
+@dataclass(frozen=True)
+class TotalDigits(Facet):
+    """XSD ``totalDigits``: at most k significant decimal digits (XSD 1.0
+    §4.3.11; value 0 counts as one digit). Absent from the reference's
+    grammar entirely — spec-implemented like list/attributeGroup (the
+    'beyond the reference' family in OPERATORS.md). Exponent forms are
+    rejected (the lexical space counted is plain decimal literals)."""
+
+    value: int
+
+    def to_column(self, col: Column) -> Column:
+        is_dec, int_n, frac_n = _digit_count_parts(col)
+        digits = F.greatest(int_n + frac_n, F.lit(1))  # "0" has one digit
+        return _null_safe(is_dec & (digits <= F.lit(self.value)))
+
+    def sql_expr(self, col_sql: str) -> str:
+        is_dec, int_n, frac_n = _digit_count_parts_sql(col_sql)
+        return _sql_null_safe(
+            f"({is_dec} AND greatest({int_n} + {frac_n}, 1) <= {self.value})"
+        )
+
+
+@dataclass(frozen=True)
+class FractionDigits(Facet):
+    """XSD ``fractionDigits``: at most k significant digits after the
+    decimal point (trailing zeros don't count — '1.50' has one). Same
+    spec-implemented status and lexical canonicalization as
+    :class:`TotalDigits`."""
+
+    value: int
+
+    def to_column(self, col: Column) -> Column:
+        is_dec, _int_n, frac_n = _digit_count_parts(col)
+        return _null_safe(is_dec & (frac_n <= F.lit(self.value)))
+
+    def sql_expr(self, col_sql: str) -> str:
+        is_dec, _int_n, frac_n = _digit_count_parts_sql(col_sql)
+        return _sql_null_safe(f"({is_dec} AND {frac_n} <= {self.value})")
+
+
 def combine_facets(facets: list[Facet], col: Column, view=None) -> Column:
     """Combine facet predicates per the reference's combiner
     (core.clj:66-71, parser.clj:154-158): enumeration facets OR together,

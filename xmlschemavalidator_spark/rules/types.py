@@ -357,6 +357,54 @@ class ListType(Type):
 
 
 @dataclass(frozen=True)
+class WhiteSpace(Type):
+    """XSD ``whiteSpace`` facet (XSD 1.0 §4.3.6) — semantically a VALUE
+    TRANSFORM applied before the inner type/facets, not a predicate:
+
+    * ``preserve`` — identity;
+    * ``replace`` — each tab/LF/CR becomes one space;
+    * ``collapse`` — replace, then runs of spaces collapse to one and
+      leading/trailing whitespace is trimmed.
+
+    Absent from the reference's grammar — spec-implemented like
+    list/attributeGroup (OPERATORS.md 'beyond the reference' family)."""
+
+    mode: str
+    inner: TypeRef
+
+    def __post_init__(self):
+        if self.mode not in ("preserve", "replace", "collapse"):
+            raise ValueError(f"whiteSpace mode must be preserve|replace|collapse, got {self.mode!r}")
+
+    def _resolved(self, registry: Optional["TypeRegistry"]) -> Type:
+        return registry.resolve(self.inner) if isinstance(self.inner, str) else self.inner
+
+    def _transform(self, col: Column) -> Column:
+        s = col.cast("string")
+        if self.mode == "preserve":
+            return s
+        replaced = F.regexp_replace(s, "[\\t\\n\\r]", " ")
+        if self.mode == "replace":
+            return replaced
+        return F.trim(F.regexp_replace(replaced, " +", " "))
+
+    def _transform_sql(self, col_sql: str) -> str:
+        s = f"CAST({col_sql} AS VARCHAR)"
+        if self.mode == "preserve":
+            return s
+        replaced = f"regexp_replace({s}, '[\\t\\n\\r]', ' ', 'g')"
+        if self.mode == "replace":
+            return replaced
+        return f"trim(regexp_replace({replaced}, ' +', ' ', 'g'))"
+
+    def to_column(self, col: Column, registry: Optional["TypeRegistry"] = None) -> Column:
+        return self._resolved(registry).to_column(self._transform(col), registry)
+
+    def sql_expr(self, col_sql: str, registry: Optional["TypeRegistry"] = None) -> str:
+        return self._resolved(registry).sql_expr(self._transform_sql(col_sql), registry)
+
+
+@dataclass(frozen=True)
 class NullOr(Type):
     """Wrap a type so that NULL passes — optional-presence semantics
     (choice alternatives, optional attributes, nullable-column constraint

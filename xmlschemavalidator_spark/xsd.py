@@ -56,6 +56,8 @@ from xmlschemavalidator_spark.rules.facets import (
     MaxExclusive,
     MaxInclusive,
     MaxLength,
+    TotalDigits,
+    FractionDigits,
     MinExclusive,
     MinInclusive,
     MinLength,
@@ -70,6 +72,7 @@ from xmlschemavalidator_spark.rules.types import (
     Type,
     TypeRegistry,
     Union,
+    WhiteSpace,
 )
 
 _FACETS = {
@@ -82,6 +85,8 @@ _FACETS = {
     "length": Length,
     "minLength": MinLength,
     "maxLength": MaxLength,
+    "totalDigits": TotalDigits,
+    "fractionDigits": FractionDigits,
 }
 
 
@@ -364,7 +369,7 @@ def _parse_facets(el: ET.Element) -> tuple[Facet, ...]:
             cls = _FACETS[tag]
             if cls is Pattern:
                 out.append(Pattern(raw))
-            elif cls in (Length, MinLength, MaxLength):
+            elif cls in (Length, MinLength, MaxLength, TotalDigits, FractionDigits):
                 out.append(cls(int(raw)))
             else:
                 out.append(cls(_read_value(raw)))
@@ -379,7 +384,14 @@ def _parse_simple_type(el: ET.Element, types: TypeRegistry) -> Type:
     for child in el:
         tag = _tag(child)
         if tag == "restriction":
-            return Restriction(base=child.get("base"), facets=_parse_facets(child))
+            r: Type = Restriction(base=child.get("base"), facets=_parse_facets(child))
+            ws = [c for c in child if _tag(c) == "whiteSpace"]
+            if ws:
+                # whiteSpace is a value TRANSFORM, not a predicate — wrap
+                # the whole restriction so every facet sees the normalized
+                # value (spec-implemented; absent from the reference)
+                r = WhiteSpace(mode=ws[0].get("value", "preserve"), inner=r)
+            return r
         if tag == "list":
             # xs:list itemType= or nested anonymous simpleType (spec-enforced;
             # the reference's grammar parses LIST at parser.clj:97 but has no
