@@ -301,3 +301,80 @@ def test_validate_xml_input_column_not_clobbered(spark):
     res = schema.validate_xml_column(df, "xml", root="r", key="k")
     got = {r["k"]: r["_doc_ok"] for r in res.verdicts.collect()}
     assert got == {1: True, 2: False}  # parsed <v>, not the input column
+
+
+# --- identity constraints: xs:unique / xs:key / xs:keyref (round 2) --------
+
+
+_IDENTITY_XSD = """<schema>
+  <complexType name="rec">
+    <sequence>
+      <element name="code" type="string"/>
+      <element name="parent_code" type="string"/>
+      <element name="tag" type="string"/>
+    </sequence>
+  </complexType>
+  <element name="rec" type="rec">
+    <key name="k_code"><selector xpath="."/><field xpath="code"/></key>
+    <unique name="u_tag"><selector xpath="."/><field xpath="tag"/></unique>
+    <keyref name="r_parent" refer="k_code">
+      <selector xpath="."/><field xpath="parent_code"/>
+    </keyref>
+  </element>
+</schema>"""
+
+
+def test_identity_constraints_parse():
+    schema = parse_xsd(_IDENTITY_XSD)
+    cs = {c.name: c for c in schema.elements["rec"].constraints}
+    assert cs["k_code"].kind == "key" and cs["k_code"].fields == ("code",)
+    assert cs["u_tag"].kind == "unique"
+    assert cs["r_parent"].kind == "keyref" and cs["r_parent"].refer == "k_code"
+
+
+def test_identity_violations_semantics(spark):
+    schema = parse_xsd(_IDENTITY_XSD)
+    df = spark.createDataFrame(
+        [
+            ("a", None, "t1"),    # key a; no parent; tag t1
+            ("b", "a", "t2"),     # ok
+            ("b", "a", "t2"),     # duplicate key b AND duplicate tag t2
+            (None, "zz", "t3"),   # missing key field; parent zz dangling
+        ],
+        "code string, parent_code string, tag string",
+    )
+    got = {
+        (r["constraint"], r["reason"], r["field_value"]): r["n_rows"]
+        for r in schema.identity_violations(df, "rec").collect()
+    }
+    assert got[("k_code", "duplicate", "b")] == 2
+    assert got[("k_code", "missing_field", None)] == 1
+    assert got[("u_tag", "duplicate", "t2")] == 2
+    assert got[("r_parent", "dangling", "zz")] == 1
+    # bound refs to existing keys are not violations
+    assert ("r_parent", "dangling", "a") not in got
+
+
+def test_keyref_across_tables(spark):
+    xsd = """<schema>
+      <complexType name="ct"><sequence>
+        <element name="id" type="string"/></sequence></complexType>
+      <element name="dim" type="ct">
+        <key name="k_dim"><selector xpath="."/><field xpath="id"/></key>
+      </element>
+      <complexType name="ft"><sequence>
+        <element name="dim_id" type="string"/></sequence></complexType>
+      <element name="fact" type="ft">
+        <keyref name="r_dim" refer="k_dim">
+          <selector xpath="."/><field xpath="dim_id"/>
+        </keyref>
+      </element>
+    </schema>"""
+    schema = parse_xsd(xsd)
+    dim = spark.createDataFrame([("d1",), ("d2",)], "id string")
+    fact = spark.createDataFrame([("d1",), ("d3",), ("d3",)], "dim_id string")
+    got = {
+        (r["field_value"]): r["n_rows"]
+        for r in schema.identity_violations(fact, "fact", ref_frames={"dim": dim}).collect()
+    }
+    assert got == {"d3": 2}

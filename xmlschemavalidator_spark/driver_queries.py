@@ -2288,6 +2288,55 @@ def structural_child_verdicts(spark, sf_dir):
     )
 
 
+_IDENTITY_XSD = """<schema>
+  <complexType name="doct"><sequence>
+    <element name="doc_id" type="long"/>
+    <element name="lang" type="string"/>
+    <element name="n_chars" type="integer"/>
+  </sequence></complexType>
+  <element name="doc" type="doct">
+    <key name="k_doc"><selector xpath="."/><field xpath="doc_id"/></key>
+    <unique name="u_lang"><selector xpath="."/><field xpath="lang"/></unique>
+    <keyref name="r_nc" refer="k_doc">
+      <selector xpath="."/><field xpath="n_chars"/>
+    </keyref>
+  </element>
+</schema>"""
+
+@q(
+    "xsd_identity_constraints",
+    """SELECT 'u_lang' AS "constraint", 'unique' AS kind, 'duplicate' AS reason,
+              lang AS field_value, CAST(count(*) AS BIGINT) AS n_rows
+       FROM documents WHERE lang IS NOT NULL
+       GROUP BY lang HAVING count(*) > 1
+       UNION ALL
+       SELECT 'k_doc', 'key', 'duplicate', CAST(doc_id AS VARCHAR),
+              CAST(count(*) AS BIGINT)
+       FROM documents WHERE doc_id IS NOT NULL
+       GROUP BY doc_id HAVING count(*) > 1
+       UNION ALL
+       SELECT 'r_nc', 'keyref', 'dangling', CAST(n_chars AS VARCHAR),
+              CAST(count(*) AS BIGINT)
+       FROM documents WHERE n_chars IS NOT NULL
+       GROUP BY n_chars
+       HAVING CAST(n_chars AS VARCHAR) NOT IN
+              (SELECT CAST(doc_id AS VARCHAR) FROM documents
+               WHERE doc_id IS NOT NULL)""",
+)
+def xsd_identity_constraints(spark, sf_dir):
+    """XSD identity constraints (xs:key/unique/keyref, XSD 1.0 §3.11) as
+    dataset-level checks, parsed from a real XSD: key→uniqueness,
+    unique→uniqueness (NULL-exempt), keyref→referential (left-anti vs the
+    distinct key set). Langs duplicate (violations), doc_ids are a clean
+    key (no rows), and n_chars values beyond the doc_id range dangle —
+    the three reasons exercised in one output."""
+    from xmlschemavalidator_spark.xsd import parse_xsd
+
+    schema = parse_xsd(_IDENTITY_XSD)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return schema.identity_violations(docs, "doc")
+
+
 def _digits_type():
     from xmlschemavalidator_spark.xsd import compile_fragment
 

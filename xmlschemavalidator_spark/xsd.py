@@ -119,10 +119,30 @@ class AttrDecl:
 
 
 @dataclass
+class IdentityConstraint:
+    """``xs:unique`` / ``xs:key`` / ``xs:keyref`` (XSD 1.0 §3.11) — the
+    XSD identity constraints, absent from the reference's grammar but the
+    exact source-language form of the north rule's DATASET-level checks:
+    unique/key compile to the salted uniqueness check, keyref to the
+    referential check. XPath subset supported for fields (the flat
+    columnar model): ``child`` → column ``child``, ``@attr`` → column
+    ``_attr`` (the document path's attribute prefix)."""
+
+    name: str
+    kind: str  # unique | key | keyref
+    fields: tuple[str, ...]
+    refer: Optional[str] = None  # keyref target constraint name
+
+    def columns(self) -> list[str]:
+        return [f"_{f[1:]}" if f.startswith("@") else f for f in self.fields]
+
+
+@dataclass
 class ElementDecl:
     name: str
     type: Any = None  # Type | ComplexDecl | str (named) | None
     ref: Optional[str] = None
+    constraints: list["IdentityConstraint"] = field(default_factory=list)
 
 
 @dataclass
@@ -241,6 +261,120 @@ class XsdSchema:
                 )
             seen[r.rule_id] = r
         return RuleSet(rules=rules, registry=self.types)
+
+    # ------------------------------------------------------------------
+    def identity_violations(
+        self,
+        df: DataFrame,
+        root: str,
+        ref_frames: Optional[dict[str, DataFrame]] = None,
+    ) -> DataFrame:
+        """Dataset-level identity-constraint violations (XSD 1.0 §3.11)
+        for a table of ``root`` records:
+        ``(constraint, kind, reason, field_value, n_rows)``.
+
+        * ``unique`` — duplicated field tuples (``reason='duplicate'``);
+          tuples containing NULL are exempt per spec (a node missing a
+          field is not bound by the constraint);
+        * ``key`` — duplicates PLUS rows with NULL fields
+          (``reason='missing_field'``: a key must exist and be unique);
+        * ``keyref`` — bound tuples with no matching tuple in the referred
+          key/unique (``reason='dangling'``), the referential check; the
+          referred constraint may live on another element — pass its table
+          via ``ref_frames={element_name: df}`` (defaults to ``df``).
+
+        This is the XSD source-language form of the north rule's dataset
+        checks: unique/key are the uniqueness pass (groupBy counts —
+        salting is the same upgrade path as checks/uniqueness.py), keyref
+        is the referential pass (left-anti against the distinct key set,
+        broadcast when small)."""
+        decl = self.elements[root]
+        all_constraints: dict[str, tuple[str, IdentityConstraint]] = {}
+        for el_name, el in self.elements.items():
+            for c in el.constraints:
+                all_constraints[c.name] = (el_name, c)
+
+        out_schema = (
+            "constraint string, kind string, reason string, "
+            "field_value string, n_rows bigint"
+        )
+        spark = df.sparkSession
+        results: list[DataFrame] = []
+        for c in decl.constraints:
+            cols = c.columns()
+            bound = F.lit(True)
+            for x in cols:
+                bound = bound & F.col(x).isNotNull()
+            value = F.concat_ws("|", *[F.col(x).cast("string") for x in cols])
+            if c.kind in ("unique", "key"):
+                dups = (
+                    df.where(bound)
+                    .groupBy(value.alias("field_value"))
+                    .agg(F.count(F.lit(1)).alias("n_rows"))
+                    .where(F.col("n_rows") > 1)
+                    .select(
+                        F.lit(c.name).alias("constraint"),
+                        F.lit(c.kind).alias("kind"),
+                        F.lit("duplicate").alias("reason"),
+                        "field_value",
+                        "n_rows",
+                    )
+                )
+                results.append(dups)
+                if c.kind == "key":
+                    missing = (
+                        df.where(~bound)
+                        .agg(F.count(F.lit(1)).alias("n_rows"))
+                        .where(F.col("n_rows") > 0)
+                        .select(
+                            F.lit(c.name).alias("constraint"),
+                            F.lit("key").alias("kind"),
+                            F.lit("missing_field").alias("reason"),
+                            F.lit(None).cast("string").alias("field_value"),
+                            "n_rows",
+                        )
+                    )
+                    results.append(missing)
+            elif c.kind == "keyref":
+                if c.refer not in all_constraints:
+                    raise ValueError(
+                        f"keyref {c.name!r} refers to unknown constraint {c.refer!r}"
+                    )
+                target_el, target = all_constraints[c.refer]
+                tdf = (ref_frames or {}).get(target_el, df)
+                tcols = target.columns()
+                tbound = F.lit(True)
+                for x in tcols:
+                    tbound = tbound & F.col(x).isNotNull()
+                keys = (
+                    tdf.where(tbound)
+                    .select(
+                        F.concat_ws(
+                            "|", *[F.col(x).cast("string") for x in tcols]
+                        ).alias("field_value")
+                    )
+                    .distinct()
+                )
+                dangling = (
+                    df.where(bound)
+                    .groupBy(value.alias("field_value"))
+                    .agg(F.count(F.lit(1)).alias("n_rows"))
+                    .join(keys, "field_value", "left_anti")
+                    .select(
+                        F.lit(c.name).alias("constraint"),
+                        F.lit("keyref").alias("kind"),
+                        F.lit("dangling").alias("reason"),
+                        "field_value",
+                        "n_rows",
+                    )
+                )
+                results.append(dangling)
+        if not results:
+            return spark.createDataFrame([], out_schema)
+        out = results[0]
+        for r in results[1:]:
+            out = out.unionByName(r)
+        return out
 
     # ------------------------------------------------------------------
     def xml_struct_ddl(self, root: str) -> str:
@@ -474,6 +608,27 @@ class _NamedGroups:
 _EMPTY_GROUPS = _NamedGroups()
 
 
+def _parse_identity_constraints(el: ET.Element) -> list[IdentityConstraint]:
+    out = []
+    for child in el:
+        tag = _tag(child)
+        if tag in ("unique", "key", "keyref"):
+            fields = tuple(
+                f.get("xpath", "")
+                for f in child
+                if _tag(f) == "field"
+            )
+            out.append(
+                IdentityConstraint(
+                    name=child.get("name", ""),
+                    kind=tag,
+                    fields=fields,
+                    refer=child.get("refer"),
+                )
+            )
+    return out
+
+
 def _parse_element(
     el: ET.Element, types: TypeRegistry, named: _NamedGroups = _EMPTY_GROUPS
 ) -> ElementDecl:
@@ -481,16 +636,23 @@ def _parse_element(
     if ref:
         return ElementDecl(name=ref, ref=ref)
     name = el.get("name", "")
+    constraints = _parse_identity_constraints(el)
     t = el.get("type")
     if t is not None:
-        return ElementDecl(name=name, type=t)
+        return ElementDecl(name=name, type=t, constraints=constraints)
     for child in el:
         tag = _tag(child)
         if tag == "simpleType":
-            return ElementDecl(name=name, type=_parse_simple_type(child, types))
+            return ElementDecl(
+                name=name, type=_parse_simple_type(child, types), constraints=constraints
+            )
         if tag == "complexType":
-            return ElementDecl(name=name, type=_parse_complex_type(child, types, named))
-    return ElementDecl(name=name, type="string")
+            return ElementDecl(
+                name=name,
+                type=_parse_complex_type(child, types, named),
+                constraints=constraints,
+            )
+    return ElementDecl(name=name, type="string", constraints=constraints)
 
 
 def _parse_particle(
