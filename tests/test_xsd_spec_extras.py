@@ -378,3 +378,87 @@ def test_keyref_across_tables(spark):
         for r in schema.identity_violations(fact, "fact", ref_frames={"dim": dim}).collect()
     }
     assert got == {"d3": 2}
+
+
+# --- xs:assert (XSD 1.1, round 2) ------------------------------------------
+
+
+def test_xpath_assert_translator_both_dialects():
+    import duckdb
+    import pandas as pd
+
+    from xmlschemavalidator_spark.xpath_assert import parse_assert, to_sql
+
+    cases = [
+        ("a > b", {"a": 3, "b": 2}, True),
+        ("a > b", {"a": "3", "b": "12"}, None),       # string compare: '3' > '12' lexic.
+        ("number(a) > number(b)", {"a": "3", "b": "12"}, False),
+        ("a + 1 = b", {"a": 1, "b": 2}, True),
+        ("string-length(a) >= 3 and contains(a, 'x')", {"a": "axc", "b": ""}, True),
+        ("starts-with(a, 'ab') or not(b = 'q')", {"a": "zz", "b": "q"}, False),
+        ("a mod 2 = 0", {"a": 4, "b": 0}, True),
+    ]
+    con = duckdb.connect()
+    for test, row, want in cases:
+        ast = parse_assert(test)
+        sql = to_sql(ast, "duckdb")
+        con.register("t", pd.DataFrame({k: [v] for k, v in row.items()}))
+        got = con.execute(f"SELECT {sql} FROM t").fetchall()[0][0]
+        if want is not None:
+            assert bool(got) == want, (test, sql, got)
+        con.unregister("t")
+
+
+def test_assert_rule_end_to_end(spark):
+    xsd = """<schema>
+      <complexType name="doc">
+        <sequence>
+          <element name="n_words" type="integer"/>
+          <element name="n_chars" type="integer"/>
+          <element name="lang" type="string"/>
+        </sequence>
+        <assert test="number(n_chars) >= number(n_words)"/>
+        <assert test="string-length(lang) = 2 or lang = 'und'"/>
+      </complexType>
+      <element name="doc" type="doc"/>
+    </schema>"""
+    schema = parse_xsd(xsd)
+    rs = schema.ruleset_for("doc")
+    assert {r.rule_id for r in rs.rules} >= {"doc__assert_0", "doc__assert_1"}
+    df = spark.createDataFrame(
+        [
+            ("d1", 10, 50, "en"),      # ok
+            ("d2", 50, 10, "en"),      # assert_0 fails
+            ("d3", 10, 50, "xxx"),     # assert_1 fails
+            ("d4", 10, 50, "und"),     # ok via the or-branch
+        ],
+        "doc_id string, n_words int, n_chars int, lang string",
+    )
+    from xmlschemavalidator_spark.engine import validate
+
+    res = validate(df, rs, key="doc_id")
+    v = {(r["doc_id"], r["rule_id"]) for r in res.violations.collect()}
+    assert ("d2", "doc__assert_0") in v
+    assert ("d3", "doc__assert_1") in v
+    assert not any(d == "d1" or d == "d4" for d, _ in v)
+
+
+def test_assert_document_path_attr_prefix(spark):
+    xsd = """<schema>
+      <complexType name="p">
+        <sequence><element name="v" type="integer"/></sequence>
+        <attribute name="cap" type="integer"/>
+        <assert test="number(v) &lt;= number(@cap)"/>
+      </complexType>
+      <element name="p" type="p"/>
+    </schema>"""
+    schema = parse_xsd(xsd)
+    df = spark.createDataFrame(
+        [("x1", '<p cap="10"><v>5</v></p>'), ("x2", '<p cap="10"><v>50</v></p>')],
+        "doc_id string, xml string",
+    )
+    from xmlschemavalidator_spark.engine import DOC_OK
+
+    res = schema.validate_xml_column(df, "xml", "p", "doc_id")
+    got = {r["doc_id"]: r[DOC_OK] for r in res.verdicts.collect()}
+    assert got == {"x1": True, "x2": False}

@@ -2288,6 +2288,38 @@ def structural_child_verdicts(spark, sf_dir):
     )
 
 
+from xmlschemavalidator_spark.xpath_assert import Assertion as _Assertion
+
+_ASSERT_RULES = [
+    ("a_len", _Assertion("number(n_chars) >= string-length(lang) * 20")),
+    ("a_src", _Assertion("starts-with(source, 'src') and contains(source, '1') "
+                         "or number(n_chars) > 1000")),
+]
+
+
+def _assert_rules():
+    return _ASSERT_RULES
+
+
+@q(
+    "xsd_assertions",
+    "SELECT doc_id, "
+    + ", ".join(f"{rule.sql_expr()} AS {name}_ok" for name, rule in _ASSERT_RULES)
+    + " FROM documents",
+)
+def xsd_assertions(spark, sf_dir):
+    """XSD 1.1 xs:assert cross-field rules (beyond the reference — it
+    predates 1.1): the XPath-subset tests compile to Catalyst expressions
+    AND to the DuckDB oracle from one AST (xpath_assert.to_sql), so the
+    two engines cannot drift. Mixed arithmetic, string functions, and
+    boolean structure exercised over documents columns."""
+    docs = _t(spark, sf_dir, "documents")
+    cols = [F.col("doc_id")]
+    for name, rule in _assert_rules():
+        cols.append(rule.to_column(None, PREDEF_TYPES).alias(f"{name}_ok"))
+    return docs.select(*cols)
+
+
 _IDENTITY_XSD = """<schema>
   <complexType name="doct"><sequence>
     <element name="doc_id" type="long"/>

@@ -157,6 +157,8 @@ class ComplexDecl:
     # simpleContent: text content validates against this Type (the element
     # has attributes but no child elements; content column is _VALUE)
     simple_content: Optional[Type] = None
+    # XSD 1.1 xs:assert test= expressions (cross-field record assertions)
+    asserts: list[str] = field(default_factory=list)
 
 
 @dataclass
@@ -177,6 +179,7 @@ class XsdSchema:
             children=base.children + decl.children,
             attributes=base.attributes + decl.attributes,
             simple_content=decl.simple_content or base.simple_content,
+            asserts=base.asserts + decl.asserts,
         )
 
     def _element_complex(self, root: str) -> ComplexDecl:
@@ -246,6 +249,14 @@ class XsdSchema:
                 rules.append(FieldRule(rid, RequiredAttr(t), column=col, is_attr=True))
             elif t is not None:
                 rules.append(FieldRule(rid, _NullOr(t), column=col, is_attr=True))
+
+        for i, test in enumerate(ct.asserts):
+            # XSD 1.1 xs:assert: record-scoped cross-field rule compiled
+            # from the XPath subset (xpath_assert.py); both the Catalyst
+            # expression and the DuckDB oracle render from one AST
+            from xmlschemavalidator_spark.xpath_assert import Assertion
+
+            rules.append(FieldRule(f"{root}__assert_{i}", Assertion(test)))
 
         # rule ids must be unique: a child element named 'attr_<x>' next to
         # an attribute '<x>' (or 'value' next to simpleContent) would
@@ -422,8 +433,11 @@ class XsdSchema:
         # attribute rules, identified by the structural is_attr flag set in
         # ruleset_for — matching on rule_id strings misclassified a child
         # element literally named 'attr_<x>' (round-1 advisor finding)
+        from xmlschemavalidator_spark.xpath_assert import Assertion as _Assert
+
         rs_attr = RuleSet(rules=[
-            FieldRule(r.rule_id, r.rule,
+            FieldRule(r.rule_id,
+                      r.rule.with_attr_prefix("_") if isinstance(r.rule, _Assert) else r.rule,
                       ("_" + r.column) if (r.column and r.is_attr) else r.column,
                       r.observed, is_attr=r.is_attr)
             for r in rs.rules
@@ -704,6 +718,8 @@ def _parse_complex_type(
             decl.attributes.extend(named.expand_attrs(child.get("ref")))
         elif tag == "simpleContent":
             _parse_simple_content(child, types, named, decl)
+        elif tag == "assert":
+            decl.asserts.append(child.get("test", "true()"))
         elif tag == "complexContent":
             for ext in child:
                 if _tag(ext) == "extension":
