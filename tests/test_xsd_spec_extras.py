@@ -462,3 +462,45 @@ def test_assert_document_path_attr_prefix(spark):
     res = schema.validate_xml_column(df, "xml", "p", "doc_id")
     got = {r["doc_id"]: r[DOC_OK] for r in res.verdicts.collect()}
     assert got == {"x1": True, "x2": False}
+
+
+# --- element nillable= / default= / fixed= (XSD 1.0 §3.3.1, round 2) -------
+
+
+def test_element_nillable_default_fixed(spark):
+    xsd = """<schema>
+      <complexType name="c">
+        <sequence>
+          <element name="req" type="integer"/>
+          <element name="opt" type="integer" nillable="true"/>
+          <element name="lvl" type="string" default="info"/>
+          <element name="ver" type="string" fixed="v2"/>
+        </sequence>
+      </complexType>
+      <element name="rec" type="c"/>
+    </schema>"""
+    schema = parse_xsd(xsd)
+    rs = schema.ruleset_for("rec")
+    df = spark.createDataFrame(
+        [
+            ("d1", "1", "2", "warn", "v2"),   # all present/valid
+            ("d2", "1", None, None, "v2"),    # nil opt + defaulted lvl: ok
+            ("d3", "1", "x", None, "v2"),     # opt present but non-integer
+            ("d4", "1", None, None, "v9"),    # fixed mismatch
+            ("d5", None, None, None, "v2"),   # required child missing
+        ],
+        "doc_id string, req string, opt string, lvl string, ver string",
+    )
+    from xmlschemavalidator_spark.engine import DOC_OK, validate
+
+    res = validate(df, rs, key="doc_id")
+    got = {r["doc_id"]: r[DOC_OK] for r in res.verdicts.collect()}
+    assert got == {"d1": True, "d2": True, "d3": False, "d4": False, "d5": False}
+    # the defaulted value decodes and validates: planted bad default fails
+    xsd_bad = xsd.replace('default="info"', 'default="42"').replace(
+        '<element name="lvl" type="string"', '<element name="lvl" type="string"'
+    )
+    rs_bad = parse_xsd(xsd_bad).ruleset_for("rec")
+    res_bad = validate(df, rs_bad, key="doc_id")
+    got_bad = {r["doc_id"]: r[DOC_OK] for r in res_bad.verdicts.collect()}
+    assert got_bad["d2"] is False  # default '42' is not a string per dynamic typing

@@ -25,6 +25,16 @@ namespaced schemas are handled by stripping prefixes):
 * ``schema`` root — named-type registry with merge-shadowing over the
   predefined lattice + element registry (core.clj:128-134).
 
+Beyond the reference (spec-implemented; absent from its grammar):
+
+* facets ``totalDigits``/``fractionDigits``/``whiteSpace`` (XSD 1.0
+  §4.3.6, 4.3.11-12 — rules/facets.py, rules/types.py:WhiteSpace);
+* identity constraints ``unique``/``key``/``keyref`` (§3.11) compiled to
+  the DATASET-level uniqueness/referential checks
+  (:meth:`XsdSchema.identity_violations`);
+* XSD 1.1 ``assert`` cross-field record rules, XPath subset → Catalyst +
+  DuckDB SQL from one AST (xpath_assert.py).
+
 Two execution paths:
 
 1. :func:`ruleset_for` — the **columnar path**: a root complexType's child
@@ -143,6 +153,14 @@ class ElementDecl:
     type: Any = None  # Type | ComplexDecl | str (named) | None
     ref: Optional[str] = None
     constraints: list["IdentityConstraint"] = field(default_factory=list)
+    # XSD occurrence/value attributes on the element declaration:
+    # nillable -> NULL passes the type check (xsi:nil semantics on a
+    # column); default -> absent value decodes to the default and is then
+    # validated; fixed -> every present value must equal the constant
+    # (same semantics as the attribute machinery, reused below)
+    nillable: bool = False
+    default: Optional[str] = None
+    fixed: Optional[str] = None
 
 
 @dataclass
@@ -209,18 +227,27 @@ class XsdSchema:
                 FieldRule(f"{root}__value", ct.simple_content, column=f"{prefix}_VALUE")
             )
 
+        decls = [self.elements[c.ref] if c.ref else c for c in ct.children]
+        # nillable/defaulted children are structurally optional: a NULL
+        # there is xsi:nil / a decodable absence, not a missing child —
+        # the presence conjunction must not fail on it (XSD 1.0 §3.3.1)
         child_cols = [f"{prefix}{c.name}" for c in ct.children]
+        presence_cols = [
+            f"{prefix}{c.name}"
+            for c, d in zip(ct.children, decls)
+            if not (d.nillable or d.default is not None)
+        ]
         particle = ct.particle or "sequence"
         if ct.children:
             particle_rule = {
-                "sequence": SequenceRule(tuple(child_cols)),
-                "all": AllRule(tuple(child_cols)),
+                "sequence": SequenceRule(tuple(presence_cols or child_cols)),
+                "all": AllRule(tuple(presence_cols or child_cols)),
                 "choice": ChoiceRule(tuple(child_cols)),
             }[particle]
-            rules.append(FieldRule(f"{root}__{particle}", particle_rule))
+            if particle == "choice" or presence_cols:
+                rules.append(FieldRule(f"{root}__{particle}", particle_rule))
 
-        for c in ct.children:
-            decl = self.elements[c.ref] if c.ref else c
+        for c, decl in zip(ct.children, decls):
             t = decl.type
             col = f"{prefix}{c.name}"
             if isinstance(t, ComplexDecl):  # nested records flatten upstream
@@ -232,8 +259,17 @@ class XsdSchema:
                 type_obj = t
             if type_obj is not None:
                 rule: Any = type_obj
-                if particle == "choice":
-                    # absent alternatives must not fail their type check
+                if decl.fixed is not None:
+                    # fixed= on an element: equality with the constant
+                    # (parser.clj:284-288 semantics, applied to elements —
+                    # XSD 1.0 3.3.1; the reference only has attribute fixed)
+                    rule = FixedAttr(decl.fixed)
+                elif decl.default is not None:
+                    # default= decodes absent values before validation
+                    rule = DefaultAttr(decl.default, type_obj)
+                elif decl.nillable or particle == "choice":
+                    # nillable="true" (xsi:nil on a column: NULL passes);
+                    # choice alternatives must not fail when absent
                     rule = _NullOr(type_obj)
                 rules.append(FieldRule(f"{root}__{c.name}", rule, column=col))
 
@@ -651,22 +687,29 @@ def _parse_element(
         return ElementDecl(name=ref, ref=ref)
     name = el.get("name", "")
     constraints = _parse_identity_constraints(el)
+    extra = dict(
+        nillable=el.get("nillable", "false").lower() == "true",
+        default=el.get("default"),
+        fixed=el.get("fixed"),
+    )
     t = el.get("type")
     if t is not None:
-        return ElementDecl(name=name, type=t, constraints=constraints)
+        return ElementDecl(name=name, type=t, constraints=constraints, **extra)
     for child in el:
         tag = _tag(child)
         if tag == "simpleType":
             return ElementDecl(
-                name=name, type=_parse_simple_type(child, types), constraints=constraints
+                name=name, type=_parse_simple_type(child, types),
+                constraints=constraints, **extra
             )
         if tag == "complexType":
             return ElementDecl(
                 name=name,
                 type=_parse_complex_type(child, types, named),
                 constraints=constraints,
+                **extra,
             )
-    return ElementDecl(name=name, type="string", constraints=constraints)
+    return ElementDecl(name=name, type="string", constraints=constraints, **extra)
 
 
 def _parse_particle(
