@@ -262,3 +262,53 @@ def test_nested_valid_fold(spark):
             ).alias("ok")
         ).collect()[0]["ok"]
         assert got is want, children
+
+
+def test_container_verdict_with_any_wildcard(spark):
+    """xs:any (processContents='skip'): undeclared children pass with their
+    observed value, sequence order applies to DECLARED tags as a
+    subsequence, and `all` requires presence only."""
+    from xmlschemavalidator_spark.rules.structural import (
+        container_verdict,
+        nested_valid,
+    )
+
+    cases = [
+        # (kind, children, want_cond, want_valid)
+        ("sequence", (("seq1", "1"), ("extra", "zz"), ("seq2", "a")), True, True),
+        ("sequence", (("extra", "zz"), ("seq1", "1"), ("seq2", "a")), True, True),
+        ("sequence", (("seq2", "a"), ("seq1", "1")), False, False),  # declared out of order
+        ("sequence", (("seq1", "1"), ("extra", "zz")), False, False),  # seq2 missing
+        ("all", (("seq2", "a"), ("junk", "x"), ("seq1", "1")), True, True),
+        ("all", (("seq2", "a"), ("junk", "x")), False, False),
+    ]
+    for kind, children, want_cond, want_valid in cases:
+        df = _tagged_children_df(spark, *children)
+        v = container_verdict(
+            F.col("children"), _seq_decl(), kind, allow_undeclared=True
+        )
+        row = df.select(v.alias("v"), nested_valid(v).alias("ok")).collect()[0]
+        assert row["v"]["ok"] is want_cond, (kind, children)
+        assert row["ok"] is want_valid, (kind, children)
+        # undeclared children carry their value, not :undefined
+        for c in row["v"]["children"]:
+            if c["tag"] not in ("seq1", "seq2"):
+                assert c["ok"] is True and c["value"] != ":undefined"
+
+
+def test_xsd_any_wildcard_parsed(spark):
+    from xmlschemavalidator_spark.xsd import parse_xsd
+
+    xsd = """<schema>
+      <complexType name="c">
+        <sequence>
+          <element name="a" type="integer"/>
+          <any processContents="skip"/>
+        </sequence>
+      </complexType>
+      <element name="r" type="c"/>
+    </schema>"""
+    schema = parse_xsd(xsd)
+    assert schema._element_complex("r").has_any is True
+    xsd2 = xsd.replace('<any processContents="skip"/>', "")
+    assert parse_xsd(xsd2)._element_complex("r").has_any is False

@@ -165,6 +165,7 @@ def child_verdicts(
     declared,
     registry=None,
     value_field: str = "value",
+    allow_undeclared: bool = False,
 ) -> Column:
     """Per-child verdicts in document order — the reference evaluates EVERY
     child against the element declared *for its tag* and reports each
@@ -179,7 +180,10 @@ def child_verdicts(
     * declared tag  → ok = that tag's type verdict on the child's value
       (never NULL; NULL value → False), value = the observed value string;
     * undeclared tag → ``(tag, false, ':undefined')`` — the literal
-      pseudo-verdict the reference emits (parser.clj:216).
+      pseudo-verdict the reference emits (parser.clj:216) — unless
+      ``allow_undeclared`` (the ``xs:any processContents="skip"`` wildcard,
+      XSD 1.0 §3.10; absent from the reference's grammar): then an
+      undeclared child passes with its observed value.
 
     Dispatch is a lazily-evaluated when-chain on the tag, applied inside
     ONE ``transform`` — per child, only the matching tag's rule subtree is
@@ -195,10 +199,14 @@ def child_verdicts(
             this_ok = F.coalesce(t.to_column(v, registry), F.lit(False))
             cond = c["tag"] == F.lit(tag)
             expr = F.when(cond, this_ok) if expr is None else expr.when(cond, this_ok)
-        ok = expr.otherwise(F.lit(False)) if expr is not None else F.lit(False)
+        fallback = F.lit(True) if allow_undeclared else F.lit(False)
+        ok = expr.otherwise(fallback) if expr is not None else fallback
+        undeclared_value = (
+            v.cast("string") if allow_undeclared else F.lit(":undefined")
+        )
         value_out = (
             F.when(c["tag"].isin(declared_tags), v.cast("string"))
-            .otherwise(F.lit(":undefined"))
+            .otherwise(undeclared_value)
         )
         return F.struct(
             c["tag"].alias("tag"), ok.alias("ok"), value_out.alias("value")
@@ -207,12 +215,41 @@ def child_verdicts(
     return F.transform(children, verdict)
 
 
+def sequence_tags_with_any_ok(children: Column, declared: Sequence[str]) -> Column:
+    """Sequence containing an ``xs:any`` wildcard (XSD 1.0 §3.10): the
+    declared tags must appear IN ORDER as a subsequence of the child tags;
+    wildcard-matched extras may interleave anywhere. One ``aggregate`` HOF:
+    the accumulator is the count of declared tags matched so far."""
+    tags = F.transform(children, lambda c: c["tag"])
+    decl_arr = F.array(*[F.lit(t) for t in declared])
+    n = len(list(declared))
+    matched = F.aggregate(
+        tags,
+        F.lit(0),
+        lambda acc, t: F.when(
+            (acc < F.lit(n)) & (t == F.element_at(decl_arr, acc + 1)), acc + 1
+        ).otherwise(acc),
+    )
+    return F.coalesce(matched == F.lit(n), F.lit(False))
+
+
+def all_tags_with_any_ok(children: Column, declared: Sequence[str]) -> Column:
+    """``all`` + ``xs:any``: every declared tag present (any order),
+    wildcard extras allowed."""
+    tags = F.transform(children, lambda c: c["tag"])
+    out = F.lit(True)
+    for t in declared:
+        out = out & F.array_contains(tags, t)
+    return F.coalesce(out, F.lit(False))
+
+
 def container_verdict(
     children: Column,
     declared,
     kind: str,
     registry=None,
     value_field: str = "value",
+    allow_undeclared: bool = False,
 ) -> Column:
     """The reference's full container verdict ``(conj child-verdicts
     container-ok)`` (parser.clj:210-219) as
@@ -222,16 +259,26 @@ def container_verdict(
     Overall validity is the ``valid?`` fold — :func:`nested_valid`."""
     tags = [t for t, _ in declared]
     if kind == "sequence":
-        cond = sequence_tags_ok(children, tags)
+        cond = (
+            sequence_tags_with_any_ok(children, tags)
+            if allow_undeclared
+            else sequence_tags_ok(children, tags)
+        )
     elif kind == "all":
-        cond = all_tags_ok(children, tags)
+        cond = (
+            all_tags_with_any_ok(children, tags)
+            if allow_undeclared
+            else all_tags_ok(children, tags)
+        )
     elif kind == "choice":
         cond = choice_tags_ok(children, tags)
     else:
         raise ValueError(f"unknown container kind: {kind!r}")
     return F.struct(
         cond.alias("ok"),
-        child_verdicts(children, declared, registry, value_field).alias("children"),
+        child_verdicts(
+            children, declared, registry, value_field, allow_undeclared
+        ).alias("children"),
     )
 
 

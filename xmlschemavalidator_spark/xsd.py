@@ -177,6 +177,11 @@ class ComplexDecl:
     simple_content: Optional[Type] = None
     # XSD 1.1 xs:assert test= expressions (cross-field record assertions)
     asserts: list[str] = field(default_factory=list)
+    # xs:any wildcard present in the particle (processContents="skip"):
+    # undeclared children are tolerated (nested path: container_verdict
+    # with allow_undeclared=True; the flat columnar path never checks
+    # undeclared columns, so only dispatch/nested consumers read this)
+    has_any: bool = False
 
 
 @dataclass
@@ -198,6 +203,7 @@ class XsdSchema:
             attributes=base.attributes + decl.attributes,
             simple_content=decl.simple_content or base.simple_content,
             asserts=base.asserts + decl.asserts,
+            has_any=base.has_any or decl.has_any,
         )
 
     def _element_complex(self, root: str) -> ComplexDecl:
@@ -714,10 +720,11 @@ def _parse_element(
 
 def _parse_particle(
     particle_el: ET.Element, types: TypeRegistry, named: _NamedGroups
-) -> tuple[str, list[ElementDecl]]:
+) -> tuple[str, list[ElementDecl], bool]:
     return (
         _tag(particle_el),
         [_parse_element(e, types, named) for e in particle_el if _tag(e) == "element"],
+        any(_tag(e) == "any" for e in particle_el),
     )
 
 
@@ -750,9 +757,9 @@ def _parse_complex_type(
     for child in el:
         tag = _tag(child)
         if tag in ("sequence", "all", "choice"):
-            decl.particle, decl.children = _parse_particle(child, types, named)
+            decl.particle, decl.children, decl.has_any = _parse_particle(child, types, named)
         elif tag == "group" and child.get("ref"):
-            decl.particle, decl.children = _parse_particle(
+            decl.particle, decl.children, decl.has_any = _parse_particle(
                 named.group_body(child.get("ref")), types, named
             )
         elif tag == "attribute":
@@ -770,9 +777,9 @@ def _parse_complex_type(
                     for sub in ext:
                         stag = _tag(sub)
                         if stag in ("sequence", "all", "choice"):
-                            decl.particle, decl.children = _parse_particle(sub, types, named)
+                            decl.particle, decl.children, decl.has_any = _parse_particle(sub, types, named)
                         elif stag == "group" and sub.get("ref"):
-                            decl.particle, decl.children = _parse_particle(
+                            decl.particle, decl.children, decl.has_any = _parse_particle(
                                 named.group_body(sub.get("ref")), types, named
                             )
                         elif stag == "attribute":
