@@ -504,3 +504,82 @@ def test_element_nillable_default_fixed(spark):
     res_bad = validate(df, rs_bad, key="doc_id")
     got_bad = {r["doc_id"]: r[DOC_OK] for r in res_bad.verdicts.collect()}
     assert got_bad["d2"] is False  # default '42' is not a string per dynamic typing
+
+
+def test_xpath_assert_random_ast_cross_engine_equivalence(spark):
+    """Property pin for the dual-dialect emitter: 60 randomly generated
+    ASTs (seeded) evaluate identically in Spark and DuckDB over the same
+    rows — the 'one AST, two engines, no drift' guarantee."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from xmlschemavalidator_spark.xpath_assert import (
+        BinOp,
+        Call,
+        Lit,
+        Path,
+        to_sql,
+    )
+
+    rng = random.Random(99)
+    cols = ["num_a", "num_b", "str_a", "str_b"]
+
+    def gen_num(depth):
+        if depth <= 0:
+            if rng.randrange(2):
+                return Lit(rng.choice([0, 1, 2, 7, 2.5]))
+            return Call("number", (Path(rng.choice(["num_a", "num_b"])),))
+        k = rng.randrange(3)
+        if k == 0:
+            return Call("string-length", (gen_str(depth - 1),))
+        if k == 1:
+            return BinOp(rng.choice(["+", "*", "%"]), gen_num(depth - 1),
+                         Lit(rng.choice([1, 2, 3])))
+        return gen_num(0)
+
+    def gen_str(depth):
+        if rng.randrange(2):
+            return Lit(rng.choice(["x", "abc", "src1", ""]))
+        return Path(rng.choice(["str_a", "str_b"]))
+
+    def gen_bool(depth):
+        k = rng.randrange(5)
+        if k == 0:
+            return BinOp(rng.choice(["=", "!=", "<", ">"]), gen_num(depth), gen_num(depth))
+        if k == 1:
+            return BinOp(rng.choice(["=", "!="]), gen_str(depth), gen_str(depth))
+        if k == 2:
+            return Call("contains", (Path(rng.choice(["str_a", "str_b"])),
+                                     Lit(rng.choice(["a", "b", "1"]))))
+        if k == 3:
+            return Call("not", (gen_bool(max(depth - 1, 0)),))
+        return BinOp(rng.choice(["and", "or"]),
+                     BinOp(">", Call("number", (Path("num_a"),)), Lit(0)),
+                     gen_bool(max(depth - 1, 0)))
+
+    data = pd.DataFrame(
+        {
+            "num_a": [1, 0, 7, 3],
+            "num_b": [2, 2, 7, 0],
+            "str_a": ["abc", "", "src1", "b"],
+            "str_b": ["x", "abc", "1", "b"],
+        }
+    )
+    sdf = spark.createDataFrame(data)
+    con = duckdb.connect()
+    con.register("t", data)
+    from pyspark.sql import functions as F
+
+    checked = 0
+    for _ in range(60):
+        ast = gen_bool(2)
+        spark_sql = to_sql(ast, "spark")
+        duck_sql = to_sql(ast, "duckdb")
+        got = [r[0] for r in sdf.select(F.expr(spark_sql)).collect()]
+        want = [r[0] for r in con.execute(f"SELECT {duck_sql} FROM t").fetchall()]
+        norm = lambda xs: [None if x is None else bool(x) for x in xs]
+        assert norm(got) == norm(want), (spark_sql, duck_sql, got, want)
+        checked += 1
+    assert checked == 60
