@@ -212,3 +212,54 @@ def test_char_entropy_known_values(spark):
     assert got[2] == 1.0       # two equiprobable symbols: 1 bit
     assert got[3] == 2.0       # four equiprobable symbols: 2 bits
     assert got[4] is None and got[5] is None
+
+
+def test_chunk_documents_semantics(spark):
+    from xmlschemavalidator_spark.textops import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, words), (2, "a b c"), (3, ""), (4, None)],
+        "doc_id bigint, text string",
+    )
+    got = {}
+    for r in chunk_documents(df, "doc_id", chunk_tokens=4, overlap=1).collect():
+        got.setdefault(r["doc"], []).append((r["chunk_idx"], r["chunk_text"], r["n_tokens"]))
+    # stride 3: windows at tokens 1,4,7 (w0.., w3.., w6..); start 10 > 10-1 excluded
+    assert got[1] == [
+        (0, "w0 w1 w2 w3", 4),
+        (1, "w3 w4 w5 w6", 4),
+        (2, "w6 w7 w8 w9", 4),
+    ]
+    assert got[2] == [(0, "a b c", 3)]  # short doc: one partial chunk
+    assert 3 not in got and 4 not in got  # empty docs produce no chunks
+    # coverage invariant: every token appears in some chunk
+    all_tokens = set(words.split())
+    covered = set(t for _, text, _ in got[1] for t in text.split())
+    assert covered == all_tokens
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest
+
+    from xmlschemavalidator_spark.textops import chunk_documents
+
+    df = spark.createDataFrame([(1, "a")], "doc_id bigint, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", chunk_tokens=4, overlap=4)
+
+
+def test_drop_blocklisted_domains(spark):
+    from xmlschemavalidator_spark.textops import drop_blocklisted_domains
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://spam.example/a"),
+            (2, "https://ok.example/b"),
+            (3, "http://spam.example/c?q=1"),
+        ],
+        "doc_id bigint, url string",
+    )
+    block = spark.createDataFrame([("spam.example",)], "host string")
+    kept = sorted(r["doc_id"] for r in drop_blocklisted_domains(df, "url", block).collect())
+    assert kept == [2]

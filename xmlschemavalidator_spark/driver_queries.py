@@ -1809,6 +1809,49 @@ def text_char_entropy(spark, sf_dir):
     )
 
 
+_CHUNK, _OVERLAP = 64, 8
+
+@q(
+    "text_chunking",
+    f"""WITH t AS (
+         SELECT doc_id,
+                list_filter(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'),
+                            x -> x <> '') AS arr
+         FROM documents),
+       w AS (
+         SELECT doc_id, arr,
+                range(1, greatest(len(arr) - {_OVERLAP}, 1) + 1,
+                      {_CHUNK - _OVERLAP}) AS starts
+         FROM t)
+       SELECT * FROM (
+         SELECT doc_id,
+                CAST(unnest(range(0, len(starts))) AS INT) AS chunk_idx,
+                unnest(list_transform(starts,
+                       s -> array_to_string(list_slice(arr, s, s + {_CHUNK} - 1), ' ')))
+                  AS chunk_text,
+                CAST(unnest(list_transform(starts,
+                       s -> len(list_slice(arr, s, s + {_CHUNK} - 1)))) AS INT)
+                  AS n_tokens
+         FROM w)
+       WHERE n_tokens > 0""",
+)
+def text_chunking(spark, sf_dir):
+    """Training-prep chunking: fixed 64-token windows with 8-token overlap
+    (last partial kept, every token covered — invariant tested). One
+    narrow HOF pass; the oracle rebuilds every chunk string exactly via
+    DuckDB's lockstep unnest over the same window starts."""
+    from xmlschemavalidator_spark.textops import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    out = chunk_documents(docs, "doc_id", chunk_tokens=_CHUNK, overlap=_OVERLAP)
+    return out.select(
+        F.col("doc").alias("doc_id"),
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        "chunk_text",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+    )
+
+
 @q(
     "text_pii_scan",
     r"""WITH t AS (

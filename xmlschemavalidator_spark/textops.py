@@ -294,3 +294,64 @@ def with_text_analysis(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint": doc_fingerprint(t),
         }
     )
+
+
+def chunk_documents(
+    df,
+    id_col: str,
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+):
+    """Split documents into fixed-size token windows with overlap — the
+    training-prep chunking pass (context-window packing input):
+    ``(doc, chunk_idx, chunk_text, n_tokens)``. Stride = chunk_tokens −
+    overlap; the final partial window is kept (standard practice — its
+    tokens otherwise vanish from training). Narrow one-pass HOF: token
+    array → window starts via ``sequence`` → per-start slice+join →
+    posexplode; no shuffle, no Python.
+
+    Deterministic and engine-portable: the DuckDB oracle reproduces every
+    chunk string exactly (whitespace tokenization both sides)."""
+    from pyspark.sql import DataFrame
+
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # 1-based window starts: 1, 1+stride, ... while start <= n - overlap
+    # (a start beyond n-overlap would duplicate the previous window's tail)
+    starts = F.sequence(F.lit(1), F.greatest(n - F.lit(overlap), F.lit(1)), F.lit(stride))
+    chunks = F.transform(
+        starts, lambda s: F.slice(toks, s, chunk_tokens)
+    )
+    out = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.posexplode(chunks).alias("chunk_idx", "_ctoks"),
+        )
+        .withColumn("n_tokens", F.size("_ctoks"))
+        .where(F.col("n_tokens") > 0)
+        .select(
+            "doc",
+            "chunk_idx",
+            F.array_join("_ctoks", " ").alias("chunk_text"),
+            "n_tokens",
+        )
+    )
+    return out
+
+
+def drop_blocklisted_domains(df, url_col: str, blocklist) -> "DataFrame":
+    """Remove rows whose URL host is on a blocklist (a one-column DataFrame
+    of hostnames) — the standard domain-filter pass. The blocklist is tiny
+    next to the corpus: broadcast anti-join, untouched rows never shuffle."""
+    hosts = blocklist.toDF("_blocked_host").distinct()
+    keyed = df.withColumn("_host", url_host(F.col(url_col)))
+    return (
+        keyed.join(
+            F.broadcast(hosts), keyed["_host"] == hosts["_blocked_host"], "left_anti"
+        )
+        .drop("_host")
+    )
