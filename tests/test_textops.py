@@ -263,3 +263,36 @@ def test_drop_blocklisted_domains(spark):
     block = spark.createDataFrame([("spam.example",)], "host string")
     kept = sorted(r["doc_id"] for r in drop_blocklisted_domains(df, "url", block).collect())
     assert kept == [2]
+
+
+def test_pack_chunks_concat_and_chop(spark):
+    from xmlschemavalidator_spark.textops import pack_chunks
+
+    chunks = spark.createDataFrame(
+        [
+            (1, 0, 60),
+            (1, 1, 60),
+            (2, 0, 30),   # crosses the 128 boundary at offset 120
+            (3, 0, 100),
+        ],
+        "doc bigint, chunk_idx int, n_tokens int",
+    )
+    got = {
+        (r["doc"], r["chunk_idx"]): (r["seq_id"], r["seq_offset"])
+        for r in pack_chunks(chunks, 128).collect()
+    }
+    assert got[(1, 0)] == (0, 0)
+    assert got[(1, 1)] == (0, 60)
+    assert got[(2, 0)] == (0, 120)    # starts in seq 0, straddles into 1
+    assert got[(3, 0)] == (1, 22)     # offset 150 -> seq 1, local 22
+    # grouped packing: sequences never cross groups
+    grouped = spark.createDataFrame(
+        [("a", 1, 0, 100), ("a", 2, 0, 100), ("b", 3, 0, 100)],
+        "shard string, doc bigint, chunk_idx int, n_tokens int",
+    )
+    g = {
+        (r["shard"], r["doc"]): r["seq_id"]
+        for r in pack_chunks(grouped, 128, group_col="shard").collect()
+    }
+    assert g[("a", 1)] == 0 and g[("a", 2)] == 0  # offset 100 < 128
+    assert g[("b", 3)] == 0  # fresh counter per group

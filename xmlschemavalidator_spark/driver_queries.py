@@ -1853,6 +1853,55 @@ def text_chunking(spark, sf_dir):
 
 
 @q(
+    "text_sequence_packing",
+    f"""WITH t AS (
+         SELECT doc_id,
+                list_filter(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'),
+                            x -> x <> '') AS arr
+         FROM documents),
+       w AS (
+         SELECT doc_id, arr,
+                range(1, greatest(len(arr) - {_OVERLAP}, 1) + 1,
+                      {_CHUNK - _OVERLAP}) AS starts
+         FROM t),
+       c AS (
+         SELECT * FROM (
+           SELECT doc_id,
+                  CAST(unnest(range(0, len(starts))) AS INT) AS chunk_idx,
+                  CAST(unnest(list_transform(starts,
+                         s -> len(list_slice(arr, s, s + {_CHUNK} - 1)))) AS INT)
+                    AS n_tokens
+           FROM w)
+         WHERE n_tokens > 0)
+       SELECT doc_id, chunk_idx, n_tokens,
+              CAST(floor((SUM(n_tokens) OVER
+                     (ORDER BY doc_id, chunk_idx ROWS UNBOUNDED PRECEDING)
+                   - n_tokens) / 512.0) AS BIGINT) AS seq_id,
+              CAST((SUM(n_tokens) OVER
+                     (ORDER BY doc_id, chunk_idx ROWS UNBOUNDED PRECEDING)
+                   - n_tokens) % 512 AS INT) AS seq_offset
+       FROM c""",
+)
+def text_sequence_packing(spark, sf_dir):
+    """Concat-and-chop sequence packing over the chunk stream: every chunk
+    lands in a 512-token training sequence by its running token offset
+    (boundary-straddling allowed, the packed-pretraining norm). Oracle =
+    the same window cumsum in DuckDB over identically rebuilt chunks."""
+    from xmlschemavalidator_spark.textops import chunk_documents, pack_chunks
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, "doc_id", chunk_tokens=_CHUNK, overlap=_OVERLAP)
+    packed = pack_chunks(chunks, 512)
+    return packed.select(
+        F.col("doc").alias("doc_id"),
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.col("seq_id").cast("bigint").alias("seq_id"),
+        F.col("seq_offset").cast("int").alias("seq_offset"),
+    )
+
+
+@q(
     "text_pii_scan",
     r"""WITH t AS (
           SELECT doc_id,

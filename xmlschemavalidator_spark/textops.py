@@ -355,3 +355,38 @@ def drop_blocklisted_domains(df, url_col: str, blocklist) -> "DataFrame":
         )
         .drop("_host")
     )
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    seq_len: int,
+    doc_col: str = "doc",
+    idx_col: str = "chunk_idx",
+    n_tokens_col: str = "n_tokens",
+    group_col: str | None = None,
+):
+    """Concat-and-chop sequence packing: assign each chunk to a fixed-size
+    training sequence by its token offset in the (deterministic) corpus
+    order — ``seq_id = floor(offset / seq_len)``, where offset is the
+    running token count before the chunk. Chunks may straddle a boundary
+    (the standard packed-pretraining shape; the loader masks across the
+    cut). Adds ``seq_id`` and ``seq_offset`` columns.
+
+    Without ``group_col`` the order is a single global window — exact but
+    one sort partition, fine for corpus shards. At 10^12 rows pass
+    ``group_col`` (shard/date/domain): packing runs per group in parallel
+    and sequences never cross groups — the scale path, same semantics per
+    group."""
+    from pyspark.sql import Window
+
+    order = [F.col(doc_col), F.col(idx_col)]
+    w = (
+        (Window.partitionBy(group_col) if group_col else Window.partitionBy())
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    running = F.sum(F.col(n_tokens_col)).over(w)
+    offset = running - F.col(n_tokens_col)
+    return chunks.withColumn("seq_id", F.floor(offset / F.lit(seq_len))).withColumn(
+        "seq_offset", (offset % F.lit(seq_len)).cast("int")
+    )
