@@ -59,10 +59,16 @@ def run_pipeline(
     from xmlschemavalidator_spark.textops import gopher_pass
 
     audit: dict = {}
+    persisted = []
 
     def stage(name, df):
-        n = df.count()
-        audit[name] = n
+        # persist BEFORE counting: each stage's audit count() and every
+        # downstream stage read the materialized result instead of
+        # re-executing the whole upstream chain (round-2 review finding:
+        # the lazily-chained pipeline re-ran validate+dedup up to ~9x)
+        df = df.persist()
+        persisted.append(df)
+        audit[name] = df.count()
         return df
 
     stage("input", docs)
@@ -115,6 +121,8 @@ def run_pipeline(
         spark.read.parquet(f"{output}/kept"), store
     )
     audit["kept"] = audit[list(audit)[-1]]
+    for p in persisted:
+        p.unpersist()
     with open_spark_safe(f"{output}/audit/stages.json") as fh:
         json.dump(audit, fh, indent=2)
     return audit

@@ -192,3 +192,97 @@ def test_session_shuffle_override_with_nonnumeric_cpus(monkeypatch):
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     shuffle = 200 or (int(cpus) if str(cpus).isdigit() else 32)
     assert shuffle == 200
+
+
+# --- round-2 self-review fixes ---------------------------------------------
+
+
+def test_min_label_empty_pairs_no_warning(spark):
+    """Empty candidate set: converge immediately, no split-component
+    warning (sum over zero rows observes None, not 0)."""
+    import warnings
+
+    from xmlschemavalidator_spark.dedup import near_duplicate_clusters
+
+    empty = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = near_duplicate_clusters(empty).collect()
+    assert out == []
+    assert not any("fixpoint" in str(x.message) for x in w)
+
+
+def test_drop_duplicate_lines_doc_named_column(spark):
+    """A table whose id column is literally 'doc' (this library's own
+    output convention) must not trip an ambiguous-reference error."""
+    from xmlschemavalidator_spark.dedup import drop_duplicate_lines
+
+    df = spark.createDataFrame(
+        [(1, "shared boilerplate line here\nunique a"),
+         (2, "shared boilerplate line here\nunique b")],
+        "doc bigint, text string",
+    )
+    out = {r["doc"]: r["text"] for r in drop_duplicate_lines(df, "doc").collect()}
+    assert out == {1: "unique a", 2: "unique b"}
+
+
+def test_approx_heavy_hitters_null_takeover(spark):
+    """An 80%-NULL column must surface NULL as the dominant value."""
+    from xmlschemavalidator_spark.checks.stats import approx_heavy_hitters
+
+    df = spark.createDataFrame([(None,)] * 8 + [("x",)] * 2, "v string")
+    got = {r["value"]: r["share"] for r in approx_heavy_hitters(df, "v", 0.3).collect()}
+    assert got.get(None) == 0.8
+
+
+def test_wav_full_scale_sample_features(spark):
+    """PCM16 minimum (-32768) must not wrap negative through np.abs."""
+    import numpy as np
+
+    from xmlschemavalidator_spark.multimodal import decode_real_features, encode_wav
+
+    samples = np.array([-32768, 32767, 0], dtype=np.int16)
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(encode_wav(samples)), None)],
+        "media_id long, kind string, content binary, "
+        "meta struct<width:int,height:int,n_frames:int>",
+    )
+    row = decode_real_features(df).collect()[0]
+    assert row["decode_error"] is None
+    assert row["mean_intensity"] > 20000  # mean |.| of full-scale samples
+
+
+def test_identity_tuple_separator_no_collision(spark):
+    """Multi-field tuples ('a|b','c') vs ('a','b|c') are DISTINCT keys."""
+    from xmlschemavalidator_spark.xsd import parse_xsd
+
+    xsd = """<schema>
+      <complexType name="c"><sequence>
+        <element name="f1" type="string"/>
+        <element name="f2" type="string"/>
+      </sequence></complexType>
+      <element name="r" type="c">
+        <unique name="u2"><selector xpath="."/>
+          <field xpath="f1"/><field xpath="f2"/></unique>
+      </element>
+    </schema>"""
+    schema = parse_xsd(xsd)
+    df = spark.createDataFrame(
+        [("a|b", "c"), ("a", "b|c")], "f1 string, f2 string"
+    )
+    assert schema.identity_violations(df, "r").collect() == []
+
+
+def test_seen_fingerprints_raises_on_corrupt_store(spark, tmp_path):
+    """A corrupt store must raise, not silently disable dedup."""
+    import pytest
+
+    from xmlschemavalidator_spark.dedup import incremental_exact_dedup
+
+    bad = tmp_path / "fps"
+    bad.mkdir()
+    (bad / "part-00000.parquet").write_bytes(b"this is not parquet at all")
+    df = spark.createDataFrame([(1, "t")], "doc_id bigint, text string")
+    with pytest.raises(Exception) as ei:
+        incremental_exact_dedup(df, "doc_id", str(bad)).collect()
+    assert "PATH_NOT_FOUND" not in str(ei.value)

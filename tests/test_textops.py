@@ -296,3 +296,47 @@ def test_pack_chunks_concat_and_chop(spark):
     }
     assert g[("a", 1)] == 0 and g[("a", 2)] == 0  # offset 100 < 128
     assert g[("b", 3)] == 0  # fresh counter per group
+
+
+def test_entropy_and_line_oracles_empty_text_parity(spark):
+    """Round-2 review finding: text_char_entropy and the line-dedup
+    oracles silently dropped rows for empty/NULL text while Spark emitted
+    them — masked because the corpus has no such docs. Pin the corner
+    rows exactly like the gopher parity test."""
+    import duckdb
+    import pandas as pd
+
+    import xmlschemavalidator_spark.driver_queries as dq
+
+    docs_pd = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["a regular document with words", "", None, "  \n  "],
+        }
+    )
+    sdf = spark.createDataFrame(
+        docs_pd.astype(object).where(docs_pd.notna(), None),
+        "doc_id bigint, text string",
+    )
+    orig_t = dq._t
+    try:
+        dq._t = lambda s, sf, name: sdf
+        outs = {
+            name: dq.all_queries()[name](spark, "ignored").toPandas()
+            for name in ("text_char_entropy", "corpus_line_dedup_stats",
+                         "corpus_duplicate_lines")
+        }
+    finally:
+        dq._t = orig_t
+    con = duckdb.connect()
+    con.register("documents", docs_pd)
+    for name, got in outs.items():
+        want = con.execute(dq.all_oracles()[name]).df()
+        sort_cols = [c for c in got.columns][:1] or list(got.columns)
+        got = got.sort_values(list(got.columns)).reset_index(drop=True)
+        want = want.sort_values(list(want.columns)).reset_index(drop=True)
+        assert len(got) == len(want), (name, len(got), len(want))
+        for c in got.columns:
+            for i in range(len(got)):
+                g, w = got[c][i], want[c][i]
+                assert (pd.isna(g) and pd.isna(w)) or g == w, (name, c, i, g, w)

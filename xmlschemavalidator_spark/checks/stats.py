@@ -133,14 +133,19 @@ def approx_heavy_hitters(
     filtered to ``share >= min_share``."""
     [row] = df.stat.freqItems([column], min_share).collect()
     candidates = [v for v in row[0] if v is not None]
-    if not candidates:
-        return df.sparkSession.createDataFrame([], "value string, n long, share double")
+    # NULL never survives freqItems/isin, but a null takeover is exactly
+    # the dominant-value failure this check exists for (round-2 review
+    # finding): count NULLs in the same verify pass and report them as a
+    # NULL-valued row like heavy_hitters does
     total = df.count()
-    cand = df.where(F.col(column).isin(candidates))
+    pred = F.col(column).isin(candidates) if candidates else F.lit(False)
+    cand = df.where(pred | F.col(column).isNull())
+    if total == 0:
+        return df.sparkSession.createDataFrame([], "value string, n long, share double")
     return (
         cand.groupBy(F.col(column).cast("string").alias("value"))
         .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn("share", F.round(F.col("n") / F.lit(max(total, 1)), 6))
+        .withColumn("share", F.round(F.col("n") / F.lit(total), 6))
         .where(F.col("share") >= min_share)
         .orderBy(F.col("n").desc(), F.col("value"))
     )

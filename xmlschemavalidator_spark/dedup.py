@@ -547,7 +547,10 @@ def near_duplicate_clusters(
             )
         )
         labels = new_all.select("doc", "cluster").localCheckpoint()
-        if obs.get["n_changed"] == 0:
+        # sum over ZERO rows observes None, not 0 — empty/converged input
+        # must still hit the fixpoint exit (round-2 review finding: an
+        # empty pairs frame previously ran all iterations and then warned)
+        if not obs.get["n_changed"]:
             break
     else:
         # labels move one hop per round: a component with diameter >
@@ -649,6 +652,19 @@ def alternating_star_clusters(
         if sig == prev_sig:
             break
         prev_sig = sig
+    else:
+        # same contract as near_duplicate_clusters: a non-converged exit
+        # can leave a doc attached to several smaller nodes (multiple
+        # (doc, cluster) rows) — never return that silently
+        import warnings
+
+        warnings.warn(
+            f"alternating_star_clusters did not reach the edge fixpoint in "
+            f"{max_iterations} iterations — output may contain multiple "
+            f"labels per doc; raise max_iterations",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     # stars: every edge points big <-> small with small = component min
     down = edges.where(F.col("v") < F.col("u"))
     labels = down.select(F.col("u").alias("doc"), F.col("v").alias("cluster"))
@@ -684,10 +700,18 @@ def drop_near_duplicates(
 
 
 def _seen_fingerprints(spark, state_path: str) -> DataFrame:
+    """Read the store; ONLY a missing path means 'first batch'. Any other
+    read failure (permissions, corrupt footer, transient storage error)
+    must raise — swallowing it would silently disable cross-batch dedup
+    and admit every previously-seen duplicate (round-2 review finding)."""
+    from pyspark.errors import AnalysisException
+
     try:
         return spark.read.parquet(state_path).select("fingerprint")
-    except Exception:  # first batch: no store yet
-        return spark.createDataFrame([], "fingerprint string")
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return spark.createDataFrame([], "fingerprint string")
+        raise
 
 
 def incremental_exact_dedup(
@@ -836,11 +860,14 @@ def drop_duplicate_lines(
         kept.groupBy("doc")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "line"))).alias("_ls"))
         .select(
-            "doc",
+            # reserved alias: joining back on a column literally named 'doc'
+            # is AMBIGUOUS when df itself has a 'doc' column — which is this
+            # library's own id convention (round-2 review finding)
+            F.col("doc").alias("_ldd_doc"),
             F.array_join(F.transform("_ls", lambda s: s["line"]), "\n").alias("_new"),
         )
     )
-    out = df.join(rebuilt, df[id_col] == rebuilt["doc"], "left")
+    out = df.join(rebuilt, df[id_col] == rebuilt["_ldd_doc"], "left")
     return out.select(
         *[
             F.coalesce("_new", F.lit("")).alias(text_col)

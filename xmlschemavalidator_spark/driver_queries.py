@@ -901,7 +901,7 @@ def token_budget_per_lang(spark, sf_dir):
 _BOILER_A = "ACCEPT ALL COOKIES TO CONTINUE READING THIS PAGE"
 _BOILER_B = "subscribe to our newsletter for more articles like this"
 _LINES_TX_SQL = (
-    "(text"
+    "(coalesce(text, '')"
     f" || CASE WHEN doc_id % 3 = 0 THEN chr(10) || '{_BOILER_A}' ELSE '' END"
     f" || CASE WHEN doc_id % 5 = 0 THEN chr(10) || '{_BOILER_B}' ELSE '' END)"
 )
@@ -915,7 +915,7 @@ l AS (SELECT doc_id,
 def _planted_lines_df(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     tx = F.concat(
-        F.col("text"),
+        F.coalesce(F.col("text"), F.lit("")),
         F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("\n"), F.lit(_BOILER_A))).otherwise(F.lit("")),
         F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("\n"), F.lit(_BOILER_B))).otherwise(F.lit("")),
     )
@@ -1786,13 +1786,15 @@ def text_repetition(spark, sf_dir):
          FROM documents),
        u AS (SELECT doc_id, unnest(cs) AS c FROM t),
        f AS (SELECT doc_id, c, COUNT(*) AS n FROM u WHERE c <> '' GROUP BY 1, 2),
-       s AS (SELECT doc_id, SUM(n) AS tn FROM f GROUP BY 1)
-       SELECT f.doc_id,
-              CAST(round(-SUM((f.n / CAST(s.tn AS DOUBLE))
-                              * log2(f.n / CAST(s.tn AS DOUBLE))), 5) AS DOUBLE)
-                AS char_entropy
-       FROM f JOIN s USING (doc_id)
-       GROUP BY f.doc_id""",
+       s AS (SELECT doc_id, SUM(n) AS tn FROM f GROUP BY 1),
+       e AS (SELECT f.doc_id,
+                    CAST(round(-SUM((f.n / CAST(s.tn AS DOUBLE))
+                                    * log2(f.n / CAST(s.tn AS DOUBLE))), 5) AS DOUBLE)
+                      AS char_entropy
+             FROM f JOIN s USING (doc_id)
+             GROUP BY f.doc_id)
+       SELECT d.doc_id, e.char_entropy
+       FROM documents d LEFT JOIN e USING (doc_id)""",
 )
 def text_char_entropy(spark, sf_dir):
     """Character-entropy quality signal (deterministic perplexity proxy,
@@ -1899,6 +1901,86 @@ def text_sequence_packing(spark, sf_dir):
         F.col("seq_id").cast("bigint").alias("seq_id"),
         F.col("seq_offset").cast("int").alias("seq_offset"),
     )
+
+
+@q(
+    "domain_blocklist_filter",
+    """SELECT doc_id, lower(source || '.example') AS host FROM documents
+       WHERE lower(source || '.example') NOT IN ('src1.example', 'src3.example')""",
+)
+def domain_blocklist_filter(spark, sf_dir):
+    """Domain blocklist filter over synthesized urls (documents carry no
+    url column; host = source-derived by construction on both sides):
+    broadcast anti-join on the parsed host — rows from blocked hosts
+    vanish, everything else passes untouched."""
+    from xmlschemavalidator_spark.textops import drop_blocklisted_domains, url_host
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "url",
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example/doc/"),
+                 F.col("doc_id").cast("string")),
+    )
+    block = spark.createDataFrame([("src1.example",), ("src3.example",)], "host string")
+    kept = drop_blocklisted_domains(docs, "url", block)
+    return kept.select("doc_id", url_host(F.col("url")).alias("host"))
+
+
+@q(
+    "heavy_hitters_approx",
+    """SELECT CAST(source AS VARCHAR) AS value,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(round(count(*) / CAST((SELECT count(*) FROM documents) AS DOUBLE), 6)
+                   AS DOUBLE) AS share
+       FROM documents GROUP BY source
+       HAVING count(*) / CAST((SELECT count(*) FROM documents) AS DOUBLE) >= 0.05
+       ORDER BY n DESC, value""",
+)
+def heavy_hitters_approx(spark, sf_dir):
+    """Sketched heavy hitters verified exactly: freqItems candidates are a
+    guaranteed SUPERSET of values above the support threshold, and the
+    exact count pass + share filter reduces them to precisely the true
+    answer — which is why this approximate operator still has an exact
+    SQL oracle."""
+    from xmlschemavalidator_spark.checks.stats import approx_heavy_hitters
+
+    return approx_heavy_hitters(_t(spark, sf_dir, "documents"), "source", 0.05)
+
+
+@q("incremental_dedup_roundtrip")  # no oracle: stateful (writes a store)
+def incremental_dedup_roundtrip(spark, sf_dir):
+    """Cross-batch incremental dedup exercised end-to-end: batch 1 = the
+    corpus; batch 2 = re-keyed duplicates of half of it plus fresh docs.
+    Output pins the kept counts per batch (rows-only: the operator owns a
+    persistent fingerprint store under a run-local tmpdir)."""
+    import shutil
+    import tempfile
+
+    from xmlschemavalidator_spark.dedup import (
+        commit_seen_fingerprints,
+        incremental_exact_dedup,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="incdedup_")
+    try:
+        store = f"{tmp}/fps"
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        b1 = incremental_exact_dedup(docs, "doc_id", store)
+        n1 = b1.count()
+        commit_seen_fingerprints(b1, store)
+        half_dups = docs.where(F.col("doc_id") % 2 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+        fresh = docs.where(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"),
+            F.concat(F.lit("fresh variant: "), F.col("text")).alias("text"),
+        )
+        b2 = incremental_exact_dedup(half_dups.unionByName(fresh), "doc_id", store)
+        n2 = b2.count()
+        return spark.createDataFrame(
+            [(n1, n2)], "n_batch1_kept long, n_batch2_kept long"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 @q(

@@ -358,18 +358,23 @@ class XsdSchema:
             bound = F.lit(True)
             for x in cols:
                 bound = bound & F.col(x).isNotNull()
-            value = F.concat_ws("|", *[F.col(x).cast("string") for x in cols])
+            # group/join on the REAL columns — a concat_ws('|') tuple key
+            # collides when field values contain the separator ('a|b','c')
+            # vs ('a','b|c') — round-2 review finding. concat_ws is used
+            # only for the human-readable output column.
             if c.kind in ("unique", "key"):
                 dups = (
                     df.where(bound)
-                    .groupBy(value.alias("field_value"))
+                    .groupBy(*[F.col(x) for x in cols])
                     .agg(F.count(F.lit(1)).alias("n_rows"))
                     .where(F.col("n_rows") > 1)
                     .select(
                         F.lit(c.name).alias("constraint"),
                         F.lit(c.kind).alias("kind"),
                         F.lit("duplicate").alias("reason"),
-                        "field_value",
+                        F.concat_ws(
+                            "|", *[F.col(x).cast("string") for x in cols]
+                        ).alias("field_value"),
                         "n_rows",
                     )
                 )
@@ -399,25 +404,30 @@ class XsdSchema:
                 tbound = F.lit(True)
                 for x in tcols:
                     tbound = tbound & F.col(x).isNotNull()
+                # positional rename: the keyref's i-th field matches the
+                # key's i-th field; the anti-join runs on the REAL columns
+                join_names = [f"_ic_{i}" for i in range(len(cols))]
                 keys = (
                     tdf.where(tbound)
                     .select(
-                        F.concat_ws(
-                            "|", *[F.col(x).cast("string") for x in tcols]
-                        ).alias("field_value")
+                        *[F.col(x).alias(jn) for x, jn in zip(tcols, join_names)]
                     )
                     .distinct()
                 )
-                dangling = (
+                refs = (
                     df.where(bound)
-                    .groupBy(value.alias("field_value"))
+                    .groupBy(*[F.col(x).alias(jn) for x, jn in zip(cols, join_names)])
                     .agg(F.count(F.lit(1)).alias("n_rows"))
-                    .join(keys, "field_value", "left_anti")
+                )
+                dangling = (
+                    refs.join(keys, join_names, "left_anti")
                     .select(
                         F.lit(c.name).alias("constraint"),
                         F.lit("keyref").alias("kind"),
                         F.lit("dangling").alias("reason"),
-                        "field_value",
+                        F.concat_ws(
+                            "|", *[F.col(jn).cast("string") for jn in join_names]
+                        ).alias("field_value"),
                         "n_rows",
                     )
                 )
