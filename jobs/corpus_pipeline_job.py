@@ -14,9 +14,13 @@ Usage:
         jobs/corpus_pipeline_job.py \\
         --input  /data/documents        # parquet: (doc_id, text, lang, ...)
         --output /data/corpus_out       # kept/ + audit/ + fingerprint store
+        --batch-id crawl-2026-08-17     # stamps the fingerprint store:
+                                        # retrying the SAME batch id is
+                                        # idempotent (the batch excludes
+                                        # its own earlier commit)
         [--benchmark /data/eval_docs]   # decontamination reference corpus
         [--budget-per-lang N]           # chars kept per language (0 = off)
-        [--synthetic-rows N]            # no --input: use testdata documents
+        (no --input: the sf0.001 testdata documents table is used)
 
 Every stage is the library operator the test suite and the DuckDB oracle
 gate cover — this file only composes them and writes audit surfaces
@@ -41,6 +45,7 @@ def run_pipeline(
     mix: dict[str, float] | None = None,
     budget_per_lang: int = 0,
     id_col: str = "doc_id",
+    batch_id: str = "batch-0",
 ) -> dict:
     """Compose the pipeline over an in-memory DataFrame; returns the
     per-stage audit dict (also written to <output>/audit/stages.json).
@@ -87,9 +92,14 @@ def run_pipeline(
     cur = drop_duplicate_lines(cur, id_col)
     cur = stage("line_dedup", cur.where(F.length(F.trim("text")) > 0))
 
-    # 4. exact dedup, incremental vs the persistent store
+    # 4. exact dedup, incremental vs the persistent store; the batch id
+    # makes a RETRY of this run idempotent (it excludes its own earlier
+    # fingerprint commit instead of dropping every doc — round-2 review)
     store = f"{output}/fingerprints"
-    cur = stage("exact_dedup", incremental_exact_dedup(cur, id_col, store))
+    cur = stage(
+        "exact_dedup",
+        incremental_exact_dedup(cur, id_col, store, batch_id=batch_id),
+    )
 
     # 5. near-dup drop (MinHash-LSH candidates -> CC survivors)
     pairs = minhash_lsh_candidates(cur, id_col)
@@ -118,7 +128,7 @@ def run_pipeline(
 
     cur.write.mode("overwrite").parquet(f"{output}/kept")
     commit_seen_fingerprints(  # AFTER the kept output is durable
-        spark.read.parquet(f"{output}/kept"), store
+        spark.read.parquet(f"{output}/kept"), store, batch_id=batch_id
     )
     audit["kept"] = audit[list(audit)[-1]]
     for p in persisted:
@@ -146,6 +156,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--mix", default=None, help='JSON dict, e.g. {"en":1.0,"de":0.3}')
     p.add_argument("--budget-per-lang", type=int, default=0)
     p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--batch-id", default="batch-0")
     args = p.parse_args(argv)
 
     spark = (
@@ -158,7 +169,8 @@ def main(argv: list[str] | None = None) -> int:
     bench = spark.read.parquet(args.benchmark) if args.benchmark else None
     mix = json.loads(args.mix) if args.mix else None
     audit = run_pipeline(
-        spark, docs, args.output, bench, mix, args.budget_per_lang, args.id_col
+        spark, docs, args.output, bench, mix, args.budget_per_lang,
+        args.id_col, args.batch_id,
     )
     print(json.dumps(audit))
     return 0

@@ -583,3 +583,29 @@ def test_xpath_assert_random_ast_cross_engine_equivalence(spark):
         assert norm(got) == norm(want), (spark_sql, duck_sql, got, want)
         checked += 1
     assert checked == 60
+
+
+def test_schema_driven_nested_verdict_consumes_has_any(spark):
+    """nested_container_verdict is the consumer of ComplexDecl.has_any:
+    the same children pass under a wildcard schema and fail without it."""
+    from pyspark.sql import functions as F
+
+    from xmlschemavalidator_spark.rules.structural import nested_valid
+
+    base = """<schema>
+      <complexType name="c">
+        <sequence>
+          <element name="a" type="integer"/>{ANY}
+        </sequence>
+      </complexType>
+      <element name="r" type="c"/>
+    </schema>"""
+    df = spark.createDataFrame(
+        [([{"tag": "a", "value": "1"}, {"tag": "extra", "value": "zz"}],)],
+        "children array<struct<tag:string, value:string>>",
+    )
+    for any_decl, want in (('<any processContents="skip"/>', True), ("", False)):
+        schema = parse_xsd(base.replace("{ANY}", any_decl))
+        v = schema.nested_container_verdict(F.col("children"), "r")
+        got = df.select(nested_valid(v).alias("ok")).collect()[0]["ok"]
+        assert got is want, any_decl

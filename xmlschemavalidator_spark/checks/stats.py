@@ -141,11 +141,18 @@ def approx_heavy_hitters(
     pred = F.col(column).isin(candidates) if candidates else F.lit(False)
     cand = df.where(pred | F.col(column).isNull())
     if total == 0:
-        return df.sparkSession.createDataFrame([], "value string, n long, share double")
+        schema = df.select(F.col(column).alias("value")).schema
+        return df.sparkSession.createDataFrame(
+            [], f"value {schema[0].dataType.simpleString()}, n long, share double"
+        )
+    # filter on the EXACT ratio (rounding first drifted from the oracle's
+    # HAVING at the threshold boundary); value keeps the column's native
+    # type so exact/approx outputs union cleanly — both round-2 review
+    # findings
     return (
-        cand.groupBy(F.col(column).cast("string").alias("value"))
+        cand.groupBy(F.col(column).alias("value"))
         .agg(F.count(F.lit(1)).alias("n"))
+        .where((F.col("n") / F.lit(total)) >= min_share)
         .withColumn("share", F.round(F.col("n") / F.lit(total), 6))
-        .where(F.col("share") >= min_share)
         .orderBy(F.col("n").desc(), F.col("value"))
     )

@@ -14,8 +14,9 @@ Scale design notes (the part that matters at 10^12 docs):
   silent caps" rule is served by the audit surfaces
   :func:`minhash_hot_buckets` / :func:`jaccard_hot_shingles`, which return
   exactly what was dropped (empty = full coverage);
-* SimHash — 64-bit signatures via an Arrow-batched pandas UDF (numpy bit
-  ops); near-dup = signatures within ``hamming_max`` — pigeonhole blocking
+* SimHash — 64-bit signatures entirely JVM-side (explode + xxhash64 +
+  64 bit-vote partial aggregates — no Python anywhere in the path);
+  near-dup = signatures within ``hamming_max`` — pigeonhole blocking
   into hamming_max+1 chunks (at least one chunk identical for any
   qualifying pair), again groupBy not cross-join.
 """
@@ -699,23 +700,38 @@ def drop_near_duplicates(
 # --------------------------------------------------------------------------
 
 
-def _seen_fingerprints(spark, state_path: str) -> DataFrame:
+def _seen_fingerprints(spark, state_path: str, exclude_batch: str | None = None) -> DataFrame:
     """Read the store; ONLY a missing path means 'first batch'. Any other
     read failure (permissions, corrupt footer, transient storage error)
     must raise — swallowing it would silently disable cross-batch dedup
-    and admit every previously-seen duplicate (round-2 review finding)."""
+    and admit every previously-seen duplicate (round-2 review finding).
+
+    ``exclude_batch``: drop fingerprints committed under this batch_id —
+    re-running batch N against its own earlier (possibly partial) commit
+    must not dedup the batch against itself (a retry after a late failure
+    would otherwise emit an EMPTY corpus — round-2 review finding).
+    Legacy stores without a batch_id column exclude nothing."""
     from pyspark.errors import AnalysisException
 
     try:
-        return spark.read.parquet(state_path).select("fingerprint")
+        store = spark.read.parquet(state_path)
     except AnalysisException as e:
         if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
             return spark.createDataFrame([], "fingerprint string")
         raise
+    if exclude_batch is not None and "batch_id" in store.columns:
+        store = store.where(
+            F.col("batch_id").isNull() | (F.col("batch_id") != exclude_batch)
+        )
+    return store.select("fingerprint")
 
 
 def incremental_exact_dedup(
-    new_df: DataFrame, id_col: str, state_path: str, text_col: str = "text"
+    new_df: DataFrame,
+    id_col: str,
+    state_path: str,
+    text_col: str = "text",
+    batch_id: str | None = None,
 ) -> DataFrame:
     """Docs of this batch that are NOT exact duplicates of (a) any earlier
     batch's docs (fingerprint store at ``state_path``) or (b) an
@@ -729,7 +745,7 @@ def incremental_exact_dedup(
     the store side while it is small."""
     within = drop_exact_duplicates(new_df, id_col, text_col)
     keyed = within.withColumn("_fp", doc_fingerprint(F.col(text_col)))
-    seen = _seen_fingerprints(new_df.sparkSession, state_path)
+    seen = _seen_fingerprints(new_df.sparkSession, state_path, exclude_batch=batch_id)
     return (
         keyed.join(seen, keyed["_fp"] == seen["fingerprint"], "left_anti")
         .drop("_fp")
@@ -737,14 +753,22 @@ def incremental_exact_dedup(
 
 
 def commit_seen_fingerprints(
-    kept_df: DataFrame, state_path: str, text_col: str = "text"
+    kept_df: DataFrame,
+    state_path: str,
+    text_col: str = "text",
+    batch_id: str | None = None,
 ) -> None:
-    """Append the kept batch's distinct fingerprints to the store. Safe to
-    retry: duplicate fingerprints in the store change no dedup decision
-    (membership is a set semantics); compact with
+    """Append the kept batch's distinct fingerprints to the store, stamped
+    with ``batch_id`` so a RETRY of the same batch can exclude its own
+    earlier commit (pass the same batch_id to incremental_exact_dedup).
+    Safe to retry: duplicate fingerprints in the store change no dedup
+    decision (membership is a set semantics); compact with
     ``spark.read.parquet(path).distinct().write`` when growth matters."""
     (
-        kept_df.select(doc_fingerprint(F.col(text_col)).alias("fingerprint"))
+        kept_df.select(
+            doc_fingerprint(F.col(text_col)).alias("fingerprint"),
+            F.lit(batch_id).cast("string").alias("batch_id"),
+        )
         .distinct()
         .write.mode("append")
         .parquet(state_path)
@@ -882,13 +906,23 @@ def dedup_lines_within_doc(text: Column) -> Column:
     """Remove REPEATED lines within a single document, keeping the first
     occurrence in order (the intra-document half of the C4 line pass —
     nav menus and footers repeat inside a page long before they repeat
-    across pages). Pure narrow HOF: keep line i iff the first position of
-    its value is i (``array_position`` is 1-based); no shuffle, no state.
-    Cost is O(lines²) per doc in the worst case — document line counts are
-    small; the cross-corpus pass (:func:`drop_duplicate_lines`) stays the
-    groupBy formulation."""
+    across pages). Pure narrow HOF: ONE ``aggregate`` builds the
+    first-occurrence array; the lambda references only its own
+    accumulator/element variables, so the document split is evaluated
+    once (the earlier ``array_position(lines, x)`` form embedded the
+    split subtree in the per-line lambda — HOF subtrees are not CSE'd, so
+    a 10k-line doc re-split its full text 10k times; round-2 review
+    finding, same class as the 37× minhash lesson). Still O(lines²)
+    element comparisons worst-case, but no repeated text splitting; no
+    shuffle, no state."""
     lines = F.split(F.coalesce(text, F.lit("")), "\n")
-    kept = F.filter(lines, lambda x, i: F.array_position(lines, x) - 1 == i)
+    kept = F.aggregate(
+        lines,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(F.array_contains(acc, x), acc).otherwise(
+            F.concat(acc, F.array(x))
+        ),
+    )
     return F.array_join(kept, "\n")
 
 

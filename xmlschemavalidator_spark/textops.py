@@ -180,18 +180,26 @@ def char_entropy(text: Column, max_chars: int = 2000) -> Column:
     all JVM, no explode/shuffle (an exploded char table at 10^12 docs is a
     ~10^15-row shuffle; the prefix cap bounds the narrow cost instead)."""
     t = F.substring(F.coalesce(text, F.lit("")), 1, max_chars)
-    chars = F.filter(F.split(t, ""), lambda c: c != F.lit(""))
-    n = F.size(chars)
-    counts = F.transform(
-        F.array_distinct(chars),
-        lambda c: F.size(F.filter(chars, lambda x: x == c)),
-    )
-    h = -F.aggregate(
-        F.transform(counts, lambda k: k / n),
-        F.lit(0.0),
-        lambda acc, p: acc + p * F.log2(p),
-    )
-    return F.when(n > 0, h)
+    chars_expr = F.filter(F.split(t, ""), lambda c: c != F.lit(""))
+
+    # let-binding via a 1-element transform: `cs` is a lambda VARIABLE, so
+    # every reference below is a cheap slot read — embedding the split
+    # subtree directly would re-split the prefix once per distinct char
+    # (HOF subtrees are not CSE'd; round-2 review finding)
+    def body(cs):
+        n = F.size(cs)
+        counts = F.transform(
+            F.array_distinct(cs),
+            lambda c: F.size(F.filter(cs, lambda x: x == c)),
+        )
+        h = -F.aggregate(
+            F.transform(counts, lambda k: k / n),
+            F.lit(0.0),
+            lambda acc, p: acc + p * F.log2(p),
+        )
+        return F.when(n > 0, h)
+
+    return F.get(F.transform(F.array(chars_expr), body), 0)
 
 
 _PII_PATTERNS = {

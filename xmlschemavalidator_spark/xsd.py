@@ -244,14 +244,13 @@ class XsdSchema:
             if not (d.nillable or d.default is not None)
         ]
         particle = ct.particle or "sequence"
-        if ct.children:
+        if ct.children and (particle == "choice" or presence_cols):
             particle_rule = {
-                "sequence": SequenceRule(tuple(presence_cols or child_cols)),
-                "all": AllRule(tuple(presence_cols or child_cols)),
-                "choice": ChoiceRule(tuple(child_cols)),
-            }[particle]
-            if particle == "choice" or presence_cols:
-                rules.append(FieldRule(f"{root}__{particle}", particle_rule))
+                "sequence": lambda: SequenceRule(tuple(presence_cols)),
+                "all": lambda: AllRule(tuple(presence_cols)),
+                "choice": lambda: ChoiceRule(tuple(child_cols)),
+            }[particle]()
+            rules.append(FieldRule(f"{root}__{particle}", particle_rule))
 
         for c, decl in zip(ct.children, decls):
             t = decl.type
@@ -266,10 +265,14 @@ class XsdSchema:
             if type_obj is not None:
                 rule: Any = type_obj
                 if decl.fixed is not None:
-                    # fixed= on an element: equality with the constant
-                    # (parser.clj:284-288 semantics, applied to elements —
-                    # XSD 1.0 3.3.1; the reference only has attribute fixed)
-                    rule = FixedAttr(decl.fixed)
+                    # fixed= on an element: equality with the constant when
+                    # the value is PRESENT (XSD 1.0 3.3.1; the reference
+                    # only has attribute fixed, where nil fails —
+                    # parser.clj:284-288). For elements, absence is the
+                    # PARTICLE's concern: a NULL here may be a non-selected
+                    # choice alternative or xsi:nil, so the value rule
+                    # passes on NULL (round-2 review finding)
+                    rule = _NullOr(FixedAttr(decl.fixed))
                 elif decl.default is not None:
                     # default= decodes absent values before validation
                     rule = DefaultAttr(decl.default, type_obj)
@@ -438,6 +441,41 @@ class XsdSchema:
         for r in results[1:]:
             out = out.unionByName(r)
         return out
+
+    # ------------------------------------------------------------------
+    def nested_container_verdict(self, children: Column, root: str) -> Column:
+        """The rose-tree (nested-array) validation path, driven by the
+        SCHEMA: build the declared ``(tag, type)`` list from ``root``'s
+        complexType and apply :func:`rules.structural.container_verdict`
+        with the particle kind and the ``xs:any`` tolerance the schema
+        declares — THE consumer of ``ComplexDecl.has_any`` (a schema with
+        a wildcard tolerates undeclared children here; without one they
+        get the ``[false :undefined tag]`` pseudo-verdict).
+
+        ``children`` is an ``array<struct<tag:string, value:string>>``
+        column; simple-typed declared children only (nested complex
+        children flatten upstream, as in :meth:`ruleset_for`)."""
+        from xmlschemavalidator_spark.rules.structural import container_verdict
+
+        ct = self._element_complex(root)
+        declared = []
+        for c in ct.children:
+            d = self.elements[c.ref] if c.ref else c
+            t = d.type
+            if isinstance(t, str):
+                if t in self.complex_types:
+                    continue
+                t = self.types.resolve(t)
+            if t is None or isinstance(t, ComplexDecl):
+                continue
+            declared.append((c.name, t))
+        return container_verdict(
+            children,
+            declared,
+            ct.particle or "sequence",
+            self.types,
+            allow_undeclared=ct.has_any,
+        )
 
     # ------------------------------------------------------------------
     def xml_struct_ddl(self, root: str) -> str:
