@@ -45,7 +45,7 @@ def run_pipeline(
     mix: dict[str, float] | None = None,
     budget_per_lang: int = 0,
     id_col: str = "doc_id",
-    batch_id: str = "batch-0",
+    batch_id: str | None = None,
 ) -> dict:
     """Compose the pipeline over an in-memory DataFrame; returns the
     per-stage audit dict (also written to <output>/audit/stages.json).
@@ -63,6 +63,14 @@ def run_pipeline(
     from xmlschemavalidator_spark.sampling import stratified_sample, token_budget_select
     from xmlschemavalidator_spark.textops import gopher_pass
 
+    if not batch_id:
+        # a SHARED default would make every run look like a retry of the
+        # previous one and silently disable cross-batch dedup (third-review
+        # finding) — the caller must name each logical batch uniquely
+        raise ValueError(
+            "batch_id is required and must be unique per logical batch "
+            "(e.g. the crawl/snapshot id); retries reuse the same id"
+        )
     audit: dict = {}
     persisted = []
 
@@ -156,7 +164,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--mix", default=None, help='JSON dict, e.g. {"en":1.0,"de":0.3}')
     p.add_argument("--budget-per-lang", type=int, default=0)
     p.add_argument("--id-col", default="doc_id")
-    p.add_argument("--batch-id", default="batch-0")
+    p.add_argument("--batch-id", required=True)
     args = p.parse_args(argv)
 
     spark = (

@@ -27,6 +27,7 @@ def test_pipeline_end_to_end(spark, tmp_path):
         benchmark=bench,
         mix={"en": 1.0, "de": 1.0, "sv": 1.0, "zh": 1.0, "es": 1.0},
         budget_per_lang=100_000,
+        batch_id="t1",
     )
     order = list(audit)
     assert order[0] == "input" and order[-1] == "kept"

@@ -345,3 +345,64 @@ def test_pipeline_same_batch_retry_idempotent(spark, tmp_path):
         .select(doc_fingerprint(SF.col("text")).alias("f")).collect()
     }
     assert not (kept_before & kept_b2)
+
+
+def test_nillable_fixed_nil_fails(spark):
+    """XSD 1.0: a nilled element must have no fixed value constraint —
+    nillable+fixed with NULL is invalid (third-review finding)."""
+    from xmlschemavalidator_spark.engine import DOC_OK, validate
+    from xmlschemavalidator_spark.xsd import parse_xsd
+
+    xsd = """<schema>
+      <complexType name="c"><sequence>
+        <element name="a" type="string" fixed="x" nillable="true"/>
+        <element name="b" type="string"/>
+      </sequence></complexType>
+      <element name="r" type="c"/>
+    </schema>"""
+    rs = parse_xsd(xsd).ruleset_for("r")
+    df = spark.createDataFrame(
+        [("d1", "x", "ok"), ("d2", None, "ok")],
+        "doc_id string, a string, b string",
+    )
+    got = {r["doc_id"]: r[DOC_OK] for r in validate(df, rs, key="doc_id").verdicts.collect()}
+    assert got == {"d1": True, "d2": False}
+
+
+def test_pipeline_requires_batch_id(spark, tmp_path):
+    import os
+    import sys
+
+    import pytest
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    from corpus_pipeline_job import run_pipeline
+
+    docs = spark.createDataFrame([(1, "t", "en")], "doc_id bigint, text string, lang string")
+    with pytest.raises(ValueError, match="batch_id is required"):
+        run_pipeline(spark, docs, str(tmp_path / "o"))
+
+
+def test_legacy_fingerprint_store_upgrade(spark, tmp_path):
+    """A store created before the batch_id column existed must still honor
+    the batch exclusion after an upgraded commit (mergeSchema read)."""
+    from pyspark.sql import functions as SF
+
+    from xmlschemavalidator_spark.dedup import (
+        commit_seen_fingerprints,
+        incremental_exact_dedup,
+    )
+
+    store = str(tmp_path / "fps")
+    # legacy layout: fingerprint only
+    spark.createDataFrame([("legacyfp",)], "fingerprint string").write.parquet(store)
+    docs = spark.createDataFrame([(1, "some doc text")], "doc_id bigint, text string")
+    kept = incremental_exact_dedup(docs, "doc_id", store, batch_id="bN")
+    assert kept.count() == 1
+    commit_seen_fingerprints(kept, store, batch_id="bN")
+    # retry of bN: must NOT dedup against its own commit (legacy rows mixed in)
+    retry = incremental_exact_dedup(docs, "doc_id", store, batch_id="bN")
+    assert retry.count() == 1
+    # a different batch IS deduped
+    other = incremental_exact_dedup(docs, "doc_id", store, batch_id="bM")
+    assert other.count() == 0

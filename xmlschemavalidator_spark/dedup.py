@@ -714,7 +714,12 @@ def _seen_fingerprints(spark, state_path: str, exclude_batch: str | None = None)
     from pyspark.errors import AnalysisException
 
     try:
-        store = spark.read.parquet(state_path)
+        # mergeSchema: a store upgraded from the pre-batch_id layout mixes
+        # footers with and without the column; without merging, Spark picks
+        # ONE footer and the batch-exclusion is nondeterministically
+        # skipped (third-review finding) — merged, legacy rows read as
+        # NULL batch_id and are correctly retained
+        store = spark.read.option("mergeSchema", "true").parquet(state_path)
     except AnalysisException as e:
         if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
             return spark.createDataFrame([], "fingerprint string")
@@ -763,7 +768,9 @@ def commit_seen_fingerprints(
     earlier commit (pass the same batch_id to incremental_exact_dedup).
     Safe to retry: duplicate fingerprints in the store change no dedup
     decision (membership is a set semantics); compact with
-    ``spark.read.parquet(path).distinct().write`` when growth matters."""
+    ``groupBy("fingerprint").agg(F.min("batch_id"))`` when growth matters
+    (a plain distinct() keys on (fingerprint, batch_id) and keeps one row
+    per batch — it no longer collapses recurring duplicates)."""
     (
         kept_df.select(
             doc_fingerprint(F.col(text_col)).alias("fingerprint"),

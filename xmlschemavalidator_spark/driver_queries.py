@@ -2596,6 +2596,66 @@ def facet_digits_whitespace(spark, sf_dir):
     )
 
 
+_NESTED_WC_XSD = """<schema>
+  <complexType name="doct">
+    <sequence>
+      <element name="text" type="string"/>
+      <element name="nc" type="ncrange"/>
+      <any processContents="skip"/>
+    </sequence>
+  </complexType>
+  <simpleType name="ncrange">
+    <restriction base="integer">
+      <minInclusive value="200"/><maxInclusive value="2500"/>
+    </restriction>
+  </simpleType>
+  <element name="doc" type="doct"/>
+</schema>"""
+
+@q(
+    "xsd_nested_wildcard_verdicts",
+    f"""SELECT doc_id,
+               TRUE AS seq_ok,
+               coalesce({_CV_STRING_SQL_TEXT}, FALSE) AS c1_ok,
+               coalesce({_CV_NC_SQL}, FALSE) AS c2_ok,
+               lang AS c3_tag,
+               TRUE AS c3_ok,
+               lang AS c3_value,
+               (coalesce({_CV_STRING_SQL_TEXT}, FALSE)
+                AND coalesce({_CV_NC_SQL}, FALSE)) AS doc_ok
+        FROM documents""",
+)
+def xsd_nested_wildcard_verdicts(spark, sf_dir):
+    """Schema-driven nested validation (XsdSchema.nested_container_verdict,
+    THE consumer of the parsed xs:any flag): a sequence of (text, nc) plus
+    a wildcard — the third, undeclared child (tag = the doc's lang) passes
+    with its observed value and the sequence condition holds with the
+    declared tags as an in-order subsequence. Oracle = the same type
+    predicates (sql_expr) with the wildcard consequences made explicit."""
+    from xmlschemavalidator_spark.rules.structural import nested_valid
+    from xmlschemavalidator_spark.xsd import parse_xsd
+
+    schema = parse_xsd(_NESTED_WC_XSD)
+    docs = _t(spark, sf_dir, "documents")
+    children = F.array(
+        F.struct(F.lit("text").alias("tag"), F.col("text").cast("string").alias("value")),
+        F.struct(F.lit("nc").alias("tag"), F.col("n_chars").cast("string").alias("value")),
+        F.struct(F.col("lang").alias("tag"), F.col("lang").alias("value")),
+    )
+    v = schema.nested_container_verdict(children, "doc")
+    cv = v["children"]
+    return docs.select(
+        "doc_id",
+        v["ok"].alias("seq_ok"),
+        F.get(cv, 0)["ok"].alias("c1_ok"),
+        F.get(cv, 1)["ok"].alias("c2_ok"),
+        F.get(cv, 2)["tag"].alias("c3_tag"),
+        F.get(cv, 2)["ok"].alias("c3_ok"),
+        F.get(cv, 2)["value"].alias("c3_value"),
+        nested_valid(v).alias("doc_ok"),
+    )
+
+
 def _list_type():
     """xs:list over documents.text: every whitespace token must be a string
     (not numeric-parseable) of length <= 5 — spec-enforced list semantics

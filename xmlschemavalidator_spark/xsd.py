@@ -269,10 +269,16 @@ class XsdSchema:
                     # the value is PRESENT (XSD 1.0 3.3.1; the reference
                     # only has attribute fixed, where nil fails —
                     # parser.clj:284-288). For elements, absence is the
-                    # PARTICLE's concern: a NULL here may be a non-selected
-                    # choice alternative or xsi:nil, so the value rule
-                    # passes on NULL (round-2 review finding)
-                    rule = _NullOr(FixedAttr(decl.fixed))
+                    # PARTICLE's concern: a NULL may be a non-selected
+                    # choice alternative, so the value rule passes on NULL
+                    # — EXCEPT nillable+fixed: XSD says a nilled element
+                    # must have no fixed value constraint, so there NULL
+                    # fails (third-review finding)
+                    rule = (
+                        FixedAttr(decl.fixed)
+                        if decl.nillable
+                        else _NullOr(FixedAttr(decl.fixed))
+                    )
                 elif decl.default is not None:
                     # default= decodes absent values before validation
                     rule = DefaultAttr(decl.default, type_obj)
