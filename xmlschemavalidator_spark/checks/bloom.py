@@ -1,0 +1,131 @@
+"""Bloom-filter membership sketch — the mergeable "definitely not seen"
+structure for 10^12-row pipelines.
+
+Spark's internal ``BloomFilterAggregate`` is not exposed as a SQL function
+in this build, so this is a from-scratch implementation on public
+primitives: k positions per value via ``xxhash64(value, seed+i)``, bits
+set with one explode + ``bit_or`` aggregate (partial+final, the shuffle
+carries (word, mask) pairs), membership tested with a pure Column
+expression over the bit array shipped as a literal.
+
+Why a validation/dedup engine wants one: an anti-join against a billions-
+row seen-store shuffles the whole batch. A Bloom filter has NO false
+negatives, so ``might_contain(x) = false`` proves x unseen — those rows
+skip the join entirely; only the (1-ish FP-rate inflated) member-looking
+remainder needs exact verification. For incremental crawl dedup, where
+most docs are NEW, that converts the common case from a shuffle into a
+narrow filter (:func:`split_by_membership`).
+
+Size guidance: the literal bit array lands in the query plan — fine to a
+few MB (default 1 Mbit = 128 KB ≈ 87k items at 1% FP). For GB-scale
+filters, shard the store and build one filter per shard instead.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# signed-long powers of two; index 63 is the sign bit
+_POW2 = [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
+
+
+def bloom_parameters(n_items: int, fpp: float = 0.01) -> tuple[int, int]:
+    """Textbook sizing: (m bits, k hashes) for ``n_items`` at ``fpp``."""
+    m = max(64, int(-n_items * math.log(fpp) / (math.log(2) ** 2)))
+    k = max(1, round(m / max(n_items, 1) * math.log(2)))
+    return m, k
+
+
+@dataclass(frozen=True)
+class BloomFilter:
+    """Immutable built filter: dense word array + the hash recipe. The
+    word array is plain Python longs so the filter pickles/broadcasts and
+    merges (bitwise OR) without Spark."""
+
+    m: int
+    k: int
+    seed: int
+    words: tuple[int, ...]  # len = ceil(m / 64), signed 64-bit
+
+    # -- construction ------------------------------------------------------
+    @staticmethod
+    def build(
+        df: DataFrame, col: str, m: int = 1 << 20, k: int = 5, seed: int = 42
+    ) -> "BloomFilter":
+        """One pass: k positions per value (xxhash64 with per-hash seeds)
+        → explode → bit_or per 64-bit word (map-side combined). The
+        collect is ≤ m/64 longs — driver-bounded by the filter size, never
+        by the data."""
+        positions = F.array(
+            *[
+                F.pmod(F.xxhash64(F.col(col), F.lit(seed + i)), F.lit(m))
+                for i in range(k)
+            ]
+        )
+        ex = df.where(F.col(col).isNotNull()).select(
+            F.explode(positions).alias("pos")
+        )
+        rows = (
+            ex.select(
+                (F.col("pos") / 64).cast("int").alias("word"),
+                F.element_at(
+                    F.array(*[F.lit(p).cast("long") for p in _POW2]),
+                    (F.pmod(F.col("pos"), F.lit(64)) + 1).cast("int"),
+                ).alias("mask"),
+            )
+            .groupBy("word")
+            .agg(F.expr("bit_or(mask)").alias("mask"))
+            .collect()
+        )
+        words = [0] * ((m + 63) // 64)
+        for r in rows:
+            words[r["word"]] = r["mask"]
+        return BloomFilter(m=m, k=k, seed=seed, words=tuple(words))
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        """Bitwise-OR union — filters built with identical (m, k, seed)
+        recipes over different data merge exactly (the treeAggregate
+        property every sketch in checks/ provides)."""
+        if (self.m, self.k, self.seed) != (other.m, other.k, other.seed):
+            raise ValueError("can only merge Bloom filters with identical recipes")
+        return BloomFilter(
+            self.m, self.k, self.seed,
+            tuple(a | b for a, b in zip(self.words, other.words)),
+        )
+
+    # -- membership --------------------------------------------------------
+    def might_contain(self, col: Column) -> Column:
+        """Pure Column membership test: false = DEFINITELY unseen (no
+        false negatives by construction); true = seen or a false positive
+        at ≈ fpp. Narrow — no join, no shuffle, NULL input → false."""
+        arr = F.array(*[F.lit(w).cast("long") for w in self.words])
+        pw = F.array(*[F.lit(p).cast("long") for p in _POW2])
+        checks = []
+        for i in range(self.k):
+            pos = F.pmod(F.xxhash64(col, F.lit(self.seed + i)), F.lit(self.m))
+            word = F.element_at(arr, (pos / 64).cast("int") + 1)
+            mask = F.element_at(pw, (F.pmod(pos, F.lit(64)) + 1).cast("int"))
+            checks.append(word.bitwiseAND(mask) != 0)
+        out = checks[0]
+        for c in checks[1:]:
+            out = out & c
+        return F.coalesce(out, F.lit(False))
+
+    def estimated_fpp(self, n_items: int) -> float:
+        """Textbook (1 - e^{-kn/m})^k for the given insert count."""
+        return (1.0 - math.exp(-self.k * n_items / self.m)) ** self.k
+
+
+def split_by_membership(
+    df: DataFrame, col: str, bloom: BloomFilter
+) -> tuple[DataFrame, DataFrame]:
+    """(definitely_new, maybe_seen): the incremental-dedup prefilter. The
+    first frame provably contains no store members and skips the exact
+    anti-join entirely; only the second (small when most rows are new)
+    pays the join to weed out false positives."""
+    hit = bloom.might_contain(F.col(col))
+    return df.where(~hit), df.where(hit)

@@ -1946,6 +1946,32 @@ def heavy_hitters_approx(spark, sf_dir):
     return approx_heavy_hitters(_t(spark, sf_dir, "documents"), "source", 0.05)
 
 
+@q("bloom_membership")  # no oracle: xxhash64 bit positions are Spark-specific
+def bloom_membership(spark, sf_dir):
+    """Bloom-filter membership sketch over document fingerprints: built in
+    one bit_or-aggregated pass, tested as a pure Column expression.
+    Output pins the contract: zero false negatives (every member hits),
+    and the measured false-positive count over planted non-members stays
+    near the textbook estimate. Deterministic given the fixed seed."""
+    from xmlschemavalidator_spark.checks.bloom import BloomFilter
+    from xmlschemavalidator_spark.textops import doc_fingerprint
+
+    docs = _t(spark, sf_dir, "documents").select(
+        doc_fingerprint(F.col("text")).alias("fp")
+    )
+    bf = BloomFilter.build(docs, "fp", m=1 << 16, k=5)
+    members_hit = docs.where(bf.might_contain(F.col("fp"))).count()
+    n = docs.count()
+    planted = spark.range(10000).select(
+        F.md5(F.concat(F.lit("not-in-corpus:"), F.col("id").cast("string"))).alias("fp")
+    )
+    fp_hits = planted.where(bf.might_contain(F.col("fp"))).count()
+    return spark.createDataFrame(
+        [(n, members_hit, fp_hits, round(bf.estimated_fpp(n), 6))],
+        "n_members long, members_hit long, false_positives long, est_fpp double",
+    )
+
+
 @q("incremental_dedup_roundtrip")  # no oracle: stateful (writes a store)
 def incremental_dedup_roundtrip(spark, sf_dir):
     """Cross-batch incremental dedup exercised end-to-end: batch 1 = the
