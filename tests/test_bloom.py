@@ -60,3 +60,42 @@ def test_split_by_membership_prefilter(spark):
     assert maybe_seen.where(F.col("fp").startswith("seen-")).count() == 500
     # …and the definite-new side skipped the join for ~all actual-new rows
     assert n_new > 1400
+
+
+def test_bloom_words_match_pure_python_replica(spark):
+    """The built word array is reproduced bit-for-bit by a driver-side
+    replica using hashing.py's Spark-exact xxhash64 — the sketch is a pure
+    function of (values, m, k, seed), with no Spark-run dependence."""
+    from xmlschemavalidator_spark.hashing import xxh64_int, xxh64_str
+
+    values = [f"v{i}" for i in range(500)]
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    m, k, seed = 1 << 12, 4, 42
+    bf = BloomFilter.build(df, "v", m=m, k=k, seed=seed)
+
+    words = [0] * ((m + 63) // 64)
+    for v in values:
+        for i in range(k):
+            # xxhash64(col, lit(s)) chains: str hashed at default seed 42,
+            # then the int literal hashed with that as the running seed
+            h = xxh64_int(seed + i, seed=xxh64_str(v, seed=42))
+            pos = h % m if h >= 0 else (h % m + m) % m  # pmod semantics
+            words[pos // 64] |= 1 << (pos % 64)
+    signed = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    assert list(bf.words) == signed
+
+
+def test_bloom_membership_plan_is_narrow(spark):
+    """might_contain is a pure filter: one scan, zero Exchange — the
+    property that makes the dedup prefilter free of shuffles."""
+    df = spark.range(100).select(F.col("id").cast("string").alias("v"))
+    bf = BloomFilter.build(df, "v", m=1 << 12, k=3)
+    probe = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = probe.where(bf.might_contain(F.col("text")))
+    qe = out._jdf.queryExecution()
+    jvm = out.sparkSession._jvm
+    plan = qe.explainString(jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert "Exchange" not in plan
+    import re
+
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
