@@ -99,3 +99,15 @@ def test_bloom_membership_plan_is_narrow(spark):
     import re
 
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_might_contain_null_is_false(spark):
+    """Spark hash functions SKIP null inputs, so without an explicit gate
+    a NULL probe hashes to fixed positions (fourth-review finding, was
+    returning True on loaded filters)."""
+    df = spark.range(1000).select(F.col("id").cast("string").alias("v"))
+    bf = BloomFilter.build(df, "v", m=1 << 14, k=5)
+    probe = spark.createDataFrame([("5",), (None,)], "v string")
+    got = {r["v"]: r["hit"] for r in
+           probe.select("v", bf.might_contain(F.col("v")).alias("hit")).collect()}
+    assert got["5"] is True and got[None] is False

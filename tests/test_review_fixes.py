@@ -406,3 +406,49 @@ def test_legacy_fingerprint_store_upgrade(spark, tmp_path):
     # a different batch IS deduped
     other = incremental_exact_dedup(docs, "doc_id", store, batch_id="bM")
     assert other.count() == 0
+
+
+def test_compact_fingerprint_store_preserves_retry_semantics(spark, tmp_path):
+    """Compaction must not drop the evidence that ANOTHER batch saw a
+    fingerprint: multi-batch fingerprints collapse to NULL (excluded by
+    no retry); single-batch ones keep their id."""
+    from xmlschemavalidator_spark.dedup import (
+        _seen_fingerprints,
+        compact_fingerprint_store,
+    )
+
+    store = str(tmp_path / "fps")
+    spark.createDataFrame(
+        [("shared", "b1"), ("shared", "b2"), ("only_b1", "b1"), ("legacy", None)],
+        "fingerprint string, batch_id string",
+    ).write.parquet(store)
+    compact_fingerprint_store(spark, store)
+    rows = {r["fingerprint"]: r["batch_id"]
+            for r in spark.read.parquet(store).collect()}
+    assert rows == {"shared": None, "only_b1": "b1", "legacy": None}
+    # retry of b1 still sees 'shared' and 'legacy' as foreign
+    seen_b1 = {r["fingerprint"] for r in
+               _seen_fingerprints(spark, store, exclude_batch="b1").collect()}
+    assert seen_b1 == {"shared", "legacy"}
+
+
+def test_choice_nillable_fixed_absent_alternative_passes(spark):
+    """choice + nillable + fixed: a NULL may be a NON-selected alternative
+    — the nilled-fixed prohibition only applies outside choice."""
+    from xmlschemavalidator_spark.engine import DOC_OK, validate
+    from xmlschemavalidator_spark.xsd import parse_xsd
+
+    xsd = """<schema>
+      <complexType name="c"><choice>
+        <element name="a" type="string" fixed="x" nillable="true"/>
+        <element name="b" type="string"/>
+      </choice></complexType>
+      <element name="r" type="c"/>
+    </schema>"""
+    rs = parse_xsd(xsd).ruleset_for("r")
+    df = spark.createDataFrame(
+        [("d1", None, "picked-b"), ("d2", "x", None), ("d3", "y", None)],
+        "doc_id string, a string, b string",
+    )
+    got = {r["doc_id"]: r[DOC_OK] for r in validate(df, rs, key="doc_id").verdicts.collect()}
+    assert got == {"d1": True, "d2": True, "d3": False}

@@ -29,8 +29,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# signed-long powers of two; index 63 is the sign bit
-_POW2 = [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
+from xmlschemavalidator_spark.hashing import SIGNED_POW2 as _POW2
 
 
 def bloom_parameters(n_items: int, fpp: float = 0.01) -> tuple[int, int]:
@@ -101,19 +100,48 @@ class BloomFilter:
     def might_contain(self, col: Column) -> Column:
         """Pure Column membership test: false = DEFINITELY unseen (no
         false negatives by construction); true = seen or a false positive
-        at ≈ fpp. Narrow — no join, no shuffle, NULL input → false."""
-        arr = F.array(*[F.lit(w).cast("long") for w in self.words])
-        pw = F.array(*[F.lit(p).cast("long") for p in _POW2])
-        checks = []
-        for i in range(self.k):
-            pos = F.pmod(F.xxhash64(col, F.lit(self.seed + i)), F.lit(self.m))
-            word = F.element_at(arr, (pos / 64).cast("int") + 1)
-            mask = F.element_at(pw, (F.pmod(pos, F.lit(64)) + 1).cast("int"))
-            checks.append(word.bitwiseAND(mask) != 0)
-        out = checks[0]
-        for c in checks[1:]:
-            out = out & c
-        return F.coalesce(out, F.lit(False))
+        at ≈ fpp. Narrow — no join, no shuffle.
+
+        NULL gating is explicit (``when(isNull, False)``): Spark's hash
+        functions SKIP null inputs rather than returning NULL, so without
+        the gate a NULL probe hashes to fixed positions and can
+        spuriously report membership (fourth-review finding, confirmed
+        live) — build() drops NULLs, and the test must mirror that.
+
+        Plan size: the word array and mask table are bound ONCE as lambda
+        variables (1-element struct transform let-binding) and the k
+        membership checks run as a ``forall`` over the position array —
+        one copy of each literal in the plan instead of k (the direct
+        form carried k×ceil(m/64) literal nodes)."""
+        positions = F.array(
+            *[
+                F.pmod(F.xxhash64(col, F.lit(self.seed + i)), F.lit(self.m))
+                for i in range(self.k)
+            ]
+        )
+        ctx = F.array(
+            F.struct(
+                F.array(*[F.lit(w).cast("long") for w in self.words]).alias("w"),
+                F.array(*[F.lit(p).cast("long") for p in _POW2]).alias("p"),
+            )
+        )
+        hit = F.get(
+            F.transform(
+                ctx,
+                lambda c: F.forall(
+                    positions,
+                    lambda pos: F.element_at(c["w"], (pos / 64).cast("int") + 1)
+                    .bitwiseAND(
+                        F.element_at(c["p"], (F.pmod(pos, F.lit(64)) + 1).cast("int"))
+                    )
+                    != 0,
+                ),
+            ),
+            0,
+        )
+        return F.when(col.isNull(), F.lit(False)).otherwise(
+            F.coalesce(hit, F.lit(False))
+        )
 
     def estimated_fpp(self, n_items: int) -> float:
         """Textbook (1 - e^{-kn/m})^k for the given insert count."""

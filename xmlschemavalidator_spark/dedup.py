@@ -339,8 +339,7 @@ def _simhash_bit_votes(h: Column) -> Column:
     )
 
 
-# powers of two as signed longs; bit 63 is the long sign bit
-_SIMHASH_POW2 = [(1 << i) if i < 63 else -(1 << 63) for i in range(64)]
+from xmlschemavalidator_spark.hashing import SIGNED_POW2 as _SIMHASH_POW2
 
 
 def simhash(text: Column) -> Column:
@@ -768,9 +767,10 @@ def commit_seen_fingerprints(
     earlier commit (pass the same batch_id to incremental_exact_dedup).
     Safe to retry: duplicate fingerprints in the store change no dedup
     decision (membership is a set semantics); compact with
-    ``groupBy("fingerprint").agg(F.min("batch_id"))`` when growth matters
-    (a plain distinct() keys on (fingerprint, batch_id) and keeps one row
-    per batch — it no longer collapses recurring duplicates)."""
+    :func:`compact_fingerprint_store` when growth matters (plain distinct()
+    keys on (fingerprint, batch_id); a min()-style collapse would DROP the
+    evidence that another batch saw the fingerprint and break retry
+    exclusion — fourth-review finding)."""
     (
         kept_df.select(
             doc_fingerprint(F.col(text_col)).alias("fingerprint"),
@@ -780,6 +780,43 @@ def commit_seen_fingerprints(
         .write.mode("append")
         .parquet(state_path)
     )
+
+
+def compact_fingerprint_store(spark, state_path: str) -> None:
+    """Rewrite the store with one row per fingerprint while PRESERVING the
+    retry-exclusion semantics: a fingerprint committed by two or more
+    distinct batches (or carrying any legacy NULL row) collapses to
+    ``batch_id NULL`` — excluded by NO retry, because it is seen
+    regardless of which batch re-runs; a single-batch fingerprint keeps
+    its batch_id so that batch's own retry still ignores it. Local-FS
+    directory swap; on object stores write a fresh store path instead."""
+    import os
+    import shutil
+
+    store = spark.read.option("mergeSchema", "true").parquet(state_path)
+    if "batch_id" not in store.columns:
+        store = store.withColumn("batch_id", F.lit(None).cast("string"))
+    compacted = (
+        store.groupBy("fingerprint")
+        .agg(
+            F.count_distinct("batch_id").alias("_n"),  # NULLs not counted
+            F.max(F.col("batch_id").isNull().cast("int")).alias("_has_null"),
+            F.min("batch_id").alias("_b"),
+        )
+        .select(
+            "fingerprint",
+            F.when((F.col("_n") == 1) & (F.col("_has_null") == 0), F.col("_b"))
+            .otherwise(F.lit(None).cast("string"))
+            .alias("batch_id"),
+        )
+    )
+    tmp = state_path.rstrip("/") + ".compact.tmp"
+    old_dir = state_path.rstrip("/") + ".old"
+    compacted.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(old_dir, ignore_errors=True)
+    os.rename(state_path, old_dir)
+    os.rename(tmp, state_path)
+    shutil.rmtree(old_dir, ignore_errors=True)
 
 
 # --------------------------------------------------------------------------

@@ -274,9 +274,13 @@ class XsdSchema:
                     # — EXCEPT nillable+fixed: XSD says a nilled element
                     # must have no fixed value constraint, so there NULL
                     # fails (third-review finding)
+                    # inside a choice, a NULL may be a NON-SELECTED
+                    # alternative — the nilled-fixed prohibition only
+                    # applies where NULL can only mean xsi:nil
+                    # (fourth-review finding)
                     rule = (
                         FixedAttr(decl.fixed)
-                        if decl.nillable
+                        if (decl.nillable and particle != "choice")
                         else _NullOr(FixedAttr(decl.fixed))
                     )
                 elif decl.default is not None:
