@@ -425,3 +425,39 @@ def test_dedup_lines_within_doc(spark):
     assert got[1] == "nav menu\nbody text one\nbody text two"  # first kept, order kept
     assert got[2] == "only\nunique\nlines"
     assert got[3] == "" and got[4] == ""
+
+
+def test_simhash_hot_bucket_cap_bounds_empty_doc_blowup(spark):
+    """VERDICT r2 item 1: 5 000 empty docs all get sig = 0 and share every
+    pigeonhole chunk — without the max_bucket cap the chunk self-join emits
+    ~12.5M pairs from that one cluster. With the cap the empty cluster is
+    excluded (candidates bounded), a planted near-dup pair in a small
+    bucket is still found, and the audit surface reports what was dropped."""
+    from xmlschemavalidator_spark.dedup import simhash_hot_chunks
+
+    rows = [(i, "") for i in range(5000)]
+    rows += [(9001, BASE), (9002, BASE)]  # identical -> hamming 0, tiny bucket
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    pairs = simhash_near_duplicates(df, "doc_id", hamming_max=3, max_bucket=1000)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (9001, 9002) in got
+    # the 5 000-doc sig=0 cluster is capped out: NO pair touches an empty doc
+    assert all(a > 9000 and b > 9000 for a, b in got)
+    assert len(got) == 1
+
+    hot = simhash_hot_chunks(df, "doc_id", hamming_max=3, max_bucket=1000).collect()
+    # every chunk of sig=0 is a hot bucket: 4 chunks, 5 000 docs each
+    assert len(hot) == 4
+    assert all(r["cv"] == 0 and r["n_docs"] == 5000 for r in hot)
+    # raising the cap past the cluster size restores the uncapped behavior
+    uncapped = simhash_near_duplicates(
+        df.where(F.col("doc_id") < 20), "doc_id", hamming_max=3, max_bucket=10**9
+    )
+    assert uncapped.count() == 20 * 19 // 2
+
+
+def test_simhash_hot_chunks_empty_when_no_hot_buckets(spark):
+    from xmlschemavalidator_spark.dedup import simhash_hot_chunks
+
+    assert simhash_hot_chunks(corpus(spark), "doc_id", max_bucket=1000).count() == 0

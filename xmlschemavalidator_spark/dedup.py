@@ -439,23 +439,17 @@ def simhash_py(text) -> int:
     return sig - (1 << 64) if sig >= (1 << 63) else sig
 
 
-def simhash_near_duplicates(
-    df: DataFrame, id_col: str, text_col: str = "text", hamming_max: int = 3
+def _simhash_chunks(
+    df: DataFrame, id_col: str, text_col: str, hamming_max: int
 ) -> DataFrame:
-    """Pairs with SimHash Hamming distance <= hamming_max.
-
-    Pigeonhole blocking: the 64-bit signature is split into
-    ``hamming_max + 1`` chunks — at most hamming_max bits differ, so at
-    least one chunk is IDENTICAL between any qualifying pair (sound for
-    every hamming_max, not just <= 3; a fixed 4-chunk split silently loses
-    recall above 3). More chunks = coarser buckets = more candidates to
-    verify: keep hamming_max small at corpus scale.
-    """
+    """Pigeonhole chunk explosion shared by :func:`simhash_near_duplicates`
+    and :func:`simhash_hot_chunks`: ``(doc, sig, ci, cv)`` — one row per
+    (doc, chunk index) with the chunk's bit value."""
     n_chunks = min(hamming_max + 1, 16)
     width = -(-64 // n_chunks)  # ceil
     mask = (1 << width) - 1
     sigd = simhash_signatures_df(df, id_col, text_col)
-    chunks = sigd.select(
+    return sigd.select(
         "doc",
         "sig",
         F.explode(
@@ -473,8 +467,62 @@ def simhash_near_duplicates(
             )
         ).alias("c"),
     ).select("doc", "sig", "c.ci", "c.cv")
-    a = chunks.select("ci", "cv", F.col("doc").alias("id_a"), F.col("sig").alias("sig_a"))
-    b = chunks.select("ci", "cv", F.col("doc").alias("id_b"), F.col("sig").alias("sig_b"))
+
+
+def simhash_hot_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    hamming_max: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """The chunk buckets :func:`simhash_near_duplicates` DROPS under its
+    ``max_bucket`` cap: ``(ci, cv, n_docs)`` — the 'no silent caps' audit
+    surface, same contract as :func:`minhash_hot_buckets`. Empty result =
+    full candidate coverage. The classic hot bucket is ``cv = 0`` in every
+    chunk: all empty/whitespace-only docs get sig = 0 and land there."""
+    chunks = _simhash_chunks(df, id_col, text_col, hamming_max)
+    return (
+        chunks.groupBy("ci", "cv")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") > max_bucket)
+    )
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    hamming_max: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Pairs with SimHash Hamming distance <= hamming_max.
+
+    Pigeonhole blocking: the 64-bit signature is split into
+    ``hamming_max + 1`` chunks — at most hamming_max bits differ, so at
+    least one chunk is IDENTICAL between any qualifying pair (sound for
+    every hamming_max, not just <= 3; a fixed 4-chunk split silently loses
+    recall above 3). More chunks = coarser buckets = more candidates to
+    verify: keep hamming_max small at corpus scale.
+
+    Hot chunk buckets above ``max_bucket`` docs are EXCLUDED before the
+    self-join (two-phase count → semi-join, same shape as
+    :func:`minhash_lsh_candidates`): without the cap every empty doc shares
+    sig = 0 and every boilerplate signature cluster shares all its chunks,
+    turning the bucket join O(n²) at corpus scale. Audit what was dropped
+    with :func:`simhash_hot_chunks` (empty = nothing dropped). A pair is
+    still found if ANY of its shared chunks stays under the cap."""
+    chunks = _simhash_chunks(df, id_col, text_col, hamming_max)
+    ok = (
+        chunks.groupBy("ci", "cv")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        # singleton buckets can't pair — drop them with the hot ones
+        .where((F.col("_n") > 1) & (F.col("_n") <= max_bucket))
+        .select("ci", "cv")
+    )
+    pruned = chunks.join(ok, ["ci", "cv"], "left_semi")
+    a = pruned.select("ci", "cv", F.col("doc").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = pruned.select("ci", "cv", F.col("doc").alias("id_b"), F.col("sig").alias("sig_b"))
     cand = (
         a.join(b, on=["ci", "cv"])
         .where(F.col("id_a") < F.col("id_b"))

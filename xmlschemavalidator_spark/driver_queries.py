@@ -1048,6 +1048,18 @@ def simhash_near_dups(spark, sf_dir):
     return simhash_near_duplicates(_t(spark, sf_dir, "documents"), "doc_id", hamming_max=10)
 
 
+@q("simhash_hot_chunks")  # no oracle: audit of the engine-specific blocking
+def simhash_hot_chunks_q(spark, sf_dir):
+    """Dropped-bucket audit for simhash_near_dups (VERDICT r2 item 1) —
+    buckets over the cap with their sizes; empty = full coverage. Run with
+    a deliberately tiny cap so the query exercises a non-empty result."""
+    from xmlschemavalidator_spark.dedup import simhash_hot_chunks
+
+    return simhash_hot_chunks(
+        _t(spark, sf_dir, "documents"), "doc_id", hamming_max=10, max_bucket=5
+    )
+
+
 @q(
     "embedding_norms",
     """SELECT vec_id,
