@@ -13,11 +13,16 @@ Usage:
         --py-files dist/xmlschemavalidator_spark.zip \\
         jobs/corpus_pipeline_job.py \\
         --input  /data/documents        # parquet: (doc_id, text, lang, ...)
-        --output /data/corpus_out       # kept/ + audit/ + fingerprint store
+        --output /data/corpus_out       # kept/batch_id=<id>/ +
+                                        # audit/<id>/ + fingerprint store
+                                        # (per-batch dirs: later batches
+                                        # never clobber earlier ones)
         --batch-id crawl-2026-08-17     # stamps the fingerprint store:
                                         # retrying the SAME batch id is
                                         # idempotent (the batch excludes
                                         # its own earlier commit)
+        [--store /data/fingerprints]    # shared fingerprint store
+                                        # (default: <output>/fingerprints)
         [--benchmark /data/eval_docs]   # decontamination reference corpus
         [--budget-per-lang N]           # chars kept per language (0 = off)
         (no --input: the sf0.001 testdata documents table is used)
@@ -46,10 +51,22 @@ def run_pipeline(
     budget_per_lang: int = 0,
     id_col: str = "doc_id",
     batch_id: str | None = None,
+    store: str | None = None,
 ) -> dict:
     """Compose the pipeline over an in-memory DataFrame; returns the
-    per-stage audit dict (also written to <output>/audit/stages.json).
-    Factored out of main() so tests can drive it without spark-submit."""
+    per-stage audit dict (also written to <output>/audit/<batch_id>/).
+    Factored out of main() so tests can drive it without spark-submit.
+
+    Outputs are PER BATCH (round-3 ADVICE fix): kept docs land in
+    <output>/kept/batch_id=<id>/ and audit surfaces in
+    <output>/audit/<batch_id>/ — a later batch in the same output dir
+    never clobbers an earlier batch's only emitted corpus (whose docs are
+    committed as seen in the fingerprint store and would never re-emit).
+    Retrying the SAME batch id overwrites only that batch's own dirs.
+    ``store`` decouples the persistent fingerprint store from the output
+    dir (default: <output>/fingerprints) so several output roots can share
+    one dedup history. batch_id doubles as a directory name — keep it to
+    filesystem-safe characters (it is the partition value either way)."""
     from xmlschemavalidator_spark.dedup import (
         commit_seen_fingerprints,
         drop_contaminated,
@@ -71,6 +88,9 @@ def run_pipeline(
             "batch_id is required and must be unique per logical batch "
             "(e.g. the crawl/snapshot id); retries reuse the same id"
         )
+    store = store or f"{output}/fingerprints"
+    kept_path = f"{output}/kept/batch_id={batch_id}"
+    audit_dir = f"{output}/audit/{batch_id}"
     audit: dict = {}
     persisted = []
 
@@ -88,7 +108,7 @@ def run_pipeline(
 
     # 1. schema/constraint validation — violations kept as an audit table
     res = validate(docs, documents_ruleset(), key=id_col)
-    res.violations.write.mode("overwrite").parquet(f"{output}/audit/violations")
+    res.violations.write.mode("overwrite").parquet(f"{audit_dir}/violations")
     ok_ids = res.verdicts.where(F.col("_doc_ok")).select(id_col)
     cur = stage("validated", docs.join(ok_ids, id_col, "left_semi"))
 
@@ -103,7 +123,6 @@ def run_pipeline(
     # 4. exact dedup, incremental vs the persistent store; the batch id
     # makes a RETRY of this run idempotent (it excludes its own earlier
     # fingerprint commit instead of dropping every doc — round-2 review)
-    store = f"{output}/fingerprints"
     cur = stage(
         "exact_dedup",
         incremental_exact_dedup(cur, id_col, store, batch_id=batch_id),
@@ -134,14 +153,14 @@ def run_pipeline(
             ).drop("_cost"),
         )
 
-    cur.write.mode("overwrite").parquet(f"{output}/kept")
+    cur.write.mode("overwrite").parquet(kept_path)
     commit_seen_fingerprints(  # AFTER the kept output is durable
-        spark.read.parquet(f"{output}/kept"), store, batch_id=batch_id
+        spark.read.parquet(kept_path), store, batch_id=batch_id
     )
     audit["kept"] = audit[list(audit)[-1]]
     for p in persisted:
         p.unpersist()
-    with open_spark_safe(f"{output}/audit/stages.json") as fh:
+    with open_spark_safe(f"{audit_dir}/stages.json") as fh:
         json.dump(audit, fh, indent=2)
     return audit
 
@@ -165,6 +184,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--budget-per-lang", type=int, default=0)
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--batch-id", required=True)
+    p.add_argument(
+        "--store",
+        default=None,
+        help="fingerprint store path shared across batches "
+        "(default: <output>/fingerprints)",
+    )
     args = p.parse_args(argv)
 
     spark = (
@@ -178,7 +203,7 @@ def main(argv: list[str] | None = None) -> int:
     mix = json.loads(args.mix) if args.mix else None
     audit = run_pipeline(
         spark, docs, args.output, bench, mix, args.budget_per_lang,
-        args.id_col, args.batch_id,
+        args.id_col, args.batch_id, store=args.store,
     )
     print(json.dumps(audit))
     return 0

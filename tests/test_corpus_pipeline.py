@@ -34,13 +34,13 @@ def test_pipeline_end_to_end(spark, tmp_path):
     counts = [audit[k] for k in order[:-1]]
     assert all(a >= b for a, b in zip(counts, counts[1:])), audit  # monotone
     assert audit["kept"] > 0
-    # artifacts exist
-    kept = spark.read.parquet(f"{out}/kept")
+    # artifacts exist — per-batch dirs (round-3 ADVICE fix)
+    kept = spark.read.parquet(f"{out}/kept/batch_id=t1")
     assert kept.count() == audit["kept"]
     assert set(docs.columns) == set(kept.columns)
-    assert os.path.exists(f"{out}/audit/stages.json")
-    assert json.load(open(f"{out}/audit/stages.json")) == audit
-    viol = spark.read.parquet(f"{out}/audit/violations")
+    assert os.path.exists(f"{out}/audit/t1/stages.json")
+    assert json.load(open(f"{out}/audit/t1/stages.json")) == audit
+    viol = spark.read.parquet(f"{out}/audit/t1/violations")
     assert viol.columns == ["doc_id", "rule_id", "observed_value"]
     # store committed: re-running drops everything already kept
     from xmlschemavalidator_spark.dedup import incremental_exact_dedup

@@ -336,15 +336,57 @@ def test_pipeline_same_batch_retry_idempotent(spark, tmp_path):
     from xmlschemavalidator_spark.textops import doc_fingerprint
 
     kept_before = {
-        r["f"] for r in spark.read.parquet(f"{out}/kept")
+        r["f"] for r in spark.read.parquet(f"{out}/kept/batch_id=b1")
         .select(doc_fingerprint(SF.col("text")).alias("f")).collect()
     }
     run_pipeline(spark, docs, out, batch_id="b2")
     kept_b2 = {
-        r["f"] for r in spark.read.parquet(f"{out}/kept")
+        r["f"] for r in spark.read.parquet(f"{out}/kept/batch_id=b2")
         .select(doc_fingerprint(SF.col("text")).alias("f")).collect()
     }
     assert not (kept_before & kept_b2)
+    # round-3 ADVICE high: batch 1's kept corpus SURVIVES batch 2 in the
+    # same output dir (per-batch dirs, not overwrite), its audit survives
+    # too, and the union read sees both batches via the partition column
+    import json as _json
+    import os as _os
+
+    kept_after = {
+        r["f"] for r in spark.read.parquet(f"{out}/kept/batch_id=b1")
+        .select(doc_fingerprint(SF.col("text")).alias("f")).collect()
+    }
+    assert kept_after == kept_before
+    assert _os.path.exists(f"{out}/audit/b1/stages.json")
+    assert _os.path.exists(f"{out}/audit/b2/stages.json")
+    assert a1 == _json.load(open(f"{out}/audit/b1/stages.json"))
+    both = spark.read.parquet(f"{out}/kept")
+    assert set(r["batch_id"] for r in both.select("batch_id").distinct().collect()) == {"b1", "b2"}
+
+
+def test_pipeline_decoupled_store(spark, tmp_path):
+    """--store decouples the fingerprint history from the output dir: two
+    different output roots sharing one store still dedup across batches."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    from corpus_pipeline_job import run_pipeline
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    store = str(tmp_path / "shared_store")
+    out1, out2 = str(tmp_path / "o1"), str(tmp_path / "o2")
+    a1 = run_pipeline(spark, docs, out1, batch_id="s1", store=store)
+    a2 = run_pipeline(spark, docs, out2, batch_id="s2", store=store)
+    assert a1["kept"] > 0
+    # everything s1 kept is already in the shared store: s2's exact-dedup
+    # stage drops at least those a1["kept"] docs from its (identical,
+    # deterministic) line_dedup input
+    assert a2["exact_dedup"] <= a2["line_dedup"] - a1["kept"]
+    assert a2["kept"] < a1["kept"]
+    # neither output dir grew its own store — history lives in --store only
+    assert not os.path.exists(f"{out1}/fingerprints")
+    assert not os.path.exists(f"{out2}/fingerprints")
+    assert os.path.exists(store)
 
 
 def test_nillable_fixed_nil_fails(spark):
