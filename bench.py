@@ -28,6 +28,14 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 PAGES_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "2000000"))
 DO_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
+DO_SF1 = os.environ.get("SPARK_GRAFT_BENCH_SF1", "1") != "0"
+
+# Healthy local[32] figure for the register-arithmetic control workload,
+# recorded across canary-clean runs (BENCH/BASELINE.md). A headline run
+# whose own control lands >25% below this is flagged host_degraded: its
+# absolute times must not be compared across rounds (r2's phantom 2.6x
+# "regression" was exactly this).
+HEALTHY_CPU_ROWS_PER_SEC = 48_700_000
 
 
 def _count(df) -> int:
@@ -218,6 +226,90 @@ def run_scaling(n_rows: int) -> dict:
     return out
 
 
+def run_sf1_probe(spark) -> dict:
+    """10x scale probe (VERDICT r2 item 7): the scale-sensitive operators
+    on a corpus 10x the headline documents table, paired against a 1x
+    corpus built with the IDENTICAL replica structure (every doc group has
+    the same 10 near-identical members in both), so candidate-pair
+    structure is held constant and the time ratio isolates ENGINE scaling.
+    ``scale_ratio`` = (t_10x / t_1x) / 10 — ~1.0 is linear; > 1.5 is
+    flagged superlinear (a quadratic path a 100x user would hit)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from xmlschemavalidator_spark.dedup import (
+        drop_duplicate_lines,
+        minhash_lsh_candidates,
+        simhash_near_duplicates,
+    )
+    from xmlschemavalidator_spark.engine import validate
+    from xmlschemavalidator_spark.flagship import documents_ruleset
+
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+    def replicate(df):
+        # 10 near-identical replicas per doc: one appended marker token —
+        # same dup-cluster shape at both scales (10-row broadcast join)
+        reps = spark.range(10).select(F.col("id").alias("_rep"))
+        return (
+            df.crossJoin(F.broadcast(reps))
+            .withColumn(
+                "doc_id", F.col("doc_id") + F.col("_rep") * F.lit(1_000_000_000)
+            )
+            .withColumn(
+                "text",
+                F.concat_ws(
+                    " ", F.col("text"), F.concat(F.lit("rep"), F.col("_rep"))
+                ),
+            )
+            .drop("_rep")
+        )
+
+    tmp = tempfile.mkdtemp(prefix="bench_sf1_")
+    p_small, p_big = f"{tmp}/docs_1x", f"{tmp}/docs_10x"
+    replicate(base.where(F.col("doc_id") % 10 == 0)).write.parquet(p_small)
+    replicate(base).write.parquet(p_big)
+
+    probes = {
+        "validate_documents": lambda df: validate(
+            df, documents_ruleset(), key="doc_id"
+        ).violations,
+        "minhash_lsh": lambda df: minhash_lsh_candidates(df, "doc_id"),
+        "simhash_near_dups": lambda df: simhash_near_duplicates(df, "doc_id"),
+        "line_dedup": lambda df: drop_duplicate_lines(df, "doc_id"),
+    }
+    out: dict = {"queries": {}, "superlinear": []}
+    try:
+        small = spark.read.parquet(p_small)
+        big = spark.read.parquet(p_big)
+        out["rows_1x"], out["rows_10x"] = small.count(), big.count()
+        for name, fn in probes.items():
+            _count(fn(small))  # warm the code path before either timing
+            t0 = time.time()
+            _count(fn(small))
+            t_small = time.time() - t0
+            t0 = time.time()
+            _count(fn(big))
+            t_big = time.time() - t0
+            ratio = round((t_big / t_small) / 10.0, 3) if t_small > 0 else None
+            out["queries"][name] = {
+                "sec_1x": round(t_small, 3),
+                "sec_10x": round(t_big, 3),
+                "scale_ratio": ratio,
+            }
+            if ratio is not None and ratio > 1.5:
+                out["superlinear"].append(name)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    out["note"] = (
+        "scale_ratio = (t_10x / t_1x) / 10 over same-structure corpora; "
+        "~1.0 linear, >1.5 flagged superlinear"
+    )
+    return out
+
+
 def main() -> None:
     from xmlschemavalidator_spark.session import get_spark
 
@@ -228,6 +320,11 @@ def main() -> None:
     # first timed query doesn't absorb session startup
     for t in ("documents", "lineitem", "customer"):
         spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
+
+    # host-health canary BEFORE the timed suite (VERDICT r2 item 2): the
+    # same register-arithmetic control the scaling block uses, so a
+    # degraded-host headline run is self-identifying from the JSON alone
+    cpu_pre = _cpu_bound_rows_per_sec(spark, 40_000_000, reps=2)
 
     times: dict[str, float] = {}
     for name, fn in headline_queries().items():
@@ -251,7 +348,14 @@ def main() -> None:
     dps = pages_validation_docs_per_sec(spark, PAGES_ROWS, pages_path)
     times["pages_validate_2m"] = round(time.time() - t0, 3)
     shutil.rmtree(tmp, ignore_errors=True)
+
+    sf1 = run_sf1_probe(spark) if DO_SF1 else {}
+
+    # canary AFTER the suite too: a mid-run hypervisor dip shows up in
+    # whichever sample it degraded; the conservative min drives the flag
+    cpu_post = _cpu_bound_rows_per_sec(spark, 40_000_000, reps=2)
     spark.stop()
+    cpu_canary = min(cpu_pre, cpu_post)
 
     scaling = run_scaling(PAGES_ROWS) if DO_SCALING else {}
 
@@ -264,6 +368,16 @@ def main() -> None:
         "docs_per_sec": round(dps, 1),
         "pages_rows": PAGES_ROWS,
         "cpus": CPUS,
+        "cpu_rows_per_sec": round(cpu_canary, 1),
+        "cpu_rows_per_sec_pre": round(cpu_pre, 1),
+        "cpu_rows_per_sec_post": round(cpu_post, 1),
+        "healthy_cpu_rows_per_sec": HEALTHY_CPU_ROWS_PER_SEC,
+        # the healthy figure is local[32]-specific; at other CPUS settings
+        # the flag would be meaningless, so it is null there
+        "host_degraded": (
+            cpu_canary < 0.75 * HEALTHY_CPU_ROWS_PER_SEC if CPUS == 32 else None
+        ),
+        "sf1_probe": sf1,
         "scaling": scaling,
     }
     print(json.dumps(result))
