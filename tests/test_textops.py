@@ -340,3 +340,99 @@ def test_entropy_and_line_oracles_empty_text_parity(spark):
             for i in range(len(got)):
                 g, w = got[c][i], want[c][i]
                 assert (pd.isna(g) and pd.isna(w)) or g == w, (name, c, i, g, w)
+
+
+def test_pack_chunks_warns_without_group_col(spark):
+    """VERDICT r2 item 8: the single-partition global window default is
+    loud — a RuntimeWarning names the hazard and the group_col escape."""
+    import warnings
+
+    import pytest
+
+    from xmlschemavalidator_spark.textops import pack_chunks
+
+    chunks = spark.createDataFrame(
+        [(1, 0, 10)], "doc bigint, chunk_idx int, n_tokens int"
+    )
+    with pytest.warns(RuntimeWarning, match="ONE global sort partition"):
+        pack_chunks(chunks, 128)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # grouped path must NOT warn
+        pack_chunks(
+            spark.createDataFrame(
+                [("a", 1, 0, 10)], "shard string, doc bigint, chunk_idx int, n_tokens int"
+            ),
+            128,
+            group_col="shard",
+        )
+
+
+def _seq_corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, " ".join(f"a{i}" for i in range(25))),
+            (2, " ".join(f"b{i}" for i in range(7))),
+            (3, ""),
+            (4, " ".join(f"c{i}" for i in range(10))),
+        ],
+        "doc_id bigint, text string",
+    )
+
+
+def test_pack_sequences_materializes_fixed_length(spark):
+    """VERDICT r2 item 3 invariants: every chunk token lands in exactly one
+    sequence (stream equality), every sequence is exactly seq_len tokens
+    except the last, pad_tokens complements the tail."""
+    from xmlschemavalidator_spark.textops import chunk_documents, pack_sequences
+
+    chunks = chunk_documents(_seq_corpus(spark), "doc_id", chunk_tokens=8, overlap=2)
+    seqs = pack_sequences(chunks, 10).orderBy("seq_id").collect()
+    chunk_stream = " ".join(
+        r["chunk_text"] for r in chunks.orderBy("doc", "chunk_idx").collect()
+    )
+    assert " ".join(r["seq_text"] for r in seqs) == chunk_stream
+    assert [r["seq_id"] for r in seqs] == list(range(len(seqs)))
+    for r in seqs[:-1]:
+        assert r["n_tokens"] == 10 and r["pad_tokens"] == 0
+    last = seqs[-1]
+    assert 0 < last["n_tokens"] <= 10
+    assert last["pad_tokens"] == 10 - last["n_tokens"]
+    # every seq_text really has n_tokens whitespace tokens
+    assert all(len(r["seq_text"].split()) == r["n_tokens"] for r in seqs)
+
+
+def test_pack_sequences_chunk_longer_than_seq(spark):
+    """A chunk spanning several sequences splits into first/middle/last
+    pieces at every boundary."""
+    from xmlschemavalidator_spark.textops import pack_sequences
+
+    chunks = spark.createDataFrame(
+        [(1, 0, " ".join(f"t{i}" for i in range(23)), 23)],
+        "doc bigint, chunk_idx int, chunk_text string, n_tokens int",
+    )
+    seqs = {r["seq_id"]: r for r in pack_sequences(chunks, 5).collect()}
+    assert sorted(seqs) == [0, 1, 2, 3, 4]
+    assert [seqs[i]["n_tokens"] for i in range(5)] == [5, 5, 5, 5, 3]
+    assert seqs[0]["seq_text"] == "t0 t1 t2 t3 t4"
+    assert seqs[4]["seq_text"] == "t20 t21 t22"
+    assert seqs[4]["pad_tokens"] == 2
+
+
+def test_pack_sequences_grouped_never_cross(spark):
+    from xmlschemavalidator_spark.textops import pack_sequences
+
+    chunks = spark.createDataFrame(
+        [
+            ("a", 1, 0, "x1 x2 x3", 3),
+            ("a", 2, 0, "x4 x5", 2),
+            ("b", 3, 0, "y1 y2 y3 y4", 4),
+        ],
+        "shard string, doc bigint, chunk_idx int, chunk_text string, n_tokens int",
+    )
+    got = {
+        (r["shard"], r["seq_id"]): r["seq_text"]
+        for r in pack_sequences(chunks, 4, group_col="shard").collect()
+    }
+    assert got[("a", 0)] == "x1 x2 x3 x4"
+    assert got[("a", 1)] == "x5"
+    assert got[("b", 0)] == "y1 y2 y3 y4"

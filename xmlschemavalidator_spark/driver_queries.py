@@ -1916,6 +1916,63 @@ def text_sequence_packing(spark, sf_dir):
 
 
 @q(
+    "text_packed_sequences",
+    f"""WITH t AS (
+         SELECT doc_id,
+                list_filter(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'),
+                            x -> x <> '') AS arr
+         FROM documents),
+       w AS (
+         SELECT doc_id, arr,
+                range(1, greatest(len(arr) - {_OVERLAP}, 1) + 1,
+                      {_CHUNK - _OVERLAP}) AS starts
+         FROM t),
+       c AS (
+         SELECT * FROM (
+           SELECT doc_id,
+                  CAST(unnest(range(0, len(starts))) AS INT) AS chunk_idx,
+                  unnest(list_transform(starts,
+                         s -> list_slice(arr, s, s + {_CHUNK} - 1))) AS ctoks
+           FROM w)
+         WHERE len(ctoks) > 0),
+       tok AS (
+         SELECT doc_id, chunk_idx,
+                unnest(ctoks) AS tok,
+                generate_subscripts(ctoks, 1) AS ti
+         FROM c),
+       g AS (
+         SELECT tok,
+                row_number() OVER (ORDER BY doc_id, chunk_idx, ti) - 1 AS gpos
+         FROM tok)
+       SELECT CAST(gpos // 512 AS BIGINT) AS seq_id,
+              string_agg(tok, ' ' ORDER BY gpos) AS seq_text,
+              CAST(count(*) AS INT) AS n_tokens
+       FROM g GROUP BY 1""",
+)
+def text_packed_sequences(spark, sf_dir):
+    """The materialized packed-pretraining artifact (VERDICT r2 item 3):
+    the chunk stream chopped into exact 512-token sequences, straddling
+    chunks split at the boundary. The oracle is INDEPENDENT of the
+    piece-split implementation: DuckDB flattens the same chunks into one
+    global token stream and chops it with integer division — byte-equal
+    seq_text required, so any off-by-one in the Spark piece slicing fails
+    the hash."""
+    import warnings
+
+    from xmlschemavalidator_spark.textops import chunk_documents, pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, "doc_id", chunk_tokens=_CHUNK, overlap=_OVERLAP)
+    with warnings.catch_warnings():
+        # global packing is intentional here: the oracle models one stream
+        warnings.simplefilter("ignore", RuntimeWarning)
+        seqs = pack_sequences(chunks, 512)
+    return seqs.select(
+        "seq_id", "seq_text", F.col("n_tokens").cast("int").alias("n_tokens")
+    )
+
+
+@q(
     "domain_blocklist_filter",
     """SELECT doc_id, lower(source || '.example') AS host FROM documents
        WHERE lower(source || '.example') NOT IN ('src1.example', 'src3.example')""",
