@@ -436,3 +436,38 @@ def test_pack_sequences_grouped_never_cross(spark):
     assert got[("a", 0)] == "x1 x2 x3 x4"
     assert got[("a", 1)] == "x5"
     assert got[("b", 0)] == "y1 y2 y3 y4"
+
+
+def test_redact_pii_fixpoint_and_custom_placeholders(spark):
+    """pii_counts(redact_pii(text)) == 0 on adversarial inputs; custom
+    placeholder mapping honored; non-PII text untouched."""
+    from pyspark.sql import functions as F
+
+    from xmlschemavalidator_spark.textops import pii_counts, redact_pii
+
+    rows = [
+        (1, "mail a.b-c_d%x+1@sub.example.co.uk now"),
+        (2, "call +1 555-123-4567 or 555.123.4567 or 555 123 4567"),
+        (3, "hosts 10.0.0.1 and 192.168.255.254 up"),
+        (4, "all three: u@e.org, 555-000-1111, 8.8.8.8"),
+        (5, "clean text with no personal data at all"),
+        (6, "edge u@e.org@e.org 1.2.3.4.5"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    clean = df.select("doc_id", redact_pii(F.col("text")).alias("t"))
+    counts = clean.select(
+        "doc_id", *[c.alias(k) for k, c in pii_counts(F.col("t")).items()]
+    ).collect()
+    assert all(
+        r["n_email"] == 0 and r["n_phone"] == 0 and r["n_ipv4"] == 0 for r in counts
+    )
+    got = {r["doc_id"]: r["t"] for r in clean.collect()}
+    assert got[5] == "clean text with no personal data at all"
+    assert got[4] == "all three: <EMAIL>, <PHONE>, <IPV4>"
+    custom = {
+        r["doc_id"]: r["t"]
+        for r in df.select(
+            "doc_id", redact_pii(F.col("text"), {"email": "[E]"}).alias("t")
+        ).collect()
+    }
+    assert custom[4] == "all three: [E], <PHONE>, <IPV4>"

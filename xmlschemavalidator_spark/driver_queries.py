@@ -2123,6 +2123,72 @@ def text_pii_scan(spark, sf_dir):
     )
 
 
+@q(
+    "text_pii_redaction",
+    r"""WITH t AS (
+          SELECT doc_id,
+                 text || CASE WHEN doc_id % 10 = 0
+                              THEN ' contact: user' || CAST(doc_id AS VARCHAR)
+                                   || '@example.com or 555-123-4567 at 10.0.0.'
+                                   || CAST(doc_id % 256 AS VARCHAR)
+                              ELSE '' END AS text
+          FROM documents),
+        r AS (
+          SELECT doc_id,
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                     '\+?\d{3}[-. ]\d{3}[-. ]\d{4}', '<PHONE>', 'g'),
+                   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g')
+                 AS clean_text
+          FROM t)
+        SELECT doc_id, clean_text,
+               CAST(len(regexp_extract_all(clean_text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                 + len(regexp_extract_all(clean_text,
+                 '\+?\d{3}[-. ]\d{3}[-. ]\d{4}'))
+                 + len(regexp_extract_all(clean_text,
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT)
+                 AS n_pii_after
+        FROM r""",
+)
+def text_pii_redaction(spark, sf_dir):
+    """PII redaction (VERDICT r2 item 5): the cleaned text column with
+    every email/phone/IPv4 match rewritten to a typed placeholder, plus
+    the residual-match count (must be 0 — asserted by the oracle hash,
+    since DuckDB computes the same scan over its own redaction). Same
+    deterministic planted contact line as text_pii_scan so the query
+    exercises real rewrites; replacement order (email, phone, ipv4) is
+    identical in both engines."""
+    from xmlschemavalidator_spark.textops import pii_counts, redact_pii
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 10 == 0,
+                F.concat(
+                    F.lit(" contact: user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com or 555-123-4567 at 10.0.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    clean = docs.select("doc_id", redact_pii(F.col("text")).alias("clean_text"))
+    after = pii_counts(F.col("clean_text"))
+    residual = None
+    for c in after.values():
+        residual = c if residual is None else residual + c
+    return clean.select(
+        "doc_id", "clean_text", residual.cast("bigint").alias("n_pii_after")
+    )
+
+
 _SUGGEST_ORACLE = """
 SELECT * FROM (
   SELECT 'doc_id' AS col, 'range' AS kind,
