@@ -1,0 +1,104 @@
+"""Learned quality classifier (quality_model.py): NB over hashed tokens,
+weak-label bootstrap, exact integer scoring, persistence, and the
+held-out-AUC-beats-heuristic claim (VERDICT r2 item 4)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from xmlschemavalidator_spark.quality_model import (
+    QualityModel,
+    score_quality,
+    train_quality_model,
+)
+from xmlschemavalidator_spark.textops import gopher_pass, quality_score
+
+SF = "/root/testdata/sf0.001"
+
+
+def _auc(y, s):
+    y, s = np.asarray(y, bool), np.asarray(s, float)
+    order = np.argsort(s)
+    ranks = np.empty(len(s))
+    ranks[order] = np.arange(1, len(s) + 1)
+    npos, nneg = y.sum(), (~y).sum()
+    return (ranks[y].sum() - npos * (npos + 1) / 2) / (npos * nneg)
+
+
+def test_heldout_auc_beats_heuristic(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").withColumn(
+        "y", gopher_pass(F.col("text"))
+    )
+    train = docs.where(F.col("doc_id") % 5 != 0)
+    test = docs.where(F.col("doc_id") % 5 == 0)
+    model = train_quality_model(train, "doc_id", "y")
+    rows = (
+        score_quality(test, model, "doc_id")
+        .join(
+            test.select(
+                F.col("doc_id").alias("doc"),
+                "y",
+                quality_score(F.col("text")).alias("h"),
+            ),
+            "doc",
+        )
+        .collect()
+    )
+    y = [bool(r["y"]) for r in rows]
+    auc_nb = _auc(y, [r["quality_logodds"] for r in rows])
+    auc_h = _auc(y, [r["h"] for r in rows])
+    assert auc_nb > auc_h, (auc_nb, auc_h)
+    assert auc_nb > 0.9, auc_nb  # genuinely learned, not a coin flip
+
+
+def test_score_is_exact_integer_sum_and_prior_fallback(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "good clean prose with the usual words", True),
+            (2, "zz@@ ## !!", False),
+            (3, "", None),  # NULL label -> excluded from training
+        ],
+        "doc_id bigint, text string, y boolean",
+    )
+    model = train_quality_model(docs, "doc_id", "y")
+    got = {r["doc"]: r for r in score_quality(docs, model, "doc_id").collect()}
+    assert set(got) == {1, 2, 3}
+    for r in got.values():
+        # logodds is exactly micros/1e6 and pass is exactly micros > 0
+        assert r["quality_logodds"] == r["quality_micros"] / 1e6
+        assert r["quality_pass"] == (r["quality_micros"] > 0)
+    # token-less doc scores exactly the prior
+    assert got[3]["quality_micros"] == model.prior_micro
+    assert got[1]["quality_micros"] > got[2]["quality_micros"]
+    # weight table always covers the full bucket space
+    assert model.weights.count() == model.n_buckets
+
+
+def test_save_load_roundtrip_scores_identical(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").withColumn(
+        "y", gopher_pass(F.col("text"))
+    )
+    model = train_quality_model(docs, "doc_id", "y", n_buckets=512)
+    path = str(tmp_path / "qm")
+    model.save(path)
+    loaded = QualityModel.load(spark, path)
+    assert (
+        loaded.prior_micro == model.prior_micro
+        and loaded.n_buckets == model.n_buckets
+        and loaded.n_docs_pos == model.n_docs_pos
+    )
+    a = {r["doc"]: r["quality_micros"] for r in score_quality(docs, model, "doc_id").collect()}
+    b = {r["doc"]: r["quality_micros"] for r in score_quality(docs, loaded, "doc_id").collect()}
+    assert a == b
+
+
+def test_scoring_plan_broadcasts_weights(spark):
+    """The B-row weight table must broadcast — a shuffle join on bucket
+    would repartition the whole token stream at corpus scale."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").withColumn(
+        "y", gopher_pass(F.col("text"))
+    )
+    model = train_quality_model(docs, "doc_id", "y", n_buckets=256)
+    plan = score_quality(docs, model, "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

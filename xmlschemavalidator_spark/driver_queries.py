@@ -1737,6 +1737,109 @@ SELECT doc_id,
 FROM s"""
 
 
+def _quality_model_oracle() -> str:
+    """Full replay of NB training + scoring in DuckDB (VERDICT r2 item 4):
+    same weak labels (the gopher oracle's keep expression), same train
+    split (doc_id % 5 <> 0), same portable md5 bucket hash, same
+    floor-quantized micro-log-odds — scores are integer sums, so parity is
+    EXACT, not approximate."""
+    from xmlschemavalidator_spark.textops import _STOPWORDS
+
+    stops = ", ".join(f"'{w}'" for w in _STOPWORDS["en"])
+    return f"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'),
+                     x -> x <> '') AS arr
+  FROM documents
+), s AS (
+  SELECT doc_id, arr,
+         len(arr) AS n_words,
+         list_aggregate(list_transform(arr, x -> length(x)), 'sum')
+           / nullif(CAST(len(arr) AS DOUBLE), 0) AS mwl,
+         len(list_filter(arr, x -> regexp_matches(x, '[A-Za-z]')))
+           / nullif(CAST(len(arr) AS DOUBLE), 0) AS falpha,
+         ((length(text) - length(replace(text, '#', '')))
+          + (length(text) - length(replace(text, '...', ''))) / 3.0)
+           / nullif(CAST(len(arr) AS DOUBLE), 0) AS symr,
+         len(list_filter(arr, x -> list_contains([{stops}], lower(x)))) AS stops
+  FROM t
+), lab AS (
+  SELECT doc_id,
+         (n_words >= 5 AND mwl BETWEEN 3.0 AND 10.0 AND falpha >= 0.8
+          AND symr <= 0.1 AND stops >= 2) AS y
+  FROM s
+), tokb AS (
+  SELECT doc_id,
+         CAST(CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 4096 AS INT) AS bucket
+  FROM (SELECT doc_id, unnest(list_transform(arr, x -> lower(x))) AS tok FROM t)
+), tr AS (
+  SELECT tokb.bucket, lab.y
+  FROM tokb JOIN lab USING (doc_id)
+  WHERE doc_id % 5 <> 0
+), cnt AS (
+  SELECT bucket,
+         CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+         CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS c_neg
+  FROM tr GROUP BY 1
+), tot AS (
+  SELECT CAST(coalesce(sum(c_pos), 0) AS DOUBLE) AS tp,
+         CAST(coalesce(sum(c_neg), 0) AS DOUBLE) AS tn
+  FROM cnt
+), dtot AS (
+  SELECT sum(CASE WHEN y THEN 1 ELSE 0 END) AS dp,
+         sum(CASE WHEN y THEN 0 ELSE 1 END) AS dn
+  FROM lab WHERE doc_id % 5 <> 0
+), b AS (
+  SELECT CAST(unnest(range(0, 4096)) AS INT) AS bucket
+), w AS (
+  SELECT b.bucket,
+         CAST(floor((ln((coalesce(c.c_pos, 0) + 1.0) / (tot.tp + 4096.0))
+                   - ln((coalesce(c.c_neg, 0) + 1.0) / (tot.tn + 4096.0)))
+                   * 1000000) AS BIGINT) AS w_micro
+  FROM b LEFT JOIN cnt c USING (bucket) CROSS JOIN tot
+), pri AS (
+  SELECT CAST(floor(ln((dp + 1.0) / (dn + 1.0)) * 1000000) AS BIGINT) AS p
+  FROM dtot
+), sm AS (
+  SELECT doc_id, CAST(sum(w_micro) AS BIGINT) AS sc
+  FROM tokb JOIN w USING (bucket) GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(sm.sc, 0) + pri.p AS BIGINT) AS quality_micros,
+       (coalesce(sm.sc, 0) + pri.p) / 1000000.0 AS quality_logodds,
+       (coalesce(sm.sc, 0) + pri.p) > 0 AS quality_pass
+FROM documents d LEFT JOIN sm ON d.doc_id = sm.doc_id CROSS JOIN pri"""
+
+
+@q("text_quality_model", _quality_model_oracle())
+def text_quality_model(spark, sf_dir):
+    """Learned quality scorer: multinomial NB over hashed unigrams trained
+    in-query on gopher_pass weak labels (train split doc_id % 5 <> 0),
+    scoring EVERY doc. Micro-quantized integer weights make the log-odds
+    exactly reproducible — the oracle replays training AND scoring and the
+    hash covers the integer score itself. Held-out AUC vs the heuristic
+    baseline is pinned in tests/test_quality_model.py (0.99 vs 0.53)."""
+    from xmlschemavalidator_spark.quality_model import (
+        score_quality,
+        train_quality_model,
+    )
+    from xmlschemavalidator_spark.textops import gopher_pass
+
+    docs = _t(spark, sf_dir, "documents")
+    lab = docs.withColumn("_y", gopher_pass(F.col("text")))
+    model = train_quality_model(
+        lab.where(F.col("doc_id") % 5 != 0), "doc_id", "_y"
+    )
+    scored = score_quality(docs, model, "doc_id")
+    return scored.select(
+        F.col("doc").alias("doc_id"),
+        "quality_micros",
+        "quality_logodds",
+        "quality_pass",
+    )
+
+
 @q("text_gopher_filters", _gopher_oracle())
 def text_gopher_filters(spark, sf_dir):
     """Gopher-style quality-filter signals + keep/drop verdict per doc —
