@@ -461,3 +461,25 @@ def test_simhash_hot_chunks_empty_when_no_hot_buckets(spark):
     from xmlschemavalidator_spark.dedup import simhash_hot_chunks
 
     assert simhash_hot_chunks(corpus(spark), "doc_id", max_bucket=1000).count() == 0
+
+
+def test_minhash_portable_mode_finds_same_planted_dups(spark):
+    """portable=True (md5 base hash + literal tuple buckets) preserves the
+    LSH semantics: exact dups always collide, near dups collide in some
+    band, unrelated docs don't. The DuckDB-exact pair parity itself is the
+    minhash_lsh_pairs_portable oracle's job."""
+    pairs = minhash_lsh_candidates(
+        corpus(spark), "doc_id", num_hashes=32, bands=16, portable=True
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in found
+    assert (1, 3) in found or (2, 3) in found
+    assert (1, 4) not in found and (3, 4) not in found
+    # signatures differ from the xxhash64 mode (different base hash) but
+    # have the same shape/range
+    from xmlschemavalidator_spark.dedup import _MINHASH_P, minhash_signatures_df
+
+    sig = minhash_signatures_df(corpus(spark), "doc_id", portable=True).collect()
+    assert len(sig[0]) == 33  # doc + 32 mins
+    for r in sig:
+        assert all(0 <= r[f"mh_{i}"] < _MINHASH_P for i in range(32))

@@ -139,19 +139,34 @@ def minhash_signatures_df(
     text_col: str = "text",
     num_hashes: int = 32,
     shingle_n: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """Corpus-scale MinHash: explode distinct shingles (strings built ONCE),
     base-hash each once, then num_hashes partial-aggregable ``min`` columns.
     The shuffle carries (doc, 32 longs) after map-side combine — independent
     of document length. Returns (doc, mh_0..mh_{k-1}); docs too short to
-    shingle are absent."""
+    shingle are absent.
+
+    ``portable=True`` swaps the xxhash64 base hash for an md5-derived one
+    (first 8 hex chars as an integer — DuckDB can replay it exactly, which
+    upgrades the LSH pair queries to hash-green oracles; VERDICT r2
+    item 6). Same permutation family either way. Keep the xxhash64 default
+    in production: one JVM hash beats md5+substring+parse per shingle."""
+    base = (
+        F.pmod(
+            F.conv(F.substring(F.md5("sh"), 1, 8), 16, 10).cast("long"),
+            F.lit(_MINHASH_P),
+        )
+        if portable
+        else F.pmod(F.xxhash64("sh"), F.lit(_MINHASH_P))
+    )
     ex = (
         _spread(df)
         .select(
             F.col(id_col).alias("doc"),
             F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"),
         )
-        .withColumn("h", F.pmod(F.xxhash64("sh"), F.lit(_MINHASH_P)))
+        .withColumn("h", base)
     )
     aggs = [
         F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MINHASH_P))).alias(f"mh_{i}")
@@ -167,24 +182,31 @@ def minhash_band_buckets(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """LSH band buckets with their member doc lists:
     ``(band, bucket, docs)`` — the shared core of candidate generation and
-    the hot-bucket audit."""
+    the hot-bucket audit. ``portable=True``: the bucket key is the literal
+    minhash tuple as a string instead of its xxhash64 (exact grouping an
+    external engine reproduces; prod default keeps the 8-byte hash key)."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    with_sig = minhash_signatures_df(df, id_col, text_col, num_hashes, shingle_n)
+    with_sig = minhash_signatures_df(
+        df, id_col, text_col, num_hashes, shingle_n, portable
+    )
+
+    def bucket_key(b: int):
+        cols = [F.col(f"mh_{b * r + j}") for j in range(r)]
+        if portable:
+            return F.concat_ws("_", *cols).alias("bucket")
+        return F.xxhash64(*cols).alias("bucket")
+
     banded = with_sig.select(
         "doc",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col(f"mh_{b * r + j}") for j in range(r)]
-                        ).alias("bucket"),
-                    )
+                    F.struct(F.lit(b).alias("band"), bucket_key(b))
                     for b in range(bands)
                 ]
             )
@@ -203,11 +225,14 @@ def minhash_hot_buckets(
     bands: int = 8,
     shingle_n: int = 3,
     max_bucket: int = 1000,
+    portable: bool = False,
 ) -> DataFrame:
     """The buckets :func:`minhash_lsh_candidates` DROPS under its
     ``max_bucket`` cap: ``(band, bucket, n_docs)`` — the 'no silent caps'
     audit surface. Empty result = full candidate coverage."""
-    grouped = minhash_band_buckets(df, id_col, text_col, num_hashes, bands, shingle_n)
+    grouped = minhash_band_buckets(
+        df, id_col, text_col, num_hashes, bands, shingle_n, portable
+    )
     return grouped.where(F.size("docs") > max_bucket).select(
         "band", "bucket", F.size("docs").alias("n_docs")
     )
@@ -242,15 +267,20 @@ def minhash_lsh_candidates(
     bands: int = 8,
     shingle_n: int = 3,
     max_bucket: int = 1000,
+    portable: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs via banding: ``(id_a, id_b, n_shared_bands)``.
 
     rows-per-band r = num_hashes/bands; two docs collide if any band of r
     minhashes is identical. Pairs are generated inside buckets only; hot
     buckets above ``max_bucket`` are excluded (boilerplate guard) — audit
-    what was dropped with :func:`minhash_hot_buckets`.
+    what was dropped with :func:`minhash_hot_buckets`. ``portable=True``
+    uses the md5 base hash + literal tuple buckets so an external engine
+    can reproduce the exact pair set (oracle mode).
     """
-    grouped = minhash_band_buckets(df, id_col, text_col, num_hashes, bands, shingle_n)
+    grouped = minhash_band_buckets(
+        df, id_col, text_col, num_hashes, bands, shingle_n, portable
+    )
     ok = grouped.filter((F.size("docs") > 1) & (F.size("docs") <= max_bucket))
     pairs = (
         ok.select(

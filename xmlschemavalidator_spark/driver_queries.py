@@ -1041,6 +1041,74 @@ def minhash_lsh_pairs(spark, sf_dir):
     return minhash_lsh_candidates(_t(spark, sf_dir, "documents"), "doc_id")
 
 
+def _minhash_portable_oracle() -> str:
+    """DuckDB replay of the PORTABLE MinHash-LSH pipeline (VERDICT r2
+    item 6): same distinct 3-gram shingles, same md5-derived base hash,
+    same (a·h+b) mod 2^31−1 permutations, same 8×4 banding with literal
+    tuple buckets and the same (>1, <=1000) bucket-size window — the pair
+    set matches hash-exact, upgrading the LSH dedup family from rows-only
+    to a value-checked oracle."""
+    from xmlschemavalidator_spark.dedup import _MINHASH_P, _perm_consts
+
+    p = _MINHASH_P
+    mh_cols = ",\n         ".join(
+        f"min((h * {a} + {b}) % {p}) AS mh_{i}"
+        for i, (a, b) in enumerate(_perm_consts(32))
+    )
+    bands = "\n  UNION ALL ".join(
+        f"SELECT doc, {b} AS band, concat_ws('_', "
+        + ", ".join(f"mh_{b * 4 + j}" for j in range(4))
+        + ") AS bucket FROM sig"
+        for b in range(8)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id AS doc, unnest(list_distinct(sl)) AS shingle
+  FROM (
+    SELECT doc_id,
+           CASE WHEN len(string_split_regex(trim(coalesce(text,'')), '\\s+')) < 3 THEN []
+           ELSE list_transform(
+             range(1, len(string_split_regex(trim(text), '\\s+')) - 1),
+             i -> array_to_string(string_split_regex(trim(text), '\\s+')[i:i+2], ' ')
+           ) END AS sl
+    FROM documents
+  ) WHERE len(sl) > 0
+), hashed AS (
+  SELECT doc, CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) % {p} AS h FROM sh
+), sig AS (
+  SELECT doc,
+         {mh_cols}
+  FROM hashed GROUP BY doc
+), banded AS (
+  {bands}
+), ok AS (
+  SELECT band, bucket FROM banded GROUP BY 1, 2
+  HAVING count(*) > 1 AND count(*) <= 1000
+), cand AS (
+  SELECT a.doc AS id_a, b.doc AS id_b
+  FROM banded a
+  JOIN banded b USING (band, bucket)
+  JOIN ok USING (band, bucket)
+  WHERE a.doc < b.doc
+)
+SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_shared_bands
+FROM cand GROUP BY 1, 2"""
+
+
+@q("minhash_lsh_pairs_portable", _minhash_portable_oracle())
+def minhash_lsh_pairs_portable(spark, sf_dir):
+    """The LSH candidate pipeline in portable-hash mode — identical
+    banding/cap semantics to minhash_lsh_pairs, md5-derived base hash so
+    DuckDB reproduces the exact pair set (see _minhash_portable_oracle).
+    Production keeps the xxhash64 default; this mode exists for
+    cross-engine verification and engine-portable reruns."""
+    from xmlschemavalidator_spark.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(
+        _t(spark, sf_dir, "documents"), "doc_id", portable=True
+    ).select("id_a", "id_b", F.col("n_shared_bands").cast("bigint").alias("n_shared_bands"))
+
+
 @q("simhash_near_dups")  # no oracle: signature blocking is engine-specific
 def simhash_near_dups(spark, sf_dir):
     from xmlschemavalidator_spark.dedup import simhash_near_duplicates
