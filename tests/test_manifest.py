@@ -135,3 +135,27 @@ def test_resumable_validate_all_clean(spark, tmp_path):
     assert len(committed) == 4
     assert all(m.n_violations == 0 and m.n_failed_docs == 0 for m in committed)
     assert sum(m.n_rows for m in committed) == 1000
+
+
+def test_anomaly_history_ordered_by_commit_time_not_id(tmp_path):
+    """round-3 ADVICE: uuid-style snapshot ids don't sort chronologically;
+    the default history must come from commit timestamps, not string
+    comparison. Here the scored snapshot 'b0b0' sorts lexicographically
+    BEFORE two of its three predecessors — string ordering would see only
+    1 prior (< min_history, silent); commit-time ordering sees all 3 and
+    flags the exploded partition."""
+    from xmlschemavalidator_spark.manifest import MetricsManifest, PartitionMetrics
+
+    man = MetricsManifest(str(tmp_path / "m"))
+    # commit order: zz-9 (t=100), aa-1 (t=200), ff-5 (t=300), scored b0b0 (t=400)
+    for snap, t, nv in (("zz-9", 100.0, 10), ("aa-1", 200.0, 11), ("ff-5", 300.0, 12)):
+        man.commit(PartitionMetrics(snap, "p0", 1000, nv, nv, 1.0, t))
+    man.commit(PartitionMetrics("b0b0", "p0", 1000, 500, 500, 1.0, 400.0))
+
+    assert man.snapshot_times() == {"zz-9": 100.0, "aa-1": 200.0, "ff-5": 300.0, "b0b0": 400.0}
+    flagged = man.anomalies("b0b0", z=3.0, min_history=3)
+    assert {f["partition"] for f in flagged} == {"p0"}
+
+    # scoring a MID-history snapshot never sees later commits: ff-5 has
+    # only 2 chronological priors -> below min_history, silent
+    assert man.anomalies("ff-5", z=3.0, min_history=3) == []

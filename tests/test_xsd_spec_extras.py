@@ -609,3 +609,36 @@ def test_schema_driven_nested_verdict_consumes_has_any(spark):
         v = schema.nested_container_verdict(F.col("children"), "r")
         got = df.select(nested_valid(v).alias("ok")).collect()[0]["ok"]
         assert got is want, any_decl
+
+
+def test_assert_without_test_attr_compiles_as_vacuous_true(spark):
+    """round-3 ADVICE: an <assert> with no test= defaults to "true()",
+    which the translator now emits as TRUE in both dialects instead of
+    failing later with a confusing tokenizer error. The rule compiles and
+    passes every row; false() is the always-fail dual."""
+    from xmlschemavalidator_spark.engine import validate
+    from xmlschemavalidator_spark.xpath_assert import parse_assert, to_sql
+
+    assert to_sql(parse_assert("true()"), "spark") == "TRUE"
+    assert to_sql(parse_assert("false()"), "duckdb") == "FALSE"
+    import pytest
+
+    with pytest.raises(ValueError, match="takes no arguments"):
+        to_sql(parse_assert("true(1)"), "spark")
+
+    xsd = """<schema>
+      <complexType name="doc">
+        <sequence><element name="v" type="integer"/></sequence>
+        <assert/>
+        <assert test="false()"/>
+      </complexType>
+      <element name="doc" type="doc"/>
+    </schema>"""
+    rs = parse_xsd(xsd).ruleset_for("doc")
+    df = spark.createDataFrame([("d1", 1), ("d2", 2)], "doc_id string, v int")
+    v = {
+        (r["doc_id"], r["rule_id"])
+        for r in validate(df, rs, key="doc_id").violations.collect()
+    }
+    # assert_0 (vacuous true) never fires; assert_1 (false()) always does
+    assert v == {("d1", "doc__assert_1"), ("d2", "doc__assert_1")}

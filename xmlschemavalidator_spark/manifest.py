@@ -110,6 +110,18 @@ class MetricsManifest:
             if d.startswith("snapshot=")
         )
 
+    def snapshot_times(self) -> dict[str, float]:
+        """snapshot -> earliest ``committed_at`` across its partitions (the
+        snapshot's first commit). Snapshots with no commits yet are absent.
+        This is the chronological order of the log itself — valid for ANY
+        id scheme (uuid, hash, date), unlike string comparison."""
+        out: dict[str, float] = {}
+        for s in self.snapshots():
+            ts = [m.committed_at for m in self.metrics(s)]
+            if ts:
+                out[s] = min(ts)
+        return out
+
     def anomalies(
         self,
         snapshot: str,
@@ -121,16 +133,28 @@ class MetricsManifest:
         the monitoring layer over the lineage/metrics log. For each
         partition of ``snapshot``, the violation rate and failed-doc rate
         are z-scored against the same partition's history (default: every
-        snapshot sorting strictly BEFORE the scored one — ids must sort
-        chronologically, e.g. date-stamped; scoring a non-latest snapshot
-        never sees data committed after it); |z| >= ``z`` is flagged.
-        Fewer than ``min_history`` prior points → no judgement (cold start
-        is not an anomaly). Driver-side only — the commit log is kilobytes.
+        snapshot whose FIRST COMMIT TIMESTAMP precedes the scored one's —
+        chronological by the log itself, so uuid-style ids that don't sort
+        lexicographically still get their full history; round-3 ADVICE
+        fix. Scoring a non-latest snapshot never sees data committed after
+        it started); |z| >= ``z`` is flagged. Fewer than ``min_history``
+        prior points → no judgement (cold start is not an anomaly).
+        Driver-side only — the commit log is kilobytes.
         """
         import math
 
         if history is None:
-            history = [s for s in self.snapshots() if s < snapshot]
+            times = self.snapshot_times()
+            if snapshot in times:
+                cur = (times[snapshot], snapshot)
+                history = sorted(
+                    (s for s, t in times.items() if (t, s) < cur),
+                    key=lambda s: (times[s], s),
+                )
+            else:
+                # scored snapshot has no commits (nothing to judge anyway);
+                # keep the old id-ordering fallback for the empty pass below
+                history = [s for s in self.snapshots() if s < snapshot]
         hist: dict[str, list[tuple[float, float]]] = {}
         for s in history:
             for m in self.metrics(s):

@@ -41,7 +41,8 @@ _TOKEN_RE = re.compile(
     r")"
 )
 
-_FUNCS = {"not", "string-length", "number", "string", "contains", "starts-with"}
+_FUNCS = {"not", "string-length", "number", "string", "contains", "starts-with",
+          "true", "false"}
 
 
 def _tokenize(src: str) -> list[tuple[str, str]]:
@@ -238,6 +239,10 @@ def to_sql(node, dialect: str = "spark", attr_prefix: str = "",
         return _sql_lit(node.value)
     if isinstance(node, Call):
         a = [to_sql(x, dialect, attr_prefix) for x in node.args]
+        if node.func in ("true", "false"):
+            if node.args:
+                raise ValueError(f"xs:assert: {node.func}() takes no arguments")
+            return node.func.upper()
         if node.func == "not":
             return f"(NOT coalesce({a[0]}, FALSE))"
         if node.func == "string-length":
