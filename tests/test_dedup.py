@@ -483,3 +483,67 @@ def test_minhash_portable_mode_finds_same_planted_dups(spark):
     assert len(sig[0]) == 33  # doc + 32 mins
     for r in sig:
         assert all(0 <= r[f"mh_{i}"] < _MINHASH_P for i in range(32))
+
+
+BOILER = "click here to subscribe to our newsletter today"
+
+
+def _span_corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "unique alpha text one " + BOILER),
+            (2, "other beta words here " + BOILER),
+            (3, BOILER + " trailing unique gamma stuff"),
+            (4, "totally unrelated document about spark plans"),
+            (5, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+
+
+def test_duplicate_spans_detection_and_first_marking(spark):
+    """ExactSubstr-style: the 8-token boilerplate window occurs in docs
+    1/2/3; the global first occurrence (min (doc, pos)) is marked."""
+    from xmlschemavalidator_spark.dedup import duplicate_spans
+
+    got = {
+        (r["doc"], r["pos"]): (r["n_occurrences"], r["is_first"])
+        for r in duplicate_spans(_span_corpus(spark), "doc_id", k=8).collect()
+    }
+    assert got == {(1, 4): (3, True), (2, 4): (3, False), (3, 0): (3, False)}
+
+
+def test_remove_duplicate_spans_keeps_one_copy(spark):
+    from xmlschemavalidator_spark.dedup import remove_duplicate_spans
+
+    got = {
+        r["doc"]: (r["clean_text"], r["n_removed_tokens"])
+        for r in remove_duplicate_spans(_span_corpus(spark), "doc_id", k=8).collect()
+    }
+    assert got[1] == ("unique alpha text one " + BOILER, 0)  # first copy survives
+    assert got[2] == ("other beta words here", 8)
+    assert got[3] == ("trailing unique gamma stuff", 8)
+    assert got[4][1] == 0 and got[5] == ("", 0)
+    # keep_first=False strips EVERY copy, including doc 1's
+    all_gone = {
+        r["doc"]: r["n_removed_tokens"]
+        for r in remove_duplicate_spans(
+            _span_corpus(spark), "doc_id", k=8, keep_first=False
+        ).collect()
+    }
+    assert all_gone[1] == 8 and all_gone[2] == 8 and all_gone[3] == 8
+
+
+def test_remove_duplicate_spans_overlapping_windows_merge(spark):
+    """A passage repeated within ONE doc: every window of the second copy
+    is duplicated; overlapping covered ranges must union, not double-count
+    — and the within-doc first occurrence survives keep_first."""
+    from xmlschemavalidator_spark.dedup import remove_duplicate_spans
+
+    nine = " ".join(f"w{i}" for i in range(9))  # 9 tokens -> 2 windows at k=8
+    df = spark.createDataFrame(
+        [(1, nine + " mid filler tokens " + nine)], "doc_id bigint, text string"
+    )
+    got = remove_duplicate_spans(df, "doc_id", k=8).collect()[0]
+    assert got["n_removed_tokens"] == 9  # the whole second copy, once
+    assert got["clean_text"] == nine + " mid filler tokens"

@@ -1100,6 +1100,118 @@ def drop_contaminated(
 
 
 # --------------------------------------------------------------------------
+# duplicate-span (ExactSubstr-style) dedup: Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better" — find token windows that
+# occur MORE THAN ONCE anywhere in the corpus and strip every non-first
+# occurrence. Token-level (whitespace) rather than byte-level suffix
+# arrays: the Spark-natural granularity with the same intent. Inherently
+# scale-safe: no pair generation anywhere — the heavy row set is one row
+# per token position carrying (doc, pos, 8-byte hash), grouped once.
+# --------------------------------------------------------------------------
+
+def _window_hash_rows(
+    df: DataFrame, id_col: str, text_col: str, k: int, portable: bool
+) -> DataFrame:
+    """(doc, pos, whash): one row per 0-based token position that starts a
+    full k-token window. ``portable`` keys windows by their md5 hex (DuckDB
+    replays it exactly); default keys by xxhash64 (8-byte shuffle key)."""
+    toks = tokens(F.col(text_col))
+    nwin = F.size(toks) - (k - 1)
+
+    def whash(i):
+        joined = F.concat_ws(" ", F.slice(toks, i, k))
+        return F.md5(joined) if portable else F.xxhash64(joined).cast("string")
+
+    wins = F.when(
+        nwin <= 0, F.array().cast("array<struct<pos:int,whash:string>>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), nwin),
+            lambda i: F.struct(
+                (i - 1).cast("int").alias("pos"), whash(i).alias("whash")
+            ),
+        )
+    )
+    return (
+        _spread(df)
+        .select(F.col(id_col).alias("doc"), F.explode(wins).alias("w"))
+        .select("doc", "w.pos", "w.whash")
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 50,
+    portable: bool = False,
+) -> DataFrame:
+    """Every occurrence of a k-token window that appears >= 2 times in the
+    corpus: ``(doc, pos, n_occurrences, is_first)`` — ``is_first`` marks
+    the globally first occurrence (min (doc, pos)), the copy
+    :func:`remove_duplicate_spans` keeps. One groupBy on the window hash;
+    the join back is on the same key (no second shuffle of the corpus)."""
+    rows = _window_hash_rows(df, id_col, text_col, k, portable)
+    dups = (
+        rows.groupBy("whash")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min(F.struct("doc", "pos")).alias("_first"),
+        )
+        .where(F.col("n_occurrences") >= 2)
+    )
+    return rows.join(dups, "whash").select(
+        "doc",
+        "pos",
+        "n_occurrences",
+        (
+            (F.col("doc") == F.col("_first.doc")) & (F.col("pos") == F.col("_first.pos"))
+        ).alias("is_first"),
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 50,
+    keep_first: bool = True,
+    portable: bool = False,
+) -> DataFrame:
+    """ExactSubstr-style cleanup: drop every token covered by a duplicated
+    k-window occurrence (non-first occurrences only when ``keep_first``,
+    the dedup default — the corpus keeps exactly one copy of each repeated
+    passage). Returns ``(doc, clean_text, n_removed_tokens)``.
+
+    Plan: duplicated window starts per doc are collected into one sorted
+    int array (bounded by the doc's own token count), then a single
+    two-arg ``filter`` lambda keeps token j unless some start p covers it
+    (p <= j < p+k). Worst case O(tokens × dup_starts) comparisons per doc
+    — same envelope as the documented within-doc line dedup; the corpus
+    never shuffles (only (doc, pos) rows do)."""
+    spans = duplicate_spans(df, id_col, text_col, k, portable)
+    if keep_first:
+        spans = spans.where(~F.col("is_first"))
+    per_doc = spans.groupBy("doc").agg(F.sort_array(F.collect_list("pos")).alias("_dp"))
+    toks = tokens(F.col(text_col))
+    kept = F.filter(
+        toks,
+        lambda x, j: ~F.exists(
+            F.col("_dp"), lambda p: (p <= j) & (j < p + F.lit(k))
+        ),
+    )
+    return (
+        df.join(per_doc, df[id_col] == per_doc["doc"], "left")
+        .withColumn("_dp", F.coalesce("_dp", F.array().cast("array<int>")))
+        .select(
+            F.col(id_col).alias("doc"),
+            F.array_join(kept, " ").alias("clean_text"),
+            (F.size(toks) - F.size(kept)).cast("bigint").alias("n_removed_tokens"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # embedding-cosine near-dup
 # --------------------------------------------------------------------------
 

@@ -1041,6 +1041,75 @@ def minhash_lsh_pairs(spark, sf_dir):
     return minhash_lsh_candidates(_t(spark, sf_dir, "documents"), "doc_id")
 
 
+_SPAN_K = 8
+_SPAN_BOILER = "subscribe to our newsletter for daily updates and special offers"
+
+
+@q(
+    "corpus_duplicate_spans",
+    f"""WITH t AS (
+         SELECT doc_id,
+                list_filter(regexp_split_to_array(trim(coalesce(text2, '')), '\\s+'),
+                            x -> x <> '') AS arr
+         FROM (SELECT doc_id,
+                      text || CASE WHEN doc_id % 7 = 0
+                                   THEN ' {_SPAN_BOILER}' ELSE '' END AS text2
+               FROM documents)),
+       win AS (
+         SELECT doc_id,
+                CAST(unnest(range(0, greatest(len(arr) - {_SPAN_K - 1}, 0))) AS INT) AS pos,
+                unnest(list_transform(range(0, greatest(len(arr) - {_SPAN_K - 1}, 0)),
+                       i -> array_to_string(arr[i + 1:i + {_SPAN_K}], ' '))) AS wtext
+         FROM t),
+       occ AS (
+         SELECT doc_id, pos,
+                count(*) OVER (PARTITION BY wtext) AS n,
+                row_number() OVER (PARTITION BY wtext ORDER BY doc_id, pos) AS rn
+         FROM win),
+       dup AS (SELECT doc_id, pos FROM occ WHERE n >= 2 AND rn > 1),
+       tokrows AS (
+         SELECT doc_id, unnest(arr) AS tok, generate_subscripts(arr, 1) - 1 AS j
+         FROM t),
+       removed AS (
+         SELECT DISTINCT tr.doc_id, tr.j
+         FROM tokrows tr
+         JOIN dup d ON tr.doc_id = d.doc_id
+                   AND tr.j >= d.pos AND tr.j < d.pos + {_SPAN_K}),
+       kept AS (
+         SELECT tk.doc_id, tk.tok, tk.j
+         FROM tokrows tk
+         LEFT JOIN removed r ON tk.doc_id = r.doc_id AND tk.j = r.j
+         WHERE r.j IS NULL)
+       SELECT t.doc_id,
+              coalesce(string_agg(k.tok, ' ' ORDER BY k.j), '') AS clean_text,
+              CAST(len(t.arr) - count(k.j) AS BIGINT) AS n_removed_tokens
+       FROM t LEFT JOIN kept k USING (doc_id)
+       GROUP BY t.doc_id, len(t.arr)""",
+)
+def corpus_duplicate_spans(spark, sf_dir):
+    """ExactSubstr-style duplicate-span removal (Lee et al. 2022): an
+    8-token boilerplate sentence is planted on every 7th doc IN BOTH
+    ENGINES; every non-first occurrence of any corpus-duplicated 8-token
+    window is stripped. The oracle rebuilds the whole pass independently
+    (window texts + rank + interval anti-join) and the hash covers the
+    cleaned text byte-for-byte."""
+    from xmlschemavalidator_spark.dedup import remove_duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" " + _SPAN_BOILER)).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    out = remove_duplicate_spans(docs, "doc_id", k=_SPAN_K, portable=True)
+    return out.select(
+        F.col("doc").alias("doc_id"), "clean_text", "n_removed_tokens"
+    )
+
+
 def _minhash_portable_oracle() -> str:
     """DuckDB replay of the PORTABLE MinHash-LSH pipeline (VERDICT r2
     item 6): same distinct 3-gram shingles, same md5-derived base hash,
