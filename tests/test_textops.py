@@ -471,3 +471,36 @@ def test_redact_pii_fixpoint_and_custom_placeholders(spark):
         ).collect()
     }
     assert custom[4] == "all three: [E], <PHONE>, <IPV4>"
+
+
+def test_line_signals_and_fineweb_pass(spark):
+    from pyspark.sql import functions as F
+
+    from xmlschemavalidator_spark.textops import fineweb_line_pass, line_signals
+
+    rows = [
+        (1, "Good first sentence.\nAnother proper line!\nAnd a third one?"),
+        (2, "- nav\n- menu\n- login\n- cart"),            # all bullets
+        (3, "teaser one...\nteaser two...\nteaser three..."),  # all ellipsis
+        (4, "ok line here.\nx y\na b"),                    # 2/3 short lines
+        (5, ""),                                           # no lines
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    s = line_signals(F.col("text"))
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            *[c.alias(k) for k, c in s.items()],
+            fineweb_line_pass(F.col("text")).alias("keep"),
+        ).collect()
+    }
+    assert got[1]["n_lines"] == 3 and got[1]["frac_lines_end_punct"] == 1.0
+    assert got[1]["keep"] is True
+    assert got[2]["frac_lines_bullet"] == 1.0 and got[2]["keep"] is False
+    assert got[3]["frac_lines_ellipsis"] == 1.0 and got[3]["keep"] is False
+    assert got[3]["frac_lines_end_punct"] == 1.0  # '...' still ends with '.'
+    assert abs(got[4]["frac_short_lines"] - 2 / 3) < 1e-9 and got[4]["keep"] is False
+    assert got[5]["n_lines"] == 0 and got[5]["frac_lines_end_punct"] is None
+    assert got[5]["keep"] is False and got[6]["keep"] is False

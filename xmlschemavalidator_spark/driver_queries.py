@@ -1977,6 +1977,74 @@ def text_quality_model(spark, sf_dir):
     )
 
 
+@q(
+    "text_line_filters",
+    """WITH t AS (
+         SELECT doc_id,
+                list_filter(string_split(text2, chr(10)),
+                            l -> length(trim(l)) > 0) AS lines
+         FROM (SELECT doc_id,
+                      replace(coalesce(text, ''), '. ', '.' || chr(10))
+                      || CASE WHEN doc_id % 5 = 0
+                              THEN chr(10) || '- menu item' ELSE '' END
+                      || CASE WHEN doc_id % 4 = 0
+                              THEN chr(10) || 'read the full story here...'
+                              ELSE '' END AS text2
+               FROM documents)),
+       s AS (
+         SELECT doc_id,
+                len(lines) AS n_lines,
+                len(list_filter(lines, l -> regexp_matches(trim(l), '[.!?"]$')))
+                  / nullif(CAST(len(lines) AS DOUBLE), 0) AS fep,
+                len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*]')))
+                  / nullif(CAST(len(lines) AS DOUBLE), 0) AS fb,
+                len(list_filter(lines, l -> regexp_matches(trim(l), '\\.\\.\\.$')))
+                  / nullif(CAST(len(lines) AS DOUBLE), 0) AS fe,
+                len(list_filter(lines,
+                    l -> len(list_filter(regexp_split_to_array(trim(l), '\\s+'),
+                                         x -> x <> '')) < 3))
+                  / nullif(CAST(len(lines) AS DOUBLE), 0) AS fs
+         FROM t)
+       SELECT doc_id,
+              CAST(n_lines AS BIGINT) AS n_lines,
+              CAST(round(fep, 6) AS DOUBLE) AS frac_lines_end_punct,
+              CAST(round(fb, 6) AS DOUBLE) AS frac_lines_bullet,
+              CAST(round(fe, 6) AS DOUBLE) AS frac_lines_ellipsis,
+              CAST(round(fs, 6) AS DOUBLE) AS frac_short_lines,
+              coalesce(fep >= 0.5 AND fb <= 0.9 AND fe <= 0.3 AND fs <= 0.67,
+                       FALSE) AS keep
+       FROM s""",
+)
+def text_line_filters(spark, sf_dir):
+    """FineWeb/C4 line-structure quality filters. The synthetic docs are
+    single-line, so BOTH engines rebuild line structure deterministically:
+    sentences split onto lines ('. ' -> '.\\n'), a bullet line planted on
+    every 5th doc, an ellipsis teaser on every 4th — the signals and the
+    keep verdict then exercise every branch."""
+    from xmlschemavalidator_spark.textops import fineweb_line_pass, line_signals
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.replace(F.coalesce(F.col("text"), F.lit("")), F.lit(". "), F.lit(".\n")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("\n- menu item")).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 4 == 0, F.lit("\nread the full story here...")
+            ).otherwise(F.lit("")),
+        ),
+    )
+    s = line_signals(F.col("text"))
+    return docs.select(
+        "doc_id",
+        s["n_lines"].cast("bigint").alias("n_lines"),
+        F.round(s["frac_lines_end_punct"], 6).alias("frac_lines_end_punct"),
+        F.round(s["frac_lines_bullet"], 6).alias("frac_lines_bullet"),
+        F.round(s["frac_lines_ellipsis"], 6).alias("frac_lines_ellipsis"),
+        F.round(s["frac_short_lines"], 6).alias("frac_short_lines"),
+        fineweb_line_pass(F.col("text")).alias("keep"),
+    )
+
+
 @q("text_gopher_filters", _gopher_oracle())
 def text_gopher_filters(spark, sf_dir):
     """Gopher-style quality-filter signals + keep/drop verdict per doc —

@@ -221,6 +221,59 @@ def pii_counts(text: Column) -> dict[str, Column]:
     }
 
 
+def line_signals(text: Column) -> dict[str, Column]:
+    """FineWeb/C4-style LINE-level quality signals (the published recipes
+    filter on line structure, not just token stats): over the non-empty
+    lines of a doc —
+
+    * ``n_lines``
+    * ``frac_lines_end_punct`` — lines ending in terminal punctuation
+      (C4's line rule, aggregated to a doc fraction)
+    * ``frac_lines_bullet`` — lines starting with ``-``/``*`` (FineWeb
+      drops bullet-dominated docs)
+    * ``frac_lines_ellipsis`` — lines ending in ``...`` (FineWeb drops
+      ellipsis-heavy docs: truncated boilerplate)
+    * ``frac_short_lines`` — lines under 3 words (nav/menu debris)
+
+    One split + four HOF filters, all JVM; fractions NULL when a doc has
+    no non-empty lines (mirrors gopher_signals' divisor rule). ASCII
+    patterns only — both SQL engines agree byte-for-byte."""
+    lines = F.filter(
+        F.split(F.coalesce(text, F.lit("")), "\n"),
+        lambda l: F.length(F.trim(l)) > 0,
+    )
+    n = F.size(lines)
+    nd = F.when(n > 0, n.cast("double"))
+
+    def frac(pred):
+        return F.size(F.filter(lines, pred)) / nd
+
+    return {
+        "n_lines": n,
+        "frac_lines_end_punct": frac(lambda l: F.trim(l).rlike('[.!?"]$')),
+        "frac_lines_bullet": frac(lambda l: F.trim(l).rlike(r"^[-*]")),
+        "frac_lines_ellipsis": frac(lambda l: F.trim(l).rlike(r"\.\.\.$")),
+        "frac_short_lines": frac(
+            lambda l: F.size(F.split(F.trim(l), r"\s+")) < 3
+        ),
+    }
+
+
+def fineweb_line_pass(text: Column) -> Column:
+    """Doc keep/drop from the line signals, FineWeb-inspired thresholds
+    (documented constants, deterministic): >= 50% of lines end in
+    terminal punctuation, <= 90% bullets, <= 30% ellipsis endings,
+    <= 67% short lines. NULL-line docs fail (nothing to keep)."""
+    s = line_signals(text)
+    return F.coalesce(
+        (s["frac_lines_end_punct"] >= 0.5)
+        & (s["frac_lines_bullet"] <= 0.9)
+        & (s["frac_lines_ellipsis"] <= 0.3)
+        & (s["frac_short_lines"] <= 0.67),
+        F.lit(False),
+    )
+
+
 def redact_pii(
     text: Column, replacement: dict[str, str] | None = None
 ) -> Column:
