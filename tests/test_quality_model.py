@@ -102,3 +102,32 @@ def test_scoring_plan_broadcasts_weights(spark):
     model = train_quality_model(docs, "doc_id", "y", n_buckets=256)
     plan = score_quality(docs, model, "doc_id")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_quality_buckets_terciles(spark):
+    import pytest
+
+    from xmlschemavalidator_spark.quality_model import quality_buckets
+
+    scored = spark.createDataFrame(
+        [(i, i * 10) for i in range(1, 10)], "doc bigint, quality_micros bigint"
+    )
+    with pytest.warns(RuntimeWarning, match="ONE global sort partition"):
+        got = {r["doc"]: r["bucket"] for r in quality_buckets(scored, 3).collect()}
+    # best scores (9,8,7) are the head bucket
+    assert {d for d, b in got.items() if b == 1} == {9, 8, 7}
+    assert {d for d, b in got.items() if b == 3} == {3, 2, 1}
+    # grouped mode: independent tiles per group, no warning
+    import warnings
+
+    g = spark.createDataFrame(
+        [("a", 1, 5), ("a", 2, 10), ("a", 3, 1), ("b", 4, 2)],
+        "lang string, doc bigint, quality_micros bigint",
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        got = {
+            r["doc"]: r["bucket"]
+            for r in quality_buckets(g, 3, group_col="lang").collect()
+        }
+    assert got[2] == 1 and got[1] == 2 and got[3] == 3 and got[4] == 1

@@ -2045,6 +2045,43 @@ def text_line_filters(spark, sf_dir):
     )
 
 
+def _quality_buckets_oracle() -> str:
+    return (
+        f"WITH base AS ({_quality_model_oracle()}) "
+        "SELECT doc_id, quality_micros, "
+        "CAST(ntile(3) OVER (ORDER BY quality_micros DESC, doc_id) AS INT) "
+        "AS bucket FROM base"
+    )
+
+
+@q("text_quality_buckets", _quality_buckets_oracle())
+def text_quality_buckets(spark, sf_dir):
+    """CCNet-style head/middle/tail terciles over the learned quality
+    score (bucket 1 = head). Total deterministic order (score desc, id
+    asc) makes the ntile cut engine-exact; the oracle wraps the full
+    training-replay SQL of text_quality_model."""
+    import warnings
+
+    from xmlschemavalidator_spark.quality_model import (
+        quality_buckets,
+        score_quality,
+        train_quality_model,
+    )
+    from xmlschemavalidator_spark.textops import gopher_pass
+
+    docs = _t(spark, sf_dir, "documents")
+    lab = docs.withColumn("_y", gopher_pass(F.col("text")))
+    model = train_quality_model(lab.where(F.col("doc_id") % 5 != 0), "doc_id", "_y")
+    scored = score_quality(docs, model, "doc_id")
+    with warnings.catch_warnings():
+        # global tercile cut is the point of this query (one corpus shard)
+        warnings.simplefilter("ignore", RuntimeWarning)
+        out = quality_buckets(scored, 3)
+    return out.select(
+        F.col("doc").alias("doc_id"), "quality_micros", F.col("bucket").cast("int").alias("bucket")
+    )
+
+
 @q("text_gopher_filters", _gopher_oracle())
 def text_gopher_filters(spark, sf_dir):
     """Gopher-style quality-filter signals + keep/drop verdict per doc —

@@ -160,6 +160,39 @@ def train_quality_model(
     )
 
 
+def quality_buckets(
+    scored: DataFrame,
+    n_buckets: int = 3,
+    score_col: str = "quality_micros",
+    id_col: str = "doc",
+    group_col: str | None = None,
+) -> DataFrame:
+    """CCNet-style head/middle/tail partitioning: rank docs by model score
+    (best first, id tiebreak for a total deterministic order) and cut into
+    ``n_buckets`` equal tiles — bucket 1 is the 'head' a pipeline keeps or
+    upsamples. Without ``group_col`` the ntile runs on ONE global sort
+    partition (exact, fine for a shard — same warning contract as
+    pack_chunks); at scale pass ``group_col`` (shard/lang/domain) or cut
+    by approximate score quantiles instead."""
+    import warnings
+
+    from pyspark.sql import Window
+
+    if group_col is None:
+        warnings.warn(
+            "quality_buckets: group_col is None — the ntile window uses ONE "
+            "global sort partition. Pass group_col (shard/lang/domain) at "
+            "scale, or cut by approximate score quantiles.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    w = (
+        (Window.partitionBy(group_col) if group_col else Window.partitionBy())
+        .orderBy(F.col(score_col).desc(), F.col(id_col))
+    )
+    return scored.withColumn("bucket", F.ntile(n_buckets).over(w))
+
+
 def score_quality(
     df: DataFrame,
     model: QualityModel,
