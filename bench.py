@@ -228,12 +228,18 @@ def run_scaling(n_rows: int) -> dict:
 
 def run_sf1_probe(spark) -> dict:
     """10x scale probe (VERDICT r2 item 7): the scale-sensitive operators
-    on a corpus 10x the headline documents table, paired against a 1x
-    corpus built with the IDENTICAL replica structure (every doc group has
-    the same 10 near-identical members in both), so candidate-pair
-    structure is held constant and the time ratio isolates ENGINE scaling.
-    ``scale_ratio`` = (t_10x / t_1x) / 10 — ~1.0 is linear; > 1.5 is
-    flagged superlinear (a quadratic path a 100x user would hit)."""
+    at 1x/4x/10x the headline documents table, every size built with the
+    IDENTICAL replica structure (each doc group has the same 10
+    near-identical members at every size), so candidate-pair structure is
+    held constant and time differences isolate ENGINE scaling.
+
+    Superlinearity is judged against a two-point linear fit, which cancels
+    fixed per-job overhead (review finding: a raw t_10x/t_1x ratio is
+    overhead-dominated at these sizes and leaves the alarm ~15x slack):
+    ``pred_10x = t_1x + 3·(t_4x − t_1x)``;
+    ``superlinearity = t_10x / pred_10x`` — ~1.0 linear, > 1.5 flagged.
+    The prediction floor (1.2·t_1x) keeps a noisy near-zero slope from
+    manufacturing false alarms on sub-second queries."""
     import shutil
     import tempfile
 
@@ -268,9 +274,14 @@ def run_sf1_probe(spark) -> dict:
         )
 
     tmp = tempfile.mkdtemp(prefix="bench_sf1_")
-    p_small, p_big = f"{tmp}/docs_1x", f"{tmp}/docs_10x"
-    replicate(base.where(F.col("doc_id") % 10 == 0)).write.parquet(p_small)
-    replicate(base).write.parquet(p_big)
+    paths = {
+        1: f"{tmp}/docs_1x",
+        4: f"{tmp}/docs_4x",
+        10: f"{tmp}/docs_10x",
+    }
+    replicate(base.where(F.col("doc_id") % 10 == 0)).write.parquet(paths[1])
+    replicate(base.where(F.col("doc_id") % 10 <= 3)).write.parquet(paths[4])
+    replicate(base).write.parquet(paths[10])
 
     probes = {
         "validate_documents": lambda df: validate(
@@ -282,30 +293,33 @@ def run_sf1_probe(spark) -> dict:
     }
     out: dict = {"queries": {}, "superlinear": []}
     try:
-        small = spark.read.parquet(p_small)
-        big = spark.read.parquet(p_big)
-        out["rows_1x"], out["rows_10x"] = small.count(), big.count()
+        dfs = {m: spark.read.parquet(p) for m, p in paths.items()}
+        for m in (1, 4, 10):
+            out[f"rows_{m}x"] = dfs[m].count()
         for name, fn in probes.items():
-            _count(fn(small))  # warm the code path before either timing
-            t0 = time.time()
-            _count(fn(small))
-            t_small = time.time() - t0
-            t0 = time.time()
-            _count(fn(big))
-            t_big = time.time() - t0
-            ratio = round((t_big / t_small) / 10.0, 3) if t_small > 0 else None
+            _count(fn(dfs[1]))  # warm the code path before any timing
+            t = {}
+            for m in (1, 4, 10):
+                t0 = time.time()
+                _count(fn(dfs[m]))
+                t[m] = time.time() - t0
+            pred = max(t[1] + 3.0 * (t[4] - t[1]), t[1] * 1.2)
+            ratio = round(t[10] / pred, 3) if pred > 0 else None
             out["queries"][name] = {
-                "sec_1x": round(t_small, 3),
-                "sec_10x": round(t_big, 3),
-                "scale_ratio": ratio,
+                "sec_1x": round(t[1], 3),
+                "sec_4x": round(t[4], 3),
+                "sec_10x": round(t[10], 3),
+                "pred_10x_linear": round(pred, 3),
+                "superlinearity": ratio,
             }
             if ratio is not None and ratio > 1.5:
                 out["superlinear"].append(name)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     out["note"] = (
-        "scale_ratio = (t_10x / t_1x) / 10 over same-structure corpora; "
-        "~1.0 linear, >1.5 flagged superlinear"
+        "superlinearity = t_10x / (t_1x + 3*(t_4x - t_1x)) over "
+        "same-structure corpora — overhead cancels in the fit; ~1.0 "
+        "linear, >1.5 flagged superlinear"
     )
     return out
 

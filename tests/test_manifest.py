@@ -159,3 +159,29 @@ def test_anomaly_history_ordered_by_commit_time_not_id(tmp_path):
     # scoring a MID-history snapshot never sees later commits: ff-5 has
     # only 2 chronological priors -> below min_history, silent
     assert man.anomalies("ff-5", z=3.0, min_history=3) == []
+
+
+def test_anomaly_history_excludes_interleaved_later_commits(tmp_path):
+    """Review finding: an earlier-starting snapshot that keeps committing
+    partitions AFTER the scored snapshot began must not leak those later
+    commits into the baseline. Here each old snapshot commits p1 AFTER
+    'cur' started; with the leak those three points would form a bogus
+    baseline and flag cur's p1 — with the per-metric cutoff, p1 has no
+    valid history (cold start, silent) and only p0 is judged."""
+    from xmlschemavalidator_spark.manifest import MetricsManifest, PartitionMetrics
+
+    man = MetricsManifest(str(tmp_path / "m"))
+    for i, t in enumerate((100.0, 150.0, 200.0)):
+        man.commit(PartitionMetrics(f"old{i}", "p0", 1000, 10 + i, 10 + i, 1.0, t))
+    # scored snapshot starts at t=400 with both partitions
+    man.commit(PartitionMetrics("cur", "p0", 1000, 500, 500, 1.0, 400.0))
+    man.commit(PartitionMetrics("cur", "p1", 1000, 490, 490, 1.0, 400.0))
+    # stragglers: the old snapshots commit p1 at ~1% AFTER cur started —
+    # future data; leaking it would z-flag cur's 49% p1 against it
+    for i, t in enumerate((500.0, 510.0, 520.0)):
+        man.commit(PartitionMetrics(f"old{i}", "p1", 1000, 10, 10, 1.0, t))
+
+    flagged = man.anomalies("cur", z=3.0, min_history=3)
+    assert {f["partition"] for f in flagged} == {"p0"}  # p1 = cold start
+    f = [x for x in flagged if x["metric"] == "violation_rate"][0]
+    assert f["mean"] < 0.02 and f["z"] > 3

@@ -504,3 +504,11 @@ def test_line_signals_and_fineweb_pass(spark):
     assert abs(got[4]["frac_short_lines"] - 2 / 3) < 1e-9 and got[4]["keep"] is False
     assert got[5]["n_lines"] == 0 and got[5]["frac_lines_end_punct"] is None
     assert got[5]["keep"] is False and got[6]["keep"] is False
+    # tab-edged line: the leading empty split token must not inflate the
+    # word count (review finding — oracle filters empties, so must Spark)
+    tabby = spark.createDataFrame([(7, "\tfoo bar\nreal line here today.")],
+                                  "doc_id bigint, text string")
+    r7 = tabby.select(
+        *[c.alias(k) for k, c in line_signals(F.col("text")).items()]
+    ).collect()[0]
+    assert r7["n_lines"] == 2 and abs(r7["frac_short_lines"] - 0.5) < 1e-9

@@ -536,27 +536,45 @@ def simhash_near_duplicates(
     verify: keep hamming_max small at corpus scale.
 
     Hot chunk buckets above ``max_bucket`` docs are EXCLUDED before the
-    self-join (two-phase count → semi-join, same shape as
-    :func:`minhash_lsh_candidates`): without the cap every empty doc shares
-    sig = 0 and every boilerplate signature cluster shares all its chunks,
-    turning the bucket join O(n²) at corpus scale. Audit what was dropped
-    with :func:`simhash_hot_chunks` (empty = nothing dropped). A pair is
-    still found if ANY of its shared chunks stays under the cap."""
+    self-join: without the cap every empty doc shares sig = 0 and every
+    boilerplate signature cluster shares all its chunks, turning the
+    bucket join O(n²) at corpus scale. Audit what was dropped with
+    :func:`simhash_hot_chunks` (empty = nothing dropped). A pair is still
+    found if ANY of its shared chunks stays under the cap.
+
+    The signature pipeline (explode + 64 bit-vote aggs, the expensive
+    stage) runs ONCE by construction: the bucket-size gate is a window
+    count over (ci, cv) riding one exchange, and pairs are expanded from a
+    per-bucket member list (minhash_lsh_candidates shape) instead of a
+    self-join whose two branches would each recompute signatures (review
+    finding — ReuseExchange did not fire across the aliased join sides).
+    The collect_list buffer is bounded: the gate filters to <= max_bucket
+    rows per bucket BEFORE the aggregation."""
+    from pyspark.sql import Window
+
     chunks = _simhash_chunks(df, id_col, text_col, hamming_max)
-    ok = (
-        chunks.groupBy("ci", "cv")
-        .agg(F.count(F.lit(1)).alias("_n"))
+    bucket_n = F.count(F.lit(1)).over(Window.partitionBy("ci", "cv"))
+    pruned = (
+        chunks.withColumn("_n", bucket_n)
         # singleton buckets can't pair — drop them with the hot ones
         .where((F.col("_n") > 1) & (F.col("_n") <= max_bucket))
-        .select("ci", "cv")
+        .drop("_n")
     )
-    pruned = chunks.join(ok, ["ci", "cv"], "left_semi")
-    a = pruned.select("ci", "cv", F.col("doc").alias("id_a"), F.col("sig").alias("sig_a"))
-    b = pruned.select("ci", "cv", F.col("doc").alias("id_b"), F.col("sig").alias("sig_b"))
+    members = pruned.groupBy("ci", "cv").agg(
+        F.sort_array(F.collect_list(F.struct("doc", "sig"))).alias("m")
+    )
     cand = (
-        a.join(b, on=["ci", "cv"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        members.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(m, (x, i) -> "
+                    "transform(slice(m, i + 2, size(m) - i - 1), y -> "
+                    "struct(x.doc as id_a, x.sig as sig_a, "
+                    "y.doc as id_b, y.sig as sig_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b", "p.sig_a", "p.sig_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     dist = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
@@ -1114,13 +1132,24 @@ def _window_hash_rows(
 ) -> DataFrame:
     """(doc, pos, whash): one row per 0-based token position that starts a
     full k-token window. ``portable`` keys windows by their md5 hex (DuckDB
-    replays it exactly); default keys by xxhash64 (8-byte shuffle key)."""
+    replays it exactly); the default keys by TWO independently-seeded
+    xxhash64s (128-bit effective — a single 64-bit key has ~n²/2^65
+    birthday collisions at 10^12 windows, each silently deleting a unique
+    passage; review finding). The window string is let-bound so it is
+    built once per position either way."""
     toks = tokens(F.col(text_col))
     nwin = F.size(toks) - (k - 1)
 
-    def whash(i):
-        joined = F.concat_ws(" ", F.slice(toks, i, k))
-        return F.md5(joined) if portable else F.xxhash64(joined).cast("string")
+    if portable:
+        def hfn(w):
+            return F.md5(w)
+    else:
+        def hfn(w):
+            return F.concat_ws(
+                "|",
+                F.xxhash64(w).cast("string"),
+                F.xxhash64(F.lit(1), w).cast("string"),
+            )
 
     wins = F.when(
         nwin <= 0, F.array().cast("array<struct<pos:int,whash:string>>")
@@ -1128,7 +1157,13 @@ def _window_hash_rows(
         F.transform(
             F.sequence(F.lit(1), nwin),
             lambda i: F.struct(
-                (i - 1).cast("int").alias("pos"), whash(i).alias("whash")
+                (i - 1).cast("int").alias("pos"),
+                F.get(
+                    F.transform(
+                        F.array(F.concat_ws(" ", F.slice(toks, i, k))), hfn
+                    ),
+                    0,
+                ).alias("whash"),
             ),
         )
     )
@@ -1194,19 +1229,42 @@ def remove_duplicate_spans(
         spans = spans.where(~F.col("is_first"))
     per_doc = spans.groupBy("doc").agg(F.sort_array(F.collect_list("pos")).alias("_dp"))
     toks = tokens(F.col(text_col))
-    kept = F.filter(
-        toks,
-        lambda x, j: ~F.exists(
-            F.col("_dp"), lambda p: (p <= j) & (j < p + F.lit(k))
+    # let-binding (CLAUDE.md HOF rule): tokenization AND the O(tokens ×
+    # dup_starts) filter run ONCE inside one bound struct; clean_text and
+    # n_removed_tokens then read struct fields across a projection split
+    # (two references to a non-cheap alias are not collapse-inlined)
+    bound = F.get(
+        F.transform(
+            F.array(toks),
+            lambda tk: F.get(
+                F.transform(
+                    F.array(
+                        F.filter(
+                            tk,
+                            lambda x, j: ~F.exists(
+                                F.col("_dp"),
+                                lambda p: (p <= j) & (j < p + F.lit(k)),
+                            ),
+                        )
+                    ),
+                    lambda kt: F.struct(
+                        F.array_join(kt, " ").alias("t"),
+                        (F.size(tk) - F.size(kt)).cast("bigint").alias("nr"),
+                    ),
+                ),
+                0,
+            ),
         ),
+        0,
     )
     return (
         df.join(per_doc, df[id_col] == per_doc["doc"], "left")
         .withColumn("_dp", F.coalesce("_dp", F.array().cast("array<int>")))
+        .select(F.col(id_col).alias("doc"), bound.alias("_b"))
         .select(
-            F.col(id_col).alias("doc"),
-            F.array_join(kept, " ").alias("clean_text"),
-            (F.size(toks) - F.size(kept)).cast("bigint").alias("n_removed_tokens"),
+            "doc",
+            F.col("_b.t").alias("clean_text"),
+            F.col("_b.nr").alias("n_removed_tokens"),
         )
     )
 

@@ -136,13 +136,17 @@ class MetricsManifest:
         snapshot whose FIRST COMMIT TIMESTAMP precedes the scored one's —
         chronological by the log itself, so uuid-style ids that don't sort
         lexicographically still get their full history; round-3 ADVICE
-        fix. Scoring a non-latest snapshot never sees data committed after
-        it started); |z| >= ``z`` is flagged. Fewer than ``min_history``
+        fix. Individual partition commits landing after the scored
+        snapshot's first commit are excluded too, so scoring a non-latest
+        snapshot never sees data committed after it started — even from
+        interleaved earlier-starting snapshots); |z| >= ``z`` is flagged.
+        An explicit ``history`` list is taken as-is, no time filtering. Fewer than ``min_history``
         prior points → no judgement (cold start is not an anomaly).
         Driver-side only — the commit log is kilobytes.
         """
         import math
 
+        cutoff = None
         if history is None:
             times = self.snapshot_times()
             if snapshot in times:
@@ -151,6 +155,11 @@ class MetricsManifest:
                     (s for s, t in times.items() if (t, s) < cur),
                     key=lambda s: (times[s], s),
                 )
+                # per-METRIC cutoff too: an interleaved earlier snapshot may
+                # keep committing partitions after this one started — those
+                # commits are future data for the scored run and must not
+                # enter its baseline (review finding)
+                cutoff = times[snapshot]
             else:
                 # scored snapshot has no commits (nothing to judge anyway);
                 # keep the old id-ordering fallback for the empty pass below
@@ -158,6 +167,8 @@ class MetricsManifest:
         hist: dict[str, list[tuple[float, float]]] = {}
         for s in history:
             for m in self.metrics(s):
+                if cutoff is not None and m.committed_at >= cutoff:
+                    continue
                 if m.n_rows:
                     hist.setdefault(m.partition, []).append(
                         (m.n_violations / m.n_rows, m.n_failed_docs / m.n_rows)

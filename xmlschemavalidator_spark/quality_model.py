@@ -34,7 +34,6 @@ from __future__ import annotations
 
 import json
 import math
-import os
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -76,6 +75,10 @@ class QualityModel:
     n_docs_neg: int
 
     def save(self, path: str) -> None:
+        """Both artifacts go through the Spark writer, so the model saves
+        to whatever storage the session can reach (HDFS/S3/local alike) —
+        no driver-local filesystem assumption (review finding)."""
+        spark = self.weights.sparkSession
         self.weights.repartition(1).write.mode("overwrite").parquet(f"{path}/weights")
         meta = {
             "prior_micro": self.prior_micro,
@@ -84,14 +87,15 @@ class QualityModel:
             "n_docs_pos": self.n_docs_pos,
             "n_docs_neg": self.n_docs_neg,
         }
-        os.makedirs(path, exist_ok=True)
-        with open(f"{path}/meta.json", "w") as fh:
-            json.dump(meta, fh)
+        spark.createDataFrame(
+            [(json.dumps(meta),)], "meta_json string"
+        ).repartition(1).write.mode("overwrite").parquet(f"{path}/meta")
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "QualityModel":
-        with open(f"{path}/meta.json") as fh:
-            meta = json.load(fh)
+        meta = json.loads(
+            spark.read.parquet(f"{path}/meta").collect()[0]["meta_json"]
+        )
         return cls(weights=spark.read.parquet(f"{path}/weights"), **meta)
 
 
