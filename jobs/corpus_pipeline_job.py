@@ -5,6 +5,7 @@ composed "a user of the reference could run their whole prep here" job:
     (incremental vs a fingerprint store) → near-dup drop (MinHash-LSH +
     connected components) → decontaminate vs a benchmark → stratified mix
     → per-language token budget → write kept corpus + audit tables
+    [→ chunk + pack fixed-length training sequences (--pack-seq-len)]
 
 Usage:
 
@@ -52,6 +53,7 @@ def run_pipeline(
     id_col: str = "doc_id",
     batch_id: str | None = None,
     store: str | None = None,
+    pack_seq_len: int = 0,
 ) -> dict:
     """Compose the pipeline over an in-memory DataFrame; returns the
     per-stage audit dict (also written to <output>/audit/<batch_id>/).
@@ -158,6 +160,24 @@ def run_pipeline(
         spark.read.parquet(kept_path), store, batch_id=batch_id
     )
     audit["kept"] = audit[list(audit)[-1]]
+
+    # 9. optional training artifact: chunk + pack the kept corpus into
+    # fixed-length sequences, grouped per language so packing parallelizes
+    # and sequences never mix languages (the pack_sequences scale path)
+    if pack_seq_len > 0:
+        from xmlschemavalidator_spark.textops import chunk_documents, pack_sequences
+
+        kept_docs = spark.read.parquet(kept_path)
+        chunks = chunk_documents(kept_docs, id_col).join(
+            kept_docs.select(F.col(id_col).alias("doc"), F.col("lang").alias("_g")),
+            "doc",
+        )
+        seqs = pack_sequences(chunks, pack_seq_len, group_col="_g")
+        seqs = seqs.withColumnRenamed("_g", "lang")
+        seqs.write.mode("overwrite").parquet(f"{output}/sequences/batch_id={batch_id}")
+        audit["sequences"] = spark.read.parquet(
+            f"{output}/sequences/batch_id={batch_id}"
+        ).count()
     for p in persisted:
         p.unpersist()
     with open_spark_safe(f"{audit_dir}/stages.json") as fh:
@@ -184,6 +204,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--budget-per-lang", type=int, default=0)
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--batch-id", required=True)
+    p.add_argument("--pack-seq-len", type=int, default=0,
+                   help="emit packed training sequences of this many "
+                        "tokens under <output>/sequences/ (0 = off)")
     p.add_argument(
         "--store",
         default=None,
@@ -204,6 +227,7 @@ def main(argv: list[str] | None = None) -> int:
     audit = run_pipeline(
         spark, docs, args.output, bench, mix, args.budget_per_lang,
         args.id_col, args.batch_id, store=args.store,
+        pack_seq_len=args.pack_seq_len,
     )
     print(json.dumps(audit))
     return 0

@@ -47,3 +47,35 @@ def test_pipeline_end_to_end(spark, tmp_path):
 
     again = incremental_exact_dedup(kept, "doc_id", f"{out}/fingerprints")
     assert again.count() == 0
+
+
+def test_pipeline_emits_packed_sequences(spark, tmp_path):
+    """--pack-seq-len: the pipeline's final training artifact — per-lang
+    packed sequences covering every kept doc's tokens exactly once."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    from corpus_pipeline_job import run_pipeline
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "c")
+    audit = run_pipeline(spark, docs, out, batch_id="p1", pack_seq_len=128)
+    assert audit["sequences"] > 0
+    seqs = spark.read.parquet(f"{out}/sequences/batch_id=p1")
+    assert set(seqs.columns) == {"lang", "seq_id", "seq_text", "n_tokens", "pad_tokens"}
+    rows = seqs.collect()
+    # every sequence is exactly 128 tokens except at most one per lang
+    short = {}
+    for r in rows:
+        assert 0 < r["n_tokens"] <= 128 and r["pad_tokens"] == 128 - r["n_tokens"]
+        if r["n_tokens"] < 128:
+            short[r["lang"]] = short.get(r["lang"], 0) + 1
+    assert all(v == 1 for v in short.values())
+    # token conservation: packed tokens == chunked tokens of the kept corpus
+    from pyspark.sql import functions as F
+
+    from xmlschemavalidator_spark.textops import chunk_documents
+
+    kept = spark.read.parquet(f"{out}/kept/batch_id=p1")
+    n_chunk_toks = (
+        chunk_documents(kept, "doc_id").agg(F.sum("n_tokens")).collect()[0][0]
+    )
+    assert sum(r["n_tokens"] for r in rows) == n_chunk_toks
