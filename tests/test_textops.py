@@ -512,3 +512,35 @@ def test_line_signals_and_fineweb_pass(spark):
         *[c.alias(k) for k, c in line_signals(F.col("text")).items()]
     ).collect()[0]
     assert r7["n_lines"] == 2 and abs(r7["frac_short_lines"] - 0.5) < 1e-9
+
+
+def test_build_vocab_and_encode_token_ids(spark):
+    from pyspark.sql import functions as F
+
+    from xmlschemavalidator_spark.textops import (
+        PAD_ID,
+        UNK_ID,
+        build_vocab,
+        encode_token_ids,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the dog RAN"), (3, ""), (4, None)],
+        "doc_id bigint, text string",
+    )
+    vocab = {r["token"]: r["token_id"] for r in build_vocab(df, vocab_size=6).collect()}
+    # 6 - 2 reserved = 4 entries; 'the' (count 3) gets the first id (2),
+    # then count-1 tokens in lexicographic order: cat, dog, mat
+    assert vocab == {"the": 2, "cat": 3, "dog": 4, "mat": 5}
+    assert PAD_ID == 0 and UNK_ID == 1 and set(vocab.values()) & {0, 1} == set()
+
+    vdf = build_vocab(df, vocab_size=6)
+    got = {r["doc"]: r for r in encode_token_ids(df, vdf, "doc_id").collect()}
+    assert got[1]["token_ids"] == [2, 3, 1, 1, 2, 5]  # sat/on are OOV -> UNK
+    assert got[1]["n_unk"] == 2 and got[1]["n_tokens"] == 6
+    assert got[2]["token_ids"] == [2, 4, 1]  # 'RAN' lower-cased, OOV
+    assert got[3]["token_ids"] == [] and got[3]["n_tokens"] == 0 and got[3]["n_unk"] == 0
+    assert got[4]["token_ids"] == []
+    # min_count filter drops singletons entirely
+    v2 = {r["token"] for r in build_vocab(df, vocab_size=10, min_count=2).collect()}
+    assert v2 == {"the"}

@@ -2318,6 +2318,56 @@ def text_packed_sequences(spark, sf_dir):
 
 
 @q(
+    "text_token_ids",
+    """WITH t AS (
+         SELECT doc_id,
+                list_transform(
+                  list_filter(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'),
+                              x -> x <> ''),
+                  x -> lower(x)) AS arr
+         FROM documents),
+       tok AS (
+         SELECT doc_id, unnest(arr) AS token, generate_subscripts(arr, 1) AS pos
+         FROM t),
+       cnt AS (SELECT token, count(*) AS n FROM tok GROUP BY 1),
+       top AS (
+         SELECT token,
+                CAST(row_number() OVER (ORDER BY n DESC, token) + 1 AS INT) AS token_id
+         FROM cnt ORDER BY n DESC, token LIMIT 254),
+       enc AS (
+         SELECT tok.doc_id, tok.pos, coalesce(top.token_id, 1) AS tid
+         FROM tok LEFT JOIN top USING (token)),
+       agg AS (
+         SELECT doc_id,
+                string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos) AS ids,
+                CAST(sum(CASE WHEN tid = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
+         FROM enc GROUP BY 1)
+       SELECT d.doc_id,
+              coalesce(agg.ids, '') AS token_ids,
+              coalesce(agg.n_unk, 0) AS n_unk
+       FROM documents d LEFT JOIN agg USING (doc_id)""",
+)
+def text_token_ids(spark, sf_dir):
+    """Word-level vocab + id encoding: a 256-entry vocab (ids 0/1 reserved
+    for pad/unk) built by (count desc, token) — a total order, so both
+    engines pick the identical top-k even at count ties — then every doc
+    encoded with OOV→1. The tiny vocab guarantees the UNK path is
+    exercised; ids are hash-compared as the comma-joined sequence."""
+    from xmlschemavalidator_spark.textops import build_vocab, encode_token_ids
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, vocab_size=256)
+    out = encode_token_ids(docs, vocab, "doc_id")
+    return out.select(
+        F.col("doc").alias("doc_id"),
+        F.array_join(F.transform("token_ids", lambda x: x.cast("string")), ",").alias(
+            "token_ids"
+        ),
+        "n_unk",
+    )
+
+
+@q(
     "domain_blocklist_filter",
     """SELECT doc_id, lower(source || '.example') AS host FROM documents
        WHERE lower(source || '.example') NOT IN ('src1.example', 'src3.example')""",

@@ -457,6 +457,71 @@ def chunk_documents(
     return out
 
 
+PAD_ID, UNK_ID = 0, 1
+
+
+def build_vocab(
+    df: DataFrame, text_col: str = "text", vocab_size: int = 32768, min_count: int = 1
+) -> DataFrame:
+    """Frequency vocabulary over lower-cased whitespace tokens:
+    ``(token, token_id)`` with ids 2..vocab_size-1 assigned by
+    (count desc, token asc) — a TOTAL deterministic order, so the same
+    corpus always yields the same vocab in any engine. Ids 0/1 are
+    reserved (``PAD_ID``/``UNK_ID``). Plan: explode + groupBy(token) with
+    map-side combine, then TakeOrdered top-k (scale-safe: only vocab_size
+    rows ever leave the aggregation) and a row_number over that bounded
+    set."""
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= min_count)
+    )
+    top = counts.orderBy(F.col("n").desc(), "token").limit(max(vocab_size - 2, 0))
+    w = Window.orderBy(F.col("n").desc(), "token")  # <= vocab_size rows: bounded
+    return top.select(
+        "token", (F.row_number().over(w) + 1).cast("int").alias("token_id")
+    )
+
+
+def encode_token_ids(
+    df: DataFrame, vocab: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Map each doc's (lower-cased) tokens to vocab ids, out-of-vocabulary
+    tokens to ``UNK_ID``: ``(doc, token_ids array<int>, n_tokens, n_unk)``
+    — the id-level artifact :func:`pack_sequences` output feeds a trainer
+    with. Plan: posexplode → broadcast join against the vocab (tiny by
+    construction) → groupBy(doc) stitch in position order; token-less docs
+    come back with an empty array via the left join."""
+    tok = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(tokens(F.lower(F.col(text_col)))).alias("pos", "token"),
+    )
+    enc = tok.join(F.broadcast(vocab), "token", "left").select(
+        "doc", "pos", F.coalesce("token_id", F.lit(UNK_ID)).cast("int").alias("tid")
+    )
+    agg = enc.groupBy("doc").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "tid"))), lambda s: s["tid"]
+        ).alias("token_ids"),
+        F.sum((F.col("tid") == UNK_ID).cast("int")).alias("n_unk"),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc"))
+        .join(agg, "doc", "left")
+        .select(
+            "doc",
+            F.coalesce("token_ids", F.array().cast("array<int>")).alias("token_ids"),
+            F.size(F.coalesce("token_ids", F.array().cast("array<int>"))).alias(
+                "n_tokens"
+            ),
+            F.coalesce("n_unk", F.lit(0)).cast("bigint").alias("n_unk"),
+        )
+    )
+
+
 def drop_blocklisted_domains(df, url_col: str, blocklist) -> "DataFrame":
     """Remove rows whose URL host is on a blocklist (a one-column DataFrame
     of hostnames) — the standard domain-filter pass. The blocklist is tiny
