@@ -168,7 +168,10 @@ def run_pipeline(
         from xmlschemavalidator_spark.textops import chunk_documents, pack_sequences
 
         kept_docs = spark.read.parquet(kept_path)
-        chunks = chunk_documents(kept_docs, id_col).join(
+        # overlap=0: overlap is a retrieval-chunking feature — a packed
+        # PRETRAINING artifact must carry each token exactly once (review
+        # finding: the default overlap=16 duplicated ~12.5% of every doc)
+        chunks = chunk_documents(kept_docs, id_col, overlap=0).join(
             kept_docs.select(F.col(id_col).alias("doc"), F.col("lang").alias("_g")),
             "doc",
         )

@@ -69,13 +69,13 @@ def test_pipeline_emits_packed_sequences(spark, tmp_path):
         if r["n_tokens"] < 128:
             short[r["lang"]] = short.get(r["lang"], 0) + 1
     assert all(v == 1 for v in short.values())
-    # token conservation: packed tokens == chunked tokens of the kept corpus
+    # token conservation: the training artifact carries each kept-corpus
+    # token EXACTLY once (overlap=0 — review finding: the default overlap
+    # would duplicate ~12.5% of every doc into the sequences)
     from pyspark.sql import functions as F
 
-    from xmlschemavalidator_spark.textops import chunk_documents
+    from xmlschemavalidator_spark.textops import token_count
 
     kept = spark.read.parquet(f"{out}/kept/batch_id=p1")
-    n_chunk_toks = (
-        chunk_documents(kept, "doc_id").agg(F.sum("n_tokens")).collect()[0][0]
-    )
-    assert sum(r["n_tokens"] for r in rows) == n_chunk_toks
+    n_doc_toks = kept.agg(F.sum(token_count(F.col("text")))).collect()[0][0]
+    assert sum(r["n_tokens"] for r in rows) == n_doc_toks

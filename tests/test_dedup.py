@@ -547,3 +547,17 @@ def test_remove_duplicate_spans_overlapping_windows_merge(spark):
     got = remove_duplicate_spans(df, "doc_id", k=8).collect()[0]
     assert got["n_removed_tokens"] == 9  # the whole second copy, once
     assert got["clean_text"] == nine + " mid filler tokens"
+
+
+def test_remove_duplicate_spans_id_col_named_doc(spark):
+    """Review finding (reproduced): an input id column itself named 'doc'
+    — the library's standard output id name — must not make the post-join
+    projection ambiguous."""
+    from xmlschemavalidator_spark.dedup import remove_duplicate_spans
+
+    df = _span_corpus(spark).withColumnRenamed("doc_id", "doc")
+    got = {
+        r["doc"]: r["n_removed_tokens"]
+        for r in remove_duplicate_spans(df, "doc", k=8).collect()
+    }
+    assert got == {1: 0, 2: 8, 3: 8, 4: 0, 5: 0}

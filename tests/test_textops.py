@@ -544,3 +544,19 @@ def test_build_vocab_and_encode_token_ids(spark):
     # min_count filter drops singletons entirely
     v2 = {r["token"] for r in build_vocab(df, vocab_size=10, min_count=2).collect()}
     assert v2 == {"the"}
+
+
+def test_pack_sequences_zero_token_chunk_no_phantom(spark):
+    """Review finding (reproduced): a zero-token chunk at a boundary used
+    to underflow the piece count (Spark sequence(0,-1) counts DOWN) and
+    emit a phantom seq_id=-1 all-padding sequence."""
+    from xmlschemavalidator_spark.textops import pack_sequences
+
+    chunks = spark.createDataFrame(
+        [(1, 0, "", 0), (1, 1, "a b c", 3), (2, 0, "", 0)],
+        "doc bigint, chunk_idx int, chunk_text string, n_tokens int",
+    )
+    rows = pack_sequences(chunks, 4).collect()
+    assert [(r["seq_id"], r["seq_text"], r["n_tokens"]) for r in rows] == [
+        (0, "a b c", 3)
+    ]

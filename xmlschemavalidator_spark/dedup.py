@@ -152,11 +152,10 @@ def minhash_signatures_df(
     upgrades the LSH pair queries to hash-green oracles; VERDICT r2
     item 6). Same permutation family either way. Keep the xxhash64 default
     in production: one JVM hash beats md5+substring+parse per shingle."""
+    from xmlschemavalidator_spark.textops import portable_hash64
+
     base = (
-        F.pmod(
-            F.conv(F.substring(F.md5("sh"), 1, 8), 16, 10).cast("long"),
-            F.lit(_MINHASH_P),
-        )
+        F.pmod(portable_hash64(F.col("sh")), F.lit(_MINHASH_P))
         if portable
         else F.pmod(F.xxhash64("sh"), F.lit(_MINHASH_P))
     )
@@ -1227,7 +1226,12 @@ def remove_duplicate_spans(
     spans = duplicate_spans(df, id_col, text_col, k, portable)
     if keep_first:
         spans = spans.where(~F.col("is_first"))
-    per_doc = spans.groupBy("doc").agg(F.sort_array(F.collect_list("pos")).alias("_dp"))
+    per_doc = spans.groupBy("doc").agg(
+        F.sort_array(F.collect_list("pos")).alias("_dp")
+    # the join key gets a private name: an input id column itself named
+    # 'doc' (the library's standard) would otherwise make the post-join
+    # select AMBIGUOUS_REFERENCE (review finding, reproduced)
+    ).withColumnRenamed("doc", "_span_doc")
     toks = tokens(F.col(text_col))
     # let-binding (CLAUDE.md HOF rule): tokenization AND the O(tokens ×
     # dup_starts) filter run ONCE inside one bound struct; clean_text and
@@ -1258,7 +1262,7 @@ def remove_duplicate_spans(
         0,
     )
     return (
-        df.join(per_doc, df[id_col] == per_doc["doc"], "left")
+        df.join(per_doc, df[id_col] == per_doc["_span_doc"], "left")
         .withColumn("_dp", F.coalesce("_dp", F.array().cast("array<int>")))
         .select(F.col(id_col).alias("doc"), bound.alias("_b"))
         .select(

@@ -45,12 +45,11 @@ MICRO = 1_000_000
 
 
 def hashed_bucket(tok: Column, n_buckets: int) -> Column:
-    """Portable feature hash: first 8 hex chars of md5 as an integer, mod
-    ``n_buckets``. Identical in DuckDB via
-    ``CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % B``."""
-    return (
-        F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long") % F.lit(n_buckets)
-    ).cast("int")
+    """Portable feature hash: :func:`textops.portable_hash64` mod
+    ``n_buckets`` (DuckDB replica: ``PORTABLE_HASH64_SQL % B``)."""
+    from xmlschemavalidator_spark.textops import portable_hash64
+
+    return (portable_hash64(tok) % F.lit(n_buckets)).cast("int")
 
 
 def _doc_buckets(df: DataFrame, id_col: str, text_col: str, n_buckets: int) -> DataFrame:

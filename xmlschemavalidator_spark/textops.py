@@ -23,6 +23,20 @@ _STOPWORDS = {
 }
 
 
+# DuckDB spelling of portable_hash64 — keep the two in lockstep; every
+# oracle that replays the portable hash embeds this exact expression.
+PORTABLE_HASH64_SQL = "CAST('0x' || substr(md5({x}), 1, 8) AS BIGINT)"
+
+
+def portable_hash64(col: Column) -> Column:
+    """Engine-portable 32-bit-range hash: first 8 hex chars of md5 as an
+    integer. The ONE shared recipe behind every ``portable=True`` oracle
+    path (MinHash base hash, NB feature buckets) — change it here and in
+    :data:`PORTABLE_HASH64_SQL` together, nowhere else (review finding:
+    three hand-copies risked drifting)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
 def tokens(text: Column) -> Column:
     """Whitespace tokenization; null/empty-safe (empty text → empty array)."""
     t = F.trim(F.coalesce(text, F.lit("")))
@@ -610,6 +624,11 @@ def pack_sequences(
     pack_chunks (pass ``group_col`` at scale, sequences never cross
     groups)."""
     packed = pack_chunks(chunks, seq_len, doc_col, idx_col, n_tokens_col, group_col)
+    # zero-token chunks contribute nothing but would underflow the piece
+    # count (sequence(0, -1) counts DOWN in Spark → a phantom seq_id=-1
+    # all-padding sequence; review finding, reproduced) — drop them after
+    # the offsets are assigned (they add 0 to every running sum anyway)
+    packed = packed.where(F.col(n_tokens_col) > 0)
     toks = tokens(F.col(text_col))
     n = F.col(n_tokens_col)
     off = F.col("seq_offset")
