@@ -1,7 +1,8 @@
 """spark-submit entry point for the full training-corpus pipeline — the
 composed "a user of the reference could run their whole prep here" job:
 
-    validate → quality filter (gopher) → C4 line dedup → exact dedup
+    validate → quality filter (gopher) [→ learned NB quality model
+    (--quality-model)] → C4 line dedup → exact dedup
     (incremental vs a fingerprint store) → near-dup drop (MinHash-LSH +
     connected components) → decontaminate vs a benchmark → stratified mix
     → per-language token budget → write kept corpus + audit tables
@@ -54,6 +55,7 @@ def run_pipeline(
     batch_id: str | None = None,
     store: str | None = None,
     pack_seq_len: int = 0,
+    use_quality_model: bool = False,
 ) -> dict:
     """Compose the pipeline over an in-memory DataFrame; returns the
     per-stage audit dict (also written to <output>/audit/<batch_id>/).
@@ -116,6 +118,25 @@ def run_pipeline(
 
     # 2. quality filter (gopher pass)
     cur = stage("quality", cur.where(gopher_pass(F.col("text"))))
+
+    # 2b. optional learned quality filter (CCNet/FineWeb shape: heuristics
+    # teach, the model generalizes): an NB scorer trained in-run on this
+    # batch's gopher verdicts drops model-negative docs the heuristics
+    # alone pass. Deterministic (integer micro-log-odds), no extra deps.
+    if use_quality_model:
+        from xmlschemavalidator_spark.quality_model import (
+            score_quality,
+            train_quality_model,
+        )
+
+        teacher = docs.withColumn("_y", gopher_pass(F.col("text")))
+        model = train_quality_model(teacher, id_col, "_y")
+        keep_ids = (
+            score_quality(cur, model, id_col)
+            .where(F.col("quality_pass"))
+            .select(F.col("doc").alias(id_col))
+        )
+        cur = stage("quality_model", cur.join(keep_ids, id_col, "left_semi"))
 
     # 3. C4 line dedup (boilerplate removal) — may empty some docs; the
     # published order re-applies a length floor right after
@@ -207,6 +228,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--budget-per-lang", type=int, default=0)
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--batch-id", required=True)
+    p.add_argument("--quality-model", action="store_true",
+                   help="train an NB quality scorer on this batch's gopher "
+                        "verdicts and drop model-negative docs")
     p.add_argument("--pack-seq-len", type=int, default=0,
                    help="emit packed training sequences of this many "
                         "tokens under <output>/sequences/ (0 = off)")
@@ -230,7 +254,7 @@ def main(argv: list[str] | None = None) -> int:
     audit = run_pipeline(
         spark, docs, args.output, bench, mix, args.budget_per_lang,
         args.id_col, args.batch_id, store=args.store,
-        pack_seq_len=args.pack_seq_len,
+        pack_seq_len=args.pack_seq_len, use_quality_model=args.quality_model,
     )
     print(json.dumps(audit))
     return 0

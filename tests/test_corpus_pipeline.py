@@ -79,3 +79,18 @@ def test_pipeline_emits_packed_sequences(spark, tmp_path):
     kept = spark.read.parquet(f"{out}/kept/batch_id=p1")
     n_doc_toks = kept.agg(F.sum(token_count(F.col("text")))).collect()[0][0]
     assert sum(r["n_tokens"] for r in rows) == n_doc_toks
+
+
+def test_pipeline_quality_model_stage(spark, tmp_path):
+    """--quality-model: the in-run-trained NB scorer is a monotone extra
+    gate between the heuristic pass and dedup."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    from corpus_pipeline_job import run_pipeline
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "c")
+    audit = run_pipeline(spark, docs, out, batch_id="q1", use_quality_model=True)
+    order = list(audit)
+    assert order.index("quality_model") == order.index("quality") + 1
+    assert 0 < audit["quality_model"] <= audit["quality"]
+    assert audit["kept"] > 0
