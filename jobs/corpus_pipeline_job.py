@@ -114,7 +114,8 @@ def run_pipeline(
     res = validate(docs, documents_ruleset(), key=id_col)
     res.violations.write.mode("overwrite").parquet(f"{audit_dir}/violations")
     ok_ids = res.verdicts.where(F.col("_doc_ok")).select(id_col)
-    cur = stage("validated", docs.join(ok_ids, id_col, "left_semi"))
+    validated = stage("validated", docs.join(ok_ids, id_col, "left_semi"))
+    cur = validated
 
     # 2. quality filter (gopher pass)
     cur = stage("quality", cur.where(gopher_pass(F.col("text"))))
@@ -129,7 +130,10 @@ def run_pipeline(
             train_quality_model,
         )
 
-        teacher = docs.withColumn("_y", gopher_pass(F.col("text")))
+        # teach on the VALIDATED corpus (the persisted stage-1 output),
+        # not the raw input: schema-invalid rows must not shape the
+        # classifier that filters valid docs (third-review finding)
+        teacher = validated.withColumn("_y", gopher_pass(F.col("text")))
         model = train_quality_model(teacher, id_col, "_y")
         keep_ids = (
             score_quality(cur, model, id_col)
@@ -181,6 +185,15 @@ def run_pipeline(
         spark.read.parquet(kept_path), store, batch_id=batch_id
     )
     audit["kept"] = audit[list(audit)[-1]]
+    # the audit record and caches are settled BEFORE the optional packing
+    # stage (review finding: a stage-9 failure used to lose stages.json
+    # and leak caches for an already-committed batch); stage 9 re-writes
+    # the file with its own count on success
+    for p in persisted:
+        p.unpersist()
+    persisted = []
+    with open_spark_safe(f"{audit_dir}/stages.json") as fh:
+        json.dump(audit, fh, indent=2)
 
     # 9. optional training artifact: chunk + pack the kept corpus into
     # fixed-length sequences, grouped per language so packing parallelizes
@@ -202,10 +215,8 @@ def run_pipeline(
         audit["sequences"] = spark.read.parquet(
             f"{output}/sequences/batch_id={batch_id}"
         ).count()
-    for p in persisted:
-        p.unpersist()
-    with open_spark_safe(f"{audit_dir}/stages.json") as fh:
-        json.dump(audit, fh, indent=2)
+        with open_spark_safe(f"{audit_dir}/stages.json") as fh:
+            json.dump(audit, fh, indent=2)
     return audit
 
 

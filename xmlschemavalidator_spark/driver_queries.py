@@ -1118,7 +1118,9 @@ def _minhash_portable_oracle() -> str:
     set matches hash-exact, upgrading the LSH dedup family from rows-only
     to a value-checked oracle."""
     from xmlschemavalidator_spark.dedup import _MINHASH_P, _perm_consts
+    from xmlschemavalidator_spark.textops import PORTABLE_HASH64_SQL
 
+    bh = PORTABLE_HASH64_SQL.format(x="shingle")
     p = _MINHASH_P
     mh_cols = ",\n         ".join(
         f"min((h * {a} + {b}) % {p}) AS mh_{i}"
@@ -1143,7 +1145,7 @@ WITH sh AS (
     FROM documents
   ) WHERE len(sl) > 0
 ), hashed AS (
-  SELECT doc, CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) % {p} AS h FROM sh
+  SELECT doc, {bh} % {p} AS h FROM sh
 ), sig AS (
   SELECT doc,
          {mh_cols}
@@ -1880,8 +1882,9 @@ def _quality_model_oracle() -> str:
     split (doc_id % 5 <> 0), same portable md5 bucket hash, same
     floor-quantized micro-log-odds — scores are integer sums, so parity is
     EXACT, not approximate."""
-    from xmlschemavalidator_spark.textops import _STOPWORDS
+    from xmlschemavalidator_spark.textops import _STOPWORDS, PORTABLE_HASH64_SQL
 
+    bh = PORTABLE_HASH64_SQL.format(x="tok")
     stops = ", ".join(f"'{w}'" for w in _STOPWORDS["en"])
     return f"""
 WITH t AS (
@@ -1908,7 +1911,7 @@ WITH t AS (
   FROM s
 ), tokb AS (
   SELECT doc_id,
-         CAST(CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 4096 AS INT) AS bucket
+         CAST({bh} % 4096 AS INT) AS bucket
   FROM (SELECT doc_id, unnest(list_transform(arr, x -> lower(x))) AS tok FROM t)
 ), tr AS (
   SELECT tokb.bucket, lab.y

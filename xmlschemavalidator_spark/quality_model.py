@@ -116,30 +116,39 @@ def train_quality_model(
     lab = df.where(F.col(label_col).isNotNull()).select(
         F.col(id_col).alias("doc"), F.col(label_col).cast("boolean").alias("y"), text_col
     )
-    tok = _doc_buckets(lab, "doc", text_col, n_buckets).join(
-        lab.select("doc", "y"), "doc"
-    )
+    # one full-corpus pass total (review finding: the lazy lineage used to
+    # re-run the token explode AND the teacher labels twice): the slim
+    # (doc, y) side is cached, the bucket counts — at most n_buckets rows —
+    # are COLLECTED, and the weight table is rebuilt from those literals,
+    # cutting every downstream consumer's lineage at 4096 rows. Keep
+    # n_buckets modest (<= ~1M): the count table lives on the driver.
+    slim = lab.select("doc", "y").persist()
+    tok = _doc_buckets(lab, "doc", text_col, n_buckets).join(slim, "doc")
     pos = F.when(F.col("y"), F.lit(1)).otherwise(F.lit(0))
-    counts = tok.groupBy("bucket").agg(
-        F.sum(pos).alias("c_pos"), F.sum(1 - pos).alias("c_neg")
+    crows = (
+        tok.groupBy("bucket")
+        .agg(F.sum(pos).alias("c_pos"), F.sum(1 - pos).alias("c_neg"))
+        .collect()
     )
-    t_row = counts.agg(
-        F.coalesce(F.sum("c_pos"), F.lit(0)).alias("tp"),
-        F.coalesce(F.sum("c_neg"), F.lit(0)).alias("tn"),
-    ).collect()[0]
-    d_row = lab.agg(
+    d_row = slim.agg(
         F.coalesce(F.sum(pos), F.lit(0)).alias("dp"),
         F.coalesce(F.sum(1 - pos), F.lit(0)).alias("dn"),
     ).collect()[0]
-    t_pos, t_neg = float(t_row["tp"]), float(t_row["tn"])
+    slim.unpersist()
+    t_pos = float(sum(r["c_pos"] for r in crows))
+    t_neg = float(sum(r["c_neg"] for r in crows))
     d_pos, d_neg = int(d_row["dp"]), int(d_row["dn"])
 
     denom_pos = F.lit(t_pos + alpha * n_buckets)
     denom_neg = F.lit(t_neg + alpha * n_buckets)
+    cnt_df = spark.createDataFrame(
+        [(int(r["bucket"]), int(r["c_pos"]), int(r["c_neg"])) for r in crows],
+        "bucket int, c_pos bigint, c_neg bigint",
+    )
     full = (
         spark.range(n_buckets)
         .select(F.col("id").cast("int").alias("bucket"))
-        .join(counts, "bucket", "left")
+        .join(cnt_df, "bucket", "left")
         .select(
             "bucket",
             F.coalesce("c_pos", F.lit(0)).alias("c_pos"),
