@@ -98,6 +98,10 @@ def run_pipeline(
     audit: dict = {}
     persisted = []
 
+    def write_audit():
+        with open_spark_safe(f"{audit_dir}/stages.json") as fh:
+            json.dump(audit, fh, indent=2)
+
     def stage(name, df):
         # persist BEFORE counting: each stage's audit count() and every
         # downstream stage read the materialized result instead of
@@ -192,8 +196,7 @@ def run_pipeline(
     for p in persisted:
         p.unpersist()
     persisted = []
-    with open_spark_safe(f"{audit_dir}/stages.json") as fh:
-        json.dump(audit, fh, indent=2)
+    write_audit()
 
     # 9. optional training artifact: chunk + pack the kept corpus into
     # fixed-length sequences, grouped per language so packing parallelizes
@@ -215,8 +218,7 @@ def run_pipeline(
         audit["sequences"] = spark.read.parquet(
             f"{output}/sequences/batch_id={batch_id}"
         ).count()
-        with open_spark_safe(f"{audit_dir}/stages.json") as fh:
-            json.dump(audit, fh, indent=2)
+        write_audit()
     return audit
 
 

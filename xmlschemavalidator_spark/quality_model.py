@@ -10,9 +10,10 @@ every artifact engine-portable:
   buckets via an md5-derived PORTABLE hash (same integer in DuckDB:
   ``CAST('0x' || substr(md5(tok),1,8) AS BIGINT) % B``), so the oracle
   gate can replay training AND scoring exactly;
-* training — one explode + groupBy(bucket) with map-side combine; the
-  only driver-side data is the four scalar totals (token/doc counts per
-  class, 1-row collect) and the B-row weight table;
+* training — ONE full-corpus pass (explode + groupBy(bucket) with
+  map-side combine); driver-side data is the per-bucket count table
+  (<= n_buckets rows, collected to cut every downstream lineage at the
+  weight table) plus the doc-count totals;
 * weights — Laplace-smoothed log-likelihood ratios QUANTIZED to integer
   micro-log-odds (``floor(w * 1e6)``): per-doc scores are integer sums,
   exactly reproducible regardless of float summation order — this is
@@ -112,6 +113,12 @@ def train_quality_model(
     quantized to micro-log-odds with floor (floor, not round: identical in
     every engine — round-half ties differ between Spark and DuckDB).
     Docs whose label is NULL are excluded from training."""
+    if n_buckets > 1 << 21:
+        raise ValueError(
+            f"n_buckets={n_buckets}: the count/weight tables are collected "
+            "to the driver; keep n_buckets <= 2**21 (hash collisions, not "
+            "bucket count, bound model quality well before that)"
+        )
     spark = df.sparkSession
     lab = df.where(F.col(label_col).isNotNull()).select(
         F.col(id_col).alias("doc"), F.col(label_col).cast("boolean").alias("y"), text_col
@@ -120,8 +127,8 @@ def train_quality_model(
     # re-run the token explode AND the teacher labels twice): the slim
     # (doc, y) side is cached, the bucket counts — at most n_buckets rows —
     # are COLLECTED, and the weight table is rebuilt from those literals,
-    # cutting every downstream consumer's lineage at 4096 rows. Keep
-    # n_buckets modest (<= ~1M): the count table lives on the driver.
+    # cutting every downstream consumer's lineage at the weight table.
+    # The count table lives on the driver — n_buckets is capped above.
     slim = lab.select("doc", "y").persist()
     tok = _doc_buckets(lab, "doc", text_col, n_buckets).join(slim, "doc")
     pos = F.when(F.col("y"), F.lit(1)).otherwise(F.lit(0))
