@@ -561,3 +561,28 @@ def test_remove_duplicate_spans_id_col_named_doc(spark):
         for r in remove_duplicate_spans(df, "doc", k=8).collect()
     }
     assert got == {1: 0, 2: 8, 3: 8, 4: 0, 5: 0}
+
+
+def test_mask_contaminated_spans(spark):
+    """Span-level decontamination: only the benchmark-overlapping window
+    tokens vanish; the rest of the doc (and clean docs) survive — unlike
+    drop_contaminated, which removes whole docs."""
+    from xmlschemavalidator_spark.dedup import mask_contaminated_spans
+
+    bench_sent = "what is the capital of france paris is the answer"  # 10 toks
+    bench = spark.createDataFrame([(1, bench_sent)], "bid bigint, text string")
+    docs = spark.createDataFrame(
+        [
+            (1, "intro words here " + bench_sent + " outro words"),
+            (2, "completely clean document about unrelated training topics"),
+            (3, bench_sent),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc"]: (r["clean_text"], r["n_removed_tokens"])
+        for r in mask_contaminated_spans(docs, "doc_id", bench, k=8).collect()
+    }
+    assert got[1] == ("intro words here outro words", 10)
+    assert got[2] == ("completely clean document about unrelated training topics", 0)
+    assert got[3] == ("", 10)

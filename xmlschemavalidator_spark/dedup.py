@@ -1226,6 +1226,16 @@ def remove_duplicate_spans(
     spans = duplicate_spans(df, id_col, text_col, k, portable)
     if keep_first:
         spans = spans.where(~F.col("is_first"))
+    return _strip_spans(df, id_col, text_col, spans, k)
+
+
+def _strip_spans(
+    df: DataFrame, id_col: str, text_col: str, spans: DataFrame, k: int
+) -> DataFrame:
+    """Shared span-stripping tail of :func:`remove_duplicate_spans` and
+    :func:`mask_contaminated_spans`: given ``spans`` = (doc, pos) window
+    starts to remove, drop every covered token and return
+    ``(doc, clean_text, n_removed_tokens)``."""
     per_doc = spans.groupBy("doc").agg(
         F.sort_array(F.collect_list("pos")).alias("_dp")
     # the join key gets a private name: an input id column itself named
@@ -1271,6 +1281,43 @@ def remove_duplicate_spans(
             F.col("_b.nr").alias("n_removed_tokens"),
         )
     )
+
+
+def mask_contaminated_spans(
+    df: DataFrame,
+    id_col: str,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    k: int = 13,
+    portable: bool = False,
+) -> DataFrame:
+    """SPAN-level decontamination: strip only the k-token spans a doc
+    shares with the benchmark corpus, instead of dropping the whole doc
+    (:func:`drop_contaminated` is the doc-level variant; GPT-3's appendix
+    describes both). Returns ``(doc, clean_text, n_removed_tokens)`` for
+    EVERY input doc — untouched docs come back with 0 removed.
+
+    Plan: the benchmark's distinct window hashes (small by definition —
+    eval sets are thousands of docs) are broadcast; the corpus's window
+    rows semi-join them and the shared :func:`_strip_spans` tail masks the
+    covered tokens. The corpus text itself never shuffles."""
+    bench_hashes = (
+        _window_hash_rows(
+            benchmark.select(F.lit(0).alias("_bid"), F.col(bench_text_col)),
+            "_bid",
+            bench_text_col,
+            k,
+            portable,
+        )
+        .select("whash")
+        .distinct()
+    )
+    corpus = _window_hash_rows(df, id_col, text_col, k, portable)
+    hits = corpus.join(F.broadcast(bench_hashes), "whash", "left_semi").select(
+        "doc", "pos"
+    )
+    return _strip_spans(df, id_col, text_col, hits, k)
 
 
 # --------------------------------------------------------------------------

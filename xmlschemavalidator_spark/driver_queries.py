@@ -1110,6 +1110,76 @@ def corpus_duplicate_spans(spark, sf_dir):
     )
 
 
+_DECON_SENT = "what is the capital of france paris is the answer"
+
+
+@q(
+    "span_decontamination",
+    f"""WITH bench AS (SELECT '{_DECON_SENT}' AS btext),
+       bw AS (
+         SELECT DISTINCT unnest(list_transform(
+                  range(0, greatest(len(barr) - {_SPAN_K - 1}, 0)),
+                  i -> array_to_string(barr[i + 1:i + {_SPAN_K}], ' '))) AS wtext
+         FROM (SELECT list_filter(regexp_split_to_array(trim(btext), '\\s+'),
+                                  x -> x <> '') AS barr FROM bench)),
+       t AS (
+         SELECT doc_id,
+                list_filter(regexp_split_to_array(trim(coalesce(text2, '')), '\\s+'),
+                            x -> x <> '') AS arr
+         FROM (SELECT doc_id,
+                      text || CASE WHEN doc_id % 9 = 0
+                                   THEN ' {_DECON_SENT}' ELSE '' END AS text2
+               FROM documents)),
+       win AS (
+         SELECT doc_id,
+                CAST(unnest(range(0, greatest(len(arr) - {_SPAN_K - 1}, 0))) AS INT) AS pos,
+                unnest(list_transform(range(0, greatest(len(arr) - {_SPAN_K - 1}, 0)),
+                       i -> array_to_string(arr[i + 1:i + {_SPAN_K}], ' '))) AS wtext
+         FROM t),
+       hits AS (
+         SELECT win.doc_id, win.pos FROM win JOIN bw USING (wtext)),
+       tokrows AS (
+         SELECT doc_id, unnest(arr) AS tok, generate_subscripts(arr, 1) - 1 AS j
+         FROM t),
+       removed AS (
+         SELECT DISTINCT tr.doc_id, tr.j
+         FROM tokrows tr
+         JOIN hits h ON tr.doc_id = h.doc_id
+                    AND tr.j >= h.pos AND tr.j < h.pos + {_SPAN_K}),
+       kept AS (
+         SELECT tk.doc_id, tk.tok, tk.j
+         FROM tokrows tk
+         LEFT JOIN removed r ON tk.doc_id = r.doc_id AND tk.j = r.j
+         WHERE r.j IS NULL)
+       SELECT t.doc_id,
+              coalesce(string_agg(k.tok, ' ' ORDER BY k.j), '') AS clean_text,
+              CAST(len(t.arr) - count(k.j) AS BIGINT) AS n_removed_tokens
+       FROM t LEFT JOIN kept k USING (doc_id)
+       GROUP BY t.doc_id, len(t.arr)""",
+)
+def span_decontamination(spark, sf_dir):
+    """Span-level decontamination (GPT-3 appendix style): a benchmark
+    sentence is planted on every 9th doc IN BOTH ENGINES; only the
+    benchmark-overlapping 8-token windows are stripped, the rest of each
+    doc survives byte-identical (hash covers the cleaned text)."""
+    from xmlschemavalidator_spark.dedup import mask_contaminated_spans
+
+    bench = spark.createDataFrame([(1, _DECON_SENT)], "bid bigint, text string")
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 9 == 0, F.lit(" " + _DECON_SENT)).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    out = mask_contaminated_spans(docs, "doc_id", bench, k=_SPAN_K, portable=True)
+    return out.select(
+        F.col("doc").alias("doc_id"), "clean_text", "n_removed_tokens"
+    )
+
+
 def _minhash_portable_oracle() -> str:
     """DuckDB replay of the PORTABLE MinHash-LSH pipeline (VERDICT r2
     item 6): same distinct 3-gram shingles, same md5-derived base hash,
