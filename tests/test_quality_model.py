@@ -131,3 +131,47 @@ def test_quality_buckets_terciles(spark):
             for r in quality_buckets(g, 3, group_col="lang").collect()
         }
     assert got[2] == 1 and got[1] == 2 and got[3] == 3 and got[4] == 1
+
+
+def test_bigram_lm_scores_in_distribution_higher(spark):
+    import math
+
+    from xmlschemavalidator_spark.quality_model import (
+        perplexity_score,
+        train_bigram_lm,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    lm = train_bigram_lm(docs.where(F.col("doc_id") % 5 != 0), "doc_id")
+    assert lm.v > 1
+    real = docs.where(F.col("doc_id") % 5 == 0).limit(1).collect()[0]["text"]
+    test = spark.createDataFrame(
+        [(1, real), (2, "zqx vbn mkl pqr stw xyz abc def ghi"), (3, "")],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc"]: r for r in perplexity_score(test, lm, "doc_id").collect()}
+    assert got[1]["avg_logprob"] > got[2]["avg_logprob"]
+    # exact-integer contract: avg is literally micro-sum / (n * 1e6)
+    for d in (1, 2):
+        r = got[d]
+        assert r["avg_logprob"] == r["logprob_micro"] / (r["n_bigrams"] * 1e6)
+        assert math.exp(-r["avg_logprob"]) > 1.0  # a real perplexity
+    assert got[3]["n_bigrams"] == 0 and got[3]["avg_logprob"] is None
+
+
+def test_bigram_lm_save_load_roundtrip(spark, tmp_path):
+    from xmlschemavalidator_spark.quality_model import (
+        BigramLM,
+        perplexity_score,
+        train_bigram_lm,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    lm = train_bigram_lm(docs, "doc_id")
+    path = str(tmp_path / "lm")
+    lm.save(path)
+    loaded = BigramLM.load(spark, path)
+    assert (loaded.v, loaded.alpha) == (lm.v, lm.alpha)
+    a = {r["doc"]: r["logprob_micro"] for r in perplexity_score(docs, lm, "doc_id").collect()}
+    b = {r["doc"]: r["logprob_micro"] for r in perplexity_score(docs, loaded, "doc_id").collect()}
+    assert a == b

@@ -2155,6 +2155,67 @@ def text_quality_buckets(spark, sf_dir):
     )
 
 
+@q(
+    "text_bigram_lm",
+    """WITH t AS (
+         SELECT doc_id,
+                ['<s>'] || list_transform(
+                  list_filter(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'),
+                              x -> x <> ''),
+                  x -> lower(x)) AS barr
+         FROM documents),
+       pairs AS (
+         SELECT doc_id,
+                unnest(barr[1:len(barr) - 1]) AS prev,
+                unnest(barr[2:len(barr)]) AS cur
+         FROM t WHERE len(barr) >= 2),
+       tr AS (SELECT prev, cur FROM pairs WHERE doc_id % 5 <> 0),
+       bc AS (SELECT prev, cur, count(*) AS n_pc FROM tr GROUP BY 1, 2),
+       cc AS (SELECT prev, count(*) AS n_p FROM tr GROUP BY 1),
+       v AS (SELECT count(DISTINCT cur) AS v FROM tr),
+       sc AS (
+         SELECT p.doc_id,
+                CAST(floor(ln((coalesce(bc.n_pc, 0) + 1.0)
+                             / (coalesce(cc.n_p, 0) + 1.0 * v.v))
+                           * 1000000) AS BIGINT) AS lp
+         FROM pairs p
+         LEFT JOIN bc USING (prev, cur)
+         LEFT JOIN cc USING (prev)
+         CROSS JOIN v),
+       agg AS (
+         SELECT doc_id,
+                CAST(count(*) AS BIGINT) AS n_bigrams,
+                CAST(sum(lp) AS BIGINT) AS logprob_micro
+         FROM sc GROUP BY 1)
+       SELECT d.doc_id,
+              coalesce(agg.n_bigrams, 0) AS n_bigrams,
+              coalesce(agg.logprob_micro, 0) AS logprob_micro,
+              round(agg.logprob_micro / (agg.n_bigrams * 1000000.0), 6)
+                AS avg_logprob
+       FROM documents d LEFT JOIN agg USING (doc_id)""",
+)
+def text_bigram_lm(spark, sf_dir):
+    """CCNet-style LM fit score: add-1 bigram model trained in-query on
+    the doc_id % 5 <> 0 split, every doc scored by its exact integer sum
+    of floor-quantized micro-log-probs (perplexity = exp(-avg_logprob),
+    derived by the caller — exp() never crosses the oracle). Training
+    replay + scoring both hash-exact in DuckDB."""
+    from xmlschemavalidator_spark.quality_model import (
+        perplexity_score,
+        train_bigram_lm,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = train_bigram_lm(docs.where(F.col("doc_id") % 5 != 0), "doc_id")
+    out = perplexity_score(docs, lm, "doc_id")
+    return out.select(
+        F.col("doc").alias("doc_id"),
+        "n_bigrams",
+        "logprob_micro",
+        F.round("avg_logprob", 6).alias("avg_logprob"),
+    )
+
+
 @q("text_gopher_filters", _gopher_oracle())
 def text_gopher_filters(spark, sf_dir):
     """Gopher-style quality-filter signals + keep/drop verdict per doc —

@@ -241,3 +241,115 @@ def score_quality(
             (total > 0).alias("quality_pass"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# bigram language model — the CCNet-style perplexity scorer (CCNet buckets
+# web text by LM perplexity; the NB classifier above is the FineWeb-style
+# discriminative sibling). Trained with pure groupBy aggregations; scoring
+# is two shuffle joins of the (doc, prev, cur) bigram stream against the
+# count tables — standard corpus-scale joins, the doc text never moves.
+# Per-bigram log-probs are floor-quantized to micro units at scoring time,
+# so per-doc sums are exact integers (same oracle-parity device as the NB
+# weights).
+# --------------------------------------------------------------------------
+
+BOS = "<s>"
+
+
+def _bigram_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, prev, cur): one row per bigram of the lower-cased token
+    stream with a BOS sentinel, so every real token is predicted once."""
+    toks = tokens(F.lower(F.col(text_col)))
+    barr = F.concat(F.array(F.lit(BOS)), toks)
+    zipped = F.arrays_zip(
+        F.slice(barr, 1, F.size(barr) - 1), F.slice(barr, 2, F.size(barr) - 1)
+    )
+    return (
+        df.select(F.col(id_col).alias("doc"), F.explode(zipped).alias("bg"))
+        .select("doc", F.col("bg.0").alias("prev"), F.col("bg.1").alias("cur"))
+    )
+
+
+@dataclass
+class BigramLM:
+    """bigram_counts: (prev, cur, n_pc); context_counts: (prev, n_p);
+    v = predicted-vocabulary size (distinct cur in training); alpha =
+    add-α smoothing. logp(cur|prev) = ln((n_pc+α)/(n_p+αv)); unseen
+    contexts fall back to ln(1/v)."""
+
+    bigram_counts: DataFrame
+    context_counts: DataFrame
+    v: int
+    alpha: float
+
+    def save(self, path: str) -> None:
+        spark = self.bigram_counts.sparkSession
+        self.bigram_counts.write.mode("overwrite").parquet(f"{path}/bigrams")
+        self.context_counts.write.mode("overwrite").parquet(f"{path}/contexts")
+        spark.createDataFrame(
+            [(json.dumps({"v": self.v, "alpha": self.alpha}),)], "meta_json string"
+        ).repartition(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "BigramLM":
+        meta = json.loads(
+            spark.read.parquet(f"{path}/meta").collect()[0]["meta_json"]
+        )
+        return cls(
+            bigram_counts=spark.read.parquet(f"{path}/bigrams"),
+            context_counts=spark.read.parquet(f"{path}/contexts"),
+            **meta,
+        )
+
+
+def train_bigram_lm(
+    df: DataFrame, id_col: str, text_col: str = "text", alpha: float = 1.0
+) -> BigramLM:
+    """Fit add-α bigram counts: one explode + two groupBys (both with
+    map-side combine) + one distinct count. All tables stay distributed —
+    nothing corpus-sized touches the driver."""
+    pairs = _bigram_pairs(df, id_col, text_col)
+    bc = pairs.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("n_pc"))
+    cc = pairs.groupBy("prev").agg(F.count(F.lit(1)).alias("n_p"))
+    v = pairs.select("cur").distinct().count()
+    return BigramLM(bigram_counts=bc, context_counts=cc, v=max(v, 1), alpha=alpha)
+
+
+def perplexity_score(
+    df: DataFrame, lm: BigramLM, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Per-doc LM fit: ``(doc, n_bigrams, logprob_micro, avg_logprob)``
+    where logprob_micro is the EXACT integer sum of floor-quantized
+    per-bigram micro-log-probs and avg_logprob = logprob_micro /
+    (n_bigrams · 1e6). Perplexity = exp(-avg_logprob) — derived by the
+    caller; kept out of the contract so the oracle never compares exp()
+    across engines. Token-less docs return n_bigrams = 0, avg NULL
+    (CCNet leaves empty docs unbucketed)."""
+    pairs = _bigram_pairs(df, id_col, text_col)
+    j = pairs.join(lm.bigram_counts, ["prev", "cur"], "left").join(
+        lm.context_counts, ["prev"], "left"
+    )
+    lp = F.log(
+        (F.coalesce("n_pc", F.lit(0)) + F.lit(lm.alpha))
+        / (F.coalesce("n_p", F.lit(0)) + F.lit(lm.alpha * lm.v))
+    )
+    scored = j.select(
+        "doc", F.floor(lp * F.lit(MICRO)).cast("bigint").alias("_lp")
+    )
+    agg = scored.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_bigrams"), F.sum("_lp").alias("logprob_micro")
+    )
+    return (
+        df.select(F.col(id_col).alias("doc"))
+        .join(agg, "doc", "left")
+        .select(
+            "doc",
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.coalesce("logprob_micro", F.lit(0)).cast("bigint").alias("logprob_micro"),
+            (
+                F.col("logprob_micro")
+                / (F.col("n_bigrams") * F.lit(float(MICRO)))
+            ).alias("avg_logprob"),
+        )
+    )
