@@ -144,7 +144,7 @@ def test_bigram_lm_scores_in_distribution_higher(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     lm = train_bigram_lm(docs.where(F.col("doc_id") % 5 != 0), "doc_id")
     assert lm.v > 1
-    real = docs.where(F.col("doc_id") % 5 == 0).limit(1).collect()[0]["text"]
+    real = docs.where(F.col("doc_id") % 5 == 0).orderBy("doc_id").limit(1).collect()[0]["text"]
     test = spark.createDataFrame(
         [(1, real), (2, "zqx vbn mkl pqr stw xyz abc def ghi"), (3, "")],
         "doc_id bigint, text string",

@@ -309,10 +309,17 @@ def train_bigram_lm(
     """Fit add-α bigram counts: one explode + two groupBys (both with
     map-side combine) + one distinct count. All tables stay distributed —
     nothing corpus-sized touches the driver."""
+    # persist the count tables (vocab-bounded, tiny next to the corpus):
+    # without it every downstream action — each join side of a scoring
+    # run, each save() write, the v count — re-runs the full training
+    # tokenize+explode+groupBy lineage (review finding, same class the NB
+    # trainer above fixed by collecting its counts)
     pairs = _bigram_pairs(df, id_col, text_col)
-    bc = pairs.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("n_pc"))
-    cc = pairs.groupBy("prev").agg(F.count(F.lit(1)).alias("n_p"))
-    v = pairs.select("cur").distinct().count()
+    bc = pairs.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("n_pc")).persist()
+    cc = pairs.groupBy("prev").agg(F.count(F.lit(1)).alias("n_p")).persist()
+    # v from the materialized bigram table, not a third corpus pass
+    v = bc.select("cur").distinct().count()  # also materializes bc
+    cc.count()  # materialize cc while the shuffle files are hot
     return BigramLM(bigram_counts=bc, context_counts=cc, v=max(v, 1), alpha=alpha)
 
 
