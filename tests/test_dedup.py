@@ -586,3 +586,68 @@ def test_mask_contaminated_spans(spark):
     assert got[1] == ("intro words here outro words", 10)
     assert got[2] == ("completely clean document about unrelated training topics", 0)
     assert got[3] == ("", 10)
+
+
+def test_incremental_near_dedup_across_batches(spark, tmp_path):
+    """Cross-batch LSH store: batch 2's near-dup of a batch-1 kept doc is
+    dropped, genuinely new content survives, a retry with the same batch
+    id is idempotent, and a boilerplate-hot stored bucket refuses to drop
+    (audited instead)."""
+    from pyspark.sql import functions as F
+
+    from xmlschemavalidator_spark.dedup import (
+        commit_seen_buckets,
+        incremental_near_dedup,
+        incremental_near_dedup_hot_buckets,
+    )
+
+    store = str(tmp_path / "near_store")
+    b1 = spark.createDataFrame(
+        [(1, BASE), (2, OTHER)], "doc_id bigint, text string"
+    )
+    kept1 = incremental_near_dedup(b1, "doc_id", store, batch_id="b1")
+    assert {r["doc_id"] for r in kept1.collect()} == {1, 2}  # empty store
+    commit_seen_buckets(kept1, "doc_id", store, batch_id="b1")
+
+    b2 = spark.createDataFrame(
+        [
+            (11, NEAR),   # near-dup of batch-1 doc 1 -> dropped
+            (12, BASE),   # exact text of batch-1 doc 1 -> dropped
+            (13, "entirely fresh subject matter nobody wrote about before now"),
+        ],
+        "doc_id bigint, text string",
+    )
+    kept2 = incremental_near_dedup(b2, "doc_id", store, batch_id="b2")
+    assert {r["doc_id"] for r in kept2.collect()} == {13}
+
+    # retry of b1 against its own commit: nothing self-dedups
+    again = incremental_near_dedup(b1, "doc_id", store, batch_id="b1")
+    assert {r["doc_id"] for r in again.collect()} == {1, 2}
+
+    # hot-bucket refusal: many docs sharing a stored bucket are NOT dropped
+    flood = spark.createDataFrame(
+        [(100 + i, BASE + f" filler{i}") for i in range(8)],
+        "doc_id bigint, text string",
+    )
+    kept_f = incremental_near_dedup(
+        flood, "doc_id", store, batch_id="b3", max_bucket=3, within_batch=False
+    )
+    # every flood doc shares buckets with stored BASE; cap 3 refuses them
+    assert kept_f.count() == 8
+    hot = incremental_near_dedup_hot_buckets(
+        flood, "doc_id", store, batch_id="b3", max_bucket=3
+    )
+    assert hot.count() > 0 and all(r["n_docs"] > 3 for r in hot.collect())
+
+
+def test_incremental_near_dedup_corrupt_store_raises(spark, tmp_path):
+    import pytest
+
+    from xmlschemavalidator_spark.dedup import incremental_near_dedup
+
+    bad = tmp_path / "bad_store"
+    bad.mkdir()
+    (bad / "part-00000.parquet").write_text("not parquet at all")
+    docs = spark.createDataFrame([(1, BASE)], "doc_id bigint, text string")
+    with pytest.raises(Exception):
+        incremental_near_dedup(docs, "doc_id", str(bad), batch_id="x").collect()

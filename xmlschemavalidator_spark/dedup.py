@@ -188,6 +188,26 @@ def minhash_band_buckets(
     the hot-bucket audit. ``portable=True``: the bucket key is the literal
     minhash tuple as a string instead of its xxhash64 (exact grouping an
     external engine reproduces; prod default keeps the 8-byte hash key)."""
+    banded = minhash_banded_rows(
+        df, id_col, text_col, num_hashes, bands, shingle_n, portable
+    )
+    return banded.groupBy("band", "bucket").agg(
+        F.sort_array(F.collect_list("doc")).alias("docs")
+    )
+
+
+def minhash_banded_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    portable: bool = False,
+) -> DataFrame:
+    """(doc, band, bucket): one row per (doc, LSH band) — the pre-grouped
+    form of :func:`minhash_band_buckets`, also the unit the incremental
+    near-dup store persists."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
     with_sig = minhash_signatures_df(
@@ -200,7 +220,7 @@ def minhash_band_buckets(
             return F.concat_ws("_", *cols).alias("bucket")
         return F.xxhash64(*cols).alias("bucket")
 
-    banded = with_sig.select(
+    return with_sig.select(
         "doc",
         F.explode(
             F.array(
@@ -211,9 +231,6 @@ def minhash_band_buckets(
             )
         ).alias("bb"),
     ).select("doc", "bb.band", "bb.bucket")
-    return banded.groupBy("band", "bucket").agg(
-        F.sort_array(F.collect_list("doc")).alias("docs")
-    )
 
 
 def minhash_hot_buckets(
@@ -912,6 +929,132 @@ def compact_fingerprint_store(spark, state_path: str) -> None:
     os.rename(state_path, old_dir)
     os.rename(tmp, state_path)
     shutil.rmtree(old_dir, ignore_errors=True)
+
+
+def _seen_buckets(spark, state_path: str, exclude_batch: str | None = None) -> DataFrame:
+    """Read the near-dup bucket store — same contract as
+    :func:`_seen_fingerprints`: only a missing path means 'first batch',
+    any other failure raises; ``exclude_batch`` drops this batch's own
+    earlier (possibly partial) commit so retries never dedup a batch
+    against itself."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        store = spark.read.option("mergeSchema", "true").parquet(state_path)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return spark.createDataFrame([], "band int, bucket string")
+        raise
+    if exclude_batch is not None and "batch_id" in store.columns:
+        store = store.where(
+            F.col("batch_id").isNull() | (F.col("batch_id") != exclude_batch)
+        )
+    return store.select("band", "bucket")
+
+
+def incremental_near_dedup(
+    new_df: DataFrame,
+    id_col: str,
+    state_path: str,
+    text_col: str = "text",
+    batch_id: str | None = None,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    max_bucket: int = 1000,
+    within_batch: bool = True,
+) -> DataFrame:
+    """Cross-batch NEAR-dup dedup — the LSH analog of
+    :func:`incremental_exact_dedup`: drop docs of this batch whose any
+    band bucket collides with a bucket committed by an earlier batch (the
+    earlier batch kept the canonical copy), then (``within_batch``) run
+    the usual candidate→CC near-dedup inside the batch. Pure read side —
+    call :func:`commit_seen_buckets` AFTER the kept output is durable.
+
+    A bucket collision is an UNVERIFIED LSH candidate — the same
+    approximation :func:`drop_near_duplicates` already accepts inside a
+    batch. Hot-bucket guard: a stored bucket matching more than
+    ``max_bucket`` docs of THIS batch is boilerplate, not near-dup
+    evidence — it is excluded from dropping (audit with
+    :func:`incremental_near_dedup_hot_buckets`; the same cap philosophy
+    as every other blocking path here). Scale: the store join shuffles
+    (band, bucket) rows only; the corpus text never moves."""
+    rows = minhash_banded_rows(
+        new_df, id_col, text_col, num_hashes, bands, shingle_n
+    ).withColumn("bucket", F.col("bucket").cast("string"))
+    seen = _seen_buckets(new_df.sparkSession, state_path, exclude_batch=batch_id)
+    hits = rows.join(seen, ["band", "bucket"], "left_semi")
+    ok_buckets = (
+        hits.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") <= max_bucket)
+        .select("band", "bucket")
+    )
+    hit_docs = (
+        hits.join(ok_buckets, ["band", "bucket"], "left_semi")
+        .select("doc")
+        .distinct()
+    )
+    cur = new_df.join(hit_docs, new_df[id_col] == hit_docs["doc"], "left_anti")
+    if within_batch:
+        pairs = minhash_lsh_candidates(
+            cur, id_col, text_col, num_hashes, bands, shingle_n, max_bucket
+        )
+        cur = drop_near_duplicates(cur, id_col, pairs)
+    return cur
+
+
+def incremental_near_dedup_hot_buckets(
+    new_df: DataFrame,
+    id_col: str,
+    state_path: str,
+    text_col: str = "text",
+    batch_id: str | None = None,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """The stored buckets :func:`incremental_near_dedup` REFUSED to drop
+    by (matched > max_bucket docs of this batch): ``(band, bucket,
+    n_docs)``. Empty = the cross-batch pass dropped every collision."""
+    rows = minhash_banded_rows(
+        new_df, id_col, text_col, num_hashes, bands, shingle_n
+    ).withColumn("bucket", F.col("bucket").cast("string"))
+    seen = _seen_buckets(new_df.sparkSession, state_path, exclude_batch=batch_id)
+    return (
+        rows.join(seen, ["band", "bucket"], "left_semi")
+        .groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") > max_bucket)
+    )
+
+
+def commit_seen_buckets(
+    kept_df: DataFrame,
+    id_col: str,
+    state_path: str,
+    text_col: str = "text",
+    batch_id: str | None = None,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> None:
+    """Append the kept batch's distinct (band, bucket) rows to the store,
+    stamped with ``batch_id`` for retry exclusion — the near-dup analog of
+    :func:`commit_seen_fingerprints` (same output-first ordering, same
+    set semantics under duplicate appends)."""
+    (
+        minhash_banded_rows(kept_df, id_col, text_col, num_hashes, bands, shingle_n)
+        .select(
+            "band",
+            F.col("bucket").cast("string").alias("bucket"),
+            F.lit(batch_id).cast("string").alias("batch_id"),
+        )
+        .distinct()
+        .write.mode("append")
+        .parquet(state_path)
+    )
 
 
 # --------------------------------------------------------------------------

@@ -2570,6 +2570,58 @@ def bloom_membership(spark, sf_dir):
     )
 
 
+@q("incremental_near_dedup_roundtrip")  # no oracle: stateful (writes a store)
+def incremental_near_dedup_roundtrip(spark, sf_dir):
+    """Cross-batch NEAR-dup dedup (persistent LSH bucket store) exercised
+    end-to-end: batch 1 = the corpus (committed); batch 2 = re-keyed
+    near-dup variants of half of it (one token appended — most shingles,
+    hence most band buckets, survive) plus genuinely fresh docs. Output
+    pins kept counts per batch plus how many of batch 2's planted
+    near-dups were caught by the store (rows-only: stateful by design;
+    the LSH collision itself is engine-specific xxhash64 banding)."""
+    import shutil
+    import tempfile
+
+    from xmlschemavalidator_spark.dedup import (
+        commit_seen_buckets,
+        incremental_near_dedup,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="incneardedup_")
+    try:
+        store = f"{tmp}/buckets"
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        b1 = incremental_near_dedup(
+            docs, "doc_id", store, batch_id="b1", within_batch=False
+        )
+        n1 = b1.count()
+        commit_seen_buckets(b1, "doc_id", store, batch_id="b1")
+        near = docs.where(F.col("doc_id") % 2 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" appended")).alias("text"),
+        )
+        fresh = docs.where(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"),
+            F.md5(F.col("text")).alias("text"),  # hash garbage: no shared shingles
+        )
+        n_near_planted = near.count()
+        b2 = incremental_near_dedup(
+            near.unionByName(fresh), "doc_id", store, batch_id="b2",
+            within_batch=False,
+        )
+        n2 = b2.count()
+        n_near_kept = b2.where(
+            (F.col("doc_id") >= 1_000_000) & (F.col("doc_id") < 2_000_000)
+        ).count()
+        return spark.createDataFrame(
+            [(n1, n2, n_near_planted, n_near_planted - n_near_kept)],
+            "n_batch1_kept long, n_batch2_kept long, "
+            "n_near_planted long, n_near_caught long",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @q("incremental_dedup_roundtrip")  # no oracle: stateful (writes a store)
 def incremental_dedup_roundtrip(spark, sf_dir):
     """Cross-batch incremental dedup exercised end-to-end: batch 1 = the
