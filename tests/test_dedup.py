@@ -640,6 +640,99 @@ def test_incremental_near_dedup_across_batches(spark, tmp_path):
     assert hot.count() > 0 and all(r["n_docs"] > 3 for r in hot.collect())
 
 
+def test_incremental_near_dedup_committed_hot_bucket_refused(spark, tmp_path):
+    """A bucket that was boilerplate-hot IN THE COMMITTING BATCH must not
+    become drop evidence for a later batch: the cap applies to the
+    combined stored + current population (review finding — counting only
+    the current batch silently drops unrelated docs that share one
+    boilerplate bucket)."""
+    from pyspark.sql import functions as F
+
+    from xmlschemavalidator_spark.dedup import (
+        commit_seen_buckets,
+        incremental_near_dedup,
+        incremental_near_dedup_hot_buckets,
+    )
+
+    store = str(tmp_path / "near_store")
+    # batch 1: 8 docs with IDENTICAL text — every bucket has n_docs=8;
+    # within_batch=False keeps (and commits) all of them
+    b1 = spark.createDataFrame(
+        [(i, BASE) for i in range(8)], "doc_id bigint, text string"
+    )
+    kept1 = incremental_near_dedup(
+        b1, "doc_id", store, batch_id="b1", within_batch=False
+    )
+    assert kept1.count() == 8
+    commit_seen_buckets(kept1, "doc_id", store, batch_id="b1")
+
+    # batch 2: ONE doc hitting those buckets; stored 8 + batch 1 = 9 > 3
+    # -> refused (kept), and the audit reports the combined population
+    b2 = spark.createDataFrame([(100, BASE)], "doc_id bigint, text string")
+    kept2 = incremental_near_dedup(
+        b2, "doc_id", store, batch_id="b2", max_bucket=3, within_batch=False
+    )
+    assert kept2.count() == 1
+    hot = incremental_near_dedup_hot_buckets(
+        b2, "doc_id", store, batch_id="b2", max_bucket=3
+    ).collect()
+    assert hot and all(
+        r["stored_n"] == 8 and r["batch_n"] == 1 and r["n_docs"] == 9 for r in hot
+    )
+    # with a generous cap the same doc IS dropped (sanity: the refusal
+    # above came from the cap, not a join bug)
+    assert (
+        incremental_near_dedup(
+            b2, "doc_id", store, batch_id="b2", max_bucket=100, within_batch=False
+        ).count()
+        == 0
+    )
+
+
+def test_compact_bucket_store_preserves_decisions(spark, tmp_path):
+    """Compaction shrinks the bucket store to one row per (band, bucket)
+    while preserving both the population sums and the retry-exclusion
+    semantics (single-batch buckets keep their batch_id; multi-batch
+    collapse to NULL)."""
+    from xmlschemavalidator_spark.dedup import (
+        _seen_buckets,
+        commit_seen_buckets,
+        compact_bucket_store,
+        incremental_near_dedup,
+    )
+
+    store = str(tmp_path / "near_store")
+    b1 = spark.createDataFrame([(1, BASE), (2, OTHER)], "doc_id bigint, text string")
+    commit_seen_buckets(b1, "doc_id", store, batch_id="b1")
+    b2 = spark.createDataFrame([(3, BASE)], "doc_id bigint, text string")
+    commit_seen_buckets(b2, "doc_id", store, batch_id="b2")
+    # duplicate append (a commit retry) — must not change any population
+    commit_seen_buckets(b2, "doc_id", store, batch_id="b2")
+
+    before = {
+        (r["band"], r["bucket"]): r["stored_n"]
+        for r in _seen_buckets(spark, store).collect()
+    }
+    compact_bucket_store(spark, store)
+    after = {
+        (r["band"], r["bucket"]): r["stored_n"]
+        for r in _seen_buckets(spark, store).collect()
+    }
+    assert before == after
+    raw = spark.read.parquet(store)
+    assert raw.count() == len(after)  # one row per bucket
+    # BASE buckets were committed by b1 AND b2 -> NULL batch_id -> a retry
+    # of b2 still sees them: its BASE near-dup is dropped
+    again = incremental_near_dedup(
+        spark.createDataFrame([(9, BASE)], "doc_id bigint, text string"),
+        "doc_id",
+        store,
+        batch_id="b2",
+        within_batch=False,
+    )
+    assert again.count() == 0
+
+
 def test_incremental_near_dedup_corrupt_store_raises(spark, tmp_path):
     import pytest
 

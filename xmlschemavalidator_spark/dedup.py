@@ -294,11 +294,22 @@ def minhash_lsh_candidates(
     uses the md5 base hash + literal tuple buckets so an external engine
     can reproduce the exact pair set (oracle mode).
     """
-    grouped = minhash_band_buckets(
+    banded = minhash_banded_rows(
         df, id_col, text_col, num_hashes, bands, shingle_n, portable
     )
+    return _candidates_from_banded(banded, max_bucket)
+
+
+def _candidates_from_banded(banded: DataFrame, max_bucket: int) -> DataFrame:
+    """Candidate pairs from pre-built ``(doc, band, bucket)`` rows — the
+    shared tail of :func:`minhash_lsh_candidates`, also reused by
+    :func:`incremental_near_dedup` so one banding pass feeds both the
+    cross-batch store join and the within-batch pairing."""
+    grouped = banded.groupBy("band", "bucket").agg(
+        F.sort_array(F.collect_list("doc")).alias("docs")
+    )
     ok = grouped.filter((F.size("docs") > 1) & (F.size("docs") <= max_bucket))
-    pairs = (
+    return (
         ok.select(
             F.explode(
                 F.expr(
@@ -311,7 +322,6 @@ def minhash_lsh_candidates(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
-    return pairs
 
 
 def jaccard_pairs(
@@ -811,13 +821,16 @@ def drop_near_duplicates(
 # --------------------------------------------------------------------------
 
 
-def _seen_fingerprints(spark, state_path: str, exclude_batch: str | None = None) -> DataFrame:
-    """Read the store; ONLY a missing path means 'first batch'. Any other
-    read failure (permissions, corrupt footer, transient storage error)
-    must raise — swallowing it would silently disable cross-batch dedup
-    and admit every previously-seen duplicate (round-2 review finding).
+def _read_store(
+    spark, state_path: str, empty_schema: str, exclude_batch: str | None = None
+) -> DataFrame:
+    """Shared persistent-store reader (fingerprint and LSH-bucket stores).
+    ONLY a missing path means 'first batch'. Any other read failure
+    (permissions, corrupt footer, transient storage error) must raise —
+    swallowing it would silently disable cross-batch dedup and admit
+    every previously-seen duplicate (round-2 review finding).
 
-    ``exclude_batch``: drop fingerprints committed under this batch_id —
+    ``exclude_batch``: drop rows committed under this batch_id —
     re-running batch N against its own earlier (possibly partial) commit
     must not dedup the batch against itself (a retry after a late failure
     would otherwise emit an EMPTY corpus — round-2 review finding).
@@ -825,21 +838,30 @@ def _seen_fingerprints(spark, state_path: str, exclude_batch: str | None = None)
     from pyspark.errors import AnalysisException
 
     try:
-        # mergeSchema: a store upgraded from the pre-batch_id layout mixes
-        # footers with and without the column; without merging, Spark picks
-        # ONE footer and the batch-exclusion is nondeterministically
+        # mergeSchema: a store upgraded from an older layout mixes footers
+        # with and without newer columns; without merging, Spark picks ONE
+        # footer and e.g. the batch-exclusion is nondeterministically
         # skipped (third-review finding) — merged, legacy rows read as
-        # NULL batch_id and are correctly retained
+        # NULL and are correctly retained
         store = spark.read.option("mergeSchema", "true").parquet(state_path)
     except AnalysisException as e:
         if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
-            return spark.createDataFrame([], "fingerprint string")
+            return spark.createDataFrame([], empty_schema)
         raise
     if exclude_batch is not None and "batch_id" in store.columns:
         store = store.where(
             F.col("batch_id").isNull() | (F.col("batch_id") != exclude_batch)
         )
-    return store.select("fingerprint")
+    return store
+
+
+def _seen_fingerprints(spark, state_path: str, exclude_batch: str | None = None) -> DataFrame:
+    """The committed fingerprints visible to this batch (see
+    :func:`_read_store` for the missing-path / raise / retry-exclusion
+    contract)."""
+    return _read_store(
+        spark, state_path, "fingerprint string", exclude_batch
+    ).select("fingerprint")
 
 
 def incremental_exact_dedup(
@@ -902,9 +924,6 @@ def compact_fingerprint_store(spark, state_path: str) -> None:
     regardless of which batch re-runs; a single-batch fingerprint keeps
     its batch_id so that batch's own retry still ignores it. Local-FS
     directory swap; on object stores write a fresh store path instead."""
-    import os
-    import shutil
-
     store = spark.read.option("mergeSchema", "true").parquet(state_path)
     if "batch_id" not in store.columns:
         store = store.withColumn("batch_id", F.lit(None).cast("string"))
@@ -922,6 +941,16 @@ def compact_fingerprint_store(spark, state_path: str) -> None:
             .alias("batch_id"),
         )
     )
+    _swap_store(compacted, state_path)
+
+
+def _swap_store(compacted: DataFrame, state_path: str) -> None:
+    """Write-then-rename replacement of a local-FS parquet store: the live
+    path is never in a partially-written state (the rename is the commit
+    point)."""
+    import os
+    import shutil
+
     tmp = state_path.rstrip("/") + ".compact.tmp"
     old_dir = state_path.rstrip("/") + ".old"
     compacted.write.mode("overwrite").parquet(tmp)
@@ -932,24 +961,29 @@ def compact_fingerprint_store(spark, state_path: str) -> None:
 
 
 def _seen_buckets(spark, state_path: str, exclude_batch: str | None = None) -> DataFrame:
-    """Read the near-dup bucket store — same contract as
-    :func:`_seen_fingerprints`: only a missing path means 'first batch',
-    any other failure raises; ``exclude_batch`` drops this batch's own
-    earlier (possibly partial) commit so retries never dedup a batch
-    against itself."""
-    from pyspark.errors import AnalysisException
-
-    try:
-        store = spark.read.option("mergeSchema", "true").parquet(state_path)
-    except AnalysisException as e:
-        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
-            return spark.createDataFrame([], "band int, bucket string")
-        raise
-    if exclude_batch is not None and "batch_id" in store.columns:
-        store = store.where(
-            F.col("batch_id").isNull() | (F.col("batch_id") != exclude_batch)
-        )
-    return store.select("band", "bucket")
+    """The near-dup bucket store visible to this batch, aggregated to
+    ``(band, bucket, stored_n)`` where ``stored_n`` is the total kept-doc
+    population committed for the bucket across earlier batches. The
+    per-(bucket, batch) max-then-sum makes a RETRIED commit idempotent
+    (duplicate appends of one batch never double-count); legacy rows
+    without ``n_docs`` count as 1. Missing-path / raise / retry-exclusion
+    contract: :func:`_read_store`."""
+    store = _read_store(
+        spark,
+        state_path,
+        "band int, bucket string, n_docs bigint, batch_id string",
+        exclude_batch,
+    )
+    if "n_docs" not in store.columns:
+        store = store.withColumn("n_docs", F.lit(1).cast("bigint"))
+    if "batch_id" not in store.columns:
+        store = store.withColumn("batch_id", F.lit(None).cast("string"))
+    per_batch = store.groupBy("band", "bucket", "batch_id").agg(
+        F.max(F.coalesce(F.col("n_docs"), F.lit(1))).alias("_n")
+    )
+    return per_batch.groupBy("band", "bucket").agg(
+        F.sum("_n").cast("bigint").alias("stored_n")
+    )
 
 
 def incremental_near_dedup(
@@ -973,35 +1007,52 @@ def incremental_near_dedup(
 
     A bucket collision is an UNVERIFIED LSH candidate — the same
     approximation :func:`drop_near_duplicates` already accepts inside a
-    batch. Hot-bucket guard: a stored bucket matching more than
-    ``max_bucket`` docs of THIS batch is boilerplate, not near-dup
-    evidence — it is excluded from dropping (audit with
-    :func:`incremental_near_dedup_hot_buckets`; the same cap philosophy
-    as every other blocking path here). Scale: the store join shuffles
-    (band, bucket) rows only; the corpus text never moves."""
-    rows = minhash_banded_rows(
-        new_df, id_col, text_col, num_hashes, bands, shingle_n
-    ).withColumn("bucket", F.col("bucket").cast("string"))
+    batch. Hot-bucket guard: a bucket whose COMBINED population (docs
+    committed by earlier batches + docs of this batch) exceeds
+    ``max_bucket`` is boilerplate, not near-dup evidence — it is excluded
+    from dropping (audit with :func:`incremental_near_dedup_hot_buckets`;
+    the same cap philosophy as every other blocking path here). The
+    committed side counts because a bucket the committing batch already
+    classified as boilerplate-hot must not become drop evidence for a
+    later batch's unrelated docs (review finding). Scale: the store join
+    shuffles (band, bucket) rows only; the corpus text never moves. The
+    banded rows are localCheckpoint'd — one shingle+signature pass feeds
+    the store join, the cap stats, and the within-batch pairing (so this
+    call is EAGER, like the CC steps above)."""
+    rows = (
+        minhash_banded_rows(new_df, id_col, text_col, num_hashes, bands, shingle_n)
+        .withColumn("bucket", F.col("bucket").cast("string"))
+        .localCheckpoint()
+    )
     seen = _seen_buckets(new_df.sparkSession, state_path, exclude_batch=batch_id)
-    hits = rows.join(seen, ["band", "bucket"], "left_semi")
     ok_buckets = (
-        hits.groupBy("band", "bucket")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .where(F.col("_n") <= max_bucket)
+        _near_bucket_stats(rows, seen)
+        .where(F.col("stored_n") + F.col("batch_n") <= max_bucket)
         .select("band", "bucket")
     )
     hit_docs = (
-        hits.join(ok_buckets, ["band", "bucket"], "left_semi")
+        rows.join(ok_buckets, ["band", "bucket"], "left_semi")
         .select("doc")
         .distinct()
     )
     cur = new_df.join(hit_docs, new_df[id_col] == hit_docs["doc"], "left_anti")
     if within_batch:
-        pairs = minhash_lsh_candidates(
-            cur, id_col, text_col, num_hashes, bands, shingle_n, max_bucket
+        surviving = rows.join(hit_docs, "doc", "left_anti")
+        cur = drop_near_duplicates(
+            cur, id_col, _candidates_from_banded(surviving, max_bucket)
         )
-        cur = drop_near_duplicates(cur, id_col, pairs)
     return cur
+
+
+def _near_bucket_stats(rows: DataFrame, seen: DataFrame) -> DataFrame:
+    """``(band, bucket, batch_n, stored_n)`` for every stored bucket this
+    batch collides with — the shared cap input of
+    :func:`incremental_near_dedup` (keeps ``<=``) and
+    :func:`incremental_near_dedup_hot_buckets` (reports ``>``)."""
+    batch_counts = rows.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("batch_n")
+    )
+    return batch_counts.join(seen, ["band", "bucket"], "inner")
 
 
 def incremental_near_dedup_hot_buckets(
@@ -1016,16 +1067,17 @@ def incremental_near_dedup_hot_buckets(
     max_bucket: int = 1000,
 ) -> DataFrame:
     """The stored buckets :func:`incremental_near_dedup` REFUSED to drop
-    by (matched > max_bucket docs of this batch): ``(band, bucket,
-    n_docs)``. Empty = the cross-batch pass dropped every collision."""
+    by (combined committed + this-batch population > ``max_bucket``):
+    ``(band, bucket, batch_n, stored_n, n_docs)`` with ``n_docs`` the
+    combined total. Empty = the cross-batch pass dropped every
+    collision."""
     rows = minhash_banded_rows(
         new_df, id_col, text_col, num_hashes, bands, shingle_n
     ).withColumn("bucket", F.col("bucket").cast("string"))
     seen = _seen_buckets(new_df.sparkSession, state_path, exclude_batch=batch_id)
     return (
-        rows.join(seen, ["band", "bucket"], "left_semi")
-        .groupBy("band", "bucket")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
+        _near_bucket_stats(rows, seen)
+        .withColumn("n_docs", F.col("stored_n") + F.col("batch_n"))
         .where(F.col("n_docs") > max_bucket)
     )
 
@@ -1040,21 +1092,62 @@ def commit_seen_buckets(
     bands: int = 8,
     shingle_n: int = 3,
 ) -> None:
-    """Append the kept batch's distinct (band, bucket) rows to the store,
-    stamped with ``batch_id`` for retry exclusion — the near-dup analog of
-    :func:`commit_seen_fingerprints` (same output-first ordering, same
-    set semantics under duplicate appends)."""
+    """Append the kept batch's ``(band, bucket, n_docs)`` rows (``n_docs``
+    = kept docs of this batch in the bucket, the population the hot-bucket
+    cap needs), stamped with ``batch_id`` for retry exclusion — the
+    near-dup analog of :func:`commit_seen_fingerprints` (same output-first
+    ordering; duplicate appends of a batch are collapsed by
+    :func:`_seen_buckets`'s per-batch max). Compact growth with
+    :func:`compact_bucket_store`."""
     (
         minhash_banded_rows(kept_df, id_col, text_col, num_hashes, bands, shingle_n)
+        .groupBy("band", F.col("bucket").cast("string").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
         .select(
             "band",
-            F.col("bucket").cast("string").alias("bucket"),
+            "bucket",
+            "n_docs",
             F.lit(batch_id).cast("string").alias("batch_id"),
         )
-        .distinct()
         .write.mode("append")
         .parquet(state_path)
     )
+
+
+def compact_bucket_store(spark, state_path: str) -> None:
+    """Rewrite the bucket store with one row per (band, bucket) —
+    ``n_docs`` = the retry-idempotent population sum :func:`_seen_buckets`
+    would compute, ``batch_id`` preserved only for single-batch buckets
+    (multi-batch or legacy-NULL collapses to NULL: seen regardless of
+    which batch re-runs — the same retry-exclusion semantics as
+    :func:`compact_fingerprint_store`). Same local-FS directory swap; on
+    object stores write a fresh store path instead."""
+    store = spark.read.option("mergeSchema", "true").parquet(state_path)
+    if "batch_id" not in store.columns:
+        store = store.withColumn("batch_id", F.lit(None).cast("string"))
+    if "n_docs" not in store.columns:
+        store = store.withColumn("n_docs", F.lit(1).cast("bigint"))
+    per_batch = store.groupBy("band", "bucket", "batch_id").agg(
+        F.max(F.coalesce(F.col("n_docs"), F.lit(1))).alias("_n")
+    )
+    compacted = (
+        per_batch.groupBy("band", "bucket")
+        .agg(
+            F.sum("_n").cast("bigint").alias("n_docs"),
+            F.count_distinct("batch_id").alias("_nb"),  # NULLs not counted
+            F.max(F.col("batch_id").isNull().cast("int")).alias("_has_null"),
+            F.min("batch_id").alias("_b"),
+        )
+        .select(
+            "band",
+            "bucket",
+            "n_docs",
+            F.when((F.col("_nb") == 1) & (F.col("_has_null") == 0), F.col("_b"))
+            .otherwise(F.lit(None).cast("string"))
+            .alias("batch_id"),
+        )
+    )
+    _swap_store(compacted, state_path)
 
 
 # --------------------------------------------------------------------------

@@ -2596,12 +2596,15 @@ def incremental_near_dedup_roundtrip(spark, sf_dir):
         )
         n1 = b1.count()
         commit_seen_buckets(b1, "doc_id", store, batch_id="b1")
+        # re-keying: doc_id*10 + tag keeps near (tag 1) and fresh (tag 2)
+        # ids disjoint and classifiable AT ANY SCALE FACTOR (an additive
+        # offset scheme collides once corpus ids pass the offset)
         near = docs.where(F.col("doc_id") % 2 == 0).select(
-            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            (F.col("doc_id") * 10 + 1).alias("doc_id"),
             F.concat(F.col("text"), F.lit(" appended")).alias("text"),
         )
         fresh = docs.where(F.col("doc_id") % 5 == 0).select(
-            (F.col("doc_id") + 2_000_000).alias("doc_id"),
+            (F.col("doc_id") * 10 + 2).alias("doc_id"),
             F.md5(F.col("text")).alias("text"),  # hash garbage: no shared shingles
         )
         n_near_planted = near.count()
@@ -2610,9 +2613,7 @@ def incremental_near_dedup_roundtrip(spark, sf_dir):
             within_batch=False,
         )
         n2 = b2.count()
-        n_near_kept = b2.where(
-            (F.col("doc_id") >= 1_000_000) & (F.col("doc_id") < 2_000_000)
-        ).count()
+        n_near_kept = b2.where(F.col("doc_id") % 10 == 1).count()
         return spark.createDataFrame(
             [(n1, n2, n_near_planted, n_near_planted - n_near_kept)],
             "n_batch1_kept long, n_batch2_kept long, "
