@@ -4,7 +4,9 @@ composed "a user of the reference could run their whole prep here" job:
     validate → quality filter (gopher) [→ learned NB quality model
     (--quality-model)] → C4 line dedup → exact dedup
     (incremental vs a fingerprint store) → near-dup drop (MinHash-LSH +
-    connected components) → decontaminate vs a benchmark → stratified mix
+    connected components; with --near-store ALSO incremental vs a
+    persistent LSH bucket store, so near-dups of EARLIER batches drop
+    too) → decontaminate vs a benchmark → stratified mix
     → per-language token budget → write kept corpus + audit tables
     [→ chunk + pack fixed-length training sequences (--pack-seq-len)]
 
@@ -54,6 +56,7 @@ def run_pipeline(
     id_col: str = "doc_id",
     batch_id: str | None = None,
     store: str | None = None,
+    near_store: str | None = None,
     pack_seq_len: int = 0,
     use_quality_model: bool = False,
 ) -> dict:
@@ -69,14 +72,18 @@ def run_pipeline(
     Retrying the SAME batch id overwrites only that batch's own dirs.
     ``store`` decouples the persistent fingerprint store from the output
     dir (default: <output>/fingerprints) so several output roots can share
-    one dedup history. batch_id doubles as a directory name — keep it to
+    one dedup history; ``near_store`` (opt-in, no default path) does the
+    same for the LSH bucket store that makes the near-dup stage
+    cross-batch. batch_id doubles as a directory name — keep it to
     filesystem-safe characters (it is the partition value either way)."""
     from xmlschemavalidator_spark.dedup import (
+        commit_seen_buckets,
         commit_seen_fingerprints,
         drop_contaminated,
         drop_duplicate_lines,
         drop_near_duplicates,
         incremental_exact_dedup,
+        incremental_near_dedup,
         minhash_lsh_candidates,
     )
     from xmlschemavalidator_spark.engine import validate
@@ -159,9 +166,19 @@ def run_pipeline(
         incremental_exact_dedup(cur, id_col, store, batch_id=batch_id),
     )
 
-    # 5. near-dup drop (MinHash-LSH candidates -> CC survivors)
-    pairs = minhash_lsh_candidates(cur, id_col)
-    cur = stage("near_dedup", drop_near_duplicates(cur, id_col, pairs))
+    # 5. near-dup drop (MinHash-LSH candidates -> CC survivors). With a
+    # near_store the stage is incremental: docs whose band buckets collide
+    # with an EARLIER batch's committed buckets drop first (hot buckets
+    # refused per the combined-population cap), then the usual
+    # within-batch pairing runs — one banding pass feeds both.
+    if near_store:
+        cur = stage(
+            "near_dedup",
+            incremental_near_dedup(cur, id_col, near_store, batch_id=batch_id),
+        )
+    else:
+        pairs = minhash_lsh_candidates(cur, id_col)
+        cur = stage("near_dedup", drop_near_duplicates(cur, id_col, pairs))
 
     # 6. decontamination vs the benchmark corpus
     if benchmark is not None:
@@ -188,6 +205,10 @@ def run_pipeline(
     commit_seen_fingerprints(  # AFTER the kept output is durable
         spark.read.parquet(kept_path), store, batch_id=batch_id
     )
+    if near_store:  # same output-first ordering for the bucket store
+        commit_seen_buckets(
+            spark.read.parquet(kept_path), id_col, near_store, batch_id=batch_id
+        )
     audit["kept"] = audit[list(audit)[-1]]
     # the audit record and caches are settled BEFORE the optional packing
     # stage (review finding: a stage-9 failure used to lose stages.json
@@ -253,6 +274,12 @@ def main(argv: list[str] | None = None) -> int:
         help="fingerprint store path shared across batches "
         "(default: <output>/fingerprints)",
     )
+    p.add_argument(
+        "--near-store",
+        default=None,
+        help="persistent LSH bucket store path: makes the near-dup stage "
+        "incremental across batches (off by default — within-batch only)",
+    )
     args = p.parse_args(argv)
 
     spark = (
@@ -267,7 +294,8 @@ def main(argv: list[str] | None = None) -> int:
     audit = run_pipeline(
         spark, docs, args.output, bench, mix, args.budget_per_lang,
         args.id_col, args.batch_id, store=args.store,
-        pack_seq_len=args.pack_seq_len, use_quality_model=args.quality_model,
+        near_store=args.near_store, pack_seq_len=args.pack_seq_len,
+        use_quality_model=args.quality_model,
     )
     print(json.dumps(audit))
     return 0

@@ -94,3 +94,55 @@ def test_pipeline_quality_model_stage(spark, tmp_path):
     assert order.index("quality_model") == order.index("quality") + 1
     assert 0 < audit["quality_model"] <= audit["quality"]
     assert audit["kept"] > 0
+
+
+def test_pipeline_cross_batch_near_dedup(spark, tmp_path):
+    """--near-store: batch 2's near-variants of batch-1 KEPT docs drop in
+    the near_dedup stage even though their fingerprints differ (the exact
+    store alone would admit them); genuinely fresh docs survive."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    from corpus_pipeline_job import run_pipeline
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "c")
+    near_store = str(tmp_path / "near_buckets")
+    audit1 = run_pipeline(
+        spark, docs, out, batch_id="n1", near_store=near_store
+    )
+    assert audit1["kept"] > 0
+    kept1 = spark.read.parquet(f"{out}/kept/batch_id=n1")
+
+    # batch 2: near-variants (one appended token — different md5, shared
+    # band buckets) of every batch-1 kept doc, plus fresh hash-garbage
+    near = (
+        kept1.withColumn("doc_id", F.col("doc_id") * 10 + 1)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" appended")))
+        .withColumn("n_chars", F.length("text"))  # keep metadata consistent
+    )
+    fresh = (
+        kept1.limit(20)
+        .withColumn("doc_id", F.col("doc_id") * 10 + 2)
+        .withColumn(
+            "text",
+            F.concat_ws(
+                " ",
+                F.md5(F.col("text")),
+                F.md5(F.concat(F.col("text"), F.lit("x"))),
+                F.md5(F.concat(F.col("text"), F.lit("y"))),
+            ),
+        )
+        .withColumn("n_chars", F.length("text"))
+    )
+    b2 = near.unionByName(fresh)
+    audit2 = run_pipeline(
+        spark, b2, out, batch_id="n2", near_store=near_store
+    )
+    kept2 = spark.read.parquet(f"{out}/kept/batch_id=n2")
+    kept2_ids = {r["doc_id"] for r in kept2.select("doc_id").collect()}
+    # no near-variant survived; batch-1's kept output is untouched
+    assert not any(i % 10 == 1 for i in kept2_ids)
+    assert spark.read.parquet(f"{out}/kept/batch_id=n1").count() == audit1["kept"]
+    # the near_dedup stage (not validation/quality) did the dropping:
+    # every variant that reached exact_dedup was gone by near_dedup
+    n_variants_at_exact = audit2["exact_dedup"]
+    assert audit2["near_dedup"] < n_variants_at_exact
