@@ -87,3 +87,40 @@ def test_stream_dedup_first_seen(spark, tmp_path):
     rows = spark.sql("SELECT * FROM t_dedup").collect()
     urls = sorted(r["url"] for r in rows)
     assert urls == ["u1", "u2", "u3"]  # exactly one row per distinct key
+
+
+def test_stream_near_dedup_first_seen(spark, tmp_path):
+    """Ingest-time near-dedup: exact re-crawls AND token-identical rewraps
+    (same shingle set -> same MinHash signature) collapse to the first
+    arrival; genuinely different docs and short unshingleable docs pass
+    through individually."""
+    from xmlschemavalidator_spark.streaming.stateful import (
+        stream_near_dedup_first_seen,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    other = "completely different subject matter about databases and storage"
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [
+            ("d1", base),
+            ("d2", base),            # exact dup -> dropped
+            ("d3", "  " + base + "  "),  # same tokens/shingles -> dropped
+            ("d4", other),           # different -> kept
+            ("d5", "tiny"),          # unshingleable -> exact-fp key, kept
+            ("d6", "weeny"),         # unshingleable but different -> kept
+            ("d7", "tiny"),          # exact dup of d5 -> dropped
+        ],
+        "doc_id string, text string",
+    ).repartition(3).write.parquet(src)
+    sdf = spark.readStream.schema("doc_id string, text string").parquet(src)
+    deduped = stream_near_dedup_first_seen(sdf, "doc_id", ["doc_id", "text"])
+    q = (
+        deduped.writeStream.format("memory").queryName("t_near_dedup")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM t_near_dedup").collect()
+    texts = sorted(r["text"].strip() for r in rows)
+    assert len(rows) == 4
+    assert texts == sorted([base, other, "tiny", "weeny"])

@@ -170,3 +170,46 @@ def test_lsh_multitable_recall_dominates_single(spark):
     r4 = len(exact & multi4) / 10
     assert r4 >= r1  # more tables never lose the seed-42 table's hits
     assert q is not None and len(multi4) <= 10
+
+
+def test_ivf_persisted_index_roundtrip(spark, tmp_path):
+    """build_ivf_index → ivf_index_topk: the persisted probe returns the
+    same ranking the in-memory ivf_topk computes with the same centroids,
+    and the probed scan prunes at the PARTITION level (the _list isin
+    lands in PartitionFilters, so only nprobe directories are listed)."""
+    from xmlschemavalidator_spark.similarity import (
+        build_ivf_index,
+        ivf_index_topk,
+        load_ivf_centroids,
+    )
+
+    df = embeddings(spark).withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    path = str(tmp_path / "ivf")
+    cents = build_ivf_index(df, "embedding", path, k=4, iters=3)
+    assert load_ivf_centroids(spark, path) == [
+        [float(x) for x in c] for c in cents
+    ]
+
+    q = list(df.limit(1).collect()[0]["embedding"])
+    got = ivf_index_topk(
+        spark, path, q, k=5, nprobe=2, vec_col="embedding"
+    )
+    want = ivf_topk(
+        ivf_assign(df, "embedding", cents), "embedding", cents, q, k=5, nprobe=2
+    ).collect()
+    got_rows = got.collect()
+    assert [(r["vec_id"], r["cosine"]) for r in got_rows] == [
+        (r["vec_id"], r["cosine"]) for r in want
+    ]
+    assert got_rows[0]["cosine"] == pytest.approx(1.0)  # query is indexed
+
+    # partition pruning is in the PLAN: the isin sits in PartitionFilters
+    # (directory-level pruning), NOT in PushedFilters/a post-scan Filter
+    plan = got._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan
+    seg = plan[plan.index("PartitionFilters") :].splitlines()[0]
+    assert "_list" in seg and ("IN (" in seg or "in(" in seg.lower()), seg

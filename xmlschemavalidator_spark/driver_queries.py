@@ -2966,6 +2966,86 @@ def ivf_kmeans_topk(spark, sf_dir):
     return ivf_topk(assigned, "embedding", cents, [float(x) for x in query], k=5, nprobe=2)
 
 
+@q("ann_ivf_index_topk")  # no oracle: trained-centroid probe set is engine-specific
+def ann_ivf_index_topk(spark, sf_dir):
+    """Persisted IVF index roundtrip (rows-only: k-means is iterative):
+    build_ivf_index writes vectors partitioned by inverted list + the
+    centroid table; ivf_index_topk then scans ONLY the nprobe probed
+    _list= directories (partition pruning at file-listing time — the
+    pinned plan shape in test_similarity) and ranks exact cosine inside
+    them. Must equal the in-memory ivf_topk with the same centroids."""
+    import shutil
+    import tempfile
+
+    from xmlschemavalidator_spark.similarity import build_ivf_index, ivf_index_topk
+
+    tmp = tempfile.mkdtemp(prefix="ivfidx_")
+    try:
+        emb = _t(spark, sf_dir, "embeddings").withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
+        build_ivf_index(emb, "embedding", f"{tmp}/ivf", k=8, iters=3)
+        query = emb.orderBy("vec_id").first()["embedding"]
+        topk = ivf_index_topk(
+            spark, f"{tmp}/ivf", [float(x) for x in query],
+            k=5, nprobe=2, vec_col="embedding",
+        )
+        # materialize the k rows before the tmpdir vanishes (the returned
+        # plan would otherwise read deleted files at driver collect time)
+        return spark.createDataFrame(
+            [(r["vec_id"], r["cosine"]) for r in topk.collect()],
+            "vec_id bigint, cosine double",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@q("stream_near_dedup_first_seen")  # no oracle: stateful streaming op
+def stream_near_dedup_first_seen_query(spark, sf_dir):
+    """Streaming ingest-time near-dedup driven with availableNow over the
+    documents table: one surviving row per distinct MinHash-signature key.
+    The batch side of the SAME key expression pins the expected count, so
+    the single output row self-checks kept == distinct keys."""
+    import shutil
+    import tempfile
+
+    from xmlschemavalidator_spark.dedup import minhash_signature, shingles
+    from xmlschemavalidator_spark.streaming.stateful import (
+        stream_near_dedup_first_seen,
+    )
+    from xmlschemavalidator_spark.textops import doc_fingerprint
+
+    tmp = tempfile.mkdtemp(prefix="strnear_")
+    try:
+        docs = _t(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("string").alias("doc_id"), "text"
+        )
+        src = f"{tmp}/src"
+        docs.repartition(4).write.parquet(src)
+        sdf = spark.readStream.schema("doc_id string, text string").parquet(src)
+        name = "q_stream_near_dedup"
+        q = (
+            stream_near_dedup_first_seen(sdf, "doc_id", ["doc_id", "text"])
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(availableNow=True)
+            .option("checkpointLocation", f"{tmp}/ckpt").start()
+        )
+        q.awaitTermination(300)
+        n_kept = spark.sql(f"SELECT count(*) c FROM {name}").first()["c"]
+        sig = F.when(
+            F.size(shingles(F.col("text"), 3)) > 0,
+            F.xxhash64(minhash_signature(F.col("text"), 16, 3)).cast("string"),
+        ).otherwise(F.concat(F.lit("fp:"), doc_fingerprint(F.col("text"))))
+        n_expected = docs.select(sig.alias("s")).distinct().count()
+        n_input = docs.count()
+        return spark.createDataFrame(
+            [(n_input, int(n_kept), n_expected, n_kept == n_expected)],
+            "n_input long, n_kept long, n_distinct_sigs long, kept_matches_sigs boolean",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @q("pages_domain_stats")
 def pages_domain_stats(spark, sf_dir):
     """Hot-domain detection over web pages (rows-only by design: the input

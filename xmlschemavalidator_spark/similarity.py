@@ -9,6 +9,10 @@
   rows are broadcast, vectors are assigned to their nearest centroid
   (one narrow pass), and queries probe only ``nprobe`` inverted lists —
   the scan shrinks by ~k/nprobe at constant recall for clustered data.
+* :func:`build_ivf_index` / :func:`ivf_index_topk` — the persisted form:
+  vectors stored partitioned by inverted list, so the probe prunes whole
+  partition DIRECTORIES at file-listing time (PartitionFilters), not rows
+  after a full scan. Build once per corpus snapshot, query many times.
 """
 
 from __future__ import annotations
@@ -198,6 +202,25 @@ def kmeans_fit(
     return cents
 
 
+def _cos_py(a: list[float], b: list[float]) -> float:
+    """Driver-side cosine — used only on k centroid vectors, never rows."""
+    import math
+
+    dot = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return dot / (na * nb) if na > 0 and nb > 0 else 0.0
+
+
+def _probe_lists(
+    centroids: list[list[float]], query: list[float], nprobe: int
+) -> list[int]:
+    """The ``nprobe`` centroid indices nearest the query (driver-side: k
+    cosines over the tiny centroid table)."""
+    order = sorted(range(len(centroids)), key=lambda i: -_cos_py(centroids[i], query))
+    return order[:nprobe]
+
+
 def ivf_topk(
     assigned: DataFrame,
     vec_col: str,
@@ -209,16 +232,63 @@ def ivf_topk(
 ) -> DataFrame:
     """Probe the ``nprobe`` centroid lists closest to the query, exact
     cosine within them. With partitioning/bucketing by ``_list`` the probe
-    prunes file scans too (partition pruning on the list column)."""
-    import math
-
-    def cos(a: list[float], b: list[float]) -> float:
-        dot = sum(x * y for x, y in zip(a, b))
-        na = math.sqrt(sum(x * x for x in a))
-        nb = math.sqrt(sum(x * x for x in b))
-        return dot / (na * nb) if na > 0 and nb > 0 else 0.0
-
-    order = sorted(range(len(centroids)), key=lambda i: -cos(centroids[i], query))
-    probe = order[:nprobe]
+    prunes file scans too (partition pruning on the list column —
+    :func:`build_ivf_index` / :func:`ivf_index_topk` is that persisted
+    form)."""
+    probe = _probe_lists(centroids, query, nprobe)
     cand = assigned.where(F.col("_list").isin(probe))
     return brute_force_topk(cand, vec_col, query, k, id_col)
+
+
+def build_ivf_index(
+    df: DataFrame,
+    vec_col: str,
+    path: str,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Train centroids and PERSIST the IVF index: vectors land under
+    ``<path>/vectors/`` partitioned by their inverted list (``_list=<i>/``
+    directories), centroids under ``<path>/centroids/``. Build once per
+    corpus snapshot; after that every :func:`ivf_index_topk` query scans
+    ONLY the ``nprobe`` probed directories — the pruning happens at the
+    file listing, before any IO, which is the difference between an IVF
+    that reads k/nprobe less data and one that merely filters it after a
+    full scan. Returns the trained centroids."""
+    spark = df.sparkSession
+    cents = kmeans_fit(df, vec_col, k, iters, id_col)
+    assigned = ivf_assign(df, vec_col, cents, id_col)
+    assigned.write.mode("overwrite").partitionBy("_list").parquet(f"{path}/vectors")
+    cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(cents)]
+    spark.createDataFrame(
+        cent_rows, "list int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    return cents
+
+
+def load_ivf_centroids(spark, path: str) -> list[list[float]]:
+    """The persisted centroid table, ordered by list id (k×dim floats —
+    driver-bounded by construction)."""
+    rows = spark.read.parquet(f"{path}/centroids").orderBy("list").collect()
+    return [list(map(float, r["centroid"])) for r in rows]
+
+
+def ivf_index_topk(
+    spark,
+    path: str,
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "vec",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Query a persisted IVF index (:func:`build_ivf_index`): pick the
+    ``nprobe`` nearest centroids driver-side, then scan only those
+    ``_list=`` partition directories (the ``isin`` lands in
+    PartitionFilters — asserted by test_plans) and rank exact cosine
+    within them."""
+    centroids = load_ivf_centroids(spark, path)
+    probe = _probe_lists(centroids, query, min(nprobe, len(centroids)))
+    vecs = spark.read.parquet(f"{path}/vectors").where(F.col("_list").isin(probe))
+    return brute_force_topk(vecs, vec_col, query, k, id_col)
