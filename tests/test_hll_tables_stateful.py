@@ -114,7 +114,8 @@ def test_stream_near_dedup_first_seen(spark, tmp_path):
         "doc_id string, text string",
     ).repartition(3).write.parquet(src)
     sdf = spark.readStream.schema("doc_id string, text string").parquet(src)
-    deduped = stream_near_dedup_first_seen(sdf, "doc_id", ["doc_id", "text"])
+    deduped = stream_near_dedup_first_seen(sdf, ["doc_id", "text"])
+    assert deduped.columns == ["doc_id", "text"]  # no internal key leaks
     q = (
         deduped.writeStream.format("memory").queryName("t_near_dedup")
         .outputMode("append").trigger(availableNow=True).start()

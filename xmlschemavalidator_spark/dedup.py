@@ -133,6 +133,30 @@ def minhash_signature(text: Column, num_hashes: int = 32, shingle_n: int = 3) ->
     )
 
 
+def near_dedup_key(
+    text_col: str | Column = "text", num_hashes: int = 16, shingle_n: int = 3
+) -> Column:
+    """Deterministic per-row near-dedup key: xxhash64 of the full MinHash
+    signature (single-band LSH — docs collide only when ALL ``num_hashes``
+    minima agree, the high-precision end of the spectrum). Docs too short
+    to shingle get their exact fingerprint prefixed ``fp:`` instead — an
+    empty shingle array would give every short doc the same all-NULL
+    signature and collapse them into one survivor (the batch-side sig=0
+    pitfall, VERDICT r2). The ONE definition shared by
+    :func:`~xmlschemavalidator_spark.streaming.stateful.
+    stream_near_dedup_first_seen` and its driver query's batch-side
+    self-check, so the two can't drift. The shingleability guard tests
+    token count (cheap) rather than rebuilding the shingle array the
+    signature branch already constructs (HOF subtrees are not CSE'd)."""
+    from xmlschemavalidator_spark.textops import doc_fingerprint, tokens
+
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.when(
+        F.size(tokens(t)) >= shingle_n,
+        F.xxhash64(minhash_signature(t, num_hashes, shingle_n)).cast("string"),
+    ).otherwise(F.concat(F.lit("fp:"), doc_fingerprint(t)))
+
+
 def minhash_signatures_df(
     df: DataFrame,
     id_col: str,

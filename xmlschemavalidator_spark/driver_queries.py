@@ -3009,11 +3009,10 @@ def stream_near_dedup_first_seen_query(spark, sf_dir):
     import shutil
     import tempfile
 
-    from xmlschemavalidator_spark.dedup import minhash_signature, shingles
+    from xmlschemavalidator_spark.dedup import near_dedup_key
     from xmlschemavalidator_spark.streaming.stateful import (
         stream_near_dedup_first_seen,
     )
-    from xmlschemavalidator_spark.textops import doc_fingerprint
 
     tmp = tempfile.mkdtemp(prefix="strnear_")
     try:
@@ -3025,18 +3024,22 @@ def stream_near_dedup_first_seen_query(spark, sf_dir):
         sdf = spark.readStream.schema("doc_id string, text string").parquet(src)
         name = "q_stream_near_dedup"
         q = (
-            stream_near_dedup_first_seen(sdf, "doc_id", ["doc_id", "text"])
+            stream_near_dedup_first_seen(sdf, ["doc_id", "text"])
             .writeStream.format("memory").queryName(name)
             .outputMode("append").trigger(availableNow=True)
             .option("checkpointLocation", f"{tmp}/ckpt").start()
         )
-        q.awaitTermination(300)
+        try:
+            if not q.awaitTermination(300):
+                raise TimeoutError(
+                    "stream_near_dedup_first_seen did not finish in 300s"
+                )
+        finally:
+            q.stop()  # never leave a stream running over the tmpdir
         n_kept = spark.sql(f"SELECT count(*) c FROM {name}").first()["c"]
-        sig = F.when(
-            F.size(shingles(F.col("text"), 3)) > 0,
-            F.xxhash64(minhash_signature(F.col("text"), 16, 3)).cast("string"),
-        ).otherwise(F.concat(F.lit("fp:"), doc_fingerprint(F.col("text"))))
-        n_expected = docs.select(sig.alias("s")).distinct().count()
+        # the SAME key expression the operator uses (shared builder —
+        # the self-check cannot drift from the streaming code path)
+        n_expected = docs.select(near_dedup_key("text")).distinct().count()
         n_input = docs.count()
         return spark.createDataFrame(
             [(n_input, int(n_kept), n_expected, n_kept == n_expected)],

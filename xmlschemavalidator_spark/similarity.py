@@ -280,14 +280,16 @@ def ivf_index_topk(
     query: list[float],
     k: int = 10,
     nprobe: int = 2,
-    vec_col: str = "vec",
+    vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Query a persisted IVF index (:func:`build_ivf_index`): pick the
     ``nprobe`` nearest centroids driver-side, then scan only those
     ``_list=`` partition directories (the ``isin`` lands in
-    PartitionFilters — asserted by test_plans) and rank exact cosine
-    within them."""
+    PartitionFilters — asserted by test_similarity.py::
+    test_ivf_persisted_index_roundtrip) and rank exact cosine within
+    them. ``vec_col`` must match what :func:`build_ivf_index` indexed
+    (default matches the repo's embeddings tables)."""
     centroids = load_ivf_centroids(spark, path)
     probe = _probe_lists(centroids, query, min(nprobe, len(centroids)))
     vecs = spark.read.parquet(f"{path}/vectors").where(F.col("_list").isin(probe))
