@@ -744,3 +744,60 @@ def test_incremental_near_dedup_corrupt_store_raises(spark, tmp_path):
     docs = spark.createDataFrame([(1, BASE)], "doc_id bigint, text string")
     with pytest.raises(Exception):
         incremental_near_dedup(docs, "doc_id", str(bad), batch_id="x").collect()
+
+
+def test_semdedup_keeps_farthest_and_drops_near(spark):
+    from xmlschemavalidator_spark.dedup import semdedup
+
+    # two centroids along axes; cluster 0 holds a tight dup pair (1, 2)
+    # plus a far-from-centroid outlier (3); cluster 1 holds a singleton
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.01, 0.0]),     # near centroid 0, dup of 2
+            (2, [1.0, 0.011, 0.0]),    # near centroid 0, dup of 1
+            (3, [0.7, 0.0, 0.7]),      # cluster 0 outlier, no dup
+            (4, [0.0, 1.0, 0.0]),      # cluster 1 singleton
+        ],
+        "vec_id bigint, vec array<float>",
+    )
+    out = {r["doc"]: r for r in semdedup(df, "vec", cents, threshold=0.98).collect()}
+    assert out[3]["cluster"] == 0 and out[4]["cluster"] == 1
+    # the outlier ranks first (lowest centroid_cos) and survives; exactly
+    # one of the dup pair is dropped — the one with HIGHER centroid_cos
+    # (2's cos to centroid 0 is minutely lower than 1's... compare directly)
+    assert out[3]["keep"] and out[4]["keep"]
+    pair = sorted([out[1], out[2]], key=lambda r: (r["centroid_cos"], r["doc"]))
+    assert pair[0]["keep"] is True and pair[1]["keep"] is False
+
+
+def test_semdedup_hot_cluster_refused_and_audited(spark):
+    from xmlschemavalidator_spark.dedup import semdedup, semdedup_hot_clusters
+
+    # 20 identical vectors in one cluster, cap 10: the cluster is refused
+    # (all keep=true, no O(n^2) pair join) and the audit surfaces it
+    cents = [[1.0, 0.0]]
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(20)], "vec_id bigint, vec array<float>"
+    )
+    out = semdedup(df, "vec", cents, threshold=0.5, max_cluster=10)
+    assert out.count() == 20 and out.where("NOT keep").count() == 0
+    hot = semdedup_hot_clusters(df, "vec", cents, max_cluster=10).collect()
+    assert len(hot) == 1 and hot[0]["n_members"] == 20
+    # under a sufficient cap the same input deduplicates down to one doc
+    full = semdedup(df, "vec", cents, threshold=0.5, max_cluster=100)
+    assert full.where("keep").count() == 1
+
+
+def test_select_canonical_keeps_best_scored(spark):
+    from xmlschemavalidator_spark.dedup import select_canonical
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)], "doc bigint, cluster bigint"
+    )
+    scored = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (7, 5), (8, 4)], "doc bigint, score bigint"
+    )
+    out = {r["doc"]: r["keep"] for r in select_canonical(clusters, scored).collect()}
+    # cluster 1: 2 and 3 tie on score -> smallest id (2) wins; cluster 7: 7 wins
+    assert out == {1: False, 2: True, 3: False, 7: True, 8: False}

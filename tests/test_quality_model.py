@@ -175,3 +175,52 @@ def test_bigram_lm_save_load_roundtrip(spark, tmp_path):
     a = {r["doc"]: r["logprob_micro"] for r in perplexity_score(docs, lm, "doc_id").collect()}
     b = {r["doc"]: r["logprob_micro"] for r in perplexity_score(docs, loaded, "doc_id").collect()}
     assert a == b
+
+
+def test_dsir_sample_shifts_toward_target_distribution(spark):
+    from xmlschemavalidator_spark.quality_model import dsir_sample, train_dsir_model
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    target = docs.where(F.col("lang") == "en")
+    base_frac = target.count() / docs.count()
+    model = train_dsir_model(target, docs, "doc_id", n_buckets=1024)
+    picked = dsir_sample(docs, model, "doc_id", k=100, salt="t")
+    joined = picked.join(
+        docs.select(F.col("doc_id").alias("doc"), "lang"), "doc"
+    )
+    en_frac = joined.where(F.col("lang") == "en").count() / 100
+    # importance resampling must over-represent the target slice
+    assert en_frac > base_frac + 0.15, (en_frac, base_frac)
+
+
+def test_dsir_deterministic_and_partitioning_invariant(spark):
+    from xmlschemavalidator_spark.quality_model import dsir_sample, train_dsir_model
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    model = train_dsir_model(docs.where(F.col("lang") == "en"), docs, "doc_id", n_buckets=512)
+    a = sorted(r["doc"] for r in dsir_sample(docs, model, "doc_id", k=50, salt="s").collect())
+    b = sorted(
+        r["doc"]
+        for r in dsir_sample(docs.repartition(13), model, "doc_id", k=50, salt="s").collect()
+    )
+    assert a == b
+    c = sorted(r["doc"] for r in dsir_sample(docs, model, "doc_id", k=50, salt="z").collect())
+    assert a != c  # the draw depends on the salt, not on rand()
+
+
+def test_dsir_model_save_load_roundtrip(spark, tmp_path):
+    from xmlschemavalidator_spark.quality_model import (
+        ImportanceModel,
+        dsir_score,
+        train_dsir_model,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    model = train_dsir_model(docs.where(F.col("lang") == "en"), docs, "doc_id", n_buckets=256)
+    path = str(tmp_path / "dsir")
+    model.save(path)
+    loaded = ImportanceModel.load(spark, path)
+    assert (loaded.n_buckets, loaded.alpha) == (model.n_buckets, model.alpha)
+    a = {r["doc"]: r["lambda_micro"] for r in dsir_score(docs, model, "doc_id").collect()}
+    b = {r["doc"]: r["lambda_micro"] for r in dsir_score(docs, loaded, "doc_id").collect()}
+    assert a == b

@@ -101,3 +101,33 @@ def test_token_budget_select_semantics(spark):
     )
     # ascending: 30 (spent_before 0), 40 (30 < 80), 50 (70 < 80) — all kept
     assert got_asc == [1, 2, 3, 4]
+
+
+def test_deterministic_shuffle_partitioning_invariant(spark):
+    from xmlschemavalidator_spark.sampling import deterministic_shuffle
+
+    df = spark.range(200).select(F.col("id").alias("doc_id"))
+    a = deterministic_shuffle(df, "doc_id", n_shards=4, salt="s1")
+    b = deterministic_shuffle(df.repartition(7), "doc_id", n_shards=4, salt="s1")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # every shard's positions are contiguous 1..n (a training reader can
+    # consume shard files in pos order with no gaps)
+    per = a.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n"), F.max("pos").alias("mx"), F.min("pos").alias("mn")
+    ).collect()
+    assert len(per) == 4
+    for r in per:
+        assert r["mn"] == 1 and r["mx"] == r["n"]
+    # a different salt produces a different order
+    c = deterministic_shuffle(df, "doc_id", n_shards=4, salt="s2")
+    assert sorted(map(tuple, a.collect())) != sorted(map(tuple, c.collect()))
+
+
+def test_deterministic_shuffle_rejects_bad_shards(spark):
+    import pytest as _pytest
+
+    from xmlschemavalidator_spark.sampling import deterministic_shuffle
+
+    df = spark.range(5).select(F.col("id").alias("doc_id"))
+    with _pytest.raises(ValueError):
+        deterministic_shuffle(df, "doc_id", n_shards=0)

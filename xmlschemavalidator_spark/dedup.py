@@ -1622,3 +1622,162 @@ def embedding_near_duplicates(
         .select("id_a", "id_b", F.round("_cos", 6).alias("cosine"))
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+# --------------------------------------------------------------------------
+# SemDeDup — semantic deduplication via embedding clusters (Abbas et al.
+# 2023, "SemDeDup: Data-efficient learning at web-scale through semantic
+# deduplication"). Cluster the embedding space with k-means (the IVF
+# trainer, similarity.kmeans_fit, doubles as the clusterer), then look for
+# near-duplicate pairs ONLY within a cluster — the quadratic pair problem
+# shrinks from O(n²) to Σ O(c²) with c bounded by ``max_cluster``.
+# Keep policy per the paper: within a duplicate group, the item FARTHEST
+# from its centroid survives (low centroid-cosine first), preserving the
+# cluster's outer shell where the semantic diversity lives.
+# --------------------------------------------------------------------------
+
+def semdedup_assign(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid by ROUNDED (5dp) cosine:
+    ``(doc, cluster, centroid_cos, _vec)``. Rounding before the argmax
+    makes the assignment engine-portable (both engines compare the same
+    5dp values — raw float sums may differ in the last ulp across
+    summation implementations); ties on the rounded cosine break to the
+    SMALLEST centroid index (array_position returns the first maximum —
+    the oracle's ``ORDER BY cc DESC, c`` replays it). All k cosines are
+    computed once into a let-bound scores array (HOF subtrees are not
+    CSE'd across output columns — CLAUDE.md)."""
+    from xmlschemavalidator_spark.similarity import _lit_vec
+
+    cents = F.array(*[_lit_vec(c) for c in centroids])
+    scores = F.transform(
+        cents, lambda c: F.round(cosine_similarity(F.col("_vec"), c), 5)
+    )
+    bound = df.select(
+        F.col(id_col).alias("doc"), F.col(vec_col).cast("array<double>").alias("_vec")
+    ).withColumn("_scores", scores.cast("array<double>"))
+    cluster = (
+        F.array_position(F.col("_scores"), F.array_max(F.col("_scores"))) - 1
+    ).cast("int")
+    return bound.select(
+        "doc",
+        cluster.alias("cluster"),
+        F.array_max("_scores").alias("centroid_cos"),
+        "_vec",
+    )
+
+
+def semdedup(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    max_cluster: int = 2000,
+) -> DataFrame:
+    """Semantic dedup verdict per vector: ``(doc, cluster, centroid_cos,
+    keep)``. Within each cluster, members are ranked by (centroid_cos ASC,
+    doc ASC) — outliers first, the paper's keep-the-farthest policy — and a
+    member is DROPPED when any earlier-ranked member is within
+    ``threshold`` cosine of it (upper-triangular masking, exactly the
+    published implementation's semantics; greedy chains are masked against
+    ALL earlier members, kept or not).
+
+    Scale shape: the pair join is a self-join on ``cluster`` — never a
+    cross join — and clusters larger than ``max_cluster`` are REFUSED
+    (members pass through with keep=true) rather than silently exploded
+    into O(c²) pairs; :func:`semdedup_hot_clusters` is the audit surface
+    (empty = full coverage; non-empty = retrain with larger k, the paper's
+    own remedy for fat clusters). The cluster-size table has at most
+    len(centroids) rows, so the eligibility join is a broadcast. Pair
+    cosines are compared ROUNDED (5dp) on both engines — same portability
+    contract as the assignment."""
+    assigned = semdedup_assign(df, vec_col, centroids, id_col)
+    sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("_n"))
+    from pyspark.sql import Window
+
+    eligible = assigned.join(
+        F.broadcast(sizes.where(F.col("_n") <= max_cluster).select("cluster")),
+        "cluster",
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("centroid_cos").asc(), F.col("doc").asc()
+    )
+    ranked = eligible.withColumn("_rank", F.row_number().over(w))
+    a = ranked.select(
+        "cluster", F.col("_rank").alias("_ra"), F.col("_vec").alias("_va")
+    )
+    b = ranked.select(
+        "cluster",
+        F.col("_rank").alias("_rb"),
+        F.col("doc").alias("_db"),
+        F.col("_vec").alias("_vb"),
+    )
+    pc = F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 5)
+    dropped = (
+        a.join(b, "cluster")
+        .where(F.col("_ra") < F.col("_rb"))
+        .where(pc >= F.lit(threshold))
+        .select(F.col("_db").alias("doc"))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return assigned.join(dropped, "doc", "left").select(
+        "doc", "cluster", "centroid_cos", F.col("_dup").isNull().alias("keep")
+    )
+
+
+def semdedup_hot_clusters(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    max_cluster: int = 2000,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Audit for :func:`semdedup`'s cap: ``(cluster, n_members)`` for every
+    cluster that was refused (n_members > max_cluster). Empty = the dedup
+    covered every vector; non-empty = increase k (more, smaller clusters)
+    or raise the cap deliberately."""
+    assigned = semdedup_assign(df, vec_col, centroids, id_col)
+    return (
+        assigned.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .where(F.col("n_members") > max_cluster)
+    )
+
+
+def select_canonical(
+    clusters: DataFrame,
+    scored: DataFrame,
+    id_col: str = "doc",
+    score_col: str = "score",
+) -> DataFrame:
+    """The keep-policy step after near-dup clustering: per cluster, keep
+    the HIGHEST-``score_col`` member (ties → smallest id), drop the rest —
+    ``(id, cluster, keep)``. "Keep the best copy" (longest text, highest
+    quality-model score) is what published pipelines run where a naive
+    dedup keeps an arbitrary first-seen copy.
+
+    ``clusters`` is :func:`near_duplicate_clusters` /
+    :func:`alternating_star_clusters` output (``id_col``, cluster);
+    ``scored`` must carry ``id_col`` + ``score_col`` for every clustered id
+    (inner join — a missing score silently drops the doc from the verdict,
+    so score BEFORE clustering). One shuffle on ``cluster``; per-cluster
+    sizes are bounded by the pair-generation caps upstream (minhash/
+    jaccard/simhash hot-bucket refusal), so no single window group can
+    explode."""
+    from pyspark.sql import Window
+
+    joined = clusters.join(
+        scored.select(F.col(id_col), F.col(score_col).alias("_score")), id_col
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("_score").desc(), F.col(id_col).asc()
+    )
+    return joined.withColumn("keep", F.row_number().over(w) == 1).select(
+        id_col, "cluster", "keep"
+    )

@@ -3699,6 +3699,194 @@ def ann_ivf_topk(spark, sf_dir):
     return ivf_topk(assigned, "vec", cents, cents[1], k=5, nprobe=2)
 
 
+# ---------------------------------------------------------------------------
+# round-3 continuation: SemDeDup, canonical keep-policy, deterministic
+# training shuffle, DSIR importance resampling
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_COS = (
+    "round(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+    " * sqrt(list_dot_product({b}, {b}))), 5)"
+)
+
+@q(
+    "embedding_semdedup",
+    f"""WITH cents AS (
+          SELECT vec_id AS c, embedding::DOUBLE[] AS cv
+          FROM embeddings WHERE vec_id < 4
+        ), sc AS (
+          SELECT e.vec_id, c,
+                 {_SEMDEDUP_COS.format(a="e.embedding::DOUBLE[]", b="cv")} AS cc,
+                 e.embedding::DOUBLE[] AS v
+          FROM embeddings e CROSS JOIN cents
+        ), asg AS (
+          SELECT vec_id, cluster, cc, v FROM (
+            SELECT vec_id, c AS cluster, cc, v,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, c) AS rn
+            FROM sc
+          ) WHERE rn = 1
+        ), rk AS (
+          SELECT vec_id, cluster, cc, v,
+                 row_number() OVER (PARTITION BY cluster ORDER BY cc ASC, vec_id) AS rank
+          FROM asg
+        ), drp AS (
+          SELECT DISTINCT b.vec_id
+          FROM rk a JOIN rk b ON a.cluster = b.cluster AND a.rank < b.rank
+          WHERE {_SEMDEDUP_COS.format(a="a.v", b="b.v")} >= 0.4
+        )
+        SELECT asg.vec_id, CAST(asg.cluster AS INT) AS cluster,
+               asg.cc AS centroid_cos, (drp.vec_id IS NULL) AS keep
+        FROM asg LEFT JOIN drp ON asg.vec_id = drp.vec_id""",
+)
+def embedding_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) with deterministic centroids (the
+    first 4 vectors — the oracle can't replay k-means, so the QUERY pins
+    centroids; the operator takes any trained set, e.g. kmeans_fit's).
+    Assignment argmax, within-cluster ranking, and the pair threshold all
+    compare 5dp-ROUNDED cosines on both engines, so the verdict —
+    including which member of each dup group survives — is hash-exact."""
+    from xmlschemavalidator_spark.dedup import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.where(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    out = semdedup(emb, "embedding", cents, threshold=0.4, max_cluster=100000)
+    return out.select(
+        F.col("doc").alias("vec_id"), "cluster", "centroid_cos", "keep"
+    )
+
+
+_CANONICAL_ORACLE = f"""
+WITH clus AS ({_CLUSTER_ORACLE}),
+scored AS (
+  SELECT doc_id AS doc, length(trim(coalesce(text, ''))) AS score
+  FROM documents
+)
+SELECT c.doc, c.cluster,
+       (row_number() OVER (PARTITION BY c.cluster ORDER BY s.score DESC, c.doc) = 1) AS keep
+FROM clus c JOIN scored s ON c.doc = s.doc"""
+
+@q("dedup_canonical_keep", _CANONICAL_ORACLE)
+def dedup_canonical_keep(spark, sf_dir):
+    """Keep-policy after near-dup clustering: per cluster keep the LONGEST
+    document (ties → smallest id) — the published alternative to naive
+    first-seen. Reuses the oracle-exact jaccard clusters; the verdict is
+    one window over (cluster, score, id)."""
+    from xmlschemavalidator_spark.dedup import (
+        jaccard_pairs,
+        near_duplicate_clusters,
+        select_canonical,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(
+        docs, "doc_id", shingle_n=3, threshold=0.12, max_posting=100000
+    )
+    clusters = near_duplicate_clusters(pairs)
+    scored = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.length(F.trim(F.coalesce(F.col("text"), F.lit("")))).alias("score"),
+    )
+    return select_canonical(clusters, scored)
+
+
+def _shuffle_oracle() -> str:
+    from xmlschemavalidator_spark.sampling import sample_key_sql
+
+    key = sample_key_sql("doc_id", "r3shuffle")
+    shard = f"CAST(CAST('0x' || substr({key}, 1, 8) AS BIGINT) % 8 AS INT)"
+    return f"""
+SELECT doc_id, {shard} AS shard,
+       CAST(row_number() OVER (PARTITION BY {shard} ORDER BY {key}, doc_id) AS INT) AS pos
+FROM documents"""
+
+@q("corpus_shuffle_shards", _shuffle_oracle())
+def corpus_shuffle_shards(spark, sf_dir):
+    """Deterministic training-order shuffle: shard + in-shard position as
+    a pure function of (salt, doc_id) — stable across runs, retries,
+    engines, and cluster sizes (a rand() shuffle is none of those)."""
+    from xmlschemavalidator_spark.sampling import deterministic_shuffle
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return deterministic_shuffle(docs, "doc_id", n_shards=8, salt="r3shuffle")
+
+
+def _dsir_oracle() -> str:
+    """Full replay of DSIR training + scoring + Gumbel-top-k selection:
+    same hashed unigram+bigram features, same floor-quantized micro
+    weights (integer per-doc sums → exact), same md5-derived uniforms.
+    Only ln() runs per-engine — inputs to it are bit-identical doubles."""
+    from xmlschemavalidator_spark.textops import PORTABLE_HASH64_SQL
+
+    bh = PORTABLE_HASH64_SQL.format(x="tok")
+    u_space = float(16 ** 15)
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(
+           list_filter(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'),
+                       x -> x <> ''),
+           x -> lower(x)) AS arr
+  FROM documents
+), feats AS (
+  SELECT doc_id, unnest(list_concat(arr,
+           CASE WHEN len(arr) >= 2
+                THEN list_transform(range(1, len(arr)), i -> arr[i] || ' ' || arr[i+1])
+                ELSE [] END)) AS tok
+  FROM t
+), tokb AS (
+  SELECT doc_id, CAST({bh} % 1024 AS INT) AS bucket FROM feats
+), ctb AS (
+  SELECT bucket, count(*) AS c_t
+  FROM tokb JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY 1
+), crb AS (
+  SELECT bucket, count(*) AS c_r FROM tokb GROUP BY 1
+), tot AS (
+  SELECT CAST((SELECT coalesce(sum(c_t), 0) FROM ctb) AS DOUBLE) AS tt,
+         CAST((SELECT coalesce(sum(c_r), 0) FROM crb) AS DOUBLE) AS tr
+), b AS (
+  SELECT CAST(unnest(range(0, 1024)) AS INT) AS bucket
+), w AS (
+  SELECT b.bucket,
+         CAST(floor((ln((coalesce(ctb.c_t, 0) + 1.0) / (tot.tt + 1024.0))
+                   - ln((coalesce(crb.c_r, 0) + 1.0) / (tot.tr + 1024.0)))
+                   * 1000000) AS BIGINT) AS w_micro
+  FROM b LEFT JOIN ctb USING (bucket) LEFT JOIN crb USING (bucket) CROSS JOIN tot
+), lam AS (
+  SELECT doc_id, CAST(sum(w_micro) AS BIGINT) AS s
+  FROM tokb JOIN w USING (bucket) GROUP BY 1
+), sc AS (
+  SELECT d.doc_id AS doc, CAST(coalesce(lam.s, 0) AS BIGINT) AS lambda_micro
+  FROM documents d LEFT JOIN lam ON d.doc_id = lam.doc_id
+)
+SELECT doc, lambda_micro,
+       round(lambda_micro / 1000000.0
+             - ln(-ln((CAST('0x' || substr(md5('dsir-r3' || ':' || CAST(doc AS VARCHAR)), 1, 15) AS BIGINT) + 0.5)
+                      / {u_space!r})), 6) AS gumbel_score
+FROM sc
+ORDER BY gumbel_score DESC, doc
+LIMIT 150"""
+
+@q("dsir_selection", _dsir_oracle())
+def dsir_selection(spark, sf_dir):
+    """DSIR (Xie et al. 2023): select the 150 raw docs that best match the
+    en-language target slice, by hashed unigram+bigram importance weights
+    + deterministic Gumbel-top-k. The oracle replays training, scoring,
+    AND the sampling draw — the selected SET itself is hash-checked."""
+    from xmlschemavalidator_spark.quality_model import (
+        dsir_sample,
+        train_dsir_model,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    model = train_dsir_model(
+        docs.where(F.col("lang") == "en"), docs, "doc_id", n_buckets=1024
+    )
+    return dsir_sample(docs, model, "doc_id", k=150, salt="dsir-r3")
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 

@@ -360,3 +360,187 @@ def perplexity_score(
             ).alias("avg_logprob"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR — Data Selection with Importance Resampling (Xie et al. 2023,
+# NeurIPS). Select raw-corpus documents that look like a small TARGET
+# corpus: fit bag-of-hashed-ngram unigram+bigram distributions on both,
+# weight each raw doc by its log importance ratio λ(x) = log p_target(x)
+# − log p_raw(x), then sample WITHOUT replacement ∝ exp(λ/T) via the
+# Gumbel-top-k trick. Same engine-portable devices as the NB classifier
+# above: the portable md5 feature hash, floor-quantized integer micro-log
+# weights (exact integer per-doc sums), and md5-derived uniforms instead
+# of rand() so the "random" sample is a pure function of (salt, id) —
+# reproducible across runs, retries, engines, and cluster sizes.
+# --------------------------------------------------------------------------
+
+
+def _doc_ngram_buckets(
+    df: DataFrame, id_col: str, text_col: str, n_buckets: int
+) -> DataFrame:
+    """(doc, bucket) — one row per hashed unigram AND bigram occurrence
+    (DSIR's bag-of-hashed-ngrams feature space). Bigrams are the space-
+    joined token pairs of the lower-cased stream; docs with < 2 tokens
+    contribute unigrams only."""
+    toks = tokens(F.lower(F.col(text_col)))
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = F.concat(toks, bigrams)
+    return df.select(
+        F.col(id_col).alias("doc"), F.explode(feats).alias("tok")
+    ).select("doc", hashed_bucket(F.col("tok"), n_buckets).alias("bucket"))
+
+
+@dataclass
+class ImportanceModel:
+    """weights: (bucket int, w_micro bigint), ALL n_buckets rows present —
+    w = ln((c_target+α)/(T_target+αB)) − ln((c_raw+α)/(T_raw+αB)),
+    floor-quantized to micro units."""
+
+    weights: DataFrame
+    n_buckets: int
+    alpha: float
+
+    def save(self, path: str) -> None:
+        spark = self.weights.sparkSession
+        self.weights.repartition(1).write.mode("overwrite").parquet(f"{path}/weights")
+        meta = {"n_buckets": self.n_buckets, "alpha": self.alpha}
+        spark.createDataFrame(
+            [(json.dumps(meta),)], "meta_json string"
+        ).repartition(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "ImportanceModel":
+        meta = json.loads(
+            spark.read.parquet(f"{path}/meta").collect()[0]["meta_json"]
+        )
+        return cls(weights=spark.read.parquet(f"{path}/weights"), **meta)
+
+
+def train_dsir_model(
+    target_df: DataFrame,
+    raw_df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+) -> ImportanceModel:
+    """Fit the importance weights from a (small) target corpus and the raw
+    corpus — the target may be a subset of raw; a doc in both contributes
+    to both counts, exactly as in the paper (p_target and p_raw are
+    independent hashed-ngram models). One pass over each corpus; the
+    per-bucket count tables (≤ n_buckets rows each) are collected, so
+    every downstream consumer's lineage cuts at the weight table."""
+    if n_buckets > 1 << 21:
+        raise ValueError(
+            f"n_buckets={n_buckets}: count tables are driver-collected; "
+            "keep n_buckets <= 2**21"
+        )
+    spark = target_df.sparkSession
+
+    def _counts(df: DataFrame) -> dict[int, int]:
+        rows = (
+            _doc_ngram_buckets(df, id_col, text_col, n_buckets)
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        return {int(r["bucket"]): int(r["c"]) for r in rows}
+
+    ct, cr = _counts(target_df), _counts(raw_df)
+    t_t, t_r = float(sum(ct.values())), float(sum(cr.values()))
+    cnt_df = spark.createDataFrame(
+        [(b, ct.get(b, 0), cr.get(b, 0)) for b in sorted(set(ct) | set(cr))],
+        "bucket int, c_t bigint, c_r bigint",
+    )
+    full = (
+        spark.range(n_buckets)
+        .select(F.col("id").cast("int").alias("bucket"))
+        .join(cnt_df, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("c_t", F.lit(0)).alias("c_t"),
+            F.coalesce("c_r", F.lit(0)).alias("c_r"),
+        )
+    )
+    w = F.log((F.col("c_t") + F.lit(alpha)) / F.lit(t_t + alpha * n_buckets)) - F.log(
+        (F.col("c_r") + F.lit(alpha)) / F.lit(t_r + alpha * n_buckets)
+    )
+    weights = full.select(
+        "bucket", F.floor(w * F.lit(MICRO)).cast("bigint").alias("w_micro")
+    )
+    return ImportanceModel(weights=weights, n_buckets=n_buckets, alpha=alpha)
+
+
+def dsir_score(
+    df: DataFrame, model: ImportanceModel, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Per-doc log importance ratio: ``(doc, lambda_micro bigint)`` — the
+    exact integer sum of per-feature micro-weights (feature-less docs
+    score 0). Explode → broadcast join (B rows) → groupBy(doc) integer
+    sum; the shuffle carries (doc, bigint)."""
+    tokb = _doc_ngram_buckets(df, id_col, text_col, model.n_buckets)
+    sums = (
+        tokb.join(F.broadcast(model.weights), "bucket")
+        .groupBy("doc")
+        .agg(F.sum("w_micro").alias("_s"))
+    )
+    return (
+        df.select(F.col(id_col).alias("doc"))
+        .join(sums, "doc", "left")
+        .select(
+            "doc", F.coalesce("_s", F.lit(0)).cast("bigint").alias("lambda_micro")
+        )
+    )
+
+
+_U_SPACE = 16 ** 15  # 60 bits — fits a BIGINT exactly; both engines then
+# do the same IEEE-double (v + 0.5) / 16^15, so u is bit-identical across
+# engines (only the subsequent ln() may differ in the last ulp)
+
+
+def gumbel_key(id_col: Column, salt: str, temperature: float = 1.0) -> Column:
+    """Deterministic Gumbel noise scaled by ``temperature``: u from the
+    first 15 hex digits of md5(salt:id) (60 bits, exact in a BIGINT;
+    +0.5 keeps u strictly inside (0,1)), g = −ln(−ln(u)). A pure function
+    of (salt, id) — the Gumbel-top-k sample is reproducible anywhere md5
+    is (DuckDB replica: ``CAST('0x' || substr(md5(..),1,15) AS BIGINT)``)."""
+    hexpart = F.substring(
+        F.md5(F.concat(F.lit(salt), F.lit(":"), id_col.cast("string"))), 1, 15
+    )
+    u = (F.conv(hexpart, 16, 10).cast("bigint") + F.lit(0.5)) / F.lit(float(_U_SPACE))
+    return F.lit(float(temperature)) * -F.log(-F.log(u))
+
+
+def dsir_sample(
+    df: DataFrame,
+    model: ImportanceModel,
+    id_col: str,
+    k: int,
+    text_col: str = "text",
+    salt: str = "dsir",
+    temperature: float = 1.0,
+) -> DataFrame:
+    """Gumbel-top-k importance resampling: keep the ``k`` docs with the
+    largest λ/T + Gumbel(salt:id) — a without-replacement sample with
+    P[select] ∝ exp(λ/T), the paper's selection rule, made deterministic
+    by hash-derived uniforms. Returns ``(doc, lambda_micro, gumbel_score)``
+    (score rounded 6dp). The top-k is a TakeOrderedAndProject — no global
+    sort materializes at any scale."""
+    scored = dsir_score(df, model, id_col, text_col)
+    key = (
+        F.col("lambda_micro") / F.lit(float(MICRO) * temperature)
+        + gumbel_key(F.col("doc"), salt, 1.0)
+    )
+    return (
+        scored.withColumn("gumbel_score", F.round(key, 6))
+        .orderBy(F.col("gumbel_score").desc(), F.col("doc").asc())
+        .limit(k)
+    )

@@ -106,3 +106,30 @@ def token_budget_select(
     return df.withColumn("_spent_before", spent_before).where(
         F.col("_spent_before") < F.lit(budget)
     ).drop("_spent_before")
+
+
+def deterministic_shuffle(
+    df: DataFrame, id_col: str, n_shards: int = 1024, salt: str = "shuffle"
+) -> DataFrame:
+    """Reproducible global shuffle for training output: adds ``shard``
+    (which output shard the row lands in) and ``pos`` (its position within
+    the shard). Training runs read shards in order, so this IS the data
+    order the model sees — it must be a pure function of (salt, id), not
+    of partitioning, cluster size, or retry history.
+
+    shard = first 8 hex digits of md5(salt:id) mod ``n_shards`` (narrow,
+    no shuffle to decide placement); pos = row_number within the shard
+    ordered by (md5 key, id) — one shuffle on ``shard``, one in-shard
+    sort. ``n_shards`` bounds the per-task sort: size it so a shard's rows
+    fit an executor (10^12 rows / 2^17 shards ≈ 7.6M rows/shard). The
+    md5-key order within a shard is itself the shuffled order — no extra
+    randomness needed."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    key = _sample_key(F.col(id_col), salt)
+    shard = (
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("bigint") % F.lit(n_shards)
+    ).cast("int")
+    out = df.withColumn("_skey", key).withColumn("shard", shard)
+    w = Window.partitionBy("shard").orderBy(F.col("_skey"), F.col(id_col))
+    return out.withColumn("pos", F.row_number().over(w)).drop("_skey")
