@@ -560,3 +560,78 @@ def test_pack_sequences_zero_token_chunk_no_phantom(spark):
     assert [(r["seq_id"], r["seq_text"], r["n_tokens"]) for r in rows] == [
         (0, "a b c", 3)
     ]
+
+
+def test_html_to_text_known_page(spark):
+    from xmlschemavalidator_spark.textops import html_to_text
+
+    html = (
+        '<html><head><script type="x">var a = "<p>hi</p>";</script>'
+        "<style>p{}</style></head><body><h1>Title</h1>"
+        "<p>one &amp; two &lt;tag&gt;</p><!-- gone -->"
+        '<ul><li>a</li><li>b</li></ul>after<DIV class="z">in div</div>'
+        "</body></html>"
+    )
+    df = spark.createDataFrame([(1, html), (2, None), (3, "")], "i int, h string")
+    got = {
+        r["i"]: r["t"]
+        for r in df.select("i", html_to_text(F.col("h")).alias("t")).collect()
+    }
+    assert got[1] == "Title\n\none & two <tag>\n\na\n\nb\n\nafter\nin div"
+    assert got[2] is None and got[3] == ""
+
+
+def test_html_to_text_roundtrips_escaped_testdata(spark):
+    """Wrapping ws-normalized, entity-escaped real text in <p> and
+    extracting recovers it exactly — the invariant the oracle's render/
+    extract pair rests on."""
+    import re
+
+    from xmlschemavalidator_spark.textops import html_to_text
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    esc = F.replace(
+        F.replace(
+            F.replace(F.coalesce(F.col("text"), F.lit("")), F.lit("&"), F.lit("&amp;")),
+            F.lit("<"),
+            F.lit("&lt;"),
+        ),
+        F.lit(">"),
+        F.lit("&gt;"),
+    )
+    out = docs.select(
+        "doc_id",
+        "text",
+        html_to_text(F.concat(F.lit("<p>"), esc, F.lit("</p>"))).alias("t"),
+    ).collect()
+
+    def norm(s):
+        s = re.sub(r"[ \t\r\f]+", " ", s or "")
+        s = re.sub(r" ?\n ?", "\n", s)
+        s = re.sub(r"\n{3,}", "\n\n", s)
+        return re.sub(r"^\s+|\s+$", "", s)
+
+    for r in out:
+        assert r["t"] == norm(r["text"]), r["doc_id"]
+
+
+def test_html_to_text_over_warc_pages(spark, tmp_path):
+    """Composes with the WARC source: extract from the raw html bytes of a
+    round-tripped archive."""
+    from xmlschemavalidator_spark.sources.warc import read_warc, write_fake_warc
+    from xmlschemavalidator_spark.textops import html_to_text
+
+    pages = [
+        {
+            "url": "http://ex.com/a",
+            "warc_ts": "2026-01-01T00:00:00Z",
+            "html": b"<html><body><h1>A</h1><p>alpha &amp; beta</p></body></html>",
+        }
+    ]
+    write_fake_warc(str(tmp_path / "f.warc"), pages)
+    got = (
+        read_warc(spark, str(tmp_path))
+        .select(html_to_text(F.decode("html", "UTF-8")).alias("t"))
+        .collect()
+    )
+    assert [r["t"] for r in got] == ["A\n\nalpha & beta"]

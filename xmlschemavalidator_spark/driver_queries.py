@@ -3887,6 +3887,68 @@ def dsir_selection(spark, sf_dir):
     return dsir_sample(docs, model, "doc_id", k=150, salt="dsir-r3")
 
 
+def _html_extract_oracle() -> str:
+    from xmlschemavalidator_spark.textops import html_to_text_sql
+
+    esc = (
+        "replace(replace(replace(coalesce(text, ''),"
+        " '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
+    )
+    html = (
+        "'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||"
+        " '</title><script type=\"text/javascript\">var n = ' ||"
+        " CAST(n_chars AS VARCHAR) ||"
+        " ';</script><style>p { color: red }</style></head>' ||"
+        " '<body><!-- doc ' || CAST(doc_id AS VARCHAR) || ' -->' ||"
+        " '<h1>Doc &#39;' || CAST(doc_id AS VARCHAR) || '&#39;</h1><p>' ||"
+        f" {esc} ||"
+        " '</p><ul><li>lang: ' || coalesce(lang, '?') ||"
+        " '</li><li>source: ' || coalesce(source, '?') ||"
+        " '</li></ul></body></html>'"
+    )
+    return f"""
+SELECT doc_id, {html_to_text_sql(f"({html})")} AS extracted
+FROM documents"""
+
+@q("html_extract_text", _html_extract_oracle())
+def html_extract_text(spark, sf_dir):
+    """HTML → text extraction (the WARC-to-corpus step C4/CCNet run):
+    render each document into a full page — title, script + style blocks,
+    a comment, entity-escaped body, a metadata list — then recover the
+    readable text with the shared rule-table extractor. Both engines
+    render AND extract with the same rules (textops._HTML_RULES /
+    html_to_text_sql), so the extracted string is byte-hash-checked. One
+    codegen'd projection; no shuffle."""
+    from xmlschemavalidator_spark.textops import html_to_text
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    esc = F.replace(
+        F.replace(
+            F.replace(
+                F.coalesce(F.col("text"), F.lit("")), F.lit("&"), F.lit("&amp;")
+            ),
+            F.lit("<"),
+            F.lit("&lt;"),
+        ),
+        F.lit(">"),
+        F.lit("&gt;"),
+    )
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), did,
+        F.lit('</title><script type="text/javascript">var n = '),
+        F.col("n_chars").cast("string"),
+        F.lit(";</script><style>p { color: red }</style></head>"),
+        F.lit("<body><!-- doc "), did, F.lit(" -->"),
+        F.lit("<h1>Doc &#39;"), did, F.lit("&#39;</h1><p>"),
+        esc,
+        F.lit("</p><ul><li>lang: "), F.coalesce(F.col("lang"), F.lit("?")),
+        F.lit("</li><li>source: "), F.coalesce(F.col("source"), F.lit("?")),
+        F.lit("</li></ul></body></html>"),
+    )
+    return docs.select("doc_id", html_to_text(html).alias("extracted"))
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 

@@ -341,6 +341,97 @@ def redact_pii(
     return out
 
 
+# --------------------------------------------------------------------------
+# HTML → text extraction (the step every webtext pipeline runs between the
+# WARC fetch and the filters — C4/CCNet start from exactly this). A
+# deterministic, engine-portable extractor: strip script/style/comments,
+# turn block boundaries into newlines, drop remaining tags, decode the
+# named entities, normalize whitespace. Every rule is a regex both Java
+# (Spark) and RE2 (DuckDB) execute identically — no backreferences, no
+# lookarounds — so the SAME chain is the implementation AND the oracle
+# (html_to_text_sql renders it in DuckDB's dialect).
+# --------------------------------------------------------------------------
+
+# (pattern, replacement) applied in order; {NL} marks a literal newline so
+# the SQL renderer can spell it chr(10).
+_HTML_RULES: list[tuple[str, str]] = [
+    (r"(?is)<script\b[^>]*>.*?</script\s*>", ""),
+    (r"(?is)<style\b[^>]*>.*?</style\s*>", ""),
+    (r"(?s)<!--.*?-->", ""),
+    # both edges of a block element break the line — otherwise words on
+    # either side of a stripped opener run together ("after<div>in" →
+    # "afterin")
+    (
+        r"(?i)<br\s*/?>|</?(p|div|h[1-6]|li|tr|ul|ol|table|blockquote)(\s[^>]*)?>",
+        "{NL}",
+    ),
+    (r"(?s)<[^>]*>", ""),
+]
+# decoded AFTER tag removal, specific entities first and &amp; LAST — the
+# standard unescape order ("&amp;lt;" must yield the literal "&lt;")
+_HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+_HTML_WS_RULES: list[tuple[str, str]] = [
+    (r"[ \t\r\f]+", " "),       # horizontal runs → one space
+    (r" ?\n ?", "{NL}"),         # spaces hugging a newline die
+    (r"\n{3,}", "{NL}{NL}"),     # 3+ blank separators → one blank line
+    (r"^\s+|\s+$", ""),          # full trim (Spark trim() is 0x20-only)
+]
+
+
+def html_to_text(html: Column) -> Column:
+    """Extract readable text from an HTML string column — ``(?is)``-tagged
+    regex chain (script/style bodies and comments removed, ``<br>`` and
+    block closers become newlines, remaining tags stripped, named entities
+    decoded, whitespace normalized). One codegen'd projection, no Python,
+    no shuffle; NULL html → NULL text. Compose over a WARC read as
+    ``read_pages(...).withColumn("text", html_to_text(F.decode("html",
+    "UTF-8")))`` when the corpus wasn't written by this engine's renderer
+    (sources/warc.py default_extract is the byte-identity inverse for
+    corpora that were)."""
+    out = html
+    for pat, repl in _HTML_RULES:
+        out = F.regexp_replace(out, pat, repl.replace("{NL}", "\n"))
+    for ent, ch in _HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    for pat, repl in _HTML_WS_RULES:
+        out = F.regexp_replace(out, pat, repl.replace("{NL}", "\n"))
+    return out
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def html_to_text_sql(x: str) -> str:
+    """DuckDB spelling of :func:`html_to_text` — the exact same rule
+    tables rendered with ``regexp_replace(..., 'g')`` / ``replace`` and
+    ``chr(10)`` for newlines. Keep in lockstep with the Column version by
+    construction: both read _HTML_RULES/_HTML_ENTITIES/_HTML_WS_RULES."""
+    out = x
+    for pat, repl in _HTML_RULES:
+        r = "chr(10)" if repl == "{NL}" else _sql_quote(repl)
+        out = f"regexp_replace({out}, {_sql_quote(pat)}, {r}, 'g')"
+    for ent, ch in _HTML_ENTITIES:
+        out = f"replace({out}, {_sql_quote(ent)}, {_sql_quote(ch)})"
+    for pat, repl in _HTML_WS_RULES:
+        r = repl.replace("{NL}", "\n")
+        r_sql = (
+            "chr(10)" if r == "\n"
+            else "chr(10) || chr(10)" if r == "\n\n"
+            else _sql_quote(r)
+        )
+        out = f"regexp_replace({out}, {_sql_quote(pat)}, {r_sql}, 'g')"
+    return out
+
+
 def gopher_pass(text: Column) -> Column:
     """The combined Gopher-style keep/drop verdict: 50..100k words relaxed
     to >=5 here (synthetic docs are short), mean word length in [3, 10],
