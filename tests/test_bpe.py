@@ -1,0 +1,116 @@
+"""BPE subword tokenizer (bpe.py): merge learning on the bounded
+word-count table, broadcast-join + OOV-UDF encoding, reconstruction
+invariants, persistence. Training is iterative (not SQL-expressible), so
+parity is pinned here — the paper's worked example and cross-path
+equivalence — instead of a DuckDB oracle."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from xmlschemavalidator_spark.bpe import (
+    EOW,
+    BPEModel,
+    _learn_merges,
+    apply_merges,
+    bpe_encode,
+    train_bpe,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_learn_merges_sennrich_worked_example():
+    # Sennrich et al. 2016 §3.2 corpus: the classic first merges
+    wc = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    m = _learn_merges(wc, 5, 1)
+    assert m[:2] == [("e", "s"), ("es", "t")]
+    assert m[2] == ("est", EOW)
+    assert m[3:5] == [("l", "o"), ("lo", "w")]
+    assert apply_merges("newest", m[:5]) == ["n", "e", "w", "est" + EOW]
+    # a word unseen in training still segments with the learned units
+    assert apply_merges("lowest", m[:5]) == ["low", "est" + EOW]
+
+
+def test_apply_merges_greedy_run_semantics():
+    # overlapping pair runs merge left-to-right: eeee -> (ee)(ee)
+    m = [("e", "e")]
+    assert apply_merges("eeee", m) == ["ee", "ee", EOW]
+    assert apply_merges("eee", m) == ["ee", "e", EOW]
+
+
+def test_bpe_encode_reconstructs_corpus(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(30)
+    model = train_bpe(docs, n_merges=60, max_words=5000)
+    rows = bpe_encode(docs, model, "doc_id").collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert len(rows) == 30
+    for r in rows:
+        joined = "".join(r["pieces"]).replace(EOW, " ").strip()
+        orig = " ".join((texts[r["doc"]] or "").lower().split())
+        assert joined == orig, r["doc"]
+        assert r["n_pieces"] == len(r["pieces"])
+
+
+def test_bpe_oov_path_matches_reference(spark):
+    # train on the real corpus, encode docs salted with invented words
+    # (the synthetic corpus vocabulary is tiny — every real word is in the
+    # seg table) — the invented ones MUST go through the pandas-UDF path
+    # and match apply_merges exactly
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    model = train_bpe(docs, n_merges=40, max_words=5000)
+    seg_words = {r["word"] for r in model.seg.collect()}
+    target = docs.limit(8).select(
+        "doc_id",
+        F.concat(
+            F.coalesce("text", F.lit("")), F.lit(" zzqxv glorbnakket unseenword")
+        ).alias("text"),
+    )
+    rows = {r["doc"]: r["pieces"] for r in bpe_encode(target, model, "doc_id").collect()}
+    texts = {r["doc_id"]: r["text"] for r in target.collect()}
+    saw_oov = False
+    for doc, pieces in rows.items():
+        expect = []
+        for w in (texts[doc] or "").lower().split():
+            saw_oov = saw_oov or w not in seg_words
+            expect.extend(apply_merges(w, model.merges))
+        assert pieces == expect, doc
+    assert saw_oov  # the test must actually exercise the UDF path
+
+
+def test_train_bpe_deterministic_across_partitionings(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = train_bpe(docs, n_merges=30, max_words=1000)
+    b = train_bpe(docs.repartition(13), n_merges=30, max_words=1000)
+    assert a.merges == b.merges
+
+
+def test_bpe_model_save_load_roundtrip(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    model = train_bpe(docs, n_merges=20, max_words=200)
+    path = str(tmp_path / "bpe")
+    model.save(path)
+    loaded = BPEModel.load(spark, path)
+    assert loaded.merges == model.merges
+    assert loaded.max_words == model.max_words
+    a = sorted((r["word"], tuple(r["pieces"])) for r in model.seg.collect())
+    b = sorted((r["word"], tuple(r["pieces"])) for r in loaded.seg.collect())
+    assert a == b
+
+
+def test_train_bpe_rejects_unbounded_collect(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    with pytest.raises(ValueError):
+        train_bpe(docs, max_words=(1 << 21) + 1)
+
+
+def test_bpe_encode_empty_and_null_text(spark):
+    docs = spark.createDataFrame(
+        [(1, "plain words"), (2, ""), (3, None)], "doc_id bigint, text string"
+    )
+    model = train_bpe(docs, n_merges=5, max_words=100, min_frequency=1)
+    got = {r["doc"]: r for r in bpe_encode(docs, model, "doc_id").collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[2]["n_pieces"] == 0 and got[3]["n_pieces"] == 0
+    assert got[1]["n_pieces"] > 0

@@ -1,0 +1,245 @@
+"""Byte-pair-encoding subword tokenizer, trained in-engine (Sennrich et
+al. 2016, "Neural Machine Translation of Rare Words with Subword Units").
+
+Scale shape — the standard two-level design every production BPE trainer
+uses, mapped onto Spark:
+
+* TRAINING never iterates over the corpus. One distributed pass builds the
+  word-frequency table (explode → groupBy → top ``max_words`` by count);
+  the iterative merge learning then runs driver-side on that bounded table
+  (≤ max_words rows — the same bounded-collect contract as k-means
+  centroids in similarity.kmeans_fit). At 100 TB the corpus pass is the
+  only big job; the Zipf head the cap keeps carries almost all pair mass.
+* ENCODING is a broadcast join against the precomputed segmentation of the
+  trained words (covers the frequency head), with an Arrow-batched pandas
+  UDF applying the merge list only to OOV tail words — Python touches the
+  miss rate, not the corpus. No shuffle until the per-doc stitch
+  (groupBy(doc), one exchange carrying (doc, pos, pieces)).
+
+Training is inherently iterative (each merge depends on the last), so the
+driver query is rows-only by design — parity is pinned by the paper's
+worked example and reconstruction invariants instead of a SQL oracle.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+
+import pandas as pd  # module scope: pandas_udf type hints must resolve
+# against module globals under `from __future__ import annotations`
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xmlschemavalidator_spark.textops import tokens
+
+EOW = "▁"  # end-of-word sentinel appended to every word's symbol list
+
+
+def apply_merges(word: str, merges: list[tuple[str, str]], eow: str = EOW) -> list[str]:
+    """Reference merge application (driver/UDF side): start from
+    characters + eow, apply each learned merge in training order wherever
+    its pair is adjacent. O(len(merges) × len(word)) — used for OOV tail
+    words and in tests; the frequency head goes through the precomputed
+    segmentation join instead."""
+    syms = list(word) + [eow]
+    for a, b in merges:
+        if len(syms) < 2:
+            break
+        out = []
+        i = 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def _learn_merges(
+    word_counts: list[tuple[str, int]], n_merges: int, min_frequency: int
+) -> list[tuple[str, str]]:
+    """Driver-side merge learning on the bounded word-count table. Ties on
+    pair count break to the lexicographically smallest pair — fully
+    deterministic, so training is reproducible across runs and cluster
+    layouts (rand-free, like every sampling op in this engine)."""
+    segs: list[tuple[list[str], int]] = [
+        (list(w) + [EOW], c) for w, c in word_counts
+    ]
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for syms, c in segs:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + c
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_frequency:
+            break
+        a, b = best[0]
+        merges.append((a, b))
+        ab = a + b
+        for j, (syms, c) in enumerate(segs):
+            if len(syms) < 2:
+                continue
+            out = []
+            i = 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            segs[j] = (out, c)
+    return merges
+
+
+@dataclass
+class BPEModel:
+    """merges: learned pairs in training order; seg: (word, pieces
+    array<string>) for every trained word — the broadcast fast path."""
+
+    merges: list[tuple[str, str]]
+    seg: DataFrame
+    max_words: int
+    min_frequency: int
+
+    def save(self, path: str) -> None:
+        spark = self.seg.sparkSession
+        self.seg.repartition(1).write.mode("overwrite").parquet(f"{path}/seg")
+        meta = {
+            "merges": self.merges,
+            "max_words": self.max_words,
+            "min_frequency": self.min_frequency,
+        }
+        spark.createDataFrame(
+            [(json.dumps(meta),)], "meta_json string"
+        ).repartition(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "BPEModel":
+        meta = json.loads(
+            spark.read.parquet(f"{path}/meta").collect()[0]["meta_json"]
+        )
+        return cls(
+            merges=[tuple(m) for m in meta["merges"]],
+            seg=spark.read.parquet(f"{path}/seg"),
+            max_words=meta["max_words"],
+            min_frequency=meta["min_frequency"],
+        )
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 200,
+    max_words: int = 50_000,
+    min_frequency: int = 2,
+) -> BPEModel:
+    """One corpus pass for word counts, then driver-side merge learning.
+    The vocabulary is capped to the ``max_words`` most frequent words
+    (ties → lexicographically smallest — deterministic); the cap bounds
+    the driver collect AND the broadcast segmentation table. Words are
+    lower-cased whitespace tokens (the engine's shared tokenizer)."""
+    if max_words > 1 << 21:
+        raise ValueError(
+            f"max_words={max_words}: the word-count table is driver-collected; "
+            "keep max_words <= 2**21"
+        )
+    spark = df.sparkSession
+    counts = (
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("word").asc())
+        .limit(max_words)
+        .collect()
+    )
+    word_counts = [(r["word"], int(r["c"])) for r in counts]
+    merges = _learn_merges(word_counts, n_merges, min_frequency)
+    seg_rows = [
+        (w, apply_merges(w, merges)) for w, _ in word_counts
+    ]
+    seg = spark.createDataFrame(seg_rows, "word string, pieces array<string>")
+    return BPEModel(
+        merges=merges, seg=seg, max_words=max_words, min_frequency=min_frequency
+    )
+
+
+def bpe_encode(
+    df: DataFrame,
+    model: BPEModel,
+    id_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize each document with the trained model: ``(doc, pieces
+    array<string>, n_pieces)``. Trained words resolve through the
+    broadcast segmentation join; OOV words fall to an Arrow-batched pandas
+    UDF applying the merge list (identical semantics — apply_merges is the
+    single implementation both paths share). Feature-less docs yield an
+    empty pieces array.
+
+    Plan: explode with position → broadcast left join (≤ max_words rows)
+    → OOV-only UDF → ONE shuffle on doc for the ordered stitch."""
+    from pyspark.sql.functions import pandas_udf
+
+    merges = model.merges
+
+    @pandas_udf("array<string>")
+    def _oov_pieces(words: pd.Series) -> pd.Series:
+        # cache within the batch: Zipf tails still repeat across docs
+        memo: dict[str, list[str]] = {}
+
+        def seg(w):
+            # null-safe: ArrowEvalPython computes the UDF for EVERY row
+            # before the when() projection picks a branch — nulls (docs
+            # with no tokens) and joined words reach here too
+            if w is None:
+                return []
+            if w not in memo:
+                memo[w] = apply_merges(w, merges)
+            return memo[w]
+
+        return words.map(seg)
+
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode_outer(tokens(F.lower(F.col(text_col)))).alias("pos", "word"),
+    )
+    joined = toks.join(F.broadcast(model.seg), "word", "left")
+    # two-branch union, NOT a when(): ArrowEvalPython computes a pandas
+    # UDF for every row BEFORE the projection picks a branch, so a
+    # conditional would run Python on the hits too. The union re-reads the
+    # narrow explode+broadcast-join per branch (no shuffle, cheap) and
+    # keeps Python strictly on the miss rate.
+    empty = F.array().cast("array<string>")
+    hits = joined.where(
+        F.col("pieces").isNotNull() | F.col("word").isNull()
+    ).select("doc", "pos", F.coalesce("pieces", empty).alias("pieces"))
+    misses = joined.where(
+        F.col("pieces").isNull() & F.col("word").isNotNull()
+    ).select("doc", "pos", _oov_pieces(F.col("word")).alias("pieces"))
+    resolved = hits.unionByName(misses)
+    stitched = (
+        resolved.groupBy("doc")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "pieces"))
+                    ),
+                    lambda s: s["pieces"],
+                )
+            ).alias("pieces")
+        )
+    )
+    return stitched.select(
+        "doc", "pieces", F.size("pieces").alias("n_pieces")
+    )

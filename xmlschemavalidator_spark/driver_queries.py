@@ -3949,6 +3949,39 @@ def html_extract_text(spark, sf_dir):
     return docs.select("doc_id", html_to_text(html).alias("extracted"))
 
 
+@q("bpe_merges")
+def bpe_merges(spark, sf_dir):
+    """BPE merge table learned from the corpus (Sennrich et al. 2016).
+    Rows-only BY DESIGN: each merge depends on the segmentation state the
+    previous one produced — not SQL-expressible; parity is pinned by the
+    paper's worked example and determinism tests (test_bpe.py). One
+    distributed word-count pass; learning runs on the bounded table."""
+    from xmlschemavalidator_spark.bpe import train_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    model = train_bpe(docs, n_merges=100, max_words=50_000)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(model.merges)],
+        "rank int, left string, right string",
+    )
+
+
+@q("bpe_tokenize")
+def bpe_tokenize(spark, sf_dir):
+    """Subword-tokenize the corpus with the in-engine-trained BPE model:
+    ``(doc, n_pieces, pieces_md5)``. Rows-only (same reason as
+    bpe_merges); the reconstruction invariant — pieces concat back to the
+    normalized text — is pinned in test_bpe.py."""
+    from xmlschemavalidator_spark.bpe import bpe_encode, train_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    model = train_bpe(docs, n_merges=100, max_words=50_000)
+    enc = bpe_encode(docs, model, "doc_id")
+    return enc.select(
+        "doc", "n_pieces", F.md5(F.concat_ws("\x00", "pieces")).alias("pieces_md5")
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 
