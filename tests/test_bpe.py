@@ -114,3 +114,48 @@ def test_bpe_encode_empty_and_null_text(spark):
     assert set(got) == {1, 2, 3}
     assert got[2]["n_pieces"] == 0 and got[3]["n_pieces"] == 0
     assert got[1]["n_pieces"] > 0
+
+
+def test_learn_merges_incremental_matches_naive_rebuild():
+    """The incremental trainer (pair counts updated only for touched
+    words) must produce exactly the merge sequence of a naive
+    rebuild-every-iteration reference."""
+    import random
+
+    from xmlschemavalidator_spark.bpe import _merge_pair
+
+    def naive(word_counts, n_merges, min_frequency):
+        segs = [(list(w) + [EOW], c) for w, c in word_counts]
+        merges = []
+        for _ in range(n_merges):
+            pc = {}
+            for syms, c in segs:
+                for i in range(len(syms) - 1):
+                    p = (syms[i], syms[i + 1])
+                    pc[p] = pc.get(p, 0) + c
+            if not pc:
+                break
+            (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            if cnt < min_frequency:
+                break
+            merges.append((a, b))
+            segs = [(_merge_pair(s, a, b), c) for s, c in segs]
+        return merges
+
+    rng = random.Random(7)
+    for trial in range(5):
+        wc = [
+            (
+                "".join(rng.choice("abce") for _ in range(rng.randint(1, 7))),
+                rng.randint(1, 9),
+            )
+            for _ in range(40)
+        ]
+        # dedupe words (counts table semantics)
+        seen = {}
+        for w, c in wc:
+            seen[w] = seen.get(w, 0) + c
+        wc = sorted(seen.items())
+        got = _learn_merges(wc, 25, 1)
+        want = naive(wc, 25, 1)
+        assert got == want, (trial, got, want)

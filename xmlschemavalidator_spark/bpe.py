@@ -23,7 +23,6 @@ worked example and reconstruction invariants instead of a SQL oracle.
 
 from __future__ import annotations
 
-import json
 from dataclasses import dataclass
 
 import pandas as pd  # module scope: pandas_udf type hints must resolve
@@ -32,9 +31,29 @@ import pandas as pd  # module scope: pandas_udf type hints must resolve
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from xmlschemavalidator_spark.persistence import load_meta, load_part, save_model
 from xmlschemavalidator_spark.textops import tokens
 
 EOW = "▁"  # end-of-word sentinel appended to every word's symbol list
+
+
+def _merge_pair(syms: list[str], a: str, b: str) -> list[str]:
+    """Apply ONE merge to a symbol sequence, left-to-right greedy (eeee +
+    (e,e) → ee ee). The single implementation of merge semantics — shared
+    by training, encoding, and the OOV UDF (review finding: two hand
+    copies risked desynchronizing trainer and encoder)."""
+    if len(syms) < 2:
+        return syms
+    out = []
+    i = 0
+    while i < len(syms):
+        if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
 
 
 def apply_merges(word: str, merges: list[tuple[str, str]], eow: str = EOW) -> list[str]:
@@ -45,59 +64,55 @@ def apply_merges(word: str, merges: list[tuple[str, str]], eow: str = EOW) -> li
     segmentation join instead."""
     syms = list(word) + [eow]
     for a, b in merges:
-        if len(syms) < 2:
-            break
-        out = []
-        i = 0
-        while i < len(syms):
-            if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
-                out.append(a + b)
-                i += 2
-            else:
-                out.append(syms[i])
-                i += 1
-        syms = out
+        syms = _merge_pair(syms, a, b)
     return syms
 
 
 def _learn_merges(
     word_counts: list[tuple[str, int]], n_merges: int, min_frequency: int
 ) -> list[tuple[str, str]]:
-    """Driver-side merge learning on the bounded word-count table. Ties on
-    pair count break to the lexicographically smallest pair — fully
-    deterministic, so training is reproducible across runs and cluster
-    layouts (rand-free, like every sampling op in this engine)."""
-    segs: list[tuple[list[str], int]] = [
-        (list(w) + [EOW], c) for w, c in word_counts
-    ]
+    """Driver-side merge learning on the bounded word-count table,
+    INCREMENTAL: pair counts are built once, then each merge re-derives
+    counts only for the words that actually contain the merged pair (the
+    standard fast BPE trainer) — O(total_symbols + Σ touched), not
+    O(n_merges × total_symbols) (review finding: the naive rebuild was a
+    driver-CPU blowup at the max_words ceiling). Ties on pair count break
+    to the lexicographically smallest pair — fully deterministic, so
+    training is reproducible across runs and cluster layouts."""
+    segs: list[list[str]] = [list(w) + [EOW] for w, _ in word_counts]
+    counts: list[int] = [c for _, c in word_counts]
+    pair_counts: dict[tuple[str, str], int] = {}
+    where: dict[tuple[str, str], set[int]] = {}
+
+    def account(j: int, sign: int) -> None:
+        syms, c = segs[j], counts[j]
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pair_counts[p] = pair_counts.get(p, 0) + sign * c
+            if sign > 0:
+                where.setdefault(p, set()).add(j)
+
+    for j in range(len(segs)):
+        account(j, +1)
+
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
-        pair_counts: dict[tuple[str, str], int] = {}
-        for syms, c in segs:
-            for i in range(len(syms) - 1):
-                p = (syms[i], syms[i + 1])
-                pair_counts[p] = pair_counts.get(p, 0) + c
-        if not pair_counts:
+        live = [(p, c) for p, c in pair_counts.items() if c > 0]
+        if not live:
             break
-        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
-        if best[1] < min_frequency:
+        best_pair, best_count = min(live, key=lambda kv: (-kv[1], kv[0]))
+        if best_count < min_frequency:
             break
-        a, b = best[0]
-        merges.append((a, b))
-        ab = a + b
-        for j, (syms, c) in enumerate(segs):
-            if len(syms) < 2:
-                continue
-            out = []
-            i = 0
-            while i < len(syms):
-                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
-                    out.append(ab)
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            segs[j] = (out, c)
+        merges.append(best_pair)
+        a, b = best_pair
+        # `where` entries can be stale (a word may have lost the pair to an
+        # earlier merge) — account(-1)/+1 keeps counts exact either way,
+        # and _merge_pair is a no-op on non-containing words
+        for j in sorted(where.pop(best_pair, ())):
+            account(j, -1)
+            segs[j] = _merge_pair(segs[j], a, b)
+            account(j, +1)
+        pair_counts.pop(best_pair, None)
     return merges
 
 
@@ -112,25 +127,22 @@ class BPEModel:
     min_frequency: int
 
     def save(self, path: str) -> None:
-        spark = self.seg.sparkSession
-        self.seg.repartition(1).write.mode("overwrite").parquet(f"{path}/seg")
-        meta = {
-            "merges": self.merges,
-            "max_words": self.max_words,
-            "min_frequency": self.min_frequency,
-        }
-        spark.createDataFrame(
-            [(json.dumps(meta),)], "meta_json string"
-        ).repartition(1).write.mode("overwrite").parquet(f"{path}/meta")
+        save_model(
+            path,
+            {
+                "merges": self.merges,
+                "max_words": self.max_words,
+                "min_frequency": self.min_frequency,
+            },
+            {"seg": self.seg},
+        )
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "BPEModel":
-        meta = json.loads(
-            spark.read.parquet(f"{path}/meta").collect()[0]["meta_json"]
-        )
+        meta = load_meta(spark, path)
         return cls(
             merges=[tuple(m) for m in meta["merges"]],
-            seg=spark.read.parquet(f"{path}/seg"),
+            seg=load_part(spark, path, "seg"),
             max_words=meta["max_words"],
             min_frequency=meta["min_frequency"],
         )

@@ -1678,6 +1678,7 @@ def semdedup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     max_cluster: int = 2000,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Semantic dedup verdict per vector: ``(doc, cluster, centroid_cos,
     keep)``. Within each cluster, members are ranked by (centroid_cos ASC,
@@ -1692,22 +1693,30 @@ def semdedup(
     (members pass through with keep=true) rather than silently exploded
     into O(c²) pairs; :func:`semdedup_hot_clusters` is the audit surface
     (empty = full coverage; non-empty = retrain with larger k, the paper's
-    own remedy for fat clusters). The cluster-size table has at most
-    len(centroids) rows, so the eligibility join is a broadcast. Pair
-    cosines are compared ROUNDED (5dp) on both engines — same portability
-    contract as the assignment."""
-    assigned = semdedup_assign(df, vec_col, centroids, id_col)
-    sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("_n"))
+    own remedy for fat clusters). Cluster sizes ride the same window
+    Exchange as the ranking (window-count gate — no separate agg+join),
+    and the k-cosine assignment is PERSISTED when computed here: the plan
+    references it from four branches (two self-join sides, the gate, the
+    final verdict join), which would otherwise recompute n×k cosines 4×
+    (review finding). Pass ``assigned`` (a cached/checkpointed
+    :func:`semdedup_assign` output) to control its lifecycle yourself —
+    the run-dedup-then-audit workflow should share one assignment across
+    both calls. Pair cosines are compared ROUNDED (5dp) on both engines —
+    same portability contract as the assignment."""
+    if assigned is None:
+        assigned = semdedup_assign(df, vec_col, centroids, id_col)
+        assigned.persist()  # LRU-evictable; caller passes `assigned` to manage
     from pyspark.sql import Window
 
-    eligible = assigned.join(
-        F.broadcast(sizes.where(F.col("_n") <= max_cluster).select("cluster")),
-        "cluster",
-    )
-    w = Window.partitionBy("cluster").orderBy(
+    w_cnt = Window.partitionBy("cluster")
+    w_ord = Window.partitionBy("cluster").orderBy(
         F.col("centroid_cos").asc(), F.col("doc").asc()
     )
-    ranked = eligible.withColumn("_rank", F.row_number().over(w))
+    ranked = (
+        assigned.withColumn("_n", F.count(F.lit(1)).over(w_cnt))
+        .withColumn("_rank", F.row_number().over(w_ord))
+        .where(F.col("_n") <= max_cluster)
+    )
     a = ranked.select(
         "cluster", F.col("_rank").alias("_ra"), F.col("_vec").alias("_va")
     )
@@ -1737,12 +1746,15 @@ def semdedup_hot_clusters(
     centroids: list[list[float]],
     max_cluster: int = 2000,
     id_col: str = "vec_id",
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Audit for :func:`semdedup`'s cap: ``(cluster, n_members)`` for every
     cluster that was refused (n_members > max_cluster). Empty = the dedup
     covered every vector; non-empty = increase k (more, smaller clusters)
-    or raise the cap deliberately."""
-    assigned = semdedup_assign(df, vec_col, centroids, id_col)
+    or raise the cap deliberately. Pass the same ``assigned`` you gave
+    :func:`semdedup` to avoid recomputing the k-cosine assignment."""
+    if assigned is None:
+        assigned = semdedup_assign(df, vec_col, centroids, id_col)
     return (
         assigned.groupBy("cluster")
         .agg(F.count(F.lit(1)).alias("n_members"))

@@ -3818,9 +3818,11 @@ def _dsir_oracle() -> str:
     same hashed unigram+bigram features, same floor-quantized micro
     weights (integer per-doc sums → exact), same md5-derived uniforms.
     Only ln() runs per-engine — inputs to it are bit-identical doubles."""
+    from xmlschemavalidator_spark.sampling import sample_key_sql
     from xmlschemavalidator_spark.textops import PORTABLE_HASH64_SQL
 
     bh = PORTABLE_HASH64_SQL.format(x="tok")
+    gkey = sample_key_sql("doc", "dsir-r3")
     u_space = float(16 ** 15)
     return f"""
 WITH t AS (
@@ -3863,7 +3865,7 @@ WITH t AS (
 )
 SELECT doc, lambda_micro,
        round(lambda_micro / 1000000.0
-             - ln(-ln((CAST('0x' || substr(md5('dsir-r3' || ':' || CAST(doc AS VARCHAR)), 1, 15) AS BIGINT) + 0.5)
+             - ln(-ln((CAST('0x' || substr({gkey}, 1, 15) AS BIGINT) + 0.5)
                       / {u_space!r})), 6) AS gumbel_score
 FROM sc
 ORDER BY gumbel_score DESC, doc

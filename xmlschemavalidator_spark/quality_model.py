@@ -33,13 +33,13 @@ partial aggregation, so the shuffle is tiny no matter the corpus size.
 
 from __future__ import annotations
 
-import json
 import math
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from xmlschemavalidator_spark.persistence import load_meta, load_part, save_model
 from xmlschemavalidator_spark.textops import tokens
 
 MICRO = 1_000_000
@@ -75,28 +75,23 @@ class QualityModel:
     n_docs_neg: int
 
     def save(self, path: str) -> None:
-        """Both artifacts go through the Spark writer, so the model saves
-        to whatever storage the session can reach (HDFS/S3/local alike) —
-        no driver-local filesystem assumption (review finding)."""
-        spark = self.weights.sparkSession
-        self.weights.repartition(1).write.mode("overwrite").parquet(f"{path}/weights")
-        meta = {
-            "prior_micro": self.prior_micro,
-            "n_buckets": self.n_buckets,
-            "alpha": self.alpha,
-            "n_docs_pos": self.n_docs_pos,
-            "n_docs_neg": self.n_docs_neg,
-        }
-        spark.createDataFrame(
-            [(json.dumps(meta),)], "meta_json string"
-        ).repartition(1).write.mode("overwrite").parquet(f"{path}/meta")
+        save_model(
+            path,
+            {
+                "prior_micro": self.prior_micro,
+                "n_buckets": self.n_buckets,
+                "alpha": self.alpha,
+                "n_docs_pos": self.n_docs_pos,
+                "n_docs_neg": self.n_docs_neg,
+            },
+            {"weights": self.weights},
+        )
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "QualityModel":
-        meta = json.loads(
-            spark.read.parquet(f"{path}/meta").collect()[0]["meta_json"]
+        return cls(
+            weights=load_part(spark, path, "weights"), **load_meta(spark, path)
         )
-        return cls(weights=spark.read.parquet(f"{path}/weights"), **meta)
 
 
 def train_quality_model(
@@ -284,21 +279,21 @@ class BigramLM:
     alpha: float
 
     def save(self, path: str) -> None:
-        spark = self.bigram_counts.sparkSession
-        self.bigram_counts.write.mode("overwrite").parquet(f"{path}/bigrams")
-        self.context_counts.write.mode("overwrite").parquet(f"{path}/contexts")
-        spark.createDataFrame(
-            [(json.dumps({"v": self.v, "alpha": self.alpha}),)], "meta_json string"
-        ).repartition(1).write.mode("overwrite").parquet(f"{path}/meta")
+        # count tables scale with corpus vocabulary — keep their natural
+        # partitioning (coalesce_parts=False)
+        save_model(
+            path,
+            {"v": self.v, "alpha": self.alpha},
+            {"bigrams": self.bigram_counts, "contexts": self.context_counts},
+            coalesce_parts=False,
+        )
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "BigramLM":
-        meta = json.loads(
-            spark.read.parquet(f"{path}/meta").collect()[0]["meta_json"]
-        )
+        meta = load_meta(spark, path)
         return cls(
-            bigram_counts=spark.read.parquet(f"{path}/bigrams"),
-            context_counts=spark.read.parquet(f"{path}/contexts"),
+            bigram_counts=load_part(spark, path, "bigrams"),
+            context_counts=load_part(spark, path, "contexts"),
             **meta,
         )
 
@@ -409,19 +404,17 @@ class ImportanceModel:
     alpha: float
 
     def save(self, path: str) -> None:
-        spark = self.weights.sparkSession
-        self.weights.repartition(1).write.mode("overwrite").parquet(f"{path}/weights")
-        meta = {"n_buckets": self.n_buckets, "alpha": self.alpha}
-        spark.createDataFrame(
-            [(json.dumps(meta),)], "meta_json string"
-        ).repartition(1).write.mode("overwrite").parquet(f"{path}/meta")
+        save_model(
+            path,
+            {"n_buckets": self.n_buckets, "alpha": self.alpha},
+            {"weights": self.weights},
+        )
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "ImportanceModel":
-        meta = json.loads(
-            spark.read.parquet(f"{path}/meta").collect()[0]["meta_json"]
+        return cls(
+            weights=load_part(spark, path, "weights"), **load_meta(spark, path)
         )
-        return cls(weights=spark.read.parquet(f"{path}/weights"), **meta)
 
 
 def train_dsir_model(
@@ -511,10 +504,12 @@ def gumbel_key(id_col: Column, salt: str, temperature: float = 1.0) -> Column:
     first 15 hex digits of md5(salt:id) (60 bits, exact in a BIGINT;
     +0.5 keeps u strictly inside (0,1)), g = −ln(−ln(u)). A pure function
     of (salt, id) — the Gumbel-top-k sample is reproducible anywhere md5
-    is (DuckDB replica: ``CAST('0x' || substr(md5(..),1,15) AS BIGINT)``)."""
-    hexpart = F.substring(
-        F.md5(F.concat(F.lit(salt), F.lit(":"), id_col.cast("string"))), 1, 15
-    )
+    is (DuckDB replica: ``CAST('0x' || substr(md5(..),1,15) AS BIGINT)``
+    over :func:`sampling.sample_key_sql` — the ONE salted-key recipe;
+    review finding: a hand-inlined copy here risked drifting from it)."""
+    from xmlschemavalidator_spark.sampling import _sample_key
+
+    hexpart = F.substring(_sample_key(id_col, salt), 1, 15)
     u = (F.conv(hexpart, 16, 10).cast("bigint") + F.lit(0.5)) / F.lit(float(_U_SPACE))
     return F.lit(float(temperature)) * -F.log(-F.log(u))
 

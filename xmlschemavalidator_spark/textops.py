@@ -352,17 +352,23 @@ def redact_pii(
 # (html_to_text_sql renders it in DuckDB's dialect).
 # --------------------------------------------------------------------------
 
+# Explicit whitespace class, NOT \s: Java's \s is [ \t\n\x0B\f\r] but
+# RE2's excludes \x0B — a vertical tab at a rule boundary would make the
+# two engines diverge (review finding). Spelled out, both parse it
+# identically.
+_WS = r"[ \t\n\x0b\f\r]"
+
 # (pattern, replacement) applied in order; {NL} marks a literal newline so
 # the SQL renderer can spell it chr(10).
 _HTML_RULES: list[tuple[str, str]] = [
-    (r"(?is)<script\b[^>]*>.*?</script\s*>", ""),
-    (r"(?is)<style\b[^>]*>.*?</style\s*>", ""),
+    (rf"(?is)<script\b[^>]*>.*?</script{_WS}*>", ""),
+    (rf"(?is)<style\b[^>]*>.*?</style{_WS}*>", ""),
     (r"(?s)<!--.*?-->", ""),
     # both edges of a block element break the line — otherwise words on
     # either side of a stripped opener run together ("after<div>in" →
     # "afterin")
     (
-        r"(?i)<br\s*/?>|</?(p|div|h[1-6]|li|tr|ul|ol|table|blockquote)(\s[^>]*)?>",
+        rf"(?i)<br{_WS}*/?>|</?(p|div|h[1-6]|li|tr|ul|ol|table|blockquote)({_WS}[^>]*)?>",
         "{NL}",
     ),
     (r"(?s)<[^>]*>", ""),
@@ -379,10 +385,10 @@ _HTML_ENTITIES: list[tuple[str, str]] = [
     ("&amp;", "&"),
 ]
 _HTML_WS_RULES: list[tuple[str, str]] = [
-    (r"[ \t\r\f]+", " "),       # horizontal runs → one space
+    (r"[ \t\r\f\x0b]+", " "),    # horizontal runs → one space
     (r" ?\n ?", "{NL}"),         # spaces hugging a newline die
     (r"\n{3,}", "{NL}{NL}"),     # 3+ blank separators → one blank line
-    (r"^\s+|\s+$", ""),          # full trim (Spark trim() is 0x20-only)
+    (rf"^{_WS}+|{_WS}+$", ""),   # full trim (Spark trim() is 0x20-only)
 ]
 
 
