@@ -59,6 +59,8 @@ def run_pipeline(
     near_store: str | None = None,
     pack_seq_len: int = 0,
     use_quality_model: bool = False,
+    keep_policy: str = "first",
+    shuffle_shards: int = 0,
 ) -> dict:
     """Compose the pipeline over an in-memory DataFrame; returns the
     per-stage audit dict (also written to <output>/audit/<batch_id>/).
@@ -91,6 +93,14 @@ def run_pipeline(
     from xmlschemavalidator_spark.sampling import stratified_sample, token_budget_select
     from xmlschemavalidator_spark.textops import gopher_pass
 
+    if keep_policy not in ("first", "longest"):
+        raise ValueError(f"keep_policy must be 'first' or 'longest', got {keep_policy!r}")
+    if keep_policy == "longest" and near_store:
+        # the incremental store's semantics ARE first-seen (an earlier
+        # batch's committed doc always wins) — silently accepting
+        # 'longest' here would promise a policy the stage can't honor
+        raise ValueError("keep_policy='longest' requires the within-batch "
+                         "near-dup stage (drop --near-store)")
     if not batch_id:
         # a SHARED default would make every run look like a retry of the
         # previous one and silently disable cross-batch dedup (third-review
@@ -178,7 +188,27 @@ def run_pipeline(
         )
     else:
         pairs = minhash_lsh_candidates(cur, id_col)
-        cur = stage("near_dedup", drop_near_duplicates(cur, id_col, pairs))
+        if keep_policy == "longest":
+            # keep the BEST copy of each near-dup cluster (longest text),
+            # not an arbitrary smallest-id one — the published keep policy
+            from xmlschemavalidator_spark.dedup import (
+                near_duplicate_clusters,
+                select_canonical,
+            )
+
+            clusters = near_duplicate_clusters(pairs)
+            scored = cur.select(
+                F.col(id_col).alias("doc"),
+                F.length(F.coalesce(F.col("text"), F.lit(""))).alias("score"),
+            )
+            losers = (
+                select_canonical(clusters, scored)
+                .where(~F.col("keep"))
+                .select(F.col("doc").alias(id_col))
+            )
+            cur = stage("near_dedup", cur.join(losers, id_col, "left_anti"))
+        else:
+            cur = stage("near_dedup", drop_near_duplicates(cur, id_col, pairs))
 
     # 6. decontamination vs the benchmark corpus
     if benchmark is not None:
@@ -240,6 +270,42 @@ def run_pipeline(
             f"{output}/sequences/batch_id={batch_id}"
         ).count()
         write_audit()
+
+    # 10. optional training-order artifact: a deterministic global shuffle
+    # of the batch's training units (packed sequences if stage 9 ran, else
+    # kept docs) into <output>/shards/batch_id=<id>/shard=N/, each shard
+    # file sorted by pos — a reader consuming shards in pos order sees the
+    # salted-hash order, reproducible across retries and cluster sizes.
+    if shuffle_shards > 0:
+        from xmlschemavalidator_spark.sampling import deterministic_shuffle
+
+        if pack_seq_len > 0:
+            src = spark.read.parquet(f"{output}/sequences/batch_id={batch_id}")
+            # (lang, seq_id) is the sequence's stable identity — seq_ids
+            # restart per packing group
+            keyed = src.withColumn(
+                "_sid", F.concat_ws(":", "lang", F.col("seq_id").cast("string"))
+            )
+            shuffled = deterministic_shuffle(
+                keyed, "_sid", n_shards=shuffle_shards,
+                salt=f"shards:{batch_id}",
+            ).drop("_sid")
+        else:
+            shuffled = deterministic_shuffle(
+                spark.read.parquet(kept_path), id_col,
+                n_shards=shuffle_shards, salt=f"shards:{batch_id}",
+            )
+        (
+            shuffled.repartition(F.col("shard"))
+            .sortWithinPartitions("shard", "pos")
+            .write.partitionBy("shard")
+            .mode("overwrite")
+            .parquet(f"{output}/shards/batch_id={batch_id}")
+        )
+        audit["shard_rows"] = spark.read.parquet(
+            f"{output}/shards/batch_id={batch_id}"
+        ).count()
+        write_audit()
     return audit
 
 
@@ -280,6 +346,20 @@ def main(argv: list[str] | None = None) -> int:
         help="persistent LSH bucket store path: makes the near-dup stage "
         "incremental across batches (off by default — within-batch only)",
     )
+    p.add_argument(
+        "--keep-policy",
+        choices=["first", "longest"],
+        default="first",
+        help="near-dup survivor policy: 'first' (smallest id) or 'longest' "
+        "(longest text per cluster; within-batch mode only)",
+    )
+    p.add_argument(
+        "--shuffle-shards",
+        type=int,
+        default=0,
+        help="write a deterministic training-order shuffle of the batch's "
+        "training units into <output>/shards/ with this many shards (0 = off)",
+    )
     args = p.parse_args(argv)
 
     spark = (
@@ -295,7 +375,8 @@ def main(argv: list[str] | None = None) -> int:
         spark, docs, args.output, bench, mix, args.budget_per_lang,
         args.id_col, args.batch_id, store=args.store,
         near_store=args.near_store, pack_seq_len=args.pack_seq_len,
-        use_quality_model=args.quality_model,
+        use_quality_model=args.quality_model, keep_policy=args.keep_policy,
+        shuffle_shards=args.shuffle_shards,
     )
     print(json.dumps(audit))
     return 0

@@ -146,3 +146,81 @@ def test_pipeline_cross_batch_near_dedup(spark, tmp_path):
     # every variant that reached exact_dedup was gone by near_dedup
     n_variants_at_exact = audit2["exact_dedup"]
     assert audit2["near_dedup"] < n_variants_at_exact
+
+
+def test_pipeline_keep_policy_longest(spark, tmp_path):
+    """--keep-policy longest: the near-dup stage keeps the LONGEST member
+    of each cluster instead of the smallest id."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    import pytest
+    from corpus_pipeline_job import run_pipeline
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # a long base doc that passes gopher, and a shorter near-variant with a
+    # SMALLER id (first-seen policy would keep the short one)
+    base = docs.orderBy(F.length("text").desc()).limit(1).collect()[0]
+    long_text = base["text"] + " extra trailing tokens appended here"
+    short_text = base["text"]
+    two = spark.createDataFrame(
+        [
+            (1_000_001, short_text, "en", "src1", len(short_text)),
+            (1_000_002, long_text, "en", "src1", len(long_text)),
+        ],
+        docs.schema,
+    )
+    out = str(tmp_path / "kp")
+    audit = run_pipeline(
+        spark, docs.unionByName(two), out, batch_id="k1", keep_policy="longest"
+    )
+    kept_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{out}/kept/batch_id=k1")
+        .where(F.col("doc_id") > 1_000_000)
+        .collect()
+    }
+    # the pair must have near-dup'd: exactly one survivor, the LONGER one
+    assert kept_ids == {1_000_002}, (audit, kept_ids)
+
+    with pytest.raises(ValueError):
+        run_pipeline(
+            spark, docs, str(tmp_path / "kp2"), batch_id="k2",
+            keep_policy="longest", near_store=str(tmp_path / "ns"),
+        )
+
+
+def test_pipeline_shuffle_shards(spark, tmp_path):
+    """--shuffle-shards: the training-order artifact — every kept doc in
+    exactly one shard, contiguous 1..n positions per shard, reproducible."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    from corpus_pipeline_job import run_pipeline
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "sh")
+    audit = run_pipeline(spark, docs, out, batch_id="s1", shuffle_shards=4)
+    shards = spark.read.parquet(f"{out}/shards/batch_id=s1")
+    kept = spark.read.parquet(f"{out}/kept/batch_id=s1")
+    assert audit["shard_rows"] == audit["kept"] == shards.count()
+    assert sorted(
+        r["doc_id"] for r in shards.select("doc_id").collect()
+    ) == sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    per = shards.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n"), F.min("pos").alias("mn"), F.max("pos").alias("mx")
+    ).collect()
+    assert {r["shard"] for r in per} <= {0, 1, 2, 3}
+    for r in per:
+        assert r["mn"] == 1 and r["mx"] == r["n"]
+
+
+def test_pipeline_shuffle_shards_over_sequences(spark, tmp_path):
+    """With packing on, the shuffle shards carry the packed sequences."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    from corpus_pipeline_job import run_pipeline
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "sq")
+    audit = run_pipeline(
+        spark, docs, out, batch_id="q1", pack_seq_len=128, shuffle_shards=3
+    )
+    shards = spark.read.parquet(f"{out}/shards/batch_id=q1")
+    assert audit["shard_rows"] == audit["sequences"] == shards.count()
+    assert "seq_text" in shards.columns and "pos" in shards.columns
