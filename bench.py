@@ -59,8 +59,11 @@ def headline_queries():
     from xmlschemavalidator_spark.driver_queries import (
         agg_pricing_summary,
         ann_cosine_topk,
+        bpe_tokenize,
         corpus_line_dedup_stats,
         decontamination_overlap,
+        dsir_selection,
+        html_extract_text,
         join_q3_shipping_priority,
         join_revenue_segment,
         window_daily_events,
@@ -93,7 +96,29 @@ def headline_queries():
         "line_dedup": lambda s: corpus_line_dedup_stats(s, SF_DIR),
         "decontam": lambda s: decontamination_overlap(s, SF_DIR),
         "ann_topk": lambda s: ann_cosine_topk(s, SF_DIR),
+        # round-3 additions (BENCH/BASELINE.md notes the suite change):
+        # HTML extraction, BPE train+encode, SemDeDup, DSIR selection.
+        # semdedup runs the SCALE-shaped config (64 centroids, capped
+        # clusters), not the oracle query's pinned-4-centroid setup whose
+        # fat clusters would deliberately stress the pair join.
+        "html_extract": lambda s: html_extract_text(s, SF_DIR),
+        "bpe_tokenize": lambda s: bpe_tokenize(s, SF_DIR),
+        "semdedup": lambda s: _bench_semdedup(s),
+        "dsir_select": lambda s: dsir_selection(s, SF_DIR),
     }
+
+
+def _bench_semdedup(spark):
+    from pyspark.sql import functions as F
+
+    from xmlschemavalidator_spark.dedup import semdedup
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.where(F.col("vec_id") < 64).orderBy("vec_id").collect()
+    ]
+    return semdedup(emb, "embedding", cents, threshold=0.8, max_cluster=2000)
 
 
 def pages_validation_docs_per_sec(spark, n_rows: int, path: str | None = None) -> float:
