@@ -801,3 +801,46 @@ def test_select_canonical_keeps_best_scored(spark):
     out = {r["doc"]: r["keep"] for r in select_canonical(clusters, scored).collect()}
     # cluster 1: 2 and 3 tie on score -> smallest id (2) wins; cluster 7: 7 wins
     assert out == {1: False, 2: True, 3: False, 7: True, 8: False}
+
+
+def test_duplicate_paragraphs_normalized_matching(spark):
+    from xmlschemavalidator_spark.dedup import duplicate_paragraphs
+
+    boiler = "this exact boilerplate paragraph repeats across documents"
+    rewrapped = "this exact\nboilerplate paragraph\trepeats  across documents"
+    docs = spark.createDataFrame(
+        [
+            (1, f"unique alpha content first\n\n{boiler}"),
+            (2, f"{rewrapped}\n\nunique beta content second"),
+            (3, "short\n\nalso short"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = duplicate_paragraphs(docs, "doc_id", min_para_chars=30).collect()
+    # the re-wrapped copy normalizes to the same key -> one dup group
+    assert len(rows) == 1
+    assert rows[0]["paragraph"] == boiler
+    assert rows[0]["n_docs"] == 2 and rows[0]["n_occurrences"] == 2
+
+
+def test_drop_duplicate_paragraphs_rebuild_order_and_short_survival(spark):
+    from xmlschemavalidator_spark.dedup import drop_duplicate_paragraphs
+
+    boiler = "this exact boilerplate paragraph repeats across documents"
+    docs = spark.createDataFrame(
+        [
+            (1, f"first unique paragraph stays\n\n{boiler}\n\nlast unique one"),
+            (2, f"{boiler}\n\nonly survivor paragraph here"),
+            (3, boiler),  # fully boilerplate -> empty text
+            (4, "tiny\n\ntiny"),  # short paras never dropped
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: r["text"]
+        for r in drop_duplicate_paragraphs(docs, "doc_id", min_para_chars=30).collect()
+    }
+    assert got[1] == "first unique paragraph stays\n\nlast unique one"
+    assert got[2] == "only survivor paragraph here"
+    assert got[3] == ""
+    assert got[4] == "tiny\n\ntiny"

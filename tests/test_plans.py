@@ -183,3 +183,65 @@ def test_deterministic_sample_is_narrow(spark):
     assert n_scans(p) == 1
     assert "Exchange" not in p
     assert "rand" not in p.lower().replace("operand", "")
+
+
+def test_html_extract_single_projection_no_shuffle(spark):
+    """html_to_text is one codegen'd projection: one scan, zero Exchange,
+    no Python eval node."""
+    from xmlschemavalidator_spark.textops import html_to_text
+
+    p = fmt(_docs(spark).select(html_to_text(F.col("text")).alias("t")))
+    assert n_scans(p) == 1
+    assert "Exchange" not in p
+    assert "Python" not in p
+
+
+def test_deterministic_shuffle_single_exchange(spark):
+    """The training-order shuffle is ONE hash Exchange on shard (the
+    window) — shard assignment itself is narrow, no extra shuffle, no
+    rand()."""
+    import re
+
+    from xmlschemavalidator_spark.sampling import deterministic_shuffle
+
+    p = fmt(deterministic_shuffle(_docs(spark).select("doc_id"), "doc_id", n_shards=8))
+    assert n_scans(p) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "rand" not in p.lower().replace("operand", "")
+
+
+def test_dsir_score_broadcasts_weights(spark):
+    """DSIR scoring joins the (≤ n_buckets)-row weight table by broadcast;
+    the only hash Exchange is the groupBy(doc) partial-agg sum."""
+    import re
+
+    from xmlschemavalidator_spark.quality_model import dsir_score, train_dsir_model
+
+    docs = _docs(spark)
+    model = train_dsir_model(docs.where(F.col("lang") == "en"), docs, "doc_id", n_buckets=256)
+    p = fmt(dsir_score(docs, model, "doc_id"))
+    assert "BroadcastExchange" in p
+    hash_exchanges = [
+        m for m in re.findall(r"\(\d+\) Exchange hashpartitioning[^\n]*", p)
+    ]
+    assert len(hash_exchanges) <= 2  # groupBy(doc) + final left-join back
+    assert "partial_sum" in p or "partial" in p.lower()  # map-side combine
+
+
+def test_bpe_encode_broadcasts_segmentation(spark):
+    """BPE encoding joins the bounded segmentation table by broadcast and
+    shuffles once for the per-doc stitch; Python appears only in the OOV
+    branch (ArrowEvalPython), never on the hit path above the union."""
+    from xmlschemavalidator_spark.bpe import bpe_encode, train_bpe
+
+    docs = _docs(spark)
+    model = train_bpe(docs, n_merges=20, max_words=500)
+    p = fmt(bpe_encode(docs, model, "doc_id"))
+    assert "BroadcastExchange" in p
+    assert "ArrowEvalPython" in p
+    # the hit branch (left of the union) must not feed through Python:
+    # exactly ONE ArrowEvalPython node in the whole plan
+    assert p.count("(1) ") >= 0 and p.count("ArrowEvalPython") >= 1
+    import re
+
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", p)) == 1

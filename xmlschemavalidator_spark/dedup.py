@@ -1279,15 +1279,29 @@ def drop_duplicate_lines(
     up with empty text — downstream length filters (gopher_pass) are the
     intended next stage, mirroring the published pipeline order."""
     kept = _kept_lines(df, id_col, text_col, min_line_chars, min_docs)
+    return _rebuild_text_from_kept(df, id_col, text_col, kept, "line", "\n")
+
+
+def _rebuild_text_from_kept(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    kept: DataFrame,
+    unit_col: str,
+    sep: str,
+) -> DataFrame:
+    """Rebuild ``text_col`` from the surviving (doc, pos, unit) rows in
+    position order, joined with ``sep`` — shared by the line- and
+    paragraph-level drops."""
     rebuilt = (
         kept.groupBy("doc")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "line"))).alias("_ls"))
+        .agg(F.array_sort(F.collect_list(F.struct("pos", unit_col))).alias("_ls"))
         .select(
             # reserved alias: joining back on a column literally named 'doc'
             # is AMBIGUOUS when df itself has a 'doc' column — which is this
             # library's own id convention (round-2 review finding)
             F.col("doc").alias("_ldd_doc"),
-            F.array_join(F.transform("_ls", lambda s: s["line"]), "\n").alias("_new"),
+            F.array_join(F.transform("_ls", lambda s: s[unit_col]), sep).alias("_new"),
         )
     )
     out = df.join(rebuilt, df[id_col] == rebuilt["_ldd_doc"], "left")
@@ -1299,6 +1313,86 @@ def drop_duplicate_lines(
             for c in df.columns
         ]
     )
+
+
+# --------------------------------------------------------------------------
+# Paragraph-level cross-corpus dedup (the Dolma/RefinedWeb granularity —
+# between C4's line level and whole-document MinHash). Paragraphs are
+# blank-line-separated blocks; the dedup key is the WHITESPACE-NORMALIZED
+# paragraph (runs collapsed to one space, edges trimmed) so re-wrapped
+# copies of the same boilerplate block still match. Same scale shape as
+# the line family: the shuffle carries (para_md5, doc), never full texts.
+# --------------------------------------------------------------------------
+
+# explicit class, not \s — Java's \s includes \x0B, RE2's does not (the
+# same cross-engine contract as textops._WS)
+_PARA_WS = "[ \t\n\x0b\f\r]+"
+
+
+def _doc_paragraphs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, pos, para, pnorm): blank-line-split paragraphs with position.
+    ``pnorm`` collapses internal whitespace runs to single spaces and
+    trims (after collapsing, edges can only be 0x20, so trim() is exact
+    — and identical in DuckDB)."""
+    return (
+        _spread(df)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.posexplode(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), r"\n{2,}")
+            ).alias("pos", "para"),
+        )
+        .withColumn("pnorm", F.trim(F.regexp_replace("para", _PARA_WS, " ")))
+    )
+
+
+def duplicate_paragraphs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    min_para_chars: int = 30,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-corpus duplicated paragraphs: ``(para_md5, paragraph,
+    n_occurrences, n_docs)`` for every normalized paragraph of >=
+    ``min_para_chars`` chars appearing in >= ``min_docs`` distinct docs.
+    md5 so SQL oracles reproduce it bit-for-bit."""
+    eligible = _doc_paragraphs(df, id_col, text_col).where(
+        F.length("pnorm") >= min_para_chars
+    )
+    return (
+        eligible.groupBy(F.md5("pnorm").alias("para_md5"))
+        .agg(
+            F.min("pnorm").alias("paragraph"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc").alias("n_docs"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def drop_duplicate_paragraphs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    min_para_chars: int = 30,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Rebuild ``text_col`` with cross-corpus duplicated paragraphs
+    deleted (order preserved, blocks re-joined with a blank line); short
+    paragraphs always survive. The dup set is small → AQE broadcasts the
+    anti-join side; a fully-boilerplate doc ends up empty, for the
+    downstream length filter to drop (published pipeline order)."""
+    paras = _doc_paragraphs(df, id_col, text_col)
+    dups = duplicate_paragraphs(
+        df, id_col, text_col, min_para_chars, min_docs
+    ).select("para_md5")
+    eligible = F.length("pnorm") >= min_para_chars
+    keyed = paras.withColumn(
+        "_m", F.when(eligible, F.md5("pnorm")).otherwise(F.lit(None))
+    )
+    kept = keyed.join(dups, keyed["_m"] == dups["para_md5"], "left_anti").drop("_m")
+    return _rebuild_text_from_kept(df, id_col, text_col, kept, "para", "\n\n")
 
 
 def dedup_lines_within_doc(text: Column) -> Column:

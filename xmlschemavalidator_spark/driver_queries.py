@@ -3951,6 +3951,93 @@ def html_extract_text(spark, sf_dir):
     return docs.select("doc_id", html_to_text(html).alias("extracted"))
 
 
+_BOILER_PA = "Subscribe to our newsletter for weekly updates and exclusive offers."
+_BOILER_PB = "Copyright notice: all rights reserved by the original publisher."
+
+_PARA_PLANT_SQL = (
+    "SELECT doc_id, coalesce(text, '')"
+    " || CASE WHEN doc_id % 3 = 0 THEN chr(10)||chr(10)||'" + _BOILER_PA + "' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN chr(10)||chr(10)||'" + _BOILER_PB + "' ELSE '' END"
+    " AS text FROM documents"
+)
+
+_PARA_PX_SQL = r"""px AS (
+  SELECT doc_id, generate_subscripts(arr, 1) AS pos, unnest(arr) AS para
+  FROM (SELECT doc_id, regexp_split_to_array(coalesce(text,''), '\n{2,}') AS arr
+        FROM src)
+), pn AS (
+  SELECT doc_id, pos, para,
+         trim(regexp_replace(para, '[ \t\n\x0b\f\r]+', ' ', 'g')) AS pnorm
+  FROM px
+)"""
+
+
+def _planted_paragraphs_df(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    tx = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(
+            F.col("doc_id") % 3 == 0, F.lit("\n\n" + _BOILER_PA)
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0, F.lit("\n\n" + _BOILER_PB)
+        ).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", tx.alias("text"))
+
+
+@q(
+    "corpus_duplicate_paragraphs",
+    f"""WITH src AS ({_PARA_PLANT_SQL}), {_PARA_PX_SQL}
+SELECT md5(pnorm) AS para_md5,
+       min(pnorm) AS paragraph,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM pn
+WHERE length(pnorm) >= 30
+GROUP BY md5(pnorm)
+HAVING count(DISTINCT doc_id) >= 2""",
+)
+def corpus_duplicate_paragraphs(spark, sf_dir):
+    """Dolma/RefinedWeb-granularity cross-corpus paragraph dedup: blank-
+    line-separated blocks, whitespace-normalized keys (re-wrapped copies
+    match), >= 30 normalized chars in >= 2 distinct docs. Boilerplate
+    paragraphs planted deterministically (docs %3 / %5) — the corpus's own
+    docs carry no blank-line structure, so unplanted output would be the
+    forbidden 0-row oracle match."""
+    from xmlschemavalidator_spark.dedup import duplicate_paragraphs
+
+    return duplicate_paragraphs(_planted_paragraphs_df(spark, sf_dir), "doc_id")
+
+
+@q(
+    "corpus_paragraph_dedup_text",
+    f"""WITH src AS ({_PARA_PLANT_SQL}), {_PARA_PX_SQL},
+dups AS (
+  SELECT md5(pnorm) AS m FROM pn WHERE length(pnorm) >= 30
+  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+), kept AS (
+  SELECT doc_id, pos, para FROM pn
+  WHERE length(pnorm) < 30 OR md5(pnorm) NOT IN (SELECT m FROM dups)
+)
+SELECT s.doc_id,
+       coalesce(k.t, '') AS text
+FROM src s LEFT JOIN (
+  SELECT doc_id, string_agg(para, chr(10)||chr(10) ORDER BY pos) AS t
+  FROM kept GROUP BY 1
+) k USING (doc_id)""",
+)
+def corpus_paragraph_dedup_text(spark, sf_dir):
+    """drop_duplicate_paragraphs over the planted corpus — the REBUILT
+    text is byte-hash-checked (position-ordered blocks re-joined with a
+    blank line), same invariant class as corpus_duplicate_spans."""
+    from xmlschemavalidator_spark.dedup import drop_duplicate_paragraphs
+
+    return drop_duplicate_paragraphs(
+        _planted_paragraphs_df(spark, sf_dir), "doc_id"
+    ).select("doc_id", "text")
+
+
 @q("bpe_merges")
 def bpe_merges(spark, sf_dir):
     """BPE merge table learned from the corpus (Sennrich et al. 2016).
