@@ -61,6 +61,7 @@ def run_pipeline(
     use_quality_model: bool = False,
     keep_policy: str = "first",
     shuffle_shards: int = 0,
+    ccnet_keep: str | None = None,
 ) -> dict:
     """Compose the pipeline over an in-memory DataFrame; returns the
     per-stage audit dict (also written to <output>/audit/<batch_id>/).
@@ -162,6 +163,46 @@ def run_pipeline(
             .select(F.col("doc").alias(id_col))
         )
         cur = stage("quality_model", cur.join(keep_ids, id_col, "left_semi"))
+
+    # 2c. optional CCNet-style perplexity terciles: a bigram LM trained
+    # in-run on the validated corpus scores every doc; docs land in
+    # head/middle/tail by avg log-prob PER LANGUAGE (CCNet buckets within
+    # each language's distribution) and only the requested buckets
+    # survive. Token-less docs have no LM fit and are dropped with the
+    # tail, CCNet's own behavior for unbucketable docs.
+    if ccnet_keep:
+        from xmlschemavalidator_spark.quality_model import (
+            perplexity_score,
+            quality_buckets,
+            train_bigram_lm,
+        )
+
+        names = {1: "head", 2: "middle", 3: "tail"}
+        want = {b.strip() for b in ccnet_keep.split(",") if b.strip()}
+        unknown = want - set(names.values())
+        if unknown:
+            raise ValueError(f"ccnet_keep: unknown bucket(s) {sorted(unknown)}")
+        lm = train_bigram_lm(validated, id_col)
+        scored = (
+            perplexity_score(cur, lm, id_col)
+            .where(F.col("avg_logprob").isNotNull())
+            .withColumn(
+                "_ppl_micros", (F.col("avg_logprob") * 1_000_000).cast("bigint")
+            )
+        )
+        lang_of = cur.select(F.col(id_col).alias("doc"), F.col("lang").alias("_bg"))
+        buckets = quality_buckets(
+            scored.join(lang_of, "doc"),
+            n_buckets=3,
+            score_col="_ppl_micros",
+            group_col="_bg",
+        )
+        keep_nums = [n for n, nm in names.items() if nm in want]
+        keep_ids = (
+            buckets.where(F.col("bucket").isin(keep_nums))
+            .select(F.col("doc").alias(id_col))
+        )
+        cur = stage("ccnet_terciles", cur.join(keep_ids, id_col, "left_semi"))
 
     # 3. C4 line dedup (boilerplate removal) — may empty some docs; the
     # published order re-applies a length floor right after
@@ -354,6 +395,13 @@ def main(argv: list[str] | None = None) -> int:
         "(longest text per cluster; within-batch mode only)",
     )
     p.add_argument(
+        "--ccnet-keep",
+        default=None,
+        help="CCNet perplexity terciles: comma list of buckets to keep "
+        "from {head,middle,tail}, bucketed per language by an in-run "
+        "bigram LM (e.g. 'head,middle'; default off)",
+    )
+    p.add_argument(
         "--shuffle-shards",
         type=int,
         default=0,
@@ -376,7 +424,7 @@ def main(argv: list[str] | None = None) -> int:
         args.id_col, args.batch_id, store=args.store,
         near_store=args.near_store, pack_seq_len=args.pack_seq_len,
         use_quality_model=args.quality_model, keep_policy=args.keep_policy,
-        shuffle_shards=args.shuffle_shards,
+        shuffle_shards=args.shuffle_shards, ccnet_keep=args.ccnet_keep,
     )
     print(json.dumps(audit))
     return 0

@@ -224,3 +224,29 @@ def test_pipeline_shuffle_shards_over_sequences(spark, tmp_path):
     shards = spark.read.parquet(f"{out}/shards/batch_id=q1")
     assert audit["shard_rows"] == audit["sequences"] == shards.count()
     assert "seq_text" in shards.columns and "pos" in shards.columns
+
+
+def test_pipeline_ccnet_terciles(spark, tmp_path):
+    """--ccnet-keep head,middle: the in-run bigram-LM tercile stage drops
+    roughly the worst-fitting third per language."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    import pytest
+    from corpus_pipeline_job import run_pipeline
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "cc")
+    audit = run_pipeline(
+        spark, docs, out, batch_id="c1", ccnet_keep="head,middle"
+    )
+    assert "ccnet_terciles" in audit
+    before = audit["quality"]
+    after = audit["ccnet_terciles"]
+    # keeps about two thirds (ntile rounding per language group)
+    assert 0.5 * before <= after <= 0.8 * before, audit
+    # stage order: terciles cut happens before line_dedup
+    keys = list(audit)
+    assert keys.index("ccnet_terciles") < keys.index("line_dedup")
+
+    with pytest.raises(ValueError):
+        run_pipeline(spark, docs, str(tmp_path / "cc2"), batch_id="c2",
+                     ccnet_keep="head,bogus")
