@@ -121,11 +121,18 @@ def run_pipeline(
             json.dump(audit, fh, indent=2)
 
     def stage(name, df):
-        # persist BEFORE counting: each stage's audit count() and every
-        # downstream stage read the materialized result instead of
-        # re-executing the whole upstream chain (round-2 review finding:
-        # the lazily-chained pipeline re-ran validate+dedup up to ~9x)
-        df = df.persist()
+        # materialize AND truncate lineage at every stage boundary.
+        # persist() alone kept the full logical plan chained across all
+        # ~10 stages; with the LM-tercile stage in the mix the plan TREE
+        # (not the data) OOM'd a default-1g spark-submit driver while
+        # Spark generated its tree strings. localCheckpoint bounds each
+        # stage's plan to that stage's own operators — the lineage fix,
+        # not a driver-memory bump. (Local checkpoint is executor-local;
+        # on a real cluster with dynamic executors, configure a reliable
+        # checkpoint dir and use df.checkpoint() instead.) It also keeps
+        # the round-2 guarantee: downstream stages read the materialized
+        # result instead of re-running validate+dedup up to ~9x.
+        df = df.localCheckpoint(eager=True)
         persisted.append(df)
         audit[name] = df.count()
         return df
