@@ -159,3 +159,32 @@ def test_learn_merges_incremental_matches_naive_rebuild():
         got = _learn_merges(wc, 25, 1)
         want = naive(wc, 25, 1)
         assert got == want, (trial, got, want)
+
+
+def test_bpe_vocab_and_encode_ids_roundtrip(spark):
+    from xmlschemavalidator_spark.bpe import bpe_encode, bpe_encode_ids, bpe_vocab
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(15)
+    model = train_bpe(docs, n_merges=40, max_words=2000)
+    vocab = {r["piece"]: r["piece_id"] for r in bpe_vocab(model).collect()}
+    # ids are dense 0..V-1 over sorted pieces, and include eow + chars
+    assert sorted(vocab.values()) == list(range(len(vocab)))
+    assert EOW in vocab
+    pieces = {r["doc"]: r["pieces"] for r in bpe_encode(docs, model, "doc_id").collect()}
+    ids = {r["doc"]: r for r in bpe_encode_ids(docs, model, "doc_id").collect()}
+    assert set(ids) == set(pieces)
+    for doc, row in ids.items():
+        assert row["ids"] == [vocab[p] for p in pieces[doc]], doc
+        assert row["n_pieces"] == len(pieces[doc])
+
+
+def test_bpe_encode_ids_empty_doc_preserved(spark):
+    from xmlschemavalidator_spark.bpe import bpe_encode_ids
+
+    docs = spark.createDataFrame(
+        [(1, "some regular words"), (2, None)], "doc_id bigint, text string"
+    )
+    model = train_bpe(docs, n_merges=5, max_words=50, min_frequency=1)
+    got = {r["doc"]: r for r in bpe_encode_ids(docs, model, "doc_id").collect()}
+    assert set(got) == {1, 2}
+    assert got[2]["n_pieces"] == 0 and got[2]["ids"] == []

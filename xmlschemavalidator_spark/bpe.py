@@ -255,3 +255,63 @@ def bpe_encode(
     return stitched.select(
         "doc", "pieces", F.size("pieces").alias("n_pieces")
     )
+
+
+def bpe_vocab(model: BPEModel) -> DataFrame:
+    """The token vocabulary the trained model can emit: every piece
+    reachable from the segmentation table PLUS the single characters and
+    eow any OOV fallback can produce — ``(piece, piece_id)`` with ids
+    assigned by sorted piece (deterministic, engine-independent). Bounded:
+    ≤ distinct pieces of max_words segmentations + alphabet."""
+    from pyspark.sql import Window
+
+    from_seg = model.seg.select(F.explode("pieces").alias("piece"))
+    chars = model.seg.select(
+        F.explode(F.split(F.col("word"), "")).alias("piece")
+    ).where(F.length("piece") > 0)
+    eow = model.seg.sparkSession.createDataFrame([(EOW,)], "piece string")
+    pieces = from_seg.union(chars).union(eow).distinct()
+    # global-window id assignment is fine HERE: the vocab is a bounded
+    # model artifact (same contract as the collected word table), not
+    # corpus-sized data
+    w = Window.orderBy("piece")
+    return pieces.select(
+        "piece", (F.row_number().over(w) - 1).cast("int").alias("piece_id")
+    )
+
+
+def bpe_encode_ids(
+    df: DataFrame,
+    model: BPEModel,
+    id_col: str,
+    text_col: str = "text",
+    oov_id: int = -1,
+) -> DataFrame:
+    """The training artifact form: ``(doc, ids array<int>, n_pieces)`` —
+    :func:`bpe_encode` pieces mapped through the broadcast
+    :func:`bpe_vocab` table in order. Pieces outside the vocab (only
+    possible for OOV words containing characters absent from every
+    trained word) map to ``oov_id``."""
+    enc = bpe_encode(df, model, id_col, text_col)
+    vocab = bpe_vocab(model)
+    exploded = enc.select("doc", F.posexplode_outer("pieces").alias("ppos", "piece"))
+    joined = exploded.join(F.broadcast(vocab), "piece", "left").select(
+        "doc",
+        "ppos",
+        F.when(F.col("piece").isNull(), F.lit(None))
+        .otherwise(F.coalesce("piece_id", F.lit(oov_id)))
+        .alias("pid"),
+    )
+    return (
+        joined.groupBy("doc")
+        .agg(
+            F.filter(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ppos", "pid"))),
+                    lambda s: s["pid"],
+                ),
+                lambda x: x.isNotNull(),
+            ).alias("ids")
+        )
+        .select("doc", "ids", F.size("ids").alias("n_pieces"))
+    )

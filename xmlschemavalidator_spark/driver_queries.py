@@ -4071,6 +4071,26 @@ def bpe_tokenize(spark, sf_dir):
     )
 
 
+@q("bpe_token_ids")
+def bpe_token_ids(spark, sf_dir):
+    """Subword-id artifact: corpus encoded to dense vocab ids (the
+    sequence-packing input a trainer consumes). Rows-only (same iterative-
+    training reason as bpe_merges); piece↔id consistency is pinned by
+    test_bpe.py::test_bpe_vocab_and_encode_ids_roundtrip."""
+    from xmlschemavalidator_spark.bpe import bpe_encode_ids, train_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    model = train_bpe(docs, n_merges=100, max_words=50_000)
+    enc = bpe_encode_ids(docs, model, "doc_id")
+    return enc.select(
+        "doc",
+        "n_pieces",
+        F.md5(F.concat_ws(",", F.transform("ids", lambda x: x.cast("string")))).alias(
+            "ids_md5"
+        ),
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 
