@@ -137,7 +137,11 @@ def run_pipeline(
         audit[name] = df.count()
         return df
 
-    stage("input", docs)
+    # local checkpoints free through the shared helper: Dataset.unpersist()
+    # is a no-op on them (RDD storage, not CacheManager — review finding)
+    from xmlschemavalidator_spark.session import free_local_checkpoint as free
+
+    docs = stage("input", docs)  # downstream reuses the materialized input
 
     # 1. schema/constraint validation — violations kept as an audit table
     res = validate(docs, documents_ruleset(), key=id_col)
@@ -189,6 +193,10 @@ def run_pipeline(
         unknown = want - set(names.values())
         if unknown:
             raise ValueError(f"ccnet_keep: unknown bucket(s) {sorted(unknown)}")
+        if not want:
+            # e.g. ccnet_keep="," — silently keeping NOTHING would commit
+            # an empty corpus with no error (review finding)
+            raise ValueError("ccnet_keep: no buckets given")
         lm = train_bigram_lm(validated, id_col)
         scored = (
             perplexity_score(cur, lm, id_col)
@@ -210,6 +218,11 @@ def run_pipeline(
             .select(F.col("doc").alias(id_col))
         )
         cur = stage("ccnet_terciles", cur.join(keep_ids, id_col, "left_semi"))
+        # the stage checkpoint above materialized everything downstream of
+        # the LM — release its cached count tables now (review finding:
+        # they leaked for the session's lifetime per --ccnet-keep batch)
+        lm.bigram_counts.unpersist()
+        lm.context_counts.unpersist()
 
     # 3. C4 line dedup (boilerplate removal) — may empty some docs; the
     # published order re-applies a length floor right after
@@ -293,7 +306,7 @@ def run_pipeline(
     # and leak caches for an already-committed batch); stage 9 re-writes
     # the file with its own count on success
     for p in persisted:
-        p.unpersist()
+        free(p)
     persisted = []
     write_audit()
 

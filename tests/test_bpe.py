@@ -188,3 +188,32 @@ def test_bpe_encode_ids_empty_doc_preserved(spark):
     got = {r["doc"]: r for r in bpe_encode_ids(docs, model, "doc_id").collect()}
     assert set(got) == {1, 2}
     assert got[2]["n_pieces"] == 0 and got[2]["ids"] == []
+
+
+def test_bpe_vocab_covers_intermediate_merge_pieces(spark):
+    """An OOV word can emit a merge-intermediate piece that survives in no
+    trained word's FINAL segmentation (train 'abc' -> merges absorb 'ab'
+    into 'abc'); the vocab must still carry it (review finding: it mapped
+    to oov_id, collapsing distinct subwords)."""
+    from xmlschemavalidator_spark.bpe import (
+        apply_merges,
+        bpe_encode_ids,
+        bpe_vocab,
+        train_bpe,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "abc abc abc") for i in range(3)], "doc_id bigint, text string"
+    )
+    model = train_bpe(docs, n_merges=10, max_words=10, min_frequency=1)
+    oov_pieces = apply_merges("abd", model.merges)
+    assert "ab" in oov_pieces  # the trace actually happens
+    vocab = {r["piece"]: r["piece_id"] for r in bpe_vocab(model).collect()}
+    assert "ab" in vocab
+    probe = spark.createDataFrame([(99, "abd")], "doc_id bigint, text string")
+    row = bpe_encode_ids(probe, model, "doc_id").collect()[0]
+    # 'ab' resolves to a REAL id; only the genuinely unseen character 'd'
+    # takes oov_id (-1), exactly the documented contract
+    assert row["ids"] == [vocab.get(p, -1) for p in oov_pieces]
+    assert row["ids"][oov_pieces.index("ab")] == vocab["ab"] != -1
+    assert row["ids"][oov_pieces.index("d")] == -1

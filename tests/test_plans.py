@@ -238,10 +238,8 @@ def test_bpe_encode_broadcasts_segmentation(spark):
     model = train_bpe(docs, n_merges=20, max_words=500)
     p = fmt(bpe_encode(docs, model, "doc_id"))
     assert "BroadcastExchange" in p
-    assert "ArrowEvalPython" in p
     # the hit branch (left of the union) must not feed through Python:
-    # exactly ONE ArrowEvalPython node in the whole plan
-    assert p.count("(1) ") >= 0 and p.count("ArrowEvalPython") >= 1
+    # exactly ONE ArrowEvalPython node in the whole plan (the OOV branch)
     import re
 
     assert len(re.findall(r"\(\d+\) ArrowEvalPython", p)) == 1

@@ -258,19 +258,24 @@ def bpe_encode(
 
 
 def bpe_vocab(model: BPEModel) -> DataFrame:
-    """The token vocabulary the trained model can emit: every piece
-    reachable from the segmentation table PLUS the single characters and
-    eow any OOV fallback can produce — ``(piece, piece_id)`` with ids
+    """The token vocabulary the trained model can emit: the segmentation
+    table's pieces, the RESULT of every learned merge (an OOV word can
+    surface an intermediate piece that no trained word's final
+    segmentation retains — e.g. merges [(a,b),(ab,c)] hide 'ab' inside
+    'abc', but OOV 'abd' emits it; review finding), the single characters
+    of every trained word, and eow — ``(piece, piece_id)`` with ids
     assigned by sorted piece (deterministic, engine-independent). Bounded:
-    ≤ distinct pieces of max_words segmentations + alphabet."""
+    ≤ max_words segmentations + n_merges + alphabet."""
     from pyspark.sql import Window
 
+    spark = model.seg.sparkSession
     from_seg = model.seg.select(F.explode("pieces").alias("piece"))
     chars = model.seg.select(
         F.explode(F.split(F.col("word"), "")).alias("piece")
     ).where(F.length("piece") > 0)
-    eow = model.seg.sparkSession.createDataFrame([(EOW,)], "piece string")
-    pieces = from_seg.union(chars).union(eow).distinct()
+    extras = [(a + b,) for a, b in model.merges] + [(EOW,)]
+    merged = spark.createDataFrame(extras, "piece string")
+    pieces = from_seg.union(chars).union(merged).distinct()
     # global-window id assignment is fine HERE: the vocab is a bounded
     # model artifact (same contract as the collected word table), not
     # corpus-sized data

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from xmlschemavalidator_spark.textops import _WS as _TEXT_WS
 from xmlschemavalidator_spark.textops import doc_fingerprint, tokens
 
 
@@ -148,8 +149,6 @@ def near_dedup_key(
     self-check, so the two can't drift. The shingleability guard tests
     token count (cheap) rather than rebuilding the shingle array the
     signature branch already constructs (HOF subtrees are not CSE'd)."""
-    from xmlschemavalidator_spark.textops import doc_fingerprint, tokens
-
     t = F.col(text_col) if isinstance(text_col, str) else text_col
     return F.when(
         F.size(tokens(t)) >= shingle_n,
@@ -692,7 +691,14 @@ def near_duplicate_clusters(
                 ),
             )
         )
+        prev_labels = labels
         labels = new_all.select("doc", "cluster").localCheckpoint()
+        # the new checkpoint is eager, so the previous round's blocks are
+        # no longer referenced — free them (review finding: each round
+        # otherwise leaked a |V|-row label table for the session's life)
+        from xmlschemavalidator_spark.session import free_local_checkpoint
+
+        free_local_checkpoint(prev_labels)
         # sum over ZERO rows observes None, not 0 — empty/converged input
         # must still hit the fixpoint exit (round-2 review finding: an
         # empty pairs frame previously ran all iterations and then warned)
@@ -764,13 +770,17 @@ def alternating_star_clusters(
         # so connectivity is preserved (Kiveris Thm 1) and no self-loops form
         mins = edges.groupBy("u").agg(F.min("v").alias("_mv"))
         mins = mins.select("u", F.least(F.col("u"), F.col("_mv")).alias("m"))
+        from xmlschemavalidator_spark.session import free_local_checkpoint
+
         big = edges.where(F.col("v") > F.col("u"))
         ls = big.join(mins, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
+        prev_edges = edges
         edges = (
             ls.unionByName(ls.select(F.col("v").alias("u"), F.col("u").alias("v")))
             .distinct()
             .localCheckpoint()
         )
+        free_local_checkpoint(prev_edges)
         # ---- small-star: down-neighborhood re-points at its minimum -------
         down = edges.where(F.col("v") < F.col("u"))  # orient big -> small
         dmins = down.groupBy("u").agg(F.min("v").alias("m"))
@@ -793,7 +803,9 @@ def alternating_star_clusters(
                 F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("sig"),
             )
         )
+        prev_edges = edges
         edges = sym.localCheckpoint()
+        free_local_checkpoint(prev_edges)
         sig = (obs.get["n_edges"], obs.get["sig"])
         if sig == prev_sig:
             break
@@ -1324,9 +1336,10 @@ def _rebuild_text_from_kept(
 # the line family: the shuffle carries (para_md5, doc), never full texts.
 # --------------------------------------------------------------------------
 
-# explicit class, not \s — Java's \s includes \x0B, RE2's does not (the
-# same cross-engine contract as textops._WS)
-_PARA_WS = "[ \t\n\x0b\f\r]+"
+# the ONE cross-engine whitespace class (Java's \s includes \x0B, RE2's
+# does not) lives in textops; re-hardcoding it here risked silent drift
+# between line- and paragraph-level normalization (review finding)
+_PARA_WS = _TEXT_WS + "+"
 
 
 def _doc_paragraphs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

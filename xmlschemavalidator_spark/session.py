@@ -68,3 +68,18 @@ def _ship_package(spark: SparkSession) -> None:
         spark.sparkContext.addPyFile(out)
     except Exception:
         pass  # e.g. Spark Connect without addPyFile; --py-files covers prod
+
+
+def free_local_checkpoint(df) -> None:
+    """Release a local checkpoint's RDD blocks. ``Dataset.unpersist()``
+    only uncaches CacheManager entries — a ``localCheckpoint``'s blocks
+    live in RDD storage behind the plan's LogicalRDD node, so iterative
+    operators (connected components, alternating star) and multi-stage
+    pipelines that checkpoint per round would otherwise keep every
+    round's blocks for the session's lifetime (review finding). Only call
+    on frames nothing references anymore: a truncated checkpoint cannot
+    be recomputed after unpersisting."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass  # cleanup must never fail the job; ContextCleaner will GC
