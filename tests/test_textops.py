@@ -635,3 +635,30 @@ def test_html_to_text_over_warc_pages(spark, tmp_path):
         .collect()
     )
     assert [r["t"] for r in got] == ["A\n\nalpha & beta"]
+
+
+def test_gopher_repetition_signals_known_values(spark):
+    from xmlschemavalidator_spark.textops import gopher_repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            # 4 lines, 'dup' twice: line frac 2/4; chars 3+3 of 3+6+3+4=16
+            (1, "dup\nunique\ndup\nmore"),
+            # re-wrapped duplicate paragraphs normalize equal: para frac 1.0
+            (2, "alpha  beta\n\nalpha\tbeta"),
+            (3, "no repeats here"),
+            (4, ""),  # no units -> NULLs
+            (5, None),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc"]: r for r in gopher_repetition_signals(docs, "doc_id").collect()}
+    assert got[1]["dup_line_frac"] == 0.5
+    assert got[1]["dup_line_char_frac"] == round(6 / 16, 6)
+    assert got[1]["dup_para_frac"] == 0.0  # one paragraph, no dup
+    assert got[2]["dup_para_frac"] == 1.0
+    assert got[2]["dup_line_frac"] == 1.0  # both lines normalize equal too
+    assert got[3]["dup_line_frac"] == 0.0 and got[3]["dup_para_frac"] == 0.0
+    for d in (4, 5):
+        assert got[d]["dup_line_frac"] is None
+        assert got[d]["dup_para_char_frac"] is None

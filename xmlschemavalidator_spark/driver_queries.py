@@ -4071,6 +4071,68 @@ def bpe_tokenize(spark, sf_dir):
     )
 
 
+_REP_SRC_SQL = (
+    "SELECT doc_id, coalesce(text, '')"
+    " || CASE WHEN doc_id % 4 = 0 THEN chr(10) || split_part(coalesce(text, ''), chr(10), 1) ELSE '' END"
+    " || CASE WHEN doc_id % 6 = 0 THEN chr(10)||chr(10) || coalesce(text, '') ELSE '' END"
+    " AS text FROM documents"
+)
+
+def _rep_unit_sql(split_pat: str, prefix: str) -> str:
+    return f"""{prefix}_u AS (
+  SELECT doc_id,
+         trim(regexp_replace(unnest(regexp_split_to_array(coalesce(text,''), '{split_pat}')),
+              '[ \t\n\x0b\f\r]+', ' ', 'g')) AS un
+  FROM src
+), {prefix}_c AS (
+  SELECT doc_id, un, count(*) AS c FROM {prefix}_u WHERE length(un) > 0 GROUP BY 1, 2
+), {prefix}_f AS (
+  SELECT doc_id,
+         round(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+               / CAST(sum(c) AS DOUBLE), 6) AS {prefix}_frac,
+         round(CAST(sum(CASE WHEN c > 1 THEN c * length(un) ELSE 0 END) AS DOUBLE)
+               / CAST(sum(c * length(un)) AS DOUBLE), 6) AS {prefix}_char_frac
+  FROM {prefix}_c GROUP BY 1
+)"""
+
+_REP_LINE_CTE = _rep_unit_sql(r"\n", "dup_line")
+_REP_PARA_CTE = _rep_unit_sql(r"\n{2,}", "dup_para")
+
+@q(
+    "text_repetition_signals",
+    f"""WITH src AS ({_REP_SRC_SQL}),
+{_REP_LINE_CTE},
+{_REP_PARA_CTE}
+SELECT d.doc_id AS doc,
+       dup_line_frac, dup_line_char_frac, dup_para_frac, dup_para_char_frac
+FROM documents d
+LEFT JOIN dup_line_f ON d.doc_id = dup_line_f.doc_id
+LEFT JOIN dup_para_f ON d.doc_id = dup_para_f.doc_id""",
+)
+def text_repetition_signals(spark, sf_dir):
+    """Gopher Table-A1 repetition fractions (duplicate line/paragraph and
+    their character fractions) over a corpus with repetition planted
+    deterministically (docs %4 repeat their first line, docs %6 repeat
+    their whole body as a second paragraph) — the raw synthetic docs have
+    no internal repetition, and a 0-signal oracle match proves nothing."""
+    from xmlschemavalidator_spark.textops import gopher_repetition_signals
+
+    docs = _t(spark, sf_dir, "documents")
+    base = F.coalesce(F.col("text"), F.lit(""))
+    tx = F.concat(
+        base,
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("\n"), F.substring_index(base, "\n", 1)),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 6 == 0, F.concat(F.lit("\n\n"), base)
+        ).otherwise(F.lit("")),
+    )
+    src = docs.select("doc_id", tx.alias("text"))
+    return gopher_repetition_signals(src, "doc_id")
+
+
 @q("bpe_token_ids")
 def bpe_token_ids(spark, sf_dir):
     """Subword-id artifact: corpus encoded to dense vocab ids (the

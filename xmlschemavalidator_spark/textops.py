@@ -183,6 +183,63 @@ def duplicate_ngram_fraction(text: Column, n: int = 2) -> Column:
     )
 
 
+def gopher_repetition_signals(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """The Gopher repetition filter set this library didn't yet expose
+    (Rae et al. 2021, Table A1): per-doc fraction of duplicate lines /
+    paragraphs and of CHARACTERS inside them — ``(doc, dup_line_frac,
+    dup_line_char_frac, dup_para_frac, dup_para_char_frac)``, 6dp, NULL
+    when the doc has no units of that granularity. A unit is "duplicate"
+    when its normalized form occurs more than once in the SAME doc; all
+    its occurrences count toward the fraction.
+
+    Scale shape: explode → groupBy(doc, unit) with map-side combine →
+    groupBy(doc) — two bounded shuffles carrying (doc, hash, counts),
+    never a per-doc O(n²) HOF (the within-doc comparison count would be
+    quadratic in lines for the HOF form this library uses only where docs
+    are known small)."""
+
+    def per_unit(split_pat: str, prefix: str):
+        units = df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), split_pat)
+            ).alias("u"),
+        ).select("doc", F.trim(F.regexp_replace("u", _WS + "+", " ")).alias("un"))
+        nonempty = units.where(F.length("un") > 0)
+        per = nonempty.groupBy("doc", "un").agg(F.count(F.lit(1)).alias("c"))
+        return per.groupBy("doc").agg(
+            F.round(
+                F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+                / F.sum("c"),
+                6,
+            ).alias(f"{prefix}_frac"),
+            F.round(
+                F.sum(
+                    F.when(F.col("c") > 1, F.col("c") * F.length("un")).otherwise(0)
+                )
+                / F.sum(F.col("c") * F.length("un")),
+                6,
+            ).alias(f"{prefix}_char_frac"),
+        )
+
+    lines = per_unit(r"\n", "dup_line")
+    paras = per_unit(r"\n{2,}", "dup_para")
+    base = df.select(F.col(id_col).alias("doc"))
+    return (
+        base.join(lines, "doc", "left")
+        .join(paras, "doc", "left")
+        .select(
+            "doc",
+            "dup_line_frac",
+            "dup_line_char_frac",
+            "dup_para_frac",
+            "dup_para_char_frac",
+        )
+    )
+
+
 def char_entropy(text: Column, max_chars: int = 2000) -> Column:
     """Shannon entropy (bits/char) of the document's character
     distribution over its first ``max_chars`` chars — the deterministic
