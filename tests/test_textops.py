@@ -662,3 +662,48 @@ def test_gopher_repetition_signals_known_values(spark):
     for d in (4, 5):
         assert got[d]["dup_line_frac"] is None
         assert got[d]["dup_para_char_frac"] is None
+
+
+def test_tfidf_top_terms_hand_computed(spark):
+    import math
+
+    from xmlschemavalidator_spark.textops import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry durian"),
+            (4, None),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = tfidf_top_terms(docs, "doc_id", k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc"], []).append((r["term"], r["tf"], r["score_micro"]))
+
+    def idf_micro(dfreq, n=4):
+        return math.floor((math.log((n + 1) / (dfreq + 1)) + 1.0) * 1_000_000)
+
+    # doc 1: apple tf=2 df=1, banana tf=1 df=2 -> apple ranks first
+    assert by_doc[1] == [
+        ("apple", 2, 2 * idf_micro(1)),
+        ("banana", 1, 1 * idf_micro(2)),
+    ]
+    # doc 3: cherry tf=3 df=2 beats durian tf=1 df=1
+    assert by_doc[3][0] == ("cherry", 3, 3 * idf_micro(2))
+    assert by_doc[3][1] == ("durian", 1, 1 * idf_micro(1))
+    # token-less docs simply produce no rows
+    assert 4 not in by_doc
+    # k caps per-doc output
+    assert all(len(v) <= 2 for v in by_doc.values())
+
+
+def test_tfidf_n_docs_override_matches_count(spark):
+    from xmlschemavalidator_spark.textops import tfidf_top_terms
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(40)
+    a = sorted(map(tuple, tfidf_top_terms(docs, "doc_id", k=3).collect()))
+    b = sorted(map(tuple, tfidf_top_terms(docs, "doc_id", k=3, n_docs=40).collect()))
+    assert a == b

@@ -4133,6 +4133,44 @@ def text_repetition_signals(spark, sf_dir):
     return gopher_repetition_signals(src, "doc_id")
 
 
+@q(
+    "text_tfidf_top_terms",
+    """WITH t AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'),
+                            x -> x <> '')) AS term0
+  FROM documents
+), toks AS (
+  SELECT doc_id, lower(term0) AS term FROM t
+), tf AS (
+  SELECT doc_id AS doc, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY 1, 2
+), dfreq AS (
+  SELECT term,
+         CAST(floor((ln((CAST((SELECT count(*) FROM documents) AS DOUBLE) + 1.0)
+                        / (CAST(count(*) AS DOUBLE) + 1.0)) + 1.0) * 1000000.0)
+              AS BIGINT) AS idf_micro
+  FROM tf GROUP BY term
+), sc AS (
+  SELECT doc, tf.term, tf, CAST(tf * idf_micro AS BIGINT) AS score_micro
+  FROM tf JOIN dfreq ON tf.term = dfreq.term
+)
+SELECT doc, term, tf, score_micro FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc ORDER BY score_micro DESC, term) AS r
+  FROM sc
+) WHERE r <= 5""",
+)
+def text_tfidf_top_terms(spark, sf_dir):
+    """Per-doc top-5 TF-IDF terms. The ranking key tf·idf_micro is an
+    exact integer (IDF floor-quantized), so the selected SET and its
+    order-defining scores hash-match across engines — raw-double ranking
+    could flip ties on a last-ulp ln() difference."""
+    from xmlschemavalidator_spark.textops import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "doc_id", k=5)
+
+
 @q("bpe_token_ids")
 def bpe_token_ids(spark, sf_dir):
     """Subword-id artifact: corpus encoded to dense vocab ids (the

@@ -240,6 +240,50 @@ def gopher_repetition_signals(
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 5,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Per-doc top-``k`` TF-IDF terms: ``(doc, term, tf, score_micro)``
+    ranked by score then term (total deterministic order). TF is the raw
+    in-doc count; IDF = ln((N+1)/(df+1)) + 1 (smoothed), floor-quantized
+    to integer micros so the RANKING key ``tf · idf_micro`` is an exact
+    integer — cross-engine ties can't flip on a last-ulp double (the same
+    device as the NB/DSIR scores). Pass ``n_docs`` when already known to
+    skip the count job.
+
+    Scale shape: groupBy(doc, term) with map-side combine → vocab-sized
+    document-frequency agg joined back on term (AQE broadcasts while it
+    fits) → per-doc top-k window. No driver collect beyond the N scalar."""
+    from pyspark.sql import Window
+
+    n = int(df.count()) if n_docs is None else int(n_docs)
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = toks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    idf_micro = F.floor(
+        (F.log((F.lit(float(n + 1))) / (F.col("_df") + F.lit(1.0))) + F.lit(1.0))
+        * F.lit(1_000_000.0)
+    ).cast("bigint")
+    scored = tf.join(dfreq.select("term", idf_micro.alias("_idf")), "term").select(
+        "doc", "term", "tf", (F.col("tf") * F.col("_idf")).alias("score_micro")
+    )
+    w = Window.partitionBy("doc").orderBy(
+        F.col("score_micro").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= k)
+        .drop("_r")
+    )
+
+
 def char_entropy(text: Column, max_chars: int = 2000) -> Column:
     """Shannon entropy (bits/char) of the document's character
     distribution over its first ``max_chars`` chars — the deterministic
