@@ -707,3 +707,36 @@ def test_tfidf_n_docs_override_matches_count(spark):
     a = sorted(map(tuple, tfidf_top_terms(docs, "doc_id", k=3).collect()))
     b = sorted(map(tuple, tfidf_top_terms(docs, "doc_id", k=3, n_docs=40).collect()))
     assert a == b
+
+
+def test_license_signals_patterns(spark):
+    from xmlschemavalidator_spark.textops import license_signals
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Shared under Creative Commons terms."),
+            (2, "cc-by-nc content here"),
+            (3, "Copyright (c) 2023 Acme. All rights reserved."),
+            (4, "© 2020 Somebody"),
+            (5, "robots: noai, noimageai"),
+            (6, "please do not train any AI model on this"),
+            (7, "an ordinary document about ccby with no hits"),
+            (8, None),
+        ],
+        "doc_id bigint, text string",
+    )
+    sig = license_signals(F.col("text"))
+    got = {
+        r["doc_id"]: r
+        for r in docs.select("doc_id", *[v.alias(k) for k, v in sig.items()]).collect()
+    }
+    assert got[1]["has_creative_commons"] and got[2]["has_creative_commons"]
+    assert got[3]["has_all_rights_reserved"] and got[3]["has_copyright_line"]
+    assert got[4]["has_copyright_line"]
+    assert got[5]["has_noai_optout"] and got[6]["has_noai_optout"]
+    assert not any(
+        got[7][c] for c in got[7].asDict() if c.startswith("has_")
+    )
+    assert not any(
+        got[8][c] for c in got[8].asDict() if c.startswith("has_")
+    )

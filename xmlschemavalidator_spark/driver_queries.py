@@ -4171,6 +4171,49 @@ def text_tfidf_top_terms(spark, sf_dir):
     return tfidf_top_terms(docs, "doc_id", k=5)
 
 
+def _license_oracle() -> str:
+    from xmlschemavalidator_spark.textops import _LICENSE_PATTERNS
+
+    plant = (
+        "coalesce(text, '')"
+        " || CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'Licensed under Creative Commons CC-BY-SA 4.0.' ELSE '' END"
+        " || CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'Copyright (c) 2024 Example Corp. All rights reserved.' ELSE '' END"
+        " || CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'Meta: noai, noimageai.' ELSE '' END"
+    )
+    cols = ",\n       ".join(
+        f"regexp_matches({plant}, '{pat.replace(chr(39), chr(39)*2)}') AS has_{name}"
+        for name, pat in _LICENSE_PATTERNS.items()
+    )
+    return f"SELECT doc_id, {cols} FROM documents"
+
+@q("text_license_signals", _license_oracle())
+def text_license_signals(spark, sf_dir):
+    """Dolma-style license/opt-out tagging over a corpus with license
+    lines planted deterministically (docs %7 CC, %11 copyright, %13
+    noai) — the raw synthetic docs mention no licenses, so unplanted
+    output would be the forbidden all-false oracle match. Same regexes
+    run on both engines (RE2-safe: no backreferences/lookarounds)."""
+    from xmlschemavalidator_spark.textops import license_signals
+
+    docs = _t(spark, sf_dir, "documents")
+    tx = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.lit("\nLicensed under Creative Commons CC-BY-SA 4.0."),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.lit("\nCopyright (c) 2024 Example Corp. All rights reserved."),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 13 == 0, F.lit("\nMeta: noai, noimageai.")
+        ).otherwise(F.lit("")),
+    )
+    sig = license_signals(tx)
+    return docs.select("doc_id", *[v.alias(k) for k, v in sig.items()])
+
+
 @q("bpe_token_ids")
 def bpe_token_ids(spark, sf_dir):
     """Subword-id artifact: corpus encoded to dense vocab ids (the

@@ -240,6 +240,28 @@ def gopher_repetition_signals(
     )
 
 
+# License / usage-restriction tagger patterns (Dolma-style C4/licenses
+# taggers): case-insensitive regexes shared verbatim by both engines —
+# RE2-safe (no backreferences or lookarounds).
+_LICENSE_PATTERNS: dict[str, str] = {
+    "creative_commons": r"(?i)creative commons|\bcc[ -]by(-(sa|nc|nd|nc-sa|nc-nd))?\b",
+    "all_rights_reserved": r"(?i)all rights reserved",
+    "copyright_line": r"(?i)copyright (\(c\)|©|[0-9]{4})|©\s*[0-9]{4}",
+    "noai_optout": r"(?i)\bno-?ai\b|\bnoimageai\b|do not (use|train).{0,40}(ai|model)",
+}
+
+
+def license_signals(text: Column) -> dict[str, Column]:
+    """Boolean license/opt-out hits per document (the Dolma tagger shape):
+    one column per :data:`_LICENSE_PATTERNS` entry, ``has_<name>``. All
+    JVM RLIKE — safe inside the single analysis projection; NULL text
+    matches nothing."""
+    t = F.coalesce(text, F.lit(""))
+    return {
+        f"has_{name}": t.rlike(pat) for name, pat in _LICENSE_PATTERNS.items()
+    }
+
+
 def tfidf_top_terms(
     df: DataFrame,
     id_col: str,
