@@ -703,7 +703,13 @@ def test_tfidf_top_terms_hand_computed(spark):
 def test_tfidf_n_docs_override_matches_count(spark):
     from xmlschemavalidator_spark.textops import tfidf_top_terms
 
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(40)
+    # orderBy before limit: an unordered limit can pick a different
+    # 40-row subset on each of the several jobs this test triggers
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .orderBy("doc_id")
+        .limit(40)
+    )
     a = sorted(map(tuple, tfidf_top_terms(docs, "doc_id", k=3).collect()))
     b = sorted(map(tuple, tfidf_top_terms(docs, "doc_id", k=3, n_docs=40).collect()))
     assert a == b
@@ -740,3 +746,35 @@ def test_license_signals_patterns(spark):
     assert not any(
         got[8][c] for c in got[8].asDict() if c.startswith("has_")
     )
+
+
+def test_license_noai_not_fooled_by_substrings(spark):
+    from xmlschemavalidator_spark.textops import license_signals
+
+    docs = spark.createDataFrame(
+        [
+            (1, "do not use email to contact us"),
+            (2, "do not use the main entrance today"),
+            (3, "do not train your ai on this"),
+        ],
+        "doc_id bigint, text string",
+    )
+    sig = license_signals(F.col("text"))
+    got = {
+        r["doc_id"]: r["has_noai_optout"]
+        for r in docs.select(
+            "doc_id", sig["has_noai_optout"].alias("has_noai_optout")
+        ).collect()
+    }
+    assert got == {1: False, 2: False, 3: True}
+
+
+def test_tfidf_ignores_empty_tokens_from_edged_whitespace(spark):
+    from xmlschemavalidator_spark.textops import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "\nfoo bar\n"), (2, "\tfoo\t")], "doc_id bigint, text string"
+    )
+    rows = tfidf_top_terms(docs, "doc_id", k=5).collect()
+    assert all(r["term"] != "" for r in rows)
+    assert {r["term"] for r in rows if r["doc"] == 1} == {"foo", "bar"}

@@ -4137,8 +4137,9 @@ def text_repetition_signals(spark, sf_dir):
     "text_tfidf_top_terms",
     """WITH t AS (
   SELECT doc_id,
-         unnest(list_filter(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'),
-                            x -> x <> '')) AS term0
+         unnest(list_filter(
+           regexp_split_to_array(trim(coalesce(text, '')), '[ \t\n\x0b\f\r]+'),
+           x -> x <> '')) AS term0
   FROM documents
 ), toks AS (
   SELECT doc_id, lower(term0) AS term FROM t

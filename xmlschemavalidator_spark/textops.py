@@ -246,8 +246,11 @@ def gopher_repetition_signals(
 _LICENSE_PATTERNS: dict[str, str] = {
     "creative_commons": r"(?i)creative commons|\bcc[ -]by(-(sa|nc|nd|nc-sa|nc-nd))?\b",
     "all_rights_reserved": r"(?i)all rights reserved",
-    "copyright_line": r"(?i)copyright (\(c\)|©|[0-9]{4})|©\s*[0-9]{4}",
-    "noai_optout": r"(?i)\bno-?ai\b|\bnoimageai\b|do not (use|train).{0,40}(ai|model)",
+    # explicit whitespace class (not \s): Java's \s has \x0B, RE2's does
+    # not; and (ai|model) must be word-bounded or 'do not use email'
+    # matches the 'ai' inside 'email' (review findings)
+    "copyright_line": r"(?i)copyright (\(c\)|©|[0-9]{4})|©[ \t\n\x0b\f\r]*[0-9]{4}",
+    "noai_optout": r"(?i)\bno-?ai\b|\bnoimageai\b|do not (use|train).{0,40}(\bai\b|\bmodel\b)",
 }
 
 
@@ -272,10 +275,12 @@ def tfidf_top_terms(
     """Per-doc top-``k`` TF-IDF terms: ``(doc, term, tf, score_micro)``
     ranked by score then term (total deterministic order). TF is the raw
     in-doc count; IDF = ln((N+1)/(df+1)) + 1 (smoothed), floor-quantized
-    to integer micros so the RANKING key ``tf · idf_micro`` is an exact
-    integer — cross-engine ties can't flip on a last-ulp double (the same
-    device as the NB/DSIR scores). Pass ``n_docs`` when already known to
-    skip the count job.
+    to integer micros so the RANKING key ``tf · idf_micro`` is an integer
+    — cross-engine ties can't flip on a last-ulp double (the same device
+    as the NB/DSIR scores; like them, the quantization itself is only
+    probabilistically stable: if an engine's ln() lands within an ulp of
+    a floor boundary, ~1e-10 per term, the micro value can differ by 1).
+    Pass ``n_docs`` when already known to skip the count job.
 
     Scale shape: groupBy(doc, term) with map-side combine → vocab-sized
     document-frequency agg joined back on term (AQE broadcasts while it
@@ -286,7 +291,9 @@ def tfidf_top_terms(
     toks = df.select(
         F.col(id_col).alias("doc"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
-    )
+        # tab/newline-edged text splits to '' tokens (Spark trim() is
+        # 0x20-only — CLAUDE.md); the oracle filters them, so must we
+    ).where(F.length("term") > 0)
     tf = toks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
     idf_micro = F.floor(
