@@ -778,3 +778,30 @@ def test_tfidf_ignores_empty_tokens_from_edged_whitespace(spark):
     rows = tfidf_top_terms(docs, "doc_id", k=5).collect()
     assert all(r["term"] != "" for r in rows)
     assert {r["term"] for r in rows if r["doc"] == 1} == {"foo", "bar"}
+
+
+def test_script_signals_fractions(spark):
+    from xmlschemavalidator_spark.textops import script_signals
+
+    docs = spark.createDataFrame(
+        [
+            (1, "abcd 1234"),          # 8 non-ws: 4 latin, 4 digit
+            (2, "Привет"),             # all cyrillic
+            (3, "你好世界"),            # all cjk
+            (4, "héllo"),              # accented latin counts as latin
+            (5, ""),                   # no chars -> NULLs
+            (6, None),
+        ],
+        "doc_id bigint, text string",
+    )
+    sig = script_signals(F.col("text"))
+    got = {
+        r["doc_id"]: r
+        for r in docs.select("doc_id", *[v.alias(k) for k, v in sig.items()]).collect()
+    }
+    assert got[1]["frac_latin"] == 0.5 and got[1]["frac_digit"] == 0.5
+    assert got[2]["frac_cyrillic"] == 1.0 and got[2]["frac_latin"] == 0.0
+    assert got[3]["frac_cjk"] == 1.0
+    assert got[4]["frac_latin"] == 1.0
+    for d in (5, 6):
+        assert got[d]["frac_latin"] is None and got[d]["frac_cjk"] is None

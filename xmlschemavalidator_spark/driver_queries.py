@@ -4172,6 +4172,44 @@ def text_tfidf_top_terms(spark, sf_dir):
     return tfidf_top_terms(docs, "doc_id", k=5)
 
 
+def _script_oracle() -> str:
+    from xmlschemavalidator_spark.textops import _SCRIPT_RANGES, _WS
+
+    plant = (
+        "coalesce(text, '')"
+        " || CASE WHEN doc_id % 9 = 0 THEN chr(10) || 'Привет мир 2024' ELSE '' END"
+        " || CASE WHEN doc_id % 10 = 0 THEN chr(10) || '你好世界 123' ELSE '' END"
+    )
+    base = f"regexp_replace(substr({plant}, 1, 2000), '{_WS}+', '', 'g')"
+    cols = ",\n       ".join(
+        f"CASE WHEN length(b) > 0 THEN round(CAST(length(b) - length(regexp_replace(b, '{cls}', '', 'g')) AS DOUBLE) / CAST(length(b) AS DOUBLE), 6) END AS frac_{name}"
+        for name, cls in _SCRIPT_RANGES.items()
+    )
+    return f"SELECT doc_id, {cols} FROM (SELECT doc_id, {base} AS b FROM documents)"
+
+@q("text_script_signals", _script_oracle())
+def text_script_signals(spark, sf_dir):
+    """Unicode-script composition fractions over a corpus with Cyrillic /
+    CJK lines planted deterministically (the synthetic docs are pure
+    ASCII — unplanted fractions would all be latin/digit, proving the
+    ranges match without exercising them). One \\x{hhhh} range table
+    serves both engines."""
+    from xmlschemavalidator_spark.textops import script_signals
+
+    docs = _t(spark, sf_dir, "documents")
+    tx = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(
+            F.col("doc_id") % 9 == 0, F.lit("\nПривет мир 2024")
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 10 == 0, F.lit("\n你好世界 123")
+        ).otherwise(F.lit("")),
+    )
+    sig = script_signals(tx)
+    return docs.select("doc_id", *[v.alias(k) for k, v in sig.items()])
+
+
 def _license_oracle() -> str:
     from xmlschemavalidator_spark.textops import _LICENSE_PATTERNS
 

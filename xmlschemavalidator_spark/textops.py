@@ -240,6 +240,39 @@ def gopher_repetition_signals(
     )
 
 
+# Unicode script ranges — \x{hhhh} syntax parses identically in Java
+# regex and RE2, so one table serves both engines (the [\uXXXX] spelling
+# would be Java-only).
+_SCRIPT_RANGES: dict[str, str] = {
+    "latin": r"[A-Za-z\x{00C0}-\x{024F}]",
+    "cyrillic": r"[\x{0400}-\x{04FF}]",
+    "cjk": r"[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}]",
+    "arabic": r"[\x{0600}-\x{06FF}]",
+    "hangul": r"[\x{AC00}-\x{D7AF}]",
+    "digit": r"[0-9]",
+}
+
+
+def script_signals(text: Column, max_chars: int = 2000) -> dict[str, Column]:
+    """Unicode-script composition of a document: ``frac_<script>`` per
+    :data:`_SCRIPT_RANGES` entry — the fraction of the first
+    ``max_chars`` NON-WHITESPACE characters in that script (6dp; NULL
+    when the prefix has none). The honest cheap signal behind "is this
+    really the language the lang-id claims" / mixed-script spam checks.
+    Counting is length-difference after class removal — one codegen'd
+    projection, no explode, no Python; the prefix cap bounds per-row cost
+    on pathological documents (same contract as char_entropy)."""
+    prefix = F.substring(F.coalesce(text, F.lit("")), 1, max_chars)
+    base = F.regexp_replace(prefix, _WS + "+", "")
+    n = F.length(base)
+
+    def frac(cls: str) -> Column:
+        hits = n - F.length(F.regexp_replace(base, cls, ""))
+        return F.when(n > 0, F.round(hits / n, 6))
+
+    return {f"frac_{name}": frac(cls) for name, cls in _SCRIPT_RANGES.items()}
+
+
 # License / usage-restriction tagger patterns (Dolma-style C4/licenses
 # taggers): case-insensitive regexes shared verbatim by both engines —
 # RE2-safe (no backreferences or lookarounds).
