@@ -1,0 +1,64 @@
+"""Corpus analysis report (report.py): one-projection per-doc signal
+frame, aggregate panels, job wrapper."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from xmlschemavalidator_spark.report import (
+    corpus_report,
+    per_doc_signals,
+    write_report,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_per_doc_signals_one_projection(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = per_doc_signals(docs, "doc_id")
+    assert out.count() == docs.count()
+    cols = set(out.columns)
+    assert {"doc", "lang", "n_chars", "n_tokens", "quality", "gopher_keep",
+            "n_email", "has_creative_commons", "frac_latin"} <= cols
+    # all signals ride one scan, no shuffle, no Python
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    import re
+
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_corpus_report_panels_consistent(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    panels = corpus_report(docs, "doc_id")
+    assert set(panels) == {"per_doc", "summary", "per_lang", "repetition"}
+    summary = panels["summary"].collect()
+    assert len(summary) == 1
+    s = summary[0]
+    assert s["n_docs"] == docs.count()
+    per_lang = panels["per_lang"].collect()
+    assert sum(r["n_docs"] for r in per_lang) == s["n_docs"]
+    assert sum(r["total_tokens"] for r in per_lang) == s["total_tokens"]
+    assert 0.0 <= s["gopher_keep_rate"] <= 1.0
+    assert panels["repetition"].count() == docs.count()
+    # ASCII corpus: latin-dominated
+    assert s["mean_frac_latin"] > 0.5
+
+
+def test_write_report_artifacts(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = str(tmp_path / "report")
+    counts = write_report(docs, "doc_id", out)
+    assert counts["summary"] == 1 and counts["per_doc"] == docs.count()
+    back = spark.read.parquet(f"{out}/per_lang")
+    assert back.count() == counts["per_lang"]
+
+
+def test_report_without_lang_column(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").drop("lang")
+    panels = corpus_report(docs, "doc_id")
+    assert "per_lang" not in panels
+    assert panels["summary"].collect()[0]["n_docs"] == docs.count()

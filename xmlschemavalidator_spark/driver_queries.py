@@ -4210,6 +4210,30 @@ def text_script_signals(spark, sf_dir):
     return docs.select("doc_id", *[v.alias(k) for k, v in sig.items()])
 
 
+@q(
+    "corpus_report_per_lang",
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS total_chars,
+       CAST(sum(CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) END)
+            AS BIGINT) AS total_tokens
+FROM documents GROUP BY lang""",
+)
+def corpus_report_per_lang(spark, sf_dir):
+    """The report job's per-language size panel (the subset of
+    report.corpus_report's per_lang panel whose members have exact SQL
+    recipes — quality/gopher/script means are pinned by their own
+    oracles). One projection + one groupBy."""
+    from xmlschemavalidator_spark.report import per_doc_signals
+
+    docs = _t(spark, sf_dir, "documents")
+    return per_doc_signals(docs, "doc_id").groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
+
+
 def _license_oracle() -> str:
     from xmlschemavalidator_spark.textops import _LICENSE_PATTERNS
 
