@@ -224,3 +224,51 @@ def test_dsir_model_save_load_roundtrip(spark, tmp_path):
     a = {r["doc"]: r["lambda_micro"] for r in dsir_score(docs, model, "doc_id").collect()}
     b = {r["doc"]: r["lambda_micro"] for r in dsir_score(docs, loaded, "doc_id").collect()}
     assert a == b
+
+
+def test_quality_buckets_approx_matches_exact_orientation(spark):
+    from xmlschemavalidator_spark.quality_model import (
+        quality_buckets,
+        quality_buckets_approx,
+        score_quality,
+        train_quality_model,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").withColumn(
+        "y", gopher_pass(F.col("text"))
+    )
+    model = train_quality_model(docs, "doc_id", "y")
+    scored = score_quality(docs, model, "doc_id")
+    approx = quality_buckets_approx(scored, n_buckets=3)
+    n = scored.count()
+    sizes = {r["bucket"]: r["n"] for r in
+             approx.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(sizes) <= {1, 2, 3}
+    # tiles approximately equal (tight rel_error, 500 rows)
+    for b in sizes:
+        assert abs(sizes[b] - n / 3) < 0.25 * n, sizes
+    # orientation: bucket 1 strictly the best scores — its min beats
+    # bucket 3's max
+    stats = {r["bucket"]: r for r in approx.groupBy("bucket").agg(
+        F.min("quality_micros").alias("mn"), F.max("quality_micros").alias("mx")
+    ).collect()}
+    assert stats[1]["mn"] >= stats[3]["mx"]
+    # same orientation as the exact ntile: the top-ranked doc of the
+    # exact form is in approx bucket 1
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        exact = quality_buckets(scored, n_buckets=3)
+    best_doc = exact.where("bucket = 1").orderBy(F.col("quality_micros").desc()).first()["doc"]
+    assert approx.where(F.col("doc") == best_doc).first()["bucket"] == 1
+
+
+def test_quality_buckets_approx_rejects_single_bucket(spark):
+    import pytest as _pytest
+
+    from xmlschemavalidator_spark.quality_model import quality_buckets_approx
+
+    df = spark.createDataFrame([(1, 10)], "doc bigint, quality_micros bigint")
+    with _pytest.raises(ValueError):
+        quality_buckets_approx(df, n_buckets=1)

@@ -4210,6 +4210,26 @@ def text_script_signals(spark, sf_dir):
     return docs.select("doc_id", *[v.alias(k) for k, v in sig.items()])
 
 
+@q("text_quality_buckets_approx")
+def text_quality_buckets_approx(spark, sf_dir):
+    """Approximate-quantile quality tiles — the at-scale path (narrow
+    when-chain over percentile_approx cuts, no global window). Rows-only:
+    percentile_approx has no portable DuckDB twin; orientation and tile
+    balance are pinned by test_quality_buckets_approx_*."""
+    from xmlschemavalidator_spark.quality_model import (
+        quality_buckets_approx,
+        score_quality,
+        train_quality_model,
+    )
+    from xmlschemavalidator_spark.textops import gopher_pass
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "_y", gopher_pass(F.col("text"))
+    )
+    model = train_quality_model(docs, "doc_id", "_y")
+    return quality_buckets_approx(score_quality(docs, model, "doc_id"))
+
+
 @q(
     "corpus_report_per_lang",
     """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,

@@ -207,6 +207,40 @@ def quality_buckets(
     return scored.withColumn("bucket", F.ntile(n_buckets).over(w))
 
 
+def quality_buckets_approx(
+    scored: DataFrame,
+    n_buckets: int = 3,
+    score_col: str = "quality_micros",
+    rel_error: float = 0.001,
+) -> DataFrame:
+    """The at-scale sibling of :func:`quality_buckets` (closing its
+    documented "cut by approximate score quantiles" path): cut points
+    come from ONE ``percentile_approx`` aggregate (a driver-bounded
+    n_buckets−1 doubles collect), bucketing is then a NARROW when-chain —
+    no window, no global sort, no shuffle beyond the aggregate. Bucket 1
+    is the best (highest-score) tile, same orientation as the exact form.
+    Tile sizes are approximate within ``rel_error``; the exact ntile
+    remains the oracle-checkable form for shard-sized data."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    accuracy = max(100, int(1.0 / rel_error))
+    cuts_row = scored.agg(
+        F.percentile_approx(
+            score_col, F.array(*[F.lit(p) for p in probs]), F.lit(accuracy)
+        ).alias("c")
+    ).collect()[0]["c"]
+    # cuts ascending = tile boundaries from worst to best; bucket 1 takes
+    # scores above the LAST cut
+    expr = F.lit(n_buckets)
+    for rank, cut in enumerate(cuts_row or [], start=1):
+        bucket_no = n_buckets - rank  # scores above the rank-th cut
+        expr = F.when(F.col(score_col) > F.lit(cut), F.lit(bucket_no)).otherwise(
+            expr
+        )
+    return scored.withColumn("bucket", expr.cast("int"))
+
+
 def score_quality(
     df: DataFrame,
     model: QualityModel,
