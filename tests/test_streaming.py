@@ -210,3 +210,37 @@ def test_streaming_corpus_filters_compose(spark, tmp_path):
     for r in rows:
         assert r["text"].count("nav") == 1  # within-doc dedup applied
         assert r["h"] is not None and r["h"] > 0
+
+
+def test_per_doc_signals_compose_with_streaming(spark, tmp_path):
+    """The report's per-doc signal projection is stateless, so it rides a
+    stream unchanged — tag documents (quality, PII, license, scripts) at
+    ingest time with the SAME code the batch report uses."""
+    from xmlschemavalidator_spark.report import per_doc_signals
+
+    src = str(tmp_path / "docs_src")
+    spark.createDataFrame(
+        [
+            (1, "the quick brown fox and the lazy dog ran away again today", "en"),
+            (2, "contact a@b.com for Creative Commons licensing", "en"),
+            (3, "Привет мир", "ru"),
+        ],
+        "doc_id bigint, text string, lang string",
+    ).write.parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id bigint, text string, lang string"
+    ).parquet(src)
+    tagged = per_doc_signals(stream, "doc_id")
+    assert tagged.isStreaming
+    q = (
+        tagged.writeStream.format("memory")
+        .queryName("sig_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc"]: r for r in spark.sql("SELECT * FROM sig_stream").collect()}
+    assert len(got) == 3
+    assert got[2]["n_email"] == 1 and got[2]["has_creative_commons"]
+    assert got[3]["frac_cyrillic"] == 1.0
+    assert got[1]["n_tokens"] == 12
