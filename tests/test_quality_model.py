@@ -252,6 +252,8 @@ def test_quality_buckets_approx_matches_exact_orientation(spark):
     stats = {r["bucket"]: r for r in approx.groupBy("bucket").agg(
         F.min("quality_micros").alias("mn"), F.max("quality_micros").alias("mx")
     ).collect()}
+    # clear message (not a KeyError) if score ties empty an edge bucket
+    assert 1 in stats and 3 in stats, stats
     assert stats[1]["mn"] >= stats[3]["mx"]
     # same orientation as the exact ntile: the top-ranked doc of the
     # exact form is in approx bucket 1
@@ -272,3 +274,14 @@ def test_quality_buckets_approx_rejects_single_bucket(spark):
     df = spark.createDataFrame([(1, 10)], "doc bigint, quality_micros bigint")
     with _pytest.raises(ValueError):
         quality_buckets_approx(df, n_buckets=1)
+
+
+def test_quality_buckets_approx_rejects_bad_rel_error(spark):
+    import pytest as _pytest
+
+    from xmlschemavalidator_spark.quality_model import quality_buckets_approx
+
+    df = spark.createDataFrame([(1, 10), (2, 20)], "doc bigint, quality_micros bigint")
+    for bad in (0.0, -0.1, 0.9):
+        with _pytest.raises(ValueError):
+            quality_buckets_approx(df, rel_error=bad)

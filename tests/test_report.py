@@ -62,3 +62,27 @@ def test_report_without_lang_column(spark):
     panels = corpus_report(docs, "doc_id")
     assert "per_lang" not in panels
     assert panels["summary"].collect()[0]["n_docs"] == docs.count()
+
+
+def test_write_report_removes_stale_panels(spark, tmp_path):
+    """Re-running into the same output with a shrunken panel set (lang
+    column gone) must delete the stale per_lang rather than leave it
+    inconsistent with the fresh siblings."""
+    import os
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = str(tmp_path / "r")
+    write_report(docs, "doc_id", out)
+    assert os.path.exists(f"{out}/per_lang")
+    counts = write_report(docs.drop("lang"), "doc_id", out)
+    assert "per_lang" not in counts
+    assert not os.path.exists(f"{out}/per_lang")
+
+
+def test_per_doc_signals_null_text_pii_zero(spark):
+    docs = spark.createDataFrame(
+        [(1, None), (2, "mail a@b.com")], "doc_id bigint, text string"
+    )
+    got = {r["doc"]: r for r in per_doc_signals(docs, "doc_id").collect()}
+    assert got[1]["n_email"] == 0 and got[1]["n_phone"] == 0
+    assert got[2]["n_email"] == 1

@@ -4173,14 +4173,14 @@ def text_tfidf_top_terms(spark, sf_dir):
 
 
 def _script_oracle() -> str:
-    from xmlschemavalidator_spark.textops import _SCRIPT_RANGES, _WS
+    from xmlschemavalidator_spark.textops import _SCRIPT_RANGES, _SCRIPT_WS
 
     plant = (
         "coalesce(text, '')"
         " || CASE WHEN doc_id % 9 = 0 THEN chr(10) || 'Привет мир 2024' ELSE '' END"
-        " || CASE WHEN doc_id % 10 = 0 THEN chr(10) || '你好世界 123' ELSE '' END"
+        " || CASE WHEN doc_id % 10 = 0 THEN chr(10) || '你好　世界 123' ELSE '' END"
     )
-    base = f"regexp_replace(substr({plant}, 1, 2000), '{_WS}+', '', 'g')"
+    base = f"regexp_replace(substr({plant}, 1, 2000), '{_SCRIPT_WS}+', '', 'g')"
     cols = ",\n       ".join(
         f"CASE WHEN length(b) > 0 THEN round(CAST(length(b) - length(regexp_replace(b, '{cls}', '', 'g')) AS DOUBLE) / CAST(length(b) AS DOUBLE), 6) END AS frac_{name}"
         for name, cls in _SCRIPT_RANGES.items()
@@ -4203,8 +4203,8 @@ def text_script_signals(spark, sf_dir):
             F.col("doc_id") % 9 == 0, F.lit("\nПривет мир 2024")
         ).otherwise(F.lit("")),
         F.when(
-            F.col("doc_id") % 10 == 0, F.lit("\n你好世界 123")
-        ).otherwise(F.lit("")),
+            F.col("doc_id") % 10 == 0, F.lit("\n你好　世界 123")
+        ).otherwise(F.lit("")),  # ideographic space exercises _SCRIPT_WS
     )
     sig = script_signals(tx)
     return docs.select("doc_id", *[v.alias(k) for k, v in sig.items()])

@@ -223,6 +223,9 @@ def quality_buckets_approx(
     remains the oracle-checkable form for shard-sized data."""
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    if not 0.0 < rel_error <= 0.5:
+        # 0 div-crashed, negatives silently clamped to 1% (review finding)
+        raise ValueError(f"rel_error must be in (0, 0.5], got {rel_error}")
     probs = [i / n_buckets for i in range(1, n_buckets)]
     accuracy = max(100, int(1.0 / rel_error))
     cuts_row = scored.agg(

@@ -244,7 +244,9 @@ def gopher_repetition_signals(
 # regex and RE2, so one table serves both engines (the [\uXXXX] spelling
 # would be Java-only).
 _SCRIPT_RANGES: dict[str, str] = {
-    "latin": r"[A-Za-z\x{00C0}-\x{024F}]",
+    # ×(00D7) and ÷(00F7) carved out: math symbols are not Latin script,
+    # and RE2 has no class intersection to subtract them (review finding)
+    "latin": r"[A-Za-z\x{00C0}-\x{00D6}\x{00D8}-\x{00F6}\x{00F8}-\x{024F}]",
     "cyrillic": r"[\x{0400}-\x{04FF}]",
     "cjk": r"[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}]",
     "arabic": r"[\x{0600}-\x{06FF}]",
@@ -252,18 +254,31 @@ _SCRIPT_RANGES: dict[str, str] = {
     "digit": r"[0-9]",
 }
 
+# denominator class for script fractions: the ASCII _WS chars PLUS the
+# Unicode spaces real web/CJK text uses (NBSP, en/em spaces, narrow
+# no-break, ideographic space) — counting U+3000 against frac_cjk's
+# denominator deflated pure-CJK prose below 1.0 (review finding)
+_SCRIPT_WS = (
+    r"[ \t\n\x0b\f\r\x{00A0}\x{1680}\x{2000}-\x{200A}\x{2028}\x{2029}"
+    r"\x{202F}\x{205F}\x{3000}]"
+)
+
 
 def script_signals(text: Column, max_chars: int = 2000) -> dict[str, Column]:
     """Unicode-script composition of a document: ``frac_<script>`` per
-    :data:`_SCRIPT_RANGES` entry — the fraction of the first
-    ``max_chars`` NON-WHITESPACE characters in that script (6dp; NULL
-    when the prefix has none). The honest cheap signal behind "is this
-    really the language the lang-id claims" / mixed-script spam checks.
-    Counting is length-difference after class removal — one codegen'd
-    projection, no explode, no Python; the prefix cap bounds per-row cost
-    on pathological documents (same contract as char_entropy)."""
+    :data:`_SCRIPT_RANGES` entry — the fraction of the non-whitespace
+    characters WITHIN the first ``max_chars`` characters that are in that
+    script (6dp; NULL when that prefix holds none — note the cap is on
+    raw characters, so a whitespace-heavy doc contributes fewer samples).
+    Whitespace includes the Unicode spaces (:data:`_SCRIPT_WS`), so
+    ideographic-space CJK prose reads frac_cjk = 1.0. The honest cheap
+    signal behind "is this really the language the lang-id claims" /
+    mixed-script spam checks. Counting is length-difference after class
+    removal — one codegen'd projection, no explode, no Python; the prefix
+    cap bounds per-row cost on pathological documents (same contract as
+    char_entropy)."""
     prefix = F.substring(F.coalesce(text, F.lit("")), 1, max_chars)
-    base = F.regexp_replace(prefix, _WS + "+", "")
+    base = F.regexp_replace(prefix, _SCRIPT_WS + "+", "")
     n = F.length(base)
 
     def frac(cls: str) -> Column:
