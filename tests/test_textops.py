@@ -805,3 +805,44 @@ def test_script_signals_fractions(spark):
     assert got[4]["frac_latin"] == 1.0
     for d in (5, 6):
         assert got[d]["frac_latin"] is None and got[d]["frac_cjk"] is None
+
+
+def test_fix_mojibake_repairs_and_counts(spark):
+    from xmlschemavalidator_spark.textops import (
+        _MOJIBAKE_TABLE,
+        fix_mojibake,
+        mojibake_count,
+    )
+
+    bad_cafe = "caf" + "é".encode("utf-8").decode("cp1252")
+    bad_quote = "it" + "’".encode("utf-8").decode("cp1252") + "s"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{bad_cafe} and {bad_quote} here"),
+            (2, "already clean café and it’s fine"),
+            (3, None),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = docs.select(
+        "doc_id",
+        fix_mojibake(F.col("text")).alias("t"),
+        mojibake_count(F.col("text")).alias("n"),
+    )
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got[1]["t"] == "café and it’s here" and got[1]["n"] == 2
+    # idempotent: clean text untouched, zero detections
+    assert got[2]["t"] == "already clean café and it’s fine" and got[2]["n"] == 0
+    assert got[3]["t"] is None and got[3]["n"] == 0
+    # table hygiene: bads unique, and no bad is a substring of an
+    # EARLIER (longer) bad — prefix-eating order is what matters
+    bads = [b for b, _ in _MOJIBAKE_TABLE]
+    assert len(bads) == len(set(bads))
+    for i, b in enumerate(bads):
+        assert all(b not in other for other in bads[:i]), b
+    # empirical stability: fixing twice changes nothing further (true
+    # idempotency is impossible — cp1252 0x94 IS the good quote char, so
+    # the em-dash artifact contains a good character by construction)
+    once = docs.select("doc_id", fix_mojibake(F.col("text")).alias("t"))
+    twice = once.select("doc_id", fix_mojibake(F.col("t")).alias("t"))
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))

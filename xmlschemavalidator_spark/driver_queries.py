@@ -4172,6 +4172,56 @@ def text_tfidf_top_terms(spark, sf_dir):
     return tfidf_top_terms(docs, "doc_id", k=5)
 
 
+def _mojibake_oracle() -> str:
+    import re as _re
+
+    from xmlschemavalidator_spark.textops import (
+        _MOJIBAKE_TABLE,
+        mojibake_sql,
+    )
+    from xmlschemavalidator_spark.textops import _sql_quote as _sq
+
+    sample = " ".join(bad for bad, _ in _MOJIBAKE_TABLE[:6])
+    plant = (
+        "coalesce(text, '')"
+        f" || CASE WHEN doc_id % 6 = 0 THEN chr(10) || {_sq('broken: ' + sample)}"
+        " ELSE '' END"
+    )
+    alts = "|".join(_re.escape(bad) for bad, _ in _MOJIBAKE_TABLE)
+    count = f"len(regexp_split_to_array({plant}, {_sq('(?:' + alts + ')')})) - 1"
+    return f"""SELECT doc_id,
+       {mojibake_sql(f'({plant})')} AS text,
+       CAST({count} AS INT) AS n_mojibake
+FROM documents"""
+
+@q("text_fix_mojibake", _mojibake_oracle())
+def text_fix_mojibake(spark, sf_dir):
+    """Encoding repair (ftfy's core UTF-8-as-cp1252 case): detect and fix
+    mojibake over a corpus with artifacts planted deterministically (the
+    synthetic docs are clean ASCII). Both engines' plant strings AND
+    repair chains derive from the one _MOJIBAKE_TABLE, so the repaired
+    text is byte-hash-checked."""
+    from xmlschemavalidator_spark.textops import (
+        _MOJIBAKE_TABLE,
+        fix_mojibake,
+        mojibake_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sample = " ".join(bad for bad, _ in _MOJIBAKE_TABLE[:6])
+    tx = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(
+            F.col("doc_id") % 6 == 0, F.lit("\nbroken: " + sample)
+        ).otherwise(F.lit("")),
+    )
+    return docs.select(
+        "doc_id",
+        fix_mojibake(tx).alias("text"),
+        mojibake_count(tx).cast("int").alias("n_mojibake"),
+    )
+
+
 def _script_oracle() -> str:
     from xmlschemavalidator_spark.textops import _SCRIPT_RANGES, _SCRIPT_WS
 

@@ -240,6 +240,66 @@ def gopher_repetition_signals(
     )
 
 
+# Mojibake repair — the UTF-8-read-as-cp1252/latin-1 artifacts that
+# dominate real crawl text (ftfy's core case), fixed deterministically.
+# The table is DERIVED from the good characters (bad = the cp1252-with-
+# latin1-fallback reading of good's UTF-8 bytes) so no hand-typed
+# artifact literal can itself be mis-encoded, and it is sorted longest-
+# bad-first so a short entry never eats the prefix of a longer one
+# ("\u00e2\u20ac" prefixes every "\u00e2\u20ac\u2122"-family artifact).
+_MOJIBAKE_GOOD = "\u2019\u201c\u201d\u2013\u2014\u2026\u2022\u00e9\u00e8\u00e1\u00e4\u00f6\u00fc\u00f1\u00e7\u00b0\u00a3\u00b7\u00a0"
+
+
+def _cp1252_char(b: int) -> str:
+    try:
+        return bytes([b]).decode("cp1252")
+    except UnicodeDecodeError:
+        return bytes([b]).decode("latin-1")
+
+
+_MOJIBAKE_TABLE: list[tuple[str, str]] = sorted(
+    (
+        ("".join(_cp1252_char(b) for b in g.encode("utf-8")), g)
+        for g in _MOJIBAKE_GOOD
+    ),
+    key=lambda p: (-len(p[0]), p[0]),
+)
+
+
+def mojibake_count(text: Column) -> Column:
+    """How many known mojibake sequences a document carries (0 for NULL)
+    — the detection signal; ONE combined alternation regex (sequences
+    regex-escaped), counted by split, no per-pattern pass."""
+    import re as _re
+
+    alts = "|".join(_re.escape(bad) for bad, _ in _MOJIBAKE_TABLE)
+    t = F.coalesce(text, F.lit(""))
+    return F.size(F.split(t, f"(?:{alts})")) - 1
+
+
+def fix_mojibake(text: Column) -> Column:
+    """Repair the :data:`_MOJIBAKE_TABLE` artifacts — a chained
+    ``replace`` in table order (longest bad first), one codegen'd
+    projection. NULL-safe (NULL → NULL). Like every mojibake fixer this
+    is heuristic, not bijective: cp1252 maps 0x94 to the good right-quote
+    itself, so clean text that legitimately contains an artifact-shaped
+    sequence (e.g. literal 'â€' before a quote) will be "repaired" —
+    inherent ambiguity, shared with ftfy; fix-twice stability is
+    tested."""
+    out = text
+    for bad, good in _MOJIBAKE_TABLE:
+        out = F.replace(out, F.lit(bad), F.lit(good))
+    return out
+
+
+def mojibake_sql(x: str) -> str:
+    """DuckDB spelling of :func:`fix_mojibake` — same table, same order."""
+    out = x
+    for bad, good in _MOJIBAKE_TABLE:
+        out = f"replace({out}, {_sql_quote(bad)}, {_sql_quote(good)})"
+    return out
+
+
 # Unicode script ranges — \x{hhhh} syntax parses identically in Java
 # regex and RE2, so one table serves both engines (the [\uXXXX] spelling
 # would be Java-only).
