@@ -62,6 +62,7 @@ def run_pipeline(
     keep_policy: str = "first",
     shuffle_shards: int = 0,
     ccnet_keep: str | None = None,
+    fix_encoding: bool = False,
 ) -> dict:
     """Compose the pipeline over an in-memory DataFrame; returns the
     per-stage audit dict (also written to <output>/audit/<batch_id>/).
@@ -140,6 +141,20 @@ def run_pipeline(
     # local checkpoints free through the shared helper: Dataset.unpersist()
     # is a no-op on them (RDD storage, not CacheManager — review finding)
     from xmlschemavalidator_spark.session import free_local_checkpoint as free
+
+    if fix_encoding:
+        # encoding repair runs FIRST (published pipeline order: fix the
+        # bytes before any filter judges them) — a narrow projection, so
+        # it folds into the input materialization below. Derived metadata
+        # must follow the rewrite: a stale n_chars fails the ruleset's
+        # nchars_consistent rule and validation would drop EVERY repaired
+        # doc (found by the /tmp drive — the first test of this flag was
+        # vacuously green on an empty kept set)
+        from xmlschemavalidator_spark.textops import fix_mojibake
+
+        docs = docs.withColumn("text", fix_mojibake(F.col("text")))
+        if "n_chars" in docs.columns:
+            docs = docs.withColumn("n_chars", F.length(F.coalesce("text", F.lit(""))))
 
     docs = stage("input", docs)  # downstream reuses the materialized input
 
@@ -415,6 +430,11 @@ def main(argv: list[str] | None = None) -> int:
         "(longest text per cluster; within-batch mode only)",
     )
     p.add_argument(
+        "--fix-encoding",
+        action="store_true",
+        help="repair UTF-8-as-cp1252 mojibake before any filtering",
+    )
+    p.add_argument(
         "--ccnet-keep",
         default=None,
         help="CCNet perplexity terciles: comma list of buckets to keep "
@@ -445,6 +465,7 @@ def main(argv: list[str] | None = None) -> int:
         near_store=args.near_store, pack_seq_len=args.pack_seq_len,
         use_quality_model=args.quality_model, keep_policy=args.keep_policy,
         shuffle_shards=args.shuffle_shards, ccnet_keep=args.ccnet_keep,
+        fix_encoding=args.fix_encoding,
     )
     print(json.dumps(audit))
     return 0

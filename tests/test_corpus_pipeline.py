@@ -287,3 +287,26 @@ def test_pipeline_releases_checkpoint_storage(spark, tmp_path):
     run_pipeline(spark, docs, str(tmp_path / "rel2"), batch_id="r2")
     # and repeated batches must not GROW resident storage
     assert n_cached() <= after_first + 1
+
+
+def test_pipeline_fix_encoding_stage(spark, tmp_path):
+    """--fix-encoding: mojibake repaired before any filter judges the
+    text; kept output carries the clean form."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    from corpus_pipeline_job import run_pipeline
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bad = "café".encode("utf-8").decode("cp1252")
+    dirty = docs.select(
+        "doc_id",
+        F.concat(F.coalesce("text", F.lit("")), F.lit(f" {bad}")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    out = str(tmp_path / "fe")
+    audit = run_pipeline(spark, dirty, out, batch_id="f1", fix_encoding=True)
+    kept = spark.read.parquet(f"{out}/kept/batch_id=f1")
+    # NON-vacuous: docs survive (the first version of this test passed on
+    # an empty kept set — stale n_chars failed nchars_consistent)
+    assert audit["kept"] > 0 and kept.count() == audit["kept"]
+    assert kept.where(F.col("text").contains("café")).count() == kept.count()
+    assert kept.where(F.col("text").contains(bad)).count() == 0

@@ -19,6 +19,7 @@ from xmlschemavalidator_spark.textops import (
     gopher_pass,
     gopher_repetition_signals,
     license_signals,
+    mojibake_count,
     pii_counts,
     quality_score,
     script_signals,
@@ -42,6 +43,7 @@ def per_doc_signals(df: DataFrame, id_col: str, text_col: str = "text") -> DataF
         **pii_counts(F.coalesce(t, F.lit(""))),
         **license_signals(t),
         **script_signals(t),
+        "n_mojibake": mojibake_count(t),
     }
     keep = [F.col(id_col).alias("doc")]
     if "lang" in df.columns:
