@@ -154,7 +154,16 @@ def run_pipeline(
 
         docs = docs.withColumn("text", fix_mojibake(F.col("text")))
         if "n_chars" in docs.columns:
-            docs = docs.withColumn("n_chars", F.length(F.coalesce("text", F.lit(""))))
+            # cast to the EXISTING dtype: length() returns int, and an
+            # int32 batch under a kept/ root whose other batches wrote
+            # int64 makes spark.read.parquet(<root>) abort with a parquet
+            # type mismatch (review finding, reproduced live)
+            docs = docs.withColumn(
+                "n_chars",
+                F.length(F.coalesce("text", F.lit(""))).cast(
+                    docs.schema["n_chars"].dataType
+                ),
+            )
 
     docs = stage("input", docs)  # downstream reuses the materialized input
 

@@ -310,3 +310,26 @@ def test_pipeline_fix_encoding_stage(spark, tmp_path):
     assert audit["kept"] > 0 and kept.count() == audit["kept"]
     assert kept.where(F.col("text").contains("café")).count() == kept.count()
     assert kept.where(F.col("text").contains(bad)).count() == 0
+
+
+def test_pipeline_fix_encoding_preserves_kept_schema(spark, tmp_path):
+    """A --fix-encoding batch and a plain batch under one kept/ root must
+    stay readable together (the recomputed n_chars once narrowed bigint
+    to int and the mixed parquet types aborted the read — review
+    finding)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    from corpus_pipeline_job import run_pipeline
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "mix")
+    run_pipeline(spark, docs, out, batch_id="plain")
+    run_pipeline(
+        spark,
+        docs.withColumn("doc_id", F.col("doc_id") + 10_000),
+        out,
+        batch_id="fixed",
+        fix_encoding=True,
+    )
+    both = spark.read.parquet(f"{out}/kept")
+    assert both.count() > 0
+    assert dict(both.dtypes)["n_chars"] == dict(docs.dtypes)["n_chars"]

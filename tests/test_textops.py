@@ -846,3 +846,22 @@ def test_fix_mojibake_repairs_and_counts(spark):
     once = docs.select("doc_id", fix_mojibake(F.col("text")).alias("t"))
     twice = once.select("doc_id", fix_mojibake(F.col("t")).alias("t"))
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_fix_mojibake_no_cascade_on_adjacent_artifacts(spark):
+    """Single-pass semantics: a replacement output must never complete a
+    LATER table entry. A stray truncated artifact before a left-quote
+    artifact previously collapsed both into an en-dash ('â€'+'“' is the
+    en-dash artifact byte-for-byte)."""
+    from xmlschemavalidator_spark.textops import fix_mojibake, mojibake_count
+
+    stray = "’".encode("utf-8").decode("cp1252")[:2]  # 'â€' truncated
+    left_q = "“".encode("utf-8").decode("cp1252")     # 'â€œ'
+    txt = stray + left_q
+    df = spark.createDataFrame([(1, txt)], "i bigint, t string")
+    got = df.select(
+        fix_mojibake(F.col("t")).alias("f"), mojibake_count(F.col("t")).alias("n")
+    ).collect()[0]
+    # exactly ONE artifact repaired; the stray prefix survives verbatim
+    assert got["f"] == stray + "“", repr(got["f"])
+    assert got["n"] == 1

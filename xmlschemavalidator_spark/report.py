@@ -30,7 +30,8 @@ from xmlschemavalidator_spark.textops import (
 def per_doc_signals(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """Every per-doc signal in ONE projection: ``(doc, n_chars, n_tokens,
     quality, gopher_keep, n_email/n_phone/n_ipv4, has_* license tags,
-    frac_* script fractions)`` plus passthrough ``lang`` when present."""
+    frac_* script fractions, n_mojibake)`` plus passthrough ``lang`` when
+    present."""
     t = F.col(text_col)
     cols = {
         "n_chars": F.length(F.coalesce(t, F.lit(""))),

@@ -277,26 +277,42 @@ def mojibake_count(text: Column) -> Column:
     return F.size(F.split(t, f"(?:{alts})")) - 1
 
 
+# phase-1 placeholders: Unicode NONCHARACTERS (U+FDD0..) — guaranteed
+# absent from interchange text, so a replacement can never complete a
+# later table entry (review finding: the direct chained replace let
+# 'â€œ'→'“' land next to a stray 'â€' and form the en-dash artifact
+# 'â€“', double-transforming in one pass)
+def _mojibake_placeholder(i: int) -> str:
+    return chr(0xFDD0 + i)
+
+
 def fix_mojibake(text: Column) -> Column:
-    """Repair the :data:`_MOJIBAKE_TABLE` artifacts — a chained
-    ``replace`` in table order (longest bad first), one codegen'd
-    projection. NULL-safe (NULL → NULL). Like every mojibake fixer this
-    is heuristic, not bijective: cp1252 maps 0x94 to the good right-quote
-    itself, so clean text that legitimately contains an artifact-shaped
-    sequence (e.g. literal 'â€' before a quote) will be "repaired" —
-    inherent ambiguity, shared with ftfy; fix-twice stability is
+    """Repair the :data:`_MOJIBAKE_TABLE` artifacts with SINGLE-PASS
+    semantics: every bad sequence is first swapped for a per-entry
+    Unicode-noncharacter placeholder (table order, longest bad first),
+    then placeholders become the good characters — a replacement output
+    can never cascade into a later artifact match. One codegen'd
+    projection; NULL-safe (NULL → NULL). Still heuristic, not bijective:
+    cp1252 maps 0x94 to the good right-quote itself, so clean text that
+    legitimately contains an artifact-shaped sequence will be "repaired"
+    — inherent ambiguity, shared with ftfy; fix-twice stability is
     tested."""
     out = text
-    for bad, good in _MOJIBAKE_TABLE:
-        out = F.replace(out, F.lit(bad), F.lit(good))
+    for i, (bad, _) in enumerate(_MOJIBAKE_TABLE):
+        out = F.replace(out, F.lit(bad), F.lit(_mojibake_placeholder(i)))
+    for i, (_, good) in enumerate(_MOJIBAKE_TABLE):
+        out = F.replace(out, F.lit(_mojibake_placeholder(i)), F.lit(good))
     return out
 
 
 def mojibake_sql(x: str) -> str:
-    """DuckDB spelling of :func:`fix_mojibake` — same table, same order."""
+    """DuckDB spelling of :func:`fix_mojibake` — same table, same order,
+    same two-phase placeholder scheme."""
     out = x
-    for bad, good in _MOJIBAKE_TABLE:
-        out = f"replace({out}, {_sql_quote(bad)}, {_sql_quote(good)})"
+    for i, (bad, _) in enumerate(_MOJIBAKE_TABLE):
+        out = f"replace({out}, {_sql_quote(bad)}, {_sql_quote(_mojibake_placeholder(i))})"
+    for i, (_, good) in enumerate(_MOJIBAKE_TABLE):
+        out = f"replace({out}, {_sql_quote(_mojibake_placeholder(i))}, {_sql_quote(good)})"
     return out
 
 
