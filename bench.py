@@ -63,6 +63,7 @@ def headline_queries():
         corpus_line_dedup_stats,
         decontamination_overlap,
         dsir_selection,
+        dsir_selection_frac,
         html_extract_text,
         join_q3_shipping_priority,
         join_revenue_segment,
@@ -105,6 +106,10 @@ def headline_queries():
         "bpe_tokenize": lambda s: bpe_tokenize(s, SF_DIR),
         "semdedup": lambda s: _bench_semdedup(s),
         "dsir_select": lambda s: dsir_selection(s, SF_DIR),
+        # round-4: the corpus-fraction-k DSIR scale path (quantile
+        # bracketing + narrow filter, no TakeOrderedAndProject) timed
+        # against the same selection — VERDICT r3 item 1's bench entry
+        "dsir_select_frac": lambda s: dsir_selection_frac(s, SF_DIR),
     }
 
 
@@ -349,7 +354,38 @@ def run_sf1_probe(spark) -> dict:
     return out
 
 
+def run_headline_suite(spark, pages_path: str) -> dict:
+    """One canary-wrapped pass over the headline suite + pages metric.
+    The pre/post register-arithmetic canaries bracket everything timed,
+    so a mid-run hypervisor dip is visible from this attempt's own JSON."""
+    cpu_pre = _cpu_bound_rows_per_sec(spark, 40_000_000, reps=2)
+    times: dict[str, float] = {}
+    for name, fn in headline_queries().items():
+        t0 = time.time()
+        _count(fn(spark))
+        times[name] = round(time.time() - t0, 3)
+    # pages metric per the BENCH/BASELINE.md protocol: validation-only over
+    # PRE-MATERIALIZED parquet (generation is harness cost, not engine
+    # cost), steady state after a warmup run
+    pages_validation_docs_per_sec(spark, PAGES_ROWS, pages_path)  # JIT warmup
+    t0 = time.time()
+    dps = pages_validation_docs_per_sec(spark, PAGES_ROWS, pages_path)
+    times["pages_validate_2m"] = round(time.time() - t0, 3)
+    cpu_post = _cpu_bound_rows_per_sec(spark, 40_000_000, reps=2)
+    return {
+        "times": times,
+        "dps": dps,
+        "cpu_pre": cpu_pre,
+        "cpu_post": cpu_post,
+        "cpu_canary": min(cpu_pre, cpu_post),
+    }
+
+
 def main() -> None:
+    import shutil
+    import tempfile
+
+    from xmlschemavalidator_spark.datagen import pages as _pages
     from xmlschemavalidator_spark.session import get_spark
 
     spark = get_spark(app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
@@ -360,41 +396,32 @@ def main() -> None:
     for t in ("documents", "lineitem", "customer"):
         spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
 
-    # host-health canary BEFORE the timed suite (VERDICT r2 item 2): the
-    # same register-arithmetic control the scaling block uses, so a
-    # degraded-host headline run is self-identifying from the JSON alone
-    cpu_pre = _cpu_bound_rows_per_sec(spark, 40_000_000, reps=2)
-
-    times: dict[str, float] = {}
-    for name, fn in headline_queries().items():
-        t0 = time.time()
-        _count(fn(spark))
-        times[name] = round(time.time() - t0, 3)
-
-    # pages metric per the BENCH/BASELINE.md protocol: validation-only over
-    # PRE-MATERIALIZED parquet (generation is harness cost, not engine
-    # cost), steady state after a warmup run
-    import shutil
-    import tempfile
-
-    from xmlschemavalidator_spark.datagen import pages as _pages
-
     tmp = tempfile.mkdtemp(prefix="bench_hl_pages_")
     pages_path = f"{tmp}/pages"
     _pages(spark, PAGES_ROWS, partitions=CPUS * 2).write.parquet(pages_path)
-    pages_validation_docs_per_sec(spark, PAGES_ROWS, pages_path)  # JIT warmup
-    t0 = time.time()
-    dps = pages_validation_docs_per_sec(spark, PAGES_ROWS, pages_path)
-    times["pages_validate_2m"] = round(time.time() - t0, 3)
+
+    # VERDICT r3 item 2: when the canary flags mid-run host degradation,
+    # retry the headline suite ONCE (same session, same materialized pages)
+    # and keep the attempt with the healthier canary, so the per-round
+    # artifact is cross-comparable without a manual re-run.
+    attempt = run_headline_suite(spark, pages_path)
+    retried = False
+    discarded_canary = None
+    if CPUS == 32 and attempt["cpu_canary"] < 0.75 * HEALTHY_CPU_ROWS_PER_SEC:
+        retry = run_headline_suite(spark, pages_path)
+        retried = True
+        if retry["cpu_canary"] > attempt["cpu_canary"]:
+            discarded_canary = round(attempt["cpu_canary"], 1)
+            attempt = retry
+        else:
+            discarded_canary = round(retry["cpu_canary"], 1)
+    times, dps = attempt["times"], attempt["dps"]
+    cpu_pre, cpu_post = attempt["cpu_pre"], attempt["cpu_post"]
+    cpu_canary = attempt["cpu_canary"]
     shutil.rmtree(tmp, ignore_errors=True)
 
     sf1 = run_sf1_probe(spark) if DO_SF1 else {}
-
-    # canary AFTER the suite too: a mid-run hypervisor dip shows up in
-    # whichever sample it degraded; the conservative min drives the flag
-    cpu_post = _cpu_bound_rows_per_sec(spark, 40_000_000, reps=2)
     spark.stop()
-    cpu_canary = min(cpu_pre, cpu_post)
 
     scaling = run_scaling(PAGES_ROWS) if DO_SCALING else {}
 
@@ -416,6 +443,8 @@ def main() -> None:
         "host_degraded": (
             cpu_canary < 0.75 * HEALTHY_CPU_ROWS_PER_SEC if CPUS == 32 else None
         ),
+        "headline_retried": retried,
+        "discarded_canary": discarded_canary,
         "sf1_probe": sf1,
         "scaling": scaling,
     }

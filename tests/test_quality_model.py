@@ -226,6 +226,61 @@ def test_dsir_model_save_load_roundtrip(spark, tmp_path):
     assert a == b
 
 
+def test_dsir_threshold_selects_same_set_as_topk(spark):
+    """The scale path (quantile-bracketed exact k-th element + narrow
+    filter) must pick the IDENTICAL set the TakeOrderedAndProject path
+    picks, for small and corpus-fraction k alike. boundary_cap=64 forces
+    real bracket iterations on a 500-doc corpus."""
+    from xmlschemavalidator_spark.quality_model import dsir_sample, train_dsir_model
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    model = train_dsir_model(docs.where(F.col("lang") == "en"), docs, "doc_id", n_buckets=512)
+    for k in (50, 150, 400):
+        topk = dsir_sample(docs, model, "doc_id", k=k, salt="th", method="topk")
+        thr = dsir_sample(
+            docs, model, "doc_id", k=k, salt="th", method="threshold", boundary_cap=64
+        )
+        a = sorted(r["doc"] for r in topk.collect())
+        b = sorted(r["doc"] for r in thr.collect())
+        assert a == b, f"k={k}: threshold set diverged from top-k set"
+        assert len(b) == k
+
+
+def test_dsir_threshold_k_ge_n_returns_all(spark):
+    from xmlschemavalidator_spark.quality_model import dsir_sample, train_dsir_model
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(40)
+    model = train_dsir_model(docs, docs, "doc_id", n_buckets=128)
+    out = dsir_sample(docs, model, "doc_id", k=1000, method="threshold")
+    assert out.count() == 40
+
+
+def test_dsir_auto_picks_threshold_at_corpus_fraction_k(spark):
+    """auto + n_docs routes corpus-fraction k to the threshold path (no
+    TakeOrderedAndProject anywhere in the plan — VERDICT r3 item 1's 'done'
+    criterion) and small k to the classic top-k."""
+    from xmlschemavalidator_spark.quality_model import dsir_sample, train_dsir_model
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n = docs.count()
+    model = train_dsir_model(docs.where(F.col("lang") == "en"), docs, "doc_id", n_buckets=256)
+    jvm = spark._jvm
+
+    def plan(df):
+        return df._jdf.queryExecution().explainString(
+            jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+
+    frac = dsir_sample(
+        docs, model, "doc_id", k=300, salt="a", n_docs=n, topk_max_fraction=0.4
+    )
+    assert "TakeOrderedAndProject" not in plan(frac)
+    small = dsir_sample(
+        docs, model, "doc_id", k=150, salt="a", n_docs=n, topk_max_fraction=0.4
+    )
+    assert "TakeOrderedAndProject" in plan(small)
+
+
 def test_quality_buckets_approx_matches_exact_orientation(spark):
     from xmlschemavalidator_spark.quality_model import (
         quality_buckets,

@@ -3889,6 +3889,29 @@ def dsir_selection(spark, sf_dir):
     return dsir_sample(docs, model, "doc_id", k=150, salt="dsir-r3")
 
 
+@q("dsir_selection_frac", _dsir_oracle())
+def dsir_selection_frac(spark, sf_dir):
+    """The SAME DSIR selection via the corpus-fraction-k scale path (r3
+    VERDICT item 1): quantile-bracketed exact k-th-element hunt + one
+    narrow filter instead of a global TakeOrderedAndProject — no task
+    ever holds k rows. boundary_cap=256 forces a real bracket iteration
+    even at the gate's 500-doc scale; the oracle is the identical
+    ORDER BY … LIMIT replay, proving set-equality of the two strategies."""
+    from xmlschemavalidator_spark.quality_model import (
+        dsir_sample,
+        train_dsir_model,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    model = train_dsir_model(
+        docs.where(F.col("lang") == "en"), docs, "doc_id", n_buckets=1024
+    )
+    return dsir_sample(
+        docs, model, "doc_id", k=150, salt="dsir-r3",
+        method="threshold", boundary_cap=256,
+    )
+
+
 def _html_extract_oracle() -> str:
     from xmlschemavalidator_spark.textops import html_to_text_sql
 
