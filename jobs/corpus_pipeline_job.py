@@ -63,6 +63,7 @@ def run_pipeline(
     shuffle_shards: int = 0,
     ccnet_keep: str | None = None,
     fix_encoding: bool = False,
+    lang_from: str = "auto",
 ) -> dict:
     """Compose the pipeline over an in-memory DataFrame; returns the
     per-stage audit dict (also written to <output>/audit/<batch_id>/).
@@ -166,6 +167,40 @@ def run_pipeline(
             )
 
     docs = stage("input", docs)  # downstream reuses the materialized input
+
+    # 0b. language production (VERDICT r3 item 3): every per-lang stage
+    # downstream (CCNet terciles, stratified mix, token budget, packing)
+    # keys on `lang`. lang_from:
+    #   auto       — trust an existing input column; otherwise classifier
+    #   input      — require the column (error early, not at stage 8)
+    #   classifier — hashed char-trigram NB bootstrapped in-run from the
+    #                stopword heuristic's confident calls (the trained
+    #                default producer, replacing the raw heuristic)
+    #   heuristic  — the stopword argmax (kept for comparison runs)
+    if lang_from not in ("auto", "input", "classifier", "heuristic"):
+        raise ValueError(f"lang_from={lang_from!r}")
+    if lang_from == "auto":
+        lang_from = "input" if "lang" in docs.columns else "classifier"
+    if lang_from == "input":
+        if "lang" not in docs.columns:
+            raise ValueError("lang_from='input' but the input has no lang column")
+    elif lang_from == "classifier":
+        from xmlschemavalidator_spark.lang_model import (
+            train_lang_model_weak,
+            with_lang,
+        )
+
+        lang_nb = train_lang_model_weak(docs, id_col)
+        # checkpoint: prediction is an explode+join+agg pass — every
+        # downstream stage must read its result, not re-run it
+        docs = stage("lang_tagged", with_lang(docs, lang_nb, id_col))
+    else:  # heuristic
+        from xmlschemavalidator_spark.textops import lang_id
+
+        docs = stage(
+            "lang_tagged",
+            docs.drop("lang").withColumn("lang", lang_id(F.col("text"))),
+        )
 
     # 1. schema/constraint validation — violations kept as an audit table
     res = validate(docs, documents_ruleset(), key=id_col)
@@ -451,6 +486,14 @@ def main(argv: list[str] | None = None) -> int:
         "bigram LM (e.g. 'head,middle'; default off)",
     )
     p.add_argument(
+        "--lang-from",
+        choices=["auto", "input", "classifier", "heuristic"],
+        default="auto",
+        help="lang producer for per-lang stages: trust the input column, "
+        "train an in-run char-trigram NB classifier (the default when the "
+        "input has no lang column), or the stopword heuristic",
+    )
+    p.add_argument(
         "--shuffle-shards",
         type=int,
         default=0,
@@ -474,7 +517,7 @@ def main(argv: list[str] | None = None) -> int:
         near_store=args.near_store, pack_seq_len=args.pack_seq_len,
         use_quality_model=args.quality_model, keep_policy=args.keep_policy,
         shuffle_shards=args.shuffle_shards, ccnet_keep=args.ccnet_keep,
-        fix_encoding=args.fix_encoding,
+        fix_encoding=args.fix_encoding, lang_from=args.lang_from,
     )
     print(json.dumps(audit))
     return 0

@@ -3912,6 +3912,111 @@ def dsir_selection_frac(spark, sf_dir):
     )
 
 
+# planted per-lang character markers (planted-oracle rule: the synthetic
+# text is lang-INDEPENDENT, so without planting, a lang classifier query
+# would verify nothing). Prepended — truncation to max_chars keeps them.
+_LANG_MARKERS = {
+    "en": "the of and in that it was ",
+    "de": "straße müller zügig schön könig und ",
+    "fr": "château français déjà très être où ",
+    "es": "señor año corazón niño mañana español ",
+    "zh": "中文 漢字 的 是 在 了 ",
+}
+_LANG_NB_BUCKETS = 512
+_LANG_NB_MAXCHARS = 400
+
+
+def _lang_model_oracle() -> str:
+    """Full replay of char-trigram NB training + scoring + argmax: same
+    normalized gram stream (char_ngrams_sql), same portable hash, same
+    floor-quantized micro log-likelihood weights + priors, same
+    (score DESC, lang ASC) deterministic argmax."""
+    from xmlschemavalidator_spark.lang_model import char_ngrams_sql
+    from xmlschemavalidator_spark.textops import PORTABLE_HASH64_SQL
+
+    marker = "CASE lang " + " ".join(
+        f"WHEN '{lg}' THEN '{m}'" for lg, m in sorted(_LANG_MARKERS.items())
+    ) + " ELSE '' END"
+    grams = char_ngrams_sql("t", 3, _LANG_NB_MAXCHARS)
+    ph = PORTABLE_HASH64_SQL.format(x="g")
+    b = _LANG_NB_BUCKETS
+    return f"""
+WITH aug AS (
+  SELECT doc_id, lang, {marker} || coalesce(text, '') AS t FROM documents
+), gr AS (
+  SELECT doc_id, lang, unnest({grams}) AS g FROM aug
+), gb AS (
+  SELECT doc_id, lang, CAST({ph} % {b} AS INT) AS bucket FROM gr
+), cnt AS (
+  SELECT lang, bucket, count(*) AS c FROM gb GROUP BY 1, 2
+), tot AS (
+  SELECT lang, CAST(sum(c) AS DOUBLE) AS t FROM cnt GROUP BY 1
+), dl AS (
+  SELECT lang, count(*) AS d FROM documents GROUP BY 1
+), nn AS (
+  SELECT CAST(count(*) AS DOUBLE) AS nd,
+         CAST(count(DISTINCT lang) AS DOUBLE) AS nc FROM documents
+), grid AS (
+  SELECT tot.lang, CAST(bb.b AS INT) AS bucket
+  FROM tot CROSS JOIN (SELECT unnest(range(0, {b})) AS b) bb
+), w AS (
+  SELECT grid.lang, grid.bucket,
+         CAST(floor(ln((coalesce(cnt.c, 0) + 1.0) / (tot.t + {float(b)!r}))
+                    * 1000000) AS BIGINT) AS w
+  FROM grid
+  LEFT JOIN cnt ON grid.lang = cnt.lang AND grid.bucket = cnt.bucket
+  JOIN tot ON grid.lang = tot.lang
+), pr AS (
+  SELECT dl.lang,
+         CAST(floor(ln((dl.d + 1.0) / (nn.nd + nn.nc)) * 1000000) AS BIGINT) AS p
+  FROM dl CROSS JOIN nn
+), sums AS (
+  SELECT gb.doc_id, w.lang, CAST(sum(w.w) AS BIGINT) AS s
+  FROM gb JOIN w ON gb.bucket = w.bucket GROUP BY 1, 2
+), scores AS (
+  SELECT d.doc_id AS doc, pr.lang, pr.p + coalesce(sums.s, 0) AS score
+  FROM documents d CROSS JOIN pr
+  LEFT JOIN sums ON sums.doc_id = d.doc_id AND sums.lang = pr.lang
+), r AS (
+  SELECT doc, lang, score,
+         row_number() OVER (PARTITION BY doc ORDER BY score DESC, lang ASC) AS rn
+  FROM scores
+)
+SELECT doc, lang AS lang_pred, CAST(score AS BIGINT) AS score_micro
+FROM r WHERE rn = 1"""
+
+
+@q("lang_model_predict", _lang_model_oracle())
+def lang_model_predict(spark, sf_dir):
+    """Trained language ID (VERDICT r3 item 3): hashed char-trigram
+    multinomial NB — the in-engine fastText-equivalent every published
+    pipeline (CCNet/FineWeb) runs instead of a stopword heuristic. The
+    oracle replays training (per-class gram counts → floor-quantized
+    micro log-likelihoods + priors), scoring (integer sums), and the
+    deterministic argmax; the planted per-lang markers give the synthetic
+    corpus a real signal to learn (planted-oracle rule)."""
+    from xmlschemavalidator_spark.lang_model import predict_lang, train_lang_model
+
+    docs = _t(spark, sf_dir, "documents")
+    marker = None
+    for lg, m in sorted(_LANG_MARKERS.items()):
+        marker = (
+            F.when(F.col("lang") == lg, F.lit(m))
+            if marker is None
+            else marker.when(F.col("lang") == lg, F.lit(m))
+        )
+    marker = marker.otherwise(F.lit(""))
+    aug = docs.select(
+        "doc_id", "lang",
+        F.concat(marker, F.coalesce(F.col("text"), F.lit(""))).alias("text"),
+    )
+    model = train_lang_model(
+        aug, "doc_id", "lang",
+        n_buckets=_LANG_NB_BUCKETS, max_chars=_LANG_NB_MAXCHARS,
+    )
+    return predict_lang(aug, model, "doc_id")
+
+
 def _html_extract_oracle() -> str:
     from xmlschemavalidator_spark.textops import html_to_text_sql
 
