@@ -64,6 +64,7 @@ def run_pipeline(
     ccnet_keep: str | None = None,
     fix_encoding: bool = False,
     lang_from: str = "auto",
+    extract_main_content: bool = False,
 ) -> dict:
     """Compose the pipeline over an in-memory DataFrame; returns the
     per-stage audit dict (also written to <output>/audit/<batch_id>/).
@@ -142,6 +143,25 @@ def run_pipeline(
     # local checkpoints free through the shared helper: Dataset.unpersist()
     # is a no-op on them (RDD storage, not CacheManager — review finding)
     from xmlschemavalidator_spark.session import free_local_checkpoint as free
+
+    if extract_main_content:
+        # main-content extraction runs FIRST (published order: extract →
+        # repair encoding → filter): replaces text with the boilerplate-
+        # free rendering of the html column. Derived metadata must follow
+        # the rewrite (the fix_encoding lesson: stale n_chars makes
+        # validation silently drop every extracted doc).
+        from xmlschemavalidator_spark.textops import main_content
+
+        if "html" not in docs.columns:
+            raise ValueError("--main-content requires an 'html' column")
+        docs = docs.withColumn("text", main_content(F.col("html")))
+        if "n_chars" in docs.columns:
+            docs = docs.withColumn(
+                "n_chars",
+                F.length(F.coalesce("text", F.lit(""))).cast(
+                    docs.schema["n_chars"].dataType
+                ),
+            )
 
     if fix_encoding:
         # encoding repair runs FIRST (published pipeline order: fix the
@@ -486,6 +506,13 @@ def main(argv: list[str] | None = None) -> int:
         "bigram LM (e.g. 'head,middle'; default off)",
     )
     p.add_argument(
+        "--main-content",
+        action="store_true",
+        help="extract boilerplate-free main content from the 'html' column "
+        "into text before any other stage (per-block link-density + length "
+        "classification)",
+    )
+    p.add_argument(
         "--lang-from",
         choices=["auto", "input", "classifier", "heuristic"],
         default="auto",
@@ -518,6 +545,7 @@ def main(argv: list[str] | None = None) -> int:
         use_quality_model=args.quality_model, keep_policy=args.keep_policy,
         shuffle_shards=args.shuffle_shards, ccnet_keep=args.ccnet_keep,
         fix_encoding=args.fix_encoding, lang_from=args.lang_from,
+        extract_main_content=args.main_content,
     )
     print(json.dumps(audit))
     return 0

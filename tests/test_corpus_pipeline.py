@@ -10,6 +10,7 @@ import json
 import os
 import sys
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -84,6 +85,52 @@ def test_pipeline_trains_lang_classifier_when_input_has_no_lang(spark, tmp_path)
         | ((F.col("doc_id") % 2 == 1) & (F.col("lang") != "de"))
     ).count()
     assert wrong == 0
+
+
+def test_pipeline_main_content_stage(spark, tmp_path):
+    """--main-content: text is rebuilt boilerplate-free from the html
+    column before any filter, with n_chars refreshed so validation's
+    nchars_consistent rule passes on the rewritten text."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    from corpus_pipeline_job import run_pipeline
+
+    body = (
+        "the light of the world and the thing that it was for knowing more "
+    )
+    rows = []
+    for i in range(30):
+        istr = "".join(chr(97 + int(c)) for c in str(i))
+        uniq = " ".join(f"mark{istr}{chr(97 + j)}word" for j in range(8))
+        b = body + uniq + " "
+        html = (
+            '<html><body><div><a href="/">Home</a> | <a href="/b">Blog</a> | '
+            f'<a href="/c">Contact</a></div><p>{b.strip()}</p>'
+            '<div><a href="/r">related article link farm here</a></div>'
+            "</body></html>"
+        )
+        rows.append((i, html, "junk " * 10, f"src{i % 3}", 50))
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, html string, text string, source string, n_chars int"
+    )
+    out = str(tmp_path / "mc")
+    audit = run_pipeline(
+        spark, docs, out, batch_id="M1", extract_main_content=True
+    )
+    # extraction + n_chars refresh must carry every doc through validation
+    # and gopher (the raw 'junk' text would fail nchars_consistent); the
+    # near-dup stage MAY thin the deliberately-similar bodies after that
+    assert audit["validated"] == 30 and audit["quality"] == 30, audit
+    assert audit["kept"] > 0, audit
+    kept = spark.read.parquet(f"{out}/kept/batch_id=M1")
+    one = kept.orderBy("doc_id").first()
+    assert one["text"].startswith("the light of the world")
+    assert "Home" not in one["text"] and "related article" not in one["text"]
+    assert one["n_chars"] == len(one["text"])
+    with pytest.raises(ValueError, match="html"):
+        run_pipeline(
+            spark, docs.drop("html"), str(tmp_path / "mc2"),
+            batch_id="M2", extract_main_content=True,
+        )
 
 
 def test_pipeline_emits_packed_sequences(spark, tmp_path):

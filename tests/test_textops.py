@@ -865,3 +865,62 @@ def test_fix_mojibake_no_cascade_on_adjacent_artifacts(spark):
     # exactly ONE artifact repaired; the stray prefix survives verbatim
     assert got["f"] == stray + "“", repr(got["f"])
     assert got["n"] == 1
+
+
+def test_main_content_drops_boilerplate_keeps_body_byte_exact(spark):
+    """jusText-style block classification: nav/sidebar (link-dense) and
+    short footers die; body paragraphs pass through byte-exactly."""
+    from xmlschemavalidator_spark.textops import main_content
+
+    body = "The quick brown fox jumps over the lazy dog near the river bank."
+    body2 = "A second paragraph long enough to clear the block length floor."
+    html = (
+        '<html><body>'
+        '<div><a href="/">Home</a> | <a href="/about">About</a> | '
+        '<a href="/contact">Contact</a></div>'
+        f"<p>{body}</p>"
+        '<p>read <a href="/x">this very fine longer related article</a> ok</p>'
+        f"<div>{body2}</div>"
+        '<div><a href="/t1">related article number one</a>'
+        '<a href="/t2">related article number two</a></div>'
+        "<div>(c) 2026 corp</div>"
+        "</body></html>"
+    )
+    df = spark.createDataFrame([(1, html), (2, None), (3, "")], "i int, h string")
+    got = {
+        r["i"]: r["m"]
+        for r in df.select("i", main_content(F.col("h")).alias("m")).collect()
+    }
+    assert got[1] == body + "\n" + body2, repr(got[1])
+    assert got[2] is None and got[3] == ""
+
+
+def test_main_content_matches_duckdb_replica(spark):
+    """Engine parity of the FULL block pipeline (marking, extraction,
+    per-block density/length, rebuild) — including unbalanced anchors."""
+    import duckdb
+
+    from xmlschemavalidator_spark.textops import main_content, main_content_sql
+
+    pages = [
+        (1, '<div><a href="/a">x</a> hub</div><p>' + "long body sentence here " * 3 + "</p>"),
+        (2, "<p>unclosed <a href='/y'>anchor swallows the rest of this block"),
+        (3, "<p>" + "plain prose with no links at all padded out " * 2 + "</p>"),
+        (4, '<ul><li><a href="/1">one link</a></li><li><a href="/2">two link</a></li></ul>'),
+        (5, None),
+        (6, "<p>short</p>"),
+    ]
+    df = spark.createDataFrame(pages, "i int, h string")
+    got = {
+        r["i"]: r["m"]
+        for r in df.select("i", main_content(F.col("h")).alias("m")).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    want = {
+        r[0]: r[1]
+        for r in con.execute(
+            f"SELECT i, {main_content_sql('h')} FROM t"
+        ).fetchall()
+    }
+    assert got == want

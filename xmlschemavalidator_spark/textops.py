@@ -692,6 +692,139 @@ def html_to_text_sql(x: str) -> str:
     return out
 
 
+# --------------------------------------------------------------------------
+# Main-content extraction (jusText/trafilatura-style block classification)
+# --------------------------------------------------------------------------
+
+# anchor-text markers: Unicode noncharacters (same family as the mojibake
+# placeholders) cannot occur in well-formed input text, so they are safe
+# in-band sentinels. Inserted BEFORE the generic tag strip, they survive
+# extraction and let the per-block pass measure link density without a
+# DOM. Escape-spelled, never glyph-typed (mojibake lesson), and taken
+# from the TOP of the U+FDD0..U+FDEF noncharacter block so they can
+# never collide with _mojibake_placeholder(i) = U+FDD0+i.
+_ANCHOR_OPEN = "\ufdee"
+_ANCHOR_CLOSE = "\ufdef"
+_ANCHOR_RULES: list[tuple[str, str]] = [
+    (rf"(?is)<a\b[^>]*>", _ANCHOR_OPEN),
+    (rf"(?is)</a{_WS}*>", _ANCHOR_CLOSE),
+]
+# script/style/comment removal first (indices 0..2 of _HTML_RULES), then
+# anchor marking, then block edges + tag strip — the anchor rules MUST
+# precede the generic strip or there is nothing left to mark
+_MAIN_RULES: list[tuple[str, str]] = (
+    _HTML_RULES[:3] + _ANCHOR_RULES + _HTML_RULES[3:]
+)
+
+
+def _marked_text(html: Column) -> Column:
+    """html_to_text with anchor-text sentinels kept in-band."""
+    out = html
+    for pat, repl in _MAIN_RULES:
+        out = F.regexp_replace(out, pat, repl.replace("{NL}", "\n"))
+    for ent, ch in _HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    for pat, repl in _HTML_WS_RULES:
+        out = F.regexp_replace(out, pat, repl.replace("{NL}", "\n"))
+    return out
+
+
+def main_content(
+    html: Column, min_block_chars: int = 30, link_density_pct: int = 35
+) -> Column:
+    """Main-content text from an HTML column — the published pipelines'
+    boilerplate-removal step between extraction and filtering
+    (jusText/trafilatura family, simplified to the two load-bearing
+    block heuristics): a text block (html_to_text's newline-delimited
+    units) survives iff its visible length is >= ``min_block_chars`` AND
+    its anchor-text share is <= ``link_density_pct`` percent. Nav bars,
+    link farms, sidebars and short footers die; body paragraphs pass
+    through BYTE-EXACTLY (pinned by the main_content_extract oracle).
+
+    One codegen'd projection (regex chain -> split -> per-block HOFs ->
+    array_join); no Python, no shuffle, NULL html -> NULL. The density
+    compare is integer (``link*100 <= visible*pct``) — no float
+    divergence across engines."""
+    marked = _marked_text(html)
+
+    def visible(b: Column) -> Column:
+        return F.replace(
+            F.replace(b, F.lit(_ANCHOR_OPEN), F.lit("")),
+            F.lit(_ANCHOR_CLOSE),
+            F.lit(""),
+        )
+
+    def link_len(b: Column) -> Column:
+        parts = F.split(b, _ANCHOR_OPEN)
+        tail = F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0)))
+        return F.aggregate(
+            F.transform(
+                tail,
+                lambda p: F.length(F.element_at(F.split(p, _ANCHOR_CLOSE), 1)),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+
+    def keep(b: Column) -> Column:
+        return (F.length(visible(b)) >= min_block_chars) & (
+            link_len(b) * 100 <= F.length(visible(b)) * link_density_pct
+        )
+
+    return F.array_join(
+        F.transform(F.filter(F.split(marked, "\n"), keep), visible), "\n"
+    )
+
+
+def _sql_marker(repl: str) -> str | None:
+    if repl == _ANCHOR_OPEN:
+        return f"chr({ord(_ANCHOR_OPEN)})"
+    if repl == _ANCHOR_CLOSE:
+        return f"chr({ord(_ANCHOR_CLOSE)})"
+    return None
+
+
+def main_content_sql(
+    x: str, min_block_chars: int = 30, link_density_pct: int = 35
+) -> str:
+    """DuckDB spelling of :func:`main_content` — rendered from the SAME
+    rule tables and thresholds (the html_to_text_sql convention)."""
+    out = x
+    for pat, repl in _MAIN_RULES:
+        r = _sql_marker(repl) or (
+            "chr(10)" if repl == "{NL}" else _sql_quote(repl)
+        )
+        out = f"regexp_replace({out}, {_sql_quote(pat)}, {r}, 'g')"
+    for ent, ch in _HTML_ENTITIES:
+        out = f"replace({out}, {_sql_quote(ent)}, {_sql_quote(ch)})"
+    for pat, repl in _HTML_WS_RULES:
+        r = repl.replace("{NL}", "\n")
+        r_sql = (
+            "chr(10)" if r == "\n"
+            else "chr(10) || chr(10)" if r == "\n\n"
+            else _sql_quote(r)
+        )
+        out = f"regexp_replace({out}, {_sql_quote(pat)}, {r_sql}, 'g')"
+    op, cl = f"chr({ord(_ANCHOR_OPEN)})", f"chr({ord(_ANCHOR_CLOSE)})"
+    vis = f"replace(replace(b, {op}, ''), {cl}, '')"
+    link = (
+        f"coalesce(list_sum(list_transform("
+        f"string_split(b, {op})[2:], p -> len(split_part(p, {cl}, 1)))), 0)"
+    )
+    keep = (
+        f"len({vis}) >= {min_block_chars} AND "
+        f"{link} * 100 <= len({vis}) * {link_density_pct}"
+    )
+    joined = (
+        f"array_to_string(list_transform(list_filter("
+        f"string_split({out}, chr(10)), b -> {keep}), "
+        f"b -> {vis}), chr(10))"
+    )
+    # DuckDB's array_to_string([]) is NULL where Spark's array_join([]) is
+    # '' — preserve NULL-in/NULL-out, '' for all-boilerplate pages
+    return f"(CASE WHEN {x} IS NULL THEN NULL ELSE coalesce({joined}, '') END)"
+
+
 def gopher_pass(text: Column) -> Column:
     """The combined Gopher-style keep/drop verdict: 50..100k words relaxed
     to >=5 here (synthetic docs are short), mean word length in [3, 10],
