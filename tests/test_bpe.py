@@ -217,3 +217,55 @@ def test_bpe_vocab_covers_intermediate_merge_pieces(spark):
     assert row["ids"] == [vocab.get(p, -1) for p in oov_pieces]
     assert row["ids"][oov_pieces.index("ab")] == vocab["ab"] != -1
     assert row["ids"][oov_pieces.index("d")] == -1
+
+
+def test_byte_fallback_encode_ids_unk_free_on_exotic_codepoints(spark):
+    """byte_fallback=True: ids are UNK-free BY CONSTRUCTION — planted
+    codepoints absent from every trained word (CJK, emoji, umlauts)
+    decompose to their raw UTF-8 bytes in the reserved 0..255 id space."""
+    from xmlschemavalidator_spark.bpe import bpe_encode_ids, bpe_vocab, train_bpe
+
+    train = spark.createDataFrame(
+        [(i, "low lower lowest newer newest wide width " * 2) for i in range(6)],
+        "doc_id bigint, text string",
+    )
+    model = train_bpe(train, n_merges=20, min_frequency=1, byte_fallback=True)
+    exotic = spark.createDataFrame(
+        [
+            (1, "low newer 漢字 🙂 straße"),
+            (2, "übung"),
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc"]: r["ids"] for r in bpe_encode_ids(exotic, model, "doc_id").collect()}
+    assert all(all(i >= 0 for i in ids) for ids in out.values())
+    assert out[3] == [] and out[4] == []
+    # the exotic bytes land in the reserved byte space
+    assert any(i < 256 for i in out[1]) and any(i < 256 for i in out[2])
+    # byte decomposition is the UTF-8 spelling: '漢' = e6 bc a2
+    assert [0xE6, 0xBC, 0xA2] == [i for i in out[1] if i < 256][: 3]
+    # known words still resolve through the learned (256+) space
+    assert any(i >= 256 for i in out[1])
+
+
+def test_byte_fallback_vocab_id_spaces_and_roundtrip(spark, tmp_path):
+    from xmlschemavalidator_spark.bpe import BPEModel, bpe_vocab, train_bpe
+
+    train = spark.createDataFrame(
+        [(1, "abc abd abcd " * 3)], "doc_id bigint, text string"
+    )
+    model = train_bpe(train, n_merges=5, min_frequency=1, byte_fallback=True)
+    v = bpe_vocab(model)
+    byte_rows = v.where(F.col("piece_id") < 256).count()
+    assert byte_rows == 256
+    learned = v.where(F.col("piece_id") >= 256)
+    assert learned.count() > 0
+    # ids dense and deterministic within each space
+    ids = sorted(r["piece_id"] for r in learned.collect())
+    assert ids == list(range(256, 256 + len(ids)))
+    path = str(tmp_path / "bpe_bf")
+    model.save(path)
+    loaded = BPEModel.load(spark, path)
+    assert loaded.byte_fallback is True

@@ -86,3 +86,26 @@ def test_per_doc_signals_null_text_pii_zero(spark):
     got = {r["doc"]: r for r in per_doc_signals(docs, "doc_id").collect()}
     assert got[1]["n_email"] == 0 and got[1]["n_phone"] == 0
     assert got[2]["n_email"] == 1
+
+
+def test_vocab_coverage_panel_per_lang_and_all(spark):
+    """r3 VERDICT item 5: the per-lang UNK rate is a first-class panel.
+    Tiny vocab guarantees a non-vacuous UNK path (planted-oracle rule)."""
+    from pyspark.sql import functions as F
+
+    from xmlschemavalidator_spark.report import vocab_coverage_panel
+    from xmlschemavalidator_spark.textops import build_vocab, encode_token_ids
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    vocab = build_vocab(docs, vocab_size=16)
+    enc = encode_token_ids(docs, vocab, "doc_id")
+    lang_of = docs.select(F.col("doc_id").alias("doc"), "lang")
+    panel = vocab_coverage_panel(enc, lang_of).collect()
+    assert len(panel) == 5  # en de sv fr zh
+    total_docs = sum(r["n_docs"] for r in panel)
+    assert total_docs == docs.count()
+    assert all(0.0 <= r["unk_rate"] <= 1.0 for r in panel)
+    assert sum(r["total_unk"] for r in panel) > 0  # UNK path exercised
+    allp = vocab_coverage_panel(enc).collect()
+    assert len(allp) == 1 and allp[0]["lang"] == "all"
+    assert allp[0]["total_tokens"] == sum(r["total_tokens"] for r in panel)

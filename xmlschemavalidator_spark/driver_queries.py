@@ -2452,6 +2452,51 @@ def text_packed_sequences(spark, sf_dir):
 
 
 @q(
+    "vocab_coverage_per_lang",
+    """WITH t AS (
+         SELECT doc_id, lang,
+                list_transform(
+                  list_filter(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'),
+                              x -> x <> ''),
+                  x -> lower(x)) AS arr
+         FROM documents),
+       tok AS (SELECT doc_id, unnest(arr) AS token FROM t),
+       cnt AS (SELECT token, count(*) AS n FROM tok GROUP BY 1),
+       top AS (
+         SELECT token FROM cnt ORDER BY n DESC, token LIMIT 14),
+       enc AS (
+         SELECT tok.doc_id,
+                CASE WHEN top.token IS NULL THEN 1 ELSE 0 END AS unk
+         FROM tok LEFT JOIN top USING (token)),
+       agg AS (
+         SELECT doc_id, count(*) AS n_tokens, sum(unk) AS n_unk
+         FROM enc GROUP BY 1)
+       SELECT d.lang,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(coalesce(sum(agg.n_tokens), 0) AS BIGINT) AS total_tokens,
+              CAST(coalesce(sum(agg.n_unk), 0) AS BIGINT) AS total_unk,
+              round(coalesce(sum(agg.n_unk), 0)
+                    / greatest(coalesce(sum(agg.n_tokens), 0), 1), 6) AS unk_rate
+       FROM documents d LEFT JOIN agg USING (doc_id)
+       GROUP BY 1 ORDER BY 1""",
+)
+def vocab_coverage_per_lang(spark, sf_dir):
+    """Vocab-coverage report panel (r3 VERDICT item 5): per-language UNK
+    rate under a deliberately tiny 16-entry vocab (2 reserved + top-14 by
+    (count desc, token) — a total order, so both engines pick the same
+    words and the UNK path is guaranteed non-vacuous). The oracle replays
+    vocab building, encoding, and the panel aggregation."""
+    from xmlschemavalidator_spark.report import vocab_coverage_panel
+    from xmlschemavalidator_spark.textops import build_vocab, encode_token_ids
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, vocab_size=16)
+    enc = encode_token_ids(docs, vocab, "doc_id")
+    lang_of = docs.select(F.col("doc_id").alias("doc"), "lang")
+    return vocab_coverage_panel(enc, lang_of)
+
+
+@q(
     "text_token_ids",
     """WITH t AS (
          SELECT doc_id,

@@ -70,6 +70,36 @@ def _panel(grouped):
     )
 
 
+def vocab_coverage_panel(
+    encoded: DataFrame, lang_of: DataFrame | None = None
+) -> DataFrame:
+    """Tokenizer vocab-coverage panel (r3 VERDICT item 5: the n_unk rate
+    existed per-doc but was never surfaced): ``(lang, n_docs,
+    total_tokens, total_unk, unk_rate)``. ``encoded`` is any frame with
+    ``(doc, n_tokens, n_unk)`` — :func:`textops.encode_token_ids` output,
+    or a BPE-side count; ``lang_of`` is ``(doc, lang)`` (omitted → one
+    'all' row). One bounded groupBy; composes with a written per-doc
+    parquet like every other panel."""
+    if lang_of is not None:
+        base = encoded.join(lang_of, "doc", "left").withColumn(
+            "lang", F.coalesce("lang", F.lit("und"))
+        )
+    else:
+        base = encoded.withColumn("lang", F.lit("all"))
+    return (
+        base.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum("n_unk").cast("bigint").alias("total_unk"),
+            F.round(
+                F.sum("n_unk") / F.greatest(F.sum("n_tokens"), F.lit(1)), 6
+            ).alias("unk_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
 def corpus_report(
     df: DataFrame, id_col: str, text_col: str = "text"
 ) -> dict[str, DataFrame]:
