@@ -65,6 +65,7 @@ def run_pipeline(
     fix_encoding: bool = False,
     lang_from: str = "auto",
     extract_main_content: bool = False,
+    stage_times: dict | None = None,
 ) -> dict:
     """Compose the pipeline over an in-memory DataFrame; returns the
     per-stage audit dict (also written to <output>/audit/<batch_id>/).
@@ -135,9 +136,17 @@ def run_pipeline(
         # checkpoint dir and use df.checkpoint() instead.) It also keeps
         # the round-2 guarantee: downstream stages read the materialized
         # result instead of re-running validate+dedup up to ~9x.
+        import time as _time
+
+        t0 = _time.time()
         df = df.localCheckpoint(eager=True)
         persisted.append(df)
         audit[name] = df.count()
+        if stage_times is not None:
+            # wall for THIS stage's own operators: lineage is truncated at
+            # the previous boundary, so the checkpoint+count above runs
+            # exactly this stage's plan (the scale-rehearsal instrument)
+            stage_times[name] = round(_time.time() - t0, 2)
         return df
 
     # local checkpoints free through the shared helper: Dataset.unpersist()

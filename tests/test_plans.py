@@ -243,3 +243,20 @@ def test_bpe_encode_broadcasts_segmentation(spark):
     import re
 
     assert len(re.findall(r"\(\d+\) ArrowEvalPython", p)) == 1
+
+
+def test_lang_model_predict_broadcasts_weights(spark):
+    """Lang NB scoring: the C-wide weight table joins by broadcast; the
+    only hash Exchanges are the groupBy(doc) gram-sum and the left join
+    back to the doc universe — nothing class-shaped ever shuffles."""
+    import re
+
+    from xmlschemavalidator_spark.lang_model import predict_lang, train_lang_model
+
+    docs = _docs(spark)
+    model = train_lang_model(docs, "doc_id", label_col="lang", n_buckets=256)
+    p = fmt(predict_lang(docs, model, "doc_id"))
+    assert "BroadcastExchange" in p
+    hash_exchanges = re.findall(r"\(\d+\) Exchange hashpartitioning[^\n]*", p)
+    assert len(hash_exchanges) <= 2, hash_exchanges
+    assert "partial" in p.lower()  # map-side combine on the gram sums

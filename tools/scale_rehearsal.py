@@ -1,0 +1,124 @@
+"""Pipeline scale rehearsal (r3 VERDICT item 8): run the FULL composed
+corpus pipeline — every optional stage on — at 2M and 20M docs, record
+per-stage wall time, and flag any stage whose 20M/2M ratio exceeds the
+superlinearity bar (~12x: 10x data plus scheduling slack). Results land
+in SCALE.md's rehearsal table.
+
+    python tools/scale_rehearsal.py [--small 2000000] [--big 20000000]
+
+NEVER run concurrently with bench.py or any other Spark job — timings
+are garbage under contention (CLAUDE.md hard rule).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "jobs")
+)
+
+
+def run_at(spark, n_rows: int, workdir: str) -> tuple[dict, dict, float]:
+    from corpus_pipeline_job import run_pipeline
+
+    from xmlschemavalidator_spark.datagen import documents
+
+    from pyspark.sql import functions as F
+
+    path = f"{workdir}/docs_{n_rows}"
+    documents(
+        spark, n_rows, partitions=spark.sparkContext.defaultParallelism * 2
+    ).write.mode("overwrite").parquet(path)
+    docs = spark.read.parquet(path)
+    bench = docs.where(F.col("doc_id") % 5000 == 0).select("doc_id", "text")
+    out = f"{workdir}/out_{n_rows}"
+    times: dict = {}
+    t0 = time.time()
+    audit = run_pipeline(
+        spark,
+        docs,
+        out,
+        benchmark=bench,
+        mix={"en": 1.0, "de": 0.7, "sv": 0.7, "fr": 0.7, "zh": 0.7},
+        budget_per_lang=10**12,
+        batch_id=f"rehearsal-{n_rows}",
+        pack_seq_len=512,
+        use_quality_model=True,
+        ccnet_keep="head,middle",
+        shuffle_shards=8,
+        fix_encoding=True,
+        lang_from="input",
+        stage_times=times,
+    )
+    return audit, times, time.time() - t0
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--small", type=int, default=2_000_000)
+    p.add_argument("--big", type=int, default=20_000_000)
+    p.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    p.add_argument("--ratio-bar", type=float, default=12.0)
+    args = p.parse_args()
+
+    # the pipeline holds ~12 stage checkpoints live (validated feeds the
+    # NB/LM teachers) — at 20M docs the default 8g single-JVM heap OOMs
+    # before disk spill kicks in. Real clusters size executors; here the
+    # rehearsal claims the host's RAM explicitly.
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
+
+    from xmlschemavalidator_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="scale-rehearsal",
+        master=f"local[{args.cpus}]",
+        shuffle_partitions=args.cpus,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    workdir = tempfile.mkdtemp(prefix="scale_rehearsal_")
+    try:
+        a_small, t_small, w_small = run_at(spark, args.small, workdir)
+        a_big, t_big, w_big = run_at(spark, args.big, workdir)
+        rows = []
+        flagged = []
+        for name in t_big:
+            s, b = t_small.get(name), t_big[name]
+            ratio = round(b / s, 2) if s and s > 0.5 else None  # sub-.5s: noise
+            rows.append({
+                "stage": name,
+                "rows_small": a_small.get(name),
+                "rows_big": a_big.get(name),
+                "sec_small": s,
+                "sec_big": b,
+                "ratio": ratio,
+            })
+            if ratio is not None and ratio > args.ratio_bar:
+                flagged.append(name)
+        result = {
+            "small": args.small,
+            "big": args.big,
+            "wall_small": round(w_small, 1),
+            "wall_big": round(w_big, 1),
+            "wall_ratio": round(w_big / w_small, 2),
+            "stages": rows,
+            "superlinear_stages": flagged,
+            "audit_small": a_small,
+            "audit_big": a_big,
+        }
+        print(json.dumps(result, indent=2))
+        return 0
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

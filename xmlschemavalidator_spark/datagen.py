@@ -157,6 +157,54 @@ def pages(spark: SparkSession, n_rows: int, seed: int = 42, partitions: int | No
     )
 
 
+def documents(
+    spark: SparkSession, n_rows: int, seed: int = 42, partitions: int | None = None
+) -> DataFrame:
+    """Deterministic documents-shaped corpus ``(doc_id, text, lang,
+    source, n_chars)`` at arbitrary row counts — the scale-rehearsal
+    input (the sf testdata tops out at 5k docs). Same planted-defect
+    philosophy as :func:`pages`: ~1% NULL text, ~2% invalid lang,
+    ~0.5% exact-duplicate text pool (exercises dedup), n_chars consistent
+    except ~0.2% (exercises the ExprRule). Pure column expressions over
+    ``spark.range`` — generation parallelizes like any narrow job."""
+    df = spark.range(0, n_rows, 1, partitions) if partitions else spark.range(n_rows)
+    idc = F.col("id")
+    n_words = (F.pmod(_h(seed + 21, idc), F.lit(38)) + 8).cast("int")
+    words = F.transform(
+        F.sequence(F.lit(1), n_words),
+        lambda i: _pick(_VOCAB, F.pmod(_h(seed + 22, idc, i), F.lit(len(_VOCAB)))),
+    )
+    text = F.array_join(words, " ")
+    dup = F.pmod(_h(seed + 23, idc), F.lit(200)) == 0
+    text = F.when(
+        dup,
+        F.concat(F.lit("duplicated boilerplate body number "),
+                 F.pmod(idc, F.lit(7)).cast("string")),
+    ).otherwise(text)
+    text = F.when(F.pmod(_h(seed + 24, idc), F.lit(100)) == 0, F.lit(None)).otherwise(text)
+    r = F.pmod(_h(seed + 25, idc), F.lit(100))
+    lang = (
+        F.when(r < 2, _pick(_LANGS_BAD, F.pmod(_h(seed + 26, idc), F.lit(2))))
+        .when(r < 62, F.lit("en"))
+        .when(r < 74, F.lit("de"))
+        .when(r < 84, F.lit("sv"))
+        .when(r < 93, F.lit("fr"))
+        .otherwise(F.lit("zh"))
+    )
+    source = F.concat(F.lit("src"), F.pmod(_h(seed + 27, idc), F.lit(40)).cast("string"))
+    n_chars = F.length(F.coalesce(text, F.lit("")))
+    n_chars = F.when(
+        F.pmod(_h(seed + 28, idc), F.lit(500)) == 0, n_chars + F.lit(7)
+    ).otherwise(n_chars)
+    return df.select(
+        idc.alias("doc_id"),
+        text.alias("text"),
+        lang.alias("lang"),
+        source.alias("source"),
+        n_chars.cast("int").alias("n_chars"),
+    )
+
+
 def domains_dim(spark: SparkSession) -> DataFrame:
     """The small dimension table for referential checks (FIXTURES.md §3) —
     broadcast-join sized by construction."""

@@ -168,6 +168,8 @@ def kmeans_fit(
     k: int,
     iters: int = 5,
     id_col: str = "vec_id",
+    sample_fraction: float | None = None,
+    sample_salt: str = "kmeans",
 ) -> list[list[float]]:
     """Lloyd's k-means over a DataFrame of vectors — the centroid trainer
     for the IVF index (ivf_assign/ivf_topk probe quality depends on
@@ -180,7 +182,18 @@ def kmeans_fit(
     the first k rows by id (deterministic). Empty clusters keep their
     previous centroid. This is genuinely iterative — one of the ops with
     no single SQL equivalent (rows-only in the driver contract).
-    """
+
+    ``sample_fraction`` (r3 VERDICT item 6): centroid quality needs a
+    representative sample, not the full corpus — at 100 TB every Lloyd
+    iteration re-scanning all rows is the cost driver. A deterministic
+    content-addressed sample (md5-threshold narrow filter — pushes into
+    the scan, reproducible across runs/engines/cluster layouts) caps the
+    per-iteration work; assignment of the FULL corpus happens once,
+    downstream, via ivf_assign with the fitted centroids."""
+    if sample_fraction is not None:
+        from xmlschemavalidator_spark.sampling import deterministic_sample
+
+        df = deterministic_sample(df, id_col, sample_fraction, sample_salt)
     first = df.orderBy(id_col).limit(k).select(vec_col).collect()
     cents = [list(map(float, r[vec_col])) for r in first]
     for _ in range(iters):
