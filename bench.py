@@ -65,6 +65,8 @@ def headline_queries():
         dsir_selection,
         dsir_selection_frac,
         html_extract_text,
+        lang_model_predict,
+        main_content_extract,
         join_q3_shipping_priority,
         join_revenue_segment,
         window_daily_events,
@@ -108,8 +110,12 @@ def headline_queries():
         "dsir_select": lambda s: dsir_selection(s, SF_DIR),
         # round-4: the corpus-fraction-k DSIR scale path (quantile
         # bracketing + narrow filter, no TakeOrderedAndProject) timed
-        # against the same selection — VERDICT r3 item 1's bench entry
+        # against the same selection — VERDICT r3 item 1's bench entry;
+        # trained char-trigram NB language ID (train + predict); jusText-
+        # style main-content extraction
         "dsir_select_frac": lambda s: dsir_selection_frac(s, SF_DIR),
+        "lang_nb_predict": lambda s: lang_model_predict(s, SF_DIR),
+        "main_content": lambda s: main_content_extract(s, SF_DIR),
     }
 
 
