@@ -494,3 +494,42 @@ def test_choice_nillable_fixed_absent_alternative_passes(spark):
     )
     got = {r["doc_id"]: r[DOC_OK] for r in validate(df, rs, key="doc_id").verdicts.collect()}
     assert got == {"d1": True, "d2": True, "d3": False}
+
+
+def test_spread_noop_on_checkpointed_frame_with_enough_partitions(spark):
+    """r4 review finding: _spread's metadata path saw no input files on a
+    localCheckpoint'ed frame and unconditionally round-robin-shuffled it —
+    at the 20M rehearsal shape that re-shuffled the corpus at every dedup
+    entry point. Checkpointed frames fall back to the (trivial) actual
+    partition count."""
+    from xmlschemavalidator_spark.dedup import _spread
+    from xmlschemavalidator_spark.session import free_local_checkpoint
+
+    target = spark.sparkContext.defaultParallelism
+    df = spark.range(10_000).repartition(target + 4).localCheckpoint(eager=True)
+    out = _spread(df)
+    assert out is df  # no repartition inserted
+    small = spark.range(100).coalesce(1).localCheckpoint(eager=True)
+    assert _spread(small).rdd.getNumPartitions() == target
+    free_local_checkpoint(df)
+    free_local_checkpoint(small)
+
+
+def test_dsir_threshold_exposes_freeable_checkpoint(spark):
+    """r4 review finding: the threshold path's internal localCheckpoint was
+    unreachable (freeing the returned Filter frame is a silent no-op). The
+    checkpointed scored frame rides the result as _dsir_scored and frees
+    through session.free_local_checkpoint."""
+    from xmlschemavalidator_spark.quality_model import dsir_sample, train_dsir_model
+    from xmlschemavalidator_spark.session import free_local_checkpoint
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    model = train_dsir_model(docs.where(F.col("lang") == "en"), docs, "doc_id", n_buckets=256)
+    out = dsir_sample(docs, model, "doc_id", k=100, method="threshold")
+    assert out.count() == 100
+    ckpt = out._dsir_scored
+    rdd_id = ckpt._jdf.queryExecution().analyzed().rdd().id()
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().contains(rdd_id)
+    free_local_checkpoint(ckpt)
+    assert not jsc.getPersistentRDDs().contains(rdd_id)

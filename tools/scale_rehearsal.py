@@ -1,5 +1,7 @@
 """Pipeline scale rehearsal (r3 VERDICT item 8): run the FULL composed
-corpus pipeline — every optional stage on — at 2M and 20M docs, record
+corpus pipeline — every optional stage the corpus can drive on (no html
+column, so --main-content is exercised by its own test/oracle instead)
+— at 2M and 20M docs, record
 per-stage wall time, and flag any stage whose 20M/2M ratio exceeds the
 superlinearity bar (~12x: 10x data plus scheduling slack). Results land
 in SCALE.md's rehearsal table.
@@ -55,7 +57,12 @@ def run_at(spark, n_rows: int, workdir: str) -> tuple[dict, dict, float]:
         ccnet_keep="head,middle",
         shuffle_shards=8,
         fix_encoding=True,
-        lang_from="input",
+        # classifier: the in-run weak-trained lang NB is part of the
+        # rehearsal (review finding: 'input' silently skipped the round's
+        # new corpus-scale stage). --main-content stays off: the rehearsal
+        # corpus has no html column (that stage is covered by its own
+        # pipeline test + oracle).
+        lang_from="classifier",
         stage_times=times,
     )
     return audit, times, time.time() - t0

@@ -38,11 +38,16 @@ def _spread(df: DataFrame) -> DataFrame:
     scale the estimate clears ``defaultParallelism`` and this is a no-op —
     the round-robin shuffle only ever moves data when the input is tiny.
 
-    The parallelism estimate is METADATA-ONLY (r3 VERDICT housekeeping:
-    ``df.rdd.getNumPartitions()`` forced a full plan→RDD conversion per
-    call): file count from the analyzed plan, plus a size/maxPartitionBytes
-    bound for the few-huge-files shape. Non-file-backed frames (in-memory
-    test data) always spread — they are tiny by construction."""
+    For file-backed frames the parallelism estimate is METADATA-ONLY (r3
+    VERDICT housekeeping: ``df.rdd.getNumPartitions()`` forced a full
+    plan→RDD conversion per call): file count from the analyzed plan, plus
+    a size/maxPartitionBytes bound for the few-huge-files shape. Frames
+    with NO file relations (in-memory test data, and crucially the
+    pipeline's localCheckpoint'ed stage outputs) fall back to the actual
+    partition count — for those the plan is already an RDD scan, so the
+    conversion is trivial, and an unconditional repartition would have
+    round-robin-shuffled the whole corpus at every dedup entry point
+    (review finding, reproduced against the 20M rehearsal shape)."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     try:
@@ -51,25 +56,28 @@ def _spread(df: DataFrame) -> DataFrame:
         files = []
     if len(files) >= target:
         return df
-    if files:
-        jvm = spark._jvm
-        hconf = spark._jsc.hadoopConfiguration()
-        total = 0
-        for f in files:
-            try:
-                path = jvm.org.apache.hadoop.fs.Path(f)
-                total += path.getFileSystem(hconf).getFileStatus(path).getLen()
-            except Exception:
-                return df  # unstat-able source: don't guess, don't shuffle
-        raw = str(
-            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-        ).strip().lower()
-        digits = "".join(ch for ch in raw if ch.isdigit()) or "134217728"
-        unit = raw[len(digits):].strip()
-        mult = {"": 1, "b": 1, "k": 1 << 10, "kb": 1 << 10,
-                "m": 1 << 20, "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30}.get(unit, 1)
-        if total // (int(digits) * mult) + len(files) >= target:
-            return df  # few files but enough byte-splits — already parallel
+    if not files:
+        if df.rdd.getNumPartitions() >= target:
+            return df
+        return df.repartition(target)
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    total = 0
+    for f in files:
+        try:
+            path = jvm.org.apache.hadoop.fs.Path(f)
+            total += path.getFileSystem(hconf).getFileStatus(path).getLen()
+        except Exception:
+            return df  # unstat-able source: don't guess, don't shuffle
+    raw = str(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    ).strip().lower()
+    digits = "".join(ch for ch in raw if ch.isdigit()) or "134217728"
+    unit = raw[len(digits):].strip()
+    mult = {"": 1, "b": 1, "k": 1 << 10, "kb": 1 << 10,
+            "m": 1 << 20, "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30}.get(unit, 1)
+    if total // (int(digits) * mult) + len(files) >= target:
+        return df  # few files but enough byte-splits — already parallel
     return df.repartition(target)
 
 

@@ -2456,7 +2456,8 @@ def text_packed_sequences(spark, sf_dir):
     """WITH t AS (
          SELECT doc_id, lang,
                 list_transform(
-                  list_filter(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'),
+                  list_filter(regexp_split_to_array(trim(coalesce(text, '')),
+                                                    '[ \\t\\n\\x0b\\f\\r]+'),
                               x -> x <> ''),
                   x -> lower(x)) AS arr
          FROM documents),
@@ -3961,10 +3962,13 @@ def dsir_selection_frac(spark, sf_dir):
 # text is lang-INDEPENDENT, so without planting, a lang classifier query
 # would verify nothing). Prepended — truncation to max_chars keeps them.
 _LANG_MARKERS = {
+    # keys MUST be the langs datagen/testdata actually emit (en/de/sv/fr/
+    # zh) — review finding: an 'es' entry never fired and left the ~10%
+    # sv slice with no planted signal, so the query verified nothing there
     "en": "the of and in that it was ",
     "de": "straße müller zügig schön könig und ",
     "fr": "château français déjà très être où ",
-    "es": "señor año corazón niño mañana español ",
+    "sv": "björn över något sjö kärlek är på ",
     "zh": "中文 漢字 的 是 在 了 ",
 }
 _LANG_NB_BUCKETS = 512

@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 
 from xmlschemavalidator_spark.persistence import load_meta, load_part, save_model
 from xmlschemavalidator_spark.quality_model import MICRO, hashed_bucket
-from xmlschemavalidator_spark.textops import _WS, PORTABLE_HASH64_SQL
+from xmlschemavalidator_spark.textops import _WS
 
 _MAX_CLASSES = 64
 
@@ -141,12 +141,25 @@ class LangModel:
 
 
 def _doc_gram_buckets(
-    df: DataFrame, id_col: str, text_col: str, model_n: int, max_chars: int, b: int
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    model_n: int,
+    max_chars: int,
+    b: int,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
+    """(doc[, *extra_cols], bucket) — ``extra_cols`` ride the explode so
+    training can keep the label WITHOUT re-joining the exploded gram
+    table against the corpus on doc (review finding: that join was the
+    only corpus-sized shuffle in training, and existed only because the
+    projection dropped lang)."""
+    keep = [F.col(c) for c in extra_cols]
     return df.select(
         F.col(id_col).alias("doc"),
+        *keep,
         F.explode(char_ngrams(F.col(text_col), model_n, max_chars)).alias("g"),
-    ).select("doc", hashed_bucket(F.col("g"), b).alias("bucket"))
+    ).select("doc", *extra_cols, hashed_bucket(F.col("g"), b).alias("bucket"))
 
 
 def train_lang_model(
@@ -185,8 +198,8 @@ def train_lang_model(
     d_by_lang = {r["lang"]: int(r["d"]) for r in doc_rows}
     n_docs = sum(d_by_lang.values())
 
-    gb = _doc_gram_buckets(lab, "doc", text_col, n, max_chars, n_buckets).join(
-        lab.select("doc", "lang"), "doc"
+    gb = _doc_gram_buckets(
+        lab, "doc", text_col, n, max_chars, n_buckets, extra_cols=("lang",)
     )
     crows = (
         gb.groupBy("lang", "bucket").agg(F.count(F.lit(1)).alias("c")).collect()
@@ -274,11 +287,13 @@ def _wide_weights(model: LangModel) -> DataFrame:
     )
 
 
-def score_langs(
-    df: DataFrame, model: LangModel, id_col: str, text_col: str = "text"
-) -> DataFrame:
-    """Per-doc per-class NB scores ``(doc, lang, score_micro bigint)`` —
-    integer prior + gram-weight sum (featureless docs score the prior)."""
+def _doc_class_scores(
+    df: DataFrame, model: LangModel, id_col: str, text_col: str
+) -> tuple[DataFrame, list[Column]]:
+    """Shared scoring core (review finding: score_langs and predict_lang
+    carried verbatim copies): the per-doc gram-weight sums left-joined to
+    the doc universe, plus one integer score Column per class (prior +
+    sum; featureless docs score the prior)."""
     sums = (
         _doc_gram_buckets(df, id_col, text_col, model.n, model.max_chars, model.n_buckets)
         .join(F.broadcast(_wide_weights(model)), "bucket")
@@ -286,19 +301,30 @@ def score_langs(
         .agg(*[F.sum(f"w_{i}").alias(f"s_{i}") for i in range(len(model.langs))])
     )
     base = df.select(F.col(id_col).alias("doc")).join(sums, "doc", "left")
+    scores = [
+        (F.coalesce(F.col(f"s_{i}"), F.lit(0)) + F.lit(model.priors[lg])).cast(
+            "bigint"
+        )
+        for i, lg in enumerate(model.langs)
+    ]
+    return base, scores
+
+
+def score_langs(
+    df: DataFrame, model: LangModel, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Per-doc per-class NB scores ``(doc, lang, score_micro bigint)`` —
+    integer prior + gram-weight sum (featureless docs score the prior)."""
+    base, scores = _doc_class_scores(df, model, id_col, text_col)
     # one explode, not a C-way union: unioned branches would each re-run
     # the gram-sum aggregation (ReuseExchange does not fire across aliased
     # sides — CLAUDE.md)
     arr = F.array(
         *[
             F.struct(
-                F.lit(lg).alias("lang"),
-                (
-                    F.coalesce(F.col(f"s_{i}"), F.lit(0))
-                    + F.lit(model.priors[lg])
-                ).cast("bigint").alias("score_micro"),
+                F.lit(lg).alias("lang"), s.alias("score_micro")
             )
-            for i, lg in enumerate(model.langs)
+            for lg, s in zip(model.langs, scores)
         ]
     )
     return base.select("doc", F.explode(arr).alias("e")).select(
@@ -314,22 +340,11 @@ def predict_lang(
     deterministic tie-break as :func:`textops.lang_id`). One narrow
     projection after the gram-sum aggregation; nothing class-shaped ever
     shuffles."""
-    sums = (
-        _doc_gram_buckets(df, id_col, text_col, model.n, model.max_chars, model.n_buckets)
-        .join(F.broadcast(_wide_weights(model)), "bucket")
-        .groupBy("doc")
-        .agg(*[F.sum(f"w_{i}").alias(f"s_{i}") for i in range(len(model.langs))])
-    )
-    base = df.select(F.col(id_col).alias("doc")).join(sums, "doc", "left")
+    base, scores = _doc_class_scores(df, model, id_col, text_col)
     pairs = F.array(
         *[
-            F.struct(
-                (
-                    F.coalesce(F.col(f"s_{i}"), F.lit(0)) + F.lit(model.priors[lg])
-                ).cast("bigint").alias("score"),
-                F.lit(lg).alias("lang"),
-            )
-            for i, lg in enumerate(model.langs)
+            F.struct(s.alias("score"), F.lit(lg).alias("lang"))
+            for lg, s in zip(model.langs, scores)
         ]
     )
     best = F.reduce(

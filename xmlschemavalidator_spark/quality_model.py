@@ -669,8 +669,10 @@ def dsir_sample(
       class, and a final NARROW filter — nothing corpus-sized ever sits
       in one task. The scored frame is localCheckpoint'ed first (the hunt
       re-reads it, and double-equality in the final filter needs a frozen
-      materialization); free it after consuming the result via
-      ``session.free_local_checkpoint``.
+      materialization); after consuming the result, free the executor
+      storage via ``session.free_local_checkpoint(result._dsir_scored)``
+      — the attribute carries the checkpointed frame itself (freeing the
+      returned Filter frame would be a silent no-op).
     * ``"auto"`` — ``threshold`` when ``n_docs`` is provided and
       ``k > topk_max_fraction * n_docs``, else ``topk``. Pass ``n_docs``
       (from table stats or an upstream count) to opt into the scale path
@@ -691,9 +693,15 @@ def dsir_sample(
             else "topk"
         )
     if method == "threshold":
-        return _dsir_threshold_select(
-            scored.localCheckpoint(eager=True), k, boundary_cap
-        )
+        ckpt = scored.localCheckpoint(eager=True)
+        out = _dsir_threshold_select(ckpt, k, boundary_cap)
+        # the returned frame is a Filter OVER the checkpoint — freeing the
+        # filter frame would be a silent no-op (free_local_checkpoint
+        # resolves a NEW rdd for non-scan plans; review finding). Expose
+        # the actual checkpointed frame so callers can release executor
+        # storage: session.free_local_checkpoint(result._dsir_scored)
+        out._dsir_scored = ckpt
+        return out
     return (
         scored.orderBy(F.col("gumbel_score").desc(), F.col("doc").asc())
         .limit(k)

@@ -195,6 +195,16 @@ def kmeans_fit(
 
         df = deterministic_sample(df, id_col, sample_fraction, sample_salt)
     first = df.orderBy(id_col).limit(k).select(vec_col).collect()
+    if len(first) < k:
+        raise ValueError(
+            f"kmeans_fit: only {len(first)} rows available for k={k} seeds"
+            + (
+                f" (sample_fraction={sample_fraction} left too few rows — "
+                "raise it or drop it)"
+                if sample_fraction is not None
+                else ""
+            )
+        )
     cents = [list(map(float, r[vec_col])) for r in first]
     for _ in range(iters):
         assigned = ivf_assign(df, vec_col, cents, id_col)
