@@ -65,6 +65,10 @@ def run_pipeline(
     fix_encoding: bool = False,
     lang_from: str = "auto",
     extract_main_content: bool = False,
+    url_col: str | None = None,
+    url_dedup_on: bool = False,
+    domain_cap_n: int = 0,
+    url_badwords: list[str] | None = None,
     stage_times: dict | None = None,
 ) -> dict:
     """Compose the pipeline over an in-memory DataFrame; returns the
@@ -196,6 +200,57 @@ def run_pipeline(
             )
 
     docs = stage("input", docs)  # downstream reuses the materialized input
+
+    # 0a. URL layer (published order: URL filters run FIRST — C4/RefinedWeb
+    # drop and dedup on URL before any text is judged; cheapest filters
+    # earliest). All three stages are opt-in and require --url-col.
+    if url_dedup_on or domain_cap_n or url_badwords:
+        if not url_col:
+            raise ValueError("URL stages require url_col (--url-col)")
+        if url_col not in docs.columns:
+            raise ValueError(f"url_col {url_col!r} not in input columns")
+        from xmlschemavalidator_spark.weburl import (
+            canonical_host,
+            canonical_url,
+            domain_cap,
+            registered_domain,
+            url_badword_filter,
+            url_dedup,
+        )
+
+        if url_badwords:
+            docs = stage(
+                "url_badwords", url_badword_filter(docs, url_col, url_badwords)
+            )
+        if url_dedup_on:
+            length_col = "n_chars" if "n_chars" in docs.columns else None
+            deduped = (
+                url_dedup(docs, url_col, length_col, id_col)
+                if length_col
+                else url_dedup(
+                    docs.withColumn("_len", F.length(url_col)),
+                    url_col,
+                    "_len",
+                    id_col,
+                ).drop("_len")
+            )
+            docs = stage("url_dedup", deduped.drop("canonical_url"))
+        if domain_cap_n:
+            docs = stage(
+                "domain_cap",
+                domain_cap(
+                    docs.withColumn(
+                        "_domain",
+                        registered_domain(
+                            canonical_host(canonical_url(F.col(url_col)))
+                        ),
+                    ),
+                    "_domain",
+                    cap=domain_cap_n,
+                    order_col="n_chars" if "n_chars" in docs.columns else None,
+                    id_col=id_col,
+                ).drop("_domain"),
+            )
 
     # 0b. language production (VERDICT r3 item 3): every per-lang stage
     # downstream (CCNet terciles, stratified mix, token budget, packing)
@@ -536,6 +591,27 @@ def main(argv: list[str] | None = None) -> int:
         help="write a deterministic training-order shuffle of the batch's "
         "training units into <output>/shards/ with this many shards (0 = off)",
     )
+    p.add_argument(
+        "--url-col",
+        default=None,
+        help="column holding the document URL; required by the URL stages",
+    )
+    p.add_argument(
+        "--url-dedup",
+        action="store_true",
+        help="keep one doc per canonical URL (longest text, then smallest id)",
+    )
+    p.add_argument(
+        "--domain-cap",
+        type=int,
+        default=0,
+        help="keep at most N docs per registrable domain (0 = off)",
+    )
+    p.add_argument(
+        "--url-badwords",
+        default=None,
+        help="comma list of badwords; docs whose URL contains any are dropped",
+    )
     args = p.parse_args(argv)
 
     spark = (
@@ -555,6 +631,13 @@ def main(argv: list[str] | None = None) -> int:
         shuffle_shards=args.shuffle_shards, ccnet_keep=args.ccnet_keep,
         fix_encoding=args.fix_encoding, lang_from=args.lang_from,
         extract_main_content=args.main_content,
+        url_col=args.url_col, url_dedup_on=args.url_dedup,
+        domain_cap_n=args.domain_cap,
+        url_badwords=(
+            [w for w in args.url_badwords.split(",") if w]
+            if args.url_badwords
+            else None
+        ),
     )
     print(json.dumps(audit))
     return 0

@@ -417,3 +417,64 @@ def test_pipeline_fix_encoding_preserves_kept_schema(spark, tmp_path):
     both = spark.read.parquet(f"{out}/kept")
     assert both.count() > 0
     assert dict(both.dtypes)["n_chars"] == dict(docs.dtypes)["n_chars"]
+
+
+def test_pipeline_url_stages(spark, tmp_path):
+    """URL layer: badword filter, canonical-URL dedup, and per-domain cap
+    run first (planted URLs make each stage's drop count predictable)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    from corpus_pipeline_job import run_pipeline
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # 10% casino URLs; the rest collide pairwise on canonical URL
+    # (trailing slash) within two domains
+    docs = docs.withColumn(
+        "url",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(F.lit("http://casino"), F.col("doc_id").cast("string"), F.lit(".com/x")),
+        ).otherwise(
+            F.concat(
+                F.lit("http://d"),
+                (F.col("doc_id") % 2).cast("string"),
+                F.lit(".com/p/"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+            )
+        ),
+    )
+    out = str(tmp_path / "corpus_url")
+    audit = run_pipeline(
+        spark,
+        docs,
+        out,
+        batch_id="u1",
+        url_col="url",
+        url_dedup_on=True,
+        domain_cap_n=5,
+        url_badwords=["casino"],
+    )
+    survivors = [r.doc_id for r in docs.where(F.col("doc_id") % 10 != 0).select("doc_id").collect()]
+    assert audit["url_badwords"] == len(survivors)
+    # canonical classes among survivors: (doc_id%2, doc_id%7)
+    classes = {(d % 2, d % 7) for d in survivors}
+    assert audit["url_dedup"] == len(classes)
+    # two domains (d0/d1), capped at 5 each
+    domains = {d % 2 for d in survivors}
+    assert audit["domain_cap"] == sum(
+        min(5, len({(d % 2, d % 7) for d in survivors if d % 2 == dom}))
+        for dom in domains
+    )
+    assert list(audit)[:4] == ["input", "url_badwords", "url_dedup", "domain_cap"]
+    assert audit["kept"] > 0
+
+
+def test_pipeline_url_stages_require_url_col(spark, tmp_path):
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    from corpus_pipeline_job import run_pipeline
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    with pytest.raises(ValueError, match="url_col"):
+        run_pipeline(
+            spark, docs, str(tmp_path / "x"), batch_id="u2", url_dedup_on=True
+        )

@@ -260,3 +260,48 @@ def test_lang_model_predict_broadcasts_weights(spark):
     hash_exchanges = re.findall(r"\(\d+\) Exchange hashpartitioning[^\n]*", p)
     assert len(hash_exchanges) <= 2, hash_exchanges
     assert "partial" in p.lower()  # map-side combine on the gram sums
+
+
+def test_url_canonicalize_narrow_no_shuffle(spark):
+    """Canonicalization + domain extraction is one codegen'd projection
+    over one scan — no Exchange, no Python worker."""
+    from xmlschemavalidator_spark.weburl import (
+        canonical_host,
+        canonical_url,
+        registered_domain,
+    )
+
+    out = _docs(spark).select(
+        "doc_id",
+        registered_domain(
+            canonical_host(canonical_url(F.concat(F.lit("http://h/"), F.col("text"))))
+        ).alias("domain"),
+    )
+    p = fmt(out)
+    assert "Exchange" not in p
+    assert n_scans(p) == 1
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_url_dedup_winner_agg_is_partial(spark):
+    """url_dedup's winner selection must be a partial-aggregatable min
+    (map-side combine absorbs a degenerate hot canonical URL) — not a
+    window sort over the URL key."""
+    from xmlschemavalidator_spark.weburl import url_dedup
+
+    docs = _docs(spark).withColumn("url", F.concat(F.lit("http://h/"), F.col("text")))
+    p = fmt(url_dedup(docs))
+    assert "partial_min" in p  # map-side combine before the shuffle
+    assert "Window" not in p
+
+
+def test_domain_cap_salted_window_bounds_sort(spark):
+    """Phase 1 of the salted top-k windows over (domain, _salt) so no
+    single task ever sorts a whole mega-domain; phase 2's window sees
+    only the capped survivors."""
+    from xmlschemavalidator_spark.weburl import domain_cap
+
+    docs = _docs(spark).withColumn("domain", F.col("lang"))
+    p = fmt(domain_cap(docs, "domain", cap=5))
+    assert p.count("Window") >= 2  # both phases present
+    assert "_salt" in p  # phase-1 partitioning includes the salt

@@ -1,0 +1,226 @@
+"""URL & web-graph layer (weburl.py): canonicalization edge cases,
+dedup/cap determinism, link extraction, and integer PageRank vs a pure
+Python reference of the same arithmetic."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from xmlschemavalidator_spark.weburl import (
+    canonical_host,
+    canonical_url,
+    degree_stats,
+    domain_cap,
+    domain_quality_gate,
+    extract_links,
+    pagerank,
+    registered_domain,
+    url_badword_filter,
+    url_dedup,
+)
+
+from tests.conftest import rows
+
+
+def _eval(spark, col_fn, values):
+    df = spark.createDataFrame([(v,) for v in values], "u string")
+    return [r[0] for r in df.select(col_fn(F.col("u"))).collect()]
+
+
+CANON_CASES = [
+    # scheme+host lowercased, www stripped, default port dropped, frag dropped
+    ("HTTPS://WWW.Example.COM:443/a/b/?x=1#frag",
+     "https://example.com/a/b?x=1"),
+    # userinfo dropped; non-default port kept; duplicate slashes collapsed
+    ("http://User:Pw@sub.Shop.example.org:8080//catalog//x/",
+     "http://sub.shop.example.org:8080/catalog/x"),
+    # empty path -> '/', empty query dropped
+    ("https://example.net?", "https://example.net/"),
+    ("http://example.net:80/path", "http://example.net/path"),
+    # tracking params removed, survivors sorted; '?' dropped when empty
+    ("http://a.com/p?utm_source=tw&b=2&a=1", "http://a.com/p?a=1&b=2"),
+    ("http://a.com/p?utm_campaign=x&fbclid=z", "http://a.com/p"),
+    # root slash preserved
+    ("http://a.com/", "http://a.com/"),
+    # no scheme: pass through trimmed
+    ("  relative/path?a=1 ", "relative/path?a=1"),
+    (None, None),
+]
+
+
+def test_canonical_url_cases(spark):
+    got = _eval(spark, canonical_url, [c[0] for c in CANON_CASES])
+    assert got == [c[1] for c in CANON_CASES]
+
+
+def test_canonical_url_keep_www(spark):
+    got = _eval(
+        spark,
+        lambda c: canonical_url(c, strip_www=False),
+        ["http://www.a.com/x"],
+    )
+    assert got == ["http://www.a.com/x"]
+
+
+def test_canonical_host_and_registered_domain(spark):
+    urls = [
+        "https://WWW.news.Example.co.uk:443/x",
+        "http://blog.test.org/y",
+        "http://example.com/",
+        "http://localhost/z",
+        "http://1.2.3.4:8080/w",
+    ]
+    hosts = _eval(spark, lambda c: canonical_host(canonical_url(c)), urls)
+    assert hosts == [
+        "news.example.co.uk", "blog.test.org", "example.com",
+        "localhost", "1.2.3.4",
+    ]
+    doms = _eval(
+        spark,
+        lambda c: registered_domain(canonical_host(canonical_url(c))),
+        urls,
+    )
+    assert doms == [
+        "example.co.uk", "test.org", "example.com", "localhost", "1.2.3.4",
+    ]
+
+
+def test_url_dedup_keeps_longest_then_smallest_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "http://A.com/x?utm_source=t", 10),
+            (2, "http://a.com/x", 30),        # longest for a.com/x -> kept
+            (3, "http://a.com/x/", 30),       # tie with 2 on length: id 2 wins
+            (4, "http://b.com/y", 5),         # unique -> kept
+        ],
+        "doc_id long, url string, n_chars long",
+    )
+    kept = url_dedup(df)
+    assert rows(kept, "doc_id") == [(2,), (4,)]
+    # canonical column is exposed on the kept rows
+    assert "canonical_url" in kept.columns
+
+
+def test_domain_cap_exact_and_salt_invariant(spark):
+    data = [(i, f"d{i % 3}", (i * 7) % 50) for i in range(90)]
+    df = spark.createDataFrame(data, "doc_id long, domain string, score long")
+    capped = domain_cap(df, "domain", cap=5, order_col="score")
+    # expected: per domain, top 5 by (score desc, doc_id asc)
+    expect = []
+    for d in ("d0", "d1", "d2"):
+        grp = sorted(
+            (r for r in data if r[1] == d), key=lambda r: (-r[2], r[0])
+        )[:5]
+        expect.extend((r[0],) for r in grp)
+    assert rows(capped, "doc_id") == sorted(expect)
+    # salting never changes the result set
+    one_salt = domain_cap(df, "domain", cap=5, order_col="score", n_salts=1)
+    assert rows(one_salt, "doc_id") == rows(capped, "doc_id")
+
+
+def test_domain_cap_no_order_col_takes_smallest_ids(spark):
+    df = spark.createDataFrame(
+        [(i, "d") for i in range(20, 0, -1)], "doc_id long, domain string"
+    )
+    capped = domain_cap(df, "domain", cap=3)
+    assert rows(capped, "doc_id") == [(1,), (2,), (3,)]
+
+
+def test_url_badword_filter(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "http://casino-royale.com/x"),
+            (2, "http://example.com/Poker/tips"),
+            (3, "http://example.com/cooking"),
+        ],
+        "doc_id long, url string",
+    )
+    kept = url_badword_filter(df, "url", ["casino", "poker"])
+    assert rows(kept, "doc_id") == [(3,)]
+
+
+def test_domain_quality_gate_exact_boundary(spark):
+    # d_hi avg 20, d_lo avg 10, d_edge avg exactly 15
+    df = spark.createDataFrame(
+        [(1, "d_hi", 15), (2, "d_hi", 25),
+         (3, "d_lo", 5), (4, "d_lo", 15),
+         (5, "d_edge", 15), (6, "d_edge", 15)],
+        "doc_id long, domain string, score long",
+    )
+    kept = domain_quality_gate(df, "domain", "score", min_avg=15.0)
+    assert rows(kept, "doc_id") == [(1,), (2,), (5,), (6,)]
+
+
+def test_extract_links(spark):
+    html = (
+        '<html><a href="http://a.com/1">one</a>'
+        "<A HREF='http://b.com/2' rel=nofollow>two</A>"
+        '<a class="x" data-href="http://no.com">not a link</a>'
+        '<a href = "http://c.com/3#f">three</a></html>'
+    )
+    df = spark.createDataFrame([(html,)], "html string")
+    links = df.select(extract_links(F.col("html")).alias("l")).collect()[0][0]
+    assert links == ["http://a.com/1", "http://b.com/2", "http://c.com/3#f"]
+
+
+def test_degree_stats(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 1), (1, 2)], "src long, dst long"
+    )
+    got = rows(degree_stats(edges), "node", "out_deg", "in_deg")
+    assert got == [(1, 2, 1), (2, 1, 1), (3, 1, 2)]
+
+
+def _pagerank_py(edges, iterations=10, damping_pct=85, scale=10**12):
+    """Pure-Python replay of the exact integer arithmetic."""
+    e = sorted(set(edges))
+    nodes = sorted({s for s, _ in e} | {d for _, d in e})
+    n = len(nodes)
+    init = scale // n
+    base = ((100 - damping_pct) * init) // 100
+    out_deg = {}
+    for s, _ in e:
+        out_deg[s] = out_deg.get(s, 0) + 1
+    rank = {v: init for v in nodes}
+    for _ in range(iterations):
+        sums = {}
+        for s, d in e:
+            sums[d] = sums.get(d, 0) + rank[s] // out_deg[s]
+        rank = {
+            v: base + (damping_pct * sums.get(v, 0)) // 100 for v in nodes
+        }
+    return rank
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        # star: hub 0 referenced by all spokes
+        [(i, 0) for i in range(1, 8)] + [(0, 1)],
+        # ring + chord
+        [(i, (i + 1) % 6) for i in range(6)] + [(0, 3), (2, 5)],
+    ],
+)
+def test_pagerank_matches_python_reference(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = dict(rows(pagerank(df, iterations=6), "node", "rank_micro"))
+    assert got == _pagerank_py(edges, iterations=6)
+
+
+def test_pagerank_hub_outranks_leaf_spokes(spark):
+    # node 1 receives the hub's ENTIRE mass each round (hub out_deg 1), so
+    # hub and node 1 trade the top slot on a slowly-decaying 2-cycle; the
+    # stable property is that both dwarf the leaf spokes 2..9, which only
+    # ever hold the teleport base.
+    edges = [(i, 0) for i in range(1, 10)] + [(0, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    r = dict(rows(pagerank(df, iterations=10), "node", "rank_micro"))
+    leaf_max = max(v for k, v in r.items() if k not in (0, 1))
+    assert r[0] > 10 * leaf_max and r[1] > 10 * leaf_max
+    assert r == _pagerank_py(edges, iterations=10)
+
+
+def test_pagerank_empty_edges(spark):
+    df = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(df).count() == 0

@@ -4603,6 +4603,267 @@ def bpe_token_ids(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# §2.10 URL & web-graph layer (weburl.py) — documents carry no url/html
+# column, so each query PLANTS its input from doc_id arithmetic via a
+# SHARED SQL literal (F.expr Spark-side, interpolated into the oracle),
+# the established planted-signal pattern. The plants avoid backslashes
+# and single quotes entirely: Spark SQL unescapes backslashes where
+# DuckDB does not, and the engines disagree on quote-doubling.
+# ===========================================================================
+
+from xmlschemavalidator_spark.weburl import (  # noqa: E402
+    canonical_host,
+    canonical_host_sql,
+    canonical_url,
+    canonical_url_sql,
+    extract_links,
+    extract_links_sql,
+    pagerank_oracle_sql,
+    registered_domain,
+    registered_domain_sql,
+)
+
+# every canonicalization rule exercised: mixed-case scheme/host, userinfo,
+# default port (http:80 AND https:443) vs kept :8080, www, duplicate and
+# trailing slashes, tracking params, unsorted params, bare '?', fragment
+_PLANT_URL = """concat(
+  CASE WHEN doc_id % 5 = 0 THEN 'HTTPS' ELSE 'http' END, '://',
+  CASE WHEN doc_id % 7 = 0 THEN 'crawler:pw@' ELSE '' END,
+  CASE doc_id % 4 WHEN 0 THEN 'WWW.Example.COM' WHEN 1 THEN 'news.Example.co.uk'
+       WHEN 2 THEN 'blog.Test.org' ELSE 'cdn.example.com' END,
+  CASE WHEN doc_id % 10 = 3 THEN ':8080'
+       WHEN doc_id % 2 = 0 THEN CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE ':80' END
+       ELSE '' END,
+  '//articles//', CAST(doc_id % 40 AS STRING),
+  CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END,
+  CASE doc_id % 6 WHEN 0 THEN '?utm_source=tw&b=2&a=1'
+       WHEN 1 THEN '?z=9&a=1&utm_campaign=x&fbclid=pAx'
+       WHEN 2 THEN '?' ELSE '' END,
+  CASE WHEN doc_id % 8 = 0 THEN '#frag' ELSE '' END)"""
+
+
+@q(
+    "url_canonicalize",
+    f"""SELECT doc_id, canonical_url,
+               {registered_domain_sql(canonical_host_sql('canonical_url'))} AS domain
+        FROM (SELECT doc_id, {canonical_url_sql(_PLANT_URL)} AS canonical_url
+              FROM documents)""",
+)
+def url_canonicalize(spark, sf_dir):
+    """Dedup-canonical URL + registrable domain (weburl.py:canonical_url /
+    registered_domain — regex-pipeline form, oracle-exact where the
+    parse_url-based textops.url_normalize cannot be). One narrow
+    projection, zero shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    canon = docs.withColumn("canonical_url", canonical_url(F.expr(_PLANT_URL)))
+    return canon.select(
+        "doc_id",
+        "canonical_url",
+        registered_domain(canonical_host(F.col("canonical_url"))).alias("domain"),
+    )
+
+
+# collision-heavy plant: canonicalization collapses the %2 trailing-slash
+# and %4 tracking-param variants, leaving (host%3 × path%10) = 30 classes
+_PLANT_URL_DUP = """concat('http://',
+  CASE doc_id % 3 WHEN 0 THEN 'A.example.com' WHEN 1 THEN 'b.example.com'
+       ELSE 'c.example.net' END,
+  '/page/', CAST(doc_id % 10 AS STRING),
+  CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END,
+  CASE WHEN doc_id % 4 = 1 THEN '?utm_source=x' ELSE '' END)"""
+
+
+@q(
+    "url_dedup_keep",
+    f"""SELECT doc_id, canonical_url FROM (
+          SELECT doc_id, canonical_url,
+                 row_number() OVER (PARTITION BY canonical_url
+                                    ORDER BY n_chars DESC, doc_id) AS rn
+          FROM (SELECT doc_id, n_chars,
+                       {canonical_url_sql(_PLANT_URL_DUP)} AS canonical_url
+                FROM documents))
+        WHERE rn = 1""",
+)
+def url_dedup_keep(spark, sf_dir):
+    """URL-level dedup: one survivor per canonical URL, longest text then
+    smallest doc_id (weburl.py:url_dedup — partial-aggregatable
+    min(struct), never a window over the possibly-degenerate URL key;
+    the oracle's window form is the semantic spec, not the plan)."""
+    from xmlschemavalidator_spark.weburl import url_dedup
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "url", F.expr(_PLANT_URL_DUP)
+    )
+    return url_dedup(docs).select("doc_id", "canonical_url")
+
+
+@q(
+    "url_domain_cap",
+    """SELECT doc_id, domain FROM (
+         SELECT doc_id, domain,
+                row_number() OVER (PARTITION BY domain
+                                   ORDER BY n_chars DESC, doc_id) AS rn
+         FROM (SELECT doc_id, n_chars,
+                      concat('d', CAST(doc_id % 7 AS STRING), '.example.com')
+                        AS domain
+               FROM documents))
+       WHERE rn <= 10""",
+)
+def url_domain_cap(spark, sf_dir):
+    """Anti-dominance cap: top 10 docs per domain by (n_chars desc,
+    doc_id) via the two-phase salted row_number (weburl.py:domain_cap) —
+    one mega-domain can never pin a single task's sort. Oracle = the
+    single-window semantic spec."""
+    from xmlschemavalidator_spark.weburl import domain_cap
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "domain",
+        F.concat(F.lit("d"), (F.col("doc_id") % 7).cast("string"),
+                 F.lit(".example.com")),
+    )
+    return domain_cap(docs, "domain", cap=10, order_col="n_chars").select(
+        "doc_id", "domain"
+    )
+
+
+_PLANT_URL_BAD = """concat('http://site', CAST(doc_id % 5 AS STRING), '.com/',
+  CASE doc_id % 9 WHEN 0 THEN 'Casino/bonus' WHEN 1 THEN 'poker-night'
+       WHEN 2 THEN 'recipes' ELSE 'news' END)"""
+
+
+@q(
+    "url_badword_kept",
+    f"""SELECT doc_id, url FROM
+          (SELECT doc_id, {_PLANT_URL_BAD} AS url FROM documents)
+        WHERE NOT regexp_matches(lower(url), '(casino|poker)')""",
+)
+def url_badword_kept(spark, sf_dir):
+    """C4-style URL badword filter (substring over the lowercased URL,
+    weburl.py:url_badword_filter): the planted Casino/poker paths drop,
+    case-insensitively."""
+    from xmlschemavalidator_spark.weburl import url_badword_filter
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "url", F.expr(_PLANT_URL_BAD)
+    )
+    return url_badword_filter(docs, "url", ["casino", "poker"]).select(
+        "doc_id", "url"
+    )
+
+
+# double-quoted attributes ONLY (the engines disagree on single-quote
+# escaping inside shared literals); data-href plants the false-positive
+# the attribute-boundary regex must reject
+_PLANT_HTML = """concat('<html><p>intro</p><a href="http://site',
+  CAST(doc_id % 5 AS STRING), '.com/a">x</a>',
+  CASE WHEN doc_id % 2 = 0
+       THEN concat('<A HREF="https://Example.com/p/',
+                   CAST(doc_id % 7 AS STRING), '">y</A>')
+       ELSE '<a data-href="http://no.example">z</a>' END,
+  '</html>')"""
+
+
+@q(
+    "link_extract",
+    f"""SELECT doc_id,
+               CAST(generate_subscripts(l, 1) - 1 AS BIGINT) AS link_pos,
+               unnest(l) AS link
+        FROM (SELECT doc_id, {extract_links_sql(_PLANT_HTML)} AS l
+              FROM documents)""",
+)
+def link_extract(spark, sf_dir):
+    """Outlink harvest (weburl.py:extract_links): quoted hrefs in document
+    order, attribute-boundary-anchored so data-href never matches. One
+    Generate over a narrow projection — the link-graph ingestion scan."""
+    docs = _t(spark, sf_dir, "documents")
+    links = docs.select(
+        "doc_id", extract_links(F.expr(_PLANT_HTML)).alias("l")
+    )
+    return links.select(
+        "doc_id", F.posexplode("l").alias("link_pos", "link")
+    ).withColumn("link_pos", F.col("link_pos").cast("long"))
+
+
+_EDGES_SQL = (
+    "SELECT doc_id % 60 AS src, (doc_id * 7 + 3) % 60 AS dst "
+    "FROM documents WHERE doc_id % 60 <> (doc_id * 7 + 3) % 60"
+)
+
+
+def _edges(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        (F.col("doc_id") % 60).alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 60).alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+
+
+@q("link_pagerank", pagerank_oracle_sql(_EDGES_SQL, iterations=8))
+def link_pagerank(spark, sf_dir):
+    """Integer-micro PageRank, 8 fixed iterations (weburl.py:pagerank,
+    Pregel SIGMOD'10 §2 formulation): BIGINT micro-unit arithmetic makes
+    the iterative ranks bit-exact against the unrolled-CTE DuckDB replay
+    — the first oracle-exact *iterative graph* query in the suite. Per
+    iteration: one shuffle join + one partial-agg sum, lineage cut."""
+    from xmlschemavalidator_spark.weburl import pagerank
+
+    return pagerank(_edges(spark, sf_dir), iterations=8).select(
+        "node", "rank_micro"
+    )
+
+
+@q(
+    "link_degree_stats",
+    f"""WITH e AS (SELECT DISTINCT src, dst FROM ({_EDGES_SQL})),
+        o AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS out_deg
+              FROM e GROUP BY src),
+        i AS (SELECT dst AS node, CAST(COUNT(*) AS BIGINT) AS in_deg
+              FROM e GROUP BY dst)
+        SELECT coalesce(o.node, i.node) AS node,
+               CAST(coalesce(out_deg, 0) AS BIGINT) AS out_deg,
+               CAST(coalesce(in_deg, 0) AS BIGINT) AS in_deg
+        FROM o FULL OUTER JOIN i ON o.node = i.node""",
+)
+def link_degree_stats(spark, sf_dir):
+    """Per-node in/out degree over the planted link graph
+    (weburl.py:degree_stats): two partial aggs + one outer join."""
+    from xmlschemavalidator_spark.weburl import degree_stats
+
+    return degree_stats(_edges(spark, sf_dir))
+
+
+@q(
+    "domain_quality_gate",
+    """SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(score) AS BIGINT) AS sum_score
+       FROM (SELECT concat('d', CAST(doc_id % 7 AS STRING)) AS domain,
+                    n_chars + (doc_id % 7) * 25 AS score
+             FROM documents)
+       GROUP BY domain
+       HAVING SUM(score) >= 390.0 * COUNT(*)""",
+)
+def domain_quality_gate_q(spark, sf_dir):
+    """Site-level quality gate (weburl.py:domain_quality_gate): domains
+    whose mean planted score clears 390 survive whole (the plant ramps
+    per-domain means ~327..449, measured at sf0.01, so the gate keeps a strict subset — a
+    0-row or all-rows oracle match would prove nothing). The DECIMAL
+    sum≥avg·count form avoids division entirely."""
+    from xmlschemavalidator_spark.weburl import domain_quality_gate
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("d"), (F.col("doc_id") % 7).cast("string")).alias(
+            "domain"
+        ),
+        (F.col("n_chars") + (F.col("doc_id") % 7) * 25).alias("score"),
+    )
+    gated = domain_quality_gate(docs, "domain", "score", min_avg=390.0)
+    return gated.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("score").cast("long").alias("sum_score"),
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 

@@ -1,0 +1,525 @@
+"""URL & web-graph layer for web-scale corpus pipelines.
+
+The reference (eliassona/xmlschemavalidator, core.clj/parser.clj) is a
+schema validator and has no URL layer; these operators come from the
+north rule's webtext axis — every published web-corpus pipeline (C4,
+RefinedWeb, FineWeb, CCNet) filters and deduplicates on URL *before*
+touching text, and weights or filters documents by link-graph signals
+(Common Crawl publishes harmonic-centrality/PageRank rankings for
+exactly this use).
+
+Engine-portability: unlike :func:`textops.url_normalize` (JVM
+``parse_url``, not expressible in DuckDB — its driver query is
+rows-only), everything here is a regex/HOF pipeline with a DuckDB SQL
+renderer, so every operator gets an oracle-exact driver query. Two
+divergence traps handled explicitly:
+
+* DuckDB ``regexp_replace`` replaces the FIRST match unless passed the
+  ``'g'`` option; Spark always replaces all. The SQL renderers pass
+  ``'g'`` everywhere.
+* DuckDB ``array_to_string([])`` is NULL where Spark ``array_join`` is
+  ``''`` — the query-string renderer wraps with ``coalesce``.
+
+Scale shapes (the 100 TB question):
+
+* canonicalization / domain extraction / link extraction: narrow
+  per-row projections, whole-stage codegen, zero shuffles;
+* URL dedup: ``min(struct)`` group-by (partial-aggregatable — map-side
+  combine absorbs hot canonical URLs) + a semi join back, never a
+  window sort over a possibly-degenerate key;
+* per-domain caps: two-phase salted ``row_number`` so one mega-domain
+  cannot pin a single task (phase 1 bounds every group to
+  ``cap`` rows per salt, phase 2 sees ≤ ``cap·n_salts`` rows/domain);
+* PageRank: the classic iterative join+aggregate (Malewicz et al.,
+  Pregel, SIGMOD'10 §2 formulation) with integer micro-unit arithmetic
+  so results are bit-exact across engines, lineage cut per iteration
+  (localCheckpoint + freeing, same discipline as dedup.py's CC loops).
+"""
+
+from __future__ import annotations
+
+import re as _re
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shared regex/vocabulary constants — each drives BOTH the Spark Column
+# builder and the DuckDB SQL renderer (single source of truth, the
+# textops._HTML_RULES pattern)
+# ---------------------------------------------------------------------------
+
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_REST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://(.*)$"
+
+#: query parameters that carry tracking state, not content identity
+#: (utm_* per Google Analytics docs; fbclid/gclid/msclkid/dclid are the
+#: FB/Google/Microsoft click ids). Matched case-sensitively against the
+#: raw ``key=`` prefix — these are lowercase on the wire.
+TRACKING_PARAM_RE = (
+    r"^(utm_[A-Za-z0-9_]+|fbclid|gclid|msclkid|dclid|mc_cid|mc_eid"
+    r"|igshid|spm|ref_src)="
+)
+
+#: common two-level public suffixes (registrable domain = one label more
+#: than the public suffix). A full public-suffix list would be a broadcast
+#: join against a suffix dim at scale; this built-in core keeps the
+#: operator dependency-free and deterministic, and covers the suffixes
+#: that dominate web crawls. Single-level TLDs fall through to the
+#: last-two-labels rule.
+TWO_LEVEL_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.nz", "org.nz", "net.nz",
+    "com.br", "net.br", "org.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "com.mx", "com.ar", "com.tr", "com.sg", "com.hk", "com.tw",
+    "com.my", "com.vn", "com.ua", "com.pl",
+    "co.in", "co.kr", "co.za", "co.id",
+)
+
+_TLD_ALT = "|".join(s.replace(".", r"\.") for s in TWO_LEVEL_SUFFIXES)
+#: leftmost-first alternation: both Java regex and RE2 prefer the earlier
+#: alternative, so two-level suffixes win over the generic [^.]+ tail.
+REGISTERED_DOMAIN_RE = rf"([^.]+\.(?:{_TLD_ALT}|[^.]+))$"
+
+_IPV4ISH_RE = r"^[0-9.]+$"
+
+# the explicit whitespace class (CLAUDE.md hard rule: Java \s includes
+# \x0B, RE2 excludes it — dual-engine patterns must spell the class)
+_WS = r"[ \t\n\x0b\f\r]"
+
+#: href extraction: quoted values only (unquoted href is <1% of crawl
+#: HTML and needs a different terminator class); the leading
+#: ``(?:[^>]*WS)?`` requires ``href`` to start an attribute name, so
+#: ``data-href=`` cannot match. Char-class quotes (not a backreference —
+#: RE2 has none) mean a mismatched-quote attr terminates at the first
+#: quote of either kind, which is the safe direction for extraction.
+HREF_RE = (
+    rf"(?is)<a{_WS}(?:[^>]*{_WS})?href{_WS}*={_WS}*"
+    rf"[\"']([^\"'<>]+)[\"']"
+)
+
+
+def _sql_quote(pat: str) -> str:
+    """Embed a regex in a single-quoted DuckDB literal (DuckDB does not
+    process backslash escapes in standard strings, so only quotes need
+    doubling — the regex engine sees the backslashes raw)."""
+    return "'" + pat.replace("'", "''") + "'"
+
+
+# ---------------------------------------------------------------------------
+# canonical URL
+# ---------------------------------------------------------------------------
+
+def canonical_query(q: Column) -> Column:
+    """Tracking params dropped, remaining ``k=v`` pairs sorted — the
+    dedup-stable form of a query string ('' in, '' out)."""
+    parts = F.split(q, "&")
+    kept = F.filter(
+        parts, lambda p: (p != F.lit("")) & ~p.rlike(TRACKING_PARAM_RE)
+    )
+    return F.array_join(F.array_sort(kept), "&")
+
+
+def canonical_query_sql(x: str) -> str:
+    """DuckDB rendering of :func:`canonical_query` over expression ``x``.
+    ``coalesce`` because DuckDB ``array_to_string([])`` is NULL."""
+    track = _sql_quote(TRACKING_PARAM_RE)
+    return (
+        "coalesce(array_to_string(list_sort(list_filter("
+        f"string_split({x}, '&'), "
+        f"p -> p <> '' AND NOT regexp_matches(p, {track}))), '&'), '')"
+    )
+
+
+def canonical_url(url: Column, strip_www: bool = True) -> Column:
+    """Dedup-canonical URL: lower-cased scheme and host, userinfo
+    dropped, default port stripped (http:80 / https:443; other ports
+    kept), optional leading ``www.`` stripped, duplicate path slashes
+    collapsed, trailing path slashes dropped (empty path → ``/``),
+    fragment dropped, tracking query params removed and the survivors
+    sorted. Inputs without a ``scheme://`` pass through trimmed (relative
+    URLs have no canonical absolute form without a base).
+
+    All Catalyst built-ins, one codegen pass; the repeated
+    ``regexp_extract`` subtrees are lambda-free so codegen's runtime
+    subexpression elimination collapses them (the HOF-CSE trap in
+    CLAUDE.md applies only to lambda subtrees, and the single HOF here —
+    the query filter — appears exactly once).
+    """
+    t = F.trim(url)
+    scheme = F.lower(F.regexp_extract(t, _SCHEME_RE, 1))
+    rest = F.regexp_extract(t, _REST_RE, 1)
+    authority = F.regexp_extract(rest, r"^([^/?#]*)", 1)
+    hostport = F.lower(F.regexp_replace(authority, r"^[^@]*@", ""))
+    host = (
+        F.when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
+        .otherwise(hostport)
+    )
+    if strip_www:
+        host = F.regexp_replace(host, r"^www\.", "")
+    pq = F.regexp_extract(rest, r"^[^/?#]*([^#]*)", 1)
+    path_stripped = F.regexp_replace(
+        F.regexp_replace(F.regexp_extract(pq, r"^([^?]*)", 1), "/{2,}", "/"),
+        "/+$",
+        "",
+    )
+    path = F.when(path_stripped == "", F.lit("/")).otherwise(path_stripped)
+    q = canonical_query(F.regexp_extract(pq, r"^[^?]*\?(.*)$", 1))
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q)),
+    )
+    return F.when(t.rlike(_SCHEME_RE), canon).otherwise(t)
+
+
+def canonical_url_sql(x: str, strip_www: bool = True) -> str:
+    """DuckDB rendering of :func:`canonical_url` over expression ``x`` —
+    same steps, 'g'-flagged replaces (DuckDB defaults to first-match)."""
+    t = f"trim({x})"
+    scheme = f"lower(regexp_extract({t}, {_sql_quote(_SCHEME_RE)}, 1))"
+    rest = f"regexp_extract({t}, {_sql_quote(_REST_RE)}, 1)"
+    authority = f"regexp_extract({rest}, '^([^/?#]*)', 1)"
+    hostport = f"lower(regexp_replace({authority}, '^[^@]*@', '', 'g'))"
+    host = (
+        f"CASE WHEN {scheme} = 'http' "
+        f"THEN regexp_replace({hostport}, ':80$', '', 'g') "
+        f"WHEN {scheme} = 'https' "
+        f"THEN regexp_replace({hostport}, ':443$', '', 'g') "
+        f"ELSE {hostport} END"
+    )
+    if strip_www:
+        host = f"regexp_replace({host}, '^www\\.', '', 'g')"
+    pq = f"regexp_extract({rest}, '^[^/?#]*([^#]*)', 1)"
+    path_stripped = (
+        "regexp_replace(regexp_replace("
+        f"regexp_extract({pq}, '^([^?]*)', 1), '/{{2,}}', '/', 'g'), "
+        "'/+$', '', 'g')"
+    )
+    path = f"CASE WHEN {path_stripped} = '' THEN '/' ELSE {path_stripped} END"
+    q = canonical_query_sql(f"regexp_extract({pq}, '^[^?]*\\?(.*)$', 1)")
+    canon = (
+        f"concat({scheme}, '://', {host}, {path}, "
+        f"CASE WHEN {q} = '' THEN '' ELSE concat('?', {q}) END)"
+    )
+    return (
+        f"CASE WHEN regexp_matches({t}, {_sql_quote(_SCHEME_RE)}) "
+        f"THEN {canon} ELSE {t} END"
+    )
+
+
+def canonical_host(canon_url: Column) -> Column:
+    """Host of an already-canonical URL (port excluded)."""
+    return F.regexp_extract(canon_url, r"^[a-z][a-z0-9+.-]*://([^/?#:]*)", 1)
+
+
+def canonical_host_sql(x: str) -> str:
+    return f"regexp_extract({x}, '^[a-z][a-z0-9+.-]*://([^/?#:]*)', 1)"
+
+
+def registered_domain(host: Column) -> Column:
+    """Registrable domain of a host: one label above the public suffix
+    for the built-in two-level suffixes (``news.example.co.uk`` →
+    ``example.co.uk``), else last two labels; IPv4-ish hosts and
+    dot-free hosts pass through whole. Improves on
+    :func:`textops.url_registrable_domain` (naive last-two: co.uk sites
+    all collapse to ``co.uk``) and is DuckDB-renderable."""
+    ext = F.regexp_extract(host, REGISTERED_DOMAIN_RE, 1)
+    return F.when(
+        host.rlike(_IPV4ISH_RE) | (ext == ""), host
+    ).otherwise(ext)
+
+
+def registered_domain_sql(x: str) -> str:
+    reg = _sql_quote(REGISTERED_DOMAIN_RE)
+    return (
+        f"CASE WHEN regexp_matches({x}, {_sql_quote(_IPV4ISH_RE)}) "
+        f"OR regexp_extract({x}, {reg}, 1) = '' THEN {x} "
+        f"ELSE regexp_extract({x}, {reg}, 1) END"
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL dedup + per-domain caps + filters
+# ---------------------------------------------------------------------------
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    length_col: str = "n_chars",
+    id_col: str = "doc_id",
+    canonical_col: str = "canonical_url",
+    strip_www: bool = True,
+) -> DataFrame:
+    """One document per canonical URL — longest text wins, ties break to
+    the smallest id (deterministic, rerun-stable).
+
+    Shape: winner selection is ``min(struct(-len, id))`` — a
+    partial-aggregatable min, so a degenerate hot key (a canonical URL
+    with millions of copies, e.g. a crawler trap) combines map-side and
+    contributes one row per input partition to the final agg. The
+    window-sort alternative (``row_number`` over the URL) cannot split
+    one hot key across tasks; the agg can. Kept rows come back via a
+    semi join on (canonical, id)."""
+    canon = df.withColumn(
+        canonical_col, canonical_url(F.col(url_col), strip_www=strip_www)
+    )
+    winners = (
+        canon.groupBy(canonical_col)
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col(length_col).cast("long")).alias("neg_len"),
+                    F.col(id_col).alias("id"),
+                )
+            ).alias("w")
+        )
+        .select(F.col(canonical_col), F.col("w.id").alias(id_col))
+    )
+    return canon.join(winners, [canonical_col, id_col], "left_semi")
+
+
+def domain_cap(
+    df: DataFrame,
+    domain_col: str,
+    cap: int,
+    order_col: str | None = None,
+    id_col: str = "doc_id",
+    n_salts: int = 32,
+) -> DataFrame:
+    """At most ``cap`` documents per domain — the anti-domain-dominance
+    cap web pipelines apply so one mega-site cannot swamp the corpus.
+    Keeps the top ``cap`` by ``order_col`` descending (ties, or no
+    ``order_col``: smallest ``id_col`` first) — deterministic.
+
+    Two-phase salted top-k: phase 1 ranks within (domain, salt) and
+    keeps ``cap`` per salt-group — each global winner is necessarily in
+    its own salt-group's top ``cap``, so phase 1 keeps a superset —
+    phase 2 ranks the ≤ ``cap·n_salts`` survivors per domain. A single
+    window over a skewed domain would sort the whole mega-domain in one
+    task; the salted phase bounds every task's sort to its salt slice.
+    """
+    order = (
+        [F.col(order_col).desc()] if order_col is not None else []
+    ) + [F.col(id_col).asc()]
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts))
+    )
+    w1 = Window.partitionBy(domain_col, "_salt").orderBy(*order)
+    phase1 = (
+        salted.withColumn("_rn", F.row_number().over(w1))
+        .where(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+    w2 = Window.partitionBy(domain_col).orderBy(*order)
+    return (
+        phase1.withColumn("_rn", F.row_number().over(w2))
+        .where(F.col("_rn") <= cap)
+        .drop("_rn", "_salt")
+    )
+
+
+def url_badword_pattern(words: list[str]) -> str:
+    """Case-insensitive substring alternation over the lowercased URL —
+    the C4 'bad words in URL' filter shape (substring, not word-bound:
+    URLs have no word boundaries worth trusting)."""
+    return "(" + "|".join(_re.escape(w.lower()) for w in sorted(words)) + ")"
+
+
+def url_badword_filter(
+    df: DataFrame, url_col: str, words: list[str]
+) -> DataFrame:
+    """Drop documents whose URL contains any listed word (lowercased
+    substring match). Narrow filter; the pattern is a literal
+    alternation so both engines treat it identically."""
+    pat = url_badword_pattern(words)
+    return df.where(~F.lower(F.col(url_col)).rlike(pat))
+
+
+def domain_quality_gate(
+    df: DataFrame,
+    domain_col: str,
+    score_col: str,
+    min_avg: float,
+) -> DataFrame:
+    """Keep only documents from domains whose mean ``score_col`` is at
+    least ``min_avg`` — the site-level quality gate (a domain whose
+    documents are uniformly boilerplate is dropped whole, catching pages
+    that individually sneak past per-doc filters).
+
+    The comparison is ``sum(score) >= min_avg · count`` in DECIMAL — no
+    division, no float summation order, so the kept-domain set is exact
+    and oracle-comparable. Partial-aggregatable agg + a semi join back;
+    the fact side never sorts."""
+    per = df.groupBy(domain_col).agg(
+        F.sum(F.col(score_col).cast("decimal(28,6)")).alias("_ssum"),
+        F.count(F.lit(1)).alias("_cnt"),
+    )
+    kept = per.where(
+        F.col("_ssum")
+        >= F.lit(min_avg).cast("decimal(28,6)") * F.col("_cnt")
+    ).select(domain_col)
+    return df.join(kept, domain_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# link graph
+# ---------------------------------------------------------------------------
+
+def extract_links(html: Column) -> Column:
+    """Array of href values from anchor tags (quoted attributes,
+    case-insensitive, ``data-href`` etc. excluded — see :data:`HREF_RE`).
+    Document order preserved (``regexp_extract_all`` scans left to
+    right in both engines)."""
+    return F.regexp_extract_all(html, F.lit(HREF_RE), F.lit(1))
+
+
+def extract_links_sql(x: str) -> str:
+    return f"regexp_extract_all({x}, {_sql_quote(HREF_RE)}, 1)"
+
+
+def degree_stats(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node in/out degree over the distinct edge set: ``(node,
+    out_deg, in_deg)``. Two partial aggs + one full outer join on node."""
+    e = edges.select(src, dst).distinct()
+    outd = e.groupBy(F.col(src).alias("node")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    ind = e.groupBy(F.col(dst).alias("node")).agg(
+        F.count(F.lit(1)).alias("in_deg")
+    )
+    return (
+        outd.join(ind, "node", "full_outer")
+        .select(
+            "node",
+            F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).cast("long").alias("in_deg"),
+        )
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 10,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Fixed-iteration PageRank in integer micro-units → ``(node,
+    rank_micro)``, bit-exact across engines and reruns.
+
+    Formulation (Pregel, Malewicz et al. SIGMOD'10 §2): rank mass lives
+    in BIGINT micro-units of ``scale`` total; each iteration every node
+    sends ``rank div out_deg`` along each out-edge and recomputes
+    ``base + damping·Σ incoming div 100``. All operations are integer
+    division/multiplication — no float accumulation order to diverge, so
+    the DuckDB oracle (:func:`pagerank_oracle_sql`, same arithmetic
+    unrolled) hashes identically. Dangling-node mass is dropped, the
+    standard simplification in the Pregel formulation (rank is then a
+    relative ordering signal, which is how crawl pipelines consume it).
+
+    Scale shape: per iteration ONE shuffle join (ranks ⋈ edges on src —
+    the edges side is pre-joined with out-degrees once and checkpointed)
+    feeding ONE partial-aggregated sum on dst, then a left join back to
+    the node set; lineage is cut every iteration (eager localCheckpoint,
+    previous round's blocks freed) exactly like dedup.py's CC loops —
+    without the cut the plan doubles per round and the driver dies
+    before the data does.
+    """
+    from xmlschemavalidator_spark.session import free_local_checkpoint
+
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank_micro", F.lit(0).cast("long"))
+    init = scale // n
+    base = ((100 - damping_pct) * init) // 100
+    edges_deg = (
+        e.join(
+            e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg")), "src"
+        )
+        .localCheckpoint()
+    )
+    ranks = nodes.withColumn(
+        "rank_micro", F.lit(init).cast("long")
+    ).localCheckpoint()
+    for _ in range(iterations):
+        sums = (
+            edges_deg.join(ranks, edges_deg.src == ranks.node)
+            .select(
+                F.col("dst"),
+                F.expr("rank_micro div out_deg").alias("_c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("_c").alias("_s"))
+        )
+        new = nodes.join(sums, nodes.node == sums.dst, "left").select(
+            nodes.node,
+            F.expr(
+                f"CAST({base} AS BIGINT) + "
+                f"(({damping_pct} * coalesce(_s, CAST(0 AS BIGINT))) div 100)"
+            ).alias("rank_micro"),
+        )
+        prev = ranks
+        ranks = new.localCheckpoint()
+        free_local_checkpoint(prev)
+    free_local_checkpoint(edges_deg)
+    free_local_checkpoint(nodes)
+    return ranks
+
+
+def pagerank_oracle_sql(
+    edges_sql: str,
+    iterations: int = 10,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+) -> str:
+    """DuckDB replay of :func:`pagerank` — the iteration unrolled as a
+    CTE chain r0..rN (recursive CTEs disallow aggregates in the
+    recursive term; unrolling is exact and bounded by the fixed
+    iteration count). Integer ``//`` matches Spark ``div`` on the
+    all-positive ranks. ``SUM`` is HUGEINT in DuckDB → cast back."""
+    parts = [
+        f"WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql})),\n"
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),\n"
+        "deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS out_deg "
+        "FROM e GROUP BY src),\n"
+        "nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),\n"
+        f"r0 AS (SELECT node, {scale} // n AS rank_micro "
+        "FROM nodes CROSS JOIN nv)"
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f",\ns{i} AS (SELECT e.dst, "
+            "CAST(SUM(r.rank_micro // d.out_deg) AS BIGINT) AS s\n"
+            f"  FROM r{i - 1} r JOIN e ON r.node = e.src "
+            "JOIN deg d ON d.src = e.src GROUP BY e.dst),\n"
+            f"r{i} AS (SELECT nodes.node,\n"
+            f"  ((100 - {damping_pct}) * ({scale} // nv.n)) // 100\n"
+            f"  + ({damping_pct} * coalesce(s{i}.s, 0)) // 100 AS rank_micro\n"
+            f"  FROM nodes CROSS JOIN nv "
+            f"LEFT JOIN s{i} ON nodes.node = s{i}.dst)"
+        )
+    parts.append(
+        f"\nSELECT node, rank_micro FROM r{iterations}"
+    )
+    return "".join(parts)
