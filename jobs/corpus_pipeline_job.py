@@ -69,6 +69,8 @@ def run_pipeline(
     url_dedup_on: bool = False,
     domain_cap_n: int = 0,
     url_badwords: list[str] | None = None,
+    unimax_budget: int = 0,
+    unimax_max_epochs: int = 2,
     stage_times: dict | None = None,
 ) -> dict:
     """Compose the pipeline over an in-memory DataFrame; returns the
@@ -426,6 +428,9 @@ def run_pipeline(
         )
 
     # 8. per-language token budget (largest docs first)
+    if budget_per_lang > 0 and unimax_budget > 0:
+        raise ValueError("--budget-per-lang and --unimax-budget are "
+                         "alternative budget policies — pick one")
     if budget_per_lang > 0:
         with_cost = cur.withColumn("_cost", F.length("text"))
         cur = stage(
@@ -433,6 +438,28 @@ def run_pipeline(
             token_budget_select(
                 with_cost, id_col, "lang", "_cost", budget_per_lang
             ).drop("_cost"),
+        )
+
+    # 8-alt. UniMax budget (Chung et al. ICLR'23): one TOTAL char budget
+    # waterfilled across languages with an epoch cap — small langs repeat
+    # up to max_epochs, big langs split the remainder equally. `kept`
+    # stays one row per surviving doc; the (doc, epoch) training-order
+    # rows land in <output>/epochs/batch_id=<id>/ after the kept commit
+    # (epoch replication is a training artifact, like sequences/shards —
+    # it must never enter the fingerprint store).
+    unimax_rows = None
+    if unimax_budget > 0:
+        from xmlschemavalidator_spark.sampling import unimax_apply
+
+        with_cost = cur.withColumn("_cost", F.length("text"))
+        unimax_rows = unimax_apply(
+            with_cost, id_col, "lang", "_cost", unimax_budget,
+            unimax_max_epochs,
+        ).drop("_cost").localCheckpoint(eager=True)
+        persisted.append(unimax_rows)
+        cur = stage(
+            "budgeted",
+            cur.join(unimax_rows.select(id_col).distinct(), id_col, "left_semi"),
         )
 
     cur.write.mode("overwrite").parquet(kept_path)
@@ -444,6 +471,14 @@ def run_pipeline(
             spark.read.parquet(kept_path), id_col, near_store, batch_id=batch_id
         )
     audit["kept"] = audit[list(audit)[-1]]
+    if unimax_rows is not None:
+        unimax_rows.select(id_col, "lang", "epoch").write.mode(
+            "overwrite"
+        ).parquet(f"{output}/epochs/batch_id={batch_id}")
+        # recorded AFTER kept (epoch rows legitimately exceed doc counts —
+        # they are repetitions, not survivors, so they sit outside the
+        # monotone stage chain)
+        audit["unimax_epoch_rows"] = unimax_rows.count()
     # the audit record and caches are settled BEFORE the optional packing
     # stage (review finding: a stage-9 failure used to lose stages.json
     # and leak caches for an already-committed batch); stage 9 re-writes
@@ -612,6 +647,20 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="comma list of badwords; docs whose URL contains any are dropped",
     )
+    p.add_argument(
+        "--unimax-budget",
+        type=int,
+        default=0,
+        help="UniMax total char budget waterfilled across languages "
+        "(alternative to --budget-per-lang); (doc, epoch) rows land in "
+        "<output>/epochs/batch_id=<id>/",
+    )
+    p.add_argument(
+        "--unimax-max-epochs",
+        type=int,
+        default=2,
+        help="UniMax per-language epoch cap (default 2)",
+    )
     args = p.parse_args(argv)
 
     spark = (
@@ -633,6 +682,8 @@ def main(argv: list[str] | None = None) -> int:
         extract_main_content=args.main_content,
         url_col=args.url_col, url_dedup_on=args.url_dedup,
         domain_cap_n=args.domain_cap,
+        unimax_budget=args.unimax_budget,
+        unimax_max_epochs=args.unimax_max_epochs,
         url_badwords=(
             [w for w in args.url_badwords.split(",") if w]
             if args.url_badwords

@@ -478,3 +478,34 @@ def test_pipeline_url_stages_require_url_col(spark, tmp_path):
         run_pipeline(
             spark, docs, str(tmp_path / "x"), batch_id="u2", url_dedup_on=True
         )
+
+
+def test_pipeline_unimax_budget(spark, tmp_path):
+    """UniMax budget policy: kept stays one row per surviving doc; the
+    (doc, epoch) training rows land in epochs/batch_id=<id>/ and match a
+    direct unimax_apply over the same survivors."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    from corpus_pipeline_job import run_pipeline
+
+    from xmlschemavalidator_spark.sampling import unimax_apply
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "corpus_um")
+    audit = run_pipeline(
+        spark, docs, out, batch_id="um1",
+        unimax_budget=1_000_000, unimax_max_epochs=2,  # oversubscribed: all capped at 2 epochs
+    )
+    epochs = spark.read.parquet(f"{out}/epochs/batch_id=um1")
+    assert set(epochs.columns) == {"doc_id", "lang", "epoch"}
+    assert audit["unimax_epoch_rows"] == epochs.count()
+    assert epochs.agg(F.max("epoch")).collect()[0][0] == 2  # repetition happened
+    # oversubscribed budget: every surviving doc appears in BOTH epochs
+    assert epochs.count() == 2 * epochs.select("doc_id").distinct().count()
+    # kept = distinct docs appearing in the epoch rows
+    kept = spark.read.parquet(f"{out}/kept/batch_id=um1")
+    assert audit["kept"] == kept.count()
+    assert kept.count() == epochs.select("doc_id").distinct().count()
+    # both policies at once is a config error
+    with pytest.raises(ValueError, match="alternative budget"):
+        run_pipeline(spark, docs, str(tmp_path / "x"), batch_id="um2",
+                     budget_per_lang=10, unimax_budget=10)

@@ -131,3 +131,105 @@ def test_deterministic_shuffle_rejects_bad_shards(spark):
     df = spark.range(5).select(F.col("id").alias("doc_id"))
     with _pytest.raises(ValueError):
         deterministic_shuffle(df, "doc_id", n_shards=0)
+
+
+# --------------------------------------------------------------------------
+# UniMax budget allocation (Chung et al., ICLR 2023)
+# --------------------------------------------------------------------------
+
+def test_unimax_py_waterfilling_basics():
+    from xmlschemavalidator_spark.sampling import unimax_allocation_py
+
+    # small langs capped at max_epochs, the big one takes the remainder
+    sizes = {"en": 1000, "de": 100, "zh": 50}
+    alloc = unimax_allocation_py(sizes, total_budget=700, max_epochs=3)
+    # zh capped at 3 epochs (150); de's cap (300) exceeds the uniform
+    # share of the remainder (550/2), so de and en split it equally
+    assert alloc == {"zh": 150, "de": 275, "en": 275}
+    assert sum(alloc.values()) == 700  # budget exactly spent
+    # with a roomier budget de gets capped too
+    alloc = unimax_allocation_py(sizes, total_budget=1000, max_epochs=3)
+    assert alloc == {"zh": 150, "de": 300, "en": 550}
+
+    # over-subscribed budget: everything capped, leftover unassigned
+    alloc = unimax_allocation_py(sizes, total_budget=100_000, max_epochs=2)
+    assert alloc == {"en": 2000, "de": 200, "zh": 100}
+
+    # zero budget
+    assert unimax_allocation_py(sizes, 0, 3) == {"en": 0, "de": 0, "zh": 0}
+
+    # remainder units go to alphabetically-first uncapped groups
+    alloc = unimax_allocation_py({"a": 100, "b": 100, "c": 100}, 101, 1)
+    assert alloc == {"a": 34, "b": 34, "c": 33}
+
+
+def test_unimax_py_budget_conservation_property():
+    from xmlschemavalidator_spark.sampling import unimax_allocation_py
+
+    import itertools
+
+    for sizes, budget, epochs in itertools.product(
+        [{"a": 7, "b": 31, "c": 500}, {"x": 1, "y": 1}, {"solo": 9}],
+        [0, 5, 40, 10_000],
+        [1, 2, 5],
+    ):
+        alloc = unimax_allocation_py(sizes, budget, epochs)
+        caps = {g: n * epochs for g, n in sizes.items()}
+        assert all(0 <= alloc[g] <= caps[g] for g in sizes)
+        assert sum(alloc.values()) == min(budget, sum(caps.values()))
+
+
+def test_unimax_allocation_df_matches_py(spark):
+    from xmlschemavalidator_spark.sampling import (
+        unimax_allocation,
+        unimax_allocation_py,
+    )
+
+    df = spark.createDataFrame(
+        [(i, ["en", "en", "en", "de", "zh"][i % 5], 10 + i) for i in range(50)],
+        "doc_id long, lang string, cost long",
+    )
+    sizes = {
+        r[0]: r[1]
+        for r in df.groupBy("lang").agg(F.sum("cost")).collect()
+    }
+    table = unimax_allocation(df, "lang", "cost", 800, 2)
+    got = {r["lang"]: (r["corpus_cost"], r["alloc_cost"], r["capped"]) for r in table.collect()}
+    alloc = unimax_allocation_py(sizes, 800, 2)
+    for g in sizes:
+        assert got[g] == (sizes[g], alloc[g], alloc[g] == sizes[g] * 2)
+
+
+def test_unimax_apply_epochs_and_partial(spark):
+    from xmlschemavalidator_spark.sampling import unimax_apply
+
+    # de tiny (capped at 3 epochs), en big (gets remainder: 1 full epoch
+    # + a partial one)
+    data = [(i, "en" if i < 20 else "de", 10) for i in range(24)]
+    df = spark.createDataFrame(data, "doc_id long, lang string, cost long")
+    # caps: en 600, de 120; budget 400 -> de capped (120), en gets 280
+    # = 1 full epoch (200) + partial 80 -> 8 docs of epoch 2
+    out = unimax_apply(df, "doc_id", "lang", "cost", 400, 3)
+    per = {(r["lang"], r["epoch"]): 1 for r in out.select("lang", "epoch").distinct().collect()}
+    counts = {
+        (r["lang"], r["epoch"]): r["n"]
+        for r in out.groupBy("lang", "epoch").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts[("de", 1)] == 4 and counts[("de", 2)] == 4 and counts[("de", 3)] == 4
+    assert ("de", 4) not in counts
+    assert counts[("en", 1)] == 20
+    assert counts[("en", 2)] == 8  # 80 budget / 10 cost each
+    assert ("en", 3) not in counts
+    # deterministic: same call, same rows
+    again = unimax_apply(df, "doc_id", "lang", "cost", 400, 3)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_unimax_apply_zero_cost_group_dropped(spark):
+    from xmlschemavalidator_spark.sampling import unimax_apply
+
+    df = spark.createDataFrame(
+        [(1, "en", 10), (2, "empty", 0)], "doc_id long, lang string, cost long"
+    )
+    out = unimax_apply(df, "doc_id", "lang", "cost", 100, 2)
+    assert [r["lang"] for r in out.select("lang").distinct().collect()] == ["en"]

@@ -4864,6 +4864,101 @@ def domain_quality_gate_q(spark, sf_dir):
     )
 
 
+# --- UniMax budget allocation (Chung et al., ICLR 2023) -------------------
+# Integer waterfilling: the capped-prefix test is monotone in the
+# (cap, name) order, so the oracle evaluates it with window prefix sums —
+# no recursion. `capped` is defined as alloc == cap on BOTH sides (an
+# uncapped group receiving a remainder unit can land exactly on its cap,
+# so flagging from the prefix test alone would diverge).
+
+_UNIMAX_B = 200_000
+_UNIMAX_E = 2
+
+from xmlschemavalidator_spark.sampling import sample_key_sql  # noqa: E402
+
+_UNIMAX_KEY = sample_key_sql("doc_id", "unimax")
+
+_UNIMAX_ALLOC_CTES = f"""
+sz AS (SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS n FROM documents GROUP BY lang),
+caps AS (SELECT lang, n, n * {_UNIMAX_E} AS cap FROM sz),
+ord AS (SELECT lang, n, cap,
+        CAST(row_number() OVER (ORDER BY cap, lang) AS BIGINT) AS i,
+        CAST(COUNT(*) OVER () AS BIGINT) AS L,
+        CAST(coalesce(SUM(cap) OVER (ORDER BY cap, lang
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS s_before
+        FROM caps),
+flag AS (SELECT *, (cap * (L - i + 1) <= {_UNIMAX_B} - s_before) AS fits
+         FROM ord),
+ct AS (SELECT CAST(coalesce(SUM(CASE WHEN fits THEN cap END), 0) AS BIGINT) AS granted,
+              CAST(SUM(CASE WHEN NOT fits THEN 1 ELSE 0 END) AS BIGINT) AS u
+       FROM flag),
+unc AS (SELECT lang, CAST(row_number() OVER (ORDER BY lang) AS BIGINT) AS j
+        FROM flag WHERE NOT fits),
+alloc AS (SELECT f.lang, f.n, f.cap,
+            CASE WHEN f.fits THEN f.cap
+                 ELSE ({_UNIMAX_B} - ct.granted) // ct.u
+                      + CASE WHEN unc.j <= ({_UNIMAX_B} - ct.granted) % ct.u
+                             THEN 1 ELSE 0 END
+            END AS a
+          FROM flag f CROSS JOIN ct LEFT JOIN unc ON f.lang = unc.lang)"""
+
+
+@q(
+    "unimax_allocation",
+    f"""WITH {_UNIMAX_ALLOC_CTES}
+        SELECT lang, n AS corpus_cost, a AS alloc_cost,
+               (a = cap) AS capped
+        FROM alloc""",
+)
+def unimax_allocation_q(spark, sf_dir):
+    """UniMax per-language budget table (sampling.py:unimax_allocation):
+    integer waterfilling over per-lang n_chars sums, budget 200k chars /
+    max 2 epochs at sf0.01 — the smallest lang caps at 2 full epochs, the
+    rest split
+    the remainder equally (deterministic remainder-unit placement). The
+    oracle replays the waterfill with window prefix sums."""
+    from xmlschemavalidator_spark.sampling import unimax_allocation
+
+    docs = _t(spark, sf_dir, "documents")
+    return unimax_allocation(docs, "lang", "n_chars", _UNIMAX_B, _UNIMAX_E)
+
+
+@q(
+    "unimax_epochs",
+    f"""WITH {_UNIMAX_ALLOC_CTES},
+        docs2 AS (SELECT d.doc_id, d.lang, d.n_chars, al.a, al.n,
+                         al.a // al.n AS fe
+                  FROM documents d JOIN alloc al USING (lang)
+                  WHERE al.n > 0),
+        f AS (SELECT doc_id, lang,
+                     CAST(unnest(range(1, fe + 1)) AS BIGINT) AS epoch
+              FROM docs2),
+        p AS (SELECT doc_id, lang, CAST(fe + 1 AS BIGINT) AS epoch FROM (
+                SELECT doc_id, lang, fe, a - fe * n AS rem,
+                       SUM(n_chars) OVER (PARTITION BY lang
+                           ORDER BY {_UNIMAX_KEY}, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         - n_chars AS spent_before
+                FROM docs2)
+              WHERE spent_before < rem)
+        SELECT doc_id, lang, epoch FROM f
+        UNION ALL SELECT doc_id, lang, epoch FROM p""",
+)
+def unimax_epochs(spark, sf_dir):
+    """UniMax materialized as training rows (sampling.py:unimax_apply):
+    every kept (doc, epoch) pair — full epochs are an explode over the
+    per-lang allocation, the final partial epoch fills in deterministic
+    md5(salt:id) order until its residual char budget is spent
+    (first-to-exceed). Oracle replays allocation + epoch expansion +
+    the md5-ordered window exactly."""
+    from xmlschemavalidator_spark.sampling import unimax_apply
+
+    docs = _t(spark, sf_dir, "documents")
+    out = unimax_apply(docs, "doc_id", "lang", "n_chars", _UNIMAX_B, _UNIMAX_E)
+    return out.select("doc_id", "lang", "epoch")
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 

@@ -133,3 +133,132 @@ def deterministic_shuffle(
     out = df.withColumn("_skey", key).withColumn("shard", shard)
     w = Window.partitionBy("shard").orderBy(F.col("_skey"), F.col(id_col))
     return out.withColumn("pos", F.row_number().over(w)).drop("_skey")
+
+
+# ---------------------------------------------------------------------------
+# UniMax budget allocation (Chung et al., ICLR 2023): given per-group
+# corpus sizes, a total training budget, and a max-epochs cap, distribute
+# the budget uniformly over groups, capping any group whose full
+# max_epochs·size fits below the uniform share — the published
+# alternative to temperature sampling that needs NO transcendental math,
+# so allocation and application are integer-exact and oracle-checkable.
+# ---------------------------------------------------------------------------
+
+def unimax_allocation_py(
+    sizes: dict[str, int], total_budget: int, max_epochs: int
+) -> dict[str, int]:
+    """Pure-integer waterfilling, the single source of truth (the Spark
+    op replays it driver-side over the collected per-group sums; tests
+    and the DuckDB oracle replay the same arithmetic).
+
+    Process groups by cap = size·max_epochs ascending (name-tiebroken):
+    a group whose cap·(groups left) fits the remaining budget is capped
+    (gets its full cap); the first group that doesn't fit — and therefore
+    every later one, since caps only grow — shares the remainder equally,
+    with the division remainder going to the alphabetically-first
+    uncapped groups (one surplus unit each, fully deterministic). The
+    capped-prefix test is monotone (cap_j ≥ cap_i keeps the inequality
+    false once it fails), which is what lets the oracle evaluate it with
+    window prefix sums instead of sequentially."""
+    if total_budget < 0 or max_epochs < 1:
+        raise ValueError("total_budget must be >= 0 and max_epochs >= 1")
+    items = sorted(sizes.items(), key=lambda kv: (kv[1] * max_epochs, kv[0]))
+    alloc: dict[str, int] = {}
+    remaining = total_budget
+    left = len(items)
+    uncapped: list[str] = []
+    for g, n in items:
+        cap = n * max_epochs
+        if not uncapped and cap * left <= remaining:
+            alloc[g] = cap
+            remaining -= cap
+            left -= 1
+        else:
+            uncapped.append(g)
+    if uncapped:
+        share, extra = divmod(remaining, len(uncapped))
+        for j, g in enumerate(sorted(uncapped)):
+            alloc[g] = share + (1 if j < extra else 0)
+    return alloc
+
+
+def unimax_allocation(
+    df: DataFrame,
+    group_col: str,
+    cost_col: str,
+    total_budget: int,
+    max_epochs: int,
+) -> DataFrame:
+    """Per-group UniMax budget table: ``(group, corpus_cost, alloc_cost,
+    capped)``. One partial-aggregated sum per group, then a bounded
+    driver-side waterfill — group cardinality is languages/domains (the
+    same bound the stratified mix already assumes), never corpus-sized."""
+    spark = df.sparkSession
+    sizes = {
+        r[0]: int(r[1])
+        for r in df.groupBy(group_col)
+        .agg(F.sum(F.col(cost_col)).cast("long"))
+        .collect()
+    }
+    alloc = unimax_allocation_py(sizes, total_budget, max_epochs)
+    rows = [
+        (g, sizes[g], alloc[g], alloc[g] == sizes[g] * max_epochs)
+        for g in sorted(sizes)
+    ]
+    return spark.createDataFrame(
+        rows, f"{group_col} string, corpus_cost long, alloc_cost long, capped boolean"
+    )
+
+
+def unimax_apply(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    cost_col: str,
+    total_budget: int,
+    max_epochs: int,
+    salt: str = "unimax",
+) -> DataFrame:
+    """Materialize the UniMax allocation as training rows: every kept row
+    carries an ``epoch`` column (1-based). A group allocated
+    ``alloc = e·size + r`` emits ``e`` full copies of every document
+    (epochs 1..e) plus a partial epoch ``e+1`` holding documents in
+    md5(salt:id) order until ``r`` cost is spent (first-to-exceed, the
+    :func:`token_budget_select` policy — deterministic, engine-portable,
+    no RNG state).
+
+    Scale shape: the allocation table is broadcast (≤ #groups rows); full
+    epochs are an explode over a bounded ``sequence`` (guarded — Spark's
+    ``sequence(a,b)`` counts DOWN when b<a); the partial epoch costs one
+    window per group ordered by the md5 key. Epoch replication multiplies
+    output volume by design — callers write shards, not collect."""
+    sizes_df = unimax_allocation(
+        df, group_col, cost_col, total_budget, max_epochs
+    ).withColumnRenamed("corpus_cost", "_n").withColumnRenamed(
+        "alloc_cost", "_alloc"
+    ).drop("capped")
+    # a zero-cost group allocates 0 and would make `div _n` an ANSI
+    # divide-by-zero — it can contribute nothing, drop it at the join
+    j = df.join(F.broadcast(sizes_df), group_col).where(F.col("_n") > 0)
+    full_epochs = F.expr("_alloc div _n").alias("_fe")
+    j = j.withColumn("_fe", full_epochs)
+    full = (
+        j.where(F.col("_fe") >= 1)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(1).cast("long"), "_fe")))
+        .drop("_n", "_alloc", "_fe")
+    )
+    key = _sample_key(F.col(id_col), salt)
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(key, F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    spent_before = F.sum(F.col(cost_col)).over(w) - F.col(cost_col)
+    partial = (
+        j.withColumn("_rem", F.expr("_alloc - _fe * _n"))
+        .withColumn("_spent_before", spent_before)
+        .where(F.col("_spent_before") < F.col("_rem"))
+        .withColumn("epoch", (F.col("_fe") + 1).cast("long"))
+        .drop("_n", "_alloc", "_fe", "_rem", "_spent_before")
+    )
+    return full.unionByName(partial)
