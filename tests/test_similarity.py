@@ -246,3 +246,78 @@ def test_kmeans_fit_sampled_recovers_clusters_and_prunes_scan(spark):
 
     p = deterministic_sample(df, "vec_id", 0.3, "kmeans")._jdf.queryExecution().toString()
     assert "md5" in p.lower()
+
+
+# --------------------------------------------------------------------------
+# int8 quantization + Matryoshka truncation
+# --------------------------------------------------------------------------
+
+def _quantize_py(v):
+    s = max(abs(x) for x in v) or 1.0
+    import math
+
+    return [math.floor(x * 127.0 / s + 0.5) for x in v], s
+
+
+def test_quantize_int8_matches_python_and_bounds(spark):
+    from xmlschemavalidator_spark.similarity import quantize_int8
+
+    vecs = [
+        [0.5, -1.0, 0.25, 0.0],
+        [0.0, 0.0, 0.0, 0.0],        # zero vector -> zeros, scale 1.0
+        [1e-6, -2e-6, 3e-6, -4e-6],  # tiny magnitudes still span ±127
+    ]
+    df = spark.createDataFrame([(v,) for v in vecs], "v array<double>")
+    got = df.select(quantize_int8(F.col("v")).alias("s")).collect()
+    for v, r in zip(vecs, got):
+        q, s = _quantize_py(v)
+        assert list(r["s"]["q"]) == q and r["s"]["scale"] == s
+        assert all(-127 <= x <= 127 for x in r["s"]["q"])
+        # dequantization error bound: half a quantization step
+        for x, qi in zip(v, r["s"]["q"]):
+            assert abs(x - qi * s / 127.0) <= s / 127.0 / 2 + 1e-12
+
+
+def test_quantized_cosine_tracks_exact_cosine(spark):
+    from xmlschemavalidator_spark.similarity import quantized_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    query = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    q = quantized_topk(emb, "vec_id", "embedding", [float(x) for x in query], k=10)
+    rows = q.collect()
+    assert rows[0]["vec_id"] == 0 and rows[0]["qcosine"] == 1.0  # self-match
+    from xmlschemavalidator_spark.similarity import brute_force_topk
+
+    exact = brute_force_topk(
+        emb, "embedding", [float(x) for x in query], k=10
+    ).collect()
+    # int8 coarse ranking keeps most of the exact top-10
+    overlap = {r["vec_id"] for r in rows} & {r["vec_id"] for r in exact}
+    assert len(overlap) >= 7
+    # and every quantized cosine is within quantization error of exact
+    exact_map = {
+        r["vec_id"]: r["cosine"]
+        for r in brute_force_topk(
+            emb, "embedding", [float(x) for x in query], k=500
+        ).collect()
+    }
+    for r in rows:
+        assert abs(r["qcosine"] - exact_map[r["vec_id"]]) < 0.05
+
+
+def test_matryoshka_topk_is_prefix_cosine(spark):
+    from xmlschemavalidator_spark.similarity import matryoshka_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    query = [float(x) for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    got = matryoshka_topk(emb, "vec_id", "embedding", query, dims=16, k=5)
+    rows = got.collect()
+    assert rows[0]["vec_id"] == 0 and rows[0]["cosine"] == 1.0
+    # replay one row's prefix cosine in python
+    import math
+
+    v1 = [float(x) for x in emb.where(F.col("vec_id") == rows[1]["vec_id"]).collect()[0]["embedding"]][:16]
+    q16 = query[:16]
+    dot = sum(a * b for a, b in zip(v1, q16))
+    cos = dot / (math.sqrt(sum(a * a for a in v1)) * math.sqrt(sum(b * b for b in q16)))
+    assert abs(rows[1]["cosine"] - round(cos, 5)) <= 1e-5

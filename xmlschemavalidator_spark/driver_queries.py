@@ -4959,6 +4959,101 @@ def unimax_epochs(spark, sf_dir):
     return out.select("doc_id", "lang", "epoch")
 
 
+# --- int8 quantization + Matryoshka truncation (ANN memory-reduction) -----
+
+_QUANT_CTES = """
+base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM base),
+s AS (SELECT vec_id, v, CASE WHEN mx > 0 THEN mx ELSE 1.0 END AS scale FROM m),
+qz AS (SELECT vec_id, scale,
+              list_transform(v, x -> floor(x * 127.0 / scale + 0.5)) AS q
+       FROM s)"""
+
+
+@q(
+    "embedding_quantize_int8",
+    f"""WITH {_QUANT_CTES}
+        SELECT vec_id, round(scale, 6) AS scale,
+               md5(array_to_string(
+                 list_transform(q, x -> CAST(CAST(x AS BIGINT) AS VARCHAR)),
+                 ',')) AS q_md5
+        FROM qz""",
+)
+def embedding_quantize_int8(spark, sf_dir):
+    """Symmetric int8 quantization (similarity.py:quantize_int8): per-
+    vector scale + the full quantized array (md5-compressed for the value
+    hash). floor(x+0.5) half-up on BOTH engines — round() half-even
+    semantics differ, the one rounding mode regex/float parity work has
+    to dodge here. 4x memory cut for the ANN coarse stage."""
+    from xmlschemavalidator_spark.similarity import quantize_int8
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.select(
+        "vec_id",
+        quantize_int8(F.col("embedding").cast("array<double>")).alias("s"),
+    )
+    return qs.select(
+        "vec_id",
+        F.round(F.col("s.scale"), 6).alias("scale"),
+        F.md5(
+            F.concat_ws(",", F.transform("s.q", lambda x: x.cast("string")))
+        ).alias("q_md5"),
+    )
+
+
+@q(
+    "embedding_quantized_topk",
+    f"""WITH {_QUANT_CTES},
+        qv AS (SELECT q AS qq FROM qz WHERE vec_id = 0)
+        SELECT vec_id,
+               round(CASE WHEN list_dot_product(q, q) > 0
+                           AND list_dot_product(qq, qq) > 0
+                     THEN list_dot_product(q, qq)
+                          / (sqrt(list_dot_product(q, q))
+                             * sqrt(list_dot_product(qq, qq)))
+                     ELSE 0.0 END, 5) AS qcosine
+        FROM qz, qv
+        ORDER BY qcosine DESC, vec_id
+        LIMIT 10""",
+)
+def embedding_quantized_topk(spark, sf_dir):
+    """Coarse ANN ranking over int8-quantized vectors (similarity.py:
+    quantized_topk): the per-vector scales cancel in the cosine, so the
+    score is an integer dot product + one double division — bit-exact
+    against the SQL replay. Ranks on the 5dp-rounded value, ties by id."""
+    from xmlschemavalidator_spark.similarity import quantized_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qrow = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return quantized_topk(emb, "vec_id", "embedding", [float(x) for x in qrow], k=10)
+
+
+@q(
+    "embedding_matryoshka_topk",
+    """WITH base AS (SELECT vec_id, (embedding::DOUBLE[])[1:16] AS v FROM embeddings),
+        q AS (SELECT v AS qv FROM base WHERE vec_id = 0)
+        SELECT vec_id,
+               round(list_dot_product(v, qv)
+                     / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
+                     5) AS cosine
+        FROM base, q
+        ORDER BY cosine DESC, vec_id
+        LIMIT 10""",
+)
+def embedding_matryoshka_topk(spark, sf_dir):
+    """Matryoshka retrieval (Kusupati et al. NeurIPS'22, similarity.py:
+    matryoshka_topk): top-10 by cosine over the first 16 of 64 dims —
+    the dims-fold-cheaper coarse pass; cosine normalizes by truncated
+    norms so no renormalization exists to diverge."""
+    from xmlschemavalidator_spark.similarity import matryoshka_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qrow = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return matryoshka_topk(
+        emb, "vec_id", "embedding", [float(x) for x in qrow], dims=16, k=10
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 

@@ -317,3 +317,99 @@ def ivf_index_topk(
     probe = _probe_lists(centroids, query, min(nprobe, len(centroids)))
     vecs = spark.read.parquet(f"{path}/vectors").where(F.col("_list").isin(probe))
     return brute_force_topk(vecs, vec_col, query, k, id_col)
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization + Matryoshka truncation — the ANN memory-reduction
+# paths (4x / dims-fold smaller vectors) real 100 TB deployments run
+# before exact re-ranking. Both are engine-portable by construction:
+# quantization uses explicit floor(x + 0.5) half-up (round() is half-even
+# in some engines), the quantized dot product is integer-exact, and
+# truncation is a plain slice (cosine needs no renorm — it divides by the
+# truncated norms anyway).
+# ---------------------------------------------------------------------------
+
+def quantize_int8(vec: Column) -> Column:
+    """Symmetric per-vector int8 quantization of a double array:
+    ``struct(q array<bigint>, scale double)`` with
+    ``q_i = floor(v_i · 127 / scale + 0.5)`` and ``scale = max|v_i|``
+    (so q spans exactly [-127, 127]; a zero vector quantizes to zeros
+    with scale 1.0 — no divide-by-zero). Dequantized value =
+    ``q_i · scale / 127``."""
+    scale = F.array_max(F.transform(vec, lambda x: F.abs(x)))
+    safe = F.when(scale > 0, scale).otherwise(F.lit(1.0))
+    q = F.transform(
+        vec, lambda x: F.floor(x * F.lit(127.0) / safe + F.lit(0.5)).cast("long")
+    )
+    return F.struct(q.alias("q"), safe.alias("scale"))
+
+
+def quantized_cosine(qa: Column, qb: Column) -> Column:
+    """Cosine over two int8-quantized arrays. The per-vector scales cancel
+    in the cosine, so this is a pure integer dot product and two integer
+    norms (exact, order-independent) followed by one double division —
+    bit-identical across engines and reruns."""
+    dot = F.aggregate(
+        F.zip_with(qa, qb, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    na = F.aggregate(
+        qa, F.lit(0).cast("long"), lambda acc, x: acc + x * x
+    )
+    nb = F.aggregate(
+        qb, F.lit(0).cast("long"), lambda acc, x: acc + x * x
+    )
+    return F.when(
+        (na > 0) & (nb > 0),
+        dot.cast("double") / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))),
+    ).otherwise(F.lit(0.0))
+
+
+def quantized_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: list[float],
+    k: int = 10,
+) -> DataFrame:
+    """Top-k by int8-quantized cosine: ``(id, qcosine)`` — the coarse
+    ranking stage of a quantized ANN pipeline (exact re-rank of the
+    shortlist follows with :func:`brute_force_topk`). One narrow
+    projection + TakeOrderedAndProject; ranks on the 5dp-rounded value
+    (ties by id) so float epsilons can never flip membership."""
+    qv = quantize_int8(_lit_vec(query))["q"]
+    qcos = quantized_cosine(
+        quantize_int8(F.col(vec_col).cast("array<double>"))["q"], qv
+    )
+    return (
+        df.select(F.col(id_col), F.round(qcos, 5).alias("qcosine"))
+        .orderBy(F.col("qcosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def matryoshka_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: list[float],
+    dims: int,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k by cosine over the first ``dims`` dimensions — Matryoshka
+    retrieval (Kusupati et al., NeurIPS'22): MRL-trained embeddings keep
+    their ranking power in prefixes, so the coarse pass reads a dims-fold
+    smaller vector (cosine normalizes by the truncated norms, so no
+    renormalization step is needed). Same 5dp-rounded ranking contract as
+    :func:`quantized_topk`."""
+    from xmlschemavalidator_spark.dedup import cosine_similarity
+
+    sub = F.slice(F.col(vec_col).cast("array<double>"), 1, dims)
+    qsub = F.slice(_lit_vec(query), 1, dims)
+    cos = cosine_similarity(sub, qsub)
+    return (
+        df.select(F.col(id_col), F.round(cos, 5).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
