@@ -69,8 +69,19 @@ def headline_queries():
         main_content_extract,
         join_q3_shipping_priority,
         join_revenue_segment,
+        url_canonicalize,
         window_daily_events,
     )
+
+    def _bench_pagerank(s):
+        from xmlschemavalidator_spark.weburl import pagerank
+
+        docs = s.read.parquet(f"{SF_DIR}/documents.parquet")
+        edges = docs.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 17 + 3) % 50_000).alias("dst"),
+        ).where(F.col("src") != F.col("dst"))
+        return pagerank(edges, iterations=8)
     from xmlschemavalidator_spark.engine import validate
     from xmlschemavalidator_spark.flagship import documents_ruleset
 
@@ -116,6 +127,13 @@ def headline_queries():
         "dsir_select_frac": lambda s: dsir_selection_frac(s, SF_DIR),
         "lang_nb_predict": lambda s: lang_model_predict(s, SF_DIR),
         "main_content": lambda s: main_content_extract(s, SF_DIR),
+        # round-4 late additions: the URL layer's narrow canonicalization
+        # projection (planted URLs over the documents table) and a
+        # corpus-sized integer PageRank (one node/edge per document,
+        # 8 iterations — 8x the join+partial-agg round trip, the honest
+        # iterative-graph cost at this SF)
+        "url_canonicalize": lambda s: url_canonicalize(s, SF_DIR),
+        "link_pagerank": lambda s: _bench_pagerank(s),
     }
 
 
