@@ -112,6 +112,11 @@ def run_pipeline(
         # 'longest' here would promise a policy the stage can't honor
         raise ValueError("keep_policy='longest' requires the within-batch "
                          "near-dup stage (drop --near-store)")
+    if budget_per_lang > 0 and unimax_budget > 0:
+        # config errors surface BEFORE any stage runs (review finding:
+        # raising this at stage 8 burned the whole upstream pipeline first)
+        raise ValueError("--budget-per-lang and --unimax-budget are "
+                         "alternative budget policies — pick one")
     if not batch_id:
         # a SHARED default would make every run look like a retry of the
         # previous one and silently disable cross-batch dedup (third-review
@@ -225,12 +230,14 @@ def run_pipeline(
                 "url_badwords", url_badword_filter(docs, url_col, url_badwords)
             )
         if url_dedup_on:
-            length_col = "n_chars" if "n_chars" in docs.columns else None
+            # 'longest TEXT wins' — when n_chars is absent derive it from
+            # the text column, never from the URL (review finding: the
+            # URL-length fallback let tracking-param junk pick winners)
             deduped = (
-                url_dedup(docs, url_col, length_col, id_col)
-                if length_col
+                url_dedup(docs, url_col, "n_chars", id_col)
+                if "n_chars" in docs.columns
                 else url_dedup(
-                    docs.withColumn("_len", F.length(url_col)),
+                    docs.withColumn("_len", F.length("text")),
                     url_col,
                     "_len",
                     id_col,
@@ -428,9 +435,6 @@ def run_pipeline(
         )
 
     # 8. per-language token budget (largest docs first)
-    if budget_per_lang > 0 and unimax_budget > 0:
-        raise ValueError("--budget-per-lang and --unimax-budget are "
-                         "alternative budget policies — pick one")
     if budget_per_lang > 0:
         with_cost = cur.withColumn("_cost", F.length("text"))
         cur = stage(
@@ -452,10 +456,13 @@ def run_pipeline(
         from xmlschemavalidator_spark.sampling import unimax_apply
 
         with_cost = cur.withColumn("_cost", F.length("text"))
+        # checkpoint ONLY the three columns read afterwards — the full
+        # frame would materialize every document body once per epoch
+        # (review finding: ~2x the corpus into block storage for nothing)
         unimax_rows = unimax_apply(
             with_cost, id_col, "lang", "_cost", unimax_budget,
             unimax_max_epochs,
-        ).drop("_cost").localCheckpoint(eager=True)
+        ).select(id_col, "lang", "epoch").localCheckpoint(eager=True)
         persisted.append(unimax_rows)
         cur = stage(
             "budgeted",

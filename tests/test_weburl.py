@@ -224,3 +224,13 @@ def test_pagerank_hub_outranks_leaf_spokes(spark):
 def test_pagerank_empty_edges(spark):
     df = spark.createDataFrame([], "src long, dst long")
     assert pagerank(df).count() == 0
+
+
+def test_url_dedup_null_length_loses(spark):
+    """Review regression: struct-min orders a NULL field first, so an
+    un-coalesced NULL-length doc used to beat the longest text."""
+    df = spark.createDataFrame(
+        [(1, "http://a.com/x", None), (2, "http://a.com/x", 5000)],
+        "doc_id long, url string, n_chars long",
+    )
+    assert rows(url_dedup(df), "doc_id") == [(2,)]

@@ -336,12 +336,29 @@ def quantize_int8(vec: Column) -> Column:
     (so q spans exactly [-127, 127]; a zero vector quantizes to zeros
     with scale 1.0 — no divide-by-zero). Dequantized value =
     ``q_i · scale / 127``."""
-    scale = F.array_max(F.transform(vec, lambda x: F.abs(x)))
-    safe = F.when(scale > 0, scale).otherwise(F.lit(1.0))
-    q = F.transform(
-        vec, lambda x: F.floor(x * F.lit(127.0) / safe + F.lit(0.5)).cast("long")
-    )
-    return F.struct(q.alias("q"), safe.alias("scale"))
+    # let-bind the raw max (a HOF subtree) to a lambda VARIABLE so it
+    # evaluates ONCE per row — referencing it from the per-element
+    # transform would re-run the array_max(transform(abs)) scan for every
+    # element, O(d²) per row, and even a `when(m > 0, m)` guard outside a
+    # binding computes it twice (review finding, confirmed in the
+    # optimized plan; the CLAUDE.md HOF-CSE escape hatch). Inside the
+    # binding every reference — including the zero-vector guard and the
+    # per-element divisor — is a cheap variable read.
+    m = F.array_max(F.transform(vec, lambda x: F.abs(x)))
+
+    def body(mm):
+        s = F.when(mm > 0, mm).otherwise(F.lit(1.0))
+        return F.struct(
+            F.transform(
+                vec,
+                lambda x: F.floor(x * F.lit(127.0) / s + F.lit(0.5)).cast(
+                    "long"
+                ),
+            ).alias("q"),
+            s.alias("scale"),
+        )
+
+    return F.get(F.transform(F.array(m), body), 0)
 
 
 def quantized_cosine(qa: Column, qb: Column) -> Column:

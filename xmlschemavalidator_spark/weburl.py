@@ -87,8 +87,10 @@ REGISTERED_DOMAIN_RE = rf"([^.]+\.(?:{_TLD_ALT}|[^.]+))$"
 _IPV4ISH_RE = r"^[0-9.]+$"
 
 # the explicit whitespace class (CLAUDE.md hard rule: Java \s includes
-# \x0B, RE2 excludes it — dual-engine patterns must spell the class)
-_WS = r"[ \t\n\x0b\f\r]"
+# \x0B, RE2 excludes it — dual-engine patterns must spell the class).
+# Imported from textops so the parity-critical class has ONE definition
+# (review finding: a local copy could drift from the canonical one).
+from xmlschemavalidator_spark.textops import _WS  # noqa: E402
 
 #: href extraction: quoted values only (unquoted href is <1% of crawl
 #: HTML and needs a different terminator class); the leading
@@ -145,9 +147,12 @@ def canonical_url(url: Column, strip_www: bool = True) -> Column:
 
     All Catalyst built-ins, one codegen pass; the repeated
     ``regexp_extract`` subtrees are lambda-free so codegen's runtime
-    subexpression elimination collapses them (the HOF-CSE trap in
-    CLAUDE.md applies only to lambda subtrees, and the single HOF here —
-    the query filter — appears exactly once).
+    subexpression elimination collapses them. The one HOF subtree (the
+    query-param filter+sort) is let-bound through the
+    ``F.get(F.transform(F.array(...)))`` trick so it evaluates ONCE —
+    lambda subtrees are excluded from codegen CSE (CLAUDE.md hard rule;
+    review finding: the earlier ``when(q == '') ... concat('?', q)``
+    form evaluated the whole pipeline twice per row).
     """
     t = F.trim(url)
     scheme = F.lower(F.regexp_extract(t, _SCHEME_RE, 1))
@@ -169,13 +174,16 @@ def canonical_url(url: Column, strip_www: bool = True) -> Column:
     )
     path = F.when(path_stripped == "", F.lit("/")).otherwise(path_stripped)
     q = canonical_query(F.regexp_extract(pq, r"^[^?]*\?(.*)$", 1))
-    canon = F.concat(
-        scheme,
-        F.lit("://"),
-        host,
-        path,
-        F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q)),
+    q_tail = F.get(
+        F.transform(
+            F.array(q),
+            lambda qq: F.when(qq == "", F.lit("")).otherwise(
+                F.concat(F.lit("?"), qq)
+            ),
+        ),
+        0,
     )
+    canon = F.concat(scheme, F.lit("://"), host, path, q_tail)
     return F.when(t.rlike(_SCHEME_RE), canon).otherwise(t)
 
 
@@ -270,12 +278,16 @@ def url_dedup(
     canon = df.withColumn(
         canonical_col, canonical_url(F.col(url_col), strip_www=strip_www)
     )
+    # NULL length must lose to every real length: struct-min orders a NULL
+    # field FIRST, so an un-coalesced NULL-length doc would beat the
+    # longest text (review finding, reproduced live) — treat NULL as -1
+    neg_len = -F.coalesce(F.col(length_col).cast("long"), F.lit(-1))
     winners = (
         canon.groupBy(canonical_col)
         .agg(
             F.min(
                 F.struct(
-                    (-F.col(length_col).cast("long")).alias("neg_len"),
+                    neg_len.alias("neg_len"),
                     F.col(id_col).alias("id"),
                 )
             ).alias("w")
