@@ -234,3 +234,76 @@ def test_url_dedup_null_length_loses(spark):
         "doc_id long, url string, n_chars long",
     )
     assert rows(url_dedup(df), "doc_id") == [(2,)]
+
+
+# --------------------------------------------------------------------------
+# HyperBall harmonic centrality
+# --------------------------------------------------------------------------
+
+def _hyperball_py(edges, iterations=8):
+    """Pure-Python replay of the exact sketch arithmetic."""
+    import hashlib
+
+    e = sorted(set(edges))
+    nodes = sorted({s for s, _ in e} | {d for _, d in e})
+    C = 0.709 * 64 * 64 * float(2**59)
+
+    def reg(n):
+        h = hashlib.md5(f"hb:{n}".encode()).hexdigest()
+        j = int(h[0:4], 16) % 64
+        v = int(h[4:18], 16)
+        return j, (57 - v.bit_length()) if v else 57
+
+    state = {n: {} for n in nodes}
+    for n in nodes:
+        j, rho = reg(n)
+        state[n][j] = rho
+
+    def ssum(regs):
+        return sum(1 << (59 - m) for m in regs.values()) + (
+            64 - len(regs)
+        ) * (1 << 59)
+
+    sums = {n: [ssum(state[n])] for n in nodes}
+    for _ in range(iterations):
+        new = {n: dict(state[n]) for n in nodes}
+        for s, d in e:
+            for j, rho in state[s].items():
+                if new[d].get(j, -1) < rho:
+                    new[d][j] = rho
+        state = new
+        for n in nodes:
+            sums[n].append(ssum(state[n]))
+    out = {}
+    for n in nodes:
+        est = [C / float(s) for s in sums[n]]
+        h = (est[1] - est[0]) / 1.0
+        for t in range(2, iterations + 1):
+            h = h + (est[t] - est[t - 1]) / float(t)
+        out[n] = h
+    return out
+
+
+def test_hyperball_matches_python_sketch_replay(spark):
+    from xmlschemavalidator_spark.weburl import hyperball_harmonic
+
+    edges = [(i, (i + 1) % 10) for i in range(10)] + [(i, 0) for i in range(2, 8)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = dict(rows(hyperball_harmonic(df, iterations=4), "node", "harmonic"))
+    ref = _hyperball_py(edges, iterations=4)
+    assert set(got) == set(ref)
+    for n, h in got.items():
+        assert abs(h - ref[n]) <= 2e-4, (n, h, ref[n])
+
+
+def test_hyperball_ranks_the_reachability_hub_first(spark):
+    from xmlschemavalidator_spark.weburl import hyperball_harmonic
+
+    # hub 0 is reachable from every spoke in 1 hop; spokes are reached
+    # only via the single chain edge — exact harmonic centrality of the
+    # hub dwarfs the rest, and the sketch must agree on the argmax
+    edges = [(i, 0) for i in range(1, 20)] + [(0, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = dict(rows(hyperball_harmonic(df, iterations=3), "node", "harmonic"))
+    top = max(got, key=got.get)
+    assert top == 0

@@ -5054,6 +5054,23 @@ def embedding_matryoshka_topk(spark, sf_dir):
     )
 
 
+from xmlschemavalidator_spark.weburl import hyperball_oracle_sql  # noqa: E402
+
+
+@q("link_harmonic_centrality", hyperball_oracle_sql(_EDGES_SQL, iterations=5))
+def link_harmonic_centrality(spark, sf_dir):
+    """HyperBall approximate harmonic centrality (Boldi & Vigna 2013 —
+    the signal Common Crawl ranks hosts by; weburl.py:hyperball_harmonic):
+    HLL counters propagated along edges, per-round (node, register) MAX
+    partial agg. Integer registers + exact scaled-integer ball sums +
+    a fixed-order float chain make the estimate value-hash-exact against
+    the unrolled DuckDB replay — an *approximate* sketch with an *exact*
+    oracle."""
+    from xmlschemavalidator_spark.weburl import hyperball_harmonic
+
+    return hyperball_harmonic(_edges(spark, sf_dir), iterations=5)
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 

@@ -535,3 +535,185 @@ def pagerank_oracle_sql(
         f"\nSELECT node, rank_micro FROM r{iterations}"
     )
     return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# HyperBall harmonic centrality (Boldi & Vigna, "In-Core Computation of
+# Geometric Centralities with HyperBall", 2013) — the ranking signal
+# Common Crawl publishes for hosts. Exact all-pairs BFS is O(n·m);
+# HyperBall propagates a constant-size HLL counter per node instead, so
+# each of the T rounds is one edge join + one (node, register) max —
+# partial-aggregatable, hub-skew-safe, O(T·m) total.
+#
+# Engine-portability: registers are INTEGERS (md5-derived bucket + rho),
+# register union is MAX, and the ball-size sums are exact scaled-integer
+# arithmetic (Σ 2^(59−M) in DECIMAL/HUGEINT) — so the DuckDB replay is
+# bit-identical through the final fixed-order float chain. No HLL bias
+# corrections on purpose: ln() is not correctly-rounded and differs
+# across runtimes; the raw estimator is biased at small cardinalities
+# but identically so in both engines, and centrality consumers use it
+# as a RANK signal.
+# ---------------------------------------------------------------------------
+
+_HB_M = 64          # registers (p = 6); std err ~1.04/√64 ≈ 13%
+_HB_ALPHA = 0.709   # alpha_64 (Flajolet et al., HLL)
+_HB_C = _HB_ALPHA * _HB_M * _HB_M * float(2**59)  # estimate = C / S
+
+
+def _hb_registers(node: Column) -> tuple[Column, Column]:
+    """(register index, rho) for a node id: bucket from the first 16 md5
+    bits, rho = leading zeros of the next 56 bits + 1 (integer-exact via
+    the binary-string length — log2 would round)."""
+    h = F.md5(F.concat(F.lit("hb:"), node.cast("string")))
+    j = F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % _HB_M
+    v = F.conv(F.substring(h, 5, 14), 16, 10).cast("long")
+    rho = F.when(v == 0, F.lit(57)).otherwise(F.lit(57) - F.length(F.bin(v)))
+    return j, rho
+
+
+def _hb_sums(state: DataFrame) -> DataFrame:
+    """Per-node S = Σ_regs 2^(59−M) as exact DECIMAL (absent registers
+    carry M=0, i.e. 2^59 each) — the integer core of the HLL estimate."""
+    # SQL shiftleft takes a column bit count; the Python F.shiftleft
+    # wrapper only accepts a literal int
+    term = F.expr("CAST(shiftleft(CAST(1 AS BIGINT), 59 - val) AS DECIMAL(38,0))")
+    return state.groupBy("node").agg(
+        (
+            F.sum(term)
+            + (F.lit(64) - F.count(F.lit(1))).cast("decimal(38,0)")
+            * F.lit(2**59).cast("decimal(38,0)")
+        ).alias("s")
+    )
+
+
+def hyperball_harmonic(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 8,
+) -> DataFrame:
+    """Approximate harmonic centrality ``(node, harmonic)``:
+    H(v) = Σ_t (|B(v,t)| − |B(v,t−1)|)/t over balls of nodes REACHING v
+    within t hops (counters flow along edge direction, so dst accumulates
+    its in-ball — the in-centrality Common Crawl ranks by).
+
+    State is the exploded sparse register table (node, reg, val): union
+    with in-neighbors' counters is a (node, reg) MAX — partial agg, so a
+    hub with 10^8 in-edges combines map-side. Lineage cut per round; the
+    per-round ball-size sums read the just-checkpointed state. The float
+    estimate chain is a FIXED-ORDER expression (t=1..T), identical in the
+    DuckDB replay (:func:`hyperball_oracle_sql`)."""
+    from functools import reduce
+
+    from xmlschemavalidator_spark.session import free_local_checkpoint
+
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    j, rho = _hb_registers(F.col("node"))
+    state = nodes.select(
+        "node", j.alias("reg"), rho.cast("int").alias("val")
+    ).localCheckpoint()
+    # each round's per-node ball sums must be EAGERLY materialized before
+    # the state they read is freed — a lazy sums frame would chase freed
+    # checkpoint blocks at collect time (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND,
+    # hit live). They are N-row tables, tiny next to the register state.
+    sums = [
+        _hb_sums(state).withColumn("t", F.lit(0)).localCheckpoint()
+    ]
+    for t in range(1, iterations + 1):
+        msgs = e.join(state, e.src == state.node).select(
+            F.col("dst").alias("node"), F.col("reg"), F.col("val")
+        )
+        new_state = (
+            state.unionByName(msgs)
+            .groupBy("node", "reg")
+            .agg(F.max("val").alias("val"))
+            .localCheckpoint()
+        )
+        free_local_checkpoint(state)
+        state = new_state
+        sums.append(
+            _hb_sums(state).withColumn("t", F.lit(t)).localCheckpoint()
+        )
+    all_sums = reduce(lambda a, b: a.unionByName(b), sums)
+    piv = (
+        all_sums.groupBy("node")
+        .pivot("t", [str(i) for i in range(iterations + 1)])
+        .agg(F.first("s"))
+    )
+    est = [
+        F.lit(_HB_C) / F.col(str(t)).cast("double")
+        for t in range(iterations + 1)
+    ]
+    h = (est[1] - est[0]) / F.lit(1.0)
+    for t in range(2, iterations + 1):
+        h = h + (est[t] - est[t - 1]) / F.lit(float(t))
+    out = piv.select("node", F.round(h, 4).alias("harmonic"))
+    free_local_checkpoint(state)
+    free_local_checkpoint(e)
+    # the returned frame reads the T+1 checkpointed sums tables; callers
+    # that materialize the result and want the blocks back free these
+    # (the result._dsir_scored pattern — freeing a derived frame is a
+    # silent no-op, the checkpoint anchors must be freed directly)
+    out._hb_sums_frames = sums
+    return out
+
+
+def hyperball_oracle_sql(edges_sql: str, iterations: int = 8) -> str:
+    """DuckDB replay of :func:`hyperball_harmonic`: the same md5-derived
+    registers, the same per-round max-union (unrolled CTEs — aggregates
+    are barred from recursive terms), the same exact HUGEINT ball sums,
+    and the same fixed-order float chain."""
+    parts = [
+        f"WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql})),\n"
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),\n"
+        "init AS (SELECT node,\n"
+        "  CAST('0x' || substr(md5('hb:' || CAST(node AS VARCHAR)), 1, 4)"
+        f" AS BIGINT) % {_HB_M} AS reg,\n"
+        "  CASE WHEN v = 0 THEN 57 ELSE 57 - length(bin(v)) END AS val\n"
+        "  FROM (SELECT node,\n"
+        "    CAST('0x' || substr(md5('hb:' || CAST(node AS VARCHAR)), 5, 14)"
+        " AS BIGINT) AS v FROM nodes)),\n"
+        "st0 AS (SELECT node, reg, val FROM init),\n"
+        "s0 AS (SELECT node,\n"
+        "  SUM(CAST(1::BIGINT << (59 - val) AS HUGEINT))\n"
+        "  + (64 - COUNT(*)) * CAST(1::BIGINT << 59 AS HUGEINT) AS s\n"
+        "  FROM st0 GROUP BY node)"
+    ]
+    for t in range(1, iterations + 1):
+        parts.append(
+            f",\nst{t} AS (SELECT node, reg, MAX(val) AS val FROM (\n"
+            f"  SELECT node, reg, val FROM st{t - 1}\n"
+            f"  UNION ALL SELECT e.dst AS node, s.reg, s.val\n"
+            f"  FROM e JOIN st{t - 1} s ON s.node = e.src)\n"
+            f"  GROUP BY node, reg),\n"
+            f"s{t} AS (SELECT node,\n"
+            "  SUM(CAST(1::BIGINT << (59 - val) AS HUGEINT))\n"
+            "  + (64 - COUNT(*)) * CAST(1::BIGINT << 59 AS HUGEINT) AS s\n"
+            f"  FROM st{t} GROUP BY node)"
+        )
+    terms = []
+    for t in range(1, iterations + 1):
+        terms.append(
+            f"(({_HB_C!r} / CAST(s{t}.s AS DOUBLE)"
+            f" - {_HB_C!r} / CAST(s{t - 1}.s AS DOUBLE)) / {float(t)!r})"
+        )
+    chain = terms[0]
+    for term in terms[1:]:
+        chain = f"({chain} + {term})"
+    joins = "".join(
+        f" JOIN s{t} ON s{t}.node = s0.node" for t in range(1, iterations + 1)
+    )
+    parts.append(
+        f"\nSELECT s0.node, round({chain}, 4) AS harmonic FROM s0{joins}"
+    )
+    return "".join(parts)
