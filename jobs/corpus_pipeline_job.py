@@ -69,6 +69,7 @@ def run_pipeline(
     url_dedup_on: bool = False,
     domain_cap_n: int = 0,
     url_badwords: list[str] | None = None,
+    robots_df=None,
     unimax_budget: int = 0,
     unimax_max_epochs: int = 2,
     stage_times: dict | None = None,
@@ -211,7 +212,7 @@ def run_pipeline(
     # 0a. URL layer (published order: URL filters run FIRST — C4/RefinedWeb
     # drop and dedup on URL before any text is judged; cheapest filters
     # earliest). All three stages are opt-in and require --url-col.
-    if url_dedup_on or domain_cap_n or url_badwords:
+    if url_dedup_on or domain_cap_n or url_badwords or robots_df is not None:
         if not url_col:
             raise ValueError("URL stages require url_col (--url-col)")
         if url_col not in docs.columns:
@@ -221,10 +222,15 @@ def run_pipeline(
             canonical_url,
             domain_cap,
             registered_domain,
+            robots_filter,
             url_badword_filter,
             url_dedup,
         )
 
+        if robots_df is not None:
+            # crawl politeness first: robots-disallowed URLs never enter
+            # the corpus at all (hosts without a robots row keep all docs)
+            docs = stage("robots", robots_filter(docs, url_col, robots_df))
         if url_badwords:
             docs = stage(
                 "url_badwords", url_badword_filter(docs, url_col, url_badwords)
@@ -655,6 +661,13 @@ def main(argv: list[str] | None = None) -> int:
         help="comma list of badwords; docs whose URL contains any are dropped",
     )
     p.add_argument(
+        "--robots",
+        default=None,
+        help="parquet of (host, robots_txt); docs whose URL the host's "
+        "robots.txt disallows for User-agent: * are dropped (requires "
+        "--url-col)",
+    )
+    p.add_argument(
         "--unimax-budget",
         type=int,
         default=0,
@@ -689,6 +702,7 @@ def main(argv: list[str] | None = None) -> int:
         extract_main_content=args.main_content,
         url_col=args.url_col, url_dedup_on=args.url_dedup,
         domain_cap_n=args.domain_cap,
+        robots_df=(spark.read.parquet(args.robots) if args.robots else None),
         unimax_budget=args.unimax_budget,
         unimax_max_epochs=args.unimax_max_epochs,
         url_badwords=(

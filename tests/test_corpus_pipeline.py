@@ -509,3 +509,36 @@ def test_pipeline_unimax_budget(spark, tmp_path):
     with pytest.raises(ValueError, match="alternative budget"):
         run_pipeline(spark, docs, str(tmp_path / "x"), batch_id="um2",
                      budget_per_lang=10, unimax_budget=10)
+
+
+def test_pipeline_robots_stage(spark, tmp_path):
+    """--robots: disallowed paths drop before any other URL stage; hosts
+    without a robots row keep everything."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    from corpus_pipeline_job import run_pipeline
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = docs.withColumn(
+        "url",
+        F.concat(
+            F.lit("http://h"), (F.col("doc_id") % 2).cast("string"),
+            F.lit(".com/"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("secret/x")).otherwise(
+                F.lit("open/x")
+            ),
+        ),
+    )
+    robots = spark.createDataFrame(
+        [("h0.com", "User-agent: *\nDisallow: /secret/")],
+        "host string, robots_txt string",
+    )
+    out = str(tmp_path / "rb")
+    audit = run_pipeline(
+        spark, docs, out, batch_id="rb1", url_col="url", robots_df=robots
+    )
+    n = docs.count()
+    blocked = docs.where(
+        (F.col("doc_id") % 2 == 0) & (F.col("doc_id") % 5 == 0)
+    ).count()
+    assert audit["robots"] == n - blocked
+    assert list(audit)[:2] == ["input", "robots"]

@@ -307,3 +307,48 @@ def test_hyperball_ranks_the_reachability_hub_first(spark):
     got = dict(rows(hyperball_harmonic(df, iterations=3), "node", "harmonic"))
     top = max(got, key=got.get)
     assert top == 0
+
+
+# --------------------------------------------------------------------------
+# robots.txt
+# --------------------------------------------------------------------------
+
+ROBOTS_A = (
+    "User-agent: Google\nDisallow: /g\n\n"
+    "User-agent: *\nDisallow: /private/\nDisallow:\nDisallow: /tmp\n"
+    "User-agent: Bing\nDisallow: /b"
+)
+
+
+def test_robots_disallow_prefixes(spark):
+    from xmlschemavalidator_spark.weburl import robots_disallow_prefixes
+
+    df = spark.createDataFrame([(ROBOTS_A,), ("User-agent: *\nDisallow: /",)],
+                               "t string")
+    got = [r[0] for r in df.select(robots_disallow_prefixes(F.col("t"))).collect()]
+    # wildcard group only (not Google's /g or Bing's /b); empty Disallow dropped
+    assert got == [["/private/", "/tmp"], ["/"]]
+
+
+def test_robots_filter(spark):
+    from xmlschemavalidator_spark.weburl import robots_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "http://a.com/private/x"),   # blocked by prefix
+            (2, "http://a.com/tmpfile"),     # blocked: /tmp prefix matches
+            (3, "http://a.com/public"),      # kept
+            (4, "http://a.com/g"),           # kept: /g is Google's rule
+            (5, "http://blocked.com/any"),   # blocked: Disallow: /
+            (6, "http://norobots.com/x"),    # kept: no robots row
+            (7, "http://WWW.A.com/private/y"),  # host canonicalization applies
+        ],
+        "doc_id long, url string",
+    )
+    robots = spark.createDataFrame(
+        [("a.com", ROBOTS_A), ("blocked.com", "User-agent: *\nDisallow: /")],
+        "host string, robots_txt string",
+    )
+    kept = robots_filter(docs, "url", robots)
+    assert rows(kept, "doc_id") == [(3,), (4,), (6,)]
+    assert set(kept.columns) == {"doc_id", "url"}

@@ -5071,6 +5071,77 @@ def link_harmonic_centrality(spark, sf_dir):
     return hyperball_harmonic(_edges(spark, sf_dir), iterations=5)
 
 
+# --- robots.txt filtering ---------------------------------------------------
+# Plants use chr(10) for newlines: Spark SQL unescapes backslash-n inside
+# string literals where DuckDB keeps it raw, so a shared literal may not
+# contain backslashes at all.
+
+_PLANT_ROBOTS_URL = """concat('http://site', CAST(doc_id % 5 AS STRING), '.com/',
+  CASE doc_id % 4 WHEN 0 THEN 'private/page' WHEN 1 THEN 'tmpfile'
+       WHEN 2 THEN 'public/page' ELSE 'g' END)"""
+
+# hosts site0..site3 carry robots (site3: block-all); site4 has no row.
+# The Google group's /g rule must NOT apply to the wildcard agent.
+_PLANT_ROBOTS_TXT = """concat(
+  'User-agent: Google', chr(10), 'Disallow: /g', chr(10),
+  'User-agent: *', chr(10),
+  CASE host WHEN 'site3.com' THEN 'Disallow: /'
+       ELSE concat('Disallow: /private/', chr(10), 'Disallow: /tmp') END)"""
+
+_ROBOTS_HOSTS_SQL = (
+    "SELECT DISTINCT concat('site', CAST(doc_id % 5 AS STRING), '.com') AS host "
+    "FROM documents WHERE doc_id % 5 < 4"
+)
+
+from xmlschemavalidator_spark.weburl import (  # noqa: E402
+    robots_disallow_prefixes_sql,
+)
+
+
+@q(
+    "robots_filter_kept",
+    f"""WITH d AS (SELECT doc_id, {_PLANT_ROBOTS_URL} AS url FROM documents),
+        hosts AS ({_ROBOTS_HOSTS_SQL}),
+        rules AS (SELECT host,
+                    {robots_disallow_prefixes_sql(_PLANT_ROBOTS_TXT)} AS prefixes
+                  FROM hosts),
+        j AS (SELECT d.doc_id, d.url,
+                     regexp_extract({canonical_url_sql('d.url')},
+                       '^[a-z][a-z0-9+.-]*://[^/?#]*(.*)$', 1) AS pq,
+                     rules.prefixes
+              FROM d LEFT JOIN rules
+                ON {canonical_host_sql(canonical_url_sql('d.url'))} = rules.host)
+        SELECT doc_id, url FROM j
+        WHERE NOT coalesce(
+          len(list_filter(prefixes, p -> starts_with(pq, p))) > 0, FALSE)""",
+)
+def robots_filter_kept(spark, sf_dir):
+    """robots.txt-respecting URL filter (weburl.py:robots_filter — the
+    C4/CCNet crawl-politeness stage): the wildcard agent group's
+    Disallow prefixes drop matching paths; a block-all host loses every
+    doc; hosts with no robots row keep everything; another agent's rules
+    never leak into the wildcard group. One host-keyed left join + a
+    bounded exists per doc."""
+    from xmlschemavalidator_spark.weburl import robots_filter
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_PLANT_ROBOTS_URL).alias("url")
+    )
+    hosts = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 5 < 4)
+        .select(
+            F.concat(
+                F.lit("site"), (F.col("doc_id") % 5).cast("string"),
+                F.lit(".com"),
+            ).alias("host")
+        )
+        .distinct()
+    )
+    robots = hosts.withColumn("robots_txt", F.expr(_PLANT_ROBOTS_TXT))
+    return robots_filter(docs, "url", robots)
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 

@@ -717,3 +717,72 @@ def hyperball_oracle_sql(edges_sql: str, iterations: int = 8) -> str:
         f"\nSELECT s0.node, round({chain}, 4) AS harmonic FROM s0{joins}"
     )
     return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# robots.txt — the crawl-politeness layer: corpus pipelines that respect
+# robots (C4, CCNet) drop documents whose URL the host's robots.txt
+# disallows for the wildcard agent. Parsing is the documented subset:
+# the `User-agent: *` group's `Disallow:` lines as literal path
+# prefixes (no *, $ wildcards — conservative prefix semantics; an empty
+# Disallow means allow-all and is ignored). Both regexes run identically
+# under Java and RE2 ((?is) lazy segment capture + (?im) line anchors).
+# ---------------------------------------------------------------------------
+
+ROBOTS_GROUP_RE = r"(?is)user-agent:[ \t]*\*(.*?)(?:user-agent:|$)"
+ROBOTS_DISALLOW_RE = r"(?im)^disallow:[ \t]*([^ \t\r\n#]*)"
+
+
+def robots_disallow_prefixes(robots: Column) -> Column:
+    """Disallowed path prefixes for the wildcard agent (non-empty only)."""
+    seg = F.regexp_extract(robots, ROBOTS_GROUP_RE, 1)
+    allp = F.regexp_extract_all(seg, F.lit(ROBOTS_DISALLOW_RE), F.lit(1))
+    return F.filter(allp, lambda p: p != F.lit(""))
+
+
+def robots_disallow_prefixes_sql(x: str) -> str:
+    grp = _sql_quote(ROBOTS_GROUP_RE)
+    dis = _sql_quote(ROBOTS_DISALLOW_RE)
+    return (
+        f"list_filter(regexp_extract_all(regexp_extract({x}, {grp}, 1), "
+        f"{dis}, 1), p -> p <> '')"
+    )
+
+
+def robots_filter(
+    docs: DataFrame,
+    url_col: str,
+    robots: DataFrame,
+    host_col: str = "host",
+    robots_col: str = "robots_txt",
+    strip_www: bool = True,
+) -> DataFrame:
+    """Drop documents whose canonical URL path+query starts with any
+    prefix the host's robots.txt disallows for ``User-agent: *``.
+    Documents from hosts with no robots row are KEPT (absent robots
+    means no restrictions — the crawl default).
+
+    Shape: the robots side is one row per host (parse is a narrow
+    projection over it); the join shuffles on host — a hot host is an
+    AQE-splittable equi-join, and the prefix test is a bounded
+    ``exists`` over the host's few rules, never a cross join against a
+    global rule table."""
+    canon = canonical_url(F.col(url_col), strip_www=strip_www)
+    host = canonical_host(canon)
+    pathq = F.regexp_extract(canon, r"^[a-z][a-z0-9+.-]*://[^/?#]*(.*)$", 1)
+    rh = F.lower(F.col(host_col))
+    if strip_www:
+        rh = F.regexp_replace(rh, r"^www\.", "")
+    rules = robots.select(
+        rh.alias("_rh"),
+        robots_disallow_prefixes(F.col(robots_col)).alias("_prefixes"),
+    )
+    joined = (
+        docs.withColumn("_h", host)
+        .withColumn("_pq", pathq)
+        .join(rules, F.col("_h") == F.col("_rh"), "left")
+    )
+    blocked = F.exists("_prefixes", lambda p: F.col("_pq").startswith(p))
+    return joined.where(~F.coalesce(blocked, F.lit(False))).drop(
+        "_h", "_pq", "_rh", "_prefixes"
+    )
