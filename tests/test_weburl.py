@@ -352,3 +352,48 @@ def test_robots_filter(spark):
     kept = robots_filter(docs, "url", robots)
     assert rows(kept, "doc_id") == [(3,), (4,), (6,)]
     assert set(kept.columns) == {"doc_id", "url"}
+
+
+def test_robots_group_regex_hardening(spark):
+    """Review regressions: a comment mentioning 'user-agent: *' must not
+    hijack the group; stacked User-agent lines share the rule block."""
+    from xmlschemavalidator_spark.weburl import robots_disallow_prefixes
+
+    cases = [
+        ("# see user-agent: * notes\nUser-agent: Googlebot\nDisallow: /g\n"
+         "User-agent: *\nDisallow: /real", ["/real"]),
+        ("User-agent: *\nUser-agent: Googlebot\nDisallow: /x\n\n"
+         "User-agent: Bing\nDisallow: /b", ["/x"]),
+        ("User-agent: *\r\nDisallow: /a\r\nUser-agent: B\r\nDisallow: /c",
+         ["/a"]),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], "t string")
+    got = [r[0] for r in df.select(robots_disallow_prefixes(F.col("t"))).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_robots_filter_directory_index_and_merged_hosts(spark):
+    """Review regressions: 'Disallow: /x/' must block the directory index
+    '/x/' itself (raw path, not the canonical trailing-slash-stripped
+    form), and duplicate robots rows normalizing to one host must merge
+    instead of fan-out-duplicating kept docs."""
+    from xmlschemavalidator_spark.weburl import robots_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "http://a.com/private/"),   # directory index: blocked
+            (2, "http://a.com/open"),       # kept — exactly once
+            (3, "http://a.com/extra/x"),    # blocked by the www row's rule
+        ],
+        "doc_id long, url string",
+    )
+    robots = spark.createDataFrame(
+        [
+            ("a.com", "User-agent: *\nDisallow: /private/"),
+            ("www.a.com", "User-agent: *\nDisallow: /extra/"),
+        ],
+        "host string, robots_txt string",
+    )
+    kept = robots_filter(docs, "url", robots)
+    assert rows(kept, "doc_id") == [(2,)]
+    assert kept.count() == 1  # no join fan-out duplication

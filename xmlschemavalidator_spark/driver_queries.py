@@ -5076,8 +5076,10 @@ def link_harmonic_centrality(spark, sf_dir):
 # string literals where DuckDB keeps it raw, so a shared literal may not
 # contain backslashes at all.
 
+# %4==0 plants the directory index '/private/' ITSELF — the case the
+# canonical-path form got wrong (trailing slash stripped → prefix miss)
 _PLANT_ROBOTS_URL = """concat('http://site', CAST(doc_id % 5 AS STRING), '.com/',
-  CASE doc_id % 4 WHEN 0 THEN 'private/page' WHEN 1 THEN 'tmpfile'
+  CASE doc_id % 4 WHEN 0 THEN 'private/' WHEN 1 THEN 'tmpfile'
        WHEN 2 THEN 'public/page' ELSE 'g' END)"""
 
 # hosts site0..site3 carry robots (site3: block-all); site4 has no row.
@@ -5095,6 +5097,7 @@ _ROBOTS_HOSTS_SQL = (
 
 from xmlschemavalidator_spark.weburl import (  # noqa: E402
     robots_disallow_prefixes_sql,
+    robots_url_path_sql,
 )
 
 
@@ -5106,8 +5109,7 @@ from xmlschemavalidator_spark.weburl import (  # noqa: E402
                     {robots_disallow_prefixes_sql(_PLANT_ROBOTS_TXT)} AS prefixes
                   FROM hosts),
         j AS (SELECT d.doc_id, d.url,
-                     regexp_extract({canonical_url_sql('d.url')},
-                       '^[a-z][a-z0-9+.-]*://[^/?#]*(.*)$', 1) AS pq,
+                     {robots_url_path_sql('d.url')} AS pq,
                      rules.prefixes
               FROM d LEFT JOIN rules
                 ON {canonical_host_sql(canonical_url_sql('d.url'))} = rules.host)

@@ -580,7 +580,7 @@ def _hb_sums(state: DataFrame) -> DataFrame:
     return state.groupBy("node").agg(
         (
             F.sum(term)
-            + (F.lit(64) - F.count(F.lit(1))).cast("decimal(38,0)")
+            + (F.lit(_HB_M) - F.count(F.lit(1))).cast("decimal(38,0)")
             * F.lit(2**59).cast("decimal(38,0)")
         ).alias("s")
     )
@@ -686,7 +686,7 @@ def hyperball_oracle_sql(edges_sql: str, iterations: int = 8) -> str:
         "st0 AS (SELECT node, reg, val FROM init),\n"
         "s0 AS (SELECT node,\n"
         "  SUM(CAST(1::BIGINT << (59 - val) AS HUGEINT))\n"
-        "  + (64 - COUNT(*)) * CAST(1::BIGINT << 59 AS HUGEINT) AS s\n"
+        f"  + ({_HB_M} - COUNT(*)) * CAST(1::BIGINT << 59 AS HUGEINT) AS s\n"
         "  FROM st0 GROUP BY node)"
     ]
     for t in range(1, iterations + 1):
@@ -698,7 +698,7 @@ def hyperball_oracle_sql(edges_sql: str, iterations: int = 8) -> str:
             f"  GROUP BY node, reg),\n"
             f"s{t} AS (SELECT node,\n"
             "  SUM(CAST(1::BIGINT << (59 - val) AS HUGEINT))\n"
-            "  + (64 - COUNT(*)) * CAST(1::BIGINT << 59 AS HUGEINT) AS s\n"
+            f"  + ({_HB_M} - COUNT(*)) * CAST(1::BIGINT << 59 AS HUGEINT) AS s\n"
             f"  FROM st{t} GROUP BY node)"
         )
     terms = []
@@ -729,8 +729,40 @@ def hyperball_oracle_sql(edges_sql: str, iterations: int = 8) -> str:
 # under Java and RE2 ((?is) lazy segment capture + (?im) line anchors).
 # ---------------------------------------------------------------------------
 
-ROBOTS_GROUP_RE = r"(?is)user-agent:[ \t]*\*(.*?)(?:user-agent:|$)"
-ROBOTS_DISALLOW_RE = r"(?im)^disallow:[ \t]*([^ \t\r\n#]*)"
+# line-start-anchored (review findings, both reproduced live in both
+# engines): an unanchored 'user-agent:' let a COMMENT mentioning
+# 'user-agent: *' hijack the group, and a stacked second User-agent line
+# truncated the wildcard group to zero rules. The greedy
+# consecutive-user-agent prefix keeps stacked groups ('User-agent: *' +
+# 'User-agent: X' sharing one rule block, per the REP spec); the lazy
+# tail stops at the next line-anchored user-agent (a NEW group). RE2 has
+# no lookahead, so the terminator is an alternation, not a (?!...).
+# Subset note: only the FIRST wildcard group is read (multi-group merge
+# is out of scope, disclosed).
+ROBOTS_GROUP_RE = (
+    r"(?is)(?:^|\n)[ \t]*user-agent:[ \t]*\*[ \t]*\r?"
+    r"((?:\n[ \t]*user-agent:[^\n]*)*(?:\n[^\n]*)*?)"
+    r"(?:\n[ \t]*user-agent:|$)"
+)
+ROBOTS_DISALLOW_RE = r"(?im)^[ \t]*disallow:[ \t]*([^ \t\r\n#]*)"
+
+
+def robots_url_path(url: Column) -> Column:
+    """Path+query a robots rule is matched against: RAW (post-authority,
+    pre-fragment, empty → '/'), NOT the dedup-canonical form — canonical
+    trailing-slash stripping let 'Disallow: /x/' miss the directory
+    index '/x/' itself, and tracking-param stripping emptied
+    query-bearing rules (review finding, reproduced)."""
+    t = F.trim(url)
+    rest = F.regexp_extract(t, _REST_RE, 1)
+    pq = F.regexp_extract(rest, r"^[^/?#]*([^#]*)", 1)
+    return F.when(pq == "", F.lit("/")).otherwise(pq)
+
+
+def robots_url_path_sql(x: str) -> str:
+    rest = f"regexp_extract(trim({x}), {_sql_quote(_REST_RE)}, 1)"
+    pq = f"regexp_extract({rest}, '^[^/?#]*([^#]*)', 1)"
+    return f"CASE WHEN {pq} = '' THEN '/' ELSE {pq} END"
 
 
 def robots_disallow_prefixes(robots: Column) -> Column:
@@ -757,29 +789,38 @@ def robots_filter(
     robots_col: str = "robots_txt",
     strip_www: bool = True,
 ) -> DataFrame:
-    """Drop documents whose canonical URL path+query starts with any
-    prefix the host's robots.txt disallows for ``User-agent: *``.
-    Documents from hosts with no robots row are KEPT (absent robots
+    """Drop documents whose RAW URL path+query (:func:`robots_url_path`)
+    starts with any prefix the host's robots.txt disallows for
+    ``User-agent: *``. Hosts are matched on the canonical form;
+    documents from hosts with no robots row are KEPT (absent robots
     means no restrictions — the crawl default).
 
-    Shape: the robots side is one row per host (parse is a narrow
-    projection over it); the join shuffles on host — a hot host is an
-    AQE-splittable equi-join, and the prefix test is a bounded
-    ``exists`` over the host's few rules, never a cross join against a
-    global rule table."""
-    canon = canonical_url(F.col(url_col), strip_www=strip_www)
-    host = canonical_host(canon)
-    pathq = F.regexp_extract(canon, r"^[a-z][a-z0-9+.-]*://[^/?#]*(.*)$", 1)
+    Shape: the robots side is one row per host after a defensive
+    group-merge (two raw rows normalizing to one host — e.g. 'a.com' +
+    'www.a.com' — would otherwise fan-out-duplicate every kept doc of
+    that host through the left join; review finding). The join shuffles
+    on host — a hot host is an AQE-splittable equi-join, and the prefix
+    test is a bounded ``exists`` over the host's few rules, never a
+    cross join against a global rule table. The canonical-URL HOF
+    evaluates once (host is derived from a single-reference alias)."""
     rh = F.lower(F.col(host_col))
     if strip_www:
         rh = F.regexp_replace(rh, r"^www\.", "")
-    rules = robots.select(
-        rh.alias("_rh"),
-        robots_disallow_prefixes(F.col(robots_col)).alias("_prefixes"),
+    rules = (
+        robots.select(
+            rh.alias("_rh"),
+            robots_disallow_prefixes(F.col(robots_col)).alias("_p"),
+        )
+        .groupBy("_rh")
+        .agg(F.array_distinct(F.flatten(F.collect_list("_p"))).alias("_prefixes"))
     )
     joined = (
-        docs.withColumn("_h", host)
-        .withColumn("_pq", pathq)
+        docs.withColumn(
+            "_canon", canonical_url(F.col(url_col), strip_www=strip_www)
+        )
+        .withColumn("_h", canonical_host(F.col("_canon")))
+        .withColumn("_pq", robots_url_path(F.col(url_col)))
+        .drop("_canon")
         .join(rules, F.col("_h") == F.col("_rh"), "left")
     )
     blocked = F.exists("_prefixes", lambda p: F.col("_pq").startswith(p))
