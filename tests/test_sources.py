@@ -109,3 +109,26 @@ def test_read_iceberg_actionable_error_without_runtime(spark):
 
     with pytest.raises(RuntimeError, match="--packages org.apache.iceberg"):
         read_iceberg(spark, "db.pages", snapshot_id=123)
+
+
+def test_wet_roundtrip(spark, tmp_path):
+    """Common Crawl WET (conversion records): text is the raw payload,
+    html is null, and responses in the same archive are ignored."""
+    from xmlschemavalidator_spark.sources.warc import read_wet, write_fake_wet
+
+    rows_in = [
+        {"url": "http://a.com/1", "warc_ts": "2026-01-01T00:00:00Z",
+         "text": "first page text with ümlauts"},
+        {"url": "http://b.com/2", "warc_ts": "2026-01-02T00:00:00Z",
+         "text": "second\npage\ntext"},
+    ]
+    p = str(tmp_path / "f.wet")
+    write_fake_wet(p, rows_in)
+    got = read_wet(spark, p).orderBy("url").collect()
+    assert [r["url"] for r in got] == ["http://a.com/1", "http://b.com/2"]
+    assert [r["text"] for r in got] == [rows_in[0]["text"], rows_in[1]["text"]]
+    assert all(r["html"] is None and r["lang"] is None for r in got)
+    # gz variant parses identically
+    pg = str(tmp_path / "f.wet.gz")
+    write_fake_wet(pg, rows_in, gz=True)
+    assert read_wet(spark, pg).count() == 2

@@ -244,3 +244,48 @@ def test_per_doc_signals_compose_with_streaming(spark, tmp_path):
     assert got[2]["n_email"] == 1 and got[2]["has_creative_commons"]
     assert got[3]["frac_cyrillic"] == 1.0
     assert got[1]["n_tokens"] == 12
+
+
+def test_url_layer_composes_with_streaming(spark, tmp_path):
+    """The URL layer's canonicalization/domain/badword columns are
+    stateless projections, so they tag an ingest stream unchanged — the
+    same Columns the batch URL stages use."""
+    from pyspark.sql import functions as F
+
+    from xmlschemavalidator_spark.weburl import (
+        canonical_host,
+        canonical_url,
+        registered_domain,
+        url_badword_pattern,
+    )
+
+    src = str(tmp_path / "url_src")
+    spark.createDataFrame(
+        [
+            (1, "HTTP://WWW.Shop.Example.co.uk:80/a/?utm_source=x&b=1"),
+            (2, "https://casino-hub.com/promo"),
+        ],
+        "doc_id bigint, url string",
+    ).write.parquet(src)
+    stream = spark.readStream.schema("doc_id bigint, url string").parquet(src)
+    canon = canonical_url(F.col("url"))
+    tagged = stream.select(
+        "doc_id",
+        canon.alias("canonical_url"),
+        registered_domain(canonical_host(canon)).alias("domain"),
+        F.lower(F.col("url"))
+        .rlike(url_badword_pattern(["casino"]))
+        .alias("url_flagged"),
+    )
+    assert tagged.isStreaming
+    q = (
+        tagged.writeStream.format("memory")
+        .queryName("url_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r for r in spark.sql("SELECT * FROM url_stream").collect()}
+    assert got[1]["canonical_url"] == "http://shop.example.co.uk/a?b=1"
+    assert got[1]["domain"] == "example.co.uk" and not got[1]["url_flagged"]
+    assert got[2]["url_flagged"]

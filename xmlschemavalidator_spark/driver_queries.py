@@ -5144,6 +5144,33 @@ def robots_filter_kept(spark, sf_dir):
     return robots_filter(docs, "url", robots)
 
 
+@q("wet_roundtrip")  # no oracle: source-format op over generated files
+def wet_roundtrip(spark, sf_dir):
+    """Common Crawl WET source (sources/warc.py:read_wet): write a fake
+    conversion-record archive, read it back (binaryFile + one
+    mapInPandas), return (url, n_text_chars) — text is the raw payload,
+    no HTTP envelope to strip."""
+    import tempfile
+
+    from xmlschemavalidator_spark.sources.warc import read_wet, write_fake_wet
+
+    tmp = tempfile.mkdtemp(prefix="wetq_")
+    rows = [
+        {
+            "url": f"https://w.example/t{i}",
+            "warc_ts": "2024-05-01T00:00:00Z",
+            "text": f"wet text {i} " * (i + 1),
+        }
+        for i in range(20)
+    ]
+    write_fake_wet(f"{tmp}/a.wet", rows[:10])
+    write_fake_wet(f"{tmp}/b.wet.gz", rows[10:], gz=True)
+    wet = read_wet(spark, tmp)
+    return wet.select(
+        "url", F.length("text").cast("long").alias("n_text_chars")
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 

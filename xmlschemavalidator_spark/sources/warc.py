@@ -39,8 +39,13 @@ PAGES_SCHEMA = (
 _CRLF = b"\r\n"
 
 
-def _parse_warc_bytes(data: bytes, fname: str) -> list[dict]:
-    """Parse one WARC file's bytes into response-record dicts."""
+def _parse_warc_bytes(
+    data: bytes, fname: str, record_type: str = "response"
+) -> list[dict]:
+    """Parse one WARC file's bytes into record dicts of the given
+    WARC-Type. ``response`` records carry an HTTP envelope to strip;
+    ``conversion`` records (Common Crawl WET — pre-extracted text) are
+    the payload directly."""
     out: list[dict] = []
     pos = 0
     n = len(data)
@@ -66,11 +71,14 @@ def _parse_warc_bytes(data: bytes, fname: str) -> list[dict]:
         block_start = head_end + 4
         block = data[block_start : block_start + length]
         pos = block_start + length
-        if headers.get("warc-type") != "response":
+        if headers.get("warc-type") != record_type:
             continue
-        # strip the HTTP response envelope to reach the payload
-        http_end = block.find(_CRLF + _CRLF)
-        payload = block[http_end + 4 :] if http_end >= 0 else block
+        if record_type == "response":
+            # strip the HTTP response envelope to reach the payload
+            http_end = block.find(_CRLF + _CRLF)
+            payload = block[http_end + 4 :] if http_end >= 0 else block
+        else:
+            payload = block
         out.append(
             {
                 "url": headers.get("warc-target-uri"),
@@ -133,6 +141,72 @@ def read_warc(
             yield df
 
     return files.select("path", "content").mapInPandas(run, PAGES_SCHEMA)
+
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """Common Crawl WET archive(s) → pages DataFrame: ``conversion``
+    records hold the crawl's pre-extracted plain text, so ``text`` is
+    the utf-8-decoded payload and ``html`` is null (there is none in a
+    WET file). Same binaryFile + one-mapInPandas shape as
+    :func:`read_warc`; ``lang`` is left null for downstream language ID.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for fname, content in zip(b["path"], b["content"]):
+                data = bytes(content)
+                if fname.endswith(".gz"):
+                    try:
+                        data = gzip.decompress(data)
+                    except OSError:
+                        continue
+                for rec in _parse_warc_bytes(data, fname, "conversion"):
+                    payload = rec.pop("html")
+                    rec["html"] = None
+                    rec["text"] = (
+                        payload.decode("utf-8", errors="replace")
+                        if payload is not None
+                        else None
+                    )
+                    rec["lang"] = None
+                    rows.append(rec)
+            df = pd.DataFrame(
+                rows,
+                columns=[
+                    "url", "warc_ts", "html", "text", "lang",
+                    "warc_file", "record_offset",
+                ],
+            )
+            if len(df):
+                df["warc_ts"] = pd.to_datetime(df["warc_ts"], utc=True).dt.tz_localize(None)
+            yield df
+
+    files = spark.read.format("binaryFile").load(path)
+    return files.select("path", "content").mapInPandas(run, PAGES_SCHEMA)
+
+
+def write_fake_wet(path: str, rows_in: list[dict], gz: bool = False) -> str:
+    """Serialize (url, warc_ts iso-string, text str) dicts into a
+    spec-shaped WET file (conversion records, no HTTP envelope)."""
+    buf = bytearray()
+    for r in rows_in:
+        payload = r["text"].encode("utf-8")
+        headers = (
+            f"WARC/1.0\r\n"
+            f"WARC-Type: conversion\r\n"
+            f"WARC-Target-URI: {r['url']}\r\n"
+            f"WARC-Date: {r['warc_ts']}\r\n"
+            f"Content-Length: {len(payload)}\r\n"
+            f"\r\n"
+        ).encode("latin-1")
+        buf += headers + payload + _CRLF + _CRLF
+    data = bytes(buf)
+    if gz:
+        data = gzip.compress(data)
+    with open(path, "wb") as fh:
+        fh.write(data)
+    return path
 
 
 def write_fake_warc(path: str, pages_rows: list[dict], gz: bool = False) -> str:
