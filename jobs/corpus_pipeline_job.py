@@ -501,6 +501,19 @@ def run_pipeline(
     persisted = []
     write_audit()
 
+    # an empty batch (every doc filtered) has nothing to pack or shard —
+    # and writing an EMPTY DataFrame produces a part-less parquet dir
+    # whose read-back fails with UNABLE_TO_INFER_SCHEMA (hit live in the
+    # scale rehearsal smoke), so the artifact stages must not run at all
+    if audit["kept"] == 0 and (pack_seq_len > 0 or shuffle_shards > 0):
+        if pack_seq_len > 0:
+            audit["sequences"] = 0
+        if shuffle_shards > 0:
+            audit["shard_rows"] = 0
+        pack_seq_len = 0
+        shuffle_shards = 0
+        write_audit()
+
     # 9. optional training artifact: chunk + pack the kept corpus into
     # fixed-length sequences, grouped per language so packing parallelizes
     # and sequences never mix languages (the pack_sequences scale path)
@@ -528,6 +541,12 @@ def run_pipeline(
     # kept docs) into <output>/shards/batch_id=<id>/shard=N/, each shard
     # file sorted by pos — a reader consuming shards in pos order sees the
     # salted-hash order, reproducible across retries and cluster sizes.
+    if shuffle_shards > 0 and pack_seq_len > 0 and audit.get("sequences") == 0:
+        # same empty-write trap one level down: zero sequences means the
+        # shards stage would read back a part-less parquet dir
+        audit["shard_rows"] = 0
+        shuffle_shards = 0
+        write_audit()
     if shuffle_shards > 0:
         from xmlschemavalidator_spark.sampling import deterministic_shuffle
 

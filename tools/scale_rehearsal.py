@@ -1,10 +1,16 @@
-"""Pipeline scale rehearsal (r3 VERDICT item 8): run the FULL composed
-corpus pipeline — every optional stage the corpus can drive on (no html
-column, so --main-content is exercised by its own test/oracle instead)
-— at 2M and 20M docs, record
+"""Pipeline scale rehearsal (r3 VERDICT item 8; URL/robots/UniMax stages
+added in r4): run the FULL composed corpus pipeline — every optional
+stage the corpus can drive on (no html column, so --main-content is
+exercised by its own test/oracle instead) — at 2M and 20M docs, record
 per-stage wall time, and flag any stage whose 20M/2M ratio exceeds the
 superlinearity bar (~12x: 10x data plus scheduling slack). Results land
 in SCALE.md's rehearsal table.
+
+The planted URL column is crawl-shaped: 200k distinct registered
+domains, ~2% badword paths, /private/ trees robots-blocked on 1/4 of
+hosts, and 1% canonical-dup classes of ~100 members (only meaningful at
+>=2M rows — below 200k docs every host is unique and URL dedup is a
+no-op pass-through, as the smoke shows).
 
     python tools/scale_rehearsal.py [--small 2000000] [--big 20000000]
 
@@ -36,11 +42,51 @@ def run_at(spark, n_rows: int, workdir: str) -> tuple[dict, dict, float]:
     from pyspark.sql import functions as F
 
     path = f"{workdir}/docs_{n_rows}"
-    documents(
+    base = documents(
         spark, n_rows, partitions=spark.sparkContext.defaultParallelism * 2
-    ).write.mode("overwrite").parquet(path)
+    )
+    # plant a crawl-shaped url column (round 4: the URL stages are part of
+    # the rehearsal): ~200k distinct hosts, ~2% badword paths, canonical
+    # collisions via trailing slash + a tracking param, directory indexes
+    # for the robots rules
+    d = F.col("doc_id")
+    base = base.withColumn(
+        "url",
+        F.concat(
+            F.lit("http://site"),
+            (d % 200_000).cast("string"),
+            F.lit(".com/"),
+            # unique path by default so URL dedup only collapses the
+            # planted ~1% dup slice (a blanket collision would starve
+            # every DOWNSTREAM stage of its 20M-scale measurement):
+            # ~2% badword paths, ~14% robots-scoped /private/ (blocked
+            # only on the 1/4 of hosts that carry robots), 1% dup
+            # classes of ~100 members each
+            F.when(d % 50 == 0, F.concat(F.lit("casino/"), d.cast("string")))
+            .when(d % 7 == 0, F.concat(F.lit("private/"), d.cast("string")))
+            .when(d % 100 == 1, F.concat(F.lit("dup/"), (d % 1000).cast("string")))
+            .otherwise(F.concat(F.lit("p/"), d.cast("string"))),
+            F.when(d % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.when(d % 3 == 0, F.lit("?utm_source=r&a=1")).otherwise(F.lit("")),
+        ),
+    )
+    base.write.mode("overwrite").parquet(path)
     docs = spark.read.parquet(path)
     bench = docs.where(F.col("doc_id") % 5000 == 0).select("doc_id", "text")
+    # robots for 1/4 of hosts: disallow the /private/ subtree
+    robots = (
+        docs.select((F.col("doc_id") % 200_000).alias("hid"))
+        .where(F.col("hid") % 4 == 0)
+        .distinct()
+        .select(
+            F.concat(F.lit("site"), F.col("hid").cast("string"),
+                     F.lit(".com")).alias("host"),
+            F.concat(
+                F.lit("User-agent: *"), F.expr("chr(10)"),
+                F.lit("Disallow: /private/"),
+            ).alias("robots_txt"),
+        )
+    )
     out = f"{workdir}/out_{n_rows}"
     times: dict = {}
     t0 = time.time()
@@ -50,8 +96,20 @@ def run_at(spark, n_rows: int, workdir: str) -> tuple[dict, dict, float]:
         out,
         benchmark=bench,
         mix={"en": 1.0, "de": 0.7, "sv": 0.7, "fr": 0.7, "zh": 0.7},
-        budget_per_lang=10**12,
+        # round 4: UniMax replaces the flat per-lang budget (one total
+        # char budget, epoch cap 2 — oversubscribed so every lang caps,
+        # exercising the epoch-explode path at 20M)
+        unimax_budget=10**13,
+        unimax_max_epochs=2,
         batch_id=f"rehearsal-{n_rows}",
+        # round 4 URL layer: robots -> badwords -> canonical dedup ->
+        # domain cap (cap far above per-host counts so it measures the
+        # salted-window cost, not extra filtering)
+        url_col="url",
+        robots_df=robots,
+        url_badwords=["casino"],
+        url_dedup_on=True,
+        domain_cap_n=1000,
         pack_seq_len=512,
         use_quality_model=True,
         ccnet_keep="head,middle",
