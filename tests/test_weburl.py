@@ -397,3 +397,52 @@ def test_robots_filter_directory_index_and_merged_hosts(spark):
     kept = robots_filter(docs, "url", robots)
     assert rows(kept, "doc_id") == [(2,)]
     assert kept.count() == 1  # no join fan-out duplication
+
+
+# --------------------------------------------------------------------------
+# triangle counting
+# --------------------------------------------------------------------------
+
+def _triangles_py(edges):
+    """Brute-force reference: per-node triangle membership counts."""
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = sorted({n for e in und for n in e})
+    adj = {n: set() for n in nodes}
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    counts = {}
+    import itertools
+
+    for a, b, c in itertools.combinations(nodes, 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for n in (a, b, c):
+                counts[n] = counts.get(n, 0) + 1
+    return counts
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        [(i, j) for i in range(4) for j in range(i + 1, 4)],  # K4
+        # hub + ring + noise, duplicates and reversed edges included
+        [(i, (i + 1) % 8) for i in range(8)]
+        + [(0, i) for i in range(2, 7)]
+        + [(3, 2), (2, 3), (5, 5)],
+    ],
+)
+def test_triangle_count_matches_bruteforce(spark, edges):
+    from xmlschemavalidator_spark.weburl import triangle_count
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = dict(rows(triangle_count(df), "node", "n_triangles"))
+    assert got == _triangles_py(edges)
+
+
+def test_triangle_count_triangle_free(spark):
+    from xmlschemavalidator_spark.weburl import triangle_count
+
+    # bipartite graph: no triangles at all
+    edges = [(i, 10 + j) for i in range(4) for j in range(4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    assert triangle_count(df).count() == 0

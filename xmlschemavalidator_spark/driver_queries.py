@@ -5171,6 +5171,38 @@ def wet_roundtrip(spark, sf_dir):
     )
 
 
+# ring-with-chords plant: gap = 1 + (doc_id div 60) % 3 — the div must be
+# written as exact-division-then-cast because Spark's `div` keyword and
+# DuckDB's `//` are not shared syntax. 180 edges / 180 triangles at
+# sf0.01 (measured — a functional graph like the pagerank plant is
+# triangle-FREE, so it would be a vacuous oracle here).
+_TRI_EDGES_SQL = (
+    "SELECT doc_id % 60 AS src, "
+    "(doc_id % 60 + 1 + CAST((doc_id - doc_id % 60) / 60 AS BIGINT) % 3) % 60"
+    " AS dst FROM documents"
+)
+
+from xmlschemavalidator_spark.weburl import triangle_count_oracle_sql  # noqa: E402
+
+
+@q("link_triangle_counts", triangle_count_oracle_sql(_TRI_EDGES_SQL))
+def link_triangle_counts(spark, sf_dir):
+    """Per-node triangle counts via compact-forward orientation (Latapy
+    TCS'08; weburl.py:triangle_count): edges oriented low→high
+    (degree, id), wedges joined only at the low end — O(m^1.5) worst
+    case where the naive wedge join is hub-quadratic. The local-
+    clustering signal link-farm detection keys on; oracle-exact."""
+    from xmlschemavalidator_spark.weburl import triangle_count
+
+    docs = _t(spark, sf_dir, "documents")
+    gap = 1 + ((F.col("doc_id") - F.col("doc_id") % 60) / 60).cast("long") % 3
+    edges = docs.select(
+        (F.col("doc_id") % 60).alias("src"),
+        ((F.col("doc_id") % 60 + gap) % 60).alias("dst"),
+    )
+    return triangle_count(edges)
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 

@@ -827,3 +827,92 @@ def robots_filter(
     return joined.where(~F.coalesce(blocked, F.lit(False))).drop(
         "_h", "_pq", "_rh", "_prefixes"
     )
+
+
+# ---------------------------------------------------------------------------
+# triangle counting — the local-clustering signal (link-farm / spam-ring
+# detection: organic link neighborhoods close triangles, spam rings are
+# near-bipartite). Compact-forward orientation (Latapy, TCS 2008): orient
+# every undirected edge from the lower-(degree, id) endpoint to the
+# higher, then join wedges only at the LOW end — any graph's oriented
+# out-degree is O(√m), so the wedge join is O(m^1.5) worst case instead
+# of the naive Σ d(v)² which a hub makes quadratic.
+# ---------------------------------------------------------------------------
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts ``(node, n_triangles)`` over the
+    undirected simple graph of ``edges`` (direction/multiplicity/self-
+    loops ignored; only nodes in ≥1 triangle appear — outer-join against
+    your node table for zeros).
+
+    All integer arithmetic and a deterministic total order ((degree,
+    node) tuples), so the DuckDB replay hashes identically. Shuffles:
+    one distinct, one degree agg, two broadcast-free joins on the wedge
+    apex, one semi-ish closing join on (v, w), one final partial-agg
+    count — every join key is an edge endpoint, never a cross join."""
+    e0 = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).where(
+        F.col(src).isNotNull() & F.col(dst).isNotNull() & (F.col(src) != F.col(dst))
+    )
+    und = e0.select(
+        F.least("s", "d").alias("a"), F.greatest("s", "d").alias("b")
+    ).distinct()
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("dg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("dg").alias("dga"))
+    db = deg.select(F.col("node").alias("b"), F.col("dg").alias("dgb"))
+    ed = und.join(da, "a").join(db, "b")
+    lower_first = (F.col("dga") < F.col("dgb")) | (
+        (F.col("dga") == F.col("dgb")) & (F.col("a") < F.col("b"))
+    )
+    o = ed.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(lower_first, F.col("dgb")).otherwise(F.col("dga")).alias("dgv"),
+    )
+    o1 = o.select(F.col("u"), F.col("v").alias("x"), F.col("dgv").alias("dgx"))
+    o2 = o.select(F.col("u"), F.col("v").alias("y"), F.col("dgv").alias("dgy"))
+    wedges = o1.join(o2, "u").where(
+        (F.col("dgx") < F.col("dgy"))
+        | ((F.col("dgx") == F.col("dgy")) & (F.col("x") < F.col("y")))
+    )
+    closing = o.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    tris = wedges.join(closing, ["x", "y"]).select("u", "x", "y")
+    members = (
+        tris.select(F.col("u").alias("node"))
+        .unionByName(tris.select(F.col("x").alias("node")))
+        .unionByName(tris.select(F.col("y").alias("node")))
+    )
+    return members.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+
+
+def triangle_count_oracle_sql(edges_sql: str) -> str:
+    """DuckDB replay of :func:`triangle_count` — same orientation, same
+    (degree, node) total order."""
+    return f"""
+WITH e0 AS (SELECT src AS s, dst AS d FROM ({edges_sql})
+            WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst),
+und AS (SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b FROM e0),
+deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS dg FROM (
+          SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+        GROUP BY node),
+o AS (SELECT CASE WHEN (da.dg, und.a) < (db.dg, und.b) THEN und.a ELSE und.b END AS u,
+             CASE WHEN (da.dg, und.a) < (db.dg, und.b) THEN und.b ELSE und.a END AS v,
+             CASE WHEN (da.dg, und.a) < (db.dg, und.b) THEN db.dg ELSE da.dg END AS dgv
+      FROM und JOIN deg da ON da.node = und.a JOIN deg db ON db.node = und.b),
+tris AS (SELECT o1.u, o1.v AS x, o2.v AS y
+         FROM o o1 JOIN o o2 ON o1.u = o2.u
+           AND ((o1.dgv, o1.v) < (o2.dgv, o2.v))
+         JOIN o o3 ON o3.u = o1.v AND o3.v = o2.v)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+  SELECT u AS node FROM tris
+  UNION ALL SELECT x FROM tris
+  UNION ALL SELECT y FROM tris)
+GROUP BY node"""
