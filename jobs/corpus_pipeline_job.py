@@ -505,11 +505,30 @@ def run_pipeline(
     # and writing an EMPTY DataFrame produces a part-less parquet dir
     # whose read-back fails with UNABLE_TO_INFER_SCHEMA (hit live in the
     # scale rehearsal smoke), so the artifact stages must not run at all
+    def _delete_stale_artifact(subdir: str) -> None:
+        # a skipped artifact stage must also REMOVE a prior attempt's dir
+        # for the same batch_id — otherwise a retry that now keeps 0 docs
+        # leaves run 1's sequences/shards on disk while stages.json says 0
+        # (review finding: the mode('overwrite') that normally clears them
+        # never executes on the skip path)
+        try:
+            jvm = spark._jvm
+            hpath = jvm.org.apache.hadoop.fs.Path(
+                f"{output}/{subdir}/batch_id={batch_id}"
+            )
+            fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            if fs.exists(hpath):
+                fs.delete(hpath, True)
+        except Exception:
+            pass  # cleanup must not fail an otherwise-committed batch
+
     if audit["kept"] == 0 and (pack_seq_len > 0 or shuffle_shards > 0):
         if pack_seq_len > 0:
             audit["sequences"] = 0
+            _delete_stale_artifact("sequences")
         if shuffle_shards > 0:
             audit["shard_rows"] = 0
+            _delete_stale_artifact("shards")
         pack_seq_len = 0
         shuffle_shards = 0
         write_audit()
@@ -545,6 +564,7 @@ def run_pipeline(
         # same empty-write trap one level down: zero sequences means the
         # shards stage would read back a part-less parquet dir
         audit["shard_rows"] = 0
+        _delete_stale_artifact("shards")
         shuffle_shards = 0
         write_audit()
     if shuffle_shards > 0:

@@ -542,3 +542,33 @@ def test_pipeline_robots_stage(spark, tmp_path):
     ).count()
     assert audit["robots"] == n - blocked
     assert list(audit)[:2] == ["input", "robots"]
+
+
+def test_pipeline_retry_with_zero_kept_removes_stale_artifacts(spark, tmp_path):
+    """A retry of the same batch_id that now keeps 0 docs must not leave
+    run 1's sequences/shards on disk while stages.json says 0 (review
+    finding: the mode('overwrite') that normally clears them never
+    executes on the empty-batch skip path)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    from corpus_pipeline_job import run_pipeline
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "rz")
+    audit1 = run_pipeline(
+        spark, docs, out, batch_id="z1", pack_seq_len=128, shuffle_shards=2
+    )
+    assert audit1["sequences"] > 0 and audit1["shard_rows"] > 0
+    assert os.path.exists(f"{out}/sequences/batch_id=z1")
+    assert os.path.exists(f"{out}/shards/batch_id=z1")
+
+    # retry of the SAME batch id, now mixing toward a language absent from
+    # the corpus (default_fraction=0.0): every doc is filtered, kept == 0
+    audit2 = run_pipeline(
+        spark, docs, out, batch_id="z1", mix={"zz": 1.0},
+        pack_seq_len=128, shuffle_shards=2,
+    )
+    assert audit2["kept"] == 0, audit2
+    assert audit2["sequences"] == 0 and audit2["shard_rows"] == 0
+    assert not os.path.exists(f"{out}/sequences/batch_id=z1")
+    assert not os.path.exists(f"{out}/shards/batch_id=z1")
+    assert json.load(open(f"{out}/audit/z1/stages.json")) == audit2

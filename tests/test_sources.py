@@ -132,3 +132,24 @@ def test_wet_roundtrip(spark, tmp_path):
     pg = str(tmp_path / "f.wet.gz")
     write_fake_wet(pg, rows_in, gz=True)
     assert read_wet(spark, pg).count() == 2
+
+
+def test_wet_truncated_gz_and_bad_date_do_not_fail_the_job(spark, tmp_path):
+    """Review regressions: a truncated .gz raises EOFError (not OSError)
+    and must skip the file, not kill the job; a malformed WARC-Date
+    coerces to null instead of raising."""
+    from xmlschemavalidator_spark.sources.warc import read_wet, write_fake_wet
+
+    good = {"url": "http://ok/1", "warc_ts": "2026-01-01T00:00:00Z", "text": "fine"}
+    write_fake_wet(str(tmp_path / "good.wet"), [good])
+    # truncated gzip member: EOFError path
+    import gzip as _gz
+
+    full = _gz.compress(b"anything compressible " * 50)
+    (tmp_path / "trunc.wet.gz").write_bytes(full[: len(full) // 2])
+    # malformed date in an otherwise-valid record
+    bad_date = {"url": "http://ok/2", "warc_ts": "not-a-date", "text": "also fine"}
+    write_fake_wet(str(tmp_path / "baddate.wet"), [bad_date])
+    got = read_wet(spark, str(tmp_path)).orderBy("url").collect()
+    assert [r["url"] for r in got] == ["http://ok/1", "http://ok/2"]
+    assert got[1]["warc_ts"] is None and got[1]["text"] == "also fine"

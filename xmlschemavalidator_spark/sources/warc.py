@@ -26,6 +26,7 @@ returns one row per undecodable/recordless file so losses are visible.
 from __future__ import annotations
 
 import gzip
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -91,6 +92,57 @@ def _parse_warc_bytes(
     return out
 
 
+def _safe_gunzip(data: bytes) -> bytes | None:
+    """Decompress or None — gzip.decompress raises OSError (BadGzipFile)
+    on bad magic but EOFError on truncation and zlib.error on stream
+    corruption; an OSError-only catch turned one truncated crawl file
+    into a whole-job failure (review finding, reproduced: EOFError is
+    not an OSError)."""
+    try:
+        return gzip.decompress(data)
+    except (OSError, EOFError, zlib.error):
+        return None
+
+
+def _records_frame(
+    spark: SparkSession, path: str, record_type: str, finish_row
+) -> DataFrame:
+    """The shared binaryFile + one-mapInPandas scaffold behind
+    :func:`read_warc` and :func:`read_wet`: per file, gunzip leniently,
+    parse records of ``record_type``, let ``finish_row`` fill the
+    payload-derived columns, coerce timestamps (one malformed WARC-Date
+    must not fail the job either)."""
+    files = spark.read.format("binaryFile").load(path)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for fname, content in zip(b["path"], b["content"]):
+                data = bytes(content)
+                if fname.endswith(".gz"):
+                    gunzipped = _safe_gunzip(data)
+                    if gunzipped is None:
+                        continue  # unreadable: reported by read_warc_errors
+                    data = gunzipped
+                for rec in _parse_warc_bytes(data, fname, record_type):
+                    finish_row(rec)
+                    rows.append(rec)
+            df = pd.DataFrame(
+                rows,
+                columns=[
+                    "url", "warc_ts", "html", "text", "lang",
+                    "warc_file", "record_offset",
+                ],
+            )
+            if len(df):
+                df["warc_ts"] = pd.to_datetime(
+                    df["warc_ts"], utc=True, errors="coerce"
+                ).dt.tz_localize(None)
+            yield df
+
+    return files.select("path", "content").mapInPandas(run, PAGES_SCHEMA)
+
+
 def read_warc(
     spark: SparkSession,
     path: str,
@@ -113,34 +165,12 @@ def read_warc(
         return None
 
     extract = extract_text_fn or default_extract
-    files = spark.read.format("binaryFile").load(path)
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for b in batches:
-            rows = []
-            for fname, content in zip(b["path"], b["content"]):
-                data = bytes(content)
-                if fname.endswith(".gz"):
-                    try:
-                        data = gzip.decompress(data)
-                    except OSError:
-                        continue  # unreadable file: reported by read_warc_errors
-                for rec in _parse_warc_bytes(data, fname):
-                    rec["text"] = extract(rec["html"]) if rec["html"] else None
-                    rec["lang"] = None
-                    rows.append(rec)
-            df = pd.DataFrame(
-                rows,
-                columns=[
-                    "url", "warc_ts", "html", "text", "lang",
-                    "warc_file", "record_offset",
-                ],
-            )
-            if len(df):
-                df["warc_ts"] = pd.to_datetime(df["warc_ts"], utc=True).dt.tz_localize(None)
-            yield df
+    def finish(rec: dict) -> None:
+        rec["text"] = extract(rec["html"]) if rec["html"] else None
+        rec["lang"] = None
 
-    return files.select("path", "content").mapInPandas(run, PAGES_SCHEMA)
+    return _records_frame(spark, path, "response", finish)
 
 
 def read_wet(spark: SparkSession, path: str) -> DataFrame:
@@ -151,39 +181,17 @@ def read_wet(spark: SparkSession, path: str) -> DataFrame:
     :func:`read_warc`; ``lang`` is left null for downstream language ID.
     """
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for b in batches:
-            rows = []
-            for fname, content in zip(b["path"], b["content"]):
-                data = bytes(content)
-                if fname.endswith(".gz"):
-                    try:
-                        data = gzip.decompress(data)
-                    except OSError:
-                        continue
-                for rec in _parse_warc_bytes(data, fname, "conversion"):
-                    payload = rec.pop("html")
-                    rec["html"] = None
-                    rec["text"] = (
-                        payload.decode("utf-8", errors="replace")
-                        if payload is not None
-                        else None
-                    )
-                    rec["lang"] = None
-                    rows.append(rec)
-            df = pd.DataFrame(
-                rows,
-                columns=[
-                    "url", "warc_ts", "html", "text", "lang",
-                    "warc_file", "record_offset",
-                ],
-            )
-            if len(df):
-                df["warc_ts"] = pd.to_datetime(df["warc_ts"], utc=True).dt.tz_localize(None)
-            yield df
+    def finish(rec: dict) -> None:
+        payload = rec.pop("html")
+        rec["html"] = None
+        rec["text"] = (
+            payload.decode("utf-8", errors="replace")
+            if payload is not None
+            else None
+        )
+        rec["lang"] = None
 
-    files = spark.read.format("binaryFile").load(path)
-    return files.select("path", "content").mapInPandas(run, PAGES_SCHEMA)
+    return _records_frame(spark, path, "conversion", finish)
 
 
 def write_fake_wet(path: str, rows_in: list[dict], gz: bool = False) -> str:
@@ -250,7 +258,7 @@ def read_warc_errors(spark: SparkSession, path: str) -> DataFrame:
                 if fname.endswith(".gz"):
                     try:
                         data = gzip.decompress(data)
-                    except OSError as e:
+                    except (OSError, EOFError, zlib.error) as e:
                         rows.append({"warc_file": fname, "error": f"gzip: {e}"})
                         continue
                 if len(data) > 0 and not _parse_warc_bytes(data, fname):
