@@ -153,3 +153,41 @@ def test_wet_truncated_gz_and_bad_date_do_not_fail_the_job(spark, tmp_path):
     got = read_wet(spark, str(tmp_path)).orderBy("url").collect()
     assert [r["url"] for r in got] == ["http://ok/1", "http://ok/2"]
     assert got[1]["warc_ts"] is None and got[1]["text"] == "also fine"
+
+
+def test_wat_roundtrip(spark, tmp_path):
+    """Common Crawl WAT (metadata records, JSON payload): the outlink
+    array is extractable without touching HTML; gz parses identically."""
+    from xmlschemavalidator_spark.sources.warc import read_wat, write_fake_wat
+    from xmlschemavalidator_spark.weburl import wat_outlinks
+
+    def wat_json(urls):
+        links = ",".join(
+            f'{{"path":"A@/href","url":"{u}"}}' for u in urls
+        )
+        return (
+            '{"Envelope":{"Payload-Metadata":{"HTTP-Response-Metadata":'
+            f'{{"HTML-Metadata":{{"Links":[{links}]}}}}}}}}}}'
+        )
+
+    rows_in = [
+        {"url": "http://a.com/1", "warc_ts": "2026-01-01T00:00:00Z",
+         "wat_json": wat_json(["http://x.com/1", "http://y.com/2"])},
+        {"url": "http://b.com/2", "warc_ts": "2026-01-02T00:00:00Z",
+         "wat_json": wat_json([])},
+    ]
+    p = str(tmp_path / "f.wat")
+    write_fake_wat(p, rows_in)
+    got = read_wat(spark, p).orderBy("url").collect()
+    assert [r["url"] for r in got] == ["http://a.com/1", "http://b.com/2"]
+    links = (
+        read_wat(spark, p)
+        .select("url", wat_outlinks(F.col("wat_json")).alias("links"))
+        .orderBy("url")
+        .collect()
+    )
+    assert links[0]["links"] == ["http://x.com/1", "http://y.com/2"]
+    assert links[1]["links"] == []
+    pg = str(tmp_path / "f.wat.gz")
+    write_fake_wat(pg, rows_in, gz=True)
+    assert read_wat(spark, pg).count() == 2

@@ -446,3 +446,120 @@ def test_triangle_count_triangle_free(spark):
     edges = [(i, 10 + j) for i in range(4) for j in range(4)]
     df = spark.createDataFrame(edges, "src long, dst long")
     assert triangle_count(df).count() == 0
+
+
+def test_snapshot_dedup_keeps_newest_then_smallest_id(spark):
+    from xmlschemavalidator_spark.weburl import snapshot_dedup
+
+    df = spark.createDataFrame(
+        [
+            # a.com/x: three captures — newest ts wins
+            (1, "http://A.com/x?utm_source=t", 1_700_000_000),
+            (2, "http://a.com/x", 1_700_086_400),
+            (3, "http://a.com/x/", 1_700_000_500),
+            # b.com/y: ts tie — smaller id wins
+            (4, "http://b.com/y", 1_700_000_000),
+            (5, "http://b.com/y/", 1_700_000_000),
+            # c.com/z: NULL ts loses to any dated capture
+            (6, "http://c.com/z", None),
+            (7, "http://c.com/z/", 1_600_000_000),
+            # d.com/w: all captures undated — smallest id wins
+            (8, "http://d.com/w", None),
+            (9, "http://d.com/w/", None),
+        ],
+        "doc_id long, url string, warc_ts long",
+    )
+    kept = snapshot_dedup(df)
+    assert rows(kept, "doc_id") == [(2,), (4,), (7,), (8,)]
+    assert "canonical_url" in kept.columns
+
+
+def test_anchor_texts_extraction_cases(spark):
+    from xmlschemavalidator_spark.weburl import anchor_texts
+
+    html = (
+        '<p>x</p><a href="http://a.com/1">First  Link</a>'
+        '<A CLASS="z" HREF="http://b.com/2">second\n\tlink </A>'
+        '<a data-href="http://no.example">not a link</a>'
+        '<a href="http://c.com/3"><b>nested markup skipped</b></a>'
+        '<a href="/relative">rel</a>'
+    )
+    got = _eval(spark, anchor_texts, [html])[0]
+    assert [(r["url"], r["text"]) for r in got] == [
+        ("http://a.com/1", "First  Link"),
+        ("http://b.com/2", "second\n\tlink "),
+        ("/relative", "rel"),
+    ]
+
+
+def test_anchor_text_topk_counts_cap_and_rank(spark):
+    from xmlschemavalidator_spark.weburl import anchor_text_topk
+
+    # 6 docs link target T with anchor 'home', 3 with 'start page',
+    # 1 with whitespace-variant 'home' (collapses to the same anchor);
+    # relative and empty anchors drop
+    pages = (
+        [(i, '<a href="http://T.com/?utm_source=x">home</a>') for i in range(6)]
+        + [(10 + i, '<a href="http://t.com/">start  page</a>') for i in range(3)]
+        + [(20, '<a href="http://t.com">ho\tme</a>')]      # different anchor
+        + [(21, '<a href="http://t.com"> home </a>')]      # same anchor
+        + [(22, '<a href="/rel">home</a>'), (23, '<a href="http://t.com"></a>')]
+    )
+    df = spark.createDataFrame(pages, "doc_id long, html string")
+    got = rows(
+        anchor_text_topk(df, cap=2), "target", "anchor", "n_refs", "rank"
+    )
+    assert got == [
+        ("http://t.com/", "home", 7, 1),
+        ("http://t.com/", "start page", 3, 2),
+    ]
+    # cap=3 admits the singleton variant at rank 3
+    got3 = rows(
+        anchor_text_topk(df, cap=3), "target", "anchor", "n_refs", "rank"
+    )
+    assert ("http://t.com/", "ho me", 1, 3) in got3 and len(got3) == 3
+
+
+def test_wat_outlinks_extraction_and_filter(spark):
+    from xmlschemavalidator_spark.weburl import wat_outlinks
+
+    j = (
+        '{"Envelope":{"Payload-Metadata":{"HTTP-Response-Metadata":'
+        '{"HTML-Metadata":{"Links":[{"path":"A@/href","url":"http://a/1"},'
+        '{"path":"IMG@/src","url":"http://a/i.png"},'
+        '{"path":"A@/href","url":"http://b/2"}]}}}}}'
+    )
+    no_links = '{"Envelope":{"Payload-Metadata":{}}}'
+    got = _eval(spark, wat_outlinks, [j, no_links])
+    assert got == [["http://a/1", "http://a/i.png", "http://b/2"], None]
+    got_a = _eval(
+        spark, lambda c: wat_outlinks(c, only_anchors=True), [j]
+    )
+    assert got_a == [["http://a/1", "http://b/2"]]
+
+
+def test_wat_outlinks_sql_parity(spark):
+    """The DuckDB renderer returns the identical array for the identical
+    JSON (incl. the only_anchors filter and the no-links NULL)."""
+    import duckdb
+
+    from xmlschemavalidator_spark.weburl import wat_outlinks, wat_outlinks_sql
+
+    js = [
+        '{"Envelope":{"Payload-Metadata":{"HTTP-Response-Metadata":'
+        '{"HTML-Metadata":{"Links":[{"path":"A@/href","url":"http://a/1"},'
+        '{"path":"IMG@/src","url":"http://a/i.png"}]}}}}}',
+        '{"Envelope":{"Payload-Metadata":{}}}',
+    ]
+    for only in (False, True):
+        spark_got = _eval(
+            spark, lambda c: wat_outlinks(c, only_anchors=only), js
+        )
+        duck_got = [
+            duckdb.sql(
+                f"select {wat_outlinks_sql('j', only_anchors=only)} "
+                f"from (select '{j}' as j)"
+            ).fetchone()[0]
+            for j in js
+        ]
+        assert spark_got == duck_got

@@ -4864,6 +4864,144 @@ def domain_quality_gate_q(spark, sf_dir):
     )
 
 
+# --- snapshot dedup / anchor text / WAT outlinks (r4 widening) ------------
+
+_PLANT_TS = """CASE WHEN doc_id % 17 = 0 THEN CAST(NULL AS BIGINT)
+  ELSE CAST(1700000000 + (doc_id % 13) * 86400 AS BIGINT) END"""
+
+
+@q(
+    "url_snapshot_keep",
+    f"""SELECT doc_id, canonical_url, warc_ts FROM (
+          SELECT doc_id, canonical_url, warc_ts,
+                 row_number() OVER (PARTITION BY canonical_url
+                                    ORDER BY warc_ts DESC NULLS LAST, doc_id)
+                   AS rn
+          FROM (SELECT doc_id, {_PLANT_TS} AS warc_ts,
+                       {canonical_url_sql(_PLANT_URL_DUP)} AS canonical_url
+                FROM documents))
+        WHERE rn = 1""",
+)
+def url_snapshot_keep(spark, sf_dir):
+    """Snapshot dedup: one survivor per canonical URL, NEWEST capture
+    then smallest doc_id (weburl.py:snapshot_dedup — the Common Crawl
+    multi-snapshot shape: same partial-aggregatable min(struct) as
+    url_dedup, keyed on capture time instead of text length). The plant
+    reuses the collision-heavy URL classes, ramps warc_ts by doc_id%13,
+    and nulls every 17th capture so the NULL-loses rule is exercised;
+    the oracle's window spells NULLS LAST (Spark DESC implies it, DuckDB
+    must be told)."""
+    from xmlschemavalidator_spark.weburl import snapshot_dedup
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .withColumn("url", F.expr(_PLANT_URL_DUP))
+        .withColumn("warc_ts", F.expr(_PLANT_TS))
+    )
+    return snapshot_dedup(docs).select("doc_id", "canonical_url", "warc_ts")
+
+
+# anchors: 4 canonical targets (tracking-param and bare-host variants
+# collapse), one dominant anchor, one mid anchor needing ws-collapse,
+# singleton 'visit<j>' anchors competing for the last top-3 slot on the
+# (count desc, anchor asc) tie-break; relative hrefs must drop
+_PLANT_ANCHOR_HTML = """concat('<html><a href="http://T',
+  CAST(doc_id % 4 AS STRING), '.example.com/?utm_source=x">',
+  CASE WHEN doc_id % 3 = 0 THEN 'Home  Page' ELSE 'click here' END,
+  '</a>',
+  CASE WHEN doc_id % 5 = 0 THEN concat('<a href="http://t',
+       CAST(doc_id % 4 AS STRING), '.example.com">visit',
+       CAST(doc_id % 7 AS STRING), '</a>') ELSE '' END,
+  '<a href="/rel">skip</a></html>')"""
+
+
+def _anchor_topk_oracle(cap: int) -> str:
+    from xmlschemavalidator_spark.weburl import ANCHOR_RE, _ABS_HTTP_RE
+    from xmlschemavalidator_spark.textops import _WS
+
+    pat = "'" + ANCHOR_RE.replace("'", "''") + "'"
+    return f"""
+      WITH m AS (SELECT unnest(regexp_extract_all({_PLANT_ANCHOR_HTML},
+                        {pat}, 0)) AS a FROM documents),
+      pairs AS (SELECT {canonical_url_sql(f"regexp_extract(a, {pat}, 1)")}
+                         AS target,
+                       trim(regexp_replace(regexp_extract(a, {pat}, 2),
+                            '{_WS}+', ' ', 'g')) AS anchor
+                FROM m
+                WHERE regexp_matches(regexp_extract(a, {pat}, 1),
+                                     '{_ABS_HTTP_RE}')),
+      counts AS (SELECT target, anchor, CAST(COUNT(*) AS BIGINT) AS n_refs
+                 FROM pairs WHERE anchor <> '' GROUP BY target, anchor)
+      SELECT target, anchor, n_refs, rnk FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY target
+                       ORDER BY n_refs DESC, anchor) AS BIGINT) AS rnk
+        FROM counts)
+      WHERE rnk <= {cap}"""
+
+
+@q("anchor_text_topk", _anchor_topk_oracle(3))
+def anchor_text_topk_q(spark, sf_dir):
+    """Per-target anchor-text aggregation (weburl.py:anchor_text_topk):
+    top-3 anchor texts per canonical target by reference count — the
+    web-graph-derived text signal (anchor text describes the TARGET
+    page; ORCAS/TREC anchor corpora are built this way). Spark plan is
+    the salted two-phase top-k; the oracle's single window is the
+    semantic spec."""
+    from xmlschemavalidator_spark.weburl import anchor_text_topk
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "html", F.expr(_PLANT_ANCHOR_HTML)
+    )
+    return anchor_text_topk(docs, "html", cap=3).withColumnRenamed(
+        "rank", "rnk"
+    )
+
+
+# WAT JSON plant: every doc one anchor link, even docs add an IMG@/src
+# (must be dropped by only_anchors), %3 docs add a second anchor —
+# variable-length arrays, double-quoted JSON only (no single quotes or
+# backslashes in the shared literal)
+_PLANT_WAT = """concat('{"Envelope":{"Payload-Metadata":',
+  '{"HTTP-Response-Metadata":{"HTML-Metadata":{"Links":[',
+  '{"path":"A@/href","url":"http://s', CAST(doc_id % 5 AS STRING),
+  '.com/a"}',
+  CASE WHEN doc_id % 2 = 0 THEN concat(',{"path":"IMG@/src","url":"http://img',
+       CAST(doc_id % 3 AS STRING), '.com/i.png"}') ELSE '' END,
+  CASE WHEN doc_id % 3 = 0 THEN concat(',{"path":"A@/href","url":"http://x',
+       CAST(doc_id % 7 AS STRING), '.com/b"}') ELSE '' END,
+  ']}}}}}')"""
+
+
+def _wat_outlinks_oracle() -> str:
+    from xmlschemavalidator_spark.weburl import wat_outlinks_sql
+
+    return f"""SELECT doc_id,
+               CAST(generate_subscripts(l, 1) - 1 AS BIGINT) AS link_pos,
+               unnest(l) AS link
+        FROM (SELECT doc_id,
+                     {wat_outlinks_sql(_PLANT_WAT, only_anchors=True)} AS l
+              FROM documents)"""
+
+
+@q("wat_outlinks", _wat_outlinks_oracle())
+def wat_outlinks_q(spark, sf_dir):
+    """Outlink harvest from WAT metadata JSON (weburl.py:wat_outlinks +
+    sources/warc.py:read_wat — Common Crawl's no-HTML-parse link-graph
+    path): anchors only, IMG/script resources filtered inside the JSON
+    array, document order preserved. One narrow JSON projection + one
+    Generate."""
+    from xmlschemavalidator_spark.weburl import wat_outlinks
+
+    docs = _t(spark, sf_dir, "documents")
+    links = docs.select(
+        "doc_id",
+        wat_outlinks(F.expr(_PLANT_WAT), only_anchors=True).alias("l"),
+    )
+    return links.select(
+        "doc_id", F.posexplode("l").alias("link_pos", "link")
+    ).withColumn("link_pos", F.col("link_pos").cast("long"))
+
+
 # --- UniMax budget allocation (Chung et al., ICLR 2023) -------------------
 # Integer waterfilling: the capped-prefix test is monotone in the
 # (cap, name) order, so the oracle evaluates it with window prefix sums —

@@ -105,14 +105,23 @@ def _safe_gunzip(data: bytes) -> bytes | None:
 
 
 def _records_frame(
-    spark: SparkSession, path: str, record_type: str, finish_row
+    spark: SparkSession,
+    path: str,
+    record_type: str,
+    finish_row,
+    columns: list[str] | None = None,
+    schema: str = PAGES_SCHEMA,
 ) -> DataFrame:
     """The shared binaryFile + one-mapInPandas scaffold behind
-    :func:`read_warc` and :func:`read_wet`: per file, gunzip leniently,
-    parse records of ``record_type``, let ``finish_row`` fill the
-    payload-derived columns, coerce timestamps (one malformed WARC-Date
-    must not fail the job either)."""
+    :func:`read_warc`, :func:`read_wet` and :func:`read_wat`: per file,
+    gunzip leniently, parse records of ``record_type``, let
+    ``finish_row`` fill the payload-derived columns, coerce timestamps
+    (one malformed WARC-Date must not fail the job either)."""
     files = spark.read.format("binaryFile").load(path)
+    cols = columns or [
+        "url", "warc_ts", "html", "text", "lang",
+        "warc_file", "record_offset",
+    ]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -127,20 +136,14 @@ def _records_frame(
                 for rec in _parse_warc_bytes(data, fname, record_type):
                     finish_row(rec)
                     rows.append(rec)
-            df = pd.DataFrame(
-                rows,
-                columns=[
-                    "url", "warc_ts", "html", "text", "lang",
-                    "warc_file", "record_offset",
-                ],
-            )
+            df = pd.DataFrame(rows, columns=cols)
             if len(df):
                 df["warc_ts"] = pd.to_datetime(
                     df["warc_ts"], utc=True, errors="coerce"
                 ).dt.tz_localize(None)
             yield df
 
-    return files.select("path", "content").mapInPandas(run, PAGES_SCHEMA)
+    return files.select("path", "content").mapInPandas(run, schema)
 
 
 def read_warc(
@@ -192,6 +195,68 @@ def read_wet(spark: SparkSession, path: str) -> DataFrame:
         rec["lang"] = None
 
     return _records_frame(spark, path, "conversion", finish)
+
+
+WAT_SCHEMA = (
+    "url string, warc_ts timestamp, wat_json string, "
+    "warc_file string, record_offset long"
+)
+
+
+def read_wat(spark: SparkSession, path: str) -> DataFrame:
+    """Common Crawl WAT archive(s) → ``(url, warc_ts, wat_json, ...)``:
+    ``metadata`` records whose payload is the per-page JSON envelope
+    (headers, outlinks, title — everything but the content). The
+    link-graph ingestion path that never parses HTML: pair with
+    :func:`weburl.wat_outlinks` to pull the outlink array straight from
+    the JSON. Same binaryFile + one-mapInPandas shape as
+    :func:`read_warc`.
+
+    WAT ``metadata`` records target a sibling WARC record; their
+    ``WARC-Target-URI`` (in Common Crawl's published WAT files) is the
+    page URL, which is what ``url`` carries here.
+    """
+
+    def finish(rec: dict) -> None:
+        payload = rec.pop("html")
+        rec["wat_json"] = (
+            payload.decode("utf-8", errors="replace")
+            if payload is not None
+            else None
+        )
+
+    return _records_frame(
+        spark,
+        path,
+        "metadata",
+        finish,
+        columns=["url", "warc_ts", "wat_json", "warc_file", "record_offset"],
+        schema=WAT_SCHEMA,
+    )
+
+
+def write_fake_wat(path: str, rows_in: list[dict], gz: bool = False) -> str:
+    """Serialize (url, warc_ts iso-string, wat_json str) dicts into a
+    spec-shaped WAT file (metadata records, JSON payload)."""
+    buf = bytearray()
+    for r in rows_in:
+        payload = r["wat_json"].encode("utf-8")
+        headers = (
+            f"WARC/1.0\r\n"
+            f"WARC-Type: metadata\r\n"
+            f"WARC-Target-URI: {r['url']}\r\n"
+            f"WARC-Date: {r['warc_ts']}\r\n"
+            f"Content-Type: application/json\r\n"
+            f"Content-Length: {len(payload)}\r\n"
+            f"\r\n"
+        ).encode("latin-1")
+        buf += headers + payload + _CRLF + _CRLF
+    data = bytes(buf)
+    if gz:
+        data = gzip.compress(data)
+    with open(path, "wb") as fh:
+        fh.write(data)
+    return path
 
 
 def write_fake_wet(path: str, rows_in: list[dict], gz: bool = False) -> str:

@@ -297,6 +297,51 @@ def url_dedup(
     return canon.join(winners, [canonical_col, id_col], "left_semi")
 
 
+def snapshot_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    id_col: str = "doc_id",
+    canonical_col: str = "canonical_url",
+    strip_www: bool = True,
+) -> DataFrame:
+    """One document per canonical URL — the NEWEST capture wins, ties
+    break to the smallest id. Common Crawl re-fetches popular URLs every
+    snapshot, so a multi-snapshot corpus holds many captures of one page;
+    training pipelines keep the freshest (the content-aware alternative,
+    longest-text, is :func:`url_dedup`).
+
+    Same scale shape as :func:`url_dedup`: winner selection is a
+    partial-aggregatable ``min(struct)`` (a URL re-captured millions of
+    times combines map-side), kept rows come back via a semi join —
+    never a window sort over the possibly-degenerate URL key.
+
+    ``ts_col`` must cast to BIGINT (epoch seconds/micros, or any
+    monotone numeric); pass ``F.unix_timestamp(col)`` for timestamp
+    columns. A NULL capture time loses to every dated capture.
+    """
+    canon = df.withColumn(
+        canonical_col, canonical_url(F.col(url_col), strip_www=strip_www)
+    )
+    # newest = max ts = min(-ts); struct-min sorts a NULL field FIRST, so
+    # an un-coalesced NULL ts would WIN (the url_dedup review finding) —
+    # map NULL to +2^62 so undated captures rank behind every real one
+    neg_ts = -F.coalesce(F.col(ts_col).cast("long"), F.lit(-(2**62)))
+    winners = (
+        canon.groupBy(canonical_col)
+        .agg(
+            F.min(
+                F.struct(
+                    neg_ts.alias("neg_ts"),
+                    F.col(id_col).alias("id"),
+                )
+            ).alias("w")
+        )
+        .select(F.col(canonical_col), F.col("w.id").alias(id_col))
+    )
+    return canon.join(winners, [canonical_col, id_col], "left_semi")
+
+
 def domain_cap(
     df: DataFrame,
     domain_col: str,
@@ -304,6 +349,7 @@ def domain_cap(
     order_col: str | None = None,
     id_col: str = "doc_id",
     n_salts: int = 32,
+    rank_col: str | None = None,
 ) -> DataFrame:
     """At most ``cap`` documents per domain — the anti-domain-dominance
     cap web pipelines apply so one mega-site cannot swamp the corpus.
@@ -316,6 +362,9 @@ def domain_cap(
     phase 2 ranks the ≤ ``cap·n_salts`` survivors per domain. A single
     window over a skewed domain would sort the whole mega-domain in one
     task; the salted phase bounds every task's sort to its salt slice.
+
+    ``rank_col``: optionally keep phase 2's per-domain rank (1-based,
+    in ``order``) as an output column instead of dropping it.
     """
     order = (
         [F.col(order_col).desc()] if order_col is not None else []
@@ -330,11 +379,13 @@ def domain_cap(
         .drop("_rn")
     )
     w2 = Window.partitionBy(domain_col).orderBy(*order)
-    return (
-        phase1.withColumn("_rn", F.row_number().over(w2))
-        .where(F.col("_rn") <= cap)
-        .drop("_rn", "_salt")
+    rn = rank_col or "_rn"
+    out = (
+        phase1.withColumn(rn, F.row_number().over(w2))
+        .where(F.col(rn) <= cap)
+        .drop("_salt")
     )
+    return out if rank_col else out.drop("_rn")
 
 
 def url_badword_pattern(words: list[str]) -> str:
@@ -394,6 +445,133 @@ def extract_links(html: Column) -> Column:
 
 def extract_links_sql(x: str) -> str:
     return f"regexp_extract_all({x}, {_sql_quote(HREF_RE)}, 1)"
+
+
+#: anchor tag WITH its visible text: HREF_RE's attribute-boundary prefix,
+#: then the rest of the opening tag, then plain inner text up to the
+#: closing tag. ``([^<]*)`` (not a lazy ``.*?``) keeps the match linear
+#: and means anchors wrapping nested markup (<a><b>x</b></a>) are skipped
+#: rather than half-captured — the conservative direction for a corpus
+#: signal. RE2-safe: no lookaround, no backreferences.
+ANCHOR_RE = (
+    rf"(?is)<a{_WS}(?:[^>]*{_WS})?href{_WS}*={_WS}*"
+    rf"[\"']([^\"'<>]+)[\"'][^>]*>([^<]*)</a>"
+)
+
+#: absolute http(s) links only — anchor aggregation has no base URL to
+#: resolve relative hrefs against (WAT metadata does; HTML alone doesn't)
+_ABS_HTTP_RE = r"(?i)^https?://"
+
+
+def anchor_texts(html: Column) -> Column:
+    """``array<struct<url,text>>`` of anchor links with their visible
+    text, in document order. Spark's ``regexp_extract_all`` returns one
+    group per call, so the full match is extracted first and both groups
+    are re-extracted per element — each re-extract runs on a short match
+    string, not the document."""
+    ms = F.regexp_extract_all(html, F.lit(ANCHOR_RE), F.lit(0))
+    return F.transform(
+        ms,
+        lambda m: F.struct(
+            F.regexp_extract(m, ANCHOR_RE, 1).alias("url"),
+            F.regexp_extract(m, ANCHOR_RE, 2).alias("text"),
+        ),
+    )
+
+
+def anchor_text_topk(
+    df: DataFrame,
+    html_col: str = "html",
+    cap: int = 20,
+    n_salts: int = 32,
+) -> DataFrame:
+    """Per-target anchor-text aggregation → ``(target, anchor, n_refs,
+    rank)``: the top-``cap`` anchor texts pointing at each canonical
+    target URL, ranked by reference count (ties: lexicographically
+    smaller anchor first). The classic web-graph-derived text signal —
+    anchor text describes the *target* page better than the page itself
+    (TREC/ORCAS-style anchor corpora are built exactly this way) — and a
+    training-data source in its own right.
+
+    Scale shape: explode → canonicalize → ``(target, anchor)`` count
+    (partial-aggregatable: a page linked a billion times combines
+    map-side) → the salted two-phase top-k (:func:`domain_cap`), so a
+    mega-target (everyone links the homepage) never pins one task's
+    sort. Anchor text is whitespace-collapsed and trimmed; empty anchors
+    and non-absolute hrefs are dropped (no base URL to resolve against).
+    """
+    pairs = (
+        df.select(F.explode(anchor_texts(F.col(html_col))).alias("a"))
+        .where(F.col("a.url").rlike(_ABS_HTTP_RE))
+        .select(
+            canonical_url(F.col("a.url")).alias("target"),
+            F.trim(
+                F.regexp_replace(F.col("a.text"), f"{_WS}+", " ")
+            ).alias("anchor"),
+        )
+        .where(F.col("anchor") != "")
+    )
+    counts = pairs.groupBy("target", "anchor").agg(
+        F.count(F.lit(1)).alias("n_refs")
+    )
+    capped = domain_cap(
+        counts,
+        "target",
+        cap,
+        order_col="n_refs",
+        id_col="anchor",
+        n_salts=n_salts,
+        rank_col="rank",
+    )
+    return capped.withColumn("rank", F.col("rank").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# WAT metadata (Common Crawl's third format: per-page JSON incl. outlinks)
+# ---------------------------------------------------------------------------
+
+#: where the outlink list lives in a WAT record's JSON envelope
+#: (Common Crawl WAT spec: Envelope → Payload-Metadata →
+#: HTTP-Response-Metadata → HTML-Metadata → Links[{path, url, ...}])
+_WAT_LINKS_PATH = (
+    "$['Envelope']['Payload-Metadata']['HTTP-Response-Metadata']"
+    "['HTML-Metadata']['Links']"
+)
+_WAT_LINKS_SCHEMA = "array<struct<path:string,url:string>>"
+
+#: WAT link-path value marking an <a href> link (vs IMG@/src etc.)
+WAT_ANCHOR_PATH = "A@/href"
+
+
+def wat_outlinks(wat_json: Column, only_anchors: bool = False) -> Column:
+    """Array of outlink URLs from a WAT record's JSON — the no-HTML-parse
+    way to build the link graph (Common Crawl ships WAT precisely so
+    consumers can skip fetching/parsing the 10× larger WARC). NULL when
+    the record has no HTML-Metadata.Links. ``only_anchors`` keeps
+    ``A@/href`` entries only (drops IMG/script/link resources)."""
+    links = F.from_json(
+        F.get_json_object(wat_json, _WAT_LINKS_PATH), _WAT_LINKS_SCHEMA
+    )
+    if only_anchors:
+        links = F.filter(links, lambda x: x["path"] == F.lit(WAT_ANCHOR_PATH))
+    return F.transform(links, lambda x: x["url"])
+
+
+def wat_outlinks_sql(x: str, only_anchors: bool = False) -> str:
+    """DuckDB rendering of :func:`wat_outlinks` over expression ``x``."""
+    path = (
+        '\'$.Envelope."Payload-Metadata"."HTTP-Response-Metadata"'
+        '."HTML-Metadata".Links\''
+    )
+    links = (
+        f"from_json(json_extract({x}, {path}), "
+        "'[{\"path\":\"VARCHAR\",\"url\":\"VARCHAR\"}]')"
+    )
+    if only_anchors:
+        links = (
+            f"list_filter({links}, x -> x.path = '{WAT_ANCHOR_PATH}')"
+        )
+    return f"list_transform({links}, x -> x.url)"
 
 
 def degree_stats(
