@@ -67,6 +67,7 @@ def run_pipeline(
     extract_main_content: bool = False,
     url_col: str | None = None,
     url_dedup_on: bool = False,
+    url_dedup_policy: str = "longest",
     domain_cap_n: int = 0,
     url_badwords: list[str] | None = None,
     robots_df=None,
@@ -236,19 +237,37 @@ def run_pipeline(
                 "url_badwords", url_badword_filter(docs, url_col, url_badwords)
             )
         if url_dedup_on:
-            # 'longest TEXT wins' — when n_chars is absent derive it from
-            # the text column, never from the URL (review finding: the
-            # URL-length fallback let tracking-param junk pick winners)
-            deduped = (
-                url_dedup(docs, url_col, "n_chars", id_col)
-                if "n_chars" in docs.columns
-                else url_dedup(
-                    docs.withColumn("_len", F.length("text")),
-                    url_col,
-                    "_len",
-                    id_col,
-                ).drop("_len")
-            )
+            if url_dedup_policy == "latest":
+                # 'newest CAPTURE wins' — the multi-snapshot crawl shape;
+                # requires the pages-table capture time (timestamp or
+                # epoch numeric both cast to long inside snapshot_dedup)
+                if "warc_ts" not in docs.columns:
+                    raise ValueError(
+                        "url_dedup_policy='latest' requires a warc_ts column"
+                    )
+                from xmlschemavalidator_spark.weburl import snapshot_dedup
+
+                deduped = snapshot_dedup(docs, url_col, "warc_ts", id_col)
+            elif url_dedup_policy == "longest":
+                # 'longest TEXT wins' — when n_chars is absent derive it
+                # from the text column, never from the URL (review finding:
+                # the URL-length fallback let tracking-param junk pick
+                # winners)
+                deduped = (
+                    url_dedup(docs, url_col, "n_chars", id_col)
+                    if "n_chars" in docs.columns
+                    else url_dedup(
+                        docs.withColumn("_len", F.length("text")),
+                        url_col,
+                        "_len",
+                        id_col,
+                    ).drop("_len")
+                )
+            else:
+                raise ValueError(
+                    "url_dedup_policy must be 'longest' or 'latest', "
+                    f"got {url_dedup_policy!r}"
+                )
             docs = stage("url_dedup", deduped.drop("canonical_url"))
         if domain_cap_n:
             docs = stage(
@@ -689,6 +708,13 @@ def main(argv: list[str] | None = None) -> int:
         help="keep one doc per canonical URL (longest text, then smallest id)",
     )
     p.add_argument(
+        "--url-dedup-policy",
+        choices=["longest", "latest"],
+        default="longest",
+        help="URL-dedup winner: longest text (default) or latest capture "
+        "(requires a warc_ts column — the multi-snapshot crawl shape)",
+    )
+    p.add_argument(
         "--domain-cap",
         type=int,
         default=0,
@@ -740,6 +766,7 @@ def main(argv: list[str] | None = None) -> int:
         fix_encoding=args.fix_encoding, lang_from=args.lang_from,
         extract_main_content=args.main_content,
         url_col=args.url_col, url_dedup_on=args.url_dedup,
+        url_dedup_policy=args.url_dedup_policy,
         domain_cap_n=args.domain_cap,
         robots_df=(spark.read.parquet(args.robots) if args.robots else None),
         unimax_budget=args.unimax_budget,

@@ -572,3 +572,43 @@ def test_pipeline_retry_with_zero_kept_removes_stale_artifacts(spark, tmp_path):
     assert not os.path.exists(f"{out}/sequences/batch_id=z1")
     assert not os.path.exists(f"{out}/shards/batch_id=z1")
     assert json.load(open(f"{out}/audit/z1/stages.json")) == audit2
+
+
+def test_pipeline_url_dedup_latest_policy(spark, tmp_path):
+    """url_dedup_policy='latest': the newest warc_ts capture survives per
+    canonical URL (timestamp column, the input_hint pages shape); policy
+    validation errors early without a warc_ts column."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    from corpus_pipeline_job import run_pipeline
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # 5 canonical classes; capture time ramps with doc_id so the winner
+    # of each class is its largest doc_id
+    docs = docs.withColumn(
+        "url",
+        F.concat(F.lit("http://s.com/p/"), (F.col("doc_id") % 5).cast("string")),
+    ).withColumn(
+        "warc_ts",
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id")),
+    )
+    out = str(tmp_path / "corpus_latest")
+    audit = run_pipeline(
+        spark, docs, out, batch_id="l1",
+        url_col="url", url_dedup_on=True, url_dedup_policy="latest",
+    )
+    # pin the stage under test (downstream validation/quality may
+    # legitimately drop the 5 planted survivors): 5 canonical classes
+    # survive URL dedup, and the winner-identity semantics are pinned by
+    # test_weburl.py::test_snapshot_dedup_keeps_newest_then_smallest_id
+    assert audit["url_dedup"] == 5
+
+    with pytest.raises(ValueError, match="warc_ts"):
+        run_pipeline(
+            spark, docs.drop("warc_ts"), str(tmp_path / "x"), batch_id="l2",
+            url_col="url", url_dedup_on=True, url_dedup_policy="latest",
+        )
+    with pytest.raises(ValueError, match="url_dedup_policy"):
+        run_pipeline(
+            spark, docs, str(tmp_path / "y"), batch_id="l3",
+            url_col="url", url_dedup_on=True, url_dedup_policy="oldest",
+        )
