@@ -924,3 +924,27 @@ def test_main_content_matches_duckdb_replica(spark):
         ).fetchall()
     }
     assert got == want
+
+
+def test_compression_signals_exact_and_ordering(spark):
+    """compression_signals matches direct zlib.compress byte counts
+    exactly, and a heavily repetitive doc compresses far below prose."""
+    import zlib
+
+    from xmlschemavalidator_spark.textops import compression_signals
+
+    prose = "the quick brown fox jumps over the lazy dog near the river bank"
+    spammy = "buy now " * 40
+    data = [(0, prose), (1, spammy), (2, None), (3, "")]
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    got = {r["doc"]: r for r in compression_signals(df).collect()}
+    for i, t in data:
+        if t is None:
+            assert got[i]["n_bytes"] is None
+            assert got[i]["compression_ratio"] is None
+        else:
+            raw = t.encode("utf-8")
+            assert got[i]["n_bytes"] == len(raw)
+            assert got[i]["n_deflate_bytes"] == len(zlib.compress(raw, 6))
+    assert got[3]["compression_ratio"] is None  # empty text: no ratio
+    assert got[1]["compression_ratio"] < 0.2 < got[0]["compression_ratio"]

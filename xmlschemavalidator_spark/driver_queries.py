@@ -4583,6 +4583,26 @@ def text_license_signals(spark, sf_dir):
     return docs.select("doc_id", *[v.alias(k) for k, v in sig.items()])
 
 
+@q("text_compression_ratio")
+def text_compression_ratio(spark, sf_dir):
+    """Deflate-compressibility quality signal
+    (textops.compression_signals): repetitive/templated text compresses
+    far below prose — the language-agnostic repetition proxy. Rows-only
+    (DuckDB has no deflate); byte-exactness vs zlib is pinned by
+    test_textops.py::test_compression_signals_exact_and_ordering. The
+    plant appends a spam run to every 9th doc so ratios separate."""
+    from xmlschemavalidator_spark.textops import compression_signals
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 9 == 0,
+            F.concat(F.col("text"), F.expr("repeat(' buy now', 60)")),
+        ).otherwise(F.col("text")),
+    )
+    return compression_signals(docs)
+
+
 @q("bpe_token_ids")
 def bpe_token_ids(spark, sf_dir):
     """Subword-id artifact: corpus encoded to dense vocab ids (the

@@ -1160,3 +1160,68 @@ def pack_sequences(
         F.size("_toks").alias("n_tokens"),
         (F.lit(seq_len) - F.size("_toks")).cast("int").alias("pad_tokens"),
     )
+
+
+def compression_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document deflate compressibility → ``(doc, n_bytes,
+    n_deflate_bytes, compression_ratio)``. Repetitive boilerplate
+    (templated pages, keyword stuffing, crawler-trap listings) compresses
+    far below natural prose while random gibberish barely compresses, so
+    the ratio is a language-agnostic repetition/quality proxy that
+    complements the n-gram repetition fractions
+    (:func:`gopher_repetition_signals` — token-level, language-blind the
+    other way) and :func:`char_entropy` (unigram-only; deflate sees long
+    repeats entropy misses).
+
+    Deflate is not expressible in DuckDB, so the driver query is
+    rows-only; byte-exactness is pinned against direct ``zlib.compress``
+    calls in tests (same codec, deterministic for a fixed level). Shape:
+    one Arrow-batched pandas UDF projection (never row-at-a-time
+    Python), no shuffle; ratio rounded to 6dp for cross-run hashing.
+    NULL text → NULL signals.
+    """
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    import pandas as pd  # noqa: F401 (type hints resolve via closure)
+
+    @pandas_udf("struct<n_bytes: long, n_deflate_bytes: long>")
+    def _sizes(texts):
+        import pandas as pd  # executor-side
+
+        def one(t):
+            if t is None:
+                return (None, None)
+            raw = t.encode("utf-8")
+            return (len(raw), len(zlib.compress(raw, level)))
+
+        pairs = texts.map(one)
+        return pd.DataFrame(
+            {
+                "n_bytes": pairs.map(lambda p: p[0]),
+                "n_deflate_bytes": pairs.map(lambda p: p[1]),
+            }
+        )
+
+    out = df.select(
+        F.col(id_col).alias("doc"), _sizes(F.col(text_col)).alias("s")
+    )
+    return out.select(
+        "doc",
+        F.col("s.n_bytes").alias("n_bytes"),
+        F.col("s.n_deflate_bytes").alias("n_deflate_bytes"),
+        F.when(
+            F.col("s.n_bytes") > 0,
+            F.round(
+                F.col("s.n_deflate_bytes")
+                / F.col("s.n_bytes").cast("double"),
+                6,
+            ),
+        ).alias("compression_ratio"),
+    )
