@@ -114,6 +114,31 @@ def run_pipeline(
         # 'longest' here would promise a policy the stage can't honor
         raise ValueError("keep_policy='longest' requires the within-batch "
                          "near-dup stage (drop --near-store)")
+    if url_dedup_policy not in ("longest", "latest"):
+        raise ValueError(
+            "url_dedup_policy must be 'longest' or 'latest', "
+            f"got {url_dedup_policy!r}"
+        )
+    if url_dedup_on and url_dedup_policy == "latest":
+        # statically-knowable config errors must surface BEFORE the
+        # input/robots/badwords stages materialize the corpus (review
+        # finding — same rule as the budget-policy check below); and a
+        # string warc_ts would pass a presence check only to throw an
+        # ANSI cast error mid-stage, so require a castable type here
+        if "warc_ts" not in docs.columns:
+            raise ValueError(
+                "url_dedup_policy='latest' requires a warc_ts column"
+            )
+        from pyspark.sql.types import NumericType, TimestampType, TimestampNTZType
+
+        ts_type = docs.schema["warc_ts"].dataType
+        if not isinstance(
+            ts_type, (NumericType, TimestampType, TimestampNTZType)
+        ):
+            raise ValueError(
+                "url_dedup_policy='latest' needs a timestamp or numeric "
+                f"warc_ts column, got {ts_type.simpleString()}"
+            )
     if budget_per_lang > 0 and unimax_budget > 0:
         # config errors surface BEFORE any stage runs (review finding:
         # raising this at stage 8 burned the whole upstream pipeline first)
@@ -239,16 +264,11 @@ def run_pipeline(
         if url_dedup_on:
             if url_dedup_policy == "latest":
                 # 'newest CAPTURE wins' — the multi-snapshot crawl shape;
-                # requires the pages-table capture time (timestamp or
-                # epoch numeric both cast to long inside snapshot_dedup)
-                if "warc_ts" not in docs.columns:
-                    raise ValueError(
-                        "url_dedup_policy='latest' requires a warc_ts column"
-                    )
+                # warc_ts presence+type were validated up front
                 from xmlschemavalidator_spark.weburl import snapshot_dedup
 
                 deduped = snapshot_dedup(docs, url_col, "warc_ts", id_col)
-            elif url_dedup_policy == "longest":
+            else:
                 # 'longest TEXT wins' — when n_chars is absent derive it
                 # from the text column, never from the URL (review finding:
                 # the URL-length fallback let tracking-param junk pick
@@ -262,11 +282,6 @@ def run_pipeline(
                         "_len",
                         id_col,
                     ).drop("_len")
-                )
-            else:
-                raise ValueError(
-                    "url_dedup_policy must be 'longest' or 'latest', "
-                    f"got {url_dedup_policy!r}"
                 )
             docs = stage("url_dedup", deduped.drop("canonical_url"))
         if domain_cap_n:

@@ -161,18 +161,26 @@ def test_wat_roundtrip(spark, tmp_path):
     from xmlschemavalidator_spark.sources.warc import read_wat, write_fake_wat
     from xmlschemavalidator_spark.weburl import wat_outlinks
 
-    def wat_json(urls):
+    def wat_json(urls, src="response"):
         links = ",".join(
             f'{{"path":"A@/href","url":"{u}"}}' for u in urls
         )
         return (
-            '{"Envelope":{"Payload-Metadata":{"HTTP-Response-Metadata":'
+            f'{{"Envelope":{{"WARC-Header-Metadata":{{"WARC-Type":"{src}"}},'
+            '"Payload-Metadata":{"HTTP-Response-Metadata":'
             f'{{"HTML-Metadata":{{"Links":[{links}]}}}}}}}}}}'
         )
 
     rows_in = [
         {"url": "http://a.com/1", "warc_ts": "2026-01-01T00:00:00Z",
          "wat_json": wat_json(["http://x.com/1", "http://y.com/2"])},
+        # real WAT files carry request/warcinfo-derived metadata records
+        # for the SAME url — the default read keeps response-derived only
+        {"url": "http://a.com/1", "warc_ts": "2026-01-01T00:00:00Z",
+         "wat_json": wat_json([], src="request")},
+        {"url": "http://a.com/1", "warc_ts": "2026-01-01T00:00:00Z",
+         "wat_json": '{"Envelope":{"WARC-Header-Metadata":'
+                     '{"WARC-Type":"warcinfo"}}}'},
         {"url": "http://b.com/2", "warc_ts": "2026-01-02T00:00:00Z",
          "wat_json": wat_json([])},
     ]
@@ -180,6 +188,8 @@ def test_wat_roundtrip(spark, tmp_path):
     write_fake_wat(p, rows_in)
     got = read_wat(spark, p).orderBy("url").collect()
     assert [r["url"] for r in got] == ["http://a.com/1", "http://b.com/2"]
+    # unfiltered read surfaces every metadata record
+    assert read_wat(spark, p, source_record_type=None).count() == 4
     links = (
         read_wat(spark, p)
         .select("url", wat_outlinks(F.col("wat_json")).alias("links"))

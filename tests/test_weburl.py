@@ -550,6 +550,10 @@ def test_wat_outlinks_sql_parity(spark):
         '{"HTML-Metadata":{"Links":[{"path":"A@/href","url":"http://a/1"},'
         '{"path":"IMG@/src","url":"http://a/i.png"}]}}}}}',
         '{"Envelope":{"Payload-Metadata":{}}}',
+        # malformed JSON: Spark get_json_object yields NULL; raw DuckDB
+        # json_extract RAISES — the renderer's json_valid gate restores
+        # parity (review finding, reproduced live)
+        '{"truncated',
     ]
     for only in (False, True):
         spark_got = _eval(

@@ -134,7 +134,8 @@ def _records_frame(
                         continue  # unreadable: reported by read_warc_errors
                     data = gunzipped
                 for rec in _parse_warc_bytes(data, fname, record_type):
-                    finish_row(rec)
+                    if finish_row(rec) is False:  # finisher may drop a record
+                        continue
                     rows.append(rec)
             df = pd.DataFrame(rows, columns=cols)
             if len(df):
@@ -203,7 +204,9 @@ WAT_SCHEMA = (
 )
 
 
-def read_wat(spark: SparkSession, path: str) -> DataFrame:
+def read_wat(
+    spark: SparkSession, path: str, source_record_type: str | None = "response"
+) -> DataFrame:
     """Common Crawl WAT archive(s) → ``(url, warc_ts, wat_json, ...)``:
     ``metadata`` records whose payload is the per-page JSON envelope
     (headers, outlinks, title — everything but the content). The
@@ -212,18 +215,33 @@ def read_wat(spark: SparkSession, path: str) -> DataFrame:
     the JSON. Same binaryFile + one-mapInPandas shape as
     :func:`read_warc`.
 
-    WAT ``metadata`` records target a sibling WARC record; their
-    ``WARC-Target-URI`` (in Common Crawl's published WAT files) is the
-    page URL, which is what ``url`` carries here.
+    Real CC WAT files hold one ``metadata`` record per underlying WARC
+    record — warcinfo, *request* AND *response* — so a naive read yields
+    ~3 rows per capture (two sharing the page URL), inflating
+    URL-keyed joins. Each payload declares its source record in
+    ``Envelope.WARC-Header-Metadata.WARC-Type``; by default only
+    ``response``-derived rows (the ones carrying HTML-Metadata.Links)
+    are kept — records that are malformed JSON or that do not declare a
+    source type are dropped with them. Pass ``source_record_type=None``
+    to keep every metadata record unfiltered.
     """
+    import json
 
-    def finish(rec: dict) -> None:
+    def finish(rec: dict):
         payload = rec.pop("html")
         rec["wat_json"] = (
             payload.decode("utf-8", errors="replace")
             if payload is not None
             else None
         )
+        if source_record_type is None:
+            return None
+        try:
+            envelope = json.loads(rec["wat_json"])["Envelope"]
+            src = envelope["WARC-Header-Metadata"]["WARC-Type"]
+        except (TypeError, ValueError, KeyError):
+            return False
+        return None if src == source_record_type else False
 
     return _records_frame(
         spark,

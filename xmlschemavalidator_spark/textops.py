@@ -1189,8 +1189,6 @@ def compression_signals(
 
     from pyspark.sql.functions import pandas_udf
 
-    import pandas as pd  # noqa: F401 (type hints resolve via closure)
-
     @pandas_udf("struct<n_bytes: long, n_deflate_bytes: long>")
     def _sizes(texts):
         import pandas as pd  # executor-side

@@ -257,6 +257,45 @@ def registered_domain_sql(x: str) -> str:
 # URL dedup + per-domain caps + filters
 # ---------------------------------------------------------------------------
 
+def _canonical_winner_dedup(
+    df: DataFrame,
+    url_col: str,
+    sort_key: Column,
+    id_col: str,
+    canonical_col: str,
+    strip_www: bool,
+) -> DataFrame:
+    """The shared shape of :func:`url_dedup` / :func:`snapshot_dedup`:
+    canonicalize, pick one winner per canonical URL as
+    ``min(struct(sort_key, id))`` — a partial-aggregatable min, so a
+    degenerate hot key (a canonical URL with millions of copies, e.g. a
+    crawler trap) combines map-side and contributes one row per input
+    partition to the final agg. The window-sort alternative
+    (``row_number`` over the URL) cannot split one hot key across tasks;
+    the agg can. Kept rows come back via a semi join on
+    (canonical, id).
+
+    ``sort_key`` must be NULL-free: struct-min orders a NULL field
+    FIRST, so an un-coalesced NULL would WIN (review finding, reproduced
+    live) — callers coalesce to a losing sentinel."""
+    canon = df.withColumn(
+        canonical_col, canonical_url(F.col(url_col), strip_www=strip_www)
+    )
+    winners = (
+        canon.groupBy(canonical_col)
+        .agg(
+            F.min(
+                F.struct(
+                    sort_key.alias("k"),
+                    F.col(id_col).alias("id"),
+                )
+            ).alias("w")
+        )
+        .select(F.col(canonical_col), F.col("w.id").alias(id_col))
+    )
+    return canon.join(winners, [canonical_col, id_col], "left_semi")
+
+
 def url_dedup(
     df: DataFrame,
     url_col: str = "url",
@@ -266,35 +305,13 @@ def url_dedup(
     strip_www: bool = True,
 ) -> DataFrame:
     """One document per canonical URL — longest text wins, ties break to
-    the smallest id (deterministic, rerun-stable).
-
-    Shape: winner selection is ``min(struct(-len, id))`` — a
-    partial-aggregatable min, so a degenerate hot key (a canonical URL
-    with millions of copies, e.g. a crawler trap) combines map-side and
-    contributes one row per input partition to the final agg. The
-    window-sort alternative (``row_number`` over the URL) cannot split
-    one hot key across tasks; the agg can. Kept rows come back via a
-    semi join on (canonical, id)."""
-    canon = df.withColumn(
-        canonical_col, canonical_url(F.col(url_col), strip_www=strip_www)
-    )
-    # NULL length must lose to every real length: struct-min orders a NULL
-    # field FIRST, so an un-coalesced NULL-length doc would beat the
-    # longest text (review finding, reproduced live) — treat NULL as -1
+    the smallest id (deterministic, rerun-stable). Scale shape:
+    :func:`_canonical_winner_dedup`. NULL length is treated as -1 so it
+    loses to every real length."""
     neg_len = -F.coalesce(F.col(length_col).cast("long"), F.lit(-1))
-    winners = (
-        canon.groupBy(canonical_col)
-        .agg(
-            F.min(
-                F.struct(
-                    neg_len.alias("neg_len"),
-                    F.col(id_col).alias("id"),
-                )
-            ).alias("w")
-        )
-        .select(F.col(canonical_col), F.col("w.id").alias(id_col))
+    return _canonical_winner_dedup(
+        df, url_col, neg_len, id_col, canonical_col, strip_www
     )
-    return canon.join(winners, [canonical_col, id_col], "left_semi")
 
 
 def snapshot_dedup(
@@ -309,37 +326,18 @@ def snapshot_dedup(
     break to the smallest id. Common Crawl re-fetches popular URLs every
     snapshot, so a multi-snapshot corpus holds many captures of one page;
     training pipelines keep the freshest (the content-aware alternative,
-    longest-text, is :func:`url_dedup`).
+    longest-text, is :func:`url_dedup`). Scale shape:
+    :func:`_canonical_winner_dedup`.
 
-    Same scale shape as :func:`url_dedup`: winner selection is a
-    partial-aggregatable ``min(struct)`` (a URL re-captured millions of
-    times combines map-side), kept rows come back via a semi join —
-    never a window sort over the possibly-degenerate URL key.
-
-    ``ts_col`` must cast to BIGINT (epoch seconds/micros, or any
-    monotone numeric); pass ``F.unix_timestamp(col)`` for timestamp
-    columns. A NULL capture time loses to every dated capture.
-    """
-    canon = df.withColumn(
-        canonical_col, canonical_url(F.col(url_col), strip_www=strip_www)
-    )
-    # newest = max ts = min(-ts); struct-min sorts a NULL field FIRST, so
-    # an un-coalesced NULL ts would WIN (the url_dedup review finding) —
-    # map NULL to +2^62 so undated captures rank behind every real one
+    ``ts_col`` must cast to BIGINT: a timestamp column works directly
+    (timestamp→long is a legal ANSI cast, epoch seconds — the pipeline
+    passes the pages-shape ``warc_ts`` as-is), as does any monotone
+    numeric. A NULL capture time loses to every dated capture (newest =
+    max ts = min(-ts), and the NULL sentinel +2^62 ranks last)."""
     neg_ts = -F.coalesce(F.col(ts_col).cast("long"), F.lit(-(2**62)))
-    winners = (
-        canon.groupBy(canonical_col)
-        .agg(
-            F.min(
-                F.struct(
-                    neg_ts.alias("neg_ts"),
-                    F.col(id_col).alias("id"),
-                )
-            ).alias("w")
-        )
-        .select(F.col(canonical_col), F.col("w.id").alias(id_col))
+    return _canonical_winner_dedup(
+        df, url_col, neg_ts, id_col, canonical_col, strip_www
     )
-    return canon.join(winners, [canonical_col, id_col], "left_semi")
 
 
 def domain_cap(
@@ -558,7 +556,13 @@ def wat_outlinks(wat_json: Column, only_anchors: bool = False) -> Column:
 
 
 def wat_outlinks_sql(x: str, only_anchors: bool = False) -> str:
-    """DuckDB rendering of :func:`wat_outlinks` over expression ``x``."""
+    """DuckDB rendering of :func:`wat_outlinks` over expression ``x``.
+
+    Dual-engine divergence handled explicitly (review finding, verified
+    live): DuckDB ``json_extract`` RAISES on malformed JSON where Spark
+    ``get_json_object`` returns NULL — one truncated record would abort
+    the whole oracle query, so the expression is gated on
+    ``json_valid``."""
     path = (
         '\'$.Envelope."Payload-Metadata"."HTTP-Response-Metadata"'
         '."HTML-Metadata".Links\''
@@ -571,7 +575,10 @@ def wat_outlinks_sql(x: str, only_anchors: bool = False) -> str:
         links = (
             f"list_filter({links}, x -> x.path = '{WAT_ANCHOR_PATH}')"
         )
-    return f"list_transform({links}, x -> x.url)"
+    return (
+        f"CASE WHEN json_valid({x}) "
+        f"THEN list_transform({links}, x -> x.url) ELSE NULL END"
+    )
 
 
 def degree_stats(
