@@ -948,3 +948,62 @@ def test_compression_signals_exact_and_ordering(spark):
             assert got[i]["n_deflate_bytes"] == len(zlib.compress(raw, 6))
     assert got[3]["compression_ratio"] is None  # empty text: no ratio
     assert got[1]["compression_ratio"] < 0.2 < got[0]["compression_ratio"]
+
+
+def test_normalize_for_dedup_cases_and_duckdb_parity(spark):
+    """Aggressive dedup normalization: case/accents/punct/ws variants
+    collapse to one key; the DuckDB renderer agrees byte-for-byte."""
+    import duckdb
+
+    from xmlschemavalidator_spark.textops import (
+        normalize_for_dedup,
+        normalize_for_dedup_sql,
+    )
+
+    cases = [
+        "Café, the BEST — menu!",
+        "cafe the best menu",
+        "CAFE   the\tbest...menu",
+        "naïve æsthetic",     # æ is NOT folded (1:1 table only)
+        "  edge\x0bspace  ",  # \x0B is in the explicit ws class
+        "",
+        None,
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "t string")
+    got = [r[0] for r in df.select(normalize_for_dedup(F.col("t"))).collect()]
+    assert got[0] == got[1] == got[2] == "cafe the best menu"
+    assert got[3] == "naive æsthetic"
+    assert got[4] == "edge space"
+    assert got[5] == "" and got[6] is None
+    for c, g in zip(cases, got):
+        if c is None:
+            continue
+        lit = c.replace("'", "''")
+        duck = duckdb.sql(
+            "select " + normalize_for_dedup_sql(f"'{lit}'")
+        ).fetchone()[0]
+        assert duck == g, (c, duck, g)
+
+
+def test_extract_title_cases_and_duckdb_parity(spark):
+    import duckdb
+
+    from xmlschemavalidator_spark.textops import extract_title, extract_title_sql
+
+    cases = [
+        '<html><head><TITLE id="t">  My\n  Page </TITLE></head></html>',
+        "<html><body>no title</body></html>",
+        "<title><b>nested skipped</b></title>",
+        None,
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "h string")
+    got = [r[0] for r in df.select(extract_title(F.col("h"))).collect()]
+    assert got == ["My Page", "", "", None]
+    for c, g in zip(cases, got):
+        if c is None:
+            continue
+        lit = c.replace("'", "''")
+        duck = duckdb.sql(
+            "select " + extract_title_sql(f"'{lit}'")
+        ).fetchone()[0]
+        assert duck == g, (c, duck, g)

@@ -4583,6 +4583,73 @@ def text_license_signals(spark, sf_dir):
     return docs.select("doc_id", *[v.alias(k) for k, v in sig.items()])
 
 
+# case/accent/punct/whitespace variants of one underlying document —
+# the aggressive normalizer must collapse all three spellings per class
+_PLANT_VARIANT = """concat(
+  CASE doc_id % 3 WHEN 0 THEN 'Café, the BEST — menu no '
+       WHEN 1 THEN 'cafe the best menu no '
+       ELSE 'CAFE   the best menu NO ' END,
+  CAST(doc_id % 20 AS STRING))"""
+
+
+def _dedup_normalize_oracle() -> str:
+    from xmlschemavalidator_spark.textops import normalize_for_dedup_sql
+
+    norm = normalize_for_dedup_sql(_PLANT_VARIANT)
+    return (
+        f"SELECT doc_id, {norm} AS norm_text, md5({norm}) AS norm_fp "
+        "FROM documents"
+    )
+
+
+@q("text_dedup_normalize", _dedup_normalize_oracle())
+def text_dedup_normalize(spark, sf_dir):
+    """Aggressive dedup-key normalization (textops.normalize_for_dedup —
+    the C4/text-dedup preprocessing: lowercase, fold accents, strip
+    punctuation, collapse whitespace): the three planted spellings of
+    each document collapse to ONE fingerprint (20 classes at sf0.01),
+    so exact dedup keyed on norm_fp catches near-spelling duplicates
+    raw fingerprints miss. Narrow projection, zero shuffles."""
+    from xmlschemavalidator_spark.textops import normalize_for_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    norm = normalize_for_dedup(F.expr(_PLANT_VARIANT))
+    return docs.select(
+        "doc_id", norm.alias("norm_text"), F.md5(norm).alias("norm_fp")
+    )
+
+
+_PLANT_TITLE_HTML = """CASE WHEN doc_id % 5 = 0
+  THEN '<html><body>no title here</body></html>'
+  ELSE concat('<html><head><title id="p', CAST(doc_id % 7 AS STRING),
+       '">  Page   no. ', CAST(doc_id % 7 AS STRING),
+       CASE WHEN doc_id % 2 = 0 THEN ' — Draft' ELSE '' END,
+       '</title></head><body>x</body></html>') END"""
+
+
+def _title_oracle() -> str:
+    from xmlschemavalidator_spark.textops import extract_title_sql
+
+    return (
+        f"SELECT doc_id, {extract_title_sql(_PLANT_TITLE_HTML)} AS title "
+        "FROM documents"
+    )
+
+
+@q("html_extract_title", _title_oracle())
+def html_extract_title(spark, sf_dir):
+    """Page-title extraction (textops.extract_title): attribute'd and
+    whitespace-padded <title> tags normalize to clean titles; titleless
+    pages (every 5th) yield '' — the metadata column next to url/text
+    in a pages table. One narrow regexp projection."""
+    from xmlschemavalidator_spark.textops import extract_title
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", extract_title(F.expr(_PLANT_TITLE_HTML)).alias("title")
+    )
+
+
 @q("text_compression_ratio")
 def text_compression_ratio(spark, sf_dir):
     """Deflate-compressibility quality signal

@@ -1223,3 +1223,88 @@ def compression_signals(
             ),
         ).alias("compression_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# dedup-grade text normalization + title extraction (dual-engine)
+# --------------------------------------------------------------------------
+
+#: 1:1 accent fold for the Latin diacritics that dominate web text
+#: (translate() is per-codepoint, so multi-char folds like ß→ss are out
+#: of scope by construction — this is a dedup KEY normalization, not a
+#: linguistic transliteration). Source and target strings are aligned.
+_ACCENT_SRC = (
+    "àáâãäåāăąèéêëēĕėęěìíîïĩīĭįòóôõöōŏőùúûüũūŭůűųçćĉċčñńņň"
+    "ýÿŷğĝšśŝşžźżţťđďŕřĺļľłŵđ"
+)
+_ACCENT_DST = (
+    "aaaaaaaaaeeeeeeeeeiiiiiiiioooooooouuuuuuuuuucccccnnnn"
+    "yyyggsssszzzttddrrllllwd"
+)
+
+#: punctuation stripped by the aggressive dedup normalizer: ASCII punct
+#: spelled explicitly (both engines treat ranges identically, but an
+#: explicit class leaves nothing to dialect) + the common typographic
+#: marks web text carries
+_PUNCT_CLASS = (
+    "[!\"#$%&'()*+,\\-./:;<=>?@\\[\\]\\\\^_`{|}~"
+    "‘’“”«»–—…¡¿·•]"
+)
+
+
+def normalize_for_dedup(
+    text: Column,
+    strip_accents: bool = True,
+    strip_punct: bool = True,
+) -> Column:
+    """The aggressive dedup-key normalization published pipelines apply
+    before exact/near dedup (C4 and the text-dedup family: lowercase,
+    fold accents, drop punctuation, collapse whitespace) — 'Café, the
+    best!' and 'cafe the best' are the same document for dedup purposes.
+    Pure Column pipeline (translate + regexp_replace), zero shuffles;
+    feed the result to doc_fingerprint/minhash via a projected column.
+    NULL in → NULL out (unlike doc_fingerprint, which hashes '' — a
+    normalizer must not invent content)."""
+    out = F.lower(text)
+    if strip_accents:
+        out = F.translate(out, _ACCENT_SRC, _ACCENT_DST)
+    if strip_punct:
+        out = F.regexp_replace(out, _PUNCT_CLASS, " ")
+    return F.trim(F.regexp_replace(out, f"{_WS}+", " "))
+
+
+def normalize_for_dedup_sql(
+    x: str, strip_accents: bool = True, strip_punct: bool = True
+) -> str:
+    """DuckDB rendering of :func:`normalize_for_dedup` (same constants)."""
+    out = f"lower({x})"
+    if strip_accents:
+        out = (
+            f"translate({out}, {_sql_quote(_ACCENT_SRC)}, "
+            f"{_sql_quote(_ACCENT_DST)})"
+        )
+    if strip_punct:
+        out = f"regexp_replace({out}, {_sql_quote(_PUNCT_CLASS)}, ' ', 'g')"
+    return f"trim(regexp_replace({out}, {_sql_quote(_WS + '+')}, ' ', 'g'))"
+
+
+#: <title> inner text (plain text up to the first '<' — nested markup
+#: inside <title> is invalid HTML and skipped, the conservative
+#: direction); (?is) so attribute'd/multiline titles match
+_TITLE_RE = r"(?is)<title[^>]*>([^<]*)</title>"
+
+
+def extract_title(html: Column) -> Column:
+    """Page title from raw HTML — the metadata column a pages table
+    wants next to url/text (search-style corpora train on title+anchor
+    text). Whitespace-collapsed and trimmed; '' when absent. One narrow
+    regexp projection."""
+    raw = F.regexp_extract(html, _TITLE_RE, 1)
+    return F.trim(F.regexp_replace(raw, f"{_WS}+", " "))
+
+
+def extract_title_sql(x: str) -> str:
+    return (
+        f"trim(regexp_replace(regexp_extract({x}, {_sql_quote(_TITLE_RE)}, 1), "
+        f"{_sql_quote(_WS + '+')}, ' ', 'g'))"
+    )
