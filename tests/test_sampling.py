@@ -233,3 +233,51 @@ def test_unimax_apply_zero_cost_group_dropped(spark):
     )
     out = unimax_apply(df, "doc_id", "lang", "cost", 100, 2)
     assert [r["lang"] for r in out.select("lang").distinct().collect()] == ["en"]
+
+
+def test_assign_split_exhaustive_disjoint_and_stable(spark):
+    """Every row gets exactly one label; proportions track weights; a
+    doc's label is independent of corpus size (stability under growth);
+    bad weights error."""
+    import pytest as _pytest
+
+    from xmlschemavalidator_spark.sampling import assign_split
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    got = assign_split(df, "doc_id", w)
+    counts = {r["split"]: r["n"] for r in
+              got.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 2000
+    assert set(counts) == {"train", "val", "test"}
+    assert 1500 < counts["train"] < 1900  # ~1600
+    # stability: labels of the first 100 docs are identical in a
+    # 100-doc corpus and a 2000-doc corpus
+    small = assign_split(
+        spark.range(100).withColumnRenamed("id", "doc_id"), "doc_id", w
+    )
+    big_first = {r["doc_id"]: r["split"]
+                 for r in got.where(F.col("doc_id") < 100).collect()}
+    assert {r["doc_id"]: r["split"] for r in small.collect()} == big_first
+    with _pytest.raises(ValueError, match="sum to 1"):
+        assign_split(df, "doc_id", {"a": 0.5, "b": 0.4})
+    with _pytest.raises(ValueError, match="at least one"):
+        assign_split(df, "doc_id", {})
+
+
+def test_assign_split_sql_parity(spark):
+    import duckdb
+
+    from xmlschemavalidator_spark.sampling import assign_split, assign_split_sql
+
+    w = {"train": 0.6, "val": 0.2, "test": 0.2}
+    df = spark.range(500).withColumnRenamed("id", "doc_id")
+    got = sorted(
+        (r["doc_id"], r["split"])
+        for r in assign_split(df, "doc_id", w).collect()
+    )
+    duck = sorted(duckdb.sql(
+        "select i, " + assign_split_sql("i", w)
+        + " from (select unnest(range(500)) as i)"
+    ).fetchall())
+    assert got == duck

@@ -567,3 +567,21 @@ def test_wat_outlinks_sql_parity(spark):
             for j in js
         ]
         assert spark_got == duck_got
+
+
+def test_domain_lang_coherence_shares_and_ties(spark):
+    from xmlschemavalidator_spark.weburl import domain_lang_coherence
+
+    data = (
+        [("a.com", "en")] * 5 + [("a.com", "de")] * 2   # en 5/7
+        + [("b.com", "de"), ("b.com", "en")]             # 1-1 tie -> de
+        + [("c.com", "zh")] * 3                          # pure
+    )
+    df = spark.createDataFrame(data, "domain string, lang string")
+    got = rows(domain_lang_coherence(df, "domain"),
+               "domain", "n_docs", "top_lang", "top_share_micro")
+    assert got == [
+        ("a.com", 7, "en", 714285),  # 5_000_000 div 7
+        ("b.com", 2, "de", 500000),
+        ("c.com", 3, "zh", 1000000),
+    ]

@@ -4951,6 +4951,64 @@ def domain_quality_gate_q(spark, sf_dir):
     )
 
 
+# --- corpus splits / domain coherence (r4 widening) -----------------------
+
+_SPLIT_W = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _split_oracle() -> str:
+    from xmlschemavalidator_spark.sampling import assign_split_sql
+
+    return (
+        f"SELECT doc_id, {assign_split_sql('doc_id', _SPLIT_W)} AS split "
+        "FROM documents"
+    )
+
+
+@q("corpus_assign_split", _split_oracle())
+def corpus_assign_split(spark, sf_dir):
+    """Deterministic train/val/test assignment
+    (sampling.assign_split): disjoint, exhaustive, and stable under
+    corpus growth — the same md5(salt:id) key family as
+    deterministic_sample, rendered as cumulative thresholds. Narrow
+    projection, zero shuffles."""
+    from xmlschemavalidator_spark.sampling import assign_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return assign_split(docs, "doc_id", _SPLIT_W).select("doc_id", "split")
+
+
+@q(
+    "domain_lang_coherence",
+    """WITH per AS (SELECT concat('d', CAST(doc_id % 11 AS STRING)) AS domain,
+                           lang, CAST(COUNT(*) AS BIGINT) AS cnt
+                    FROM documents GROUP BY domain, lang),
+        dom AS (SELECT domain, CAST(SUM(cnt) AS BIGINT) AS n_docs FROM per
+                GROUP BY domain),
+        win AS (SELECT domain, lang, cnt,
+                       row_number() OVER (PARTITION BY domain
+                                          ORDER BY cnt DESC, lang) AS rn
+                FROM per)
+        SELECT w.domain, d.n_docs, w.lang AS top_lang,
+               CAST(w.cnt * 1000000 // d.n_docs AS BIGINT) AS top_share_micro
+        FROM win w JOIN dom d ON w.domain = d.domain WHERE w.rn = 1""",
+)
+def domain_lang_coherence_q(spark, sf_dir):
+    """Per-domain language coherence (weburl.py:domain_lang_coherence):
+    dominant language + its document share in millionths (BIGINT integer
+    division — no float rounding to diverge). Language-incoherent
+    domains are an MT-spam signal; the share feeds site-level gating.
+    Spark plan: two partial aggs + min(struct) winner, no window; the
+    oracle's window is the semantic spec."""
+    from xmlschemavalidator_spark.weburl import domain_lang_coherence
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "domain",
+        F.concat(F.lit("d"), (F.col("doc_id") % 11).cast("string")),
+    )
+    return domain_lang_coherence(docs, "domain")
+
+
 # --- snapshot dedup / anchor text / WAT outlinks (r4 widening) ------------
 
 _PLANT_TS = """CASE WHEN doc_id % 17 = 0 THEN CAST(NULL AS BIGINT)

@@ -72,6 +72,56 @@ def stratified_sample(
     return df.where(key < expr)
 
 
+def assign_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    salt: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test (or any n-way) corpus split: every
+    row gets a ``split_col`` label, membership decided by where
+    md5(salt:id) falls among the cumulative weight thresholds — the same
+    engine-portable key as :func:`deterministic_sample`, so splits are
+    reproducible, disjoint by construction, exhaustive (the last label
+    absorbs the md5-space remainder), and stable under corpus growth (a
+    doc's label never changes when other docs are added). Pure narrow
+    projection; weights must sum to 1 (±1e-9).
+
+    Label order follows ``weights`` insertion order — (train, val, test)
+    with (0.98, 0.01, 0.01) gives train the low md5 range."""
+    if not weights:
+        raise ValueError("weights must name at least one split")
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    key = _sample_key(F.col(id_col), salt)
+    labels = list(weights)
+    expr = F.lit(labels[-1])  # last label absorbs the remainder
+    cum = 0.0
+    bounds = []
+    for lab in labels[:-1]:
+        cum += weights[lab]
+        bounds.append((lab, md5_threshold(cum)))
+    for lab, bound in reversed(bounds):
+        expr = F.when(key < F.lit(bound), F.lit(lab)).otherwise(expr)
+    return df.withColumn(split_col, expr)
+
+
+def assign_split_sql(
+    id_sql: str, weights: dict[str, float], salt: str = "split"
+) -> str:
+    """DuckDB rendering of :func:`assign_split`'s label expression."""
+    key = sample_key_sql(id_sql, salt)
+    labels = list(weights)
+    cases = []
+    cum = 0.0
+    for lab in labels[:-1]:
+        cum += weights[lab]
+        cases.append(f"WHEN {key} < '{md5_threshold(cum)}' THEN '{lab}'")
+    return "CASE " + " ".join(cases) + f" ELSE '{labels[-1]}' END"
+
+
 def token_budget_select(
     df: DataFrame,
     id_col: str,

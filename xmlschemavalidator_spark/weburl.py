@@ -429,6 +429,43 @@ def domain_quality_gate(
     return df.join(kept, domain_col, "left_semi")
 
 
+def domain_lang_coherence(
+    df: DataFrame, domain_col: str, lang_col: str = "lang"
+) -> DataFrame:
+    """Per-domain language coherence → ``(domain, n_docs, top_lang,
+    top_share_micro)``: the dominant language's document share in
+    millionths. A domain serving many languages in equal measure is a
+    machine-translation-spam / scraped-aggregator signal (CCNet-style
+    curation treats language-incoherent sites with suspicion), and the
+    share feeds the same site-level gating as
+    :func:`domain_quality_gate`.
+
+    Exactness: the share is ``cnt·10⁶ div n_docs`` in BIGINT — integer
+    division, no float rounding mode to diverge between engines. Scale
+    shape: two partial-aggregatable aggs ((domain, lang) count, then a
+    min(struct) winner + sum per domain) — never a window over a
+    possibly-degenerate domain. Ties break to the lexicographically
+    smallest language."""
+    per = df.groupBy(domain_col, lang_col).agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    dom = per.groupBy(domain_col).agg(
+        F.sum("_cnt").alias("n_docs"),
+        F.min(
+            F.struct(
+                (-F.col("_cnt")).alias("neg"),
+                F.col(lang_col).alias("lang"),
+            )
+        ).alias("w"),
+    )
+    return dom.select(
+        domain_col,
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("w.lang").alias("top_lang"),
+        F.expr("(-w.neg) * 1000000 div n_docs").alias("top_share_micro"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # link graph
 # ---------------------------------------------------------------------------
