@@ -125,3 +125,57 @@ def test_stream_near_dedup_first_seen(spark, tmp_path):
     texts = sorted(r["text"].strip() for r in rows)
     assert len(rows) == 4
     assert texts == sorted([base, other, "tiny", "weeny"])
+
+
+def test_stream_latest_capture(spark, tmp_path):
+    """Cross-batch latest-capture: batch 1 emits each URL's newest
+    capture; batch 2 re-emits only strictly newer re-crawls (older and
+    equal-ts arrivals drop at ingest); undated captures never emit."""
+    from xmlschemavalidator_spark.streaming.stateful import (
+        stream_latest_capture,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    schema = "doc_id string, url string, warc_ts long, text string"
+
+    def run_batch(rows):
+        # file sink (not memory): cross-batch state needs checkpoint
+        # recovery, which the memory sink does not support
+        spark.createDataFrame(rows, schema).repartition(2).write.mode(
+            "append"
+        ).parquet(src)
+        sdf = spark.readStream.schema(schema).parquet(src)
+        out = stream_latest_capture(
+            sdf, "url", "warc_ts", ["doc_id", "text"]
+        )
+        q = (
+            out.writeStream.format("parquet").option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(sink).collect()
+
+    got1 = run_batch(
+        [
+            ("d1", "http://a.com/x", 100, "old"),
+            ("d2", "http://A.com/x/", 200, "new"),   # same canonical, newer
+            ("d3", "http://b.com/y", 150, "b"),
+            ("d4", "http://c.com/z", None, "undated"),
+        ]
+    )
+    by_url1 = {(r["canonical_url"], r["capture_ts"]) for r in got1}
+    assert by_url1 == {("http://a.com/x", 200), ("http://b.com/y", 150)}
+
+    got2 = run_batch(
+        [
+            ("d5", "http://a.com/x", 180, "older recrawl"),  # drop
+            ("d6", "http://b.com/y", 150, "same ts"),        # drop
+            ("d7", "http://b.com/y", 300, "newer"),          # emit
+        ]
+    )
+    assert len(got2) == len(got1) + 1
+    newest = {r["capture_ts"] for r in got2} - {r["capture_ts"] for r in got1}
+    assert newest == {300}

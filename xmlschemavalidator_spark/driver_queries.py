@@ -3095,6 +3095,75 @@ def stream_near_dedup_first_seen_query(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@q("stream_latest_capture")  # no oracle: stateful streaming op
+def stream_latest_capture_query(spark, sf_dir):
+    """Streaming latest-capture dedup (streaming/stateful.py:
+    stream_latest_capture — the ingest-time form of snapshot_dedup)
+    driven with availableNow over a planted multi-capture pages stream:
+    per canonical URL, only strictly newer captures emit. The batch
+    side's snapshot_dedup over the SAME input pins the expected newest
+    capture per URL, so the single output row self-checks the stream's
+    per-URL max against the batch winner set."""
+    import shutil
+    import tempfile
+
+    from xmlschemavalidator_spark.streaming.stateful import (
+        stream_latest_capture,
+    )
+    from xmlschemavalidator_spark.weburl import snapshot_dedup
+
+    tmp = tempfile.mkdtemp(prefix="strlatest_")
+    try:
+        # ~25 canonical classes, ~20 captures each, ts ramps by doc_id
+        docs = _t(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.concat(
+                F.lit("http://s"), (F.col("doc_id") % 5).cast("string"),
+                F.lit(".com/p/"), (F.col("doc_id") % 25).cast("string"),
+            ).alias("url"),
+            (F.lit(1_700_000_000) + F.col("doc_id")).alias("warc_ts"),
+        )
+        src = f"{tmp}/src"
+        docs.repartition(4).write.parquet(src)
+        sdf = spark.readStream.schema(
+            "doc_id string, url string, warc_ts long"
+        ).parquet(src)
+        name = "q_stream_latest"
+        q = (
+            stream_latest_capture(sdf, "url", "warc_ts", ["doc_id"])
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(availableNow=True)
+            .option("checkpointLocation", f"{tmp}/ckpt").start()
+        )
+        try:
+            if not q.awaitTermination(300):
+                raise TimeoutError(
+                    "stream_latest_capture did not finish in 300s"
+                )
+        finally:
+            q.stop()  # never leave a stream running over the tmpdir
+        # last emission per canonical URL == the improvement log's max
+        emitted = (
+            spark.sql(f"SELECT canonical_url, capture_ts FROM {name}")
+            .groupBy("canonical_url")
+            .agg(F.max("capture_ts").alias("capture_ts"))
+        )
+        batch = snapshot_dedup(docs, "url", "warc_ts", "doc_id").select(
+            "canonical_url", F.col("warc_ts").alias("capture_ts")
+        )
+        n_urls = emitted.count()
+        n_match = emitted.join(
+            batch, ["canonical_url", "capture_ts"], "inner"
+        ).count()
+        return spark.createDataFrame(
+            [(n_urls, batch.count(), n_match, n_urls == n_match)],
+            "n_stream_urls long, n_batch_urls long, n_matching long, "
+            "stream_matches_batch boolean",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @q("pages_domain_stats")
 def pages_domain_stats(spark, sf_dir):
     """Hot-domain detection over web pages (rows-only by design: the input

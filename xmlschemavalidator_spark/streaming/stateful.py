@@ -103,3 +103,89 @@ def stream_near_dedup_first_seen(
     return stream_dedup_first_seen(
         keyed, "_near_key", payload_cols, state_ttl_ms
     ).select(*payload_cols)
+
+
+def stream_latest_capture(
+    stream_df: DataFrame,
+    url_col: str,
+    ts_col: str,
+    payload_cols: list[str],
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Streaming form of :func:`~xmlschemavalidator_spark.weburl.
+    snapshot_dedup`: per canonical URL, emit a row whenever a STRICTLY
+    newer capture than anything seen so far arrives (state remembers the
+    best capture time per key). Append-mode streams cannot retract, so
+    the output is the *improvement log* — consumers take the last
+    emission per URL, or let the batch layer's snapshot_dedup compact
+    the sink; equal-or-older re-crawls are dropped at ingest, which is
+    the bulk of re-crawl traffic.
+
+    The grouping key is a pure per-row Column (canonical URL), so no
+    shuffle precedes the stateful grouping. Within one micro-batch only
+    the newest capture of a key is considered (ties inside a batch break
+    to the first row scanned — arrival order, documented). ``ts_col``
+    may be a timestamp or numeric; state stores int64 (ns for
+    timestamps).
+    """
+    from xmlschemavalidator_spark.weburl import canonical_url
+
+    if "_canon_url" in stream_df.columns:
+        raise ValueError("input stream already has a _canon_url column")
+    keyed = stream_df.withColumn(
+        "_canon_url", canonical_url(F.col(url_col))
+    )
+    out_schema = ", ".join(
+        ["_canon_url string"]
+        + [f"{c} string" for c in payload_cols]
+        + ["capture_ts long"]
+    )
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_ms
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def to_ns(v) -> int | None:
+        if v is None or v != v:  # NaN/NaT
+            return None
+        if isinstance(v, pd.Timestamp):
+            return int(v.value)
+        return int(v)
+
+    def fn(
+        key_tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        best = state.get[0] if state.exists else None
+        cand_row, cand_ts = None, None
+        for b in batches:
+            for _, row in b.iterrows():
+                ts = to_ns(row[ts_col])
+                if ts is None:  # undated capture never beats anything
+                    continue
+                if cand_ts is None or ts > cand_ts:
+                    cand_row, cand_ts = row, ts
+        if cand_row is not None and (best is None or cand_ts > best):
+            state.update((cand_ts,))
+            if state_ttl_ms:
+                state.setTimeoutDuration(state_ttl_ms)
+            out = {"_canon_url": [str(cand_row["_canon_url"])]}
+            for c in payload_cols:
+                out[c] = [str(cand_row[c])]
+            out["capture_ts"] = [cand_ts]
+            yield pd.DataFrame(out)
+
+    return (
+        keyed.groupBy("_canon_url")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType="best_ts long",
+            outputMode="append",
+            timeoutConf=timeout,
+        )
+        .withColumnRenamed("_canon_url", "canonical_url")
+    )
