@@ -585,3 +585,38 @@ def test_domain_lang_coherence_shares_and_ties(spark):
         ("b.com", 2, "de", 500000),
         ("c.com", 3, "zh", 1000000),
     ]
+
+
+def test_outlink_signals_counts_and_diversity(spark):
+    from xmlschemavalidator_spark.weburl import outlink_signals
+
+    html_farm = "".join(
+        f'<a href="http://spam{i}.com/x">l</a>' for i in range(10)
+    )
+    html_local = (
+        '<a href="http://my.site.com/a">1</a>'
+        '<a href="https://site.com/b">2</a>'
+        '<a href="/relative">3</a>'
+        '<a href="http://other.org/c">4</a>'
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "http://site.com/page", html_local),
+            (2, "http://farm.net/", html_farm),
+            (3, "http://empty.com/", "<p>no links</p>"),
+        ],
+        "doc_id long, url string, html string",
+    )
+    got = {r["doc"]: r for r in outlink_signals(df).collect()}
+    # doc 1: 4 hrefs, 3 absolute; domains {site.com, site.com, other.org}
+    # -> 2 distinct, 2 internal (my.site.com and site.com both = site.com)
+    assert (got[1]["n_links"], got[1]["n_abs_links"]) == (4, 3)
+    assert got[1]["n_target_domains"] == 2
+    assert got[1]["n_internal_links"] == 2
+    assert got[1]["domain_diversity_micro"] == 2 * 1000000 // 3
+    # doc 2: 10 links, 10 distinct domains, none internal -> diversity 1.0
+    assert got[2]["n_target_domains"] == 10
+    assert got[2]["n_internal_links"] == 0
+    assert got[2]["domain_diversity_micro"] == 1000000
+    # doc 3: no links at all -> all zero
+    assert tuple(got[3])[1:] == (0, 0, 0, 0, 0)

@@ -5216,6 +5216,82 @@ def wat_outlinks_q(spark, sf_dir):
     ).withColumn("link_pos", F.col("link_pos").cast("long"))
 
 
+# outlink-shape plant: doc%7 links (0-link pages exist), targets spread
+# over doc-dependent domains with an internal link for %2 docs
+_PLANT_OUT_HTML = """concat('<html>',
+  CASE WHEN doc_id % 7 >= 1 THEN concat('<a href="http://t',
+       CAST(doc_id % 13 AS STRING), '.com/a">x</a>') ELSE '' END,
+  CASE WHEN doc_id % 7 >= 2 THEN concat('<a href="http://t',
+       CAST(doc_id % 5 AS STRING), '.com/b">y</a>') ELSE '' END,
+  CASE WHEN doc_id % 7 >= 3 THEN '<a href="/relative">r</a>' ELSE '' END,
+  CASE WHEN doc_id % 7 >= 4 AND doc_id % 2 = 0
+       THEN concat('<a href="http://own', CAST(doc_id % 9 AS STRING),
+            '.net/self">s</a>') ELSE '' END,
+  '</html>')"""
+
+_PLANT_OWN_URL = """concat('http://own', CAST(doc_id % 9 AS STRING),
+  '.net/page')"""
+
+
+def _outlink_oracle() -> str:
+    from xmlschemavalidator_spark.weburl import outlink_signals_sql
+
+    return (
+        "SELECT doc_id AS doc, "
+        + outlink_signals_sql(_PLANT_OUT_HTML, _PLANT_OWN_URL)
+        + " FROM documents"
+    )
+
+
+@q("link_outlink_signals", _outlink_oracle())
+def link_outlink_signals(spark, sf_dir):
+    """Per-page outlink shape (weburl.py:outlink_signals): link counts,
+    distinct target domains, internal links, and integer-division
+    diversity — the link-farm/SEO-doorway prior. The plant mixes
+    relative links, repeated domains, and self-links; 0-link pages hit
+    the zero guards. Two chained narrow projections (the per-link
+    canonical-domain array is let-bound once — HOF subtrees are not
+    CSE'd)."""
+    from xmlschemavalidator_spark.weburl import outlink_signals
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .withColumn("html", F.expr(_PLANT_OUT_HTML))
+        .withColumn("url", F.expr(_PLANT_OWN_URL))
+    )
+    return outlink_signals(docs)
+
+
+@q(
+    "link_components",
+    f"""WITH RECURSIVE e0 AS ({_EDGES_SQL}),
+        edges AS (SELECT src AS s, dst AS d FROM e0
+                  UNION SELECT dst, src FROM e0),
+        reach(doc, r) AS (
+          SELECT s, s FROM edges
+          UNION
+          SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.doc
+        )
+        SELECT doc AS node, CAST(min(r) AS BIGINT) AS component
+        FROM reach GROUP BY doc""",
+)
+def link_components(spark, sf_dir):
+    """Weakly connected components of the link graph (host-graph
+    partitioning for per-component processing / dead-zone detection):
+    the SAME min-label propagation engine as near-dup clustering
+    (dedup.py:near_duplicate_clusters — one job per round, lineage cut,
+    Observation-based fixpoint) pointed at planted link edges, vs the
+    recursive-CTE transitive closure in DuckDB."""
+    from xmlschemavalidator_spark.dedup import near_duplicate_clusters
+
+    e = _edges(spark, sf_dir).select(
+        F.col("src").alias("id_a"), F.col("dst").alias("id_b")
+    )
+    return near_duplicate_clusters(e).select(
+        F.col("doc").alias("node"), F.col("cluster").alias("component")
+    )
+
+
 # --- UniMax budget allocation (Chung et al., ICLR 2023) -------------------
 # Integer waterfilling: the capped-prefix test is monotone in the
 # (cap, name) order, so the oracle evaluates it with window prefix sums —

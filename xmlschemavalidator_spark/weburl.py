@@ -561,6 +561,88 @@ def anchor_text_topk(
     return capped.withColumn("rank", F.col("rank").cast("long"))
 
 
+def outlink_signals(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-page outlink shape signals → ``(doc, n_links, n_abs_links,
+    n_target_domains, n_internal_links, domain_diversity_micro)``: link
+    count, how many resolve to absolute http(s) targets, how many
+    DISTINCT registrable domains those point at, how many stay on the
+    page's own domain, and distinct-domains-per-absolute-link in BIGINT
+    millionths. Link farms and SEO doorways show extreme values on both
+    ends (hundreds of links to one domain, or one link each to hundreds)
+    — a per-page prior the site-level gates can't see.
+
+    All counts are integers and the ratio is integer division, so the
+    oracle is exact. Plan: TWO chained projections — the per-link
+    canonical-domain array is bound to a column in the first select and
+    referenced twice in the second (projection-level CSE skips
+    lambda-containing expressions, so inlining the transform into both
+    consumers would canonicalize every link twice — the documented
+    let-binding rule). Zero shuffles."""
+    links = extract_links(F.col(html_col))
+    abs_links = F.filter(links, lambda u: u.rlike(_ABS_HTTP_RE))
+    tdoms = F.transform(
+        abs_links,
+        lambda u: registered_domain(canonical_host(canonical_url(u))),
+    )
+    own = registered_domain(canonical_host(canonical_url(F.col(url_col))))
+    bound = df.select(
+        F.col(id_col).alias("doc"),
+        F.size(links).cast("long").alias("n_links"),
+        tdoms.alias("_tdoms"),
+        own.alias("_own"),
+    )
+    n_abs = F.size("_tdoms").cast("long")
+    return bound.select(
+        "doc",
+        "n_links",
+        n_abs.alias("n_abs_links"),
+        F.size(F.array_distinct("_tdoms")).cast("long").alias(
+            "n_target_domains"
+        ),
+        F.size(
+            F.filter(F.col("_tdoms"), lambda d: d == F.col("_own"))
+        ).cast("long").alias("n_internal_links"),
+        F.when(
+            n_abs > 0,
+            F.expr(
+                "size(array_distinct(_tdoms)) * cast(1000000 as bigint)"
+                " div size(_tdoms)"
+            ),
+        ).otherwise(F.lit(0)).cast("long").alias("domain_diversity_micro"),
+    )
+
+
+def outlink_signals_sql(html_sql: str, url_sql: str) -> str:
+    """DuckDB rendering of :func:`outlink_signals`'s signal columns
+    (FROM-less fragment: caller wraps with SELECT doc_id, ... FROM t).
+    Returns the comma-joined column list."""
+    links = extract_links_sql(html_sql)
+    abs_links = (
+        f"list_filter({links}, u -> regexp_matches(u, "
+        f"{_sql_quote(_ABS_HTTP_RE)}))"
+    )
+    tdoms = (
+        f"list_transform({abs_links}, u -> "
+        f"{registered_domain_sql(canonical_host_sql(canonical_url_sql('u')))})"
+    )
+    own = registered_domain_sql(canonical_host_sql(canonical_url_sql(url_sql)))
+    return (
+        f"CAST(len({links}) AS BIGINT) AS n_links, "
+        f"CAST(len({tdoms}) AS BIGINT) AS n_abs_links, "
+        f"CAST(len(list_distinct({tdoms})) AS BIGINT) AS n_target_domains, "
+        f"CAST(len(list_filter({tdoms}, d -> d = {own})) AS BIGINT)"
+        f" AS n_internal_links, "
+        f"CAST(CASE WHEN len({tdoms}) > 0 THEN "
+        f"len(list_distinct({tdoms})) * 1000000 // len({tdoms}) "
+        f"ELSE 0 END AS BIGINT) AS domain_diversity_micro"
+    )
+
+
 # ---------------------------------------------------------------------------
 # WAT metadata (Common Crawl's third format: per-page JSON incl. outlinks)
 # ---------------------------------------------------------------------------
