@@ -155,7 +155,8 @@ def test_stream_latest_capture(spark, tmp_path):
             .option("checkpointLocation", ckpt)
             .outputMode("append").trigger(availableNow=True).start()
         )
-        q.awaitTermination(120)
+        if not q.awaitTermination(300):
+            raise TimeoutError("stream_latest_capture batch did not finish")
         return spark.read.parquet(sink).collect()
 
     got1 = run_batch(

@@ -994,11 +994,12 @@ def test_extract_title_cases_and_duckdb_parity(spark):
         '<html><head><TITLE id="t">  My\n  Page </TITLE></head></html>',
         "<html><body>no title</body></html>",
         "<title><b>nested skipped</b></title>",
+        '<titlebar class="x">Widget menu</title>',  # tag-name anchored
         None,
     ]
     df = spark.createDataFrame([(c,) for c in cases], "h string")
     got = [r[0] for r in df.select(extract_title(F.col("h"))).collect()]
-    assert got == ["My Page", "", "", None]
+    assert got == ["My Page", "", "", "", None]
     for c, g in zip(cases, got):
         if c is None:
             continue

@@ -576,6 +576,7 @@ def test_domain_lang_coherence_shares_and_ties(spark):
         [("a.com", "en")] * 5 + [("a.com", "de")] * 2   # en 5/7
         + [("b.com", "de"), ("b.com", "en")]             # 1-1 tie -> de
         + [("c.com", "zh")] * 3                          # pure
+        + [("d.com", None), ("d.com", None), ("d.com", "en")]  # NULL->und
     )
     df = spark.createDataFrame(data, "domain string, lang string")
     got = rows(domain_lang_coherence(df, "domain"),
@@ -584,6 +585,7 @@ def test_domain_lang_coherence_shares_and_ties(spark):
         ("a.com", 7, "en", 714285),  # 5_000_000 div 7
         ("b.com", 2, "de", 500000),
         ("c.com", 3, "zh", 1000000),
+        ("d.com", 3, "und", 666666),
     ]
 
 

@@ -5050,8 +5050,9 @@ def corpus_assign_split(spark, sf_dir):
 @q(
     "domain_lang_coherence",
     """WITH per AS (SELECT concat('d', CAST(doc_id % 11 AS STRING)) AS domain,
-                           lang, CAST(COUNT(*) AS BIGINT) AS cnt
-                    FROM documents GROUP BY domain, lang),
+                           coalesce(lang, 'und') AS lang,
+                           CAST(COUNT(*) AS BIGINT) AS cnt
+                    FROM documents GROUP BY domain, coalesce(lang, 'und')),
         dom AS (SELECT domain, CAST(SUM(cnt) AS BIGINT) AS n_docs FROM per
                 GROUP BY domain),
         win AS (SELECT domain, lang, cnt,

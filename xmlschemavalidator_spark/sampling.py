@@ -92,6 +92,11 @@ def assign_split(
     with (0.98, 0.01, 0.01) gives train the low md5 range."""
     if not weights:
         raise ValueError("weights must name at least one split")
+    negative = {k: w for k, w in weights.items() if w < 0}
+    if negative:
+        # a negative weight passes the sum check while silently emptying
+        # its split and inflating a later one (review finding)
+        raise ValueError(f"split weights must be >= 0, got {negative}")
     total = sum(weights.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split weights must sum to 1, got {total}")
@@ -101,7 +106,9 @@ def assign_split(
     cum = 0.0
     bounds = []
     for lab in labels[:-1]:
-        cum += weights[lab]
+        # clamp: a tolerated +5e-10 overshoot must not reach
+        # md5_threshold's hard [0,1] check (review finding)
+        cum = min(cum + weights[lab], 1.0)
         bounds.append((lab, md5_threshold(cum)))
     for lab, bound in reversed(bounds):
         expr = F.when(key < F.lit(bound), F.lit(lab)).otherwise(expr)
@@ -117,7 +124,7 @@ def assign_split_sql(
     cases = []
     cum = 0.0
     for lab in labels[:-1]:
-        cum += weights[lab]
+        cum = min(cum + weights[lab], 1.0)
         cases.append(f"WHEN {key} < '{md5_threshold(cum)}' THEN '{lab}'")
     return "CASE " + " ".join(cases) + f" ELSE '{labels[-1]}' END"
 

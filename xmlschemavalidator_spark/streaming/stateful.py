@@ -122,11 +122,20 @@ def stream_latest_capture(
     the bulk of re-crawl traffic.
 
     The grouping key is a pure per-row Column (canonical URL), so no
-    shuffle precedes the stateful grouping. Within one micro-batch only
-    the newest capture of a key is considered (ties inside a batch break
-    to the first row scanned — arrival order, documented). ``ts_col``
-    may be a timestamp or numeric; state stores int64 (ns for
-    timestamps).
+    shuffle precedes the stateful grouping; NULL-URL rows are dropped
+    (they would all share one meaningless NULL key). Within one
+    micro-batch only the newest capture of a key is considered (ties
+    inside a batch break to the first row scanned — arrival order,
+    documented). ``ts_col`` may be a timestamp or numeric; state stores
+    int64 (ns for timestamps).
+
+    ``state_ttl_ms`` trade-off (same family as
+    :func:`stream_dedup_first_seen`'s): the timeout is refreshed on
+    EVERY arrival of a key, so state expires only for keys genuinely not
+    re-crawled within the TTL — but after an expiry an older capture
+    can re-emit. Consumers compacting the sink must therefore take the
+    MAX ``capture_ts`` per URL (which the emitted column makes exact),
+    never "the last emission".
     """
     from xmlschemavalidator_spark.weburl import canonical_url
 
@@ -134,7 +143,7 @@ def stream_latest_capture(
         raise ValueError("input stream already has a _canon_url column")
     keyed = stream_df.withColumn(
         "_canon_url", canonical_url(F.col(url_col))
-    )
+    ).where(F.col("_canon_url").isNotNull())
     out_schema = ", ".join(
         ["_canon_url string"]
         + [f"{c} string" for c in payload_cols]
@@ -153,6 +162,11 @@ def stream_latest_capture(
             return int(v.value)
         return int(v)
 
+    def s(v):
+        # preserve NULLs — str(None) would write the literal "None"
+        # into the sink (review finding)
+        return None if v is None or v != v else str(v)
+
     def fn(
         key_tuple, batches: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -162,19 +176,32 @@ def stream_latest_capture(
         best = state.get[0] if state.exists else None
         cand_row, cand_ts = None, None
         for b in batches:
-            for _, row in b.iterrows():
-                ts = to_ns(row[ts_col])
-                if ts is None:  # undated capture never beats anything
-                    continue
-                if cand_ts is None or ts > cand_ts:
-                    cand_row, cand_ts = row, ts
-        if cand_row is not None and (best is None or cand_ts > best):
+            # vectorized per-chunk max (a hot URL can bring thousands of
+            # captures per micro-batch; iterrows would materialize a
+            # Series per row — review finding)
+            vals = b[ts_col].map(to_ns)
+            mask = vals.notna()
+            if not mask.any():
+                continue  # undated captures never beat anything
+            # to_numeric: int64, not object (idxmax over object raises;
+            # float64 would lose ns precision above 2^53)
+            nums = pd.to_numeric(vals[mask])
+            i = nums.idxmax()
+            ts = int(nums[i])
+            if cand_ts is None or ts > cand_ts:
+                cand_row, cand_ts = b.loc[i], ts
+        improved = cand_row is not None and (best is None or cand_ts > best)
+        if improved:
             state.update((cand_ts,))
-            if state_ttl_ms:
-                state.setTimeoutDuration(state_ttl_ms)
-            out = {"_canon_url": [str(cand_row["_canon_url"])]}
+        if state_ttl_ms and state.exists:
+            # refresh on EVERY arrival, not only improvements: otherwise
+            # a key seen constantly but never improving would expire and
+            # its next older re-crawl would re-emit (review finding)
+            state.setTimeoutDuration(state_ttl_ms)
+        if improved:
+            out = {"_canon_url": [s(cand_row["_canon_url"])]}
             for c in payload_cols:
-                out[c] = [str(cand_row[c])]
+                out[c] = [s(cand_row[c])]
             out["capture_ts"] = [cand_ts]
             yield pd.DataFrame(out)
 

@@ -1235,11 +1235,11 @@ def compression_signals(
 #: linguistic transliteration). Source and target strings are aligned.
 _ACCENT_SRC = (
     "àáâãäåāăąèéêëēĕėęěìíîïĩīĭįòóôõöōŏőùúûüũūŭůűųçćĉċčñńņň"
-    "ýÿŷğĝšśŝşžźżţťđďŕřĺļľłŵđ"
+    "ýÿŷğĝšśŝşžźżţťđďŕřĺļľłŵ"
 )
 _ACCENT_DST = (
     "aaaaaaaaaeeeeeeeeeiiiiiiiioooooooouuuuuuuuuucccccnnnn"
-    "yyyggsssszzzttddrrllllwd"
+    "yyyggsssszzzttddrrllllw"
 )
 
 #: punctuation stripped by the aggressive dedup normalizer: ASCII punct
@@ -1290,8 +1290,10 @@ def normalize_for_dedup_sql(
 
 #: <title> inner text (plain text up to the first '<' — nested markup
 #: inside <title> is invalid HTML and skipped, the conservative
-#: direction); (?is) so attribute'd/multiline titles match
-_TITLE_RE = r"(?is)<title[^>]*>([^<]*)</title>"
+#: direction); (?is) so attribute'd/multiline titles match. The tag name
+#: is anchored (bare '>' or whitespace-then-attrs) so '<titlebar ...>'
+#: cannot match (review finding)
+_TITLE_RE = rf"(?is)<title(?:{_WS}[^>]*)?>([^<]*)</title>"
 
 
 def extract_title(html: Column) -> Column:

@@ -445,10 +445,14 @@ def domain_lang_coherence(
     shape: two partial-aggregatable aggs ((domain, lang) count, then a
     min(struct) winner + sum per domain) — never a window over a
     possibly-degenerate domain. Ties break to the lexicographically
-    smallest language."""
-    per = df.groupBy(domain_col, lang_col).agg(
-        F.count(F.lit(1)).alias("_cnt")
-    )
+    smallest language. NULL lang is coalesced to 'und' (the lang_id
+    convention) BEFORE counting — dual-engine divergence otherwise:
+    Spark's min(struct) sorts a NULL field FIRST while DuckDB's ORDER BY
+    defaults NULLS LAST, so a NULL tying for top would pick different
+    winners (review finding)."""
+    per = df.groupBy(
+        domain_col, F.coalesce(F.col(lang_col), F.lit("und")).alias(lang_col)
+    ).agg(F.count(F.lit(1)).alias("_cnt"))
     dom = per.groupBy(domain_col).agg(
         F.sum("_cnt").alias("n_docs"),
         F.min(
@@ -577,24 +581,29 @@ def outlink_signals(
     — a per-page prior the site-level gates can't see.
 
     All counts are integers and the ratio is integer division, so the
-    oracle is exact. Plan: TWO chained projections — the per-link
-    canonical-domain array is bound to a column in the first select and
-    referenced twice in the second (projection-level CSE skips
-    lambda-containing expressions, so inlining the transform into both
-    consumers would canonicalize every link twice — the documented
-    let-binding rule). Zero shuffles."""
-    links = extract_links(F.col(html_col))
-    abs_links = F.filter(links, lambda u: u.rlike(_ABS_HTTP_RE))
+    oracle is exact. Plan: THREE chained projections, each let-binding
+    what the next references more than once — the raw href array first
+    (the regexp_extract_all over full HTML is the dominant cost and
+    feeds both n_links and the domain transform), then the per-link
+    canonical-domain array (HOF subtrees and CodegenFallback expressions
+    are never CSE'd, so inlining either into both consumers would run it
+    twice per row — the documented let-binding rule, and a review
+    finding when only the second binding existed). Zero shuffles."""
+    own = registered_domain(canonical_host(canonical_url(F.col(url_col))))
+    s1 = df.select(
+        F.col(id_col).alias("doc"),
+        extract_links(F.col(html_col)).alias("_links"),
+        own.alias("_own"),
+    )
     tdoms = F.transform(
-        abs_links,
+        F.filter(F.col("_links"), lambda u: u.rlike(_ABS_HTTP_RE)),
         lambda u: registered_domain(canonical_host(canonical_url(u))),
     )
-    own = registered_domain(canonical_host(canonical_url(F.col(url_col))))
-    bound = df.select(
-        F.col(id_col).alias("doc"),
-        F.size(links).cast("long").alias("n_links"),
+    bound = s1.select(
+        "doc",
+        F.size("_links").cast("long").alias("n_links"),
         tdoms.alias("_tdoms"),
-        own.alias("_own"),
+        "_own",
     )
     n_abs = F.size("_tdoms").cast("long")
     return bound.select(
