@@ -305,3 +305,56 @@ def test_domain_cap_salted_window_bounds_sort(spark):
     p = fmt(domain_cap(docs, "domain", cap=5))
     assert p.count("Window") >= 2  # both phases present
     assert "_salt" in p  # phase-1 partitioning includes the salt
+
+
+def test_snapshot_dedup_winner_agg_is_partial(spark):
+    """snapshot_dedup shares url_dedup's shape: partial-aggregatable
+    min(struct) winner (a URL re-captured millions of times combines
+    map-side), never a window over the URL key."""
+    from xmlschemavalidator_spark.weburl import snapshot_dedup
+
+    docs = _docs(spark).withColumn(
+        "url", F.concat(F.lit("http://h/"), F.col("text"))
+    ).withColumn("warc_ts", F.col("doc_id").cast("long"))
+    p = fmt(snapshot_dedup(docs))
+    assert "partial_min" in p
+    assert "Window" not in p
+
+
+def test_anchor_text_topk_counts_partial_and_salted(spark):
+    """anchor_text_topk: the (target, anchor) count partial-aggregates
+    (a billion-link homepage combines map-side) BEFORE the salted
+    two-phase top-k windows."""
+    from xmlschemavalidator_spark.weburl import anchor_text_topk
+
+    docs = _docs(spark).withColumn(
+        "html",
+        F.concat(F.lit('<a href="http://t.com/">'), F.col("lang"), F.lit("</a>")),
+    )
+    p = fmt(anchor_text_topk(docs, cap=3))
+    assert "partial_count" in p  # map-side combine on (target, anchor)
+    assert p.count("Window") >= 2 and "_salt" in p
+
+
+def test_outlink_signals_single_scan_single_regex_extract(spark):
+    """outlink_signals: one parquet scan, zero shuffles, and the
+    full-HTML regexp_extract_all appears ONCE in the plan (the href
+    array is let-bound; HOF subtrees are never CSE'd — review finding:
+    the unbound form scanned every page twice)."""
+    from xmlschemavalidator_spark.weburl import outlink_signals
+
+    docs = _docs(spark).withColumn(
+        "html", F.concat(F.lit('<a href="http://t.com/a">'), F.col("lang"))
+    ).withColumn("url", F.lit("http://own.net/p"))
+    p = fmt(outlink_signals(docs))
+    assert n_scans(p) == 1
+    assert "Exchange" not in p
+    assert p.count("regexp_extract_all") == 1
+
+
+def test_assign_split_is_narrow(spark):
+    """assign_split: a pure projection — no shuffle, no Python."""
+    from xmlschemavalidator_spark.sampling import assign_split
+
+    p = fmt(assign_split(_docs(spark), "doc_id", {"a": 0.9, "b": 0.1}))
+    assert "Exchange" not in p and "Python" not in p
