@@ -201,3 +201,27 @@ def test_wat_roundtrip(spark, tmp_path):
     pg = str(tmp_path / "f.wat.gz")
     write_fake_wat(pg, rows_in, gz=True)
     assert read_wat(spark, pg).count() == 2
+
+
+def test_warc_chunked_transfer_and_content_type(spark, tmp_path):
+    """Real crawls capture chunked HTTP responses verbatim: the chunk
+    framing must be stripped (byte-identical payload vs the unchunked
+    write) and Content-Type surfaces as a column; a raw _dechunk of
+    malformed framing returns the bytes unchanged."""
+    from xmlschemavalidator_spark.sources.warc import _dechunk
+
+    html = _render("hello chunked world with ümlauts")
+    rows_in = [{"url": "http://a.com/1",
+                "warc_ts": "2026-01-01T00:00:00Z", "html": html}]
+    plain = str(tmp_path / "plain.warc")
+    chunk = str(tmp_path / "chunk.warc")
+    write_fake_warc(plain, rows_in)
+    write_fake_warc(chunk, rows_in, chunked=True)
+    got_plain = read_warc(spark, plain).collect()[0]
+    got_chunk = read_warc(spark, chunk).collect()[0]
+    assert bytes(got_chunk["html"]) == bytes(got_plain["html"]) == html
+    assert got_plain["content_type"] == "text/html"
+    assert got_chunk["text"] == got_plain["text"]
+    # lenient: malformed size line -> raw bytes back, never an exception
+    assert _dechunk(b"zz\r\nabc") == b"zz\r\nabc"
+    assert _dechunk(b"3\r\nabc\r\n0\r\n\r\n") == b"abc"

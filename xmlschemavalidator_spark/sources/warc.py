@@ -34,10 +34,35 @@ from pyspark.sql import DataFrame, SparkSession
 
 PAGES_SCHEMA = (
     "url string, warc_ts timestamp, html binary, text string, lang string, "
-    "warc_file string, record_offset long"
+    "warc_file string, record_offset long, content_type string"
 )
 
 _CRLF = b"\r\n"
+
+
+def _dechunk(data: bytes) -> bytes:
+    """Decode an HTTP/1.1 chunked transfer-encoded body (hex size line,
+    chunk bytes, CRLF, ... , 0-chunk). Lenient: any malformed size line
+    returns the raw bytes unchanged — at crawl scale a mis-declared
+    encoding must yield a recoverable payload, not an exception."""
+    out = bytearray()
+    pos = 0
+    n = len(data)
+    while pos < n:
+        line_end = data.find(_CRLF, pos)
+        if line_end < 0:
+            return bytes(data)
+        size_tok = data[pos:line_end].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            return bytes(data)
+        if size == 0:
+            break
+        chunk_start = line_end + 2
+        out += data[chunk_start : chunk_start + size]
+        pos = chunk_start + size + 2  # skip the chunk's trailing CRLF
+    return bytes(out)
 
 
 def _parse_warc_bytes(
@@ -74,10 +99,28 @@ def _parse_warc_bytes(
         pos = block_start + length
         if headers.get("warc-type") != record_type:
             continue
+        content_type = None
         if record_type == "response":
-            # strip the HTTP response envelope to reach the payload
+            # strip the HTTP response envelope to reach the payload;
+            # honor the two envelope headers crawl pipelines need:
+            # Content-Type (text/html filtering) and Transfer-Encoding
+            # (real crawls capture chunked responses verbatim — the
+            # chunk framing is NOT page bytes)
             http_end = block.find(_CRLF + _CRLF)
             payload = block[http_end + 4 :] if http_end >= 0 else block
+            if http_end >= 0:
+                chunked = False
+                for hline in block[:http_end].split(_CRLF)[1:]:
+                    if b":" not in hline:
+                        continue
+                    hk, _, hv = hline.partition(b":")
+                    hk = hk.decode("latin-1").strip().lower()
+                    if hk == "content-type":
+                        content_type = hv.decode("latin-1").strip()
+                    elif hk == "transfer-encoding":
+                        chunked = b"chunked" in hv.lower()
+                if chunked:
+                    payload = _dechunk(payload)
         else:
             payload = block
         out.append(
@@ -87,6 +130,7 @@ def _parse_warc_bytes(
                 "html": payload,
                 "warc_file": fname,
                 "record_offset": head_start,
+                "content_type": content_type,
             }
         )
     return out
@@ -120,7 +164,7 @@ def _records_frame(
     files = spark.read.format("binaryFile").load(path)
     cols = columns or [
         "url", "warc_ts", "html", "text", "lang",
-        "warc_file", "record_offset",
+        "warc_file", "record_offset", "content_type",
     ]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -300,14 +344,29 @@ def write_fake_wet(path: str, rows_in: list[dict], gz: bool = False) -> str:
     return path
 
 
-def write_fake_warc(path: str, pages_rows: list[dict], gz: bool = False) -> str:
+def write_fake_warc(
+    path: str, pages_rows: list[dict], gz: bool = False, chunked: bool = False
+) -> str:
     """Serialize page dicts (url, warc_ts iso-string, html bytes) into a
     spec-shaped WARC file — the test fixture generator (we control both
-    ends, mirroring the datagen render/extract inverse pair)."""
+    ends, mirroring the datagen render/extract inverse pair).
+    ``chunked`` wraps each body in HTTP/1.1 chunked transfer framing
+    (as real crawls capture it)."""
     buf = bytearray()
     for r in pages_rows:
+        body = r["html"]
+        if chunked:
+            half = max(1, len(body) // 2)
+            body = b"".join(
+                f"{len(part):x}".encode() + _CRLF + part + _CRLF
+                for part in (body[:half], body[half:])
+                if part
+            ) + b"0" + _CRLF + _CRLF
         http = (
-            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + r["html"]
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html"
+            + (b"\r\nTransfer-Encoding: chunked" if chunked else b"")
+            + b"\r\n\r\n"
+            + body
         )
         headers = (
             f"WARC/1.0\r\n"
