@@ -82,6 +82,29 @@ def headline_queries():
             ((F.col("doc_id") * 17 + 3) % 50_000).alias("dst"),
         ).where(F.col("src") != F.col("dst"))
         return pagerank(edges, iterations=8)
+
+    def _bench_anchor_topk(s):
+        # ~2 anchors/page pointing at doc-derived targets with shared
+        # anchor phrases: exercises extraction, the (target, anchor)
+        # partial-agg count, and the salted two-phase top-k
+        from xmlschemavalidator_spark.weburl import anchor_text_topk
+
+        docs = s.read.parquet(f"{SF_DIR}/documents.parquet")
+        pages = docs.withColumn(
+            "html",
+            F.concat(
+                F.lit('<a href="http://t'),
+                (F.col("doc_id") % 997).cast("string"),
+                F.lit('.com/">anchor '),
+                (F.col("doc_id") % 23).cast("string"),
+                F.lit('</a><a href="http://hub.com/">'),
+                F.when(F.col("doc_id") % 3 == 0, F.lit("home")).otherwise(
+                    F.lit("start page")
+                ),
+                F.lit("</a>"),
+            ),
+        )
+        return anchor_text_topk(pages, cap=10)
     from xmlschemavalidator_spark.engine import validate
     from xmlschemavalidator_spark.flagship import documents_ruleset
 
@@ -134,6 +157,7 @@ def headline_queries():
         # iterative-graph cost at this SF)
         "url_canonicalize": lambda s: url_canonicalize(s, SF_DIR),
         "link_pagerank": lambda s: _bench_pagerank(s),
+        "anchor_topk": lambda s: _bench_anchor_topk(s),
     }
 
 
