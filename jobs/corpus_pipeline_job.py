@@ -63,6 +63,7 @@ def run_pipeline(
     shuffle_shards: int = 0,
     ccnet_keep: str | None = None,
     fix_encoding: bool = False,
+    dedup_normalize: bool = False,
     lang_from: str = "auto",
     extract_main_content: bool = False,
     url_col: str | None = None,
@@ -153,6 +154,30 @@ def run_pipeline(
             "(e.g. the crawl/snapshot id); retries reuse the same id"
         )
     store = store or f"{output}/fingerprints"
+    # the fingerprint SPACE (raw vs normalized text) is a property of the
+    # store: a store committed in one space silently never matches keys
+    # from the other, so the mismatch must be an error, not a no-op dedup.
+    # The marker lives in a SIBLING path: nesting it under the store
+    # would create the store dir before any fingerprint commit, flipping
+    # incremental_exact_dedup's exists-check onto an empty dir
+    # (UNABLE_TO_INFER_SCHEMA — reproduced). It is config, not dedup
+    # state, so output-first ordering does not apply.
+    space = "normalized" if dedup_normalize else "raw"
+    space_path = f"{store}_space"
+    try:
+        existing_space = spark.read.parquet(space_path).first()["space"]
+    except Exception:
+        spark.createDataFrame([(space,)], "space string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(space_path)
+    else:
+        if existing_space != space:
+            raise ValueError(
+                f"fingerprint store {store} was committed with "
+                f"{existing_space} fingerprints; rerun with "
+                f"--dedup-normalize={'on' if existing_space == 'normalized' else 'off'} "
+                "or point --store elsewhere"
+            )
     kept_path = f"{output}/kept/batch_id={batch_id}"
     audit_dir = f"{output}/audit/{batch_id}"
     audit: dict = {}
@@ -423,11 +448,30 @@ def run_pipeline(
 
     # 4. exact dedup, incremental vs the persistent store; the batch id
     # makes a RETRY of this run idempotent (it excludes its own earlier
-    # fingerprint commit instead of dropping every doc — round-2 review)
-    cur = stage(
-        "exact_dedup",
-        incremental_exact_dedup(cur, id_col, store, batch_id=batch_id),
-    )
+    # fingerprint commit instead of dropping every doc — round-2 review).
+    # --dedup-normalize keys the fingerprints on the aggressive C4-style
+    # normalization (case/accents/punct/ws variants collapse); the store
+    # space guard above keeps the key space consistent across batches.
+    if dedup_normalize:
+        from xmlschemavalidator_spark.textops import normalize_for_dedup
+
+        cur = stage(
+            "exact_dedup",
+            incremental_exact_dedup(
+                cur.withColumn(
+                    "_dedup_text", normalize_for_dedup(F.col("text"))
+                ),
+                id_col,
+                store,
+                text_col="_dedup_text",
+                batch_id=batch_id,
+            ).drop("_dedup_text"),
+        )
+    else:
+        cur = stage(
+            "exact_dedup",
+            incremental_exact_dedup(cur, id_col, store, batch_id=batch_id),
+        )
 
     # 5. near-dup drop (MinHash-LSH candidates -> CC survivors). With a
     # near_store the stage is incremental: docs whose band buckets collide
@@ -510,8 +554,18 @@ def run_pipeline(
         )
 
     cur.write.mode("overwrite").parquet(kept_path)
+    kept_back = spark.read.parquet(kept_path)
+    if dedup_normalize:  # commit in the SAME fingerprint space as stage 4
+        from xmlschemavalidator_spark.textops import normalize_for_dedup
+
+        kept_back = kept_back.withColumn(
+            "_dedup_text", normalize_for_dedup(F.col("text"))
+        )
     commit_seen_fingerprints(  # AFTER the kept output is durable
-        spark.read.parquet(kept_path), store, batch_id=batch_id
+        kept_back,
+        store,
+        text_col="_dedup_text" if dedup_normalize else "text",
+        batch_id=batch_id,
     )
     if near_store:  # same output-first ordering for the bucket store
         commit_seen_buckets(
@@ -723,6 +777,13 @@ def main(argv: list[str] | None = None) -> int:
         help="keep one doc per canonical URL (longest text, then smallest id)",
     )
     p.add_argument(
+        "--dedup-normalize",
+        action="store_true",
+        help="key exact dedup on the aggressive C4-style normalization "
+        "(lowercase/accents/punct/ws) — a property of the fingerprint "
+        "store, enforced consistent across batches",
+    )
+    p.add_argument(
         "--url-dedup-policy",
         choices=["longest", "latest"],
         default="longest",
@@ -779,6 +840,7 @@ def main(argv: list[str] | None = None) -> int:
         use_quality_model=args.quality_model, keep_policy=args.keep_policy,
         shuffle_shards=args.shuffle_shards, ccnet_keep=args.ccnet_keep,
         fix_encoding=args.fix_encoding, lang_from=args.lang_from,
+        dedup_normalize=args.dedup_normalize,
         extract_main_content=args.main_content,
         url_col=args.url_col, url_dedup_on=args.url_dedup,
         url_dedup_policy=args.url_dedup_policy,

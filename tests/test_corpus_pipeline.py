@@ -612,3 +612,43 @@ def test_pipeline_url_dedup_latest_policy(spark, tmp_path):
             spark, docs, str(tmp_path / "y"), batch_id="l3",
             url_col="url", url_dedup_on=True, url_dedup_policy="oldest",
         )
+
+
+def test_pipeline_dedup_normalize_collapses_variants_and_guards_store(
+    spark, tmp_path
+):
+    """--dedup-normalize: case/punct spelling variants of a doc collapse
+    in the exact-dedup stage (raw fingerprints would differ); the
+    fingerprint store remembers its key space and refuses the opposite
+    flag on a later batch."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    from corpus_pipeline_job import run_pipeline
+
+    base = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .where(F.col("doc_id") < 20)  # distinct texts (mod-26 trap)
+    )
+    # accent variant: same length/tokens (passes validation+gopher like
+    # its base, and line dedup keys on the accented form), but the
+    # aggressive normalizer folds á->a so ONLY normalized fingerprints
+    # collapse the pair
+    variants = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.translate("text", "a", "á").alias("text"),
+        "lang", "source", "n_chars",
+    )
+    docs = base.unionByName(variants)
+    out = str(tmp_path / "corpus_norm")
+    audit = run_pipeline(
+        spark, docs, out, batch_id="n1", dedup_normalize=True
+    )
+    # upstream stages treat base and variant identically, so exact dedup
+    # halves the survivors — every variant collapses onto its base
+    assert audit["exact_dedup"] == audit["line_dedup"] // 2 > 0
+    kept = spark.read.parquet(f"{out}/kept/batch_id=n1")
+    assert kept.where(F.col("doc_id") >= 100000).count() == 0  # min id wins
+
+    with pytest.raises(ValueError, match="fingerprint store"):
+        run_pipeline(
+            spark, docs, out, batch_id="n2", dedup_normalize=False
+        )
