@@ -3695,6 +3695,180 @@ def join_q5_region_revenue(spark, sf_dir):
     )
 
 
+_REV_DEC = """CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+    * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)"""
+
+
+def _rev_col():
+    return F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,4)")
+    )
+
+
+@q(
+    "join_q7_volume_shipping",
+    f"""SELECT supp_nation, cust_nation, l_year, {_REV_DEC} AS revenue
+        FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                     CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                     l_extendedprice, l_discount
+              FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+                   JOIN orders ON o_orderkey = l_orderkey
+                   JOIN customer ON c_custkey = o_custkey
+                   JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                   JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                 OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        GROUP BY supp_nation, cust_nation, l_year""",
+)
+def join_q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: bidirectional nation-pair trade volume — the SAME
+    dim table joined twice under different roles (supplier's nation vs
+    customer's nation), a disjunctive cross-role filter, and a by-year
+    rollup. Both nation sides broadcast; the fact scans once."""
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        s.join(li, s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .where(pair)
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.round(F.sum(_rev_col()), 2).cast("double").alias("revenue"))
+    )
+
+
+@q(
+    "join_q12_late_shipping",
+    """SELECT l_linestatus,
+              CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+              CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       WHERE l_shipdate >= o_orderdate + INTERVAL 30 DAY
+       GROUP BY l_linestatus""",
+)
+def join_q12_late_shipping(spark, sf_dir):
+    """TPC-H Q12 shape (shipmode column absent from this corpus, so the
+    slow-shipment predicate is date arithmetic): lineitems shipped ≥30
+    days after ordering, with the classic conditional-count split by
+    order priority. Join + CASE-sum partial aggregation."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .where(
+            F.col("l_shipdate")
+            >= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).cast("long").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(urgent, 0).otherwise(1)).cast("long").alias(
+                "low_line_count"
+            ),
+        )
+    )
+
+
+@q(
+    "join_q14_promo_revenue",
+    """SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT)
+                AS ship_month,
+              CAST(round(sum(CASE WHEN p_type = 'PROMO'
+                   THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                   ELSE CAST(0 AS DECIMAL(18,2)) END), 2) AS DOUBLE)
+                AS promo_revenue,
+              CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+                AS total_revenue
+       FROM lineitem JOIN part ON p_partkey = l_partkey
+       GROUP BY ship_month""",
+)
+def join_q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: per-month promo vs total revenue (the published
+    form divides; emitting both DECIMAL sums keeps the oracle exact with
+    no float division order to diverge). part broadcasts; one fact scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = _rev_col()
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        li.join(p, p.p_partkey == li.l_partkey)
+        .groupBy(
+            (F.year("l_shipdate") * 100 + F.month("l_shipdate"))
+            .cast("long")
+            .alias("ship_month")
+        )
+        .agg(
+            F.round(F.sum(promo), 2).cast("double").alias("promo_revenue"),
+            F.round(F.sum(rev), 2).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@q(
+    "join_q19_bracketed_revenue",
+    f"""SELECT {_REV_DEC} AS revenue
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#7' AND p_size BETWEEN 10 AND 30
+               AND l_quantity BETWEEN 10 AND 40)
+           OR (p_brand = 'Brand#13' AND p_size BETWEEN 20 AND 50
+               AND l_quantity BETWEEN 20 AND 50)""",
+)
+def join_q19_bracketed_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: disjunctive multi-bracket predicate spanning both
+    join sides — the classic test that complex OR filters stay inside
+    whole-stage codegen after the broadcast join instead of falling back
+    row-at-a-time. Single-row global aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+
+    def bracket(brand, s_lo, s_hi, q_lo, q_hi):
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(s_lo, s_hi)
+            & F.col("l_quantity").between(q_lo, q_hi)
+        )
+
+    cond = (
+        bracket("Brand#1", 1, 15, 1, 20)
+        | bracket("Brand#7", 10, 30, 10, 40)
+        | bracket("Brand#13", 20, 50, 20, 50)
+    )
+    return (
+        li.join(p, p.p_partkey == li.l_partkey)
+        .where(cond)
+        .agg(F.round(F.sum(_rev_col()), 2).cast("double").alias("revenue"))
+    )
+
+
 @q("pandas_udf_rule")  # no oracle: Python predicate, rows-only by design
 def pandas_udf_rule(spark, sf_dir):
     """Arrow-vectorized pandas-UDF predicate rule (the input_hint's
