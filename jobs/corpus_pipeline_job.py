@@ -163,20 +163,34 @@ def run_pipeline(
     # (UNABLE_TO_INFER_SCHEMA — reproduced). It is config, not dedup
     # state, so output-first ordering does not apply.
     space = "normalized" if dedup_normalize else "raw"
-    space_path = f"{store}_space"
+    # rstrip: a trailing-slash --store would nest the marker INSIDE the
+    # store dir, recreating the empty-dir exists-check failure the
+    # sibling placement avoids (review finding)
+    space_path = f"{store.rstrip('/')}_space"
     try:
-        existing_space = spark.read.parquet(space_path).first()["space"]
-    except Exception:
+        marker = spark.read.parquet(space_path).first()
+    except Exception as e:  # noqa: BLE001 — filtered to PATH_NOT_FOUND below
+        # ONLY a missing marker means 'first batch' — any other read
+        # failure must raise, or a transient storage error would rewrite
+        # the marker and silently disable the guard (review finding; the
+        # same rule as dedup._read_store)
+        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            raise
         spark.createDataFrame([(space,)], "space string").coalesce(
             1
         ).write.mode("overwrite").parquet(space_path)
     else:
+        existing_space = marker["space"] if marker is not None else None
         if existing_space != space:
+            flag = (
+                "with --dedup-normalize"
+                if existing_space == "normalized"
+                else "without --dedup-normalize"
+            )
             raise ValueError(
                 f"fingerprint store {store} was committed with "
-                f"{existing_space} fingerprints; rerun with "
-                f"--dedup-normalize={'on' if existing_space == 'normalized' else 'off'} "
-                "or point --store elsewhere"
+                f"{existing_space or 'an unreadable'} fingerprint space; "
+                f"rerun {flag}, or point --store elsewhere"
             )
     kept_path = f"{output}/kept/batch_id={batch_id}"
     audit_dir = f"{output}/audit/{batch_id}"

@@ -53,10 +53,14 @@ def _dechunk(data: bytes) -> bytes:
         if line_end < 0:
             return bytes(data)
         size_tok = data[pos:line_end].split(b";", 1)[0].strip()
-        try:
-            size = int(size_tok, 16)
-        except ValueError:
+        # strict hex digits only: int(x, 16) also accepts '-6'/'+6'/'0x6'
+        # — a negative size moves pos BACKWARDS and loops forever while
+        # appending (review finding, reproduced live)
+        if not size_tok or any(
+            c not in b"0123456789abcdefABCDEF" for c in size_tok
+        ):
             return bytes(data)
+        size = int(size_tok, 16)
         if size == 0:
             break
         chunk_start = line_end + 2
