@@ -3869,6 +3869,141 @@ def join_q19_bracketed_revenue(spark, sf_dir):
     )
 
 
+@q(
+    "agg_q11_value_share",
+    """WITH v AS (SELECT l_partkey,
+                         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                             * (1 - CAST(l_discount AS DECIMAL(18,4))))
+                           AS val
+                  FROM lineitem GROUP BY l_partkey),
+        t AS (SELECT sum(val) AS total FROM v)
+        SELECT l_partkey, CAST(round(val, 2) AS DOUBLE) AS part_value
+        FROM v CROSS JOIN t
+        WHERE val * 2000 > total""",
+)
+def agg_q11_value_share(spark, sf_dir):
+    """TPC-H Q11 shape: per-key value vs a GLOBAL aggregate scalar — the
+    share predicate is division-free (val·2000 > total in DECIMAL, i.e.
+    share > 0.05% — 971/2000 parts at sf0.01, measured: a strict subset,
+    never the forbidden 0-row or all-rows oracle match) so the kept-part
+    set is exact. The 1-row total broadcasts (cross join of an aggregate — the
+    checks/drift.py pattern); one fact scan feeds both sides."""
+    li = _t(spark, sf_dir, "lineitem")
+    v = li.groupBy("l_partkey").agg(F.sum(_rev_col()).alias("val"))
+    t = v.agg(F.sum("val").alias("total"))
+    return (
+        v.crossJoin(F.broadcast(t))
+        .where(F.col("val") * 2000 > F.col("total"))
+        .select(
+            "l_partkey",
+            F.round(F.col("val"), 2).cast("double").alias("part_value"),
+        )
+    )
+
+
+@q(
+    "agg_q13_order_histogram",
+    """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+       FROM (SELECT c.c_custkey,
+                    CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+             FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+             GROUP BY c.c_custkey)
+       GROUP BY c_count""",
+)
+def agg_q13_order_histogram(spark, sf_dir):
+    """TPC-H Q13 shape: distribution of per-customer order counts —
+    LEFT OUTER join so order-less customers land in the 0 bucket, then a
+    second aggregation over the first's output (two shuffles by
+    construction; both partial-aggregate)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+@q(
+    "agg_q16_supplier_count",
+    """SELECT p_brand, p_size, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT)
+                AS supplier_cnt
+       FROM part JOIN lineitem ON p_partkey = l_partkey
+       WHERE l_suppkey NOT IN
+             (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+       GROUP BY p_brand, p_size""",
+)
+def agg_q16_supplier_count(spark, sf_dir):
+    """TPC-H Q16 shape: distinct-supplier count per part attribute with a
+    NOT-IN exclusion list (negative-balance suppliers stand in for the
+    spec's complaint filter) — the exclusion compiles to a broadcast
+    anti join, the distinct count to a two-phase aggregate."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    bad = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        p.join(li, p.p_partkey == li.l_partkey)
+        .join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@q(
+    "agg_q22_idle_customers",
+    """WITH pos AS (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+                             AS DECIMAL(28,2)) AS s,
+                           CAST(COUNT(*) AS BIGINT) AS n
+                    FROM customer WHERE c_acctbal > 0)
+       SELECT CAST(c_custkey % 10 AS STRING) AS cntrycode,
+              CAST(COUNT(*) AS BIGINT) AS numcust,
+              CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+                AS totacctbal
+       FROM customer CROSS JOIN pos
+       WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > s
+         AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                               WHERE o_orderpriority = '1-URGENT')
+       GROUP BY cntrycode""",
+)
+def agg_q22_idle_customers(spark, sf_dir):
+    """TPC-H Q22 shape: above-average-balance customers with no URGENT
+    orders (global-average scalar + anti join; every customer has SOME
+    order at this SF, so the spec's no-orders filter would be the
+    forbidden 0-row match — 75 rows survive the urgent variant,
+    measured), bucketed by a country-code analog. The average comparison is division-free (bal·n > sum in
+    DECIMAL) so boundary membership is engine-exact; the order-key
+    exclusion is a left anti join on the fact side."""
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    pos = (
+        c.where(F.col("c_acctbal") > 0)
+        .agg(
+            F.sum(bal).cast("decimal(28,2)").alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return (
+        c.crossJoin(F.broadcast(pos))
+        .where(bal * F.col("n") > F.col("s"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy((F.col("c_custkey") % 10).cast("string").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.round(F.sum(bal), 2).cast("double").alias("totacctbal"),
+        )
+    )
+
+
 @q("pandas_udf_rule")  # no oracle: Python predicate, rows-only by design
 def pandas_udf_rule(spark, sf_dir):
     """Arrow-vectorized pandas-UDF predicate rule (the input_hint's
