@@ -622,3 +622,59 @@ def test_outlink_signals_counts_and_diversity(spark):
     assert got[2]["domain_diversity_micro"] == 1000000
     # doc 3: no links at all -> all zero
     assert tuple(got[3])[1:] == (0, 0, 0, 0, 0)
+
+
+def _hits_py(edges, iterations=6, scale=10**12):
+    """Pure-Python replay of hits()'s exact integer arithmetic."""
+    e = sorted(set(edges))
+    nodes = sorted({s for s, _ in e} | {d for _, d in e})
+    n = len(nodes)
+    hub = {v: scale // n for v in nodes}
+    auth = {v: 0 for v in nodes}
+    for _ in range(iterations):
+        raw_a = {v: 0 for v in nodes}
+        for s, d in e:
+            raw_a[d] += hub[s]
+        total = sum(raw_a.values())
+        auth = {v: raw_a[v] * scale // total for v in nodes}
+        raw_h = {v: 0 for v in nodes}
+        for s, d in e:
+            raw_h[s] += auth[d]
+        total = sum(raw_h.values())
+        hub = {v: raw_h[v] * scale // total for v in nodes}
+    return hub, auth
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        # star: 0 is the authority, spokes are hubs
+        [(i, 0) for i in range(1, 8)] + [(0, 1)],
+        # bipartite hubs->authorities + a chord
+        [(i, 10 + j) for i in range(3) for j in range(3)] + [(10, 1)],
+    ],
+)
+def test_hits_matches_python_reference(spark, edges):
+    from xmlschemavalidator_spark.weburl import hits
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: (r["hub_micro"], r["auth_micro"])
+        for r in hits(df, iterations=4).collect()
+    }
+    hub, auth = _hits_py(edges, iterations=4)
+    assert got == {v: (hub[v], auth[v]) for v in hub}
+
+
+def test_hits_star_roles(spark):
+    """On the pure star the center takes (almost) all authority and the
+    spokes split hub mass evenly."""
+    from xmlschemavalidator_spark.weburl import hits
+
+    edges = [(i, 0) for i in range(1, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r for r in hits(df, iterations=3).collect()}
+    assert got[0]["auth_micro"] == 10**12
+    assert got[0]["hub_micro"] == 0
+    spokes = [got[i]["hub_micro"] for i in range(1, 6)]
+    assert len(set(spokes)) == 1 and abs(sum(spokes) - 10**12) < 5

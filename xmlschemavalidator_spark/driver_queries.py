@@ -5278,6 +5278,21 @@ def link_pagerank(spark, sf_dir):
     )
 
 
+from xmlschemavalidator_spark.weburl import hits_oracle_sql  # noqa: E402
+
+
+@q("link_hits", hits_oracle_sql(_EDGES_SQL, iterations=5))
+def link_hits(spark, sf_dir):
+    """HITS hubs & authorities (weburl.py:hits, Kleinberg JACM'99) over
+    the planted link graph: integer-micro renormalized per iteration
+    (x·scale div Σx — no sqrt to diverge), so the unrolled-CTE DuckDB
+    replay hashes identically — the suite's second oracle-exact
+    iterative graph query after PageRank."""
+    from xmlschemavalidator_spark.weburl import hits
+
+    return hits(_edges(spark, sf_dir), iterations=5)
+
+
 @q(
     "link_degree_stats",
     f"""WITH e AS (SELECT DISTINCT src, dst FROM ({_EDGES_SQL})),

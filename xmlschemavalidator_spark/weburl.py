@@ -850,6 +850,161 @@ def pagerank_oracle_sql(
     return "".join(parts)
 
 
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 10,
+    scale: int = 10**12,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg, JACM'99) in integer micro-units
+    → ``(node, hub_micro, auth_micro)``, bit-exact across engines.
+
+    Per iteration: ``auth(v) = Σ_{u→v} hub(u)`` then ``hub(u) =
+    Σ_{u→v} auth(v)``, each renormalized to a total of ``scale`` via
+    ``x·scale div Σx`` — integer floor division instead of the published
+    L2 norm (sqrt is not correctly-rounded across runtimes; the rank
+    ordering and relative mass are what link-spam / seed-selection
+    consumers use). Sums ride DECIMAL(38,0) (Spark) / HUGEINT (DuckDB
+    oracle, :func:`hits_oracle_sql`) so a hub pointed at by the whole
+    graph cannot overflow; ``div`` on DECIMAL(38,0) and HUGEINT ``//``
+    floor identically on the all-nonneg values (verified live).
+
+    Scale shape: per iteration two shuffle joins (edges ⋈ scores) each
+    feeding a partial-aggregated sum, plus a broadcast 1-row total for
+    the renormalize; lineage cut per iteration exactly like
+    :func:`pagerank`."""
+    from xmlschemavalidator_spark.session import free_local_checkpoint
+
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        free_local_checkpoint(e)
+        return nodes.select(
+            "node",
+            F.lit(0).cast("long").alias("hub_micro"),
+            F.lit(0).cast("long").alias("auth_micro"),
+        )
+
+    def _propagate(scores: DataFrame, col: str, key: str, out_key: str):
+        """sum scores[col] over edges keyed on `key`, grouped by
+        `out_key`, renormalized to `scale` total → (node, value)."""
+        raw = (
+            e.join(scores, e[key] == scores.node)
+            .groupBy(F.col(out_key).alias("_n"))
+            .agg(F.sum(F.col(col)).cast("decimal(38,0)").alias("_raw"))
+        )
+        total = raw.agg(
+            F.sum("_raw").cast("decimal(38,0)").alias("_total")
+        )
+        normed = (
+            nodes.join(raw, nodes.node == F.col("_n"), "left")
+            .crossJoin(F.broadcast(total))
+            .select(
+                nodes.node,
+                F.expr(
+                    f"CAST(coalesce(_raw, CAST(0 AS DECIMAL(38,0)))"
+                    f" * CAST({scale} AS DECIMAL(38,0))"
+                    f" div _total AS BIGINT)"
+                ).alias(col),
+            )
+        )
+        return normed
+
+    hubs = nodes.withColumn(
+        "hub", F.lit(scale // n).cast("long")
+    ).localCheckpoint()
+    auths = None
+    for _ in range(iterations):
+        new_auths = _propagate(
+            hubs.select("node", F.col("hub")), "hub", "src", "dst"
+        ).withColumnRenamed("hub", "auth").localCheckpoint()
+        if auths is not None:
+            free_local_checkpoint(auths)
+        auths = new_auths
+        new_hubs = _propagate(
+            auths.select("node", "auth"), "auth", "dst", "src"
+        ).withColumnRenamed("auth", "hub").localCheckpoint()
+        free_local_checkpoint(hubs)
+        hubs = new_hubs
+    out = (
+        hubs.join(auths, "node")
+        .select(
+            "node",
+            F.col("hub").alias("hub_micro"),
+            F.col("auth").alias("auth_micro"),
+        )
+        .localCheckpoint()
+    )
+    for fr in (hubs, auths, e, nodes):
+        free_local_checkpoint(fr)
+    return out
+
+
+def hits_oracle_sql(
+    edges_sql: str, iterations: int = 10, scale: int = 10**12
+) -> str:
+    """DuckDB replay of :func:`hits` — iterations unrolled as CTE pairs
+    (a1/h1 .. aN/hN), sums and products in HUGEINT so ``//`` floors
+    exactly like Spark's DECIMAL(38,0) ``div``. Every CTE is
+    ``AS MATERIALIZED``: DuckDB inlines plain CTEs at each reference, so
+    a chained multi-reference unroll re-expands the whole prefix
+    EXPONENTIALLY per level (~2 refs/level → 2^(2·iterations); the
+    5-iteration oracle hung >100 s un-materialized, reproduced live,
+    while the single-chain pagerank oracle survives inlining)."""
+    parts = [
+        "WITH e AS MATERIALIZED "
+        f"(SELECT DISTINCT src, dst FROM ({edges_sql})),\n"
+        "nodes AS MATERIALIZED "
+        "(SELECT src AS node FROM e UNION SELECT dst FROM e),\n"
+        "nv AS MATERIALIZED "
+        "(SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),\n"
+        f"h0 AS MATERIALIZED (SELECT node, CAST({scale} // n AS HUGEINT) "
+        "AS hub FROM nodes CROSS JOIN nv)"
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f",\nar{i} AS MATERIALIZED (SELECT e.dst AS node, "
+            f"CAST(SUM(h.hub) AS HUGEINT) AS raw\n"
+            f"  FROM h{i - 1} h JOIN e ON h.node = e.src GROUP BY e.dst),\n"
+            f"at{i} AS MATERIALIZED (SELECT CAST(SUM(raw) AS HUGEINT) "
+            f"AS total FROM ar{i}),\n"
+            f"a{i} AS MATERIALIZED (SELECT nodes.node,\n"
+            f"  coalesce(ar{i}.raw, CAST(0 AS HUGEINT)) * {scale}"
+            f" // at{i}.total AS auth\n"
+            f"  FROM nodes CROSS JOIN at{i} "
+            f"LEFT JOIN ar{i} ON nodes.node = ar{i}.node),\n"
+            f"hr{i} AS MATERIALIZED (SELECT e.src AS node, "
+            f"CAST(SUM(a.auth) AS HUGEINT) AS raw\n"
+            f"  FROM a{i} a JOIN e ON a.node = e.dst GROUP BY e.src),\n"
+            f"ht{i} AS MATERIALIZED (SELECT CAST(SUM(raw) AS HUGEINT) "
+            f"AS total FROM hr{i}),\n"
+            f"h{i} AS MATERIALIZED (SELECT nodes.node,\n"
+            f"  coalesce(hr{i}.raw, CAST(0 AS HUGEINT)) * {scale}"
+            f" // ht{i}.total AS hub\n"
+            f"  FROM nodes CROSS JOIN ht{i} "
+            f"LEFT JOIN hr{i} ON nodes.node = hr{i}.node)"
+        )
+    parts.append(
+        f"\nSELECT h{iterations}.node, CAST(h{iterations}.hub AS BIGINT)"
+        f" AS hub_micro, CAST(a{iterations}.auth AS BIGINT) AS auth_micro\n"
+        f"FROM h{iterations} JOIN a{iterations}"
+        f" ON h{iterations}.node = a{iterations}.node"
+    )
+    return "".join(parts)
+
+
 # ---------------------------------------------------------------------------
 # HyperBall harmonic centrality (Boldi & Vigna, "In-Core Computation of
 # Geometric Centralities with HyperBall", 2013) — the ranking signal
