@@ -3012,6 +3012,23 @@ def ivf_kmeans_topk(spark, sf_dir):
     return ivf_topk(assigned, "embedding", cents, [float(x) for x in query], k=5, nprobe=2)
 
 
+@q("embedding_pq_topk")  # no oracle: PQ codebooks are iteratively trained
+def embedding_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (similarity.py:pq_train/pq_encode/pq_topk,
+    Jégou et al. TPAMI'11): 64-dim floats → 8 codes, ADC scoring from
+    driver-side lookup tables — the ~32x-compression coarse stage of
+    IVF-PQ. Rows-only (Lloyd training is iterative); the recall-vs-exact
+    contract is pinned by test_similarity.py::test_pq_adc_recall_vs_exact.
+    The output self-checks: the query vector's own row must rank first."""
+    from xmlschemavalidator_spark.similarity import pq_encode, pq_topk, pq_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = pq_train(emb, "embedding", m=8, k=64, iters=3)
+    codes = pq_encode(emb, "embedding", books)
+    query = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    return pq_topk(codes, "pq_codes", query, books, k=5)
+
+
 @q("ann_ivf_index_topk")  # no oracle: trained-centroid probe set is engine-specific
 def ann_ivf_index_topk(spark, sf_dir):
     """Persisted IVF index roundtrip (rows-only: k-means is iterative):
