@@ -376,3 +376,32 @@ def test_pq_adc_recall_vs_exact(spark):
     assert len(got_ids & set(exact_order[:50])) >= 9
     for r in got:
         assert abs(r["pq_cosine"] - exact_map[r["vec_id"]]) < 0.15
+
+
+def test_ivf_pq_index_roundtrip_prunes_and_reranks(spark, tmp_path):
+    """IVF-PQ persisted index: the probe reads ONLY the nprobe _list=
+    directories (PartitionFilters, not a post-scan filter), the ADC
+    shortlist feeds an exact re-rank, and the query's own vector comes
+    back first with cosine 1.0."""
+    from xmlschemavalidator_spark.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivfpq")
+    build_ivf_pq_index(emb, "embedding", path, k=8, m=8, pq_k=16, iters=3)
+    query = [float(x) for x in
+             emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    got = ivf_pq_topk(spark, path, query, k=5, nprobe=2, shortlist=50)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_list" in plan
+    rows = got.collect()
+    assert rows[0]["vec_id"] == 0 and rows[0]["cosine"] == 1.0
+    # exact re-rank: every returned cosine matches brute force exactly
+    from xmlschemavalidator_spark.similarity import brute_force_topk
+
+    exact = {r["vec_id"]: r["cosine"]
+             for r in brute_force_topk(emb, "embedding", query, k=500).collect()}
+    for r in rows:
+        assert r["cosine"] == exact[r["vec_id"]]

@@ -525,11 +525,13 @@ def pq_encode(
     id_col: str = "vec_id",
     codes_col: str = "pq_codes",
 ) -> DataFrame:
-    """Encode vectors to ``array<int>`` of length m (nearest codeword per
-    subspace by L2). One narrow projection — the m·k subvector distances
-    ride a single literal-table HOF chain, no shuffle, no Python; the
-    codes column is what an IVF-PQ index persists (~32x smaller than the
-    float vector at m=8, k=16, D=64)."""
+    """Add ``codes_col`` (``array<int>`` of length m — nearest codeword
+    per subspace by L2), all other columns preserved (so the IVF-PQ
+    build never self-joins the corpus to reunite codes with vectors).
+    One narrow projection — the m·k subvector distances ride a single
+    literal-table HOF chain, no shuffle, no Python; the codes column is
+    what an IVF-PQ index persists (~32x smaller than the float vector at
+    m=8, k=16, D=64)."""
     m = len(codebooks)
     d = len(codebooks[0][0])
     code_cols = []
@@ -549,9 +551,7 @@ def pq_encode(
         code_cols.append(
             (F.array_position(d2, F.array_min(d2)) - 1).cast("int")
         )
-    return df.select(
-        F.col(id_col), F.array(*code_cols).alias(codes_col)
-    )
+    return df.withColumn(codes_col, F.array(*code_cols))
 
 
 def pq_topk(
@@ -608,3 +608,98 @@ def pq_topk(
         .orderBy(F.col("pq_cosine").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def build_ivf_pq_index(
+    df: DataFrame,
+    vec_col: str,
+    path: str,
+    k: int = 8,
+    m: int = 8,
+    pq_k: int = 64,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    sample_fraction: float | None = None,
+) -> None:
+    """IVF-PQ, the canonical web-scale ANN index (Jégou et al. TPAMI'11 —
+    what FAISS-style systems run at billions of vectors): coarse IVF
+    lists for partition pruning + PQ codes for in-list scoring, both
+    persisted. Layout: ``<path>/vectors/_list=<i>/`` rows carry
+    (id, vector, pq_codes) — codes for the cheap ADC pass, the float
+    vector for the exact re-rank of the shortlist — plus
+    ``<path>/centroids/`` and ``<path>/codebooks/``.
+
+    Build = one coarse k-means + one PQ train (both sampled-capable) +
+    one encode pass + one partitioned write; queries then read only the
+    probed directories and score them with m array lookups per row."""
+    spark = df.sparkSession
+    cents = kmeans_fit(
+        df, vec_col, k, iters, id_col, sample_fraction=sample_fraction
+    )
+    books = pq_train(
+        df, vec_col, m=m, k=pq_k, iters=iters, id_col=id_col,
+        sample_fraction=sample_fraction,
+    )
+    coded = pq_encode(
+        ivf_assign(df, vec_col, cents, id_col), vec_col, books, id_col
+    )
+    coded.write.mode("overwrite").partitionBy("_list").parquet(
+        f"{path}/vectors"
+    )
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "list int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [
+            (j, code, [float(x) for x in cent])
+            for j, book in enumerate(books)
+            for code, cent in enumerate(book)
+        ],
+        "subspace int, code int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def load_pq_codebooks(spark, path: str) -> list[list[list[float]]]:
+    """The persisted PQ codebooks, ordered (m·pq_k rows — driver-bounded
+    by construction)."""
+    rows = (
+        spark.read.parquet(f"{path}/codebooks")
+        .orderBy("subspace", "code")
+        .collect()
+    )
+    books: list[list[list[float]]] = []
+    for r in rows:
+        if r["subspace"] == len(books):
+            books.append([])
+        books[r["subspace"]].append(list(map(float, r["centroid"])))
+    return books
+
+
+def ivf_pq_topk(
+    spark,
+    path: str,
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    shortlist: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    codes_col: str = "pq_codes",
+) -> DataFrame:
+    """Query a persisted IVF-PQ index: probe the ``nprobe`` nearest
+    lists (partition pruning at file listing — only those directories
+    are read), ADC-score the probed rows from the codes (m lookups/row,
+    no vector math), keep a ``shortlist``, then EXACT-re-rank only the
+    shortlist's float vectors → the standard two-stage quality/cost
+    trade: IO bounded by nprobe/k, exact math bounded by ``shortlist``.
+    """
+    centroids = load_ivf_centroids(spark, path)
+    books = load_pq_codebooks(spark, path)
+    probe = _probe_lists(centroids, query, min(nprobe, len(centroids)))
+    vecs = spark.read.parquet(f"{path}/vectors").where(
+        F.col("_list").isin(probe)
+    )
+    short = pq_topk(vecs, codes_col, query, books, k=shortlist, id_col=id_col)
+    cand = vecs.join(short.select(id_col), id_col, "left_semi")
+    return brute_force_topk(cand, vec_col, query, k, id_col)
