@@ -283,11 +283,29 @@ def build_ivf_index(
     cents = kmeans_fit(df, vec_col, k, iters, id_col)
     assigned = ivf_assign(df, vec_col, cents, id_col)
     assigned.write.mode("overwrite").partitionBy("_list").parquet(f"{path}/vectors")
-    cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(cents)]
-    spark.createDataFrame(
-        cent_rows, "list int, centroid array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    _persist_centroids(spark, cents, path)
     return cents
+
+
+def _persist_centroids(spark, cents: list[list[float]], path: str) -> None:
+    """The shared centroid-table writer behind both index builders — one
+    layout, one place to change it."""
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "list int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def _read_probed(spark, path: str, query: list[float], nprobe: int) -> DataFrame:
+    """The shared probe prologue behind both persisted-index queries:
+    load centroids, pick the nprobe nearest driver-side, and scan ONLY
+    those ``_list=`` directories (the isin lands in PartitionFilters —
+    pruning at the file listing, before any IO)."""
+    centroids = load_ivf_centroids(spark, path)
+    probe = _probe_lists(centroids, query, min(nprobe, len(centroids)))
+    return spark.read.parquet(f"{path}/vectors").where(
+        F.col("_list").isin(probe)
+    )
 
 
 def load_ivf_centroids(spark, path: str) -> list[list[float]]:
@@ -313,9 +331,7 @@ def ivf_index_topk(
     test_ivf_persisted_index_roundtrip) and rank exact cosine within
     them. ``vec_col`` must match what :func:`build_ivf_index` indexed
     (default matches the repo's embeddings tables)."""
-    centroids = load_ivf_centroids(spark, path)
-    probe = _probe_lists(centroids, query, min(nprobe, len(centroids)))
-    vecs = spark.read.parquet(f"{path}/vectors").where(F.col("_list").isin(probe))
+    vecs = _read_probed(spark, path, query, nprobe)
     return brute_force_topk(vecs, vec_col, query, k, id_col)
 
 
@@ -440,25 +456,50 @@ def matryoshka_topk(
 # compression, and composes with the IVF index (IVF-PQ).
 # ---------------------------------------------------------------------------
 
-def _l2_assign(df: DataFrame, vec_col: str, cents: list[list[float]]) -> DataFrame:
-    """Nearest-centroid by SQUARED L2 (PQ encodes magnitudes, so cosine
-    assignment — right for ivf_assign's direction buckets — would pick
-    wrong-magnitude codewords and wreck the dot-product decomposition).
-    All k distances computed once into an array, then argmin'd (the
-    ivf_assign HOF-CSE lesson). Ties break to the lowest code
-    (array_position finds the first minimum)."""
-    carr = F.array(*[_lit_vec(c) for c in cents])
+# PQ assignment is SQUARED L2, not cosine (right for ivf_assign's
+# direction buckets, wrong here): the ADC dot-product decomposition
+# needs codewords that match subvector MAGNITUDES, not just directions.
+
+
+def _with_subvectors(df: DataFrame, vec_col: str, m: int, d: int) -> DataFrame:
+    """Project the m subvector slices as REAL columns (``_sv0``..) —
+    the let-binding step every PQ pass shares: a slice spliced directly
+    into a HOF body is re-evaluated once per codeword (HOF subtrees are
+    never CSE'd — review finding: the unbound form sliced m·k times per
+    row instead of m)."""
+    return df.select(
+        "*",
+        *[
+            F.slice(F.col(vec_col), j * d + 1, d).alias(f"_sv{j}")
+            for j in range(m)
+        ],
+    )
+
+
+def _pq_code_col(book: list[list[float]], j: int):
+    """The code Column for subspace ``j`` (argmin squared-L2 over the
+    literal codebook) from the bound ``_sv{j}`` column — callers run
+    :func:`_with_subvectors` first. Ties break to the lowest code
+    (array_position finds the first minimum). A dedicated function
+    scope, NOT a loop-local lambda default: PySpark dispatches HOF
+    lambdas on arity, so ``lambda c, sv=sv`` becomes the binary
+    (element, index) form and binds the array INDEX to sv (reproduced:
+    zip_with then sees INT)."""
+    carr = F.array(*[_lit_vec(c) for c in book])
+    sv = F.col(f"_sv{j}")
     d2 = F.transform(
         carr,
         lambda c: F.aggregate(
-            F.zip_with(F.col(vec_col), c, lambda x, y: (x - y) * (x - y)),
+            F.zip_with(sv, c, lambda x, y: (x - y) * (x - y)),
             F.lit(0.0),
             lambda acc, v: acc + v,
         ),
     )
-    out = df.withColumn("_d2", d2)
-    best = (F.array_position(F.col("_d2"), F.array_min(F.col("_d2"))) - 1).cast("int")
-    return out.withColumn("_code", best).drop("_d2")
+    return (F.array_position(d2, F.array_min(d2)) - 1).cast("int")
+
+
+def _pq_code_cols(codebooks: list[list[list[float]]]) -> list:
+    return [_pq_code_col(book, j) for j, book in enumerate(codebooks)]
 
 
 def pq_train(
@@ -474,47 +515,57 @@ def pq_train(
     L2 assignment per subspace) → ``codebooks[j][code] = centroid``.
     The vector dim must divide evenly by ``m``.
 
-    Scale shape: like kmeans_fit — each iteration is one narrow assign
-    pass + one posexplode mean-update whose shuffle carries k·(D/m)
-    partial sums per subspace; ``sample_fraction`` caps per-iteration
-    work via the deterministic content-addressed sample. m stays small
-    (8–16), so the m sequential fits are m bounded driver loops, never
-    per-row Python."""
+    Scale shape: ONE pass per Lloyd iteration for ALL m subspaces — the
+    m codes are computed in a single projection and one posexplode
+    mean-update groups by (subspace, code, dim), so the shuffle carries
+    m·k·(D/m) = k·D partial sums total and the input is scanned
+    ``iters`` times, not ``m·iters`` (review finding: the per-subspace
+    loop re-scanned the corpus m times per iteration).
+    ``sample_fraction`` caps each scan via the deterministic
+    content-addressed sample."""
     if sample_fraction is not None:
         from xmlschemavalidator_spark.sampling import deterministic_sample
 
         df = deterministic_sample(df, id_col, sample_fraction, "pq")
-    head = df.select(vec_col).first()
-    if head is None:
+    seed_rows = df.orderBy(id_col).limit(k).select(vec_col).collect()
+    if not seed_rows:
         raise ValueError("pq_train: empty input")
-    dim = len(head[vec_col])
+    dim = len(seed_rows[0][vec_col])
     if dim % m != 0:
         raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
+    if len(seed_rows) < k:
+        raise ValueError(f"pq_train: only {len(seed_rows)} rows for k={k} codes")
     d = dim // m
-    codebooks: list[list[list[float]]] = []
-    for j in range(m):
-        sub = df.select(
-            F.col(id_col), F.slice(F.col(vec_col), j * d + 1, d).alias("_sv")
+    codebooks = [
+        [
+            [float(x) for x in r[vec_col][j * d : (j + 1) * d]]
+            for r in seed_rows
+        ]
+        for j in range(m)
+    ]
+    sub = _with_subvectors(df.select(id_col, vec_col), vec_col, m, d)
+    for _ in range(iters):
+        rows = (
+            sub.select(
+                F.array(*_pq_code_cols(codebooks)).alias("_codes"),
+                F.posexplode(vec_col).alias("i", "x"),
+            )
+            .select(
+                F.expr(f"i div {d}").cast("int").alias("j"),
+                F.expr(f"element_at(_codes, CAST(i div {d} AS INT) + 1)").alias(
+                    "code"
+                ),
+                (F.col("i") % d).cast("int").alias("si"),
+                "x",
+            )
+            .groupBy("j", "code", "si")
+            .agg(F.avg("x").alias("mu"))
+            .collect()  # m·k·d floats — driver-bounded by construction
         )
-        first = sub.orderBy(id_col).limit(k).select("_sv").collect()
-        if len(first) < k:
-            raise ValueError(
-                f"pq_train: only {len(first)} rows for k={k} codes"
-            )
-        cents = [list(map(float, r["_sv"])) for r in first]
-        for _ in range(iters):
-            rows = (
-                _l2_assign(sub, "_sv", cents)
-                .select("_code", F.posexplode("_sv").alias("i", "x"))
-                .groupBy("_code", "i")
-                .agg(F.avg("x").alias("mu"))
-                .collect()
-            )
-            new = [list(c) for c in cents]
-            for r in rows:
-                new[r["_code"]][r["i"]] = float(r["mu"])
-            cents = new
-        codebooks.append(cents)
+        new = [[list(c) for c in book] for book in codebooks]
+        for r in rows:
+            new[r["j"]][r["code"]][r["si"]] = float(r["mu"])
+        codebooks = new
     return codebooks
 
 
@@ -528,30 +579,16 @@ def pq_encode(
     """Add ``codes_col`` (``array<int>`` of length m — nearest codeword
     per subspace by L2), all other columns preserved (so the IVF-PQ
     build never self-joins the corpus to reunite codes with vectors).
-    One narrow projection — the m·k subvector distances ride a single
-    literal-table HOF chain, no shuffle, no Python; the codes column is
-    what an IVF-PQ index persists (~32x smaller than the float vector at
-    m=8, k=16, D=64)."""
+    Two chained narrow projections (subvector let-binding, then the m·k
+    literal-table distance chain) — no shuffle, no Python; the codes
+    column is what an IVF-PQ index persists (~32x smaller than the float
+    vector at m=8, k=16, D=64)."""
     m = len(codebooks)
     d = len(codebooks[0][0])
-    code_cols = []
-    for j in range(m):
-        carr = F.array(*[_lit_vec(c) for c in codebooks[j]])
-        sv = F.slice(F.col(vec_col), j * d + 1, d)
-        # bind the subvector into the lambda (HOF subtrees are not CSE'd:
-        # an unbound sv would recompute the slice k times per subspace)
-        d2 = F.transform(
-            carr,
-            lambda c: F.aggregate(
-                F.zip_with(sv, c, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ),
-        )
-        code_cols.append(
-            (F.array_position(d2, F.array_min(d2)) - 1).cast("int")
-        )
-    return df.withColumn(codes_col, F.array(*code_cols))
+    bound = _with_subvectors(df, vec_col, m, d)
+    return bound.withColumn(
+        codes_col, F.array(*_pq_code_cols(codebooks))
+    ).drop(*[f"_sv{j}" for j in range(m)])
 
 
 def pq_topk(
@@ -646,10 +683,7 @@ def build_ivf_pq_index(
     coded.write.mode("overwrite").partitionBy("_list").parquet(
         f"{path}/vectors"
     )
-    spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
-        "list int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    _persist_centroids(spark, cents, path)
     spark.createDataFrame(
         [
             (j, code, [float(x) for x in cent])
@@ -693,13 +727,11 @@ def ivf_pq_topk(
     no vector math), keep a ``shortlist``, then EXACT-re-rank only the
     shortlist's float vectors → the standard two-stage quality/cost
     trade: IO bounded by nprobe/k, exact math bounded by ``shortlist``.
-    """
-    centroids = load_ivf_centroids(spark, path)
+    ``shortlist`` is clamped to ≥ k (a smaller shortlist would silently
+    return fewer than k rows — review finding)."""
+    shortlist = max(shortlist, k)
     books = load_pq_codebooks(spark, path)
-    probe = _probe_lists(centroids, query, min(nprobe, len(centroids)))
-    vecs = spark.read.parquet(f"{path}/vectors").where(
-        F.col("_list").isin(probe)
-    )
+    vecs = _read_probed(spark, path, query, nprobe)
     short = pq_topk(vecs, codes_col, query, books, k=shortlist, id_col=id_col)
     cand = vecs.join(short.select(id_col), id_col, "left_semi")
     return brute_force_topk(cand, vec_col, query, k, id_col)

@@ -824,7 +824,8 @@ def pagerank_oracle_sql(
     iteration count). Integer ``//`` matches Spark ``div`` on the
     all-positive ranks. ``SUM`` is HUGEINT in DuckDB → cast back."""
     parts = [
-        f"WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql})),\n"
+        f"WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql}) "
+        "WHERE src IS NOT NULL AND dst IS NOT NULL),\n"
         "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),\n"
         "deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS out_deg "
         "FROM e GROUP BY src),\n"
@@ -903,7 +904,7 @@ def hits(
         raw = (
             e.join(scores, e[key] == scores.node)
             .groupBy(F.col(out_key).alias("_n"))
-            .agg(F.sum(F.col(col)).cast("decimal(38,0)").alias("_raw"))
+            .agg(F.sum(F.col(col).cast("decimal(38,0)")).alias("_raw"))
         )
         total = raw.agg(
             F.sum("_raw").cast("decimal(38,0)").alias("_total")
@@ -925,13 +926,17 @@ def hits(
     hubs = nodes.withColumn(
         "hub", F.lit(scale // n).cast("long")
     ).localCheckpoint()
-    auths = None
+    # iterations=0 returns the uniform init for BOTH scores (pagerank's
+    # graceful-no-iteration contract; a None auths would crash the final
+    # join — review finding)
+    auths = nodes.withColumn(
+        "auth", F.lit(scale // n).cast("long")
+    ).localCheckpoint()
     for _ in range(iterations):
         new_auths = _propagate(
             hubs.select("node", F.col("hub")), "hub", "src", "dst"
         ).withColumnRenamed("hub", "auth").localCheckpoint()
-        if auths is not None:
-            free_local_checkpoint(auths)
+        free_local_checkpoint(auths)
         auths = new_auths
         new_hubs = _propagate(
             auths.select("node", "auth"), "auth", "dst", "src"
@@ -965,13 +970,15 @@ def hits_oracle_sql(
     while the single-chain pagerank oracle survives inlining)."""
     parts = [
         "WITH e AS MATERIALIZED "
-        f"(SELECT DISTINCT src, dst FROM ({edges_sql})),\n"
+        f"(SELECT DISTINCT src, dst FROM ({edges_sql}) "
+        "WHERE src IS NOT NULL AND dst IS NOT NULL),\n"
         "nodes AS MATERIALIZED "
         "(SELECT src AS node FROM e UNION SELECT dst FROM e),\n"
         "nv AS MATERIALIZED "
         "(SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),\n"
         f"h0 AS MATERIALIZED (SELECT node, CAST({scale} // n AS HUGEINT) "
-        "AS hub FROM nodes CROSS JOIN nv)"
+        "AS hub FROM nodes CROSS JOIN nv),\n"
+        "a0 AS MATERIALIZED (SELECT node, hub AS auth FROM h0)"
     ]
     for i in range(1, iterations + 1):
         parts.append(
@@ -1142,7 +1149,8 @@ def hyperball_oracle_sql(edges_sql: str, iterations: int = 8) -> str:
     are barred from recursive terms), the same exact HUGEINT ball sums,
     and the same fixed-order float chain."""
     parts = [
-        f"WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql})),\n"
+        f"WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql}) "
+        "WHERE src IS NOT NULL AND dst IS NOT NULL),\n"
         "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),\n"
         "init AS (SELECT node,\n"
         "  CAST('0x' || substr(md5('hb:' || CAST(node AS VARCHAR)), 1, 4)"
