@@ -358,3 +358,52 @@ def test_assign_split_is_narrow(spark):
 
     p = fmt(assign_split(_docs(spark), "doc_id", {"a": 0.9, "b": 0.1}))
     assert "Exchange" not in p and "Python" not in p
+
+
+def test_bm25_plan_zero_shuffle(spark):
+    """BM25 for a fixed query never builds the (doc, term) exploded
+    table: the scoring job is scan → narrow projection →
+    TakeOrderedAndProject. No Exchange, no Join, one scan."""
+    from xmlschemavalidator_spark.textops import bm25_topk
+
+    top = bm25_topk(_docs(spark), "doc_id", ["spark", "hash"], k=5)
+    plan = fmt(top)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert n_scans(plan) == 1
+
+
+def test_pmi_plan_narrow_pairs_broadcast_unigrams(spark):
+    """PMI pair generation is a HOF over the token array — never a
+    per-doc positional self-join (O(L^2) rows at web scale). The only
+    joins are the two broadcast unigram lookups."""
+    from xmlschemavalidator_spark.textops import token_pmi_topk
+
+    top = token_pmi_topk(_docs(spark), "doc_id", k=5, min_pair_count=2)
+    plan = fmt(top)
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    import re
+
+    # numbered detail entries — the tree summary repeats operator names
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 2
+
+
+def test_funnel_plan_one_user_shuffle(spark):
+    """The 3 chained conditional window mins share ONE hash partitioning
+    on user_id: exactly one Exchange feeds the window stack (the only
+    other Exchange is the final tiny steps_completed agg), and no Join
+    appears (the oracle's 3 joins are SQL spelling, not dataflow)."""
+    from xmlschemavalidator_spark.driver_queries import all_queries
+
+    q = all_queries()["funnel_steps"]
+    plan = fmt(q(spark, SF_DIR))
+    assert "Join" not in plan
+    import re
+
+    # window stack + tiny steps_completed agg + final orderBy range —
+    # the per-user groupBy reuses the window's partitioning (no 4th)
+    exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert exchanges == 3, plan
+    assert plan.count("hashpartitioning(user_id") == 1, plan

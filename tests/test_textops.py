@@ -1008,3 +1008,129 @@ def test_extract_title_cases_and_duckdb_parity(spark):
             "select " + extract_title_sql(f"'{lit}'")
         ).fetchone()[0]
         assert duck == g, (c, duck, g)
+
+
+# --- BM25 ranking -----------------------------------------------------------
+
+
+def _bm25_py(docs, terms, k1_20=24, b_20=15):
+    """Independent pure-Python replay of the integer BM25 (same floor'd
+    idf, same rational num/den) — the engine must match EXACTLY."""
+    import math
+
+    toks = {i: t.lower().split() for i, t in docs}
+    dl = {i: len(ts) for i, ts in toks.items()}
+    n, s = len(toks), sum(dl.values())
+    scores = {}
+    for term in {t.lower() for t in terms}:
+        df_t = sum(1 for ts in toks.values() if term in ts)
+        if df_t == 0:
+            continue
+        idf = math.floor(math.log((n - df_t + 0.5) / (df_t + 0.5) + 1.0) * 1e6)
+        for i, ts in toks.items():
+            tf = ts.count(term)
+            if tf == 0:
+                continue
+            num = 20 * (k1_20 + 20) * s * tf
+            den = 400 * s * tf + k1_20 * (20 - b_20) * s + k1_20 * b_20 * n * dl[i]
+            hits, sc = scores.get(i, (0, 0))
+            scores[i] = (hits + 1, sc + idf * num // den)
+    return scores
+
+
+def test_bm25_matches_pure_python_replay(spark):
+    docs = [
+        (1, "spark table spark join"),
+        (2, "spark"),
+        (3, "table scan row filter batch merge sort window key value"),
+        (4, "hash hash hash join"),
+        (5, "nothing relevant here"),
+    ]
+    from xmlschemavalidator_spark.textops import bm25_topk
+
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        r["doc"]: (r["n_hits"], r["score_micro"])
+        for r in bm25_topk(df, "doc_id", ["spark", "hash"], k=10).collect()
+    }
+    assert got == _bm25_py(docs, ["spark", "hash"])
+
+
+def test_bm25_length_normalization_and_order(spark):
+    # same tf: the SHORTER doc must outrank the longer one (b > 0)
+    docs = [
+        (1, "spark " + "pad " * 40),
+        (2, "spark pad"),
+        (3, "unrelated text entirely"),
+    ]
+    from xmlschemavalidator_spark.textops import bm25_topk
+
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    out = bm25_topk(df, "doc_id", ["spark"], k=10).collect()
+    assert [r["doc"] for r in out] == [2, 1]
+    assert out[0]["score_micro"] > out[1]["score_micro"]
+
+
+def test_bm25_empty_query_rejected(spark):
+    from xmlschemavalidator_spark.textops import bm25_topk
+
+    df = spark.createDataFrame([(1, "a")], "doc_id bigint, text string")
+    try:
+        bm25_topk(df, "doc_id", [])
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("empty query must raise")
+
+
+# --- token PMI --------------------------------------------------------------
+
+
+def test_pmi_collocation_wins(spark):
+    # "new york" is the only recurring pair; per-doc-unique fillers keep
+    # every other pair under min_pair_count
+    rows_in = [
+        (i, f"new york f{i}a f{i}b new york f{i}c f{i}d") for i in range(5)
+    ]
+    from xmlschemavalidator_spark.textops import token_pmi_topk
+
+    df = spark.createDataFrame(rows_in, "doc_id bigint, text string")
+    out = token_pmi_topk(df, "doc_id", k=5, window=2, min_pair_count=5).collect()
+    assert len(out) == 1
+    assert (out[0]["x"], out[0]["y"]) == ("new", "york")
+    assert out[0]["c_xy"] == 10  # 2 adjacent occurrences × 5 docs
+
+
+def test_pmi_window_reaches_distance_two(spark):
+    rows_in = [(i, "alpha mid beta") for i in range(5)]
+    from xmlschemavalidator_spark.textops import token_pmi_topk
+
+    df = spark.createDataFrame(rows_in, "doc_id bigint, text string")
+    got = {
+        (r["x"], r["y"]): r["c_xy"]
+        for r in token_pmi_topk(df, "doc_id", k=10, window=2, min_pair_count=5).collect()
+    }
+    assert got[("alpha", "beta")] == 5  # distance-2 skip-gram
+    assert got[("alpha", "mid")] == 5 and got[("beta", "mid")] == 5
+    w1 = {
+        (r["x"], r["y"])
+        for r in token_pmi_topk(df, "doc_id", k=10, window=1, min_pair_count=5).collect()
+    }
+    assert ("alpha", "beta") not in w1
+
+
+def test_pmi_ratio_exact_integer(spark):
+    rows_in = [(i, "a b") for i in range(6)]
+    from xmlschemavalidator_spark.textops import token_pmi_topk
+
+    df = spark.createDataFrame(rows_in, "doc_id bigint, text string")
+    out = token_pmi_topk(df, "doc_id", k=5, window=2, min_pair_count=5).collect()
+    # T=6 pairs, c_xy=6, c_a=c_b=6 → 1e6·6·6 // 36 = 1_000_000
+    assert len(out) == 1 and out[0]["ratio_micro"] == 1_000_000
+
+
+def test_pmi_empty_corpus(spark):
+    from xmlschemavalidator_spark.textops import token_pmi_topk
+
+    df = spark.createDataFrame([(1, "")], "doc_id bigint, text string")
+    assert token_pmi_topk(df, "doc_id", k=5).count() == 0

@@ -52,6 +52,10 @@ _ORACLES: dict[str, str] = {}
 
 def q(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
+        if name in _QUERIES:
+            # a duplicate silently SHADOWS the earlier query in the
+            # driver's correctness sample — fail at import instead
+            raise ValueError(f"duplicate driver query name: {name}")
         _QUERIES[name] = fn
         if oracle is not None:
             _ORACLES[name] = oracle
@@ -5971,6 +5975,183 @@ def link_triangle_counts(spark, sf_dir):
         ((F.col("doc_id") % 60 + gap) % 60).alias("dst"),
     )
     return triangle_count(edges)
+
+
+_BM25_TERMS = ["spark", "hash", "window"]
+
+
+def _bm25_oracle() -> str:
+    from xmlschemavalidator_spark.textops import bm25_topk_sql
+
+    return bm25_topk_sql(_BM25_TERMS, k=10)
+
+
+@q("text_bm25_topk", None)  # oracle attached below (built from the shared SQL builder)
+def text_bm25_topk(spark, sf_dir):
+    """BM25 retrieval (Robertson; the Lucene default scorer) over the
+    corpus for a fixed 3-term query: integer micro scoring (rational
+    k1=1.2/b=0.75 multiplied through, DECIMAL div) so the top-10 set AND
+    its order-defining scores hash-match DuckDB. One (doc, term) agg
+    feeds doc lengths and query-term tfs; df is computed for the 3 query
+    terms only and broadcast."""
+    from xmlschemavalidator_spark.textops import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, "doc_id", _BM25_TERMS, k=10)
+
+
+_ORACLES["text_bm25_topk"] = _bm25_oracle()
+
+
+def _pmi_oracle() -> str:
+    from xmlschemavalidator_spark.textops import token_pmi_topk_sql
+
+    return token_pmi_topk_sql(k=15)
+
+
+@q("token_pmi_topk", None)
+def token_pmi_topk_q(spark, sf_dir):
+    """Skip-gram (window=2) token-pair PMI top-15 — collocation mining
+    over the corpus. Pair generation is a narrow indexed HOF over the
+    let-bound token array (linear in tokens·window — never the O(L^2)
+    per-doc self-join the oracle is allowed to use at sf0.01); ranking
+    is the exact integer rational inside the log (monotone with PMI)."""
+    from xmlschemavalidator_spark.textops import token_pmi_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_pmi_topk(docs, "doc_id", k=15)
+
+
+_ORACLES["token_pmi_topk"] = _pmi_oracle()
+
+
+@q(
+    "funnel_steps",
+    """WITH ev AS (
+  SELECT * FROM events WHERE event_id % 97 < 13
+), s1 AS (
+  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+  FROM ev GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(CASE WHEN e.event_type = 'click' AND e.ts > s1.t1
+                              THEN e.ts END) AS t2
+  FROM ev e JOIN s1 ON e.user_id = s1.user_id GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(CASE WHEN e.event_type = 'purchase' AND e.ts > s2.t2
+                              THEN e.ts END) AS t3
+  FROM ev e JOIN s2 ON e.user_id = s2.user_id GROUP BY e.user_id
+), steps AS (
+  SELECT s1.user_id,
+         CASE WHEN t3 IS NOT NULL THEN 3
+              WHEN t2 IS NOT NULL THEN 2
+              WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS steps_completed
+  FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)
+)
+SELECT steps_completed, CAST(count(*) AS BIGINT) AS n_users
+FROM steps GROUP BY 1 ORDER BY 1""",
+)
+def funnel_steps(spark, sf_dir):
+    """Ordered funnel analysis (view → click → purchase): per user, the
+    first view, the first click strictly after it, the first purchase
+    strictly after that; output is users per max-step-reached. THREE
+    chained window passes over ONE shuffle on user_id (each min() is a
+    conditional window agg over the same partitioning — no re-exchange,
+    no self-join; the oracle's 3 joins are the SQL spelling of the same
+    dataflow). Timestamp compares are exact microsecond ints in both
+    engines.
+
+    PLANTED SIGNAL: the full events table converges to 'every user
+    completes all 3 steps' (a 1-row result a broken funnel could fake) —
+    the deterministic event_id sparse sample leaves all four step
+    buckets populated (measured 19/42/44/45 at sf0.01)."""
+    e = _t(spark, sf_dir, "events").where(F.col("event_id") % 97 < 13)
+    w = Window.partitionBy("user_id")
+    d1 = e.withColumn(
+        "_t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    d2 = d1.withColumn(
+        "_t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("_t1")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    d3 = d2.withColumn(
+        "_t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("_t2")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = d3.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("_t3").isNotNull(), 3)
+            .when(F.col("_t2").isNotNull(), 2)
+            .when(F.col("_t1").isNotNull(), 1)
+            .otherwise(0)
+        ).alias("steps_completed")
+    )
+    return (
+        per_user.groupBy("steps_completed")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("steps_completed")
+    )
+
+
+@q(
+    "cohort_retention_staggered",
+    """WITH ev AS (
+  SELECT user_id, date_trunc('week', ts) AS wk FROM events
+  WHERE ts >= TIMESTAMP '2024-01-01' + INTERVAL (user_id % 21) DAY
+), per_user AS (
+  SELECT user_id, min(wk) AS cohort, list_distinct(list(wk)) AS wks
+  FROM ev GROUP BY user_id
+)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('day', cohort, wk) // 7 AS BIGINT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM (SELECT cohort, unnest(wks) AS wk FROM per_user)
+GROUP BY cohort, wk ORDER BY 1, 2""",
+)
+def cohort_retention_staggered(spark, sf_dir):
+    """Cohort retention over STAGGERED signups — the cohort_retention
+    shape (one scan: per-user collect_set of active weeks carries the
+    cohort, then explode + count) exercised with real cohort variety.
+
+    PLANTED SIGNAL: every testdata user is active from day 1, so the
+    base cohort_retention query collapses to ONE cohort (a broken
+    cohort assignment could fake it). A deterministic per-user 'join
+    date' (user_id % 21 days past the corpus epoch) staggers first-seen
+    across 4 weekly cohorts / 14 cells at sf0.01, so cohort assignment,
+    offset arithmetic, and the distinct-weeks dedup all carry signal."""
+    e = _t(spark, sf_dir, "events").where(
+        F.col("ts")
+        >= F.expr(
+            "TIMESTAMP '2024-01-01' + make_dt_interval(CAST(user_id % 21 AS INT))"
+        )
+    )
+    per_user = (
+        e.select(
+            "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+        )
+        .groupBy("user_id")
+        .agg(F.min("wk").alias("cohort"), F.collect_set("wk").alias("wks"))
+    )
+    return (
+        per_user.select("cohort", F.explode("wks").alias("wk"))
+        .groupBy("cohort", "wk")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            F.floor(F.datediff("wk", "cohort") / 7).cast("bigint").alias("week_offset"),
+            "n_users",
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
 
 
 def all_queries() -> dict[str, QueryFn]:

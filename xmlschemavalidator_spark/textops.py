@@ -1310,3 +1310,307 @@ def extract_title_sql(x: str) -> str:
         f"trim(regexp_replace(regexp_extract({x}, {_sql_quote(_TITLE_RE)}, 1), "
         f"{_sql_quote(_WS + '+')}, ' ', 'g'))"
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranking (Robertson/Lucene form) — the retrieval scorer a web corpus
+# serves once indexed. Like tfidf_top_terms, the score is an exact integer
+# (micro-quantized idf, division-free rational k1/b) so the top-k SET and
+# order survive cross-engine hashing.
+# ---------------------------------------------------------------------------
+
+def _bm25_projection(
+    df: DataFrame, id_col: str, text_col: str, terms: list[str]
+) -> DataFrame:
+    """``(doc, dl, _tf0.., _tfN)`` in ONE narrow projection: the token
+    array is let-bound as a real column, then each query term's tf is a
+    HOF count over it (a handful of array passes per row — never an
+    explode). Shared by the stats pass and the scoring pass."""
+    bound = df.select(
+        F.col(id_col).alias("doc"),
+        F.filter(
+            tokens(F.lower(F.col(text_col))), lambda t: F.length(t) > 0
+        ).alias("_toks"),
+    )
+    arr = F.col("_toks")
+    return bound.select(
+        "doc",
+        F.size(arr).cast("bigint").alias("dl"),
+        *[
+            F.size(F.filter(arr, lambda x: x == F.lit(t))).cast("bigint").alias(f"_tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    query_terms: list[str],
+    text_col: str = "text",
+    k: int = 10,
+    k1_20: int = 24,
+    b_20: int = 15,
+) -> DataFrame:
+    """Top-``k`` docs for a bag-of-terms query under BM25
+    (``(doc, n_hits, score_micro)``, ranked score desc then doc asc).
+
+    Parameters are twentieths so the length normalization stays RATIONAL:
+    ``k1 = k1_20/20`` (default 1.2), ``b = b_20/20`` (default 0.75). With
+    S = total corpus tokens and N = docs, the per-term score
+
+        idf · tf(k1+1) / (tf + k1(1-b+b·dl/avgdl))
+
+    multiplies through by 400·S into integers:
+
+        num = 20·(k1_20+20)·S·tf
+        den = 400·S·tf + k1_20·(20-b_20)·S + k1_20·b_20·dl·N
+
+    ``term_score_micro = idf_micro·num div den`` — exact DECIMAL(38,0)
+    division, identical across engines; the doc score is an integer SUM
+    over the ≤|query| terms (fixed order — no float ever appears
+    executor-side). idf is the Lucene ``ln(1+(N-df+.5)/(df+.5))``,
+    floor-quantized to micros driver-side (same probabilistic ulp caveat
+    as tfidf_top_terms). At S≈1e14 (100 TB) the products stay < 1e28,
+    well inside DECIMAL(38,0) / DuckDB HUGEINT.
+
+    Scale shape: ZERO wide shuffles. A fixed small query never needs the
+    (doc, term) exploded table — per-doc tf of each query term is a
+    narrow HOF count over the let-bound token array. Job 1 tree-aggs the
+    corpus scalars (N, S, per-term df) in one scan; job 2 scores the
+    same projection with the idf micros inlined as literals and
+    TakeOrderedAndProject picks the top-k (no global sort)."""
+    import math
+
+    terms = sorted({t.lower() for t in query_terms})
+    if not terms:
+        raise ValueError("bm25_topk: empty query")
+    proj = _bm25_projection(df, id_col, text_col, terms)
+    stats = proj.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("s"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("bigint")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
+    ).first()
+    n, s = int(stats["n"]), int(stats["s"] or 0)
+    if n == 0:
+        return proj.select(
+            "doc",
+            F.lit(0).cast("bigint").alias("n_hits"),
+            F.lit(0).cast("bigint").alias("score_micro"),
+        ).limit(0)
+    idf_micro = [
+        math.floor(
+            math.log((n - int(stats[f"_df{i}"]) + 0.5) / (int(stats[f"_df{i}"]) + 0.5) + 1.0)
+            * 1_000_000.0
+        )
+        for i in range(len(terms))
+    ]
+    d38 = "DECIMAL(38,0)"
+
+    def term_score(i: int):
+        # `div` (IntegralDivide) floors like DuckDB `//`; a decimal `/`
+        # would ROUND-half-up and drift from the oracle by one micro
+        tf = f"CAST(_tf{i} AS {d38})"
+        num = f"(CAST({20 * (k1_20 + 20) * s} AS {d38}) * {tf})"
+        den = (
+            f"(CAST({400 * s} AS {d38}) * {tf}"
+            f" + CAST({k1_20 * (20 - b_20) * s} AS {d38})"
+            f" + CAST({k1_20 * b_20 * n} AS {d38}) * CAST(dl AS {d38}))"
+        )
+        return F.expr(
+            f"CASE WHEN _tf{i} > 0 THEN "
+            f"(CAST({idf_micro[i]} AS {d38}) * {num}) div {den} "
+            f"ELSE CAST(0 AS BIGINT) END"
+        )
+
+    hits = sum(
+        ((F.col(f"_tf{i}") > 0).cast("bigint") for i in range(len(terms))),
+        F.lit(0).cast("bigint"),
+    )
+    score = sum(
+        (term_score(i) for i in range(len(terms))), F.lit(0).cast("bigint")
+    )
+    scored = proj.select(
+        "doc", hits.alias("n_hits"), score.alias("score_micro")
+    ).where(F.col("n_hits") > 0)
+    return scored.orderBy(F.col("score_micro").desc(), F.col("doc").asc()).limit(k)
+
+
+def bm25_topk_sql(
+    query_terms: list[str],
+    k: int = 10,
+    k1_20: int = 24,
+    b_20: int = 15,
+    table: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    """The DuckDB replay of :func:`bm25_topk` (HUGEINT arithmetic, same
+    integer num/den, same floor-quantized idf)."""
+    terms = sorted({t.lower() for t in query_terms})
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    ws = "[ \\t\\n\\x0b\\f\\r]+"
+    return f"""WITH toks AS (
+  SELECT {id_col} AS doc,
+         lower(unnest(list_filter(
+           regexp_split_to_array(trim(coalesce(text, '')), '{ws}'),
+           x -> x <> ''))) AS term
+  FROM {table}
+), tf_all AS (
+  SELECT doc, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+), dl AS (
+  SELECT doc, CAST(sum(tf) AS BIGINT) AS dl FROM tf_all GROUP BY doc
+), scal AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS s FROM dl
+), tf_q AS (
+  SELECT * FROM tf_all WHERE term IN ({in_list})
+), dfreq AS (
+  SELECT term,
+         CAST(floor(ln((CAST((SELECT n FROM scal) AS DOUBLE) - count(*) + 0.5)
+                       / (count(*) + 0.5) + 1.0) * 1000000.0) AS BIGINT)
+           AS idf_micro
+  FROM tf_q GROUP BY term
+), sc AS (
+  SELECT tf_q.doc,
+         CAST(idf_micro AS HUGEINT)
+           * (20 * ({k1_20} + 20) * (SELECT s FROM scal) * CAST(tf AS HUGEINT))
+           // (400 * (SELECT s FROM scal) * CAST(tf AS HUGEINT)
+               + {k1_20} * (20 - {b_20}) * (SELECT s FROM scal)
+               + {k1_20} * {b_20} * (SELECT n FROM scal) * CAST(dl AS HUGEINT))
+           AS ts
+  FROM tf_q JOIN dfreq USING (term) JOIN dl ON tf_q.doc = dl.doc
+)
+SELECT doc, CAST(count(*) AS BIGINT) AS n_hits,
+       CAST(sum(ts) AS BIGINT) AS score_micro
+FROM sc GROUP BY doc
+ORDER BY score_micro DESC, doc ASC LIMIT {k}"""
+
+
+# ---------------------------------------------------------------------------
+# Token co-occurrence / PMI — the association miner behind collocation
+# extraction and embedding-corpus diagnostics. Pair generation is a NARROW
+# HOF over the token array (linear in tokens × window), never a per-doc
+# self-join (which is O(L^2) rows at web scale).
+# ---------------------------------------------------------------------------
+
+def token_pmi_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 20,
+    window: int = 2,
+    min_pair_count: int = 5,
+) -> DataFrame:
+    """Top-``k`` token pairs by PMI within a ``window``-token skip-gram
+    (``(x, y, c_xy, ratio_micro)``; x<y canonical order; ranked ratio
+    desc, then x, y).
+
+    PMI = ln(T·c_xy/(c_x·c_y)) is ranked by the RATIONAL inside the log
+    — ``ratio_micro = 1e6·T·c_xy div (c_x·c_y)`` in DECIMAL(38,0) — so
+    the ranking is exact integer math (log is monotone; no float
+    appears). Self-pairs (x==x) are dropped; ``min_pair_count`` kills
+    the long noise tail.
+
+    Scale shape: the pair list is built inside one projection — the
+    token array is LET-BOUND as a real column, then an indexed transform
+    pairs each token with the next ``window`` (an unbound array would
+    re-split per element; HOF subtrees are never CSE'd). One explode →
+    groupBy(x, y) with map-side combine; unigram counts ride the same
+    token array (no second scan); top-k is TakeOrderedAndProject."""
+    bound = df.select(
+        F.col(id_col).alias("doc"),
+        F.filter(
+            tokens(F.lower(F.col(text_col))), lambda t: F.length(t) > 0
+        ).alias("_toks"),
+    )
+    arr = F.col("_toks")
+    pairs_expr = F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + 2, window),
+                lambda y: F.struct(
+                    F.least(x, y).alias("x"), F.greatest(x, y).alias("y")
+                ),
+            ),
+        )
+    )
+    pairs = (
+        bound.select(F.explode(pairs_expr).alias("p"))
+        .select("p.x", "p.y")
+        .where(F.col("x") != F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .where(F.col("c_xy") >= min_pair_count)
+    )
+    uni = (
+        bound.select(F.explode(arr).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = pairs.agg(F.sum("c_xy").alias("t")).first()
+    t_pairs = int(total["t"] or 0)
+    if t_pairs == 0:
+        return pairs.select(
+            "x", "y", "c_xy", F.lit(0).cast("bigint").alias("ratio_micro")
+        )
+    d38 = "decimal(38,0)"
+    scored = (
+        pairs.join(F.broadcast(uni.select(F.col("t").alias("x"), F.col("c").alias("_cx"))), "x")
+        .join(F.broadcast(uni.select(F.col("t").alias("y"), F.col("c").alias("_cy"))), "y")
+        .select(
+            "x",
+            "y",
+            "c_xy",
+            F.expr(
+                f"(CAST({t_pairs} AS {d38}) * CAST(c_xy AS {d38})"
+                f" * CAST(1000000 AS {d38}))"
+                f" div (CAST(_cx AS {d38}) * CAST(_cy AS {d38}))"
+            ).alias("ratio_micro"),
+        )
+    )
+    return scored.orderBy(
+        F.col("ratio_micro").desc(), F.col("x").asc(), F.col("y").asc()
+    ).limit(k)
+
+
+def token_pmi_topk_sql(
+    k: int = 20,
+    window: int = 2,
+    min_pair_count: int = 5,
+    table: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB replay of :func:`token_pmi_topk`: generate_subscripts +
+    unnest walk the token array in lockstep; pairs come from a
+    positional self-join bounded to the window (fine at oracle scale;
+    the Spark side stays linear via the HOF)."""
+    ws = "[ \\t\\n\\x0b\\f\\r]+"
+    return f"""WITH arrs AS (
+  SELECT {id_col} AS doc,
+         list_filter(regexp_split_to_array(trim(coalesce(lower(text), '')),
+                                           '{ws}'), t -> t <> '') AS toks
+  FROM {table}
+), pos AS (
+  SELECT doc, unnest(toks) AS t, generate_subscripts(toks, 1) AS i FROM arrs
+), pr AS (
+  SELECT least(a.t, b.t) AS x, greatest(a.t, b.t) AS y
+  FROM pos a JOIN pos b
+    ON a.doc = b.doc AND b.i > a.i AND b.i <= a.i + {window}
+  WHERE a.t <> b.t
+), pairs AS (
+  SELECT x, y, CAST(count(*) AS BIGINT) AS c_xy
+  FROM pr GROUP BY 1, 2 HAVING count(*) >= {min_pair_count}
+), uni AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS c FROM pos GROUP BY t
+), tot AS (
+  SELECT CAST(sum(c_xy) AS HUGEINT) AS t FROM pairs
+)
+SELECT x, y, c_xy,
+       CAST((SELECT t FROM tot) * CAST(c_xy AS HUGEINT) * 1000000
+            // (CAST(ux.c AS HUGEINT) * CAST(uy.c AS HUGEINT)) AS BIGINT)
+         AS ratio_micro
+FROM pairs JOIN uni ux ON pairs.x = ux.t JOIN uni uy ON pairs.y = uy.t
+ORDER BY ratio_micro DESC, x ASC, y ASC LIMIT {k}"""
