@@ -1,0 +1,134 @@
+"""Persisted inverted index + BM25 query (textindex.py).
+
+The contract: an index-served top-k is bit-identical to the
+from-scratch ``textops.bm25_topk`` scan on the same corpus, and the
+query-time postings scan prunes at the PARTITION level (only the probed
+``_bucket=`` directories are listed) with the term filter pushed to
+parquet row groups.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from xmlschemavalidator_spark.textindex import build_text_index, bm25_index_topk
+from xmlschemavalidator_spark.textops import bm25_topk
+
+DOCS = [
+    (1, "spark table spark join"),
+    (2, "spark"),
+    (3, "table scan row filter batch merge sort window key value"),
+    (4, "hash hash hash join"),
+    (5, "nothing relevant here"),
+    (6, "join hash spark table " + "pad " * 30),
+    (7, "Spark SPARK spark"),  # case folding
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id bigint, text string")
+
+
+def _formatted(df):
+    spark = df.sparkSession
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_index_topk_matches_corpus_scan_exactly(spark, tmp_path):
+    df = _docs(spark)
+    path = str(tmp_path / "idx")
+    build_text_index(df, "doc_id", path, n_buckets=8)
+    for terms in (["spark", "hash"], ["join"], ["SPARK", "table", "pad"]):
+        want = [
+            (r["doc"], r["n_hits"], r["score_micro"])
+            for r in bm25_topk(df, "doc_id", terms, k=10).collect()
+        ]
+        got = [
+            (r["doc"], r["n_hits"], r["score_micro"])
+            for r in bm25_index_topk(spark, path, terms, k=10).collect()
+        ]
+        assert got == want, terms
+
+
+def test_index_query_reads_self_described_bucket_count(spark, tmp_path):
+    # the modulus is read from the corpus row — a build with an unusual
+    # n_buckets serves correctly without the caller re-stating it
+    df = _docs(spark)
+    path = str(tmp_path / "idx3")
+    build_text_index(df, "doc_id", path, n_buckets=3)
+    want = [
+        (r["doc"], r["score_micro"])
+        for r in bm25_topk(df, "doc_id", ["spark"], k=10).collect()
+    ]
+    got = [
+        (r["doc"], r["score_micro"])
+        for r in bm25_index_topk(spark, path, ["spark"], k=10).collect()
+    ]
+    assert got == want
+
+
+def test_index_absent_terms(spark, tmp_path):
+    df = _docs(spark)
+    path = str(tmp_path / "idx2")
+    build_text_index(df, "doc_id", path, n_buckets=8)
+    # all-absent → empty frame with the stable output schema
+    out = bm25_index_topk(spark, path, ["zzzmissing"], k=10)
+    assert out.columns == ["doc", "n_hits", "score_micro"]
+    assert out.count() == 0
+    # mixed present/absent → identical to the corpus scan on the same query
+    terms = ["spark", "zzzmissing"]
+    want = [
+        (r["doc"], r["n_hits"], r["score_micro"])
+        for r in bm25_topk(df, "doc_id", terms, k=10).collect()
+    ]
+    got = [
+        (r["doc"], r["n_hits"], r["score_micro"])
+        for r in bm25_index_topk(spark, path, terms, k=10).collect()
+    ]
+    assert got == want
+    with pytest.raises(ValueError):
+        bm25_index_topk(spark, path, [], k=10)
+
+
+def test_index_scan_prunes_buckets_and_pushes_terms(spark, tmp_path):
+    df = _docs(spark)
+    path = str(tmp_path / "idx4")
+    build_text_index(df, "doc_id", path, n_buckets=64)
+    top = bm25_index_topk(spark, path, ["spark", "hash"], k=5)
+    plan = _formatted(top)
+    # bucket pruning happens at file listing: _bucket isin sits in
+    # PartitionFilters, not in a post-scan Filter
+    assert "PartitionFilters" in plan
+    seg = plan[plan.index("PartitionFilters") :].splitlines()[0]
+    assert "_bucket" in seg and ("IN (" in seg or "in(" in seg.lower()), seg
+    # the term IN filter reaches the parquet reader (row-group pruning
+    # against the sortWithinPartitions("term") clustering)
+    pushed = [
+        line
+        for line in plan.splitlines()
+        if "PushedFilters" in line and "term" in line
+    ]
+    assert pushed, plan
+    # top-k is TakeOrderedAndProject, never a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_index_corpus_stats_row(spark, tmp_path):
+    df = _docs(spark)
+    path = str(tmp_path / "idx5")
+    build_text_index(df, "doc_id", path, n_buckets=8)
+    row = spark.read.parquet(f"{path}/corpus").first()
+    n_tokens = sum(len(t.split()) for _, t in DOCS)
+    assert row["n_docs"] == len(DOCS)
+    assert row["total_tokens"] == n_tokens
+    assert row["n_buckets"] == 8
+    # postings carry the denormalized dl: no doc-length join at query time
+    post = spark.read.parquet(f"{path}/postings")
+    assert set(post.columns) == {"term", "doc", "dl", "tf", "_bucket"}
+    dl7 = post.where(F.col("doc") == 7).select("dl").distinct().collect()
+    assert [r["dl"] for r in dl7] == [3]

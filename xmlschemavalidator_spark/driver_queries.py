@@ -6003,6 +6003,41 @@ def text_bm25_topk(spark, sf_dir):
 _ORACLES["text_bm25_topk"] = _bm25_oracle()
 
 
+@q("text_bm25_index_topk", None)  # oracle attached below (same SQL builder)
+def text_bm25_index_topk(spark, sf_dir):
+    """BM25 served FROM a persisted inverted index (textindex.py):
+    build_text_index writes term-bucketed postings with the doc length
+    DENORMALIZED into every row (no doc-dimension join at query time);
+    bm25_index_topk then lists only the probed _bucket= directories
+    (PartitionFilters) and pushes term IN to row groups. Scoring is the
+    exact integer BM25 of textops.bm25_topk, so the index-served top-10
+    hash-matches the same DuckDB replay the from-scratch scan uses."""
+    import shutil
+    import tempfile
+
+    from xmlschemavalidator_spark.textindex import (
+        bm25_index_topk,
+        build_text_index,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="textidx_")
+    try:
+        docs = _t(spark, sf_dir, "documents")
+        build_text_index(docs, "doc_id", f"{tmp}/idx", n_buckets=16)
+        topk = bm25_index_topk(spark, f"{tmp}/idx", _BM25_TERMS, k=10)
+        # materialize before the tmpdir vanishes (the driver collects
+        # the returned frame later)
+        return spark.createDataFrame(
+            [(r["doc"], r["n_hits"], r["score_micro"]) for r in topk.collect()],
+            "doc bigint, n_hits bigint, score_micro bigint",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_ORACLES["text_bm25_index_topk"] = _bm25_oracle()
+
+
 def _pmi_oracle() -> str:
     from xmlschemavalidator_spark.textops import token_pmi_topk_sql
 

@@ -1,0 +1,204 @@
+"""Persisted inverted text index + BM25 query — the retrieval layer a
+validated web corpus serves from (the text-side sibling of
+similarity.py's persisted IVF index; reference scope: the dataset-level
+ops the reference's declarative checks imply once the corpus is
+query-served — see SURVEY.md §2.7/§2.10).
+
+Layout under ``<path>/``:
+
+* ``postings/_bucket=<b>/`` — ``(term, doc, dl, tf)``. dl (doc length in
+  tokens) is DENORMALIZED into every posting row (classic search-index
+  design) so query-time scoring needs NO join against a per-doc length
+  table — at 10^12 docs that join would shuffle the full doc dimension
+  for a 3-term query.
+* ``stats/_bucket=<b>/`` — ``(term, df)`` document frequencies,
+  bucket-partitioned like the postings so a query reads only its own
+  buckets.
+* ``corpus/`` — one row ``(n_docs, total_tokens, n_buckets)``. Writing
+  ``n_buckets`` into the index makes the term→bucket hash
+  self-describing: a reader can never prune with a different modulus
+  than the build used.
+
+Buckets are ``pmod(xxhash64(term), n_buckets)`` — stable across Spark
+sessions, so an index written once serves any later reader. A query for
+q terms lists at most q of the n_buckets partition directories
+(``_bucket isin`` lands in PartitionFilters — pruning happens at file
+listing, before any IO) and pushes ``term IN (...)`` down to parquet
+row groups (postings are sorted by term within each bucket file, so
+min/max statistics make that pushdown selective).
+
+Scoring is the EXACT integer BM25 of :func:`textops.bm25_topk` (same
+rational k1/b multiplied through, same floor'd micro idf, same DECIMAL
+``div``), so an index-served top-k is bit-identical to the from-scratch
+corpus scan — the driver query's oracle replays it from the raw
+documents table in DuckDB via :func:`textops.bm25_topk_sql`. One
+documented edge: zero-token docs carry no postings, so they don't count
+toward N/S here (matching the DuckDB replay; ``bm25_topk``'s in-memory
+stats pass counts them — indistinguishable on any corpus without empty
+documents, and empty docs score 0 under BM25 regardless).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xmlschemavalidator_spark.textops import tokens
+
+__all__ = ["build_text_index", "bm25_index_topk"]
+
+
+def build_text_index(
+    df: DataFrame,
+    id_col: str,
+    path: str,
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> None:
+    """Write the inverted index for ``df`` under ``path``.
+
+    Scale shape: ONE corpus scan — dl rides the projection ahead of the
+    explode (size() of the let-bound token array), so the (term, doc)
+    groupBy is the only corpus-wide shuffle. The stats and corpus aggs
+    then read the already-written postings parquet (tiny next to the
+    source text). The ``_bucket`` column makes the write a partitioned
+    layout, and ``sortWithinPartitions("term")`` clusters each file by
+    term so query-time ``term IN`` pushdown prunes row groups.
+    """
+    spark = df.sparkSession
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.filter(
+            tokens(F.lower(F.col(text_col))), lambda t: F.length(t) > 0
+        ).alias("_toks"),
+    )
+    exploded = toks.select(
+        "doc",
+        F.size("_toks").cast("bigint").alias("dl"),
+        F.explode("_toks").alias("term"),
+    )
+    postings = exploded.groupBy("term", "doc", "dl").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    bucketed = postings.withColumn(
+        "_bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
+    )
+    bucketed.repartition("_bucket").sortWithinPartitions("term").write.mode(
+        "overwrite"
+    ).partitionBy("_bucket").parquet(f"{path}/postings")
+    written = spark.read.parquet(f"{path}/postings")
+    stats = written.groupBy("_bucket", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    stats.write.mode("overwrite").partitionBy("_bucket").parquet(
+        f"{path}/stats"
+    )
+    corpus = (
+        written.groupBy("doc")
+        .agg(F.first("dl").alias("dl"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("dl").cast("bigint").alias("total_tokens"),
+            F.lit(n_buckets).cast("int").alias("n_buckets"),
+        )
+    )
+    corpus.coalesce(1).write.mode("overwrite").parquet(f"{path}/corpus")
+
+
+def _term_buckets(
+    spark: SparkSession, terms: list[str], n_buckets: int
+) -> dict[str, int]:
+    """Bucket id per query term — computed BY SPARK (one local-only job
+    over a literal frame) so the probe can never drift from the
+    xxhash64 the index was written with (no Python reimplementation of
+    the JVM hash to keep in sync)."""
+    tdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    rows = tdf.select(
+        "term", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("b")
+    ).collect()
+    return {r["term"]: int(r["b"]) for r in rows}
+
+
+def bm25_index_topk(
+    spark: SparkSession,
+    path: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1_20: int = 24,
+    b_20: int = 15,
+) -> DataFrame:
+    """Top-``k`` docs for ``query_terms`` served FROM the index —
+    ``(doc, n_hits, score_micro)`` ranked score desc then doc asc,
+    bit-identical to :func:`textops.bm25_topk` over the source corpus
+    (same integer num/den, DECIMAL(38,0) ``div``, floor'd micro idf;
+    see textops.py:1346 for the arithmetic derivation).
+
+    Scale shape: the corpus row and the ≤|query| stats rows are the only
+    driver collects (both O(query), never O(corpus)). The postings scan
+    lists only the probed ``_bucket=`` directories (PartitionFilters)
+    and pushes ``term IN`` to row groups; scoring is one partial-agg
+    groupBy over the posting rows of the query terms (inherently tiny
+    next to the corpus), then TakeOrderedAndProject — no global sort."""
+    terms = sorted({t.lower() for t in query_terms})
+    if not terms:
+        raise ValueError("bm25_index_topk: empty query")
+    crow = spark.read.parquet(f"{path}/corpus").first()
+    n, s = int(crow["n_docs"]), int(crow["total_tokens"])
+    n_buckets = int(crow["n_buckets"])
+    buckets = sorted(set(_term_buckets(spark, terms, n_buckets).values()))
+    stats = (
+        spark.read.parquet(f"{path}/stats")
+        .where(F.col("_bucket").isin(buckets) & F.col("term").isin(terms))
+        .collect()
+    )
+    dfreq = {r["term"]: int(r["df"]) for r in stats}
+    idf_micro = {
+        t: math.floor(
+            math.log((n - dfreq[t] + 0.5) / (dfreq[t] + 0.5) + 1.0)
+            * 1_000_000.0
+        )
+        for t in terms
+        if t in dfreq
+    }
+    post = spark.read.parquet(f"{path}/postings")
+    if not idf_micro:
+        # no query term exists in the corpus → empty result with the
+        # index's own doc type (id column types vary by source table)
+        return post.select(
+            "doc",
+            F.lit(0).cast("bigint").alias("n_hits"),
+            F.lit(0).cast("bigint").alias("score_micro"),
+        ).limit(0)
+    hit_terms = sorted(idf_micro)
+    post = post.where(
+        F.col("_bucket").isin(buckets) & F.col("term").isin(hit_terms)
+    )
+    idf_col = F.lit(None).cast("bigint")
+    for t in hit_terms:
+        idf_col = F.when(F.col("term") == F.lit(t), F.lit(idf_micro[t])).otherwise(
+            idf_col
+        )
+    d38 = "DECIMAL(38,0)"
+    num = f"(CAST({20 * (k1_20 + 20) * s} AS {d38}) * CAST(tf AS {d38}))"
+    den = (
+        f"(CAST({400 * s} AS {d38}) * CAST(tf AS {d38})"
+        f" + CAST({k1_20 * (20 - b_20) * s} AS {d38})"
+        f" + CAST({k1_20 * b_20 * n} AS {d38}) * CAST(dl AS {d38}))"
+    )
+    scored = (
+        post.withColumn("_idf", idf_col)
+        .select(
+            "doc",
+            F.expr(f"(CAST(_idf AS {d38}) * {num}) div {den}").alias("_ts"),
+        )
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.sum("_ts").cast("bigint").alias("score_micro"),
+        )
+    )
+    return scored.orderBy(
+        F.col("score_micro").desc(), F.col("doc").asc()
+    ).limit(k)
