@@ -12,7 +12,12 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from xmlschemavalidator_spark.textindex import build_text_index, bm25_index_topk
+from xmlschemavalidator_spark.textindex import (
+    bm25_index_topk,
+    build_text_index,
+    phrase_index_topk,
+    phrase_topk_sql,
+)
 from xmlschemavalidator_spark.textops import bm25_topk
 
 DOCS = [
@@ -116,6 +121,94 @@ def test_index_scan_prunes_buckets_and_pushes_terms(spark, tmp_path):
     assert pushed, plan
     # top-k is TakeOrderedAndProject, never a global sort
     assert "TakeOrderedAndProject" in plan
+
+
+def _phrase_py(docs, phrase):
+    """Independent pure-Python replay: exact consecutive-sequence count
+    per doc — the index-served query must match exactly."""
+    phrase = [t.lower() for t in phrase]
+    out = {}
+    for i, text in docs:
+        ts = text.lower().split()
+        c = sum(
+            1
+            for a in range(len(ts) - len(phrase) + 1)
+            if ts[a : a + len(phrase)] == phrase
+        )
+        if c:
+            out[i] = c
+    return out
+
+
+def test_phrase_query_matches_python_replay(spark, tmp_path):
+    docs = DOCS + [
+        (8, "table hash table hash table"),  # overlapping bigram x2
+        (9, "hash hash hash"),  # repeated-term phrase fodder
+        (10, "spark table hash join spark table hash"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    path = str(tmp_path / "pidx")
+    build_text_index(df, "doc_id", path, n_buckets=8, positions=True)
+    for phrase in (
+        ["table", "hash"],
+        ["hash", "hash"],
+        ["spark", "table", "hash"],
+        ["table"],
+        ["zzz", "table"],
+    ):
+        got = {
+            r["doc"]: r["n_occurrences"]
+            for r in phrase_index_topk(spark, path, phrase, k=20).collect()
+        }
+        assert got == _phrase_py(docs, phrase), phrase
+    with pytest.raises(ValueError):
+        phrase_index_topk(spark, path, [], k=5)
+
+
+def test_phrase_query_requires_positional_build(spark, tmp_path):
+    df = _docs(spark)
+    path = str(tmp_path / "npidx")
+    build_text_index(df, "doc_id", path, n_buckets=8)  # no positions
+    with pytest.raises(ValueError, match="positions"):
+        phrase_index_topk(spark, path, ["table", "hash"], k=5)
+
+
+def test_positional_index_still_serves_bm25(spark, tmp_path):
+    # one index, both query kinds: BM25 from a positional build is
+    # bit-identical to the corpus scan (column pruning skips positions)
+    df = _docs(spark)
+    path = str(tmp_path / "bidx")
+    build_text_index(df, "doc_id", path, n_buckets=8, positions=True)
+    want = [
+        (r["doc"], r["score_micro"])
+        for r in bm25_topk(df, "doc_id", ["spark", "hash"], k=10).collect()
+    ]
+    got = [
+        (r["doc"], r["score_micro"])
+        for r in bm25_index_topk(spark, path, ["spark", "hash"], k=10).collect()
+    ]
+    assert got == want
+
+
+def test_phrase_oracle_sql_parity(spark, tmp_path):
+    import duckdb
+
+    docs = DOCS + [(8, "table hash table hash table")]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    path = str(tmp_path / "oidx")
+    build_text_index(df, "doc_id", path, n_buckets=8, positions=True)
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        __import__("pandas").DataFrame(docs, columns=["doc_id", "text"]),
+    )
+    for phrase in (["table", "hash"], ["hash", "hash", "hash"]):
+        want = con.execute(phrase_topk_sql(phrase, k=20)).fetchall()
+        got = [
+            (r["doc"], r["n_occurrences"])
+            for r in phrase_index_topk(spark, path, phrase, k=20).collect()
+        ]
+        assert got == [(int(d), int(c)) for d, c in want], phrase
 
 
 def test_index_corpus_stats_row(spark, tmp_path):

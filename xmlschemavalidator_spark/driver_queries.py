@@ -6038,6 +6038,48 @@ def text_bm25_index_topk(spark, sf_dir):
 _ORACLES["text_bm25_index_topk"] = _bm25_oracle()
 
 
+def _phrase_oracle() -> str:
+    from xmlschemavalidator_spark.textindex import phrase_topk_sql
+
+    return phrase_topk_sql(["table", "hash"], k=10)
+
+
+@q("text_phrase_index_topk", None)  # oracle attached below
+def text_phrase_index_topk(spark, sf_dir):
+    """Exact-phrase retrieval from the positional index: token position
+    p of the phrase's i-th term votes for anchor p-i; an anchor covered
+    by all offsets is one occurrence (repeated phrase terms fall out of
+    the same logic). The query reads only the phrase terms' _bucket=
+    directories; the anchor groupBy is bounded by those terms' corpus
+    frequency. Oracle replays the anchor/offset coverage from the raw
+    table in DuckDB — 'table hash' occurs 48x at sf0.01, so the top-10
+    and its tie-break order carry real signal."""
+    import shutil
+    import tempfile
+
+    from xmlschemavalidator_spark.textindex import (
+        build_text_index,
+        phrase_index_topk,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="phridx_")
+    try:
+        docs = _t(spark, sf_dir, "documents")
+        build_text_index(
+            docs, "doc_id", f"{tmp}/idx", n_buckets=16, positions=True
+        )
+        topk = phrase_index_topk(spark, f"{tmp}/idx", ["table", "hash"], k=10)
+        return spark.createDataFrame(
+            [(r["doc"], r["n_occurrences"]) for r in topk.collect()],
+            "doc bigint, n_occurrences bigint",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_ORACLES["text_phrase_index_topk"] = _phrase_oracle()
+
+
 def _pmi_oracle() -> str:
     from xmlschemavalidator_spark.textops import token_pmi_topk_sql
 

@@ -47,7 +47,12 @@ from pyspark.sql import functions as F
 
 from xmlschemavalidator_spark.textops import tokens
 
-__all__ = ["build_text_index", "bm25_index_topk"]
+__all__ = [
+    "build_text_index",
+    "bm25_index_topk",
+    "phrase_index_topk",
+    "phrase_topk_sql",
+]
 
 
 def build_text_index(
@@ -56,6 +61,7 @@ def build_text_index(
     path: str,
     text_col: str = "text",
     n_buckets: int = 64,
+    positions: bool = False,
 ) -> None:
     """Write the inverted index for ``df`` under ``path``.
 
@@ -66,6 +72,12 @@ def build_text_index(
     source text). The ``_bucket`` column makes the write a partitioned
     layout, and ``sortWithinPartitions("term")`` clusters each file by
     term so query-time ``term IN`` pushdown prunes row groups.
+
+    ``positions=True`` adds a sorted ``positions array<int>`` column to
+    every posting (token offsets within the doc) — the classic
+    positional-postings layout :func:`phrase_index_topk` needs. BM25
+    serving is unaffected either way (parquet column pruning skips the
+    array), so one positional index serves both query kinds.
     """
     spark = df.sparkSession
     toks = df.select(
@@ -77,10 +89,15 @@ def build_text_index(
     exploded = toks.select(
         "doc",
         F.size("_toks").cast("bigint").alias("dl"),
-        F.explode("_toks").alias("term"),
+        F.posexplode("_toks").alias("pos", "term"),
+    )
+    pos_aggs = (
+        [F.sort_array(F.collect_list("pos")).alias("positions")]
+        if positions
+        else []
     )
     postings = exploded.groupBy("term", "doc", "dl").agg(
-        F.count(F.lit(1)).alias("tf")
+        F.count(F.lit(1)).alias("tf"), *pos_aggs
     )
     bucketed = postings.withColumn(
         "_bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
@@ -202,3 +219,97 @@ def bm25_index_topk(
     return scored.orderBy(
         F.col("score_micro").desc(), F.col("doc").asc()
     ).limit(k)
+
+
+def phrase_index_topk(
+    spark: SparkSession,
+    path: str,
+    phrase_terms: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """Docs containing the exact consecutive ``phrase_terms`` sequence,
+    served from a positional index — ``(doc, n_occurrences)`` ranked
+    occurrences desc then doc asc.
+
+    Match logic (anchor/offset coverage): token position p of the
+    phrase's i-th term votes for anchor ``p - i``; an anchor covered by
+    ALL phrase offsets is one occurrence. Handles repeated terms in the
+    phrase ("hash hash") for free — each offset must be covered
+    independently at its own position.
+
+    Scale shape: reads only the probed ``_bucket=`` directories of the
+    phrase's terms (PartitionFilters + term IN pushdown). The anchor
+    groupBy runs over the exploded positions of the QUERY terms only —
+    bounded by those terms' corpus frequency, never the corpus — with
+    map-side partial aggregation; top-k is TakeOrderedAndProject."""
+    terms = [t.lower() for t in phrase_terms]
+    if not terms:
+        raise ValueError("phrase_index_topk: empty phrase")
+    crow = spark.read.parquet(f"{path}/corpus").first()
+    n_buckets = int(crow["n_buckets"])
+    uniq = sorted(set(terms))
+    buckets = sorted(set(_term_buckets(spark, uniq, n_buckets).values()))
+    post = spark.read.parquet(f"{path}/postings")
+    if "positions" not in post.columns:
+        raise ValueError(
+            "phrase_index_topk: index was built without positions=True"
+        )
+    post = post.where(
+        F.col("_bucket").isin(buckets) & F.col("term").isin(uniq)
+    ).select("doc", "term", "positions")
+    offsets = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(terms)], "i int, term string"
+    )
+    hits = (
+        post.join(F.broadcast(offsets), "term")
+        .select("doc", "i", F.explode("positions").alias("pos"))
+        .select("doc", "i", (F.col("pos") - F.col("i")).alias("anchor"))
+        .where(F.col("anchor") >= 0)
+    )
+    occ = (
+        hits.groupBy("doc", "anchor")
+        .agg(F.countDistinct("i").alias("_nofs"))
+        .where(F.col("_nofs") == len(terms))
+    )
+    out = occ.groupBy("doc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences")
+    )
+    return out.orderBy(
+        F.col("n_occurrences").desc(), F.col("doc").asc()
+    ).limit(k)
+
+
+def phrase_topk_sql(
+    phrase_terms: list[str],
+    k: int = 10,
+    table: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB replay of :func:`phrase_index_topk` from the raw corpus
+    table — same anchor/offset coverage logic over lockstep
+    unnest/generate_subscripts positions (1-based there vs posexplode's
+    0-based here; anchors are engine-internal so the shift cancels)."""
+    terms = [t.lower() for t in phrase_terms]
+    ws = "[ \\t\\n\\x0b\\f\\r]+"
+    vals = ", ".join(
+        f"({i}, '" + t.replace("'", "''") + "')" for i, t in enumerate(terms)
+    )
+    return f"""WITH arr AS (
+  SELECT {id_col} AS doc,
+         list_filter(regexp_split_to_array(trim(coalesce(text, '')), '{ws}'),
+                     x -> x <> '') AS a
+  FROM {table}
+), toks AS (
+  SELECT doc, lower(unnest(a)) AS term, generate_subscripts(a, 1) AS pos
+  FROM arr
+), hits AS (
+  SELECT doc, o.i, pos - o.i AS anchor
+  FROM toks JOIN (VALUES {vals}) AS o(i, term) USING (term)
+  WHERE pos - o.i >= 1
+), occ AS (
+  SELECT doc, anchor FROM hits
+  GROUP BY doc, anchor HAVING count(DISTINCT i) = {len(terms)}
+)
+SELECT doc, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM occ GROUP BY doc
+ORDER BY n_occurrences DESC, doc ASC LIMIT {k}"""
