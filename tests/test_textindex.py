@@ -13,6 +13,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from xmlschemavalidator_spark.textindex import (
+    append_text_index,
     bm25_index_topk,
     build_text_index,
     phrase_index_topk,
@@ -211,6 +212,74 @@ def test_phrase_oracle_sql_parity(spark, tmp_path):
         assert got == [(int(d), int(c)) for d, c in want], phrase
 
 
+def test_append_batches_equal_full_rebuild(spark, tmp_path):
+    """Incremental maintenance: build on batch 1, append batch 2 → BM25
+    and phrase results are bit-identical to a from-scratch scan of the
+    full corpus (df/N/S sum correctly across batch dirs)."""
+    half1, half2 = DOCS[:4], DOCS[4:]
+    d1 = spark.createDataFrame(half1, "doc_id bigint, text string")
+    d2 = spark.createDataFrame(half2, "doc_id bigint, text string")
+    full = spark.createDataFrame(DOCS, "doc_id bigint, text string")
+    path = str(tmp_path / "incidx")
+    build_text_index(d1, "doc_id", path, n_buckets=8, positions=True)
+    append_text_index(d2, "doc_id", path, batch_id="00001")
+    want = [
+        (r["doc"], r["n_hits"], r["score_micro"])
+        for r in bm25_topk(full, "doc_id", ["spark", "hash"], k=10).collect()
+    ]
+    got = [
+        (r["doc"], r["n_hits"], r["score_micro"])
+        for r in bm25_index_topk(spark, path, ["spark", "hash"], k=10).collect()
+    ]
+    assert got == want
+    ph = {
+        r["doc"]: r["n_occurrences"]
+        for r in phrase_index_topk(spark, path, ["hash", "hash"], k=20).collect()
+    }
+    assert ph == _phrase_py(DOCS, ["hash", "hash"])
+
+
+def test_append_guards(spark, tmp_path):
+    d = _docs(spark)
+    path = str(tmp_path / "gidx")
+    build_text_index(d, "doc_id", path, n_buckets=8)
+    # re-appending the committed initial batch is refused (identity is
+    # the _batch dir name, read back as STRING — 00000 stays 00000)
+    with pytest.raises(ValueError, match="already committed"):
+        append_text_index(d, "doc_id", path, batch_id="00000")
+    with pytest.raises(ValueError, match="bad batch_id"):
+        append_text_index(d, "doc_id", path, batch_id="a/b")
+    # an appended batch inherits the build's layout: no positions here
+    d2 = spark.createDataFrame([(100, "hash spark")], "doc_id bigint, text string")
+    append_text_index(d2, "doc_id", path, batch_id="00001")
+    post = spark.read.parquet(f"{path}/postings")
+    assert "positions" not in post.columns
+    assert {r["_batch"] for r in post.select("_batch").distinct().collect()} == {
+        "00000",
+        "00001",
+    } or {str(r["_batch"]) for r in post.select("_batch").distinct().collect()} == {
+        "0",
+        "1",
+    }
+
+
+def test_append_empty_batch_is_harmless(spark, tmp_path):
+    d = _docs(spark)
+    path = str(tmp_path / "eidx")
+    build_text_index(d, "doc_id", path, n_buckets=8)
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    append_text_index(empty, "doc_id", path, batch_id="00001")
+    want = [
+        (r["doc"], r["score_micro"])
+        for r in bm25_topk(d, "doc_id", ["spark"], k=10).collect()
+    ]
+    got = [
+        (r["doc"], r["score_micro"])
+        for r in bm25_index_topk(spark, path, ["spark"], k=10).collect()
+    ]
+    assert got == want
+
+
 def test_index_corpus_stats_row(spark, tmp_path):
     df = _docs(spark)
     path = str(tmp_path / "idx5")
@@ -222,6 +291,6 @@ def test_index_corpus_stats_row(spark, tmp_path):
     assert row["n_buckets"] == 8
     # postings carry the denormalized dl: no doc-length join at query time
     post = spark.read.parquet(f"{path}/postings")
-    assert set(post.columns) == {"term", "doc", "dl", "tf", "_bucket"}
+    assert set(post.columns) == {"term", "doc", "dl", "tf", "_bucket", "_batch"}
     dl7 = post.where(F.col("doc") == 7).select("dl").distinct().collect()
     assert [r["dl"] for r in dl7] == [3]

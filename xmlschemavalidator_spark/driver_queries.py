@@ -6080,6 +6080,50 @@ def text_phrase_index_topk(spark, sf_dir):
 _ORACLES["text_phrase_index_topk"] = _phrase_oracle()
 
 
+@q("text_index_incremental", None)  # oracle attached below
+def text_index_incremental(spark, sf_dir):
+    """Incremental index maintenance: build on even doc_ids, fold the odd
+    half in with append_text_index (per-_batch= dirs; df/N/S summed by
+    the reader, committed batches untouched — the daily-crawl shape a
+    10^12-doc index needs), then serve BM25. The result must hash-match
+    the SAME full-corpus DuckDB replay as the one-shot build — the merge
+    is invisible to the query."""
+    import shutil
+    import tempfile
+
+    from xmlschemavalidator_spark.textindex import (
+        append_text_index,
+        bm25_index_topk,
+        build_text_index,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="incidx_")
+    try:
+        docs = _t(spark, sf_dir, "documents")
+        build_text_index(
+            docs.where(F.col("doc_id") % 2 == 0),
+            "doc_id",
+            f"{tmp}/idx",
+            n_buckets=16,
+        )
+        append_text_index(
+            docs.where(F.col("doc_id") % 2 == 1),
+            "doc_id",
+            f"{tmp}/idx",
+            batch_id="00001",
+        )
+        topk = bm25_index_topk(spark, f"{tmp}/idx", _BM25_TERMS, k=10)
+        return spark.createDataFrame(
+            [(r["doc"], r["n_hits"], r["score_micro"]) for r in topk.collect()],
+            "doc bigint, n_hits bigint, score_micro bigint",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_ORACLES["text_index_incremental"] = _bm25_oracle()
+
+
 def _pmi_oracle() -> str:
     from xmlschemavalidator_spark.textops import token_pmi_topk_sql
 

@@ -4,20 +4,24 @@ similarity.py's persisted IVF index; reference scope: the dataset-level
 ops the reference's declarative checks imply once the corpus is
 query-served — see SURVEY.md §2.7/§2.10).
 
-Layout under ``<path>/``:
+Layout under ``<path>/`` (every top-level dir is batch-structured —
+``_batch=<id>/`` — so :func:`append_text_index` folds a new crawl batch
+in without touching committed batches, and a failed batch retry
+overwrites exactly its own dirs):
 
-* ``postings/_bucket=<b>/`` — ``(term, doc, dl, tf)``. dl (doc length in
-  tokens) is DENORMALIZED into every posting row (classic search-index
-  design) so query-time scoring needs NO join against a per-doc length
-  table — at 10^12 docs that join would shuffle the full doc dimension
-  for a 3-term query.
-* ``stats/_bucket=<b>/`` — ``(term, df)`` document frequencies,
-  bucket-partitioned like the postings so a query reads only its own
-  buckets.
-* ``corpus/`` — one row ``(n_docs, total_tokens, n_buckets)``. Writing
-  ``n_buckets`` into the index makes the term→bucket hash
-  self-describing: a reader can never prune with a different modulus
-  than the build used.
+* ``postings/_batch=<id>/_bucket=<b>/`` — ``(term, doc, dl, tf
+  [, positions])``. dl (doc length in tokens) is DENORMALIZED into
+  every posting row (classic search-index design) so query-time scoring
+  needs NO join against a per-doc length table — at 10^12 docs that
+  join would shuffle the full doc dimension for a 3-term query.
+* ``stats/_batch=<id>/_bucket=<b>/`` — ``(term, df)`` document
+  frequencies, bucket-partitioned like the postings so a query reads
+  only its own buckets; readers SUM df across batches (new docs only —
+  re-crawls collapse upstream via snapshot_dedup).
+* ``corpus/_batch=<id>/`` — one row ``(n_docs, total_tokens,
+  n_buckets)`` per batch. Writing ``n_buckets`` into the index makes
+  the term→bucket hash self-describing: a reader can never prune with
+  a different modulus than the build used.
 
 Buckets are ``pmod(xxhash64(term), n_buckets)`` — stable across Spark
 sessions, so an index written once serves any later reader. A query for
@@ -49,10 +53,19 @@ from xmlschemavalidator_spark.textops import tokens
 
 __all__ = [
     "build_text_index",
+    "append_text_index",
     "bm25_index_topk",
     "phrase_index_topk",
     "phrase_topk_sql",
 ]
+
+
+_BATCH_ID_OK = r"^[A-Za-z0-9_\-]+$"
+
+# explicit corpus schema: the _batch partition column is declared STRING —
+# type inference would read _batch=00000 as int 0 and break the
+# committed-batch identity check (dir names ARE batch identity)
+_CORPUS_SCHEMA = "n_docs bigint, total_tokens bigint, n_buckets int, _batch string"
 
 
 def build_text_index(
@@ -62,6 +75,7 @@ def build_text_index(
     text_col: str = "text",
     n_buckets: int = 64,
     positions: bool = False,
+    batch_id: str = "00000",
 ) -> None:
     """Write the inverted index for ``df`` under ``path``.
 
@@ -78,7 +92,72 @@ def build_text_index(
     positional-postings layout :func:`phrase_index_topk` needs. BM25
     serving is unaffected either way (parquet column pruning skips the
     array), so one positional index serves both query kinds.
-    """
+
+    The index is batch-structured from day one (``_batch=<id>/``
+    directories, the dedup-store precedent): later document batches are
+    folded in with :func:`append_text_index` — no rebuild — and readers
+    sum the per-batch stats/corpus rows (cost O(query terms), never
+    O(index)). At 10^12 docs a daily crawl batch touches only its own
+    directories; re-running a failed batch overwrites exactly that
+    batch's dirs (output-first idempotence)."""
+    _write_index_batch(
+        df, id_col, path, text_col, n_buckets, positions, batch_id
+    )
+
+
+def append_text_index(
+    df: DataFrame,
+    id_col: str,
+    path: str,
+    batch_id: str,
+    text_col: str = "text",
+) -> None:
+    """Fold a NEW batch of documents into an existing index at ``path``.
+
+    ``n_buckets`` and the positional layout are read from the index
+    itself (never restated by the caller — the probe hash cannot
+    drift). Docs are assumed new: an update/re-crawl stream must be
+    collapsed upstream (snapshot_dedup) before indexing, else df/N/S
+    double-count. A ``batch_id`` already present raises — retrying a
+    FAILED batch is safe (its dirs are overwritten wholesale), retrying
+    a committed one is refused rather than silently double-counted."""
+    import re
+
+    if not re.match(_BATCH_ID_OK, str(batch_id)):
+        raise ValueError(f"append_text_index: bad batch_id {batch_id!r}")
+    spark = df.sparkSession
+    meta = spark.read.schema(_CORPUS_SCHEMA).parquet(f"{path}/corpus")
+    n_buckets_vals = [
+        int(r["n_buckets"]) for r in meta.select("n_buckets").distinct().collect()
+    ]
+    if len(n_buckets_vals) != 1:
+        raise ValueError(
+            f"append_text_index: inconsistent n_buckets {n_buckets_vals}"
+        )
+    existing = {r["_batch"] for r in meta.select("_batch").distinct().collect()}
+    if str(batch_id) in existing:
+        raise ValueError(
+            f"append_text_index: batch {batch_id!r} already committed"
+        )
+    positions = "positions" in spark.read.parquet(f"{path}/postings").columns
+    _write_index_batch(
+        df, id_col, path, text_col, n_buckets_vals[0], positions, batch_id
+    )
+
+
+def _write_index_batch(
+    df: DataFrame,
+    id_col: str,
+    path: str,
+    text_col: str,
+    n_buckets: int,
+    positions: bool,
+    batch_id: str,
+) -> None:
+    import re
+
+    if not re.match(_BATCH_ID_OK, str(batch_id)):
+        raise ValueError(f"text index: bad batch_id {batch_id!r}")
     spark = df.sparkSession
     toks = df.select(
         F.col(id_col).alias("doc"),
@@ -102,26 +181,48 @@ def build_text_index(
     bucketed = postings.withColumn(
         "_bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
     )
+    post_dir = f"{path}/postings/_batch={batch_id}"
     bucketed.repartition("_bucket").sortWithinPartitions("term").write.mode(
         "overwrite"
-    ).partitionBy("_bucket").parquet(f"{path}/postings")
-    written = spark.read.parquet(f"{path}/postings")
+    ).partitionBy("_bucket").parquet(post_dir)
+    # read back the WRITTEN postings (tiny next to the source text) so the
+    # stats/corpus aggs never re-run the corpus-wide explode; the explicit
+    # schema keeps an all-empty batch readable (part-less dir)
+    written = spark.read.schema(bucketed.schema).parquet(post_dir)
     stats = written.groupBy("_bucket", "term").agg(
         F.count(F.lit(1)).cast("bigint").alias("df")
     )
     stats.write.mode("overwrite").partitionBy("_bucket").parquet(
-        f"{path}/stats"
+        f"{path}/stats/_batch={batch_id}"
     )
     corpus = (
         written.groupBy("doc")
         .agg(F.first("dl").alias("dl"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum("dl").cast("bigint").alias("total_tokens"),
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias(
+                "total_tokens"
+            ),
             F.lit(n_buckets).cast("int").alias("n_buckets"),
         )
     )
-    corpus.coalesce(1).write.mode("overwrite").parquet(f"{path}/corpus")
+    corpus.coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/corpus/_batch={batch_id}"
+    )
+
+
+def _read_corpus(spark: SparkSession, path: str) -> tuple[int, int, int]:
+    """(n_docs, total_tokens, n_buckets) summed across committed batches;
+    refuses an index whose batches disagree on the bucket modulus."""
+    rows = spark.read.schema(_CORPUS_SCHEMA).parquet(f"{path}/corpus").collect()
+    moduli = {int(r["n_buckets"]) for r in rows}
+    if len(moduli) != 1:
+        raise ValueError(f"text index: inconsistent n_buckets {sorted(moduli)}")
+    return (
+        sum(int(r["n_docs"]) for r in rows),
+        sum(int(r["total_tokens"]) for r in rows),
+        moduli.pop(),
+    )
 
 
 def _term_buckets(
@@ -161,13 +262,13 @@ def bm25_index_topk(
     terms = sorted({t.lower() for t in query_terms})
     if not terms:
         raise ValueError("bm25_index_topk: empty query")
-    crow = spark.read.parquet(f"{path}/corpus").first()
-    n, s = int(crow["n_docs"]), int(crow["total_tokens"])
-    n_buckets = int(crow["n_buckets"])
+    n, s, n_buckets = _read_corpus(spark, path)
     buckets = sorted(set(_term_buckets(spark, terms, n_buckets).values()))
     stats = (
         spark.read.parquet(f"{path}/stats")
         .where(F.col("_bucket").isin(buckets) & F.col("term").isin(terms))
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))  # one df partial per batch → summed
         .collect()
     )
     dfreq = {r["term"]: int(r["df"]) for r in stats}
@@ -245,8 +346,7 @@ def phrase_index_topk(
     terms = [t.lower() for t in phrase_terms]
     if not terms:
         raise ValueError("phrase_index_topk: empty phrase")
-    crow = spark.read.parquet(f"{path}/corpus").first()
-    n_buckets = int(crow["n_buckets"])
+    _, _, n_buckets = _read_corpus(spark, path)
     uniq = sorted(set(terms))
     buckets = sorted(set(_term_buckets(spark, uniq, n_buckets).values()))
     post = spark.read.parquet(f"{path}/postings")
