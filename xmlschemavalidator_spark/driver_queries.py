@@ -6124,6 +6124,48 @@ def text_index_incremental(spark, sf_dir):
 _ORACLES["text_index_incremental"] = _bm25_oracle()
 
 
+_CMS_PROBES = ["table", "hash", "spark", "window", "zzzmissing"]
+_CMS_TOKENS_SQL = (
+    "SELECT lower(unnest(list_filter(regexp_split_to_array("
+    "trim(coalesce(text, '')), '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> ''))) AS v "
+    "FROM documents"
+)
+
+
+def _cms_oracle() -> str:
+    from xmlschemavalidator_spark.checks.cms import cms_estimate_sql
+
+    return (
+        cms_estimate_sql(_CMS_TOKENS_SQL, _CMS_PROBES, depth=4, width=512)
+        + " ORDER BY value"
+    )
+
+
+@q("cms_token_frequencies", None)  # oracle attached below
+def cms_token_frequencies(spark, sf_dir):
+    """Count-Min sketch over the corpus token stream (Cormode &
+    Muthukrishnan 2005; checks/cms.py): one map-side-combined agg into
+    ≤ depth×width cells — the fixed-memory alternative to an exact
+    token groupBy at 10^12 rows — then a broadcast probe of 5 terms
+    (one absent). Hashes are the portable md5 recipe, so the DuckDB
+    replay builds the bit-identical sketch: the oracle checks exact
+    cell values, not a statistical bound."""
+    from xmlschemavalidator_spark.checks.cms import cms_build, cms_estimate
+    from xmlschemavalidator_spark.textops import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.filter(tokens(F.lower(F.col("text"))), lambda t: F.length(t) > 0)
+        ).alias("token")
+    )
+    sk = cms_build(toks, "token", depth=4, width=512)
+    return cms_estimate(sk, _CMS_PROBES, depth=4, width=512).orderBy("value")
+
+
+_ORACLES["cms_token_frequencies"] = _cms_oracle()
+
+
 def _pmi_oracle() -> str:
     from xmlschemavalidator_spark.textops import token_pmi_topk_sql
 
