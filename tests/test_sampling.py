@@ -281,3 +281,86 @@ def test_assign_split_sql_parity(spark):
         + " from (select unnest(range(500)) as i)"
     ).fetchall())
     assert got == duck
+
+
+# --- temperature sampling ---------------------------------------------------
+
+
+def _skewed(spark):
+    rows = (
+        [(i, "en") for i in range(1000)]
+        + [(1000 + i, "de") for i in range(100)]
+        + [(1100 + i, "sv") for i in range(10)]
+        + [(1110, None)]
+    )
+    return spark.createDataFrame(rows, "doc_id bigint, lang string")
+
+
+def test_temperature_mix_alpha1_is_proportional(spark):
+    from xmlschemavalidator_spark.sampling import temperature_mix
+
+    df = _skewed(spark)
+    out = temperature_mix(df, "doc_id", "lang", budget_rows=555, alpha=1.0)
+    rows = out.collect()
+    # alpha=1: rate = budget/N = 0.5 for every group -> pure downsample
+    assert all(r["n_copies"] == 1 for r in rows)
+    assert all(r["lang"] is not None for r in rows)  # NULL group excluded
+    by_lang = {
+        lang: sum(1 for r in rows if r["lang"] == lang)
+        for lang in ("en", "de", "sv")
+    }
+    # proportional within binomial noise (n=1000/100/10 at p=0.5)
+    assert 430 <= by_lang["en"] <= 570
+    assert 33 <= by_lang["de"] <= 67
+    # determinism: same salt -> identical membership
+    again = {
+        (r["doc_id"], r["n_copies"])
+        for r in temperature_mix(
+            df, "doc_id", "lang", budget_rows=555, alpha=1.0
+        ).collect()
+    }
+    assert again == {(r["doc_id"], r["n_copies"]) for r in rows}
+
+
+def test_temperature_mix_boosts_low_resource_and_upsamples(spark):
+    from xmlschemavalidator_spark.sampling import temperature_mix
+
+    df = _skewed(spark)
+    out = temperature_mix(df, "doc_id", "lang", budget_rows=1110, alpha=0.0)
+    sums = {
+        r["lang"]: r["s"]
+        for r in out.groupBy("lang").agg(F.sum("n_copies").alias("s")).collect()
+    }
+    # alpha=0: equal expected copies per group (370 each); sv (n=10) must
+    # upsample hard -> every doc gets 37 guaranteed copies
+    assert sums["sv"] in (370, 380) and sums["sv"] >= 37 * 10
+    assert abs(sums["de"] - 370) < 60
+    assert abs(sums["en"] - 370) < 60
+    svc = {r["n_copies"] for r in out.where(F.col("lang") == "sv").collect()}
+    assert svc <= {37, 38} and 37 in svc
+    with pytest.raises(ValueError):
+        temperature_mix(df, "doc_id", "lang", budget_rows=-1)
+
+
+def test_temperature_mix_duckdb_parity(spark):
+    from xmlschemavalidator_spark.sampling import (
+        temperature_mix,
+        temperature_mix_sql,
+    )
+
+    df = _skewed(spark)
+    got = {
+        (r["doc_id"], r["lang"], r["n_copies"])
+        for r in temperature_mix(
+            df, "doc_id", "lang", budget_rows=600, alpha=0.3
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    want = {
+        (int(d), g, int(c))
+        for d, g, c in con.execute(
+            temperature_mix_sql("doc_id", "lang", 600, alpha=0.3)
+        ).fetchall()
+    }
+    assert got == want

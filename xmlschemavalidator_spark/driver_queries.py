@@ -6166,6 +6166,33 @@ def cms_token_frequencies(spark, sf_dir):
 _ORACLES["cms_token_frequencies"] = _cms_oracle()
 
 
+def _temp_mix_oracle() -> str:
+    from xmlschemavalidator_spark.sampling import temperature_mix_sql
+
+    return temperature_mix_sql("doc_id", "lang", 300, alpha=0.3)
+
+
+@q("corpus_temperature_mix", None)  # oracle attached below
+def corpus_temperature_mix(spark, sf_dir):
+    """Temperature-sampled language mix (XLM-R alpha=0.3): per-lang rate
+    ∝ n_l^alpha / n_l with content-addressed keep/upsample decisions, so
+    low-resource langs are boosted smoothly (UniMax is the integer-exact
+    epoch-capped alternative). One bounded groupBy + broadcast join +
+    narrow projection — no corpus shuffle. Oracle replays rates AND
+    per-doc membership/copies exactly (portable md5 uniform; the alpha
+    pow is the one shared-ulp-caveat float)."""
+    from xmlschemavalidator_spark.sampling import temperature_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    out = temperature_mix(docs, "doc_id", "lang", budget_rows=300, alpha=0.3)
+    return out.select(
+        F.col("doc_id").alias("doc"), F.col("lang").alias("grp"), "n_copies"
+    )
+
+
+_ORACLES["corpus_temperature_mix"] = _temp_mix_oracle()
+
+
 def _pmi_oracle() -> str:
     from xmlschemavalidator_spark.textops import token_pmi_topk_sql
 

@@ -319,3 +319,96 @@ def unimax_apply(
         .drop("_n", "_alloc", "_fe", "_rem", "_spent_before")
     )
     return full.unionByName(partial)
+
+
+# ---------------------------------------------------------------------------
+# Temperature sampling (alpha-scaled language mixing; Devlin et al. mBERT,
+# Conneau et al. XLM-R) — the transcendental sibling of UniMax: per-group
+# rates follow q_l ∝ n_l^alpha, so low-resource groups are boosted smoothly
+# instead of epoch-capped. alpha=1 is proportional (no reweighting), alpha=0
+# is uniform-over-groups, 0.3 is the XLM-R default.
+# ---------------------------------------------------------------------------
+
+def temperature_mix(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    budget_rows: int,
+    alpha: float = 0.3,
+    salt: str = "temp",
+) -> DataFrame:
+    """Deterministic temperature-sampled mix: every kept row carries
+    ``n_copies >= 1`` with E[sum(n_copies)] = ``budget_rows`` and
+    per-group expected share ∝ n_g^alpha. Rate r_g may exceed 1
+    (upsampling): a doc gets floor(r_g) guaranteed copies plus one more
+    iff its content-addressed uniform falls under frac(r_g) — pure
+    function of (salt, id), so the mix is reproducible and
+    oracle-replayable. NULL-group rows are excluded (the validation
+    layer upstream owns flagging them).
+
+    Scale shape: one partial-aggregated count per group (bounded by
+    group cardinality), a 1-row total crossJoin onto it, broadcast join
+    back onto the corpus, then a narrow projection — no corpus shuffle
+    anywhere. The alpha power is the ONE float in the pipeline (the
+    documented transcendental-ulp caveat shared with the idf micros);
+    UniMax is the integer-exact alternative when that caveat matters."""
+    if budget_rows < 0:
+        raise ValueError("budget_rows must be >= 0")
+    from xmlschemavalidator_spark.textops import portable_hash64
+
+    src = df.where(F.col(group_col).isNotNull())
+    counts = src.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    z = counts.agg(F.sum(F.pow(F.col("_n"), F.lit(alpha))).alias("_z"))
+    rates = counts.crossJoin(z).select(
+        group_col,
+        (
+            F.lit(budget_rows)
+            * F.pow(F.col("_n"), F.lit(alpha))
+            / (F.col("_z") * F.col("_n"))
+        ).alias("_rate"),
+    )
+    j = src.join(F.broadcast(rates), group_col)
+    h = portable_hash64(
+        F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
+    )
+    base = F.floor(F.col("_rate"))
+    extra = F.when(
+        h < (F.col("_rate") - base) * F.lit(4294967296.0), F.lit(1)
+    ).otherwise(F.lit(0))
+    out = j.withColumn("n_copies", (base + extra).cast("bigint")).drop("_rate")
+    return out.where(F.col("n_copies") >= 1)
+
+
+def temperature_mix_sql(
+    id_sql: str,
+    group_sql: str,
+    budget_rows: int,
+    alpha: float = 0.3,
+    salt: str = "temp",
+    table: str = "documents",
+) -> str:
+    """DuckDB replay of :func:`temperature_mix` (same portable-md5
+    uniform, same rate arithmetic) returning (doc, grp, n_copies)."""
+    from xmlschemavalidator_spark.textops import PORTABLE_HASH64_SQL
+
+    h = PORTABLE_HASH64_SQL.format(
+        x=f"'{salt}:' || CAST({id_sql} AS VARCHAR)"
+    )
+    return f"""WITH counts AS (
+  SELECT {group_sql} AS grp, CAST(count(*) AS BIGINT) AS n
+  FROM {table} WHERE {group_sql} IS NOT NULL GROUP BY 1
+), z AS (
+  SELECT sum(pow(n, {alpha!r})) AS z FROM counts
+), rates AS (
+  SELECT grp, {budget_rows} * pow(n, {alpha!r}) / ((SELECT z FROM z) * n) AS rate
+  FROM counts
+), j AS (
+  SELECT {id_sql} AS doc, {group_sql} AS grp, rate,
+         floor(rate) AS base, {h} AS h
+  FROM {table} JOIN rates ON {group_sql} = rates.grp
+)
+SELECT doc, grp,
+       CAST(base + (CASE WHEN h < (rate - base) * 4294967296.0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_copies
+FROM j
+WHERE base + (CASE WHEN h < (rate - base) * 4294967296.0 THEN 1 ELSE 0 END) >= 1"""
