@@ -74,6 +74,10 @@ def run_pipeline(
     robots_df=None,
     unimax_budget: int = 0,
     unimax_max_epochs: int = 2,
+    temperature_budget: int = 0,
+    temperature_alpha: float = 0.3,
+    index_dir: str | None = None,
+    index_positions: bool = False,
     stage_times: dict | None = None,
 ) -> dict:
     """Compose the pipeline over an in-memory DataFrame; returns the
@@ -140,11 +144,12 @@ def run_pipeline(
                 "url_dedup_policy='latest' needs a timestamp or numeric "
                 f"warc_ts column, got {ts_type.simpleString()}"
             )
-    if budget_per_lang > 0 and unimax_budget > 0:
+    if sum(x > 0 for x in (budget_per_lang, unimax_budget, temperature_budget)) > 1:
         # config errors surface BEFORE any stage runs (review finding:
         # raising this at stage 8 burned the whole upstream pipeline first)
-        raise ValueError("--budget-per-lang and --unimax-budget are "
-                         "alternative budget policies — pick one")
+        raise ValueError("--budget-per-lang, --unimax-budget and "
+                         "--temperature-mix are alternative budget "
+                         "policies — pick one")
     if not batch_id:
         # a SHARED default would make every run look like a retry of the
         # previous one and silently disable cross-batch dedup (third-review
@@ -567,6 +572,29 @@ def run_pipeline(
             cur.join(unimax_rows.select(id_col).distinct(), id_col, "left_semi"),
         )
 
+    # 8-alt-2. Temperature mix (XLM-R alpha-scaling): smooth n^alpha
+    # reweighting instead of UniMax's hard epoch caps. `kept` stays one
+    # row per surviving doc; the per-doc n_copies (>= 1, upsampled
+    # low-resource langs carry several) land in
+    # <output>/mix_copies/batch_id=<id>/ after the kept commit — copy
+    # multiplicity is a training artifact and must never enter the
+    # fingerprint store (the unimax-epochs rule).
+    temp_rows = None
+    if temperature_budget > 0:
+        from xmlschemavalidator_spark.sampling import temperature_mix
+
+        temp_rows = (
+            temperature_mix(
+                cur, id_col, "lang", temperature_budget, alpha=temperature_alpha
+            )
+            .select(id_col, "lang", "n_copies")
+            .localCheckpoint(eager=True)
+        )
+        persisted.append(temp_rows)
+        cur = stage(
+            "budgeted", cur.join(temp_rows.select(id_col), id_col, "left_semi")
+        )
+
     cur.write.mode("overwrite").parquet(kept_path)
     kept_back = spark.read.parquet(kept_path)
     if dedup_normalize:  # commit in the SAME fingerprint space as stage 4
@@ -586,6 +614,15 @@ def run_pipeline(
             spark.read.parquet(kept_path), id_col, near_store, batch_id=batch_id
         )
     audit["kept"] = audit[list(audit)[-1]]
+    if temp_rows is not None:
+        temp_rows.write.mode("overwrite").parquet(
+            f"{output}/mix_copies/batch_id={batch_id}"
+        )
+        # total copies ~= the requested budget (recorded AFTER kept: copy
+        # multiplicity sits outside the monotone stage chain, like epochs)
+        audit["mix_total_copies"] = int(
+            temp_rows.agg(F.sum("n_copies")).first()[0] or 0
+        )
     if unimax_rows is not None:
         unimax_rows.select(id_col, "lang", "epoch").write.mode(
             "overwrite"
@@ -699,6 +736,54 @@ def run_pipeline(
             f"{output}/shards/batch_id={batch_id}"
         ).count()
         write_audit()
+
+    # 11. optional serving artifact: fold this batch's kept docs into the
+    # persistent inverted text index (textindex.py) — first batch builds,
+    # later batches append their own _batch= dirs, a deliberate same-id
+    # retry overwrites exactly its own dirs (on_existing='overwrite', the
+    # kept/ semantics). Runs LAST: the index serves the committed corpus,
+    # so it must only ever see post-commit kept docs.
+    if index_dir:
+        if audit["kept"] == 0:
+            audit["index_docs"] = 0
+            write_audit()
+        else:
+            from xmlschemavalidator_spark.textindex import (
+                _CORPUS_SCHEMA,
+                append_text_index,
+                build_text_index,
+            )
+
+            kept_docs = spark.read.parquet(kept_path)
+            try:
+                spark.read.schema(_CORPUS_SCHEMA).parquet(
+                    f"{index_dir}/corpus"
+                ).first()
+                index_exists = True
+            except Exception as e:  # noqa: BLE001 — PATH_NOT_FOUND only
+                if (
+                    "PATH_NOT_FOUND" not in str(e)
+                    and "Path does not exist" not in str(e)
+                ):
+                    raise
+                index_exists = False
+            if index_exists:
+                append_text_index(
+                    kept_docs, id_col, index_dir, batch_id=batch_id,
+                    on_existing="overwrite",
+                )
+            else:
+                build_text_index(
+                    kept_docs, id_col, index_dir,
+                    positions=index_positions, batch_id=batch_id,
+                )
+            audit["index_docs"] = int(
+                spark.read.schema(_CORPUS_SCHEMA)
+                .parquet(f"{index_dir}/corpus")
+                .where(F.col("_batch") == str(batch_id))
+                .first()["n_docs"]
+            )
+            write_audit()
     return audit
 
 
@@ -836,6 +921,33 @@ def main(argv: list[str] | None = None) -> int:
         default=2,
         help="UniMax per-language epoch cap (default 2)",
     )
+    p.add_argument(
+        "--temperature-mix",
+        type=int,
+        default=0,
+        help="temperature-sampled doc budget (XLM-R alpha-scaling; "
+        "alternative to --budget-per-lang/--unimax-budget); per-doc "
+        "n_copies land in <output>/mix_copies/batch_id=<id>/",
+    )
+    p.add_argument(
+        "--temperature-alpha",
+        type=float,
+        default=0.3,
+        help="temperature exponent (1=proportional, 0=uniform; default "
+        "0.3, the XLM-R value)",
+    )
+    p.add_argument(
+        "--index-dir",
+        default=None,
+        help="persistent inverted text index: first batch builds, later "
+        "batches append their own _batch= dirs (textindex.py)",
+    )
+    p.add_argument(
+        "--index-positions",
+        action="store_true",
+        help="store positional postings on the FIRST build (enables "
+        "phrase queries; appended batches inherit the layout)",
+    )
     args = p.parse_args(argv)
 
     spark = (
@@ -862,6 +974,10 @@ def main(argv: list[str] | None = None) -> int:
         robots_df=(spark.read.parquet(args.robots) if args.robots else None),
         unimax_budget=args.unimax_budget,
         unimax_max_epochs=args.unimax_max_epochs,
+        temperature_budget=args.temperature_mix,
+        temperature_alpha=args.temperature_alpha,
+        index_dir=args.index_dir,
+        index_positions=args.index_positions,
         url_badwords=(
             [w for w in args.url_badwords.split(",") if w]
             if args.url_badwords

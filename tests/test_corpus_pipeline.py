@@ -652,3 +652,70 @@ def test_pipeline_dedup_normalize_collapses_variants_and_guards_store(
         run_pipeline(
             spark, docs, out, batch_id="n2", dedup_normalize=False
         )
+
+
+def test_pipeline_temperature_mix(spark, tmp_path):
+    """--temperature-mix: kept stays one row per surviving doc; per-doc
+    n_copies land in mix_copies/batch_id=<id>/ and match a direct
+    temperature_mix over the same pre-budget frame; the three budget
+    policies are mutually exclusive."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    from corpus_pipeline_job import run_pipeline
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "corpus_tm")
+    audit = run_pipeline(
+        spark, docs, out, batch_id="tm1",
+        temperature_budget=60, temperature_alpha=0.3,
+    )
+    copies = spark.read.parquet(f"{out}/mix_copies/batch_id=tm1")
+    assert set(copies.columns) == {"doc_id", "lang", "n_copies"}
+    kept = spark.read.parquet(f"{out}/kept/batch_id=tm1")
+    assert audit["kept"] == kept.count() == copies.count()
+    total = copies.agg(F.sum("n_copies")).collect()[0][0]
+    assert audit["mix_total_copies"] == total
+    assert 30 <= total <= 90  # E[total] = 60, binomial noise
+    assert copies.agg(F.min("n_copies")).collect()[0][0] >= 1
+    with pytest.raises(ValueError, match="alternative budget"):
+        run_pipeline(spark, docs, str(tmp_path / "x"), batch_id="tm2",
+                     temperature_budget=10, unimax_budget=10)
+
+
+def test_pipeline_index_dir_builds_then_appends(spark, tmp_path):
+    """--index-dir: batch 1 builds the inverted index, batch 2 appends its
+    own _batch= dirs, and the served BM25 equals a from-scratch scan over
+    the union of both kept batches. A same-id retry overwrites exactly its
+    own dirs (no double counting)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    from corpus_pipeline_job import run_pipeline
+
+    from xmlschemavalidator_spark.textindex import bm25_index_topk
+    from xmlschemavalidator_spark.textops import bm25_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    b1 = docs.where(F.col("doc_id") % 2 == 0)
+    b2 = docs.where(F.col("doc_id") % 2 == 1)
+    out = str(tmp_path / "corpus_ix")
+    idx = str(tmp_path / "textidx")
+    a1 = run_pipeline(spark, b1, out, batch_id="ix1", index_dir=idx)
+    a2 = run_pipeline(spark, b2, out, batch_id="ix2", index_dir=idx)
+    assert a1["index_docs"] == a1["kept"] > 0
+    assert a2["index_docs"] == a2["kept"] > 0
+    kept_all = spark.read.parquet(f"{out}/kept")
+    want = [
+        (r["doc"], r["score_micro"])
+        for r in bm25_topk(kept_all, "doc_id", ["table", "hash"], k=10).collect()
+    ]
+    got = [
+        (r["doc"], r["score_micro"])
+        for r in bm25_index_topk(spark, idx, ["table", "hash"], k=10).collect()
+    ]
+    assert got == want
+    # deliberate same-batch retry: the index must NOT double-count ix2
+    a2r = run_pipeline(spark, b2, out, batch_id="ix2", index_dir=idx)
+    assert a2r["index_docs"] == a2["index_docs"]
+    got_retry = [
+        (r["doc"], r["score_micro"])
+        for r in bm25_index_topk(spark, idx, ["table", "hash"], k=10).collect()
+    ]
+    assert got_retry == want

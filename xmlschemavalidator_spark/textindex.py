@@ -111,6 +111,7 @@ def append_text_index(
     path: str,
     batch_id: str,
     text_col: str = "text",
+    on_existing: str = "error",
 ) -> None:
     """Fold a NEW batch of documents into an existing index at ``path``.
 
@@ -118,13 +119,19 @@ def append_text_index(
     itself (never restated by the caller — the probe hash cannot
     drift). Docs are assumed new: an update/re-crawl stream must be
     collapsed upstream (snapshot_dedup) before indexing, else df/N/S
-    double-count. A ``batch_id`` already present raises — retrying a
-    FAILED batch is safe (its dirs are overwritten wholesale), retrying
-    a committed one is refused rather than silently double-counted."""
+    double-count. A ``batch_id`` already present raises by default —
+    retrying a FAILED batch is always safe (the corpus row is written
+    LAST, so an uncommitted batch's dirs are overwritten wholesale);
+    re-running a COMMITTED one is refused rather than silently
+    double-counted, unless ``on_existing="overwrite"`` (the pipeline's
+    deliberate same-batch-id retry, which replaces exactly that batch's
+    dirs)."""
     import re
 
     if not re.match(_BATCH_ID_OK, str(batch_id)):
         raise ValueError(f"append_text_index: bad batch_id {batch_id!r}")
+    if on_existing not in ("error", "overwrite"):
+        raise ValueError(f"append_text_index: on_existing={on_existing!r}")
     spark = df.sparkSession
     meta = spark.read.schema(_CORPUS_SCHEMA).parquet(f"{path}/corpus")
     n_buckets_vals = [
@@ -135,7 +142,7 @@ def append_text_index(
             f"append_text_index: inconsistent n_buckets {n_buckets_vals}"
         )
     existing = {r["_batch"] for r in meta.select("_batch").distinct().collect()}
-    if str(batch_id) in existing:
+    if str(batch_id) in existing and on_existing == "error":
         raise ValueError(
             f"append_text_index: batch {batch_id!r} already committed"
         )
