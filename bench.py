@@ -69,6 +69,8 @@ def headline_queries():
         main_content_extract,
         join_q3_shipping_priority,
         join_revenue_segment,
+        temporal_asof_join,
+        temporal_sessionize,
         url_canonicalize,
         window_daily_events,
     )
@@ -158,6 +160,11 @@ def headline_queries():
         "url_canonicalize": lambda s: url_canonicalize(s, SF_DIR),
         "link_pagerank": lambda s: _bench_pagerank(s),
         "anchor_topk": lambda s: _bench_anchor_topk(s),
+        # round-4 temporal family: as-of join (union + ordered-window
+        # carry-forward — one shuffle, no range explosion) and gap
+        # sessionization + per-session stats (one shuffle, two windows)
+        "temporal_asof": lambda s: temporal_asof_join(s, SF_DIR),
+        "temporal_sessionize": lambda s: temporal_sessionize(s, SF_DIR),
     }
 
 

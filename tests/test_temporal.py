@@ -1,0 +1,372 @@
+"""Temporal operators: as-of join, range join, time rollup (one-shot,
+merge, persisted incremental), gap sessionization.
+
+The driver oracle gate (tools/check_oracles.py) pins cross-engine
+equality on the real events table; these tests pin the SEMANTIC edge
+cases on hand-built frames where the expected answer is computed by
+hand: boundary inclusivity, equal-timestamp determinism, left-null
+behavior, refusal paths, and merge-exactness.
+"""
+from __future__ import annotations
+
+import datetime as dt
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from xmlschemavalidator_spark.temporal import (
+    append_time_rollup,
+    asof_join,
+    merge_time_rollups,
+    range_join,
+    read_time_rollup,
+    session_stats,
+    sessionize,
+    time_rollup,
+)
+
+from conftest import rows
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def _events(spark, recs):
+    return spark.createDataFrame(
+        recs, "event_id bigint, user_id bigint, ts timestamp, value double"
+    )
+
+
+# ---------------------------------------------------------------- as-of join
+
+def test_asof_backward_inclusive_and_left_null(spark):
+    state = _events(
+        spark,
+        [
+            (10, 1, _ts("2024-01-01T01:00:00"), 5.0),
+            (11, 1, _ts("2024-01-01T03:00:00"), 7.0),
+            (12, 2, _ts("2024-01-01T02:00:00"), 9.0),
+        ],
+    ).select("user_id", "ts", "value", "event_id")
+    probe = _events(
+        spark,
+        [
+            (1, 1, _ts("2024-01-01T00:30:00"), 0.0),   # before any state -> NULL
+            (2, 1, _ts("2024-01-01T01:00:00"), 0.0),   # equal ts -> inclusive match
+            (3, 1, _ts("2024-01-01T02:59:59"), 0.0),   # between -> first state
+            (4, 1, _ts("2024-01-01T09:00:00"), 0.0),   # after all -> latest
+            (5, 2, _ts("2024-01-01T02:30:00"), 0.0),   # other key isolated
+            (6, 3, _ts("2024-01-01T05:00:00"), 0.0),   # key with no state
+        ],
+    )
+    out = asof_join(probe, state, on="user_id", ts="ts",
+                    state_cols=("value", "event_id"))
+    got = {r["event_id"]: (r["asof_value"], r["asof_event_id"]) for r in out.collect()}
+    assert got == {
+        1: (None, None),
+        2: (5.0, 10),
+        3: (5.0, 10),
+        4: (7.0, 11),
+        5: (9.0, 12),
+        6: (None, None),
+    }
+    assert out.count() == probe.count()  # left join: every probe row kept
+
+
+def test_asof_equal_ts_state_dedup_is_deterministic(spark):
+    # two state rows at the SAME (key, ts): struct-max over
+    # (value, event_id) must win, not partition order
+    state = _events(
+        spark,
+        [
+            (20, 1, _ts("2024-01-01T01:00:00"), 3.0),
+            (21, 1, _ts("2024-01-01T01:00:00"), 8.0),  # winner (higher value)
+        ],
+    ).select("user_id", "ts", "value", "event_id")
+    probe = _events(spark, [(1, 1, _ts("2024-01-01T02:00:00"), 0.0)])
+    out = asof_join(probe, state, on="user_id", ts="ts",
+                    state_cols=("value", "event_id")).collect()
+    assert (out[0]["asof_value"], out[0]["asof_event_id"]) == (8.0, 21)
+
+
+def test_asof_plan_single_exchange_no_join(spark):
+    from test_plans import fmt
+
+    state = _events(spark, [(10, 1, _ts("2024-01-01T01:00:00"), 5.0)]).select(
+        "user_id", "ts", "value", "event_id"
+    )
+    probe = _events(spark, [(1, 1, _ts("2024-01-01T02:00:00"), 0.0)])
+    plan = fmt(asof_join(probe, state, on="user_id", ts="ts",
+                         state_cols=("value", "event_id")))
+    # the whole point: a window carry-forward, never a non-equi join
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+# ---------------------------------------------------------------- range join
+
+def _intervals(spark, recs):
+    return spark.createDataFrame(
+        recs, "interval_id bigint, user_id bigint, start_ts timestamp, end_ts timestamp"
+    )
+
+
+def test_range_join_boundaries_and_multi_bucket(spark):
+    iv = _intervals(
+        spark,
+        [
+            # spans 3 one-hour buckets
+            (100, 1, _ts("2024-01-01T01:00:00"), _ts("2024-01-01T03:30:00")),
+            # overlapping second interval on the same key
+            (101, 1, _ts("2024-01-01T02:00:00"), _ts("2024-01-01T04:00:00")),
+        ],
+    )
+    ev = _events(
+        spark,
+        [
+            (1, 1, _ts("2024-01-01T01:00:00"), 0.0),   # == start: IN
+            (2, 1, _ts("2024-01-01T03:30:00"), 0.0),   # == end of 100: OUT of 100, IN 101
+            (3, 1, _ts("2024-01-01T02:30:00"), 0.0),   # inside BOTH -> exactly 2 rows
+            (4, 1, _ts("2024-01-01T05:00:00"), 0.0),   # outside all
+            (5, 2, _ts("2024-01-01T02:30:00"), 0.0),   # other key
+        ],
+    )
+    out = range_join(ev, iv, on="user_id", ts="ts", start="start_ts",
+                     end="end_ts", bucket_seconds=3600)
+    got = sorted((r["event_id"], r["interval_id"]) for r in out.collect())
+    assert got == [(1, 100), (2, 101), (3, 100), (3, 101)]
+
+
+def test_range_join_refuses_oversized_interval(spark):
+    iv = _intervals(
+        spark, [(100, 1, _ts("2024-01-01T00:00:00"), _ts("2024-03-01T00:00:00"))]
+    )
+    ev = _events(spark, [(1, 1, _ts("2024-01-01T01:00:00"), 0.0)])
+    with pytest.raises(ValueError, match="spanning"):
+        range_join(ev, iv, on="user_id", ts="ts", start="start_ts",
+                   end="end_ts", bucket_seconds=60, max_span_buckets=1024)
+
+
+def test_range_join_refuses_inverted_interval(spark):
+    iv = _intervals(
+        spark, [(100, 1, _ts("2024-01-02T00:00:00"), _ts("2024-01-01T00:00:00"))]
+    )
+    ev = _events(spark, [(1, 1, _ts("2024-01-01T01:00:00"), 0.0)])
+    with pytest.raises(ValueError, match="empty"):
+        range_join(ev, iv, on="user_id", ts="ts", start="start_ts",
+                   end="end_ts", bucket_seconds=3600)
+
+
+def test_range_join_plan_is_equi_join(spark):
+    from test_plans import fmt
+
+    iv = _intervals(
+        spark, [(100, 1, _ts("2024-01-01T01:00:00"), _ts("2024-01-01T03:00:00"))]
+    )
+    ev = _events(spark, [(1, 1, _ts("2024-01-01T02:00:00"), 0.0)])
+    plan = fmt(range_join(ev, iv, on="user_id", ts="ts", start="start_ts",
+                          end="end_ts", bucket_seconds=3600))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+# --------------------------------------------------------------- time rollup
+
+def test_rollup_merge_equals_oneshot(spark):
+    ev = _events(
+        spark,
+        [(i, i % 3, _ts("2024-01-01T00:00:00") + dt.timedelta(minutes=17 * i),
+          round(0.01 * i, 2)) for i in range(200)],
+    )
+    one = time_rollup(ev, "ts", 3600, dims=("user_id",))
+    parts = [
+        time_rollup(ev.where(F.col("event_id") % 2 == i), "ts", 3600,
+                    dims=("user_id",))
+        for i in range(2)
+    ]
+    merged = merge_time_rollups(parts[0].unionByName(parts[1]), dims=("user_id",))
+    cols = ["bucket_start", "user_id", "n_events", "sum_value", "min_value", "max_value"]
+    assert rows(merged, *cols) == rows(one, *cols)
+
+
+def test_rollup_bucket_start_is_integer_epoch_floor(spark):
+    ev = _events(spark, [(1, 1, _ts("2024-01-01T00:59:59.999999"), 1.5)])
+    r = time_rollup(ev, "ts", 3600).collect()[0]
+    assert r["bucket_start"] == int(
+        _ts("2024-01-01T00:00:00").replace(tzinfo=dt.timezone.utc).timestamp()
+    )
+    assert r["sum_value"] == Decimal("1.500000")
+
+
+def test_rollup_append_read_and_retry_idempotent(spark, tmp_path):
+    ev = _events(
+        spark,
+        [(i, 1, _ts("2024-01-01T00:00:00") + dt.timedelta(hours=i), float(i))
+         for i in range(6)],
+    )
+    path = str(tmp_path / "agg")
+    append_time_rollup(ev.where(F.col("event_id") < 3), "ts", 86400, path, "00000")
+    append_time_rollup(ev.where(F.col("event_id") >= 3), "ts", 86400, path, "00001")
+    # retry of a committed batch overwrites exactly its own dir
+    append_time_rollup(ev.where(F.col("event_id") >= 3), "ts", 86400, path, "00001")
+    got = read_time_rollup(spark, path).collect()
+    assert len(got) == 1
+    assert got[0]["n_events"] == 6
+    assert got[0]["sum_value"] == Decimal("15.000000")
+    assert (got[0]["min_value"], got[0]["max_value"]) == (0.0, 5.0)
+
+
+# --------------------------------------------------------------------- scd2
+
+def test_scd2_collapses_runs_and_chains_intervals(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, 1, _ts("2024-01-01T00:00:00"), "a"),
+            (2, 1, _ts("2024-01-01T01:00:00"), "a"),  # same attrs: collapsed
+            (3, 1, _ts("2024-01-01T02:00:00"), "b"),  # change -> new run
+            (4, 1, _ts("2024-01-01T03:00:00"), "a"),  # back to a: NEW run
+            (5, 2, _ts("2024-01-01T00:30:00"), "a"),  # other key isolated
+        ],
+        "event_id bigint, user_id bigint, ts timestamp, status string",
+    )
+    from xmlschemavalidator_spark.temporal import scd2_build
+
+    dim = scd2_build(ev, key="user_id", ts="ts", attrs=("status",),
+                     order_col="event_id")
+    got = sorted(
+        (r["user_id"], r["status"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in dim.collect()
+    )
+    assert got == [
+        (1, "a", _ts("2024-01-01T00:00:00"), _ts("2024-01-01T02:00:00"), False),
+        (1, "a", _ts("2024-01-01T03:00:00"), None, True),
+        (1, "b", _ts("2024-01-01T02:00:00"), _ts("2024-01-01T03:00:00"), False),
+        (2, "a", _ts("2024-01-01T00:30:00"), None, True),
+    ]
+
+
+def test_scd2_single_exchange(spark):
+    import re
+
+    from test_plans import fmt
+    from xmlschemavalidator_spark.temporal import scd2_build
+
+    ev = spark.createDataFrame(
+        [(1, 1, _ts("2024-01-01T00:00:00"), "a")],
+        "event_id bigint, user_id bigint, ts timestamp, status string",
+    )
+    plan = fmt(scd2_build(ev, key="user_id", ts="ts", attrs=("status",),
+                          order_col="event_id"))
+    # lag (change detect) + lead (interval chain) share one shuffle
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_scd2_point_in_time_lookup_via_asof(spark):
+    # the classic use: as-of join a fact row against the dimension's
+    # valid_from recovers exactly the attrs valid at that instant
+    ev = spark.createDataFrame(
+        [
+            (1, 1, _ts("2024-01-01T00:00:00"), "bronze"),
+            (2, 1, _ts("2024-01-05T00:00:00"), "gold"),
+        ],
+        "event_id bigint, user_id bigint, ts timestamp, status string",
+    )
+    from xmlschemavalidator_spark.temporal import scd2_build
+
+    dim = scd2_build(ev, key="user_id", ts="ts", attrs=("status",),
+                     order_col="event_id").select(
+        "user_id", F.col("valid_from").alias("ts"), "status"
+    )
+    facts = spark.createDataFrame(
+        [(10, 1, _ts("2024-01-03T12:00:00")), (11, 1, _ts("2024-01-06T00:00:00"))],
+        "fact_id bigint, user_id bigint, ts timestamp",
+    )
+    got = {
+        r["fact_id"]: r["asof_status"]
+        for r in asof_join(facts, dim, on="user_id", ts="ts",
+                           state_cols=("status",)).collect()
+    }
+    assert got == {10: "bronze", 11: "gold"}
+
+
+# ---------------------------------------------------------- streaming rollup
+
+def test_stream_rollup_matches_batch(spark, tmp_path):
+    from xmlschemavalidator_spark.temporal import (
+        read_time_rollup,
+        stream_time_rollup,
+    )
+
+    ev = _events(
+        spark,
+        [(i, i % 2, _ts("2024-01-01T00:00:00") + dt.timedelta(hours=5 * i),
+          float(i)) for i in range(40)],
+    ).select("ts", "user_id", "value")
+    src = str(tmp_path / "src")
+    ev.repartition(4).write.parquet(src)
+    sdf = (
+        spark.readStream.schema("ts timestamp, user_id bigint, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_time_rollup(
+        sdf, "ts", 86400, str(tmp_path / "agg"), str(tmp_path / "ckpt"),
+        dims=("user_id",),
+    )
+    try:
+        assert q.awaitTermination(120)
+    finally:
+        q.stop()
+    # >1 micro-batch actually ran (one per file) — the merge is exercised
+    import glob
+
+    assert len(glob.glob(str(tmp_path / "agg" / "_batch=*"))) > 1
+    got = read_time_rollup(spark, str(tmp_path / "agg"), dims=("user_id",))
+    want = time_rollup(ev, "ts", 86400, dims=("user_id",))
+    cols = ["bucket_start", "user_id", "n_events", "sum_value", "min_value", "max_value"]
+    assert rows(got, *cols) == rows(want, *cols)
+
+
+# --------------------------------------------------------------- sessionize
+
+def test_sessionize_gap_strictly_greater_breaks(spark):
+    ev = _events(
+        spark,
+        [
+            (1, 1, _ts("2024-01-01T00:00:00"), 0.0),
+            (2, 1, _ts("2024-01-01T01:00:00"), 0.0),  # gap == 3600s: SAME session
+            (3, 1, _ts("2024-01-01T02:00:01"), 0.0),  # gap > 3600s: new session
+            (4, 2, _ts("2024-01-01T00:00:00"), 0.0),  # other key restarts at 1
+        ],
+    )
+    out = sessionize(ev, on="user_id", ts="ts", gap_seconds=3600,
+                     order_col="event_id")
+    got = {r["event_id"]: r["session_seq"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_sessionize_equal_ts_ties_deterministic(spark):
+    t0 = _ts("2024-01-01T00:00:00")
+    ev = _events(spark, [(2, 1, t0, 0.0), (1, 1, t0, 0.0),
+                         (3, 1, t0 + dt.timedelta(hours=9), 0.0)])
+    st = session_stats(
+        sessionize(ev, on="user_id", ts="ts", gap_seconds=3600,
+                   order_col="event_id"),
+        on="user_id", ts="ts",
+    )
+    got = rows(st, "session_seq", "n_events")
+    assert got == [(1, 2), (2, 1)]
+
+
+def test_sessionize_single_exchange(spark):
+    import re
+
+    from test_plans import fmt
+
+    ev = _events(spark, [(1, 1, _ts("2024-01-01T00:00:00"), 0.0)])
+    plan = fmt(sessionize(ev, on="user_id", ts="ts", gap_seconds=60,
+                          order_col="event_id"))
+    # lag + running sum share ONE shuffle (and one Sort)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Sort", plan)) == 1

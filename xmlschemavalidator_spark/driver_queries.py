@@ -6724,6 +6724,315 @@ def cohort_retention_staggered(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# temporal operators (temporal.py): as-of join, range join, hypertable
+# rollup (one-shot + incremental), gap sessionization
+# ===========================================================================
+
+from xmlschemavalidator_spark.temporal import _micros as _t_us  # noqa: E402
+
+@q(
+    "temporal_asof_join",
+    """WITH st AS (
+  SELECT user_id, ts, value, event_id FROM (
+    SELECT user_id, ts, value, event_id,
+           row_number() OVER (PARTITION BY user_id, ts
+                              ORDER BY value DESC, event_id DESC) AS rn
+    FROM events WHERE event_type = 'purchase') WHERE rn = 1
+), pr AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, p.value,
+       epoch_us(s.ts) AS asof_ts_us, s.value AS asof_value,
+       s.event_id AS asof_event_id
+FROM pr p ASOF LEFT JOIN st s
+  ON p.user_id = s.user_id AND p.ts >= s.ts""",
+)
+def temporal_asof_join(spark, sf_dir):
+    """As-of join: attach to every click the user's most recent purchase
+    at-or-before it (backward inclusive — DuckDB/pandas ASOF semantics).
+    The Spark plan is the union + ordered-window carry-forward (ONE
+    shuffle on user_id, no inequality join, no range explosion); the
+    oracle is DuckDB's native ASOF LEFT JOIN over the identically
+    struct-max-deduped state side. 1,865 matched + 141 left-NULL clicks
+    at sf0.01 — both branches carry signal. Timestamps compare as exact
+    epoch microseconds."""
+    from xmlschemavalidator_spark.temporal import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    probe = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    state = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    out = asof_join(probe, state, on="user_id", ts="ts",
+                    state_cols=("value", "event_id"))
+    return out.select(
+        "event_id",
+        "user_id",
+        _t_us(F.col("ts")).alias("ts_us"),
+        "value",
+        _t_us(F.col("asof_ts")).alias("asof_ts_us"),
+        "asof_value",
+        "asof_event_id",
+    )
+
+
+@q(
+    "temporal_range_join",
+    """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, p.value,
+       s.event_id AS interval_id,
+       epoch_us(s.ts) AS start_us,
+       epoch_us(s.ts + INTERVAL 4 HOUR) AS end_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+  ON p.user_id = s.user_id AND p.ts >= s.ts
+     AND p.ts < s.ts + INTERVAL 4 HOUR""",
+)
+def temporal_range_join(spark, sf_dir):
+    """Interval-containment join: purchases landing inside a 4-hour
+    post-signup window of the same user (half-open [start, end)). The
+    Spark plan explodes intervals over 1-hour buckets and EQUI-joins on
+    (user_id, bucket) + exact containment filter — never the
+    BroadcastNestedLoopJoin a naive inequality join plans; each
+    qualifying pair meets in exactly one bucket so no dedup pass. The
+    oracle is the direct inequality join (fine for DuckDB at sf0.01).
+    144 joined rows at sf0.01."""
+    from xmlschemavalidator_spark.temporal import range_join
+
+    e = _t(spark, sf_dir, "events")
+    probe = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    iv = e.where(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("event_id").alias("interval_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 4 HOURS")).alias("end_ts"),
+    )
+    out = range_join(probe, iv, on="user_id", ts="ts",
+                     start="start_ts", end="end_ts", bucket_seconds=3600)
+    return out.select(
+        "event_id",
+        "user_id",
+        _t_us(F.col("ts")).alias("ts_us"),
+        "value",
+        "interval_id",
+        _t_us(F.col("start_ts")).alias("start_us"),
+        _t_us(F.col("end_ts")).alias("end_us"),
+    )
+
+
+@q(
+    "temporal_sessionize",
+    """WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM g
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
+       max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
+FROM s GROUP BY user_id, session_seq""",
+)
+def temporal_sessionize(spark, sf_dir):
+    """Gap-based sessionization (6-hour inactivity gap) + per-session
+    stats. A session breaks only when the gap STRICTLY exceeds the
+    threshold; equal-timestamp ties order by event_id so session
+    numbering is deterministic in both engines. One shuffle on user_id
+    (lag + running-sum share the window partitioning). 5,725 sessions
+    at sf0.01 with up-to-10-event sessions — boundary arithmetic
+    carries signal. Durations are exact microsecond BIGINTs."""
+    from xmlschemavalidator_spark.temporal import session_stats, sessionize
+
+    e = _t(spark, sf_dir, "events")
+    sess = sessionize(e, on="user_id", ts="ts", gap_seconds=21600,
+                      order_col="event_id")
+    return session_stats(sess, on="user_id", ts="ts").select(
+        "user_id",
+        "session_seq",
+        "n_events",
+        "start_us",
+        "end_us",
+        (F.col("end_us") - F.col("start_us")).alias("duration_us"),
+    )
+
+
+_ROLLUP_DAILY_SQL = """\
+SELECT CAST((epoch_us(ts) // 86400000000) * 86400 AS BIGINT) AS bucket_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value,
+       min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY 1, 2"""
+
+
+def _rollup_select(df):
+    return df.select(
+        "bucket_start",
+        "event_type",
+        "n_events",
+        F.round(F.col("sum_value"), 2).cast("double").alias("sum_value"),
+        "min_value",
+        "max_value",
+    )
+
+
+@q("temporal_rollup_daily", _ROLLUP_DAILY_SQL)
+def temporal_rollup_daily(spark, sf_dir):
+    """Hypertable-style continuous aggregate: daily buckets x event_type
+    with the mergeable aggregate set (count / DECIMAL sum / min / max).
+    Bucket starts are integer epoch-second arithmetic (`unix_micros div
+    width`, exactly DuckDB's `//`) — double division at ~1.7e15 us can
+    misfloor at bucket edges. Sums stay DECIMAL until the final 2dp
+    round so the oracle compares exactly. 150 cells (30 days x 5 types)
+    at sf0.01; ONE partially-aggregated shuffle."""
+    from xmlschemavalidator_spark.temporal import time_rollup
+
+    e = _t(spark, sf_dir, "events")
+    return _rollup_select(
+        time_rollup(e, "ts", 86400, dims=("event_type",), value="value")
+    )
+
+
+@q("temporal_rollup_incremental", _ROLLUP_DAILY_SQL)
+def temporal_rollup_incremental(spark, sf_dir):
+    """Incremental maintenance of the SAME daily rollup: the corpus
+    arrives as three disjoint batches (event_id mod 3), each folded in
+    by append_time_rollup (per-_batch= dirs, committed batches never
+    rewritten), then read_time_rollup merges partials at O(buckets)
+    cost. Must hash-match the one-shot oracle exactly — count/sum/min/
+    max are mergeable and the sum stayed DECIMAL in the partials, so
+    the merge is invisible to the query."""
+    import shutil
+    import tempfile
+
+    from xmlschemavalidator_spark.temporal import (
+        append_time_rollup,
+        read_time_rollup,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="rollup_")
+    try:
+        e = _t(spark, sf_dir, "events")
+        for i in range(3):
+            append_time_rollup(
+                e.where(F.col("event_id") % 3 == i),
+                "ts",
+                86400,
+                f"{tmp}/agg",
+                batch_id=f"{i:05d}",
+                dims=("event_type",),
+            )
+        merged = _rollup_select(
+            read_time_rollup(spark, f"{tmp}/agg", dims=("event_type",))
+        )
+        # materialize before the tmp dir disappears (the driver collects
+        # AFTER this function returns)
+        return spark.createDataFrame(merged.collect(), merged.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@q(
+    "temporal_scd2_dimension",
+    """WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+), ch AS (
+  SELECT user_id, ts, event_id, event_type FROM o
+  WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, event_type,
+       epoch_us(ts) AS valid_from_us,
+       coalesce(epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)),
+                CAST(-1 AS BIGINT)) AS valid_to_us,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         AS is_current
+FROM ch""",
+)
+def temporal_scd2_dimension(spark, sf_dir):
+    """Slowly-changing-dimension type-2 build from the events change
+    stream: per user, consecutive same-event_type rows collapse into one
+    validity run with a half-open [valid_from, valid_to) interval
+    (valid_to NULL -> -1 on the current run). ONE shuffle on user_id —
+    the change-point filter sits between a lag and a lead pass sharing
+    the window partitioning. ~8k runs at sf0.01 (4/5 of transitions
+    change type), 150 is_current rows — collapse, interval chaining, and
+    the current-run flag all carry signal."""
+    from xmlschemavalidator_spark.temporal import scd2_build
+
+    e = _t(spark, sf_dir, "events")
+    dim = scd2_build(e, key="user_id", ts="ts", attrs=("event_type",),
+                     order_col="event_id")
+    return dim.select(
+        "user_id",
+        "event_type",
+        _t_us(F.col("valid_from")).alias("valid_from_us"),
+        F.coalesce(_t_us(F.col("valid_to")), F.lit(-1).cast("bigint")).alias(
+            "valid_to_us"
+        ),
+        "is_current",
+    )
+
+
+@q("temporal_rollup_streaming", _ROLLUP_DAILY_SQL)
+def temporal_rollup_streaming(spark, sf_dir):
+    """The SAME daily rollup maintained by Structured Streaming: the
+    events table replayed as a file stream (2 files per micro-batch),
+    each batch folded in by stream_time_rollup's foreachBatch appender
+    (per-epoch `_batch=` dirs — replayed batches overwrite exactly their
+    own dir, so the sink is exactly-once under retries). The merged
+    read-back must hash-match the one-shot batch oracle — a streaming
+    query with a FULL DuckDB oracle, not a rows-only check, because
+    every aggregate in the partial rollups is mergeable."""
+    import shutil
+    import tempfile
+
+    from xmlschemavalidator_spark.temporal import (
+        read_time_rollup,
+        stream_time_rollup,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="strollup_")
+    try:
+        e = _t(spark, sf_dir, "events").select("ts", "event_type", "value")
+        src = f"{tmp}/src"
+        e.repartition(4).write.parquet(src)
+        sdf = (
+            spark.readStream.schema("ts timestamp_ntz, event_type string, value double")
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        q_ = stream_time_rollup(
+            sdf, "ts", 86400, f"{tmp}/agg", f"{tmp}/ckpt",
+            dims=("event_type",),
+        )
+        try:
+            if not q_.awaitTermination(300):
+                raise TimeoutError("stream_time_rollup did not finish in 300s")
+        finally:
+            q_.stop()
+        merged = _rollup_select(
+            read_time_rollup(spark, f"{tmp}/agg", dims=("event_type",))
+        )
+        return spark.createDataFrame(merged.collect(), merged.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 

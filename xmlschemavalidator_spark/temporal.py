@@ -1,0 +1,341 @@
+"""Temporal operators over event streams: as-of join, range (interval)
+join, hypertable-style time rollup with incremental maintenance, and
+gap-based sessionization.
+
+These are the classic operators Spark's relational core lacks but a
+web-scale event/metrics table needs (the reference engine has no
+temporal layer at all — this is dataset-level widening in the spirit of
+SURVEY.md §2.7). Each is expressed as a composition of built-in
+DataFrame ops chosen for its shuffle shape at 10^12 rows:
+
+* `asof_join` — the union + ordered-window trick (one shuffle on the
+  key, a per-partition sort, NO range explosion and NO inequality
+  join): state rows and probe rows interleave in (ts, side) order and
+  `last(state, ignorenulls)` carries the most recent state forward.
+  This is the scalable plan; a naive `probe.join(state, ts >=)` is a
+  BroadcastNestedLoopJoin that dies at scale.
+* `range_join` — interval containment via fixed-width time buckets:
+  intervals explode over the buckets they cover, events carry their
+  single bucket, and the join is a pure EQUI-join on (key, bucket)
+  followed by an exact containment filter. Each (event, interval) pair
+  meets in exactly one bucket — the event's own — so no dedup pass is
+  needed. Interval span is validated up front (no silent caps).
+* `time_rollup` — time_bucket + groupBy with mergeable aggregates
+  (count / DECIMAL sum / min / max), so per-batch partial rollups can
+  be unioned and re-aggregated to the exact one-shot answer
+  (`append_time_rollup` / `read_time_rollup`, the continuous-aggregate
+  shape: per-`_batch=` dirs like textindex.py, committed batches never
+  rewritten).
+* `sessionize` — lag + cumulative-sum session boundaries over ONE
+  window partitioning; ties broken by an explicit order column so the
+  session ids are deterministic and engine-portable.
+
+All bucket arithmetic is integer (`unix_micros div width`) — double
+division of ~1.7e15 microsecond values can misfloor at bucket edges,
+and integer div is exactly portable to DuckDB's `//`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_US = 1_000_000
+
+
+def _micros(col) -> F.Column:
+    """Exact epoch microseconds of a timestamp column. The testdata
+    parquet carries TIMESTAMP_NTZ, which `unix_micros` rejects — cast
+    to TIMESTAMP first. NTZ->LTZ reads the wall time in the session
+    timezone; session.get_spark pins spark.sql.session.timeZone=UTC so
+    the value equals DuckDB's epoch_us (which treats naive as UTC)."""
+    c = col if not isinstance(col, str) else F.col(col)
+    return F.unix_micros(c.cast("timestamp"))
+
+
+def asof_join(
+    probe: DataFrame,
+    state: DataFrame,
+    on: str,
+    ts: str,
+    state_cols: tuple[str, ...],
+    prefix: str = "asof_",
+) -> DataFrame:
+    """For each probe row, attach the most recent state row with
+    state.ts <= probe.ts on the same key (DuckDB/pandas ASOF-backward
+    semantics, inclusive at equality). Probe rows with no prior state
+    keep NULLs (left as-of).
+
+    State is first deduped to one row per (key, ts) by struct-max over
+    `state_cols` — without this, equal-timestamp state rows would make
+    the window's `last()` pick a partition-order-dependent winner.
+
+    Output: every probe column, plus `{prefix}ts` (the matched state
+    timestamp) and `{prefix}{c}` for each state column. One shuffle on
+    `on`; the plan is Window over Union, never a non-equi join.
+    """
+    stt = (
+        state.groupBy(on, ts)
+        .agg(F.max(F.struct(*[F.col(c) for c in state_cols])).alias("_v"))
+        .select(
+            F.col(on),
+            F.col(ts),
+            F.struct(F.col(ts).alias("_ts"), F.col("_v").alias("_v")).alias("_st"),
+        )
+    )
+    st_type = dict(stt.dtypes)["_st"]
+    probe_types = dict(probe.dtypes)
+    rest = [c for c in probe.columns if c not in (on, ts)]
+    s_side = stt.select(
+        F.col(on),
+        F.col(ts),
+        F.lit(0).alias("_side"),
+        F.col("_st"),
+        *[F.lit(None).cast(probe_types[c]).alias(c) for c in rest],
+    )
+    p_side = probe.select(
+        F.col(on),
+        F.col(ts),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(st_type).alias("_st"),
+        *rest,
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = s_side.unionByName(p_side).withColumn(
+        "_last", F.last("_st", ignorenulls=True).over(w)
+    )
+    return filled.where(F.col("_side") == 1).select(
+        *probe.columns,
+        F.col("_last._ts").alias(f"{prefix}ts"),
+        *[F.col(f"_last._v.{c}").alias(f"{prefix}{c}") for c in state_cols],
+    )
+
+
+def range_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    on: str,
+    ts: str,
+    start: str,
+    end: str,
+    bucket_seconds: int,
+    max_span_buckets: int = 4096,
+) -> DataFrame:
+    """Join events to the intervals containing them: same key, and
+    `start <= ts < end` (half-open). Returns the joined frame (all
+    event columns + all interval columns except the key).
+
+    Shape: intervals explode over covered fixed-width buckets, events
+    compute their single bucket, equi-join on (key, bucket), exact
+    filter. An event's bucket is covered by every interval containing
+    the event, and only once — so the join emits each qualifying pair
+    exactly once with no distinct pass.
+
+    Intervals longer than `max_span_buckets * bucket_seconds` are
+    REFUSED up front (one tiny agg over the interval side — the small
+    side by construction) rather than silently truncated: a single
+    year-long interval at 1-minute buckets would explode 525k rows.
+    Raise the bucket width instead.
+    """
+    width_us = bucket_seconds * _US
+    iv = intervals.withColumn(
+        "_b0", F.expr(f"unix_micros(CAST({start} AS TIMESTAMP)) div {width_us}")
+    ).withColumn(
+        "_b1",
+        F.expr(f"(unix_micros(CAST({end} AS TIMESTAMP)) - 1) div {width_us}"),
+    )
+    bad = iv.where(
+        (F.col("_b1") < F.col("_b0"))
+        | (F.col("_b1") - F.col("_b0") >= max_span_buckets)
+    ).count()
+    if bad:
+        raise ValueError(
+            f"range_join: {bad} interval(s) empty or spanning >= "
+            f"{max_span_buckets} buckets of {bucket_seconds}s; widen "
+            "bucket_seconds or fix the interval bounds"
+        )
+    expl = iv.withColumn("_bucket", F.explode(F.sequence("_b0", "_b1"))).drop(
+        "_b0", "_b1"
+    )
+    ev = events.withColumn(
+        "_bucket", F.expr(f"unix_micros(CAST({ts} AS TIMESTAMP)) div {width_us}")
+    )
+    return (
+        ev.join(expl, [on, "_bucket"])
+        .where((F.col(ts) >= F.col(start)) & (F.col(ts) < F.col(end)))
+        .drop("_bucket")
+    )
+
+
+def time_rollup(
+    events: DataFrame,
+    ts: str,
+    bucket_seconds: int,
+    dims: tuple[str, ...] = (),
+    value: str = "value",
+) -> DataFrame:
+    """Hypertable-style continuous aggregate: fixed-width time buckets
+    (epoch-second bucket starts, integer arithmetic) x `dims`, with the
+    MERGEABLE aggregate set — count, DECIMAL sum, min, max — so that
+    partial rollups union + re-aggregate to the exact one-shot answer
+    (see `merge_time_rollups`). One partially-aggregated shuffle.
+
+    Columns: bucket_start (BIGINT epoch seconds), *dims, n_events,
+    sum_value DECIMAL(38,6), min_value, max_value.
+    """
+    b = (
+        F.expr(f"unix_micros(CAST({ts} AS TIMESTAMP)) div {bucket_seconds * _US}")
+        * F.lit(bucket_seconds)
+    ).cast("bigint")
+    return events.groupBy(b.alias("bucket_start"), *dims).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col(value).cast("decimal(38,6)")).alias("sum_value"),
+        F.min(value).alias("min_value"),
+        F.max(value).alias("max_value"),
+    )
+
+
+def merge_time_rollups(partials: DataFrame, dims: tuple[str, ...] = ()) -> DataFrame:
+    """Re-aggregate a union of partial rollups to the one-shot rollup.
+    Exact because every aggregate is mergeable (count->sum, sum->sum,
+    min->min, max->max; the sum stayed DECIMAL in the partials)."""
+    return partials.groupBy("bucket_start", *dims).agg(
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.sum("sum_value").cast("decimal(38,6)").alias("sum_value"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    )
+
+
+def append_time_rollup(
+    events: DataFrame,
+    ts: str,
+    bucket_seconds: int,
+    path: str,
+    batch_id: str,
+    dims: tuple[str, ...] = (),
+    value: str = "value",
+) -> None:
+    """Fold one batch into a persisted continuous aggregate at `path`:
+    writes this batch's partial rollup under `_batch=<id>/` (committed
+    batches never rewritten; a failed retry overwrites exactly its own
+    dir). Readers merge at O(buckets) cost via `read_time_rollup`."""
+    part = time_rollup(events, ts, bucket_seconds, dims=dims, value=value)
+    part.write.mode("overwrite").parquet(f"{path}/_batch={batch_id}")
+
+
+def read_time_rollup(spark, path: str, dims: tuple[str, ...] = ()) -> DataFrame:
+    """Merge all committed batch partials into the exact rollup."""
+    return merge_time_rollups(spark.read.parquet(f"{path}/_batch=*"), dims=dims)
+
+
+def stream_time_rollup(
+    stream: DataFrame,
+    ts: str,
+    bucket_seconds: int,
+    path: str,
+    checkpoint: str,
+    dims: tuple[str, ...] = (),
+    value: str = "value",
+    trigger_available_now: bool = True,
+):
+    """Maintain the persisted continuous aggregate from a streaming
+    source: each micro-batch folds in via `append_time_rollup` under its
+    own `_batch=<epoch id>/` dir. foreachBatch + the epoch id makes the
+    sink exactly-once under retries (a replayed batch overwrites exactly
+    its own dir — the same idempotence contract the batch appender has),
+    so `read_time_rollup` equals the one-shot rollup of everything the
+    stream has consumed. Returns the started StreamingQuery."""
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return  # empty-DF parquet writes leave part-less dirs that
+            # poison read-back schema inference
+        append_time_rollup(
+            batch_df, ts, bucket_seconds, path, f"{batch_id:010d}",
+            dims=dims, value=value,
+        )
+
+    writer = stream.writeStream.foreachBatch(_fold).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def scd2_build(
+    events: DataFrame,
+    key: str,
+    ts: str,
+    attrs: tuple[str, ...],
+    order_col: str,
+) -> DataFrame:
+    """Build a slowly-changing-dimension type-2 table from a change
+    stream: per key, consecutive rows with identical `attrs` collapse
+    into one validity run, and each run gets a half-open validity
+    interval [valid_from, valid_to) with valid_to = the next run's start
+    (NULL while current). `order_col` breaks equal-timestamp ties.
+
+    Output: key, *attrs, valid_from (ts type), valid_to (NULL on the
+    current run), is_current. ONE shuffle on the key: the change-point
+    filter sits between two window passes that share the partitioning
+    (lag to detect change, lead over the surviving change rows).
+
+    The classic dimension-table shape: a point-in-time lookup is then
+    `asof_join` on valid_from, or `range_join` on the interval."""
+    order = [F.col(ts).asc(), F.col(order_col).asc()]
+    w = Window.partitionBy(key).orderBy(*order)
+    cur = F.struct(*[F.col(c) for c in attrs])
+    # null-safe: first row per key (lag NULL) is a change, and NULL attr
+    # values compare by value rather than poisoning the predicate
+    changed = ~F.lag(cur).over(w).eqNullSafe(cur)
+    runs = events.withColumn("_chg", changed).where(F.col("_chg")).drop("_chg")
+    return runs.select(
+        key,
+        *attrs,
+        F.col(ts).alias("valid_from"),
+        F.lead(ts).over(w).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+def sessionize(
+    events: DataFrame,
+    on: str,
+    ts: str,
+    gap_seconds: int,
+    order_col: str,
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the gap to
+    the previous event on the same key exceeds `gap_seconds`. Adds
+    `session_seq` (1-based per key, BIGINT). `order_col` breaks
+    equal-timestamp ties so session numbering is deterministic and
+    engine-portable. One shuffle on `on`; both window passes share the
+    partitioning (single Exchange, single Sort)."""
+    order = [F.col(ts).asc(), F.col(order_col).asc()]
+    w = Window.partitionBy(on).orderBy(*order)
+    gap_us = _micros(ts) - _micros(F.lag(ts).over(w))
+    new_s = F.when(gap_us.isNull() | (gap_us > gap_seconds * _US), 1).otherwise(0)
+    return events.withColumn("_new", new_s).withColumn(
+        "session_seq",
+        F.sum("_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint"),
+    ).drop("_new")
+
+
+def session_stats(sessions: DataFrame, on: str, ts: str) -> DataFrame:
+    """Per-session aggregates over a `sessionize` output: event count,
+    start/end in exact epoch microseconds, duration in seconds."""
+    return sessions.groupBy(on, "session_seq").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.min(_micros(ts)).alias("start_us"),
+        F.max(_micros(ts)).alias("end_us"),
+    ).withColumn(
+        "duration_s",
+        ((F.col("end_us") - F.col("start_us")) / F.lit(_US)).cast("double"),
+    )
