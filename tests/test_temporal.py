@@ -105,6 +105,17 @@ def test_asof_plan_single_exchange_no_join(spark):
     assert "Window" in plan
 
 
+def test_asof_rejects_reserved_column_names(spark):
+    state = _events(spark, [(10, 1, _ts("2024-01-01T01:00:00"), 5.0)]).select(
+        "user_id", "ts", "value", "event_id"
+    )
+    probe = _events(spark, [(1, 1, _ts("2024-01-01T02:00:00"), 0.0)]).withColumn(
+        "_side", F.lit(1)
+    )
+    with pytest.raises(ValueError, match="_side"):
+        asof_join(probe, state, on="user_id", ts="ts", state_cols=("value",))
+
+
 # ---------------------------------------------------------------- range join
 
 def _intervals(spark, recs):
@@ -155,6 +166,16 @@ def test_range_join_refuses_inverted_interval(spark):
     )
     ev = _events(spark, [(1, 1, _ts("2024-01-01T01:00:00"), 0.0)])
     with pytest.raises(ValueError, match="empty"):
+        range_join(ev, iv, on="user_id", ts="ts", start="start_ts",
+                   end="end_ts", bucket_seconds=3600)
+
+
+def test_range_join_rejects_ambiguous_columns(spark):
+    iv = _intervals(
+        spark, [(100, 1, _ts("2024-01-01T01:00:00"), _ts("2024-01-01T03:00:00"))]
+    ).withColumn("value", F.lit(1.0))  # collides with the event side
+    ev = _events(spark, [(1, 1, _ts("2024-01-01T02:00:00"), 0.0)])
+    with pytest.raises(ValueError, match="both"):
         range_join(ev, iv, on="user_id", ts="ts", start="start_ts",
                    end="end_ts", bucket_seconds=3600)
 

@@ -226,11 +226,28 @@ def bpe_encode(
 
         return words.map(seg)
 
+    return encode_with_segmentation(df, model.seg, _oov_pieces, id_col, text_col)
+
+
+def encode_with_segmentation(
+    df: DataFrame,
+    seg: DataFrame,
+    oov_pieces_udf,
+    id_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Shared subword-encode plumbing for any segmentation-table model
+    (BPE here, unigram LM in unigram.py — ONE implementation of the
+    explode → broadcast join → OOV-union → ordered-stitch dataflow, so
+    the two tokenizers cannot drift): trained words resolve through the
+    broadcast `seg` (word, pieces) join; misses go to the Arrow-batched
+    `oov_pieces_udf`, which must be null-safe (nulls reach it — see the
+    union note below)."""
     toks = df.select(
         F.col(id_col).alias("doc"),
         F.posexplode_outer(tokens(F.lower(F.col(text_col)))).alias("pos", "word"),
     )
-    joined = toks.join(F.broadcast(model.seg), "word", "left")
+    joined = toks.join(F.broadcast(seg), "word", "left")
     # two-branch union, NOT a when(): ArrowEvalPython computes a pandas
     # UDF for every row BEFORE the projection picks a branch, so a
     # conditional would run Python on the hits too. The union re-reads the
@@ -242,7 +259,7 @@ def bpe_encode(
     ).select("doc", "pos", F.coalesce("pieces", empty).alias("pieces"))
     misses = joined.where(
         F.col("pieces").isNull() & F.col("word").isNotNull()
-    ).select("doc", "pos", _oov_pieces(F.col("word")).alias("pieces"))
+    ).select("doc", "pos", oov_pieces_udf(F.col("word")).alias("pieces"))
     resolved = hits.unionByName(misses)
     stitched = (
         resolved.groupBy("doc")

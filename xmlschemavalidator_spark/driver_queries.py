@@ -7033,6 +7033,132 @@ def temporal_rollup_streaming(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+# ===========================================================================
+# unigram-LM subword tokenizer (unigram.py, Kudo 2018 / SentencePiece)
+# ===========================================================================
+
+# The planted replay corpus: doc_ids 0..399 (present from sf0.001 up, so
+# the model is IDENTICAL at every sf), three words per doc with exactly
+# known counts. The oracle trains the SAME pure-Python trainer on those
+# counts at import time and interpolates the resulting segmentation as
+# SQL literals — so the driver's hash compare covers the Spark word-count
+# pass, the deterministic driver-side EM training, AND the broadcast-join
+# encode, end to end.
+_UNIGRAM_WC = [
+    ("ab", 134), ("abab", 133), ("ababab", 133),
+    ("cd", 200), ("cdcd", 200), ("xyz", 400),
+]
+_UNIGRAM_TEXT_SPARK = (
+    "concat(repeat('ab', 1 + doc_id % 3), ' ', "
+    "repeat('cd', 1 + doc_id % 2), ' xyz')"
+)
+
+
+def _unigram_planted():
+    from xmlschemavalidator_spark.unigram import (
+        WB,
+        _viterbi,
+        train_unigram_from_counts,
+    )
+
+    logp = train_unigram_from_counts(_UNIGRAM_WC, vocab_size=12, max_piece_len=6)
+    seg = {w: _viterbi(WB + w, logp, 6) for w, _ in _UNIGRAM_WC}
+    return logp, seg
+
+
+def _unigram_replay_oracle() -> str:
+    _, seg = _unigram_planted()
+
+    def s(w):  # pieces_str literal for one word (no quotes/backslashes)
+        return "|".join(seg[w])
+
+    def n(w):
+        return len(seg[w])
+
+    return f"""\
+SELECT doc_id,
+       (CASE doc_id % 3 WHEN 0 THEN '{s("ab")}' WHEN 1 THEN '{s("abab")}'
+             ELSE '{s("ababab")}' END)
+       || '|' ||
+       (CASE doc_id % 2 WHEN 0 THEN '{s("cd")}' ELSE '{s("cdcd")}' END)
+       || '|' || '{s("xyz")}' AS pieces_str,
+       CAST((CASE doc_id % 3 WHEN 0 THEN {n("ab")} WHEN 1 THEN {n("abab")}
+             ELSE {n("ababab")} END)
+       + (CASE doc_id % 2 WHEN 0 THEN {n("cd")} ELSE {n("cdcd")} END)
+       + {n("xyz")} AS INT) AS n_pieces
+FROM documents WHERE doc_id < 400"""
+
+
+@q("unigram_encode_replay", _unigram_replay_oracle())
+def unigram_encode_replay(spark, sf_dir):
+    """Unigram-LM tokenizer END-TO-END against an exact oracle: a
+    planted 400-doc corpus with arithmetically known word counts is
+    word-counted by Spark, trained driver-side (hard-EM + pruning —
+    deterministic, so the import-time Python replay of the same training
+    is bit-identical), and encoded through the broadcast segmentation
+    join. Training is inside the hash: a one-count drift, a different
+    EM tie-break, or a stitch-order bug all flip the oracle."""
+    from xmlschemavalidator_spark.unigram import train_unigram, unigram_encode
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    planted = docs.select("doc_id", F.expr(_UNIGRAM_TEXT_SPARK).alias("text"))
+    model = train_unigram(planted, vocab_size=12, max_piece_len=6)
+    enc = unigram_encode(planted, model, "doc_id")
+    return enc.select(
+        F.col("doc").alias("doc_id"),
+        F.array_join("pieces", "|").alias("pieces_str"),
+        F.col("n_pieces").cast("int").alias("n_pieces"),
+    )
+
+
+def _unigram_vocab_oracle() -> str:
+    import math
+
+    logp, _ = _unigram_planted()
+    ordered = sorted(logp.items(), key=lambda kv: (-kv[1], kv[0]))
+    rows = ", ".join(
+        f"('{p}', CAST({i} AS BIGINT), CAST({math.floor(lp * 1_000_000)} AS BIGINT))"
+        for i, (p, lp) in enumerate(ordered)
+    )
+    return (
+        "SELECT * FROM (VALUES "
+        + rows
+        + ") AS t(piece, id, logprob_micro)"
+    )
+
+
+@q("unigram_vocab_planted", _unigram_vocab_oracle())
+def unigram_vocab_planted(spark, sf_dir):
+    """The trained unigram vocabulary (piece, rank id, micro-quantized
+    log-prob) for the planted corpus vs the import-time training replay —
+    pins the learned PROBABILITIES, not just the segmentations (two
+    different models can segment a small corpus identically)."""
+    from xmlschemavalidator_spark.unigram import train_unigram, unigram_vocab
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    planted = docs.select("doc_id", F.expr(_UNIGRAM_TEXT_SPARK).alias("text"))
+    model = train_unigram(planted, vocab_size=12, max_piece_len=6)
+    return unigram_vocab(model)
+
+
+@q("unigram_tokenize")  # rows-only: full-corpus training is iterative
+def unigram_tokenize(spark, sf_dir):
+    """Subword-tokenize the real corpus with the in-engine-trained
+    unigram-LM model: ``(doc, n_pieces, pieces_md5)``. Rows-only for the
+    same reason as bpe_tokenize (EM training isn't SQL-expressible over
+    an arbitrary corpus); the exact-oracle coverage lives in
+    unigram_encode_replay, and the reconstruction invariant (pieces
+    concat back to WB + word) is pinned in test_unigram.py."""
+    from xmlschemavalidator_spark.unigram import train_unigram, unigram_encode
+
+    docs = _t(spark, sf_dir, "documents")
+    model = train_unigram(docs, vocab_size=512, max_words=50_000)
+    enc = unigram_encode(docs, model, "doc_id")
+    return enc.select(
+        "doc", "n_pieces", F.md5(F.concat_ws("\x00", "pieces")).alias("pieces_md5")
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 

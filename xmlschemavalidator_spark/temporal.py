@@ -73,7 +73,21 @@ def asof_join(
     Output: every probe column, plus `{prefix}ts` (the matched state
     timestamp) and `{prefix}{c}` for each state column. One shuffle on
     `on`; the plan is Window over Union, never a non-equi join.
+
+    Scale note: the shuffle is keyed on `on` alone, so one pathological
+    key (a single user with 10^9 events) serializes in one task. The
+    carry-forward is order-dependent, so the generic fix is upstream:
+    split such keys by time range and replay the boundary state row
+    into each split — not silently done here because testdata keys are
+    bounded and the split policy is domain-specific.
     """
+    reserved = {"_side", "_st", "_last"}
+    clash = reserved & (set(probe.columns) | set(state.columns))
+    if clash:
+        raise ValueError(
+            f"asof_join: column(s) {sorted(clash)} collide with internal "
+            "names; rename them first"
+        )
     stt = (
         state.groupBy(on, ts)
         .agg(F.max(F.struct(*[F.col(c) for c in state_cols])).alias("_v"))
@@ -141,6 +155,13 @@ def range_join(
     year-long interval at 1-minute buckets would explode 525k rows.
     Raise the bucket width instead.
     """
+    overlap = (set(events.columns) & set(intervals.columns)) - {on}
+    if overlap:
+        raise ValueError(
+            f"range_join: column(s) {sorted(overlap)} exist on both "
+            "sides; rename one side first (the joined frame would be "
+            "ambiguous)"
+        )
     width_us = bucket_seconds * _US
     iv = intervals.withColumn(
         "_b0", F.expr(f"unix_micros(CAST({start} AS TIMESTAMP)) div {width_us}")
