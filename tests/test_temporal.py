@@ -391,3 +391,97 @@ def test_sessionize_single_exchange(spark):
     # lag + running sum share ONE shuffle (and one Sort)
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     assert len(re.findall(r"\(\d+\) Sort", plan)) == 1
+
+
+# ------------------------------------------------------- review regressions
+
+def test_asof_null_ts_state_never_matches(spark):
+    # ASOF semantics: state.ts <= probe.ts is never true for NULL state
+    # ts (DuckDB agrees) — the NULLS FIRST window order must not carry a
+    # NULL-ts state row forward as the "most recent" state
+    state = _events(
+        spark,
+        [(10, 1, None, 9.0), (11, 1, _ts("2024-01-01T02:00:00"), 7.0)],
+    ).select("user_id", "ts", "value", "event_id")
+    probe = _events(spark, [(1, 1, _ts("2024-01-01T00:30:00"), 0.0),
+                            (2, 1, _ts("2024-01-01T03:00:00"), 0.0)])
+    got = {
+        r["event_id"]: (r["asof_value"], r["asof_event_id"])
+        for r in asof_join(probe, state, on="user_id", ts="ts",
+                           state_cols=("value", "event_id")).collect()
+    }
+    assert got == {1: (None, None), 2: (7.0, 11)}
+
+
+def test_asof_rejects_output_name_collision(spark):
+    # chained asof_join with the default prefix: the second call would
+    # emit duplicate asof_* columns -> refuse, demand a distinct prefix
+    state = _events(spark, [(10, 1, _ts("2024-01-01T01:00:00"), 5.0)]).select(
+        "user_id", "ts", "value", "event_id"
+    )
+    probe = _events(spark, [(1, 1, _ts("2024-01-01T02:00:00"), 0.0)])
+    once = asof_join(probe, state, on="user_id", ts="ts", state_cols=("value",))
+    with pytest.raises(ValueError, match="prefix"):
+        asof_join(once, state, on="user_id", ts="ts", state_cols=("value",))
+    # distinct prefix works
+    twice = asof_join(once, state, on="user_id", ts="ts",
+                      state_cols=("value",), prefix="asof2_")
+    assert twice.collect()[0]["asof2_value"] == 5.0
+
+
+def test_range_join_refuses_same_bucket_inversion(spark):
+    # inverted by 20 min INSIDE one hour bucket: _b0 == _b1, so the
+    # bucket-level check can't see it — the raw-bound check must
+    iv = _intervals(
+        spark, [(100, 1, _ts("2024-01-01T10:30:00"), _ts("2024-01-01T10:10:00"))]
+    )
+    ev = _events(spark, [(1, 1, _ts("2024-01-01T10:20:00"), 0.0)])
+    with pytest.raises(ValueError, match="empty"):
+        range_join(ev, iv, on="user_id", ts="ts", start="start_ts",
+                   end="end_ts", bucket_seconds=3600)
+
+
+def test_range_join_rejects_reserved_names(spark):
+    iv = _intervals(
+        spark, [(100, 1, _ts("2024-01-01T01:00:00"), _ts("2024-01-01T03:00:00"))]
+    )
+    ev = _events(spark, [(1, 1, _ts("2024-01-01T02:00:00"), 0.0)]).withColumn(
+        "_bucket", F.lit(1)
+    )
+    with pytest.raises(ValueError, match="_bucket"):
+        range_join(ev, iv, on="user_id", ts="ts", start="start_ts",
+                   end="end_ts", bucket_seconds=3600)
+
+
+def test_sessionize_and_scd2_reject_reserved_names(spark):
+    from xmlschemavalidator_spark.temporal import scd2_build
+
+    ev = _events(spark, [(1, 1, _ts("2024-01-01T00:00:00"), 0.0)])
+    with pytest.raises(ValueError, match="_new"):
+        sessionize(ev.withColumn("_new", F.lit(1)), on="user_id", ts="ts",
+                   gap_seconds=60, order_col="event_id")
+    with pytest.raises(ValueError, match="session_seq"):
+        sessionize(ev.withColumn("session_seq", F.lit(1)), on="user_id",
+                   ts="ts", gap_seconds=60, order_col="event_id")
+    sev = ev.withColumn("status", F.lit("a"))
+    with pytest.raises(ValueError, match="_chg"):
+        scd2_build(sev.withColumn("_chg", F.lit(True)), key="user_id",
+                   ts="ts", attrs=("status",), order_col="event_id")
+    with pytest.raises(ValueError, match="valid_from"):
+        scd2_build(sev.withColumn("valid_from", F.lit("x")), key="user_id",
+                   ts="ts", attrs=("status", "valid_from"),
+                   order_col="event_id")
+
+
+def test_rollup_append_skips_empty_batch(spark, tmp_path):
+    ev = _events(spark, [(1, 1, _ts("2024-01-01T00:00:00"), 2.0)])
+    path = str(tmp_path / "agg")
+    # an empty first batch must not write a part-less _batch dir that
+    # poisons read-back schema inference
+    append_time_rollup(ev.where(F.lit(False)), "ts", 86400, path, "00000")
+    import glob
+
+    assert glob.glob(str(tmp_path / "agg" / "_batch=*")) == []
+    append_time_rollup(ev, "ts", 86400, path, "00001")
+    got = read_time_rollup(spark, path).collect()
+    assert len(got) == 1 and got[0]["n_events"] == 1

@@ -56,14 +56,17 @@ def test_reconstruction_invariant_on_real_corpus(spark):
     )
     enc = unigram_encode(docs, model, "doc_id")
     joined = enc.join(docs.select(F.col("doc_id").alias("doc"), "text"), "doc")
-    bad = joined.where(
-        F.array_join("pieces", "")
-        != F.regexp_replace(
-            F.concat(F.lit(WB), F.lower(F.coalesce("text", F.lit("")))),
-            "[ \\t\\n\\x0B\\f\\r]+",
-            WB,
-        )
+    # expected = the exact word stream tokens() produces (split on the
+    # explicit ws class, empties filtered — so NULL / whitespace-only /
+    # ws-edged text reconstructs to '' on both sides, not a bare WB)
+    words = F.filter(
+        F.split(F.lower(F.coalesce("text", F.lit(""))), "[ \\t\\n\\x0B\\f\\r]+"),
+        lambda w: w != "",
     )
+    expect = F.array_join(
+        F.transform(words, lambda w: F.concat(F.lit(WB), w)), ""
+    )
+    bad = joined.where(F.array_join("pieces", "") != expect)
     # pieces concat back to the WB-joined normalized text, byte-exact
     assert bad.count() == 0
     assert enc.count() == docs.count()

@@ -88,8 +88,22 @@ def asof_join(
             f"asof_join: column(s) {sorted(clash)} collide with internal "
             "names; rename them first"
         )
+    out_clash = {f"{prefix}ts", *(f"{prefix}{c}" for c in state_cols)} & set(
+        probe.columns
+    )
+    if out_clash:
+        raise ValueError(
+            f"asof_join: output column(s) {sorted(out_clash)} already "
+            "exist on the probe side (chained asof_join? pass a distinct "
+            "prefix)"
+        )
+    # A NULL-ts state row can never satisfy state.ts <= probe.ts (ASOF /
+    # DuckDB semantics: the comparison is never true), but the window's
+    # NULLS FIRST ordering would carry it forward as the "most recent"
+    # state for every probe row before the first real state — drop them.
     stt = (
-        state.groupBy(on, ts)
+        state.where(F.col(ts).isNotNull())
+        .groupBy(on, ts)
         .agg(F.max(F.struct(*[F.col(c) for c in state_cols])).alias("_v"))
         .select(
             F.col(on),
@@ -149,11 +163,17 @@ def range_join(
     the event, and only once — so the join emits each qualifying pair
     exactly once with no distinct pass.
 
-    Intervals longer than `max_span_buckets * bucket_seconds` are
-    REFUSED up front (one tiny agg over the interval side — the small
-    side by construction) rather than silently truncated: a single
-    year-long interval at 1-minute buckets would explode 525k rows.
-    Raise the bucket width instead.
+    Intervals longer than `max_span_buckets * bucket_seconds`, and
+    empty/inverted intervals (`end <= start`, checked on the raw bounds
+    so a same-bucket inversion is caught too), are REFUSED up front
+    rather than silently truncated: a single year-long interval at
+    1-minute buckets would explode 525k rows, and an inverted interval
+    means the caller swapped the bound columns. Raise the bucket width /
+    fix the bounds instead. The validation pass and the join share one
+    materialization of the interval side (persisted across both — the
+    small side by construction); the cached frame is exposed as
+    `result._range_join_iv` so callers can `.unpersist()` it after the
+    result materializes.
     """
     overlap = (set(events.columns) & set(intervals.columns)) - {on}
     if overlap:
@@ -162,34 +182,47 @@ def range_join(
             "sides; rename one side first (the joined frame would be "
             "ambiguous)"
         )
+    reserved = {"_bucket", "_b0", "_b1", "_s_us", "_e_us"}
+    clash = reserved & (set(events.columns) | set(intervals.columns))
+    if clash:
+        raise ValueError(
+            f"range_join: column(s) {sorted(clash)} collide with internal "
+            "names; rename them first"
+        )
     width_us = bucket_seconds * _US
-    iv = intervals.withColumn(
-        "_b0", F.expr(f"unix_micros(CAST({start} AS TIMESTAMP)) div {width_us}")
-    ).withColumn(
-        "_b1",
-        F.expr(f"(unix_micros(CAST({end} AS TIMESTAMP)) - 1) div {width_us}"),
+    iv = (
+        intervals.withColumn(
+            "_s_us", F.expr(f"unix_micros(CAST({start} AS TIMESTAMP))")
+        )
+        .withColumn("_e_us", F.expr(f"unix_micros(CAST({end} AS TIMESTAMP))"))
+        .withColumn("_b0", F.expr(f"_s_us div {width_us}"))
+        .withColumn("_b1", F.expr(f"(_e_us - 1) div {width_us}"))
+        .persist()
     )
     bad = iv.where(
-        (F.col("_b1") < F.col("_b0"))
+        (F.col("_e_us") <= F.col("_s_us"))
         | (F.col("_b1") - F.col("_b0") >= max_span_buckets)
     ).count()
     if bad:
+        iv.unpersist()
         raise ValueError(
             f"range_join: {bad} interval(s) empty or spanning >= "
             f"{max_span_buckets} buckets of {bucket_seconds}s; widen "
             "bucket_seconds or fix the interval bounds"
         )
     expl = iv.withColumn("_bucket", F.explode(F.sequence("_b0", "_b1"))).drop(
-        "_b0", "_b1"
+        "_b0", "_b1", "_s_us", "_e_us"
     )
     ev = events.withColumn(
         "_bucket", F.expr(f"unix_micros(CAST({ts} AS TIMESTAMP)) div {width_us}")
     )
-    return (
+    out = (
         ev.join(expl, [on, "_bucket"])
         .where((F.col(ts) >= F.col(start)) & (F.col(ts) < F.col(end)))
         .drop("_bucket")
     )
+    out._range_join_iv = iv  # anchor for caller-side unpersist
+    return out
 
 
 def time_rollup(
@@ -244,7 +277,11 @@ def append_time_rollup(
     """Fold one batch into a persisted continuous aggregate at `path`:
     writes this batch's partial rollup under `_batch=<id>/` (committed
     batches never rewritten; a failed retry overwrites exactly its own
-    dir). Readers merge at O(buckets) cost via `read_time_rollup`."""
+    dir). Readers merge at O(buckets) cost via `read_time_rollup`.
+    Empty batches are skipped — an empty-DF parquet write leaves a
+    part-less dir that poisons read-back schema inference."""
+    if events.isEmpty():
+        return
     part = time_rollup(events, ts, bucket_seconds, dims=dims, value=value)
     part.write.mode("overwrite").parquet(f"{path}/_batch={batch_id}")
 
@@ -273,9 +310,7 @@ def stream_time_rollup(
     stream has consumed. Returns the started StreamingQuery."""
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return  # empty-DF parquet writes leave part-less dirs that
-            # poison read-back schema inference
+        # append_time_rollup itself skips empty batches
         append_time_rollup(
             batch_df, ts, bucket_seconds, path, f"{batch_id:010d}",
             dims=dims, value=value,
@@ -309,6 +344,17 @@ def scd2_build(
 
     The classic dimension-table shape: a point-in-time lookup is then
     `asof_join` on valid_from, or `range_join` on the interval."""
+    if "_chg" in events.columns:
+        raise ValueError(
+            "scd2_build: column '_chg' collides with an internal name; "
+            "rename it first"
+        )
+    out_clash = {"valid_from", "valid_to", "is_current"} & ({key} | set(attrs))
+    if out_clash:
+        raise ValueError(
+            f"scd2_build: output column(s) {sorted(out_clash)} collide "
+            "with key/attrs; rename them first"
+        )
     order = [F.col(ts).asc(), F.col(order_col).asc()]
     w = Window.partitionBy(key).orderBy(*order)
     cur = F.struct(*[F.col(c) for c in attrs])
@@ -337,6 +383,12 @@ def sessionize(
     equal-timestamp ties so session numbering is deterministic and
     engine-portable. One shuffle on `on`; both window passes share the
     partitioning (single Exchange, single Sort)."""
+    clash = {"_new", "session_seq"} & set(events.columns)
+    if clash:
+        raise ValueError(
+            f"sessionize: column(s) {sorted(clash)} collide with internal "
+            "or output names; rename them first"
+        )
     order = [F.col(ts).asc(), F.col(order_col).asc()]
     w = Window.partitionBy(on).orderBy(*order)
     gap_us = _micros(ts) - _micros(F.lag(ts).over(w))

@@ -293,11 +293,15 @@ def unigram_encode_ids(
             F.element_at(F.col("m"), p), F.lit(unk_id).cast("bigint")
         ),
     )
-    return out.select(
+    # Two selects: the map-lookup transform is a HOF subtree, which
+    # projection-level CSE skips — referencing `ids` twice in one select
+    # would run the O(vocab) lookup per piece TWICE (CLAUDE.md HOF rule).
+    # Two refs to the non-cheap alias below are not collapse-inlined.
+    return out.select("doc", ids.alias("ids")).select(
         "doc",
-        ids.alias("ids"),
+        "ids",
         F.aggregate(
-            ids,
+            F.col("ids"),
             F.lit(0).cast("bigint"),
             lambda acc, x: acc + F.when(x == unk_id, 1).otherwise(0),
         ).alias("n_unk"),
