@@ -7159,6 +7159,126 @@ def unigram_tokenize(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# WordPiece subword tokenizer (wordpiece.py, Schuster & Nakajima 2012 /
+# the BERT tokenizer) — same planted corpus as the unigram family, so one
+# corpus exercises all three subword trainers with independent oracles.
+# ===========================================================================
+
+
+def _wordpiece_planted():
+    from xmlschemavalidator_spark.wordpiece import (
+        greedy_segment,
+        train_wordpiece_from_counts,
+    )
+
+    vocab = train_wordpiece_from_counts(
+        _UNIGRAM_WC, vocab_size=12, min_frequency=2
+    )
+    vset = frozenset(vocab)
+    seg = {w: greedy_segment(w, vset) for w, _ in _UNIGRAM_WC}
+    return vocab, seg
+
+
+def _wordpiece_replay_oracle() -> str:
+    _, seg = _wordpiece_planted()
+
+    def s(w):  # pieces_str literal for one word (no quotes/backslashes)
+        return "|".join(seg[w])
+
+    def n(w):
+        return len(seg[w])
+
+    return f"""\
+SELECT doc_id,
+       (CASE doc_id % 3 WHEN 0 THEN '{s("ab")}' WHEN 1 THEN '{s("abab")}'
+             ELSE '{s("ababab")}' END)
+       || '|' ||
+       (CASE doc_id % 2 WHEN 0 THEN '{s("cd")}' ELSE '{s("cdcd")}' END)
+       || '|' || '{s("xyz")}' AS pieces_str,
+       CAST((CASE doc_id % 3 WHEN 0 THEN {n("ab")} WHEN 1 THEN {n("abab")}
+             ELSE {n("ababab")} END)
+       + (CASE doc_id % 2 WHEN 0 THEN {n("cd")} ELSE {n("cdcd")} END)
+       + {n("xyz")} AS INT) AS n_pieces
+FROM documents WHERE doc_id < 400"""
+
+
+@q("wordpiece_encode_replay", _wordpiece_replay_oracle())
+def wordpiece_encode_replay(spark, sf_dir):
+    """WordPiece END-TO-END against an exact oracle, the
+    unigram_encode_replay pattern: the planted 400-doc corpus is
+    word-counted by Spark, merge-trained driver-side (likelihood-scored
+    pair selection via exact integer cross-multiplication — the
+    import-time Python replay is bit-identical), and encoded through the
+    broadcast greedy-segmentation join. A different merge choice, a
+    greedy-match drift, or a stitch-order bug all flip the hash."""
+    from xmlschemavalidator_spark.wordpiece import (
+        train_wordpiece,
+        wordpiece_encode,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    planted = docs.select("doc_id", F.expr(_UNIGRAM_TEXT_SPARK).alias("text"))
+    model = train_wordpiece(planted, vocab_size=12, min_frequency=2)
+    enc = wordpiece_encode(planted, model, "doc_id")
+    return enc.select(
+        F.col("doc").alias("doc_id"),
+        F.array_join("pieces", "|").alias("pieces_str"),
+        F.col("n_pieces").cast("int").alias("n_pieces"),
+    )
+
+
+def _wordpiece_vocab_oracle() -> str:
+    from xmlschemavalidator_spark.wordpiece import UNK
+
+    vocab, _ = _wordpiece_planted()
+    rows = ", ".join(
+        [f"('[UNK]', CAST(0 AS BIGINT))"]
+        + [
+            f"('{p}', CAST({i + 1} AS BIGINT))"
+            for i, p in enumerate(v for v in vocab if v != UNK)
+        ]
+    )
+    return "SELECT * FROM (VALUES " + rows + ") AS t(piece, id)"
+
+
+@q("wordpiece_vocab_planted", _wordpiece_vocab_oracle())
+def wordpiece_vocab_planted(spark, sf_dir):
+    """The trained WordPiece vocabulary (piece, id) for the planted
+    corpus vs the import-time training replay — pins WHICH merges the
+    likelihood objective selected, not just how they segment."""
+    from xmlschemavalidator_spark.wordpiece import (
+        train_wordpiece,
+        wordpiece_vocab,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    planted = docs.select("doc_id", F.expr(_UNIGRAM_TEXT_SPARK).alias("text"))
+    model = train_wordpiece(planted, vocab_size=12, min_frequency=2)
+    return wordpiece_vocab(model)
+
+
+@q("wordpiece_tokenize")  # rows-only: merge training is iterative
+def wordpiece_tokenize(spark, sf_dir):
+    """Subword-tokenize the real corpus with the in-engine-trained
+    WordPiece model: ``(doc, n_pieces, pieces_md5)``. Rows-only like
+    bpe_tokenize/unigram_tokenize (iterative training isn't
+    SQL-expressible over an arbitrary corpus); exact-oracle coverage
+    lives in wordpiece_encode_replay, and the reconstruction invariant
+    (non-UNK pieces rebuild the word stream) is in test_wordpiece.py."""
+    from xmlschemavalidator_spark.wordpiece import (
+        train_wordpiece,
+        wordpiece_encode,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    model = train_wordpiece(docs, vocab_size=512, max_words=50_000)
+    enc = wordpiece_encode(docs, model, "doc_id")
+    return enc.select(
+        "doc", "n_pieces", F.md5(F.concat_ws("\x00", "pieces")).alias("pieces_md5")
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 
