@@ -180,3 +180,70 @@ def test_stream_latest_capture(spark, tmp_path):
     assert len(got2) == len(got1) + 1
     newest = {r["capture_ts"] for r in got2} - {r["capture_ts"] for r in got1}
     assert newest == {300}
+
+
+def test_stream_sessionize_matches_batch(spark, tmp_path):
+    """Cross-batch streaming sessionization: state carries (last ts,
+    session counter) across micro-batches — a cross-batch continuation
+    stays in its session, a cross-batch gap opens a new one, and the
+    full sink is row-identical to batch sessionize over the union of
+    everything streamed (the batch-equivalence contract the driver
+    oracle relies on). Within-batch arrival order must not matter."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from xmlschemavalidator_spark.streaming.stateful import stream_sessionize
+    from xmlschemavalidator_spark.temporal import sessionize
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    schema = "event_id bigint, user_id bigint, ts timestamp"
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def run_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        sdf = spark.readStream.schema(schema).parquet(src)
+        out = stream_sessionize(sdf, "user_id", "ts", 3600, "event_id")
+        q = (
+            out.writeStream.format("parquet").option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        if not q.awaitTermination(300):
+            raise TimeoutError("stream_sessionize batch did not finish")
+
+    # batch 1 — user 1: two events 30 min apart (one session); user 2: one
+    # event. Rows deliberately NOT in ts order within the batch.
+    b1 = [
+        (2, 1, t0 + dt.timedelta(minutes=30)),
+        (1, 1, t0),
+        (10, 2, t0),
+    ]
+    # batch 2 — user 1: +50 min (continuation of session 1 ACROSS the
+    # batch boundary), then +5 h (gap > 1 h -> session 2); user 2: +2 h
+    # (gap > 1 h -> session 2)
+    b2 = [
+        (4, 1, t0 + dt.timedelta(hours=6)),
+        (3, 1, t0 + dt.timedelta(minutes=50)),
+        (11, 2, t0 + dt.timedelta(hours=2)),
+    ]
+    run_batch(b1)
+    run_batch(b2)
+    got = {
+        (int(r["user_id"]), int(r["event_id"])): r["session_seq"]
+        for r in spark.read.parquet(sink).collect()
+    }
+    want_df = sessionize(
+        spark.createDataFrame(b1 + b2, schema),
+        on="user_id", ts="ts", gap_seconds=3600, order_col="event_id",
+    )
+    want = {
+        (r["user_id"], r["event_id"]): r["session_seq"]
+        for r in want_df.collect()
+    }
+    assert got == want
+    assert want[(1, 3)] == 1 and want[(1, 4)] == 2  # the cross-batch edges

@@ -7033,6 +7033,98 @@ def temporal_rollup_streaming(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@q(
+    "temporal_sessionize_streaming",
+    """\
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_us
+  FROM events
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(event_id AS BIGINT) AS event_id,
+       epoch_us(ts) AS ts_us,
+       CAST(SUM(CASE WHEN prev_us IS NULL
+                       OR epoch_us(ts) - prev_us > 21600000000
+                     THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS BIGINT) AS session_seq
+FROM g""",
+)
+def temporal_sessionize_streaming(spark, sf_dir):
+    """The SAME 6-hour-gap sessionization maintained by a STATEFUL
+    streaming operator (applyInPandasWithState): events replay as a file
+    stream in three ts-range chunks with ascending mtimes (one file per
+    micro-batch), so per-key arrival order is non-decreasing across
+    batches — the documented batch-equivalence contract of
+    stream_sessionize. State carries (last event time, session counter)
+    across micro-batches; the full sink must hash-match the one-shot SQL
+    window replay, making this a stateful streaming query with a FULL
+    DuckDB oracle (per-event session assignment, cross-batch
+    continuations and gap breaks included)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from xmlschemavalidator_spark.streaming.stateful import stream_sessionize
+
+    tmp = tempfile.mkdtemp(prefix="stsess_")
+    try:
+        e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+        us = F.unix_micros(F.col("ts").cast("timestamp"))
+        cuts = e.select(
+            F.percentile_approx(us, F.array(F.lit(0.34), F.lit(0.67))).alias("c")
+        ).collect()[0]["c"]
+        lo, hi = int(cuts[0]), int(cuts[1])
+        srcdir = f"{tmp}/in"
+        os.makedirs(srcdir)
+        chunks = [
+            e.where(us <= lo),
+            e.where((us > lo) & (us <= hi)),
+            e.where(us > hi),
+        ]
+        t_base = 1_600_000_000  # ascending mtimes pin the file order the
+        # FileStreamSource processes (it sorts by modification time)
+        for j, ch in enumerate(chunks):
+            d = f"{tmp}/chunk{j}"
+            ch.coalesce(1).write.parquet(d)
+            dst = f"{srcdir}/{j:04d}.parquet"
+            shutil.move(glob.glob(f"{d}/part-*.parquet")[0], dst)
+            os.utime(dst, (t_base + 600 * j, t_base + 600 * j))
+        sdf = (
+            spark.readStream.schema(
+                "event_id bigint, user_id bigint, ts timestamp_ntz"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(srcdir)
+        )
+        out = stream_sessionize(sdf, "user_id", "ts", 21600, "event_id")
+        q_ = (
+            out.writeStream.format("parquet")
+            .option("path", f"{tmp}/sink")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q_.awaitTermination(300):
+                raise TimeoutError("stream_sessionize did not finish in 300s")
+        finally:
+            q_.stop()
+        res = spark.read.parquet(f"{tmp}/sink").select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.col("event_id").cast("bigint").alias("event_id"),
+            F.col("ts_us").cast("bigint").alias("ts_us"),
+            F.col("session_seq").cast("bigint").alias("session_seq"),
+        )
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # ===========================================================================
 # unigram-LM subword tokenizer (unigram.py, Kudo 2018 / SentencePiece)
 # ===========================================================================

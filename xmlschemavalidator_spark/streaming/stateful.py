@@ -216,3 +216,103 @@ def stream_latest_capture(
         )
         .withColumnRenamed("_canon_url", "canonical_url")
     )
+
+
+def stream_sessionize(
+    stream_df: DataFrame,
+    key: str,
+    ts: str,
+    gap_seconds: int,
+    order_col: str,
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Streaming form of :func:`~xmlschemavalidator_spark.temporal.
+    sessionize`: per key, a new session starts when the gap to the
+    previous event exceeds ``gap_seconds``; state carries (last event
+    time, session counter) across micro-batches. Emits one row per
+    event: ``(key, order_col, ts_us, session_seq)`` — stringly-typed key
+    and order column per the stateful-operator convention (consumers
+    cast back).
+
+    Batch equivalence (what the driver oracle checks): if events arrive
+    in non-decreasing ``ts`` order per key ACROSS micro-batches (the
+    normal shape of an ingest stream; within a batch any order is fine —
+    rows are sorted by (ts, order_col) before the walk), the output is
+    row-identical to batch ``sessionize`` + the same SQL window replay.
+    Late policy, documented: a row older than the key's last seen time
+    joins the CURRENT session (a negative gap never exceeds
+    ``gap_seconds``) and never reopens earlier ones — state time is
+    monotone (max), so one late straggler cannot fake a fresh gap for
+    the next on-time event. NULL-``ts`` rows are dropped at the input
+    (batch sessionize opens a fresh session per NULL-ts row, which is a
+    meaningless shape to preserve; the divergence is documented here).
+
+    ``state_ttl_ms``: optional processing-time TTL, refreshed on every
+    arrival; an expiry resets the key's counter to 1 on its next event.
+    """
+    out_schema = (
+        f"{key} string, {order_col} string, ts_us long, session_seq long"
+    )
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_ms
+        else GroupStateTimeout.NoTimeout
+    )
+    gap_us = int(gap_seconds) * 1_000_000
+
+    def fn(
+        key_tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        last_us, seq = state.get if state.exists else (None, 0)
+        frames = [b for b in batches if len(b)]
+        if not frames:
+            if state_ttl_ms and state.exists:
+                state.setTimeoutDuration(state_ttl_ms)
+            return
+        b = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+        # Arrow may hand the UDF datetime64[ns] OR datetime64[us]
+        # depending on the source type — pin ns explicitly, then
+        # integer-divide to the engine's exact epoch-microsecond
+        # convention (no float in the gap arithmetic)
+        t = (
+            pd.to_datetime(b[ts])
+            .astype("datetime64[ns]")
+            .astype("int64")
+            // 1_000
+        )
+        b = b.assign(_ts_us=t).sort_values(
+            ["_ts_us", order_col], kind="mergesort"
+        )
+        out_key, out_ord, out_ts, out_seq = [], [], [], []
+        prev = last_us
+        for ts_us, oc in zip(b["_ts_us"], b[order_col]):
+            ts_us = int(ts_us)
+            if prev is None or ts_us - prev > gap_us:
+                seq += 1
+            out_key.append(str(key_tuple[0]))
+            out_ord.append(None if oc is None else str(oc))
+            out_ts.append(ts_us)
+            out_seq.append(seq)
+            prev = ts_us if prev is None else max(prev, ts_us)
+        state.update((prev, seq))
+        if state_ttl_ms:
+            state.setTimeoutDuration(state_ttl_ms)
+        yield pd.DataFrame(
+            {key: out_key, order_col: out_ord, "ts_us": out_ts,
+             "session_seq": out_seq}
+        )
+
+    return (
+        stream_df.where(F.col(ts).isNotNull())
+        .groupBy(key)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType="last_us long, seq long",
+            outputMode="append",
+            timeoutConf=timeout,
+        )
+    )
