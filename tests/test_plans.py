@@ -110,6 +110,23 @@ def test_rollup_is_expand_one_scan(spark):
     assert "Union" not in p
 
 
+def test_cube_and_grouping_sets_are_expand_one_scan(spark):
+    from xmlschemavalidator_spark.driver_queries import (
+        cube_source_lang,
+        grouping_sets_source_lang,
+        unpivot_source_metrics,
+    )
+
+    for fn in (cube_source_lang, grouping_sets_source_lang):
+        p = fmt(fn(spark, SF_DIR))
+        assert "Expand" in p
+        assert n_scans(p) == 1
+        assert "Union" not in p
+    # unpivot: Expand over the AGGREGATED frame, still one corpus scan
+    p = fmt(unpivot_source_metrics(spark, SF_DIR))
+    assert "Expand" in p and n_scans(p) == 1 and "Union" not in p
+
+
 def test_minhash_exactly_one_shuffle(spark):
     """Signature computation: explode + ONE groupBy (map-side combined) —
     one Exchange in the plan, not one per permutation."""

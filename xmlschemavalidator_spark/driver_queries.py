@@ -1645,6 +1645,134 @@ def rollup_source_lang(spark, sf_dir):
 
 
 @q(
+    "cube_source_lang",
+    """SELECT coalesce(source, '(all)') AS source,
+              coalesce(lang, '(all)') AS lang,
+              CAST(GROUPING_ID(source, lang) AS BIGINT) AS gid,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(round(sum(CAST(n_chars AS DECIMAL(18,0))), 0) AS BIGINT) AS total_chars
+       FROM documents
+       GROUP BY CUBE(source, lang)""",
+)
+def cube_source_lang(spark, sf_dir):
+    """All four aggregation tiers in one pass via GROUP BY CUBE —
+    per-(source,lang), per-source, per-lang, and grand total (Catalyst
+    Expand + ONE hash aggregate; no 4-way self-union of scans).
+    grouping_id disambiguates subtotal NULLs from data NULLs — the thing
+    the coalesce masking alone cannot (both engines use the standard MSB-
+    first bit order, pinned by the hash)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.cube("source", "lang")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.col("n_chars").cast("decimal(18,0)")).cast("bigint").alias("total_chars"),
+        )
+        .select(
+            F.coalesce("source", F.lit("(all)")).alias("source"),
+            F.coalesce("lang", F.lit("(all)")).alias("lang"),
+            "gid",
+            "n_docs",
+            "total_chars",
+        )
+    )
+
+
+@q(
+    "grouping_sets_source_lang",
+    """SELECT coalesce(source, '(all)') AS source,
+              coalesce(lang, '(all)') AS lang,
+              CAST(count(*) AS BIGINT) AS n_docs
+       FROM documents
+       GROUP BY GROUPING SETS ((source), (lang), ())""",
+)
+def grouping_sets_source_lang(spark, sf_dir):
+    """Explicit GROUPING SETS (the general form ROLLUP/CUBE compile to):
+    per-source totals, per-lang totals, and the grand total — WITHOUT the
+    per-(source,lang) cells a cube would also pay for. One Expand + one
+    aggregate; at 10^12 rows skipping the finest tier is the entire win."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupingSets(
+            [[F.col("source")], [F.col("lang")], []],
+            F.col("source"),
+            F.col("lang"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .select(
+            F.coalesce("source", F.lit("(all)")).alias("source"),
+            F.coalesce("lang", F.lit("(all)")).alias("lang"),
+            "n_docs",
+        )
+    )
+
+
+@q(
+    "pivot_source_by_lang",
+    """SELECT source,
+              CAST(count(*) FILTER (WHERE lang = 'de') AS BIGINT) AS de,
+              CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS en,
+              CAST(count(*) FILTER (WHERE lang = 'es') AS BIGINT) AS es,
+              CAST(count(*) FILTER (WHERE lang = 'fr') AS BIGINT) AS fr,
+              CAST(count(*) FILTER (WHERE lang = 'zh') AS BIGINT) AS zh
+       FROM documents GROUP BY source""",
+)
+def pivot_source_by_lang(spark, sf_dir):
+    """Long-to-wide pivot: per-source doc counts with one column per
+    language. The value list is EXPLICIT (the testdata's emitted langs) —
+    pivot without values runs an extra distinct job over the corpus and
+    makes the output schema data-dependent, both wrong at scale. Absent
+    combinations surface as 0, matching the FILTER'd-count oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    langs = ["de", "en", "es", "fr", "zh"]
+    wide = (
+        docs.groupBy("source")
+        .pivot("lang", langs)
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "source",
+        *[F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c) for c in langs],
+    )
+
+
+@q(
+    "unpivot_source_metrics",
+    """WITH s AS (
+         SELECT source,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(CAST(n_chars AS DECIMAL(18,0))) AS BIGINT) AS total_chars,
+                CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+         FROM documents GROUP BY source
+       )
+       SELECT source, 'n_docs' AS metric, n_docs AS metric_value FROM s
+       UNION ALL
+       SELECT source, 'n_langs', n_langs FROM s
+       UNION ALL
+       SELECT source, 'total_chars', total_chars FROM s""",
+)
+def unpivot_source_metrics(spark, sf_dir):
+    """Wide-to-long unpivot (melt) of a per-source stats block into
+    (source, metric, metric_value) rows — the shape reporting sinks and
+    drift baselines consume. unpivot is a zero-shuffle Expand over the
+    already-aggregated frame; the oracle is the portable UNION ALL
+    spelling of the same reshape."""
+    docs = _t(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("n_chars").cast("decimal(18,0)")).cast("bigint").alias("total_chars"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+    )
+    return s.unpivot(
+        ids=["source"],
+        values=["n_docs", "total_chars", "n_langs"],
+        variableColumnName="metric",
+        valueColumnName="metric_value",
+    )
+
+
+@q(
     "percentiles_event_value",
     """SELECT event_type,
               CAST(round(quantile_cont(value, 0.5), 5) AS DOUBLE) AS p50,
