@@ -1,0 +1,116 @@
+"""Z-order layout (layout.py): exact Morton interleave semantics, the
+shared SQL recipe, guard rails, and the actual locality win — per-file
+min/max spans shrink on EVERY participating column after the rewrite,
+which is the entire point of the operator at 100 TB."""
+from __future__ import annotations
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from xmlschemavalidator_spark.layout import (
+    zorder_layout,
+    zorder_value,
+    zorder_value_sql,
+)
+
+
+def test_zorder_value_exact_interleave(spark):
+    # x=0b101, y=0b011 at bits=3: z bit (b*2) = x bit b, (b*2+1) = y bit b
+    # -> 1 + 2 + 8 + 16 = 27 (hand-computed)
+    df = spark.range(1).select(
+        zorder_value(F.lit(5), F.lit(3), bits=3).alias("z")
+    )
+    assert df.collect()[0]["z"] == 27
+    # single column degenerates to the (masked) value itself
+    one = spark.range(1).select(zorder_value(F.lit(9), bits=4).alias("z"))
+    assert one.collect()[0]["z"] == 9
+
+
+def test_zorder_value_masks_out_of_range(spark):
+    # 0b10101 at bits=3 clamps to 0b101 — masked, not wrapped/overflowed
+    df = spark.range(1).select(
+        zorder_value(F.lit(0b10101), F.lit(0), bits=3).alias("z")
+    )
+    # masked to 0b101; its bits land at even slots 0 and 4 -> 1 + 16
+    assert df.collect()[0]["z"] == (1 + 16)
+
+
+def test_zorder_sql_recipe_matches_engine(spark):
+    import duckdb
+
+    rows = spark.range(64).select(
+        F.col("id"),
+        zorder_value(F.col("id") % 8, (F.col("id") * 3 + 1) % 8, bits=3)
+        .alias("z"),
+    ).collect()
+    got = {r["id"]: r["z"] for r in rows}
+    sql = zorder_value_sql(["id % 8", "(id * 3 + 1) % 8"], bits=3)
+    want = {
+        int(i): int(z)
+        for i, z in duckdb.sql(
+            f"SELECT id, {sql} AS z FROM range(64) t(id)"
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_zorder_value_guards():
+    with pytest.raises(ValueError, match="exceeds"):
+        zorder_value(F.lit(1), F.lit(1), bits=32)
+    with pytest.raises(ValueError, match="at least one"):
+        zorder_value(bits=4)
+
+
+def test_zorder_layout_guards_reserved_names(spark):
+    df = spark.range(4).withColumn("_z", F.lit(1))
+    with pytest.raises(ValueError, match="_z"):
+        zorder_layout(df, ["id"], "/tmp/never", bits=2)
+
+
+def _file_spans(spark, path, cols):
+    """Average per-file (max-min) span of each column — what parquet
+    min/max skipping actually sees."""
+    spans = {c: [] for c in cols}
+    for f in glob.glob(f"{path}/part-*.parquet"):
+        row = (
+            spark.read.parquet(f)
+            .agg(*[
+                (F.max(c) - F.min(c)).alias(c) for c in cols
+            ])
+            .collect()[0]
+        )
+        for c in cols:
+            spans[c].append(row[c])
+    return {c: sum(v) / len(v) for c, v in spans.items()}
+
+
+def test_zorder_layout_improves_locality_on_both_columns(spark, tmp_path):
+    # two independent pseudo-random columns: the natural (insertion)
+    # order has no locality on either; the z-layout must shrink the
+    # average per-file span on BOTH at once
+    n = 4096
+    df = spark.range(n).select(
+        ((F.col("id") * 37 + 11) % 256).alias("x"),
+        ((F.col("id") * 101 + 5) % 256).alias("y"),
+    )
+    nat = str(tmp_path / "natural")
+    zed = str(tmp_path / "zorder")
+    df.repartition(8).write.parquet(nat)
+    zorder_layout(df, ["x", "y"], zed, bits=4, n_files=8)
+    nat_spans = _file_spans(spark, nat, ["x", "y"])
+    z_spans = _file_spans(spark, zed, ["x", "y"])
+    for c in ("x", "y"):
+        assert nat_spans[c] > 200  # random layout: files span ~everything
+        assert z_spans[c] < 0.6 * nat_spans[c], (c, z_spans, nat_spans)
+
+
+def test_zorder_layout_handles_nulls(spark, tmp_path):
+    df = spark.range(100).select(
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id")).alias("x"),
+        (F.col("id") % 7).alias("y"),
+    )
+    out = str(tmp_path / "z")
+    zorder_layout(df, ["x", "y"], out, bits=3, n_files=4)
+    assert spark.read.parquet(out).count() == 100

@@ -1772,6 +1772,36 @@ def unpivot_source_metrics(spark, sf_dir):
     )
 
 
+from xmlschemavalidator_spark.layout import zorder_value_sql  # noqa: E402
+
+
+@q(
+    "zorder_curve_docs",
+    f"""SELECT doc_id,
+               {zorder_value_sql(["doc_id % 16", "(doc_id * 7 + 3) % 16"], bits=4)}
+                 AS z
+        FROM documents""",
+)
+def zorder_curve_docs(spark, sf_dir):
+    """The exact Morton-interleave layer under zorder_layout (layout.py —
+    the lakehouse OPTIMIZE ZORDER rewrite): two planted bounded ranks per
+    doc interleave into one BIGINT curve position, bit-for-bit against
+    the DuckDB rendering of the SAME shared recipe (zorder_value_sql —
+    one implementation renders both engines, so the oracle cannot drift).
+    The end-to-end rewrite (percentile bucketing + repartitionByRange +
+    the per-file min/max locality win on every participating column) is
+    pinned in test_layout.py."""
+    from xmlschemavalidator_spark.layout import zorder_value
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        zorder_value(
+            F.col("doc_id") % 16, (F.col("doc_id") * 7 + 3) % 16, bits=4
+        ).alias("z"),
+    )
+
+
 @q(
     "percentiles_event_value",
     """SELECT event_type,

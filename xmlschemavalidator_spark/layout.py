@@ -1,0 +1,164 @@
+"""Z-order (Morton curve) data layout for multi-column data skipping —
+the lakehouse `OPTIMIZE ZORDER BY` operation (Delta Lake / Iceberg
+rewrite strategies; Morton 1966 for the curve itself).
+
+Why this matters at 100 TB and not at bench scale: parquet readers skip
+row groups and files whose min/max column statistics exclude a filter's
+range. A table laid out by ONE sort column skips perfectly on that
+column and not at all on any other; interleaving the bits of k bounded
+column ranks gives every participating column locality ~2^(bits/k), so
+range filters on ANY of them prune most files. The rewrite itself is a
+single repartitionByRange + write — the cost of one shuffle, paid once,
+amortized over every subsequent scan.
+
+Two layers, matching the engine's exact/approx split elsewhere:
+
+* `zorder_value(*cols, bits=...)` — the EXACT bit interleave of already
+  bounded non-negative integer columns (pure integer Column arithmetic,
+  engine-portable; the driver oracle replays it in DuckDB bit-for-bit).
+* `zorder_layout(df, cols, ...)` — the end-to-end rewrite for arbitrary
+  numeric columns: per-column bucket ranks from ONE percentile_approx
+  pass (broadcast literal cuts — never a per-column global sort), bit
+  interleave, repartitionByRange on the z-value, write. Bucketing is
+  approximate by design (rank fidelity only steers locality, never
+  correctness), which is why the exact layer exists separately for the
+  oracle.
+
+The locality win is pinned by test_layout.py: after zorder_layout the
+average per-file min/max span of EACH participating column is a
+fraction of its span under the natural (single-column-ish) layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def zorder_value(*cols, bits: int = 8):
+    """Morton interleave of k bounded non-negative integer columns into
+    one BIGINT: output bit (b*k + i) is bit b of column i, so column 0
+    holds the LEAST significant of each bit group (the conventional
+    z-curve). Inputs must already lie in [0, 2^bits); values outside are
+    the caller's bug and are clamped via bitwise AND with the mask (a
+    silent wrap would scramble locality, a mask only saturates the top).
+
+    k * bits must fit a BIGINT (<= 62). Pure integer arithmetic —
+    shiftleft/shiftright/AND — identical in Spark and DuckDB.
+    """
+    k = len(cols)
+    if k == 0:
+        raise ValueError("zorder_value: need at least one column")
+    if k * bits > 62:
+        raise ValueError(
+            f"zorder_value: {k} cols x {bits} bits = {k * bits} bits "
+            "exceeds a BIGINT; lower bits"
+        )
+    mask = (1 << bits) - 1
+    cexprs = [
+        (F.col(c) if isinstance(c, str) else c).cast("bigint").bitwiseAND(mask)
+        for c in cols
+    ]
+    z = F.lit(0).cast("bigint")
+    for b in range(bits):
+        for i, ce in enumerate(cexprs):
+            # ((x >> b) & 1) << (b*k + i) — literal shift counts, so
+            # F.shiftleft/shiftright apply directly (column shift counts
+            # would need F.expr; CLAUDE.md trap)
+            z = z + F.shiftleft(
+                F.shiftright(ce, b).bitwiseAND(1), b * k + i
+            )
+    return z
+
+
+def zorder_value_sql(col_sqls: list[str], bits: int = 8) -> str:
+    """The DuckDB spelling of `zorder_value` over the given column SQL
+    expressions — one shared recipe renders both engines so the oracle
+    cannot drift from the implementation."""
+    mask = (1 << bits) - 1
+    k = len(col_sqls)
+    terms = []
+    for b in range(bits):
+        for i, cs in enumerate(col_sqls):
+            terms.append(
+                f"(((CAST({cs} AS BIGINT) & {mask}) >> {b}) & 1) "
+                f"<< {b * k + i}"
+            )
+    return "(" + " + ".join(f"({t})" for t in terms) + ")"
+
+
+def _bucket_rank(col, cuts: list[float]):
+    """Bucket id in [0, len(cuts)] of `col` against sorted cut points:
+    the count of cuts strictly below the value, as ONE aggregate over a
+    broadcast literal array (no join, no sort; NULLs rank 0 — they
+    cluster together at the curve origin, which is what stats-based
+    skipping wants)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.aggregate(
+        F.array(*[F.lit(float(x)) for x in cuts]),
+        F.lit(0).cast("bigint"),
+        lambda acc, cut: acc + F.when(c.cast("double") > cut, 1).otherwise(0),
+    )
+
+
+def zorder_layout(
+    df: DataFrame,
+    cols: list[str],
+    path: str,
+    bits: int = 8,
+    n_files: int | None = None,
+    rel_err: float = 0.01,
+) -> None:
+    """Rewrite `df` to `path` clustered on the Morton curve of `cols`:
+
+    1. ONE percentile_approx pass computes 2^bits - 1 quantile cuts per
+       column (a single small agg job; cuts broadcast as literals).
+    2. Each row's per-column bucket ranks interleave via `zorder_value`.
+    3. repartitionByRange on the z-value + in-partition sort orders the
+       write so every output file covers a contiguous curve segment —
+       tight min/max stats on EVERY participating column.
+
+    `n_files` defaults to the session shuffle partitioning. The z column
+    is internal and not written."""
+    reserved = {"_z"} | {f"_zr{i}" for i in range(len(cols))}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"zorder_layout: column(s) {sorted(clash)} collide with "
+            "internal names; rename them first"
+        )
+    n_cuts = (1 << bits) - 1
+    probs = [(i + 1) / (1 << bits) for i in range(n_cuts)]
+    cuts_row = df.agg(
+        *[
+            F.percentile_approx(
+                F.col(c).cast("double"),
+                F.array(*[F.lit(p) for p in probs]),
+                F.lit(max(100, int(1.0 / rel_err))),
+            ).alias(c)
+            for c in cols
+        ]
+    ).collect()[0]
+    ranks = [
+        _bucket_rank(c, [x for x in (cuts_row[c] or []) if x is not None])
+        for c in cols
+    ]
+    # let-bind the rank aggregates as real columns BEFORE interleaving:
+    # zorder_value references each input `bits` times, and HOF subtrees
+    # are not CSE'd — inlining would run each O(2^bits) aggregate
+    # bits x per row (CLAUDE.md HOF rule)
+    bound = df.select(
+        "*", *[r.alias(f"_zr{i}") for i, r in enumerate(ranks)]
+    )
+    zed = bound.withColumn(
+        "_z",
+        zorder_value(*[f"_zr{i}" for i in range(len(cols))], bits=bits),
+    ).drop(*[f"_zr{i}" for i in range(len(cols))])
+    n = n_files or zed.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    (
+        zed.repartitionByRange(int(n), "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
