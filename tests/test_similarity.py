@@ -405,3 +405,37 @@ def test_ivf_pq_index_roundtrip_prunes_and_reranks(spark, tmp_path):
              for r in brute_force_topk(emb, "embedding", query, k=500).collect()}
     for r in rows:
         assert r["cosine"] == exact[r["vec_id"]]
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """RRF on two overlapping 1-based rank lists, fused scores computed
+    by hand with the integer 1000000 // (60+rank) contributions."""
+    from xmlschemavalidator_spark.similarity import ranked, rrf_fuse
+    from pyspark.sql import functions as F
+
+    a = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc bigint, rank bigint"
+    )
+    b = spark.createDataFrame([(3, 1), (4, 2)], "doc bigint, rank bigint")
+    got = {
+        r["doc"]: (r["rrf_micro"], r["n_lists"])
+        for r in rrf_fuse([a, b], "doc", k=60, topn=10).collect()
+    }
+    assert got == {
+        1: (1000000 // 61, 1),
+        2: (1000000 // 62, 1),
+        3: (1000000 // 63 + 1000000 // 61, 2),
+        4: (1000000 // 62, 1),
+    }
+    order = [
+        r["doc"] for r in rrf_fuse([a, b], "doc", k=60, topn=2).collect()
+    ]
+    # doc 3 fuses both lists (32266); doc 1's 16393 beats doc 4's 16129
+    assert order == [3, 1]
+    # ranked(): deterministic 1-based ranks with id tie-break on equal scores
+    scores = spark.createDataFrame(
+        [(7, 5.0), (8, 5.0), (9, 9.0)], "doc bigint, s double"
+    )
+    rk = {r["doc"]: r["rank"]
+          for r in ranked(scores, [F.col("s").desc()], "doc").collect()}
+    assert rk == {9: 1, 7: 2, 8: 3}

@@ -1286,9 +1286,8 @@ def embedding_norms(spark, sf_dir):
     return emb.select("vec_id", F.round(norm, 5).alias("l2_norm"))
 
 
-@q(
-    "ann_cosine_topk",
-    """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+_COS_TOPK_SQL = """\
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
        SELECT vec_id,
               round(list_dot_product(embedding::DOUBLE[], qv)
                     / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
@@ -1297,8 +1296,10 @@ def embedding_norms(spark, sf_dir):
        ORDER BY round(list_dot_product(embedding::DOUBLE[], qv)
                     / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
                        * sqrt(list_dot_product(qv, qv))), 5) DESC, vec_id
-       LIMIT 10""",
-)
+       LIMIT 10"""
+
+
+@q("ann_cosine_topk", _COS_TOPK_SQL)
 def ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-10 around vec_id=0 (exact ANN baseline).
     Reuses similarity.brute_force_topk directly — double math and 5dp
@@ -6539,6 +6540,60 @@ def text_bm25_topk(spark, sf_dir):
 
 
 _ORACLES["text_bm25_topk"] = _bm25_oracle()
+
+
+def _rrf_oracle() -> str:
+    """RRF fusion replay: re-derive BOTH constituent rankings with the
+    engines' existing exact oracles (nested-WITH subqueries), rank with
+    the same (score desc, id asc) tie-break, fuse with the same integer
+    1000000 // (60 + rank) contributions."""
+    return f"""\
+WITH bm AS (SELECT * FROM ({_bm25_oracle()})),
+bmr AS (SELECT doc,
+               row_number() OVER (ORDER BY score_micro DESC, doc ASC) AS rank
+        FROM bm),
+cs AS (SELECT * FROM ({_COS_TOPK_SQL})),
+csr AS (SELECT vec_id AS doc,
+               row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS rank
+        FROM cs),
+u AS (SELECT doc, rank FROM bmr UNION ALL SELECT doc, rank FROM csr)
+SELECT doc,
+       CAST(SUM(1000000 // (60 + rank)) AS BIGINT) AS rrf_micro,
+       CAST(count(*) AS BIGINT) AS n_lists
+FROM u GROUP BY doc
+ORDER BY rrf_micro DESC, doc ASC LIMIT 10"""
+
+
+@q("hybrid_rrf_topk", _rrf_oracle())
+def hybrid_rrf_topk(spark, sf_dir):
+    """Hybrid retrieval: reciprocal-rank fusion (Cormack et al. SIGIR'09,
+    the production BM25+ANN combiner) of the BM25 top-10 and the
+    brute-force cosine top-10 — both already oracle-exact on their own —
+    with integer-micro 1/(60+rank) contributions so the FUSED ranking
+    hash-matches the DuckDB replay too. The fuse itself touches only the
+    two k-row lists (TakeOrderedAndProject), never the corpus."""
+    from xmlschemavalidator_spark.similarity import (
+        brute_force_topk,
+        ranked,
+        rrf_fuse,
+    )
+    from xmlschemavalidator_spark.textops import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    bmr = ranked(
+        bm25_topk(docs, "doc_id", _BM25_TERMS, k=10),
+        [F.col("score_micro").desc()],
+        "doc",
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    qrow = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][
+        "embedding"
+    ]
+    cs = brute_force_topk(
+        emb, "embedding", [float(x) for x in qrow], k=10
+    ).withColumnRenamed("vec_id", "doc")
+    csr = ranked(cs, [F.col("cosine").desc()], "doc")
+    return rrf_fuse([bmr, csr], "doc", k=60, topn=10)
 
 
 @q("text_bm25_index_topk", None)  # oracle attached below (same SQL builder)

@@ -735,3 +735,54 @@ def ivf_pq_topk(
     short = pq_topk(vecs, codes_col, query, books, k=shortlist, id_col=id_col)
     cand = vecs.join(short.select(id_col), id_col, "left_semi")
     return brute_force_topk(cand, vec_col, query, k, id_col)
+
+
+def ranked(df: DataFrame, order_cols: list, id_col: str) -> DataFrame:
+    """1-based rank of an already-top-k retrieval list: row_number over
+    (order_cols..., id asc) — the deterministic tie-break every fusion
+    consumer needs. The single-partition window is fine HERE because
+    inputs are k-row lists by contract (never corpus-sized frames); the
+    id tie-break makes equal scores engine-portable."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(*order_cols, F.col(id_col).asc())
+    return df.select(
+        F.col(id_col), F.row_number().over(w).cast("bigint").alias("rank")
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str,
+    k: int = 60,
+    topn: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009) —
+    the standard hybrid-retrieval combiner (BM25 list + ANN list in every
+    production vector store): fused score = sum over lists of
+    1 / (k + rank). Scored in INTEGER micro units — 1000000 div (k+rank)
+    — so the fused ranking is exactly reproducible cross-engine (the
+    repo's learned-score parity convention; float 1/(k+r) sums would
+    depend on addition order).
+
+    Each input: (id_col, rank) with 1-based BIGINT ranks (see `ranked`).
+    Items absent from a list contribute nothing. Output:
+    (id, rrf_micro, n_lists) ordered (rrf_micro desc, id asc), top `topn`
+    via TakeOrderedAndProject — the inputs are k-row lists, so the fuse
+    is driver-cheap regardless of corpus size."""
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking")
+    contrib = F.expr(f"CAST(1000000 div ({int(k)} + rank) AS BIGINT)")
+    parts = [r.select(F.col(id_col), contrib.alias("_c")) for r in rankings]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return (
+        u.groupBy(id_col)
+        .agg(
+            F.sum("_c").cast("bigint").alias("rrf_micro"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lists"),
+        )
+        .orderBy(F.col("rrf_micro").desc(), F.col(id_col).asc())
+        .limit(topn)
+    )
