@@ -143,3 +143,96 @@ def test_resize_images_real_resample(spark):
         assert r["decode_error"] is None
         if r["kind"] == "image":
             assert (r["width"], r["height"]) == (8, 6)
+
+
+# ---------------------------------------------------------------- image dHash
+
+def _bmp_row(mid, gray):
+    import numpy as np
+
+    from xmlschemavalidator_spark.multimodal import encode_bmp
+
+    g = np.asarray(gray, dtype=np.uint8)
+    h, w = g.shape
+    return (mid, "image", bytearray(encode_bmp(g)),
+            {"width": int(w), "height": int(h), "n_frames": 1})
+
+
+def test_dhash_hand_computed_and_invariances():
+    import numpy as np
+
+    from xmlschemavalidator_spark.multimodal import (
+        decode_bmp,
+        dhash_py,
+        encode_bmp,
+    )
+
+    g = np.array([[10, 20, 5], [7, 7, 9]], dtype=np.uint8)
+    # 1x1 blocks: bits are the adjacent comparisons 10>20(no), 20>5(yes);
+    # 7>7(no), 7>9(no) -> 0b10
+    assert dhash_py(g, hash_w=2, hash_h=2) == 0b10
+    # brightness offset and integer upscale change NO bits
+    assert dhash_py((g + 50).astype(np.uint8), 2, 2) == 0b10
+    assert dhash_py(np.kron(g, np.ones((4, 4), dtype=np.uint8)), 2, 2) == 0b10
+    # BMP roundtrip preserves the hash
+    _w, _h, back = decode_bmp(encode_bmp(g))
+    assert dhash_py(back, 2, 2) == 0b10
+    # the sign fold: a hash with bit 63 set stores as a NEGATIVE int64
+    hi = np.zeros((8, 9), dtype=np.uint8)
+    hi[7, 7] = 255  # px[7,7] > px[7,8] -> bit 63
+    s = dhash_py(hi, 8, 8)
+    assert s < 0 and (s + (1 << 64)) >> 63 == 1
+
+
+def test_image_dhash_udf_matches_python_and_surfaces_errors(spark):
+    import numpy as np
+
+    from xmlschemavalidator_spark.multimodal import (
+        MEDIA_SCHEMA,
+        dhash_py,
+        image_dhash,
+    )
+
+    g1 = (np.add.outer(np.arange(12), np.arange(16)) % 256).astype(np.uint8)
+    g2 = ((np.add.outer(np.arange(12), np.arange(16)) * 7) % 256).astype(np.uint8)
+    rows = [_bmp_row(1, g1), _bmp_row(2, g2),
+            (3, "image", bytearray(b"not a bmp at all, truncated"), None),
+            (4, "audio", bytearray(b"\x00" * 64), None)]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["doc"]: (r["sig"], r["decode_error"])
+           for r in image_dhash(df).collect()}
+    assert set(got) == {1, 2, 3}  # audio filtered BEFORE the UDF
+    assert got[1] == (dhash_py(g1), None)
+    assert got[2] == (dhash_py(g2), None)
+    assert got[3][0] is None and "BMP" in got[3][1]
+
+
+def test_image_near_dups_pairs_perceptual_duplicates(spark):
+    import numpy as np
+
+    from xmlschemavalidator_spark.multimodal import (
+        MEDIA_SCHEMA,
+        image_near_dups,
+    )
+
+    base = (np.add.outer(np.arange(32), np.arange(32)) % 256).astype(np.uint8)
+    bright = ((base.astype(int) + 40) % 256).astype(np.uint8)  # offset copy
+    noisy = base.copy()
+    noisy[5, 5] = 255  # one hot pixel: a handful of bits at most
+    far = ((np.add.outer(np.arange(32), np.arange(32)) * 31) % 256).astype(
+        np.uint8
+    )
+    df = spark.createDataFrame(
+        [_bmp_row(1, base), _bmp_row(2, bright), _bmp_row(3, noisy),
+         _bmp_row(4, far),
+         (5, "image", bytearray(b"junk"), None)],  # undecodable: excluded
+        MEDIA_SCHEMA,
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in image_near_dups(df, hamming_max=4).collect()}
+    # wrap pixels (255->(255+40)%256) flip a few comparisons, so the
+    # brightness copy pairs at small-but-nonzero hamming; the hot-pixel
+    # copy pairs near 0; the far texture pairs with nothing
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 2
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 4
+    assert not any(4 in p or 5 in p for p in pairs)

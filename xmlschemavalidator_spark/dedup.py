@@ -562,10 +562,17 @@ def _simhash_chunks(
     """Pigeonhole chunk explosion shared by :func:`simhash_near_duplicates`
     and :func:`simhash_hot_chunks`: ``(doc, sig, ci, cv)`` — one row per
     (doc, chunk index) with the chunk's bit value."""
+    return sig_chunks(simhash_signatures_df(df, id_col, text_col), hamming_max)
+
+
+def sig_chunks(sigd: DataFrame, hamming_max: int) -> DataFrame:
+    """Pigeonhole chunk explosion of ANY 64-bit signature frame
+    ``(doc, sig)`` — the generic layer under the SimHash text path and the
+    dHash image path (multimodal.image_near_dups): ``(doc, sig, ci, cv)``,
+    one row per (doc, chunk index) with the chunk's bit value."""
     n_chunks = min(hamming_max + 1, 16)
     width = -(-64 // n_chunks)  # ceil
     mask = (1 << width) - 1
-    sigd = simhash_signatures_df(df, id_col, text_col)
     return sigd.select(
         "doc",
         "sig",
@@ -637,9 +644,29 @@ def simhash_near_duplicates(
     finding — ReuseExchange did not fire across the aliased join sides).
     The collect_list buffer is bounded: the gate filters to <= max_bucket
     rows per bucket BEFORE the aggregation."""
+    return hamming_near_duplicates(
+        simhash_signatures_df(df, id_col, text_col),
+        hamming_max=hamming_max,
+        max_bucket=max_bucket,
+    )
+
+
+def hamming_near_duplicates(
+    sigd: DataFrame,
+    hamming_max: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Pairs with Hamming distance <= hamming_max over ANY 64-bit
+    signature frame ``(doc, sig)`` — the generic pairing layer
+    :func:`simhash_near_duplicates` (text) and
+    multimodal.image_near_dups (dHash) both run on. Same pigeonhole
+    blocking, hot-bucket cap, and grouped member-list expansion as the
+    text path (see that docstring for the scale analysis); the signature
+    computation upstream runs ONCE because the gate is a window count
+    riding the chunk exchange, never an aliased self-join."""
     from pyspark.sql import Window
 
-    chunks = _simhash_chunks(df, id_col, text_col, hamming_max)
+    chunks = sig_chunks(sigd, hamming_max)
     bucket_n = F.count(F.lit(1)).over(Window.partitionBy("ci", "cv"))
     pruned = (
         chunks.withColumn("_n", bucket_n)

@@ -3109,6 +3109,53 @@ def multimodal_decode_features(spark, sf_dir):
     )
 
 
+@q("multimodal_image_neardups")
+def multimodal_image_neardups(spark, sf_dir):
+    """Perceptual image near-dup pairs (dHash + the SAME pigeonhole
+    Hamming pairing the text SimHash uses — dedup.hamming_near_duplicates
+    serves both modalities): a planted media table of 40 gradient bases,
+    each with an exact copy and a one-hot-pixel perturbation, plus one
+    undecodable blob per 10. Rows-only by design (the BMP decode isn't
+    SQL-expressible); the planted structure makes the expected pairing
+    checkable — every (base, copy) pair at hamming 0, every
+    (base, noisy) pair within the threshold — and the aggregate output
+    pins exactly that."""
+    import numpy as np
+
+    from xmlschemavalidator_spark.multimodal import (
+        MEDIA_SCHEMA,
+        encode_bmp,
+        image_near_dups,
+    )
+
+    rows = []
+    for g in range(40):
+        base = ((np.add.outer(np.arange(16), np.arange(24)) * (2 * g + 1)
+                 + 5 * g) % 256).astype(np.uint8)
+        noisy = base.copy()
+        noisy[3, 3] = 255
+        for j, arr in ((0, base), (1, base), (2, noisy)):
+            rows.append(
+                (g * 10 + j, "image", bytearray(encode_bmp(arr)),
+                 {"width": 24, "height": 16, "n_frames": 1})
+            )
+        if g % 10 == 0:
+            rows.append((g * 10 + 9, "image", bytearray(b"corrupt"), None))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    pairs = image_near_dups(media, hamming_max=4)
+    return (
+        pairs.groupBy((F.col("id_a") - F.col("id_a") % 10).alias("group_base"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(F.when(F.col("hamming") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_exact"),
+            F.max("hamming").cast("bigint").alias("max_hamming"),
+        )
+        .orderBy("group_base")
+    )
+
+
 @q("ann_lsh_recall")
 def ann_lsh_recall(spark, sf_dir):
     """Recall@10 of the LSH-bucketed ANN vs the exact brute-force top-10,
