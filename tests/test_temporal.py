@@ -485,3 +485,63 @@ def test_rollup_append_skips_empty_batch(spark, tmp_path):
     append_time_rollup(ev, "ts", 86400, path, "00001")
     got = read_time_rollup(spark, path).collect()
     assert len(got) == 1 and got[0]["n_events"] == 1
+
+
+# ------------------------------------------------------------ interval union
+
+def test_interval_union_merges_overlaps_and_touches(spark):
+    from xmlschemavalidator_spark.temporal import interval_union
+
+    iv = spark.createDataFrame(
+        [
+            # key 1: [0,2) + [1,3) overlap; [3,5) TOUCHES -> one run [0,5)
+            (1, _ts("2024-01-01T00:00:00"), _ts("2024-01-01T02:00:00")),
+            (1, _ts("2024-01-01T01:00:00"), _ts("2024-01-01T03:00:00")),
+            (1, _ts("2024-01-01T03:00:00"), _ts("2024-01-01T05:00:00")),
+            # key 1: gap -> second run [07,08)
+            (1, _ts("2024-01-01T07:00:00"), _ts("2024-01-01T08:00:00")),
+            # contained interval extends nothing
+            (1, _ts("2024-01-01T00:30:00"), _ts("2024-01-01T01:00:00")),
+            # key 2 isolated; inverted + NULL rows dropped
+            (2, _ts("2024-01-01T00:00:00"), _ts("2024-01-01T01:00:00")),
+            (2, _ts("2024-01-01T09:00:00"), _ts("2024-01-01T08:00:00")),
+            (2, None, _ts("2024-01-01T10:00:00")),
+        ],
+        "user_id bigint, start_ts timestamp, end_ts timestamp",
+    )
+    out = interval_union(iv, on="user_id", start="start_ts", end="end_ts")
+    got = sorted(
+        (r["user_id"], r["run_seq"], r["start_us"], r["end_us"], r["n_intervals"])
+        for r in out.collect()
+    )
+    h = 3_600_000_000  # one hour in us
+    t0 = int(_ts("2024-01-01T00:00:00").replace(
+        tzinfo=__import__("datetime").timezone.utc).timestamp()) * 1_000_000
+    assert got == [
+        (1, 1, t0, t0 + 5 * h, 4),
+        (1, 2, t0 + 7 * h, t0 + 8 * h, 1),
+        (2, 1, t0, t0 + 1 * h, 1),
+    ]
+    # coverage = one tiny agg over the runs
+    cov = {
+        r["user_id"]: r["cov"]
+        for r in out.groupBy("user_id")
+        .agg(F.sum(F.col("end_us") - F.col("start_us")).alias("cov"))
+        .collect()
+    }
+    assert cov == {1: 6 * h, 2: 1 * h}
+
+
+def test_interval_union_single_exchange(spark):
+    import re
+
+    from test_plans import fmt
+    from xmlschemavalidator_spark.temporal import interval_union
+
+    iv = spark.createDataFrame(
+        [(1, _ts("2024-01-01T00:00:00"), _ts("2024-01-01T02:00:00"))],
+        "user_id bigint, start_ts timestamp, end_ts timestamp",
+    )
+    plan = fmt(interval_union(iv, on="user_id", start="start_ts", end="end_ts"))
+    # run detection + numbering + envelope agg all ride ONE shuffle
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1

@@ -7294,6 +7294,52 @@ def temporal_rollup_streaming(spark, sf_dir):
 
 
 @q(
+    "temporal_interval_union",
+    """\
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s,
+         epoch_us(ts + to_hours(1 + event_id % 5)) AS e
+  FROM events
+), m AS (
+  SELECT user_id, s, e,
+         max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  FROM iv WHERE e > s AND s IS NOT NULL AND e IS NOT NULL
+), r AS (
+  SELECT user_id, s, e,
+         CAST(SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS run_seq
+  FROM m
+)
+SELECT user_id, run_seq, min(s) AS start_us, max(e) AS end_us,
+       CAST(count(*) AS BIGINT) AS n_intervals
+FROM r GROUP BY user_id, run_seq""",
+)
+def temporal_interval_union(spark, sf_dir):
+    """Merge overlapping activity intervals per user (each event opens a
+    [ts, ts + 1..5h) window from its id) into disjoint coverage runs —
+    temporal.interval_union's sweep (running max of prior ends detects
+    run starts, running sum numbers runs, one groupBy collapses), all on
+    ONE shuffle (plan-pinned). Exact epoch-microsecond bounds vs the
+    identical ROWS-framed window replay in DuckDB; touching intervals
+    merge (half-open semantics). The coverage metric crawl-window
+    accounting needs, at the shuffle cost of a sessionization."""
+    from xmlschemavalidator_spark.temporal import interval_union
+
+    e = _t(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        F.expr(
+            "timestampadd(HOUR, CAST(1 + event_id % 5 AS INT), ts)"
+        ).alias("end_ts"),
+    )
+    return interval_union(iv, on="user_id", start="start_ts", end="end_ts")
+
+
+@q(
     "temporal_sessionize_streaming",
     """\
 WITH g AS (

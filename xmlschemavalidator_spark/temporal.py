@@ -412,3 +412,66 @@ def session_stats(sessions: DataFrame, on: str, ts: str) -> DataFrame:
         "duration_s",
         ((F.col("end_us") - F.col("start_us")) / F.lit(_US)).cast("double"),
     )
+
+
+def interval_union(
+    events: DataFrame,
+    on: str,
+    start: str,
+    end: str,
+) -> DataFrame:
+    """Merge overlapping/touching half-open intervals per key into
+    disjoint runs — the classic sweep, as two window passes sharing ONE
+    shuffle on the key: a running max of previous interval ends detects
+    run starts (start > max(prior ends)), a running sum numbers the
+    runs, then one groupBy collapses each run to its envelope.
+
+    Output: ``(on, run_seq, start_us, end_us, n_intervals)`` with exact
+    epoch-microsecond bounds (BIGINT — engine-portable). Touching
+    intervals ([1,3) + [3,5)) merge: half-open semantics make the union
+    contiguous. Rows with NULL bounds and empty/inverted intervals
+    (end <= start) are dropped up front — they contribute no coverage;
+    the count is auditable as input rows minus sum(n_intervals).
+
+    Coverage time per key is then one tiny agg over the runs
+    (sum(end_us - start_us)) — the "total active time" metric session
+    analytics and crawl-window accounting need.
+    """
+    clash = {"_s_us", "_e_us", "_prev_max", "_new", "run_seq"} & set(
+        events.columns
+    )
+    if clash:
+        raise ValueError(
+            f"interval_union: column(s) {sorted(clash)} collide with "
+            "internal or output names; rename them first"
+        )
+    iv = events.select(
+        F.col(on),
+        _micros(start).alias("_s_us"),
+        _micros(end).alias("_e_us"),
+    ).where(
+        F.col("_s_us").isNotNull()
+        & F.col("_e_us").isNotNull()
+        & (F.col("_e_us") > F.col("_s_us"))
+    )
+    order = [F.col("_s_us").asc(), F.col("_e_us").asc()]
+    w_prev = (
+        Window.partitionBy(on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev_max = F.max("_e_us").over(w_prev)
+    new_run = F.when(
+        prev_max.isNull() | (F.col("_s_us") > prev_max), 1
+    ).otherwise(0)
+    runs = iv.withColumn("run_seq", F.sum(new_run).over(w_run).cast("bigint"))
+    return runs.groupBy(on, "run_seq").agg(
+        F.min("_s_us").alias("start_us"),
+        F.max("_e_us").alias("end_us"),
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+    )
