@@ -71,8 +71,10 @@ def headline_queries():
         join_revenue_segment,
         temporal_asof_join,
         temporal_sessionize,
+        text_bm25_topk,
         url_canonicalize,
         window_daily_events,
+        wordpiece_tokenize,
     )
 
     def _bench_pagerank(s):
@@ -165,6 +167,13 @@ def headline_queries():
         # sessionization + per-session stats (one shuffle, two windows)
         "temporal_asof": lambda s: temporal_asof_join(s, SF_DIR),
         "temporal_sessionize": lambda s: temporal_sessionize(s, SF_DIR),
+        # round-4 session-5: BM25 retrieval (the full-corpus (doc, term)
+        # agg + 3-term broadcast scoring — the from-scratch cost the
+        # persisted index amortizes) and the WordPiece tokenizer
+        # (train + greedy broadcast encode; completes the bpe/unigram/
+        # wordpiece family in the suite)
+        "bm25_topk": lambda s: text_bm25_topk(s, SF_DIR),
+        "wordpiece_tokenize": lambda s: wordpiece_tokenize(s, SF_DIR),
     }
 
 

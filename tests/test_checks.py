@@ -180,3 +180,37 @@ def test_approx_heavy_hitters_verified_counts(spark):
     got = {r["value"]: r["share"] for r in approx_heavy_hitters(df, "v", 0.5).collect()}
     assert set(got) == {"hot"}  # only the dominant value survives min_share
     assert abs(got["hot"] - 0.8) < 1e-6  # exact share from the verify pass
+
+
+def test_robust_outliers_hampel_exact_median(spark):
+    """MAD outliers with hand-computed lower medians: the fat-finger
+    value that would wreck a mean/stddev gate is exactly what the
+    median/MAD pair flags; rank-selected (never interpolated) medians
+    keep the statistics actual data elements."""
+    from xmlschemavalidator_spark.checks.stats import robust_outliers
+
+    rows = [
+        # group a: values 1..7 (med=4), devs {0..3} (mad=2 at rank 4)
+        *[(i, "a", float(i)) for i in range(1, 8)],
+        (99, "a", 1000.0),  # the outlier: dev 996 >> 3.5 * mad
+        # group b: constant values -> mad 0, any deviation flags
+        (201, "b", 5.0), (202, "b", 5.0), (203, "b", 5.0), (204, "b", 5.1),
+        (205, "b", None),  # NULLs never rank, never flag
+    ]
+    df = spark.createDataFrame(rows, "event_id bigint, g string, v double")
+    got = {
+        (r["event_id"], r["g"]): (r["value"], r["med"], r["mad"])
+        for r in robust_outliers(
+            df, "v", "event_id", group_cols=("g",), k_tenths=35
+        ).collect()
+    }
+    # group a: 8 values incl. 1000 -> lower median = rank 4 = 4.0; devs
+    # sorted = [0,1,1,2,2,3,3,996] -> mad = 2.0; only 1000 exceeds 7.0
+    assert got == {
+        (99, "a"): (1000.0, 4.0, 2.0),
+        (204, "b"): (5.1, 5.0, 0.0),  # the documented zero-MAD case
+    }
+    # ungrouped: one global median (5.0) and MAD (1.0) — both the
+    # fat-finger 1000 (dev 995) and the tail value 1.0 (dev 4) exceed 3.5
+    glob = robust_outliers(df, "v", "event_id", k_tenths=35)
+    assert {r["event_id"] for r in glob.collect()} == {1, 99}

@@ -156,3 +156,69 @@ def approx_heavy_hitters(
         .withColumn("share", F.round(F.col("n") / F.lit(total), 6))
         .orderBy(F.col("n").desc(), F.col("value"))
     )
+
+
+def robust_outliers(
+    df: DataFrame,
+    column: str,
+    id_col: str,
+    group_cols: tuple[str, ...] = (),
+    k_tenths: int = 35,
+) -> DataFrame:
+    """Hampel-filter outliers: rows where |value - median| exceeds
+    (k_tenths/10) x MAD within the group — the robust alternative to
+    mean/stddev z-scores (one fat-finger value corrupts a mean; it
+    cannot move a median). Returns the outlier rows
+    ``(id, *groups, value, med, mad, abs_dev)``.
+
+    Exactness contract (what makes the oracle hash-match): median and
+    MAD are LOWER medians selected by rank — row_number over
+    (value, id) picks the element at rank (n+1) div 2 — never the
+    interpolated (a+b)/2 midpoint, so both statistics are actual data
+    elements and every downstream comparison (abs(v - med) * 10 >
+    k_tenths * mad) is the same IEEE double operation in both engines.
+    Interpolated medians differ in the last ulp across engines and flip
+    boundary rows.
+
+    Scale shape: two rank selections (window per group — group count is
+    small by contract: event types, languages; a high-cardinality group
+    column wants the sketched quantile_drift path instead) + two
+    broadcast joins of the tiny per-group statistic tables. A zero MAD
+    (over half the group identical) flags every deviating row — the
+    documented Hampel degenerate case.
+    """
+    from pyspark.sql import Window
+
+    g = list(group_cols)
+    v = F.col(column).cast("double")
+    base = df.where(v.isNotNull()).select(
+        F.col(id_col), *[F.col(c) for c in g], v.alias("_v")
+    )
+
+    def _lower_median(frame: DataFrame, val: str, out: str) -> DataFrame:
+        w = Window.partitionBy(*g).orderBy(F.col(val).asc(), F.col(id_col).asc())
+        wc = Window.partitionBy(*g)
+        return (
+            frame.withColumn("_rn", F.row_number().over(w))
+            .withColumn("_n", F.count(F.lit(1)).over(wc))
+            .where(F.col("_rn") == F.expr("(_n + 1) div 2"))
+            .select(*[F.col(c) for c in g], F.col(val).alias(out))
+        )
+
+    meds = _lower_median(base, "_v", "med")
+    devs = (
+        base.join(F.broadcast(meds), g)
+        if g
+        else base.crossJoin(F.broadcast(meds))
+    ).withColumn("abs_dev", F.abs(F.col("_v") - F.col("med")))
+    mads = _lower_median(
+        devs.select(id_col, *g, F.col("abs_dev").alias("_d")), "_d", "mad"
+    )
+    out = devs.join(F.broadcast(mads), g) if g else devs.crossJoin(
+        F.broadcast(mads)
+    )
+    return out.where(
+        F.col("abs_dev") * 10 > F.lit(float(k_tenths)) * F.col("mad")
+    ).select(
+        id_col, *g, F.col("_v").alias("value"), "med", "mad", "abs_dev"
+    )

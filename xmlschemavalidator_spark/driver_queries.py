@@ -1804,6 +1804,61 @@ def zorder_curve_docs(spark, sf_dir):
 
 
 @q(
+    "outliers_event_value",
+    """\
+WITH v AS (
+  SELECT event_id, event_type, CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY v, event_id)
+              AS rn,
+            count(*) OVER (PARTITION BY event_type) AS n
+  FROM v
+), med AS (
+  SELECT event_type, v AS med FROM r WHERE rn = (n + 1) // 2
+), d AS (
+  SELECT v.event_id, v.event_type, v.v, med.med, abs(v.v - med.med) AS dev
+  FROM v JOIN med USING (event_type)
+), dr AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY dev, event_id)
+              AS rn,
+            count(*) OVER (PARTITION BY event_type) AS n
+  FROM d
+), mad AS (
+  SELECT event_type, dev AS mad FROM dr WHERE rn = (n + 1) // 2
+)
+SELECT d.event_id, d.event_type,
+       round(d.v, 5) AS value, round(d.med, 5) AS med,
+       round(mad.mad, 5) AS mad, round(d.dev, 5) AS abs_dev
+FROM d JOIN mad USING (event_type)
+WHERE d.dev * 10 > 35 * mad.mad""",
+)
+def outliers_event_value(spark, sf_dir):
+    """Hampel-filter outliers per event_type (checks/stats.py:
+    robust_outliers — median/MAD, the robust z-score): median and MAD
+    are RANK-SELECTED lower medians (actual data elements), never the
+    interpolated midpoint — interpolation differs in the last ulp across
+    engines and flips boundary rows, rank selection cannot. The flag
+    predicate (abs_dev * 10 > 35 * mad) is then the same IEEE double
+    comparison on identical inputs in both engines, so the outlier SET
+    is hash-exact, not threshold-tuned."""
+    from xmlschemavalidator_spark.checks.stats import robust_outliers
+
+    e = _t(spark, sf_dir, "events")
+    out = robust_outliers(
+        e, "value", "event_id", group_cols=("event_type",), k_tenths=35
+    )
+    return out.select(
+        "event_id",
+        "event_type",
+        F.round("value", 5).alias("value"),
+        F.round("med", 5).alias("med"),
+        F.round("mad", 5).alias("mad"),
+        F.round("abs_dev", 5).alias("abs_dev"),
+    )
+
+
+@q(
     "percentiles_event_value",
     """SELECT event_type,
               CAST(round(quantile_cont(value, 0.5), 5) AS DOUBLE) AS p50,
