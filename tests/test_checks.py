@@ -214,3 +214,147 @@ def test_robust_outliers_hampel_exact_median(spark):
     # fat-finger 1000 (dev 995) and the tail value 1.0 (dev 4) exceed 3.5
     glob = robust_outliers(df, "v", "event_id", k_tenths=35)
     assert {r["event_id"] for r in glob.collect()} == {1, 99}
+
+
+def test_chi_squared_drift_identical_and_shifted(spark):
+    from xmlschemavalidator_spark.checks.drift import (
+        categorical_histogram,
+        chi_squared_drift,
+    )
+
+    a = spark.createDataFrame(
+        [("en",)] * 6 + [("de",)] * 4, "lang string"
+    )
+    h = categorical_histogram(a, "lang")
+    same = chi_squared_drift(h, h).collect()[0]
+    assert same["chi2"] == 0.0
+    assert same["n_categories"] == 2
+    assert same["n_new_categories"] == 0
+
+    # baseline 60/40, current 90/10: s_cur=(900000,100000) s_base=(600000,400000)
+    # terms: 300000^2//600000=150000, 300000^2//400000=225000 -> chi2=0.375
+    b = spark.createDataFrame([("en",)] * 9 + [("de",)] * 1, "lang string")
+    got = chi_squared_drift(
+        categorical_histogram(b, "lang"), h
+    ).collect()[0]
+    assert got["chi2"] == pytest.approx(0.375)
+
+    # a category new in current contributes its full squared share / 1
+    c = spark.createDataFrame([("en",)] * 5 + [("fr",)] * 5, "lang string")
+    got = chi_squared_drift(categorical_histogram(c, "lang"), h).collect()[0]
+    assert got["n_new_categories"] == 1
+    assert got["chi2"] > 0.375  # 500000^2/1 micro-term dominates
+
+
+def test_chi_squared_drift_empty_side_is_null(spark):
+    from xmlschemavalidator_spark.checks.drift import (
+        categorical_histogram,
+        chi_squared_drift,
+    )
+
+    a = spark.createDataFrame([("en",)], "lang string")
+    empty = spark.createDataFrame([], "lang string")
+    row = chi_squared_drift(
+        categorical_histogram(a, "lang"), categorical_histogram(empty, "lang")
+    ).collect()[0]
+    assert row["chi2"] is None  # no judgement over an undefined distribution
+
+
+def test_benford_planted_digits(spark):
+    from xmlschemavalidator_spark.checks.drift import benford_first_digit
+
+    # values 1.0, 12.3, 170.0 -> first digit 1 (x3); 0.25 -> digit 2;
+    # 0.004 -> floor(0.4)=0 dropped; -5 dropped; NULL dropped
+    df = spark.createDataFrame(
+        [(1.0,), (12.3,), (170.0,), (0.25,), (0.004,), (-5.0,), (None,)],
+        "v double",
+    )
+    rows = {r["digit"]: r for r in benford_first_digit(df, "v").collect()}
+    assert len(rows) == 9  # all digits present even with zero count
+    assert rows[1]["n"] == 3 and rows[2]["n"] == 1
+    assert rows[3]["n"] == 0
+    assert rows[1]["share_micro"] == 750000
+    assert rows[1]["dev_micro"] == 750000 - 301030
+    assert sum(r["expected_micro"] for r in rows.values()) == 1_000_000
+
+
+def test_fd_summary_and_violation_rows(spark):
+    from xmlschemavalidator_spark.checks.fd import (
+        fd_summary,
+        fd_violating_keys,
+        fd_violation_rows,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "o1", "alice"),
+            (2, "o1", "alice"),
+            (3, "o2", "bob"),
+            (4, "o2", "carol"),  # o2 -> {bob, carol}: violation
+            (5, "o3", None),     # NULL rhs is a value
+            (6, "o3", "dave"),   # o3 -> {NULL, dave}: violation
+        ],
+        "id bigint, order_id string, customer string",
+    )
+    summ = {r["order_id"]: r for r in fd_summary(df, ["order_id"], "customer").collect()}
+    assert summ["o1"]["n_rhs_values"] == 1 and summ["o1"]["n_rows"] == 2
+    assert summ["o2"]["n_rhs_values"] == 2
+    assert summ["o3"]["n_rhs_values"] == 2  # NULL counted
+
+    bad = sorted(r["order_id"] for r in fd_violating_keys(df, ["order_id"], "customer").collect())
+    assert bad == ["o2", "o3"]
+
+    rows = sorted(
+        tuple(r) for r in fd_violation_rows(df, ["order_id"], "customer", "id").collect()
+    )
+    assert [r[0] for r in rows] == [3, 4, 5, 6]
+    assert rows[0][1] == "fd_order_id_to_customer"
+    assert rows[2][2] is None  # observed NULL survives the cast
+
+
+def test_pearson_correlation_exact_line(spark):
+    from xmlschemavalidator_spark.checks.stats import pearson_correlation
+
+    # y = 2x exactly: corr == 1.0 whatever the quantization
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (2.0, 4.0), (3.0, 6.0), (4.0, 8.0)], "x double, y double"
+    )
+    row = pearson_correlation(df, "x", "y").collect()[0]
+    assert row["n"] == 4 and row["corr"] == 1.0
+    # cov of x=[1..4] with y=2x: sample cov = 2*var(x) = 2*(5/3)
+    assert row["cov"] == pytest.approx(10.0 / 3.0, abs=1e-5)
+
+    anti = spark.createDataFrame(
+        [(1.0, -1.0), (2.0, -2.0), (3.0, -3.0)], "x double, y double"
+    )
+    assert pearson_correlation(anti, "x", "y").collect()[0]["corr"] == -1.0
+
+
+def test_pearson_correlation_degenerate_null(spark):
+    from xmlschemavalidator_spark.checks.stats import pearson_correlation
+
+    const = spark.createDataFrame(
+        [(1.0, 5.0), (2.0, 5.0)], "x double, y double"
+    )
+    row = pearson_correlation(const, "x", "y").collect()[0]
+    assert row["corr"] is None  # zero variance -> undefined, not div/0
+
+
+def test_categorical_entropy(spark):
+    import math
+
+    from xmlschemavalidator_spark.checks.stats import categorical_entropy
+
+    # uniform over 4 values -> ln(4); single value -> 0; NULL is a category
+    u = spark.createDataFrame([("a",), ("b",), ("c",), ("d",)], "s string")
+    row = categorical_entropy(u, "s").collect()[0]
+    assert row["entropy"] == pytest.approx(math.log(4), abs=1e-6)
+    assert row["n_categories"] == 4
+
+    one = spark.createDataFrame([("a",), ("a",)], "s string")
+    assert categorical_entropy(one, "s").collect()[0]["entropy"] == 0.0
+
+    withnull = spark.createDataFrame([("a",), (None,)], "s string")
+    row = categorical_entropy(withnull, "s").collect()[0]
+    assert row["n_categories"] == 2
+    assert row["entropy"] == pytest.approx(math.log(2), abs=1e-6)

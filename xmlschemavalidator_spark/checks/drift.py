@@ -60,6 +60,138 @@ def ks_drift(current_hist: DataFrame, baseline_hist: DataFrame) -> DataFrame:
     return cdf.agg(F.max(F.abs(F.col("cdf_cur") - F.col("cdf_base"))).alias("ks_stat"))
 
 
+def categorical_histogram(df: DataFrame, column: str) -> DataFrame:
+    """(category, n) counts of a categorical column — the χ² input. One
+    partial+final aggregate; NULLs dropped (null-rate drift is covered by
+    column_stats, same convention as :func:`histogram`)."""
+    return (
+        df.where(F.col(column).isNotNull())
+        .groupBy(F.col(column).alias("category"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def chi_squared_drift(
+    current_hist: DataFrame, baseline_hist: DataFrame
+) -> DataFrame:
+    """χ²-style categorical drift between two count histograms, in the
+    scale-free SHARE form: both sides are normalized to per-million
+    integer shares ``s = n·10⁶ div T`` and the statistic is
+    ``Σ (s_cur − s_base)² div max(s_base, 1)`` (micro units) — i.e.
+    χ² over the share distributions, Σ(p−q)²/q, not over raw counts.
+
+    Why shares, not counts: at 10¹² rows the count-form χ² explodes
+    (every microscopic imbalance is "significant" and the squared terms
+    overflow 64-bit); the share form is invariant to corpus growth, so
+    one alert threshold works at every scale. Why integer micro units:
+    ``n·10⁶`` stays inside BIGINT to T ≈ 9·10¹² rows and floor division
+    is bit-identical across engines — no float ratio ever materializes,
+    so the statistic is hash-exact, not approximately reproducible.
+
+    Categories NEW in current (s_base = 0) contribute with denominator 1
+    (their full squared share — a new dominant category must spike the
+    statistic) and are also counted separately in ``n_new_categories``;
+    categories that vanished contribute s_base² the same way. Returns
+    ONE row ``(chi2, n_categories, n_new_categories)``; NULL chi2 when
+    either side is empty (no judgement over an undefined distribution).
+
+    Scale shape: both inputs are already aggregated (#categories rows);
+    the join + window totals run on that tiny frame — O(scan) total at
+    any corpus size, like :func:`ks_drift`.
+    """
+    cur = current_hist.select("category", F.col("n").alias("n_cur"))
+    base = baseline_hist.select("category", F.col("n").alias("n_base"))
+    joined = cur.join(base, on="category", how="full_outer").fillna(
+        0, subset=["n_cur", "n_base"]
+    )
+    t_cur = F.sum("n_cur").over(Window.partitionBy())
+    t_base = F.sum("n_base").over(Window.partitionBy())
+    shares = joined.select(
+        F.expr("n_cur * 1000000").alias("_nc6"),
+        F.expr("n_base * 1000000").alias("_nb6"),
+        t_cur.alias("_tc"),
+        t_base.alias("_tb"),
+        F.col("n_base"),
+    ).select(
+        F.expr("CASE WHEN _tc > 0 THEN _nc6 div _tc END").alias("s_cur"),
+        F.expr("CASE WHEN _tb > 0 THEN _nb6 div _tb END").alias("s_base"),
+        "n_base",
+    )
+    term = F.expr(
+        "(s_cur - s_base) * (s_cur - s_base) div greatest(s_base, CAST(1 AS BIGINT))"
+    )
+    return shares.agg(
+        F.round(F.sum(term) / F.lit(1000000.0), 6).alias("chi2"),
+        F.count(F.lit(1)).cast("bigint").alias("n_categories"),
+        F.sum(
+            F.when((F.col("n_base") == 0), F.lit(1)).otherwise(F.lit(0))
+        ).cast("bigint").alias("n_new_categories"),
+    )
+
+
+# Benford expected first-digit shares log10(1 + 1/d), floored to integer
+# micro units — they sum to exactly 1_000_000, so the micro-share compare
+# needs no residual bucket. Driver-side constants: the only transcendental
+# in the whole check is evaluated once, here, not per engine.
+BENFORD_MICRO = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def benford_first_digit(df: DataFrame, column: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit of a positive numeric
+    column — the classic fabricated/synthetic-data smell test (organic
+    magnitudes follow log10(1+1/d); uniform or hand-entered values
+    don't). Returns one row per digit 1–9:
+    ``(digit, n, share_micro, expected_micro, dev_micro)``.
+
+    Exactness contract: values are quantized to integer hundredths
+    (``floor(v·100)``, so 0.01 ≤ v keeps its leading digit; v ≤ 0 and
+    |v| < 0.01 are out of scope and dropped) and the first digit is the
+    first character of the INTEGER's decimal string — integer→string is
+    identical across engines, unlike double→string (scientific notation)
+    or a log10-based digit extraction (not correctly rounded; wrong at
+    exact powers of ten). Shares are ``n·10⁶ div T`` floor divisions;
+    the expected table is the literal :data:`BENFORD_MICRO`. Every
+    output cell is integer arithmetic — hash-exact.
+
+    Scale: one partial+final aggregate into ≤9 groups; the digit-9 join
+    frame is 9 literal rows.
+    """
+    m = F.floor(F.col(column) * F.lit(100)).cast("long")
+    digit = F.substring(F.col("_m").cast("string"), 1, 1).cast("int")
+    counts = (
+        df.where(F.col(column).isNotNull())
+        .select(m.alias("_m"))
+        .where(F.col("_m") > 0)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spark = df.sparkSession
+    expected = spark.createDataFrame(
+        [(d, e) for d, e in BENFORD_MICRO.items()], "digit int, expected_micro long"
+    )
+    total = F.sum("n").over(Window.partitionBy())
+    return (
+        expected.join(counts, on="digit", how="left")
+        .fillna(0, subset=["n"])
+        .withColumn("_t", total)
+        .select(
+            "digit",
+            F.col("n").cast("bigint").alias("n"),
+            F.expr(
+                "CASE WHEN _t > 0 THEN n * 1000000 div _t ELSE CAST(0 AS BIGINT) END"
+            ).alias("share_micro"),
+            F.col("expected_micro"),
+        )
+        .withColumn(
+            "dev_micro", F.abs(F.col("share_micro") - F.col("expected_micro"))
+        )
+        .orderBy("digit")
+    )
+
+
 def quantile_drift(
     current: DataFrame,
     baseline: DataFrame,

@@ -1,0 +1,73 @@
+"""Functional-dependency (FD) data-quality checks: does ``lhs → rhs``
+hold, and if not, which rows break it?
+
+The Deequ-style analyzer family (`hasUniqueness`, compliance) covers
+single-column shapes; FD violations are the cross-column one: "every
+order maps to exactly one customer", "every canonical URL maps to one
+registrable domain". A violated FD is the classic silent-join-bug
+symptom — an upstream dedup regression turns a 1:1 mapping into 1:n and
+every downstream join starts fanning out.
+
+Scale shape: the summary is a TWO-LEVEL aggregate — ``groupBy(lhs, rhs)``
+count first (partial-aggregatable map-side, so a hot LHS key arrives at
+the shuffle as one row per distinct rhs, not one row per input row),
+then ``groupBy(lhs)`` over that — never ``countDistinct`` straight over
+the raw table. Violation rows come from ONE left-semi join of the source
+against the (tiny, violations-only) offending-LHS set; AQE splits a
+skewed LHS. Emits the engine's standard violation-row shape
+``(id, rule_id, observed_value)`` so FD findings flow into the same
+violations sink as facet/uniqueness checks (engine.py semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def fd_summary(df: DataFrame, lhs: list[str], rhs: str) -> DataFrame:
+    """Per-LHS fan-out: ``(*lhs, n_rhs_values, n_rows)`` for every LHS
+    group, ordered for report use. ``n_rhs_values > 1`` rows are the FD
+    violations. NULL rhs counts as a value (an FD that "holds" only
+    because rhs went NULL is broken); NULL-valued LHS keys group
+    together like any other key (groupBy null-groups, matching SQL
+    GROUP BY)."""
+    pair = df.groupBy(*lhs, F.col(rhs).alias("_rhs")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    return pair.groupBy(*lhs).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rhs_values"),
+        F.sum("_n").cast("bigint").alias("n_rows"),
+    )
+
+
+def fd_violating_keys(df: DataFrame, lhs: list[str], rhs: str) -> DataFrame:
+    """LHS groups that map to more than one rhs value — the offending-key
+    set (tiny relative to the table when the FD mostly holds)."""
+    return fd_summary(df, lhs, rhs).where(F.col("n_rhs_values") > 1)
+
+
+def fd_violation_rows(
+    df: DataFrame,
+    lhs: list[str],
+    rhs: str,
+    id_col: str,
+    rule_id: str | None = None,
+) -> DataFrame:
+    """Violation rows ``(id, rule_id, observed_value, *lhs)`` — every row
+    whose LHS group breaks the FD, with the row's own rhs as the observed
+    value. One semi join against the offending-key set; the base table is
+    scanned once for the summary and once here (the summary output is
+    violations-only and small, so the join side broadcasts or
+    AQE-splits)."""
+    rid = rule_id or f"fd_{'_'.join(lhs)}_to_{rhs}"
+    bad = fd_violating_keys(df, lhs, rhs).select(*lhs)
+    return (
+        df.join(bad, on=lhs, how="left_semi")
+        .select(
+            F.col(id_col),
+            F.lit(rid).alias("rule_id"),
+            F.col(rhs).cast("string").alias("observed_value"),
+            *[F.col(c) for c in lhs],
+        )
+    )

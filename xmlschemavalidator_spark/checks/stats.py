@@ -222,3 +222,98 @@ def robust_outliers(
     ).select(
         id_col, *g, F.col("_v").alias("value"), "med", "mad", "abs_dev"
     )
+
+
+def pearson_correlation(
+    df: DataFrame, x: str, y: str, quantum: int = 1_000_000, round_to: int = 6
+) -> DataFrame:
+    """Exact-and-reproducible Pearson correlation between two numeric
+    columns (the Deequ `correlation` analyzer): one row
+    ``(n, corr, cov)``. Rows where either side is NULL are excluded
+    (pairwise-complete, matching SQL ``corr``).
+
+    Exactness contract: inputs are quantized to integer ``quantum``-ths
+    (``floor(v*1e6)``) and ALL five moment sums (Sx, Sy, Sxx, Syy, Sxy)
+    run in DECIMAL(38,0) — order-independent integer arithmetic, so the
+    aggregates are bit-identical at any partitioning (a float sum of
+    squares changes with partition order and flips the last ulp of r).
+    The final ``r = (n*Sxy - Sx*Sy) / sqrt((n*Sxx-Sx^2)(n*Syy-Sy^2))``
+    is then a fixed chain of double ops on identical inputs — IEEE sqrt
+    is correctly rounded (unlike ln/exp), so both engines produce the
+    same double, rounded to ``round_to``. Headroom: (1e6*|v|)^2 per row
+    summed — DECIMAL(38,0) holds |v| <= 1e4 out to 1e12 rows.
+
+    Scale: ONE partial+final aggregate, no shuffle wider than 1 row.
+    Zero-variance columns yield NULL corr (undefined), never a div/0.
+    """
+    xm = F.floor(F.col(x) * F.lit(quantum)).cast("decimal(38,0)")
+    ym = F.floor(F.col(y) * F.lit(quantum)).cast("decimal(38,0)")
+    base = df.where(F.col(x).isNotNull() & F.col(y).isNotNull()).select(
+        xm.alias("_x"), ym.alias("_y")
+    )
+    agg = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("_x").alias("sx"),
+        F.sum("_y").alias("sy"),
+        F.sum(F.expr("_x * _x")).alias("sxx"),
+        F.sum(F.expr("_y * _y")).alias("syy"),
+        F.sum(F.expr("_x * _y")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = (
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+        F.col("sxy").cast("double"),
+    )
+    num = n * sxy - sx * sy
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    q2 = F.lit(float(quantum) * float(quantum))
+    return agg.select(
+        "n",
+        F.round(
+            F.when((vx > 0) & (vy > 0), num / F.sqrt(vx * vy)), round_to
+        ).alias("corr"),
+        F.round(
+            F.when(n > 1, (num / n / (n - F.lit(1.0))) / q2), round_to
+        ).alias("cov"),
+    )
+
+
+def categorical_entropy(
+    df: DataFrame, column: str, round_to: int = 6
+) -> DataFrame:
+    """Shannon entropy of a categorical column in nats (the Deequ
+    `entropy` analyzer): one row ``(entropy, n_categories, n_rows)``.
+    A column collapsing toward one value (entropy -> 0) or exploding in
+    cardinality is the drift this surfaces. NULLs count as a category —
+    a null takeover is exactly the collapse being watched for.
+
+    Exactness: p = n/T is an exact rational in double (both engines
+    compute the identical quotient); each term p*ln(p) is rounded to
+    12 dp and summed in DECIMAL(20,12) — the only cross-engine risk is
+    the last ulp of ln on identical inputs (same libm-double contract the
+    Gumbel/DSIR oracles rely on), and the 12-dp rounding before the
+    order-independent DECIMAL sum keeps that risk out of the hash.
+
+    Scale: one partial+final count aggregate; the entropy fold runs on
+    #categories rows.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(
+        F.coalesce(F.col(column).cast("string"), F.lit(" null")).alias("_c")
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    t = F.sum("_n").over(Window.partitionBy())
+    terms = counts.select(
+        F.col("_n"),
+        F.round(
+            (F.col("_n") / t) * F.log(F.col("_n") / t), 12
+        ).cast("decimal(20,12)").alias("_term"),
+    )
+    return terms.agg(
+        F.round(-F.sum("_term"), round_to).cast("double").alias("entropy"),
+        F.count(F.lit(1)).cast("bigint").alias("n_categories"),
+        F.sum("_n").cast("bigint").alias("n_rows"),
+    )

@@ -7732,6 +7732,387 @@ def wordpiece_tokenize(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# round-4 widening: analyzer / drift family (chi2, Benford, FD, corr, entropy)
+# ===========================================================================
+
+
+@q(
+    "chi_squared_drift_lang",
+    """WITH cur AS (SELECT lang AS category, count(*) AS n_cur
+                    FROM documents WHERE doc_id % 2 = 1 AND lang IS NOT NULL
+                    GROUP BY lang),
+            base AS (SELECT lang AS category, count(*) AS n_base
+                     FROM documents WHERE doc_id % 2 = 0 AND lang IS NOT NULL
+                     GROUP BY lang),
+            j AS (SELECT coalesce(c.n_cur, 0) AS n_cur,
+                         coalesce(b.n_base, 0) AS n_base
+                  FROM cur c FULL OUTER JOIN base b USING (category)),
+            s AS (SELECT n_base,
+                         (n_cur * 1000000) // sum(n_cur) OVER () AS s_cur,
+                         (n_base * 1000000) // sum(n_base) OVER () AS s_base
+                  FROM j)
+       SELECT CAST(round(sum((s_cur - s_base) * (s_cur - s_base)
+                             // greatest(s_base, 1)) / 1000000.0, 6)
+                   AS DOUBLE) AS chi2,
+              CAST(count(*) AS BIGINT) AS n_categories,
+              CAST(sum(CASE WHEN n_base = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_new_categories
+       FROM s""",
+)
+def chi_squared_drift_lang(spark, sf_dir):
+    """Categorical drift via the share-form chi-squared statistic
+    (checks/drift.py chi_squared_drift): odd-doc_id half of the corpus as
+    "current" vs the even half as "baseline" — a deterministic split with
+    real share differences. Exactness: both sides normalize to per-million
+    integer shares (n*1e6 div T, BIGINT-safe to ~9e12 rows) and the
+    statistic is pure floor division + one final rounded double — no
+    float ratio crosses an engine boundary. Complements ks_drift (numeric
+    CDF gap) with the categorical-column form."""
+    from xmlschemavalidator_spark.checks.drift import (
+        categorical_histogram,
+        chi_squared_drift,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    cur = categorical_histogram(docs.where(F.col("doc_id") % 2 == 1), "lang")
+    base = categorical_histogram(docs.where(F.col("doc_id") % 2 == 0), "lang")
+    return chi_squared_drift(cur, base)
+
+
+@q(
+    "benford_event_values",
+    """WITH m AS (SELECT CAST(floor(value * 100) AS BIGINT) AS m
+                  FROM events WHERE value IS NOT NULL),
+            c AS (SELECT CAST(substr(CAST(m AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+                         count(*) AS n
+                  FROM m WHERE m > 0 GROUP BY 1),
+            e(digit, expected_micro) AS (VALUES
+                (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+                (6, 66947), (7, 57992), (8, 51153), (9, 45757)),
+            j AS (SELECT e.digit,
+                         CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+                         CAST(e.expected_micro AS BIGINT) AS expected_micro
+                  FROM e LEFT JOIN c ON e.digit = c.digit),
+            s AS (SELECT digit, n,
+                         CASE WHEN sum(n) OVER () > 0
+                              THEN (n * 1000000) // sum(n) OVER ()
+                              ELSE CAST(0 AS BIGINT) END AS share_micro,
+                         expected_micro
+                  FROM j)
+       SELECT digit, n, share_micro, expected_micro,
+              abs(share_micro - expected_micro) AS dev_micro
+       FROM s ORDER BY digit""",
+)
+def benford_event_values(spark, sf_dir):
+    """Benford first-significant-digit audit of events.value
+    (checks/drift.py benford_first_digit) — the fabricated-data smell
+    test. Digit extraction goes through integer hundredths and the
+    INTEGER's decimal string (double->string formats diverge across
+    engines; log10-based extraction is wrong at exact powers of ten);
+    expected shares are literal micro constants summing to exactly 1e6.
+    Every cell is integer arithmetic — hash-exact."""
+    from xmlschemavalidator_spark.checks.drift import benford_first_digit
+
+    return benford_first_digit(_t(spark, sf_dir, "events"), "value")
+
+
+@q(
+    "fd_violating_sources",
+    """WITH pair AS (SELECT source, lang, count(*) AS _n
+                     FROM documents GROUP BY source, lang)
+       SELECT source,
+              CAST(count(*) AS BIGINT) AS n_rhs_values,
+              CAST(sum(_n) AS BIGINT) AS n_rows
+       FROM pair GROUP BY source
+       HAVING count(*) > 1
+       ORDER BY source""",
+)
+def fd_violating_sources(spark, sf_dir):
+    """Functional-dependency check source -> lang on documents
+    (checks/fd.py): LHS groups mapping to more than one rhs value, with
+    fan-out. The two-level aggregate (groupBy(lhs, rhs) then groupBy(lhs))
+    is partial-aggregatable map-side — a hot source reaches the shuffle
+    as one row per distinct lang, never one per document; countDistinct
+    straight over the raw table wouldn't."""
+    from xmlschemavalidator_spark.checks.fd import fd_violating_keys
+
+    docs = _t(spark, sf_dir, "documents")
+    return fd_violating_keys(docs, ["source"], "lang").orderBy("source")
+
+
+@q(
+    "fd_violation_rows_sample",
+    """WITH bad AS (SELECT source FROM (
+                      SELECT source, lang FROM documents GROUP BY source, lang)
+                    GROUP BY source HAVING count(*) > 1)
+       SELECT d.doc_id, 'fd_source_to_lang' AS rule_id,
+              CAST(d.lang AS VARCHAR) AS observed_value, d.source
+       FROM documents d SEMI JOIN bad ON d.source = bad.source
+       ORDER BY d.doc_id""",
+)
+def fd_violation_rows_sample(spark, sf_dir):
+    """The violation-row form of the FD check — every document whose
+    source breaks source -> lang, in the engine's standard violation
+    shape (id, rule_id, observed_value, lhs) so FD findings flow into
+    the same sink as facet/uniqueness violations. One semi join against
+    the (tiny) offending-LHS set."""
+    from xmlschemavalidator_spark.checks.fd import fd_violation_rows
+
+    docs = _t(spark, sf_dir, "documents")
+    return fd_violation_rows(
+        docs, ["source"], "lang", "doc_id", rule_id="fd_source_to_lang"
+    ).orderBy("doc_id")
+
+
+@q(
+    "pearson_corr_lineitem",
+    """WITH q AS (SELECT CAST(floor(l_quantity * 1000000) AS HUGEINT) AS x,
+                         CAST(floor(l_extendedprice * 1000000) AS HUGEINT) AS y
+                  FROM lineitem
+                  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+            a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         sum(x) AS sx, sum(y) AS sy,
+                         sum(x * x) AS sxx, sum(y * y) AS syy,
+                         sum(x * y) AS sxy
+                  FROM q)
+       SELECT n,
+              CAST(round(
+                  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                  6) AS DOUBLE) AS corr,
+              CAST(round(
+                  ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / CAST(n AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0))
+                  / 1000000000000.0, 6) AS DOUBLE) AS cov
+       FROM a""",
+)
+def pearson_corr_lineitem(spark, sf_dir):
+    """Exact-reproducible Pearson correlation between l_quantity and
+    l_extendedprice (checks/stats.py pearson_correlation, the Deequ
+    correlation analyzer). The five moment sums run in DECIMAL(38,0)
+    over 1e-6-quantized values (order-independent — a float sum of
+    squares flips its last ulp with partition order); the final r is a
+    fixed double chain whose only root is IEEE-correctly-rounded sqrt.
+    ONE aggregate, 1-row output."""
+    from xmlschemavalidator_spark.checks.stats import pearson_correlation
+
+    li = _t(spark, sf_dir, "lineitem")
+    return pearson_correlation(li, "l_quantity", "l_extendedprice")
+
+
+@q(
+    "entropy_doc_lang",
+    """WITH c AS (SELECT coalesce(CAST(lang AS VARCHAR), ' null') AS _c,
+                         count(*) AS _n
+                  FROM documents GROUP BY 1),
+            t AS (SELECT _n,
+                         CAST(round((_n / CAST(sum(_n) OVER () AS DOUBLE))
+                                    * ln(_n / CAST(sum(_n) OVER () AS DOUBLE)),
+                                    12) AS DECIMAL(20,12)) AS _term
+                  FROM c)
+       SELECT CAST(round(-sum(_term), 6) AS DOUBLE) AS entropy,
+              CAST(count(*) AS BIGINT) AS n_categories,
+              CAST(sum(_n) AS BIGINT) AS n_rows
+       FROM t""",
+)
+def entropy_doc_lang(spark, sf_dir):
+    """Shannon entropy of documents.lang in nats (checks/stats.py
+    categorical_entropy, the Deequ entropy analyzer) — the
+    column-collapse / cardinality-explosion watchdog. Each p*ln(p) term
+    is rounded to 12 dp then summed in DECIMAL (order-independent); p is
+    an exact rational in double on both engines, so the only cross-engine
+    exposure is the last ulp of ln on identical inputs — the same
+    libm-double contract the Gumbel/DSIR oracles already rely on."""
+    from xmlschemavalidator_spark.checks.stats import categorical_entropy
+
+    return categorical_entropy(_t(spark, sf_dir, "documents"), "lang")
+
+
+@q(
+    "cdc_apply_customer",
+    """WITH ch AS (SELECT o_custkey AS k, o_orderdate AS ts, o_orderkey AS ord,
+                          CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+                          concat('upd_', CAST(o_orderkey AS VARCHAR)) AS c_name,
+                          CAST(o_custkey % 25 AS INTEGER) AS c_nationkey,
+                          round(o_totalprice, 2) AS c_acctbal,
+                          o_orderpriority AS c_mktsegment
+                   FROM orders),
+            w AS (SELECT *, row_number() OVER (
+                      PARTITION BY k ORDER BY ts DESC, ord DESC) AS rn
+                  FROM ch),
+            latest AS (SELECT * FROM w WHERE rn = 1),
+            merged AS (SELECT coalesce(c.c_custkey, l.k) AS c_custkey,
+                              l.k IS NOT NULL AS has_change, l.op,
+                              CASE WHEN l.k IS NOT NULL AND l.op <> 'D'
+                                   THEN l.c_name ELSE c.c_name END AS c_name,
+                              CASE WHEN l.k IS NOT NULL AND l.op <> 'D'
+                                   THEN l.c_nationkey ELSE c.c_nationkey END AS c_nationkey,
+                              CASE WHEN l.k IS NOT NULL AND l.op <> 'D'
+                                   THEN l.c_acctbal ELSE c.c_acctbal END AS c_acctbal,
+                              CASE WHEN l.k IS NOT NULL AND l.op <> 'D'
+                                   THEN l.c_mktsegment ELSE c.c_mktsegment END AS c_mktsegment
+                       FROM customer c FULL OUTER JOIN latest l ON c.c_custkey = l.k)
+       SELECT c_custkey, c_name, c_nationkey,
+              CAST(round(c_acctbal, 2) AS DOUBLE) AS c_acctbal, c_mktsegment
+       FROM merged WHERE NOT has_change OR op <> 'D'
+       ORDER BY c_custkey""",
+)
+def cdc_apply_customer(spark, sf_dir):
+    """MERGE INTO / SCD type-1 compaction (temporal.py cdc_apply): orders
+    replayed as a CDC stream onto the customer dimension — latest change
+    per key wins, 'F'-status tombstones delete, unseen keys pass
+    through, new keys insert. The duplicate-collapse is ONE
+    partial-aggregatable max(struct(ts, order, op, attrs)) (a hot key
+    reaches the shuffle as one row per map task), then ONE full-outer
+    join; the oracle replays the same latest-wins semantics with a
+    window. Deterministic ties via (o_orderdate, o_orderkey)."""
+    from xmlschemavalidator_spark.temporal import cdc_apply
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    changes = orders.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("ord"),
+        F.when(F.col("o_orderstatus") == "F", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.concat(F.lit("upd_"), F.col("o_orderkey").cast("string")).alias("c_name"),
+        (F.col("o_custkey") % 25).cast("int").alias("c_nationkey"),
+        F.round(F.col("o_totalprice"), 2).alias("c_acctbal"),
+        F.col("o_orderpriority").alias("c_mktsegment"),
+    )
+    merged = cdc_apply(cust, changes, key="c_custkey", ts="ts", order_col="ord")
+    return merged.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.round("c_acctbal", 2).cast("double").alias("c_acctbal"),
+        "c_mktsegment",
+    ).orderBy("c_custkey")
+
+
+@q(
+    "snm_part_name_pairs",
+    """WITH b AS (SELECT p_partkey AS id, p_name AS key,
+                         substr(p_name, 1, 4) AS blk
+                  FROM part WHERE p_name IS NOT NULL),
+            r AS (SELECT *, row_number() OVER (
+                      PARTITION BY blk ORDER BY key, id) AS rn
+                  FROM b)
+       SELECT a.id AS id_a, c.id AS id_b, a.key AS key_a, c.key AS key_b,
+              CAST(levenshtein(a.key, c.key) AS INTEGER) AS distance
+       FROM r a JOIN r c ON a.blk = c.blk AND c.rn - a.rn BETWEEN 1 AND 4
+       WHERE levenshtein(a.key, c.key) <= 3
+       ORDER BY id_a, id_b""",
+)
+def snm_part_name_pairs(spark, sf_dir):
+    """Sorted-neighborhood entity-resolution candidates over part names
+    (dedup.py sorted_neighborhood_pairs, Hernandez & Stolfo SIGMOD'95):
+    block on a 4-char key prefix, sort within block, window 5, verify
+    with exact Levenshtein (<= 3, measured to keep distance-0 exact dups
+    plus the near-miss tail). Pair generation is lead-structs exploded
+    in place — linear in rows x window, no rank-range self-join; the
+    oracle replays it as the rank-difference join (equivalent on the
+    same deterministic (key, id) order, feasible at oracle scale)."""
+    from xmlschemavalidator_spark.dedup import sorted_neighborhood_pairs
+
+    part = _t(spark, sf_dir, "part")
+    pairs = sorted_neighborhood_pairs(
+        part, "p_partkey", "p_name", window=5, block_chars=4, max_distance=3
+    )
+    return pairs.select(
+        "id_a", "id_b", "key_a", "key_b", F.col("distance").cast("int").alias("distance")
+    ).orderBy("id_a", "id_b")
+
+
+from xmlschemavalidator_spark.weburl import bfs_oracle_sql  # noqa: E402
+
+
+@q("link_bfs_distances", bfs_oracle_sql(_EDGES_SQL, sources=[0, 7], max_hops=6))
+def link_bfs_distances(spark, sf_dir):
+    """Multi-source BFS hop distances from seeds {0, 7} over the planted
+    link graph (weburl.py:bfs_distances) — crawl-frontier depth / the
+    exact counterpart of HyperBall's ball sizes. Pregel-shaped: each
+    round joins only the SHRINKING frontier against edges and anti-joins
+    reached nodes (first-reach is min-distance, no re-relaxation),
+    lineage cut per round. All-integer, vs the bounded recursive-CTE
+    DuckDB replay."""
+    from xmlschemavalidator_spark.weburl import bfs_distances
+
+    return bfs_distances(_edges(spark, sf_dir), sources=[0, 7], max_hops=6)
+
+
+@q(
+    "link_prediction_common_neighbors",
+    f"""WITH e0 AS ({_EDGES_SQL}),
+        adj AS (SELECT DISTINCT u, v FROM (
+                    SELECT src AS u, dst AS v FROM e0 WHERE src <> dst
+                    UNION ALL
+                    SELECT dst, src FROM e0 WHERE src <> dst)),
+        deg AS (SELECT u AS node, count(*) AS deg FROM adj GROUP BY u),
+        centers AS (SELECT a.u AS w, a.v FROM adj a
+                    JOIN deg d ON a.u = d.node WHERE d.deg <= 10000),
+        wedges AS (SELECT l.v AS node_a, r.v AS node_b,
+                          count(*) AS n_common
+                   FROM centers l JOIN centers r
+                     ON l.w = r.w AND l.v < r.v
+                   GROUP BY 1, 2 HAVING count(*) >= 2),
+        existing AS (SELECT u AS node_a, v AS node_b FROM adj WHERE u < v),
+        cand AS (SELECT w.* FROM wedges w ANTI JOIN existing x
+                   ON w.node_a = x.node_a AND w.node_b = x.node_b)
+        SELECT c.node_a, c.node_b, CAST(c.n_common AS BIGINT) AS n_common,
+               CAST((c.n_common * 1000000) // (da.deg + db.deg - c.n_common)
+                    AS BIGINT) AS jaccard_micro
+        FROM cand c JOIN deg da ON c.node_a = da.node
+                    JOIN deg db ON c.node_b = db.node
+        ORDER BY node_a, node_b""",
+)
+def link_prediction_common_neighbors(spark, sf_dir):
+    """Common-neighbor / Jaccard link prediction (weburl.py:
+    common_neighbor_candidates, Liben-Nowell & Kleinberg CIKM'03):
+    non-adjacent pairs sharing >= 2 neighbors in the undirected planted
+    graph, scored n_common and integer-micro neighborhood Jaccard.
+    Wedges are center-generated with a degree cap + audit surface
+    (wedge_hot_centers) — the engine's standard refusal of hub-quadratic
+    pair explosions — and every score is integer arithmetic, so the
+    full candidate ranking is hash-exact."""
+    from xmlschemavalidator_spark.weburl import common_neighbor_candidates
+
+    return common_neighbor_candidates(
+        _edges(spark, sf_dir), min_common=2
+    ).orderBy("node_a", "node_b")
+
+
+from xmlschemavalidator_spark.sampling import weighted_sample_sql  # noqa: E402
+
+
+@q(
+    "weighted_sample_docs",
+    weighted_sample_sql(
+        "SELECT doc_id, lang, n_chars FROM documents", "doc_id", "n_chars", 50
+    ),
+)
+def weighted_sample_docs(spark, sf_dir):
+    """Weighted sampling without replacement (sampling.py:
+    weighted_sample, Efraimidis & Spirakis IPL'06): 50 documents drawn
+    proportional to n_chars via exponential keys ln(u)/w over the
+    content-addressed md5 uniform — the generic any-weight-column form
+    of DSIR's Gumbel top-k. The sample is a pure function of
+    (salt, id, weight): stable across runs/engines, and the oracle
+    replays the identical key and (key, id) order."""
+    from xmlschemavalidator_spark.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return weighted_sample(docs, "doc_id", "n_chars", k=50)
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 
