@@ -844,3 +844,50 @@ def test_drop_duplicate_paragraphs_rebuild_order_and_short_survival(spark):
     assert got[2] == "only survivor paragraph here"
     assert got[3] == ""
     assert got[4] == "tiny\n\ntiny"
+
+
+def test_sorted_neighborhood_pairs_window_and_verify(spark):
+    from xmlschemavalidator_spark.dedup import sorted_neighborhood_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "acme corp"),
+            (2, "acme corp."),   # lev 1 from acme corp
+            (3, "acme inc"),     # lev 5 from "acme corp." area
+            (4, "zzz totally different"),
+            (5, None),           # dropped
+        ],
+        "id bigint, name string",
+    )
+    pairs = sorted_neighborhood_pairs(
+        df, "id", "name", window=3, block_chars=4, max_distance=2
+    ).collect()
+    got = sorted((r["id_a"], r["id_b"], r["distance"]) for r in pairs)
+    # within block 'acme': sorted order is corp(1) < corp.(2) < inc(3);
+    # window 3 pairs (1,2),(1,3),(2,3); only (1,2) passes lev<=2.
+    # 'zzz ' is its own block with one row -> no pairs; NULL dropped.
+    assert got == [(1, 2, 1)]
+
+
+def test_sorted_neighborhood_no_verification_keeps_window_pairs(spark):
+    from xmlschemavalidator_spark.dedup import sorted_neighborhood_pairs
+
+    df = spark.createDataFrame(
+        [(i, f"key{i:02d}") for i in range(6)], "id bigint, name string"
+    )
+    # one block (same 4-char prefix "key0"? no: key00..key05 share "key0")
+    pairs = sorted_neighborhood_pairs(df, "id", "name", window=3, block_chars=4)
+    # n=6 in one block, window 3 -> (n-1) + (n-2) = 9 pairs
+    assert pairs.count() == 9
+
+
+def test_sorted_neighborhood_single_shuffle_plan(spark):
+    from xmlschemavalidator_spark.dedup import sorted_neighborhood_pairs
+
+    df = spark.createDataFrame([(1, "ab")], "id bigint, name string")
+    plan = sorted_neighborhood_pairs(
+        df, "id", "name", window=4
+    )._jdf.queryExecution().executedPlan().toString()
+    # one Exchange (the block partitioning), no join in the pair generation
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan

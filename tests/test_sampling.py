@@ -364,3 +364,30 @@ def test_temperature_mix_duckdb_parity(spark):
         ).fetchall()
     }
     assert got == want
+
+
+def test_weighted_sample_bias_and_determinism(spark):
+    from xmlschemavalidator_spark.sampling import weighted_sample
+
+    # 100 light rows (w=1) + 10 heavy rows (w=1000): heavies dominate
+    rows = [(i, 1.0) for i in range(100)] + [(100 + i, 1000.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "id bigint, w double")
+    got = weighted_sample(df, "id", "w", k=10)
+    ids = [r["id"] for r in got.collect()]
+    assert len(ids) == 10 and len(set(ids)) == 10  # without replacement
+    assert sum(1 for i in ids if i >= 100) >= 8  # weight-proportional
+
+    again = [r["id"] for r in weighted_sample(df, "id", "w", k=10).collect()]
+    assert ids == again  # content-addressed: identical rerun
+    other = [r["id"] for r in weighted_sample(df, "id", "w", k=10, salt="x").collect()]
+    assert ids != other  # salt changes the draw
+
+
+def test_weighted_sample_excludes_nonpositive(spark):
+    from xmlschemavalidator_spark.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, -1.0), (4, None)], "id bigint, w double"
+    )
+    got = [r["id"] for r in weighted_sample(df, "id", "w", k=10).collect()]
+    assert got == [1]

@@ -545,3 +545,62 @@ def test_interval_union_single_exchange(spark):
     plan = fmt(interval_union(iv, on="user_id", start="start_ts", end="end_ts"))
     # run detection + numbering + envelope agg all ride ONE shuffle
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_cdc_apply_upsert_delete_insert(spark):
+    from xmlschemavalidator_spark.temporal import cdc_apply
+
+    target = spark.createDataFrame(
+        [(1, "alice", 10.0), (2, "bob", 20.0), (3, "carol", 30.0)],
+        "id bigint, name string, bal double",
+    )
+    changes = spark.createDataFrame(
+        [
+            # key 1: two updates, latest (ts=5) wins
+            (1, 3, 100, "U", "alice2", 11.0),
+            (1, 5, 101, "U", "alice3", 12.0),
+            # key 2: update then tombstone -> deleted
+            (2, 3, 102, "U", "bob2", 21.0),
+            (2, 6, 103, "D", None, None),
+            # key 4: insert of an unseen key
+            (4, 1, 104, "I", "dave", 40.0),
+            # key 5: insert then delete -> never appears
+            (5, 1, 105, "I", "eve", 50.0),
+            (5, 2, 106, "D", None, None),
+        ],
+        "id bigint, ts bigint, ord bigint, op string, name string, bal double",
+    )
+    got = sorted(
+        tuple(r)
+        for r in cdc_apply(target, changes, key="id", ts="ts", order_col="ord").collect()
+    )
+    assert got == [
+        (1, "alice3", 12.0),   # latest update applied
+        (3, "carol", 30.0),    # untouched passthrough
+        (4, "dave", 40.0),     # inserted
+    ]
+
+
+def test_cdc_apply_equal_ts_tie_breaks_on_order(spark):
+    from xmlschemavalidator_spark.temporal import cdc_apply
+
+    target = spark.createDataFrame([(1, "x")], "id bigint, v string")
+    changes = spark.createDataFrame(
+        [(1, 7, 1, "U", "first"), (1, 7, 2, "U", "second")],
+        "id bigint, ts bigint, ord bigint, op string, v string",
+    )
+    got = cdc_apply(target, changes, key="id", ts="ts", order_col="ord").collect()
+    assert [tuple(r) for r in got] == [(1, "second")]
+
+
+def test_cdc_apply_missing_attr_column_raises(spark):
+    import pytest as _pytest
+
+    from xmlschemavalidator_spark.temporal import cdc_apply
+
+    target = spark.createDataFrame([(1, "x")], "id bigint, v string")
+    changes = spark.createDataFrame(
+        [(1, 7, 1, "U")], "id bigint, ts bigint, ord bigint, op string"
+    )
+    with _pytest.raises(ValueError, match="missing column"):
+        cdc_apply(target, changes, key="id", ts="ts", order_col="ord")

@@ -678,3 +678,69 @@ def test_hits_star_roles(spark):
     assert got[0]["hub_micro"] == 0
     spokes = [got[i]["hub_micro"] for i in range(1, 6)]
     assert len(set(spokes)) == 1 and abs(sum(spokes) - 10**12) < 5
+
+
+def test_bfs_distances_chain_and_early_exit(spark):
+    from xmlschemavalidator_spark.weburl import bfs_distances
+
+    # 1->2->3->4, 9->3 (joins), 5 isolated target of nothing
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (9, 3)], "src bigint, dst bigint"
+    )
+    got = {r["node"]: r["dist"] for r in bfs_distances(edges, [1]).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+    # multi-source: min over seeds
+    got = {r["node"]: r["dist"] for r in bfs_distances(edges, [1, 9]).collect()}
+    assert got == {1: 0, 9: 0, 2: 1, 3: 1, 4: 2}
+    # max_hops truncates
+    got = {r["node"]: r["dist"] for r in bfs_distances(edges, [1], max_hops=2).collect()}
+    assert got == {1: 0, 2: 1, 3: 2}
+
+
+def test_bfs_distances_cycle_terminates(spark):
+    from xmlschemavalidator_spark.weburl import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src bigint, dst bigint"
+    )
+    got = {r["node"]: r["dist"] for r in bfs_distances(edges, [1], max_hops=50).collect()}
+    assert got == {1: 0, 2: 1, 3: 2}  # revisiting 1 never re-relaxes
+
+
+def test_common_neighbor_candidates_square(spark):
+    from xmlschemavalidator_spark.weburl import common_neighbor_candidates
+
+    # square 1-2-3-4-1 (undirected): diagonals (1,3) and (2,4) share 2
+    # neighbors each and are non-adjacent; every adjacent pair shares 0.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src bigint, dst bigint"
+    )
+    got = {
+        (r["node_a"], r["node_b"]): (r["n_common"], r["jaccard_micro"])
+        for r in common_neighbor_candidates(edges, min_common=2).collect()
+    }
+    # deg=2 everywhere: jaccard = 2/(2+2-2) = 1.0 -> 1_000_000 micro
+    assert got == {(1, 3): (2, 1000000), (2, 4): (2, 1000000)}
+
+
+def test_common_neighbor_hub_cap_and_audit(spark):
+    from xmlschemavalidator_spark.weburl import (
+        common_neighbor_candidates,
+        wedge_hot_centers,
+    )
+
+    # star: hub 0 linked to 1..5 -> every leaf pair shares exactly {0}
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src bigint, dst bigint"
+    )
+    # min_common=1 finds all leaf pairs through the hub
+    assert common_neighbor_candidates(edges, min_common=1).count() == 10
+    # capping below the hub degree drops them all, and the audit says why
+    assert (
+        common_neighbor_candidates(
+            edges, min_common=1, max_center_degree=4
+        ).count()
+        == 0
+    )
+    audit = wedge_hot_centers(edges, max_center_degree=4).collect()
+    assert [(r["node"], r["deg"]) for r in audit] == [(0, 5)]

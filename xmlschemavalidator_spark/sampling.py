@@ -412,3 +412,64 @@ SELECT doc, grp,
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_copies
 FROM j
 WHERE base + (CASE WHEN h < (rate - base) * 4294967296.0 THEN 1 ELSE 0 END) >= 1"""
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement: k rows drawn with
+    probability proportional to `weight_col` (Efraimidis & Spirakis
+    IPL'06, the exponential-key formulation): each row gets
+    ``key = ln(u) / w`` with u a content-addressed uniform from
+    md5(salt:id) — the k LARGEST keys are exactly a weight-proportional
+    draw. The importance-sampling primitive behind quality-weighted
+    corpus selection (DSIR's Gumbel top-k is the log-ratio special
+    case; this is the generic any-weight-column form).
+
+    Content-addressed like everything in this module: the sample is a
+    pure function of (salt, id, weight) — stable across runs, retries
+    and engines, and the DuckDB oracle replays it exactly (same 60-bit
+    md5-prefix uniform as gumbel_key; ln on bit-identical doubles is
+    the established libm contract). Ties are impossible in practice
+    (distinct ids give distinct u) but the (key, id) order makes even
+    those deterministic.
+
+    Rows with NULL or non-positive weight are excluded (zero weight
+    means "never sample"; E-S is undefined for w <= 0). Selection is
+    ``TakeOrderedAndProject`` — right for report/eval-grade k; a
+    corpus-fraction k wants the dsir_sample threshold path
+    (quality_model.py), which this deliberately mirrors.
+    """
+    if k <= 0:
+        raise ValueError(f"weighted_sample: k must be positive, got {k}")
+    u_space = float(16 ** 15)
+    hexpart = F.substring(_sample_key(F.col(id_col), salt), 1, 15)
+    u = (F.conv(hexpart, 16, 10).cast("bigint") + F.lit(0.5)) / F.lit(u_space)
+    key = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("es_key", F.round(key, 10))
+        .orderBy(F.col("es_key").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def weighted_sample_sql(
+    table_sql: str, id_sql: str, weight_sql: str, k: int, salt: str = "wsample"
+) -> str:
+    """DuckDB replay of :func:`weighted_sample` (oracle side): identical
+    uniform, identical key, identical (key, id) order."""
+    u = (
+        f"(CAST(concat('0x', substr({sample_key_sql(id_sql, salt)}, 1, 15)) "
+        f"AS BIGINT) + 0.5) / {float(16 ** 15)!r}"
+    )
+    return (
+        f"SELECT * FROM (SELECT t.*, round(ln({u}) / CAST({weight_sql} AS DOUBLE), 10) AS es_key "
+        f"FROM ({table_sql}) t "
+        f"WHERE {weight_sql} IS NOT NULL AND {weight_sql} > 0) "
+        f"ORDER BY es_key DESC, {id_sql} ASC LIMIT {int(k)}"
+    )

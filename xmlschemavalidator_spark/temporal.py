@@ -475,3 +475,76 @@ def interval_union(
         F.max("_e_us").alias("end_us"),
         F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
     )
+
+
+def cdc_apply(
+    target: DataFrame,
+    changes: DataFrame,
+    key: str,
+    ts: str,
+    order_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a CDC change stream (Debezium-style upserts + tombstones)
+    onto a current-state table — the MERGE INTO / SCD type-1 operation:
+    the LATEST change per key wins; op 'U' (or 'I') replaces/inserts the
+    row, op 'D' deletes it, keys without changes pass through untouched.
+    Returns the merged table in the target's column set.
+
+    `changes` must carry `key`, `ts`, `order_col` (equal-timestamp
+    tie-break, e.g. a log sequence number), `op_col` in {'I','U','D'},
+    and every non-key target column. Late-arriving duplicates of the
+    same key collapse BEFORE the join via one partial-aggregatable
+    ``max(struct(ts, order, op, attrs))`` — a hot key reaches the
+    shuffle as one row per map task, never one per change (the
+    snapshot_dedup shape), so a million-update key cannot pin a task.
+    Then ONE full-outer join on the key (changes are typically tiny vs
+    the table — AQE broadcasts; a skewed key splits).
+
+    Deterministic by construction: the struct-max total order is
+    (ts, order_col, op, attrs...), so equal (ts, order) collisions
+    resolve identically in any engine — but a real log should make
+    (ts, order_col) unique. SCD2 (`scd2_build`) keeps history; this is
+    the current-state compaction of the same stream.
+    """
+    attrs = [c for c in target.columns if c != key]
+    missing = [c for c in (key, ts, order_col, op_col) if c not in changes.columns]
+    missing += [c for c in attrs if c not in changes.columns]
+    if missing:
+        raise ValueError(f"cdc_apply: changes is missing column(s) {missing}")
+    clash = {"_k", "_op", "_w", "_has"} & set(target.columns)
+    if clash:
+        raise ValueError(
+            f"cdc_apply: column(s) {sorted(clash)} collide with internal "
+            "names; rename them first"
+        )
+    latest = (
+        changes.groupBy(F.col(key).alias("_k"))
+        .agg(
+            F.max(
+                F.struct(
+                    F.col(ts).alias("_ts"),
+                    F.col(order_col).alias("_ord"),
+                    F.col(op_col).alias("_op"),
+                    *[F.col(c).alias(c) for c in attrs],
+                )
+            ).alias("_w")
+        )
+        .select("_k", F.col("_w._op").alias("_op"), *[F.col(f"_w.{c}").alias(f"_c_{c}") for c in attrs])
+    )
+    joined = target.join(latest, on=F.col(key) == F.col("_k"), how="full_outer")
+    has_change = F.col("_k").isNotNull()
+    merged = joined.select(
+        F.coalesce(F.col(key), F.col("_k")).alias(key),
+        has_change.alias("_has"),
+        F.col("_op"),
+        *[
+            F.when(has_change & (F.col("_op") != "D"), F.col(f"_c_{c}"))
+            .otherwise(F.col(c))
+            .alias(c)
+            for c in attrs
+        ],
+    )
+    return merged.where(~F.col("_has") | (F.col("_op") != "D")).select(
+        key, *attrs
+    )

@@ -1392,3 +1392,184 @@ SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
   UNION ALL SELECT x FROM tris
   UNION ALL SELECT y FROM tris)
 GROUP BY node"""
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: list[int],
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 10,
+) -> DataFrame:
+    """Multi-source BFS hop distances over the directed link graph:
+    ``(node, dist)`` for every node reachable from `sources` within
+    `max_hops` — crawl-frontier depth, seed-distance features, and the
+    exact counterpart of the HyperBall ball sizes.
+
+    Pregel-shaped like :func:`pagerank`: each round joins the CURRENT
+    frontier (only the nodes first reached last round — shrinking, not
+    the whole distance table) against the edge set, anti-joins already
+    -reached nodes, and tags survivors with ``dist = round``. BFS
+    explores in hop order, so first-reach IS min-distance: no min-agg
+    over paths, no re-relaxation. Lineage is cut per round
+    (localCheckpoint + freeing, the CC/PageRank discipline) and the loop
+    exits on an empty frontier, so the work is O(Σ frontier ⋈ edges)
+    with at most diameter rounds. All-integer — the recursive-CTE
+    DuckDB replay hashes identically.
+    """
+    from xmlschemavalidator_spark.session import free_local_checkpoint
+
+    spark = edges.sparkSession
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .localCheckpoint()
+    )
+    frontier = spark.createDataFrame(
+        [(int(s),) for s in sources], "node bigint"
+    ).distinct().localCheckpoint()
+    dist = frontier.withColumn("dist", F.lit(0).cast("long")).localCheckpoint()
+    for hop in range(1, max_hops + 1):
+        reached = (
+            e.join(frontier, e.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+        )
+        new_frontier = reached.localCheckpoint()
+        free_local_checkpoint(frontier)
+        frontier = new_frontier
+        if frontier.isEmpty():
+            break
+        prev = dist
+        dist = dist.unionByName(
+            frontier.withColumn("dist", F.lit(hop).cast("long"))
+        ).localCheckpoint()
+        free_local_checkpoint(prev)
+    free_local_checkpoint(e)
+    return dist
+
+
+def bfs_oracle_sql(
+    edges_sql: str, sources: list[int], max_hops: int = 10
+) -> str:
+    """DuckDB replay of :func:`bfs_distances`: bounded recursive CTE over
+    the same distinct edge set; min(d) per node == first-reach depth."""
+    src_values = ", ".join(f"({int(s)})" for s in sources)
+    return f"""WITH RECURSIVE e AS (SELECT DISTINCT src, dst FROM ({edges_sql})
+                  WHERE src IS NOT NULL AND dst IS NOT NULL),
+        walk(node, d) AS (
+            SELECT DISTINCT node, 0 FROM (VALUES {src_values}) s(node)
+            UNION
+            SELECT e.dst, w.d + 1 FROM e JOIN walk w ON e.src = w.node
+            WHERE w.d < {max_hops}
+        )
+        SELECT CAST(node AS BIGINT) AS node, CAST(min(d) AS BIGINT) AS dist
+        FROM walk GROUP BY node"""
+
+
+def common_neighbor_candidates(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    min_common: int = 2,
+    max_center_degree: int = 10_000,
+) -> DataFrame:
+    """Link prediction by common-neighbor counting over the UNDIRECTED
+    link graph (Liben-Nowell & Kleinberg CIKM'03): non-adjacent pairs
+    ``(node_a, node_b)`` ranked by shared-neighbor count and Jaccard
+    overlap of their neighborhoods — ``(node_a, node_b, n_common,
+    jaccard_micro)`` with node_a < node_b, n_common >= min_common.
+
+    Wedge generation is centered: every node w emits the pairs of its
+    neighbors, so the cost is Σ_w deg(w)² — quadratic in HUB degree, the
+    same blow-up every pair-generation path in this engine refuses
+    rather than absorbs. Centers with degree > `max_center_degree` are
+    EXCLUDED (their wedges are boilerplate-grade evidence anyway: a
+    directory page linking half the web "predicts" everything), and
+    :func:`wedge_hot_centers` is the audit surface for what was dropped
+    — the no-silent-caps contract. Scores are integer:
+    ``jaccard_micro = n_common·10⁶ div (deg_a + deg_b − n_common)``.
+
+    Plan: adjacency (both directions, distinct) → degree filter →
+    ONE self-join on the center → pair count partial agg → anti-join the
+    existing edge set → two broadcast-or-shuffle degree joins. No float,
+    no global sort; the oracle replays it verbatim.
+    """
+    adj = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b")))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+                    F.struct(F.col("b").alias("u"), F.col("a").alias("v")),
+                )
+            ).alias("e")
+        )
+        .select(F.col("e.u").alias("node"), F.col("e.v").alias("nbr"))
+        .distinct()
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    centers = adj.join(
+        deg.where(F.col("deg") <= max_center_degree).select("node"), "node"
+    )
+    left = centers.select(F.col("node").alias("_w"), F.col("nbr").alias("node_a"))
+    right = centers.select(F.col("node").alias("_w"), F.col("nbr").alias("node_b"))
+    wedges = (
+        left.join(right, "_w")
+        .where(F.col("node_a") < F.col("node_b"))
+        .groupBy("node_a", "node_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        .where(F.col("n_common") >= min_common)
+    )
+    existing = adj.select(
+        F.col("node").alias("node_a"), F.col("nbr").alias("node_b")
+    ).where(F.col("node_a") < F.col("node_b"))
+    cand = wedges.join(existing, ["node_a", "node_b"], "left_anti")
+    da = deg.select(F.col("node").alias("node_a"), F.col("deg").alias("_da"))
+    db = deg.select(F.col("node").alias("node_b"), F.col("deg").alias("_db"))
+    return (
+        cand.join(da, "node_a")
+        .join(db, "node_b")
+        .select(
+            "node_a",
+            "node_b",
+            "n_common",
+            F.expr("n_common * 1000000 div (_da + _db - n_common)").alias(
+                "jaccard_micro"
+            ),
+        )
+    )
+
+
+def wedge_hot_centers(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_center_degree: int = 10_000,
+) -> DataFrame:
+    """Audit surface for :func:`common_neighbor_candidates`: the centers
+    whose degree exceeded the cap and were excluded from wedge
+    generation, with their degrees — ``(node, deg)``. Empty means the
+    candidate set is complete."""
+    adj = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b")))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+                    F.struct(F.col("b").alias("u"), F.col("a").alias("v")),
+                )
+            ).alias("e")
+        )
+        .select(F.col("e.u").alias("node"), F.col("e.v").alias("nbr"))
+        .distinct()
+    )
+    return (
+        adj.groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .where(F.col("deg") > max_center_degree)
+    )
