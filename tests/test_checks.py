@@ -358,3 +358,45 @@ def test_categorical_entropy(spark):
     row = categorical_entropy(withnull, "s").collect()[0]
     assert row["n_categories"] == 2
     assert row["entropy"] == pytest.approx(math.log(2), abs=1e-6)
+
+
+def test_order_violations_running_max_not_lag(spark):
+    from xmlschemavalidator_spark.checks.sequence import order_violations
+
+    # log order 1..4 for user A: ts 10:00, 12:00, 11:00, 11:30 —
+    # rows 3 AND 4 trail the 12:00 watermark (lag alone would clear row 4)
+    df = spark.createDataFrame(
+        [
+            (1, "A", "2024-01-01 10:00:00"),
+            (2, "A", "2024-01-01 12:00:00"),
+            (3, "A", "2024-01-01 11:00:00"),
+            (4, "A", "2024-01-01 11:30:00"),
+            (5, "B", "2024-01-01 09:00:00"),
+        ],
+        "id bigint, user string, ts_s string",
+    ).select("id", "user", F.col("ts_s").cast("timestamp").alias("ts"))
+    got = order_violations(df, key="user", ts="ts", order_col="id", id_col="id")
+    rows = {r["id"]: r for r in got.collect()}
+    assert sorted(rows) == [3, 4]
+    assert rows[3]["prev_max_ts"] == "2024-01-01 12:00:00"
+    assert rows[4]["prev_max_ts"] == "2024-01-01 12:00:00"
+
+
+def test_sequence_gap_summary(spark):
+    from xmlschemavalidator_spark.checks.sequence import sequence_gap_summary
+
+    df = spark.createDataFrame(
+        [
+            ("o1", 1), ("o1", 2), ("o1", 4),            # gap: 3 missing
+            ("o2", 1), ("o2", 1), ("o2", 2),            # duplicate 1
+            ("o3", 5),                                   # single row, clean
+            ("o4", None), ("o4", 1),                     # NULL excluded from range
+        ],
+        "k string, seq int",
+    )
+    got = {r["k"]: r for r in sequence_gap_summary(df, "k", "seq").collect()}
+    assert (got["o1"]["n_missing"], got["o1"]["n_duplicates"]) == (1, 0)
+    assert (got["o2"]["n_missing"], got["o2"]["n_duplicates"]) == (0, 1)
+    assert (got["o3"]["n_missing"], got["o3"]["n_duplicates"]) == (0, 0)
+    assert got["o4"]["n_rows"] == 2 and got["o4"]["n_distinct"] == 1
+    assert got["o4"]["n_missing"] == 0

@@ -604,3 +604,32 @@ def test_cdc_apply_missing_attr_column_raises(spark):
     )
     with _pytest.raises(ValueError, match="missing column"):
         cdc_apply(target, changes, key="id", ts="ts", order_col="ord")
+
+
+def test_rolling_anomalies_spike_and_warmup(spark):
+    from xmlschemavalidator_spark.temporal import rolling_anomalies
+
+    # flat series of 10s, then one 100 spike, then back to 10
+    rows = [("k", i, 10) for i in range(12)] + [("k", 12, 100)] + [
+        ("k", i, 10) for i in range(13, 16)
+    ]
+    df = spark.createDataFrame(rows, "k string, b bigint, v bigint")
+    got = rolling_anomalies(df, key="k", bucket="b", value="v", window=4, k_tenths=30).collect()
+    flagged = {(r["k"], r["b"]): r for r in got}
+    # zero-variance lookback of 10s: spike at b=12 must flag high
+    assert ("k", 12) in flagged and flagged[("k", 12)]["flag_hi"] is True
+    assert flagged[("k", 12)]["mean_q"] == 10
+    # the drop back to 10 right after the spike window also flags (low)
+    lows = [k for k, r in flagged.items() if not r["flag_hi"]]
+    assert all(b > 12 for _, b in lows)
+    # warm-up rows (b < 4: lookback shorter than window) never flag
+    assert all(b >= 4 for _, b in flagged)
+
+
+def test_rolling_anomalies_flat_series_silent(spark):
+    from xmlschemavalidator_spark.temporal import rolling_anomalies
+
+    df = spark.createDataFrame(
+        [("k", i, 7) for i in range(20)], "k string, b bigint, v bigint"
+    )
+    assert rolling_anomalies(df, key="k", bucket="b", value="v", window=5).count() == 0

@@ -8113,6 +8113,131 @@ def weighted_sample_docs(spark, sf_dir):
     return weighted_sample(docs, "doc_id", "n_chars", k=50)
 
 
+@q(
+    "order_violations_events",
+    """WITH p AS (SELECT event_id, user_id,
+                         CAST(ts AS TIMESTAMP)
+                           - (event_id % 37) * INTERVAL 1 MINUTE AS ts2
+                  FROM events),
+            w AS (SELECT event_id, user_id, ts2,
+                         max(ts2) OVER (PARTITION BY user_id ORDER BY event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                             AS pm
+                  FROM p)
+       SELECT event_id, 'order_ts2_by_event_id' AS rule_id,
+              strftime(ts2, '%Y-%m-%d %H:%M:%S') AS observed_value,
+              user_id,
+              strftime(pm, '%Y-%m-%d %H:%M:%S') AS prev_max_ts
+       FROM w WHERE pm IS NOT NULL AND ts2 < pm
+       ORDER BY event_id""",
+)
+def order_violations_events(spark, sf_dir):
+    """Per-key time-monotonicity check (checks/sequence.py:
+    order_violations): within each user, event time must not run
+    backwards along the log order. The running max — not lag — is the
+    real stream invariant: after one late row, in-order successors
+    would "recover" under lag while still trailing the advanced
+    watermark. Disorder is planted deterministically (each event
+    shifted back event_id%37 minutes) because the synthetic log is
+    naturally ordered — a 0-row result would prove nothing."""
+    from xmlschemavalidator_spark.checks.sequence import order_violations
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr(
+            "CAST(ts AS TIMESTAMP) - make_interval(0, 0, 0, 0, 0, "
+            "CAST(event_id % 37 AS INT), 0)"
+        ).alias("ts2"),
+    )
+    return order_violations(
+        ev, key="user_id", ts="ts2", order_col="event_id", id_col="event_id"
+    ).orderBy("event_id")
+
+
+@q(
+    "sequence_gaps_lineitem",
+    """WITH f AS (SELECT l_orderkey, l_linenumber FROM lineitem
+                  WHERE l_linenumber <> 2),
+            p AS (SELECT l_orderkey, l_linenumber, count(*) AS _n
+                  FROM f GROUP BY 1, 2)
+       SELECT l_orderkey,
+              CAST(sum(_n) AS BIGINT) AS n_rows,
+              CAST(count(l_linenumber) AS BIGINT) AS n_distinct,
+              CAST(min(l_linenumber) AS BIGINT) AS min_seq,
+              CAST(max(l_linenumber) AS BIGINT) AS max_seq,
+              CAST((max(l_linenumber) - min(l_linenumber) + 1)
+                   - count(l_linenumber) AS BIGINT) AS n_missing,
+              CAST(sum(_n) - count(l_linenumber) AS BIGINT) AS n_duplicates
+       FROM p GROUP BY l_orderkey
+       HAVING (max(l_linenumber) - min(l_linenumber) + 1)
+              - count(l_linenumber) > 0
+       ORDER BY l_orderkey""",
+)
+def sequence_gaps_lineitem(spark, sf_dir):
+    """Sequence-contiguity check (checks/sequence.py:
+    sequence_gap_summary): per-order line numbers with line 2 dropped to
+    plant gaps (lineitem ships contiguous 1..n — again, zeros would
+    prove nothing). Two-level aggregate: duplicates collapse map-side
+    before the per-key rollup. Only gapped keys are returned (~10k at
+    sf0.01)."""
+    from xmlschemavalidator_spark.checks.sequence import sequence_gap_summary
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_linenumber") != 2)
+    return (
+        sequence_gap_summary(li, "l_orderkey", "l_linenumber")
+        .where(F.col("n_missing") > 0)
+        .orderBy("l_orderkey")
+    )
+
+
+@q(
+    "rolling_anomalies_event_counts",
+    """WITH r AS (SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) * 3600
+                             AS bucket_start,
+                         event_type,
+                         CAST(count(*) AS BIGINT) AS n_events
+                  FROM events GROUP BY 1, 2),
+            z AS (SELECT event_type, bucket_start,
+                         CAST(n_events AS HUGEINT) AS x,
+                         count(*) OVER fr AS w,
+                         sum(CAST(n_events AS HUGEINT)) OVER fr AS s,
+                         sum(CAST(n_events AS HUGEINT)
+                             * CAST(n_events AS HUGEINT)) OVER fr AS ss
+                  FROM r
+                  WINDOW fr AS (PARTITION BY event_type ORDER BY bucket_start
+                                ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING))
+       SELECT event_type, bucket_start,
+              CAST(x AS BIGINT) AS value_q,
+              CAST(s // 12 AS BIGINT) AS mean_q,
+              (w * x - s) > 0 AS flag_hi
+       FROM z
+       WHERE w = 12 AND 100 * (w*x - s) * (w*x - s) > 900 * (w*ss - s*s)
+       ORDER BY event_type, bucket_start""",
+)
+def rolling_anomalies_event_counts(spark, sf_dir):
+    """Rolling z-score anomalies over the hourly continuous aggregate
+    (temporal.py:rolling_anomalies on a time_rollup): hours whose event
+    count deviates from the previous-12-hour mean by more than 3 sigma.
+    The whole predicate is cross-multiplied integer arithmetic in
+    DECIMAL(38,0) — 100·(w·x−Σ)² > k²·(w·Σx²−Σ²) over half-open ROWS
+    frames, no float mean/stddev, no sqrt — replayed in HUGEINT
+    bit-for-bit. Warm-up rows (short lookback) never flag."""
+    from xmlschemavalidator_spark.temporal import rolling_anomalies, time_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    rollup = time_rollup(ev, "ts", 3600, dims=("event_type",))
+    counts = rollup.select("event_type", "bucket_start", "n_events")
+    return rolling_anomalies(
+        counts,
+        key="event_type",
+        bucket="bucket_start",
+        value="n_events",
+        window=12,
+        k_tenths=30,
+    ).orderBy("event_type", "bucket_start")
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 

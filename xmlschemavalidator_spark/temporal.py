@@ -548,3 +548,66 @@ def cdc_apply(
     return merged.where(~F.col("_has") | (F.col("_op") != "D")).select(
         key, *attrs
     )
+
+
+def rolling_anomalies(
+    series: DataFrame,
+    key: str,
+    bucket: str,
+    value: str,
+    window: int = 12,
+    k_tenths: int = 30,
+    quantum: int = 1,
+) -> DataFrame:
+    """Rolling z-score anomalies over a per-key time series (typically a
+    :func:`time_rollup` output): flag buckets whose value deviates from
+    the mean of the PREVIOUS `window` buckets by more than
+    ``k_tenths/10`` of their standard deviation — the spike/drop monitor
+    for continuous aggregates (an hour of doubled error counts, a
+    crawl-source going dark). Returns only the anomalous rows
+    ``(key, bucket, value_q, mean_q, flag_hi)`` with mean_q the integer
+    floor mean of the lookback window and flag_hi true for spikes.
+
+    Exactness contract: values are quantized to integers
+    (``floor(v·quantum)`` — counts pass quantum=1 untouched) and the
+    whole predicate is cross-multiplied integer arithmetic in
+    DECIMAL(38,0): ``100·(w·x − Σ)² > k²·(w·Σx² − Σ²)`` with
+    half-open ROWS frames — no float mean/stddev whose accumulation
+    order could differ, no sqrt. The first `window` buckets per key are
+    warm-up (no full lookback) and never flag. HUGEINT replays the same
+    arithmetic in DuckDB bit-for-bit.
+
+    One shuffle on the key; both window reads share the partitioning.
+    The frame is ROWS-based over the bucket order, so missing buckets
+    simply shorten real time spanned — densify upstream if calendar
+    gaps matter.
+    """
+    q = F.floor(F.col(value) * F.lit(quantum)).cast("decimal(38,0)")
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(bucket).asc())
+        .rowsBetween(-window, -1)
+    )
+    base = series.select(
+        F.col(key), F.col(bucket), q.alias("_x")
+    ).withColumn("_w", F.count("_x").over(w)).withColumn(
+        "_s", F.sum("_x").over(w)
+    ).withColumn(
+        "_ss", F.sum(F.expr("_x * _x")).over(w)
+    )
+    wd = F.col("_w").cast("decimal(38,0)")
+    dev = wd * F.col("_x") - F.col("_s")
+    var_n = wd * F.col("_ss") - F.col("_s") * F.col("_s")
+    flagged = base.where(
+        (F.col("_w") == window)
+        & (F.lit(100) * dev * dev > F.lit(k_tenths * k_tenths) * var_n)
+    )
+    return flagged.select(
+        key,
+        bucket,
+        F.col("_x").cast("bigint").alias("value_q"),
+        F.expr(f"CAST(_s div CAST({window} AS DECIMAL(38,0)) AS BIGINT)").alias(
+            "mean_q"
+        ),
+        (dev > 0).alias("flag_hi"),
+    )
