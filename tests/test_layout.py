@@ -114,3 +114,35 @@ def test_zorder_layout_handles_nulls(spark, tmp_path):
     out = str(tmp_path / "z")
     zorder_layout(df, ["x", "y"], out, bits=3, n_files=4)
     assert spark.read.parquet(out).count() == 100
+
+
+def test_compaction_plan_bins_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from xmlschemavalidator_spark.layout import compaction_plan
+
+    files = spark.createDataFrame(
+        [("p", f"f{i}", s) for i, s in enumerate([900, 800, 700, 300, 200, 100])],
+        "part string, file string, bytes long",
+    )
+    plan = compaction_plan(
+        files, "bytes", target_bytes=1000, partition_cols=("part",)
+    )
+    got = {r["file"]: r["bin"] for r in plan.collect()}
+    # cumsum-before: 0,900,1700,2400,2700,2900 -> bins 0,0,1,2,2,2
+    assert got == {"f0": 0, "f1": 0, "f2": 1, "f3": 2, "f4": 2, "f5": 2}
+    stats = {(r["bin"]): (r["bin_bytes"], r["bin_files"]) for r in plan.collect()}
+    assert stats[0] == (1700, 2) and stats[2] == (600, 3)
+
+    # an oversized file occupies its own bin
+    big = spark.createDataFrame(
+        [("p", "huge", 5000), ("p", "tiny", 10)], "part string, file string, bytes long"
+    )
+    gb = {r["file"]: r["bin"] for r in compaction_plan(
+        big, "bytes", target_bytes=1000, partition_cols=("part",)
+    ).collect()}
+    assert gb["huge"] == 0 and gb["tiny"] == 5
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="target_bytes"):
+        compaction_plan(files, "bytes", target_bytes=0)

@@ -340,3 +340,25 @@ def test_quality_buckets_approx_rejects_bad_rel_error(spark):
     for bad in (0.0, -0.1, 0.9):
         with _pytest.raises(ValueError):
             quality_buckets_approx(df, rel_error=bad)
+
+
+def test_ecdf_normalize_groups_and_singletons(spark):
+    from pyspark.sql import functions as F
+
+    from xmlschemavalidator_spark.quality_model import ecdf_normalize
+
+    df = spark.createDataFrame(
+        [
+            ("en", 1, 10.0), ("en", 2, 20.0), ("en", 3, 30.0),
+            ("de", 4, 999.0),            # singleton group -> 0
+            ("fr", 5, 7.0), ("fr", 6, 7.0),  # tie -> id order splits
+            ("xx", 7, None),             # NULL score excluded
+        ],
+        "lang string, id bigint, score double",
+    )
+    got = {r["id"]: r["pct_micro"] for r in
+           ecdf_normalize(df, "score", "id", group_cols=("lang",)).collect()}
+    assert got[1] == 0 and got[2] == 500000 and got[3] == 1000000
+    assert got[4] == 0
+    assert (got[5], got[6]) == (0, 1000000)
+    assert 7 not in got

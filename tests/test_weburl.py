@@ -744,3 +744,45 @@ def test_common_neighbor_hub_cap_and_audit(spark):
     )
     audit = wedge_hot_centers(edges, max_center_degree=4).collect()
     assert [(r["node"], r["deg"]) for r in audit] == [(0, 5)]
+
+
+def test_label_propagation_two_cliques(spark):
+    from xmlschemavalidator_spark.weburl import label_propagation
+
+    # two triangles bridged by one edge: LPA separates them, CC wouldn't
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)],
+        "src bigint, dst bigint",
+    )
+    got = {r["node"]: r["label"] for r in label_propagation(edges, iterations=5).collect()}
+    assert got[1] == got[2] == got[3]
+    assert got[10] == got[11] == got[12]
+    assert got[1] != got[10]
+
+
+def test_label_propagation_deterministic_rerun(spark):
+    from xmlschemavalidator_spark.weburl import label_propagation
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 3) % 20) for i in range(20) if i != (i * 7 + 3) % 20],
+        "src bigint, dst bigint",
+    )
+    a = sorted(tuple(r) for r in label_propagation(edges, iterations=4).collect())
+    b = sorted(tuple(r) for r in label_propagation(edges, iterations=4).collect())
+    assert a == b  # total tie-break: no random resolution
+
+
+def test_personalized_pagerank_seed_proximity(spark):
+    from xmlschemavalidator_spark.weburl import personalized_pagerank
+
+    # chain 1->2->3->4 plus far node 9->4: mass concentrates near seed 1
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (9, 4)], "src bigint, dst bigint"
+    )
+    got = {r["node"]: r["rank_micro"] for r in
+           personalized_pagerank(edges, seeds=[1], iterations=10).collect()}
+    assert got[1] > got[2] > got[3] > got[4] >= 0
+    assert got[9] == 0  # unreachable from the seed, no teleport to it
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="seeds"):
+        personalized_pagerank(edges, seeds=[])

@@ -8238,6 +8238,105 @@ def rolling_anomalies_event_counts(spark, sf_dir):
     ).orderBy("event_type", "bucket_start")
 
 
+from xmlschemavalidator_spark.weburl import (  # noqa: E402
+    label_propagation_oracle_sql,
+    ppr_oracle_sql,
+)
+
+
+@q("link_label_propagation", label_propagation_oracle_sql(_EDGES_SQL, iterations=4))
+def link_label_propagation(spark, sf_dir):
+    """Deterministic synchronous label propagation (weburl.py:
+    label_propagation, Raghavan et al. PRE'07): 4 rounds of adopt-the-
+    most-frequent-neighbor-label with smallest-label tie-break —
+    community structure WITHIN components, where CC only sees
+    connectivity. Per round one shuffle join + a two-level
+    partial-aggregatable count + arg-min, lineage cut; the oracle
+    unrolls the rounds with MATERIALIZED CTEs (the HITS lesson) and
+    hashes identically because the tie-break is total."""
+    from xmlschemavalidator_spark.weburl import label_propagation
+
+    return label_propagation(_edges(spark, sf_dir), iterations=4)
+
+
+@q("link_personalized_pagerank", ppr_oracle_sql(_EDGES_SQL, seeds=[0, 7], iterations=8))
+def link_personalized_pagerank(spark, sf_dir):
+    """Personalized PageRank from seeds {0, 7} (weburl.py:
+    personalized_pagerank, Haveliwala WWW'02): the pagerank integer-
+    micro machinery with teleport mass restricted to the seed set —
+    rank becomes seed-proximity (related pages, whitelist trust).
+    Same per-iteration plan as pagerank; the seed base term is a
+    literal IN predicate (seed sets are hand-picked small). Bit-exact
+    vs the unrolled replay."""
+    from xmlschemavalidator_spark.weburl import personalized_pagerank
+
+    return personalized_pagerank(
+        _edges(spark, sf_dir), seeds=[0, 7], iterations=8
+    )
+
+
+@q(
+    "compaction_plan_docs",
+    """WITH f AS (SELECT lang, doc_id AS file, CAST(n_chars AS BIGINT) AS size
+                  FROM documents),
+            c AS (SELECT lang, file, size,
+                         coalesce(sum(size) OVER (PARTITION BY lang
+                             ORDER BY size DESC, file ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                             0) AS cum
+                  FROM f),
+            b AS (SELECT lang, file, size, cum // 5000 AS bin FROM c)
+       SELECT lang, file, size, bin,
+              CAST(sum(size) OVER (PARTITION BY lang, bin) AS BIGINT) AS bin_bytes,
+              CAST(count(*) OVER (PARTITION BY lang, bin) AS BIGINT) AS bin_files
+       FROM b ORDER BY lang, bin, size DESC, file""",
+)
+def compaction_plan_docs(spark, sf_dir):
+    """Small-file compaction planner (layout.py:compaction_plan — the
+    OPTIMIZE half that Z-order is the clustering half of): documents
+    stand in for the file listing (file=doc_id, size=n_chars,
+    partition=lang), binned to ~5000 bytes. Size-striped deterministic
+    assignment — floor(preceding-cumsum/target) in integer division —
+    so a partially-failed rewrite RETRIES INTO THE SAME PLAN; runs on
+    metadata (one row per file), never the data."""
+    from xmlschemavalidator_spark.layout import compaction_plan
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang", F.col("doc_id").alias("file"), "n_chars"
+    )
+    plan = compaction_plan(
+        docs, "n_chars", target_bytes=5000, partition_cols=("lang",)
+    )
+    return plan.orderBy("lang", "bin", F.desc("size"), "file")
+
+
+@q(
+    "ecdf_normalize_chars",
+    """SELECT doc_id, lang, n_chars,
+              CASE WHEN n > 1 THEN (rn - 1) * 1000000 // (n - 1)
+                   ELSE 0 END AS pct_micro
+       FROM (SELECT doc_id, lang, n_chars,
+                    CAST(row_number() OVER (PARTITION BY lang
+                        ORDER BY n_chars ASC, doc_id ASC) AS BIGINT) AS rn,
+                    CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+             FROM documents WHERE n_chars IS NOT NULL)
+       ORDER BY doc_id""",
+)
+def ecdf_normalize_chars(spark, sf_dir):
+    """Per-language ECDF (percentile-rank) normalization of a score
+    column (quality_model.py:ecdf_normalize): raw scores aren't
+    comparable across languages; "top 30% within its language" is —
+    CCNet's terciles are the 3-bucket special case. Integer
+    (rank−1)·10⁶ div (n−1) with (score, id) tie-break: a pure function
+    of the group multiset, hash-exact."""
+    from xmlschemavalidator_spark.quality_model import ecdf_normalize
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return ecdf_normalize(
+        docs, "n_chars", "doc_id", group_cols=("lang",)
+    ).orderBy("doc_id")
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 

@@ -162,3 +162,58 @@ def zorder_layout(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compaction_plan(
+    files: DataFrame,
+    size_col: str,
+    target_bytes: int,
+    partition_cols: tuple[str, ...] = (),
+    file_col: str = "file",
+) -> DataFrame:
+    """Small-file compaction planner — the OPTIMIZE/rewrite-data-files
+    half of table maintenance that Z-order is the clustering half of: a
+    10^12-row table ingested in small batches accretes millions of
+    KB-scale parquet files, and open-file overhead starts dominating
+    scans. The planner assigns every file to a compaction bin of
+    ~`target_bytes`: ``(*partition_cols, file, size, bin, bin_bytes,
+    bin_files)`` — the executor then rewrites each bin as one file.
+
+    Bin assignment is size-striped: files sort by (size DESC, file) in
+    their partition and bin = floor(preceding-cumsum / target), so bins
+    are filled consecutively and every bin except the last lands within
+    one file of the target. Deterministic integer arithmetic end to
+    end — the plan (not just the stats) is oracle-exact, which matters
+    because a nondeterministic planner re-runs into a DIFFERENT rewrite
+    after a partial failure, breaking retry idempotence.
+
+    Scale shape: this runs on FILE METADATA (one row per file — the
+    listing, not the data), so the window sort per table-partition is
+    metadata-sized. Files at or above `target_bytes` get a bin of their
+    own by construction (their cumsum step >= target) and can be
+    filtered out by the caller via ``bin_files = 1 AND size >=
+    target``.
+    """
+    if target_bytes <= 0:
+        raise ValueError("compaction_plan: target_bytes must be positive")
+    from pyspark.sql import Window
+
+    pc = [F.col(c) for c in partition_cols]
+    w = (
+        Window.partitionBy(*pc)
+        .orderBy(F.col("size").desc(), F.col(file_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    planned = files.select(
+        *pc,
+        F.col(file_col),
+        F.col(size_col).cast("bigint").alias("size"),
+    ).withColumn(
+        "_cum", F.coalesce(F.sum("size").over(w), F.lit(0).cast("bigint"))
+    ).withColumn(
+        "bin", F.expr(f"_cum div CAST({int(target_bytes)} AS BIGINT)")
+    ).drop("_cum")
+    wb = Window.partitionBy(*pc, "bin")
+    return planned.withColumn(
+        "bin_bytes", F.sum("size").over(wb).cast("bigint")
+    ).withColumn("bin_files", F.count(F.lit(1)).over(wb).cast("bigint"))

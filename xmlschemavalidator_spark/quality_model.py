@@ -706,3 +706,51 @@ def dsir_sample(
         scored.orderBy(F.col("gumbel_score").desc(), F.col("doc").asc())
         .limit(k)
     )
+
+
+def ecdf_normalize(
+    df: DataFrame,
+    score_col: str,
+    id_col: str,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-group empirical-CDF (percentile-rank) normalization of a
+    score column: adds ``pct_micro`` in [0, 1e6] — the rank of the row
+    within its group, scaled. The cross-group calibration step every
+    per-language quality pipeline needs: raw scores (perplexity,
+    classifier logits) are not comparable across languages, but "top
+    30% within its language" is — CCNet's terciles are the 3-bucket
+    special case; this is the continuous form a tunable threshold
+    wants.
+
+    Exactness: ``pct_micro = (rank−1)·10⁶ div (n−1)`` with rank from
+    row_number over (score, id) — ties split deterministically by id,
+    so the transform is a pure function of the group's (score, id)
+    multiset and hash-exact in any engine. Singleton groups get 0 (a
+    one-row group has no spread; NULL would poison downstream
+    thresholds). NULL scores are excluded.
+
+    One shuffle on the group columns (or one global window partition if
+    none — fine for report-grade use; pass groups at corpus scale,
+    which is the real use case anyway).
+    """
+    from pyspark.sql import Window
+
+    g = [F.col(c) for c in group_cols]
+    w = Window.partitionBy(*g).orderBy(
+        F.col(score_col).asc(), F.col(id_col).asc()
+    )
+    wn = Window.partitionBy(*g)
+    return (
+        df.where(F.col(score_col).isNotNull())
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wn))
+        .withColumn(
+            "pct_micro",
+            F.expr(
+                "CASE WHEN _n > 1 THEN (CAST(_rn AS BIGINT) - 1) * 1000000 "
+                "div (CAST(_n AS BIGINT) - 1) ELSE CAST(0 AS BIGINT) END"
+            ),
+        )
+        .drop("_rn", "_n")
+    )

@@ -1497,20 +1497,7 @@ def common_neighbor_candidates(
     existing edge set → two broadcast-or-shuffle degree joins. No float,
     no global sort; the oracle replays it verbatim.
     """
-    adj = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .where(F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b")))
-        .select(
-            F.explode(
-                F.array(
-                    F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
-                    F.struct(F.col("b").alias("u"), F.col("a").alias("v")),
-                )
-            ).alias("e")
-        )
-        .select(F.col("e.u").alias("node"), F.col("e.v").alias("nbr"))
-        .distinct()
-    )
+    adj = _undirected_adj(edges, src, dst)
     deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
     centers = adj.join(
         deg.where(F.col("deg") <= max_center_degree).select("node"), "node"
@@ -1554,9 +1541,24 @@ def wedge_hot_centers(
     whose degree exceeded the cap and were excluded from wedge
     generation, with their degrees — ``(node, deg)``. Empty means the
     candidate set is complete."""
-    adj = (
+    adj = _undirected_adj(edges, src, dst)
+    return (
+        adj.groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .where(F.col("deg") > max_center_degree)
+    )
+
+
+def _undirected_adj(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Distinct undirected adjacency ``(node, nbr)`` — both directions of
+    the edge set, self-loops and NULLs dropped."""
+    return (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .where(F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b")))
+        .where(
+            F.col("a").isNotNull()
+            & F.col("b").isNotNull()
+            & (F.col("a") != F.col("b"))
+        )
         .select(
             F.explode(
                 F.array(
@@ -1568,8 +1570,204 @@ def wedge_hot_centers(
         .select(F.col("e.u").alias("node"), F.col("e.v").alias("nbr"))
         .distinct()
     )
-    return (
-        adj.groupBy("node")
-        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
-        .where(F.col("deg") > max_center_degree)
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. PRE'07) over the undirected link graph: every node starts
+    labeled with its own id; each round it adopts the MOST FREQUENT
+    label among its neighbors, ties broken by smallest label — the
+    deterministic variant (classic LPA breaks ties randomly, which no
+    oracle can replay). Returns ``(node, label)`` after a FIXED number
+    of rounds: communities denser than their surroundings converge in
+    a few rounds; fixed iterations keep the unrolled DuckDB replay
+    exact (LPA has no monotone fixpoint to observe, unlike min-label
+    CC).
+
+    Complements the CC/star machinery: CC finds connectivity,
+    LPA finds density structure WITHIN a connected component (link
+    farms and topic clusters inside the giant component).
+
+    Per round: one shuffle join (adjacency ⋈ labels on nbr) + one
+    two-level aggregate (label counts partial-agg map-side, then
+    arg-min of (−count, label) per node) — hub-degree safe, no
+    collect. Lineage cut per round (localCheckpoint + freeing, the
+    PageRank discipline). Nodes only enter via edges, so every node
+    has ≥1 neighbor and a winner always exists.
+    """
+    from xmlschemavalidator_spark.session import free_local_checkpoint
+
+    adj = _undirected_adj(edges, src, dst).localCheckpoint()
+    labels = (
+        adj.select(F.col("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
     )
+    for _ in range(iterations):
+        nbr_labels = adj.join(
+            labels.select(F.col("node").alias("nbr"), "label"), "nbr"
+        ).select("node", "label")
+        counts = nbr_labels.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        winners = (
+            counts.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("nc"), F.col("label").alias("l")
+                    )
+                ).alias("_w")
+            )
+            .select("node", F.col("_w.l").alias("label"))
+        )
+        prev = labels
+        labels = winners.localCheckpoint()
+        free_local_checkpoint(prev)
+    free_local_checkpoint(adj)
+    return labels
+
+
+def label_propagation_oracle_sql(
+    edges_sql: str, iterations: int = 5
+) -> str:
+    """DuckDB replay of :func:`label_propagation`, unrolled (aggregates
+    are disallowed in recursive terms; MATERIALIZED CTEs because DuckDB
+    inlines chained unrolls exponentially — the HITS lesson)."""
+    parts = [
+        f"WITH e0 AS MATERIALIZED ({edges_sql}),\n"
+        "adj AS MATERIALIZED (SELECT DISTINCT u AS node, v AS nbr FROM (\n"
+        "  SELECT src AS u, dst AS v FROM e0\n"
+        "    WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst\n"
+        "  UNION ALL\n"
+        "  SELECT dst, src FROM e0\n"
+        "    WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst)),\n"
+        "l0 AS MATERIALIZED (SELECT DISTINCT node, node AS label FROM adj)"
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f",\nc{i} AS MATERIALIZED (SELECT a.node, l.label, COUNT(*) AS cnt\n"
+            f"  FROM adj a JOIN l{i - 1} l ON a.nbr = l.node\n"
+            "  GROUP BY a.node, l.label),\n"
+            f"l{i} AS MATERIALIZED (SELECT node, label FROM (\n"
+            "  SELECT node, label, row_number() OVER (\n"
+            "    PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn\n"
+            f"  FROM c{i}) WHERE rn = 1)"
+        )
+    parts.append(f"\nSELECT node, CAST(label AS BIGINT) AS label FROM l{iterations}")
+    return "".join(parts)
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: list[int],
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 10,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Personalized PageRank (topic-sensitive: Haveliwala WWW'02):
+    identical integer-micro machinery to :func:`pagerank`, except the
+    teleport mass returns to the SEED set instead of everywhere — rank
+    then measures proximity to the seeds (related-page retrieval,
+    trust propagation from a whitelist). ``(node, rank_micro)``;
+    bit-exact vs :func:`ppr_oracle_sql`.
+
+    Same per-iteration shape as pagerank (one shuffle join + one
+    partial-agg sum + left join back, lineage cut per round); the seed
+    base term is a literal IN predicate — seed sets are small by
+    definition (they're hand-picked), so no extra join.
+    """
+    from xmlschemavalidator_spark.session import free_local_checkpoint
+
+    if not seeds:
+        raise ValueError("personalized_pagerank: seeds must be non-empty")
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    seed_vals = sorted({int(s) for s in seeds})
+    init = scale // len(seed_vals)
+    base = ((100 - damping_pct) * init) // 100
+    is_seed = F.col("node").isin(seed_vals)
+    edges_deg = (
+        e.join(e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg")), "src")
+        .localCheckpoint()
+    )
+    ranks = nodes.withColumn(
+        "rank_micro",
+        F.when(is_seed, F.lit(init)).otherwise(F.lit(0)).cast("long"),
+    ).localCheckpoint()
+    for _ in range(iterations):
+        sums = (
+            edges_deg.join(ranks, edges_deg.src == ranks.node)
+            .select(F.col("dst"), F.expr("rank_micro div out_deg").alias("_c"))
+            .groupBy("dst")
+            .agg(F.sum("_c").alias("_s"))
+        )
+        new = nodes.join(sums, nodes.node == sums.dst, "left").select(
+            nodes.node,
+            (
+                F.when(is_seed, F.lit(base)).otherwise(F.lit(0)).cast("long")
+                + F.expr(
+                    f"({damping_pct} * coalesce(_s, CAST(0 AS BIGINT))) div 100"
+                )
+            ).alias("rank_micro"),
+        )
+        prev = ranks
+        ranks = new.localCheckpoint()
+        free_local_checkpoint(prev)
+    free_local_checkpoint(edges_deg)
+    free_local_checkpoint(nodes)
+    return ranks
+
+
+def ppr_oracle_sql(
+    edges_sql: str,
+    seeds: list[int],
+    iterations: int = 10,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+) -> str:
+    """DuckDB replay of :func:`personalized_pagerank` — the pagerank
+    unroll with the teleport term restricted to the seed set."""
+    seed_vals = sorted({int(s) for s in seeds})
+    init = scale // len(seed_vals)
+    base = ((100 - damping_pct) * init) // 100
+    in_list = ", ".join(str(s) for s in seed_vals)
+    parts = [
+        f"WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql}) "
+        "WHERE src IS NOT NULL AND dst IS NOT NULL),\n"
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),\n"
+        "deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS out_deg "
+        "FROM e GROUP BY src),\n"
+        f"r0 AS (SELECT node, CASE WHEN node IN ({in_list}) "
+        f"THEN {init} ELSE 0 END AS rank_micro FROM nodes)"
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f",\ns{i} AS (SELECT e.dst, "
+            "CAST(SUM(r.rank_micro // d.out_deg) AS BIGINT) AS s\n"
+            f"  FROM r{i - 1} r JOIN e ON r.node = e.src "
+            "JOIN deg d ON d.src = e.src GROUP BY e.dst),\n"
+            f"r{i} AS (SELECT nodes.node,\n"
+            f"  CASE WHEN nodes.node IN ({in_list}) THEN {base} ELSE 0 END\n"
+            f"  + ({damping_pct} * coalesce(s{i}.s, 0)) // 100 AS rank_micro\n"
+            f"  FROM nodes LEFT JOIN s{i} ON nodes.node = s{i}.dst)"
+        )
+    parts.append(f"\nSELECT node, CAST(rank_micro AS BIGINT) AS rank_micro FROM r{iterations}")
+    return "".join(parts)
