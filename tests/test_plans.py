@@ -424,3 +424,92 @@ def test_funnel_plan_one_user_shuffle(spark):
     exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
     assert exchanges == 3, plan
     assert plan.count("hashpartitioning(user_id") == 1, plan
+
+
+def test_pearson_single_scan_single_agg(spark):
+    """All five moment sums in ONE partial+final aggregate over one scan
+    — no per-moment re-scan, no shuffle wider than one row."""
+    import re
+
+    from xmlschemavalidator_spark.checks.stats import pearson_correlation
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    plan = fmt(pearson_correlation(li, "l_quantity", "l_extendedprice"))
+    assert n_scans(plan) == 1
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) == 2  # partial+final
+    assert "PushedFilters: [IsNotNull(l_quantity)" in plan  # filter reaches the scan
+
+
+def test_chi_squared_runs_on_aggregated_frames(spark):
+    """The chi2 fold joins two ALREADY-AGGREGATED histograms: two scans
+    feed two partial+final aggregates; the join + window run on
+    #categories rows (no third scan of the base table)."""
+    from xmlschemavalidator_spark.checks.drift import (
+        categorical_histogram,
+        chi_squared_drift,
+    )
+
+    docs = _docs(spark)
+    cur = categorical_histogram(docs.where(F.col("doc_id") % 2 == 1), "lang")
+    base = categorical_histogram(docs.where(F.col("doc_id") % 2 == 0), "lang")
+    plan = fmt(chi_squared_drift(cur, base))
+    assert n_scans(plan) == 2
+
+
+def test_fd_summary_two_level_partial_agg(spark):
+    """The fan-out summary aggregates (lhs, rhs) BEFORE (lhs) — both
+    levels partial-aggregatable (two partial+final pairs), never a
+    countDistinct Expand over the raw table."""
+    import re
+
+    from xmlschemavalidator_spark.checks.fd import fd_summary
+
+    plan = fmt(fd_summary(_docs(spark), ["source"], "lang"))
+    assert "Expand" not in plan
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) == 4
+
+
+def test_cdc_apply_partial_struct_max_one_join(spark):
+    """The change-collapse is ONE partial-aggregatable max(struct) (a
+    hot key pre-combines map-side), then ONE join — no window sort over
+    the change log."""
+    import re
+
+    from xmlschemavalidator_spark.temporal import cdc_apply
+
+    target = spark.createDataFrame([(1, "a")], "id bigint, v string")
+    changes = spark.createDataFrame(
+        [(1, 2, 3, "U", "b")], "id bigint, ts bigint, ord bigint, op string, v string"
+    )
+    plan = fmt(cdc_apply(target, changes, key="id", ts="ts", order_col="ord"))
+    # struct-max compiles to SortAggregate (structs aren't hash-aggregatable)
+    aggs = re.findall(r"\(\d+\) (?:Sort|Hash)Aggregate", plan)
+    assert len(aggs) == 2  # partial + final struct-max, nothing else
+    assert "Window" not in plan
+    joins = re.findall(r"\(\d+\) \w*(?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", plan)
+    assert len(joins) == 1
+
+
+def test_rolling_anomalies_single_exchange(spark):
+    """Both window reads (count/sum/sumsq) share one key partitioning:
+    a single Exchange."""
+    import re
+
+    from xmlschemavalidator_spark.temporal import rolling_anomalies
+
+    df = spark.createDataFrame(
+        [("k", i, 10) for i in range(8)], "k string, b bigint, v bigint"
+    )
+    plan = fmt(rolling_anomalies(df, key="k", bucket="b", value="v", window=4))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_ecdf_single_exchange(spark):
+    """row_number and the group count share the group partitioning."""
+    import re
+
+    from xmlschemavalidator_spark.quality_model import ecdf_normalize
+
+    docs = _docs(spark).select("doc_id", "lang", "n_chars")
+    plan = fmt(ecdf_normalize(docs, "n_chars", "doc_id", group_cols=("lang",)))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
