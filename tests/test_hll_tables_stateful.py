@@ -247,3 +247,61 @@ def test_stream_sessionize_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert want[(1, 3)] == 1 and want[(1, 4)] == 2  # the cross-batch edges
+
+
+def test_stream_order_violations_cross_batch_watermark(spark, tmp_path):
+    """The per-key max-ts watermark survives the micro-batch boundary: a
+    batch-2 row older than batch-1's max flags against THAT max, and
+    in-order rows never flag."""
+    import datetime as dt
+
+    from xmlschemavalidator_spark.streaming.stateful import (
+        stream_order_violations,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    schema = "event_id bigint, user_id bigint, ts timestamp"
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def run_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        sdf = spark.readStream.schema(schema).parquet(src)
+        out = stream_order_violations(sdf, "user_id", "ts", "event_id")
+        q = (
+            out.writeStream.format("parquet").option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        if not q.awaitTermination(300):
+            raise TimeoutError("stream_order_violations batch did not finish")
+
+    # batch 1 — user 1 advances to t0+2h, with one in-batch regression
+    b1 = [
+        (1, 1, t0),
+        (2, 1, t0 + dt.timedelta(hours=2)),
+        (3, 1, t0 + dt.timedelta(hours=1)),  # < watermark 2h: flags
+        (10, 2, t0),
+    ]
+    run_batch(b1)
+    # batch 2 — user 1: event older than the CROSS-BATCH watermark flags;
+    # user 2 stays in order and never flags
+    b2 = [
+        (4, 1, t0 + dt.timedelta(minutes=90)),  # < 2h watermark: flags
+        (5, 1, t0 + dt.timedelta(hours=3)),     # advances, clean
+        (11, 2, t0 + dt.timedelta(hours=1)),
+    ]
+    run_batch(b2)
+
+    got = {
+        r["event_id"]: r
+        for r in spark.read.schema(
+            "user_id string, event_id string, ts_us long, prev_max_us long"
+        ).parquet(sink).collect()
+    }
+    assert sorted(got) == ["3", "4"]
+    assert got["3"]["prev_max_us"] == got["4"]["prev_max_us"]  # same watermark
+    assert got["4"]["user_id"] == "1"

@@ -633,3 +633,32 @@ def test_rolling_anomalies_flat_series_silent(spark):
         [("k", i, 7) for i in range(20)], "k string, b bigint, v bigint"
     )
     assert rolling_anomalies(df, key="k", bucket="b", value="v", window=5).count() == 0
+
+
+def test_last_touch_attribution(spark):
+    from xmlschemavalidator_spark.temporal import last_touch_attribution
+
+    rows = [
+        # user A: click @0, purchase @1h (attributed), purchase @10d (window out)
+        (1, "A", "2024-01-01 00:00:00", "click"),
+        (2, "A", "2024-01-01 01:00:00", "purchase"),
+        (3, "A", "2024-01-11 00:00:00", "purchase"),
+        # user B: purchase with no preceding touch
+        (4, "B", "2024-01-01 00:00:00", "purchase"),
+        # user B: later click then purchase at the SAME ts (log order wins)
+        (5, "B", "2024-01-02 00:00:00", "click"),
+        (6, "B", "2024-01-02 00:00:00", "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "id bigint, u string, ts_s string, et string"
+    ).select("id", "u", F.col("ts_s").cast("timestamp").alias("ts"), "et")
+    got = {r["conv_id"]: r for r in last_touch_attribution(
+        df, on="u", ts="ts", order_col="id", type_col="et",
+        touch_types=("click",), conv_types=("purchase",),
+        window_seconds=7 * 86400,
+    ).collect()}
+    assert got[2]["attributed"] is True and got[2]["touch_id"] == 1
+    assert got[3]["attributed"] is False and got[3]["touch_id"] is None
+    assert got[4]["attributed"] is False
+    # equal-ts click precedes the purchase in (ts, id) order -> attributed
+    assert got[6]["attributed"] is True and got[6]["touch_id"] == 5

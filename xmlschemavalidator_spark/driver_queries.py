@@ -8337,6 +8337,185 @@ def ecdf_normalize_chars(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+@q(
+    "last_touch_attribution_events",
+    """WITH w AS (SELECT user_id, event_id, event_type,
+                         epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+            c AS (SELECT user_id, event_id, event_type, us,
+                         last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN {'us': us, 'id': event_id} END IGNORE NULLS)
+                             OVER (PARTITION BY user_id ORDER BY us, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS lt
+                  FROM w)
+       SELECT user_id, event_id AS conv_id, us AS conv_us,
+              CASE WHEN ok THEN lt.id END AS touch_id,
+              CASE WHEN ok THEN lt.us END AS touch_us,
+              ok AS attributed
+       FROM (SELECT *, lt IS NOT NULL AND (us - lt.us) <= 604800000000 AS ok
+             FROM c WHERE event_type IN ('purchase', 'signup'))
+       ORDER BY conv_id""",
+)
+def last_touch_attribution_events(spark, sf_dir):
+    """Last-touch conversion attribution (temporal.py:
+    last_touch_attribution): every purchase/signup credited to the
+    user's most recent preceding click/view within a 7-day lookback —
+    the asof-join family shape as ONE ordered window carrying the last
+    touch struct over the STRICTLY-preceding frame (self-attribution
+    impossible by frame construction). Integer-microsecond window
+    test; ~3.8k attributed vs 150 not at sf0.01 — both branches carry
+    signal."""
+    from xmlschemavalidator_spark.temporal import last_touch_attribution
+
+    ev = _t(spark, sf_dir, "events")
+    return last_touch_attribution(
+        ev,
+        on="user_id",
+        ts="ts",
+        order_col="event_id",
+        type_col="event_type",
+        touch_types=("click", "view"),
+        conv_types=("purchase", "signup"),
+        window_seconds=7 * 86400,
+    ).orderBy("conv_id")
+
+
+@q(
+    "snm_entity_clusters",
+    """WITH RECURSIVE b AS (SELECT p_partkey AS id, p_name AS key,
+                                   substr(p_name, 1, 4) AS blk
+                            FROM part WHERE p_name IS NOT NULL),
+        r AS (SELECT *, row_number() OVER (
+                  PARTITION BY blk ORDER BY key, id) AS rn FROM b),
+        pairs AS (SELECT a.id AS id_a, c.id AS id_b
+                  FROM r a JOIN r c ON a.blk = c.blk
+                       AND c.rn - a.rn BETWEEN 1 AND 4
+                  WHERE levenshtein(a.key, c.key) <= 2),
+        edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(doc, rt) AS (
+            SELECT s, s FROM edges
+            UNION
+            SELECT e.s, r2.rt FROM edges e JOIN reach r2 ON e.d = r2.doc
+        )
+        SELECT doc AS id, CAST(min(rt) AS BIGINT) AS cluster
+        FROM reach GROUP BY doc ORDER BY id""",
+)
+def snm_entity_clusters(spark, sf_dir):
+    """End-to-end entity resolution: sorted-neighborhood candidate pairs
+    (Levenshtein <= 2) fed into the SAME min-label connected-components
+    engine as near-dup clustering (dedup.py:near_duplicate_clusters) —
+    blocking, verification and transitive merge composed from existing
+    layers, vs the recursive-CTE closure. The ER story the SNM pairs
+    exist for: duplicate part records collapse into one entity id."""
+    from xmlschemavalidator_spark.dedup import (
+        near_duplicate_clusters,
+        sorted_neighborhood_pairs,
+    )
+
+    part = _t(spark, sf_dir, "part")
+    pairs = sorted_neighborhood_pairs(
+        part, "p_partkey", "p_name", window=5, block_chars=4, max_distance=2
+    ).select("id_a", "id_b")
+    return (
+        near_duplicate_clusters(pairs)
+        .select(F.col("doc").alias("id"), F.col("cluster"))
+        .orderBy("id")
+    )
+
+
+@q(
+    "stream_order_violations",
+    """WITH p AS (SELECT event_id, user_id,
+                         CAST(ts AS TIMESTAMP)
+                           - (event_id % 37) * INTERVAL 1 MINUTE AS ts2
+                  FROM events),
+            w AS (SELECT event_id, user_id, ts2,
+                         max(ts2) OVER (PARTITION BY user_id ORDER BY event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                             AS pm
+                  FROM p)
+       SELECT CAST(user_id AS VARCHAR) AS user_id,
+              CAST(event_id AS VARCHAR) AS event_id,
+              epoch_us(ts2) AS ts_us,
+              epoch_us(pm) AS prev_max_us
+       FROM w WHERE pm IS NOT NULL AND ts2 < pm
+       ORDER BY CAST(event_id AS BIGINT)""",
+)
+def stream_order_violations_q(spark, sf_dir):
+    """The time-ran-backwards monitor as a STATEFUL STREAM
+    (streaming/stateful.py:stream_order_violations): the per-key
+    running-max watermark lives in keyed state across micro-batches and
+    violations emit at ingest. Events (with the same planted disorder
+    as the batch check) replay as a 3-chunk file stream split by
+    event_id — per-key arrival follows log order across batches, the
+    documented batch-equivalence contract — so the full sink hash-
+    matches the one-shot SQL window replay: a stateful streaming
+    validation query with a FULL DuckDB oracle."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from xmlschemavalidator_spark.streaming.stateful import (
+        stream_order_violations,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stord_")
+    try:
+        e = _t(spark, sf_dir, "events").select(
+            "event_id",
+            "user_id",
+            F.expr(
+                "CAST(ts AS TIMESTAMP) - make_interval(0, 0, 0, 0, 0, "
+                "CAST(event_id % 37 AS INT), 0)"
+            ).alias("ts2"),
+        )
+        n = e.count()
+        srcdir = f"{tmp}/in"
+        os.makedirs(srcdir)
+        chunks = [
+            e.where(F.col("event_id") < n // 3),
+            e.where((F.col("event_id") >= n // 3) & (F.col("event_id") < 2 * n // 3)),
+            e.where(F.col("event_id") >= 2 * n // 3),
+        ]
+        t_base = 1_600_000_000
+        for j, ch in enumerate(chunks):
+            d = f"{tmp}/chunk{j}"
+            ch.coalesce(1).write.parquet(d)
+            dst = f"{srcdir}/{j:04d}.parquet"
+            shutil.move(glob.glob(f"{d}/part-*.parquet")[0], dst)
+            os.utime(dst, (t_base + 600 * j, t_base + 600 * j))
+        sdf = (
+            spark.readStream.schema(
+                "event_id bigint, user_id bigint, ts2 timestamp_ntz"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(srcdir)
+        )
+        out = stream_order_violations(sdf, "user_id", "ts2", "event_id")
+        q_ = (
+            out.writeStream.format("parquet")
+            .option("path", f"{tmp}/sink")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination(300)
+        got = (
+            spark.read.schema(
+                "user_id string, event_id string, ts_us long, prev_max_us long"
+            )
+            .parquet(f"{tmp}/sink")
+            .orderBy(F.col("event_id").cast("bigint"))
+            .localCheckpoint()
+        )
+        return got
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 

@@ -316,3 +316,90 @@ def stream_sessionize(
             timeoutConf=timeout,
         )
     )
+
+
+def stream_order_violations(
+    stream_df: DataFrame,
+    key: str,
+    ts: str,
+    order_col: str,
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Streaming form of ``checks.sequence.order_violations``: the
+    per-key running-max-timestamp watermark maintained as keyed state,
+    emitting a violation row the moment an arrival's event time trails
+    the watermark its key had already advanced to — the online
+    time-ran-backwards monitor (clock skew, replayed batch, mis-merged
+    backfill) at INGEST time, before the bad rows ever land.
+
+    Emits ``(key, order_col, ts_us, prev_max_us)`` per violation —
+    stringly-typed key/order per the stateful-operator convention.
+    State per key is ONE int (the max event time seen); rows within a
+    micro-batch are walked in ``order_col`` order.
+
+    Batch equivalence (the driver-oracle contract, same as
+    stream_sessionize): when per-key arrival follows ``order_col``
+    across micro-batches — the normal shape, since log order IS arrival
+    order — the emitted set is row-identical to the batch check + its
+    SQL window replay. NULL-``ts`` rows are dropped (no time, no
+    ordering claim).
+
+    ``state_ttl_ms``: optional processing-time TTL, refreshed per
+    arrival; after expiry the key's watermark restarts (documented
+    trade-off: a post-expiry late row is not flagged).
+    """
+    out_schema = (
+        f"{key} string, {order_col} string, ts_us long, prev_max_us long"
+    )
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_ms
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def fn(
+        key_tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        (max_us,) = state.get if state.exists else (None,)
+        frames = [b for b in batches if len(b)]
+        if not frames:
+            if state_ttl_ms and state.exists:
+                state.setTimeoutDuration(state_ttl_ms)
+            return
+        b = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+        t = (
+            pd.to_datetime(b[ts])
+            .astype("datetime64[ns]")
+            .astype("int64")
+            // 1_000
+        )
+        b = b.assign(_ts_us=t).sort_values([order_col], kind="mergesort")
+        out_key, out_ord, out_ts, out_prev = [], [], [], []
+        for ts_us, oc in zip(b["_ts_us"], b[order_col]):
+            ts_us = int(ts_us)
+            if max_us is not None and ts_us < max_us:
+                out_key.append(str(key_tuple[0]))
+                out_ord.append(None if oc is None else str(oc))
+                out_ts.append(ts_us)
+                out_prev.append(max_us)
+            max_us = ts_us if max_us is None else max(max_us, ts_us)
+        state.update((max_us,))
+        if state_ttl_ms:
+            state.setTimeoutDuration(state_ttl_ms)
+        if out_key:
+            yield pd.DataFrame(
+                {
+                    key: out_key,
+                    order_col: out_ord,
+                    "ts_us": out_ts,
+                    "prev_max_us": out_prev,
+                }
+            )
+
+    base = stream_df.where(F.col(ts).isNotNull())
+    return base.groupBy(key).applyInPandasWithState(
+        fn, out_schema, "state_ts bigint", "append", timeout
+    )

@@ -611,3 +611,65 @@ def rolling_anomalies(
         ),
         (dev > 0).alias("flag_hi"),
     )
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    on: str,
+    ts: str,
+    order_col: str,
+    type_col: str,
+    touch_types: tuple[str, ...],
+    conv_types: tuple[str, ...],
+    window_seconds: int,
+) -> DataFrame:
+    """Last-touch conversion attribution: for every conversion event,
+    find the key's most recent PRECEDING touch event and attribute the
+    conversion to it if it falls inside the lookback window — the
+    standard marketing/funnel question ("which click gets credit for
+    this purchase") and, in crawl terms, "which referrer page led to
+    this capture". Returns one row per conversion:
+    ``(on, conv_id, conv_us, touch_id, touch_us, attributed)`` with
+    NULL touch columns when no touch precedes (attributed = false).
+
+    One shuffle on the key: a single ordered window carries the last
+    touch forward as a struct via ``last(…, ignorenulls=True)`` over
+    the STRICTLY-PRECEDING frame (a row that is both touch and
+    conversion cannot attribute to itself), then a narrow filter keeps
+    conversions and applies the integer-microsecond window test. The
+    same asof-join family shape as SCD2's lookup, without materializing
+    an interval table.
+
+    Deterministic: (ts, order_col) total order; equal-timestamp
+    touch-then-conversion resolves by log order.
+    """
+    order = [F.col(ts).asc(), F.col(order_col).asc()]
+    w = (
+        Window.partitionBy(on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col(type_col).isin(list(touch_types))
+    is_conv = F.col(type_col).isin(list(conv_types))
+    touch_struct = F.when(
+        is_touch,
+        F.struct(
+            _micros(ts).alias("us"), F.col(order_col).alias("id")
+        ),
+    )
+    carried = events.withColumn(
+        "_lt", F.last(touch_struct, ignorenulls=True).over(w)
+    )
+    conv = carried.where(is_conv)
+    in_window = (
+        F.col("_lt").isNotNull()
+        & ((_micros(ts) - F.col("_lt.us")) <= window_seconds * _US)
+    )
+    return conv.select(
+        F.col(on),
+        F.col(order_col).alias("conv_id"),
+        _micros(ts).alias("conv_us"),
+        F.when(in_window, F.col("_lt.id")).alias("touch_id"),
+        F.when(in_window, F.col("_lt.us")).alias("touch_us"),
+        in_window.alias("attributed"),
+    )
