@@ -400,3 +400,24 @@ def test_sequence_gap_summary(spark):
     assert (got["o3"]["n_missing"], got["o3"]["n_duplicates"]) == (0, 0)
     assert got["o4"]["n_rows"] == 2 and got["o4"]["n_distinct"] == 1
     assert got["o4"]["n_missing"] == 0
+
+
+def test_moments_profile_known_distribution(spark):
+    from xmlschemavalidator_spark.checks.stats import moments_profile
+
+    # symmetric {1,2,3}: skewness 0; var = 1 (sample)
+    df = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], "v double")
+    row = moments_profile(df, "v").collect()[0]
+    assert row["n"] == 3 and row["mean"] == 2.0
+    assert row["variance"] == 1.0
+    assert row["skewness"] == 0.0
+
+    # right-skewed {0,0,0,10}: positive skewness
+    sk = spark.createDataFrame([(0.0,), (0.0,), (0.0,), (10.0,)], "v double")
+    assert moments_profile(sk, "v").collect()[0]["skewness"] > 1.0
+
+    # constant column: shape moments undefined, never div/0
+    const = spark.createDataFrame([(5.0,), (5.0,)], "v double")
+    row = moments_profile(const, "v").collect()[0]
+    assert row["variance"] == 0.0
+    assert row["skewness"] is None and row["kurtosis"] is None

@@ -1134,3 +1134,27 @@ def test_pmi_empty_corpus(spark):
 
     df = spark.createDataFrame([(1, "")], "doc_id bigint, text string")
     assert token_pmi_topk(df, "doc_id", k=5).count() == 0
+
+
+def test_flesch_reading_ease_known_values(spark):
+    from xmlschemavalidator_spark.textops import flesch_reading_ease
+
+    df = spark.createDataFrame(
+        [
+            (1, "The cat sat. It was happy!"),
+            (2, ""),             # wordless -> NULL
+            (3, None),           # NULL -> NULL
+            (4, "word"),         # no sentence punct -> sentences=1
+        ],
+        "id bigint, text string",
+    )
+    got = {r["id"]: r["fre"] for r in df.select(
+        "id", flesch_reading_ease(F.col("text")).alias("fre")
+    ).collect()}
+    # 6 words, 2 sentences, 8 vowel groups (e,a,a,I,a,a -> count them):
+    # "The"(1) "cat"(1) "sat"(1) "It"(1) "was"(1) "happy"(2) = 7 syllables
+    # 206.835 - 1.015*(6/2) - 84.6*(7/6) = 105.09
+    assert got[1] == 105.09
+    assert got[2] is None and got[3] is None
+    # "word": 1 word, 1 sentence, 1 vowel group
+    assert got[4] == round(206.835 - 1.015 - 84.6, 4)

@@ -786,3 +786,31 @@ def test_personalized_pagerank_seed_proximity(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="seeds"):
         personalized_pagerank(edges, seeds=[])
+
+
+def test_url_shape_signals_values(spark):
+    from xmlschemavalidator_spark.weburl import url_shape_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://www.example.com/a/b/c?x=1&y=2#f"),
+            (2, "http://10.0.0.1:8080/x"),
+            (3, "http://a1b2c3.net/"),
+            (4, None),
+        ],
+        "id bigint, url string",
+    )
+    sig = url_shape_signals(F.col("url"))
+    got = {r["id"]: r for r in df.select(
+        "id", *[v.alias(k) for k, v in sig.items()]
+    ).collect()}
+    r1 = got[1]
+    assert r1["path_depth"] == 3 and r1["n_query_params"] == 2
+    assert r1["is_https"] is True and r1["has_ip_host"] is False
+    r2 = got[2]
+    assert r2["has_ip_host"] is True and r2["is_https"] is False
+    assert r2["path_depth"] == 1
+    r3 = got[3]
+    # host a1b2c3.net: 3 digits of 10 chars -> 300000 micro
+    assert r3["host_digit_ratio_micro"] == 300000
+    assert got[4]["url_len"] == 0 and got[4]["has_ip_host"] is False

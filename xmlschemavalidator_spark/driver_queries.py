@@ -8516,6 +8516,105 @@ def stream_order_violations_q(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+from xmlschemavalidator_spark.textops import flesch_reading_ease_sql  # noqa: E402
+from xmlschemavalidator_spark.weburl import url_shape_signals_sql  # noqa: E402
+
+# the canonical-URL plant plus a numeric-IP host arm so has_ip_host sees
+# both branches
+_SHAPE_URL = f"""CASE WHEN doc_id % 11 = 0
+    THEN concat('http://192.168.', CAST(doc_id % 256 AS STRING), '.9:8080/x/y?a=1&b=2')
+    ELSE {_PLANT_URL} END"""
+
+_SHAPE_SIG_SQL = url_shape_signals_sql("u")
+
+
+@q(
+    "url_shape_signals",
+    f"""SELECT doc_id,
+               {_SHAPE_SIG_SQL['url_len']} AS url_len,
+               {_SHAPE_SIG_SQL['path_depth']} AS path_depth,
+               {_SHAPE_SIG_SQL['n_query_params']} AS n_query_params,
+               {_SHAPE_SIG_SQL['has_ip_host']} AS has_ip_host,
+               {_SHAPE_SIG_SQL['host_digit_ratio_micro']} AS host_digit_ratio_micro,
+               {_SHAPE_SIG_SQL['is_https']} AS is_https
+        FROM (SELECT doc_id, {_SHAPE_URL} AS u FROM documents)
+        ORDER BY doc_id""",
+)
+def url_shape_signals_q(spark, sf_dir):
+    """URL shape features for spam/link-farm priors (weburl.py:
+    url_shape_signals — the URL-only counterpart of outlink_signals):
+    length, path depth, query-param count, numeric-IP host, digit-heavy
+    host ratio, https. One narrow projection over the planted URL set
+    (with an IP-host arm so both has_ip_host branches carry signal);
+    every feature regex+integer, oracle-exact."""
+    from xmlschemavalidator_spark.weburl import url_shape_signals
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = url_shape_signals(F.expr(_SHAPE_URL))
+    return docs.select(
+        "doc_id", *[v.alias(k) for k, v in sig.items()]
+    ).orderBy("doc_id")
+
+
+@q(
+    "text_readability",
+    f"""SELECT doc_id, {flesch_reading_ease_sql('text')} AS fre
+        FROM documents ORDER BY doc_id""",
+)
+def text_readability(spark, sf_dir):
+    """Flesch reading-ease per document (textops.py:
+    flesch_reading_ease) — the readability prior: three exact integer
+    counts (whitespace words, sentence-punctuation runs, vowel-group
+    runs via the collapse trick — no explode) feeding a fixed double
+    chain, deterministic across engines like the Pearson finish."""
+    from xmlschemavalidator_spark.textops import flesch_reading_ease
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", flesch_reading_ease(F.col("text")).alias("fre")
+    ).orderBy("doc_id")
+
+
+@q(
+    "moments_event_value",
+    """WITH q AS (SELECT CAST(floor(value * 1000) AS HUGEINT) AS x
+                  FROM events WHERE value IS NOT NULL),
+            a AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS s1,
+                         sum(x*x) AS s2, sum(x*x*x) AS s3,
+                         sum(x*x*x*x) AS s4
+                  FROM q),
+            m AS (SELECT n,
+                         CAST(s1 AS DOUBLE) / n AS m1,
+                         CAST(s2 AS DOUBLE) / n AS r2,
+                         CAST(s3 AS DOUBLE) / n AS r3,
+                         CAST(s4 AS DOUBLE) / n AS r4
+                  FROM a),
+            c AS (SELECT n, m1, r2 - m1*m1 AS m2,
+                         r3 - 3.0*m1*r2 + 2.0*m1*m1*m1 AS m3,
+                         r4 - 4.0*m1*r3 + 6.0*m1*m1*r2 - 3.0*m1*m1*m1*m1 AS m4
+                  FROM m)
+       SELECT n,
+              CAST(round(m1 / 1000.0, 6) AS DOUBLE) AS mean,
+              CAST(round(CASE WHEN n > 1 THEN m2 * n / (n - 1.0)
+                              / 1000000.0 END, 6) AS DOUBLE) AS variance,
+              CAST(round(CASE WHEN m2 > 0 THEN m3 / (m2 * sqrt(m2)) END, 6)
+                   AS DOUBLE) AS skewness,
+              CAST(round(CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3.0 END, 6)
+                   AS DOUBLE) AS kurtosis
+       FROM c""",
+)
+def moments_event_value(spark, sf_dir):
+    """Four-moment numeric profile of events.value (checks/stats.py:
+    moments_profile): mean, sample variance, skewness, excess kurtosis
+    — shape drift at constant mean is what stddev alerts miss. All
+    power sums in DECIMAL(38,0) over 1e-3-quantized values (the 4th
+    power bounds the headroom), fixed double chain after — the Pearson
+    contract extended to moments 3 and 4."""
+    from xmlschemavalidator_spark.checks.stats import moments_profile
+
+    return moments_profile(_t(spark, sf_dir, "events"), "value")
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 

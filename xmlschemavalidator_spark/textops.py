@@ -1614,3 +1614,67 @@ SELECT x, y, c_xy,
          AS ratio_micro
 FROM pairs JOIN uni ux ON pairs.x = ux.t JOIN uni uy ON pairs.y = uy.t
 ORDER BY ratio_micro DESC, x ASC, y ASC LIMIT {k}"""
+
+
+def flesch_reading_ease(text: Column, round_to: int = 4) -> Column:
+    """Flesch reading-ease score (Flesch 1948; the Kincaid grade uses
+    the same three counts) — the classic readability quality signal:
+    ``206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)``.
+    Higher = simpler prose; filtering pipelines use it as a too-dense /
+    too-degenerate text prior alongside the Gopher signals.
+
+    The three counts are exact integers from engine-identical regexes:
+    words = whitespace tokens; sentences = maximal runs of ``[.!?]``
+    (min 1 so fragments don't divide by zero); syllables = maximal
+    vowel-group runs ``[aeiouyAEIOUY]+`` — the standard written-vowel-
+    cluster heuristic, documented as such. Run counting uses the
+    collapse trick (replace each run with one char, diff the lengths)
+    so no split/explode materializes. The score is then a FIXED chain
+    of double ops on exact integer inputs — deterministic across
+    engines like the Pearson finish. Wordless/NULL text scores NULL
+    (no prose, no judgement).
+    """
+
+    def _runs(pattern: str) -> Column:
+        one = F.length(F.regexp_replace(t, pattern, "*"))
+        none = F.length(F.regexp_replace(t, pattern, ""))
+        return one - none
+
+    t = F.coalesce(text, F.lit(""))
+    words = F.size(tokens(text))
+    sentences = F.greatest(F.lit(1), _runs(r"[.!?]+"))
+    syllables = _runs(r"[aeiouyAEIOUY]+")
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words.cast("double") / sentences.cast("double"))
+        - F.lit(84.6) * (syllables.cast("double") / words.cast("double"))
+    )
+    return F.when(words > 0, F.round(score, round_to)).cast("double")
+
+
+def flesch_reading_ease_sql(x: str, round_to: int = 4) -> str:
+    """DuckDB rendering of :func:`flesch_reading_ease` (oracle side):
+    the explicit whitespace class (:data:`_WS` — RE2's \\s excludes
+    \\x0b, Java's doesn't), empty tokens filtered like the established
+    token_count oracles, identical run-collapse counting, identical
+    double chain."""
+    t = f"coalesce({x}, '')"
+    words = (
+        f"len(list_filter(regexp_split_to_array(trim({t}), "
+        f"'[ \t\n\x0b\f\r]+'), y -> y <> ''))"
+    )
+
+    def runs(pat: str) -> str:
+        return (
+            f"(length(regexp_replace({t}, '{pat}', '*', 'g')) "
+            f"- length(regexp_replace({t}, '{pat}', '', 'g')))"
+        )
+
+    sentences = f"greatest(1, {runs('[.!?]+')})"
+    syllables = runs("[aeiouyAEIOUY]+")
+    return (
+        f"CAST(CASE WHEN {words} > 0 THEN round(206.835 "
+        f"- 1.015 * (CAST({words} AS DOUBLE) / CAST({sentences} AS DOUBLE)) "
+        f"- 84.6 * (CAST({syllables} AS DOUBLE) / CAST({words} AS DOUBLE)), "
+        f"{round_to}) END AS DOUBLE)"
+    )

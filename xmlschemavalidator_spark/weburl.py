@@ -1771,3 +1771,68 @@ def ppr_oracle_sql(
         )
     parts.append(f"\nSELECT node, CAST(rank_micro AS BIGINT) AS rank_micro FROM r{iterations}")
     return "".join(parts)
+
+
+def url_shape_signals(url: Column) -> dict[str, Column]:
+    """URL shape features for spam / link-farm priors (the URL-only
+    counterpart of ``outlink_signals``): named Columns to compose into
+    one projection — ``url_len``, ``path_depth`` (count of '/' in the
+    path), ``n_query_params``, ``has_ip_host`` (numeric-IP hosts are a
+    classic spam marker), ``host_digit_ratio_micro`` (digit-heavy
+    autogenerated hostnames), ``is_https``. All regex + integer
+    arithmetic on the RAW url — engine-portable like the canonical-URL
+    pipeline (``url_shape_signals_sql`` renders the identical SQL), so
+    every feature is oracle-exact. Narrow, zero shuffles.
+    """
+    u = F.coalesce(url, F.lit(""))
+    host = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    host_len = F.length(host)
+    host_digits = F.length(F.regexp_replace(host, r"[^0-9]", ""))
+    return {
+        "url_len": F.length(u).cast("long"),
+        "path_depth": (
+            F.length(path) - F.length(F.regexp_replace(path, r"/", ""))
+        ).cast("long"),
+        "n_query_params": F.when(
+            F.length(query) == 0, F.lit(0)
+        ).otherwise(
+            F.length(query) - F.length(F.regexp_replace(query, r"&", "")) + 1
+        ).cast("long"),
+        "has_ip_host": host.rlike(r"^[0-9]{1,3}(\.[0-9]{1,3}){3}(:[0-9]+)?$"),
+        # floor(double-div) == exact // here: the quotient's distance from
+        # an integer is >= 1/host_len when inexact, far beyond double error
+        "host_digit_ratio_micro": F.when(
+            host_len > 0, F.floor(host_digits * 1000000 / host_len).cast("long")
+        ).otherwise(F.lit(0).cast("long")),
+        "is_https": u.startswith("https://"),
+    }
+
+
+def url_shape_signals_sql(x: str) -> dict[str, str]:
+    """DuckDB renderings of :func:`url_shape_signals` (oracle side) —
+    the same regexes; DuckDB ``//`` mirrors the integer ratio."""
+    u = f"coalesce({x}, '')"
+    host = f"lower(regexp_extract({u}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1))"
+    path = f"regexp_extract({u}, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1)"
+    query = f"regexp_extract({u}, '\\?([^#]*)', 1)"
+    return {
+        "url_len": f"CAST(length({u}) AS BIGINT)",
+        "path_depth": (
+            f"CAST(length({path}) - length(regexp_replace({path}, '/', '', 'g')) AS BIGINT)"
+        ),
+        "n_query_params": (
+            f"CAST(CASE WHEN length({query}) = 0 THEN 0 ELSE "
+            f"length({query}) - length(regexp_replace({query}, '&', '', 'g')) + 1 END AS BIGINT)"
+        ),
+        "has_ip_host": (
+            f"regexp_matches({host}, '^[0-9]{{1,3}}(\\.[0-9]{{1,3}}){{3}}(:[0-9]+)?$')"
+        ),
+        "host_digit_ratio_micro": (
+            f"CAST(CASE WHEN length({host}) > 0 THEN "
+            f"(length(regexp_replace({host}, '[^0-9]', '', 'g')) * 1000000) // length({host}) "
+            f"ELSE 0 END AS BIGINT)"
+        ),
+        "is_https": f"({u} LIKE 'https://%')",
+    }
