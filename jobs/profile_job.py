@@ -1,6 +1,8 @@
 """spark-submit entry point for table profiling: stats, constraint
-suggestions, drift vs a baseline snapshot, and metric anomalies — the
-observability companion of jobs/validate_job.py.
+suggestions, drift vs a baseline snapshot, and the analyzer family
+(moments, Benford, entropy, correlation, functional dependencies,
+categorical chi-squared) — the observability companion of
+jobs/validate_job.py.
 
 Usage:
 
@@ -10,11 +12,20 @@ Usage:
         --snapshot snap-2026-08-17 \\
         [--drift-columns n_chars,value]   # numeric columns to sketch
         [--baseline-snapshot snap-prev]   # compare against; else save only
+        [--moments-columns value]         # 4-moment shape profile
+        [--benford-columns value]         # first-digit audit
+        [--entropy-columns lang]          # Shannon entropy
+        [--corr-pairs qty:price]          # exact Pearson r
+        [--fd 'order_id->customer']       # FD violating-key counts
+        [--chi2-columns lang]             # categorical drift store+compare
 
-Emits ONE JSON line: column stats summary, suggested constraints, and
-(when a baseline snapshot is named) per-column drift. The sketch store
-lives under <output>/baselines and is reusable by the streaming drift
-monitor.
+Emits ONE JSON line. The numeric sketch store lives under
+<output>/baselines (reused by the streaming drift monitor); categorical
+histograms go under <output>/baselines/categorical/<snapshot>/<col>.
+
+Testable core: :func:`run_profile` (the CLI is a thin wrapper — the
+corpus_pipeline_job convention, so tests never spark.stop() the shared
+session).
 """
 
 from __future__ import annotations
@@ -23,35 +34,35 @@ import argparse
 import json
 import sys
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 
-def main(argv: list[str] | None = None) -> int:
-    p = argparse.ArgumentParser()
-    p.add_argument("--input", default=None)
-    p.add_argument("--output", required=True)
-    p.add_argument("--snapshot", required=True)
-    p.add_argument("--baseline-snapshot", default=None)
-    p.add_argument("--drift-columns", default="")
-    p.add_argument("--synthetic-rows", type=int, default=100_000)
-    args = p.parse_args(argv)
+def run_profile(
+    spark: SparkSession,
+    df: DataFrame,
+    output: str,
+    snapshot: str,
+    baseline_snapshot: str | None = None,
+    drift_columns: tuple[str, ...] = (),
+    moments_columns: tuple[str, ...] = (),
+    benford_columns: tuple[str, ...] = (),
+    entropy_columns: tuple[str, ...] = (),
+    corr_pairs: tuple[str, ...] = (),
+    fd_specs: tuple[str, ...] = (),
+    chi2_columns: tuple[str, ...] = (),
+) -> dict:
+    """Profile ``df`` and return the report dict (what main() prints as
+    JSON). Each analyzer is opt-in by listing columns; every one is a
+    bounded collect (1-row or #categories/#digits-sized results — never
+    corpus-sized)."""
+    from pyspark.sql import functions as F
 
-    spark = (
-        SparkSession.builder.appName(f"profile-{args.snapshot}")
-        .config("spark.sql.adaptive.enabled", "true")
-        .getOrCreate()
+    from xmlschemavalidator_spark.checks.baseline import (
+        drift_report,
+        snapshot_baseline,
     )
-
-    from xmlschemavalidator_spark.checks.baseline import drift_report, snapshot_baseline
     from xmlschemavalidator_spark.checks.stats import column_stats
     from xmlschemavalidator_spark.checks.suggest import suggest_rules
-
-    if args.input:
-        df = spark.read.parquet(args.input)
-    else:
-        from xmlschemavalidator_spark.datagen import pages
-
-        df = pages(spark, args.synthetic_rows)
 
     stats = {r["column"]: r.asDict() for r in column_stats(df).collect()}
     suggestions = [
@@ -59,14 +70,15 @@ def main(argv: list[str] | None = None) -> int:
         for s in suggest_rules(df)
     ]
 
-    drift_cols = [c for c in args.drift_columns.split(",") if c]
-    baselines_path = f"{args.output}/baselines"
+    baselines_path = f"{output}/baselines"
     drift = None
-    if drift_cols:
-        if args.baseline_snapshot:
+    if drift_columns:
+        if baseline_snapshot:
             import math
 
-            rep = drift_report(df, drift_cols, baselines_path, args.baseline_snapshot)
+            rep = drift_report(
+                df, list(drift_columns), baselines_path, baseline_snapshot
+            )
             # NaN -> null: json.dumps would emit a bare NaN token (invalid
             # JSON for strict consumers) for no-baseline/empty columns
             drift = [
@@ -76,21 +88,151 @@ def main(argv: list[str] | None = None) -> int:
                 }
                 for rec in rep.to_dict("records")
             ]
-        snapshot_baseline(df, drift_cols, baselines_path, args.snapshot)
+        snapshot_baseline(df, list(drift_columns), baselines_path, snapshot)
 
-    print(
-        json.dumps(
-            {
-                "snapshot": args.snapshot,
-                "n_columns": len(stats),
-                "stats": stats,
-                "suggestions": suggestions,
-                "drift_vs": args.baseline_snapshot,
-                "drift": drift,
-            },
-            default=str,
+    extras: dict = {}
+    if moments_columns:
+        from xmlschemavalidator_spark.checks.stats import moments_profile
+
+        extras["moments"] = {
+            c: moments_profile(df, c).collect()[0].asDict()
+            for c in moments_columns
+        }
+    if benford_columns:
+        from xmlschemavalidator_spark.checks.drift import benford_first_digit
+
+        extras["benford"] = {
+            c: [r.asDict() for r in benford_first_digit(df, c).collect()]
+            for c in benford_columns
+        }
+    if entropy_columns:
+        from xmlschemavalidator_spark.checks.stats import categorical_entropy
+
+        extras["entropy"] = {
+            c: categorical_entropy(df, c).collect()[0].asDict()
+            for c in entropy_columns
+        }
+    if corr_pairs:
+        from xmlschemavalidator_spark.checks.stats import pearson_correlation
+
+        extras["correlation"] = {}
+        for pair in corr_pairs:
+            x, y = pair.split(":", 1)
+            extras["correlation"][pair] = (
+                pearson_correlation(df, x, y).collect()[0].asDict()
+            )
+    if fd_specs:
+        from xmlschemavalidator_spark.checks.fd import fd_violating_keys
+
+        extras["fd"] = {}
+        for spec in fd_specs:
+            lhs_s, rhs = spec.split("->", 1)
+            bad = fd_violating_keys(df, lhs_s.split("+"), rhs)
+            agg = bad.agg(
+                F.count(F.lit(1)).alias("nk"),
+                F.coalesce(F.sum("n_rows"), F.lit(0)).alias("nr"),
+            ).collect()[0]
+            extras["fd"][spec] = {
+                "n_violating_keys": agg["nk"],
+                "n_rows_affected": agg["nr"],
+            }
+    if chi2_columns:
+        from xmlschemavalidator_spark.checks.drift import (
+            categorical_histogram,
+            chi_squared_drift,
         )
+
+        cat_root = f"{baselines_path}/categorical"
+        extras["chi2"] = {}
+        for c in chi2_columns:
+            hist = categorical_histogram(df, c)
+            if baseline_snapshot:
+                base = spark.read.parquet(f"{cat_root}/{baseline_snapshot}/{c}")
+                extras["chi2"][c] = (
+                    chi_squared_drift(hist, base).collect()[0].asDict()
+                )
+            # snapshot AFTER the compare (the new baseline for next run)
+            hist.write.mode("overwrite").parquet(f"{cat_root}/{snapshot}/{c}")
+
+    return {
+        "snapshot": snapshot,
+        "n_columns": len(stats),
+        "stats": stats,
+        "suggestions": suggestions,
+        "drift_vs": baseline_snapshot,
+        "drift": drift,
+        **extras,
+    }
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", default=None)
+    p.add_argument("--output", required=True)
+    p.add_argument("--snapshot", required=True)
+    p.add_argument("--baseline-snapshot", default=None)
+    p.add_argument("--drift-columns", default="")
+    p.add_argument(
+        "--moments-columns", default="",
+        help="numeric columns for the four-moment profile "
+        "(mean/variance/skewness/kurtosis — shape drift at constant mean)",
     )
+    p.add_argument(
+        "--benford-columns", default="",
+        help="positive numeric columns for the first-digit Benford audit",
+    )
+    p.add_argument(
+        "--entropy-columns", default="",
+        help="categorical columns for the Shannon-entropy analyzer",
+    )
+    p.add_argument(
+        "--corr-pairs", default="",
+        help="x:y pairs (comma-separated) for exact Pearson correlation",
+    )
+    p.add_argument(
+        "--fd", default="",
+        help="functional dependencies lhs->rhs (comma-separated; "
+        "lhs may be +-joined) — reports violating-key counts",
+    )
+    p.add_argument(
+        "--chi2-columns", default="",
+        help="categorical columns snapshotted for chi-squared drift; "
+        "compared when --baseline-snapshot is set",
+    )
+    p.add_argument("--synthetic-rows", type=int, default=100_000)
+    args = p.parse_args(argv)
+
+    spark = (
+        SparkSession.builder.appName(f"profile-{args.snapshot}")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+
+    if args.input:
+        df = spark.read.parquet(args.input)
+    else:
+        from xmlschemavalidator_spark.datagen import pages
+
+        df = pages(spark, args.synthetic_rows)
+
+    def _cols(arg: str) -> tuple[str, ...]:
+        return tuple(c for c in arg.split(",") if c)
+
+    report = run_profile(
+        spark,
+        df,
+        output=args.output,
+        snapshot=args.snapshot,
+        baseline_snapshot=args.baseline_snapshot,
+        drift_columns=_cols(args.drift_columns),
+        moments_columns=_cols(args.moments_columns),
+        benford_columns=_cols(args.benford_columns),
+        entropy_columns=_cols(args.entropy_columns),
+        corr_pairs=_cols(args.corr_pairs),
+        fd_specs=_cols(args.fd),
+        chi2_columns=_cols(args.chi2_columns),
+    )
+    print(json.dumps(report, default=str))
     spark.stop()
     return 0
 

@@ -1,0 +1,80 @@
+"""profile_job e2e: the analyzer family wired into the observability job
+— run_profile returns a JSON-able report with every opt-in analyzer
+populated, and the chi-squared categorical store round-trips across
+snapshots."""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def _job(name):
+    sys.path.insert(0, "jobs")
+    import profile_job
+
+    return getattr(profile_job, name)
+
+
+def test_run_profile_full_analyzer_report(spark, tmp_path):
+    run_profile = _job("run_profile")
+    df = spark.createDataFrame(
+        [
+            (1, "en", 10.0, 20.0, "o1"),
+            (2, "en", 20.0, 40.0, "o1"),
+            (3, "de", 30.0, 60.0, "o2"),
+            (4, "de", 40.0, 80.0, "o2"),
+            (5, "de", 50.0, 99.0, "o2"),
+        ],
+        "id bigint, lang string, x double, y double, grp string",
+    )
+    rep = run_profile(
+        spark,
+        df,
+        output=str(tmp_path / "out"),
+        snapshot="s1",
+        moments_columns=("x",),
+        benford_columns=("x",),
+        entropy_columns=("lang",),
+        corr_pairs=("x:y",),
+        fd_specs=("grp->lang",),
+        chi2_columns=("lang",),
+    )
+    json.dumps(rep, default=str)  # must be serializable (the CLI contract)
+    assert rep["moments"]["x"]["mean"] == 30.0
+    assert sum(r["n"] for r in rep["benford"]["x"]) == 5
+    assert rep["entropy"]["lang"]["n_categories"] == 2
+    assert rep["correlation"]["x:y"]["corr"] > 0.999  # y ~ 2x (one off point)
+    assert rep["fd"]["grp->lang"]["n_violating_keys"] == 0  # grp -> lang holds
+    assert "chi2" in rep and rep["chi2"] == {}  # no baseline yet: store only
+
+
+def test_run_profile_chi2_roundtrip_across_snapshots(spark, tmp_path):
+    run_profile = _job("run_profile")
+    out = str(tmp_path / "out")
+    base = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de") for i in range(10)], "id bigint, lang string"
+    )
+    run_profile(spark, base, output=out, snapshot="s1", chi2_columns=("lang",))
+    cur = spark.createDataFrame(
+        [(i, "en") for i in range(10)], "id bigint, lang string"
+    )
+    rep = run_profile(
+        spark, cur, output=out, snapshot="s2",
+        baseline_snapshot="s1", chi2_columns=("lang",),
+    )
+    row = rep["chi2"]["lang"]
+    assert row["chi2"] > 0.4  # 50/50 -> 100/0 is a hard shift
+    assert row["n_new_categories"] == 0
+
+    # FD with a real violation is reported with affected-row counts
+    bad = spark.createDataFrame(
+        [(1, "o1", "en"), (2, "o1", "de"), (3, "o2", "en")],
+        "id bigint, grp string, lang string",
+    )
+    rep2 = run_profile(
+        spark, bad, output=out, snapshot="s3", fd_specs=("grp->lang",)
+    )
+    assert rep2["fd"]["grp->lang"] == {
+        "n_violating_keys": 1, "n_rows_affected": 2,
+    }

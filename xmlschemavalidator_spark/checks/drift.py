@@ -162,7 +162,10 @@ def benford_first_digit(df: DataFrame, column: str) -> DataFrame:
     m = F.floor(F.col(column) * F.lit(100)).cast("long")
     digit = F.substring(F.col("_m").cast("string"), 1, 1).cast("int")
     counts = (
-        df.where(F.col(column).isNotNull())
+        # the upper bound keeps floor(v*100) inside BIGINT under ANSI
+        # mode (one absurd outlier must not kill the whole audit job);
+        # values that large are out of scope for a leading-digit test
+        df.where(F.col(column).isNotNull() & (F.col(column) < F.lit(9.0e15)))
         .select(m.alias("_m"))
         .where(F.col("_m") > 0)
         .groupBy(digit.alias("digit"))

@@ -42,6 +42,11 @@ def order_violations(
     "recover" under a lag check while still being earlier than the
     watermark the stream had already advanced to.
     """
+    if "_prev_max" in df.columns:
+        raise ValueError(
+            "order_violations: column '_prev_max' collides with an "
+            "internal name; rename it first"
+        )
     rid = rule_id or f"order_{ts}_by_{order_col}"
     w = (
         Window.partitionBy(key)

@@ -7783,7 +7783,7 @@ def chi_squared_drift_lang(spark, sf_dir):
 @q(
     "benford_event_values",
     """WITH m AS (SELECT CAST(floor(value * 100) AS BIGINT) AS m
-                  FROM events WHERE value IS NOT NULL),
+                  FROM events WHERE value IS NOT NULL AND value < 9.0e15),
             c AS (SELECT CAST(substr(CAST(m AS VARCHAR), 1, 1) AS INTEGER) AS digit,
                          count(*) AS n
                   FROM m WHERE m > 0 GROUP BY 1),

@@ -736,6 +736,12 @@ def ecdf_normalize(
     """
     from pyspark.sql import Window
 
+    clash = {"_rn", "_n", "pct_micro"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"ecdf_normalize: column(s) {sorted(clash)} collide with "
+            "internal/output names; rename them first"
+        )
     g = [F.col(c) for c in group_cols]
     w = Window.partitionBy(*g).orderBy(
         F.col(score_col).asc(), F.col(id_col).asc()

@@ -446,6 +446,11 @@ def weighted_sample(
     """
     if k <= 0:
         raise ValueError(f"weighted_sample: k must be positive, got {k}")
+    if "es_key" in df.columns:
+        raise ValueError(
+            "weighted_sample: column 'es_key' collides with the output "
+            "key column; rename it first"
+        )
     u_space = float(16 ** 15)
     hexpart = F.substring(_sample_key(F.col(id_col), salt), 1, 15)
     u = (F.conv(hexpart, 16, 10).cast("bigint") + F.lit(0.5)) / F.lit(u_space)

@@ -643,6 +643,11 @@ def last_touch_attribution(
     Deterministic: (ts, order_col) total order; equal-timestamp
     touch-then-conversion resolves by log order.
     """
+    if "_lt" in events.columns:
+        raise ValueError(
+            "last_touch_attribution: column '_lt' collides with an "
+            "internal name; rename it first"
+        )
     order = [F.col(ts).asc(), F.col(order_col).asc()]
     w = (
         Window.partitionBy(on)
