@@ -662,3 +662,47 @@ def test_last_touch_attribution(spark):
     assert got[4]["attributed"] is False
     # equal-ts click precedes the purchase in (ts, id) order -> attributed
     assert got[6]["attributed"] is True and got[6]["touch_id"] == 5
+
+
+def test_cdc_partial_store_merges_to_one_shot(spark, tmp_path):
+    from xmlschemavalidator_spark.temporal import (
+        append_cdc_partial,
+        cdc_apply,
+        read_cdc_state,
+    )
+
+    store = str(tmp_path / "store")
+    target = spark.createDataFrame(
+        [(1, "alice", 10.0), (2, "bob", 20.0)], "id bigint, name string, bal double"
+    )
+    schema = "id bigint, ts bigint, ord bigint, op string, name string, bal double"
+    b1 = spark.createDataFrame(
+        [(1, 3, 100, "U", "alice2", 11.0), (3, 1, 101, "I", "carol", 30.0)],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [(1, 5, 102, "U", "alice3", 12.0), (2, 6, 103, "D", None, None)],
+        schema,
+    )
+    append_cdc_partial(b1, store, "b1", key="id", ts="ts", order_col="ord")
+    append_cdc_partial(b2, store, "b2", key="id", ts="ts", order_col="ord")
+    got = sorted(tuple(r) for r in read_cdc_state(
+        spark, store, target, key="id", ts="ts", order_col="ord"
+    ).collect())
+    one_shot = sorted(tuple(r) for r in cdc_apply(
+        target, b1.unionByName(b2), key="id", ts="ts", order_col="ord"
+    ).collect())
+    assert got == one_shot == [(1, "alice3", 12.0), (3, "carol", 30.0)]
+
+    # retry idempotence: replaying a batch overwrites exactly its own dir
+    append_cdc_partial(b2, store, "b2", key="id", ts="ts", order_col="ord")
+    again = sorted(tuple(r) for r in read_cdc_state(
+        spark, store, target, key="id", ts="ts", order_col="ord"
+    ).collect())
+    assert again == got
+
+    # empty batches leave no dir behind
+    empty = spark.createDataFrame([], schema)
+    append_cdc_partial(empty, store, "b3", key="id", ts="ts", order_col="ord")
+    import os
+    assert not os.path.exists(f"{store}/_batch=b3")

@@ -8615,6 +8615,93 @@ def moments_event_value(spark, sf_dir):
     return moments_profile(_t(spark, sf_dir, "events"), "value")
 
 
+_CDC_ORACLE = _ORACLES["cdc_apply_customer"]
+
+
+@q("stream_cdc_apply_customer", _CDC_ORACLE)
+def stream_cdc_apply_customer(spark, sf_dir):
+    """The SAME customer merge maintained by a STREAMING CDC store
+    (temporal.py:stream_cdc_partials / read_cdc_state): the order change
+    log replays as a 3-chunk file stream; each micro-batch persists only
+    its latest-change-per-key partial under ``_batch=`` (exactly-once
+    own-dir overwrite — the rollup store's contract), and the served
+    state is target + merge-of-partials. max(struct) is ASSOCIATIVE, so
+    the latest of per-batch latests is bit-identical to the one-shot
+    cdc_apply — this query shares cdc_apply_customer's oracle verbatim:
+    a streaming MERGE INTO with a full SQL oracle, and the stream never
+    rewrites the big table."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from xmlschemavalidator_spark.temporal import (
+        read_cdc_state,
+        stream_cdc_partials,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stcdc_")
+    try:
+        orders = _t(spark, sf_dir, "orders")
+        changes = orders.select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("o_orderdate").alias("ts"),
+            F.col("o_orderkey").alias("ord"),
+            F.when(F.col("o_orderstatus") == "F", F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            F.concat(F.lit("upd_"), F.col("o_orderkey").cast("string")).alias(
+                "c_name"
+            ),
+            (F.col("o_custkey") % 25).cast("int").alias("c_nationkey"),
+            F.round(F.col("o_totalprice"), 2).alias("c_acctbal"),
+            F.col("o_orderpriority").alias("c_mktsegment"),
+        )
+        n = changes.count()
+        srcdir = f"{tmp}/in"
+        os.makedirs(srcdir)
+        chunks = [
+            changes.where(F.col("ord") < n // 3),
+            changes.where((F.col("ord") >= n // 3) & (F.col("ord") < 2 * n // 3)),
+            changes.where(F.col("ord") >= 2 * n // 3),
+        ]
+        t_base = 1_600_000_000
+        for j, ch in enumerate(chunks):
+            d = f"{tmp}/chunk{j}"
+            ch.coalesce(1).write.parquet(d)
+            dst = f"{srcdir}/{j:04d}.parquet"
+            shutil.move(glob.glob(f"{d}/part-*.parquet")[0], dst)
+            os.utime(dst, (t_base + 600 * j, t_base + 600 * j))
+        sdf = (
+            spark.readStream.schema(
+                "c_custkey bigint, ts timestamp_ntz, ord bigint, op string, "
+                "c_name string, c_nationkey int, c_acctbal double, "
+                "c_mktsegment string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(srcdir)
+        )
+        q_ = stream_cdc_partials(
+            sdf, f"{tmp}/store", f"{tmp}/ckpt",
+            key="c_custkey", ts="ts", order_col="ord",
+        )
+        q_.awaitTermination(300)
+        cust = _t(spark, sf_dir, "customer")
+        merged = read_cdc_state(
+            spark, f"{tmp}/store", cust,
+            key="c_custkey", ts="ts", order_col="ord",
+        )
+        return merged.select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            F.round("c_acctbal", 2).cast("double").alias("c_acctbal"),
+            "c_mktsegment",
+        ).orderBy("c_custkey").localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 

@@ -518,19 +518,10 @@ def cdc_apply(
             f"cdc_apply: column(s) {sorted(clash)} collide with internal "
             "names; rename them first"
         )
-    latest = (
-        changes.groupBy(F.col(key).alias("_k"))
-        .agg(
-            F.max(
-                F.struct(
-                    F.col(ts).alias("_ts"),
-                    F.col(order_col).alias("_ord"),
-                    F.col(op_col).alias("_op"),
-                    *[F.col(c).alias(c) for c in attrs],
-                )
-            ).alias("_w")
-        )
-        .select("_k", F.col("_w._op").alias("_op"), *[F.col(f"_w.{c}").alias(f"_c_{c}") for c in attrs])
+    latest = _cdc_latest(changes, key, ts, order_col, op_col, attrs).select(
+        F.col(key).alias("_k"),
+        F.col(op_col).alias("_op"),
+        *[F.col(c).alias(f"_c_{c}") for c in attrs],
     )
     joined = target.join(latest, on=F.col(key) == F.col("_k"), how="full_outer")
     has_change = F.col("_k").isNotNull()
@@ -677,4 +668,111 @@ def last_touch_attribution(
         F.when(in_window, F.col("_lt.id")).alias("touch_id"),
         F.when(in_window, F.col("_lt.us")).alias("touch_us"),
         in_window.alias("attributed"),
+    )
+
+
+def _cdc_latest(
+    changes: DataFrame, key: str, ts: str, order_col: str, op_col: str,
+    attrs: list[str],
+) -> DataFrame:
+    """Latest change per key as flat columns ``(key, ts, order, op,
+    *attrs)`` via the partial-aggregatable max(struct) — the mergeable
+    half of :func:`cdc_apply`, shared by the batch and streaming forms
+    (merging per-batch latests IS another max(struct), exactly like the
+    rollup's count/sum/min/max)."""
+    w = F.max(
+        F.struct(
+            F.col(ts).alias("_ts"),
+            F.col(order_col).alias("_ord"),
+            F.col(op_col).alias("_op"),
+            *[F.col(c).alias(c) for c in attrs],
+        )
+    ).alias("_w")
+    return changes.groupBy(F.col(key)).agg(w).select(
+        key,
+        F.col("_w._ts").alias(ts),
+        F.col("_w._ord").alias(order_col),
+        F.col("_w._op").alias(op_col),
+        *[F.col(f"_w.{c}").alias(c) for c in attrs],
+    )
+
+
+def append_cdc_partial(
+    changes: DataFrame,
+    path: str,
+    batch_id: str,
+    key: str,
+    ts: str,
+    order_col: str,
+    op_col: str = "op",
+) -> None:
+    """Fold one batch of CDC changes into a persisted partial store at
+    `path`: this batch's latest-change-per-key lands under
+    ``_batch=<id>/`` (a replayed batch overwrites exactly its own dir —
+    the rollup store's idempotence contract). The partial is MERGEABLE:
+    the latest of per-batch latests is the global latest, because
+    max(struct) is associative — so readers never re-read raw change
+    logs, only #keys-sized partials. Empty batches are skipped."""
+    if changes.isEmpty():
+        return
+    attrs = [
+        c for c in changes.columns if c not in (key, ts, order_col, op_col)
+    ]
+    part = _cdc_latest(changes, key, ts, order_col, op_col, attrs)
+    part.write.mode("overwrite").parquet(f"{path}/_batch={batch_id}")
+
+
+def stream_cdc_partials(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    key: str,
+    ts: str,
+    order_col: str,
+    op_col: str = "op",
+    trigger_available_now: bool = True,
+):
+    """Maintain the persisted CDC partial store from a streaming change
+    log (the streaming half of MERGE INTO): each micro-batch folds in
+    via :func:`append_cdc_partial` under its own ``_batch=`` dir —
+    exactly-once under retries, same as ``stream_time_rollup``. The
+    current state of any target is then :func:`read_cdc_state` — no
+    stream ever rewrites the big table; compaction cost is deferred to
+    the (partial-sized) read or an offline apply. Returns the started
+    StreamingQuery."""
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        append_cdc_partial(
+            batch_df, path, f"{batch_id:010d}", key, ts, order_col, op_col
+        )
+
+    writer = stream.writeStream.foreachBatch(_fold).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_cdc_state(
+    spark,
+    path: str,
+    target: DataFrame,
+    key: str,
+    ts: str,
+    order_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Current state = target with ALL persisted CDC partials applied:
+    union the per-batch latests (basePath-tagged read), collapse once
+    more (max of maxes — associativity makes this exact, hash-identical
+    to a one-shot :func:`cdc_apply` over the raw log), then the one
+    full-outer merge. Cost is O(Σ partial sizes), never O(change log)."""
+    partials = (
+        spark.read.option("basePath", path)
+        .parquet(f"{path}/_batch=*")
+        .drop("_batch")
+    )
+    return cdc_apply(
+        target, partials, key=key, ts=ts, order_col=order_col, op_col=op_col
     )
