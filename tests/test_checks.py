@@ -421,3 +421,37 @@ def test_moments_profile_known_distribution(spark):
     row = moments_profile(const, "v").collect()[0]
     assert row["variance"] == 0.0
     assert row["skewness"] is None and row["kurtosis"] is None
+
+
+def test_trimmed_mean_exact(spark):
+    from xmlschemavalidator_spark.checks.stats import trimmed_mean
+
+    # 10 values per group; trim 10% -> k=1: drop min and max
+    rows = [("g", i, float(v)) for i, v in enumerate([100, 1, 2, 3, 4, 5, 6, 7, 8, -50])]
+    df = spark.createDataFrame(rows, "g string, id bigint, v double")
+    got = trimmed_mean(df, "v", "id", trim_pct=10, group_cols=("g",)).collect()[0]
+    assert got["n"] == 10 and got["n_trimmed_each_side"] == 1
+    assert got["trimmed_mean"] == pytest.approx(sum([1, 2, 3, 4, 5, 6, 7, 8]) / 8)
+
+    # trim 0 -> plain mean; invalid trim raises
+    got0 = trimmed_mean(df, "v", "id", trim_pct=0, group_cols=("g",)).collect()[0]
+    assert got0["trimmed_mean"] == pytest.approx(8.6)
+    with pytest.raises(ValueError, match="trim_pct"):
+        trimmed_mean(df, "v", "id", trim_pct=50)
+
+
+def test_suggest_fds(spark):
+    from xmlschemavalidator_spark.checks.fd import suggest_fds
+
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "a", "x"), (3, "b", "y"), (4, "b", "y")],
+        "id bigint, g string, h string",
+    )
+    got = {(r["lhs"], r["rhs"]): r["holds"] for r in suggest_fds(df, ["id", "g", "h"]).collect()}
+    assert got[("id", "g")] is True          # id unique -> determines all
+    assert got[("g", "h")] is True           # a->x, b->y
+    assert got[("h", "g")] is True           # bijective here
+    assert got[("g", "id")] is False         # one g, many ids
+
+    with pytest.raises(ValueError, match="max_columns"):
+        suggest_fds(df, ["id", "g", "h"], max_columns=2)

@@ -236,3 +236,60 @@ def test_image_near_dups_pairs_perceptual_duplicates(spark):
     assert (1, 3) in pairs and pairs[(1, 3)] <= 2
     assert (1, 2) in pairs and pairs[(1, 2)] <= 4
     assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_ahash_phash_invariance_and_panel(spark):
+    import numpy as np
+
+    from xmlschemavalidator_spark.multimodal import (
+        ahash_py,
+        dhash_py,
+        phash_py,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 200, size=(64, 48), dtype=np.uint8).astype(float)
+
+    # brightness OFFSET leaves both aHash and dHash bit-identical
+    assert ahash_py(img) == ahash_py(img + 30)
+    assert dhash_py(img.astype(np.uint8)) == dhash_py((img + 30).astype(float))
+
+    # uniform 2x resize (block replication): aHash exact on this fixed
+    # seed; pHash robust — uneven 48->32 block boundaries shift the
+    # box means slightly, flipping at most a few near-median bits
+    big = np.kron(img, np.ones((2, 2)))
+    assert ahash_py(big) == ahash_py(img)
+    ham = bin((phash_py(big) ^ phash_py(img)) & ((1 << 64) - 1)).count("1")
+    assert ham <= 6
+
+    # different images get different hashes
+    other = rng.integers(0, 200, size=(64, 48)).astype(float)
+    assert ahash_py(other) != ahash_py(img)
+    assert phash_py(other) != phash_py(img)
+
+
+def test_image_hash_panel_one_pass(spark):
+    from pyspark.sql import functions as F
+
+    from xmlschemavalidator_spark.multimodal import (
+        ahash_py,
+        decode_bmp,
+        image_hash_panel,
+        real_media,
+    )
+
+    media = real_media(spark, 60)
+    panel = image_hash_panel(media)
+    rows = panel.where(F.col("decode_error").isNull()).collect()
+    assert len(rows) > 0
+    assert all(
+        r["dhash"] is not None and r["ahash"] is not None and r["phash"] is not None
+        for r in rows
+    )
+    # replay one row through the shared python implementations
+    blob = media.where(F.col("kind") == "image").select(
+        "media_id", "content"
+    ).collect()[0]
+    _w, _h, gray = decode_bmp(bytes(blob["content"]))
+    byid = {r["doc"]: r for r in rows}
+    assert byid[blob["media_id"]]["ahash"] == ahash_py(gray)

@@ -71,3 +71,54 @@ def fd_violation_rows(
             *[F.col(c) for c in lhs],
         )
     )
+
+
+def suggest_fds(df: DataFrame, columns: list[str], max_columns: int = 8) -> DataFrame:
+    """FD mining over a candidate column set (the constraint-suggestion
+    companion of checks/suggest.py): for every ordered pair (a, b),
+    does a → b hold? Returns ``(lhs, rhs, n_lhs, n_pairs, holds)`` —
+    ``holds`` iff the distinct (a, b) count equals the distinct a count
+    (each LHS value maps to exactly one rhs). Discovered FDs become
+    :func:`fd_violation_rows` monitors on future snapshots — mine once
+    on a healthy snapshot, enforce forever.
+
+    ONE aggregation job computes every distinct count (m single-column
+    + m·(m−1) pair counts). Each countDistinct multiplies the Expand
+    factor, so the candidate set is capped at `max_columns` (8 → 64
+    counts) — FD mining is a schema-sized operation, not a
+    wide-table sweep; run it on a column subset you suspect. NULLs: a
+    NULL rhs counts as a value (the fd_summary convention) via a
+    sentinel-free distinct over coalesced pairs — countDistinct drops
+    all-NULL tuples, so both sides coalesce through one struct.
+    """
+    if len(columns) > max_columns:
+        raise ValueError(
+            f"suggest_fds: {len(columns)} candidate columns exceeds "
+            f"max_columns={max_columns} — each adds an Expand multiple; "
+            "pass a smaller suspect set"
+        )
+    aggs = []
+    for a in columns:
+        aggs.append(
+            F.count_distinct(F.struct(F.col(a))).alias(f"_d_{a}")
+        )
+    pairs = [(a, b) for a in columns for b in columns if a != b]
+    for a, b in pairs:
+        aggs.append(
+            F.count_distinct(F.struct(F.col(a), F.col(b))).alias(f"_p_{a}_{b}")
+        )
+    row = df.agg(*aggs).collect()[0]
+    spark = df.sparkSession
+    out = [
+        (
+            a,
+            b,
+            int(row[f"_d_{a}"]),
+            int(row[f"_p_{a}_{b}"]),
+            int(row[f"_p_{a}_{b}"]) == int(row[f"_d_{a}"]),
+        )
+        for a, b in pairs
+    ]
+    return spark.createDataFrame(
+        out, "lhs string, rhs string, n_lhs bigint, n_pairs bigint, holds boolean"
+    )

@@ -375,3 +375,60 @@ def moments_profile(
             F.when(m2 > 0, m4 / (m2 * m2) - F.lit(3.0)), round_to
         ).alias("kurtosis"),
     )
+
+
+def trimmed_mean(
+    df: DataFrame,
+    column: str,
+    id_col: str,
+    trim_pct: int = 5,
+    group_cols: tuple[str, ...] = (),
+    quantum: int = 1_000_000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact trimmed mean per group: drop the lowest and highest
+    ``trim_pct`` percent of rows BY RANK and average the rest — the
+    robust location metric between plain mean (one fat-finger value
+    moves it) and median (throws away everything but one element).
+    Returns ``(*group_cols, n, n_trimmed_each_side, trimmed_mean)``.
+
+    Exactness: ranks come from row_number over (value, id) — the
+    deterministic tie-break, so WHICH rows are trimmed is a pure
+    function of the group multiset; the kept values sum through
+    DECIMAL(38,0) over `quantum`-quantized values (order-independent)
+    and the single final division + round is the same double op in any
+    engine. k = n·trim_pct div 100 exactly.
+
+    Scale: one window per group + one aggregate sharing the
+    partitioning; like robust_outliers, the group count is small by
+    contract (no group_cols = ONE global sort partition — report-grade
+    only; the sketched quantile path is the corpus-scale default).
+    """
+    from pyspark.sql import Window
+
+    if not 0 <= trim_pct < 50:
+        raise ValueError(f"trimmed_mean: trim_pct must be in [0, 50), got {trim_pct}")
+    g = list(group_cols)
+    v = F.col(column).cast("double")
+    base = df.where(v.isNotNull()).select(
+        *[F.col(c) for c in g], F.col(id_col).alias("_id"), v.alias("_v")
+    )
+    w = Window.partitionBy(*g).orderBy(F.col("_v").asc(), F.col("_id").asc())
+    wn = Window.partitionBy(*g)
+    ranked = base.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(wn)
+    ).withColumn("_k", F.expr(f"(_n * {int(trim_pct)}) div 100"))
+    kept = ranked.where(
+        (F.col("_rn") > F.col("_k")) & (F.col("_rn") <= F.col("_n") - F.col("_k"))
+    )
+    q = F.lit(float(quantum))
+    return kept.groupBy(*g).agg(
+        F.max("_n").cast("bigint").alias("n"),
+        F.max("_k").cast("bigint").alias("n_trimmed_each_side"),
+        F.round(
+            F.sum(F.floor(F.col("_v") * q).cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / q,
+            round_to,
+        ).alias("trimmed_mean"),
+    )

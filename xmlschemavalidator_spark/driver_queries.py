@@ -8702,6 +8702,88 @@ def stream_cdc_apply_customer(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@q(
+    "trimmed_mean_event_value",
+    """WITH r AS (SELECT event_type, value,
+                         row_number() OVER (PARTITION BY event_type
+                             ORDER BY value, event_id) AS rn,
+                         count(*) OVER (PARTITION BY event_type) AS n
+                  FROM events WHERE value IS NOT NULL)
+       SELECT event_type,
+              CAST(max(n) AS BIGINT) AS n,
+              CAST(max((n * 5) // 100) AS BIGINT) AS n_trimmed_each_side,
+              CAST(round(CAST(sum(CAST(floor(value * 1000000) AS HUGEINT))
+                              AS DOUBLE) / count(*) / 1000000.0, 6)
+                   AS DOUBLE) AS trimmed_mean
+       FROM r
+       WHERE rn > (n * 5) // 100 AND rn <= n - (n * 5) // 100
+       GROUP BY event_type ORDER BY event_type""",
+)
+def trimmed_mean_event_value(spark, sf_dir):
+    """Exact 5%-trimmed mean per event type (checks/stats.py:
+    trimmed_mean) — the robust location metric between mean and median.
+    WHICH rows are trimmed is deterministic (row_number over
+    (value, id)); the kept values sum in DECIMAL over quantized values,
+    one final division — hash-exact like the Hampel outlier set."""
+    from xmlschemavalidator_spark.checks.stats import trimmed_mean
+
+    ev = _t(spark, sf_dir, "events")
+    return trimmed_mean(
+        ev, "value", "event_id", trim_pct=5, group_cols=("event_type",)
+    ).orderBy("event_type")
+
+
+@q(
+    "suggest_fds_orders",
+    """WITH a AS (SELECT count(DISTINCT ROW(o_orderkey)) AS d_ok,
+                         count(DISTINCT ROW(o_custkey)) AS d_ck,
+                         count(DISTINCT ROW(o_orderstatus)) AS d_st,
+                         count(DISTINCT ROW(o_orderkey, o_custkey)) AS p_ok_ck,
+                         count(DISTINCT ROW(o_orderkey, o_orderstatus)) AS p_ok_st,
+                         count(DISTINCT ROW(o_custkey, o_orderkey)) AS p_ck_ok,
+                         count(DISTINCT ROW(o_custkey, o_orderstatus)) AS p_ck_st,
+                         count(DISTINCT ROW(o_orderstatus, o_orderkey)) AS p_st_ok,
+                         count(DISTINCT ROW(o_orderstatus, o_custkey)) AS p_st_ck
+                  FROM orders)
+       SELECT lhs, rhs, CAST(n_lhs AS BIGINT) AS n_lhs,
+              CAST(n_pairs AS BIGINT) AS n_pairs, n_pairs = n_lhs AS holds
+       FROM (
+         SELECT 'o_orderkey' AS lhs, 'o_custkey' AS rhs, d_ok AS n_lhs, p_ok_ck AS n_pairs FROM a
+         UNION ALL SELECT 'o_orderkey', 'o_orderstatus', d_ok, p_ok_st FROM a
+         UNION ALL SELECT 'o_custkey', 'o_orderkey', d_ck, p_ck_ok FROM a
+         UNION ALL SELECT 'o_custkey', 'o_orderstatus', d_ck, p_ck_st FROM a
+         UNION ALL SELECT 'o_orderstatus', 'o_orderkey', d_st, p_st_ok FROM a
+         UNION ALL SELECT 'o_orderstatus', 'o_custkey', d_st, p_st_ck FROM a)
+       ORDER BY lhs, rhs""",
+)
+def suggest_fds_orders(spark, sf_dir):
+    """FD mining over orders (checks/fd.py:suggest_fds): one aggregation
+    job answers every ordered-pair dependency — o_orderkey → * holds
+    (orderkey is unique), nothing determines o_orderkey back. Discovered
+    FDs become fd_violation_rows monitors on future snapshots: mine once
+    on a healthy snapshot, enforce forever."""
+    from xmlschemavalidator_spark.checks.fd import suggest_fds
+
+    orders = _t(spark, sf_dir, "orders")
+    return suggest_fds(
+        orders, ["o_orderkey", "o_custkey", "o_orderstatus"]
+    ).orderBy("lhs", "rhs")
+
+
+@q("multimodal_image_hash_panel")  # rows-only: no BMP decode in DuckDB
+def multimodal_image_hash_panel(spark, sf_dir):
+    """All three perceptual image hashes in ONE decode pass
+    (multimodal.py:image_hash_panel — at 10^12 images the decode
+    dominates, so dHash/aHash/pHash share a single mapInPandas):
+    ``(doc, dhash, ahash, phash)``. Rows-only like the other multimodal
+    queries (no BMP decode in DuckDB); the hash implementations are
+    pinned by invariance and parity tests in test_multimodal.py."""
+    from xmlschemavalidator_spark.multimodal import image_hash_panel, real_media
+
+    media = real_media(spark, 2000)
+    return image_hash_panel(media).select("doc", "dhash", "ahash", "phash")
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 
