@@ -174,7 +174,47 @@ def headline_queries():
         # wordpiece family in the suite)
         "bm25_topk": lambda s: text_bm25_topk(s, SF_DIR),
         "wordpiece_tokenize": lambda s: wordpiece_tokenize(s, SF_DIR),
+        # round-4 session-6: CDC MERGE at corpus shape (orders replayed as
+        # a change log onto customer — the partial-aggregatable
+        # max(struct) collapse + one full-outer join) and multi-source
+        # BFS over the same 50k-node graph PageRank uses (frontier joins
+        # + anti-joins, the exact-distance counterpart of HyperBall)
+        "cdc_apply": lambda s: _bench_cdc(s),
+        "link_bfs": lambda s: _bench_bfs(s),
     }
+
+
+def _bench_cdc(spark):
+    from pyspark.sql import functions as F
+
+    from xmlschemavalidator_spark.temporal import cdc_apply
+
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    changes = orders.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("ord"),
+        F.when(F.col("o_orderstatus") == "F", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.concat(F.lit("u"), F.col("o_orderkey").cast("string")).alias("c_name"),
+        (F.col("o_custkey") % 25).cast("int").alias("c_nationkey"),
+        F.col("o_totalprice").alias("c_acctbal"),
+        F.col("o_orderpriority").alias("c_mktsegment"),
+    )
+    return cdc_apply(cust, changes, key="c_custkey", ts="ts", order_col="ord")
+
+
+def _bench_bfs(spark):
+    from pyspark.sql import functions as F
+
+    from xmlschemavalidator_spark.weburl import bfs_distances
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 17 + 3) % 50_000).alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    return bfs_distances(edges, sources=[0, 1, 2, 3], max_hops=8)
 
 
 def _bench_semdedup(spark):

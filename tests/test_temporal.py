@@ -706,3 +706,27 @@ def test_cdc_partial_store_merges_to_one_shot(spark, tmp_path):
     append_cdc_partial(empty, store, "b3", key="id", ts="ts", order_col="ord")
     import os
     assert not os.path.exists(f"{store}/_batch=b3")
+
+
+def test_interarrival_stats_telescoping_mean(spark):
+    from xmlschemavalidator_spark.temporal import interarrival_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "A", "2024-01-01 00:00:00"),
+            (2, "A", "2024-01-01 00:00:10"),
+            (3, "A", "2024-01-01 00:01:10"),  # gaps: 10s, 60s
+            (4, "B", "2024-01-01 00:00:00"),  # singleton: NULL gaps
+        ],
+        "id bigint, u string, ts_s string",
+    ).select("id", "u", F.col("ts_s").cast("timestamp").alias("ts"))
+    got = {r["u"]: r for r in interarrival_stats(
+        df, on="u", ts="ts", order_col="id"
+    ).collect()}
+    a = got["A"]
+    assert (a["n_events"], a["n_gaps"]) == (3, 2)
+    assert a["min_gap_us"] == 10_000_000 and a["max_gap_us"] == 60_000_000
+    # telescoping: mean = (70s span) / 2 gaps = 35s exactly
+    assert a["mean_gap_us"] == 35_000_000
+    b = got["B"]
+    assert b["n_gaps"] == 0 and b["mean_gap_us"] is None

@@ -8784,6 +8784,66 @@ def multimodal_image_hash_panel(spark, sf_dir):
     return image_hash_panel(media).select("doc", "dhash", "ahash", "phash")
 
 
+@q(
+    "interarrival_user_events",
+    """WITH w AS (SELECT user_id,
+                         epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                         epoch_us(CAST(ts AS TIMESTAMP))
+                           - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                               OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS gap
+                  FROM events WHERE ts IS NOT NULL)
+       SELECT user_id,
+              CAST(count(*) AS BIGINT) AS n_events,
+              CAST(count(gap) AS BIGINT) AS n_gaps,
+              CAST(min(gap) AS BIGINT) AS min_gap_us,
+              CAST(max(gap) AS BIGINT) AS max_gap_us,
+              CAST(CASE WHEN count(gap) > 0
+                   THEN (max(us) - min(us)) // count(gap) END AS BIGINT)
+                  AS mean_gap_us
+       FROM w GROUP BY user_id ORDER BY user_id""",
+)
+def interarrival_user_events(spark, sf_dir):
+    """Per-user inter-arrival gap profile (temporal.py:
+    interarrival_stats) — the burstiness statistics behind
+    sessionization-gap tuning and metronomic-bot detection. The mean
+    needs NO window: gaps telescope (Σ gaps = max−min), so it comes
+    from the plain partial-aggregatable min/max/count; only the
+    individual-gap min/max ride the one ordered window. Exact integer
+    microseconds throughout."""
+    from xmlschemavalidator_spark.temporal import interarrival_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return interarrival_stats(
+        ev, on="user_id", ts="ts", order_col="event_id"
+    ).orderBy("user_id")
+
+
+@q(
+    "link_wedge_hot_centers",
+    f"""WITH e0 AS ({_EDGES_SQL}),
+        adj AS (SELECT DISTINCT u, v FROM (
+            SELECT src AS u, dst AS v FROM e0 WHERE src <> dst
+            UNION ALL SELECT dst, src FROM e0 WHERE src <> dst))
+        SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+        FROM adj GROUP BY u HAVING count(*) > 1 ORDER BY node""",
+)
+def link_wedge_hot_centers(spark, sf_dir):
+    """The audit surface for the link-prediction wedge cap
+    (weburl.py:wedge_hot_centers, registered as a driver query per the
+    no-silent-caps convention — simhash_hot_chunks' shape): every
+    center whose degree exceeds the cap and was excluded from wedge
+    generation, with its degree. Cap 1 here — the planted graph is a
+    permutation (every undirected degree is exactly 2), so any higher
+    cap would "pass" on an empty audit, which proves nothing; empty
+    means the candidate set is complete."""
+    from xmlschemavalidator_spark.weburl import wedge_hot_centers
+
+    return wedge_hot_centers(
+        _edges(spark, sf_dir), max_center_degree=1
+    ).orderBy("node")
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 

@@ -776,3 +776,39 @@ def read_cdc_state(
     return cdc_apply(
         target, partials, key=key, ts=ts, order_col=order_col, op_col=op_col
     )
+
+
+def interarrival_stats(
+    events: DataFrame,
+    on: str,
+    ts: str,
+    order_col: str,
+) -> DataFrame:
+    """Per-key inter-arrival gap statistics in exact epoch microseconds:
+    ``(on, n_events, n_gaps, min_gap_us, max_gap_us, mean_gap_us)`` —
+    the burstiness profile behind sessionization-gap and crawl-rate
+    tuning (pick gap_seconds from the observed gap distribution, not
+    folklore), and a bot signal (metronomic min==max gaps).
+
+    mean_gap_us is the integer floor mean — and because inter-arrival
+    gaps telescope, it needs NO window at all: Σ gaps = max(ts)−min(ts),
+    so the mean comes from a plain partial-aggregatable min/max/count
+    aggregate. Only min/max of the INDIVIDUAL gaps need the one ordered
+    window (lag over (ts, order)). Keys with a single event report NULL
+    gaps. One shuffle; window and aggregate share the key partitioning.
+    """
+    w = Window.partitionBy(on).orderBy(F.col(ts).asc(), F.col(order_col).asc())
+    gap = _micros(ts) - _micros(F.lag(ts).over(w))
+    base = events.where(F.col(ts).isNotNull()).withColumn("_gap", gap)
+    return base.groupBy(on).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.count("_gap").cast("bigint").alias("n_gaps"),
+        F.min("_gap").cast("bigint").alias("min_gap_us"),
+        F.max("_gap").cast("bigint").alias("max_gap_us"),
+        F.expr(
+            "CASE WHEN count(_gap) > 0 THEN "
+            "(max(unix_micros(CAST({t} AS TIMESTAMP))) "
+            " - min(unix_micros(CAST({t} AS TIMESTAMP)))) div count(_gap) "
+            "END".format(t=ts)
+        ).cast("bigint").alias("mean_gap_us"),
+    )
