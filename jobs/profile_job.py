@@ -147,10 +147,22 @@ def run_profile(
         for c in chi2_columns:
             hist = categorical_histogram(df, c)
             if baseline_snapshot:
-                base = spark.read.parquet(f"{cat_root}/{baseline_snapshot}/{c}")
-                extras["chi2"][c] = (
-                    chi_squared_drift(hist, base).collect()[0].asDict()
-                )
+                # a column with no stored categorical baseline (first
+                # adoption / newly-added chi2 column) degrades to a
+                # no-baseline record — the numeric drift path's NaN
+                # convention — instead of killing the whole job before
+                # the report and the new snapshot are written
+                from pyspark.errors import AnalysisException
+
+                try:
+                    base = spark.read.parquet(
+                        f"{cat_root}/{baseline_snapshot}/{c}"
+                    )
+                    extras["chi2"][c] = (
+                        chi_squared_drift(hist, base).collect()[0].asDict()
+                    )
+                except AnalysisException:
+                    extras["chi2"][c] = {"chi2": None, "error": "no_baseline"}
             # snapshot AFTER the compare (the new baseline for next run)
             hist.write.mode("overwrite").parquet(f"{cat_root}/{snapshot}/{c}")
 

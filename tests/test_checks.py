@@ -312,6 +312,21 @@ def test_fd_summary_and_violation_rows(spark):
     assert rows[2][2] is None  # observed NULL survives the cast
 
 
+def test_fd_violation_rows_null_lhs_key(spark):
+    from xmlschemavalidator_spark.checks.fd import fd_violation_rows
+
+    # a violating NULL LHS group must still reach the violations sink
+    # (null-safe semi join; null-unsafe '=' silently drops it)
+    df = spark.createDataFrame(
+        [(1, None, "en"), (2, None, "fr"), (3, "o1", "en")],
+        "id bigint, order_id string, lang string",
+    )
+    rows = sorted(
+        r["id"] for r in fd_violation_rows(df, ["order_id"], "lang", "id").collect()
+    )
+    assert rows == [1, 2]
+
+
 def test_pearson_correlation_exact_line(spark):
     from xmlschemavalidator_spark.checks.stats import pearson_correlation
 
@@ -400,6 +415,8 @@ def test_sequence_gap_summary(spark):
     assert (got["o3"]["n_missing"], got["o3"]["n_duplicates"]) == (0, 0)
     assert got["o4"]["n_rows"] == 2 and got["o4"]["n_distinct"] == 1
     assert got["o4"]["n_missing"] == 0
+    # a NULL line number is a null-rate finding, NOT a duplicate
+    assert got["o4"]["n_duplicates"] == 0
 
 
 def test_moments_profile_known_distribution(spark):
@@ -455,3 +472,19 @@ def test_suggest_fds(spark):
 
     with pytest.raises(ValueError, match="max_columns"):
         suggest_fds(df, ["id", "g", "h"], max_columns=2)
+
+
+def test_suggest_fds_underscore_names_no_alias_collision(spark):
+    from xmlschemavalidator_spark.checks.fd import suggest_fds
+
+    # ('a','b_c') and ('a_b','c') would collide under name-concatenated
+    # aliases; positional aliases keep the verdicts independent
+    df = spark.createDataFrame(
+        [(1, 1, "x", "p"), (2, 1, "y", "p")],
+        "a bigint, a_b bigint, b_c string, c string",
+    )
+    got = {(r["lhs"], r["rhs"]): r["holds"]
+           for r in suggest_fds(df, ["a", "a_b", "b_c", "c"]).collect()}
+    assert got[("a", "b_c")] is True      # a unique
+    assert got[("a_b", "b_c")] is False   # 1 -> {x, y}
+    assert got[("a_b", "c")] is True      # 1 -> p

@@ -730,3 +730,39 @@ def test_interarrival_stats_telescoping_mean(spark):
     assert a["mean_gap_us"] == 35_000_000
     b = got["B"]
     assert b["n_gaps"] == 0 and b["mean_gap_us"] is None
+
+
+def test_cdc_apply_metadata_name_clash_raises(spark):
+    import pytest as _pytest
+
+    from xmlschemavalidator_spark.temporal import cdc_apply
+
+    # target carries its own 'ts' attribute: the flat latest-per-key
+    # projection would be ambiguous — refuse loudly
+    target = spark.createDataFrame([(1, "a", 9)], "id bigint, v string, ts bigint")
+    changes = spark.createDataFrame(
+        [(1, 2, 3, "U", "b", 9)],
+        "id bigint, ts bigint, ord bigint, op string, v string, ts2 bigint",
+    ).withColumnRenamed("ts2", "x")
+    with _pytest.raises(ValueError, match="change-metadata"):
+        cdc_apply(target, changes, key="id", ts="ts", order_col="ord")
+
+
+def test_last_touch_attribution_null_ts_dropped(spark):
+    from xmlschemavalidator_spark.temporal import last_touch_attribution
+
+    rows = [
+        (1, "A", "2024-01-01 00:00:00", "click"),
+        (2, "A", None, "click"),  # NULL ts must not mask the real touch
+        (3, "A", "2024-01-01 01:00:00", "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "id bigint, u string, ts_s string, et string"
+    ).select("id", "u", F.col("ts_s").cast("timestamp").alias("ts"), "et")
+    got = last_touch_attribution(
+        df, on="u", ts="ts", order_col="id", type_col="et",
+        touch_types=("click",), conv_types=("purchase",),
+        window_seconds=86400,
+    ).collect()
+    assert len(got) == 1
+    assert got[0]["attributed"] is True and got[0]["touch_id"] == 1

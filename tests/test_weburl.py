@@ -814,3 +814,18 @@ def test_url_shape_signals_values(spark):
     # host a1b2c3.net: 3 digits of 10 chars -> 300000 micro
     assert r3["host_digit_ratio_micro"] == 300000
     assert got[4]["url_len"] == 0 and got[4]["has_ip_host"] is False
+
+
+def test_url_shape_fragment_question_mark_not_query(spark):
+    from xmlschemavalidator_spark.weburl import url_shape_signals
+
+    df = spark.createDataFrame(
+        [(1, "https://h.com/page#sec?ref=1"), (2, "https://h.com/p?a=1#f?x")],
+        "id bigint, url string",
+    )
+    sig = url_shape_signals(F.col("url"))
+    got = {r["id"]: r for r in df.select(
+        "id", *[v.alias(k) for k, v in sig.items()]
+    ).collect()}
+    assert got[1]["n_query_params"] == 0  # '?' lives in the fragment
+    assert got[2]["n_query_params"] == 1  # real query before '#'

@@ -61,9 +61,19 @@ def fd_violation_rows(
     violations-only and small, so the join side broadcasts or
     AQE-splits)."""
     rid = rule_id or f"fd_{'_'.join(lhs)}_to_{rhs}"
-    bad = fd_violating_keys(df, lhs, rhs).select(*lhs)
+    bad = fd_violating_keys(df, lhs, rhs).select(
+        *[F.col(c).alias(f"_b_{c}") for c in lhs]
+    )
+    # null-SAFE key equality: fd_summary groups NULL LHS keys like any
+    # other key, so a violating NULL group's rows must reach the sink
+    # too (null-unsafe '=' would silently drop them — the
+    # incremental.py:61 precedent)
+    cond = None
+    for c in lhs:
+        eq = F.col(c).eqNullSafe(F.col(f"_b_{c}"))
+        cond = eq if cond is None else (cond & eq)
     return (
-        df.join(bad, on=lhs, how="left_semi")
+        df.join(bad, on=cond, how="left_semi")
         .select(
             F.col(id_col),
             F.lit(rid).alias("rule_id"),
@@ -97,15 +107,19 @@ def suggest_fds(df: DataFrame, columns: list[str], max_columns: int = 8) -> Data
             f"max_columns={max_columns} — each adds an Expand multiple; "
             "pass a smaller suspect set"
         )
-    aggs = []
-    for a in columns:
-        aggs.append(
-            F.count_distinct(F.struct(F.col(a))).alias(f"_d_{a}")
-        )
+    # aliases by POSITION, not name concatenation: column names containing
+    # underscores would otherwise collide ('a'+'b_c' vs 'a_b'+'c')
+    aggs = [
+        F.count_distinct(F.struct(F.col(a))).alias(f"_d_{i}")
+        for i, a in enumerate(columns)
+    ]
+    idx = {c: i for i, c in enumerate(columns)}
     pairs = [(a, b) for a in columns for b in columns if a != b]
     for a, b in pairs:
         aggs.append(
-            F.count_distinct(F.struct(F.col(a), F.col(b))).alias(f"_p_{a}_{b}")
+            F.count_distinct(F.struct(F.col(a), F.col(b))).alias(
+                f"_p_{idx[a]}_{idx[b]}"
+            )
         )
     row = df.agg(*aggs).collect()[0]
     spark = df.sparkSession
@@ -113,9 +127,9 @@ def suggest_fds(df: DataFrame, columns: list[str], max_columns: int = 8) -> Data
         (
             a,
             b,
-            int(row[f"_d_{a}"]),
-            int(row[f"_p_{a}_{b}"]),
-            int(row[f"_p_{a}_{b}"]) == int(row[f"_d_{a}"]),
+            int(row[f"_d_{idx[a]}"]),
+            int(row[f"_p_{idx[a]}_{idx[b]}"]),
+            int(row[f"_p_{idx[a]}_{idx[b]}"]) == int(row[f"_d_{idx[a]}"]),
         )
         for a, b in pairs
     ]

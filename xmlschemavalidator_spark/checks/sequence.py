@@ -85,6 +85,9 @@ def sequence_gap_summary(df: DataFrame, key: str, seq_col: str) -> DataFrame:
     pair = df.groupBy(
         F.col(key), F.col(seq_col).alias("_seq")
     ).agg(F.count(F.lit(1)).alias("_n"))
+    # duplicates are counted over NON-NULL sequence values only: a NULL
+    # line number is a null-rate finding, not a double delivery
+    n_nonnull = F.sum(F.when(F.col("_seq").isNotNull(), F.col("_n")))
     return pair.groupBy(key).agg(
         F.sum("_n").cast("bigint").alias("n_rows"),
         F.count("_seq").cast("bigint").alias("n_distinct"),
@@ -93,5 +96,7 @@ def sequence_gap_summary(df: DataFrame, key: str, seq_col: str) -> DataFrame:
         (
             (F.max("_seq") - F.min("_seq") + 1) - F.count("_seq")
         ).cast("bigint").alias("n_missing"),
-        (F.sum("_n") - F.count("_seq")).cast("bigint").alias("n_duplicates"),
+        F.coalesce(n_nonnull - F.count("_seq"), F.lit(0))
+        .cast("bigint")
+        .alias("n_duplicates"),
     )

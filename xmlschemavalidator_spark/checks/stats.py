@@ -333,9 +333,12 @@ def moments_profile(
     quantize to integer `quantum`-ths and ALL four power sums run in
     DECIMAL(38,0) (order-independent), then the moment formulas are a
     fixed double chain (sqrt only — correctly rounded). Headroom is the
-    4th power: quantum=1000 holds |v| <= 1e6 out to 1e12 rows inside 38
-    digits (1e9^4 = 1e36); raise quantum only for narrow-range columns.
-    Results are reported in ORIGINAL units (the quantum divides out).
+    4th power TIMES the row count: sum(x^4) <= rows * (quantum*|v|)^4
+    must stay under 1e38, i.e. quantum*|v| <= (1e38/rows)^(1/4) — at
+    1e12 rows that is quantum*|v| <= ~5.6e6 (so quantum=1000 holds
+    |v| <= ~5.6e3; LOWER quantum for wide-range columns — an overflow
+    is an ANSI-mode job-killing error, not a NULL). Results are
+    reported in ORIGINAL units (the quantum divides out).
 
     ONE partial+final aggregate; zero-variance yields NULL shape
     moments, never div/0.

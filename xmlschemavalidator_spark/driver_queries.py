@@ -8168,7 +8168,8 @@ def order_violations_events(spark, sf_dir):
               CAST(max(l_linenumber) AS BIGINT) AS max_seq,
               CAST((max(l_linenumber) - min(l_linenumber) + 1)
                    - count(l_linenumber) AS BIGINT) AS n_missing,
-              CAST(sum(_n) - count(l_linenumber) AS BIGINT) AS n_duplicates
+              CAST(sum(CASE WHEN l_linenumber IS NOT NULL THEN _n ELSE 0 END)
+                   - count(l_linenumber) AS BIGINT) AS n_duplicates
        FROM p GROUP BY l_orderkey
        HAVING (max(l_linenumber) - min(l_linenumber) + 1)
               - count(l_linenumber) > 0

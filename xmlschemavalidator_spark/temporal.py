@@ -518,6 +518,20 @@ def cdc_apply(
             f"cdc_apply: column(s) {sorted(clash)} collide with internal "
             "names; rename them first"
         )
+    meta_clash = {ts, order_col, op_col} & set(attrs)
+    if meta_clash:
+        raise ValueError(
+            f"cdc_apply: change-metadata column(s) {sorted(meta_clash)} "
+            "also exist as target attributes — the flat latest-per-key "
+            "projection would be ambiguous; rename the metadata columns "
+            "(e.g. ts='_cdc_ts') first"
+        )
+    pfx_clash = {f"_c_{c}" for c in attrs} & set(attrs)
+    if pfx_clash:
+        raise ValueError(
+            f"cdc_apply: attribute(s) {sorted(pfx_clash)} collide with "
+            "the internal '_c_' prefix; rename them first"
+        )
     latest = _cdc_latest(changes, key, ts, order_col, op_col, attrs).select(
         F.col(key).alias("_k"),
         F.col(op_col).alias("_op"),
@@ -639,6 +653,11 @@ def last_touch_attribution(
             "last_touch_attribution: column '_lt' collides with an "
             "internal name; rename it first"
         )
+    # NULL-ts rows carry no ordering claim and would mask earlier valid
+    # touches in the carry-forward (and make the window test NULL
+    # instead of the promised true/false) — drop them, like
+    # order_violations/interarrival_stats do
+    events = events.where(F.col(ts).isNotNull())
     order = [F.col(ts).asc(), F.col(order_col).asc()]
     w = (
         Window.partitionBy(on)

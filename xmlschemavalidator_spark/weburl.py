@@ -1787,7 +1787,9 @@ def url_shape_signals(url: Column) -> dict[str, Column]:
     u = F.coalesce(url, F.lit(""))
     host = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
     path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
-    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    # anchored to the pre-fragment part: a '?' inside the fragment is
+    # not a query string
+    query = F.regexp_extract(u, r"^[^#]*?\?([^#]*)", 1)
     host_len = F.length(host)
     host_digits = F.length(F.regexp_replace(host, r"[^0-9]", ""))
     return {
@@ -1816,7 +1818,7 @@ def url_shape_signals_sql(x: str) -> dict[str, str]:
     u = f"coalesce({x}, '')"
     host = f"lower(regexp_extract({u}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1))"
     path = f"regexp_extract({u}, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1)"
-    query = f"regexp_extract({u}, '\\?([^#]*)', 1)"
+    query = f"regexp_extract({u}, '^[^#]*?\\?([^#]*)', 1)"
     return {
         "url_len": f"CAST(length({u}) AS BIGINT)",
         "path_depth": (
