@@ -891,3 +891,56 @@ def test_sorted_neighborhood_single_shuffle_plan(spark):
     # one Exchange (the block partitioning), no join in the pair generation
     assert plan.count("Exchange") == 1
     assert "Join" not in plan
+
+
+def test_jaccard_prefix_equals_full_index(spark):
+    from pyspark.sql import functions as F
+
+    from xmlschemavalidator_spark.dedup import jaccard_pairs, jaccard_pairs_prefix
+
+    # near-dup pairs + unrelated docs at a production-grade threshold
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog tonight"),
+        (3, "completely different text about spark query planning"),
+        (4, "completely different text about spark query planning too"),
+        (5, "nothing in common with anything else at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    full = sorted(
+        tuple(r) for r in jaccard_pairs(
+            df, "doc_id", shingle_n=3, threshold=0.5, max_posting=10**6
+        ).collect()
+    )
+    pref = sorted(
+        tuple(r) for r in jaccard_pairs_prefix(
+            df, "doc_id", shingle_n=3, threshold=0.5
+        ).collect()
+    )
+    assert pref == full and len(pref) >= 2  # lossless, with real signal
+
+
+def test_jaccard_prefix_index_is_smaller(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    from xmlschemavalidator_spark.dedup import shingles
+
+    # measure the prefix fraction directly at t=0.8: ceil maths says
+    # each doc indexes n - ceil(0.8n) + 1 shingles (~20% + 1)
+    df = spark.createDataFrame(
+        [(i, "w%d " % i + "a b c d e f g h i j k l m n o p q r s t") for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    base = df.select(F.col("doc_id").alias("doc"), shingles(F.col("text"), 3).alias("sh"))
+    n_post_full = base.select(F.explode("sh")).count()
+    t_micro = 800000
+    ex = base.select("doc", F.explode("sh").alias("shingle"))
+    freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
+    ranked = ex.join(freq, "shingle").withColumn(
+        "_rn", F.row_number().over(Window.partitionBy("doc").orderBy("_f", "shingle"))
+    ).withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy("doc")))
+    n_post_prefix = ranked.where(
+        F.col("_rn") <= F.col("_n") - F.expr(f"(_n * {t_micro} + 999999) div 1000000") + 1
+    ).count()
+    assert n_post_prefix < 0.35 * n_post_full  # ~20%+1 per doc

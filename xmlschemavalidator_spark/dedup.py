@@ -2041,3 +2041,82 @@ def sorted_neighborhood_pairs(
     if max_distance is not None:
         pairs = pairs.where(F.col("distance") <= max_distance)
     return pairs
+
+
+def jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via PREFIX FILTERING (PPJoin family,
+    Xiao et al. WWW'08) — same output contract as :func:`jaccard_pairs`
+    (``(id_a, id_b, jaccard)`` with jaccard >= threshold) but the
+    inverted index holds only each document's PREFIX: with shingles in
+    a global rarest-first canonical order, two sets can reach Jaccard t
+    only if they collide inside their first ``n − ceil(t·n) + 1``
+    shingles — so indexing those alone is LOSSLESS (no cap, no audit
+    needed; the filter is a theorem, not a heuristic), and the
+    self-join side shrinks by ~t (t=0.8 indexes ~20% of postings, and
+    the rarest 20% at that — the frequent boilerplate shingles that
+    blow up posting lists sort LAST and rarely enter any prefix, which
+    is the real scale win over the capped full index).
+
+    Plan: one shuffle to rank shingles by global frequency (freq asc,
+    shingle asc — deterministic), one per-doc window for prefix ranks,
+    the prefix-only self-join for candidates, then exact verification
+    by ``array_intersect`` over the two full shingle arrays (bounded by
+    the candidate count, not the corpus). ``ceil(t·n)`` is integer:
+    ``(t_micro·n + 999999) div 10⁶``.
+    """
+    from pyspark.sql import Window
+
+    t_micro = int(round(threshold * 1_000_000))
+    base = _spread(df).select(
+        F.col(id_col).alias("doc"),
+        F.array_sort(shingles(F.col(text_col), shingle_n)).alias("sh"),
+    ).where(F.size("sh") > 0)
+    base = base.persist()
+    ex = base.select("doc", F.explode("sh").alias("shingle"))
+    freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
+    ranked = (
+        ex.join(freq, "shingle")
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("doc").orderBy(
+                    F.col("_f").asc(), F.col("shingle").asc()
+                )
+            ),
+        )
+        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy("doc")))
+    )
+    prefix = ranked.where(
+        F.col("_rn")
+        <= F.col("_n")
+        - F.expr(f"(_n * {t_micro} + 999999) div 1000000")
+        + 1
+    ).select("shingle", "doc")
+    cand = (
+        prefix.alias("l")
+        .join(prefix.alias("r"), "shingle")
+        .where(F.col("l.doc") < F.col("r.doc"))
+        .select(F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b"))
+        .distinct()
+    )
+    va = base.select(F.col("doc").alias("id_a"), F.col("sh").alias("_sa"))
+    vb = base.select(F.col("doc").alias("id_b"), F.col("sh").alias("_sb"))
+    inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
+    out = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("_i", inter)
+        .withColumn(
+            "jaccard",
+            F.col("_i") / (F.size("_sa") + F.size("_sb") - F.col("_i")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out

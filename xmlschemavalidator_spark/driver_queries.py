@@ -8845,6 +8845,24 @@ def link_wedge_hot_centers(spark, sf_dir):
     ).orderBy("node")
 
 
+@q("ngram_jaccard_pairs_prefix", _JACCARD_SQL.format(thr=0.12))
+def ngram_jaccard_pairs_prefix(spark, sf_dir):
+    """The SAME exact Jaccard pair set as ngram_jaccard_pairs, computed
+    via PREFIX FILTERING (dedup.py:jaccard_pairs_prefix, PPJoin family —
+    Xiao et al. WWW'08): only each doc's rarest n − ceil(t·n) + 1
+    shingles are indexed, which is LOSSLESS by theorem, so this query
+    shares ngram_jaccard_pairs' oracle verbatim. At production
+    thresholds (t≈0.8) the index shrinks ~5× and sheds exactly the
+    boilerplate-hot postings the capped full index must audit; at this
+    query's deliberately low t=0.12 the prefix is ~89% — the honest
+    worst case, still exact."""
+    from xmlschemavalidator_spark.dedup import jaccard_pairs_prefix
+
+    return jaccard_pairs_prefix(
+        _t(spark, sf_dir, "documents"), "doc_id", shingle_n=3, threshold=0.12
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 
