@@ -488,3 +488,33 @@ def test_suggest_fds_underscore_names_no_alias_collision(spark):
     assert got[("a", "b_c")] is True      # a unique
     assert got[("a_b", "b_c")] is False   # 1 -> {x, y}
     assert got[("a_b", "c")] is True      # 1 -> p
+
+
+def test_equiheight_histogram_buckets(spark):
+    from xmlschemavalidator_spark.checks.drift import equiheight_histogram
+
+    # 10 rows, 5 buckets -> exactly 2 per bucket; skew doesn't matter
+    rows = [(i, float(v)) for i, v in enumerate([1, 1, 1, 1, 1, 1, 1, 1, 100, 1000])]
+    df = spark.createDataFrame(rows, "id bigint, v double")
+    got = {r["bucket"]: r for r in equiheight_histogram(df, "v", "id", k=5).collect()}
+    assert all(got[b]["n"] == 2 for b in range(1, 6))
+    assert got[5]["hi"] == 1000.0 and got[5]["lo"] == 100.0
+    assert got[1]["lo"] == 1.0
+
+
+def test_schema_compat_changes(spark):
+    from xmlschemavalidator_spark.checks.schema import schema_changes, schema_compat
+
+    old = spark.createDataFrame([(1, "a", 2.0)], "id bigint, name string, v double")
+    new = (
+        old.withColumn("v", old.v.cast("float"))   # type_changed
+        .drop("name")                               # column_removed
+        .withColumn("extra", old.id)                # column_added
+    )
+    got = {(r["column"], r["change"]): r["compatible"] for r in schema_changes(old, new)}
+    assert got[("extra", "column_added")] is True
+    assert got[("name", "column_removed")] is False
+    assert got[("v", "type_changed")] is False
+    # identical schemas -> empty; and the DF form needs no job to build
+    assert schema_changes(old, old) == []
+    assert schema_compat(old, new).count() == 3

@@ -236,3 +236,39 @@ def quantile_drift(
         F.abs(F.col("value_cur") - F.col("value_base"))
         / F.when(iqr > 0, iqr).otherwise(F.lit(1.0)),
     )
+
+
+def equiheight_histogram(
+    df: DataFrame, column: str, id_col: str, k: int = 10, round_to: int = 6
+) -> DataFrame:
+    """Equi-HEIGHT histogram (k buckets of ~equal row count): per bucket
+    ``(bucket, n, lo, hi)`` — the drift input for SKEWED columns, where
+    the equi-width :func:`histogram` puts 99% of rows in one bucket and
+    the KS gap goes blind. Pairs with :func:`ks_drift` the same way
+    (bucket counts in, max CDF gap out) once both sides bucket by the
+    BASELINE's boundaries.
+
+    Exactness: buckets come from ``ntile(k)`` over the total order
+    (value, id) — the deterministic tie-break, so bucket membership is
+    a pure function of the multiset and the histogram is hash-exact
+    (percentile_approx boundaries are sketch-dependent; these are
+    rank-exact). NULLs dropped (null-rate drift lives in column_stats).
+
+    Scale: ntile over an ungrouped window is ONE global sort partition —
+    report-grade, like the other exact-rank paths; the sketched
+    quantile_drift is the corpus-scale default. The exact form is its
+    correctness oracle.
+    """
+    base = df.where(F.col(column).isNotNull()).select(
+        F.col(column).cast("double").alias("_v"), F.col(id_col).alias("_id")
+    )
+    w = Window.orderBy(F.col("_v").asc(), F.col("_id").asc())
+    return (
+        base.withColumn("bucket", F.ntile(k).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.min("_v"), round_to).alias("lo"),
+            F.round(F.max("_v"), round_to).alias("hi"),
+        )
+    )

@@ -8863,6 +8863,58 @@ def ngram_jaccard_pairs_prefix(spark, sf_dir):
     )
 
 
+@q(
+    "equiheight_hist_event_value",
+    """WITH r AS (SELECT CAST(value AS DOUBLE) AS v, event_id,
+                         ntile(10) OVER (ORDER BY CAST(value AS DOUBLE),
+                                         event_id) AS bucket
+                  FROM events WHERE value IS NOT NULL)
+       SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+              CAST(round(min(v), 6) AS DOUBLE) AS lo,
+              CAST(round(max(v), 6) AS DOUBLE) AS hi
+       FROM r GROUP BY bucket ORDER BY bucket""",
+)
+def equiheight_hist_event_value(spark, sf_dir):
+    """Equi-HEIGHT histogram of events.value (checks/drift.py:
+    equiheight_histogram): 10 rank-exact ntile buckets over the
+    (value, id) total order — the drift input for skewed columns, where
+    equi-width bucketing goes blind. Deterministic tie-break makes the
+    bucket boundaries hash-exact (percentile_approx boundaries are
+    sketch-dependent); this exact form is the sketched path's
+    correctness oracle."""
+    from xmlschemavalidator_spark.checks.drift import equiheight_histogram
+
+    ev = _t(spark, sf_dir, "events")
+    return equiheight_histogram(ev, "value", "event_id", k=10).orderBy("bucket")
+
+
+@q(
+    "schema_evolution_compat",
+    """SELECT column_ AS "column", change, old, new, compatible
+       FROM (VALUES
+         ('html_len', 'column_added', NULL, 'bigint', TRUE),
+         ('n_chars', 'type_changed', 'bigint', 'int', FALSE),
+         ('source', 'column_removed', 'string', NULL, FALSE))
+       t(column_, change, old, new, compatible)
+       ORDER BY column_""",
+)
+def schema_evolution_compat(spark, sf_dir):
+    """Schema-evolution compatibility check (checks/schema.py:
+    schema_compat — the pre-flight upstream-broke-the-contract gate,
+    ZERO jobs: pure driver-side StructType compare): documents vs a
+    planted next-release schema (one added column, one narrowed type,
+    one removed column). The oracle is the literal expected change set —
+    trivially exact, but it pins the output contract the manifest
+    consumes."""
+    from xmlschemavalidator_spark.checks.schema import schema_compat
+
+    old = _t(spark, sf_dir, "documents")
+    new = old.withColumn("n_chars", F.col("n_chars").cast("int")).drop(
+        "source"
+    ).withColumn("html_len", F.length("text").cast("bigint"))
+    return schema_compat(old, new).orderBy("column")
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 
