@@ -158,11 +158,16 @@ def run_profile(
                     base = spark.read.parquet(
                         f"{cat_root}/{baseline_snapshot}/{c}"
                     )
+                except AnalysisException:
+                    extras["chi2"][c] = {"chi2": None, "error": "no_baseline"}
+                else:
+                    # ONLY the read is guarded: a drift-computation
+                    # failure (e.g. an incompatible stored baseline
+                    # schema) must surface, not masquerade as
+                    # no_baseline
                     extras["chi2"][c] = (
                         chi_squared_drift(hist, base).collect()[0].asDict()
                     )
-                except AnalysisException:
-                    extras["chi2"][c] = {"chi2": None, "error": "no_baseline"}
             # snapshot AFTER the compare (the new baseline for next run)
             hist.write.mode("overwrite").parquet(f"{cat_root}/{snapshot}/{c}")
 

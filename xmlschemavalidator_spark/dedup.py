@@ -2077,6 +2077,10 @@ def jaccard_pairs_prefix(
         F.col(id_col).alias("doc"),
         F.array_sort(shingles(F.col(text_col), shingle_n)).alias("sh"),
     ).where(F.size("sh") > 0)
+    # persisted because three plan branches read it (index build and
+    # both verification sides); exposed as result._ppjoin_base (the
+    # range_join._range_join_iv convention) so a long-lived session can
+    # .unpersist() after the result materializes
     base = base.persist()
     ex = base.select("doc", F.explode("sh").alias("shingle"))
     freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
@@ -2119,4 +2123,5 @@ def jaccard_pairs_prefix(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+    out._ppjoin_base = base  # caller-managed cache lifetime
     return out

@@ -7848,7 +7848,7 @@ def fd_violating_sources(spark, sf_dir):
                     GROUP BY source HAVING count(*) > 1)
        SELECT d.doc_id, 'fd_source_to_lang' AS rule_id,
               CAST(d.lang AS VARCHAR) AS observed_value, d.source
-       FROM documents d SEMI JOIN bad ON d.source = bad.source
+       FROM documents d SEMI JOIN bad ON d.source IS NOT DISTINCT FROM bad.source
        ORDER BY d.doc_id""",
 )
 def fd_violation_rows_sample(spark, sf_dir):
@@ -8341,7 +8341,8 @@ def ecdf_normalize_chars(spark, sf_dir):
 @q(
     "last_touch_attribution_events",
     """WITH w AS (SELECT user_id, event_id, event_type,
-                         epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+                         epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+                  WHERE ts IS NOT NULL),
             c AS (SELECT user_id, event_id, event_type, us,
                          last_value(CASE WHEN event_type IN ('click', 'view')
                              THEN {'us': us, 'id': event_id} END IGNORE NULLS)
@@ -8834,10 +8835,12 @@ def link_wedge_hot_centers(spark, sf_dir):
     (weburl.py:wedge_hot_centers, registered as a driver query per the
     no-silent-caps convention — simhash_hot_chunks' shape): every
     center whose degree exceeds the cap and was excluded from wedge
-    generation, with its degree. Cap 1 here — the planted graph is a
-    permutation (every undirected degree is exactly 2), so any higher
-    cap would "pass" on an empty audit, which proves nothing; empty
-    means the candidate set is complete."""
+    generation, with its degree. Cap 1 here — the planted permutation
+    s -> (7s+3) mod 60 gives undirected degree 2 everywhere EXCEPT its
+    six 2-cycles, whose 12 nodes have degree 1 (self-paired edges
+    collapse) — so cap 1 yields exactly the 48 degree-2 rows, while any
+    higher cap would "pass" on an empty audit, which proves nothing;
+    empty means the candidate set is complete."""
     from xmlschemavalidator_spark.weburl import wedge_hot_centers
 
     return wedge_hot_centers(

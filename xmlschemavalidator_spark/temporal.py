@@ -630,7 +630,9 @@ def last_touch_attribution(
 ) -> DataFrame:
     """Last-touch conversion attribution: for every conversion event,
     find the key's most recent PRECEDING touch event and attribute the
-    conversion to it if it falls inside the lookback window — the
+    conversion to it if it falls inside the lookback window (one row
+    per NON-NULL-ts conversion — NULL-ts rows, conversions included,
+    are dropped at the input: no time, no ordering claim) — the
     standard marketing/funnel question ("which click gets credit for
     this purchase") and, in crawl terms, "which referrer page led to
     this capture". Returns one row per conversion:
