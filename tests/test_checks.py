@@ -518,3 +518,32 @@ def test_schema_compat_changes(spark):
     # identical schemas -> empty; and the DF form needs no job to build
     assert schema_changes(old, old) == []
     assert schema_compat(old, new).count() == 3
+
+
+def test_ols_trend_recovers_planted_line(spark):
+    from xmlschemavalidator_spark.checks.stats import ols_trend
+
+    # y = 3x + 7 exactly for group a; zero x-variance for group b
+    rows = [("a", float(x), 3.0 * x + 7.0) for x in range(10)]
+    rows += [("b", 5.0, float(y)) for y in (1, 2, 3)]
+    rows += [("a", None, 99.0), ("a", 1.0, None)]  # pairwise-complete drops
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {
+        r["g"]: (r["n"], r["slope"], r["intercept"], r["r2"])
+        for r in ols_trend(df, "x", "y", group_cols=("g",)).collect()
+    }
+    assert got["a"] == (10, 3.0, 7.0, 1.0)
+    n, slope, intercept, r2 = got["b"]
+    assert n == 3 and slope is None and intercept is None and r2 is None
+
+
+def test_ols_trend_ungrouped_single_row(spark):
+    from xmlschemavalidator_spark.checks.stats import ols_trend
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (2.0, 2.5), (3.0, 2.9)], "x double, y double"
+    )
+    out = ols_trend(df, "x", "y").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n"] == 3 and 0.4 < r["slope"] < 0.5 and r["r2"] > 0.98

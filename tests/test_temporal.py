@@ -766,3 +766,65 @@ def test_last_touch_attribution_null_ts_dropped(spark):
     ).collect()
     assert len(got) == 1
     assert got[0]["attributed"] is True and got[0]["touch_id"] == 1
+
+
+def _cusum_reference(values, target, slack, threshold):
+    """Textbook Page-1954 recursion — the implementation's prefix-sum
+    unrolling must reproduce it exactly."""
+    cp = cn = 0
+    out = []
+    for i, x in enumerate(values):
+        cp = max(0, cp + x - target - slack)
+        cn = max(0, cn + target - slack - x)
+        if cp > threshold or cn > threshold:
+            out.append((i, x, cp, cn, cp > threshold))
+    return out
+
+
+def test_cusum_matches_textbook_recursion(spark):
+    from xmlschemavalidator_spark.temporal import cusum_changepoints
+
+    # flat around 10, step up to 14 at i=20, step down to 6 at i=40
+    vals = [10, 11, 9, 10] * 5 + [14, 13, 15, 14] * 5 + [6, 7, 5, 6] * 5
+    df = spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate(vals)], "key string, b int, v int"
+    )
+    got = sorted(
+        (r["b"], r["value_q"], r["cusum_pos"], r["cusum_neg"], r["flag_hi"])
+        for r in cusum_changepoints(
+            df, "key", "b", "v", target=10, slack=1, threshold=8
+        ).collect()
+    )
+    want = _cusum_reference(vals, target=10, slack=1, threshold=8)
+    assert got == want
+    # the upward shift alarms with flag_hi, the downward one without
+    assert any(f for (_, _, _, _, f) in got) and any(
+        not f for (_, _, _, _, f) in got
+    )
+    # no alarm before the first shift's evidence can accumulate
+    assert min(b for (b, _, _, _, _) in got) >= 20
+
+
+def test_cusum_flat_series_silent_and_null_dropped(spark):
+    from xmlschemavalidator_spark.temporal import cusum_changepoints
+
+    rows = [("k", i, 10 if i != 7 else None) for i in range(30)]
+    df = spark.createDataFrame(rows, "key string, b int, v int")
+    assert (
+        cusum_changepoints(
+            df, "key", "b", "v", target=10, slack=0, threshold=5
+        ).count()
+        == 0
+    )
+
+
+def test_cusum_rejects_bad_params(spark):
+    import pytest
+
+    from xmlschemavalidator_spark.temporal import cusum_changepoints
+
+    df = spark.createDataFrame([("k", 1, 1)], "key string, b int, v int")
+    with pytest.raises(ValueError):
+        cusum_changepoints(df, "key", "b", "v", target=1, slack=-1, threshold=5)
+    with pytest.raises(ValueError):
+        cusum_changepoints(df, "key", "b", "v", target=1, slack=0, threshold=0)

@@ -435,3 +435,72 @@ def trimmed_mean(
             round_to,
         ).alias("trimmed_mean"),
     )
+
+
+def ols_trend(
+    df: DataFrame,
+    x: str,
+    y: str,
+    group_cols: tuple[str, ...] = (),
+    quantum: int = 1_000_000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group least-squares trend of ``y`` on ``x`` — the "is this
+    metric drifting, and how fast" analyzer (Deequ stops at correlation;
+    a monitoring pipeline wants the RATE: violations/day, bytes/hour).
+    Returns ``(*group_cols, n, slope, intercept, r2)`` with slope in
+    original y-per-x units. Rows where either side is NULL are excluded
+    (pairwise-complete). n == 1 or zero x-variance yields NULL slope —
+    a vertical line has no trend — never a div/0.
+
+    Exactness contract (same scheme as :func:`pearson_correlation`):
+    both columns are quantized to integer ``quantum``-ths and all five
+    moment sums run in DECIMAL(38,0) — bit-identical at any partition
+    order. The finals are fixed double chains on identical inputs:
+    ``slope = (n·Sxy − Sx·Sy) / (n·Sxx − Sx²)`` (quantum cancels),
+    ``intercept = (Sy − slope·Sx) / n / quantum``,
+    ``r2 = num² / (vx·vy)``. No sqrt/ln anywhere — division and
+    multiplication are correctly rounded, so both engines agree to the
+    last ulp before the ``round_to`` rounding.
+
+    Scale: ONE partial+final aggregate on the group key; the regression
+    itself costs #groups rows. Headroom: (1e6·|v|)² per row summed —
+    DECIMAL(38,0) holds |v| <= 1e4 out to 1e12 rows per group.
+    """
+    g = list(group_cols)
+    xm = F.floor(F.col(x).cast("double") * F.lit(quantum)).cast("decimal(38,0)")
+    ym = F.floor(F.col(y).cast("double") * F.lit(quantum)).cast("decimal(38,0)")
+    base = df.where(F.col(x).isNotNull() & F.col(y).isNotNull()).select(
+        *[F.col(c) for c in g], xm.alias("_x"), ym.alias("_y")
+    )
+    agg = base.groupBy(*g).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("_x").alias("sx"),
+        F.sum("_y").alias("sy"),
+        F.sum(F.expr("_x * _x")).alias("sxx"),
+        F.sum(F.expr("_y * _y")).alias("syy"),
+        F.sum(F.expr("_x * _y")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = (
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+        F.col("sxy").cast("double"),
+    )
+    num = n * sxy - sx * sy
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    slope = F.when(vx > 0, num / vx)
+    return agg.select(
+        *g,
+        "n",
+        F.round(slope, round_to).alias("slope"),
+        F.round(
+            F.when(vx > 0, (sy - (num / vx) * sx) / n / F.lit(float(quantum))),
+            round_to,
+        ).alias("intercept"),
+        F.round(
+            F.when((vx > 0) & (vy > 0), num * num / (vx * vy)), round_to
+        ).alias("r2"),
+    )

@@ -8918,6 +8918,135 @@ def schema_evolution_compat(spark, sf_dir):
     return schema_compat(old, new).orderBy("column")
 
 
+@q(
+    "ols_trend_daily_events",
+    """WITH daily AS (SELECT event_type,
+                             CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+                                  AS BIGINT) AS day,
+                             CAST(count(*) AS BIGINT) AS n_events
+                      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+            q AS (SELECT event_type,
+                         CAST(floor(day * 1000000) AS HUGEINT) AS x,
+                         CAST(floor(n_events * 1000000) AS HUGEINT) AS y
+                  FROM daily),
+            a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                         sum(x) AS sx, sum(y) AS sy,
+                         sum(x * x) AS sxx, sum(y * y) AS syy,
+                         sum(x * y) AS sxy
+                  FROM q GROUP BY 1)
+       SELECT event_type, n,
+              CAST(round(CASE WHEN (n::DOUBLE*sxx::DOUBLE - sx::DOUBLE*sx::DOUBLE) > 0
+                  THEN (n::DOUBLE*sxy::DOUBLE - sx::DOUBLE*sy::DOUBLE)
+                       / (n::DOUBLE*sxx::DOUBLE - sx::DOUBLE*sx::DOUBLE) END, 6)
+                   AS DOUBLE) AS slope,
+              CAST(round(CASE WHEN (n::DOUBLE*sxx::DOUBLE - sx::DOUBLE*sx::DOUBLE) > 0
+                  THEN (sy::DOUBLE - ((n::DOUBLE*sxy::DOUBLE - sx::DOUBLE*sy::DOUBLE)
+                                      / (n::DOUBLE*sxx::DOUBLE - sx::DOUBLE*sx::DOUBLE))
+                                     * sx::DOUBLE) / n::DOUBLE / 1000000.0 END, 6)
+                   AS DOUBLE) AS intercept,
+              CAST(round(CASE WHEN (n::DOUBLE*sxx::DOUBLE - sx::DOUBLE*sx::DOUBLE) > 0
+                              AND (n::DOUBLE*syy::DOUBLE - sy::DOUBLE*sy::DOUBLE) > 0
+                  THEN (n::DOUBLE*sxy::DOUBLE - sx::DOUBLE*sy::DOUBLE)
+                       * (n::DOUBLE*sxy::DOUBLE - sx::DOUBLE*sy::DOUBLE)
+                       / ((n::DOUBLE*sxx::DOUBLE - sx::DOUBLE*sx::DOUBLE)
+                          * (n::DOUBLE*syy::DOUBLE - sy::DOUBLE*sy::DOUBLE)) END, 6)
+                   AS DOUBLE) AS r2
+       FROM a ORDER BY event_type""",
+)
+def ols_trend_daily_events(spark, sf_dir):
+    """Per-group least-squares trend (checks/stats.py:ols_trend): the
+    slope/intercept/r2 of daily event counts per event_type — "is this
+    stream drifting and how fast", the rate question Pearson's r alone
+    doesn't answer. Five moment sums in DECIMAL(38,0) over
+    1e-6-quantized values (partition-order-independent), finals a fixed
+    double chain with no sqrt/ln — HUGEINT replays it to the last ulp.
+    ONE grouped aggregate; regression math on #groups rows."""
+    from xmlschemavalidator_spark.checks.stats import ols_trend
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("ts").isNotNull())
+        .groupBy(
+            "event_type",
+            F.expr(
+                "CAST(unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000 AS BIGINT)"
+            ).alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+    return ols_trend(
+        daily, "day", "n_events", group_cols=("event_type",)
+    ).orderBy("event_type")
+
+
+@q(
+    "cusum_daily_event_counts",
+    """WITH daily AS (SELECT event_type,
+                             CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+                                  AS BIGINT) AS day,
+                             CAST(count(*) AS BIGINT) AS n_events
+                      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+            w AS (SELECT event_type, day,
+                         CAST(n_events AS HUGEINT) AS x FROM daily),
+            p AS (SELECT event_type, day, x,
+                         sum(x - 65) OVER fr AS pp,
+                         sum(x - 63) OVER fr AS qq
+                  FROM w
+                  WINDOW fr AS (PARTITION BY event_type ORDER BY day
+                                ROWS UNBOUNDED PRECEDING)),
+            c AS (SELECT event_type, day, x,
+                         pp - least(CAST(0 AS HUGEINT),
+                                    min(pp) OVER (PARTITION BY event_type
+                                                  ORDER BY day
+                                                  ROWS UNBOUNDED PRECEDING))
+                             AS cp,
+                         greatest(CAST(0 AS HUGEINT),
+                                  max(qq) OVER (PARTITION BY event_type
+                                                ORDER BY day
+                                                ROWS UNBOUNDED PRECEDING)) - qq
+                             AS cn
+                  FROM p)
+       SELECT event_type, day, CAST(x AS BIGINT) AS value_q,
+              CAST(cp AS BIGINT) AS cusum_pos,
+              CAST(cn AS BIGINT) AS cusum_neg,
+              cp > 30 AS flag_hi
+       FROM c WHERE cp > 30 OR cn > 30
+       ORDER BY event_type, day""",
+)
+def cusum_daily_event_counts(spark, sf_dir):
+    """Two-sided CUSUM change-point alarms (temporal.py:
+    cusum_changepoints, Page 1954) over per-type daily event counts:
+    target 64/slack 1/threshold 30 picked from the measured sf0.01
+    daily-count distribution (median ~66 → 72 of 150 buckets alarm; a
+    well-tuned zero-alarm setting would prove nothing). The recursion
+    C+ = max(0, C+ + x - t - s) unrolls to prefix-sum minus running
+    min — two expanding windows sharing ONE (key, day) partitioning,
+    all DECIMAL(38,0); HUGEINT replays it bit-for-bit. This is the
+    small-persistent-shift detector the rolling z-score gate misses."""
+    from xmlschemavalidator_spark.temporal import cusum_changepoints
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("ts").isNotNull())
+        .groupBy(
+            "event_type",
+            F.expr(
+                "CAST(unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000 AS BIGINT)"
+            ).alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+    return cusum_changepoints(
+        daily,
+        key="event_type",
+        bucket="day",
+        value="n_events",
+        target=64,
+        slack=1,
+        threshold=30,
+    ).orderBy("event_type", "day")
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 

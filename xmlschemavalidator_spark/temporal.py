@@ -37,6 +37,8 @@ and integer div is exactly portable to DuckDB's `//`.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -832,4 +834,84 @@ def interarrival_stats(
             " - min(unix_micros(CAST({t} AS TIMESTAMP)))) div count(_gap) "
             "END".format(t=ts)
         ).cast("bigint").alias("mean_gap_us"),
+    )
+
+
+def cusum_changepoints(
+    series: DataFrame,
+    key: str,
+    bucket: str,
+    value: str,
+    target: float,
+    slack: float,
+    threshold: float,
+    quantum: int = 1,
+) -> DataFrame:
+    """Two-sided CUSUM change-point alarms over a per-key time series
+    (Page 1954 — the classic small-persistent-shift detector that
+    :func:`rolling_anomalies` is blind to: a 0.5σ drift never trips a
+    3σ z-score gate, but its cumulative sum grows without bound).
+    Flags buckets where the one-sided CUSUM statistic exceeds
+    ``threshold``: ``C+`` accumulates excess over ``target + slack``
+    (upward shift), ``C-`` accumulates shortfall under
+    ``target - slack`` (downward shift). Returns only alarm rows
+    ``(key, bucket, value_q, cusum_pos, cusum_neg, flag_hi)``.
+
+    The textbook recursion ``C+_i = max(0, C+_{i-1} + x_i - t - s)``
+    looks unwindowable, but unrolls exactly: with
+    ``P_i = Σ_{j<=i} (x_j - t - s)``,
+    ``C+_i = P_i - min(0, min_{j<=i} P_j)`` — a prefix sum and a
+    running minimum, two expanding-frame windows SHARING one
+    (key, bucket-order) partitioning. Symmetrically
+    ``C-_i = max(0, max_{j<=i} P'_j) - P'_i`` over
+    ``P'_i = Σ (x_j - t + s)``. One shuffle on the key, no recursion,
+    no UDF.
+
+    Exactness: values, target, slack and threshold are quantized to
+    integer ``quantum``-ths (counts pass quantum=1 untouched) and every
+    sum/min/max runs in DECIMAL(38,0) — order-independent, HUGEINT
+    replays it bit-for-bit. NULL values are dropped up front (a missing
+    bucket carries no shift evidence; the ROWS order just tightens).
+    Buckets must be unique per key (a rollup output IS) — equal-bucket
+    ties would make the expanding ROWS frames order-dependent.
+    """
+    tq = int(math.floor(target * quantum))
+    sq = int(math.floor(slack * quantum))
+    hq = int(math.floor(threshold * quantum))
+    if sq < 0 or hq <= 0:
+        raise ValueError(
+            f"cusum_changepoints: need slack >= 0 and threshold > 0 "
+            f"after quantization, got slack_q={sq} threshold_q={hq}"
+        )
+    xq = F.floor(F.col(value).cast("double") * F.lit(quantum)).cast(
+        "decimal(38,0)"
+    )
+    w = Window.partitionBy(key).orderBy(F.col(bucket).asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dec = "decimal(38,0)"
+    base = (
+        series.where(F.col(value).isNotNull())
+        .select(F.col(key), F.col(bucket), xq.alias("_x"))
+        .withColumn("_p", F.sum(F.expr(f"_x - CAST({tq + sq} AS {dec})")).over(w))
+        .withColumn("_q", F.sum(F.expr(f"_x - CAST({tq - sq} AS {dec})")).over(w))
+    )
+    run_min = F.min("_p").over(w)
+    run_max = F.max("_q").over(w)
+    zero = F.lit(0).cast(dec)
+    stats = base.select(
+        key,
+        bucket,
+        F.col("_x").cast("bigint").alias("value_q"),
+        (F.col("_p") - F.least(zero, run_min)).alias("_cp"),
+        (F.greatest(zero, run_max) - F.col("_q")).alias("_cn"),
+    )
+    h = F.lit(hq).cast(dec)
+    return stats.where((F.col("_cp") > h) | (F.col("_cn") > h)).select(
+        key,
+        bucket,
+        "value_q",
+        F.col("_cp").cast("bigint").alias("cusum_pos"),
+        F.col("_cn").cast("bigint").alias("cusum_neg"),
+        (F.col("_cp") > h).alias("flag_hi"),
     )
