@@ -944,3 +944,104 @@ def test_jaccard_prefix_index_is_smaller(spark):
         F.col("_rn") <= F.col("_n") - F.expr(f"(_n * {t_micro} + 999999) div 1000000") + 1
     ).count()
     assert n_post_prefix < 0.35 * n_post_full  # ~20%+1 per doc
+
+
+# --------------------------------------------------------------------------
+# winnowing
+# --------------------------------------------------------------------------
+
+def _ph64(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def _ref_winnow(text: str, k: int, w: int) -> set[tuple[int, int]]:
+    """Pure-Python Schleimer et al. reference: rightmost minimal hash
+    per window, distinct (pos, hash) selections."""
+    hs = [_ph64(text[i : i + k]) for i in range(len(text) - k + 1)]
+    if not hs:
+        return set()
+    if len(hs) < w:
+        mn = min(hs)
+        return {(max(i for i, h in enumerate(hs) if h == mn) + 1, mn)}
+    out = set()
+    for j in range(len(hs) - w + 1):
+        mn = min(hs[j : j + w])
+        pos = max(i for i in range(j, j + w) if hs[i] == mn)
+        out.add((pos + 1, mn))
+    return out
+
+
+_WINNOW_DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2, "completely different text here with no overlap at all in any region ok"),
+    (3, "zz prefix junk THEN the quick brown fox jumps over the lazy dog suffix"),
+    (4, "ab"),  # shorter than k -> no grams
+    (5, "abcdef"),  # fewer grams than window -> single degenerate window
+    (6, None),
+]
+
+
+def test_winnowing_matches_reference_algorithm(spark):
+    from xmlschemavalidator_spark.dedup import winnowing_fingerprints
+
+    df = spark.createDataFrame(_WINNOW_DOCS, "doc_id bigint, text string")
+    got: dict[int, set] = {}
+    for r in winnowing_fingerprints(df, "doc_id", k=5, window=4).collect():
+        got.setdefault(r["doc"], set()).add((r["pos"], r["fp_hash"]))
+    for did, text in _WINNOW_DOCS:
+        assert got.get(did, set()) == _ref_winnow(text or "", 5, 4), did
+
+
+def test_winnowing_local_guarantee_and_pairs(spark):
+    from xmlschemavalidator_spark.dedup import winnowing_candidate_pairs
+
+    df = spark.createDataFrame(_WINNOW_DOCS, "doc_id bigint, text string")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_shared_fps"]
+        for r in winnowing_candidate_pairs(
+            df, "doc_id", k=5, window=4, min_shared=2
+        ).collect()
+    }
+    # docs 1 and 3 share a 44-char passage >= window+k-1=8: MUST pair
+    assert (1, 3) in pairs and pairs[(1, 3)] >= 2
+    # the unrelated doc 2 never reaches min_shared with anyone
+    assert not any(2 in p for p in pairs)
+
+
+def test_winnowing_hot_fingerprint_cap_and_audit(spark):
+    from xmlschemavalidator_spark.dedup import (
+        winnowing_candidate_pairs,
+        winnowing_hot_fingerprints,
+    )
+
+    # 30 docs all sharing one boilerplate sentence: with the cap below
+    # the posting size, the boilerplate fingerprints are excluded from
+    # pairing and surfaced by the audit instead
+    rows = [(i, f"unique part {i:04d} THE SHARED BOILERPLATE SENTENCE HERE") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    audited = winnowing_hot_fingerprints(
+        df, "doc_id", k=8, window=4, max_posting=10
+    ).collect()
+    assert audited and all(r["pl"] > 10 for r in audited)
+    capped = winnowing_candidate_pairs(
+        df, "doc_id", k=8, window=4, min_shared=1, max_posting=10
+    )
+    uncapped = winnowing_candidate_pairs(
+        df, "doc_id", k=8, window=4, min_shared=1, max_posting=1000
+    )
+    assert capped.count() < uncapped.count()
+
+
+def test_winnowing_rejects_clash_and_bad_params(spark):
+    import pytest
+
+    from xmlschemavalidator_spark.dedup import winnowing_fingerprints
+
+    df = spark.createDataFrame([(1, "abc", "x")], "doc_id bigint, text string, _wt string")
+    with pytest.raises(ValueError):
+        winnowing_fingerprints(df, "doc_id")
+    df2 = spark.createDataFrame([(1, "abc")], "doc_id bigint, text string")
+    with pytest.raises(ValueError):
+        winnowing_fingerprints(df2, "doc_id", k=0)

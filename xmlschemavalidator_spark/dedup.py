@@ -2125,3 +2125,157 @@ def jaccard_pairs_prefix(
     )
     out._ppjoin_base = base  # caller-managed cache lifetime
     return out
+
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS)
+# --------------------------------------------------------------------------
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+    max_chars: int = 20000,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the MOSS algorithm): slide a window of ``window``
+    consecutive char-``k``-gram hashes and select the RIGHTMOST minimal
+    hash in each window. Returns one row per distinct selected
+    fingerprint, ``(doc, pos, fp_hash)`` with ``pos`` the 1-based char
+    offset of the selected k-gram — positions make matches localizable
+    (which passage is shared), unlike MinHash's set-level signature.
+
+    The local-algorithm guarantee: any substring match of length
+    >= ``window + k - 1`` chars shares at least one fingerprint, and the
+    expected density is 2/(window+1) of all k-grams — a tunable
+    sample-rate with a hard recall floor, which no random shingle
+    sampling gives.
+
+    Engine-portable: the base hash is :func:`portable_hash64` (md5
+    prefix), so DuckDB replays the exact fingerprint set.
+
+    Scale shape: everything up to the final explode is a NARROW per-doc
+    projection (two materialized array columns — the k-gram hash array
+    is built ONCE as a column, never inlined into the window lambda:
+    the HOF-no-CSE lesson); per-window selection is one O(window)
+    ``aggregate`` pass carrying (min, rightmost-pos) in the accumulator.
+    ``max_chars`` prefix-caps pathological documents (disclosed cap —
+    same convention as char_entropy); at the default 20k chars a row
+    costs ~20k·window accumulator steps, all JVM codegen.
+    """
+    from xmlschemavalidator_spark.textops import portable_hash64
+
+    if k < 1 or window < 1:
+        raise ValueError(f"winnowing: need k >= 1 and window >= 1, got {k}/{window}")
+    for c in ("_wt", "_whs"):
+        if c in df.columns:
+            raise ValueError(
+                f"winnowing_fingerprints: column '{c}' collides with an "
+                "internal name; rename it first"
+            )
+    t = F.substring(F.coalesce(F.col(text_col), F.lit("")), 1, max_chars)
+    base = _spread(df).select(F.col(id_col).alias("doc"), t.alias("_wt"))
+    n = F.length("_wt") - (k - 1)
+    grams = base.withColumn(
+        "_whs",
+        F.when(n <= 0, F.array().cast("array<bigint>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: portable_hash64(F.col("_wt").substr(i, F.lit(k))),
+            )
+        ),
+    )
+    # per-window (rightmost-min pos, min hash) in ONE aggregate pass;
+    # j and the accumulator are the only lambda references — nothing
+    # expensive is re-evaluated per element
+    sel = (
+        "CASE WHEN size(_whs) = 0 THEN array() "
+        f"WHEN size(_whs) < {window} THEN array(_winnow_one(_whs, 1, size(_whs))) "
+        f"ELSE transform(sequence(1, size(_whs) - {window - 1}), "
+        f"               j -> _winnow_one(_whs, j, {window})) END"
+    )
+    one = (
+        "aggregate(slice({hs}, {j}, {w}), "
+        "struct(CAST(NULL AS BIGINT) AS mn, CAST(0 AS INT) AS pos, CAST(0 AS INT) AS idx), "
+        "(acc, x) -> struct("
+        "  CASE WHEN acc.mn IS NULL OR x <= acc.mn THEN x ELSE acc.mn END AS mn, "
+        "  CASE WHEN acc.mn IS NULL OR x <= acc.mn THEN CAST({j} + acc.idx AS INT) ELSE acc.pos END AS pos, "
+        "  CAST(acc.idx + 1 AS INT) AS idx), "
+        "acc -> struct(acc.pos AS pos, acc.mn AS fp_hash))"
+    )
+    sel = sel.replace("_winnow_one(_whs, 1, size(_whs))",
+                      one.format(hs="_whs", j="1", w="size(_whs)"))
+    sel = sel.replace(f"_winnow_one(_whs, j, {window})",
+                      one.format(hs="_whs", j="j", w=window))
+    return (
+        grams.select("doc", F.explode(F.array_distinct(F.expr(sel))).alias("_f"))
+        .select(
+            "doc",
+            F.col("_f.pos").alias("pos"),
+            F.col("_f.fp_hash").alias("fp_hash"),
+        )
+    )
+
+
+def winnowing_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    max_posting: int = 1000,
+    max_chars: int = 20000,
+) -> DataFrame:
+    """Near-dup / shared-passage candidate pairs from winnowing
+    fingerprints: ``(id_a, id_b, n_shared_fps)`` for pairs sharing at
+    least ``min_shared`` distinct fingerprint VALUES. The MOSS pairing
+    step: because winnowing is local, two docs sharing any passage of
+    >= window+k-1 chars MUST meet here — a recall guarantee MinHash
+    bands only give probabilistically.
+
+    Same inverted-index shape as :func:`jaccard_pairs`: distinct
+    (doc, fp_hash) postings, hot fingerprints above ``max_posting``
+    excluded (boilerplate guard — audit with
+    :func:`winnowing_hot_fingerprints`), ordered self-join inside
+    posting lists only, never an uncapped all-pairs.
+    """
+    fps = winnowing_fingerprints(df, id_col, text_col, k, window, max_chars)
+    posts = fps.select("doc", "fp_hash").distinct()
+    hot = posts.groupBy("fp_hash").agg(F.count(F.lit(1)).alias("pl")).where(
+        F.col("pl") > max_posting
+    )
+    cold = posts.join(F.broadcast(hot.select("fp_hash")), "fp_hash", "left_anti")
+    a = cold.select("fp_hash", F.col("doc").alias("id_a"))
+    b = cold.select("fp_hash", F.col("doc").alias("id_b"))
+    return (
+        a.join(b, on="fp_hash")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+        .where(F.col("n_shared_fps") >= min_shared)
+    )
+
+
+def winnowing_hot_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+    max_posting: int = 1000,
+    max_chars: int = 20000,
+) -> DataFrame:
+    """Audit surface for :func:`winnowing_candidate_pairs`' posting cap:
+    ``(fp_hash, pl)`` for every fingerprint whose posting list exceeds
+    ``max_posting`` (shared boilerplate passages) — the no-silent-caps
+    rule."""
+    fps = winnowing_fingerprints(df, id_col, text_col, k, window, max_chars)
+    posts = fps.select("doc", "fp_hash").distinct()
+    return (
+        posts.groupBy("fp_hash")
+        .agg(F.count(F.lit(1)).alias("pl"))
+        .where(F.col("pl") > max_posting)
+    )
