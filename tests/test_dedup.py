@@ -1045,3 +1045,35 @@ def test_winnowing_rejects_clash_and_bad_params(spark):
     df2 = spark.createDataFrame([(1, "abc")], "doc_id bigint, text string")
     with pytest.raises(ValueError):
         winnowing_fingerprints(df2, "doc_id", k=0)
+
+
+def test_containment_catches_excerpt_jaccard_misses(spark):
+    from xmlschemavalidator_spark.dedup import containment_pairs, jaccard_pairs
+
+    tweet = "the quick brown fox jumps over the lazy dog"
+    article = " ".join(f"filler{i} word{i} extra{i}" for i in range(40)) + " " + tweet
+    df = spark.createDataFrame(
+        [(1, tweet), (2, article), (3, "nothing in common here at all whatsoever")],
+        "doc_id bigint, text string",
+    )
+    cont = {
+        (r["src_id"], r["dst_id"]): r["containment"]
+        for r in containment_pairs(df, "doc_id", shingle_n=3, threshold=0.9).collect()
+    }
+    # tweet fully contained in article; not the reverse
+    assert cont == {(1, 2): 1.0}
+    # Jaccard at the same bar sees nothing
+    assert jaccard_pairs(df, "doc_id", shingle_n=3, threshold=0.9).count() == 0
+
+
+def test_containment_capped_universe_excludes_hot_only_docs(spark):
+    from xmlschemavalidator_spark.dedup import containment_pairs
+
+    # every doc is the same boilerplate; cap below posting size excludes
+    # all shingles -> no doc can assert containment (disclosed behavior)
+    rows = [(i, "shared boilerplate text everywhere always") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    assert (
+        containment_pairs(df, "doc_id", shingle_n=3, threshold=0.5, max_posting=5).count()
+        == 0
+    )

@@ -2279,3 +2279,66 @@ def winnowing_hot_fingerprints(
         .agg(F.count(F.lit(1)).alias("pl"))
         .where(F.col("pl") > max_posting)
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.9,
+    max_posting: int = 1000,
+) -> DataFrame:
+    """Directed shingle-CONTAINMENT pairs: ``(src_id, dst_id,
+    containment)`` where ``containment = |src ∩ dst| / |src| >=
+    threshold`` — the asymmetric near-dup semantics Jaccard misses: a
+    tweet quoted verbatim inside a long article has Jaccard ~0.02 but
+    containment ~1.0 w.r.t. the tweet (Broder 1997 separates the two
+    resemblance measures for exactly this case; quote/excerpt detection
+    and subset-dedup key on containment).
+
+    Same capped inverted-index shape as :func:`jaccard_pairs` — one
+    index build serves BOTH directions of every colliding pair (the
+    intersection is symmetric; only the |src| denominator differs), so
+    the directed output costs no extra join. Hot shingles above
+    ``max_posting`` are excluded from intersection AND sizes (exact
+    containment over the capped shingle universe; audit with
+    :func:`jaccard_hot_shingles` at the same parameters). Docs whose
+    every shingle is hot (capped-universe size 0) cannot assert
+    containment and are absent — disclosed, not silent.
+    """
+    base = _spread(df).select(
+        F.col(id_col).alias("doc"), shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    exploded = base.select("doc", F.explode("sh").alias("shingle"))
+    hot = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("pl")).where(
+        F.col("pl") > max_posting
+    )
+    cold = exploded.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+    a = cold.select(F.col("shingle"), F.col("doc").alias("id_a"))
+    b = cold.select(F.col("shingle"), F.col("doc").alias("id_b"))
+    common = (
+        a.join(b, on="shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    cold_sizes = cold.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = cold_sizes.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = cold_sizes.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("nb"))
+    both = common.join(sa, "id_a").join(sb, "id_b")
+    fwd = both.select(
+        F.col("id_a").alias("src_id"),
+        F.col("id_b").alias("dst_id"),
+        (F.col("common") / F.col("na")).alias("containment"),
+    )
+    rev = both.select(
+        F.col("id_b").alias("src_id"),
+        F.col("id_a").alias("dst_id"),
+        (F.col("common") / F.col("nb")).alias("containment"),
+    )
+    return (
+        fwd.unionByName(rev)
+        .where(F.col("containment") >= threshold)
+        .select("src_id", "dst_id", F.round("containment", 6).alias("containment"))
+    )

@@ -9132,6 +9132,51 @@ def winnowing_candidate_pairs_docs(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+@q(
+    "containment_pairs_docs",
+    r"""WITH sh AS (
+  SELECT doc_id AS doc, unnest(list_distinct(sl)) AS shingle, len(list_distinct(sl)) AS n_sh
+  FROM (
+    SELECT doc_id,
+           CASE WHEN len(string_split_regex(trim(coalesce(text,'')), '\s+')) < 3 THEN []
+           ELSE list_transform(
+             range(1, len(string_split_regex(trim(text), '\s+')) - 1),
+             i -> array_to_string(string_split_regex(trim(text), '\s+')[i:i+2], ' ')
+           ) END AS sl
+    FROM documents
+  ) WHERE len(sl) > 0
+), sizes AS (SELECT DISTINCT doc, n_sh FROM sh),
+common AS (
+  SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2
+), directed AS (
+  SELECT id_a AS src_id, id_b AS dst_id, common * 1.0 / sa.n_sh AS c
+  FROM common JOIN sizes sa ON sa.doc = id_a
+  UNION ALL
+  SELECT id_b, id_a, common * 1.0 / sb.n_sh
+  FROM common JOIN sizes sb ON sb.doc = id_b
+)
+SELECT src_id, dst_id, round(c, 6) AS containment
+FROM directed WHERE c >= 0.9
+ORDER BY src_id, dst_id""",
+)
+def containment_pairs_docs(spark, sf_dir):
+    """Directed shingle-containment pairs (dedup.py:containment_pairs,
+    Broder 1997's second resemblance measure): |src ∩ dst| / |src| >=
+    0.9 over token-3-gram shingles — the asymmetric quote/excerpt
+    semantics Jaccard misses (a tweet inside an article: Jaccard ~0.02,
+    containment ~1). One capped inverted-index join serves BOTH
+    directions (intersection is symmetric; only the denominator
+    differs). 50 directed rows at sf0.01."""
+    from xmlschemavalidator_spark.dedup import containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return containment_pairs(
+        docs, "doc_id", shingle_n=3, threshold=0.9, max_posting=100000
+    ).orderBy("src_id", "dst_id")
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 
