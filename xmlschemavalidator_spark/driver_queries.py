@@ -9177,6 +9177,50 @@ def containment_pairs_docs(spark, sf_dir):
     ).orderBy("src_id", "dst_id")
 
 
+@q(
+    "frequent_part_pairs",
+    """WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+                  FROM lineitem),
+            f1 AS (SELECT item, CAST(count(*) AS BIGINT) AS item_cnt
+                   FROM b GROUP BY 1 HAVING count(*) >= 3),
+            fb AS (SELECT b.basket, b.item, f1.item_cnt
+                   FROM b JOIN f1 USING (item)),
+            n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_baskets
+                  FROM lineitem),
+            sized AS (SELECT basket, count(*) AS sz FROM fb GROUP BY 1),
+            p AS (SELECT a.item AS item_a, bb.item AS item_b,
+                         CAST(count(*) AS BIGINT) AS pair_count
+                  FROM fb a JOIN fb bb
+                    ON a.basket = bb.basket AND a.item < bb.item
+                  JOIN sized s ON s.basket = a.basket
+                  WHERE s.sz > 1 AND s.sz <= 1000
+                  GROUP BY 1, 2 HAVING count(*) >= 3)
+       SELECT item_a, item_b, pair_count,
+              sa.item_cnt AS count_a, sb.item_cnt AS count_b,
+              CAST(round(pair_count::DOUBLE * n.n_baskets::DOUBLE
+                         / (sa.item_cnt::DOUBLE * sb.item_cnt::DOUBLE), 6)
+                   AS DOUBLE) AS lift
+       FROM p JOIN f1 sa ON sa.item = item_a
+              JOIN f1 sb ON sb.item = item_b
+              CROSS JOIN n
+       ORDER BY item_a, item_b""",
+)
+def frequent_part_pairs(spark, sf_dir):
+    """Frequent-itemset pair mining (itemsets.py:frequent_item_pairs —
+    the Apriori pair pass, Agrawal & Srikant VLDB'94): parts
+    co-purchased in >= 3 orders, with lift vs independence. A-priori
+    prune (both items must be frequent), per-basket cap with audit
+    (itemset_hot_baskets), ordered pairs via ONE narrow indexed HOF per
+    basket — never a positional self-join of the exploded table. 63
+    pairs of 2M possible at sf0.01."""
+    from xmlschemavalidator_spark.itemsets import frequent_item_pairs
+
+    li = _t(spark, sf_dir, "lineitem")
+    return frequent_item_pairs(
+        li, "l_orderkey", "l_partkey", min_support=3, max_basket=1000
+    ).orderBy("item_a", "item_b")
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 
