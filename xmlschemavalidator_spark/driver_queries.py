@@ -9221,6 +9221,115 @@ def frequent_part_pairs(spark, sf_dir):
     ).orderBy("item_a", "item_b")
 
 
+@q(
+    "streaming_interval_join",
+    """SELECT v.user_id AS user_id,
+              v.event_id AS view_id, epoch_us(v.ts) AS view_us,
+              c.event_id AS click_id, epoch_us(c.ts) AS click_us
+       FROM (SELECT user_id, event_id, ts FROM events
+             WHERE event_type = 'view' AND ts IS NOT NULL) v
+       JOIN (SELECT user_id, event_id, ts FROM events
+             WHERE event_type = 'click' AND ts IS NOT NULL) c
+         ON v.user_id = c.user_id
+        AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+       ORDER BY user_id, view_id, click_id""",
+)
+def streaming_interval_join(spark, sf_dir):
+    """Watermarked stream-stream interval join (streaming/joins.py:
+    stream_interval_join — the SS ad-monetization shape): every view
+    paired to same-user clicks within 30 minutes, with events replayed
+    as a 3-chunk ts-ordered file stream (one file per micro-batch) so
+    cross-micro-batch pairing is exercised — a click in batch 3 must
+    match a view buffered since batch 1. Watermark far above the
+    replay's disorder, so the append sink is batch-complete and the
+    DuckDB batch interval join is a FULL oracle (23 pairs at sf0.01).
+    State at scale is bounded by watermark + join bound, never stream
+    length."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from xmlschemavalidator_spark.streaming.joins import stream_interval_join
+
+    tmp = tempfile.mkdtemp(prefix="ssjoin_")
+    try:
+        e = (
+            _t(spark, sf_dir, "events")
+            .where(F.col("event_type").isin("view", "click"))
+            .select("event_id", "user_id", "event_type", "ts")
+        )
+        us = F.unix_micros(F.col("ts").cast("timestamp"))
+        cuts = e.select(
+            F.percentile_approx(us, F.array(F.lit(0.34), F.lit(0.67))).alias("c")
+        ).collect()[0]["c"]
+        lo, hi = int(cuts[0]), int(cuts[1])
+        srcdir = f"{tmp}/in"
+        os.makedirs(srcdir)
+        chunks = [
+            e.where(us <= lo),
+            e.where((us > lo) & (us <= hi)),
+            e.where((us > hi) | us.isNull()),
+        ]
+        t_base = 1_600_000_000
+        for j, ch in enumerate(chunks):
+            d = f"{tmp}/chunk{j}"
+            ch.coalesce(1).write.parquet(d)
+            dst = f"{srcdir}/{j:04d}.parquet"
+            shutil.move(glob.glob(f"{d}/part-*.parquet")[0], dst)
+            os.utime(dst, (t_base + 600 * j, t_base + 600 * j))
+        sdf = (
+            spark.readStream.schema(
+                "event_id bigint, user_id bigint, event_type string, ts timestamp_ntz"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(srcdir)
+        )
+        tscol = F.col("ts").cast("timestamp")
+        views = sdf.where(F.col("event_type") == "view").select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            tscol.alias("view_ts"),
+        )
+        clicks = sdf.where(F.col("event_type") == "click").select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            tscol.alias("click_ts"),
+        )
+        out = stream_interval_join(
+            views,
+            clicks,
+            on="user_id",
+            left_ts="view_ts",
+            right_ts="click_ts",
+            max_delay_seconds=1800,
+            watermark="90 days",
+        )
+        q_ = (
+            out.writeStream.format("parquet")
+            .option("path", f"{tmp}/sink")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q_.awaitTermination(300):
+                raise TimeoutError("stream_interval_join did not finish in 300s")
+        finally:
+            q_.stop()
+        res = spark.read.parquet(f"{tmp}/sink").select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.col("view_id").cast("bigint").alias("view_id"),
+            F.unix_micros("view_ts").alias("view_us"),
+            F.col("click_id").cast("bigint").alias("click_id"),
+            F.unix_micros("click_ts").alias("click_us"),
+        )
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 
