@@ -547,3 +547,44 @@ def test_ols_trend_ungrouped_single_row(spark):
     assert len(out) == 1
     r = out[0]
     assert r["n"] == 3 and 0.4 < r["slope"] < 0.5 and r["r2"] > 0.98
+
+
+def test_mutual_information_determined_and_independent(spark):
+    import math
+
+    from xmlschemavalidator_spark.checks.stats import mutual_information
+
+    # y fully determined by x: MI == H(x) = ln(2) for a 50/50 split
+    det = spark.createDataFrame(
+        [("a", "A")] * 8 + [("b", "B")] * 8, "x string, y string"
+    )
+    r = mutual_information(det, "x", "y").collect()[0]
+    assert abs(r["mi"] - math.log(2)) < 1e-6
+    assert (r["n_rows"], r["n_x"], r["n_y"]) == (16, 2, 2)
+    # independent columns: MI ~ 0
+    ind = spark.createDataFrame(
+        [(x, y) for x in ("a", "b") for y in ("A", "B") for _ in range(4)],
+        "x string, y string",
+    )
+    assert abs(mutual_information(ind, "x", "y").collect()[0]["mi"]) < 1e-6
+
+
+def test_mutual_information_null_is_a_category(spark):
+    from xmlschemavalidator_spark.checks.stats import mutual_information
+
+    df = spark.createDataFrame(
+        [("a", None), ("a", None), ("b", "B"), ("b", "B")], "x string, y string"
+    )
+    r = mutual_information(df, "x", "y").collect()[0]
+    assert r["n_y"] == 2 and r["mi"] > 0.6  # NULL-y fully determined by x
+
+
+def test_concentration_uniform_vs_monopoly(spark):
+    from xmlschemavalidator_spark.checks.stats import concentration
+
+    uni = spark.createDataFrame([(c,) for c in "abcd" * 5], "s string")
+    r = concentration(uni, "s").collect()[0]
+    assert r["hhi"] == 0.25 and r["top_share"] == 0.25 and r["n_categories"] == 4
+    mono = spark.createDataFrame([("a",)] * 9 + [("b",)], "s string")
+    r2 = concentration(mono, "s").collect()[0]
+    assert r2["hhi"] == 0.82 and r2["top_share"] == 0.9

@@ -504,3 +504,96 @@ def ols_trend(
             F.when((vx > 0) & (vy > 0), num * num / (vx * vy)), round_to
         ).alias("r2"),
     )
+
+
+def mutual_information(
+    df: DataFrame, x: str, y: str, round_to: int = 6
+) -> DataFrame:
+    """Mutual information between two categorical columns in nats: one
+    row ``(mi, n_rows, n_x, n_y)`` — the dependence analyzer chi-squared
+    drift pairs with (chi² asks "did the joint change"; MI asks "how
+    much does knowing x tell you about y" — a lang column that fully
+    determines source, or a leaking feature, shows up as MI ≈ H(x)).
+    NULL is a category on both sides, like :func:`categorical_entropy`.
+
+    Exactness (the entropy contract): each term
+    ``(n_xy/T)·ln(n_xy·T/(n_x·n_y))`` has an exact-rational argument
+    computed from integer counts in a fixed double chain, is rounded to
+    12 dp, and sums in DECIMAL(20,12) — order-independent; the only
+    cross-engine risk is the last ulp of ln on identical doubles, kept
+    out of the hash by the pre-sum rounding. MI of independent columns
+    is ~0 (can dip epsilon-negative only through the 12-dp rounding,
+    never through float reordering).
+
+    Scale: one (x, y) groupBy (partial-aggregatable), two window sums
+    over the #categories-sized table sharing its partitioning — the
+    corpus is scanned once.
+    """
+    from pyspark.sql import Window
+
+    xc = F.coalesce(F.col(x).cast("string"), F.lit(" null")).alias("_x")
+    yc = F.coalesce(F.col(y).cast("string"), F.lit(" null")).alias("_y")
+    joint = df.select(xc, yc).groupBy("_x", "_y").agg(
+        F.count(F.lit(1)).alias("_nxy")
+    )
+    wx = Window.partitionBy("_x")
+    wy = Window.partitionBy("_y")
+    wall = Window.partitionBy()
+    marg = (
+        joint.withColumn("_nx", F.sum("_nxy").over(wx))
+        .withColumn("_ny", F.sum("_nxy").over(wy))
+        .withColumn("_t", F.sum("_nxy").over(wall))
+    )
+    term = (F.col("_nxy") / F.col("_t")) * F.log(
+        F.col("_nxy") * F.col("_t") / (F.col("_nx") * F.col("_ny"))
+    )
+    terms = marg.select(
+        "_nxy",
+        "_x",
+        "_y",
+        F.round(term, 12).cast("decimal(20,12)").alias("_term"),
+    )
+    return terms.agg(
+        F.round(F.sum("_term"), round_to).cast("double").alias("mi"),
+        F.sum("_nxy").cast("bigint").alias("n_rows"),
+        F.count_distinct("_x").cast("bigint").alias("n_x"),
+        F.count_distinct("_y").cast("bigint").alias("n_y"),
+    )
+
+
+def concentration(
+    df: DataFrame, column: str, round_to: int = 6
+) -> DataFrame:
+    """Herfindahl–Hirschman concentration of a categorical column: one
+    row ``(hhi, top_share, n_categories, n_rows)`` — the crawl-diversity
+    gate (HHI → 1 means one domain/source dominates the corpus; 1/HHI is
+    the "effective number of categories"). NULL is a category.
+
+    Exactness: ``hhi = Σ nᵢ² / T²`` — the numerator sums squared integer
+    counts in DECIMAL(38,0) (order-independent, exact), then ONE double
+    division; ``top_share = max(nᵢ)/T`` likewise. No per-term float sum
+    anywhere. Headroom: T <= 1e12 rows keeps nᵢ² <= 1e24 per term.
+
+    Scale: one partial-aggregatable count + a #categories-row fold.
+    """
+    counts = df.groupBy(
+        F.coalesce(F.col(column).cast("string"), F.lit(" null")).alias("_c")
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    agg = counts.agg(
+        F.sum(F.col("_n").cast("decimal(38,0)") * F.col("_n").cast("decimal(38,0)")).alias("_ss"),
+        F.sum("_n").cast("decimal(38,0)").alias("_t"),
+        F.max("_n").alias("_mx"),
+        F.count(F.lit(1)).cast("bigint").alias("n_categories"),
+    )
+    return agg.select(
+        F.round(
+            F.col("_ss").cast("double")
+            / (F.col("_t").cast("double") * F.col("_t").cast("double")),
+            round_to,
+        ).alias("hhi"),
+        F.round(F.col("_mx").cast("double") / F.col("_t").cast("double"), round_to).alias(
+            "top_share"
+        ),
+        "n_categories",
+        F.col("_t").cast("bigint").alias("n_rows"),
+    )

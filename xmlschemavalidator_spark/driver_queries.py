@@ -9330,6 +9330,64 @@ def streaming_interval_join(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@q(
+    "mutual_info_lang_source",
+    """WITH j AS (SELECT coalesce(CAST(lang AS VARCHAR), ' null') AS x,
+                         coalesce(CAST(source AS VARCHAR), ' null') AS y,
+                         count(*) AS nxy
+                  FROM documents GROUP BY 1, 2),
+            m AS (SELECT x, y, nxy,
+                         sum(nxy) OVER (PARTITION BY x) AS nx,
+                         sum(nxy) OVER (PARTITION BY y) AS ny,
+                         sum(nxy) OVER () AS t
+                  FROM j)
+       SELECT CAST(round(sum(CAST(round(
+                  (nxy / t) * ln(nxy * t / (nx * ny)), 12)
+                  AS DECIMAL(20,12))), 6) AS DOUBLE) AS mi,
+              CAST(sum(nxy) AS BIGINT) AS n_rows,
+              CAST(count(DISTINCT x) AS BIGINT) AS n_x,
+              CAST(count(DISTINCT y) AS BIGINT) AS n_y
+       FROM m""",
+)
+def mutual_info_lang_source(spark, sf_dir):
+    """Mutual information between documents.lang and documents.source
+    (checks/stats.py:mutual_information): the dependence analyzer —
+    "how much does lang tell you about source". Each term's argument is
+    an exact rational of integer counts; 12-dp rounding before an
+    order-independent DECIMAL sum keeps the last-ulp-of-ln risk out of
+    the hash (the entropy contract). One corpus scan."""
+    from xmlschemavalidator_spark.checks.stats import mutual_information
+
+    docs = _t(spark, sf_dir, "documents")
+    return mutual_information(docs, "lang", "source")
+
+
+@q(
+    "concentration_doc_source",
+    """WITH c AS (SELECT coalesce(CAST(source AS VARCHAR), ' null') AS cat,
+                         CAST(count(*) AS HUGEINT) AS n
+                  FROM documents GROUP BY 1)
+       SELECT CAST(round(CAST(sum(n * n) AS DOUBLE)
+                         / (CAST(sum(n) AS DOUBLE) * CAST(sum(n) AS DOUBLE)),
+                         6) AS DOUBLE) AS hhi,
+              CAST(round(CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6)
+                   AS DOUBLE) AS top_share,
+              CAST(count(*) AS BIGINT) AS n_categories,
+              CAST(sum(n) AS BIGINT) AS n_rows
+       FROM c""",
+)
+def concentration_doc_source(spark, sf_dir):
+    """Herfindahl-Hirschman concentration of documents.source
+    (checks/stats.py:concentration): the crawl-diversity gate — HHI → 1
+    means one source dominates; 1/HHI is the effective source count.
+    Σn² in DECIMAL(38,0) then ONE double division — no per-term float
+    sum to reorder. One partial-aggregatable count."""
+    from xmlschemavalidator_spark.checks.stats import concentration
+
+    docs = _t(spark, sf_dir, "documents")
+    return concentration(docs, "source")
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 
