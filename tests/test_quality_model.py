@@ -362,3 +362,144 @@ def test_ecdf_normalize_groups_and_singletons(spark):
     assert got[4] == 0
     assert (got[5], got[6]) == (0, 1000000)
     assert 7 not in got
+
+
+# --------------------------------------------------------------------------
+# Kneser–Ney
+# --------------------------------------------------------------------------
+
+def _kn_reference(train_docs, score_docs, d=0.75):
+    """Pure-Python interpolated KN mirroring the documented conventions."""
+    import math
+    from collections import Counter
+
+    bc: Counter = Counter()
+    for txt in train_docs:
+        toks = ["<s>"] + txt.lower().split()
+        for a, b in zip(toks, toks[1:]):
+            bc[(a, b)] += 1
+    n_p: Counter = Counter()
+    n1p_fwd: Counter = Counter()
+    n1p_bwd: Counter = Counter()
+    for (a, b), n in bc.items():
+        n_p[a] += n
+        n1p_fwd[a] += 1
+        n1p_bwd[b] += 1
+    n_types = len(bc)
+    v = len(n1p_bwd)
+
+    def pc(w):
+        return (n1p_bwd.get(w, 0) + 1.0) / (n_types + v + 1.0)
+
+    out = []
+    for txt in score_docs:
+        toks = ["<s>"] + txt.lower().split()
+        lp = 0
+        nb = 0
+        for a, b in zip(toks, toks[1:]):
+            if n_p.get(a, 0) > 0:
+                p = (
+                    max(bc.get((a, b), 0) * 1e6 - d * 1e6, 0.0)
+                    + d * 1e6 * n1p_fwd[a] * pc(b)
+                ) / (n_p[a] * 1e6)
+            else:
+                p = pc(b)
+            lp += math.floor(math.log(p) * 1e6)
+            nb += 1
+        out.append((nb, lp))
+    return out
+
+
+def test_kneser_ney_matches_pure_python_reference(spark):
+    from xmlschemavalidator_spark.quality_model import (
+        kn_perplexity_score,
+        train_kneser_ney,
+    )
+
+    train = [
+        "san francisco is foggy",
+        "san francisco is hilly",
+        "new york is big",
+        "the bay near san francisco",
+    ]
+    score = ["san francisco is big", "totally unseen words here"]
+    tdf = spark.createDataFrame(
+        list(enumerate(train)), "doc_id bigint, text string"
+    )
+    sdf = spark.createDataFrame(
+        list(enumerate(score)), "doc_id bigint, text string"
+    )
+    lm = train_kneser_ney(tdf, "doc_id")
+    got = {
+        r["doc"]: (r["n_bigrams"], r["logprob_micro"])
+        for r in kn_perplexity_score(sdf, lm, "doc_id").collect()
+    }
+    want = _kn_reference(train, score)
+    for i, w in enumerate(want):
+        assert got[i] == w, (i, got[i], w)
+
+
+def test_kneser_ney_continuation_beats_bound_word(spark):
+    """'francisco' is frequent but follows ONLY 'san'; 'is' follows many
+    contexts. In an unseen context KN must prefer the productive word —
+    the distinction add-alpha smoothing cannot make."""
+    from xmlschemavalidator_spark.quality_model import (
+        kn_perplexity_score,
+        train_kneser_ney,
+    )
+
+    train = [
+        "san francisco",
+        "san francisco",
+        "san francisco",
+        "cats is",
+        "dogs is",
+        "birds is",
+    ]
+    tdf = spark.createDataFrame(list(enumerate(train)), "doc_id bigint, text string")
+    lm = train_kneser_ney(tdf, "doc_id")
+    # both scored after the unseen context 'zzz' -> pure continuation prob
+    sdf = spark.createDataFrame(
+        [(0, "zzz francisco"), (1, "zzz is")], "doc_id bigint, text string"
+    )
+    got = {
+        r["doc"]: r["logprob_micro"]
+        for r in kn_perplexity_score(sdf, lm, "doc_id").collect()
+    }
+    assert got[1] > got[0]  # 'is' (3 distinct contexts) > 'francisco' (1)
+
+
+def test_kneser_ney_save_load_roundtrip(spark, tmp_path):
+    from xmlschemavalidator_spark.quality_model import (
+        KneserNeyLM,
+        kn_perplexity_score,
+        train_kneser_ney,
+    )
+
+    tdf = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b d"), (2, "c a b")], "doc_id bigint, text string"
+    )
+    lm = train_kneser_ney(tdf, "doc_id")
+    path = str(tmp_path / "knlm")
+    lm.save(path)
+    lm2 = KneserNeyLM.load(spark, path)
+    a = sorted(tuple(r) for r in kn_perplexity_score(tdf, lm, "doc_id").collect())
+    b = sorted(tuple(r) for r in kn_perplexity_score(tdf, lm2, "doc_id").collect())
+    assert a == b
+    assert (lm2.n_bigram_types, lm2.v, lm2.discount_micro) == (
+        lm.n_bigram_types,
+        lm.v,
+        lm.discount_micro,
+    )
+
+
+def test_kneser_ney_rejects_bad_discount(spark):
+    import pytest
+
+    from xmlschemavalidator_spark.quality_model import train_kneser_ney
+
+    df = spark.createDataFrame([(0, "a b")], "doc_id bigint, text string")
+    with pytest.raises(ValueError):
+        train_kneser_ney(df, "doc_id", discount_micro=0)
+    with pytest.raises(ValueError):
+        train_kneser_ney(df, "doc_id", discount_micro=1_000_000)

@@ -9388,6 +9388,83 @@ def concentration_doc_source(spark, sf_dir):
     return concentration(docs, "source")
 
 
+@q(
+    "text_kneser_ney_lm",
+    r"""WITH t AS (
+         SELECT doc_id,
+                ['<s>'] || list_transform(
+                  list_filter(regexp_split_to_array(trim(coalesce(text, '')), '\s+'),
+                              x -> x <> ''),
+                  x -> lower(x)) AS barr
+         FROM documents),
+       pairs AS (
+         SELECT doc_id,
+                unnest(barr[1:len(barr) - 1]) AS prev,
+                unnest(barr[2:len(barr)]) AS cur
+         FROM t WHERE len(barr) >= 2),
+       tr AS (SELECT prev, cur FROM pairs WHERE doc_id % 5 <> 0),
+       bc AS (SELECT prev, cur, count(*) AS n_pc FROM tr GROUP BY 1, 2),
+       ctx AS (SELECT prev, CAST(sum(n_pc) AS BIGINT) AS n_p,
+                      CAST(count(*) AS BIGINT) AS n1p_fwd
+               FROM bc GROUP BY 1),
+       wrd AS (SELECT cur, CAST(count(*) AS BIGINT) AS n1p_bwd
+               FROM bc GROUP BY 1),
+       g AS (SELECT CAST(count(*) AS BIGINT) AS n_types,
+                    CAST(count(DISTINCT cur) AS BIGINT) AS v
+             FROM bc),
+       sc AS (
+         SELECT p.doc_id,
+                CAST(floor(ln(
+                  CASE WHEN ctx.n_p IS NOT NULL AND ctx.n_p > 0 THEN
+                    (greatest(coalesce(bc.n_pc, 0)::DOUBLE * 1000000.0 - 750000.0, 0.0)
+                     + 750000.0 * ctx.n1p_fwd::DOUBLE
+                       * ((coalesce(wrd.n1p_bwd, 0) + 1.0) / (g.n_types + g.v + 1.0)))
+                    / (ctx.n_p::DOUBLE * 1000000.0)
+                  ELSE (coalesce(wrd.n1p_bwd, 0) + 1.0) / (g.n_types + g.v + 1.0)
+                  END) * 1000000) AS BIGINT) AS lp
+         FROM pairs p
+         LEFT JOIN bc USING (prev, cur)
+         LEFT JOIN ctx USING (prev)
+         LEFT JOIN wrd USING (cur)
+         CROSS JOIN g),
+       agg AS (
+         SELECT doc_id,
+                CAST(count(*) AS BIGINT) AS n_bigrams,
+                CAST(sum(lp) AS BIGINT) AS logprob_micro
+         FROM sc GROUP BY 1)
+       SELECT d.doc_id,
+              coalesce(agg.n_bigrams, 0) AS n_bigrams,
+              coalesce(agg.logprob_micro, 0) AS logprob_micro,
+              round(agg.logprob_micro / (agg.n_bigrams * 1000000.0), 6)
+                AS avg_logprob
+       FROM documents d LEFT JOIN agg USING (doc_id)""",
+)
+def text_kneser_ney_lm(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram LM (quality_model.py:
+    train_kneser_ney/kn_perplexity_score — Kneser & Ney ICASSP'95, Chen
+    & Goodman's interpolated form, D=0.75): trained in-query on the
+    doc_id % 5 <> 0 split, every doc scored by its exact integer sum of
+    floor-quantized micro-log-probs. The continuation probability
+    (distinct-context counts) is what separates 'Francisco'-style
+    bound words from productive ones — the add-α model upstream can't.
+    Training replay AND scoring hash-exact in DuckDB; the corpus
+    tokenizes once, every model table is vocab-bounded."""
+    from xmlschemavalidator_spark.quality_model import (
+        kn_perplexity_score,
+        train_kneser_ney,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = train_kneser_ney(docs.where(F.col("doc_id") % 5 != 0), "doc_id")
+    out = kn_perplexity_score(docs, lm, "doc_id")
+    return out.select(
+        F.col("doc").alias("doc_id"),
+        "n_bigrams",
+        "logprob_micro",
+        F.round("avg_logprob", 6).alias("avg_logprob"),
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 
