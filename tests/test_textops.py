@@ -1158,3 +1158,60 @@ def test_flesch_reading_ease_known_values(spark):
     assert got[2] is None and got[3] is None
     # "word": 1 word, 1 sentence, 1 vowel group
     assert got[4] == round(206.835 - 1.015 - 84.6, 4)
+
+
+def test_split_sentences_rules(spark):
+    from xmlschemavalidator_spark.textops import split_sentences
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hi there. How are you?! Fine... ok"),
+            (2, "no terminator at all"),
+            (3, "trailing dot."),
+            (4, None),
+            (5, "Dr. Smith arrived."),  # abbreviation-blind by design
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: r["s"]
+        for r in df.select("doc_id", split_sentences(F.col("text")).alias("s")).collect()
+    }
+    assert got[1] == ["Hi there.", "How are you?!", "Fine...", "ok"]
+    assert got[2] == ["no terminator at all"]
+    assert got[3] == ["trailing dot."]
+    assert got[4] == []
+    assert got[5] == ["Dr.", "Smith arrived."]
+
+
+def test_sentence_rows_order_and_duckdb_parity(spark):
+    import duckdb
+
+    from xmlschemavalidator_spark.textops import SPLIT_SENTENCES_SQL, sentence_rows
+
+    df = spark.createDataFrame(
+        [(1, "One. Two! Three? Four"), (2, "Only one"), (3, "")],
+        "doc_id bigint, text string",
+    )
+    got = sorted(tuple(r) for r in sentence_rows(df, "doc_id").collect())
+    assert got == [
+        (1, 1, "One."), (1, 2, "Two!"), (1, 3, "Three?"), (1, 4, "Four"),
+        (2, 1, "Only one"),
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)",
+        [(1, "One. Two! Three? Four"), (2, "Only one"), (3, "")],
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"""WITH s AS (SELECT doc_id AS doc,
+                   {SPLIT_SENTENCES_SQL.format(x='text')} AS sents FROM t)
+                SELECT doc, CAST(u.i AS INT), u.v FROM
+                  (SELECT doc, unnest(list_transform(sents,
+                     (x, i) -> struct_pack(i := i, v := x))) AS u FROM s)"""
+        ).fetchall()
+    )
+    assert got == want

@@ -829,3 +829,33 @@ def test_url_shape_fragment_question_mark_not_query(spark):
     ).collect()}
     assert got[1]["n_query_params"] == 0  # '?' lives in the fragment
     assert got[2]["n_query_params"] == 1  # real query before '#'
+
+
+def test_kcore_peels_tail_and_keeps_core(spark):
+    from xmlschemavalidator_spark.weburl import kcore
+
+    # triangle 1-2-3 (2-core) with a tail 3-4-5 that must peel away in
+    # two rounds (5 first, then 4)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)], "src bigint, dst bigint"
+    )
+    got = sorted(
+        (r["node"], r["core_degree"]) for r in kcore(edges, k=2).collect()
+    )
+    assert got == [(1, 2), (2, 2), (3, 2)]
+
+
+def test_kcore_empty_core_and_guards(spark):
+    import pytest
+
+    from xmlschemavalidator_spark.weburl import kcore
+
+    # pure path graph: no 2-core at all
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src bigint, dst bigint"
+    )
+    assert kcore(edges, k=2).count() == 0
+    with pytest.raises(ValueError):
+        kcore(edges, k=0)
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        kcore(edges, k=2, max_rounds=1)

@@ -9465,6 +9465,64 @@ def text_kneser_ney_lm(spark, sf_dir):
     )
 
 
+from xmlschemavalidator_spark.weburl import kcore_oracle_sql  # noqa: E402
+
+
+@q("link_kcore", kcore_oracle_sql(_EDGES_SQL, k=2, rounds=15))
+def link_kcore(spark, sf_dir):
+    """k-core extraction (weburl.py:kcore — Seidman 1983 peeling): the
+    maximal subgraph of the 60-node link graph where every node keeps
+    degree >= 2 after all lower-degree nodes peel away — the dense-web-
+    neighborhood / link-farm-survivor extractor (CC sees connectivity,
+    LPA density; the core sees RESILIENT density). 48 of 60 nodes
+    survive at sf0.01, so the peel itself carries signal. Per round one
+    degree count + two semi joins, lineage cut; early exit at the
+    monotone fixpoint is exact, so the 15-round unrolled DuckDB replay
+    (extra rounds are no-ops) hashes identically."""
+    from xmlschemavalidator_spark.weburl import kcore
+
+    return kcore(_edges(spark, sf_dir), k=2).orderBy("node")
+
+
+from xmlschemavalidator_spark.textops import SPLIT_SENTENCES_SQL  # noqa: E402
+
+
+@q(
+    "text_sentence_rows",
+    f"""WITH planted AS (
+         SELECT doc_id,
+                regexp_replace(coalesce(text, ''), ' a ', '. ', 'g') AS text
+         FROM documents),
+       s AS (SELECT doc_id AS doc,
+                    {SPLIT_SENTENCES_SQL.format(x="text")} AS sents
+             FROM planted)
+       SELECT doc, CAST(u.i AS INT) AS sent_idx, u.v AS sentence
+       FROM (SELECT doc,
+                    unnest(list_transform(sents,
+                           (x, i) -> struct_pack(i := i, v := x))) AS u
+             FROM s)
+       ORDER BY doc, sent_idx""",
+)
+def text_sentence_rows(spark, sf_dir):
+    """Rule-based sentence segmentation (textops.py:split_sentences /
+    sentence_rows — the spaCy-sentencizer default rule, engine-portable
+    via a noncharacter sentinel because RE2 has no lookbehind): the
+    synthetic corpus carries no punctuation, so terminators are planted
+    deterministically first (' a ' → '. ' on BOTH engines) — 1,315
+    sentences from 500 docs at sf0.01, terminators kept with their
+    sentence, 1-based order indices. Narrow projection + one Generate;
+    text never shuffles."""
+    from xmlschemavalidator_spark.textops import sentence_rows
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), " a ", ". ").alias(
+            "text"
+        ),
+    )
+    return sentence_rows(docs, "doc_id").orderBy("doc", "sent_idx")
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 

@@ -1678,3 +1678,52 @@ def flesch_reading_ease_sql(x: str, round_to: int = 4) -> str:
         f"- 84.6 * (CAST({syllables} AS DOUBLE) / CAST({words} AS DOUBLE)), "
         f"{round_to}) END AS DOUBLE)"
     )
+
+
+# --------------------------------------------------------------------------
+# sentence segmentation
+# --------------------------------------------------------------------------
+
+# U+FDD0 is a Unicode noncharacter — the same cannot-occur-in-text
+# sentinel device the main-content extractor uses for block edges.
+_SENT_SENTINEL = "﷐"
+# terminator run followed by whitespace = a sentence boundary. The
+# explicit whitespace class (textops._WS) — Java \s and RE2 \s disagree
+# on \x0B, the engine's documented dual-engine regex rule.
+_SENT_BOUNDARY = r"([.!?]+)[ \t\n\x0b\f\r]+"
+
+
+def split_sentences(text: Column) -> Column:
+    """Rule-based sentence segmentation into an ``array<string>``: break
+    after a ``[.!?]+`` run followed by whitespace, keep the terminators
+    with their sentence, trim and drop empties — the spaCy-sentencizer
+    default rule, engine-portable (no lookbehind: RE2 has none, so the
+    boundary is marked with a noncharacter sentinel and split).
+    Abbreviation-blind by design ("Dr. Smith" splits) — disclosed, like
+    every rule-based sentencizer; the chunking/readability consumers
+    need consistent, not perfect, boundaries. NULL → empty array."""
+    marked = F.regexp_replace(
+        F.coalesce(text, F.lit("")), _SENT_BOUNDARY, "$1" + _SENT_SENTINEL
+    )
+    return F.filter(
+        F.transform(F.split(marked, _SENT_SENTINEL), lambda s: F.trim(s)),
+        lambda s: s != F.lit(""),
+    )
+
+
+def sentence_rows(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """One row per sentence in document order: ``(doc, sent_idx,
+    sentence)`` with 1-based ``sent_idx`` — the explode form feeding
+    sentence-level dedup/quality/chunking. Narrow projection + one
+    Generate; the text shuffles nowhere."""
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(split_sentences(F.col(text_col))).alias("_i", "sentence"),
+    ).select("doc", (F.col("_i") + 1).alias("sent_idx"), "sentence")
+
+
+SPLIT_SENTENCES_SQL = (
+    "list_filter(list_transform(string_split(regexp_replace("
+    "coalesce({x}, ''), '([.!?]+)[ \\t\\n\\x0B\\f\\r]+', "
+    "'\\1' || chr(64976), 'g'), chr(64976)), s -> trim(s)), s -> s <> '')"
+)

@@ -1838,3 +1838,89 @@ def url_shape_signals_sql(x: str) -> dict[str, str]:
         ),
         "is_https": f"({u} LIKE 'https://%')",
     }
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """k-core of the undirected link graph (Seidman 1983; Batagelj &
+    Zaveršnik's peeling): the maximal subgraph where EVERY node keeps
+    degree >= k after all lower-degree nodes are removed — the standard
+    "dense web neighborhood" extractor (a link farm survives high-k
+    cores; a page with many drive-by inlinks does not, because its
+    neighbors peel away under it). Returns ``(node, core_degree)`` —
+    the node's degree WITHIN the k-core.
+
+    Peeling loop: recompute degrees over the surviving subgraph, drop
+    nodes below k, restrict edges to surviving endpoints, repeat until
+    no node drops (each round an O(1)-row count action decides
+    convergence — monotone, so early exit is exact, and extra rounds
+    are no-ops, which is what lets a fixed-unroll SQL replay match).
+    Per round: one partial-aggregatable degree count + two semi joins;
+    lineage cut per round (the PageRank discipline). Raises if
+    ``max_rounds`` is hit before the fixpoint — a silent partial peel
+    would LOOK like a denser core than exists.
+    """
+    from xmlschemavalidator_spark.session import free_local_checkpoint
+
+    if k < 1:
+        raise ValueError(f"kcore: k must be >= 1, got {k}")
+    adj = _undirected_adj(edges, src, dst).localCheckpoint()
+    # adj is (node, nbr), symmetric and distinct
+    n_prev = adj.select("node").distinct().count()
+    for _ in range(max_rounds):
+        deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("core_degree"))
+        keep = deg.where(F.col("core_degree") >= k)
+        n_now = keep.count()
+        if n_now == n_prev:
+            # materialize BEFORE freeing the adjacency blocks keep reads
+            out = keep.localCheckpoint()
+            free_local_checkpoint(adj)
+            return out
+        surv = keep.select("node")
+        nxt = (
+            adj.join(surv, "node", "left_semi")
+            .join(surv.select(F.col("node").alias("nbr")), "nbr", "left_semi")
+            .localCheckpoint()
+        )
+        free_local_checkpoint(adj)
+        adj = nxt
+        n_prev = n_now
+    free_local_checkpoint(adj)
+    raise RuntimeError(
+        f"kcore: no fixpoint within max_rounds={max_rounds}; raise the bound"
+    )
+
+
+def kcore_oracle_sql(edges_sql: str, k: int, rounds: int) -> str:
+    """DuckDB replay of :func:`kcore`, peeling unrolled ``rounds`` times
+    (MATERIALIZED — the chained-unroll inlining lesson). ``rounds`` must
+    be >= the measured convergence round count; extra rounds are no-ops
+    at the fixpoint, so any sufficiently large unroll hashes identically
+    to the early-exiting Spark loop."""
+    parts = [
+        f"WITH e0 AS MATERIALIZED ({edges_sql}),\n"
+        "a0 AS MATERIALIZED (SELECT DISTINCT u AS node, v AS nbr FROM (\n"
+        "  SELECT src AS u, dst AS v FROM e0\n"
+        "    WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst\n"
+        "  UNION ALL\n"
+        "  SELECT dst, src FROM e0\n"
+        "    WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst))"
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f",\nn{i} AS MATERIALIZED (SELECT node FROM a{i - 1}\n"
+            f"  GROUP BY node HAVING count(*) >= {int(k)}),\n"
+            f"a{i} AS MATERIALIZED (SELECT a.node, a.nbr FROM a{i - 1} a\n"
+            f"  JOIN n{i} s ON s.node = a.node\n"
+            f"  JOIN n{i} t ON t.node = a.nbr)"
+        )
+    parts.append(
+        f"\nSELECT node, CAST(count(*) AS BIGINT) AS core_degree\n"
+        f"FROM a{rounds} GROUP BY node HAVING count(*) >= {int(k)}"
+    )
+    return "".join(parts)
