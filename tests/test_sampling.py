@@ -391,3 +391,53 @@ def test_weighted_sample_excludes_nonpositive(spark):
     )
     got = [r["id"] for r in weighted_sample(df, "id", "w", k=10).collect()]
     assert got == [1]
+
+
+def test_stratified_fixed_k_exact_sizes_and_stability(spark):
+    from xmlschemavalidator_spark.sampling import stratified_fixed_k
+
+    rows = [(i, "a" if i % 3 else "b") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    out = stratified_fixed_k(df, "doc_id", "lang", k=7)
+    sizes = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert sizes == {"a": 7, "b": 7}
+    # small stratum: min(k, size)
+    tiny = spark.createDataFrame([(1, "x"), (2, "x")], "doc_id bigint, lang string")
+    assert stratified_fixed_k(tiny, "doc_id", "lang", k=7).count() == 2
+    # selection is a pure function of (salt, id): adding rows that don't
+    # enter the top-k by key leaves the original picks in place
+    picked = {r["doc_id"] for r in out.where(F.col("lang") == "a").collect()}
+    again = {
+        r["doc_id"]
+        for r in stratified_fixed_k(df, "doc_id", "lang", k=7)
+        .where(F.col("lang") == "a")
+        .collect()
+    }
+    assert picked == again
+
+
+def test_stratified_fixed_k_matches_unsalted_window(spark):
+    """The salted two-phase plan must equal the single-window spec."""
+    from pyspark.sql import Window
+
+    from xmlschemavalidator_spark.sampling import _sample_key, stratified_fixed_k
+
+    rows = [(i, f"l{i % 4}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    got = sorted(
+        (r["lang"], r["doc_id"])
+        for r in stratified_fixed_k(df, "doc_id", "lang", k=11).collect()
+    )
+    w = Window.partitionBy("lang").orderBy(
+        _sample_key(F.col("doc_id"), "fixedk").asc(), F.col("doc_id").asc()
+    )
+    want = sorted(
+        (r["lang"], r["doc_id"])
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 11)
+        .collect()
+    )
+    assert got == want

@@ -1215,3 +1215,39 @@ def test_sentence_rows_order_and_duckdb_parity(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_soundex_classic_vectors_and_duckdb_parity(spark):
+    import duckdb
+
+    from xmlschemavalidator_spark.textops import soundex_key, soundex_key_sql
+
+    vectors = [
+        ("Robert", "R163"), ("Rupert", "R163"),
+        ("Ashcraft", "A261"), ("Ashcroft", "A261"),  # h-transparency
+        ("Tymczak", "T522"), ("Pfister", "P236"),    # first-letter skip
+        ("Honeyman", "H555"), ("Jackson", "J250"),
+        ("Washington", "W252"), ("Gutierrez", "G362"),
+        ("Hmong", "H552"),  # leading-H must not eat the next consonant
+        ("White", "W300"),
+        ("o'Brien", "O165"),  # punctuation stripped
+        ("", None), ("123", None), (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, n) for i, (n, _) in enumerate(vectors)], "i bigint, name string"
+    )
+    got = {
+        r["i"]: r["s"]
+        for r in df.select("i", soundex_key(F.col("name")).alias("s")).collect()
+    }
+    for i, (name, want) in enumerate(vectors):
+        assert got[i] == want, (name, got[i], want)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE n (i BIGINT, name VARCHAR)")
+    con.executemany(
+        "INSERT INTO n VALUES (?, ?)", [(i, n) for i, (n, _) in enumerate(vectors)]
+    )
+    duck = dict(
+        con.execute(f"SELECT i, {soundex_key_sql('name')} FROM n").fetchall()
+    )
+    assert duck == got

@@ -9523,6 +9523,96 @@ def text_sentence_rows(spark, sf_dir):
     return sentence_rows(docs, "doc_id").orderBy("doc", "sent_idx")
 
 
+@q(
+    "corpus_fixed_k_per_lang",
+    """WITH keyed AS (
+         SELECT doc_id, lang,
+                md5('fixedk' || ':' || CAST(doc_id AS VARCHAR)) AS k
+         FROM documents),
+       ranked AS (
+         SELECT doc_id, lang,
+                row_number() OVER (PARTITION BY lang ORDER BY k, doc_id) AS rn
+         FROM keyed)
+       SELECT doc_id, lang FROM ranked WHERE rn <= 40
+       ORDER BY lang, doc_id""",
+)
+def corpus_fixed_k_per_lang(spark, sf_dir):
+    """Exactly-k-per-stratum deterministic sample (sampling.py:
+    stratified_fixed_k — the eval-set shape; stratified_sample keeps a
+    FRACTION, this promises a fixed-size artifact): 40 docs per lang
+    selected by the content-addressed md5(salt:id) order, so the set is
+    a pure function of (salt, id). Spark runs the two-phase SALTED
+    row_number (no mega-stratum single-task sort); the oracle's single
+    window is the semantic spec the salted plan must equal — which is
+    exactly the superset property under test."""
+    from xmlschemavalidator_spark.sampling import stratified_fixed_k
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        stratified_fixed_k(docs, "doc_id", "lang", k=40)
+        .select("doc_id", "lang")
+        .orderBy("lang", "doc_id")
+    )
+
+
+from xmlschemavalidator_spark.textops import soundex_key_sql  # noqa: E402
+
+
+@q(
+    "soundex_blocking_vocab",
+    f"""WITH v AS (SELECT DISTINCT unnest(
+                     string_split_regex(trim(coalesce(text, '')), '\\s+')) AS w
+                   FROM documents),
+        vocab AS (SELECT w FROM v WHERE w <> ''),
+        both_ AS (SELECT w FROM vocab
+                  UNION ALL
+                  SELECT substr(w, 1, 1) || substr(w, 2, 1) || substr(w, 2)
+                  FROM vocab WHERE length(w) >= 2),
+        k AS (SELECT DISTINCT w, {soundex_key_sql('w')} AS sdx FROM both_)
+        SELECT a.w AS word_a, b.w AS word_b, a.sdx AS sdx
+        FROM k a JOIN k b ON a.sdx = b.sdx AND a.w < b.w
+        ORDER BY word_a, word_b""",
+)
+def soundex_blocking_vocab(spark, sf_dir):
+    """Soundex phonetic blocking (textops.py:soundex_key — NARA rules
+    as ONE dual-engine translate/regex chain, deliberately not the
+    Spark builtin so blocking decisions are oracle-checkable): the
+    corpus vocabulary plus a deterministic planted typo per word
+    (second letter doubled — the synthetic vocab has no natural
+    homophones, measured zero), then every same-key pair — each typo
+    must land in its source word's block, which is exactly the
+    ER-blocking contract (verify-inside-blocks-only at corpus scale,
+    the SNM/Levenshtein machinery downstream). Narrow keying; the pair
+    join runs on the vocab-sized table."""
+    from xmlschemavalidator_spark.textops import soundex_key, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .where(F.col("w") != "")
+        .distinct()
+    )
+    typo = vocab.where(F.length("w") >= 2).select(
+        F.concat(
+            F.substring("w", 1, 1), F.substring("w", 2, 1), F.substring("w", 2, 1_000_000)
+        ).alias("w")
+    )
+    keyed = (
+        vocab.unionByName(typo)
+        .distinct()
+        .select("w", soundex_key(F.col("w")).alias("sdx"))
+        .distinct()
+    )
+    a = keyed.select(F.col("w").alias("word_a"), "sdx")
+    b = keyed.select(F.col("w").alias("word_b"), "sdx")
+    return (
+        a.join(b, "sdx")
+        .where(F.col("word_a") < F.col("word_b"))
+        .select("word_a", "word_b", "sdx")
+        .orderBy("word_a", "word_b")
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 

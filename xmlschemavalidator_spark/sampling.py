@@ -478,3 +478,52 @@ def weighted_sample_sql(
         f"WHERE {weight_sql} IS NOT NULL AND {weight_sql} > 0) "
         f"ORDER BY es_key DESC, {id_sql} ASC LIMIT {int(k)}"
     )
+
+
+def stratified_fixed_k(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    k: int,
+    salt: str = "fixedk",
+    n_salts: int = 32,
+) -> DataFrame:
+    """EXACTLY ``min(k, |stratum|)`` rows per stratum (the eval-set /
+    per-language-probe shape: "give me 1000 docs per lang"), where
+    :func:`stratified_sample` keeps a deterministic FRACTION — a
+    fraction can't promise a fixed-size artifact, and a fixed size
+    can't come from a threshold filter. Selection order is the
+    content-addressed md5(salt:id) key, so the sample is a pure
+    function of (salt, id): stable under partitioning, retries,
+    engines, and corpus additions that don't enter a stratum's top-k
+    by key.
+
+    Scale: the two-phase salted row_number (weburl.domain_cap's
+    discipline) — phase 1 ranks within (stratum, salt-of-id) and keeps
+    k per salt-group (a superset of the global top-k), phase 2 ranks
+    the ≤ k·n_salts survivors. No mega-stratum ever sorts in one task.
+    """
+    if k < 1:
+        raise ValueError(f"stratified_fixed_k: k must be >= 1, got {k}")
+    for c in ("_fk_key", "_fk_salt", "_fk_rn"):
+        if c in df.columns:
+            raise ValueError(
+                f"stratified_fixed_k: column '{c}' collides with an "
+                "internal name; rename it first"
+            )
+    keyed = df.withColumn("_fk_key", _sample_key(F.col(id_col), salt)).withColumn(
+        "_fk_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts))
+    )
+    order = [F.col("_fk_key").asc(), F.col(id_col).asc()]
+    w1 = Window.partitionBy(strata_col, "_fk_salt").orderBy(*order)
+    phase1 = (
+        keyed.withColumn("_fk_rn", F.row_number().over(w1))
+        .where(F.col("_fk_rn") <= k)
+        .drop("_fk_rn")
+    )
+    w2 = Window.partitionBy(strata_col).orderBy(*order)
+    return (
+        phase1.withColumn("_fk_rn", F.row_number().over(w2))
+        .where(F.col("_fk_rn") <= k)
+        .drop("_fk_rn", "_fk_key", "_fk_salt")
+    )

@@ -1727,3 +1727,66 @@ SPLIT_SENTENCES_SQL = (
     "coalesce({x}, ''), '([.!?]+)[ \\t\\n\\x0B\\f\\r]+', "
     "'\\1' || chr(64976), 'g'), chr(64976)), s -> trim(s)), s -> s <> '')"
 )
+
+
+# --------------------------------------------------------------------------
+# Soundex phonetic key (ER blocking)
+# --------------------------------------------------------------------------
+
+# NARA American Soundex letter codes; H/W get the transparent marker 7
+# (same-code letters separated by h/w collapse), vowels+Y get 0 (they
+# SEPARATE same-code runs, then vanish).
+_SOUNDEX_FROM = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_SOUNDEX_TO = "01230127022455012623017202"
+
+
+def soundex_key(col: Column) -> Column:
+    """American Soundex (NARA rules) as a dual-engine string pipeline —
+    the classic phonetic BLOCKING key for entity resolution: names that
+    sound alike ('Robert'/'Rupert' → R163) land in one block, so the
+    expensive pair verification (Levenshtein, the SNM machinery) runs
+    inside blocks only. Deliberately NOT Spark's built-in ``soundex``:
+    the same translate/regex chain renders in DuckDB, so blocking
+    decisions are oracle-checkable (builtins differ across engines in
+    the H/W and vowel edge cases).
+
+    Steps (each a narrow JVM op): strip non-letters of the uppercased
+    string; code ALL letters; delete the transparent 7s (h/w); collapse
+    each digit run (six literal replaces — RE2 has no backreferences);
+    drop the first code (the kept letter's own, AFTER collapsing, so
+    'Pfister' → P236 not P1--); delete the 0 separators; pad/truncate
+    to letter+3. Empty/no-letter input → NULL (no phonetic claim).
+    """
+    u = F.regexp_replace(F.upper(F.coalesce(col, F.lit(""))), "[^A-Z]", "")
+    d0 = F.translate(u, _SOUNDEX_FROM, _SOUNDEX_TO)
+    d = F.regexp_replace(d0, "7", "")
+    for c in "123456":
+        d = F.regexp_replace(d, c + c + "+", c)
+    # drop the kept letter's own (collapsed) code — unless the first
+    # letter IS h/w: its 7 was already deleted, and dropping here would
+    # eat the next real consonant ('Hmong' must be H552, not H520)
+    tail = F.when(
+        F.substring(d0, 1, 1) == F.lit("7"), d
+    ).otherwise(F.substring(d, 2, 1_000_000))
+    rest = F.regexp_replace(tail, "0", "")
+    key = F.concat(
+        F.substring(u, 1, 1), F.substring(F.concat(rest, F.lit("000")), 1, 3)
+    )
+    return F.when(F.length(u) > 0, key)
+
+
+def soundex_key_sql(x: str) -> str:
+    """DuckDB rendering of the SAME soundex pipeline (oracle side)."""
+    u = f"regexp_replace(upper(coalesce({x}, '')), '[^A-Z]', '', 'g')"
+    d0 = f"translate({u}, '{_SOUNDEX_FROM}', '{_SOUNDEX_TO}')"
+    d = f"regexp_replace({d0}, '7', '', 'g')"
+    for c in "123456":
+        d = f"regexp_replace({d}, '{c}{c}+', '{c}', 'g')"
+    tail = (
+        f"CASE WHEN substr({d0}, 1, 1) = '7' THEN {d} ELSE substr({d}, 2) END"
+    )
+    rest = f"regexp_replace({tail}, '0', '', 'g')"
+    return (
+        f"CASE WHEN length({u}) > 0 THEN "
+        f"substr({u}, 1, 1) || substr({rest} || '000', 1, 3) END"
+    )
