@@ -513,3 +513,70 @@ def test_ecdf_single_exchange(spark):
     docs = _docs(spark).select("doc_id", "lang", "n_chars")
     plan = fmt(ecdf_normalize(docs, "n_chars", "doc_id", group_cols=("lang",)))
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_cusum_single_exchange_two_windows(spark):
+    """CUSUM's two expanding-frame window families ride ONE (key, order)
+    Exchange — the prefix sums and running extrema never re-shuffle."""
+    import re
+
+    from xmlschemavalidator_spark.temporal import cusum_changepoints
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("CAST(unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000 AS BIGINT)").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    p = fmt(
+        cusum_changepoints(daily, "event_type", "day", "n", target=5, slack=0, threshold=3)
+    )
+    assert n_scans(p) == 1
+    # one Exchange for the rollup groupBy + one for the window partitioning
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 2
+
+
+def test_ols_trend_single_scan_partial_agg(spark):
+    """OLS moments are ONE partial+final aggregate: exactly one Exchange
+    (the group key), one scan, and a partial_ stage below it."""
+    import re
+
+    from xmlschemavalidator_spark.checks.stats import ols_trend
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    p = fmt(ols_trend(ev, "user_id", "value", group_cols=("event_type",)))
+    assert n_scans(p) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "partial_" in p
+
+
+def test_winnowing_fingerprints_narrow_until_explode(spark):
+    """Winnowing is a per-doc projection: one scan, NO Exchange at all —
+    the hash array, window aggregates and explode never shuffle."""
+    import re
+
+    from xmlschemavalidator_spark.dedup import winnowing_fingerprints
+
+    p = fmt(winnowing_fingerprints(_docs(spark), "doc_id", k=5, window=4))
+    assert n_scans(p) == 1
+    # _spread's round-robin repartition is the only allowed Exchange
+    exchanges = re.findall(r"\(\d+\) Exchange ([a-zA-Z]+)", p)
+    assert all(e == "RoundRobinPartitioning" for e in exchanges), exchanges
+
+
+def test_mutual_information_one_scan(spark):
+    """MI = one corpus scan; both marginal window sums share the
+    category-table output of the single joint aggregate."""
+    from xmlschemavalidator_spark.checks.stats import mutual_information
+
+    p = fmt(mutual_information(_docs(spark), "lang", "source"))
+    assert n_scans(p) == 1
+
+
+def test_stratified_fixed_k_salted_window_bounds_sort(spark):
+    """Phase-1 window partitions on (stratum, salt): no single task ever
+    sorts a whole mega-stratum."""
+    from xmlschemavalidator_spark.sampling import stratified_fixed_k
+
+    p = fmt(stratified_fixed_k(_docs(spark), "doc_id", "lang", k=5))
+    assert "_fk_salt" in p  # the salted phase survived optimization
+    assert n_scans(p) == 1
