@@ -72,7 +72,9 @@ def headline_queries():
         temporal_asof_join,
         temporal_sessionize,
         text_bm25_topk,
+        text_kneser_ney_lm,
         url_canonicalize,
+        winnowing_candidate_pairs_docs,
         window_daily_events,
         wordpiece_tokenize,
     )
@@ -181,6 +183,13 @@ def headline_queries():
         # + anti-joins, the exact-distance counterpart of HyperBall)
         "cdc_apply": lambda s: _bench_cdc(s),
         "link_bfs": lambda s: _bench_bfs(s),
+        # round-4 session-7: interpolated Kneser-Ney (in-query train +
+        # full-corpus scoring — the smoothing upgrade's honest cost next
+        # to the add-alpha model) and winnowing candidate pairs (MOSS
+        # fingerprints at the measured-selective k=20/w=12 + capped
+        # inverted-index pairing — the guaranteed-recall dedup path)
+        "kneser_ney": lambda s: text_kneser_ney_lm(s, SF_DIR),
+        "winnowing_pairs": lambda s: winnowing_candidate_pairs_docs(s, SF_DIR),
     }
 
 
