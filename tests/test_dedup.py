@@ -1077,3 +1077,64 @@ def test_containment_capped_universe_excludes_hot_only_docs(spark):
         containment_pairs(df, "doc_id", shingle_n=3, threshold=0.5, max_posting=5).count()
         == 0
     )
+
+
+# --------------------------------------------------------------------------
+# q-gram edit-distance join
+# --------------------------------------------------------------------------
+
+def _lev(a: str, b: str) -> int:
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+    return dp[len(b)]
+
+
+def test_edit_distance_pairs_matches_bruteforce(spark):
+    from xmlschemavalidator_spark.dedup import edit_distance_pairs
+
+    words = [
+        "spark", "spork", "sparks", "shark", "quartz", "quarts",
+        "window", "windom", "widow", "table", "tables", "cable",
+        "catalyst", "katalyst", "stream", "streams", "different",
+    ]
+    df = spark.createDataFrame(list(enumerate(words)), "id bigint, s string")
+    got = sorted(
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in edit_distance_pairs(df, "id", "s", max_distance=1, q=2).collect()
+    )
+    want = sorted(
+        (i, j, _lev(words[i], words[j]))
+        for i in range(len(words))
+        for j in range(i + 1, len(words))
+        if _lev(words[i], words[j]) <= 1
+        and len(words[i]) >= 4 and len(words[j]) >= 4
+    )
+    assert got == want and len(want) >= 5
+
+
+def test_edit_distance_pairs_short_strings_refused_not_lossy(spark):
+    from xmlschemavalidator_spark.dedup import edit_distance_pairs
+
+    # len < q*(d+1) = 4: excluded entirely (disclosed), so 'ab'/'ac'
+    # produce NO pair rather than a silently-missed one
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, "ac"), (3, "abcdef"), (4, "abcdxf")], "id bigint, s string"
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in edit_distance_pairs(df, "id", "s", max_distance=1, q=2).collect()
+    )
+    assert got == [(3, 4)]
+
+
+def test_edit_distance_pairs_guards(spark):
+    import pytest
+
+    from xmlschemavalidator_spark.dedup import edit_distance_pairs
+
+    df = spark.createDataFrame([(1, "abcd")], "id bigint, s string")
+    with pytest.raises(ValueError):
+        edit_distance_pairs(df, "id", "s", max_distance=0)

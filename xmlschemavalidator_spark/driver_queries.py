@@ -9613,6 +9613,70 @@ def soundex_blocking_vocab(spark, sf_dir):
     )
 
 
+@q(
+    "edit_distance_vocab_pairs",
+    r"""WITH v AS (SELECT DISTINCT unnest(
+                     string_split_regex(trim(coalesce(text, '')), '\s+')) AS w
+                   FROM documents),
+        vocab AS (SELECT w FROM v WHERE w <> ''),
+        strs AS (SELECT DISTINCT s FROM (
+                   SELECT w AS s FROM vocab
+                   UNION ALL
+                   SELECT substr(w, 1, 1) || substr(w, 2, 1) || substr(w, 2)
+                   FROM vocab WHERE length(w) >= 2)),
+        base AS (SELECT s, length(s) AS len FROM strs WHERE length(s) >= 4),
+        grams AS (SELECT s, len,
+                         unnest(list_transform(range(1, len),
+                                i -> substr(s, CAST(i AS INT), 2))) AS gram
+                  FROM base),
+        counts AS (SELECT s, len, gram, count(*) AS cnt
+                   FROM grams GROUP BY 1, 2, 3),
+        hot AS (SELECT gram FROM (SELECT gram, count(*) AS pl
+                                  FROM counts GROUP BY 1) WHERE pl > 1000),
+        cold AS (SELECT * FROM counts
+                 WHERE gram NOT IN (SELECT gram FROM hot)),
+        cand AS (SELECT a.s AS id_a, b.s AS id_b, a.len AS la, b.len AS lb,
+                        sum(least(a.cnt, b.cnt)) AS common
+                 FROM cold a JOIN cold b
+                   ON a.gram = b.gram AND a.s < b.s
+                  AND abs(a.len - b.len) <= 1
+                 GROUP BY 1, 2, 3, 4
+                 HAVING sum(least(a.cnt, b.cnt)) >= greatest(a.len, b.len) - 3)
+        SELECT id_a, id_b, CAST(levenshtein(id_a, id_b) AS INT) AS distance
+        FROM cand WHERE levenshtein(id_a, id_b) <= 1
+        ORDER BY id_a, id_b""",
+)
+def edit_distance_vocab_pairs(spark, sf_dir):
+    """q-gram count-filtered edit-distance join (dedup.py:
+    edit_distance_pairs — Gravano et al. VLDB'01): the corpus
+    vocabulary plus one planted distance-1 typo per word (second letter
+    doubled, the soundex query's device), joined at Levenshtein <= 1
+    with q=2. One edit destroys at most q grams, so the bag-count
+    filter is PROVABLY lossless for strings >= q(d+1) chars (shorter
+    are refused, disclosed); survivors verify with the exact DP both
+    engines share. The count filter runs before any string travels."""
+    from xmlschemavalidator_spark.dedup import edit_distance_pairs
+    from xmlschemavalidator_spark.textops import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .where(F.col("w") != "")
+        .distinct()
+    )
+    typo = vocab.where(F.length("w") >= 2).select(
+        F.concat(
+            F.substring("w", 1, 1),
+            F.substring("w", 2, 1),
+            F.substring("w", 2, 1_000_000),
+        ).alias("w")
+    )
+    strs = vocab.unionByName(typo).distinct().select(F.col("w").alias("s"))
+    return edit_distance_pairs(
+        strs, "s", "s", max_distance=1, q=2, max_posting=1000
+    ).orderBy("id_a", "id_b")
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 
