@@ -74,3 +74,45 @@ def test_empty_batch_nan_never_alerts(spark, tmp_path):
     assert len(rep) == 1
     import math
     assert math.isnan(rep[0]["drift"]) and rep[0]["alert"] is False
+
+
+def test_psi_drift_identical_zero_and_shift_positive(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from xmlschemavalidator_spark.checks.drift import categorical_histogram, psi_drift
+
+    a = spark.createDataFrame([("x",)] * 50 + [("y",)] * 50, "c string")
+    same = psi_drift(
+        categorical_histogram(a, "c"), categorical_histogram(a, "c")
+    ).collect()[0]
+    assert same["psi"] == 0.0 and same["n_new_categories"] == 0
+    # shifted: x goes 50% -> 90%
+    b = spark.createDataFrame([("x",)] * 90 + [("y",)] * 10, "c string")
+    drift = psi_drift(
+        categorical_histogram(b, "c"), categorical_histogram(a, "c")
+    ).collect()[0]
+    # reference add-one PSI
+    p = [(90 + 1) / 102, (10 + 1) / 102]
+    q = [(50 + 1) / 102, (50 + 1) / 102]
+    want = sum(round((pi - qi) * math.log(pi / qi), 12) for pi, qi in zip(p, q))
+    assert abs(drift["psi"] - round(want, 6)) < 1e-9
+    assert drift["psi"] > 0.25  # the "act" threshold fires on a 40-point shift
+
+
+def test_psi_drift_new_gone_categories_and_empty_side(spark):
+    from xmlschemavalidator_spark.checks.drift import categorical_histogram, psi_drift
+
+    cur = spark.createDataFrame([("x",)] * 5 + [("z",)] * 5, "c string")
+    base = spark.createDataFrame([("x",)] * 5 + [("y",)] * 5, "c string")
+    r = psi_drift(
+        categorical_histogram(cur, "c"), categorical_histogram(base, "c")
+    ).collect()[0]
+    assert r["n_new_categories"] == 1 and r["n_gone_categories"] == 1
+    assert r["psi"] is not None and r["psi"] > 0
+    empty = spark.createDataFrame([], "c string")
+    r2 = psi_drift(
+        categorical_histogram(cur, "c"), categorical_histogram(empty, "c")
+    ).collect()[0]
+    assert r2["psi"] is None

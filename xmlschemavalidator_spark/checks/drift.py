@@ -272,3 +272,63 @@ def equiheight_histogram(
             F.round(F.max("_v"), round_to).alias("hi"),
         )
     )
+
+
+def psi_drift(
+    current_hist: DataFrame, baseline_hist: DataFrame, round_to: int = 6
+) -> DataFrame:
+    """Population Stability Index between two count histograms — the
+    model-monitoring industry standard next to χ² (:func:`chi_squared_
+    drift`) and KS (:func:`ks_drift`): ``PSI = Σ (p_i − q_i)·ln(p_i/q_i)``
+    with the usual reading 0.1 = drifting, 0.25 = act. PSI weights by
+    the LOG ratio, so a category going 0.1% → 1% screams where χ²'s
+    squared-share term barely whispers — the early-warning shape.
+
+    Zero-count convention: add-one (Laplace) on BOTH sides over the
+    union category set, ``p_i = (c_i + 1)/(C + K)`` — PSI is then always
+    finite and the convention is symmetric and deterministic (the
+    common ε hack makes the statistic depend on an arbitrary ε; add-one
+    ties it to the data size). Disclosed in the output: raw
+    ``n_new_categories``/``n_gone_categories`` sit beside the statistic.
+
+    Exactness (the entropy contract): each term's argument is an exact
+    rational of integer counts in a fixed double chain; terms round to
+    12 dp then sum in DECIMAL(20,12) — order-independent; only ln's
+    last ulp on identical doubles crosses engines, kept out of the hash
+    by the pre-sum rounding. NULL PSI when either side is empty.
+
+    Scale: both inputs are pre-aggregated histograms; everything here
+    runs on #categories rows.
+    """
+    cur = current_hist.select("category", F.col("n").alias("n_cur"))
+    base = baseline_hist.select("category", F.col("n").alias("n_base"))
+    joined = cur.join(base, on="category", how="full_outer").fillna(
+        0, subset=["n_cur", "n_base"]
+    )
+    w = Window.partitionBy()
+    t_cur = F.sum("n_cur").over(w)
+    t_base = F.sum("n_base").over(w)
+    k = F.count(F.lit(1)).over(w)
+    sh = joined.select(
+        "n_cur",
+        "n_base",
+        t_cur.alias("_tc"),
+        t_base.alias("_tb"),
+        k.alias("_k"),
+    )
+    p = (F.col("n_cur") + 1).cast("double") / (F.col("_tc") + F.col("_k")).cast("double")
+    q = (F.col("n_base") + 1).cast("double") / (F.col("_tb") + F.col("_k")).cast("double")
+    term = F.round((p - q) * F.log(p / q), 12).cast("decimal(20,12)")
+    return sh.agg(
+        F.when(
+            (F.max("_tc") > 0) & (F.max("_tb") > 0),
+            F.round(F.sum(term), round_to).cast("double"),
+        ).alias("psi"),
+        F.count(F.lit(1)).cast("bigint").alias("n_categories"),
+        F.sum(F.when(F.col("n_base") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_new_categories"),
+        F.sum(F.when(F.col("n_cur") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_gone_categories"),
+    )

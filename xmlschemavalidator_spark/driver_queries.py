@@ -9677,6 +9677,53 @@ def edit_distance_vocab_pairs(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+@q(
+    "psi_drift_source",
+    """WITH cur AS (SELECT source AS category,
+                           CAST(count(*) AS BIGINT) AS n_cur
+                    FROM documents
+                    WHERE lang = 'en' AND source IS NOT NULL GROUP BY 1),
+            base AS (SELECT source AS category,
+                            CAST(count(*) AS BIGINT) AS n_base
+                     FROM documents
+                     WHERE lang <> 'en' AND source IS NOT NULL GROUP BY 1),
+            j AS (SELECT coalesce(cur.category, base.category) AS category,
+                         coalesce(n_cur, 0) AS n_cur,
+                         coalesce(n_base, 0) AS n_base
+                  FROM cur FULL OUTER JOIN base USING (category)),
+            sh AS (SELECT n_cur, n_base,
+                          sum(n_cur) OVER () AS tc,
+                          sum(n_base) OVER () AS tb,
+                          count(*) OVER () AS k
+                   FROM j)
+       SELECT CASE WHEN max(tc) > 0 AND max(tb) > 0 THEN
+                CAST(round(sum(CAST(round(
+                  ((n_cur + 1.0)/(tc + k) - (n_base + 1.0)/(tb + k))
+                  * ln(((n_cur + 1.0)/(tc + k)) / ((n_base + 1.0)/(tb + k))),
+                  12) AS DECIMAL(20,12))), 6) AS DOUBLE) END AS psi,
+              CAST(count(*) AS BIGINT) AS n_categories,
+              CAST(sum(CASE WHEN n_base = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_new_categories,
+              CAST(sum(CASE WHEN n_cur = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_gone_categories
+       FROM sh""",
+)
+def psi_drift_source(spark, sf_dir):
+    """Population Stability Index (checks/drift.py:psi_drift — the
+    model-monitoring standard beside chi² and KS): source distribution
+    of en docs vs every other lang. Add-one on both sides over the
+    union category set keeps PSI finite without an arbitrary epsilon;
+    exact-rational term arguments, 12-dp rounding before the
+    order-independent DECIMAL sum (the entropy contract). Runs on
+    #categories rows."""
+    from xmlschemavalidator_spark.checks.drift import categorical_histogram, psi_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    cur = categorical_histogram(docs.where(F.col("lang") == "en"), "source")
+    base = categorical_histogram(docs.where(F.col("lang") != "en"), "source")
+    return psi_drift(cur, base)
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 
