@@ -1251,3 +1251,36 @@ def test_soundex_classic_vectors_and_duckdb_parity(spark):
         con.execute(f"SELECT i, {soundex_key_sql('name')} FROM n").fetchall()
     )
     assert duck == got
+
+
+def test_tfidf_cosine_pairs_near_dup_and_hot_term_cap(spark):
+    from xmlschemavalidator_spark.textops import tfidf_cosine_pairs
+
+    docs = [
+        (1, "spark shuffle partition join agg window"),
+        (2, "spark shuffle partition join agg window extra"),  # near-dup of 1
+        (3, "completely other topic entirely here now"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in tfidf_cosine_pairs(df, "doc_id", threshold=0.8).collect()
+    }
+    assert set(got) == {(1, 2)} and got[(1, 2)] > 0.85
+    # cap below the shared-term df: docs 1/2 share ONLY hot terms -> no pair
+    boiler = [(i, f"unique{i} BOILER PLATE SHARED") for i in range(20)]
+    bdf = spark.createDataFrame(boiler, "doc_id bigint, text string")
+    assert (
+        tfidf_cosine_pairs(bdf, "doc_id", threshold=0.1, max_posting=5).count() == 0
+    )
+
+
+def test_tfidf_cosine_identical_docs_cosine_one(spark):
+    from xmlschemavalidator_spark.textops import tfidf_cosine_pairs
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma")],
+        "doc_id bigint, text string",
+    )
+    r = tfidf_cosine_pairs(df, "doc_id", threshold=0.5).collect()
+    assert len(r) == 1 and r[0]["cosine"] == 1.0

@@ -9724,6 +9724,54 @@ def psi_drift_source(spark, sf_dir):
     return psi_drift(cur, base)
 
 
+@q(
+    "tfidf_cosine_pairs_docs",
+    r"""WITH toks AS (
+         SELECT doc_id AS doc, t AS term FROM (
+           SELECT doc_id,
+                  unnest(string_split_regex(trim(coalesce(text, '')), '\s+')) AS t
+           FROM documents) WHERE length(t) > 0),
+       tf AS (SELECT doc, term, CAST(count(*) AS BIGINT) AS tf
+              FROM toks GROUP BY 1, 2),
+       dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       n AS (SELECT count(*) AS n FROM documents),
+       w AS (SELECT doc, term,
+                    CAST(tf * CAST(floor((ln((n.n + 1.0) / (df + 1.0)) + 1.0)
+                                         * 1000000.0) AS BIGINT) AS HUGEINT) AS w,
+                    df
+             FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+       cold AS (SELECT doc, term, w FROM w WHERE df <= 1000),
+       norms AS (SELECT doc, sum(w * w) AS ss FROM cold GROUP BY 1),
+       dots AS (SELECT a.doc AS id_a, b.doc AS id_b, sum(a.w * b.w) AS dot
+                FROM cold a JOIN cold b
+                  ON a.term = b.term AND a.doc < b.doc GROUP BY 1, 2)
+       SELECT id_a, id_b,
+              round(CAST(dot AS DOUBLE)
+                    / (sqrt(CAST(na.ss AS DOUBLE)) * sqrt(CAST(nb.ss AS DOUBLE))),
+                    5) AS cosine
+       FROM dots JOIN norms na ON na.doc = id_a JOIN norms nb ON nb.doc = id_b
+       WHERE round(CAST(dot AS DOUBLE)
+                   / (sqrt(CAST(na.ss AS DOUBLE)) * sqrt(CAST(nb.ss AS DOUBLE))),
+                   5) >= 0.9
+       ORDER BY id_a, id_b""",
+)
+def tfidf_cosine_pairs_docs(spark, sf_dir):
+    """Sparse TF-IDF cosine similarity join (textops.py:
+    tfidf_cosine_pairs — Bayardo et al. WWW'07's all-pairs shape, the
+    lexical counterpart of embedding-cosine near-dup): pairs at cosine
+    >= 0.9 (39 of ~125k possible at sf0.01 — the planted near-dups).
+    Integer-micro tf·idf weights make the dot an EXACT DECIMAL sum;
+    cosine is one double chain through correctly-rounded sqrt; the df
+    cap excludes hot boilerplate terms from dot AND norms, so the
+    statistic stays exact over the capped universe."""
+    from xmlschemavalidator_spark.textops import tfidf_cosine_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_cosine_pairs(
+        docs, "doc_id", threshold=0.9, max_posting=1000
+    ).orderBy("id_a", "id_b")
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 

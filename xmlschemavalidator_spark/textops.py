@@ -1790,3 +1790,77 @@ def soundex_key_sql(x: str) -> str:
         f"CASE WHEN length({u}) > 0 THEN "
         f"substr({u}, 1, 1) || substr({rest} || '000', 1, 3) END"
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    n_docs: int | None = None,
+    max_posting: int = 1000,
+    round_to: int = 5,
+) -> DataFrame:
+    """Sparse TF-IDF cosine document-similarity join: ``(id_a, id_b,
+    cosine)`` for pairs above ``threshold`` — the lexical-weighted
+    counterpart of the dense embedding-cosine path (near-dup by
+    VOCABULARY emphasis, no embedding model needed; Bayardo et al.
+    WWW'07's all-pairs similarity shape). Same integer-micro weights as
+    :func:`tfidf_top_terms` (``tf · idf_micro``), so the dot product is
+    an EXACT DECIMAL(38,0) sum; cosine is then one double chain
+    ``dot / (sqrt(ssa)·sqrt(ssb))`` over exact integers — IEEE sqrt is
+    correctly rounded, the Pearson contract.
+
+    Candidates come from the term inverted index with the posting cap
+    (hot boilerplate terms above ``max_posting`` are excluded from dot
+    AND norms — cosine stays exact over the capped term universe, the
+    jaccard_pairs lesson; audit the exclusions like every capped index
+    here). A pair sharing only hot terms never meets — disclosed.
+
+    Scale shape: weights collapse map-side; the pair join runs inside
+    capped posting lists; norms ride the same weight table. Full text
+    never travels past tokenization.
+    """
+    from pyspark.sql import Window as _W  # noqa: F401  (parity with tfidf imports)
+
+    n = int(df.count()) if n_docs is None else int(n_docs)
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    ).where(F.length("term") > 0)
+    tf = toks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    idf_micro = F.floor(
+        (F.log((F.lit(float(n + 1))) / (F.col("_df") + F.lit(1.0))) + F.lit(1.0))
+        * F.lit(1_000_000.0)
+    ).cast("bigint")
+    weights = tf.join(
+        dfreq.select("term", F.col("_df"), idf_micro.alias("_idf")), "term"
+    ).select(
+        "doc",
+        "term",
+        (F.col("tf") * F.col("_idf")).cast("decimal(38,0)").alias("w"),
+        "_df",
+    )
+    cold = weights.where(F.col("_df") <= max_posting).drop("_df")
+    norms = cold.groupBy("doc").agg(F.sum(F.expr("w * w")).alias("ss"))
+    a = cold.select("term", F.col("doc").alias("id_a"), F.col("w").alias("wa"))
+    b = cold.select("term", F.col("doc").alias("id_b"), F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "term")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.expr("wa * wb")).alias("dot"))
+    )
+    na = norms.select(F.col("doc").alias("id_a"), F.col("ss").alias("ssa"))
+    nb = norms.select(F.col("doc").alias("id_b"), F.col("ss").alias("ssb"))
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("ssa").cast("double")) * F.sqrt(F.col("ssb").cast("double"))
+    )
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("cosine", F.round(cos, round_to))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
