@@ -588,3 +588,32 @@ def test_concentration_uniform_vs_monopoly(spark):
     mono = spark.createDataFrame([("a",)] * 9 + [("b",)], "s string")
     r2 = concentration(mono, "s").collect()[0]
     assert r2["hhi"] == 0.82 and r2["top_share"] == 0.9
+
+
+def test_fd_g3_exact_and_violated(spark):
+    from xmlschemavalidator_spark.checks.fd import fd_g3
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 2), ("b", 3), ("b", 3), ("c", None)],
+        "k string, v int",
+    )
+    # k->v: keep max per key: a:2, b:2, c:1 -> keep 5 of 6 -> g3 = 1/6
+    row = fd_g3(df, ["k"], "v").collect()[0]
+    assert (row["fd"], row["n_rows"], row["n_keep"]) == ("k->v", 6, 5)
+    assert row["g3"] == round(1 / 6, 6)
+
+    # exact FD: v -> v trivially holds, g3 = 0 (NULL counts as a value)
+    row = fd_g3(df, ["v"], "v", name="trivial").collect()[0]
+    assert (row["fd"], row["g3"]) == ("trivial", 0.0)
+
+
+def test_fd_g3_null_lhs_groups_normally(spark):
+    from xmlschemavalidator_spark.checks.fd import fd_g3
+
+    df = spark.createDataFrame(
+        [(None, "x"), (None, "x"), (None, "y"), ("k", "z")],
+        "k string, v string",
+    )
+    row = fd_g3(df, ["k"], "v").collect()[0]
+    # NULL key keeps 2 of 3; 'k' keeps 1 -> keep 3/4 -> g3 = 0.25
+    assert (row["n_rows"], row["n_keep"], row["g3"]) == (4, 3, 0.25)

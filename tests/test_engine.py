@@ -290,3 +290,101 @@ def test_extend_preserves_base_local_shadow(spark):
     df = spark.createDataFrame([("ab",), ("abcd",)], "v string")
     got = [r[0] for r in df.select(extended.compile()["s"]).collect()]
     assert got == [False, True]  # the strict local shadow survived
+
+
+def test_migration_delta_flips_and_culprits(spark):
+    from xmlschemavalidator_spark.engine import migration_delta
+
+    old = _ruleset()
+    # v2: tighten chars max 42->40, drop lang 'de', add a new parity rule
+    from xmlschemavalidator_spark.compiler import ExprRule
+
+    new = RuleSet(
+        rules=[
+            FieldRule(
+                "lang_enum",
+                Restriction(facets=(Enumeration("en"), Enumeration("sv"))),
+                column="lang",
+            ),
+            FieldRule(
+                "chars_range",
+                Restriction(base="integer", facets=(MinInclusive(36), MaxInclusive(40))),
+                column="n_chars",
+            ),
+            FieldRule("url_required", RequiredAttr(), column="url"),
+            FieldRule("even_chars", ExprRule("n_chars % 2 = 0"), observed="n_chars"),
+        ]
+    )
+    got = {
+        r["url"]: (r["change"], r["newly_failed"])
+        for r in migration_delta(_docs(spark), old, new, key="url").collect()
+    }
+    # u1 passed v1; v2 keeps it (en, 40, even) -> no flip
+    # u2 passed v1; v2 rejects: lang de dropped AND chars 36 even ok -> tightened
+    assert got == {"u2": ("tightened", "lang_enum")}
+
+
+def test_migration_delta_loosened_rows(spark):
+    from xmlschemavalidator_spark.engine import migration_delta
+
+    old = _ruleset()
+    # v2 widens the enum so u3 (xx) now passes -> loosened, empty culprit list
+    new = RuleSet(
+        rules=[
+            FieldRule(
+                "lang_enum",
+                Restriction(
+                    facets=(Enumeration("en"), Enumeration("de"), Enumeration("sv"), Enumeration("xx"))
+                ),
+                column="lang",
+            ),
+            FieldRule(
+                "chars_range",
+                Restriction(base="integer", facets=(MinInclusive(36), MaxInclusive(42))),
+                column="n_chars",
+            ),
+            FieldRule("url_required", RequiredAttr(), column="url"),
+        ]
+    )
+    got = {
+        r["url"]: (r["change"], r["newly_failed"])
+        for r in migration_delta(_docs(spark), old, new, key="url").collect()
+    }
+    assert got == {"u3": ("loosened", "")}
+
+
+def test_migration_delta_plan_is_narrow(spark):
+    """Both rule versions evaluate in one scan: no Exchange in the plan."""
+    from xmlschemavalidator_spark.engine import migration_delta
+
+    plan = migration_delta(_docs(spark), _ruleset(), _ruleset(), key="url")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_expectation_summary_mostly_thresholds(spark):
+    from xmlschemavalidator_spark.engine import expectation_summary
+
+    # lang_enum passes 3/6 = 0.5; chars_range 4/6 ~ 0.6667; url_required 6/6
+    res = expectation_summary(
+        _docs(spark),
+        _ruleset(),
+        mostly={"lang_enum": 0.5, "chars_range": 0.9},
+    )
+    got = {r["rule_id"]: (r["n_pass"], r["pass_rate"], r["mostly"], r["ok"]) for r in res.collect()}
+    assert got["lang_enum"] == (3, 0.5, 0.5, True)         # exactly at threshold -> ok
+    assert got["chars_range"] == (4, 0.666667, 0.9, False)
+    assert got["url_required"] == (6, 1.0, 1.0, True)      # default_mostly=1.0 strict
+    assert all(r["n_rows"] == 6 for r in res.collect())
+
+
+def test_expectation_summary_single_aggregate_plan(spark):
+    """All rules' pass counts come from ONE aggregate over one scan."""
+    from xmlschemavalidator_spark.engine import expectation_summary
+
+    plan = (
+        expectation_summary(_docs(spark), _ruleset())
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan ExistingRDD") == 1

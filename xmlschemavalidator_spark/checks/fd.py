@@ -136,3 +136,43 @@ def suggest_fds(df: DataFrame, columns: list[str], max_columns: int = 8) -> Data
     return spark.createDataFrame(
         out, "lhs string, rhs string, n_lhs bigint, n_pairs bigint, holds boolean"
     )
+
+
+def fd_g3(
+    df: DataFrame, lhs: list[str], rhs: str, name: str | None = None
+) -> DataFrame:
+    """Approximate-FD strength: the g3 error metric (Kivinen &
+    Mannila's "Approximate inference of functional dependencies from
+    relations") — the minimum FRACTION of rows to delete so that
+    ``lhs → rhs`` holds exactly. g3 = 1 - Σ_per-lhs max(rhs count) / N.
+
+    The summary form (`fd_summary`) answers "which keys violate"; g3
+    answers "how badly does the dependency hold overall" — the number a
+    profiler trends across snapshots ("url → domain used to be 0.0001,
+    today it's 0.02": an upstream canonicalization regression).
+
+    Scale shape: the SAME two-level aggregate as fd_summary (pair counts
+    are map-side partial-aggregated, a hot LHS arrives at the shuffle
+    one row per distinct rhs), finished by a single global sum over
+    per-LHS maxima. NULL rhs counts as a value; NULL LHS keys group
+    normally.
+
+    Returns ONE row: ``(fd, n_rows, n_keep, g3)`` — ``n_keep`` is the
+    kept-row count of the repair, ``g3`` rounded 6dp.
+    """
+    fd_name = name or f"{'_'.join(lhs)}->{rhs}"
+    pair = df.groupBy(*lhs, F.col(rhs).alias("_rhs")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    per = pair.groupBy(*lhs).agg(
+        F.max("_n").alias("_keep"), F.sum("_n").alias("_rows")
+    )
+    return per.agg(
+        F.sum("_rows").cast("bigint").alias("n_rows"),
+        F.sum("_keep").cast("bigint").alias("n_keep"),
+    ).select(
+        F.lit(fd_name).alias("fd"),
+        "n_rows",
+        "n_keep",
+        F.round(F.lit(1.0) - F.col("n_keep") / F.col("n_rows"), 6).alias("g3"),
+    )

@@ -9778,3 +9778,181 @@ def all_queries() -> dict[str, QueryFn]:
 
 def all_oracles() -> dict[str, str]:
     return dict(_ORACLES)
+
+
+# ===========================================================================
+# contract-migration / tolerance / approximate-FD family (r4 session 7)
+# ===========================================================================
+
+def _documents_ruleset_v2() -> RuleSet:
+    """The 'proposed v2' contract for the documents table: lang enum swaps
+    zh→es (tightens zh docs, loosens es docs), chars_range max tightens
+    4200→400 (p90 of measured n_chars — flips exist at every SF), and a
+    NEW source_v2_allowed rule deprecates src16–19. Same rule vocabulary
+    as flagship.documents_ruleset — the migration pair exercises modified,
+    unchanged, and introduced rules."""
+    from xmlschemavalidator_spark.compiler import ExprRule
+
+    return RuleSet(
+        rules=[
+            FieldRule(
+                "lang_enum",
+                Restriction(facets=tuple(Enumeration(v) for v in ("en", "de", "sv", "fr", "es"))),
+                column="lang",
+            ),
+            FieldRule(
+                "chars_range",
+                Restriction(base="integer", facets=(MinInclusive(36), MaxInclusive(400))),
+                column="n_chars",
+            ),
+            FieldRule("source_pattern", Pattern(r"src[0-9]+"), column="source"),
+            FieldRule("text_required", RequiredAttr(), column="text"),
+            FieldRule(
+                "nchars_consistent", ExprRule("n_chars = length(text)"), observed="n_chars"
+            ),
+            FieldRule("source_v2_allowed", Pattern(r"src[0-9]|src1[0-5]"), column="source"),
+        ]
+    )
+
+
+def _migration_oracle() -> str:
+    old = documents_ruleset().compile_sql()
+    new = _documents_ruleset_v2().compile_sql()
+    cases = []
+    for rid in sorted(new):
+        if rid in old:
+            cond = (
+                f"(NOT coalesce(({new[rid]}), FALSE)) AND coalesce(({old[rid]}), FALSE)"
+            )
+        else:
+            cond = f"NOT coalesce(({new[rid]}), FALSE)"
+        cases.append(f"CASE WHEN {cond} THEN '{rid}' END")
+    ok_old = " AND ".join(f"coalesce(({s}), FALSE)" for s in old.values())
+    ok_new = " AND ".join(f"coalesce(({s}), FALSE)" for s in new.values())
+    # coalesce: DuckDB's array_to_string yields NULL on the empty list,
+    # Spark's concat_ws yields '' — pin the '' convention on both sides
+    newly = (
+        "coalesce(array_to_string(list_filter(["
+        + ", ".join(cases)
+        + "], x -> x IS NOT NULL), ','), '')"
+    )
+    return f"""WITH v AS (SELECT doc_id, ({ok_old}) AS ok_old, ({ok_new}) AS ok_new,
+                      {newly} AS newly_failed
+               FROM documents)
+       SELECT doc_id, ok_old, ok_new,
+              CASE WHEN ok_old THEN 'tightened' ELSE 'loosened' END AS change,
+              newly_failed
+       FROM v WHERE ok_old <> ok_new"""
+
+
+@q("ruleset_migration_delta", _migration_oracle())
+def ruleset_migration_delta(spark, sf_dir):
+    """Contract-migration impact report (engine.py:migration_delta): rows
+    whose doc-level verdict flips between the deployed documents ruleset
+    and a proposed v2 (modified enum + tightened range + new source
+    rule), with the culprit rules per tightened row. The reference
+    analogue is re-running `valid?` after `extend`-ing a schema
+    (core.clj complexContent); here both versions evaluate in ONE narrow
+    projection — no shuffle, no second scan. Oracle is generated from
+    the SAME compile_sql renderings the facet queries pin."""
+    from xmlschemavalidator_spark.engine import migration_delta
+
+    return migration_delta(
+        _t(spark, sf_dir, "documents"),
+        documents_ruleset(),
+        _documents_ruleset_v2(),
+        key="doc_id",
+    )
+
+
+_MOSTLY = {
+    "lang_enum": 0.9,          # measured pass rate ~0.85 → suite FAILS
+    "chars_range": 0.999,      # 1.0 → ok
+    "source_pattern": 0.98,    # 1.0 → ok
+    "text_required": 0.95,     # 1.0 → ok
+    "nchars_consistent": 0.97, # 1.0 → ok
+}
+
+
+def _mostly_oracle() -> str:
+    sqls = documents_ruleset().compile_sql()
+    parts = []
+    for rid in sorted(sqls):
+        m = float(_MOSTLY[rid])
+        p = f"sum(CASE WHEN coalesce(({sqls[rid]}), FALSE) THEN 1 ELSE 0 END)"
+        parts.append(
+            f"""SELECT '{rid}' AS rule_id, CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST({p} AS BIGINT) AS n_pass,
+                   round({p} * 1.0 / count(*), 6) AS pass_rate,
+                   CAST({m!r} AS DOUBLE) AS mostly,
+                   ({p} * 1.0 / count(*)) >= {m!r} AS ok
+            FROM documents"""
+        )
+    return " UNION ALL ".join(parts)
+
+
+@q("expectations_mostly", _mostly_oracle())
+def expectations_mostly(spark, sf_dir):
+    """Tolerance ('mostly') suite verdicts (engine.py:
+    expectation_summary): per-rule pass rate vs a declared threshold —
+    the Great-Expectations `mostly=0.95` semantics layered over the
+    reference's strict `valid?` fold. ONE aggregate computes all five
+    rules' pass counts (map-side partials); thresholds chosen from
+    measured rates so the output mixes ok=true and ok=false (lang_enum
+    ~0.85 < 0.9 fails at every SF — never a trivially-all-true oracle)."""
+    from xmlschemavalidator_spark.engine import expectation_summary
+
+    return expectation_summary(
+        _t(spark, sf_dir, "documents"), documents_ruleset(), mostly=_MOSTLY
+    )
+
+
+@q(
+    "fd_g3_error",
+    """WITH p1 AS (SELECT source AS k, lang AS v, count(*) AS c FROM documents GROUP BY 1, 2),
+            m1 AS (SELECT k, max(c) AS mx, sum(c) AS s FROM p1 GROUP BY 1),
+            a1 AS (SELECT CAST(sum(s) AS BIGINT) AS n_rows, CAST(sum(mx) AS BIGINT) AS n_keep FROM m1),
+            p2 AS (SELECT doc_id AS k, lang AS v, count(*) AS c FROM documents GROUP BY 1, 2),
+            m2 AS (SELECT k, max(c) AS mx, sum(c) AS s FROM p2 GROUP BY 1),
+            a2 AS (SELECT CAST(sum(s) AS BIGINT) AS n_rows, CAST(sum(mx) AS BIGINT) AS n_keep FROM m2),
+            p3 AS (SELECT user_id AS k, event_type AS v, count(*) AS c FROM events GROUP BY 1, 2),
+            m3 AS (SELECT k, max(c) AS mx, sum(c) AS s FROM p3 GROUP BY 1),
+            a3 AS (SELECT CAST(sum(s) AS BIGINT) AS n_rows, CAST(sum(mx) AS BIGINT) AS n_keep FROM m3)
+       SELECT 'documents.source->lang' AS fd, n_rows, n_keep,
+              round(1.0 - n_keep * 1.0 / n_rows, 6) AS g3,
+              (1.0 - n_keep * 1.0 / n_rows) <= 0.05 AS holds
+       FROM a1
+       UNION ALL
+       SELECT 'documents.doc_id->lang', n_rows, n_keep,
+              round(1.0 - n_keep * 1.0 / n_rows, 6),
+              (1.0 - n_keep * 1.0 / n_rows) <= 0.05
+       FROM a2
+       UNION ALL
+       SELECT 'events.user_id->event_type', n_rows, n_keep,
+              round(1.0 - n_keep * 1.0 / n_rows, 6),
+              (1.0 - n_keep * 1.0 / n_rows) <= 0.05
+       FROM a3""",
+)
+def fd_g3_error(spark, sf_dir):
+    """Approximate-FD g3 error (checks/fd.py:fd_g3, Kivinen–Mannila):
+    minimum delete-fraction for the FD to hold exactly — the trendable
+    "how broken is url→domain today" profiler number. Three candidate
+    FDs: an exact one (doc_id→lang, g3=0 → holds) and two heavily
+    violated ones (source→lang ~0.56, user_id→event_type ~0.74), so the
+    holds flag is a measured mix. Each FD is the standard two-level
+    partial-aggregatable shape — no countDistinct over raw rows."""
+    from xmlschemavalidator_spark.checks.fd import fd_g3
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = _t(spark, sf_dir, "events")
+    out = (
+        fd_g3(docs, ["source"], "lang", name="documents.source->lang")
+        .unionByName(fd_g3(docs, ["doc_id"], "lang", name="documents.doc_id->lang"))
+        .unionByName(
+            fd_g3(ev, ["user_id"], "event_type", name="events.user_id->event_type")
+        )
+    )
+    return out.withColumn(
+        "holds",
+        (F.lit(1.0) - F.col("n_keep") * F.lit(1.0) / F.col("n_rows")) <= F.lit(0.05),
+    )

@@ -204,3 +204,120 @@ def with_status(df: DataFrame, ruleset: RuleSet, value_columns: list[str]) -> Da
             f"{name}_status", F.struct(F.col(name).alias("value"), status.alias("status"))
         )
     return out
+
+
+def migration_delta(
+    df: DataFrame,
+    old_ruleset: RuleSet,
+    new_ruleset: RuleSet,
+    key: str = "url",
+) -> DataFrame:
+    """Contract-migration impact: which rows flip validity when the
+    ruleset moves from ``old_ruleset`` (deployed) to ``new_ruleset``
+    (proposed)?
+
+    The pre-deployment question every schema/contract change raises —
+    "how many currently-passing docs does v2 reject, and which rule is
+    responsible" — answered in ONE narrow projection: both versions'
+    rules are compiled into the same select (Catalyst shares common
+    subtrees for unchanged rules), rows where the doc-level verdict
+    flips are kept, everything else is filtered out before any data
+    moves. No shuffle, no second scan, output is O(#flipped rows).
+
+    Returns ``(key, ok_old, ok_new, change, newly_failed)`` where
+    ``change`` is ``'tightened'`` (passed v1, fails v2) or
+    ``'loosened'``, and ``newly_failed`` is the comma-joined sorted list
+    of v2 rules that fail where the same-id v1 rule passed (or where v2
+    introduced the rule) — empty for loosened rows by construction.
+
+    Reference analogue: re-validating a corpus after ``extend``-ing a
+    schema (core.clj complexContent/extension semantics); this is the
+    dataset-level diff of the two ``valid?`` folds.
+    """
+    old_c = old_ruleset.compile()
+    new_c = new_ruleset.compile()
+
+    def _conj(compiled: dict[str, Column]) -> Column:
+        ok = F.lit(True)
+        for c in compiled.values():
+            # NULL == failed, same coalesce as validate()/_doc_ok
+            ok = ok & F.coalesce(c, F.lit(False))
+        return ok
+
+    frags = []
+    for rid in sorted(new_c):
+        new_fail = ~F.coalesce(new_c[rid], F.lit(False))
+        if rid in old_c:
+            cond = new_fail & F.coalesce(old_c[rid], F.lit(False))
+        else:
+            cond = new_fail  # rule introduced by v2
+        frags.append(F.when(cond, F.lit(rid)))
+
+    return (
+        df.select(
+            F.col(key),
+            _conj(old_c).alias("ok_old"),
+            _conj(new_c).alias("ok_new"),
+            # concat_ws skips NULLs: only firing rule ids survive
+            F.concat_ws(",", F.array(*frags)).alias("newly_failed"),
+        )
+        .where(F.col("ok_old") != F.col("ok_new"))
+        .withColumn(
+            "change",
+            F.when(F.col("ok_old") & ~F.col("ok_new"), F.lit("tightened")).otherwise(
+                F.lit("loosened")
+            ),
+        )
+    )
+
+
+def expectation_summary(
+    df: DataFrame,
+    ruleset: RuleSet,
+    mostly: dict[str, float] | None = None,
+    default_mostly: float = 1.0,
+) -> DataFrame:
+    """Great-Expectations-style tolerance verdicts: a rule's *suite*
+    verdict passes when its row-level pass RATE meets the declared
+    ``mostly`` threshold (``expect_column_values_to_... (mostly=0.95)``),
+    instead of the strict every-row AND the reference's ``valid?``
+    computes.
+
+    At web scale a strict all-rows gate is useless for soft rules (one
+    mojibake doc out of 10^12 fails the corpus); the operational gate is
+    "≥ X% of rows conform". ONE aggregate computes every rule's pass
+    count (map-side partials, O(#rules) longs per partition reach the
+    shuffle), then a driver-side unpivot renders the per-rule report —
+    never one job per rule.
+
+    Returns one row per rule: ``(rule_id, n_rows, n_pass, pass_rate,
+    mostly, ok)``; ``pass_rate`` rounded 6dp for hash-stable compare,
+    ``ok`` decided on the UNROUNDED ratio.
+    """
+    mostly = mostly or {}
+    compiled = ruleset.compile()
+    rids = sorted(compiled)
+    agg = df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        *[
+            F.sum(F.coalesce(compiled[r], F.lit(False)).cast("long"))
+            .cast("bigint")
+            .alias(f"_p_{i}")
+            for i, r in enumerate(rids)
+        ],
+    )
+    stack = ", ".join(
+        f"'{r}', _p_{i}, CAST({float(mostly.get(r, default_mostly))!r} AS DOUBLE)"
+        for i, r in enumerate(rids)
+    )
+    return agg.select(
+        F.expr(f"stack({len(rids)}, {stack}) AS (rule_id, n_pass, mostly)"),
+        "n_rows",
+    ).select(
+        "rule_id",
+        "n_rows",
+        "n_pass",
+        F.round(F.col("n_pass") / F.col("n_rows"), 6).alias("pass_rate"),
+        "mostly",
+        (F.col("n_pass") / F.col("n_rows") >= F.col("mostly")).alias("ok"),
+    )
