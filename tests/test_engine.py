@@ -388,3 +388,62 @@ def test_expectation_summary_single_aggregate_plan(spark):
         .toString()
     )
     assert plan.count("Scan ExistingRDD") == 1
+
+
+def test_expectation_summary_by_segment(spark):
+    from xmlschemavalidator_spark.engine import expectation_summary
+
+    res = expectation_summary(
+        _docs(spark), _ruleset(), mostly={"lang_enum": 0.5}, by=["lang"]
+    )
+    got = {
+        (r["lang"], r["rule_id"]): (r["n_rows"], r["n_pass"], r["ok"])
+        for r in res.collect()
+    }
+    # en segment: u1, u4 -> lang passes 2/2; chars fails on u4 (35)
+    assert got[("en", "lang_enum")] == (2, 2, True)
+    assert got[("en", "chars_range")] == (2, 1, False)
+    # xx segment: u3 only -> lang_enum 0/1 < 0.5
+    assert got[("xx", "lang_enum")] == (1, 0, False)
+    # NULL lang groups normally
+    assert got[(None, "lang_enum")] == (1, 0, False)
+    assert len(got) == 5 * 3  # segments en, de, xx, yy, NULL x 3 rules
+
+
+def test_expectation_summary_by_segment_group_count(spark):
+    from xmlschemavalidator_spark.engine import expectation_summary
+
+    res = expectation_summary(_docs(spark), _ruleset(), by=["lang"])
+    # segments: en, de, xx, yy, NULL -> 5 x 3 rules
+    assert res.count() == 5 * 3
+
+
+def test_rule_cooccurrence_counts_and_lift(spark):
+    from xmlschemavalidator_spark.engine import rule_cooccurrence
+
+    got = {
+        (r["rule_a"], r["rule_b"]): r
+        for r in rule_cooccurrence(_docs(spark), _ruleset()).collect()
+    }
+    assert len(got) == 3  # C(3,2)
+    r = got[("chars_range", "lang_enum")]
+    # chars fails u4,u5 (2); lang fails u3,u5,u6 (3); both: u5 (1)
+    assert (r["n_fail_a"], r["n_fail_b"], r["n_both"]) == (2, 3, 1)
+    assert r["lift"] == 1.0  # 1*6/(2*3)
+    assert r["jaccard"] == 0.25  # 1/(2+3-1)
+    # url_required never fails -> lift NULL (zero marginal, never a
+    # div-by-zero); jaccard 0.0 (union nonempty, intersection empty)
+    r2 = got[("chars_range", "url_required")]
+    assert (r2["n_fail_b"], r2["n_both"], r2["lift"], r2["jaccard"]) == (0, 0, None, 0.0)
+
+
+def test_rule_cooccurrence_single_scan_plan(spark):
+    from xmlschemavalidator_spark.engine import rule_cooccurrence
+
+    plan = (
+        rule_cooccurrence(_docs(spark), _ruleset())
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan ExistingRDD") == 1

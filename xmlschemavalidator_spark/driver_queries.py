@@ -9956,3 +9956,84 @@ def fd_g3_error(spark, sf_dir):
         "holds",
         (F.lit(1.0) - F.col("n_keep") * F.lit(1.0) / F.col("n_rows")) <= F.lit(0.05),
     )
+
+
+def _segment_expectation_oracle() -> str:
+    sqls = documents_ruleset().compile_sql()
+    parts = []
+    for rid in sorted(sqls):
+        m = float(_MOSTLY[rid])
+        p = f"sum(CASE WHEN coalesce(({sqls[rid]}), FALSE) THEN 1 ELSE 0 END)"
+        parts.append(
+            f"""SELECT lang, '{rid}' AS rule_id, CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST({p} AS BIGINT) AS n_pass,
+                   round({p} * 1.0 / count(*), 6) AS pass_rate,
+                   CAST({m!r} AS DOUBLE) AS mostly,
+                   ({p} * 1.0 / count(*)) >= {m!r} AS ok
+            FROM documents GROUP BY lang"""
+        )
+    return " UNION ALL ".join(parts)
+
+
+@q("expectations_by_segment", _segment_expectation_oracle())
+def expectations_by_segment(spark, sf_dir):
+    """Per-segment tolerance verdicts (engine.py:expectation_summary
+    ``by=['lang']``) — the Deequ/GE drill-down "which slice is broken":
+    a corpus-level pass rate of 0.97 can hide a segment at 0.2 (exactly
+    what a new crawl source or a bad extractor regression looks like).
+    Same ONE-aggregate shape as expectations_mostly with lang as the
+    grouping key: #langs × #rules counter rows reach the shuffle, never
+    documents. Thresholds (_MOSTLY) produce a measured ok=true/false mix
+    that differs BY SEGMENT for lang_enum (en/de/sv/fr pass 1.0, zh 0)."""
+    from xmlschemavalidator_spark.engine import expectation_summary
+
+    return expectation_summary(
+        _t(spark, sf_dir, "documents"),
+        documents_ruleset(),
+        mostly=_MOSTLY,
+        by=["lang"],
+    )
+
+
+def _cooccurrence_oracle() -> str:
+    sqls = _documents_ruleset_v2().compile_sql()
+    rids = sorted(sqls)
+    sums = ", ".join(
+        f"CAST(sum(CASE WHEN NOT coalesce(({sqls[r]}), FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS f_{i}"
+        for i, r in enumerate(rids)
+    )
+    boths = ", ".join(
+        f"CAST(sum(CASE WHEN NOT coalesce(({sqls[rids[i]]}), FALSE) "
+        f"AND NOT coalesce(({sqls[rids[j]]}), FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS b_{i}_{j}"
+        for i in range(len(rids))
+        for j in range(i + 1, len(rids))
+    )
+    pair_sel = " UNION ALL ".join(
+        f"""SELECT '{rids[i]}' AS rule_a, '{rids[j]}' AS rule_b, n_rows,
+               f_{i} AS n_fail_a, f_{j} AS n_fail_b, b_{i}_{j} AS n_both,
+               CASE WHEN f_{i} * f_{j} > 0
+                    THEN round(CAST(b_{i}_{j} AS DOUBLE) * n_rows / (f_{i} * f_{j}), 6) END AS lift,
+               CASE WHEN f_{i} + f_{j} - b_{i}_{j} > 0
+                    THEN round(CAST(b_{i}_{j} AS DOUBLE) / (f_{i} + f_{j} - b_{i}_{j}), 6) END AS jaccard
+        FROM a"""
+        for i in range(len(rids))
+        for j in range(i + 1, len(rids))
+    )
+    return f"""WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n_rows, {sums}, {boths}
+               FROM documents)
+       {pair_sel}"""
+
+
+@q("rule_failure_cooccurrence", _cooccurrence_oracle())
+def rule_failure_cooccurrence(spark, sf_dir):
+    """Pairwise rule-failure association (engine.py:rule_cooccurrence)
+    over the v2 contract, whose three independently-failing rules
+    (lang_enum zh-swap ~15%, chars_range ≤400 ~35%, source_v2_allowed
+    deprecating src16-19 ~20%) give every pair a nonzero n_both and a
+    measured lift ≈1 (independent synthetics), while pairs involving the
+    never-failing rules exercise the NULL-association path — the output
+    mixes real numbers and NULLs at every SF. ONE aggregate: 6+15 longs
+    per partition reach the shuffle."""
+    from xmlschemavalidator_spark.engine import rule_cooccurrence
+
+    return rule_cooccurrence(_t(spark, sf_dir, "documents"), _documents_ruleset_v2())

@@ -276,6 +276,7 @@ def expectation_summary(
     ruleset: RuleSet,
     mostly: dict[str, float] | None = None,
     default_mostly: float = 1.0,
+    by: list[str] | None = None,
 ) -> DataFrame:
     """Great-Expectations-style tolerance verdicts: a rule's *suite*
     verdict passes when its row-level pass RATE meets the declared
@@ -293,11 +294,16 @@ def expectation_summary(
     Returns one row per rule: ``(rule_id, n_rows, n_pass, pass_rate,
     mostly, ok)``; ``pass_rate`` rounded 6dp for hash-stable compare,
     ``ok`` decided on the UNROUNDED ratio.
+
+    ``by`` turns the report per-segment ("which slice is broken" — the
+    Deequ/GE drill-down): one row per (segment, rule), same ONE
+    aggregate shape with the segment columns as grouping keys (map-side
+    partials; #segments × #rules rows reach the shuffle, never data).
     """
     mostly = mostly or {}
     compiled = ruleset.compile()
     rids = sorted(compiled)
-    agg = df.agg(
+    aggs = [
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         *[
             F.sum(F.coalesce(compiled[r], F.lit(False)).cast("long"))
@@ -305,19 +311,80 @@ def expectation_summary(
             .alias(f"_p_{i}")
             for i, r in enumerate(rids)
         ],
-    )
+    ]
+    agg = df.groupBy(*by).agg(*aggs) if by else df.agg(*aggs)
     stack = ", ".join(
         f"'{r}', _p_{i}, CAST({float(mostly.get(r, default_mostly))!r} AS DOUBLE)"
         for i, r in enumerate(rids)
     )
     return agg.select(
+        *(by or []),
         F.expr(f"stack({len(rids)}, {stack}) AS (rule_id, n_pass, mostly)"),
         "n_rows",
     ).select(
+        *(by or []),
         "rule_id",
         "n_rows",
         "n_pass",
         F.round(F.col("n_pass") / F.col("n_rows"), 6).alias("pass_rate"),
         "mostly",
         (F.col("n_pass") / F.col("n_rows") >= F.col("mostly")).alias("ok"),
+    )
+
+
+def rule_cooccurrence(df: DataFrame, ruleset: RuleSet) -> DataFrame:
+    """Pairwise rule-failure co-occurrence — the root-cause question a
+    violation report raises next: "do these rules fail on the SAME rows
+    (one upstream defect) or independently (two defects)?".
+
+    For every unordered rule pair, counts rows failing both and scores
+    association: ``lift`` = P(both) / (P(a)·P(b)) (>1 ⇒ failures
+    co-locate) and failure-set ``jaccard``. Everything comes from ONE
+    aggregate over one scan — k + k(k−1)/2 longs per partition reach the
+    shuffle (k = #rules, bounded by the ruleset, never by data), then a
+    driver-side stack renders the pair table. NULL verdicts count as
+    failed, same convention as validate().
+
+    ``lift`` is NULL when either marginal is zero and ``jaccard`` when
+    both are (association undefined — never a divide-by-zero under ANSI
+    mode).
+    """
+    compiled = ruleset.compile()
+    rids = sorted(compiled)
+    fails = {
+        r: (~F.coalesce(compiled[r], F.lit(False))).cast("long") for r in rids
+    }
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    aggs += [
+        F.sum(fails[r]).cast("bigint").alias(f"_f_{i}") for i, r in enumerate(rids)
+    ]
+    pairs = [(i, j) for i in range(len(rids)) for j in range(i + 1, len(rids))]
+    aggs += [
+        F.sum(fails[rids[i]] * fails[rids[j]]).cast("bigint").alias(f"_b_{i}_{j}")
+        for i, j in pairs
+    ]
+    stack = ", ".join(
+        f"'{rids[i]}', '{rids[j]}', _f_{i}, _f_{j}, _b_{i}_{j}" for i, j in pairs
+    )
+    out = df.agg(*aggs).select(
+        F.expr(
+            f"stack({len(pairs)}, {stack})"
+            " AS (rule_a, rule_b, n_fail_a, n_fail_b, n_both)"
+        ),
+        "n_rows",
+    )
+    both = F.col("n_both").cast("double")
+    denom_l = F.col("n_fail_a") * F.col("n_fail_b")
+    denom_j = F.col("n_fail_a") + F.col("n_fail_b") - F.col("n_both")
+    return out.select(
+        "rule_a",
+        "rule_b",
+        "n_rows",
+        "n_fail_a",
+        "n_fail_b",
+        "n_both",
+        F.when(
+            denom_l > 0, F.round(both * F.col("n_rows") / denom_l, 6)
+        ).alias("lift"),
+        F.when(denom_j > 0, F.round(both / denom_j, 6)).alias("jaccard"),
     )
