@@ -1,0 +1,181 @@
+"""Model / retrieval evaluation analyzers.
+
+The pipeline trains rankers and classifiers in-engine (quality_model.py's
+NB scorer, lang_model.py's language ID, textops.bm25_topk, the ANN family)
+but until now had no in-engine way to MEASURE them — AUC lived in a test
+docstring and retrieval quality was eyeballed. These two analyzers close
+that loop with the repo's exactness contract (integer/DECIMAL arithmetic,
+fixed double chains, pre-sum rounding) so both are oracle-checkable.
+
+Reference scope note: eliassona/xmlschemavalidator validates per record
+and has no evaluation layer (core.clj:263-285 stops at valid?); these are
+north-rule additions in the Deequ-analyzer style of checks/stats.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    quantum: int = 1_000_000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact tie-aware ROC AUC of a score against a boolean label: one
+    row ``(n_pos, n_neg, n_scores, auc)`` — the Mann-Whitney identity
+    AUC = P(score+ > score-) + ½·P(score+ = score-), which is what a
+    rank-based AUC with average-rank tie handling computes.
+
+    Exactness: scores quantize to integer ``quantum``-ths (ties are then
+    a deterministic property of the quantized value, identical in both
+    engines), and the whole statistic is one exact rational:
+    ``2·Σ_s [n_pos(s)·(2·cum_neg_below(s) + n_neg(s))] / (2·P·N)`` with
+    the numerator summed in DECIMAL(38,0) (n_pos·cum_neg reaches P·N —
+    past BIGINT at ~3e9 rows per class) and ONE final double division,
+    rounded. No sort of the corpus and no float accumulation anywhere.
+
+    Scale shape: one partial-aggregatable groupBy on the quantized score,
+    then a single-partition ordered window over the DISTINCT-score table
+    — bounded by ``quantum × score range``, NOT by the corpus (a [0,1]
+    probability score has ≤ quantum+1 distinct rows at any corpus size;
+    for unbounded-range scores pick a coarser quantum — the knob trades
+    tie granularity, not correctness of the tie handling).
+
+    Rows with a NULL score or label are excluded (pairwise-complete);
+    a single-class input yields NULL auc (undefined), never a div/0.
+    """
+    lab = F.col(label_col).cast("boolean")
+    base = df.where(
+        F.col(score_col).isNotNull() & lab.isNotNull()
+    ).select(
+        F.floor(F.col(score_col).cast("double") * F.lit(quantum))
+        .cast("bigint")
+        .alias("_s"),
+        lab.cast("long").alias("_y"),
+    )
+    g = base.groupBy("_s").agg(
+        F.sum("_y").cast("decimal(38,0)").alias("_np"),
+        F.sum(F.lit(1) - F.col("_y")).cast("decimal(38,0)").alias("_nn"),
+    )
+    below = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, -1)
+    contrib = F.col("_np") * (
+        F.lit(2) * F.coalesce(F.sum("_nn").over(below), F.lit(0).cast("decimal(38,0)"))
+        + F.col("_nn")
+    )
+    agg = g.select("_np", "_nn", contrib.alias("_c")).agg(
+        F.sum("_np").alias("p"),
+        F.sum("_nn").alias("n"),
+        F.sum("_c").alias("num2"),
+        F.count(F.lit(1)).cast("bigint").alias("n_scores"),
+    )
+    p, n = F.col("p").cast("double"), F.col("n").cast("double")
+    return agg.select(
+        F.col("p").cast("bigint").alias("n_pos"),
+        F.col("n").cast("bigint").alias("n_neg"),
+        "n_scores",
+        F.round(
+            F.when(
+                (p > 0) & (n > 0),
+                F.col("num2").cast("double") / (F.lit(2.0) * p * n),
+            ),
+            round_to,
+        ).alias("auc"),
+    )
+
+
+def retrieval_metrics(
+    run: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query",
+    doc_col: str = "doc",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+    round_to: int = 6,
+) -> DataFrame:
+    """TREC-style ranked-retrieval evaluation: per query,
+    ``(query, n_ret, n_rel, n_rel_ret, precision_k, recall_k, rr,
+    dcg_k, ndcg_k)`` from a run ``(query, doc, rank)`` (rank 1-based —
+    BM25/ANN/RRF top-k output passed through :func:`similarity.ranked`)
+    and graded judgments ``(query, doc, rel)`` (rel ≥ 1 = relevant).
+
+    Metric definitions (Järvelin & Kekäläinen TOIS'02 for nDCG):
+    ``rr`` = 1/rank of the first relevant hit within k (0 if none —
+    MRR is the mean of this column); ``dcg_k = Σ (2^rel − 1)/log2(rank+1)``
+    over retrieved ranks ≤ k; ``ndcg_k = dcg_k / idcg_k`` with the ideal
+    ranking ordered by (rel desc, doc asc) — the deterministic tie-break
+    that makes IDCG a pure function of the judgment multiset.
+
+    Exactness: precision/recall/rr are exact rationals (one rounded
+    division each). Each DCG term is a fixed double chain on exact
+    integer inputs (pow(2, rel) and log2 are the same IEEE ops in both
+    engines), rounded to 12 dp and summed in DECIMAL(20,12) —
+    order-independent, the categorical_entropy contract.
+
+    Scale shape: run⋈qrels is an equi-join on (query, doc), both sides
+    keyed; every aggregate is partial-aggregatable on query; the only
+    window (ideal ranking) partitions BY QUERY over the judgments —
+    bounded per query by editorial contract, never corpus-wide.
+    Unjudged retrieved docs count rel = 0 (the standard convention);
+    queries with no relevant judgments get NULL recall/ndcg.
+    """
+    qc, dc, rk = F.col(query_col), F.col(doc_col), F.col(rank_col)
+    runk = run.where(rk <= k).select(
+        qc.alias("_q"), dc.alias("_d"), rk.cast("bigint").alias("_rank")
+    )
+    judged = qrels.select(
+        F.col(query_col).alias("_q"),
+        F.col(doc_col).alias("_d"),
+        F.col(rel_col).cast("bigint").alias("_rel"),
+    )
+
+    def _dcg_term(rel, rank):
+        return F.round(
+            (F.pow(F.lit(2.0), rel.cast("double")) - F.lit(1.0))
+            / F.log2(rank.cast("double") + F.lit(1.0)),
+            12,
+        ).cast("decimal(20,12)")
+
+    hits = runk.join(judged, ["_q", "_d"], "left").withColumn(
+        "_rel", F.coalesce("_rel", F.lit(0))
+    )
+    per_run = hits.groupBy("_q").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ret"),
+        F.sum((F.col("_rel") > 0).cast("long")).cast("bigint").alias("n_rel_ret"),
+        F.min(F.when(F.col("_rel") > 0, F.col("_rank"))).alias("_first"),
+        F.sum(_dcg_term(F.col("_rel"), F.col("_rank"))).alias("_dcg"),
+    )
+    n_rel = judged.where(F.col("_rel") > 0).groupBy("_q").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rel")
+    )
+    iw = Window.partitionBy("_q").orderBy(F.col("_rel").desc(), F.col("_d").asc())
+    ideal = (
+        judged.where(F.col("_rel") > 0)
+        .withColumn("_irank", F.row_number().over(iw))
+        .where(F.col("_irank") <= k)
+        .groupBy("_q")
+        .agg(F.sum(_dcg_term(F.col("_rel"), F.col("_irank"))).alias("_idcg"))
+    )
+    out = per_run.join(n_rel, "_q", "left").join(ideal, "_q", "left")
+    dcg = F.col("_dcg").cast("double")
+    idcg = F.col("_idcg").cast("double")
+    return out.select(
+        F.col("_q").alias(query_col),
+        "n_ret",
+        F.coalesce("n_rel", F.lit(0)).cast("bigint").alias("n_rel"),
+        "n_rel_ret",
+        F.round(F.col("n_rel_ret") / F.lit(float(k)), round_to).alias("precision_k"),
+        F.round(
+            F.when(F.col("n_rel") > 0, F.col("n_rel_ret") / F.col("n_rel")),
+            round_to,
+        ).alias("recall_k"),
+        F.round(
+            F.coalesce(F.lit(1.0) / F.col("_first"), F.lit(0.0)), round_to
+        ).alias("rr"),
+        F.round(dcg, round_to).alias("dcg_k"),
+        F.round(F.when(idcg > 0, dcg / idcg), round_to).alias("ndcg_k"),
+    )

@@ -10037,3 +10037,163 @@ def rule_failure_cooccurrence(spark, sf_dir):
     from xmlschemavalidator_spark.engine import rule_cooccurrence
 
     return rule_cooccurrence(_t(spark, sf_dir, "documents"), _documents_ruleset_v2())
+
+
+_AUC_ORACLE = """\
+WITH b AS (
+  SELECT CAST(floor(CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE))
+              AS BIGINT) AS s,
+         CASE WHEN position(' spark ' IN ' ' || text || ' ') > 0 THEN 1 ELSE 0 END AS y
+  FROM documents WHERE text IS NOT NULL),
+g AS (SELECT s, CAST(sum(y) AS DECIMAL(38,0)) AS np,
+             CAST(sum(1 - y) AS DECIMAL(38,0)) AS nn
+      FROM b GROUP BY s),
+w AS (SELECT np, nn,
+             np * (2 * COALESCE(sum(nn) OVER (ORDER BY s
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   + nn) AS c
+      FROM g)
+SELECT CAST(sum(np) AS BIGINT) AS n_pos, CAST(sum(nn) AS BIGINT) AS n_neg,
+       CAST(count(*) AS BIGINT) AS n_scores,
+       round(CAST(sum(c) AS DOUBLE)
+             / (2 * CAST(sum(np) AS DOUBLE) * CAST(sum(nn) AS DOUBLE)), 6) AS auc
+FROM w"""
+
+
+@q("classifier_roc_auc", _AUC_ORACLE)
+def classifier_roc_auc(spark, sf_dir):
+    """Exact tie-aware ROC AUC (checks/evaluation.py:roc_auc — the
+    Mann-Whitney rank identity): the in-engine evaluation the quality/
+    lang classifiers previously lacked. Score = whitespace count (a
+    length proxy, integer so ties are real), label = contains the token
+    'spark' — a MEASURED mid-range association (AUC 0.7797 at sf0.01:
+    longer docs are likelier to contain any given token), so strict
+    wins, losses AND the half-credit tie path all carry weight in the
+    hash. The statistic is one exact rational summed in DECIMAL(38,0);
+    the ordered window runs over distinct integer scores (~90 rows),
+    never the corpus."""
+    from xmlschemavalidator_spark.checks.evaluation import roc_auc
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.where(F.col("text").isNotNull()).select(
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))))
+        .cast("double")
+        .alias("score"),
+        (
+            F.locate(" spark ", F.concat(F.lit(" "), F.col("text"), F.lit(" "))) > 0
+        ).alias("label"),
+    )
+    return roc_auc(scored, "score", "label", quantum=1)
+
+
+def _retrieval_metrics_oracle() -> str:
+    from xmlschemavalidator_spark.textops import bm25_topk_sql
+
+    runs = "\nUNION ALL\n".join(
+        f"""SELECT '{t}' AS query, doc,
+       row_number() OVER (ORDER BY score_micro DESC, doc ASC) AS rank
+FROM ({bm25_topk_sql([t], k=10)})"""
+        for t in sorted(_BM25_TERMS)
+    )
+    in_list = ", ".join(f"'{t}'" for t in sorted(_BM25_TERMS))
+    ws = "[ \\t\\n\\x0b\\f\\r]+"
+    return f"""\
+WITH run AS ({runs}),
+qr AS (
+  SELECT term AS query, doc, LEAST(3, tf) AS rel FROM (
+    SELECT doc, term, CAST(count(*) AS BIGINT) AS tf FROM (
+      SELECT doc_id AS doc,
+             lower(unnest(list_filter(
+               regexp_split_to_array(trim(coalesce(text, '')), '{ws}'),
+               x -> x <> ''))) AS term
+      FROM documents)
+    WHERE term IN ({in_list}) GROUP BY 1, 2)
+),
+hits AS (
+  SELECT r.query, r.rank, COALESCE(q.rel, 0) AS rel
+  FROM run r LEFT JOIN qr q ON r.query = q.query AND r.doc = q.doc
+  WHERE r.rank <= 10
+),
+pr AS (
+  SELECT query, CAST(count(*) AS BIGINT) AS n_ret,
+         CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_ret,
+         min(CASE WHEN rel > 0 THEN rank END) AS first_rel,
+         sum(CAST(round((power(2, rel) - 1) / log2(rank + 1), 12)
+                  AS DECIMAL(20,12))) AS dcg
+  FROM hits GROUP BY query),
+nr AS (SELECT query, CAST(count(*) AS BIGINT) AS n_rel FROM qr
+       WHERE rel > 0 GROUP BY query),
+ideal AS (
+  SELECT query,
+         sum(CAST(round((power(2, rel) - 1) / log2(irank + 1), 12)
+                  AS DECIMAL(20,12))) AS idcg
+  FROM (SELECT query, rel,
+               row_number() OVER (PARTITION BY query
+                                  ORDER BY rel DESC, doc ASC) AS irank
+        FROM qr WHERE rel > 0)
+  WHERE irank <= 10 GROUP BY query)
+SELECT pr.query, n_ret, COALESCE(n_rel, 0) AS n_rel, n_rel_ret,
+       round(CAST(n_rel_ret AS DOUBLE) / 10, 6) AS precision_k,
+       CASE WHEN n_rel > 0
+            THEN round(CAST(n_rel_ret AS DOUBLE) / n_rel, 6) END AS recall_k,
+       round(COALESCE(CAST(1 AS DOUBLE) / first_rel, CAST(0 AS DOUBLE)), 6) AS rr,
+       round(CAST(dcg AS DOUBLE), 6) AS dcg_k,
+       CASE WHEN CAST(idcg AS DOUBLE) > 0
+            THEN round(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6) END AS ndcg_k
+FROM pr
+LEFT JOIN nr ON pr.query = nr.query
+LEFT JOIN ideal ON pr.query = ideal.query"""
+
+
+@q("retrieval_ndcg_metrics", _retrieval_metrics_oracle())
+def retrieval_ndcg_metrics(spark, sf_dir):
+    """TREC-style evaluation of the engine's OWN retrieval
+    (checks/evaluation.py:retrieval_metrics over textops.bm25_topk):
+    three single-term BM25 top-10 runs scored against graded judgments
+    rel = min(3, tf of the term) derived from the SAME tokenizer — so
+    precision/recall/MRR/nDCG@10 are all measured on real rankings (BM25
+    length normalization makes the run diverge from the pure-tf ideal
+    ordering: nDCG < 1 carries signal). DCG terms follow the entropy
+    contract (fixed double chain on exact integers, 12dp round,
+    DECIMAL sum); the qrels tf comes from ONE projection with a tf
+    column per term (one corpus scan), and every aggregate is keyed on
+    query."""
+    from xmlschemavalidator_spark.checks.evaluation import retrieval_metrics
+    from xmlschemavalidator_spark.similarity import ranked
+    from xmlschemavalidator_spark.textops import _bm25_projection, bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    terms = sorted(_BM25_TERMS)
+    runs = []
+    for t in terms:
+        r = ranked(
+            bm25_topk(docs, "doc_id", [t], k=10),
+            [F.col("score_micro").desc()],
+            "doc",
+        )
+        runs.append(r.select(F.lit(t).alias("query"), "doc", "rank"))
+    run = runs[0]
+    for r in runs[1:]:
+        run = run.unionByName(r)
+    proj = _bm25_projection(docs, "doc_id", "text", terms)
+    qrels = (
+        proj.select(
+            "doc",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("query"),
+                            F.least(F.lit(3), F.col(f"_tf{i}")).alias("rel"),
+                            F.col(f"_tf{i}").alias("_tf"),
+                        )
+                        for i, t in enumerate(terms)
+                    ]
+                )
+            ).alias("s"),
+        )
+        .select("doc", "s.query", "s.rel", "s._tf")
+        .where(F.col("_tf") > 0)
+        .drop("_tf")
+    )
+    return retrieval_metrics(run, qrels, k=10)
