@@ -10197,3 +10197,108 @@ def retrieval_ndcg_metrics(spark, sf_dir):
         .drop("_tf")
     )
     return retrieval_metrics(run, qrels, k=10)
+
+
+def _theta_oracle() -> str:
+    from xmlschemavalidator_spark.checks.theta import theta_key_sql
+
+    key = theta_key_sql("event_id", "theta")
+    t = 1 << (60 - 4)
+    return f"""\
+WITH surv AS (SELECT DISTINCT {key} AS h FROM events
+              WHERE event_id IS NOT NULL AND {key} < {t})
+SELECT CAST(count(*) AS BIGINT) AS n_survivors,
+       CAST(count(*) * 16 AS BIGINT) AS estimate
+FROM surv"""
+
+
+@q("theta_distinct_estimate", _theta_oracle())
+def theta_distinct_estimate(spark, sf_dir):
+    """Fixed-threshold theta sketch (checks/theta.py; Bar-Yossef et al.
+    RANDOM'02 / DataSketches fixed-theta mode): approximate distinct
+    event_ids where the shuffle carries only the ~1/16 of hashes under
+    the threshold — the oracle-checkable middle ground between exact
+    count_distinct (full-column shuffle) and HLL (engine-specific
+    registers, rows-only). The portable md5 key makes the ESTIMATE
+    itself hash-exact cross-engine — an approximate-cardinality path
+    the driver can value-check."""
+    from xmlschemavalidator_spark.checks.theta import theta_distinct
+
+    return theta_distinct(_t(spark, sf_dir, "events"), "event_id", p=4)
+
+
+def _theta_merge_oracle() -> str:
+    from xmlschemavalidator_spark.checks.theta import theta_key_sql
+
+    key = theta_key_sql("event_id", "theta")
+    t = 1 << (60 - 4)
+    return f"""\
+WITH parts AS (
+  SELECT DISTINCT event_id % 3 AS b, {key} AS h FROM events
+  WHERE event_id IS NOT NULL AND {key} < {t}),
+merged AS (SELECT DISTINCT h FROM parts),
+direct AS (SELECT DISTINCT {key} AS h FROM events
+           WHERE event_id IS NOT NULL AND {key} < {t})
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM merged) AS n_survivors,
+       (SELECT CAST(count(*) * 16 AS BIGINT) FROM merged) AS estimate,
+       (SELECT count(*) FROM merged) = (SELECT count(*) FROM direct)
+         AS matches_direct"""
+
+
+@q("theta_partial_merge", _theta_merge_oracle())
+def theta_partial_merge(spark, sf_dir):
+    """The sketch's mergeability contract, exercised the way a 100 TB
+    ingest would use it: three per-batch sketches (event_id mod 3 —
+    disjoint batches) unioned and re-estimated must equal the one-shot
+    whole-corpus sketch EXACTLY (same hashes survive the same
+    threshold) — the same partials-equal-one-shot guarantee the rollup
+    and CDC stores rely on. matches_direct is computed, not assumed."""
+    from xmlschemavalidator_spark.checks.theta import (
+        theta_estimate,
+        theta_sketch_rows,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    parts = [
+        theta_sketch_rows(
+            events.where(F.col("event_id") % 3 == i), "event_id", p=4
+        )
+        for i in range(3)
+    ]
+    u = parts[0]
+    for s in parts[1:]:
+        u = u.unionByName(s)
+    merged = theta_estimate(u, p=4)
+    direct = theta_estimate(
+        theta_sketch_rows(events, "event_id", p=4), p=4
+    ).select(F.col("n_survivors").alias("_direct"))
+    return merged.crossJoin(direct).select(
+        "n_survivors",
+        "estimate",
+        (F.col("n_survivors") == F.col("_direct")).alias("matches_direct"),
+    )
+
+
+def _theta_group_oracle() -> str:
+    from xmlschemavalidator_spark.checks.theta import theta_key_sql
+
+    key = theta_key_sql("user_id", "theta")
+    t = 1 << (60 - 1)
+    return f"""\
+WITH surv AS (SELECT DISTINCT event_type AS "group", {key} AS h FROM events
+              WHERE user_id IS NOT NULL AND {key} < {t})
+SELECT "group", CAST(count(*) AS BIGINT) AS n_survivors,
+       CAST(count(*) * 2 AS BIGINT) AS estimate
+FROM surv GROUP BY 1"""
+
+
+@q("theta_distinct_by_group", _theta_group_oracle())
+def theta_distinct_by_group_q(spark, sf_dir):
+    """Per-group sketched cardinality (distinct users per event type) —
+    the per-domain/per-source panel shape. The narrow threshold filter
+    still precedes the shuffle; the distinct runs on (group, h)."""
+    from xmlschemavalidator_spark.checks.theta import theta_distinct_by_group
+
+    return theta_distinct_by_group(
+        _t(spark, sf_dir, "events"), "user_id", "event_type", p=1
+    )
