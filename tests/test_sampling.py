@@ -441,3 +441,46 @@ def test_stratified_fixed_k_matches_unsalted_window(spark):
         .collect()
     )
     assert got == want
+
+
+def test_assign_split_group_aware_no_leakage(spark):
+    from xmlschemavalidator_spark.sampling import assign_split, split_leakage_audit
+
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 17).alias("domain")
+    )
+    w = {"train": 0.6, "val": 0.2, "test": 0.2}
+    grouped = assign_split(df, "doc_id", w, group_col="domain")
+    # every member of a domain shares its split
+    [r] = split_leakage_audit(grouped, "domain").collect()
+    assert (r["n_groups"], r["n_leaky_groups"], r["max_splits_per_group"]) == (17, 0, 1)
+    # the same split keyed per-doc DOES leak on grouped data (the audit
+    # must carry signal in both directions)
+    per_doc = assign_split(df, "doc_id", w)
+    [r2] = split_leakage_audit(per_doc, "domain").collect()
+    assert r2["n_leaky_groups"] > 0
+    # group label = the label its group key would get standalone
+    from xmlschemavalidator_spark.sampling import assign_split as asg
+
+    direct = {
+        r["doc_id"]: r["split"]
+        for r in asg(
+            df.select(F.col("domain").alias("doc_id")).distinct(), "doc_id", w
+        ).collect()
+    }
+    for row in grouped.collect():
+        assert row["split"] == direct[row["domain"]]
+
+
+def test_assign_split_null_group_lands_in_last_label(spark):
+    from xmlschemavalidator_spark.sampling import assign_split
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None)], "doc_id long, domain string"
+    )
+    w = {"train": 0.5, "test": 0.5}
+    got = {
+        r["doc_id"]: r["split"]
+        for r in assign_split(df, "doc_id", w, group_col="domain").collect()
+    }
+    assert got[2] == "test" and got[3] == "test"

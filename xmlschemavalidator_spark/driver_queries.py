@@ -10302,3 +10302,68 @@ def theta_distinct_by_group_q(spark, sf_dir):
     return theta_distinct_by_group(
         _t(spark, sf_dir, "events"), "user_id", "event_type", p=1
     )
+
+
+def _grouped_split_oracle() -> str:
+    from xmlschemavalidator_spark.sampling import assign_split_sql
+
+    return (
+        f"SELECT doc_id, {assign_split_sql('source', _SPLIT_W)} AS split "
+        "FROM documents"
+    )
+
+
+@q("corpus_grouped_split", _grouped_split_oracle())
+def corpus_grouped_split(spark, sf_dir):
+    """Group-aware train/val/test assignment (sampling.assign_split
+    with group_col): the key hashes the SOURCE, so every doc of a
+    source lands in the same split — the leakage guard that keeps
+    near-duplicate pages of one site out of train AND test at once.
+    Still a narrow zero-shuffle projection (no group table, no join)."""
+    from xmlschemavalidator_spark.sampling import assign_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return assign_split(docs, "doc_id", _SPLIT_W, group_col="source").select(
+        "doc_id", "split"
+    )
+
+
+def _leakage_audit_oracle() -> str:
+    from xmlschemavalidator_spark.sampling import assign_split_sql
+
+    by_group = assign_split_sql("source", _SPLIT_W)
+    by_doc = assign_split_sql("doc_id", _SPLIT_W)
+    body = """SELECT CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky_groups,
+       CAST(max(ns) AS BIGINT) AS max_splits_per_group"""
+    return f"""\
+SELECT 'by_group' AS mode, * FROM (
+  {body}
+  FROM (SELECT source, count(DISTINCT split) AS ns FROM
+        (SELECT source, {by_group} AS split FROM documents) GROUP BY source))
+UNION ALL
+SELECT 'by_doc' AS mode, * FROM (
+  {body}
+  FROM (SELECT source, count(DISTINCT split) AS ns FROM
+        (SELECT source, {by_doc} AS split FROM documents) GROUP BY source))"""
+
+
+@q("split_leakage_audit", _leakage_audit_oracle())
+def split_leakage_audit_q(spark, sf_dir):
+    """The audit a group-aware split exists to pass
+    (sampling.split_leakage_audit), exercised in BOTH directions so the
+    statistic carries signal: the source-keyed split shows 0 leaky
+    groups by construction, the doc-keyed split of the same grouped
+    corpus shows a MEASURED near-total leak (every multi-doc source
+    spans splits at 80/10/10). One (group, split) collapse + a
+    #groups-row aggregate per mode."""
+    from xmlschemavalidator_spark.sampling import assign_split, split_leakage_audit
+
+    docs = _t(spark, sf_dir, "documents")
+    grouped = split_leakage_audit(
+        assign_split(docs, "doc_id", _SPLIT_W, group_col="source"), "source"
+    ).select(F.lit("by_group").alias("mode"), "*")
+    per_doc = split_leakage_audit(
+        assign_split(docs, "doc_id", _SPLIT_W), "source"
+    ).select(F.lit("by_doc").alias("mode"), "*")
+    return grouped.unionByName(per_doc)

@@ -78,6 +78,7 @@ def assign_split(
     weights: dict[str, float],
     salt: str = "split",
     split_col: str = "split",
+    group_col: str | None = None,
 ) -> DataFrame:
     """Deterministic train/val/test (or any n-way) corpus split: every
     row gets a ``split_col`` label, membership decided by where
@@ -89,7 +90,18 @@ def assign_split(
     projection; weights must sum to 1 (±1e-9).
 
     Label order follows ``weights`` insertion order — (train, val, test)
-    with (0.98, 0.01, 0.01) gives train the low md5 range."""
+    with (0.98, 0.01, 0.01) gives train the low md5 range.
+
+    ``group_col`` makes the split GROUP-AWARE: the key hashes the group
+    value instead of the row id, so every member of a group (all pages
+    of a domain, all chunks of a document) lands in the SAME split —
+    the standard leakage guard (near-duplicate pages of one site split
+    across train and test silently inflate eval scores). Still one
+    narrow projection — no group table, no join; weights then apportion
+    GROUPS, so realized row fractions track group-size skew (check with
+    :func:`split_leakage_audit`). Rows with a NULL group all land in
+    the last label (NULL key compares NULL through every threshold —
+    identical in both engines)."""
     if not weights:
         raise ValueError("weights must name at least one split")
     negative = {k: w for k, w in weights.items() if w < 0}
@@ -100,7 +112,7 @@ def assign_split(
     total = sum(weights.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split weights must sum to 1, got {total}")
-    key = _sample_key(F.col(id_col), salt)
+    key = _sample_key(F.col(group_col if group_col else id_col), salt)
     labels = list(weights)
     expr = F.lit(labels[-1])  # last label absorbs the remainder
     cum = 0.0
@@ -113,6 +125,31 @@ def assign_split(
     for lab, bound in reversed(bounds):
         expr = F.when(key < F.lit(bound), F.lit(lab)).otherwise(expr)
     return df.withColumn(split_col, expr)
+
+
+def split_leakage_audit(
+    df: DataFrame, group_col: str, split_col: str = "split"
+) -> DataFrame:
+    """The check a group-aware split exists to pass: one row
+    ``(n_groups, n_leaky_groups, max_splits_per_group)`` where a group
+    is LEAKY when its rows span more than one split. 0 leaky groups by
+    construction for :func:`assign_split` keyed on ``group_col``; a
+    measured >0 for an id-keyed split of grouped data — run it on every
+    eval split, not just the ones expected to pass (an upstream rename
+    of the group column is exactly the bug this catches). NULL groups
+    count as one group, like the split treats them.
+
+    Scale: one partial-aggregatable (group, split)-distinct collapse,
+    then a #groups-row aggregate — the corpus is scanned once.
+    """
+    per_group = df.groupBy(group_col).agg(
+        F.count_distinct(F.col(split_col)).alias("_ns")
+    )
+    return per_group.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum((F.col("_ns") > 1).cast("long")).cast("bigint").alias("n_leaky_groups"),
+        F.max("_ns").cast("bigint").alias("max_splits_per_group"),
+    )
 
 
 def assign_split_sql(
