@@ -1284,3 +1284,43 @@ def test_tfidf_cosine_identical_docs_cosine_one(spark):
     )
     r = tfidf_cosine_pairs(df, "doc_id", threshold=0.5).collect()
     assert len(r) == 1 and r[0]["cosine"] == 1.0
+
+
+def test_degree_assortativity_star_is_disassortative(spark):
+    from xmlschemavalidator_spark.weburl import degree_assortativity
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "src long, dst long"
+    )
+    [r] = degree_assortativity(edges).collect()
+    # star: every edge joins deg-3 center to a deg-1 leaf -> perfect
+    # disassortativity
+    assert r["n_edge_ends"] == 6
+    assert r["assortativity"] == -1.0
+
+
+def test_degree_assortativity_regular_graph_undefined(spark):
+    from xmlschemavalidator_spark.weburl import degree_assortativity
+
+    # 4-cycle: every node deg 2 -> zero variance -> NULL r
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0)], "src long, dst long"
+    )
+    [r] = degree_assortativity(edges).collect()
+    assert r["assortativity"] is None
+
+
+def test_degree_assortativity_dedups_and_drops_self_loops(spark):
+    from xmlschemavalidator_spark.weburl import degree_assortativity
+
+    noisy = spark.createDataFrame(
+        [(0, 1), (1, 0), (0, 1), (2, 2), (0, 2), (0, 3)],
+        "src long, dst long",
+    )
+    clean = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "src long, dst long"
+    )
+    assert (
+        degree_assortativity(noisy).collect()
+        == degree_assortativity(clean).collect()
+    )

@@ -10367,3 +10367,31 @@ def split_leakage_audit_q(spark, sf_dir):
         assign_split(docs, "doc_id", _SPLIT_W), "source"
     ).select(F.lit("by_doc").alias("mode"), "*")
     return grouped.unionByName(per_doc)
+
+
+_ASSORT_EDGES_SQL = (
+    "SELECT doc_id % 75 AS src, (doc_id * doc_id) % 40 AS dst "
+    "FROM documents WHERE doc_id % 75 <> (doc_id * doc_id) % 40"
+)
+
+from xmlschemavalidator_spark.weburl import degree_assortativity_oracle_sql  # noqa: E402
+
+
+@q("link_degree_assortativity", degree_assortativity_oracle_sql(_ASSORT_EDGES_SQL))
+def link_degree_assortativity(spark, sf_dir):
+    """Degree assortativity (Newman PRL'02; weburl.degree_assortativity)
+    over a deliberately degree-SKEWED planted graph (squares mod 40
+    concentrate in-links on quadratic residues while src spreads over 75
+    nodes — the ring/functional plants used by pagerank/triangles are
+    degree-regular and would return the NULL-variance branch): a
+    measured nonzero r, exercising the DECIMAL moment sums and the
+    symmetrize-dedup-selfloop path. The one-number link-farm drift
+    companion to outlink_signals."""
+    from xmlschemavalidator_spark.weburl import degree_assortativity
+
+    docs = _t(spark, sf_dir, "documents")
+    sq = (F.col("doc_id") * F.col("doc_id")) % 40
+    edges = docs.select(
+        (F.col("doc_id") % 75).alias("src"), sq.alias("dst")
+    ).where(F.col("src") != F.col("dst"))
+    return degree_assortativity(edges)

@@ -731,6 +731,94 @@ def degree_stats(
     )
 
 
+def degree_assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree assortativity of the (undirected-treated) link graph
+    (Newman PRL'02): the Pearson correlation of total degrees at the
+    two ends of every edge — one row ``(n_edge_ends, assortativity,
+    cov)``. r < 0 (hubs link to leaves) is the shape of organic web
+    graphs; a crawl slice drifting ASSORTATIVE (r > 0, hubs linking
+    hubs) is the link-farm / scraper-network signature, which makes
+    this the one-number companion to outlink_signals' per-page priors.
+
+    Semantics: edges are deduped and self-loops dropped, then each
+    undirected edge contributes BOTH orientations (the standard
+    symmetrized form — already-symmetric inputs are unchanged by the
+    distinct), and degree = the symmetrized out-degree = total degree.
+
+    Exactness: degrees are exact integers, so this rides
+    checks/stats.py:pearson_correlation at quantum=1 — DECIMAL(38,0)
+    moment sums, one IEEE-sqrt final. A degree-regular graph has zero
+    variance → NULL r (undefined), never a div/0.
+
+    Scale shape: one distinct + one partial-agg degree count, then TWO
+    hash joins of the edge list against the degree table (on src, then
+    dst — AQE broadcasts it when small) feeding ONE moment aggregate.
+    Nothing wider than the edge list ever shuffles.
+    """
+    from xmlschemavalidator_spark.checks.stats import pearson_correlation
+
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .where(F.col(src) != F.col(dst))
+        .distinct()
+    )
+    sym = e.unionByName(
+        e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d"))
+    ).distinct()
+    deg = sym.groupBy(F.col("_s").alias("_n")).agg(
+        F.count(F.lit(1)).alias("_deg")
+    )
+    j = (
+        sym.join(deg.select(F.col("_n").alias("_s"), F.col("_deg").alias("dx")), "_s")
+        .join(deg.select(F.col("_n").alias("_d"), F.col("_deg").alias("dy")), "_d")
+    )
+    out = pearson_correlation(j, "dx", "dy", quantum=1)
+    return out.select(
+        F.col("n").alias("n_edge_ends"),
+        F.col("corr").alias("assortativity"),
+        "cov",
+    )
+
+
+def degree_assortativity_oracle_sql(edges_sql: str) -> str:
+    """DuckDB replay: same symmetrization, same degree join, same
+    DECIMAL moment sums and fixed double chain (cov divides by the
+    quantum²=1)."""
+    return f"""\
+WITH e0 AS ({edges_sql}),
+e AS (SELECT DISTINCT src AS s, dst AS d FROM e0 WHERE src <> dst),
+sym AS (SELECT DISTINCT s, d FROM
+        (SELECT s, d FROM e UNION ALL SELECT d AS s, s AS d FROM e)),
+deg AS (SELECT s AS n, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY s),
+q AS (SELECT CAST(floor(CAST(dx.deg AS DOUBLE)) AS HUGEINT) AS x,
+             CAST(floor(CAST(dy.deg AS DOUBLE)) AS HUGEINT) AS y
+      FROM sym JOIN deg dx ON sym.s = dx.n JOIN deg dy ON sym.d = dy.n),
+a AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM q)
+SELECT n AS n_edge_ends,
+       CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+             AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+            THEN CAST(round(
+              (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+              AS DOUBLE) END AS assortativity,
+       CASE WHEN n > 1 THEN CAST(round(
+              ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / CAST(n AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0)), 6)
+              AS DOUBLE) END AS cov
+FROM a"""
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
