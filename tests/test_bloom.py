@@ -111,3 +111,33 @@ def test_might_contain_null_is_false(spark):
     got = {r["v"]: r["hit"] for r in
            probe.select("v", bf.might_contain(F.col("v")).alias("hit")).collect()}
     assert got["5"] is True and got[None] is False
+
+
+def test_bloom_pruned_join_equals_plain_join(spark):
+    from xmlschemavalidator_spark.checks.bloom import bloom_pruned_join
+
+    fact = spark.createDataFrame(
+        [(i, i % 100) for i in range(1000)] + [(9999, None)],
+        "row_id long, key long",
+    )
+    dim = spark.createDataFrame(
+        [(j, f"d{j}") for j in range(0, 100, 7)], "key long, payload string"
+    )
+    got = bloom_pruned_join(fact, dim, "key", m=1 << 12, k=4)
+    plain = fact.where("key IS NOT NULL").join(dim, "key", "inner")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, plain.collect()))
+    # semi variant
+    semi = bloom_pruned_join(fact, dim, "key", m=1 << 12, k=4, how="left_semi")
+    plain_semi = fact.where("key IS NOT NULL").join(dim, "key", "left_semi")
+    assert sorted(map(tuple, semi.collect())) == sorted(map(tuple, plain_semi.collect()))
+
+
+def test_bloom_pruned_join_actually_prunes(spark):
+    from xmlschemavalidator_spark.checks.bloom import BloomFilter
+
+    fact = spark.createDataFrame([(i,) for i in range(2000)], "key long")
+    dim = spark.createDataFrame([(i,) for i in range(0, 2000, 100)], "key long")
+    bf = BloomFilter.build(dim, "key", m=1 << 14, k=5)
+    survivors = fact.where(bf.might_contain(F.col("key"))).count()
+    # 20 true members; FP rate at m=16384/n=20 is ~0 -> prune >=97%
+    assert 20 <= survivors <= 60

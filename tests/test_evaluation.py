@@ -126,3 +126,67 @@ def test_roc_auc_single_aggregate_plan(spark):
     )
     # one scan; the window runs over the distinct-score table, never rows
     assert plan.count("Scan ExistingRDD") == 1
+
+
+# --------------------------------------------------------------------------
+# calibration: reliability bins + ECE/MCE
+# --------------------------------------------------------------------------
+
+from xmlschemavalidator_spark.checks.evaluation import calibration_report, ece  # noqa: E402
+
+
+def test_calibration_report_bins_exact(spark):
+    # 2 bins over [0,1]: bin 0 = [0,.5), bin 1 = [.5,1]
+    # bin 0: probs .1 .2 (conf .15), labels F F -> acc 0, gap -.15
+    # bin 1: probs .8 .9 1.0 (conf .9), labels T T F -> acc 2/3
+    df = _scored(
+        spark,
+        [
+            (1, 0.1, False),
+            (2, 0.2, False),
+            (3, 0.8, True),
+            (4, 0.9, True),
+            (5, 1.0, False),
+        ],
+    )
+    got = {
+        r["bin"]: (r["n"], r["conf"], r["acc"], r["gap"])
+        for r in calibration_report(df, "score", "label", n_bins=2).collect()
+    }
+    assert got[0] == (2, 0.15, 0.0, -0.15)
+    assert got[1] == (3, 0.9, round(2 / 3, 6), round(2 / 3 - 0.9, 6))
+
+
+def test_calibration_p1_joins_top_bin_and_clamping(spark):
+    df = _scored(spark, [(1, 1.0, True), (2, 1.7, True), (3, -0.3, False)])
+    got = {r["bin"]: (r["n"], r["conf"]) for r in
+           calibration_report(df, "score", "label", n_bins=10).collect()}
+    # 1.0 and the clamped 1.7 both land in bin 9 at conf 1.0; -0.3 clamps to bin 0
+    assert got[9] == (2, 1.0)
+    assert got[0] == (1, 0.0)
+
+
+def test_ece_perfectly_calibrated_and_worst_case(spark):
+    # bin conf .25 with acc 1/4 -> gap 0 (4 rows, 1 positive)
+    df = _scored(
+        spark,
+        [(1, 0.25, True), (2, 0.25, False), (3, 0.25, False), (4, 0.25, False)],
+    )
+    [r] = ece(df, "score", "label", n_bins=4).collect()
+    assert (r["n"], r["n_bins_used"], r["ece"], r["mce"]) == (4, 1, 0.0, 0.0)
+    # confident-and-wrong: p=.9 label F, p=.1 label T -> each bin gap .9
+    worst = _scored(spark, [(1, 0.9, False), (2, 0.1, True)])
+    [w] = ece(worst, "score", "label", n_bins=10).collect()
+    assert (w["ece"], w["mce"]) == (0.9, 0.9)
+
+
+def test_ece_weights_bins_by_count(spark):
+    # bin A: 3 rows gap 1/3-0.2=.133333; bin B: 1 row gap |0-.6|=.6
+    # ECE = (3*.133333 + 1*.6)/4 = .25 ; MCE = .6
+    df = _scored(
+        spark,
+        [(1, 0.2, True), (2, 0.2, False), (3, 0.2, False), (4, 0.6, False)],
+    )
+    [r] = ece(df, "score", "label", n_bins=5).collect()
+    assert r["mce"] == 0.6
+    assert r["ece"] == 0.25

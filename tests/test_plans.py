@@ -580,3 +580,28 @@ def test_stratified_fixed_k_salted_window_bounds_sort(spark):
     p = fmt(stratified_fixed_k(_docs(spark), "doc_id", "lang", k=5))
     assert "_fk_salt" in p  # the salted phase survived optimization
     assert n_scans(p) == 1
+
+
+def test_bloom_pruned_join_filter_below_exchange(spark):
+    """The bloom membership test must run as a narrow Filter on the fact
+    side BEFORE any exchange/broadcast — pruning after the shuffle would
+    defeat the operator's purpose."""
+    from xmlschemavalidator_spark.checks.bloom import bloom_pruned_join
+
+    fact = spark.range(0, 10_000).select(
+        F.col("id").alias("key"), (F.col("id") * 2).alias("marker")
+    )
+    dim = spark.range(0, 100, 7).select(
+        F.col("id").alias("key"), F.lit("d").alias("payload")
+    )
+    p = fmt(bloom_pruned_join(fact, dim, "key", m=1 << 12, k=3))
+    # the membership predicate compiles to a Filter node (xxhash64 probe)
+    assert "xxhash64" in p
+    # tree summary (parent-first): a post-join filter would print ABOVE
+    # the join line; the pruning filter must sit in the fact branch
+    # BETWEEN the join and the dim side's exchange
+    summary = p[: p.index("\n(1)")]
+    join_pos = summary.index("Join")
+    filter_pos = summary.index("Filter")
+    exchange_pos = summary.index("Exchange")
+    assert join_pos < filter_pos < exchange_pos

@@ -503,3 +503,86 @@ def test_kneser_ney_rejects_bad_discount(spark):
         train_kneser_ney(df, "doc_id", discount_micro=0)
     with pytest.raises(ValueError):
         train_kneser_ney(df, "doc_id", discount_micro=1_000_000)
+
+
+# --------------------------------------------------------------------------
+# Stupid Backoff trigram LM
+# --------------------------------------------------------------------------
+
+
+def test_stupid_backoff_hand_computed(spark):
+    import math
+
+    from xmlschemavalidator_spark.quality_model import (
+        sb_logprob_score,
+        train_stupid_backoff,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    lm = train_stupid_backoff(train, "doc_id")
+    # margins of the padded trigram stream: N = 7 real tokens, v = 3
+    assert (lm.n_tokens, lm.v) == (7, 3)
+
+    test = spark.createDataFrame(
+        [(10, "a b c"), (11, "b q"), (12, None)], "doc_id long, text string"
+    )
+    got = {
+        r["doc"]: (r["n_trigrams"], r["logscore_micro"])
+        for r in sb_logprob_score(test, lm, "doc_id").collect()
+    }
+    # doc 10: (s,s,a) 2/2 -> 0; (s,a,b) 2/2 -> 0; (a,b,c) 1/2
+    assert got[10] == (3, math.floor(math.log(1 / 2) * 1e6))
+    # doc 11: both trigrams unseen; (s,s,b): bigram (s,b) unseen ->
+    # unigram b (n1=3); (s,b,q): q unseen -> add-1 floor
+    a = 0.4
+    a2 = a * a
+    lp1 = math.floor(math.log(a2 * ((3 + 1.0) / 10.0)) * 1e6)
+    lp2 = math.floor(math.log(a2 * ((0 + 1.0) / 10.0)) * 1e6)
+    assert got[11] == (2, lp1 + lp2)
+    assert got[12] == (0, 0)  # NULL text: zero trigrams
+
+
+def test_stupid_backoff_bigram_level(spark):
+    import math
+
+    from xmlschemavalidator_spark.quality_model import (
+        sb_logprob_score,
+        train_stupid_backoff,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    lm = train_stupid_backoff(train, "doc_id")
+    test = spark.createDataFrame([(20, "b a a")], "doc_id long, text string")
+    [r] = sb_logprob_score(test, lm, "doc_id").collect()
+    # (s,s,b): unigram b -> a2*4/10 ; (s,b,a): BIGRAM hit 0.4*(1/2);
+    # (b,a,a): bigram (a,a) unseen -> unigram a (n1=3)
+    exp = (
+        math.floor(math.log(0.16000000000000003 * ((3 + 1.0) / 10.0)) * 1e6)
+        + math.floor(math.log(0.4 * (1.0 / 2.0)) * 1e6)
+        + math.floor(math.log(0.16000000000000003 * ((3 + 1.0) / 10.0)) * 1e6)
+    )
+    assert (r["n_trigrams"], r["logscore_micro"]) == (3, exp)
+
+
+def test_stupid_backoff_ranks_fluent_over_shuffled(spark):
+    from xmlschemavalidator_spark.quality_model import (
+        sb_logprob_score,
+        train_stupid_backoff,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(20)],
+        "doc_id long, text string",
+    )
+    lm = train_stupid_backoff(corpus, "doc_id")
+    probe = spark.createDataFrame(
+        [(100, "the quick brown fox"), (101, "fox brown quick the")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc"]: r["avg_logscore"] for r in
+            sb_logprob_score(probe, lm, "doc_id").collect()}
+    assert rows[100] > rows[101]

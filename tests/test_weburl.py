@@ -859,3 +859,29 @@ def test_kcore_empty_core_and_guards(spark):
         kcore(edges, k=0)
     with pytest.raises(RuntimeError, match="fixpoint"):
         kcore(edges, k=2, max_rounds=1)
+
+
+def test_local_clustering_hand_computed(spark):
+    from xmlschemavalidator_spark.weburl import local_clustering
+
+    # triangle {1,2,3} + spoke 3-4, star 5-{6,7}, pair 8-9 (directed,
+    # duplicated and self-looped edges must collapse)
+    edges = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 1), (2, 1),  # triangle + reverse dup
+            (3, 4), (5, 6), (5, 7), (8, 9), (9, 9),  # self-loop drops
+        ],
+        "src long, dst long",
+    )
+    got = {
+        r["node"]: (r["degree"], r["n_triangles"], r["lcc_micro"])
+        for r in local_clustering(edges).collect()
+    }
+    assert got[1] == (2, 1, 1_000_000)
+    assert got[2] == (2, 1, 1_000_000)
+    # node 3: neighbors {1,2,4} -> 3 pairs, 1 closed -> 333333
+    assert got[3] == (3, 1, 333_333)
+    assert got[4] == (1, 0, None)  # degree-1: undefined
+    assert got[5] == (2, 0, 0)  # open wedge center: defined and zero
+    assert got[6] == (1, 0, None) and got[8] == (1, 0, None)
+    assert len(got) == 9

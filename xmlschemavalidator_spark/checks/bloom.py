@@ -157,3 +157,40 @@ def split_by_membership(
     pays the join to weed out false positives."""
     hit = bloom.might_contain(F.col(col))
     return df.where(~hit), df.where(hit)
+
+
+def bloom_pruned_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    m: int = 1 << 20,
+    k: int = 5,
+    seed: int = 42,
+    how: str = "inner",
+) -> DataFrame:
+    """Bloom-pruned equi-join: build a filter on the dim side's join
+    keys, drop fact rows whose key DEFINITELY isn't in dim with a
+    narrow Column filter, then run the real join on the survivors —
+    the runtime-filter / sideways-information-passing pattern (Spark's
+    own `spark.sql.optimizer.runtime.bloomFilter` applies it only when
+    its cost model fires; this makes it an explicit operator).
+
+    Semantically TRANSPARENT: Bloom filters have no false negatives, so
+    the result equals the plain join row-for-row (the driver oracle IS
+    the plain join) — false positives just ride through to the join,
+    which drops them exactly. The win at 100 TB: when the dim is
+    selective (a filtered customer segment against a 10^12-row fact),
+    the pruned fact side shrinks BEFORE the shuffle/broadcast, so the
+    exchange carries only ~selectivity·(1+fpp) of the fact. NULL fact
+    keys are dropped up front (inner/semi join semantics — a NULL key
+    matches nothing).
+
+    ``how``: 'inner' (full dim payload) or 'left_semi' (existence
+    only). Both sides must name the key identically — rename upstream
+    for role joins.
+    """
+    if how not in ("inner", "left_semi"):
+        raise ValueError(f"bloom_pruned_join: how={how!r} (inner or left_semi)")
+    bf = BloomFilter.build(dim, key, m=m, k=k, seed=seed)
+    pre = fact.where(F.col(key).isNotNull() & bf.might_contain(F.col(key)))
+    return pre.join(dim, key, how)

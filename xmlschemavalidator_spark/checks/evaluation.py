@@ -179,3 +179,111 @@ def retrieval_metrics(
         F.round(dcg, round_to).alias("dcg_k"),
         F.round(F.when(idcg > 0, dcg / idcg), round_to).alias("ndcg_k"),
     )
+
+
+def calibration_report(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Reliability diagram + Expected Calibration Error (Naeini et al.
+    AAAI'15; Guo et al. ICML'17 popularized the binned form): predicted
+    probabilities in [0, 1] fall into ``n_bins`` equal-width bins; this
+    returns the PER-BIN reliability table — :func:`ece` computes the
+    scalar verdict over the same binning.
+
+    Per-bin columns: ``bin`` (0-based; p = 1.0 joins the top bin, the
+    standard closed-right convention), ``n``, ``conf`` = mean predicted
+    probability, ``acc`` = empirical positive rate, ``gap`` = acc −
+    conf (signed: positive = under-confident).
+
+    Exactness: probabilities quantize to integer millionths BEFORE
+    binning and averaging — bin membership is integer floor division
+    and both means are exact rationals (DECIMAL(38,0) micro sums, one
+    rounded double division each). NULL prob/label rows are excluded;
+    out-of-[0,1] probabilities clamp into the end bins (a miscalibrated
+    scorer is data to be measured, not a job-killing error).
+
+    Scale shape: ONE partial-aggregatable groupBy on the bin id —
+    ``n_bins`` result rows at any corpus size.
+    """
+    if n_bins < 1:
+        raise ValueError(f"calibration_report: n_bins={n_bins}")
+    lab = F.col(label_col).cast("boolean")
+    micro = F.floor(F.col(prob_col).cast("double") * F.lit(1_000_000)).cast("bigint")
+    micro = F.least(F.greatest(micro, F.lit(0)), F.lit(1_000_000))
+    base = df.where(F.col(prob_col).isNotNull() & lab.isNotNull()).select(
+        F.least(
+            F.floor(micro * F.lit(n_bins) / F.lit(1_000_000)).cast("bigint"),
+            F.lit(n_bins - 1).cast("bigint"),
+        ).alias("bin"),
+        micro.alias("_p"),
+        lab.cast("long").alias("_y"),
+    )
+    g = base.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("_p").cast("decimal(38,0)")).alias("_sp"),
+        F.sum(F.col("_y").cast("decimal(38,0)")).alias("_sy"),
+    )
+    return g.select(
+        "bin",
+        "n",
+        F.round(F.col("_sp").cast("double") / (F.col("n") * F.lit(1e6)), round_to).alias("conf"),
+        F.round(F.col("_sy").cast("double") / F.col("n"), round_to).alias("acc"),
+        F.round(
+            F.col("_sy").cast("double") / F.col("n")
+            - F.col("_sp").cast("double") / (F.col("n") * F.lit(1e6)),
+            round_to,
+        ).alias("gap"),
+    )
+
+
+def ece(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Scalar calibration verdict over the same binning as
+    :func:`calibration_report`: one row ``(n, n_bins_used, ece, mce)``
+    — ECE = Σ_b (n_b/N)·|acc_b − conf_b| (the weighted mean absolute
+    reliability gap) and MCE = max_b |acc_b − conf_b|.
+
+    Exactness: the per-bin gap |Σy/n − Σp/(n·1e6)| is the exact
+    rational |1e6·Σy − Σp| / (n·1e6); ECE's weighted sum telescopes to
+    Σ_b |1e6·Σy_b − Σp_b| / (N·1e6) — integer micro numerators summed
+    in DECIMAL(38,0), ONE final double division. MCE takes the max of
+    per-bin exact rationals via one rounded division per bin (n_bins
+    rows, driver-bounded).
+    """
+    lab = F.col(label_col).cast("boolean")
+    micro = F.floor(F.col(prob_col).cast("double") * F.lit(1_000_000)).cast("bigint")
+    micro = F.least(F.greatest(micro, F.lit(0)), F.lit(1_000_000))
+    base = df.where(F.col(prob_col).isNotNull() & lab.isNotNull()).select(
+        F.least(
+            F.floor(micro * F.lit(n_bins) / F.lit(1_000_000)).cast("bigint"),
+            F.lit(n_bins - 1).cast("bigint"),
+        ).alias("bin"),
+        micro.alias("_p"),
+        lab.cast("long").alias("_y"),
+    )
+    g = base.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum(F.col("_p").cast("decimal(38,0)")).alias("_sp"),
+        F.sum(F.col("_y").cast("decimal(38,0)")).alias("_sy"),
+    )
+    absnum = F.abs(F.col("_sy") * F.lit(1_000_000).cast("decimal(38,0)") - F.col("_sp"))
+    return g.select("_n", absnum.alias("_a")).agg(
+        F.sum("_n").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins_used"),
+        F.round(
+            F.sum("_a").cast("double") / (F.sum("_n") * F.lit(1e6)), round_to
+        ).alias("ece"),
+        F.round(
+            F.max(F.round(F.col("_a").cast("double") / (F.col("_n") * F.lit(1e6)), 9)),
+            round_to,
+        ).alias("mce"),
+    )

@@ -10395,3 +10395,416 @@ def link_degree_assortativity(spark, sf_dir):
         (F.col("doc_id") % 75).alias("src"), sq.alias("dst")
     ).where(F.col("src") != F.col("dst"))
     return degree_assortativity(edges)
+
+
+# ===========================================================================
+# privacy audits — k-anonymity / l-diversity (checks/privacy.py)
+# ===========================================================================
+
+_K_ANON = 5  # measured at sf0.01: 55 of 97 (lang, source) classes violate
+
+
+@q(
+    "privacy_k_anonymity",
+    f"""SELECT lang, source, CAST(count(*) AS BIGINT) AS class_size
+       FROM documents GROUP BY lang, source HAVING count(*) < {_K_ANON}""",
+)
+def privacy_k_anonymity(spark, sf_dir):
+    """k-anonymity equivalence-class audit (Sweeney 2002;
+    checks/privacy.py:k_anonymity_violations) with quasi-identifiers
+    (lang, source) at k=5 — a MEASURED mixed verdict (55 of 97 classes
+    violate at sf0.01, 51/99 at sf0.001), so both branches of the HAVING
+    carry weight. ONE partial-aggregatable groupBy; the shuffle carries
+    (lang, source, partial count), never rows."""
+    from xmlschemavalidator_spark.checks.privacy import k_anonymity_violations
+
+    return k_anonymity_violations(
+        _t(spark, sf_dir, "documents"), ["lang", "source"], k=_K_ANON
+    )
+
+
+@q(
+    "privacy_k_anonymity_summary",
+    f"""WITH c AS (SELECT count(*) AS cs FROM documents GROUP BY lang, source)
+       SELECT CAST(sum(cs) AS BIGINT) AS n_rows,
+              CAST(count(*) AS BIGINT) AS n_classes,
+              CAST(min(cs) AS BIGINT) AS min_class_size,
+              CAST(sum(CASE WHEN cs < {_K_ANON} THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_violating_classes,
+              CAST(sum(CASE WHEN cs < {_K_ANON} THEN cs ELSE 0 END) AS BIGINT)
+                AS n_rows_at_risk,
+              min(cs) >= {_K_ANON} AS k_anonymous
+       FROM c""",
+)
+def privacy_k_anonymity_summary(spark, sf_dir):
+    """One-row k-anonymity release gate (checks/privacy.py:
+    k_anonymity_summary): the k the table actually achieves
+    (min_class_size) plus the suppression cost of enforcing k=5
+    (n_rows_at_risk). Same single groupBy re-aggregated to one row."""
+    from xmlschemavalidator_spark.checks.privacy import k_anonymity_summary
+
+    return k_anonymity_summary(
+        _t(spark, sf_dir, "documents"), ["lang", "source"], k=_K_ANON
+    )
+
+
+_L_DIV = 5  # measured: 3 of 20 source classes hold <5 distinct langs at sf0.01
+
+
+@q(
+    "privacy_l_diversity",
+    f"""WITH pv AS (SELECT source, lang, count(*) AS n
+                   FROM documents GROUP BY source, lang)
+       SELECT source, CAST(sum(n) AS BIGINT) AS class_size,
+              CAST(count(*) AS BIGINT) AS n_distinct_sensitive
+       FROM pv GROUP BY source HAVING count(*) < {_L_DIV}""",
+)
+def privacy_l_diversity(spark, sf_dir):
+    """Distinct l-diversity audit (Machanavajjhala et al. ICDE'06;
+    checks/privacy.py:l_diversity_violations): quasi-identifier source,
+    sensitive value lang, l=5 — a MEASURED mixed verdict (3 of 20
+    classes violate at sf0.01, 1/20 at sf0.001). TWO stacked
+    partial-aggregatable groupBys (the checks/fd.py fan-out device) —
+    deliberately no countDistinct, whose mixed-agg plan is an Expand
+    over the corpus."""
+    from xmlschemavalidator_spark.checks.privacy import l_diversity_violations
+
+    return l_diversity_violations(
+        _t(spark, sf_dir, "documents"), ["source"], "lang", l=_L_DIV
+    )
+
+
+# ===========================================================================
+# classifier calibration — reliability bins + ECE (checks/evaluation.py)
+# ===========================================================================
+
+# prob = fractional part of n_chars/500 clamped to [0,1] (a deterministic
+# pseudo-probability spread over all bins), label = text contains 'spark'
+_CAL_PROB_DUCK = "CAST((n_chars % 500) AS DOUBLE) / 500"
+_CAL_LABEL_DUCK = "CASE WHEN position(' spark ' IN ' ' || text || ' ') > 0 THEN 1 ELSE 0 END"
+
+
+def _cal_base_duck() -> str:
+    return f"""\
+b AS (
+  SELECT least(greatest(CAST(floor({_CAL_PROB_DUCK} * 1000000) AS BIGINT), 0),
+               1000000) AS p,
+         {_CAL_LABEL_DUCK} AS y
+  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+g AS (
+  SELECT least(CAST(floor(p * 10 / 1000000) AS BIGINT), 9) AS bin,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(p AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sp,
+         CAST(sum(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy
+  FROM b GROUP BY 1)"""
+
+
+@q(
+    "classifier_calibration_bins",
+    f"""WITH {_cal_base_duck()}
+       SELECT bin, n,
+              round(CAST(sp AS DOUBLE) / (n * 1e6), 6) AS conf,
+              round(CAST(sy AS DOUBLE) / n, 6) AS acc,
+              round(CAST(sy AS DOUBLE) / n - CAST(sp AS DOUBLE) / (n * 1e6), 6) AS gap
+       FROM g""",
+)
+def classifier_calibration_bins(spark, sf_dir):
+    """Reliability-diagram bins (Guo et al. ICML'17 binned calibration;
+    checks/evaluation.py:calibration_report): prob = (n_chars mod
+    500)/500 — a deterministic pseudo-probability spanning all 10 bins —
+    against the 'spark'-token label, so conf varies per bin while acc
+    hovers at the base rate and gap is a measured nonzero in every bin.
+    Probabilities quantize to integer millionths BEFORE binning; both
+    means are exact rationals. ONE groupBy on the bin id — 10 result
+    rows at any corpus size."""
+    from xmlschemavalidator_spark.checks.evaluation import calibration_report
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    scored = docs.select(
+        ((F.col("n_chars") % 500).cast("double") / F.lit(500)).alias("prob"),
+        (
+            F.locate(" spark ", F.concat(F.lit(" "), F.col("text"), F.lit(" "))) > 0
+        ).alias("label"),
+    )
+    return calibration_report(scored, "prob", "label", n_bins=10)
+
+
+@q(
+    "classifier_calibration_ece",
+    f"""WITH {_cal_base_duck()}
+       SELECT CAST(sum(n) AS BIGINT) AS n,
+              CAST(count(*) AS BIGINT) AS n_bins_used,
+              round(CAST(sum(abs(sy * 1000000 - sp)) AS DOUBLE)
+                    / (CAST(sum(n) AS DOUBLE) * 1e6), 6) AS ece,
+              round(max(round(CAST(abs(sy * 1000000 - sp) AS DOUBLE)
+                              / (n * 1e6), 9)), 6) AS mce
+       FROM g""",
+)
+def classifier_calibration_ece(spark, sf_dir):
+    """Scalar calibration verdict (checks/evaluation.py:ece) over the
+    same binning: ECE telescopes to Σ_b |1e6·Σy_b − Σp_b| / (N·1e6) —
+    integer micro numerators summed in DECIMAL(38,0), ONE final double
+    division; MCE maxes the per-bin rational (rounded 9dp pre-max on
+    both engines). The length-derived pseudo-probability is
+    uncalibrated by construction, so ECE is a measured nonzero."""
+    from xmlschemavalidator_spark.checks.evaluation import ece
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    scored = docs.select(
+        ((F.col("n_chars") % 500).cast("double") / F.lit(500)).alias("prob"),
+        (
+            F.locate(" spark ", F.concat(F.lit(" "), F.col("text"), F.lit(" "))) > 0
+        ).alias("label"),
+    )
+    return ece(scored, "prob", "label", n_bins=10)
+
+
+from xmlschemavalidator_spark.weburl import local_clustering_oracle_sql  # noqa: E402
+
+
+@q("link_local_clustering", local_clustering_oracle_sql(_TRI_EDGES_SQL))
+def link_local_clustering(spark, sf_dir):
+    """Per-node local clustering coefficient (Watts & Strogatz 1998;
+    weburl.py:local_clustering) over the ring-with-chords plant —
+    2·tri·10⁶ div (deg·(deg−1)) in BIGINT, no doubles. The plant's
+    mixed gaps give a MEASURED spread (nodes at 10⁶, partial values,
+    and zeros) plus the full-graph node roster the triangle query
+    alone omits (triangle-free and degree-1 nodes appear here)."""
+    from xmlschemavalidator_spark.weburl import local_clustering
+
+    docs = _t(spark, sf_dir, "documents")
+    gap = 1 + ((F.col("doc_id") - F.col("doc_id") % 60) / 60).cast("long") % 3
+    edges = docs.select(
+        (F.col("doc_id") % 60).alias("src"),
+        ((F.col("doc_id") % 60 + gap) % 60).alias("dst"),
+    )
+    return local_clustering(edges)
+
+
+_SB_A = 400_000 / 1_000_000.0
+_SB_A2 = _SB_A * _SB_A  # Python-computed, injected verbatim into BOTH engines
+
+
+@q(
+    "text_stupid_backoff_lm",
+    rf"""WITH t AS (
+         SELECT doc_id,
+                ['<s>', '<s>'] || list_transform(
+                  list_filter(regexp_split_to_array(trim(coalesce(text, '')), '\s+'),
+                              x -> x <> ''),
+                  x -> lower(x)) AS arr
+         FROM documents),
+       tri AS (
+         SELECT doc_id,
+                unnest(arr[1:len(arr) - 2]) AS w1,
+                unnest(arr[2:len(arr) - 1]) AS w2,
+                unnest(arr[3:len(arr)]) AS w3
+         FROM t WHERE len(arr) >= 3),
+       tr AS (SELECT w1, w2, w3 FROM tri WHERE doc_id % 5 <> 0),
+       tc AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS n3 FROM tr GROUP BY 1, 2, 3),
+       ctx2 AS (SELECT w1, w2, CAST(sum(n3) AS BIGINT) AS n12 FROM tc GROUP BY 1, 2),
+       bc AS (SELECT w2, w3, CAST(sum(n3) AS BIGINT) AS n23 FROM tc GROUP BY 1, 2),
+       ctx1 AS (SELECT w2, CAST(sum(n23) AS BIGINT) AS n2 FROM bc GROUP BY 1),
+       uni AS (SELECT w3, CAST(sum(n23) AS BIGINT) AS n1 FROM bc GROUP BY 1),
+       g AS (SELECT CAST(count(*) AS BIGINT) AS v,
+                    CAST(sum(n1) AS BIGINT) AS n FROM uni),
+       sc AS (
+         SELECT tri.doc_id, CAST(floor(ln(
+           CASE WHEN tc.n3 IS NOT NULL THEN tc.n3::DOUBLE / ctx2.n12::DOUBLE
+                WHEN bc.n23 IS NOT NULL
+                  THEN {_SB_A!r} * (bc.n23::DOUBLE / ctx1.n2::DOUBLE)
+                ELSE {_SB_A2!r} * ((coalesce(uni.n1, 0) + 1.0) / (g.n + g.v))
+           END) * 1000000) AS BIGINT) AS lp
+         FROM tri
+         LEFT JOIN tc USING (w1, w2, w3)
+         LEFT JOIN ctx2 USING (w1, w2)
+         LEFT JOIN bc USING (w2, w3)
+         LEFT JOIN ctx1 USING (w2)
+         LEFT JOIN uni USING (w3)
+         CROSS JOIN g),
+       agg AS (
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+                CAST(sum(lp) AS BIGINT) AS logscore_micro
+         FROM sc GROUP BY 1)
+       SELECT d.doc_id,
+              coalesce(agg.n_trigrams, 0) AS n_trigrams,
+              coalesce(agg.logscore_micro, 0) AS logscore_micro,
+              round(agg.logscore_micro / (agg.n_trigrams * 1000000.0), 6)
+                AS avg_logscore
+       FROM documents d LEFT JOIN agg USING (doc_id)""",
+)
+def text_stupid_backoff_lm(spark, sf_dir):
+    """Stupid Backoff trigram LM (Brants et al. EMNLP'07 §4 —
+    quality_model.py:train_stupid_backoff/sb_logprob_score), trained
+    in-query on the doc_id % 5 <> 0 split, every doc scored. The
+    web-scale LM by construction: relative frequencies + fixed α=0.4
+    backoff need only count tables, all derived from ONE trigram
+    groupBy by further partial aggs — the reason Google used it at 2e12
+    tokens where KN's discounting needs global passes. Training replay
+    AND scoring hash-exact in DuckDB; α/α² are Python-computed doubles
+    injected verbatim into both engines."""
+    from xmlschemavalidator_spark.quality_model import (
+        sb_logprob_score,
+        train_stupid_backoff,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = train_stupid_backoff(docs.where(F.col("doc_id") % 5 != 0), "doc_id")
+    out = sb_logprob_score(docs, lm, "doc_id")
+    return out.select(
+        F.col("doc").alias("doc_id"),
+        "n_trigrams",
+        "logscore_micro",
+        F.round("avg_logscore", 6).alias("avg_logscore"),
+    )
+
+
+@q(
+    "bloom_pruned_fact_join",
+    """SELECT o.o_orderkey, o.o_custkey, c.c_nationkey,
+              round(o.o_totalprice, 2) AS total_2dp
+       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       WHERE c.c_nationkey < 3""",
+)
+def bloom_pruned_fact_join(spark, sf_dir):
+    """Bloom-pruned fact⋈dim join (checks/bloom.py:bloom_pruned_join —
+    the explicit runtime-filter pattern): the dim side is the
+    c_nationkey<3 customer slice (184 of 1500 at sf0.01), whose key
+    filter prunes ~88% of the 15k-row fact side with a narrow Column
+    test BEFORE any exchange. Semantically transparent by the
+    no-false-negative property, so the oracle is the PLAIN join —
+    hash-equality here proves both the pruning's losslessness and that
+    false positives ride through to the exact join. 1745 result rows
+    measured at sf0.01."""
+    from xmlschemavalidator_spark.checks.bloom import bloom_pruned_join
+
+    orders = _t(spark, sf_dir, "orders")
+    dim = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_nationkey") < 3)
+        .select(F.col("c_custkey").alias("o_custkey"), "c_nationkey")
+    )
+    return bloom_pruned_join(orders, dim, "o_custkey", m=1 << 16, k=5).select(
+        "o_orderkey",
+        "o_custkey",
+        "c_nationkey",
+        F.round("o_totalprice", 2).alias("total_2dp"),
+    )
+
+
+from xmlschemavalidator_spark.linkage import FsField, fs_weight_sql_terms  # noqa: E402
+
+_FS_FIELDS = [
+    FsField("name", m=0.95, u=0.05),
+    FsField("mkt", m=0.95, u=0.20),
+    FsField("bal", m=0.90, u=0.02),
+]
+_FS_AGREE_SQL = {
+    "name": "levenshtein(na, nb) <= 1",
+    "mkt": "ma = mb",
+    "bal": "abs(ba - bb) <= 500",
+}
+
+
+@q(
+    "fs_record_linkage",
+    f"""WITH base AS (
+         SELECT c_custkey AS id, lower(c_name) AS name, c_mktsegment AS mkt,
+                CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal
+         FROM customer),
+       dirty AS (
+         SELECT * FROM base
+         UNION ALL
+         SELECT id + 1000000, substr(name, 1, length(name) - 1), mkt, bal + 250
+         FROM base WHERE id % 5 = 0),
+       keyed AS (SELECT *, substr(name, 15, 2) || '|' || name AS k FROM dirty),
+       r AS (SELECT *, row_number() OVER (
+                 PARTITION BY substr(k, 1, 2) ORDER BY k, id) AS rn
+             FROM keyed),
+       p AS (SELECT a.id AS id_a, b.id AS id_b, a.name AS na, b.name AS nb,
+                    a.mkt AS ma, b.mkt AS mb, a.bal AS ba, b.bal AS bb
+             FROM r a JOIN r b
+               ON substr(a.k, 1, 2) = substr(b.k, 1, 2)
+              AND b.rn - a.rn BETWEEN 1 AND 2),
+       sc AS (SELECT id_a, id_b,
+                     levenshtein(na, nb) <= 1 AS agree_name,
+                     ma = mb AS agree_mkt,
+                     abs(ba - bb) <= 500 AS agree_bal,
+                     CAST({fs_weight_sql_terms(_FS_FIELDS, _FS_AGREE_SQL)}
+                          AS BIGINT) AS weight_micro
+              FROM p)
+       SELECT id_a, id_b, agree_name, agree_mkt, agree_bal, weight_micro,
+              CASE WHEN weight_micro >= 8000000 THEN 'match'
+                   WHEN weight_micro >= 0 THEN 'possible'
+                   ELSE 'non_match' END AS decision
+       FROM sc""",
+)
+def fs_record_linkage(spark, sf_dir):
+    """Fellegi–Sunter probabilistic record linkage (JASA 1969; the
+    splink model — linkage.py:fellegi_sunter_score) over a planted
+    dirty-duplicates customer table: every id%5==0 row gets a copy with
+    a truncated name and a $2.50-shifted balance. Candidates come from
+    the SNM blocking layer (window 3 on a digit-derived key); scoring
+    is the integer micro-log2 weight sum over three field comparisons
+    (name lev<=1, segment equality, balance within $5), classified
+    match / possible / non_match at measured thresholds (8e6, 0) —
+    150 / 591 / 2814 at sf0.01, so all three decision bands carry
+    weight in the hash. The log2 weights are Python-computed literals
+    consumed by BOTH engines (fs_weight_sql_terms renders the oracle
+    side from the same FsField list). Scoring itself is a narrow
+    projection — candidate generation owns the shuffle."""
+    from xmlschemavalidator_spark.dedup import sorted_neighborhood_pairs
+    from xmlschemavalidator_spark.linkage import fellegi_sunter_score
+
+    cust = _t(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.lower(F.col("c_name")).alias("name"),
+        F.col("c_mktsegment").alias("mkt"),
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint").alias("bal"),
+    )
+    dup = base.where(F.col("id") % 5 == 0).select(
+        (F.col("id") + 1_000_000).alias("id"),
+        F.expr("substring(name, 1, length(name) - 1)").alias("name"),
+        "mkt",
+        (F.col("bal") + 250).alias("bal"),
+    )
+    dirty = base.unionByName(dup)
+    keyed = dirty.withColumn(
+        "snm_key", F.concat(F.substring("name", 15, 2), F.lit("|"), F.col("name"))
+    )
+    pairs = sorted_neighborhood_pairs(
+        keyed, "id", "snm_key", window=3, block_chars=2
+    ).select("id_a", "id_b")
+    a = dirty.select(
+        F.col("id").alias("id_a"),
+        F.col("name").alias("name_a"),
+        F.col("mkt").alias("mkt_a"),
+        F.col("bal").alias("bal_a"),
+    )
+    b = dirty.select(
+        F.col("id").alias("id_b"),
+        F.col("name").alias("name_b"),
+        F.col("mkt").alias("mkt_b"),
+        F.col("bal").alias("bal_b"),
+    )
+    pj = pairs.join(a, "id_a").join(b, "id_b")
+    out = fellegi_sunter_score(
+        pj,
+        {
+            "name": F.levenshtein("name_a", "name_b") <= 1,
+            "mkt": F.col("mkt_a") == F.col("mkt_b"),
+            "bal": F.abs(F.col("bal_a") - F.col("bal_b")) <= 500,
+        },
+        _FS_FIELDS,
+        upper_micro=8_000_000,
+        lower_micro=0,
+    )
+    return out.select(
+        "id_a", "id_b", "agree_name", "agree_mkt", "agree_bal",
+        "weight_micro", "decision",
+    )

@@ -920,3 +920,164 @@ def kn_perplexity_score(
             ).alias("avg_logprob"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Stupid Backoff trigram LM (Brants et al. EMNLP'07, "Large Language
+# Models in Machine Translation" — Google's web-scale n-gram scorer).
+# The insight that makes it THE distributed-counting LM: relative
+# frequencies with a fixed multiplicative backoff α (no discounting, no
+# normalization) need only count tables — every table here derives from
+# ONE trigram groupBy by further partial-aggregatable groupBys, so
+# training is embarrassingly mergeable across 100 TB of shards, which is
+# exactly why Brants et al. chose it over KN at 2e12 tokens. Scores are
+# not probabilities (they don't sum to 1 — "stupid" by design); they
+# rank docs/sentences, which is all a quality filter needs.
+# --------------------------------------------------------------------------
+
+
+def _trigram_triples(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, w1, w2, w3): one row per real token of the lower-cased
+    stream with TWO BOS sentinels, so every token is predicted once
+    (the first from (BOS, BOS), the second from (BOS, t1))."""
+    toks = tokens(F.lower(F.col(text_col)))
+    arr = F.concat(F.array(F.lit(BOS), F.lit(BOS)), toks)
+    zipped = F.arrays_zip(
+        F.slice(arr, 1, F.size(arr) - 2),
+        F.slice(arr, 2, F.size(arr) - 2),
+        F.slice(arr, 3, F.size(arr) - 2),
+    )
+    return df.select(F.col(id_col).alias("doc"), F.explode(zipped).alias("tg")).select(
+        "doc",
+        F.col("tg.0").alias("w1"),
+        F.col("tg.1").alias("w2"),
+        F.col("tg.2").alias("w3"),
+    )
+
+
+@dataclass
+class StupidBackoffLM:
+    """All five tables derive from `trigram_counts` by partial-agg
+    groupBys (training re-runs none of the corpus): context2 = Σ over
+    w3, bigram_counts = Σ over w1, context1/unigram_counts = Σ of the
+    bigram table. v = distinct real tokens, n_tokens = their total;
+    alpha_micro = backoff multiplier in millionths (400000 = the
+    paper's α = 0.4)."""
+
+    trigram_counts: DataFrame  # (w1, w2, w3, n3)
+    context2: DataFrame  # (w1, w2, n12)
+    bigram_counts: DataFrame  # (w2, w3, n23)
+    context1: DataFrame  # (w2, n2)
+    unigram_counts: DataFrame  # (w3, n1)
+    n_tokens: int
+    v: int
+    alpha_micro: int = 400_000
+
+
+def train_stupid_backoff(
+    df: DataFrame, id_col: str, text_col: str = "text", alpha_micro: int = 400_000
+) -> StupidBackoffLM:
+    """Fit the count hierarchy: the corpus tokenizes ONCE into the
+    trigram table; every other table is a groupBy of it (the w2/w3
+    margins of the padded trigram stream are exactly the single-BOS
+    bigram stream, so the backoff levels are mutually consistent)."""
+    if not 0 < alpha_micro < MICRO:
+        raise ValueError(
+            f"train_stupid_backoff: alpha_micro must be in (0, 1e6), got {alpha_micro}"
+        )
+    triples = _trigram_triples(df, id_col, text_col)
+    tc = (
+        triples.groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n3"))
+        .persist()
+    )
+    ctx2 = tc.groupBy("w1", "w2").agg(F.sum("n3").cast("bigint").alias("n12")).persist()
+    bc = tc.groupBy("w2", "w3").agg(F.sum("n3").cast("bigint").alias("n23")).persist()
+    ctx1 = bc.groupBy("w2").agg(F.sum("n23").cast("bigint").alias("n2")).persist()
+    uni = (
+        bc.groupBy("w3").agg(F.sum("n23").cast("bigint").alias("n1")).persist()
+    )
+    # v and N from the unigram table (vocab-bounded agg; also
+    # materializes the persisted lineage root exactly once)
+    tc.count()
+    row = uni.agg(
+        F.count(F.lit(1)).alias("v"), F.coalesce(F.sum("n1"), F.lit(0)).alias("n")
+    ).collect()[0]
+    return StupidBackoffLM(
+        trigram_counts=tc,
+        context2=ctx2,
+        bigram_counts=bc,
+        context1=ctx1,
+        unigram_counts=uni,
+        n_tokens=int(row["n"]),
+        v=max(int(row["v"]), 1),
+        alpha_micro=int(alpha_micro),
+    )
+
+
+def sb_logprob_score(
+    df: DataFrame, lm: StupidBackoffLM, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Per-doc Stupid Backoff fit, same contract as
+    :func:`perplexity_score`: ``(doc, n_trigrams, logscore_micro,
+    avg_logscore)`` — the exact integer sum of floor-quantized
+    micro-log-scores, with S(w3|w1w2) the paper's recursion:
+
+    * trigram seen: ``n3/n12``
+    * else bigram seen: ``α · (n23/n2)``
+    * else: ``α² · (n1+1)/(N+V)`` — the unigram base is add-1
+      smoothed so unseen words score finite (Brants et al. leave OOV
+      open; this keeps the score total without changing seen-path
+      ratios).
+
+    Each branch is a fixed double chain on integer counts (the KN
+    libm contract); α and α² are Python-computed literals injected
+    identically into the oracle. Five vocab-bounded joins; the corpus
+    tokenizes once."""
+    a = lm.alpha_micro / float(MICRO)
+    a2 = a * a
+    triples = _trigram_triples(df, id_col, text_col)
+    j = (
+        triples.join(lm.trigram_counts, ["w1", "w2", "w3"], "left")
+        .join(lm.context2, ["w1", "w2"], "left")
+        .join(lm.bigram_counts, ["w2", "w3"], "left")
+        .join(lm.context1, ["w2"], "left")
+        .join(lm.unigram_counts, ["w3"], "left")
+    )
+    p = (
+        F.when(
+            F.col("n3").isNotNull(),
+            F.col("n3").cast("double") / F.col("n12").cast("double"),
+        )
+        .when(
+            F.col("n23").isNotNull(),
+            F.lit(a) * (F.col("n23").cast("double") / F.col("n2").cast("double")),
+        )
+        .otherwise(
+            F.lit(a2)
+            * (
+                (F.coalesce("n1", F.lit(0)) + F.lit(1.0))
+                / F.lit(float(lm.n_tokens + lm.v))
+            )
+        )
+    )
+    scored = j.select(
+        "doc", F.floor(F.log(p) * F.lit(MICRO)).cast("bigint").alias("_lp")
+    )
+    agg = scored.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_trigrams"), F.sum("_lp").alias("logscore_micro")
+    )
+    return (
+        df.select(F.col(id_col).alias("doc"))
+        .join(agg, "doc", "left")
+        .select(
+            "doc",
+            F.coalesce("n_trigrams", F.lit(0)).cast("bigint").alias("n_trigrams"),
+            F.coalesce("logscore_micro", F.lit(0))
+            .cast("bigint")
+            .alias("logscore_micro"),
+            (
+                F.col("logscore_micro") / (F.col("n_trigrams") * F.lit(float(MICRO)))
+            ).alias("avg_logscore"),
+        )
+    )

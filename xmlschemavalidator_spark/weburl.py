@@ -1482,6 +1482,70 @@ SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
 GROUP BY node"""
 
 
+def local_clustering(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node local clustering coefficient (Watts & Strogatz Nature
+    1998) over the undirected simple graph: ``(node, degree,
+    n_triangles, lcc_micro)`` with ``lcc_micro = 2·tri·10⁶ div
+    (deg·(deg−1))`` — the fraction of a node's neighbor pairs that are
+    themselves linked, in integer millionths (BIGINT floor division,
+    exact cross-engine; no doubles anywhere). Communities/cliques score
+    near 10⁶; pure hubs-and-spokes (link farms radiating to leaf pages)
+    score 0 — the per-node companion to :func:`degree_assortativity`'s
+    one-number drift signal.
+
+    Every node of the simple graph appears: degree-1 nodes carry NULL
+    lcc_micro (undefined — a 1-neighbor node has no neighbor pair),
+    triangle-free nodes carry 0. Scale shape: :func:`triangle_count`'s
+    compact-forward orientation (never enumerate a hub's neighbor
+    pairs) + one degree agg + one left join on node."""
+    e0 = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).where(
+        F.col(src).isNotNull() & F.col(dst).isNotNull() & (F.col(src) != F.col(dst))
+    )
+    und = e0.select(
+        F.least("s", "d").alias("a"), F.greatest("s", "d").alias("b")
+    ).distinct()
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    tri = triangle_count(edges, src, dst)
+    return deg.join(tri, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce("n_triangles", F.lit(0).cast("long")).alias("n_triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            F.expr(
+                "2 * coalesce(n_triangles, CAST(0 AS BIGINT)) * 1000000"
+                " div (degree * (degree - 1))"
+            ),
+        ).alias("lcc_micro"),
+    )
+
+
+def local_clustering_oracle_sql(edges_sql: str) -> str:
+    """DuckDB replay of :func:`local_clustering` — triangle replay via
+    :func:`triangle_count_oracle_sql` + the same integer-div ratio."""
+    return f"""
+WITH tri AS ({triangle_count_oracle_sql(edges_sql)}),
+e0 AS (SELECT src AS s, dst AS d FROM ({edges_sql})
+       WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst),
+und AS (SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b FROM e0),
+deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+          SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+        GROUP BY node)
+SELECT deg.node, deg.degree,
+       COALESCE(tri.n_triangles, 0) AS n_triangles,
+       CASE WHEN deg.degree >= 2
+            THEN (2 * COALESCE(tri.n_triangles, 0) * 1000000)
+                 // (deg.degree * (deg.degree - 1)) END AS lcc_micro
+FROM deg LEFT JOIN tri ON tri.node = deg.node"""
+
+
 def bfs_distances(
     edges: DataFrame,
     sources: list[int],
