@@ -73,3 +73,83 @@ def test_fs_weight_sql_terms_mirrors_weights():
     fields = [FsField("name", 0.9, 0.1)]
     sql = fs_weight_sql_terms(fields, {"name": "a = b"})
     assert "3169925" in sql and "-3169925" in sql and "(a = b) IS NULL" in sql
+
+
+# --------------------------------------------------------------------------
+# EM estimation
+# --------------------------------------------------------------------------
+
+from xmlschemavalidator_spark.linkage import (  # noqa: E402
+    fs_em_estimate,
+    fs_em_oracle_cte,
+    fs_em_python,
+    fs_pattern_counts,
+)
+
+
+def _planted_patterns(lam, m, u, n_total):
+    """Expected pattern counts under the FS generative model."""
+    import itertools
+
+    nf = len(m)
+    out = []
+    for gamma in itertools.product([True, False], repeat=nf):
+        pm, pu = lam, 1.0 - lam
+        for i in range(nf):
+            pm *= m[i] if gamma[i] else 1.0 - m[i]
+            pu *= u[i] if gamma[i] else 1.0 - u[i]
+        out.append((gamma, max(1, round((pm + pu) * n_total))))
+    return out
+
+
+def test_fs_em_recovers_planted_parameters():
+    # 3 conditionally-independent fields — the Fellegi-Sunter
+    # identifiability minimum (2 fields admit equivalent-likelihood
+    # solutions and EM picks one of them)
+    lam, m, u = 0.2, [0.95, 0.85, 0.9], [0.05, 0.25, 0.1]
+    pats = _planted_patterns(lam, m, u, 1_000_000)
+    el, em, eu = fs_em_python(pats, 3, iterations=60)
+    assert abs(el - lam) < 0.01
+    for got, want in zip(em, m):
+        assert abs(got - want) < 0.02
+    for got, want in zip(eu, u):
+        assert abs(got - want) < 0.02
+
+
+def test_fs_pattern_counts_excludes_null_vectors(spark):
+    pairs = spark.createDataFrame(
+        [(True, True), (True, True), (False, True), (None, True)],
+        "a boolean, b boolean",
+    )
+    got = sorted(
+        (r["agree_x"], r["agree_y"], r["n"])
+        for r in fs_pattern_counts(
+            pairs, {"x": F.col("a"), "y": F.col("b")}
+        ).collect()
+    )
+    assert got == [(False, True, 1), (True, True, 2)]
+
+
+def test_fs_em_estimate_matches_duckdb_oracle(spark):
+    import duckdb
+
+    # deterministic dirty pairs: 2 fields, mixed patterns
+    rows = [(i, (i % 7) < 5, (i * 3 % 11) < 4) for i in range(500)]
+    pairs = spark.createDataFrame(rows, "id long, fa boolean, fb boolean")
+    est = fs_em_estimate(
+        pairs, {"alpha": F.col("fa"), "beta": F.col("fb")}, iterations=10
+    )
+    got = sorted(map(tuple, est.collect()))
+
+    pattern_sql = """SELECT fa AS agree_alpha, fb AS agree_beta,
+                            CAST(count(*) AS BIGINT) AS n
+                     FROM pairs WHERE fa IS NOT NULL AND fb IS NOT NULL
+                     GROUP BY 1, 2"""
+    con = duckdb.connect()
+    import pandas as pd
+
+    con.register("pairs", pd.DataFrame(rows, columns=["id", "fa", "fb"]))
+    oracle = con.execute(
+        fs_em_oracle_cte(pattern_sql, ["alpha", "beta"], iterations=10)
+    ).fetchall()
+    assert got == sorted(map(tuple, oracle))

@@ -10808,3 +10808,89 @@ def fs_record_linkage(spark, sf_dir):
         "id_a", "id_b", "agree_name", "agree_mkt", "agree_bal",
         "weight_micro", "decision",
     )
+
+
+from xmlschemavalidator_spark.linkage import fs_em_oracle_cte  # noqa: E402
+
+_FS_PAIRS_SQL = """WITH base AS (
+         SELECT c_custkey AS id, lower(c_name) AS name, c_mktsegment AS mkt,
+                CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal
+         FROM customer),
+       dirty AS (
+         SELECT * FROM base
+         UNION ALL
+         SELECT id + 1000000, substr(name, 1, length(name) - 1), mkt, bal + 250
+         FROM base WHERE id % 5 = 0),
+       keyed AS (SELECT *, substr(name, 15, 2) || '|' || name AS k FROM dirty),
+       r AS (SELECT *, row_number() OVER (
+                 PARTITION BY substr(k, 1, 2) ORDER BY k, id) AS rn
+             FROM keyed),
+       p AS (SELECT levenshtein(a.name, b.name) <= 1 AS agree_name,
+                    a.mkt = b.mkt AS agree_mkt,
+                    abs(a.bal - b.bal) <= 500 AS agree_bal
+             FROM r a JOIN r b
+               ON substr(a.k, 1, 2) = substr(b.k, 1, 2)
+              AND b.rn - a.rn BETWEEN 1 AND 2)
+       SELECT agree_name, agree_mkt, agree_bal, CAST(count(*) AS BIGINT) AS n
+       FROM p
+       WHERE agree_name IS NOT NULL AND agree_mkt IS NOT NULL
+         AND agree_bal IS NOT NULL
+       GROUP BY 1, 2, 3"""
+
+
+@q(
+    "fs_em_training",
+    fs_em_oracle_cte(_FS_PAIRS_SQL, ["name", "mkt", "bal"], iterations=15),
+)
+def fs_em_training(spark, sf_dir):
+    """EM estimation of the Fellegi-Sunter m/u/λ parameters (Winkler
+    1988; splink's 'training' — linkage.py:fs_em_estimate) over the
+    same dirty-customer candidate pairs as fs_record_linkage, three
+    conditionally-independent comparisons (the FS identifiability
+    minimum). The whole algorithm runs on the ≤8-row agreement-pattern
+    table (ONE groupBy of the pairs); responsibilities floor-quantize
+    to integer trillionths before every M-step sum, so 15 EM rounds
+    are bit-identical between the collected-Python path and the
+    unrolled-CTE DuckDB replay — ORACLE-EXACT INCLUDING EM TRAINING,
+    estimates and derived micro-log2 match weights both."""
+    from xmlschemavalidator_spark.dedup import sorted_neighborhood_pairs
+    from xmlschemavalidator_spark.linkage import fs_em_estimate
+
+    cust = _t(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.lower(F.col("c_name")).alias("name"),
+        F.col("c_mktsegment").alias("mkt"),
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint").alias("bal"),
+    )
+    dup = base.where(F.col("id") % 5 == 0).select(
+        (F.col("id") + 1_000_000).alias("id"),
+        F.expr("substring(name, 1, length(name) - 1)").alias("name"),
+        "mkt",
+        (F.col("bal") + 250).alias("bal"),
+    )
+    dirty = base.unionByName(dup)
+    keyed = dirty.withColumn(
+        "snm_key", F.concat(F.substring("name", 15, 2), F.lit("|"), F.col("name"))
+    )
+    pairs = sorted_neighborhood_pairs(
+        keyed, "id", "snm_key", window=3, block_chars=2
+    ).select("id_a", "id_b")
+    a = dirty.select(
+        F.col("id").alias("id_a"), F.col("name").alias("name_a"),
+        F.col("mkt").alias("mkt_a"), F.col("bal").alias("bal_a"),
+    )
+    b = dirty.select(
+        F.col("id").alias("id_b"), F.col("name").alias("name_b"),
+        F.col("mkt").alias("mkt_b"), F.col("bal").alias("bal_b"),
+    )
+    pj = pairs.join(a, "id_a").join(b, "id_b")
+    return fs_em_estimate(
+        pj,
+        {
+            "name": F.levenshtein("name_a", "name_b") <= 1,
+            "mkt": F.col("mkt_a") == F.col("mkt_b"),
+            "bal": F.abs(F.col("bal_a") - F.col("bal_b")) <= 500,
+        },
+        iterations=15,
+    )

@@ -133,3 +133,202 @@ def fs_weight_sql_terms(
             f"(CASE WHEN ({a}) IS NULL THEN 0 WHEN ({a}) THEN {wa} ELSE {wd} END)"
         )
     return " + ".join(parts)
+
+
+# --------------------------------------------------------------------------
+# EM parameter estimation (Winkler 1988's EM for the FS model; what
+# splink calls "training m and u"). The device that makes it exact and
+# scale-proof: EM never touches pairs — it runs on the AGREEMENT-PATTERN
+# table (≤ 2^F rows for F fields, one partial-aggregatable groupBy of
+# the candidate pairs), and every E-step responsibility is
+# floor-quantized to integer trillionths BEFORE the M-step sums, so the
+# sums are order-independent integers and each M-step parameter is ONE
+# double division of exact integers. The same fixed arithmetic runs as
+# pure Python on the collected pattern table (the engine path), and as
+# generated unrolled-CTE SQL (the oracle path) — bit-identical.
+# --------------------------------------------------------------------------
+
+_R_SCALE = 10**12  # responsibility quantum (trillionths)
+
+
+def fs_pattern_counts(
+    pairs: DataFrame, agreements: dict[str, Column]
+) -> DataFrame:
+    """The sufficient statistic for EM: one row per observed agreement
+    pattern — ``(agree_<f1>, ..., agree_<fF>, n)``. Pairs where ANY
+    comparison is NULL are excluded (EM needs a complete γ vector;
+    score those pairs with :func:`fellegi_sunter_score`, which handles
+    NULLs, but don't train on them). ONE groupBy; ≤ 2^F result rows at
+    any corpus size."""
+    names = sorted(agreements)
+    flags = [agreements[n].cast("boolean").alias(f"agree_{n}") for n in names]
+    base = pairs.select(*flags)
+    cond = None
+    for n in names:
+        c = F.col(f"agree_{n}").isNotNull()
+        cond = c if cond is None else (cond & c)
+    return (
+        base.where(cond)
+        .groupBy(*[f"agree_{n}" for n in names])
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+def fs_em_python(
+    patterns: list[tuple[tuple[bool, ...], int]],
+    n_fields: int,
+    iterations: int = 15,
+    lam0: float = 0.1,
+    m0: float = 0.9,
+    u0: float = 0.1,
+) -> tuple[float, list[float], list[float]]:
+    """The shared EM recursion: ``patterns`` is [(γ tuple, count)].
+    Returns (λ, m[], u[]) after ``iterations`` rounds. Every float op
+    here is mirrored operation-for-operation by the generated oracle
+    SQL (:func:`fs_em_oracle_cte`) — change one only with the other."""
+    lam = lam0
+    m = [m0] * n_fields
+    u = [u0] * n_fields
+    for _ in range(iterations):
+        s_n = 0
+        s_nr = 0
+        s_nr_f = [0] * n_fields
+        s_nq_f = [0] * n_fields
+        s_nq = 0
+        for gamma, n in patterns:
+            pm = lam
+            pu = 1.0 - lam
+            for i in range(n_fields):
+                pm = pm * (m[i] if gamma[i] else 1.0 - m[i])
+                pu = pu * (u[i] if gamma[i] else 1.0 - u[i])
+            r_micro = math.floor(pm / (pm + pu) * _R_SCALE)
+            q_micro = _R_SCALE - r_micro
+            s_n += n
+            s_nr += n * r_micro
+            s_nq += n * q_micro
+            for i in range(n_fields):
+                if gamma[i]:
+                    s_nr_f[i] += n * r_micro
+                    s_nq_f[i] += n * q_micro
+        lam = float(s_nr) / (float(_R_SCALE) * float(s_n))
+        m = [float(s_nr_f[i]) / float(s_nr) for i in range(n_fields)]
+        u = [float(s_nq_f[i]) / float(s_nq) for i in range(n_fields)]
+    return lam, m, u
+
+
+def fs_em_estimate(
+    pairs: DataFrame,
+    agreements: dict[str, Column],
+    iterations: int = 15,
+    lam0: float = 0.1,
+    m0: float = 0.9,
+    u0: float = 0.1,
+    round_to: int = 6,
+) -> DataFrame:
+    """Estimate (m, u, λ) by EM and return one row per field:
+    ``(field, m_est, u_est, lambda_est, w_agree_micro,
+    w_disagree_micro)`` — estimates rounded, match weights quantized
+    from the FULL-precision estimates (the downstream
+    :func:`fellegi_sunter_score` inputs). The pattern table is the only
+    Spark job; EM itself runs on ≤ 2^F collected rows."""
+    names = sorted(agreements)
+    rows = fs_pattern_counts(pairs, agreements).collect()
+    if not rows:
+        raise ValueError("fs_em_estimate: no complete agreement vectors to train on")
+    patterns = [
+        (tuple(bool(r[f"agree_{n}"]) for n in names), int(r["n"])) for r in rows
+    ]
+    lam, m, u = fs_em_python(
+        patterns, len(names), iterations=iterations, lam0=lam0, m0=m0, u0=u0
+    )
+    spark = pairs.sparkSession
+    out = []
+    for i, n in enumerate(names):
+        if not (0.0 < u[i] < m[i] < 1.0):
+            wa, wd = None, None  # degenerate fit: field carries no valid weight
+        else:
+            wa = round(math.log2(m[i] / u[i]) * MICRO)
+            wd = round(math.log2((1.0 - m[i]) / (1.0 - u[i])) * MICRO)
+        out.append((n, round(m[i], round_to), round(u[i], round_to),
+                    round(lam, round_to), wa, wd))
+    return spark.createDataFrame(
+        out,
+        "field string, m_est double, u_est double, lambda_est double, "
+        "w_agree_micro bigint, w_disagree_micro bigint",
+    )
+
+
+def fs_em_oracle_cte(
+    pattern_sql: str,
+    field_names: list[str],
+    iterations: int = 15,
+    lam0: float = 0.1,
+    m0: float = 0.9,
+    u0: float = 0.1,
+    round_to: int = 6,
+) -> str:
+    """Generate the DuckDB replay of :func:`fs_em_estimate`:
+    ``pattern_sql`` must yield (agree_<f>..., n) — the exact
+    :func:`fs_pattern_counts` contract. Each EM iteration is one
+    unrolled CTE pair (responsibilities, then the single-row parameter
+    update); arithmetic mirrors :func:`fs_em_python`
+    operation-for-operation, with HUGEINT-safe integer sums."""
+    fs = sorted(field_names)
+    nf = len(fs)
+
+    def prod(params: str, which: str) -> str:
+        # left-assoc product in field order, exactly like the Python loop
+        e = f"{params}.lam" if which == "m" else f"(1.0 - {params}.lam)"
+        for f in fs:
+            p = f"{params}.{which}_{f}"
+            e = f"({e} * (CASE WHEN p.agree_{f} THEN {p} ELSE 1.0 - {p} END))"
+        return e
+
+    init_cols = ", ".join(
+        [f"CAST({lam0!r} AS DOUBLE) AS lam"]
+        + [f"CAST({m0!r} AS DOUBLE) AS m_{f}" for f in fs]
+        + [f"CAST({u0!r} AS DOUBLE) AS u_{f}" for f in fs]
+    )
+    ctes = [f"pat AS ({pattern_sql})", f"it0 AS (SELECT {init_cols})"]
+    for k in range(1, iterations + 1):
+        pm = prod("l", "m")
+        pu = prod("l", "u")
+        ctes.append(
+            f"""r{k} AS (
+  SELECT p.*, CAST(floor({pm} / ({pm} + {pu}) * 1000000000000) AS HUGEINT) AS rm
+  FROM pat p CROSS JOIN it{k - 1} l)"""
+        )
+        upd = [
+            "CAST(sum(n * rm) AS DOUBLE)"
+            " / (1000000000000.0 * CAST(sum(n) AS DOUBLE)) AS lam"
+        ]
+        for f in fs:
+            upd.append(
+                f"CAST(sum(CASE WHEN agree_{f} THEN n * rm ELSE 0 END) AS DOUBLE)"
+                f" / CAST(sum(n * rm) AS DOUBLE) AS m_{f}"
+            )
+        for f in fs:
+            upd.append(
+                f"CAST(sum(CASE WHEN agree_{f} THEN n * (1000000000000 - rm)"
+                f" ELSE 0 END) AS DOUBLE)"
+                f" / CAST(sum(n * (1000000000000 - rm)) AS DOUBLE) AS u_{f}"
+            )
+        ctes.append(f"it{k} AS (SELECT {', '.join(upd)} FROM r{k})")
+    last = f"it{iterations}"
+    selects = []
+    for f in fs:
+        selects.append(
+            f"""SELECT '{f}' AS field,
+  round(m_{f}, {round_to}) AS m_est,
+  round(u_{f}, {round_to}) AS u_est,
+  round(lam, {round_to}) AS lambda_est,
+  CASE WHEN u_{f} < m_{f} AND u_{f} > 0 AND m_{f} < 1
+       THEN CAST(round(log2(m_{f} / u_{f}) * 1000000) AS BIGINT) END
+    AS w_agree_micro,
+  CASE WHEN u_{f} < m_{f} AND u_{f} > 0 AND m_{f} < 1
+       THEN CAST(round(log2((1.0 - m_{f}) / (1.0 - u_{f})) * 1000000) AS BIGINT) END
+    AS w_disagree_micro
+FROM {last}"""
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return "WITH " + ",\n".join(ctes) + "\n" + body
