@@ -225,3 +225,62 @@ def test_warc_chunked_transfer_and_content_type(spark, tmp_path):
     # lenient: malformed size line -> raw bytes back, never an exception
     assert _dechunk(b"zz\r\nabc") == b"zz\r\nabc"
     assert _dechunk(b"3\r\nabc\r\n0\r\n\r\n") == b"abc"
+
+
+def test_warc_response_meta_and_stats(spark, tmp_path):
+    from xmlschemavalidator_spark.sources.warc import (
+        read_warc_response_meta,
+        warc_response_stats,
+        write_fake_warc,
+    )
+
+    rows = [
+        {"url": "http://a/1", "warc_ts": "2024-05-01T00:00:00Z",
+         "html": b"<p>ok</p>", "status": 200,
+         "content_type": "text/html; charset=UTF-8"},
+        {"url": "http://a/2", "warc_ts": "2024-05-01T00:00:01Z",
+         "html": b"<p>okok</p>", "status": 200,
+         "content_type": "text/html"},
+        {"url": "http://a/3", "warc_ts": "2024-05-01T00:00:02Z",
+         "html": b"gone", "status": 404,
+         "content_type": "text/plain"},
+        {"url": "http://a/4", "warc_ts": "2024-05-01T00:00:03Z",
+         "html": b"\x00\x01", "status": 301,
+         "content_type": "application/octet-stream"},
+    ]
+    write_fake_warc(str(tmp_path / "a.warc"), rows[:2])
+    write_fake_warc(str(tmp_path / "b.warc.gz"), rows[2:], gz=True)
+    meta = read_warc_response_meta(spark, str(tmp_path))
+    got = {r["url"]: r for r in meta.collect()}
+    assert got["http://a/1"]["http_status"] == 200
+    assert got["http://a/1"]["n_payload_bytes"] == len(b"<p>ok</p>")
+    assert got["http://a/3"]["http_status"] == 404
+    assert got["http://a/4"]["content_type"] == "application/octet-stream"
+    assert "html" not in meta.columns  # metadata-only projection
+
+    stats = {
+        (r["http_status"], r["mime"]): (r["n"], r["total_payload_bytes"])
+        for r in warc_response_stats(meta).collect()
+    }
+    # charset parameter stripped, lower-cased -> both 200s fold into text/html
+    assert stats[(200, "text/html")] == (2, len(b"<p>ok</p>") + len(b"<p>okok</p>"))
+    assert stats[(404, "text/plain")] == (1, 4)
+    assert stats[(301, "application/octet-stream")] == (1, 2)
+
+
+def test_warc_status_parse_is_lenient(spark, tmp_path):
+    from xmlschemavalidator_spark.sources.warc import (
+        read_warc_response_meta,
+        write_fake_warc,
+    )
+
+    # hand-corrupt the status line: replace "HTTP/1.1 200 X" with garbage
+    p = str(tmp_path / "c.warc")
+    write_fake_warc(p, [{"url": "http://c/1", "warc_ts": "2024-05-01T00:00:00Z",
+                         "html": b"zz", "status": 200}])
+    data = open(p, "rb").read().replace(b"HTTP/1.1 200 X", b"HTTP-IS BROKEN")
+    # keep Content-Length valid: pad to the original envelope length
+    data = data.replace(b"HTTP-IS BROKEN", b"HTTP-IS BROKEN")
+    open(p, "wb").write(data)
+    [r] = read_warc_response_meta(spark, p).collect()
+    assert r["http_status"] is None  # lenient: malformed status -> NULL

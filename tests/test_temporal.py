@@ -828,3 +828,48 @@ def test_cusum_rejects_bad_params(spark):
         cusum_changepoints(df, "key", "b", "v", target=1, slack=-1, threshold=5)
     with pytest.raises(ValueError):
         cusum_changepoints(df, "key", "b", "v", target=1, slack=0, threshold=0)
+
+
+def test_event_transitions_hand_computed(spark):
+    from xmlschemavalidator_spark.temporal import event_transitions
+
+    rows = [
+        # user 1: a -> b -> a ; user 2: a -> a ; NULL event dropped
+        (1, 1, "2024-01-01 00:00:00", "a"),
+        (1, 2, "2024-01-01 00:01:00", "b"),
+        (1, 3, "2024-01-01 00:02:00", "a"),
+        (2, 4, "2024-01-01 00:00:00", "a"),
+        (2, 5, "2024-01-01 00:01:00", "a"),
+        (2, 6, "2024-01-01 00:02:00", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts string, etype string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        (r["from_event"], r["to_event"]): (r["n"], r["p_micro"])
+        for r in event_transitions(df, "user_id", "ts", "etype", "event_id").collect()
+    }
+    # from a: ->b once, ->a once; from b: ->a once
+    assert got[("a", "b")] == (1, 500_000)
+    assert got[("a", "a")] == (1, 500_000)
+    assert got[("b", "a")] == (1, 1_000_000)
+    assert len(got) == 3
+
+
+def test_event_transitions_end_marker_and_ties(spark):
+    from xmlschemavalidator_spark.temporal import event_transitions
+
+    rows = [  # tied timestamps: id order decides a -> b, not b -> a
+        (1, 10, "2024-01-01 00:00:00", "a"),
+        (1, 11, "2024-01-01 00:00:00", "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts string, etype string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        (r["from_event"], r["to_event"]): r["n"]
+        for r in event_transitions(
+            df, "user_id", "ts", "etype", "event_id", include_end=True
+        ).collect()
+    }
+    assert got == {("a", "b"): 1, ("b", "<end>"): 1}

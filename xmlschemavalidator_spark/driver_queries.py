@@ -10894,3 +10894,100 @@ def fs_em_training(spark, sf_dir):
         },
         iterations=15,
     )
+
+
+@q(
+    "event_transition_matrix",
+    """WITH b AS (
+         SELECT user_id, event_id, event_type,
+                lead(event_type) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+         FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+       g AS (SELECT event_type AS from_event,
+                    coalesce(nxt, '<end>') AS to_event,
+                    CAST(count(*) AS BIGINT) AS n
+             FROM b GROUP BY 1, 2),
+       t AS (SELECT from_event, CAST(sum(n) AS BIGINT) AS tot
+             FROM g GROUP BY 1)
+       SELECT g.from_event, g.to_event, g.n,
+              CAST(g.n * 1000000 // t.tot AS BIGINT) AS p_micro
+       FROM g JOIN t USING (from_event)""",
+)
+def event_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event streams
+    (temporal.py:event_transitions) with the '<end>' absorbing state —
+    the clickstream user-journey staple and the next-event-prediction
+    baseline. One window shuffle on user_id (tie-broken by event_id so
+    the lag order is deterministic) + one pair groupBy; the matrix is
+    bounded by |event vocabulary|², not the corpus. Probabilities are
+    row-normalized integer millionths (BIGINT div)."""
+    from xmlschemavalidator_spark.temporal import event_transitions
+
+    return event_transitions(
+        _t(spark, sf_dir, "events"),
+        "user_id",
+        "ts",
+        "event_type",
+        id_col="event_id",
+        include_end=True,
+    )
+
+
+def _warc_stats_fixture() -> list[dict]:
+    """Deterministic fake-crawl rows (pure function of i — no sf
+    dependence), shared by the Spark query and the literal oracle."""
+    statuses = [200, 200, 200, 404, 301]
+    ctypes = ["text/html; charset=UTF-8", "text/html", "text/plain"]
+    return [
+        {
+            "url": f"http://w.example/p{i}",
+            "warc_ts": "2024-05-01T00:00:00Z",
+            "html": b"x" * (10 + i),
+            "status": statuses[i % 5],
+            "content_type": ctypes[i % 3],
+        }
+        for i in range(30)
+    ]
+
+
+def _warc_stats_oracle() -> str:
+    agg: dict = {}
+    for r in _warc_stats_fixture():
+        mime = r["content_type"].split(";")[0].strip().lower()
+        k = (r["status"], mime)
+        n, s = agg.get(k, (0, 0))
+        agg[k] = (n + 1, s + len(r["html"]))
+    rows = ", ".join(
+        f"({st}, '{mime}', {n}, {s})" for (st, mime), (n, s) in sorted(agg.items())
+    )
+    return (
+        "SELECT CAST(http_status AS INTEGER) AS http_status, mime, "
+        "CAST(n AS BIGINT) AS n, CAST(b AS BIGINT) AS total_payload_bytes "
+        f"FROM (VALUES {rows}) AS t(http_status, mime, n, b)"
+    )
+
+
+@q("warc_response_triage", _warc_stats_oracle())
+def warc_response_triage(spark, sf_dir):
+    """Status × MIME crawl-triage table (sources/warc.py:
+    read_warc_response_meta + warc_response_stats): the first question
+    asked of any Common-Crawl slice — how much is 200 text/html? The
+    reader ships envelope METADATA only (no page bytes in the plan);
+    the stats are one bounded groupBy. Exercises status-line parsing,
+    charset-parameter stripping and gz members end-to-end over a
+    spec-shaped fake archive pair; the oracle is the literal expected
+    aggregate (the fixture is a pure function of i, computed once and
+    consumed by both sides)."""
+    import tempfile
+
+    from xmlschemavalidator_spark.sources.warc import (
+        read_warc_response_meta,
+        warc_response_stats,
+        write_fake_warc,
+    )
+
+    rows = _warc_stats_fixture()
+    tmp = tempfile.mkdtemp(prefix="warcq_")
+    write_fake_warc(f"{tmp}/a.warc", rows[:15])
+    write_fake_warc(f"{tmp}/b.warc.gz", rows[15:], gz=True)
+    return warc_response_stats(read_warc_response_meta(spark, tmp))

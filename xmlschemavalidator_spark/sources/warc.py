@@ -104,6 +104,7 @@ def _parse_warc_bytes(
         if headers.get("warc-type") != record_type:
             continue
         content_type = None
+        http_status = None
         if record_type == "response":
             # strip the HTTP response envelope to reach the payload;
             # honor the two envelope headers crawl pipelines need:
@@ -112,6 +113,17 @@ def _parse_warc_bytes(
             # chunk framing is NOT page bytes)
             http_end = block.find(_CRLF + _CRLF)
             payload = block[http_end + 4 :] if http_end >= 0 else block
+            # status from the HTTP status line ("HTTP/1.1 200 OK") —
+            # lenient like everything else here: malformed → None
+            line_end = block.find(_CRLF)
+            if line_end > 0:
+                toks = block[:line_end].split()
+                if (
+                    len(toks) >= 2
+                    and toks[0].startswith(b"HTTP/")
+                    and toks[1].isdigit()
+                ):
+                    http_status = int(toks[1])
             if http_end >= 0:
                 chunked = False
                 for hline in block[:http_end].split(_CRLF)[1:]:
@@ -135,6 +147,7 @@ def _parse_warc_bytes(
                 "warc_file": fname,
                 "record_offset": head_start,
                 "content_type": content_type,
+                "http_status": http_status,
             }
         )
     return out
@@ -351,14 +364,17 @@ def write_fake_wet(path: str, rows_in: list[dict], gz: bool = False) -> str:
 def write_fake_warc(
     path: str, pages_rows: list[dict], gz: bool = False, chunked: bool = False
 ) -> str:
-    """Serialize page dicts (url, warc_ts iso-string, html bytes) into a
-    spec-shaped WARC file — the test fixture generator (we control both
-    ends, mirroring the datagen render/extract inverse pair).
-    ``chunked`` wraps each body in HTTP/1.1 chunked transfer framing
-    (as real crawls capture it)."""
+    """Serialize page dicts (url, warc_ts iso-string, html bytes;
+    optional status int and content_type str — default 200/text/html)
+    into a spec-shaped WARC file — the test fixture generator (we
+    control both ends, mirroring the datagen render/extract inverse
+    pair). ``chunked`` wraps each body in HTTP/1.1 chunked transfer
+    framing (as real crawls capture it)."""
     buf = bytearray()
     for r in pages_rows:
         body = r["html"]
+        status = int(r.get("status", 200))
+        ctype = r.get("content_type", "text/html")
         if chunked:
             half = max(1, len(body) // 2)
             body = b"".join(
@@ -367,7 +383,7 @@ def write_fake_warc(
                 if part
             ) + b"0" + _CRLF + _CRLF
         http = (
-            b"HTTP/1.1 200 OK\r\nContent-Type: text/html"
+            f"HTTP/1.1 {status} X\r\nContent-Type: {ctype}".encode("latin-1")
             + (b"\r\nTransfer-Encoding: chunked" if chunked else b"")
             + b"\r\n\r\n"
             + body
@@ -412,3 +428,59 @@ def read_warc_errors(spark: SparkSession, path: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["warc_file", "error"])
 
     return files.select("path", "content").mapInPandas(run, "warc_file string, error string")
+
+
+RESPONSE_META_SCHEMA = (
+    "url string, warc_ts timestamp, warc_file string, record_offset long, "
+    "content_type string, http_status int, n_payload_bytes long"
+)
+
+
+def read_warc_response_meta(spark: SparkSession, path: str) -> DataFrame:
+    """WARC archive(s) → response ENVELOPE metadata only (no payload
+    column): ``(url, warc_ts, warc_file, record_offset, content_type,
+    http_status, n_payload_bytes)`` — the crawl-triage projection.
+    Reading metadata without shipping page bytes through the plan is
+    the cheap first pass every CC pipeline runs before deciding what to
+    extract; same binaryFile + one-mapInPandas scaffold as
+    :func:`read_warc`."""
+
+    def finish(rec: dict) -> None:
+        rec["n_payload_bytes"] = len(rec["html"]) if rec["html"] is not None else 0
+
+    return _records_frame(
+        spark,
+        path,
+        "response",
+        finish,
+        columns=[
+            "url", "warc_ts", "warc_file", "record_offset",
+            "content_type", "http_status", "n_payload_bytes",
+        ],
+        schema=RESPONSE_META_SCHEMA,
+    )
+
+
+def warc_response_stats(meta: DataFrame) -> DataFrame:
+    """Status × MIME triage table over response metadata:
+    ``(http_status, mime, n, total_payload_bytes)`` with ``mime`` the
+    Content-Type value lower-cased and stripped of parameters
+    (``text/html; charset=utf-8`` → ``text/html``; missing → NULL) —
+    the first question asked of any crawl slice (how much is 200
+    text/html?) and the fetch-health drift input. ONE
+    partial-aggregatable groupBy, bounded by |status|×|mime|."""
+    from pyspark.sql import functions as F
+
+    mime = F.lower(F.trim(F.split_part(F.col("content_type"), F.lit(";"), F.lit(1))))
+    return (
+        meta.select(
+            F.col("http_status"),
+            F.when(F.col("content_type").isNotNull(), mime).alias("mime"),
+            F.col("n_payload_bytes"),
+        )
+        .groupBy("http_status", "mime")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("n_payload_bytes").cast("bigint").alias("total_payload_bytes"),
+        )
+    )

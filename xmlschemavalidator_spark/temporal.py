@@ -915,3 +915,52 @@ def cusum_changepoints(
         F.col("_cn").cast("bigint").alias("cusum_neg"),
         (F.col("_cp") > h).alias("flag_hi"),
     )
+
+
+def event_transitions(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    event_col: str,
+    id_col: str | None = None,
+    include_end: bool = False,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event streams:
+    ``(from_event, to_event, n, p_micro)`` where ``n`` counts
+    consecutive (this, next) pairs within a key and ``p_micro =
+    n·10⁶ div Σ_to n`` is the row-normalized transition probability in
+    integer millionths — the user-journey / clickstream staple (where
+    do sessions go after 'view'?) and the input to next-event
+    prediction baselines.
+
+    Ordering within a key is (ts, id_col) — pass ``id_col`` whenever
+    timestamps can tie, or the lag order (and thus the matrix) is
+    nondeterministic. With ``include_end`` each key's final event also
+    emits a transition to the absorbing ``'<end>'`` state, making every
+    row of the matrix sum to exactly 10⁶±rounding (otherwise terminal
+    events simply contribute no pair, the common convention).
+
+    Scale shape: ONE window shuffle on the key (shared shape with
+    sessionize/funnel — at 10^12 events the partition key is the user,
+    never global), then one partial-aggregatable groupBy on the pair;
+    the matrix is bounded by |event vocabulary|², not the corpus. NULL
+    events/timestamps are dropped up front.
+    """
+    order = [F.col(ts_col).asc()] + ([F.col(id_col).asc()] if id_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    base = df.where(F.col(event_col).isNotNull() & F.col(ts_col).isNotNull())
+    nxt = F.lead(event_col).over(w)
+    pairs = base.select(
+        F.col(event_col).alias("from_event"),
+        (F.coalesce(nxt, F.lit("<end>")) if include_end else nxt).alias("to_event"),
+    ).where(F.col("to_event").isNotNull())
+    g = pairs.groupBy("from_event", "to_event").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = g.groupBy("from_event").agg(F.sum("n").cast("bigint").alias("_tot"))
+    return g.join(tot, "from_event").select(
+        "from_event",
+        "to_event",
+        "n",
+        F.expr("n * 1000000 div _tot").alias("p_micro"),
+    )
