@@ -885,3 +885,52 @@ def test_local_clustering_hand_computed(spark):
     assert got[5] == (2, 0, 0)  # open wedge center: defined and zero
     assert got[6] == (1, 0, None) and got[8] == (1, 0, None)
     assert len(got) == 9
+
+
+def test_ktruss_k4_keeps_clique_drops_fringe(spark):
+    from xmlschemavalidator_spark.weburl import ktruss
+
+    # K4 on {1,2,3,4} + triangle {4,5,6} + pendant 6-7 (+ dup/self noise)
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+         (4, 5), (4, 6), (5, 6), (6, 7), (2, 1), (7, 7)],
+        "src long, dst long",
+    )
+    got = sorted(
+        (r["a"], r["b"], r["support"]) for r in ktruss(edges, k=4).collect()
+    )
+    # the lone triangle's edges have support 1 (< k-2=2) and peel; K4
+    # edges keep support 2 within the survivor graph
+    assert got == [(1, 2, 2), (1, 3, 2), (1, 4, 2), (2, 3, 2), (2, 4, 2), (3, 4, 2)]
+
+
+def test_ktruss_cascade_to_empty(spark):
+    from xmlschemavalidator_spark.weburl import ktruss
+
+    # triangle strip {1,2,3},{2,3,4},{3,4,5},{4,5,6}: the middle edges
+    # have support 2 ONLY until the rim peels -> multi-round cascade to 0
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (3, 5), (4, 5), (4, 6), (5, 6)],
+        "src long, dst long",
+    )
+    assert ktruss(edges, k=4).count() == 0
+
+
+def test_ktruss_matches_duckdb_oracle(spark):
+    import duckdb
+
+    from xmlschemavalidator_spark.weburl import ktruss, ktruss_oracle_sql
+
+    rows = [(i % 23, (i * i + 1) % 23) for i in range(160)] + [
+        (a, b) for a in range(50, 56) for b in range(a + 1, 56)  # planted K6
+    ]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    got = sorted(
+        (r["a"], r["b"], r["support"]) for r in ktruss(edges, k=4).collect()
+    )
+    vals = ", ".join(f"({s}, {d})" for s, d in rows)
+    sql = ktruss_oracle_sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(src, dst)", k=4, rounds=8
+    )
+    oracle = sorted(map(tuple, duckdb.connect().execute(sql).fetchall()))
+    assert got == oracle and len(got) > 0

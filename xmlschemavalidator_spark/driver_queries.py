@@ -10991,3 +10991,45 @@ def warc_response_triage(spark, sf_dir):
     write_fake_warc(f"{tmp}/a.warc", rows[:15])
     write_fake_warc(f"{tmp}/b.warc.gz", rows[15:], gz=True)
     return warc_response_stats(read_warc_response_meta(spark, tmp))
+
+
+from xmlschemavalidator_spark.weburl import ktruss_oracle_sql  # noqa: E402
+
+_KTRUSS_EDGES_SQL = (
+    _TRI_EDGES_SQL
+    + " UNION ALL SELECT 100 + doc_id % 12 AS src, 101 + doc_id % 12 AS dst"
+    " FROM documents"
+    " UNION ALL SELECT 100 + doc_id % 12 AS src, 102 + doc_id % 12 AS dst"
+    " FROM documents"
+)
+
+
+@q("link_ktruss", ktruss_oracle_sql(_KTRUSS_EDGES_SQL, k=4, rounds=6))
+def link_ktruss(spark, sf_dir):
+    """4-truss extraction (Cohen 2008; weburl.py:ktruss): the
+    ring-with-chords core (every edge in ≥2 surviving triangles —
+    survivor supports measured {2,3,4}) plus a planted triangle-ladder
+    appendix whose chord edges sit in exactly ONE triangle each, so the
+    whole appendix peels over multiple rounds (24 edges dropped — the
+    star/ladder structure a k-CORE would keep on degree alone). Edge
+    peeling reuses the compact-forward triangle enumeration per round,
+    lineage cut per round; oracle is the fixed-unroll replay (no-op
+    rounds at the fixpoint hash identically)."""
+    from xmlschemavalidator_spark.weburl import ktruss
+
+    docs = _t(spark, sf_dir, "documents")
+    gap = 1 + ((F.col("doc_id") - F.col("doc_id") % 60) / 60).cast("long") % 3
+    ring = docs.select(
+        (F.col("doc_id") % 60).alias("src"),
+        ((F.col("doc_id") % 60 + gap) % 60).alias("dst"),
+    )
+    ladder = docs.select(
+        (100 + F.col("doc_id") % 12).alias("src"),
+        (101 + F.col("doc_id") % 12).alias("dst"),
+    ).unionByName(
+        docs.select(
+            (100 + F.col("doc_id") % 12).alias("src"),
+            (102 + F.col("doc_id") % 12).alias("dst"),
+        )
+    )
+    return ktruss(ring.unionByName(ladder), k=4)

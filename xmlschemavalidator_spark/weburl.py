@@ -2076,3 +2076,173 @@ def kcore_oracle_sql(edges_sql: str, k: int, rounds: int) -> str:
         f"FROM a{rounds} GROUP BY node HAVING count(*) >= {int(k)}"
     )
     return "".join(parts)
+
+
+def _edge_support(und: DataFrame) -> DataFrame:
+    """Per-edge triangle support over a normalized undirected edge set
+    ``(a, b)`` with a < b: ``(a, b, support)`` for edges in >= 1
+    triangle. Same compact-forward orientation as
+    :func:`triangle_count` (wedges join only at the low-(degree, id)
+    end — hub neighbor pairs are never enumerated)."""
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("dg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("dg").alias("dga"))
+    db = deg.select(F.col("node").alias("b"), F.col("dg").alias("dgb"))
+    ed = und.join(da, "a").join(db, "b")
+    lower_first = (F.col("dga") < F.col("dgb")) | (
+        (F.col("dga") == F.col("dgb")) & (F.col("a") < F.col("b"))
+    )
+    o = ed.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(lower_first, F.col("dgb")).otherwise(F.col("dga")).alias("dgv"),
+    )
+    o1 = o.select(F.col("u"), F.col("v").alias("x"), F.col("dgv").alias("dgx"))
+    o2 = o.select(F.col("u"), F.col("v").alias("y"), F.col("dgv").alias("dgy"))
+    wedges = o1.join(o2, "u").where(
+        (F.col("dgx") < F.col("dgy"))
+        | ((F.col("dgx") == F.col("dgy")) & (F.col("x") < F.col("y")))
+    )
+    closing = o.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    tris = wedges.join(closing, ["x", "y"]).select("u", "x", "y")
+    tri_edges = tris.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.least("u", "x").alias("a"), F.greatest("u", "x").alias("b")
+                ),
+                F.struct(
+                    F.least("u", "y").alias("a"), F.greatest("u", "y").alias("b")
+                ),
+                F.struct(
+                    F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+                ),
+            )
+        ).alias("e")
+    ).select("e.a", "e.b")
+    return tri_edges.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("support")
+    )
+
+
+def ktruss(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """k-truss of the undirected simple graph (Cohen 2008, "Trusses:
+    cohesive subgraphs for social network analysis"): the maximal
+    subgraph in which EVERY edge participates in at least k−2 triangles
+    of the subgraph itself. Stricter than the k-core (every k-truss is
+    inside the (k−1)-core): a star hub survives high-k cores on raw
+    degree alone, but its spoke edges close no triangles and peel out
+    of every truss — the community-edge extractor for link graphs.
+    Returns the surviving edges ``(a, b, support)`` with a < b and
+    their in-truss support.
+
+    Peeling loop (the k-core discipline, applied to edges): recompute
+    per-edge support via the compact-forward triangle enumeration, drop
+    edges with support < k−2, repeat until no edge drops (monotone →
+    early exit exact, extra rounds no-ops — what lets a fixed-unroll
+    SQL replay hash identically). Per round: one degree agg + the
+    O(m^1.5)-bounded wedge join + one support groupBy; lineage cut per
+    round. Raises at ``max_rounds`` — a silent partial peel would look
+    denser than reality.
+    """
+    from xmlschemavalidator_spark.session import free_local_checkpoint
+
+    if k < 3:
+        raise ValueError(f"ktruss: k must be >= 3 (k=2 is just the edge set), got {k}")
+    e0 = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).where(
+        F.col(src).isNotNull() & F.col(dst).isNotNull() & (F.col(src) != F.col(dst))
+    )
+    und = (
+        e0.select(F.least("s", "d").alias("a"), F.greatest("s", "d").alias("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_prev = und.count()
+    for _ in range(max_rounds):
+        sup = _edge_support(und)
+        keep = (
+            und.join(sup, ["a", "b"], "left")
+            .select(
+                "a",
+                "b",
+                F.coalesce("support", F.lit(0).cast("long")).alias("support"),
+            )
+            .where(F.col("support") >= k - 2)
+        )
+        n_now = keep.count()
+        if n_now == n_prev:
+            out = keep.localCheckpoint()
+            free_local_checkpoint(und)
+            return out
+        nxt = keep.select("a", "b").localCheckpoint()
+        free_local_checkpoint(und)
+        und = nxt
+        n_prev = n_now
+    free_local_checkpoint(und)
+    raise RuntimeError(
+        f"ktruss: no fixpoint within max_rounds={max_rounds}; raise the bound"
+    )
+
+
+def ktruss_oracle_sql(edges_sql: str, k: int, rounds: int) -> str:
+    """DuckDB replay of :func:`ktruss`, peeling unrolled ``rounds``
+    times (MATERIALIZED CTEs). ``rounds`` must be >= the measured
+    convergence count; extra rounds are no-ops at the fixpoint."""
+    sup = int(k) - 2
+
+    def tri_cte(i: int) -> str:
+        # triangle support over edge set e{i-1} -> s{i}
+        return f"""deg{i} AS MATERIALIZED (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS dg FROM (
+    SELECT a AS node FROM e{i - 1} UNION ALL SELECT b FROM e{i - 1})
+  GROUP BY node),
+o{i} AS MATERIALIZED (
+  SELECT CASE WHEN (da.dg, e.a) < (db.dg, e.b) THEN e.a ELSE e.b END AS u,
+         CASE WHEN (da.dg, e.a) < (db.dg, e.b) THEN e.b ELSE e.a END AS v,
+         CASE WHEN (da.dg, e.a) < (db.dg, e.b) THEN db.dg ELSE da.dg END AS dgv
+  FROM e{i - 1} e JOIN deg{i} da ON da.node = e.a JOIN deg{i} db ON db.node = e.b),
+s{i} AS MATERIALIZED (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS support FROM (
+    SELECT LEAST(o1.u, o1.v) AS a, GREATEST(o1.u, o1.v) AS b
+    FROM o{i} o1 JOIN o{i} o2 ON o1.u = o2.u AND (o1.dgv, o1.v) < (o2.dgv, o2.v)
+      JOIN o{i} o3 ON o3.u = o1.v AND o3.v = o2.v
+    UNION ALL
+    SELECT LEAST(o1.u, o2.v), GREATEST(o1.u, o2.v)
+    FROM o{i} o1 JOIN o{i} o2 ON o1.u = o2.u AND (o1.dgv, o1.v) < (o2.dgv, o2.v)
+      JOIN o{i} o3 ON o3.u = o1.v AND o3.v = o2.v
+    UNION ALL
+    SELECT LEAST(o1.v, o2.v), GREATEST(o1.v, o2.v)
+    FROM o{i} o1 JOIN o{i} o2 ON o1.u = o2.u AND (o1.dgv, o1.v) < (o2.dgv, o2.v)
+      JOIN o{i} o3 ON o3.u = o1.v AND o3.v = o2.v)
+  GROUP BY a, b)"""
+
+    parts = [
+        f"WITH eraw AS MATERIALIZED ({edges_sql}),\n"
+        "e0 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a,"
+        " GREATEST(src, dst) AS b FROM eraw\n"
+        "  WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst)"
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            ",\n"
+            + tri_cte(i)
+            + f",\ne{i} AS MATERIALIZED (SELECT e.a, e.b FROM e{i - 1} e"
+            f" JOIN s{i} s ON s.a = e.a AND s.b = e.b WHERE s.support >= {sup})"
+        )
+    final = rounds + 1
+    parts.append(",\n" + tri_cte(final))
+    parts.append(
+        f"\nSELECT e.a, e.b, s.support FROM e{rounds} e"
+        f" JOIN s{final} s ON s.a = e.a AND s.b = e.b WHERE s.support >= {sup}"
+    )
+    return "".join(parts)
