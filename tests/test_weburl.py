@@ -934,3 +934,73 @@ def test_ktruss_matches_duckdb_oracle(spark):
     )
     oracle = sorted(map(tuple, duckdb.connect().execute(sql).fetchall()))
     assert got == oracle and len(got) > 0
+
+
+def test_robots_sitemap_urls(spark):
+    from xmlschemavalidator_spark.weburl import robots_sitemap_urls
+
+    robots = (
+        "User-agent: *\nDisallow: /private\n"
+        "SITEMAP: https://a.com/sm.xml  \r\n"
+        "sitemap:https://a.com/sm2.xml\n"
+        "# sitemap: commented out is still matched? no - starts with #\n"
+    )
+    df = spark.createDataFrame([(robots,)], "robots string")
+    [r] = df.select(robots_sitemap_urls(F.col("robots")).alias("s")).collect()
+    assert r["s"] == ["https://a.com/sm.xml", "https://a.com/sm2.xml"]
+
+
+def test_sitemap_entries_urlset_and_index(spark):
+    from xmlschemavalidator_spark.weburl import sitemap_entries
+
+    xml = (
+        '<?xml version="1.0"?><urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url><loc>\n  https://a.com/p1 </loc><lastmod>2024-01-02</lastmod></url>"
+        "<URL><loc>https://a.com/up</loc></URL>"  # wrong case tag: (?i) accepts
+        "<url><lastmod>2024-01-03</lastmod></url>"  # no loc: dropped
+        "</urlset>"
+    )
+    idx = (
+        "<sitemapindex><sitemap><loc>https://a.com/sm-part1.xml</loc>"
+        "<lastmod>2024-02-01</lastmod></sitemap></sitemapindex>"
+    )
+    df = spark.createDataFrame([(1, xml), (2, idx)], "doc long, xml string")
+    got = sorted(
+        (r["doc"], r["loc"], r["lastmod"], r["is_index"])
+        for r in sitemap_entries(df, "xml").collect()
+    )
+    assert got == [
+        (1, "https://a.com/p1", "2024-01-02", False),
+        (1, "https://a.com/up", None, False),
+        (2, "https://a.com/sm-part1.xml", "2024-02-01", True),
+    ]
+
+
+def test_sitemap_entries_duckdb_parity(spark):
+    import duckdb
+    import pandas as pd
+
+    from xmlschemavalidator_spark.weburl import sitemap_entries, sitemap_entries_sql
+
+    xmls = [
+        "<urlset><url><loc>https://x/%d</loc><lastmod>2024-01-0%d</lastmod></url>"
+        "<sitemap><loc>https://x/idx%d.xml</loc></sitemap></urlset>" % (i, i % 9 + 1, i)
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(list(enumerate(xmls)), "doc long, xml string")
+    got = sorted(
+        (r["doc"], r["loc"], r["lastmod"], r["is_index"])
+        for r in sitemap_entries(df, "xml").collect()
+    )
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"doc": range(8), "xml": xmls}))
+    oracle = sorted(
+        map(
+            tuple,
+            con.execute(
+                f"SELECT doc, e.loc, e.lastmod, e.is_index FROM ("
+                f"SELECT doc, unnest({sitemap_entries_sql('xml')}) AS e FROM t)"
+            ).fetchall(),
+        )
+    )
+    assert got == oracle and len(got) == 16

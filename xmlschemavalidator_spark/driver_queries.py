@@ -11033,3 +11033,105 @@ def link_ktruss(spark, sf_dir):
         )
     )
     return ktruss(ring.unionByName(ladder), k=4)
+
+
+from xmlschemavalidator_spark.weburl import (  # noqa: E402
+    robots_sitemap_urls_sql,
+    sitemap_entries_sql,
+)
+
+_SM_XML_DUCK = (
+    "'<urlset><url><loc> https://s' || CAST(doc_id % 97 AS VARCHAR)"
+    " || '.example/p' || CAST(doc_id AS VARCHAR) || ' </loc><lastmod>2024-01-'"
+    " || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')"
+    " || '</lastmod></url><url><loc>https://s' || CAST(doc_id % 97 AS VARCHAR)"
+    " || '.example/q' || CAST(doc_id AS VARCHAR) || '</loc></url>'"
+    " || CASE WHEN doc_id % 4 = 0 THEN '<sitemap><loc>https://s'"
+    "   || CAST(doc_id % 97 AS VARCHAR) || '.example/more'"
+    "   || CAST(doc_id AS VARCHAR) || '.xml</loc></sitemap>' ELSE '' END"
+    " || '</urlset>'"
+)
+
+
+@q(
+    "sitemap_url_entries",
+    f"""WITH t AS (SELECT doc_id, {_SM_XML_DUCK} AS xml FROM documents)
+       SELECT doc_id, e.loc, e.lastmod, e.is_index
+       FROM (SELECT doc_id, unnest({sitemap_entries_sql('xml')}) AS e FROM t)""",
+)
+def sitemap_url_entries(spark, sf_dir):
+    """Sitemap XML → URL frontier rows (sitemaps.org protocol;
+    weburl.py:sitemap_entries): per doc a planted urlset with two page
+    entries (one lastmod'd, one not — the NULL path carries weight) and
+    a <sitemap> index entry on every 4th doc (the fetch-next-sitemaps
+    path). One narrow projection + one Generate, no shuffle, no XML
+    parser dependency — the (?is) lazy-block regex is shared verbatim
+    with the DuckDB oracle, whitespace inside <loc> trimmed per spec."""
+    from xmlschemavalidator_spark.weburl import sitemap_entries
+
+    docs = _t(spark, sf_dir, "documents")
+    sid = (F.col("doc_id") % 97).cast("string")
+    did = F.col("doc_id").cast("string")
+    xml = F.concat(
+        F.lit("<urlset><url><loc> https://s"), sid, F.lit(".example/p"), did,
+        F.lit(" </loc><lastmod>2024-01-"),
+        F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+        F.lit("</lastmod></url><url><loc>https://s"), sid,
+        F.lit(".example/q"), did, F.lit("</loc></url>"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("<sitemap><loc>https://s"), sid, F.lit(".example/more"),
+                did, F.lit(".xml</loc></sitemap>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</urlset>"),
+    )
+    return sitemap_entries(docs.select("doc_id", xml.alias("xml")), "xml").select(
+        "doc_id", "loc", "lastmod", "is_index"
+    )
+
+
+_ROBOTS_TXT_DUCK = (
+    "'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10)"
+    " || CASE WHEN doc_id % 3 = 0 THEN 'Sitemap: https://r'"
+    "   || CAST(doc_id % 50 AS VARCHAR) || '.example/sm.xml  ' || chr(10)"
+    "   ELSE '' END"
+    " || CASE WHEN doc_id % 6 = 0 THEN 'sitemap:https://r'"
+    "   || CAST(doc_id % 50 AS VARCHAR) || '.example/sm2.xml' || chr(10)"
+    "   ELSE '' END"
+)
+
+
+@q(
+    "robots_sitemap_discovery",
+    f"""WITH t AS (SELECT doc_id, {_ROBOTS_TXT_DUCK} AS robots FROM documents)
+       SELECT doc_id, unnest({robots_sitemap_urls_sql('robots')}) AS sitemap_url
+       FROM t""",
+)
+def robots_sitemap_discovery(spark, sf_dir):
+    """`Sitemap:` directive discovery in robots.txt (weburl.py:
+    robots_sitemap_urls) — the crawl-frontier seed that pairs with the
+    Disallow parsing the robots stage already does. Planted robots
+    bodies mix cased directives, trailing spaces and 0/1/2 declarations
+    per host, so the multiline (?im) anchor, per-entry trim and
+    empty-filter all carry weight. Narrow projection + Generate."""
+    from xmlschemavalidator_spark.weburl import robots_sitemap_urls
+
+    docs = _t(spark, sf_dir, "documents")
+    rid = (F.col("doc_id") % 50).cast("string")
+    robots = F.concat(
+        F.lit("User-agent: *\nDisallow: /private\n"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("Sitemap: https://r"), rid, F.lit(".example/sm.xml  \n")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.concat(F.lit("sitemap:https://r"), rid, F.lit(".example/sm2.xml\n")),
+        ).otherwise(F.lit("")),
+    )
+    return docs.select(
+        "doc_id",
+        F.explode(robots_sitemap_urls(robots)).alias("sitemap_url"),
+    )

@@ -2246,3 +2246,101 @@ s{i} AS MATERIALIZED (
         f" JOIN s{final} s ON s.a = e.a AND s.b = e.b WHERE s.support >= {sup}"
     )
     return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# sitemap ingestion — the other half of crawl-frontier construction
+# (robots.txt says where NOT to go; sitemaps say where TO go). Dual-engine
+# regex like the rest of this module: (?im)/(?is) flags and lazy
+# quantifiers behave identically in Java regex and RE2, and whitespace is
+# always the explicit ASCII class (Java \s vs RE2 \s diverge on \x0B).
+# ---------------------------------------------------------------------------
+
+ROBOTS_SITEMAP_RE = r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*([^\r\n]+)"
+_SM_URL_BLOCK_RE = r"(?is)<url>(.*?)</url>"
+_SM_INDEX_BLOCK_RE = r"(?is)<sitemap>(.*?)</sitemap>"
+_SM_LOC_RE = r"(?is)<loc>[ \t\n\x0b\f\r]*(.*?)[ \t\n\x0b\f\r]*</loc>"
+_SM_LASTMOD_RE = r"(?is)<lastmod>[ \t\n\x0b\f\r]*(.*?)[ \t\n\x0b\f\r]*</lastmod>"
+
+
+def robots_sitemap_urls(robots: Column) -> Column:
+    """Sitemap URLs declared in a robots.txt (the `Sitemap:` directive —
+    case-insensitive, valid anywhere in the file, outside agent groups
+    per the spec). Trailing inline whitespace is trimmed per entry."""
+    raw = F.regexp_extract_all(robots, F.lit(ROBOTS_SITEMAP_RE), F.lit(1))
+    return F.filter(
+        F.transform(raw, lambda v: F.regexp_replace(v, r"[ \t]+$", "")),
+        lambda v: v != F.lit(""),
+    )
+
+
+def robots_sitemap_urls_sql(x: str) -> str:
+    pat = _sql_quote(ROBOTS_SITEMAP_RE)
+    return (
+        f"list_filter(list_transform(regexp_extract_all({x}, {pat}, 1), "
+        f"v -> regexp_replace(v, '[ \\t]+$', '')), v -> v <> '')"
+    )
+
+
+def sitemap_entries(df: DataFrame, xml_col: str) -> DataFrame:
+    """Explode sitemap XML (sitemaps.org protocol) into one row per
+    entry: input columns preserved + ``(loc, lastmod, is_index)`` —
+    ``is_index`` marks ``<sitemap>`` blocks from a sitemapindex file
+    (URLs of FURTHER sitemaps to fetch) vs ``<url>`` page entries.
+    Blocks without a <loc> are dropped; missing <lastmod> is NULL.
+
+    Shape: one narrow projection + one Generate (explode) — no shuffle,
+    no XML parser dependency: the protocol's fixed tag set makes the
+    (?is) lazy-block regex exact for spec-shaped files, and it degrades
+    leniently (ignores unknown tags/namespaces) on the rest — the
+    extract_links convention, shared verbatim by the DuckDB oracle
+    (:func:`sitemap_entries_sql`)."""
+
+    def block(b, is_index: bool):
+        loc = F.regexp_extract(b, _SM_LOC_RE, 1)
+        lastmod = F.regexp_extract(b, _SM_LASTMOD_RE, 1)
+        return F.struct(
+            loc.alias("loc"),
+            F.nullif(lastmod, F.lit("")).alias("lastmod"),
+            F.lit(is_index).alias("is_index"),
+        )
+
+    x = F.col(xml_col)
+    urls = F.transform(
+        F.regexp_extract_all(x, F.lit(_SM_URL_BLOCK_RE), F.lit(1)),
+        lambda b: block(b, False),
+    )
+    idx = F.transform(
+        F.regexp_extract_all(x, F.lit(_SM_INDEX_BLOCK_RE), F.lit(1)),
+        lambda b: block(b, True),
+    )
+    entries = F.filter(F.concat(urls, idx), lambda e: e["loc"] != F.lit(""))
+    return df.select("*", F.explode(entries).alias("_e")).select(
+        *[c for c in df.columns],
+        F.col("_e.loc").alias("loc"),
+        F.col("_e.lastmod").alias("lastmod"),
+        F.col("_e.is_index").alias("is_index"),
+    )
+
+
+def sitemap_entries_sql(x: str) -> str:
+    """DuckDB twin of the per-row entry array (unnest it to mirror the
+    explode)."""
+    ub = _sql_quote(_SM_URL_BLOCK_RE)
+    ib = _sql_quote(_SM_INDEX_BLOCK_RE)
+    loc = _sql_quote(_SM_LOC_RE)
+    lm = _sql_quote(_SM_LASTMOD_RE)
+
+    def tr(blocks: str, flag: str) -> str:
+        return (
+            f"list_transform(regexp_extract_all({blocks}, 1), b -> "
+            f"struct_pack(loc := regexp_extract(b, {loc}, 1), "
+            f"lastmod := nullif(regexp_extract(b, {lm}, 1), ''), "
+            f"is_index := {flag}))"
+        )
+
+    return (
+        f"list_filter(list_concat("
+        f"{tr(f'{x}, {ub}', 'FALSE')}, {tr(f'{x}, {ib}', 'TRUE')}"
+        f"), e -> e.loc <> '')"
+    )
