@@ -873,3 +873,72 @@ def test_event_transitions_end_marker_and_ties(spark):
         ).collect()
     }
     assert got == {("a", "b"): 1, ("b", "<end>"): 1}
+
+
+def test_ewma_control_hand_computed(spark):
+    import math as _m
+
+    from xmlschemavalidator_spark.temporal import ewma_control
+
+    # alpha=0.5, horizon=3 -> quantized weights floor([.5, .25, .125]*1e6)
+    rows = [("k", 1, 10.0), ("k", 2, 20.0), ("k", 3, 2.0)]
+    df = spark.createDataFrame(rows, "key string, bucket int, v double")
+    got = {
+        r["bucket"]: (r["value_q"], r["ewma"], r["flag_hi"], r["flag_lo"])
+        for r in ewma_control(
+            df, "key", "bucket", "v", target=10.0, threshold=5.0,
+            alpha_micro=500_000, horizon=3,
+        ).collect()
+    }
+    w = [500_000, 250_000, 125_000]
+    # bucket 1: only w0 present -> ewma = 10 exactly, inside the band
+    assert got[1] == (10, 10.0, False, False)
+    # bucket 2: (w0*20 + w1*10)/(w0+w1)
+    e2 = round((w[0] * 20 + w[1] * 10) / (w[0] + w[1]), 6)
+    assert got[2] == (20, e2, e2 > 15, False)
+    # bucket 3: (w0*2 + w1*20 + w2*10)/sum(w)
+    e3 = round((w[0] * 2 + w[1] * 20 + w[2] * 10) / sum(w), 6)
+    assert got[3][1] == e3
+    assert _m.isclose(e3, 7.25 / 0.875, abs_tol=0.01)
+
+
+def test_ewma_flags_medium_drift(spark):
+    from xmlschemavalidator_spark.temporal import ewma_control
+
+    # level 100 for 20 buckets then a persistent +8 drift: a 3-sigma
+    # z-gate on sigma=4 never fires on single points, EWMA does
+    rows = [("k", i, 100.0 + (8.0 if i >= 20 else 0.0)) for i in range(40)]
+    df = spark.createDataFrame(rows, "key string, bucket int, v double")
+    out = ewma_control(
+        df, "key", "bucket", "v", target=100.0, threshold=6.0,
+        alpha_micro=300_000, horizon=32,
+    )
+    flagged = sorted(r["bucket"] for r in out.where("flag_hi").collect())
+    assert flagged and min(flagged) in range(20, 26)  # fires shortly after onset
+    assert not out.where("flag_lo").count()
+
+
+def test_ewma_matches_duckdb_oracle(spark):
+    import duckdb
+    import pandas as pd
+
+    from xmlschemavalidator_spark.temporal import (
+        ewma_control,
+        ewma_control_oracle_sql,
+    )
+
+    rows = [("a" if i % 2 else "b", i, ((i * 37) % 100) / 3.0) for i in range(60)]
+    df = spark.createDataFrame(rows, "key string, bucket int, v double")
+    got = sorted(
+        map(tuple, ewma_control(
+            df, "key", "bucket", "v", target=16.0, threshold=4.0, quantum=100
+        ).collect())
+    )
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["key", "bucket", "v"]))
+    sql = ewma_control_oracle_sql(
+        "SELECT * FROM t", "key", "bucket", "v",
+        target=16.0, threshold=4.0, quantum=100,
+    )
+    oracle = sorted(map(tuple, con.execute(sql).fetchall()))
+    assert got == oracle

@@ -11135,3 +11135,42 @@ def robots_sitemap_discovery(spark, sf_dir):
         "doc_id",
         F.explode(robots_sitemap_urls(robots)).alias("sitemap_url"),
     )
+
+
+from xmlschemavalidator_spark.temporal import ewma_control_oracle_sql  # noqa: E402
+
+_EWMA_DAILY_SQL = (
+    "SELECT event_type, CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000"
+    " AS BIGINT) AS day, CAST(count(*) AS BIGINT) AS n_events"
+    " FROM events WHERE ts IS NOT NULL GROUP BY 1, 2"
+)
+
+
+@q(
+    "ewma_daily_event_counts",
+    ewma_control_oracle_sql(
+        _EWMA_DAILY_SQL, "event_type", "day", "n_events",
+        target=66.0, threshold=5.0,
+    ),
+)
+def ewma_daily_event_counts(spark, sf_dir):
+    """EWMA control chart (Roberts 1959; temporal.py:ewma_control) over
+    per-type daily event counts — the medium-drift leg between the
+    rolling z-score (spikes) and CUSUM (tiny persistent shifts), all
+    three sharing the same continuous-aggregate input. Truncated
+    exponential kernel as 32 fixed lag terms on ONE window (weights
+    Python-quantized into both engines), integer-only flag decisions;
+    target 66 / threshold 5 measured to fire BOTH flags at sf0.01
+    (13 hi / 9 lo of 150 buckets)."""
+    from xmlschemavalidator_spark.temporal import ewma_control
+
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000)
+        .cast("bigint")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    return ewma_control(
+        daily, "event_type", "day", "n_events", target=66.0, threshold=5.0
+    )

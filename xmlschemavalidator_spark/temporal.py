@@ -964,3 +964,141 @@ def event_transitions(
         "n",
         F.expr("n * 1000000 div _tot").alias("p_micro"),
     )
+
+
+def _ewma_weights_micro(alpha_micro: int, horizon: int) -> list[int]:
+    """w_d = α(1−α)^d floor-quantized to micro units, d = 0..horizon−1
+    — computed ONCE in Python and consumed by both engines."""
+    a = alpha_micro / 1_000_000.0
+    return [
+        int(math.floor(a * (1.0 - a) ** d * 1_000_000)) for d in range(horizon)
+    ]
+
+
+def ewma_control(
+    series: DataFrame,
+    key: str,
+    bucket: str,
+    value: str,
+    target: float,
+    threshold: float,
+    alpha_micro: int = 300_000,
+    horizon: int = 32,
+    quantum: int = 1,
+) -> DataFrame:
+    """EWMA control chart over a per-key time series (Roberts 1959 —
+    the third leg of the monitoring triad: rolling z-scores catch
+    spikes, CUSUM catches tiny persistent shifts, EWMA catches the
+    medium drift in between with a tunable memory α). Returns every
+    bucket with ``(key, bucket, value_q, ewma, flag_hi, flag_lo)``
+    where ``ewma`` is the smoothed level and the flags fire when it
+    leaves ``target ± threshold``.
+
+    The textbook recursion ``z_i = αx_i + (1−α)z_{i−1}`` is an
+    exponential kernel; this computes its ``horizon``-term truncation
+    as FIXED LAG TERMS: z_i = Σ_d w_d·x_{i−d} / Σ_d w_d over the
+    available lags, with ``w_d = α(1−α)^d`` floor-quantized to integer
+    micros in Python and injected into both engines. Truncation error
+    is bounded by (1−α)^horizon (≈2e-5 at the defaults) and the
+    operator is DEFINED as the truncated kernel, so it is exact by
+    definition; normalizing by the present-lag weight sum makes warmup
+    rows an unbiased average of what exists instead of decaying toward
+    zero. All sums are DECIMAL(38,0) integers; the flags compare
+    ``num − t·den`` against ``h·den`` in integers (no double in the
+    decision path); ``ewma`` itself is ONE rounded double division.
+
+    Scale shape: ONE window shuffle on the key; ``horizon`` lag
+    expressions share that single window (no self-join, no UDF, no
+    per-row recursion). Buckets must be unique per key (rollup output
+    is); NULL values are dropped up front.
+    """
+    if not 0 < alpha_micro < 1_000_000:
+        raise ValueError(f"ewma_control: alpha_micro must be in (0, 1e6), got {alpha_micro}")
+    if horizon < 1:
+        raise ValueError(f"ewma_control: horizon must be >= 1, got {horizon}")
+    weights = _ewma_weights_micro(alpha_micro, horizon)
+    tq = int(math.floor(target * quantum))
+    hq = int(math.floor(threshold * quantum))
+    if hq <= 0:
+        raise ValueError("ewma_control: threshold must be > 0 after quantization")
+    dec = "decimal(38,0)"
+    xq = F.floor(F.col(value).cast("double") * F.lit(quantum)).cast(dec)
+    w = Window.partitionBy(key).orderBy(F.col(bucket).asc())
+    base = series.where(F.col(value).isNotNull()).select(
+        F.col(key), F.col(bucket), xq.alias("_x0")
+    )
+    lags = [F.col("_x0")] + [
+        F.lag("_x0", d).over(w) for d in range(1, len(weights))
+    ]
+    num = None
+    den = None
+    for wd, lg in zip(weights, lags):
+        t = F.when(lg.isNotNull(), F.lit(wd).cast(dec) * lg).otherwise(
+            F.lit(0).cast(dec)
+        )
+        dterm = F.when(lg.isNotNull(), F.lit(wd).cast(dec)).otherwise(
+            F.lit(0).cast(dec)
+        )
+        num = t if num is None else num + t
+        den = dterm if den is None else den + dterm
+    out = base.select(
+        key,
+        bucket,
+        F.col("_x0").cast("bigint").alias("value_q"),
+        num.alias("_num"),
+        den.alias("_den"),
+    )
+    diff = F.col("_num") - F.lit(tq).cast(dec) * F.col("_den")
+    lim = F.lit(hq).cast(dec) * F.col("_den")
+    return out.select(
+        key,
+        bucket,
+        "value_q",
+        F.round(F.col("_num").cast("double") / F.col("_den").cast("double"), 6).alias(
+            "ewma"
+        ),
+        (diff > lim).alias("flag_hi"),
+        (-diff > lim).alias("flag_lo"),
+    )
+
+
+def ewma_control_oracle_sql(
+    series_sql: str,
+    key: str,
+    bucket: str,
+    value: str,
+    target: float,
+    threshold: float,
+    alpha_micro: int = 300_000,
+    horizon: int = 32,
+    quantum: int = 1,
+) -> str:
+    """DuckDB replay of :func:`ewma_control` — same Python-computed
+    weight literals, same integer sums, same single division."""
+    weights = _ewma_weights_micro(alpha_micro, horizon)
+    tq = int(math.floor(target * quantum))
+    hq = int(math.floor(threshold * quantum))
+    over = f"OVER (PARTITION BY {key} ORDER BY {bucket} ASC)"
+    num_terms, den_terms = [], []
+    for d, wd in enumerate(weights):
+        lg = "_x0" if d == 0 else f"lag(_x0, {d}) {over}"
+        num_terms.append(
+            f"(CASE WHEN ({lg}) IS NOT NULL THEN CAST({wd} AS HUGEINT) * ({lg})"
+            f" ELSE 0 END)"
+        )
+        den_terms.append(
+            f"(CASE WHEN ({lg}) IS NOT NULL THEN CAST({wd} AS HUGEINT) ELSE 0 END)"
+        )
+    return f"""\
+WITH b AS (SELECT {key}, {bucket},
+                  CAST(floor(CAST({value} AS DOUBLE) * {quantum}) AS HUGEINT) AS _x0
+           FROM ({series_sql}) WHERE {value} IS NOT NULL),
+s AS (SELECT {key}, {bucket}, _x0,
+             {' + '.join(num_terms)} AS _num,
+             {' + '.join(den_terms)} AS _den
+      FROM b)
+SELECT {key}, {bucket}, CAST(_x0 AS BIGINT) AS value_q,
+       round(CAST(_num AS DOUBLE) / CAST(_den AS DOUBLE), 6) AS ewma,
+       (_num - {tq} * _den) > {hq} * _den AS flag_hi,
+       (-(_num - {tq} * _den)) > {hq} * _den AS flag_lo
+FROM s"""
