@@ -617,3 +617,29 @@ def test_fd_g3_null_lhs_groups_normally(spark):
     row = fd_g3(df, ["k"], "v").collect()[0]
     # NULL key keeps 2 of 3; 'k' keeps 1 -> keep 3/4 -> g3 = 0.25
     assert (row["n_rows"], row["n_keep"], row["g3"]) == (4, 3, 0.25)
+
+
+def test_theil_sen_hand_computed_and_robust(spark):
+    from xmlschemavalidator_spark.checks.stats import ols_trend, theil_sen_trend
+
+    # y = 2x + 1 exactly, with one wild outlier at x=5
+    rows = [(i, float(i), 2.0 * i + 1.0) for i in range(5)] + [(5, 5.0, 500.0)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    [ts] = theil_sen_trend(df, "x", "y", "id").collect()
+    # 15 pairs; the majority of pairwise slopes are exactly 2.0 -> median 2.0
+    assert (ts["n"], ts["n_pairs"], ts["slope"], ts["intercept"]) == (6, 15, 2.0, 1.0)
+    [ols] = ols_trend(df, "x", "y").collect()
+    assert ols["slope"] > 30  # OLS dragged by the outlier; Theil-Sen is not
+
+
+def test_theil_sen_groups_and_vertical_exclusion(spark):
+    from xmlschemavalidator_spark.checks.stats import theil_sen_trend
+
+    rows = [
+        ("a", 1, 0.0, 1.0), ("a", 2, 1.0, 3.0), ("a", 3, 2.0, 5.0),
+        ("b", 4, 7.0, 1.0), ("b", 5, 7.0, 9.0),  # only equal-x pairs: no row
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, x double, y double")
+    got = {r["g"]: r for r in theil_sen_trend(df, "x", "y", "id", ("g",)).collect()}
+    assert got["a"]["slope"] == 2.0 and got["a"]["n_pairs"] == 3
+    assert "b" not in got

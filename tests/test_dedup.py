@@ -1138,3 +1138,38 @@ def test_edit_distance_pairs_guards(spark):
     df = spark.createDataFrame([(1, "abcd")], "id bigint, s string")
     with pytest.raises(ValueError):
         edit_distance_pairs(df, "id", "s", max_distance=0)
+
+
+def test_bbit_minhash_identical_docs_distance_zero(spark):
+    from xmlschemavalidator_spark.dedup import bbit_jaccard_pairs
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(1, text), (2, text), (3, "completely different words everywhere " * 3)],
+        "doc_id long, text string",
+    )
+    got = {(r["id_a"], r["id_b"]): (r["hamming"], r["est_jaccard_micro"])
+           for r in bbit_jaccard_pairs(df, "doc_id").collect()}
+    assert got.get((1, 2)) == (0, 1_000_000)  # identical: hd 0, est J = 1
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_bbit_minhash_near_dup_estimates_high(spark):
+    from xmlschemavalidator_spark.dedup import bbit_jaccard_pairs
+
+    base = " ".join(f"w{i}" for i in range(60))
+    near = " ".join(f"w{i}" for i in range(58)) + " x1 x2"  # ~93% shingle overlap
+    df = spark.createDataFrame([(1, base), (2, near)], "doc_id long, text string")
+    got = bbit_jaccard_pairs(df, "doc_id").collect()
+    assert len(got) == 1
+    [r] = got
+    assert r["hamming"] <= 8 and r["est_jaccard_micro"] >= 750_000
+
+
+def test_bbit_minhash_pigeonhole_guard():
+    import pytest as _pt
+
+    from xmlschemavalidator_spark.dedup import bbit_jaccard_pairs
+
+    with _pt.raises(ValueError):
+        bbit_jaccard_pairs(None, "doc_id", hamming_max=16)

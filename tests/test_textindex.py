@@ -294,3 +294,56 @@ def test_index_corpus_stats_row(spark, tmp_path):
     assert set(post.columns) == {"term", "doc", "dl", "tf", "_bucket", "_batch"}
     dl7 = post.where(F.col("doc") == 7).select("dl").distinct().collect()
     assert [r["dl"] for r in dl7] == [3]
+
+
+def test_trigram_substring_search_lossless(spark):
+    from xmlschemavalidator_spark.textindex import substring_search, trigram_postings
+
+    rows = [
+        (1, "hello merge batch world"),
+        (2, "batch merge hello"),  # has all trigrams scattered? verify weeds it
+        (3, "merge batch"),
+        (4, "MERGE BATCH"),  # case-sensitive: no match
+        (5, "xx"),
+        (6, None),
+        (7, "mergbatch merge atch"),  # all trigrams present, scattered: weeded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        r["doc_id"] for r in substring_search(df, "doc_id", "text", "merge batch").collect()
+    )
+    want = sorted(i for i, t in rows if t is not None and "merge batch" in t)
+    assert got == want == [1, 3]
+    # prebuilt postings path agrees
+    p = trigram_postings(df, "doc_id", "text")
+    got2 = sorted(
+        r["doc_id"]
+        for r in substring_search(df, "doc_id", "text", "merge batch", postings=p).collect()
+    )
+    assert got2 == got
+
+
+def test_trigram_candidates_superset_and_short_query(spark):
+    import pytest as _pt
+
+    from xmlschemavalidator_spark.textindex import (
+        substring_candidates,
+        substring_search,
+        trigram_postings,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "abcabc"), (2, "abc"), (3, "cab abc")], "doc_id long, text string"
+    )
+    p = trigram_postings(df, "doc_id", "text")
+    cand = sorted(r["doc"] for r in substring_candidates(p, "abcabc").collect())
+    true = sorted(
+        r["doc_id"] for r in substring_search(df, "doc_id", "text", "abcabc").collect()
+    )
+    assert set(true) <= set(cand)  # lossless: candidates cover every match
+    assert true == [1]
+    # < 3 chars: exact scan fallback
+    short = sorted(r["doc_id"] for r in substring_search(df, "doc_id", "text", "ab").collect())
+    assert short == [1, 2, 3]
+    with _pt.raises(ValueError):
+        substring_candidates(p, "ab")

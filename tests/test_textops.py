@@ -1324,3 +1324,89 @@ def test_degree_assortativity_dedups_and_drops_self_loops(spark):
         degree_assortativity(noisy).collect()
         == degree_assortativity(clean).collect()
     )
+
+
+# --------------------------------------------------------------------------
+# structured-data harvest: JSON-LD + <table> grids
+# --------------------------------------------------------------------------
+
+
+def test_extract_jsonld_blocks(spark):
+    from xmlschemavalidator_spark.textops import extract_jsonld
+
+    html = (
+        "<html><head>"
+        '<script type="application/ld+json">\n {"@type": "Article", "n": 1} \n</script>'
+        "<script>var x = 1;</script>"
+        "<SCRIPT TYPE='application/ld+json'>{\"@type\":\"Person\"}</SCRIPT>"
+        "</head><body>text</body></html>"
+    )
+    df = spark.createDataFrame([(html,)], "html string")
+    [r] = df.select(extract_jsonld(F.col("html")).alias("j")).collect()
+    assert r["j"] == ['{"@type": "Article", "n": 1}', '{"@type":"Person"}']
+
+
+def test_html_table_rows_hand_computed(spark):
+    from xmlschemavalidator_spark.textops import html_table_rows
+
+    html = (
+        "<p>before</p><table class=x><tr><th>Name</th><th>Qty &amp; unit</th></tr>"
+        "<tr><td><b>apples</b></td><td> 3 \n kg </td></tr>"
+        "<tr><!-- empty --></tr></table>"
+        "<table><tr><td>second table</td></tr></table>"
+    )
+    df = spark.createDataFrame([(7, html), (8, None)], "doc_id long, html string")
+    got = sorted(
+        (r["doc_id"], r["table_idx"], r["row_idx"], tuple(r["cells"]))
+        for r in html_table_rows(df, "doc_id", "html").collect()
+    )
+    assert got == [
+        (7, 0, 0, ("Name", "Qty & unit")),
+        (7, 0, 1, ("apples", "3 kg")),
+        (7, 1, 0, ("second table",)),
+    ]
+
+
+def test_structured_harvest_duckdb_parity(spark):
+    import duckdb
+    import pandas as pd
+
+    from xmlschemavalidator_spark.textops import (
+        extract_jsonld,
+        extract_jsonld_sql,
+        html_table_rows,
+        html_table_rows_sql,
+    )
+
+    htmls = [
+        f'<table><tr><td>v{i}</td><td>{i} &lt; {i + 1}</td></tr>'
+        f'<tr><td>u{i}</td></tr></table>'
+        f'<script type="application/ld+json">{{"i": {i}}}</script>'
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(list(enumerate(htmls)), "doc long, html string")
+    got_t = sorted(
+        (r["doc"], r["table_idx"], r["row_idx"], tuple(r["cells"]))
+        for r in html_table_rows(df, "doc", "html").collect()
+    )
+    got_j = sorted(
+        (r["doc"], tuple(r["j"]))
+        for r in df.select("doc", extract_jsonld(F.col("html")).alias("j")).collect()
+    )
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"doc": range(6), "html": htmls}))
+    ot = sorted(
+        (d, ti, ri, tuple(c))
+        for d, ti, ri, c in con.execute(
+            f"SELECT doc, e.table_idx, e.row_idx, e.cells FROM "
+            f"(SELECT doc, unnest({html_table_rows_sql('html')}) AS e FROM t) "
+            f"WHERE len(e.cells) > 0"
+        ).fetchall()
+    )
+    oj = sorted(
+        (d, tuple(j))
+        for d, j in con.execute(
+            f"SELECT doc, {extract_jsonld_sql('html')} FROM t"
+        ).fetchall()
+    )
+    assert got_t == ot and got_j == oj

@@ -597,3 +597,100 @@ def concentration(
         "n_categories",
         F.col("_t").cast("bigint").alias("n_rows"),
     )
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    x: str,
+    y: str,
+    id_col: str,
+    group_cols: tuple[str, ...] = (),
+    quantum: int = 1_000_000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group Theil–Sen trend (Theil 1950 / Sen 1968): slope =
+    MEDIAN of all pairwise slopes (y_j−y_i)/(x_j−x_i), intercept =
+    median of y_i − slope·x_i — the robust companion to
+    :func:`ols_trend` with a 29.3% breakdown point (one fat-finger
+    bucket drags an OLS slope arbitrarily; it cannot move the pair
+    median). Returns ``(*group_cols, n, n_pairs, slope, intercept)``;
+    groups with no x-distinct pair yield no row.
+
+    Exactness contract (the :func:`robust_outliers` scheme): values
+    quantize to integer ``quantum``-ths, each pairwise slope is ONE
+    double division of exact integers (quantum cancels), and both
+    medians are LOWER medians selected by rank over a deterministic
+    total order ((value, id, id) for slopes; (value, id) for
+    intercepts) — actual elements, never interpolated midpoints, so
+    both engines agree to the last ulp before rounding.
+
+    Scale shape: the pairwise self-join is O(n²) PER GROUP — by the
+    same bounded-series contract as Hampel/CUSUM/EWMA (rollup buckets:
+    days per key, not corpus rows); the join key is the group, so no
+    global product ever forms. Equal-x pairs are excluded (vertical
+    slope undefined — the standard convention).
+    """
+    from pyspark.sql import Window
+
+    g = list(group_cols)
+    xm = F.floor(F.col(x).cast("double") * F.lit(quantum)).cast("decimal(38,0)")
+    ym = F.floor(F.col(y).cast("double") * F.lit(quantum)).cast("decimal(38,0)")
+    base = df.where(F.col(x).isNotNull() & F.col(y).isNotNull()).select(
+        *[F.col(c) for c in g],
+        F.col(id_col).alias("_id"),
+        xm.alias("_x"),
+        ym.alias("_y"),
+    )
+    a = base.select(
+        *g, F.col("_id").alias("_ia"), F.col("_x").alias("_xa"), F.col("_y").alias("_ya")
+    )
+    b = base.select(
+        *g, F.col("_id").alias("_ib"), F.col("_x").alias("_xb"), F.col("_y").alias("_yb")
+    )
+    pairs = (a.join(b, g) if g else a.crossJoin(b)).where(F.col("_xa") < F.col("_xb"))
+    sl = pairs.select(
+        *g,
+        "_ia",
+        "_ib",
+        (
+            (F.col("_yb") - F.col("_ya")).cast("double")
+            / (F.col("_xb") - F.col("_xa")).cast("double")
+        ).alias("_s"),
+    )
+    ws = Window.partitionBy(*g).orderBy(
+        F.col("_s").asc(), F.col("_ia").asc(), F.col("_ib").asc()
+    )
+    wc = Window.partitionBy(*g)
+    slopes = (
+        sl.withColumn("_rn", F.row_number().over(ws))
+        .withColumn("_np", F.count(F.lit(1)).over(wc))
+        .where(F.col("_rn") == F.expr("(_np + 1) div 2"))
+        .select(*g, F.col("_s").alias("_slope"), F.col("_np").alias("n_pairs"))
+    )
+    resid = (
+        base.join(F.broadcast(slopes), g)
+        if g
+        else base.crossJoin(F.broadcast(slopes))
+    ).select(
+        *g,
+        "_id",
+        "_slope",
+        "n_pairs",
+        (
+            (F.col("_y").cast("double") - F.col("_slope") * F.col("_x").cast("double"))
+            / F.lit(float(quantum))
+        ).alias("_r"),
+    )
+    wr = Window.partitionBy(*g).orderBy(F.col("_r").asc(), F.col("_id").asc())
+    out = (
+        resid.withColumn("_rn", F.row_number().over(wr))
+        .withColumn("_n", F.count(F.lit(1)).over(wc))
+        .where(F.col("_rn") == F.expr("(_n + 1) div 2"))
+    )
+    return out.select(
+        *g,
+        F.col("_n").cast("bigint").alias("n"),
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        F.round("_slope", round_to).alias("slope"),
+        F.round("_r", round_to).alias("intercept"),
+    )

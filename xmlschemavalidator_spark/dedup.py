@@ -2446,3 +2446,68 @@ def edit_distance_pairs(
         .where(F.col("distance") <= max_distance)
         .select("id_a", "id_b", F.col("distance").cast("int").alias("distance"))
     )
+
+
+def bbit_minhash_signatures_df(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    portable: bool = False,
+) -> DataFrame:
+    """b-bit MinHash signatures (Li & König WWW'10) at b=1, k=64:
+    ``(doc, sig)`` with the PARITY of each of 64 MinHash lanes packed
+    into a single BIGINT — 8 bytes per doc where the full 32-lane
+    signature stores 256 (the paper's point: for b=1 you need ~2-3×
+    more lanes for the same variance but pay 1/64 the bits, a large net
+    win at 10^12-doc signature stores). Dropping to one bit costs
+    resolution, not correctness of the estimator: two unequal minima
+    still collide on parity half the time, which the estimator's C=1/2
+    baseline removes (:func:`bbit_jaccard_pairs`).
+
+    Shares :func:`minhash_signatures_df`'s one-explode + 64-partial-min
+    shape (the shuffle carries (doc, 64 longs) pre-packing); packing is
+    a narrow bitwise fold. Docs too short to shingle are absent."""
+    sigs = minhash_signatures_df(
+        df, id_col, text_col, num_hashes=64, shingle_n=shingle_n, portable=portable
+    )
+    packed = None
+    for i in range(64):
+        bit = F.shiftleft(F.pmod(F.col(f"mh_{i}"), F.lit(2)), i)
+        packed = bit if packed is None else packed.bitwiseOR(bit)
+    return sigs.select("doc", packed.alias("sig"))
+
+
+def bbit_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    hamming_max: int = 15,
+    shingle_n: int = 3,
+    max_bucket: int = 1000,
+    portable: bool = False,
+) -> DataFrame:
+    """Near-dup candidate pairs from 1-bit MinHash signatures:
+    ``(id_a, id_b, hamming, est_jaccard_micro)`` — reuses the generic
+    64-bit Hamming layer (:func:`hamming_near_duplicates`: pigeonhole
+    chunk blocking, hot-bucket cap, grouped member expansion — one
+    machinery, now three signature families: SimHash, dHash, b-bit
+    MinHash). The estimator is Li & König's b=1 form: E[match frac] =
+    ½ + J/2, so Ĵ = 1 − 2·hd/64 — in exact integer micros,
+    ``max(0, 64 − 2·hd) · 15625`` (15625 = 10⁶/64). ``hamming_max``
+    must be <= 15 (the chunk layer's 16-piece pigeonhole guarantee);
+    15 ≈ J ≥ 0.53."""
+    if hamming_max > 15:
+        raise ValueError(
+            f"bbit_jaccard_pairs: hamming_max={hamming_max} exceeds the 16-chunk "
+            "pigeonhole guarantee (max 15)"
+        )
+    sigd = bbit_minhash_signatures_df(df, id_col, text_col, shingle_n, portable)
+    pairs = hamming_near_duplicates(sigd, hamming_max, max_bucket)
+    return pairs.withColumn(
+        "est_jaccard_micro",
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            (F.lit(64) - 2 * F.col("hamming")).cast("bigint") * F.lit(15625),
+        ),
+    )

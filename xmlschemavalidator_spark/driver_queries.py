@@ -11174,3 +11174,251 @@ def ewma_daily_event_counts(spark, sf_dir):
     return ewma_control(
         daily, "event_type", "day", "n_events", target=66.0, threshold=5.0
     )
+
+
+@q(
+    "trigram_substring_search",
+    """SELECT doc_id, lang FROM documents
+       WHERE text IS NOT NULL AND text LIKE '%merge batch%'""",
+)
+def trigram_substring_search_q(spark, sf_dir):
+    """Trigram-index substring search (the pg_trgm device;
+    textindex.py:trigram_postings/substring_search): LIKE '%q%' is
+    a by-construction full scan — character trigrams give a LOSSLESS
+    candidate set (containing q ⇒ containing every trigram of q, the
+    prefix-filter family's logic), and only candidates pay the exact
+    contains() verify. The oracle is the PLAIN LIKE scan, so
+    hash-equality proves losslessness end-to-end; 28 matches measured
+    at sf0.01 for 'merge batch'."""
+    from xmlschemavalidator_spark.textindex import substring_search
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return substring_search(docs, "doc_id", "text", "merge batch").select(
+        "doc_id", "lang"
+    )
+
+
+@q(
+    "theil_sen_daily_events",
+    """WITH daily AS (SELECT event_type,
+                             CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+                                  AS BIGINT) AS day,
+                             CAST(count(*) AS BIGINT) AS n_events
+                      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+       b AS (SELECT event_type, day AS id,
+                    CAST(floor(CAST(day AS DOUBLE) * 1000000) AS DECIMAL(38,0)) AS x,
+                    CAST(floor(CAST(n_events AS DOUBLE) * 1000000) AS DECIMAL(38,0)) AS y
+             FROM daily),
+       p AS (SELECT a.event_type, a.id AS ia, c.id AS ib,
+                    CAST(c.y - a.y AS DOUBLE) / CAST(c.x - a.x AS DOUBLE) AS s
+             FROM b a JOIN b c ON a.event_type = c.event_type AND a.x < c.x),
+       sm AS (SELECT event_type, s AS slope, np AS n_pairs FROM (
+                SELECT *, row_number() OVER (PARTITION BY event_type
+                           ORDER BY s, ia, ib) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS np
+                FROM p) WHERE rn = (np + 1) // 2),
+       r AS (SELECT b.event_type, b.id, sm.slope, sm.n_pairs,
+                    (CAST(b.y AS DOUBLE) - sm.slope * CAST(b.x AS DOUBLE))
+                      / 1000000.0 AS res
+             FROM b JOIN sm USING (event_type)),
+       im AS (SELECT event_type, CAST(n AS BIGINT) AS n,
+                     CAST(n_pairs AS BIGINT) AS n_pairs,
+                     round(slope, 6) AS slope, round(res, 6) AS intercept
+              FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                              ORDER BY res, id) AS rn,
+                           count(*) OVER (PARTITION BY event_type) AS n
+                    FROM r) WHERE rn = (n + 1) // 2)
+       SELECT * FROM im""",
+)
+def theil_sen_daily_events(spark, sf_dir):
+    """Theil–Sen robust trend (checks/stats.py:theil_sen_trend) over
+    per-type daily event counts — the 29.3%-breakdown companion to
+    ols_trend_daily_events on the SAME series, immune to the single
+    wild bucket that drags a least-squares slope. Pairwise slopes are
+    one double division of exact quantized integers each; both medians
+    are rank-selected LOWER medians over deterministic total orders
+    (actual elements, never interpolated) — the Hampel exactness
+    scheme. O(days²) pairs per group by the bounded-series contract."""
+    from xmlschemavalidator_spark.checks.stats import theil_sen_trend
+
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000)
+        .cast("bigint")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    return theil_sen_trend(daily, "day", "n_events", "day", ("event_type",))
+
+
+def _bbit_minhash_oracle() -> str:
+    """DuckDB replay of the 1-bit/64-lane MinHash pipeline in portable
+    mode: same shingles + md5 base hash + permutations as
+    _minhash_portable_oracle but 64 lanes, parity-packed into a signed
+    BIGINT via HUGEINT arithmetic (DuckDB's << overflows at bit 63; the
+    Σ parity·2^i / wrap-above-2^63 construction lands on the same
+    signed value as Spark's shiftleft/OR fold). Chunk buckets are the
+    arithmetic form (sigh // 2^(4ci)) % 16 — identical to Spark's
+    sign-extending shiftright + mask."""
+    from xmlschemavalidator_spark.dedup import _MINHASH_P, _perm_consts
+    from xmlschemavalidator_spark.textops import PORTABLE_HASH64_SQL
+
+    bh = PORTABLE_HASH64_SQL.format(x="shingle")
+    p = _MINHASH_P
+    mh_cols = ",\n         ".join(
+        f"min((h * {a} + {b}) % {p}) AS mh_{i}"
+        for i, (a, b) in enumerate(_perm_consts(64))
+    )
+    packed = " + ".join(f"(mh_{i} % 2)::HUGEINT * {1 << i}::HUGEINT" for i in range(64))
+    chunks = "\n  UNION ALL ".join(
+        f"SELECT doc, sig, {ci} AS ci, "
+        f"CAST((sigh // {1 << (4 * ci)}::HUGEINT) % 16 AS BIGINT) AS cv FROM sig"
+        for ci in range(16)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id AS doc, unnest(list_distinct(sl)) AS shingle
+  FROM (
+    SELECT doc_id,
+           CASE WHEN len(string_split_regex(trim(coalesce(text,'')), '\\s+')) < 3 THEN []
+           ELSE list_transform(
+             range(1, len(string_split_regex(trim(text), '\\s+')) - 1),
+             i -> array_to_string(string_split_regex(trim(text), '\\s+')[i:i+2], ' ')
+           ) END AS sl
+    FROM documents
+  ) WHERE len(sl) > 0
+), hashed AS (
+  SELECT doc, {bh} % {p} AS h FROM sh
+), lanes AS (
+  SELECT doc,
+         {mh_cols}
+  FROM hashed GROUP BY doc
+), sig AS (
+  SELECT doc, sigh,
+         CAST(CASE WHEN sigh >= 9223372036854775808::HUGEINT
+              THEN sigh - 18446744073709551616::HUGEINT ELSE sigh END AS BIGINT) AS sig
+  FROM (SELECT doc, {packed} AS sigh FROM lanes)
+), chunks AS (
+  {chunks}
+), ok AS (
+  SELECT ci, cv FROM chunks GROUP BY 1, 2
+  HAVING count(*) > 1 AND count(*) <= 1000
+), cand AS (
+  SELECT DISTINCT a.doc AS id_a, a.sig AS sig_a, b.doc AS id_b, b.sig AS sig_b
+  FROM chunks a
+  JOIN chunks b USING (ci, cv)
+  JOIN ok USING (ci, cv)
+  WHERE a.doc < b.doc
+)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming,
+       CAST(greatest(0, 64 - 2 * bit_count(xor(sig_a, sig_b))) * 15625 AS BIGINT)
+         AS est_jaccard_micro
+FROM cand
+WHERE bit_count(xor(sig_a, sig_b)) <= 15"""
+
+
+@q("bbit_minhash_pairs_portable", _bbit_minhash_oracle())
+def bbit_minhash_pairs_portable(spark, sf_dir):
+    """b-bit MinHash near-dup pairs (Li & König WWW'10, b=1/k=64 —
+    dedup.py:bbit_jaccard_pairs) in portable-hash mode: 64 MinHash lane
+    PARITIES packed into one BIGINT (8 bytes/doc vs 256 for the full
+    signature), paired through the generic Hamming chunk layer, Ĵ =
+    1 − 2·hd/64 in exact integer micros. The DuckDB oracle replays
+    everything including the bit packing (HUGEINT arithmetic standing
+    in for the sign-overflowing shift) — hash-exact pair set, distances
+    AND estimates."""
+    from xmlschemavalidator_spark.dedup import bbit_jaccard_pairs
+
+    return bbit_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", portable=True
+    ).select(
+        "id_a",
+        "id_b",
+        F.col("hamming").cast("int").alias("hamming"),
+        "est_jaccard_micro",
+    )
+
+
+from xmlschemavalidator_spark.textops import (  # noqa: E402
+    extract_jsonld_sql,
+    html_table_rows_sql,
+)
+
+_HARVEST_HTML_DUCK = (
+    "'<h1>doc</h1><table><tr><th>k &amp; id</th><th>lang</th></tr>'"
+    " || '<tr><td> v' || CAST(doc_id AS VARCHAR) || ' </td><td>'"
+    " || coalesce(lang, '') || '</td></tr></table>'"
+    " || CASE WHEN doc_id % 3 = 0 THEN"
+    " '<script type=\"application/ld+json\"> {\"@type\": \"Article\", \"id\": '"
+    " || CAST(doc_id AS VARCHAR) || '} </script>' ELSE '' END"
+)
+
+
+def _harvest_html_spark():
+    return F.concat(
+        F.lit("<h1>doc</h1><table><tr><th>k &amp; id</th><th>lang</th></tr>"),
+        F.lit("<tr><td> v"),
+        F.col("doc_id").cast("string"),
+        F.lit(" </td><td>"),
+        F.coalesce(F.col("lang"), F.lit("")),
+        F.lit("</td></tr></table>"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit('<script type="application/ld+json"> {"@type": "Article", "id": '),
+                F.col("doc_id").cast("string"),
+                F.lit("} </script>"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+
+
+@q(
+    "html_table_harvest",
+    f"""WITH t AS (SELECT doc_id, {_HARVEST_HTML_DUCK} AS html FROM documents)
+       SELECT doc_id, e.table_idx, e.row_idx, e.cells
+       FROM (SELECT doc_id, unnest({html_table_rows_sql('html')}) AS e FROM t)
+       WHERE len(e.cells) > 0""",
+)
+def html_table_harvest(spark, sf_dir):
+    """<table> grid harvest (textops.html_table_rows): planted per-doc
+    tables with header + data rows, an HTML entity in a header cell and
+    padding whitespace in a data cell — so the shared entity-decode and
+    whitespace-collapse pipeline carries weight in the hash. Nested
+    lazy-block regexes (tables → rows → cells) shared verbatim with
+    the oracle; map-only (one projection + one Generate)."""
+    from xmlschemavalidator_spark.textops import html_table_rows
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select("doc_id", "lang", _harvest_html_spark().alias("html"))
+    return html_table_rows(pages, "doc_id", "html")
+
+
+@q(
+    "jsonld_harvest",
+    f"""WITH t AS (SELECT doc_id, {_HARVEST_HTML_DUCK} AS html FROM documents),
+       j AS (SELECT doc_id, unnest({extract_jsonld_sql('html')}) AS payload FROM t)
+       SELECT doc_id, json_extract_string(payload, '$.@type') AS jtype,
+              TRY_CAST(json_extract_string(payload, '$.id') AS BIGINT) AS jid
+       FROM j""",
+)
+def jsonld_harvest(spark, sf_dir):
+    """JSON-LD structured-data harvest (textops.extract_jsonld — the
+    schema.org carrier in Common Crawl): extract the typed script
+    blocks (every 3rd doc plants one), then typed field access via
+    get_json_object — extraction and parsing both oracle-checked. The
+    '@type' path exercises the special-character key; whitespace
+    around the payload is trimmed by the operator."""
+    from xmlschemavalidator_spark.textops import extract_jsonld
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select("doc_id", "lang", _harvest_html_spark().alias("html"))
+    j = pages.select(
+        "doc_id", F.explode(extract_jsonld(F.col("html"))).alias("payload")
+    )
+    return j.select(
+        "doc_id",
+        F.get_json_object("payload", "$['@type']").alias("jtype"),
+        F.get_json_object("payload", "$.id").try_cast("bigint").alias("jid"),
+    )

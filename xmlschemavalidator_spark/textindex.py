@@ -420,3 +420,77 @@ def phrase_topk_sql(
 SELECT doc, CAST(count(*) AS BIGINT) AS n_occurrences
 FROM occ GROUP BY doc
 ORDER BY n_occurrences DESC, doc ASC LIMIT {k}"""
+
+
+# ---------------------------------------------------------------------------
+# trigram substring search (the pg_trgm / Elasticsearch-wildcard device):
+# LIKE '%q%' over a corpus is a full scan by construction — no sort order
+# or token index helps an infix match. Character trigrams do: if a text
+# contains q (|q| >= 3), it contains every trigram of q, so an inverted
+# index on trigrams yields a LOSSLESS candidate set (theorem, not
+# heuristic — the PPJoin/prefix-filter family's logic applied to
+# substring containment), and only candidates pay the exact contains()
+# verification.
+# ---------------------------------------------------------------------------
+
+
+def trigram_postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Distinct character-trigram postings ``(tri, doc)`` — the
+    build-once side (persist with the textindex batch layout: bucket by
+    ``pmod(xxhash64(tri), n)`` exactly like term postings; at query
+    time a q-trigram probe then prunes to q buckets). One projection +
+    one Generate; ``array_distinct`` keeps repeated trigrams from
+    inflating the index (postings are per (tri, doc), not per
+    occurrence). Texts shorter than 3 chars contribute no postings —
+    searches that short fall back to a scan (:func:`substring_search`)."""
+    tris = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(length({text_col}) - 2, 0)),"
+        f" i -> substring({text_col}, i, 3)))"
+    )
+    return df.where(F.col(text_col).isNotNull()).select(
+        F.explode(tris).alias("tri"), F.col(id_col).alias("doc")
+    )
+
+
+def substring_candidates(postings: DataFrame, query: str) -> DataFrame:
+    """Docs containing ALL trigrams of ``query`` (|query| >= 3): the
+    lossless superset of true substring matches. The probe filters the
+    postings to the query's own trigrams (a literal IN list — with a
+    persisted bucketed index this prunes partitions at file listing)
+    and keeps docs hitting all of them; false positives (trigrams
+    present but scattered) are weeded by the caller's exact verify."""
+    if len(query) < 3:
+        raise ValueError(
+            f"substring_candidates: query must be >= 3 chars, got {query!r}"
+        )
+    tris = sorted({query[i : i + 3] for i in range(len(query) - 2)})
+    hits = postings.where(F.col("tri").isin(tris))
+    return (
+        hits.groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("_nt"))
+        .where(F.col("_nt") == len(tris))
+        .select("doc")
+    )
+
+
+def substring_search(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query: str,
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """Exact substring search (``text CONTAINS query``, case-sensitive
+    — LIKE '%q%' semantics): trigram-candidate pruning + exact
+    ``contains`` verification, returning the matching rows of ``df``.
+    Pass a prebuilt ``postings`` (from :func:`trigram_postings`,
+    typically persisted) to skip rebuilding the index; queries shorter
+    than 3 chars take the plain scan path (no trigram can prune them —
+    disclosed, exact either way)."""
+    if len(query) < 3:
+        return df.where(F.col(text_col).contains(query))
+    p = postings if postings is not None else trigram_postings(df, id_col, text_col)
+    cand = substring_candidates(p, query).withColumnRenamed("doc", id_col)
+    return df.join(cand, id_col, "left_semi").where(
+        F.col(text_col).contains(query)
+    )

@@ -1864,3 +1864,114 @@ def tfidf_cosine_pairs(
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# --------------------------------------------------------------------------
+# structured-data harvest from HTML — the schema.org/table layer of a web
+# pipeline: JSON-LD blocks (the dominant structured-data carrier in
+# Common Crawl) and <table> grids. Same shared-rule-table design as
+# html_to_text: one pattern set renders both engines.
+# --------------------------------------------------------------------------
+
+_JSONLD_RE = (
+    rf"(?is)<script\b[^>]*type{_WS}*={_WS}*[\"']application/ld\+json[\"']"
+    rf"[^>]*>(.*?)</script{_WS}*>"
+)
+_TABLE_RE = r"(?is)<table\b[^>]*>(.*?)</table[ \t\n\x0b\f\r]*>"
+_TR_RE = r"(?is)<tr\b[^>]*>(.*?)</tr[ \t\n\x0b\f\r]*>"
+_CELL_RE = r"(?is)<t[dh]\b[^>]*>(.*?)</t[dh][ \t\n\x0b\f\r]*>"
+
+
+def extract_jsonld(html: Column) -> Column:
+    """Raw JSON-LD payloads (``<script type="application/ld+json">``
+    blocks, the schema.org carrier), each trimmed of surrounding
+    whitespace — feed the elements to ``get_json_object`` for typed
+    field harvest. One narrow regexp_extract_all; attribute order and
+    quote style around the type attribute are tolerated; malformed JSON
+    passes through verbatim (parsing is the consumer's typed step)."""
+    raw = F.regexp_extract_all(html, F.lit(_JSONLD_RE), F.lit(1))
+    return F.transform(
+        raw, lambda b: F.regexp_replace(b, rf"^{_WS}+|{_WS}+$", "")
+    )
+
+
+def extract_jsonld_sql(x: str) -> str:
+    pat = _JSONLD_RE.replace("'", "''")
+    return (
+        f"list_transform(regexp_extract_all({x}, '{pat}', 1), "
+        f"b -> regexp_replace(regexp_replace(b, '^{_WS}+', ''), '{_WS}+$', ''))"
+    )
+
+
+def _clean_cell(c: Column) -> Column:
+    """Cell text: strip inner tags, decode the shared entity table,
+    collapse whitespace runs, trim — the html_to_text pipeline scoped
+    to one cell (no block-edge newlines: a cell IS one line)."""
+    out = F.regexp_replace(c, r"(?s)<[^>]*>", "")
+    for ent, ch in _HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    out = F.regexp_replace(out, rf"{_WS}+", " ")
+    return F.regexp_replace(out, r"^ +| +$", "")
+
+
+def _clean_cell_sql(x: str) -> str:
+    out = f"regexp_replace({x}, '(?s)<[^>]*>', '', 'g')"
+    for ent, ch in _HTML_ENTITIES:
+        lit = ch.replace("'", "''")
+        out = f"replace({out}, '{ent}', '{lit}')"
+    out = f"regexp_replace({out}, '{_WS}+', ' ', 'g')"
+    return f"regexp_replace(regexp_replace({out}, '^ +', ''), ' +$', '')"
+
+
+def html_table_rows(df: DataFrame, id_col: str, html_col: str) -> DataFrame:
+    """Harvest <table> grids: one output row per table row —
+    ``(*input id col, table_idx, row_idx, cells array<string>)`` with
+    0-based indices in document order and cells cleaned by the shared
+    entity/whitespace pipeline. Nested lazy-block regexes (tables →
+    rows → cells) shared verbatim with the DuckDB twin
+    (:func:`html_table_rows_sql`); rows with zero cells (e.g. a <tr>
+    holding only comments) are dropped. One projection + one Generate —
+    no shuffle; at 10^12 pages this is a map-only harvest."""
+    tables = F.regexp_extract_all(F.col(html_col), F.lit(_TABLE_RE), F.lit(1))
+    entries = F.flatten(
+        F.transform(
+            tables,
+            lambda t, ti: F.transform(
+                F.regexp_extract_all(t, F.lit(_TR_RE), F.lit(1)),
+                lambda r, ri: F.struct(
+                    ti.alias("table_idx"),
+                    ri.alias("row_idx"),
+                    F.transform(
+                        F.regexp_extract_all(r, F.lit(_CELL_RE), F.lit(1)),
+                        _clean_cell,
+                    ).alias("cells"),
+                ),
+            ),
+        )
+    )
+    return (
+        df.where(F.col(html_col).isNotNull())
+        .select(F.col(id_col), F.explode(entries).alias("_r"))
+        .where(F.size("_r.cells") > 0)
+        .select(
+            id_col,
+            F.col("_r.table_idx").cast("int").alias("table_idx"),
+            F.col("_r.row_idx").cast("int").alias("row_idx"),
+            F.col("_r.cells").alias("cells"),
+        )
+    )
+
+
+def html_table_rows_sql(x: str) -> str:
+    """DuckDB twin: returns the entry-array expression — unnest it and
+    filter len(cells) > 0 to mirror the explode."""
+    tp = _TABLE_RE.replace("'", "''")
+    rp = _TR_RE.replace("'", "''")
+    cp = _CELL_RE.replace("'", "''")
+    cells = f"list_transform(regexp_extract_all(r, '{cp}', 1), c -> {_clean_cell_sql('c')})"
+    return (
+        f"flatten(list_transform(regexp_extract_all({x}, '{tp}', 1), (t, ti) -> "
+        f"list_transform(regexp_extract_all(t, '{rp}', 1), (r, ri) -> "
+        f"struct_pack(table_idx := CAST(ti - 1 AS INTEGER), "
+        f"row_idx := CAST(ri - 1 AS INTEGER), cells := {cells}))))"
+    )
