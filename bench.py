@@ -73,6 +73,8 @@ def headline_queries():
         temporal_sessionize,
         text_bm25_topk,
         text_kneser_ney_lm,
+        text_stupid_backoff_lm,
+        trigram_substring_search_q,
         url_canonicalize,
         winnowing_candidate_pairs_docs,
         window_daily_events,
@@ -190,6 +192,14 @@ def headline_queries():
         # inverted-index pairing — the guaranteed-recall dedup path)
         "kneser_ney": lambda s: text_kneser_ney_lm(s, SF_DIR),
         "winnowing_pairs": lambda s: winnowing_candidate_pairs_docs(s, SF_DIR),
+        # round-4 session-7 late: Stupid Backoff trigram LM (the
+        # web-scale LM — one trigram groupBy feeds every backoff level,
+        # in-query train + full-corpus scoring: the heaviest LM in the
+        # family, priced next to bigram/KN) and trigram substring search
+        # (pg_trgm: index build + lossless candidate prune + exact verify
+        # vs what a LIKE scan would pay)
+        "sb_trigram_lm": lambda s: text_stupid_backoff_lm(s, SF_DIR),
+        "substring_search": lambda s: trigram_substring_search_q(s, SF_DIR),
     }
 
 

@@ -643,3 +643,37 @@ def test_theil_sen_groups_and_vertical_exclusion(spark):
     got = {r["g"]: r for r in theil_sen_trend(df, "x", "y", "id", ("g",)).collect()}
     assert got["a"]["slope"] == 2.0 and got["a"]["n_pairs"] == 3
     assert "b" not in got
+
+
+def test_gini_coefficient_known_values(spark):
+    from xmlschemavalidator_spark.checks.stats import gini_coefficient
+
+    # perfect equality -> 0; total concentration -> (n-1)/n
+    eq = spark.createDataFrame([(i, 10.0) for i in range(5)], "id long, v double")
+    [r] = gini_coefficient(eq, "v", "id").collect()
+    assert (r["n"], r["gini"]) == (5, 0.0)
+    conc = spark.createDataFrame(
+        [(0, 100.0)] + [(i, 0.0) for i in range(1, 5)], "id long, v double"
+    )
+    [c] = gini_coefficient(conc, "v", "id").collect()
+    assert c["gini"] == round(4 / 5, 6)
+    # textbook: [1,2,3,4] -> G = sum((2i-n-1)x)/(n*sum) = (-3*1-1*2+1*3+3*4)/(4*10)
+    tb = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([1, 2, 3, 4])], "id long, v double"
+    )
+    [t] = gini_coefficient(tb, "v", "id").collect()
+    assert t["gini"] == round(10 / 40, 6)
+
+
+def test_gini_groups_nulls_negatives(spark):
+    from xmlschemavalidator_spark.checks.stats import gini_coefficient
+
+    df = spark.createDataFrame(
+        [("a", 1, 5.0), ("a", 2, 5.0), ("b", 3, 0.0), ("b", 4, 10.0),
+         ("b", 5, None), ("b", 6, -3.0)],
+        "g string, id long, v double",
+    )
+    got = {r["g"]: (r["n"], r["gini"]) for r in
+           gini_coefficient(df, "v", "id", ("g",)).collect()}
+    assert got["a"] == (2, 0.0)
+    assert got["b"] == (2, 0.5)  # [0, 10]: (-1*0 + 1*10)/(2*10)

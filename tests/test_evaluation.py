@@ -190,3 +190,42 @@ def test_ece_weights_bins_by_count(spark):
     [r] = ece(df, "score", "label", n_bins=5).collect()
     assert r["mce"] == 0.6
     assert r["ece"] == 0.25
+
+
+# --------------------------------------------------------------------------
+# Kaplan-Meier survival
+# --------------------------------------------------------------------------
+
+import math as _math  # noqa: E402
+
+from xmlschemavalidator_spark.checks.evaluation import kaplan_meier  # noqa: E402
+
+
+def test_kaplan_meier_textbook_example(spark):
+    # durations: events at t=2 (1 of 5 at risk), t=4 (1 of 3); censored
+    # at t=3 and t=5; one more survives past the last event (t=6 censored)
+    rows = [(1, 2, True), (2, 3, False), (3, 4, True), (4, 5, False), (5, 6, False)]
+    df = spark.createDataFrame(rows, "id long, dur long, observed boolean")
+    got = {r["t"]: r for r in kaplan_meier(df, "dur", "observed").collect()}
+    assert sorted(got) == [2, 4]  # event times only
+    assert (got[2]["n_risk"], got[2]["n_events"], got[2]["n_censored"]) == (5, 1, 0)
+    assert (got[4]["n_risk"], got[4]["n_events"]) == (3, 1)
+    # S(2) = 4/5 ; S(4) = 4/5 * 2/3 — via floor-quantized ln sums
+    l2 = _math.floor(_math.log(4.0 / 5.0) * 1e6)
+    l4 = l2 + _math.floor(_math.log(2.0 / 3.0) * 1e6)
+    assert got[2]["logsurv_micro"] == l2
+    assert got[4]["logsurv_micro"] == l4
+    assert got[2]["survival"] == round(_math.exp(l2 / 1e6), 6)
+
+
+def test_kaplan_meier_censoring_changes_curve(spark):
+    # same event times; censored rows removed from later risk sets but
+    # never counted as deaths — naive "fraction dead" would differ
+    rows = [(i, 10, True) for i in range(4)] + [(9, 5, False)]
+    df = spark.createDataFrame(rows, "id long, dur long, observed boolean")
+    [r] = kaplan_meier(df, "dur", "observed").collect()
+    # at t=10 the censored-at-5 user is gone: 4 at risk, 4 events -> S=0
+    assert (r["t"], r["n_risk"], r["n_events"]) == (10, 4, 4)
+    # ln(0) guard: all-events row yields -inf? floor(ln(0)) is undefined —
+    # document: S hits exact 0, logsurv_micro is NULL in that terminal row
+    assert r["logsurv_micro"] is None or r["survival"] == 0.0

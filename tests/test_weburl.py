@@ -1004,3 +1004,38 @@ def test_sitemap_entries_duckdb_parity(spark):
         )
     )
     assert got == oracle and len(got) == 16
+
+
+def test_powerlaw_alpha_hand_computed_and_recovery(spark):
+    import math
+
+    from xmlschemavalidator_spark.weburl import powerlaw_alpha
+
+    df = spark.createDataFrame([(1, 2), (2, 4), (3, 8)], "node long, deg long")
+    [r] = powerlaw_alpha(df, "deg", kmin=2).collect()
+    s = sum(math.floor(math.log(k / 1.5) * 1e6) for k in (2, 4, 8))
+    assert (r["n"], r["sum_ln_micro"]) == (3, s)
+    assert r["alpha"] == round(1.0 + 3.0 / (s / 1e6), 6)
+
+    # recovery: inverse-CDF grid of a rounded alpha=2.5 Pareto tail with
+    # xmin=3 — the kmin−½ discretization shift is only accurate for
+    # kmin >= ~2 (CSN §3.5: at kmin=1 the approximation is badly biased,
+    # which an earlier version of this test rediscovered)
+    alpha = 2.5
+    ks = [
+        int(round(3.0 * (1.0 - (i + 0.5) / 4000) ** (-1.0 / (alpha - 1.0))))
+        for i in range(4000)
+    ]
+    # estimate one notch above the generation boundary (kmin=4): rounding
+    # over-represents the exact-xmin bin, the standard kmin-selection issue
+    deg = spark.createDataFrame(list(enumerate(ks)), "node long, deg long")
+    [e] = powerlaw_alpha(deg, "deg", kmin=4).collect()
+    assert abs(e["alpha"] - alpha) < 0.1
+
+    # tail below kmin excluded; undefined MLE -> NULL
+    allmin = spark.createDataFrame([(1, 1), (2, 1)], "node long, deg long")
+    [u] = powerlaw_alpha(allmin, "deg", kmin=1).collect()
+    assert u["alpha"] is not None  # ln(1/0.5) > 0: defined even at k=kmin
+    empty = spark.createDataFrame([(1, 0)], "node long, deg long")
+    [z] = powerlaw_alpha(empty, "deg", kmin=1).collect()
+    assert z["n"] == 0 and z["alpha"] is None

@@ -11422,3 +11422,128 @@ def jsonld_harvest(spark, sf_dir):
         F.get_json_object("payload", "$['@type']").alias("jtype"),
         F.get_json_object("payload", "$.id").try_cast("bigint").alias("jid"),
     )
+
+
+@q(
+    "kaplan_meier_user_lifetimes",
+    """WITH u AS (
+         SELECT user_id,
+                CAST((epoch_us(max(CAST(ts AS TIMESTAMP)))
+                      - epoch_us(min(CAST(ts AS TIMESTAMP)))) // 86400000000
+                     AS BIGINT) AS dur,
+                max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1 AS obs
+         FROM events WHERE ts IS NOT NULL GROUP BY user_id),
+       g AS (SELECT dur AS t,
+                    CAST(sum(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT) AS n_events,
+                    CAST(sum(CASE WHEN obs THEN 0 ELSE 1 END) AS BIGINT) AS n_censored,
+                    CAST(count(*) AS BIGINT) AS n
+             FROM u GROUP BY 1),
+       r AS (SELECT *, CAST(sum(n) OVER (ORDER BY t
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+                 AS n_risk FROM g),
+       e AS (SELECT *, CASE WHEN n_events < n_risk THEN
+                 CAST(floor(ln(CAST(n_risk - n_events AS DOUBLE)
+                               / CAST(n_risk AS DOUBLE)) * 1000000) AS BIGINT)
+                 END AS lt
+             FROM r WHERE n_events > 0)
+       SELECT t, n_risk, n_events, n_censored,
+              CASE WHEN n_events < n_risk THEN
+                CAST(sum(lt) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT)
+              END AS logsurv_micro
+       FROM e""",
+)
+def kaplan_meier_user_lifetimes(spark, sf_dir):
+    """Kaplan-Meier survival over user activity lifetimes (Kaplan &
+    Meier 1958; checks/evaluation.py:kaplan_meier): duration = a user's
+    active span in days, event = the user ever purchased (users who
+    never purchase are right-CENSORED — they leave the risk set without
+    counting as conversions, the correction naive retention curves
+    skip). Product-limit factors as floor-quantized micro-ln terms,
+    cumulated by one expanding window over the bounded distinct-duration
+    grid; survival itself (exp) stays out of the cross-engine contract
+    (the perplexity convention)."""
+    from xmlschemavalidator_spark.checks.evaluation import kaplan_meier
+
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    u = ev.groupBy("user_id").agg(
+        F.floor(
+            (
+                F.unix_micros(F.max(F.col("ts").cast("timestamp")))
+                - F.unix_micros(F.min(F.col("ts").cast("timestamp")))
+            )
+            / 86_400_000_000
+        )
+        .cast("bigint")
+        .alias("dur"),
+        (F.max((F.col("event_type") == "purchase").cast("long")) == 1).alias("obs"),
+    )
+    return kaplan_meier(u, "dur", "obs").select(
+        "t", "n_risk", "n_events", "n_censored", "logsurv_micro"
+    )
+
+
+@q(
+    "gini_doc_length_per_lang",
+    """WITH b AS (
+         SELECT lang, doc_id,
+                CAST(floor(CAST(n_chars AS DOUBLE) * 1) AS HUGEINT) AS x
+         FROM documents WHERE n_chars IS NOT NULL AND n_chars >= 0),
+       r AS (SELECT lang, x,
+                    row_number() OVER (PARTITION BY lang ORDER BY x, doc_id) AS i,
+                    count(*) OVER (PARTITION BY lang) AS n
+             FROM b)
+       SELECT lang, CAST(max(n) AS BIGINT) AS n,
+              CAST(sum(x) AS BIGINT) AS total_q,
+              round(CAST(sum((2 * i - n - 1) * x) AS DOUBLE)
+                    / (CAST(max(n) AS DOUBLE) * CAST(sum(x) AS DOUBLE)), 6) AS gini
+       FROM r GROUP BY lang""",
+)
+def gini_doc_length_per_lang(spark, sf_dir):
+    """Per-language Gini coefficient of document lengths
+    (checks/stats.py:gini_coefficient) — the Lorenz-curve inequality
+    read of the corpus the HHI's top-heavy view misses; a language
+    whose length mass concentrates in a few giant docs is a scraping
+    artifact signal. Rank form over the pinned (value, id) total
+    order, DECIMAL(38,0) numerator, ONE division."""
+    from xmlschemavalidator_spark.checks.stats import gini_coefficient
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("n_chars").isNotNull())
+    return gini_coefficient(docs, "n_chars", "doc_id", ("lang",))
+
+
+from xmlschemavalidator_spark.weburl import degree_stats as _dstats  # noqa: E402
+
+
+@q(
+    "link_powerlaw_alpha",
+    """WITH e0 AS (SELECT doc_id AS src, (doc_id * 17 + 3) % 50000 AS dst
+                   FROM documents WHERE doc_id <> (doc_id * 17 + 3) % 50000),
+       deg AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS deg
+               FROM (SELECT DISTINCT src, dst FROM e0) GROUP BY dst),
+       b AS (SELECT CAST(floor(ln(CAST(deg AS DOUBLE) / 0.5) * 1000000) AS BIGINT)
+                    AS l
+             FROM deg WHERE deg >= 1)
+       SELECT CAST(count(*) AS BIGINT) AS n, CAST(1 AS INTEGER) AS kmin,
+              CAST(coalesce(sum(l), 0) AS BIGINT) AS sum_ln_micro,
+              round(CASE WHEN coalesce(sum(l), 0) > 0
+                    THEN 1.0 + CAST(count(*) AS DOUBLE)
+                         / (CAST(sum(l) AS DOUBLE) / 1000000.0) END, 6) AS alpha
+       FROM b""",
+)
+def link_powerlaw_alpha(spark, sf_dir):
+    """Power-law exponent MLE over in-degrees of the 50k-node planted
+    graph (Clauset-Shalizi-Newman 2009 discrete approximation;
+    weburl.py:powerlaw_alpha) — the one-number degree-realism /
+    link-farm drift signal beside assortativity and local clustering.
+    ln terms floor-quantized to micros, order-free BIGINT sum, ONE
+    division. Distinct-edge in-degree matches degree_stats' simple
+    graph convention."""
+    from xmlschemavalidator_spark.weburl import powerlaw_alpha
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 17 + 3) % 50_000).alias("dst"),
+    ).where(F.col("src") != F.col("dst")).distinct()
+    deg = edges.groupBy("dst").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    return powerlaw_alpha(deg, "deg", kmin=1)

@@ -2344,3 +2344,52 @@ def sitemap_entries_sql(x: str) -> str:
         f"{tr(f'{x}, {ub}', 'FALSE')}, {tr(f'{x}, {ib}', 'TRUE')}"
         f"), e -> e.loc <> '')"
     )
+
+
+def powerlaw_alpha(
+    degrees: DataFrame,
+    value_col: str = "deg",
+    kmin: int = 1,
+    round_to: int = 6,
+) -> DataFrame:
+    """Power-law exponent MLE over a degree (or frequency) column —
+    Clauset, Shalizi & Newman SIAM Rev. 2009's discrete approximation
+    ``α ≈ 1 + n / Σ ln(k_i / (kmin − ½))`` for the tail k >= kmin. Web
+    link graphs sit near α ≈ 2.1 in-degree; a crawl slice that drifts
+    far off (α → 1: a few mega-hubs; α large: no hubs at all) signals
+    link farms or a truncated frontier — the one-number companion to
+    degree_assortativity and the local-clustering table. Returns ONE
+    row ``(n, kmin, sum_ln_micro, alpha)``.
+
+    Exactness: each ln(k/(kmin−0.5)) floor-quantizes to integer micros
+    (the shared libm/floor contract), the sum is an order-free BIGINT,
+    and α is ONE double division, rounded. One filter + one aggregate —
+    scale-free. Rows below kmin (or NULL) are excluded; an empty or
+    all-at-kmin tail yields NULL alpha (the MLE is undefined), never a
+    div/0."""
+    if kmin < 1:
+        raise ValueError(f"powerlaw_alpha: kmin must be >= 1, got {kmin}")
+    k = F.col(value_col).cast("double")
+    base = degrees.where(F.col(value_col).isNotNull() & (k >= kmin)).select(
+        F.floor(F.log(k / F.lit(kmin - 0.5)) * F.lit(1_000_000))
+        .cast("bigint")
+        .alias("_l")
+    )
+    agg = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.coalesce(F.sum("_l"), F.lit(0)).cast("bigint").alias("sum_ln_micro"),
+    )
+    return agg.select(
+        "n",
+        F.lit(kmin).cast("int").alias("kmin"),
+        "sum_ln_micro",
+        F.round(
+            F.when(
+                F.col("sum_ln_micro") > 0,
+                F.lit(1.0)
+                + F.col("n").cast("double")
+                / (F.col("sum_ln_micro").cast("double") / F.lit(1e6)),
+            ),
+            round_to,
+        ).alias("alpha"),
+    )
