@@ -605,3 +605,23 @@ def test_bloom_pruned_join_filter_below_exchange(spark):
     filter_pos = summary.index("Filter")
     exchange_pos = summary.index("Exchange")
     assert join_pos < filter_pos < exchange_pos
+
+
+def test_trigram_index_probe_prunes_partitions(spark, tmp_path):
+    """The persisted trigram probe must prune _bucket partition dirs at
+    file listing (PartitionFilters), not post-scan."""
+    from xmlschemavalidator_spark.textindex import (
+        build_trigram_index,
+        indexed_substring_search,
+    )
+
+    p = str(tmp_path / "tgplan")
+    df = spark.createDataFrame(
+        [(i, f"document number {i} with text") for i in range(50)],
+        "doc_id long, text string",
+    )
+    build_trigram_index(df, "doc_id", p, n_buckets=16)
+    plan = fmt(indexed_substring_search(df, "doc_id", "text", "number", p))
+    assert "PartitionFilters" in plan
+    i = plan.index("PartitionFilters")
+    assert "_bucket" in plan[i : i + 200]

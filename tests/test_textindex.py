@@ -347,3 +347,36 @@ def test_trigram_candidates_superset_and_short_query(spark):
     assert short == [1, 2, 3]
     with _pt.raises(ValueError):
         substring_candidates(p, "ab")
+
+
+def test_persisted_trigram_index_roundtrip(spark, tmp_path):
+    from xmlschemavalidator_spark.textindex import (
+        append_trigram_index,
+        build_trigram_index,
+        indexed_substring_search,
+        substring_search,
+    )
+
+    p = str(tmp_path / "tgidx")
+    rows1 = [(1, "hello merge batch world"), (2, "nothing here"), (3, "merge batch")]
+    rows2 = [(10, "late batch merge batch arrival"), (11, "xx")]
+    d1 = spark.createDataFrame(rows1, "doc_id long, text string")
+    d2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    build_trigram_index(d1, "doc_id", p, n_buckets=8)
+    append_trigram_index(d2, "doc_id", p, batch_id="00001")
+    full = d1.unionByName(d2)
+    got = sorted(
+        r["doc_id"]
+        for r in indexed_substring_search(full, "doc_id", "text", "merge batch", p).collect()
+    )
+    want = sorted(
+        r["doc_id"] for r in substring_search(full, "doc_id", "text", "merge batch").collect()
+    )
+    assert got == want == [1, 3, 10]
+    # committed batch refused; failed-batch retry would overwrite its own dirs
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        append_trigram_index(d2, "doc_id", p, batch_id="00001")
+    # short query: scan fallback
+    assert indexed_substring_search(full, "doc_id", "text", "xx", p).count() == 1

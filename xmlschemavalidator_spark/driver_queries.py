@@ -11547,3 +11547,36 @@ def link_powerlaw_alpha(spark, sf_dir):
     ).where(F.col("src") != F.col("dst")).distinct()
     deg = edges.groupBy("dst").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
     return powerlaw_alpha(deg, "deg", kmin=1)
+
+
+@q(
+    "trigram_index_search",
+    """SELECT doc_id, lang FROM documents
+       WHERE text IS NOT NULL AND text LIKE '%window sort%'""",
+)
+def trigram_index_search(spark, sf_dir):
+    """Substring search served from the PERSISTED trigram index
+    (textindex.py:build_trigram_index/indexed_substring_search): the
+    probe lists only the query trigrams' _bucket= partition directories
+    (plan-pinned in test_plans) and pushes tri IN into term-sorted row
+    groups — LIKE '%q%' without the corpus scan, built across TWO
+    appended batches so the cross-batch candidate count path carries
+    weight. Oracle is the plain LIKE scan: hash-equality proves the
+    persisted path lossless end-to-end."""
+    import tempfile
+
+    from xmlschemavalidator_spark.textindex import (
+        append_trigram_index,
+        build_trigram_index,
+        indexed_substring_search,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    tmp = tempfile.mkdtemp(prefix="tgidxq_")
+    build_trigram_index(docs.where(F.col("doc_id") % 2 == 0), "doc_id", tmp)
+    append_trigram_index(
+        docs.where(F.col("doc_id") % 2 != 0), "doc_id", tmp, batch_id="00001"
+    )
+    return indexed_substring_search(docs, "doc_id", "text", "window sort", tmp).select(
+        "doc_id", "lang"
+    )

@@ -494,3 +494,103 @@ def substring_search(
     return df.join(cand, id_col, "left_semi").where(
         F.col(text_col).contains(query)
     )
+
+
+_TRIGRAM_META_SCHEMA = "n_buckets int, _batch string"
+
+
+def build_trigram_index(
+    df: DataFrame,
+    id_col: str,
+    path: str,
+    text_col: str = "text",
+    n_buckets: int = 64,
+    batch_id: str = "00000",
+) -> None:
+    """Persist the trigram postings under ``path`` in the established
+    index layout: ``postings/_batch=<id>/_bucket=<b>/`` with postings
+    term-sorted within files, plus a self-describing meta row
+    (``n_buckets`` — the probe hash can never drift from the build).
+    A query's trigrams prune to their own ``_bucket`` directories at
+    file listing (PartitionFilters) and ``tri IN`` pushes into parquet
+    row groups — LIKE '%q%' without the corpus scan.
+
+    Batches follow the text-index contract: NEW docs only (a doc lives
+    in exactly one batch, so per-doc trigram postings stay distinct
+    across the whole store and the all-trigrams candidate count is
+    exact); fold later crawl batches with :func:`append_trigram_index`.
+    """
+    import re
+
+    if not re.match(_BATCH_ID_OK, str(batch_id)):
+        raise ValueError(f"build_trigram_index: bad batch_id {batch_id!r}")
+    if n_buckets < 1:
+        raise ValueError(f"build_trigram_index: n_buckets={n_buckets}")
+    p = trigram_postings(df, id_col, text_col).withColumn(
+        "_bucket", F.pmod(F.xxhash64("tri"), F.lit(n_buckets)).cast("int")
+    )
+    (
+        p.repartition("_bucket")
+        .sortWithinPartitions("tri")
+        .write.partitionBy("_bucket")
+        .mode("overwrite")
+        .parquet(f"{path}/postings/_batch={batch_id}")
+    )
+    spark = df.sparkSession
+    spark.createDataFrame(
+        [(int(n_buckets), str(batch_id))], _TRIGRAM_META_SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/corpus/_batch={batch_id}")
+
+
+def append_trigram_index(
+    df: DataFrame, id_col: str, path: str, batch_id: str, text_col: str = "text"
+) -> None:
+    """Fold a NEW batch into an existing trigram index: ``n_buckets``
+    is read from the store's meta (never restated), a committed
+    ``batch_id`` is refused (the meta row is written LAST, so retrying
+    a failed batch overwrites only its own dirs)."""
+    spark = df.sparkSession
+    meta = spark.read.schema(_TRIGRAM_META_SCHEMA).parquet(f"{path}/corpus")
+    nb = [int(r["n_buckets"]) for r in meta.select("n_buckets").distinct().collect()]
+    if len(nb) != 1:
+        raise ValueError(f"append_trigram_index: inconsistent n_buckets {nb}")
+    existing = {r["_batch"] for r in meta.select("_batch").distinct().collect()}
+    if str(batch_id) in existing:
+        raise ValueError(f"append_trigram_index: batch {batch_id!r} already committed")
+    build_trigram_index(df, id_col, path, text_col, nb[0], batch_id)
+
+
+def indexed_substring_search(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query: str,
+    path: str,
+) -> DataFrame:
+    """:func:`substring_search` against a PERSISTED trigram index: the
+    probe reads only the query trigrams' ``_bucket`` partition
+    directories (pruned at file listing — pinned in test_plans) and
+    pushes ``tri IN (...)`` into term-sorted row groups, then verifies
+    candidates with the exact ``contains``. Queries under 3 chars fall
+    back to the scan path (no trigram can prune them)."""
+    if len(query) < 3:
+        return df.where(F.col(text_col).contains(query))
+    spark = df.sparkSession
+    meta = spark.read.schema(_TRIGRAM_META_SCHEMA).parquet(f"{path}/corpus")
+    nb = [int(r["n_buckets"]) for r in meta.select("n_buckets").distinct().collect()]
+    if len(nb) != 1:
+        raise ValueError(f"indexed_substring_search: inconsistent n_buckets {nb}")
+    tris = sorted({query[i : i + 3] for i in range(len(query) - 2)})
+    # bucket ids via the same JVM hash the build used (one tiny job)
+    bdf = spark.createDataFrame([(t,) for t in tris], "tri string").select(
+        F.pmod(F.xxhash64("tri"), F.lit(nb[0])).cast("int").alias("b")
+    )
+    buckets = sorted({r["b"] for r in bdf.collect()})
+    postings = (
+        spark.read.parquet(f"{path}/postings")
+        .where(F.col("_bucket").isin(buckets))
+        .where(F.col("tri").isin(tris))
+        .select("tri", "doc")
+    )
+    cand = substring_candidates(postings, query).withColumnRenamed("doc", id_col)
+    return df.join(cand, id_col, "left_semi").where(F.col(text_col).contains(query))
