@@ -1173,3 +1173,22 @@ def test_bbit_minhash_pigeonhole_guard():
 
     with _pt.raises(ValueError):
         bbit_jaccard_pairs(None, "doc_id", hamming_max=16)
+
+
+def test_dedup_method_evaluation_planted(spark):
+    from xmlschemavalidator_spark.dedup import dedup_method_evaluation
+
+    base = " ".join(f"w{i}" for i in range(40))
+    near = " ".join(f"w{i}" for i in range(38)) + " x y"
+    rows = [(1, base), (2, base), (3, near)] + [
+        (10 + i, f"unrelated doc {i} " + " ".join(f"u{i}_{j}" for j in range(30)))
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["method"]: r for r in dedup_method_evaluation(df, "doc_id").collect()}
+    assert set(got) == {"minhash_lsh", "bbit_minhash"}
+    for m, r in got.items():
+        assert r["n_truth"] >= 2  # (1,2) exact dup + (1,3)/(2,3) near
+        assert r["n_hits"] >= 2, m  # both methods must find the planted dups
+        assert r["recall_micro"] >= 600_000, m
+        assert r["precision_micro"] is None or r["precision_micro"] <= 1_000_000

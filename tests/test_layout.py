@@ -146,3 +146,53 @@ def test_compaction_plan_bins_and_determinism(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="target_bytes"):
         compaction_plan(files, "bytes", target_bytes=0)
+
+
+def test_rendezvous_shard_minimal_disruption(spark):
+    from xmlschemavalidator_spark.layout import rendezvous_shard
+
+    df = spark.range(0, 4000).select(F.col("id"))
+    both = df.select(
+        "id",
+        rendezvous_shard(F.col("id"), 7).alias("s7"),
+        rendezvous_shard(F.col("id"), 8).alias("s8"),
+    )
+    rows = both.collect()
+    # balanced-ish across 7 shards
+    from collections import Counter
+
+    c7 = Counter(r["s7"] for r in rows)
+    assert set(c7) == set(range(7))
+    assert max(c7.values()) < 2.0 * min(c7.values())
+    # growing 7 -> 8: movers go ONLY to the new shard, ~1/8 of keys
+    movers = [r for r in rows if r["s7"] != r["s8"]]
+    assert all(r["s8"] == 7 for r in movers)
+    assert 0.06 < len(movers) / len(rows) < 0.20
+    # a mod-hash scheme would move ~7/8 of keys; ours moved ~1/8
+    assert len(movers) / len(rows) < 0.5
+
+
+def test_rendezvous_portable_matches_duckdb(spark):
+    import duckdb
+    import pandas as pd
+
+    from xmlschemavalidator_spark.layout import rendezvous_shard, rendezvous_shard_sql
+
+    df = spark.range(0, 300).select(F.col("id"))
+    got = sorted(
+        (r["id"], r["shard"])
+        for r in df.select(
+            "id", rendezvous_shard(F.col("id"), 5, portable=True).alias("shard")
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"id": range(300)}))
+    oracle = sorted(
+        map(
+            tuple,
+            con.execute(
+                f"SELECT id, {rendezvous_shard_sql('id', 5)} AS shard FROM t"
+            ).fetchall(),
+        )
+    )
+    assert got == oracle

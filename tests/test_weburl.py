@@ -1039,3 +1039,45 @@ def test_powerlaw_alpha_hand_computed_and_recovery(spark):
     empty = spark.createDataFrame([(1, 0)], "node long, deg long")
     [z] = powerlaw_alpha(empty, "deg", kmin=1).collect()
     assert z["n"] == 0 and z["alpha"] is None
+
+
+def test_structure_fingerprint_template_collision(spark):
+    from xmlschemavalidator_spark.weburl import domain_template_stats
+
+    tmpl = '<html><Head><title>%s</title></head><body><div class="a"><p>%s</p></div></body></html>'
+    rows = [
+        ("cms.example", tmpl % ("A", "text one")),
+        ("cms.example", tmpl % ("B", "other text")),  # same scaffold
+        ("cms.example", tmpl % ("C", "third")),
+        ("blog.example", "<html><body><article><p>x</p></article></body></html>"),
+        ("blog.example", "<html><body><ul><li>y</li></ul></body></html>"),
+        ("blog.example", None),
+    ]
+    df = spark.createDataFrame(rows, "domain string, html string")
+    got = {r["domain"]: (r["n_pages"], r["n_structures"], r["diversity_micro"])
+           for r in domain_template_stats(df, "domain", "html").collect()}
+    # tag-case differences fold; content differences don't matter
+    assert got["cms.example"] == (3, 1, 333_333)
+    assert got["blog.example"] == (2, 2, 1_000_000)
+
+
+def test_crawl_rate_violations(spark):
+    from xmlschemavalidator_spark.weburl import crawl_rate_violations
+
+    rows = [
+        ("a.com", "2024-01-01 00:00:00.1"),
+        ("a.com", "2024-01-01 00:00:00.5"),
+        ("a.com", "2024-01-01 00:00:00.9"),  # 3 hits in second 0 -> violation
+        ("a.com", "2024-01-01 00:00:01.2"),
+        ("b.com", "2024-01-01 00:00:00.3"),
+        ("b.com", None),
+    ]
+    df = spark.createDataFrame(rows, "host string, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    got = [
+        (r["host"], r["window_start"], r["n_requests"])
+        for r in crawl_rate_violations(df, "host", "ts", max_per_window=2).collect()
+    ]
+    epoch0 = 1704067200  # 2024-01-01T00:00:00Z
+    assert got == [("a.com", epoch0, 3)]

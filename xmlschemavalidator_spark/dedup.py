@@ -2511,3 +2511,71 @@ def bbit_jaccard_pairs(
             (F.lit(64) - 2 * F.col("hamming")).cast("bigint") * F.lit(15625),
         ),
     )
+
+
+def dedup_method_evaluation(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    truth_threshold: float = 0.5,
+    shingle_n: int = 3,
+    max_posting: int = 100_000,
+    portable: bool = False,
+) -> DataFrame:
+    """The completeness critic for the near-dup family: score each
+    candidate-generation method against the EXACT Jaccard ground truth
+    on the same corpus — ``(method, n_candidates, n_truth, n_hits,
+    precision_micro, recall_micro)`` for MinHash-LSH banding and b-bit
+    MinHash Hamming pairing. The question a pipeline owner actually
+    asks ("which near-dup method, at what loss?") answered in-engine
+    instead of by eyeballing pair lists; at 100 TB run it on a
+    deterministic_sample slice, since the truth side is the exact
+    inverted-index join.
+
+    Counts are exact set arithmetic (left join + sum); the rates are
+    integer micros (BIGINT div). ``portable=True`` makes every
+    constituent engine-portable so the WHOLE evaluation replays in
+    DuckDB — an oracle-exact meta-query over three oracle-exact
+    operators."""
+    truth = jaccard_pairs(
+        df, id_col, shingle_n=shingle_n, threshold=truth_threshold,
+        max_posting=max_posting,
+    ).select("id_a", "id_b").persist()
+    methods = {
+        "minhash_lsh": minhash_lsh_candidates(
+            df, id_col, text_col, portable=portable
+        ).select("id_a", "id_b"),
+        "bbit_minhash": bbit_jaccard_pairs(
+            df, id_col, text_col, portable=portable
+        ).select("id_a", "id_b"),
+    }
+    tcount = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    outs = []
+    for name, cand in methods.items():
+        j = cand.join(
+            truth.withColumn("_t", F.lit(1)), ["id_a", "id_b"], "left"
+        )
+        outs.append(
+            j.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+                F.coalesce(F.sum("_t"), F.lit(0)).cast("bigint").alias("n_hits"),
+            )
+            .crossJoin(tcount)
+            .select(
+                F.lit(name).alias("method"),
+                "n_candidates",
+                "n_truth",
+                "n_hits",
+                F.expr(
+                    "CASE WHEN n_candidates > 0"
+                    " THEN n_hits * 1000000 div n_candidates END"
+                ).alias("precision_micro"),
+                F.expr(
+                    "CASE WHEN n_truth > 0 THEN n_hits * 1000000 div n_truth END"
+                ).alias("recall_micro"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -11580,3 +11580,185 @@ def trigram_index_search(spark, sf_dir):
     return indexed_substring_search(docs, "doc_id", "text", "window sort", tmp).select(
         "doc_id", "lang"
     )
+
+
+from xmlschemavalidator_spark.layout import rendezvous_shard_sql  # noqa: E402
+
+
+@q(
+    "rendezvous_shard_assignment",
+    f"""SELECT doc_id,
+              {rendezvous_shard_sql('doc_id', 7)} AS shard_7,
+              {rendezvous_shard_sql('doc_id', 8)} AS shard_8,
+              {rendezvous_shard_sql('doc_id', 7)}
+                <> {rendezvous_shard_sql('doc_id', 8)} AS moved
+       FROM documents""",
+)
+def rendezvous_shard_assignment(spark, sf_dir):
+    """Rendezvous/HRW shard routing (layout.py:rendezvous_shard) at
+    S=7 AND S=8 side by side — the audit that shows the consistent-
+    routing property itself: every `moved` row lands on the NEW shard
+    and ~1/8 of keys move (mod-N would move ~7/8). The routing layer
+    for the incremental stores (dedup fingerprints, LSH buckets, index
+    batches) when the shard count must grow in place. Narrow bounded
+    HOF per row, no shuffle; portable md5 weights replayed exactly."""
+    from xmlschemavalidator_spark.layout import rendezvous_shard
+
+    docs = _t(spark, sf_dir, "documents")
+    s7 = rendezvous_shard(F.col("doc_id"), 7, portable=True)
+    s8 = rendezvous_shard(F.col("doc_id"), 8, portable=True)
+    return docs.select(
+        "doc_id",
+        s7.alias("shard_7"),
+        s8.alias("shard_8"),
+        (s7 != s8).alias("moved"),
+    )
+
+
+def _method_eval_oracle() -> str:
+    """Meta-oracle: composes the exact-Jaccard truth with both portable
+    candidate oracles — one query scoring two operators against a third,
+    all previously oracle-exact on their own."""
+    return f"""WITH t AS ({_JACCARD_SQL.format(thr=0.5)}),
+       m AS ({_minhash_portable_oracle()}),
+       b AS ({_bbit_minhash_oracle()}),
+       tc AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM t),
+       sm AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+                     CAST(sum(CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_hits
+              FROM m LEFT JOIN t USING (id_a, id_b)),
+       sb AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+                     CAST(sum(CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_hits
+              FROM b LEFT JOIN t USING (id_a, id_b))
+       SELECT 'minhash_lsh' AS method, n_candidates, tc.n_truth, n_hits,
+              CASE WHEN n_candidates > 0
+                   THEN n_hits * 1000000 // n_candidates END AS precision_micro,
+              CASE WHEN tc.n_truth > 0
+                   THEN n_hits * 1000000 // tc.n_truth END AS recall_micro
+       FROM sm CROSS JOIN tc
+       UNION ALL
+       SELECT 'bbit_minhash', n_candidates, tc.n_truth, n_hits,
+              CASE WHEN n_candidates > 0
+                   THEN n_hits * 1000000 // n_candidates END,
+              CASE WHEN tc.n_truth > 0
+                   THEN n_hits * 1000000 // tc.n_truth END
+       FROM sb CROSS JOIN tc"""
+
+
+@q("dedup_method_evaluation", _method_eval_oracle())
+def dedup_method_evaluation_q(spark, sf_dir):
+    """The near-dup completeness critic (dedup.py:
+    dedup_method_evaluation): MinHash-LSH banding and b-bit MinHash
+    pairing scored against the EXACT Jaccard>=0.5 ground truth on the
+    same corpus — measured at sf0.01: minhash 25/25 candidates/hits
+    (perfect), b-bit 28/25 (recall 10⁶, precision 892857μ — the one-bit
+    compression's honest cost). An oracle-exact META-query composing
+    three independently oracle-exact operators; rates in BIGINT-div
+    micros."""
+    from xmlschemavalidator_spark.dedup import dedup_method_evaluation
+
+    return dedup_method_evaluation(
+        _t(spark, sf_dir, "documents"), "doc_id", portable=True
+    )
+
+
+from xmlschemavalidator_spark.weburl import structure_fingerprint_sql  # noqa: E402
+
+_TMPL_HTML_DUCK = (
+    "CASE doc_id % 4"
+    " WHEN 0 THEN '<html><head><title>' || CAST(doc_id AS VARCHAR)"
+    "   || '</title></head><body><div><p>' || coalesce(text, '')"
+    "   || '</p></div></body></html>'"
+    " WHEN 1 THEN '<html><body><article><h1>t</h1><p>'"
+    "   || CAST(doc_id AS VARCHAR) || '</p></article></body></html>'"
+    " WHEN 2 THEN '<html><body><ul><li>' || CAST(doc_id AS VARCHAR)"
+    "   || '</li></ul></body></html>'"
+    " ELSE '<html><body><div><p>' || CAST(doc_id AS VARCHAR)"
+    "   || '</p></div></body></html>' END"
+)
+
+
+@q(
+    "domain_template_diversity",
+    f"""WITH t AS (SELECT 'd' || CAST(doc_id % 10 AS VARCHAR) AS domain,
+                          {structure_fingerprint_sql(_TMPL_HTML_DUCK)} AS fp
+                   FROM documents),
+       pf AS (SELECT domain, fp, count(*) AS n FROM t GROUP BY 1, 2)
+       SELECT domain, CAST(sum(n) AS BIGINT) AS n_pages,
+              CAST(count(*) AS BIGINT) AS n_structures,
+              CAST(count(*) * 1000000 // sum(n) AS BIGINT) AS diversity_micro
+       FROM pf GROUP BY domain""",
+)
+def domain_template_diversity(spark, sf_dir):
+    """Templated-site detection (weburl.py:structure_fingerprint /
+    domain_template_stats): pages collide on the md5 of their
+    opening-tag NAME sequence (content/attributes ignored), so a CMS
+    stamping one scaffold across a domain reads near-0 diversity. The
+    plant rotates 4 templates across 10 domains — every domain lands at
+    a measured low diversity (the per-(domain,fp) collapse and the
+    integer-micro ratio both carry weight). Two stacked partial-agg
+    groupBys, the l-diversity shape."""
+    from xmlschemavalidator_spark.weburl import domain_template_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    html = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("<html><head><title>"), did,
+                F.lit("</title></head><body><div><p>"),
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit("</p></div></body></html>"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit("<html><body><article><h1>t</h1><p>"), did,
+                F.lit("</p></article></body></html>"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit("<html><body><ul><li>"), did, F.lit("</li></ul></body></html>")
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("<html><body><div><p>"), did, F.lit("</p></div></body></html>")
+            )
+        )
+    )
+    pages = docs.select(
+        F.concat(F.lit("d"), (F.col("doc_id") % 10).cast("string")).alias("domain"),
+        html.alias("html"),
+    )
+    return domain_template_stats(pages, "domain", "html")
+
+
+@q(
+    "crawl_rate_audit",
+    """WITH w AS (SELECT 'h' || CAST(user_id % 20 AS VARCHAR) AS host,
+                         CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000
+                              AS BIGINT) * 3600 AS window_start,
+                         CAST(count(*) AS BIGINT) AS n_requests
+                  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2)
+       SELECT host, window_start, n_requests FROM w WHERE n_requests > 3""",
+)
+def crawl_rate_audit(spark, sf_dir):
+    """Crawl-politeness rate audit (weburl.py:crawl_rate_violations):
+    hourly windows where a host was hit more than 3 times — 77
+    violating (host, window) cells measured at sf0.01 (max burst 6), so
+    the gate carries real weight. ONE partial-agg groupBy on
+    (host, window); the events table stands in as the fetch log with
+    user_id%20 as the host key."""
+    from xmlschemavalidator_spark.weburl import crawl_rate_violations
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string")).alias("host"),
+        "ts",
+    )
+    return crawl_rate_violations(ev, "host", "ts", max_per_window=3, window_s=3600)

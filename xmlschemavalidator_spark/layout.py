@@ -31,7 +31,7 @@ fraction of its span under the natural (single-column-ish) layout.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -217,3 +217,58 @@ def compaction_plan(
     return planned.withColumn(
         "bin_bytes", F.sum("size").over(wb).cast("bigint")
     ).withColumn("bin_files", F.count(F.lit(1)).over(wb).cast("bigint"))
+
+
+def rendezvous_shard(
+    key: Column, n_shards: int, salt: str = "hrw", portable: bool = False
+) -> Column:
+    """Rendezvous / highest-random-weight shard assignment (Thaler &
+    Ravishankar 1998 — the consistent-routing scheme behind cache/shard
+    placement): ``shard(key) = argmax_s h(key, s)``. The property mod-N
+    hashing lacks and an incremental store needs: growing from S to S+1
+    shards moves ONLY the keys whose new weight wins — ≈ 1/(S+1) of
+    them, each moving TO the new shard — instead of reshuffling ~all
+    keys the way ``pmod(hash, S) → pmod(hash, S+1)`` does. Ties break
+    to the higher shard id (struct max compares (weight, shard) — the
+    deterministic order both engines share).
+
+    Narrow: one bounded HOF over ``sequence(0, S−1)`` per row, no
+    shuffle. ``portable=True`` swaps xxhash64 for the shared md5 recipe
+    so a DuckDB oracle replays assignments exactly
+    (:func:`rendezvous_shard_sql`); keep the JVM default in production.
+    """
+    if n_shards < 1:
+        raise ValueError(f"rendezvous_shard: n_shards={n_shards}")
+    if portable:
+        from xmlschemavalidator_spark.textops import portable_hash64
+
+        def w(i):
+            return portable_hash64(
+                F.concat(key.cast("string"), F.lit(f":{salt}:"), i.cast("string"))
+            )
+
+    else:
+
+        def w(i):
+            return F.xxhash64(key.cast("string"), F.lit(salt), i)
+
+    best = F.array_max(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_shards - 1)),
+            lambda i: F.struct(w(i).alias("h"), i.alias("s")),
+        )
+    )
+    return best["s"].alias("shard")
+
+
+def rendezvous_shard_sql(x: str, n_shards: int, salt: str = "hrw") -> str:
+    """DuckDB twin of ``rendezvous_shard(..., portable=True)``."""
+    from xmlschemavalidator_spark.textops import PORTABLE_HASH64_SQL
+
+    h = PORTABLE_HASH64_SQL.format(
+        x=f"CAST({x} AS VARCHAR) || ':{salt}:' || CAST(s AS VARCHAR)"
+    )
+    return (
+        f"list_max(list_transform(range(0, {int(n_shards)}), "
+        f"s -> struct_pack(h := {h}, s := s))).s"
+    )

@@ -2393,3 +2393,82 @@ def powerlaw_alpha(
             round_to,
         ).alias("alpha"),
     )
+
+
+_TAG_NAME_RE = r"(?i)<([a-zA-Z][a-zA-Z0-9]*)"
+
+
+def structure_fingerprint(html: Column) -> Column:
+    """Page-structure fingerprint: md5 of the lower-cased opening-tag
+    NAME sequence (content and attributes ignored). Two renders of the
+    same template — different articles, same scaffold — collide; the
+    per-domain collision rate (:func:`domain_template_stats`) is the
+    templated-site signal (high collision = CMS/mirror/SEO-doorway
+    farm, a prior for both dedup aggressiveness and quality gating).
+    NULL html → NULL fingerprint."""
+    tags = F.regexp_extract_all(html, F.lit(_TAG_NAME_RE), F.lit(1))
+    return F.md5(F.concat_ws(",", F.transform(tags, F.lower)))
+
+
+def structure_fingerprint_sql(x: str) -> str:
+    pat = _sql_quote(_TAG_NAME_RE)
+    return (
+        f"md5(array_to_string(list_transform("
+        f"regexp_extract_all({x}, {pat}, 1), t -> lower(t)), ','))"
+    )
+
+
+def domain_template_stats(
+    df: DataFrame, domain_col: str, html_col: str
+) -> DataFrame:
+    """Per-domain structural diversity: ``(domain, n_pages,
+    n_structures, diversity_micro)`` with diversity = distinct
+    structure fingerprints per page in integer millionths — 10⁶ means
+    every page has its own scaffold, values near 0 mean one template
+    stamped across the domain. TWO stacked partial-aggregatable
+    groupBys (the l-diversity shape — never countDistinct's Expand);
+    NULL-html pages are excluded."""
+    fp = structure_fingerprint(F.col(html_col))
+    per_fp = (
+        df.where(F.col(html_col).isNotNull())
+        .select(F.col(domain_col).alias("domain"), fp.alias("_fp"))
+        .groupBy("domain", "_fp")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return per_fp.groupBy("domain").agg(
+        F.sum("_n").cast("bigint").alias("n_pages"),
+        F.count(F.lit(1)).cast("bigint").alias("n_structures"),
+        F.expr("count(1) * 1000000 div sum(_n)").cast("bigint").alias(
+            "diversity_micro"
+        ),
+    )
+
+
+def crawl_rate_violations(
+    df: DataFrame,
+    host_col: str,
+    ts_col: str,
+    max_per_window: int,
+    window_s: int = 1,
+) -> DataFrame:
+    """Crawl-politeness audit: fixed windows where a host was hit more
+    than ``max_per_window`` times — ``(host, window_start, n_requests)``
+    with window_start in epoch seconds. The check a crawler's fetch log
+    must pass before anyone talks to the robots.txt lawyers; ONE
+    partial-aggregatable groupBy on (host, window), result bounded by
+    violating windows. NULL host/ts rows are dropped."""
+    if max_per_window < 1 or window_s < 1:
+        raise ValueError("crawl_rate_violations: positive limits required")
+    win = (
+        F.floor(
+            F.unix_micros(F.col(ts_col).cast("timestamp"))
+            / F.lit(1_000_000 * window_s)
+        ).cast("bigint")
+        * window_s
+    )
+    return (
+        df.where(F.col(host_col).isNotNull() & F.col(ts_col).isNotNull())
+        .groupBy(F.col(host_col).alias("host"), win.alias("window_start"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_requests"))
+        .where(F.col("n_requests") > max_per_window)
+    )
