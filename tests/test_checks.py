@@ -677,3 +677,72 @@ def test_gini_groups_nulls_negatives(spark):
            gini_coefficient(df, "v", "id", ("g",)).collect()}
     assert got["a"] == (2, 0.0)
     assert got["b"] == (2, 0.5)  # [0, 10]: (-1*0 + 1*10)/(2*10)
+
+
+def test_jackknife_ratio_covers_truth_and_shrinks_with_n(spark):
+    from xmlschemavalidator_spark.checks.stats import jackknife_ratio
+
+    # clicks ~ deterministic "30% CTR" pattern over impressions
+    rows = [(i, 1.0 if (i * 7) % 10 < 3 else 0.0, 1.0) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, clicks double, imps double")
+    [r] = jackknife_ratio(df, "clicks", "imps", id_col="id").collect()
+    assert r["n_rows"] == 2000
+    assert abs(r["ratio"] - 0.3) < 0.01
+    assert 0 <= r["se"] < 0.05
+    assert r["ci_lo"] <= r["ratio"] <= r["ci_hi"]
+    # a 10x smaller sample has a wider interval
+    small = spark.createDataFrame(rows[:200], "id long, clicks double, imps double")
+    [s] = jackknife_ratio(small, "clicks", "imps", id_col="id").collect()
+    assert (s["ci_hi"] - s["ci_lo"]) > (r["ci_hi"] - r["ci_lo"])
+
+
+def test_jackknife_ratio_groups_and_validation(spark):
+    import pytest as _pt
+
+    from xmlschemavalidator_spark.checks.stats import jackknife_ratio
+
+    rows = [("a", i, float(i % 2), 1.0) for i in range(100)] + [
+        ("b", 1000 + i, 1.0, 1.0) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, num double, den double")
+    got = {r["g"]: r for r in
+           jackknife_ratio(df, "num", "den", id_col="id", group_cols=("g",)).collect()}
+    assert abs(got["a"]["ratio"] - 0.5) < 0.02
+    assert got["b"]["ratio"] == 1.0 and got["b"]["se"] == 0.0  # constant metric
+    with _pt.raises(ValueError):
+        jackknife_ratio(df, "num", "den")
+
+
+def test_eb_shrunken_rates_pulls_small_groups_to_prior(spark):
+    from xmlschemavalidator_spark.checks.stats import eb_shrunken_rates
+
+    rows = []
+    # 20 medium domains at varied rates around ~0.5 (the prior mass)
+    for d in range(20):
+        p = 0.3 + 0.02 * d
+        rows += [(f"m{d}", i, 1 if (i * 13 % 100) < p * 100 else 0)
+                 for i in range(200)]
+    # one tiny 2/2 domain and one big high-rate domain
+    rows += [("tiny", 900 + i, 1) for i in range(2)]
+    rows += [("big", 10_000 + i, 1 if i % 20 else 0) for i in range(2000)]
+    df = spark.createDataFrame(rows, "domain string, id long, ok int")
+    got = {r["domain"]: r for r in
+           eb_shrunken_rates(df, ("domain",), "ok").collect()}
+    tiny, big = got["tiny"], got["big"]
+    assert tiny["raw_rate"] == 1.0
+    # the 2/2 domain is pulled hard toward the prior mean (~0.5)
+    assert tiny["shrunk_rate"] < 0.85
+    # the 2000-row domain barely moves
+    assert abs(big["shrunk_rate"] - big["raw_rate"]) < 0.02
+    # shrinkage never reorders a big real difference
+    assert big["shrunk_rate"] > got["m0"]["shrunk_rate"]
+
+
+def test_eb_shrunken_rates_degenerate_prior_falls_back(spark):
+    from xmlschemavalidator_spark.checks.stats import eb_shrunken_rates
+
+    # all groups identical rate -> zero variance -> raw passthrough
+    rows = [(f"d{d}", i, i % 2) for d in range(3) for i in range(10)]
+    df = spark.createDataFrame(rows, "domain string, id long, ok int")
+    for r in eb_shrunken_rates(df, ("domain",), "ok").collect():
+        assert r["shrunk_rate"] == r["raw_rate"]

@@ -439,3 +439,42 @@ def test_rrf_fuse_hand_computed(spark):
     rk = {r["doc"]: r["rank"]
           for r in ranked(scores, [F.col("s").desc()], "doc").collect()}
     assert rk == {9: 1, 7: 2, 8: 3}
+
+
+def test_embedding_simhash_pairs_identical_and_noise(spark):
+    from xmlschemavalidator_spark.similarity import embedding_simhash_pairs
+
+    base = [0.1 * ((i % 7) - 3) for i in range(32)]
+    noisy = [v + 0.001 for v in base]
+    anti = [-v for v in base]
+    rows = [(1, base), (2, list(base)), (3, noisy), (4, anti)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r["id_a"], r["id_b"]): (r["hamming"], r["est_cos_micro"])
+           for r in embedding_simhash_pairs(df, "embedding").collect()}
+    assert got[(1, 2)] == (0, 1_000_000)  # identical: cos est exactly 1
+    assert (1, 3) in got and got[(1, 3)][0] <= 6  # tiny noise: near-zero hd
+    # the antipodal vector flips ~every sign: never within hamming_max
+    assert (1, 4) not in got and (2, 4) not in got
+
+
+def test_embedding_simhash_signature_deterministic_python_replay(spark):
+    import hashlib
+    import math
+
+    from xmlschemavalidator_spark.similarity import (
+        _srp_plane_signs,
+        embedding_simhash_signatures,
+    )
+
+    vec = [math.sin(i) for i in range(16)]
+    df = spark.createDataFrame([(7, vec)], "vec_id long, embedding array<double>")
+    [r] = embedding_simhash_signatures(df, "embedding").collect()
+    qv = [math.floor(x * 1_000_000) for x in vec]
+    sig = 0
+    for j, signs in enumerate(_srp_plane_signs(64, 16)):
+        dot = sum(a * b for a, b in zip(qv, signs))
+        sig |= (1 if dot >= 0 else 0) << j
+    # Python's unbounded int vs signed 64-bit long
+    if sig >= 1 << 63:
+        sig -= 1 << 64
+    assert r["sig"] == sig

@@ -763,3 +763,173 @@ def gini_coefficient(
             round_to,
         ).alias("gini"),
     )
+
+
+def jackknife_ratio(
+    df: DataFrame,
+    num_col: str,
+    den_col: str,
+    n_buckets: int = 20,
+    id_col: str | None = None,
+    group_cols: tuple[str, ...] = (),
+    salt: str = "jk",
+    round_to: int = 6,
+) -> DataFrame:
+    """Delete-one-bucket jackknife for a RATIO metric (Tukey 1958;
+    the delete-group form online A/B systems use): the ratio
+    Σnum/Σden (CTR, revenue-per-event, violation rate) gets a
+    variance estimate no single-row formula gives — ratios are biased
+    and correlated across rows. Rows land in ``n_buckets`` deterministic
+    md5 buckets; θ_i = the ratio with bucket i deleted; returns one row
+    per group: ``(…, n_rows, ratio, se, ci_lo, ci_hi)`` with
+    se = sqrt((B−1)/B · Σ(θ_i − θ̄)²) and a ±1.96·se interval.
+
+    Exactness: bucket sums are exact DECIMAL(38,0) integer micros, each
+    θ_i is ONE double division of exact integers, deviations are
+    12dp-rounded then DECIMAL-summed (the categorical_entropy device —
+    partition-order-free), and the final sqrt is one correctly-rounded
+    IEEE op. Deterministic bucketing: md5(salt:id) — pure function of
+    the row, reproducible anywhere; pass ``id_col`` (default requires
+    one) so retries bucket identically.
+
+    Scale shape: ONE partial-aggregatable groupBy to (group, bucket) —
+    n_buckets·groups result rows — then a tiny window-free re-agg.
+    """
+    if id_col is None:
+        raise ValueError("jackknife_ratio: id_col is required (deterministic buckets)")
+    if n_buckets < 2:
+        raise ValueError(f"jackknife_ratio: n_buckets={n_buckets}")
+    g = list(group_cols)
+    dec = "decimal(38,0)"
+    from xmlschemavalidator_spark.textops import portable_hash64
+
+    bucket = F.pmod(
+        portable_hash64(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))),
+        F.lit(n_buckets),
+    )
+    nm = F.floor(F.col(num_col).cast("double") * F.lit(1_000_000)).cast(dec)
+    dn = F.floor(F.col(den_col).cast("double") * F.lit(1_000_000)).cast(dec)
+    per_b = (
+        df.where(F.col(num_col).isNotNull() & F.col(den_col).isNotNull())
+        .groupBy(*g, bucket.alias("_b"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("_n"),
+            F.sum(nm).alias("_sn"),
+            F.sum(dn).alias("_sd"),
+        )
+    )
+    tot = per_b.groupBy(*g).agg(
+        F.sum("_n").alias("n_rows"),
+        F.sum("_sn").alias("_tn"),
+        F.sum("_sd").alias("_td"),
+        F.count(F.lit(1)).cast("bigint").alias("_nb"),
+    )
+    j = per_b.join(tot, g) if g else per_b.crossJoin(tot)
+    theta_i = (F.col("_tn") - F.col("_sn")).cast("double") / (
+        F.col("_td") - F.col("_sd")
+    ).cast("double")
+    per = j.select(
+        *g,
+        "n_rows",
+        "_tn",
+        "_td",
+        "_nb",
+        F.round(theta_i, 12).cast("decimal(24,12)").alias("_th"),
+    )
+    agg2 = per.groupBy(*g).agg(
+        F.max("n_rows").alias("n_rows"),
+        F.max("_tn").alias("_tn"),
+        F.max("_td").alias("_td"),
+        F.max("_nb").alias("_nb"),
+        F.sum("_th").alias("_sth"),
+        F.sum(F.round(F.col("_th") * F.col("_th"), 12).cast("decimal(28,12)")).alias(
+            "_sth2"
+        ),
+    )
+    b = F.col("_nb").cast("double")
+    mean_th = F.col("_sth").cast("double") / b
+    var = (
+        (b - F.lit(1.0))
+        / b
+        * (F.col("_sth2").cast("double") - b * mean_th * mean_th)
+    )
+    ratio = F.col("_tn").cast("double") / F.col("_td").cast("double")
+    se = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return agg2.select(
+        *g,
+        "n_rows",
+        F.round(ratio, round_to).alias("ratio"),
+        F.round(se, round_to).alias("se"),
+        F.round(ratio - F.lit(1.96) * se, round_to).alias("ci_lo"),
+        F.round(ratio + F.lit(1.96) * se, round_to).alias("ci_hi"),
+    )
+
+
+def eb_shrunken_rates(
+    df: DataFrame,
+    group_cols: tuple[str, ...],
+    success_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Empirical-Bayes beta-binomial shrinkage of per-group success
+    rates (method-of-moments prior — the standard fix for ranking
+    groups by a rate when group sizes vary by orders of magnitude: a
+    2/2 domain must not outrank a 9500/10000 one). Per group:
+    ``(…, n, x, raw_rate, shrunk_rate)`` with shrunk = (α+x)/(α+β+n),
+    the posterior mean under the Beta(α, β) prior fitted to the
+    observed rate distribution: α+β = m(1−m)/v − 1, α = m·(α+β), from
+    the mean m and variance v of the per-group raw rates.
+
+    Exactness: per-group counts are exact; each raw rate is ONE double
+    division, 12dp-rounded then DECIMAL-summed across the BOUNDED group
+    table for m and v (order-free — the jackknife device), and the
+    posterior is a fixed double chain on those. Degenerate priors
+    (zero/overdispersed variance → α+β <= 0, or <2 groups) fall back to
+    shrunk = raw, never a NaN.
+
+    Scale shape: one partial-aggregatable groupBy + a 1-row prior
+    cross-joined back — group count bounded by contract (domains,
+    languages), rows unbounded."""
+    g = list(group_cols)
+    if not g:
+        raise ValueError("eb_shrunken_rates: need >= 1 group column")
+    s = F.col(success_col).cast("double")
+    per = (
+        df.where(s.isNotNull())
+        .groupBy(*g)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(s.cast("long")).cast("bigint").alias("x"),
+        )
+    )
+    rate = F.col("x").cast("double") / F.col("n").cast("double")
+    per = per.withColumn(
+        "_r", F.round(rate, 12).cast("decimal(24,12)")
+    )
+    prior = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_ng"),
+        F.sum("_r").alias("_sr"),
+        F.sum(F.round(F.col("_r") * F.col("_r"), 12).cast("decimal(28,12)")).alias(
+            "_sr2"
+        ),
+    )
+    j = per.crossJoin(F.broadcast(prior))
+    ng = F.col("_ng").cast("double")
+    m = F.col("_sr").cast("double") / ng
+    v = (F.col("_sr2").cast("double") - ng * m * m) / ng
+    ab = m * (F.lit(1.0) - m) / v - F.lit(1.0)
+    valid = (F.col("_ng") >= 2) & (v > 0) & (ab > 0)
+    alpha = m * ab
+    beta = ab - alpha
+    shrunk = F.when(
+        valid,
+        (alpha + F.col("x").cast("double"))
+        / (alpha + beta + F.col("n").cast("double")),
+    ).otherwise(rate)
+    return j.select(
+        *g,
+        "n",
+        "x",
+        F.round(rate, round_to).alias("raw_rate"),
+        F.round(shrunk, round_to).alias("shrunk_rate"),
+    )

@@ -11762,3 +11762,201 @@ def crawl_rate_audit(spark, sf_dir):
         "ts",
     )
     return crawl_rate_violations(ev, "host", "ts", max_per_window=3, window_s=3600)
+
+
+def _embedding_simhash_oracle(dim: int = 64) -> str:
+    """DuckDB replay of the sign-random-projection pipeline: same
+    Python-generated ±1 plane literals, integer-micro quantized dots
+    (order-free), HUGEINT bit packing (the bbit-oracle device), chunk
+    blocking and the literal cos table."""
+    from xmlschemavalidator_spark.similarity import _srp_cos_table, _srp_plane_signs
+
+    planes = _srp_plane_signs(64, dim)
+    dots = ",\n         ".join(
+        f"CASE WHEN list_sum(list_transform(qv, (x, i) -> x * "
+        f"{planes[j]}[i])) >= 0 THEN 1 ELSE 0 END AS b{j}"
+        for j in range(64)
+    )
+    packed = " + ".join(f"b{j}::HUGEINT * {1 << j}::HUGEINT" for j in range(64))
+    chunks = "\n  UNION ALL ".join(
+        f"SELECT doc, sig, {ci} AS ci, "
+        f"CAST((sigh // {1 << (4 * ci)}::HUGEINT) % 16 AS BIGINT) AS cv FROM sig"
+        for ci in range(16)
+    )
+    cos_tab = str(_srp_cos_table())
+    return f"""
+WITH qvs AS (
+  SELECT vec_id AS doc,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000)
+                                              AS BIGINT)) AS qv
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = {dim}
+), bits AS (
+  SELECT doc,
+         {dots}
+  FROM qvs
+), sig AS (
+  SELECT doc, sigh,
+         CAST(CASE WHEN sigh >= 9223372036854775808::HUGEINT
+              THEN sigh - 18446744073709551616::HUGEINT ELSE sigh END AS BIGINT) AS sig
+  FROM (SELECT doc, {packed} AS sigh FROM bits)
+), chunks AS (
+  {chunks}
+), ok AS (
+  SELECT ci, cv FROM chunks GROUP BY 1, 2
+  HAVING count(*) > 1 AND count(*) <= 1000
+), cand AS (
+  SELECT DISTINCT a.doc AS id_a, a.sig AS sig_a, b.doc AS id_b, b.sig AS sig_b
+  FROM chunks a JOIN chunks b USING (ci, cv) JOIN ok USING (ci, cv)
+  WHERE a.doc < b.doc
+)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming,
+       CAST({cos_tab}[bit_count(xor(sig_a, sig_b)) + 1] AS BIGINT) AS est_cos_micro
+FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 15"""
+
+
+@q("embedding_simhash_pairs", _embedding_simhash_oracle())
+def embedding_simhash_pairs_q(spark, sf_dir):
+    """All-pairs angular near-dup candidates over the embeddings table
+    (Charikar STOC'02 sign-random-projection;
+    similarity.py:embedding_simhash_pairs): the coarse ALL-PAIRS path
+    query-time LSH doesn't give, served by the same pigeonhole Hamming
+    layer as text SimHash / dHash / b-bit MinHash — four signature
+    families, one machinery. Embeddings quantize to integer micros
+    before the ±1-literal dots, so every stage is order-free integer
+    arithmetic and the DuckDB replay is hash-exact including the bit
+    packing and the cos(π·hd/64) literal table."""
+    from xmlschemavalidator_spark.similarity import embedding_simhash_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_simhash_pairs(emb, "embedding", "vec_id").select(
+        "id_a",
+        "id_b",
+        F.col("hamming").cast("int").alias("hamming"),
+        "est_cos_micro",
+    )
+
+
+from xmlschemavalidator_spark.textops import PORTABLE_HASH64_SQL as _PH64  # noqa: E402
+
+_JK_BUCKET = (
+    "(" + _PH64.format(x="'jk:' || CAST(event_id AS VARCHAR)") + ") % 20"
+)
+
+
+@q(
+    "jackknife_purchase_rate",
+    f"""WITH b AS (
+         SELECT {_JK_BUCKET} AS bk,
+                CAST(floor(CAST(CASE WHEN event_type = 'purchase' THEN 1.0
+                                ELSE 0.0 END AS DOUBLE) * 1000000) AS HUGEINT) AS nm,
+                CAST(1000000 AS HUGEINT) AS dn
+         FROM events WHERE event_type IS NOT NULL),
+       pb AS (SELECT bk, CAST(count(*) AS BIGINT) AS n,
+                     sum(nm) AS sn, sum(dn) AS sd
+              FROM b GROUP BY bk),
+       t AS (SELECT CAST(sum(n) AS BIGINT) AS n_rows, sum(sn) AS tn,
+                    sum(sd) AS td, CAST(count(*) AS BIGINT) AS nb
+             FROM pb),
+       th AS (SELECT pb.*, t.*,
+                     CAST(round(CAST(t.tn - pb.sn AS DOUBLE)
+                                / CAST(t.td - pb.sd AS DOUBLE), 12)
+                          AS DECIMAL(24,12)) AS theta
+              FROM pb CROSS JOIN t),
+       a AS (SELECT max(n_rows) AS n_rows, max(tn) AS tn, max(td) AS td,
+                    max(nb) AS nb, sum(theta) AS sth,
+                    sum(CAST(round(theta * theta, 12) AS DECIMAL(28,12))) AS sth2
+             FROM th)
+       SELECT n_rows,
+              round(CAST(tn AS DOUBLE) / CAST(td AS DOUBLE), 6) AS ratio,
+              round(sqrt(greatest(
+                (CAST(nb AS DOUBLE) - 1.0) / CAST(nb AS DOUBLE)
+                * (CAST(sth2 AS DOUBLE)
+                   - CAST(nb AS DOUBLE) * (CAST(sth AS DOUBLE) / CAST(nb AS DOUBLE))
+                     * (CAST(sth AS DOUBLE) / CAST(nb AS DOUBLE))), 0.0)), 6) AS se,
+              round(CAST(tn AS DOUBLE) / CAST(td AS DOUBLE)
+                    - 1.96 * sqrt(greatest(
+                (CAST(nb AS DOUBLE) - 1.0) / CAST(nb AS DOUBLE)
+                * (CAST(sth2 AS DOUBLE)
+                   - CAST(nb AS DOUBLE) * (CAST(sth AS DOUBLE) / CAST(nb AS DOUBLE))
+                     * (CAST(sth AS DOUBLE) / CAST(nb AS DOUBLE))), 0.0)), 6) AS ci_lo,
+              round(CAST(tn AS DOUBLE) / CAST(td AS DOUBLE)
+                    + 1.96 * sqrt(greatest(
+                (CAST(nb AS DOUBLE) - 1.0) / CAST(nb AS DOUBLE)
+                * (CAST(sth2 AS DOUBLE)
+                   - CAST(nb AS DOUBLE) * (CAST(sth AS DOUBLE) / CAST(nb AS DOUBLE))
+                     * (CAST(sth AS DOUBLE) / CAST(nb AS DOUBLE))), 0.0)), 6) AS ci_hi
+       FROM a""",
+)
+def jackknife_purchase_rate(spark, sf_dir):
+    """Delete-one-bucket jackknife CI for the purchase RATE (Tukey 1958
+    delete-group form; checks/stats.py:jackknife_ratio): the variance
+    answer single-row formulas can't give for ratio metrics. 20
+    deterministic md5 buckets (pure function of event_id — retries
+    bucket identically); θ_i one double division of exact DECIMAL micro
+    sums each, deviations 12dp-rounded-then-DECIMAL-summed, one IEEE
+    sqrt. ONE partial-agg groupBy to 20 rows, then a tiny re-agg."""
+    from xmlschemavalidator_spark.checks.stats import jackknife_ratio
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type").isNotNull())
+    scored = ev.select(
+        F.col("event_id"),
+        F.when(F.col("event_type") == "purchase", F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("purchase"),
+        F.lit(1.0).alias("one"),
+    )
+    return jackknife_ratio(scored, "purchase", "one", id_col="event_id")
+
+
+@q(
+    "eb_shrunken_source_rates",
+    """WITH per AS (
+         SELECT source, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CASE WHEN position(' spark ' IN ' ' || text || ' ') > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS x
+         FROM documents WHERE text IS NOT NULL GROUP BY source),
+       r AS (SELECT *, CAST(round(CAST(x AS DOUBLE) / CAST(n AS DOUBLE), 12)
+                            AS DECIMAL(24,12)) AS rr FROM per),
+       p AS (SELECT CAST(count(*) AS BIGINT) AS ng, sum(rr) AS sr,
+                    sum(CAST(round(rr * rr, 12) AS DECIMAL(28,12))) AS sr2
+             FROM r),
+       j AS (SELECT r.*, p.* FROM r CROSS JOIN p),
+       c AS (SELECT *,
+                    CAST(sr AS DOUBLE) / CAST(ng AS DOUBLE) AS m,
+                    (CAST(sr2 AS DOUBLE)
+                     - CAST(ng AS DOUBLE)
+                       * (CAST(sr AS DOUBLE) / CAST(ng AS DOUBLE))
+                       * (CAST(sr AS DOUBLE) / CAST(ng AS DOUBLE)))
+                      / CAST(ng AS DOUBLE) AS v
+             FROM j)
+       SELECT source, n, x,
+              round(CAST(x AS DOUBLE) / CAST(n AS DOUBLE), 6) AS raw_rate,
+              round(CASE WHEN ng >= 2 AND v > 0
+                          AND (m * (1.0 - m) / v - 1.0) > 0
+                    THEN (m * (m * (1.0 - m) / v - 1.0) + CAST(x AS DOUBLE))
+                         / ((m * (1.0 - m) / v - 1.0) + CAST(n AS DOUBLE))
+                    ELSE CAST(x AS DOUBLE) / CAST(n AS DOUBLE) END, 6)
+                AS shrunk_rate
+       FROM c""",
+)
+def eb_shrunken_source_rates(spark, sf_dir):
+    """Empirical-Bayes beta-binomial shrinkage of per-source
+    'contains-spark' rates (checks/stats.py:eb_shrunken_rates) — the
+    small-domain ranking fix: a 2/2 source must not outrank a
+    9500/10000 one, so the MoM Beta prior fitted to the observed rate
+    distribution pulls small sources toward the global mean. Raw rates
+    12dp-rounded then DECIMAL-summed for the prior moments (order-free);
+    posterior is a fixed double chain. One groupBy + a broadcast 1-row
+    prior."""
+    from xmlschemavalidator_spark.checks.stats import eb_shrunken_rates
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    scored = docs.select(
+        "source",
+        (
+            F.locate(" spark ", F.concat(F.lit(" "), F.col("text"), F.lit(" "))) > 0
+        ).cast("int").alias("has_spark"),
+    )
+    return eb_shrunken_rates(scored, ("source",), "has_spark")

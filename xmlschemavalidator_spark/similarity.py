@@ -786,3 +786,121 @@ def rrf_fuse(
         .orderBy(F.col("rrf_micro").desc(), F.col(id_col).asc())
         .limit(topn)
     )
+
+
+def _srp_plane_signs(nbits: int, dim: int, salt: str = "embsig") -> list[list[int]]:
+    """±1 hyperplane sign matrix for sign-random-projection signatures,
+    derived from md5 in PYTHON and injected as literals into both
+    engines — no in-engine hash to diverge. Pure function of
+    (salt, plane, dim)."""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"{salt}:{j}:{i}".encode()).digest()[0] % 2 == 0 else -1
+            for i in range(dim)
+        ]
+        for j in range(nbits)
+    ]
+
+
+def embedding_simhash_signatures(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str = "vec_id",
+    dim: int | None = None,
+    nbits: int = 64,
+    salt: str = "embsig",
+) -> DataFrame:
+    """Sign-random-projection signatures (Charikar STOC'02 — SimHash
+    for VECTORS): ``(doc, sig)`` with bit j = [⟨v, p_j⟩ >= 0] packed
+    into one BIGINT. The all-pairs coarse path the query-time LSH
+    doesn't give: pairs come from the SAME pigeonhole Hamming layer as
+    text SimHash / dHash / b-bit MinHash (four signature families, one
+    machinery), and Hamming distance estimates the ANGLE:
+    θ ≈ π·hd/nbits, so cos-similarity ≈ cos(π·hd/64).
+
+    Exactness: embeddings floor-quantize to integer millionths FIRST,
+    planes are Python-generated ±1 literals, so each dot product is an
+    order-free INTEGER sum — bit-for-bit reproducible in DuckDB (no
+    float-sum ordering anywhere). ``dim`` defaults to the first row's
+    vector length; vectors with a different length or NULL are absent
+    from the output (disclosed, not silently truncated).
+    """
+    if nbits != 64:
+        raise ValueError("embedding_simhash_signatures: nbits must be 64 (one BIGINT)")
+    if dim is None:
+        probe = df.where(F.col(vec_col).isNotNull()).select(
+            F.size(vec_col).alias("d")
+        ).first()
+        if probe is None:
+            raise ValueError("embedding_simhash_signatures: empty input")
+        dim = int(probe["d"])
+    planes = _srp_plane_signs(nbits, dim)
+    base = (
+        df.where(F.col(vec_col).isNotNull() & (F.size(vec_col) == dim))
+        .select(
+            F.col(id_col).alias("doc"),
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.floor(x.cast("double") * F.lit(1_000_000)).cast("long"),
+            ).alias("_qv"),
+        )
+    )
+    sig = None
+    for j, signs in enumerate(planes):
+        lit_signs = F.array(*[F.lit(s).cast("long") for s in signs])
+        dot = F.aggregate(
+            F.zip_with(F.col("_qv"), lit_signs, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bit = F.shiftleft((dot >= 0).cast("long"), j)
+        sig = bit if sig is None else sig.bitwiseOR(bit)
+    return base.select("doc", sig.alias("sig"))
+
+
+_SRP_COS_MICRO = None
+
+
+def _srp_cos_table() -> list[int]:
+    """cos(π·hd/64) in signed integer micros for hd = 0..64 — Python-
+    computed once, consumed as literals by both engines."""
+    global _SRP_COS_MICRO
+    if _SRP_COS_MICRO is None:
+        import math
+
+        _SRP_COS_MICRO = [
+            round(math.cos(math.pi * h / 64.0) * 1_000_000) for h in range(65)
+        ]
+    return _SRP_COS_MICRO
+
+
+def embedding_simhash_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str = "vec_id",
+    hamming_max: int = 15,
+    max_bucket: int = 1000,
+    dim: int | None = None,
+) -> DataFrame:
+    """All-pairs angular near-dup candidates over an embedding column:
+    ``(id_a, id_b, hamming, est_cos_micro)`` via
+    :func:`embedding_simhash_signatures` + the generic Hamming chunk
+    layer (dedup.hamming_near_duplicates). ``est_cos_micro`` =
+    cos(π·hd/64) from a 65-entry Python-computed literal table — exact
+    integers end to end. hamming_max <= 15 (the 16-chunk pigeonhole
+    guarantee); 15 ≈ cos ≥ 0.74."""
+    from xmlschemavalidator_spark.dedup import hamming_near_duplicates
+
+    if hamming_max > 15:
+        raise ValueError(
+            f"embedding_simhash_pairs: hamming_max={hamming_max} exceeds the "
+            "16-chunk pigeonhole guarantee (max 15)"
+        )
+    sigd = embedding_simhash_signatures(df, vec_col, id_col, dim=dim)
+    pairs = hamming_near_duplicates(sigd, hamming_max, max_bucket)
+    table = F.array(*[F.lit(v).cast("bigint") for v in _srp_cos_table()])
+    return pairs.withColumn(
+        "est_cos_micro", F.element_at(table, F.col("hamming").cast("int") + 1)
+    )
