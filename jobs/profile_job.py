@@ -50,6 +50,10 @@ def run_profile(
     corr_pairs: tuple[str, ...] = (),
     fd_specs: tuple[str, ...] = (),
     chi2_columns: tuple[str, ...] = (),
+    privacy_quasi: tuple[str, ...] = (),
+    privacy_k: int = 5,
+    gini_specs: tuple[str, ...] = (),
+    jackknife_specs: tuple[str, ...] = (),
 ) -> dict:
     """Profile ``df`` and return the report dict (what main() prints as
     JSON). Each analyzer is opt-in by listing columns; every one is a
@@ -171,6 +175,33 @@ def run_profile(
             # snapshot AFTER the compare (the new baseline for next run)
             hist.write.mode("overwrite").parquet(f"{cat_root}/{snapshot}/{c}")
 
+    if privacy_quasi:
+        from xmlschemavalidator_spark.checks.privacy import k_anonymity_summary
+
+        extras["privacy"] = (
+            k_anonymity_summary(df, list(privacy_quasi), k=privacy_k)
+            .collect()[0]
+            .asDict()
+        )
+    if gini_specs:
+        from xmlschemavalidator_spark.checks.stats import gini_coefficient
+
+        extras["gini"] = {}
+        for spec in gini_specs:
+            value_col, gid = spec.split(":", 1)
+            extras["gini"][spec] = (
+                gini_coefficient(df, value_col, gid).collect()[0].asDict()
+            )
+    if jackknife_specs:
+        from xmlschemavalidator_spark.checks.stats import jackknife_ratio
+
+        extras["jackknife"] = {}
+        for spec in jackknife_specs:
+            num, den, jid = spec.split(":", 2)
+            extras["jackknife"][spec] = (
+                jackknife_ratio(df, num, den, id_col=jid).collect()[0].asDict()
+            )
+
     return {
         "snapshot": snapshot,
         "n_columns": len(stats),
@@ -216,6 +247,21 @@ def main(argv: list[str] | None = None) -> int:
         help="categorical columns snapshotted for chi-squared drift; "
         "compared when --baseline-snapshot is set",
     )
+    p.add_argument(
+        "--privacy-quasi", default="",
+        help="quasi-identifier columns for the k-anonymity release gate",
+    )
+    p.add_argument("--privacy-k", type=int, default=5)
+    p.add_argument(
+        "--gini", default="",
+        help="value:id specs (comma-separated) for the Gini concentration "
+        "coefficient",
+    )
+    p.add_argument(
+        "--jackknife", default="",
+        help="num:den:id specs (comma-separated) for delete-one-bucket "
+        "jackknife ratio CIs",
+    )
     p.add_argument("--synthetic-rows", type=int, default=100_000)
     args = p.parse_args(argv)
 
@@ -248,6 +294,10 @@ def main(argv: list[str] | None = None) -> int:
         corr_pairs=_cols(args.corr_pairs),
         fd_specs=_cols(args.fd),
         chi2_columns=_cols(args.chi2_columns),
+        privacy_quasi=_cols(args.privacy_quasi),
+        privacy_k=args.privacy_k,
+        gini_specs=_cols(args.gini),
+        jackknife_specs=_cols(args.jackknife),
     )
     print(json.dumps(report, default=str))
     spark.stop()

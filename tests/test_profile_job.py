@@ -78,3 +78,28 @@ def test_run_profile_chi2_roundtrip_across_snapshots(spark, tmp_path):
     assert rep2["fd"]["grp->lang"] == {
         "n_violating_keys": 1, "n_rows_affected": 2,
     }
+
+
+def test_run_profile_privacy_gini_jackknife(spark, tmp_path):
+    run_profile = _job("run_profile")
+    out = str(tmp_path / "out_pgj")
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de", f"s{i % 3}", float(i % 10), 1.0)
+         for i in range(60)],
+        "id bigint, lang string, source string, v double, one double",
+    )
+    rep = run_profile(
+        spark,
+        df,
+        output=out,
+        snapshot="s1",
+        privacy_quasi=("lang", "source"),
+        privacy_k=5,
+        gini_specs=("v:id",),
+        jackknife_specs=("v:one:id",),
+    )
+    priv = rep["privacy"]
+    assert priv["n_classes"] == 6 and priv["k_anonymous"] is True  # classes of 10
+    assert 0.0 <= rep["gini"]["v:id"]["gini"] <= 1.0
+    jk = rep["jackknife"]["v:one:id"]
+    assert jk["ci_lo"] <= jk["ratio"] <= jk["ci_hi"]
