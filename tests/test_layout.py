@@ -196,3 +196,58 @@ def test_rendezvous_portable_matches_duckdb(spark):
         )
     )
     assert got == oracle
+
+
+def test_skip_audit_clustered_vs_shuffled(spark, tmp_path):
+    from xmlschemavalidator_spark.layout import parquet_rowgroup_stats, skip_audit
+
+    df = spark.range(0, 20_000).select(
+        F.col("id"), (F.col("id") % 1000).cast("double").alias("v")
+    )
+    clustered = str(tmp_path / "clustered")
+    shuffled = str(tmp_path / "shuffled")
+    # clustered: contiguous v ranges per file; shuffled: every file spans all v
+    df.withColumn("b", (F.col("v") / 250).cast("int")).repartition(
+        "b"
+    ).sortWithinPartitions("v").write.partitionBy("b").parquet(clustered)
+    df.repartition(4).write.parquet(shuffled)
+
+    sc = parquet_rowgroup_stats(spark, clustered, "v")
+    ss = parquet_rowgroup_stats(spark, shuffled, "v")
+    [ac] = skip_audit(sc, 100.0, 200.0).collect()
+    [ash] = skip_audit(ss, 100.0, 200.0).collect()
+    # the clustered layout prunes most row groups; the shuffled one prunes none
+    assert ac["n_skippable"] >= ac["n_row_groups"] * 3 // 4
+    assert ash["n_skippable"] == 0
+    assert ac["n_rows_total"] == ash["n_rows_total"] == 20_000
+    assert ac["skip_ratio_micro"] > 700_000 and ash["skip_ratio_micro"] == 0
+
+
+def test_rowgroup_stats_match_duckdb_metadata(spark, tmp_path):
+    import duckdb
+
+    from xmlschemavalidator_spark.layout import parquet_rowgroup_stats
+
+    p = str(tmp_path / "one")
+    spark.range(0, 5000).select(
+        (F.col("id") % 97).cast("double").alias("v")
+    ).coalesce(2).write.parquet(p)
+    got = sorted(
+        (r["file"], r["row_group"], r["n_rows"], r["min_value"], r["max_value"])
+        for r in parquet_rowgroup_stats(spark, p, "v").collect()
+    )
+    oracle = sorted(
+        map(
+            tuple,
+            duckdb.connect()
+            .execute(
+                f"""SELECT regexp_extract(file_name, '[^/]+$'), row_group_id,
+                       row_group_num_rows,
+                       CAST(stats_min_value AS DOUBLE), CAST(stats_max_value AS DOUBLE)
+                FROM parquet_metadata('{p}/*.parquet')
+                WHERE path_in_schema = 'v'"""
+            )
+            .fetchall(),
+        )
+    )
+    assert got == oracle and len(got) >= 2

@@ -11960,3 +11960,61 @@ def eb_shrunken_source_rates(spark, sf_dir):
         ).cast("int").alias("has_spark"),
     )
     return eb_shrunken_rates(scored, ("source",), "has_spark")
+
+
+_SKIP_AUDIT_DIR = "/tmp/sparkgraft_skip_audit"
+_SKIP_LO, _SKIP_HI = 100.0, 200.0
+
+
+@q(
+    "parquet_skip_audit",
+    f"""WITH s AS (
+         SELECT row_group_num_rows AS n_rows,
+                CAST(stats_min_value AS DOUBLE) AS mn,
+                CAST(stats_max_value AS DOUBLE) AS mx
+         FROM parquet_metadata('{_SKIP_AUDIT_DIR}/**/*.parquet')
+         WHERE path_in_schema = 'n_chars_d')
+       SELECT CAST(count(*) AS BIGINT) AS n_row_groups,
+              CAST(sum(CASE WHEN mn IS NOT NULL AND mx IS NOT NULL
+                        AND (mx < {_SKIP_LO!r} OR mn > {_SKIP_HI!r})
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_skippable,
+              CAST(sum(n_rows) AS BIGINT) AS n_rows_total,
+              CAST(sum(CASE WHEN mn IS NOT NULL AND mx IS NOT NULL
+                        AND (mx < {_SKIP_LO!r} OR mn > {_SKIP_HI!r})
+                        THEN n_rows ELSE 0 END) AS BIGINT) AS n_rows_skippable,
+              CAST(sum(CASE WHEN mn IS NOT NULL AND mx IS NOT NULL
+                        AND (mx < {_SKIP_LO!r} OR mn > {_SKIP_HI!r})
+                        THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+                AS skip_ratio_micro
+       FROM s""",
+)
+def parquet_skip_audit(spark, sf_dir):
+    """Row-group data-skipping audit (layout.py:parquet_rowgroup_stats +
+    skip_audit — the measurement half of the Z-order/compaction layout
+    ops): documents re-laid-out clustered on n_chars (one file per
+    250-wide bucket dir), then the parquet FOOTERS alone answer how
+    many row groups the predicate 100<=n_chars<=200 prunes — the exact
+    rule the reader's row-group pruning applies at 100 TB. The write is
+    deterministic (fixed bucket dirs, one file each), so the DuckDB
+    parquet_metadata() replay over the same fixed path hash-matches;
+    the Spark side always rewrites the layout before auditing."""
+    import shutil
+
+    from xmlschemavalidator_spark.layout import parquet_rowgroup_stats, skip_audit
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("n_chars").isNotNull())
+    shutil.rmtree(_SKIP_AUDIT_DIR, ignore_errors=True)
+    (
+        docs.select(
+            F.col("doc_id"),
+            F.col("n_chars").cast("double").alias("n_chars_d"),
+            (F.col("n_chars") / 250).cast("int").alias("b"),
+        )
+        .repartition("b")
+        .sortWithinPartitions("n_chars_d")
+        .write.partitionBy("b")
+        .mode("overwrite")
+        .parquet(_SKIP_AUDIT_DIR)
+    )
+    stats = parquet_rowgroup_stats(spark, _SKIP_AUDIT_DIR, "n_chars_d")
+    return skip_audit(stats, _SKIP_LO, _SKIP_HI)

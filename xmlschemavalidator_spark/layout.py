@@ -272,3 +272,98 @@ def rendezvous_shard_sql(x: str, n_shards: int, salt: str = "hrw") -> str:
         f"list_max(list_transform(range(0, {int(n_shards)}), "
         f"s -> struct_pack(h := {h}, s := s))).s"
     )
+
+
+def parquet_rowgroup_stats(
+    spark, path: str, column: str
+) -> DataFrame:
+    """Row-group min/max statistics for one numeric column, read from
+    parquet FOOTERS only (pyarrow over the file list — no data pages
+    touched): ``(file, row_group, n_rows, min_value, max_value)``. The
+    raw material of every data-skipping question: what fraction of row
+    groups can a predicate prune? Pairs with :func:`zorder_layout` /
+    :func:`compaction_plan` as the measurement half — run it before and
+    after a re-layout to prove the clustering paid for itself.
+
+    Shape: the file list is driver-side metadata (same source as a scan
+    plan's file index); footer reads distribute as one task per file
+    batch via mapInPandas. ``file`` is the basename — stable across
+    filesystems and the DuckDB ``parquet_metadata()`` replay."""
+    import os
+
+    from pyspark.sql import functions as F  # noqa: F401 (parity with module style)
+
+    files = sorted(spark.read.parquet(path).inputFiles())
+    if not files:
+        raise ValueError(f"parquet_rowgroup_stats: no files under {path}")
+    fdf = spark.createDataFrame([(f,) for f in files], "path string")
+
+    def read_footers(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for b in batches:
+            rows = []
+            for p in b["path"]:
+                local = p[len("file:") :] if p.startswith("file:") else p
+                pf = pq.ParquetFile(local)
+                idx = pf.schema_arrow.get_field_index(column)
+                md = pf.metadata
+                for rg in range(md.num_row_groups):
+                    col = md.row_group(rg).column(idx)
+                    st = col.statistics
+                    rows.append(
+                        {
+                            "file": os.path.basename(local),
+                            "row_group": rg,
+                            "n_rows": md.row_group(rg).num_rows,
+                            "min_value": float(st.min) if st and st.has_min_max else None,
+                            "max_value": float(st.max) if st and st.has_min_max else None,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["file", "row_group", "n_rows", "min_value", "max_value"],
+            )
+
+    return fdf.mapInPandas(
+        read_footers,
+        "file string, row_group int, n_rows bigint, "
+        "min_value double, max_value double",
+    )
+
+
+def skip_audit(
+    stats: DataFrame, lo: float, hi: float
+) -> DataFrame:
+    """Data-skipping verdict for the closed predicate ``lo <= col <= hi``
+    over :func:`parquet_rowgroup_stats` output: ONE row ``(n_row_groups,
+    n_skippable, n_rows_total, n_rows_skippable, skip_ratio_micro)``. A
+    row group is skippable when its [min, max] envelope cannot intersect
+    the predicate (max < lo or min > hi) — exactly the parquet reader's
+    row-group pruning rule; stat-less groups (NULL min/max) are never
+    skippable. The one-number answer to "did the Z-order/sort layout
+    actually buy pruning?"."""
+    from pyspark.sql import functions as F
+
+    skippable = (
+        F.col("min_value").isNotNull()
+        & F.col("max_value").isNotNull()
+        & ((F.col("max_value") < lo) | (F.col("min_value") > hi))
+    )
+    return stats.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_row_groups"),
+        F.sum(skippable.cast("long")).cast("bigint").alias("n_skippable"),
+        F.sum("n_rows").cast("bigint").alias("n_rows_total"),
+        F.sum(F.when(skippable, F.col("n_rows")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_rows_skippable"),
+        F.expr(
+            "CASE WHEN count(1) > 0 THEN"
+            " sum(CASE WHEN min_value IS NOT NULL AND max_value IS NOT NULL"
+            f" AND (max_value < {float(lo)!r} OR min_value > {float(hi)!r})"
+            " THEN 1 ELSE 0 END) * 1000000 div count(1) END"
+        )
+        .cast("bigint")
+        .alias("skip_ratio_micro"),
+    )
