@@ -478,3 +478,31 @@ def test_embedding_simhash_signature_deterministic_python_replay(spark):
     if sig >= 1 << 63:
         sig -= 1 << 64
     assert r["sig"] == sig
+
+
+def test_embedding_centroid_drift_flags_shifted_group(spark):
+    from xmlschemavalidator_spark.similarity import embedding_centroid_drift
+
+    aligned = [[1.0, 0.5, 0.0, 0.25]] * 40
+    drifted = [[-1.0, 1.0, 0.5, -0.5]] * 10
+    rows = [("a", i, v) for i, v in enumerate(aligned[:20])]
+    rows += [("b", 100 + i, v) for i, v in enumerate(aligned[20:])]
+    rows += [("c", 200 + i, v) for i, v in enumerate(drifted)]
+    df = spark.createDataFrame(rows, "grp string, id long, embedding array<double>")
+    got = {r["grp"]: r["cos_to_global"] for r in
+           embedding_centroid_drift(df, "grp", "embedding").collect()}
+    # aligned groups dominate the global direction (cos 0.9386 measured —
+    # the drifted 20% pulls the global mean off them slightly)
+    assert got["a"] == got["b"] and got["a"] > 0.9
+    assert got["c"] < 0.3  # the shifted batch stands out
+
+
+def test_embedding_centroid_drift_excludes_bad_vectors(spark):
+    from xmlschemavalidator_spark.similarity import embedding_centroid_drift
+
+    rows = [("a", [1.0, 0.0]), ("a", [1.0, 0.0]), ("a", None), ("b", [0.0, 1.0]),
+            ("b", [1.0, 0.0, 0.0])]  # NULL + wrong-dim dropped
+    df = spark.createDataFrame(rows, "grp string, embedding array<double>")
+    got = {r["grp"]: (r["n"], r["cos_to_global"]) for r in
+           embedding_centroid_drift(df, "grp", "embedding").collect()}
+    assert got["a"][0] == 2 and got["b"][0] == 1

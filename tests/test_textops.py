@@ -1410,3 +1410,20 @@ def test_structured_harvest_duckdb_parity(spark):
         ).fetchall()
     )
     assert got_t == ot and got_j == oj
+
+
+def test_declared_charset_forms(spark):
+    from xmlschemavalidator_spark.textops import declared_charset
+
+    cases = [
+        ('<meta charset="UTF-8">', "utf-8"),
+        ("<META CHARSET=utf-8>", "utf-8"),
+        ("<meta charset = 'ISO-8859-1' >", "iso-8859-1"),
+        ('<meta http-equiv="Content-Type" content="text/html; charset=Windows-1252">',
+         "windows-1252"),
+        ("<meta name=viewport content=width>", None),
+        (None, None),
+    ]
+    df = spark.createDataFrame([(c[0],) for c in cases], "html string")
+    got = [r[0] for r in df.select(declared_charset(F.col("html"))).collect()]
+    assert got == [c[1] for c in cases]

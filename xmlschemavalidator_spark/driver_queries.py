@@ -12018,3 +12018,94 @@ def parquet_skip_audit(spark, sf_dir):
     )
     stats = parquet_rowgroup_stats(spark, _SKIP_AUDIT_DIR, "n_chars_d")
     return skip_audit(stats, _SKIP_LO, _SKIP_HI)
+
+
+@q(
+    "embedding_centroid_drift",
+    """WITH b AS (
+         SELECT label AS grp, d - 1 AS d,
+                CAST(floor(CAST(v AS DOUBLE) * 1000000) AS HUGEINT) AS v
+         FROM (SELECT label, unnest(embedding) AS v,
+                      generate_subscripts(embedding, 1) AS d
+               FROM embeddings WHERE embedding IS NOT NULL)),
+       per AS (SELECT grp, d, sum(v) AS s, count(*) AS c
+               FROM b GROUP BY 1, 2),
+       g AS (SELECT d, sum(s) AS gs FROM per GROUP BY d),
+       a AS (SELECT grp, CAST(max(c) AS BIGINT) AS n,
+                    sum(per.s * g.gs) AS dot,
+                    sum(per.s * per.s) AS na,
+                    sum(g.gs * g.gs) AS nb
+             FROM per JOIN g USING (d) GROUP BY grp)
+       SELECT grp AS label, n,
+              round(CASE WHEN na > 0 AND nb > 0 THEN
+                CAST(dot AS DOUBLE)
+                / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) END, 6)
+                AS cos_to_global
+       FROM a""",
+)
+def embedding_centroid_drift_q(spark, sf_dir):
+    """Per-label embedding centroid drift vs the global centroid
+    (similarity.py:embedding_centroid_drift) — the vector-column drift
+    analyzer the scalar KS/χ²/PSI family can't provide; the labels in
+    the embeddings table are genuine clusters, so each label's mean
+    direction measurably departs from the global mean (spread of
+    cos_to_global values, not a vacuous all-1 column). Integer-micro
+    DECIMAL sums per (group, dim); the only doubles are the final
+    dot/(√·√) chain."""
+    from xmlschemavalidator_spark.similarity import embedding_centroid_drift
+
+    return embedding_centroid_drift(
+        _t(spark, sf_dir, "embeddings"), "label", "embedding"
+    )
+
+
+from xmlschemavalidator_spark.textops import declared_charset_sql  # noqa: E402
+
+_CHARSET_HTML_DUCK = (
+    "CASE doc_id % 5"
+    " WHEN 0 THEN '<html><head><meta charset=\"UTF-8\"></head><body>x</body></html>'"
+    " WHEN 1 THEN '<html><head><META CHARSET=utf-8></head><body>x</body></html>'"
+    " WHEN 2 THEN '<html><head><meta http-equiv=\"Content-Type\" "
+    "content=\"text/html; charset=ISO-8859-1\"></head><body>x</body></html>'"
+    " WHEN 3 THEN '<html><head><meta charset = ''Windows-1252'' ></head>"
+    "<body>x</body></html>'"
+    " ELSE '<html><body>no declaration</body></html>' END"
+)
+
+
+@q(
+    "charset_declaration_stats",
+    f"""WITH t AS (SELECT doc_id, {_CHARSET_HTML_DUCK} AS html FROM documents)
+       SELECT {declared_charset_sql('html')} AS charset,
+              CAST(count(*) AS BIGINT) AS n
+       FROM t GROUP BY 1""",
+)
+def charset_declaration_stats(spark, sf_dir):
+    """Declared-charset distribution (textops.declared_charset): both
+    the HTML5 and legacy http-equiv declaration forms, case/quote/space
+    variants, and the NULL no-declaration bucket all planted — the
+    crawl triage that pairs with the mojibake detector (a non-utf-8
+    declaration is where double-encoding bugs start). Narrow regex
+    projection + one bounded groupBy."""
+    from xmlschemavalidator_spark.textops import declared_charset
+
+    docs = _t(spark, sf_dir, "documents")
+    html = (
+        F.when(F.col("doc_id") % 5 == 0,
+               F.lit('<html><head><meta charset="UTF-8"></head><body>x</body></html>'))
+        .when(F.col("doc_id") % 5 == 1,
+              F.lit("<html><head><META CHARSET=utf-8></head><body>x</body></html>"))
+        .when(F.col("doc_id") % 5 == 2,
+              F.lit('<html><head><meta http-equiv="Content-Type" '
+                    'content="text/html; charset=ISO-8859-1"></head>'
+                    "<body>x</body></html>"))
+        .when(F.col("doc_id") % 5 == 3,
+              F.lit("<html><head><meta charset = 'Windows-1252' ></head>"
+                    "<body>x</body></html>"))
+        .otherwise(F.lit("<html><body>no declaration</body></html>"))
+    )
+    return (
+        docs.select(declared_charset(html).alias("charset"))
+        .groupBy("charset")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )

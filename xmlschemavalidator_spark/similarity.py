@@ -904,3 +904,68 @@ def embedding_simhash_pairs(
     return pairs.withColumn(
         "est_cos_micro", F.element_at(table, F.col("hamming").cast("int") + 1)
     )
+
+
+def embedding_centroid_drift(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str,
+    dim: int | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group embedding centroid vs the global centroid:
+    ``(group, n, cos_to_global)`` — the drift analyzer the scalar
+    families (KS/χ²/PSI) can't provide for a VECTOR column: an encoder
+    version bump or a contaminated batch moves a group's mean direction
+    long before any single coordinate's histogram trips. Cosine is
+    scale-invariant, so the group/global SUM vectors stand in for the
+    means — no division until the final chain.
+
+    Exactness: embeddings quantize to integer micros; per-(group, dim)
+    sums are exact DECIMAL(38,0) (one explode + partial-agg groupBy —
+    the shuffle carries (group, dim, partial sum), bounded by
+    groups×dim); the global vector re-aggregates the GROUP table (no
+    second corpus pass). dot and the two norms are DECIMAL products of
+    exact sums summed over the bounded dim axis; the final
+    dot/(√·√) is a fixed three-op double chain, rounded. Vectors of
+    the wrong length / NULL are excluded (the signature-family rule).
+    """
+    if dim is None:
+        probe = df.where(F.col(vec_col).isNotNull()).select(
+            F.size(vec_col).alias("d")
+        ).first()
+        if probe is None:
+            raise ValueError("embedding_centroid_drift: empty input")
+        dim = int(probe["d"])
+    base = df.where(F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)).select(
+        F.col(group_col).alias("grp"),
+        F.posexplode(
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.floor(x.cast("double") * F.lit(1_000_000)).cast(
+                    "decimal(38,0)"
+                ),
+            )
+        ).alias("d", "v"),
+    )
+    per = base.groupBy("grp", "d").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).alias("_c")
+    )
+    glob = per.groupBy("d").agg(F.sum("s").alias("gs"))
+    j = per.join(glob, "d")
+    agg = j.groupBy("grp").agg(
+        (F.max("_c")).cast("bigint").alias("n"),
+        F.sum(F.col("s") * F.col("gs")).alias("_dot"),
+        F.sum(F.col("s") * F.col("s")).alias("_na"),
+        F.sum(F.col("gs") * F.col("gs")).alias("_nb"),
+    )
+    cos = F.col("_dot").cast("double") / (
+        F.sqrt(F.col("_na").cast("double")) * F.sqrt(F.col("_nb").cast("double"))
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n",
+        F.round(
+            F.when((F.col("_na") > 0) & (F.col("_nb") > 0), cos), round_to
+        ).alias("cos_to_global"),
+    )

@@ -1975,3 +1975,27 @@ def html_table_rows_sql(x: str) -> str:
         f"struct_pack(table_idx := CAST(ti - 1 AS INTEGER), "
         f"row_idx := CAST(ri - 1 AS INTEGER), cells := {cells}))))"
     )
+
+
+_META_CHARSET_RE = (
+    r"(?is)<meta[^>]*charset[ \t\n\x0b\f\r]*=[ \t\n\x0b\f\r]*"
+    r"[\"']?([A-Za-z0-9_\-]+)"
+)
+
+
+def declared_charset(html: Column) -> Column:
+    """The page's DECLARED character set, lower-cased — from either the
+    HTML5 ``<meta charset=...>`` or the legacy
+    ``<meta http-equiv=Content-Type content="...; charset=...">`` form
+    (both contain ``charset=``; quotes optional). NULL when no
+    declaration exists. The triage companion to the mojibake detector:
+    a non-utf-8 declaration over utf-8-looking bytes (or vice versa) is
+    the classic double-encoding source the repair step exists for."""
+    return F.lower(
+        F.nullif(F.regexp_extract(html, _META_CHARSET_RE, 1), F.lit(""))
+    )
+
+
+def declared_charset_sql(x: str) -> str:
+    pat = _META_CHARSET_RE.replace("'", "''")
+    return f"lower(nullif(regexp_extract({x}, '{pat}', 1), ''))"
