@@ -484,3 +484,35 @@ def test_assign_split_null_group_lands_in_last_label(spark):
         for r in assign_split(df, "doc_id", w, group_col="domain").collect()
     }
     assert got[2] == "test" and got[3] == "test"
+
+
+def test_interleave_by_group_rotates_languages(spark):
+    from xmlschemavalidator_spark.sampling import interleave_by_group
+
+    rows = [(i, ["en", "de", "fr"][i % 3]) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = interleave_by_group(df, "doc_id", "lang").orderBy("interleave_pos")
+    langs = [r["lang"] for r in out.collect()]
+    # positions rotate de, en, fr, de, en, fr... while all groups last
+    assert langs[:9] == ["de", "en", "fr"] * 3
+    # positions are unique and deterministic across runs
+    pos = [r["interleave_pos"] for r in out.collect()]
+    assert len(set(pos)) == 30
+    again = [
+        r["interleave_pos"]
+        for r in interleave_by_group(df, "doc_id", "lang")
+        .orderBy("interleave_pos")
+        .collect()
+    ]
+    assert pos == again
+
+
+def test_interleave_by_group_uneven_groups(spark):
+    from xmlschemavalidator_spark.sampling import interleave_by_group
+
+    rows = [(i, "big") for i in range(10)] + [(100, "small")]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = interleave_by_group(df, "doc_id", "lang").orderBy("interleave_pos")
+    langs = [r["lang"] for r in out.collect()]
+    # small appears once, early; big fills the rest in order
+    assert langs[1] == "small" and langs.count("small") == 1

@@ -1427,3 +1427,18 @@ def test_declared_charset_forms(spark):
     df = spark.createDataFrame([(c[0],) for c in cases], "html string")
     got = [r[0] for r in df.select(declared_charset(F.col("html"))).collect()]
     assert got == [c[1] for c in cases]
+
+
+def test_nfc_flags_decomposed_detected(spark):
+    from xmlschemavalidator_spark.textops import nfc_flags
+
+    rows = [
+        (1, "café"),          # composed: NFC
+        (2, "café"),         # decomposed: not NFC
+        (3, "plain ascii"),
+        (4, None),
+        (5, "Ḍ̇"),       # D-dot-above + dot-below: NFC reorders
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc"]: r["is_nfc"] for r in nfc_flags(df, "doc_id").collect()}
+    assert got == {1: True, 2: False, 3: True, 4: None, 5: False}

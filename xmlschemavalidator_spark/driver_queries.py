@@ -12109,3 +12109,70 @@ def charset_declaration_stats(spark, sf_dir):
         .groupBy("charset")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+
+
+_ILV_KEY = _PH64.format(x="'ilv:' || CAST(doc_id AS VARCHAR)")
+
+
+@q(
+    "interleaved_training_order",
+    f"""WITH g AS (SELECT _g, row_number() OVER (ORDER BY _g) - 1 AS gi,
+                          count(*) OVER () AS ng
+                   FROM (SELECT DISTINCT lang AS _g FROM documents)),
+       r AS (SELECT doc_id, lang,
+                    row_number() OVER (PARTITION BY lang
+                        ORDER BY {_ILV_KEY}, doc_id) - 1 AS r
+             FROM documents)
+       SELECT r.doc_id, r.lang,
+              CAST(r.r * g.ng + g.gi AS BIGINT) AS interleave_pos
+       FROM r JOIN g ON r.lang IS NOT DISTINCT FROM g._g""",
+)
+def interleaved_training_order(spark, sf_dir):
+    """Language-interleaved training order (sampling.py:
+    interleave_by_group): every doc gets a global position on the
+    strided lattice r·G + lang_index over an md5-shuffled within-lang
+    rank, so consecutive training positions rotate through the
+    languages — the curriculum smoothing that stops a shard from
+    serving an hour of one language. Pure function of (salt, id):
+    reruns, retries and both engines produce the identical order."""
+    from xmlschemavalidator_spark.sampling import interleave_by_group
+
+    return interleave_by_group(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang"), "doc_id", "lang"
+    )
+
+
+@q(
+    "nfc_normalization_check",
+    """WITH t AS (
+         SELECT doc_id,
+                CASE WHEN doc_id % 7 = 0
+                     THEN text || ' cafe' || chr(101) || chr(769)
+                     WHEN doc_id % 7 = 1 THEN text || ' caf' || chr(233)
+                     ELSE text END AS txt
+         FROM documents WHERE text IS NOT NULL)
+       SELECT doc_id, txt = nfc_normalize(txt) AS is_nfc
+       FROM t""",
+)
+def nfc_normalization_check(spark, sf_dir):
+    """Unicode NFC hygiene check (textops.nfc_flags): planted
+    decomposed sequences (e + COMBINING ACUTE) on every 7th doc flag
+    FALSE while composed é and plain ASCII pass — the corpus
+    normalization gate that protects exact dedup fingerprints and
+    tokenizer vocab lookups from composed/decomposed twins. One
+    Arrow-batched pandas projection; unicodedata.is_normalized and
+    DuckDB's nfc_normalize implement the same Unicode algorithm, so
+    the flag column is oracle-exact."""
+    from xmlschemavalidator_spark.textops import nfc_flags
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" cafeé"))
+        )
+        .when(F.col("doc_id") % 7 == 1, F.concat(F.col("text"), F.lit(" café")))
+        .otherwise(F.col("text"))
+        .alias("txt"),
+    )
+    return nfc_flags(planted, "doc_id", "txt").withColumnRenamed("doc", "doc_id")

@@ -564,3 +564,57 @@ def stratified_fixed_k(
         .where(F.col("_fk_rn") <= k)
         .drop("_fk_rn", "_fk_key", "_fk_salt")
     )
+
+
+def interleave_by_group(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    salt: str = "ilv",
+) -> DataFrame:
+    """Group-interleaved training order: assign every doc a global
+    ``interleave_pos`` such that consecutive positions rotate through
+    the groups (languages, sources) round-robin — the curriculum-
+    smoothing order that keeps a shard from serving an hour of one
+    language (a known loss-spike source) without any extra shuffle
+    pass downstream: writers just sort by the position.
+
+    Construction: within each group, docs take a deterministic
+    md5-shuffled rank r (the :func:`deterministic_shuffle` keying —
+    pure function of (salt, id)); group g of G gets positions
+    ``r · G + dense_rank(g)`` — a strided lattice, so groups alternate
+    with period G until a group exhausts (after which its slots are
+    simply absent; the order stays deterministic and gap-free per
+    surviving group). Exact integers; ONE window per group + a tiny
+    broadcast of the G-row group index.
+
+    Scale note: the within-group window sorts each group once — the
+    same cost as the deterministic shard shuffle; for mega-groups
+    compose with ``n_shards``-style salting upstream if a single
+    group's sort must not land in one task."""
+    from xmlschemavalidator_spark.textops import portable_hash64
+
+    from pyspark.sql import Window
+
+    key = portable_hash64(
+        F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
+    )
+    groups = (
+        df.select(F.col(group_col).alias("_g"))
+        .distinct()
+        .withColumn(
+            "_gi",
+            F.row_number().over(Window.orderBy(F.col("_g").asc_nulls_last())) - 1,
+        )
+    )
+    n_groups = groups.count()
+    w = Window.partitionBy(group_col).orderBy(key.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_r", F.row_number().over(w) - 1)
+        .join(F.broadcast(groups), F.col(group_col).eqNullSafe(F.col("_g")))
+        .withColumn(
+            "interleave_pos",
+            (F.col("_r").cast("bigint") * n_groups + F.col("_gi")).cast("bigint"),
+        )
+        .drop("_r", "_g", "_gi")
+    )

@@ -9,6 +9,7 @@ for free.
 
 from __future__ import annotations
 
+import pandas as pd  # module scope: pandas_udf type hints must resolve
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -1999,3 +2000,27 @@ def declared_charset(html: Column) -> Column:
 def declared_charset_sql(x: str) -> str:
     pat = _META_CHARSET_RE.replace("'", "''")
     return f"lower(nullif(regexp_extract({x}, '{pat}', 1), ''))"
+
+
+def nfc_flags(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Unicode NFC-normalization check: ``(doc, is_nfc)`` — FALSE rows
+    carry decomposed sequences (e + COMBINING ACUTE instead of é) that
+    break exact dedup fingerprints, tokenizer vocab lookups and
+    LIKE/equality joins against their composed twins; corpus hygiene
+    runs normalize-or-flag before any of those. One Arrow-batched
+    pandas projection (``unicodedata.is_normalized`` — the same Unicode
+    NFC algorithm DuckDB's ``nfc_normalize`` implements, so the flag is
+    oracle-exact); NULL text → NULL flag."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def _is_nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda t: None if t is None else unicodedata.is_normalized("NFC", t)
+        )
+
+    return df.select(
+        F.col(id_col).alias("doc"), _is_nfc(F.col(text_col)).alias("is_nfc")
+    )
