@@ -625,3 +625,46 @@ def test_trigram_index_probe_prunes_partitions(spark, tmp_path):
     assert "PartitionFilters" in plan
     i = plan.index("PartitionFilters")
     assert "_bucket" in plan[i : i + 200]
+
+
+def test_privacy_audits_no_expand_single_scan(spark):
+    """l-diversity must plan as two stacked hash aggregates — never a
+    countDistinct Expand over the corpus."""
+    from xmlschemavalidator_spark.checks.privacy import (
+        k_anonymity_violations,
+        l_diversity_violations,
+    )
+
+    d = _docs(spark)
+    pk = fmt(k_anonymity_violations(d, ["lang", "source"], k=5))
+    assert n_scans(pk) == 1 and "Expand" not in pk
+    pl = fmt(l_diversity_violations(d, ["source"], "lang", l=5))
+    assert n_scans(pl) == 1 and "Expand" not in pl
+
+
+def test_event_transitions_single_key_shuffle(spark):
+    """One window Exchange on the key + partial-agg pair groupBy."""
+    import re
+
+    from xmlschemavalidator_spark.temporal import event_transitions
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    p = fmt(event_transitions(ev, "user_id", "ts", "event_type", "event_id"))
+    assert n_scans(p) == 1
+    assert "partial_count" in p  # the pair count combines map-side
+
+
+def test_ewma_single_window_partition(spark):
+    """All horizon lag terms ride ONE window partitioning — exactly one
+    Exchange for the key (plus the final single-partition none)."""
+    import re
+
+    from xmlschemavalidator_spark.temporal import ewma_control
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    daily = ev.groupBy(
+        "event_type", F.dayofyear("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    p = fmt(ewma_control(daily, "event_type", "day", "n", target=60.0, threshold=5.0))
+    n_windows = len(re.findall(r"\(\d+\) Window", p))
+    assert n_windows == 1  # 32 lags share one Window node

@@ -957,12 +957,21 @@ def event_transitions(
     g = pairs.groupBy("from_event", "to_event").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
-    tot = g.groupBy("from_event").agg(F.sum("n").cast("bigint").alias("_tot"))
-    return g.join(tot, "from_event").select(
+    # row totals as a window over the GROUPED rows (the heavy_hitters
+    # device) — a groupBy+join formulation re-scans the corpus for the
+    # denominator (caught by the plan pin: 2 scans instead of 1)
+    tot = F.sum("n").over(Window.partitionBy("from_event")).cast("bigint")
+    return g.select(
         "from_event",
         "to_event",
         "n",
-        F.expr("n * 1000000 div _tot").alias("p_micro"),
+        F.expr(f"n * 1000000").alias("_num"),
+        tot.alias("_tot"),
+    ).select(
+        "from_event",
+        "to_event",
+        "n",
+        F.expr("_num div _tot").alias("p_micro"),
     )
 
 
