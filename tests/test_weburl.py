@@ -1081,3 +1081,56 @@ def test_crawl_rate_violations(spark):
     ]
     epoch0 = 1704067200  # 2024-01-01T00:00:00Z
     assert got == [("a.com", epoch0, 3)]
+
+
+def test_robots_crawl_delay_millis(spark):
+    from xmlschemavalidator_spark.weburl import robots_crawl_delay_millis
+
+    cases = [
+        ("User-agent: *\nCrawl-delay: 2\nDisallow: /x\n", 2000),
+        ("User-agent: *\ncrawl-delay: 0.5\n", 500),
+        # declared only for another agent's group: not ours
+        ("User-agent: gbot\nCrawl-delay: 9\n\nUser-agent: *\nDisallow: /\n", None),
+        ("User-agent: *\nDisallow: /\n", None),
+        (None, None),
+    ]
+    df = spark.createDataFrame([(c[0],) for c in cases], "robots string")
+    got = [r[0] for r in df.select(robots_crawl_delay_millis(F.col("robots"))).collect()]
+    assert got == [c[1] for c in cases]
+
+
+def test_hreflang_alternates_and_duckdb_parity(spark):
+    import duckdb
+    import pandas as pd
+
+    from xmlschemavalidator_spark.weburl import (
+        hreflang_alternates,
+        hreflang_alternates_sql,
+    )
+
+    htmls = [
+        '<link rel="alternate" hreflang="fr" href="https://x/fr">'
+        "<LINK HREFLANG='de-AT' REL=alternate HREF='https://x/de'>"
+        '<link rel="alternate" type="application/rss+xml" href="https://x/rss">'
+        '<link rel="stylesheet" href="https://x/css">',
+        "<p>no links</p>",
+    ]
+    df = spark.createDataFrame(list(enumerate(htmls)), "doc long, html string")
+    got = sorted(
+        (r["doc"], r["hreflang"], r["href"])
+        for r in hreflang_alternates(df, "doc", "html").collect()
+    )
+    # the rss alternate has no hreflang -> dropped; stylesheet not rel=alternate
+    assert got == [(0, "de-at", "https://x/de"), (0, "fr", "https://x/fr")]
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"doc": range(2), "html": htmls}))
+    oracle = sorted(
+        map(
+            tuple,
+            con.execute(
+                f"SELECT doc, e.hreflang, e.href FROM "
+                f"(SELECT doc, unnest({hreflang_alternates_sql('html')}) AS e FROM t)"
+            ).fetchall(),
+        )
+    )
+    assert got == oracle

@@ -12176,3 +12176,100 @@ def nfc_normalization_check(spark, sf_dir):
         .alias("txt"),
     )
     return nfc_flags(planted, "doc_id", "txt").withColumnRenamed("doc", "doc_id")
+
+
+from xmlschemavalidator_spark.weburl import (  # noqa: E402
+    hreflang_alternates_sql,
+    robots_crawl_delay_millis_sql,
+)
+
+
+@q(
+    "robots_crawl_delays",
+    f"""WITH t AS (SELECT doc_id, {_ROBOTS_TXT_DUCK}
+                   || CASE WHEN doc_id % 4 = 0
+                      THEN 'Crawl-delay: ' || CAST(doc_id % 5 AS VARCHAR)
+                           || '.5' || chr(10) ELSE '' END AS robots
+              FROM documents)
+       SELECT doc_id, {robots_crawl_delay_millis_sql('robots')} AS delay_ms
+       FROM t""",
+)
+def robots_crawl_delays(spark, sf_dir):
+    """Crawl-delay extraction for the wildcard agent (weburl.py:
+    robots_crawl_delay_millis) — completes the robots directive trio
+    and feeds the politeness budget crawl_rate_violations audits.
+    Planted on every 4th doc with fractional seconds so the millisecond
+    floor and the NULL-absent path both carry weight; the wildcard-
+    group scoping reuses the shared ROBOTS_GROUP_RE."""
+    from xmlschemavalidator_spark.weburl import robots_crawl_delay_millis
+
+    docs = _t(spark, sf_dir, "documents")
+    rid = (F.col("doc_id") % 50).cast("string")
+    robots = F.concat(
+        F.lit("User-agent: *\nDisallow: /private\n"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("Sitemap: https://r"), rid, F.lit(".example/sm.xml  \n")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.concat(F.lit("sitemap:https://r"), rid, F.lit(".example/sm2.xml\n")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("Crawl-delay: "), (F.col("doc_id") % 5).cast("string"),
+                F.lit(".5\n"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return docs.select(
+        "doc_id", robots_crawl_delay_millis(robots).alias("delay_ms")
+    )
+
+
+_HREFLANG_HTML_DUCK = (
+    "'<link rel=\"alternate\" hreflang=\"fr\" href=\"https://s'"
+    " || CAST(doc_id % 97 AS VARCHAR) || '.example/fr/p'"
+    " || CAST(doc_id AS VARCHAR) || '\">'"
+    " || CASE WHEN doc_id % 2 = 0 THEN"
+    " '<LINK HREFLANG=''de-AT'' REL=alternate HREF=''https://s'"
+    " || CAST(doc_id % 97 AS VARCHAR) || '.example/de/p'"
+    " || CAST(doc_id AS VARCHAR) || '''>' ELSE '' END"
+    " || '<link rel=\"stylesheet\" href=\"https://x/css\">'"
+)
+
+
+@q(
+    "hreflang_page_graph",
+    f"""WITH t AS (SELECT doc_id, {_HREFLANG_HTML_DUCK} AS html FROM documents)
+       SELECT doc_id, e.hreflang, e.href
+       FROM (SELECT doc_id, unnest({hreflang_alternates_sql('html')}) AS e FROM t)""",
+)
+def hreflang_page_graph(spark, sf_dir):
+    """hreflang alternate harvesting (weburl.py:hreflang_alternates) —
+    publisher-declared translation sets, the aligned-document source
+    for parallel-corpus mining and translation-aware dedup. Plants
+    case/quote variants plus a non-hreflang alternate and a stylesheet
+    link so the attribute scoping carries weight. Map-only; regexes
+    shared verbatim with the oracle."""
+    from xmlschemavalidator_spark.weburl import hreflang_alternates
+
+    docs = _t(spark, sf_dir, "documents")
+    sid = (F.col("doc_id") % 97).cast("string")
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<link rel="alternate" hreflang="fr" href="https://s'), sid,
+        F.lit(".example/fr/p"), did, F.lit('">'),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit("<LINK HREFLANG='de-AT' REL=alternate HREF='https://s"), sid,
+                F.lit(".example/de/p"), did, F.lit("'>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit('<link rel="stylesheet" href="https://x/css">'),
+    )
+    return hreflang_alternates(
+        docs.select("doc_id", html.alias("html")), "doc_id", "html"
+    )

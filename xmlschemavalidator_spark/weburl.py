@@ -2472,3 +2472,83 @@ def crawl_rate_violations(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_requests"))
         .where(F.col("n_requests") > max_per_window)
     )
+
+
+ROBOTS_CRAWL_DELAY_RE = r"(?im)^[ \t]*crawl-delay:[ \t]*([0-9]+(?:\.[0-9]+)?)"
+
+
+def robots_crawl_delay_millis(robots: Column) -> Column:
+    """Crawl-delay for the wildcard agent, in integer MILLISECONDS
+    (NULL when absent or unparsable) — the per-host politeness rate
+    that parameterizes :func:`crawl_rate_violations`; completes the
+    robots directive trio (Disallow / Sitemap / Crawl-delay). Reads the
+    first declaration inside the ``User-agent: *`` group; fractional
+    seconds are honored (floor to millis — the engines' shared integer
+    rounding)."""
+    seg = F.regexp_extract(robots, ROBOTS_GROUP_RE, 1)
+    raw = F.nullif(
+        F.regexp_extract(seg, ROBOTS_CRAWL_DELAY_RE, 1), F.lit("")
+    )
+    return F.floor(raw.cast("double") * F.lit(1000)).cast("bigint")
+
+
+def robots_crawl_delay_millis_sql(x: str) -> str:
+    grp = _sql_quote(ROBOTS_GROUP_RE)
+    pat = _sql_quote(ROBOTS_CRAWL_DELAY_RE)
+    return (
+        f"CAST(floor(CAST(nullif(regexp_extract("
+        f"regexp_extract({x}, {grp}, 1), {pat}, 1), '') AS DOUBLE) * 1000)"
+        f" AS BIGINT)"
+    )
+
+
+_HREFLANG_LINK_RE = r"(?is)<link\b([^>]*rel[ \t\n\x0b\f\r]*=[ \t\n\x0b\f\r]*[\"']?alternate[\"']?[^>]*)>"
+_HREFLANG_ATTR_RE = r"(?is)hreflang[ \t\n\x0b\f\r]*=[ \t\n\x0b\f\r]*[\"']?([A-Za-z0-9\-]+)"
+_HREF_ATTR_RE = r"(?is)(?:^|[ \t\n\x0b\f\r])href[ \t\n\x0b\f\r]*=[ \t\n\x0b\f\r]*[\"']([^\"']+)[\"']"
+
+
+def hreflang_alternates(df: DataFrame, id_col: str, html_col: str) -> DataFrame:
+    """Harvest ``<link rel="alternate" hreflang=...>`` declarations —
+    one row per alternate: ``(*id, hreflang, href)`` with hreflang
+    lower-cased. The multilingual PAGE GRAPH: hreflang clusters are
+    publisher-declared translation sets — the aligned-document source
+    for parallel-corpus mining and per-language dedup (translations of
+    one page should count once against a multilingual token budget).
+    Entries missing either attribute are dropped. Map-only: one
+    projection + one Generate, regexes shared verbatim with the
+    oracle (:func:`hreflang_alternates_sql`)."""
+    links = F.regexp_extract_all(
+        F.col(html_col), F.lit(_HREFLANG_LINK_RE), F.lit(1)
+    )
+    entries = F.filter(
+        F.transform(
+            links,
+            lambda tag: F.struct(
+                F.lower(F.regexp_extract(tag, _HREFLANG_ATTR_RE, 1)).alias(
+                    "hreflang"
+                ),
+                F.regexp_extract(tag, _HREF_ATTR_RE, 1).alias("href"),
+            ),
+        ),
+        lambda e: (e["hreflang"] != F.lit("")) & (e["href"] != F.lit("")),
+    )
+    return (
+        df.where(F.col(html_col).isNotNull())
+        .select(F.col(id_col), F.explode(entries).alias("_e"))
+        .select(id_col, F.col("_e.hreflang").alias("hreflang"),
+                F.col("_e.href").alias("href"))
+    )
+
+
+def hreflang_alternates_sql(x: str) -> str:
+    """DuckDB twin: the per-row entry array — unnest and filter
+    non-empty pairs to mirror the explode."""
+    lk = _sql_quote(_HREFLANG_LINK_RE)
+    hl = _sql_quote(_HREFLANG_ATTR_RE)
+    hr = _sql_quote(_HREF_ATTR_RE)
+    return (
+        f"list_filter(list_transform(regexp_extract_all({x}, {lk}, 1), tag -> "
+        f"struct_pack(hreflang := lower(regexp_extract(tag, {hl}, 1)), "
+        f"href := regexp_extract(tag, {hr}, 1))), "
+        f"e -> e.hreflang <> '' AND e.href <> '')"
+    )
