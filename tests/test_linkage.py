@@ -153,3 +153,30 @@ def test_fs_em_estimate_matches_duckdb_oracle(spark):
         fs_em_oracle_cte(pattern_sql, ["alpha", "beta"], iterations=10)
     ).fetchall()
     assert got == sorted(map(tuple, oracle))
+
+
+def test_fs_train_then_score_composition(spark):
+    """EM-learned weights flow into scoring without a lossy round-trip."""
+    rows = [(i, (i % 7) < 5, (i * 3 % 11) < 4, (i % 13) < 6) for i in range(400)]
+    pairs = spark.createDataFrame(rows, "id long, fa boolean, fb boolean, fc boolean")
+    ag = {"a": F.col("fa"), "b": F.col("fb"), "c": F.col("fc")}
+    est = {r["field"]: (r["w_agree_micro"], r["w_disagree_micro"])
+           for r in fs_em_estimate(pairs, ag, iterations=8).collect()}
+    from xmlschemavalidator_spark.linkage import fs_score_with_weights
+
+    if any(w[0] is None for w in est.values()):
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            fs_score_with_weights(pairs, ag, est, 1_000_000, 0)
+        return
+    scored = fs_score_with_weights(pairs, ag, est, 1_000_000, 0)
+    got = scored.collect()
+    assert len(got) == 400
+    # weight is the exact integer sum of the learned micro weights
+    r0 = got[0]
+    expect = sum(
+        est[n][0] if r0[f"agree_{n}"] else est[n][1] for n in ("a", "b", "c")
+    )
+    assert r0["weight_micro"] == expect
+    assert set(r["decision"] for r in got) <= {"match", "possible", "non_match"}

@@ -12273,3 +12273,101 @@ def hreflang_page_graph(spark, sf_dir):
     return hreflang_alternates(
         docs.select("doc_id", html.alias("html")), "doc_id", "html"
     )
+
+
+def _fs_em_scored_oracle() -> str:
+    em = fs_em_oracle_cte(_FS_PAIRS_SQL, ["name", "mkt", "bal"], iterations=15)
+    return f"""WITH em AS MATERIALIZED ({em}),
+ wts AS (SELECT
+   max(CASE WHEN field='name' THEN w_agree_micro END) AS wa_name,
+   max(CASE WHEN field='name' THEN w_disagree_micro END) AS wd_name,
+   max(CASE WHEN field='mkt' THEN w_agree_micro END) AS wa_mkt,
+   max(CASE WHEN field='mkt' THEN w_disagree_micro END) AS wd_mkt,
+   max(CASE WHEN field='bal' THEN w_agree_micro END) AS wa_bal,
+   max(CASE WHEN field='bal' THEN w_disagree_micro END) AS wd_bal
+  FROM em),
+ base AS (SELECT c_custkey AS id, lower(c_name) AS name, c_mktsegment AS mkt,
+          CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal FROM customer),
+ dirty AS (SELECT * FROM base UNION ALL
+   SELECT id + 1000000, substr(name, 1, length(name) - 1), mkt, bal + 250
+   FROM base WHERE id % 5 = 0),
+ keyed AS (SELECT *, substr(name, 15, 2) || '|' || name AS k FROM dirty),
+ r AS (SELECT *, row_number() OVER (
+         PARTITION BY substr(k, 1, 2) ORDER BY k, id) AS rn FROM keyed),
+ p AS (SELECT a.id AS id_a, b.id AS id_b,
+              levenshtein(a.name, b.name) <= 1 AS agree_name,
+              a.mkt = b.mkt AS agree_mkt,
+              abs(a.bal - b.bal) <= 500 AS agree_bal
+       FROM r a JOIN r b ON substr(a.k, 1, 2) = substr(b.k, 1, 2)
+        AND b.rn - a.rn BETWEEN 1 AND 2),
+ sc AS (SELECT id_a, id_b,
+   CAST((CASE WHEN agree_name IS NULL THEN 0
+         WHEN agree_name THEN wa_name ELSE wd_name END)
+ + (CASE WHEN agree_mkt IS NULL THEN 0
+    WHEN agree_mkt THEN wa_mkt ELSE wd_mkt END)
+ + (CASE WHEN agree_bal IS NULL THEN 0
+    WHEN agree_bal THEN wa_bal ELSE wd_bal END) AS BIGINT) AS weight_micro
+ FROM p CROSS JOIN wts)
+SELECT id_a, id_b, weight_micro,
+       CASE WHEN weight_micro >= 20000000 THEN 'match'
+            WHEN weight_micro >= 0 THEN 'possible'
+            ELSE 'non_match' END AS decision
+FROM sc"""
+
+
+@q("fs_em_scored_linkage", _fs_em_scored_oracle())
+def fs_em_scored_linkage(spark, sf_dir):
+    """The train→deploy linkage loop end to end (linkage.py:
+    fs_em_estimate → fs_score_with_weights): EM learns m/u/λ from the
+    agreement-pattern table, the learned FULL-precision micro weights
+    (no lossy round-trip through rounded m/u) score every candidate
+    pair. The learned model is sharper than the hand-set priors: true
+    duplicates land at 46.06 bits vs 1.95 for window-neighbor
+    coincidences (measured — EM discovered that balance agreement, not
+    name agreement, separates matches inside an SNM window), giving the
+    clean 150/591/2814 decision mix at thresholds (20e6, 0)."""
+    from xmlschemavalidator_spark.dedup import sorted_neighborhood_pairs
+    from xmlschemavalidator_spark.linkage import fs_em_estimate, fs_score_with_weights
+
+    cust = _t(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.lower(F.col("c_name")).alias("name"),
+        F.col("c_mktsegment").alias("mkt"),
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint").alias("bal"),
+    )
+    dup = base.where(F.col("id") % 5 == 0).select(
+        (F.col("id") + 1_000_000).alias("id"),
+        F.expr("substring(name, 1, length(name) - 1)").alias("name"),
+        "mkt",
+        (F.col("bal") + 250).alias("bal"),
+    )
+    dirty = base.unionByName(dup)
+    keyed = dirty.withColumn(
+        "snm_key", F.concat(F.substring("name", 15, 2), F.lit("|"), F.col("name"))
+    )
+    pairs = sorted_neighborhood_pairs(
+        keyed, "id", "snm_key", window=3, block_chars=2
+    ).select("id_a", "id_b")
+    a = dirty.select(
+        F.col("id").alias("id_a"), F.col("name").alias("name_a"),
+        F.col("mkt").alias("mkt_a"), F.col("bal").alias("bal_a"),
+    )
+    b = dirty.select(
+        F.col("id").alias("id_b"), F.col("name").alias("name_b"),
+        F.col("mkt").alias("mkt_b"), F.col("bal").alias("bal_b"),
+    )
+    pj = pairs.join(a, "id_a").join(b, "id_b").persist()
+    agreements = {
+        "name": F.levenshtein("name_a", "name_b") <= 1,
+        "mkt": F.col("mkt_a") == F.col("mkt_b"),
+        "bal": F.abs(F.col("bal_a") - F.col("bal_b")) <= 500,
+    }
+    learned = {
+        r["field"]: (r["w_agree_micro"], r["w_disagree_micro"])
+        for r in fs_em_estimate(pj, agreements, iterations=15).collect()
+    }
+    out = fs_score_with_weights(
+        pj, agreements, learned, upper_micro=20_000_000, lower_micro=0
+    )
+    return out.select("id_a", "id_b", "weight_micro", "decision")

@@ -332,3 +332,50 @@ FROM {last}"""
         )
     body = "\nUNION ALL\n".join(selects)
     return "WITH " + ",\n".join(ctes) + "\n" + body
+
+
+def fs_score_with_weights(
+    pairs: DataFrame,
+    agreements: dict[str, Column],
+    weights_micro: dict[str, tuple[int, int]],
+    upper_micro: int,
+    lower_micro: int,
+) -> DataFrame:
+    """:func:`fellegi_sunter_score` with PRE-QUANTIZED micro weights —
+    the deploy half of the train→score loop: feed it the
+    ``(w_agree_micro, w_disagree_micro)`` columns of
+    :func:`fs_em_estimate` so the learned full-precision weights score
+    pairs without a lossy round-trip through rounded m/u. Same NULL
+    convention and three-way decision rule."""
+    if lower_micro > upper_micro:
+        raise ValueError(
+            f"fs_score_with_weights: lower_micro={lower_micro} > upper_micro={upper_micro}"
+        )
+    if set(weights_micro) != set(agreements):
+        raise ValueError("fs_score_with_weights: weights/agreements name mismatch")
+    out = pairs
+    terms = []
+    for name in sorted(weights_micro):
+        wa, wd = weights_micro[name]
+        if wa is None or wd is None:
+            raise ValueError(
+                f"fs_score_with_weights: field {name!r} has no valid weights "
+                "(degenerate EM fit) — drop it from the comparison set"
+            )
+        flag = agreements[name].cast("boolean")
+        out = out.withColumn(f"agree_{name}", flag)
+        terms.append(
+            F.when(F.col(f"agree_{name}").isNull(), F.lit(0).cast("bigint"))
+            .when(F.col(f"agree_{name}"), F.lit(int(wa)).cast("bigint"))
+            .otherwise(F.lit(int(wd)).cast("bigint"))
+        )
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    out = out.withColumn("weight_micro", total)
+    return out.withColumn(
+        "decision",
+        F.when(F.col("weight_micro") >= upper_micro, F.lit("match"))
+        .when(F.col("weight_micro") >= lower_micro, F.lit("possible"))
+        .otherwise(F.lit("non_match")),
+    )
