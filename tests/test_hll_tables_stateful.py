@@ -305,3 +305,54 @@ def test_stream_order_violations_cross_batch_watermark(spark, tmp_path):
     assert sorted(got) == ["3", "4"]
     assert got["3"]["prev_max_us"] == got["4"]["prev_max_us"]  # same watermark
     assert got["4"]["user_id"] == "1"
+
+
+def test_stream_rate_violations_cross_batch_window(spark, tmp_path):
+    """The (window, count) state survives the micro-batch boundary: a
+    window filled to the limit in batch 1 trips on its first batch-2
+    arrival; under-limit hosts never emit; each window trips ONCE."""
+    import datetime as dt
+
+    from xmlschemavalidator_spark.streaming.stateful import stream_rate_violations
+
+    src = str(tmp_path / "rsrc")
+    ckpt = str(tmp_path / "rckpt")
+    sink = str(tmp_path / "rsink")
+    schema = "host string, ts timestamp"
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    epoch0 = 1704067200
+
+    def run_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        sdf = spark.readStream.schema(schema).parquet(src)
+        out = stream_rate_violations(sdf, "host", "ts", max_per_window=2, window_s=60)
+        q = (
+            out.writeStream.format("parquet").option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        if not q.awaitTermination(300):
+            raise TimeoutError("stream_rate_violations batch did not finish")
+
+    # batch 1: host a fills window 0 to the limit (2); host b stays at 1
+    run_batch([
+        ("a", t0), ("a", t0 + dt.timedelta(seconds=10)),
+        ("b", t0 + dt.timedelta(seconds=5)),
+    ])
+    assert spark.read.schema("host string, window_start long").parquet(sink).count() == 0
+    # batch 2: host a's third hit in window 0 trips once (a 4th does not
+    # re-emit); a fresh window stays quiet; host b moves on cleanly
+    run_batch([
+        ("a", t0 + dt.timedelta(seconds=20)),
+        ("a", t0 + dt.timedelta(seconds=30)),
+        ("a", t0 + dt.timedelta(seconds=90)),  # next window, count 1
+        ("b", t0 + dt.timedelta(seconds=70)),
+    ])
+    got = sorted(
+        (r["host"], r["window_start"])
+        for r in spark.read.schema("host string, window_start long")
+        .parquet(sink).collect()
+    )
+    assert got == [("a", epoch0)]

@@ -12371,3 +12371,86 @@ def fs_em_scored_linkage(spark, sf_dir):
         pj, agreements, learned, upper_micro=20_000_000, lower_micro=0
     )
     return out.select("id_a", "id_b", "weight_micro", "decision")
+
+
+@q(
+    "stream_rate_violations",
+    """WITH w AS (SELECT 'h' || CAST(user_id % 20 AS VARCHAR) AS host,
+                         CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000
+                              AS BIGINT) * 3600 AS window_start,
+                         count(*) AS n
+                  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2)
+       SELECT host, window_start FROM w WHERE n > 3""",
+)
+def stream_rate_violations_q(spark, sf_dir):
+    """The crawl-politeness breaker as a STATEFUL STREAM
+    (streaming/stateful.py:stream_rate_violations): per-host
+    (window, count) keyed state across micro-batches, tripping the
+    moment a window crosses the limit — at ingest, not in tomorrow's
+    batch audit. Events replay as a 3-chunk file stream split by TS
+    THIRDS (per-host window ids nondecreasing across batches — the
+    batch-equivalence contract), so the emitted set hash-matches the
+    one-shot batch audit's violating (host, window) pairs: one more
+    stateful streaming query with a FULL SQL oracle."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from xmlschemavalidator_spark.streaming.stateful import stream_rate_violations
+
+    tmp = tempfile.mkdtemp(prefix="strate_")
+    try:
+        e = (
+            _t(spark, sf_dir, "events")
+            .where(F.col("ts").isNotNull())
+            .select(
+                F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string")).alias(
+                    "host"
+                ),
+                F.col("ts").cast("timestamp").alias("ts"),
+            )
+        )
+        cuts = e.agg(
+            F.expr("percentile(unix_micros(ts), 0.33)").alias("c1"),
+            F.expr("percentile(unix_micros(ts), 0.66)").alias("c2"),
+        ).collect()[0]
+        c1, c2 = int(cuts["c1"]), int(cuts["c2"])
+        us = F.unix_micros("ts")
+        chunks = [
+            e.where(us < c1),
+            e.where((us >= c1) & (us < c2)),
+            e.where(us >= c2),
+        ]
+        srcdir = f"{tmp}/in"
+        os.makedirs(srcdir)
+        t_base = 1_600_000_000
+        for j, ch in enumerate(chunks):
+            d = f"{tmp}/chunk{j}"
+            ch.coalesce(1).write.parquet(d)
+            dst = f"{srcdir}/{j:04d}.parquet"
+            shutil.move(glob.glob(f"{d}/part-*.parquet")[0], dst)
+            os.utime(dst, (t_base + 600 * j, t_base + 600 * j))
+        sdf = (
+            spark.readStream.schema("host string, ts timestamp_ntz")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(srcdir)
+        )
+        out = stream_rate_violations(sdf, "host", "ts", max_per_window=3, window_s=3600)
+        q_ = (
+            out.writeStream.format("parquet")
+            .option("path", f"{tmp}/sink")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination(300)
+        got = (
+            spark.read.schema("host string, window_start long")
+            .parquet(f"{tmp}/sink")
+            .localCheckpoint()
+        )
+        return got
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

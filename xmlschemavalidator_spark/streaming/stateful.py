@@ -403,3 +403,77 @@ def stream_order_violations(
     return base.groupBy(key).applyInPandasWithState(
         fn, out_schema, "state_ts bigint", "append", timeout
     )
+
+
+def stream_rate_violations(
+    stream_df: DataFrame,
+    host: str,
+    ts: str,
+    max_per_window: int,
+    window_s: int = 1,
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Streaming form of ``weburl.crawl_rate_violations``: per-host
+    fixed-window request counting in keyed state, emitting
+    ``(host, window_start)`` the MOMENT a window crosses
+    ``max_per_window`` — the politeness breaker trips at ingest, not in
+    tomorrow's batch audit. State per host is two ints (current window,
+    its count): bounded regardless of stream length.
+
+    Batch equivalence (the stream_order_violations contract): under
+    per-host log-order arrival — window ids nondecreasing per host
+    across micro-batches, rows within a batch sorted here — the emitted
+    set equals the batch audit's violating (host, window) pairs, so the
+    query carries a FULL SQL oracle. A late row from an already-passed
+    window restarts that window's count (disclosed: its earlier rows
+    are gone from state by design; the batch audit remains the
+    authoritative backfill).
+
+    NULL host/ts rows are dropped upstream by the caller's projection
+    (keyed state cannot group NULL hosts usefully)."""
+    if max_per_window < 1 or window_s < 1:
+        raise ValueError("stream_rate_violations: positive limits required")
+    out_schema = f"{host} string, window_start long"
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_ms
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def fn(
+        key_tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        cur_w, cnt = state.get if state.exists else (None, 0)
+        frames = [b for b in batches if len(b)]
+        if not frames:
+            if state_ttl_ms and state.exists:
+                state.setTimeoutDuration(state_ttl_ms)
+            return
+        b = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+        t_us = (
+            pd.to_datetime(b[ts]).astype("datetime64[ns]").astype("int64") // 1_000
+        )
+        ws = sorted(int(u) // (window_s * 1_000_000) * window_s for u in t_us)
+        out = []
+        for w in ws:
+            if cur_w is None or w != cur_w:
+                cur_w, cnt = w, 1
+            else:
+                cnt += 1
+            if cnt == max_per_window + 1:
+                out.append(w)
+        state.update((cur_w, cnt))
+        if state_ttl_ms:
+            state.setTimeoutDuration(state_ttl_ms)
+        if out:
+            yield pd.DataFrame(
+                {host: [str(key_tuple[0])] * len(out), "window_start": out}
+            )
+
+    base = stream_df.where(F.col(ts).isNotNull())
+    return base.groupBy(host).applyInPandasWithState(
+        fn, out_schema, "cur_w bigint, cnt bigint", "append", timeout
+    )
