@@ -746,3 +746,28 @@ def test_eb_shrunken_rates_degenerate_prior_falls_back(spark):
     df = spark.createDataFrame(rows, "domain string, id long, ok int")
     for r in eb_shrunken_rates(df, ("domain",), "ok").collect():
         assert r["shrunk_rate"] == r["raw_rate"]
+
+
+def test_simpsons_paradox_detected_and_absent(spark):
+    from xmlschemavalidator_spark.checks.stats import simpsons_paradox_check
+
+    # classic construction: within each group y DECREASES with x, but
+    # the higher-x group sits at a higher level -> pooled slope is UP
+    rows = []
+    for i in range(20):
+        rows.append(("a", i * 1.0, 10.0 - 0.5 * i))          # x in [0,20)
+        rows.append(("b", 100.0 + i, 200.0 - 0.5 * i))       # x in [100,120)
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    [r] = simpsons_paradox_check(df, "x", "y", ("g",)).collect()
+    assert r["pooled_slope"] > 0
+    assert (r["n_groups_pos"], r["n_groups_neg"]) == (0, 2)
+    assert r["paradox"] is True
+
+    # aligned trends: no alarm
+    ok = spark.createDataFrame(
+        [("a", float(i), 2.0 * i) for i in range(10)]
+        + [("b", float(i), 2.0 * i + 5) for i in range(10)],
+        "g string, x double, y double",
+    )
+    [s] = simpsons_paradox_check(ok, "x", "y", ("g",)).collect()
+    assert s["paradox"] is False and s["n_groups_pos"] == 2

@@ -933,3 +933,50 @@ def eb_shrunken_rates(
         F.round(rate, round_to).alias("raw_rate"),
         F.round(shrunk, round_to).alias("shrunk_rate"),
     )
+
+
+def simpsons_paradox_check(
+    df: DataFrame,
+    x: str,
+    y: str,
+    group_cols: tuple[str, ...],
+    quantum: int = 1_000_000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Simpson's-paradox alarm for a trend metric: ONE row
+    ``(pooled_slope, n_groups, n_groups_pos, n_groups_neg, paradox)``
+    comparing the POOLED OLS slope of y on x against the per-group
+    slope signs — ``paradox`` fires when the pooled sign contradicts
+    the group majority (positive pooled trend while most groups trend
+    down, or vice versa): the aggregation-bias failure where a
+    composition shift (more docs from a slow source) masquerades as a
+    metric trend. Groups with undefined slope (n<=1 or zero x-variance)
+    don't vote.
+
+    Exactness: both levels reuse :func:`ols_trend`'s quantized
+    DECIMAL(38,0) moment sums; signs are taken on the 6dp-rounded
+    slopes (the same values both engines report), so the verdict is
+    hash-stable. One corpus aggregate per level; the vote count runs
+    over the bounded group table."""
+    per = ols_trend(df, x, y, group_cols, quantum=quantum, round_to=round_to)
+    pooled = ols_trend(df, x, y, (), quantum=quantum, round_to=round_to).select(
+        F.col("slope").alias("pooled_slope")
+    )
+    votes = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum((F.col("slope") > 0).cast("long")).cast("bigint").alias("n_groups_pos"),
+        F.sum((F.col("slope") < 0).cast("long")).cast("bigint").alias("n_groups_neg"),
+    )
+    out = votes.crossJoin(pooled)
+    paradox = (
+        (F.col("pooled_slope") > 0) & (F.col("n_groups_neg") > F.col("n_groups_pos"))
+    ) | (
+        (F.col("pooled_slope") < 0) & (F.col("n_groups_pos") > F.col("n_groups_neg"))
+    )
+    return out.select(
+        "pooled_slope",
+        "n_groups",
+        "n_groups_pos",
+        "n_groups_neg",
+        F.coalesce(paradox, F.lit(False)).alias("paradox"),
+    )

@@ -12454,3 +12454,58 @@ def stream_rate_violations_q(spark, sf_dir):
         return got
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@q(
+    "simpsons_paradox_daily_events",
+    """WITH daily AS (SELECT event_type,
+                             CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+                                  AS BIGINT) AS day,
+                             CAST(count(*) AS BIGINT) AS n_events
+                      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+       q AS (SELECT event_type, CAST(floor(day * 1000000) AS HUGEINT) AS x,
+                    CAST(floor(n_events * 1000000) AS HUGEINT) AS y FROM daily),
+       a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
+                    sum(y) AS sy, sum(x*x) AS sxx, sum(x*y) AS sxy
+             FROM q GROUP BY 1),
+       slopes AS (SELECT CASE WHEN (n::DOUBLE*sxx::DOUBLE - sx::DOUBLE*sx::DOUBLE) > 0
+                   THEN round((n::DOUBLE*sxy::DOUBLE - sx::DOUBLE*sy::DOUBLE)
+                        / (n::DOUBLE*sxx::DOUBLE - sx::DOUBLE*sx::DOUBLE), 6)
+                   END AS s FROM a),
+       votes AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
+                        CAST(sum(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                          AS n_groups_pos,
+                        CAST(sum(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                          AS n_groups_neg
+                 FROM slopes),
+       p AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+                    sum(x*x) AS sxx, sum(x*y) AS sxy FROM q),
+       pooled AS (SELECT CASE WHEN (n::DOUBLE*sxx::DOUBLE - sx::DOUBLE*sx::DOUBLE) > 0
+                   THEN round((n::DOUBLE*sxy::DOUBLE - sx::DOUBLE*sy::DOUBLE)
+                        / (n::DOUBLE*sxx::DOUBLE - sx::DOUBLE*sx::DOUBLE), 6)
+                   END AS pooled_slope FROM p)
+       SELECT pooled_slope, n_groups, n_groups_pos, n_groups_neg,
+              coalesce((pooled_slope > 0 AND n_groups_neg > n_groups_pos)
+                       OR (pooled_slope < 0 AND n_groups_pos > n_groups_neg),
+                       FALSE) AS paradox
+       FROM votes CROSS JOIN pooled""",
+)
+def simpsons_paradox_daily_events(spark, sf_dir):
+    """Simpson's-paradox alarm (checks/stats.py:simpsons_paradox_check)
+    over daily event counts: the NATURAL data exhibits the paradox —
+    pooled slope −0.0127/day while 3 of 5 event types trend UP
+    (measured at sf0.01): the pooled series mixes per-type levels, the
+    exact aggregation bias this alarm exists to catch before someone
+    'fixes' a metric that isn't falling. Reuses the OLS moment-sum
+    machinery at both levels; signs taken on the 6dp-rounded slopes
+    both engines report."""
+    from xmlschemavalidator_spark.checks.stats import simpsons_paradox_check
+
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000)
+        .cast("bigint")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    return simpsons_paradox_check(daily, "day", "n_events", ("event_type",))
