@@ -771,3 +771,33 @@ def test_simpsons_paradox_detected_and_absent(spark):
     )
     [s] = simpsons_paradox_check(ok, "x", "y", ("g",)).collect()
     assert s["paradox"] is False and s["n_groups_pos"] == 2
+
+
+def test_standardized_rates_remove_composition_bias(spark):
+    from xmlschemavalidator_spark.checks.stats import standardized_rates
+
+    # both groups have IDENTICAL per-stratum rates (s0: 10%, s1: 50%)
+    # but opposite compositions -> raw rates differ, standardized agree
+    rows = []
+    rows += [("a", "s0", 1 if i < 9 else 0) for i in range(90)]     # 9/90 wait 10%
+    rows += [("a", "s1", 1 if i < 5 else 0) for i in range(10)]     # 5/10
+    rows += [("b", "s0", 1 if i < 1 else 0) for i in range(10)]     # 1/10
+    rows += [("b", "s1", 1 if i < 45 else 0) for i in range(90)]    # 45/90
+    df = spark.createDataFrame(rows, "g string, stratum string, ok int")
+    got = {r["g"]: r for r in
+           standardized_rates(df, ("g",), "stratum", "ok").collect()}
+    assert got["a"]["raw_rate"] != got["b"]["raw_rate"]
+    assert got["a"]["standardized_rate"] == got["b"]["standardized_rate"]
+    assert got["a"]["covered_weight_micro"] == 1_000_000
+
+
+def test_standardized_rates_uncovered_stratum_renormalizes(spark):
+    from xmlschemavalidator_spark.checks.stats import standardized_rates
+
+    rows = [("a", "s0", 1), ("a", "s1", 0), ("b", "s0", 1)]
+    df = spark.createDataFrame(rows, "g string, stratum string, ok int")
+    got = {r["g"]: r for r in
+           standardized_rates(df, ("g",), "stratum", "ok").collect()}
+    # b never saw s1: covered weight < 1e6 and its rate uses s0 only
+    assert got["b"]["covered_weight_micro"] < 1_000_000
+    assert got["b"]["standardized_rate"] == 1.0

@@ -980,3 +980,71 @@ def simpsons_paradox_check(
         "n_groups_neg",
         F.coalesce(paradox, F.lit(False)).alias("paradox"),
     )
+
+
+def standardized_rates(
+    df: DataFrame,
+    group_cols: tuple[str, ...],
+    stratum_col: str,
+    success_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Directly standardized per-group success rates (the
+    epidemiology-standard composition adjustment — and the CORRECTOR
+    for the Simpson's-paradox alarm): re-weight each group's
+    per-stratum rates by the GLOBAL stratum mix, so two groups with
+    different compositions become comparable. Returns per group:
+    ``(…, n, raw_rate, standardized_rate, covered_weight_micro)`` with
+    standardized = Σ_s w_s·rate_{g,s} / Σ_s∈covered w_s — strata the
+    group never saw drop out and the weight renormalizes over the
+    covered mass (reported in integer micros so a thin-coverage group
+    is visibly less trustworthy rather than silently extrapolated).
+
+    Exactness: stratum weights are exact integer micro shares (BIGINT
+    div of global counts); each per-stratum rate is one double division
+    of exact counts; the weighted terms are 12dp-rounded then
+    DECIMAL-summed (order-free), ONE final division. Two stacked
+    partial-agg groupBys — bounded by groups×strata."""
+    g = list(group_cols)
+    if not g:
+        raise ValueError("standardized_rates: need >= 1 group column")
+    s = F.col(success_col).cast("double")
+    cell = (
+        df.where(s.isNotNull())
+        .groupBy(*g, F.col(stratum_col).alias("_s"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("_n"),
+            F.sum(s.cast("long")).cast("bigint").alias("_x"),
+        )
+    )
+    strata = cell.groupBy("_s").agg(F.sum("_n").cast("bigint").alias("_ns"))
+    tot = strata.agg(F.sum("_ns").cast("bigint").alias("_nt"))
+    w = strata.crossJoin(F.broadcast(tot)).select(
+        "_s", F.expr("_ns * 1000000 div _nt").cast("bigint").alias("_w")
+    )
+    j = cell.join(F.broadcast(w), "_s")
+    term = F.round(
+        F.col("_w").cast("double")
+        * (F.col("_x").cast("double") / F.col("_n").cast("double")),
+        12,
+    ).cast("decimal(28,12)")
+    agg = j.groupBy(*g).agg(
+        F.sum("_n").cast("bigint").alias("n"),
+        F.sum("_x").cast("bigint").alias("_xt"),
+        F.sum(term).alias("_wsum"),
+        F.sum("_w").cast("bigint").alias("covered_weight_micro"),
+    )
+    return agg.select(
+        *g,
+        "n",
+        F.round(F.col("_xt") / F.col("n"), round_to).alias("raw_rate"),
+        F.round(
+            F.when(
+                F.col("covered_weight_micro") > 0,
+                F.col("_wsum").cast("double")
+                / F.col("covered_weight_micro").cast("double"),
+            ),
+            round_to,
+        ).alias("standardized_rate"),
+        "covered_weight_micro",
+    )

@@ -12509,3 +12509,57 @@ def simpsons_paradox_daily_events(spark, sf_dir):
         .alias("day"),
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
     return simpsons_paradox_check(daily, "day", "n_events", ("event_type",))
+
+
+@q(
+    "standardized_purchase_rates",
+    """WITH b AS (SELECT 'h' || CAST(user_id % 4 AS VARCHAR) AS grp,
+                         CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000
+                              AS BIGINT) AS stratum,
+                         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ok
+                  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+       cell AS (SELECT grp, stratum, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(ok) AS BIGINT) AS x
+                FROM b GROUP BY 1, 2),
+       st AS (SELECT stratum, CAST(sum(n) AS BIGINT) AS ns FROM cell GROUP BY 1),
+       t AS (SELECT CAST(sum(ns) AS BIGINT) AS nt FROM st),
+       w AS (SELECT stratum, CAST(ns * 1000000 // nt AS BIGINT) AS w
+             FROM st CROSS JOIN t),
+       j AS (SELECT cell.*, w.w,
+                    CAST(round(CAST(w.w AS DOUBLE)
+                               * (CAST(x AS DOUBLE) / CAST(n AS DOUBLE)), 12)
+                         AS DECIMAL(28,12)) AS term
+             FROM cell JOIN w USING (stratum)),
+       a AS (SELECT grp, CAST(sum(n) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS xt,
+                    sum(term) AS wsum, CAST(sum(w) AS BIGINT) AS covered
+             FROM j GROUP BY grp)
+       SELECT grp, n,
+              round(CAST(xt AS DOUBLE) / CAST(n AS DOUBLE), 6) AS raw_rate,
+              round(CASE WHEN covered > 0
+                    THEN CAST(wsum AS DOUBLE) / CAST(covered AS DOUBLE) END, 6)
+                AS standardized_rate,
+              covered AS covered_weight_micro
+       FROM a""",
+)
+def standardized_purchase_rates(spark, sf_dir):
+    """Directly standardized purchase rates per user cohort
+    (checks/stats.py:standardized_rates) — the composition CORRECTOR
+    that pairs with the Simpson's alarm: each cohort's weekly rates are
+    re-weighted by the GLOBAL week mix, so cohorts active in different
+    weeks compare on rate, not on calendar composition. Exact micro
+    stratum weights, 12dp-round-then-DECIMAL-sum terms, one division;
+    covered weight surfaces thin-coverage cohorts instead of silently
+    extrapolating."""
+    from xmlschemavalidator_spark.checks.stats import standardized_rates
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    base = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 4).cast("string")).alias("grp"),
+        F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 604_800_000_000)
+        .cast("bigint")
+        .alias("stratum"),
+        (F.col("event_type") == "purchase").cast("int").alias("ok"),
+    )
+    return standardized_rates(base, ("grp",), "stratum", "ok")
