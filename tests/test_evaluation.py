@@ -229,3 +229,13 @@ def test_kaplan_meier_censoring_changes_curve(spark):
     # ln(0) guard: all-events row yields -inf? floor(ln(0)) is undefined —
     # document: S hits exact 0, logsurv_micro is NULL in that terminal row
     assert r["logsurv_micro"] is None or r["survival"] == 0.0
+
+
+def test_kaplan_meier_grouped_curves_independent(spark):
+    rows = [("a", 1, 2, True), ("a", 2, 4, False), ("b", 3, 2, True), ("b", 4, 2, True)]
+    df = spark.createDataFrame(rows, "g string, id long, dur long, obs boolean")
+    got = {(r["g"], r["t"]): r for r in
+           kaplan_meier(df, "dur", "obs", group_cols=("g",)).collect()}
+    # group a: 1 event of 2 at risk -> S=1/2 ; group b: 2 of 2 -> S hits 0
+    assert got[("a", 2)]["n_risk"] == 2 and got[("a", 2)]["survival"] == 0.5
+    assert got[("b", 2)]["survival"] == 0.0 and got[("b", 2)]["logsurv_micro"] is None

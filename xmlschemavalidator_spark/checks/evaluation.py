@@ -294,6 +294,7 @@ def kaplan_meier(
     duration_col: str,
     observed_col: str,
     round_to: int = 6,
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Kaplan–Meier product-limit survival estimate (Kaplan & Meier
     JASA 1958) over right-censored durations — the retention/churn
@@ -301,7 +302,10 @@ def kaplan_meier(
     CENSORED (drops from the risk set without counting as a death),
     which the naive "fraction still active at t" conflates. One row
     per distinct duration with >= 1 observed event:
-    ``(t, n_risk, n_events, n_censored, logsurv_micro, survival)``.
+    ``(*group_cols, t, n_risk, n_events, n_censored, logsurv_micro,
+    survival)`` — pass ``group_cols`` for per-cohort curves (windows
+    partition by group; the single-partition form is the ungrouped
+    special case).
 
     Exactness: each factor (1 − d_t/n_t) is the exact rational
     (n_t − d_t)/n_t of BIGINT counts; its ln floor-quantizes to integer
@@ -319,21 +323,25 @@ def kaplan_meier(
     fine at any corpus size for bounded duration grids (days); for
     continuous micro-second durations, bucket first.
     """
+    gc = list(group_cols)
     lab = F.col(observed_col).cast("boolean")
     base = df.where(
         F.col(duration_col).isNotNull() & lab.isNotNull()
     ).select(
+        *[F.col(c) for c in gc],
         F.col(duration_col).cast("bigint").alias("t"),
         lab.cast("long").alias("_e"),
     )
-    g = base.groupBy("t").agg(
+    g = base.groupBy(*gc, "t").agg(
         F.sum("_e").cast("bigint").alias("n_events"),
         F.sum(F.lit(1) - F.col("_e")).cast("bigint").alias("n_censored"),
         F.count(F.lit(1)).cast("bigint").alias("_n"),
     )
     # n_risk at t = everyone with duration >= t: a cumulative sum from
     # the END of the distinct-duration table
-    wtail = Window.orderBy("t").rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    wtail = Window.partitionBy(*gc).orderBy("t").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
     g2 = g.withColumn("n_risk", F.sum("_n").over(wtail).cast("bigint"))
     # S hits exact 0 when every remaining subject dies at t (ln(0) = -inf
     # has no integer form): that terminal row carries NULL logsurv_micro
@@ -350,7 +358,9 @@ def kaplan_meier(
             * F.lit(1_000_000)
         ).cast("bigint"),
     )
-    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wcum = Window.partitionBy(*gc).orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
     out = (
         g2.where(F.col("n_events") > 0)
         .withColumn("_lt", term)
@@ -360,6 +370,7 @@ def kaplan_meier(
         )
     )
     return out.select(
+        *gc,
         "t",
         "n_risk",
         "n_events",

@@ -12563,3 +12563,60 @@ def standardized_purchase_rates(spark, sf_dir):
         (F.col("event_type") == "purchase").cast("int").alias("ok"),
     )
     return standardized_rates(base, ("grp",), "stratum", "ok")
+
+
+@q(
+    "kaplan_meier_cohort_curves",
+    """WITH u AS (
+         SELECT 'c' || CAST(user_id % 3 AS VARCHAR) AS cohort,
+                CAST((epoch_us(max(CAST(ts AS TIMESTAMP)))
+                      - epoch_us(min(CAST(ts AS TIMESTAMP)))) // 86400000000
+                     AS BIGINT) AS dur,
+                max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1 AS obs
+         FROM events WHERE ts IS NOT NULL GROUP BY user_id),
+       g AS (SELECT cohort, dur AS t,
+                    CAST(sum(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT) AS n_events,
+                    CAST(sum(CASE WHEN obs THEN 0 ELSE 1 END) AS BIGINT) AS n_censored,
+                    CAST(count(*) AS BIGINT) AS n
+             FROM u GROUP BY 1, 2),
+       r AS (SELECT *, CAST(sum(n) OVER (PARTITION BY cohort ORDER BY t
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+                 AS n_risk FROM g),
+       e AS (SELECT *, CASE WHEN n_events < n_risk THEN
+                 CAST(floor(ln(CAST(n_risk - n_events AS DOUBLE)
+                               / CAST(n_risk AS DOUBLE)) * 1000000) AS BIGINT)
+                 END AS lt
+             FROM r WHERE n_events > 0)
+       SELECT cohort, t, n_risk, n_events, n_censored,
+              CASE WHEN n_events < n_risk THEN
+                CAST(sum(lt) OVER (PARTITION BY cohort ORDER BY t
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+              END AS logsurv_micro
+       FROM e""",
+)
+def kaplan_meier_cohort_curves(spark, sf_dir):
+    """Per-cohort Kaplan-Meier curves (checks/evaluation.py:
+    kaplan_meier with group_cols) — the grouped form retention analysis
+    actually uses: three user cohorts' survival curves computed in one
+    pass, windows partitioned by cohort over the bounded
+    (cohort, duration) grid."""
+    from xmlschemavalidator_spark.checks.evaluation import kaplan_meier
+
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    u = ev.groupBy("user_id").agg(
+        F.floor(
+            (
+                F.unix_micros(F.max(F.col("ts").cast("timestamp")))
+                - F.unix_micros(F.min(F.col("ts").cast("timestamp")))
+            )
+            / 86_400_000_000
+        )
+        .cast("bigint")
+        .alias("dur"),
+        (F.max((F.col("event_type") == "purchase").cast("long")) == 1).alias("obs"),
+    ).withColumn(
+        "cohort", F.concat(F.lit("c"), (F.col("user_id") % 3).cast("string"))
+    )
+    return kaplan_meier(u, "dur", "obs", group_cols=("cohort",)).select(
+        "cohort", "t", "n_risk", "n_events", "n_censored", "logsurv_micro"
+    )
