@@ -801,3 +801,26 @@ def test_standardized_rates_uncovered_stratum_renormalizes(spark):
     # b never saw s1: covered weight < 1e6 and its rate uses s0 only
     assert got["b"]["covered_weight_micro"] < 1_000_000
     assert got["b"]["standardized_rate"] == 1.0
+
+
+def test_smr_rates_against_hand_expectation(spark):
+    from xmlschemavalidator_spark.checks.stats import smr_rates
+
+    # global rates: s0 -> 0.2 (2/10), s1 -> 0.5 (5/10)
+    # group a: 5 rows in s0 with 3 successes -> expected 1.0, smr 3.0
+    rows = (
+        [("a", "s0", 1)] * 3 + [("a", "s0", 0)] * 2
+        + [("b", "s0", 0)] * 5
+        + [("a", "s1", 1)] * 0
+        + [("b", "s1", 1)] * 5 + [("b", "s1", 0)] * 5
+    )
+    # fix global s0: a has 3/5, b has 0/5 -> global 3/10 = 0.3
+    df = spark.createDataFrame(rows, "g string, stratum string, ok int")
+    got = {r["g"]: r for r in smr_rates(df, ("g",), "stratum", "ok").collect()}
+    a = got["a"]
+    assert (a["n"], a["observed"]) == (5, 3)
+    assert a["expected"] == round(5 * 0.3, 6)
+    assert a["smr"] == round(3 / 1.5, 6)
+    b = got["b"]
+    assert b["expected"] == round(5 * 0.3 + 10 * 0.5, 6)
+    assert b["smr"] == round(5 / 6.5, 6)

@@ -1048,3 +1048,65 @@ def standardized_rates(
         ).alias("standardized_rate"),
         "covered_weight_micro",
     )
+
+
+def smr_rates(
+    df: DataFrame,
+    group_cols: tuple[str, ...],
+    stratum_col: str,
+    success_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Indirectly standardized ratio (SMR — the other classic
+    composition adjustment, for groups too SMALL to estimate their own
+    per-stratum rates, where :func:`standardized_rates` gets noisy):
+    per group, ``observed / expected`` with expected = Σ_s n_{g,s} ·
+    global_rate_s — "how did this group do against what the global
+    per-stratum rates predict for ITS OWN mix?". Returns
+    ``(…, n, observed, expected, smr)``; SMR > 1 = outperforming its
+    composition.
+
+    Exactness: expected terms n_{g,s}·x_s/n_s are one double division
+    each (exact integer inputs), 12dp-rounded then DECIMAL-summed; SMR
+    is ONE final division (NULL when expected is 0). Same bounded
+    groups×strata shape as the direct form."""
+    g = list(group_cols)
+    if not g:
+        raise ValueError("smr_rates: need >= 1 group column")
+    s = F.col(success_col).cast("double")
+    cell = (
+        df.where(s.isNotNull())
+        .groupBy(*g, F.col(stratum_col).alias("_s"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("_n"),
+            F.sum(s.cast("long")).cast("bigint").alias("_x"),
+        )
+    )
+    glob = cell.groupBy("_s").agg(
+        F.sum("_n").cast("bigint").alias("_ns"),
+        F.sum("_x").cast("bigint").alias("_xs"),
+    )
+    j = cell.join(F.broadcast(glob), "_s")
+    exp_term = F.round(
+        F.col("_n").cast("double")
+        * (F.col("_xs").cast("double") / F.col("_ns").cast("double")),
+        12,
+    ).cast("decimal(28,12)")
+    agg = j.groupBy(*g).agg(
+        F.sum("_n").cast("bigint").alias("n"),
+        F.sum("_x").cast("bigint").alias("observed"),
+        F.sum(exp_term).alias("_exp"),
+    )
+    return agg.select(
+        *g,
+        "n",
+        "observed",
+        F.round(F.col("_exp").cast("double"), round_to).alias("expected"),
+        F.round(
+            F.when(
+                F.col("_exp") > 0,
+                F.col("observed").cast("double") / F.col("_exp").cast("double"),
+            ),
+            round_to,
+        ).alias("smr"),
+    )

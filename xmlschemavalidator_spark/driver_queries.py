@@ -12620,3 +12620,52 @@ def kaplan_meier_cohort_curves(spark, sf_dir):
     return kaplan_meier(u, "dur", "obs", group_cols=("cohort",)).select(
         "cohort", "t", "n_risk", "n_events", "n_censored", "logsurv_micro"
     )
+
+
+@q(
+    "smr_purchase_rates",
+    """WITH b AS (SELECT 'h' || CAST(user_id % 4 AS VARCHAR) AS grp,
+                         CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000
+                              AS BIGINT) AS stratum,
+                         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ok
+                  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+       cell AS (SELECT grp, stratum, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(ok) AS BIGINT) AS x
+                FROM b GROUP BY 1, 2),
+       g AS (SELECT stratum, CAST(sum(n) AS BIGINT) AS ns,
+                    CAST(sum(x) AS BIGINT) AS xs FROM cell GROUP BY 1),
+       j AS (SELECT cell.*,
+                    CAST(round(CAST(cell.n AS DOUBLE)
+                               * (CAST(g.xs AS DOUBLE) / CAST(g.ns AS DOUBLE)), 12)
+                         AS DECIMAL(28,12)) AS term
+             FROM cell JOIN g USING (stratum)),
+       a AS (SELECT grp, CAST(sum(n) AS BIGINT) AS n,
+                    CAST(sum(x) AS BIGINT) AS observed, sum(term) AS e
+             FROM j GROUP BY grp)
+       SELECT grp, n, observed,
+              round(CAST(e AS DOUBLE), 6) AS expected,
+              round(CASE WHEN e > 0
+                    THEN CAST(observed AS DOUBLE) / CAST(e AS DOUBLE) END, 6) AS smr
+       FROM a""",
+)
+def smr_purchase_rates(spark, sf_dir):
+    """Indirectly standardized purchase ratios per cohort
+    (checks/stats.py:smr_rates — the SMR, for groups too small to
+    estimate their own per-stratum rates): observed purchases vs what
+    the GLOBAL weekly rates predict for each cohort's own week mix.
+    The adjustment pair is complete: direct (standardized_rates)
+    re-weights the group's rates; indirect re-weights the global
+    rates — same bounded cell table, both oracle-exact."""
+    from xmlschemavalidator_spark.checks.stats import smr_rates
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    base = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 4).cast("string")).alias("grp"),
+        F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 604_800_000_000)
+        .cast("bigint")
+        .alias("stratum"),
+        (F.col("event_type") == "purchase").cast("int").alias("ok"),
+    )
+    return smr_rates(base, ("grp",), "stratum", "ok")
