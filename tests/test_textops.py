@@ -1442,3 +1442,27 @@ def test_nfc_flags_decomposed_detected(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc"]: r["is_nfc"] for r in nfc_flags(df, "doc_id").collect()}
     assert got == {1: True, 2: False, 3: True, 4: None, 5: False}
+
+
+def test_badword_stats_whole_token_case_insensitive(spark):
+    import pytest as _pt
+
+    from xmlschemavalidator_spark.textops import badword_stats
+
+    rows = [
+        (1, "the CLASS discusses art"),     # 'ass' must not trip inside words
+        (2, "plain bad token here"),
+        (3, "BAD bad bAd"),
+        (4, None),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc"]: (r["n_tokens"], r["n_bad"], r["bad_micro"], r["keep"])
+           for r in badword_stats(df, "doc_id", ["bad", "ass"]).collect()}
+    assert got[1] == (4, 0, 0, True)
+    assert got[2] == (4, 1, 250_000, False)
+    assert got[3] == (3, 3, 1_000_000, False)
+    assert got[4][1] == 0 and got[4][3] is True  # NULL text: zero tokens
+    assert got[5] == (0, 0, None, True)
+    with _pt.raises(ValueError):
+        badword_stats(df, "doc_id", [])

@@ -12669,3 +12669,35 @@ def smr_purchase_rates(spark, sf_dir):
         (F.col("event_type") == "purchase").cast("int").alias("ok"),
     )
     return smr_rates(base, ("grp",), "stratum", "ok")
+
+
+@q(
+    "text_badword_gate",
+    r"""WITH t AS (
+         SELECT doc_id,
+                list_filter(string_split_regex(trim(coalesce(lower(text), '')),
+                            '\s+'), x -> x <> '') AS tk
+         FROM documents),
+       c AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+                    CAST(len(list_filter(tk,
+                         x -> x = 'hash' OR x = 'spark')) AS BIGINT) AS n_bad
+             FROM t)
+       SELECT doc_id AS doc, n_tokens, n_bad,
+              CASE WHEN n_tokens > 0
+                   THEN CAST(n_bad * 1000000 // n_tokens AS BIGINT) END AS bad_micro,
+              n_bad = 0 AS keep
+       FROM c""",
+)
+def text_badword_gate(spark, sf_dir):
+    """C4's TEXT-level bad-words gate (textops.badword_stats — the
+    sibling of the URL badword filter; C4 drops pages containing a
+    listed word, Dolma scores the fraction: this emits both). Whole-
+    token case-insensitive matching — never substrings — with the
+    blocklist as a literal array; 'spark'/'hash' stand in as measured
+    mid-frequency entries so keep/drop and the micro fraction all carry
+    weight. One narrow projection, token array let-bound once."""
+    from xmlschemavalidator_spark.textops import badword_stats
+
+    return badword_stats(
+        _t(spark, sf_dir, "documents"), "doc_id", ["spark", "hash"]
+    )

@@ -2024,3 +2024,50 @@ def nfc_flags(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     return df.select(
         F.col(id_col).alias("doc"), _is_nfc(F.col(text_col)).alias("is_nfc")
     )
+
+
+def badword_stats(
+    df: DataFrame, id_col: str, words: list[str], text_col: str = "text"
+) -> DataFrame:
+    """C4's TEXT-level bad-words gate (the URL-level filter's sibling —
+    C4 drops any page containing a listed word; Dolma/RefinedWeb score
+    the fraction instead, which this emits so the caller picks the
+    policy): ``(doc, n_tokens, n_bad, bad_micro, keep)`` with matching
+    case-insensitive on whole tokens (never substrings — 'class'
+    must not trip on a 3-letter entry), ``bad_micro`` the integer-micro
+    token fraction and ``keep`` the C4 zero-tolerance verdict. One
+    narrow projection: the token array is let-bound once and the
+    blocklist ships as a literal array (bounded by contract — C4's
+    list is ~400 entries)."""
+    if not words:
+        raise ValueError("badword_stats: empty word list")
+    wl = sorted({w.lower() for w in words})
+    lst = F.array(*[F.lit(w) for w in wl])
+    toks = tokens(F.lower(F.col(text_col)))
+    # let-bind the token array once (HOF subtrees are never CSE'd)
+    ctx = F.array(F.struct(toks.alias("t")))
+    counts = F.get(
+        F.transform(
+            ctx,
+            lambda c: F.struct(
+                F.size(c["t"]).alias("n"),
+                F.size(
+                    F.filter(c["t"], lambda x: F.array_contains(lst, x))
+                ).alias("b"),
+            ),
+        ),
+        0,
+    )
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.coalesce(counts["n"], F.lit(0)).cast("bigint").alias("n_tokens"),
+        F.coalesce(counts["b"], F.lit(0)).cast("bigint").alias("n_bad"),
+    ).select(
+        "doc",
+        "n_tokens",
+        "n_bad",
+        F.when(F.col("n_tokens") > 0, F.expr("n_bad * 1000000 div n_tokens"))
+        .cast("bigint")
+        .alias("bad_micro"),
+        (F.col("n_bad") == 0).alias("keep"),
+    )
