@@ -1466,3 +1466,24 @@ def test_badword_stats_whole_token_case_insensitive(spark):
     assert got[5] == (0, 0, None, True)
     with _pt.raises(ValueError):
         badword_stats(df, "doc_id", [])
+
+
+def test_lexical_diversity_ttr_and_msttr(spark):
+    from xmlschemavalidator_spark.textops import lexical_diversity
+
+    rows = [
+        (1, "a b c d e f"),               # 6 tokens, 6 types
+        (2, "spam " * 10),                # 10 tokens, 1 type
+        (3, " ".join(f"w{i % 4}" for i in range(12))),  # windows of 4
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc"]: (r["n_tokens"], r["n_types"], r["ttr_micro"], r["msttr_micro"])
+           for r in lexical_diversity(df, "doc_id", window=4).collect()}
+    assert got[1] == (6, 6, 1_000_000, 1_000_000)  # one full window of 4: 4/4
+    assert got[2][2] == 100_000  # 1/10
+    # doc 3: tokens w0 w1 w2 w3 repeating; every 4-window has 4 types
+    assert got[3] == (12, 4, 333_333, 1_000_000)
+    assert got[4] == (0, 0, None, None)
+    # doc 2 windows: two full windows of 'spam' -> msttr 1/4
+    assert got[2][3] == 250_000

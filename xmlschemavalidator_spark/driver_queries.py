@@ -12701,3 +12701,39 @@ def text_badword_gate(spark, sf_dir):
     return badword_stats(
         _t(spark, sf_dir, "documents"), "doc_id", ["spark", "hash"]
     )
+
+
+@q(
+    "text_lexical_diversity",
+    r"""WITH t AS (
+         SELECT doc_id,
+                list_filter(string_split_regex(trim(coalesce(lower(text), '')),
+                            '\s+'), x -> x <> '') AS tk
+         FROM documents),
+       c AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+                    CAST(len(list_distinct(tk)) AS BIGINT) AS n_types,
+                    CAST(len(tk) // 50 AS BIGINT) AS k,
+                    CAST(list_sum(list_transform(range(0, len(tk) // 50),
+                         i -> len(list_distinct(tk[i * 50 + 1 : i * 50 + 50]))))
+                         AS BIGINT) AS segsum
+             FROM t)
+       SELECT doc_id AS doc, n_tokens, n_types,
+              CASE WHEN n_tokens > 0
+                   THEN CAST(floor(n_types * 1000000 / n_tokens) AS BIGINT)
+              END AS ttr_micro,
+              CASE WHEN k > 0
+                   THEN CAST(floor(segsum * 1000000 / (k * 50)) AS BIGINT)
+              END AS msttr_micro
+       FROM c""",
+)
+def text_lexical_diversity(spark, sf_dir):
+    """Lexical diversity (textops.lexical_diversity): raw TTR plus
+    MSTTR over 50-token segments — the length-robust form (raw TTR
+    collapses on long docs by Heaps' law, so gating on it punishes
+    length; MSTTR compares every doc at a fixed window). Low values
+    flag keyword-stuffed SEO and template spam the length/punct ratios
+    miss. One narrow projection, token array let-bound once, integer
+    micros both."""
+    from xmlschemavalidator_spark.textops import lexical_diversity
+
+    return lexical_diversity(_t(spark, sf_dir, "documents"), "doc_id", window=50)

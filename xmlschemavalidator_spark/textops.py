@@ -2071,3 +2071,68 @@ def badword_stats(
         .alias("bad_micro"),
         (F.col("n_bad") == 0).alias("keep"),
     )
+
+
+def lexical_diversity(
+    df: DataFrame, id_col: str, text_col: str = "text", window: int = 50
+) -> DataFrame:
+    """Lexical-diversity signals: ``(doc, n_tokens, n_types, ttr_micro,
+    msttr_micro)`` — raw type-token ratio plus MSTTR (mean segmental
+    TTR over full ``window``-token segments, the length-robust form:
+    raw TTR collapses toward 0 on long docs by Heaps' law, so a gate on
+    it punishes length; MSTTR compares docs at a FIXED window). Low
+    diversity flags keyword-stuffed SEO pages and template spam that
+    length/punct ratios miss. NULL msttr when no full window exists.
+
+    Exactness: both ratios are integer micros (BIGINT div); MSTTR's
+    numerator is Σ per-segment distinct counts over the bounded
+    segment list — one narrow projection, token array let-bound once,
+    no explode."""
+    if window < 2:
+        raise ValueError(f"lexical_diversity: window={window}")
+    toks = tokens(F.lower(F.col(text_col)))
+    ctx = F.array(F.struct(toks.alias("t")))
+    stats = F.get(
+        F.transform(
+            ctx,
+            lambda c: F.struct(
+                F.size(c["t"]).alias("n"),
+                F.size(F.array_distinct(c["t"])).alias("ty"),
+                F.aggregate(
+                    F.transform(
+                        F.sequence(
+                            F.lit(0),
+                            F.greatest(
+                                (F.size(c["t"]) / window).cast("int") - 1, F.lit(-1)
+                            ),
+                        ),
+                        lambda i: F.size(
+                            F.array_distinct(F.slice(c["t"], i * window + 1, window))
+                        ),
+                    ),
+                    F.lit(0),
+                    lambda acc, x: acc + x,
+                ).alias("segsum"),
+            ),
+        ),
+        0,
+    )
+    n = F.coalesce(stats["n"], F.lit(0)).cast("bigint")
+    ty = F.coalesce(stats["ty"], F.lit(0)).cast("bigint")
+    k = F.floor(n / window).cast("bigint")
+    return df.select(
+        F.col(id_col).alias("doc"),
+        n.alias("n_tokens"),
+        ty.alias("n_types"),
+        F.when(n > 0, F.floor(ty * 1_000_000 / n)).cast("bigint").alias("ttr_micro"),
+        F.when(
+            k > 0,
+            F.floor(
+                F.coalesce(stats["segsum"], F.lit(0)).cast("bigint")
+                * 1_000_000
+                / (k * window)
+            ),
+        )
+        .cast("bigint")
+        .alias("msttr_micro"),
+    )
