@@ -1134,3 +1134,16 @@ def test_hreflang_alternates_and_duckdb_parity(spark):
         )
     )
     assert got == oracle
+
+
+def test_edge_reciprocity_hand_computed(spark):
+    from xmlschemavalidator_spark.weburl import edge_reciprocity
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (3, 4), (4, 3), (5, 5), (1, 2)],
+        "src long, dst long",
+    )
+    [r] = edge_reciprocity(edges).collect()
+    # distinct simple digraph: (1,2),(2,1),(1,3),(3,4),(4,3) -> 4 of 5 reciprocal
+    assert (r["n_edges"], r["n_reciprocal"]) == (5, 4)
+    assert r["reciprocity"] == 0.8

@@ -12737,3 +12737,35 @@ def text_lexical_diversity(spark, sf_dir):
     from xmlschemavalidator_spark.textops import lexical_diversity
 
     return lexical_diversity(_t(spark, sf_dir, "documents"), "doc_id", window=50)
+
+
+@q(
+    "link_reciprocity",
+    """WITH e AS (SELECT DISTINCT doc_id % 80 AS s,
+                         (doc_id * doc_id + 3) % 80 AS d
+                  FROM documents WHERE doc_id % 80 <> (doc_id * doc_id + 3) % 80),
+       r AS (SELECT CAST(count(*) AS BIGINT) AS n_reciprocal
+             FROM e WHERE EXISTS (SELECT 1 FROM e e2
+                                  WHERE e2.s = e.d AND e2.d = e.s)),
+       t AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+       SELECT n_edges, n_reciprocal,
+              round(CASE WHEN n_edges > 0
+                    THEN CAST(n_reciprocal AS DOUBLE) / n_edges END, 6)
+                AS reciprocity
+       FROM t CROSS JOIN r""",
+)
+def link_reciprocity(spark, sf_dir):
+    """Directed reciprocity over a quadratic planted digraph
+    (weburl.py:edge_reciprocity) — the mutual-linking / SEO-ring
+    one-number beside assortativity; the quadratic map yields a
+    measured mid-range value (both reciprocal and one-way edges carry
+    weight). One distinct + one reversed-key semi join + a 2-long
+    aggregate."""
+    from xmlschemavalidator_spark.weburl import edge_reciprocity
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = docs.select(
+        (F.col("doc_id") % 80).alias("src"),
+        ((F.col("doc_id") * F.col("doc_id") + 3) % 80).alias("dst"),
+    )
+    return edge_reciprocity(edges)

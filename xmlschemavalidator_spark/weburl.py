@@ -2552,3 +2552,36 @@ def hreflang_alternates_sql(x: str) -> str:
         f"href := regexp_extract(tag, {hr}, 1))), "
         f"e -> e.hreflang <> '' AND e.href <> '')"
     )
+
+
+def edge_reciprocity(
+    edges: DataFrame, src: str = "src", dst: str = "dst", round_to: int = 6
+) -> DataFrame:
+    """Directed-graph reciprocity: ONE row ``(n_edges, n_reciprocal,
+    reciprocity)`` over the distinct simple digraph — the fraction of
+    directed links whose reverse also exists. Organic hyperlink graphs
+    sit low (most citations are one-way); link rings and mutual-linking
+    SEO schemes push it up — the directed companion to assortativity
+    and the clustering table. Self-loops/NULLs dropped; one distinct +
+    one self-semi-join on the reversed key + a 2-long aggregate;
+    reciprocity is the exact rational n_reciprocal/n_edges, rounded."""
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .where(F.col(src).isNotNull() & F.col(dst).isNotNull() & (F.col(src) != F.col(dst)))
+        .distinct()
+    )
+    rev = e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    marked = e.join(rev, ["s", "d"], "left_semi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_reciprocal")
+    )
+    tot = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return tot.crossJoin(marked).select(
+        "n_edges",
+        "n_reciprocal",
+        F.round(
+            F.when(
+                F.col("n_edges") > 0, F.col("n_reciprocal") / F.col("n_edges")
+            ),
+            round_to,
+        ).alias("reciprocity"),
+    )
