@@ -447,3 +447,25 @@ def test_rule_cooccurrence_single_scan_plan(spark):
         .toString()
     )
     assert plan.count("Scan ExistingRDD") == 1
+
+
+def test_violation_examples_deterministic_per_rule(spark):
+    from xmlschemavalidator_spark.engine import violation_examples
+
+    rows = [(i, "r1" if i % 3 else "r2", str(i)) for i in range(60)]
+    v = spark.createDataFrame(rows, "doc_id long, rule_id string, observed_value string")
+    ex = violation_examples(v, k=4)
+    got = sorted(
+        (r["rule_id"], r["example_rank"], r["doc_id"]) for r in ex.collect()
+    )
+    # exactly k per rule, ranks 1..k, and rerunning yields the same set
+    assert len(got) == 8
+    assert sorted(r for r, _, _ in got) == ["r1"] * 4 + ["r2"] * 4
+    again = sorted(
+        (r["rule_id"], r["example_rank"], r["doc_id"])
+        for r in violation_examples(v, k=4).collect()
+    )
+    assert got == again
+    # fewer violations than k: all surface
+    few = violation_examples(v.where("rule_id = 'r2' AND doc_id < 9"), k=10)
+    assert few.count() == 3

@@ -12769,3 +12769,38 @@ def link_reciprocity(spark, sf_dir):
         ((F.col("doc_id") * F.col("doc_id") + 3) % 80).alias("dst"),
     )
     return edge_reciprocity(edges)
+
+
+def _vex_oracle() -> str:
+    sqls = _documents_ruleset_v2().compile_sql()
+    arms = " UNION ALL ".join(
+        f"SELECT doc_id, '{rid}' AS rule_id FROM documents "
+        f"WHERE NOT coalesce(({sql}), FALSE)"
+        for rid, sql in sorted(sqls.items())
+    )
+    ph = _PH64.format(x="'vex:' || CAST(doc_id AS VARCHAR)")
+    return f"""WITH v AS ({arms}),
+       r AS (SELECT doc_id, rule_id,
+                    row_number() OVER (PARTITION BY rule_id
+                        ORDER BY {ph}, doc_id) AS example_rank
+             FROM v)
+       SELECT doc_id, rule_id, CAST(example_rank AS BIGINT) AS example_rank
+       FROM r WHERE example_rank <= 5"""
+
+
+@q("violation_examples", _vex_oracle())
+def violation_examples_q(spark, sf_dir):
+    """Deterministic per-rule violation examples (engine.py:
+    violation_examples) over the v2 contract's violations — the triage
+    view beside the counts: exactly 5 content-addressed examples per
+    failing rule, identical across runs/engines/retries so a rerun
+    never churns what a human is mid-investigating. Windowed top-k per
+    rule partition, never a global sort."""
+    from xmlschemavalidator_spark.engine import validate, violation_examples
+
+    res = validate(
+        _t(spark, sf_dir, "documents"), _documents_ruleset_v2(), key="doc_id"
+    )
+    return violation_examples(res.violations, k=5).select(
+        "doc_id", "rule_id", F.col("example_rank").cast("bigint").alias("example_rank")
+    )

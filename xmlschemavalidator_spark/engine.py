@@ -388,3 +388,43 @@ def rule_cooccurrence(df: DataFrame, ruleset: RuleSet) -> DataFrame:
         ).alias("lift"),
         F.when(denom_j > 0, F.round(both / denom_j, 6)).alias("jaccard"),
     )
+
+
+def violation_examples(
+    violations: DataFrame,
+    k: int = 5,
+    key_col: str = "doc_id",
+    salt: str = "vex",
+) -> DataFrame:
+    """Deterministic per-rule violation EXAMPLES — the triage view every
+    validation report needs beside the counts: for each ``rule_id``,
+    exactly min(k, #violations) rows sampled content-addressed
+    (md5-ranked on (salt, key), so the same examples surface on every
+    run, engine, and retry — a rerun of the report never churns the
+    examples a human is mid-investigating). Input is the standard
+    violations frame (``key, rule_id, observed_value``); output adds
+    ``example_rank`` (1-based).
+
+    Scale shape: ONE window partitioned by rule_id ordered by the md5
+    rank — but never a full sort of the violations: row_number over the
+    rule partition with a rank <= k filter is Spark's standard
+    windowed top-k (the per-rule partitions are the unit, and a
+    pathological all-rows-one-rule input degrades to that rule's
+    partition, exactly like every grouped top-k here). For reports over
+    10^12 violations pre-filter to the rules under triage."""
+    from pyspark.sql import Window
+
+    from xmlschemavalidator_spark.textops import portable_hash64
+
+    if k < 1:
+        raise ValueError(f"violation_examples: k={k}")
+    rank_key = portable_hash64(
+        F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string"))
+    )
+    w = Window.partitionBy("rule_id").orderBy(
+        rank_key.asc(), F.col(key_col).asc()
+    )
+    return (
+        violations.withColumn("example_rank", F.row_number().over(w))
+        .where(F.col("example_rank") <= k)
+    )
