@@ -824,3 +824,23 @@ def test_smr_rates_against_hand_expectation(spark):
     b = got["b"]
     assert b["expected"] == round(5 * 0.3 + 10 * 0.5, 6)
     assert b["smr"] == round(5 / 6.5, 6)
+
+
+def test_winsorized_mean_clamps_not_drops(spark):
+    from xmlschemavalidator_spark.checks.stats import trimmed_mean, winsorized_mean
+
+    # 20 values 1..19 plus one wild 1000; 5% winsorization clamps ONE
+    # row each side: 1000 -> 19, and the min 1 -> 2
+    rows = [(i, float(i)) for i in range(1, 20)] + [(99, 1000.0)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    [r] = winsorized_mean(df, "v", "id", winsor_pct=5).collect()
+    vals = sorted([float(i) for i in range(1, 20)] + [1000.0])
+    clamped = [vals[1]] + vals[1:-1] + [vals[-2]]
+    assert (r["n"], r["n_winsorized_each_side"]) == (20, 1)
+    assert r["winsorized_mean"] == round(sum(clamped) / 20, 6)
+    # keeps n constant where trimming drops rows
+    [t] = trimmed_mean(df, "v", "id", trim_pct=5).collect()
+    assert t["n"] == 20 and r["n"] == 20
+    # zero pct: plain mean
+    [z] = winsorized_mean(df, "v", "id", winsor_pct=0).collect()
+    assert z["winsorized_mean"] == round((sum(range(1, 20)) + 1000) / 20, 6)

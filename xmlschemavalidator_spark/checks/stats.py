@@ -1110,3 +1110,75 @@ def smr_rates(
             round_to,
         ).alias("smr"),
     )
+
+
+def winsorized_mean(
+    df: DataFrame,
+    column: str,
+    id_col: str,
+    winsor_pct: int = 5,
+    group_cols: tuple[str, ...] = (),
+    quantum: int = 1_000_000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact winsorized mean per group — :func:`trimmed_mean`'s sibling
+    that CLAMPS the extreme ranks to the cut values instead of dropping
+    them (keeps n constant, which matters when the mean feeds a
+    rate-per-row metric): the lowest/highest ``winsor_pct`` percent of
+    rows by rank take the value at rank k+1 / n−k respectively.
+    Returns ``(*group_cols, n, n_winsorized_each_side, winsorized_mean)``.
+
+    Exactness (the trimmed_mean contract): ranks over the (value, id)
+    total order, cut values are ACTUAL elements selected by rank, the
+    clamped values sum through DECIMAL(38,0) over quantized values,
+    ONE final division. Same one-window-per-group shape and the same
+    bounded-group contract."""
+    from pyspark.sql import Window
+
+    if not 0 <= winsor_pct < 50:
+        raise ValueError(
+            f"winsorized_mean: winsor_pct must be in [0, 50), got {winsor_pct}"
+        )
+    g = list(group_cols)
+    v = F.col(column).cast("double")
+    base = df.where(v.isNotNull()).select(
+        *[F.col(c) for c in g], F.col(id_col).alias("_id"), v.alias("_v")
+    )
+    w = Window.partitionBy(*g).orderBy(F.col("_v").asc(), F.col("_id").asc())
+    wn = Window.partitionBy(*g)
+    q = F.floor(F.col("_v") * F.lit(quantum)).cast("decimal(38,0)")
+    ranked = (
+        base.withColumn("_q", q)
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wn))
+        .withColumn("_k", F.expr(f"(_n * {int(winsor_pct)}) div 100"))
+        # the clamp values: the elements at ranks k+1 and n-k, broadcast
+        # along the SAME window partitioning (no second scan)
+        .withColumn(
+            "_lo",
+            F.max(F.when(F.col("_rn") == F.col("_k") + 1, F.col("_q"))).over(wn),
+        )
+        .withColumn(
+            "_hi",
+            F.max(
+                F.when(F.col("_rn") == F.col("_n") - F.col("_k"), F.col("_q"))
+            ).over(wn),
+        )
+    )
+    clamped = F.when(F.col("_rn") <= F.col("_k"), F.col("_lo")).when(
+        F.col("_rn") > F.col("_n") - F.col("_k"), F.col("_hi")
+    ).otherwise(F.col("_q"))
+    agg = ranked.groupBy(*g).agg(
+        F.max("_n").cast("bigint").alias("n"),
+        F.max("_k").cast("bigint").alias("n_winsorized_each_side"),
+        F.sum(clamped).alias("_s"),
+    )
+    return agg.select(
+        *g,
+        "n",
+        "n_winsorized_each_side",
+        F.round(
+            F.col("_s").cast("double") / (F.col("n") * F.lit(float(quantum))),
+            round_to,
+        ).alias("winsorized_mean"),
+    )

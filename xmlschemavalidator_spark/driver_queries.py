@@ -12804,3 +12804,38 @@ def violation_examples_q(spark, sf_dir):
     return violation_examples(res.violations, k=5).select(
         "doc_id", "rule_id", F.col("example_rank").cast("bigint").alias("example_rank")
     )
+
+
+@q(
+    "winsorized_mean_event_value",
+    """WITH b AS (SELECT event_id AS id, CAST(value AS DOUBLE) AS v,
+                         CAST(floor(CAST(value AS DOUBLE) * 1000000) AS HUGEINT) AS q
+                  FROM events WHERE value IS NOT NULL),
+       r AS (SELECT *, row_number() OVER (ORDER BY v, id) AS rn,
+                    count(*) OVER () AS n
+             FROM b),
+       k AS (SELECT *, (n * 5) // 100 AS kk FROM r),
+       c AS (SELECT *, max(CASE WHEN rn = kk + 1 THEN q END) OVER () AS lo,
+                    max(CASE WHEN rn = n - kk THEN q END) OVER () AS hi
+             FROM k),
+       s AS (SELECT max(n) AS n, max(kk) AS kk,
+                    sum(CASE WHEN rn <= kk THEN lo
+                             WHEN rn > n - kk THEN hi ELSE q END) AS sq
+             FROM c)
+       SELECT CAST(n AS BIGINT) AS n,
+              CAST(kk AS BIGINT) AS n_winsorized_each_side,
+              round(CAST(sq AS DOUBLE) / (n * 1000000.0), 6) AS winsorized_mean
+       FROM s""",
+)
+def winsorized_mean_event_value(spark, sf_dir):
+    """Exact 5% winsorized mean of the event value (checks/stats.py:
+    winsorized_mean — trimmed_mean's sibling that CLAMPS extreme ranks
+    to the rank-selected cut elements instead of dropping them, keeping
+    n constant for rate-per-row metrics). Cut values are actual data
+    elements broadcast along the same window partitioning — one sort,
+    no second scan; completes the mean/trimmed/winsorized robust
+    trio."""
+    from xmlschemavalidator_spark.checks.stats import winsorized_mean
+
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    return winsorized_mean(ev, "value", "event_id", winsor_pct=5)
