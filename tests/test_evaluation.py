@@ -239,3 +239,36 @@ def test_kaplan_meier_grouped_curves_independent(spark):
     # group a: 1 event of 2 at risk -> S=1/2 ; group b: 2 of 2 -> S hits 0
     assert got[("a", 2)]["n_risk"] == 2 and got[("a", 2)]["survival"] == 0.5
     assert got[("b", 2)]["survival"] == 0.0 and got[("b", 2)]["logsurv_micro"] is None
+
+
+# --------------------------------------------------------------------------
+# two-proportion z-test
+# --------------------------------------------------------------------------
+
+from xmlschemavalidator_spark.checks.evaluation import two_proportion_test  # noqa: E402
+
+
+def test_two_proportion_test_hand_computed(spark):
+    import math as _m
+
+    # a: 30/100, b: 20/100 -> pooled .25, z = .1 / sqrt(.25*.75*(.02))
+    rows = [("a", 1 if i < 30 else 0) for i in range(100)] + [
+        ("b", 1 if i < 20 else 0) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "g string, ok int")
+    [r] = two_proportion_test(df, "g", "ok", "a", "b").collect()
+    z = 0.1 / _m.sqrt(0.25 * 0.75 * 0.02)
+    assert (r["n_a"], r["x_a"], r["n_b"], r["x_b"]) == (100, 30, 100, 20)
+    assert r["z"] == round(z, 6)
+    assert r["significant"] == (abs(z) > 1.96)
+    # equal rates: z ~ 0, not significant
+    eq = spark.createDataFrame(
+        [("a", i % 2) for i in range(50)] + [("b", i % 2) for i in range(50)],
+        "g string, ok int",
+    )
+    [e] = two_proportion_test(eq, "g", "ok", "a", "b").collect()
+    assert e["z"] == 0.0 and e["significant"] is False
+    # degenerate: all successes -> zero pooled variance -> NULL z
+    dg = spark.createDataFrame([("a", 1), ("b", 1)], "g string, ok int")
+    [d] = two_proportion_test(dg, "g", "ok", "a", "b").collect()
+    assert d["z"] is None and d["significant"] is False

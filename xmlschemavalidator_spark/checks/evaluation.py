@@ -380,3 +380,65 @@ def kaplan_meier(
         .otherwise(F.round(F.exp(F.col("logsurv_micro") / F.lit(1e6)), round_to))
         .alias("survival"),
     )
+
+
+def two_proportion_test(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+    group_a,
+    group_b,
+    z_crit_milli: int = 1960,
+    round_to: int = 6,
+) -> DataFrame:
+    """Two-proportion z-test (the A/B experiment staple): ONE row
+    ``(n_a, x_a, n_b, x_b, rate_a, rate_b, rate_diff, z, significant)``
+    comparing success rates between the two named groups under the
+    pooled-variance normal approximation
+    z = (p_a − p_b) / √(p̂(1−p̂)(1/n_a + 1/n_b)).
+
+    Exactness: counts are exact integers from one partial-agg pass;
+    every derived value is a fixed double chain on those integers
+    (divisions, one sqrt — correctly-rounded IEEE ops, the OLS/Pearson
+    contract), rounded. ``significant`` compares |z| against
+    ``z_crit_milli``/1000 (1960 = the two-sided 5% level) — an integer
+    parameter so the threshold itself can't drift between engines.
+    Degenerate inputs (either group empty, or pooled rate 0/1 giving
+    zero variance) yield NULL z and significant=false, never a div/0."""
+    s = F.col(success_col).cast("double")
+    base = df.where(
+        s.isNotNull() & F.col(group_col).isin([group_a, group_b])
+    ).select(
+        (F.col(group_col) == group_a).alias("_ga"), s.cast("long").alias("_y")
+    )
+    agg = base.agg(
+        F.sum(F.col("_ga").cast("long")).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("_ga"), F.col("_y")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("x_a"),
+        F.sum((~F.col("_ga")).cast("long")).cast("bigint").alias("n_b"),
+        F.sum(F.when(~F.col("_ga"), F.col("_y")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("x_b"),
+    )
+    na, xa = F.col("n_a").cast("double"), F.col("x_a").cast("double")
+    nb, xb = F.col("n_b").cast("double"), F.col("x_b").cast("double")
+    pa, pb = xa / na, xb / nb
+    pool = (xa + xb) / (na + nb)
+    var = pool * (F.lit(1.0) - pool) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    z = (pa - pb) / F.sqrt(var)
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    zval = F.when(ok & (var > 0), z)
+    return agg.select(
+        "n_a",
+        "x_a",
+        "n_b",
+        "x_b",
+        F.round(F.when(ok, pa), round_to).alias("rate_a"),
+        F.round(F.when(ok, pb), round_to).alias("rate_b"),
+        F.round(F.when(ok, pa - pb), round_to).alias("rate_diff"),
+        F.round(zval, round_to).alias("z"),
+        F.coalesce(
+            F.abs(zval) * 1000 > F.lit(float(z_crit_milli)), F.lit(False)
+        ).alias("significant"),
+    )

@@ -12839,3 +12839,45 @@ def winsorized_mean_event_value(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
     return winsorized_mean(ev, "value", "event_id", winsor_pct=5)
+
+
+@q(
+    "ab_purchase_rate_test",
+    """WITH b AS (SELECT user_id % 2 = 0 AS ga,
+                         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+                  FROM events WHERE event_type IS NOT NULL),
+       a AS (SELECT CAST(sum(CASE WHEN ga THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                    CAST(sum(CASE WHEN ga THEN y ELSE 0 END) AS BIGINT) AS x_a,
+                    CAST(sum(CASE WHEN ga THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+                    CAST(sum(CASE WHEN ga THEN 0 ELSE y END) AS BIGINT) AS x_b
+             FROM b),
+       c AS (SELECT *,
+                    CAST(x_a AS DOUBLE) / n_a AS pa,
+                    CAST(x_b AS DOUBLE) / n_b AS pb,
+                    (CAST(x_a AS DOUBLE) + x_b) / (CAST(n_a AS DOUBLE) + n_b) AS pool
+             FROM a)
+       SELECT n_a, x_a, n_b, x_b,
+              round(pa, 6) AS rate_a, round(pb, 6) AS rate_b,
+              round(pa - pb, 6) AS rate_diff,
+              round((pa - pb) / sqrt(pool * (1.0 - pool)
+                    * (1.0 / n_a + 1.0 / n_b)), 6) AS z,
+              abs((pa - pb) / sqrt(pool * (1.0 - pool)
+                  * (1.0 / n_a + 1.0 / n_b))) * 1000 > 1960.0 AS significant
+       FROM c""",
+)
+def ab_purchase_rate_test(spark, sf_dir):
+    """Two-proportion z-test (checks/evaluation.py:two_proportion_test)
+    on the purchase rate between the even/odd user-id halves — the A/B
+    analyzer completing the experiment toolkit beside the jackknife CIs
+    (z answers 'is the diff real', jackknife answers 'how wide is the
+    ratio'). Exact integer counts from one pass; fixed double chain
+    with one IEEE sqrt; integer-milli critical value so the threshold
+    can't drift between engines."""
+    from xmlschemavalidator_spark.checks.evaluation import two_proportion_test
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type").isNotNull())
+    base = ev.select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("a")).otherwise(F.lit("b")).alias("g"),
+        (F.col("event_type") == "purchase").cast("int").alias("ok"),
+    )
+    return two_proportion_test(base, "g", "ok", "a", "b")
