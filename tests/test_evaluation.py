@@ -272,3 +272,35 @@ def test_two_proportion_test_hand_computed(spark):
     dg = spark.createDataFrame([("a", 1), ("b", 1)], "g string, ok int")
     [d] = two_proportion_test(dg, "g", "ok", "a", "b").collect()
     assert d["z"] is None and d["significant"] is False
+
+
+def test_mann_whitney_u_hand_computed_and_scipy_free(spark):
+    import math as _m
+
+    from xmlschemavalidator_spark.checks.evaluation import mann_whitney_u
+
+    # a: {1,2,3}, b: {4,5,6}: U_a = 0 (every a below every b)
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 4.0), ("b", 5.0), ("b", 6.0)],
+        "g string, v double",
+    )
+    [r] = mann_whitney_u(df, "v", "g", "a", "b").collect()
+    assert (r["n_a"], r["n_b"], r["u"]) == (3, 3, 0.0)
+    var = 3 * 3 / 12 * (7 - 0 / (6 * 5))
+    assert r["z"] == round((0 - 4.5) / _m.sqrt(var), 6)
+
+    # ties: a {1,1}, b {1,2}: 2U = for s=1: na=2*(0 + nb_at=1*? ...) ->
+    # U = 2*(0 + 1/2) = 1 ; tie group t=3 corrects the variance
+    dt = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("b", 1.0), ("b", 2.0)], "g string, v double"
+    )
+    [s] = mann_whitney_u(dt, "v", "g", "a", "b").collect()
+    assert s["u"] == 1.0
+    n = 4.0
+    var_t = 2 * 2 / 12 * ((n + 1) - (27 - 3) / (n * (n - 1)))
+    assert s["z"] == round((1.0 - 2.0) / _m.sqrt(var_t), 6)
+
+    # all tied: zero variance -> NULL
+    at = spark.createDataFrame([("a", 5.0), ("b", 5.0)], "g string, v double")
+    [q] = mann_whitney_u(at, "v", "g", "a", "b").collect()
+    assert q["z"] is None and q["significant"] is False

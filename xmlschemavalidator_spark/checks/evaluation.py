@@ -442,3 +442,74 @@ def two_proportion_test(
             F.abs(zval) * 1000 > F.lit(float(z_crit_milli)), F.lit(False)
         ).alias("significant"),
     )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    quantum: int = 1_000_000,
+    z_crit_milli: int = 1960,
+    round_to: int = 6,
+) -> DataFrame:
+    """Mann–Whitney U rank-sum test (the nonparametric two-sample test
+    — 'do these two groups draw from the same value distribution?'
+    without normality assumptions; the location-shift companion to the
+    KS drift check): ONE row ``(n_a, n_b, u, z, significant)`` with the
+    normal approximation and FULL tie correction.
+
+    Exactness (the roc_auc machinery — AUC·n_a·n_b IS U/…): values
+    quantize to integer ``quantum``-ths; 2U = Σ_s n_a(s)·(2·cum_b<(s)
+    + n_b(s)) sums in DECIMAL(38,0) over the bounded distinct-score
+    table; the tie term Σ(t³−t) likewise (t³ needs DECIMAL — a
+    10⁹-row tie cubes past BIGINT); z = (U − n_a·n_b/2)/√var with
+    var = (n_a·n_b/12)·(n+1 − Σ(t³−t)/(n(n−1))) — a fixed double
+    chain with one IEEE sqrt. All-tied input → zero variance → NULL z,
+    significant false."""
+    base = df.where(
+        F.col(value_col).isNotNull() & F.col(group_col).isin([group_a, group_b])
+    ).select(
+        F.floor(F.col(value_col).cast("double") * F.lit(quantum))
+        .cast("bigint")
+        .alias("_s"),
+        (F.col(group_col) == group_a).cast("long").alias("_a"),
+    )
+    g = base.groupBy("_s").agg(
+        F.sum("_a").cast("decimal(38,0)").alias("_na"),
+        F.sum(F.lit(1) - F.col("_a")).cast("decimal(38,0)").alias("_nb"),
+    )
+    below = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, -1)
+    two_u = F.col("_na") * (
+        F.lit(2) * F.coalesce(F.sum("_nb").over(below), F.lit(0).cast("decimal(38,0)"))
+        + F.col("_nb")
+    )
+    t = F.col("_na") + F.col("_nb")
+    ties = t * t * t - t
+    agg = g.select("_na", "_nb", two_u.alias("_2u"), ties.alias("_t3")).agg(
+        F.sum("_na").alias("na"),
+        F.sum("_nb").alias("nb"),
+        F.sum("_2u").alias("u2"),
+        F.sum("_t3").alias("t3"),
+    )
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    n = na + nb
+    u = F.col("u2").cast("double") / F.lit(2.0)
+    var = (
+        na
+        * nb
+        / F.lit(12.0)
+        * ((n + F.lit(1.0)) - F.col("t3").cast("double") / (n * (n - F.lit(1.0))))
+    )
+    ok = (F.col("na") > 0) & (F.col("nb") > 0) & (n > 1)
+    z = F.when(ok & (var > 0), (u - na * nb / F.lit(2.0)) / F.sqrt(var))
+    return agg.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.round(u, round_to).alias("u"),
+        F.round(z, round_to).alias("z"),
+        F.coalesce(
+            F.abs(z) * 1000 > F.lit(float(z_crit_milli)), F.lit(False)
+        ).alias("significant"),
+    )

@@ -12881,3 +12881,51 @@ def ab_purchase_rate_test(spark, sf_dir):
         (F.col("event_type") == "purchase").cast("int").alias("ok"),
     )
     return two_proportion_test(base, "g", "ok", "a", "b")
+
+
+@q(
+    "mann_whitney_doc_length",
+    """WITH b AS (SELECT CAST(floor(CAST(n_chars AS DOUBLE) * 1000000) AS BIGINT) AS s,
+                         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS a
+                  FROM documents
+                  WHERE n_chars IS NOT NULL AND lang IN ('en', 'de')),
+       g AS (SELECT s, CAST(sum(a) AS DECIMAL(38,0)) AS na,
+                    CAST(sum(1 - a) AS DECIMAL(38,0)) AS nb
+             FROM b GROUP BY s),
+       w AS (SELECT na, nb,
+                    na * (2 * COALESCE(sum(nb) OVER (ORDER BY s
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                          + nb) AS u2,
+                    (na + nb) * (na + nb) * (na + nb) - (na + nb) AS t3
+             FROM g),
+       a AS (SELECT sum(na) AS na, sum(nb) AS nb, sum(u2) AS u2, sum(t3) AS t3
+             FROM w),
+       c AS (SELECT CAST(na AS DOUBLE) AS na, CAST(nb AS DOUBLE) AS nb,
+                    CAST(u2 AS DOUBLE) / 2.0 AS u, CAST(t3 AS DOUBLE) AS t3
+             FROM a),
+       z AS (SELECT *, na + nb AS n,
+                    na * nb / 12.0 * ((na + nb + 1.0)
+                        - t3 / ((na + nb) * (na + nb - 1.0))) AS var
+             FROM c)
+       SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+              round(u, 6) AS u,
+              round(CASE WHEN na > 0 AND nb > 0 AND n > 1 AND var > 0
+                    THEN (u - na * nb / 2.0) / sqrt(var) END, 6) AS z,
+              coalesce(abs(CASE WHEN na > 0 AND nb > 0 AND n > 1 AND var > 0
+                    THEN (u - na * nb / 2.0) / sqrt(var) END) * 1000 > 1960.0,
+                    FALSE) AS significant
+       FROM z""",
+)
+def mann_whitney_doc_length(spark, sf_dir):
+    """Mann–Whitney U test (checks/evaluation.py:mann_whitney_u) on
+    document lengths between en and de — the nonparametric two-sample
+    answer the KS drift check approximates, with FULL tie correction
+    (Σ(t³−t) in DECIMAL — a billion-row tie cubes past BIGINT).
+    Reuses the roc_auc distinct-score machinery: one groupBy + one
+    bounded ordered window, never a corpus sort."""
+    from xmlschemavalidator_spark.checks.evaluation import mann_whitney_u
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("n_chars").isNotNull() & F.col("lang").isin(["en", "de"])
+    )
+    return mann_whitney_u(docs, "n_chars", "lang", "en", "de")
