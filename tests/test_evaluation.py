@@ -304,3 +304,42 @@ def test_mann_whitney_u_hand_computed_and_scipy_free(spark):
     at = spark.createDataFrame([("a", 5.0), ("b", 5.0)], "g string, v double")
     [q] = mann_whitney_u(at, "v", "g", "a", "b").collect()
     assert q["z"] is None and q["significant"] is False
+
+
+def test_kruskal_wallis_against_scipy_formula(spark):
+    # hand-replicated KW with ties on a small fixture
+    data = {"a": [1.0, 2.0, 2.0], "b": [2.0, 3.0], "c": [4.0, 5.0, 6.0]}
+    rows = [(g, v) for g, vs in data.items() for v in vs]
+    from xmlschemavalidator_spark.checks.evaluation import kruskal_wallis
+
+    df = spark.createDataFrame(rows, "g string, v double")
+    [r] = kruskal_wallis(df, "v", "g").collect()
+    # pure-python replay with average ranks
+    import itertools
+
+    vals = sorted(v for vs in data.values() for v in vs)
+    ranks = {}
+    i = 0
+    while i < len(vals):
+        j = i
+        while j < len(vals) and vals[j] == vals[i]:
+            j += 1
+        ranks[vals[i]] = (i + 1 + j) / 2
+        i = j
+    n = len(vals)
+    sr2 = sum(
+        (sum(ranks[v] for v in vs)) ** 2 / len(vs) for vs in data.values()
+    )
+    h = 12.0 / (n * (n + 1)) * sr2 - 3 * (n + 1)
+    t3 = sum(
+        t ** 3 - t
+        for t in [sum(1 for v in vals if v == u) for u in set(vals)]
+    )
+    hc = h / (1 - t3 / (n ** 3 - n))
+    assert r["n"] == n and r["n_groups"] == 3 and r["df"] == 2
+    assert abs(r["h"] - h) < 1e-6
+    assert abs(r["h_corrected"] - hc) < 1e-6
+    # single group: undefined
+    one = spark.createDataFrame([("a", 1.0), ("a", 2.0)], "g string, v double")
+    [o] = kruskal_wallis(one, "v", "g").collect()
+    assert o["h"] is None

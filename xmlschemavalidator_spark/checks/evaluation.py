@@ -513,3 +513,79 @@ def mann_whitney_u(
             F.abs(z) * 1000 > F.lit(float(z_crit_milli)), F.lit(False)
         ).alias("significant"),
     )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    quantum: int = 1_000_000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Kruskal–Wallis H test — the k-group generalization of
+    :func:`mann_whitney_u` ('do ANY of these groups draw from a shifted
+    distribution?'), with average-rank ties and the standard tie
+    correction: ONE row ``(n, n_groups, h, h_corrected, df)``; compare
+    ``h_corrected`` against the chi-square(k−1) critical value of your
+    chosen level (the statistic is emitted rather than a verdict — k
+    varies, so no single integer critical value can ship with the
+    operator).
+
+    Exactness: values quantize to integer ``quantum``-ths; average
+    ranks per DISTINCT value are exact halves (2·avgrank = 2·cum_below
+    + t + 1, an integer), so per-group rank sums 2R_g = Σ n_g(s)·
+    (2·avgrank) are exact DECIMAL(38,0) integers over the bounded
+    distinct-value grid; H = 12/(n(n+1))·Σ R_g²/n_g − 3(n+1) and the
+    tie divisor 1 − Σ(t³−t)/(n³−n) are fixed double chains on those.
+    Scale shape: one (value, group) groupBy, one bounded ordered window
+    over distinct values, one k-row aggregate; NULL value/group rows
+    are dropped; a single group or all-tied input yields NULL h."""
+    base = df.where(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.floor(F.col(value_col).cast("double") * F.lit(quantum))
+        .cast("bigint")
+        .alias("_s"),
+        F.col(group_col).alias("_g"),
+    )
+    cell = base.groupBy("_s", "_g").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_c")
+    )
+    per_s = cell.groupBy("_s").agg(F.sum("_c").alias("_t"))
+    below = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_s.withColumn(
+        "_cum",
+        F.coalesce(F.sum("_t").over(below), F.lit(0).cast("decimal(38,0)")),
+    ).select(
+        "_s",
+        "_t",
+        (F.lit(2) * F.col("_cum") + F.col("_t") + F.lit(1)).alias("_2ar"),
+        (F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t")).alias("_t3"),
+    )
+    j = cell.join(ranked, "_s")
+    per_g = j.groupBy("_g").agg(
+        F.sum("_c").alias("_ng"),
+        F.sum(F.col("_c") * F.col("_2ar")).alias("_2rg"),
+    )
+    ties = ranked.agg(F.sum("_t3").alias("t3"), F.sum("_t").alias("nn"))
+    agg = per_g.agg(
+        F.sum("_ng").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(
+            (F.col("_2rg") * F.col("_2rg")).cast("double")
+            / (F.lit(4.0) * F.col("_ng").cast("double"))
+        ).alias("_sr2"),
+    ).crossJoin(ties)
+    n = F.col("n").cast("double")
+    h = F.lit(12.0) / (n * (n + F.lit(1.0))) * F.col("_sr2") - F.lit(3.0) * (
+        n + F.lit(1.0)
+    )
+    corr = F.lit(1.0) - F.col("t3").cast("double") / (n * n * n - n)
+    ok = (F.col("n_groups") >= 2) & (n > 1) & (corr > 0)
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        "n_groups",
+        F.round(F.when(ok, h), round_to).alias("h"),
+        F.round(F.when(ok, h / corr), round_to).alias("h_corrected"),
+        (F.col("n_groups") - 1).cast("int").alias("df"),
+    )

@@ -12929,3 +12929,53 @@ def mann_whitney_doc_length(spark, sf_dir):
         F.col("n_chars").isNotNull() & F.col("lang").isin(["en", "de"])
     )
     return mann_whitney_u(docs, "n_chars", "lang", "en", "de")
+
+
+@q(
+    "kruskal_wallis_doc_length",
+    """WITH b AS (SELECT CAST(floor(CAST(n_chars AS DOUBLE) * 1000000) AS BIGINT) AS s,
+                         lang AS g
+                  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+       cell AS (SELECT s, g, CAST(count(*) AS DECIMAL(38,0)) AS c
+                FROM b GROUP BY 1, 2),
+       pers AS (SELECT s, sum(c) AS t FROM cell GROUP BY s),
+       rk AS (SELECT s, t,
+                     2 * COALESCE(sum(t) OVER (ORDER BY s
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       + t + 1 AS ar2,
+                     t * t * t - t AS t3
+              FROM pers),
+       j AS (SELECT cell.g, cell.c, rk.ar2 FROM cell JOIN rk USING (s)),
+       pg AS (SELECT g, sum(c) AS ng, sum(c * ar2) AS rg2 FROM j GROUP BY g),
+       ties AS (SELECT sum(t3) AS t3, sum(t) AS nn FROM rk),
+       a AS (SELECT CAST(sum(ng) AS DOUBLE) AS n,
+                    CAST(count(*) AS BIGINT) AS n_groups,
+                    sum(CAST(rg2 * rg2 AS DOUBLE) / (4.0 * CAST(ng AS DOUBLE)))
+                      AS sr2
+             FROM pg)
+       SELECT CAST(n AS BIGINT) AS n, n_groups,
+              round(CASE WHEN n_groups >= 2 AND n > 1
+                         AND (1.0 - CAST(t3 AS DOUBLE) / (n*n*n - n)) > 0
+                    THEN 12.0 / (n * (n + 1.0)) * sr2 - 3.0 * (n + 1.0) END, 6)
+                AS h,
+              round(CASE WHEN n_groups >= 2 AND n > 1
+                         AND (1.0 - CAST(t3 AS DOUBLE) / (n*n*n - n)) > 0
+                    THEN (12.0 / (n * (n + 1.0)) * sr2 - 3.0 * (n + 1.0))
+                         / (1.0 - CAST(t3 AS DOUBLE) / (n*n*n - n)) END, 6)
+                AS h_corrected,
+              CAST(n_groups - 1 AS INTEGER) AS df
+       FROM a CROSS JOIN ties""",
+)
+def kruskal_wallis_doc_length(spark, sf_dir):
+    """Kruskal–Wallis H over document lengths across ALL languages
+    (checks/evaluation.py:kruskal_wallis) — the k-group nonparametric
+    'any language drawing longer docs?' completing the MWU pair.
+    Average ranks as exact integer halves over the bounded
+    distinct-length grid; rank sums and the tie term DECIMAL-summed;
+    H and its tie correction one fixed double chain."""
+    from xmlschemavalidator_spark.checks.evaluation import kruskal_wallis
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("n_chars").isNotNull() & F.col("lang").isNotNull()
+    )
+    return kruskal_wallis(docs, "n_chars", "lang")
