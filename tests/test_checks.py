@@ -844,3 +844,38 @@ def test_winsorized_mean_clamps_not_drops(spark):
     # zero pct: plain mean
     [z] = winsorized_mean(df, "v", "id", winsor_pct=0).collect()
     assert z["winsorized_mean"] == round((sum(range(1, 20)) + 1000) / 20, 6)
+
+
+def test_spearman_monotone_and_robust(spark):
+    from xmlschemavalidator_spark.checks.stats import (
+        pearson_correlation,
+        spearman_correlation,
+    )
+
+    # perfectly monotone but nonlinear: rho = 1 while Pearson < 1
+    rows = [(float(i), float(i ** 3)) for i in range(1, 20)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    [r] = spearman_correlation(df, "x", "y").collect()
+    assert r["rho"] == 1.0
+    [p] = pearson_correlation(df, "x", "y").collect()
+    assert p["corr"] < 1.0
+    # reversed: -1 ; with ties handled by average ranks
+    rev = spark.createDataFrame(
+        [(1.0, 5.0), (2.0, 4.0), (3.0, 4.0), (4.0, 2.0), (5.0, 1.0)],
+        "x double, y double",
+    )
+    [v] = spearman_correlation(rev, "x", "y").collect()
+    import math as _m
+
+    # scipy-free replay: avg ranks y = [5, 3.5, 3.5, 2, 1]
+    xr = [1, 2, 3, 4, 5]
+    yr = [5, 3.5, 3.5, 2, 1]
+    n = 5
+    num = n * sum(a * b for a, b in zip(xr, yr)) - sum(xr) * sum(yr)
+    va = n * sum(a * a for a in xr) - sum(xr) ** 2
+    vb = n * sum(b * b for b in yr) - sum(yr) ** 2
+    assert v["rho"] == round(num / _m.sqrt(va * vb), 6)
+    # constant column: undefined
+    c = spark.createDataFrame([(1.0, 2.0), (2.0, 2.0)], "x double, y double")
+    [u] = spearman_correlation(c, "x", "y").collect()
+    assert u["rho"] is None

@@ -1182,3 +1182,76 @@ def winsorized_mean(
             round_to,
         ).alias("winsorized_mean"),
     )
+
+
+def spearman_correlation(
+    df: DataFrame,
+    x: str,
+    y: str,
+    quantum: int = 1_000_000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Spearman rank correlation — the distribution-free companion to
+    :func:`pearson_correlation` (monotone association without the
+    linearity/outlier sensitivity; one fat-tail value moves Pearson
+    arbitrarily, it moves a rank by one): ONE row ``(n, rho)`` =
+    Pearson over AVERAGE ranks with exact tie handling.
+
+    Exactness: both columns quantize to integer ``quantum``-ths; per
+    distinct value the average rank is an exact integer HALF
+    (2·avgrank = 2·cum_below + t + 1), joined back to the pairwise-
+    complete rows on the quantized value (the rank tables are bounded
+    by the distinct grid, the roc_auc contract); the five moment sums
+    over the integer 2·avgrank pairs run in DECIMAL(38,0); rho is the
+    Pearson final — one fixed double chain with one sqrt. Constant
+    columns (zero rank variance) yield NULL rho."""
+    from pyspark.sql import Window
+
+    xq = F.floor(F.col(x).cast("double") * F.lit(quantum)).cast("bigint")
+    yq = F.floor(F.col(y).cast("double") * F.lit(quantum)).cast("bigint")
+    base = df.where(F.col(x).isNotNull() & F.col(y).isNotNull()).select(
+        xq.alias("_x"), yq.alias("_y")
+    )
+
+    def ranks(col):
+        per = base.groupBy(col).agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("_t")
+        )
+        below = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return per.select(
+            col,
+            (
+                F.lit(2)
+                * F.coalesce(
+                    F.sum("_t").over(below), F.lit(0).cast("decimal(38,0)")
+                )
+                + F.col("_t")
+                + F.lit(1)
+            ).alias(f"{col}r"),
+        )
+
+    j = base.join(ranks("_x"), "_x").join(ranks("_y"), "_y")
+    agg = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("_xr").alias("sa"),
+        F.sum("_yr").alias("sb"),
+        F.sum(F.expr("_xr * _xr")).alias("saa"),
+        F.sum(F.expr("_yr * _yr")).alias("sbb"),
+        F.sum(F.expr("_xr * _yr")).alias("sab"),
+    )
+    n = F.col("n").cast("double")
+    sa, sb = F.col("sa").cast("double"), F.col("sb").cast("double")
+    saa, sbb, sab = (
+        F.col("saa").cast("double"),
+        F.col("sbb").cast("double"),
+        F.col("sab").cast("double"),
+    )
+    num = n * sab - sa * sb
+    va = n * saa - sa * sa
+    vb = n * sbb - sb * sb
+    return agg.select(
+        "n",
+        F.round(
+            F.when((va > 0) & (vb > 0), num / F.sqrt(va * vb)), round_to
+        ).alias("rho"),
+    )

@@ -12979,3 +12979,57 @@ def kruskal_wallis_doc_length(spark, sf_dir):
         F.col("n_chars").isNotNull() & F.col("lang").isNotNull()
     )
     return kruskal_wallis(docs, "n_chars", "lang")
+
+
+@q(
+    "spearman_value_vs_hour",
+    """WITH b AS (SELECT CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS x,
+                         CAST(floor(CAST(epoch_us(CAST(ts AS TIMESTAMP))
+                              % 86400000000 AS DOUBLE) * 1000000) AS BIGINT) AS y
+                  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+       rx AS (SELECT x, 2 * COALESCE(sum(t) OVER (ORDER BY x
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 AS xr
+              FROM (SELECT x, CAST(count(*) AS DECIMAL(38,0)) AS t
+                    FROM b GROUP BY x)),
+       ry AS (SELECT y, 2 * COALESCE(sum(t) OVER (ORDER BY y
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 AS yr
+              FROM (SELECT y, CAST(count(*) AS DECIMAL(38,0)) AS t
+                    FROM b GROUP BY y)),
+       j AS (SELECT xr, yr FROM b JOIN rx USING (x) JOIN ry USING (y)),
+       a AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(xr) AS sa, sum(yr) AS sb,
+                    sum(xr * xr) AS saa, sum(yr * yr) AS sbb,
+                    sum(xr * yr) AS sab
+             FROM j)
+       SELECT n,
+              round(CASE WHEN (CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                               - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) > 0
+                         AND (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                              - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) > 0
+                    THEN (CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+                          - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+                         / sqrt((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                                 - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                                * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                                   - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))
+                    END, 6) AS rho
+       FROM a""",
+)
+def spearman_value_vs_hour(spark, sf_dir):
+    """Spearman rank correlation (checks/stats.py:spearman_correlation)
+    between event value and time-of-day — the distribution-free
+    dependence companion to Pearson (a fat-tail value moves Pearson
+    arbitrarily; it moves a rank by one). Average ranks as exact
+    integer halves over the bounded distinct grids, DECIMAL moment
+    sums over the rank pairs, one sqrt."""
+    from xmlschemavalidator_spark.checks.stats import spearman_correlation
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    base = ev.select(
+        "value",
+        (F.unix_micros(F.col("ts").cast("timestamp")) % 86_400_000_000)
+        .cast("double")
+        .alias("tod"),
+    )
+    return spearman_correlation(base, "value", "tod")
