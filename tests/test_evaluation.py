@@ -343,3 +343,30 @@ def test_kruskal_wallis_against_scipy_formula(spark):
     one = spark.createDataFrame([("a", 1.0), ("a", 2.0)], "g string, v double")
     [o] = kruskal_wallis(one, "v", "g").collect()
     assert o["h"] is None
+
+
+def test_mann_whitney_one_vs_rest_matches_pairwise(spark):
+    from xmlschemavalidator_spark.checks.evaluation import (
+        mann_whitney_one_vs_rest,
+        mann_whitney_u,
+    )
+
+    rows = (
+        [("lo", float(v)) for v in (1, 2, 2, 3)]
+        + [("mid", float(v)) for v in (3, 4, 5)]
+        + [("hi", float(v)) for v in (6, 7, 8, 9)]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    ovr = {r["g"]: r for r in mann_whitney_one_vs_rest(df, "v", "g").collect()}
+    # each row must equal the explicit two-sample test vs the complement
+    for g in ("lo", "mid", "hi"):
+        two = df.withColumn(
+            "gg", F.when(F.col("g") == g, F.lit("a")).otherwise(F.lit("b"))
+        )
+        [want] = mann_whitney_u(two, "v", "gg", "a", "b").collect()
+        got = ovr[g]
+        assert (got["n_a"], got["n_b"], got["u"], got["z"]) == (
+            want["n_a"], want["n_b"], want["u"], want["z"]
+        ), g
+    # directionality: hi ranks above its complement
+    assert ovr["hi"]["z"] > 0 > ovr["lo"]["z"]

@@ -589,3 +589,88 @@ def kruskal_wallis(
         F.round(F.when(ok, h / corr), round_to).alias("h_corrected"),
         (F.col("n_groups") - 1).cast("int").alias("df"),
     )
+
+
+def mann_whitney_one_vs_rest(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    quantum: int = 1_000_000,
+    z_crit_milli: int = 1960,
+    round_to: int = 6,
+) -> DataFrame:
+    """The drill-down for a fired :func:`kruskal_wallis`: WHICH group
+    shifted? One :func:`mann_whitney_u` per group against its
+    complement, all served from ONE shared distinct-value lattice —
+    never a per-group corpus scan. Returns per group:
+    ``(group, n_a, n_b, u, z, significant)`` (a = the group, b = the
+    rest; positive z = the group's values rank higher).
+
+    Machinery: the (value, group) cell table joins the per-value totals
+    into a groups × distinct-values lattice (bounded by G·S, the
+    roc_auc contract per group), rest counts are totals − own, and each
+    group's cumulative-rest window rides ONE (group, value) ordering.
+    Tie variance uses the POOLED tie term (ties are a property of the
+    value multiset, shared by every one-vs-rest split). Exact DECIMAL
+    sums; one fixed chain + sqrt per group row."""
+    base = df.where(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.floor(F.col(value_col).cast("double") * F.lit(quantum))
+        .cast("bigint")
+        .alias("_s"),
+        F.col(group_col).alias("_g"),
+    )
+    cell = base.groupBy("_s", "_g").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_c")
+    )
+    tot = cell.groupBy("_s").agg(F.sum("_c").alias("_t"))
+    groups = cell.select("_g").distinct()
+    lattice = (
+        tot.crossJoin(groups)
+        .join(cell, ["_s", "_g"], "left")
+        .select(
+            "_s",
+            "_g",
+            F.coalesce("_c", F.lit(0).cast("decimal(38,0)")).alias("_c"),
+            "_t",
+        )
+        .withColumn("_r", F.col("_t") - F.col("_c"))
+    )
+    w = Window.partitionBy("_g").orderBy("_s").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    scored = lattice.withColumn(
+        "_cumr", F.coalesce(F.sum("_r").over(w), F.lit(0).cast("decimal(38,0)"))
+    )
+    two_u = F.col("_c") * (F.lit(2) * F.col("_cumr") + F.col("_r"))
+    per_g = scored.groupBy("_g").agg(
+        F.sum("_c").alias("na"),
+        F.sum("_r").alias("nb"),
+        F.sum(two_u).alias("u2"),
+    )
+    ties = tot.agg(
+        F.sum(F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t")).alias("t3")
+    )
+    j = per_g.crossJoin(F.broadcast(ties))
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    n = na + nb
+    u = F.col("u2").cast("double") / F.lit(2.0)
+    var = (
+        na
+        * nb
+        / F.lit(12.0)
+        * ((n + F.lit(1.0)) - F.col("t3").cast("double") / (n * (n - F.lit(1.0))))
+    )
+    ok = (F.col("na") > 0) & (F.col("nb") > 0) & (n > 1)
+    z = F.when(ok & (var > 0), (u - na * nb / F.lit(2.0)) / F.sqrt(var))
+    return j.select(
+        F.col("_g").alias(group_col),
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.round(u, round_to).alias("u"),
+        F.round(z, round_to).alias("z"),
+        F.coalesce(
+            F.abs(z) * 1000 > F.lit(float(z_crit_milli)), F.lit(False)
+        ).alias("significant"),
+    )

@@ -13033,3 +13033,54 @@ def spearman_value_vs_hour(spark, sf_dir):
         .alias("tod"),
     )
     return spearman_correlation(base, "value", "tod")
+
+
+@q(
+    "mann_whitney_lang_drilldown",
+    """WITH b AS (SELECT CAST(floor(CAST(n_chars AS DOUBLE) * 1000000) AS BIGINT) AS s,
+                         lang AS g
+                  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+       cell AS (SELECT s, g, CAST(count(*) AS DECIMAL(38,0)) AS c
+                FROM b GROUP BY 1, 2),
+       tot AS (SELECT s, sum(c) AS t FROM cell GROUP BY s),
+       grps AS (SELECT DISTINCT g FROM cell),
+       lat AS (SELECT tot.s, grps.g, COALESCE(cell.c, 0) AS c, tot.t,
+                      tot.t - COALESCE(cell.c, 0) AS r
+               FROM tot CROSS JOIN grps
+               LEFT JOIN cell ON cell.s = tot.s AND cell.g = grps.g),
+       sc AS (SELECT *, COALESCE(sum(r) OVER (PARTITION BY g ORDER BY s
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumr
+              FROM lat),
+       pg AS (SELECT g, sum(c) AS na, sum(r) AS nb,
+                     sum(c * (2 * cumr + r)) AS u2
+              FROM sc GROUP BY g),
+       ties AS (SELECT sum(t * t * t - t) AS t3 FROM tot),
+       f AS (SELECT g, CAST(na AS DOUBLE) AS na, CAST(nb AS DOUBLE) AS nb,
+                    CAST(u2 AS DOUBLE) / 2.0 AS u, CAST(t3 AS DOUBLE) AS t3
+             FROM pg CROSS JOIN ties),
+       zc AS (SELECT *, na + nb AS n,
+                     na * nb / 12.0 * ((na + nb + 1.0)
+                         - t3 / ((na + nb) * (na + nb - 1.0))) AS var
+              FROM f)
+       SELECT g AS lang, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+              round(u, 6) AS u,
+              round(CASE WHEN na > 0 AND nb > 0 AND n > 1 AND var > 0
+                    THEN (u - na * nb / 2.0) / sqrt(var) END, 6) AS z,
+              coalesce(abs(CASE WHEN na > 0 AND nb > 0 AND n > 1 AND var > 0
+                    THEN (u - na * nb / 2.0) / sqrt(var) END) * 1000 > 1960.0,
+                    FALSE) AS significant
+       FROM zc""",
+)
+def mann_whitney_lang_drilldown(spark, sf_dir):
+    """The Kruskal–Wallis drill-down (checks/evaluation.py:
+    mann_whitney_one_vs_rest): per-language one-vs-rest rank tests over
+    document lengths, all served from ONE shared distinct-value lattice
+    — never a per-group corpus scan; pooled tie term shared by every
+    split (ties are a property of the value multiset). Pinned equal to
+    the explicit pairwise test in tests."""
+    from xmlschemavalidator_spark.checks.evaluation import mann_whitney_one_vs_rest
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("n_chars").isNotNull() & F.col("lang").isNotNull()
+    )
+    return mann_whitney_one_vs_rest(docs, "n_chars", "lang")
