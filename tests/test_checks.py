@@ -879,3 +879,31 @@ def test_spearman_monotone_and_robust(spark):
     c = spark.createDataFrame([(1.0, 2.0), (2.0, 2.0)], "x double, y double")
     [u] = spearman_correlation(c, "x", "y").collect()
     assert u["rho"] is None
+
+
+def test_cohens_d_and_anova_f_hand_computed(spark):
+    import math as _m
+
+    from xmlschemavalidator_spark.checks.stats import anova_f, cohens_d
+
+    a = [2.0, 4.0, 6.0]   # mean 4, var 4
+    b = [1.0, 2.0, 3.0]   # mean 2, var 1
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    [r] = cohens_d(df, "v", "g", "a", "b").collect()
+    pooled = ((2 * 4) + (2 * 1)) / 4
+    assert (r["mean_a"], r["mean_b"]) == (4.0, 2.0)
+    assert r["d"] == round(2.0 / _m.sqrt(pooled), 6)
+
+    [f] = anova_f(df, "v", "g").collect()
+    gm = 3.0
+    ssb = 3 * (4 - gm) ** 2 + 3 * (2 - gm) ** 2
+    ssw = sum((v - 4) ** 2 for v in a) + sum((v - 2) ** 2 for v in b)
+    want = (ssb / 1) / (ssw / 4)
+    assert abs(f["f"] - want) < 1e-6
+    assert (f["df_between"], f["df_within"]) == (1, 4)
+    # constant values: zero within variance -> NULL
+    c = spark.createDataFrame([("a", 1.0), ("a", 1.0), ("b", 1.0), ("b", 1.0)],
+                              "g string, v double")
+    [z] = anova_f(c, "v", "g").collect()
+    assert z["f"] is None

@@ -1255,3 +1255,110 @@ def spearman_correlation(
             F.when((va > 0) & (vb > 0), num / F.sqrt(va * vb)), round_to
         ).alias("rho"),
     )
+
+
+def cohens_d(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    quantum: int = 1_000_000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Cohen's d effect size between two groups — the magnitude answer
+    the z/U tests don't give (at 10^9 rows everything is 'significant';
+    d says whether anyone should care): ONE row ``(n_a, n_b, mean_a,
+    mean_b, d)`` with the pooled-SD denominator
+    √(((n_a−1)s_a² + (n_b−1)s_b²)/(n_a+n_b−2)).
+
+    Exactness: the usual quantized DECIMAL(38,0) moment sums per group
+    (one pass), then a fixed double chain — means, the two unbiased
+    variances, pooled SD, one division; zero pooled variance → NULL d.
+    """
+    v = F.col(value_col).cast("double")
+    q = F.floor(v * F.lit(quantum)).cast("decimal(38,0)")
+    base = df.where(
+        v.isNotNull() & F.col(group_col).isin([group_a, group_b])
+    ).select((F.col(group_col) == group_a).alias("_ga"), q.alias("_q"))
+    agg = base.agg(
+        F.sum(F.col("_ga").cast("long")).cast("bigint").alias("n_a"),
+        F.sum((~F.col("_ga")).cast("long")).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("_ga"), F.col("_q"))).alias("sa"),
+        F.sum(F.when(~F.col("_ga"), F.col("_q"))).alias("sb"),
+        F.sum(F.when(F.col("_ga"), F.col("_q") * F.col("_q"))).alias("saa"),
+        F.sum(F.when(~F.col("_ga"), F.col("_q") * F.col("_q"))).alias("sbb"),
+    )
+    qd = F.lit(float(quantum))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    sa, sb = F.col("sa").cast("double"), F.col("sb").cast("double")
+    saa, sbb = F.col("saa").cast("double"), F.col("sbb").cast("double")
+    ma, mb = sa / na / qd, sb / nb / qd
+    va = (saa - sa * sa / na) / (na - F.lit(1.0)) / (qd * qd)
+    vb = (sbb - sb * sb / nb) / (nb - F.lit(1.0)) / (qd * qd)
+    pooled = ((na - F.lit(1.0)) * va + (nb - F.lit(1.0)) * vb) / (
+        na + nb - F.lit(2.0)
+    )
+    ok = (F.col("n_a") > 1) & (F.col("n_b") > 1)
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(F.when(F.col("n_a") > 0, ma), round_to).alias("mean_a"),
+        F.round(F.when(F.col("n_b") > 0, mb), round_to).alias("mean_b"),
+        F.round(
+            F.when(ok & (pooled > 0), (ma - mb) / F.sqrt(pooled)), round_to
+        ).alias("d"),
+    )
+
+
+def anova_f(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    quantum: int = 1_000_000,
+    round_to: int = 6,
+) -> DataFrame:
+    """One-way ANOVA F — the parametric counterpart of
+    :func:`~xmlschemavalidator_spark.checks.evaluation.kruskal_wallis`
+    (between-group vs within-group variance of the VALUES, where KW
+    tests the ranks): ONE row ``(n, n_groups, f, df_between,
+    df_within)``; compare against the F(k−1, n−k) critical value of
+    your level.
+
+    Exactness: per-group (n, Σq, Σq²) in DECIMAL(38,0) from one pass;
+    SSB = Σ S_g²/n_g − S²/n and SSW = Σq² − Σ S_g²/n_g as fixed double
+    chains on the exact sums; F = (SSB/(k−1)) / (SSW/(n−k)); zero
+    within-variance → NULL f."""
+    v = F.col(value_col).cast("double")
+    q = F.floor(v * F.lit(quantum)).cast("decimal(38,0)")
+    base = df.where(v.isNotNull() & F.col(group_col).isNotNull()).select(
+        F.col(group_col).alias("_g"), q.alias("_q")
+    )
+    per = base.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum("_q").alias("_s"),
+        F.sum(F.col("_q") * F.col("_q")).alias("_ss"),
+    )
+    agg = per.agg(
+        F.sum("_n").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(F.col("_s").cast("double") * F.col("_s").cast("double") / F.col("_n"))
+        .alias("_sg2"),
+        F.sum("_s").alias("_st"),
+        F.sum("_ss").alias("_sst"),
+    )
+    n = F.col("n").cast("double")
+    k = F.col("n_groups").cast("double")
+    ssb = F.col("_sg2") - F.col("_st").cast("double") * F.col("_st").cast(
+        "double"
+    ) / n
+    ssw = F.col("_sst").cast("double") - F.col("_sg2")
+    ok = (F.col("n_groups") >= 2) & (n > k)
+    f = F.when(ok & (ssw > 0), (ssb / (k - F.lit(1.0))) / (ssw / (n - k)))
+    return agg.select(
+        "n",
+        "n_groups",
+        F.round(f, round_to).alias("f"),
+        (F.col("n_groups") - 1).cast("int").alias("df_between"),
+        (F.col("n") - F.col("n_groups")).cast("bigint").alias("df_within"),
+    )

@@ -13084,3 +13084,87 @@ def mann_whitney_lang_drilldown(spark, sf_dir):
         F.col("n_chars").isNotNull() & F.col("lang").isNotNull()
     )
     return mann_whitney_one_vs_rest(docs, "n_chars", "lang")
+
+
+@q(
+    "cohens_d_doc_length",
+    """WITH b AS (SELECT lang = 'en' AS ga,
+                         CAST(floor(CAST(n_chars AS DOUBLE) * 1000000)
+                              AS DECIMAL(38,0)) AS q
+                  FROM documents
+                  WHERE n_chars IS NOT NULL AND lang IN ('en', 'de')),
+       a AS (SELECT CAST(sum(CASE WHEN ga THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                    CAST(sum(CASE WHEN ga THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+                    sum(CASE WHEN ga THEN q END) AS sa,
+                    sum(CASE WHEN ga THEN NULL ELSE q END) AS sb,
+                    sum(CASE WHEN ga THEN q * q END) AS saa,
+                    sum(CASE WHEN ga THEN NULL ELSE q * q END) AS sbb
+             FROM b),
+       c AS (SELECT *, CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+                    CAST(sa AS DOUBLE) AS dsa, CAST(sb AS DOUBLE) AS dsb,
+                    CAST(saa AS DOUBLE) AS dsaa, CAST(sbb AS DOUBLE) AS dsbb
+             FROM a),
+       d AS (SELECT *,
+                    dsa / na / 1000000.0 AS ma, dsb / nb / 1000000.0 AS mb,
+                    (dsaa - dsa * dsa / na) / (na - 1.0) / 1e12 AS va,
+                    (dsbb - dsb * dsb / nb) / (nb - 1.0) / 1e12 AS vb
+             FROM c)
+       SELECT n_a, n_b,
+              round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+              round(CASE WHEN n_a > 1 AND n_b > 1
+                         AND ((na - 1.0) * va + (nb - 1.0) * vb)
+                             / (na + nb - 2.0) > 0
+                    THEN (ma - mb) / sqrt(((na - 1.0) * va + (nb - 1.0) * vb)
+                                          / (na + nb - 2.0)) END, 6) AS d
+       FROM d""",
+)
+def cohens_d_doc_length(spark, sf_dir):
+    """Cohen's d on en-vs-de document lengths (checks/stats.py:
+    cohens_d) — the effect-size companion to the MWU/z significance
+    tests: at corpus scale everything is 'significant', d says whether
+    anyone should care. Quantized DECIMAL moment sums in one pass;
+    pooled-SD fixed chain."""
+    from xmlschemavalidator_spark.checks.stats import cohens_d
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("n_chars").isNotNull() & F.col("lang").isin(["en", "de"])
+    )
+    return cohens_d(docs, "n_chars", "lang", "en", "de")
+
+
+@q(
+    "anova_f_doc_length",
+    """WITH b AS (SELECT lang AS g,
+                         CAST(floor(CAST(n_chars AS DOUBLE) * 1000000)
+                              AS DECIMAL(38,0)) AS q
+                  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+       per AS (SELECT g, CAST(count(*) AS BIGINT) AS n, sum(q) AS s,
+                      sum(q * q) AS ss
+               FROM b GROUP BY g),
+       a AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+                    CAST(count(*) AS BIGINT) AS n_groups,
+                    sum(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) AS sg2,
+                    CAST(sum(s) AS DOUBLE) AS st,
+                    CAST(sum(ss) AS DOUBLE) AS sst
+             FROM per)
+       SELECT n, n_groups,
+              round(CASE WHEN n_groups >= 2 AND n > n_groups
+                         AND (sst - sg2) > 0
+                    THEN ((sg2 - st * st / n) / (n_groups - 1.0))
+                         / ((sst - sg2) / (n - n_groups)) END, 6) AS f,
+              CAST(n_groups - 1 AS INTEGER) AS df_between,
+              CAST(n - n_groups AS BIGINT) AS df_within
+       FROM a""",
+)
+def anova_f_doc_length(spark, sf_dir):
+    """One-way ANOVA F over document lengths across languages
+    (checks/stats.py:anova_f) — the parametric counterpart of the
+    Kruskal-Wallis rank test on the same series (agreement between the
+    two is itself a normality sanity check). Per-group DECIMAL moment
+    sums, one pass, fixed double finals."""
+    from xmlschemavalidator_spark.checks.stats import anova_f
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("n_chars").isNotNull() & F.col("lang").isNotNull()
+    )
+    return anova_f(docs, "n_chars", "lang")
