@@ -469,3 +469,33 @@ def test_violation_examples_deterministic_per_rule(spark):
     # fewer violations than k: all surface
     few = violation_examples(v.where("rule_id = 'r2' AND doc_id < 9"), k=10)
     assert few.count() == 3
+
+
+def test_rule_rate_intervals_wilson(spark):
+    import math as _m
+
+    from xmlschemavalidator_spark.compiler import FieldRule, RuleSet
+    from xmlschemavalidator_spark.engine import rule_rate_intervals
+    from xmlschemavalidator_spark.rules.facets import MaxInclusive, MinInclusive
+    from xmlschemavalidator_spark.rules.types import Restriction
+
+    # 100 rows, rule fails on 20 of them
+    df = spark.createDataFrame([(i, i) for i in range(100)], "doc_id long, v long")
+    rs = RuleSet(rules=[FieldRule(
+        "v_max79", Restriction(base="integer", facets=(MinInclusive(0), MaxInclusive(79))),
+        column="v")])
+    [r] = rule_rate_intervals(df, rs, slo_fail_micro=100_000).collect()
+    p, n, z = 0.2, 100.0, 1.96
+    z2n = z * z / n
+    center = (p + z2n / 2) / (1 + z2n)
+    half = z * _m.sqrt(p * 0.8 / n + z * z / (4 * n * n)) / (1 + z2n)
+    assert (r["n_rows"], r["n_fail"], r["fail_rate"]) == (100, 20, 0.2)
+    assert r["ci_lo"] == round(center - half, 6)
+    assert r["ci_hi"] == round(center + half, 6)
+    # 20% with n=100: CI bottom ~0.134 > 10% SLO -> confident breach
+    assert r["breaches_slo"] is True
+    # same rate at tiny n: the interval spans the SLO -> no page
+    tiny = spark.createDataFrame([(i, 100 if i < 1 else 0) for i in range(5)],
+                                 "doc_id long, v long")
+    [t] = rule_rate_intervals(tiny, rs, slo_fail_micro=100_000).collect()
+    assert t["fail_rate"] == 0.2 and t["breaches_slo"] is False

@@ -13168,3 +13168,53 @@ def anova_f_doc_length(spark, sf_dir):
         F.col("n_chars").isNotNull() & F.col("lang").isNotNull()
     )
     return anova_f(docs, "n_chars", "lang")
+
+
+def _wilson_oracle() -> str:
+    sqls = _documents_ruleset_v2().compile_sql()
+    rids = sorted(sqls)
+    fails = ", ".join(
+        f"CAST(sum(CASE WHEN NOT coalesce(({sqls[r]}), FALSE) THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS f_{i}"
+        for i, r in enumerate(rids)
+    )
+    arms = " UNION ALL ".join(
+        f"SELECT '{r}' AS rule_id, f_{i} AS n_fail, n_rows FROM a"
+        for i, r in enumerate(rids)
+    )
+    return f"""WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n_rows, {fails}
+                  FROM documents),
+       l AS ({arms}),
+       w AS (SELECT *, CAST(n_fail AS DOUBLE) / n_rows AS p,
+                    1.96 * 1.96 / n_rows AS z2n
+             FROM l),
+       c AS (SELECT *,
+                    (p + z2n / 2.0) / (1.0 + z2n) AS center,
+                    1.96 * sqrt(p * (1.0 - p) / n_rows
+                                + 1.96 * 1.96 / (4.0 * n_rows * n_rows))
+                      / (1.0 + z2n) AS half
+             FROM w)
+       SELECT rule_id, n_rows, n_fail,
+              round(p, 6) AS fail_rate,
+              round(greatest(center - half, 0.0), 6) AS ci_lo,
+              round(least(center + half, 1.0), 6) AS ci_hi,
+              greatest(center - half, 0.0) > 0.01 AS breaches_slo
+       FROM c"""
+
+
+@q("rule_rate_intervals", _wilson_oracle())
+def rule_rate_intervals_q(spark, sf_dir):
+    """Wilson intervals on per-rule failure rates vs a 1% SLO
+    (engine.py:rule_rate_intervals) over the v2 contract — the
+    uncertainty-aware gate: breaches_slo fires only when the WHOLE
+    interval clears the SLO, so small segments don't page on noise.
+    The v2 rules' measured mixed rates (never-failing, ~15%, ~35%)
+    exercise the 0-failure interval, confident breaches and the
+    in-between. One aggregate, fixed Wilson chain."""
+    from xmlschemavalidator_spark.engine import rule_rate_intervals
+
+    return rule_rate_intervals(
+        _t(spark, sf_dir, "documents"),
+        _documents_ruleset_v2(),
+        slo_fail_micro=10_000,
+    )

@@ -428,3 +428,68 @@ def violation_examples(
         violations.withColumn("example_rank", F.row_number().over(w))
         .where(F.col("example_rank") <= k)
     )
+
+
+def rule_rate_intervals(
+    df: DataFrame,
+    ruleset: RuleSet,
+    slo_fail_micro: int = 10_000,
+    z_milli: int = 1960,
+    round_to: int = 6,
+) -> DataFrame:
+    """Wilson score intervals on per-rule FAILURE rates against an SLO —
+    the uncertainty-aware release gate :func:`expectation_summary`'s
+    point estimate can't provide on small segments: a 2/100 failure
+    rate and a 20,000/1,000,000 one are both "2%", but only the second
+    confidently breaches a 1% SLO. One row per rule: ``(rule_id,
+    n_rows, n_fail, fail_rate, ci_lo, ci_hi, breaches_slo)`` where
+    ``breaches_slo`` = the WHOLE interval sits above
+    ``slo_fail_micro``/1e6 (ci_lo > slo) — the conservative alarm that
+    doesn't page on noise.
+
+    Wilson (not Wald — Wald collapses to ±0 at p=0 and lies at small
+    n): (p + z²/2n ± z·√(p(1−p)/n + z²/4n²)) / (1 + z²/n), a fixed
+    double chain on exact integer counts from the engine's standard ONE
+    aggregate (#rules longs per partition reach the shuffle).
+    ``z_milli`` integer (1960 = 95%) so the width can't drift between
+    engines."""
+    compiled = ruleset.compile()
+    rids = sorted(compiled)
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        *[
+            F.sum(
+                (~F.coalesce(compiled[r], F.lit(False))).cast("long")
+            )
+            .cast("bigint")
+            .alias(f"_f_{i}")
+            for i, r in enumerate(rids)
+        ],
+    ]
+    agg = df.agg(*aggs)
+    stack = ", ".join(f"'{r}', _f_{i}" for i, r in enumerate(rids))
+    long = agg.select(
+        F.expr(f"stack({len(rids)}, {stack}) AS (rule_id, n_fail)"), "n_rows"
+    )
+    z = F.lit(z_milli / 1000.0)
+    n = F.col("n_rows").cast("double")
+    p = F.col("n_fail").cast("double") / n
+    z2n = z * z / n
+    center = (p + z2n / F.lit(2.0)) / (F.lit(1.0) + z2n)
+    half = (
+        z
+        * F.sqrt(p * (F.lit(1.0) - p) / n + z * z / (F.lit(4.0) * n * n))
+        / (F.lit(1.0) + z2n)
+    )
+    lo = F.greatest(center - half, F.lit(0.0))
+    hi = F.least(center + half, F.lit(1.0))
+    slo = F.lit(slo_fail_micro / 1e6)
+    return long.select(
+        "rule_id",
+        "n_rows",
+        "n_fail",
+        F.round(p, round_to).alias("fail_rate"),
+        F.round(lo, round_to).alias("ci_lo"),
+        F.round(hi, round_to).alias("ci_hi"),
+        (lo > slo).alias("breaches_slo"),
+    )
