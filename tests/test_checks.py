@@ -907,3 +907,33 @@ def test_cohens_d_and_anova_f_hand_computed(spark):
                               "g string, v double")
     [z] = anova_f(c, "v", "g").collect()
     assert z["f"] is None
+
+
+def test_jsd_drift_hand_computed_and_bounds(spark):
+    import math
+
+    from xmlschemavalidator_spark.checks.drift import jsd_drift
+
+    cur = spark.createDataFrame([("a", 3), ("b", 1)], "category string, n long")
+    base = spark.createDataFrame([("a", 1), ("b", 3)], "category string, n long")
+    [r] = jsd_drift(cur, base).collect()
+    expect = 0.75 * math.log(1.5) + 0.25 * math.log(0.5)
+    assert abs(r["jsd"] - expect) < 2e-6
+    assert r["n_categories"] == 2 and r["n_new_categories"] == 0
+
+    # disjoint supports: JSD hits its ln2 bound exactly, norm = 1.0;
+    # zero cells need no smoothing (the PSI epsilon problem)
+    cur2 = spark.createDataFrame([("a", 5)], "category string, n long")
+    base2 = spark.createDataFrame([("b", 7)], "category string, n long")
+    [d] = jsd_drift(cur2, base2).collect()
+    assert d["jsd"] == round(math.log(2), 6) and d["jsd_norm"] == 1.0
+    assert d["n_new_categories"] == 1 and d["n_gone_categories"] == 1
+
+    # identical distributions: exactly 0
+    [z] = jsd_drift(cur, cur).collect()
+    assert z["jsd"] == 0.0 and z["jsd_norm"] == 0.0
+
+    # empty baseline: NULL verdict, never a div/0
+    empty = spark.createDataFrame([], "category string, n long")
+    [e] = jsd_drift(cur, empty).collect()
+    assert e["jsd"] is None and e["jsd_norm"] is None

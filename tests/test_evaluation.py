@@ -370,3 +370,49 @@ def test_mann_whitney_one_vs_rest_matches_pairwise(spark):
         ), g
     # directionality: hi ranks above its complement
     assert ovr["hi"]["z"] > 0 > ovr["lo"]["z"]
+
+
+def test_bh_fdr_classic_stepup(spark):
+    """BH on a hand-checkable table: z's chosen so the sorted p's
+    bracket the i*alpha/m ladder, including the step-up quirk where a
+    later rank rescues an earlier-failing one."""
+    import math
+
+    from xmlschemavalidator_spark.checks.evaluation import bh_fdr
+
+    # two-sided p via scipy-free closed form for the check
+    def p2(z):
+        t = 1.0 / (1.0 + 0.2316419 * abs(z))
+        poly = t * (0.319381530 + t * (-0.356563782 + t * (1.781477937
+                    + t * (-1.821255978 + t * 1.330274429))))
+        pdf = math.exp(-(abs(z) * abs(z)) / 2.0) * 0.3989422804014327
+        return min(1.0, 2.0 * pdf * poly)
+
+    rows = [("a", 3.5), ("b", 3.1), ("c", 2.9), ("d", 2.0), ("e", 0.3)]
+    df = spark.createDataFrame(rows, "seg string, z double")
+    out = {r["seg"]: r for r in bh_fdr(df, "seg", alpha_micro=50_000).collect()}
+    ps = sorted((p2(z), s) for s, z in rows)
+    m = 5
+    cut = max((i + 1 for i in range(m) if ps[i][0] <= (i + 1) * 0.05 / m),
+              default=0)
+    expect_rejected = {s for i, (_, s) in enumerate(ps) if i + 1 <= cut}
+    got_rejected = {s for s, r in out.items() if r["rejected"]}
+    assert got_rejected == expect_rejected and len(expect_rejected) >= 1
+    # p values match the closed form at 6dp, rank order follows p
+    for s, z in rows:
+        assert out[s]["p_value"] == round(p2(z), 6)
+    assert out["a"]["bh_rank"] == 1 and out["e"]["bh_rank"] == 5
+    assert out["e"]["rejected"] is False
+
+
+def test_bh_fdr_null_z_excluded_from_m(spark):
+    from xmlschemavalidator_spark.checks.evaluation import bh_fdr
+
+    df = spark.createDataFrame(
+        [("a", 4.0), ("b", None), ("c", 0.1)], "seg string, z double"
+    )
+    out = {r["seg"]: r for r in bh_fdr(df, "seg").collect()}
+    assert out["b"]["p_value"] is None and out["b"]["rejected"] is False
+    assert out["b"]["bh_rank"] is None
+    # m=2 (not 3): rank-1 crit is alpha/2
+    assert out["a"]["bh_crit"] == 0.025 and out["a"]["rejected"] is True

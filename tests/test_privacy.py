@@ -98,3 +98,54 @@ def test_privacy_arg_validation(spark):
         l_diversity_violations(df, ["zip"], "zip", l=2)
     with pytest.raises(ValueError):
         l_diversity_violations(df, ["zip"], "disease", l=1)
+
+
+def test_t_closeness_ordered_hand_computed(spark):
+    from xmlschemavalidator_spark.checks.privacy import t_closeness_report
+
+    # grid {1,2,3}: global counts (2,1,1), N=4, m=3
+    # class A = [1,1]: p=(1,0,0) vs q=(.5,.25,.25) -> cums .5,.25,0 -> EMD .375
+    # class B = [2,3]: p=(0,.5,.5) -> cums -.5,-.25,0 -> EMD .375
+    df = spark.createDataFrame(
+        [("A", 1.0), ("A", 1.0), ("B", 2.0), ("B", 3.0)], "grp string, v double"
+    )
+    out = {r["grp"]: r for r in t_closeness_report(df, ["grp"], "v", t_micro=300_000).collect()}
+    assert out["A"]["emd"] == 0.375 and out["B"]["emd"] == 0.375
+    assert out["A"]["class_size"] == 2 and out["A"]["n_values"] == 3
+    assert out["A"]["breaches_t"] is True
+    # at t=0.4 nothing breaches
+    out2 = t_closeness_report(df, ["grp"], "v", t_micro=400_000).collect()
+    assert all(not r["breaches_t"] for r in out2)
+
+
+def test_t_closeness_categorical_tv(spark):
+    from xmlschemavalidator_spark.checks.privacy import t_closeness_report
+
+    # class A all-x vs global 50/50: TV = 0.5 (the homogeneous class
+    # l-diversity flags only via distinctness; t-closeness measures it)
+    df = spark.createDataFrame(
+        [("A", "x"), ("A", "x"), ("B", "x"), ("B", "y"), ("C", "y"), ("C", "y")],
+        "grp string, sv string",
+    )
+    out = {r["grp"]: r for r in
+           t_closeness_report(df, ["grp"], "sv", t_micro=200_000, ordered=False).collect()}
+    assert out["A"]["emd"] == 0.5 and out["A"]["breaches_t"] is True
+    assert out["B"]["emd"] == 0.0 and out["B"]["breaches_t"] is False
+    assert out["C"]["emd"] == 0.5
+
+
+def test_t_closeness_nulls_and_args(spark):
+    import pytest as _pt
+
+    from xmlschemavalidator_spark.checks.privacy import t_closeness_report
+
+    # NULL sensitive rows are excluded from every distribution
+    df = spark.createDataFrame(
+        [("A", 1.0), ("A", None), ("B", 2.0)], "grp string, v double"
+    )
+    out = {r["grp"]: r for r in t_closeness_report(df, ["grp"], "v").collect()}
+    assert out["A"]["class_size"] == 1  # the NULL row didn't count
+    with _pt.raises(ValueError):
+        t_closeness_report(df, [], "v")
+    with _pt.raises(ValueError):
+        t_closeness_report(df, ["v"], "v")

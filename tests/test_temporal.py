@@ -942,3 +942,41 @@ def test_ewma_matches_duckdb_oracle(spark):
     )
     oracle = sorted(map(tuple, con.execute(sql).fetchall()))
     assert got == oracle
+
+
+def test_acf_hand_computed_and_seasonal(spark):
+    from xmlschemavalidator_spark.temporal import acf
+
+    # ramp 1,2,3,4: mean 2.5, den 5.0; lag1 num 1.25, lag2 -1.5, lag3 -2.25
+    ramp = spark.createDataFrame(
+        [(0, 1.0), (1, 2.0), (2, 3.0), (3, 4.0)], "t long, y double"
+    )
+    out = {r["lag"]: r for r in acf(ramp, "t", "y", lags=(1, 2, 3, 9)).collect()}
+    assert out[1]["acf"] == 0.25 and out[1]["n_pairs"] == 3
+    assert out[2]["acf"] == -0.3 and out[3]["acf"] == -0.45
+    # lag beyond the span: disclosed as 0 pairs, NULL acf
+    assert out[9]["n_pairs"] == 0 and out[9]["acf"] is None
+
+    # period-2 series: strong positive at the period, negative off-period
+    per = spark.createDataFrame(
+        [(i, 1.0 if i % 2 == 0 else 5.0) for i in range(6)], "t long, y double"
+    )
+    o2 = {r["lag"]: r for r in acf(per, "t", "y", lags=(1, 2)).collect()}
+    assert o2[2]["acf"] == round(16 / 24, 6) and o2[1]["acf"] == round(-20 / 24, 6)
+
+    # gapped series: pairs only where both buckets exist (t=0,1,3 -> lag1
+    # has just the (0,1) pair)
+    gap = spark.createDataFrame([(0, 1.0), (1, 2.0), (3, 4.0)], "t long, y double")
+    o3 = {r["lag"]: r for r in acf(gap, "t", "y", lags=(1,)).collect()}
+    assert o3[1]["n_pairs"] == 1
+
+    # step: bucket_start in seconds with 3600-wide buckets
+    hrs = spark.createDataFrame(
+        [(i * 3600, float(i + 1)) for i in range(4)], "t long, y double"
+    )
+    o4 = {r["lag"]: r for r in acf(hrs, "t", "y", lags=(1,), step=3600).collect()}
+    assert o4[1]["acf"] == 0.25
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        acf(ramp, "t", "y", lags=(0,))

@@ -332,3 +332,66 @@ def psi_drift(
         .cast("bigint")
         .alias("n_gone_categories"),
     )
+
+
+# ln(2) as a fixed double literal (driver-side constant, the
+# BENFORD_MICRO convention: the transcendental is evaluated once, here)
+_LN2 = 0.6931471805599453
+
+
+def jsd_drift(
+    current_hist: DataFrame, baseline_hist: DataFrame, round_to: int = 6
+) -> DataFrame:
+    """Jensen–Shannon divergence between two count histograms — the
+    bounded, symmetric member of the drift family (χ², KS, PSI):
+    ``JSD = ½·KL(p‖m) + ½·KL(q‖m)`` with ``m = (p+q)/2``. Unlike PSI it
+    needs NO zero-count smoothing (0·ln0 = 0 and the mixture m is
+    positive wherever either side is), so a category present on one
+    side only contributes exactly its share·ln2 — new/vanished
+    categories are measured, not epsilon-hacked. Bounded by ln 2, so
+    ``jsd_norm = JSD/ln2 ∈ [0,1]`` gives one scale-free alert threshold
+    that works for every column at every corpus size.
+
+    Returns ONE row ``(jsd, jsd_norm, n_categories, n_new_categories,
+    n_gone_categories)``; NULL jsd when either side is empty.
+
+    Exactness (the entropy contract shared with :func:`psi_drift`):
+    each category's term is a fixed double chain on exact integer-count
+    rationals, rounded to 12 dp, summed in DECIMAL(20,12) — partition
+    order can never flip the hash; ln 2 enters as a fixed literal, not
+    a per-engine evaluation. Runs on #categories rows (pre-aggregated
+    inputs), O(scan) at any corpus size.
+    """
+    cur = current_hist.select("category", F.col("n").alias("n_cur"))
+    base = baseline_hist.select("category", F.col("n").alias("n_base"))
+    joined = cur.join(base, on="category", how="full_outer").fillna(
+        0, subset=["n_cur", "n_base"]
+    )
+    w = Window.partitionBy()
+    sh = joined.select(
+        "n_cur",
+        "n_base",
+        F.sum("n_cur").over(w).alias("_tc"),
+        F.sum("n_base").over(w).alias("_tb"),
+    )
+    # greatest(·,1): an empty side would otherwise divide by zero (ANSI
+    # throws even inside an untaken when-branch); with it, an empty side
+    # gives all-zero shares and the ok-guard NULLs the verdict anyway
+    p = F.col("n_cur").cast("double") / F.greatest(F.col("_tc"), F.lit(1)).cast("double")
+    q = F.col("n_base").cast("double") / F.greatest(F.col("_tb"), F.lit(1)).cast("double")
+    term_p = F.when(F.col("n_cur") > 0, p * F.log(F.lit(2.0) * p / (p + q))).otherwise(F.lit(0.0))
+    term_q = F.when(F.col("n_base") > 0, q * F.log(F.lit(2.0) * q / (p + q))).otherwise(F.lit(0.0))
+    term = F.round(term_p + term_q, 12).cast("decimal(20,12)")
+    ok = (F.max("_tc") > 0) & (F.max("_tb") > 0)
+    jsd_raw = F.sum(term).cast("double") / F.lit(2.0)
+    return sh.agg(
+        F.when(ok, F.round(jsd_raw, round_to)).alias("jsd"),
+        F.when(ok, F.round(jsd_raw / F.lit(_LN2), round_to)).alias("jsd_norm"),
+        F.count(F.lit(1)).cast("bigint").alias("n_categories"),
+        F.sum(F.when(F.col("n_base") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_new_categories"),
+        F.sum(F.when(F.col("n_cur") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_gone_categories"),
+    )

@@ -674,3 +674,107 @@ def mann_whitney_one_vs_rest(
             F.abs(z) * 1000 > F.lit(float(z_crit_milli)), F.lit(False)
         ).alias("significant"),
     )
+
+
+# Zelen & Severo (Abramowitz & Stegun 26.2.17) normal-CDF polynomial
+# constants — fixed double literals so BOTH engines evaluate the exact
+# same IEEE chain (the repo's fixed-chain contract; |error| < 7.5e-8,
+# far inside the 6dp rounding).
+_NORM_T = 0.2316419
+_NORM_B = (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+_INV_SQRT_2PI = 0.3989422804014327
+
+
+def _p_two_sided(z):
+    """Two-sided normal p-value from a z column via the A&S 26.2.17
+    polynomial — exp + multiply/add only, so the double chain is
+    bit-identical across engines. Clamped to 1 (z=0 overshoots by 9e-10)."""
+    az = F.abs(z)
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(_NORM_T) * az)
+    b1, b2, b3, b4, b5 = (F.lit(c) for c in _NORM_B)
+    poly = t * (b1 + t * (b2 + t * (b3 + t * (b4 + t * b5))))
+    pdf = F.exp(-(az * az) / F.lit(2.0)) * F.lit(_INV_SQRT_2PI)
+    return F.least(F.lit(1.0), F.lit(2.0) * pdf * poly)
+
+
+def _p_two_sided_sql(z: str) -> str:
+    """The DuckDB rendering of :func:`_p_two_sided` — same literals,
+    same nesting, same operator order."""
+    b1, b2, b3, b4, b5 = _NORM_B
+    az = f"abs({z})"
+    t = f"(1.0 / (1.0 + {_NORM_T} * {az}))"
+    poly = f"({t} * ({b1} + {t} * ({b2} + {t} * ({b3} + {t} * ({b4} + {t} * {b5})))))"
+    pdf = f"(exp(-({az} * {az}) / 2.0) * {_INV_SQRT_2PI})"
+    return f"least(1.0, 2.0 * {pdf} * {poly})"
+
+
+def bh_fdr(
+    df: DataFrame,
+    id_col: str,
+    z_col: str = "z",
+    alpha_micro: int = 50_000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Benjamini–Hochberg step-up FDR correction (Benjamini & Hochberg
+    1995) over a table of per-segment test results — the missing piece
+    once the drill-downs fan out: ``mann_whitney_one_vs_rest`` /
+    ``two_proportion_test`` fire one z per segment, and at 50 segments
+    a 5% per-test gate pages ~2.5 times on pure noise. BH instead
+    bounds the expected fraction of false alarms among the alarms:
+    sort the m p-values ascending, find the largest rank i with
+    p_i ≤ i·α/m, reject hypotheses 1..i.
+
+    Input: one row per hypothesis with an ``id_col`` (segment name) and
+    a ``z_col`` (a ROUNDED z from any upstream analyzer — rounding
+    first is what makes the downstream p identical cross-engine).
+    Output per row: ``(id, z, p_value, bh_rank, bh_crit, rejected)``.
+
+    Scale shape: ONE global window sort over the HYPOTHESIS table —
+    bounded by the number of segments under test (the upstream
+    analyzers' G·S lattice contract), never corpus-sized. NULL z rows
+    (degenerate segments) are carried through with NULL p and
+    rejected=false, and do NOT count toward m. The step-up compare is
+    cross-multiplied (p·m·10⁶ ≤ i·α_micro) so the threshold is an
+    integer parameter that cannot drift between engines. Ties on p
+    break by id for a total order.
+
+    Reference scope note: eliassona/xmlschemavalidator has no
+    dataset-level testing layer (core.clj:263-285 stops at per-record
+    valid?); north-rule addition in the checks/stats.py analyzer style.
+    """
+    z = F.col(z_col).cast("double")
+    p = F.when(z.isNotNull(), _p_two_sided(z))
+    base = df.select(F.col(id_col), z.alias("_z"), p.alias("_p"))
+    w_rank = Window.orderBy(F.asc_nulls_last("_p"), F.col(id_col))
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = base.select(
+        F.col(id_col),
+        "_z",
+        "_p",
+        F.when(F.col("_p").isNotNull(), F.row_number().over(w_rank))
+        .cast("bigint")
+        .alias("_i"),
+        F.count("_p").over(w_all).cast("bigint").alias("_m"),
+    )
+    passes = (
+        F.col("_p") * F.col("_m").cast("double") * F.lit(1_000_000.0)
+        <= F.col("_i").cast("double") * F.lit(float(alpha_micro))
+    )
+    cut = ranked.withColumn(
+        "_cut", F.max(F.when(passes, F.col("_i"))).over(w_all)
+    )
+    return cut.select(
+        F.col(id_col),
+        F.round("_z", round_to).alias("z"),
+        F.round("_p", round_to).alias("p_value"),
+        F.col("_i").alias("bh_rank"),
+        F.round(
+            F.col("_i").cast("double")
+            * F.lit(float(alpha_micro))
+            / (F.col("_m").cast("double") * F.lit(1_000_000.0)),
+            round_to,
+        ).alias("bh_crit"),
+        F.coalesce(F.col("_i") <= F.col("_cut"), F.lit(False)).alias("rejected"),
+    )

@@ -108,3 +108,124 @@ def l_diversity_violations(
         F.count(F.lit(1)).cast("bigint").alias("n_distinct_sensitive"),
     )
     return per_class.where(F.col("n_distinct_sensitive") < l)
+
+
+def t_closeness_report(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    t_micro: int = 150_000,
+    ordered: bool = True,
+    quantum: int = 1_000_000,
+    round_to: int = 6,
+) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian ICDE'07) — the
+    third leg of the privacy trio: l-diversity stops the homogeneity
+    attack but not the SKEWNESS attack (a class can hold l distinct
+    salaries that are all in the top percentile). t-closeness requires
+    each equivalence class's *distribution* of the sensitive attribute
+    to sit within Earth-Mover's Distance ``t`` of the global one.
+
+    Per class: ``(*quasi_cols, class_size, n_values, emd, breaches_t)``.
+
+    * ``ordered=True`` (numeric sensitive attribute): the paper's
+      ordered-distance EMD — values on one global grid (quantized to
+      ``quantum`` like the rank analyzers), EMD = Σᵢ|Σ_{j≤i}(p_j−q_j)|
+      / (m−1) over the m grid values.
+    * ``ordered=False`` (categorical): equal-ground-distance EMD
+      = ½·Σ|p_j−q_j| (total variation).
+
+    Exactness: p_j−q_j is the rational c·N − g_j·n (class count cross-
+    multiplied against the global count), accumulated in DECIMAL(38,0);
+    ONE double division + round at the very end, so partition order can
+    never flip a hash. ``breaches_t`` compares emd·10⁶ against the
+    integer ``t_micro`` on the same fixed chain in both engines.
+
+    Scale shape: cells are a partial-aggregatable groupBy; the lattice
+    is classes × distinct grid values (the l-diversity class-bounded
+    contract times the roc_auc value-grid contract), never row-sized;
+    the per-class window orders the value grid, not rows. NULL
+    sensitive values are excluded from the distribution (a NULL carries
+    no attacker-readable value; both engines agree by construction).
+
+    Reference scope note: eliassona/xmlschemavalidator has no dataset
+    notion (core.clj:263-285); north-rule release-gate addition beside
+    k_anonymity_summary.
+    """
+    if not quasi_cols:
+        raise ValueError("t_closeness_report: need ≥1 quasi-identifier column")
+    if sensitive_col in quasi_cols:
+        raise ValueError(
+            f"t_closeness_report: sensitive column {sensitive_col!r} cannot also be "
+            "a quasi-identifier (every class distribution would be a point mass)"
+        )
+    if ordered:
+        s = (
+            F.floor(F.col(sensitive_col).cast("double") * F.lit(quantum))
+            .cast("bigint")
+            .alias("_s")
+        )
+    else:
+        s = F.col(sensitive_col).alias("_s")
+    base = df.where(F.col(sensitive_col).isNotNull()).select(*quasi_cols, s)
+    cell = base.groupBy(*quasi_cols, "_s").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_c")
+    )
+    cls = cell.groupBy(*quasi_cols).agg(F.sum("_c").alias("_n"))
+    val = cell.groupBy("_s").agg(F.sum("_c").alias("_g"))
+    n_tot = val.agg(
+        F.sum("_g").alias("_nn"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_m"),
+    )
+    lattice = (
+        cls.crossJoin(F.broadcast(n_tot))
+        .crossJoin(val)
+        .join(cell, [*quasi_cols, "_s"], "left")
+        .select(
+            *quasi_cols,
+            "_s",
+            "_n",
+            "_nn",
+            "_m",
+            "_g",
+            (
+                F.coalesce("_c", F.lit(0).cast("decimal(38,0)")) * F.col("_nn")
+                - F.col("_g") * F.col("_n")
+            ).alias("_d"),
+        )
+    )
+    if ordered:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*quasi_cols).orderBy("_s")
+        num = lattice.withColumn("_cum", F.sum("_d").over(w)).groupBy(
+            *quasi_cols
+        ).agg(
+            F.max("_n").alias("_n"),
+            F.max("_nn").alias("_nn"),
+            F.max("_m").alias("_m"),
+            F.sum(F.abs(F.col("_cum"))).alias("_num"),
+        )
+        emd = F.col("_num").cast("double") / (
+            F.col("_n").cast("double")
+            * F.col("_nn").cast("double")
+            * (F.col("_m").cast("double") - F.lit(1.0))
+        )
+        emd = F.when(F.col("_m") > 1, emd).otherwise(F.lit(0.0))
+    else:
+        num = lattice.groupBy(*quasi_cols).agg(
+            F.max("_n").alias("_n"),
+            F.max("_nn").alias("_nn"),
+            F.max("_m").alias("_m"),
+            F.sum(F.abs(F.col("_d"))).alias("_num"),
+        )
+        emd = F.col("_num").cast("double") / (
+            F.lit(2.0) * F.col("_n").cast("double") * F.col("_nn").cast("double")
+        )
+    return num.select(
+        *quasi_cols,
+        F.col("_n").cast("bigint").alias("class_size"),
+        F.col("_m").cast("bigint").alias("n_values"),
+        F.round(emd, round_to).alias("emd"),
+        (emd * F.lit(1_000_000.0) > F.lit(float(t_micro))).alias("breaches_t"),
+    )

@@ -13218,3 +13218,300 @@ def rule_rate_intervals_q(spark, sf_dir):
         _documents_ruleset_v2(),
         slo_fail_micro=10_000,
     )
+
+
+def _bh_sql(tests_cte: str, id_col: str, alpha_micro: int) -> str:
+    """Render the BH step-up chain over a CTE named ``tests`` yielding
+    (id_col, z) — same fixed double chain as checks/evaluation.bh_fdr."""
+    from xmlschemavalidator_spark.checks.evaluation import _p_two_sided_sql
+
+    p = _p_two_sided_sql("z")
+    return f"""WITH {tests_cte},
+       pv AS (SELECT {id_col}, z,
+                     CASE WHEN z IS NOT NULL THEN {p} END AS p
+              FROM tests),
+       rk AS (SELECT {id_col}, z, p,
+                     CASE WHEN p IS NOT NULL THEN CAST(row_number() OVER (
+                         ORDER BY p ASC NULLS LAST, {id_col}) AS BIGINT) END AS i,
+                     CAST(count(p) OVER () AS BIGINT) AS m
+              FROM pv),
+       ct AS (SELECT *, max(CASE WHEN p * CAST(m AS DOUBLE) * 1000000.0
+                                      <= CAST(i AS DOUBLE) * {float(alpha_micro)}
+                                 THEN i END) OVER () AS cut
+              FROM rk)
+       SELECT {id_col}, round(z, 6) AS z, round(p, 6) AS p_value,
+              i AS bh_rank,
+              round(CAST(i AS DOUBLE) * {float(alpha_micro)}
+                    / (CAST(m AS DOUBLE) * 1000000.0), 6) AS bh_crit,
+              coalesce(i <= cut, FALSE) AS rejected
+       FROM ct"""
+
+
+_MWU_SOURCE_TESTS_CTE = """b AS (SELECT CAST(floor(CAST(n_chars AS DOUBLE) * 1000000) AS BIGINT) AS s,
+                         source AS g
+                  FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+       cell AS (SELECT s, g, CAST(count(*) AS DECIMAL(38,0)) AS c
+                FROM b GROUP BY 1, 2),
+       tot AS (SELECT s, sum(c) AS t FROM cell GROUP BY s),
+       grps AS (SELECT DISTINCT g FROM cell),
+       lat AS (SELECT tot.s, grps.g, COALESCE(cell.c, 0) AS c, tot.t,
+                      tot.t - COALESCE(cell.c, 0) AS r
+               FROM tot CROSS JOIN grps
+               LEFT JOIN cell ON cell.s = tot.s AND cell.g = grps.g),
+       sc AS (SELECT *, COALESCE(sum(r) OVER (PARTITION BY g ORDER BY s
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumr
+              FROM lat),
+       pg AS (SELECT g, sum(c) AS na, sum(r) AS nb,
+                     sum(c * (2 * cumr + r)) AS u2
+              FROM sc GROUP BY g),
+       ties AS (SELECT sum(t * t * t - t) AS t3 FROM tot),
+       f AS (SELECT g, CAST(na AS DOUBLE) AS na, CAST(nb AS DOUBLE) AS nb,
+                    CAST(u2 AS DOUBLE) / 2.0 AS u, CAST(t3 AS DOUBLE) AS t3
+             FROM pg CROSS JOIN ties),
+       zc AS (SELECT *, na + nb AS n,
+                     na * nb / 12.0 * ((na + nb + 1.0)
+                         - t3 / ((na + nb) * (na + nb - 1.0))) AS var
+              FROM f),
+       tests AS (SELECT g AS source,
+              round(CASE WHEN na > 0 AND nb > 0 AND n > 1 AND var > 0
+                    THEN (u - na * nb / 2.0) / sqrt(var) END, 6) AS z
+       FROM zc)"""
+
+
+@q("bh_fdr_source_drilldown", _bh_sql(_MWU_SOURCE_TESTS_CTE, "source", 50_000))
+def bh_fdr_source_drilldown(spark, sf_dir):
+    """Benjamini–Hochberg FDR correction (checks/evaluation.py:bh_fdr)
+    over the 20-source one-vs-rest MWU drill-down — the multiple-
+    comparisons capstone of the experiment toolkit: 20 segment tests at
+    a naive 5% gate expect ~1 false page on pure noise; BH bounds the
+    false-discovery RATE instead. On this uniform synthetic corpus the
+    honest answer is no rejection (measured min p = 0.081 at sf0.01) —
+    the full chain (A&S normal p from the rounded z, p-ascending ranks,
+    the i*alpha/m crit ladder, the step-up cut) is what the hash pins;
+    the rejecting branch is pinned by bh_fdr_planted_stepup. ONE window
+    sort over the 20-row hypothesis table, never corpus-sized."""
+    from xmlschemavalidator_spark.checks.evaluation import bh_fdr, mann_whitney_one_vs_rest
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("n_chars").isNotNull() & F.col("source").isNotNull()
+    )
+    tests = mann_whitney_one_vs_rest(docs, "n_chars", "source").select("source", "z")
+    return bh_fdr(tests, "source", alpha_micro=50_000)
+
+
+_BH_PLANTED = (
+    ("seg_a", 3.5), ("seg_b", 2.30), ("seg_c", 2.27),
+    ("seg_d", 2.0), ("seg_e", 0.3), ("seg_f", None),
+)
+
+_BH_PLANTED_CTE = "tests AS (" + " UNION ALL ".join(
+    f"SELECT '{s}' AS seg, CAST({z if z is not None else 'NULL'} AS DOUBLE) AS z"
+    for s, z in _BH_PLANTED
+) + ")"
+
+
+@q("bh_fdr_planted_stepup", _bh_sql(_BH_PLANTED_CTE, "seg", 50_000))
+def bh_fdr_planted_stepup(spark, sf_dir):
+    """The rejecting branch of bh_fdr, driver-pinned on an arithmetically
+    planted hypothesis table (the unigram_vocab_planted pattern: both
+    engines consume the same literals): z's chosen so the sorted p's
+    bracket the i*alpha/m ladder — rank-2 (p=0.0214 > 0.02) fails its
+    OWN threshold but is RESCUED by rank-3 passing below its (the
+    step-up property a naive per-row compare gets wrong), rank-4
+    (p=0.0455) stays accepted though a naive per-test 5% gate would
+    page it, and the NULL-z seg_f is carried with rejected=false and
+    excluded from m."""
+    from xmlschemavalidator_spark.checks.evaluation import bh_fdr
+
+    df = spark.createDataFrame(list(_BH_PLANTED), "seg string, z double")
+    return bh_fdr(df, "seg", alpha_micro=50_000)
+
+
+@q(
+    "t_closeness_lang_source",
+    """WITH base AS (SELECT lang, source,
+                       CAST(floor(CAST(n_chars AS DOUBLE) * 1000000) AS BIGINT) AS s
+                FROM documents WHERE n_chars IS NOT NULL),
+       cell AS (SELECT lang, source, s, CAST(count(*) AS DECIMAL(38,0)) AS c
+                FROM base GROUP BY 1, 2, 3),
+       cls AS (SELECT lang, source, sum(c) AS n FROM cell GROUP BY 1, 2),
+       val AS (SELECT s, sum(c) AS g FROM cell GROUP BY 1),
+       tot AS (SELECT sum(g) AS nn, CAST(count(*) AS DECIMAL(38,0)) AS m FROM val),
+       lat AS (SELECT cls.lang, cls.source, val.s, cls.n, tot.nn, tot.m,
+                      COALESCE(cell.c, 0) * tot.nn - val.g * cls.n AS d
+               FROM cls CROSS JOIN tot CROSS JOIN val
+               LEFT JOIN cell ON cell.lang = cls.lang
+                             AND cell.source = cls.source AND cell.s = val.s),
+       cum AS (SELECT *, sum(d) OVER (PARTITION BY lang, source ORDER BY s) AS cumd
+               FROM lat),
+       agg AS (SELECT lang, source, max(n) AS n, max(nn) AS nn, max(m) AS m,
+                      sum(abs(cumd)) AS num
+               FROM cum GROUP BY 1, 2),
+       e AS (SELECT lang, source, n, m,
+                    CASE WHEN m > 1 THEN CAST(num AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * CAST(nn AS DOUBLE)
+                            * (CAST(m AS DOUBLE) - 1.0))
+                         ELSE 0.0 END AS emd
+             FROM agg)
+       SELECT lang, source, CAST(n AS BIGINT) AS class_size,
+              CAST(m AS BIGINT) AS n_values, round(emd, 6) AS emd,
+              emd * 1000000.0 > 150000.0 AS breaches_t
+       FROM e""",
+)
+def t_closeness_lang_source(spark, sf_dir):
+    """t-closeness (checks/privacy.py:t_closeness_report, ordered EMD)
+    over (lang, source) equivalence classes with n_chars as the
+    sensitive attribute — the skewness-attack audit l-diversity can't
+    give: a class can hold many DISTINCT lengths that are all extreme.
+    Measured at sf0.01: 97 classes, EMD 0.051–0.473, t=0.15 splits
+    49 breaching / 48 close — both branches hashed. Cross-multiplied
+    DECIMAL cumulative diffs, one double division per class."""
+    from xmlschemavalidator_spark.checks.privacy import t_closeness_report
+
+    return t_closeness_report(
+        _t(spark, sf_dir, "documents").where(F.col("n_chars").isNotNull()),
+        ["lang", "source"],
+        "n_chars",
+        t_micro=150_000,
+    )
+
+
+@q(
+    "t_closeness_source_lang_tv",
+    """WITH base AS (SELECT source, lang AS s FROM documents WHERE lang IS NOT NULL),
+       cell AS (SELECT source, s, CAST(count(*) AS DECIMAL(38,0)) AS c
+                FROM base GROUP BY 1, 2),
+       cls AS (SELECT source, sum(c) AS n FROM cell GROUP BY 1),
+       val AS (SELECT s, sum(c) AS g FROM cell GROUP BY 1),
+       tot AS (SELECT sum(g) AS nn, CAST(count(*) AS DECIMAL(38,0)) AS m FROM val),
+       lat AS (SELECT cls.source, val.s, cls.n, tot.nn, tot.m,
+                      abs(COALESCE(cell.c, 0) * tot.nn - val.g * cls.n) AS ad
+               FROM cls CROSS JOIN tot CROSS JOIN val
+               LEFT JOIN cell ON cell.source = cls.source AND cell.s = val.s),
+       agg AS (SELECT source, max(n) AS n, max(nn) AS nn, max(m) AS m,
+                      sum(ad) AS num
+               FROM lat GROUP BY 1),
+       e AS (SELECT source, n, m,
+                    CAST(num AS DOUBLE)
+                      / (2.0 * CAST(n AS DOUBLE) * CAST(nn AS DOUBLE)) AS emd
+             FROM agg)
+       SELECT source, CAST(n AS BIGINT) AS class_size,
+              CAST(m AS BIGINT) AS n_values, round(emd, 6) AS emd,
+              emd * 1000000.0 > 150000.0 AS breaches_t
+       FROM e""",
+)
+def t_closeness_source_lang_tv(spark, sf_dir):
+    """Categorical t-closeness (equal-ground-distance EMD = total
+    variation) — per-source language mix vs the global mix: the
+    release-gate question 'does any source leak a skewed sub-population
+    the global distribution hides?'. Measured at sf0.01: 20 sources,
+    TV 0.078–0.224, t=0.15 splits 8 breaching / 12 close."""
+    from xmlschemavalidator_spark.checks.privacy import t_closeness_report
+
+    return t_closeness_report(
+        _t(spark, sf_dir, "documents").where(F.col("lang").isNotNull()),
+        ["source"],
+        "lang",
+        t_micro=150_000,
+        ordered=False,
+    )
+
+
+@q(
+    "jsd_drift_source",
+    """WITH cur AS (SELECT source AS category,
+                           CAST(count(*) AS BIGINT) AS n_cur
+                    FROM documents
+                    WHERE lang = 'en' AND source IS NOT NULL GROUP BY 1),
+            base AS (SELECT source AS category,
+                            CAST(count(*) AS BIGINT) AS n_base
+                     FROM documents
+                     WHERE lang <> 'en' AND source IS NOT NULL GROUP BY 1),
+            j AS (SELECT coalesce(cur.category, base.category) AS category,
+                         coalesce(n_cur, 0) AS n_cur,
+                         coalesce(n_base, 0) AS n_base
+                  FROM cur FULL OUTER JOIN base USING (category)),
+            sh AS (SELECT n_cur, n_base,
+                          sum(n_cur) OVER () AS tc,
+                          sum(n_base) OVER () AS tb
+                   FROM j),
+            t AS (SELECT n_cur, n_base, tc, tb,
+                         CAST(round(
+                           (CASE WHEN n_cur > 0 THEN
+                              (CAST(n_cur AS DOUBLE) / CAST(greatest(tc, 1) AS DOUBLE))
+                              * ln(2.0 * (CAST(n_cur AS DOUBLE) / CAST(greatest(tc, 1) AS DOUBLE))
+                                   / ((CAST(n_cur AS DOUBLE) / CAST(greatest(tc, 1) AS DOUBLE))
+                                      + (CAST(n_base AS DOUBLE) / CAST(greatest(tb, 1) AS DOUBLE))))
+                            ELSE 0.0 END)
+                           + (CASE WHEN n_base > 0 THEN
+                              (CAST(n_base AS DOUBLE) / CAST(greatest(tb, 1) AS DOUBLE))
+                              * ln(2.0 * (CAST(n_base AS DOUBLE) / CAST(greatest(tb, 1) AS DOUBLE))
+                                   / ((CAST(n_cur AS DOUBLE) / CAST(greatest(tc, 1) AS DOUBLE))
+                                      + (CAST(n_base AS DOUBLE) / CAST(greatest(tb, 1) AS DOUBLE))))
+                            ELSE 0.0 END), 12) AS DECIMAL(20,12)) AS term
+                  FROM sh)
+       SELECT CASE WHEN max(tc) > 0 AND max(tb) > 0
+                THEN round(CAST(sum(term) AS DOUBLE) / 2.0, 6) END AS jsd,
+              CASE WHEN max(tc) > 0 AND max(tb) > 0
+                THEN round(CAST(sum(term) AS DOUBLE) / 2.0
+                           / 0.6931471805599453, 6) END AS jsd_norm,
+              CAST(count(*) AS BIGINT) AS n_categories,
+              CAST(sum(CASE WHEN n_base = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_new_categories,
+              CAST(sum(CASE WHEN n_cur = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_gone_categories
+       FROM t""",
+)
+def jsd_drift_source(spark, sf_dir):
+    """Jensen–Shannon divergence (checks/drift.py:jsd_drift) on the
+    SAME histogram pair as psi_drift_source (en-doc source mix vs every
+    other lang) — the family's bounded symmetric member: no zero-count
+    smoothing (0·ln0=0; the mixture is positive wherever either side
+    is) and jsd_norm ∈ [0,1] gives one alert threshold for every
+    column. 12-dp-rounded terms into a DECIMAL sum (entropy contract);
+    ln2 enters as a fixed literal."""
+    from xmlschemavalidator_spark.checks.drift import categorical_histogram, jsd_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    cur = categorical_histogram(docs.where(F.col("lang") == "en"), "source")
+    base = categorical_histogram(docs.where(F.col("lang") != "en"), "source")
+    return jsd_drift(cur, base)
+
+
+@q(
+    "acf_event_rate",
+    """WITH b AS (SELECT CAST((epoch_us(ts) // 3600000000) * 3600 AS BIGINT) AS t,
+                  CAST(floor(CAST(count(*) AS DOUBLE) * 1000000)
+                       AS DECIMAL(38,0)) AS y
+           FROM events WHERE ts IS NOT NULL GROUP BY 1),
+       g AS (SELECT CAST(count(*) AS DECIMAL(38,0)) AS n, sum(y) AS s,
+                    sum(y * y) AS syy
+             FROM b),
+       lags AS (SELECT CAST(unnest([1, 2, 3, 24]) AS BIGINT) AS lag),
+       pl AS (SELECT l.lag, CAST(count(*) AS DECIMAL(38,0)) AS p,
+                     sum(lb.y * rb.y) AS sxy, sum(lb.y) AS h, sum(rb.y) AS tl
+              FROM lags l, b lb, b rb
+              WHERE lb.t + l.lag * 3600 = rb.t
+              GROUP BY l.lag),
+       res AS (SELECT lags.lag, pl.p, pl.sxy, pl.h, pl.tl
+               FROM lags LEFT JOIN pl ON lags.lag = pl.lag)
+       SELECT lag, CAST(coalesce(p, 0) AS BIGINT) AS n_pairs,
+              CASE WHEN p IS NOT NULL AND (n * n * syy - n * s * s) > 0
+                   THEN round(CAST(n * n * sxy - n * s * (h + tl) + p * s * s
+                                   AS DOUBLE)
+                              / CAST(n * n * syy - n * s * s AS DOUBLE), 6)
+              END AS acf
+       FROM res CROSS JOIN g""",
+)
+def acf_event_rate(spark, sf_dir):
+    """Autocorrelation of the hourly event-rate series (temporal.py:acf
+    over a time_rollup) at lags 1/2/3 h and the daily lag 24 h — the
+    seasonality/memory profile the point alarms (EWMA, CUSUM, rolling
+    z) can't see. Global-mean estimator cross-multiplied to pure
+    DECIMAL integer sums (mean never materialized), one double division
+    per lag; the lag join runs on the 720-bucket table, never rows.
+    Empty buckets are gaps (disclosed via n_pairs), not zeros."""
+    from xmlschemavalidator_spark.temporal import acf, time_rollup
+
+    roll = time_rollup(_t(spark, sf_dir, "events"), "ts", 3600)
+    return acf(roll, "bucket_start", "n_events", lags=(1, 2, 3, 24), step=3600)

@@ -1111,3 +1111,94 @@ SELECT {key}, {bucket}, CAST(_x0 AS BIGINT) AS value_q,
        (_num - {tq} * _den) > {hq} * _den AS flag_hi,
        (-(_num - {tq} * _den)) > {hq} * _den AS flag_lo
 FROM s"""
+
+
+def acf(
+    series: DataFrame,
+    t_col: str,
+    y_col: str,
+    lags: tuple[int, ...] = (1, 2, 3),
+    step: int = 1,
+    quantum: int = 1_000_000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Sample autocorrelation function over a bucketed series — the
+    seasonality/memory profile the point detectors (z-score spikes,
+    EWMA, CUSUM) can't give: a crawl-rate series with a daily cycle
+    shows r(24h) ≈ 1 long before any single bucket alarms, and an
+    ACF that never decays flags a metronomic bot the inter-arrival
+    stats see only per-host. Composable: feed it any ``(t, y)`` frame
+    (:func:`time_rollup` output, a continuous aggregate, a metric
+    manifest) — ``lag`` is in buckets and ``step`` is the bucket width
+    in ``t`` units, so pairs join on ``t + lag·step``.
+
+    Estimator: the standard series form with the GLOBAL mean,
+    r(k) = Σ_pairs (y_t−ȳ)(y_{t+k}−ȳ) / Σ_all (y−ȳ)², generalized to
+    gapped series by summing the numerator over OBSERVED pairs (equal
+    to the textbook estimator on contiguous series; pair counts are
+    disclosed per lag as ``n_pairs``).
+
+    Exactness: y is micro-quantized then every sum (S, Σy², per-lag
+    Σy_t·y_{t+k}, head/tail sums) is DECIMAL(38,0); the mean is never
+    materialized — the estimator is cross-multiplied to
+    (n²Σyy − nS(H+T) + P·S²) / (n²Σy² − nS²), all integer DECIMAL,
+    ONE double division per lag, rounded. Order-independent, hash-safe.
+
+    Scale shape: runs on the BUCKET table, never rows: the lag join
+    shuffles (#buckets × #lags) slim tuples on t; the global moments
+    are one partial agg broadcast back. NULL acf (with n_pairs=0) for
+    lags beyond the span; NULL t/y rows are excluded.
+
+    Reference scope note: eliassona/xmlschemavalidator has no temporal
+    layer (core.clj:263-285 is per-record); north-rule addition beside
+    the EWMA/CUSUM/rolling-z family.
+    """
+    if not lags or any(int(k) <= 0 for k in lags):
+        raise ValueError(f"acf: lags must be positive bucket offsets, got {lags!r}")
+    b = (
+        series.where(F.col(t_col).isNotNull() & F.col(y_col).isNotNull())
+        .select(
+            F.col(t_col).cast("bigint").alias("_t"),
+            F.floor(F.col(y_col).cast("double") * F.lit(quantum))
+            .cast("decimal(38,0)")
+            .alias("_y"),
+        )
+    )
+    g = b.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+        F.sum("_y").alias("_s"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+    )
+    left = b.select(
+        "_t",
+        F.col("_y").alias("_ly"),
+        F.explode(F.array(*[F.lit(int(k)).cast("bigint") for k in lags])).alias("lag"),
+    )
+    right = b.select(F.col("_t").alias("_rt"), F.col("_y").alias("_ry"))
+    pairs = left.join(
+        right, left["_t"] + left["lag"] * F.lit(int(step)) == right["_rt"], "inner"
+    )
+    per_lag = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_p"),
+        F.sum(F.col("_ly") * F.col("_ry")).alias("_sxy"),
+        F.sum("_ly").alias("_h"),
+        F.sum("_ry").alias("_tl"),
+    )
+    spark = series.sparkSession
+    lag_table = spark.createDataFrame([(int(k),) for k in lags], "lag bigint")
+    j = lag_table.join(per_lag, "lag", "left").crossJoin(F.broadcast(g))
+    num = (
+        F.col("_n") * F.col("_n") * F.col("_sxy")
+        - F.col("_n") * F.col("_s") * (F.col("_h") + F.col("_tl"))
+        + F.col("_p") * F.col("_s") * F.col("_s")
+    )
+    den = F.col("_n") * F.col("_n") * F.col("_syy") - F.col("_n") * F.col("_s") * F.col("_s")
+    r = F.when(
+        F.col("_p").isNotNull() & (den > 0),
+        F.round(num.cast("double") / den.cast("double"), round_to),
+    )
+    return j.select(
+        "lag",
+        F.coalesce(F.col("_p").cast("bigint"), F.lit(0)).alias("n_pairs"),
+        r.alias("acf"),
+    )
