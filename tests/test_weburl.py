@@ -1147,3 +1147,140 @@ def test_edge_reciprocity_hand_computed(spark):
     # distinct simple digraph: (1,2),(2,1),(1,3),(3,4),(4,3) -> 4 of 5 reciprocal
     assert (r["n_edges"], r["n_reciprocal"]) == (5, 4)
     assert r["reciprocity"] == 0.8
+
+
+_CANON_HTML_CASES = [
+    # rel-then-href
+    ('<html><head><link rel="canonical" href="https://ex.com/a"></head></html>',
+     "https://ex.com/a"),
+    # href-then-rel, single quotes, attr noise, case
+    ("<LINK type='x' HREF='https://ex.com/b' REL='canonical'>",
+     "https://ex.com/b"),
+    # a stylesheet link before the canonical one must not bleed in
+    ('<link href="s.css" rel="stylesheet"><link rel="canonical" href="/c">',
+     "/c"),
+    # whitespace inside quotes trimmed
+    ('<link rel=" canonical " href=" https://ex.com/d ">', "https://ex.com/d"),
+    # absent
+    ("<html><head><title>t</title></head></html>", ""),
+]
+
+
+def test_rel_canonical_cases_and_duckdb_parity(spark):
+    import duckdb
+
+    from xmlschemavalidator_spark.weburl import rel_canonical, rel_canonical_sql
+
+    got = _eval(spark, rel_canonical, [c[0] for c in _CANON_HTML_CASES])
+    assert got == [c[1] for c in _CANON_HTML_CASES]
+    for h, want in _CANON_HTML_CASES:
+        d = duckdb.sql(
+            f"select {rel_canonical_sql('h')} from (select '{h.replace(chr(39), chr(39)*2)}' as h)"
+        ).fetchone()[0]
+        assert d == want, (h, d, want)
+
+
+def test_canonical_target_resolution(spark):
+    from xmlschemavalidator_spark.weburl import canonical_target
+
+    cases = [
+        # absolute declaration wins over own url (and is normalized)
+        ("https://m.ex.com/a?utm_source=x",
+         '<link rel="canonical" href="HTTPS://WWW.EX.COM/a/">',
+         "https://ex.com/a"),
+        # root-relative resolves against the page's own scheme://host
+        ("https://ex.com/deep/page",
+         '<link rel="canonical" href="/top">',
+         "https://ex.com/top"),
+        # protocol-relative: disclosed fallback to own url
+        ("https://ex.com/pp",
+         '<link rel="canonical" href="//cdn.ex.com/x">',
+         "https://ex.com/pp"),
+        # no declaration: own url, normalized
+        ("HTTP://WWW.Ex.com/z/", "<p>no head</p>", "http://ex.com/z"),
+    ]
+    df = spark.createDataFrame([(u, h) for u, h, _ in cases], "u string, h string")
+    got = [r[0] for r in df.select(
+        canonical_target(F.col("u"), F.col("h"))).collect()]
+    assert got == [w for _, _, w in cases]
+
+
+def test_canonical_declared_dedup_self_wins(spark):
+    from xmlschemavalidator_spark.weburl import canonical_declared_dedup
+
+    decl = '<link rel="canonical" href="https://ex.com/page">'
+    rows_in = [
+        # three variants declaring the same canonical; doc 2 IS the target
+        (1, "https://m.ex.com/page?sid=9", decl),
+        (2, "https://ex.com/page", decl),
+        (3, "https://amp.ex.com/page", decl),
+        # undeclared page: its own url is its target, survives alone
+        (4, "https://ex.com/other", "<p>x</p>"),
+    ]
+    df = spark.createDataFrame(rows_in, "doc_id long, url string, html string")
+    kept = sorted(r["doc_id"] for r in canonical_declared_dedup(df).collect())
+    assert kept == [2, 4]
+    # without the self page, smallest url wins deterministically
+    df2 = spark.createDataFrame(
+        [r for r in rows_in if r[0] != 2], "doc_id long, url string, html string"
+    )
+    kept2 = sorted(r["doc_id"] for r in canonical_declared_dedup(df2).collect())
+    assert kept2 == [3, 4]  # amp.ex.com < m.ex.com
+
+
+def test_meta_robots_whole_token_and_none(spark):
+    import duckdb
+
+    from xmlschemavalidator_spark.weburl import (
+        meta_robots_signals,
+        meta_robots_signals_sql,
+    )
+
+    cases = [
+        ('<meta name="robots" content="noindex, nofollow">', True, True, False),
+        # content-then-name order; noarchive
+        ("<meta content='NOARCHIVE' name='robots'>", False, False, True),
+        # 'none' implies noindex+nofollow
+        ('<meta name="robots" content="none">', True, True, False),
+        # whole-token: 'noindexing' must NOT match
+        ('<meta name="robots" content="noindexing">', False, False, False),
+        # no meta robots at all
+        ("<p>hi</p>", False, False, False),
+    ]
+    df = spark.createDataFrame([(h,) for h, *_ in cases], "h string")
+    sig = meta_robots_signals(F.col("h"))
+    got = df.select(*(c.alias(k) for k, c in sig.items())).collect()
+    for r, (h, ni, nf, na) in zip(got, cases):
+        assert (r["noindex"], r["nofollow"], r["noarchive"]) == (ni, nf, na), h
+    sqls = meta_robots_signals_sql("h")
+    for h, ni, nf, na in cases:
+        hh = h.replace("'", "''")
+        d = duckdb.sql(
+            f"select {sqls['noindex']}, {sqls['nofollow']}, {sqls['noarchive']} "
+            f"from (select '{hh}' as h)"
+        ).fetchone()
+        assert tuple(d) == (ni, nf, na), h
+
+
+def test_og_properties_and_duckdb_parity(spark):
+    import duckdb
+
+    from xmlschemavalidator_spark.weburl import og_properties, og_properties_sql
+
+    html = (
+        '<meta property="og:title" content="A Title">'
+        "<meta content='desc here' property='og:description'>"
+        '<meta property="og:image" content="https://ex.com/i.png">'
+    )
+    df = spark.createDataFrame([(html,)], "h string")
+    cols = og_properties(F.col("h"))
+    [r] = df.select(*(c.alias(k) for k, c in cols.items())).collect()
+    assert r["og_title"] == "A Title" and r["og_description"] == "desc here"
+    assert r["og_image"] == "https://ex.com/i.png" and r["og_url"] == ""
+    sqls = og_properties_sql("h")
+    hh = html.replace("'", "''")
+    d = duckdb.sql(
+        f"select {sqls['og_title']}, {sqls['og_description']}, "
+        f"{sqls['og_url']}, {sqls['og_image']} from (select '{hh}' as h)"
+    ).fetchone()
+    assert tuple(d) == ("A Title", "desc here", "", "https://ex.com/i.png")

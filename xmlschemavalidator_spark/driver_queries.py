@@ -13515,3 +13515,177 @@ def acf_event_rate(spark, sf_dir):
 
     roll = time_rollup(_t(spark, sf_dir, "events"), "ts", 3600)
     return acf(roll, "bucket_start", "n_events", lags=(1, 2, 3, 24), step=3600)
+
+
+# synthesized page urls: every 4th is an m.-mobile variant of its bare page
+_PLANT_PAGE_URL = (
+    "concat('https://', CASE WHEN doc_id % 4 = 0 THEN 'm.' ELSE '' END, "
+    "'site', CAST(doc_id % 7 AS STRING), '.example.com/p/', "
+    "CAST(doc_id % 50 AS STRING))"
+)
+
+# the bare (non-mobile) canonical every page's declaration points at
+_PLANT_CANON_ABS = (
+    "concat('https://site', CAST(doc_id % 7 AS STRING), '.example.com/p/', "
+    "CAST(doc_id % 50 AS STRING))"
+)
+
+# head with canonical declarations in BOTH attribute orders (%3=0 absolute
+# rel-first, %3=1 root-relative href-first, %3=2 none), meta-robots variants
+# (incl. the 'none' alias and the 'noindexing' whole-token trap) and og tags
+_PLANT_HEAD_HTML = f"""concat('<html><head>',
+  CASE WHEN doc_id % 3 = 0
+       THEN concat('<link rel="canonical" href="', {_PLANT_CANON_ABS}, '">')
+       WHEN doc_id % 3 = 1
+       THEN concat('<link href="/p/', CAST(doc_id % 50 AS STRING),
+                   '" rel="canonical">')
+       ELSE '' END,
+  CASE WHEN doc_id % 5 = 0
+       THEN '<meta name="robots" content="noindex, nofollow">'
+       WHEN doc_id % 5 = 1 THEN '<meta content="none" name="robots">'
+       WHEN doc_id % 5 = 2 THEN '<meta name="robots" content="noindexing">'
+       ELSE '' END,
+  CASE WHEN doc_id % 2 = 0
+       THEN concat('<meta property="og:title" content="Doc ',
+                   CAST(doc_id AS STRING), '">',
+                   '<meta content="about doc" property="og:description">')
+       ELSE '' END,
+  '<title>x</title></head><body>b</body></html>')"""
+
+
+def _canon_targets_oracle() -> str:
+    from xmlschemavalidator_spark.weburl import (
+        canonical_target_sql,
+        canonical_url_sql,
+        rel_canonical_sql,
+    )
+
+    tgt = canonical_target_sql("url", "html")
+    return f"""WITH p AS (SELECT doc_id, {_PLANT_PAGE_URL} AS url,
+                      {_PLANT_HEAD_HTML} AS html
+               FROM documents)
+       SELECT doc_id, url, {rel_canonical_sql('html')} AS declared,
+              {tgt} AS canonical_target,
+              {canonical_url_sql('url')} = {tgt} AS is_self
+       FROM p"""
+
+
+@q("rel_canonical_targets", _canon_targets_oracle())
+def rel_canonical_targets(spark, sf_dir):
+    """rel=canonical harvest (weburl.py:rel_canonical/canonical_target,
+    RFC 6596) — the publisher-DECLARED dedup key, resolved (absolute
+    as-is, root-relative against the page's own scheme://host) and
+    normalized through canonical_url so declared and crawled keys meet
+    in one key space; is_self marks pages that are their own canonical.
+    Both attribute orders planted; one narrow projection, zero
+    shuffles."""
+    from xmlschemavalidator_spark.weburl import (
+        canonical_target,
+        canonical_url,
+        rel_canonical,
+    )
+
+    p = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(_PLANT_PAGE_URL).alias("url"),
+        F.expr(_PLANT_HEAD_HTML).alias("html"),
+    )
+    tgt = canonical_target(F.col("url"), F.col("html"))
+    return p.select(
+        "doc_id",
+        "url",
+        rel_canonical(F.col("html")).alias("declared"),
+        tgt.alias("canonical_target"),
+        (canonical_url(F.col("url")) == tgt).alias("is_self"),
+    )
+
+
+def _canon_dedup_oracle() -> str:
+    from xmlschemavalidator_spark.weburl import canonical_target_sql, canonical_url_sql
+
+    tgt = canonical_target_sql("url", "html")
+    return f"""WITH p AS (SELECT doc_id, {_PLANT_PAGE_URL} AS url,
+                      {_PLANT_HEAD_HTML} AS html
+               FROM documents),
+       t AS (SELECT doc_id, url, {tgt} AS canonical_target,
+                    CASE WHEN {canonical_url_sql('url')} = {tgt}
+                         THEN 0 ELSE 1 END AS sr
+             FROM p),
+       r AS (SELECT *, row_number() OVER (PARTITION BY canonical_target
+                         ORDER BY sr, url, doc_id) AS rn
+             FROM t)
+       SELECT doc_id, url, canonical_target FROM r WHERE rn = 1"""
+
+
+@q("canonical_declared_dedup", _canon_dedup_oracle())
+def canonical_declared_dedup_q(spark, sf_dir):
+    """Declared-canonical consolidation (weburl.py:
+    canonical_declared_dedup) — the search-engine dedup step BEFORE any
+    content hashing: m.-mobile variants collapse onto the bare page
+    that declares the same canonical; the page that IS its own
+    canonical wins, else smallest url then id. min-struct partial agg
+    (a crawler-trap target combines map-side) + semi join — never a
+    window sort over the corpus."""
+    from xmlschemavalidator_spark.weburl import canonical_declared_dedup
+
+    p = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(_PLANT_PAGE_URL).alias("url"),
+        F.expr(_PLANT_HEAD_HTML).alias("html"),
+    )
+    return canonical_declared_dedup(p).select("doc_id", "url", "canonical_target")
+
+
+def _meta_robots_oracle() -> str:
+    from xmlschemavalidator_spark.weburl import meta_robots_signals_sql
+
+    s = meta_robots_signals_sql("html")
+    return f"""WITH p AS (SELECT doc_id, {_PLANT_HEAD_HTML} AS html FROM documents)
+       SELECT doc_id, {s['robots_content']} AS robots_content,
+              {s['noindex']} AS noindex, {s['nofollow']} AS nofollow,
+              {s['noarchive']} AS noarchive
+       FROM p"""
+
+
+@q("meta_robots_gate", _meta_robots_oracle())
+def meta_robots_gate(spark, sf_dir):
+    """Page-level crawler opt-outs (weburl.py:meta_robots_signals) —
+    the in-page sibling of robots.txt: noindex/nofollow/noarchive as
+    whole-token matches over the comma-normalized directive list
+    ('none' implies noindex+nofollow; the planted 'noindexing' trap
+    stays False). A compliant corpus pipeline honors these at ingest
+    like the license/noai taggers. One projection."""
+    from xmlschemavalidator_spark.weburl import meta_robots_signals
+
+    p = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_PLANT_HEAD_HTML).alias("html")
+    )
+    sig = meta_robots_signals(F.col("html"))
+    return p.select("doc_id", *(c.alias(k) for k, c in sig.items()))
+
+
+def _og_oracle() -> str:
+    from xmlschemavalidator_spark.weburl import og_properties_sql
+
+    s = og_properties_sql("html")
+    cols = ", ".join(f"{sql} AS {k}" for k, sql in s.items())
+    return (
+        f"WITH p AS (SELECT doc_id, {_PLANT_HEAD_HTML} AS html FROM documents) "
+        f"SELECT doc_id, {cols} FROM p"
+    )
+
+
+@q("og_harvest", _og_oracle())
+def og_harvest(spark, sf_dir):
+    """Open Graph harvest (weburl.py:og_properties, ogp.me) — the third
+    structured-data carrier beside JSON-LD and <table> grids: the
+    publisher's own title/description/url/image summary, both attribute
+    orders. Missing properties yield '' (half the plant carries og
+    tags). One projection."""
+    from xmlschemavalidator_spark.weburl import og_properties
+
+    p = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_PLANT_HEAD_HTML).alias("html")
+    )
+    cols = og_properties(F.col("html"))
+    return p.select("doc_id", *(c.alias(k) for k, c in cols.items()))

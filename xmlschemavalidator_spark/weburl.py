@@ -2585,3 +2585,224 @@ def edge_reciprocity(
             round_to,
         ).alias("reciprocity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# head-metadata harvest: rel=canonical / meta robots / Open Graph — the
+# publisher-declared signals a Common-Crawl pipeline reads before computing
+# anything itself: the canonical link is a DECLARED dedup key (RFC 6596),
+# meta robots is the page-level opt-out (the in-page sibling of robots.txt
+# and the license/noai taggers), Open Graph is the publisher's own
+# title/description/image summary (ogp.me). All quoted-attribute forms,
+# both attribute orders, RE2-safe (no lookaround) — one regex table
+# renders both engines, the html_to_text convention.
+# ---------------------------------------------------------------------------
+
+#: <link rel="canonical" href=...> — rel-then-href and href-then-rel orders.
+#: [^>]* never crosses the tag close, so a stylesheet link before the
+#: canonical one cannot bleed into the match.
+CANONICAL_RH_RE = (
+    rf"(?is)<link{_WS}[^>]*rel{_WS}*={_WS}*[\"']{_WS}*canonical{_WS}*[\"']"
+    rf"[^>]*href{_WS}*={_WS}*[\"']([^\"'<>]+)[\"']"
+)
+CANONICAL_HR_RE = (
+    rf"(?is)<link{_WS}[^>]*href{_WS}*={_WS}*[\"']([^\"'<>]+)[\"']"
+    rf"[^>]*rel{_WS}*={_WS}*[\"']{_WS}*canonical{_WS}*[\"']"
+)
+
+#: the page's own scheme://host prefix, for resolving root-relative
+#: canonical declarations
+_PAGE_BASE_RE = r"(?i)^https?://[^/?#]+"
+
+
+def rel_canonical(html: Column) -> Column:
+    """The declared canonical URL from ``<link rel="canonical">`` —
+    '' when absent. First match wins per order-variant; rel-first
+    preferred when both forms appear (they agree on real pages).
+    Unquoted attribute values are out of scope (the HREF_RE convention;
+    disclosed). One narrow regexp projection."""
+    rh = F.regexp_extract(html, CANONICAL_RH_RE, 1)
+    hr = F.regexp_extract(html, CANONICAL_HR_RE, 1)
+    return F.trim(F.when(rh != "", rh).otherwise(hr))
+
+
+def rel_canonical_sql(x: str) -> str:
+    rh = f"regexp_extract({x}, {_sql_quote(CANONICAL_RH_RE)}, 1)"
+    hr = f"regexp_extract({x}, {_sql_quote(CANONICAL_HR_RE)}, 1)"
+    return f"trim(CASE WHEN {rh} <> '' THEN {rh} ELSE {hr} END)"
+
+
+def canonical_target(
+    url: Column, html: Column, strip_www: bool = True
+) -> Column:
+    """Resolved + normalized declared-canonical target — the dedup key
+    the publisher ASKS crawlers to use: absolute http(s) declarations
+    are taken as declared, root-relative ('/path') resolve against the
+    page's own scheme://host, and everything else (absent declaration,
+    protocol-relative '//', dir-relative, mailto:) falls back to the
+    page's OWN url (disclosed: dir-relative resolution needs the full
+    path join, out of scope). Both the declared and the fallback URL
+    then pass through :func:`canonical_url`, so declared and crawled
+    keys meet in one key space."""
+    decl = rel_canonical(html)
+    base = F.regexp_extract(url, _PAGE_BASE_RE, 0)
+    resolved = (
+        F.when(decl.rlike(_ABS_HTTP_RE), decl)
+        .when(decl.rlike(r"^//"), url)
+        .when(decl.rlike(r"^/") & (base != ""), F.concat(base, decl))
+        .otherwise(url)
+    )
+    return canonical_url(resolved, strip_www=strip_www)
+
+
+def canonical_target_sql(url_sql: str, html_sql: str, strip_www: bool = True) -> str:
+    decl = rel_canonical_sql(html_sql)
+    base = f"regexp_extract({url_sql}, {_sql_quote(_PAGE_BASE_RE)}, 0)"
+    resolved = (
+        f"CASE WHEN regexp_matches({decl}, {_sql_quote(_ABS_HTTP_RE)}) THEN {decl} "
+        f"WHEN regexp_matches({decl}, '^//') THEN {url_sql} "
+        f"WHEN regexp_matches({decl}, '^/') AND {base} <> '' "
+        f"THEN concat({base}, {decl}) "
+        f"ELSE {url_sql} END"
+    )
+    return canonical_url_sql(resolved, strip_www=strip_www)
+
+
+def canonical_declared_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    target_col: str = "canonical_target",
+    strip_www: bool = True,
+) -> DataFrame:
+    """One page per DECLARED canonical target — the consolidation step
+    search engines apply before any content hashing: every variant page
+    (?session=, m., amp.) that declares the same canonical collapses,
+    and the page that IS its own canonical wins (else the smallest url,
+    then smallest id — deterministic). Scale shape: the url_dedup
+    min-struct contract — a hot canonical target (a crawler trap
+    declaring one canonical from millions of URLs) partial-aggregates
+    map-side, never a window sort; kept rows return via a semi join."""
+    canon = df.withColumn(
+        target_col,
+        canonical_target(F.col(url_col), F.col(html_col), strip_www=strip_www),
+    ).withColumn(
+        "_self_rank",
+        F.when(
+            canonical_url(F.col(url_col), strip_www=strip_www)
+            == F.col(target_col),
+            F.lit(0),
+        ).otherwise(F.lit(1)),
+    )
+    winners = (
+        canon.groupBy(target_col)
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("_self_rank").alias("r"),
+                    F.col(url_col).alias("u"),
+                    F.col(id_col).alias("id"),
+                )
+            ).alias("w")
+        )
+        .select(F.col(target_col), F.col("w.id").alias(id_col))
+    )
+    return canon.join(winners, [target_col, id_col], "left_semi").drop("_self_rank")
+
+
+def _meta_content_res(attr: str, value: str) -> tuple[str, str]:
+    """(forward, reversed) regexes for ``<meta ATTR="VALUE" content=...>``
+    with the attributes in either order. ``value`` must be regex-safe
+    (plain names like 'robots', 'og:title')."""
+    fwd = (
+        rf"(?is)<meta{_WS}[^>]*{attr}{_WS}*={_WS}*[\"']{_WS}*{value}{_WS}*[\"']"
+        rf"[^>]*content{_WS}*={_WS}*[\"']([^\"'<>]*)[\"']"
+    )
+    rev = (
+        rf"(?is)<meta{_WS}[^>]*content{_WS}*={_WS}*[\"']([^\"'<>]*)[\"']"
+        rf"[^>]*{attr}{_WS}*={_WS}*[\"']{_WS}*{value}{_WS}*[\"']"
+    )
+    return fwd, rev
+
+
+def meta_content(html: Column, attr: str, value: str) -> Column:
+    fwd, rev = _meta_content_res(attr, value)
+    a = F.regexp_extract(html, fwd, 1)
+    b = F.regexp_extract(html, rev, 1)
+    return F.trim(F.when(a != "", a).otherwise(b))
+
+
+def meta_content_sql(x: str, attr: str, value: str) -> str:
+    fwd, rev = _meta_content_res(attr, value)
+    a = f"regexp_extract({x}, {_sql_quote(fwd)}, 1)"
+    b = f"regexp_extract({x}, {_sql_quote(rev)}, 1)"
+    return f"trim(CASE WHEN {a} <> '' THEN {a} ELSE {b} END)"
+
+
+#: directive-token normalizer: lowercase, strip ALL whitespace (explicit
+#: class — the Java-vs-RE2 \x0B divergence), wrap in commas; a directive
+#: is then an exact ',tok,' substring — 'noindexing' can never match.
+def _robots_norm(content: Column) -> Column:
+    return F.concat(
+        F.lit(","),
+        F.regexp_replace(F.lower(content), f"{_WS}+", ""),
+        F.lit(","),
+    )
+
+
+def _robots_norm_sql(c: str) -> str:
+    return f"concat(',', regexp_replace(lower({c}), {_sql_quote(_WS + '+')}, '', 'g'), ',')"
+
+
+def meta_robots_signals(html: Column) -> dict[str, Column]:
+    """Page-level crawler opt-outs from ``<meta name="robots">`` — the
+    in-page sibling of robots.txt (which gates FETCHING; this gates
+    indexing/archiving of a page already fetched — a compliant corpus
+    pipeline honors noindex/noarchive at ingest, exactly like the
+    license/noai taggers): ``robots_content`` plus whole-token
+    ``noindex`` / ``nofollow`` / ``noarchive`` booleans ('none' implies
+    noindex+nofollow per the Google/Bing convention). One projection."""
+    content = meta_content(html, "name", "robots")
+    norm = _robots_norm(content)
+    none_tok = norm.contains(",none,")
+    return {
+        "robots_content": content,
+        "noindex": norm.contains(",noindex,") | none_tok,
+        "nofollow": norm.contains(",nofollow,") | none_tok,
+        "noarchive": norm.contains(",noarchive,"),
+    }
+
+
+def meta_robots_signals_sql(x: str) -> dict[str, str]:
+    content = meta_content_sql(x, "name", "robots")
+    norm = _robots_norm_sql(content)
+    none_tok = f"contains({norm}, ',none,')"
+    return {
+        "robots_content": content,
+        "noindex": f"(contains({norm}, ',noindex,') OR {none_tok})",
+        "nofollow": f"(contains({norm}, ',nofollow,') OR {none_tok})",
+        "noarchive": f"contains({norm}, ',noarchive,')",
+    }
+
+
+OG_DEFAULT_PROPS = ("title", "description", "url", "image")
+
+
+def og_properties(
+    html: Column, props: tuple[str, ...] = OG_DEFAULT_PROPS
+) -> dict[str, Column]:
+    """Open Graph harvest (ogp.me ``<meta property="og:*" content=...>``)
+    — the publisher's own structured summary, the third structured-data
+    carrier beside JSON-LD and <table> grids: og:title/og:description
+    give clean title/abstract text where <title> carries site-name
+    boilerplate, og:url is yet another declared-canonical signal, and
+    og:image feeds the multimodal side. One projection; keys are
+    ``og_<prop>``."""
+    return {f"og_{p}": meta_content(html, "property", f"og:{p}") for p in props}
+
+
+def og_properties_sql(
+    x: str, props: tuple[str, ...] = OG_DEFAULT_PROPS
+) -> dict[str, str]:
+    return {f"og_{p}": meta_content_sql(x, "property", f"og:{p}") for p in props}
