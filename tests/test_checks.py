@@ -937,3 +937,41 @@ def test_jsd_drift_hand_computed_and_bounds(spark):
     empty = spark.createDataFrame([], "category string, n long")
     [e] = jsd_drift(cur, empty).collect()
     assert e["jsd"] is None and e["jsd_norm"] is None
+
+
+def test_kendall_tau_hand_computed(spark):
+    from xmlschemavalidator_spark.checks.stats import kendall_tau
+
+    # perfect concordance
+    up = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 2.0), (3.0, 3.0), (4.0, 4.0)], "x double, y double"
+    )
+    [r] = kendall_tau(up, "x", "y").collect()
+    assert r["tau_b"] == 1.0 and r["concordant"] == 6 and r["discordant"] == 0
+
+    # one swap: C=2, D=1, no ties -> tau = 1/3
+    mix = spark.createDataFrame(
+        [(1.0, 2.0), (2.0, 1.0), (3.0, 3.0)], "x double, y double"
+    )
+    [m] = kendall_tau(mix, "x", "y").collect()
+    assert (m["concordant"], m["discordant"]) == (2, 1)
+    assert m["tau_b"] == round(1 / 3, 6)
+
+    # tie correction: 2x2 balanced grid is exactly independent -> 0
+    grid = spark.createDataFrame(
+        [(1.0, 1.0), (1.0, 2.0), (2.0, 1.0), (2.0, 2.0)], "x double, y double"
+    )
+    [g] = kendall_tau(grid, "x", "y").collect()
+    assert g["tau_b"] == 0.0 and g["n_cells"] == 4
+
+    # duplicated point still reaches tau=1 through the tie terms
+    dup = spark.createDataFrame(
+        [(1.0, 1.0), (1.0, 1.0), (2.0, 2.0)], "x double, y double"
+    )
+    [d] = kendall_tau(dup, "x", "y").collect()
+    assert d["tau_b"] == 1.0 and d["concordant"] == 2
+
+    # all-ties margin: NULL verdict, never a div/0
+    flat = spark.createDataFrame([(1.0, 1.0), (1.0, 2.0)], "x double, y double")
+    [f] = kendall_tau(flat, "x", "y").collect()
+    assert f["tau_b"] is None

@@ -13689,3 +13689,56 @@ def og_harvest(spark, sf_dir):
     )
     cols = og_properties(F.col("html"))
     return p.select("doc_id", *(c.alias(k) for k, c in cols.items()))
+
+
+@q(
+    "kendall_tau_value_vs_hour",
+    """WITH b AS (SELECT CAST(floor(CAST(value AS DOUBLE) * 1) AS BIGINT) AS sx,
+                  CAST(floor(CAST((epoch_us(ts) % 86400000000) // 3600000000
+                                  AS DOUBLE) * 1) AS BIGINT) AS sy
+           FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+       cell AS (SELECT sx, sy, CAST(count(*) AS DECIMAL(38,0)) AS c
+                FROM b GROUP BY 1, 2),
+       m AS (SELECT sum(c) AS n, CAST(count(*) AS BIGINT) AS ncells FROM cell),
+       txa AS (SELECT sum(t * (t - 1)) AS tx2
+               FROM (SELECT sum(c) AS t FROM cell GROUP BY sx)),
+       tya AS (SELECT sum(t * (t - 1)) AS ty2
+               FROM (SELECT sum(c) AS t FROM cell GROUP BY sy)),
+       cd AS (SELECT coalesce(sum(CASE WHEN c1.sy < c2.sy
+                                       THEN c1.c * c2.c ELSE 0 END), 0) AS conc,
+                     coalesce(sum(CASE WHEN c1.sy > c2.sy
+                                       THEN c1.c * c2.c ELSE 0 END), 0) AS disc
+              FROM cell c1, cell c2 WHERE c1.sx < c2.sx)
+       SELECT CAST(n AS BIGINT) AS n, ncells AS n_cells,
+              CAST(conc AS BIGINT) AS concordant,
+              CAST(disc AS BIGINT) AS discordant,
+              round(CASE WHEN n > 1 AND (n * (n - 1) - tx2) > 0
+                              AND (n * (n - 1) - ty2) > 0
+                    THEN 2.0 * CAST(conc - disc AS DOUBLE)
+                         / sqrt(CAST(n * (n - 1) - tx2 AS DOUBLE)
+                                * CAST(n * (n - 1) - ty2 AS DOUBLE)) END,
+                    6) AS tau_b
+       FROM m CROSS JOIN txa CROSS JOIN tya CROSS JOIN cd""",
+)
+def kendall_tau_value_vs_hour(spark, sf_dir):
+    """Kendall τ-b (checks/stats.py:kendall_tau) between event value and
+    hour-of-day — the same dependence question as
+    spearman_value_vs_hour asked through pair concordance (τ reads as
+    P(concordant) − P(discordant)). Observations collapse onto the
+    quantized cell grid (here integer value units × 24 hours, 3225
+    cells at sf0.01) so the O(n²) pair walk becomes an O(cells²)
+    cell-pair product join with exact DECIMAL counts; tie terms come
+    from the marginal tables, never the join."""
+    from xmlschemavalidator_spark.checks.stats import kendall_tau
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    base = ev.select(
+        "value",
+        (
+            (F.unix_micros(F.col("ts").cast("timestamp")) % 86_400_000_000)
+            / F.lit(3_600_000_000)
+        ).cast("bigint").alias("tod_h"),
+    )
+    return kendall_tau(base, "value", "tod_h", x_quantum=1, y_quantum=1)
