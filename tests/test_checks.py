@@ -975,3 +975,67 @@ def test_kendall_tau_hand_computed(spark):
     flat = spark.createDataFrame([(1.0, 1.0), (1.0, 2.0)], "x double, y double")
     [f] = kendall_tau(flat, "x", "y").collect()
     assert f["tau_b"] is None
+
+
+def test_self_join_size_exact(spark):
+    from xmlschemavalidator_spark.checks.ams import self_join_size
+
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("a",), ("b",), ("b",), ("c",), (None,)], "v string"
+    )
+    [r] = self_join_size(df, "v").collect()
+    assert (r["n"], r["n_distinct"], r["f2"]) == (6, 3, 14)
+    assert r["skew_ratio"] == (14 * 1_000_000) // 36
+
+
+def test_ams_sketch_estimate_merge_and_join(spark):
+    from xmlschemavalidator_spark.checks.ams import (
+        ams_build,
+        ams_f2_estimate,
+        ams_join_size_estimate,
+        ams_merge,
+        self_join_size,
+    )
+
+    # zipf-ish corpus: value k repeated (40-k) times, k=0..39
+    data = [(f"v{k}",) for k in range(40) for _ in range(40 - k)]
+    df = spark.createDataFrame(data, "v string")
+    [exact] = self_join_size(df, "v").collect()
+    sk = ams_build(df, "v", rows=9, counters=64)
+    [est] = ams_f2_estimate(sk).collect()
+    ratio = est["f2_estimate"] / exact["f2"]
+    assert 0.5 < ratio < 2.0, ratio  # deterministic given the portable hash
+
+    # mergeability: sketch(A) + sketch(B) == sketch(A ∪ B), cell-exact
+    a = df.where(F.length("v") == 2)   # v0..v9
+    b = df.where(F.length("v") == 3)
+    merged = sorted(map(tuple, ams_merge(
+        ams_build(a, "v", rows=3, counters=16),
+        ams_build(b, "v", rows=3, counters=16)).collect()))
+    whole = sorted(map(tuple, ams_build(df, "v", rows=3, counters=16).collect()))
+    assert merged == whole
+
+    # join-size estimate: sketch self-dot equals the F2 estimate exactly
+    [js] = ams_join_size_estimate(sk, sk).collect()
+    assert js["join_size_estimate"] == est["f2_estimate"]
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ams_build(df, "v", rows=4)  # even rows: no rank-exact median
+
+
+def test_ams_build_duckdb_replay_parity(spark):
+    import duckdb
+
+    from xmlschemavalidator_spark.checks.ams import ams_build, ams_build_sql
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = sorted(map(tuple, ams_build(df, "lang", rows=3, counters=8).collect()))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    oracle = sorted(map(tuple,
+        con.execute(ams_build_sql("documents", "lang", rows=3, counters=8)).fetchall()))
+    assert got == oracle and len(got) > 0

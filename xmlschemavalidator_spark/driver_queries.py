@@ -13742,3 +13742,63 @@ def kendall_tau_value_vs_hour(spark, sf_dir):
         ).cast("bigint").alias("tod_h"),
     )
     return kendall_tau(base, "value", "tod_h", x_quantum=1, y_quantum=1)
+
+
+def _ams_oracle() -> str:
+    from xmlschemavalidator_spark.checks.ams import ams_build_sql, ams_f2_estimate_sql
+
+    sk = ams_build_sql(
+        "(SELECT CAST(user_id AS VARCHAR) AS u FROM events "
+        "WHERE user_id IS NOT NULL)",
+        "u",
+        rows=9,
+        counters=64,
+    )
+    est = ams_f2_estimate_sql(sk)
+    return f"""WITH pv AS (SELECT user_id, CAST(count(*) AS DECIMAL(38,0)) AS f
+                    FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+       ex AS (SELECT CAST(sum(f) AS BIGINT) AS n,
+                     CAST(count(*) AS BIGINT) AS n_distinct,
+                     CAST(sum(f * f) AS BIGINT) AS f2,
+                     CAST((sum(f * f) * 1000000) // (sum(f) * sum(f)) AS BIGINT)
+                         AS skew_ratio
+              FROM pv),
+       es AS ({est})
+       SELECT n, n_distinct, f2, skew_ratio, f2_estimate,
+              round(CAST(f2_estimate AS DOUBLE) / CAST(f2 AS DOUBLE), 6)
+                  AS est_ratio
+       FROM ex CROSS JOIN es"""
+
+
+@q("ams_f2_user_id", _ams_oracle())
+def ams_f2_user_id(spark, sf_dir):
+    """AMS F₂ / self-join-size (checks/ams.py) on events.user_id — the
+    join planner's number in fixed memory: F₂ = Σf² IS |events ⋈ events
+    on user_id|, and skew_ratio = F₂·10⁶ div n² is the collision
+    probability the shuffle-join skew gate wants. META query composing
+    the exact two-stacked-groupBy twin with the 9×64 fast-AMS sketch
+    (ONE portable hash per row per input, signed counters, rank-exact
+    median of per-row Σz²) — the sketch replays BIT-IDENTICALLY in
+    DuckDB, so even the estimate and est/exact ratio are oracle-exact,
+    not a statistical bound."""
+    from xmlschemavalidator_spark.checks.ams import (
+        ams_build,
+        ams_f2_estimate,
+        self_join_size,
+    )
+
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull()).select(
+        F.col("user_id").cast("string").alias("u")
+    )
+    exact = self_join_size(ev, "u")
+    est = ams_f2_estimate(ams_build(ev, "u", rows=9, counters=64))
+    return exact.crossJoin(F.broadcast(est)).select(
+        "n",
+        "n_distinct",
+        "f2",
+        "skew_ratio",
+        "f2_estimate",
+        F.round(
+            F.col("f2_estimate").cast("double") / F.col("f2").cast("double"), 6
+        ).alias("est_ratio"),
+    )
