@@ -1039,3 +1039,43 @@ def test_ams_build_duckdb_replay_parity(spark):
     oracle = sorted(map(tuple,
         con.execute(ams_build_sql("documents", "lang", rows=3, counters=8)).fetchall()))
     assert got == oracle and len(got) > 0
+
+
+def test_inclusion_check_contained_and_missing(spark):
+    from xmlschemavalidator_spark.checks.fd import inclusion_check
+
+    a = spark.createDataFrame([(1,), (2,), (2,), (3,), (None,)], "k long")
+    b = spark.createDataFrame([(1,), (2,), (3,), (4,), (5,)], "k long")
+    [r] = inclusion_check(a, "k", b, "k").collect()
+    assert (r["n_distinct_a"], r["n_distinct_b"], r["n_missing"]) == (3, 5, 0)
+    assert r["contained"] is True and r["containment_micro"] == 1_000_000
+
+    # reverse direction: 4,5 missing from a -> 3/5 contained
+    [v] = inclusion_check(b, "k", a, "k").collect()
+    assert (v["n_missing"], v["contained"]) == (2, False)
+    assert v["containment_micro"] == (3 * 1_000_000) // 5
+
+    # empty A: NULL share, not contained (vacuous truth rejected)
+    empty = spark.createDataFrame([], "k long")
+    [e] = inclusion_check(empty, "k", b, "k").collect()
+    assert e["containment_micro"] is None and e["contained"] is False
+
+
+def test_inclusion_discovery_ordered_pairs(spark):
+    import pytest as _pt
+
+    from xmlschemavalidator_spark.checks.fd import inclusion_discovery
+
+    # x ⊂ y, y ⊄ x, z disjoint from both
+    df = spark.createDataFrame(
+        [(1, 1, 9), (2, 2, 8), (None, 3, 7)], "x long, y long, z long"
+    )
+    out = {(r["col_a"], r["col_b"]): r
+           for r in inclusion_discovery(df, ["x", "y", "z"]).collect()}
+    assert len(out) == 6
+    assert out[("x", "y")]["contained"] is True
+    assert out[("y", "x")]["contained"] is False
+    assert out[("y", "x")]["containment_micro"] == (2 * 1_000_000) // 3
+    assert out[("z", "x")]["n_shared"] == 0 and out[("z", "x")]["contained"] is False
+    with _pt.raises(ValueError):
+        inclusion_discovery(df, ["x"])

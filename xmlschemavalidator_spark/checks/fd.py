@@ -176,3 +176,113 @@ def fd_g3(
         "n_keep",
         F.round(F.lit(1.0) - F.col("n_keep") / F.col("n_rows"), 6).alias("g3"),
     )
+
+
+def inclusion_check(
+    df_a: DataFrame, col_a: str, df_b: DataFrame, col_b: str
+) -> DataFrame:
+    """Inclusion-dependency check A[col_a] ⊆ B[col_b] — the VALUE-SET
+    question referential_violations' row-level FK check doesn't answer
+    and the discovery input FK *suggestion* needs (Deequ
+    ``isContainedIn`` / Binder, De Marchi et al.): of the DISTINCT
+    values of A, how many exist in B at all?
+
+    ONE row ``(n_distinct_a, n_distinct_b, n_missing, containment_micro,
+    contained)``: containment_micro = (dₐ−missing)·10⁶ div dₐ (integer
+    floor division — bit-identical cross-engine), contained ⇔ missing=0.
+
+    Scale shape: both sides reduce to their distinct-value tables first
+    (partial-aggregatable groupBys — the shuffle carries values once,
+    not rows), then ONE left-anti join between the distinct tables
+    (AQE broadcasts the smaller) and a count. NULLs are excluded on
+    both sides (SQL semantics: NULL ∈ anything is unknown, and a NULL
+    FK is the referential check's business, not containment's).
+
+    Reference scope note: eliassona/xmlschemavalidator has no dataset
+    layer (core.clj:263-285); north-rule check beside fd_summary and
+    checks/referential.py.
+    """
+    da = (
+        df_a.where(F.col(col_a).isNotNull())
+        .select(F.col(col_a).cast("string").alias("_v"))
+        .groupBy("_v")
+        .agg(F.lit(1).alias("_one"))
+    )
+    db = (
+        df_b.where(F.col(col_b).isNotNull())
+        .select(F.col(col_b).cast("string").alias("_v"))
+        .groupBy("_v")
+        .agg(F.lit(1).alias("_one"))
+    )
+    counts = da.agg(F.count(F.lit(1)).cast("bigint").alias("n_distinct_a")).crossJoin(
+        F.broadcast(db.agg(F.count(F.lit(1)).cast("bigint").alias("n_distinct_b")))
+    )
+    missing = (
+        da.join(db, "_v", "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_missing"))
+    )
+    j = counts.crossJoin(F.broadcast(missing))
+    return j.select(
+        "n_distinct_a",
+        "n_distinct_b",
+        "n_missing",
+        F.expr(
+            "CASE WHEN n_distinct_a > 0 THEN "
+            "((n_distinct_a - n_missing) * 1000000) div n_distinct_a END"
+        ).alias("containment_micro"),
+        ((F.col("n_missing") == 0) & (F.col("n_distinct_a") > 0)).alias("contained"),
+    )
+
+
+def inclusion_discovery(df: DataFrame, columns: list[str]) -> DataFrame:
+    """All-ordered-pairs inclusion discovery over one table's candidate
+    columns — the fd.py suggest_fds device applied to INDs: ONE long
+    distinct table ``(column, value)`` self-joins on value, so every
+    pair's intersection size comes from one job bounded by Σ distincts,
+    never #columns² table scans. Returns per ordered pair (a ≠ b):
+    ``(col_a, col_b, n_a, n_shared, containment_micro, contained)``
+    where contained ⇔ every distinct a-value appears under b. Values
+    compare as strings (the one cast both engines agree on); NULLs
+    excluded."""
+    if len(columns) < 2:
+        raise ValueError("inclusion_discovery: need ≥2 candidate columns")
+    long_parts = [
+        df.where(F.col(c).isNotNull()).select(
+            F.lit(c).alias("_col"), F.col(c).cast("string").alias("_v")
+        )
+        for c in columns
+    ]
+    long_df = long_parts[0]
+    for p in long_parts[1:]:
+        long_df = long_df.unionByName(p)
+    dist = long_df.groupBy("_col", "_v").agg(F.lit(1).alias("_one"))
+    per_col = dist.groupBy("_col").agg(F.count(F.lit(1)).cast("bigint").alias("_d"))
+    a = dist.select(F.col("_col").alias("col_a"), "_v")
+    b = dist.select(F.col("_col").alias("col_b"), "_v")
+    shared = (
+        a.join(b, "_v")
+        .where(F.col("col_a") != F.col("col_b"))
+        .groupBy("col_a", "col_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    pairs = (
+        per_col.select(F.col("_col").alias("col_a"), F.col("_d").alias("n_a"))
+        .crossJoin(F.broadcast(per_col.select(F.col("_col").alias("col_b"))))
+        .where(F.col("col_a") != F.col("col_b"))
+    )
+    j = pairs.join(shared, ["col_a", "col_b"], "left").select(
+        "col_a",
+        "col_b",
+        "n_a",
+        F.coalesce("n_shared", F.lit(0)).cast("bigint").alias("n_shared"),
+    )
+    return j.select(
+        "col_a",
+        "col_b",
+        "n_a",
+        "n_shared",
+        F.expr(
+            "CASE WHEN n_a > 0 THEN (n_shared * 1000000) div n_a END"
+        ).alias("containment_micro"),
+        ((F.col("n_shared") == F.col("n_a")) & (F.col("n_a") > 0)).alias("contained"),
+    )

@@ -13802,3 +13802,96 @@ def ams_f2_user_id(spark, sf_dir):
             F.col("f2_estimate").cast("double") / F.col("f2").cast("double"), 6
         ).alias("est_ratio"),
     )
+
+
+_INCL_ORACLE = """\
+WITH dea AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS v FROM events
+             WHERE user_id IS NOT NULL),
+     dcu AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS v FROM customer
+             WHERE c_custkey IS NOT NULL),
+     rowset AS (
+       SELECT 'events_user_in_customer' AS direction,
+              (SELECT CAST(count(*) AS BIGINT) FROM dea) AS n_distinct_a,
+              (SELECT CAST(count(*) AS BIGINT) FROM dcu) AS n_distinct_b,
+              (SELECT CAST(count(*) AS BIGINT) FROM dea
+               WHERE NOT EXISTS (SELECT 1 FROM dcu WHERE dcu.v = dea.v))
+                  AS n_missing
+       UNION ALL
+       SELECT 'customer_in_events_user',
+              (SELECT CAST(count(*) AS BIGINT) FROM dcu),
+              (SELECT CAST(count(*) AS BIGINT) FROM dea),
+              (SELECT CAST(count(*) AS BIGINT) FROM dcu
+               WHERE NOT EXISTS (SELECT 1 FROM dea WHERE dea.v = dcu.v)))
+SELECT direction, n_distinct_a, n_distinct_b, n_missing,
+       CASE WHEN n_distinct_a > 0
+            THEN ((n_distinct_a - n_missing) * 1000000) // n_distinct_a
+       END AS containment_micro,
+       n_missing = 0 AND n_distinct_a > 0 AS contained
+FROM rowset"""
+
+
+def _incl_oracle() -> str:
+    return _INCL_ORACLE
+
+
+@q("inclusion_events_customer", _incl_oracle())
+def inclusion_events_customer(spark, sf_dir):
+    """Inclusion-dependency check (checks/fd.py:inclusion_check, Deequ
+    isContainedIn / De Marchi IND) in both directions between
+    events.user_id and customer.c_custkey — the VALUE-SET question the
+    row-level referential check doesn't answer: forward holds (every
+    event user IS a customer: the FK suggestion), reverse measurably
+    fails (150 of 1500 customers ever emit events → containment 0.1).
+    Distinct tables first, ONE anti join, integer-micro share."""
+    from xmlschemavalidator_spark.checks.fd import inclusion_check
+
+    ev = _t(spark, sf_dir, "events")
+    cu = _t(spark, sf_dir, "customer")
+    fwd = inclusion_check(ev, "user_id", cu, "c_custkey").select(
+        F.lit("events_user_in_customer").alias("direction"), "*"
+    )
+    rev = inclusion_check(cu, "c_custkey", ev, "user_id").select(
+        F.lit("customer_in_events_user").alias("direction"), "*"
+    )
+    return fwd.unionByName(rev)
+
+
+@q(
+    "inclusion_discovery_lineitem",
+    """WITH lng AS (
+         SELECT 'l_linenumber' AS col, CAST(l_linenumber AS VARCHAR) AS v
+         FROM lineitem WHERE l_linenumber IS NOT NULL
+         UNION ALL
+         SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR)
+         FROM lineitem WHERE l_suppkey IS NOT NULL
+         UNION ALL
+         SELECT 'l_partkey', CAST(l_partkey AS VARCHAR)
+         FROM lineitem WHERE l_partkey IS NOT NULL),
+       dist AS (SELECT DISTINCT col, v FROM lng),
+       pc AS (SELECT col, CAST(count(*) AS BIGINT) AS d FROM dist GROUP BY 1),
+       sh AS (SELECT a.col AS col_a, b.col AS col_b,
+                     CAST(count(*) AS BIGINT) AS n_shared
+              FROM dist a JOIN dist b ON a.v = b.v AND a.col <> b.col
+              GROUP BY 1, 2),
+       pairs AS (SELECT pa.col AS col_a, pb.col AS col_b, pa.d AS n_a
+                 FROM pc pa CROSS JOIN pc pb WHERE pa.col <> pb.col)
+       SELECT p.col_a, p.col_b, p.n_a,
+              CAST(coalesce(sh.n_shared, 0) AS BIGINT) AS n_shared,
+              CASE WHEN p.n_a > 0
+                   THEN (coalesce(sh.n_shared, 0) * 1000000) // p.n_a
+              END AS containment_micro,
+              coalesce(sh.n_shared, 0) = p.n_a AND p.n_a > 0 AS contained
+       FROM pairs p LEFT JOIN sh ON p.col_a = sh.col_a AND p.col_b = sh.col_b""",
+)
+def inclusion_discovery_lineitem(spark, sf_dir):
+    """All-ordered-pairs IND discovery (checks/fd.py:
+    inclusion_discovery, the Binder/De Marchi shape) over three
+    lineitem key columns: ONE long distinct table self-joined on value
+    answers every pair from one job bounded by Σ distincts — never
+    #columns² scans. The data measures a real chain: l_linenumber
+    {1..7} ⊂ l_suppkey {0..99} ⊂ l_partkey {0..1999}, with the reverse
+    directions failing at exact micro shares."""
+    from xmlschemavalidator_spark.checks.fd import inclusion_discovery
+
+    li = _t(spark, sf_dir, "lineitem")
+    return inclusion_discovery(li, ["l_linenumber", "l_suppkey", "l_partkey"])
