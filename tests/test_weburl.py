@@ -1284,3 +1284,85 @@ def test_og_properties_and_duckdb_parity(spark):
         f"{sqls['og_url']}, {sqls['og_image']} from (select '{hh}' as h)"
     ).fetchone()
     assert tuple(d) == ("A Title", "desc here", "", "https://ex.com/i.png")
+
+
+_RSS_XML = (
+    '<?xml version="1.0"?><rss version="2.0"><channel>'
+    "<title>Site Feed</title><link>https://ex.com</link>"
+    "<item><title><![CDATA[First & Best]]></title>"
+    "<link> https://ex.com/a1 </link>"
+    "<pubDate>Mon, 02 Jan 2026 08:00:00 GMT</pubDate>"
+    '<guid isPermaLink="false">tag:ex.com,2026:a1</guid></item>'
+    "<item><title>No link, has guid</title><guid>g2</guid></item>"
+    "<item><title>dropped: neither link nor id</title></item>"
+    "</channel></rss>"
+)
+
+_ATOM_XML = (
+    '<feed xmlns="http://www.w3.org/2005/Atom"><title>A</title>'
+    '<entry><title>Atom One</title><link rel="alternate" href="https://ex.com/e1"/>'
+    "<updated>2026-01-03T04:05:06Z</updated><id>urn:e1</id></entry></feed>"
+)
+
+
+def test_feed_links_discovery(spark):
+    import duckdb
+
+    from xmlschemavalidator_spark.weburl import feed_links, feed_links_sql
+
+    html = (
+        '<link rel="alternate" type="application/rss+xml" href="/feed.xml">'
+        "<link href='/atom.xml' type='application/atom+xml' rel='alternate'>"
+        '<link rel="stylesheet" type="text/css" href="/s.css">'
+    )
+    got = _eval(spark, feed_links, [html, "<p>none</p>"])
+    assert got == [["/feed.xml", "/atom.xml"], []]
+    hh = html.replace("'", "''")
+    d = duckdb.sql(
+        f"select {feed_links_sql('h')} from (select '{hh}' as h)"
+    ).fetchone()[0]
+    assert d == ["/feed.xml", "/atom.xml"]
+
+
+def test_feed_entries_rss_atom_and_duckdb_parity(spark):
+    import duckdb
+
+    from xmlschemavalidator_spark.weburl import feed_entries, feed_entries_sql
+
+    df = spark.createDataFrame(
+        [(1, _RSS_XML), (2, _ATOM_XML)], "feed_id long, xml string"
+    )
+    got = sorted(
+        map(tuple, feed_entries(df, "xml").collect()),
+        key=lambda t: (t[0], t[3] or ""),
+    )
+    # rss: CDATA unwrapped, link ws-trimmed, guid kept; linkless-with-guid
+    # kept; neither-link-nor-id dropped
+    rss_rows = [t for t in got if t[0] == 1]
+    assert len(rss_rows) == 2
+    full = [t for t in rss_rows if t[4] is not None][0]
+    assert full[2:] == ("rss", "First & Best", "https://ex.com/a1",
+                        "Mon, 02 Jan 2026 08:00:00 GMT", "tag:ex.com,2026:a1")
+    # atom entry (the feed-level <title> stays out: it's not in an <entry>)
+    atom_rows = [t for t in got if t[0] == 2]
+    assert atom_rows == [(2, _ATOM_XML, "atom", "Atom One",
+                          "https://ex.com/e1", "2026-01-03T04:05:06Z", "urn:e1")]
+    # DuckDB renders the identical entry array
+    con = duckdb.connect()
+    for xml, n_want in ((_RSS_XML, 2), (_ATOM_XML, 1)):
+        xx = xml.replace("'", "''")
+        d = con.execute(
+            f"select {feed_entries_sql('x')} from (select '{xx}' as x)"
+        ).fetchone()[0]
+        assert len(d) == n_want
+    xx = _RSS_XML.replace("'", "''")
+    d = con.execute(
+        f"select unnest({feed_entries_sql('x')}) from (select '{xx}' as x)"
+    ).fetchall()
+    spark_structs = sorted(
+        [t[2:] for t in rss_rows], key=lambda s: (s[4] or "")
+    )
+    duck_structs = sorted(
+        [tuple(r[0].values()) for r in d], key=lambda s: (s[4] or "")
+    )
+    assert spark_structs == duck_structs

@@ -13895,3 +13895,81 @@ def inclusion_discovery_lineitem(spark, sf_dir):
 
     li = _t(spark, sf_dir, "lineitem")
     return inclusion_discovery(li, ["l_linenumber", "l_suppkey", "l_partkey"])
+
+
+from xmlschemavalidator_spark.weburl import (  # noqa: E402
+    feed_entries_sql,
+    feed_links_sql,
+)
+
+_PLANT_FEED_HTML = """'<html><head>'
+  || CASE WHEN doc_id % 3 = 0
+     THEN '<link rel="alternate" type="application/rss+xml" href="/feed'
+          || CAST(doc_id % 5 AS STRING) || '.xml">' ELSE '' END
+  || CASE WHEN doc_id % 6 = 0
+     THEN '<link href="/atom.xml" type="application/atom+xml">' ELSE '' END
+  || '<link rel="stylesheet" type="text/css" href="/s.css"></head></html>'"""
+
+_PLANT_FEED_XML = """CASE WHEN doc_id % 2 = 0 THEN
+  '<rss version="2.0"><channel><title>chan</title>'
+  || '<item><title><![CDATA[Post ' || CAST(doc_id AS STRING)
+  || ']]></title><link> https://f' || CAST(doc_id % 9 AS STRING)
+  || '.example/p' || CAST(doc_id AS STRING) || ' </link>'
+  || CASE WHEN doc_id % 4 = 0
+     THEN '<pubDate>Mon, 0' || CAST(doc_id % 7 + 1 AS STRING)
+          || ' Jan 2026 08:00:00 GMT</pubDate>' ELSE '' END
+  || '<guid>g' || CAST(doc_id AS STRING) || '</guid></item>'
+  || '<item><title>orphan: no link no id</title></item>'
+  || '</channel></rss>'
+ELSE
+  '<feed><entry><title>Atom ' || CAST(doc_id AS STRING)
+  || '</title><link rel="alternate" href="https://f'
+  || CAST(doc_id % 9 AS STRING) || '.example/e' || CAST(doc_id AS STRING)
+  || '"/><updated>2026-01-0' || CAST(doc_id % 9 + 1 AS STRING)
+  || 'T00:00:00Z</updated><id>urn:e' || CAST(doc_id AS STRING)
+  || '</id></entry></feed>'
+END"""
+
+
+@q(
+    "feed_discovery_links",
+    f"""WITH t AS (SELECT doc_id, {_PLANT_FEED_HTML} AS html FROM documents)
+       SELECT doc_id, unnest({feed_links_sql('html')}) AS feed_url FROM t""",
+)
+def feed_discovery_links(spark, sf_dir):
+    """Feed discovery (weburl.py:feed_links): declared RSS/Atom
+    alternates from page heads — the type attribute discriminates, both
+    attribute orders planted, the stylesheet link never matches. The
+    freshness-crawl frontier seed beside robots Sitemap: discovery.
+    One projection + one Generate."""
+    from xmlschemavalidator_spark.weburl import feed_links
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_PLANT_FEED_HTML).alias("html")
+    )
+    return docs.select(
+        "doc_id", F.explode(feed_links(F.col("html"))).alias("feed_url")
+    )
+
+
+@q(
+    "feed_entry_harvest",
+    f"""WITH t AS (SELECT doc_id, {_PLANT_FEED_XML} AS xml FROM documents)
+       SELECT doc_id, e.feed_format, e.title, e.link, e.published, e.entry_id
+       FROM (SELECT doc_id, unnest({feed_entries_sql('xml')}) AS e FROM t)""",
+)
+def feed_entry_harvest(spark, sf_dir):
+    """RSS/Atom entry harvest (weburl.py:feed_entries) — feeds say
+    what's NEW, with timestamps and titles: per doc a planted feed
+    (rss with CDATA title, ws-padded link, conditional pubDate, and an
+    entry with neither link nor id that must drop; atom with href
+    link/updated/id). One projection + one Generate, no XML parser;
+    regexes shared verbatim with the oracle."""
+    from xmlschemavalidator_spark.weburl import feed_entries
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_PLANT_FEED_XML).alias("xml")
+    )
+    return feed_entries(docs, "xml").select(
+        "doc_id", "feed_format", "title", "link", "published", "entry_id"
+    )

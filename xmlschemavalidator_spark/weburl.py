@@ -2806,3 +2806,148 @@ def og_properties_sql(
     x: str, props: tuple[str, ...] = OG_DEFAULT_PROPS
 ) -> dict[str, str]:
     return {f"og_{p}": meta_content_sql(x, "property", f"og:{p}") for p in props}
+
+
+# ---------------------------------------------------------------------------
+# RSS / Atom feed discovery + entry harvest — the THIRD frontier source
+# beside robots.txt (where not to go) and sitemaps (where to go): feeds
+# say what's NEW, with timestamps and titles — the freshness-crawl input.
+# Same dual-engine regex contract as the sitemap block above.
+# ---------------------------------------------------------------------------
+
+#: <link type="application/rss+xml|atom+xml" href=...> in either attribute
+#: order — the type attribute is the discriminator (feeds declare it;
+#: rel="alternate" is conventional but not load-bearing)
+FEED_TYPE_HREF_RE = (
+    rf"(?is)<link{_WS}[^>]*type{_WS}*={_WS}*[\"']application/(?:rss|atom)\+xml[\"']"
+    rf"[^>]*href{_WS}*={_WS}*[\"']([^\"'<>]+)[\"']"
+)
+FEED_HREF_TYPE_RE = (
+    rf"(?is)<link{_WS}[^>]*href{_WS}*={_WS}*[\"']([^\"'<>]+)[\"']"
+    rf"[^>]*type{_WS}*={_WS}*[\"']application/(?:rss|atom)\+xml[\"']"
+)
+
+_RSS_ITEM_RE = r"(?is)<item(?:[ \t\n\x0b\f\r][^>]*)?>(.*?)</item>"
+_ATOM_ENTRY_RE = r"(?is)<entry(?:[ \t\n\x0b\f\r][^>]*)?>(.*?)</entry>"
+_FEED_TITLE_RE = r"(?is)<title(?:[ \t\n\x0b\f\r][^>]*)?>[ \t\n\x0b\f\r]*(.*?)[ \t\n\x0b\f\r]*</title>"
+_RSS_LINK_RE = r"(?is)<link>[ \t\n\x0b\f\r]*(.*?)[ \t\n\x0b\f\r]*</link>"
+_RSS_PUBDATE_RE = r"(?is)<pubDate>[ \t\n\x0b\f\r]*(.*?)[ \t\n\x0b\f\r]*</pubDate>"
+_RSS_GUID_RE = r"(?is)<guid(?:[ \t\n\x0b\f\r][^>]*)?>[ \t\n\x0b\f\r]*(.*?)[ \t\n\x0b\f\r]*</guid>"
+_ATOM_LINK_RE = r"(?is)<link[^>]*href[ \t\n\x0b\f\r]*=[ \t\n\x0b\f\r]*[\"']([^\"'<>]+)[\"']"
+_ATOM_UPDATED_RE = r"(?is)<updated>[ \t\n\x0b\f\r]*(.*?)[ \t\n\x0b\f\r]*</updated>"
+_ATOM_ID_RE = r"(?is)<id>[ \t\n\x0b\f\r]*(.*?)[ \t\n\x0b\f\r]*</id>"
+
+_CDATA_OPEN_RE = r"(?is)^<!\[CDATA\["
+_CDATA_CLOSE_RE = r"\]\]>$"
+
+
+def feed_links(html: Column) -> Column:
+    """Array of declared feed URLs from a page's head — feed DISCOVERY
+    (both attribute orders; a tag matches exactly one order, so the
+    concat never duplicates). Document order preserved per order-variant."""
+    a = F.regexp_extract_all(html, F.lit(FEED_TYPE_HREF_RE), F.lit(1))
+    b = F.regexp_extract_all(html, F.lit(FEED_HREF_TYPE_RE), F.lit(1))
+    return F.concat(a, b)
+
+
+def feed_links_sql(x: str) -> str:
+    a = f"regexp_extract_all({x}, {_sql_quote(FEED_TYPE_HREF_RE)}, 1)"
+    b = f"regexp_extract_all({x}, {_sql_quote(FEED_HREF_TYPE_RE)}, 1)"
+    return f"list_concat({a}, {b})"
+
+
+def _cdata_unwrap(v: Column) -> Column:
+    return F.regexp_replace(
+        F.regexp_replace(v, _CDATA_OPEN_RE, ""), _CDATA_CLOSE_RE, ""
+    )
+
+
+def _cdata_unwrap_sql(v: str) -> str:
+    return (
+        f"regexp_replace(regexp_replace({v}, {_sql_quote(_CDATA_OPEN_RE)}, ''), "
+        f"{_sql_quote(_CDATA_CLOSE_RE)}, '')"
+    )
+
+
+def feed_entries(df: DataFrame, xml_col: str) -> DataFrame:
+    """Explode RSS 2.0 / Atom feed XML into one row per entry: input
+    columns preserved + ``(feed_format, title, link, published,
+    entry_id)`` — 'rss' from ``<item>`` blocks (link/pubDate/guid),
+    'atom' from ``<entry>`` blocks (link href=/updated/id). CDATA
+    titles unwrap; missing fields are NULL; blocks with neither link
+    nor id are dropped (nothing to crawl or dedup on).
+
+    Shape: the sitemap_entries contract — one narrow projection + one
+    Generate, no shuffle, no XML parser dependency: the two formats'
+    fixed tag sets make the lazy-block regexes exact on spec-shaped
+    feeds and leniently degrading on the rest, shared verbatim with the
+    DuckDB oracle (:func:`feed_entries_sql`)."""
+
+    def rss_block(b):
+        return F.struct(
+            F.lit("rss").alias("feed_format"),
+            F.nullif(_cdata_unwrap(F.regexp_extract(b, _FEED_TITLE_RE, 1)), F.lit("")).alias("title"),
+            F.nullif(F.regexp_extract(b, _RSS_LINK_RE, 1), F.lit("")).alias("link"),
+            F.nullif(F.regexp_extract(b, _RSS_PUBDATE_RE, 1), F.lit("")).alias("published"),
+            F.nullif(_cdata_unwrap(F.regexp_extract(b, _RSS_GUID_RE, 1)), F.lit("")).alias("entry_id"),
+        )
+
+    def atom_block(b):
+        return F.struct(
+            F.lit("atom").alias("feed_format"),
+            F.nullif(_cdata_unwrap(F.regexp_extract(b, _FEED_TITLE_RE, 1)), F.lit("")).alias("title"),
+            F.nullif(F.regexp_extract(b, _ATOM_LINK_RE, 1), F.lit("")).alias("link"),
+            F.nullif(F.regexp_extract(b, _ATOM_UPDATED_RE, 1), F.lit("")).alias("published"),
+            F.nullif(F.regexp_extract(b, _ATOM_ID_RE, 1), F.lit("")).alias("entry_id"),
+        )
+
+    x = F.col(xml_col)
+    rss = F.transform(
+        F.regexp_extract_all(x, F.lit(_RSS_ITEM_RE), F.lit(1)), rss_block
+    )
+    atom = F.transform(
+        F.regexp_extract_all(x, F.lit(_ATOM_ENTRY_RE), F.lit(1)), atom_block
+    )
+    entries = F.filter(
+        F.concat(rss, atom),
+        lambda e: e["link"].isNotNull() | e["entry_id"].isNotNull(),
+    )
+    return df.select("*", F.explode(entries).alias("_e")).select(
+        *[c for c in df.columns],
+        F.col("_e.feed_format").alias("feed_format"),
+        F.col("_e.title").alias("title"),
+        F.col("_e.link").alias("link"),
+        F.col("_e.published").alias("published"),
+        F.col("_e.entry_id").alias("entry_id"),
+    )
+
+
+def feed_entries_sql(x: str) -> str:
+    """DuckDB twin of the per-row entry array (unnest to mirror the
+    explode)."""
+    title = _cdata_unwrap_sql(
+        f"regexp_extract(b, {_sql_quote(_FEED_TITLE_RE)}, 1)"
+    )
+    guid = _cdata_unwrap_sql(
+        f"regexp_extract(b, {_sql_quote(_RSS_GUID_RE)}, 1)"
+    )
+    rss = (
+        f"list_transform(regexp_extract_all({x}, {_sql_quote(_RSS_ITEM_RE)}, 1), b -> "
+        f"struct_pack(feed_format := 'rss', "
+        f"title := nullif({title}, ''), "
+        f"link := nullif(regexp_extract(b, {_sql_quote(_RSS_LINK_RE)}, 1), ''), "
+        f"published := nullif(regexp_extract(b, {_sql_quote(_RSS_PUBDATE_RE)}, 1), ''), "
+        f"entry_id := nullif({guid}, '')))"
+    )
+    atom = (
+        f"list_transform(regexp_extract_all({x}, {_sql_quote(_ATOM_ENTRY_RE)}, 1), b -> "
+        f"struct_pack(feed_format := 'atom', "
+        f"title := nullif({title}, ''), "
+        f"link := nullif(regexp_extract(b, {_sql_quote(_ATOM_LINK_RE)}, 1), ''), "
+        f"published := nullif(regexp_extract(b, {_sql_quote(_ATOM_UPDATED_RE)}, 1), ''), "
+        f"entry_id := nullif({_cdata_unwrap_sql(f'regexp_extract(b, {_sql_quote(_ATOM_ID_RE)}, 1)')}, '')))"
+    )
+    return (
+        f"list_filter(list_concat({rss}, {atom}), "
+        f"e -> e.link IS NOT NULL OR e.entry_id IS NOT NULL)"
+    )
