@@ -1192,3 +1192,67 @@ def test_dedup_method_evaluation_planted(spark):
         assert r["n_hits"] >= 2, m  # both methods must find the planted dups
         assert r["recall_micro"] >= 600_000, m
         assert r["precision_micro"] is None or r["precision_micro"] <= 1_000_000
+
+
+def _py_cdc_chunks(text, divisor):
+    import hashlib
+
+    toks = [t for t in text.split() if t]
+    anchors = [
+        i for i, t in enumerate(toks)
+        if int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % divisor == 0
+    ]
+    b = [0] + anchors + [len(toks)]
+    chunks = [" ".join(toks[s:e]) for s, e in zip(b[:-1], b[1:])]
+    return [c for c in chunks if c]
+
+
+def test_cdc_chunks_matches_python_replay(spark):
+    import hashlib
+
+    from xmlschemavalidator_spark.dedup import cdc_chunks
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog " * 8,
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5,
+        "",  # empty doc: no rows
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = sorted(
+        map(tuple, cdc_chunks(df, divisor=4).collect())
+    )
+    want = sorted(
+        (i, idx, len(c.split(" ")), hashlib.md5(c.encode()).hexdigest())
+        for i, t in enumerate(texts)
+        for idx, c in enumerate(_py_cdc_chunks(t, 4))
+    )
+    assert got == want and len(got) > 4
+
+
+def test_cdc_duplicate_chunks_survive_head_insertion(spark):
+    from xmlschemavalidator_spark.dedup import cdc_chunks, cdc_duplicate_chunks
+
+    body = (
+        "market analysts expect quarterly revenue guidance above consensus "
+        "while supply chains normalize across the semiconductor sector and "
+        "inventories rebuild toward seasonal averages in most regions today "
+    ) * 4
+    docs = [
+        (1, body),
+        (2, "breaking update entirely fresh lede paragraph inserted here " + body),
+        (3, "unrelated document about gardening tulips and soil acidity levels"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    # the head insertion shifts every fixed window of doc 2's prefix, but
+    # every chunk after the first shared anchor is byte-identical to doc 1's
+    dups = cdc_duplicate_chunks(df, divisor=8).collect()
+    assert len(dups) >= 1
+    assert all(r["n_docs"] >= 1 and r["n_copies"] >= 2 for r in dups)
+    two_doc = [r for r in dups if r["n_docs"] == 2]
+    assert len(two_doc) >= 1  # shared across docs 1 and 2, never doc 3
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        cdc_chunks(df, divisor=1)

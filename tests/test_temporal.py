@@ -980,3 +980,28 @@ def test_acf_hand_computed_and_seasonal(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         acf(ramp, "t", "y", lags=(0,))
+
+
+def test_seasonal_profile_hour_and_dow(spark):
+    import pytest as _pt
+
+    from xmlschemavalidator_spark.temporal import seasonal_profile
+
+    # 3 events at hour 0, 1 at hour 12 -> indexes 18e6 and 6e6
+    df = spark.createDataFrame(
+        [("2026-01-05 00:10:00",), ("2026-01-05 00:20:00",),
+         ("2026-01-06 00:30:00",), ("2026-01-05 12:00:00",)],
+        "ts string",
+    )
+    out = {r["bucket"]: r for r in seasonal_profile(df, "ts").collect()}
+    assert out[0]["n_events"] == 3
+    assert out[0]["seasonal_index_micro"] == 3 * 24 * 1_000_000 // 4
+    assert out[12]["seasonal_index_micro"] == 1 * 24 * 1_000_000 // 4
+
+    # day_of_week: 2026-01-05 is a Monday -> bucket 0; 2026-01-06 -> 1
+    dow = {r["bucket"]: r["n_events"]
+           for r in seasonal_profile(df, "ts", "day_of_week").collect()}
+    assert dow == {0: 3, 1: 1}
+
+    with _pt.raises(ValueError):
+        seasonal_profile(df, "ts", "fortnight")

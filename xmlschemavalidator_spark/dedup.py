@@ -2579,3 +2579,107 @@ def dedup_method_evaluation(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking (CDC) — the LBFS/FastCDC idea (Muthitacharoen
+# et al. SOSP'01) on token anchors: chunk boundaries are a property of the
+# CONTENT (tokens whose portable hash ≡ 0 mod divisor), so inserting a
+# paragraph shifts every fixed window (duplicate_spans must hash all k-token
+# windows, overlapping) but leaves every chunk after the edit byte-identical.
+# Chunks are DISJOINT — ~n/divisor hashes per doc instead of n window
+# hashes — the cheap coarse sibling of ExactSubstr for storage-style dedup
+# and shard-level delta detection.
+# ---------------------------------------------------------------------------
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    divisor: int = 64,
+) -> DataFrame:
+    """Split each doc's whitespace-token stream at content-defined
+    anchors (portable_hash64(token) mod ``divisor`` = 0 — expected
+    chunk length ≈ divisor tokens): one row per chunk,
+    ``(doc, chunk_idx, n_tokens, chunk_md5)`` — the TEXT itself never
+    leaves the projection; only the md5 and token count shuffle
+    downstream ("hashes shuffle, text doesn't", the line-dedup
+    contract).
+
+    Scale shape: pure HOF array work — anchor positions via an indexed
+    transform+filter, boundaries = 0 ∥ anchors ∥ n, chunks via zip_with
+    over consecutive boundary pairs — NO explode-then-window, no
+    shuffle at all until a caller aggregates. Degenerate inputs
+    disclosed: an all-anchor run yields 1-token chunks (classic CDC
+    min/max bounds are a caller-side divisor choice here); empty docs
+    yield no rows.
+    """
+    from xmlschemavalidator_spark.textops import portable_hash64
+
+    if divisor < 2:
+        raise ValueError(f"cdc_chunks: divisor must be ≥2, got {divisor}")
+    arr = F.filter(tokens(F.col(text_col)), lambda t: F.length(t) > 0)
+    bound = df.select(F.col(id_col).alias("doc"), arr.alias("_toks"))
+    a = F.col("_toks")
+    anchors = F.filter(
+        F.transform(
+            a,
+            lambda t, i: F.when(
+                F.pmod(portable_hash64(t), F.lit(divisor)) == 0, i
+            ).otherwise(F.lit(-1)),
+        ),
+        lambda x: x >= 0,
+    )
+    n = F.size(a)
+    b = F.concat(F.array(F.lit(0)), anchors, F.array(n))
+    starts = F.slice(b, 1, F.size(b) - 1)
+    ends = F.slice(b, 2, F.size(b) - 1)
+    chunks = F.filter(
+        F.zip_with(
+            starts,
+            ends,
+            lambda s, e: F.array_join(F.slice(a, s + 1, e - s), " "),
+        ),
+        lambda c: c != F.lit(""),
+    )
+    rows = bound.select(
+        "doc", F.posexplode(chunks).alias("chunk_idx", "_chunk")
+    )
+    return rows.select(
+        "doc",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        (F.size(F.split(F.col("_chunk"), " "))).cast("bigint").alias("n_tokens"),
+        F.md5(F.col("_chunk")).alias("chunk_md5"),
+    )
+
+
+def cdc_duplicate_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    divisor: int = 64,
+    min_copies: int = 2,
+) -> DataFrame:
+    """Cross-corpus duplicated CDC chunks:
+    ``(chunk_md5, n_tokens, n_copies, n_docs)`` for every chunk content
+    appearing ≥ ``min_copies`` times — shifted/patched near-copies still
+    collide on every chunk outside the edit, which fixed windows only
+    catch at k-gram granularity and full-doc fingerprints never do.
+    Two stacked partial-aggregatable groupBys ((md5, doc) then md5 —
+    the fd.py fan-out device, no countDistinct); the shuffle carries
+    (md5, doc, count) triples, never text."""
+    ch = cdc_chunks(df, id_col, text_col, divisor)
+    per_doc = ch.groupBy("chunk_md5", "doc").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.max("n_tokens").alias("_t"),
+    )
+    return (
+        per_doc.groupBy("chunk_md5")
+        .agg(
+            F.max("_t").cast("bigint").alias("n_tokens"),
+            F.sum("_n").cast("bigint").alias("n_copies"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        )
+        .where(F.col("n_copies") >= min_copies)
+    )

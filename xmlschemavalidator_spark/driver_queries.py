@@ -13973,3 +13973,107 @@ def feed_entry_harvest(spark, sf_dir):
     return feed_entries(docs, "xml").select(
         "doc_id", "feed_format", "title", "link", "published", "entry_id"
     )
+
+
+@q(
+    "seasonal_profile_events",
+    """WITH h AS (SELECT (epoch_us(ts) % 86400000000) // 3600000000 AS bucket,
+                         CAST(count(*) AS BIGINT) AS n_events
+                  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+       d AS (SELECT ((epoch_us(ts) // 86400000000) + 3) % 7 AS bucket,
+                    CAST(count(*) AS BIGINT) AS n_events
+             FROM events WHERE ts IS NOT NULL GROUP BY 1),
+       hh AS (SELECT 'hour_of_day' AS period, CAST(bucket AS BIGINT) AS bucket,
+                     n_events,
+                     CAST((n_events * 24 * 1000000)
+                          // (sum(n_events) OVER ()) AS BIGINT)
+                         AS seasonal_index_micro
+              FROM h),
+       dd AS (SELECT 'day_of_week', CAST(bucket AS BIGINT), n_events,
+                     CAST((n_events * 7 * 1000000)
+                          // (sum(n_events) OVER ()) AS BIGINT)
+              FROM d)
+       SELECT * FROM hh UNION ALL SELECT * FROM dd""",
+)
+def seasonal_profile_events(spark, sf_dir):
+    """Seasonality indexes (temporal.py:seasonal_profile) of the event
+    stream over both calendar periods — the SHAPE the acf lag profile
+    only detects: per hour-of-day and per day-of-week, bucket share vs
+    a uniform spread in integer micros (10⁶ = average). Pure epoch
+    arithmetic for the day index — dayofweek() builtins disagree across
+    engines on the week start. One ≤24-cell groupBy per period."""
+    from xmlschemavalidator_spark.temporal import seasonal_profile
+
+    ev = _t(spark, sf_dir, "events")
+    h = seasonal_profile(ev, "ts", "hour_of_day").select(
+        F.lit("hour_of_day").alias("period"), "*"
+    )
+    d = seasonal_profile(ev, "ts", "day_of_week").select(
+        F.lit("day_of_week").alias("period"), "*"
+    )
+    return h.unionByName(d)
+
+
+_CDC_CHUNKS_SQL = """\
+WITH toks AS (SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(text),
+                         '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS arr
+              FROM documents WHERE text IS NOT NULL),
+     t AS (SELECT doc_id, unnest(arr) AS tok,
+                  generate_subscripts(arr, 1) - 1 AS pos
+           FROM toks),
+     a AS (SELECT *, CASE WHEN CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT)
+                               % 16 = 0 THEN 1 ELSE 0 END AS anc
+           FROM t),
+     c AS (SELECT *, sum(anc) OVER (PARTITION BY doc_id ORDER BY pos) AS cid
+           FROM a),
+     g AS (SELECT doc_id, cid, string_agg(tok, ' ' ORDER BY pos) AS chunk,
+                  CAST(count(*) AS BIGINT) AS n_tokens
+           FROM c GROUP BY 1, 2),
+     r AS (SELECT doc_id AS doc,
+                  CAST(dense_rank() OVER (PARTITION BY doc_id ORDER BY cid)
+                       - 1 AS BIGINT) AS chunk_idx,
+                  n_tokens, md5(chunk) AS chunk_md5
+           FROM g)"""
+
+
+@q("cdc_chunk_rows", _CDC_CHUNKS_SQL + "\nSELECT doc, chunk_idx, n_tokens, chunk_md5 FROM r")
+def cdc_chunk_rows(spark, sf_dir):
+    """Content-defined chunking (dedup.py:cdc_chunks, the LBFS/FastCDC
+    idea on token anchors): chunk boundaries are a property of the
+    CONTENT (portable-hash anchors, divisor 16), so an insertion shifts
+    every fixed k-token window but leaves every chunk outside the edit
+    byte-identical — disjoint chunks, ~n/16 hashes per doc vs n window
+    hashes. Pure HOF array work, no explode-then-window, no shuffle;
+    only (doc, idx, n_tokens, md5) leave the projection. The oracle
+    computes the SAME chunks through an explode+window formulation —
+    two independent plans, one answer."""
+    from xmlschemavalidator_spark.dedup import cdc_chunks
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return cdc_chunks(docs, divisor=16)
+
+
+@q(
+    "cdc_duplicate_chunks",
+    _CDC_CHUNKS_SQL
+    + """,
+     pd AS (SELECT chunk_md5, doc, CAST(count(*) AS BIGINT) AS n,
+                   max(n_tokens) AS t
+            FROM r GROUP BY 1, 2)
+       SELECT chunk_md5, CAST(max(t) AS BIGINT) AS n_tokens,
+              CAST(sum(n) AS BIGINT) AS n_copies,
+              CAST(count(*) AS BIGINT) AS n_docs
+       FROM pd GROUP BY 1 HAVING sum(n) >= 2""",
+)
+def cdc_duplicate_chunks_q(spark, sf_dir):
+    """Cross-corpus duplicated CDC chunks (dedup.py:
+    cdc_duplicate_chunks): the corpus's planted duplicate documents
+    collide on every shared chunk — the cheap disjoint-chunk sibling of
+    ExactSubstr's all-windows pass for storage-style dedup and
+    shard-delta detection. Two stacked partial-aggregatable groupBys;
+    the shuffle carries (md5, doc, count), never text."""
+    from xmlschemavalidator_spark.dedup import cdc_duplicate_chunks
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return cdc_duplicate_chunks(docs, divisor=16)

@@ -1202,3 +1202,59 @@ def acf(
         F.coalesce(F.col("_p").cast("bigint"), F.lit(0)).alias("n_pairs"),
         r.alias("acf"),
     )
+
+
+def seasonal_profile(
+    events: DataFrame,
+    ts: str,
+    period: str = "hour_of_day",
+) -> DataFrame:
+    """Seasonality index per calendar bucket — the complement of
+    :func:`acf` (ACF says *whether* a cycle exists; this says its
+    SHAPE): one row per bucket with ``(bucket, n_events,
+    seasonal_index_micro)`` where the index is the bucket's share
+    relative to a uniform spread, 10⁶ = exactly average, 2·10⁶ = twice
+    the average rate. The crawl-scheduling / bot-fingerprint view: a
+    human site breathes diurnally, a metronomic bot profile is flat at
+    10⁶ everywhere, a cron-driven mirror spikes one hour.
+
+    ``period``: 'hour_of_day' (24 buckets) or 'day_of_week' (7,
+    0=Monday). Both derive from PURE integer epoch arithmetic —
+    ``dayofweek()`` builtins disagree across engines on the week start
+    (Spark 1=Sunday, DuckDB 0=Sunday), so the day index is
+    (epoch_days + 3) mod 7 in both: 1970-01-01 was a Thursday.
+
+    Exactness: index = n_b · P · 10⁶ div N — integer floor division,
+    bit-identical cross-engine. ONE partial-aggregatable groupBy into
+    ≤ P cells; NULL ts rows excluded."""
+    us = F.unix_micros(F.col(ts).cast("timestamp"))
+    if period == "hour_of_day":
+        bucket = F.expr(
+            f"(unix_micros(CAST({ts} AS TIMESTAMP)) % 86400000000) div 3600000000"
+        )
+        n_buckets = 24
+    elif period == "day_of_week":
+        bucket = F.expr(
+            f"((unix_micros(CAST({ts} AS TIMESTAMP)) div 86400000000) + 3) % 7"
+        )
+        n_buckets = 7
+    else:
+        raise ValueError(
+            f"seasonal_profile: period must be 'hour_of_day' or 'day_of_week', got {period!r}"
+        )
+    per = (
+        events.where(us.isNotNull())
+        .groupBy(bucket.cast("bigint").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+    w = Window.partitionBy()
+    return per.select(
+        "bucket",
+        "n_events",
+        F.expr(f"n_events * {n_buckets} * 1000000").alias("_num"),
+        F.sum("n_events").over(w).alias("_tot"),
+    ).select(
+        "bucket",
+        "n_events",
+        F.expr("_num div _tot").alias("seasonal_index_micro"),
+    )
