@@ -1366,3 +1366,60 @@ def test_feed_entries_rss_atom_and_duckdb_parity(spark):
         [tuple(r[0].values()) for r in d], key=lambda s: (s[4] or "")
     )
     assert spark_structs == duck_structs
+
+
+def test_robots_filter_rfc_allow_precedence(spark):
+    from xmlschemavalidator_spark.weburl import robots_filter, robots_filter_rfc
+
+    robots_txt = (
+        "User-agent: *\n"
+        "Disallow: /private\n"
+        "Allow: /private/press\n"
+        "Disallow: /tmp\n"
+        "Allow: /tmp\n"  # exact length tie: Allow wins per RFC 9309
+    )
+    robots = spark.createDataFrame(
+        [("ex.com", robots_txt)], "host string, robots_txt string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "https://ex.com/private/x"),          # blocked
+            (2, "https://ex.com/private/press/r1"),   # re-opened by Allow
+            (3, "https://ex.com/tmp/y"),              # tie -> Allow wins
+            (4, "https://ex.com/public"),             # no rule
+            (5, "https://other.com/private/x"),       # no robots row -> kept
+        ],
+        "doc_id long, url string",
+    )
+    kept = sorted(
+        r["doc_id"] for r in robots_filter_rfc(docs, "url", robots).collect()
+    )
+    assert kept == [2, 3, 4, 5]
+    # the Disallow-only legacy form blocks the carve-outs too
+    legacy = sorted(
+        r["doc_id"] for r in robots_filter(docs, "url", robots).collect()
+    )
+    assert legacy == [4, 5]
+
+
+def test_robots_decision_duckdb_parity(spark):
+    import duckdb
+
+    from xmlschemavalidator_spark.weburl import (
+        robots_allow_prefixes_sql,
+        robots_decision_sql,
+    )
+    from xmlschemavalidator_spark.weburl import robots_disallow_prefixes_sql
+
+    robots_txt = (
+        "User-agent: *\nDisallow: /a\nAllow: /a/b\nDisallow: /a/b/c\n"
+    )
+    rr = robots_txt.replace("\n", "\\n")
+    for pq, want in (
+        ("/a/x", True), ("/a/b/x", False), ("/a/b/c/x", True), ("/z", False)
+    ):
+        d = duckdb.sql(
+            f"select {robots_decision_sql('pq', robots_disallow_prefixes_sql('r'), robots_allow_prefixes_sql('r'))} "
+            f"from (select '{pq}' as pq, e'{rr}' as r)"
+        ).fetchone()[0]
+        assert d == want, (pq, d)

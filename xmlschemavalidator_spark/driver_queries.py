@@ -14077,3 +14077,72 @@ def cdc_duplicate_chunks_q(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     return cdc_duplicate_chunks(docs, divisor=16)
+
+
+_PLANT_RFC_URL = """concat('http://site', CAST(doc_id % 3 AS STRING), '.com/',
+  CASE doc_id % 5 WHEN 0 THEN concat('private/press/r', CAST(doc_id AS STRING))
+       WHEN 1 THEN 'private/x' WHEN 2 THEN 'tmp/file'
+       WHEN 3 THEN 'pub' ELSE 'g' END)"""
+
+_PLANT_RFC_TXT = """concat('User-agent: *', chr(10),
+  'Disallow: /private', chr(10), 'Allow: /private/press', chr(10),
+  'Disallow: /tmp', chr(10), 'Allow: /tmp')"""
+
+_RFC_HOSTS_SQL = (
+    "SELECT DISTINCT concat('site', CAST(doc_id % 3 AS STRING), '.com') AS host "
+    "FROM documents WHERE doc_id % 3 < 2"
+)
+
+
+def _robots_rfc_oracle() -> str:
+    from xmlschemavalidator_spark.weburl import (
+        canonical_host_sql,
+        canonical_url_sql,
+        robots_allow_prefixes_sql,
+        robots_decision_sql,
+        robots_disallow_prefixes_sql,
+        robots_url_path_sql,
+    )
+
+    return f"""WITH d AS (SELECT doc_id, {_PLANT_RFC_URL} AS url FROM documents),
+        hosts AS ({_RFC_HOSTS_SQL}),
+        rules AS (SELECT host,
+                    {robots_disallow_prefixes_sql(_PLANT_RFC_TXT)} AS dis,
+                    {robots_allow_prefixes_sql(_PLANT_RFC_TXT)} AS alw
+                  FROM hosts),
+        j AS (SELECT d.doc_id, d.url,
+                     {robots_url_path_sql('d.url')} AS pq,
+                     rules.dis, rules.alw
+              FROM d LEFT JOIN rules
+                ON {canonical_host_sql(canonical_url_sql('d.url'))} = rules.host)
+        SELECT doc_id, url FROM j
+        WHERE NOT coalesce({robots_decision_sql('pq', 'dis', 'alw')}, FALSE)"""
+
+
+@q("robots_filter_rfc_kept", _robots_rfc_oracle())
+def robots_filter_rfc_kept(spark, sf_dir):
+    """Full RFC 9309 §2.2.2 robots precedence (weburl.py:
+    robots_filter_rfc): Allow: carve-outs honored with longest-match-
+    wins — '/private/press/*' survives under 'Disallow: /private' +
+    'Allow: /private/press', and the planted exact-length tie
+    ('Disallow: /tmp' + 'Allow: /tmp') resolves to Allow per spec.
+    The Disallow-only robots_filter_kept would drop both. Same scale
+    shape: host equi-join + bounded per-host HOF decision."""
+    from xmlschemavalidator_spark.weburl import robots_filter_rfc
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_PLANT_RFC_URL).alias("url")
+    )
+    hosts = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 3 < 2)
+        .select(
+            F.concat(
+                F.lit("site"), (F.col("doc_id") % 3).cast("string"),
+                F.lit(".com"),
+            ).alias("host")
+        )
+        .distinct()
+    )
+    robots = hosts.withColumn("robots_txt", F.expr(_PLANT_RFC_TXT))
+    return robots_filter_rfc(docs, "url", robots)

@@ -2951,3 +2951,100 @@ def feed_entries_sql(x: str) -> str:
         f"list_filter(list_concat({rss}, {atom}), "
         f"e -> e.link IS NOT NULL OR e.entry_id IS NOT NULL)"
     )
+
+
+ROBOTS_ALLOW_RE = r"(?im)^[ \t]*allow:[ \t]*([^ \t\r\n#]*)"
+
+
+def robots_allow_prefixes(robots: Column) -> Column:
+    """Allowed path prefixes for the wildcard agent (non-empty only) —
+    the carve-out half of RFC 9309: 'Disallow: /private' +
+    'Allow: /private/press' re-opens the press subtree."""
+    seg = F.regexp_extract(robots, ROBOTS_GROUP_RE, 1)
+    allp = F.regexp_extract_all(seg, F.lit(ROBOTS_ALLOW_RE), F.lit(1))
+    return F.filter(allp, lambda p: p != F.lit(""))
+
+
+def robots_allow_prefixes_sql(x: str) -> str:
+    grp = _sql_quote(ROBOTS_GROUP_RE)
+    alw = _sql_quote(ROBOTS_ALLOW_RE)
+    return (
+        f"list_filter(regexp_extract_all(regexp_extract({x}, {grp}, 1), "
+        f"{alw}, 1), p -> p <> '')"
+    )
+
+
+def robots_decision(pq: Column, dis: Column, alw: Column) -> Column:
+    """RFC 9309 §2.2.2 precedence as a Column: TRUE = blocked. The most
+    specific (LONGEST) matching rule wins; on an exact length tie the
+    Allow rule wins. Pure bounded HOFs over the host's few rules —
+    longest matching prefix length per list via transform→filter→max,
+    no match → −1 (so no-rules and allow-only hosts stay crawlable)."""
+
+    def longest(rules: Column) -> Column:
+        return F.coalesce(
+            F.array_max(
+                F.transform(
+                    F.filter(rules, lambda p: pq.startswith(p)), F.length
+                )
+            ),
+            F.lit(-1),
+        )
+
+    return longest(dis) > longest(alw)
+
+
+def robots_decision_sql(pq: str, dis: str, alw: str) -> str:
+    def longest(rules: str) -> str:
+        return (
+            f"coalesce(list_max(list_transform(list_filter({rules}, "
+            f"p -> starts_with({pq}, p)), p -> length(p))), -1)"
+        )
+
+    return f"({longest(dis)} > {longest(alw)})"
+
+
+def robots_filter_rfc(
+    docs: DataFrame,
+    url_col: str,
+    robots: DataFrame,
+    host_col: str = "host",
+    robots_col: str = "robots_txt",
+    strip_www: bool = True,
+) -> DataFrame:
+    """:func:`robots_filter` upgraded to full RFC 9309 §2.2.2 precedence
+    — Allow: carve-outs honored with longest-match-wins (Allow wins
+    exact ties): 'Disallow: /private' no longer hides
+    '/private/press/release.html' when the site explicitly re-opened
+    '/private/press'. Same scale shape as robots_filter: one-row-per-
+    host rule table (defensive group-merge), host equi-join, bounded
+    per-host HOF decision — the Disallow-only form remains for corpora
+    whose robots never carve out (one array fewer in flight)."""
+    rh = F.lower(F.col(host_col))
+    if strip_www:
+        rh = F.regexp_replace(rh, r"^www\.", "")
+    rules = (
+        robots.select(
+            rh.alias("_rh"),
+            robots_disallow_prefixes(F.col(robots_col)).alias("_pd"),
+            robots_allow_prefixes(F.col(robots_col)).alias("_pa"),
+        )
+        .groupBy("_rh")
+        .agg(
+            F.array_distinct(F.flatten(F.collect_list("_pd"))).alias("_dis"),
+            F.array_distinct(F.flatten(F.collect_list("_pa"))).alias("_alw"),
+        )
+    )
+    joined = (
+        docs.withColumn(
+            "_canon", canonical_url(F.col(url_col), strip_www=strip_www)
+        )
+        .withColumn("_h", canonical_host(F.col("_canon")))
+        .withColumn("_pq", robots_url_path(F.col(url_col)))
+        .drop("_canon")
+        .join(rules, F.col("_h") == F.col("_rh"), "left")
+    )
+    blocked = robots_decision(F.col("_pq"), F.col("_dis"), F.col("_alw"))
+    return joined.where(~F.coalesce(blocked, F.lit(False))).drop(
+        "_h", "_pq", "_rh", "_dis", "_alw"
+    )
