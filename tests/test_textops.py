@@ -1487,3 +1487,31 @@ def test_lexical_diversity_ttr_and_msttr(spark):
     assert got[4] == (0, 0, None, None)
     # doc 2 windows: two full windows of 'spam' -> msttr 1/4
     assert got[2][3] == 250_000
+
+
+def test_rake_keywords_hand_computed(spark):
+    from xmlschemavalidator_spark.textops import rake_keywords
+
+    df = spark.createDataFrame(
+        [
+            # phrases: "deep learning" / "deep networks"; deep deg4 freq2,
+            # learning deg2 freq1, networks deg2 freq1 -> both phrases 4e6
+            (1, "Deep learning of deep networks."),
+            # "learning rocks" 3.5e6 beats "learning" 1.5e6
+            (2, "learning rocks and learning"),
+            # a 5-token run exceeds the phrase cap and drops entirely
+            (3, "alpha beta gamma delta epsilon. short one"),
+        ],
+        "doc_id long, text string",
+    )
+    out = rake_keywords(df, stopwords=["of", "and", "one"], k=3,
+                        max_phrase_tokens=4).collect()
+    d1 = {r["phrase"]: r for r in out if r["doc"] == 1}
+    assert d1["deep learning"]["score_micro"] == 4_000_000
+    assert d1["deep learning"]["rank"] == 1  # tie broken by phrase text
+    assert d1["deep networks"]["rank"] == 2
+    d2 = {r["phrase"]: r for r in out if r["doc"] == 2}
+    assert d2["learning rocks"]["score_micro"] == 3_500_000
+    assert d2["learning"]["score_micro"] == 1_500_000
+    d3 = [r["phrase"] for r in out if r["doc"] == 3]
+    assert d3 == ["short"]  # the capped run vanished, 'one' was a stopword

@@ -14146,3 +14146,63 @@ def robots_filter_rfc_kept(spark, sf_dir):
     )
     robots = hosts.withColumn("robots_txt", F.expr(_PLANT_RFC_TXT))
     return robots_filter_rfc(docs, "url", robots)
+
+
+def _rake_oracle() -> str:
+    from xmlschemavalidator_spark.textops import RAKE_STOPWORDS
+
+    swl = ", ".join(f"'{w}'" for w in RAKE_STOPWORDS)
+    return f"""WITH c AS (SELECT doc_id AS doc,
+                lower(regexp_replace(text,
+                    '[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]+', ' | ', 'g')) AS t
+             FROM documents WHERE text IS NOT NULL),
+       tok AS (SELECT doc,
+                 list_filter(regexp_split_to_array(trim(t),
+                     '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS arr
+               FROM c),
+       mk AS (SELECT doc, list_transform(arr,
+                 x -> CASE WHEN x IN ({swl}) OR x = '|' THEN '|' ELSE x END)
+                 AS arr
+              FROM tok),
+       ph AS (SELECT doc, list_filter(
+                 list_transform(string_split(array_to_string(arr, ' '), '|'),
+                                p -> trim(p)),
+                 p -> p <> '' AND len(string_split(p, ' ')) <= 4) AS phrases
+              FROM mk),
+       cand AS (SELECT doc, unnest(phrases) AS phrase,
+                       generate_subscripts(phrases, 1) AS pidx
+                FROM ph),
+       words AS (SELECT doc, pidx, phrase,
+                        CAST(len(string_split(phrase, ' ')) AS BIGINT) AS plen,
+                        unnest(string_split(phrase, ' ')) AS word
+                 FROM cand),
+       ws AS (SELECT doc, word, CAST(count(*) AS BIGINT) AS freq,
+                     CAST(sum(plen) AS BIGINT) AS deg
+              FROM words GROUP BY 1, 2),
+       sc AS (SELECT w.doc, w.pidx, w.phrase, max(w.plen) AS plen,
+                     CAST(sum((ws.deg * 1000000) // ws.freq) AS BIGINT) AS psc
+              FROM words w JOIN ws ON w.doc = ws.doc AND w.word = ws.word
+              GROUP BY 1, 2, 3),
+       dedup AS (SELECT doc, phrase, max(plen) AS n_tokens,
+                        max(psc) AS score_micro
+                 FROM sc GROUP BY 1, 2),
+       rk AS (SELECT *, row_number() OVER (PARTITION BY doc
+                        ORDER BY score_micro DESC, phrase) AS rank
+              FROM dedup)
+       SELECT doc, phrase, n_tokens, score_micro, rank
+       FROM rk WHERE rank <= 3"""
+
+
+@q("rake_keywords_top3", _rake_oracle())
+def rake_keywords_top3(spark, sf_dir):
+    """RAKE keyword extraction (textops.py:rake_keywords, Rose et al.
+    2010) — top-3 phrases per document: candidates are the runs between
+    stopwords/punctuation, words score degree/freq over the doc's own
+    candidate multiset (integer micros — degree·10⁶ div freq), phrases
+    sum their words. The no-corpus-pass member of the keyword family
+    beside tfidf_top_terms and token_pmi_topk: everything keys by doc,
+    the ideal 100 TB shape."""
+    from xmlschemavalidator_spark.textops import rake_keywords
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return rake_keywords(docs, k=3)

@@ -2136,3 +2136,112 @@ def lexical_diversity(
         .cast("bigint")
         .alias("msttr_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction (Rose, Engel, Cramer & Cowley 2010, "Automatic
+# Keyword Extraction from Individual Documents") — the per-document
+# keyword view next to tfidf_top_terms' corpus-statistical one: candidate
+# phrases are the runs BETWEEN stopwords/punctuation, each word scores
+# degree/freq over the doc's own candidates (words that live in long
+# phrases beat words that appear alone), a phrase scores the sum of its
+# words. No corpus pass at all — RAKE needs only the document.
+# ---------------------------------------------------------------------------
+
+#: RAKE's default delimiter vocabulary: the en stopword heuristic list
+#: plus the high-frequency function words the 10-word lang-ID list omits
+RAKE_STOPWORDS = _STOPWORDS["en"] + [
+    "a", "an", "as", "are", "at", "be", "by", "but", "from", "has", "have",
+    "its", "on", "or", "this", "we", "with", "you",
+]
+
+_RAKE_PUNCT_RE = r"[^A-Za-z0-9 \t\n\x0b\f\r]+"
+
+
+def rake_keywords(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: list[str] | None = None,
+    k: int = 5,
+    max_phrase_tokens: int = 4,
+) -> DataFrame:
+    """Top-``k`` RAKE keyword phrases per document:
+    ``(doc, phrase, n_tokens, score_micro, rank)``.
+
+    Candidates: lowercase the text, punctuation and stopwords become
+    phrase breaks (a '|' sentinel inside the token array — pure HOFs,
+    no UDF), runs longer than ``max_phrase_tokens`` drop (RAKE's
+    length cap). Word scores are degree/freq over THIS doc's candidate
+    multiset, kept exact as integer micros (degree·10⁶ div freq);
+    a phrase's score is the integer sum of its words' micros, so rank
+    order is hash-exact cross-engine. Ties rank by phrase text.
+
+    Scale shape: everything is keyed by doc (and doc,word) — the
+    shuffles carry (doc, word, counts) and the top-k window partitions
+    by doc, never a global sort. No corpus-level state at all: RAKE is
+    embarrassingly per-document, the ideal 100 TB shape.
+
+    Reference scope note: eliassona/xmlschemavalidator has no text
+    layer (core.clj:263-285); north-rule extraction beside
+    tfidf_top_terms (corpus-statistical) and token_pmi_topk
+    (collocation) — RAKE is the no-corpus-pass member of the family.
+    """
+    if k < 1 or max_phrase_tokens < 1:
+        raise ValueError(f"rake_keywords: bad k={k} max_phrase_tokens={max_phrase_tokens}")
+    sw = stopwords if stopwords is not None else RAKE_STOPWORDS
+    cleaned = F.lower(
+        F.regexp_replace(F.col(text_col), _RAKE_PUNCT_RE, " | ")
+    )
+    toks = F.filter(tokens(cleaned), lambda t: F.length(t) > 0)
+    marked = F.transform(
+        toks,
+        lambda t: F.when(
+            t.isin(*sw) | (t == F.lit("|")), F.lit("|")
+        ).otherwise(t),
+    )
+    phrases = F.filter(
+        F.transform(
+            F.split(F.array_join(marked, " "), r"\|"), lambda p: F.trim(p)
+        ),
+        lambda p: (p != F.lit(""))
+        & (F.size(F.split(p, " ")) <= max_phrase_tokens),
+    )
+    cand = df.select(
+        F.col(id_col).alias("doc"), F.posexplode(phrases).alias("pidx", "phrase")
+    )
+    words = cand.select(
+        "doc",
+        "pidx",
+        "phrase",
+        F.size(F.split(F.col("phrase"), " ")).cast("bigint").alias("_plen"),
+        F.explode(F.split(F.col("phrase"), " ")).alias("word"),
+    )
+    wstats = words.groupBy("doc", "word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_freq"),
+        F.sum("_plen").cast("bigint").alias("_deg"),
+    )
+    scored = (
+        words.join(wstats, ["doc", "word"])
+        .withColumn("_wsc", F.expr("(_deg * 1000000) div _freq"))
+        .groupBy("doc", "pidx", "phrase")
+        .agg(
+            F.max("_plen").alias("_plen"),
+            F.sum("_wsc").cast("bigint").alias("_psc"),
+        )
+        .groupBy("doc", "phrase")
+        .agg(
+            F.max("_plen").alias("n_tokens"),
+            F.max("_psc").alias("score_micro"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc").orderBy(
+        F.col("score_micro").desc(), F.col("phrase")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc", "phrase", "n_tokens", "score_micro", "rank")
+    )
