@@ -1515,3 +1515,44 @@ def test_rake_keywords_hand_computed(spark):
     assert d2["learning"]["score_micro"] == 1_500_000
     d3 = [r["phrase"] for r in out if r["doc"] == 3]
     assert d3 == ["short"]  # the capped run vanished, 'one' was a stopword
+
+
+def test_extract_dates_three_forms_and_duckdb_parity(spark):
+    import duckdb
+
+    from xmlschemavalidator_spark.textops import extract_dates, extract_dates_sql
+
+    txt = (
+        "Published 2024-03-07, updated 3/9/2024 and again on "
+        "December 5, 2025. Bogus: 2024-13-40, 13/45/2024, Smarch 3, 2024."
+    )
+    df = spark.createDataFrame([(txt,)], "t string")
+    [got] = df.select(extract_dates(F.col("t")).alias("d")).collect()
+    assert got["d"] == ["2024-03-07", "2024-03-09", "2025-12-05"]
+    tt = txt.replace("'", "''")
+    d = duckdb.sql(
+        f"select {extract_dates_sql('t')} from (select '{tt}' as t)"
+    ).fetchone()[0]
+    assert d == got["d"]
+
+
+def test_extract_money_cents_and_duckdb_parity(spark):
+    import duckdb
+
+    from xmlschemavalidator_spark.textops import (
+        extract_money_cents,
+        extract_money_cents_sql,
+    )
+
+    txt = ("priced at $1,234.56 or $ 99 - was $0.99, never $12.345 "
+           "nor $12,3456 but $5 yes")
+    df = spark.createDataFrame([(txt,)], "t string")
+    [got] = df.select(extract_money_cents(F.col("t")).alias("m")).collect()
+    # the malformed 3-decimal / 4-group amounts are FILTERED (the RE2-safe
+    # junk-detector group), never half-parsed as $12
+    assert got["m"] == [123456, 9900, 99, 500]
+    tt = txt.replace("'", "''")
+    d = duckdb.sql(
+        f"select {extract_money_cents_sql('t')} from (select '{tt}' as t)"
+    ).fetchone()[0]
+    assert d == got["m"]

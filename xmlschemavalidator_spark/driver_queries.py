@@ -14206,3 +14206,109 @@ def rake_keywords_top3(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     return rake_keywords(docs, k=3)
+
+
+_PLANT_ENTITY_TEXT = """concat(text, ' Published ',
+  CASE doc_id % 3
+       WHEN 0 THEN concat('2024-0', CAST(doc_id % 9 + 1 AS STRING), '-15')
+       WHEN 1 THEN concat(CAST(doc_id % 12 + 1 AS STRING), '/7/2023')
+       ELSE concat('March ', CAST(doc_id % 28 + 1 AS STRING), ', 2025') END,
+  CASE WHEN doc_id % 4 = 0
+       THEN concat(' price $', CAST(doc_id % 90 + 1 AS STRING), ',999.99')
+       ELSE '' END,
+  CASE WHEN doc_id % 5 = 0 THEN ' cheap $7' ELSE '' END,
+  CASE WHEN doc_id % 7 = 0 THEN ' junk $12.345' ELSE '' END)"""
+
+
+def _entity_dates_oracle() -> str:
+    from xmlschemavalidator_spark.textops import extract_dates_sql
+
+    return (
+        f"WITH p AS (SELECT doc_id, {_PLANT_ENTITY_TEXT} AS t FROM documents "
+        f"WHERE text IS NOT NULL) "
+        f"SELECT doc_id, unnest({extract_dates_sql('t')}) AS date_iso FROM p"
+    )
+
+
+@q("entity_dates_harvest", _entity_dates_oracle())
+def entity_dates_harvest(spark, sf_dir):
+    """Typed-entity harvest, dates (textops.py:extract_dates) — the
+    affirmative sibling of the PII scanner: every ISO / US m/d/yyyy /
+    'Month d, yyyy' mention normalized to one canonical yyyy-mm-dd
+    (publication-date recovery where no HTTP header survived; dedup
+    tie-break input). Range-checked regexes reject 2024-13-40 shapes;
+    month names decode through a fixed when-chain shared with the
+    oracle. One projection + one Generate."""
+    from xmlschemavalidator_spark.textops import extract_dates
+
+    p = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull()).select(
+        "doc_id", F.expr(_PLANT_ENTITY_TEXT).alias("t")
+    )
+    return p.select(
+        "doc_id", F.explode(extract_dates(F.col("t"))).alias("date_iso")
+    )
+
+
+def _entity_money_oracle() -> str:
+    from xmlschemavalidator_spark.textops import extract_money_cents_sql
+
+    return (
+        f"WITH p AS (SELECT doc_id, {_PLANT_ENTITY_TEXT} AS t FROM documents "
+        f"WHERE text IS NOT NULL) "
+        f"SELECT doc_id, unnest({extract_money_cents_sql('t')}) AS amount_cents "
+        f"FROM p"
+    )
+
+
+@q("entity_money_harvest", _entity_money_oracle())
+def entity_money_harvest(spark, sf_dir):
+    """Typed-entity harvest, money (textops.py:extract_money_cents):
+    $-amounts as exact integer cents — '$90,999.99' and the bare
+    '$7' normalize into one unit space; the planted malformed '$12.345'
+    is FILTERED by the RE2-safe trailing-junk group (no lookahead in
+    DuckDB), never half-parsed as $12. One projection + one Generate."""
+    from xmlschemavalidator_spark.textops import extract_money_cents
+
+    p = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull()).select(
+        "doc_id", F.expr(_PLANT_ENTITY_TEXT).alias("t")
+    )
+    return p.select(
+        "doc_id", F.explode(extract_money_cents(F.col("t"))).alias("amount_cents")
+    )
+
+
+@q(
+    "zipf_alpha_tokens",
+    """WITH tok AS (SELECT unnest(list_filter(regexp_split_to_array(
+                       trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+'),
+                       x -> x <> '')) AS t
+               FROM documents WHERE text IS NOT NULL),
+       f AS (SELECT CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY t),
+       b AS (SELECT CAST(floor(ln(CAST(freq AS DOUBLE) / 1.5) * 1000000)
+                         AS BIGINT) AS l
+             FROM f WHERE freq >= 2)
+       SELECT CAST(count(*) AS BIGINT) AS n, CAST(2 AS INTEGER) AS kmin,
+              CAST(coalesce(sum(l), 0) AS BIGINT) AS sum_ln_micro,
+              round(CASE WHEN coalesce(sum(l), 0) > 0
+                    THEN 1.0 + CAST(count(*) AS DOUBLE)
+                         / (CAST(sum(l) AS DOUBLE) / 1000000.0) END, 6) AS alpha
+       FROM b""",
+)
+def zipf_alpha_tokens(spark, sf_dir):
+    """Zipf exponent of the corpus token-frequency distribution
+    (weburl.py:powerlaw_alpha applied to word counts, kmin=2 — hapaxes
+    carry no tail information): natural language sits near α≈2; a far
+    drift flags templated/generated text at corpus level the way the
+    link-graph alpha flags link farms. One explode + one bounded
+    groupBy + the micro-quantized ln sum."""
+    from xmlschemavalidator_spark.textops import tokens
+    from xmlschemavalidator_spark.weburl import powerlaw_alpha
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    tok = docs.select(
+        F.explode(
+            F.filter(tokens(F.lower(F.col("text"))), lambda t: F.length(t) > 0)
+        ).alias("t")
+    )
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    return powerlaw_alpha(freq, "freq", kmin=2)

@@ -2245,3 +2245,135 @@ def rake_keywords(
         .where(F.col("rank") <= k)
         .select("doc", "phrase", "n_tokens", "score_micro", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# typed-entity harvest: dates + money — the affirmative sibling of the PII
+# scanner (that one counts-and-redacts; this one EXTRACTS and NORMALIZES):
+# publication dates feed freshness/dedup tie-breaks where no HTTP header
+# survived, money mentions are a commercial-page prior. Regex-only (no NER
+# model in-container), dual-engine like the PII family; every variant
+# normalizes to ONE canonical form so downstream equality works.
+# ---------------------------------------------------------------------------
+
+#: ISO yyyy-mm-dd with sane month/day ranges
+_DATE_ISO_RE = r"\b((?:19|20)\d{2})-(0[1-9]|1[0-2])-(0[1-9]|[12][0-9]|3[01])\b"
+#: US m/d/yyyy (1- or 2-digit month/day)
+_DATE_US_RE = r"\b(0?[1-9]|1[0-2])/(0?[1-9]|[12][0-9]|3[01])/((?:19|20)\d{2})\b"
+#: "Month d, yyyy" (full English month names)
+_MONTHS = (
+    "January", "February", "March", "April", "May", "June", "July",
+    "August", "September", "October", "November", "December",
+)
+_DATE_TEXT_RE = (
+    r"\b(" + "|".join(_MONTHS) + r")[ ]"
+    r"(0?[1-9]|[12][0-9]|3[01]),[ ]((?:19|20)\d{2})\b"
+)
+#: $ amounts: optional thousands commas, optional cents. Group 2 is an
+#: RE2-safe trailing-junk detector (no lookahead in DuckDB): a digit (with
+#: optional [.,]) right after the amount means a malformed number like
+#: $12.345 or $12,3456 — those matches are filtered, never half-parsed.
+_MONEY_RE = r"\$[ ]?((?:\d{1,3}(?:,\d{3})+|\d+)(?:\.\d{2})?)([.,]?\d)?"
+
+
+def _pad2(c: Column) -> Column:
+    return F.lpad(c, 2, "0")
+
+
+def extract_dates(text: Column) -> Column:
+    """Every date mention normalized to ISO ``yyyy-mm-dd`` — the three
+    wild forms (ISO, US m/d/yyyy, 'Month d, yyyy') in document order
+    per form. Each full match is re-parsed on its own short string (the
+    anchor_texts device); the month-name decode is a fixed when-chain
+    shared with the SQL renderer."""
+    iso = F.regexp_extract_all(text, F.lit(_DATE_ISO_RE), F.lit(0))
+
+    us_ms = F.regexp_extract_all(text, F.lit(_DATE_US_RE), F.lit(0))
+    us = F.transform(
+        us_ms,
+        lambda m: F.concat_ws(
+            "-",
+            F.regexp_extract(m, _DATE_US_RE, 3),
+            _pad2(F.regexp_extract(m, _DATE_US_RE, 1)),
+            _pad2(F.regexp_extract(m, _DATE_US_RE, 2)),
+        ),
+    )
+
+    tx_ms = F.regexp_extract_all(text, F.lit(_DATE_TEXT_RE), F.lit(0))
+
+    def month_num(name: Column) -> Column:
+        expr = F.lit("00")
+        for i, mn in enumerate(_MONTHS):
+            expr = F.when(name == mn, F.lit(f"{i + 1:02d}")).otherwise(expr)
+        return expr
+
+    tx = F.transform(
+        tx_ms,
+        lambda m: F.concat_ws(
+            "-",
+            F.regexp_extract(m, _DATE_TEXT_RE, 3),
+            month_num(F.regexp_extract(m, _DATE_TEXT_RE, 1)),
+            _pad2(F.regexp_extract(m, _DATE_TEXT_RE, 2)),
+        ),
+    )
+    return F.concat(iso, us, tx)
+
+
+def extract_dates_sql(x: str) -> str:
+    iso = f"regexp_extract_all({x}, {_sql_quote(_DATE_ISO_RE)}, 0)"
+    usp = _sql_quote(_DATE_US_RE)
+    us = (
+        f"list_transform(regexp_extract_all({x}, {usp}, 0), m -> "
+        f"concat_ws('-', regexp_extract(m, {usp}, 3), "
+        f"lpad(regexp_extract(m, {usp}, 1), 2, '0'), "
+        f"lpad(regexp_extract(m, {usp}, 2), 2, '0')))"
+    )
+    txp = _sql_quote(_DATE_TEXT_RE)
+    month_case = "CASE regexp_extract(m, " + txp + ", 1) " + " ".join(
+        f"WHEN '{mn}' THEN '{i + 1:02d}'" for i, mn in enumerate(_MONTHS)
+    ) + " ELSE '00' END"
+    tx = (
+        f"list_transform(regexp_extract_all({x}, {txp}, 0), m -> "
+        f"concat_ws('-', regexp_extract(m, {txp}, 3), {month_case}, "
+        f"lpad(regexp_extract(m, {txp}, 2), 2, '0')))"
+    )
+    return f"list_concat(list_concat({iso}, {us}), {tx})"
+
+
+def extract_money_cents(text: Column) -> Column:
+    """Every $-amount as exact integer CENTS (commas stripped, absent
+    cents = ·100) — integer so sums/compares are hash-exact; the
+    free-standing '$5' and the formatted '$1,234.56' normalize into one
+    unit space."""
+    ms = F.regexp_extract_all(text, F.lit(_MONEY_RE), F.lit(0))
+    amounts = F.transform(
+        ms,
+        lambda m: F.when(
+            F.regexp_extract(m, _MONEY_RE, 2) == "",
+            F.regexp_extract(m, _MONEY_RE, 1),
+        ).otherwise(F.lit("")),
+    )
+    return F.transform(
+        F.filter(amounts, lambda a: a != F.lit("")),
+        lambda a: F.when(
+            a.contains("."),
+            F.regexp_replace(a, r"[,.]", "").cast("bigint"),
+        ).otherwise(
+            F.regexp_replace(a, ",", "").cast("bigint") * F.lit(100)
+        ),
+    )
+
+
+def extract_money_cents_sql(x: str) -> str:
+    pat = _sql_quote(_MONEY_RE)
+    amounts = (
+        f"list_transform(regexp_extract_all({x}, {pat}, 0), m -> "
+        f"CASE WHEN regexp_extract(m, {pat}, 2) = '' "
+        f"THEN regexp_extract(m, {pat}, 1) ELSE '' END)"
+    )
+    return (
+        f"list_transform(list_filter({amounts}, a -> a <> ''), a -> "
+        f"CASE WHEN contains(a, '.') THEN "
+        f"CAST(regexp_replace(a, '[,.]', '', 'g') AS BIGINT) "
+        f"ELSE CAST(replace(a, ',', '') AS BIGINT) * 100 END)"
+    )
