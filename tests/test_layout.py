@@ -251,3 +251,92 @@ def test_rowgroup_stats_match_duckdb_metadata(spark, tmp_path):
         )
     )
     assert got == oracle and len(got) >= 2
+
+
+def _py_xy2d(n_bits, x, y):
+    mask = (1 << n_bits) - 1
+    d = 0
+    for b in range(n_bits - 1, -1, -1):
+        rx = (x >> b) & 1
+        ry = (y >> b) & 1
+        d += ((3 * rx) ^ ry) << (2 * b)
+        if ry == 0:
+            if rx == 1:
+                x = mask - x
+                y = mask - y
+            x, y = y, x
+    return d
+
+
+def test_hilbert_index_exact_bijection_and_unit_steps(spark):
+    from xmlschemavalidator_spark.layout import hilbert_index
+
+    bits = 4
+    cells = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(cells, "x long, y long")
+    got = {(r["x"], r["y"]): r["hilbert_d"]
+           for r in hilbert_index(df, "x", "y", bits=bits).collect()}
+    # exact replay of the classic xy2d walk
+    for (x, y), d in got.items():
+        assert d == _py_xy2d(bits, x, y), (x, y)
+    # bijection onto [0, 256)
+    assert sorted(got.values()) == list(range(256))
+    # THE Hilbert property (what Z-order lacks): consecutive d are
+    # neighboring cells — |dx|+|dy| == 1, never a quadrant teleport
+    by_d = {d: xy for xy, d in got.items()}
+    for d in range(255):
+        (x1, y1), (x2, y2) = by_d[d], by_d[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, d
+
+
+def test_hilbert_index_sql_parity_and_guards(spark):
+    import duckdb
+    import pytest as _pt
+
+    from xmlschemavalidator_spark.layout import hilbert_index, hilbert_index_sql
+
+    body = hilbert_index_sql(
+        "(SELECT x, y FROM cells)", ["x", "y"], "x", "y", bits=3
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE cells AS SELECT x, y FROM range(8) t(x), range(8) s(y)"
+    )
+    rows = con.execute(
+        f"WITH {body} SELECT x, y, hilbert_d FROM h_out"
+    ).fetchall()
+    assert {(x, y): d for x, y, d in rows} == {
+        (x, y): _py_xy2d(3, x, y) for x in range(8) for y in range(8)
+    }
+    df = spark.createDataFrame([(1, 2)], "x long, y long")
+    with _pt.raises(ValueError):
+        hilbert_index(df, "x", "y", bits=0)
+    with _pt.raises(ValueError):
+        hilbert_index(df.withColumn("_hx", F.lit(1)), "x", "y")
+
+
+def test_hilbert_layout_tightens_both_columns(spark, tmp_path):
+    from xmlschemavalidator_spark.layout import (
+        hilbert_layout,
+        parquet_rowgroup_stats,
+    )
+
+    n = 4000
+    df = spark.range(n).select(
+        (F.col("id") % 63).alias("a"),
+        ((F.col("id") * 7) % 61).alias("b"),
+    )
+    base, hil = str(tmp_path / "base"), str(tmp_path / "hil")
+    df.repartition(8).write.mode("overwrite").parquet(base)
+    hilbert_layout(df, ["a", "b"], hil, bits=5, n_files=8)
+    spans = {}
+    for name, path in (("base", base), ("hil", hil)):
+        spans[name] = {}
+        for c in ("a", "b"):
+            st = parquet_rowgroup_stats(spark, path, c).collect()
+            spans[name][c] = sum(
+                r["max_value"] - r["min_value"] for r in st
+            ) / len(st)
+    # clustered layout tightens the average row-group span on BOTH columns
+    assert spans["hil"]["a"] < 0.8 * spans["base"]["a"]
+    assert spans["hil"]["b"] < 0.8 * spans["base"]["b"]

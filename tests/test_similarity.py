@@ -506,3 +506,51 @@ def test_embedding_centroid_drift_excludes_bad_vectors(spark):
     got = {r["grp"]: (r["n"], r["cos_to_global"]) for r in
            embedding_centroid_drift(df, "grp", "embedding").collect()}
     assert got["a"][0] == 2 and got["b"][0] == 1
+
+
+def test_jl_project_replay_and_cosine_fidelity(spark):
+    import hashlib
+    import math
+
+    from xmlschemavalidator_spark.similarity import jl_project
+
+    # deterministic synthetic vectors: two tight clusters + one outlier
+    def vec(seed, base):
+        return [
+            base[i % len(base)]
+            + (hashlib.md5(f"{seed}:{i}".encode()).digest()[0] / 255.0 - 0.5) * 0.05
+            for i in range(32)
+        ]
+
+    a = [1.0, 0.2, -0.5, 0.8]
+    b = [-0.7, 0.9, 0.1, -0.3]
+    rows = [(f"a{i}", vec(f"a{i}", a)) for i in range(3)] + [
+        (f"b{i}", vec(f"b{i}", b)) for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    out = {r["doc"]: list(r["jl"]) for r in
+           jl_project(df, "embedding", out_dim=16).collect()}
+
+    # exact integer replay: same md5 sign planes, same quantization
+    def signs(j, dim):
+        return [1 if hashlib.md5(f"jl:{j}:{i}".encode()).digest()[0] % 2 == 0
+                else -1 for i in range(dim)]
+
+    for rid, v in rows:
+        qv = [math.floor(x * 1_000_000) for x in v]
+        want = [sum(s * q for s, q in zip(signs(j, 32), qv)) for j in range(16)]
+        assert out[rid] == want, rid
+
+    # JL fidelity: projected cosine tracks original cosine
+    def cos(u, w):
+        d = sum(x * y for x, y in zip(u, w))
+        return d / math.sqrt(sum(x * x for x in u) * sum(y * y for y in w))
+
+    orig = {r: dict(rows)[r] for r in out}
+    for x in ("a0", "a1"):
+        for y in ("a2", "b0", "b1"):
+            c0 = cos(orig[x], orig[y])
+            c1 = cos(out[x], out[y])
+            assert abs(c0 - c1) < 0.35, (x, y, c0, c1)
+    # within-cluster stays clearly above cross-cluster after projection
+    assert cos(out["a0"], out["a1"]) > 0.8 > 0.2 > cos(out["a0"], out["b0"])

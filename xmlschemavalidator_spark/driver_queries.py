@@ -14312,3 +14312,122 @@ def zipf_alpha_tokens(spark, sf_dir):
     )
     freq = tok.groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
     return powerlaw_alpha(freq, "freq", kmin=2)
+
+
+def _jl_oracle(out_dim: int = 8, dim: int = 64) -> str:
+    from xmlschemavalidator_spark.similarity import _srp_plane_signs
+
+    planes = _srp_plane_signs(out_dim, dim, "jl")
+    arms = " UNION ALL ".join(
+        f"SELECT doc, {j} AS j, CAST(list_sum(list_transform(qv, "
+        f"(x, i) -> x * {planes[j]}[i])) AS BIGINT) AS y FROM qvs"
+        for j in range(out_dim)
+    )
+    return f"""WITH qvs AS (
+  SELECT vec_id AS doc,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000)
+                                              AS BIGINT)) AS qv
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = {dim})
+{arms}"""
+
+
+@q("jl_projection", _jl_oracle())
+def jl_projection(spark, sf_dir):
+    """Johnson–Lindenstrauss ±1 sign projection (similarity.py:
+    jl_project, Achlioptas JCSS'03) of the 64-dim embeddings down to 8
+    exact-integer coordinates — the shuffle-weight reducer in front of
+    the ANN family; cosines survive within JL tolerance (pinned in
+    tests). Micro-quantize first, Python-literal planes, order-free
+    integer dots — the embedding_simhash exactness device, so the
+    DuckDB replay is bit-exact. Rows are (doc, j, y) via posexplode."""
+    from xmlschemavalidator_spark.similarity import jl_project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    proj = jl_project(emb, "embedding", "vec_id", out_dim=8)
+    return proj.select(
+        "doc", F.posexplode(F.col("jl")).alias("j", "_y")
+    ).select("doc", F.col("j").cast("bigint").alias("j"), F.col("_y").alias("y"))
+
+
+def _benford_money_oracle() -> str:
+    from xmlschemavalidator_spark.textops import extract_money_cents_sql
+
+    return f"""WITH p AS (SELECT doc_id, {_PLANT_ENTITY_TEXT} AS t FROM documents
+                    WHERE text IS NOT NULL),
+       amt AS (SELECT unnest({extract_money_cents_sql('t')}) AS cents FROM p),
+       m AS (SELECT CAST(floor(cents * 100) AS BIGINT) AS m
+             FROM amt WHERE cents IS NOT NULL AND cents < 9.0e15),
+       c AS (SELECT CAST(substr(CAST(m AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+                    count(*) AS n
+             FROM m WHERE m > 0 GROUP BY 1),
+       e(digit, expected_micro) AS (VALUES
+           (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+           (6, 66947), (7, 57992), (8, 51153), (9, 45757)),
+       j AS (SELECT e.digit,
+                    CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+                    CAST(e.expected_micro AS BIGINT) AS expected_micro
+             FROM e LEFT JOIN c ON e.digit = c.digit),
+       s AS (SELECT digit, n,
+                    CASE WHEN sum(n) OVER () > 0
+                         THEN (n * 1000000) // sum(n) OVER ()
+                         ELSE CAST(0 AS BIGINT) END AS share_micro,
+                    expected_micro
+             FROM j)
+       SELECT digit, n, share_micro, expected_micro,
+              abs(share_micro - expected_micro) AS dev_micro
+       FROM s ORDER BY digit"""
+
+
+@q("benford_money_mentions", _benford_money_oracle())
+def benford_money_mentions(spark, sf_dir):
+    """META composition: Benford first-digit audit (checks/drift.py)
+    over the HARVESTED money mentions (textops.extract_money_cents) —
+    the fraud/fabrication smell test applied to what pages claim prices
+    are. The planted synthetic amounts measurably fail Benford (uniform
+    leading digits + a $7 spike), exactly what the audit exists to
+    flag: two independently oracle-exact operators composed, the
+    dedup_method_evaluation pattern."""
+    from xmlschemavalidator_spark.checks.drift import benford_first_digit
+    from xmlschemavalidator_spark.textops import extract_money_cents
+
+    p = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull()).select(
+        F.expr(_PLANT_ENTITY_TEXT).alias("t")
+    )
+    amt = p.select(
+        F.explode(extract_money_cents(F.col("t"))).alias("cents")
+    )
+    return benford_first_digit(amt, "cents")
+
+
+def _hilbert_oracle() -> str:
+    from xmlschemavalidator_spark.layout import hilbert_index_sql
+
+    body = hilbert_index_sql(
+        "(SELECT doc_id, doc_id % 61 AS x, (doc_id * 7) % 59 AS y FROM documents)",
+        ["doc_id", "x", "y"],
+        "x",
+        "y",
+        bits=6,
+    )
+    return f"WITH {body} SELECT doc_id, x, y, hilbert_d FROM h_out"
+
+
+@q("hilbert_curve_index", _hilbert_oracle())
+def hilbert_curve_index(spark, sf_dir):
+    """Hilbert-curve index (layout.py:hilbert_index — the locality
+    upgrade Z-order lacks: consecutive d are NEIGHBORING cells, never a
+    quadrant teleport, so contiguous file ranges cover compact
+    rectangles and per-file min/max spans tighten on BOTH clustered
+    columns; the property liquid clustering moved to Hilbert for).
+    Classic xy2d bit walk, every level literal-constant integer
+    arithmetic with (x,y,d) LET-BOUND per step via chained selects; the
+    oracle replays the identical walk as chained CTEs."""
+    from xmlschemavalidator_spark.layout import hilbert_index
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 61).alias("x"),
+        ((F.col("doc_id") * 7) % 59).alias("y"),
+    )
+    return hilbert_index(docs, "x", "y", bits=6)

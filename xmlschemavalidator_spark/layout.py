@@ -367,3 +367,160 @@ def skip_audit(
         .cast("bigint")
         .alias("skip_ratio_micro"),
     )
+
+
+def hilbert_index(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bits: int = 8,
+    out_col: str = "hilbert_d",
+) -> DataFrame:
+    """Hilbert-curve index of two bounded non-negative integer columns
+    — the locality upgrade over :func:`zorder_value`: the Z curve
+    teleports at bit boundaries (cell 3→4 jumps the whole quadrant),
+    the Hilbert curve moves ONE cell per step, so contiguous file
+    ranges cover more-compact rectangles and per-file min/max spans on
+    both clustered columns shrink further (the property Databricks'
+    liquid clustering moved to Hilbert for).
+
+    The classic xy2d bit walk (MSB→LSB: quadrant digit
+    q = (3·rx) XOR ry accumulates into d·4ᵇ; ry=0 levels flip-and-swap
+    the frame) — every step is literal-constant integer arithmetic,
+    identical in both engines, and each step's (x, y, d) are
+    LET-BOUND as real columns via a chained select (the CLAUDE.md HOF
+    rule: inlining would grow the expression tree ~3× per level).
+    Inputs are clamped with the bit mask like zorder_value. Narrow —
+    ``bits`` chained projections, zero shuffles, whole-stage codegen.
+    """
+    if bits < 1 or 2 * bits > 62:
+        raise ValueError(f"hilbert_index: bits must be in [1, 31], got {bits}")
+    reserved = {"_hx", "_hy", "_hd", out_col} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"hilbert_index: column(s) {sorted(reserved)} collide; rename first"
+        )
+    mask = (1 << bits) - 1
+    passthrough = list(df.columns)
+    cur = df.select(
+        *passthrough,
+        F.col(x_col).cast("bigint").bitwiseAND(mask).alias("_hx"),
+        F.col(y_col).cast("bigint").bitwiseAND(mask).alias("_hy"),
+        F.lit(0).cast("bigint").alias("_hd"),
+    )
+    for b in range(bits - 1, -1, -1):
+        rx = F.shiftright(F.col("_hx"), b).bitwiseAND(1)
+        ry = F.shiftright(F.col("_hy"), b).bitwiseAND(1)
+        q = (F.lit(3).cast("bigint") * rx).bitwiseXOR(ry)
+        d_new = F.col("_hd") + F.shiftleft(q, 2 * b)
+        x_new = (
+            F.when(ry == 1, F.col("_hx"))
+            .when(rx == 1, F.lit(mask) - F.col("_hy"))
+            .otherwise(F.col("_hy"))
+        )
+        y_new = (
+            F.when(ry == 1, F.col("_hy"))
+            .when(rx == 1, F.lit(mask) - F.col("_hx"))
+            .otherwise(F.col("_hx"))
+        )
+        cur = cur.select(
+            *passthrough,
+            x_new.cast("bigint").alias("_hx"),
+            y_new.cast("bigint").alias("_hy"),
+            d_new.alias("_hd"),
+        )
+    return cur.select(*passthrough, F.col("_hd").alias(out_col))
+
+
+def hilbert_index_sql(
+    base_cte: str,
+    keep_cols: list[str],
+    x_sql: str,
+    y_sql: str,
+    bits: int = 8,
+    out_col: str = "hilbert_d",
+) -> str:
+    """DuckDB rendering of :func:`hilbert_index` as a chain of CTE
+    steps over ``base_cte`` — one shared recipe, same literal constants
+    per level, so the oracle cannot drift from the implementation.
+    Returns the CTE-body text 'h0 AS (...), h1 AS (...), ...' plus the
+    final select; embed as ``WITH {body}`` via :func:`str.format` —
+    the last CTE is named ``h_out``."""
+    mask = (1 << bits) - 1
+    keep = ", ".join(keep_cols)
+    parts = [
+        f"h0 AS (SELECT {keep}, (CAST({x_sql} AS BIGINT) & {mask}) AS hx, "
+        f"(CAST({y_sql} AS BIGINT) & {mask}) AS hy, "
+        f"CAST(0 AS BIGINT) AS hd FROM {base_cte})"
+    ]
+    step = 0
+    for b in range(bits - 1, -1, -1):
+        prev = f"h{step}"
+        step += 1
+        rx = f"((hx >> {b}) & 1)"
+        ry = f"((hy >> {b}) & 1)"
+        q = f"xor(3 * {rx}, {ry})"
+        parts.append(
+            f"h{step} AS (SELECT {keep}, "
+            f"CASE WHEN {ry} = 1 THEN hx WHEN {rx} = 1 THEN {mask} - hy "
+            f"ELSE hy END AS hx, "
+            f"CASE WHEN {ry} = 1 THEN hy WHEN {rx} = 1 THEN {mask} - hx "
+            f"ELSE hx END AS hy, "
+            f"hd + ({q} << {2 * b}) AS hd FROM {prev})"
+        )
+    parts.append(
+        f"h_out AS (SELECT {keep}, hd AS {out_col} FROM h{step})"
+    )
+    return ",\n".join(parts)
+
+
+def hilbert_layout(
+    df: DataFrame,
+    cols: list[str],
+    path: str,
+    bits: int = 8,
+    n_files: int | None = None,
+    rel_err: float = 0.01,
+) -> None:
+    """:func:`zorder_layout`'s Hilbert sibling for exactly TWO columns:
+    same percentile-cut bucket ranks (one approx-quantile pass), then
+    the Hilbert index orders the repartitionByRange write — contiguous
+    curve segments per file, tighter per-file min/max rectangles than
+    Morton at the same bits (the teleport-free property)."""
+    if len(cols) != 2:
+        raise ValueError(
+            f"hilbert_layout: the Hilbert walk here is 2-D; got {len(cols)} cols"
+        )
+    reserved = {"_hz0", "_hz1", "hilbert_d"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"hilbert_layout: column(s) {sorted(reserved)} collide; rename first"
+        )
+    n_cuts = (1 << bits) - 1
+    probs = [(i + 1) / (1 << bits) for i in range(n_cuts)]
+    cuts_row = df.agg(
+        *[
+            F.percentile_approx(
+                F.col(c).cast("double"),
+                F.array(*[F.lit(p) for p in probs]),
+                F.lit(max(100, int(1.0 / rel_err))),
+            ).alias(c)
+            for c in cols
+        ]
+    ).collect()[0]
+    ranks = [
+        _bucket_rank(c, [x for x in (cuts_row[c] or []) if x is not None])
+        for c in cols
+    ]
+    bound = df.select(
+        "*", ranks[0].alias("_hz0"), ranks[1].alias("_hz1")
+    )
+    hz = hilbert_index(bound, "_hz0", "_hz1", bits=bits).drop("_hz0", "_hz1")
+    n = n_files or hz.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    (
+        hz.repartitionByRange(int(n), "hilbert_d")
+        .sortWithinPartitions("hilbert_d")
+        .drop("hilbert_d")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -969,3 +969,65 @@ def embedding_centroid_drift(
             F.when((F.col("_na") > 0) & (F.col("_nb") > 0), cos), round_to
         ).alias("cos_to_global"),
     )
+
+
+def jl_project(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str = "vec_id",
+    out_dim: int = 16,
+    dim: int | None = None,
+    salt: str = "jl",
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection in the database-friendly
+    ±1 form (Achlioptas JCSS'03: sign entries preserve pairwise
+    distances within (1±ε) at k = O(ln n/ε²) output dims — no Gaussians
+    needed): ``(doc, jl)`` where ``jl[j] = Σᵢ sign_{ji}·qᵢ`` over the
+    micro-quantized input vector. The dimensionality-reduction step
+    BEFORE the ANN family — 64-dim embeddings shrink to 16 exact
+    integers (4× less shuffle weight for brute-force/IVF/LSH consumers)
+    while cosines survive within JL tolerance.
+
+    Exactness contract (the embedding_simhash device): inputs floor-
+    quantize to integer millionths FIRST, planes are Python-generated
+    ±1 literals from md5 (pure function of salt/plane/dim), each output
+    coordinate is an order-free INTEGER sum — bit-for-bit reproducible
+    in DuckDB. The 1/√k normalization is deliberately OMITTED: cosine
+    and ratio consumers are scale-free, and a distance consumer
+    multiplies once at the end — keeping the scale exact-integer is
+    worth more than a baked-in float.
+
+    Vectors NULL or of a different length are absent from the output
+    (disclosed, not silently truncated); one narrow projection, no
+    shuffle."""
+    if out_dim < 1:
+        raise ValueError(f"jl_project: out_dim must be ≥1, got {out_dim}")
+    if dim is None:
+        probe = df.where(F.col(vec_col).isNotNull()).select(
+            F.size(vec_col).alias("d")
+        ).first()
+        if probe is None:
+            raise ValueError("jl_project: empty input")
+        dim = int(probe["d"])
+    planes = _srp_plane_signs(out_dim, dim, salt)
+    base = (
+        df.where(F.col(vec_col).isNotNull() & (F.size(vec_col) == dim))
+        .select(
+            F.col(id_col).alias("doc"),
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.floor(x.cast("double") * F.lit(1_000_000)).cast("long"),
+            ).alias("_qv"),
+        )
+    )
+    dots = []
+    for signs in planes:
+        lit_signs = F.array(*[F.lit(s).cast("long") for s in signs])
+        dots.append(
+            F.aggregate(
+                F.zip_with(F.col("_qv"), lit_signs, lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+        )
+    return base.select("doc", F.array(*dots).alias("jl"))
