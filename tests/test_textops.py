@@ -1556,3 +1556,43 @@ def test_extract_money_cents_and_duckdb_parity(spark):
         f"select {extract_money_cents_sql('t')} from (select '{tt}' as t)"
     ).fetchone()[0]
     assert d == got["m"]
+
+
+def test_mixed_script_words_homoglyph_detection(spark):
+    import duckdb
+
+    from xmlschemavalidator_spark.textops import (
+        mixed_script_words,
+        mixed_script_words_sql,
+    )
+
+    # 'pаypal' carries a Cyrillic а; 'Μicrosoft' a Greek Μ; pure-Latin
+    # and pure-Cyrillic words are NOT mixed
+    rows = [
+        (1, "login at pаypal now"),
+        (2, "Μicrosoft support desk"),
+        (3, "привет мир plain russian then english words"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = mixed_script_words(F.col("text"))
+    got = {r["doc_id"]: r for r in
+           df.select("doc_id", *(c.alias(k) for k, c in sig.items())).collect()}
+    assert got[1]["n_mixed_script"] == 1 and got[1]["first_mixed"] == "pаypal"
+    assert got[1]["mixed_per_million"] == 1_000_000 // 4
+    assert got[2]["n_mixed_script"] == 1
+    assert got[3]["n_mixed_script"] == 0 and got[3]["first_mixed"] is None
+    assert got[4]["n_words"] == 0 and got[4]["mixed_per_million"] is None
+
+    sqls = mixed_script_words_sql("t")
+    con = duckdb.connect()
+    for doc_id, txt in rows:
+        lit = "NULL" if txt is None else "'" + txt.replace("'", "''") + "'"
+        d = con.execute(
+            f"select {sqls['n_words']}, {sqls['n_mixed_script']}, "
+            f"{sqls['first_mixed']}, {sqls['mixed_per_million']} "
+            f"from (select {lit} as t)"
+        ).fetchone()
+        r = got[doc_id]
+        assert tuple(d) == (r["n_words"], r["n_mixed_script"],
+                            r["first_mixed"], r["mixed_per_million"]), doc_id

@@ -14431,3 +14431,37 @@ def hilbert_curve_index(spark, sf_dir):
         ((F.col("doc_id") * 7) % 59).alias("y"),
     )
     return hilbert_index(docs, "x", "y", bits=6)
+
+
+_PLANT_HOMOGLYPH_TEXT = """concat(text,
+  CASE WHEN doc_id % 6 = 0 THEN ' visit pаypal today'
+       WHEN doc_id % 6 = 1 THEN ' contact Μicrosoft support'
+       ELSE '' END)"""
+
+
+def _mixed_script_oracle() -> str:
+    from xmlschemavalidator_spark.textops import mixed_script_words_sql
+
+    s = mixed_script_words_sql("t")
+    cols = ", ".join(f"{sql} AS {k}" for k, sql in s.items())
+    return (
+        f"WITH p AS (SELECT doc_id, {_PLANT_HOMOGLYPH_TEXT} AS t FROM documents "
+        f"WHERE text IS NOT NULL) SELECT doc_id, {cols} FROM p"
+    )
+
+
+@q("mixed_script_homoglyphs", _mixed_script_oracle())
+def mixed_script_homoglyphs(spark, sf_dir):
+    """Word-level mixed-script detection (textops.py:mixed_script_words,
+    Unicode TR#39 confusables) — the homoglyph-spoof signal the per-doc
+    script fractions dilute away: a 99%-Latin page carrying one
+    'pаypal' with a Cyrillic а fires here and nowhere else. Planted
+    Cyrillic-а and Greek-Μ words on 2 of 6 docs; pure-Latin text never
+    fires. One prefix-capped HOF projection."""
+    from xmlschemavalidator_spark.textops import mixed_script_words
+
+    p = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull()).select(
+        "doc_id", F.expr(_PLANT_HOMOGLYPH_TEXT).alias("t")
+    )
+    sig = mixed_script_words(F.col("t"))
+    return p.select("doc_id", *(c.alias(k) for k, c in sig.items()))

@@ -2377,3 +2377,77 @@ def extract_money_cents_sql(x: str) -> str:
         f"CAST(regexp_replace(a, '[,.]', '', 'g') AS BIGINT) "
         f"ELSE CAST(replace(a, ',', '') AS BIGINT) * 100 END)"
     )
+
+
+_GREEK_RANGE = r"[\x{0370}-\x{03FF}]"
+
+
+def mixed_script_words(
+    text: Column, max_chars: int = 2000
+) -> dict[str, Column]:
+    """Word-level mixed-script detection — the homoglyph-spoof signal
+    :func:`script_signals`' document fractions can't see: a page can be
+    99% Latin yet carry 'pаypal' with a Cyrillic а (the IDN-homograph /
+    SEO-cloaking device; Unicode TR#39 calls these confusables). A WORD
+    mixing Latin with Cyrillic or Greek is almost never legitimate
+    prose, so the per-word test is high-precision where the per-doc
+    fraction is hopelessly diluted.
+
+    Signals (one prefix-capped projection, pure HOFs, no explode):
+    ``n_words`` (tokens in the first ``max_chars`` chars),
+    ``n_mixed_script`` (words matching Latin AND (Cyrillic OR Greek)),
+    ``first_mixed`` (the first offending word — the triage example),
+    ``mixed_per_million`` (integer floor share).
+    """
+    prefix = F.substring(F.coalesce(text, F.lit("")), 1, max_chars)
+    toks = F.filter(tokens(prefix), lambda t: F.length(t) > 0)
+    lat = _SCRIPT_RANGES["latin"]
+    cyr = _SCRIPT_RANGES["cyrillic"]
+    mixed = F.filter(
+        toks,
+        lambda w: w.rlike(lat)
+        & (w.rlike(cyr) | w.rlike(_GREEK_RANGE)),
+    )
+    n = F.size(toks).cast("bigint")
+    m = F.size(mixed).cast("bigint")
+    return {
+        "n_words": n,
+        "n_mixed_script": m,
+        "first_mixed": F.when(m > 0, F.element_at(mixed, 1)),
+        # floor of the double ratio == integer floor here: n is bounded
+        # by the prefix cap (≤ ~max_chars tokens), so the quotient is
+        # ≥ 1/n ≈ 1e-3 away from any integer it doesn't hit exactly —
+        # far outside double rounding (the engines agree bit-for-bit)
+        "mixed_per_million": F.when(
+            n > 0,
+            F.floor(
+                m.cast("double") * F.lit(1_000_000.0) / n.cast("double")
+            ).cast("bigint"),
+        ),
+    }
+
+
+def mixed_script_words_sql(x: str, max_chars: int = 2000) -> dict[str, str]:
+    lat = _sql_quote(_SCRIPT_RANGES["latin"])
+    cyr = _sql_quote(_SCRIPT_RANGES["cyrillic"])
+    grk = _sql_quote(_GREEK_RANGE)
+    prefix = f"substr(coalesce({x}, ''), 1, {max_chars})"
+    toks = (
+        f"list_filter(regexp_split_to_array(trim({prefix}), "
+        f"'[ \\t\\n\\x0b\\f\\r]+'), t -> t <> '')"
+    )
+    mixed = (
+        f"list_filter({toks}, w -> regexp_matches(w, {lat}) AND "
+        f"(regexp_matches(w, {cyr}) OR regexp_matches(w, {grk})))"
+    )
+    n = f"CAST(len({toks}) AS BIGINT)"
+    m = f"CAST(len({mixed}) AS BIGINT)"
+    return {
+        "n_words": n,
+        "n_mixed_script": m,
+        "first_mixed": f"CASE WHEN {m} > 0 THEN {mixed}[1] END",
+        "mixed_per_million": (
+            f"CASE WHEN {n} > 0 THEN CAST(floor(CAST({m} AS DOUBLE) * 1000000.0 "
+            f"/ CAST({n} AS DOUBLE)) AS BIGINT) END"
+        ),
+    }
