@@ -14465,3 +14465,126 @@ def mixed_script_homoglyphs(spark, sf_dir):
     )
     sig = mixed_script_words(F.col("t"))
     return p.select("doc_id", *(c.alias(k) for k, c in sig.items()))
+
+
+@q(
+    "streaming_abandonment_join",
+    """WITH b AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+                  FROM events
+                  WHERE event_type IN ('view', 'click') AND ts IS NOT NULL),
+       cut AS (SELECT mn + 2 * ((mx - mn) // 3)
+                      - 60000000 - 1800000000 - 1000000 AS c
+               FROM b),
+       v AS (SELECT user_id, event_id, ts FROM events
+             WHERE event_type = 'view' AND ts IS NOT NULL
+               AND epoch_us(ts) <= (SELECT c FROM cut)),
+       ck AS (SELECT user_id, event_id, ts FROM events
+              WHERE event_type = 'click' AND ts IS NOT NULL)
+       SELECT v.user_id AS user_id, v.event_id AS view_id,
+              epoch_us(v.ts) AS view_us,
+              ck.event_id AS click_id, epoch_us(ck.ts) AS click_us,
+              ck.event_id IS NULL AS is_abandoned
+       FROM v LEFT JOIN ck
+         ON v.user_id = ck.user_id
+        AND ck.ts >= v.ts AND ck.ts <= v.ts + INTERVAL 30 MINUTE""",
+)
+def streaming_abandonment_join(spark, sf_dir):
+    """Watermarked LEFT OUTER stream-stream join (streaming/joins.py:
+    stream_abandonment_join) — the MISSING-event monitor: views that
+    never convert within 30 minutes emit once with is_abandoned=true
+    AFTER the watermark proves no click can still arrive. Events replay
+    as a 3-chunk ts-ordered file stream (min+max integer-arithmetic
+    cuts — deterministic in both engines, unlike approx percentiles);
+    the compared set is restricted to views whose verdict windows are
+    provably closed by the batch-3 watermark (view_us ≤ hi − wm − delay
+    − 1s margin), making the DuckDB batch LEFT JOIN a FULL oracle for
+    matches AND abandonments."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from xmlschemavalidator_spark.streaming.joins import stream_abandonment_join
+
+    tmp = tempfile.mkdtemp(prefix="ssaban_")
+    try:
+        e = (
+            _t(spark, sf_dir, "events")
+            .where(F.col("event_type").isin("view", "click") & F.col("ts").isNotNull())
+            .select("event_id", "user_id", "event_type", "ts")
+        )
+        us = F.unix_micros(F.col("ts").cast("timestamp"))
+        bounds = e.agg(F.min(us).alias("mn"), F.max(us).alias("mx")).collect()[0]
+        mn, mx = int(bounds["mn"]), int(bounds["mx"])
+        lo = mn + (mx - mn) // 3
+        hi = mn + 2 * ((mx - mn) // 3)
+        cutoff = hi - 60_000_000 - 1_800_000_000 - 1_000_000
+        srcdir = f"{tmp}/in"
+        os.makedirs(srcdir)
+        chunks = [
+            e.where(us <= lo),
+            e.where((us > lo) & (us <= hi)),
+            e.where(us > hi),
+        ]
+        t_base = 1_600_000_000
+        for j, ch in enumerate(chunks):
+            d = f"{tmp}/chunk{j}"
+            ch.coalesce(1).write.parquet(d)
+            dst = f"{srcdir}/{j:04d}.parquet"
+            shutil.move(glob.glob(f"{d}/part-*.parquet")[0], dst)
+            os.utime(dst, (t_base + 600 * j, t_base + 600 * j))
+        sdf = (
+            spark.readStream.schema(
+                "event_id bigint, user_id bigint, event_type string, ts timestamp_ntz"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(srcdir)
+        )
+        tscol = F.col("ts").cast("timestamp")
+        views = sdf.where(F.col("event_type") == "view").select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            tscol.alias("view_ts"),
+        )
+        clicks = sdf.where(F.col("event_type") == "click").select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            tscol.alias("click_ts"),
+        )
+        out = stream_abandonment_join(
+            views,
+            clicks,
+            on="user_id",
+            left_ts="view_ts",
+            right_ts="click_ts",
+            max_delay_seconds=1800,
+            watermark="1 minute",
+        )
+        q_ = (
+            out.writeStream.format("parquet")
+            .option("path", f"{tmp}/sink")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q_.awaitTermination(300):
+                raise TimeoutError("stream_abandonment_join did not finish in 300s")
+        finally:
+            q_.stop()
+        res = (
+            spark.read.parquet(f"{tmp}/sink")
+            .where(F.unix_micros("view_ts") <= cutoff)
+            .select(
+                F.col("user_id").cast("bigint").alias("user_id"),
+                F.col("view_id").cast("bigint").alias("view_id"),
+                F.unix_micros("view_ts").alias("view_us"),
+                F.col("click_id").cast("bigint").alias("click_id"),
+                F.unix_micros("click_ts").alias("click_us"),
+                "is_abandoned",
+            )
+        )
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -84,3 +84,70 @@ def stream_interval_join(
     keep += [F.col(f"l.{c}") for c in left.columns if c != on]
     keep += [F.col(f"r.{c}") for c in right.columns if c != on]
     return joined.select(*keep)
+
+
+def stream_abandonment_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    max_delay_seconds: int,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked LEFT OUTER stream-stream join — the MISSING-event
+    monitor the inner join can't express: every left row emits, matched
+    rights attached, and a left whose ``[left_ts, left_ts+max_delay]``
+    window expires unmatched emits ONCE with NULL right columns and
+    ``is_abandoned = true`` (cart abandonment, unanswered requests,
+    views that never convert). Same disjoint-columns / NULL-ts / state
+    contract as :func:`stream_interval_join`.
+
+    Emission semantics (the documented Structured Streaming contract,
+    not a quirk here): the NULL-match row for a left emits only after
+    the watermark passes ``left_ts + max_delay`` — i.e. in a LATER
+    micro-batch, once the engine can prove no match can still arrive.
+    A monitoring consumer therefore sees abandonment verdicts delayed
+    by (watermark + max_delay), which is the price of exactness; tests
+    replay a sentinel batch to advance the watermark deterministically.
+
+    State at scale: both sides evict by watermark + join bound exactly
+    like the inner form — the outer-ness adds only the per-left
+    "matched?" bit Spark tracks in the same state store.
+    """
+    if max_delay_seconds <= 0:
+        raise ValueError(
+            f"stream_abandonment_join: max_delay_seconds must be > 0, "
+            f"got {max_delay_seconds}"
+        )
+    overlap = (set(left.columns) & set(right.columns)) - {on}
+    if overlap:
+        raise ValueError(
+            "stream_abandonment_join: non-key columns must be disjoint, "
+            f"both sides carry {sorted(overlap)}; project/rename first"
+        )
+    l = (
+        left.where(F.col(left_ts).isNotNull())
+        .withWatermark(left_ts, watermark)
+        .alias("l")
+    )
+    r = (
+        right.where(F.col(right_ts).isNotNull())
+        .withWatermark(right_ts, watermark)
+        .alias("r")
+    )
+    cond = (
+        (F.col(f"l.{on}") == F.col(f"r.{on}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (
+            F.col(f"r.{right_ts}")
+            <= F.col(f"l.{left_ts}")
+            + F.expr(f"INTERVAL {int(max_delay_seconds)} SECONDS")
+        )
+    )
+    joined = l.join(r, cond, "leftOuter")
+    keep = [F.col(f"l.{on}").alias(on)]
+    keep += [F.col(f"l.{c}") for c in left.columns if c != on]
+    keep += [F.col(f"r.{c}") for c in right.columns if c != on]
+    keep.append(F.col(f"r.{right_ts}").isNull().alias("is_abandoned"))
+    return joined.select(*keep)
