@@ -499,3 +499,36 @@ def test_rule_rate_intervals_wilson(spark):
                                  "doc_id long, v long")
     [t] = rule_rate_intervals(tiny, rs, slo_fail_micro=100_000).collect()
     assert t["fail_rate"] == 0.2 and t["breaches_slo"] is False
+
+
+def test_rule_cofire_matrix_hand_computed(spark):
+    from xmlschemavalidator_spark.compiler import FieldRule, RuleSet
+    from xmlschemavalidator_spark.engine import rule_cofire
+    from xmlschemavalidator_spark.rules.facets import MaxInclusive, MinInclusive
+    from xmlschemavalidator_spark.rules.types import Restriction
+
+    # v in 0..9: a fails on v>=6 (4 rows), b fails on v>=8 (2 rows,
+    # strict subset of a), c fails on v<=1 (2 rows, disjoint from a)
+    df = spark.createDataFrame([(i,) for i in range(10)], "v long")
+    rs = RuleSet(rules=[
+        FieldRule("a_max5", Restriction(base="integer",
+                  facets=(MinInclusive(0), MaxInclusive(5))), column="v"),
+        FieldRule("b_max7", Restriction(base="integer",
+                  facets=(MinInclusive(0), MaxInclusive(7))), column="v"),
+        FieldRule("c_min2", Restriction(base="integer",
+                  facets=(MinInclusive(2), MaxInclusive(100))), column="v"),
+    ])
+    out = {(r["rule_a"], r["rule_b"]): r for r in rule_cofire(df, rs).collect()}
+    assert len(out) == 3
+    ab = out[("a_max5", "b_max7")]
+    # b's failures are a strict subset of a's: conf(b->a) = 1, jaccard 2/4
+    assert (ab["n_fail_a"], ab["n_fail_b"], ab["n_both"]) == (4, 2, 2)
+    assert ab["conf_b_to_a_micro"] == 1_000_000
+    assert ab["conf_a_to_b_micro"] == 500_000
+    assert ab["jaccard_micro"] == 500_000
+    ac = out[("a_max5", "c_min2")]
+    assert ac["n_both"] == 0 and ac["jaccard_micro"] == 0
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        rule_cofire(df, RuleSet(rules=[rs.rules[0]]))

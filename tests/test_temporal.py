@@ -1005,3 +1005,36 @@ def test_seasonal_profile_hour_and_dow(spark):
 
     with _pt.raises(ValueError):
         seasonal_profile(df, "ts", "fortnight")
+
+
+def test_dispersion_index_poisson_vs_bursty(spark):
+    from xmlschemavalidator_spark.temporal import dispersion_index
+
+    rows = []
+    # 'steady': one event per hour for 12 hours -> D = 0 (metronome)
+    for h in range(12):
+        rows.append(("steady", f"2024-01-01 {h:02d}:30:00"))
+    # 'bursty': 12 events all in hour 0 of a 12-hour span + 1 at hour 11
+    for i in range(12):
+        rows.append(("bursty", f"2024-01-01 00:{i:02d}:00"))
+    rows.append(("bursty", "2024-01-01 11:00:00"))
+    df = spark.createDataFrame(rows, "host string, ts_s string").select(
+        "host", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    out = {r["key"]: r for r in
+           dispersion_index(df, "ts", "host", 3600).collect()}
+    st = out["steady"]
+    assert (st["n_events"], st["n_buckets"]) == (12, 12)
+    assert st["dispersion"] == 0.0 and st["overdispersed"] is False
+    bu = out["bursty"]
+    # S=13, Q=145, B=12: D = (12*145 - 169) / (11*13) = 1571/143
+    assert bu["dispersion"] == round(1571 / 143, 6)
+    assert bu["overdispersed"] is True
+
+    # single-bucket key: no variance exists -> NULL, never a div/0
+    one = spark.createDataFrame(
+        [("x", "2024-01-01 05:00:00"), ("x", "2024-01-01 05:30:00")],
+        "host string, ts_s string",
+    ).select("host", F.col("ts_s").cast("timestamp").alias("ts"))
+    [o] = dispersion_index(one, "ts", "host").collect()
+    assert o["dispersion"] is None and o["overdispersed"] is False

@@ -14588,3 +14588,90 @@ def streaming_abandonment_join(spark, sf_dir):
         return spark.createDataFrame(res.collect(), res.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _cofire_oracle() -> str:
+    sqls = _documents_ruleset_v2().compile_sql()
+    rids = sorted(sqls)
+    parts = ["CAST(count(*) AS BIGINT) AS n_rows"]
+    for i, r in enumerate(rids):
+        parts.append(
+            f"CAST(sum(CASE WHEN NOT coalesce(({sqls[r]}), FALSE) "
+            f"THEN 1 ELSE 0 END) AS BIGINT) AS f_{i}"
+        )
+    arms = []
+    for i in range(len(rids)):
+        for j in range(i + 1, len(rids)):
+            parts.append(
+                f"CAST(sum(CASE WHEN NOT coalesce(({sqls[rids[i]]}), FALSE) "
+                f"AND NOT coalesce(({sqls[rids[j]]}), FALSE) "
+                f"THEN 1 ELSE 0 END) AS BIGINT) AS b_{i}_{j}"
+            )
+            arms.append(
+                f"SELECT '{rids[i]}' AS rule_a, '{rids[j]}' AS rule_b, "
+                f"n_rows, f_{i} AS n_fail_a, f_{j} AS n_fail_b, "
+                f"b_{i}_{j} AS n_both FROM a"
+            )
+    return f"""WITH a AS (SELECT {', '.join(parts)} FROM documents),
+       l AS ({' UNION ALL '.join(arms)})
+       SELECT rule_a, rule_b, n_rows, n_fail_a, n_fail_b, n_both,
+              CASE WHEN (n_fail_a + n_fail_b - n_both) > 0
+                   THEN (n_both * 1000000) // (n_fail_a + n_fail_b - n_both)
+              END AS jaccard_micro,
+              CASE WHEN n_fail_a > 0 THEN (n_both * 1000000) // n_fail_a
+              END AS conf_a_to_b_micro,
+              CASE WHEN n_fail_b > 0 THEN (n_both * 1000000) // n_fail_b
+              END AS conf_b_to_a_micro
+       FROM l"""
+
+
+@q("rule_cofire_matrix", _cofire_oracle())
+def rule_cofire_matrix(spark, sf_dir):
+    """Rule co-violation matrix (engine.py:rule_cofire) over the v2
+    documents contract — the redundancy/causality view: failure-set
+    Jaccard and both implication confidences per rule pair, from the
+    engine's standard ONE aggregate (k + k(k−1)/2 indicator sums reach
+    the shuffle as one row per partition; the pair table is stack()ed
+    from that single row, never a join). The v2 rules' measured mixed
+    rates give real overlap structure, not all-zeros."""
+    from xmlschemavalidator_spark.engine import rule_cofire
+
+    return rule_cofire(_t(spark, sf_dir, "documents"), _documents_ruleset_v2())
+
+
+@q(
+    "dispersion_event_types",
+    """WITH pb AS (SELECT event_type AS key,
+                          epoch_us(ts) // 3600000000 AS b,
+                          CAST(count(*) AS DECIMAL(38,0)) AS c
+                   FROM events
+                   WHERE ts IS NOT NULL AND event_type IS NOT NULL
+                   GROUP BY 1, 2),
+       pk AS (SELECT key, sum(c) AS s, sum(c * c) AS q,
+                     CAST(max(b) - min(b) + 1 AS DECIMAL(38,0)) AS nb
+              FROM pb GROUP BY key)
+       SELECT key, CAST(s AS BIGINT) AS n_events,
+              CAST(nb AS BIGINT) AS n_buckets,
+              round(CAST(s AS DOUBLE) / CAST(nb AS DOUBLE), 6)
+                  AS mean_per_bucket,
+              round(CASE WHEN nb > 1
+                    THEN CAST(nb * q - s * s AS DOUBLE)
+                         / CAST((nb - 1) * s AS DOUBLE) END, 6) AS dispersion,
+              coalesce(CASE WHEN nb > 1
+                    THEN CAST(nb * q - s * s AS DOUBLE)
+                         / CAST((nb - 1) * s AS DOUBLE) END * 1000.0 > 2000.0,
+                    FALSE) AS overdispersed
+       FROM pk""",
+)
+def dispersion_event_types(spark, sf_dir):
+    """Index of dispersion (temporal.py:dispersion_index) of hourly
+    event counts per event_type — the burstiness verdict between the
+    inter-arrival gap stats and the seasonal profile: Poisson-organic
+    D≈1, batch/bot slam-then-sleep D≫1, metronome D≈0. Span gaps count
+    as zero buckets without materializing them; DECIMAL moments until
+    ONE double division."""
+    from xmlschemavalidator_spark.temporal import dispersion_index
+
+    return dispersion_index(
+        _t(spark, sf_dir, "events"), "ts", "event_type", 3600
+    )

@@ -493,3 +493,77 @@ def rule_rate_intervals(
         F.round(hi, round_to).alias("ci_hi"),
         (lo > slo).alias("breaches_slo"),
     )
+
+
+def rule_cofire(df: DataFrame, ruleset: RuleSet) -> DataFrame:
+    """Rule co-violation matrix — the redundancy/causality view over a
+    ruleset the per-rule counts can't give: two rules that always fail
+    TOGETHER are one constraint written twice (drop one, or they share
+    an upstream cause); a rule whose failures are a strict subset of
+    another's is implied by it. One row per unordered pair (rule_a <
+    rule_b): ``(rule_a, rule_b, n_rows, n_fail_a, n_fail_b, n_both,
+    jaccard_micro, conf_a_to_b_micro, conf_b_to_a_micro)`` — Jaccard of
+    the two failure sets and both implication confidences
+    (P(b fails | a fails)), all integer floor-division micros on exact
+    counts.
+
+    Scale shape: the engine's standard ONE aggregate — k singles +
+    k(k−1)/2 pair indicator sums reach the shuffle as one row per
+    partition (rules are bounded; 10 rules = 55 longs); the pair table
+    is assembled from that single row with stack(), never a join.
+    NULL verdicts count as failures (the validate() convention).
+
+    Reference scope note: the reference validates one record at a time
+    (core.clj:263-285) and its decode reports per-rule status
+    (parser.clj:345-375); the co-fire MATRIX over a corpus is the
+    north-rule dataset view of that same status vocabulary.
+    """
+    compiled = ruleset.compile()
+    rids = sorted(compiled)
+    if len(rids) < 2:
+        raise ValueError("rule_cofire: need ≥2 SQL-compilable rules")
+    fails = {
+        r: (~F.coalesce(compiled[r], F.lit(False))).cast("long") for r in rids
+    }
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for i, r in enumerate(rids):
+        aggs.append(F.sum(fails[r]).cast("bigint").alias(f"_f_{i}"))
+    pairs = []
+    for i in range(len(rids)):
+        for j in range(i + 1, len(rids)):
+            aggs.append(
+                F.sum(fails[rids[i]] * fails[rids[j]])
+                .cast("bigint")
+                .alias(f"_b_{i}_{j}")
+            )
+            pairs.append((i, j))
+    agg = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{rids[i]}', '{rids[j]}', _f_{i}, _f_{j}, _b_{i}_{j}"
+        for i, j in pairs
+    )
+    long = agg.select(
+        F.expr(
+            f"stack({len(pairs)}, {stack}) AS "
+            "(rule_a, rule_b, n_fail_a, n_fail_b, n_both)"
+        ),
+        "n_rows",
+    )
+    union = F.col("n_fail_a") + F.col("n_fail_b") - F.col("n_both")
+    return long.select(
+        "rule_a",
+        "rule_b",
+        "n_rows",
+        "n_fail_a",
+        "n_fail_b",
+        "n_both",
+        F.when(
+            union > 0, F.expr("(n_both * 1000000) div (n_fail_a + n_fail_b - n_both)")
+        ).alias("jaccard_micro"),
+        F.when(
+            F.col("n_fail_a") > 0, F.expr("(n_both * 1000000) div n_fail_a")
+        ).alias("conf_a_to_b_micro"),
+        F.when(
+            F.col("n_fail_b") > 0, F.expr("(n_both * 1000000) div n_fail_b")
+        ).alias("conf_b_to_a_micro"),
+    )

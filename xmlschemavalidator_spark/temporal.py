@@ -1258,3 +1258,60 @@ def seasonal_profile(
         "n_events",
         F.expr("_num div _tot").alias("seasonal_index_micro"),
     )
+
+
+def dispersion_index(
+    events: DataFrame,
+    ts: str,
+    key_col: str,
+    bucket_seconds: int = 3600,
+    threshold_milli: int = 2000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Index of dispersion (variance-to-mean ratio of per-bucket event
+    counts) per key — the burstiness verdict between the inter-arrival
+    gap stats (micro view) and the seasonal profile (shape view): a
+    Poisson-ish organic stream sits near D≈1, batch/bot traffic that
+    slams then sleeps reads D≫1, a metronome reads D≈0. One row per
+    key: ``(key, n_events, n_buckets, mean_per_bucket, dispersion,
+    overdispersed)``.
+
+    The span's EMPTY buckets count as zeros (burstiness is exactly
+    "events crowd into few buckets of the active span") — B spans
+    min→max bucket per key, so gaps matter without ever materializing
+    zero rows. Exactness: with S=Σc and Q=Σc² (DECIMAL over the bucket
+    table), D = (B·Q − S²)/((B−1)·S) — integers until ONE double
+    division; ``overdispersed`` compares D·1000 > threshold_milli on
+    the same chain. NULL D for single-bucket keys (no variance exists).
+
+    Scale shape: one partial-aggregatable (key, bucket) groupBy, then a
+    per-key aggregate over the bucket table — never row-sized."""
+    w = int(bucket_seconds)
+    b = F.expr(f"unix_micros(CAST({ts} AS TIMESTAMP)) div {w * 1_000_000}")
+    per_bucket = (
+        events.where(F.col(ts).isNotNull() & F.col(key_col).isNotNull())
+        .groupBy(F.col(key_col).alias("key"), b.alias("_b"))
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("_c"))
+    )
+    per_key = per_bucket.groupBy("key").agg(
+        F.sum("_c").alias("_s"),
+        F.sum(F.col("_c") * F.col("_c")).alias("_q"),
+        (F.max("_b") - F.min("_b") + 1).cast("decimal(38,0)").alias("_nb"),
+    )
+    d_num = F.col("_nb") * F.col("_q") - F.col("_s") * F.col("_s")
+    d_den = (F.col("_nb") - 1) * F.col("_s")
+    disp = F.when(
+        F.col("_nb") > 1, d_num.cast("double") / d_den.cast("double")
+    )
+    return per_key.select(
+        "key",
+        F.col("_s").cast("bigint").alias("n_events"),
+        F.col("_nb").cast("bigint").alias("n_buckets"),
+        F.round(
+            F.col("_s").cast("double") / F.col("_nb").cast("double"), round_to
+        ).alias("mean_per_bucket"),
+        F.round(disp, round_to).alias("dispersion"),
+        F.coalesce(
+            disp * F.lit(1000.0) > F.lit(float(threshold_milli)), F.lit(False)
+        ).alias("overdispersed"),
+    )
