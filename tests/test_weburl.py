@@ -1423,3 +1423,28 @@ def test_robots_decision_duckdb_parity(spark):
             f"from (select '{pq}' as pq, e'{rr}' as r)"
         ).fetchone()[0]
         assert d == want, (pq, d)
+
+
+def test_pct_normalize_unreserved_only(spark):
+    import duckdb
+
+    from xmlschemavalidator_spark.weburl import pct_normalize, pct_normalize_sql
+
+    cases = [
+        # unreserved escapes decode, both hex cases
+        ("https://ex.com/%7Euser/%41b%2Dc", "https://ex.com/~user/Ab-c"),
+        ("https://ex.com/%7euser", "https://ex.com/~user"),
+        # reserved escapes stay: decoding them would change meaning
+        ("https://ex.com/a%2Fb?q=%3Fx%23y", "https://ex.com/a%2Fb?q=%3Fx%23y"),
+        # %25 (the escape escape) never decodes and never cascades
+        ("https://ex.com/100%2541", "https://ex.com/100%2541"),
+        ("https://ex.com/plain", "https://ex.com/plain"),
+    ]
+    got = _eval(spark, pct_normalize, [c[0] for c in cases])
+    assert got == [c[1] for c in cases]
+    con = duckdb.connect()
+    for raw, want in cases:
+        d = con.execute(
+            f"select {pct_normalize_sql('u')} from (select '{raw}' as u)"
+        ).fetchone()[0]
+        assert d == want, raw

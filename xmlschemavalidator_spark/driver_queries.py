@@ -14675,3 +14675,44 @@ def dispersion_event_types(spark, sf_dir):
     return dispersion_index(
         _t(spark, sf_dir, "events"), "ts", "event_type", 3600
     )
+
+
+_PLANT_PCT_URL = """concat('https://ex', CAST(doc_id % 5 AS STRING), '.com/',
+  CASE doc_id % 4 WHEN 0 THEN concat('%7Euser', CAST(doc_id % 20 AS STRING))
+       WHEN 1 THEN concat('%7euser', CAST(doc_id % 20 AS STRING))
+       WHEN 2 THEN concat('~user', CAST(doc_id % 20 AS STRING))
+       ELSE concat('a%2Fb', CAST(doc_id % 20 AS STRING)) END)"""
+
+
+def _pct_oracle() -> str:
+    from xmlschemavalidator_spark.weburl import canonical_url_sql, pct_normalize_sql
+
+    norm = pct_normalize_sql("u")
+    return f"""WITH p AS (SELECT doc_id, {_PLANT_PCT_URL} AS u FROM documents)
+       SELECT doc_id, u AS url, {norm} AS pct_normalized,
+              {canonical_url_sql(norm)} AS canonical_url
+       FROM p"""
+
+
+@q("url_pct_normalize", _pct_oracle())
+def url_pct_normalize(spark, sf_dir):
+    """RFC 3986 §6.2.2.2 percent-encoding normalization (weburl.py:
+    pct_normalize): unreserved escapes decode ('%7Euser' and '%7euser'
+    and '~user' meet in ONE canonical dedup key — 3 of every 4 planted
+    variants collapse), reserved escapes (%2F) stay untouched because
+    decoding them would change the URL's meaning. The replace table is
+    generated from the unreserved set itself (the mojibake-table
+    convention); composed ahead of canonical_url. One narrow
+    projection."""
+    from xmlschemavalidator_spark.weburl import canonical_url, pct_normalize
+
+    p = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_PLANT_PCT_URL).alias("url")
+    )
+    norm = pct_normalize(F.col("url"))
+    return p.select(
+        "doc_id",
+        "url",
+        norm.alias("pct_normalized"),
+        canonical_url(norm).alias("canonical_url"),
+    )

@@ -3048,3 +3048,49 @@ def robots_filter_rfc(
     return joined.where(~F.coalesce(blocked, F.lit(False))).drop(
         "_h", "_pq", "_rh", "_dis", "_alw"
     )
+
+
+# ---------------------------------------------------------------------------
+# RFC 3986 §6.2.2.2 percent-encoding normalization — the canonical_url gap:
+# 'https://ex.com/%7Euser' and 'https://ex.com/~user' are THE SAME resource
+# by spec, but hash to different dedup keys until the unreserved escapes
+# decode. Only the unreserved set (ALPHA / DIGIT / - . _ ~) ever decodes —
+# decoding a reserved escape (%2F) would CHANGE the URL's meaning.
+# ---------------------------------------------------------------------------
+
+_UNRESERVED = (
+    [chr(c) for c in range(ord("A"), ord("Z") + 1)]
+    + [chr(c) for c in range(ord("a"), ord("z") + 1)]
+    + [chr(c) for c in range(ord("0"), ord("9") + 1)]
+    + ["-", ".", "_", "~"]
+)
+
+#: (case-insensitive escape regex, replacement) pairs, Python-generated
+#: once — the mojibake-table convention: the table derives from the
+#: characters themselves, so no literal can be mistyped
+_PCT_DECODE_TABLE = [
+    (rf"(?i)%{ord(ch):02X}", ch.replace("\\", "\\\\")) for ch in _UNRESERVED
+]
+
+
+def pct_normalize(url: Column) -> Column:
+    """Decode every percent-escape of an UNRESERVED character
+    (RFC 3986 §6.2.2.2) — a fixed chain of case-insensitive replaces
+    generated from the unreserved set itself. Reserved escapes (%2F,
+    %3F, %23 …) are left untouched: decoding them would change meaning.
+    Compose BEFORE :func:`canonical_url` so spec-equal URLs meet in one
+    dedup key. Escape-hex case normalization of the REMAINING escapes
+    (%2f → %2F) needs a replace callback neither engine's regex offers
+    and is out of scope (disclosed) — it only matters for reserved
+    escapes, which are rare in organic URLs."""
+    out = url
+    for pat, rep in _PCT_DECODE_TABLE:
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def pct_normalize_sql(x: str) -> str:
+    out = x
+    for pat, rep in _PCT_DECODE_TABLE:
+        out = f"regexp_replace({out}, {_sql_quote(pat)}, '{rep}', 'g')"
+    return out
