@@ -554,3 +554,30 @@ def test_jl_project_replay_and_cosine_fidelity(spark):
             assert abs(c0 - c1) < 0.35, (x, y, c0, c1)
     # within-cluster stays clearly above cross-cluster after projection
     assert cos(out["a0"], out["a1"]) > 0.8 > 0.2 > cos(out["a0"], out["b0"])
+
+
+def test_embedding_outliers_flags_planted_ood(spark):
+    import hashlib
+
+    from xmlschemavalidator_spark.similarity import embedding_outliers
+
+    def jig(seed, base, amp=0.02):
+        return [
+            b + (hashlib.md5(f"{seed}:{i}".encode()).digest()[0] / 255.0 - 0.5) * amp
+            for i, b in enumerate(base)
+        ]
+
+    a = [1.0, 0.1, -0.4, 0.7] * 4
+    b = [-0.6, 0.8, 0.2, -0.2] * 4
+    rows = [(f"a{i}", jig(f"a{i}", a)) for i in range(12)]
+    rows += [(f"b{i}", jig(f"b{i}", b)) for i in range(12)]
+    # two corrupt/OOD vectors: far from both clusters
+    rows.append(("bad0", [5.0, -5.0, 5.0, -5.0] * 4))
+    rows.append(("bad1", [0.0] * 15 + [9.0]))
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    out = embedding_outliers(df, "embedding", k=2, iters=6, k_tenths=50)
+    flagged = {r["vec_id"] for r in out.collect()}
+    assert {"bad0", "bad1"} <= flagged
+    # the jittered in-cluster members stay unflagged
+    assert not any(v.startswith(("a", "b")) and v not in ("bad0", "bad1")
+                   for v in flagged)

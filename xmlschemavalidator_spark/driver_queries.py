@@ -14716,3 +14716,19 @@ def url_pct_normalize(spark, sf_dir):
         norm.alias("pct_normalized"),
         canonical_url(norm).alias("canonical_url"),
     )
+
+
+@q("embedding_outlier_gate")
+def embedding_outlier_gate(spark, sf_dir):
+    """Embedding-space OOD/corrupt-vector gate (similarity.py:
+    embedding_outliers): k-means centroids, per-vector cosine distance
+    to its OWN nearest centroid, Hampel median+MAD filter PER CLUSTER
+    (robust_outliers — cluster radii differ, a global threshold can't
+    adapt; one far vector cannot move its own cutoff). The gate in
+    front of ANN/SemDeDup: they would happily 'dedup' against a
+    truncated-download vector. Rows-only by design (iterative
+    centroids); planted-OOD recovery pinned in tests."""
+    from xmlschemavalidator_spark.similarity import embedding_outliers
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_outliers(emb, "embedding", "vec_id", k=4, iters=4)

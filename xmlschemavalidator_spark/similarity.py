@@ -1031,3 +1031,57 @@ def jl_project(
             )
         )
     return base.select("doc", F.array(*dots).alias("jl"))
+
+
+def embedding_outliers(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 5,
+    k_tenths: int = 50,
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """Embedding-space outlier detection — the OOD/corrupt-vector gate
+    in front of the ANN/SemDeDup family (a truncated download, an
+    all-zeros batch, or out-of-domain text produces vectors far from
+    every cluster; SemDeDup would happily 'dedup' against them):
+    k-means centroids (optionally sample-fit), every vector's cosine
+    DISTANCE to its OWN nearest centroid, then the Hampel median+MAD
+    filter PER CLUSTER (checks/stats.robust_outliers — one operator,
+    scalar or embedding inputs). Returns the flagged rows
+    ``(id, cluster, dist, med, mad, abs_dev)``.
+
+    Why Hampel, not a global distance threshold: cluster radii differ —
+    a fixed threshold either misses outliers of tight clusters or flags
+    the whole loose cluster; median+MAD adapts per cluster and one
+    far vector cannot move its own cutoff.
+
+    Scale: centroid fit is the kmeans_fit contract (sampled at corpus
+    scale); scoring is one narrow literal-centroid projection; the
+    Hampel windows partition by the k clusters (bounded by contract).
+    Iterative centroids make this rows-only for the oracle gate — the
+    planted-outlier recovery is pinned in tests instead."""
+    cents = kmeans_fit(
+        df, vec_col, k, iters, id_col, sample_fraction=sample_fraction
+    )
+    dim = len(cents[0])
+    cents_arr = F.array(*[_lit_vec(c) for c in cents])
+    base = df.where(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+    ).select(
+        F.col(id_col),
+        F.transform(
+            cents_arr, lambda c: cosine_similarity(F.col(vec_col), c)
+        ).alias("_scores"),
+    )
+    best = base.select(
+        id_col,
+        (F.array_position(F.col("_scores"), F.array_max(F.col("_scores"))) - 1)
+        .cast("int")
+        .alias("cluster"),
+        F.round(F.lit(1.0) - F.array_max(F.col("_scores")), 6).alias("dist"),
+    )
+    from xmlschemavalidator_spark.checks.stats import robust_outliers
+
+    return robust_outliers(best, "dist", id_col, ("cluster",), k_tenths)
