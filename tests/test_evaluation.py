@@ -416,3 +416,39 @@ def test_bh_fdr_null_z_excluded_from_m(spark):
     assert out["b"]["bh_rank"] is None
     # m=2 (not 3): rank-1 crit is alpha/2
     assert out["a"]["bh_crit"] == 0.025 and out["a"]["rejected"] is True
+
+
+def test_ks_exact_hand_computed_and_shift(spark):
+    from xmlschemavalidator_spark.checks.evaluation import ks_exact
+
+    rows = [("a", float(v)) for v in (1, 2, 3, 4)] + [
+        ("b", float(v)) for v in (3, 4, 5, 6)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    [r] = ks_exact(df, "v", "g", "a", "b").collect()
+    # D = 0.5, first attained at v=2 (ECDF right-continuity)
+    assert (r["n_a"], r["n_b"], r["d_stat"]) == (4, 4, 0.5)
+    assert r["d_at_value"] == 2_000_000
+    assert r["significant"] is False  # crit at n=4+4 is 0.96
+
+    # large shifted samples: same D, now significant
+    big = spark.createDataFrame(
+        [("a", float(v)) for v in range(100)]
+        + [("b", float(v + 50)) for v in range(100)],
+        "g string, v double",
+    )
+    [s] = ks_exact(big, "v", "g", "a", "b").collect()
+    assert s["d_stat"] == 0.5 and s["significant"] is True
+
+    # identical distributions: D exactly 0
+    same = spark.createDataFrame(
+        [("a", float(v % 7)) for v in range(50)]
+        + [("b", float(v % 7)) for v in range(50)],
+        "g string, v double",
+    )
+    [z] = ks_exact(same, "v", "g", "a", "b").collect()
+    assert z["d_stat"] == 0.0 and z["significant"] is False
+
+    # one side empty: NULL verdict, never a div/0
+    [e] = ks_exact(df.where("g = 'a'"), "v", "g", "a", "b").collect()
+    assert e["d_stat"] is None and e["significant"] is False

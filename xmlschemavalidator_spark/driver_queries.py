@@ -14732,3 +14732,52 @@ def embedding_outlier_gate(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     return embedding_outliers(emb, "embedding", "vec_id", k=4, iters=4)
+
+
+@q(
+    "ks_exact_en_vs_de",
+    """WITH b AS (SELECT CAST(floor(CAST(n_chars AS DOUBLE) * 1000000) AS BIGINT) AS s,
+                  lang = 'en' AS ga
+           FROM documents WHERE n_chars IS NOT NULL AND lang IN ('en', 'de')),
+       cell AS (SELECT s,
+                   CAST(sum(CASE WHEN ga THEN 1 ELSE 0 END) AS DECIMAL(38,0)) AS ca,
+                   CAST(sum(CASE WHEN ga THEN 0 ELSE 1 END) AS DECIMAL(38,0)) AS cb
+                FROM b GROUP BY s),
+       cum AS (SELECT s,
+                  sum(ca) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cuma,
+                  sum(cb) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cumb,
+                  sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+               FROM cell),
+       sc AS (SELECT s, na, nb, abs(cuma * nb - cumb * na) AS d FROM cum),
+       rk AS (SELECT *, max(d) OVER () AS dmax,
+                     row_number() OVER (ORDER BY d DESC, s) AS rn
+              FROM sc)
+       SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+              round(CASE WHEN na > 0 AND nb > 0 THEN CAST(dmax AS DOUBLE)
+                         / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) END, 6)
+                  AS d_stat,
+              s AS d_at_value,
+              coalesce(CASE WHEN na > 0 AND nb > 0
+                    THEN CAST(dmax AS DOUBLE)
+                         / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+                         > 1.358 * sqrt((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+                                        / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))
+                    END, FALSE) AS significant
+       FROM rk WHERE rn = 1""",
+)
+def ks_exact_en_vs_de(spark, sf_dir):
+    """EXACT two-sample KS (checks/evaluation.py:ks_exact) between en
+    and de document lengths — the binned ks_drift's exact sibling: true
+    D = max|F_a − F_b| over the shared value lattice with zero bucketing
+    error, the supremum's location (d_at_value — WHERE the drift is)
+    rank-selected deterministically, and the large-sample 5% gate
+    (1.358 integer-milli constant). Cross-multiplied DECIMAL ECDF
+    diffs; ONE double division at the max."""
+    from xmlschemavalidator_spark.checks.evaluation import ks_exact
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("n_chars").isNotNull() & F.col("lang").isin("en", "de")
+    )
+    return ks_exact(docs, "n_chars", "lang", "en", "de")
