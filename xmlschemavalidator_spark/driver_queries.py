@@ -14781,3 +14781,56 @@ def ks_exact_en_vs_de(spark, sf_dir):
         F.col("n_chars").isNotNull() & F.col("lang").isin("en", "de")
     )
     return ks_exact(docs, "n_chars", "lang", "en", "de")
+
+
+def _lang_confusion_oracle() -> str:
+    base = _lang_model_oracle()
+    tail = (
+        "SELECT doc, lang AS lang_pred, CAST(score AS BIGINT) AS score_micro\n"
+        "FROM r WHERE rn = 1"
+    )
+    assert tail in base, "lang model oracle tail changed; update the wrapper"
+    return base.replace(
+        tail,
+        """, pred AS (SELECT doc, lang AS lang_pred FROM r WHERE rn = 1)
+SELECT d.lang AS declared_lang, pred.lang_pred,
+       CAST(count(*) AS BIGINT) AS n
+FROM pred JOIN documents d ON pred.doc = d.doc_id
+GROUP BY 1, 2""",
+    )
+
+
+@q("lang_confusion_matrix", _lang_confusion_oracle())
+def lang_confusion_matrix(spark, sf_dir):
+    """Confusion matrix of the trained language classifier against the
+    declared labels — the evaluation view on top of lang_model_predict
+    (whose oracle already replays training+scoring+argmax exactly; this
+    wraps ONE more groupBy): (declared_lang, lang_pred, n) cells expose
+    WHICH languages the classifier confuses, the drill-down a held-out
+    accuracy scalar hides. Diagonal-heavy by construction on the
+    planted-marker corpus."""
+    from xmlschemavalidator_spark.lang_model import predict_lang, train_lang_model
+
+    docs = _t(spark, sf_dir, "documents")
+    marker = None
+    for lg, m in sorted(_LANG_MARKERS.items()):
+        marker = (
+            F.when(F.col("lang") == lg, F.lit(m))
+            if marker is None
+            else marker.when(F.col("lang") == lg, F.lit(m))
+        )
+    marker = marker.otherwise(F.lit(""))
+    aug = docs.select(
+        "doc_id", "lang",
+        F.concat(marker, F.coalesce(F.col("text"), F.lit(""))).alias("text"),
+    )
+    model = train_lang_model(
+        aug, "doc_id", "lang",
+        n_buckets=_LANG_NB_BUCKETS, max_chars=_LANG_NB_MAXCHARS,
+    )
+    pred = predict_lang(aug, model, "doc_id").select("doc", "lang_pred")
+    return (
+        pred.join(docs.select(F.col("doc_id").alias("doc"), "lang"), "doc")
+        .groupBy(F.col("lang").alias("declared_lang"), "lang_pred")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
