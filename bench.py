@@ -200,7 +200,28 @@ def headline_queries():
         # vs what a LIKE scan would pay)
         "sb_trigram_lm": lambda s: text_stupid_backoff_lm(s, SF_DIR),
         "substring_search": lambda s: trigram_substring_search_q(s, SF_DIR),
+        # round-4 session-8: content-defined chunk dedup (the disjoint-
+        # chunk sibling of ExactSubstr: pure-HOF chunking, two stacked
+        # groupBys — ~n/divisor hashes per doc vs n window hashes) and
+        # RAKE keyword extraction (zero corpus state: per-doc phrase
+        # building + (doc,word) stats + per-doc top-k window)
+        "cdc_chunk_dedup": lambda s: _bench_cdc_chunks(s),
+        "rake_keywords": lambda s: _bench_rake(s),
     }
+
+
+def _bench_cdc_chunks(spark):
+    from xmlschemavalidator_spark.dedup import cdc_duplicate_chunks
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    return cdc_duplicate_chunks(docs, divisor=16)
+
+
+def _bench_rake(spark):
+    from xmlschemavalidator_spark.textops import rake_keywords
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    return rake_keywords(docs, k=5)
 
 
 def _bench_cdc(spark):
