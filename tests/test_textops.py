@@ -1596,3 +1596,55 @@ def test_mixed_script_words_homoglyph_detection(spark):
         r = got[doc_id]
         assert tuple(d) == (r["n_words"], r["n_mixed_script"],
                             r["first_mixed"], r["mixed_per_million"]), doc_id
+
+
+def test_textrank_edges_window_and_filter(spark):
+    """Positions survive masking: stopwords keep separating distant
+    words (no edge across a >window gap even after the stopword is
+    filtered out of the graph)."""
+    from xmlschemavalidator_spark.textops import textrank_edges
+
+    df = spark.createDataFrame(
+        [("Graph rank; the quality signal!",)], "text string"
+    )
+    # tokens: graph rank the quality signal; candidates mask 'the' to ''
+    # window=2 pairs: (graph,rank) (rank,quality via gap over 'the')
+    # (quality,signal)... rank-the (masked), the-quality (masked)
+    edges = {
+        (r.src, r.dst)
+        for r in textrank_edges(df, window=2).collect()
+    }
+    und = {t for t in edges if t[0] < t[1]}
+    assert und == {
+        ("graph", "rank"),
+        ("quality", "rank"),
+        ("quality", "signal"),
+    }
+    # bidirectional and self-loop-free
+    assert all((b, a) in edges for a, b in edges)
+    # window=1 cannot jump the masked stopword
+    edges1 = {
+        (r.src, r.dst)
+        for r in textrank_edges(df, window=1).collect()
+        if r.src < r.dst
+    }
+    assert edges1 == {("graph", "rank"), ("quality", "signal")}
+
+
+def test_textrank_hub_word_wins(spark):
+    """A word co-occurring with every other candidate out-ranks
+    peripheral words; stopwords never appear."""
+    from xmlschemavalidator_spark.textops import textrank_keywords
+
+    rows = [
+        ("spark hub engine",),
+        ("quality hub metric",),
+        ("graph hub vertex",),
+        ("the and of with",),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    top = textrank_keywords(df, k=10, window=2, iterations=6).collect()
+    assert top[0]["word"] == "hub"
+    words = {r["word"] for r in top}
+    assert "the" not in words and "and" not in words
+    assert all(r["rank_micro"] > 0 for r in top)

@@ -14834,3 +14834,26 @@ def lang_confusion_matrix(spark, sf_dir):
         .groupBy(F.col("lang").alias("declared_lang"), "lang_pred")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+
+
+def _textrank_oracle() -> str:
+    from xmlschemavalidator_spark.textops import textrank_oracle_sql
+
+    return textrank_oracle_sql(k=20, window=2, iterations=8)
+
+
+@q("textrank_keywords_top20", _textrank_oracle())
+def textrank_keywords_top20(spark, sf_dir):
+    """TextRank corpus keywords (textops.py:textrank_keywords, Mihalcea
+    & Tarau EMNLP'04) — the GRAPH member of the keyword family: words
+    vote for co-occurring words via PageRank over the window-2
+    co-occurrence graph, composing weburl.pagerank's integer micro-unit
+    iteration verbatim. The oracle replays edge extraction AND all 8
+    rank iterations as an unrolled CTE — hash-exact, no float anywhere.
+    Scale shape: text never shuffles (the exchange carries word pairs,
+    distinct-collapsed map-side); the graph is vocab-bounded, so the
+    iteration cost is independent of corpus row count."""
+    from xmlschemavalidator_spark.textops import textrank_keywords
+
+    docs = _t(spark, sf_dir, "documents")
+    return textrank_keywords(docs, k=20, window=2, iterations=8)

@@ -2451,3 +2451,172 @@ def mixed_script_words_sql(x: str, max_chars: int = 2000) -> dict[str, str]:
             f"/ CAST({n} AS DOUBLE)) AS BIGINT) END"
         ),
     }
+
+
+# ---------------------------------------------------------------------------
+# TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004) — the
+# GRAPH-based member of the keyword family: RAKE scores within one
+# document, tfidf/PMI score corpus statistics, TextRank votes — a word
+# matters because it co-occurs with words that matter. Candidates are
+# non-stopword alphanumeric words; an undirected edge joins candidates
+# co-occurring within a `window`-token span of the ORIGINAL sequence
+# (the paper's formulation: filtered-out tokens keep their positions so
+# they still separate distant words); salience is PageRank over that
+# graph. Composes weburl.pagerank verbatim — integer micro-unit rank
+# mass, so the DuckDB oracle (same edges + the unrolled-CTE replay) is
+# hash-exact.
+# ---------------------------------------------------------------------------
+
+_TEXTRANK_NONWORD_RE = r"[^A-Za-z0-9]+"
+
+
+def textrank_edges(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 2,
+    min_len: int = 3,
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """Bidirectional co-occurrence edge list ``(src, dst)`` for
+    :func:`textrank_keywords` (exposed separately so tests can pin the
+    graph itself).
+
+    Scale shape: the pair list is built inside ONE projection per doc —
+    the masked token array is let-bound as a real column, then an
+    indexed transform pairs each candidate with the next ``window``
+    positions (HOF subtrees are never CSE'd; an unbound array would
+    re-split per element). One explode → distinct. The corpus never
+    shuffles text: the exchange carries (word, word) pairs only, and
+    the distinct's partial aggregation collapses repeats map-side —
+    at 10^12 docs the edge list is bounded by vocab², not by rows.
+    """
+    if window < 1 or min_len < 1:
+        raise ValueError(f"textrank_edges: bad window={window} min_len={min_len}")
+    sw = stopwords if stopwords is not None else RAKE_STOPWORDS
+    cleaned = F.lower(
+        F.regexp_replace(F.col(text_col), _TEXTRANK_NONWORD_RE, " ")
+    )
+    toks = F.filter(tokens(cleaned), lambda t: F.length(t) > 0)
+    bound = df.where(F.col(text_col).isNotNull()).select(
+        F.transform(
+            toks,
+            lambda t: F.when(
+                (F.length(t) >= min_len) & ~t.isin(*sw), t
+            ).otherwise(F.lit("")),
+        ).alias("_cand")
+    )
+    arr = F.col("_cand")
+    pairs_expr = F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + 2, window),
+                lambda y: F.struct(
+                    F.least(x, y).alias("src"), F.greatest(x, y).alias("dst")
+                ),
+            ),
+        )
+    )
+    und = (
+        bound.select(F.explode(pairs_expr).alias("p"))
+        .select("p.src", "p.dst")
+        .where(
+            (F.col("src") != "") & (F.col("dst") != "")
+            & (F.col("src") != F.col("dst"))
+        )
+        .distinct()
+    )
+    return und.unionByName(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def textrank_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 20,
+    window: int = 2,
+    iterations: int = 8,
+    min_len: int = 3,
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """Top-``k`` corpus keywords by TextRank → ``(word, rank_micro)``,
+    ranked rank desc then word (deterministic ties), bit-exact vs the
+    DuckDB replay (:func:`textrank_oracle_sql`).
+
+    Reference scope note: eliassona/xmlschemavalidator has no text
+    layer (core.clj:263-285); north-rule corpus analysis beside
+    rake_keywords / tfidf_top_terms / token_pmi_topk.
+    """
+    from xmlschemavalidator_spark.weburl import pagerank
+
+    edges = textrank_edges(
+        df, text_col=text_col, window=window, min_len=min_len,
+        stopwords=stopwords,
+    )
+    ranks = pagerank(edges, "src", "dst", iterations=iterations)
+    return (
+        ranks.select(F.col("node").alias("word"), "rank_micro")
+        .orderBy(F.col("rank_micro").desc(), F.col("word").asc())
+        .limit(k)
+    )
+
+
+def textrank_edges_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    window: int = 2,
+    min_len: int = 3,
+    stopwords: list[str] | None = None,
+) -> str:
+    """DuckDB twin of :func:`textrank_edges` (positional self-join
+    bounded to the window — fine at oracle scale; the Spark side stays
+    linear via the HOF). After the non-word collapse only 0x20 spaces
+    remain, so the split class is engine-safe by construction."""
+    sw = stopwords if stopwords is not None else RAKE_STOPWORDS
+    swl = ", ".join(f"'{w}'" for w in sw)
+    return f"""WITH arrs AS (
+  SELECT list_transform(
+           list_filter(regexp_split_to_array(trim(lower(regexp_replace(
+               {text_col}, '[^A-Za-z0-9]+', ' ', 'g'))), ' +'),
+             t -> t <> ''),
+           t -> CASE WHEN len(t) >= {min_len} AND t NOT IN ({swl})
+                     THEN t ELSE '' END) AS toks,
+         row_number() OVER () AS doc
+  FROM {table} WHERE {text_col} IS NOT NULL
+), pos AS (
+  SELECT doc, unnest(toks) AS t, generate_subscripts(toks, 1) AS i FROM arrs
+), und AS (
+  SELECT DISTINCT least(a.t, b.t) AS src, greatest(a.t, b.t) AS dst
+  FROM pos a JOIN pos b
+    ON a.doc = b.doc AND b.i > a.i AND b.i <= a.i + {window}
+  WHERE a.t <> '' AND b.t <> '' AND a.t <> b.t
+)
+SELECT src, dst FROM und UNION ALL SELECT dst, src FROM und"""
+
+
+def textrank_oracle_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    k: int = 20,
+    window: int = 2,
+    iterations: int = 8,
+    min_len: int = 3,
+    stopwords: list[str] | None = None,
+) -> str:
+    """Full DuckDB replay of :func:`textrank_keywords`: the edge twin
+    feeding :func:`~xmlschemavalidator_spark.weburl.pagerank_oracle_sql`'s
+    unrolled-CTE iteration, top-k'd with the same tie-break."""
+    from xmlschemavalidator_spark.weburl import pagerank_oracle_sql
+
+    pr = pagerank_oracle_sql(
+        textrank_edges_sql(
+            table=table, text_col=text_col, window=window,
+            min_len=min_len, stopwords=stopwords,
+        ),
+        iterations=iterations,
+    )
+    return (
+        f"SELECT node AS word, rank_micro FROM ({pr}) pr "
+        f"ORDER BY rank_micro DESC, word LIMIT {k}"
+    )
