@@ -1448,3 +1448,34 @@ def test_pct_normalize_unreserved_only(spark):
             f"select {pct_normalize_sql('u')} from (select '{raw}' as u)"
         ).fetchone()[0]
         assert d == want, raw
+
+
+def test_modularity_hand_computed(spark):
+    """Two triangles joined by one bridge, the textbook partition:
+    m=7, each triangle L_c=3, D_c=7 → intra 3e6//7=428571,
+    expected 49e6//196=250000, q=178571 per side (Q≈0.357)."""
+    from xmlschemavalidator_spark.weburl import modularity
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "src long, dst long",
+    )
+    labels = spark.createDataFrame(
+        [(n, 1 if n <= 3 else 4) for n in range(1, 7)],
+        "node long, label long",
+    )
+    rows = {r["label"]: r for r in modularity(edges, labels).collect()}
+    for lbl in (1, 4):
+        r = rows[lbl]
+        assert r["n_nodes"] == 3
+        assert r["intra_edges"] == 3
+        assert r["degree_sum"] == 7
+        assert r["intra_micro"] == 428571
+        assert r["expected_micro"] == 250000
+        assert r["q_micro"] == 178571
+    # the trivial one-community partition scores Q = 0 exactly
+    one = spark.createDataFrame(
+        [(n, 0) for n in range(1, 7)], "node long, label long"
+    )
+    (only,) = modularity(edges, one).collect()
+    assert only["intra_micro"] == 1000000 and only["q_micro"] == 0

@@ -14857,3 +14857,55 @@ def textrank_keywords_top20(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return textrank_keywords(docs, k=20, window=2, iterations=8)
+
+
+_MOD_N = "(SELECT doc_id % 80 AS n FROM documents)"
+_MOD_EDGES_SQL = (
+    f"SELECT n AS src, (n - (n % 20)) + ((n % 20) + 1) % 20 AS dst FROM {_MOD_N}"
+    f" UNION ALL SELECT n, (n - (n % 20)) + ((n % 20) + 7) % 20 FROM {_MOD_N}"
+    f" UNION ALL SELECT n, (n + 20) % 80 FROM {_MOD_N} WHERE n % 20 = 0"
+)
+
+
+def _mod_edges(spark, sf_dir):
+    """Planted 4-block community graph over doc ids: 80 nodes in blocks
+    of 20, each a ring plus a +7 chord (diameter ~3), one bridge per
+    block — LPA finds the blocks, the bridges keep it honest."""
+    n = _t(spark, sf_dir, "documents").select((F.col("doc_id") % 80).alias("n"))
+    base = F.col("n") - F.col("n") % 20
+    ring = n.select(F.col("n").alias("src"), (base + (F.col("n") % 20 + 1) % 20).alias("dst"))
+    chord = n.select(F.col("n").alias("src"), (base + (F.col("n") % 20 + 7) % 20).alias("dst"))
+    bridge = n.where(F.col("n") % 20 == 0).select(
+        F.col("n").alias("src"), ((F.col("n") + 20) % 80).alias("dst")
+    )
+    return ring.unionByName(chord).unionByName(bridge)
+
+
+def _modularity_oracle() -> str:
+    from xmlschemavalidator_spark.weburl import (
+        label_propagation_oracle_sql,
+        modularity_oracle_sql,
+    )
+
+    return modularity_oracle_sql(
+        _MOD_EDGES_SQL,
+        label_propagation_oracle_sql(_MOD_EDGES_SQL, iterations=4),
+    )
+
+
+@q("link_modularity_lpa", _modularity_oracle())
+def link_modularity_lpa(spark, sf_dir):
+    """Newman modularity of the LPA partition (weburl.py:modularity,
+    Newman & Girvan PRE'04) — the quality verdict LPA itself can't give:
+    per-community L_c/m and (D_c/2m)² floored separately as nonneg
+    integer micros (negative values never meet a division — Spark div
+    truncates, DuckDB // floors; they only agree on nonnegs), q_micro
+    their difference. The oracle replays LPA's 4 unrolled rounds AND
+    the modularity arithmetic in one statement. Scale shape: one
+    distinct over edges reused thrice, then label-keyed partial aggs —
+    output bounded by #communities."""
+    from xmlschemavalidator_spark.weburl import label_propagation, modularity
+
+    edges = _mod_edges(spark, sf_dir)
+    labels = label_propagation(edges, iterations=4)
+    return modularity(edges, labels)

@@ -3094,3 +3094,135 @@ def pct_normalize_sql(x: str) -> str:
     for pat, rep in _PCT_DECODE_TABLE:
         out = f"regexp_replace({out}, {_sql_quote(pat)}, '{rep}', 'g')"
     return out
+
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+) -> DataFrame:
+    """Newman modularity of a community partition (Newman & Girvan PRE
+    2004), per community → ``(label, n_nodes, intra_edges, degree_sum,
+    intra_micro, expected_micro, q_micro)``; the partition verdict for
+    :func:`label_propagation`'s output (LPA says WHERE the communities
+    are; Q says whether they beat a random graph with the same degrees).
+
+    Q = Σ_c [ L_c/m − (D_c/(2m))² ]. Each community's two fractions are
+    floored SEPARATELY as nonnegative integer micros — ``1e6·L_c div m``
+    and ``1e6·D_c² div 4m²`` in DECIMAL(38,0) (D_c ≤ 2m, so D_c² at
+    10^12 edges needs the wide lane; HUGEINT ``//`` floors identically
+    on nonneg, the HITS contract) — and ``q_micro`` is their plain
+    difference, so no negative value ever meets a division (Spark
+    ``div`` truncates toward zero, DuckDB ``//`` floors: they only
+    agree on nonnegatives).
+
+    Scale shape: canonical undirected edge set is ONE distinct (reused
+    via localCheckpoint across the count, the degree agg and the intra
+    join); everything downstream is label-keyed partial aggregation —
+    result is bounded by #communities. Nodes absent from ``labels``
+    contribute nothing (inner join; LPA labels cover every graph node
+    by construction).
+    """
+    ue = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(
+            F.col("a").isNotNull() & F.col("b").isNotNull()
+            & (F.col("a") != F.col("b"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    m = ue.count()
+    lab = labels.select(
+        F.col(node_col).alias("_n"), F.col(label_col).alias("label")
+    )
+    if m == 0:
+        return lab.groupBy("label").agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.lit(0).cast("bigint").alias("intra_edges"),
+            F.lit(0).cast("bigint").alias("degree_sum"),
+            F.lit(0).cast("bigint").alias("intra_micro"),
+            F.lit(0).cast("bigint").alias("expected_micro"),
+            F.lit(0).cast("bigint").alias("q_micro"),
+        )
+    deg = (
+        ue.select(F.col("a").alias("_n"))
+        .unionByName(ue.select(F.col("b").alias("_n")))
+        .groupBy("_n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_d"))
+    )
+    nstat = (
+        lab.join(deg, "_n")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum("_d").cast("bigint").alias("degree_sum"),
+        )
+    )
+    la = lab.select(F.col("_n").alias("a"), F.col("label").alias("_la"))
+    lb = lab.select(F.col("_n").alias("b"), F.col("label").alias("_lb"))
+    intra = (
+        ue.join(la, "a")
+        .join(lb, "b")
+        .where(F.col("_la") == F.col("_lb"))
+        .groupBy(F.col("_la").alias("label"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("intra_edges"))
+    )
+    d38 = "decimal(38,0)"
+    m_lit = f"CAST({m} AS {d38})"
+    return (
+        nstat.join(intra, "label", "left")
+        .select(
+            "label",
+            "n_nodes",
+            F.coalesce(F.col("intra_edges"), F.lit(0)).cast("bigint").alias(
+                "intra_edges"
+            ),
+            "degree_sum",
+            F.expr(
+                f"CAST(CAST(coalesce(intra_edges, 0) AS {d38}) * 1000000"
+                f" div {m_lit} AS BIGINT)"
+            ).alias("intra_micro"),
+            F.expr(
+                f"CAST(CAST(degree_sum AS {d38}) * CAST(degree_sum AS {d38})"
+                f" * 1000000 div (4 * {m_lit} * {m_lit}) AS BIGINT)"
+            ).alias("expected_micro"),
+        )
+        .withColumn("q_micro", F.col("intra_micro") - F.col("expected_micro"))
+    )
+
+
+def modularity_oracle_sql(edges_sql: str, labels_sql: str) -> str:
+    """DuckDB replay of :func:`modularity` — ``labels_sql`` may itself
+    be a full unrolled replay (e.g.
+    :func:`label_propagation_oracle_sql`), embedded as a MATERIALIZED
+    subquery so chained unrolls don't inline exponentially."""
+    return f"""WITH me AS MATERIALIZED ({edges_sql}),
+lab AS MATERIALIZED (SELECT node AS n, label FROM ({labels_sql})),
+ue AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM me
+  WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst),
+mm AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM ue),
+deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+  SELECT a AS n FROM ue UNION ALL SELECT b FROM ue) GROUP BY n),
+nstat AS (SELECT lab.label, CAST(count(*) AS BIGINT) AS n_nodes,
+                 CAST(sum(deg.d) AS BIGINT) AS degree_sum
+          FROM lab JOIN deg ON lab.n = deg.n GROUP BY lab.label),
+intra AS (SELECT la.label, CAST(count(*) AS BIGINT) AS intra_edges
+          FROM ue JOIN lab la ON ue.a = la.n JOIN lab lb ON ue.b = lb.n
+          WHERE la.label = lb.label GROUP BY la.label)
+SELECT *, intra_micro - expected_micro AS q_micro FROM (
+  SELECT nstat.label, n_nodes, coalesce(intra_edges, CAST(0 AS BIGINT))
+           AS intra_edges, degree_sum,
+         CAST(CAST(coalesce(intra_edges, 0) AS HUGEINT) * 1000000
+              // (SELECT m FROM mm) AS BIGINT) AS intra_micro,
+         CAST(CAST(degree_sum AS HUGEINT) * CAST(degree_sum AS HUGEINT)
+              * 1000000 // (4 * (SELECT m FROM mm) * (SELECT m FROM mm))
+              AS BIGINT) AS expected_micro
+  FROM nstat LEFT JOIN intra ON nstat.label = intra.label)"""
