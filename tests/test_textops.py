@@ -1648,3 +1648,32 @@ def test_textrank_hub_word_wins(spark):
     words = {r["word"] for r in top}
     assert "the" not in words and "and" not in words
     assert all(r["rank_micro"] > 0 for r in top)
+
+
+def test_burrows_delta_attributes_planted_styles(spark):
+    """Two planted styles: group A over-uses 'whilst', group B 'very'.
+    Held-in docs attribute to their own style; a B-styled doc declared
+    as A is pulled toward B (the template-attribution use case)."""
+    from xmlschemavalidator_spark.textops import burrows_delta_attribution
+
+    a_text = "whilst data whilst table whilst row scan"
+    b_text = "very data very table very row scan"
+    rows = [
+        (0, "A", a_text), (1, "A", a_text + " whilst key"),
+        (2, "A", a_text + " whilst agg"),
+        (3, "B", b_text), (4, "B", b_text + " very key"),
+        (5, "B", b_text + " very agg"),
+        # declared A, written in B's style
+        (6, "A", b_text + " very very"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r["doc"]: r
+        for r in burrows_delta_attribution(df, top_words=10).collect()
+    }
+    assert len(out) == 7
+    for d in (3, 4, 5):
+        assert out[d]["attributed_source"] == "B"
+    assert out[6]["declared_source"] == "A"
+    assert out[6]["attributed_source"] == "B"
+    assert all(r["delta_micro"] >= 0 for r in out.values())

@@ -2620,3 +2620,204 @@ def textrank_oracle_sql(
         f"SELECT node AS word, rank_micro FROM ({pr}) pr "
         f"ORDER BY rank_micro DESC, word LIMIT {k}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Burrows' Delta stylometric attribution (Burrows, LLC 2002; Evert et al.
+# 2017 for the formal treatment) — the template/author-attribution view
+# on word frequencies: z-score each doc's relative frequency of the F
+# most frequent corpus words against corpus mean/std, profile each group
+# as its mean, attribute a doc to the group minimizing mean |z_doc −
+# z_group|. Catches same-author / same-template sites that near-dup
+# hashing misses (the style survives even when the content differs).
+# ---------------------------------------------------------------------------
+
+
+def burrows_delta_attribution(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    top_words: int = 30,
+) -> DataFrame:
+    """Closed-set Burrows' Delta attribution → ``(doc, declared_source,
+    attributed_source, delta_micro)`` (a doc's own group keeps it in
+    that group's profile — classic closed-set form, disclosed).
+
+    Exactness: relative frequencies are integer micros (``c·10⁶ div
+    n_tok``); the z-difference collapses algebraically to ``|z_d − Z_g|
+    = D·|g_n·f_d − T_g| / (g_n·√V_w)`` with ``V_w = D·Σf² − (Σf)²`` —
+    every value under the ONE sqrt/division is an exact DECIMAL(38,0)
+    integer, the double chain is a fixed shape (cast → sqrt → multiply
+    → divide → floor) identical in both engines, and each term is
+    floor-quantized to integer micros BEFORE summation so the sum is
+    order-free (the FS-EM discipline). Zero-variance words drop from
+    the mean on both sides. Delta = Σterms div #words.
+
+    Scale shape: the doc×F lattice is linear in docs (F rows each) and
+    localCheckpointed once for its three consumers; word stats and
+    group profiles are partial-aggregatable groupBys bounded by F and
+    G·F; the term join fans out to docs×F×G rows — linear with small
+    constant (G groups), never doc×doc. Top-F selection is
+    TakeOrderedAndProject feeding a broadcast.
+    """
+    if top_words < 1:
+        raise ValueError(f"burrows_delta_attribution: bad top_words={top_words}")
+    cleaned = F.lower(
+        F.regexp_replace(F.col(text_col), _TEXTRANK_NONWORD_RE, " ")
+    )
+    toks = F.filter(tokens(cleaned), lambda t: F.length(t) > 0)
+    base = (
+        df.where(F.col(text_col).isNotNull() & F.col(group_col).isNotNull())
+        .select(
+            F.col(id_col).alias("doc"),
+            F.col(group_col).alias("grp"),
+            toks.alias("_toks"),
+        )
+        .where(F.size("_toks") > 0)
+    )
+    docs = base.select(
+        "doc", "grp", F.size("_toks").cast("long").alias("n_tok")
+    )
+    counts = (
+        base.select("doc", F.explode("_toks").alias("word"))
+        .groupBy("doc", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = (
+        counts.groupBy("word")
+        .agg(F.sum("c").alias("tot"))
+        .orderBy(F.col("tot").desc(), F.col("word").asc())
+        .limit(top_words)
+        .select("word")
+    )
+    lattice = (
+        docs.crossJoin(F.broadcast(top))
+        .join(counts, ["doc", "word"], "left")
+        .select(
+            "doc", "grp", "word",
+            F.expr(
+                "coalesce(c, CAST(0 AS BIGINT)) * 1000000 div n_tok"
+            ).alias("f"),
+        )
+        .localCheckpoint()
+    )
+    d_docs = docs.count()
+    if d_docs == 0:
+        return lattice.select(
+            "doc",
+            F.col("grp").alias("declared_source"),
+            F.col("grp").alias("attributed_source"),
+            F.lit(0).cast("bigint").alias("delta_micro"),
+        )
+    d38 = "decimal(38,0)"
+    vstats = (
+        lattice.groupBy("word")
+        .agg(
+            F.sum("f").cast(d38).alias("s"),
+            F.sum(F.expr(f"CAST(f AS {d38}) * CAST(f AS {d38})")).alias("q"),
+        )
+        .select(
+            "word",
+            F.expr(f"CAST({d_docs} AS {d38}) * q - s * s").alias("v"),
+        )
+        .where(F.col("v") > 0)
+    )
+    prof = lattice.groupBy(F.col("grp").alias("g"), "word").agg(
+        F.sum("f").cast("long").alias("t"),
+        F.count(F.lit(1)).cast("long").alias("g_n"),
+    )
+    terms = (
+        lattice.join(prof, "word")
+        .join(F.broadcast(vstats), "word")
+        .select(
+            "doc", "grp", "g",
+            F.expr(
+                f"CAST(floor(CAST(CAST(1000000 AS {d38})"
+                f" * CAST({d_docs} AS {d38})"
+                f" * abs(CAST(g_n AS {d38}) * CAST(f AS {d38})"
+                f"       - CAST(t AS {d38})) AS DOUBLE)"
+                f" / (CAST(g_n AS DOUBLE) * sqrt(CAST(v AS DOUBLE))))"
+                f" AS BIGINT)"
+            ).alias("term"),
+        )
+    )
+    deltas = (
+        terms.groupBy("doc", "grp", "g")
+        .agg(F.sum("term").alias("ts"), F.count(F.lit(1)).alias("nw"))
+        .select(
+            "doc", "grp", "g", F.expr("ts div nw").alias("delta_micro")
+        )
+    )
+    return (
+        deltas.groupBy("doc", "grp")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("delta_micro").alias("dm"), F.col("g").alias("g")
+                )
+            ).alias("_b")
+        )
+        .select(
+            "doc",
+            F.col("grp").alias("declared_source"),
+            F.col("_b.g").alias("attributed_source"),
+            F.col("_b.dm").alias("delta_micro"),
+        )
+    )
+
+
+def burrows_delta_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    top_words: int = 30,
+) -> str:
+    """DuckDB replay of :func:`burrows_delta_attribution` — identical
+    lattice, identical fixed double chain, identical floor-before-sum
+    quantization; HUGEINT plays DECIMAL(38,0)."""
+    return f"""WITH base AS MATERIALIZED (
+  SELECT {id_col} AS doc, {group_col} AS grp,
+         list_filter(regexp_split_to_array(trim(lower(regexp_replace(
+             {text_col}, '[^A-Za-z0-9]+', ' ', 'g'))), ' +'),
+           t -> t <> '') AS toks
+  FROM {table}
+  WHERE {text_col} IS NOT NULL AND {group_col} IS NOT NULL),
+docs AS (SELECT doc, grp, CAST(len(toks) AS BIGINT) AS n_tok
+         FROM base WHERE len(toks) > 0),
+dd AS (SELECT CAST(count(*) AS HUGEINT) AS d FROM docs),
+counts AS (SELECT doc, word, CAST(count(*) AS BIGINT) AS c FROM (
+  SELECT doc, unnest(toks) AS word FROM base WHERE len(toks) > 0)
+  GROUP BY 1, 2),
+top AS (SELECT word FROM (
+  SELECT word, sum(c) AS tot FROM counts GROUP BY 1)
+  ORDER BY tot DESC, word LIMIT {top_words}),
+lattice AS MATERIALIZED (
+  SELECT d.doc, d.grp, t.word,
+         coalesce(c.c, 0) * 1000000 // d.n_tok AS f
+  FROM docs d CROSS JOIN top t
+  LEFT JOIN counts c ON c.doc = d.doc AND c.word = t.word),
+vstats AS (SELECT word,
+    (SELECT d FROM dd) * CAST(sum(CAST(f AS HUGEINT) * CAST(f AS HUGEINT))
+        AS HUGEINT)
+      - CAST(sum(f) AS HUGEINT) * CAST(sum(f) AS HUGEINT) AS v
+  FROM lattice GROUP BY word HAVING v > 0),
+prof AS (SELECT grp AS g, word, CAST(sum(f) AS BIGINT) AS t,
+                CAST(count(*) AS BIGINT) AS g_n
+         FROM lattice GROUP BY 1, 2),
+terms AS (SELECT l.doc, l.grp, p.g,
+    CAST(floor(CAST(CAST(1000000 AS HUGEINT) * (SELECT d FROM dd)
+                    * abs(CAST(p.g_n AS HUGEINT) * CAST(l.f AS HUGEINT)
+                          - CAST(p.t AS HUGEINT)) AS DOUBLE)
+               / (CAST(p.g_n AS DOUBLE) * sqrt(CAST(v.v AS DOUBLE))))
+         AS BIGINT) AS term
+  FROM lattice l JOIN prof p ON l.word = p.word
+  JOIN vstats v ON l.word = v.word),
+deltas AS (SELECT doc, grp, g,
+    CAST(sum(term) AS BIGINT) // CAST(count(*) AS BIGINT) AS delta_micro
+  FROM terms GROUP BY 1, 2, 3)
+SELECT doc, grp AS declared_source, g AS attributed_source, delta_micro
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY doc ORDER BY delta_micro, g) AS rn FROM deltas)
+WHERE rn = 1"""
