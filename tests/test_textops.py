@@ -1677,3 +1677,30 @@ def test_burrows_delta_attributes_planted_styles(spark):
     assert out[6]["declared_source"] == "A"
     assert out[6]["attributed_source"] == "B"
     assert all(r["delta_micro"] >= 0 for r in out.values())
+
+
+def test_emerging_terms_flags_planted_burst(spark):
+    """'rocket' appears only in late buckets → flagged there with a
+    high ratio; the stable background word never flags; bucket 0 has
+    no baseline and cannot flag."""
+    from xmlschemavalidator_spark.textops import emerging_terms
+
+    rows = []
+    for b in range(4):
+        for i in range(6):
+            txt = "data table row scan key value"
+            if b >= 2:
+                txt += " rocket rocket"
+            rows.append((b, txt))
+    df = spark.createDataFrame(rows, "bucket long, text string")
+    out = emerging_terms(
+        df, "bucket", min_count=5, ratio_micro_min=3_000_000
+    ).collect()
+    flagged = {(r["bucket"], r["word"]) for r in out}
+    assert (2, "rocket") in flagged
+    assert all(w == "rocket" for _, w in flagged)
+    assert all(b > 0 for b, _ in flagged)
+    r2 = next(r for r in out if r["bucket"] == 2 and r["word"] == "rocket")
+    # bucket 2: c=12, c_prev=0, t=48, t_prev=72 → 1e6·12·73 div 48·1
+    assert r2["c"] == 12 and r2["c_prev"] == 0
+    assert r2["ratio_micro"] == 18_250_000

@@ -14934,3 +14934,43 @@ def stylometry_burrows_delta(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return burrows_delta_attribution(docs, top_words=30)
+
+
+_BURST_FROM_SQL = (
+    "SELECT doc_id % 12 AS bucket, "
+    "CASE WHEN doc_id % 12 >= 10 THEN text || ' breakout breakout' "
+    "ELSE text END AS text FROM documents"
+)
+
+
+def _emerging_oracle() -> str:
+    from xmlschemavalidator_spark.textops import emerging_terms_oracle_sql
+
+    return emerging_terms_oracle_sql(
+        _BURST_FROM_SQL, min_count=5, ratio_micro_min=3_000_000
+    )
+
+
+@q("emerging_terms_burst", _emerging_oracle())
+def emerging_terms_burst(spark, sf_dir):
+    """Emerging-term burst detection (textops.py:emerging_terms — the
+    Kleinberg-burst-lite trending view): a term flags in a time bucket
+    when its share beats its add-one-smoothed share of ALL previous
+    buckets by 3x, ratio kept exact as integer micros in DECIMAL(38,0).
+    Buckets are doc_id%12 pseudo-weeks with 'breakout' planted into the
+    last two — the detector must find the plant and nothing else (the
+    base vocabulary is stationary by construction). Scale shape: one
+    explode → vocab×buckets partial agg; the cumulative-baseline
+    windows run ON THE AGGREGATE, text never shuffles."""
+    from xmlschemavalidator_spark.textops import emerging_terms
+
+    docs = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 12).alias("bucket"),
+        F.when(
+            F.col("doc_id") % 12 >= 10,
+            F.concat(F.col("text"), F.lit(" breakout breakout")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return emerging_terms(
+        docs, "bucket", min_count=5, ratio_micro_min=3_000_000
+    )

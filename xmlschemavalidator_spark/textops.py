@@ -2821,3 +2821,124 @@ SELECT doc, grp AS declared_source, g AS attributed_source, delta_micro
 FROM (SELECT *, row_number() OVER (
         PARTITION BY doc ORDER BY delta_micro, g) AS rn FROM deltas)
 WHERE rn = 1"""
+
+
+def emerging_terms(
+    df: DataFrame,
+    bucket_col: str,
+    text_col: str = "text",
+    min_count: int = 5,
+    ratio_micro_min: int = 3_000_000,
+) -> DataFrame:
+    """Emerging-term detection (the Kleinberg-burst-lite trending view:
+    a term whose share of the current time bucket beats its add-one-
+    smoothed share of ALL previous buckets by ``ratio_micro_min``) →
+    ``(bucket, word, c, c_prev, ratio_micro)`` for flagged terms.
+
+    ``ratio_micro = 10⁶·c_b·(T_prev+1) div (T_b·(c_prev+1))`` — current
+    share over smoothed baseline share, all integer (DECIMAL(38,0)
+    products: counts reach corpus-token scale at 10^12 docs). Add-one
+    smoothing makes brand-new words scoreable; the first bucket has no
+    baseline and never flags. Missing (word, bucket) rows contribute
+    zero to the cumulative window exactly as if materialized.
+
+    Scale shape: one explode → (bucket, word) groupBy (partial-agg,
+    bounded by vocab×buckets); baselines are cumulative windows ON THE
+    AGGREGATE (vocab×buckets rows, never corpus rows) — the per-word
+    window partitions by word, the bucket-total window is one tiny
+    per-bucket frame. Text never shuffles.
+    """
+    if min_count < 1 or ratio_micro_min < 0:
+        raise ValueError(
+            f"emerging_terms: bad min_count={min_count} "
+            f"ratio_micro_min={ratio_micro_min}"
+        )
+    from pyspark.sql import Window
+
+    cleaned = F.lower(
+        F.regexp_replace(F.col(text_col), _TEXTRANK_NONWORD_RE, " ")
+    )
+    toks = F.filter(tokens(cleaned), lambda t: F.length(t) > 0)
+    base = df.where(
+        F.col(text_col).isNotNull() & F.col(bucket_col).isNotNull()
+    ).select(F.col(bucket_col).alias("bucket"), toks.alias("_toks"))
+    wc = (
+        base.select("bucket", F.explode("_toks").alias("word"))
+        .groupBy("bucket", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tb = wc.groupBy("bucket").agg(F.sum("c").cast("long").alias("t"))
+    w_word = (
+        Window.partitionBy("word")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    tb2 = tb.select(
+        "bucket", "t",
+        F.coalesce(F.sum("t").over(w_all), F.lit(0)).cast("long").alias("t_prev"),
+    )
+    d38 = "decimal(38,0)"
+    scored = (
+        wc.select(
+            "bucket", "word", "c",
+            F.coalesce(F.sum("c").over(w_word), F.lit(0)).cast("long").alias("c_prev"),
+        )
+        .join(tb2, "bucket")
+        .where(F.col("t_prev") > 0)
+        .select(
+            "bucket", "word", "c", "c_prev",
+            F.expr(
+                f"CAST(CAST(1000000 AS {d38}) * CAST(c AS {d38})"
+                f" * (CAST(t_prev AS {d38}) + 1)"
+                f" div (CAST(t AS {d38}) * (CAST(c_prev AS {d38}) + 1))"
+                f" AS BIGINT)"
+            ).alias("ratio_micro"),
+        )
+    )
+    return scored.where(
+        (F.col("c") >= min_count)
+        & (F.col("ratio_micro") >= ratio_micro_min)
+    )
+
+
+def emerging_terms_oracle_sql(
+    from_sql: str,
+    bucket_col: str = "bucket",
+    text_col: str = "text",
+    min_count: int = 5,
+    ratio_micro_min: int = 3_000_000,
+) -> str:
+    """DuckDB replay of :func:`emerging_terms`; ``from_sql`` yields the
+    (bucket, text) input."""
+    return f"""WITH base AS (
+  SELECT {bucket_col} AS bucket,
+         list_filter(regexp_split_to_array(trim(lower(regexp_replace(
+             {text_col}, '[^A-Za-z0-9]+', ' ', 'g'))), ' +'),
+           t -> t <> '') AS toks
+  FROM ({from_sql})
+  WHERE {text_col} IS NOT NULL AND {bucket_col} IS NOT NULL),
+wc AS (SELECT bucket, word, CAST(count(*) AS BIGINT) AS c FROM (
+  SELECT bucket, unnest(toks) AS word FROM base) GROUP BY 1, 2),
+tb AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS t FROM wc GROUP BY 1),
+tb2 AS (SELECT bucket, t,
+    CAST(coalesce(sum(t) OVER (ORDER BY bucket
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS t_prev FROM tb),
+wc2 AS (SELECT bucket, word, c,
+    CAST(coalesce(sum(c) OVER (PARTITION BY word ORDER BY bucket
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS c_prev FROM wc)
+SELECT wc2.bucket, word, c, c_prev,
+       CAST(CAST(1000000 AS HUGEINT) * CAST(c AS HUGEINT)
+            * (CAST(t_prev AS HUGEINT) + 1)
+            // (CAST(t AS HUGEINT) * (CAST(c_prev AS HUGEINT) + 1))
+         AS BIGINT) AS ratio_micro
+FROM wc2 JOIN tb2 ON wc2.bucket = tb2.bucket
+WHERE t_prev > 0 AND c >= {min_count}
+  AND CAST(1000000 AS HUGEINT) * CAST(c AS HUGEINT)
+      * (CAST(t_prev AS HUGEINT) + 1)
+      // (CAST(t AS HUGEINT) * (CAST(c_prev AS HUGEINT) + 1))
+      >= {ratio_micro_min}"""
