@@ -1079,3 +1079,35 @@ def test_inclusion_discovery_ordered_pairs(spark):
     assert out[("z", "x")]["n_shared"] == 0 and out[("z", "x")]["contained"] is False
     with _pt.raises(ValueError):
         inclusion_discovery(df, ["x"])
+
+
+def test_fd_condition_scan_mixed_verdict(spark):
+    from xmlschemavalidator_spark.checks.fd import fd_condition_scan
+
+    rows = [
+        # scope 'a': key→val holds; scope 'b': key 1 maps to two values
+        ("a", 1, 10), ("a", 1, 10), ("a", 2, 20),
+        ("b", 1, 10), ("b", 1, 11), ("b", 2, 20),
+    ]
+    df = spark.createDataFrame(rows, "cond string, k long, v long")
+    out = {r["cond"]: r for r in fd_condition_scan(df, "cond", ["k"], "v").collect()}
+    assert out["a"]["holds"] is True
+    assert out["a"]["n_lhs_groups"] == 2 and out["a"]["n_rows"] == 3
+    assert out["b"]["holds"] is False
+    assert out["b"]["n_violating_groups"] == 1
+    assert out["b"]["max_rhs_values"] == 2
+
+
+def test_cfd_violation_rows_scope_only(spark):
+    from xmlschemavalidator_spark.checks.fd import cfd_violation_rows
+
+    rows = [
+        (1, "a", 1, 10), (2, "a", 1, 99),   # violates, but OUTSIDE scope
+        (3, "b", 1, 10), (4, "b", 1, 11),   # violates inside scope
+        (5, "b", 2, 20),
+    ]
+    df = spark.createDataFrame(rows, "id long, cond string, k long, v long")
+    out = cfd_violation_rows(df, "cond", "b", ["k"], "v", "id").collect()
+    assert sorted(r["id"] for r in out) == [3, 4]
+    assert all(r["rule_id"] == "cfd_cond_k__v" for r in out)
+    assert {r["observed_value"] for r in out} == {"10", "11"}

@@ -286,3 +286,57 @@ def inclusion_discovery(df: DataFrame, columns: list[str]) -> DataFrame:
         ).alias("containment_micro"),
         ((F.col("n_shared") == F.col("n_a")) & (F.col("n_a") > 0)).alias("contained"),
     )
+
+
+def fd_condition_scan(
+    df: DataFrame, cond_col: str, lhs: list[str], rhs: str
+) -> DataFrame:
+    """Conditional-FD scope discovery (the discovery-lite half of
+    Bohannon et al. ICDE'07: given an FD that fails globally, WHICH
+    values of a condition column carve out a scope where it holds?) →
+    ``(cond, n_lhs_groups, n_violating_groups, n_rows, holds)`` per
+    condition value. A mixed verdict is the CFD finding itself: "the
+    mapping is 1:1 except for rows where status = 'F'" — the repair
+    scope a global FD check cannot express.
+
+    Scale shape: the :func:`fd_summary` discipline with the condition
+    folded into the FIRST groupBy — two stacked partial-aggregatable
+    aggregates, ``groupBy(cond, lhs, rhs)`` then ``groupBy(cond,
+    lhs)`` then ``groupBy(cond)``; a hot (cond, lhs) key arrives at
+    the shuffle as one row per distinct rhs. Output is bounded by
+    distinct condition values. NULL rhs counts as a value, NULL cond
+    groups like any other key (the fd_summary conventions)."""
+    pair = df.groupBy(
+        F.col(cond_col).alias("cond"), *lhs, F.col(rhs).alias("_rhs")
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    per_key = pair.groupBy("cond", *lhs).agg(
+        F.count(F.lit(1)).alias("_nv"), F.sum("_n").alias("_rows")
+    )
+    return per_key.groupBy("cond").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lhs_groups"),
+        F.sum((F.col("_nv") > 1).cast("long")).cast("bigint").alias(
+            "n_violating_groups"
+        ),
+        F.sum("_rows").cast("bigint").alias("n_rows"),
+        F.max(F.col("_nv")).cast("bigint").alias("max_rhs_values"),
+    ).withColumn("holds", F.col("n_violating_groups") == 0)
+
+
+def cfd_violation_rows(
+    df: DataFrame,
+    cond_col: str,
+    cond_value,
+    lhs: list[str],
+    rhs: str,
+    id_col: str,
+    rule_id: str | None = None,
+) -> DataFrame:
+    """Enforcement half of the CFD: violation rows ``(id, rule_id,
+    observed_value)`` for the variable CFD ``(cond = v) ∧ lhs → rhs``
+    — the FD checked ONLY inside the condition scope (rows outside the
+    scope can never violate). The pattern-constant filter runs BEFORE
+    the aggregate, so it reaches the scan as a pushed predicate and
+    the shuffle carries only the scoped slice."""
+    rid = rule_id or f"cfd_{cond_col}_{'_'.join(lhs)}__{rhs}"
+    scoped = df.where(F.col(cond_col) == F.lit(cond_value))
+    return fd_violation_rows(scoped, lhs, rhs, id_col, rule_id=rid)

@@ -14974,3 +14974,81 @@ def emerging_terms_burst(spark, sf_dir):
     return emerging_terms(
         docs, "bucket", min_count=5, ratio_micro_min=3_000_000
     )
+
+
+_CFD_RHS = (
+    "CASE WHEN o_orderstatus = 'F' THEN o_orderkey % 7 "
+    "ELSE o_custkey % 7 END"
+)
+
+
+def _cfd_planted(spark, sf_dir):
+    """Planted conditional-FD corpus: rhs is a pure function of custkey
+    except inside the 'F' scope, where an upstream 'corruption' makes it
+    orderkey-dependent — the FD custkey → rhs holds for O and P,
+    breaks for F, exactly the CFD shape."""
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.when(
+            F.col("o_orderstatus") == "F", F.col("o_orderkey") % 7
+        ).otherwise(F.col("o_custkey") % 7).alias("rhs"),
+    )
+
+
+@q(
+    "fd_condition_scan_orders",
+    f"""WITH t AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                      {_CFD_RHS} AS rhs FROM orders),
+pair AS (SELECT o_orderstatus AS cond, o_custkey, rhs,
+                CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1, 2, 3),
+pk AS (SELECT cond, o_custkey, CAST(count(*) AS BIGINT) AS nv,
+              CAST(sum(n) AS BIGINT) AS rws FROM pair GROUP BY 1, 2)
+SELECT cond, CAST(count(*) AS BIGINT) AS n_lhs_groups,
+       CAST(sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_groups,
+       CAST(sum(rws) AS BIGINT) AS n_rows,
+       CAST(max(nv) AS BIGINT) AS max_rhs_values,
+       CAST(sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT) = 0 AS holds
+FROM pk GROUP BY cond""",
+)
+def fd_condition_scan_orders(spark, sf_dir):
+    """Conditional-FD scope discovery (checks/fd.py:fd_condition_scan,
+    Bohannon et al. ICDE'07 discovery-lite): given custkey → rhs failing
+    globally, WHICH o_orderstatus values carve out a scope where it
+    holds? The planted corruption lives only in 'F', so the scan reads
+    holds=true for O and P and a measured violating-group count for F —
+    the repair scope a global FD check cannot express. Three stacked
+    partial-aggregatable groupBys, output bounded by condition values."""
+    from xmlschemavalidator_spark.checks.fd import fd_condition_scan
+
+    return fd_condition_scan(
+        _cfd_planted(spark, sf_dir), "o_orderstatus", ["o_custkey"], "rhs"
+    )
+
+
+@q(
+    "cfd_violation_rows_orders",
+    f"""WITH t AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                      {_CFD_RHS} AS rhs FROM orders),
+s AS (SELECT * FROM t WHERE o_orderstatus = 'F'),
+bad AS (SELECT o_custkey FROM (
+  SELECT o_custkey, count(*) AS nv FROM (
+    SELECT DISTINCT o_custkey, rhs FROM s) GROUP BY 1) WHERE nv > 1)
+SELECT o_orderkey, 'cfd_F_custkey__rhs' AS rule_id,
+       CAST(rhs AS VARCHAR) AS observed_value, o_custkey
+FROM s WHERE o_custkey IN (SELECT o_custkey FROM bad)""",
+)
+def cfd_violation_rows_orders(spark, sf_dir):
+    """CFD enforcement (checks/fd.py:cfd_violation_rows): violation rows
+    for the variable CFD (o_orderstatus='F') ∧ custkey → rhs — the FD
+    checked ONLY inside the condition scope, emitted in the engine's
+    standard (id, rule_id, observed_value) shape so CFD findings flow
+    into the same violations sink as facet checks. The pattern filter
+    runs before the aggregate (pushed to the scan); the semi join rides
+    the violations-only key set."""
+    from xmlschemavalidator_spark.checks.fd import cfd_violation_rows
+
+    return cfd_violation_rows(
+        _cfd_planted(spark, sf_dir), "o_orderstatus", "F",
+        ["o_custkey"], "rhs", "o_orderkey", rule_id="cfd_F_custkey__rhs",
+    )
