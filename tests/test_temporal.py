@@ -1038,3 +1038,31 @@ def test_dispersion_index_poisson_vs_bursty(spark):
     ).select("host", F.col("ts_s").cast("timestamp").alias("ts"))
     [o] = dispersion_index(one, "ts", "host").collect()
     assert o["dispersion"] is None and o["overdispersed"] is False
+
+
+def test_event_ngrams_contiguous_and_key_bounded(spark):
+    """Trigrams never cross keys, honor (ts, id) ordering, and n_keys
+    counts distinct keys not occurrences."""
+    from xmlschemavalidator_spark.temporal import event_ngrams
+
+    rows = [
+        # user 1: a b c a b c  -> (a,b,c) x2, (b,c,a) x1, (c,a,b) x1
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "c"),
+        (1, 4, "a"), (1, 5, "b"), (1, 6, "c"),
+        # user 2: a b c        -> (a,b,c) x1
+        (2, 1, "a"), (2, 2, "b"), (2, 3, "c"),
+        # user 3: too short
+        (3, 1, "a"), (3, 2, "b"),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts long, e string")
+    out = {
+        (r["e_1"], r["e_2"], r["e_3"]): r
+        for r in event_ngrams(df, "k", "ts", "e", n=3, min_count=1).collect()
+    }
+    assert out[("a", "b", "c")]["n_occurrences"] == 3
+    assert out[("a", "b", "c")]["n_keys"] == 2
+    assert out[("b", "c", "a")]["n_occurrences"] == 1
+    assert out[("b", "c", "a")]["n_keys"] == 1
+    # nothing crossing user boundaries: (c, a, b) exists only within u1
+    assert out[("c", "a", "b")]["n_keys"] == 1
+    assert len(out) == 3

@@ -15052,3 +15052,31 @@ def cfd_violation_rows_orders(spark, sf_dir):
         _cfd_planted(spark, sf_dir), "o_orderstatus", "F",
         ["o_custkey"], "rhs", "o_orderkey", rule_id="cfd_F_custkey__rhs",
     )
+
+
+def _event_ngrams_oracle() -> str:
+    from xmlschemavalidator_spark.temporal import event_ngrams_oracle_sql
+
+    return event_ngrams_oracle_sql(
+        "SELECT user_id, ts, event_id, event_type FROM events",
+        "user_id", "ts", "event_type",
+        n=3, id_col="event_id", min_count=3,
+    )
+
+
+@q("event_trigram_patterns", _event_ngrams_oracle())
+def event_trigram_patterns(spark, sf_dir):
+    """Frequent event trigrams (temporal.py:event_ngrams — contiguous
+    sequential-pattern mining, the n>2 sibling of the Markov transition
+    matrix): which whole 3-step journeys recur, with n_keys separating
+    one bot looping a path from many users sharing it. ONE window
+    shuffle on the user computes both leads in the same frame; the
+    (ts, event_id) ordering is the event_transitions determinism
+    contract. Result bounded by |vocab|³ ∩ observed (125 cells max on
+    this corpus), oracle-exact."""
+    from xmlschemavalidator_spark.temporal import event_ngrams
+
+    return event_ngrams(
+        _t(spark, sf_dir, "events"), "user_id", "ts", "event_type",
+        n=3, id_col="event_id", min_count=3,
+    )

@@ -1315,3 +1315,92 @@ def dispersion_index(
             disp * F.lit(1000.0) > F.lit(float(threshold_milli)), F.lit(False)
         ).alias("overdispersed"),
     )
+
+
+def event_ngrams(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    event_col: str,
+    n: int = 3,
+    id_col: str | None = None,
+    min_count: int = 2,
+) -> DataFrame:
+    """Frequent order-sensitive event n-grams over per-key streams
+    (sequential-pattern mining, the contiguous-window PrefixSpan-lite:
+    Agrawal & Srikant ICDE'95 framed the problem; contiguous n-grams
+    are its scalable degenerate case and the de-facto clickstream
+    practice) → ``(e_1..e_n, n_occurrences, n_keys)``.
+
+    The n>2 sibling of :func:`event_transitions`: the Markov matrix
+    says what follows 'view'; this says which whole 3-step journeys
+    recur, and ``n_keys`` (distinct keys exhibiting the pattern)
+    separates one bot looping a path from a thousand users sharing it.
+
+    Ordering within a key is (ts, id_col) — same determinism contract
+    as event_transitions: pass ``id_col`` when timestamps can tie.
+    Windows never cross keys; a key with < n events emits nothing.
+
+    Scale shape: ONE window shuffle on the key computes all n−1 leads
+    in the same frame (one Exchange, one sort — the sessionize shape),
+    then one partial-aggregatable groupBy on the n-gram; the result is
+    bounded by |event vocabulary|^n ∩ observed, not by the corpus.
+    ``n_keys`` rides a two-level aggregate (distinct (ngram, key)
+    first), deliberately no countDistinct/Expand over the raw stream.
+    """
+    if n < 2:
+        raise ValueError(f"event_ngrams: need n >= 2, got {n}")
+    if min_count < 1:
+        raise ValueError(f"event_ngrams: bad min_count={min_count}")
+    order = [F.col(ts_col).asc()] + ([F.col(id_col).asc()] if id_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    base = df.where(F.col(event_col).isNotNull() & F.col(ts_col).isNotNull())
+    cols = [F.col(event_col).alias("e_1")] + [
+        F.lead(event_col, i).over(w).alias(f"e_{i + 1}") for i in range(1, n)
+    ]
+    grams = base.select(F.col(key_col).alias("_k"), *cols).where(
+        F.col(f"e_{n}").isNotNull()
+    )
+    names = [f"e_{i + 1}" for i in range(n)]
+    per_key = grams.groupBy("_k", *names).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    return (
+        per_key.groupBy(*names)
+        .agg(
+            F.sum("_c").cast("bigint").alias("n_occurrences"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        )
+        .where(F.col("n_occurrences") >= min_count)
+    )
+
+
+def event_ngrams_oracle_sql(
+    from_sql: str,
+    key_col: str,
+    ts_col: str,
+    event_col: str,
+    n: int = 3,
+    id_col: str | None = None,
+    min_count: int = 2,
+) -> str:
+    """DuckDB replay of :func:`event_ngrams` — identical (ts, id)
+    window ordering, identical two-level key aggregation."""
+    order = f"{ts_col}" + (f", {id_col}" if id_col else "")
+    leads = ", ".join(
+        f"lead({event_col}, {i}) OVER (PARTITION BY {key_col} "
+        f"ORDER BY {order}) AS e_{i + 1}"
+        for i in range(1, n)
+    )
+    names = ", ".join(f"e_{i + 1}" for i in range(n))
+    return f"""WITH base AS (
+  SELECT {key_col} AS k, {event_col} AS e_1, {leads}
+  FROM ({from_sql})
+  WHERE {event_col} IS NOT NULL AND {ts_col} IS NOT NULL),
+grams AS (SELECT * FROM base WHERE e_{n} IS NOT NULL),
+per_key AS (SELECT k, {names}, CAST(count(*) AS BIGINT) AS c
+            FROM grams GROUP BY ALL)
+SELECT {names}, CAST(sum(c) AS BIGINT) AS n_occurrences,
+       CAST(count(*) AS BIGINT) AS n_keys
+FROM per_key GROUP BY ALL
+HAVING CAST(sum(c) AS BIGINT) >= {min_count}"""
