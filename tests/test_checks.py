@@ -1111,3 +1111,44 @@ def test_cfd_violation_rows_scope_only(spark):
     assert sorted(r["id"] for r in out) == [3, 4]
     assert all(r["rule_id"] == "cfd_cond_k__v" for r in out)
     assert {r["observed_value"] for r in out} == {"10", "11"}
+
+
+def test_json_path_profile_classes(spark):
+    from xmlschemavalidator_spark.checks.schema import json_path_profile
+
+    rows = [
+        ('{"k": 69, "m": {"d": 3}}',),
+        ('{"k": "s", "m": null}',),
+        ('{"k": [1], "m": {"d": "x"}}',),
+        ("not json",),
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "props string")
+    out = {
+        (r["path"], r["type_class"]): r["n"]
+        for r in json_path_profile(df, "props", ["$.k", "$.m", "$.m.d"]).collect()
+    }
+    assert out[("$.k", "number")] == 1
+    assert out[("$.k", "string")] == 1
+    assert out[("$.k", "array")] == 1
+    assert out[("$.k", "invalid")] == 1
+    assert out[("$.k", "no_value")] == 1
+    assert out[("$.m", "object")] == 2
+    assert out[("$.m", "null")] == 1
+    assert out[("$.m.d", "number")] == 1
+    assert out[("$.m.d", "string")] == 1
+    assert out[("$.m.d", "missing")] == 1
+
+
+def test_json_type_check_violations(spark):
+    from xmlschemavalidator_spark.checks.schema import json_type_check
+
+    rows = [(1, '{"k": 1}'), (2, '{"k": "s"}'), (3, "{}"), (4, None)]
+    df = spark.createDataFrame(rows, "id long, props string")
+    out = json_type_check(
+        df, "props", "$.k", ("number", "missing"), "id"
+    ).collect()
+    assert sorted((r["id"], r["observed_value"]) for r in out) == [
+        (2, "string"), (4, "no_value"),
+    ]
+    assert all(r["rule_id"] == "json_$.k_type" for r in out)

@@ -15080,3 +15080,102 @@ def event_trigram_patterns(spark, sf_dir):
         _t(spark, sf_dir, "events"), "user_id", "ts", "event_type",
         n=3, id_col="event_id", min_count=3,
     )
+
+
+_JSON_PLANT_SQL = """CASE event_id % 7
+  WHEN 0 THEN '{"k": "str", "tag": true}'
+  WHEN 1 THEN '{"k": 1.5, "m": {"d": ' || CAST(event_id % 5 AS VARCHAR) || '}}'
+  WHEN 2 THEN '{"k": [1, 2], "m": null}'
+  WHEN 3 THEN 'not json'
+  WHEN 4 THEN NULL
+  ELSE props END"""
+
+_JSON_PATHS = ["$.k", "$.tag", "$.m", "$.m.d"]
+
+
+def _json_planted(spark, sf_dir):
+    """Planted semi-structured payloads: the clean '{"k": int}' corpus
+    with five upstream 'releases' mixed in — string-typed k, a nested
+    object, an array, unparseable text, SQL NULL — every failure mode
+    the JSON contract must keep distinct."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 7 == 0, F.lit('{"k": "str", "tag": true}'))
+        .when(
+            F.col("event_id") % 7 == 1,
+            F.concat(
+                F.lit('{"k": 1.5, "m": {"d": '),
+                (F.col("event_id") % 5).cast("string"),
+                F.lit("}}"),
+            ),
+        )
+        .when(F.col("event_id") % 7 == 2, F.lit('{"k": [1, 2], "m": null}'))
+        .when(F.col("event_id") % 7 == 3, F.lit("not json"))
+        .when(F.col("event_id") % 7 == 4, F.lit(None).cast("string"))
+        .otherwise(F.col("props"))
+        .alias("props"),
+    )
+
+
+def _json_profile_oracle() -> str:
+    from xmlschemavalidator_spark.checks.schema import json_path_profile_sql
+
+    return json_path_profile_sql(
+        f"SELECT {_JSON_PLANT_SQL} AS props FROM events", "props", _JSON_PATHS
+    )
+
+
+@q("json_path_type_profile", _json_profile_oracle())
+def json_path_type_profile(spark, sf_dir):
+    """Semi-structured path/type profiling (checks/schema.py:
+    json_path_profile) — schema-on-read validation for the payload
+    columns a StructType can't see: per declared JSON path, the
+    normalized type-class histogram (no_value / invalid / missing /
+    null / string / boolean / number / object / array — four failure
+    modes kept distinct). Spark 4 VARIANT supplies real per-value
+    types; the DuckDB oracle normalizes json_type() into the same
+    class vocabulary, hash-exact. ONE scan: every path's class rides
+    the same projection, |paths|×9-bounded output."""
+    from xmlschemavalidator_spark.checks.schema import json_path_profile
+
+    return json_path_profile(_json_planted(spark, sf_dir), "props", _JSON_PATHS)
+
+
+@q(
+    "json_type_check_violations",
+    f"""WITH src AS (SELECT event_id, {_JSON_PLANT_SQL} AS props FROM events)
+SELECT event_id, 'props_k_number' AS rule_id,
+       CASE WHEN props IS NULL THEN 'no_value'
+            WHEN NOT json_valid(props) THEN 'invalid'
+            WHEN json_type(props, '$.k') IS NULL THEN 'missing'
+            WHEN json_type(props, '$.k') = 'NULL' THEN 'null'
+            WHEN json_type(props, '$.k') = 'VARCHAR' THEN 'string'
+            WHEN json_type(props, '$.k') = 'BOOLEAN' THEN 'boolean'
+            WHEN json_type(props, '$.k') = 'OBJECT' THEN 'object'
+            WHEN json_type(props, '$.k') = 'ARRAY' THEN 'array'
+            ELSE 'number' END AS observed_value
+FROM src
+WHERE CASE WHEN props IS NULL THEN 'no_value'
+           WHEN NOT json_valid(props) THEN 'invalid'
+           WHEN json_type(props, '$.k') IS NULL THEN 'missing'
+           WHEN json_type(props, '$.k') = 'NULL' THEN 'null'
+           WHEN json_type(props, '$.k') = 'VARCHAR' THEN 'string'
+           WHEN json_type(props, '$.k') = 'BOOLEAN' THEN 'boolean'
+           WHEN json_type(props, '$.k') = 'OBJECT' THEN 'object'
+           WHEN json_type(props, '$.k') = 'ARRAY' THEN 'array'
+           ELSE 'number' END NOT IN ('number')""",
+)
+def json_type_check_violations(spark, sf_dir):
+    """JSON contract enforcement (checks/schema.py:json_type_check):
+    '$.k must be a number' over the planted payload mix, violations in
+    the engine's standard (id, rule_id, observed_value) shape with the
+    offending CLASS as the observed value — string-typed k, arrays,
+    unparseable text and NULL columns each surface under their own
+    class. Narrow filter+projection, no shuffle."""
+    from xmlschemavalidator_spark.checks.schema import json_type_check
+
+    return json_type_check(
+        _json_planted(spark, sf_dir), "props", "$.k", ("number",),
+        "event_id", rule_id="props_k_number",
+    )
