@@ -1479,3 +1479,28 @@ def test_modularity_hand_computed(spark):
     )
     (only,) = modularity(edges, one).collect()
     assert only["intra_micro"] == 1000000 and only["q_micro"] == 0
+
+
+def test_spam_mass_separates_farm_from_trusted(spark):
+    """A link farm boosting an isolated target carries high spam mass;
+    the trusted core's pages stay low/negative."""
+    from xmlschemavalidator_spark.weburl import spam_mass
+
+    edges = []
+    # trusted core: 1..4 ring, seed = 1
+    for a, b in [(1, 2), (2, 3), (3, 4), (4, 1)]:
+        edges.append((a, b))
+    # spam farm: 10..14 all point at 20; 20 points back at the farm
+    for f in range(10, 15):
+        edges.append((f, 20))
+        edges.append((20, f))
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["node"]: r for r in spam_mass(df, [1], iterations=8).collect()}
+    # the farm target earns ALL its rank outside trust: mass ~ 1
+    assert out[20]["spam_mass_micro"] > 900_000
+    assert out[20]["trust_micro"] == 0
+    # the seed's own page is trust-dominated: mass at/below zero
+    assert out[1]["spam_mass_micro"] <= 0
+    assert all(
+        out[n]["spam_mass_micro"] > 900_000 for n in range(10, 15)
+    )

@@ -15179,3 +15179,25 @@ def json_type_check_violations(spark, sf_dir):
         _json_planted(spark, sf_dir), "props", "$.k", ("number",),
         "event_id", rule_id="props_k_number",
     )
+
+
+def _spam_mass_oracle() -> str:
+    from xmlschemavalidator_spark.weburl import spam_mass_oracle_sql
+
+    return spam_mass_oracle_sql(_EDGES_SQL, trusted_seeds=[0, 7], iterations=8)
+
+
+@q("link_spam_mass", _spam_mass_oracle())
+def link_spam_mass(spark, sf_dir):
+    """Spam mass via TrustRank (weburl.py:spam_mass, Gyöngyi et al.
+    VLDB'04/'06): the fraction of each page's PageRank NOT reachable
+    through the trusted seed set {0, 7} — (PR − TR)/PR with both ranks
+    from the same integer micro-unit iteration, the division guarded
+    into two nonnegative branches (truncate-vs-floor only agree on
+    nonnegs). The oracle replays BOTH unrolled 8-iteration rank loops
+    and the guarded ratio in one statement. The composition closes the
+    link-spam toolkit: pagerank says who's big, trustrank says who's
+    vouched for, spam mass says who's big WITHOUT being vouched for."""
+    from xmlschemavalidator_spark.weburl import spam_mass
+
+    return spam_mass(_edges(spark, sf_dir), trusted_seeds=[0, 7], iterations=8)

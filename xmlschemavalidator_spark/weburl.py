@@ -3226,3 +3226,86 @@ SELECT *, intra_micro - expected_micro AS q_micro FROM (
               * 1000000 // (4 * (SELECT m FROM mm) * (SELECT m FROM mm))
               AS BIGINT) AS expected_micro
   FROM nstat LEFT JOIN intra ON nstat.label = intra.label)"""
+
+
+def spam_mass(
+    edges: DataFrame,
+    trusted_seeds: list[int],
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 10,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Spam mass via TrustRank (Gyöngyi et al. VLDB'04 seed-trust
+    propagation; spam mass per Gyöngyi et al. VLDB'06): TrustRank IS
+    :func:`personalized_pagerank` teleporting to a hand-picked trusted
+    seed set, and a page's relative spam mass is the fraction of its
+    PageRank NOT reachable through trust — ``(PR − TR)/PR`` →
+    ``(node, rank_micro, trust_micro, spam_mass_micro)``. High mass =
+    rank earned from link structure the trusted core never vouches
+    for, the classic link-farm signal.
+
+    Both ranks run the same integer micro-unit iteration at the same
+    total ``scale``, so the mass is a ratio of exact integers;
+    the division is guarded into two nonnegative branches (Spark
+    ``div`` truncates, DuckDB ``//`` floors — they only agree on
+    nonnegs; trusted pages with TR > PR get the negated nonneg
+    quotient). Composition cost: two independent rank loops over the
+    same edge set (each with its own lineage-cut discipline), one
+    node-keyed join at the end.
+    """
+    pr = pagerank(
+        edges, src, dst, iterations=iterations,
+        damping_pct=damping_pct, scale=scale,
+    )
+    tr = personalized_pagerank(
+        edges, trusted_seeds, src, dst, iterations=iterations,
+        damping_pct=damping_pct, scale=scale,
+    )
+    return (
+        pr.join(
+            tr.select(
+                F.col("node"), F.col("rank_micro").alias("trust_micro")
+            ),
+            "node",
+        )
+        .select(
+            "node", "rank_micro", "trust_micro",
+            F.expr(
+                "CASE WHEN rank_micro = 0 THEN NULL"
+                " WHEN rank_micro >= trust_micro THEN"
+                "  (rank_micro - trust_micro) * 1000000 div rank_micro"
+                " ELSE -((trust_micro - rank_micro) * 1000000 div rank_micro)"
+                " END"
+            ).alias("spam_mass_micro"),
+        )
+    )
+
+
+def spam_mass_oracle_sql(
+    edges_sql: str,
+    trusted_seeds: list[int],
+    iterations: int = 10,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+) -> str:
+    """DuckDB replay of :func:`spam_mass`: both unrolled rank replays
+    MATERIALIZED, joined, same two-branch guarded division."""
+    pr = pagerank_oracle_sql(
+        edges_sql, iterations=iterations,
+        damping_pct=damping_pct, scale=scale,
+    )
+    tr = ppr_oracle_sql(
+        edges_sql, seeds=trusted_seeds, iterations=iterations,
+        damping_pct=damping_pct, scale=scale,
+    )
+    return f"""WITH pr AS MATERIALIZED ({pr}),
+tr AS MATERIALIZED ({tr})
+SELECT pr.node, pr.rank_micro, tr.rank_micro AS trust_micro,
+       CASE WHEN pr.rank_micro = 0 THEN NULL
+            WHEN pr.rank_micro >= tr.rank_micro THEN
+              (pr.rank_micro - tr.rank_micro) * 1000000 // pr.rank_micro
+            ELSE -((tr.rank_micro - pr.rank_micro) * 1000000 // pr.rank_micro)
+            END AS spam_mass_micro
+FROM pr JOIN tr ON pr.node = tr.node"""
