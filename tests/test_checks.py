@@ -1152,3 +1152,29 @@ def test_json_type_check_violations(spark):
         (2, "string"), (4, "no_value"),
     ]
     assert all(r["rule_id"] == "json_$.k_type" for r in out)
+
+
+def test_weighted_quantile_hand_computed(spark):
+    from xmlschemavalidator_spark.checks.stats import weighted_quantile
+
+    # values 1..4 with weights 1,1,6,2 (W=10): p25 crosses at value 3
+    # (cum 2 < 2.5 <= 8), median at 3, p75 at 3 (cum 8 >= 7.5), p90 at 4
+    rows = [(1, 1, 1.0), (2, 2, 1.0), (3, 3, 6.0), (4, 4, 2.0)]
+    df = spark.createDataFrame(rows, "id long, v long, w double")
+    out = {
+        r["q_pct"]: r
+        for r in weighted_quantile(df, "v", "w", "id", (25, 50, 75, 90)).collect()
+    }
+    assert out[25]["value"] == 3
+    assert out[50]["value"] == 3
+    assert out[75]["value"] == 3
+    assert out[90]["value"] == 4
+    assert out[50]["total_weight_q"] == 10_000_000
+    # unweighted degenerate: equal weights reproduce the plain quantile
+    rows2 = [(i, i, 1.0) for i in range(1, 11)]
+    df2 = spark.createDataFrame(rows2, "id long, v long, w double")
+    out2 = {
+        r["q_pct"]: r["value"]
+        for r in weighted_quantile(df2, "v", "w", "id", (50,)).collect()
+    }
+    assert out2[50] == 5  # lower median of 1..10

@@ -1480,3 +1480,110 @@ def kendall_tau(
         F.col("_disc").cast("bigint").alias("discordant"),
         F.round(F.when(ok, tau), round_to).alias("tau_b"),
     )
+
+
+def weighted_quantile(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    id_col: str,
+    qs_pct: tuple[int, ...] = (25, 50, 75),
+    group_cols: tuple[str, ...] = (),
+    weight_quantum: int = 10**6,
+) -> DataFrame:
+    """Exact weighted quantiles per group → ``(*group_cols, q_pct,
+    value, cum_weight_q, total_weight_q)`` — the weighted-median family
+    for importance-weighted corpora (DSIR ratio weights, dedup-cluster
+    sizes, token counts): the plain median answers "the middle doc",
+    the weighted one answers "the middle TOKEN/WEIGHT unit".
+
+    Definition: the lower weighted q-quantile is the first value (in
+    the pinned (value, id) total order — the Gini/equi-height device)
+    whose cumulative weight reaches ``q% of W``. Weights floor-quantize
+    to ``weight_quantum`` integer units up front (disclosed; rows whose
+    quantized weight is <= 0 drop), so the crossing test
+    ``cum·100 >= q·W`` is pure integer comparison in DECIMAL(38,0) —
+    no float accumulation order anywhere, and EXACTLY one row crosses
+    per q. All requested quantiles ride ONE window pass: each row
+    carries a filtered array of the q's it crosses, exploded after the
+    fact (rows crossing nothing explode to nothing).
+
+    Scale shape: one window sort per group (the analyzer family's
+    bounded-group contract) + a narrow projection; for corpus-wide
+    quantiles over billion-value columns feed the grouped
+    (value, weight-sum) table, exactly like Gini.
+    """
+    if not qs_pct or any(q < 1 or q > 100 for q in qs_pct):
+        raise ValueError(f"weighted_quantile: bad qs_pct={qs_pct}")
+    g = list(group_cols)
+    from pyspark.sql import Window
+
+    d38 = "decimal(38,0)"
+    wq = F.floor(F.col(weight_col).cast("double") * F.lit(weight_quantum)).cast(d38)
+    base = (
+        df.where(F.col(value_col).isNotNull() & F.col(weight_col).isNotNull())
+        .select(
+            *[F.col(c) for c in g],
+            F.col(id_col).alias("_id"),
+            F.col(value_col).alias("_v"),
+            wq.alias("_w"),
+        )
+        .where(F.col("_w") > 0)
+    )
+    w = Window.partitionBy(*g).orderBy(F.col("_v").asc(), F.col("_id").asc())
+    wall = Window.partitionBy(*g)
+    cum = base.select(
+        *g, "_v", "_w",
+        F.sum("_w").over(w).alias("_cum"),
+        F.sum("_w").over(wall).alias("_tot"),
+    )
+    qarr = F.filter(
+        F.array(*[F.lit(int(q)) for q in sorted(qs_pct)]),
+        lambda q: (
+            (F.col("_cum") * 100 >= q.cast(d38) * F.col("_tot"))
+            & ((F.col("_cum") - F.col("_w")) * 100 < q.cast(d38) * F.col("_tot"))
+        ),
+    )
+    return cum.select(
+        *g, F.explode(qarr).alias("q_pct"), "_v", "_cum", "_tot"
+    ).select(
+        *g,
+        "q_pct",
+        F.col("_v").alias("value"),
+        F.col("_cum").cast("bigint").alias("cum_weight_q"),
+        F.col("_tot").cast("bigint").alias("total_weight_q"),
+    )
+
+
+def weighted_quantile_oracle_sql(
+    from_sql: str,
+    value_col: str,
+    weight_col: str,
+    id_col: str,
+    qs_pct: tuple[int, ...] = (25, 50, 75),
+    group_cols: tuple[str, ...] = (),
+    weight_quantum: int = 10**6,
+) -> str:
+    """DuckDB replay of :func:`weighted_quantile` — same pinned order,
+    same integer crossing test, HUGEINT for the DECIMAL lane."""
+    g = list(group_cols)
+    gsel = "".join(f"{c}, " for c in g)
+    part = ("PARTITION BY " + ", ".join(g)) if g else ""
+    qvals = ", ".join(str(int(q)) for q in sorted(qs_pct))
+    return f"""WITH base AS (
+  SELECT {gsel}{id_col} AS id, {value_col} AS v,
+         CAST(floor(CAST({weight_col} AS DOUBLE) * {weight_quantum})
+              AS HUGEINT) AS w
+  FROM ({from_sql})
+  WHERE {value_col} IS NOT NULL AND {weight_col} IS NOT NULL),
+pos AS (SELECT * FROM base WHERE w > 0),
+cum AS (SELECT {gsel}v, w,
+    sum(w) OVER ({part + (" " if part else "")}ORDER BY v, id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+    sum(w) OVER ({part if part else ""}) AS tot
+  FROM pos),
+q AS (SELECT unnest([{qvals}]) AS q_pct)
+SELECT {gsel}q_pct, v AS value, CAST(c AS BIGINT) AS cum_weight_q,
+       CAST(tot AS BIGINT) AS total_weight_q
+FROM cum JOIN q ON c * 100 >= q_pct * tot
+                AND (c - w) * 100 < q_pct * tot"""

@@ -15301,3 +15301,33 @@ def violation_concentration_by_source(spark, sf_dir):
         F.expr("_tn * 1000000 div total_q").alias("top_share_micro"),
         "gini",
     )
+
+
+def _wq_oracle() -> str:
+    from xmlschemavalidator_spark.checks.stats import weighted_quantile_oracle_sql
+
+    return weighted_quantile_oracle_sql(
+        "SELECT doc_id, lang, n_chars FROM documents",
+        "n_chars", "n_chars", "doc_id",
+        qs_pct=(25, 50, 75), group_cols=("lang",),
+    )
+
+
+@q("weighted_quantile_mass_per_lang", _wq_oracle())
+def weighted_quantile_mass_per_lang(spark, sf_dir):
+    """Exact weighted quantiles (checks/stats.py:weighted_quantile) —
+    per-language document length weighted BY length: the plain median
+    answers 'the middle doc', this answers 'the middle BYTE' (where
+    half the corpus mass sits — the skew question storage/budget
+    planning actually asks; a language whose mass-median far exceeds
+    its doc-median is carried by few giant pages). Weights quantize to
+    integer micros up front so the crossing test is pure DECIMAL
+    comparison; all three quantiles ride ONE window pass, exactly one
+    crossing row each, oracle-exact."""
+    from xmlschemavalidator_spark.checks.stats import weighted_quantile
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_quantile(
+        docs, "n_chars", "n_chars", "doc_id",
+        qs_pct=(25, 50, 75), group_cols=("lang",),
+    )
