@@ -1066,3 +1066,28 @@ def test_event_ngrams_contiguous_and_key_bounded(spark):
     # nothing crossing user boundaries: (c, a, b) exists only within u1
     assert out[("c", "a", "b")]["n_keys"] == 1
     assert len(out) == 3
+
+
+def test_seasonal_residual_anomalies_deseasonalizes(spark):
+    """A weekly-patterned stream (Mondays always 3x) never flags its
+    Mondays; a genuine one-off spike on a quiet day flags."""
+    from xmlschemavalidator_spark.temporal import seasonal_residual_anomalies
+
+    rows = []
+    day0 = 19724  # a Thursday-anchored arbitrary epoch day
+    for d in range(28):
+        day = day0 + d
+        n = 30 if (day + 3) % 7 == 0 else 10   # every Monday 3x
+        if d == 24:
+            n = 80                              # the real anomaly
+        for i in range(n):
+            rows.append((day * 86400 + i, "click"))
+    df = spark.createDataFrame(rows, "sec long, k string").select(
+        F.timestamp_seconds("sec").alias("ts"), "k"
+    )
+    out = seasonal_residual_anomalies(df, "ts", "k", window=7).collect()
+    flagged_days = {r["day"] for r in out}
+    assert day0 + 24 in flagged_days
+    # no Monday flags: the 3x pattern is seasonality, not anomaly
+    assert all((d + 3) % 7 != 0 or d == day0 + 24 for d in flagged_days)
+    assert all(r["flag_hi"] for r in out if r["day"] == day0 + 24)

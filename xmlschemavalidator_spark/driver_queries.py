@@ -15331,3 +15331,43 @@ def weighted_quantile_mass_per_lang(spark, sf_dir):
         docs, "n_chars", "n_chars", "doc_id",
         qs_pct=(25, 50, 75), group_cols=("lang",),
     )
+
+
+_SPIKE_SQL = (
+    "SELECT ts, event_type FROM events"
+    + " UNION ALL SELECT ts, event_type FROM events"
+    " WHERE CAST(ts AS DATE) = DATE '2024-01-25' AND event_type = 'click'"
+    * 3
+)
+
+
+def _seasonal_residual_oracle() -> str:
+    from xmlschemavalidator_spark.temporal import seasonal_residual_oracle_sql
+
+    return seasonal_residual_oracle_sql(
+        _SPIKE_SQL, "ts", "event_type", window=7, k_tenths=30
+    )
+
+
+@q("seasonal_residual_anomalies_daily", _seasonal_residual_oracle())
+def seasonal_residual_anomalies_daily(spark, sf_dir):
+    """Seasonally-adjusted daily anomalies (temporal.py:
+    seasonal_residual_anomalies — the STL-lite composition: a Monday
+    spike on a Monday-heavy stream is weather, not news). Per-type
+    daily counts deseasonalize by the type's own day-of-week index
+    ((d+3)%7 anchoring, the cross-engine dayofweek trap), residuals
+    feed the cross-multiplied rolling-z predicate — all integer, no
+    sqrt. A 4x click spike is planted on 2024-01-25 (one quiet
+    Thursday); the detector must flag it through the weekday pattern.
+    One groupBy to keys×days, one keys×7 profile, one window pass."""
+    from xmlschemavalidator_spark.temporal import seasonal_residual_anomalies
+
+    ev = _t(spark, sf_dir, "events").select("ts", "event_type")
+    spike = ev.where(
+        (F.to_date("ts") == F.lit("2024-01-25"))
+        & (F.col("event_type") == "click")
+    )
+    planted = ev.unionByName(spike).unionByName(spike).unionByName(spike)
+    return seasonal_residual_anomalies(
+        planted, "ts", "event_type", window=7, k_tenths=30
+    )

@@ -1404,3 +1404,104 @@ SELECT {names}, CAST(sum(c) AS BIGINT) AS n_occurrences,
        CAST(count(*) AS BIGINT) AS n_keys
 FROM per_key GROUP BY ALL
 HAVING CAST(sum(c) AS BIGINT) >= {min_count}"""
+
+
+def seasonal_residual_anomalies(
+    df: DataFrame,
+    ts: str,
+    key: str,
+    window: int = 7,
+    k_tenths: int = 30,
+) -> DataFrame:
+    """Seasonally-adjusted daily anomalies (the STL-lite composition of
+    :func:`seasonal_profile` and :func:`rolling_anomalies`): a Monday
+    spike on a Monday-heavy stream is weather, not news — deseasonalize
+    per-key daily counts by the key's own day-of-week index, THEN
+    rolling-z the residuals. Flags ``(key, day, value_q, mean_q,
+    flag_hi)`` where value_q is the residual ``c·10⁶ div idx`` (10⁶ ≈
+    exactly the seasonal expectation).
+
+    All integer: the dow index is the seasonal_profile arithmetic
+    (``n_dow·7·10⁶ div N_key``, epoch-day (d+3)%7 week anchoring — the
+    cross-engine dayofweek trap), the residual one more floor division,
+    and the anomaly predicate rolling_anomalies' cross-multiplied
+    DECIMAL form. Days whose dow index floors to 0 (< 1/7,000,000 of
+    the key's mass) drop — disclosed, measure-zero on real streams.
+
+    Scale shape: one groupBy to daily counts (bounded by keys×days),
+    one keys×7 profile agg joined back broadcast-small, then the one
+    window pass — the corpus never shuffles twice.
+    """
+    us = F.expr(f"unix_micros(CAST({ts} AS TIMESTAMP))")
+    daily = (
+        df.where(us.isNotNull())
+        .groupBy(
+            F.col(key).alias("_k"),
+            F.expr(
+                f"unix_micros(CAST({ts} AS TIMESTAMP)) div 86400000000"
+            ).alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+        .withColumn("_dow", (F.col("day") + 3) % 7)
+    )
+    prof = (
+        daily.groupBy("_k", "_dow")
+        .agg(F.sum("_c").cast("long").alias("_nb"))
+        .withColumn(
+            "_nk", F.sum("_nb").over(Window.partitionBy("_k")).cast("long")
+        )
+        .select(
+            "_k", "_dow",
+            F.expr("_nb * 7 * 1000000 div _nk").alias("_idx"),
+        )
+        .where(F.col("_idx") > 0)
+    )
+    resid = daily.join(prof, ["_k", "_dow"]).select(
+        F.col("_k").alias(key),
+        "day",
+        F.expr("_c * 1000000 div _idx").alias("residual_q"),
+    )
+    return rolling_anomalies(
+        resid, key=key, bucket="day", value="residual_q",
+        window=window, k_tenths=k_tenths,
+    )
+
+
+def seasonal_residual_oracle_sql(
+    from_sql: str,
+    ts: str,
+    key: str,
+    window: int = 7,
+    k_tenths: int = 30,
+) -> str:
+    """DuckDB replay of :func:`seasonal_residual_anomalies` — profile,
+    residual and the cross-multiplied anomaly predicate in one
+    statement."""
+    k2 = k_tenths * k_tenths
+    return f"""WITH daily AS (
+  SELECT {key} AS k, epoch_us(CAST({ts} AS TIMESTAMP)) // 86400000000 AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM ({from_sql})
+  WHERE epoch_us(CAST({ts} AS TIMESTAMP)) IS NOT NULL GROUP BY 1, 2),
+d2 AS (SELECT *, (day + 3) % 7 AS dow FROM daily),
+prof AS (SELECT k, dow,
+    CAST(sum(c) AS BIGINT) * 7 * 1000000
+      // CAST(sum(sum(c)) OVER (PARTITION BY k) AS BIGINT) AS idx
+  FROM d2 GROUP BY 1, 2),
+resid AS (SELECT d2.k, d2.day,
+    CAST(d2.c AS HUGEINT) * 1000000 // CAST(prof.idx AS HUGEINT) AS x
+  FROM d2 JOIN prof ON d2.k = prof.k AND d2.dow = prof.dow
+  WHERE prof.idx > 0),
+z AS (SELECT k, day, x,
+    count(*) OVER fr AS w,
+    sum(x) OVER fr AS s,
+    sum(x * x) OVER fr AS ss
+  FROM resid
+  WINDOW fr AS (PARTITION BY k ORDER BY day
+                ROWS BETWEEN {window} PRECEDING AND 1 PRECEDING))
+SELECT k AS {key}, day, CAST(x AS BIGINT) AS value_q,
+       CAST(s // {window} AS BIGINT) AS mean_q,
+       (w * x - s) > 0 AS flag_hi
+FROM z
+WHERE w = {window}
+  AND 100 * (w*x - s) * (w*x - s) > {k2} * (w*ss - s*s)"""
