@@ -180,3 +180,22 @@ def test_fs_train_then_score_composition(spark):
     )
     assert r0["weight_micro"] == expect
     assert set(r["decision"] for r in got) <= {"match", "possible", "non_match"}
+
+
+def test_blocking_evaluation_hand_computed(spark):
+    from xmlschemavalidator_spark.linkage import blocking_evaluation
+
+    # 5 records -> 10 total pairs; truth = {(1,2),(3,4)};
+    # candidates = {(1,2),(2,3),(4,5)} (one hit, reversed orientation + dup)
+    cand = spark.createDataFrame(
+        [(2, 1), (1, 2), (3, 2), (5, 4)], "id_a long, id_b long"
+    )
+    truth = spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
+    (r,) = blocking_evaluation(cand, truth, n_records=5).collect()
+    assert r["n_total_pairs"] == 10
+    assert r["n_candidates"] == 3          # dedup + canonicalization
+    assert r["n_truth"] == 2
+    assert r["n_found"] == 1
+    assert r["reduction_ratio_micro"] == 700_000
+    assert r["pairs_completeness_micro"] == 500_000
+    assert r["pair_quality_micro"] == 333_333

@@ -15371,3 +15371,80 @@ def seasonal_residual_anomalies_daily(spark, sf_dir):
     return seasonal_residual_anomalies(
         planted, "ts", "event_type", window=7, k_tenths=30
     )
+
+
+@q(
+    "snm_blocking_evaluation",
+    """WITH base AS (
+         SELECT c_custkey AS id, lower(c_name) AS name, c_mktsegment AS mkt,
+                CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal
+         FROM customer),
+       dirty AS (
+         SELECT * FROM base
+         UNION ALL
+         SELECT id + 1000000, substr(name, 1, length(name) - 1), mkt, bal + 250
+         FROM base WHERE id % 5 = 0),
+       keyed AS (SELECT *, substr(name, 15, 2) || '|' || name AS k FROM dirty),
+       r AS (SELECT *, row_number() OVER (
+                 PARTITION BY substr(k, 1, 2) ORDER BY k, id) AS rn
+             FROM keyed),
+       cand AS (SELECT DISTINCT least(a.id, b.id) AS a, greatest(a.id, b.id) AS b
+                FROM r a JOIN r b
+                  ON substr(a.k, 1, 2) = substr(b.k, 1, 2)
+                 AND b.rn - a.rn BETWEEN 1 AND 2
+                WHERE a.id <> b.id),
+       truth AS (SELECT id AS a, id + 1000000 AS b FROM base WHERE id % 5 = 0),
+       nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM dirty),
+       nc AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cand),
+       nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+       nf AS (SELECT CAST(count(*) AS BIGINT) AS n_found
+              FROM cand JOIN truth USING (a, b))
+       SELECT CAST(n AS BIGINT) AS n_records,
+              CAST(n * (n - 1) // 2 AS BIGINT) AS n_total_pairs,
+              n_candidates, n_truth, n_found,
+              CAST((n * (n - 1) // 2 - n_candidates) * 1000000
+                   // (n * (n - 1) // 2) AS BIGINT) AS reduction_ratio_micro,
+              CASE WHEN n_truth > 0 THEN n_found * 1000000 // n_truth END
+                AS pairs_completeness_micro,
+              CASE WHEN n_candidates > 0
+                   THEN n_found * 1000000 // n_candidates END
+                AS pair_quality_micro
+       FROM nn, nc, nt, nf""",
+)
+def snm_blocking_evaluation(spark, sf_dir):
+    """Blocking-scheme evaluation (linkage.py:blocking_evaluation,
+    Christen TKDE'12 metrics) over the fs_record_linkage plant: the SNM
+    candidate generator (window 3, 2-char blocks) judged against the
+    KNOWN planted duplicate pairs — reduction ratio (how much of the
+    1.6M-pair quadratic space was refused), pairs completeness (recall
+    of true dups into candidates) and pair quality (precision), all
+    integer micros. The ER twin of the near-dup method evaluation:
+    these three numbers ARE how SNM window/key choices get made."""
+    from xmlschemavalidator_spark.dedup import sorted_neighborhood_pairs
+    from xmlschemavalidator_spark.linkage import blocking_evaluation
+
+    cust = _t(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.lower(F.col("c_name")).alias("name"),
+        F.col("c_mktsegment").alias("mkt"),
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint").alias("bal"),
+    )
+    dup = base.where(F.col("id") % 5 == 0).select(
+        (F.col("id") + 1_000_000).alias("id"),
+        F.expr("substring(name, 1, length(name) - 1)").alias("name"),
+        "mkt",
+        (F.col("bal") + 250).alias("bal"),
+    )
+    dirty = base.unionByName(dup)
+    keyed = dirty.withColumn(
+        "snm_key",
+        F.concat(F.substring("name", 15, 2), F.lit("|"), F.col("name")),
+    )
+    cand = sorted_neighborhood_pairs(
+        keyed, "id", "snm_key", window=3, block_chars=2
+    ).select("id_a", "id_b")
+    truth = base.where(F.col("id") % 5 == 0).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1_000_000).alias("id_b")
+    )
+    return blocking_evaluation(cand, truth, n_records=dirty.count())

@@ -379,3 +379,75 @@ def fs_score_with_weights(
         .when(F.col("weight_micro") >= lower_micro, F.lit("possible"))
         .otherwise(F.lit("non_match")),
     )
+
+
+def blocking_evaluation(
+    candidates: DataFrame,
+    truth: DataFrame,
+    n_records: int,
+    cand_cols: tuple[str, str] = ("id_a", "id_b"),
+    truth_cols: tuple[str, str] = ("id_a", "id_b"),
+) -> DataFrame:
+    """Blocking-scheme evaluation (Christen, TKDE 2012 survey metrics):
+    ONE row ``(n_records, n_total_pairs, n_candidates, n_truth,
+    n_found, reduction_ratio_micro, pairs_completeness_micro,
+    pair_quality_micro)`` — the three-way verdict on a candidate
+    generator: RR = how much of the n(n−1)/2 quadratic space the
+    blocking refused to score, PC (recall) = what fraction of TRUE
+    matches survived into candidates, PQ (precision) = what fraction
+    of candidates are true. The near-dup method-evaluation twin for
+    the record-linkage side of the house: SNM/LSH parameters are
+    chosen by exactly this trade-off.
+
+    All ratios are integer micros (numerators/denominators exact
+    BIGINT/DECIMAL counts; n(n−1)/2 at 10^12 records needs the
+    DECIMAL(38,0) lane). Pairs canonicalize to (least, greatest) and
+    dedup before counting, so orientation conventions can't skew the
+    verdict. Composition: three single-row aggregates cross-joined —
+    the drift.py one-row contract, no data-sized collect anywhere.
+    """
+    if n_records < 2:
+        raise ValueError(f"blocking_evaluation: need n_records >= 2, got {n_records}")
+
+    def canon(df: DataFrame, cols: tuple[str, str]) -> DataFrame:
+        a, b = cols
+        return (
+            df.select(
+                F.least(F.col(a), F.col(b)).alias("a"),
+                F.greatest(F.col(a), F.col(b)).alias("b"),
+            )
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    c = canon(candidates, cand_cols)
+    t = canon(truth, truth_cols)
+    nc = c.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+    nt = t.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    nf = c.join(t, ["a", "b"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_found")
+    )
+    d38 = "decimal(38,0)"
+    total = n_records * (n_records - 1) // 2
+    return (
+        nc.crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nf))
+        .select(
+            F.lit(n_records).cast("bigint").alias("n_records"),
+            F.lit(total).cast("bigint").alias("n_total_pairs"),
+            "n_candidates",
+            "n_truth",
+            "n_found",
+            F.expr(
+                f"CAST((CAST({total} AS {d38}) - CAST(n_candidates AS {d38}))"
+                f" * 1000000 div CAST({total} AS {d38}) AS BIGINT)"
+            ).alias("reduction_ratio_micro"),
+            F.expr(
+                "CASE WHEN n_truth > 0 THEN n_found * 1000000 div n_truth END"
+            ).alias("pairs_completeness_micro"),
+            F.expr(
+                "CASE WHEN n_candidates > 0 THEN"
+                " n_found * 1000000 div n_candidates END"
+            ).alias("pair_quality_micro"),
+        )
+    )
