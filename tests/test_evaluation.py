@@ -452,3 +452,19 @@ def test_ks_exact_hand_computed_and_shift(spark):
     # one side empty: NULL verdict, never a div/0
     [e] = ks_exact(df.where("g = 'a'"), "v", "g", "a", "b").collect()
     assert e["d_stat"] is None and e["significant"] is False
+
+
+def test_nelson_aalen_hand_computed(spark):
+    """Textbook risk sets: durations 1,2,2,3 with censoring at 2.
+    t=1: n=4,d=1 -> 250000; t=2: n=3,d=1 (one censored same-t stays in
+    risk set) -> +333333; t=3: n=1,d=1 -> +1000000."""
+    from xmlschemavalidator_spark.checks.evaluation import nelson_aalen
+
+    rows = [(1, True), (2, True), (2, False), (3, True)]
+    df = spark.createDataFrame(rows, "dur long, obs boolean")
+    out = {r["t"]: r for r in nelson_aalen(df, "dur", "obs").collect()}
+    assert out[1]["n_risk"] == 4 and out[1]["hazard_inc_micro"] == 250_000
+    assert out[2]["n_risk"] == 3 and out[2]["hazard_inc_micro"] == 333_333
+    assert out[2]["n_censored"] == 1
+    assert out[3]["n_risk"] == 1 and out[3]["hazard_inc_micro"] == 1_000_000
+    assert out[3]["cum_hazard_micro"] == 250_000 + 333_333 + 1_000_000

@@ -850,3 +850,66 @@ def ks_exact(
         F.col("_s").alias("d_at_value"),
         F.coalesce(F.when(ok, d > crit), F.lit(False)).alias("significant"),
     )
+
+
+def nelson_aalen(
+    df: DataFrame,
+    duration_col: str,
+    observed_col: str,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard estimate (Nelson 1972 / Aalen
+    1978) — Kaplan–Meier's additive sibling: ``H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ``
+    over the same right-censored risk sets. Preferred when hazard is
+    the question (failure INTENSITY over time: crawl-error burn rate,
+    churn pressure) and for small risk sets where the product-limit
+    gets grainy; ``S ≈ exp(−H)`` recovers survival.
+
+    One row per distinct duration with >= 1 event: ``(*group_cols, t,
+    n_risk, n_events, n_censored, hazard_inc_micro,
+    cum_hazard_micro)``.
+
+    Exactness: STRICTLY stronger than :func:`kaplan_meier`'s — each
+    increment dᵢ/nᵢ is an exact BIGINT rational floor-quantized to
+    integer micros, and the cumulative sum is an ordered INTEGER sum:
+    no ln, no libm contract at all, bias bounded by #event-times·1e−6.
+    Same tie rule (censoring leaves the risk set after same-t events),
+    same scale shape (one duration groupBy + expanding window over the
+    bounded distinct-duration grid).
+    """
+    gc = list(group_cols)
+    lab = F.col(observed_col).cast("boolean")
+    base = df.where(
+        F.col(duration_col).isNotNull() & lab.isNotNull()
+    ).select(
+        *[F.col(c) for c in gc],
+        F.col(duration_col).cast("bigint").alias("t"),
+        lab.cast("long").alias("_e"),
+    )
+    g = base.groupBy(*gc, "t").agg(
+        F.sum("_e").cast("bigint").alias("n_events"),
+        F.sum(F.lit(1) - F.col("_e")).cast("bigint").alias("n_censored"),
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+    )
+    wtail = Window.partitionBy(*gc).orderBy("t").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    g2 = g.withColumn("n_risk", F.sum("_n").over(wtail).cast("bigint"))
+    wcum = Window.partitionBy(*gc).orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        g2.where(F.col("n_events") > 0)
+        .withColumn(
+            "hazard_inc_micro",
+            F.expr("n_events * 1000000 div n_risk").cast("bigint"),
+        )
+        .withColumn(
+            "cum_hazard_micro",
+            F.sum("hazard_inc_micro").over(wcum).cast("bigint"),
+        )
+        .select(
+            *gc, "t", "n_risk", "n_events", "n_censored",
+            "hazard_inc_micro", "cum_hazard_micro",
+        )
+    )

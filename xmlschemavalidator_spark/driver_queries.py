@@ -15448,3 +15448,53 @@ def snm_blocking_evaluation(spark, sf_dir):
         F.col("id").alias("id_a"), (F.col("id") + 1_000_000).alias("id_b")
     )
     return blocking_evaluation(cand, truth, n_records=dirty.count())
+
+
+@q(
+    "nelson_aalen_user_hazard",
+    """WITH u AS (
+         SELECT user_id,
+                CAST((epoch_us(max(CAST(ts AS TIMESTAMP)))
+                      - epoch_us(min(CAST(ts AS TIMESTAMP)))) // 86400000000
+                     AS BIGINT) AS dur,
+                max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1 AS obs
+         FROM events WHERE ts IS NOT NULL GROUP BY user_id),
+       g AS (SELECT dur AS t,
+                    CAST(sum(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT) AS n_events,
+                    CAST(sum(CASE WHEN obs THEN 0 ELSE 1 END) AS BIGINT) AS n_censored,
+                    CAST(count(*) AS BIGINT) AS n
+             FROM u GROUP BY 1),
+       r AS (SELECT *, CAST(sum(n) OVER (ORDER BY t
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+                 AS n_risk FROM g)
+       SELECT t, n_risk, n_events, n_censored,
+              n_events * 1000000 // n_risk AS hazard_inc_micro,
+              CAST(sum(n_events * 1000000 // n_risk)
+                   OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                AS cum_hazard_micro
+       FROM r WHERE n_events > 0""",
+)
+def nelson_aalen_user_hazard(spark, sf_dir):
+    """Nelson-Aalen cumulative hazard over user activity lifetimes
+    (checks/evaluation.py:nelson_aalen) — Kaplan-Meier's additive
+    sibling on the SAME durations/censoring (kaplan_meier_user_
+    lifetimes), answering the intensity question: conversion pressure
+    per lifetime-day. Exactness strictly stronger than KM's: each
+    d/n increment is an exact integer-micro rational, the cumulation a
+    pure integer sum — no ln, no libm contract anywhere."""
+    from xmlschemavalidator_spark.checks.evaluation import nelson_aalen
+
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    u = ev.groupBy("user_id").agg(
+        F.floor(
+            (
+                F.unix_micros(F.max(F.col("ts").cast("timestamp")))
+                - F.unix_micros(F.min(F.col("ts").cast("timestamp")))
+            )
+            / 86_400_000_000
+        )
+        .cast("bigint")
+        .alias("dur"),
+        (F.max((F.col("event_type") == "purchase").cast("long")) == 1).alias("obs"),
+    )
+    return nelson_aalen(u, "dur", "obs")
