@@ -60,6 +60,8 @@ def headline_queries():
         agg_pricing_summary,
         ann_cosine_topk,
         bpe_tokenize,
+        stylometry_burrows_delta,
+        textrank_keywords_top20,
         corpus_line_dedup_stats,
         decontamination_overlap,
         dsir_selection,
@@ -207,6 +209,14 @@ def headline_queries():
         # building + (doc,word) stats + per-doc top-k window)
         "cdc_chunk_dedup": lambda s: _bench_cdc_chunks(s),
         "rake_keywords": lambda s: _bench_rake(s),
+        # round-4 session-9: TextRank (the iterative-graph keyword path —
+        # one corpus scan builds the vocab-bounded co-occurrence graph,
+        # then 8 integer PageRank rounds whose cost is independent of
+        # corpus rows) and Burrows' Delta stylometric attribution (the
+        # doc×F lattice + G group profiles + argmin — linear fan-out with
+        # small constants, never doc×doc)
+        "textrank": lambda s: textrank_keywords_top20(s, SF_DIR),
+        "burrows_delta": lambda s: stylometry_burrows_delta(s, SF_DIR),
     }
 
 

@@ -668,3 +668,51 @@ def test_ewma_single_window_partition(spark):
     p = fmt(ewma_control(daily, "event_type", "day", "n", target=60.0, threshold=5.0))
     n_windows = len(re.findall(r"\(\d+\) Window", p))
     assert n_windows == 1  # 32 lags share one Window node
+
+
+def test_emerging_terms_scans_corpus_once(spark):
+    """The (bucket, word) aggregate is materialized once
+    (localCheckpoint — vocab×buckets-bounded), so the final plan reads
+    NO parquet at all: both cumulative-baseline windows and the bucket
+    totals run on the materialized aggregate, never re-scanning text."""
+    from xmlschemavalidator_spark.textops import emerging_terms
+
+    docs = _docs(spark).select(
+        (F.col("doc_id") % 12).alias("bucket"), "text"
+    )
+    p = fmt(emerging_terms(docs, "bucket", min_count=5))
+    assert n_scans(p) == 0
+    assert "Window" in p
+
+
+def test_burrows_delta_broadcasts_top_words_and_stats(spark):
+    """The doc×F lattice is materialized once (localCheckpoint), so the
+    final plan scans no parquet; its two consumers — group profiles and
+    per-word variance stats — both join BROADCAST against it (the
+    corpus-linear side never shuffles against vocab-bounded ones)."""
+    import re
+
+    from xmlschemavalidator_spark.textops import burrows_delta_attribution
+
+    p = fmt(burrows_delta_attribution(_docs(spark), top_words=10))
+    assert n_scans(p) == 0  # lattice materialized, corpus read once
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", p)) == 2
+
+
+def test_weighted_quantile_one_sort_one_exchange(spark):
+    """All requested quantiles ride ONE window sort: exactly one
+    Exchange (the group partitioning) and one Sort; the ordered and
+    unordered frames split into two Window operators over the same
+    sorted child, which is free."""
+    import re
+
+    from xmlschemavalidator_spark.checks.stats import weighted_quantile
+
+    out = weighted_quantile(
+        _docs(spark), "n_chars", "n_chars", "doc_id",
+        qs_pct=(25, 50, 75), group_cols=("lang",),
+    )
+    p = fmt(out)
+    assert n_scans(p) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert len(re.findall(r"\(\d+\) Sort\b", p)) == 1

@@ -2862,10 +2862,16 @@ def emerging_terms(
     base = df.where(
         F.col(text_col).isNotNull() & F.col(bucket_col).isNotNull()
     ).select(F.col(bucket_col).alias("bucket"), toks.alias("_toks"))
+    # the (bucket, word) aggregate feeds BOTH the per-word series and
+    # the bucket totals: localCheckpoint it (vocab×buckets-bounded) so
+    # the corpus is scanned exactly once — without it each branch
+    # re-reads the table (ReuseExchange does not fire across the two
+    # different parents in the static plan)
     wc = (
         base.select("bucket", F.explode("_toks").alias("word"))
         .groupBy("bucket", "word")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()
     )
     tb = wc.groupBy("bucket").agg(F.sum("c").cast("long").alias("t"))
     w_word = (
