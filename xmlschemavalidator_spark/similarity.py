@@ -1085,3 +1085,50 @@ def embedding_outliers(
     from xmlschemavalidator_spark.checks.stats import robust_outliers
 
     return robust_outliers(best, "dist", id_col, ("cluster",), k_tenths)
+
+
+def ann_recall_report(
+    exact: DataFrame,
+    approx: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN method evaluation — recall@k of an approximate neighbor set
+    against exact truth, per query → ``(query_id, n_exact, n_approx,
+    n_hit, recall_micro)``; the similarity-search twin of the near-dup
+    method evaluation (an ANN path without a measured recall table is
+    a guess, and IVF nprobe / LSH table counts are chosen BY this
+    number).
+
+    Both inputs are (query, neighbor-id) sets of any provenance
+    (brute_force_topk, ivf_topk, lsh/hyperplane candidates);
+    deduplicated defensively, intersected with ONE join, ratios exact
+    integer micros. Bounded by queries×k rows end-to-end.
+    """
+    e = exact.select(
+        F.col(query_col).alias("q"), F.col(id_col).alias("n")
+    ).distinct()
+    a = approx.select(
+        F.col(query_col).alias("q"), F.col(id_col).alias("n")
+    ).distinct()
+    ne = e.groupBy("q").agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    na = a.groupBy("q").agg(F.count(F.lit(1)).cast("bigint").alias("n_approx"))
+    nh = (
+        e.join(a, ["q", "n"])
+        .groupBy("q")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+    )
+    return (
+        ne.join(na, "q", "left")
+        .join(nh, "q", "left")
+        .select(
+            F.col("q").alias(query_col),
+            "n_exact",
+            F.coalesce(F.col("n_approx"), F.lit(0)).cast("bigint").alias("n_approx"),
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("bigint").alias("n_hit"),
+            F.expr(
+                "CASE WHEN n_exact > 0 THEN"
+                " coalesce(n_hit, 0) * 1000000 div n_exact END"
+            ).alias("recall_micro"),
+        )
+    )
