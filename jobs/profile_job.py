@@ -54,6 +54,9 @@ def run_profile(
     privacy_k: int = 5,
     gini_specs: tuple[str, ...] = (),
     jackknife_specs: tuple[str, ...] = (),
+    wq_specs: tuple[str, ...] = (),
+    cfd_specs: tuple[str, ...] = (),
+    json_specs: tuple[str, ...] = (),
 ) -> dict:
     """Profile ``df`` and return the report dict (what main() prints as
     JSON). Each analyzer is opt-in by listing columns; every one is a
@@ -201,6 +204,40 @@ def run_profile(
             extras["jackknife"][spec] = (
                 jackknife_ratio(df, num, den, id_col=jid).collect()[0].asDict()
             )
+    if wq_specs:
+        from xmlschemavalidator_spark.checks.stats import weighted_quantile
+
+        extras["weighted_quantiles"] = {}
+        for spec in wq_specs:
+            value_col, weight_col, wid = spec.split(":", 2)
+            extras["weighted_quantiles"][spec] = [
+                r.asDict()
+                for r in weighted_quantile(
+                    df, value_col, weight_col, wid, qs_pct=(25, 50, 75)
+                ).collect()
+            ]
+    if cfd_specs:
+        from xmlschemavalidator_spark.checks.fd import fd_condition_scan
+
+        extras["cfd"] = {}
+        for spec in cfd_specs:
+            cond, lhs, rhs = spec.split(":", 2)
+            extras["cfd"][spec] = [
+                r.asDict()
+                for r in fd_condition_scan(
+                    df, cond, lhs.split("+"), rhs
+                ).collect()
+            ]
+    if json_specs:
+        from xmlschemavalidator_spark.checks.schema import json_path_profile
+
+        extras["json_paths"] = {}
+        for spec in json_specs:
+            col, paths = spec.split(":", 1)
+            extras["json_paths"][spec] = [
+                r.asDict()
+                for r in json_path_profile(df, col, paths.split("|")).collect()
+            ]
 
     return {
         "snapshot": snapshot,
@@ -262,6 +299,22 @@ def main(argv: list[str] | None = None) -> int:
         help="num:den:id specs (comma-separated) for delete-one-bucket "
         "jackknife ratio CIs",
     )
+    p.add_argument(
+        "--weighted-quantiles", default="",
+        help="value:weight:id specs (comma-separated) for exact weighted "
+        "25/50/75 quantiles (the 'middle weight unit' view)",
+    )
+    p.add_argument(
+        "--cfd", default="",
+        help="cond:lhs:rhs specs (comma-separated; lhs may be +-joined) "
+        "for conditional-FD scope scans — which condition values make "
+        "the FD hold",
+    )
+    p.add_argument(
+        "--json-paths", default="",
+        help="col:$.a|$.b specs (comma-separated) for semi-structured "
+        "path/type profiling",
+    )
     p.add_argument("--synthetic-rows", type=int, default=100_000)
     args = p.parse_args(argv)
 
@@ -298,6 +351,9 @@ def main(argv: list[str] | None = None) -> int:
         privacy_k=args.privacy_k,
         gini_specs=_cols(args.gini),
         jackknife_specs=_cols(args.jackknife),
+        wq_specs=_cols(args.weighted_quantiles),
+        cfd_specs=_cols(args.cfd),
+        json_specs=_cols(args.json_paths),
     )
     print(json.dumps(report, default=str))
     spark.stop()

@@ -103,3 +103,43 @@ def test_run_profile_privacy_gini_jackknife(spark, tmp_path):
     assert 0.0 <= rep["gini"]["v:id"]["gini"] <= 1.0
     jk = rep["jackknife"]["v:one:id"]
     assert jk["ci_lo"] <= jk["ratio"] <= jk["ci_hi"]
+
+
+def test_run_profile_wq_cfd_json(spark, tmp_path):
+    run_profile = _job("run_profile")
+    out = str(tmp_path / "out_wcj")
+    df = spark.createDataFrame(
+        [
+            (
+                i,
+                float(i % 10 + 1),
+                1.0,
+                "a" if i % 2 else "b",
+                i % 5,
+                (i % 5) * 10 if i % 2 else i,  # FD k->r holds only for cond 'a'
+                '{"k": 1}' if i % 3 else '{"k": "s"}',
+            )
+            for i in range(60)
+        ],
+        "id bigint, v double, one double, cond string, k bigint, "
+        "r bigint, props string",
+    )
+    rep = run_profile(
+        spark,
+        df,
+        output=out,
+        snapshot="s1",
+        wq_specs=("v:one:id",),
+        cfd_specs=("cond:k:r",),
+        json_specs=("props:$.k|$.absent",),
+    )
+    wq = {r["q_pct"]: r["value"] for r in rep["weighted_quantiles"]["v:one:id"]}
+    assert set(wq) == {25, 50, 75} and wq[25] <= wq[50] <= wq[75]
+    cfd = {r["cond"]: r["holds"] for r in rep["cfd"]["cond:k:r"]}
+    assert cfd == {"a": True, "b": False}
+    jp = {
+        (r["path"], r["type_class"]): r["n"]
+        for r in rep["json_paths"]["props:$.k|$.absent"]
+    }
+    assert jp[("$.k", "number")] == 40 and jp[("$.k", "string")] == 20
+    assert jp[("$.absent", "missing")] == 60
