@@ -1178,3 +1178,49 @@ def test_weighted_quantile_hand_computed(spark):
         for r in weighted_quantile(df2, "v", "w", "id", (50,)).collect()
     }
     assert out2[50] == 5  # lower median of 1..10
+
+
+def test_welch_t_hand_computed(spark):
+    import math as _m
+
+    from xmlschemavalidator_spark.checks.stats import welch_t
+
+    a = [2.0, 4.0, 6.0]   # mean 4, var 4
+    b = [1.0, 2.0, 3.0]   # mean 2, var 1
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    [r] = welch_t(df, "v", "g", "a", "b").collect()
+    sea, seb = 4.0 / 3, 1.0 / 3
+    se2 = sea + seb
+    want_t = 2.0 / _m.sqrt(se2)
+    want_df = se2 * se2 / (sea * sea / 2 + seb * seb / 2)
+    assert (r["n_a"], r["n_b"]) == (3, 3)
+    assert (r["mean_a"], r["mean_b"], r["mean_diff"]) == (4.0, 2.0, 2.0)
+    assert abs(r["t"] - want_t) < 1e-6
+    assert abs(r["df_welch"] - want_df) < 1e-6
+    # |t| = 1.549 < 1.960 -> not significant at the normal 5% level
+    assert r["significant"] is False
+
+    # a clearly-separated pair IS significant
+    big = [("a", 10.0 + (i % 3) * 0.1) for i in range(30)] + [
+        ("b", 1.0 + (i % 3) * 0.1) for i in range(30)
+    ]
+    [s] = welch_t(
+        spark.createDataFrame(big, "g string, v double"), "v", "g", "a", "b"
+    ).collect()
+    assert s["significant"] is True and s["t"] > 0
+
+    # degenerate: both groups constant -> zero variance -> NULL t
+    c = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 2.0)],
+        "g string, v double",
+    )
+    [z] = welch_t(c, "v", "g", "a", "b").collect()
+    assert z["t"] is None and z["df_welch"] is None
+    assert z["significant"] is False
+    # single-row group -> NULL (df undefined)
+    d = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("b", 3.0)], "g string, v double"
+    )
+    [w] = welch_t(d, "v", "g", "a", "b").collect()
+    assert w["t"] is None

@@ -1587,3 +1587,83 @@ SELECT {gsel}q_pct, v AS value, CAST(c AS BIGINT) AS cum_weight_q,
        CAST(tot AS BIGINT) AS total_weight_q
 FROM cum JOIN q ON c * 100 >= q_pct * tot
                 AND (c - w) * 100 < q_pct * tot"""
+
+
+def welch_t(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    quantum: int = 1_000_000,
+    t_crit_milli: int = 1960,
+    round_to: int = 6,
+) -> DataFrame:
+    """Welch's unequal-variance t-test between two groups — the two-sample
+    mean comparison that does NOT assume equal spreads (Welch 1947), which
+    is the honest default on web data where group variances differ by
+    orders of magnitude (en vs a tail language): ONE row ``(n_a, n_b,
+    mean_a, mean_b, mean_diff, t, df_welch, significant)`` with
+    t = (m_a − m_b) / √(s_a²/n_a + s_b²/n_b) and the Welch–Satterthwaite
+    degrees of freedom
+    df = (s_a²/n_a + s_b²/n_b)² / ((s_a²/n_a)²/(n_a−1) + (s_b²/n_b)²/(n_b−1)).
+
+    Where :func:`cohens_d` pools the variances (a magnitude statement),
+    Welch keeps them separate (an inference statement) — together with
+    the Mann–Whitney U they complete the two-sample toolkit: parametric
+    unequal-variance, effect size, and rank-based.
+
+    Exactness: the house quantized DECIMAL(38,0) moment sums per group
+    in one partial-agg pass, then a fixed double chain (two divisions,
+    one sqrt — correctly-rounded IEEE ops). ``significant`` compares
+    |t|·1000 against the integer ``t_crit_milli`` (1960 = the two-sided
+    5% NORMAL approximation — exact for the corpus-sized n this engine
+    runs at, where df_welch is in the thousands and t ≈ z; at small df
+    read df_welch against a t-table instead). Degenerate inputs (either
+    group < 2 rows, or both variances zero) yield NULL t/df_welch and
+    significant=false, never a div/0.
+
+    Scale shape: one scan, one partial+final aggregate of six sums —
+    the same single-row reduction as cohens_d; nothing here grows with
+    corpus size.
+    """
+    v = F.col(value_col).cast("double")
+    q = F.floor(v * F.lit(quantum)).cast("decimal(38,0)")
+    base = df.where(
+        v.isNotNull() & F.col(group_col).isin([group_a, group_b])
+    ).select((F.col(group_col) == group_a).alias("_ga"), q.alias("_q"))
+    agg = base.agg(
+        F.sum(F.col("_ga").cast("long")).cast("bigint").alias("n_a"),
+        F.sum((~F.col("_ga")).cast("long")).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("_ga"), F.col("_q"))).alias("sa"),
+        F.sum(F.when(~F.col("_ga"), F.col("_q"))).alias("sb"),
+        F.sum(F.when(F.col("_ga"), F.col("_q") * F.col("_q"))).alias("saa"),
+        F.sum(F.when(~F.col("_ga"), F.col("_q") * F.col("_q"))).alias("sbb"),
+    )
+    qd = F.lit(float(quantum))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    sa, sb = F.col("sa").cast("double"), F.col("sb").cast("double")
+    saa, sbb = F.col("saa").cast("double"), F.col("sbb").cast("double")
+    ma, mb = sa / na / qd, sb / nb / qd
+    va = (saa - sa * sa / na) / (na - F.lit(1.0)) / (qd * qd)
+    vb = (sbb - sb * sb / nb) / (nb - F.lit(1.0)) / (qd * qd)
+    sea, seb = va / na, vb / nb
+    se2 = sea + seb
+    tval = (ma - mb) / F.sqrt(se2)
+    dfw = (se2 * se2) / (
+        sea * sea / (na - F.lit(1.0)) + seb * seb / (nb - F.lit(1.0))
+    )
+    ok = (F.col("n_a") > 1) & (F.col("n_b") > 1)
+    tcol = F.when(ok & (se2 > 0), tval)
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(F.when(F.col("n_a") > 0, ma), round_to).alias("mean_a"),
+        F.round(F.when(F.col("n_b") > 0, mb), round_to).alias("mean_b"),
+        F.round(F.when(ok, ma - mb), round_to).alias("mean_diff"),
+        F.round(tcol, round_to).alias("t"),
+        F.round(F.when(ok & (se2 > 0), dfw), round_to).alias("df_welch"),
+        F.coalesce(
+            F.abs(tcol) * 1000 > F.lit(float(t_crit_milli)), F.lit(False)
+        ).alias("significant"),
+    )

@@ -13170,6 +13170,63 @@ def anova_f_doc_length(spark, sf_dir):
     return anova_f(docs, "n_chars", "lang")
 
 
+@q(
+    "welch_t_doc_length",
+    """WITH b AS (SELECT lang = 'en' AS ga,
+                         CAST(floor(CAST(n_chars AS DOUBLE) * 1000000)
+                              AS DECIMAL(38,0)) AS q
+                  FROM documents
+                  WHERE n_chars IS NOT NULL AND lang IN ('en', 'de')),
+       a AS (SELECT CAST(sum(CASE WHEN ga THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                    CAST(sum(CASE WHEN ga THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+                    sum(CASE WHEN ga THEN q END) AS sa,
+                    sum(CASE WHEN ga THEN NULL ELSE q END) AS sb,
+                    sum(CASE WHEN ga THEN q * q END) AS saa,
+                    sum(CASE WHEN ga THEN NULL ELSE q * q END) AS sbb
+             FROM b),
+       c AS (SELECT *, CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+                    CAST(sa AS DOUBLE) AS dsa, CAST(sb AS DOUBLE) AS dsb,
+                    CAST(saa AS DOUBLE) AS dsaa, CAST(sbb AS DOUBLE) AS dsbb
+             FROM a),
+       d AS (SELECT *,
+                    dsa / na / 1000000.0 AS ma, dsb / nb / 1000000.0 AS mb,
+                    (dsaa - dsa * dsa / na) / (na - 1.0) / 1e12 AS va,
+                    (dsbb - dsb * dsb / nb) / (nb - 1.0) / 1e12 AS vb
+             FROM c),
+       e AS (SELECT *, va / na AS sea, vb / nb AS seb,
+                    va / na + vb / nb AS se2
+             FROM d),
+       f AS (SELECT *,
+                    CASE WHEN n_a > 1 AND n_b > 1 AND se2 > 0
+                         THEN (ma - mb) / sqrt(se2) END AS tv,
+                    CASE WHEN n_a > 1 AND n_b > 1 AND se2 > 0
+                         THEN (se2 * se2)
+                              / (sea * sea / (na - 1.0)
+                                 + seb * seb / (nb - 1.0)) END AS dfw
+             FROM e)
+       SELECT n_a, n_b,
+              round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+              round(CASE WHEN n_a > 1 AND n_b > 1 THEN ma - mb END, 6)
+                  AS mean_diff,
+              round(tv, 6) AS t,
+              round(dfw, 6) AS df_welch,
+              coalesce(abs(tv) * 1000 > 1960.0, false) AS significant
+       FROM f""",
+)
+def welch_t_doc_length(spark, sf_dir):
+    """Welch's unequal-variance t-test on en-vs-de document lengths
+    (checks/stats.py:welch_t) — the inference companion to cohens_d on
+    the same pair: separate per-group variances (the honest default on
+    web data) and the Welch-Satterthwaite df. Quantized DECIMAL moment
+    sums in one pass; fixed double chain for t/df."""
+    from xmlschemavalidator_spark.checks.stats import welch_t
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("n_chars").isNotNull() & F.col("lang").isin(["en", "de"])
+    )
+    return welch_t(docs, "n_chars", "lang", "en", "de")
+
+
 def _wilson_oracle() -> str:
     sqls = _documents_ruleset_v2().compile_sql()
     rids = sorted(sqls)
