@@ -1224,3 +1224,72 @@ def test_welch_t_hand_computed(spark):
     )
     [w] = welch_t(d, "v", "g", "a", "b").collect()
     assert w["t"] is None
+
+
+def test_semantic_type_classifier_every_class(spark):
+    from xmlschemavalidator_spark.checks.semantic import (
+        dominant_semantic_types,
+        semantic_type_census,
+        semantic_type_violations,
+    )
+
+    rows = [
+        ("1", None),                                   # null
+        ("2", ""),                                     # empty
+        ("3", "  \t"),                                 # empty (ws only)
+        ("4", "true"), ("5", "FALSE"),                 # bool
+        ("6", "42"), ("7", "-17"), ("8", "+005"),      # integer
+        ("9", "3.14"), ("10", "-.5"), ("11", "1e5"),   # decimal
+        ("12", "6F9619FF-8B86-D011-B42D-00C04FC964FF"),  # uuid (upper)
+        ("13", "192.168.0.1"), ("14", "255.255.255.255"),  # ipv4
+        ("15", "256.1.1.1"),                           # NOT ipv4 -> text
+        ("16", "alice.smith+tag@sub.example.co"),      # email
+        ("17", "https://example.com/a?b=1"),           # url
+        ("18", "2024-02-29T23:59:59.123Z"),            # iso_timestamp
+        ("19", "2024-12-31"),                          # iso_date
+        ("20", "2024-13-01"),                          # bad month -> text
+        ("21", "d41d8cd98f00b204e9800998ecf8427e"),    # hex_hash (md5)
+        ("22", "hello world"),                         # text
+    ]
+    df = spark.createDataFrame(rows, "id string, v string")
+    census = {
+        (r["sem_type"]): r["n"]
+        for r in semantic_type_census(df, ["v"]).collect()
+    }
+    assert census == {
+        "null": 1, "empty": 2, "bool": 2, "integer": 3, "decimal": 3,
+        "uuid": 1, "ipv4": 2, "email": 1, "url": 1, "iso_timestamp": 1,
+        "iso_date": 1, "hex_hash": 1, "text": 3,
+    }
+    total = sum(census.values())
+    [share] = [
+        r["share_micro"]
+        for r in semantic_type_census(df, ["v"]).collect()
+        if r["sem_type"] == "integer"
+    ]
+    assert share == 3 * 1_000_000 // total
+
+    # dominance excludes null/empty; integer/decimal/text tie at 3 ->
+    # tie broken by class name ascending: decimal
+    [d] = dominant_semantic_types(df, ["v"], min_share_micro=500_000).collect()
+    assert d["dominant_type"] == "decimal" and d["n_typed"] == total - 3
+    assert d["conforming"] is False
+
+    # conformance: declared integer -> everything non-integer violates,
+    # including NULL
+    viol = semantic_type_violations(df, "v", "integer", "id").collect()
+    ids = sorted(int(r["id"]) for r in viol)
+    assert ids == [i for i in range(1, 23) if i not in (6, 7, 8)]
+    assert all(r["rule_id"] == "semantic_v_integer" for r in viol)
+
+    # a declared hex_hash CONFORMS even when the census would read an
+    # all-digit hash as integer (first-match-wins vs declared-type)
+    h = spark.createDataFrame(
+        [("1", "1" * 32)], "id string, v string"
+    )
+    assert semantic_type_violations(h, "v", "hex_hash", "id").count() == 0
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        semantic_type_violations(df, "v", "nonsense", "id")

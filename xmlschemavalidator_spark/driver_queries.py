@@ -15604,3 +15604,185 @@ def ann_recall_ivf_vs_exact(spark, sf_dir):
         )
         out = rep if out is None else out.unionByName(rep)
     return out
+
+
+# ===========================================================================
+# semantic type inference (checks/semantic.py)
+# ===========================================================================
+
+_SEMANTIC_STAGED_SQL = """SELECT
+  CAST(event_id AS VARCHAR) AS id_str,
+  strftime(ts, '%Y-%m-%d') AS date_str,
+  strftime(ts, '%Y-%m-%dT%H:%M:%S') AS ts_str,
+  (CASE WHEN event_id % 2 = 0 THEN '-' ELSE '' END)
+    || CAST(user_id % 1000 AS VARCHAR) || '.'
+    || CAST(event_id % 100 AS VARCHAR) AS dec_str,
+  event_type AS type_str,
+  md5(CAST(event_id AS VARCHAR)) AS hash_str,
+  substr(md5(CAST(event_id AS VARCHAR)), 1, 8) || '-'
+    || substr(md5(CAST(event_id AS VARCHAR)), 9, 4) || '-'
+    || substr(md5(CAST(event_id AS VARCHAR)), 13, 4) || '-'
+    || substr(md5(CAST(event_id AS VARCHAR)), 17, 4) || '-'
+    || substr(md5(CAST(event_id AS VARCHAR)), 21, 12) AS uuid_str,
+  event_type || '.' || CAST(user_id % 500 AS VARCHAR)
+    || '@example.com' AS email_str,
+  CAST(user_id % 223 + 1 AS VARCHAR) || '.'
+    || CAST(event_id % 256 AS VARCHAR) || '.'
+    || CAST(user_id % 256 AS VARCHAR) || '.'
+    || CAST(event_id * 7 % 256 AS VARCHAR) AS ip_str,
+  'https://example.com/' || event_type || '/'
+    || CAST(event_id AS VARCHAR) AS url_str,
+  CASE WHEN event_id % 2 = 0 THEN 'true' ELSE 'False' END AS bool_str,
+  CASE WHEN event_id % 10 = 0 THEN event_type
+       ELSE CAST(event_id AS VARCHAR) END AS mixed_str
+FROM events"""
+
+_SEMANTIC_COLS = [
+    "id_str", "date_str", "ts_str", "dec_str", "type_str", "hash_str",
+    "uuid_str", "email_str", "ip_str", "url_str", "bool_str", "mixed_str",
+]
+
+
+def _semantic_staged(spark, sf_dir):
+    """The 'CSV landed as all-VARCHAR' staging table, built identically
+    on both engines from events: one planted column per semantic class
+    plus a 90/10 integer/text mix for the dominance threshold."""
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    h = F.md5(eid.cast("string"))
+    return ev.select(
+        eid.cast("string").alias("id_str"),
+        F.date_format("ts", "yyyy-MM-dd").alias("date_str"),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("ts_str"),
+        F.concat(
+            F.when(eid % 2 == 0, F.lit("-")).otherwise(F.lit("")),
+            (F.col("user_id") % 1000).cast("string"),
+            F.lit("."),
+            (eid % 100).cast("string"),
+        ).alias("dec_str"),
+        F.col("event_type").alias("type_str"),
+        h.alias("hash_str"),
+        F.concat_ws(
+            "-",
+            F.substring(h, 1, 8),
+            F.substring(h, 9, 4),
+            F.substring(h, 13, 4),
+            F.substring(h, 17, 4),
+            F.substring(h, 21, 12),
+        ).alias("uuid_str"),
+        F.concat(
+            F.col("event_type"),
+            F.lit("."),
+            (F.col("user_id") % 500).cast("string"),
+            F.lit("@example.com"),
+        ).alias("email_str"),
+        F.concat(
+            (F.col("user_id") % 223 + 1).cast("string"),
+            F.lit("."),
+            (eid % 256).cast("string"),
+            F.lit("."),
+            (F.col("user_id") % 256).cast("string"),
+            F.lit("."),
+            (eid * 7 % 256).cast("string"),
+        ).alias("ip_str"),
+        F.concat(
+            F.lit("https://example.com/"),
+            F.col("event_type"),
+            F.lit("/"),
+            eid.cast("string"),
+        ).alias("url_str"),
+        F.when(eid % 2 == 0, F.lit("true"))
+        .otherwise(F.lit("False"))
+        .alias("bool_str"),
+        F.when(eid % 10 == 0, F.col("event_type"))
+        .otherwise(eid.cast("string"))
+        .alias("mixed_str"),
+    )
+
+
+def _semantic_census_oracle() -> str:
+    from xmlschemavalidator_spark.checks.semantic import (
+        semantic_census_oracle_sql,
+    )
+
+    return semantic_census_oracle_sql(_SEMANTIC_STAGED_SQL, _SEMANTIC_COLS)
+
+
+@q("semantic_type_census", _semantic_census_oracle())
+def semantic_type_census_staged(spark, sf_dir):
+    """Semantic type inference census (checks/semantic.py:
+    semantic_type_census) — 'the CSV landed with every column as
+    VARCHAR; what are these columns really?': the ordered first-match
+    rule table (bool/integer/decimal/uuid/ipv4/email/url/iso dates/
+    hex hashes) classifies 12 staged columns in ONE scan (per-row
+    struct array, exploded and partially aggregated before the single
+    tiny shuffle). The oracle replays the SAME rule table through
+    DuckDB regexp_matches — the shared-rule-table pattern. Regexes are
+    Java/RE2-portable by construction (explicit classes, no lookaround)."""
+    from xmlschemavalidator_spark.checks.semantic import semantic_type_census
+
+    return semantic_type_census(_semantic_staged(spark, sf_dir), _SEMANTIC_COLS)
+
+
+def _semantic_dominant_oracle() -> str:
+    from xmlschemavalidator_spark.checks.semantic import dominant_oracle_sql
+
+    return dominant_oracle_sql(
+        _SEMANTIC_STAGED_SQL, _SEMANTIC_COLS, min_share_micro=800_000
+    )
+
+
+@q("semantic_dominant_types", _semantic_dominant_oracle())
+def semantic_dominant_types_staged(spark, sf_dir):
+    """Per-column dominance verdicts (checks/semantic.py:
+    dominant_semantic_types): the most frequent class among typed
+    values with an integer-micro share threshold — the 90/10 mixed
+    column must still read 'integer, conforming' at 800000 micro while
+    the share itself exposes the 10% contamination. Window over the
+    census aggregate; still one corpus scan."""
+    from xmlschemavalidator_spark.checks.semantic import (
+        dominant_semantic_types,
+    )
+
+    return dominant_semantic_types(
+        _semantic_staged(spark, sf_dir), _SEMANTIC_COLS,
+        min_share_micro=800_000,
+    )
+
+
+def _semantic_viol_oracle() -> str:
+    from xmlschemavalidator_spark.checks.semantic import (
+        semantic_violations_oracle_sql,
+    )
+
+    return semantic_violations_oracle_sql(
+        "SELECT event_id, mixed_str FROM (" + _SEMANTIC_STAGED_SQL.replace(
+            "CAST(event_id AS VARCHAR) AS id_str",
+            "event_id, CAST(event_id AS VARCHAR) AS id_str",
+        ) + ")",
+        "mixed_str",
+        "integer",
+        "event_id",
+    )
+
+
+@q("semantic_violations_mixed", _semantic_viol_oracle())
+def semantic_violations_mixed(spark, sf_dir):
+    """Declared-type conformance (checks/semantic.py:
+    semantic_type_violations): mixed_str declared integer — the planted
+    10% text rows come back as the engine's standard violation rows
+    (id, rule_id, observed_value). Declared-type regex, not the census
+    classifier (an all-digit hash conforms to declared hex_hash).
+    Narrow filter: zero shuffles."""
+    from xmlschemavalidator_spark.checks.semantic import (
+        semantic_type_violations,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    staged = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 10 == 0, F.col("event_type"))
+        .otherwise(F.col("event_id").cast("string"))
+        .alias("mixed_str"),
+    )
+    return semantic_type_violations(staged, "mixed_str", "integer", "event_id")
