@@ -1293,3 +1293,55 @@ def test_semantic_type_classifier_every_class(spark):
 
     with _pt.raises(ValueError):
         semantic_type_violations(df, "v", "nonsense", "id")
+
+
+def test_denial_constraints_planted(spark):
+    import pytest as _pt
+
+    from xmlschemavalidator_spark.checks.denial import (
+        Pred,
+        denial_block_counts,
+        denial_hot_blocks,
+        denial_violations,
+    )
+
+    # "same part: more quantity never costs less"
+    rows = [
+        # part 1: monotone — no violations
+        (1, 1, 1.0, 10.0), (2, 1, 2.0, 20.0), (3, 1, 3.0, 30.0),
+        # part 2: row 5 has more qty but LOWER price than row 4
+        (4, 2, 5.0, 50.0), (5, 2, 6.0, 40.0),
+        # part 3: null price -> predicate never fires
+        (6, 3, 1.0, None), (7, 3, 2.0, 10.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, pk long, qty double, price double")
+    dc = [Pred("pk", "=", "pk"), Pred("qty", ">", "qty"), Pred("price", "<", "price")]
+    got = {(r["id_a"], r["id_b"]) for r in denial_violations(df, dc, "id").collect()}
+    assert got == {(5, 4)}
+    [r] = denial_violations(df, dc, "id").collect()
+    assert r["rule_id"] == "dc_pk"
+
+    # block-count triage shape
+    [b] = denial_block_counts(df, dc, "id").collect()
+    assert (b["pk"], b["n_pairs"]) == (2, 1)
+
+    # cap: block of part 2 excluded at max_block=1 -> no violations,
+    # and the audit surfaces every oversized block
+    assert denial_violations(df, dc, "id", max_block=1).count() == 0
+    hot = {(r["pk"], r["n_rows"]) for r in denial_hot_blocks(df, dc, max_block=2).collect()}
+    assert hot == {(1, 3)}
+
+    # unblocked DC refused
+    with _pt.raises(ValueError):
+        denial_violations(df, [Pred("qty", ">", "qty")], "id")
+    with _pt.raises(ValueError):
+        Pred("a", "~", "b")
+
+    # symmetric DC (an FD as a DC) yields both orientations
+    fd = [Pred("pk", "=", "pk"), Pred("qty", "=", "qty"), Pred("price", "!=", "price")]
+    df2 = spark.createDataFrame(
+        [(1, 1, 2.0, 10.0), (2, 1, 2.0, 11.0)],
+        "id long, pk long, qty double, price double",
+    )
+    got2 = {(r["id_a"], r["id_b"]) for r in denial_violations(df2, fd, "id").collect()}
+    assert got2 == {(1, 2), (2, 1)}

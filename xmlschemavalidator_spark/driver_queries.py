@@ -15786,3 +15786,96 @@ def semantic_violations_mixed(spark, sf_dir):
         .alias("mixed_str"),
     )
     return semantic_type_violations(staged, "mixed_str", "integer", "event_id")
+
+
+# ===========================================================================
+# denial constraints (checks/denial.py)
+# ===========================================================================
+
+# the synthetic lineitem does NOT have unique (orderkey, linenumber) —
+# the uniqueness_duplicates query exists because of exactly that — so the
+# staged row id is a per-part row_number (deterministic: ties on the full
+# ordering tuple are byte-identical rows, hence interchangeable labels)
+_DC_STAGED_SQL = (
+    "SELECT l_partkey * 100000 + row_number() OVER ("
+    " PARTITION BY l_partkey ORDER BY l_orderkey, l_linenumber,"
+    " l_quantity, l_extendedprice) AS lid,"
+    " l_partkey, l_quantity, l_extendedprice FROM lineitem"
+)
+
+
+def _dc_preds():
+    from xmlschemavalidator_spark.checks.denial import Pred
+
+    return [
+        Pred("l_partkey", "=", "l_partkey"),
+        Pred("l_quantity", ">", "l_quantity"),
+        Pred("l_extendedprice", "<", "l_extendedprice"),
+    ]
+
+
+def _dc_staged(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey").orderBy(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    return li.select(
+        (F.col("l_partkey") * 100000 + F.row_number().over(w)).alias("lid"),
+        "l_partkey",
+        "l_quantity",
+        "l_extendedprice",
+    )
+
+
+def _dc_counts_oracle() -> str:
+    from xmlschemavalidator_spark.checks.denial import (
+        denial_block_counts_oracle_sql,
+    )
+
+    return denial_block_counts_oracle_sql(
+        _DC_STAGED_SQL, _dc_preds(), "lid", rule_id="dc_price_monotone"
+    )
+
+
+@q("denial_constraint_block_counts", _dc_counts_oracle())
+def denial_constraint_block_counts(spark, sf_dir):
+    """Denial constraint over lineitem (checks/denial.py) — the DC
+    ¬(t.partkey = u.partkey ∧ t.qty > u.qty ∧ t.price < u.price):
+    'for the same part, more quantity never costs less'. Blocked
+    self-join on the equality predicate (Catalyst extracts it as the
+    join key, the comparisons ride as join filters), hot blocks capped
+    + audited, per-block violation tallies as the compact triage shape
+    (the full ordered-pair list is 440k rows at sf0.01 — the tallies
+    are what a human reads first). Pairs shuffle only inside blocks."""
+    from xmlschemavalidator_spark.checks.denial import denial_block_counts
+
+    return denial_block_counts(
+        _dc_staged(spark, sf_dir), _dc_preds(), "lid",
+        rule_id="dc_price_monotone",
+    )
+
+
+def _dc_pairs_oracle() -> str:
+    from xmlschemavalidator_spark.checks.denial import denial_oracle_sql
+
+    return denial_oracle_sql(
+        "SELECT * FROM (" + _DC_STAGED_SQL + ") WHERE l_partkey % 97 = 0",
+        _dc_preds(),
+        "lid",
+        rule_id="dc_price_monotone",
+    )
+
+
+@q("denial_constraint_pairs", _dc_pairs_oracle())
+def denial_constraint_pairs(spark, sf_dir):
+    """The same DC's ordered violating PAIRS (id_a, id_b, rule_id) on a
+    1/97 slice of parts — the full-fidelity shape, oracle-replayed
+    exactly (same blocking, same cap, same three-valued null
+    semantics). Asymmetric predicates make the pair orientation
+    meaningful: id_a is the more-quantity-cheaper row."""
+    from xmlschemavalidator_spark.checks.denial import denial_violations
+
+    staged = _dc_staged(spark, sf_dir).where(F.col("l_partkey") % 97 == 0)
+    return denial_violations(
+        staged, _dc_preds(), "lid", rule_id="dc_price_monotone"
+    )
