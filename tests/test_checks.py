@@ -1345,3 +1345,69 @@ def test_denial_constraints_planted(spark):
     )
     got2 = {(r["id_a"], r["id_b"]) for r in denial_violations(df2, fd, "id").collect()}
     assert got2 == {(1, 2), (2, 1)}
+
+
+def test_poisson_bootstrap_python_replay(spark):
+    import hashlib
+
+    from xmlschemavalidator_spark.checks.bootstrap import (
+        poisson_bootstrap_mean,
+        poisson_thresholds,
+    )
+
+    vals = [(i, float(10 + (i * 7) % 13)) for i in range(1, 81)]
+    df = spark.createDataFrame(vals, "id long, v double")
+    n_reps = 50
+    [r] = poisson_bootstrap_mean(
+        df, "v", "id", n_reps=n_reps, salt="t"
+    ).collect()
+
+    # full Python replay of the same content-addressed draws
+    ts = poisson_thresholds()
+
+    def weight(rep, rid):
+        h = hashlib.md5(f"t:{rep}:{rid}".encode()).hexdigest()
+        return sum(1 for t in ts if h >= t)
+
+    means = []
+    for rep in range(n_reps):
+        sw = sum(weight(rep, i) * int(v * 1_000_000) for i, v in vals)
+        n = sum(weight(rep, i) for i, v in vals)
+        means.append(sw / n / 1_000_000)
+    means.sort()
+    lo = round(means[(n_reps - 1) * 2500 // 100_000], 6)
+    hi = round(means[(n_reps - 1) * 97500 // 100_000], 6)
+    want_mean = round(
+        sum(int(v * 1e6) for _, v in vals) / len(vals) / 1e6, 6
+    )
+    assert r["n"] == 80 and r["n_reps"] == n_reps
+    assert r["mean"] == want_mean
+    assert (r["ci_lo"], r["ci_hi"]) == (lo, hi)
+    assert r["ci_lo"] <= r["mean"] <= r["ci_hi"]
+
+    # determinism: same salt -> identical CI; different salt -> different
+    [r2] = poisson_bootstrap_mean(df, "v", "id", n_reps=n_reps, salt="t").collect()
+    assert (r2["ci_lo"], r2["ci_hi"]) == (r["ci_lo"], r["ci_hi"])
+    [r3] = poisson_bootstrap_mean(df, "v", "id", n_reps=n_reps, salt="u").collect()
+    assert (r3["ci_lo"], r3["ci_hi"]) != (r["ci_lo"], r["ci_hi"])
+
+    # grouped: one CI row per group, each bracketing its own mean
+    rows = [(i, "a", 1.0 + i % 3) for i in range(60)] + [
+        (i + 100, "b", 100.0 + i % 5) for i in range(60)
+    ]
+    gdf = spark.createDataFrame(rows, "id long, g string, v double")
+    got = {
+        r["g"]: r
+        for r in poisson_bootstrap_mean(
+            gdf, "v", "id", group_cols=("g",), n_reps=40
+        ).collect()
+    }
+    assert set(got) == {"a", "b"}
+    for k, rr in got.items():
+        assert rr["ci_lo"] <= rr["mean"] <= rr["ci_hi"]
+    assert got["b"]["ci_lo"] > got["a"]["ci_hi"]
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        poisson_bootstrap_mean(df, "v", "id", n_reps=1)

@@ -716,3 +716,51 @@ def test_weighted_quantile_one_sort_one_exchange(spark):
     assert n_scans(p) == 1
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
     assert len(re.findall(r"\(\d+\) Sort\b", p)) == 1
+
+
+def test_poisson_bootstrap_partial_agg_below_exchange(spark):
+    """The replicate explode must collapse MAP-SIDE: the per-(group,rep)
+    hash aggregate appears in partial mode BELOW the exchange, so the
+    shuffle carries partitions x groups x (R+1) pre-combined rows, never
+    n x R exploded rows. Also exactly one parquet scan (the rep -1
+    point-estimate lane rides the same aggregate)."""
+    import re
+
+    from xmlschemavalidator_spark.checks.bootstrap import (
+        poisson_bootstrap_mean,
+    )
+
+    docs = _docs(spark)
+    df = poisson_bootstrap_mean(
+        docs, "n_chars", "doc_id", group_cols=("lang",), n_reps=50
+    )
+    p = fmt(df)
+    # the per-replicate aggregate is checkpointed once: the final plan
+    # (point + both percentile picks) re-reads the tiny materialized
+    # table and never re-scans the corpus or re-explodes replicates
+    assert n_scans(p) == 0
+    assert "Generate" not in p
+
+    # the materialization itself collapses map-side: partial agg below
+    # the exchange, one corpus scan, explode below the aggregate
+    from pyspark.sql import functions as F2
+
+    v = F2.col("n_chars").cast("double")
+    base = docs.where(v.isNotNull()).select(
+        "lang",
+        F2.floor(v * F2.lit(1_000_000)).cast("decimal(38,0)").alias("_q"),
+        F2.col("doc_id").cast("string").alias("_id"),
+    )
+    long = base.select(
+        "lang", "_q", "_id",
+        F2.explode(F2.sequence(F2.lit(-1), F2.lit(49))).alias("rep"),
+    )
+    agg = long.groupBy("lang", "rep").agg(F2.sum("_q").alias("s"))
+    p2 = fmt(agg)
+    assert n_scans(p2) == 1
+    first_ha = p2.find("HashAggregate")
+    exch = p2.find("Exchange")
+    gen = p2.find("Generate")
+    # tree prints top-down: final agg, exchange, partial agg ... generate
+    assert re.findall(r"\(\d+\) HashAggregate", p2).__len__() == 2
+    assert first_ha < exch < gen

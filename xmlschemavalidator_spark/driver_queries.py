@@ -15879,3 +15879,42 @@ def denial_constraint_pairs(spark, sf_dir):
     return denial_violations(
         staged, _dc_preds(), "lid", rule_id="dc_price_monotone"
     )
+
+
+# ===========================================================================
+# Poisson bootstrap (checks/bootstrap.py)
+# ===========================================================================
+
+def _boot_oracle() -> str:
+    from xmlschemavalidator_spark.checks.bootstrap import (
+        poisson_bootstrap_oracle_sql,
+    )
+
+    return poisson_bootstrap_oracle_sql(
+        "SELECT doc_id, lang, n_chars FROM documents",
+        "n_chars", "doc_id", group_cols=("lang",), n_reps=200, salt="boot",
+    )
+
+
+@q("poisson_bootstrap_mean_chars", _boot_oracle())
+def poisson_bootstrap_mean_chars(spark, sf_dir):
+    """Poisson bootstrap 95% CI for per-language mean document length
+    (checks/bootstrap.py:poisson_bootstrap_mean — Chamandy et al.'s
+    at-scale bootstrap): the classical resample-n-rows-R-times is
+    unimplementable at 10^12 docs; Poisson(1) weights per (row,
+    replicate) need ONE streaming pass. Weights are content-addressed
+    (md5 hex vs precomputed inverse-CDF thresholds — the engine's
+    md5-threshold trick lifted from sampling to RESAMPLING), so the
+    oracle replays every draw bit-exactly. Replicates explode map-side
+    and partially aggregate before the single shuffle (exchange carries
+    partitions x langs x 201 rows, never n x R); integer rank picks, no
+    percentile interpolation convention to diverge."""
+    from xmlschemavalidator_spark.checks.bootstrap import (
+        poisson_bootstrap_mean,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return poisson_bootstrap_mean(
+        docs, "n_chars", "doc_id", group_cols=("lang",), n_reps=200,
+        salt="boot",
+    )
