@@ -468,3 +468,56 @@ def test_nelson_aalen_hand_computed(spark):
     assert out[2]["n_censored"] == 1
     assert out[3]["n_risk"] == 1 and out[3]["hazard_inc_micro"] == 1_000_000
     assert out[3]["cum_hazard_micro"] == 250_000 + 333_333 + 1_000_000
+
+
+def test_brier_decomposition_python_replay(spark):
+    import math
+
+    from xmlschemavalidator_spark.checks.evaluation import brier_decomposition
+
+    rows = [
+        (0.05, 0), (0.08, 0), (0.12, 0), (0.15, 1),
+        (0.35, 0), (0.38, 1), (0.62, 1), (0.65, 0),
+        (0.85, 1), (0.88, 1), (0.92, 1), (0.95, 1), (1.0, 1),
+    ]
+    df = spark.createDataFrame(rows, "p double, y int")
+    [r] = brier_decomposition(df, "p", "y", n_bins=5).collect()
+
+    # exact replay of the quantized chains
+    n_bins = 5
+    bins = {}
+    for p, y in rows:
+        micro = min(max(math.floor(p * 1_000_000), 0), 1_000_000)
+        b = min(math.floor(micro * n_bins / 1_000_000), n_bins - 1)
+        n, sp, sy, sq = bins.get(b, (0, 0, 0, 0))
+        bins[b] = (n + 1, sp + micro, sy + y, sq + (micro - y * 1_000_000) ** 2)
+    N = sum(v[0] for v in bins.values())
+    SY = sum(v[2] for v in bins.values())
+    SQ = sum(v[3] for v in bins.values())
+    rel = sum(
+        math.floor((sp - sy * 1e6) ** 2 / (n * 1e12) * 1e12)
+        for n, sp, sy, _ in bins.values()
+    ) / 1e12 / N
+    ybar = SY / N
+    res = sum(
+        math.floor(n * (sy / n - ybar) ** 2 * 1e12)
+        for n, sp, sy, _ in bins.values()
+    ) / 1e12 / N
+    brier = SQ / (N * 1e12)
+    unc = SY * (N - SY) / (N * N)
+    assert r["n"] == N == 13
+    assert r["brier"] == round(brier, 6)
+    assert r["reliability"] == round(rel, 6)
+    assert r["resolution"] == round(res, 6)
+    assert r["uncertainty"] == round(unc, 6)
+    assert r["residual"] == round(brier - (rel - res + unc), 6)
+    # decomposition magnitudes are all probabilities-squared scale
+    assert 0 <= r["brier"] <= 1 and 0 <= r["uncertainty"] <= 0.25
+
+    # bin-constant forecasts -> residual exactly 0 (decomposition exact)
+    rows2 = [(0.1, 0)] * 9 + [(0.1, 1)] + [(0.9, 1)] * 9 + [(0.9, 0)]
+    df2 = spark.createDataFrame(rows2, "p double, y int")
+    [r2] = brier_decomposition(df2, "p", "y", n_bins=10).collect()
+    assert abs(r2["residual"]) < 1e-5
+    # and a perfectly calibrated bin-constant forecast: reliability = 0
+    assert r2["reliability"] == 0.0

@@ -913,3 +913,157 @@ def nelson_aalen(
             "hazard_inc_micro", "cum_hazard_micro",
         )
     )
+
+
+def brier_decomposition(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Brier score + Murphy (1973) decomposition over the same binning
+    as :func:`calibration_report`: one row ``(n, brier, reliability,
+    resolution, uncertainty, residual)`` —
+
+    * brier       = (1/N) Σ (p_i − y_i)²          (raw, unbinned)
+    * reliability = (1/N) Σ_b n_b (conf_b − acc_b)²   (miscalibration)
+    * resolution  = (1/N) Σ_b n_b (acc_b − ȳ)²    (how much the bins
+      separate outcomes — the term a sharper model grows)
+    * uncertainty = ȳ(1 − ȳ)                      (the data's own)
+    * residual    = brier − (rel − res + unc): the within-bin terms of
+      continuous forecasts (variance − 2·covariance, Stephenson et
+      al.'s generalized decomposition — sign-indefinite) — the
+      three-term decomposition is exact only for bin-constant
+      forecasts, so the residual is REPORTED rather than hidden.
+
+    Exactness: probabilities quantize to integer micros; the raw Brier
+    numerator Σ(p_micro − 1e6·y)² is an exact DECIMAL(38,0) sum. The
+    per-bin reliability/resolution terms are fixed double chains on
+    exact per-bin integer sums, FLOOR-quantized to integer picos and
+    summed in DECIMAL — order-independent across partitions/engines
+    (the float-sum reordering rule), at a 1e-12 quantization cost far
+    below the 6 dp output rounding.
+
+    Scale shape: ONE corpus scan into an n_bins-row aggregate; the
+    global row joins back via a broadcast of one row. Nothing grows
+    with corpus size.
+    """
+    if n_bins < 1:
+        raise ValueError(f"brier_decomposition: n_bins={n_bins}")
+    lab = F.col(label_col).cast("boolean")
+    micro = F.floor(F.col(prob_col).cast("double") * F.lit(1_000_000)).cast("bigint")
+    micro = F.least(F.greatest(micro, F.lit(0)), F.lit(1_000_000))
+    y6 = F.col("_y") * F.lit(1_000_000)
+    base = df.where(F.col(prob_col).isNotNull() & lab.isNotNull()).select(
+        F.least(
+            F.floor(micro * F.lit(n_bins) / F.lit(1_000_000)).cast("bigint"),
+            F.lit(n_bins - 1).cast("bigint"),
+        ).alias("bin"),
+        micro.alias("_p"),
+        lab.cast("long").alias("_y"),
+    )
+    bins = base.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum(F.col("_p").cast("decimal(38,0)")).alias("_sp"),
+        F.sum(F.col("_y").cast("decimal(38,0)")).alias("_sy"),
+        F.sum(
+            ((F.col("_p") - y6) * (F.col("_p") - y6)).cast("decimal(38,0)")
+        ).alias("_sq"),
+    )
+    glob = bins.agg(
+        F.sum("_n").cast("bigint").alias("_N"),
+        F.sum("_sy").alias("_SY"),
+        F.sum("_sq").alias("_SQ"),
+    )
+    b2 = bins.alias("b").crossJoin(F.broadcast(glob.alias("g")))
+    nd = F.col("b._n").cast("double")
+    gap = F.col("b._sp").cast("double") - F.col("b._sy").cast("double") * F.lit(1e6)
+    rel_term = gap * gap / (nd * F.lit(1e12))
+    accd = F.col("b._sy").cast("double") / nd
+    ybar = F.col("g._SY").cast("double") / F.col("g._N").cast("double")
+    res_term = nd * (accd - ybar) * (accd - ybar)
+    agg = b2.select(
+        F.col("g._N").alias("_N"),
+        F.col("g._SY").alias("_SY"),
+        F.col("g._SQ").alias("_SQ"),
+        F.floor(rel_term * F.lit(1e12)).cast("decimal(38,0)").alias("_relp"),
+        F.floor(res_term * F.lit(1e12)).cast("decimal(38,0)").alias("_resp"),
+    ).groupBy("_N", "_SY", "_SQ").agg(
+        F.sum("_relp").alias("_rel"), F.sum("_resp").alias("_res")
+    )
+    Nd = F.col("_N").cast("double")
+    brier = F.col("_SQ").cast("double") / (Nd * F.lit(1e12))
+    rel = F.col("_rel").cast("double") / F.lit(1e12) / Nd
+    res = F.col("_res").cast("double") / F.lit(1e12) / Nd
+    syd = F.col("_SY").cast("double")
+    unc = syd * (Nd - syd) / (Nd * Nd)
+    return agg.select(
+        F.col("_N").alias("n"),
+        F.round(brier, round_to).alias("brier"),
+        F.round(rel, round_to).alias("reliability"),
+        F.round(res, round_to).alias("resolution"),
+        F.round(unc, round_to).alias("uncertainty"),
+        F.round(brier - (rel - res + unc), round_to).alias("residual"),
+    )
+
+
+def brier_oracle_sql(
+    from_sql: str,
+    prob_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    round_to: int = 6,
+) -> str:
+    """DuckDB replay of :func:`brier_decomposition` — same micro/pico
+    quantization, same fixed double chains."""
+    return f"""WITH src AS ({from_sql}),
+base AS (SELECT least(CAST(floor(least(greatest(CAST(floor(
+                  CAST({prob_col} AS DOUBLE) * 1000000) AS BIGINT), 0),
+                  1000000) * {n_bins} / 1000000.0) AS BIGINT),
+                  {n_bins - 1}) AS bin,
+                least(greatest(CAST(floor(CAST({prob_col} AS DOUBLE)
+                  * 1000000) AS BIGINT), 0), 1000000) AS p,
+                CAST(CAST({label_col} AS BOOLEAN) AS BIGINT) AS y
+         FROM src
+         WHERE {prob_col} IS NOT NULL AND {label_col} IS NOT NULL),
+bins AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(p) AS HUGEINT) AS sp,
+                CAST(sum(y) AS HUGEINT) AS sy,
+                CAST(sum(CAST(p - y * 1000000 AS HUGEINT)
+                         * CAST(p - y * 1000000 AS HUGEINT)) AS HUGEINT) AS sq
+         FROM base GROUP BY bin),
+gtot AS (SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(sy) AS HUGEINT) AS gsy,
+                CAST(sum(sq) AS HUGEINT) AS gsq
+         FROM bins),
+terms AS (SELECT b.n, b.sp, b.sy, g.nn, g.gsy, g.gsq,
+       CAST(floor((CAST(b.sp AS DOUBLE) - CAST(b.sy AS DOUBLE) * 1e6)
+            * (CAST(b.sp AS DOUBLE) - CAST(b.sy AS DOUBLE) * 1e6)
+            / (CAST(b.n AS DOUBLE) * 1e12) * 1e12) AS HUGEINT) AS relp,
+       CAST(floor(CAST(b.n AS DOUBLE)
+            * (CAST(b.sy AS DOUBLE) / CAST(b.n AS DOUBLE)
+               - CAST(g.gsy AS DOUBLE) / CAST(g.nn AS DOUBLE))
+            * (CAST(b.sy AS DOUBLE) / CAST(b.n AS DOUBLE)
+               - CAST(g.gsy AS DOUBLE) / CAST(g.nn AS DOUBLE))
+            * 1e12) AS HUGEINT) AS resp
+    FROM bins b CROSS JOIN gtot g),
+agg AS (SELECT nn, gsy, gsq, CAST(sum(relp) AS HUGEINT) AS rel,
+               CAST(sum(resp) AS HUGEINT) AS res
+        FROM terms GROUP BY nn, gsy, gsq)
+SELECT nn AS n,
+  round(CAST(gsq AS DOUBLE) / (CAST(nn AS DOUBLE) * 1e12), {round_to})
+      AS brier,
+  round(CAST(rel AS DOUBLE) / 1e12 / CAST(nn AS DOUBLE), {round_to})
+      AS reliability,
+  round(CAST(res AS DOUBLE) / 1e12 / CAST(nn AS DOUBLE), {round_to})
+      AS resolution,
+  round(CAST(gsy AS DOUBLE) * (CAST(nn AS DOUBLE) - CAST(gsy AS DOUBLE))
+        / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)), {round_to})
+      AS uncertainty,
+  round(CAST(gsq AS DOUBLE) / (CAST(nn AS DOUBLE) * 1e12)
+        - (CAST(rel AS DOUBLE) / 1e12 / CAST(nn AS DOUBLE)
+           - CAST(res AS DOUBLE) / 1e12 / CAST(nn AS DOUBLE)
+           + CAST(gsy AS DOUBLE) * (CAST(nn AS DOUBLE) - CAST(gsy AS DOUBLE))
+             / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE))), {round_to})
+      AS residual
+FROM agg"""

@@ -15918,3 +15918,41 @@ def poisson_bootstrap_mean_chars(spark, sf_dir):
         docs, "n_chars", "doc_id", group_cols=("lang",), n_reps=200,
         salt="boot",
     )
+
+
+def _brier_oracle() -> str:
+    from xmlschemavalidator_spark.checks.evaluation import brier_oracle_sql
+
+    return brier_oracle_sql(
+        f"SELECT {_CAL_PROB_DUCK} AS prob, {_CAL_LABEL_DUCK} AS y"
+        " FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL",
+        "prob",
+        "y",
+        n_bins=10,
+    )
+
+
+@q("classifier_brier_decomposition", _brier_oracle())
+def classifier_brier_decomposition(spark, sf_dir):
+    """Brier score + Murphy decomposition (checks/evaluation.py:
+    brier_decomposition) on the same pseudo-probability staging as the
+    calibration bins: brier = reliability − resolution + uncertainty
+    + residual, every term reported — reliability re-states the ECE
+    story in squared units, resolution measures whether the score
+    separates outcomes at all (for this length-derived score: barely),
+    uncertainty is the label's own base-rate variance, and the
+    sign-indefinite residual (within-bin variance − 2·covariance) is
+    surfaced rather than hidden. Per-bin terms pico-quantized then
+    DECIMAL-summed — no float-sum ordering to diverge. ONE scan."""
+    from xmlschemavalidator_spark.checks.evaluation import brier_decomposition
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    scored = docs.select(
+        ((F.col("n_chars") % 500).cast("double") / F.lit(500)).alias("prob"),
+        (
+            F.locate(" spark ", F.concat(F.lit(" "), F.col("text"), F.lit(" "))) > 0
+        ).alias("label"),
+    )
+    return brier_decomposition(scored, "prob", "label", n_bins=10)
