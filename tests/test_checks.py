@@ -1411,3 +1411,61 @@ def test_poisson_bootstrap_python_replay(spark):
 
     with _pt.raises(ValueError):
         poisson_bootstrap_mean(df, "v", "id", n_reps=1)
+
+
+def test_species_richness_hand_computed(spark):
+    from xmlschemavalidator_spark.checks.stats import species_richness
+
+    # a,b singletons; c twice; d three times -> n=7 D=4 f1=2 f2=1
+    rows = [("a",), ("b",), ("c",), ("c",), ("d",), ("d",), ("d",)]
+    df = spark.createDataFrame(rows, "k string")
+    [r] = species_richness(df, "k").collect()
+    assert (r["n_obs"], r["distinct_seen"], r["f1"], r["f2"]) == (7, 4, 2, 1)
+    assert r["coverage"] == round(1 - 2 / 7, 6)
+    # chao1 = 4 + 2*1/(2*(1+1)) = 4.5
+    assert r["chao1"] == 4.5
+
+    # all-singletons: the classic f1^2/(2 f2) form would div/0 here;
+    # bias-corrected stays defined: 2 + 2*1/2 = 3, coverage 0
+    df2 = spark.createDataFrame([("x",), ("y",)], "k string")
+    [r2] = species_richness(df2, "k").collect()
+    assert r2["chao1"] == 3.0 and r2["coverage"] == 0.0
+
+    # saturated sample: no singletons -> coverage 1, chao1 = distinct_seen
+    df3 = spark.createDataFrame([("x",)] * 5 + [("y",)] * 4, "k string")
+    [r3] = species_richness(df3, "k").collect()
+    assert r3["coverage"] == 1.0 and r3["chao1"] == 2.0 == r3["distinct_seen"]
+
+    # grouped: each group's counts independent
+    gdf = spark.createDataFrame(
+        [("en", "a"), ("en", "a"), ("en", "b"), ("de", "z")], "g string, k string"
+    )
+    got = {r["g"]: r for r in species_richness(gdf, "k", group_cols=("g",)).collect()}
+    assert got["en"]["f1"] == 1 and got["en"]["f2"] == 1
+    assert got["de"]["n_obs"] == 1 and got["de"]["coverage"] == 0.0
+
+
+def test_species_richness_duckdb_parity(spark):
+    import duckdb
+
+    from xmlschemavalidator_spark.checks.stats import (
+        species_richness,
+        species_richness_oracle_sql,
+    )
+
+    rows = [(f"g{i % 2}", f"k{(i * i) % 17}") for i in range(60)]
+    df = spark.createDataFrame(rows, "g string, k string")
+    got = sorted(
+        (r["g"], r["n_obs"], r["distinct_seen"], r["f1"], r["f2"], r["coverage"], r["chao1"])
+        for r in species_richness(df, "k", group_cols=("g",)).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE obs (g VARCHAR, k VARCHAR)")
+    con.executemany("INSERT INTO obs VALUES (?, ?)", rows)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            species_richness_oracle_sql("SELECT g, k FROM obs", "k", ("g",))
+        ).fetchall()
+    )
+    assert got == want

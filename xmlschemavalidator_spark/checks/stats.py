@@ -1667,3 +1667,99 @@ def welch_t(
             F.abs(tcol) * 1000 > F.lit(float(t_crit_milli)), F.lit(False)
         ).alias("significant"),
     )
+
+
+def species_richness(
+    df: DataFrame,
+    key_col: str,
+    group_cols: tuple[str, ...] = (),
+    round_to: int = 6,
+) -> DataFrame:
+    """Good–Turing sample coverage + Chao1 species-richness estimate of a
+    key column (Good 1953; Chao 1984, bias-corrected form) — the
+    "how saturated is this crawl/vocabulary" question the distinct-count
+    analyzers can't answer: ``distinct_seen`` says what we HAVE,
+    ``chao1`` estimates what EXISTS, and ``coverage`` is the Good–Turing
+    probability that the next observation is a value already seen
+    (1 − f1/n, the Turing estimator — the unseen mass IS the singleton
+    mass). One row per group: ``(group_cols…, n_obs, distinct_seen, f1,
+    f2, coverage, chao1)`` with
+
+    * f1/f2 = number of values seen exactly once / exactly twice,
+    * chao1 = D + f1·(f1−1)/(2·(f2+1)) — the bias-corrected Chao1 lower
+      bound on total richness, defined even at f2 = 0 (the classic
+      f1²/(2f2) form divides by zero exactly when the estimate matters
+      most: a crawl slice of near-all-singletons).
+
+    The web-validation reads: a per-lang token table whose chao1 is
+    ~distinct_seen is vocabulary-saturated (tokenizer training has seen
+    the language); coverage collapsing toward 0 on a host/url column
+    means the frontier is still exploding and a distinct-count SLO gate
+    on "seen" undercounts reality by chao1/distinct_seen.
+
+    Exactness: n/D/f1/f2 are exact integers from two stacked partial
+    aggregates; coverage is one exact rational quotient rounded;
+    chao1's correction is a fixed double chain floor-quantized to
+    integer micros before the add — identical in both engines.
+
+    Scale shape: groupBy(key) then groupBy(group) — two partial-agg
+    shuffles, the first keyed on the full (group, key) space (the same
+    shape as exact distinct), the second on #groups rows. Nothing is
+    collected; f1/f2 fall out of the same count rows.
+    """
+    counts = df.groupBy(*group_cols, key_col).agg(F.count(F.lit(1)).alias("_c"))
+    fof = counts.groupBy(*group_cols).agg(
+        F.sum("_c").cast("bigint").alias("n_obs"),
+        F.count(F.lit(1)).cast("bigint").alias("distinct_seen"),
+        F.sum((F.col("_c") == 1).cast("long")).cast("bigint").alias("f1"),
+        F.sum((F.col("_c") == 2).cast("long")).cast("bigint").alias("f2"),
+    )
+    f1d = F.col("f1").cast("double")
+    extra_micro = F.floor(
+        f1d * (f1d - F.lit(1.0))
+        / (F.lit(2.0) * (F.col("f2").cast("double") + F.lit(1.0)))
+        * F.lit(1e6)
+    )
+    return fof.select(
+        *group_cols,
+        "n_obs",
+        "distinct_seen",
+        "f1",
+        "f2",
+        F.round(
+            F.lit(1.0) - f1d / F.col("n_obs").cast("double"), round_to
+        ).alias("coverage"),
+        F.round(
+            F.col("distinct_seen").cast("double") + extra_micro / F.lit(1e6),
+            round_to,
+        ).alias("chao1"),
+    )
+
+
+def species_richness_oracle_sql(
+    from_sql: str,
+    key_col: str,
+    group_cols: tuple[str, ...] = (),
+    round_to: int = 6,
+) -> str:
+    """DuckDB replay of :func:`species_richness` — same two stacked
+    aggregates, same floor-quantized correction chain."""
+    g = ", ".join(group_cols)
+    gsel = f"{g}, " if group_cols else ""
+    gby = f"GROUP BY {g}" if group_cols else ""
+    return f"""WITH src AS ({from_sql}),
+counts AS (SELECT {gsel}{key_col} AS _k, count(*) AS c
+           FROM src GROUP BY {gsel}{key_col}),
+fof AS (SELECT {gsel}CAST(sum(c) AS BIGINT) AS n_obs,
+               CAST(count(*) AS BIGINT) AS distinct_seen,
+               CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+               CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+        FROM counts {gby})
+SELECT {gsel}n_obs, distinct_seen, f1, f2,
+  round(1.0 - CAST(f1 AS DOUBLE) / CAST(n_obs AS DOUBLE), {round_to})
+      AS coverage,
+  round(CAST(distinct_seen AS DOUBLE)
+        + floor(CAST(f1 AS DOUBLE) * (CAST(f1 AS DOUBLE) - 1.0)
+                / (2.0 * (CAST(f2 AS DOUBLE) + 1.0)) * 1e6) / 1e6,
+        {round_to}) AS chao1
+FROM fof"""

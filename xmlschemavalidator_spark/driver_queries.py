@@ -15956,3 +15956,37 @@ def classifier_brier_decomposition(spark, sf_dir):
         ).alias("label"),
     )
     return brier_decomposition(scored, "prob", "label", n_bins=10)
+
+
+def _species_oracle() -> str:
+    from xmlschemavalidator_spark.checks.stats import species_richness_oracle_sql
+    from xmlschemavalidator_spark.textops import _WS
+
+    return species_richness_oracle_sql(
+        f"""SELECT lang, w FROM (
+              SELECT lang, unnest(string_split_regex(trim(coalesce(text, '')),
+                     '{_WS}+')) AS w FROM documents) WHERE w <> ''""",
+        "w",
+        group_cols=("lang",),
+    )
+
+
+@q("token_vocab_coverage_per_lang", _species_oracle())
+def token_vocab_coverage_per_lang(spark, sf_dir):
+    """Good–Turing coverage + Chao1 vocabulary richness per language
+    (checks/stats.py:species_richness): distinct_seen says what the
+    crawl HAS, chao1 estimates what the language's token space HOLDS,
+    coverage = 1 − singletons/n is the probability the next token is
+    already known — the tokenizer-training saturation gate beside the
+    vocab-coverage report panel (that one asks "does the trained vocab
+    cover the corpus", this one asks "has the corpus itself converged").
+    Two stacked partial aggregates, integer f1/f2, floor-quantized
+    Chao1 correction — oracle-exact."""
+    from xmlschemavalidator_spark.checks.stats import species_richness
+    from xmlschemavalidator_spark.textops import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(tokens(F.col("text"))).alias("w")
+    ).where(F.col("w") != "")
+    return species_richness(toks, "w", group_cols=("lang",))
