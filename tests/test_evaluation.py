@@ -521,3 +521,59 @@ def test_brier_decomposition_python_replay(spark):
     assert abs(r2["residual"]) < 1e-5
     # and a perfectly calibrated bin-constant forecast: reliability = 0
     assert r2["reliability"] == 0.0
+
+
+def test_mcnemar_hand_computed(spark):
+    from xmlschemavalidator_spark.checks.evaluation import mcnemar_test
+
+    # cells: both-pass 4, a-only 6, b-only 1, both-fail 2
+    rows = (
+        [(True, True)] * 4 + [(True, False)] * 6
+        + [(False, True)] * 1 + [(False, False)] * 2
+    )
+    df = spark.createDataFrame(rows, "a boolean, b boolean")
+    [r] = mcnemar_test(df, "a", "b").collect()
+    assert (r["n"], r["n_both_pass"], r["n_a_only"], r["n_b_only"],
+            r["n_both_fail"]) == (13, 4, 6, 1, 2)
+    assert r["rate_a"] == round(10 / 13, 6)
+    assert r["rate_b"] == round(5 / 13, 6)
+    # chi2 = (|6-1|-1)^2 / 7 = 16/7
+    assert r["chi2"] == round(16 / 7, 6)
+    assert 0 < r["p"] < 1 and r["significant"] is False
+
+    # strongly one-directional flips -> significant
+    rows2 = [(True, False)] * 30 + [(False, True)] * 2 + [(True, True)] * 100
+    df2 = spark.createDataFrame(rows2, "a boolean, b boolean")
+    [r2] = mcnemar_test(df2, "a", "b").collect()
+    assert r2["significant"] is True and r2["p"] < 0.001
+
+    # no flips at all: NULL statistic, not significant — and the
+    # symmetric-flip clamp: |b-c|=0 -> chi2 exactly 0, not 1/(b+c)
+    df3 = spark.createDataFrame([(True, True)] * 5, "a boolean, b boolean")
+    [r3] = mcnemar_test(df3, "a", "b").collect()
+    assert r3["chi2"] is None and r3["p"] is None and r3["significant"] is False
+    df4 = spark.createDataFrame(
+        [(True, False)] * 3 + [(False, True)] * 3, "a boolean, b boolean"
+    )
+    [r4] = mcnemar_test(df4, "a", "b").collect()
+    assert r4["chi2"] == 0.0 and r4["p"] == 1.0
+
+
+def test_mcnemar_duckdb_parity(spark):
+    import duckdb
+
+    from xmlschemavalidator_spark.checks.evaluation import (
+        mcnemar_oracle_sql,
+        mcnemar_test,
+    )
+
+    rows = [(i % 3 != 0, i % 5 != 0) for i in range(97)] + [(None, True)]
+    df = spark.createDataFrame(rows, "a boolean, b boolean")
+    [got] = mcnemar_test(df, "a", "b").collect()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE verd (a BOOLEAN, b BOOLEAN)")
+    con.executemany("INSERT INTO verd VALUES (?, ?)", rows)
+    [want] = con.execute(
+        mcnemar_oracle_sql("SELECT a, b FROM verd")
+    ).fetchall()
+    assert tuple(got) == tuple(want)

@@ -1067,3 +1067,133 @@ SELECT nn AS n,
              / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE))), {round_to})
       AS residual
 FROM agg"""
+
+
+def mcnemar_test(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    chi2_crit_milli: int = 3841,
+    round_to: int = 6,
+) -> DataFrame:
+    """McNemar's paired test (McNemar 1947) between two boolean verdicts
+    on the SAME rows — the question the two-proportion z-test gets wrong
+    on paired data: "did swapping rule A for rule B significantly change
+    the pass rate", answered from only the docs that FLIPPED. ONE row
+    ``(n, n_both_pass, n_a_only, n_b_only, n_both_fail, rate_a, rate_b,
+    chi2, p, significant)`` with the continuity-corrected statistic
+
+        chi2 = (max(|n_a_only − n_b_only| − 1, 0))² / (n_a_only + n_b_only)
+
+    (the Edwards correction, CLAMPED at 0 so a perfectly symmetric flip
+    table reads 0 rather than the nonsensical 1/(b+c) the unclamped form
+    gives), df = 1, p = two-sided normal tail of √chi2 via the shared
+    A&S polynomial. The concordant cells carry NO information about the
+    marginal change and are reported but never enter the statistic —
+    which is exactly why a million agreeing docs can't drown out 40
+    flips the way they do in an unpaired test.
+
+    Exactness: four exact integer cell counts from one partial-agg pass;
+    chi2 is one integer-ratio double, p a fixed exp/multiply chain —
+    identical across engines. ``significant`` compares chi2·1000 against
+    the integer ``chi2_crit_milli`` (3841 = the 5% point of chi²(1)).
+    A flip-free table (n_a_only = n_b_only = 0) yields NULL chi2/p and
+    significant=false, never a div/0.
+
+    Scale shape: one scan, one partial+final aggregate of four sums —
+    a single-row reduction; nothing grows with corpus size.
+    """
+    a = F.col(a_col).cast("boolean")
+    b = F.col(b_col).cast("boolean")
+    base = df.where(a.isNotNull() & b.isNotNull()).select(
+        a.alias("_a"), b.alias("_b")
+    )
+    agg = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("_a") & F.col("_b")).cast("long"))
+        .cast("bigint")
+        .alias("n_both_pass"),
+        F.sum((F.col("_a") & ~F.col("_b")).cast("long"))
+        .cast("bigint")
+        .alias("n_a_only"),
+        F.sum((~F.col("_a") & F.col("_b")).cast("long"))
+        .cast("bigint")
+        .alias("n_b_only"),
+        F.sum((~F.col("_a") & ~F.col("_b")).cast("long"))
+        .cast("bigint")
+        .alias("n_both_fail"),
+    )
+    nd = F.col("n").cast("double")
+    disc = (F.col("n_a_only") + F.col("n_b_only")).cast("double")
+    diff = F.greatest(
+        F.abs(F.col("n_a_only") - F.col("n_b_only")).cast("double") - F.lit(1.0),
+        F.lit(0.0),
+    )
+    chi2 = F.when(disc > 0, diff * diff / disc)
+    return agg.select(
+        "n",
+        "n_both_pass",
+        "n_a_only",
+        "n_b_only",
+        "n_both_fail",
+        F.round(
+            F.when(
+                F.col("n") > 0,
+                (F.col("n_both_pass") + F.col("n_a_only")).cast("double") / nd,
+            ),
+            round_to,
+        ).alias("rate_a"),
+        F.round(
+            F.when(
+                F.col("n") > 0,
+                (F.col("n_both_pass") + F.col("n_b_only")).cast("double") / nd,
+            ),
+            round_to,
+        ).alias("rate_b"),
+        F.round(chi2, round_to).alias("chi2"),
+        # explicit gate: least() SKIPS nulls in both engines, so an un-
+        # gated _p_two_sided(NULL) would collapse to 1.0 instead of NULL
+        F.round(
+            F.when(disc > 0, _p_two_sided(F.sqrt(chi2))), round_to
+        ).alias("p"),
+        F.coalesce(
+            chi2 * 1000 > F.lit(float(chi2_crit_milli)), F.lit(False)
+        ).alias("significant"),
+    )
+
+
+def mcnemar_oracle_sql(
+    from_sql: str,
+    chi2_crit_milli: int = 3841,
+    round_to: int = 6,
+) -> str:
+    """DuckDB replay of :func:`mcnemar_test`; ``from_sql`` must yield
+    boolean columns ``a`` and ``b`` (nulls pre-filtered or filterable)."""
+    chi2 = (
+        "(CASE WHEN n_a_only + n_b_only > 0 THEN"
+        " greatest(abs(CAST(n_a_only AS DOUBLE) - CAST(n_b_only AS DOUBLE))"
+        " - 1.0, 0.0) * greatest(abs(CAST(n_a_only AS DOUBLE)"
+        " - CAST(n_b_only AS DOUBLE)) - 1.0, 0.0)"
+        " / CAST(n_a_only + n_b_only AS DOUBLE) END)"
+    )
+    p = (
+        f"(CASE WHEN n_a_only + n_b_only > 0 THEN "
+        f"{_p_two_sided_sql(f'sqrt({chi2})')} END)"
+    )
+    return f"""WITH src AS ({from_sql}),
+cells AS (SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n_both_pass,
+    CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n_a_only,
+    CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n_b_only,
+    CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_both_fail
+  FROM src WHERE a IS NOT NULL AND b IS NOT NULL)
+SELECT n, n_both_pass, n_a_only, n_b_only, n_both_fail,
+  round(CASE WHEN n > 0 THEN CAST(n_both_pass + n_a_only AS DOUBLE)
+        / CAST(n AS DOUBLE) END, {round_to}) AS rate_a,
+  round(CASE WHEN n > 0 THEN CAST(n_both_pass + n_b_only AS DOUBLE)
+        / CAST(n AS DOUBLE) END, {round_to}) AS rate_b,
+  round({chi2}, {round_to}) AS chi2,
+  round({p}, {round_to}) AS p,
+  coalesce({chi2} * 1000 > {chi2_crit_milli}, FALSE) AS significant
+FROM cells"""

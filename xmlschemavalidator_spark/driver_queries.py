@@ -15990,3 +15990,39 @@ def token_vocab_coverage_per_lang(spark, sf_dir):
         "lang", F.explode(tokens(F.col("text"))).alias("w")
     ).where(F.col("w") != "")
     return species_richness(toks, "w", group_cols=("lang",))
+
+
+def _mcnemar_oracle() -> str:
+    from xmlschemavalidator_spark.checks.evaluation import mcnemar_oracle_sql
+    from xmlschemavalidator_spark.textops import _WS
+
+    ntok = (
+        "(CASE WHEN trim(coalesce(text, '')) = '' THEN 0 ELSE"
+        f" len(string_split_regex(trim(text), '{_WS}+')) END)"
+    )
+    return mcnemar_oracle_sql(
+        "SELECT n_chars BETWEEN 36 AND 400 AS a,"
+        f" {ntok} BETWEEN 8 AND 80 AS b"
+        " FROM documents WHERE n_chars IS NOT NULL"
+    )
+
+
+@q("length_gate_mcnemar", _mcnemar_oracle())
+def length_gate_mcnemar(spark, sf_dir):
+    """McNemar's paired test (checks/evaluation.py:mcnemar_test) between
+    two versions of the document length gate evaluated on the SAME
+    corpus — v1 keeps 36 ≤ n_chars ≤ 400, v2 keeps 8 ≤ tokens ≤ 80.
+    The unpaired two-proportion z-test would dilute the 1-2% of docs
+    that actually flip under a sea of concordant verdicts; McNemar
+    scores ONLY the flip cells (continuity-corrected chi², df=1) —
+    the rule-rollout significance gate. One scan, four integer cells,
+    oracle-exact including the A&S-polynomial p."""
+    from xmlschemavalidator_spark.checks.evaluation import mcnemar_test
+    from xmlschemavalidator_spark.textops import token_count
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("n_chars").isNotNull())
+    verdicts = docs.select(
+        F.col("n_chars").between(36, 400).alias("a"),
+        token_count(F.col("text")).between(8, 80).alias("b"),
+    )
+    return mcnemar_test(verdicts, "a", "b")
