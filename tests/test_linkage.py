@@ -199,3 +199,51 @@ def test_blocking_evaluation_hand_computed(spark):
     assert r["reduction_ratio_micro"] == 700_000
     assert r["pairs_completeness_micro"] == 500_000
     assert r["pair_quality_micro"] == 333_333
+
+
+def test_bcubed_hand_computed(spark):
+    from xmlschemavalidator_spark.linkage import bcubed_evaluation
+
+    # clusters {1,2,3},{4,5} vs truth {1,2},{3,4,5}
+    assign = spark.createDataFrame(
+        [(1, "c1"), (2, "c1"), (3, "c1"), (4, "c2"), (5, "c2")],
+        "id long, cluster string",
+    )
+    truth = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "B"), (4, "B"), (5, "B")],
+        "id long, truth string",
+    )
+    [r] = bcubed_evaluation(assign, truth).collect()
+    assert (r["n_records"], r["n_clusters"], r["n_truth_classes"]) == (5, 2, 2)
+    # P = R = (4/3 + 1/3 + 2)/5 with per-cell micro floors:
+    # (1333333 + 333333 + 2000000) // 5 = 733333
+    assert r["precision_micro"] == 733333
+    assert r["recall_micro"] == 733333
+    assert r["f1_micro"] == 733333
+
+    # perfect clustering -> all 1.0
+    [rp] = bcubed_evaluation(
+        truth.select("id", F.col("truth").alias("cluster")), truth
+    ).collect()
+    assert (rp["precision_micro"], rp["recall_micro"], rp["f1_micro"]) == (
+        1_000_000, 1_000_000, 1_000_000,
+    )
+
+    # everything in ONE cluster: precision = sum(n_t^2)/N^2, recall = 1
+    one = assign.select("id", F.lit("all").alias("cluster"))
+    [r1] = bcubed_evaluation(one, truth).collect()
+    assert r1["recall_micro"] == 1_000_000
+    assert r1["precision_micro"] == (4 * 1_000_000 // 5 + 9 * 1_000_000 // 5) // 5
+
+    # singletons everywhere: precision = 1, recall = sum(1/n_t)/N
+    sing = assign.select("id", F.col("id").cast("string").alias("cluster"))
+    [rs] = bcubed_evaluation(sing, truth).collect()
+    assert rs["precision_micro"] == 1_000_000
+    assert rs["recall_micro"] == (2 * 500_000 + 3 * 333_333) // 5
+
+    # records without a gold label are dropped (inner join), not scored
+    extra = assign.unionByName(
+        spark.createDataFrame([(9, "c9")], "id long, cluster string")
+    )
+    [re] = bcubed_evaluation(extra, truth).collect()
+    assert re["n_records"] == 5 and re["precision_micro"] == 733333

@@ -16026,3 +16026,98 @@ def length_gate_mcnemar(spark, sf_dir):
         token_count(F.col("text")).between(8, 80).alias("b"),
     )
     return mcnemar_test(verdicts, "a", "b")
+
+
+_BCUBED_ORACLE = """WITH base AS (
+     SELECT c_custkey AS id, lower(c_name) AS name FROM customer),
+   dirty AS (
+     SELECT id, name FROM base
+     UNION ALL
+     SELECT id + 1000000, substr(name, 1, length(name) - 1)
+     FROM base WHERE id % 5 = 0),
+   keyed AS (SELECT *, substr(name, 15, 2) || '|' || name AS k FROM dirty),
+   r AS (SELECT *, row_number() OVER (
+             PARTITION BY substr(k, 1, 2) ORDER BY k, id) AS rn
+         FROM keyed),
+   cand AS (SELECT DISTINCT least(a.id, b.id) AS ia, greatest(a.id, b.id) AS ib
+            FROM r a JOIN r b
+              ON substr(a.k, 1, 2) = substr(b.k, 1, 2)
+             AND b.rn - a.rn BETWEEN 1 AND 2
+            WHERE a.id <> b.id AND levenshtein(a.k, b.k) <= 1),
+   edges AS (SELECT ia AS id, ib AS nb FROM cand
+             UNION ALL SELECT ib, ia FROM cand),
+   assign AS (SELECT d.id, least(coalesce(m.mn, d.id), d.id) AS c
+              FROM dirty d LEFT JOIN (SELECT id, min(nb) AS mn
+                                      FROM edges GROUP BY id) m USING (id)),
+   j AS (SELECT a.id, a.c, a.id % 1000000 AS t FROM assign a),
+   cells AS (SELECT c, t, CAST(count(*) AS HUGEINT) AS nct FROM j GROUP BY 1, 2),
+   csz AS (SELECT c, CAST(count(*) AS HUGEINT) AS nc FROM j GROUP BY 1),
+   tsz AS (SELECT t, CAST(count(*) AS HUGEINT) AS nt FROM j GROUP BY 1),
+   p AS (SELECT CAST(sum(nct * nct * 1000000 // nc) AS HUGEINT) AS ps
+         FROM cells JOIN csz USING (c)),
+   rr AS (SELECT CAST(sum(nct * nct * 1000000 // nt) AS HUGEINT) AS rs
+          FROM cells JOIN tsz USING (t)),
+   tot AS (SELECT CAST(count(*) AS BIGINT) AS n_records,
+                  CAST(count(DISTINCT c) AS BIGINT) AS n_clusters,
+                  CAST(count(DISTINCT t) AS BIGINT) AS n_truth_classes
+           FROM j)
+ SELECT n_records, n_clusters, n_truth_classes,
+   CAST(ps // n_records AS BIGINT) AS precision_micro,
+   CAST(rs // n_records AS BIGINT) AS recall_micro,
+   CASE WHEN ps // n_records + rs // n_records > 0
+        THEN CAST(2 * (ps // n_records) * (rs // n_records)
+                  // (ps // n_records + rs // n_records) AS BIGINT)
+   END AS f1_micro
+ FROM tot, p, rr"""
+
+
+@q("bcubed_cluster_evaluation", _BCUBED_ORACLE)
+def bcubed_cluster_evaluation(spark, sf_dir):
+    """B³ clustering evaluation (linkage.py:bcubed_evaluation) of an
+    end-to-end ER run against the planted-duplicate truth — the third
+    leg of the evaluation stack: snm_blocking_evaluation grades the
+    candidate GENERATOR, this grades the delivered CLUSTERS per record
+    (Amigó et al. IR'09's argument for B³ over pairwise-F: one giant
+    wrong cluster dominates pairwise-F quadratically but costs B³ only
+    its member records). Clustering under test: SNM candidates (window
+    3, 2-char blocks) verified at Levenshtein ≤ 1 on the sort key (the
+    engine-portable verifier), then one-round min-label star assignment
+    — deliberately the cheapest clusterer, so recall pays for every
+    window miss and precision for every near-name false merge. Truth
+    class = id mod 10⁶ (planted dup shares its base's class). No pair
+    set ever materializes in the evaluation: three groupBys over
+    (cluster, truth) cells, integer-micro metrics, oracle-exact."""
+    from xmlschemavalidator_spark.dedup import sorted_neighborhood_pairs
+    from xmlschemavalidator_spark.linkage import bcubed_evaluation
+
+    cust = _t(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("id"), F.lower(F.col("c_name")).alias("name")
+    )
+    dup = base.where(F.col("id") % 5 == 0).select(
+        (F.col("id") + 1_000_000).alias("id"),
+        F.expr("substring(name, 1, length(name) - 1)").alias("name"),
+    )
+    dirty = base.unionByName(dup)
+    keyed = dirty.withColumn(
+        "snm_key",
+        F.concat(F.substring("name", 15, 2), F.lit("|"), F.col("name")),
+    )
+    cand = sorted_neighborhood_pairs(
+        keyed, "id", "snm_key", window=3, block_chars=2, max_distance=1
+    ).select("id_a", "id_b")
+    edges = cand.select(
+        F.col("id_a").alias("id"), F.col("id_b").alias("nb")
+    ).unionByName(cand.select(F.col("id_b").alias("id"), F.col("id_a").alias("nb")))
+    assign = (
+        dirty.select("id")
+        .join(edges.groupBy("id").agg(F.min("nb").alias("_mn")), "id", "left")
+        .select(
+            "id",
+            F.least(F.coalesce(F.col("_mn"), F.col("id")), F.col("id")).alias(
+                "cluster"
+            ),
+        )
+    )
+    truth = dirty.select("id", (F.col("id") % 1_000_000).alias("truth"))
+    return bcubed_evaluation(assign, truth)

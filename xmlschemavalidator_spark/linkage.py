@@ -451,3 +451,103 @@ def blocking_evaluation(
             ).alias("pair_quality_micro"),
         )
     )
+
+
+def bcubed_evaluation(
+    assignment: DataFrame,
+    truth: DataFrame,
+    id_col: str = "id",
+    cluster_col: str = "cluster",
+    truth_col: str = "truth",
+) -> DataFrame:
+    """B³ (B-cubed) extrinsic clustering evaluation (Bagga & Baldwin
+    1998; the metric Amigó et al. IR'09 showed uniquely satisfies all
+    four clustering-evaluation constraints, where pairwise-F and purity
+    each fail one): ONE row ``(n_records, n_clusters, n_truth_classes,
+    precision_micro, recall_micro, f1_micro)`` judging a finished
+    cluster ASSIGNMENT against gold classes — the third leg of the ER
+    evaluation stack: blocking_evaluation grades candidate GENERATION,
+    the match model grades PAIR decisions, B³ grades what the user
+    actually receives (the clusters), per RECORD not per pair, so one
+    giant wrong cluster can't dominate the way it does in pairwise-F.
+
+    Per record r: precision(r) = |C(r) ∩ T(r)| / |C(r)|, recall(r) =
+    |C(r) ∩ T(r)| / |T(r)|; the macro averages collapse to cell sums —
+    B³P = (1/N) Σ_cells n_ct²/n_c — so the whole evaluation is three
+    partial aggregates and two bounded joins over (cluster, truth)
+    CELLS; no pair is ever generated (the reason B³ runs at corpus
+    scale and pairwise-F doesn't: a 10⁶-record cluster is one cell
+    row here and 10¹² pairs there).
+
+    Records are evaluated on the INNER join of assignment and truth —
+    a record missing a gold label can't be scored and silently scoring
+    it as its own class would inflate both metrics. Singleton clusters/
+    classes need no special case: n_ct = n_c = n_t = 1 scores 1.0.
+
+    Exactness: every per-cell term is an exact integer division
+    (n_ct²·10⁶ div n_c — DECIMAL(38,0) lane for the square at 10¹²
+    scale), summed then divided by N in integer micro space;
+    f1 = 2PR/(P+R) likewise in micros. Per-cell floors accumulate, but
+    #cells ≤ N bounds the total at 2 micro per metric — and the chain
+    is integer-identical in both engines regardless.
+    """
+    d38 = "decimal(38,0)"
+    j = assignment.select(
+        F.col(id_col).alias("_id"), F.col(cluster_col).alias("_c")
+    ).join(
+        truth.select(F.col(id_col).alias("_id"), F.col(truth_col).alias("_t")),
+        "_id",
+    )
+    cells = j.groupBy("_c", "_t").agg(F.count(F.lit(1)).alias("_nct"))
+    csz = j.groupBy("_c").agg(F.count(F.lit(1)).alias("_nc"))
+    tsz = j.groupBy("_t").agg(F.count(F.lit(1)).alias("_nt"))
+    prec = (
+        cells.join(csz, "_c")
+        .select(
+            F.expr(
+                f"CAST(CAST(_nct AS {d38}) * CAST(_nct AS {d38}) * 1000000"
+                f" div CAST(_nc AS {d38}) AS BIGINT)"
+            ).alias("_pm")
+        )
+        .agg(F.sum(F.col("_pm").cast("decimal(38,0)")).alias("_psum"))
+    )
+    rec = (
+        cells.join(tsz, "_t")
+        .select(
+            F.expr(
+                f"CAST(CAST(_nct AS {d38}) * CAST(_nct AS {d38}) * 1000000"
+                f" div CAST(_nt AS {d38}) AS BIGINT)"
+            ).alias("_rm")
+        )
+        .agg(F.sum(F.col("_rm").cast("decimal(38,0)")).alias("_rsum"))
+    )
+    tot = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_records"),
+        F.count_distinct(F.col("_c")).cast("bigint").alias("n_clusters"),
+        F.count_distinct(F.col("_t")).cast("bigint").alias("n_truth_classes"),
+    )
+    out = tot.crossJoin(F.broadcast(prec)).crossJoin(F.broadcast(rec))
+    pm = F.expr(
+        "CASE WHEN n_records > 0 THEN"
+        " CAST(_psum div n_records AS BIGINT) END"
+    )
+    rm = F.expr(
+        "CASE WHEN n_records > 0 THEN"
+        " CAST(_rsum div n_records AS BIGINT) END"
+    )
+    return out.select(
+        "n_records",
+        "n_clusters",
+        "n_truth_classes",
+        pm.alias("precision_micro"),
+        rm.alias("recall_micro"),
+    ).select(
+        "*",
+        F.expr(
+            "CASE WHEN coalesce(precision_micro, 0) + coalesce(recall_micro, 0)"
+            " > 0 THEN CAST(2 * CAST(precision_micro AS DECIMAL(38,0))"
+            " * CAST(recall_micro AS DECIMAL(38,0))"
+            " div (CAST(precision_micro AS DECIMAL(38,0))"
+            " + CAST(recall_micro AS DECIMAL(38,0))) AS BIGINT) END"
+        ).alias("f1_micro"),
+    )
