@@ -1704,3 +1704,41 @@ def test_emerging_terms_flags_planted_burst(spark):
     # bucket 2: c=12, c_prev=0, t=48, t_prev=72 → 1e6·12·73 div 48·1
     assert r2["c"] == 12 and r2["c_prev"] == 0
     assert r2["ratio_micro"] == 18_250_000
+
+
+def test_heaps_exponent_hand_computed(spark):
+    from xmlschemavalidator_spark.textops import heaps_exponent
+
+    # subset: tokens a,b (2 tokens, 2 vocab); full: a,b,a,c,d,d
+    # (6 tokens, 4 vocab) -> beta = ln(4/2)/ln(6/2)
+    import math
+
+    rows = [("a", True), ("b", True), ("a", False), ("c", False),
+            ("d", False), ("d", False)]
+    df = spark.createDataFrame(rows, "w string, sub boolean")
+    [r] = heaps_exponent(df, "w", "sub").collect()
+    assert (r["n_tokens_sub"], r["n_tokens_full"]) == (2, 6)
+    assert (r["vocab_sub"], r["vocab_full"]) == (2, 4)
+    assert r["beta"] == round(math.log(2) / math.log(3), 6)
+
+    # saturated vocabulary: subset already saw every type -> beta 0,
+    # NOT null (the template-collapse signal)
+    rows2 = [("x", True), ("y", True), ("x", False), ("y", False)]
+    [r2] = heaps_exponent(
+        spark.createDataFrame(rows2, "w string, sub boolean"), "w", "sub"
+    ).collect()
+    assert r2["beta"] == 0.0
+
+    # degenerate: empty subset -> NULL beta
+    rows3 = [("x", False), ("y", False)]
+    [r3] = heaps_exponent(
+        spark.createDataFrame(rows3, "w string, sub boolean"), "w", "sub"
+    ).collect()
+    assert r3["beta"] is None
+
+    # subset == full corpus -> NULL (no second point to fit)
+    rows4 = [("x", True), ("y", True)]
+    [r4] = heaps_exponent(
+        spark.createDataFrame(rows4, "w string, sub boolean"), "w", "sub"
+    ).collect()
+    assert r4["beta"] is None

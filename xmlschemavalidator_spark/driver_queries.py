@@ -16121,3 +16121,48 @@ def bcubed_cluster_evaluation(spark, sf_dir):
     )
     truth = dirty.select("id", (F.col("id") % 1_000_000).alias("truth"))
     return bcubed_evaluation(assign, truth)
+
+
+def _heaps_oracle() -> str:
+    from xmlschemavalidator_spark.textops import _WS
+
+    return f"""WITH tok AS (
+     SELECT doc_id % 4 = 0 AS sub, w FROM (
+       SELECT doc_id, unnest(string_split_regex(trim(coalesce(text, '')),
+              '{_WS}+')) AS w FROM documents) WHERE w <> ''),
+   per AS (SELECT w, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CASE WHEN sub THEN 1 ELSE 0 END) AS BIGINT) AS ns
+           FROM tok GROUP BY w),
+   agg AS (SELECT CAST(sum(ns) AS BIGINT) AS n_tokens_sub,
+                  CAST(sum(n) AS BIGINT) AS n_tokens_full,
+                  CAST(sum(CASE WHEN ns > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                      AS vocab_sub,
+                  CAST(count(*) AS BIGINT) AS vocab_full
+           FROM per)
+ SELECT n_tokens_sub, n_tokens_full, vocab_sub, vocab_full,
+   round(CASE WHEN n_tokens_sub > 0 AND vocab_sub > 0
+               AND n_tokens_full > n_tokens_sub
+         THEN ln(CAST(vocab_full AS DOUBLE) / CAST(vocab_sub AS DOUBLE))
+              / ln(CAST(n_tokens_full AS DOUBLE)
+                   / CAST(n_tokens_sub AS DOUBLE)) END, 6) AS beta
+ FROM agg"""
+
+
+@q("heaps_vocab_growth", _heaps_oracle())
+def heaps_vocab_growth(spark, sf_dir):
+    """Heaps'-law vocabulary-growth exponent (textops.py:heaps_exponent)
+    over the documents corpus: the two-point fit (N_sub, V_sub) vs
+    (N_full, V_full) on the deterministic doc_id%4 quarter — β near 0
+    = template/generated text (vocabulary saturating), β near 1 = OCR
+    noise / mixed-lang contamination minting new 'words' per page. The
+    growth-rate companion to zipf_alpha_tokens (shape at one size) and
+    token_vocab_coverage_per_lang (chao1: how much exists). ONE token
+    shuffle, no window, oracle-exact."""
+    from xmlschemavalidator_spark.textops import heaps_exponent, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        (F.col("doc_id") % 4 == 0).alias("sub"),
+        F.explode(tokens(F.col("text"))).alias("w"),
+    ).where(F.col("w") != "")
+    return heaps_exponent(tok, "w", "sub")

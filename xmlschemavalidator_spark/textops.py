@@ -2948,3 +2948,67 @@ WHERE t_prev > 0 AND c >= {min_count}
       * (CAST(t_prev AS HUGEINT) + 1)
       // (CAST(t AS HUGEINT) * (CAST(c_prev AS HUGEINT) + 1))
       >= {ratio_micro_min}"""
+
+
+def heaps_exponent(
+    tok_df: DataFrame,
+    token_col: str,
+    subset_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth exponent (Heaps 1978: V(N) ≈ K·N^β,
+    natural language β ≈ 0.4–0.6) — the growth-RATE companion to the
+    Zipf alpha (zipf measures the frequency SHAPE at one corpus size,
+    Heaps measures how the vocabulary scales WITH corpus size) and to
+    species_richness (chao1 asks "how much exists", β asks "how fast
+    we're finding it"). Template/generated text collapses β toward 0
+    (vocabulary saturates); OCR noise or mixed-lang contamination pushes
+    it toward 1 (every page mints new 'words').
+
+    ``tok_df`` is one row per token occurrence with a boolean
+    ``subset_col`` marking a deterministic ~fraction-of-corpus subset
+    (hash- or id-mod selected — vocabulary growth depends on corpus
+    SIZE, not order, so an order-free subset replaces the classic
+    prefix-walk and its global running-position window: the two-point
+    fit is (N_sub, V_sub) vs (N_full, V_full),
+    β = ln(V_full/V_sub) / ln(N_full/N_sub), the same
+    overhead-cancelling two-point device as the sf1 scaling probe).
+
+    Returns ONE row ``(n_tokens_sub, n_tokens_full, vocab_sub,
+    vocab_full, beta)``. Degenerate inputs (empty subset, subset =
+    full corpus, or zero vocab) yield NULL beta, never a div/0.
+
+    Exactness: all four counts are exact integers from one per-token
+    partial agg (ONE shuffle on token, the exact-distinct shape — no
+    window, no sort); beta is two libm lns + one division on integer
+    inputs, rounded.
+    """
+    per_tok = tok_df.groupBy(F.col(token_col).alias("_w")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum(F.col(subset_col).cast("long")).cast("bigint").alias("_ns"),
+    )
+    agg = per_tok.agg(
+        F.sum("_ns").cast("bigint").alias("n_tokens_sub"),
+        F.sum("_n").cast("bigint").alias("n_tokens_full"),
+        F.sum((F.col("_ns") > 0).cast("long")).cast("bigint").alias("vocab_sub"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab_full"),
+    )
+    # a saturated corpus (vocab_sub == vocab_full) is a VALID beta of 0 —
+    # the collapse signal itself — so only the ratio denominators gate
+    ok = (
+        (F.col("n_tokens_sub") > 0)
+        & (F.col("vocab_sub") > 0)
+        & (F.col("n_tokens_full") > F.col("n_tokens_sub"))
+    )
+    beta = F.log(
+        F.col("vocab_full").cast("double") / F.col("vocab_sub").cast("double")
+    ) / F.log(
+        F.col("n_tokens_full").cast("double") / F.col("n_tokens_sub").cast("double")
+    )
+    return agg.select(
+        "n_tokens_sub",
+        "n_tokens_full",
+        "vocab_sub",
+        "vocab_full",
+        F.round(F.when(ok, beta), round_to).alias("beta"),
+    )
