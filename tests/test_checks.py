@@ -1469,3 +1469,51 @@ def test_species_richness_duckdb_parity(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_cramers_v_hand_computed(spark):
+    from xmlschemavalidator_spark.checks.stats import cramers_v
+
+    # perfect association: y == x -> V = 1
+    rows = [("a", "p")] * 3 + [("b", "q")] * 5 + [("c", "r")] * 2
+    df = spark.createDataFrame(rows, "x string, y string")
+    [r] = cramers_v(df, "x", "y").collect()
+    assert (r["n_rows"], r["n_x"], r["n_y"], r["dof"]) == (10, 3, 3, 4)
+    assert r["v"] == 1.0 and r["chi2"] == 20.0  # chi2 = n*min(r,c)-1) = 10*2
+
+    # independence: balanced 2x2 -> chi2 = 0, V = 0
+    rows2 = [("a", "p"), ("a", "q"), ("b", "p"), ("b", "q")] * 5
+    [r2] = cramers_v(spark.createDataFrame(rows2, "x string, y string"), "x", "y").collect()
+    assert r2["chi2"] == 0.0 and r2["v"] == 0.0
+
+    # 2x2 hand chi2: cells a/p=10 a/q=0 b/p=0 b/q=10 -> chi2 = n = 20, V=1
+    rows3 = [("a", "p")] * 10 + [("b", "q")] * 10
+    [r3] = cramers_v(spark.createDataFrame(rows3, "x string, y string"), "x", "y").collect()
+    assert r3["chi2"] == 20.0 and r3["v"] == 1.0
+
+    # single-category side: dof 0 -> NULL v, chi2 still defined (0)
+    rows4 = [("a", "p"), ("a", "q"), ("a", "p")]
+    [r4] = cramers_v(spark.createDataFrame(rows4, "x string, y string"), "x", "y").collect()
+    assert r4["dof"] == 0 and r4["v"] is None
+
+    # NULL is a category: two x-classes via null
+    rows5 = [("a", "p"), (None, "q"), (None, "q"), ("a", "p")]
+    [r5] = cramers_v(spark.createDataFrame(rows5, "x string, y string"), "x", "y").collect()
+    assert r5["n_x"] == 2 and r5["v"] == 1.0
+
+
+def test_cramers_v_duckdb_parity(spark):
+    import duckdb
+
+    from xmlschemavalidator_spark.checks.stats import cramers_v, cramers_v_oracle_sql
+
+    rows = [(f"x{i % 4}", f"y{(i * 7) % 3}" if i % 11 else None) for i in range(200)]
+    df = spark.createDataFrame(rows, "x string, y string")
+    [got] = cramers_v(df, "x", "y").collect()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE obs2 (x VARCHAR, y VARCHAR)")
+    con.executemany("INSERT INTO obs2 VALUES (?, ?)", rows)
+    [want] = con.execute(
+        cramers_v_oracle_sql("SELECT x, y FROM obs2", "x", "y")
+    ).fetchall()
+    assert tuple(got) == tuple(want)

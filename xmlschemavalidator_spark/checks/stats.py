@@ -1763,3 +1763,123 @@ SELECT {gsel}n_obs, distinct_seen, f1, f2,
                 / (2.0 * (CAST(f2 AS DOUBLE) + 1.0)) * 1e6) / 1e6,
         {round_to}) AS chao1
 FROM fof"""
+
+
+def cramers_v(df: DataFrame, x: str, y: str, round_to: int = 6) -> DataFrame:
+    """Cramér's V association between two categorical columns (Cramér
+    1946): one row ``(n_rows, n_x, n_y, dof, chi2, v)`` — the BOUNDED
+    [0,1] companion to :func:`mutual_information` (MI is in nats and
+    grows with entropy, so it can't be compared across column pairs; V
+    normalizes the chi² statistic by its maximum, so "lang↔source
+    V=0.9" and "tld↔lang V=0.2" are directly comparable). The
+    profiling read: V ≈ 1 between two columns means one is derivable
+    from the other — a redundant quasi-identifier for the k-anonymity
+    audit, or a leaking feature for the quality model.
+
+    chi² over the full r×c grid WITHOUT generating the grid: unobserved
+    cells contribute exactly their expectation e, and Σ_all e = n, so
+    chi² = Σ_observed[(o−e)²/e − e] + n — the zero cells collapse into
+    one closed-form correction (the sparse-contingency identity; a
+    literal r×c expansion at web cardinalities would be its own join
+    explosion). NULL is a category on both sides, like MI.
+
+    Exactness: e = n_x·n_y/n is an exact-rational double on integer
+    counts; each per-cell term rounds to 12 dp then sums in
+    DECIMAL(20,12) (order-free); V is one division + sqrt. A single-
+    category side (dof = 0) yields NULL v, never div/0; chi² can dip
+    epsilon-negative only via the 12-dp rounding, clamped at 0.
+
+    Scale: one (x, y) groupBy, two window sums over the #cells table —
+    the mutual_information plan shape exactly.
+    """
+    from pyspark.sql import Window
+
+    xc = F.coalesce(F.col(x).cast("string"), F.lit(" null")).alias("_x")
+    yc = F.coalesce(F.col(y).cast("string"), F.lit(" null")).alias("_y")
+    joint = df.select(xc, yc).groupBy("_x", "_y").agg(
+        F.count(F.lit(1)).alias("_nxy")
+    )
+    wx = Window.partitionBy("_x")
+    wy = Window.partitionBy("_y")
+    wall = Window.partitionBy()
+    marg = (
+        joint.withColumn("_nx", F.sum("_nxy").over(wx))
+        .withColumn("_ny", F.sum("_nxy").over(wy))
+        .withColumn("_t", F.sum("_nxy").over(wall))
+    )
+    e = F.col("_nx").cast("double") * F.col("_ny").cast("double") / F.col(
+        "_t"
+    ).cast("double")
+    o = F.col("_nxy").cast("double")
+    term = (o - e) * (o - e) / e - e
+    terms = marg.select(
+        "_nxy",
+        "_x",
+        "_y",
+        F.round(term, 12).cast("decimal(20,12)").alias("_term"),
+    )
+    agg = terms.agg(
+        F.sum("_nxy").cast("bigint").alias("n_rows"),
+        F.count_distinct("_x").cast("bigint").alias("n_x"),
+        F.count_distinct("_y").cast("bigint").alias("n_y"),
+        F.sum("_term").alias("_tsum"),
+    )
+    chi2 = F.greatest(
+        F.col("_tsum").cast("double") + F.col("n_rows").cast("double"),
+        F.lit(0.0),
+    )
+    kmin = F.least(F.col("n_x"), F.col("n_y")).cast("double") - F.lit(1.0)
+    dof = (F.col("n_x") - 1) * (F.col("n_y") - 1)
+    return agg.select(
+        "n_rows",
+        "n_x",
+        "n_y",
+        dof.cast("bigint").alias("dof"),
+        F.round(chi2, round_to).alias("chi2"),
+        F.round(
+            F.when(
+                (kmin > 0) & (F.col("n_rows") > 0),
+                F.sqrt(chi2 / (F.col("n_rows").cast("double") * kmin)),
+            ),
+            round_to,
+        ).alias("v"),
+    )
+
+
+def cramers_v_oracle_sql(from_sql: str, x: str, y: str, round_to: int = 6) -> str:
+    """DuckDB replay of :func:`cramers_v`; same sparse-grid identity,
+    same 12-dp pre-sum rounding."""
+    return f"""WITH src AS ({from_sql}),
+joint AS (SELECT coalesce(CAST({x} AS VARCHAR), ' null') AS _x,
+                 coalesce(CAST({y} AS VARCHAR), ' null') AS _y,
+                 count(*) AS nxy
+          FROM src GROUP BY 1, 2),
+marg AS (SELECT nxy,
+                _x, _y,
+                sum(nxy) OVER (PARTITION BY _x) AS nx,
+                sum(nxy) OVER (PARTITION BY _y) AS ny,
+                sum(nxy) OVER () AS t
+         FROM joint),
+terms AS (SELECT nxy, _x, _y,
+    CAST(round((CAST(nxy AS DOUBLE) - CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)
+                / CAST(t AS DOUBLE))
+           * (CAST(nxy AS DOUBLE) - CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)
+                / CAST(t AS DOUBLE))
+           / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE) / CAST(t AS DOUBLE))
+           - CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE) / CAST(t AS DOUBLE), 12)
+         AS DECIMAL(20,12)) AS term
+   FROM marg),
+agg AS (SELECT CAST(sum(nxy) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT _x) AS BIGINT) AS n_x,
+               CAST(count(DISTINCT _y) AS BIGINT) AS n_y,
+               sum(term) AS tsum
+        FROM terms)
+SELECT n_rows, n_x, n_y,
+  CAST((n_x - 1) * (n_y - 1) AS BIGINT) AS dof,
+  round(greatest(CAST(tsum AS DOUBLE) + CAST(n_rows AS DOUBLE), 0.0),
+        {round_to}) AS chi2,
+  round(CASE WHEN least(n_x, n_y) > 1 AND n_rows > 0 THEN
+      sqrt(greatest(CAST(tsum AS DOUBLE) + CAST(n_rows AS DOUBLE), 0.0)
+           / (CAST(n_rows AS DOUBLE) * (CAST(least(n_x, n_y) AS DOUBLE) - 1.0)))
+    END, {round_to}) AS v
+FROM agg"""

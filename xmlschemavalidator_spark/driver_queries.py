@@ -16166,3 +16166,25 @@ def heaps_vocab_growth(spark, sf_dir):
         F.explode(tokens(F.col("text"))).alias("w"),
     ).where(F.col("w") != "")
     return heaps_exponent(tok, "w", "sub")
+
+
+def _cramers_oracle() -> str:
+    from xmlschemavalidator_spark.checks.stats import cramers_v_oracle_sql
+
+    return cramers_v_oracle_sql("SELECT lang, source FROM documents", "lang", "source")
+
+
+@q("cramers_v_lang_source", _cramers_oracle())
+def cramers_v_lang_source(spark, sf_dir):
+    """Cramér's V association between lang and source (checks/stats.py:
+    cramers_v) — the bounded [0,1] profiling companion to the
+    mutual-information analyzer: comparable ACROSS column pairs where
+    MI's nats aren't, so a V≈1 pair reads directly as "one column
+    derives the other" (a redundant quasi-identifier for the
+    k-anonymity audit, a leaking feature for the quality model).
+    Sparse-grid chi² identity — unobserved cells collapse into the
+    closed-form +n correction, no r×c expansion. One scan, one cell
+    groupBy, oracle-exact."""
+    from xmlschemavalidator_spark.checks.stats import cramers_v
+
+    return cramers_v(_t(spark, sf_dir, "documents"), "lang", "source")
