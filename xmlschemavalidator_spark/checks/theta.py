@@ -120,3 +120,66 @@ def theta_distinct_by_group(
             (F.col("n_survivors") * F.lit(1 << p)).cast("bigint").alias("estimate"),
         )
     )
+
+
+def theta_set_ops(sketch_a: DataFrame, sketch_b: DataFrame, p: int) -> DataFrame:
+    """Set operations between two theta sketches built with the SAME
+    salt and p (the actual point of the theta family — HLL unions but
+    never intersects without inclusion–exclusion error stacking): one
+    row ``(n_a, n_b, n_union, n_intersect, est_a, est_b, est_union,
+    est_intersect, est_only_a, est_only_b, jaccard_micro)``.
+
+    Because both sketches keep exactly the values hashing below the
+    same threshold, the survivor sets ARE uniform samples of the two
+    distinct sets drawn with the SAME coin flips — so intersection/
+    difference of the sketches is a sketch of the intersection/
+    difference, and every estimate is ``count · 2^p``. The Jaccard
+    estimate needs no scaling at all: |S_A∩S_B| / |S_A∪S_B| is the
+    direct KMV/theta similarity estimator (Beyer et al. SIGMOD'07) —
+    emitted as integer micros (exact div), hash-checkable.
+
+    The cross-crawl read: est_only_b = genuinely NEW distinct values in
+    snapshot B (frontier growth); jaccard ≈ 1 = a refetch.
+
+    Scale shape: both inputs are already ~D·2^-p rows; one union + one
+    groupBy(h) membership fold + a 1-row aggregate. Mismatched salts or
+    thresholds are the caller's contract (hashes wouldn't align);
+    estimates on an empty union yield 0s with NULL jaccard, never div/0.
+    """
+    if not 0 <= p < _HASH_BITS:
+        raise ValueError(f"theta_set_ops: p must be in [0, {_HASH_BITS}), got {p}")
+    m = sketch_a.select(
+        "h", F.lit(1).alias("_a"), F.lit(0).alias("_b")
+    ).unionByName(sketch_b.select("h", F.lit(0).alias("_a"), F.lit(1).alias("_b")))
+    per = m.groupBy("h").agg(
+        F.max("_a").alias("_ina"), F.max("_b").alias("_inb")
+    )
+    agg = per.agg(
+        F.coalesce(F.sum("_ina"), F.lit(0)).cast("bigint").alias("n_a"),
+        F.coalesce(F.sum("_inb"), F.lit(0)).cast("bigint").alias("n_b"),
+        F.count(F.lit(1)).cast("bigint").alias("n_union"),
+        F.coalesce(F.sum(F.col("_ina") * F.col("_inb")), F.lit(0))
+        .cast("bigint")
+        .alias("n_intersect"),
+    )
+    scale = F.lit(1 << p)
+    return agg.select(
+        "n_a",
+        "n_b",
+        "n_union",
+        "n_intersect",
+        (F.col("n_a") * scale).cast("bigint").alias("est_a"),
+        (F.col("n_b") * scale).cast("bigint").alias("est_b"),
+        (F.col("n_union") * scale).cast("bigint").alias("est_union"),
+        (F.col("n_intersect") * scale).cast("bigint").alias("est_intersect"),
+        ((F.col("n_a") - F.col("n_intersect")) * scale)
+        .cast("bigint")
+        .alias("est_only_a"),
+        ((F.col("n_b") - F.col("n_intersect")) * scale)
+        .cast("bigint")
+        .alias("est_only_b"),
+        F.expr(
+            "CASE WHEN n_union > 0 THEN"
+            " n_intersect * 1000000 div n_union END"
+        ).alias("jaccard_micro"),
+    )

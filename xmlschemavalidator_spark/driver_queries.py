@@ -16188,3 +16188,61 @@ def cramers_v_lang_source(spark, sf_dir):
     from xmlschemavalidator_spark.checks.stats import cramers_v
 
     return cramers_v(_t(spark, sf_dir, "documents"), "lang", "source")
+
+
+def _theta_setops_oracle() -> str:
+    from xmlschemavalidator_spark.checks.theta import theta_key_sql
+    from xmlschemavalidator_spark.textops import _WS
+
+    thresh = 1 << (60 - 4)
+    return f"""WITH tok AS (
+     SELECT doc_id % 2 = 0 AS ina, w FROM (
+       SELECT doc_id, unnest(string_split_regex(trim(coalesce(text, '')),
+              '{_WS}+')) AS w FROM documents) WHERE w <> ''),
+   surv AS (SELECT ina, h FROM (
+       SELECT ina, {theta_key_sql('w', 'crawlcmp')} AS h FROM tok)
+     WHERE h < {thresh}),
+   per AS (SELECT h, max(CASE WHEN ina THEN 1 ELSE 0 END) AS a,
+                  max(CASE WHEN ina THEN 0 ELSE 1 END) AS b
+           FROM surv GROUP BY h),
+   agg AS (SELECT CAST(sum(a) AS BIGINT) AS n_a,
+                  CAST(sum(b) AS BIGINT) AS n_b,
+                  CAST(count(*) AS BIGINT) AS n_union,
+                  CAST(sum(a * b) AS BIGINT) AS n_intersect
+           FROM per)
+ SELECT n_a, n_b, n_union, n_intersect,
+   CAST(n_a * 16 AS BIGINT) AS est_a,
+   CAST(n_b * 16 AS BIGINT) AS est_b,
+   CAST(n_union * 16 AS BIGINT) AS est_union,
+   CAST(n_intersect * 16 AS BIGINT) AS est_intersect,
+   CAST((n_a - n_intersect) * 16 AS BIGINT) AS est_only_a,
+   CAST((n_b - n_intersect) * 16 AS BIGINT) AS est_only_b,
+   CASE WHEN n_union > 0 THEN n_intersect * 1000000 // n_union END
+     AS jaccard_micro
+ FROM agg"""
+
+
+@q("theta_vocab_overlap", _theta_setops_oracle())
+def theta_vocab_overlap(spark, sf_dir):
+    """Theta-sketch set operations (checks/theta.py:theta_set_ops)
+    between the token vocabularies of two crawl halves (doc_id parity
+    as the snapshot split): union/intersection/difference ESTIMATES and
+    the direct KMV Jaccard (Beyer et al. SIGMOD'07) — the cross-crawl
+    overlap question HLL can't answer without inclusion–exclusion
+    error stacking (est_only_b = genuinely new vocabulary = frontier
+    growth; jaccard≈1 = a refetch). Portable md5 hashing makes the
+    whole estimate hash-exact in DuckDB — an approximate set-op path
+    the driver can value-check, unlike any HLL intersection. Both
+    sketches shed 15/16 of tokens at the scan before anything
+    shuffles."""
+    from xmlschemavalidator_spark.checks.theta import theta_set_ops, theta_sketch_rows
+    from xmlschemavalidator_spark.textops import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        (F.col("doc_id") % 2 == 0).alias("ina"),
+        F.explode(tokens(F.col("text"))).alias("w"),
+    ).where(F.col("w") != "")
+    sa = theta_sketch_rows(tok.where(F.col("ina")), "w", p=4, salt="crawlcmp")
+    sb = theta_sketch_rows(tok.where(~F.col("ina")), "w", p=4, salt="crawlcmp")
+    return theta_set_ops(sa, sb, p=4)
