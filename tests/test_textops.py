@@ -1742,3 +1742,42 @@ def test_heaps_exponent_hand_computed(spark):
         spark.createDataFrame(rows4, "w string, sub boolean"), "w", "sub"
     ).collect()
     assert r4["beta"] is None
+
+
+def test_prf_expansion_and_retrieval(spark):
+    import math
+
+    from xmlschemavalidator_spark.textops import (
+        bm25_topk,
+        prf_bm25_topk,
+        prf_expansion_terms,
+    )
+
+    # corpus: docs about "spark" co-mention "shuffle"; one relevant doc
+    # uses ONLY the co-term (the vocabulary-mismatch case PRF exists for)
+    rows = [
+        (1, "spark shuffle partition spark"),
+        (2, "spark shuffle executor"),
+        (3, "shuffle partition executor"),     # relevant, no query term
+        (4, "cat dog bird"),
+        (5, "dog bird fish"),
+        (6, "spark shuffle spark memory"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exp = prf_expansion_terms(df, "doc_id", ["spark"], r=3, n_expand=2).collect()
+    terms = [r["term"] for r in exp]
+    assert terms[0] == "shuffle"  # in every pseudo-relevant doc
+    assert exp[0]["rank"] == 1 and exp[0]["rel_tf"] == 3
+    # hand replay of the weight: idf = ln((N+1)/(df+1)) + 1, micro-floored
+    idf = math.floor((math.log(7 / 5) + 1.0) * 1_000_000)  # shuffle df=4
+    assert exp[0]["weight_micro"] == 3 * idf
+    # original query terms never expand
+    assert "spark" not in terms
+
+    # end-to-end: doc 3 is unreachable by the original query but ranks
+    # after expansion
+    base = {r["doc"] for r in bm25_topk(df, "doc_id", ["spark"], k=6).collect()}
+    prf = {r["doc"] for r in prf_bm25_topk(
+        df, "doc_id", ["spark"], r=3, n_expand=2, k=6
+    ).collect()}
+    assert 3 not in base and 3 in prf

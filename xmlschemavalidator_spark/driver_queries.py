@@ -16246,3 +16246,51 @@ def theta_vocab_overlap(spark, sf_dir):
     sa = theta_sketch_rows(tok.where(F.col("ina")), "w", p=4, salt="crawlcmp")
     sb = theta_sketch_rows(tok.where(~F.col("ina")), "w", p=4, salt="crawlcmp")
     return theta_set_ops(sa, sb, p=4)
+
+
+def _prf_oracle() -> str:
+    from xmlschemavalidator_spark.textops import bm25_topk_sql
+
+    terms = sorted({t.lower() for t in _BM25_TERMS})
+    not_in = ", ".join("'" + t + "'" for t in terms)
+    ws = "[ \\t\\n\\x0b\\f\\r]+"
+    return f"""WITH rel AS (SELECT doc FROM ({bm25_topk_sql(_BM25_TERMS, k=5)})),
+toks AS (
+  SELECT doc_id AS doc,
+         lower(unnest(list_filter(
+           regexp_split_to_array(trim(coalesce(text, '')), '{ws}'),
+           x -> x <> ''))) AS term
+  FROM documents),
+rtf AS (SELECT term, CAST(count(*) AS BIGINT) AS rel_tf
+        FROM toks JOIN rel USING (doc)
+        WHERE term NOT IN ({not_in}) GROUP BY term),
+dfq AS (SELECT term, CAST(count(DISTINCT doc) AS BIGINT) AS df
+        FROM toks WHERE term IN (SELECT term FROM rtf) GROUP BY term),
+nd AS (SELECT count(*) AS n FROM documents),
+scored AS (SELECT r.term, r.rel_tf, d.df,
+                  CAST(r.rel_tf * CAST(floor((ln((nd.n + 1.0) / (d.df + 1.0))
+                       + 1.0) * 1000000.0) AS BIGINT) AS BIGINT)
+                      AS weight_micro
+           FROM rtf r JOIN dfq d USING (term) CROSS JOIN nd)
+SELECT CAST(rank AS INT) AS rank, term, rel_tf, df, weight_micro FROM (
+  SELECT *, row_number() OVER (ORDER BY weight_micro DESC, term ASC) AS rank
+  FROM scored)
+WHERE rank <= 5"""
+
+
+@q("prf_query_expansion", _prf_oracle())
+def prf_query_expansion(spark, sf_dir):
+    """Pseudo-relevance-feedback expansion (textops.py:
+    prf_expansion_terms, Rocchio 1971 / RM3's deterministic core) for
+    the standing BM25 query: BM25 top-5 docs are pseudo-relevant, every
+    term they contain is Rocchio-scored rel_tf·idf_micro (integer), the
+    original terms drop out, top-5 expansions emerge — the vocabulary-
+    mismatch fix between first-pass retrieval and rerank, and the last
+    leg of the retrieval family (BM25 → phrase → RRF hybrid → PRF).
+    The r ids broadcast into the token stream; df counting shuffles
+    only candidate-term pairs. Oracle replays the full chain including
+    the embedded BM25 run."""
+    from xmlschemavalidator_spark.textops import prf_expansion_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return prf_expansion_terms(docs, "doc_id", _BM25_TERMS, r=5, n_expand=5)

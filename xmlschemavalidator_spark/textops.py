@@ -3012,3 +3012,108 @@ def heaps_exponent(
         "vocab_full",
         F.round(F.when(ok, beta), round_to).alias("beta"),
     )
+
+
+def prf_expansion_terms(
+    df: DataFrame,
+    id_col: str,
+    query_terms: list[str],
+    text_col: str = "text",
+    r: int = 5,
+    n_expand: int = 5,
+    k1_20: int = 24,
+    b_20: int = 15,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (Rocchio 1971 / the RM3
+    family's deterministic core): take the BM25 top-``r`` docs as
+    pseudo-relevant, score every term they contain by the Rocchio
+    centroid weight ``rel_tf · idf`` (rel_tf = summed term frequency
+    across the r docs; idf = the smoothed tfidf_top_terms ln, floor-
+    micro-quantized so the ranking key is an INTEGER), drop the original
+    query terms, and emit the top-``n_expand`` as
+    ``(rank, term, rel_tf, df, weight_micro)`` — the vocabulary-mismatch
+    fix retrieval stacks run between first-pass BM25 and rerank.
+
+    Scale shape: the r pseudo-relevant ids broadcast into the token
+    stream (r rows); candidate terms are bounded by the r docs'
+    vocabulary and broadcast back to count document frequency, so the
+    corpus is scanned, never shuffled on its full vocabulary — df
+    counting shuffles only (candidate-term, doc) pairs. The final rank
+    window sorts the candidate-vocabulary table (bounded by the r docs'
+    vocab, NOT the corpus) in one task — the bound is the contract.
+
+    Exactness: rel_tf/df exact integers; idf micro-floored (the
+    probabilistic-ulp caveat of tfidf_top_terms); weight = rel_tf ·
+    idf_micro integer; ties break (weight desc, term asc).
+    """
+    qset = sorted({t.lower() for t in query_terms})
+    rel = bm25_topk(
+        df, id_col, query_terms, text_col, k=r, k1_20=k1_20, b_20=b_20
+    ).select("doc")
+    n = int(df.count()) if n_docs is None else int(n_docs)
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    ).where(F.length("term") > 0)
+    rel_tf = (
+        toks.join(F.broadcast(rel), "doc")
+        .where(~F.col("term").isin(qset))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("rel_tf"))
+    )
+    dfreq = (
+        toks.join(F.broadcast(rel_tf.select("term")), "term")
+        .select("doc", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    )
+    idf_micro = F.floor(
+        (F.log(F.lit(float(n + 1)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0))
+        * F.lit(1_000_000.0)
+    ).cast("bigint")
+    scored = rel_tf.join(dfreq, "term").select(
+        "term",
+        "rel_tf",
+        "df",
+        (F.col("rel_tf") * idf_micro).cast("bigint").alias("weight_micro"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("weight_micro").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= n_expand)
+        .select("rank", "term", "rel_tf", "df", "weight_micro")
+    )
+
+
+def prf_bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    query_terms: list[str],
+    text_col: str = "text",
+    r: int = 5,
+    n_expand: int = 5,
+    k: int = 10,
+    k1_20: int = 24,
+    b_20: int = 15,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """End-to-end PRF retrieval: expand with :func:`prf_expansion_terms`
+    then re-run BM25 over original ∪ expansion terms (equal-weight
+    Rocchio-lite — BM25's idf already downweights the broad expansions).
+    The ONE driver collect is the n_expand expansion terms — an explicit
+    ≤ n_expand-row bound, the same contract as the centroid/model-table
+    collects. Output = :func:`bm25_topk`'s ``(doc, n_hits,
+    score_micro)``."""
+    exp = [
+        row["term"]
+        for row in prf_expansion_terms(
+            df, id_col, query_terms, text_col, r=r, n_expand=n_expand,
+            k1_20=k1_20, b_20=b_20, n_docs=n_docs,
+        ).collect()
+    ]
+    combined = sorted({t.lower() for t in query_terms} | set(exp))
+    return bm25_topk(df, id_col, combined, text_col, k=k, k1_20=k1_20, b_20=b_20)
