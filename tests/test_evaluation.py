@@ -577,3 +577,79 @@ def test_mcnemar_duckdb_parity(spark):
         mcnemar_oracle_sql("SELECT a, b FROM verd")
     ).fetchall()
     assert tuple(got) == tuple(want)
+
+
+def test_logrank_hand_computed(spark):
+    from xmlschemavalidator_spark.checks.evaluation import logrank_test
+
+    # classic toy: A events at t=1,2 (n=3, one censored at 3);
+    # B events at t=3,4 (n=3, one censored at 4)
+    rows = [
+        ("A", 1, 1), ("A", 2, 1), ("A", 3, 0),
+        ("B", 3, 1), ("B", 4, 1), ("B", 4, 0),
+    ]
+    df = spark.createDataFrame(rows, "g string, t long, e int")
+    [r] = logrank_test(df, "t", "e", "g", "A", "B").collect()
+    assert (r["n_a"], r["n_b"], r["n_events_a"], r["n_events_b"]) == (3, 3, 2, 2)
+    # python replay of the per-time chain
+    data = [(t, g == "A", e) for g, t, e in rows]
+    times = sorted({t for t, _, e in data if e})
+    o = v = 0.0
+    for t in times:
+        ra = sum(1 for tt, a, _ in data if tt >= t and a)
+        rb = sum(1 for tt, a, _ in data if tt >= t and not a)
+        da = sum(e for tt, a, e in data if tt == t and a)
+        dbb = sum(e for tt, a, e in data if tt == t and not a)
+        nt, dt = ra + rb, da + dbb
+        o += round(da - dt * ra / nt, 12)
+        if nt > 1:
+            v += round(dt * (ra / nt) * (rb / nt) * ((nt - dt) / (nt - 1)), 12)
+    assert r["o_minus_e"] == round(o, 6)
+    assert r["chi2"] == round(o * o / v, 6)
+    assert 0 < r["p"] < 1  # exact value pinned by the parity test
+
+    # identical cohorts -> chi2 ~ 0, not significant
+    same = [("A", t, 1) for t in (1, 2, 3, 4)] + [("B", t, 1) for t in (1, 2, 3, 4)]
+    [ri] = logrank_test(
+        spark.createDataFrame(same, "g string, t long, e int"), "t", "e", "g", "A", "B"
+    ).collect()
+    assert abs(ri["o_minus_e"]) < 1e-9 and ri["significant"] is False
+
+    # strongly separated cohorts -> significant
+    sep = [("A", t % 3 + 1, 1) for t in range(40)] + [
+        ("B", t % 3 + 20, 1) for t in range(40)
+    ]
+    [rs] = logrank_test(
+        spark.createDataFrame(sep, "g string, t long, e int"), "t", "e", "g", "A", "B"
+    ).collect()
+    assert rs["significant"] is True and rs["p"] < 0.001
+
+    # all-censored: zero variance -> NULL chi2/p, never div/0
+    cen = [("A", 1, 0), ("B", 2, 0)]
+    [rc] = logrank_test(
+        spark.createDataFrame(cen, "g string, t long, e int"), "t", "e", "g", "A", "B"
+    ).collect()
+    assert rc["chi2"] is None and rc["p"] is None and rc["significant"] is False
+
+
+def test_logrank_duckdb_parity(spark):
+    import duckdb
+
+    from xmlschemavalidator_spark.checks.evaluation import (
+        logrank_oracle_sql,
+        logrank_test,
+    )
+
+    rows = [
+        ("A" if i % 2 == 0 else "B", (i * i) % 13 + 1, 1 if i % 3 else 0)
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "g string, t long, e int")
+    [got] = logrank_test(df, "t", "e", "g", "A", "B").collect()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE surv (g VARCHAR, t BIGINT, e BIGINT)")
+    con.executemany("INSERT INTO surv VALUES (?, ?, ?)", rows)
+    [want] = con.execute(
+        logrank_oracle_sql("SELECT t, g = 'A' AS ga, e FROM surv")
+    ).fetchall()
+    assert tuple(got) == tuple(want)

@@ -1197,3 +1197,167 @@ SELECT n, n_both_pass, n_a_only, n_b_only, n_both_fail,
   round({p}, {round_to}) AS p,
   coalesce({chi2} * 1000 > {chi2_crit_milli}, FALSE) AS significant
 FROM cells"""
+
+
+def logrank_test(
+    df: DataFrame,
+    duration_col: str,
+    observed_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    chi2_crit_milli: int = 3841,
+    round_to: int = 6,
+) -> DataFrame:
+    """Log-rank test (Mantel 1966 / Peto & Peto 1972) between two
+    right-censored survival cohorts — the significance verdict the
+    kaplan_meier / nelson_aalen CURVES don't carry: "cohort B churns
+    faster" needs more than two lines that look apart, it needs the
+    hypergeometric null across the shared event-time grid. ONE row
+    ``(n_a, n_b, n_events_a, n_events_b, o_minus_e, chi2, p,
+    significant)`` where at each event time t (pooled):
+
+        E_a(t) = d_t · n_at / n_t                  (expected A-events)
+        V(t)   = d_t (n_at/n_t)(n_bt/n_t)(n_t−d_t)/(n_t−1)
+
+    and chi2 = (Σ(d_at − E_a))² / ΣV, df = 1, p the shared A&S normal
+    tail of √chi2. Censoring ties at t leave the risk set AFTER the
+    events at t (the KM tie rule, same staging).
+
+    Exactness: per-time terms are fixed double chains on exact BIGINT
+    counts, rounded to 12 dp and summed in DECIMAL(20,12) — the
+    kaplan_meier contract (order-free; the grid is distinct durations,
+    so coarse-bucket continuous durations first). Single-event-time
+    degenerate inputs with zero variance yield NULL chi2/p and
+    significant=false, never a div/0; n_t = 1 time points carry zero
+    variance and zero O−E by construction (d_at − E_a = 0 when only one
+    subject remains and it's the event).
+
+    Scale shape: one scan into a (group × distinct-duration) aggregate,
+    one tail-window for risk sets, a 1-row reduction — the
+    kaplan_meier plan with the two cohorts pivoted side by side.
+    """
+    lab = F.col(observed_col).cast("boolean")
+    isa = F.col(group_col) == group_a
+    base = df.where(
+        F.col(duration_col).isNotNull()
+        & lab.isNotNull()
+        & F.col(group_col).isin([group_a, group_b])
+    ).select(
+        F.col(duration_col).cast("bigint").alias("t"),
+        isa.alias("_ga"),
+        lab.cast("long").alias("_e"),
+    )
+    g = base.groupBy("t").agg(
+        F.sum(F.when(F.col("_ga"), F.col("_e")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("_da"),
+        F.sum(F.when(~F.col("_ga"), F.col("_e")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("_db"),
+        F.sum(F.col("_ga").cast("long")).cast("bigint").alias("_na"),
+        F.sum((~F.col("_ga")).cast("long")).cast("bigint").alias("_nb"),
+    )
+    wtail = Window.orderBy("t").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    r = (
+        g.withColumn("_ra", F.sum("_na").over(wtail).cast("bigint"))
+        .withColumn("_rb", F.sum("_nb").over(wtail).cast("bigint"))
+        .where(F.col("_da") + F.col("_db") > 0)
+    )
+    nt = (F.col("_ra") + F.col("_rb")).cast("double")
+    dt = (F.col("_da") + F.col("_db")).cast("double")
+    ea = dt * F.col("_ra").cast("double") / nt
+    v = F.when(
+        F.col("_ra") + F.col("_rb") > 1,
+        dt
+        * (F.col("_ra").cast("double") / nt)
+        * (F.col("_rb").cast("double") / nt)
+        * ((nt - dt) / (nt - F.lit(1.0))),
+    ).otherwise(F.lit(0.0))
+    terms = r.select(
+        "_da",
+        "_db",
+        F.round(F.col("_da").cast("double") - ea, 12)
+        .cast("decimal(20,12)")
+        .alias("_ome"),
+        F.round(v, 12).cast("decimal(20,12)").alias("_v"),
+    )
+    tot = base.agg(
+        F.sum(F.col("_ga").cast("long")).cast("bigint").alias("n_a"),
+        F.sum((~F.col("_ga")).cast("long")).cast("bigint").alias("n_b"),
+    )
+    agg = terms.agg(
+        F.coalesce(F.sum("_da"), F.lit(0)).cast("bigint").alias("n_events_a"),
+        F.coalesce(F.sum("_db"), F.lit(0)).cast("bigint").alias("n_events_b"),
+        F.coalesce(F.sum("_ome"), F.lit(0).cast("decimal(20,12)")).alias("_o"),
+        F.coalesce(F.sum("_v"), F.lit(0).cast("decimal(20,12)")).alias("_vv"),
+    )
+    out = tot.crossJoin(F.broadcast(agg))
+    od = F.col("_o").cast("double")
+    vd = F.col("_vv").cast("double")
+    chi2 = F.when(vd > 0, od * od / vd)
+    return out.select(
+        "n_a",
+        "n_b",
+        "n_events_a",
+        "n_events_b",
+        F.round(od, round_to).alias("o_minus_e"),
+        F.round(chi2, round_to).alias("chi2"),
+        F.round(F.when(vd > 0, _p_two_sided(F.sqrt(chi2))), round_to).alias("p"),
+        F.coalesce(
+            chi2 * 1000 > F.lit(float(chi2_crit_milli)), F.lit(False)
+        ).alias("significant"),
+    )
+
+
+def logrank_oracle_sql(
+    from_sql: str,
+    chi2_crit_milli: int = 3841,
+    round_to: int = 6,
+) -> str:
+    """DuckDB replay of :func:`logrank_test`; ``from_sql`` must yield
+    ``(t BIGINT, ga BOOLEAN, e BIGINT)`` rows (duration, is-group-A,
+    observed 0/1), nulls pre-filtered."""
+    chi2 = "(CASE WHEN vv > 0 THEN CAST(o AS DOUBLE) * CAST(o AS DOUBLE) / CAST(vv AS DOUBLE) END)"
+    p = f"(CASE WHEN vv > 0 THEN {_p_two_sided_sql(f'sqrt({chi2})')} END)"
+    return f"""WITH src AS ({from_sql}),
+g AS (SELECT t,
+        CAST(sum(CASE WHEN ga THEN e ELSE 0 END) AS BIGINT) AS da,
+        CAST(sum(CASE WHEN ga THEN 0 ELSE e END) AS BIGINT) AS db,
+        CAST(sum(CASE WHEN ga THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        CAST(sum(CASE WHEN ga THEN 0 ELSE 1 END) AS BIGINT) AS nb
+      FROM src GROUP BY t),
+r AS (SELECT *,
+        CAST(sum(na) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW AND
+             UNBOUNDED FOLLOWING) AS BIGINT) AS ra,
+        CAST(sum(nb) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW AND
+             UNBOUNDED FOLLOWING) AS BIGINT) AS rb
+      FROM g),
+terms AS (SELECT da, db,
+    CAST(round(CAST(da AS DOUBLE)
+         - CAST(da + db AS DOUBLE) * CAST(ra AS DOUBLE)
+           / CAST(ra + rb AS DOUBLE), 12) AS DECIMAL(20,12)) AS ome,
+    CAST(round(CASE WHEN ra + rb > 1 THEN
+         CAST(da + db AS DOUBLE)
+         * (CAST(ra AS DOUBLE) / CAST(ra + rb AS DOUBLE))
+         * (CAST(rb AS DOUBLE) / CAST(ra + rb AS DOUBLE))
+         * ((CAST(ra + rb AS DOUBLE) - CAST(da + db AS DOUBLE))
+            / (CAST(ra + rb AS DOUBLE) - 1.0))
+       ELSE 0.0 END, 12) AS DECIMAL(20,12)) AS v
+   FROM r WHERE da + db > 0),
+tot AS (SELECT CAST(sum(CASE WHEN ga THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN ga THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+        FROM src),
+agg AS (SELECT CAST(coalesce(sum(da), 0) AS BIGINT) AS n_events_a,
+               CAST(coalesce(sum(db), 0) AS BIGINT) AS n_events_b,
+               coalesce(sum(ome), CAST(0 AS DECIMAL(20,12))) AS o,
+               coalesce(sum(v), CAST(0 AS DECIMAL(20,12))) AS vv
+        FROM terms)
+SELECT n_a, n_b, n_events_a, n_events_b,
+  round(CAST(o AS DOUBLE), {round_to}) AS o_minus_e,
+  round({chi2}, {round_to}) AS chi2,
+  round({p}, {round_to}) AS p,
+  coalesce({chi2} * 1000 > {chi2_crit_milli}, FALSE) AS significant
+FROM tot, agg"""

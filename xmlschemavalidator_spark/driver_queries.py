@@ -16294,3 +16294,49 @@ def prf_query_expansion(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return prf_expansion_terms(docs, "doc_id", _BM25_TERMS, r=5, n_expand=5)
+
+
+def _logrank_oracle() -> str:
+    from xmlschemavalidator_spark.checks.evaluation import logrank_oracle_sql
+
+    return logrank_oracle_sql(
+        """SELECT CAST((epoch_us(max(CAST(ts AS TIMESTAMP)))
+                 - epoch_us(min(CAST(ts AS TIMESTAMP)))) // 86400000000
+                AS BIGINT) AS t,
+              user_id % 2 = 0 AS ga,
+              CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS e
+       FROM events WHERE ts IS NOT NULL GROUP BY user_id"""
+    )
+
+
+@q("logrank_cohort_comparison", _logrank_oracle())
+def logrank_cohort_comparison(spark, sf_dir):
+    """Log-rank test (checks/evaluation.py:logrank_test) between the two
+    user-id-parity cohorts on the same duration/censoring staging as
+    nelson_aalen_user_hazard (activity-span days, purchase = event,
+    still-active = censored): the significance verdict the KM /
+    Nelson–Aalen CURVES don't carry — parity cohorts are exchangeable,
+    so this doubles as an A/A guard (an alarming chi² here means the
+    staging itself leaks). Hypergeometric O−E across the shared event
+    grid, 12-dp pre-sum rounding, oracle-exact including the A&S p."""
+    from xmlschemavalidator_spark.checks.evaluation import logrank_test
+
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    per_user = ev.groupBy("user_id").agg(
+        (
+            (
+                F.unix_micros(F.max(F.col("ts").cast("timestamp")))
+                - F.unix_micros(F.min(F.col("ts").cast("timestamp")))
+            )
+            / F.lit(86_400_000_000)
+        )
+        .cast("bigint")
+        .alias("t"),
+        (F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) == 1)
+        .alias("e"),
+    )
+    staged = per_user.select(
+        "t", (F.col("user_id") % 2 == 0).alias("cohort"), "e"
+    )
+    return logrank_test(staged, "t", "e", "cohort", True, False)
