@@ -653,3 +653,82 @@ def test_logrank_duckdb_parity(spark):
         logrank_oracle_sql("SELECT t, g = 'A' AS ga, e FROM surv")
     ).fetchall()
     assert tuple(got) == tuple(want)
+
+
+def test_cochran_armitage_hand_computed(spark):
+    import math
+
+    from xmlschemavalidator_spark.checks.evaluation import cochran_armitage
+
+    # rates rising with score: s=0 1/10, s=1 4/10, s=2 8/10
+    rows = (
+        [(0, 1)] * 1 + [(0, 0)] * 9
+        + [(1, 1)] * 4 + [(1, 0)] * 6
+        + [(2, 1)] * 8 + [(2, 0)] * 2
+    )
+    df = spark.createDataFrame(rows, "s long, y int")
+    [r] = cochran_armitage(df, "s", "y").collect()
+    n, x = 30, 13
+    sn = 10 * 1 + 10 * 2
+    sx = 4 * 1 + 8 * 2
+    ssn = 10 * 1 + 10 * 4
+    t = n * sx - x * sn  # exact integer numerator
+    assert (r["n"], r["x"], r["n_groups"]) == (n, x, 3)
+    assert r["t_scaled"] == str(t)
+    pbar = x / n
+    var = pbar * (1 - pbar) * (ssn - sn * sn / n)
+    z = t / n / math.sqrt(var)
+    assert r["z"] == round(z, 6)
+    assert r["significant"] is True and r["p"] < 0.01
+
+    # flat rates -> z ~ 0, not significant
+    flat = [(s, i % 2) for s in (0, 1, 2) for i in range(10)]
+    [rf] = cochran_armitage(
+        spark.createDataFrame(flat, "s long, y int"), "s", "y"
+    ).collect()
+    assert abs(rf["z"]) < 1e-9 and rf["significant"] is False
+
+    # all-success: pbar(1-pbar) = 0 -> NULL z/p
+    allw = [(s, 1) for s in (0, 1, 2) for _ in range(5)]
+    [ra] = cochran_armitage(
+        spark.createDataFrame(allw, "s long, y int"), "s", "y"
+    ).collect()
+    assert ra["z"] is None and ra["p"] is None and ra["significant"] is False
+
+    # single score value: zero spread -> NULL z
+    one = [(1, i % 2) for i in range(10)]
+    [ro] = cochran_armitage(
+        spark.createDataFrame(one, "s long, y int"), "s", "y"
+    ).collect()
+    assert ro["z"] is None and ro["significant"] is False
+
+    # decreasing trend -> negative z, same |z| as the mirrored rise
+    dec = (
+        [(2, 1)] * 1 + [(2, 0)] * 9
+        + [(1, 1)] * 4 + [(1, 0)] * 6
+        + [(0, 1)] * 8 + [(0, 0)] * 2
+    )
+    [rd] = cochran_armitage(
+        spark.createDataFrame(dec, "s long, y int"), "s", "y"
+    ).collect()
+    assert rd["z"] == -r["z"]
+
+
+def test_cochran_armitage_duckdb_parity(spark):
+    import duckdb
+
+    from xmlschemavalidator_spark.checks.evaluation import (
+        cochran_armitage,
+        cochran_armitage_oracle_sql,
+    )
+
+    rows = [(i % 4, 1 if (i * i) % 7 < i % 4 + 2 else 0) for i in range(300)]
+    df = spark.createDataFrame(rows, "s long, y int")
+    [got] = cochran_armitage(df, "s", "y").collect()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE dose (s BIGINT, y BIGINT)")
+    con.executemany("INSERT INTO dose VALUES (?, ?)", rows)
+    [want] = con.execute(
+        cochran_armitage_oracle_sql("SELECT s, y FROM dose")
+    ).fetchall()
+    assert tuple(got) == tuple(want)

@@ -16340,3 +16340,38 @@ def logrank_cohort_comparison(spark, sf_dir):
         "t", (F.col("user_id") % 2 == 0).alias("cohort"), "e"
     )
     return logrank_test(staged, "t", "e", "cohort", True, False)
+
+
+def _ca_oracle() -> str:
+    from xmlschemavalidator_spark.checks.evaluation import cochran_armitage_oracle_sql
+
+    return cochran_armitage_oracle_sql(
+        """SELECT least(n_chars // 200, 2) AS s,
+              CASE WHEN position(' spark ' IN ' ' || text || ' ') > 0
+                   THEN 1 ELSE 0 END AS y
+       FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL"""
+    )
+
+
+@q("cochran_armitage_length_trend", _ca_oracle())
+def cochran_armitage_length_trend(spark, sf_dir):
+    """Cochran–Armitage trend test (checks/evaluation.py:
+    cochran_armitage) — does the ' spark '-mention rate TREND across
+    the three doc-length buckets (0–199 / 200–399 / 400+ chars)? The
+    ordered one-df question the k-group chi² wastes power on; the whole
+    statistic is FIVE integer sums in one partial agg (t_scaled =
+    N·Σsx − X·Σsn is the exact-integer hash-grade numerator), so the
+    dose-response verdict costs one scan at any corpus size.
+    Oracle-exact including the A&S p."""
+    from xmlschemavalidator_spark.checks.evaluation import cochran_armitage
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("n_chars").isNotNull() & F.col("text").isNotNull()
+    )
+    staged = docs.select(
+        F.least(F.expr("n_chars div 200"), F.lit(2)).alias("s"),
+        (
+            F.locate(" spark ", F.concat(F.lit(" "), F.col("text"), F.lit(" "))) > 0
+        ).alias("y"),
+    )
+    return cochran_armitage(staged, "s", "y")
