@@ -516,3 +516,59 @@ def test_interleave_by_group_uneven_groups(spark):
     langs = [r["lang"] for r in out.collect()]
     # small appears once, early; big fills the rest in order
     assert langs[1] == "small" and langs.count("small") == 1
+
+
+def test_neyman_allocation_hand_computed(spark):
+    from xmlschemavalidator_spark.sampling import neyman_allocation
+
+    # stratum a: constant values (sd 0); b: high variance; c: mild
+    rows = (
+        [("a", 10.0)] * 40
+        + [("b", v) for v in (0.0, 100.0) * 15]
+        + [("c", v) for v in (10.0, 12.0) * 10]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r["stratum"]: r for r in
+           neyman_allocation(df, "v", "g", total_n=100).collect()}
+    assert got["a"]["n_rows"] == 40 and got["a"]["sd"] == 0.0
+    # both allocations sum exactly to the budget
+    assert sum(r["n_proportional"] for r in got.values()) == 100
+    assert sum(r["n_neyman"] for r in got.values()) == 100
+    # proportional follows N_h: 100·(40,30,20)/90 = 44.4/33.3/22.2 ->
+    # bases 44/33/22 (sum 99), the leftover seat goes to the largest
+    # remainder (a at .44) -> 45/33/22
+    assert got["a"]["n_proportional"] == 45
+    assert got["b"]["n_proportional"] == 33
+    assert got["c"]["n_proportional"] == 22
+    # Neyman starves the zero-variance stratum and feeds the volatile one
+    assert got["a"]["n_neyman"] == 0
+    assert got["b"]["n_neyman"] > got["b"]["n_proportional"]
+    # python replay of the Hamilton apportionment on integer weights
+    import math
+
+    def sd(vals):
+        n = len(vals)
+        qs = [math.floor(v * 1_000_000) for v in vals]
+        var = max(
+            (sum(x * x for x in qs) - sum(qs) ** 2 / n) / (n - 1) / 1e12, 0.0
+        )
+        return math.sqrt(var)
+
+    vals = {"a": [10.0] * 40, "b": [0.0, 100.0] * 15, "c": [10.0, 12.0] * 10}
+    w = {g: len(v) * math.floor(sd(v) * 1e6) for g, v in vals.items()}
+    W = sum(w.values())
+    bases = {g: 100 * wh // W for g, wh in w.items()}
+    rems = {g: 100 * wh - bases[g] * W for g, wh in w.items()}
+    left = 100 - sum(bases.values())
+    for g in sorted(rems, key=lambda g: (-rems[g], g))[:left]:
+        bases[g] += 1
+    for g in vals:
+        assert got[g]["n_neyman"] == bases[g]
+
+    # all-zero-variance corpus: neyman falls back to proportional
+    flat = [("a", 1.0)] * 30 + [("b", 2.0)] * 10
+    gf = {r["stratum"]: r for r in neyman_allocation(
+        spark.createDataFrame(flat, "g string, v double"), "v", "g", total_n=10
+    ).collect()}
+    assert gf["a"]["n_neyman"] == gf["a"]["n_proportional"] == 8  # 30/40*10=7.5->8? Hamilton: base 7 rem .5; b base 2 rem .5; leftover 1 -> tie rem, stratum asc -> a
+    assert gf["b"]["n_neyman"] == gf["b"]["n_proportional"] == 2

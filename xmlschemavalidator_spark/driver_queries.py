@@ -16375,3 +16375,71 @@ def cochran_armitage_length_trend(spark, sf_dir):
         ).alias("y"),
     )
     return cochran_armitage(staged, "s", "y")
+
+
+_NEYMAN_ORACLE = """WITH per AS (
+  SELECT stratum, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(q) AS HUGEINT) AS s, CAST(sum(q * q) AS HUGEINT) AS ss
+  FROM (SELECT lang AS stratum,
+               CAST(floor(CAST(n_chars AS DOUBLE) * 1000000) AS HUGEINT) AS q
+        FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL)
+  GROUP BY stratum),
+vv AS (SELECT *, CASE WHEN n_rows > 1 THEN greatest(
+           (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+              / CAST(n_rows AS DOUBLE))
+           / (CAST(n_rows AS DOUBLE) - 1.0) / (1000000.0 * 1000000.0), 0.0)
+         ELSE 0.0 END AS var
+       FROM per),
+st AS (SELECT stratum, n_rows,
+         round(CAST(s AS DOUBLE) / CAST(n_rows AS DOUBLE) / 1000000.0, 6)
+             AS mean,
+         round(sqrt(var), 6) AS sd,
+         CAST(n_rows AS HUGEINT)
+           * CAST(floor(sqrt(var) * 1e6) AS HUGEINT) AS wn_raw,
+         CAST(n_rows AS HUGEINT) AS wp
+       FROM vv),
+st2 AS (SELECT *, CASE WHEN sum(wn_raw) OVER () > 0 THEN wn_raw ELSE wp END
+            AS wn FROM st),
+t1 AS (SELECT *, sum(wp) OVER () AS totp, sum(wn) OVER () AS totn FROM st2),
+t2 AS (SELECT *,
+   CASE WHEN totp > 0 THEN 500 * wp // totp ELSE CAST(0 AS HUGEINT) END
+       AS basep,
+   CASE WHEN totp > 0 THEN 500 * wp - (500 * wp // totp) * totp
+        ELSE CAST(0 AS HUGEINT) END AS remp,
+   CASE WHEN totn > 0 THEN 500 * wn // totn ELSE CAST(0 AS HUGEINT) END
+       AS basen,
+   CASE WHEN totn > 0 THEN 500 * wn - (500 * wn // totn) * totn
+        ELSE CAST(0 AS HUGEINT) END AS remn
+   FROM t1),
+t3 AS (SELECT *,
+   500 - sum(basep) OVER () AS leftp,
+   500 - sum(basen) OVER () AS leftn,
+   row_number() OVER (ORDER BY remp DESC, stratum ASC) AS rnp,
+   row_number() OVER (ORDER BY remn DESC, stratum ASC) AS rnn
+   FROM t2)
+SELECT stratum, n_rows, mean, sd,
+  CAST(basep + CASE WHEN rnp <= leftp AND totp > 0 THEN 1 ELSE 0 END
+       AS BIGINT) AS n_proportional,
+  CAST(basen + CASE WHEN rnn <= leftn AND totn > 0 THEN 1 ELSE 0 END
+       AS BIGINT) AS n_neyman
+FROM t3"""
+
+
+@q("neyman_audit_allocation", _NEYMAN_ORACLE)
+def neyman_audit_allocation(spark, sf_dir):
+    """Neyman-optimal audit-sampling design (sampling.py:
+    neyman_allocation): how a 500-doc human-review budget should split
+    across languages when the audited metric is n_chars — oversampling
+    the strata where the metric VARIES (Neyman 1934's N_h·S_h rule)
+    beside the naive proportional plan, their difference being the
+    design gain. Fully integer Hamilton apportionment (exact div,
+    largest-remainder seats, deterministic ties), so both plans sum to
+    exactly 500 in any engine — the sampling-design companion to the
+    deterministic samplers (which EXECUTE a plan; this one CHOOSES
+    it). One scan, #strata-row windows, oracle-exact."""
+    from xmlschemavalidator_spark.sampling import neyman_allocation
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("n_chars").isNotNull() & F.col("lang").isNotNull()
+    )
+    return neyman_allocation(docs, "n_chars", "lang", total_n=500)

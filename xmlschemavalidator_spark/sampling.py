@@ -618,3 +618,121 @@ def interleave_by_group(
         )
         .drop("_r", "_g", "_gi")
     )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    value_col: str,
+    stratum_col: str,
+    total_n: int,
+    quantum: int = 1_000_000,
+) -> DataFrame:
+    """Neyman-optimal stratified sample allocation (Neyman 1934): split
+    a fixed audit budget ``total_n`` across strata proportional to
+    N_h·S_h — the design that minimizes the variance of the stratified
+    mean estimator, vs proportional allocation's N_h. The validation
+    read: a human-review budget should oversample the strata where the
+    metric VARIES (a high-variance lang tells you more per label than a
+    uniform one). Emits the plan ``(stratum, n_rows, mean, sd,
+    n_proportional, n_neyman)`` — both allocations side by side, their
+    difference being Neyman's gain.
+
+    Exactness end-to-end INTEGER: per-stratum moment sums in the house
+    quantized DECIMAL(38,0) lanes; S_h floor-quantizes to micros; the
+    weights w_h = N_h·s_micro are integers apportioned by the largest-
+    remainder (Hamilton) method — base_h = (total_n·w_h) div W exact
+    integral division, the leftover seats go to the largest remainders
+    (ties: stratum asc) — so BOTH columns sum exactly to ``total_n``
+    and no float rounding can drift between engines. An all-zero-
+    variance corpus falls back to proportional weights for n_neyman
+    (Neyman is undefined at W=0; the plan must still allocate).
+    Allocations are NOT capped at N_h: a stratum smaller than its
+    allocation is a design warning the reader must see, not something
+    to silently redistribute.
+
+    Scale shape: one scan into a #strata-row aggregate; the
+    apportionment windows run over strata, never rows.
+    """
+    if total_n < 0:
+        raise ValueError(f"neyman_allocation: total_n={total_n}")
+    d38 = "decimal(38,0)"
+    v = F.col(value_col).cast("double")
+    q = F.floor(v * F.lit(quantum)).cast(d38)
+    base = df.where(v.isNotNull() & F.col(stratum_col).isNotNull()).select(
+        F.col(stratum_col).alias("stratum"), q.alias("_q")
+    )
+    per = base.groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("_q").alias("_s"),
+        F.sum(F.col("_q") * F.col("_q")).alias("_ss"),
+    )
+    nd = F.col("n_rows").cast("double")
+    sd_ = F.col("_s").cast("double")
+    ssd = F.col("_ss").cast("double")
+    qd = F.lit(float(quantum))
+    var = F.when(
+        F.col("n_rows") > 1,
+        F.greatest(
+            (ssd - sd_ * sd_ / nd) / (nd - F.lit(1.0)) / (qd * qd), F.lit(0.0)
+        ),
+    ).otherwise(F.lit(0.0))
+    s_micro = F.floor(F.sqrt(var) * F.lit(1e6)).cast(d38)
+    wall = Window.partitionBy()
+    stats = per.select(
+        "stratum",
+        "n_rows",
+        F.round(sd_ / nd / qd, 6).alias("mean"),
+        F.round(F.sqrt(var), 6).alias("sd"),
+        (F.col("n_rows").cast(d38) * s_micro).cast(d38).alias("_wn_raw"),
+        F.col("n_rows").cast(d38).alias("_wp"),
+    )
+    # Neyman weight falls back to proportional when EVERY stratum has
+    # zero variance (W = 0)
+    staged = stats.withColumn(
+        "_wn",
+        F.when(
+            F.sum("_wn_raw").over(wall) > 0, F.col("_wn_raw")
+        ).otherwise(F.col("_wp")),
+    )
+    out = staged
+    for wcol, outcol in (("_wp", "n_proportional"), ("_wn", "n_neyman")):
+        out = (
+            out.withColumn(f"_tot{wcol}", F.sum(wcol).over(wall))
+            .withColumn(
+                f"_base{wcol}",
+                F.expr(
+                    f"CAST(CASE WHEN _tot{wcol} > 0 THEN"
+                    f" (CAST({total_n} AS {d38}) * {wcol}) div _tot{wcol}"
+                    f" ELSE 0 END AS BIGINT)"
+                ),
+            )
+            .withColumn(
+                f"_rem{wcol}",
+                F.expr(
+                    f"CASE WHEN _tot{wcol} > 0 THEN"
+                    f" CAST({total_n} AS {d38}) * {wcol}"
+                    f" - CAST(_base{wcol} AS {d38}) * _tot{wcol}"
+                    f" ELSE CAST(0 AS {d38}) END"
+                ),
+            )
+        )
+        worder = Window.partitionBy().orderBy(
+            F.col(f"_rem{wcol}").desc(), F.col("stratum").asc()
+        )
+        leftover = F.lit(total_n).cast("bigint") - F.sum(f"_base{wcol}").over(
+            wall
+        ).cast("bigint")
+        out = out.withColumn(
+            outcol,
+            (
+                F.col(f"_base{wcol}")
+                + F.when(
+                    (F.row_number().over(worder) <= leftover)
+                    & (F.col(f"_tot{wcol}") > 0),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).cast("bigint"),
+        )
+    return out.select(
+        "stratum", "n_rows", "mean", "sd", "n_proportional", "n_neyman"
+    )
