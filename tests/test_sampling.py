@@ -572,3 +572,47 @@ def test_neyman_allocation_hand_computed(spark):
     ).collect()}
     assert gf["a"]["n_neyman"] == gf["a"]["n_proportional"] == 8  # 30/40*10=7.5->8? Hamilton: base 7 rem .5; b base 2 rem .5; leftover 1 -> tie rem, stratum asc -> a
     assert gf["b"]["n_neyman"] == gf["b"]["n_proportional"] == 2
+
+
+def test_stratified_estimate_census_and_partial(spark):
+    import math
+
+    from xmlschemavalidator_spark.sampling import stratified_estimate
+
+    full = spark.createDataFrame(
+        [("a", float(v)) for v in (1, 2, 3, 4)] + [("b", float(v)) for v in (10, 20)],
+        "g string, v double",
+    )
+    # census sample: FPC kills the variance entirely, total is exact
+    [r] = stratified_estimate(full, full, "v", "g").collect()
+    assert (r["n_population"], r["n_sampled"], r["n_strata"]) == (6, 6, 2)
+    assert r["est_total"] == 40.0 and r["se_total"] == 0.0
+    assert r["ci_lo_total"] == r["ci_hi_total"] == 40.0
+    assert r["est_mean"] == round(40 / 6, 6)
+
+    # partial sample: replay T = sum N_h * mean_h and the FPC variance
+    smp = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 10.0), ("b", 20.0)], "g string, v double"
+    )
+    [rp] = stratified_estimate(full, smp, "v", "g").collect()
+    t = round(4 * 2.0, 12) + round(2 * 15.0, 12)
+    va = 4 * 4 * (1 - 2 / 4) * 2.0 / 2          # s_a^2 of (1,3) = 2
+    vb = 2 * 2 * (1 - 2 / 2) * 50.0 / 2         # FPC zero: census stratum
+    assert rp["est_total"] == round(t, 6)
+    assert rp["se_total"] == round(math.sqrt(va + vb), 6)
+    assert rp["n_sampled"] == 4
+
+    # unsampled stratum: coverage explicit, never imputed
+    smp_a = spark.createDataFrame([("a", 2.0), ("a", 4.0)], "g string, v double")
+    [ru] = stratified_estimate(full, smp_a, "v", "g").collect()
+    assert ru["n_strata_unsampled"] == 1
+    assert ru["n_pop_covered"] == 4 and ru["n_population"] == 6
+    assert ru["est_total"] == 4 * 3.0  # only stratum a projects
+    assert ru["est_mean"] == 3.0       # mean OF THE COVERED population
+
+    # single-row stratum: zero variance contribution, still covered
+    smp_one = spark.createDataFrame(
+        [("a", 2.0), ("b", 10.0)], "g string, v double"
+    )
+    [r1] = stratified_estimate(full, smp_one, "v", "g").collect()
+    assert r1["se_total"] == 0.0 and r1["n_strata_unsampled"] == 0

@@ -16443,3 +16443,77 @@ def neyman_audit_allocation(spark, sf_dir):
         F.col("n_chars").isNotNull() & F.col("lang").isNotNull()
     )
     return neyman_allocation(docs, "n_chars", "lang", total_n=500)
+
+
+_STRAT_EST_ORACLE = """WITH pop AS (
+  SELECT lang AS stratum, CAST(count(*) AS BIGINT) AS Np
+  FROM documents WHERE lang IS NOT NULL GROUP BY lang),
+keyed AS (
+  SELECT doc_id, lang, n_chars,
+         md5('audit' || ':' || CAST(doc_id AS VARCHAR)) AS k
+  FROM documents WHERE lang IS NOT NULL),
+samp AS (
+  SELECT lang AS stratum, n_chars FROM (
+    SELECT *, row_number() OVER (PARTITION BY lang ORDER BY k, doc_id) AS rn
+    FROM keyed) WHERE rn <= 100),
+smoments AS (
+  SELECT stratum, CAST(count(*) AS BIGINT) AS ns,
+         CAST(sum(q) AS HUGEINT) AS s, CAST(sum(q * q) AS HUGEINT) AS ss
+  FROM (SELECT stratum,
+               CAST(floor(CAST(n_chars AS DOUBLE) * 1000000) AS HUGEINT) AS q
+        FROM samp WHERE n_chars IS NOT NULL)
+  GROUP BY stratum),
+j AS (SELECT p.stratum, p.Np, m.ns, m.s, m.ss
+      FROM pop p LEFT JOIN smoments m ON p.stratum = m.stratum),
+terms AS (SELECT Np,
+    coalesce(ns, 0) AS nn,
+    CASE WHEN ns IS NOT NULL AND ns > 0 THEN 1 ELSE 0 END AS cov,
+    CAST(round(CASE WHEN ns IS NOT NULL AND ns > 0 THEN
+        CAST(Np AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(ns AS DOUBLE)
+             / 1000000.0) ELSE 0.0 END, 12) AS DECIMAL(38,12)) AS t,
+    CAST(round(CASE WHEN ns IS NOT NULL AND ns > 1 THEN
+        CAST(Np AS DOUBLE) * CAST(Np AS DOUBLE)
+        * (1.0 - CAST(ns AS DOUBLE) / CAST(Np AS DOUBLE))
+        * (greatest((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)
+               * CAST(s AS DOUBLE) / CAST(ns AS DOUBLE))
+             / (CAST(ns AS DOUBLE) - 1.0) / (1000000.0 * 1000000.0), 0.0))
+        / CAST(ns AS DOUBLE) ELSE 0.0 END, 12) AS DECIMAL(38,12)) AS v
+  FROM j),
+agg AS (SELECT CAST(sum(Np) AS BIGINT) AS n_population,
+               CAST(sum(Np * cov) AS BIGINT) AS n_pop_covered,
+               CAST(sum(nn) AS BIGINT) AS n_sampled,
+               CAST(count(*) AS BIGINT) AS n_strata,
+               CAST(sum(1 - cov) AS BIGINT) AS n_strata_unsampled,
+               sum(t) AS T, sum(v) AS V
+        FROM terms)
+SELECT n_population, n_pop_covered, n_sampled, n_strata, n_strata_unsampled,
+  round(CASE WHEN n_pop_covered > 0 THEN CAST(T AS DOUBLE)
+        / CAST(n_pop_covered AS DOUBLE) END, 6) AS est_mean,
+  round(CAST(T AS DOUBLE), 6) AS est_total,
+  round(sqrt(greatest(CAST(V AS DOUBLE), 0.0)), 6) AS se_total,
+  round(CAST(T AS DOUBLE)
+        - 1.96 * sqrt(greatest(CAST(V AS DOUBLE), 0.0)), 6) AS ci_lo_total,
+  round(CAST(T AS DOUBLE)
+        + 1.96 * sqrt(greatest(CAST(V AS DOUBLE), 0.0)), 6) AS ci_hi_total
+FROM agg"""
+
+
+@q("stratified_audit_estimate", _STRAT_EST_ORACLE)
+def stratified_audit_estimate(spark, sf_dir):
+    """Design-based stratified estimate (sampling.py:
+    stratified_estimate, Cochran 1977 §5) closing the audit loop:
+    neyman_audit_allocation CHOOSES, corpus_fixed_k_per_lang's sampler
+    DRAWS (here k=100/lang, salt 'audit'), and this PROJECTS the
+    audited n_chars back to a corpus total with a finite-population-
+    corrected CI — the "estimate the whole corpus from 500 human
+    labels" machinery, with unsampled-strata coverage explicit rather
+    than imputed. Two #strata aggregates joined on stratum,
+    oracle-exact including the sampler replay."""
+    from xmlschemavalidator_spark.sampling import (
+        stratified_estimate,
+        stratified_fixed_k,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("lang").isNotNull())
+    sample = stratified_fixed_k(docs, "doc_id", "lang", k=100, salt="audit")
+    return stratified_estimate(docs, sample, "n_chars", "lang")

@@ -736,3 +736,118 @@ def neyman_allocation(
     return out.select(
         "stratum", "n_rows", "mean", "sd", "n_proportional", "n_neyman"
     )
+
+
+def stratified_estimate(
+    full_df: DataFrame,
+    sample_df: DataFrame,
+    value_col: str,
+    stratum_col: str,
+    quantum: int = 1_000_000,
+    z_crit_milli: int = 1960,
+    round_to: int = 6,
+) -> DataFrame:
+    """Design-based stratified estimator (the Horvitz–Thompson form for
+    stratified SRS, Cochran 1977 §5): project an audited SAMPLE back to
+    the population — the third leg of the audit loop
+    (:func:`neyman_allocation` CHOOSES the design,
+    :func:`stratified_fixed_k` DRAWS it, this ESTIMATES from what came
+    back). ``full_df`` supplies only the per-stratum population counts
+    N_h (counting is cheap; the VALUE — a human label, an expensive
+    model score — exists only on ``sample_df``). One row:
+
+    ``(n_population, n_pop_covered, n_sampled, n_strata,
+    n_strata_unsampled, est_mean, est_total, se_total, ci_lo_total,
+    ci_hi_total)`` with T̂ = Σ N_h·x̄_h and the with-replacement-
+    corrected variance  V̂ = Σ N_h²(1 − n_h/N_h)·s_h²/n_h.
+
+    Coverage is EXPLICIT, never imputed: strata present in the
+    population but absent from the sample contribute nothing to T̂ and
+    drop out of ``n_pop_covered`` (est_mean divides by the covered
+    population, so it stays an unbiased mean OF THE COVERED part);
+    ``n_strata_unsampled`` makes the gap visible. Single-row strata
+    carry zero variance contribution (disclosed downward bias on
+    se_total, the standard fallback). Sampled values NULL-filter out;
+    a stratum whose every sampled value is NULL counts as unsampled.
+
+    Exactness: per-stratum moments in the quantized DECIMAL(38,0)
+    lanes; each stratum's total/variance contribution is a fixed double
+    chain on exact integers, 12-dp-rounded then DECIMAL-summed over the
+    #strata rows (order-free); the CI is ±(z_crit_milli/1000)·se.
+
+    Scale shape: two #strata-row aggregates joined on stratum; nothing
+    row-sized crosses a window.
+    """
+    d38 = "decimal(38,0)"
+    pop = full_df.where(F.col(stratum_col).isNotNull()).groupBy(
+        F.col(stratum_col).alias("stratum")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("_Np"))
+    v = F.col(value_col).cast("double")
+    q = F.floor(v * F.lit(quantum)).cast(d38)
+    smp = (
+        sample_df.where(v.isNotNull() & F.col(stratum_col).isNotNull())
+        .select(F.col(stratum_col).alias("stratum"), q.alias("_q"))
+        .groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("_ns"),
+            F.sum("_q").alias("_s"),
+            F.sum(F.col("_q") * F.col("_q")).alias("_ss"),
+        )
+    )
+    j = pop.join(smp, "stratum", "left")
+    nd = F.col("_ns").cast("double")
+    Nd = F.col("_Np").cast("double")
+    qd = F.lit(float(quantum))
+    mean_h = F.col("_s").cast("double") / nd / qd
+    var_h = F.when(
+        F.col("_ns") > 1,
+        F.greatest(
+            (
+                F.col("_ss").cast("double")
+                - F.col("_s").cast("double") * F.col("_s").cast("double") / nd
+            )
+            / (nd - F.lit(1.0))
+            / (qd * qd),
+            F.lit(0.0),
+        ),
+    ).otherwise(F.lit(0.0))
+    sampled = F.col("_ns").isNotNull() & (F.col("_ns") > 0)
+    tot_term = F.when(sampled, Nd * mean_h).otherwise(F.lit(0.0))
+    var_term = F.when(
+        sampled & (F.col("_ns") > 1),
+        Nd * Nd * (F.lit(1.0) - nd / Nd) * var_h / nd,
+    ).otherwise(F.lit(0.0))
+    terms = j.select(
+        "_Np",
+        F.coalesce(F.col("_ns"), F.lit(0)).alias("_nn"),
+        sampled.cast("long").alias("_cov"),
+        F.round(tot_term, 12).cast("decimal(38,12)").alias("_t"),
+        F.round(var_term, 12).cast("decimal(38,12)").alias("_v"),
+    )
+    agg = terms.agg(
+        F.sum("_Np").cast("bigint").alias("n_population"),
+        F.sum(F.col("_Np") * F.col("_cov")).cast("bigint").alias("n_pop_covered"),
+        F.sum("_nn").cast("bigint").alias("n_sampled"),
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        F.sum(F.lit(1) - F.col("_cov")).cast("bigint").alias("n_strata_unsampled"),
+        F.sum("_t").alias("_T"),
+        F.sum("_v").alias("_V"),
+    )
+    Td = F.col("_T").cast("double")
+    se = F.sqrt(F.greatest(F.col("_V").cast("double"), F.lit(0.0)))
+    zc = F.lit(z_crit_milli / 1000.0)
+    est_mean = F.when(
+        F.col("n_pop_covered") > 0, Td / F.col("n_pop_covered").cast("double")
+    )
+    return agg.select(
+        "n_population",
+        "n_pop_covered",
+        "n_sampled",
+        "n_strata",
+        "n_strata_unsampled",
+        F.round(est_mean, round_to).alias("est_mean"),
+        F.round(Td, round_to).alias("est_total"),
+        F.round(se, round_to).alias("se_total"),
+        F.round(Td - zc * se, round_to).alias("ci_lo_total"),
+        F.round(Td + zc * se, round_to).alias("ci_hi_total"),
+    )
