@@ -732,3 +732,71 @@ def test_cochran_armitage_duckdb_parity(spark):
         cochran_armitage_oracle_sql("SELECT s, y FROM dose")
     ).fetchall()
     assert tuple(got) == tuple(want)
+
+
+def test_cohens_kappa_hand_computed(spark):
+    from xmlschemavalidator_spark.checks.evaluation import cohens_kappa
+
+    # classic 2x2: a/a 20, a/b 5, b/a 10, b/b 15 -> po=.7
+    rows = [("a", "a")] * 20 + [("a", "b")] * 5 + [("b", "a")] * 10 + [("b", "b")] * 15
+    df = spark.createDataFrame(rows, "x string, y string")
+    [r] = cohens_kappa(df, "x", "y").collect()
+    assert (r["n"], r["n_categories"]) == (50, 2)
+    assert r["po"] == 0.7
+    # pe = (25*30 + 25*20)/2500 = .5 -> kappa = .2/.5 = .4
+    assert r["pe"] == 0.5 and r["kappa"] == 0.4
+
+    # perfect agreement -> kappa 1; label-swapped -> negative
+    same = [("x", "x")] * 5 + [("y", "y")] * 5
+    [rp] = cohens_kappa(
+        spark.createDataFrame(same, "a string, b string"), "a", "b"
+    ).collect()
+    assert rp["kappa"] == 1.0
+    swap = [("x", "y")] * 5 + [("y", "x")] * 5
+    [rs] = cohens_kappa(
+        spark.createDataFrame(swap, "a string, b string"), "a", "b"
+    ).collect()
+    assert rs["kappa"] == -1.0
+
+    # both raters constant: pe = 1 -> NULL kappa (undefined), po intact
+    const = [("x", "x")] * 7
+    [rc] = cohens_kappa(
+        spark.createDataFrame(const, "a string, b string"), "a", "b"
+    ).collect()
+    assert rc["po"] == 1.0 and rc["kappa"] is None
+
+    # NULL is a category: abstention disagrees with a verdict
+    nul = [("x", None)] * 3 + [("x", "x")] * 3
+    [rn] = cohens_kappa(
+        spark.createDataFrame(nul, "a string, b string"), "a", "b"
+    ).collect()
+    assert rn["po"] == 0.5 and rn["n_categories"] == 2
+
+    # skew illustration: high po, modest kappa (the honesty correction)
+    skew = [("en", "en")] * 90 + [("de", "en")] * 5 + [("de", "de")] * 5
+    [rk] = cohens_kappa(
+        spark.createDataFrame(skew, "a string, b string"), "a", "b"
+    ).collect()
+    assert rk["po"] == 0.95 and rk["kappa"] < 0.7
+
+
+def test_cohens_kappa_duckdb_parity(spark):
+    import duckdb
+
+    from xmlschemavalidator_spark.checks.evaluation import (
+        cohens_kappa,
+        cohens_kappa_oracle_sql,
+    )
+
+    rows = [
+        (f"l{i % 3}", f"l{(i * i) % 4}" if i % 13 else None) for i in range(250)
+    ]
+    df = spark.createDataFrame(rows, "x string, y string")
+    [got] = cohens_kappa(df, "x", "y").collect()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE raters (x VARCHAR, y VARCHAR)")
+    con.executemany("INSERT INTO raters VALUES (?, ?)", rows)
+    [want] = con.execute(
+        cohens_kappa_oracle_sql("SELECT x, y FROM raters", "x", "y")
+    ).fetchall()
+    assert tuple(got) == tuple(want)

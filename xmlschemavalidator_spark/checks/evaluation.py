@@ -1463,3 +1463,116 @@ SELECT n, x, n_groups,
   round(CASE WHEN {var} > 0 THEN {_p_two_sided_sql(z)} END, {round_to}) AS p,
   coalesce(abs({z}) * 1000 > {z_crit_milli}, FALSE) AS significant
 FROM tt"""
+
+
+def cohens_kappa(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Cohen's κ inter-rater agreement (Cohen 1960) between two
+    categorical verdict columns on the same rows — raw agreement
+    corrected for CHANCE agreement, which is the correction that makes
+    "93% agree" honest on skewed label distributions (two raters who
+    both answer 'en' 90% of the time agree 82% by luck alone): one row
+    ``(n, n_categories, po, pe, kappa)`` with
+
+        κ = (p_o − p_e) / (1 − p_e),   p_e = Σ_c (row_c/N)(col_c/N).
+
+    The annotation-QA read beside :func:`mcnemar_test` (McNemar asks
+    "did B systematically FLIP relative to A" on binary verdicts; κ
+    asks "do A and B agree beyond chance" on any label set) — the gate
+    a trained classifier must pass against the heuristic it replaces,
+    and a pair of human audit passes must pass against each other.
+    Landis–Koch reading: ≥0.8 almost perfect, ≤0.2 slight.
+
+    NULL is a category on both sides (a rater abstaining IS a verdict
+    disagreement). κ is NULL when p_e = 1 (both raters constant —
+    agreement is all chance, the statistic is undefined), never div/0.
+
+    Exactness: p_o is an exact integer ratio; p_e sums per-category
+    products of exact integer marginals in a fixed double chain rounded
+    to 12 dp per term and DECIMAL-summed (order-free; bounded by
+    #categories, not rows). One (a, b) cell groupBy — the
+    mutual_information plan shape.
+    """
+    ac = F.coalesce(F.col(a_col).cast("string"), F.lit(" null")).alias("_a")
+    bc = F.coalesce(F.col(b_col).cast("string"), F.lit(" null")).alias("_b")
+    # p_e needs Σ_c row_c·col_c over the LABEL set, so marginals are
+    # built per label (not per observed (a,b) cell — the (c,c) cell may
+    # be absent while both marginals are positive)
+    rows_ = (
+        df.select(ac).groupBy("_a").agg(F.count(F.lit(1)).alias("_ra"))
+    )
+    cols_ = (
+        df.select(bc).groupBy("_b").agg(F.count(F.lit(1)).alias("_cb"))
+    )
+    pe_terms = rows_.join(
+        cols_, rows_["_a"] == cols_["_b"], "inner"
+    ).select(
+        F.round(
+            F.col("_ra").cast("double") * F.col("_cb").cast("double"), 12
+        ).cast("decimal(38,12)").alias("_rc")
+    )
+    pe_agg = pe_terms.agg(
+        F.coalesce(F.sum("_rc"), F.lit(0).cast("decimal(38,12)")).alias("_pes")
+    )
+    po_agg = df.select(ac, bc).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("_a") == F.col("_b")).cast("long"))
+        .cast("bigint")
+        .alias("_agree"),
+    )
+    ncat = (
+        df.select(ac).unionByName(df.select(bc.alias("_a")))
+        .agg(F.count_distinct("_a").cast("bigint").alias("n_categories"))
+    )
+    out = po_agg.crossJoin(F.broadcast(pe_agg)).crossJoin(F.broadcast(ncat))
+    nd = F.col("n").cast("double")
+    po = F.col("_agree").cast("double") / nd
+    pe = F.col("_pes").cast("double") / (nd * nd)
+    kappa = F.when((F.col("n") > 0) & (pe < 1.0), (po - pe) / (F.lit(1.0) - pe))
+    return out.select(
+        "n",
+        "n_categories",
+        F.round(F.when(F.col("n") > 0, po), round_to).alias("po"),
+        F.round(F.when(F.col("n") > 0, pe), round_to).alias("pe"),
+        F.round(kappa, round_to).alias("kappa"),
+    )
+
+
+def cohens_kappa_oracle_sql(
+    from_sql: str, a_col: str, b_col: str, round_to: int = 6
+) -> str:
+    """DuckDB replay of :func:`cohens_kappa`; same label-marginal join,
+    same 12-dp pre-sum rounding."""
+    return f"""WITH src0 AS ({from_sql}),
+src AS (SELECT coalesce(CAST({a_col} AS VARCHAR), ' null') AS a,
+               coalesce(CAST({b_col} AS VARCHAR), ' null') AS b
+        FROM src0),
+rows_ AS (SELECT a, count(*) AS ra FROM src GROUP BY a),
+cols_ AS (SELECT b, count(*) AS cb FROM src GROUP BY b),
+pe_terms AS (SELECT CAST(round(CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE), 12)
+                    AS DECIMAL(38,12)) AS rc
+             FROM rows_ JOIN cols_ ON rows_.a = cols_.b),
+pe_agg AS (SELECT coalesce(sum(rc), CAST(0 AS DECIMAL(38,12))) AS pes
+           FROM pe_terms),
+po_agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT)
+                      AS agree
+           FROM src),
+ncat AS (SELECT CAST(count(DISTINCT v) AS BIGINT) AS n_categories
+         FROM (SELECT a AS v FROM src UNION ALL SELECT b FROM src))
+SELECT n, n_categories,
+  round(CASE WHEN n > 0 THEN CAST(agree AS DOUBLE) / CAST(n AS DOUBLE) END,
+        {round_to}) AS po,
+  round(CASE WHEN n > 0 THEN CAST(pes AS DOUBLE)
+        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) END, {round_to}) AS pe,
+  round(CASE WHEN n > 0 AND CAST(pes AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) < 1.0 THEN
+      (CAST(agree AS DOUBLE) / CAST(n AS DOUBLE)
+       - CAST(pes AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+      / (1.0 - CAST(pes AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+    END, {round_to}) AS kappa
+FROM po_agg, pe_agg, ncat"""

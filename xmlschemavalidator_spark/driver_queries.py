@@ -16517,3 +16517,59 @@ def stratified_audit_estimate(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").where(F.col("lang").isNotNull())
     sample = stratified_fixed_k(docs, "doc_id", "lang", k=100, salt="audit")
     return stratified_estimate(docs, sample, "n_chars", "lang")
+
+
+def _kappa_oracle() -> str:
+    from xmlschemavalidator_spark.checks.evaluation import cohens_kappa_oracle_sql
+
+    base = _lang_model_oracle()
+    tail = (
+        "SELECT doc, lang AS lang_pred, CAST(score AS BIGINT) AS score_micro\n"
+        "FROM r WHERE rn = 1"
+    )
+    assert tail in base, "lang model oracle tail changed; update the wrapper"
+    pairs = base.replace(
+        tail,
+        """, pred AS (SELECT doc, lang AS lang_pred FROM r WHERE rn = 1)
+SELECT d.lang AS va, pred.lang_pred AS vb
+FROM pred JOIN documents d ON pred.doc = d.doc_id""",
+    )
+    return cohens_kappa_oracle_sql(pairs, "va", "vb")
+
+
+@q("lang_id_cohens_kappa", _kappa_oracle())
+def lang_id_cohens_kappa(spark, sf_dir):
+    """Cohen's κ (checks/evaluation.py:cohens_kappa) between the
+    declared language labels and the trained NB classifier's
+    predictions — the chance-corrected scalar on top of
+    lang_confusion_matrix's cells: raw agreement is flattered by the
+    en-heavy marginal (two raters answering 'en' most of the time
+    agree by luck), κ subtracts exactly that. The acceptance gate a
+    classifier must pass against the labels it will replace
+    (Landis–Koch ≥0.8 = almost perfect). One cell groupBy + two
+    label-marginal aggregates; oracle replays training+scoring+argmax
+    +κ end to end."""
+    from xmlschemavalidator_spark.lang_model import predict_lang, train_lang_model
+
+    docs = _t(spark, sf_dir, "documents")
+    marker = None
+    for lg, m in sorted(_LANG_MARKERS.items()):
+        marker = (
+            F.when(F.col("lang") == lg, F.lit(m))
+            if marker is None
+            else marker.when(F.col("lang") == lg, F.lit(m))
+        )
+    marker = marker.otherwise(F.lit(""))
+    aug = docs.select(
+        "doc_id", "lang",
+        F.concat(marker, F.coalesce(F.col("text"), F.lit(""))).alias("text"),
+    )
+    model = train_lang_model(
+        aug, "doc_id", "lang",
+        n_buckets=_LANG_NB_BUCKETS, max_chars=_LANG_NB_MAXCHARS,
+    )
+    pred = predict_lang(aug, model, "doc_id").select("doc", "lang_pred")
+    pairs = pred.join(docs.select(F.col("doc_id").alias("doc"), "lang"), "doc")
+    from xmlschemavalidator_spark.checks.evaluation import cohens_kappa
+
+    return cohens_kappa(pairs, "lang", "lang_pred")
