@@ -800,3 +800,70 @@ def test_cohens_kappa_duckdb_parity(spark):
         cohens_kappa_oracle_sql("SELECT x, y FROM raters", "x", "y")
     ).fetchall()
     assert tuple(got) == tuple(want)
+
+
+def test_wilcoxon_hand_computed(spark):
+    import math
+
+    from xmlschemavalidator_spark.checks.evaluation import wilcoxon_signed_rank
+
+    # pairs with diffs: +1, +2, +2, -3, 0 (dropped)
+    rows = [(2.0, 1.0), (3.0, 1.0), (5.0, 3.0), (1.0, 4.0), (7.0, 7.0)]
+    df = spark.createDataFrame(rows, "a double, b double")
+    [r] = wilcoxon_signed_rank(df, "a", "b").collect()
+    assert (r["n_pairs"], r["n_zero_dropped"]) == (4, 1)
+    # |d| lattice (micros): 1e6 (t=1, pos), 2e6 (t=2, both pos), 3e6 (neg)
+    # doubled ranks: 1e6 -> 2; 2e6 block -> 2*1+2+1=5 each; 3e6 -> 2*3+1+1=8
+    # W2 = 1*2 + 2*5 = 12 -> W+ = 6
+    assert r["w_plus_doubled"] == 12
+    n = 4
+    ts = (2 ** 3 - 2)  # one tie block of 2
+    var = n * (n + 1) * (2 * n + 1) / 24 - ts / 48
+    z = (6 - n * (n + 1) / 4) / math.sqrt(var)
+    assert r["z"] == round(z, 6)
+    assert r["significant"] is False
+
+    # strongly one-sided: all diffs positive -> significant
+    big = [(float(i + 10), float(i)) for i in range(40)]
+    [rb] = wilcoxon_signed_rank(
+        spark.createDataFrame(big, "a double, b double"), "a", "b"
+    ).collect()
+    assert rb["significant"] is True and rb["p"] < 1e-6
+    # with every diff positive, W+ is the full rank sum: W2 = n(n+1)
+    assert rb["w_plus_doubled"] == 40 * 41
+
+    # symmetric diffs -> z ~ 0
+    sym = [(1.0, 2.0), (2.0, 1.0), (3.0, 5.0), (5.0, 3.0)]
+    [rs] = wilcoxon_signed_rank(
+        spark.createDataFrame(sym, "a double, b double"), "a", "b"
+    ).collect()
+    assert abs(rs["z"]) < 1e-9
+
+    # all pairs identical -> zero pairs, NULL z
+    zz = [(1.0, 1.0)] * 5
+    [rz] = wilcoxon_signed_rank(
+        spark.createDataFrame(zz, "a double, b double"), "a", "b"
+    ).collect()
+    assert rz["n_pairs"] == 0 and rz["z"] is None and rz["significant"] is False
+
+
+def test_wilcoxon_duckdb_parity(spark):
+    import duckdb
+
+    from xmlschemavalidator_spark.checks.evaluation import (
+        wilcoxon_oracle_sql,
+        wilcoxon_signed_rank,
+    )
+
+    rows = [
+        (((i * 7) % 23) / 3.0, ((i * 5) % 19) / 2.0) for i in range(150)
+    ] + [(None, 1.0), (2.0, None)]
+    df = spark.createDataFrame(rows, "a double, b double")
+    [got] = wilcoxon_signed_rank(df, "a", "b").collect()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pairs (a DOUBLE, b DOUBLE)")
+    con.executemany("INSERT INTO pairs VALUES (?, ?)", rows)
+    [want] = con.execute(
+        wilcoxon_oracle_sql("SELECT a, b FROM pairs")
+    ).fetchall()
+    assert tuple(got) == tuple(want)

@@ -1576,3 +1576,144 @@ SELECT n, n_categories,
       / (1.0 - CAST(pes AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
     END, {round_to}) AS kappa
 FROM po_agg, pe_agg, ncat"""
+
+
+def wilcoxon_signed_rank(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    quantum: int = 1_000_000,
+    z_crit_milli: int = 1960,
+    round_to: int = 6,
+) -> DataFrame:
+    """Wilcoxon signed-rank test (Wilcoxon 1945) on paired values —
+    :func:`mcnemar_test`'s continuous sibling: two SCORES per row (the
+    same doc under model v1 and v2, the same user in two conditions),
+    "did the paired difference shift" answered from the RANKS of |d|,
+    so one fat-tailed pair can't buy the verdict the paired t-test
+    would sell it. ONE row ``(n_pairs, n_zero_dropped, w_plus_doubled,
+    z, p, significant)``.
+
+    Mechanics (the mann_whitney_u rank discipline): d quantizes to
+    integer micros, zero differences DROP (the classic Wilcoxon
+    convention — they carry no sign information), |d| ranks with
+    average ranks as exact integer HALVES over the bounded distinct-|d|
+    lattice (``w_plus_doubled`` = 2·W⁺ stays integer — the hash-grade
+    statistic), and the normal approximation carries the full tie
+    correction:
+
+        z = (W⁺ − n(n+1)/4) / √(n(n+1)(2n+1)/24 − Σ(t³−t)/48).
+
+    All-zero or all-tied-at-one-|d| inputs yield NULL z/p (zero
+    variance), never a div/0. No continuity correction (documented;
+    at corpus n it is sub-ulp).
+
+    Scale shape: one scan → distinct-|d| lattice groupBy → ONE ordered
+    window over the lattice (bounded by distinct quantized |d| values,
+    not rows — the ks_exact contract) → 1-row reduction.
+    """
+    va = F.col(a_col).cast("double")
+    vb = F.col(b_col).cast("double")
+    qa = F.floor(va * F.lit(quantum)).cast("bigint")
+    qb = F.floor(vb * F.lit(quantum)).cast("bigint")
+    base = df.where(va.isNotNull() & vb.isNotNull()).select(
+        (qa - qb).alias("_d")
+    )
+    nz = base.agg(
+        F.sum((F.col("_d") == 0).cast("long")).cast("bigint").alias("n_zero_dropped")
+    )
+    cells = (
+        base.where(F.col("_d") != 0)
+        .select(F.abs(F.col("_d")).alias("_ad"), (F.col("_d") > 0).alias("_pos"))
+        .groupBy("_ad")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("_t"),
+            F.sum(F.col("_pos").cast("long")).cast("bigint").alias("_p"),
+        )
+    )
+    w = Window.orderBy("_ad").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = cells.withColumn(
+        "_cum", F.coalesce(F.sum("_t").over(w), F.lit(0)).cast("bigint")
+    )
+    # doubled average rank of the tie block: positions cum+1..cum+t
+    dr = 2 * F.col("_cum") + F.col("_t") + 1
+    agg = ranked.agg(
+        F.coalesce(F.sum("_t"), F.lit(0)).cast("bigint").alias("n_pairs"),
+        F.coalesce(F.sum(F.col("_p") * dr), F.lit(0))
+        .cast("bigint")
+        .alias("w_plus_doubled"),
+        F.coalesce(
+            F.sum(F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t")),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("_ts"),
+    )
+    out = agg.crossJoin(F.broadcast(nz))
+    nd = F.col("n_pairs").cast("double")
+    var = nd * (nd + 1) * (2 * nd + 1) / F.lit(24.0) - F.col("_ts").cast(
+        "double"
+    ) / F.lit(48.0)
+    z = F.when(
+        (F.col("n_pairs") > 0) & (var > 0),
+        (
+            F.col("w_plus_doubled").cast("double") / F.lit(2.0)
+            - nd * (nd + 1) / F.lit(4.0)
+        )
+        / F.sqrt(var),
+    )
+    return out.select(
+        "n_pairs",
+        "n_zero_dropped",
+        "w_plus_doubled",
+        F.round(z, round_to).alias("z"),
+        F.round(F.when(z.isNotNull(), _p_two_sided(z)), round_to).alias("p"),
+        F.coalesce(
+            F.abs(z) * 1000 > F.lit(float(z_crit_milli)), F.lit(False)
+        ).alias("significant"),
+    )
+
+
+def wilcoxon_oracle_sql(
+    from_sql: str,
+    quantum: int = 1_000_000,
+    z_crit_milli: int = 1960,
+    round_to: int = 6,
+) -> str:
+    """DuckDB replay of :func:`wilcoxon_signed_rank`; ``from_sql``
+    yields paired value columns ``a`` and ``b``."""
+    var = (
+        "(CAST(n_pairs AS DOUBLE) * (CAST(n_pairs AS DOUBLE) + 1)"
+        " * (2 * CAST(n_pairs AS DOUBLE) + 1) / 24.0"
+        " - CAST(ts AS DOUBLE) / 48.0)"
+    )
+    z = (
+        f"(CASE WHEN n_pairs > 0 AND {var} > 0 THEN"
+        " (CAST(w_plus_doubled AS DOUBLE) / 2.0"
+        " - CAST(n_pairs AS DOUBLE) * (CAST(n_pairs AS DOUBLE) + 1) / 4.0)"
+        f" / sqrt({var}) END)"
+    )
+    return f"""WITH src AS ({from_sql}),
+d AS (SELECT CAST(floor(CAST(a AS DOUBLE) * {quantum}) AS BIGINT)
+           - CAST(floor(CAST(b AS DOUBLE) * {quantum}) AS BIGINT) AS d
+      FROM src WHERE a IS NOT NULL AND b IS NOT NULL),
+nz AS (SELECT CAST(sum(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_zero_dropped FROM d),
+cells AS (SELECT abs(d) AS ad, CAST(count(*) AS BIGINT) AS t,
+                 CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS p
+          FROM d WHERE d <> 0 GROUP BY 1),
+ranked AS (SELECT *, CAST(coalesce(sum(t) OVER (ORDER BY ad
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum
+           FROM cells),
+agg AS (SELECT CAST(coalesce(sum(t), 0) AS BIGINT) AS n_pairs,
+               CAST(coalesce(sum(p * (2 * cum + t + 1)), 0) AS BIGINT)
+                   AS w_plus_doubled,
+               CAST(coalesce(sum(t * t * t - t), 0) AS BIGINT) AS ts
+        FROM ranked)
+SELECT n_pairs, n_zero_dropped, w_plus_doubled,
+  round({z}, {round_to}) AS z,
+  round(CASE WHEN {z} IS NOT NULL THEN {_p_two_sided_sql(z)} END,
+        {round_to}) AS p,
+  coalesce(abs({z}) * 1000 > {z_crit_milli}, FALSE) AS significant
+FROM agg, nz"""

@@ -16573,3 +16573,44 @@ def lang_id_cohens_kappa(spark, sf_dir):
     from xmlschemavalidator_spark.checks.evaluation import cohens_kappa
 
     return cohens_kappa(pairs, "lang", "lang_pred")
+
+
+def _wilcoxon_oracle() -> str:
+    from xmlschemavalidator_spark.checks.evaluation import wilcoxon_oracle_sql
+
+    return wilcoxon_oracle_sql(
+        """SELECT
+         CAST(sum(CASE WHEN event_type = 'view' THEN value END) AS DOUBLE)
+           / sum(CASE WHEN event_type = 'view' THEN 1 END) AS a,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN value END) AS DOUBLE)
+           / sum(CASE WHEN event_type = 'purchase' THEN 1 END) AS b
+       FROM events WHERE value IS NOT NULL GROUP BY user_id
+       HAVING sum(CASE WHEN event_type = 'view' THEN 1 END) > 0
+          AND sum(CASE WHEN event_type = 'purchase' THEN 1 END) > 0"""
+    )
+
+
+@q("wilcoxon_view_vs_purchase", _wilcoxon_oracle())
+def wilcoxon_view_vs_purchase(spark, sf_dir):
+    """Wilcoxon signed-rank test (checks/evaluation.py:
+    wilcoxon_signed_rank) on PAIRED per-user means: each user's average
+    view-event value against their average purchase-event value — the
+    within-subject comparison the unpaired Mann–Whitney dilutes with
+    between-user variance, and the rank-based one a fat-tailed spender
+    can't buy (the paired t-test's failure mode). Integer micro diffs,
+    average ranks as exact halves over the bounded |d| lattice,
+    tie-corrected normal z; oracle-exact."""
+    from xmlschemavalidator_spark.checks.evaluation import wilcoxon_signed_rank
+
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    per_user = ev.groupBy("user_id").agg(
+        (
+            F.sum(F.when(F.col("event_type") == "view", F.col("value")))
+            / F.sum(F.when(F.col("event_type") == "view", F.lit(1)))
+        ).alias("a"),
+        (
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("value")))
+            / F.sum(F.when(F.col("event_type") == "purchase", F.lit(1)))
+        ).alias("b"),
+    ).where(F.col("a").isNotNull() & F.col("b").isNotNull())
+    return wilcoxon_signed_rank(per_user, "a", "b")
