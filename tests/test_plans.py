@@ -764,3 +764,53 @@ def test_poisson_bootstrap_partial_agg_below_exchange(spark):
     # tree prints top-down: final agg, exchange, partial agg ... generate
     assert re.findall(r"\(\d+\) HashAggregate", p2).__len__() == 2
     assert first_ha < exch < gen
+
+
+def test_cochran_armitage_single_aggregate(spark):
+    """The trend test collapses to FIVE integer sums: one scan, one
+    partial+final hash aggregate pair (a single Exchange of one row per
+    partition), no window, no join."""
+    from xmlschemavalidator_spark.checks.evaluation import cochran_armitage
+
+    docs = _docs(spark)
+    staged = docs.select(
+        F.least(F.expr("n_chars div 200"), F.lit(2)).alias("s"),
+        (F.col("n_chars") % 7 == 0).alias("y"),
+    )
+    p = fmt(cochran_armitage(staged, "s", "y"))
+    assert n_scans(p) == 1
+    import re as _re
+
+    # two real exchanges: the count_distinct(s) two-phase pair; the five
+    # moment sums ride the same aggregates (numbered detail entries --
+    # the tree summary would double-count)
+    assert len(_re.findall(r"\(\d+\) Exchange", p)) <= 2
+    assert "Window" not in p and "Expand" not in p
+
+
+def test_species_richness_two_stacked_aggregates(spark):
+    """Coverage/chao1 is groupBy(key) then groupBy(group): exactly two
+    aggregate exchanges over one scan — never a countDistinct Expand."""
+    from xmlschemavalidator_spark.checks.stats import species_richness
+
+    docs = _docs(spark)
+    p = fmt(species_richness(docs, "source", group_cols=("lang",)))
+    assert n_scans(p) == 1
+    assert "Expand" not in p
+
+
+def test_theta_set_ops_filter_before_exchange(spark):
+    """Both sketch sides shed 1-2^-p of rows at the SCAN (the hash
+    threshold filter sits below every Exchange), and the membership fold
+    is one groupBy(h) — no join in the plan."""
+    from xmlschemavalidator_spark.checks.theta import (
+        theta_set_ops,
+        theta_sketch_rows,
+    )
+
+    docs = _docs(spark)
+    a = theta_sketch_rows(docs.where(F.col("doc_id") % 2 == 0), "text", p=4)
+    b = theta_sketch_rows(docs.where(F.col("doc_id") % 2 == 1), "text", p=4)
+    p = fmt(theta_set_ops(a, b, p=4))
+    assert "Join" not in p
+    assert "72057594037927936" in p  # the 2^(60-4) threshold literal is pushed
