@@ -1517,3 +1517,79 @@ def test_cramers_v_duckdb_parity(spark):
         cramers_v_oracle_sql("SELECT x, y FROM obs2", "x", "y")
     ).fetchall()
     assert tuple(got) == tuple(want)
+
+
+def test_mantel_haenszel_hand_computed(spark):
+    import math
+
+    from xmlschemavalidator_spark.checks.stats import mantel_haenszel
+
+    # two strata, consistent OR ~ 3 within each
+    def cells(st, a, b, c, d):
+        return (
+            [(st, True, True)] * a + [(st, True, False)] * b
+            + [(st, False, True)] * c + [(st, False, False)] * d
+        )
+
+    rows = cells("s1", 12, 8, 4, 8) + cells("s2", 6, 14, 3, 17)
+    df = spark.createDataFrame(rows, "st string, e boolean, o boolean")
+    [r] = mantel_haenszel(df, "e", "o", "st").collect()
+    assert (r["n"], r["n_strata"], r["n_informative_strata"]) == (72, 2, 2)
+    # python replay
+    num = den = ome = var = 0.0
+    for (a, b, c, d) in ((12, 8, 4, 8), (6, 14, 3, 17)):
+        n = a + b + c + d
+        num += round(a * d / n, 12)
+        den += round(b * c / n, 12)
+        ome += round(a - (a + b) * (a + c) / n, 12)
+        var += round((a + b) * (c + d) * (a + c) * (b + d) / (n * n * (n - 1)), 12)
+    assert r["or_mh"] == round(num / den, 6)
+    assert r["chi2_cmh"] == round(ome * ome / var, 6)
+    assert r["or_mh"] > 2.0
+
+    # the Simpson's set-up: strata with NO within-stratum effect but
+    # shifted composition -> MH reads OR ~ 1 where the pooled table lies
+    null_rows = cells("heavy", 45, 45, 5, 5) + cells("light", 5, 5, 45, 45)
+    [rn] = mantel_haenszel(
+        spark.createDataFrame(null_rows, "st string, e boolean, o boolean"),
+        "e", "o", "st",
+    ).collect()
+    assert rn["or_mh"] == 1.0 and rn["significant"] is False
+
+    # degenerate strata don't vote: all-exposed stratum contributes 0
+    deg = cells("ok", 10, 5, 5, 10) + [("allexp", True, True)] * 8
+    [rd] = mantel_haenszel(
+        spark.createDataFrame(deg, "st string, e boolean, o boolean"),
+        "e", "o", "st",
+    ).collect()
+    assert rd["n_strata"] == 2 and rd["n_informative_strata"] == 1
+
+    # no discordant cells anywhere -> NULL OR
+    conc = [("s", True, True)] * 3 + [("s", False, False)] * 3
+    [rc] = mantel_haenszel(
+        spark.createDataFrame(conc, "st string, e boolean, o boolean"),
+        "e", "o", "st",
+    ).collect()
+    assert rc["or_mh"] is None
+
+
+def test_mantel_haenszel_duckdb_parity(spark):
+    import duckdb
+
+    from xmlschemavalidator_spark.checks.stats import (
+        mantel_haenszel,
+        mantel_haenszel_oracle_sql,
+    )
+
+    rows = [
+        (f"s{i % 5}", (i * 3) % 7 < 3, (i * i) % 5 < 2) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "st string, e boolean, o boolean")
+    [got] = mantel_haenszel(df, "e", "o", "st").collect()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE strat (st VARCHAR, e BOOLEAN, o BOOLEAN)")
+    con.executemany("INSERT INTO strat VALUES (?, ?, ?)", rows)
+    [want] = con.execute(
+        mantel_haenszel_oracle_sql("SELECT st, e, o FROM strat")
+    ).fetchall()
+    assert tuple(got) == tuple(want)

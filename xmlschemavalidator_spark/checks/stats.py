@@ -1883,3 +1883,173 @@ SELECT n_rows, n_x, n_y,
            / (CAST(n_rows AS DOUBLE) * (CAST(least(n_x, n_y) AS DOUBLE) - 1.0)))
     END, {round_to}) AS v
 FROM agg"""
+
+
+def mantel_haenszel(
+    df: DataFrame,
+    exposure_col: str,
+    outcome_col: str,
+    stratum_col: str,
+    chi2_crit_milli: int = 3841,
+    round_to: int = 6,
+) -> DataFrame:
+    """Mantel–Haenszel stratified 2×2 analysis (Mantel & Haenszel 1959;
+    Cochran 1954) — the FIX for what :func:`simpsons_paradox_check`
+    detects: a pooled exposure→outcome comparison that adjusts for a
+    confounding stratum (source, lang, date) instead of letting a
+    composition shift masquerade as an effect. ONE row ``(n, n_strata,
+    n_informative_strata, or_mh, chi2_cmh, p, significant)`` with the
+    MH common odds ratio
+
+        OR = Σ_i (a_i·d_i/n_i) / Σ_i (b_i·c_i/n_i)
+
+    and the Cochran–Mantel–Haenszel chi² (1 df, no continuity
+    correction — at corpus n it is sub-ulp; documented):
+
+        chi2 = (Σ(a_i − E_i))² / ΣV_i,   E_i = r1_i·c1_i/n_i,
+        V_i  = r1_i·r0_i·c1_i·c0_i / (n_i²(n_i − 1)).
+
+    Strata where either margin is degenerate (all-exposed, all-outcome,
+    n_i < 2) contribute nothing to either sum — ``n_informative_strata``
+    counts the ones that do, so a verdict built on 2 of 40 strata is
+    visible. OR is NULL when the denominator sum is 0 (no discordant
+    cells anywhere); chi2/p NULL at zero variance.
+
+    Exactness: per-stratum cells are exact integers from ONE
+    partial-agg pass (the four cells pivot from two boolean columns);
+    each stratum's OR-numerator/denominator/E/V term is a fixed double
+    chain rounded to 12 dp and DECIMAL-summed over the bounded stratum
+    table; the final OR/chi² are two divisions.
+
+    Scale shape: one scan → (stratum) aggregate → #strata-row term
+    fold → 1-row reduction. Nothing grows with corpus size.
+    """
+    e = F.col(exposure_col).cast("boolean")
+    o = F.col(outcome_col).cast("boolean")
+    base = df.where(
+        e.isNotNull() & o.isNotNull() & F.col(stratum_col).isNotNull()
+    ).select(F.col(stratum_col).alias("_st"), e.alias("_e"), o.alias("_o"))
+    per = base.groupBy("_st").agg(
+        F.sum((F.col("_e") & F.col("_o")).cast("long")).cast("bigint").alias("_a"),
+        F.sum((F.col("_e") & ~F.col("_o")).cast("long")).cast("bigint").alias("_b"),
+        F.sum((~F.col("_e") & F.col("_o")).cast("long")).cast("bigint").alias("_c"),
+        F.sum((~F.col("_e") & ~F.col("_o")).cast("long")).cast("bigint").alias("_d"),
+    )
+    ni = (F.col("_a") + F.col("_b") + F.col("_c") + F.col("_d")).cast("double")
+    r1 = (F.col("_a") + F.col("_b")).cast("double")  # exposed
+    r0 = (F.col("_c") + F.col("_d")).cast("double")
+    c1 = (F.col("_a") + F.col("_c")).cast("double")  # outcome
+    c0 = (F.col("_b") + F.col("_d")).cast("double")
+    informative = (ni > 1) & (r1 > 0) & (r0 > 0) & (c1 > 0) & (c0 > 0)
+    num = F.col("_a").cast("double") * F.col("_d").cast("double") / ni
+    den = F.col("_b").cast("double") * F.col("_c").cast("double") / ni
+    ei = r1 * c1 / ni
+    vi = r1 * r0 * c1 * c0 / (ni * ni * (ni - F.lit(1.0)))
+    z12 = F.lit(0).cast("decimal(38,12)")
+    terms = per.select(
+        (F.col("_a") + F.col("_b") + F.col("_c") + F.col("_d")).alias("_n"),
+        informative.cast("long").alias("_inf"),
+        F.when(informative, F.round(num, 12).cast("decimal(38,12)"))
+        .otherwise(z12)
+        .alias("_num"),
+        F.when(informative, F.round(den, 12).cast("decimal(38,12)"))
+        .otherwise(z12)
+        .alias("_den"),
+        F.when(
+            informative,
+            F.round(F.col("_a").cast("double") - ei, 12).cast("decimal(38,12)"),
+        )
+        .otherwise(z12)
+        .alias("_ome"),
+        F.when(informative, F.round(vi, 12).cast("decimal(38,12)"))
+        .otherwise(z12)
+        .alias("_v"),
+    )
+    agg = terms.agg(
+        F.sum("_n").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        F.sum("_inf").cast("bigint").alias("n_informative_strata"),
+        F.sum("_num").alias("_N"),
+        F.sum("_den").alias("_D"),
+        F.sum("_ome").alias("_O"),
+        F.sum("_v").alias("_V"),
+    )
+    nd_ = F.col("_N").cast("double")
+    dd = F.col("_D").cast("double")
+    od = F.col("_O").cast("double")
+    vd = F.col("_V").cast("double")
+    or_mh = F.when(dd > 0, nd_ / dd)
+    chi2 = F.when(vd > 0, od * od / vd)
+    from xmlschemavalidator_spark.checks.evaluation import _p_two_sided
+
+    return agg.select(
+        "n",
+        "n_strata",
+        "n_informative_strata",
+        F.round(or_mh, round_to).alias("or_mh"),
+        F.round(chi2, round_to).alias("chi2_cmh"),
+        F.round(F.when(vd > 0, _p_two_sided(F.sqrt(chi2))), round_to).alias("p"),
+        F.coalesce(
+            chi2 * 1000 > F.lit(float(chi2_crit_milli)), F.lit(False)
+        ).alias("significant"),
+    )
+
+
+def mantel_haenszel_oracle_sql(
+    from_sql: str,
+    chi2_crit_milli: int = 3841,
+    round_to: int = 6,
+) -> str:
+    """DuckDB replay of :func:`mantel_haenszel`; ``from_sql`` yields
+    ``(st, e BOOLEAN, o BOOLEAN)`` rows, nulls pre-filtered."""
+    from xmlschemavalidator_spark.checks.evaluation import _p_two_sided_sql
+
+    chi2 = "(CASE WHEN CAST(V AS DOUBLE) > 0 THEN CAST(O AS DOUBLE) * CAST(O AS DOUBLE) / CAST(V AS DOUBLE) END)"
+    p = f"(CASE WHEN CAST(V AS DOUBLE) > 0 THEN {_p_two_sided_sql(f'sqrt({chi2})')} END)"
+    return f"""WITH src AS ({from_sql}),
+per AS (SELECT st,
+    CAST(sum(CASE WHEN e AND o THEN 1 ELSE 0 END) AS BIGINT) AS a,
+    CAST(sum(CASE WHEN e AND NOT o THEN 1 ELSE 0 END) AS BIGINT) AS b,
+    CAST(sum(CASE WHEN NOT e AND o THEN 1 ELSE 0 END) AS BIGINT) AS c,
+    CAST(sum(CASE WHEN NOT e AND NOT o THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM src GROUP BY st),
+terms AS (SELECT a + b + c + d AS nn,
+    CASE WHEN a + b + c + d > 1 AND a + b > 0 AND c + d > 0
+          AND a + c > 0 AND b + d > 0 THEN 1 ELSE 0 END AS inf,
+    CASE WHEN a + b + c + d > 1 AND a + b > 0 AND c + d > 0
+          AND a + c > 0 AND b + d > 0 THEN
+      CAST(round(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+           / CAST(a + b + c + d AS DOUBLE), 12) AS DECIMAL(38,12))
+      ELSE CAST(0 AS DECIMAL(38,12)) END AS num,
+    CASE WHEN a + b + c + d > 1 AND a + b > 0 AND c + d > 0
+          AND a + c > 0 AND b + d > 0 THEN
+      CAST(round(CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+           / CAST(a + b + c + d AS DOUBLE), 12) AS DECIMAL(38,12))
+      ELSE CAST(0 AS DECIMAL(38,12)) END AS den,
+    CASE WHEN a + b + c + d > 1 AND a + b > 0 AND c + d > 0
+          AND a + c > 0 AND b + d > 0 THEN
+      CAST(round(CAST(a AS DOUBLE)
+           - CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE)
+             / CAST(a + b + c + d AS DOUBLE), 12) AS DECIMAL(38,12))
+      ELSE CAST(0 AS DECIMAL(38,12)) END AS ome,
+    CASE WHEN a + b + c + d > 1 AND a + b > 0 AND c + d > 0
+          AND a + c > 0 AND b + d > 0 THEN
+      CAST(round(CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+           * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)
+           / (CAST(a + b + c + d AS DOUBLE) * CAST(a + b + c + d AS DOUBLE)
+              * (CAST(a + b + c + d AS DOUBLE) - 1.0)), 12)
+           AS DECIMAL(38,12))
+      ELSE CAST(0 AS DECIMAL(38,12)) END AS v
+  FROM per),
+agg AS (SELECT CAST(sum(nn) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS n_strata,
+               CAST(sum(inf) AS BIGINT) AS n_informative_strata,
+               sum(num) AS Nm, sum(den) AS D, sum(ome) AS O, sum(v) AS V
+        FROM terms)
+SELECT n, n_strata, n_informative_strata,
+  round(CASE WHEN CAST(D AS DOUBLE) > 0
+        THEN CAST(Nm AS DOUBLE) / CAST(D AS DOUBLE) END, {round_to}) AS or_mh,
+  round({chi2}, {round_to}) AS chi2_cmh,
+  round({p}, {round_to}) AS p,
+  coalesce({chi2} * 1000 > {chi2_crit_milli}, FALSE) AS significant
+FROM agg"""

@@ -16614,3 +16614,41 @@ def wilcoxon_view_vs_purchase(spark, sf_dir):
         ).alias("b"),
     ).where(F.col("a").isNotNull() & F.col("b").isNotNull())
     return wilcoxon_signed_rank(per_user, "a", "b")
+
+
+def _mh_oracle() -> str:
+    from xmlschemavalidator_spark.checks.stats import mantel_haenszel_oracle_sql
+
+    return mantel_haenszel_oracle_sql(
+        """SELECT source AS st,
+              position(' spark ' IN ' ' || text || ' ') > 0 AS e,
+              n_chars >= 250 AS o
+       FROM documents
+       WHERE text IS NOT NULL AND n_chars IS NOT NULL AND source IS NOT NULL"""
+    )
+
+
+@q("mantel_haenszel_keyword_length", _mh_oracle())
+def mantel_haenszel_keyword_length(spark, sf_dir):
+    """Mantel–Haenszel stratified 2×2 (checks/stats.py:mantel_haenszel)
+    — the FIX for what simpsons_paradox_check detects: does mentioning
+    ' spark ' associate with long documents AFTER adjusting for source
+    (a source that is both verbose and keyword-heavy would fake the
+    pooled association)? MH common odds ratio + CMH chi², degenerate
+    strata visibly excluded via n_informative_strata. One scan, one
+    stratum aggregate, oracle-exact including the A&S p."""
+    from xmlschemavalidator_spark.checks.stats import mantel_haenszel
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+        & F.col("n_chars").isNotNull()
+        & F.col("source").isNotNull()
+    )
+    staged = docs.select(
+        F.col("source").alias("st"),
+        (
+            F.locate(" spark ", F.concat(F.lit(" "), F.col("text"), F.lit(" "))) > 0
+        ).alias("e"),
+        (F.col("n_chars") >= 250).alias("o"),
+    )
+    return mantel_haenszel(staged, "e", "o", "st")
