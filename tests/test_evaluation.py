@@ -867,3 +867,56 @@ def test_wilcoxon_duckdb_parity(spark):
         wilcoxon_oracle_sql("SELECT a, b FROM pairs")
     ).fetchall()
     assert tuple(got) == tuple(want)
+
+
+def test_cuped_variance_reduction(spark):
+    from xmlschemavalidator_spark.checks.evaluation import cuped_test
+
+    # metric = covariate + small group effect + deterministic noise:
+    # the covariate explains most variance, CUPED must shrink it
+    rows = []
+    for i in range(400):
+        g = "A" if i % 2 == 0 else "B"
+        x = float((i * 7) % 50)            # pre-period covariate
+        noise = float((i * i) % 5)
+        y = x * 2.0 + noise + (3.0 if g == "A" else 0.0)
+        rows.append((g, y, x))
+    df = spark.createDataFrame(rows, "g string, y double, x double")
+    [r] = cuped_test(df, "y", "x", "g", "A", "B").collect()
+    assert r["n_a"] == 200 and r["n_b"] == 200
+    assert abs(r["theta"] - 2.0) < 0.1          # recovers the true slope
+    assert r["var_reduction"] > 0.95            # covariate explains ~all
+    assert abs(r["mean_diff_adj"] - 3.0) < 0.5  # the true effect
+    assert r["significant"] is True
+
+    # useless covariate (constant): theta NULL, adjusted test NULL
+    flat = [(g, y, 1.0) for g, y, _ in rows]
+    [rf] = cuped_test(
+        spark.createDataFrame(flat, "g string, y double, x double"),
+        "y", "x", "g", "A", "B",
+    ).collect()
+    assert rf["theta"] is None and rf["z"] is None and rf["significant"] is False
+    assert rf["mean_diff_raw"] is not None      # the raw diff still reports
+
+
+def test_cuped_duckdb_parity(spark):
+    import duckdb
+
+    from xmlschemavalidator_spark.checks.evaluation import (
+        cuped_oracle_sql,
+        cuped_test,
+    )
+
+    rows = [
+        ("A" if i % 3 == 0 else "B", ((i * 11) % 31) / 2.0, ((i * 5) % 17) / 3.0)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "g string, y double, x double")
+    [got] = cuped_test(df, "y", "x", "g", "A", "B").collect()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ab (g VARCHAR, y DOUBLE, x DOUBLE)")
+    con.executemany("INSERT INTO ab VALUES (?, ?, ?)", rows)
+    [want] = con.execute(
+        cuped_oracle_sql("SELECT g = 'A' AS ga, y, x FROM ab")
+    ).fetchall()
+    assert tuple(got) == tuple(want)

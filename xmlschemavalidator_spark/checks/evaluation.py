@@ -1717,3 +1717,216 @@ SELECT n_pairs, n_zero_dropped, w_plus_doubled,
         {round_to}) AS p,
   coalesce(abs({z}) * 1000 > {z_crit_milli}, FALSE) AS significant
 FROM agg, nz"""
+
+
+def cuped_test(
+    df: DataFrame,
+    metric_col: str,
+    covariate_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    quantum: int = 1_000_000,
+    z_crit_milli: int = 1960,
+    round_to: int = 6,
+) -> DataFrame:
+    """CUPED-adjusted two-sample comparison (Deng et al. WSDM 2013 —
+    Controlled-experiment Using Pre-Experiment Data, the industry-
+    standard variance-reduction for A/B metrics): regress the metric on
+    a pre-period covariate POOLED across both arms (θ = cov(x,y)/var(x)
+    — pooled, so the adjustment cannot introduce bias between arms),
+    subtract θ(x − x̄) per unit, and test the difference of ADJUSTED
+    means — same expectation as the raw test, variance shrunk by ρ²,
+    which is exactly the speed-up a strongly predictive covariate
+    (last week's behavior) buys. ONE row ``(n_a, n_b, theta,
+    mean_diff_raw, mean_diff_adj, var_reduction, z, p, significant)``:
+
+        mean_diff_adj = (ȳ_a − θx̄_a) − (ȳ_b − θx̄_b)
+        z = diff_adj / √(v_a/n_a + v_b/n_b),
+        v_g = var(y_g) − 2θ·cov_g(x,y) + θ²·var(x_g)
+
+    ``var_reduction`` = 1 − pooled-ρ² complement form
+    (1 − v_pooled_adj/var(y)) reported from the pooled moments — the
+    "how much experiment time did the covariate buy" number.
+
+    Degenerates NULL-gate: zero covariate variance → θ NULL and the
+    whole test falls back to NULL z (use welch_t on the raw metric
+    instead — the caller asked for an adjustment that doesn't exist);
+    either arm < 2 rows → NULL z.
+
+    Exactness: ten quantized DECIMAL(38,0) moment sums in ONE
+    partial-agg pass (the welch_t lanes doubled for the covariate and
+    the cross term); everything after is a fixed double chain on those
+    integers. One scan, one aggregate — nothing grows with corpus size.
+    """
+    m = F.col(metric_col).cast("double")
+    x = F.col(covariate_col).cast("double")
+    qm = F.floor(m * F.lit(quantum)).cast("decimal(38,0)")
+    qx = F.floor(x * F.lit(quantum)).cast("decimal(38,0)")
+    base = df.where(
+        m.isNotNull() & x.isNotNull() & F.col(group_col).isin([group_a, group_b])
+    ).select(
+        (F.col(group_col) == group_a).alias("_ga"),
+        qm.alias("_y"),
+        qx.alias("_x"),
+    )
+
+    def lane(cond, col, name):
+        return F.coalesce(
+            F.sum(F.when(cond, col)), F.lit(0).cast("decimal(38,0)")
+        ).alias(name)
+
+    ga = F.col("_ga")
+    agg = base.agg(
+        F.sum(ga.cast("long")).cast("bigint").alias("n_a"),
+        F.sum((~ga).cast("long")).cast("bigint").alias("n_b"),
+        lane(ga, F.col("_y"), "ya"),
+        lane(~ga, F.col("_y"), "yb"),
+        lane(ga, F.col("_x"), "xa"),
+        lane(~ga, F.col("_x"), "xb"),
+        lane(ga, F.col("_y") * F.col("_y"), "yya"),
+        lane(~ga, F.col("_y") * F.col("_y"), "yyb"),
+        lane(ga, F.col("_x") * F.col("_x"), "xxa"),
+        lane(~ga, F.col("_x") * F.col("_x"), "xxb"),
+        lane(ga, F.col("_x") * F.col("_y"), "xya"),
+        lane(~ga, F.col("_x") * F.col("_y"), "xyb"),
+    )
+    qd = F.lit(float(quantum))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    nt = na + nb
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    # pooled (both arms) moments for theta
+    sy, sx = d("ya") + d("yb"), d("xa") + d("xb")
+    syy, sxx = d("yya") + d("yyb"), d("xxa") + d("xxb")
+    sxy = d("xya") + d("xyb")
+    varx_p = (sxx - sx * sx / nt) / nt / (qd * qd)
+    vary_p = (syy - sy * sy / nt) / nt / (qd * qd)
+    cov_p = (sxy - sx * sy / nt) / nt / (qd * qd)
+    theta = F.when((nt > 0) & (varx_p > 0), cov_p / varx_p)
+    # per-arm adjusted means and variances
+    mya, myb = d("ya") / na / qd, d("yb") / nb / qd
+    mxa, mxb = d("xa") / na / qd, d("xb") / nb / qd
+    vya = (d("yya") - d("ya") * d("ya") / na) / (na - F.lit(1.0)) / (qd * qd)
+    vyb = (d("yyb") - d("yb") * d("yb") / nb) / (nb - F.lit(1.0)) / (qd * qd)
+    vxa = (d("xxa") - d("xa") * d("xa") / na) / (na - F.lit(1.0)) / (qd * qd)
+    vxb = (d("xxb") - d("xb") * d("xb") / nb) / (nb - F.lit(1.0)) / (qd * qd)
+    cva = (d("xya") - d("xa") * d("ya") / na) / (na - F.lit(1.0)) / (qd * qd)
+    cvb = (d("xyb") - d("xb") * d("yb") / nb) / (nb - F.lit(1.0)) / (qd * qd)
+    va = vya - 2 * theta * cva + theta * theta * vxa
+    vb_ = vyb - 2 * theta * cvb + theta * theta * vxb
+    ok = (F.col("n_a") > 1) & (F.col("n_b") > 1) & theta.isNotNull()
+    diff_raw = mya - myb
+    diff_adj = (mya - theta * mxa) - (myb - theta * mxb)
+    se2 = va / na + vb_ / nb
+    z = F.when(ok & (se2 > 0), diff_adj / F.sqrt(se2))
+    vr = F.when(
+        (vary_p > 0) & theta.isNotNull(),
+        F.greatest(
+            F.lit(0.0),
+            F.lit(1.0) - (vary_p - cov_p * cov_p / varx_p) / vary_p,
+        ),
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(theta, round_to).alias("theta"),
+        F.round(F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), diff_raw), round_to)
+        .alias("mean_diff_raw"),
+        F.round(F.when(ok, diff_adj), round_to).alias("mean_diff_adj"),
+        F.round(vr, round_to).alias("var_reduction"),
+        F.round(z, round_to).alias("z"),
+        F.round(F.when(z.isNotNull(), _p_two_sided(z)), round_to).alias("p"),
+        F.coalesce(
+            F.abs(z) * 1000 > F.lit(float(z_crit_milli)), F.lit(False)
+        ).alias("significant"),
+    )
+
+
+def cuped_oracle_sql(
+    from_sql: str,
+    quantum: int = 1_000_000,
+    z_crit_milli: int = 1960,
+    round_to: int = 6,
+) -> str:
+    """DuckDB replay of :func:`cuped_test`; ``from_sql`` yields
+    ``(ga BOOLEAN, y, x)`` rows (is-group-A, metric, covariate), nulls
+    pre-filtered. Every double is computed once in a staged CTE so the
+    operation order matches the Spark chain exactly."""
+    q = float(quantum)
+    return f"""WITH src AS ({from_sql}),
+qrows AS (SELECT ga,
+    CAST(floor(CAST(y AS DOUBLE) * {quantum}) AS HUGEINT) AS qy,
+    CAST(floor(CAST(x AS DOUBLE) * {quantum}) AS HUGEINT) AS qx
+  FROM src),
+agg AS (SELECT
+    CAST(sum(CASE WHEN ga THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(sum(CASE WHEN ga THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+    CAST(coalesce(sum(CASE WHEN ga THEN qy END), 0) AS HUGEINT) AS ya,
+    CAST(coalesce(sum(CASE WHEN NOT ga THEN qy END), 0) AS HUGEINT) AS yb,
+    CAST(coalesce(sum(CASE WHEN ga THEN qx END), 0) AS HUGEINT) AS xa,
+    CAST(coalesce(sum(CASE WHEN NOT ga THEN qx END), 0) AS HUGEINT) AS xb,
+    CAST(coalesce(sum(CASE WHEN ga THEN qy * qy END), 0) AS HUGEINT) AS yya,
+    CAST(coalesce(sum(CASE WHEN NOT ga THEN qy * qy END), 0) AS HUGEINT) AS yyb,
+    CAST(coalesce(sum(CASE WHEN ga THEN qx * qx END), 0) AS HUGEINT) AS xxa,
+    CAST(coalesce(sum(CASE WHEN NOT ga THEN qx * qx END), 0) AS HUGEINT) AS xxb,
+    CAST(coalesce(sum(CASE WHEN ga THEN qx * qy END), 0) AS HUGEINT) AS xya,
+    CAST(coalesce(sum(CASE WHEN NOT ga THEN qx * qy END), 0) AS HUGEINT) AS xyb
+  FROM qrows),
+m1 AS (SELECT *,
+    CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+    CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) AS nt,
+    CAST(ya AS DOUBLE) + CAST(yb AS DOUBLE) AS sy,
+    CAST(xa AS DOUBLE) + CAST(xb AS DOUBLE) AS sx,
+    CAST(yya AS DOUBLE) + CAST(yyb AS DOUBLE) AS syy,
+    CAST(xxa AS DOUBLE) + CAST(xxb AS DOUBLE) AS sxx,
+    CAST(xya AS DOUBLE) + CAST(xyb AS DOUBLE) AS sxy
+  FROM agg),
+m2 AS (SELECT *,
+    (sxx - sx * sx / nt) / nt / ({q} * {q}) AS varx_p,
+    (syy - sy * sy / nt) / nt / ({q} * {q}) AS vary_p,
+    (sxy - sx * sy / nt) / nt / ({q} * {q}) AS cov_p
+  FROM m1),
+m3 AS (SELECT *,
+    CASE WHEN nt > 0 AND varx_p > 0 THEN cov_p / varx_p END AS theta,
+    CAST(ya AS DOUBLE) / na / {q} AS mya,
+    CAST(yb AS DOUBLE) / nb / {q} AS myb,
+    CAST(xa AS DOUBLE) / na / {q} AS mxa,
+    CAST(xb AS DOUBLE) / nb / {q} AS mxb,
+    (CAST(yya AS DOUBLE) - CAST(ya AS DOUBLE) * CAST(ya AS DOUBLE) / na)
+      / (na - 1.0) / ({q} * {q}) AS vya,
+    (CAST(yyb AS DOUBLE) - CAST(yb AS DOUBLE) * CAST(yb AS DOUBLE) / nb)
+      / (nb - 1.0) / ({q} * {q}) AS vyb,
+    (CAST(xxa AS DOUBLE) - CAST(xa AS DOUBLE) * CAST(xa AS DOUBLE) / na)
+      / (na - 1.0) / ({q} * {q}) AS vxa,
+    (CAST(xxb AS DOUBLE) - CAST(xb AS DOUBLE) * CAST(xb AS DOUBLE) / nb)
+      / (nb - 1.0) / ({q} * {q}) AS vxb,
+    (CAST(xya AS DOUBLE) - CAST(xa AS DOUBLE) * CAST(ya AS DOUBLE) / na)
+      / (na - 1.0) / ({q} * {q}) AS cva,
+    (CAST(xyb AS DOUBLE) - CAST(xb AS DOUBLE) * CAST(yb AS DOUBLE) / nb)
+      / (nb - 1.0) / ({q} * {q}) AS cvb
+  FROM m2),
+m4 AS (SELECT *,
+    vya - 2 * theta * cva + theta * theta * vxa AS va,
+    vyb - 2 * theta * cvb + theta * theta * vxb AS vb,
+    (mya - theta * mxa) - (myb - theta * mxb) AS diff_adj,
+    n_a > 1 AND n_b > 1 AND theta IS NOT NULL AS ok
+  FROM m3),
+m5 AS (SELECT *,
+    va / na + vb / nb AS se2
+  FROM m4),
+m6 AS (SELECT *,
+    CASE WHEN ok AND se2 > 0 THEN diff_adj / sqrt(se2) END AS z
+  FROM m5)
+SELECT n_a, n_b,
+  round(theta, {round_to}) AS theta,
+  round(CASE WHEN n_a > 0 AND n_b > 0 THEN mya - myb END, {round_to})
+      AS mean_diff_raw,
+  round(CASE WHEN ok THEN diff_adj END, {round_to}) AS mean_diff_adj,
+  round(CASE WHEN vary_p > 0 AND theta IS NOT NULL THEN
+      greatest(0.0, 1.0 - (vary_p - cov_p * cov_p / varx_p) / vary_p) END,
+      {round_to}) AS var_reduction,
+  round(z, {round_to}) AS z,
+  round(CASE WHEN z IS NOT NULL THEN {_p_two_sided_sql('z')} END,
+      {round_to}) AS p,
+  coalesce(abs(z) * 1000 > {z_crit_milli}, FALSE) AS significant
+FROM m6"""

@@ -16652,3 +16652,44 @@ def mantel_haenszel_keyword_length(spark, sf_dir):
         (F.col("n_chars") >= 250).alias("o"),
     )
     return mantel_haenszel(staged, "e", "o", "st")
+
+
+def _cuped_oracle() -> str:
+    from xmlschemavalidator_spark.checks.evaluation import cuped_oracle_sql
+
+    return cuped_oracle_sql(
+        """SELECT user_id % 2 = 0 AS ga,
+              CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                                     THEN value END), 0) AS DOUBLE) AS y,
+              CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                AS DOUBLE) AS x
+       FROM events WHERE value IS NOT NULL GROUP BY user_id"""
+    )
+
+
+@q("cuped_purchase_experiment", _cuped_oracle())
+def cuped_purchase_experiment(spark, sf_dir):
+    """CUPED-adjusted A/B comparison (checks/evaluation.py:cuped_test,
+    Deng et al. WSDM'13): per-user purchase revenue compared between
+    the user-parity arms with view-count as the pre-period covariate —
+    θ fit POOLED so the adjustment can't bias the contrast, the
+    variance shrinks by ρ², and parity arms make it an A/A guard (a
+    significant adjusted diff here means the staging leaks). Ten
+    DECIMAL moment lanes in ONE partial-agg pass; oracle-exact
+    including θ, the adjusted diff and the A&S p."""
+    from xmlschemavalidator_spark.checks.evaluation import cuped_test
+
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    per_user = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))),
+            F.lit(0.0),
+        ).alias("y"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("double")
+        .alias("x"),
+    )
+    staged = per_user.select(
+        (F.col("user_id") % 2 == 0).alias("arm"), "y", "x"
+    )
+    return cuped_test(staged, "y", "x", "arm", True, False)
