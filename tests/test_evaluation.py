@@ -920,3 +920,53 @@ def test_cuped_duckdb_parity(spark):
         cuped_oracle_sql("SELECT g = 'A' AS ga, y, x FROM ab")
     ).fetchall()
     assert tuple(got) == tuple(want)
+
+
+def test_required_sample_size_hand_computed(spark):
+    import math
+
+    from xmlschemavalidator_spark.checks.evaluation import required_sample_size
+
+    # base rate 0.2 from 100 rows, MDE 5pp
+    rows = [(True,)] * 20 + [(False,)] * 80
+    df = spark.createDataFrame(rows, "y boolean")
+    [r] = required_sample_size(df, "y", mde_ppm=50_000).collect()
+    assert (r["n"], r["base_rate"], r["mde"]) == (100, 0.2, 0.05)
+    p1, p2, d, z = 0.2, 0.25, 0.05, (1960 + 842) / 1000
+    want = math.ceil(z * z * (p1 * 0.8 + p2 * 0.75) / (d * d))
+    assert r["n_per_arm"] == want and r["n_total"] == 2 * want
+    assert r["feasible"] is False  # 100 rows can't fill ~2700
+
+    # smaller MDE needs more data (monotonicity)
+    [r2] = required_sample_size(df, "y", mde_ppm=10_000).collect()
+    assert r2["n_per_arm"] > r["n_per_arm"]
+
+    # degenerate base rate 1.0 with delta clamped -> varsum 0 -> NULL
+    ones = spark.createDataFrame([(True,)] * 10, "y boolean")
+    [rd] = required_sample_size(ones, "y", mde_ppm=50_000).collect()
+    assert rd["n_per_arm"] is None and rd["feasible"] is False
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        required_sample_size(df, "y", mde_ppm=0)
+
+
+def test_required_sample_size_duckdb_parity(spark):
+    import duckdb
+
+    from xmlschemavalidator_spark.checks.evaluation import (
+        required_sample_size,
+        required_sample_size_oracle_sql,
+    )
+
+    rows = [((i * i) % 7 < 2,) for i in range(333)]
+    df = spark.createDataFrame(rows, "y boolean")
+    [got] = required_sample_size(df, "y", mde_ppm=12_345).collect()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE outc (y BOOLEAN)")
+    con.executemany("INSERT INTO outc VALUES (?)", rows)
+    [want] = con.execute(
+        required_sample_size_oracle_sql("SELECT y FROM outc", "y", 12_345)
+    ).fetchall()
+    assert tuple(got) == tuple(want)

@@ -1930,3 +1930,94 @@ SELECT n_a, n_b,
       {round_to}) AS p,
   coalesce(abs(z) * 1000 > {z_crit_milli}, FALSE) AS significant
 FROM m6"""
+
+
+def required_sample_size(
+    df: DataFrame,
+    success_col: str,
+    mde_ppm: int,
+    z_alpha_milli: int = 1960,
+    z_beta_milli: int = 842,
+    round_to: int = 6,
+) -> DataFrame:
+    """Two-proportion power calculation against the MEASURED base rate
+    (the standard normal-approximation design formula): "can this
+    corpus even power the test" answered before anyone runs it. Given
+    the observed success rate p₁ and a minimum detectable effect δ
+    (``mde_ppm`` parts-per-million, absolute), the per-arm requirement
+
+        n = ⌈(z_{α/2} + z_β)² · (p₁(1−p₁) + p₂(1−p₂)) / δ²⌉,  p₂ = p₁+δ
+
+    — ONE row ``(n, base_rate, mde, n_per_arm, n_total, feasible)``
+    where ``feasible`` says whether the corpus at hand could fill both
+    arms (n ≥ 2·n_per_arm). Defaults: 5% two-sided α (1960 milli-z),
+    80% power (842 milli-z ≈ Φ⁻¹(0.8)); both thresholds are integer
+    parameters so the design itself can't drift between engines.
+
+    The validation read: a violation-rate SLO change of δ needs this
+    much audit data — running the monitor on less and reading "not
+    significant" as "no regression" is the type-II error this number
+    exists to prevent. p₂ clamps to [0,1]; a degenerate base rate
+    (p₁ ∈ {0,1} with δ pushing outside [0,1]) yields NULL n_per_arm.
+
+    Exactness: the only data-dependent inputs are two exact integers
+    (n, successes); everything else is a fixed double chain on integer
+    parameters, with ceil at the end. One partial-agg scan.
+    """
+    if mde_ppm <= 0:
+        raise ValueError(f"required_sample_size: mde_ppm={mde_ppm}")
+    y = F.col(success_col).cast("boolean")
+    agg = df.where(y.isNotNull()).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(y.cast("long")).cast("bigint").alias("_x"),
+    )
+    p1 = F.col("_x").cast("double") / F.col("n").cast("double")
+    delta = F.lit(mde_ppm / 1e6)
+    p2 = F.least(F.greatest(p1 + delta, F.lit(0.0)), F.lit(1.0))
+    zsum = F.lit((z_alpha_milli + z_beta_milli) / 1000.0)
+    varsum = p1 * (F.lit(1.0) - p1) + p2 * (F.lit(1.0) - p2)
+    ok = (F.col("n") > 0) & (varsum > 0)
+    n_arm = F.when(ok, F.ceil(zsum * zsum * varsum / (delta * delta))).cast(
+        "bigint"
+    )
+    return agg.select(
+        "n",
+        F.round(F.when(F.col("n") > 0, p1), round_to).alias("base_rate"),
+        F.round(delta, round_to).alias("mde"),
+        n_arm.alias("n_per_arm"),
+        (n_arm * 2).cast("bigint").alias("n_total"),
+        F.coalesce(F.col("n") >= n_arm * 2, F.lit(False)).alias("feasible"),
+    )
+
+
+def required_sample_size_oracle_sql(
+    from_sql: str,
+    success_col: str,
+    mde_ppm: int,
+    z_alpha_milli: int = 1960,
+    z_beta_milli: int = 842,
+    round_to: int = 6,
+) -> str:
+    """DuckDB replay of :func:`required_sample_size`."""
+    delta = mde_ppm / 1e6
+    zsum = (z_alpha_milli + z_beta_milli) / 1000.0
+    p1 = "(CAST(x AS DOUBLE) / CAST(n AS DOUBLE))"
+    p2 = f"least(greatest({p1} + {delta!r}, 0.0), 1.0)"
+    varsum = f"({p1} * (1.0 - {p1}) + {p2} * (1.0 - {p2}))"
+    n_arm = (
+        f"(CASE WHEN n > 0 AND {varsum} > 0 THEN CAST(ceil("
+        f"{zsum!r} * {zsum!r} * {varsum} / ({delta!r} * {delta!r})) AS BIGINT)"
+        " END)"
+    )
+    return f"""WITH src AS ({from_sql}),
+agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN CAST({success_col} AS BOOLEAN)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS x
+        FROM src WHERE {success_col} IS NOT NULL)
+SELECT n,
+  round(CASE WHEN n > 0 THEN {p1} END, {round_to}) AS base_rate,
+  round(CAST({delta!r} AS DOUBLE), {round_to}) AS mde,
+  {n_arm} AS n_per_arm,
+  CAST({n_arm} * 2 AS BIGINT) AS n_total,
+  coalesce(n >= {n_arm} * 2, FALSE) AS feasible
+FROM agg"""

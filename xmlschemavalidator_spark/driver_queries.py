@@ -16693,3 +16693,38 @@ def cuped_purchase_experiment(spark, sf_dir):
         (F.col("user_id") % 2 == 0).alias("arm"), "y", "x"
     )
     return cuped_test(staged, "y", "x", "arm", True, False)
+
+
+def _power_oracle() -> str:
+    from xmlschemavalidator_spark.checks.evaluation import (
+        required_sample_size_oracle_sql,
+    )
+
+    return required_sample_size_oracle_sql(
+        "SELECT position(' spark ' IN ' ' || text || ' ') > 0 AS y"
+        " FROM documents WHERE text IS NOT NULL",
+        "y",
+        20_000,
+    )
+
+
+@q("audit_power_requirement", _power_oracle())
+def audit_power_requirement(spark, sf_dir):
+    """Two-proportion power design (checks/evaluation.py:
+    required_sample_size) against the measured ' spark '-mention rate:
+    how many docs per arm an experiment needs to detect a 2-point
+    absolute shift at 5%/80% — and whether THIS corpus could even fill
+    both arms (``feasible``). The type-II-error guard for every
+    significance gate in the toolkit: running the monitor under-powered
+    and reading 'not significant' as 'no regression' is the failure
+    this one number prevents. One partial-agg scan, integer z
+    thresholds, oracle-exact."""
+    from xmlschemavalidator_spark.checks.evaluation import required_sample_size
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    staged = docs.select(
+        (
+            F.locate(" spark ", F.concat(F.lit(" "), F.col("text"), F.lit(" "))) > 0
+        ).alias("y")
+    )
+    return required_sample_size(staged, "y", mde_ppm=20_000)
