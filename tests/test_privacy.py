@@ -149,3 +149,72 @@ def test_t_closeness_nulls_and_args(spark):
         t_closeness_report(df, [], "v")
     with _pt.raises(ValueError):
         t_closeness_report(df, ["v"], "v")
+
+
+def test_laplace_noisy_counts_replay(spark):
+    import hashlib
+    import math
+
+    from pyspark.sql import functions as F
+
+    from xmlschemavalidator_spark.checks.privacy import laplace_noisy_counts
+
+    df = spark.createDataFrame(
+        [("en",)] * 40 + [("de",)] * 10 + [(None,)] * 3, "g string"
+    )
+    got = {r["group"]: r for r in laplace_noisy_counts(df, "g", 1000).collect()}
+    assert set(got) == {"en", "de", None}
+
+    def replay(group, n, eps=1.0, salt="laplace"):
+        h = hashlib.md5(f"{salt}:{group if group is not None else ' null'}".encode()).hexdigest()
+        u = (int(h[:15], 16) + 0.5) / float(16 ** 15)
+        c = u - 0.5
+        sign = (c > 0) - (c < 0)
+        noise = -(1.0 / eps) * sign * math.log(1.0 - 2 * abs(c))
+        return round(max(n + noise, 0.0), 6)
+
+    assert got["en"]["released_count"] == replay("en", 40)
+    assert got["de"]["released_count"] == replay("de", 10)
+    assert got[None]["released_count"] == replay(None, 3)
+    # determinism: same salt -> identical release; new salt -> fresh noise
+    again = {r["group"]: r["released_count"]
+             for r in laplace_noisy_counts(df, "g", 1000).collect()}
+    assert again == {g: r["released_count"] for g, r in got.items()}
+    other = {r["group"]: r["released_count"]
+             for r in laplace_noisy_counts(df, "g", 1000, salt="v2").collect()}
+    assert other != again
+    # tighter epsilon -> bigger expected noise scale (check magnitudes)
+    loose = {r["group"]: r["released_count"]
+             for r in laplace_noisy_counts(df, "g", 10_000).collect()}
+    assert abs(loose["en"] - 40) <= abs(again["en"] - 40)
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        laplace_noisy_counts(df, "g", 0)
+
+
+def test_laplace_noisy_counts_duckdb_parity(spark):
+    import duckdb
+
+    from xmlschemavalidator_spark.checks.privacy import (
+        laplace_noisy_counts,
+        laplace_noisy_counts_oracle_sql,
+    )
+
+    rows = [(f"g{i % 7}",) for i in range(200)] + [(None,)] * 5
+    df = spark.createDataFrame(rows, "g string")
+    got = sorted(
+        ((r["group"] or ""), r["released_count"], r["epsilon_milli"])
+        for r in laplace_noisy_counts(df, "g", 500).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (g VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", rows)
+    want = sorted(
+        ((g or ""), rc, em)
+        for g, rc, em in con.execute(
+            laplace_noisy_counts_oracle_sql("SELECT g FROM t", "g", 500)
+        ).fetchall()
+    )
+    assert got == want

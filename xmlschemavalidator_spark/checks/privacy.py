@@ -229,3 +229,96 @@ def t_closeness_report(
         F.round(emd, round_to).alias("emd"),
         (emd * F.lit(1_000_000.0) > F.lit(float(t_micro))).alias("breaches_t"),
     )
+
+
+def laplace_noisy_counts(
+    df: DataFrame,
+    group_col: str,
+    epsilon_milli: int = 1000,
+    salt: str = "laplace",
+    round_to: int = 6,
+) -> DataFrame:
+    """Laplace-mechanism count release (Dwork et al. TCC'06): per-group
+    counts with Laplace(Δ/ε) noise at sensitivity Δ=1 — the release
+    side of the privacy family (k-anonymity/l-diversity AUDIT a table;
+    this publishes an aggregate with calibrated plausible deniability).
+    One row per group: ``(group, released_count, epsilon_milli)`` — the
+    true count deliberately does NOT appear in the output (releasing it
+    beside the noisy one would defeat the mechanism).
+
+    Noise is CONTENT-ADDRESSED, not sampled: u derives from
+    md5(salt:group) exactly like the Gumbel/DSIR keys, and
+    noise = −(1/ε)·sign(u−½)·ln(1−2|u−½|) is the Laplace inverse-CDF.
+    **The privacy caveat is the salt**: determinism makes the release
+    reproducible, idempotent across retries and oracle-checkable — but
+    an adversary who learns the salt can subtract the noise, so the
+    salt carries the entire privacy guarantee (treat it like a key;
+    rotate per release). This is the documented trade every
+    content-addressed mechanism in this engine makes, stated rather
+    than hidden. ε is an integer milli parameter (1000 = ε 1.0).
+
+    Released counts round to ``round_to`` dp and clamp at 0 (both are
+    post-processing — DP survives it). Exactness: the count is an
+    exact integer; u is the exact 60-bit rational; noise is a fixed
+    ln chain (the shared libm contract).
+
+    Scale shape: ONE partial-agg groupBy; noise is a per-GROUP
+    projection over the bounded group table.
+    """
+    if epsilon_milli <= 0:
+        raise ValueError(f"laplace_noisy_counts: epsilon_milli={epsilon_milli}")
+    per = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n")
+    )
+    key = F.md5(
+        F.concat(
+            F.lit(salt), F.lit(":"),
+            F.coalesce(F.col("group").cast("string"), F.lit(" null")),
+        )
+    )
+    u = (
+        F.conv(F.substring(key, 1, 15), 16, 10).cast("bigint").cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(16 ** 15))
+    c = u - F.lit(0.5)
+    scale = F.lit(1000.0 / epsilon_milli)
+    noise = -scale * F.signum(c) * F.log(
+        F.lit(1.0) - 2 * F.abs(c)
+    )
+    return per.select(
+        "group",
+        F.round(
+            F.greatest(F.col("_n").cast("double") + noise, F.lit(0.0)), round_to
+        ).alias("released_count"),
+        F.lit(epsilon_milli).cast("int").alias("epsilon_milli"),
+    )
+
+
+def laplace_noisy_counts_oracle_sql(
+    from_sql: str,
+    group_col: str,
+    epsilon_milli: int = 1000,
+    salt: str = "laplace",
+    round_to: int = 6,
+) -> str:
+    """DuckDB replay of :func:`laplace_noisy_counts` — same md5 uniform,
+    same inverse-CDF chain."""
+    u = (
+        "((CAST(CAST('0x' || substr(md5('"
+        + salt
+        + "' || ':' || coalesce(CAST(grp AS VARCHAR), ' null')), 1, 15) AS BIGINT) AS DOUBLE)"
+        f" + 0.5) / {float(16 ** 15)!r})"
+    )
+    c = f"({u} - 0.5)"
+    noise = (
+        f"(-({1000.0 / epsilon_milli!r}) * sign({c})"
+        f" * ln(1.0 - 2 * abs({c})))"
+    )
+    return f"""WITH src AS ({from_sql}),
+per AS (SELECT {group_col} AS grp, CAST(count(*) AS BIGINT) AS n
+        FROM src GROUP BY {group_col})
+SELECT grp AS "group",
+  round(greatest(CAST(n AS DOUBLE) + {noise}, 0.0), {round_to})
+      AS released_count,
+  CAST({epsilon_milli} AS INT) AS epsilon_milli
+FROM per"""

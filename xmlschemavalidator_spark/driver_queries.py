@@ -16728,3 +16728,31 @@ def audit_power_requirement(spark, sf_dir):
         ).alias("y")
     )
     return required_sample_size(staged, "y", mde_ppm=20_000)
+
+
+def _laplace_oracle() -> str:
+    from xmlschemavalidator_spark.checks.privacy import (
+        laplace_noisy_counts_oracle_sql,
+    )
+
+    return laplace_noisy_counts_oracle_sql(
+        "SELECT lang FROM documents", "lang", epsilon_milli=1000, salt="rel-r4"
+    )
+
+
+@q("laplace_noisy_lang_counts", _laplace_oracle())
+def laplace_noisy_lang_counts(spark, sf_dir):
+    """Laplace-mechanism release of per-lang doc counts at ε=1
+    (checks/privacy.py:laplace_noisy_counts, Dwork TCC'06) — the
+    RELEASE side of the privacy family (k-anonymity/l-diversity audit;
+    this publishes): true counts never appear in the output, the noise
+    is the exact Laplace inverse-CDF over a content-addressed md5
+    uniform, and the documented trade is that the SALT carries the
+    privacy (reproducible + oracle-checkable ⇔ subtractable by a
+    salt-holder; rotate per release). One groupBy + a per-group
+    projection."""
+    from xmlschemavalidator_spark.checks.privacy import laplace_noisy_counts
+
+    return laplace_noisy_counts(
+        _t(spark, sf_dir, "documents"), "lang", epsilon_milli=1000, salt="rel-r4"
+    )
