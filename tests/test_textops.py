@@ -1781,3 +1781,33 @@ def test_prf_expansion_and_retrieval(spark):
         df, "doc_id", ["spark"], r=3, n_expand=2, k=6
     ).collect()}
     assert 3 not in base and 3 in prf
+
+
+def test_code_switch_report(spark):
+    from xmlschemavalidator_spark.textops import code_switch_report
+
+    en = "the cat and the dog was in that house for it is the thing"
+    de = "der hund und die katze ist nicht mit der maus auf der wiese zu"
+    fr = "le chat est dans les maisons et pas une pour que dans le parc"
+    rows = [
+        (1, en + "\n\n" + en + "\n\n" + de),     # mixed: 2 en, 1 de
+        (2, en + "\n\n" + en),                    # pure en
+        (3, "x\n\n" + fr),                        # tiny para skipped, pure fr
+        (4, "zz qq ww ee rr tt yy uu ii oo pp"),  # no stopwords -> und only
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc"]: r for r in code_switch_report(df, "doc_id").collect()}
+    # docs 4 (all-und) and 5 (null) produce no row
+    assert set(got) == {1, 2, 3}
+    r1 = got[1]
+    assert (r1["n_paras_scored"], r1["n_langs"]) == (3, 2)
+    assert r1["dominant_lang"] == "en" and r1["mixed"] is True
+    assert r1["dominant_share_micro"] == 2 * 1_000_000 // 3
+    assert got[2]["mixed"] is False and got[2]["dominant_share_micro"] == 1_000_000
+    assert got[3]["n_paras_scored"] == 1 and got[3]["dominant_lang"] == "fr"
+
+    # deterministic tie-break: 1 en + 1 de paragraphs -> earliest code wins
+    tie = spark.createDataFrame([(9, en + "\n\n" + de)], "doc_id long, text string")
+    [rt] = code_switch_report(tie, "doc_id").collect()
+    assert rt["dominant_lang"] == "de" and rt["dominant_share_micro"] == 500_000

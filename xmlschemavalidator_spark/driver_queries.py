@@ -16756,3 +16756,54 @@ def laplace_noisy_lang_counts(spark, sf_dir):
     return laplace_noisy_counts(
         _t(spark, sf_dir, "documents"), "lang", epsilon_milli=1000, salt="rel-r4"
     )
+
+
+def _code_switch_oracle() -> str:
+    score_exprs = ", ".join(
+        f"len(list_filter(string_split_regex(trim(coalesce(para,'')), '\\s+'),"
+        f" x -> list_contains({arr}, lower(x)))) AS s_{lang}"
+        for lang, arr in _LANGID_SQL_SCORES.items()
+    )
+    return f"""WITH paras AS (
+  SELECT doc, para FROM (
+    SELECT doc_id AS doc,
+           unnest(string_split_regex(coalesce(text, ''), '\\n{{2,}}')) AS para
+    FROM documents)
+  WHERE length(trim(para)) >= 30),
+s AS (SELECT doc, {score_exprs} FROM paras),
+v AS (SELECT doc,
+        CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_sv) <= 0 THEN 'und'
+             WHEN s_de >= greatest(s_en, s_es, s_fr, s_sv) THEN 'de'
+             WHEN s_en >= greatest(s_es, s_fr, s_sv) THEN 'en'
+             WHEN s_es >= greatest(s_fr, s_sv) THEN 'es'
+             WHEN s_fr >= s_sv THEN 'fr'
+             ELSE 'sv' END AS plang
+      FROM s),
+cells AS (SELECT doc, plang, CAST(count(*) AS BIGINT) AS c
+          FROM v WHERE plang <> 'und' GROUP BY 1, 2),
+dom AS (SELECT doc, plang AS dominant_lang, c FROM (
+          SELECT *, row_number() OVER (PARTITION BY doc
+                      ORDER BY c DESC, plang ASC) AS rn
+          FROM cells) WHERE rn = 1),
+per AS (SELECT doc, CAST(sum(c) AS BIGINT) AS n_paras_scored,
+               CAST(count(*) AS BIGINT) AS n_langs
+        FROM cells GROUP BY doc)
+SELECT per.doc, n_paras_scored, n_langs, dominant_lang,
+  dom.c * 1000000 // n_paras_scored AS dominant_share_micro,
+  n_langs > 1 AS mixed
+FROM per JOIN dom ON per.doc = dom.doc"""
+
+
+@q("code_switch_report", _code_switch_oracle())
+def code_switch_report_q(spark, sf_dir):
+    """Paragraph-level language-consistency report (textops.py:
+    code_switch_report): per-paragraph stopword lang-ID votes, dominant
+    language + share, mixed flag — the code-switching / wrong-merge
+    detector, because a doc-level label asserts ONE language and a
+    mixed doc poisons every per-lang statistic downstream (CCNet
+    terciles, per-lang report panels, token budgets all key on lang).
+    Shuffle carries (doc, lang) counts, never paragraph text;
+    oracle replays the exact per-paragraph argmax tie-break."""
+    from xmlschemavalidator_spark.textops import code_switch_report
+
+    return code_switch_report(_t(spark, sf_dir, "documents"), "doc_id")

@@ -3117,3 +3117,61 @@ def prf_bm25_topk(
     ]
     combined = sorted({t.lower() for t in query_terms} | set(exp))
     return bm25_topk(df, id_col, combined, text_col, k=k, k1_20=k1_20, b_20=b_20)
+
+
+def code_switch_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    min_para_chars: int = 30,
+) -> DataFrame:
+    """Paragraph-level language-consistency report (the code-switching /
+    wrong-merge detector): doc-level language ID asserts ONE label per
+    document, but web pages interleave languages — boilerplate in the
+    site language around quoted content in another, concatenation bugs
+    upstream — and a mixed doc poisons every per-lang statistic it
+    lands in. Split on blank lines (the paragraph convention of the
+    dedup family), run :func:`lang_id` per paragraph of at least
+    ``min_para_chars`` chars, and emit one row per doc with >= 1 scored
+    paragraph: ``(doc, n_paras_scored, n_langs, dominant_lang,
+    dominant_share_micro, mixed)`` — ``mixed`` = more than one
+    non-'und' language voted. 'und' paragraphs don't vote (no stopword
+    evidence is absence, not a language).
+
+    Exactness: counts are integers; the dominant pick is
+    min-of-struct(−count, lang) — count desc then lang asc, fully
+    deterministic; share is integer-div micros.
+
+    Scale shape: one Generate (paragraph posexplode) → (doc, lang)
+    partial agg → doc agg; the shuffle carries (doc, lang) count rows,
+    never paragraph text.
+    """
+    paras = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\n{2,}")
+        ).alias("para"),
+    ).where(F.length(F.trim(F.col("para"))) >= min_para_chars)
+    voted = paras.select("doc", lang_id(F.col("para")).alias("plang")).where(
+        F.col("plang") != "und"
+    )
+    cells = voted.groupBy("doc", "plang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c")
+    )
+    per_doc = cells.groupBy("doc").agg(
+        F.sum("_c").cast("bigint").alias("n_paras_scored"),
+        F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+        F.min(F.struct((-F.col("_c")).alias("nc"), F.col("plang").alias("lg"))).alias(
+            "_dom"
+        ),
+    )
+    return per_doc.select(
+        "doc",
+        "n_paras_scored",
+        "n_langs",
+        F.col("_dom.lg").alias("dominant_lang"),
+        F.expr("(-_dom.nc) * 1000000 div n_paras_scored").alias(
+            "dominant_share_micro"
+        ),
+        (F.col("n_langs") > 1).alias("mixed"),
+    )
