@@ -81,6 +81,7 @@ def headline_queries():
         winnowing_candidate_pairs_docs,
         window_daily_events,
         wordpiece_tokenize,
+        code_switch_report_q,
     )
 
     def _bench_pagerank(s):
@@ -217,7 +218,28 @@ def headline_queries():
         # small constants, never doc×doc)
         "textrank": lambda s: textrank_keywords_top20(s, SF_DIR),
         "burrows_delta": lambda s: stylometry_burrows_delta(s, SF_DIR),
+        # round-4 session-10: paragraph-level code-switch detection (one
+        # Generate + per-paragraph stopword lang vote over the corpus —
+        # the mixed-doc guard every per-lang statistic depends on) and
+        # the full audit-sampling loop (Neyman design + fixed-k draw +
+        # design-based estimate: three #strata-bounded stages over two
+        # corpus scans)
+        "code_switch": lambda s: code_switch_report_q(s, SF_DIR),
+        "stratified_audit": lambda s: _bench_stratified_audit(s),
     }
+
+
+def _bench_stratified_audit(spark):
+    from xmlschemavalidator_spark.sampling import (
+        stratified_estimate,
+        stratified_fixed_k,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").where(
+        "lang IS NOT NULL"
+    )
+    sample = stratified_fixed_k(docs, "doc_id", "lang", k=1000, salt="audit")
+    return stratified_estimate(docs, sample, "n_chars", "lang")
 
 
 def _bench_cdc_chunks(spark):
