@@ -1811,3 +1811,26 @@ def test_code_switch_report(spark):
     tie = spark.createDataFrame([(9, en + "\n\n" + de)], "doc_id long, text string")
     [rt] = code_switch_report(tie, "doc_id").collect()
     assert rt["dominant_lang"] == "de" and rt["dominant_share_micro"] == 500_000
+
+
+def test_tokenizer_fertility_hand_computed(spark):
+    from xmlschemavalidator_spark.textops import tokenizer_fertility
+
+    rows = [
+        ("en", "cat dog"),                 # 7 chars, 2 ws, 2 bpe pieces
+        ("en", "extraordinary"),           # 13 chars, 1 ws, 1+1 (7+ run) bpe
+        ("zz", ""),                        # empty: 0 everything
+        ("de", "a-b"),                     # 3 chars, 1 ws, 3 bpe (a, -, b)
+    ]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    got = {r["lang"]: r for r in tokenizer_fertility(df, "lang").collect()}
+    en = got["en"]
+    assert (en["n_docs"], en["n_chars"], en["n_ws_tokens"]) == (2, 20, 3)
+    assert en["n_bpe_tokens"] == 2 + 2
+    assert en["chars_per_ws_token"] == round(20 / 3, 6)
+    assert en["bpe_per_ws_ratio"] == round(4 / 3, 6)
+    de = got["de"]
+    assert de["n_bpe_tokens"] == 3 and de["n_ws_tokens"] == 1
+    # empty lang: NULL ratios, never div/0
+    zz = got["zz"]
+    assert zz["n_ws_tokens"] == 0 and zz["chars_per_ws_token"] is None

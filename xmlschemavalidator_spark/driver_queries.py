@@ -16807,3 +16807,46 @@ def code_switch_report_q(spark, sf_dir):
     from xmlschemavalidator_spark.textops import code_switch_report
 
     return code_switch_report(_t(spark, sf_dir, "documents"), "doc_id")
+
+
+def _fertility_oracle() -> str:
+    from xmlschemavalidator_spark.textops import _WS
+
+    ws_inner = _WS[1:-1]  # the raw class chars, to compose [^...]
+    ntok = (
+        "CASE WHEN trim(coalesce(text, '')) = '' THEN 0 ELSE"
+        f" len(string_split_regex(trim(text), '{_WS}+')) END"
+    )
+    bpe = (
+        "len(regexp_extract_all(coalesce(text, ''),"
+        f" '[A-Za-z]+|[0-9]+|[^A-Za-z0-9{ws_inner}]'))"
+        " + len(regexp_extract_all(coalesce(text, ''), '[A-Za-z]{7,}'))"
+    )
+    return f"""WITH per AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS n_chars,
+         CAST(sum({ntok}) AS BIGINT) AS n_ws_tokens,
+         CAST(sum({bpe}) AS BIGINT) AS n_bpe_tokens
+  FROM documents GROUP BY lang)
+SELECT lang, n_docs, n_chars, n_ws_tokens, n_bpe_tokens,
+  round(CASE WHEN n_ws_tokens > 0 THEN CAST(n_chars AS DOUBLE)
+        / CAST(n_ws_tokens AS DOUBLE) END, 6) AS chars_per_ws_token,
+  round(CASE WHEN n_bpe_tokens > 0 THEN CAST(n_chars AS DOUBLE)
+        / CAST(n_bpe_tokens AS DOUBLE) END, 6) AS chars_per_bpe_token,
+  round(CASE WHEN n_ws_tokens > 0 THEN CAST(n_bpe_tokens AS DOUBLE)
+        / CAST(n_ws_tokens AS DOUBLE) END, 6) AS bpe_per_ws_ratio
+FROM per"""
+
+
+@q("tokenizer_fertility_per_lang", _fertility_oracle())
+def tokenizer_fertility_per_lang(spark, sf_dir):
+    """Tokenizer fertility panel (textops.py:tokenizer_fertility): per
+    lang, chars per whitespace token vs chars per BPE-ish subword and
+    their ratio — the cost-model input token budgets key on (a lang at
+    2× bpe_per_ws pays double context for the same words; budgets fed
+    ws counts silently starve it). One projection + one groupBy; the
+    BPE estimate's regex alternation replays in RE2 with the explicit
+    whitespace class (the \\x0b rule). Oracle-exact."""
+    from xmlschemavalidator_spark.textops import tokenizer_fertility
+
+    return tokenizer_fertility(_t(spark, sf_dir, "documents"), "lang")

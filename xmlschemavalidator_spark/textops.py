@@ -3175,3 +3175,55 @@ def code_switch_report(
         ),
         (F.col("n_langs") > 1).alias("mixed"),
     )
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    lang_col: str,
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-language tokenizer fertility panel — the cost-model input
+    every token-budget decision keys on: ``(lang, n_docs, n_chars,
+    n_ws_tokens, n_bpe_tokens, chars_per_ws_token, chars_per_bpe_token,
+    bpe_per_ws_ratio)`` comparing whitespace tokens against the BPE-ish
+    subword ESTIMATE (:func:`bpe_token_estimate`). The budgeting read:
+    a lang whose bpe_per_ws_ratio runs 2× another's pays double the
+    context window for the same words — token budgets allocated on
+    ws-token counts silently starve it (UniMax/temperature mixing both
+    consume counts; this panel says WHICH count to feed them). The
+    trained-tokenizer twin is the vocab-coverage report panel; this one
+    needs no trained vocab and costs one projection + one groupBy.
+
+    Exactness: all four sums are exact integer counts from JVM regex
+    counts; ratios are exact-rational doubles rounded. Empty-token
+    languages yield NULL ratios, never div/0.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    per = df.groupBy(F.col(lang_col).alias("lang")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.length(t)).cast("bigint").alias("n_chars"),
+        F.sum(token_count(F.col(text_col))).cast("bigint").alias("n_ws_tokens"),
+        F.sum(bpe_token_estimate(F.col(text_col)))
+        .cast("bigint")
+        .alias("n_bpe_tokens"),
+    )
+    nc = F.col("n_chars").cast("double")
+    nw = F.col("n_ws_tokens").cast("double")
+    nb = F.col("n_bpe_tokens").cast("double")
+    return per.select(
+        "lang",
+        "n_docs",
+        "n_chars",
+        "n_ws_tokens",
+        "n_bpe_tokens",
+        F.round(F.when(F.col("n_ws_tokens") > 0, nc / nw), round_to).alias(
+            "chars_per_ws_token"
+        ),
+        F.round(F.when(F.col("n_bpe_tokens") > 0, nc / nb), round_to).alias(
+            "chars_per_bpe_token"
+        ),
+        F.round(F.when(F.col("n_ws_tokens") > 0, nb / nw), round_to).alias(
+            "bpe_per_ws_ratio"
+        ),
+    )
