@@ -970,3 +970,71 @@ def test_required_sample_size_duckdb_parity(spark):
         required_sample_size_oracle_sql("SELECT y FROM outc", "y", 12_345)
     ).fetchall()
     assert tuple(got) == tuple(want)
+
+
+def test_equivalence_tost(spark):
+    from xmlschemavalidator_spark.checks.evaluation import equivalence_test
+
+    # two arms drawing the same deterministic values, margin comfortably
+    # wide -> equivalent
+    rows = [("A", float(i % 10)) for i in range(200)] + [
+        ("B", float((i + 1) % 10)) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    [r] = equivalence_test(df, "v", "g", "A", "B", margin_ppm=1_000_000).collect()
+    assert r["equivalent"] is True and r["p_equiv"] < 0.05
+    assert r["margin"] == 1.0
+
+    # genuinely different means with a tight margin -> NOT equivalent
+    far = [("A", 1.0 + (i % 3) * 0.01) for i in range(100)] + [
+        ("B", 2.0 + (i % 3) * 0.01) for i in range(100)
+    ]
+    [rf] = equivalence_test(
+        spark.createDataFrame(far, "g string, v double"),
+        "v", "g", "A", "B", margin_ppm=100_000,
+    ).collect()
+    assert rf["equivalent"] is False and rf["p_equiv"] > 0.5
+
+    # the under-powered trap, demonstrated: tiny n, same means -> a
+    # difference test finds nothing, but TOST also refuses to certify
+    tiny = [("A", 1.0), ("A", 5.0), ("B", 2.0), ("B", 4.0)]
+    [rt] = equivalence_test(
+        spark.createDataFrame(tiny, "g string, v double"),
+        "v", "g", "A", "B", margin_ppm=100_000,
+    ).collect()
+    assert rt["equivalent"] is False  # absence of evidence stays absence
+
+    # degenerate: single-row arm -> NULL z's, not equivalent
+    deg = [("A", 1.0), ("B", 1.0), ("B", 2.0)]
+    [rd] = equivalence_test(
+        spark.createDataFrame(deg, "g string, v double"),
+        "v", "g", "A", "B", margin_ppm=500_000,
+    ).collect()
+    assert rd["z_lower"] is None and rd["equivalent"] is False
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        equivalence_test(df, "v", "g", "A", "B", margin_ppm=0)
+
+
+def test_equivalence_duckdb_parity(spark):
+    import duckdb
+
+    from xmlschemavalidator_spark.checks.evaluation import (
+        equivalence_oracle_sql,
+        equivalence_test,
+    )
+
+    rows = [
+        ("A" if i % 2 == 0 else "B", ((i * 13) % 41) / 4.0) for i in range(240)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    [got] = equivalence_test(df, "v", "g", "A", "B", margin_ppm=250_000).collect()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE eq (g VARCHAR, v DOUBLE)")
+    con.executemany("INSERT INTO eq VALUES (?, ?)", rows)
+    [want] = con.execute(
+        equivalence_oracle_sql("SELECT g = 'A' AS ga, v FROM eq", 250_000)
+    ).fetchall()
+    assert tuple(got) == tuple(want)

@@ -2021,3 +2021,150 @@ SELECT n,
   CAST({n_arm} * 2 AS BIGINT) AS n_total,
   coalesce(n >= {n_arm} * 2, FALSE) AS feasible
 FROM agg"""
+
+
+def equivalence_test(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    margin_ppm: int,
+    quantum: int = 1_000_000,
+    z_crit_milli: int = 1645,
+    round_to: int = 6,
+) -> DataFrame:
+    """TOST equivalence test (Schuirmann 1987, two one-sided tests) on
+    two group means — the REVERSE of every significance gate in the
+    toolkit: a migration/refactor must prove the metric is THE SAME
+    within ±δ, and "not significantly different" is not that proof
+    (an under-powered test passes anything — the exact failure
+    :func:`required_sample_size` exists to name). ONE row ``(n_a, n_b,
+    mean_a, mean_b, mean_diff, margin, z_lower, z_upper, p_equiv,
+    equivalent)``:
+
+        z_lower = (diff + δ)/se,  z_upper = (δ − diff)/se,
+        p_equiv = max of the two one-sided p's;
+        equivalent ⇔ min(z_lower, z_upper) > z_crit
+
+    with Welch (unequal-variance) standard error — the honest default
+    on web data. δ = ``margin_ppm``/1e6 in the metric's own units
+    (absolute), an integer parameter so the acceptance bar can't drift
+    between engines; the default 1645 milli-z is the one-sided 5% level
+    (TOST at α runs each side at α, not α/2).
+
+    Degenerates: either arm < 2 rows or zero pooled spread → NULL z's,
+    ``equivalent`` false — absence of evidence stays absence.
+
+    Exactness: the welch_t moment lanes verbatim (six quantized DECIMAL
+    sums, one pass); the one-sided p is the shared A&S polynomial
+    halved. One scan, one aggregate.
+    """
+    if margin_ppm <= 0:
+        raise ValueError(f"equivalence_test: margin_ppm={margin_ppm}")
+    v = F.col(value_col).cast("double")
+    q = F.floor(v * F.lit(quantum)).cast("decimal(38,0)")
+    base = df.where(
+        v.isNotNull() & F.col(group_col).isin([group_a, group_b])
+    ).select((F.col(group_col) == group_a).alias("_ga"), q.alias("_q"))
+    agg = base.agg(
+        F.sum(F.col("_ga").cast("long")).cast("bigint").alias("n_a"),
+        F.sum((~F.col("_ga")).cast("long")).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("_ga"), F.col("_q"))).alias("sa"),
+        F.sum(F.when(~F.col("_ga"), F.col("_q"))).alias("sb"),
+        F.sum(F.when(F.col("_ga"), F.col("_q") * F.col("_q"))).alias("saa"),
+        F.sum(F.when(~F.col("_ga"), F.col("_q") * F.col("_q"))).alias("sbb"),
+    )
+    qd = F.lit(float(quantum))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    sa, sb = F.col("sa").cast("double"), F.col("sb").cast("double")
+    saa, sbb = F.col("saa").cast("double"), F.col("sbb").cast("double")
+    ma, mb = sa / na / qd, sb / nb / qd
+    va = (saa - sa * sa / na) / (na - F.lit(1.0)) / (qd * qd)
+    vb = (sbb - sb * sb / nb) / (nb - F.lit(1.0)) / (qd * qd)
+    se = F.sqrt(va / na + vb / nb)
+    delta = F.lit(margin_ppm / 1e6)
+    diff = ma - mb
+    ok = (F.col("n_a") > 1) & (F.col("n_b") > 1) & (se > 0)
+    zl = F.when(ok, (diff + delta) / se)
+    zu = F.when(ok, (delta - diff) / se)
+    # one-sided upper-tail p of z: half the two-sided p of |z| when
+    # z >= 0, else 1 - half (the polynomial is symmetric)
+    def one_sided(z):
+        half = _p_two_sided(z) / F.lit(2.0)
+        return F.when(z >= 0, half).otherwise(F.lit(1.0) - half)
+
+    p_eq = F.greatest(one_sided(zl), one_sided(zu))
+    zc = F.lit(z_crit_milli / 1000.0)
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(F.when(F.col("n_a") > 0, ma), round_to).alias("mean_a"),
+        F.round(F.when(F.col("n_b") > 0, mb), round_to).alias("mean_b"),
+        F.round(F.when(ok, diff), round_to).alias("mean_diff"),
+        F.round(delta, round_to).alias("margin"),
+        F.round(zl, round_to).alias("z_lower"),
+        F.round(zu, round_to).alias("z_upper"),
+        F.round(F.when(ok, p_eq), round_to).alias("p_equiv"),
+        F.coalesce(
+            (F.least(zl, zu) > zc), F.lit(False)
+        ).alias("equivalent"),
+    )
+
+
+def equivalence_oracle_sql(
+    from_sql: str,
+    margin_ppm: int,
+    quantum: int = 1_000_000,
+    z_crit_milli: int = 1645,
+    round_to: int = 6,
+) -> str:
+    """DuckDB replay of :func:`equivalence_test`; ``from_sql`` yields
+    ``(ga BOOLEAN, v)`` rows, nulls pre-filtered."""
+    q = float(quantum)
+    delta = margin_ppm / 1e6
+    zc = z_crit_milli / 1000.0
+
+    def one_sided(z):
+        half = f"({_p_two_sided_sql(z)} / 2.0)"
+        return f"(CASE WHEN {z} >= 0 THEN {half} ELSE 1.0 - {half} END)"
+
+    return f"""WITH src AS ({from_sql}),
+agg AS (SELECT
+    CAST(sum(CASE WHEN ga THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(sum(CASE WHEN ga THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+    CAST(sum(CASE WHEN ga THEN q END) AS HUGEINT) AS sa,
+    CAST(sum(CASE WHEN NOT ga THEN q END) AS HUGEINT) AS sb,
+    CAST(sum(CASE WHEN ga THEN q * q END) AS HUGEINT) AS saa,
+    CAST(sum(CASE WHEN NOT ga THEN q * q END) AS HUGEINT) AS sbb
+  FROM (SELECT ga, CAST(floor(CAST(v AS DOUBLE) * {quantum}) AS HUGEINT) AS q
+        FROM src)),
+m AS (SELECT *,
+    CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+    CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE) / {q!r} AS ma,
+    CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE) / {q!r} AS mb
+  FROM agg),
+m2 AS (SELECT *,
+    (CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / na)
+      / (na - 1.0) / ({q!r} * {q!r}) AS va,
+    (CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / nb)
+      / (nb - 1.0) / ({q!r} * {q!r}) AS vb
+  FROM m),
+m3 AS (SELECT *, sqrt(va / na + vb / nb) AS se, ma - mb AS diff,
+              n_a > 1 AND n_b > 1 AND sqrt(va / na + vb / nb) > 0 AS ok
+  FROM m2),
+m4 AS (SELECT *,
+    CASE WHEN ok THEN (diff + {delta!r}) / se END AS zl,
+    CASE WHEN ok THEN ({delta!r} - diff) / se END AS zu
+  FROM m3)
+SELECT n_a, n_b,
+  round(CASE WHEN n_a > 0 THEN ma END, {round_to}) AS mean_a,
+  round(CASE WHEN n_b > 0 THEN mb END, {round_to}) AS mean_b,
+  round(CASE WHEN ok THEN diff END, {round_to}) AS mean_diff,
+  round(CAST({delta!r} AS DOUBLE), {round_to}) AS margin,
+  round(zl, {round_to}) AS z_lower,
+  round(zu, {round_to}) AS z_upper,
+  round(CASE WHEN ok THEN greatest({one_sided('zl')}, {one_sided('zu')}) END,
+      {round_to}) AS p_equiv,
+  coalesce(least(zl, zu) > {zc!r}, FALSE) AS equivalent
+FROM m4"""

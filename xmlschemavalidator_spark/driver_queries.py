@@ -16850,3 +16850,34 @@ def tokenizer_fertility_per_lang(spark, sf_dir):
     from xmlschemavalidator_spark.textops import tokenizer_fertility
 
     return tokenizer_fertility(_t(spark, sf_dir, "documents"), "lang")
+
+
+def _tost_oracle() -> str:
+    from xmlschemavalidator_spark.checks.evaluation import equivalence_oracle_sql
+
+    return equivalence_oracle_sql(
+        "SELECT doc_id % 2 = 0 AS ga, CAST(n_chars AS DOUBLE) AS v"
+        " FROM documents WHERE n_chars IS NOT NULL",
+        margin_ppm=25_000_000,
+    )
+
+
+@q("equivalence_doc_length_arms", _tost_oracle())
+def equivalence_doc_length_arms(spark, sf_dir):
+    """TOST equivalence certification (checks/evaluation.py:
+    equivalence_test, Schuirmann 1987) between the doc-id-parity halves
+    of the corpus on mean n_chars at ±25 chars — the migration gate
+    that "not significantly different" can never be (an under-powered
+    test passes anything; TOST demands evidence INSIDE the margin).
+    Parity halves of one corpus are equivalent by construction, so
+    this doubles as the positive control for the gate itself. Welch
+    moment lanes, one scan, oracle-exact including both one-sided
+    A&S p's."""
+    from xmlschemavalidator_spark.checks.evaluation import equivalence_test
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("n_chars").isNotNull())
+    staged = docs.select(
+        (F.col("doc_id") % 2 == 0).alias("arm"),
+        F.col("n_chars").cast("double").alias("v"),
+    )
+    return equivalence_test(staged, "v", "arm", True, False, margin_ppm=25_000_000)
