@@ -599,3 +599,55 @@ def test_ann_recall_report_counts_and_floor(spark):
     out = {r["query_id"]: r for r in ann_recall_report(exact, approx).collect()}
     assert out[1]["n_hit"] == 2 and out[1]["recall_micro"] == 666_666
     assert out[2]["n_hit"] == 0 and out[2]["recall_micro"] == 0
+
+
+def test_embedding_covariance_exact(spark):
+    import math
+
+    from pyspark.sql import Row
+
+    from xmlschemavalidator_spark.similarity import embedding_covariance
+
+    vecs = [
+        [1.0, 2.0, 0.5],
+        [0.0, 1.0, 1.5],
+        [2.0, 0.0, 1.0],
+        [1.0, 1.0, 1.0],
+    ]
+    df = spark.createDataFrame(
+        [Row(embedding=v) for v in vecs], "embedding array<float>"
+    )
+    got = {(r["i"], r["j"]): r["cov"] for r in
+           embedding_covariance(df, "embedding").collect()}
+    # python replay with the same micro quantization
+    q = [[math.floor(x * 1e6) for x in v] for v in vecs]
+    n = len(q)
+    for i in range(3):
+        for j in range(i, 3):
+            s = sum(r[i] * r[j] for r in q)
+            sx = sum(r[i] for r in q)
+            sy = sum(r[j] for r in q)
+            want = round((s - sx * sy / n) / n / 1e12, 9)
+            assert got[(i, j)] == want, (i, j)
+    # upper triangle only + no audit row when nothing was skipped
+    assert (1, 0) not in got and (-2, -2) not in got
+    assert len(got) == 6
+
+    # NULL vectors surface in the audit row, not silently dropped
+    df2 = spark.createDataFrame(
+        [Row(embedding=v) for v in vecs] + [Row(embedding=None)],
+        "embedding array<float>",
+    )
+    got2 = {(r["i"], r["j"]): r["cov"] for r in
+            embedding_covariance(df2, "embedding").collect()}
+    assert got2[(-2, -2)] == 1.0
+    assert got2[(0, 0)] == got[(0, 0)]  # stats unchanged by the skip
+
+    # a constant dimension has zero variance and zero covariances
+    cdf = spark.createDataFrame(
+        [Row(embedding=[1.0, float(i)]) for i in range(5)],
+        "embedding array<float>",
+    )
+    gc = {(r["i"], r["j"]): r["cov"] for r in
+          embedding_covariance(cdf, "embedding").collect()}
+    assert gc[(0, 0)] == 0.0 and gc[(0, 1)] == 0.0 and gc[(1, 1)] == 2.0

@@ -16881,3 +16881,41 @@ def equivalence_doc_length_arms(spark, sf_dir):
         F.col("n_chars").cast("double").alias("v"),
     )
     return equivalence_test(staged, "v", "arm", True, False, margin_ppm=25_000_000)
+
+
+_EMB_COV_ORACLE = """WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64),
+ux AS (SELECT vec_id, idx.i AS i, qv[idx.i + 1] AS x
+       FROM q CROSS JOIN (SELECT unnest(range(0, 64)) AS i) idx),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM q),
+sx AS (SELECT i, CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sx
+       FROM ux GROUP BY i),
+sxx AS (SELECT a.i AS i, b.i AS j,
+               CAST(sum(CAST(a.x AS HUGEINT) * b.x) AS DOUBLE) AS s
+        FROM ux a JOIN ux b ON a.vec_id = b.vec_id AND a.i <= b.i
+        GROUP BY 1, 2)
+SELECT sxx.i, sxx.j,
+  round((s - sa.sx * sb.sx / n.n) / n.n / (1000000.0 * 1000000.0), 9) AS cov
+FROM sxx JOIN sx sa ON sxx.i = sa.i JOIN sx sb ON sxx.j = sb.i
+CROSS JOIN n"""
+
+
+@q("embedding_covariance_upper", _EMB_COV_ORACLE)
+def embedding_covariance_upper(spark, sf_dir):
+    """Exact embedding covariance matrix, upper triangle (similarity.py:
+    embedding_covariance) — the anisotropy/collapse detector cosine
+    checks can't see (collapsed embeddings still cosine-match
+    THEMSELVES): trace concentrating into few diagonal cells = the
+    model degrading toward few directions. The engine's one
+    deliberately Arrow-heavy exact path: int64 Q^TQ partials per
+    bounded chunk inside mapInPandas, DECIMAL-summed — every
+    intermediate an exact integer, so even this pandas-UDF path is
+    value-identical to the DuckDB self-join replay. One corpus pass;
+    the shuffle carries chunks × 2080 partial rows, never vectors."""
+    from xmlschemavalidator_spark.similarity import embedding_covariance
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_covariance(emb, "embedding")

@@ -1132,3 +1132,124 @@ def ann_recall_report(
             ).alias("recall_micro"),
         )
     )
+
+
+def embedding_covariance(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    quantum: int = 1_000_000,
+    round_to: int = 9,
+) -> DataFrame:
+    """Exact population covariance matrix of an embedding column —
+    upper triangle as ``(i, j, cov)`` rows plus the diagnosis the
+    spectrum carries: anisotropy/collapse detection (an embedding model
+    degrading toward a few directions shows up as trace concentrating
+    into a handful of diagonal cells and off-diagonals growing — the
+    failure cosine-similarity checks can't see, because collapsed
+    embeddings still cosine-match THEMSELVES perfectly), and the input
+    PCA/whitening needs.
+
+    Implementation is the engine's one deliberate Arrow-heavy exact
+    path: vectors quantize to integer micros INSIDE a ``mapInPandas``
+    that emits per-chunk int64 partial products (Q^T Q over ≤ 10k-row
+    chunks — bounded so the partial cannot overflow for |x| ≤ 10,
+    asserted), and Spark sums the partials in DECIMAL(38,0). Every
+    intermediate is an exact integer, so the result is order-free and
+    value-identical to the DuckDB self-join replay — an Arrow-UDF path
+    the driver can hash-check, which float accumulation would never be.
+
+    Scale shape: ONE corpus pass; the shuffle carries
+    chunks × dim(dim+1)/2 partial rows (2080 at dim 64), never vectors.
+    Mean terms ride the same partials (j = −1 rows; the (−1,−1) row is
+    the count). NULL/odd-length vectors are skipped and counted into
+    the (−2,−2) audit row — no silent drops.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("i", T.IntegerType()),
+            T.StructField("j", T.IntegerType()),
+            T.StructField("s", T.LongType()),
+        ]
+    )
+    qf = float(quantum)
+
+    def partials(batches):
+        for pdf in batches:
+            vecs = pdf[vec_col]
+            ok = vecs.map(lambda v: v is not None)
+            skipped = int((~ok).sum())
+            arrs = [np.asarray(v, dtype=np.float64) for v in vecs[ok]]
+            dims = {a.shape[0] for a in arrs}
+            if len(dims) > 1:
+                # ragged vectors: keep the modal dim, audit the rest
+                from collections import Counter
+
+                keep_dim = Counter(a.shape[0] for a in arrs).most_common(1)[0][0]
+                skipped += sum(1 for a in arrs if a.shape[0] != keep_dim)
+                arrs = [a for a in arrs if a.shape[0] == keep_dim]
+            out = []
+            if skipped:
+                out.append((-2, -2, skipped))
+            if arrs:
+                X = np.stack(arrs)
+                assert np.abs(X).max() <= 10.0, (
+                    "embedding_covariance: |x| > 10 breaks the int64 "
+                    "partial bound; rescale first"
+                )
+                Q = np.floor(X * qf).astype(np.int64)
+                d = Q.shape[1]
+                iu = np.triu_indices(d)
+                for lo in range(0, Q.shape[0], 10_000):
+                    C = Q[lo : lo + 10_000]
+                    M = C.T @ C                      # int64-exact: see bound
+                    sx = C.sum(axis=0)
+                    rows = [(-1, -1, int(C.shape[0]))]
+                    rows += [(int(i), -1, int(sx[i])) for i in range(d)]
+                    rows += [
+                        (int(i), int(j), int(M[i, j]))
+                        for i, j in zip(iu[0], iu[1])
+                    ]
+                    out.extend(rows)
+            if out:
+                yield pd.DataFrame(out, columns=["i", "j", "s"])
+
+    parts = df.select(vec_col).mapInPandas(partials, schema=schema)
+    summed = parts.groupBy("i", "j").agg(
+        F.sum(F.col("s").cast("decimal(38,0)")).alias("_s")
+    )
+    n = summed.where((F.col("i") == -1) & (F.col("j") == -1)).select(
+        F.col("_s").cast("double").alias("_n")
+    )
+    means = summed.where((F.col("i") >= 0) & (F.col("j") == -1)).select(
+        F.col("i").alias("_mi"), F.col("_s").cast("double").alias("_sx")
+    )
+    cross = summed.where(F.col("j") >= 0)
+    mj = means.select(
+        F.col("_mi").alias("_mj"), F.col("_sx").alias("_sxj")
+    )
+    out = (
+        cross.crossJoin(F.broadcast(n))
+        .join(F.broadcast(means), cross["i"] == means["_mi"])
+        .join(F.broadcast(mj), cross["j"] == mj["_mj"])
+    )
+    qd = F.lit(qf)
+    cov = (
+        F.col("_s").cast("double")
+        - F.col("_sx") * F.col("_sxj") / F.col("_n")
+    ) / F.col("_n") / (qd * qd)
+    covs = out.select(
+        "i",
+        "j",
+        F.round(cov, round_to).alias("cov"),
+    )
+    # the skipped-vector audit row rides along as (-2, -2, count) so the
+    # drop is visible in the same result (no silent exclusions)
+    audit = summed.where(F.col("i") == -2).select(
+        "i", "j", F.round(F.col("_s").cast("double"), round_to).alias("cov")
+    )
+    return covs.unionByName(audit)
