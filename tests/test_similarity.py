@@ -651,3 +651,29 @@ def test_embedding_covariance_exact(spark):
     gc = {(r["i"], r["j"]): r["cov"] for r in
           embedding_covariance(cdf, "embedding").collect()}
     assert gc[(0, 0)] == 0.0 and gc[(0, 1)] == 0.0 and gc[(1, 1)] == 2.0
+
+
+def test_embedding_spectrum_verdicts(spark):
+    from pyspark.sql import Row
+
+    from xmlschemavalidator_spark.similarity import embedding_spectrum
+
+    # isotropic-ish 2d: two orthogonal directions with equal spread ->
+    # effective rank ~ 2, top share ~ 0.5
+    iso = [[1.0, 0.0], [-1.0, 0.0], [0.0, 1.0], [0.0, -1.0]]
+    df = spark.createDataFrame(
+        [Row(embedding=v) for v in iso], "embedding array<float>"
+    )
+    [r] = embedding_spectrum(df, "embedding").collect()
+    assert r["dim"] == 2 and abs(r["effective_rank"] - 2.0) < 1e-6
+    assert abs(r["top_share"] - 0.5) < 1e-6
+
+    # collapsed: every vector on one line -> effective rank ~ 1
+    col = [[1.0, 2.0], [2.0, 4.0], [-1.0, -2.0], [0.5, 1.0]]
+    [rc] = embedding_spectrum(
+        spark.createDataFrame([Row(embedding=v) for v in col],
+                              "embedding array<float>"),
+        "embedding",
+    ).collect()
+    assert abs(rc["effective_rank"] - 1.0) < 1e-3
+    assert rc["top_share"] > 0.999

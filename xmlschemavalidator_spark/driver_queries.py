@@ -16919,3 +16919,17 @@ def embedding_covariance_upper(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     return embedding_covariance(emb, "embedding")
+
+
+@q("embedding_spectrum_report", None)
+def embedding_spectrum_report(spark, sf_dir):
+    """Spectral collapse verdict (similarity.py:embedding_spectrum) on
+    the exact covariance matrix: effective rank (participation ratio
+    (Σλ)²/Σλ²) and top-eigenvalue share — →1 as the embedding model
+    collapses onto one direction, the failure cosine checks can't see.
+    Driver-side eigh on the bounded 64×64 collect (the model-table
+    contract); rows-only by design (eigensolvers aren't SQL — the
+    exactness story lives in embedding_covariance_upper underneath)."""
+    from xmlschemavalidator_spark.similarity import embedding_spectrum
+
+    return embedding_spectrum(_t(spark, sf_dir, "embeddings"))

@@ -1253,3 +1253,66 @@ def embedding_covariance(
         "i", "j", F.round(F.col("_s").cast("double"), round_to).alias("cov")
     )
     return covs.unionByName(audit)
+
+
+def embedding_spectrum(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    quantum: int = 1_000_000,
+    round_to: int = 6,
+):
+    """Spectral summary of :func:`embedding_covariance` — the one-row
+    collapse VERDICT on top of the matrix: ``(dim, n_skipped, trace,
+    top_eig, top_share, effective_rank)`` where effective_rank =
+    (Σλ)²/Σλ² (the participation ratio — 64 for isotropic Gaussian
+    embeddings at dim 64, →1 as the model collapses onto one
+    direction) and top_share = λ₁/Σλ.
+
+    The eigendecomposition runs DRIVER-side on the collected matrix —
+    an explicit dim(dim+1)/2-row bound (2080 cells at dim 64), the
+    centroid/model-table collect contract, never corpus-sized. numpy
+    ``eigh`` on the symmetrized matrix; engine-specific by design
+    (eigensolvers aren't SQL), so the driver entry is rows-only and the
+    exactness story lives in the covariance query underneath this one.
+    Returns a 1-row DataFrame built on the input's session.
+    """
+    import numpy as np
+
+    rows = embedding_covariance(df, vec_col, quantum=quantum).collect()
+    skipped = 0
+    cells = {}
+    for r in rows:
+        if r["i"] == -2:
+            skipped = int(r["cov"])
+        else:
+            cells[(r["i"], r["j"])] = r["cov"]
+    dim = max((i for i, _ in cells), default=-1) + 1
+    spark = df.sparkSession
+    if dim == 0:
+        return spark.createDataFrame(
+            [(0, skipped, None, None, None, None)],
+            "dim int, n_skipped bigint, trace double, top_eig double,"
+            " top_share double, effective_rank double",
+        )
+    M = np.zeros((dim, dim))
+    for (i, j), c in cells.items():
+        M[i, j] = c
+        M[j, i] = c
+    eig = np.linalg.eigvalsh(M)
+    eig = np.clip(eig, 0.0, None)  # rounding can dip epsilon-negative
+    tr, top = float(eig.sum()), float(eig.max())
+    s2 = float((eig * eig).sum())
+    return spark.createDataFrame(
+        [
+            (
+                int(dim),
+                int(skipped),
+                round(tr, round_to),
+                round(top, round_to),
+                round(top / tr, round_to) if tr > 0 else None,
+                round(tr * tr / s2, round_to) if s2 > 0 else None,
+            )
+        ],
+        "dim int, n_skipped bigint, trace double, top_eig double,"
+        " top_share double, effective_rank double",
+    )
