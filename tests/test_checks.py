@@ -1593,3 +1593,71 @@ def test_mantel_haenszel_duckdb_parity(spark):
         mantel_haenszel_oracle_sql("SELECT st, e, o FROM strat")
     ).fetchall()
     assert tuple(got) == tuple(want)
+
+
+def test_jonckheere_terpstra_replay(spark):
+    import math
+    from collections import Counter
+
+    from xmlschemavalidator_spark.checks.stats import jonckheere_terpstra
+
+    # rising trend across 3 ordered groups, with ties within and across
+    data = (
+        [(0, 1.0), (0, 2.0), (0, 2.0), (0, 3.0)]
+        + [(1, 2.0), (1, 3.0), (1, 4.0), (1, 4.0)]
+        + [(2, 4.0), (2, 5.0), (2, 5.0), (2, 6.0)]
+    )
+    df = spark.createDataFrame(data, "s long, v double")
+    [r] = jonckheere_terpstra(df, "s", "v").collect()
+
+    # naive O(n^2) replay on the quantized values
+    qd = [(g, math.floor(v * 1e6)) for g, v in data]
+    j2 = 0
+    for ga, xa in qd:
+        for gb, xb in qd:
+            if ga < gb:
+                if xa < xb:
+                    j2 += 2
+                elif xa == xb:
+                    j2 += 1
+    assert r["j_doubled"] == j2
+    n = len(qd)
+    sizes = Counter(g for g, _ in qd)
+    ties = Counter(x for _, x in qd)
+    sn2 = sum(m * m for m in sizes.values())
+    t1g = sum(m * (m - 1) * (2 * m + 5) for m in sizes.values())
+    t1t = sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+    t2g = sum(m * (m - 1) * (m - 2) for m in sizes.values())
+    t2t = sum(t * (t - 1) * (t - 2) for t in ties.values())
+    t3g = sum(m * (m - 1) for m in sizes.values())
+    t3t = sum(t * (t - 1) for t in ties.values())
+    var = (
+        (n * (n - 1) * (2 * n + 5) - t1g - t1t) / 72.0
+        + t2g * t2t / (36.0 * n * (n - 1) * (n - 2))
+        + t3g * t3t / (8.0 * n * (n - 1))
+    )
+    ej2 = (n * n - sn2) / 2.0
+    z = (j2 - ej2) / 2.0 / math.sqrt(var)
+    assert r["z"] == round(z, 6)
+    assert r["z"] > 0 and r["significant"] is True
+
+    # flat groups: J ~ E, not significant
+    flat = [(g, float(i % 4)) for g in (0, 1, 2) for i in range(12)]
+    [rf] = jonckheere_terpstra(
+        spark.createDataFrame(flat, "s long, v double"), "s", "v"
+    ).collect()
+    assert rf["significant"] is False and abs(rf["z"]) < 1.0
+
+    # decreasing trend mirrors the sign
+    dec = [(2 - g, v) for g, v in data]
+    [rd] = jonckheere_terpstra(
+        spark.createDataFrame(dec, "s long, v double"), "s", "v"
+    ).collect()
+    assert rd["z"] == -r["z"]
+
+    # single group: zero variance -> NULL
+    one = [(1, float(i)) for i in range(10)]
+    [ro] = jonckheere_terpstra(
+        spark.createDataFrame(one, "s long, v double"), "s", "v"
+    ).collect()
+    assert ro["z"] is None and ro["significant"] is False

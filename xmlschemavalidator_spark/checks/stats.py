@@ -2053,3 +2053,113 @@ SELECT n, n_strata, n_informative_strata,
   round({p}, {round_to}) AS p,
   coalesce({chi2} * 1000 > {chi2_crit_milli}, FALSE) AS significant
 FROM agg"""
+
+
+def jonckheere_terpstra(
+    df: DataFrame,
+    score_col: str,
+    value_col: str,
+    quantum: int = 1_000_000,
+    z_crit_milli: int = 1960,
+    round_to: int = 6,
+) -> DataFrame:
+    """Jonckheere–Terpstra ordered-alternative test (Jonckheere 1954;
+    Terpstra 1952) — :func:`~xmlschemavalidator_spark.checks.evaluation.
+    cochran_armitage`'s CONTINUOUS sibling: "does the metric RISE across
+    ordered buckets", the one-directed-df question Kruskal–Wallis
+    wastes power on by testing any-difference. ``score_col`` is the
+    integer group order, ``value_col`` the metric. ONE row ``(n,
+    n_groups, j_doubled, z, p, significant)`` with
+
+        J = Σ_{i<j} [#(x_i < x_j) + ½·#(x_i = x_j)]
+
+    (``j_doubled`` = 2J stays integer — the hash-grade statistic),
+    E[J] = (N² − Σnᵢ²)/4, and the FULL tie-corrected normal variance
+    (Lehmann 1975's three-term form — every term an exact integer sum
+    over group sizes nᵢ and value-tie sizes tⱼ).
+
+    Mechanics: values quantize to integer micros and collapse to a
+    (group, value) CELL lattice; J is a cell-pair product join over
+    that lattice restricted to ga < gb — the kendall_tau device, with
+    the same disclosed contract: cost is O(cells²), boundedness of the
+    quantized grid is the caller's contract (coarsen the quantum for
+    heavy-tailed metrics), and a coarse quantum computes the exact JT
+    of the coarsened values. Zero-variance degenerates (one group, or
+    all values tied) yield NULL z/p, never div/0.
+    """
+    d38 = "decimal(38,0)"
+    s = F.col(score_col).cast("long")
+    v = F.col(value_col).cast("double")
+    q = F.floor(v * F.lit(quantum)).cast("bigint")
+    base = df.where(s.isNotNull() & v.isNotNull()).select(
+        s.alias("_g"), q.alias("_v")
+    )
+    cells = base.groupBy("_g", "_v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c")
+    )
+    a = cells.select(
+        F.col("_g").alias("_ga"), F.col("_v").alias("_va"), F.col("_c").alias("_ca")
+    )
+    b = cells.select(
+        F.col("_g").alias("_gb"), F.col("_v").alias("_vb"), F.col("_c").alias("_cb")
+    )
+    pairs = a.join(b, (F.col("_ga") < F.col("_gb")) & (F.col("_va") <= F.col("_vb")))
+    j2 = pairs.agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("_va") < F.col("_vb"),
+                    (F.col("_ca") * F.col("_cb") * 2).cast(d38),
+                ).otherwise((F.col("_ca") * F.col("_cb")).cast(d38))
+            ),
+            F.lit(0).cast(d38),
+        ).alias("_j2")
+    )
+    gsz = cells.groupBy("_g").agg(F.sum("_c").cast("bigint").alias("_n"))
+    gagg = gsz.agg(
+        F.sum("_n").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(F.expr(f"CAST(_n AS {d38}) * _n")).alias("_sn2"),
+        F.sum(F.expr(f"CAST(_n AS {d38}) * (_n - 1) * (2 * _n + 5)")).alias("_t1g"),
+        F.sum(F.expr(f"CAST(_n AS {d38}) * (_n - 1) * (_n - 2)")).alias("_t2g"),
+        F.sum(F.expr(f"CAST(_n AS {d38}) * (_n - 1)")).alias("_t3g"),
+    )
+    tsz = cells.groupBy("_v").agg(F.sum("_c").cast("bigint").alias("_t"))
+    tagg = tsz.agg(
+        F.sum(F.expr(f"CAST(_t AS {d38}) * (_t - 1) * (2 * _t + 5)")).alias("_t1t"),
+        F.sum(F.expr(f"CAST(_t AS {d38}) * (_t - 1) * (_t - 2)")).alias("_t2t"),
+        F.sum(F.expr(f"CAST(_t AS {d38}) * (_t - 1)")).alias("_t3t"),
+    )
+    out = gagg.crossJoin(F.broadcast(tagg)).crossJoin(F.broadcast(j2))
+    nd = F.col("n").cast("double")
+    var = (
+        (
+            nd * (nd - 1) * (2 * nd + 5)
+            - F.col("_t1g").cast("double")
+            - F.col("_t1t").cast("double")
+        )
+        / F.lit(72.0)
+        + F.col("_t2g").cast("double")
+        * F.col("_t2t").cast("double")
+        / (F.lit(36.0) * nd * (nd - 1) * (nd - 2))
+        + F.col("_t3g").cast("double")
+        * F.col("_t3t").cast("double")
+        / (F.lit(8.0) * nd * (nd - 1))
+    )
+    ej2 = (nd * nd - F.col("_sn2").cast("double")) / F.lit(2.0)
+    z = F.when(
+        (F.col("n") > 2) & (var > 0),
+        (F.col("_j2").cast("double") - ej2) / F.lit(2.0) / F.sqrt(var),
+    )
+    from xmlschemavalidator_spark.checks.evaluation import _p_two_sided
+
+    return out.select(
+        "n",
+        "n_groups",
+        F.col("_j2").cast("bigint").alias("j_doubled"),
+        F.round(z, round_to).alias("z"),
+        F.round(F.when(z.isNotNull(), _p_two_sided(z)), round_to).alias("p"),
+        F.coalesce(
+            F.abs(z) * 1000 > F.lit(float(z_crit_milli)), F.lit(False)
+        ).alias("significant"),
+    )

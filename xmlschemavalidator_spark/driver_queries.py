@@ -16933,3 +16933,77 @@ def embedding_spectrum_report(spark, sf_dir):
     from xmlschemavalidator_spark.similarity import embedding_spectrum
 
     return embedding_spectrum(_t(spark, sf_dir, "embeddings"))
+
+
+_JT_ORACLE = """WITH src AS (
+  SELECT CAST(least(extract(hour FROM CAST(ts AS TIMESTAMP)) // 6, 3)
+         AS BIGINT) AS g,
+         CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS v
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+cells AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM src GROUP BY 1, 2),
+j2 AS (SELECT CAST(coalesce(sum(CASE WHEN a.v < b.v
+                 THEN CAST(a.c AS HUGEINT) * b.c * 2
+                 ELSE CAST(a.c AS HUGEINT) * b.c END), 0) AS HUGEINT) AS j2
+       FROM cells a JOIN cells b ON a.g < b.g AND a.v <= b.v),
+gsz AS (SELECT g, CAST(sum(c) AS BIGINT) AS m FROM cells GROUP BY g),
+ga AS (SELECT CAST(sum(m) AS BIGINT) AS n,
+              CAST(count(*) AS BIGINT) AS n_groups,
+              CAST(sum(CAST(m AS HUGEINT) * m) AS HUGEINT) AS sn2,
+              CAST(sum(CAST(m AS HUGEINT) * (m - 1) * (2 * m + 5)) AS HUGEINT) AS t1g,
+              CAST(sum(CAST(m AS HUGEINT) * (m - 1) * (m - 2)) AS HUGEINT) AS t2g,
+              CAST(sum(CAST(m AS HUGEINT) * (m - 1)) AS HUGEINT) AS t3g
+       FROM gsz),
+tsz AS (SELECT v, CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY v),
+ta AS (SELECT CAST(sum(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)) AS HUGEINT) AS t1t,
+              CAST(sum(CAST(t AS HUGEINT) * (t - 1) * (t - 2)) AS HUGEINT) AS t2t,
+              CAST(sum(CAST(t AS HUGEINT) * (t - 1)) AS HUGEINT) AS t3t
+       FROM tsz),
+m AS (SELECT ga.*, ta.*, j2.j2, CAST(ga.n AS DOUBLE) AS nd
+      FROM ga, ta, j2),
+m2 AS (SELECT *,
+    (nd * (nd - 1) * (2 * nd + 5) - CAST(t1g AS DOUBLE) - CAST(t1t AS DOUBLE))
+      / 72.0
+    + CAST(t2g AS DOUBLE) * CAST(t2t AS DOUBLE)
+      / (36.0 * nd * (nd - 1) * (nd - 2))
+    + CAST(t3g AS DOUBLE) * CAST(t3t AS DOUBLE) / (8.0 * nd * (nd - 1)) AS var,
+    (nd * nd - CAST(sn2 AS DOUBLE)) / 2.0 AS ej2
+  FROM m),
+m3 AS (SELECT *, CASE WHEN n > 2 AND var > 0 THEN
+         (CAST(j2 AS DOUBLE) - ej2) / 2.0 / sqrt(var) END AS z
+       FROM m2)
+SELECT n, n_groups, CAST(j2 AS BIGINT) AS j_doubled,
+  round(z, 6) AS z,
+  round(CASE WHEN z IS NOT NULL THEN {P} END, 6) AS p,
+  coalesce(abs(z) * 1000 > 1960, FALSE) AS significant
+FROM m3"""
+
+
+def _jt_oracle() -> str:
+    from xmlschemavalidator_spark.checks.evaluation import _p_two_sided_sql
+
+    return _JT_ORACLE.replace("{P}", _p_two_sided_sql("z"))
+
+
+@q("jonckheere_value_by_hour", _jt_oracle())
+def jonckheere_value_by_hour(spark, sf_dir):
+    """Jonckheere–Terpstra ordered-alternative test (checks/stats.py:
+    jonckheere_terpstra) — cochran_armitage's CONTINUOUS sibling: does
+    the event value RISE across the four 6-hour day quarters, asked as
+    one directed df instead of Kruskal–Wallis's any-difference. 2J stays
+    integer on the (group, value) cell lattice (the kendall cell-pair
+    device, ga<gb restricted); full Lehmann tie-corrected variance from
+    exact integer sums. Oracle-exact including the A&S p."""
+    from xmlschemavalidator_spark.checks.stats import jonckheere_terpstra
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    staged = ev.select(
+        F.least(
+            F.floor(F.hour(F.col("ts").cast("timestamp")) / 6), F.lit(3)
+        )
+        .cast("long")
+        .alias("s"),
+        F.col("value").alias("v"),
+    )
+    return jonckheere_terpstra(staged, "s", "v")
