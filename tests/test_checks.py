@@ -1661,3 +1661,73 @@ def test_jonckheere_terpstra_replay(spark):
         spark.createDataFrame(one, "s long, v double"), "s", "v"
     ).collect()
     assert ro["z"] is None and ro["significant"] is False
+
+
+def test_woolf_homogeneity_replay(spark):
+    import math
+
+    from xmlschemavalidator_spark.checks.stats import woolf_homogeneity
+
+    def cells(st, a, b, c, d):
+        return (
+            [(st, True, True)] * a + [(st, True, False)] * b
+            + [(st, False, True)] * c + [(st, False, False)] * d
+        )
+
+    # homogeneous ORs (~3 in both strata) -> low Q, not heterogeneous
+    hom = cells("s1", 12, 8, 4, 8) + cells("s2", 6, 14, 3, 17)
+    [rh] = woolf_homogeneity(
+        spark.createDataFrame(hom, "st string, e boolean, o boolean"),
+        "e", "o", "st",
+    ).collect()
+    assert rh["heterogeneous"] is False and rh["dof"] == 1
+
+    # effect modification: OR >> 1 in s1, << 1 in s2 -> heterogeneous
+    het = cells("s1", 30, 5, 5, 30) + cells("s2", 5, 30, 30, 5)
+    [rx] = woolf_homogeneity(
+        spark.createDataFrame(het, "st string, e boolean, o boolean"),
+        "e", "o", "st",
+    ).collect()
+    assert rx["heterogeneous"] is True and rx["p"] < 0.001
+
+    # python replay of Q on the homogeneous case
+    W = WL = WLL = 0.0
+    for (a, b, c, d) in ((12, 8, 4, 8), (6, 14, 3, 17)):
+        ah, bh, ch, dh = a + 0.5, b + 0.5, c + 0.5, d + 0.5
+        w = 1.0 / (1 / ah + 1 / bh + 1 / ch + 1 / dh)
+        lor = math.log(ah * dh / (bh * ch))
+        W += round(w, 12)
+        WL += round(w * lor, 12)
+        WLL += round(w * lor * lor, 12)
+    q = max(WLL - WL * WL / W, 0.0)
+    assert rh["q"] == round(q, 6)
+
+    # single stratum: nothing to compare -> NULL Q
+    [r1] = woolf_homogeneity(
+        spark.createDataFrame(cells("only", 5, 5, 5, 5),
+                              "st string, e boolean, o boolean"),
+        "e", "o", "st",
+    ).collect()
+    assert r1["q"] is None and r1["heterogeneous"] is False
+
+
+def test_woolf_duckdb_parity(spark):
+    import duckdb
+
+    from xmlschemavalidator_spark.checks.stats import (
+        woolf_homogeneity,
+        woolf_homogeneity_oracle_sql,
+    )
+
+    rows = [
+        (f"s{i % 4}", (i * 3) % 7 < 3, (i * i) % 5 < 2) for i in range(320)
+    ]
+    df = spark.createDataFrame(rows, "st string, e boolean, o boolean")
+    [got] = woolf_homogeneity(df, "e", "o", "st").collect()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE wf (st VARCHAR, e BOOLEAN, o BOOLEAN)")
+    con.executemany("INSERT INTO wf VALUES (?, ?, ?)", rows)
+    [want] = con.execute(
+        woolf_homogeneity_oracle_sql("SELECT st, e, o FROM wf")
+    ).fetchall()
+    assert tuple(got) == tuple(want)

@@ -2163,3 +2163,178 @@ def jonckheere_terpstra(
             F.abs(z) * 1000 > F.lit(float(z_crit_milli)), F.lit(False)
         ).alias("significant"),
     )
+
+
+def woolf_homogeneity(
+    df: DataFrame,
+    exposure_col: str,
+    outcome_col: str,
+    stratum_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Woolf's test of odds-ratio homogeneity across strata (Woolf
+    1955) — the precondition :func:`mantel_haenszel` silently assumes:
+    a pooled common OR is only meaningful if the strata AGREE on it;
+    when they don't (effect modification — the filter helps one source
+    and hurts another), the honest report is per-stratum, not pooled.
+    ONE row ``(n, n_strata, n_informative_strata, q, dof, z_wh, p,
+    heterogeneous)``:
+
+        Q = Σ wᵢ(ln ORᵢ − ln ŌR)²,  wᵢ = (1/aᵢ+1/bᵢ+1/cᵢ+1/dᵢ)⁻¹,
+        ŌR = exp(Σwᵢ ln ORᵢ / Σwᵢ),   Q ~ chi²(k−1) under homogeneity.
+
+    Haldane–Anscombe ½ is added to EVERY cell (the standard
+    continuity device, keeping zero cells finite and applied uniformly
+    so both engines agree); strata with n < 2 are excluded and counted.
+    The chi²(k−1) p uses the Wilson–Hilferty cube-root normal
+    approximation (a fixed double chain on (Q, dof) — the same
+    shared-polynomial contract as every other p here). dof = k−1;
+    k < 2 informative strata → NULL Q/p (nothing to compare).
+
+    Exactness: cells are exact integers; per-stratum ln/weight terms
+    are fixed double chains rounded to 12 dp and DECIMAL-summed; ŌR
+    needs a second pass over the BOUNDED stratum table only. One corpus
+    scan total.
+    """
+    e = F.col(exposure_col).cast("boolean")
+    o = F.col(outcome_col).cast("boolean")
+    base = df.where(
+        e.isNotNull() & o.isNotNull() & F.col(stratum_col).isNotNull()
+    ).select(F.col(stratum_col).alias("_st"), e.alias("_e"), o.alias("_o"))
+    per = base.groupBy("_st").agg(
+        F.sum((F.col("_e") & F.col("_o")).cast("long")).cast("bigint").alias("_a"),
+        F.sum((F.col("_e") & ~F.col("_o")).cast("long")).cast("bigint").alias("_b"),
+        F.sum((~F.col("_e") & F.col("_o")).cast("long")).cast("bigint").alias("_c"),
+        F.sum((~F.col("_e") & ~F.col("_o")).cast("long")).cast("bigint").alias("_d"),
+    )
+    half = F.lit(0.5)
+    ah = F.col("_a").cast("double") + half
+    bh = F.col("_b").cast("double") + half
+    ch = F.col("_c").cast("double") + half
+    dh = F.col("_d").cast("double") + half
+    ni = (F.col("_a") + F.col("_b") + F.col("_c") + F.col("_d")).cast("bigint")
+    informative = ni >= 2
+    lor = F.log(ah * dh / (bh * ch))
+    w = F.lit(1.0) / (
+        F.lit(1.0) / ah + F.lit(1.0) / bh + F.lit(1.0) / ch + F.lit(1.0) / dh
+    )
+    z12 = F.lit(0).cast("decimal(38,12)")
+    terms = per.select(
+        ni.alias("_n"),
+        informative.cast("long").alias("_inf"),
+        F.when(informative, F.round(w, 12).cast("decimal(38,12)"))
+        .otherwise(z12)
+        .alias("_w"),
+        F.when(informative, F.round(w * lor, 12).cast("decimal(38,12)"))
+        .otherwise(z12)
+        .alias("_wl"),
+        F.when(informative, F.round(w * lor * lor, 12).cast("decimal(38,12)"))
+        .otherwise(z12)
+        .alias("_wll"),
+    )
+    agg = terms.agg(
+        F.sum("_n").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        F.sum("_inf").cast("bigint").alias("n_informative_strata"),
+        F.sum("_w").alias("_W"),
+        F.sum("_wl").alias("_WL"),
+        F.sum("_wll").alias("_WLL"),
+    )
+    Wd = F.col("_W").cast("double")
+    WLd = F.col("_WL").cast("double")
+    WLLd = F.col("_WLL").cast("double")
+    # Q = Σ w·lor² − (Σ w·lor)²/Σw  (the one-pass sums form)
+    qstat = F.greatest(WLLd - WLd * WLd / Wd, F.lit(0.0))
+    k = F.col("n_informative_strata")
+    dof = (k - 1).cast("bigint")
+    dofd = dof.cast("double")
+    ok = (k > 1) & (Wd > 0)
+    # Wilson–Hilferty: chi2(df) -> z
+    zwh = F.when(
+        ok,
+        (
+            F.cbrt(qstat / dofd)
+            - (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * dofd))
+        )
+        / F.sqrt(F.lit(2.0) / (F.lit(9.0) * dofd)),
+    )
+    from xmlschemavalidator_spark.checks.evaluation import _p_two_sided
+
+    # upper-tail chi2 p = one-sided normal tail of z_wh
+    half_p = _p_two_sided(zwh) / F.lit(2.0)
+    p = F.when(ok, F.when(zwh >= 0, half_p).otherwise(F.lit(1.0) - half_p))
+    return agg.select(
+        "n",
+        "n_strata",
+        "n_informative_strata",
+        F.round(F.when(ok, qstat), round_to).alias("q"),
+        dof.alias("dof"),
+        F.round(zwh, round_to).alias("z_wh"),
+        F.round(p, round_to).alias("p"),
+        F.coalesce(p < 0.05, F.lit(False)).alias("heterogeneous"),
+    )
+
+
+def woolf_homogeneity_oracle_sql(from_sql: str, round_to: int = 6) -> str:
+    """DuckDB replay of :func:`woolf_homogeneity`; ``from_sql`` yields
+    ``(st, e BOOLEAN, o BOOLEAN)`` rows, nulls pre-filtered."""
+    from xmlschemavalidator_spark.checks.evaluation import _p_two_sided_sql
+
+    half_p = f"({_p_two_sided_sql('zwh')} / 2.0)"
+    p = (
+        "(CASE WHEN ok THEN CASE WHEN zwh >= 0 THEN "
+        + half_p
+        + " ELSE 1.0 - "
+        + half_p
+        + " END END)"
+    )
+    return f"""WITH src AS ({from_sql}),
+per AS (SELECT st,
+    CAST(sum(CASE WHEN e AND o THEN 1 ELSE 0 END) AS BIGINT) AS a,
+    CAST(sum(CASE WHEN e AND NOT o THEN 1 ELSE 0 END) AS BIGINT) AS b,
+    CAST(sum(CASE WHEN NOT e AND o THEN 1 ELSE 0 END) AS BIGINT) AS c,
+    CAST(sum(CASE WHEN NOT e AND NOT o THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM src GROUP BY st),
+hh AS (SELECT a + b + c + d AS nn,
+    CASE WHEN a + b + c + d >= 2 THEN 1 ELSE 0 END AS inf,
+    CAST(a AS DOUBLE) + 0.5 AS ah, CAST(b AS DOUBLE) + 0.5 AS bh,
+    CAST(c AS DOUBLE) + 0.5 AS ch, CAST(d AS DOUBLE) + 0.5 AS dh
+  FROM per),
+terms AS (SELECT nn, inf,
+    CASE WHEN inf = 1 THEN CAST(round(
+      1.0 / (1.0 / ah + 1.0 / bh + 1.0 / ch + 1.0 / dh), 12)
+      AS DECIMAL(38,12)) ELSE CAST(0 AS DECIMAL(38,12)) END AS w,
+    CASE WHEN inf = 1 THEN CAST(round(
+      1.0 / (1.0 / ah + 1.0 / bh + 1.0 / ch + 1.0 / dh)
+      * ln(ah * dh / (bh * ch)), 12)
+      AS DECIMAL(38,12)) ELSE CAST(0 AS DECIMAL(38,12)) END AS wl,
+    CASE WHEN inf = 1 THEN CAST(round(
+      1.0 / (1.0 / ah + 1.0 / bh + 1.0 / ch + 1.0 / dh)
+      * ln(ah * dh / (bh * ch)) * ln(ah * dh / (bh * ch)), 12)
+      AS DECIMAL(38,12)) ELSE CAST(0 AS DECIMAL(38,12)) END AS wll
+  FROM hh),
+agg AS (SELECT CAST(sum(nn) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS n_strata,
+               CAST(sum(inf) AS BIGINT) AS n_informative_strata,
+               sum(w) AS W, sum(wl) AS WL, sum(wll) AS WLL
+        FROM terms),
+m AS (SELECT *,
+    greatest(CAST(WLL AS DOUBLE)
+             - CAST(WL AS DOUBLE) * CAST(WL AS DOUBLE)
+               / CAST(W AS DOUBLE), 0.0) AS qstat,
+    CAST(n_informative_strata - 1 AS BIGINT) AS dof,
+    n_informative_strata > 1 AND CAST(W AS DOUBLE) > 0 AS ok
+  FROM agg),
+m2 AS (SELECT *,
+    CASE WHEN ok THEN
+      (cbrt(qstat / CAST(dof AS DOUBLE))
+       - (1.0 - 2.0 / (9.0 * CAST(dof AS DOUBLE))))
+      / sqrt(2.0 / (9.0 * CAST(dof AS DOUBLE))) END AS zwh
+  FROM m)
+SELECT n, n_strata, n_informative_strata,
+  round(CASE WHEN ok THEN qstat END, {round_to}) AS q,
+  dof,
+  round(zwh, {round_to}) AS z_wh,
+  round({p}, {round_to}) AS p,
+  coalesce({p} < 0.05, FALSE) AS heterogeneous
+FROM m2"""

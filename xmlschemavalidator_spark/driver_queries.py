@@ -17007,3 +17007,42 @@ def jonckheere_value_by_hour(spark, sf_dir):
         F.col("value").alias("v"),
     )
     return jonckheere_terpstra(staged, "s", "v")
+
+
+def _woolf_oracle() -> str:
+    from xmlschemavalidator_spark.checks.stats import woolf_homogeneity_oracle_sql
+
+    return woolf_homogeneity_oracle_sql(
+        """SELECT source AS st,
+              position(' spark ' IN ' ' || text || ' ') > 0 AS e,
+              n_chars >= 250 AS o
+       FROM documents
+       WHERE text IS NOT NULL AND n_chars IS NOT NULL AND source IS NOT NULL"""
+    )
+
+
+@q("woolf_or_homogeneity", _woolf_oracle())
+def woolf_or_homogeneity(spark, sf_dir):
+    """Woolf homogeneity test (checks/stats.py:woolf_homogeneity) on
+    the same keyword×length staging as mantel_haenszel_keyword_length —
+    the PRECONDITION that query's pooled OR silently assumes: do the
+    sources agree on the odds ratio at all, or is there effect
+    modification (the filter helps one source and hurts another — in
+    which case the honest report is per-stratum, never pooled)?
+    Haldane ½ on every cell, Q from one-pass weighted sums,
+    Wilson–Hilferty chi²(k−1) p. Oracle-exact."""
+    from xmlschemavalidator_spark.checks.stats import woolf_homogeneity
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+        & F.col("n_chars").isNotNull()
+        & F.col("source").isNotNull()
+    )
+    staged = docs.select(
+        F.col("source").alias("st"),
+        (
+            F.locate(" spark ", F.concat(F.lit(" "), F.col("text"), F.lit(" "))) > 0
+        ).alias("e"),
+        (F.col("n_chars") >= 250).alias("o"),
+    )
+    return woolf_homogeneity(staged, "e", "o", "st")
