@@ -1038,3 +1038,60 @@ def test_equivalence_duckdb_parity(spark):
         equivalence_oracle_sql("SELECT g = 'A' AS ga, v FROM eq", 250_000)
     ).fetchall()
     assert tuple(got) == tuple(want)
+
+
+def test_spiegelhalter_z(spark):
+    import math
+
+    from xmlschemavalidator_spark.checks.evaluation import spiegelhalter_z
+
+    # well calibrated by construction: p=.25 with 1/4 positives, p=.75
+    # with 3/4 positives -> Z ~ 0
+    rows = (
+        [(0.25, 1)] + [(0.25, 0)] * 3 + [(0.75, 1)] * 3 + [(0.75, 0)]
+    ) * 10
+    df = spark.createDataFrame(rows, "p double, y int")
+    [r] = spiegelhalter_z(df, "p", "y").collect()
+    assert r["n"] == 80 and abs(r["z"]) < 1e-9
+    assert r["miscalibrated"] is False
+
+    # confidently wrong: p=.9 but labels all false -> large negative...
+    # sign: (y-p)(1-2p) with y=0, p=.9: (-.9)(-0.8) = +.72 -> positive Z
+    bad = [(0.9, 0)] * 50
+    [rb] = spiegelhalter_z(spark.createDataFrame(bad, "p double, y int"), "p", "y").collect()
+    assert rb["miscalibrated"] is True and rb["p"] < 1e-6
+
+    # python replay on a mixed case
+    mix = [(0.1, 0), (0.3, 1), (0.6, 0), (0.8, 1), (0.8, 0), (0.45, 1)]
+    [rm] = spiegelhalter_z(spark.createDataFrame(mix, "p double, y int"), "p", "y").collect()
+    num = v = 0
+    for p_, y in mix:
+        pm = min(max(math.floor(p_ * 1e6), 0), 1_000_000)
+        num += (y * 1_000_000 - pm) * (1_000_000 - 2 * pm)
+        v += (1_000_000 - 2 * pm) ** 2 * pm * (1_000_000 - pm)
+    assert rm["z"] == round(num / math.sqrt(v), 6)
+
+    # all-half forecasts: zero test variance -> NULL, never div/0
+    half = [(0.5, i % 2) for i in range(20)]
+    [rh] = spiegelhalter_z(spark.createDataFrame(half, "p double, y int"), "p", "y").collect()
+    assert rh["z"] is None and rh["miscalibrated"] is False
+
+
+def test_spiegelhalter_duckdb_parity(spark):
+    import duckdb
+
+    from xmlschemavalidator_spark.checks.evaluation import (
+        spiegelhalter_oracle_sql,
+        spiegelhalter_z,
+    )
+
+    rows = [(((i * 7) % 100) / 100.0, 1 if (i * i) % 3 == 0 else 0) for i in range(300)]
+    df = spark.createDataFrame(rows, "p double, y int")
+    [got] = spiegelhalter_z(df, "p", "y").collect()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE cal (p DOUBLE, y BIGINT)")
+    con.executemany("INSERT INTO cal VALUES (?, ?)", rows)
+    [want] = con.execute(
+        spiegelhalter_oracle_sql("SELECT p, y FROM cal", "p", "y")
+    ).fetchall()
+    assert tuple(got) == tuple(want)

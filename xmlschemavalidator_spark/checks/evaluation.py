@@ -2168,3 +2168,102 @@ SELECT n_a, n_b,
       {round_to}) AS p_equiv,
   coalesce(least(zl, zu) > {zc!r}, FALSE) AS equivalent
 FROM m4"""
+
+
+def spiegelhalter_z(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    z_crit_milli: int = 1960,
+    round_to: int = 6,
+) -> DataFrame:
+    """Spiegelhalter's Z calibration test (Spiegelhalter, Stat. Med.
+    1986) — the SIGNIFICANCE verdict beside the calibration MAGNITUDES
+    (ECE/MCE say how big the gap is, Brier decomposes it; this says
+    whether the miscalibration exceeds what the forecasts' own
+    variance explains): ONE row ``(n, z, p, miscalibrated)`` with
+
+        Z = Σ(yᵢ − pᵢ)(1 − 2pᵢ) / √(Σ(1 − 2pᵢ)²·pᵢ(1 − pᵢ))
+
+    — binning-free (no n_bins knob to tune, the arbitrariness ECE
+    inherits), mean-zero under perfect calibration by construction.
+    A forecast set of all-½ probabilities has zero test variance (a
+    coin can't be miscalibrated about itself): NULL z/p, never div/0.
+
+    Exactness: probabilities quantize to integer micros; numerator and
+    variance are exact integer sums in DECIMAL(38,0) (each term a
+    product of micro integers — no float accumulation anywhere before
+    the final quotient); one division + sqrt ends the chain. One scan,
+    one partial+final aggregate.
+    """
+    lab = F.col(label_col).cast("boolean")
+    pm = F.floor(F.col(prob_col).cast("double") * F.lit(1_000_000)).cast("bigint")
+    pm = F.least(F.greatest(pm, F.lit(0)), F.lit(1_000_000))
+    d38 = "decimal(38,0)"
+    base = df.where(F.col(prob_col).isNotNull() & lab.isNotNull()).select(
+        pm.alias("_p"), lab.cast("long").alias("_y")
+    )
+    # numerator term: (y*1e6 - p)(1e6 - 2p)  [micro^2 scale]
+    # variance term: (1e6 - 2p)^2 * p * (1e6 - p)  [micro^4 scale]
+    one = F.lit(1_000_000)
+    num_t = (F.col("_y") * one - F.col("_p")).cast(d38) * (
+        one - 2 * F.col("_p")
+    ).cast(d38)
+    var_t = (
+        (one - 2 * F.col("_p")).cast(d38)
+        * (one - 2 * F.col("_p")).cast(d38)
+        * F.col("_p").cast(d38)
+        * (one - F.col("_p")).cast(d38)
+    )
+    agg = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.coalesce(F.sum(num_t), F.lit(0).cast(d38)).alias("_num"),
+        F.coalesce(F.sum(var_t), F.lit(0).cast(d38)).alias("_var"),
+    )
+    # scales: num is micro^2 (1e12), sqrt(var) is micro^2 (1e12) — the
+    # quanta cancel exactly in the quotient
+    z = F.when(
+        (F.col("n") > 0) & (F.col("_var") > 0),
+        F.col("_num").cast("double") / F.sqrt(F.col("_var").cast("double")),
+    )
+    return agg.select(
+        "n",
+        F.round(z, round_to).alias("z"),
+        F.round(F.when(z.isNotNull(), _p_two_sided(z)), round_to).alias("p"),
+        F.coalesce(
+            F.abs(z) * 1000 > F.lit(float(z_crit_milli)), F.lit(False)
+        ).alias("miscalibrated"),
+    )
+
+
+def spiegelhalter_oracle_sql(
+    from_sql: str,
+    prob_col: str,
+    label_col: str,
+    z_crit_milli: int = 1960,
+    round_to: int = 6,
+) -> str:
+    """DuckDB replay of :func:`spiegelhalter_z` — same micro integers,
+    same single quotient."""
+    z = (
+        "(CASE WHEN n > 0 AND v > 0 THEN"
+        " CAST(num AS DOUBLE) / sqrt(CAST(v AS DOUBLE)) END)"
+    )
+    return f"""WITH src AS ({from_sql}),
+q AS (SELECT least(greatest(CAST(floor(CAST({prob_col} AS DOUBLE) * 1000000)
+          AS BIGINT), 0), 1000000) AS p,
+        CAST(CAST({label_col} AS BOOLEAN) AS BIGINT) AS y
+      FROM src WHERE {prob_col} IS NOT NULL AND {label_col} IS NOT NULL),
+agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(coalesce(sum(CAST(y * 1000000 - p AS HUGEINT)
+                      * (1000000 - 2 * p)), 0) AS HUGEINT) AS num,
+    CAST(coalesce(sum(CAST(1000000 - 2 * p AS HUGEINT)
+                      * (1000000 - 2 * p) * p * (1000000 - p)), 0)
+         AS HUGEINT) AS v
+  FROM q)
+SELECT n,
+  round({z}, {round_to}) AS z,
+  round(CASE WHEN {z} IS NOT NULL THEN {_p_two_sided_sql(z)} END,
+      {round_to}) AS p,
+  coalesce(abs({z}) * 1000 > {z_crit_milli}, FALSE) AS miscalibrated
+FROM agg"""

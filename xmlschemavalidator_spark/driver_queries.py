@@ -17046,3 +17046,37 @@ def woolf_or_homogeneity(spark, sf_dir):
         (F.col("n_chars") >= 250).alias("o"),
     )
     return woolf_homogeneity(staged, "e", "o", "st")
+
+
+def _spieg_oracle() -> str:
+    from xmlschemavalidator_spark.checks.evaluation import spiegelhalter_oracle_sql
+
+    return spiegelhalter_oracle_sql(
+        f"SELECT {_CAL_PROB_DUCK} AS prob, {_CAL_LABEL_DUCK} AS y"
+        " FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL",
+        "prob",
+        "y",
+    )
+
+
+@q("classifier_spiegelhalter_z", _spieg_oracle())
+def classifier_spiegelhalter_z(spark, sf_dir):
+    """Spiegelhalter's Z calibration test (checks/evaluation.py:
+    spiegelhalter_z) on the same pseudo-probability staging as the
+    calibration bins / Brier decomposition — the SIGNIFICANCE verdict
+    those magnitudes lack, and binning-free (no n_bins knob): is the
+    length-derived score's miscalibration larger than its own forecast
+    variance explains? Exact integer micro sums end-to-end, one
+    quotient; oracle-exact."""
+    from xmlschemavalidator_spark.checks.evaluation import spiegelhalter_z
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    scored = docs.select(
+        ((F.col("n_chars") % 500).cast("double") / F.lit(500)).alias("prob"),
+        (
+            F.locate(" spark ", F.concat(F.lit(" "), F.col("text"), F.lit(" "))) > 0
+        ).alias("label"),
+    )
+    return spiegelhalter_z(scored, "prob", "label")
