@@ -1834,3 +1834,35 @@ def test_tokenizer_fertility_hand_computed(spark):
     # empty lang: NULL ratios, never div/0
     zz = got["zz"]
     assert zz["n_ws_tokens"] == 0 and zz["chars_per_ws_token"] is None
+
+
+def test_ngram_novelty(spark):
+    from xmlschemavalidator_spark.textops import ngram_novelty
+
+    rows = [
+        (1, "a b c d"),        # grams: "a b c", "b c d"
+        (2, "a b c x"),        # shares "a b c" with doc 1
+        (3, "p q r s t"),      # all unique
+        (4, "x y"),            # too short: no grams, no row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc"]: r for r in ngram_novelty(df, "doc_id").collect()}
+    assert set(got) == {1, 2, 3}
+    # doc 1: "a b c" df=2 (shared), "b c d" df=1 -> novelty 1/2
+    assert (got[1]["n_grams"], got[1]["n_novel"]) == (2, 1)
+    assert got[1]["novelty_micro"] == 500_000
+    assert got[2]["n_novel"] == 1
+    # doc 3: all three grams unique -> novelty 1
+    assert got[3]["n_grams"] == 3 and got[3]["novelty_micro"] == 1_000_000
+
+    # within-doc repetition does NOT help novelty: shingles are distinct
+    rep = spark.createDataFrame([(9, "z z z z z z")], "doc_id long, text string")
+    [rr] = ngram_novelty(rep, "doc_id").collect()
+    assert rr["n_grams"] == 1 and rr["novelty_micro"] == 1_000_000
+
+    # a doc duplicated exactly zeroes both copies' novelty
+    dup = spark.createDataFrame(
+        [(1, "m n o p"), (2, "m n o p")], "doc_id long, text string"
+    )
+    for r in ngram_novelty(dup, "doc_id").collect():
+        assert r["novelty_micro"] == 0

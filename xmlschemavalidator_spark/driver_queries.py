@@ -17080,3 +17080,39 @@ def classifier_spiegelhalter_z(spark, sf_dir):
         ).alias("label"),
     )
     return spiegelhalter_z(scored, "prob", "label")
+
+
+_NOVELTY_ORACLE = r"""WITH sh AS (
+  SELECT doc, md5(g) AS h FROM (
+    SELECT doc_id AS doc, unnest(list_distinct(sl)) AS g FROM (
+      SELECT doc_id,
+             CASE WHEN len(string_split_regex(trim(coalesce(text, '')), '\s+')) < 3
+                  THEN []
+             ELSE list_transform(
+               range(1, len(string_split_regex(trim(text), '\s+')) - 1),
+               i -> array_to_string(string_split_regex(trim(text), '\s+')[i:i+2], ' ')
+             ) END AS sl
+      FROM documents))),
+dfq AS (SELECT h, CAST(count(*) AS BIGINT) AS dfc FROM sh GROUP BY h),
+per AS (SELECT doc, CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN dfc = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_novel
+        FROM sh JOIN dfq USING (h) GROUP BY doc)
+SELECT doc, n_grams, n_novel,
+       n_novel * 1000000 // n_grams AS novelty_micro
+FROM per"""
+
+
+@q("ngram_novelty_per_doc", _NOVELTY_ORACLE)
+def ngram_novelty_per_doc(spark, sf_dir):
+    """Per-doc trigram novelty (textops.py:ngram_novelty): the fraction
+    of each doc's distinct token 3-grams appearing in NO other doc —
+    the per-doc templating signal the corpus-level dedup family
+    aggregates away (novelty→0 = assembled-from-boilerplate even when
+    no doc PAIR crosses a dedup threshold; for decontamination audits,
+    a low-novelty doc is one the corpus already memorizes). Inverted-
+    index discipline without pair generation: hashes shuffle, gram text
+    doesn't, output linear in (doc, gram). Oracle-exact."""
+    from xmlschemavalidator_spark.textops import ngram_novelty
+
+    return ngram_novelty(_t(spark, sf_dir, "documents"), "doc_id")

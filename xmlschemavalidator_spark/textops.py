@@ -3227,3 +3227,60 @@ def tokenizer_fertility(
             "bpe_per_ws_ratio"
         ),
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-doc n-gram novelty: the fraction of a document's distinct
+    token ``shingle_n``-grams that appear in NO other document — the
+    per-doc templating/boilerplate signal the corpus-level dedup family
+    aggregates away (duplicate_lines says WHICH lines repeat;
+    repetition_fractions scores within-doc repeats; this scores each
+    doc's share of corpus-unique phrasing: novelty → 0 is assembled-
+    from-boilerplate / SEO-template content even when no single pair of
+    docs crosses a dedup threshold, novelty → 1 is unique prose — and
+    for a benchmark-decontamination audit, a low-novelty doc is one
+    whose phrasing the rest of the corpus already memorizes). One row
+    per doc with >= 1 shingle: ``(doc, n_grams, n_novel,
+    novelty_micro)``.
+
+    Scale shape: the inverted-index discipline without pair
+    generation — distinct (doc, md5(gram)) rows explode once, gram
+    document-frequency is a partial-agg groupBy on the hash (the
+    shuffle carries 16-byte hashes, never gram text), one gram-keyed
+    join back (AQE splits hot grams; a hot gram is by definition
+    NON-novel so the join fans out only what the metric must count),
+    then a per-doc partial agg. No caps needed: output is one row per
+    (doc, gram) — linear, never quadratic.
+
+    Exactness: counts are integers; novelty is an integer-div micro.
+    md5-collision risk is the usual negligible-and-identical-in-both-
+    engines contract.
+    """
+    from xmlschemavalidator_spark.dedup import shingles
+
+    grams = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("_g"),
+    ).select("doc", F.md5(F.col("_g")).alias("_h"))
+    dfreq = grams.groupBy("_h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_df")
+    )
+    per_doc = (
+        grams.join(dfreq, "_h")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum((F.col("_df") == 1).cast("long")).cast("bigint").alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc",
+        "n_grams",
+        "n_novel",
+        F.expr("n_novel * 1000000 div n_grams").alias("novelty_micro"),
+    )
