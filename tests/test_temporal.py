@@ -1091,3 +1091,28 @@ def test_seasonal_residual_anomalies_deseasonalizes(spark):
     # no Monday flags: the 3x pattern is seasonality, not anomaly
     assert all((d + 3) % 7 != 0 or d == day0 + 24 for d in flagged_days)
     assert all(r["flag_hi"] for r in out if r["day"] == day0 + 24)
+
+
+def test_transition_drift(spark):
+    from xmlschemavalidator_spark.temporal import transition_drift
+
+    # user 1 (period A): v->c, c->p ; user 2 (period B): v->v, v->p
+    rows = [
+        (1, 1, "v", True), (1, 2, "c", True), (1, 3, "p", True),
+        (2, 1, "v", False), (2, 2, "v", False), (2, 3, "p", False),
+    ]
+    df = spark.createDataFrame(rows, "u long, t long, e string, pa boolean")
+    got = {(r["from_event"], r["to_event"]): r for r in
+           transition_drift(df, "u", "t", "e", "pa", id_col="t").collect()}
+    # A: v->c (1 of 1 from v), c->p (1 of 1). B: v->v (1 of 2), v->p (1 of 2)
+    assert got[("v", "c")]["n_a"] == 1 and got[("v", "c")]["n_b"] == 0
+    assert got[("v", "c")]["p_a_micro"] == 1_000_000
+    assert got[("v", "c")]["p_b_micro"] == 0         # edge absent in B: 0, not NULL
+    assert got[("v", "v")]["p_b_micro"] == 500_000
+    assert got[("v", "v")]["p_a_micro"] == 0
+    # c never appears as a from-state in B: NULL p_b for c->p
+    assert got[("c", "p")]["p_b_micro"] is None
+    assert got[("c", "p")]["delta_micro"] == 1_000_000
+    # deltas are signed
+    assert got[("v", "c")]["delta_micro"] == 1_000_000
+    assert got[("v", "v")]["delta_micro"] == -500_000

@@ -17116,3 +17116,53 @@ def ngram_novelty_per_doc(spark, sf_dir):
     from xmlschemavalidator_spark.textops import ngram_novelty
 
     return ngram_novelty(_t(spark, sf_dir, "documents"), "doc_id")
+
+
+_TRANSITION_DRIFT_ORACLE = """WITH base AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS tss, event_id, event_type,
+         extract(hour FROM CAST(ts AS TIMESTAMP)) < 12 AS pa
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+pairs AS (
+  SELECT event_type AS from_event,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY tss, event_id) AS to_event,
+         pa
+  FROM base),
+g AS (SELECT from_event, to_event,
+             CAST(sum(CASE WHEN pa THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN pa THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+      FROM pairs WHERE to_event IS NOT NULL GROUP BY 1, 2),
+st AS (SELECT *, CAST(sum(n_a) OVER (PARTITION BY from_event) AS BIGINT) AS ta,
+              CAST(sum(n_b) OVER (PARTITION BY from_event) AS BIGINT) AS tb
+       FROM g)
+SELECT from_event, to_event, n_a, n_b,
+  CASE WHEN ta > 0 THEN n_a * 1000000 // ta END AS p_a_micro,
+  CASE WHEN tb > 0 THEN n_b * 1000000 // tb END AS p_b_micro,
+  CAST(coalesce(CASE WHEN ta > 0 THEN n_a * 1000000 // ta END, 0)
+       - coalesce(CASE WHEN tb > 0 THEN n_b * 1000000 // tb END, 0)
+       AS BIGINT) AS delta_micro
+FROM st"""
+
+
+@q("transition_drift_am_pm", _TRANSITION_DRIFT_ORACLE)
+def transition_drift_am_pm(spark, sf_dir):
+    """Per-edge transition drift (temporal.py:transition_drift) between
+    morning and afternoon user journeys — the flow question scalar
+    drift analyzers can't localize: chi² on event COUNTS misses a
+    reroute (same totals, different wiring); this reports WHICH edge
+    moved, with appearing/vanishing edges as explicit p=0 rows rather
+    than drops. One key-window shuffle + vocab²-bounded matrix;
+    oracle-exact."""
+    from xmlschemavalidator_spark.temporal import transition_drift
+
+    ev = _t(spark, sf_dir, "events")
+    staged = ev.select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("tss"),
+        "event_id",
+        "event_type",
+        (F.hour(F.col("ts").cast("timestamp")) < 12).alias("pa"),
+    )
+    return transition_drift(
+        staged, "user_id", "tss", "event_type", "pa", id_col="event_id"
+    )

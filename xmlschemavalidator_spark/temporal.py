@@ -1505,3 +1505,66 @@ SELECT k AS {key}, day, CAST(x AS BIGINT) AS value_q,
 FROM z
 WHERE w = {window}
   AND 100 * (w*x - s) * (w*x - s) > {k2} * (w*ss - s*s)"""
+
+
+def transition_drift(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    event_col: str,
+    period_col: str,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Transition-matrix drift between two periods — the user-journey
+    question the scalar drift analyzers can't localize: chi²/JSD on the
+    EVENT distribution misses a flow that reroutes (same event counts,
+    different wiring), and a single KS on anything misses WHICH edge
+    moved. Pairs are built exactly like :func:`event_transitions`
+    (per-key (ts, id) order, lag-1), each labeled by its FROM event's
+    boolean ``period_col`` (A = true); one row per observed (from, to)
+    edge: ``(from_event, to_event, n_a, n_b, p_a_micro, p_b_micro,
+    delta_micro)`` with row-normalized integer-micro probabilities per
+    period and the signed per-edge probability shift. An edge absent
+    from one period reads p = 0 there (n = 0), NOT a dropped row —
+    appearing/vanishing edges are the headline finding. A period with
+    an empty row (from-state never seen) reads NULL p for that side.
+
+    Scale shape: ONE key-window shuffle (the event_transitions shape)
+    → pair groupBy with two conditional lanes → two from-partitioned
+    window sums over the bounded vocab² matrix. Nothing scans twice.
+    """
+    order = [F.col(ts_col).asc()] + ([F.col(id_col).asc()] if id_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    base = df.where(
+        F.col(event_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(period_col).isNotNull()
+    )
+    nxt = F.lead(event_col).over(w)
+    pairs = base.select(
+        F.col(event_col).alias("from_event"),
+        nxt.alias("to_event"),
+        F.col(period_col).cast("boolean").alias("_pa"),
+    ).where(F.col("to_event").isNotNull())
+    g = pairs.groupBy("from_event", "to_event").agg(
+        F.sum(F.col("_pa").cast("long")).cast("bigint").alias("n_a"),
+        F.sum((~F.col("_pa")).cast("long")).cast("bigint").alias("n_b"),
+    )
+    wf = Window.partitionBy("from_event")
+    ta = F.sum("n_a").over(wf).cast("bigint")
+    tb = F.sum("n_b").over(wf).cast("bigint")
+    staged = g.select("from_event", "to_event", "n_a", "n_b",
+                      ta.alias("_ta"), tb.alias("_tb"))
+    pa = F.expr("CASE WHEN _ta > 0 THEN n_a * 1000000 div _ta END")
+    pb = F.expr("CASE WHEN _tb > 0 THEN n_b * 1000000 div _tb END")
+    return staged.select(
+        "from_event",
+        "to_event",
+        "n_a",
+        "n_b",
+        pa.alias("p_a_micro"),
+        pb.alias("p_b_micro"),
+        (F.coalesce(pa, F.lit(0)) - F.coalesce(pb, F.lit(0)))
+        .cast("bigint")
+        .alias("delta_micro"),
+    )
