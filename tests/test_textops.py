@@ -1866,3 +1866,48 @@ def test_ngram_novelty(spark):
     )
     for r in ngram_novelty(dup, "doc_id").collect():
         assert r["novelty_micro"] == 0
+
+
+def test_keyness_terms(spark):
+    import math
+
+    from xmlschemavalidator_spark.textops import keyness_terms
+
+    # corpus A is about cats, B about dogs; 'the' is common noise
+    a = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat ran"), (3, "cat cat cat")],
+        "id long, text string",
+    )
+    b = spark.createDataFrame(
+        [(1, "the dog sat"), (2, "the dog ran"), (3, "dog dog dog")],
+        "id long, text string",
+    )
+    got = keyness_terms(a, b, k=3, min_count=2).collect()
+    by_dir = {}
+    for r in got:
+        by_dir.setdefault(r["enriched_in"], []).append(r)
+    assert by_dir["a"][0]["term"] == "cat" and by_dir["a"][0]["rank"] == 1
+    assert by_dir["b"][0]["term"] == "dog"
+    # 'the' appears equally: G2 ~ 0, ranks below the key terms
+    the = [r for r in got if r["term"] == "the"]
+    assert all(r["g2_micro"] <= 1 for r in the)
+
+    # replay the G2 of 'cat': a=5,b=0, na=9,nb=9
+    na = nb = 9
+    aa, bb = 5, 0
+    r1 = aa + bb
+    n = na + nb
+
+    def t(o, e):
+        return o * math.log(o / e) if o > 0 else 0.0
+
+    g2 = 2 * (
+        t(aa, na * r1 / n) + t(bb, nb * r1 / n)
+        + t(na - aa, na * (n - r1) / n) + t(nb - bb, nb * (n - r1) / n)
+    )
+    cat = [r for r in got if r["term"] == "cat"][0]
+    assert cat["g2_micro"] == math.floor(g2 * 1e6)
+    assert (cat["n_ta"], cat["n_tb"]) == (5, 0)
+
+    # min_count drops rare noise: singleton terms never scored
+    assert all(r["n_ta"] + r["n_tb"] >= 2 for r in got)

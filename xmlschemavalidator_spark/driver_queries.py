@@ -17166,3 +17166,63 @@ def transition_drift_am_pm(spark, sf_dir):
     return transition_drift(
         staged, "user_id", "tss", "event_type", "pa", id_col="event_id"
     )
+
+
+def _keyness_oracle() -> str:
+    from xmlschemavalidator_spark.textops import _WS
+
+    def cnt(lang: str, alias: str) -> str:
+        return f"""SELECT term, CAST(count(*) AS BIGINT) AS {alias} FROM (
+      SELECT lower(unnest(string_split_regex(trim(coalesce(text, '')),
+             '{_WS}+'))) AS term
+      FROM documents WHERE lang = '{lang}') WHERE term <> '' GROUP BY term"""
+
+    t = "(CASE WHEN {o} > 0 THEN {o} * ln({o} / ({e})) ELSE 0.0 END)"
+    a, b = "CAST(n_ta AS DOUBLE)", "CAST(n_tb AS DOUBLE)"
+    na, nb = "CAST(tna AS DOUBLE)", "CAST(tnb AS DOUBLE)"
+    row1 = f"({a} + {b})"
+    n = f"({na} + {nb})"
+    g2 = (
+        "2.0 * ("
+        + t.format(o=a, e=f"{na} * {row1} / {n}")
+        + " + " + t.format(o=b, e=f"{nb} * {row1} / {n}")
+        + " + " + t.format(o=f"({na} - {a})", e=f"{na} * ({n} - {row1}) / {n}")
+        + " + " + t.format(o=f"({nb} - {b})", e=f"{nb} * ({n} - {row1}) / {n}")
+        + ")"
+    )
+    return f"""WITH ca AS ({cnt('en', 'n_ta')}),
+cb AS ({cnt('de', 'n_tb')}),
+j AS (SELECT coalesce(ca.term, cb.term) AS term,
+             coalesce(n_ta, 0) AS n_ta, coalesce(n_tb, 0) AS n_tb
+      FROM ca FULL OUTER JOIN cb ON ca.term = cb.term),
+tot AS (SELECT CAST(sum(n_ta) AS BIGINT) AS tna,
+               CAST(sum(n_tb) AS BIGINT) AS tnb FROM j),
+m AS (SELECT term, n_ta, n_tb,
+             CAST(floor({g2} * 1000000) AS BIGINT) AS g2_micro,
+             CASE WHEN {a} / {na} >= {b} / {nb} THEN 'a' ELSE 'b' END
+                 AS enriched_in
+      FROM j CROSS JOIN tot WHERE n_ta + n_tb >= 5),
+r AS (SELECT *, row_number() OVER (PARTITION BY enriched_in
+          ORDER BY g2_micro DESC, term ASC) AS rank FROM m)
+SELECT enriched_in, CAST(rank AS INT) AS rank, term, n_ta, n_tb, g2_micro
+FROM r WHERE rank <= 20"""
+
+
+@q("keyness_en_vs_de", _keyness_oracle())
+def keyness_en_vs_de(spark, sf_dir):
+    """Dunning log-likelihood keyness (textops.py:keyness_terms, CL
+    1993) between the en and de subcorpora: the WORD-level explanation
+    scalar drift can't give — when a token-distribution JSD fires,
+    these are the terms that moved, G²-ranked (sound for the RARE words
+    frequency ratios explode on). Term counts shuffle, corpus text
+    doesn't; top-20 per direction. Oracle-exact including the
+    floor-micro G² ranking keys."""
+    from xmlschemavalidator_spark.textops import keyness_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return keyness_terms(
+        docs.where(F.col("lang") == "en"),
+        docs.where(F.col("lang") == "de"),
+        k=20,
+        min_count=5,
+    )

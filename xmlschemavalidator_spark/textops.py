@@ -3284,3 +3284,98 @@ def ngram_novelty(
         "n_novel",
         F.expr("n_novel * 1000000 div n_grams").alias("novelty_micro"),
     )
+
+
+def keyness_terms(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+    k: int = 20,
+    min_count: int = 5,
+) -> DataFrame:
+    """Dunning log-likelihood keyness (Dunning, CL 1993 — the corpus-
+    linguistics standard for "what characterizes subcorpus A against
+    B"): the WORD-level explanation the scalar drift analyzers can't
+    give — when JSD/chi² fires on a token distribution, THIS says which
+    terms moved. Top-``k`` terms per direction by the G² statistic over
+    each term's 2×2 (term-count × corpus-size) table:
+
+        G² = 2·Σ O·ln(O/E)   (the four cells; E from the margins)
+
+    — signed by direction (``enriched_in`` = 'a' or 'b'), ranked G²
+    desc then term asc. Dunning's point vs plain frequency-ratio: G² is
+    sound for RARE words (the interesting ones), where ratios explode
+    on denominators of 1. ``min_count`` drops terms below a total count
+    (G² on singletons is noise); the cap is a ranking top-k, not a
+    coverage cap — every surviving term is scored before ranking.
+
+    Exactness: all four cells are exact integer counts; per-term G² is
+    a fixed ln chain on exact-rational arguments, floor-quantized to
+    integer micros so the RANKING key is an integer (the tfidf device;
+    same probabilistic-ulp caveat). Zero cells contribute 0 (lim x→0
+    x·ln x = 0), handled explicitly — never ln(0).
+
+    Scale shape: one token groupBy per side, an outer join on term
+    (vocab-sized, AQE-handled), a 1-row total broadcast, and a top-k
+    window per direction over the vocab table. Corpus text never
+    shuffles — term counts do.
+    """
+    def counts(d: DataFrame, name: str) -> DataFrame:
+        return (
+            d.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("term"))
+            .where(F.length("term") > 0)
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(name))
+        )
+
+    ca = counts(df_a, "n_ta")
+    cb = counts(df_b, "n_tb")
+    j = ca.join(cb, "term", "full").select(
+        "term",
+        F.coalesce("n_ta", F.lit(0)).alias("n_ta"),
+        F.coalesce("n_tb", F.lit(0)).alias("n_tb"),
+    )
+    tot = j.agg(
+        F.sum("n_ta").cast("bigint").alias("_na"),
+        F.sum("n_tb").cast("bigint").alias("_nb"),
+    )
+    m = j.where(F.col("n_ta") + F.col("n_tb") >= min_count).crossJoin(
+        F.broadcast(tot)
+    )
+    a = F.col("n_ta").cast("double")
+    b = F.col("n_tb").cast("double")
+    na = F.col("_na").cast("double")
+    nb = F.col("_nb").cast("double")
+    c = na - a
+    d_ = nb - b
+    n = na + nb
+    row1 = a + b
+
+    def term(o, e):
+        return F.when(o > 0, o * F.log(o / e)).otherwise(F.lit(0.0))
+
+    g2 = F.lit(2.0) * (
+        term(a, na * row1 / n)
+        + term(b, nb * row1 / n)
+        + term(c, na * (n - row1) / n)
+        + term(d_, nb * (n - row1) / n)
+    )
+    g2m = F.floor(g2 * F.lit(1_000_000)).cast("bigint")
+    enriched = F.when(a / na >= b / nb, F.lit("a")).otherwise(F.lit("b"))
+    scored = m.select(
+        "term",
+        "n_ta",
+        "n_tb",
+        g2m.alias("g2_micro"),
+        enriched.alias("enriched_in"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("enriched_in").orderBy(
+        F.col("g2_micro").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("enriched_in", "rank", "term", "n_ta", "n_tb", "g2_micro")
+    )
