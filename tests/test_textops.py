@@ -1911,3 +1911,38 @@ def test_keyness_terms(spark):
 
     # min_count drops rare noise: singleton terms never scored
     assert all(r["n_ta"] + r["n_tb"] >= 2 for r in got)
+
+
+def test_term_dispersion_gries_dp(spark):
+    import math
+
+    from xmlschemavalidator_spark.textops import term_dispersion
+
+    # two equal-size parts; 'bursty' lives only in part A, 'even' in both
+    rows = [
+        ("A", "even bursty even bursty bursty"),
+        ("A", "even bursty bursty even bursty"),
+        ("B", "even even even even even"),
+        ("B", "even even even even even"),
+    ]
+    df = spark.createDataFrame(rows, "src string, text string")
+    got = {r["term"]: r for r in
+           term_dispersion(df, "src", k=5, min_count=3).collect()}
+    assert set(got) == {"even", "bursty"}
+    # part shares: A 10/20, B 10/20. bursty: all 6 in A -> DP = .5*(|1-.5|+.5)=.5
+    b = got["bursty"]
+    assert b["n_parts_present"] == 1 and b["dp_micro"] == 500_000
+    assert b["rank"] == 1  # burstier ranks first
+    # even: 4/14 in A, 10/14 in B vs .5/.5
+    ev = got["even"]
+    dev = round(abs(4 / 14 - 0.5), 12) + round(abs(10 / 14 - 0.5), 12)
+    want = math.floor((dev + (1.0 - 1.0)) / 2.0 * 1e6)
+    assert ev["dp_micro"] == want and ev["n_parts_present"] == 2
+
+    # a perfectly proportional term -> DP 0
+    prop = [("A", "x x y"), ("B", "x x z")]
+    gp = {r["term"]: r for r in term_dispersion(
+        spark.createDataFrame(prop, "src string, text string"),
+        "src", k=5, min_count=2,
+    ).collect()}
+    assert gp["x"]["dp_micro"] == 0

@@ -17226,3 +17226,55 @@ def keyness_en_vs_de(spark, sf_dir):
         k=20,
         min_count=5,
     )
+
+
+def _dispersion_oracle() -> str:
+    from xmlschemavalidator_spark.textops import _WS
+
+    return f"""WITH toks AS (
+  SELECT source AS part, term FROM (
+    SELECT source, lower(unnest(string_split_regex(trim(coalesce(text, '')),
+           '{_WS}+'))) AS term
+    FROM documents WHERE source IS NOT NULL) WHERE term <> ''),
+cells AS (SELECT part, term, CAST(count(*) AS BIGINT) AS c
+          FROM toks GROUP BY 1, 2),
+parts AS (SELECT part, CAST(sum(c) AS BIGINT) AS pn FROM cells GROUP BY part),
+tot AS (SELECT CAST(sum(pn) AS BIGINT) AS tn FROM parts),
+tt AS (SELECT term, CAST(sum(c) AS BIGINT) AS n_total,
+              CAST(count(*) AS BIGINT) AS n_parts_present
+       FROM cells GROUP BY term),
+j AS (SELECT cells.term, cells.c, parts.pn, tot.tn, tt.n_total,
+             tt.n_parts_present
+      FROM cells JOIN parts USING (part) CROSS JOIN tot
+      JOIN tt ON cells.term = tt.term
+      WHERE tt.n_total >= 10),
+per AS (SELECT term, n_total, n_parts_present,
+    sum(CAST(round(abs(CAST(c AS DOUBLE) / CAST(n_total AS DOUBLE)
+             - CAST(pn AS DOUBLE) / CAST(tn AS DOUBLE)), 12)
+        AS DECIMAL(20,12))) AS sumdev,
+    sum(CAST(round(CAST(pn AS DOUBLE) / CAST(tn AS DOUBLE), 12)
+        AS DECIMAL(20,12))) AS sums
+  FROM j GROUP BY 1, 2, 3),
+sc AS (SELECT term, n_total, n_parts_present,
+    CAST(floor((CAST(sumdev AS DOUBLE) + (1.0 - CAST(sums AS DOUBLE))) / 2.0
+         * 1000000) AS BIGINT) AS dp_micro
+  FROM per)
+SELECT CAST(rank AS INT) AS rank, term, n_total, n_parts_present, dp_micro
+FROM (SELECT *, row_number() OVER (ORDER BY dp_micro DESC, term ASC) AS rank
+      FROM sc)
+WHERE rank <= 20"""
+
+
+@q("term_dispersion_by_source", _dispersion_oracle())
+def term_dispersion_by_source(spark, sf_dir):
+    """Gries' DP dispersion (textops.py:term_dispersion, IJCL 2008):
+    the 20 burstiest frequent terms across sources — keyness compares
+    two corpora, DP profiles one: a frequent term with DP→1 lives in a
+    single source (topical, template, or a contamination leak),
+    frequency alone can't tell it from an everywhere-word. Absent-part
+    mass folded in closed form — no dense term×part grid. One
+    (part,term) groupBy + #parts broadcast; oracle-exact."""
+    from xmlschemavalidator_spark.textops import term_dispersion
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("source").isNotNull())
+    return term_dispersion(docs, "source", k=20, min_count=10)

@@ -3379,3 +3379,81 @@ def keyness_terms(
         .where(F.col("rank") <= k)
         .select("enriched_in", "rank", "term", "n_ta", "n_tb", "g2_micro")
     )
+
+
+def term_dispersion(
+    df: DataFrame,
+    part_col: str,
+    text_col: str = "text",
+    k: int = 20,
+    min_count: int = 10,
+) -> DataFrame:
+    """Gries' DP term dispersion (Gries, IJCL 2008 — "deviation of
+    proportions"): how UNEVENLY each term spreads across corpus parts
+    (sources, domains, shards) — the per-term burstiness panel beside
+    :func:`keyness_terms` (keyness compares two corpora; DP profiles
+    one: a frequent term with DP → 1 lives in one part — topical,
+    template, or a single-source contamination leak — while DP → 0 is
+    an everywhere word; frequency alone can't tell them apart, which is
+    Gries' point). Top-``k`` most-bursty terms of ≥ ``min_count``
+    total occurrences: ``(rank, term, n_total, n_parts_present,
+    dp_micro)`` with
+
+        DP = ½ Σ_parts |v_i − s_i|,  v_i = term share in part i,
+                                     s_i = part's share of all tokens
+
+    and the absent-part mass folded in CLOSED FORM (Σ_absent s_i =
+    1 − Σ_present s_i — no dense term×part grid ever materializes).
+
+    Exactness: v_i and s_i are exact integer ratios; per-(term, part)
+    terms round to 12 dp and DECIMAL-sum per term; the ranking key
+    floor-quantizes to integer micros (ties: term asc).
+
+    Scale shape: one (part, term) groupBy (the shuffle carries counts),
+    a part-sizes broadcast (bounded by #parts), a per-term fold, and a
+    top-k sort over the vocab-sized survivor table.
+    """
+    toks = df.select(
+        F.col(part_col).alias("_part"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    ).where(F.length("term") > 0)
+    cells = toks.groupBy("_part", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c")
+    )
+    parts = cells.groupBy("_part").agg(F.sum("_c").cast("bigint").alias("_pn"))
+    tot = parts.agg(F.sum("_pn").cast("bigint").alias("_tn"))
+    terms_tot = cells.groupBy("term").agg(
+        F.sum("_c").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_parts_present"),
+    )
+    j = (
+        cells.join(F.broadcast(parts), "_part")
+        .crossJoin(F.broadcast(tot))
+        .join(terms_tot, "term")
+        .where(F.col("n_total") >= min_count)
+    )
+    v = F.col("_c").cast("double") / F.col("n_total").cast("double")
+    s = F.col("_pn").cast("double") / F.col("_tn").cast("double")
+    per_term = j.select(
+        "term",
+        "n_total",
+        "n_parts_present",
+        F.round(F.abs(v - s), 12).cast("decimal(20,12)").alias("_dev"),
+        F.round(s, 12).cast("decimal(20,12)").alias("_s"),
+    ).groupBy("term", "n_total", "n_parts_present").agg(
+        F.sum("_dev").alias("_sumdev"), F.sum("_s").alias("_sums")
+    )
+    dp = (
+        F.col("_sumdev").cast("double")
+        + (F.lit(1.0) - F.col("_sums").cast("double"))
+    ) / F.lit(2.0)
+    dpm = F.floor(dp * F.lit(1_000_000)).cast("bigint")
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("dp_micro").desc(), F.col("term").asc())
+    return (
+        per_term.select("term", "n_total", "n_parts_present", dpm.alias("dp_micro"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("rank", "term", "n_total", "n_parts_present", "dp_micro")
+    )
