@@ -1946,3 +1946,36 @@ def test_term_dispersion_gries_dp(spark):
         "src", k=5, min_count=2,
     ).collect()}
     assert gp["x"]["dp_micro"] == 0
+
+
+def test_token_logdice_topk(spark):
+    import math
+
+    from xmlschemavalidator_spark.textops import token_logdice_topk
+
+    # 'hong kong' always together; 'the cat' together but 'the' everywhere
+    rows = [
+        (1, "hong kong is big"),
+        (2, "hong kong at night"),
+        (3, "the cat the dog the bird"),
+        (4, "the cat the mat the hat"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = token_logdice_topk(df, "doc_id", k=5, min_pair_count=2).collect()
+    by_pair = {(r["x"], r["y"]): r for r in got}
+    hk = by_pair[("hong", "kong")]
+    # exclusive pair: dice = 2*2/(2+2) = 1 -> logdice = 14
+    assert hk["dice_micro"] == 1_000_000 and hk["logdice"] == 14.0
+    # every exclusive pair ties at dice 1.0; ties break x asc, so the
+    # top block is all dice_micro == 1e6 and 'hong kong' is in it
+    assert got[0]["dice_micro"] == 1_000_000
+    # 'the dog': c_xy=2 (positions 3-4, 4-5 of doc 3), c_the=6, c_dog=1
+    td = by_pair[("dog", "the")]
+    assert td["c_xy"] == 2
+    assert td["dice_micro"] == 2 * 2 * 1_000_000 // (1 + 6)
+    assert td["logdice"] == round(
+        14 + math.log(2 * 2 / (1 + 6)) / math.log(2), 6
+    )
+    # ranking follows the integer key monotonically
+    keys = [r["dice_micro"] for r in got]
+    assert keys == sorted(keys, reverse=True)

@@ -17278,3 +17278,46 @@ def term_dispersion_by_source(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").where(F.col("source").isNotNull())
     return term_dispersion(docs, "source", k=20, min_count=10)
+
+
+def _logdice_oracle() -> str:
+    ws = "[ \\t\\n\\x0b\\f\\r]+"
+    return f"""WITH arrs AS (
+  SELECT doc_id AS doc,
+         list_filter(regexp_split_to_array(trim(coalesce(lower(text), '')),
+                                           '{ws}'), t -> t <> '') AS toks
+  FROM documents
+), pos AS (
+  SELECT doc, unnest(toks) AS t, generate_subscripts(toks, 1) AS i FROM arrs
+), pr AS (
+  SELECT least(a.t, b.t) AS x, greatest(a.t, b.t) AS y
+  FROM pos a JOIN pos b
+    ON a.doc = b.doc AND b.i > a.i AND b.i <= a.i + 2
+  WHERE a.t <> b.t
+), pairs AS (
+  SELECT x, y, CAST(count(*) AS BIGINT) AS c_xy
+  FROM pr GROUP BY 1, 2 HAVING count(*) >= 5
+), uni AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS c FROM pos GROUP BY t
+)
+SELECT x, y, c_xy,
+       CAST(CAST(2 AS HUGEINT) * c_xy * 1000000
+            // (CAST(ux.c AS HUGEINT) + uy.c) AS BIGINT) AS dice_micro,
+       round(14.0 + ln(2.0 * c_xy / CAST(ux.c + uy.c AS DOUBLE)) / ln(2.0), 6)
+           AS logdice
+FROM pairs JOIN uni ux ON pairs.x = ux.t JOIN uni uy ON pairs.y = uy.t
+ORDER BY dice_micro DESC, x ASC, y ASC LIMIT 20"""
+
+
+@q("token_logdice_topk", _logdice_oracle())
+def token_logdice_topk_q(spark, sf_dir):
+    """logDice collocations (textops.py:token_logdice_topk, Rychlý
+    RASLAN'08 — the Sketch Engine standard): the PMI companion whose
+    thresholds DON'T drift with corpus size (PMI carries a T term, so a
+    cutoff tuned at 1 TB is wrong at 100 TB; logDice's ratio has none —
+    the property that matters for standing pipeline gates). Ranking on
+    the exact-integer dice_micro; shares the single-scan let-bound
+    skip-gram machinery with PMI. Oracle-exact."""
+    from xmlschemavalidator_spark.textops import token_logdice_topk
+
+    return token_logdice_topk(_t(spark, sf_dir, "documents"), "doc_id")

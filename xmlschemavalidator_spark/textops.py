@@ -1496,30 +1496,18 @@ ORDER BY score_micro DESC, doc ASC LIMIT {k}"""
 # self-join (which is O(L^2) rows at web scale).
 # ---------------------------------------------------------------------------
 
-def token_pmi_topk(
+def _skipgram_pair_counts(
     df: DataFrame,
     id_col: str,
-    text_col: str = "text",
-    k: int = 20,
-    window: int = 2,
-    min_pair_count: int = 5,
-) -> DataFrame:
-    """Top-``k`` token pairs by PMI within a ``window``-token skip-gram
-    (``(x, y, c_xy, ratio_micro)``; x<y canonical order; ranked ratio
-    desc, then x, y).
-
-    PMI = ln(T·c_xy/(c_x·c_y)) is ranked by the RATIONAL inside the log
-    — ``ratio_micro = 1e6·T·c_xy div (c_x·c_y)`` in DECIMAL(38,0) — so
-    the ranking is exact integer math (log is monotone; no float
-    appears). Self-pairs (x==x) are dropped; ``min_pair_count`` kills
-    the long noise tail.
-
-    Scale shape: the pair list is built inside one projection — the
-    token array is LET-BOUND as a real column, then an indexed transform
-    pairs each token with the next ``window`` (an unbound array would
-    re-split per element; HOF subtrees are never CSE'd). One explode →
-    groupBy(x, y) with map-side combine; unigram counts ride the same
-    token array (no second scan); top-k is TakeOrderedAndProject."""
+    text_col: str,
+    window: int,
+    min_pair_count: int,
+):
+    """Shared skip-gram machinery for the collocation family
+    (:func:`token_pmi_topk`, :func:`token_logdice_topk`): canonical
+    (x<y) pair counts within a ``window``-token skip-gram plus unigram
+    counts off the SAME let-bound token array (no second tokenize).
+    Returns ``(pairs(x, y, c_xy), uni(t, c))``."""
     bound = df.select(
         F.col(id_col).alias("doc"),
         F.filter(
@@ -1550,6 +1538,37 @@ def token_pmi_topk(
         bound.select(F.explode(arr).alias("t"))
         .groupBy("t")
         .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return pairs, uni
+
+
+
+def token_pmi_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 20,
+    window: int = 2,
+    min_pair_count: int = 5,
+) -> DataFrame:
+    """Top-``k`` token pairs by PMI within a ``window``-token skip-gram
+    (``(x, y, c_xy, ratio_micro)``; x<y canonical order; ranked ratio
+    desc, then x, y).
+
+    PMI = ln(T·c_xy/(c_x·c_y)) is ranked by the RATIONAL inside the log
+    — ``ratio_micro = 1e6·T·c_xy div (c_x·c_y)`` in DECIMAL(38,0) — so
+    the ranking is exact integer math (log is monotone; no float
+    appears). Self-pairs (x==x) are dropped; ``min_pair_count`` kills
+    the long noise tail.
+
+    Scale shape: the pair list is built inside one projection — the
+    token array is LET-BOUND as a real column, then an indexed transform
+    pairs each token with the next ``window`` (an unbound array would
+    re-split per element; HOF subtrees are never CSE'd). One explode →
+    groupBy(x, y) with map-side combine; unigram counts ride the same
+    token array (no second scan); top-k is TakeOrderedAndProject."""
+    pairs, uni = _skipgram_pair_counts(
+        df, id_col, text_col, window, min_pair_count
     )
     total = pairs.agg(F.sum("c_xy").alias("t")).first()
     t_pairs = int(total["t"] or 0)
@@ -3457,3 +3476,63 @@ def term_dispersion(
         .where(F.col("rank") <= k)
         .select("rank", "term", "n_total", "n_parts_present", "dp_micro")
     )
+
+
+def token_logdice_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 20,
+    window: int = 2,
+    min_pair_count: int = 5,
+) -> DataFrame:
+    """Top-``k`` collocations by logDice (Rychlý, RASLAN 2008 — the
+    Sketch Engine standard): ``(x, y, c_xy, dice_micro, logdice)``
+    with logDice = 14 + log₂(2·c_xy/(c_x + c_y)). The PMI companion
+    with the property PMI lacks: logDice is STABLE under corpus growth
+    (PMI of a fixed pair drifts with T, so PMI thresholds tuned at 1 TB
+    are wrong at 100 TB; logDice's ratio has no corpus-size term —
+    Rychlý's argument for it as the lexicography default, max 14 for a
+    pair that only ever occurs together).
+
+    The ranking key is the exact-integer ``dice_micro = 2·c_xy·10⁶ div
+    (c_x + c_y)`` — log₂ is monotone, so no float enters the ORDER
+    (ties: x, y asc); ``logdice`` itself is one fixed double chain for
+    the reader. Shares :func:`_skipgram_pair_counts` with PMI — same
+    let-bound single-scan pair machinery, same scale shape.
+    """
+    pairs, uni = _skipgram_pair_counts(
+        df, id_col, text_col, window, min_pair_count
+    )
+    d38 = "decimal(38,0)"
+    scored = (
+        pairs.join(
+            F.broadcast(uni.select(F.col("t").alias("x"), F.col("c").alias("_cx"))),
+            "x",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("t").alias("y"), F.col("c").alias("_cy"))),
+            "y",
+        )
+        .select(
+            "x",
+            "y",
+            "c_xy",
+            F.expr(
+                f"(CAST(2 AS {d38}) * CAST(c_xy AS {d38})"
+                f" * CAST(1000000 AS {d38}))"
+                f" div (CAST(_cx AS {d38}) + CAST(_cy AS {d38}))"
+            ).alias("dice_micro"),
+            F.round(
+                F.lit(14.0)
+                + F.log(
+                    F.lit(2.0) * F.col("c_xy") / (F.col("_cx") + F.col("_cy"))
+                )
+                / F.log(F.lit(2.0)),
+                6,
+            ).alias("logdice"),
+        )
+    )
+    return scored.orderBy(
+        F.col("dice_micro").desc(), F.col("x").asc(), F.col("y").asc()
+    ).limit(k)
