@@ -1256,3 +1256,30 @@ def test_cdc_duplicate_chunks_survive_head_insertion(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         cdc_chunks(df, divisor=1)
+
+
+def test_cross_source_duplication(spark):
+    from xmlschemavalidator_spark.dedup import cross_source_duplication
+
+    rows = [
+        (1, "A", "same text one"),
+        (2, "B", "same text one"),     # A-B mirror
+        (3, "B", "same text one"),     # extra copy in B (also B self-dup)
+        (4, "A", "only in a"),
+        (5, "C", "solo doc"),
+        (6, "C", "twice in c"),
+        (7, "C", "twice in c"),        # C self-dup
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {(r["source_a"], r["source_b"]): r for r in
+           cross_source_duplication(df, "doc_id", "source").collect()}
+    # A-B share one fingerprint: 1 copy in A, 2 in B
+    ab = got[("A", "B")]
+    assert (ab["n_fingerprints"], ab["n_docs_a"], ab["n_docs_b"]) == (1, 1, 2)
+    # B self-pair: the shared fingerprint has 2 copies within B
+    assert got[("B", "B")]["n_docs_a"] == 2
+    # C self-dup counted; no C pair with anyone else
+    assert got[("C", "C")]["n_fingerprints"] == 1
+    assert ("A", "C") not in got and ("B", "C") not in got
+    # A's unique doc creates no A-A row (single copy is not a dup)
+    assert ("A", "A") not in got

@@ -2683,3 +2683,59 @@ def cdc_duplicate_chunks(
         )
         .where(F.col("n_copies") >= min_copies)
     )
+
+
+def cross_source_duplication(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Source-level mirror matrix: for every ordered source pair
+    (a ≤ b), how many exact-duplicate fingerprints have at least one
+    copy in BOTH — the "which sources copy from which" view that
+    doc-level dedup aggregates away (a scraper-of-a-scraper shows up
+    as one hot row here long before anyone reads doc_ids lists;
+    diagonal rows a = b count fingerprints duplicated WITHIN a
+    source — the self-mirror/repost signal). One row per pair with
+    ≥ 1 shared fingerprint: ``(source_a, source_b, n_fingerprints,
+    n_docs_a, n_docs_b)`` where n_docs_x sums the copies on each side.
+
+    Scale shape: fingerprints groupBy (the exact-dedup shuffle) →
+    per-(fingerprint, source) counts → pair expansion bounded by
+    #sources-per-fingerprint² per fingerprint, with #sources a small
+    constant (the source vocabulary) — NEVER doc×doc; a fingerprint
+    present in s sources emits s(s+1)/2 rows regardless of how many
+    thousand copies each side holds.
+    """
+    fp = doc_fingerprint(F.col(text_col))
+    cells = (
+        df.where(F.col(source_col).isNotNull())
+        .select(fp.alias("_fp"), F.col(source_col).alias("_src"))
+        .groupBy("_fp", "_src")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    )
+    # keep only fingerprints that are duplicated AT ALL (within or across)
+    keep = (
+        cells.groupBy("_fp")
+        .agg(F.sum("_n").alias("_tot"))
+        .where(F.col("_tot") > 1)
+        .select("_fp")
+    )
+    dup = cells.join(keep, "_fp")
+    a = dup.select(
+        "_fp", F.col("_src").alias("source_a"), F.col("_n").alias("_na")
+    )
+    b = dup.select(
+        "_fp", F.col("_src").alias("source_b"), F.col("_n").alias("_nb")
+    )
+    pairs = a.join(b, "_fp").where(F.col("source_a") <= F.col("source_b"))
+    # a within-source pair (a = b) only counts if that source holds > 1 copy
+    pairs = pairs.where(
+        (F.col("source_a") != F.col("source_b")) | (F.col("_na") > 1)
+    )
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fingerprints"),
+        F.sum("_na").cast("bigint").alias("n_docs_a"),
+        F.sum("_nb").cast("bigint").alias("n_docs_b"),
+    )

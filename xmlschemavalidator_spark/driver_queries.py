@@ -17321,3 +17321,60 @@ def token_logdice_topk_q(spark, sf_dir):
     from xmlschemavalidator_spark.textops import token_logdice_topk
 
     return token_logdice_topk(_t(spark, sf_dir, "documents"), "doc_id")
+
+
+_XSRC_DUP_ORACLE = r"""WITH dirty AS (
+  SELECT source, text FROM documents WHERE source IS NOT NULL
+  UNION ALL
+  SELECT 'mirror', text FROM documents
+  WHERE source IS NOT NULL AND doc_id % 7 = 0
+  UNION ALL
+  SELECT source, text FROM documents
+  WHERE source IS NOT NULL AND doc_id % 13 = 0),
+cells AS (
+  SELECT md5(lower(regexp_replace(trim(coalesce(text, '')), '\s+', ' ', 'g')))
+             AS fp,
+         source AS src, CAST(count(*) AS BIGINT) AS n
+  FROM dirty GROUP BY 1, 2),
+keep AS (SELECT fp FROM cells GROUP BY fp HAVING sum(n) > 1),
+dup AS (SELECT cells.* FROM cells JOIN keep USING (fp)),
+pairs AS (
+  SELECT a.fp, a.src AS source_a, b.src AS source_b, a.n AS na, b.n AS nb
+  FROM dup a JOIN dup b ON a.fp = b.fp AND a.src <= b.src
+  WHERE a.src <> b.src OR a.n > 1)
+SELECT source_a, source_b,
+       CAST(count(*) AS BIGINT) AS n_fingerprints,
+       CAST(sum(na) AS BIGINT) AS n_docs_a,
+       CAST(sum(nb) AS BIGINT) AS n_docs_b
+FROM pairs GROUP BY 1, 2"""
+
+
+@q("cross_source_duplication", _XSRC_DUP_ORACLE)
+def cross_source_duplication_q(spark, sf_dir):
+    """Source-level mirror matrix (dedup.py:cross_source_duplication):
+    which sources share exact-duplicate fingerprints with which — the
+    scraper-of-a-scraper view doc-level dedup aggregates away, with
+    diagonal rows as the within-source repost signal. The synthetic
+    corpus has no natural exact dups, so the staging PLANTS a 'mirror'
+    source (every 7th doc) and within-source reposts (every 13th) —
+    the measured-not-assumed convention. Pair expansion bounded by
+    sources-per-fingerprint², never doc×doc. Oracle-exact."""
+    from xmlschemavalidator_spark.dedup import cross_source_duplication
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("source").isNotNull())
+    dirty = (
+        docs.select("doc_id", "source", "text")
+        .unionByName(
+            docs.where(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 100_000).alias("doc_id"),
+                F.lit("mirror").alias("source"),
+                "text",
+            )
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + 200_000).alias("doc_id"), "source", "text"
+            )
+        )
+    )
+    return cross_source_duplication(dirty, "doc_id", "source")
