@@ -1979,3 +1979,40 @@ def test_token_logdice_topk(spark):
     # ranking follows the integer key monotonically
     keys = [r["dice_micro"] for r in got]
     assert keys == sorted(keys, reverse=True)
+
+
+def test_ql_dirichlet_topk(spark):
+    import math
+
+    from xmlschemavalidator_spark.textops import ql_dirichlet_topk
+
+    rows = [
+        (1, "spark spark shuffle"),
+        (2, "spark memory"),
+        (3, "cat dog bird"),
+        (4, ""),                       # zero tokens still scores
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = ql_dirichlet_topk(df, "doc_id", ["spark"], k=4, mu=100).collect()
+    assert [r["doc"] for r in got[:2]] == [1, 2]  # tf monotone
+    assert {r["doc"] for r in got} == {1, 2, 3, 4}  # every doc scored
+    # replay doc 1: S=8 tokens, cf=3, dl=3, tf=2
+    S, cf, mu = 8, 3, 100
+    want = math.floor(
+        math.log((2 * float(S) + float(mu * cf)) / (float(S) * (3 + float(mu))))
+        * 1_000_000
+    )
+    d1 = [r for r in got if r["doc"] == 1][0]
+    assert d1["score_micro"] == want and d1["n_hits"] == 1
+    # the empty doc outranks nothing with hits but still has a score
+    d4 = [r for r in got if r["doc"] == 4][0]
+    assert d4["n_hits"] == 0 and d4["score_micro"] is not None
+    # doc 3 (dl=3, tf=0) vs doc 4 (dl=0): shorter doc scores HIGHER at
+    # tf=0 (the length prior)
+    d3 = [r for r in got if r["doc"] == 3][0]
+    assert d4["score_micro"] > d3["score_micro"]
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        ql_dirichlet_topk(df, "doc_id", [])

@@ -17378,3 +17378,59 @@ def cross_source_duplication_q(spark, sf_dir):
         )
     )
     return cross_source_duplication(dirty, "doc_id", "source")
+
+
+def _ql_oracle() -> str:
+    from xmlschemavalidator_spark.textops import _WS
+
+    terms = sorted({t.lower() for t in _BM25_TERMS})
+    tf_lanes = ", ".join(
+        f"CAST(sum(CASE WHEN term = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    cf_lanes = ", ".join(
+        f"greatest(CAST(sum(CASE WHEN term = '{t}' THEN 1 ELSE 0 END)"
+        f" AS BIGINT), 1) AS cf{i}"
+        for i, t in enumerate(terms)
+    )
+    score = " + ".join(
+        f"CAST(floor(ln((coalesce(tf{i}, 0) * CAST(S AS DOUBLE)"
+        f" + CAST(2000 * cf{i} AS DOUBLE))"
+        f" / (CAST(S AS DOUBLE) * (coalesce(dl, 0) + CAST(2000 AS DOUBLE))))"
+        f" * 1000000) AS BIGINT)"
+        for i in range(len(terms))
+    )
+    hits = " + ".join(
+        f"CASE WHEN coalesce(tf{i}, 0) > 0 THEN 1 ELSE 0 END"
+        for i in range(len(terms))
+    )
+    return f"""WITH toks AS (
+  SELECT doc_id AS doc,
+         lower(unnest(string_split_regex(trim(coalesce(text, '')),
+               '{_WS}+'))) AS term
+  FROM documents),
+tk AS (SELECT doc, term FROM toks WHERE term <> ''),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS S, {cf_lanes} FROM tk),
+per AS (SELECT doc, CAST(count(*) AS BIGINT) AS dl, {tf_lanes}
+        FROM tk GROUP BY doc),
+base AS (SELECT d.doc_id AS doc, per.dl, {", ".join(f"per.tf{i}" for i in range(len(terms)))}
+         FROM documents d LEFT JOIN per ON d.doc_id = per.doc)
+SELECT doc, CAST({hits} AS INT) AS n_hits,
+       CAST({score} AS BIGINT) AS score_micro
+FROM base CROSS JOIN stats
+ORDER BY score_micro DESC, doc ASC LIMIT 10"""
+
+
+@q("text_ql_dirichlet_topk", _ql_oracle())
+def text_ql_dirichlet_topk(spark, sf_dir):
+    """Dirichlet query-likelihood retrieval (textops.py:
+    ql_dirichlet_topk, Zhai & Lafferty SIGIR'01) for the standing BM25
+    query — the language-modeling member completing the classical trio:
+    unlike BM25, EVERY doc scores (smoothing mass is a real probability
+    at tf=0; length normalization falls out of the prior). One token
+    pass into per-doc conditional-sum lanes (no per-term join),
+    integer-micro ln terms, TakeOrdered top-10. Oracle-exact."""
+    from xmlschemavalidator_spark.textops import ql_dirichlet_topk
+
+    return ql_dirichlet_topk(_t(spark, sf_dir, "documents"), "doc_id", _BM25_TERMS)

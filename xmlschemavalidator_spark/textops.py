@@ -3536,3 +3536,90 @@ def token_logdice_topk(
     return scored.orderBy(
         F.col("dice_micro").desc(), F.col("x").asc(), F.col("y").asc()
     ).limit(k)
+
+
+def ql_dirichlet_topk(
+    df: DataFrame,
+    id_col: str,
+    query_terms: list[str],
+    text_col: str = "text",
+    k: int = 10,
+    mu: int = 2000,
+) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    Lafferty, SIGIR 2001) — the language-modeling member completing the
+    classical ranking trio (TF-IDF weights, BM25's saturation, QL's
+    generative story): score(d) = Σ_t ln((tf + μ·cf_t/|C|)/(dl + μ)),
+    which unlike BM25 scores EVERY document (the smoothing mass is a
+    real probability even at tf = 0 — doc length alone moves the score,
+    Zhai & Lafferty's point about length normalization falling out of
+    the prior rather than being bolted on). Top-``k`` as ``(doc,
+    n_hits, score_micro)``, ranked score desc then doc asc.
+
+    Exactness: each term's argument collapses to the exact rational
+    (tf·S + μ·cf_t)/(S·(dl + μ)) of BIGINT counts; its ln floor-
+    quantizes to integer micros and the doc score is an integer SUM
+    over the ≤|query| terms (the bm25_topk discipline — no float
+    accumulation; the usual probabilistic-ulp caveat). μ is an integer
+    parameter. Corpus stats (S, cf_t) are two bounded driver collects
+    (|query|+1 values — the bm25 idf contract).
+
+    Scale shape: ONE token pass into a per-doc conditional-sum
+    aggregate (dl and the ≤|query| tf lanes in the same groupBy — no
+    per-term join), then a TakeOrderedAndProject top-k. Docs with zero
+    tokens still score (dl = 0 rows ride the same aggregate via the
+    doc table left join).
+    """
+    terms = sorted({t.lower() for t in query_terms})
+    if not terms:
+        raise ValueError("ql_dirichlet_topk: empty query")
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    ).where(F.length("term") > 0)
+    stats = toks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("S"),
+        *[
+            F.sum((F.col("term") == t).cast("long")).cast("bigint").alias(f"cf{i}")
+            for i, t in enumerate(terms)
+        ],
+    ).first()
+    S = int(stats["S"] or 0)
+    if S == 0:
+        return df.select(
+            F.col(id_col).alias("doc"),
+            F.lit(0).alias("n_hits"),
+            F.lit(0).cast("bigint").alias("score_micro"),
+        ).limit(0)
+    cfs = [max(int(stats[f"cf{i}"] or 0), 1) for i in range(len(terms))]
+    # cf floors at 1: a query term absent from the corpus would send
+    # ln(0) through every doc — the standard epsilon-free guard
+    per_doc = toks.groupBy("doc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_dl"),
+        *[
+            F.sum((F.col("term") == t).cast("long"))
+            .cast("bigint")
+            .alias(f"_tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    base = df.select(F.col(id_col).alias("doc")).join(per_doc, "doc", "left")
+    dl = F.coalesce(F.col("_dl"), F.lit(0)).cast("double")
+    score = None
+    hits = None
+    for i, t in enumerate(terms):
+        tf = F.coalesce(F.col(f"_tf{i}"), F.lit(0)).cast("double")
+        arg = (tf * F.lit(float(S)) + F.lit(float(mu * cfs[i]))) / (
+            F.lit(float(S)) * (dl + F.lit(float(mu)))
+        )
+        term_micro = F.floor(F.log(arg) * F.lit(1_000_000)).cast("bigint")
+        score = term_micro if score is None else score + term_micro
+        h = (F.coalesce(F.col(f"_tf{i}"), F.lit(0)) > 0).cast("int")
+        hits = h if hits is None else hits + h
+    return (
+        base.select(
+            "doc", hits.alias("n_hits"), score.alias("score_micro")
+        )
+        .orderBy(F.col("score_micro").desc(), F.col("doc").asc())
+        .limit(k)
+    )
