@@ -1504,3 +1504,39 @@ def test_spam_mass_separates_farm_from_trusted(spark):
     assert all(
         out[n]["spam_mass_micro"] > 900_000 for n in range(10, 15)
     )
+
+
+def test_path_templates(spark):
+    from pyspark.sql import functions as F
+
+    from xmlschemavalidator_spark.weburl import path_template, path_templates
+
+    urls = [
+        "http://shop.example.com/product/17",
+        "http://shop.example.com/product/23",
+        "http://shop.example.com/product/17",       # repeat fill
+        "http://shop.example.com/user/deadbeef1234/profile",
+        "http://shop.example.com/user/cafebabe9999/profile",
+        "http://shop.example.com/about",
+        "http://other.example.com/product/5",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {(r["host"], r["template"]): r for r in
+           path_templates(df, "url", min_urls=2).collect()}
+    p = got[("shop.example.com", "/product/{n}")]
+    assert (p["n_urls"], p["n_variants"]) == (3, 2)
+    u = got[("shop.example.com", "/user/{h}/profile")]
+    assert (u["n_urls"], u["n_variants"]) == (2, 2)
+    # min_urls drops singletons ('/about', other host's product)
+    assert ("shop.example.com", "/about") not in got
+    assert ("other.example.com", "/product/{n}") not in got
+
+    # template column edge cases: short hex NOT generalized, empty path -> /
+    [t] = df.limit(1).select(
+        path_template(F.lit("https://x.com/ab12/9")).alias("t")
+    ).collect()
+    assert t["t"] == "/ab12/{n}"
+    [t2] = df.limit(1).select(
+        path_template(F.lit("https://x.com")).alias("t")
+    ).collect()
+    assert t2["t"] == "/"

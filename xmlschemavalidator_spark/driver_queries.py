@@ -17434,3 +17434,45 @@ def text_ql_dirichlet_topk(spark, sf_dir):
     from xmlschemavalidator_spark.textops import ql_dirichlet_topk
 
     return ql_dirichlet_topk(_t(spark, sf_dir, "documents"), "doc_id", _BM25_TERMS)
+
+
+def _path_tpl_oracle() -> str:
+    from xmlschemavalidator_spark.weburl import canonical_host_sql, canonical_url_sql
+
+    re_ = "^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)?"
+    tpl = (
+        "array_to_string(list_transform(string_split(p, '/'),"
+        " s -> CASE WHEN regexp_matches(s, '^[0-9]+$') THEN '{n}'"
+        " WHEN regexp_matches(s, '^[0-9a-f]{8,}$') THEN '{h}'"
+        " ELSE s END), '/')"
+    )
+    return f"""WITH u AS (SELECT {canonical_url_sql(_PLANT_URL)} AS cu
+               FROM documents),
+b AS (SELECT {canonical_host_sql('cu')} AS host,
+             CASE WHEN length(regexp_extract(cu, '{re_}', 1)) = 0 THEN '/'
+                  ELSE regexp_extract(cu, '{re_}', 1) END AS p,
+             regexp_extract(cu, '{re_}', 1) AS rawp
+      FROM u),
+c AS (SELECT host, {tpl} AS template, rawp FROM b
+      WHERE host IS NOT NULL AND length(host) > 0),
+l1 AS (SELECT host, template, rawp, CAST(count(*) AS BIGINT) AS n
+       FROM c GROUP BY 1, 2, 3)
+SELECT host, template, CAST(sum(n) AS BIGINT) AS n_urls,
+       CAST(count(*) AS BIGINT) AS n_variants
+FROM l1 GROUP BY 1, 2 HAVING sum(n) >= 2"""
+
+
+@q("url_path_templates", _path_tpl_oracle())
+def url_path_templates(spark, sf_dir):
+    """URL path-template inventory (weburl.py:path_templates): the
+    /articles/{n} map per host over the planted URL layer — the
+    URL-SPACE twin of the tag-sequence templated-site detector (that
+    one fingerprints rendered structure; this one the address space a
+    crawler budgets by: a {n}-template with 10⁷ fills is one database
+    table, not ten million pages). HOF segment generalization (RE2 has
+    no lookahead — never regex across slash boundaries), two-level
+    partial agg, result bounded by template vocabulary. Oracle-exact."""
+    from xmlschemavalidator_spark.weburl import path_templates
+
+    docs = _t(spark, sf_dir, "documents")
+    return path_templates(docs.select(F.expr(_PLANT_URL).alias("url")), "url")

@@ -3309,3 +3309,66 @@ SELECT pr.node, pr.rank_micro, tr.rank_micro AS trust_micro,
             ELSE -((tr.rank_micro - pr.rank_micro) * 1000000 // pr.rank_micro)
             END AS spam_mass_micro
 FROM pr JOIN tr ON pr.node = tr.node"""
+
+
+_TPL_PATH_RE = r"^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)?"
+
+
+def path_template(canon_url: Column) -> Column:
+    """URL path template: the path with volatile segments generalized —
+    pure-digit segments → ``{n}``, long-hex segments (≥ 8 chars:
+    ids/hashes/uuids-sans-dashes) → ``{h}`` — so ``/articles/17`` and
+    ``/articles/23`` collapse to ``/articles/{n}``. Built as a
+    split→transform→concat HOF chain (RE2 has no lookahead, so the
+    slash-boundary problem is solved by never regexing across
+    boundaries at all); engine-portable, one narrow projection.
+    Empty/missing path → ``/``."""
+    path = F.regexp_extract(canon_url, _TPL_PATH_RE, 1)
+    path = F.when(F.length(path) == 0, F.lit("/")).otherwise(path)
+    segs = F.split(path, "/")
+    gen = F.transform(
+        segs,
+        lambda s: F.when(s.rlike(r"^[0-9]+$"), F.lit("{n}"))
+        .when(s.rlike(r"^[0-9a-f]{8,}$"), F.lit("{h}"))
+        .otherwise(s),
+    )
+    return F.concat_ws("/", gen)
+
+
+def path_templates(
+    df: DataFrame, url_col: str, min_urls: int = 2
+) -> DataFrame:
+    """Site path-template inventory (the ``/product/{n}`` map): per
+    (host, template), how many URLs instantiate it and how many
+    DISTINCT paths those are — the structure-discovery complement to
+    the tag-sequence templated-site detector (that one fingerprints
+    RENDERED structure; this one fingerprints the URL SPACE, which is
+    what a crawler budgets by: a template with 10⁷ fills and identical
+    rendered structure is one database table, not ten million pages,
+    and the dedup/crawl-budget decision wants exactly that row).
+    ``(host, template, n_urls, n_variants)``, templates with ≥
+    ``min_urls`` URLs.
+
+    Scale shape: one narrow projection (canonicalize + HOF template)
+    into a two-level partial agg — (host, template, path) counts then
+    (host, template) — the fd.py fan-out discipline, no
+    countDistinct Expand. The result is bounded by the site's template
+    vocabulary, not its URL count.
+    """
+    canon = canonical_url(F.col(url_col))
+    base = df.select(
+        canonical_host(canon).alias("host"),
+        path_template(canon).alias("template"),
+        F.regexp_extract(canon, _TPL_PATH_RE, 1).alias("_path"),
+    ).where(F.col("host").isNotNull() & (F.length("host") > 0))
+    lvl1 = base.groupBy("host", "template", "_path").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n")
+    )
+    return (
+        lvl1.groupBy("host", "template")
+        .agg(
+            F.sum("_n").cast("bigint").alias("n_urls"),
+            F.count(F.lit(1)).cast("bigint").alias("n_variants"),
+        )
+        .where(F.col("n_urls") >= min_urls)
+    )
