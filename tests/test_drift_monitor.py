@@ -116,3 +116,46 @@ def test_psi_drift_new_gone_categories_and_empty_side(spark):
         categorical_histogram(cur, "c"), categorical_histogram(empty, "c")
     ).collect()[0]
     assert r2["psi"] is None
+
+
+def test_ranking_overlap_rbo(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from xmlschemavalidator_spark.checks.drift import ranking_overlap_rbo
+
+    def lst(items):
+        return spark.createDataFrame(
+            [(it, i + 1) for i, it in enumerate(items)], "item string, rank long"
+        )
+
+    # identical rankings -> RBO = sum of weights + p^k (the self-RBO cap)
+    a = lst(["x", "y", "z", "w"])
+    [ri] = ranking_overlap_rbo(a, lst(["x", "y", "z", "w"]), k=4, p_milli=900).collect()
+    w = [math.floor(100 * 0.9 ** d * 1e3) for d in range(4)]
+    cap = sum(w) + math.floor(0.9 ** 4 * 1e6)
+    assert ri["rbo_micro"] == cap and ri["n_common"] == 4
+
+    # disjoint rankings -> 0
+    [rd] = ranking_overlap_rbo(a, lst(["p", "q", "r", "s"]), k=4).collect()
+    assert rd["rbo_micro"] == 0 and rd["n_common"] == 0
+
+    # top-heavy vs tail swap: swapping ranks 1-2 hurts more than 3-4
+    top_swap = lst(["y", "x", "z", "w"])
+    tail_swap = lst(["x", "y", "w", "z"])
+    [rt] = ranking_overlap_rbo(a, top_swap, k=4, p_milli=900).collect()
+    [rb] = ranking_overlap_rbo(a, tail_swap, k=4, p_milli=900).collect()
+    assert rt["rbo_micro"] < rb["rbo_micro"] < cap
+
+    # python replay of the top-swap case
+    # common item max-depths: x->2, y->2, z->3, w->4
+    inter = [0, 2, 3, 4]  # at depths 1..4
+    want = sum(w[d] * inter[d] // (d + 1) for d in range(4))
+    want += math.floor(0.9 ** 4 * 1e6) * inter[3] // 4
+    assert rt["rbo_micro"] == want
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        ranking_overlap_rbo(a, a, p_milli=1000)

@@ -19,6 +19,8 @@ from the metrics manifest of a previous run — see manifest.py).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -394,4 +396,110 @@ def jsd_drift(
         F.sum(F.when(F.col("n_cur") == 0, 1).otherwise(0))
         .cast("bigint")
         .alias("n_gone_categories"),
+    )
+
+
+def _rbo_weights_micro(p_milli: int, k: int) -> list[int]:
+    """w_d = (1−p)p^(d−1) floor-quantized to micros, d = 1..k — computed
+    ONCE in Python and consumed by both engines (the EWMA device)."""
+    # (1 − p) computed as integer millis FIRST: 1.0 − 0.9 in doubles is
+    # 0.09999999999999998 and floors a clean 100000 down to 99999
+    p = p_milli / 1000.0
+    return [
+        int(math.floor((1000 - p_milli) * (p ** (d - 1)) * 1000.0))
+        for d in range(1, k + 1)
+    ]
+
+
+def ranking_overlap_rbo(
+    list_a: DataFrame,
+    list_b: DataFrame,
+    item_col: str = "item",
+    rank_col: str = "rank",
+    k: int = 20,
+    p_milli: int = 900,
+) -> DataFrame:
+    """Rank-biased overlap between two top-``k`` rankings (Webber,
+    Moffat & Zobel, TOIS 2010) — the RANKING member of the drift family
+    (sets drift by Jaccard, distributions by KS/JSD, rankings by RBO):
+    "did today's heavy-hitters/top-terms/top-k panel actually change"
+    needs depth-weighted agreement, because a swap at rank 19 is noise
+    and a swap at rank 1 is the finding — set overlap can't tell them
+    apart. ONE row ``(k, n_a, n_b, n_common, rbo_micro)`` with the
+    truncated-plus-extrapolated estimate
+
+        RBO = Σ_{d=1..k} (1−p)p^{d−1}·A_d + p^k·A_k,   A_d = |∩_d|/d
+
+    at persistence ``p_milli``/1000 (0.9 ⇒ the top ~10 ranks carry
+    ~86% of the weight). Duplicate items within a list are the
+    caller's bug (ranks must be a permutation of items); items ranked
+    beyond ``k`` are ignored.
+
+    Mechanics: a common item enters the depth-``d`` intersection at
+    d = max(rank_a, rank_b), so |∩_d| is one cumulative sum over the
+    k-bounded depth histogram — no per-depth re-join. Weights are
+    Python-precomputed integer micros (the EWMA device); each depth
+    term is the exact integer ``w_d·|∩_d| div d`` and the score their
+    BIGINT sum — engine-identical.
+
+    Scale shape: the inputs are top-k lists (already bounded); one
+    item join + a k-row window. Nothing here touches a corpus.
+    """
+    if not 1 <= p_milli < 1000:
+        raise ValueError(f"ranking_overlap_rbo: p_milli={p_milli}")
+    if k < 1:
+        raise ValueError(f"ranking_overlap_rbo: k={k}")
+    a = list_a.select(
+        F.col(item_col).alias("_it"), F.col(rank_col).cast("long").alias("_ra")
+    ).where(F.col(rank_col) <= k)
+    b = list_b.select(
+        F.col(item_col).alias("_it"), F.col(rank_col).cast("long").alias("_rb")
+    ).where(F.col(rank_col) <= k)
+    common = a.join(b, "_it").select(
+        F.greatest(F.col("_ra"), F.col("_rb")).alias("_d")
+    )
+    hist = common.groupBy("_d").agg(F.count(F.lit(1)).alias("_c"))
+    # dense depth axis 1..k so zero-entry depths still carry weight
+    spark = list_a.sparkSession
+    depths = spark.range(1, k + 1).select(F.col("id").alias("_d"))
+    w = _rbo_weights_micro(p_milli, k)
+    wmap = F.map_from_arrays(
+        F.array(*[F.lit(d) for d in range(1, k + 1)]),
+        F.array(*[F.lit(x) for x in w]),
+    )
+    from pyspark.sql import Window
+
+    cum = Window.orderBy("_d").rowsBetween(Window.unboundedPreceding, 0)
+    j = (
+        depths.join(hist, "_d", "left")
+        .withColumn("_inter", F.sum(F.coalesce(F.col("_c"), F.lit(0))).over(cum))
+        .withColumn("_w", wmap[F.col("_d")])
+    )
+    pk_micro = int(math.floor((p_milli / 1000.0) ** k * 1_000_000))
+    terms = j.select(
+        F.expr("_w * _inter div _d").alias("_t"),
+        F.when(
+            F.col("_d") == k, F.expr(f"{pk_micro} * _inter div _d")
+        ).otherwise(F.lit(0)).alias("_ext"),
+        F.when(F.col("_d") == k, F.col("_inter")).otherwise(F.lit(0)).alias(
+            "_nc"
+        ),
+    )
+    agg = terms.agg(
+        F.sum("_t").cast("bigint").alias("_sum"),
+        F.sum("_ext").cast("bigint").alias("_esum"),
+        F.max("_nc").cast("bigint").alias("n_common"),
+    )
+    na = a.agg(F.count(F.lit(1)).cast("bigint").alias("n_a"))
+    nb = b.agg(F.count(F.lit(1)).cast("bigint").alias("n_b"))
+    return (
+        agg.crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            F.lit(k).cast("int").alias("k"),
+            "n_a",
+            "n_b",
+            "n_common",
+            (F.col("_sum") + F.col("_esum")).cast("bigint").alias("rbo_micro"),
+        )
     )

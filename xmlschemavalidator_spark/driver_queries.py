@@ -17476,3 +17476,78 @@ def url_path_templates(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return path_templates(docs.select(F.expr(_PLANT_URL).alias("url")), "url")
+
+
+def _rbo_oracle() -> str:
+    import math
+
+    from xmlschemavalidator_spark.checks.drift import _rbo_weights_micro
+    from xmlschemavalidator_spark.textops import _WS
+
+    k, p_milli = 20, 900
+    w = _rbo_weights_micro(p_milli, k)
+    wvals = ", ".join(f"({d + 1}, {wm})" for d, wm in enumerate(w))
+    pk = int(math.floor((p_milli / 1000.0) ** k * 1_000_000))
+
+    def side(par: int, alias: str) -> str:
+        return f"""SELECT term, CAST(r AS BIGINT) AS r FROM (
+      SELECT term, row_number() OVER (ORDER BY c DESC, term ASC) AS r FROM (
+        SELECT term, CAST(count(*) AS BIGINT) AS c FROM (
+          SELECT lower(unnest(string_split_regex(trim(coalesce(text, '')),
+                 '{_WS}+'))) AS term
+          FROM documents WHERE doc_id % 2 = {par}) WHERE term <> ''
+        GROUP BY term)) WHERE r <= {k}"""
+
+    return f"""WITH la AS ({side(0, 'a')}),
+lb AS ({side(1, 'b')}),
+common AS (SELECT greatest(la.r, lb.r) AS d FROM la JOIN lb USING (term)),
+hist AS (SELECT d, CAST(count(*) AS BIGINT) AS c FROM common GROUP BY d),
+depths AS (SELECT unnest(range(1, {k + 1})) AS d),
+wt(d, wm) AS (VALUES {wvals}),
+j AS (SELECT depths.d, wt.wm,
+        CAST(sum(coalesce(hist.c, 0)) OVER (ORDER BY depths.d
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS inter
+      FROM depths LEFT JOIN hist ON depths.d = hist.d
+      JOIN wt ON wt.d = depths.d),
+terms AS (SELECT wm * inter // d AS t,
+        CASE WHEN d = {k} THEN {pk} * inter // d ELSE 0 END AS ext,
+        CASE WHEN d = {k} THEN inter ELSE 0 END AS nc
+      FROM j),
+na AS (SELECT CAST(count(*) AS BIGINT) AS n_a FROM la),
+nb AS (SELECT CAST(count(*) AS BIGINT) AS n_b FROM lb)
+SELECT CAST({k} AS INT) AS k, n_a, n_b,
+       CAST(max(nc) AS BIGINT) AS n_common,
+       CAST(sum(t) + sum(ext) AS BIGINT) AS rbo_micro
+FROM terms, na, nb GROUP BY n_a, n_b"""
+
+
+@q("rbo_token_ranking_halves", _rbo_oracle())
+def rbo_token_ranking_halves(spark, sf_dir):
+    """Rank-biased overlap (checks/drift.py:ranking_overlap_rbo, Webber
+    TOIS'10) between the top-20 token rankings of the doc-parity corpus
+    halves — the RANKING leg of the drift family (sets→Jaccard,
+    distributions→KS/JSD, rankings→RBO): depth-weighted so a swap at
+    rank 1 is the finding and one at rank 19 is noise, which set
+    overlap can't distinguish. Parity halves are exchangeable, so a low
+    reading here is the A/A guard firing. Python-precomputed integer
+    weights (the EWMA device), exact integer depth terms; oracle-exact
+    including both embedded rankings."""
+    from pyspark.sql import Window as W
+
+    from xmlschemavalidator_spark.checks.drift import ranking_overlap_rbo
+    from xmlschemavalidator_spark.textops import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def side(par: int):
+        toks = (
+            docs.where(F.col("doc_id") % 2 == par)
+            .select(F.explode(tokens(F.lower(F.col("text")))).alias("term"))
+            .where(F.length("term") > 0)
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        r = F.row_number().over(W.orderBy(F.col("c").desc(), F.col("term").asc()))
+        return toks.select("term", r.alias("rank")).where(F.col("rank") <= 20)
+
+    return ranking_overlap_rbo(side(0), side(1), "term", "rank", k=20, p_milli=900)
