@@ -57,6 +57,9 @@ def run_profile(
     wq_specs: tuple[str, ...] = (),
     cfd_specs: tuple[str, ...] = (),
     json_specs: tuple[str, ...] = (),
+    cramers_pairs: tuple[str, ...] = (),
+    richness_specs: tuple[str, ...] = (),
+    mh_specs: tuple[str, ...] = (),
 ) -> dict:
     """Profile ``df`` and return the report dict (what main() prints as
     JSON). Each analyzer is opt-in by listing columns; every one is a
@@ -239,6 +242,33 @@ def run_profile(
                 for r in json_path_profile(df, col, paths.split("|")).collect()
             ]
 
+    if cramers_pairs:
+        from xmlschemavalidator_spark.checks.stats import cramers_v
+
+        extras["cramers_v"] = {}
+        for pair in cramers_pairs:
+            x, y = pair.split(":", 1)
+            extras["cramers_v"][pair] = (
+                cramers_v(df, x, y).collect()[0].asDict()
+            )
+    if richness_specs:
+        from xmlschemavalidator_spark.checks.stats import species_richness
+
+        extras["richness"] = {}
+        for spec in richness_specs:
+            key, _, grp = spec.partition(":")
+            out = species_richness(df, key, (grp,) if grp else ())
+            extras["richness"][spec] = [r.asDict() for r in out.collect()]
+    if mh_specs:
+        from xmlschemavalidator_spark.checks.stats import mantel_haenszel
+
+        extras["mantel_haenszel"] = {}
+        for spec in mh_specs:
+            e, o, st = spec.split(":", 2)
+            extras["mantel_haenszel"][spec] = (
+                mantel_haenszel(df, e, o, st).collect()[0].asDict()
+            )
+
     return {
         "snapshot": snapshot,
         "n_columns": len(stats),
@@ -315,6 +345,21 @@ def main(argv: list[str] | None = None) -> int:
         help="col:$.a|$.b specs (comma-separated) for semi-structured "
         "path/type profiling",
     )
+    p.add_argument(
+        "--cramers-pairs", default="",
+        help="x:y categorical pairs (comma-separated) for Cramér's V "
+        "association — bounded [0,1], comparable across pairs",
+    )
+    p.add_argument(
+        "--richness", default="",
+        help="key[:group] specs (comma-separated) for Good–Turing "
+        "coverage + Chao1 richness (crawl/vocabulary saturation)",
+    )
+    p.add_argument(
+        "--mantel-haenszel", default="",
+        help="exposure:outcome:stratum specs (comma-separated, boolean "
+        "e/o) for the confounder-adjusted pooled odds ratio + CMH test",
+    )
     p.add_argument("--synthetic-rows", type=int, default=100_000)
     args = p.parse_args(argv)
 
@@ -354,6 +399,9 @@ def main(argv: list[str] | None = None) -> int:
         wq_specs=_cols(args.weighted_quantiles),
         cfd_specs=_cols(args.cfd),
         json_specs=_cols(args.json_paths),
+        cramers_pairs=_cols(args.cramers_pairs),
+        richness_specs=_cols(args.richness),
+        mh_specs=_cols(args.mantel_haenszel),
     )
     print(json.dumps(report, default=str))
     spark.stop()

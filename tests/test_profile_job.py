@@ -143,3 +143,41 @@ def test_run_profile_wq_cfd_json(spark, tmp_path):
     }
     assert jp[("$.k", "number")] == 40 and jp[("$.k", "string")] == 20
     assert jp[("$.absent", "missing")] == 60
+
+
+def test_run_profile_cramers_richness_mh(spark, tmp_path):
+    run_profile = _job("run_profile")
+    out = str(tmp_path / "out_crm")
+    df = spark.createDataFrame(
+        [
+            (
+                i,
+                ["en", "de"][i % 2],
+                ["web", "news"][i % 2],          # lang fully determines source
+                f"k{i % 7}",
+                i % 3 == 0,                       # exposure
+                (i % 3 == 0) == (i % 6 < 3),      # outcome correlated in strata
+                f"s{i % 2}",
+            )
+            for i in range(80)
+        ],
+        "id bigint, lang string, source string, key string, "
+        "e boolean, o boolean, st string",
+    )
+    rep = run_profile(
+        spark,
+        df,
+        output=out,
+        snapshot="s1",
+        cramers_pairs=("lang:source",),
+        richness_specs=("key", "key:lang"),
+        mh_specs=("e:o:st",),
+    )
+    # lang == source up to renaming -> V = 1
+    assert rep["cramers_v"]["lang:source"]["v"] == 1.0
+    # ungrouped richness: 7 keys all seen many times -> coverage 1
+    [r] = rep["richness"]["key"]
+    assert r["distinct_seen"] == 7 and r["coverage"] == 1.0
+    assert len(rep["richness"]["key:lang"]) == 2
+    mh = rep["mantel_haenszel"]["e:o:st"]
+    assert mh["n_strata"] == 2 and mh["n"] == 80
