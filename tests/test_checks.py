@@ -1731,3 +1731,62 @@ def test_woolf_duckdb_parity(spark):
         woolf_homogeneity_oracle_sql("SELECT st, e, o FROM wf")
     ).fetchall()
     assert tuple(got) == tuple(want)
+
+
+def test_kendalls_w_replay(spark):
+    from xmlschemavalidator_spark.checks.stats import kendalls_w
+
+    # three scorers, identical ordering of 5 items -> W = 1
+    items = list(range(5))
+    rows = []
+    for sc in ("a", "b", "c"):
+        for i in items:
+            rows.append((i, sc, float(i * 10)))
+    df = spark.createDataFrame(rows, "it long, sc string, v double")
+    [r] = kendalls_w(df, "it", "sc", "v").collect()
+    assert (r["n_items"], r["n_scorers"]) == (5, 3)
+    assert r["w"] == 1.0 and r["significant"] is True
+
+    # two perfectly opposed scorers -> W near 0, not significant
+    rows2 = [(i, "a", float(i)) for i in items] + [
+        (i, "b", float(-i)) for i in items
+    ]
+    [r2] = kendalls_w(
+        spark.createDataFrame(rows2, "it long, sc string, v double"),
+        "it", "sc", "v",
+    ).collect()
+    assert r2["w"] < 0.05 and r2["significant"] is False
+
+    # python replay with ties: scorer b ties items 0,1
+    rows3 = [(i, "a", float(i)) for i in items] + [
+        (i, "b", float(max(i, 1))) for i in items
+    ]
+    [r3] = kendalls_w(
+        spark.createDataFrame(rows3, "it long, sc string, v double"),
+        "it", "sc", "v",
+    ).collect()
+    # doubled average ranks: a: 2,4,6,8,10 ; b: items 0,1 tie at rank
+    # (1+2)/2 -> doubled 3, then 6,8,10
+    dr = {0: 2 + 3, 1: 4 + 3, 2: 6 + 6, 3: 8 + 8, 4: 10 + 10}
+    sr2 = sum(x * x for x in dr.values())
+    m, n = 2, 5
+    T = (2 ** 3 - 2)  # one tie block of 2 in scorer b
+    num = 3 * sr2 - 3 * m * m * n * (n + 1) ** 2
+    den = m * m * n * (n * n - 1) - m * T
+    assert r3["w"] == round(num / den, 6)
+
+    # incomplete design: an item missing one scorer is dropped
+    rows4 = rows + [(99, "a", 5.0)]
+    [r4] = kendalls_w(
+        spark.createDataFrame(rows4, "it long, sc string, v double"),
+        "it", "sc", "v",
+    ).collect()
+    assert r4["n_items"] == 5
+
+    # all scorers constant: denominator 0 -> NULL
+    flat = [(i, sc, 1.0) for i in items for sc in ("a", "b")]
+    [rf] = kendalls_w(
+        spark.createDataFrame(flat, "it long, sc string, v double"),
+        "it", "sc", "v",
+    ).collect()
+    assert rf["w"] is None and rf["significant"] is False

@@ -2338,3 +2338,119 @@ SELECT n, n_strata, n_informative_strata,
   round({p}, {round_to}) AS p,
   coalesce({p} < 0.05, FALSE) AS heterogeneous
 FROM m2"""
+
+
+def kendalls_w(
+    df: DataFrame,
+    item_col: str,
+    scorer_col: str,
+    value_col: str,
+    quantum: int = 1_000_000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Kendall's W coefficient of concordance (Kendall & Babington
+    Smith 1939), tie-corrected — do ``m`` scorers agree on the ranking
+    of ``n`` items at all? The multi-judge generalization of the
+    pairwise agreement family (κ: two categorical raters; RBO: two
+    top-k lists; W: m full rankings — "do the quality signals
+    length/lexical/punctuation actually order documents consistently,
+    or is the composite score averaging noise"). ONE row ``(n_items,
+    n_scorers, w, chi2, dof, p, significant)`` with the tie-corrected
+
+        W = (3·ΣR̃ᵢ² − 3m²n(n+1)²) / (m²n(n²−1) − m·ΣTⱼ)
+
+    in DOUBLED-rank space (average ranks are exact integer halves, so
+    the doubled per-item rank sums R̃ᵢ keep every numerator term an
+    exact integer — the mann_whitney discipline; Tⱼ = Σ(t³−t) over
+    scorer j's tie blocks), and the chi²(n−1) = m(n−1)W significance
+    via the Wilson–Hilferty chain (the Woolf device). W = 1 perfect
+    concordance, W → 0 no agreement. Items must be scored by EVERY
+    scorer (the Friedman-design contract): rows for items missing any
+    scorer are dropped and the count reported via n_items.
+
+    Exactness: values quantize to micros; per-scorer average ranks
+    come from the (scorer, value) cell lattice (one window per scorer
+    partition over the bounded lattice); every sum is DECIMAL(38,0) on
+    integers. Degenerate inputs (n < 3, m < 2, or all-tied scorers
+    making the denominator 0) yield NULL w/chi2/p.
+    """
+    d38 = "decimal(38,0)"
+    v = F.col(value_col).cast("double")
+    q = F.floor(v * F.lit(quantum)).cast("bigint")
+    base = df.where(
+        F.col(item_col).isNotNull()
+        & F.col(scorer_col).isNotNull()
+        & v.isNotNull()
+    ).select(
+        F.col(item_col).alias("_it"),
+        F.col(scorer_col).alias("_sc"),
+        q.alias("_v"),
+    )
+    m_count = base.groupBy("_sc").agg(F.count(F.lit(1)).alias("_dummy")).count()
+    # complete-design filter: keep items scored by every scorer
+    complete = (
+        base.groupBy("_it")
+        .agg(F.count_distinct("_sc").alias("_ns"))
+        .where(F.col("_ns") == m_count)
+        .select("_it")
+    )
+    kept = base.join(complete, "_it")
+    cells = kept.groupBy("_sc", "_v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_t")
+    )
+    from pyspark.sql import Window
+
+    wsc = Window.partitionBy("_sc").orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = cells.withColumn(
+        "_cum", F.coalesce(F.sum("_t").over(wsc), F.lit(0)).cast("bigint")
+    ).withColumn("_dr", (2 * F.col("_cum") + F.col("_t") + 1).cast("bigint"))
+    per_item = (
+        kept.join(ranked.select("_sc", "_v", "_dr"), ["_sc", "_v"])
+        .groupBy("_it")
+        .agg(F.sum("_dr").cast(d38).alias("_r2"))
+    )
+    ties = cells.groupBy("_sc").agg(
+        F.sum(
+            (F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t")).cast(d38)
+        ).alias("_tj")
+    )
+    agg = per_item.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum(F.expr("CAST(_r2 * _r2 AS decimal(38,0))")).alias("_sr2"),
+    ).crossJoin(
+        F.broadcast(
+            ties.agg(F.coalesce(F.sum("_tj"), F.lit(0).cast(d38)).alias("_T"))
+        )
+    )
+    m = int(m_count)
+    n = F.col("n_items").cast("double")
+    md = F.lit(float(m))
+    num = F.lit(3.0) * F.col("_sr2").cast("double") - F.lit(3.0) * (
+        md * md
+    ) * n * (n + 1) * (n + 1)
+    den = md * md * n * (n * n - 1) - md * F.col("_T").cast("double")
+    ok = (F.col("n_items") > 2) & (F.lit(m) > 1) & (den > 0)
+    wstat = F.when(ok, num / den)
+    chi2 = md * (n - 1) * wstat
+    dof = (F.col("n_items") - 1).cast("bigint")
+    dofd = dof.cast("double")
+    zwh = F.when(
+        ok,
+        (F.cbrt(chi2 / dofd) - (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * dofd)))
+        / F.sqrt(F.lit(2.0) / (F.lit(9.0) * dofd)),
+    )
+    from xmlschemavalidator_spark.checks.evaluation import _p_two_sided
+
+    half_p = _p_two_sided(zwh) / F.lit(2.0)
+    p = F.when(ok, F.when(zwh >= 0, half_p).otherwise(F.lit(1.0) - half_p))
+    return agg.select(
+        "n_items",
+        F.lit(m).cast("bigint").alias("n_scorers"),
+        F.round(wstat, round_to).alias("w"),
+        F.round(chi2, round_to).alias("chi2"),
+        dof.alias("dof"),
+        F.round(p, round_to).alias("p"),
+        F.coalesce(p < 0.05, F.lit(False)).alias("significant"),
+    )

@@ -17551,3 +17551,116 @@ def rbo_token_ranking_halves(spark, sf_dir):
         return toks.select("term", r.alias("rank")).where(F.col("rank") <= 20)
 
     return ranking_overlap_rbo(side(0), side(1), "term", "rank", k=20, p_milli=900)
+
+
+def _kendalls_w_oracle() -> str:
+    from xmlschemavalidator_spark.checks.evaluation import _p_two_sided_sql
+    from xmlschemavalidator_spark.textops import _WS
+
+    ntok = (
+        "CASE WHEN trim(coalesce(text, '')) = '' THEN 0 ELSE"
+        f" len(string_split_regex(trim(text), '{_WS}+')) END"
+    )
+    npunct = "length(regexp_replace(coalesce(text, ''), '[^.,;:!?]', '', 'g'))"
+    wstat = (
+        "(CASE WHEN n_items > 2 AND den > 0 THEN num / den END)"
+    )
+    chi2 = f"(3.0 * (CAST(n_items AS DOUBLE) - 1) * {wstat})"
+    zwh = (
+        f"(CASE WHEN n_items > 2 AND den > 0 THEN"
+        f" (cbrt({chi2} / CAST(n_items - 1 AS DOUBLE))"
+        f" - (1.0 - 2.0 / (9.0 * CAST(n_items - 1 AS DOUBLE))))"
+        f" / sqrt(2.0 / (9.0 * CAST(n_items - 1 AS DOUBLE))) END)"
+    )
+    half = f"({_p_two_sided_sql(zwh)} / 2.0)"
+    p = (
+        f"(CASE WHEN n_items > 2 AND den > 0 THEN"
+        f" CASE WHEN {zwh} >= 0 THEN {half} ELSE 1.0 - {half} END END)"
+    )
+    return f"""WITH base AS (
+  SELECT doc_id AS it, 'chars' AS sc,
+         CAST(floor(CAST(n_chars AS DOUBLE) * 1000000) AS BIGINT) AS v
+  FROM documents WHERE n_chars IS NOT NULL
+  UNION ALL
+  SELECT doc_id, 'tokens',
+         CAST(floor(CAST({ntok} AS DOUBLE) * 1000000) AS BIGINT)
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 'punct',
+         CAST(floor(CAST({npunct} AS DOUBLE) * 1000000) AS BIGINT)
+  FROM documents),
+comp AS (SELECT it FROM base GROUP BY it HAVING count(DISTINCT sc) = 3),
+kept AS (SELECT base.* FROM base JOIN comp USING (it)),
+cells AS (SELECT sc, v, CAST(count(*) AS BIGINT) AS t
+          FROM kept GROUP BY 1, 2),
+ranked AS (SELECT sc, v, t,
+    CAST(coalesce(sum(t) OVER (PARTITION BY sc ORDER BY v
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        AS cum
+  FROM cells),
+dr AS (SELECT sc, v, 2 * cum + t + 1 AS drr FROM ranked),
+per AS (SELECT it, CAST(sum(drr) AS HUGEINT) AS r2
+        FROM kept JOIN dr USING (sc, v) GROUP BY it),
+tj AS (SELECT CAST(coalesce(sum(CAST(t AS HUGEINT) * t * t - t), 0)
+           AS HUGEINT) AS T
+       FROM cells),
+ag AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+              CAST(sum(r2 * r2) AS HUGEINT) AS sr2
+       FROM per),
+m AS (SELECT n_items, sr2, T,
+    3.0 * CAST(sr2 AS DOUBLE)
+      - 3.0 * 9.0 * CAST(n_items AS DOUBLE)
+        * (CAST(n_items AS DOUBLE) + 1) * (CAST(n_items AS DOUBLE) + 1)
+        AS num,
+    9.0 * CAST(n_items AS DOUBLE)
+      * (CAST(n_items AS DOUBLE) * CAST(n_items AS DOUBLE) - 1)
+      - 3.0 * CAST(T AS DOUBLE) AS den
+  FROM ag, tj)
+SELECT n_items, CAST(3 AS BIGINT) AS n_scorers,
+  round({wstat}, 6) AS w,
+  round({chi2}, 6) AS chi2,
+  CAST(n_items - 1 AS BIGINT) AS dof,
+  round({p}, 6) AS p,
+  coalesce({p} < 0.05, FALSE) AS significant
+FROM m"""
+
+
+@q("kendalls_w_quality_signals", _kendalls_w_oracle())
+def kendalls_w_quality_signals(spark, sf_dir):
+    """Kendall's W concordance (checks/stats.py:kendalls_w) among three
+    document quality scorers — chars, whitespace tokens, punctuation
+    count — the multi-judge question under every composite score: do
+    the signals ORDER documents consistently, or does averaging them
+    launder disagreement (κ answers it for two categorical raters, RBO
+    for two top-k lists, W for m full rankings)? Doubled average ranks
+    keep every numerator integer; chi²(n−1) via Wilson–Hilferty.
+    Oracle-exact."""
+    from xmlschemavalidator_spark.checks.stats import kendalls_w
+    from xmlschemavalidator_spark.textops import token_count
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("n_chars").isNotNull())
+    punct = F.length(
+        F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), r"[^.,;:!?]", "")
+    )
+    long = (
+        docs.select(
+            F.col("doc_id").alias("it"),
+            F.lit("chars").alias("sc"),
+            F.col("n_chars").cast("double").alias("v"),
+        )
+        .unionByName(
+            docs.select(
+                F.col("doc_id").alias("it"),
+                F.lit("tokens").alias("sc"),
+                token_count(F.col("text")).cast("double").alias("v"),
+            )
+        )
+        .unionByName(
+            docs.select(
+                F.col("doc_id").alias("it"),
+                F.lit("punct").alias("sc"),
+                punct.cast("double").alias("v"),
+            )
+        )
+    )
+    return kendalls_w(long, "it", "sc", "v")
