@@ -17664,3 +17664,44 @@ def kendalls_w_quality_signals(spark, sf_dir):
         )
     )
     return kendalls_w(long, "it", "sc", "v")
+
+
+_CLUSTER_ALPHA_ORACLE = f"""WITH comp AS ({_CLUSTER_ORACLE}),
+sizes AS (SELECT cluster, CAST(count(*) AS BIGINT) AS sz
+          FROM comp GROUP BY cluster),
+f AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(coalesce(sum(CAST(floor(ln(CAST(sz AS DOUBLE) / 1.5)
+                  * 1000000) AS BIGINT)), 0) AS BIGINT) AS sum_ln_micro
+      FROM sizes WHERE sz >= 2)
+SELECT n, CAST(2 AS INT) AS kmin, sum_ln_micro,
+  round(CASE WHEN sum_ln_micro > 0 THEN
+      1.0 + CAST(n AS DOUBLE) / (CAST(sum_ln_micro AS DOUBLE) / 1e6)
+    END, 6) AS alpha
+FROM f"""
+
+
+@q("dedup_cluster_size_alpha", _CLUSTER_ALPHA_ORACLE)
+def dedup_cluster_size_alpha(spark, sf_dir):
+    """Power-law exponent of the near-dup CLUSTER-SIZE distribution —
+    the structural sanity check on the dedup graph itself (META
+    composition: near_duplicate_clusters → sizes → weburl.
+    powerlaw_alpha at kmin=2): web duplicate clusters follow a heavy
+    tail; an alpha collapsing toward 1 means a few mega-clusters are
+    forming (threshold too loose / boilerplate leaking through the
+    shingle filter — the input the cap-and-audit knobs are tuned BY),
+    while a very large alpha says dedup found only pairs. The alpha
+    chain reuses the CSN discrete MLE exactly; the cluster replay is
+    the dedup_clusters recursive-CTE oracle. Oracle-exact."""
+    from xmlschemavalidator_spark.dedup import near_duplicate_clusters
+    from xmlschemavalidator_spark.weburl import powerlaw_alpha
+
+    pairs = jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", shingle_n=3, threshold=0.12,
+        max_posting=100000,
+    )
+    sizes = (
+        near_duplicate_clusters(pairs)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return powerlaw_alpha(sizes, "deg", kmin=2)
