@@ -677,3 +677,53 @@ def test_embedding_spectrum_verdicts(spark):
     ).collect()
     assert abs(rc["effective_rank"] - 1.0) < 1e-3
     assert rc["top_share"] > 0.999
+
+
+def test_simplified_silhouette(spark):
+    import math
+
+    from pyspark.sql import Row
+
+    from xmlschemavalidator_spark.similarity import simplified_silhouette
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    vecs = [
+        (1, [1.0, 0.05]),    # clearly cluster 0
+        (2, [0.9, 0.1]),     # cluster 0
+        (3, [0.05, 1.0]),    # clearly cluster 1
+        (4, [0.7, 0.71]),    # border: barely cluster 1
+    ]
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=v) for i, v in vecs],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["cluster"]: r for r in
+           simplified_silhouette(df, "embedding", cents).collect()}
+    assert got[0]["n"] == 2 and got[1]["n"] == 2
+    assert got[-1]["n"] == 4  # the <all> rollup
+
+    # python replay
+    def cos(u, w):
+        du = math.sqrt(sum(x * x for x in u))
+        dw = math.sqrt(sum(x * x for x in w))
+        return sum(a * b for a, b in zip(u, w)) / (du * dw)
+
+    sils = {}
+    for i, v in vecs:
+        cs = [cos(v, c) for c in cents]
+        own = cs.index(max(cs))
+        a = 1 - max(cs)
+        b = 1 - max(c for j, c in enumerate(cs) if j != own)
+        sils.setdefault(own, []).append((b - a) / max(a, b))
+    for cl, vals in sils.items():
+        assert got[cl]["mean_silhouette"] == round(sum(vals) / len(vals), 6)
+    # crisp clusters score high; the border point drags its cluster down
+    assert got[0]["mean_silhouette"] > 0.5
+    assert got[1]["mean_silhouette"] < got[0]["mean_silhouette"]
+    # no negative assignments in this layout
+    assert got[-1]["n_negative"] == 0
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        simplified_silhouette(df, "embedding", [cents[0]])

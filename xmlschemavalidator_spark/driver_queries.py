@@ -17705,3 +17705,25 @@ def dedup_cluster_size_alpha(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("deg"))
     )
     return powerlaw_alpha(sizes, "deg", kmin=2)
+
+
+@q("ivf_silhouette_report", None)
+def ivf_silhouette_report(spark, sf_dir):
+    """Simplified silhouette (similarity.py:simplified_silhouette,
+    Hruschka 2004) of the IVF k-means partition over the embeddings
+    table — the clustering-quality verdict the recall curve doesn't
+    carry (recall grades the INDEX; this grades whether the partition
+    is real structure: mean s near 0 = clusters touching, negative-s
+    mass = assignment borders where nprobe must rise). Rows-only by
+    design: centroids come from the Spark kmeans_fit, and oracle_sql
+    is static — the math is pinned by the bit-exact Python replay in
+    test_similarity.py instead. One narrow k-cosine projection +
+    #clusters-row aggregate."""
+    from xmlschemavalidator_spark.similarity import (
+        kmeans_fit,
+        simplified_silhouette,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, "embedding", k=8, iters=4)
+    return simplified_silhouette(emb, "embedding", cents)

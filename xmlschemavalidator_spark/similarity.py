@@ -1316,3 +1316,76 @@ def embedding_spectrum(
         "dim int, n_skipped bigint, trace double, top_eig double,"
         " top_share double, effective_rank double",
     )
+
+
+def simplified_silhouette(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Simplified silhouette (Hruschka et al. 2004 — the centroid-based
+    silhouette that drops the O(n²) pairwise term): the clustering-
+    quality verdict the IVF/SemDeDup stack runs WITHOUT today (recall
+    curves grade the INDEX; nothing grades whether the k-means
+    partition is real structure or arbitrary slicing). Per point:
+    a = distance to OWN centroid, b = distance to the nearest OTHER
+    centroid, s = (b − a)/max(a, b) ∈ [−1, 1]. One row per cluster
+    plus the '<all>' rollup: ``(cluster, n, mean_silhouette,
+    n_negative)`` — mean s near 0 = clusters touching (SemDeDup's
+    max_cluster refusals will fire arbitrarily), negative-s points sit
+    closer to a neighbor's centroid than their own (assignment-border
+    mass; a high share says nprobe must rise to hold recall).
+
+    Distances are cosine (the engine's similarity metric throughout):
+    d = 1 − cos. ALL k cosines are computed once into a scores array
+    and a/b argmax'd from it (the ivf_assign CSE discipline — never a
+    when-chain re-embedding k subtrees). Engine-specific by design
+    (centroids come from a Spark kmeans_fit — oracle_sql is static and
+    cannot depend on data), so the driver entry is rows-only; the math
+    is pinned by a bit-exact Python replay test instead.
+
+    Scale shape: one narrow projection (k cosines per row) + one
+    #clusters-row aggregate; no joins, no windows, nothing quadratic.
+    """
+    if len(centroids) < 2:
+        raise ValueError("simplified_silhouette: need >= 2 centroids")
+    cents = F.array(*[_lit_vec(c) for c in centroids])
+    scores = F.transform(
+        cents, lambda c: cosine_similarity(F.col(vec_col).cast("array<double>"), c)
+    )
+    staged = df.select(F.col(id_col).alias("_id"), scores.alias("_s"))
+    # let-bind best/own as real columns BEFORE the index filter: HOF
+    # lambda subtrees are not CSE'd, so referencing the argmax inside
+    # the per-element lambda would re-evaluate it k times per row
+    staged = staged.select(
+        "_id",
+        "_s",
+        F.array_max(F.col("_s")).alias("_best"),
+        (F.array_position(F.col("_s"), F.array_max(F.col("_s"))) - 1)
+        .cast("int")
+        .alias("_own"),
+    )
+    # nearest-other cosine: max of the array with the own slot removed
+    second = F.array_max(
+        F.filter(F.col("_s"), lambda x, i: i != F.col("_own"))
+    )
+    a = F.lit(1.0) - F.col("_best")
+    b = F.lit(1.0) - second
+    s = F.when(
+        F.greatest(a, b) > 0, (b - a) / F.greatest(a, b)
+    ).otherwise(F.lit(0.0))
+    per_point = staged.select(F.col("_own").alias("cluster"), s.alias("_sil"))
+    per_cluster = per_point.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.avg("_sil"), round_to).alias("mean_silhouette"),
+        F.sum((F.col("_sil") < 0).cast("long")).cast("bigint").alias("n_negative"),
+    )
+    overall = per_point.agg(
+        F.lit(-1).cast("int").alias("cluster"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.avg("_sil"), round_to).alias("mean_silhouette"),
+        F.sum((F.col("_sil") < 0).cast("long")).cast("bigint").alias("n_negative"),
+    )
+    return per_cluster.unionByName(overall)
