@@ -814,3 +814,40 @@ def test_theta_set_ops_filter_before_exchange(spark):
     p = fmt(theta_set_ops(a, b, p=4))
     assert "Join" not in p
     assert "72057594037927936" in p  # the 2^(60-4) threshold literal is pushed
+
+
+def test_keyness_counts_shuffle_not_text(spark):
+    """Dunning keyness: two token aggregates + one vocab-sized outer
+    join + WINDOW totals over the grouped vocab table (the
+    heavy_hitters device) — the agg+crossJoin formulation recomputed
+    the join branch and re-scanned the corpus (4 scans; caught here).
+    Corpus text appears in exactly the two scans."""
+    from xmlschemavalidator_spark.textops import keyness_terms
+
+    docs = _docs(spark)
+    p = fmt(
+        keyness_terms(
+            docs.where(F.col("lang") == "en"),
+            docs.where(F.col("lang") == "de"),
+            k=5,
+        )
+    )
+    assert n_scans(p) == 2
+    assert "Window" in p  # totals ride the grouped table, not a re-scan
+
+
+def test_ql_dirichlet_single_token_pass(spark):
+    """QL retrieval: the per-doc tf/dl lanes ride ONE token aggregate
+    (no per-term join); the doc spine joins the aggregate once."""
+    from xmlschemavalidator_spark.textops import ql_dirichlet_topk
+
+    docs = _docs(spark)
+    df = ql_dirichlet_topk(docs, "doc_id", ["spark", "hash"], k=5)
+    p = fmt(df)
+    import re as _re
+
+    # scans: the token pass + the doc-id spine (stats collect ran at
+    # build time and is not part of this plan)
+    assert n_scans(p) == 2
+    assert len(_re.findall(r"\(\d+\) SortMergeJoin|\(\d+\) BroadcastHashJoin", p)) <= 1
+    assert "TakeOrderedAndProject" in p

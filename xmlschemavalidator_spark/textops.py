@@ -3354,13 +3354,17 @@ def keyness_terms(
         F.coalesce("n_ta", F.lit(0)).alias("n_ta"),
         F.coalesce("n_tb", F.lit(0)).alias("n_tb"),
     )
-    tot = j.agg(
-        F.sum("n_ta").cast("bigint").alias("_na"),
-        F.sum("n_tb").cast("bigint").alias("_nb"),
+    # corpus totals as single-partition windows over the GROUPED vocab
+    # table (the heavy_hitters device — a separate agg + crossJoin
+    # formulation recomputes the join branch and re-scans the corpus;
+    # caught by test_plans.py::test_keyness_counts_shuffle_not_text)
+    from pyspark.sql import Window as _W
+
+    wall = _W.partitionBy()
+    j = j.withColumn("_na", F.sum("n_ta").over(wall).cast("bigint")).withColumn(
+        "_nb", F.sum("n_tb").over(wall).cast("bigint")
     )
-    m = j.where(F.col("n_ta") + F.col("n_tb") >= min_count).crossJoin(
-        F.broadcast(tot)
-    )
+    m = j.where(F.col("n_ta") + F.col("n_tb") >= min_count)
     a = F.col("n_ta").cast("double")
     b = F.col("n_tb").cast("double")
     na = F.col("_na").cast("double")
