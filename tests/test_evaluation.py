@@ -1095,3 +1095,80 @@ def test_spiegelhalter_duckdb_parity(spark):
         spiegelhalter_oracle_sql("SELECT p, y FROM cal", "p", "y")
     ).fetchall()
     assert tuple(got) == tuple(want)
+
+
+# ---------------------------------------------------------------------------
+# fisher_exact
+# ---------------------------------------------------------------------------
+
+
+def _paired_bools(spark, n11, n10, n01, n00):
+    rows = (
+        [(True, True)] * n11
+        + [(True, False)] * n10
+        + [(False, True)] * n01
+        + [(False, False)] * n00
+    )
+    return spark.createDataFrame(rows, "a boolean, b boolean")
+
+
+def test_fisher_exact_tea_tasting(spark):
+    # Fisher's lady-tasting-tea table: exact two-sided p = 2 * 17/70
+    from xmlschemavalidator_spark.checks.evaluation import fisher_exact
+
+    [r] = fisher_exact(_paired_bools(spark, 3, 1, 1, 3), "a", "b").collect()
+    assert (r["n11"], r["n10"], r["n01"], r["n00"]) == (3, 1, 1, 3)
+    assert abs(r["p"] - 34 / 70) < 2e-6  # micro-ln quantization: ±1e-6
+    assert r["odds_ratio"] == 9.0
+    assert r["significant"] is False
+
+
+def test_fisher_exact_matches_exact_hypergeometric(spark):
+    from math import comb
+
+    from xmlschemavalidator_spark.checks.evaluation import fisher_exact
+
+    def exact_p(n11, n10, n01, n00):
+        r1, r2, c1 = n11 + n10, n01 + n00, n11 + n01
+        n = r1 + r2
+        tot = comb(n, c1)
+        pmf = {
+            k: comb(r1, k) * comb(r2, c1 - k) / tot
+            for k in range(max(0, c1 - r2), min(r1, c1) + 1)
+        }
+        return sum(v for v in pmf.values() if v <= pmf[n11] * (1 + 1e-7))
+
+    for cells in [(1, 9, 11, 3), (0, 5, 5, 0), (7, 0, 0, 9), (12, 5, 3, 14)]:
+        [r] = fisher_exact(_paired_bools(spark, *cells), "a", "b").collect()
+        assert abs(r["p"] - exact_p(*cells)) < 1e-4, (cells, r["p"])
+        # significance is the integer-compared 5% verdict
+        assert r["significant"] == (exact_p(*cells) < 0.05)
+
+
+def test_fisher_exact_degenerate_and_empty(spark):
+    from xmlschemavalidator_spark.checks.evaluation import fisher_exact
+
+    # constant column: k_lo = k_hi, the only table has pmf 1 -> p = 1
+    [r] = fisher_exact(_paired_bools(spark, 0, 0, 3, 5), "a", "b").collect()
+    assert r["p"] == 1.0 and r["significant"] is False
+    assert r["odds_ratio"] is None
+    # empty input: NULL p, never a div/0
+    empty = _paired_bools(spark, 0, 0, 0, 0)
+    [r] = fisher_exact(empty, "a", "b").collect()
+    assert r["n"] == 0 and r["p"] is None and r["significant"] is False
+
+
+def test_fisher_exact_max_n_gate_and_nulls(spark):
+    from pyspark.sql import functions as F
+
+    from xmlschemavalidator_spark.checks.evaluation import fisher_exact
+
+    df = _paired_bools(spark, 3, 1, 1, 3).union(
+        _paired_bools(spark, 0, 0, 0, 1).select(
+            F.lit(None).cast("boolean").alias("a"), F.col("b")
+        )
+    )
+    [r] = fisher_exact(df, "a", "b").collect()
+    assert r["n"] == 8  # NULL row excluded
+    [r] = fisher_exact(df, "a", "b", max_n=5).collect()
+    assert r["p"] is None and r["significant"] is False

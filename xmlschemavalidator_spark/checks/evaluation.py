@@ -2267,3 +2267,249 @@ SELECT n,
       {round_to}) AS p,
   coalesce(abs({z}) * 1000 > {z_crit_milli}, FALSE) AS miscalibrated
 FROM agg"""
+
+
+def fisher_exact(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    max_n: int = 1_000_000,
+    alpha_trillionths: int = 50_000_000_000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Fisher's exact test (Fisher 1935) on the 2×2 table of two boolean
+    columns over the SAME rows — the small-cell companion to
+    ``chi_squared_drift``/``mcnemar_test``: when any expected cell is
+    tiny the chi² approximation is garbage, and the honest answer is the
+    conditional hypergeometric tail. ONE row ``(n, n11, n10, n01, n00,
+    odds_ratio, p, significant)`` with the two-sided p by the pmf rule
+    (sum P(k) over every table at least as extreme, i.e. with
+    pmf(k) <= pmf(observed), SciPy's convention) at fixed margins.
+
+    Exactness across engines: ln pmf is carried as INTEGER micro-ln —
+    ln pmf(k_lo) is a sum of floor-quantized ln terms (the shared
+    libm/floor contract) over the four margin factorials, and each step
+    k→k+1 adds the exact recurrence Δ = fl(r1−k) + fl(c1−k) − fl(k+1) −
+    fl(r2−c1+k+1); BOTH engines walk the SAME recurrence (Spark: one
+    ``aggregate`` over ``sequence(k_lo+1, k_hi)`` appending to an array
+    accumulator — one lambda, no k× expression expansion; DuckDB: a
+    recursive CTE over k), so the quantization drift is bit-identical.
+    The tail test compares integers (``pm(k) <= pm(obs) + 1`` — one
+    micro-ln of tolerance, the integer form of SciPy's 1+1e-7 relative
+    gate), and p sums trillionth-quantized ``exp(pm/1e6)`` terms in
+    BIGINT — order-free. ``significant`` is an INTEGER compare of that
+    sum against ``alpha_trillionths`` (5e10 = 0.05).
+
+    Scale shape: one scan collapses to four cells (partial-aggregatable
+    sums); everything after is a single-row expression whose cost is
+    O(n + k_range) thanks to the recurrence — but the array accumulator
+    holds k_range entries, so ``max_n`` (default 1e6) gates the walk: a
+    bigger table gets NULL p (use chi² there — at that n the
+    approximation is exact for all practical purposes and Fisher is the
+    wrong tool anyway). Degenerate margins (a constant column) pin
+    k_lo = k_hi and read p = 1. n = 0 yields NULL p, never a div/0.
+
+    Reference scope note: eliassona/xmlschemavalidator has no dataset
+    layer (core.clj:263-285); north-rule analyzer completing the
+    contingency battery (chi² drift / McNemar / CMH / Woolf).
+    """
+    a = F.col(a_col).cast("boolean")
+    b = F.col(b_col).cast("boolean")
+    base = df.where(a.isNotNull() & b.isNotNull()).select(
+        a.alias("_a"), b.alias("_b")
+    )
+    cells = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("_a") & F.col("_b")).cast("long")).cast("bigint").alias("n11"),
+        F.sum((F.col("_a") & ~F.col("_b")).cast("long")).cast("bigint").alias("n10"),
+        F.sum((~F.col("_a") & F.col("_b")).cast("long")).cast("bigint").alias("n01"),
+        F.sum((~F.col("_a") & ~F.col("_b")).cast("long")).cast("bigint").alias("n00"),
+    )
+
+    def fl(x):  # floor-quantized micro-ln of a positive integer column
+        return F.floor(F.log(x.cast("double")) * F.lit(1_000_000)).cast("bigint")
+
+    def lfact(m):  # Σ_{i=2..m} fl(i): integer micro-ln of m!
+        return F.when(
+            m >= 2,
+            F.aggregate(
+                F.sequence(F.lit(2).cast("bigint"), m.cast("bigint")),
+                F.lit(0).cast("bigint"),
+                lambda acc, i: acc + fl(i),
+            ),
+        ).otherwise(F.lit(0).cast("bigint"))
+
+    m = cells.select(
+        "*",
+        (F.col("n11") + F.col("n10")).alias("_r1"),
+        (F.col("n01") + F.col("n00")).alias("_r2"),
+        (F.col("n11") + F.col("n01")).alias("_c1"),
+        (F.col("n10") + F.col("n00")).alias("_c2"),
+    ).select(
+        "*",
+        F.greatest(F.lit(0).cast("bigint"), F.col("_c1") - F.col("_r2")).alias("_klo"),
+        F.least(F.col("_r1"), F.col("_c1")).alias("_khi"),
+    )
+    klo, khi = F.col("_klo"), F.col("_khi")
+    r1, r2, c1 = F.col("_r1"), F.col("_r2"), F.col("_c1")
+    # LET-bind ln pmf(k_lo) as a named column: it feeds both walks below,
+    # and each reference costs O(n) micro-ln factorial sums if re-inlined
+    m = m.select(
+        "*",
+        (
+            lfact(r1)
+            + lfact(r2)
+            + lfact(c1)
+            + lfact(F.col("_c2"))
+            - lfact(F.col("n"))
+            - lfact(klo)
+            - lfact(r1 - klo)
+            - lfact(c1 - klo)
+            - lfact(r2 - c1 + klo)
+        ).alias("_pm_lo"),
+    )
+    pm_lo = F.col("_pm_lo")
+    def step(pm, k):  # micro-ln pmf recurrence: k-1 → k
+        return pm + fl(r1 - k + 1) + fl(c1 - k + 1) - fl(k) - fl(r2 - c1 + k)
+
+    def term(pm):  # trillionth-quantized tail term for one table
+        return F.round(
+            F.exp(pm.cast("double") / F.lit(1_000_000.0))
+            * F.lit(1_000_000_000_000.0)
+        ).cast("bigint")
+
+    # two scalar O(k)-state walks (an array accumulator would be O(k²)
+    # in copies): first pin ln pmf at the OBSERVED k, then re-walk the
+    # whole range summing tail terms — both one HOF lambda, no k×
+    # expression expansion (the CLAUDE.md HOF-CSE rule).
+    walk = m.select(
+        "*",
+        F.when(
+            (F.col("n") > 0) & (F.col("n") <= max_n),
+            F.when(
+                F.col("n11") > klo,
+                F.aggregate(
+                    F.sequence(klo + 1, F.col("n11")),
+                    pm_lo,
+                    lambda acc, k: step(acc, k),
+                ),
+            ).otherwise(pm_lo),
+        ).alias("_pm_obs"),
+    )
+    scored = walk.select(
+        "*",
+        F.when(
+            F.col("_pm_obs").isNotNull(),
+            F.when(
+                khi > klo,
+                F.aggregate(
+                    F.sequence(klo + 1, khi),
+                    F.struct(
+                        pm_lo.alias("pm"),
+                        F.when(pm_lo <= F.col("_pm_obs") + 1, term(pm_lo))
+                        .otherwise(F.lit(0).cast("bigint"))
+                        .alias("s"),
+                    ),
+                    lambda acc, k: F.struct(
+                        step(acc["pm"], k).alias("pm"),
+                        (
+                            acc["s"]
+                            + F.when(
+                                step(acc["pm"], k) <= F.col("_pm_obs") + 1,
+                                term(step(acc["pm"], k)),
+                            ).otherwise(F.lit(0).cast("bigint"))
+                        ).alias("s"),
+                    ),
+                    lambda acc: acc["s"],
+                ),
+            ).otherwise(
+                F.when(pm_lo <= F.col("_pm_obs") + 1, term(pm_lo)).otherwise(
+                    F.lit(0).cast("bigint")
+                )
+            ),
+        ).alias("_ptr"),
+    )
+    orat = F.when(
+        (F.col("n10") * F.col("n01")) > 0,
+        (F.col("n11") * F.col("n00")).cast("double")
+        / (F.col("n10") * F.col("n01")).cast("double"),
+    )
+    return scored.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round(orat, round_to).alias("odds_ratio"),
+        # explicit NULL gate: least() SKIPS nulls, so an ungated
+        # least(NULL, 1.0) would read 1.0 instead of NULL
+        F.round(
+            F.when(
+                F.col("_ptr").isNotNull(),
+                F.least(F.col("_ptr").cast("double") / F.lit(1e12), F.lit(1.0)),
+            ),
+            round_to,
+        ).alias("p"),
+        F.coalesce(
+            F.col("_ptr") < F.lit(alpha_trillionths), F.lit(False)
+        ).alias("significant"),
+    )
+
+
+def fisher_oracle_sql(
+    from_sql: str,
+    max_n: int = 1_000_000,
+    alpha_trillionths: int = 50_000_000_000,
+    round_to: int = 6,
+) -> str:
+    """DuckDB replay of :func:`fisher_exact`; ``from_sql`` must yield
+    boolean columns ``a`` and ``b``. Same micro-ln recurrence (here a
+    recursive CTE over k), same trillionth-quantized tail sum."""
+
+    def fl(x: str) -> str:
+        return f"CAST(floor(ln(CAST({x} AS DOUBLE)) * 1000000) AS BIGINT)"
+
+    def lfact(mm: str) -> str:
+        return (
+            f"CAST(coalesce(list_sum(list_transform(CASE WHEN {mm} >= 2 THEN"
+            f" generate_series(CAST(2 AS BIGINT), CAST({mm} AS BIGINT))"
+            f" ELSE [] END, i -> {fl('i')})), 0) AS BIGINT)"
+        )
+
+    pm_lo = (
+        f"{lfact('r1')} + {lfact('r2')} + {lfact('c1')} + {lfact('c2')}"
+        f" - {lfact('n')} - {lfact('klo')} - {lfact('r1 - klo')}"
+        f" - {lfact('c1 - klo')} - {lfact('r2 - c1 + klo')}"
+    )
+    return f"""WITH RECURSIVE src AS ({from_sql}),
+cells AS (SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(coalesce(sum(CASE WHEN a AND b THEN 1 ELSE 0 END), 0) AS BIGINT) AS n11,
+    CAST(coalesce(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END), 0) AS BIGINT) AS n10,
+    CAST(coalesce(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END), 0) AS BIGINT) AS n01,
+    CAST(coalesce(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END), 0) AS BIGINT) AS n00
+  FROM src WHERE a IS NOT NULL AND b IS NOT NULL),
+m AS (SELECT *, n11 + n10 AS r1, n01 + n00 AS r2,
+        n11 + n01 AS c1, n10 + n00 AS c2,
+        greatest(CAST(0 AS BIGINT), (n11 + n01) - (n01 + n00)) AS klo,
+        least(n11 + n10, n11 + n01) AS khi
+      FROM cells),
+walk AS (
+  SELECT klo AS k, {pm_lo} AS pm FROM m
+    WHERE n > 0 AND n <= {max_n}
+  UNION ALL
+  SELECT w.k + 1, w.pm + {fl('m.r1 - w.k')} + {fl('m.c1 - w.k')}
+      - {fl('w.k + 1')} - {fl('m.r2 - m.c1 + w.k + 1')}
+    FROM walk w, m WHERE w.k < m.khi),
+obs AS (SELECT w.pm AS pm_obs FROM walk w, m WHERE w.k = m.n11),
+tail AS (SELECT CAST(coalesce(sum(CASE WHEN w.pm <= o.pm_obs + 1 THEN
+      CAST(round(exp(CAST(w.pm AS DOUBLE) / 1000000.0) * 1000000000000.0)
+           AS BIGINT) ELSE 0 END), 0) AS BIGINT) AS ptr,
+    CAST(count(*) AS BIGINT) AS n_walk
+  FROM walk w, obs o)
+SELECT n, n11, n10, n01, n00,
+  round(CASE WHEN n10 * n01 > 0 THEN CAST(n11 * n00 AS DOUBLE)
+        / CAST(n10 * n01 AS DOUBLE) END, {round_to}) AS odds_ratio,
+  round(CASE WHEN n_walk > 0 THEN
+        least(CAST(ptr AS DOUBLE) / 1e12, 1.0) END, {round_to}) AS p,
+  coalesce(n_walk > 0 AND ptr < {alpha_trillionths}, FALSE) AS significant
+FROM m, tail"""

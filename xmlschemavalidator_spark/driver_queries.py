@@ -17727,3 +17727,38 @@ def ivf_silhouette_report(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     cents = kmeans_fit(emb, "embedding", k=8, iters=4)
     return simplified_silhouette(emb, "embedding", cents)
+
+
+# ===========================================================================
+# r4 session 11: Fisher exact / contingency completion
+# ===========================================================================
+
+def _fisher_oracle() -> str:
+    from xmlschemavalidator_spark.checks.evaluation import fisher_oracle_sql
+
+    return fisher_oracle_sql(
+        "SELECT lang = 'sv' AS a, n_chars > 400 AS b"
+        " FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL"
+    )
+
+
+@q("rare_cell_fisher_exact", _fisher_oracle())
+def rare_cell_fisher_exact(spark, sf_dir):
+    """Fisher's exact test (checks/evaluation.py:fisher_exact, Fisher
+    1935) on the 2×2 of (lang='sv') × (n_chars>400) — both minority
+    flags, so the expected n11 cell is single-digit at sf0.01 and the
+    chi² approximation is exactly the thing NOT to trust; the
+    conditional hypergeometric tail is. Four partial-agg integer cells,
+    then an O(n + k_range) micro-ln recurrence walk evaluated on ONE
+    row; oracle replays the identical recurrence as a recursive CTE —
+    p and the integer-compared significance verdict are bit-exact."""
+    from xmlschemavalidator_spark.checks.evaluation import fisher_exact
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("lang").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    flags = docs.select(
+        (F.col("lang") == "sv").alias("a"),
+        (F.col("n_chars") > 400).alias("b"),
+    )
+    return fisher_exact(flags, "a", "b")
