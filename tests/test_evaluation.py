@@ -1172,3 +1172,60 @@ def test_fisher_exact_max_n_gate_and_nulls(spark):
     assert r["n"] == 8  # NULL row excluded
     [r] = fisher_exact(df, "a", "b", max_n=5).collect()
     assert r["p"] is None and r["significant"] is False
+
+
+# ---------------------------------------------------------------------------
+# isotonic_calibration
+# ---------------------------------------------------------------------------
+
+
+def test_isotonic_pools_violating_bins(spark):
+    # rates per bin: .1 .3 .2 .6 with equal weight 10 -> PAVA pools the
+    # middle violation to (3+2)/20 = .25; ends untouched
+    from xmlschemavalidator_spark.checks.evaluation import isotonic_calibration
+
+    rows = []
+    for b, pos in [(0, 1), (1, 3), (2, 2), (3, 6)]:
+        p = (b + 0.5) / 4
+        rows += [(p, True)] * pos + [(p, False)] * (10 - pos)
+    df = spark.createDataFrame(rows, "prob double, label boolean")
+    out = isotonic_calibration(df, "prob", "label", n_bins=4).collect()
+    assert [r["raw_rate"] for r in out] == [0.1, 0.3, 0.2, 0.6]
+    assert [r["calibrated"] for r in out] == [0.1, 0.25, 0.25, 0.6]
+
+
+def test_isotonic_monotone_and_weighted(spark):
+    # weights matter: a heavy low bin drags the pooled value toward it
+    from xmlschemavalidator_spark.checks.evaluation import isotonic_calibration
+
+    rows = [(0.1, True)] * 5 + [(0.1, False)] * 5  # bin0: .5, w=10
+    rows += [(0.9, False)] * 90  # bin3: 0.0, w=90
+    df = spark.createDataFrame(rows, "prob double, label boolean")
+    out = isotonic_calibration(df, "prob", "label", n_bins=4).collect()
+    # pooled mean = 5/100 = .05 on both bins
+    assert [r["calibrated"] for r in out] == [0.05, 0.05]
+    vals = [r["calibrated"] for r in out]
+    assert vals == sorted(vals)
+
+
+def test_isotonic_apply_and_edges(spark):
+    from pyspark.sql import functions as F
+
+    from xmlschemavalidator_spark.checks.evaluation import (
+        isotonic_apply,
+        isotonic_calibration,
+    )
+
+    rows = [(0.05, False), (0.2, False), (0.6, True), (0.95, True), (1.0, True)]
+    df = spark.createDataFrame(rows, "prob double, label boolean")
+    cmap = isotonic_calibration(df, "prob", "label", n_bins=4)
+    # p=1.0 clamps into the top bin, never an out-of-range bin
+    assert max(r["bin"] for r in cmap.collect()) == 3
+    served = isotonic_apply(df, "prob", cmap, n_bins=4)
+    assert served.where(F.col("calibrated").isNull()).count() == 0
+    # monotone in prob
+    got = [r["calibrated"] for r in served.orderBy("prob").collect()]
+    assert got == sorted(got)
+    # empty input -> empty map, no crash
+    empty = df.where(F.lit(False))
+    assert isotonic_calibration(empty, "prob", "label").count() == 0

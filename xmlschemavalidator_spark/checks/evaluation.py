@@ -2513,3 +2513,193 @@ SELECT n, n11, n10, n01, n00,
         least(CAST(ptr AS DOUBLE) / 1e12, 1.0) END, {round_to}) AS p,
   coalesce(n_walk > 0 AND ptr < {alpha_trillionths}, FALSE) AS significant
 FROM m, tail"""
+
+
+def isotonic_calibration(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    n_bins: int = 64,
+    round_to: int = 6,
+) -> DataFrame:
+    """Isotonic calibration map (PAVA — Ayer et al. 1955; the binned
+    recalibration trainer of Zadrozny & Elkan KDD'02): fits the
+    monotone step function closest (weighted squared loss) to the
+    per-bin empirical accuracy of a probability score, which is what
+    ``calibration_report``/``ece`` MEASURE but cannot FIX. Returns the
+    ≤``n_bins``-row map ``(bin, n, pos, raw_rate, calibrated)`` —
+    monotone in ``bin`` by construction; join rows to it on their bin
+    to serve calibrated probabilities (:func:`isotonic_apply`).
+
+    Machinery: instead of the sequential pool-adjacent-violators loop
+    (stateful, engine-hostile), both engines evaluate the MINIMAX
+    characterization of isotonic regression (Robertson, Wright &
+    Dykstra 1988, §1.2):
+
+        iso(i) = max_{j<=i} min_{k>=i} mean(pos over bins j..k)
+
+    where each interval mean comes from integer prefix sums,
+    ``(P_k − P_{j-1}) / (N_k − N_{j-1})`` — ONE IEEE division (exactly
+    rounded, hence bit-identical across engines) rounded 12dp before
+    the min/max lattice walk. The pair/triple lattice is O(n_bins³)
+    rows — 262k at the default 64 bins, INDEPENDENT of corpus size.
+
+    Scale shape: one partial-aggregatable groupBy on the bin id
+    (corpus → ≤n_bins rows), then windows and self-joins over that
+    bounded table only. Probabilities micro-quantize before binning
+    (the calibration_report contract: ties and bin membership are
+    integer facts shared by both engines); out-of-[0,1] clamps; NULL
+    prob/label rows are excluded. Empty input → empty map.
+
+    Reference scope note: eliassona/xmlschemavalidator has no dataset
+    layer (core.clj:263-285); north-rule addition completing the
+    calibration family (report → ECE/MCE verdict → THIS fix).
+    """
+    if n_bins < 1:
+        raise ValueError(f"isotonic_calibration: n_bins must be >= 1, got {n_bins}")
+    lab = F.col(label_col).cast("boolean")
+    p_micro = F.least(
+        F.greatest(
+            F.floor(F.col(prob_col).cast("double") * F.lit(1_000_000)).cast(
+                "bigint"
+            ),
+            F.lit(0).cast("bigint"),
+        ),
+        F.lit(1_000_000).cast("bigint"),
+    )
+    base = df.where(F.col(prob_col).isNotNull() & lab.isNotNull()).select(
+        F.least(
+            F.floor(p_micro * n_bins / F.lit(1_000_000)).cast("bigint"),
+            F.lit(n_bins - 1).cast("bigint"),
+        ).alias("bin"),
+        lab.cast("long").alias("_y"),
+    )
+    g = base.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("_y").cast("bigint").alias("pos"),
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    pre = g.select(
+        "bin",
+        "n",
+        "pos",
+        F.sum("n").over(w).cast("bigint").alias("_cn"),
+        F.sum("pos").over(w).cast("bigint").alias("_cp"),
+    )
+    jside = pre.select(
+        F.col("bin").alias("_bj"),
+        (F.col("_cp") - F.col("pos")).alias("_pj0"),  # P_{j-1}
+        (F.col("_cn") - F.col("n")).alias("_nj0"),  # N_{j-1}
+    )
+    kside = pre.select(
+        F.col("bin").alias("_bk"),
+        F.col("_cp").alias("_pk"),
+        F.col("_cn").alias("_nk"),
+    )
+    pairs = F.broadcast(jside).join(
+        F.broadcast(kside), F.col("_bj") <= F.col("_bk")
+    ).select(
+        "_bj",
+        "_bk",
+        F.round(
+            (F.col("_pk") - F.col("_pj0")).cast("double")
+            / (F.col("_nk") - F.col("_nj0")).cast("double"),
+            12,
+        ).alias("_mean"),
+    )
+    bins_i = pre.select(F.col("bin").alias("_bi"))
+    inner = (
+        F.broadcast(bins_i)
+        .join(
+            F.broadcast(pairs),
+            (F.col("_bj") <= F.col("_bi")) & (F.col("_bi") <= F.col("_bk")),
+        )
+        .groupBy("_bi", "_bj")
+        .agg(F.min("_mean").alias("_mmin"))
+        .groupBy("_bi")
+        .agg(F.max("_mmin").alias("_iso"))
+    )
+    return (
+        pre.join(F.broadcast(inner), pre["bin"] == inner["_bi"])
+        .select(
+            "bin",
+            "n",
+            "pos",
+            F.round(
+                F.col("pos").cast("double") / F.col("n").cast("double"), round_to
+            ).alias("raw_rate"),
+            F.round(F.col("_iso"), round_to).alias("calibrated"),
+        )
+        .orderBy("bin")
+    )
+
+
+def isotonic_apply(
+    df: DataFrame,
+    prob_col: str,
+    calibration_map: DataFrame,
+    n_bins: int = 64,
+    out_col: str = "calibrated",
+) -> DataFrame:
+    """Serve an :func:`isotonic_calibration` map: adds ``out_col`` by
+    broadcast-joining each row's bin to the ≤n_bins-row map (bins the
+    map never saw — possible when serving a different split — read
+    NULL; handle upstream). Narrow: one projection + one broadcast
+    join, no shuffle of the corpus."""
+    p_micro = F.least(
+        F.greatest(
+            F.floor(F.col(prob_col).cast("double") * F.lit(1_000_000)).cast(
+                "bigint"
+            ),
+            F.lit(0).cast("bigint"),
+        ),
+        F.lit(1_000_000).cast("bigint"),
+    )
+    binned = df.withColumn(
+        "_apply_bin",
+        F.least(
+            F.floor(p_micro * n_bins / F.lit(1_000_000)).cast("bigint"),
+            F.lit(n_bins - 1).cast("bigint"),
+        ),
+    )
+    cmap = calibration_map.select(
+        F.col("bin").alias("_apply_bin"), F.col("calibrated").alias(out_col)
+    )
+    return binned.join(F.broadcast(cmap), "_apply_bin", "left").drop("_apply_bin")
+
+
+def isotonic_oracle_sql(
+    from_sql: str,
+    n_bins: int = 64,
+    round_to: int = 6,
+) -> str:
+    """DuckDB replay of :func:`isotonic_calibration`; ``from_sql`` must
+    yield ``prob`` (double) and ``label`` (boolean-castable). Same
+    micro-quantized binning, same 12dp interval means, same minimax
+    lattice."""
+    return f"""WITH src AS ({from_sql}),
+b AS (SELECT least(CAST(floor(least(greatest(CAST(floor(
+          CAST(prob AS DOUBLE) * 1000000) AS BIGINT), 0), 1000000)
+          * {n_bins} / 1000000) AS BIGINT), {n_bins - 1}) AS bin,
+        CAST(CAST(label AS BOOLEAN) AS BIGINT) AS y
+      FROM src WHERE prob IS NOT NULL AND label IS NOT NULL),
+g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        CAST(coalesce(sum(y), 0) AS BIGINT) AS pos
+      FROM b GROUP BY bin),
+pre AS (SELECT bin, n, pos,
+        CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+        CAST(sum(pos) OVER (ORDER BY bin) AS BIGINT) AS cp
+      FROM g),
+pairs AS (SELECT j.bin AS bj, k.bin AS bk,
+        round(CAST(k.cp - (j.cp - j.pos) AS DOUBLE)
+              / CAST(k.cn - (j.cn - j.n) AS DOUBLE), 12) AS m
+      FROM pre j, pre k WHERE j.bin <= k.bin),
+inner_min AS (SELECT i.bin AS bi, p.bj, min(p.m) AS mmin
+      FROM pre i, pairs p WHERE p.bj <= i.bin AND i.bin <= p.bk
+      GROUP BY i.bin, p.bj),
+iso AS (SELECT bi, max(mmin) AS v FROM inner_min GROUP BY bi)
+SELECT pre.bin, pre.n, pre.pos,
+  round(CAST(pre.pos AS DOUBLE) / CAST(pre.n AS DOUBLE), {round_to}) AS raw_rate,
+  round(iso.v, {round_to}) AS calibrated
+FROM pre JOIN iso ON pre.bin = iso.bi
+ORDER BY pre.bin"""

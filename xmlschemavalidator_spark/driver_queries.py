@@ -17762,3 +17762,39 @@ def rare_cell_fisher_exact(spark, sf_dir):
         (F.col("n_chars") > 400).alias("b"),
     )
     return fisher_exact(flags, "a", "b")
+
+
+def _iso_oracle() -> str:
+    from xmlschemavalidator_spark.checks.evaluation import isotonic_oracle_sql
+
+    return isotonic_oracle_sql(
+        f"SELECT {_CAL_PROB_DUCK} AS prob, {_CAL_LABEL_DUCK} AS label"
+        " FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL",
+        n_bins=16,
+    )
+
+
+@q("classifier_isotonic_map", _iso_oracle())
+def classifier_isotonic_map(spark, sf_dir):
+    """Isotonic calibration map (checks/evaluation.py:
+    isotonic_calibration — PAVA via the Robertson-Wright-Dykstra
+    minimax characterization, both engines walking the same O(bins³)
+    lattice over integer prefix sums): the FIX for what
+    classifier_calibration_ece measures. Same length-derived
+    pseudo-probability vs 'spark'-token label as the report/ECE
+    queries, 16 bins — the label's base rate is flat in prob, so the
+    fitted map is near-constant while raw_rate wobbles: exactly the
+    shape PAVA pools. One corpus groupBy to ≤16 rows; everything after
+    is bounded self-joins. Oracle-exact including the pooled plateaus."""
+    from xmlschemavalidator_spark.checks.evaluation import isotonic_calibration
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    scored = docs.select(
+        ((F.col("n_chars") % 500).cast("double") / F.lit(500)).alias("prob"),
+        (
+            F.locate(" spark ", F.concat(F.lit(" "), F.col("text"), F.lit(" "))) > 0
+        ).alias("label"),
+    )
+    return isotonic_calibration(scored, "prob", "label", n_bins=16)
