@@ -1229,3 +1229,56 @@ def test_isotonic_apply_and_edges(spark):
     # empty input -> empty map, no crash
     empty = df.where(F.lit(False))
     assert isotonic_calibration(empty, "prob", "label").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# conformal_gate
+# ---------------------------------------------------------------------------
+
+
+def test_conformal_gate_rank_and_coverage(spark):
+    import hashlib
+    import math
+
+    from xmlschemavalidator_spark.checks.evaluation import conformal_gate
+
+    rows = [(i, math.sin(i * 0.7) * 3 + i % 11) for i in range(800)]
+    df = spark.createDataFrame(rows, "id long, score double")
+    [r] = conformal_gate(df, "score", "id", alpha_milli=200).collect()
+    # python replay: same md5 split, same quantized rank selection
+    thr_key = format(int(0.5 * (1 << 128)), "032x")
+
+    def key(i):
+        return hashlib.md5(f"conformal:{i}".encode()).hexdigest()
+
+    cal = sorted(
+        math.floor(s * 1e6) for i, s in rows if key(i) < thr_key
+    )
+    k = min(math.ceil((len(cal) + 1) * 0.8), len(cal))
+    t = cal[k - 1]
+    ev = [math.floor(s * 1e6) for i, s in rows if key(i) >= thr_key]
+    cov = sum(1 for q in ev if q <= t) / len(ev)
+    assert r["n_calib"] == len(cal) and r["n_eval"] == len(ev)
+    assert r["k_rank"] == k and r["threshold"] == round(t / 1e6, 6)
+    assert r["coverage_eval"] == round(cov, 6)
+    assert r["covered"] == (cov >= 0.8)
+
+
+def test_conformal_gate_edges(spark):
+    import pytest
+
+    from xmlschemavalidator_spark.checks.evaluation import conformal_gate
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(50)], "id long, score double"
+    )
+    # empty calibration half: one row, NULL threshold, covered=False
+    [r] = conformal_gate(df, "score", "id", calib_fraction=0.0).collect()
+    assert r["n_calib"] == 0 and r["threshold"] is None
+    assert r["covered"] is False
+    # empty eval half: threshold still set, coverage NULL
+    [r] = conformal_gate(df, "score", "id", calib_fraction=1.0).collect()
+    assert r["n_calib"] == 50 and r["threshold"] is not None
+    assert r["coverage_eval"] is None and r["covered"] is False
+    with pytest.raises(ValueError):
+        conformal_gate(df, "score", "id", alpha_milli=0)

@@ -2703,3 +2703,183 @@ SELECT pre.bin, pre.n, pre.pos,
   round(iso.v, {round_to}) AS calibrated
 FROM pre JOIN iso ON pre.bin = iso.bi
 ORDER BY pre.bin"""
+
+
+def conformal_gate(
+    df: DataFrame,
+    score_col: str,
+    id_col: str,
+    alpha_milli: int = 100,
+    calib_fraction: float = 0.5,
+    salt: str = "conformal",
+    quantum: int = 1_000_000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Split conformal prediction gate (Vovk et al. 2005; Papadopoulos
+    et al. ECML'02; survey: Angelopoulos & Bates 2023) over a
+    NONCONFORMITY score (higher = stranger): splits the corpus into a
+    calibration and an evaluation half by the deterministic md5 key,
+    sets the threshold at the ⌈(n_cal+1)(1−α)⌉-th smallest calibration
+    score, and audits the distribution-free marginal guarantee
+    P[score ≤ threshold] ≥ 1−α on the held-out half. ONE row
+    ``(n_calib, n_eval, k_rank, threshold, coverage_eval, target,
+    covered)`` — the acceptance gate for "flag every doc whose
+    anomaly/perplexity/OOD score exceeds what 1−α of exchangeable data
+    reaches", with a finite-sample guarantee no quantile-of-the-
+    training-set heuristic carries.
+
+    Exactness: scores quantize to integer ``quantum``-ths (the roc_auc
+    distinct-grid contract), the rank selection is a cumulative count
+    over the bounded quantized-score table (smallest q with
+    cum ≥ k_rank — exact, tie-deterministic), and coverage is an exact
+    integer rational. ``covered`` compares integer milli-units.
+    ``target`` = 1 − α rounded; NULL threshold/coverage when the
+    calibration half is empty.
+
+    Scale shape: one narrow md5 filter per half (pushes into the scan),
+    one partial-aggregatable groupBy on the quantized score, a window
+    over the DISTINCT-score table only, and one broadcast of the
+    single-row threshold into the eval-side aggregate. Nothing
+    corpus-sized sits in one task.
+
+    Reference scope note: eliassona/xmlschemavalidator has no dataset
+    layer (core.clj:263-285); north-rule addition — the
+    uncertainty-quantification sibling of the calibration family.
+    """
+    if not 0 < alpha_milli < 1000:
+        raise ValueError(
+            f"conformal_gate: alpha_milli must be in (0, 1000), got {alpha_milli}"
+        )
+    from xmlschemavalidator_spark.sampling import _sample_key, md5_threshold
+
+    key = _sample_key(F.col(id_col), salt)
+    thr = F.lit(md5_threshold(calib_fraction))
+    base = df.where(
+        F.col(score_col).isNotNull() & F.col(id_col).isNotNull()
+    ).select(
+        (key < thr).alias("_cal"),
+        F.floor(F.col(score_col).cast("double") * F.lit(quantum))
+        .cast("bigint")
+        .alias("_q"),
+    )
+    cal = base.where(F.col("_cal"))
+    ev = base.where(~F.col("_cal"))
+    g = cal.groupBy("_q").agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+    w = Window.orderBy("_q").rowsBetween(Window.unboundedPreceding, 0)
+    cum = g.select(
+        "_q", F.sum("_c").over(w).cast("bigint").alias("_cum")
+    )
+    # k = ceil((n+1)(1-alpha)) in exact integer milli-arithmetic,
+    # clamped to n (alpha smaller than 1/(n+1) cannot be certified —
+    # the classic finite-sample limit, surfaced by k_rank == n_calib)
+    n_cal = cal.agg(F.count(F.lit(1)).cast("bigint").alias("n_calib"))
+    k = F.least(
+        F.ceil((F.col("n_calib") + 1) * (1000 - alpha_milli) / F.lit(1000.0))
+        .cast("bigint"),
+        F.col("n_calib"),
+    )
+    kn = F.broadcast(n_cal.select("n_calib", k.alias("k_rank")))
+    thr_row = (
+        cum.join(kn, F.col("_cum") >= F.col("k_rank"))
+        .groupBy("n_calib", "k_rank")
+        .agg(F.min("_q").alias("threshold_q"))
+    )
+    # count eval rows at-or-below the threshold with one broadcast join.
+    # The eval aggregate always yields exactly ONE row (n_eval = 0 when
+    # the eval half is empty — the crossJoin against the 1-row threshold
+    # keeps that invariant); when the CALIBRATION half was empty,
+    # thr_row is empty, this whole branch is empty, and the fallback
+    # below emits the NULL-threshold row instead.
+    evagg = (
+        ev.crossJoin(
+            F.broadcast(thr_row.select(F.col("threshold_q").alias("_tq")))
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+            F.coalesce(
+                F.sum((F.col("_q") <= F.col("_tq")).cast("long")),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("_n_cov"),
+        )
+    )
+    cov = thr_row.crossJoin(F.broadcast(evagg))
+    # empty calibration half: emit the row with NULLs (the crossJoin
+    # above would drop everything), via a left anti fallback
+    fallback = (
+        n_cal.where(F.col("n_calib") == 0)
+        .crossJoin(ev.agg(F.count(F.lit(1)).cast("bigint").alias("n_eval")))
+        .select(
+            "n_calib",
+            F.lit(None).cast("bigint").alias("k_rank"),
+            F.lit(None).cast("bigint").alias("threshold_q"),
+            "n_eval",
+            F.lit(None).cast("bigint").alias("_n_cov"),
+        )
+    )
+    out = cov.unionByName(fallback)
+    coverage = F.col("_n_cov").cast("double") / F.col("n_eval").cast("double")
+    return out.select(
+        "n_calib",
+        "n_eval",
+        "k_rank",
+        F.round(
+            F.col("threshold_q").cast("double") / F.lit(float(quantum)), round_to
+        ).alias("threshold"),
+        F.round(
+            F.when(F.col("n_eval") > 0, coverage), round_to
+        ).alias("coverage_eval"),
+        F.round(F.lit((1000 - alpha_milli) / 1000.0), round_to).alias("target"),
+        F.coalesce(
+            F.when(
+                F.col("n_eval") > 0,
+                F.col("_n_cov") * 1000 >= F.col("n_eval") * (1000 - alpha_milli),
+            ),
+            F.lit(False),
+        ).alias("covered"),
+    )
+
+
+def conformal_oracle_sql(
+    from_sql: str,
+    alpha_milli: int = 100,
+    calib_fraction: float = 0.5,
+    salt: str = "conformal",
+    quantum: int = 1_000_000,
+    round_to: int = 6,
+) -> str:
+    """DuckDB replay of :func:`conformal_gate`; ``from_sql`` must yield
+    ``id`` and ``score``. Same md5 split, same quantized rank
+    selection, same integer coverage compare."""
+    from xmlschemavalidator_spark.sampling import md5_threshold, sample_key_sql
+
+    key = sample_key_sql("id", salt)
+    thr = md5_threshold(calib_fraction)
+    return f"""WITH src AS ({from_sql}),
+b AS (SELECT {key} < '{thr}' AS cal,
+        CAST(floor(CAST(score AS DOUBLE) * {quantum}) AS BIGINT) AS q
+      FROM src WHERE score IS NOT NULL AND id IS NOT NULL),
+ncal AS (SELECT CAST(count(*) AS BIGINT) AS n_calib FROM b WHERE cal),
+kr AS (SELECT n_calib,
+        CASE WHEN n_calib > 0 THEN least(CAST(ceil(
+            (n_calib + 1) * {1000 - alpha_milli} / 1000.0) AS BIGINT), n_calib)
+        END AS k_rank FROM ncal),
+cum AS (SELECT q, CAST(sum(count(*)) OVER (ORDER BY q) AS BIGINT) AS c
+        FROM b WHERE cal GROUP BY q),
+thr_row AS (SELECT min(q) AS threshold_q FROM cum, kr WHERE c >= kr.k_rank),
+ev AS (SELECT CAST(count(*) AS BIGINT) AS n_eval,
+        CAST(coalesce(sum(CASE WHEN q <= (SELECT threshold_q FROM thr_row)
+            THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_cov
+       FROM b WHERE NOT cal)
+SELECT kr.n_calib, ev.n_eval, kr.k_rank,
+  round(CAST((SELECT threshold_q FROM thr_row) AS DOUBLE) / {quantum},
+      {round_to}) AS threshold,
+  round(CASE WHEN ev.n_eval > 0 AND kr.n_calib > 0 THEN
+      CAST(ev.n_cov AS DOUBLE) / CAST(ev.n_eval AS DOUBLE) END,
+      {round_to}) AS coverage_eval,
+  round({(1000 - alpha_milli)} / 1000.0, {round_to}) AS target,
+  coalesce(ev.n_eval > 0 AND kr.n_calib > 0
+      AND ev.n_cov * 1000 >= ev.n_eval * {1000 - alpha_milli}, FALSE)
+      AS covered
+FROM kr, ev"""

@@ -17798,3 +17798,44 @@ def classifier_isotonic_map(spark, sf_dir):
         ).alias("label"),
     )
     return isotonic_calibration(scored, "prob", "label", n_bins=16)
+
+
+def _conformal_oracle() -> str:
+    from xmlschemavalidator_spark.checks.evaluation import conformal_oracle_sql
+    from xmlschemavalidator_spark.textops import _WS
+
+    ntok = (
+        "(CASE WHEN trim(coalesce(text, '')) = '' THEN 0 ELSE"
+        f" len(string_split_regex(trim(text), '{_WS}+')) END)"
+    )
+    return conformal_oracle_sql(
+        f"SELECT doc_id AS id, CAST(n_chars AS DOUBLE) / ({ntok} + 1) AS score"
+        " FROM documents WHERE n_chars IS NOT NULL",
+        alpha_milli=100,
+    )
+
+
+@q("conformal_density_gate", _conformal_oracle())
+def conformal_density_gate(spark, sf_dir):
+    """Split conformal gate (checks/evaluation.py:conformal_gate — Vovk
+    et al. 2005 / Papadopoulos ECML'02) over the chars-per-token density
+    score: calibration half (deterministic md5 split) sets the
+    ⌈(n+1)(1−α)⌉-th-smallest-score threshold, eval half audits the
+    distribution-free ≥90% coverage guarantee. The score is an exact
+    integer ratio (IEEE division — bit-identical across engines), the
+    rank selection a window over the quantized distinct-score grid, the
+    verdict an integer milli compare. The 'flag every doc stranger than
+    what 1−α of exchangeable data reaches' gate with finite-sample
+    backing."""
+    from xmlschemavalidator_spark.checks.evaluation import conformal_gate
+    from xmlschemavalidator_spark.textops import token_count
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("n_chars").isNotNull())
+    scored = docs.select(
+        F.col("doc_id").alias("id"),
+        (
+            F.col("n_chars").cast("double")
+            / (token_count(F.col("text")) + F.lit(1)).cast("double")
+        ).alias("score"),
+    )
+    return conformal_gate(scored, "score", "id", alpha_milli=100)
