@@ -17839,3 +17839,73 @@ def conformal_density_gate(spark, sf_dir):
         ).alias("score"),
     )
     return conformal_gate(scored, "score", "id", alpha_milli=100)
+
+
+def _bleu_oracle() -> str:
+    from xmlschemavalidator_spark.texteval import _toks_sql, corpus_bleu_oracle_sql
+
+    cand = (
+        f"array_to_string(list_slice({_toks_sql('text')}, 2,"
+        f" len({_toks_sql('text')})), ' ')"
+    )
+    return corpus_bleu_oracle_sql(
+        "SELECT doc_id, text FROM documents WHERE text IS NOT NULL",
+        cand,
+        "text",
+        "doc_id",
+    )
+
+
+@q("corpus_bleu_shifted", _bleu_oracle())
+def corpus_bleu_shifted(spark, sf_dir):
+    """Corpus BLEU (texteval.py:corpus_bleu, Papineni ACL'02) of every
+    doc minus its FIRST token against the doc itself — a planted
+    transform whose BLEU is high-but-not-1 with a real brevity penalty
+    (cand is exactly n_docs tokens shorter), exercising clipping, all
+    four modified precisions, the micro-ln geometric mean and BP in one
+    measured number. ONE (doc, order, gram) token-scale shuffle with
+    map-side combine; the rest is 4 rows. Oracle replays the identical
+    pass in DuckDB — bit-exact."""
+    from xmlschemavalidator_spark.texteval import _toks, corpus_bleu
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = _toks(F.col("text"))
+    paired = docs.select(
+        "doc_id",
+        F.array_join(F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))), " ").alias("cand"),
+        F.col("text").alias("ref"),
+    )
+    return corpus_bleu(paired, "cand", "ref", "doc_id")
+
+
+def _rouge_oracle() -> str:
+    from xmlschemavalidator_spark.texteval import _toks_sql, rouge_n_oracle_sql
+
+    cand = f"array_to_string(list_slice({_toks_sql('text')}, 1, 50), ' ')"
+    return rouge_n_oracle_sql(
+        "SELECT doc_id, text FROM documents WHERE text IS NOT NULL",
+        cand,
+        "text",
+        "doc_id",
+    )
+
+
+@q("corpus_rouge_lead50", _rouge_oracle())
+def corpus_rouge_lead50(spark, sf_dir):
+    """Micro ROUGE-1/2 (texteval.py:rouge_n, Lin 2004) of the LEAD-50
+    summary (first 50 tokens) against the full doc — the classic
+    extractive-baseline grading shape: precision reads ~1 (every lead
+    gram is in the doc), recall is the measured fraction of the doc the
+    lead covers, f1 = 2·overlap/(cand+ref) stays one exact division.
+    Same shared match-count pass as BLEU; corpus-level micro sums in
+    DECIMAL before any ratio."""
+    from xmlschemavalidator_spark.texteval import _toks, rouge_n
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = _toks(F.col("text"))
+    paired = docs.select(
+        "doc_id",
+        F.array_join(F.slice(toks, 1, 50), " ").alias("cand"),
+        F.col("text").alias("ref"),
+    )
+    return rouge_n(paired, "cand", "ref", "doc_id")
