@@ -1540,3 +1540,54 @@ def test_path_templates(spark):
         path_template(F.lit("https://x.com")).alias("t")
     ).collect()
     assert t2["t"] == "/"
+
+
+# ---------------------------------------------------------------------------
+# bowtie_decomposition
+# ---------------------------------------------------------------------------
+
+
+def test_bowtie_all_classes_hand_graph(spark):
+    # 1<->2 core; 0->1 IN; 2->3 OUT; 0->4 tendril_in; 5->3 tendril_out;
+    # 0->6->3 tube; 7<->8 disconnected. Pivot pinned at 1 (core).
+    from xmlschemavalidator_spark.weburl import bowtie_decomposition
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (0, 1), (2, 3), (0, 4), (5, 3), (0, 6), (6, 3), (7, 8), (8, 7)],
+        "src long, dst long",
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in bowtie_decomposition(edges, pivot=1).collect()
+    }
+    assert got == {
+        0: "IN",
+        1: "SCC",
+        2: "SCC",
+        3: "OUT",
+        4: "TENDRIL_IN",
+        5: "TENDRIL_OUT",
+        6: "TUBE",
+        7: "DISCONNECTED",
+        8: "DISCONNECTED",
+    }
+
+
+def test_bowtie_default_pivot_and_empty(spark):
+    from pyspark.sql import functions as F
+
+    from xmlschemavalidator_spark.weburl import bowtie_decomposition
+
+    # star: 0 -> 1..4 and 9 -> 0: max degree node 0 (deg 5) is the pivot;
+    # SCC = {0} alone, everything forward is OUT, 9 is IN
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4), (9, 0)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["component"] for r in bowtie_decomposition(edges).collect()
+    }
+    assert got[0] == "SCC" and got[9] == "IN"
+    assert all(got[n] == "OUT" for n in (1, 2, 3, 4))
+    # empty graph: empty result, no crash
+    empty = edges.where(F.lit(False))
+    assert bowtie_decomposition(empty).count() == 0

@@ -17909,3 +17909,64 @@ def corpus_rouge_lead50(spark, sf_dir):
         F.col("text").alias("ref"),
     )
     return rouge_n(paired, "cand", "ref", "doc_id")
+
+
+# bow-tie fixture: doc_id%80 lays down a 75-node graph holding every
+# Broder class — 0..19 core ring (SCC), 20..29 feeders (IN), 30..39
+# sinks (OUT), 40..44 IN-side tendrils, 45..49 OUT-side tendrils,
+# 50..54 IN→OUT tubes, 60..79 a disconnected ring. Max total degree is
+# 4, uniquely at core nodes 0..9 → the default pivot (min id 0) sits in
+# the giant SCC, as the taxonomy requires.
+_BOWTIE_EDGES_SQL = """SELECT
+  CASE WHEN k < 30 THEN k WHEN k < 40 THEN k - 30
+       WHEN k < 45 THEN k - 20 WHEN k < 50 THEN k
+       WHEN k < 55 THEN k - 30 WHEN k < 60 THEN k - 5
+       ELSE k END AS src,
+  CASE WHEN k < 20 THEN (k + 1) % 20 WHEN k < 30 THEN k - 20
+       WHEN k < 45 THEN k WHEN k < 50 THEN k - 15
+       WHEN k < 55 THEN k WHEN k < 60 THEN k - 25
+       ELSE 60 + ((k - 59) % 20) END AS dst
+FROM (SELECT doc_id % 80 AS k FROM documents)"""
+
+
+def _bowtie_edges(spark, sf_dir):
+    k = (F.col("doc_id") % 80).alias("k")
+    docs = _t(spark, sf_dir, "documents").select(k)
+    kc = F.col("k")
+    src = (
+        F.when(kc < 30, kc)
+        .when(kc < 40, kc - 30)
+        .when(kc < 45, kc - 20)
+        .when(kc < 50, kc)
+        .when(kc < 55, kc - 30)
+        .when(kc < 60, kc - 5)
+        .otherwise(kc)
+    )
+    dst = (
+        F.when(kc < 20, (kc + 1) % 20)
+        .when(kc < 30, kc - 20)
+        .when(kc < 45, kc)
+        .when(kc < 50, kc - 15)
+        .when(kc < 55, kc)
+        .when(kc < 60, kc - 25)
+        .otherwise(60 + ((kc - 59) % 20))
+    )
+    return docs.select(src.alias("src"), dst.alias("dst"))
+
+
+from xmlschemavalidator_spark.weburl import bowtie_oracle_sql  # noqa: E402
+
+
+@q("link_bowtie_decomposition", bowtie_oracle_sql(_BOWTIE_EDGES_SQL, max_hops=32))
+def link_bowtie_decomposition(spark, sf_dir):
+    """Broder bow-tie decomposition (weburl.py:bowtie_decomposition,
+    WWW'00 'Graph structure in the Web'): per-node SCC / IN / OUT /
+    TUBE / TENDRIL_IN / TENDRIL_OUT / DISCONNECTED labels around the
+    max-degree pivot's SCC — the macro-shape audit of a crawl slice.
+    The planted 75-node fixture exercises every class (20/10/10/5/5/5/
+    20 measured). Four shrinking-frontier Pregel closures with
+    per-round lineage cuts + pure set algebra; all-integer, so the
+    four-recursive-CTE DuckDB replay hashes identically."""
+    from xmlschemavalidator_spark.weburl import bowtie_decomposition
+
+    return bowtie_decomposition(_bowtie_edges(spark, sf_dir), max_hops=32)

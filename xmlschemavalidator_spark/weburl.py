@@ -3372,3 +3372,193 @@ def path_templates(
         )
         .where(F.col("n_urls") >= min_urls)
     )
+
+
+def _reach_closure(
+    e: DataFrame, seeds: DataFrame, max_hops: int
+) -> DataFrame:
+    """Reachability closure ``(node)`` of a DataFrame seed set over a
+    pre-distinct'd, checkpointed edge frame — the set-only variant of
+    :func:`bfs_distances` (whose Python-list seeds can't carry a
+    corpus-derived frontier). Same Pregel discipline: shrinking
+    frontier ⋈ edges, anti-join the reached set, lineage cut per round,
+    empty-frontier exit."""
+    from xmlschemavalidator_spark.session import free_local_checkpoint
+
+    frontier = seeds.select("node").distinct().localCheckpoint()
+    reached = frontier  # aliased on round 0 — never free while aliased
+    for _ in range(max_hops):
+        nxt = (
+            e.join(frontier, e["src"] == frontier["node"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(reached, "node", "left_anti")
+            .localCheckpoint()
+        )
+        if frontier is not reached:
+            free_local_checkpoint(frontier)
+        frontier = nxt
+        if frontier.isEmpty():
+            break
+        prev = reached
+        reached = reached.unionByName(frontier).localCheckpoint()
+        free_local_checkpoint(prev)
+    return reached
+
+
+def bowtie_decomposition(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    pivot: int | None = None,
+    max_hops: int = 32,
+) -> DataFrame:
+    """Broder bow-tie decomposition of the directed link graph (Broder
+    et al. WWW'00 "Graph structure in the Web") around the pivot's
+    strongly connected component: ``(node, component)`` with component ∈
+    SCC / IN / OUT / TUBE / TENDRIL_IN / TENDRIL_OUT / DISCONNECTED —
+    the macro-shape audit of a crawl slice (the paper's ~56M-node
+    measurement: ≈28% SCC, ≈21% IN, ≈21% OUT). A frontier that stopped
+    expanding reads as IN collapsing; a link farm reads as OUT/TENDRIL
+    mass growing.
+
+    ``pivot`` defaults to the max-total-degree node (ties → smallest
+    id) — in a web graph that node sits in the giant SCC, which is the
+    component the taxonomy is ABOUT; pass an explicit pivot to decompose
+    around a known core. Disclosed scope: this is the bow-tie around the
+    PIVOT's SCC (the paper's giant component), not a full SCC
+    enumeration — smaller SCCs land in the peripheral classes exactly as
+    Broder's taxonomy files them.
+
+    Machinery: four reachability closures (forward/backward from the
+    pivot; forward from IN; backward from OUT), each the shrinking-
+    frontier Pregel loop with per-round lineage cuts; classification is
+    then pure set algebra (joins/anti-joins on the node table):
+    SCC = F∩B, IN = B∖F, OUT = F∖B, and the remainder splits by
+    (reachable-from-IN × reaches-OUT) into TUBE / TENDRIL_IN /
+    TENDRIL_OUT / DISCONNECTED. All-integer → the recursive-CTE DuckDB
+    replay hashes identically.
+
+    Scale shape: everything is node- or edge-keyed partial-aggregatable
+    joins; the only driver-sized object is the single pivot row. At web
+    scale pick ``max_hops`` ≥ the effective diameter (the paper
+    measures ~16-20 for the web's directed distances).
+    """
+    from xmlschemavalidator_spark.session import free_local_checkpoint
+
+    spark = edges.sparkSession
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .localCheckpoint()
+    )
+    rev = e.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    ).localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    if pivot is None:
+        deg = (
+            e.select(F.col("src").alias("node"))
+            .unionByName(e.select(F.col("dst").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("_d"))
+            .orderBy(F.col("_d").desc(), F.col("node").asc())
+            .limit(1)
+            .collect()
+        )
+        if not deg:
+            return spark.createDataFrame([], "node bigint, component string")
+        pivot = int(deg[0]["node"])
+    seed = spark.createDataFrame([(int(pivot),)], "node bigint")
+    fwd = _reach_closure(e, seed, max_hops)
+    bwd = _reach_closure(rev, seed, max_hops)
+    scc = fwd.join(bwd, "node").localCheckpoint()
+    in_ = bwd.join(fwd, "node", "left_anti").localCheckpoint()
+    out_ = fwd.join(bwd, "node", "left_anti").localCheckpoint()
+    rest = (
+        nodes.join(fwd, "node", "left_anti")
+        .join(bwd, "node", "left_anti")
+        .localCheckpoint()
+    )
+    fwd_in = _reach_closure(e, in_, max_hops)
+    bwd_out = _reach_closure(rev, out_, max_hops)
+    tube = rest.join(fwd_in, "node").join(bwd_out, "node")
+    t_in = rest.join(fwd_in, "node").join(bwd_out, "node", "left_anti")
+    t_out = rest.join(bwd_out, "node").join(fwd_in, "node", "left_anti")
+    disc = rest.join(fwd_in, "node", "left_anti").join(
+        bwd_out, "node", "left_anti"
+    )
+    out = (
+        scc.withColumn("component", F.lit("SCC"))
+        .unionByName(in_.withColumn("component", F.lit("IN")))
+        .unionByName(out_.withColumn("component", F.lit("OUT")))
+        .unionByName(tube.withColumn("component", F.lit("TUBE")))
+        .unionByName(t_in.withColumn("component", F.lit("TENDRIL_IN")))
+        .unionByName(t_out.withColumn("component", F.lit("TENDRIL_OUT")))
+        .unionByName(disc.withColumn("component", F.lit("DISCONNECTED")))
+        .select(F.col("node").cast("bigint").alias("node"), "component")
+    )
+    result = out.localCheckpoint()
+    for frame in (e, rev, nodes, fwd, bwd, scc, in_, out_, rest, fwd_in, bwd_out):
+        free_local_checkpoint(frame)
+    return result
+
+
+def bowtie_oracle_sql(edges_sql: str, max_hops: int = 32) -> str:
+    """DuckDB replay of :func:`bowtie_decomposition` with the default
+    max-degree/min-id pivot: four bounded recursive closures + the same
+    set algebra."""
+
+    def walk(name: str, seed_sql: str, edge: str) -> str:
+        return f"""{name}(node, d) AS (
+    SELECT node, 0 FROM ({seed_sql})
+    UNION
+    SELECT {edge}.dst, w.d + 1 FROM {edge} JOIN {name} w ON {edge}.src = w.node
+    WHERE w.d < {max_hops}),
+{name}_set AS (SELECT DISTINCT node FROM {name})"""
+
+    return f"""WITH RECURSIVE e AS (SELECT DISTINCT src, dst FROM ({edges_sql})
+    WHERE src IS NOT NULL AND dst IS NOT NULL),
+rev AS (SELECT dst AS src, src AS dst FROM e),
+nodes AS (SELECT DISTINCT node FROM (
+    SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+pvt AS (SELECT node FROM (
+    SELECT node, count(*) AS d FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst FROM e) u
+    GROUP BY node) t
+  ORDER BY d DESC, node ASC LIMIT 1),
+{walk("fwd", "SELECT node FROM pvt", "e")},
+{walk("bwd", "SELECT node FROM pvt", "rev")},
+-- set algebra spelled as EXISTS joins: DuckDB rejects INTERSECT/EXCEPT
+-- CTEs inside a WITH RECURSIVE list
+scc AS (SELECT f.node FROM fwd_set f
+        WHERE EXISTS (SELECT 1 FROM bwd_set b WHERE b.node = f.node)),
+in_ AS (SELECT b.node FROM bwd_set b
+        WHERE NOT EXISTS (SELECT 1 FROM fwd_set f WHERE f.node = b.node)),
+out_ AS (SELECT f.node FROM fwd_set f
+        WHERE NOT EXISTS (SELECT 1 FROM bwd_set b WHERE b.node = f.node)),
+rest AS (SELECT n.node FROM nodes n
+        WHERE NOT EXISTS (SELECT 1 FROM fwd_set f WHERE f.node = n.node)
+          AND NOT EXISTS (SELECT 1 FROM bwd_set b WHERE b.node = n.node)),
+{walk("fwdin", "SELECT node FROM in_", "e")},
+{walk("bwdout", "SELECT node FROM out_", "rev")},
+labeled AS (
+  SELECT node, 'SCC' AS component FROM scc
+  UNION ALL SELECT node, 'IN' FROM in_
+  UNION ALL SELECT node, 'OUT' FROM out_
+  UNION ALL
+  SELECT r.node,
+    CASE WHEN fi.node IS NOT NULL AND bo.node IS NOT NULL THEN 'TUBE'
+         WHEN fi.node IS NOT NULL THEN 'TENDRIL_IN'
+         WHEN bo.node IS NOT NULL THEN 'TENDRIL_OUT'
+         ELSE 'DISCONNECTED' END
+  FROM rest r
+  LEFT JOIN fwdin_set fi ON r.node = fi.node
+  LEFT JOIN bwdout_set bo ON r.node = bo.node)
+SELECT CAST(node AS BIGINT) AS node, component FROM labeled"""
