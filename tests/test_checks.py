@@ -1790,3 +1790,59 @@ def test_kendalls_w_replay(spark):
         "it", "sc", "v",
     ).collect()
     assert rf["w"] is None and rf["significant"] is False
+
+
+# ---------------------------------------------------------------------------
+# mann_kendall
+# ---------------------------------------------------------------------------
+
+
+def test_mann_kendall_hand_computed(spark):
+    # perfect ascent of 5 points: S = C(5,2) = 10, no ties ->
+    # var = 5*4*15/18 = 16.6667, z = 9/sqrt(var)
+    import math
+
+    from xmlschemavalidator_spark.checks.stats import mann_kendall
+
+    df = spark.createDataFrame(
+        [(float(t), float(t * 2)) for t in range(5)], "x double, y double"
+    )
+    [r] = mann_kendall(df, "x", "y").collect()
+    assert (r["n"], r["s"]) == (5, 10)
+    assert r["var_s"] == round(5 * 4 * 15 / 18, 6)
+    assert r["z"] == round(9 / math.sqrt(5 * 4 * 15 / 18), 6)
+    assert r["trend"] == "increasing"
+
+
+def test_mann_kendall_tie_corrected_variance(spark):
+    # value ties: y = [1,1,2] over x = [0,1,2]: S = 2, value tie t=2
+    # var = (3*2*11 - 2*1*9)/18 + 0 + (0 * 2*1)/(2*3*2) = 48/18
+    from xmlschemavalidator_spark.checks.stats import mann_kendall
+
+    df = spark.createDataFrame(
+        [(0.0, 1.0), (1.0, 1.0), (2.0, 2.0)], "x double, y double"
+    )
+    [r] = mann_kendall(df, "x", "y").collect()
+    assert r["s"] == 2
+    assert r["var_s"] == round(48 / 18, 6)
+    assert r["trend"] == "no_trend"  # n = 3 can't reach significance
+
+
+def test_mann_kendall_groups_and_degenerate(spark):
+    from xmlschemavalidator_spark.checks.stats import mann_kendall
+
+    rows = (
+        [("up", float(t), float(t)) for t in range(12)]
+        + [("down", float(t), float(-t)) for t in range(12)]
+        + [("flat", float(t), 7.0) for t in range(12)]
+        + [("single", 1.0, 1.0)]
+    )
+    df = spark.createDataFrame(rows, "grp string, x double, y double")
+    got = {
+        r["grp"]: r for r in mann_kendall(df, "x", "y", group_cols=("grp",)).collect()
+    }
+    assert got["up"]["trend"] == "increasing"
+    assert got["down"]["trend"] == "decreasing"
+    # all-tied values: var's y-margin removes everything -> z = NULL
+    assert got["flat"]["s"] == 0 and got["flat"]["trend"] == "no_trend"
+    assert got["single"]["z"] is None and got["single"]["trend"] == "no_trend"

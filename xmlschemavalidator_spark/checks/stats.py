@@ -2454,3 +2454,240 @@ def kendalls_w(
         F.round(p, round_to).alias("p"),
         F.coalesce(p < 0.05, F.lit(False)).alias("significant"),
     )
+
+
+def mann_kendall(
+    df: DataFrame,
+    x: str,
+    y: str,
+    group_cols: tuple[str, ...] = (),
+    x_quantum: int = 1_000_000,
+    y_quantum: int = 1_000_000,
+    z_crit_milli: int = 1960,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group Mann–Kendall trend test (Mann 1945; Kendall 1975) —
+    the SIGNIFICANCE verdict for :func:`theil_sen_trend`'s slope (the
+    classic pairing: Sen's slope says how steep, MK says whether it's
+    real): S = Σ_{i<j} sgn(x_j−x_i)·sgn(y_j−y_i) over the series,
+    tested against the tie-corrected null variance
+
+        Var(S) = [n(n−1)(2n+5) − Σ_x t(t−1)(2t+5) − Σ_y u(u−1)(2u+5)]/18
+               + [Σ_x t(t−1)(t−2)·Σ_y u(u−1)(u−2)] / (9n(n−1)(n−2))
+               + [Σ_x t(t−1)·Σ_y u(u−1)] / (2n(n−1))
+
+    (Kendall 1975 §4 — the FULL both-margins form, so tied timestamps
+    and tied values are both handled, not just the hydrology-textbook
+    value-tie case) with the continuity-corrected z = (S∓1)/√Var and
+    the shared A&S two-sided p. One row per group: ``(*group_cols, n,
+    s, var_s, z, p, trend)`` with trend ∈ increasing/decreasing/
+    no_trend by the integer-milli z compare.
+
+    Machinery: the :func:`kendall_tau` cell contract — observations
+    collapse onto the quantized (x, y) CELL table, S comes from the
+    cell-pair join as exact DECIMAL(38,0) integers, tie sums from the
+    marginal tables; the variance is then a fixed three-term double
+    chain over exact integers (each division IEEE-exact). The pair join
+    is O(cells²) per group — bounded by the quantized grid, not the
+    row count (the disclosed Spearman/τ scale contract). n < 2 or an
+    all-tied margin yields NULL z/p and trend = no_trend, never div/0.
+
+    Reference scope note: eliassona/xmlschemavalidator has no dataset
+    layer (core.clj:263-285); north-rule analyzer completing the trend
+    family (ols_trend → theil_sen_trend → THIS verdict).
+    """
+    from xmlschemavalidator_spark.checks.evaluation import _p_two_sided
+
+    base = df.where(
+        F.col(x).isNotNull() & F.col(y).isNotNull()
+    ).select(
+        *group_cols,
+        F.floor(F.col(x).cast("double") * F.lit(x_quantum))
+        .cast("bigint")
+        .alias("_qx"),
+        F.floor(F.col(y).cast("double") * F.lit(y_quantum))
+        .cast("bigint")
+        .alias("_qy"),
+    )
+    cell = base.groupBy(*group_cols, "_qx", "_qy").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_c")
+    )
+    one = F.lit(1).cast("decimal(38,0)")
+    two = F.lit(2).cast("decimal(38,0)")
+    five = F.lit(5).cast("decimal(38,0)")
+
+    def tie_sums(col_name: str, prefix: str) -> DataFrame:
+        t = F.col("_t")
+        marg = cell.groupBy(*group_cols, col_name).agg(
+            F.sum("_c").alias("_t")
+        )
+        return marg.groupBy(*group_cols).agg(
+            F.sum(t * (t - one)).alias(f"_{prefix}1"),
+            F.sum(t * (t - one) * (two * t + five)).alias(f"_{prefix}2"),
+            F.sum(t * (t - one) * (t - two)).alias(f"_{prefix}3"),
+        )
+    tx = tie_sums("_qx", "x")
+    ty = tie_sums("_qy", "y")
+    nrow = cell.groupBy(*group_cols).agg(F.sum("_c").alias("_n"))
+    c1 = cell.select(
+        *[F.col(c).alias(f"_g{i}") for i, c in enumerate(group_cols)],
+        F.col("_qx").alias("_x1"),
+        F.col("_qy").alias("_y1"),
+        F.col("_c").alias("_c1"),
+    )
+    c2 = cell.select(
+        *[F.col(c).alias(f"_h{i}") for i, c in enumerate(group_cols)],
+        F.col("_qx").alias("_x2"),
+        F.col("_qy").alias("_y2"),
+        F.col("_c").alias("_c2"),
+    )
+    cond = F.col("_x1") < F.col("_x2")
+    for i in range(len(group_cols)):
+        cond = cond & (F.col(f"_g{i}") == F.col(f"_h{i}"))
+    zero = F.lit(0).cast("decimal(38,0)")
+    sd = (
+        c1.join(c2, cond)
+        .groupBy(*[F.col(f"_g{i}").alias(c) for i, c in enumerate(group_cols)])
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("_y1") < F.col("_y2"), F.col("_c1") * F.col("_c2")
+                    ).otherwise(zero)
+                ),
+                zero,
+            ).alias("_conc"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("_y1") > F.col("_y2"), F.col("_c1") * F.col("_c2")
+                    ).otherwise(zero)
+                ),
+                zero,
+            ).alias("_disc"),
+        )
+    )
+    joined = nrow.join(tx, list(group_cols)) if group_cols else nrow.crossJoin(tx)
+    joined = joined.join(ty, list(group_cols)) if group_cols else joined.crossJoin(ty)
+    if group_cols:
+        joined = joined.join(sd, list(group_cols), "left")
+    else:
+        joined = joined.crossJoin(sd)
+    n = F.col("_n")
+    nd = n.cast("double")
+    s_col = (
+        F.coalesce(F.col("_conc"), zero) - F.coalesce(F.col("_disc"), zero)
+    )
+    core = (
+        (n * (n - one) * (two * n + five) - F.col("_x2") - F.col("_y2"))
+        .cast("double")
+        / F.lit(18.0)
+    )
+    term2 = F.when(
+        n > 2,
+        (F.col("_x3") * F.col("_y3")).cast("double")
+        / (F.lit(9.0) * nd * (nd - 1.0) * (nd - 2.0)),
+    ).otherwise(F.lit(0.0))
+    term3 = F.when(
+        n > 1,
+        (F.col("_x1") * F.col("_y1")).cast("double")
+        / (F.lit(2.0) * nd * (nd - 1.0)),
+    ).otherwise(F.lit(0.0))
+    var = core + term2 + term3
+    sdbl = s_col.cast("double")
+    z = F.when(
+        (n >= 2) & (var > 0),
+        F.when(s_col > 0, (sdbl - 1.0) / F.sqrt(var))
+        .when(s_col < 0, (sdbl + 1.0) / F.sqrt(var))
+        .otherwise(F.lit(0.0)),
+    )
+    sig = F.coalesce(F.abs(z) * 1000 > F.lit(float(z_crit_milli)), F.lit(False))
+    return joined.select(
+        *group_cols,
+        n.cast("bigint").alias("n"),
+        s_col.cast("bigint").alias("s"),
+        F.round(var, round_to).alias("var_s"),
+        F.round(z, round_to).alias("z"),
+        F.round(F.when(z.isNotNull(), _p_two_sided(F.abs(z))), round_to).alias(
+            "p"
+        ),
+        F.when(~sig, F.lit("no_trend"))
+        .when(s_col > 0, F.lit("increasing"))
+        .otherwise(F.lit("decreasing"))
+        .alias("trend"),
+    )
+
+
+def mann_kendall_oracle_sql(
+    from_sql: str,
+    group_sql: str | None = None,
+    x_quantum: int = 1_000_000,
+    y_quantum: int = 1_000_000,
+    z_crit_milli: int = 1960,
+    round_to: int = 6,
+) -> str:
+    """DuckDB replay of :func:`mann_kendall`; ``from_sql`` must yield
+    ``x``, ``y`` and (when grouped) a ``grp`` column named by
+    ``group_sql``. Same cells, same exact tie sums, same fixed
+    three-term variance chain."""
+    from xmlschemavalidator_spark.checks.evaluation import _p_two_sided_sql
+
+    gsel = f"{group_sql}, " if group_sql else ""
+    gby = f"GROUP BY {group_sql}" if group_sql else ""
+    gjoin = (
+        f"AND a.{group_sql} = b.{group_sql}" if group_sql else ""
+    )
+    gon = f"USING ({group_sql})" if group_sql else "ON TRUE"
+    z = (
+        "(CASE WHEN n >= 2 AND var_s > 0 THEN"
+        " CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0) / sqrt(var_s)"
+        " WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0) / sqrt(var_s)"
+        " ELSE 0.0 END END)"
+    )
+    return f"""WITH src AS ({from_sql}),
+cells AS (SELECT {gsel}
+    CAST(floor(CAST(x AS DOUBLE) * {x_quantum}) AS BIGINT) AS qx,
+    CAST(floor(CAST(y AS DOUBLE) * {y_quantum}) AS BIGINT) AS qy,
+    CAST(count(*) AS DECIMAL(38,0)) AS c
+  FROM src WHERE x IS NOT NULL AND y IS NOT NULL
+  GROUP BY {gsel} qx, qy),
+nrow AS (SELECT {gsel} CAST(sum(c) AS DECIMAL(38,0)) AS n FROM cells {gby}),
+tx AS (SELECT {gsel} CAST(sum(t*(t-1)) AS DECIMAL(38,0)) AS x1,
+         CAST(sum(t*(t-1)*(2*t+5)) AS DECIMAL(38,0)) AS x2,
+         CAST(sum(t*(t-1)*(t-2)) AS DECIMAL(38,0)) AS x3
+  FROM (SELECT {gsel} qx, CAST(sum(c) AS DECIMAL(38,0)) AS t FROM cells
+        GROUP BY {gsel} qx) {gby}),
+ty AS (SELECT {gsel} CAST(sum(t*(t-1)) AS DECIMAL(38,0)) AS y1,
+         CAST(sum(t*(t-1)*(2*t+5)) AS DECIMAL(38,0)) AS y2,
+         CAST(sum(t*(t-1)*(t-2)) AS DECIMAL(38,0)) AS y3
+  FROM (SELECT {gsel} qy, CAST(sum(c) AS DECIMAL(38,0)) AS t FROM cells
+        GROUP BY {gsel} qy) {gby}),
+sd AS (SELECT {('a.' + group_sql + ' AS ' + group_sql + ',') if group_sql else ''}
+    CAST(coalesce(sum(CASE WHEN a.qy < b.qy THEN a.c * b.c ELSE 0 END), 0)
+         AS DECIMAL(38,0)) AS conc,
+    CAST(coalesce(sum(CASE WHEN a.qy > b.qy THEN a.c * b.c ELSE 0 END), 0)
+         AS DECIMAL(38,0)) AS disc
+  FROM cells a JOIN cells b ON a.qx < b.qx {gjoin}
+  {('GROUP BY a.' + group_sql) if group_sql else ''}),
+agg AS (SELECT {('nrow.' + group_sql + ', ') if group_sql else ''}nrow.n,
+    coalesce(sd.conc, 0) - coalesce(sd.disc, 0) AS s,
+    (CAST(nrow.n * (nrow.n - 1) * (2 * nrow.n + 5) - tx.x2 - ty.y2 AS DOUBLE)
+     / 18.0
+     + (CASE WHEN nrow.n > 2 THEN CAST(tx.x3 * ty.y3 AS DOUBLE)
+        / (9.0 * CAST(nrow.n AS DOUBLE) * (CAST(nrow.n AS DOUBLE) - 1.0)
+           * (CAST(nrow.n AS DOUBLE) - 2.0)) ELSE 0.0 END)
+     + (CASE WHEN nrow.n > 1 THEN CAST(tx.x1 * ty.y1 AS DOUBLE)
+        / (2.0 * CAST(nrow.n AS DOUBLE) * (CAST(nrow.n AS DOUBLE) - 1.0))
+        ELSE 0.0 END)) AS var_s
+  FROM nrow JOIN tx {gon} JOIN ty {gon}
+  LEFT JOIN sd {gon})
+SELECT {group_sql + ', ' if group_sql else ''}
+  CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS s,
+  round(var_s, {round_to}) AS var_s,
+  round({z}, {round_to}) AS z,
+  round(CASE WHEN {z} IS NOT NULL THEN {_p_two_sided_sql(f'abs({z})')} END,
+      {round_to}) AS p,
+  CASE WHEN NOT coalesce(abs({z}) * 1000 > {z_crit_milli}, FALSE)
+       THEN 'no_trend'
+       WHEN s > 0 THEN 'increasing' ELSE 'decreasing' END AS trend
+FROM agg"""

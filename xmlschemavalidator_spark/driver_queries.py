@@ -17970,3 +17970,36 @@ def link_bowtie_decomposition(spark, sf_dir):
     from xmlschemavalidator_spark.weburl import bowtie_decomposition
 
     return bowtie_decomposition(_bowtie_edges(spark, sf_dir), max_hops=32)
+
+
+def _mk_oracle() -> str:
+    from xmlschemavalidator_spark.checks.stats import mann_kendall_oracle_sql
+
+    return mann_kendall_oracle_sql(
+        """SELECT event_type, CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+               AS BIGINT) AS x, CAST(count(*) AS BIGINT) AS y
+           FROM events WHERE ts IS NOT NULL GROUP BY 1, 2""",
+        group_sql="event_type",
+    )
+
+
+@q("mann_kendall_daily_events", _mk_oracle())
+def mann_kendall_daily_events(spark, sf_dir):
+    """Mann–Kendall trend test (checks/stats.py:mann_kendall; Mann 1945
+    / Kendall 1975 with the FULL both-margins tie-corrected variance)
+    over the SAME per-type daily event series theil_sen_daily_events
+    fits — the classic pairing: Sen's slope says how steep, MK says
+    whether it's real. S from the quantized cell-pair join in exact
+    DECIMAL, tie sums from the marginal tables, continuity-corrected z
+    and the shared A&S p; verdict by integer-milli compare. O(days²)
+    cells per group by the bounded-series contract."""
+    from xmlschemavalidator_spark.checks.stats import mann_kendall
+
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000)
+        .cast("bigint")
+        .alias("x"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    return mann_kendall(daily, "x", "y", group_cols=("event_type",))
