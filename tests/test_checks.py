@@ -1846,3 +1846,37 @@ def test_mann_kendall_groups_and_degenerate(spark):
     # all-tied values: var's y-margin removes everything -> z = NULL
     assert got["flat"]["s"] == 0 and got["flat"]["trend"] == "no_trend"
     assert got["single"]["z"] is None and got["single"]["trend"] == "no_trend"
+
+
+def test_brown_forsythe_hand_computed(spark):
+    # group a: [0, 2] median 0 (lower), z = [0, 2];
+    # group b: [0, 6, 8] median 6, z = [6, 0, 2]
+    # n=5, k=2; Sa=2, SSa=4; Sb=8, SSb=40
+    # sg2 = 4/2 + 64/3; st = 10; sst = 44
+    # ssb = sg2 - 100/5; ssw = sst - sg2; f = (ssb/1)/(ssw/3)
+    from xmlschemavalidator_spark.checks.stats import brown_forsythe
+
+    rows = [("a", 0.0), ("a", 2.0), ("b", 0.0), ("b", 6.0), ("b", 8.0)]
+    df = spark.createDataFrame(rows, "grp string, val double")
+    [r] = brown_forsythe(df, "val", "grp", quantum=1).collect()
+    sg2 = 4 / 2 + 64 / 3
+    ssb = sg2 - 100 / 5
+    ssw = 44 - sg2
+    assert (r["n"], r["n_groups"]) == (5, 2)
+    assert r["f"] == round((ssb / 1) / (ssw / 3), 6)
+    assert (r["df_between"], r["df_within"]) == (1, 3)
+
+
+def test_brown_forsythe_equal_spread_and_degenerate(spark):
+    from xmlschemavalidator_spark.checks.stats import brown_forsythe
+
+    # identical shape in both groups (shifted center): z-values equal -> f = 0
+    rows = [("a", v) for v in (1.0, 2.0, 3.0)] + [("b", v + 10) for v in (1.0, 2.0, 3.0)]
+    df = spark.createDataFrame(rows, "grp string, val double")
+    [r] = brown_forsythe(df, "val", "grp").collect()
+    assert r["f"] == 0.0
+    # all groups internally constant: zero within-variance -> NULL f
+    rows = [("a", 1.0), ("a", 1.0), ("b", 5.0), ("b", 5.0)]
+    df = spark.createDataFrame(rows, "grp string, val double")
+    [r] = brown_forsythe(df, "val", "grp").collect()
+    assert r["f"] is None

@@ -12,7 +12,7 @@ constant memory per partition) by default; ``exact=True`` switches to
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -2690,4 +2690,128 @@ SELECT {group_sql + ', ' if group_sql else ''}
   CASE WHEN NOT coalesce(abs({z}) * 1000 > {z_crit_milli}, FALSE)
        THEN 'no_trend'
        WHEN s > 0 THEN 'increasing' ELSE 'decreasing' END AS trend
+FROM agg"""
+
+
+def brown_forsythe(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    quantum: int = 1_000_000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Brown–Forsythe variance-homogeneity test (Brown & Forsythe 1974
+    — Levene's test with the MEDIAN center, the robust default): the
+    one-way ANOVA F computed on the absolute deviations from each
+    group's median, ``z = |x − median_g|``. Answers the question every
+    variance-sensitive verdict silently assumes away: "do these cohorts
+    even have comparable spread" — the precondition for anova_f /
+    cohens_d / the pooled-variance experiment family, and a
+    variance-DRIFT analyzer in its own right (same center, fatter
+    spread = the quality-score regression a mean-shift test misses).
+    ONE row ``(n, n_groups, f, df_between, df_within)``; compare f
+    against the F(k−1, n−k) critical value of your level (the anova_f
+    convention).
+
+    Exactness: values quantize to integer ``quantum``-ths; each group's
+    median is the rank-selected LOWER median over the deterministic
+    (value, arrival-free) quantized order — an actual element, never an
+    interpolation (the theil_sen/trimmed_mean scheme); z is then an
+    exact nonnegative INTEGER, and the F statistic reuses the anova_f
+    chain over exact DECIMAL(38,0) sums of z and z². Zero
+    within-variance (all groups internally constant) → NULL f.
+
+    Scale shape: one per-group sort window for the median (keyed by the
+    group — the bounded-cohort contract of the experiment family), one
+    broadcast of the ≤n_groups median table, one partial-agg pass for
+    the sums. NULL values/groups excluded.
+
+    Reference scope note: eliassona/xmlschemavalidator has no dataset
+    layer (core.clj:263-285); north-rule analyzer guarding the
+    variance-pooling family.
+    """
+    v = F.col(value_col).cast("double")
+    base = df.where(v.isNotNull() & F.col(group_col).isNotNull()).select(
+        F.col(group_col).alias("_g"),
+        F.floor(v * F.lit(quantum)).cast("bigint").alias("_q"),
+    )
+    w = Window.partitionBy("_g").orderBy("_q")
+    ranked = base.select(
+        "_g",
+        "_q",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("_g")).alias("_gn"),
+    )
+    med = ranked.where(
+        F.col("_rn") == F.floor((F.col("_gn") + 1) / 2)  # LOWER median rank
+    ).select("_g", F.col("_q").alias("_med"))
+    z = base.join(F.broadcast(med), "_g").select(
+        "_g", F.abs(F.col("_q") - F.col("_med")).cast("decimal(38,0)").alias("_z")
+    )
+    per = z.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum("_z").alias("_s"),
+        F.sum(F.col("_z") * F.col("_z")).alias("_ss"),
+    )
+    agg = per.agg(
+        F.sum("_n").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(
+            F.col("_s").cast("double") * F.col("_s").cast("double") / F.col("_n")
+        ).alias("_sg2"),
+        F.sum("_s").alias("_st"),
+        F.sum("_ss").alias("_sst"),
+    )
+    n = F.col("n").cast("double")
+    k = F.col("n_groups").cast("double")
+    ssb = F.col("_sg2") - F.col("_st").cast("double") * F.col("_st").cast(
+        "double"
+    ) / n
+    ssw = F.col("_sst").cast("double") - F.col("_sg2")
+    ok = (F.col("n_groups") >= 2) & (n > k)
+    f = F.when(ok & (ssw > 0), (ssb / (k - F.lit(1.0))) / (ssw / (n - k)))
+    return agg.select(
+        "n",
+        "n_groups",
+        F.round(f, round_to).alias("f"),
+        (F.col("n_groups") - 1).cast("int").alias("df_between"),
+        (F.col("n") - F.col("n_groups")).cast("bigint").alias("df_within"),
+    )
+
+
+def brown_forsythe_oracle_sql(
+    from_sql: str,
+    quantum: int = 1_000_000,
+    round_to: int = 6,
+) -> str:
+    """DuckDB replay of :func:`brown_forsythe`; ``from_sql`` must yield
+    ``grp`` and ``val``. Same lower medians, same integer z, same
+    anova_f double chain."""
+    return f"""WITH src AS ({from_sql}),
+b AS (SELECT grp AS g,
+        CAST(floor(CAST(val AS DOUBLE) * {quantum}) AS BIGINT) AS q
+      FROM src WHERE val IS NOT NULL AND grp IS NOT NULL),
+rk AS (SELECT g, q, row_number() OVER (PARTITION BY g ORDER BY q) AS rn,
+         count(*) OVER (PARTITION BY g) AS gn FROM b),
+med AS (SELECT g, q AS m FROM rk WHERE rn = (gn + 1) // 2),
+z AS (SELECT b.g, CAST(abs(b.q - med.m) AS DECIMAL(38,0)) AS z
+      FROM b JOIN med USING (g)),
+per AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(z) AS DECIMAL(38,0)) AS s,
+          CAST(sum(z * z) AS DECIMAL(38,0)) AS ss
+        FROM z GROUP BY g),
+agg AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+          CAST(count(*) AS BIGINT) AS k,
+          sum(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) AS sg2,
+          CAST(sum(s) AS DOUBLE) AS st,
+          CAST(sum(ss) AS DOUBLE) AS sst
+        FROM per)
+SELECT n, k AS n_groups,
+  round(CASE WHEN k >= 2 AND n > k
+          AND sst - sg2 > 0 THEN
+        ((sg2 - st * st / CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0))
+        / ((sst - sg2) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))) END,
+      {round_to}) AS f,
+  CAST(k - 1 AS INT) AS df_between,
+  CAST(n - k AS BIGINT) AS df_within
 FROM agg"""

@@ -18003,3 +18003,33 @@ def mann_kendall_daily_events(spark, sf_dir):
         .alias("x"),
     ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
     return mann_kendall(daily, "x", "y", group_cols=("event_type",))
+
+
+def _bf_oracle() -> str:
+    from xmlschemavalidator_spark.checks.stats import brown_forsythe_oracle_sql
+
+    return brown_forsythe_oracle_sql(
+        "SELECT lang AS grp, CAST(n_chars AS DOUBLE) AS val FROM documents"
+        " WHERE lang IS NOT NULL AND n_chars IS NOT NULL"
+    )
+
+
+@q("lang_spread_brown_forsythe", _bf_oracle())
+def lang_spread_brown_forsythe(spark, sf_dir):
+    """Brown–Forsythe variance-homogeneity test (checks/stats.py:
+    brown_forsythe, 1974 — Levene with the median center) across
+    per-language doc-length cohorts: the PRECONDITION check for every
+    pooled-variance verdict (anova_f, cohens_d, the experiment family)
+    and a variance-drift analyzer in its own right. Per-group LOWER
+    medians rank-selected over quantized integers, |x−med| exact
+    integers, the anova F chain over DECIMAL sums — oracle-exact."""
+    from xmlschemavalidator_spark.checks.stats import brown_forsythe
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("lang").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    return brown_forsythe(
+        docs.select("lang", F.col("n_chars").cast("double").alias("val")),
+        "val",
+        "lang",
+    )
