@@ -1282,3 +1282,48 @@ def test_conformal_gate_edges(spark):
     assert r["coverage_eval"] is None and r["covered"] is False
     with pytest.raises(ValueError):
         conformal_gate(df, "score", "id", alpha_milli=0)
+
+
+# ---------------------------------------------------------------------------
+# did_test
+# ---------------------------------------------------------------------------
+
+
+def test_did_hand_computed(spark):
+    # cells (means): t_pre 10, t_post 14, c_pre 1, c_post 2 -> DiD = 3
+    from xmlschemavalidator_spark.checks.evaluation import did_test
+
+    rows = (
+        [(True, False, 9.0), (True, False, 11.0)]
+        + [(True, True, 13.0), (True, True, 15.0)]
+        + [(False, False, 0.0), (False, False, 2.0)]
+        + [(False, True, 1.0), (False, True, 3.0)]
+    )
+    df = spark.createDataFrame(rows, "t boolean, p boolean, val double")
+    [r] = did_test(df, "t", "p", "val").collect()
+    assert (r["mean_t_pre"], r["mean_t_post"]) == (10.0, 14.0)
+    assert (r["mean_c_pre"], r["mean_c_post"]) == (1.0, 2.0)
+    assert r["did"] == 3.0
+    # each cell: var 2, n 2 -> se = sqrt(4 * 2/2 / 2) = sqrt(4) = 2... no:
+    # var/n = (2)/2 = 1 per cell -> se = sqrt(4) = 2; z = 1.5
+    assert r["se"] == 2.0 and r["z"] == 1.5
+    assert r["significant"] is False
+
+
+def test_did_empty_and_singleton_cells(spark):
+    from xmlschemavalidator_spark.checks.evaluation import did_test
+
+    rows = [
+        (True, False, 1.0),
+        (True, True, 2.0),
+        (True, True, 4.0),
+        (False, False, 0.0),
+        (False, False, 1.0),
+        (False, True, 0.5),
+        (False, True, 1.5),
+    ]
+    df = spark.createDataFrame(rows, "t boolean, p boolean, val double")
+    # t_pre is a singleton cell: variance undefined -> NULL did/z
+    [r] = did_test(df, "t", "p", "val").collect()
+    assert r["did"] is None and r["z"] is None and r["significant"] is False
+    assert r["mean_t_pre"] == 1.0  # means still reported where defined

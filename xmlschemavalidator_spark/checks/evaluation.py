@@ -2883,3 +2883,184 @@ SELECT kr.n_calib, ev.n_eval, kr.k_rank,
       AND ev.n_cov * 1000 >= ev.n_eval * {1000 - alpha_milli}, FALSE)
       AS covered
 FROM kr, ev"""
+
+
+def did_test(
+    df: DataFrame,
+    treated_col: str,
+    post_col: str,
+    outcome_col: str,
+    quantum: int = 1_000_000,
+    z_crit_milli: int = 1960,
+    round_to: int = 6,
+) -> DataFrame:
+    """Difference-in-differences (the canonical 2×2 design — Card &
+    Krueger AER'94 popularized; textbook form Angrist & Pischke §5.2):
+    the experiment analyzer for when treatment was NOT randomized but a
+    pre-period exists — the estimate is
+
+        DiD = (ȳ_treat,post − ȳ_treat,pre) − (ȳ_ctrl,post − ȳ_ctrl,pre)
+
+    which differences away both the fixed group gap and the common time
+    trend (the parallel-trends assumption is the disclosed identifying
+    bet). ONE row ``(n, mean_t_pre, mean_t_post, mean_c_pre,
+    mean_c_post, did, se, z, p, significant)`` with the unpooled
+    (Welch-style) standard error √(Σ_cells s²/n) over the four cells —
+    the large-sample normal test.
+
+    Exactness: outcomes quantize to integer micro units; per-cell
+    (n, Σq, Σq²) in DECIMAL(38,0) from ONE partial-agg pass (the cell
+    id is two booleans — four groups at any corpus size); means and the
+    four-term variance chain are fixed IEEE sequences over exact
+    integers; ``significant`` compares |z|·1000 to the integer
+    critical value. Any empty cell (or a singleton cell, whose variance
+    is undefined) → NULL did/se/z/p, significant = false, never div/0.
+
+    Scale shape: one scan → four rows → one row. Companion to
+    :func:`cuped_test` (randomized + covariate) — this is the
+    non-randomized + pre-period member of the family.
+
+    Reference scope note: eliassona/xmlschemavalidator has no dataset
+    layer (core.clj:263-285); north-rule analyzer.
+    """
+    t = F.col(treated_col).cast("boolean")
+    p = F.col(post_col).cast("boolean")
+    v = F.col(outcome_col).cast("double")
+    base = df.where(t.isNotNull() & p.isNotNull() & v.isNotNull()).select(
+        t.alias("_t"),
+        p.alias("_p"),
+        F.floor(v * F.lit(quantum)).cast("decimal(38,0)").alias("_q"),
+    )
+    cells = base.groupBy("_t", "_p").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum("_q").alias("_s"),
+        F.sum(F.col("_q") * F.col("_q")).alias("_ss"),
+    )
+
+    def lane(agg_col: str, tt: bool, pp: bool):
+        return F.sum(
+            F.when(
+                (F.col("_t") == tt) & (F.col("_p") == pp), F.col(agg_col)
+            )
+        )
+
+    wide = cells.agg(
+        F.sum("_n").cast("bigint").alias("n"),
+        *[
+            lane("_n", tt, pp).cast("bigint").alias(f"_n{i}")
+            for i, (tt, pp) in enumerate(
+                [(True, False), (True, True), (False, False), (False, True)]
+            )
+        ],
+        *[
+            lane("_s", tt, pp).alias(f"_s{i}")
+            for i, (tt, pp) in enumerate(
+                [(True, False), (True, True), (False, False), (False, True)]
+            )
+        ],
+        *[
+            lane("_ss", tt, pp).alias(f"_ss{i}")
+            for i, (tt, pp) in enumerate(
+                [(True, False), (True, True), (False, False), (False, True)]
+            )
+        ],
+    )
+
+    def mean(i: int):
+        return F.col(f"_s{i}").cast("double") / (
+            F.col(f"_n{i}").cast("double") * F.lit(float(quantum))
+        )
+
+    def var_over_n(i: int):
+        nn = F.col(f"_n{i}").cast("double")
+        s = F.col(f"_s{i}").cast("double")
+        ss = F.col(f"_ss{i}").cast("double")
+        return (
+            (ss - s * s / nn)
+            / (nn - F.lit(1.0))
+            / nn
+            / F.lit(float(quantum) * float(quantum))
+        )
+
+    ok = (
+        (F.col("_n0") > 1)
+        & (F.col("_n1") > 1)
+        & (F.col("_n2") > 1)
+        & (F.col("_n3") > 1)
+    )
+    did = (mean(1) - mean(0)) - (mean(3) - mean(2))
+    se = F.sqrt(var_over_n(0) + var_over_n(1) + var_over_n(2) + var_over_n(3))
+    z = F.when(ok & (se > 0), did / se)
+    return wide.select(
+        "n",
+        F.round(F.when(F.col("_n0") > 0, mean(0)), round_to).alias("mean_t_pre"),
+        F.round(F.when(F.col("_n1") > 0, mean(1)), round_to).alias("mean_t_post"),
+        F.round(F.when(F.col("_n2") > 0, mean(2)), round_to).alias("mean_c_pre"),
+        F.round(F.when(F.col("_n3") > 0, mean(3)), round_to).alias("mean_c_post"),
+        F.round(F.when(ok, did), round_to).alias("did"),
+        F.round(F.when(ok, se), round_to).alias("se"),
+        F.round(z, round_to).alias("z"),
+        F.round(F.when(z.isNotNull(), _p_two_sided(F.abs(z))), round_to).alias("p"),
+        F.coalesce(
+            F.abs(z) * 1000 > F.lit(float(z_crit_milli)), F.lit(False)
+        ).alias("significant"),
+    )
+
+
+def did_oracle_sql(
+    from_sql: str,
+    quantum: int = 1_000_000,
+    z_crit_milli: int = 1960,
+    round_to: int = 6,
+) -> str:
+    """DuckDB replay of :func:`did_test`; ``from_sql`` must yield
+    boolean ``t``, ``p`` and double ``val``. Same micro cells, same
+    fixed double chains."""
+
+    def lane(col: str, tt: str, pp: str) -> str:
+        return (
+            f"CAST(sum(CASE WHEN t = {tt} AND p = {pp} THEN {col} END)"
+            " AS DECIMAL(38,0))"
+        )
+
+    mean = [
+        f"(CAST(s{i} AS DOUBLE) / (CAST(n{i} AS DOUBLE) * {float(quantum)}))"
+        for i in range(4)
+    ]
+    von = [
+        f"((CAST(ss{i} AS DOUBLE) - CAST(s{i} AS DOUBLE) * CAST(s{i} AS DOUBLE)"
+        f" / CAST(n{i} AS DOUBLE)) / (CAST(n{i} AS DOUBLE) - 1.0)"
+        f" / CAST(n{i} AS DOUBLE) / {float(quantum) * float(quantum)})"
+        for i in range(4)
+    ]
+    ok = "n0 > 1 AND n1 > 1 AND n2 > 1 AND n3 > 1"
+    did = f"(({mean[1]} - {mean[0]}) - ({mean[3]} - {mean[2]}))"
+    se = f"sqrt({von[0]} + {von[1]} + {von[2]} + {von[3]})"
+    z = f"(CASE WHEN {ok} AND {se} > 0 THEN {did} / {se} END)"
+    lanes = []
+    for i, (tt, pp) in enumerate(
+        [("TRUE", "FALSE"), ("TRUE", "TRUE"), ("FALSE", "FALSE"), ("FALSE", "TRUE")]
+    ):
+        lanes.append(
+            f"CAST(coalesce(sum(CASE WHEN t = {tt} AND p = {pp} THEN 1 END), 0)"
+            f" AS BIGINT) AS n{i}"
+        )
+        lanes.append(f"{lane('q', tt, pp)} AS s{i}")
+        lanes.append(f"{lane('q * q', tt, pp)} AS ss{i}")
+    return f"""WITH src AS ({from_sql}),
+b AS (SELECT CAST(t AS BOOLEAN) AS t, CAST(p AS BOOLEAN) AS p,
+        CAST(floor(CAST(val AS DOUBLE) * {quantum}) AS DECIMAL(38,0)) AS q
+      FROM src WHERE t IS NOT NULL AND p IS NOT NULL AND val IS NOT NULL),
+wide AS (SELECT CAST(count(*) AS BIGINT) AS n, {", ".join(lanes)} FROM b)
+SELECT n,
+  round(CASE WHEN n0 > 0 THEN {mean[0]} END, {round_to}) AS mean_t_pre,
+  round(CASE WHEN n1 > 0 THEN {mean[1]} END, {round_to}) AS mean_t_post,
+  round(CASE WHEN n2 > 0 THEN {mean[2]} END, {round_to}) AS mean_c_pre,
+  round(CASE WHEN n3 > 0 THEN {mean[3]} END, {round_to}) AS mean_c_post,
+  round(CASE WHEN {ok} THEN {did} END, {round_to}) AS did,
+  round(CASE WHEN {ok} THEN {se} END, {round_to}) AS se,
+  round({z}, {round_to}) AS z,
+  round(CASE WHEN {z} IS NOT NULL THEN {_p_two_sided_sql(f'abs({z})')} END,
+      {round_to}) AS p,
+  coalesce(abs({z}) * 1000 > {z_crit_milli}, FALSE) AS significant
+FROM wide"""

@@ -18033,3 +18033,43 @@ def lang_spread_brown_forsythe(spark, sf_dir):
         "val",
         "lang",
     )
+
+
+def _did_oracle() -> str:
+    from xmlschemavalidator_spark.checks.evaluation import did_oracle_sql
+
+    return did_oracle_sql(
+        """SELECT user_id % 2 = 0 AS t,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT)
+               >= 19738 AS p,
+             CAST(value AS DOUBLE) AS val
+           FROM events WHERE ts IS NOT NULL AND value IS NOT NULL"""
+    )
+
+
+@q("events_did_test", _did_oracle())
+def events_did_test(spark, sf_dir):
+    """Difference-in-differences (checks/evaluation.py:did_test — the
+    Card-Krueger 2×2 design): even-user cohort vs odd-user cohort,
+    pre/post the day-19738 cut (the series' median day), on event value — the non-randomized +
+    pre-period member of the experiment family beside CUPED
+    (randomized + covariate) and the two-proportion test. Four micro
+    cells from ONE partial-agg pass; unpooled Welch SE over the cells;
+    integer-milli verdict. The deterministic cohort split makes the
+    true effect 0 — the measured DiD is a parallel-trends null read,
+    which is exactly what the analyzer should say on exchangeable
+    halves."""
+    from xmlschemavalidator_spark.checks.evaluation import did_test
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    flagged = ev.select(
+        (F.col("user_id") % 2 == 0).alias("t"),
+        (
+            F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000)
+            >= 19738
+        ).alias("p"),
+        F.col("value").cast("double").alias("val"),
+    )
+    return did_test(flagged, "t", "p", "val")
