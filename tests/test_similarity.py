@@ -727,3 +727,49 @@ def test_simplified_silhouette(spark):
 
     with _pt.raises(ValueError):
         simplified_silhouette(df, "embedding", [cents[0]])
+
+
+# ---------------------------------------------------------------------------
+# hard_negative_mining
+# ---------------------------------------------------------------------------
+
+
+def test_hard_negative_mining_excludes_self_and_positives(spark):
+    from xmlschemavalidator_spark.similarity import hard_negative_mining
+
+    # 2-d embeddings on the unit circle: cosine order is the angular order
+    import math
+
+    vecs = [
+        (i, [math.cos(a), math.sin(a)])
+        for i, a in enumerate([0.0, 0.1, 0.2, 0.3, 1.5, 3.0])
+    ]
+    corpus = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    pos = spark.createDataFrame([(0, 1)], "query_id long, positive_id long")
+    out = hard_negative_mining(corpus, pos, k=3).collect()
+    got = [(r["query_id"], r["neg_id"], r["rank"]) for r in out]
+    # nearest non-positive non-self to angle 0: ids 2, 3, 4 in that order
+    assert got == [(0, 2, 1), (0, 3, 2), (0, 4, 3)]
+    # margin: best positive (id 1, cos(0.1)) minus each negative's cosine
+    r1 = out[0]
+    assert r1["best_pos_cosine"] == round(math.cos(0.1), 5)
+    assert r1["margin"] == round(
+        round(math.cos(0.1), 5) - round(math.cos(0.2), 5), 5
+    )
+
+
+def test_hard_negative_mining_multi_query_and_no_positive_row(spark):
+    from xmlschemavalidator_spark.similarity import hard_negative_mining
+
+    vecs = [(i, [1.0, float(i)]) for i in range(5)]
+    corpus = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    # query 9 not in corpus: contributes nothing (no query embedding)
+    pos = spark.createDataFrame(
+        [(0, 1), (2, 3), (9, 0)], "query_id long, positive_id long"
+    )
+    out = hard_negative_mining(corpus, pos, k=2).collect()
+    qs = {r["query_id"] for r in out}
+    assert qs == {0, 2}
+    for r in out:
+        assert r["neg_id"] != r["query_id"]
+    assert all(r["rank"] <= 2 for r in out)

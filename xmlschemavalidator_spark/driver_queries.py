@@ -18073,3 +18073,39 @@ def events_did_test(spark, sf_dir):
         F.col("value").cast("double").alias("val"),
     )
     return did_test(flagged, "t", "p", "val")
+
+
+def _hardneg_oracle() -> str:
+    from xmlschemavalidator_spark.similarity import hard_negative_oracle_sql
+
+    return hard_negative_oracle_sql(
+        "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100",
+        "SELECT vec_id AS query_id, (vec_id * 7 + 3) % 100 AS positive_id"
+        " FROM embeddings WHERE vec_id < 15",
+        k=5,
+    )
+
+
+@q("embedding_hard_negatives", _hardneg_oracle())
+def embedding_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (similarity.py:hard_negative_mining — the
+    DPR recipe, Karpukhin EMNLP'20 §3.2): for 15 query vectors with
+    planted positives over the 100-vector slice, the top-5
+    highest-cosine non-positives per query plus the margin vs the best
+    positive — the contrastive-training batch builder. Cosines rounded
+    5dp BEFORE ranking so the order is an engine-shared fact; one
+    broadcast query table + anti-join + per-query top-k window.
+    Brute-force candidate generator disclosed (swap in IVF/LSH at
+    corpus scale, same tail)."""
+    from xmlschemavalidator_spark.similarity import hard_negative_mining
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 100)
+    pos = (
+        _t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 15)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            ((F.col("vec_id") * 7 + 3) % 100).alias("positive_id"),
+        )
+    )
+    return hard_negative_mining(emb, pos, k=5)

@@ -1389,3 +1389,133 @@ def simplified_silhouette(
         F.sum((F.col("_sil") < 0).cast("long")).cast("bigint").alias("n_negative"),
     )
     return per_cluster.unionByName(overall)
+
+
+def hard_negative_mining(
+    corpus: DataFrame,
+    positives: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_col: str = "query_id",
+    pos_col: str = "positive_id",
+    k: int = 5,
+    round_to: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (the DPR recipe —
+    Karpukhin et al. EMNLP'20 §3.2: the negatives that matter are the
+    HIGHEST-scoring non-positives, not random ones): for every query id
+    in ``positives`` (query_id, positive_id), rank the corpus by cosine
+    to the query's own embedding, drop the query itself and ALL its
+    declared positives, and keep the top ``k`` as hard negatives.
+    Returns ``(query_id, neg_id, cosine, rank, best_pos_cosine,
+    margin)`` — margin = best_pos_cosine − cosine, the curriculum
+    signal (near-zero or negative margin = the negative the model most
+    needs / a mislabeled positive to audit).
+
+    Exactness: cosines round to 5dp BEFORE ranking (the repo-wide
+    oracle-parity convention — ordering is then a property both engines
+    share), ties break on neg id; margins are differences of rounded
+    values. Disclosed scale shape: this is the BRUTE-FORCE miner —
+    O(queries × corpus) cosine evaluations via one broadcast of the
+    (bounded) query-embedding table and a per-query top-k window
+    (rank ≤ k over a corpus-sized partition keyed by query). Mine in
+    query batches; for web-scale corpora swap the candidate generator
+    for the IVF/LSH path and keep the same anti-join + window tail.
+
+    Reference scope note: eliassona/xmlschemavalidator has no vector
+    layer (core.clj:263-285); north-rule addition to the ANN family.
+    """
+    from pyspark.sql import Window
+
+    from xmlschemavalidator_spark.dedup import cosine_similarity
+
+    qids = positives.select(
+        F.col(query_col).alias("_qid")
+    ).distinct()
+    qemb = corpus.join(
+        F.broadcast(qids), F.col(id_col) == F.col("_qid")
+    ).select(
+        "_qid", F.col(vec_col).cast("array<double>").alias("_qv")
+    )
+    cand = corpus.select(
+        F.col(id_col).alias("neg_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    )
+    cos = F.round(
+        cosine_similarity(F.col("_qv"), F.col("_cv")), round_to
+    )
+    scored = (
+        cand.crossJoin(F.broadcast(qemb))
+        .where(F.col("neg_id") != F.col("_qid"))
+        .select(F.col("_qid").alias("query_id"), "neg_id", cos.alias("cosine"))
+    )
+    pos_pairs = positives.select(
+        F.col(query_col).alias("query_id"), F.col(pos_col).alias("neg_id")
+    ).distinct()
+    nonpos = scored.join(
+        F.broadcast(pos_pairs), ["query_id", "neg_id"], "left_anti"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neg_id").asc()
+    )
+    topk = (
+        nonpos.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+    best_pos = (
+        scored.join(F.broadcast(pos_pairs), ["query_id", "neg_id"])
+        .groupBy("query_id")
+        .agg(F.max("cosine").alias("best_pos_cosine"))
+    )
+    return (
+        topk.join(F.broadcast(best_pos), "query_id", "left")
+        .select(
+            "query_id",
+            "neg_id",
+            "cosine",
+            "rank",
+            "best_pos_cosine",
+            F.round(F.col("best_pos_cosine") - F.col("cosine"), round_to).alias(
+                "margin"
+            ),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def hard_negative_oracle_sql(
+    corpus_sql: str,
+    positives_sql: str,
+    k: int = 5,
+    round_to: int = 5,
+) -> str:
+    """DuckDB replay of :func:`hard_negative_mining`; ``corpus_sql``
+    yields (vec_id, embedding), ``positives_sql`` yields (query_id,
+    positive_id). Same rounded-before-rank cosines, same tie order."""
+    cos = (
+        "round(list_dot_product(q.emb, c.emb)"
+        " / (sqrt(list_dot_product(q.emb, q.emb))"
+        " * sqrt(list_dot_product(c.emb, c.emb))), %d)" % round_to
+    )
+    return f"""WITH corpus AS (SELECT vec_id,
+        embedding::DOUBLE[] AS emb FROM ({corpus_sql})),
+pos AS (SELECT DISTINCT query_id, positive_id FROM ({positives_sql})),
+qemb AS (SELECT DISTINCT p.query_id AS qid, c.emb
+         FROM pos p JOIN corpus c ON c.vec_id = p.query_id),
+scored AS (SELECT q.qid AS query_id, c.vec_id AS neg_id, {cos} AS cosine
+           FROM corpus c, qemb q WHERE c.vec_id <> q.qid),
+nonpos AS (SELECT s.* FROM scored s
+           WHERE NOT EXISTS (SELECT 1 FROM pos p
+                WHERE p.query_id = s.query_id AND p.positive_id = s.neg_id)),
+topk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, neg_id ASC) AS rank
+         FROM nonpos QUALIFY rank <= {k}),
+bp AS (SELECT s.query_id, max(s.cosine) AS best_pos_cosine
+       FROM scored s JOIN pos p
+         ON p.query_id = s.query_id AND p.positive_id = s.neg_id
+       GROUP BY s.query_id)
+SELECT t.query_id, t.neg_id, t.cosine, CAST(t.rank AS INT) AS rank,
+  bp.best_pos_cosine,
+  round(bp.best_pos_cosine - t.cosine, {round_to}) AS margin
+FROM topk t LEFT JOIN bp USING (query_id)
+ORDER BY t.query_id, t.rank"""
