@@ -247,3 +247,51 @@ def test_bcubed_hand_computed(spark):
     )
     [re] = bcubed_evaluation(extra, truth).collect()
     assert re["n_records"] == 5 and re["precision_micro"] == 733333
+
+
+# ---------------------------------------------------------------------------
+# jaro_winkler
+# ---------------------------------------------------------------------------
+
+
+def test_jaro_winkler_py_classics():
+    from xmlschemavalidator_spark.linkage import jaro_winkler_py
+
+    # Winkler's canonical examples
+    assert round(jaro_winkler_py("MARTHA", "MARHTA"), 6) == 0.961111
+    assert round(jaro_winkler_py("DIXON", "DICKSONX"), 6) == 0.813333
+    assert round(jaro_winkler_py("DWAYNE", "DUANE"), 6) == 0.84
+    # window-0 transposed bigram: zero matches by the window rule
+    assert jaro_winkler_py("ab", "ba") == 0.0
+    # boost only above 0.7: jaro("ax","abcdefgh") = 0.541... stays unboosted
+    assert round(jaro_winkler_py("ax", "abcdefgh"), 6) == 0.541667
+    assert jaro_winkler_py("", "") == 0.0
+    assert jaro_winkler_py("abc", "abc") == 1.0
+
+
+def test_jaro_winkler_column_matches_duckdb(spark):
+    import duckdb
+
+    from xmlschemavalidator_spark.linkage import with_jaro_winkler
+
+    rows = [
+        ("martha stewart", "marhta stewrat"),
+        ("the quick brown fox", "the quick brown fax"),
+        ("aaaa", "aaab"),
+        ("", "nonempty"),
+        (None, "x"),
+    ]
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = {
+        (r["a"], r["b"]): r["jw"]
+        for r in with_jaro_winkler(df, "a", "b").collect()
+    }
+    con = duckdb.connect()
+    for a, b in rows:
+        if a is None or b is None:
+            assert got[(a, b)] is None
+        else:
+            d = con.execute(
+                "SELECT round(jaro_winkler_similarity(?, ?), 6)", [a, b]
+            ).fetchone()[0]
+            assert got[(a, b)] == d, (a, b)

@@ -18109,3 +18109,32 @@ def embedding_hard_negatives(spark, sf_dir):
         )
     )
     return hard_negative_mining(emb, pos, k=5)
+
+
+@q(
+    "text_jaro_winkler_windows",
+    """SELECT doc_id,
+         round(jaro_winkler_similarity(substr(coalesce(text, ''), 1, 20),
+                                       substr(coalesce(text, ''), 9, 20)), 6)
+           AS jw
+       FROM documents WHERE text IS NOT NULL""",
+)
+def text_jaro_winkler_windows(spark, sf_dir):
+    """Jaro–Winkler comparator (linkage.py:with_jaro_winkler, Winkler
+    1990) between two overlapping 20-char windows of each doc — a
+    measured spread of similarities exercising matches, transpositions
+    and the prefix boost. The Spark side is an Arrow-batched pandas_udf
+    (the per-pair flag-array walk has no Column form — disclosed
+    multimodal-class exception); the oracle is DuckDB's BUILT-IN
+    jaro_winkler_similarity, so the hash compare crosschecks two
+    INDEPENDENT implementations of the same parameterization (p=0.1,
+    prefix≤4, boost>0.7 — fuzz-verified on 3k random pairs)."""
+    from xmlschemavalidator_spark.linkage import with_jaro_winkler
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    pairs = docs.select(
+        "doc_id",
+        F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 20).alias("a"),
+        F.substring(F.coalesce(F.col("text"), F.lit("")), 9, 20).alias("b"),
+    )
+    return with_jaro_winkler(pairs, "a", "b").select("doc_id", "jw")

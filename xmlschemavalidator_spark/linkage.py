@@ -551,3 +551,96 @@ def bcubed_evaluation(
             " + CAST(recall_micro AS DECIMAL(38,0))) AS BIGINT) END"
         ).alias("f1_micro"),
     )
+
+
+def jaro_winkler_py(a: str, b: str) -> float:
+    """Pure-Python Jaro–Winkler (Winkler 1990 over Jaro 1989), the
+    standard parameterization DuckDB's ``jaro_winkler_similarity``
+    implements (verified empirically: p = 0.1, prefix cap 4, boost only
+    when jaro > 0.7): the scaling reference for the Arrow UDF below and
+    the unit tests. Zero-match pairs (including window-0 transposed
+    bigrams like ab/ba) read 0.0; empty-vs-anything reads 0.0."""
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return 0.0
+    window = max(la, lb) // 2 - 1
+    if window < 0:
+        window = 0
+    fa = [False] * la
+    fb = [False] * lb
+    m = 0
+    for i in range(la):
+        lo, hi = max(0, i - window), min(lb, i + window + 1)
+        for j in range(lo, hi):
+            if not fb[j] and a[i] == b[j]:
+                fa[i] = fb[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    j = 0
+    for i in range(la):
+        if fa[i]:
+            while not fb[j]:
+                j += 1
+            if a[i] != b[j]:
+                t += 1
+            j += 1
+    t //= 2
+    jaro = (m / la + m / lb + (m - t) / m) / 3.0
+    if jaro > 0.7:
+        prefix = 0
+        for x, y in zip(a, b):
+            if x == y and prefix < 4:
+                prefix += 1
+            else:
+                break
+        jaro = jaro + prefix * 0.1 * (1.0 - jaro)
+    return jaro
+
+
+def with_jaro_winkler(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    out_col: str = "jw",
+    round_to: int = 6,
+) -> DataFrame:
+    """Jaro–Winkler comparator column — the record-linkage similarity
+    built for NAMES (Winkler's Census work): position-windowed matches
+    + transposition discount + common-prefix boost, where Levenshtein
+    charges full price for a transposition and Soundex collapses too
+    much. Slots straight into the Fellegi–Sunter agreement patterns as
+    a graded comparator beside exact/levenshtein/soundex.
+
+    Python path DISCLOSED and justified (the rules of the repo): the
+    per-pair flag-array walk has no Column-expression form; this is an
+    Arrow-batched ``pandas_udf`` (never row-at-a-time Python UDF), the
+    multimodal-codec class of exception. NULL in either side → NULL
+    out. Values rounded ``round_to`` dp; the oracle is DuckDB's
+    BUILT-IN ``jaro_winkler_similarity`` — same parameterization
+    (verified: p=0.1, prefix≤4, boost threshold 0.7), so the hash
+    compare crosschecks two INDEPENDENT implementations.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf  # lazy: needs a session
+
+    def _jw_fn(a, b):
+        out = []
+        for x, y in zip(a, b):
+            if x is None or y is None:
+                out.append(None)
+            else:
+                out.append(jaro_winkler_py(x, y))
+        return pd.Series(out, dtype="float64")
+
+    # real-object annotations: the module's `from __future__ import
+    # annotations` would stringify inline hints, which pandas_udf can't
+    # resolve against this module's globals (pd is function-local)
+    _jw_fn.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
+    _jw = pandas_udf(_jw_fn, "double")
+
+    return df.withColumn(
+        out_col, F.round(_jw(F.col(a_col), F.col(b_col)), round_to)
+    )
