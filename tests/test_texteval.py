@@ -79,3 +79,58 @@ def test_rouge_empty_side_null_ratios(spark):
     rows = {r["n"]: r for r in rouge_n(df, "cand", "ref", "id", max_order=1).collect()}
     assert rows[1]["precision"] is None  # no candidate grams
     assert rows[1]["recall"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# corpus_wer / wer_per_doc
+# ---------------------------------------------------------------------------
+
+
+def test_wer_hand_computed(spark):
+    import pytest
+
+    from xmlschemavalidator_spark.texteval import corpus_wer, wer_per_doc
+
+    rows = [
+        (0, "a b c d", "a b c d"),      # 0 edits / 4
+        (1, "a x c", "a b c"),          # 1 substitution / 3
+        (2, "a b", "a b c d"),          # 2 deletions / 4
+        (3, "z a b", "a b"),            # 1 insertion / 2
+        (4, "", ""),                    # empty/empty: 0 edits, 0 ref
+    ]
+    df = spark.createDataFrame(rows, "id long, cand string, ref string")
+    [r] = corpus_wer(df, "cand", "ref", "id").collect()
+    assert (r["n_pairs"], r["total_edits"], r["total_ref_tokens"]) == (5, 4, 13)
+    assert r["wer"] == round(4 / 13, 6)
+    per = {x["id"]: x for x in wer_per_doc(df, "cand", "ref", "id").collect()}
+    assert per[1]["edits"] == 1 and per[1]["wer"] == round(1 / 3, 6)
+    assert per[3]["edits"] == 1 and per[3]["wer"] == 0.5
+    assert per[4]["wer"] is None  # empty reference window
+    with pytest.raises(ValueError):
+        corpus_wer(df, "cand", "ref", "id", max_tokens=200)
+
+
+def test_wer_transposition_costs_two_words(spark):
+    # word swap = 1 sub + 1 sub (or del+ins) = 2 edits — the
+    # alignment-strict behavior BLEU doesn't have
+    from xmlschemavalidator_spark.texteval import wer_per_doc
+
+    df = spark.createDataFrame(
+        [(0, "b a c", "a b c")], "id long, cand string, ref string"
+    )
+    [r] = wer_per_doc(df, "cand", "ref", "id").collect()
+    assert r["edits"] == 2
+
+
+def test_wer_window_contract(spark):
+    # tokens beyond max_tokens are invisible to the metric
+    from xmlschemavalidator_spark.texteval import wer_per_doc
+
+    long_ref = " ".join(f"t{i}" for i in range(30))
+    cand = " ".join(f"t{i}" for i in range(9)) + " XX"  # 10th token differs
+    df = spark.createDataFrame(
+        [(0, cand, long_ref)], "id long, cand string, ref string"
+    )
+    [r] = wer_per_doc(df, "cand", "ref", "id", max_tokens=10).collect()
+    # ref truncates to t0..t9; cand's XX substitutes t9; t10.. invisible
+    assert r["ref_tokens"] == 10 and r["edits"] == 1

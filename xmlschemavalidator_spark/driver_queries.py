@@ -18138,3 +18138,45 @@ def text_jaro_winkler_windows(spark, sf_dir):
         F.substring(F.coalesce(F.col("text"), F.lit("")), 9, 20).alias("b"),
     )
     return with_jaro_winkler(pairs, "a", "b").select("doc_id", "jw")
+
+
+def _wer_oracle() -> str:
+    from xmlschemavalidator_spark.texteval import _toks_sql, wer_oracle_sql
+
+    # drop every 7th token (DuckDB lambda index is 1-based)
+    cand = (
+        f"array_to_string(list_filter({_toks_sql('text')},"
+        " (t, i) -> i % 7 <> 0), ' ')"
+    )
+    return wer_oracle_sql(
+        "SELECT doc_id, text FROM documents WHERE text IS NOT NULL",
+        cand,
+        "text",
+        "doc_id",
+    )
+
+
+@q("corpus_wer_dropped_tokens", _wer_oracle())
+def corpus_wer_dropped_tokens(spark, sf_dir):
+    """Corpus word error rate (texteval.py:corpus_wer — the ASR/NIST
+    alignment-strict metric beside BLEU/ROUGE's order-blind overlap)
+    of every doc with each 7th token dropped, vs the doc itself: the
+    measured WER is the deletion fraction the transform planted
+    (≈1/7 over the 100-token windows). Token-level Levenshtein with NO
+    Python: pair-local vocab → one CODEPOINT per token (chr 32..255
+    where Spark's mod-256 chr and DuckDB's chr agree) → the engines'
+    built-in string Levenshtein IS the word-level distance; DuckDB's
+    independent DP crosschecks the whole encoding trick. Exact integer
+    edit/length sums in DECIMAL, one division."""
+    from xmlschemavalidator_spark.texteval import _toks, corpus_wer
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = _toks(F.col("text"))
+    paired = docs.select(
+        "doc_id",
+        F.array_join(
+            F.filter(toks, lambda t, i: (i + 1) % 7 != 0), " "  # 0-based index
+        ).alias("cand"),
+        F.col("text").alias("ref"),
+    )
+    return corpus_wer(paired, "cand", "ref", "doc_id")

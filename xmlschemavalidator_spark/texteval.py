@@ -404,3 +404,185 @@ SELECT n, clipped AS overlap, cand_total, ref_total,
              / CAST(cand_total + ref_total AS DOUBLE) ELSE 0.0 END END,
         {round_to}) AS f1
 FROM counts ORDER BY n"""
+
+
+def _tok_window(text, max_tokens: int) -> F.Column:
+    return F.slice(_toks(text), 1, max_tokens)
+
+
+def _encode_tokens(toks, vocab) -> F.Column:
+    """One CODEPOINT per token from the pair-local vocabulary: chr(32 +
+    position−1). Single-codepoint codes are what keeps Levenshtein
+    unit-cost at the TOKEN level; codes stay ≤ 255 where Spark's chr
+    (mod-256 ASCII) and DuckDB's chr agree."""
+    return F.array_join(
+        F.transform(
+            toks, lambda t: F.char(F.lit(31) + F.array_position(vocab, t))
+        ),
+        "",
+    )
+
+
+def _wer_cols(cand_col: str, ref_col: str, max_tokens: int):
+    ct = _tok_window(F.col(cand_col), max_tokens)
+    rt = _tok_window(F.col(ref_col), max_tokens)
+    vocab = F.array_distinct(F.concat(rt, ct))
+    lev = F.levenshtein(_encode_tokens(ct, vocab), _encode_tokens(rt, vocab))
+    return ct, rt, lev
+
+
+def _wer_sql(cand_sql: str, ref_sql: str, max_tokens: int) -> tuple[str, str, str]:
+    ct = f"list_slice({_toks_sql(cand_sql)}, 1, {max_tokens})"
+    rt = f"list_slice({_toks_sql(ref_sql)}, 1, {max_tokens})"
+    vocab = f"list_distinct(list_concat({rt}, {ct}))"
+
+    def enc(arr: str) -> str:
+        # coalesce: DuckDB's transform of an empty CAST([] AS VARCHAR[])
+        # feeds array_to_string a NULL, not '' (empirically)
+        return (
+            f"coalesce(array_to_string(list_transform({arr},"
+            f" t -> chr(31 + list_position({vocab}, t))), ''), '')"
+        )
+
+    return ct, rt, f"levenshtein({enc(ct)}, {enc(rt)})"
+
+
+def corpus_wer(
+    df: DataFrame,
+    cand_col: str,
+    ref_col: str,
+    id_col: str,
+    max_tokens: int = 100,
+    round_to: int = 6,
+) -> DataFrame:
+    """Corpus word error rate (the ASR/NIST standard: token-level
+    Levenshtein edits over reference length — substitutions, deletions
+    and insertions all cost 1 WORD): ONE row ``(n_pairs, total_edits,
+    total_ref_tokens, wer)`` with the micro form Σedits / Σref_len.
+    BLEU/ROUGE grade n-gram OVERLAP and shrug at word order; WER is the
+    alignment-strict member of the family — the right verdict for
+    near-verbatim surgery (mojibake repair, span removal) where a
+    reordering IS an error.
+
+    Machinery: token-level Levenshtein without any per-row Python — each
+    pair builds a pair-local vocabulary (array_distinct over both token
+    windows) and encodes every token as ONE codepoint (chr 32..255,
+    where Spark's mod-256 chr and DuckDB's chr agree); the engines'
+    built-in string Levenshtein then IS the word-level distance, unit
+    cost per token. That cap is structural: ``max_tokens`` ≤ 110 keeps
+    the pair vocabulary ≤ 220 codes — WER is computed over the first
+    ``max_tokens`` tokens of each side (disclosed window; the classic
+    per-utterance WER shape, not a whole-book alignment, which is also
+    what keeps the O(L²) DP bounded per row). Exact integer edits and
+    lengths sum in DECIMAL; ONE final division. NULL sides excluded;
+    empty reference window with empty candidate contributes 0 edits.
+
+    Reference scope note: eliassona/xmlschemavalidator has no dataset
+    layer (core.clj:263-285); north-rule addition beside corpus_bleu.
+    """
+    if not 1 <= max_tokens <= 110:
+        raise ValueError(
+            f"max_tokens must be in [1, 110] (pair vocab ≤ 220 single-"
+            f"codepoint codes), got {max_tokens}"
+        )
+    ct, rt, lev = _wer_cols(cand_col, ref_col, max_tokens)
+    base = df.where(
+        F.col(cand_col).isNotNull()
+        & F.col(ref_col).isNotNull()
+        & F.col(id_col).isNotNull()
+    ).select(
+        lev.cast("decimal(38,0)").alias("_e"),
+        F.size(rt).cast("decimal(38,0)").alias("_r"),
+    )
+    zero = F.lit(0).cast("decimal(38,0)")
+    agg = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.coalesce(F.sum("_e"), zero).cast("bigint").alias("total_edits"),
+        F.coalesce(F.sum("_r"), zero).cast("bigint").alias("total_ref_tokens"),
+    )
+    return agg.select(
+        "n_pairs",
+        "total_edits",
+        "total_ref_tokens",
+        F.round(
+            F.when(
+                F.col("total_ref_tokens") > 0,
+                F.col("total_edits").cast("double")
+                / F.col("total_ref_tokens").cast("double"),
+            ),
+            round_to,
+        ).alias("wer"),
+    )
+
+
+def wer_per_doc(
+    df: DataFrame,
+    cand_col: str,
+    ref_col: str,
+    id_col: str,
+    max_tokens: int = 100,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document WER rows ``(id, edits, ref_tokens, wer)`` — the
+    triage view of :func:`corpus_wer` (which docs did the transform
+    mangle). Same encoding, same window contract; wer is NULL for an
+    empty reference window."""
+    if not 1 <= max_tokens <= 110:
+        raise ValueError(
+            f"max_tokens must be in [1, 110], got {max_tokens}"
+        )
+    ct, rt, lev = _wer_cols(cand_col, ref_col, max_tokens)
+    return df.where(
+        F.col(cand_col).isNotNull()
+        & F.col(ref_col).isNotNull()
+        & F.col(id_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("id"),
+        lev.cast("bigint").alias("edits"),
+        F.size(rt).cast("bigint").alias("ref_tokens"),
+        F.round(
+            F.when(
+                F.size(rt) > 0,
+                lev.cast("double") / F.size(rt).cast("double"),
+            ),
+            round_to,
+        ).alias("wer"),
+    )
+
+
+def wer_oracle_sql(
+    from_sql: str,
+    cand_sql: str,
+    ref_sql: str,
+    id_sql: str,
+    max_tokens: int = 100,
+    per_doc: bool = False,
+    round_to: int = 6,
+) -> str:
+    """DuckDB replay of :func:`corpus_wer` / :func:`wer_per_doc` — the
+    same pair-local single-codepoint encoding feeding DuckDB's built-in
+    levenshtein (an INDEPENDENT DP implementation — the hash compare
+    crosschecks the whole encoding trick)."""
+    ct, rt, lev = _wer_sql(cand_sql, ref_sql, max_tokens)
+    where = (
+        f"WHERE {cand_sql} IS NOT NULL AND {ref_sql} IS NOT NULL"
+        f" AND {id_sql} IS NOT NULL"
+    )
+    if per_doc:
+        return f"""WITH src AS ({from_sql})
+SELECT {id_sql} AS id, CAST({lev} AS BIGINT) AS edits,
+  CAST(len({rt}) AS BIGINT) AS ref_tokens,
+  round(CASE WHEN len({rt}) > 0 THEN CAST({lev} AS DOUBLE)
+        / CAST(len({rt}) AS DOUBLE) END, {round_to}) AS wer
+FROM src {where}"""
+    return f"""WITH src AS ({from_sql}),
+b AS (SELECT CAST({lev} AS DECIMAL(38,0)) AS e,
+        CAST(len({rt}) AS DECIMAL(38,0)) AS r
+      FROM src {where})
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+  CAST(coalesce(sum(e), 0) AS BIGINT) AS total_edits,
+  CAST(coalesce(sum(r), 0) AS BIGINT) AS total_ref_tokens,
+  round(CASE WHEN coalesce(sum(r), 0) > 0 THEN
+      CAST(coalesce(sum(e), 0) AS DOUBLE) / CAST(sum(r) AS DOUBLE) END,
+      {round_to}) AS wer
+FROM b"""
