@@ -134,3 +134,42 @@ def test_wer_window_contract(spark):
     [r] = wer_per_doc(df, "cand", "ref", "id", max_tokens=10).collect()
     # ref truncates to t0..t9; cand's XX substitutes t9; t10.. invisible
     assert r["ref_tokens"] == 10 and r["edits"] == 1
+
+
+# ---------------------------------------------------------------------------
+# corpus_chrf
+# ---------------------------------------------------------------------------
+
+
+def test_chrf_identity_and_empty(spark):
+    from xmlschemavalidator_spark.texteval import corpus_chrf
+
+    df = _pairs(spark, [(0, "hello world", "hello world")])
+    [r] = corpus_chrf(df, "cand", "ref", "id").collect()
+    # whitespace stripped: 'helloworld' vs itself -> P = R = chrF = 1
+    assert (r["chr_p"], r["chr_r"], r["chrf"]) == (1.0, 1.0, 1.0)
+    df = _pairs(spark, [(0, "", "")])
+    [r] = corpus_chrf(df, "cand", "ref", "id").collect()
+    assert r["chrf"] is None  # no effective orders anywhere
+
+
+def test_chrf_hand_computed_unigram(spark):
+    from xmlschemavalidator_spark.texteval import corpus_chrf
+
+    # cand 'aab' vs ref 'abb' at max_order=1: clip = min(2,1)+min(1,2)=2
+    # P = R = 2/3; chrF = (1+4)*P*R/(4P+R) = 5*(4/9)/(10/3) = 2/3
+    df = _pairs(spark, [(0, "aab", "abb")])
+    [r] = corpus_chrf(df, "cand", "ref", "id", max_order=1).collect()
+    assert r["chr_p"] == round(2 / 3, 6) and r["chr_r"] == round(2 / 3, 6)
+    assert r["chrf"] == round(2 / 3, 6)
+
+
+def test_chrf_recall_weighting(spark):
+    from xmlschemavalidator_spark.texteval import corpus_chrf
+
+    # candidate is a strict prefix: P = 1 on every effective order,
+    # R < 1 -> beta=2 pulls chrF toward R (chrF < (P+R)/2)
+    df = _pairs(spark, [(0, "abcde", "abcdefghij")])
+    [r] = corpus_chrf(df, "cand", "ref", "id").collect()
+    assert r["chr_p"] == 1.0 and r["chr_r"] < 1.0
+    assert r["chrf"] < (r["chr_p"] + r["chr_r"]) / 2 + 1e-9

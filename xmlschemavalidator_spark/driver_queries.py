@@ -18180,3 +18180,37 @@ def corpus_wer_dropped_tokens(spark, sf_dir):
         F.col("text").alias("ref"),
     )
     return corpus_wer(paired, "cand", "ref", "doc_id")
+
+
+def _chrf_oracle() -> str:
+    from xmlschemavalidator_spark.texteval import corpus_chrf_oracle_sql
+
+    # candidate = text minus its LAST 5 characters (morphology-ish damage)
+    cand = "substr(coalesce(text, ''), 1, greatest(length(coalesce(text, '')) - 5, 0))"
+    return corpus_chrf_oracle_sql(
+        "SELECT doc_id, text FROM documents WHERE text IS NOT NULL",
+        cand,
+        "text",
+        "doc_id",
+    )
+
+
+@q("corpus_chrf_truncated", _chrf_oracle())
+def corpus_chrf_truncated(spark, sf_dir):
+    """Corpus chrF (texteval.py:corpus_chrf, Popović WMT'15) of every
+    doc minus its last 5 characters vs the doc itself — character-level
+    damage that WORD metrics barely see (one token edited) but chrF
+    prices correctly across all 6 char-gram orders; β=2 recall-weighted,
+    whitespace stripped per the paper. P/R exact rationals 12dp-rounded
+    then DECIMAL-summed over the effective orders; same single
+    (doc, order, gram) shuffle shape as BLEU, on characters."""
+    from xmlschemavalidator_spark.texteval import corpus_chrf
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    t = F.coalesce(F.col("text"), F.lit(""))
+    paired = docs.select(
+        "doc_id",
+        F.substring(t, 1, F.greatest(F.length(t) - 5, F.lit(0))).alias("cand"),
+        F.col("text").alias("ref"),
+    )
+    return corpus_chrf(paired, "cand", "ref", "doc_id")

@@ -586,3 +586,193 @@ SELECT CAST(count(*) AS BIGINT) AS n_pairs,
       CAST(coalesce(sum(e), 0) AS DOUBLE) / CAST(sum(r) AS DOUBLE) END,
       {round_to}) AS wer
 FROM b"""
+
+
+def _chargrams(s, n: int) -> F.Column:
+    """Array of character n-grams of a string column (n fixed)."""
+    return F.when(
+        F.length(s) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(s) - n + 1),
+            lambda i: F.substring(s, i, n),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _chargrams_sql(s: str, n: int) -> str:
+    return (
+        f"list_transform(generate_series(1, greatest(length({s}) - {n - 1}, 0)),"
+        f" i -> {s}[i:i+{n - 1}])"
+    )
+
+
+def _strip_ws(text) -> F.Column:
+    return F.regexp_replace(F.coalesce(text, F.lit("")), _WS + "+", "")
+
+
+def _strip_ws_sql(x: str) -> str:
+    return f"regexp_replace(coalesce({x}, ''), '{_WS}+', '', 'g')"
+
+
+def corpus_chrf(
+    df: DataFrame,
+    cand_col: str,
+    ref_col: str,
+    id_col: str,
+    max_order: int = 6,
+    beta: int = 2,
+    round_to: int = 6,
+) -> DataFrame:
+    """Corpus chrF (Popović WMT'15) — the character-n-gram F-score that
+    completes the reference-metric trio: BLEU grades word precision,
+    WER grades alignment, chrF grades CHARACTER overlap (β=2 favoring
+    recall), which is what survives tokenizer/morphology differences
+    and is the robust default for non-English references. ONE row
+    ``(n_pairs, chr_p, chr_r, chrf)`` where P/R are macro-averaged over
+    n = 1..max_order char-n-gram precisions/recalls (each micro over
+    the corpus), whitespace stripped first (the paper's convention),
+    and chrF = (1+β²)·P·R/(β²·P+R).
+
+    Orders are averaged over the EFFECTIVE set — n with grams on both
+    sides (the sacrebleu effective-order convention, stated); no grams
+    anywhere → NULL chrf. Exactness: per-order P/R are exact integer
+    rationals rounded 12dp BEFORE the fixed-order average; the final
+    harmonic combination is one IEEE chain. Same (doc, order, gram)
+    single-shuffle shape as :func:`ngram_match_counts`, on char grams
+    (≈max_order× the character volume — the disclosed cost of a
+    char-level metric).
+    """
+    if max_order < 1:
+        raise ValueError(f"max_order must be >= 1, got {max_order}")
+    base = df.where(
+        F.col(cand_col).isNotNull()
+        & F.col(ref_col).isNotNull()
+        & F.col(id_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("_id"),
+        _strip_ws(F.col(cand_col)).alias("_cs"),
+        _strip_ws(F.col(ref_col)).alias("_rs"),
+    )
+    sides = []
+    for n in range(1, max_order + 1):
+        for src, c, r in (("_cs", 1, 0), ("_rs", 0, 1)):
+            sides.append(
+                base.select(
+                    "_id",
+                    F.lit(n).alias("_n"),
+                    F.explode(_chargrams(F.col(src), n)).alias("_g"),
+                    F.lit(c).alias("_c"),
+                    F.lit(r).alias("_r"),
+                )
+            )
+    rows = sides[0]
+    for s in sides[1:]:
+        rows = rows.unionByName(s)
+    per_gram = rows.groupBy("_id", "_n", "_g").agg(
+        F.sum("_c").cast("bigint").alias("_cc"),
+        F.sum("_r").cast("bigint").alias("_rc"),
+    )
+    per_n = per_gram.groupBy("_n").agg(
+        F.sum(F.least(F.col("_cc"), F.col("_rc")))
+        .cast("decimal(38,0)")
+        .alias("_clip"),
+        F.sum("_cc").cast("decimal(38,0)").alias("_ct"),
+        F.sum("_rc").cast("decimal(38,0)").alias("_rt"),
+    )
+    eff = (F.col("_ct") > 0) & (F.col("_rt") > 0)
+    # 12dp-round-then-DECIMAL-sum: a float sum over the ≤6 order rows
+    # could still reorder across partitions — DECIMAL can't
+    agg = per_n.agg(
+        F.sum(F.when(eff, 1).otherwise(0)).cast("bigint").alias("_n_eff"),
+        F.sum(
+            F.when(
+                eff,
+                F.round(
+                    F.col("_clip").cast("double") / F.col("_ct").cast("double"),
+                    12,
+                ).cast("decimal(38,12)"),
+            ).otherwise(F.lit(0).cast("decimal(38,12)"))
+        ).cast("double").alias("_sp"),
+        F.sum(
+            F.when(
+                eff,
+                F.round(
+                    F.col("_clip").cast("double") / F.col("_rt").cast("double"),
+                    12,
+                ).cast("decimal(38,12)"),
+            ).otherwise(F.lit(0).cast("decimal(38,12)"))
+        ).cast("double").alias("_sr"),
+    )
+    pairs = df.where(
+        F.col(cand_col).isNotNull()
+        & F.col(ref_col).isNotNull()
+        & F.col(id_col).isNotNull()
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    p = F.col("_sp") / F.col("_n_eff").cast("double")
+    r = F.col("_sr") / F.col("_n_eff").cast("double")
+    b2 = float(beta * beta)
+    chrf = F.when(
+        p + r > 0, (1.0 + b2) * p * r / (b2 * p + r)
+    ).otherwise(F.lit(0.0))
+    return pairs.crossJoin(F.broadcast(agg)).select(
+        "n_pairs",
+        F.round(F.when(F.col("_n_eff") > 0, p), round_to).alias("chr_p"),
+        F.round(F.when(F.col("_n_eff") > 0, r), round_to).alias("chr_r"),
+        F.round(F.when(F.col("_n_eff") > 0, chrf), round_to).alias("chrf"),
+    )
+
+
+def corpus_chrf_oracle_sql(
+    from_sql: str,
+    cand_sql: str,
+    ref_sql: str,
+    id_sql: str,
+    max_order: int = 6,
+    beta: int = 2,
+    round_to: int = 6,
+) -> str:
+    """DuckDB replay of :func:`corpus_chrf` — same stripped char grams,
+    same 12dp-pre-rounded rational averages, same harmonic chain."""
+    parts = []
+    for n in range(1, max_order + 1):
+        for src, c, r in (("cs", 1, 0), ("rs", 0, 1)):
+            parts.append(
+                f"SELECT _id, {n} AS _n, unnest({_chargrams_sql(src, n)}) AS _g,"
+                f" {c} AS _c, {r} AS _r FROM toks"
+            )
+    unions = "\nUNION ALL\n".join(parts)
+    b2 = float(beta * beta)
+    p = "(sp / CAST(n_eff AS DOUBLE))"
+    r = "(sr / CAST(n_eff AS DOUBLE))"
+    chrf = (
+        f"(CASE WHEN {p} + {r} > 0 THEN"
+        f" (1.0 + {b2}) * {p} * {r} / ({b2} * {p} + {r}) ELSE 0.0 END)"
+    )
+    return f"""WITH src AS ({from_sql}),
+toks AS (SELECT {id_sql} AS _id, {_strip_ws_sql(cand_sql)} AS cs,
+           {_strip_ws_sql(ref_sql)} AS rs
+         FROM src WHERE {cand_sql} IS NOT NULL AND {ref_sql} IS NOT NULL
+           AND {id_sql} IS NOT NULL),
+grams AS ({unions}),
+per_gram AS (SELECT _id, _n, _g, CAST(sum(_c) AS BIGINT) AS cc,
+    CAST(sum(_r) AS BIGINT) AS rc FROM grams GROUP BY _id, _n, _g),
+per_n AS (SELECT _n, CAST(sum(least(cc, rc)) AS DECIMAL(38,0)) AS clip,
+    CAST(sum(cc) AS DECIMAL(38,0)) AS ct, CAST(sum(rc) AS DECIMAL(38,0)) AS rt
+  FROM per_gram GROUP BY _n),
+agg AS (SELECT CAST(coalesce(sum(CASE WHEN ct > 0 AND rt > 0 THEN 1 ELSE 0 END), 0)
+           AS BIGINT) AS n_eff,
+    CAST(coalesce(sum(CASE WHEN ct > 0 AND rt > 0 THEN
+        CAST(round(CAST(clip AS DOUBLE) / CAST(ct AS DOUBLE), 12)
+             AS DECIMAL(38,12)) END), 0) AS DOUBLE) AS sp,
+    CAST(coalesce(sum(CASE WHEN ct > 0 AND rt > 0 THEN
+        CAST(round(CAST(clip AS DOUBLE) / CAST(rt AS DOUBLE), 12)
+             AS DECIMAL(38,12)) END), 0) AS DOUBLE) AS sr
+  FROM per_n),
+np AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM src
+       WHERE {cand_sql} IS NOT NULL AND {ref_sql} IS NOT NULL
+         AND {id_sql} IS NOT NULL)
+SELECT np.n_pairs,
+  round(CASE WHEN n_eff > 0 THEN {p} END, {round_to}) AS chr_p,
+  round(CASE WHEN n_eff > 0 THEN {r} END, {round_to}) AS chr_r,
+  round(CASE WHEN n_eff > 0 THEN {chrf} END, {round_to}) AS chrf
+FROM np, agg"""
