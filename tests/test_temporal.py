@@ -1116,3 +1116,83 @@ def test_transition_drift(spark):
     # deltas are signed
     assert got[("v", "c")]["delta_micro"] == 1_000_000
     assert got[("v", "v")]["delta_micro"] == -500_000
+
+
+# ---------------------------------------------------------------------------
+# cohort_retention / funnel_conversion
+# ---------------------------------------------------------------------------
+
+
+def test_cohort_retention_hand_computed(spark):
+    import datetime as dt
+
+    from xmlschemavalidator_spark.temporal import cohort_retention
+
+    d = lambda day: dt.datetime(1970, 1, 1) + dt.timedelta(days=day)
+    # users 1,2 first in period 0 (days 0-6); user 1 returns period 1;
+    # user 3 first in period 1
+    rows = [
+        (1, d(0)), (1, d(3)), (1, d(8)),
+        (2, d(1)),
+        (3, d(7)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r["cohort"], r["offset"]): (r["n_active"], r["n_cohort"], r["retention"])
+        for r in cohort_retention(df, "user_id", "ts", period_days=7).collect()
+    }
+    assert got[(0, 0)] == (2, 2, 1.0)
+    assert got[(0, 1)] == (1, 2, 0.5)
+    assert got[(1, 0)] == (1, 1, 1.0)
+    assert (1, 1) not in got
+
+
+def test_funnel_strict_order(spark):
+    import datetime as dt
+
+    from xmlschemavalidator_spark.temporal import funnel_conversion
+
+    t = lambda h: dt.datetime(2024, 1, 1) + dt.timedelta(hours=h)
+    rows = [
+        # user 1: full ordered funnel
+        (1, t(0), "view"), (1, t(1), "click"), (1, t(2), "purchase"),
+        # user 2: purchase BEFORE click -> stops at click
+        (2, t(0), "view"), (2, t(2), "click"), (2, t(1), "purchase"),
+        # user 3: view only
+        (3, t(0), "view"),
+        # user 4: click without view -> never enters
+        (4, t(0), "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {
+        r["step"]: r
+        for r in funnel_conversion(
+            df, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert out["view"]["n_users"] == 3
+    assert out["click"]["n_users"] == 2
+    assert out["purchase"]["n_users"] == 1
+    assert out["click"]["conversion_from_first"] == round(2 / 3, 6)
+    assert out["purchase"]["conversion_from_prev"] == 0.5
+    assert out["view"]["conversion_from_prev"] is None
+
+
+def test_funnel_empty_step_tail(spark):
+    import datetime as dt
+
+    import pytest
+
+    from xmlschemavalidator_spark.temporal import funnel_conversion
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, t0, "view")], "user_id long, ts timestamp, event_type string"
+    )
+    out = funnel_conversion(
+        df, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    ).collect()
+    assert [r["n_users"] for r in out] == [1, 0, 0]
+    assert out[2]["conversion_from_prev"] is None  # 0/0 tail
+    with pytest.raises(ValueError):
+        funnel_conversion(df, "user_id", "ts", "event_type", ["view"])

@@ -18214,3 +18214,56 @@ def corpus_chrf_truncated(spark, sf_dir):
         F.col("text").alias("ref"),
     )
     return corpus_chrf(paired, "cand", "ref", "doc_id")
+
+
+def _cohort_oracle() -> str:
+    from xmlschemavalidator_spark.temporal import cohort_retention_oracle_sql
+
+    return cohort_retention_oracle_sql(
+        "SELECT user_id AS u, ts FROM events", period_days=7
+    )
+
+
+@q("events_cohort_retention", _cohort_oracle())
+def events_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention matrix (temporal.py:cohort_retention) —
+    cohort = first-seen week, cell = share active at each week offset;
+    the per-wave decay grid Kaplan–Meier summarizes into one curve.
+    Activity collapses to DISTINCT (user, week) BEFORE any join (no
+    countDistinct Expand, no event-scale join), first-week is one
+    partial min; matrix bounded by weeks², not users. Exact integer
+    counts, one division per cell — oracle-exact."""
+    from xmlschemavalidator_spark.temporal import cohort_retention
+
+    return cohort_retention(
+        _t(spark, sf_dir, "events"), "user_id", "ts", period_days=7
+    )
+
+
+def _funnel_oracle() -> str:
+    from xmlschemavalidator_spark.temporal import funnel_oracle_sql
+
+    return funnel_oracle_sql(
+        "SELECT user_id AS u, event_type AS e, ts FROM events",
+        ["view", "click", "purchase"],
+    )
+
+
+@q("events_funnel_conversion", _funnel_oracle())
+def events_funnel_conversion(spark, sf_dir):
+    """Strict-order funnel (temporal.py:funnel_conversion):
+    view → click-after-view → purchase-after-that, each step anchored
+    at the EARLIEST qualifying event — the semantics a per-type
+    distinct-count 'funnel' gets wrong (it counts purchases logged
+    before the click). Two bounded user-keyed min-joins; exact integer
+    micro timestamps; conversion rates one division each. Measured
+    mixed decay at every SF."""
+    from xmlschemavalidator_spark.temporal import funnel_conversion
+
+    return funnel_conversion(
+        _t(spark, sf_dir, "events"),
+        "user_id",
+        "ts",
+        "event_type",
+        ["view", "click", "purchase"],
+    )

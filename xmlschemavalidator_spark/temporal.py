@@ -1568,3 +1568,228 @@ def transition_drift(
         .cast("bigint")
         .alias("delta_micro"),
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    period_days: int = 7,
+    round_to: int = 6,
+) -> DataFrame:
+    """Cohort retention matrix — THE product-analytics table (cohort =
+    the period a user was first seen; cell (cohort, offset) = share of
+    that cohort active ``offset`` periods later): ``(cohort, offset,
+    n_active, n_cohort, retention)``, offset 0 reading exactly 1.0 by
+    construction. The engine-side view of what Kaplan–Meier summarizes
+    as a curve — KM gives the censoring-correct single series, this
+    gives the per-cohort grid that shows WHICH acquisition wave decays.
+
+    Machinery: period = floor(epoch_day / period_days) — pure integer
+    arithmetic on ``unix_micros``; first period per user is ONE
+    partial-aggregatable min; activity collapses to DISTINCT
+    (user, period) before any join (the count-distinct-free discipline:
+    a user's million events in a week are one row past the first
+    groupBy); one user-keyed join, one (cohort, offset) groupBy. All
+    counts exact integers; retention is one IEEE division. NULL
+    users/timestamps excluded.
+
+    Scale shape: everything partial-aggregatable on user or
+    (cohort, offset); nothing driver-sized. The matrix is bounded by
+    periods², not users.
+
+    Reference scope note: eliassona/xmlschemavalidator has no dataset
+    layer (core.clj:263-285); north-rule addition to the temporal
+    family (sessionize / KM / last-touch).
+    """
+    if period_days < 1:
+        raise ValueError(f"period_days must be >= 1, got {period_days}")
+    per = F.floor(
+        F.unix_micros(F.col(ts_col).cast("timestamp"))
+        / F.lit(86_400_000_000 * period_days)
+    ).cast("bigint")
+    base = events.where(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(F.col(user_col).alias("_u"), per.alias("_p"))
+    activity = base.distinct()
+    first = base.groupBy("_u").agg(F.min("_p").alias("_first"))
+    cells = (
+        activity.join(first, "_u")
+        .groupBy(
+            F.col("_first").alias("cohort"),
+            (F.col("_p") - F.col("_first")).alias("offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+    )
+    sizes = first.groupBy(F.col("_first").alias("cohort")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cohort")
+    )
+    return (
+        cells.join(sizes, "cohort")
+        .select(
+            "cohort",
+            "offset",
+            "n_active",
+            "n_cohort",
+            F.round(
+                F.col("n_active").cast("double") / F.col("n_cohort").cast("double"),
+                round_to,
+            ).alias("retention"),
+        )
+        .orderBy("cohort", "offset")
+    )
+
+
+def cohort_retention_oracle_sql(
+    from_sql: str, period_days: int = 7, round_to: int = 6
+) -> str:
+    """DuckDB replay of :func:`cohort_retention`; ``from_sql`` must
+    yield ``u`` and ``ts``."""
+    per = (
+        f"CAST(floor(epoch_us(CAST(ts AS TIMESTAMP))"
+        f" / {86_400_000_000 * period_days}) AS BIGINT)"
+    )
+    return f"""WITH src AS ({from_sql}),
+b AS (SELECT u, {per} AS p FROM src
+      WHERE u IS NOT NULL AND ts IS NOT NULL),
+act AS (SELECT DISTINCT u, p FROM b),
+fst AS (SELECT u, min(p) AS f FROM b GROUP BY u),
+cells AS (SELECT fst.f AS cohort, act.p - fst.f AS "offset",
+    CAST(count(*) AS BIGINT) AS n_active
+  FROM act JOIN fst USING (u) GROUP BY 1, 2),
+sizes AS (SELECT f AS cohort, CAST(count(*) AS BIGINT) AS n_cohort
+          FROM fst GROUP BY f)
+SELECT c.cohort, c."offset", c.n_active, s.n_cohort,
+  round(CAST(c.n_active AS DOUBLE) / CAST(s.n_cohort AS DOUBLE),
+      {round_to}) AS retention
+FROM cells c JOIN sizes s USING (cohort)
+ORDER BY c.cohort, c."offset" """
+
+
+def funnel_conversion(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    round_to: int = 6,
+) -> DataFrame:
+    """Ordered funnel conversion (the classic product query: of the
+    users who did step 1, how many went ON to do step 2 AFTER it, then
+    step 3 after that…): one row per step, ``(step_index, step,
+    n_users, conversion_from_first, conversion_from_prev)``. Order is
+    STRICT — a purchase logged before the click does not count (the
+    distinction a naive per-type distinct-count funnel gets wrong), and
+    each step anchors at the EARLIEST qualifying time (first step-1
+    event, then first step-2 event strictly after it, …) — the standard
+    unordered-window funnel semantics.
+
+    Machinery: per step k, one user-keyed min-aggregate of that step's
+    events filtered ``ts > t_{k−1}`` via an inner join on user —
+    ``len(steps)−1`` bounded joins, each partial-aggregatable, nothing
+    driver-sized. Timestamps compared as exact ``unix_micros``
+    integers. Counts exact; rates one IEEE division each. NULL
+    users/timestamps excluded; an empty step empties the tail (rates
+    NULL past it, n_users 0).
+
+    Reference scope note: north-rule temporal addition; pairs with
+    :func:`last_touch_attribution` (which click gets credit) and
+    :func:`cohort_retention` (who comes back).
+    """
+    if len(steps) < 2:
+        raise ValueError(f"funnel needs >= 2 steps, got {len(steps)}")
+    mic = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = events.where(
+        F.col(user_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(type_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("_u"),
+        F.col(type_col).alias("_e"),
+        mic.alias("_t"),
+    )
+    spark = events.sparkSession
+    reached = (
+        base.where(F.col("_e") == steps[0])
+        .groupBy("_u")
+        .agg(F.min("_t").alias("_at"))
+    )
+    counts = [reached.count()]
+    for step in steps[1:]:
+        nxt = (
+            base.where(F.col("_e") == step)
+            .join(reached.select("_u", F.col("_at").alias("_prev")), "_u")
+            .where(F.col("_t") > F.col("_prev"))
+            .groupBy("_u")
+            .agg(F.min("_t").alias("_at"))
+        )
+        reached = nxt
+        counts.append(reached.count())
+    rows = []
+    for i, (step, n) in enumerate(zip(steps, counts)):
+        first = counts[0]
+        prev = counts[i - 1] if i > 0 else None
+        rows.append(
+            (
+                i + 1,
+                step,
+                n,
+                round(n / first, round_to) if i > 0 and first > 0 else (1.0 if i == 0 and first > 0 else None),
+                round(n / prev, round_to) if prev else None,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "step_index int, step string, n_users bigint,"
+        " conversion_from_first double, conversion_from_prev double",
+    )
+
+
+def funnel_oracle_sql(
+    from_sql: str, steps: list[str], round_to: int = 6
+) -> str:
+    """DuckDB replay of :func:`funnel_conversion`; ``from_sql`` must
+    yield ``u``, ``e``, ``ts``. Same strict-order earliest-anchor
+    semantics via chained min-filter CTEs."""
+    ctes = [
+        f"""s1 AS (SELECT u, min(t) AS at FROM b WHERE e = '{steps[0]}'
+      GROUP BY u)"""
+    ]
+    for i, step in enumerate(steps[1:], start=2):
+        ctes.append(
+            f"""s{i} AS (SELECT b.u, min(b.t) AS at
+      FROM b JOIN s{i - 1} p ON b.u = p.u
+      WHERE b.e = '{step}' AND b.t > p.at GROUP BY b.u)"""
+        )
+    selects = []
+    for i, step in enumerate(steps, start=1):
+        cff = (
+            "CAST(1.0 AS DOUBLE)"
+            if i == 1
+            else f"round((SELECT count(*) FROM s{i}) * 1.0 /"
+            " nullif((SELECT count(*) FROM s1), 0),"
+            f" {round_to})"
+        )
+        cfp = (
+            "CAST(NULL AS DOUBLE)"
+            if i == 1
+            else f"round((SELECT count(*) FROM s{i}) * 1.0 /"
+            f" nullif((SELECT count(*) FROM s{i - 1}), 0), {round_to})"
+        )
+        first_guard = (
+            "CASE WHEN (SELECT count(*) FROM s1) > 0 THEN " + cff + " END"
+        )
+        selects.append(
+            f"SELECT {i} AS step_index, '{step}' AS step,"
+            f" CAST((SELECT count(*) FROM s{i}) AS BIGINT) AS n_users,"
+            f" {first_guard} AS conversion_from_first,"
+            f" {cfp} AS conversion_from_prev"
+        )
+    cte_block = ",\n".join(ctes)
+    select_block = "\nUNION ALL\n".join(selects)
+    return f"""WITH src AS ({from_sql}),
+b AS (SELECT u, e, epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM src
+      WHERE u IS NOT NULL AND e IS NOT NULL AND ts IS NOT NULL),
+{cte_block}
+{select_block}
+ORDER BY step_index"""
