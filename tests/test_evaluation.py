@@ -1327,3 +1327,63 @@ def test_did_empty_and_singleton_cells(spark):
     [r] = did_test(df, "t", "p", "val").collect()
     assert r["did"] is None and r["z"] is None and r["significant"] is False
     assert r["mean_t_pre"] == 1.0  # means still reported where defined
+
+
+# ---------------------------------------------------------------------------
+# woe_iv / lift_chart
+# ---------------------------------------------------------------------------
+
+
+def test_woe_iv_hand_computed(spark):
+    import math
+
+    from xmlschemavalidator_spark.checks.evaluation import woe_iv, woe_iv_summary
+
+    # bin a: 3 pos / 1 neg; bin b: 1 pos / 3 neg -> P = N = 4, symmetric
+    rows = (
+        [("a", True)] * 3 + [("a", False)]
+        + [("b", True)] + [("b", False)] * 3
+    )
+    df = spark.createDataFrame(rows, "bin string, label boolean")
+    per = {r["bin"]: r for r in woe_iv(df, "bin", "label").collect()}
+    w = round(math.log(3), 12)
+    assert per["a"]["woe"] == round(w, 6)
+    assert per["b"]["woe"] == round(-w, 6)
+    assert per["a"]["iv_term"] == round((3 / 4 - 1 / 4) * w, 6)
+    [s] = woe_iv_summary(df, "bin", "label").collect()
+    assert s["iv"] == round(2 * round((1 / 2) * w, 12), 6)
+    assert s["strength"] == "strong"
+
+
+def test_woe_iv_zero_cell_excluded(spark):
+    from xmlschemavalidator_spark.checks.evaluation import woe_iv, woe_iv_summary
+
+    rows = [("a", True), ("a", False), ("z", False), ("z", False)]
+    df = spark.createDataFrame(rows, "bin string, label boolean")
+    per = {r["bin"]: r for r in woe_iv(df, "bin", "label").collect()}
+    assert per["z"]["woe"] is None and per["z"]["iv_term"] is None
+    [s] = woe_iv_summary(df, "bin", "label").collect()
+    assert s["n_bins"] == 2 and s["n_defined"] == 1
+
+
+def test_lift_chart_perfect_separation(spark):
+    from xmlschemavalidator_spark.checks.evaluation import lift_chart
+
+    # 100 rows, top-20 scores are ALL the positives -> bucket 1,2 lift 5
+    rows = [(i, 1.0 - i / 100.0, i < 20) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, score double, label boolean")
+    out = {r["bucket"]: r for r in lift_chart(df, "score", "label", "id").collect()}
+    assert out[1]["lift"] == 5.0 and out[2]["lift"] == 5.0
+    assert out[2]["gain"] == 1.0  # all positives captured by depth 2
+    assert out[10]["pos"] == 0 and out[10]["lift"] == 0.0
+    assert [out[b]["n"] for b in range(1, 11)] == [10] * 10
+
+
+def test_lift_chart_tie_break_deterministic(spark):
+    from xmlschemavalidator_spark.checks.evaluation import lift_chart
+
+    # all scores equal: bucket membership decided by id order
+    rows = [(i, 0.5, i < 5) for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, score double, label boolean")
+    out = {r["bucket"]: r for r in lift_chart(df, "score", "label", "id", n_buckets=2).collect()}
+    assert out[1]["pos"] == 5 and out[2]["pos"] == 0

@@ -3064,3 +3064,327 @@ SELECT n,
       {round_to}) AS p,
   coalesce(abs({z}) * 1000 > {z_crit_milli}, FALSE) AS significant
 FROM wide"""
+
+
+def woe_iv(
+    df: DataFrame,
+    bin_col: str,
+    label_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Weight-of-evidence / information-value feature audit (the
+    credit-scoring standard — Siddiqi 2006): per bin of a feature,
+    ``woe = ln((pos_b/P)/(neg_b/N))`` and ``iv_term = (pos_b/P −
+    neg_b/N)·woe``; Σ iv_term is the feature's predictive strength
+    (Siddiqi's ladder: <0.02 useless, 0.02–0.1 weak, 0.1–0.3 medium,
+    >0.3 strong — see :func:`woe_iv_summary`). The monotone-risk view
+    mutual_information doesn't give (WOE is SIGNED per bin — which
+    bins push which way) and the input isotonic calibration pools.
+    Returns ``(bin, n, pos, neg, woe, iv_term)`` per bin.
+
+    Zero-cell convention (disclosed, the classic one): a bin with no
+    positives or no negatives has undefined WOE — it reads NULL and is
+    EXCLUDED from IV (no ±0.5 smoothing hiding in the number).
+    Exactness: counts exact; the WOE argument is one exact rational
+    ((pos_b·N)/(neg_b·P) — cross-multiplied integers, ONE IEEE
+    division), ln on the shared libm contract, 12dp-rounded; iv_term
+    multiplies an exact-difference rational by the rounded woe, rounded
+    again. ONE partial-aggregatable groupBy on the bin — rows bounded
+    by bins, not corpus.
+    """
+    lab = F.col(label_col).cast("boolean")
+    base = df.where(F.col(bin_col).isNotNull() & lab.isNotNull()).select(
+        F.col(bin_col).alias("bin"), lab.cast("long").alias("_y")
+    )
+    g = base.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("_y").cast("bigint").alias("pos"),
+    )
+    g = g.withColumn("neg", (F.col("n") - F.col("pos")).cast("bigint"))
+    tot = g.agg(
+        F.sum("pos").cast("bigint").alias("_P"),
+        F.sum("neg").cast("bigint").alias("_N"),
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    ok = (
+        (F.col("pos") > 0)
+        & (F.col("neg") > 0)
+        & (F.col("_P") > 0)
+        & (F.col("_N") > 0)
+    )
+    woe = F.round(
+        F.log(
+            (F.col("pos") * F.col("_N")).cast("double")
+            / (F.col("neg") * F.col("_P")).cast("double")
+        ),
+        12,
+    )
+    diff = (
+        F.col("pos").cast("double") / F.col("_P").cast("double")
+        - F.col("neg").cast("double") / F.col("_N").cast("double")
+    )
+    return j.select(
+        "bin",
+        "n",
+        "pos",
+        "neg",
+        F.round(F.when(ok, woe), round_to).alias("woe"),
+        F.round(F.when(ok, diff * woe), round_to).alias("iv_term"),
+    ).orderBy("bin")
+
+
+def woe_iv_summary(
+    df: DataFrame,
+    bin_col: str,
+    label_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """One-row IV verdict over :func:`woe_iv`'s bins: ``(n_bins,
+    n_defined, iv, strength)`` with Siddiqi's ladder by integer-micro
+    compare (useless/weak/medium/strong). IV terms are 12dp-rounded
+    then DECIMAL-summed — order-free."""
+    lab = F.col(label_col).cast("boolean")
+    base = df.where(F.col(bin_col).isNotNull() & lab.isNotNull()).select(
+        F.col(bin_col).alias("bin"), lab.cast("long").alias("_y")
+    )
+    g = base.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("_y").cast("bigint").alias("pos"),
+    )
+    g = g.withColumn("neg", F.col("n") - F.col("pos"))
+    tot = g.agg(
+        F.sum("pos").cast("bigint").alias("_P"),
+        F.sum("neg").cast("bigint").alias("_N"),
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    ok = (
+        (F.col("pos") > 0)
+        & (F.col("neg") > 0)
+        & (F.col("_P") > 0)
+        & (F.col("_N") > 0)
+    )
+    woe = F.round(
+        F.log(
+            (F.col("pos") * F.col("_N")).cast("double")
+            / (F.col("neg") * F.col("_P")).cast("double")
+        ),
+        12,
+    )
+    diff = (
+        F.col("pos").cast("double") / F.col("_P").cast("double")
+        - F.col("neg").cast("double") / F.col("_N").cast("double")
+    )
+    term = F.round(diff * woe, 12).cast("decimal(38,12)")
+    agg = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.sum(F.when(ok, 1).otherwise(0)).cast("bigint").alias("n_defined"),
+        F.coalesce(
+            F.sum(F.when(ok, term)), F.lit(0).cast("decimal(38,12)")
+        ).alias("_iv"),
+    )
+    ivd = F.col("_iv").cast("double")
+
+    def thr(x: str):  # exact DECIMAL compare — int casts round differently
+        return F.col("_iv") < F.lit(x).cast("decimal(38,12)")
+
+    return agg.select(
+        "n_bins",
+        "n_defined",
+        F.round(F.when(F.col("n_defined") > 0, ivd), round_to).alias("iv"),
+        F.when(F.col("n_defined") == 0, F.lit(None).cast("string"))
+        .when(thr("0.02"), F.lit("useless"))
+        .when(thr("0.1"), F.lit("weak"))
+        .when(thr("0.3"), F.lit("medium"))
+        .otherwise(F.lit("strong"))
+        .alias("strength"),
+    )
+
+
+def woe_iv_oracle_sql(
+    from_sql: str,
+    summary: bool = False,
+    round_to: int = 6,
+) -> str:
+    """DuckDB replay of :func:`woe_iv` / :func:`woe_iv_summary`;
+    ``from_sql`` must yield ``bin`` and boolean ``label``."""
+    # tp/tn, NOT P/N: g already holds a column n, and DuckDB resolves
+    # identifiers case-insensitively (the CLAUDE.md N-vs-n trap)
+    ok = "pos > 0 AND neg > 0 AND tp > 0 AND tn > 0"
+    woe = (
+        "round(ln(CAST(pos * tn AS DOUBLE) / CAST(neg * tp AS DOUBLE)), 12)"
+    )
+    diff = (
+        "(CAST(pos AS DOUBLE) / CAST(tp AS DOUBLE)"
+        " - CAST(neg AS DOUBLE) / CAST(tn AS DOUBLE))"
+    )
+    head = f"""WITH src AS ({from_sql}),
+b AS (SELECT bin, CAST(CAST(label AS BOOLEAN) AS BIGINT) AS y FROM src
+      WHERE bin IS NOT NULL AND label IS NOT NULL),
+g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        CAST(coalesce(sum(y), 0) AS BIGINT) AS pos,
+        CAST(count(*) - coalesce(sum(y), 0) AS BIGINT) AS neg
+      FROM b GROUP BY bin),
+tot AS (SELECT CAST(coalesce(sum(pos), 0) AS BIGINT) AS tp,
+          CAST(coalesce(sum(neg), 0) AS BIGINT) AS tn FROM g),
+j AS (SELECT g.*, tot.tp, tot.tn FROM g, tot)"""
+    if not summary:
+        return f"""{head}
+SELECT bin, n, pos, neg,
+  round(CASE WHEN {ok} THEN {woe} END, {round_to}) AS woe,
+  round(CASE WHEN {ok} THEN {diff} * {woe} END, {round_to}) AS iv_term
+FROM j ORDER BY bin"""
+    return f"""{head},
+agg AS (SELECT CAST(count(*) AS BIGINT) AS n_bins,
+    CAST(coalesce(sum(CASE WHEN {ok} THEN 1 ELSE 0 END), 0) AS BIGINT)
+        AS n_defined,
+    coalesce(sum(CASE WHEN {ok} THEN
+        CAST(round({diff} * {woe}, 12) AS DECIMAL(38,12)) END),
+        CAST(0 AS DECIMAL(38,12))) AS iv_dec
+  FROM j)
+SELECT n_bins, n_defined,
+  round(CASE WHEN n_defined > 0 THEN CAST(iv_dec AS DOUBLE) END,
+      {round_to}) AS iv,
+  CASE WHEN n_defined = 0 THEN NULL
+       WHEN iv_dec < CAST(0.02 AS DECIMAL(38,12)) THEN 'useless'
+       WHEN iv_dec < CAST(0.1 AS DECIMAL(38,12)) THEN 'weak'
+       WHEN iv_dec < CAST(0.3 AS DECIMAL(38,12)) THEN 'medium'
+       ELSE 'strong' END AS strength
+FROM agg"""
+
+
+def lift_chart(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    n_buckets: int = 10,
+    quantum: int = 1_000_000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Cumulative gains / lift chart (the model-triage classic: sort by
+    score descending, cut into ``n_buckets`` equal slices, ask how much
+    of the positive class each slice captures): ``(bucket, n, pos,
+    cum_pos, gain, lift)`` where gain = cumulative positive share at
+    that depth and lift = (pos_b/n_b)/(P/N) — the top-decile lift is
+    the number the ROC curve's AUC averages away ("the top 10% of
+    scores holds 4.2× its share of positives").
+
+    NO corpus-wide single-partition sort: the global rank is assembled
+    from the quantized DISTINCT-score grid (the roc_auc contract) — a
+    descending cumulative count per distinct score (bounded window) +
+    a per-score row_number on the id tie-break (window PARTITIONED by
+    the score) + one broadcast join; bucket = floor((rank−1)·B/N)+1 in
+    pure integer math, identical in both engines (ntile's
+    remainder-placement is reimplemented explicitly rather than
+    trusted). Counts exact; gain/lift one IEEE division each. NULL
+    score/label/id rows excluded.
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    lab = F.col(label_col).cast("boolean")
+    base = df.where(
+        F.col(score_col).isNotNull() & lab.isNotNull() & F.col(id_col).isNotNull()
+    ).select(
+        F.floor(F.col(score_col).cast("double") * F.lit(quantum))
+        .cast("bigint")
+        .alias("_q"),
+        F.col(id_col).alias("_id"),
+        lab.cast("long").alias("_y"),
+    )
+    grid = base.groupBy("_q").agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+    wg = Window.orderBy(F.col("_q").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = grid.select(
+        "_q", (F.sum("_c").over(wg) - F.col("_c")).alias("_before")
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_nt"),
+        F.sum("_y").cast("bigint").alias("_pt"),
+    )
+    wq = Window.partitionBy("_q").orderBy(F.col("_id").asc())
+    ranked = (
+        base.withColumn("_intra", F.row_number().over(wq))
+        .join(F.broadcast(cum), "_q")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "_y",
+            "_nt",
+            "_pt",
+            (
+                F.floor(
+                    (F.col("_before") + F.col("_intra") - 1)
+                    * n_buckets
+                    / F.col("_nt")
+                )
+                + 1
+            )
+            .cast("int")
+            .alias("bucket"),
+        )
+    )
+    per = ranked.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("_y").cast("bigint").alias("pos"),
+        F.max("_nt").alias("_nt"),
+        F.max("_pt").alias("_pt"),
+    )
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return per.select(
+        "bucket",
+        "n",
+        "pos",
+        F.sum("pos").over(wb).cast("bigint").alias("cum_pos"),
+        F.round(
+            F.when(
+                F.col("_pt") > 0,
+                F.sum("pos").over(wb).cast("double") / F.col("_pt").cast("double"),
+            ),
+            round_to,
+        ).alias("gain"),
+        F.round(
+            F.when(
+                (F.col("_pt") > 0) & (F.col("n") > 0),
+                (F.col("pos") * F.col("_nt")).cast("double")
+                / (F.col("n") * F.col("_pt")).cast("double"),
+            ),
+            round_to,
+        ).alias("lift"),
+    ).orderBy("bucket")
+
+
+def lift_chart_oracle_sql(
+    from_sql: str,
+    n_buckets: int = 10,
+    quantum: int = 1_000_000,
+    round_to: int = 6,
+) -> str:
+    """DuckDB replay of :func:`lift_chart`; ``from_sql`` must yield
+    ``id``, ``score``, ``label``. Same grid-assembled rank, same
+    integer bucket math."""
+    return f"""WITH src AS ({from_sql}),
+b AS (SELECT CAST(floor(CAST(score AS DOUBLE) * {quantum}) AS BIGINT) AS q,
+        id, CAST(CAST(label AS BOOLEAN) AS BIGINT) AS y
+      FROM src WHERE score IS NOT NULL AND label IS NOT NULL
+        AND id IS NOT NULL),
+grid AS (SELECT q, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY q),
+cum AS (SELECT q, CAST(sum(c) OVER (ORDER BY q DESC) - c AS BIGINT)
+          AS before FROM grid),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS nt,
+          CAST(coalesce(sum(y), 0) AS BIGINT) AS pt FROM b),
+ranked AS (SELECT b.y, tot.nt, tot.pt,
+    CAST(floor((cum.before + row_number() OVER (PARTITION BY b.q
+         ORDER BY b.id ASC) - 1) * {n_buckets} / tot.nt) + 1 AS INT)
+      AS bucket
+  FROM b JOIN cum USING (q), tot),
+per AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+    CAST(coalesce(sum(y), 0) AS BIGINT) AS pos,
+    max(nt) AS nt, max(pt) AS pt
+  FROM ranked GROUP BY bucket)
+SELECT bucket, n, pos,
+  CAST(sum(pos) OVER (ORDER BY bucket) AS BIGINT) AS cum_pos,
+  round(CASE WHEN pt > 0 THEN CAST(sum(pos) OVER (ORDER BY bucket)
+        AS DOUBLE) / CAST(pt AS DOUBLE) END, {round_to}) AS gain,
+  round(CASE WHEN pt > 0 AND n > 0 THEN CAST(pos * nt AS DOUBLE)
+        / CAST(n * pt AS DOUBLE) END, {round_to}) AS lift
+FROM per ORDER BY bucket"""

@@ -18267,3 +18267,88 @@ def events_funnel_conversion(spark, sf_dir):
         "event_type",
         ["view", "click", "purchase"],
     )
+
+
+def _woe_oracle(summary: bool) -> str:
+    from xmlschemavalidator_spark.checks.evaluation import woe_iv_oracle_sql
+
+    return woe_iv_oracle_sql(
+        f"SELECT lang AS bin, {_CAL_LABEL_DUCK} = 1 AS label"
+        " FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL",
+        summary=summary,
+    )
+
+
+@q("lang_woe_iv_bins", _woe_oracle(False))
+def lang_woe_iv_bins(spark, sf_dir):
+    """Weight-of-evidence bins (checks/evaluation.py:woe_iv, the
+    Siddiqi credit-scoring audit) of the lang feature against the
+    'spark'-token label: SIGNED per-bin evidence (which languages push
+    toward/away from the label) where mutual_information only says
+    'dependent'. Zero-cell bins read NULL woe and are visibly excluded
+    — no smoothing hiding in the number. One bin-keyed partial agg."""
+    from xmlschemavalidator_spark.checks.evaluation import woe_iv
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & F.col("lang").isNotNull()
+    )
+    flagged = docs.select(
+        F.col("lang").alias("bin"),
+        (
+            F.locate(" spark ", F.concat(F.lit(" "), F.col("text"), F.lit(" "))) > 0
+        ).alias("label"),
+    )
+    return woe_iv(flagged, "bin", "label")
+
+
+@q("lang_woe_iv_summary", _woe_oracle(True))
+def lang_woe_iv_summary(spark, sf_dir):
+    """One-row information value + Siddiqi strength ladder over the
+    same WOE bins (12dp-round-then-DECIMAL-sum IV; ladder compared in
+    exact DECIMAL — integer casts round differently across engines)."""
+    from xmlschemavalidator_spark.checks.evaluation import woe_iv_summary
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & F.col("lang").isNotNull()
+    )
+    flagged = docs.select(
+        F.col("lang").alias("bin"),
+        (
+            F.locate(" spark ", F.concat(F.lit(" "), F.col("text"), F.lit(" "))) > 0
+        ).alias("label"),
+    )
+    return woe_iv_summary(flagged, "bin", "label")
+
+
+def _lift_oracle() -> str:
+    from xmlschemavalidator_spark.checks.evaluation import lift_chart_oracle_sql
+
+    return lift_chart_oracle_sql(
+        f"SELECT doc_id AS id, {_CAL_PROB_DUCK} AS score,"
+        f" {_CAL_LABEL_DUCK} = 1 AS label"
+        " FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL"
+    )
+
+
+@q("classifier_lift_chart", _lift_oracle())
+def classifier_lift_chart(spark, sf_dir):
+    """Cumulative gains / lift chart (checks/evaluation.py:lift_chart)
+    over the calibration family's pseudo-probability vs 'spark'-token
+    label: the top-decile-capture view AUC averages away. The global
+    rank is ASSEMBLED from the quantized distinct-score grid (bounded
+    window + per-score id tie-break + broadcast join) — never a
+    corpus-wide single-partition sort; explicit integer bucket math
+    replaces ntile's engine-trusted remainder placement."""
+    from xmlschemavalidator_spark.checks.evaluation import lift_chart
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    scored = docs.select(
+        F.col("doc_id").alias("id"),
+        ((F.col("n_chars") % 500).cast("double") / F.lit(500)).alias("score"),
+        (
+            F.locate(" spark ", F.concat(F.lit(" "), F.col("text"), F.lit(" "))) > 0
+        ).alias("label"),
+    )
+    return lift_chart(scored, "score", "label", "id")
