@@ -1387,3 +1387,46 @@ def test_lift_chart_tie_break_deterministic(spark):
     df = spark.createDataFrame(rows, "id long, score double, label boolean")
     out = {r["bucket"]: r for r in lift_chart(df, "score", "label", "id", n_buckets=2).collect()}
     assert out[1]["pos"] == 5 and out[2]["pos"] == 0
+
+
+# ---------------------------------------------------------------------------
+# holm_adjust
+# ---------------------------------------------------------------------------
+
+
+def test_holm_stops_where_bh_rescues(spark):
+    # same planted battery as the BH step-up test: BH rejects ranks 1-3,
+    # Holm must stop at rank 2 (p2 = .0214 > .05/4) and reject ONLY rank 1
+    from xmlschemavalidator_spark.checks.evaluation import bh_fdr, holm_adjust
+
+    rows = [
+        ("seg_a", 3.5), ("seg_b", 2.30), ("seg_c", 2.27),
+        ("seg_d", 2.0), ("seg_e", 0.3), ("seg_f", None),
+    ]
+    df = spark.createDataFrame(rows, "seg string, z double")
+    holm = {r["seg"]: r for r in holm_adjust(df, "seg").collect()}
+    bh = {r["seg"]: r for r in bh_fdr(df, "seg").collect()}
+    assert [s for s in holm if holm[s]["rejected"]] == ["seg_a"]
+    assert sorted(s for s in bh if bh[s]["rejected"]) == ["seg_a", "seg_b", "seg_c"]
+    # NULL z carried, excluded from m
+    assert holm["seg_f"]["p_value"] is None
+    assert holm["seg_f"]["rejected"] is False
+    # adjusted p is monotone down the sorted order and clamped at 1
+    ordered = sorted(
+        (r for r in holm.values() if r["holm_rank"] is not None),
+        key=lambda r: r["holm_rank"],
+    )
+    adj = [r["p_adjusted"] for r in ordered]
+    assert adj == sorted(adj) and adj[-1] <= 1.0
+
+
+def test_holm_all_significant_and_empty(spark):
+    from xmlschemavalidator_spark.checks.evaluation import holm_adjust
+
+    df = spark.createDataFrame(
+        [("a", 9.0), ("b", 8.0)], "seg string, z double"
+    )
+    out = holm_adjust(df, "seg").collect()
+    assert all(r["rejected"] for r in out)  # no first failure
+    empty = df.where("false")
+    assert holm_adjust(empty, "seg").count() == 0

@@ -3388,3 +3388,125 @@ SELECT bucket, n, pos,
   round(CASE WHEN pt > 0 AND n > 0 THEN CAST(pos * nt AS DOUBLE)
         / CAST(n * pt AS DOUBLE) END, {round_to}) AS lift
 FROM per ORDER BY bucket"""
+
+
+def holm_adjust(
+    df: DataFrame,
+    id_col: str,
+    z_col: str = "z",
+    alpha_micro: int = 50_000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Holm–Bonferroni step-down correction (Holm 1979) — the FWER
+    member beside :func:`bh_fdr`'s FDR: BH bounds the false fraction
+    AMONG the alarms (right for triage dashboards); Holm bounds the
+    probability of ANY false alarm (right for ship/no-ship gates where
+    one wrong rejection is the incident), uniformly more powerful than
+    plain Bonferroni at the same guarantee. Sort the m p-values
+    ascending; reject down the list until the FIRST i with
+    p_i > α/(m−i+1), then stop — everything below the first failure
+    stays retained regardless of its own p (the step-down property).
+
+    Output per row: ``(id, z, p_value, holm_rank, p_adjusted,
+    rejected)`` with the standard monotone adjusted p — the running max
+    of (m−j+1)·p_j down the sorted prefix, clamped at 1 (12dp-rounded
+    terms; compare ``p_adjusted ≤ α`` reproduces ``rejected``).
+
+    Same contract as bh_fdr: input is a HYPOTHESIS table (one rounded z
+    per segment — bounded by the segment lattice, never corpus-sized),
+    ONE bounded window sort, NULL z rows carried with NULL p / not
+    rejected and excluded from m, step compares cross-multiplied
+    against the integer ``alpha_micro``, p-ties broken by id.
+    """
+    z = F.col(z_col).cast("double")
+    p = F.when(z.isNotNull(), _p_two_sided(z))
+    base = df.select(F.col(id_col), z.alias("_z"), p.alias("_p"))
+    w_rank = Window.orderBy(F.asc_nulls_last("_p"), F.col(id_col))
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = base.select(
+        F.col(id_col),
+        "_z",
+        "_p",
+        F.when(F.col("_p").isNotNull(), F.row_number().over(w_rank))
+        .cast("bigint")
+        .alias("_i"),
+        F.count("_p").over(w_all).cast("bigint").alias("_m"),
+    )
+    fails = (
+        F.col("_p")
+        * (F.col("_m") - F.col("_i") + 1).cast("double")
+        * F.lit(1_000_000.0)
+        > F.lit(float(alpha_micro))
+    )
+    w_pfx = Window.orderBy(F.asc_nulls_last("_p"), F.col(id_col)).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    stepped = ranked.select(
+        "*",
+        F.min(F.when(fails, F.col("_i"))).over(w_all).alias("_first_fail"),
+        F.max(
+            F.when(
+                F.col("_p").isNotNull(),
+                F.round(
+                    F.col("_p") * (F.col("_m") - F.col("_i") + 1).cast("double"),
+                    12,
+                ),
+            )
+        )
+        .over(w_pfx)
+        .alias("_padj_raw"),
+    )
+    return stepped.select(
+        F.col(id_col),
+        F.round("_z", round_to).alias("z"),
+        F.round("_p", round_to).alias("p_value"),
+        F.col("_i").alias("holm_rank"),
+        F.round(
+            F.when(
+                F.col("_p").isNotNull(), F.least(F.col("_padj_raw"), F.lit(1.0))
+            ),
+            round_to,
+        ).alias("p_adjusted"),
+        F.coalesce(
+            F.col("_p").isNotNull()
+            & (
+                F.col("_first_fail").isNull()
+                | (F.col("_i") < F.col("_first_fail"))
+            ),
+            F.lit(False),
+        ).alias("rejected"),
+    )
+
+
+def holm_oracle_sql(
+    from_sql: str,
+    id_sql: str,
+    alpha_micro: int = 50_000,
+    round_to: int = 6,
+) -> str:
+    """DuckDB replay of :func:`holm_adjust`; ``from_sql`` must yield
+    ``{id_sql}`` and a rounded ``z``."""
+    p = f"(CASE WHEN z IS NOT NULL THEN {_p_two_sided_sql('CAST(z AS DOUBLE)')} END)"
+    return f"""WITH src AS ({from_sql}),
+b AS (SELECT {id_sql} AS id, CAST(z AS DOUBLE) AS z, {p} AS p FROM src),
+rk AS (SELECT *, CASE WHEN p IS NOT NULL THEN
+         CAST(row_number() OVER (ORDER BY p ASC NULLS LAST, id) AS BIGINT)
+       END AS i,
+       CAST(count(p) OVER () AS BIGINT) AS m FROM b),
+st AS (SELECT *,
+    min(CASE WHEN p * CAST(m - i + 1 AS DOUBLE) * 1000000.0
+             > {float(alpha_micro)} THEN i END) OVER () AS first_fail,
+    max(CASE WHEN p IS NOT NULL THEN
+        round(p * CAST(m - i + 1 AS DOUBLE), 12) END)
+      OVER (ORDER BY p ASC NULLS LAST, id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS padj_raw
+  FROM rk)
+SELECT id AS {id_sql}, round(z, {round_to}) AS z, round(p, {round_to}) AS p_value,
+  i AS holm_rank,
+  round(CASE WHEN p IS NOT NULL THEN least(padj_raw, 1.0) END,
+      {round_to}) AS p_adjusted,
+  coalesce(p IS NOT NULL AND (first_fail IS NULL OR i < first_fail), FALSE)
+      AS rejected
+FROM st"""

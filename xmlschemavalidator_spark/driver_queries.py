@@ -18352,3 +18352,27 @@ def classifier_lift_chart(spark, sf_dir):
         ).alias("label"),
     )
     return lift_chart(scored, "score", "label", "id")
+
+
+def _holm_sql() -> str:
+    from xmlschemavalidator_spark.checks.evaluation import holm_oracle_sql
+
+    return holm_oracle_sql(
+        f"WITH {_BH_PLANTED_CTE} SELECT seg, z FROM tests", "seg", 50_000
+    )
+
+
+@q("holm_planted_stepdown", _holm_sql())
+def holm_planted_stepdown(spark, sf_dir):
+    """Holm step-down FWER correction (checks/evaluation.py:
+    holm_adjust, Holm 1979) on the SAME planted hypothesis table as
+    bh_fdr_planted_stepup — pinned precisely because the two disagree
+    there: BH's step-up rescues ranks 1-3 (FDR triage), Holm stops at
+    rank 2 (p=0.0214 > 0.05/4) and rejects ONLY rank 1 — the
+    any-false-alarm-is-an-incident gate. Monotone adjusted p's
+    (running max of (m−i+1)·p), NULL-z row carried unrejected and
+    excluded from m; one bounded window sort."""
+    from xmlschemavalidator_spark.checks.evaluation import holm_adjust
+
+    df = spark.createDataFrame(list(_BH_PLANTED), "seg string, z double")
+    return holm_adjust(df, "seg", alpha_micro=50_000)
