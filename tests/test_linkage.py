@@ -295,3 +295,44 @@ def test_jaro_winkler_column_matches_duckdb(spark):
                 "SELECT round(jaro_winkler_similarity(?, ?), 6)", [a, b]
             ).fetchone()[0]
             assert got[(a, b)] == d, (a, b)
+
+
+# ---------------------------------------------------------------------------
+# krippendorff_alpha
+# ---------------------------------------------------------------------------
+
+
+def test_krippendorff_textbook_example(spark):
+    # Krippendorff 2004's 4-coder nominal dataset with missing ratings
+    from xmlschemavalidator_spark.linkage import krippendorff_alpha
+
+    data = {
+        1: [1, 1, 1, 1], 2: [2, 2, 3, 2], 3: [3, 3, 3, 3], 4: [3, 3, 3, 3],
+        5: [2, 2, 2, 2], 6: [1, 2, 3, 4], 7: [4, 4, 4, 4], 8: [1, 1, 2, 1],
+        9: [2, 2, 2, 2], 10: [5, 5, 5, 5], 11: [1, 1, 1], 12: [3, 3, 3],
+    }
+    rows = [(u, v) for u, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, "unit long, val long")
+    [r] = krippendorff_alpha(df, "unit", "val").collect()
+    assert (r["n_units"], r["n_pairable"], r["n_categories"]) == (12, 46, 5)
+    assert r["alpha"] == 0.777228  # closed-form value of this dataset
+
+
+def test_krippendorff_perfect_and_degenerate(spark):
+    from xmlschemavalidator_spark.linkage import krippendorff_alpha
+
+    # perfect agreement across 2 categories: alpha = 1
+    rows = [(1, "a"), (1, "a"), (2, "b"), (2, "b"), (3, "a"), (3, "a")]
+    df = spark.createDataFrame(rows, "unit long, val string")
+    [r] = krippendorff_alpha(df, "unit", "val").collect()
+    assert r["alpha"] == 1.0
+    # single category everywhere: expected disagreement 0 -> NULL
+    rows = [(1, "a"), (1, "a"), (2, "a"), (2, "a")]
+    df = spark.createDataFrame(rows, "unit long, val string")
+    [r] = krippendorff_alpha(df, "unit", "val").collect()
+    assert r["alpha"] is None
+    # singleton units carry nothing: excluded from n_units and totals
+    rows = [(1, "a"), (1, "b"), (2, "a")]
+    df = spark.createDataFrame(rows, "unit long, val string")
+    [r] = krippendorff_alpha(df, "unit", "val").collect()
+    assert r["n_units"] == 1 and r["n_pairable"] == 2

@@ -18376,3 +18376,66 @@ def holm_planted_stepdown(spark, sf_dir):
 
     df = spark.createDataFrame(list(_BH_PLANTED), "seg string, z double")
     return holm_adjust(df, "seg", alpha_micro=50_000)
+
+
+def _ka_oracle() -> str:
+    from xmlschemavalidator_spark.checks.evaluation import _p_two_sided_sql  # noqa: F401
+    from xmlschemavalidator_spark.linkage import krippendorff_oracle_sql
+    from xmlschemavalidator_spark.textops import _WS
+
+    ntok = (
+        "(CASE WHEN trim(coalesce(text, '')) = '' THEN 0 ELSE"
+        f" len(string_split_regex(trim(text), '{_WS}+')) END)"
+    )
+    # three deterministic "raters" bucketing each doc into S/M/L; rater 3
+    # abstains on every 5th doc (the missing-data path α exists for)
+    ratings = f"""SELECT doc_id AS unit, CASE
+      WHEN n_chars < 150 THEN 'S' WHEN n_chars < 400 THEN 'M' ELSE 'L'
+    END AS val FROM documents WHERE n_chars IS NOT NULL
+  UNION ALL
+  SELECT doc_id, CASE WHEN {ntok} < 30 THEN 'S'
+      WHEN {ntok} < 80 THEN 'M' ELSE 'L' END
+    FROM documents WHERE text IS NOT NULL
+  UNION ALL
+  SELECT doc_id, CASE WHEN length(coalesce(text, '')) < 160 THEN 'S'
+      WHEN length(coalesce(text, '')) < 420 THEN 'M' ELSE 'L' END
+    FROM documents WHERE text IS NOT NULL AND doc_id % 5 <> 0"""
+    return krippendorff_oracle_sql(ratings)
+
+
+@q("doc_size_krippendorff_alpha", _ka_oracle())
+def doc_size_krippendorff_alpha(spark, sf_dir):
+    """Krippendorff's alpha, nominal (linkage.py:krippendorff_alpha —
+    the m-rater missing-data agreement coefficient completing the
+    family: κ two-rater, W m-rankings, α m-rater-with-holes): three
+    deterministic size-class 'raters' (chars / tokens / text length)
+    vote S/M/L per doc, rater 3 abstaining on every 5th doc. The
+    coincidence-matrix identity collapsed to per-unit integer sums —
+    no c×k matrix; 12dp-round-then-DECIMAL-summed rationals;
+    oracle-exact at a measured mid-range agreement."""
+    from xmlschemavalidator_spark.linkage import krippendorff_alpha
+    from xmlschemavalidator_spark.textops import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    size1 = docs.where(F.col("n_chars").isNotNull()).select(
+        F.col("doc_id").alias("unit"),
+        F.when(F.col("n_chars") < 150, "S")
+        .when(F.col("n_chars") < 400, "M")
+        .otherwise("L")
+        .alias("val"),
+    )
+    ntok = token_count(F.col("text"))
+    size2 = docs.where(F.col("text").isNotNull()).select(
+        F.col("doc_id").alias("unit"),
+        F.when(ntok < 30, "S").when(ntok < 80, "M").otherwise("L").alias("val"),
+    )
+    tl = F.length(F.coalesce(F.col("text"), F.lit("")))
+    size3 = (
+        docs.where(F.col("text").isNotNull() & (F.col("doc_id") % 5 != 0))
+        .select(
+            F.col("doc_id").alias("unit"),
+            F.when(tl < 160, "S").when(tl < 420, "M").otherwise("L").alias("val"),
+        )
+    )
+    ratings = size1.unionByName(size2).unionByName(size3)
+    return krippendorff_alpha(ratings, "unit", "val")

@@ -644,3 +644,127 @@ def with_jaro_winkler(
     return df.withColumn(
         out_col, F.round(_jw(F.col(a_col), F.col(b_col)), round_to)
     )
+
+
+def krippendorff_alpha(
+    df: DataFrame,
+    unit_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Krippendorff's alpha, nominal metric (Krippendorff 1970/2004) —
+    the agreement coefficient for the panel shapes the rest of the
+    family can't hold: Cohen's κ needs exactly two raters on every
+    item, Kendall's W needs complete rankings; α takes ANY number of
+    raters with MISSING ratings (each unit contributes whatever pairs
+    it has). Input is the LONG ratings table (unit, value) — rater
+    identity is irrelevant to α by design; units with fewer than two
+    ratings carry no pairable information and are excluded (reported).
+    ONE row ``(n_units, n_pairable, n_categories, alpha)``.
+
+    Closed form used (nominal): with n = Σ pairable ratings, n_c the
+    per-category totals, and the per-unit disagreement sum
+
+        S = Σ_u (m_u² − Σ_c n_uc²) / (m_u − 1)
+
+    α = 1 − (n−1)·S / (n² − Σ_c n_c²) — the coincidence-matrix
+    identity collapsed so no c×k matrix ever materializes. Exactness:
+    all counts exact integers in DECIMAL; the per-unit rational S terms
+    are 12dp-rounded then DECIMAL-summed (order-free); the final value
+    is one fixed double chain. All ratings in one category (or a single
+    unit of identical votes) → zero expected disagreement → NULL alpha
+    (undefined, the classic convention — never a div/0).
+
+    Scale shape: groupBy (unit, value) → per-unit partial aggs → one
+    row; category totals ride the same cell table. Nothing bounded by
+    raters², units², or categories².
+
+    Reference scope note: eliassona/xmlschemavalidator has no dataset
+    layer (core.clj:263-285); north-rule addition completing the
+    agreement family (κ two-rater / W m-rankings / α m-rater-missing).
+    """
+    base = df.where(
+        F.col(unit_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(F.col(unit_col).alias("_u"), F.col(value_col).alias("_v"))
+    cell = base.groupBy("_u", "_v").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_c")
+    )
+    per_u = cell.groupBy("_u").agg(
+        F.sum("_c").alias("_m"),
+        F.sum(F.col("_c") * F.col("_c")).alias("_ss"),
+    )
+    pairable = per_u.where(F.col("_m") >= 2)
+    su = pairable.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_units"),
+        F.coalesce(F.sum("_m"), F.lit(0).cast("decimal(38,0)"))
+        .alias("_n"),
+        F.coalesce(
+            F.sum(
+                F.round(
+                    (F.col("_m") * F.col("_m") - F.col("_ss")).cast("double")
+                    / (F.col("_m") - 1).cast("double"),
+                    12,
+                ).cast("decimal(38,12)")
+            ),
+            F.lit(0).cast("decimal(38,12)"),
+        )
+        .alias("_s"),
+    )
+    # category totals over PAIRABLE units only (the α contract)
+    cat = (
+        cell.join(pairable.select("_u"), "_u")
+        .groupBy("_v")
+        .agg(F.sum("_c").alias("_nc"))
+    )
+    cagg = cat.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_categories"),
+        F.coalesce(
+            F.sum(F.col("_nc") * F.col("_nc")), F.lit(0).cast("decimal(38,0)")
+        ).alias("_nc2"),
+    )
+    j = su.crossJoin(F.broadcast(cagg))
+    nn = F.col("_n").cast("double")
+    de_num = F.col("_n") * F.col("_n") - F.col("_nc2")  # exact DECIMAL
+    alpha = F.when(
+        (F.col("_n") >= 2) & (de_num > 0),
+        F.lit(1.0)
+        - (nn - F.lit(1.0))
+        * F.col("_s").cast("double")
+        / de_num.cast("double"),
+    )
+    return j.select(
+        "n_units",
+        F.col("_n").cast("bigint").alias("n_pairable"),
+        "n_categories",
+        F.round(alpha, round_to).alias("alpha"),
+    )
+
+
+def krippendorff_oracle_sql(from_sql: str, round_to: int = 6) -> str:
+    """DuckDB replay of :func:`krippendorff_alpha`; ``from_sql`` must
+    yield ``unit`` and ``val``. Same cell collapse, same 12dp-round-
+    then-DECIMAL-sum S, same fixed final chain."""
+    return f"""WITH src AS ({from_sql}),
+b AS (SELECT unit AS u, val AS v FROM src
+      WHERE unit IS NOT NULL AND val IS NOT NULL),
+cell AS (SELECT u, v, CAST(count(*) AS DECIMAL(38,0)) AS c
+         FROM b GROUP BY u, v),
+per_u AS (SELECT u, CAST(sum(c) AS DECIMAL(38,0)) AS m,
+            CAST(sum(c * c) AS DECIMAL(38,0)) AS ss
+          FROM cell GROUP BY u),
+pairable AS (SELECT * FROM per_u WHERE m >= 2),
+su AS (SELECT CAST(count(*) AS BIGINT) AS n_units,
+    CAST(coalesce(sum(m), 0) AS DECIMAL(38,0)) AS n,
+    coalesce(sum(CAST(round(CAST(m * m - ss AS DOUBLE)
+        / CAST(m - 1 AS DOUBLE), 12) AS DECIMAL(38,12))),
+        CAST(0 AS DECIMAL(38,12))) AS s
+  FROM pairable),
+cat AS (SELECT cell.v, CAST(sum(cell.c) AS DECIMAL(38,0)) AS nc
+        FROM cell JOIN pairable ON cell.u = pairable.u GROUP BY cell.v),
+cagg AS (SELECT CAST(count(*) AS BIGINT) AS n_categories,
+    CAST(coalesce(sum(nc * nc), 0) AS DECIMAL(38,0)) AS nc2 FROM cat)
+SELECT su.n_units, CAST(su.n AS BIGINT) AS n_pairable, cagg.n_categories,
+  round(CASE WHEN su.n >= 2 AND su.n * su.n - cagg.nc2 > 0 THEN
+      1.0 - (CAST(su.n AS DOUBLE) - 1.0) * CAST(su.s AS DOUBLE)
+      / CAST(su.n * su.n - cagg.nc2 AS DOUBLE) END, {round_to}) AS alpha
+FROM su, cagg"""
