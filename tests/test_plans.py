@@ -851,3 +851,44 @@ def test_ql_dirichlet_single_token_pass(spark):
     assert n_scans(p) == 2
     assert len(_re.findall(r"\(\d+\) SortMergeJoin|\(\d+\) BroadcastHashJoin", p)) <= 1
     assert "TakeOrderedAndProject" in p
+
+
+def test_ngram_match_counts_single_scan(spark):
+    """BLEU/ROUGE/chrF's shared match-count pass reads the corpus ONCE:
+    all (order, side) gram arrays are tagged structs concatenated in one
+    projection and exploded once — not a 2·max_order-branch Union of
+    rescans (the 100-TB IO bill)."""
+    from xmlschemavalidator_spark.texteval import corpus_chrf, ngram_match_counts
+
+    docs = _docs(spark).select(
+        "doc_id", F.col("text").alias("cand"), F.col("text").alias("ref")
+    )
+    p = fmt(ngram_match_counts(docs, "cand", "ref", "doc_id", 4))
+    assert n_scans(p) == 1
+    assert "Union" not in p
+    p = fmt(corpus_chrf(docs, "cand", "ref", "doc_id"))
+    # chrF adds the bounded n_pairs count branch: ≤ 2 scans, still no
+    # per-order Union fan-out
+    assert n_scans(p) <= 2
+    assert "Union" not in p
+
+
+def test_lift_chart_no_global_sort(spark):
+    """The gains/lift rank is assembled from the bounded score grid —
+    no corpus-wide global Sort partition (the window sorts are over the
+    grid and per-score partitions only)."""
+    from xmlschemavalidator_spark.checks.evaluation import lift_chart
+
+    docs = _docs(spark).select(
+        F.col("doc_id").alias("id"),
+        (F.col("n_chars") % 500 / 500.0).alias("score"),
+        (F.col("doc_id") % 3 == 0).alias("label"),
+    )
+    p = fmt(lift_chart(docs, "score", "label", "id"))
+    # the corpus-side row_number is partitioned by the quantized score —
+    # never an empty-partition global ordering over row data
+    import re
+
+    specs = re.findall(r"row_number\(\) windowspecdefinition\(([^)]*)", p)
+    assert specs, p
+    assert all(spec.startswith("_q#") for spec in specs), specs

@@ -104,29 +104,34 @@ def ngram_match_counts(
         _toks(F.col(cand_col)).alias("_ct"),
         _toks(F.col(ref_col)).alias("_rt"),
     )
-    sides = []
+    # ONE corpus scan: every (order, side) gram array becomes an array of
+    # (n, g, c, r) structs in a single projection, concatenated and
+    # exploded ONCE — a per-order union would rescan the corpus
+    # 2·max_order times (the 100-TB IO bill, not the shuffle, dominates)
+    def tagged(tok_col, n, c, r):
+        return F.transform(
+            _grams(tok_col, n),
+            lambda g: F.struct(
+                F.lit(n).alias("n"),
+                g.alias("g"),
+                F.lit(c).alias("c"),
+                F.lit(r).alias("r"),
+            ),
+        )
+
+    pieces = []
     for n in range(1, max_order + 1):
-        sides.append(
-            base.select(
-                "_id",
-                F.lit(n).alias("_n"),
-                F.explode(_grams(F.col("_ct"), n)).alias("_g"),
-                F.lit(1).alias("_c"),
-                F.lit(0).alias("_r"),
-            )
-        )
-        sides.append(
-            base.select(
-                "_id",
-                F.lit(n).alias("_n"),
-                F.explode(_grams(F.col("_rt"), n)).alias("_g"),
-                F.lit(0).alias("_c"),
-                F.lit(1).alias("_r"),
-            )
-        )
-    rows = sides[0]
-    for s in sides[1:]:
-        rows = rows.unionByName(s)
+        pieces.append(tagged(F.col("_ct"), n, 1, 0))
+        pieces.append(tagged(F.col("_rt"), n, 0, 1))
+    rows = base.select(
+        "_id", F.explode(F.concat(*pieces)).alias("_s")
+    ).select(
+        "_id",
+        F.col("_s.n").alias("_n"),
+        F.col("_s.g").alias("_g"),
+        F.col("_s.c").alias("_c"),
+        F.col("_s.r").alias("_r"),
+    )
     per_gram = rows.groupBy("_id", "_n", "_g").agg(
         F.sum("_c").cast("bigint").alias("_cc"),
         F.sum("_r").cast("bigint").alias("_rc"),
@@ -653,21 +658,32 @@ def corpus_chrf(
         _strip_ws(F.col(cand_col)).alias("_cs"),
         _strip_ws(F.col(ref_col)).alias("_rs"),
     )
-    sides = []
+    # single-scan concat-of-tagged-arrays, as in ngram_match_counts —
+    # 12 union branches would read the corpus 12 times
+    def tagged(src, n, c, r):
+        return F.transform(
+            _chargrams(F.col(src), n),
+            lambda g: F.struct(
+                F.lit(n).alias("n"),
+                g.alias("g"),
+                F.lit(c).alias("c"),
+                F.lit(r).alias("r"),
+            ),
+        )
+
+    pieces = []
     for n in range(1, max_order + 1):
         for src, c, r in (("_cs", 1, 0), ("_rs", 0, 1)):
-            sides.append(
-                base.select(
-                    "_id",
-                    F.lit(n).alias("_n"),
-                    F.explode(_chargrams(F.col(src), n)).alias("_g"),
-                    F.lit(c).alias("_c"),
-                    F.lit(r).alias("_r"),
-                )
-            )
-    rows = sides[0]
-    for s in sides[1:]:
-        rows = rows.unionByName(s)
+            pieces.append(tagged(src, n, c, r))
+    rows = base.select(
+        "_id", F.explode(F.concat(*pieces)).alias("_s")
+    ).select(
+        "_id",
+        F.col("_s.n").alias("_n"),
+        F.col("_s.g").alias("_g"),
+        F.col("_s.c").alias("_c"),
+        F.col("_s.r").alias("_r"),
+    )
     per_gram = rows.groupBy("_id", "_n", "_g").agg(
         F.sum("_c").cast("bigint").alias("_cc"),
         F.sum("_r").cast("bigint").alias("_rc"),
