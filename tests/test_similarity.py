@@ -773,3 +773,57 @@ def test_hard_negative_mining_multi_query_and_no_positive_row(spark):
     for r in out:
         assert r["neg_id"] != r["query_id"]
     assert all(r["rank"] <= 2 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# mmr_rerank
+# ---------------------------------------------------------------------------
+
+
+def test_mmr_bit_exact_python_parity(spark):
+    import random
+
+    from xmlschemavalidator_spark.similarity import mmr_rerank, mmr_rerank_py
+
+    random.seed(21)
+    rows, expected = [], {}
+    for q in range(3):
+        cands = []
+        for c in range(20):
+            emb = [random.gauss(0, 1) for _ in range(6)]
+            rel = random.randint(0, 1_000_000)
+            cands.append((c, rel, emb))
+            rows.append((q, c, rel, emb))
+        expected[q] = mmr_rerank_py(cands, k=5, lambda_milli=700)
+    df = spark.createDataFrame(
+        rows, "query_id long, cand_id long, rel_micro long, embedding array<double>"
+    )
+    got = {}
+    for r in mmr_rerank(df, k=5, lambda_milli=700).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["cand_id"], r["mmr_micro"])
+        )
+    assert got == expected
+
+
+def test_mmr_demotes_redundant_and_refuses_oversize(spark):
+    import pytest
+
+    from xmlschemavalidator_spark.similarity import mmr_rerank
+
+    rows = [
+        (0, 1, 900000, [1.0, 0.0]),   # best relevance
+        (0, 2, 890000, [1.0, 0.0]),   # near-duplicate of 1
+        (0, 3, 500000, [0.0, 1.0]),   # orthogonal, less relevant
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id long, cand_id long, rel_micro long, embedding array<double>"
+    )
+    order = [
+        (r["rank"], r["cand_id"]) for r in mmr_rerank(df, k=3).collect()
+    ]
+    assert order == [(1, 1), (2, 3), (3, 2)]  # diversity beats raw rel
+    # k beyond the pool: emits what exists, no crash
+    assert len(mmr_rerank(df, k=10).collect()) == 3
+    with pytest.raises(ValueError):
+        mmr_rerank(df, k=2, max_candidates=2)

@@ -18439,3 +18439,49 @@ def doc_size_krippendorff_alpha(spark, sf_dir):
     )
     ratings = size1.unionByName(size2).unionByName(size3)
     return krippendorff_alpha(ratings, "unit", "val")
+
+
+@q("embedding_mmr_rerank", None)
+def embedding_mmr_rerank(spark, sf_dir):
+    """MMR diversity rerank (similarity.py:mmr_rerank, Carbonell &
+    Goldstein SIGIR'98) over per-query ANN candidates: 8 queries × the
+    100-vector slice's top-24 by cosine, reranked at λ=0.7 — the
+    redundancy-vs-relevance tail every retrieval stack bolts onto its
+    top-N (and the serving-side countermeasure SemDeDup applies at
+    corpus build time). All-integer greedy (micro relevances,
+    floor-micro cosines, unscaled BIGINT objective, min-id ties) in ONE
+    aggregate over sequence(1, k) — engine-specific by design
+    (rows-only): the arithmetic is pinned bit-exact by the pure-Python
+    replay in test_similarity.py instead of a DuckDB oracle."""
+    from xmlschemavalidator_spark.dedup import cosine_similarity
+    from xmlschemavalidator_spark.similarity import mmr_rerank
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 100)
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("_qv"),
+    )
+    cand = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").cast("array<double>").alias("_cv"),
+    )
+    cos = cosine_similarity(F.col("_qv"), F.col("_cv"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rel_micro").desc(), F.col("cand_id").asc()
+    )
+    scored = (
+        cand.crossJoin(F.broadcast(queries))
+        .where(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.floor(cos * F.lit(1_000_000.0)).cast("bigint").alias("rel_micro"),
+            F.col("_cv").alias("embedding"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 24)
+        .drop("_rn")
+    )
+    return mmr_rerank(scored, k=8, lambda_milli=700)

@@ -1519,3 +1519,211 @@ SELECT t.query_id, t.neg_id, t.cosine, CAST(t.rank AS INT) AS rank,
   round(bp.best_pos_cosine - t.cosine, {round_to}) AS margin
 FROM topk t LEFT JOIN bp USING (query_id)
 ORDER BY t.query_id, t.rank"""
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "cand_id",
+    rel_col: str = "rel_micro",
+    vec_col: str = "embedding",
+    k: int = 10,
+    lambda_milli: int = 700,
+    max_candidates: int = 256,
+) -> DataFrame:
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein
+    SIGIR'98): per query, greedily pick k results trading relevance
+    against redundancy —
+
+        next = argmax_c  λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)
+
+    — the diversity tail every retrieval stack bolts onto its ANN
+    top-N (near-duplicate hits crowd out coverage otherwise). Returns
+    ``(query_id, rank, cand_id, mmr_micro)``.
+
+    All-integer greedy, no Python: relevance arrives in micro units,
+    cosine similarities floor-quantize to micro (the shared libm/floor
+    contract), and the MMR objective is kept UNSCALED as
+    ``λ_milli·rel − (1000−λ_milli)·maxsim`` — exact BIGINT compares,
+    ties broken by smallest candidate id via struct-max over
+    (mmr, −id). The whole per-query loop is ONE ``aggregate`` over
+    ``sequence(1, k)`` with a (selected, emitted) struct accumulator —
+    one lambda, k iterations, no k× expression expansion (the HOF-CSE
+    rule); per-step cost O(R·|selected|·d) on a per-query row.
+
+    Scale shape: per-query candidate lists collect to ONE row via
+    collect_list — bounded by ``max_candidates`` (lists above it are
+    REFUSED with a raise: rerank consumes an upstream top-N, never a
+    corpus). Engine-specific by design (rows-only driver check); the
+    arithmetic is pinned bit-exact by the pure-Python replay in
+    tests (:func:`mmr_rerank_py`).
+    """
+    from pyspark.sql.utils import AnalysisException  # noqa: F401
+
+    cands = (
+        candidates.where(
+            F.col(query_col).isNotNull() & F.col(id_col).isNotNull()
+        )
+        .groupBy(F.col(query_col).alias("query_id"))
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col(id_col).cast("bigint").alias("id"),
+                    F.col(rel_col).cast("bigint").alias("rel"),
+                    F.col(vec_col).cast("array<double>").alias("emb"),
+                )
+            ).alias("_cands")
+        )
+    )
+    oversize = cands.where(F.size("_cands") > max_candidates)
+    n_over = oversize.count()
+    if n_over:
+        raise ValueError(
+            f"mmr_rerank: {n_over} quer{'y' if n_over == 1 else 'ies'} carry "
+            f"more than max_candidates={max_candidates} candidates — rerank "
+            "consumes an upstream top-N, never a corpus; cap the candidate "
+            "generator or raise max_candidates explicitly"
+        )
+
+    def sim_micro(a, b):
+        dot = F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        na = F.sqrt(
+            F.aggregate(
+                F.transform(a, lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        nb = F.sqrt(
+            F.aggregate(
+                F.transform(b, lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        return F.when(
+            (na > 0) & (nb > 0),
+            F.floor(dot / (na * nb) * F.lit(1_000_000.0)).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
+
+    lam = F.lit(int(lambda_milli)).cast("bigint")
+    one_m_lam = F.lit(int(1000 - lambda_milli)).cast("bigint")
+    sel_t = "array<struct<id:bigint,emb:array<double>>>"
+    out_t = "array<struct<rank:int,cand_id:bigint,mmr_micro:bigint>>"
+
+    def step(acc, i):
+        sel = acc["sel"]
+        remaining = F.filter(
+            F.col("_cands"),
+            lambda c: ~F.exists(sel, lambda s: s["id"] == c["id"]),
+        )
+        scored = F.transform(
+            remaining,
+            lambda c: F.struct(
+                (
+                    lam * c["rel"]
+                    - F.when(
+                        F.size(sel) > 0,
+                        one_m_lam
+                        * F.array_max(
+                            F.transform(
+                                sel, lambda s: sim_micro(c["emb"], s["emb"])
+                            )
+                        ),
+                    ).otherwise(F.lit(0).cast("bigint"))
+                ).alias("mmr"),
+                (-c["id"]).alias("negid"),
+                c["id"].alias("id"),
+                c["emb"].alias("emb"),
+            ),
+        )
+        best = F.array_max(scored)
+        return F.when(
+            F.size(remaining) > 0,
+            F.struct(
+                F.concat(
+                    sel,
+                    F.array(
+                        F.struct(
+                            best["id"].alias("id"), best["emb"].alias("emb")
+                        )
+                    ),
+                ).alias("sel"),
+                F.concat(
+                    acc["out"],
+                    F.array(
+                        F.struct(
+                            i.cast("int").alias("rank"),
+                            best["id"].alias("cand_id"),
+                            best["mmr"].alias("mmr_micro"),
+                        )
+                    ),
+                ).alias("out"),
+            ),
+        ).otherwise(acc)
+
+    picked = cands.select(
+        "query_id",
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(int(k))),
+            F.struct(
+                F.array().cast(sel_t).alias("sel"),
+                F.array().cast(out_t).alias("out"),
+            ),
+            step,
+            lambda acc: acc["out"],
+        ).alias("_out"),
+    )
+    return picked.select(
+        "query_id", F.explode("_out").alias("_r")
+    ).select(
+        "query_id",
+        F.col("_r.rank").alias("rank"),
+        F.col("_r.cand_id").alias("cand_id"),
+        F.col("_r.mmr_micro").alias("mmr_micro"),
+    ).orderBy("query_id", "rank")
+
+
+def mmr_rerank_py(
+    cands: list[tuple[int, int, list[float]]],
+    k: int = 10,
+    lambda_milli: int = 700,
+) -> list[tuple[int, int, int]]:
+    """Bit-exact pure-Python replay of one query's :func:`mmr_rerank`
+    loop — (rank, cand_id, mmr_micro) — the parity reference for tests
+    (same floor-micro cosines, same integer objective, same min-id tie
+    break)."""
+    import math
+
+    def simf(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        if na <= 0 or nb <= 0:
+            return 0
+        return math.floor(dot / (na * nb) * 1_000_000)
+
+    sel: list[tuple[int, list[float]]] = []
+    out = []
+    rank = 0
+    while rank < k:
+        remaining = [c for c in cands if all(c[0] != s[0] for s in sel)]
+        if not remaining:
+            break
+        best = None
+        for cid, rel, emb in remaining:
+            maxsim = max((simf(emb, s[1]) for s in sel), default=None)
+            mmr = lambda_milli * rel - (
+                (1000 - lambda_milli) * maxsim if maxsim is not None else 0
+            )
+            key = (mmr, -cid)
+            if best is None or key > best[0]:
+                best = (key, cid, emb, mmr)
+        rank += 1
+        out.append((rank, best[1], best[3]))
+        sel.append((best[1], best[2]))
+    return out
