@@ -1430,3 +1430,46 @@ def test_holm_all_significant_and_empty(spark):
     assert all(r["rejected"] for r in out)  # no first failure
     empty = df.where("false")
     assert holm_adjust(empty, "seg").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# threshold_selection
+# ---------------------------------------------------------------------------
+
+
+def test_threshold_selection_hand_computed(spark):
+    # pos scores .9 .8 .4 | neg .6 .3 .2: cutting at .8 -> tp2 fp0;
+    # at .4 -> tp3 fp1. J(.8) = 2/3, J(.4) = 3/3 - 1/3 = 2/3 (tie) ->
+    # smallest threshold of the tie class loses to... ties break by
+    # SMALLEST q? No: deterministic rule is smallest threshold WINS the
+    # tie (negq in the key). J ties at .4 and .8 -> picks .4.
+    from xmlschemavalidator_spark.checks.evaluation import threshold_selection
+
+    rows = [(0.9, True), (0.8, True), (0.4, True), (0.6, False), (0.3, False), (0.2, False)]
+    df = spark.createDataFrame(rows, "score double, label boolean")
+    out = {r["criterion"]: r for r in threshold_selection(df, "score", "label").collect()}
+    j = out["youden_j"]
+    assert j["value"] == round(2 / 3, 6)
+    assert j["threshold"] == 0.4 and (j["tp"], j["fp"]) == (3, 1)
+    f1 = out["f1"]
+    assert f1["value"] == round(6 / (6 + 1 + 0), 6)  # 2tp/(2tp+fp+fn) at .4
+    acc = out["accuracy"]
+    assert acc["tp"] + acc["tn"] == 5  # best accuracy 5/6
+
+
+def test_threshold_selection_single_class(spark):
+    from xmlschemavalidator_spark.checks.evaluation import threshold_selection
+
+    # all-positive: J undefined (needs both classes), F1 + accuracy fine
+    df = spark.createDataFrame(
+        [(0.9, True), (0.1, True)], "score double, label boolean"
+    )
+    out = threshold_selection(df, "score", "label").collect()
+    assert [r["criterion"] for r in out] == ["accuracy", "f1"]
+    assert all(r["value"] == 1.0 for r in out)
+    # all-negative: only accuracy survives
+    df = spark.createDataFrame(
+        [(0.9, False), (0.1, False)], "score double, label boolean"
+    )
+    out = threshold_selection(df, "score", "label").collect()
+    assert [r["criterion"] for r in out] == ["accuracy"]

@@ -3510,3 +3510,207 @@ SELECT id AS {id_sql}, round(z, {round_to}) AS z, round(p, {round_to}) AS p_valu
   coalesce(p IS NOT NULL AND (first_fail IS NULL OR i < first_fail), FALSE)
       AS rejected
 FROM st"""
+
+
+def threshold_selection(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    quantum: int = 1_000_000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Operating-point selection over the full score grid — the step
+    AFTER roc_auc says the ranking is good: pick the actual deployment
+    threshold. One row per criterion ∈ {youden_j, f1, accuracy}:
+    ``(criterion, threshold, tp, fp, fn, tn, tpr, fpr, precision,
+    value)`` where value is the criterion's maximum (Youden's J =
+    TPR − FPR, the informedness point; F1 via the 2TP/(2TP+FP+FN)
+    single-division identity; raw accuracy) and threshold is the
+    SMALLEST quantized score achieving it (ties deterministic,
+    "predict positive when score ≥ threshold").
+
+    Machinery: ONE groupBy on the quantized score (the roc_auc
+    distinct-grid contract — bounded by quantum × range, not corpus),
+    one descending cumulative window over that grid giving (tp, fp) at
+    every candidate threshold simultaneously, then three bounded
+    argmax reductions (TakeOrderedAndProject over the grid). Each
+    criterion is an exact INTEGER rational (J's numerator the
+    cross-multiplied tp·N_neg − fp·N_pos; F1 and accuracy plain count
+    ratios); the argmax key is that rational through ONE
+    exactly-rounded IEEE division, 12dp-rounded — engine-shared — with
+    the smallest-threshold tie-break. Degenerate classes drop the
+    undefined rows: J needs both classes, F1 needs positives; accuracy
+    always emits.
+
+    Reference scope note: eliassona/xmlschemavalidator has no dataset
+    layer (core.clj:263-285); north-rule addition — the deployment
+    bridge between roc_auc and the calibration/conformal family.
+    """
+    lab = F.col(label_col).cast("boolean")
+    base = df.where(
+        F.col(score_col).isNotNull() & lab.isNotNull()
+    ).select(
+        F.floor(F.col(score_col).cast("double") * F.lit(quantum))
+        .cast("bigint")
+        .alias("_q"),
+        lab.cast("long").alias("_y"),
+    )
+    g = base.groupBy("_q").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum("_y").cast("bigint").alias("_p"),
+    )
+    wd = Window.orderBy(F.col("_q").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = g.agg(
+        F.sum("_n").cast("bigint").alias("_N"),
+        F.sum("_p").cast("bigint").alias("_P"),
+    )
+    cum = g.select(
+        "_q",
+        F.sum("_p").over(wd).cast("bigint").alias("_tp"),
+        (F.sum("_n").over(wd) - F.sum("_p").over(wd))
+        .cast("bigint")
+        .alias("_fp"),
+    ).crossJoin(F.broadcast(tot))
+    neg = F.col("_N") - F.col("_P")
+    fn = F.col("_P") - F.col("_tp")
+    tn = neg - F.col("_fp")
+
+    def argmax(metric_num, metric_den, criterion: str, guard):
+        # max by exact rational (num/den): order by num·otherDen cross-
+        # compare is unwieldy across rows with VARYING dens — here every
+        # row of one criterion shares its denominator, so plain integer
+        # num max suffices for J (den = P·Nneg) and accuracy (den = N);
+        # F1's den varies per row -> compare via DECIMAL num/den product
+        return (
+            cum.where(guard)
+            .select(
+                "*",
+                metric_num.cast("decimal(38,0)").alias("_mn"),
+                metric_den.cast("decimal(38,0)").alias("_md"),
+            )
+            .select(
+                "*",
+                F.struct(
+                    # rational compare key: num/den as a 12dp-rounded
+                    # IEEE division (exact-rounded, engine-shared),
+                    # then smallest threshold on ties
+                    F.round(
+                        F.col("_mn").cast("double") / F.col("_md").cast("double"),
+                        12,
+                    ).alias("v"),
+                    (-F.col("_q")).alias("negq"),
+                ).alias("_key"),
+            )
+            .orderBy(F.col("_key").desc())
+            .limit(1)
+            .select(
+                F.lit(criterion).alias("criterion"),
+                F.round(
+                    F.col("_q").cast("double") / F.lit(float(quantum)), round_to
+                ).alias("threshold"),
+                F.col("_tp").alias("tp"),
+                F.col("_fp").alias("fp"),
+                fn.alias("fn"),
+                tn.alias("tn"),
+                F.round(
+                    F.when(
+                        F.col("_P") > 0,
+                        F.col("_tp").cast("double") / F.col("_P").cast("double"),
+                    ),
+                    round_to,
+                ).alias("tpr"),
+                F.round(
+                    F.when(
+                        neg > 0,
+                        F.col("_fp").cast("double") / neg.cast("double"),
+                    ),
+                    round_to,
+                ).alias("fpr"),
+                F.round(
+                    F.when(
+                        (F.col("_tp") + F.col("_fp")) > 0,
+                        F.col("_tp").cast("double")
+                        / (F.col("_tp") + F.col("_fp")).cast("double"),
+                    ),
+                    round_to,
+                ).alias("precision"),
+                F.round(
+                    F.col("_mn").cast("double") / F.col("_md").cast("double"),
+                    round_to,
+                ).alias("value"),
+            )
+        )
+
+    both = (F.col("_P") > 0) & (neg > 0)
+    j = argmax(
+        F.col("_tp") * neg - F.col("_fp") * F.col("_P"),
+        F.col("_P") * neg,
+        "youden_j",
+        both,
+    )
+    f1 = argmax(
+        2 * F.col("_tp"),
+        2 * F.col("_tp") + F.col("_fp") + fn,
+        "f1",
+        (F.col("_P") > 0) & ((2 * F.col("_tp") + F.col("_fp") + fn) > 0),
+    )
+    acc = argmax(
+        F.col("_tp") + tn,
+        F.col("_N"),
+        "accuracy",
+        F.col("_N") > 0,
+    )
+    return j.unionByName(f1).unionByName(acc).orderBy("criterion")
+
+
+def threshold_selection_oracle_sql(
+    from_sql: str,
+    quantum: int = 1_000_000,
+    round_to: int = 6,
+) -> str:
+    """DuckDB replay of :func:`threshold_selection`; ``from_sql`` must
+    yield ``score`` and ``label``. Same grid, same 12dp rational keys,
+    same smallest-threshold ties."""
+    head = f"""WITH src AS ({from_sql}),
+b AS (SELECT CAST(floor(CAST(score AS DOUBLE) * {quantum}) AS BIGINT) AS q,
+        CAST(CAST(label AS BOOLEAN) AS BIGINT) AS y
+      FROM src WHERE score IS NOT NULL AND label IS NOT NULL),
+g AS (SELECT q, CAST(count(*) AS BIGINT) AS n,
+        CAST(coalesce(sum(y), 0) AS BIGINT) AS p FROM b GROUP BY q),
+tot AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS nn,
+          CAST(coalesce(sum(p), 0) AS BIGINT) AS pp FROM g),
+cum AS (SELECT q,
+        CAST(sum(p) OVER (ORDER BY q DESC) AS BIGINT) AS tp,
+        CAST(sum(n) OVER (ORDER BY q DESC)
+             - sum(p) OVER (ORDER BY q DESC) AS BIGINT) AS fp,
+        tot.nn, tot.pp
+      FROM g, tot)"""
+
+    def pick(num: str, den: str, criterion: str, guard: str) -> str:
+        return f"""(SELECT '{criterion}' AS criterion,
+    round(CAST(q AS DOUBLE) / {float(quantum)}, {round_to}) AS threshold,
+    tp, fp, pp - tp AS fn, (nn - pp) - fp AS tn,
+    round(CASE WHEN pp > 0 THEN CAST(tp AS DOUBLE) / CAST(pp AS DOUBLE) END,
+        {round_to}) AS tpr,
+    round(CASE WHEN nn - pp > 0 THEN CAST(fp AS DOUBLE)
+        / CAST(nn - pp AS DOUBLE) END, {round_to}) AS fpr,
+    round(CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE)
+        / CAST(tp + fp AS DOUBLE) END, {round_to}) AS precision,
+    round(CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE), {round_to}) AS value
+  FROM cum WHERE {guard}
+  ORDER BY round(CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE), 12) DESC,
+    q ASC LIMIT 1)"""
+
+    j = pick(
+        "tp * (nn - pp) - fp * pp", "pp * (nn - pp)", "youden_j",
+        "pp > 0 AND nn - pp > 0",
+    )
+    f1 = pick(
+        "2 * tp", "2 * tp + fp + (pp - tp)", "f1",
+        "pp > 0 AND 2 * tp + fp + (pp - tp) > 0",
+    )
+    acc = pick("tp + ((nn - pp) - fp)", "nn", "accuracy", "nn > 0")
+    return f"""{head}
+SELECT * FROM ({j} UNION ALL {f1} UNION ALL {acc}) ORDER BY criterion"""

@@ -18485,3 +18485,39 @@ def embedding_mmr_rerank(spark, sf_dir):
         .drop("_rn")
     )
     return mmr_rerank(scored, k=8, lambda_milli=700)
+
+
+def _thr_oracle() -> str:
+    from xmlschemavalidator_spark.checks.evaluation import (
+        threshold_selection_oracle_sql,
+    )
+
+    return threshold_selection_oracle_sql(
+        f"SELECT {_CAL_PROB_DUCK} AS score, {_CAL_LABEL_DUCK} = 1 AS label"
+        " FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL"
+    )
+
+
+@q("classifier_threshold_selection", _thr_oracle())
+def classifier_threshold_selection(spark, sf_dir):
+    """Operating-point selection (checks/evaluation.py:
+    threshold_selection): Youden-J / F1-max / accuracy-max thresholds
+    over the calibration family's pseudo-probability vs 'spark'-token
+    label — the deployment bridge between roc_auc (is the ranking
+    good) and conformal (certify a threshold): WHICH threshold to ship.
+    One grid groupBy + one descending cumulative window gives every
+    candidate's confusion matrix at once; argmax keys are exact integer
+    rationals through one 12dp-rounded IEEE division, smallest
+    threshold on ties."""
+    from xmlschemavalidator_spark.checks.evaluation import threshold_selection
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    scored = docs.select(
+        ((F.col("n_chars") % 500).cast("double") / F.lit(500)).alias("score"),
+        (
+            F.locate(" spark ", F.concat(F.lit(" "), F.col("text"), F.lit(" "))) > 0
+        ).alias("label"),
+    )
+    return threshold_selection(scored, "score", "label")
