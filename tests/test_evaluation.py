@@ -1473,3 +1473,53 @@ def test_threshold_selection_single_class(spark):
     )
     out = threshold_selection(df, "score", "label").collect()
     assert [r["criterion"] for r in out] == ["accuracy"]
+
+
+# ---------------------------------------------------------------------------
+# fairness_audit / fairness_summary
+# ---------------------------------------------------------------------------
+
+
+def test_fairness_audit_hand_computed(spark):
+    from xmlschemavalidator_spark.checks.evaluation import (
+        fairness_audit,
+        fairness_summary,
+    )
+
+    rows = (
+        # group a: 4 rows, select 2 (one tp, one fp), 2 actual pos
+        [("a", True, True), ("a", True, False), ("a", False, True), ("a", False, False)]
+        # group b: 5 rows, select 1 (tp), 2 actual pos
+        + [("b", True, True), ("b", False, True), ("b", False, False),
+           ("b", False, False), ("b", False, False)]
+    )
+    df = spark.createDataFrame(rows, "grp string, pred boolean, label boolean")
+    per = {r["grp"]: r for r in fairness_audit(df, "grp", "pred", "label").collect()}
+    assert per["a"]["selection_rate"] == 0.5 and per["b"]["selection_rate"] == 0.2
+    assert per["a"]["tpr"] == 0.5 and per["b"]["tpr"] == 0.5  # equalized odds holds
+    assert per["a"]["fpr"] == 0.5 and per["b"]["fpr"] == 0.0
+    [s] = fairness_summary(df, "grp", "pred", "label").collect()
+    # DI ratio = (1/5)/(2/4) = 0.4 -> fails four-fifths
+    assert (s["min_rate_group"], s["max_rate_group"]) == ("b", "a")
+    assert s["disparate_impact_ratio"] == 0.4
+    assert s["passes_four_fifths"] is False
+    assert s["tpr_gap"] == 0.0 and s["fpr_gap"] == 0.5
+
+
+def test_fairness_four_fifths_boundary_exact(spark):
+    from xmlschemavalidator_spark.checks.evaluation import fairness_summary
+
+    # rates exactly 0.4 vs 0.5: ratio exactly 0.8 -> PASSES (>=, integer
+    # cross-multiply, no float threshold wobble)
+    rows = [("a", i < 5, False) for i in range(10)] + [
+        ("b", i < 4, False) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "grp string, pred boolean, label boolean")
+    [s] = fairness_summary(df, "grp", "pred", "label").collect()
+    assert s["disparate_impact_ratio"] == 0.8
+    assert s["passes_four_fifths"] is True
+    # single group: NULL ratio, verdict false
+    df1 = df.where("grp = 'a'")
+    [s1] = fairness_summary(df1, "grp", "pred", "label").collect()
+    assert s1["disparate_impact_ratio"] is None
+    assert s1["passes_four_fifths"] is False

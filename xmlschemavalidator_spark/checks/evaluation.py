@@ -3714,3 +3714,230 @@ cum AS (SELECT q,
     acc = pick("tp + ((nn - pp) - fp)", "nn", "accuracy", "nn > 0")
     return f"""{head}
 SELECT * FROM ({j} UNION ALL {f1} UNION ALL {acc}) ORDER BY criterion"""
+
+
+def fairness_audit(
+    df: DataFrame,
+    group_col: str,
+    pred_col: str,
+    label_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group fairness panel (the Hardt-Price-Srebro NeurIPS'16
+    vocabulary): for each protected/segment group, ``(group, n,
+    n_selected, selection_rate, base_rate, tpr, fpr, precision)`` of a
+    boolean decision column against a boolean outcome column —
+    selection_rate is the demographic-parity quantity, tpr/fpr the
+    equalized-odds pair, precision the predictive-parity quantity (the
+    three criteria that provably cannot all hold at once on unequal
+    base rates — report all three, pick your policy). Counts exact from
+    ONE partial-aggregatable groupBy; each rate one IEEE division;
+    degenerate cells (no positives / no negatives in a group) read NULL
+    rather than 0. NULL group/pred/label rows excluded.
+    """
+    g = F.col(group_col)
+    pred = F.col(pred_col).cast("boolean")
+    lab = F.col(label_col).cast("boolean")
+    base = df.where(g.isNotNull() & pred.isNotNull() & lab.isNotNull()).select(
+        g.alias("grp"), pred.alias("_s"), lab.alias("_y")
+    )
+    agg = base.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("_s").cast("long")).cast("bigint").alias("n_selected"),
+        F.sum(F.col("_y").cast("long")).cast("bigint").alias("_np"),
+        F.sum((F.col("_s") & F.col("_y")).cast("long")).cast("bigint").alias("_tp"),
+        F.sum((F.col("_s") & ~F.col("_y")).cast("long")).cast("bigint").alias("_fp"),
+    )
+    neg = F.col("n") - F.col("_np")
+    return agg.select(
+        "grp",
+        "n",
+        "n_selected",
+        F.round(
+            F.col("n_selected").cast("double") / F.col("n").cast("double"),
+            round_to,
+        ).alias("selection_rate"),
+        F.round(
+            F.col("_np").cast("double") / F.col("n").cast("double"), round_to
+        ).alias("base_rate"),
+        F.round(
+            F.when(
+                F.col("_np") > 0,
+                F.col("_tp").cast("double") / F.col("_np").cast("double"),
+            ),
+            round_to,
+        ).alias("tpr"),
+        F.round(
+            F.when(neg > 0, F.col("_fp").cast("double") / neg.cast("double")),
+            round_to,
+        ).alias("fpr"),
+        F.round(
+            F.when(
+                F.col("n_selected") > 0,
+                F.col("_tp").cast("double") / F.col("n_selected").cast("double"),
+            ),
+            round_to,
+        ).alias("precision"),
+    ).orderBy("grp")
+
+
+def fairness_summary(
+    df: DataFrame,
+    group_col: str,
+    pred_col: str,
+    label_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """One-row disparate-impact verdict over :func:`fairness_audit`'s
+    groups: ``(n_groups, min_rate_group, max_rate_group,
+    disparate_impact_ratio, passes_four_fifths, tpr_gap, fpr_gap)`` —
+    the EEOC four-fifths rule (min selection rate / max selection rate
+    ≥ 0.8) decided by the CROSS-MULTIPLIED exact-integer compare
+    ``5·sel_min·n_max ≥ 4·sel_max·n_min`` (no float threshold), plus
+    the equalized-odds gaps (max−min TPR/FPR over groups with defined
+    values). Extremes are selected by 12dp-rounded rational keys with
+    group-name tie-break — deterministic in both engines. Fewer than
+    two groups (or an all-zero max rate) → NULL ratio, verdict false.
+    """
+    g = F.col(group_col)
+    pred = F.col(pred_col).cast("boolean")
+    lab = F.col(label_col).cast("boolean")
+    base = df.where(g.isNotNull() & pred.isNotNull() & lab.isNotNull()).select(
+        g.alias("grp"), pred.alias("_s"), lab.alias("_y")
+    )
+    agg = base.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("_s").cast("long")).cast("bigint").alias("sel"),
+        F.sum(F.col("_y").cast("long")).cast("bigint").alias("np"),
+        F.sum((F.col("_s") & F.col("_y")).cast("long")).cast("bigint").alias("tp"),
+        F.sum((F.col("_s") & ~F.col("_y")).cast("long")).cast("bigint").alias("fp"),
+    )
+    rate_key = F.struct(
+        F.round(F.col("sel").cast("double") / F.col("n").cast("double"), 12).alias(
+            "v"
+        ),
+        F.col("grp").alias("g"),
+    )
+    lo = (
+        agg.select("*", rate_key.alias("_k"))
+        .orderBy(F.col("_k").asc())
+        .limit(1)
+        .select(
+            F.col("grp").alias("min_rate_group"),
+            F.col("sel").alias("_sel_min"),
+            F.col("n").alias("_n_min"),
+        )
+    )
+    hi = (
+        agg.select("*", rate_key.alias("_k"))
+        .orderBy(F.col("_k").desc())
+        .limit(1)
+        .select(
+            F.col("grp").alias("max_rate_group"),
+            F.col("sel").alias("_sel_max"),
+            F.col("n").alias("_n_max"),
+        )
+    )
+    tprs = agg.where(F.col("np") > 0).select(
+        F.round(F.col("tp").cast("double") / F.col("np").cast("double"), 12).alias(
+            "_t"
+        )
+    )
+    fprs = agg.where((F.col("n") - F.col("np")) > 0).select(
+        F.round(
+            F.col("fp").cast("double") / (F.col("n") - F.col("np")).cast("double"),
+            12,
+        ).alias("_f")
+    )
+    gaps = (
+        tprs.agg((F.max("_t") - F.min("_t")).alias("_tgap"))
+        .crossJoin(fprs.agg((F.max("_f") - F.min("_f")).alias("_fgap")))
+    )
+    cnt = agg.agg(F.count(F.lit(1)).cast("bigint").alias("n_groups"))
+    j = (
+        cnt.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .crossJoin(F.broadcast(gaps))
+    )
+    ok = (F.col("n_groups") >= 2) & (F.col("_sel_max") > 0)
+    return j.select(
+        "n_groups",
+        "min_rate_group",
+        "max_rate_group",
+        F.round(
+            F.when(
+                ok,
+                (F.col("_sel_min") * F.col("_n_max")).cast("double")
+                / (F.col("_sel_max") * F.col("_n_min")).cast("double"),
+            ),
+            round_to,
+        ).alias("disparate_impact_ratio"),
+        F.coalesce(
+            F.when(
+                ok,
+                F.lit(5) * F.col("_sel_min") * F.col("_n_max")
+                >= F.lit(4) * F.col("_sel_max") * F.col("_n_min"),
+            ),
+            F.lit(False),
+        ).alias("passes_four_fifths"),
+        F.round(F.col("_tgap"), round_to).alias("tpr_gap"),
+        F.round(F.col("_fgap"), round_to).alias("fpr_gap"),
+    )
+
+
+def fairness_oracle_sql(
+    from_sql: str,
+    summary: bool = False,
+    round_to: int = 6,
+) -> str:
+    """DuckDB replay of :func:`fairness_audit` / :func:`fairness_summary`;
+    ``from_sql`` must yield ``grp``, boolean ``pred``, boolean
+    ``label``."""
+    head = f"""WITH src AS ({from_sql}),
+b AS (SELECT grp, CAST(pred AS BOOLEAN) AS s, CAST(label AS BOOLEAN) AS y
+      FROM src WHERE grp IS NOT NULL AND pred IS NOT NULL
+        AND label IS NOT NULL),
+agg AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+    CAST(coalesce(sum(CASE WHEN s THEN 1 END), 0) AS BIGINT) AS sel,
+    CAST(coalesce(sum(CASE WHEN y THEN 1 END), 0) AS BIGINT) AS np,
+    CAST(coalesce(sum(CASE WHEN s AND y THEN 1 END), 0) AS BIGINT) AS tp,
+    CAST(coalesce(sum(CASE WHEN s AND NOT y THEN 1 END), 0) AS BIGINT) AS fp
+  FROM b GROUP BY grp)"""
+    if not summary:
+        return f"""{head}
+SELECT grp, n, sel AS n_selected,
+  round(CAST(sel AS DOUBLE) / CAST(n AS DOUBLE), {round_to}) AS selection_rate,
+  round(CAST(np AS DOUBLE) / CAST(n AS DOUBLE), {round_to}) AS base_rate,
+  round(CASE WHEN np > 0 THEN CAST(tp AS DOUBLE) / CAST(np AS DOUBLE) END,
+      {round_to}) AS tpr,
+  round(CASE WHEN n - np > 0 THEN CAST(fp AS DOUBLE)
+      / CAST(n - np AS DOUBLE) END, {round_to}) AS fpr,
+  round(CASE WHEN sel > 0 THEN CAST(tp AS DOUBLE) / CAST(sel AS DOUBLE) END,
+      {round_to}) AS precision
+FROM agg ORDER BY grp"""
+    return f"""{head},
+lo AS (SELECT grp AS min_rate_group, sel AS sel_min, n AS n_min FROM agg
+       ORDER BY round(CAST(sel AS DOUBLE) / CAST(n AS DOUBLE), 12) ASC,
+         grp ASC LIMIT 1),
+hi AS (SELECT grp AS max_rate_group, sel AS sel_max, n AS n_max FROM agg
+       ORDER BY round(CAST(sel AS DOUBLE) / CAST(n AS DOUBLE), 12) DESC,
+         grp DESC LIMIT 1),
+gaps AS (SELECT
+    (SELECT max(round(CAST(tp AS DOUBLE) / CAST(np AS DOUBLE), 12))
+       - min(round(CAST(tp AS DOUBLE) / CAST(np AS DOUBLE), 12))
+     FROM agg WHERE np > 0) AS tgap,
+    (SELECT max(round(CAST(fp AS DOUBLE) / CAST(n - np AS DOUBLE), 12))
+       - min(round(CAST(fp AS DOUBLE) / CAST(n - np AS DOUBLE), 12))
+     FROM agg WHERE n - np > 0) AS fgap),
+cnt AS (SELECT CAST(count(*) AS BIGINT) AS n_groups FROM agg)
+SELECT cnt.n_groups, lo.min_rate_group, hi.max_rate_group,
+  round(CASE WHEN cnt.n_groups >= 2 AND hi.sel_max > 0 THEN
+      CAST(lo.sel_min * hi.n_max AS DOUBLE)
+      / CAST(hi.sel_max * lo.n_min AS DOUBLE) END, {round_to})
+      AS disparate_impact_ratio,
+  coalesce(CASE WHEN cnt.n_groups >= 2 AND hi.sel_max > 0 THEN
+      5 * lo.sel_min * hi.n_max >= 4 * hi.sel_max * lo.n_min END, FALSE)
+      AS passes_four_fifths,
+  round(gaps.tgap, {round_to}) AS tpr_gap,
+  round(gaps.fgap, {round_to}) AS fpr_gap
+FROM cnt, lo, hi, gaps"""

@@ -18521,3 +18521,71 @@ def classifier_threshold_selection(spark, sf_dir):
         ).alias("label"),
     )
     return threshold_selection(scored, "score", "label")
+
+
+def _fair_oracle(summary: bool) -> str:
+    from xmlschemavalidator_spark.checks.evaluation import fairness_oracle_sql
+    from xmlschemavalidator_spark.textops import _WS
+
+    ntok = (
+        "(CASE WHEN trim(coalesce(text, '')) = '' THEN 0 ELSE"
+        f" len(string_split_regex(trim(text), '{_WS}+')) END)"
+    )
+    return fairness_oracle_sql(
+        f"SELECT lang AS grp, n_chars BETWEEN 36 AND 400 AS pred,"
+        f" {ntok} BETWEEN 8 AND 80 AS label"
+        " FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL"
+        " AND text IS NOT NULL",
+        summary=summary,
+    )
+
+
+@q("lang_fairness_audit", _fair_oracle(False))
+def lang_fairness_audit(spark, sf_dir):
+    """Per-group fairness panel (checks/evaluation.py:fairness_audit,
+    the Hardt-Price-Srebro vocabulary) of the char-length gate treated
+    as a selection decision, per language, against the token-length
+    'ground truth': selection_rate (demographic parity), tpr/fpr
+    (equalized odds), precision (predictive parity) — the three
+    criteria that provably can't all hold on unequal base rates,
+    reported per lang so the per-language filter-bias question every
+    multilingual corpus pipeline faces is a measured table, not a
+    vibe. ONE partial-agg groupBy; exact counts; NULL-gated
+    degenerate cells."""
+    from xmlschemavalidator_spark.checks.evaluation import fairness_audit
+    from xmlschemavalidator_spark.textops import token_count
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("lang").isNotNull()
+        & F.col("n_chars").isNotNull()
+        & F.col("text").isNotNull()
+    )
+    flagged = docs.select(
+        F.col("lang").alias("grp"),
+        F.col("n_chars").between(36, 400).alias("pred"),
+        token_count(F.col("text")).between(8, 80).alias("label"),
+    )
+    return fairness_audit(flagged, "grp", "pred", "label")
+
+
+@q("lang_fairness_summary", _fair_oracle(True))
+def lang_fairness_summary(spark, sf_dir):
+    """One-row disparate-impact verdict over the same panel: the EEOC
+    four-fifths rule decided by the cross-multiplied exact-integer
+    compare 5·sel_min·n_max ≥ 4·sel_max·n_min (no float threshold),
+    plus max−min equalized-odds gaps; extremes picked by 12dp rational
+    keys with deterministic group tie-breaks."""
+    from xmlschemavalidator_spark.checks.evaluation import fairness_summary
+    from xmlschemavalidator_spark.textops import token_count
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("lang").isNotNull()
+        & F.col("n_chars").isNotNull()
+        & F.col("text").isNotNull()
+    )
+    flagged = docs.select(
+        F.col("lang").alias("grp"),
+        F.col("n_chars").between(36, 400).alias("pred"),
+        token_count(F.col("text")).between(8, 80).alias("label"),
+    )
+    return fairness_summary(flagged, "grp", "pred", "label")
