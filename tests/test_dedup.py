@@ -1283,3 +1283,38 @@ def test_cross_source_duplication(spark):
     assert ("A", "C") not in got and ("B", "C") not in got
     # A's unique doc creates no A-A row (single copy is not a dup)
     assert ("A", "A") not in got
+
+
+# ---------------------------------------------------------------------------
+# capture_recapture_estimate
+# ---------------------------------------------------------------------------
+
+
+def test_capture_recapture_chapman_hand_computed(spark):
+    from xmlschemavalidator_spark.dedup import capture_recapture_estimate
+
+    # true population 12 pairs; A sees 8, B sees 9, overlap 5
+    # Chapman: (8+1)(9+1)/(5+1) - 1 = 14.0
+    universe = [(i, i + 100) for i in range(12)]
+    a = spark.createDataFrame(universe[:8], "id_a long, id_b long")
+    b = spark.createDataFrame(universe[3:], "id_a long, id_b long")
+    [r] = capture_recapture_estimate(a, b).collect()
+    assert (r["n_a"], r["n_b"], r["n_both"]) == (8, 9, 5)
+    assert r["n_hat"] == round(9 * 10 / 6 - 1, 6)
+    assert r["recall_a"] == round(8 / (9 * 10 / 6 - 1), 6)
+    # CI lower bound clamps at the hard union floor max(n_a, n_b)
+    assert r["ci_low"] >= 9
+
+
+def test_capture_recapture_orientation_and_disjoint(spark):
+    from xmlschemavalidator_spark.dedup import capture_recapture_estimate
+
+    # reversed orientation + duplicates still count as the same pair
+    a = spark.createDataFrame([(1, 2), (2, 1), (3, 4)], "id_a long, id_b long")
+    b = spark.createDataFrame([(2, 1)], "id_a long, id_b long")
+    [r] = capture_recapture_estimate(a, b).collect()
+    assert (r["n_a"], r["n_b"], r["n_both"]) == (2, 1, 1)
+    # disjoint detectors: overlap carries no information -> NULL gate
+    b2 = spark.createDataFrame([(9, 10)], "id_a long, id_b long")
+    [r2] = capture_recapture_estimate(a, b2).collect()
+    assert r2["n_hat"] is None and r2["recall_a"] is None

@@ -2739,3 +2739,146 @@ def cross_source_duplication(
         F.sum("_na").cast("bigint").alias("n_docs_a"),
         F.sum("_nb").cast("bigint").alias("n_docs_b"),
     )
+
+
+def capture_recapture_estimate(
+    pairs_a: DataFrame,
+    pairs_b: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    z_milli: int = 1960,
+    round_to: int = 6,
+) -> DataFrame:
+    """Capture–recapture estimate of the TOTAL duplicate-pair population
+    from two independent detectors (Chapman 1951's bias-corrected
+    Lincoln–Petersen; ecology's mark-recapture, applied the way
+    record-linkage evaluations estimate missed matches): detector A
+    found n_a pairs, detector B found n_b, they agree on m — then
+
+        N̂ = (n_a+1)(n_b+1)/(m+1) − 1
+
+    estimates how many true duplicate pairs EXIST, including the ones
+    both missed, and ``recall_a = n_a/N̂`` / ``recall_b`` grade each
+    detector WITHOUT ground truth — the dedup-coverage question
+    ``dedup_method_evaluation`` can only answer against planted truth.
+    ONE row ``(n_a, n_b, n_both, n_hat, se, ci_low, ci_high, recall_a,
+    recall_b)`` with Chapman's variance
+
+        Var = (n_a+1)(n_b+1)(n_a−m)(n_b−m) / ((m+1)²(m+2))
+
+    and the normal CI at ``z_milli`` (CI clamped below at max(n_a,n_b):
+    the union is a hard lower bound the normal approximation can dip
+    under). Disclosed assumption (the method's, not ours): detectors
+    miss INDEPENDENTLY — correlated misses (e.g. two shingle-based
+    methods sharing a blind spot) bias N̂ low; pair a lexical with an
+    embedding detector.
+
+    Machinery: pairs are canonicalized (least/greatest) so orientation
+    never splits a match; counts are three partial-aggregatable
+    distinct-counts (two inputs + one inner join); the estimator is a
+    fixed integer-ratio double chain. m = 0 yields NULL estimates
+    (disjoint detectors carry no overlap information), never div/0 —
+    note Chapman itself is defined at m=0; the NULL gate is ours, since
+    a zero-overlap reading in practice means the independence
+    assumption failed, and surfacing NULL beats reporting a number
+    built on it.
+
+    Reference scope note: eliassona/xmlschemavalidator has no dedup
+    layer (core.clj:263-285); north-rule addition grading the MinHash/
+    SimHash/embedding detector family against each other.
+    """
+
+    def canon(df: DataFrame) -> DataFrame:
+        a, b = F.col(id_a), F.col(id_b)
+        return df.where(a.isNotNull() & b.isNotNull()).select(
+            F.least(a, b).alias("_x"), F.greatest(a, b).alias("_y")
+        ).distinct()
+
+    ca, cb = canon(pairs_a), canon(pairs_b)
+    na = ca.agg(F.count(F.lit(1)).cast("bigint").alias("n_a"))
+    nb = cb.agg(F.count(F.lit(1)).cast("bigint").alias("n_b"))
+    m = (
+        ca.join(cb, ["_x", "_y"])
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    j = na.crossJoin(F.broadcast(nb)).crossJoin(F.broadcast(m))
+    a1 = (F.col("n_a") + 1).cast("double")
+    b1 = (F.col("n_b") + 1).cast("double")
+    m1 = (F.col("n_both") + 1).cast("double")
+    nhat = a1 * b1 / m1 - F.lit(1.0)
+    var = (
+        a1
+        * b1
+        * (F.col("n_a") - F.col("n_both")).cast("double")
+        * (F.col("n_b") - F.col("n_both")).cast("double")
+        / (m1 * m1 * (m1 + F.lit(1.0)))
+    )
+    ok = F.col("n_both") > 0
+    se = F.sqrt(var)
+    zc = F.lit(z_milli / 1000.0)
+    lower_bound = F.greatest(F.col("n_a"), F.col("n_b")).cast("double")
+    return j.select(
+        "n_a",
+        "n_b",
+        "n_both",
+        F.round(F.when(ok, nhat), round_to).alias("n_hat"),
+        F.round(F.when(ok, se), round_to).alias("se"),
+        F.round(
+            F.when(ok, F.greatest(nhat - zc * se, lower_bound)), round_to
+        ).alias("ci_low"),
+        F.round(F.when(ok, nhat + zc * se), round_to).alias("ci_high"),
+        F.round(
+            F.when(ok & (nhat > 0), F.col("n_a").cast("double") / nhat),
+            round_to,
+        ).alias("recall_a"),
+        F.round(
+            F.when(ok & (nhat > 0), F.col("n_b").cast("double") / nhat),
+            round_to,
+        ).alias("recall_b"),
+    )
+
+
+def capture_recapture_oracle_sql(
+    pairs_a_sql: str,
+    pairs_b_sql: str,
+    z_milli: int = 1960,
+    round_to: int = 6,
+) -> str:
+    """DuckDB replay of :func:`capture_recapture_estimate`; each input
+    SQL must yield ``id_a``/``id_b`` pair columns."""
+
+    def canon(src: str, name: str) -> str:
+        return (
+            f"{name} AS (SELECT DISTINCT least(id_a, id_b) AS x,"
+            f" greatest(id_a, id_b) AS y FROM ({src})"
+            " WHERE id_a IS NOT NULL AND id_b IS NOT NULL)"
+        )
+
+    nhat = (
+        "(CAST(n_a + 1 AS DOUBLE) * CAST(n_b + 1 AS DOUBLE)"
+        " / CAST(n_both + 1 AS DOUBLE) - 1.0)"
+    )
+    var = (
+        "(CAST(n_a + 1 AS DOUBLE) * CAST(n_b + 1 AS DOUBLE)"
+        " * CAST(n_a - n_both AS DOUBLE) * CAST(n_b - n_both AS DOUBLE)"
+        " / (CAST(n_both + 1 AS DOUBLE) * CAST(n_both + 1 AS DOUBLE)"
+        " * CAST(n_both + 2 AS DOUBLE)))"
+    )
+    z = z_milli / 1000.0
+    return f"""WITH {canon(pairs_a_sql, "ca")}, {canon(pairs_b_sql, "cb")},
+cnt AS (SELECT
+    (SELECT CAST(count(*) AS BIGINT) FROM ca) AS n_a,
+    (SELECT CAST(count(*) AS BIGINT) FROM cb) AS n_b,
+    (SELECT CAST(count(*) AS BIGINT) FROM ca JOIN cb USING (x, y)) AS n_both)
+SELECT n_a, n_b, n_both,
+  round(CASE WHEN n_both > 0 THEN {nhat} END, {round_to}) AS n_hat,
+  round(CASE WHEN n_both > 0 THEN sqrt({var}) END, {round_to}) AS se,
+  round(CASE WHEN n_both > 0 THEN greatest({nhat} - {z} * sqrt({var}),
+      CAST(greatest(n_a, n_b) AS DOUBLE)) END, {round_to}) AS ci_low,
+  round(CASE WHEN n_both > 0 THEN {nhat} + {z} * sqrt({var}) END,
+      {round_to}) AS ci_high,
+  round(CASE WHEN n_both > 0 AND {nhat} > 0 THEN
+      CAST(n_a AS DOUBLE) / {nhat} END, {round_to}) AS recall_a,
+  round(CASE WHEN n_both > 0 AND {nhat} > 0 THEN
+      CAST(n_b AS DOUBLE) / {nhat} END, {round_to}) AS recall_b
+FROM cnt"""

@@ -18589,3 +18589,41 @@ def lang_fairness_summary(spark, sf_dir):
         token_count(F.col("text")).between(8, 80).alias("label"),
     )
     return fairness_summary(flagged, "grp", "pred", "label")
+
+
+def _capture_oracle() -> str:
+    from xmlschemavalidator_spark.dedup import capture_recapture_oracle_sql
+
+    a = (
+        f"SELECT id_a, id_b FROM ({_ORACLES['minhash_lsh_pairs_portable']})"
+        " WHERE (id_a + id_b) % 3 <> 0"
+    )
+    b = (
+        f"SELECT id_a, id_b FROM ({_ORACLES['ngram_jaccard_pairs']})"
+        " WHERE (id_a * 7 + id_b) % 4 <> 0"
+    )
+    return capture_recapture_oracle_sql(a, b)
+
+
+@q("dedup_capture_recapture", _capture_oracle())
+def dedup_capture_recapture(spark, sf_dir):
+    """Capture–recapture dedup-coverage estimate (dedup.py:
+    capture_recapture_estimate — Chapman 1951's bias-corrected
+    Lincoln–Petersen): two detectors with PLANTED independent misses
+    (the portable-MinHash pair set dropping pairs on one id-parity, the
+    n-gram-Jaccard set on another) overlap on m pairs; N̂ =
+    (n_a+1)(n_b+1)/(m+1)−1 estimates the true pair population
+    INCLUDING what both missed, grading each detector's recall without
+    ground truth — the question dedup_method_evaluation can only
+    answer against planted truth. Three distinct-count partial aggs +
+    one inner join; Chapman variance + union-clamped normal CI;
+    correlated-miss caveat disclosed in the operator docstring."""
+    from xmlschemavalidator_spark.dedup import capture_recapture_estimate
+
+    mh = _QUERIES["minhash_lsh_pairs_portable"](spark, sf_dir).where(
+        (F.col("id_a") + F.col("id_b")) % 3 != 0
+    )
+    ng = _QUERIES["ngram_jaccard_pairs"](spark, sf_dir).where(
+        (F.col("id_a") * 7 + F.col("id_b")) % 4 != 0
+    )
+    return capture_recapture_estimate(mh, ng)
