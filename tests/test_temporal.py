@@ -1196,3 +1196,28 @@ def test_funnel_empty_step_tail(spark):
     assert out[2]["conversion_from_prev"] is None  # 0/0 tail
     with pytest.raises(ValueError):
         funnel_conversion(df, "user_id", "ts", "event_type", ["view"])
+
+
+def test_rolling_active_users_islands(spark):
+    import datetime as dt
+
+    import pytest
+
+    from xmlschemavalidator_spark.temporal import rolling_active_users
+
+    d = lambda day: dt.datetime(1970, 1, 1) + dt.timedelta(days=day)
+    # user 1 active days 0 and 10 (two islands at w=3); user 2 day 1
+    rows = [(1, d(0)), (1, d(10)), (2, d(1))]
+    df = spark.createDataFrame(rows, "u long, ts timestamp")
+    out = {r["day"]: r for r in rolling_active_users(df, "u", "ts", window_days=3).collect()}
+    # day 0: dau 1 (u1), mau 1; day 1: dau 1 (u2), mau 2
+    assert (out[0]["dau"], out[0]["mau"]) == (1, 1)
+    assert (out[1]["dau"], out[1]["mau"]) == (1, 2)
+    assert out[1]["stickiness"] == 0.5
+    # day 3: u1's day-0 coverage expired (w=3 covers 0..2), u2 covers 1..3
+    assert (out[3]["dau"], out[3]["mau"]) == (0, 1)
+    # gap days 4..9: nobody
+    assert out[5]["mau"] == 0 and out[5]["stickiness"] is None
+    assert (out[10]["dau"], out[10]["mau"]) == (1, 1)
+    with pytest.raises(ValueError):
+        rolling_active_users(df, "u", "ts", window_days=0)

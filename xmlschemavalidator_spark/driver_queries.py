@@ -18627,3 +18627,28 @@ def dedup_capture_recapture(spark, sf_dir):
         (F.col("id_a") * 7 + F.col("id_b")) % 4 != 0
     )
     return capture_recapture_estimate(mh, ng)
+
+
+def _rau_oracle() -> str:
+    from xmlschemavalidator_spark.temporal import rolling_active_oracle_sql
+
+    return rolling_active_oracle_sql(
+        "SELECT user_id AS u, ts FROM events", window_days=7
+    )
+
+
+@q("events_rolling_active_users", _rau_oracle())
+def events_rolling_active_users(spark, sf_dir):
+    """DAU / rolling-7-day-active / stickiness (temporal.py:
+    rolling_active_users): the sliding distinct-count that CANNOT be
+    summed from daily partials, computed exactly via per-user coverage
+    ISLANDS — each active day covers the next 7 days' membership,
+    islands merge in one user-keyed window pass, ±1 boundary deltas
+    prefix-sum over the bounded day spine. Work O(distinct (user,day));
+    nothing 7×'d, no distinct inside a sliding frame. Engagement
+    companion to events_cohort_retention on the same table."""
+    from xmlschemavalidator_spark.temporal import rolling_active_users
+
+    return rolling_active_users(
+        _t(spark, sf_dir, "events"), "user_id", "ts", window_days=7
+    )

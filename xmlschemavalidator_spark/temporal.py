@@ -1793,3 +1793,151 @@ b AS (SELECT u, e, epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM src
 {cte_block}
 {select_block}
 ORDER BY step_index"""
+
+
+def rolling_active_users(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    window_days: int = 28,
+    round_to: int = 6,
+) -> DataFrame:
+    """Rolling active users + stickiness (the DAU/MAU product metric):
+    per calendar day, ``(day, dau, mau, stickiness)`` where dau =
+    distinct users active that day, mau = distinct users active in the
+    TRAILING ``window_days`` window, stickiness = dau/mau (the
+    how-often-do-actives-return number a plain retention matrix
+    doesn't give).
+
+    The scale trick: a sliding distinct-count can't be summed from
+    daily partials (users repeat), and per-day count-distinct over a
+    28-day self-join is a 28× blowup. Instead each user's activity
+    collapses to COVERAGE INTERVALS — an active day d covers MAU
+    membership for days [d, d+w−1]; per user the intervals merge into
+    islands (gaps-and-islands over one user-keyed window pass), each
+    island emits ±1 boundary deltas, and mau(day) is ONE prefix sum of
+    deltas over the bounded day spine. Exact — not a sketch — with
+    work O(distinct (user, day)) + a day-grid window; nothing is ever
+    28×'d and no distinct runs inside a sliding frame.
+
+    All counts exact integers; stickiness one IEEE division. Days with
+    zero actives inside the observed range still emit (dau 0, mau from
+    the trailing window). NULL users/timestamps excluded.
+
+    Reference scope note: north-rule temporal addition — completes the
+    engagement family (sessionize / cohort_retention / THIS).
+    """
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    day = F.floor(
+        F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(86_400_000_000)
+    ).cast("bigint")
+    ud = (
+        events.where(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(F.col(user_col).alias("_u"), day.alias("_d"))
+        .distinct()
+    )
+    dau = ud.groupBy(F.col("_d").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("dau")
+    )
+    w_ord = Window.partitionBy("_u").orderBy("_d")
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    isl = ud.select(
+        "_u",
+        "_d",
+        F.when(
+            F.col("_d")
+            > F.max(F.col("_d") + window_days - 1).over(w_prev),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("_new"),
+    ).select(
+        "_u",
+        "_d",
+        F.sum("_new").over(w_ord).alias("_isl"),
+    )
+    islands = isl.groupBy("_u", "_isl").agg(
+        F.min("_d").alias("_start"),
+        (F.max("_d") + window_days - 1).alias("_end"),
+    )
+    deltas = (
+        islands.select(F.col("_start").alias("day"), F.lit(1).alias("_delta"))
+        .unionByName(
+            islands.select(
+                (F.col("_end") + 1).alias("day"), F.lit(-1).alias("_delta")
+            )
+        )
+        .groupBy("day")
+        .agg(F.sum("_delta").cast("bigint").alias("_dsum"))
+    )
+    bounds = ud.agg(
+        F.min("_d").alias("_lo"), F.max("_d").alias("_hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("day")
+    )
+    w_day = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    joined = (
+        spine.join(deltas, "day", "left")
+        .select(
+            "day", F.coalesce(F.col("_dsum"), F.lit(0)).alias("_dsum")
+        )
+        .select("day", F.sum("_dsum").over(w_day).cast("bigint").alias("mau"))
+        .join(dau, "day", "left")
+        .select(
+            "day",
+            F.coalesce(F.col("dau"), F.lit(0)).cast("bigint").alias("dau"),
+            "mau",
+        )
+    )
+    return joined.select(
+        "day",
+        "dau",
+        "mau",
+        F.round(
+            F.when(
+                F.col("mau") > 0,
+                F.col("dau").cast("double") / F.col("mau").cast("double"),
+            ),
+            round_to,
+        ).alias("stickiness"),
+    ).orderBy("day")
+
+
+def rolling_active_oracle_sql(
+    from_sql: str, window_days: int = 28, round_to: int = 6
+) -> str:
+    """DuckDB replay of :func:`rolling_active_users`; ``from_sql`` must
+    yield ``u`` and ``ts``. Same islands, same delta prefix sum."""
+    day = (
+        "CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 86400000000.0)"
+        " AS BIGINT)"
+    )
+    w = window_days
+    return f"""WITH src AS ({from_sql}),
+ud AS (SELECT DISTINCT u, {day} AS d FROM src
+       WHERE u IS NOT NULL AND ts IS NOT NULL),
+dau AS (SELECT d AS day, CAST(count(*) AS BIGINT) AS dau
+        FROM ud GROUP BY d),
+isl AS (SELECT u, d, CAST(sum(newf) OVER (PARTITION BY u ORDER BY d)
+          AS BIGINT) AS isl
+  FROM (SELECT u, d, CASE WHEN d > max(d + {w} - 1) OVER
+          (PARTITION BY u ORDER BY d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        THEN 1 ELSE 0 END AS newf FROM ud)),
+islands AS (SELECT u, isl, min(d) AS s, max(d) + {w} - 1 AS e
+            FROM isl GROUP BY u, isl),
+deltas AS (SELECT day, CAST(sum(delta) AS BIGINT) AS dsum FROM (
+    SELECT s AS day, 1 AS delta FROM islands
+    UNION ALL SELECT e + 1, -1 FROM islands) GROUP BY day),
+bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM ud),
+spine AS (SELECT unnest(generate_series(lo, hi)) AS day FROM bounds),
+mau AS (SELECT spine.day,
+    CAST(sum(coalesce(deltas.dsum, 0)) OVER (ORDER BY spine.day)
+         AS BIGINT) AS mau
+  FROM spine LEFT JOIN deltas USING (day))
+SELECT mau.day, CAST(coalesce(dau.dau, 0) AS BIGINT) AS dau, mau.mau,
+  round(CASE WHEN mau.mau > 0 THEN CAST(coalesce(dau.dau, 0) AS DOUBLE)
+        / CAST(mau.mau AS DOUBLE) END, {round_to}) AS stickiness
+FROM mau LEFT JOIN dau USING (day) ORDER BY mau.day"""
