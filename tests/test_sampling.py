@@ -616,3 +616,57 @@ def test_stratified_estimate_census_and_partial(spark):
     )
     [r1] = stratified_estimate(full, smp_one, "v", "g").collect()
     assert r1["se_total"] == 0.0 and r1["n_strata_unsampled"] == 0
+
+
+# ---------------------------------------------------------------------------
+# poisson_ht_estimate
+# ---------------------------------------------------------------------------
+
+
+def test_poisson_ht_all_certain_is_exact(spark):
+    # expected_n >= n with equal sizes -> every pi = 1, y_hat == true total
+    import pytest
+
+    from xmlschemavalidator_spark.sampling import poisson_ht_estimate
+
+    rows = [(i, float(i + 1), 1.0) for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, y double, size double")
+    [r] = poisson_ht_estimate(df, "id", "y", "size", expected_n=20).collect()
+    assert r["n_sampled"] == 20
+    assert r["y_hat"] == float(sum(i + 1 for i in range(20)))
+    assert r["se"] == 0.0  # certainty sampling has zero design variance
+    with pytest.raises(ValueError):
+        poisson_ht_estimate(df, "id", "y", "size", expected_n=0)
+
+
+def test_poisson_ht_deterministic_and_unbiased_shape(spark):
+    import random
+
+    from xmlschemavalidator_spark.sampling import poisson_ht_estimate
+
+    random.seed(4)
+    rows = [
+        (i, round(random.expovariate(0.02), 3), round(random.random() * 9 + 1, 3))
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "id long, y double, size double")
+    [r1] = poisson_ht_estimate(df, "id", "y", "size", expected_n=200).collect()
+    [r2] = poisson_ht_estimate(df, "id", "y", "size", expected_n=200).collect()
+    assert tuple(r1) == tuple(r2)  # content-addressed: identical replays
+    true_total = sum(y for _, y, _ in rows)
+    # the 95% CI from one fixed draw should bracket the truth here
+    assert r1["ci_low"] <= true_total <= r1["ci_high"]
+    # a different salt gives a different (still valid) draw
+    [r3] = poisson_ht_estimate(
+        df, "id", "y", "size", expected_n=200, salt="other"
+    ).collect()
+    assert r3["n_sampled"] != r1["n_sampled"] or r3["y_hat"] != r1["y_hat"]
+
+
+def test_poisson_ht_nonpositive_sizes_excluded(spark):
+    from xmlschemavalidator_spark.sampling import poisson_ht_estimate
+
+    rows = [(1, 5.0, 2.0), (2, 7.0, 0.0), (3, 9.0, None), (4, 1.0, 3.0)]
+    df = spark.createDataFrame(rows, "id long, y double, size double")
+    [r] = poisson_ht_estimate(df, "id", "y", "size", expected_n=2).collect()
+    assert r["n_pop"] == 2  # only the two positive-size rows frame-eligible

@@ -18652,3 +18652,40 @@ def events_rolling_active_users(spark, sf_dir):
     return rolling_active_users(
         _t(spark, sf_dir, "events"), "user_id", "ts", window_days=7
     )
+
+
+def _ht_oracle() -> str:
+    from xmlschemavalidator_spark.sampling import poisson_ht_oracle_sql
+
+    return poisson_ht_oracle_sql(
+        "SELECT doc_id AS id, CAST(n_chars AS DOUBLE) AS y,"
+        " CAST(n_chars AS DOUBLE) AS size"
+        " FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0",
+        expected_n=100,
+        salt="ht",
+    )
+
+
+@q("ht_total_chars_estimate", _ht_oracle())
+def ht_total_chars_estimate(spark, sf_dir):
+    """Poisson πps sampling + Horvitz–Thompson total (sampling.py:
+    poisson_ht_estimate, Horvitz & Thompson JASA 1952): estimate total
+    corpus characters from a ~100-doc size-proportional sample — the
+    unequal-probability member of the audit family beside Neyman
+    stratification; sampling self-weights big docs near-certain (π∝size
+    capped at 1, making this the size-biased-but-unbiased design). The
+    md5 draw, the fixed IEEE π chain and the 12dp-round-then-DECIMAL
+    estimator sums replay identically in the oracle; y == size here
+    makes the per-row ratio ≈ constant, so the CI is tight and the
+    design's variance shrinkage is itself measured."""
+    from xmlschemavalidator_spark.sampling import poisson_ht_estimate
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("n_chars").isNotNull() & (F.col("n_chars") > 0)
+    )
+    frame = docs.select(
+        F.col("doc_id").alias("id"),
+        F.col("n_chars").cast("double").alias("y"),
+        F.col("n_chars").cast("double").alias("size"),
+    )
+    return poisson_ht_estimate(frame, "id", "y", "size", expected_n=100, salt="ht")

@@ -851,3 +851,143 @@ def stratified_estimate(
         F.round(Td - zc * se, round_to).alias("ci_lo_total"),
         F.round(Td + zc * se, round_to).alias("ci_hi_total"),
     )
+
+
+def poisson_ht_estimate(
+    df: DataFrame,
+    id_col: str,
+    y_col: str,
+    size_col: str,
+    expected_n: int,
+    salt: str = "ht",
+    z_milli: int = 1960,
+    round_to: int = 6,
+) -> DataFrame:
+    """Poisson πps sampling + the Horvitz–Thompson estimator (Horvitz &
+    Thompson JASA 1952; Poisson design per Särndal et al. §3.5) — the
+    unequal-probability member of the audit-sampling family:
+    :func:`neyman_allocation` stratifies, this sizes each row's
+    inclusion probability to an auxiliary SIZE measure (π_i ∝ size_i,
+    capped at 1) so big rows are near-certain and the long tail is
+    thinned, and Ŷ = Σ_sample y_i/π_i is design-unbiased for the
+    population total with the Poisson variance estimator
+    V̂ = Σ_sample (1−π_i)/π_i²·y_i². ONE row ``(n_pop, n_sampled,
+    expected_n, y_hat, se, ci_low, ci_high)``.
+
+    Content-addressed like everything in this module: inclusion is
+    ``u_i < π_i`` with u the 60-bit md5(salt:id) uniform (the
+    gumbel_key recipe) — the draw is a pure function of (salt, id,
+    size) and replays identically in the oracle. π_i is computed by the
+    SAME fixed IEEE chain in both engines ((expected_n · s)/T, capped
+    at 1, over micro-quantized sizes), and the estimator's per-row
+    terms are 12dp-rounded then DECIMAL-summed — order-free. Two scans
+    (one size-total partial agg, one narrow filter + estimate), no
+    shuffle beyond the single-row aggregates. Rows with NULL/
+    non-positive size are excluded from frame and estimate (π=0 rows
+    cannot be sampled — the HT contract); NULL y on a sampled row is a
+    measured zero contribution, disclosed by n_sampled.
+    """
+    if expected_n <= 0:
+        raise ValueError(
+            f"poisson_ht_estimate: expected_n must be positive, got {expected_n}"
+        )
+    s_q = F.floor(F.col(size_col).cast("double") * F.lit(1_000_000)).cast(
+        "bigint"
+    )
+    base = df.where(
+        F.col(id_col).isNotNull()
+        & F.col(size_col).isNotNull()
+        & (F.col(size_col).cast("double") > 0)
+    ).select(
+        F.col(id_col).alias("_id"),
+        F.col(y_col).cast("double").alias("_y"),
+        s_q.alias("_s"),
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pop"),
+        F.sum("_s").cast("decimal(38,0)").alias("_T"),
+    )
+    j = base.crossJoin(F.broadcast(tot))
+    p = F.least(
+        F.lit(1.0),
+        F.lit(float(expected_n))
+        * F.col("_s").cast("double")
+        / F.col("_T").cast("double"),
+    )
+    u = (
+        F.conv(F.substring(_sample_key(F.col("_id"), salt), 1, 15), 16, 10)
+        .cast("bigint")
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 60))
+    sampled = j.where(u < p)
+    yq = F.coalesce(F.col("_y"), F.lit(0.0))
+    term = F.round(yq / p, 12).cast("decimal(38,12)")
+    vterm = F.round(
+        (F.lit(1.0) - p) / (p * p) * yq * yq, 12
+    ).cast("decimal(38,12)")
+    est = sampled.agg(
+        F.max("n_pop").alias("n_pop"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+        F.coalesce(F.sum(term), F.lit(0).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("_yhat"),
+        F.coalesce(F.sum(vterm), F.lit(0).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("_vhat"),
+    )
+    zc = F.lit(z_milli / 1000.0)
+    se = F.sqrt(F.col("_vhat"))
+    return est.select(
+        "n_pop",
+        "n_sampled",
+        F.lit(int(expected_n)).cast("bigint").alias("expected_n"),
+        F.round(F.col("_yhat"), round_to).alias("y_hat"),
+        F.round(se, round_to).alias("se"),
+        F.round(F.col("_yhat") - zc * se, round_to).alias("ci_low"),
+        F.round(F.col("_yhat") + zc * se, round_to).alias("ci_high"),
+    )
+
+
+def poisson_ht_oracle_sql(
+    from_sql: str,
+    expected_n: int,
+    salt: str = "ht",
+    z_milli: int = 1960,
+    round_to: int = 6,
+) -> str:
+    """DuckDB replay of :func:`poisson_ht_estimate`; ``from_sql`` must
+    yield ``id``, ``y``, ``size``. Same md5 uniform, same fixed π
+    chain, same 12dp-round-then-DECIMAL sums."""
+    key = sample_key_sql("id", salt)
+    u = (
+        f"((CAST(('0x' || substr({key}, 1, 15)) AS BIGINT) + 0.5)"
+        f" / {float(1 << 60)})"
+    )
+    p = (
+        f"least(1.0, {float(expected_n)} * CAST(s AS DOUBLE)"
+        " / CAST(T AS DOUBLE))"
+    )
+    z = z_milli / 1000.0
+    return f"""WITH src AS ({from_sql}),
+b AS (SELECT id, CAST(y AS DOUBLE) AS y,
+        CAST(floor(CAST(size AS DOUBLE) * 1000000) AS BIGINT) AS s
+      FROM src WHERE id IS NOT NULL AND size IS NOT NULL
+        AND CAST(size AS DOUBLE) > 0),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_pop,
+          CAST(sum(s) AS DECIMAL(38,0)) AS T FROM b),
+sampled AS (SELECT b.*, tot.n_pop, tot.T FROM b, tot WHERE {u} < {p}),
+est AS (SELECT max(n_pop) AS n_pop,
+    CAST(count(*) AS BIGINT) AS n_sampled,
+    CAST(coalesce(sum(CAST(round(coalesce(y, 0.0) / {p}, 12)
+        AS DECIMAL(38,12))), 0) AS DOUBLE) AS yhat,
+    CAST(coalesce(sum(CAST(round((1.0 - {p}) / ({p} * {p})
+        * coalesce(y, 0.0) * coalesce(y, 0.0), 12)
+        AS DECIMAL(38,12))), 0) AS DOUBLE) AS vhat
+  FROM sampled)
+SELECT n_pop, n_sampled, CAST({expected_n} AS BIGINT) AS expected_n,
+  round(yhat, {round_to}) AS y_hat,
+  round(sqrt(vhat), {round_to}) AS se,
+  round(yhat - {z} * sqrt(vhat), {round_to}) AS ci_low,
+  round(yhat + {z} * sqrt(vhat), {round_to}) AS ci_high
+FROM est"""
