@@ -1523,3 +1523,46 @@ def test_fairness_four_fifths_boundary_exact(spark):
     [s1] = fairness_summary(df1, "grp", "pred", "label").collect()
     assert s1["disparate_impact_ratio"] is None
     assert s1["passes_four_fifths"] is False
+
+
+# ---------------------------------------------------------------------------
+# hosmer_lemeshow
+# ---------------------------------------------------------------------------
+
+
+def test_hosmer_lemeshow_calibrated_vs_broken(spark):
+    import random
+
+    import pytest
+
+    from xmlschemavalidator_spark.checks.evaluation import hosmer_lemeshow
+
+    random.seed(23)
+    rows = []
+    for i in range(2000):
+        p = random.random()
+        rows.append((i, round(p, 5), random.random() < p))
+    df = spark.createDataFrame(rows, "id long, prob double, label boolean")
+    [r] = hosmer_lemeshow(df, "prob", "label", "id").collect()
+    assert r["n_informative"] == 10 and r["dof"] == 8
+    assert r["miscalibrated"] is False  # well-calibrated by construction
+    # squash the probabilities toward 0.5: same labels, broken calibration
+    broken = [(i, round(min(max(p * 0.3 + 0.35, 0.0), 1.0), 5), y) for i, p, y in rows]
+    df2 = spark.createDataFrame(broken, "id long, prob double, label boolean")
+    [r2] = hosmer_lemeshow(df2, "prob", "label", "id").collect()
+    assert r2["miscalibrated"] is True and r2["p"] == 0.0
+    with pytest.raises(ValueError):
+        hosmer_lemeshow(df, "prob", "label", "id", n_buckets=2)
+
+
+def test_hosmer_lemeshow_degenerate_buckets_excluded(spark):
+    from xmlschemavalidator_spark.checks.evaluation import hosmer_lemeshow
+
+    # all-zero predictions: every bucket has E = 0 -> no informative
+    # buckets, NULL dof/p, never a div/0
+    rows = [(i, 0.0, i % 7 == 0) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, prob double, label boolean")
+    [r] = hosmer_lemeshow(df, "prob", "label", "id", n_buckets=3).collect()
+    assert r["n_informative"] == 0
+    assert r["dof"] is None and r["p"] is None
+    assert r["miscalibrated"] is False

@@ -3941,3 +3941,196 @@ SELECT cnt.n_groups, lo.min_rate_group, hi.max_rate_group,
   round(gaps.tgap, {round_to}) AS tpr_gap,
   round(gaps.fgap, {round_to}) AS fpr_gap
 FROM cnt, lo, hi, gaps"""
+
+
+def hosmer_lemeshow(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    id_col: str,
+    n_buckets: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Hosmer–Lemeshow goodness-of-fit test (Hosmer & Lemeshow 1980) —
+    the classic reported calibration STATISTIC completing the family:
+    calibration_report/ECE describe, spiegelhalter_z tests per-row,
+    HL tests the DECILE table everyone actually publishes:
+
+        H = Σ_b (O_b − E_b)² / (n_b·p̄_b·(1−p̄_b)),   df = B − 2
+
+    over equal-size score deciles (grid-assembled rank, the lift_chart
+    machinery — no corpus-wide single-partition sort). ONE row
+    ``(n, n_buckets_used, n_informative, h, dof, p, miscalibrated)``.
+
+    Exactness: probabilities micro-quantize before everything; each
+    bucket's O is an exact integer and E an exact integer in MICRO
+    units, so the bucket term collapses to the all-integer rational
+
+        (O·10⁶ − E)² · n_b / (E · (10⁶·n_b − E))
+
+    — 12dp-rounded then DECIMAL-summed. Degenerate buckets (E = 0 or
+    E = 10⁶·n_b: all-certain predictions) have an undefined term; they
+    are EXCLUDED and counted in ``n_buckets_used − n_informative``
+    (disclosed — the textbook prescription is merging, the honest
+    engine behavior is surfacing). p from the chi²(df) upper tail via
+    the Wilson–Hilferty cube-root normal (the Woolf/Kendall-W device);
+    df = n_informative − 2, NULL p when df < 1.
+    """
+    if n_buckets < 3:
+        raise ValueError(
+            f"hosmer_lemeshow: n_buckets must be >= 3, got {n_buckets}"
+        )
+    lab = F.col(label_col).cast("boolean")
+    base = df.where(
+        F.col(prob_col).isNotNull() & lab.isNotNull() & F.col(id_col).isNotNull()
+    ).select(
+        F.least(
+            F.greatest(
+                F.floor(F.col(prob_col).cast("double") * F.lit(1_000_000)).cast(
+                    "bigint"
+                ),
+                F.lit(0).cast("bigint"),
+            ),
+            F.lit(1_000_000).cast("bigint"),
+        ).alias("_q"),
+        F.col(id_col).alias("_id"),
+        lab.cast("long").alias("_y"),
+    )
+    grid = base.groupBy("_q").agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+    wg = Window.orderBy(F.col("_q").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = grid.select(
+        "_q", (F.sum("_c").over(wg) - F.col("_c")).alias("_before")
+    )
+    tot = base.agg(F.count(F.lit(1)).cast("bigint").alias("_nt"))
+    wq = Window.partitionBy("_q").orderBy(F.col("_id").asc())
+    bucketed = (
+        base.withColumn("_intra", F.row_number().over(wq))
+        .join(F.broadcast(cum), "_q")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "_q",
+            "_y",
+            "_nt",
+            (
+                F.floor(
+                    (F.col("_before") + F.col("_intra") - 1)
+                    * n_buckets
+                    / F.col("_nt")
+                )
+                + 1
+            )
+            .cast("int")
+            .alias("_b"),
+        )
+    )
+    per = bucketed.groupBy("_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum("_y").cast("bigint").alias("_o"),
+        F.sum("_q").cast("decimal(38,0)").alias("_e"),  # micro units
+        F.max("_nt").alias("_nt"),
+    )
+    informative = (F.col("_e") > 0) & (
+        F.col("_e") < F.lit(1_000_000).cast("decimal(38,0)") * F.col("_n")
+    )
+    diff = F.col("_o").cast("decimal(38,0)") * 1_000_000 - F.col("_e")
+    term = F.round(
+        (diff * diff * F.col("_n")).cast("double")
+        / (
+            F.col("_e")
+            * (F.lit(1_000_000).cast("decimal(38,0)") * F.col("_n") - F.col("_e"))
+        ).cast("double"),
+        12,
+    ).cast("decimal(38,12)")
+    agg = per.agg(
+        F.coalesce(F.sum("_n"), F.lit(0)).cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets_used"),
+        F.coalesce(F.sum(F.when(informative, 1).otherwise(0)), F.lit(0))
+        .cast("bigint")
+        .alias("n_informative"),
+        F.coalesce(
+            F.sum(F.when(informative, term)),
+            F.lit(0).cast("decimal(38,12)"),
+        )
+        .cast("double")
+        .alias("_h"),
+    )
+    dof = (F.col("n_informative") - 2).cast("bigint")
+    dofd = dof.cast("double")
+    ok = dof >= 1
+    zwh = F.when(
+        ok,
+        (
+            F.cbrt(F.col("_h") / dofd)
+            - (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * dofd))
+        )
+        / F.sqrt(F.lit(2.0) / (F.lit(9.0) * dofd)),
+    )
+    half_p = _p_two_sided(zwh) / F.lit(2.0)
+    p = F.when(ok, F.when(zwh >= 0, half_p).otherwise(F.lit(1.0) - half_p))
+    return agg.select(
+        "n",
+        "n_buckets_used",
+        "n_informative",
+        F.round(F.col("_h"), round_to).alias("h"),
+        F.when(ok, dof).alias("dof"),
+        F.round(p, round_to).alias("p"),
+        F.coalesce(p < 0.05, F.lit(False)).alias("miscalibrated"),
+    )
+
+
+def hosmer_lemeshow_oracle_sql(
+    from_sql: str,
+    n_buckets: int = 10,
+    round_to: int = 6,
+) -> str:
+    """DuckDB replay of :func:`hosmer_lemeshow`; ``from_sql`` must
+    yield ``id``, ``prob``, ``label``. Same grid rank, same all-integer
+    bucket rationals, same Wilson–Hilferty tail."""
+    zwh = (
+        "(CASE WHEN dof >= 1 THEN (cbrt(h / CAST(dof AS DOUBLE))"
+        " - (1.0 - 2.0 / (9.0 * CAST(dof AS DOUBLE))))"
+        " / sqrt(2.0 / (9.0 * CAST(dof AS DOUBLE))) END)"
+    )
+    half = f"({_p_two_sided_sql(zwh)} / 2.0)"
+    p = (
+        f"(CASE WHEN dof >= 1 THEN CASE WHEN {zwh} >= 0 THEN {half}"
+        f" ELSE 1.0 - {half} END END)"
+    )
+    return f"""WITH src AS ({from_sql}),
+b AS (SELECT least(greatest(CAST(floor(CAST(prob AS DOUBLE) * 1000000)
+          AS BIGINT), 0), 1000000) AS q,
+        id, CAST(CAST(label AS BOOLEAN) AS BIGINT) AS y
+      FROM src WHERE prob IS NOT NULL AND label IS NOT NULL
+        AND id IS NOT NULL),
+grid AS (SELECT q, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY q),
+cum AS (SELECT q, CAST(sum(c) OVER (ORDER BY q DESC) - c AS BIGINT)
+          AS before FROM grid),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM b),
+bk AS (SELECT b.q, b.y, tot.nt,
+    CAST(floor((cum.before + row_number() OVER (PARTITION BY b.q
+         ORDER BY b.id ASC) - 1) * {n_buckets} / tot.nt) + 1 AS INT) AS bkt
+  FROM b JOIN cum USING (q), tot),
+per AS (SELECT bkt, CAST(count(*) AS BIGINT) AS n,
+    CAST(coalesce(sum(y), 0) AS BIGINT) AS o,
+    CAST(coalesce(sum(q), 0) AS DECIMAL(38,0)) AS e,
+    max(nt) AS nt
+  FROM bk GROUP BY bkt),
+agg AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n,
+    CAST(count(*) AS BIGINT) AS n_buckets_used,
+    CAST(coalesce(sum(CASE WHEN e > 0 AND e < CAST(1000000 AS DECIMAL(38,0)) * n
+        THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_informative,
+    CAST(coalesce(sum(CASE WHEN e > 0 AND e < CAST(1000000 AS DECIMAL(38,0)) * n
+        THEN CAST(round(CAST((CAST(o AS DECIMAL(38,0)) * 1000000 - e)
+            * (CAST(o AS DECIMAL(38,0)) * 1000000 - e) * n AS DOUBLE)
+            / CAST(e * (CAST(1000000 AS DECIMAL(38,0)) * n - e) AS DOUBLE),
+            12) AS DECIMAL(38,12)) END), 0) AS DOUBLE) AS h
+  FROM per),
+fin AS (SELECT *, CASE WHEN n_informative - 2 >= 1
+          THEN CAST(n_informative - 2 AS BIGINT) END AS dof FROM agg)
+SELECT n, n_buckets_used, n_informative,
+  round(h, {round_to}) AS h, dof,
+  round({p}, {round_to}) AS p,
+  coalesce({p} < 0.05, FALSE) AS miscalibrated
+FROM fin"""

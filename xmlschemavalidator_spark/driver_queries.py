@@ -18689,3 +18689,43 @@ def ht_total_chars_estimate(spark, sf_dir):
         F.col("n_chars").cast("double").alias("size"),
     )
     return poisson_ht_estimate(frame, "id", "y", "size", expected_n=100, salt="ht")
+
+
+def _hl_oracle() -> str:
+    from xmlschemavalidator_spark.checks.evaluation import (
+        hosmer_lemeshow_oracle_sql,
+    )
+
+    return hosmer_lemeshow_oracle_sql(
+        f"SELECT doc_id AS id, {_CAL_PROB_DUCK} AS prob,"
+        f" {_CAL_LABEL_DUCK} = 1 AS label"
+        " FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL"
+    )
+
+
+@q("classifier_hosmer_lemeshow", _hl_oracle())
+def classifier_hosmer_lemeshow(spark, sf_dir):
+    """Hosmer–Lemeshow decile goodness-of-fit (checks/evaluation.py:
+    hosmer_lemeshow, 1980) over the calibration family's
+    pseudo-probability vs 'spark'-token label — the classic PUBLISHED
+    calibration statistic completing report/ECE (describe) →
+    spiegelhalter_z (per-row test) → THIS (the decile-table test).
+    The length-derived probability is uncalibrated by construction, so
+    the verdict is a measured rejection. Grid-assembled deciles (no
+    global sort), all-integer bucket rationals
+    (O·10⁶−E)²·n/(E(10⁶n−E)) 12dp-round-then-DECIMAL-summed,
+    Wilson–Hilferty chi²(B−2) tail; degenerate buckets excluded
+    VISIBLY via n_informative."""
+    from xmlschemavalidator_spark.checks.evaluation import hosmer_lemeshow
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    scored = docs.select(
+        F.col("doc_id").alias("id"),
+        ((F.col("n_chars") % 500).cast("double") / F.lit(500)).alias("prob"),
+        (
+            F.locate(" spark ", F.concat(F.lit(" "), F.col("text"), F.lit(" "))) > 0
+        ).alias("label"),
+    )
+    return hosmer_lemeshow(scored, "prob", "label", "id")
