@@ -1880,3 +1880,47 @@ def test_brown_forsythe_equal_spread_and_degenerate(spark):
     df = spark.createDataFrame(rows, "grp string, val double")
     [r] = brown_forsythe(df, "val", "grp").collect()
     assert r["f"] is None
+
+
+# ---------------------------------------------------------------------------
+# sprt_monitor
+# ---------------------------------------------------------------------------
+
+
+def test_sprt_decides_and_first_crossing_sticks(spark):
+    import pytest
+
+    from xmlschemavalidator_spark.checks.sequence import sprt_monitor
+
+    # 20 straight failures against H0 97% / H1 80% pass: LLR climbs by
+    # ln(0.2/0.03) ≈ 1.897 per failure; upper bound ln(0.95/0.05) ≈ 2.944
+    # -> crosses at the SECOND failure and stays decided
+    rows = [(t, False) for t in range(20)]
+    df = spark.createDataFrame(rows, "t long, y boolean")
+    [r] = sprt_monitor(df, "t", "y", p0_milli=970, p1_milli=800).collect()
+    assert r["decision"] == "accept_h1" and r["decided_at"] == 1
+    # healthy stream: all passes walk DOWN (ln(0.8/0.97) < 0) to H0
+    rows = [(t, True) for t in range(40)]
+    df = spark.createDataFrame(rows, "t long, y boolean")
+    [r] = sprt_monitor(df, "t", "y", p0_milli=970, p1_milli=800).collect()
+    assert r["decision"] == "accept_h0"
+    assert r["llr"] <= r["boundary_b"]
+    with pytest.raises(ValueError):
+        sprt_monitor(df, "t", "y", p0_milli=500, p1_milli=500)
+
+
+def test_sprt_continue_and_duplicate_order_refused(spark):
+    import pytest
+
+    from xmlschemavalidator_spark.checks.sequence import sprt_monitor
+
+    # a short balanced stream stays inside the boundaries
+    rows = [(0, True), (1, False), (2, True), (3, False)]
+    df = spark.createDataFrame(rows, "t long, y boolean")
+    [r] = sprt_monitor(df, "t", "y", p0_milli=600, p1_milli=400).collect()
+    assert r["decision"] == "continue" and r["decided_at"] is None
+    dup = spark.createDataFrame(
+        [(0, True), (0, False)], "t long, y boolean"
+    )
+    with pytest.raises(ValueError):
+        sprt_monitor(dup, "t", "y", p0_milli=600, p1_milli=400)

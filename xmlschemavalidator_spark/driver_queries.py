@@ -18729,3 +18729,37 @@ def classifier_hosmer_lemeshow(spark, sf_dir):
         ).alias("label"),
     )
     return hosmer_lemeshow(scored, "prob", "label", "id")
+
+
+def _sprt_oracle() -> str:
+    from xmlschemavalidator_spark.checks.sequence import sprt_oracle_sql
+
+    return sprt_oracle_sql(
+        "SELECT event_id AS t, event_type <> 'error' AS y FROM events"
+        " WHERE event_id IS NOT NULL AND event_type IS NOT NULL",
+        p0_milli=850,
+        p1_milli=750,
+    )
+
+
+@q("events_sprt_error_monitor", _sprt_oracle())
+def events_sprt_error_monitor(spark, sf_dir):
+    """Wald's SPRT (checks/sequence.py:sprt_monitor, 1945) watching the
+    event stream's non-error rate in arrival order — the always-peeking
+    sequential monitor fixed-n tests forbid: H0 healthy (85% pass) vs
+    H1 degraded (75%), α=β=5%. The measured ~80% stream sits between
+    the hypotheses, so the earliest-crossing semantics and the exact
+    integer LLR walk (two Python-computed micro literals consumed by
+    both engines, BIGINT cumsum, literal boundaries) are what the hash
+    pins. Completes the monitoring family: z-score/CUSUM/EWMA detect
+    drift in aggregates; SPRT DECIDES with guaranteed error rates."""
+    from xmlschemavalidator_spark.checks.sequence import sprt_monitor
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    stream = ev.select(
+        F.col("event_id").alias("t"),
+        (F.col("event_type") != "error").alias("y"),
+    )
+    return sprt_monitor(stream, "t", "y", p0_milli=850, p1_milli=750)
