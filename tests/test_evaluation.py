@@ -1566,3 +1566,74 @@ def test_hosmer_lemeshow_degenerate_buckets_excluded(spark):
     assert r["n_informative"] == 0
     assert r["dof"] is None and r["p"] is None
     assert r["miscalibrated"] is False
+
+
+# ---------------------------------------------------------------------------
+# bayes_ab_test
+# ---------------------------------------------------------------------------
+
+
+def test_bayes_ab_symmetric_is_half_and_decisions(spark):
+    from xmlschemavalidator_spark.checks.evaluation import bayes_ab_test
+
+    rows = [("A", True), ("A", False), ("B", True), ("B", False)]
+    df = spark.createDataFrame(rows, "variant string, outcome boolean")
+    [r] = bayes_ab_test(df, "variant", "outcome", "A", "B").collect()
+    assert r["prob_b_beats_a"] == 0.5  # identical posteriors
+    assert r["decision"] == "keep_testing"
+    # B clearly better: 9/10 vs 1/10
+    rows = [("A", i < 1) for i in range(10)] + [("B", i < 9) for i in range(10)]
+    df = spark.createDataFrame(rows, "variant string, outcome boolean")
+    [r] = bayes_ab_test(df, "variant", "outcome", "A", "B").collect()
+    assert r["prob_b_beats_a"] > 0.99 and r["decision"] == "ship_b"
+    # mirrored: ship_a
+    rows = [("A", i < 9) for i in range(10)] + [("B", i < 1) for i in range(10)]
+    df = spark.createDataFrame(rows, "variant string, outcome boolean")
+    [r] = bayes_ab_test(df, "variant", "outcome", "A", "B").collect()
+    assert r["prob_b_beats_a"] < 0.01 and r["decision"] == "ship_a"
+
+
+def test_bayes_ab_matches_exact_integral(spark):
+    import math
+
+    from xmlschemavalidator_spark.checks.evaluation import bayes_ab_test
+
+    def exact(ca, na, cb, nb):
+        aa, ba, ab, bb = ca + 1, na - ca + 1, cb + 1, nb - cb + 1
+
+        def lnB(x, y):
+            return math.lgamma(x) + math.lgamma(y) - math.lgamma(x + y)
+
+        return sum(
+            math.exp(
+                lnB(aa + i, ba + bb)
+                - math.log(bb + i)
+                - lnB(1 + i, bb)
+                - lnB(aa, ba)
+            )
+            for i in range(ab)
+        )
+
+    for ca, na, cb, nb in [(7, 50, 12, 50), (3, 30, 3, 40), (0, 10, 2, 10)]:
+        rows = [("A", i < ca) for i in range(na)] + [
+            ("B", i < cb) for i in range(nb)
+        ]
+        df = spark.createDataFrame(rows, "variant string, outcome boolean")
+        [r] = bayes_ab_test(df, "variant", "outcome", "A", "B").collect()
+        assert abs(r["prob_b_beats_a"] - exact(ca, na, cb, nb)) < 1e-4
+
+
+def test_bayes_ab_gates(spark):
+    from xmlschemavalidator_spark.checks.evaluation import bayes_ab_test
+
+    # missing variant: NULL probability, keep_testing
+    df = spark.createDataFrame([("A", True)], "variant string, outcome boolean")
+    [r] = bayes_ab_test(df, "variant", "outcome", "A", "B").collect()
+    assert r["prob_b_beats_a"] is None and r["decision"] == "keep_testing"
+    # series longer than max_iterations: exact path refuses
+    rows = [("A", True)] * 5 + [("B", True)] * 30
+    df = spark.createDataFrame(rows, "variant string, outcome boolean")
+    [r] = bayes_ab_test(
+        df, "variant", "outcome", "A", "B", max_iterations=10
+    ).collect()
+    assert r["prob_b_beats_a"] is None and r["decision"] == "keep_testing"

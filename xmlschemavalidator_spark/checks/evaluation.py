@@ -4134,3 +4134,250 @@ SELECT n, n_buckets_used, n_informative,
   round({p}, {round_to}) AS p,
   coalesce({p} < 0.05, FALSE) AS miscalibrated
 FROM fin"""
+
+
+def bayes_ab_test(
+    df: DataFrame,
+    variant_col: str,
+    outcome_col: str,
+    a_label,
+    b_label,
+    max_iterations: int = 1_000_000,
+    decision_milli: int = 950,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact Bayesian A/B test on conversion outcomes: the posterior
+    probability that variant B's true rate beats variant A's under
+    independent Beta(1,1)-prior posteriors — the number the frequentist
+    family's p-values keep getting misread AS. Uses the closed form
+    (Cook 2005's exact integral; the standard Beta-Binomial identity)
+
+        P(p_B > p_A) = Σ_{i=0}^{α_B−1} B(α_A+i, β_A+β_B)
+                        / ((β_B+i)·B(1+i, β_B)·B(α_A, β_A))
+
+    with α = conversions+1, β = non-conversions+1. ONE row ``(n_a,
+    conv_a, n_b, conv_b, rate_a, rate_b, prob_b_beats_a, decision)``
+    with decision ∈ ship_b / ship_a / keep_testing by the integer
+    ``decision_milli`` posterior threshold (default 95%).
+
+    Exactness (the fisher_exact machinery): every Beta/Gamma argument
+    is an INTEGER, so ln-terms are micro-ln factorial sums; the series
+    walks the term recurrence Δln t = fl(α_A+i) + fl(β_B+i) −
+    fl(β_B+i+1) − fl(1+i) + fl(1+i+β_B) − fl(α_A+β_A+β_B+i) — one
+    scalar-accumulator HOF in Spark, a recursive CTE in DuckDB, the
+    SAME quantization drift in both — and P sums trillionth-quantized
+    exp terms in BIGINT, clamped to [0, 1]. The series length is α_B
+    (B's conversions + 1): bounded experiment cohorts walk in
+    microseconds; above ``max_iterations`` the exact path refuses
+    (NULL probability, decision keep_testing) — at that scale the
+    normal approximation (two_proportion_test) is exact for all
+    practical purposes and THIS is the wrong tool. The decision
+    compares the integer trillionths sum against the integer
+    threshold.
+    """
+    v = F.col(variant_col)
+    y = F.col(outcome_col).cast("boolean")
+    base = df.where(v.isNotNull() & y.isNotNull()).select(
+        v.alias("_v"), y.cast("long").alias("_y")
+    )
+    cells = base.agg(
+        F.sum(F.when(F.col("_v") == a_label, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("_v") == a_label, F.col("_y")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("_v") == b_label, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(F.when(F.col("_v") == b_label, F.col("_y")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_b"),
+    )
+
+    def fl(x):
+        return F.floor(F.log(x.cast("double")) * F.lit(1_000_000)).cast("bigint")
+
+    def lfact(m):
+        return F.when(
+            m >= 2,
+            F.aggregate(
+                F.sequence(F.lit(2).cast("bigint"), m.cast("bigint")),
+                F.lit(0).cast("bigint"),
+                lambda acc, i: acc + fl(i),
+            ),
+        ).otherwise(F.lit(0).cast("bigint"))
+
+    m = cells.select(
+        "*",
+        (F.col("conv_a") + 1).alias("_aa"),
+        (F.col("n_a") - F.col("conv_a") + 1).alias("_ba"),
+        (F.col("conv_b") + 1).alias("_ab"),
+        (F.col("n_b") - F.col("conv_b") + 1).alias("_bb"),
+    )
+    aa, ba, ab, bb = (F.col(c) for c in ("_aa", "_ba", "_ab", "_bb"))
+    # ln t_0 = lnΓ(βA+βB) + lnΓ(αA+βA) − lnΓ(αA+βA+βB) − lnΓ(βA)
+    m = m.select(
+        "*",
+        (
+            lfact(ba + bb - 1)
+            + lfact(aa + ba - 1)
+            - lfact(aa + ba + bb - 1)
+            - lfact(ba - 1)
+        ).alias("_t0"),
+    )
+
+    def step(lnt, i):  # ln t_{i-1} -> ln t_i  (i >= 1)
+        return (
+            lnt
+            + fl(aa + i - 1)
+            + fl(bb + i - 1)
+            - fl(bb + i)
+            - fl(i)
+            + fl(i + bb)
+            - fl(aa + ba + bb + i - 1)
+        )
+
+    def term(lnt):
+        return F.round(
+            F.exp(lnt.cast("double") / F.lit(1_000_000.0))
+            * F.lit(1_000_000_000_000.0)
+        ).cast("bigint")
+
+    ok = (
+        (F.col("n_a") > 0) & (F.col("n_b") > 0) & (ab <= max_iterations)
+    )
+    walked = m.select(
+        "*",
+        F.when(
+            ok,
+            F.when(
+                ab > 1,
+                F.aggregate(
+                    F.sequence(F.lit(1).cast("bigint"), ab - 1),
+                    F.struct(
+                        F.col("_t0").alias("lnt"),
+                        term(F.col("_t0")).alias("s"),
+                    ),
+                    lambda acc, i: F.struct(
+                        step(acc["lnt"], i).alias("lnt"),
+                        (acc["s"] + term(step(acc["lnt"], i))).alias("s"),
+                    ),
+                    lambda acc: acc["s"],
+                ),
+            ).otherwise(term(F.col("_t0"))),
+        ).alias("_ptr"),
+    )
+    rate = lambda c, n: F.round(
+        F.when(F.col(n) > 0, F.col(c).cast("double") / F.col(n).cast("double")),
+        round_to,
+    )
+    p_clamped = F.least(F.col("_ptr"), F.lit(1_000_000_000_000).cast("bigint"))
+    return walked.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        rate("conv_a", "n_a").alias("rate_a"),
+        rate("conv_b", "n_b").alias("rate_b"),
+        F.round(
+            F.when(
+                F.col("_ptr").isNotNull(),
+                p_clamped.cast("double") / F.lit(1e12),
+            ),
+            round_to,
+        ).alias("prob_b_beats_a"),
+        F.when(F.col("_ptr").isNull(), F.lit("keep_testing"))
+        .when(
+            p_clamped >= F.lit(decision_milli).cast("bigint") * 1_000_000_000,
+            F.lit("ship_b"),
+        )
+        .when(
+            p_clamped
+            <= F.lit(1000 - decision_milli).cast("bigint") * 1_000_000_000,
+            F.lit("ship_a"),
+        )
+        .otherwise(F.lit("keep_testing"))
+        .alias("decision"),
+    )
+
+
+def bayes_ab_oracle_sql(
+    from_sql: str,
+    a_label: str,
+    b_label: str,
+    max_iterations: int = 1_000_000,
+    decision_milli: int = 950,
+    round_to: int = 6,
+) -> str:
+    """DuckDB replay of :func:`bayes_ab_test`; ``from_sql`` must yield
+    ``variant`` and boolean ``outcome``. Same micro-ln recurrence as a
+    recursive CTE, same trillionth sums, same integer decision."""
+
+    def fl(x: str) -> str:
+        return f"CAST(floor(ln(CAST({x} AS DOUBLE)) * 1000000) AS BIGINT)"
+
+    def lfact(mm: str) -> str:
+        return (
+            f"CAST(coalesce(list_sum(list_transform(CASE WHEN {mm} >= 2 THEN"
+            f" generate_series(CAST(2 AS BIGINT), CAST({mm} AS BIGINT))"
+            f" ELSE [] END, i -> {fl('i')})), 0) AS BIGINT)"
+        )
+
+    t0 = (
+        f"{lfact('ba + bb - 1')} + {lfact('aa + ba - 1')}"
+        f" - {lfact('aa + ba + bb - 1')} - {lfact('ba - 1')}"
+    )
+    term = (
+        "CAST(round(exp(CAST({lnt} AS DOUBLE) / 1000000.0)"
+        " * 1000000000000.0) AS BIGINT)"
+    )
+    pcl = "least(ptr, CAST(1000000000000 AS BIGINT))"
+    return f"""WITH RECURSIVE src AS ({from_sql}),
+b0 AS (SELECT variant AS v, CAST(CAST(outcome AS BOOLEAN) AS BIGINT) AS y
+       FROM src WHERE variant IS NOT NULL AND outcome IS NOT NULL),
+cells AS (SELECT
+    CAST(coalesce(sum(CASE WHEN v = '{a_label}' THEN 1 END), 0) AS BIGINT)
+        AS n_a,
+    CAST(coalesce(sum(CASE WHEN v = '{a_label}' THEN y END), 0) AS BIGINT)
+        AS conv_a,
+    CAST(coalesce(sum(CASE WHEN v = '{b_label}' THEN 1 END), 0) AS BIGINT)
+        AS n_b,
+    CAST(coalesce(sum(CASE WHEN v = '{b_label}' THEN y END), 0) AS BIGINT)
+        AS conv_b
+  FROM b0),
+m AS (SELECT *, conv_a + 1 AS aa, n_a - conv_a + 1 AS ba,
+        conv_b + 1 AS ab, n_b - conv_b + 1 AS bb FROM cells),
+m2 AS (SELECT *, {t0} AS t0 FROM m),
+walk AS (
+  SELECT CAST(0 AS BIGINT) AS i, t0 AS lnt,
+      {term.format(lnt="t0")} AS s
+    FROM m2 WHERE n_a > 0 AND n_b > 0 AND ab <= {max_iterations}
+  UNION ALL
+  SELECT w.i + 1,
+      w.lnt + {fl('m2.aa + w.i')} + {fl('m2.bb + w.i')}
+        - {fl('m2.bb + w.i + 1')} - {fl('w.i + 1')}
+        + {fl('w.i + 1 + m2.bb')} - {fl('m2.aa + m2.ba + m2.bb + w.i')},
+      w.s + {term.format(lnt=(
+          "w.lnt + " + fl('m2.aa + w.i') + " + " + fl('m2.bb + w.i')
+          + " - " + fl('m2.bb + w.i + 1') + " - " + fl('w.i + 1')
+          + " + " + fl('w.i + 1 + m2.bb')
+          + " - " + fl('m2.aa + m2.ba + m2.bb + w.i')))}
+    FROM walk w, m2 WHERE w.i < m2.ab - 1),
+fin AS (SELECT s AS ptr FROM walk, m2 WHERE walk.i = m2.ab - 1)
+SELECT m2.n_a, m2.conv_a, m2.n_b, m2.conv_b,
+  round(CASE WHEN m2.n_a > 0 THEN CAST(m2.conv_a AS DOUBLE)
+        / CAST(m2.n_a AS DOUBLE) END, {round_to}) AS rate_a,
+  round(CASE WHEN m2.n_b > 0 THEN CAST(m2.conv_b AS DOUBLE)
+        / CAST(m2.n_b AS DOUBLE) END, {round_to}) AS rate_b,
+  round(CASE WHEN fin.ptr IS NOT NULL THEN
+      CAST({pcl.replace('ptr', 'fin.ptr')} AS DOUBLE) / 1e12 END,
+      {round_to}) AS prob_b_beats_a,
+  CASE WHEN fin.ptr IS NULL THEN 'keep_testing'
+       WHEN {pcl.replace('ptr', 'fin.ptr')}
+         >= CAST({decision_milli} AS BIGINT) * 1000000000 THEN 'ship_b'
+       WHEN {pcl.replace('ptr', 'fin.ptr')}
+         <= CAST({1000 - decision_milli} AS BIGINT) * 1000000000
+         THEN 'ship_a'
+       ELSE 'keep_testing' END AS decision
+FROM m2 LEFT JOIN fin ON TRUE"""

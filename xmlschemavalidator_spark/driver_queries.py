@@ -18763,3 +18763,38 @@ def events_sprt_error_monitor(spark, sf_dir):
         (F.col("event_type") != "error").alias("y"),
     )
     return sprt_monitor(stream, "t", "y", p0_milli=850, p1_milli=750)
+
+
+def _bayes_oracle() -> str:
+    from xmlschemavalidator_spark.checks.evaluation import bayes_ab_oracle_sql
+
+    return bayes_ab_oracle_sql(
+        "SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,"
+        " event_type = 'purchase' AS outcome"
+        " FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL",
+        "A",
+        "B",
+    )
+
+
+@q("events_bayes_ab_test", _bayes_oracle())
+def events_bayes_ab_test(spark, sf_dir):
+    """Exact Bayesian A/B (checks/evaluation.py:bayes_ab_test — the
+    Beta-posterior P(B beats A) p-values keep getting misread AS):
+    even-user vs odd-user cohorts on the purchase outcome — the
+    deterministic halves make the true lift 0, so the posterior reads
+    mid-range and the decision is keep_testing: exactly what the
+    analyzer should say on exchangeable halves, measured. The series
+    walks conv_B+1 integer micro-ln recurrence steps (the fisher_exact
+    machinery) — one scalar HOF in Spark, a recursive CTE in DuckDB —
+    and the ship/keep decision compares integer trillionths."""
+    from xmlschemavalidator_spark.checks.evaluation import bayes_ab_test
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    flagged = ev.select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("variant"),
+        (F.col("event_type") == "purchase").alias("outcome"),
+    )
+    return bayes_ab_test(flagged, "variant", "outcome", "A", "B")
