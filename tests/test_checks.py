@@ -1924,3 +1924,43 @@ def test_sprt_continue_and_duplicate_order_refused(spark):
     )
     with pytest.raises(ValueError):
         sprt_monitor(dup, "t", "y", p0_milli=600, p1_milli=400)
+
+
+def test_cliffs_delta_hand_computed(spark):
+    from xmlschemavalidator_spark.checks.stats import cliffs_delta
+
+    # a = [3, 4], b = [1, 2, 3]: wins = 5 (3>1,3>2; 4>1,4>2,4>3),
+    # ties = 1 (3=3), losses = 0 -> delta = 5/6
+    rows = [("a", 3.0), ("a", 4.0), ("b", 1.0), ("b", 2.0), ("b", 3.0)]
+    df = spark.createDataFrame(rows, "grp string, val double")
+    [r] = cliffs_delta(df, "val", "grp", "a", "b").collect()
+    assert (r["wins"], r["losses"], r["ties"]) == (5, 0, 1)
+    assert r["delta"] == round(5 / 6, 6)
+    assert r["magnitude"] == "large"
+    # symmetric: delta 0, negligible
+    rows = [("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0)]
+    df = spark.createDataFrame(rows, "grp string, val double")
+    [r] = cliffs_delta(df, "val", "grp", "a", "b").collect()
+    assert r["delta"] == 0.0 and r["magnitude"] == "negligible"
+
+
+def test_cliffs_delta_ladder_boundary_and_empty(spark):
+    from xmlschemavalidator_spark.checks.stats import cliffs_delta
+
+    # delta exactly 0.33: 1000·|num| == 330·den -> 'medium' (>= boundary)
+    # build with wins-losses = 33, den = 100: a has 10 values, b has 10;
+    # easier: direct construction wins=33+losses... use disjoint halves:
+    # a all greater for 33 pairs of 100: 10x10 grid, wins 33 is awkward —
+    # use n_a=1, n_b=100: value ordering gives wins k, losses 100-k-ties.
+    # wins 67, losses 34 impossible (sum 101) -> use ties: wins 66,
+    # ties 1, losses 33 -> num 33, den 100... wins+ties+losses=100 ✓
+    a_val = 66.5
+    b_vals = [float(i) for i in range(66)] + [66.5] + [float(i + 100) for i in range(33)]
+    rows = [("a", a_val)] + [("b", v) for v in b_vals]
+    df = spark.createDataFrame(rows, "grp string, val double")
+    [r] = cliffs_delta(df, "val", "grp", "a", "b").collect()
+    assert (r["wins"], r["ties"], r["losses"]) == (66, 1, 33)
+    assert r["delta"] == 0.33 and r["magnitude"] == "medium"
+    # empty b cohort
+    [r2] = cliffs_delta(df.where("grp = 'a'"), "val", "grp", "a", "b").collect()
+    assert r2["delta"] is None and r2["magnitude"] == "undefined"

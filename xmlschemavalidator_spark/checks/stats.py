@@ -2815,3 +2815,134 @@ SELECT n, k AS n_groups,
   CAST(k - 1 AS INT) AS df_between,
   CAST(n - k AS BIGINT) AS df_within
 FROM agg"""
+
+
+def cliffs_delta(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    quantum: int = 1_000_000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Cliff's delta ordinal effect size (Cliff 1993) between two
+    cohorts — the nonparametric sibling of :func:`cohens_d`:
+    δ = P(a > b) − P(a < b), reading directly as a dominance
+    probability difference with no normality or equal-variance bet
+    (the effect-size companion to the Mann–Whitney TEST, which says
+    significant-or-not but not how big). ONE row ``(n_a, n_b, wins,
+    losses, ties, delta, magnitude)`` with Romano et al. 2006's
+    magnitude ladder (negligible < .147 ≤ small < .33 ≤ medium < .474
+    ≤ large) decided by CROSS-MULTIPLIED integer compares — no float
+    threshold.
+
+    Machinery: both cohorts quantize onto the shared value grid (the
+    roc_auc/kendall_tau cell contract); wins = Σ over a-cells of
+    cnt_a·(cumulative b below), losses symmetrically, ties the matched
+    cells — exact DECIMAL(38,0) products via one bounded window over
+    the DISTINCT grid and one join, never an n_a×n_b pair walk. δ is
+    ONE division. Either cohort empty → NULL delta, magnitude
+    'undefined'.
+    """
+    v = F.col(value_col).cast("double")
+    g = F.col(group_col)
+    base = df.where(v.isNotNull() & g.isNotNull() & g.isin([group_a, group_b])).select(
+        F.floor(v * F.lit(quantum)).cast("bigint").alias("_q"),
+        F.when(g == group_a, 1).otherwise(0).alias("_a"),
+    )
+    cell = base.groupBy("_q").agg(
+        F.sum("_a").cast("decimal(38,0)").alias("_ca"),
+        F.sum(1 - F.col("_a")).cast("decimal(38,0)").alias("_cb"),
+    )
+    w = Window.orderBy("_q").rowsBetween(Window.unboundedPreceding, -1)
+    zero = F.lit(0).cast("decimal(38,0)")
+    cum = cell.select(
+        "_q",
+        "_ca",
+        "_cb",
+        F.coalesce(F.sum("_cb").over(w), zero).alias("_b_below"),
+    )
+    tot = cell.agg(
+        F.coalesce(F.sum("_ca"), zero).alias("_na"),
+        F.coalesce(F.sum("_cb"), zero).alias("_nb"),
+    )
+    agg = cum.agg(
+        F.coalesce(F.sum(F.col("_ca") * F.col("_b_below")), zero).alias("_wins"),
+        F.coalesce(F.sum(F.col("_ca") * F.col("_cb")), zero).alias("_ties"),
+    ).crossJoin(F.broadcast(tot))
+    # losses = n_a·n_b − wins − ties (exact identity on the grid)
+    losses = (
+        F.col("_na") * F.col("_nb") - F.col("_wins") - F.col("_ties")
+    )
+    den = F.col("_na") * F.col("_nb")
+    num = F.col("_wins") - losses  # DECIMAL, signed
+    ok = (F.col("_na") > 0) & (F.col("_nb") > 0)
+    absnum = F.abs(num)
+
+    def at_least(milli: int):
+        return absnum * 1000 >= den * milli
+
+    return agg.select(
+        F.col("_na").cast("bigint").alias("n_a"),
+        F.col("_nb").cast("bigint").alias("n_b"),
+        F.col("_wins").cast("bigint").alias("wins"),
+        losses.cast("bigint").alias("losses"),
+        F.col("_ties").cast("bigint").alias("ties"),
+        F.round(
+            F.when(ok, num.cast("double") / den.cast("double")), round_to
+        ).alias("delta"),
+        F.when(~ok, F.lit("undefined"))
+        .when(at_least(474), F.lit("large"))
+        .when(at_least(330), F.lit("medium"))
+        .when(at_least(147), F.lit("small"))
+        .otherwise(F.lit("negligible"))
+        .alias("magnitude"),
+    )
+
+
+def cliffs_delta_oracle_sql(
+    from_sql: str,
+    group_a: str,
+    group_b: str,
+    quantum: int = 1_000_000,
+    round_to: int = 6,
+) -> str:
+    """DuckDB replay of :func:`cliffs_delta`; ``from_sql`` must yield
+    ``grp`` and ``val``. Same grid, same DECIMAL products, same
+    cross-multiplied ladder."""
+    return f"""WITH src AS ({from_sql}),
+b AS (SELECT CAST(floor(CAST(val AS DOUBLE) * {quantum}) AS BIGINT) AS q,
+        CASE WHEN grp = '{group_a}' THEN 1 ELSE 0 END AS a
+      FROM src WHERE val IS NOT NULL AND grp IN ('{group_a}', '{group_b}')),
+cell AS (SELECT q, CAST(sum(a) AS DECIMAL(38,0)) AS ca,
+           CAST(sum(1 - a) AS DECIMAL(38,0)) AS cb
+         FROM b GROUP BY q),
+cum AS (SELECT q, ca, cb,
+    coalesce(CAST(sum(cb) OVER (ORDER BY q
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS DECIMAL(38,0)),
+        CAST(0 AS DECIMAL(38,0))) AS b_below
+  FROM cell),
+tot AS (SELECT CAST(coalesce(sum(ca), 0) AS DECIMAL(38,0)) AS na,
+          CAST(coalesce(sum(cb), 0) AS DECIMAL(38,0)) AS nb FROM cell),
+agg AS (SELECT
+    CAST((SELECT coalesce(sum(ca * b_below), 0) FROM cum)
+         AS DECIMAL(38,0)) AS wins,
+    CAST((SELECT coalesce(sum(ca * cb), 0) FROM cum)
+         AS DECIMAL(38,0)) AS ties,
+    tot.na, tot.nb
+  FROM tot),
+fin AS (SELECT na, nb, wins, ties, na * nb - wins - ties AS losses,
+          wins - (na * nb - wins - ties) AS num, na * nb AS den
+        FROM agg)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+  CAST(wins AS BIGINT) AS wins, CAST(losses AS BIGINT) AS losses,
+  CAST(ties AS BIGINT) AS ties,
+  round(CASE WHEN na > 0 AND nb > 0 THEN CAST(num AS DOUBLE)
+        / CAST(den AS DOUBLE) END, {round_to}) AS delta,
+  CASE WHEN NOT (na > 0 AND nb > 0) THEN 'undefined'
+       WHEN abs(num) * 1000 >= den * 474 THEN 'large'
+       WHEN abs(num) * 1000 >= den * 330 THEN 'medium'
+       WHEN abs(num) * 1000 >= den * 147 THEN 'small'
+       ELSE 'negligible' END AS magnitude
+FROM fin"""

@@ -18798,3 +18798,36 @@ def events_bayes_ab_test(spark, sf_dir):
         (F.col("event_type") == "purchase").alias("outcome"),
     )
     return bayes_ab_test(flagged, "variant", "outcome", "A", "B")
+
+
+def _cliffs_oracle() -> str:
+    from xmlschemavalidator_spark.checks.stats import cliffs_delta_oracle_sql
+
+    return cliffs_delta_oracle_sql(
+        "SELECT lang AS grp, CAST(n_chars AS DOUBLE) AS val FROM documents"
+        " WHERE lang IS NOT NULL AND n_chars IS NOT NULL",
+        "en",
+        "zh",
+    )
+
+
+@q("lang_cliffs_delta", _cliffs_oracle())
+def lang_cliffs_delta(spark, sf_dir):
+    """Cliff's delta ordinal effect size (checks/stats.py:cliffs_delta,
+    Cliff 1993) of en vs zh doc lengths — the HOW-BIG companion to the
+    Mann–Whitney significance machinery and the no-normality-bet
+    sibling of cohens_d; Romano 2006's magnitude ladder decided by
+    cross-multiplied exact integers. Shared-grid cell products via one
+    bounded window + one join — never an n_a×n_b pair walk."""
+    from xmlschemavalidator_spark.checks.stats import cliffs_delta
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("lang").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    return cliffs_delta(
+        docs.select("lang", F.col("n_chars").cast("double").alias("val")),
+        "val",
+        "lang",
+        "en",
+        "zh",
+    )
