@@ -1964,3 +1964,30 @@ def test_cliffs_delta_ladder_boundary_and_empty(spark):
     # empty b cohort
     [r2] = cliffs_delta(df.where("grp = 'a'"), "val", "grp", "a", "b").collect()
     assert r2["delta"] is None and r2["magnitude"] == "undefined"
+
+
+def test_friedman_hand_computed_and_gates(spark):
+    from xmlschemavalidator_spark.checks.stats import friedman_test
+
+    # 3 blocks × 3 treatments with a consistent order t3 > t2 > t1:
+    # ranks identical per block -> R = (3, 6, 9); chi2 = 12·126/(3·3·4)
+    # − 3·3·4 = 42 − 36 = 6; df 2
+    rows = []
+    for b in range(3):
+        for j, t in enumerate(["t1", "t2", "t3"]):
+            rows.append((b, t, float(j + b * 10)))
+    df = spark.createDataFrame(rows, "blk long, trt string, val double")
+    [r] = friedman_test(df, "blk", "trt", "val").collect()
+    assert (r["n_blocks"], r["n_treatments"], r["dof"]) == (3, 3, 2)
+    assert r["chi2"] == 6.0
+    # incomplete block excluded; all-tied blocks -> zero correction -> NULL
+    rows2 = rows + [(9, "t1", 1.0)]
+    df2 = spark.createDataFrame(rows2, "blk long, trt string, val double")
+    [r2] = friedman_test(df2, "blk", "trt", "val").collect()
+    assert r2["n_blocks"] == 3  # the partial block dropped
+    flat = spark.createDataFrame(
+        [(b, t, 1.0) for b in range(3) for t in ("x", "y")],
+        "blk long, trt string, val double",
+    )
+    [r3] = friedman_test(flat, "blk", "trt", "val").collect()
+    assert r3["chi2"] is None and r3["significant"] is False

@@ -2946,3 +2946,202 @@ SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
        WHEN abs(num) * 1000 >= den * 147 THEN 'small'
        ELSE 'negligible' END AS magnitude
 FROM fin"""
+
+
+def friedman_test(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+    quantum: int = 1_000_000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Friedman test (Friedman 1937) — the BLOCKED rank ANOVA
+    completing the nonparametric pair: Kruskal–Wallis compares
+    independent cohorts, Friedman compares k treatments measured on
+    the SAME n blocks (the scorer-per-doc / config-per-benchmark
+    shape), where between-block variation — which swamps an unpaired
+    test — is ranked away inside each block. ONE row ``(n_blocks,
+    n_treatments, chi2, dof, p, significant)`` with the tie-corrected
+    statistic
+
+        χ²_F = [12·Σ_j R_j² /(nk(k+1)) − 3n(k+1)] / C,
+        C = 1 − Σ_blocks Σ_ties (t³−t) / (n·k·(k²−1))
+
+    df = k−1, p via the Wilson–Hilferty chi² tail (the Woolf device),
+    ``significant`` at 5% by p < 0.05 on the rounded value.
+
+    Exactness: values quantize, within-block ranks are average ranks
+    carried as exact integer DOUBLED ranks (the wilcoxon device), so
+    every R_j is an exact integer in half-units and Σ R_j² an exact
+    DECIMAL; the tie term is an exact integer sum; the statistic is a
+    fixed double chain. COMPLETE-design contract (every block holds
+    every treatment exactly once — blocks violating it are EXCLUDED
+    and counted via n_blocks vs the input); k < 2 or n = 0 → NULL.
+
+    Scale shape: one (block)-keyed rank window + two partial-agg
+    groupBys — blocks × treatments rows, never corpus².
+    """
+    b, t = F.col(block_col), F.col(treatment_col)
+    v = F.col(value_col).cast("double")
+    base = df.where(b.isNotNull() & t.isNotNull() & v.isNotNull()).select(
+        b.alias("_b"),
+        t.alias("_t"),
+        F.floor(v * F.lit(quantum)).cast("bigint").alias("_q"),
+    )
+    # complete-design gate: keep blocks holding every treatment once
+    k_tot = base.select("_t").distinct().count()
+    # two stacked groupBys, not count+countDistinct in one agg (whose
+    # mixed plan is an Expand over the input — the checks/fd.py device)
+    ok_blocks = (
+        base.groupBy("_b", "_t")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("_b")
+        .agg(
+            F.sum("_c").alias("_n"),
+            F.count(F.lit(1)).alias("_kd"),
+        )
+        .where((F.col("_n") == k_tot) & (F.col("_kd") == k_tot))
+        .select("_b")
+    )
+    kept = base.join(F.broadcast(ok_blocks), "_b")
+    w = Window.partitionBy("_b").orderBy("_q")
+    # average rank in DOUBLED units: 2·avg_rank = rank_min + rank_max
+    # over the tie run = (row_number bounds) — use rank() and count of
+    # equal values: doubled = 2·rank + (ties−1)
+    ties_in_block = Window.partitionBy("_b", "_q")
+    ranked = kept.select(
+        "_b",
+        "_t",
+        "_q",
+        (
+            F.rank().over(w) * 2
+            + F.count(F.lit(1)).over(ties_in_block)
+            - 1
+        )
+        .cast("bigint")
+        .alias("_r2"),  # doubled average rank
+    )
+    per_t = ranked.groupBy("_t").agg(
+        F.sum("_r2").cast("decimal(38,0)").alias("_R2")
+    )
+    tie_terms = (
+        kept.groupBy("_b", "_q")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("_tt"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col("_tt") * F.col("_tt") * F.col("_tt") - F.col("_tt")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("_T")
+        )
+    )
+    nb = ok_blocks.agg(F.count(F.lit(1)).cast("bigint").alias("n_blocks"))
+    sums = per_t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_treatments"),
+        F.coalesce(
+            F.sum(F.col("_R2") * F.col("_R2")), F.lit(0).cast("decimal(38,0)")
+        ).alias("_SR2"),  # Σ (2R_j)² = 4·Σ R_j²
+    )
+    agg = nb.crossJoin(F.broadcast(sums)).crossJoin(F.broadcast(tie_terms))
+    n = F.col("n_blocks").cast("double")
+    k = F.col("n_treatments").cast("double")
+    sr2 = F.col("_SR2").cast("double") / F.lit(4.0)  # Σ R_j² exact/4
+    raw = F.lit(12.0) * sr2 / (n * k * (k + 1.0)) - F.lit(3.0) * n * (
+        k + 1.0
+    )
+    corr = F.lit(1.0) - F.col("_T").cast("double") / (
+        n * k * (k * k - 1.0)
+    )
+    ok = (F.col("n_blocks") > 0) & (F.col("n_treatments") >= 2) & (corr > 0)
+    chi2 = F.when(ok, raw / corr)
+    dof = (F.col("n_treatments") - 1).cast("bigint")
+    dofd = dof.cast("double")
+    zwh = F.when(
+        ok,
+        (
+            F.cbrt(F.greatest(chi2, F.lit(0.0)) / dofd)
+            - (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * dofd))
+        )
+        / F.sqrt(F.lit(2.0) / (F.lit(9.0) * dofd)),
+    )
+    from xmlschemavalidator_spark.checks.evaluation import _p_two_sided
+
+    half_p = _p_two_sided(zwh) / F.lit(2.0)
+    p = F.when(ok, F.when(zwh >= 0, half_p).otherwise(F.lit(1.0) - half_p))
+    return agg.select(
+        "n_blocks",
+        "n_treatments",
+        F.round(chi2, round_to).alias("chi2"),
+        F.when(ok, dof).alias("dof"),
+        F.round(p, round_to).alias("p"),
+        F.coalesce(F.round(p, round_to) < 0.05, F.lit(False)).alias(
+            "significant"
+        ),
+    )
+
+
+def friedman_oracle_sql(
+    from_sql: str,
+    quantum: int = 1_000_000,
+    round_to: int = 6,
+) -> str:
+    """DuckDB replay of :func:`friedman_test`; ``from_sql`` must yield
+    ``blk``, ``trt``, ``val``. Same doubled ranks, same tie term,
+    same Wilson–Hilferty tail."""
+    from xmlschemavalidator_spark.checks.evaluation import _p_two_sided_sql
+
+    chi2 = (
+        "(CASE WHEN n_blocks > 0 AND n_treatments >= 2 AND corr > 0"
+        " THEN raw / corr END)"
+    )
+    zwh = (
+        f"(CASE WHEN {chi2} IS NOT NULL THEN"
+        f" (cbrt(greatest({chi2}, 0.0) / CAST(n_treatments - 1 AS DOUBLE))"
+        " - (1.0 - 2.0 / (9.0 * CAST(n_treatments - 1 AS DOUBLE))))"
+        " / sqrt(2.0 / (9.0 * CAST(n_treatments - 1 AS DOUBLE))) END)"
+    )
+    half = f"({_p_two_sided_sql(zwh)} / 2.0)"
+    p = (
+        f"(CASE WHEN {zwh} IS NOT NULL THEN CASE WHEN {zwh} >= 0"
+        f" THEN {half} ELSE 1.0 - {half} END END)"
+    )
+    return f"""WITH src AS ({from_sql}),
+b AS (SELECT blk, trt,
+        CAST(floor(CAST(val AS DOUBLE) * {quantum}) AS BIGINT) AS q
+      FROM src WHERE blk IS NOT NULL AND trt IS NOT NULL
+        AND val IS NOT NULL),
+ktot AS (SELECT CAST(count(DISTINCT trt) AS BIGINT) AS k FROM b),
+okb AS (SELECT blk FROM b, ktot GROUP BY blk, ktot.k
+        HAVING count(*) = ktot.k AND count(DISTINCT trt) = ktot.k),
+kept AS (SELECT b.* FROM b JOIN okb USING (blk)),
+ranked AS (SELECT blk, trt, q,
+    CAST(rank() OVER (PARTITION BY blk ORDER BY q) * 2
+         + count(*) OVER (PARTITION BY blk, q) - 1 AS BIGINT) AS r2
+  FROM kept),
+per_t AS (SELECT trt, CAST(sum(r2) AS DECIMAL(38,0)) AS R2
+          FROM ranked GROUP BY trt),
+tiet AS (SELECT CAST(coalesce(sum(tt * tt * tt - tt), 0) AS DECIMAL(38,0))
+           AS T
+  FROM (SELECT CAST(count(*) AS DECIMAL(38,0)) AS tt FROM kept
+        GROUP BY blk, q)),
+nb AS (SELECT CAST(count(*) AS BIGINT) AS n_blocks FROM okb),
+sums AS (SELECT CAST(count(*) AS BIGINT) AS n_treatments,
+    CAST(coalesce(sum(R2 * R2), 0) AS DECIMAL(38,0)) AS SR2 FROM per_t),
+agg AS (SELECT nb.n_blocks, sums.n_treatments,
+    12.0 * (CAST(sums.SR2 AS DOUBLE) / 4.0)
+      / (CAST(nb.n_blocks AS DOUBLE) * CAST(sums.n_treatments AS DOUBLE)
+         * (CAST(sums.n_treatments AS DOUBLE) + 1.0))
+      - 3.0 * CAST(nb.n_blocks AS DOUBLE)
+        * (CAST(sums.n_treatments AS DOUBLE) + 1.0) AS raw,
+    1.0 - CAST(tiet.T AS DOUBLE)
+      / (CAST(nb.n_blocks AS DOUBLE) * CAST(sums.n_treatments AS DOUBLE)
+         * (CAST(sums.n_treatments AS DOUBLE)
+            * CAST(sums.n_treatments AS DOUBLE) - 1.0)) AS corr
+  FROM nb, sums, tiet)
+SELECT n_blocks, n_treatments,
+  round({chi2}, {round_to}) AS chi2,
+  CASE WHEN {chi2} IS NOT NULL THEN CAST(n_treatments - 1 AS BIGINT) END
+      AS dof,
+  round({p}, {round_to}) AS p,
+  coalesce(round({p}, {round_to}) < 0.05, FALSE) AS significant
+FROM agg"""

@@ -18831,3 +18831,64 @@ def lang_cliffs_delta(spark, sf_dir):
         "en",
         "zh",
     )
+
+
+def _friedman_oracle() -> str:
+    from xmlschemavalidator_spark.checks.stats import friedman_oracle_sql
+    from xmlschemavalidator_spark.textops import _WS
+
+    ntok = (
+        "(CASE WHEN trim(coalesce(text, '')) = '' THEN 0 ELSE"
+        f" len(string_split_regex(trim(text), '{_WS}+')) END)"
+    )
+    return friedman_oracle_sql(
+        f"""SELECT doc_id AS blk, 'chars' AS trt, CAST(n_chars AS DOUBLE) / 500
+             AS val FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL
+           UNION ALL
+           SELECT doc_id, 'tokens', CAST({ntok} AS DOUBLE) / 80
+             FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL
+           UNION ALL
+           SELECT doc_id, 'length', CAST(length(coalesce(text, '')) AS DOUBLE) / 520
+             FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL"""
+    )
+
+
+@q("doc_scorer_friedman", _friedman_oracle())
+def doc_scorer_friedman(spark, sf_dir):
+    """Friedman test (checks/stats.py:friedman_test, 1937) across three
+    normalized length scorers applied to the SAME docs — the blocked
+    rank ANOVA completing Kruskal–Wallis (independent cohorts) for the
+    scorer-per-doc shape, where between-doc variation is ranked away
+    inside each block; the complement of Kendall's W (W asks do they
+    AGREE, Friedman asks does one scorer systematically rank HIGHER).
+    Doubled integer ranks (the wilcoxon device), exact tie term,
+    Wilson–Hilferty chi²(k−1) tail — oracle-exact."""
+    from xmlschemavalidator_spark.checks.stats import friedman_test
+    from xmlschemavalidator_spark.textops import token_count
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    tl = F.length(F.coalesce(F.col("text"), F.lit("")))
+    stacked = (
+        docs.select(
+            F.col("doc_id").alias("blk"),
+            F.lit("chars").alias("trt"),
+            (F.col("n_chars").cast("double") / 500).alias("val"),
+        )
+        .unionByName(
+            docs.select(
+                F.col("doc_id").alias("blk"),
+                F.lit("tokens").alias("trt"),
+                (token_count(F.col("text")).cast("double") / 80).alias("val"),
+            )
+        )
+        .unionByName(
+            docs.select(
+                F.col("doc_id").alias("blk"),
+                F.lit("length").alias("trt"),
+                (tl.cast("double") / 520).alias("val"),
+            )
+        )
+    )
+    return friedman_test(stacked, "blk", "trt", "val")
