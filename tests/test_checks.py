@@ -1991,3 +1991,42 @@ def test_friedman_hand_computed_and_gates(spark):
     )
     [r3] = friedman_test(flat, "blk", "trt", "val").collect()
     assert r3["chi2"] is None and r3["significant"] is False
+
+
+def test_durbin_watson_hand_computed(spark):
+    from xmlschemavalidator_spark.checks.sequence import durbin_watson
+
+    # series 1, 2, 1, 2: num = 1+1+1 = 3 (micro² cancels), den = 1+4+1+4
+    rows = [(0, 1.0), (1, 2.0), (2, 1.0), (3, 2.0)]
+    df = spark.createDataFrame(rows, "t long, val double")
+    [r] = durbin_watson(df, "t", "val").collect()
+    assert r["dw"] == 0.3 and r["verdict"] == "positive_autocorr"
+    # alternating-sign series reads toward 4
+    rows = [(t, 1.0 if t % 2 == 0 else -1.0) for t in range(40)]
+    df = spark.createDataFrame(rows, "t long, val double")
+    [r] = durbin_watson(df, "t", "val").collect()
+    assert r["dw"] == 3.9 and r["verdict"] == "alternating"
+    # all-zero series: NULL
+    df = spark.createDataFrame([(0, 0.0), (1, 0.0)], "t long, val double")
+    [r] = durbin_watson(df, "t", "val").collect()
+    assert r["dw"] is None and r["verdict"] is None
+
+
+def test_runs_test_hand_computed(spark):
+    from xmlschemavalidator_spark.checks.sequence import runs_test
+
+    # TTFFT: 3 runs; n1 = 3, n0 = 2 -> E = 2·6/5 + 1 = 3.4
+    rows = [(0, True), (1, True), (2, False), (3, False), (4, True)]
+    df = spark.createDataFrame(rows, "t long, y boolean")
+    [r] = runs_test(df, "t", "y").collect()
+    assert (r["n_runs"], r["expected_runs"]) == (3, 3.4)
+    assert r["nonrandom"] is False
+    # perfectly clustered long sequence: way too few runs
+    rows = [(t, t < 50) for t in range(100)]
+    df = spark.createDataFrame(rows, "t long, y boolean")
+    [r] = runs_test(df, "t", "y").collect()
+    assert r["n_runs"] == 2 and r["nonrandom"] is True and r["z"] < -9
+    # constant sequence: one run, nothing to test
+    df = spark.createDataFrame([(t, True) for t in range(10)], "t long, y boolean")
+    [r] = runs_test(df, "t", "y").collect()
+    assert r["n_runs"] == 1 and r["z"] is None and r["nonrandom"] is False

@@ -257,3 +257,216 @@ SELECT n, n_pass,
   round({upper} / 1e6, {round_to}) AS boundary_a,
   round({lower} / 1e6, {round_to}) AS boundary_b
 FROM agg"""
+
+
+def durbin_watson(
+    df,
+    order_col: str,
+    value_col: str,
+    quantum: int = 1_000_000,
+    round_to: int = 6,
+):
+    """Durbin–Watson serial-correlation statistic (Durbin & Watson
+    1950) over an ordered series — the adjacency check under the trend
+    family: ols_trend/theil_sen fit the line, DW asks whether the
+    residual/metric sequence is independent (≈2), positively
+    autocorrelated (→0: drifting level, the regime every control chart
+    assumes away) or alternating (→4):
+
+        DW = Σ_t (x_t − x_{t−1})² / Σ_t x_t²
+
+    ONE row ``(n, dw, verdict)`` with verdict by the classic rough
+    bands (<1 positive / >3 alternating / else none — stated as the
+    screen, not the exact Durbin bounds, which depend on the design
+    matrix). Exactness: values quantize to integer micro units, both
+    sums are exact DECIMAL(38,0) over integer squares, DW is ONE
+    division; the verdict compares cross-multiplied integers. One
+    ordered window (the order-check family's disclosed single-stream
+    window; partition upstream per series). n < 2 or an all-zero
+    series → NULL dw.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    base = df.where(
+        F.col(order_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(order_col).alias("_t"),
+        F.floor(F.col(value_col).cast("double") * F.lit(quantum))
+        .cast("bigint")
+        .alias("_q"),
+    )
+    w = Window.orderBy("_t")
+    lagged = base.select(
+        "_q", F.lag("_q").over(w).alias("_prev")
+    )
+    d = (F.col("_q") - F.col("_prev")).cast("decimal(38,0)")
+    q = F.col("_q").cast("decimal(38,0)")
+    agg = lagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.coalesce(
+            F.sum(F.when(F.col("_prev").isNotNull(), d * d)),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_num"),
+        F.coalesce(F.sum(q * q), F.lit(0).cast("decimal(38,0)")).alias(
+            "_den"
+        ),
+    )
+    ok = (F.col("n") >= 2) & (F.col("_den") > 0)
+    dw = F.when(
+        ok, F.col("_num").cast("double") / F.col("_den").cast("double")
+    )
+    return agg.select(
+        "n",
+        F.round(dw, round_to).alias("dw"),
+        F.when(~ok, F.lit(None).cast("string"))
+        .when(F.col("_num") < F.col("_den"), F.lit("positive_autocorr"))
+        .when(F.col("_num") > F.col("_den") * 3, F.lit("alternating"))
+        .otherwise(F.lit("none"))
+        .alias("verdict"),
+    )
+
+
+def durbin_watson_oracle_sql(
+    from_sql: str, quantum: int = 1_000_000, round_to: int = 6
+) -> str:
+    """DuckDB replay of :func:`durbin_watson`; ``from_sql`` must yield
+    ``t`` and ``val``."""
+    return f"""WITH src AS ({from_sql}),
+b AS (SELECT t, CAST(floor(CAST(val AS DOUBLE) * {quantum}) AS BIGINT) AS q
+      FROM src WHERE t IS NOT NULL AND val IS NOT NULL),
+lagged AS (SELECT q, lag(q) OVER (ORDER BY t) AS prev FROM b),
+agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(coalesce(sum(CASE WHEN prev IS NOT NULL THEN
+        CAST(q - prev AS DECIMAL(38,0)) * CAST(q - prev AS DECIMAL(38,0))
+        END), 0) AS DECIMAL(38,0)) AS num,
+    CAST(coalesce(sum(CAST(q AS DECIMAL(38,0)) * CAST(q AS DECIMAL(38,0))),
+        0) AS DECIMAL(38,0)) AS den
+  FROM lagged)
+SELECT n,
+  round(CASE WHEN n >= 2 AND den > 0 THEN CAST(num AS DOUBLE)
+        / CAST(den AS DOUBLE) END, {round_to}) AS dw,
+  CASE WHEN NOT (n >= 2 AND den > 0) THEN NULL
+       WHEN num < den THEN 'positive_autocorr'
+       WHEN num > den * 3 THEN 'alternating'
+       ELSE 'none' END AS verdict
+FROM agg"""
+
+
+def runs_test(
+    df,
+    order_col: str,
+    outcome_col: str,
+    z_crit_milli: int = 1960,
+    round_to: int = 6,
+):
+    """Wald–Wolfowitz runs test (1940) on an ordered boolean sequence —
+    the RANDOMNESS check under the monitoring family: SPRT decides
+    which rate, CUSUM finds where it shifted, the runs test asks
+    whether pass/fail outcomes are even EXCHANGEABLE (clustered
+    failures → fewer runs than chance; alternation → more). ONE row
+    ``(n, n_pos, n_neg, n_runs, expected_runs, z, p, nonrandom)``
+    against E[R] = 2·n₁n₀/n + 1 and
+
+        Var(R) = 2n₁n₀(2n₁n₀ − n) / (n²(n−1))
+
+    with the shared A&S two-sided p. Exactness: the run count is an
+    exact integer from one lag compare; E and Var are fixed double
+    chains on exact integers; verdict by integer-milli z compare.
+    Either class empty → NULL z (a constant sequence has exactly one
+    run and nothing to test). Same disclosed single-stream window.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from xmlschemavalidator_spark.checks.evaluation import _p_two_sided
+
+    base = df.where(
+        F.col(order_col).isNotNull() & F.col(outcome_col).isNotNull()
+    ).select(
+        F.col(order_col).alias("_t"),
+        F.col(outcome_col).cast("boolean").cast("long").alias("_y"),
+    )
+    w = Window.orderBy("_t")
+    lagged = base.select(
+        "_y", F.lag("_y").over(w).alias("_prev")
+    )
+    agg = lagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.coalesce(F.sum("_y"), F.lit(0)).cast("bigint").alias("n_pos"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("_prev").isNull()
+                    | (F.col("_y") != F.col("_prev")),
+                    1,
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_runs"),
+    )
+    n = F.col("n").cast("double")
+    n1 = F.col("n_pos").cast("double")
+    n0 = (F.col("n") - F.col("n_pos")).cast("double")
+    ok = (F.col("n_pos") > 0) & (F.col("n") - F.col("n_pos") > 0)
+    er = 2.0 * n1 * n0 / n + 1.0
+    vr = (
+        2.0
+        * n1
+        * n0
+        * (2.0 * n1 * n0 - n)
+        / (n * n * (n - 1.0))
+    )
+    z = F.when(
+        ok & (vr > 0), (F.col("n_runs").cast("double") - er) / F.sqrt(vr)
+    )
+    return agg.select(
+        "n",
+        "n_pos",
+        (F.col("n") - F.col("n_pos")).cast("bigint").alias("n_neg"),
+        "n_runs",
+        F.round(F.when(ok, er), round_to).alias("expected_runs"),
+        F.round(z, round_to).alias("z"),
+        F.round(F.when(z.isNotNull(), _p_two_sided(F.abs(z))), round_to).alias(
+            "p"
+        ),
+        F.coalesce(
+            F.abs(z) * 1000 > F.lit(float(z_crit_milli)), F.lit(False)
+        ).alias("nonrandom"),
+    )
+
+
+def runs_test_oracle_sql(
+    from_sql: str, z_crit_milli: int = 1960, round_to: int = 6
+) -> str:
+    """DuckDB replay of :func:`runs_test`; ``from_sql`` must yield
+    ``t`` and boolean ``y``."""
+    from xmlschemavalidator_spark.checks.evaluation import _p_two_sided_sql
+
+    er = "(2.0 * n1 * n0 / nn + 1.0)"
+    vr = "(2.0 * n1 * n0 * (2.0 * n1 * n0 - nn) / (nn * nn * (nn - 1.0)))"
+    z = (
+        f"(CASE WHEN n_pos > 0 AND n - n_pos > 0 AND {vr} > 0 THEN"
+        f" (CAST(n_runs AS DOUBLE) - {er}) / sqrt({vr}) END)"
+    )
+    return f"""WITH src AS ({from_sql}),
+b AS (SELECT t, CAST(CAST(y AS BOOLEAN) AS BIGINT) AS y FROM src
+      WHERE t IS NOT NULL AND y IS NOT NULL),
+lagged AS (SELECT y, lag(y) OVER (ORDER BY t) AS prev FROM b),
+agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(coalesce(sum(y), 0) AS BIGINT) AS n_pos,
+    CAST(coalesce(sum(CASE WHEN prev IS NULL OR y <> prev THEN 1
+        ELSE 0 END), 0) AS BIGINT) AS n_runs
+  FROM lagged),
+m AS (SELECT *, CAST(n AS DOUBLE) AS nn, CAST(n_pos AS DOUBLE) AS n1,
+        CAST(n - n_pos AS DOUBLE) AS n0 FROM agg)
+SELECT n, n_pos, CAST(n - n_pos AS BIGINT) AS n_neg, n_runs,
+  round(CASE WHEN n_pos > 0 AND n - n_pos > 0 THEN {er} END,
+      {round_to}) AS expected_runs,
+  round({z}, {round_to}) AS z,
+  round(CASE WHEN {z} IS NOT NULL THEN {_p_two_sided_sql(f'abs({z})')} END,
+      {round_to}) AS p,
+  coalesce(abs({z}) * 1000 > {z_crit_milli}, FALSE) AS nonrandom
+FROM m"""

@@ -18892,3 +18892,68 @@ def doc_scorer_friedman(spark, sf_dir):
         )
     )
     return friedman_test(stacked, "blk", "trt", "val")
+
+
+def _dw_oracle() -> str:
+    from xmlschemavalidator_spark.checks.sequence import durbin_watson_oracle_sql
+
+    return durbin_watson_oracle_sql(
+        """SELECT day AS t, CAST(n_events AS DOUBLE) AS val FROM (
+             SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+               AS BIGINT) AS day, CAST(count(*) AS BIGINT) AS n_events
+             FROM events WHERE ts IS NOT NULL GROUP BY 1)"""
+    )
+
+
+@q("events_durbin_watson", _dw_oracle())
+def events_durbin_watson(spark, sf_dir):
+    """Durbin–Watson serial-correlation screen (checks/sequence.py:
+    durbin_watson, 1950) over the daily event-count series — the
+    adjacency check under ols_trend/theil_sen/mann_kendall on the SAME
+    series: a level series (counts, not residuals) reads strongly
+    positive-autocorrelated, which is exactly what the statistic
+    should say and the hash pins. Exact DECIMAL sums over integer
+    squares, one division, cross-multiplied verdict bands."""
+    from xmlschemavalidator_spark.checks.sequence import durbin_watson
+
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    daily = ev.groupBy(
+        F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000)
+        .cast("bigint")
+        .alias("t")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    return durbin_watson(
+        daily.select("t", F.col("n_events").cast("double").alias("val")),
+        "t",
+        "val",
+    )
+
+
+def _runs_oracle() -> str:
+    from xmlschemavalidator_spark.checks.sequence import runs_test_oracle_sql
+
+    return runs_test_oracle_sql(
+        "SELECT event_id AS t, event_type <> 'error' AS y FROM events"
+        " WHERE event_id IS NOT NULL AND event_type IS NOT NULL"
+    )
+
+
+@q("events_runs_test", _runs_oracle())
+def events_runs_test(spark, sf_dir):
+    """Wald–Wolfowitz runs test (checks/sequence.py:runs_test, 1940)
+    on the event stream's pass/fail-by-arrival sequence — the
+    EXCHANGEABILITY check under the monitoring family: SPRT decides
+    the rate assuming independence, this tests the assumption
+    (clustered errors → too few runs). Exact integer run count from
+    one lag compare, fixed E/Var chains, A&S p, integer-milli
+    verdict."""
+    from xmlschemavalidator_spark.checks.sequence import runs_test
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    stream = ev.select(
+        F.col("event_id").alias("t"),
+        (F.col("event_type") != "error").alias("y"),
+    )
+    return runs_test(stream, "t", "y")
