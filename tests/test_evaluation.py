@@ -1637,3 +1637,42 @@ def test_bayes_ab_gates(spark):
         df, "variant", "outcome", "A", "B", max_iterations=10
     ).collect()
     assert r["prob_b_beats_a"] is None and r["decision"] == "keep_testing"
+
+
+# ---------------------------------------------------------------------------
+# exact_binomial_test
+# ---------------------------------------------------------------------------
+
+
+def test_exact_binomial_matches_exact_pmf(spark):
+    from math import comb
+
+    import pytest
+
+    from xmlschemavalidator_spark.checks.evaluation import exact_binomial_test
+
+    def exact(n, k, p0):
+        pmf = [comb(n, i) * p0**i * (1 - p0) ** (n - i) for i in range(n + 1)]
+        return min(1.0, sum(v for v in pmf if v <= pmf[k] * (1 + 1e-7)))
+
+    for n, k, p0m in [(100, 30, 200), (20, 0, 100), (15, 15, 500)]:
+        df = spark.createDataFrame([(i < k,) for i in range(n)], "y boolean")
+        [r] = exact_binomial_test(df, "y", p0_milli=p0m).collect()
+        assert abs(r["p"] - exact(n, k, p0m / 1000)) < 2e-4
+        assert r["significant"] == (exact(n, k, p0m / 1000) < 0.05)
+    with pytest.raises(ValueError):
+        exact_binomial_test(df, "y", p0_milli=0)
+
+
+def test_exact_binomial_gates(spark):
+    from pyspark.sql import functions as F
+
+    from xmlschemavalidator_spark.checks.evaluation import exact_binomial_test
+
+    df = spark.createDataFrame([(True,), (False,)], "y boolean")
+    # empty input: NULL p
+    [r] = exact_binomial_test(df.where(F.lit(False)), "y", p0_milli=500).collect()
+    assert r["n"] == 0 and r["p"] is None and r["significant"] is False
+    # over the walk gate: refused to NULL
+    [r] = exact_binomial_test(df, "y", p0_milli=500, max_n=1).collect()
+    assert r["p"] is None and r["significant"] is False

@@ -4381,3 +4381,176 @@ SELECT m2.n_a, m2.conv_a, m2.n_b, m2.conv_b,
          THEN 'ship_a'
        ELSE 'keep_testing' END AS decision
 FROM m2 LEFT JOIN fin ON TRUE"""
+
+
+def exact_binomial_test(
+    df: DataFrame,
+    outcome_col: str,
+    p0_milli: int,
+    max_n: int = 1_000_000,
+    alpha_trillionths: int = 50_000_000_000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact one-sample binomial test — the small-n companion to the
+    normal-approximation rate checks (and :func:`fisher_exact`'s
+    one-sample sibling): is the observed success count consistent with
+    rate ``p0``? Two-sided p by the pmf rule (sum P(k) over every k at
+    least as extreme — SciPy's binomtest convention), exact, no
+    continuity fudge. ONE row ``(n, k, rate, p0, p, significant)``.
+
+    Exactness (the fisher_exact machinery verbatim): ln pmf is INTEGER
+    micro-ln — ln p0 and ln(1−p0) are Python-computed micro literals
+    consumed by both engines, the base term ln pmf(0) = n·fl(1−p0),
+    and each step k→k+1 adds fl(n−k) − fl(k+1) + (fl_p0 − fl_q0); the
+    tail test is the integer compare pm(k) ≤ pm(obs)+1 and p sums
+    trillionth-quantized exp terms in BIGINT, clamped to 1. One
+    partial-agg cell pass, then an O(n) single-row recurrence walk
+    (Spark scalar HOF / DuckDB recursive CTE) gated by ``max_n`` —
+    beyond it the normal approximation is the right tool, disclosed.
+    n = 0 → NULL p.
+    """
+    import math
+
+    if not 0 < p0_milli < 1000:
+        raise ValueError(
+            f"exact_binomial_test: p0_milli must be in (0, 1000), got {p0_milli}"
+        )
+    p0 = p0_milli / 1000.0
+    fl_p0 = round(math.log(p0) * 1_000_000)
+    fl_q0 = round(math.log(1.0 - p0) * 1_000_000)
+    y = F.col(outcome_col).cast("boolean")
+    cells = df.where(y.isNotNull()).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.coalesce(F.sum(y.cast("long")), F.lit(0)).cast("bigint").alias("k"),
+    )
+
+    def fl(x):
+        return F.floor(F.log(x.cast("double")) * F.lit(1_000_000)).cast("bigint")
+
+    def step(pm, i):  # ln pmf at i-1 -> i
+        return pm + fl(F.col("n") - i + 1) - fl(i) + F.lit(fl_p0 - fl_q0)
+
+    def term(pm):
+        return F.round(
+            F.exp(pm.cast("double") / F.lit(1_000_000.0))
+            * F.lit(1_000_000_000_000.0)
+        ).cast("bigint")
+
+    m = cells.select(
+        "*", (F.col("n") * F.lit(fl_q0)).cast("bigint").alias("_pm0")
+    )
+    walked = m.select(
+        "*",
+        F.when(
+            (F.col("n") > 0) & (F.col("n") <= max_n),
+            F.when(
+                F.col("k") > 0,
+                F.aggregate(
+                    F.sequence(F.lit(1).cast("bigint"), F.col("k")),
+                    F.col("_pm0"),
+                    lambda acc, i: step(acc, i),
+                ),
+            ).otherwise(F.col("_pm0")),
+        ).alias("_pm_obs"),
+    )
+    scored = walked.select(
+        "*",
+        F.when(
+            F.col("_pm_obs").isNotNull(),
+            F.when(
+                F.col("n") > 0,
+                F.aggregate(
+                    F.sequence(F.lit(1).cast("bigint"), F.col("n")),
+                    F.struct(
+                        F.col("_pm0").alias("pm"),
+                        F.when(
+                            F.col("_pm0") <= F.col("_pm_obs") + 1,
+                            term(F.col("_pm0")),
+                        )
+                        .otherwise(F.lit(0).cast("bigint"))
+                        .alias("s"),
+                    ),
+                    lambda acc, i: F.struct(
+                        step(acc["pm"], i).alias("pm"),
+                        (
+                            acc["s"]
+                            + F.when(
+                                step(acc["pm"], i) <= F.col("_pm_obs") + 1,
+                                term(step(acc["pm"], i)),
+                            ).otherwise(F.lit(0).cast("bigint"))
+                        ).alias("s"),
+                    ),
+                    lambda acc: acc["s"],
+                ),
+            ),
+        ).alias("_ptr"),
+    )
+    return scored.select(
+        "n",
+        "k",
+        F.round(
+            F.when(
+                F.col("n") > 0,
+                F.col("k").cast("double") / F.col("n").cast("double"),
+            ),
+            round_to,
+        ).alias("rate"),
+        F.round(F.lit(p0), round_to).alias("p0"),
+        F.round(
+            F.when(
+                F.col("_ptr").isNotNull(),
+                F.least(F.col("_ptr").cast("double") / F.lit(1e12), F.lit(1.0)),
+            ),
+            round_to,
+        ).alias("p"),
+        F.coalesce(
+            F.col("_ptr") < F.lit(alpha_trillionths), F.lit(False)
+        ).alias("significant"),
+    )
+
+
+def exact_binomial_oracle_sql(
+    from_sql: str,
+    p0_milli: int,
+    max_n: int = 1_000_000,
+    alpha_trillionths: int = 50_000_000_000,
+    round_to: int = 6,
+) -> str:
+    """DuckDB replay of :func:`exact_binomial_test`; ``from_sql`` must
+    yield boolean ``y``. Same literals, same recursive walk."""
+    import math
+
+    p0 = p0_milli / 1000.0
+    fl_p0 = round(math.log(p0) * 1_000_000)
+    fl_q0 = round(math.log(1.0 - p0) * 1_000_000)
+
+    def fl(x: str) -> str:
+        return f"CAST(floor(ln(CAST({x} AS DOUBLE)) * 1000000) AS BIGINT)"
+
+    return f"""WITH RECURSIVE src AS ({from_sql}),
+cells AS (SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(coalesce(sum(CASE WHEN CAST(y AS BOOLEAN) THEN 1 END), 0)
+         AS BIGINT) AS k
+  FROM src WHERE y IS NOT NULL),
+m AS (SELECT *, CAST(n * {fl_q0} AS BIGINT) AS pm0 FROM cells),
+walk AS (
+  SELECT CAST(0 AS BIGINT) AS i, pm0 AS pm FROM m
+    WHERE n > 0 AND n <= {max_n}
+  UNION ALL
+  SELECT w.i + 1, w.pm + {fl('m.n - w.i')} - {fl('w.i + 1')}
+      + CAST({fl_p0 - fl_q0} AS BIGINT)
+    FROM walk w, m WHERE w.i < m.n),
+obs AS (SELECT w.pm AS pm_obs FROM walk w, m WHERE w.i = m.k),
+tail AS (SELECT CAST(coalesce(sum(CASE WHEN w.pm <= o.pm_obs + 1 THEN
+      CAST(round(exp(CAST(w.pm AS DOUBLE) / 1000000.0) * 1000000000000.0)
+           AS BIGINT) ELSE 0 END), 0) AS BIGINT) AS ptr,
+    CAST(count(*) AS BIGINT) AS n_walk
+  FROM walk w, obs o)
+SELECT m.n, m.k,
+  round(CASE WHEN m.n > 0 THEN CAST(m.k AS DOUBLE) / CAST(m.n AS DOUBLE)
+      END, {round_to}) AS rate,
+  round(CAST({p0} AS DOUBLE), {round_to}) AS p0,
+  round(CASE WHEN n_walk > 0 THEN least(CAST(ptr AS DOUBLE) / 1e12, 1.0)
+      END, {round_to}) AS p,
+  coalesce(n_walk > 0 AND ptr < {alpha_trillionths}, FALSE) AS significant
+FROM m, tail"""

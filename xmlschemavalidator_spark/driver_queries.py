@@ -18957,3 +18957,32 @@ def events_runs_test(spark, sf_dir):
         (F.col("event_type") != "error").alias("y"),
     )
     return runs_test(stream, "t", "y")
+
+
+def _bino_oracle() -> str:
+    from xmlschemavalidator_spark.checks.evaluation import (
+        exact_binomial_oracle_sql,
+    )
+
+    return exact_binomial_oracle_sql(
+        "SELECT n_chars > 400 AS y FROM documents WHERE n_chars IS NOT NULL",
+        p0_milli=300,
+    )
+
+
+@q("rate_exact_binomial_test", _bino_oracle())
+def rate_exact_binomial_test(spark, sf_dir):
+    """Exact one-sample binomial test (checks/evaluation.py:
+    exact_binomial_test — fisher_exact's one-sample sibling): is the
+    long-doc rate (n_chars > 400, measured ≈31.6% at sf0.01)
+    consistent with a contracted 30%? The pmf-rule two-sided p from
+    the integer micro-ln recurrence (Python-literal ln p0/ln(1−p0)
+    consumed by both engines, scalar HOF vs recursive CTE) — a
+    measured near-boundary verdict, no normal approximation and no
+    continuity fudge."""
+    from xmlschemavalidator_spark.checks.evaluation import exact_binomial_test
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("n_chars").isNotNull())
+    return exact_binomial_test(
+        docs.select((F.col("n_chars") > 400).alias("y")), "y", p0_milli=300
+    )
