@@ -336,3 +336,41 @@ def test_krippendorff_perfect_and_degenerate(spark):
     df = spark.createDataFrame(rows, "unit long, val string")
     [r] = krippendorff_alpha(df, "unit", "val").collect()
     assert r["n_units"] == 1 and r["n_pairable"] == 2
+
+
+def test_fleiss_kappa_canonical_example(spark):
+    # the canonical 10-subject × 14-rater × 5-category table: κ ≈ 0.2099
+    from xmlschemavalidator_spark.linkage import fleiss_kappa
+
+    table = [
+        [0, 0, 0, 0, 14], [0, 2, 6, 4, 2], [0, 0, 3, 5, 6], [0, 3, 9, 2, 0],
+        [2, 2, 8, 1, 1], [7, 7, 0, 0, 0], [3, 2, 6, 3, 0], [2, 5, 3, 2, 2],
+        [6, 5, 2, 1, 0], [0, 2, 2, 3, 7],
+    ]
+    rows = []
+    for u, counts in enumerate(table):
+        for c, k in enumerate(counts):
+            rows += [(u, c)] * k
+    df = spark.createDataFrame(rows, "unit long, val long")
+    [r] = fleiss_kappa(df, "unit", "val").collect()
+    assert (r["n_units"], r["m"], r["n_categories"]) == (10, 14, 5)
+    assert r["kappa"] == 0.209931
+    # an incomplete extra unit is excluded by the modal-m gate
+    df2 = spark.createDataFrame(rows + [(99, 1)], "unit long, val long")
+    [r2] = fleiss_kappa(df2, "unit", "val").collect()
+    assert r2["n_units"] == 10 and r2["kappa"] == r["kappa"]
+
+
+def test_fleiss_kappa_degenerate(spark):
+    from xmlschemavalidator_spark.linkage import fleiss_kappa
+
+    # all ratings one category: P_e = 1 -> NULL kappa
+    rows = [(u, "x") for u in range(4) for _ in range(3)]
+    df = spark.createDataFrame(rows, "unit long, val string")
+    [r] = fleiss_kappa(df, "unit", "val").collect()
+    assert r["kappa"] is None and r["p_bar"] == 1.0
+    # perfect agreement, two categories: kappa = 1
+    rows = [(u, "a" if u % 2 == 0 else "b") for u in range(6) for _ in range(3)]
+    df = spark.createDataFrame(rows, "unit long, val string")
+    [r] = fleiss_kappa(df, "unit", "val").collect()
+    assert r["kappa"] == 1.0

@@ -18986,3 +18986,60 @@ def rate_exact_binomial_test(spark, sf_dir):
     return exact_binomial_test(
         docs.select((F.col("n_chars") > 400).alias("y")), "y", p0_milli=300
     )
+
+
+def _fleiss_oracle() -> str:
+    from xmlschemavalidator_spark.linkage import fleiss_oracle_sql
+    from xmlschemavalidator_spark.textops import _WS
+
+    ntok = (
+        "(CASE WHEN trim(coalesce(text, '')) = '' THEN 0 ELSE"
+        f" len(string_split_regex(trim(text), '{_WS}+')) END)"
+    )
+    ratings = f"""SELECT doc_id AS unit, CASE
+      WHEN n_chars < 150 THEN 'S' WHEN n_chars < 400 THEN 'M' ELSE 'L'
+    END AS val FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL
+  UNION ALL
+  SELECT doc_id, CASE WHEN {ntok} < 30 THEN 'S'
+      WHEN {ntok} < 80 THEN 'M' ELSE 'L' END
+    FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL
+  UNION ALL
+  SELECT doc_id, CASE WHEN length(coalesce(text, '')) < 160 THEN 'S'
+      WHEN length(coalesce(text, '')) < 420 THEN 'M' ELSE 'L' END
+    FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL"""
+    return fleiss_oracle_sql(ratings)
+
+
+@q("doc_size_fleiss_kappa", _fleiss_oracle())
+def doc_size_fleiss_kappa(spark, sf_dir):
+    """Fleiss' kappa (linkage.py:fleiss_kappa, 1971) over the SAME
+    three size-class raters as doc_size_krippendorff_alpha but with
+    the COMPLETE panel (no abstention) — the fixed-m classic: κ two
+    raters / α any-with-holes / Fleiss m-fixed, now all three
+    measured side by side on one corpus. Exact integer pair counts
+    and category totals in DECIMAL, fixed final chain; modal-m
+    complete-design gate."""
+    from xmlschemavalidator_spark.linkage import fleiss_kappa
+    from xmlschemavalidator_spark.textops import token_count
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("n_chars").isNotNull() & F.col("text").isNotNull()
+    )
+    ntok = token_count(F.col("text"))
+    tl = F.length(F.coalesce(F.col("text"), F.lit("")))
+    r1 = docs.select(
+        F.col("doc_id").alias("unit"),
+        F.when(F.col("n_chars") < 150, "S")
+        .when(F.col("n_chars") < 400, "M")
+        .otherwise("L")
+        .alias("val"),
+    )
+    r2 = docs.select(
+        F.col("doc_id").alias("unit"),
+        F.when(ntok < 30, "S").when(ntok < 80, "M").otherwise("L").alias("val"),
+    )
+    r3 = docs.select(
+        F.col("doc_id").alias("unit"),
+        F.when(tl < 160, "S").when(tl < 420, "M").otherwise("L").alias("val"),
+    )
+    return fleiss_kappa(r1.unionByName(r2).unionByName(r3), "unit", "val")

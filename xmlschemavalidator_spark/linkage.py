@@ -768,3 +768,134 @@ SELECT su.n_units, CAST(su.n AS BIGINT) AS n_pairable, cagg.n_categories,
       1.0 - (CAST(su.n AS DOUBLE) - 1.0) * CAST(su.s AS DOUBLE)
       / CAST(su.n * su.n - cagg.nc2 AS DOUBLE) END, {round_to}) AS alpha
 FROM su, cagg"""
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    unit_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Fleiss' kappa (Fleiss 1971) — fixed-panel m-rater chance-
+    corrected agreement, completing the family: Cohen's κ (two raters,
+    identity known), Krippendorff's α (any raters, missing data),
+    Fleiss κ (the classic m-raters-per-item design — every unit rated
+    by exactly m raters, identity irrelevant). Input is the LONG
+    ratings table (unit, value); m is inferred and units with a
+    DIFFERENT rating count are excluded (reported via n_units vs the
+    input — the complete-design contract). ONE row ``(n_units, m,
+    n_categories, p_bar, p_e, kappa)`` with
+
+        P̄  = Σ_u Σ_c n_uc(n_uc−1) / (n·m(m−1))
+        P̄e = Σ_c (Σ_u n_uc / (n·m))²
+        κ  = (P̄ − P̄e) / (1 − P̄e)
+
+    Exactness: every numerator is an exact integer in DECIMAL(38,0)
+    (P̄'s pair counts directly; P̄e as Σ_c t_c² over category totals
+    against the common denominator (nm)²); the two ratios and the
+    final κ are a fixed IEEE chain. P̄e = 1 (all ratings one category)
+    → NULL κ, the classic undefined case. Scale shape: groupBy
+    (unit, value) cells → per-unit and per-category partial aggs →
+    one row; the panel size m is inferred as the MODAL per-unit
+    rating count (the count shared by the most units; ties → the
+    larger m), stated — pass pre-filtered complete panels to pin it.
+    """
+    base = df.where(
+        F.col(unit_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(F.col(unit_col).alias("_u"), F.col(value_col).alias("_v"))
+    cell = base.groupBy("_u", "_v").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_c")
+    )
+    per_u = cell.groupBy("_u").agg(F.sum("_c").alias("_m"))
+    m_mode = (
+        per_u.groupBy("_m")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .orderBy(F.col("_cnt").desc(), F.col("_m").desc())
+        .limit(1)
+        .select(F.col("_m").alias("_mm"))
+    )
+    kept_units = per_u.crossJoin(F.broadcast(m_mode)).where(
+        F.col("_m") == F.col("_mm")
+    ).select("_u", "_mm")
+    kc = cell.join(F.broadcast(kept_units), "_u")
+    one = F.lit(1).cast("decimal(38,0)")
+    pairs = kc.agg(
+        F.count(F.lit(1)).alias("_ncells"),
+        F.coalesce(
+            F.sum(F.col("_c") * (F.col("_c") - one)),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_agree"),
+        F.max("_mm").alias("_mv"),
+    )
+    nu = kept_units.agg(F.count(F.lit(1)).cast("bigint").alias("n_units"))
+    cat = kc.groupBy("_v").agg(F.sum("_c").alias("_tc"))
+    cagg = cat.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_categories"),
+        F.coalesce(
+            F.sum(F.col("_tc") * F.col("_tc")), F.lit(0).cast("decimal(38,0)")
+        ).alias("_tc2"),
+    )
+    j = nu.crossJoin(F.broadcast(pairs)).crossJoin(F.broadcast(cagg))
+    n = F.col("n_units").cast("double")
+    m = F.col("_mv").cast("double")
+    ok = (F.col("n_units") > 0) & (F.col("_mv") >= 2)
+    p_bar = F.col("_agree").cast("double") / (n * m * (m - F.lit(1.0)))
+    p_e = F.col("_tc2").cast("double") / (n * m * n * m)
+    kappa = F.when(
+        ok & (p_e < 1.0), (p_bar - p_e) / (F.lit(1.0) - p_e)
+    )
+    return j.select(
+        "n_units",
+        F.col("_mv").cast("bigint").alias("m"),
+        "n_categories",
+        F.round(F.when(ok, p_bar), round_to).alias("p_bar"),
+        F.round(F.when(ok, p_e), round_to).alias("p_e"),
+        F.round(kappa, round_to).alias("kappa"),
+    )
+
+
+def fleiss_oracle_sql(from_sql: str, round_to: int = 6) -> str:
+    """DuckDB replay of :func:`fleiss_kappa`; ``from_sql`` must yield
+    ``unit`` and ``val``. Same modal-m gate, same exact numerators."""
+    return f"""WITH src AS ({from_sql}),
+b AS (SELECT unit AS u, val AS v FROM src
+      WHERE unit IS NOT NULL AND val IS NOT NULL),
+cell AS (SELECT u, v, CAST(count(*) AS DECIMAL(38,0)) AS c
+         FROM b GROUP BY u, v),
+per_u AS (SELECT u, CAST(sum(c) AS DECIMAL(38,0)) AS m FROM cell GROUP BY u),
+mmode AS (SELECT m AS mm FROM (SELECT m, count(*) AS cnt FROM per_u
+          GROUP BY m) ORDER BY cnt DESC, m DESC LIMIT 1),
+kept AS (SELECT per_u.u, mmode.mm FROM per_u, mmode
+         WHERE per_u.m = mmode.mm),
+kc AS (SELECT cell.*, kept.mm FROM cell JOIN kept USING (u)),
+pairs AS (SELECT CAST(coalesce(sum(c * (c - 1)), 0) AS DECIMAL(38,0))
+            AS agree, max(mm) AS mv FROM kc),
+nu AS (SELECT CAST(count(*) AS BIGINT) AS n_units FROM kept),
+cat AS (SELECT v, CAST(sum(c) AS DECIMAL(38,0)) AS tc FROM kc GROUP BY v),
+cagg AS (SELECT CAST(count(*) AS BIGINT) AS n_categories,
+    CAST(coalesce(sum(tc * tc), 0) AS DECIMAL(38,0)) AS tc2 FROM cat)
+SELECT nu.n_units, CAST(pairs.mv AS BIGINT) AS m, cagg.n_categories,
+  round(CASE WHEN nu.n_units > 0 AND pairs.mv >= 2 THEN
+      CAST(pairs.agree AS DOUBLE)
+      / (CAST(nu.n_units AS DOUBLE) * CAST(pairs.mv AS DOUBLE)
+         * (CAST(pairs.mv AS DOUBLE) - 1.0)) END, {round_to}) AS p_bar,
+  round(CASE WHEN nu.n_units > 0 AND pairs.mv >= 2 THEN
+      CAST(cagg.tc2 AS DOUBLE)
+      / (CAST(nu.n_units AS DOUBLE) * CAST(pairs.mv AS DOUBLE)
+         * CAST(nu.n_units AS DOUBLE) * CAST(pairs.mv AS DOUBLE)) END,
+      {round_to}) AS p_e,
+  round(CASE WHEN nu.n_units > 0 AND pairs.mv >= 2
+      AND CAST(cagg.tc2 AS DOUBLE)
+        / (CAST(nu.n_units AS DOUBLE) * CAST(pairs.mv AS DOUBLE)
+           * CAST(nu.n_units AS DOUBLE) * CAST(pairs.mv AS DOUBLE)) < 1.0
+      THEN (CAST(pairs.agree AS DOUBLE)
+        / (CAST(nu.n_units AS DOUBLE) * CAST(pairs.mv AS DOUBLE)
+           * (CAST(pairs.mv AS DOUBLE) - 1.0))
+        - CAST(cagg.tc2 AS DOUBLE)
+          / (CAST(nu.n_units AS DOUBLE) * CAST(pairs.mv AS DOUBLE)
+             * CAST(nu.n_units AS DOUBLE) * CAST(pairs.mv AS DOUBLE)))
+        / (1.0 - CAST(cagg.tc2 AS DOUBLE)
+          / (CAST(nu.n_units AS DOUBLE) * CAST(pairs.mv AS DOUBLE)
+             * CAST(nu.n_units AS DOUBLE) * CAST(pairs.mv AS DOUBLE)))
+      END, {round_to}) AS kappa
+FROM nu, pairs, cagg"""
