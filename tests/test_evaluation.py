@@ -1676,3 +1676,41 @@ def test_exact_binomial_gates(spark):
     # over the walk gate: refused to NULL
     [r] = exact_binomial_test(df, "y", p0_milli=500, max_n=1).collect()
     assert r["p"] is None and r["significant"] is False
+
+
+# ---------------------------------------------------------------------------
+# cochrans_q
+# ---------------------------------------------------------------------------
+
+
+def test_cochrans_q_hand_computed(spark):
+    from xmlschemavalidator_spark.checks.evaluation import cochrans_q
+
+    # 4 blocks × 3 treatments; t3 passes everywhere, t1 nowhere:
+    # C = (0, 2, 4), S = 6, R = (1, 2, 1, 2) -> ΣR² = 10
+    # Q = 2·(3·20 − 36)/(18 − 10) = 48/8 = 6
+    rows = []
+    grid = {
+        0: (0, 0, 1), 1: (0, 1, 1), 2: (0, 0, 1), 3: (0, 1, 1),
+    }
+    for b, (a, c, d) in grid.items():
+        rows += [(b, "t1", bool(a)), (b, "t2", bool(c)), (b, "t3", bool(d))]
+    df = spark.createDataFrame(rows, "blk long, trt string, y boolean")
+    [r] = cochrans_q(df, "blk", "trt", "y").collect()
+    assert (r["n_blocks"], r["n_treatments"], r["dof"]) == (4, 3, 2)
+    assert r["q"] == 6.0
+
+
+def test_cochrans_q_constant_blocks_null(spark):
+    from xmlschemavalidator_spark.checks.evaluation import cochrans_q
+
+    # every block all-pass: denominator k·S − ΣR² = 0 -> NULL
+    rows = [(b, t, True) for b in range(5) for t in ("a", "b")]
+    df = spark.createDataFrame(rows, "blk long, trt string, y boolean")
+    [r] = cochrans_q(df, "blk", "trt", "y").collect()
+    assert r["q"] is None and r["significant"] is False
+    # incomplete block excluded
+    rows += [(99, "a", True)]
+    df = spark.createDataFrame(rows, "blk long, trt string, y boolean")
+    [r] = cochrans_q(df, "blk", "trt", "y").collect()
+    assert r["n_blocks"] == 5

@@ -4554,3 +4554,140 @@ SELECT m.n, m.k,
       END, {round_to}) AS p,
   coalesce(n_walk > 0 AND ptr < {alpha_trillionths}, FALSE) AS significant
 FROM m, tail"""
+
+
+def cochrans_q(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    outcome_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Cochran's Q test (Cochran 1950) — k binary treatments on the
+    same n blocks: McNemar's k-extension and Friedman's binary
+    sibling, the do-these-k-RULES-differ verdict over per-doc pass/
+    fail verdicts (the engine's natural shape: k rule versions × one
+    corpus). ONE row ``(n_blocks, n_treatments, q, dof, p,
+    significant)`` with
+
+        Q = k(k−1)·Σ_j (C_j − S/k)² / (k·S − Σ_i R_i²)
+
+    where C_j are treatment success totals, R_i block success totals,
+    S = ΣR_i; df = k−1, p via the Wilson–Hilferty chi² tail. Blocks
+    with all-equal outcomes carry no information and drop out of Q
+    algebraically; blocks NOT holding every treatment exactly once are
+    EXCLUDED (complete-design contract, surfaced via n_blocks).
+
+    Exactness: everything up to the final ratio is exact INTEGER in
+    DECIMAL(38,0) — the numerator as k(k−1)·(k·ΣC_j² − S²) over the
+    common k denominator folded in: Q = (k−1)·(k·ΣC² − S²)/(k·S − ΣR²)
+    — one division. A zero denominator (every block constant) → NULL.
+    Same two-partial-agg shape as friedman_test.
+    """
+    b, t = F.col(block_col), F.col(treatment_col)
+    y = F.col(outcome_col).cast("boolean")
+    base = df.where(b.isNotNull() & t.isNotNull() & y.isNotNull()).select(
+        b.alias("_b"), t.alias("_t"), y.cast("long").alias("_y")
+    )
+    k_tot = base.select("_t").distinct().count()
+    ok_blocks = (
+        base.groupBy("_b", "_t")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("_b")
+        .agg(F.sum("_c").alias("_n"), F.count(F.lit(1)).alias("_kd"))
+        .where((F.col("_n") == k_tot) & (F.col("_kd") == k_tot))
+        .select("_b")
+    )
+    kept = base.join(F.broadcast(ok_blocks), "_b")
+    zero = F.lit(0).cast("decimal(38,0)")
+    per_t = kept.groupBy("_t").agg(
+        F.sum("_y").cast("decimal(38,0)").alias("_C")
+    )
+    per_b = kept.groupBy("_b").agg(
+        F.sum("_y").cast("decimal(38,0)").alias("_R")
+    )
+    ct = per_t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_treatments"),
+        F.coalesce(F.sum("_C"), zero).alias("_S"),
+        F.coalesce(F.sum(F.col("_C") * F.col("_C")), zero).alias("_C2"),
+    )
+    rt = per_b.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        F.coalesce(F.sum(F.col("_R") * F.col("_R")), zero).alias("_R2"),
+    )
+    agg = rt.crossJoin(F.broadcast(ct))
+    k = F.col("n_treatments").cast("decimal(38,0)")
+    num = (k - 1) * (k * F.col("_C2") - F.col("_S") * F.col("_S"))
+    den = k * F.col("_S") - F.col("_R2")
+    ok = (F.col("n_blocks") > 0) & (F.col("n_treatments") >= 2) & (den > 0)
+    q = F.when(ok, num.cast("double") / den.cast("double"))
+    dof = (F.col("n_treatments") - 1).cast("bigint")
+    dofd = dof.cast("double")
+    zwh = F.when(
+        ok,
+        (
+            F.cbrt(F.greatest(q, F.lit(0.0)) / dofd)
+            - (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * dofd))
+        )
+        / F.sqrt(F.lit(2.0) / (F.lit(9.0) * dofd)),
+    )
+    half_p = _p_two_sided(zwh) / F.lit(2.0)
+    p = F.when(ok, F.when(zwh >= 0, half_p).otherwise(F.lit(1.0) - half_p))
+    return agg.select(
+        "n_blocks",
+        "n_treatments",
+        F.round(q, round_to).alias("q"),
+        F.when(ok, dof).alias("dof"),
+        F.round(p, round_to).alias("p"),
+        F.coalesce(F.round(p, round_to) < 0.05, F.lit(False)).alias(
+            "significant"
+        ),
+    )
+
+
+def cochrans_q_oracle_sql(from_sql: str, round_to: int = 6) -> str:
+    """DuckDB replay of :func:`cochrans_q`; ``from_sql`` must yield
+    ``blk``, ``trt``, boolean ``y``."""
+    q = (
+        "(CASE WHEN n_blocks > 0 AND n_treatments >= 2 AND den > 0"
+        " THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END)"
+    )
+    zwh = (
+        f"(CASE WHEN {q} IS NOT NULL THEN"
+        f" (cbrt(greatest({q}, 0.0) / CAST(n_treatments - 1 AS DOUBLE))"
+        " - (1.0 - 2.0 / (9.0 * CAST(n_treatments - 1 AS DOUBLE))))"
+        " / sqrt(2.0 / (9.0 * CAST(n_treatments - 1 AS DOUBLE))) END)"
+    )
+    half = f"({_p_two_sided_sql(zwh)} / 2.0)"
+    p = (
+        f"(CASE WHEN {zwh} IS NOT NULL THEN CASE WHEN {zwh} >= 0"
+        f" THEN {half} ELSE 1.0 - {half} END END)"
+    )
+    return f"""WITH src AS ({from_sql}),
+b AS (SELECT blk, trt, CAST(CAST(y AS BOOLEAN) AS BIGINT) AS y FROM src
+      WHERE blk IS NOT NULL AND trt IS NOT NULL AND y IS NOT NULL),
+ktot AS (SELECT CAST(count(DISTINCT trt) AS BIGINT) AS k FROM b),
+okb AS (SELECT blk FROM b, ktot GROUP BY blk, ktot.k
+        HAVING count(*) = ktot.k AND count(DISTINCT trt) = ktot.k),
+kept AS (SELECT b.* FROM b JOIN okb USING (blk)),
+ct AS (SELECT CAST(count(*) AS BIGINT) AS n_treatments,
+    CAST(coalesce(sum(C), 0) AS DECIMAL(38,0)) AS S,
+    CAST(coalesce(sum(C * C), 0) AS DECIMAL(38,0)) AS C2
+  FROM (SELECT trt, CAST(sum(y) AS DECIMAL(38,0)) AS C FROM kept
+        GROUP BY trt)),
+rt AS (SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+    CAST(coalesce(sum(R * R), 0) AS DECIMAL(38,0)) AS R2
+  FROM (SELECT blk, CAST(sum(y) AS DECIMAL(38,0)) AS R FROM kept
+        GROUP BY blk)),
+agg AS (SELECT rt.n_blocks, ct.n_treatments,
+    (CAST(ct.n_treatments AS DECIMAL(38,0)) - 1)
+      * (CAST(ct.n_treatments AS DECIMAL(38,0)) * ct.C2 - ct.S * ct.S)
+      AS num,
+    CAST(ct.n_treatments AS DECIMAL(38,0)) * ct.S - rt.R2 AS den
+  FROM rt, ct)
+SELECT n_blocks, n_treatments,
+  round({q}, {round_to}) AS q,
+  CASE WHEN {q} IS NOT NULL THEN CAST(n_treatments - 1 AS BIGINT) END AS dof,
+  round({p}, {round_to}) AS p,
+  coalesce(round({p}, {round_to}) < 0.05, FALSE) AS significant
+FROM agg"""

@@ -19043,3 +19043,66 @@ def doc_size_fleiss_kappa(spark, sf_dir):
         F.when(tl < 160, "S").when(tl < 420, "M").otherwise("L").alias("val"),
     )
     return fleiss_kappa(r1.unionByName(r2).unionByName(r3), "unit", "val")
+
+
+def _cq_oracle() -> str:
+    from xmlschemavalidator_spark.checks.evaluation import cochrans_q_oracle_sql
+    from xmlschemavalidator_spark.textops import _WS
+
+    ntok = (
+        "(CASE WHEN trim(coalesce(text, '')) = '' THEN 0 ELSE"
+        f" len(string_split_regex(trim(text), '{_WS}+')) END)"
+    )
+    return cochrans_q_oracle_sql(
+        f"""SELECT doc_id AS blk, 'chars36_400' AS trt,
+             n_chars BETWEEN 36 AND 400 AS y
+             FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL
+           UNION ALL
+           SELECT doc_id, 'tokens8_80', {ntok} BETWEEN 8 AND 80
+             FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL
+           UNION ALL
+           SELECT doc_id, 'len40_450',
+             length(coalesce(text, '')) BETWEEN 40 AND 450
+             FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL"""
+    )
+
+
+@q("rule_versions_cochrans_q", _cq_oracle())
+def rule_versions_cochrans_q(spark, sf_dir):
+    """Cochran's Q (checks/evaluation.py:cochrans_q, 1950) across
+    THREE length-gate rule versions evaluated on the same corpus —
+    McNemar's k-extension (McNemar compares two rules pairwise, Q asks
+    whether ANY of k differ, before pairwise drill-down) and
+    Friedman's binary sibling. All-equal blocks drop out
+    algebraically; everything up to one division is exact DECIMAL
+    integers; Wilson–Hilferty chi²(k−1) tail. Oracle-exact."""
+    from xmlschemavalidator_spark.checks.evaluation import cochrans_q
+    from xmlschemavalidator_spark.textops import token_count
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("n_chars").isNotNull() & F.col("text").isNotNull()
+    )
+    ntok = token_count(F.col("text"))
+    tl = F.length(F.coalesce(F.col("text"), F.lit("")))
+    stacked = (
+        docs.select(
+            F.col("doc_id").alias("blk"),
+            F.lit("chars36_400").alias("trt"),
+            F.col("n_chars").between(36, 400).alias("y"),
+        )
+        .unionByName(
+            docs.select(
+                F.col("doc_id").alias("blk"),
+                F.lit("tokens8_80").alias("trt"),
+                ntok.between(8, 80).alias("y"),
+            )
+        )
+        .unionByName(
+            docs.select(
+                F.col("doc_id").alias("blk"),
+                F.lit("len40_450").alias("trt"),
+                tl.between(40, 450).alias("y"),
+            )
+        )
+    )
+    return cochrans_q(stacked, "blk", "trt", "y")
