@@ -1714,3 +1714,40 @@ def test_cochrans_q_constant_blocks_null(spark):
     df = spark.createDataFrame(rows, "blk long, trt string, y boolean")
     [r] = cochrans_q(df, "blk", "trt", "y").collect()
     assert r["n_blocks"] == 5
+
+
+# ---------------------------------------------------------------------------
+# bowker_test
+# ---------------------------------------------------------------------------
+
+
+def test_bowker_hand_computed(spark):
+    from xmlschemavalidator_spark.checks.evaluation import bowker_test
+
+    # flows: a->b 8 vs b->a 2; a->c 3 vs c->a 3; b<->c never
+    rows = (
+        [("a", "b")] * 8 + [("b", "a")] * 2
+        + [("a", "c")] * 3 + [("c", "a")] * 3
+        + [("a", "a")] * 50  # diagonal must not enter
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    [r] = bowker_test(df, "a", "b").collect()
+    # chi2 = (8-2)²/10 + 0 = 3.6; b-c pair empty -> excluded from df
+    assert r["chi2"] == 3.6
+    assert r["n_informative_pairs"] == 2 and r["dof"] == 2
+    assert r["n_offdiag_pairs"] == 2  # (a,b) and (a,c) materialized
+
+
+def test_bowker_symmetric_and_degenerate(spark):
+    from xmlschemavalidator_spark.checks.evaluation import bowker_test
+
+    # perfectly symmetric flow: chi2 = 0, not significant
+    rows = [("x", "y")] * 5 + [("y", "x")] * 5
+    df = spark.createDataFrame(rows, "a string, b string")
+    [r] = bowker_test(df, "a", "b").collect()
+    assert r["chi2"] == 0.0 and r["significant"] is False
+    # all-diagonal: no informative pairs -> NULL chi2/p
+    rows = [("x", "x")] * 10
+    df = spark.createDataFrame(rows, "a string, b string")
+    [r] = bowker_test(df, "a", "b").collect()
+    assert r["chi2"] is None and r["significant"] is False

@@ -4691,3 +4691,143 @@ SELECT n_blocks, n_treatments,
   round({p}, {round_to}) AS p,
   coalesce(round({p}, {round_to}) < 0.05, FALSE) AS significant
 FROM agg"""
+
+
+def bowker_test(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Bowker's test of symmetry (Bowker JASA 1948) — McNemar's k×k
+    categorical generalization: two CATEGORICAL labelings of the same
+    rows (classifier v1 vs v2, yesterday's lang vs today's), and the
+    question is whether label FLOW is symmetric (en→de as often as
+    de→en) or systematically drifting one way. ONE row ``(n,
+    n_categories, n_offdiag_pairs, n_informative_pairs, chi2, dof, p,
+    significant)`` with
+
+        χ² = Σ_{i<j} (n_ij − n_ji)² / (n_ij + n_ji),   df = #{i<j pairs}
+
+    over informative pairs (n_ij + n_ji > 0; empty pairs carry no
+    information and are excluded from both the sum and df — the
+    standard convention, surfaced). Exactness: cell counts exact; each
+    pair term is an exact integer rational 12dp-rounded then
+    DECIMAL-summed; p via the Wilson–Hilferty chi²(df) tail. Diagonal
+    (unchanged labels) never enters — a million stable docs can't
+    drown a directional drift, exactly the McNemar property at k
+    categories. Scale shape: one (a, b) groupBy — cells bounded by
+    k², never rows; the pair join is over the bounded cell table.
+    """
+    a, b = F.col(a_col), F.col(b_col)
+    base = df.where(a.isNotNull() & b.isNotNull()).select(
+        a.cast("string").alias("_a"), b.cast("string").alias("_b")
+    )
+    cells = base.groupBy("_a", "_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n")
+    )
+    up = cells.where(F.col("_a") < F.col("_b")).select(
+        F.col("_a").alias("_i"), F.col("_b").alias("_j"),
+        F.col("_n").alias("_nij"),
+    )
+    down = cells.where(F.col("_a") > F.col("_b")).select(
+        F.col("_b").alias("_i"), F.col("_a").alias("_j"),
+        F.col("_n").alias("_nji"),
+    )
+    pairs = up.join(down, ["_i", "_j"], "full").select(
+        F.coalesce(F.col("_nij"), F.lit(0)).cast("bigint").alias("_x"),
+        F.coalesce(F.col("_nji"), F.lit(0)).cast("bigint").alias("_y"),
+    )
+    term = F.round(
+        ((F.col("_x") - F.col("_y")) * (F.col("_x") - F.col("_y"))).cast(
+            "double"
+        )
+        / (F.col("_x") + F.col("_y")).cast("double"),
+        12,
+    ).cast("decimal(38,12)")
+    ncat = base.select(F.col("_a").alias("_c")).unionByName(
+        base.select(F.col("_b").alias("_c"))
+    ).distinct().agg(F.count(F.lit(1)).cast("bigint").alias("n_categories"))
+    tot = base.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    pagg = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_offdiag_pairs"),
+        F.sum(F.when((F.col("_x") + F.col("_y")) > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("_ninf"),
+        F.coalesce(
+            F.sum(F.when((F.col("_x") + F.col("_y")) > 0, term)),
+            F.lit(0).cast("decimal(38,12)"),
+        )
+        .cast("double")
+        .alias("_chi2"),
+    )
+    agg = tot.crossJoin(F.broadcast(ncat)).crossJoin(F.broadcast(pagg))
+    ok = F.col("_ninf") >= 1
+    dof = F.col("_ninf").cast("bigint")
+    dofd = dof.cast("double")
+    zwh = F.when(
+        ok,
+        (
+            F.cbrt(F.col("_chi2") / dofd)
+            - (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * dofd))
+        )
+        / F.sqrt(F.lit(2.0) / (F.lit(9.0) * dofd)),
+    )
+    half_p = _p_two_sided(zwh) / F.lit(2.0)
+    p = F.when(ok, F.when(zwh >= 0, half_p).otherwise(F.lit(1.0) - half_p))
+    return agg.select(
+        "n",
+        "n_categories",
+        F.coalesce(F.col("n_offdiag_pairs"), F.lit(0)).alias(
+            "n_offdiag_pairs"
+        ),
+        F.coalesce(F.col("_ninf"), F.lit(0)).alias("n_informative_pairs"),
+        F.round(F.when(ok, F.col("_chi2")), round_to).alias("chi2"),
+        F.when(ok, dof).alias("dof"),
+        F.round(p, round_to).alias("p"),
+        F.coalesce(F.round(p, round_to) < 0.05, F.lit(False)).alias(
+            "significant"
+        ),
+    )
+
+
+def bowker_oracle_sql(from_sql: str, round_to: int = 6) -> str:
+    """DuckDB replay of :func:`bowker_test`; ``from_sql`` must yield
+    ``a`` and ``b``."""
+    zwh = (
+        "(CASE WHEN ninf >= 1 THEN (cbrt(chi2 / CAST(ninf AS DOUBLE))"
+        " - (1.0 - 2.0 / (9.0 * CAST(ninf AS DOUBLE))))"
+        " / sqrt(2.0 / (9.0 * CAST(ninf AS DOUBLE))) END)"
+    )
+    half = f"({_p_two_sided_sql(zwh)} / 2.0)"
+    p = (
+        f"(CASE WHEN ninf >= 1 THEN CASE WHEN {zwh} >= 0 THEN {half}"
+        f" ELSE 1.0 - {half} END END)"
+    )
+    return f"""WITH src AS ({from_sql}),
+b0 AS (SELECT CAST(a AS VARCHAR) AS a, CAST(b AS VARCHAR) AS b FROM src
+       WHERE a IS NOT NULL AND b IS NOT NULL),
+cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n FROM b0 GROUP BY a, b),
+up AS (SELECT a AS i, b AS j, n AS nij FROM cells WHERE a < b),
+down AS (SELECT b AS i, a AS j, n AS nji FROM cells WHERE a > b),
+pairs AS (SELECT coalesce(up.nij, 0) AS x, coalesce(down.nji, 0) AS y
+          FROM up FULL JOIN down USING (i, j)),
+ncat AS (SELECT CAST(count(*) AS BIGINT) AS n_categories FROM
+         (SELECT DISTINCT c FROM (SELECT a AS c FROM b0
+          UNION ALL SELECT b FROM b0))),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b0),
+pagg AS (SELECT CAST(count(*) AS BIGINT) AS n_offdiag_pairs,
+    CAST(coalesce(sum(CASE WHEN x + y > 0 THEN 1 ELSE 0 END), 0) AS BIGINT)
+        AS ninf,
+    CAST(coalesce(sum(CASE WHEN x + y > 0 THEN
+        CAST(round(CAST((x - y) * (x - y) AS DOUBLE)
+            / CAST(x + y AS DOUBLE), 12) AS DECIMAL(38,12)) END), 0)
+        AS DOUBLE) AS chi2
+  FROM pairs)
+SELECT tot.n, ncat.n_categories, pagg.n_offdiag_pairs,
+  pagg.ninf AS n_informative_pairs,
+  round(CASE WHEN ninf >= 1 THEN chi2 END, {round_to}) AS chi2,
+  CASE WHEN ninf >= 1 THEN CAST(ninf AS BIGINT) END AS dof,
+  round({p}, {round_to}) AS p,
+  coalesce(round({p}, {round_to}) < 0.05, FALSE) AS significant
+FROM tot, ncat, pagg"""

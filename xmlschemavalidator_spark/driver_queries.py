@@ -19106,3 +19106,61 @@ def rule_versions_cochrans_q(spark, sf_dir):
         )
     )
     return cochrans_q(stacked, "blk", "trt", "y")
+
+
+def _bowker_oracle() -> str:
+    from xmlschemavalidator_spark.checks.evaluation import bowker_oracle_sql
+
+    base = _lang_model_oracle()
+    tail = (
+        "SELECT doc, lang AS lang_pred, CAST(score AS BIGINT) AS score_micro\n"
+        "FROM r WHERE rn = 1"
+    )
+    assert tail in base, "lang model oracle tail changed; update the wrapper"
+    pairs = base.replace(
+        tail,
+        """, pred AS (SELECT doc, lang AS lang_pred FROM r WHERE rn = 1)
+SELECT d.lang AS a, pred.lang_pred AS b
+FROM pred JOIN documents d ON pred.doc = d.doc_id""",
+    )
+    return bowker_oracle_sql(pairs)
+
+
+@q("lang_id_bowker_symmetry", _bowker_oracle())
+def lang_id_bowker_symmetry(spark, sf_dir):
+    """Bowker's symmetry test (checks/evaluation.py:bowker_test, JASA
+    1948 — McNemar at k categories) between declared language labels
+    and the trained NB classifier's predictions: κ says HOW MUCH they
+    agree; Bowker says whether the DISAGREEMENT flows one way
+    (en→de systematically ≠ de→en) — the directional-drift question a
+    symmetric-looking confusion matrix can hide. Diagonal never
+    enters: a million stable docs can't drown directional drift.
+    Empty off-diagonal pairs excluded from df visibly; pair terms
+    exact integer rationals 12dp-round-then-DECIMAL-summed,
+    Wilson–Hilferty tail. Oracle replays training + scoring + argmax
+    + the symmetry lattice end to end."""
+    from xmlschemavalidator_spark.checks.evaluation import bowker_test
+    from xmlschemavalidator_spark.lang_model import predict_lang, train_lang_model
+
+    docs = _t(spark, sf_dir, "documents")
+    marker = None
+    for lg, m in sorted(_LANG_MARKERS.items()):
+        marker = (
+            F.when(F.col("lang") == lg, F.lit(m))
+            if marker is None
+            else marker.when(F.col("lang") == lg, F.lit(m))
+        )
+    marker = marker.otherwise(F.lit(""))
+    aug = docs.select(
+        "doc_id", "lang",
+        F.concat(marker, F.coalesce(F.col("text"), F.lit(""))).alias("text"),
+    )
+    model = train_lang_model(
+        aug, "doc_id", "lang",
+        n_buckets=_LANG_NB_BUCKETS, max_chars=_LANG_NB_MAXCHARS,
+    )
+    pred = predict_lang(aug, model, "doc_id").select("doc", "lang_pred")
+    pairs = pred.join(
+        docs.select(F.col("doc_id").alias("doc"), "lang"), "doc"
+    ).select(F.col("lang").alias("a"), F.col("lang_pred").alias("b"))
+    return bowker_test(pairs, "a", "b")
