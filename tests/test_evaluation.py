@@ -1751,3 +1751,24 @@ def test_bowker_symmetric_and_degenerate(spark):
     df = spark.createDataFrame(rows, "a string, b string")
     [r] = bowker_test(df, "a", "b").collect()
     assert r["chi2"] is None and r["significant"] is False
+
+
+def test_mcnemar_exact_hand_computed(spark):
+    from math import comb
+
+    from xmlschemavalidator_spark.checks.evaluation import mcnemar_exact_test
+
+    rows = (
+        [(True, True)] * 100 + [(False, False)] * 85
+        + [(True, False)] * 12 + [(False, True)] * 3
+    )
+    df = spark.createDataFrame(rows, "a boolean, b boolean")
+    [r] = mcnemar_exact_test(df, "a", "b").collect()
+    assert (r["n"], r["n_flips"], r["n_a_only"], r["n_b_only"]) == (200, 15, 12, 3)
+    pmf = [comb(15, i) * 0.5**15 for i in range(16)]
+    exact = sum(v for v in pmf if v <= pmf[12] * (1 + 1e-7))
+    assert abs(r["p"] - exact) < 1e-5 and r["significant"] is True
+    # zero flips: NULL p, no information
+    df2 = spark.createDataFrame([(True, True)] * 5, "a boolean, b boolean")
+    [r2] = mcnemar_exact_test(df2, "a", "b").collect()
+    assert r2["p"] is None and r2["significant"] is False

@@ -4831,3 +4831,85 @@ SELECT tot.n, ncat.n_categories, pagg.n_offdiag_pairs,
   round({p}, {round_to}) AS p,
   coalesce(round({p}, {round_to}) < 0.05, FALSE) AS significant
 FROM tot, ncat, pagg"""
+
+
+def mcnemar_exact_test(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    max_n: int = 1_000_000,
+    alpha_trillionths: int = 50_000_000_000,
+    round_to: int = 6,
+) -> DataFrame:
+    """EXACT McNemar (the binomial form — Edwards' continuity-corrected
+    chi² in :func:`mcnemar_test` is an approximation that goes soft
+    exactly where McNemar matters most, at FEW flips): under H0 the
+    b = n_a_only discordant outcomes among the m = b + c flips are
+    Binomial(m, ½), so the exact two-sided p is the binomial pmf-rule
+    tail — :func:`exact_binomial_test` applied to the flip cells. ONE
+    row ``(n, n_flips, n_a_only, n_b_only, p, significant)``; zero
+    flips → NULL p (no information), the approximate test's clamp case
+    handled by construction. Composition: one cell pass builds the
+    flip frame; the micro-ln walk runs over m (the FLIP count — tiny
+    by the statistic's own nature), not n.
+    """
+    a = F.col(a_col).cast("boolean")
+    b = F.col(b_col).cast("boolean")
+    base = df.where(a.isNotNull() & b.isNotNull()).select(
+        a.alias("_a"), b.alias("_b")
+    )
+    n_row = base.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    flips = base.where(F.col("_a") != F.col("_b")).select(
+        F.col("_a").alias("y")
+    )
+    inner = exact_binomial_test(
+        flips,
+        "y",
+        p0_milli=500,
+        max_n=max_n,
+        alpha_trillionths=alpha_trillionths,
+        round_to=round_to,
+    )
+    inner2 = inner.select(
+        F.col("n").alias("n_flips"),
+        F.col("k").alias("n_a_only"),
+        F.col("p").alias("_p"),
+        F.col("significant").alias("_sig"),
+    )
+    return n_row.crossJoin(F.broadcast(inner2)).select(
+        "n",
+        "n_flips",
+        "n_a_only",
+        (F.col("n_flips") - F.col("n_a_only")).cast("bigint").alias("n_b_only"),
+        F.when(F.col("n_flips") > 0, F.col("_p")).alias("p"),
+        F.coalesce(
+            F.when(F.col("n_flips") > 0, F.col("_sig")), F.lit(False)
+        ).alias("significant"),
+    )
+
+
+def mcnemar_exact_oracle_sql(
+    from_sql: str,
+    max_n: int = 1_000_000,
+    alpha_trillionths: int = 50_000_000_000,
+    round_to: int = 6,
+) -> str:
+    """DuckDB replay of :func:`mcnemar_exact_test`; ``from_sql`` must
+    yield boolean ``a``/``b``."""
+    inner = exact_binomial_oracle_sql(
+        f"SELECT a AS y FROM ({from_sql}) WHERE a IS NOT NULL"
+        " AND b IS NOT NULL AND a <> b",
+        p0_milli=500,
+        max_n=max_n,
+        alpha_trillionths=alpha_trillionths,
+        round_to=round_to,
+    )
+    return f"""WITH outer_n AS (SELECT CAST(count(*) AS BIGINT) AS n
+    FROM ({from_sql}) WHERE a IS NOT NULL AND b IS NOT NULL),
+inner_t AS ({inner})
+SELECT outer_n.n, inner_t.n AS n_flips, inner_t.k AS n_a_only,
+  CAST(inner_t.n - inner_t.k AS BIGINT) AS n_b_only,
+  CASE WHEN inner_t.n > 0 THEN inner_t.p END AS p,
+  coalesce(CASE WHEN inner_t.n > 0 THEN inner_t.significant END, FALSE)
+      AS significant
+FROM outer_n, inner_t"""

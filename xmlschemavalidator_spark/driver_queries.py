@@ -19164,3 +19164,40 @@ def lang_id_bowker_symmetry(spark, sf_dir):
         docs.select(F.col("doc_id").alias("doc"), "lang"), "doc"
     ).select(F.col("lang").alias("a"), F.col("lang_pred").alias("b"))
     return bowker_test(pairs, "a", "b")
+
+
+def _mcnemar_exact_oracle() -> str:
+    from xmlschemavalidator_spark.checks.evaluation import (
+        mcnemar_exact_oracle_sql,
+    )
+    from xmlschemavalidator_spark.textops import _WS
+
+    ntok = (
+        "(CASE WHEN trim(coalesce(text, '')) = '' THEN 0 ELSE"
+        f" len(string_split_regex(trim(text), '{_WS}+')) END)"
+    )
+    return mcnemar_exact_oracle_sql(
+        "SELECT n_chars BETWEEN 36 AND 400 AS a,"
+        f" {ntok} BETWEEN 8 AND 80 AS b"
+        " FROM documents WHERE n_chars IS NOT NULL"
+    )
+
+
+@q("length_gate_mcnemar_exact", _mcnemar_exact_oracle())
+def length_gate_mcnemar_exact(spark, sf_dir):
+    """EXACT McNemar (checks/evaluation.py:mcnemar_exact_test — the
+    Binomial(m,½) form) on the SAME rule pair as length_gate_mcnemar:
+    the chi² approximation goes soft exactly where McNemar matters, at
+    FEW flips; here the flip cells are small by construction and the
+    exact pmf-rule p is the honest verdict, side by side with the
+    approximate query for comparison. The micro-ln walk runs over the
+    FLIP count, not n."""
+    from xmlschemavalidator_spark.checks.evaluation import mcnemar_exact_test
+    from xmlschemavalidator_spark.textops import token_count
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("n_chars").isNotNull())
+    verdicts = docs.select(
+        F.col("n_chars").between(36, 400).alias("a"),
+        token_count(F.col("text")).between(8, 80).alias("b"),
+    )
+    return mcnemar_exact_test(verdicts, "a", "b")
