@@ -1591,3 +1591,50 @@ def test_bowtie_default_pivot_and_empty(spark):
     # empty graph: empty result, no crash
     empty = edges.where(F.lit(False))
     assert bowtie_decomposition(empty).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# morans_i
+# ---------------------------------------------------------------------------
+
+
+def test_morans_i_clustered_vs_alternating(spark):
+    from xmlschemavalidator_spark.weburl import morans_i
+
+    # ring of 20 nodes; attribute = block id (two homophilous halves)
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 20) for i in range(20)], "src long, dst long"
+    )
+    attrs = spark.createDataFrame(
+        [(i, 1.0 if i < 10 else 5.0) for i in range(20)],
+        "node long, val double",
+    )
+    [r] = morans_i(edges, attrs, "val").collect()
+    assert r["i"] > r["expected_i"] and r["pattern"] == "clustered"
+    # perfectly alternating attribute on the same ring: dispersed
+    attrs = spark.createDataFrame(
+        [(i, float(i % 2)) for i in range(20)], "node long, val double"
+    )
+    [r] = morans_i(edges, attrs, "val").collect()
+    assert r["i"] < r["expected_i"] and r["pattern"] == "dispersed"
+    assert r["i"] == -1.0  # perfect alternation on a ring
+
+
+def test_morans_i_degenerate(spark):
+    from pyspark.sql import functions as F
+
+    from xmlschemavalidator_spark.weburl import morans_i
+
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    # constant attribute: zero variance -> NULL
+    attrs = spark.createDataFrame(
+        [(i, 2.0) for i in range(4)], "node long, val double"
+    )
+    [r] = morans_i(edges, attrs, "val").collect()
+    assert r["i"] is None and r["pattern"] == "none"
+    # n < 4: NULL gate
+    attrs = spark.createDataFrame(
+        [(0, 1.0), (1, 2.0), (2, 3.0)], "node long, val double"
+    )
+    [r] = morans_i(edges, attrs, "val").collect()
+    assert r["i"] is None

@@ -19201,3 +19201,32 @@ def length_gate_mcnemar_exact(spark, sf_dir):
         token_count(F.col("text")).between(8, 80).alias("b"),
     )
     return mcnemar_exact_test(verdicts, "a", "b")
+
+
+def _moran_oracle() -> str:
+    from xmlschemavalidator_spark.weburl import morans_i_oracle_sql
+
+    return morans_i_oracle_sql(
+        _EDGES_SQL,
+        "SELECT DISTINCT doc_id % 60 AS node,"
+        " CAST((doc_id % 60) % 7 AS DOUBLE) AS val FROM documents",
+    )
+
+
+@q("link_morans_i", _moran_oracle())
+def link_morans_i(spark, sf_dir):
+    """Moran's I network autocorrelation (weburl.py:morans_i — Moran
+    1950 with the full Cliff–Ord randomization variance, not the
+    normality shortcut) of a planted node attribute over the 60-node
+    link graph: the do-connected-pages-share-quality question — spam
+    clustering along links reads I > E[I]. Every moment 6dp-rounded
+    then DECIMAL-summed; fixed double chains; integer-milli verdict.
+    Two node-keyed attr joins + degree aggs, nothing quadratic."""
+    from xmlschemavalidator_spark.weburl import morans_i
+
+    docs = _t(spark, sf_dir, "documents")
+    attrs = docs.select(
+        (F.col("doc_id") % 60).alias("node"),
+        ((F.col("doc_id") % 60) % 7).cast("double").alias("val"),
+    ).distinct()
+    return morans_i(_edges(spark, sf_dir), attrs, "val")
