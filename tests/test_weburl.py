@@ -1638,3 +1638,31 @@ def test_morans_i_degenerate(spark):
     )
     [r] = morans_i(edges, attrs, "val").collect()
     assert r["i"] is None
+
+
+def test_gearys_c_clustered_and_dispersed(spark):
+    from xmlschemavalidator_spark.weburl import gearys_c
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 20) for i in range(20)], "src long, dst long"
+    )
+    # homophilous halves: small edge differences -> C < 1
+    attrs = spark.createDataFrame(
+        [(i, 1.0 if i < 10 else 5.0) for i in range(20)],
+        "node long, val double",
+    )
+    [r] = gearys_c(edges, attrs, "val").collect()
+    assert r["c"] < 1.0 and r["pattern"] == "clustered"
+    # perfect alternation on the 20-ring: C = (n-1)·n·ΣΔ²/(2W·nΣz²)
+    # = 19·20·20/(2·20·100) = 1.9 exactly (→2 as n grows)
+    attrs = spark.createDataFrame(
+        [(i, float(i % 2)) for i in range(20)], "node long, val double"
+    )
+    [r] = gearys_c(edges, attrs, "val").collect()
+    assert r["c"] == 1.9 and r["pattern"] == "dispersed"
+    # constant attribute: NULL gate
+    attrs = spark.createDataFrame(
+        [(i, 7.0) for i in range(20)], "node long, val double"
+    )
+    [r] = gearys_c(edges, attrs, "val").collect()
+    assert r["c"] is None and r["pattern"] == "none"

@@ -19230,3 +19230,31 @@ def link_morans_i(spark, sf_dir):
         ((F.col("doc_id") % 60) % 7).cast("double").alias("val"),
     ).distinct()
     return morans_i(_edges(spark, sf_dir), attrs, "val")
+
+
+def _geary_oracle() -> str:
+    from xmlschemavalidator_spark.weburl import gearys_c_oracle_sql
+
+    return gearys_c_oracle_sql(
+        _EDGES_SQL,
+        "SELECT DISTINCT doc_id % 60 AS node,"
+        " CAST((doc_id % 60) % 7 AS DOUBLE) AS val FROM documents",
+    )
+
+
+@q("link_gearys_c", _geary_oracle())
+def link_gearys_c(spark, sf_dir):
+    """Geary's C (weburl.py:gearys_c, 1954) over the SAME planted graph
+    and attribute as link_morans_i — the local-difference sibling run
+    side by side (they disagree exactly when the structure is local,
+    which is the point of reporting both). C itself is EXACT INTEGERS
+    to one division via n·Σz² = n·Σx²−S²; only the Cliff–Ord
+    randomization variance touches floats."""
+    from xmlschemavalidator_spark.weburl import gearys_c
+
+    docs = _t(spark, sf_dir, "documents")
+    attrs = docs.select(
+        (F.col("doc_id") % 60).alias("node"),
+        ((F.col("doc_id") % 60) % 7).cast("double").alias("val"),
+    ).distinct()
+    return gearys_c(_edges(spark, sf_dir), attrs, "val")

@@ -3687,9 +3687,14 @@ def morans_i(
     n = F.col("n_nodes").cast("double")
     w = F.col("n_edges").cast("double")
     ok = (F.col("n_nodes") >= 4) & (F.col("n_edges") > 0) & (F.col("_den") > 0)
-    i_val = (n / w) * (F.col("_num") / F.col("_den"))
+    # ANSI-mode guard: conditions referencing these evaluate eagerly —
+    # when()-NULL the divisors rather than trust short-circuiting
+    den_ok = F.when(F.col("_den") > 0, F.col("_den"))
+    i_val = (n / w) * (F.col("_num") / den_ok)
     e_i = F.lit(-1.0) / (n - 1.0)
-    b2 = n * F.col("_z4") / (F.col("_den") * F.col("_den"))
+    b2 = n * F.col("_z4") / F.when(
+        F.col("_den") > 0, F.col("_den") * F.col("_den")
+    )
     w2 = w * w
     var = (
         (
@@ -3793,4 +3798,241 @@ SELECT n_nodes, n_edges,
   CASE WHEN NOT coalesce(abs({z}) * 1000 > {z_crit_milli}, FALSE)
        THEN 'none'
        WHEN {i_val} > {e_i} THEN 'clustered' ELSE 'dispersed' END AS pattern
+FROM j"""
+
+
+def gearys_c(
+    edges: DataFrame,
+    attrs: DataFrame,
+    value_col: str,
+    node_col: str = "node",
+    src: str = "src",
+    dst: str = "dst",
+    quantum: int = 1_000_000,
+    z_crit_milli: int = 1960,
+    round_to: int = 6,
+) -> DataFrame:
+    """Geary's C (Geary 1954; Cliff & Ord 1981 randomization inference)
+    — Moran's LOCAL-DIFFERENCE sibling over the link graph: Moran's I
+    is a global cross-product (one far-flung hub pair can dominate),
+    C = (n−1)·Σ_E (x_i−x_j)² / (2W·Σz²) reads squared differences
+    ALONG EDGES, so it catches local heterogeneity I smooths over
+    (C < 1 clustered, C > 1 dispersed, E[C] = 1). ONE row ``(n_nodes,
+    n_edges, c, z, p, pattern)``; run both — they disagree exactly
+    when the structure is local.
+
+    Exactness: the entire statistic is EXACT INTEGERS to one division
+    — per-edge (x_i−x_j)² on micro ints and the variance denominator
+    via the identity n·Σz² = n·Σx² − S², both DECIMAL(38,0):
+    C = (n−1)·n·Σd² / (2W·(n·Σx²−S²)). Only the Cliff–Ord
+    randomization variance touches floats (kurtosis b2 via 6dp-round-
+    then-DECIMAL z⁴ sums, then a fixed double chain). Same design
+    notes as :func:`morans_i`: directed edge list as given, inner-join
+    attr semantics, n < 4 / constant → NULL.
+    """
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .where(F.col("_s").isNotNull() & F.col("_d").isNotNull())
+        .distinct()
+    )
+    a = attrs.where(
+        F.col(node_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(node_col).alias("_n"),
+        F.floor(F.col(value_col).cast("double") * F.lit(quantum))
+        .cast("bigint")
+        .alias("_x"),
+    )
+    zero = F.lit(0).cast("decimal(38,0)")
+    tot = a.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.coalesce(F.sum("_x").cast("decimal(38,0)"), zero).alias("_S"),
+        F.coalesce(
+            F.sum(
+                F.col("_x").cast("decimal(38,0)")
+                * F.col("_x").cast("decimal(38,0)")
+            ),
+            zero,
+        ).alias("_X2"),
+    )
+    ej = (
+        e.join(a.select(F.col("_n").alias("_s"), F.col("_x").alias("_xi")), "_s")
+        .join(a.select(F.col("_n").alias("_d"), F.col("_x").alias("_xj")), "_d")
+    )
+    dsum = ej.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        F.coalesce(
+            F.sum(
+                (F.col("_xi") - F.col("_xj")).cast("decimal(38,0)")
+                * (F.col("_xi") - F.col("_xj")).cast("decimal(38,0)")
+            ),
+            zero,
+        ).alias("_D2"),
+    )
+    az = a.crossJoin(F.broadcast(tot.select("n_nodes", "_S"))).select(
+        (
+            F.col("_x").cast("double")
+            - F.col("_S").cast("double") / F.col("n_nodes").cast("double")
+        ).alias("_z")
+    )
+    dec6 = "decimal(38,6)"
+    zero6 = F.lit(0).cast(dec6)
+    kurt = az.agg(
+        F.coalesce(
+            F.sum(
+                F.round(
+                    F.col("_z") * F.col("_z") * F.col("_z") * F.col("_z"), 6
+                ).cast(dec6)
+            ),
+            zero6,
+        )
+        .cast("double")
+        .alias("_z4"),
+    )
+    und = e.select(
+        F.least("_s", "_d").alias("_a"), F.greatest("_s", "_d").alias("_b")
+    ).groupBy("_a", "_b").agg(F.count(F.lit(1)).alias("_dirs"))
+    s1 = und.agg(
+        F.coalesce(
+            F.sum(
+                F.when(F.col("_dirs") >= 2, F.lit(2.0)).otherwise(F.lit(0.5))
+            ),
+            F.lit(0.0),
+        ).alias("_S1")
+    )
+    deg = (
+        e.select(F.col("_s").alias("_n"))
+        .unionByName(e.select(F.col("_d").alias("_n")))
+        .groupBy("_n")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("_t"))
+    )
+    s2 = deg.agg(
+        F.coalesce(
+            F.sum(F.col("_t") * F.col("_t")), F.lit(0).cast("decimal(38,0)")
+        )
+        .cast("double")
+        .alias("_S2")
+    )
+    j = (
+        tot.crossJoin(F.broadcast(dsum))
+        .crossJoin(F.broadcast(kurt))
+        .crossJoin(F.broadcast(s1))
+        .crossJoin(F.broadcast(s2))
+    )
+    n = F.col("n_nodes").cast("double")
+    w = F.col("n_edges").cast("double")
+    nz2_dec = (
+        F.col("n_nodes").cast("decimal(38,0)") * F.col("_X2")
+        - F.col("_S") * F.col("_S")
+    )  # n·Σz² exactly
+    ok = (F.col("n_nodes") >= 4) & (F.col("n_edges") > 0) & (nz2_dec > 0)
+    # ANSI mode: conditions referencing these evaluate EAGERLY, so every
+    # divisor is when()-guarded to NULL rather than relied on short-
+    # circuiting (div-by-zero raises otherwise)
+    c_den = F.lit(2.0) * w * nz2_dec.cast("double")
+    c_val = (
+        ((F.col("n_nodes") - 1).cast("decimal(38,0)")
+         * F.col("n_nodes").cast("decimal(38,0)")
+         * F.col("_D2")).cast("double")
+        / F.when(c_den > 0, c_den)
+    )
+    sz2 = nz2_dec.cast("double") / n  # Σz² as double for b2
+    b2 = n * F.col("_z4") / F.when(sz2 > 0, sz2 * sz2)
+    w2 = w * w
+    n2 = n * n
+    var = (
+        (n - 1.0)
+        * F.col("_S1")
+        * (n2 - 3.0 * n + 3.0 - (n - 1.0) * b2)
+        - 0.25
+        * (n - 1.0)
+        * F.col("_S2")
+        * (n2 + 3.0 * n - 6.0 - (n2 - n + 2.0) * b2)
+        + w2 * (n2 - 3.0 - (n - 1.0) * (n - 1.0) * b2)
+    ) / (n * (n - 2.0) * (n - 3.0) * w2)
+    z = F.when(ok & (var > 0), (c_val - 1.0) / F.sqrt(var))
+    sig = F.abs(z) * 1000 > F.lit(float(z_crit_milli))
+    from xmlschemavalidator_spark.checks.evaluation import _p_two_sided
+
+    return j.select(
+        "n_nodes",
+        "n_edges",
+        F.round(F.when(ok, c_val), round_to).alias("c"),
+        F.round(z, round_to).alias("z"),
+        F.round(F.when(z.isNotNull(), _p_two_sided(F.abs(z))), round_to).alias(
+            "p"
+        ),
+        F.when(~F.coalesce(sig, F.lit(False)), F.lit("none"))
+        .when(c_val < 1.0, F.lit("clustered"))
+        .otherwise(F.lit("dispersed"))
+        .alias("pattern"),
+    )
+
+
+def gearys_c_oracle_sql(
+    edges_sql: str,
+    attrs_sql: str,
+    quantum: int = 1_000_000,
+    z_crit_milli: int = 1960,
+    round_to: int = 6,
+) -> str:
+    """DuckDB replay of :func:`gearys_c` — same exact-integer C, same
+    Cliff–Ord randomization chain."""
+    from xmlschemavalidator_spark.checks.evaluation import _p_two_sided_sql
+
+    c_val = (
+        "(CAST((nn_dec - 1) * nn_dec * D2 AS DOUBLE)"
+        " / (2.0 * w * CAST(nz2 AS DOUBLE)))"
+    )
+    sz2 = "(CAST(nz2 AS DOUBLE) / nn)"
+    b2 = f"(nn * z4 / ({sz2} * {sz2}))"
+    var = (
+        f"(((nn - 1.0) * S1v * (nn * nn - 3.0 * nn + 3.0 - (nn - 1.0) * {b2})"
+        f" - 0.25 * (nn - 1.0) * S2v"
+        f" * (nn * nn + 3.0 * nn - 6.0 - (nn * nn - nn + 2.0) * {b2})"
+        f" + w * w * (nn * nn - 3.0 - (nn - 1.0) * (nn - 1.0) * {b2}))"
+        f" / (nn * (nn - 2.0) * (nn - 3.0) * w * w))"
+    )
+    okc = "n_nodes >= 4 AND n_edges > 0 AND nz2 > 0"
+    z = f"(CASE WHEN {okc} AND {var} > 0 THEN ({c_val} - 1.0) / sqrt({var}) END)"
+    return f"""WITH e AS (SELECT DISTINCT src AS s, dst AS d FROM ({edges_sql})
+    WHERE src IS NOT NULL AND dst IS NOT NULL),
+a AS (SELECT node AS n,
+        CAST(floor(CAST(val AS DOUBLE) * {quantum}) AS BIGINT) AS x
+      FROM ({attrs_sql}) WHERE node IS NOT NULL AND val IS NOT NULL),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+    CAST(coalesce(sum(x), 0) AS DECIMAL(38,0)) AS S,
+    CAST(coalesce(sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))),
+        0) AS DECIMAL(38,0)) AS X2
+  FROM a),
+dsum AS (SELECT CAST(count(*) AS BIGINT) AS n_edges,
+    CAST(coalesce(sum(CAST(zi.x - zj.x AS DECIMAL(38,0))
+        * CAST(zi.x - zj.x AS DECIMAL(38,0))), 0) AS DECIMAL(38,0)) AS D2
+  FROM e JOIN a zi ON e.s = zi.n JOIN a zj ON e.d = zj.n),
+kurt AS (SELECT CAST(coalesce(sum(CAST(round(z * z * z * z, 6)
+        AS DECIMAL(38,6))), 0) AS DOUBLE) AS z4
+  FROM (SELECT CAST(a.x AS DOUBLE) - CAST(tot.S AS DOUBLE)
+          / CAST(tot.n_nodes AS DOUBLE) AS z FROM a, tot)),
+und AS (SELECT least(s, d) AS a1, greatest(s, d) AS b1, count(*) AS dirs
+        FROM e GROUP BY 1, 2),
+s1 AS (SELECT coalesce(sum(CASE WHEN dirs >= 2 THEN 2.0 ELSE 0.5 END), 0.0)
+         AS S1v FROM und),
+s2 AS (SELECT CAST(coalesce(sum(CAST(t AS DECIMAL(38,0))
+         * CAST(t AS DECIMAL(38,0))), 0) AS DOUBLE) AS S2v
+  FROM (SELECT n, count(*) AS t FROM (
+        SELECT s AS n FROM e UNION ALL SELECT d FROM e) GROUP BY n)),
+j AS (SELECT tot.n_nodes, dsum.n_edges, dsum.D2, kurt.z4, s1.S1v, s2.S2v,
+        CAST(tot.n_nodes AS DOUBLE) AS nn,
+        CAST(tot.n_nodes AS DECIMAL(38,0)) AS nn_dec,
+        CAST(dsum.n_edges AS DOUBLE) AS w,
+        CAST(tot.n_nodes AS DECIMAL(38,0)) * tot.X2 - tot.S * tot.S AS nz2
+      FROM tot, dsum, kurt, s1, s2)
+SELECT n_nodes, n_edges,
+  round(CASE WHEN {okc} THEN {c_val} END, {round_to}) AS c,
+  round({z}, {round_to}) AS z,
+  round(CASE WHEN {z} IS NOT NULL THEN {_p_two_sided_sql(f'abs({z})')} END,
+      {round_to}) AS p,
+  CASE WHEN NOT coalesce(abs({z}) * 1000 > {z_crit_milli}, FALSE)
+       THEN 'none'
+       WHEN {c_val} < 1.0 THEN 'clustered' ELSE 'dispersed' END AS pattern
 FROM j"""
