@@ -37,6 +37,22 @@ DO_SF1 = os.environ.get("SPARK_GRAFT_BENCH_SF1", "1") != "0"
 # "regression" was exactly this).
 HEALTHY_CPU_ROWS_PER_SEC = 48_700_000
 
+# Frozen cross-round-comparable core (VERDICT r4 item 8): the queries
+# carried since rounds 1-3. The suite keeps growing (each round adds
+# headline entries), which makes the grand total drift-prone as a
+# round-over-round signal; the core total is computed over EXACTLY this
+# pinned set and is the number to diff against prior rounds. Do NOT add
+# to this set — new queries report under extended_sec.
+CORE_QUERIES = frozenset(
+    {
+        "validate_documents", "column_stats", "uniqueness_lineitem",
+        "referential_orders", "ks_drift", "agg_pricing", "join_revenue",
+        "join_q3", "window_daily", "minhash_lsh", "simhash_sigs",
+        "line_dedup", "decontam", "ann_topk", "html_extract",
+        "bpe_tokenize", "semdedup", "dsir_select", "pages_validate_2m",
+    }
+)
+
 
 def _count(df) -> int:
     return df.count()
@@ -615,10 +631,19 @@ def main() -> None:
 
     scaling = run_scaling(PAGES_ROWS) if DO_SCALING else {}
 
+    missing_core = CORE_QUERIES - set(times)
+    if missing_core:
+        raise RuntimeError(f"pinned core queries missing from suite: {sorted(missing_core)}")
     result = {
         "metric": "headline suite wall time (validated docs/sec in docs_per_sec)",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
+        # cross-round signal: core_sec is the frozen r1-r3 carried set
+        # (diff THIS against prior rounds); extended_sec is everything
+        # added since (grows with coverage, not comparable across rounds)
+        "core_sec": round(sum(v for k, v in times.items() if k in CORE_QUERIES), 3),
+        "extended_sec": round(sum(v for k, v in times.items() if k not in CORE_QUERIES), 3),
+        "core_queries": sorted(CORE_QUERIES),
         "queries": times,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "docs_per_sec": round(dps, 1),

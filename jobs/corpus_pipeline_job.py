@@ -70,6 +70,7 @@ def run_pipeline(
     url_dedup_on: bool = False,
     url_dedup_policy: str = "longest",
     domain_cap_n: int = 0,
+    domain_cap_stage: str = "after_quality",
     url_badwords: list[str] | None = None,
     robots_df=None,
     unimax_budget: int = 0,
@@ -282,6 +283,9 @@ def run_pipeline(
     # 0a. URL layer (published order: URL filters run FIRST — C4/RefinedWeb
     # drop and dedup on URL before any text is judged; cheapest filters
     # earliest). All three stages are opt-in and require --url-col.
+    if domain_cap_stage not in ("url_layer", "after_quality"):
+        raise ValueError(f"domain_cap_stage={domain_cap_stage!r}")
+    _apply_domain_cap = None
     if url_dedup_on or domain_cap_n or url_badwords or robots_df is not None:
         if not url_col:
             raise ValueError("URL stages require url_col (--url-col)")
@@ -296,6 +300,31 @@ def run_pipeline(
             url_badword_filter,
             url_dedup,
         )
+
+        def _apply_domain_cap(frame):
+            # top-``cap`` docs per registered domain by n_chars (the
+            # anti-dominance cap). Stage placement is a measured choice
+            # (SCALE.md): the cap's two salted window sorts scan the
+            # near-full corpus when run in the URL layer (11.9× at the
+            # 2M→20M rehearsal); run AFTER the quality filters (the
+            # default) the sorted pool is the quality survivors — same
+            # per-domain top-N semantics, measured on the cleaner pool,
+            # and cap slots are no longer consumed by docs quality was
+            # about to drop. Use domain_cap_stage='url_layer' when the
+            # published C4-order (cap before any text judgment) must be
+            # reproduced exactly.
+            return domain_cap(
+                frame.withColumn(
+                    "_domain",
+                    registered_domain(
+                        canonical_host(canonical_url(F.col(url_col)))
+                    ),
+                ),
+                "_domain",
+                cap=domain_cap_n,
+                order_col="n_chars" if "n_chars" in frame.columns else None,
+                id_col=id_col,
+            ).drop("_domain")
 
         if robots_df is not None:
             # crawl politeness first: robots-disallowed URLs never enter
@@ -328,22 +357,8 @@ def run_pipeline(
                     ).drop("_len")
                 )
             docs = stage("url_dedup", deduped.drop("canonical_url"))
-        if domain_cap_n:
-            docs = stage(
-                "domain_cap",
-                domain_cap(
-                    docs.withColumn(
-                        "_domain",
-                        registered_domain(
-                            canonical_host(canonical_url(F.col(url_col)))
-                        ),
-                    ),
-                    "_domain",
-                    cap=domain_cap_n,
-                    order_col="n_chars" if "n_chars" in docs.columns else None,
-                    id_col=id_col,
-                ).drop("_domain"),
-            )
+        if domain_cap_n and domain_cap_stage == "url_layer":
+            docs = stage("domain_cap", _apply_domain_cap(docs))
 
     # 0b. language production (VERDICT r3 item 3): every per-lang stage
     # downstream (CCNet terciles, stratified mix, token budget, packing)
@@ -459,6 +474,12 @@ def run_pipeline(
         # they leaked for the session's lifetime per --ccnet-keep batch)
         lm.bigram_counts.unpersist()
         lm.context_counts.unpersist()
+
+    # 2d. domain cap, default placement (SCALE.md measurement — see
+    # _apply_domain_cap for the semantics caveat vs the C4 url-layer
+    # placement)
+    if domain_cap_n and domain_cap_stage == "after_quality":
+        cur = stage("domain_cap", _apply_domain_cap(cur))
 
     # 3. C4 line dedup (boilerplate removal) — may empty some docs; the
     # published order re-applies a length floor right after
@@ -896,6 +917,15 @@ def main(argv: list[str] | None = None) -> int:
         help="keep at most N docs per registrable domain (0 = off)",
     )
     p.add_argument(
+        "--domain-cap-stage",
+        choices=["after_quality", "url_layer"],
+        default="after_quality",
+        help="where the cap runs: after the quality filters (default — "
+        "the cap's window sorts scan the filtered pool, and cap slots "
+        "aren't burned on docs quality drops anyway) or in the URL "
+        "layer (exact C4 order: cap before any text judgment)",
+    )
+    p.add_argument(
         "--url-badwords",
         default=None,
         help="comma list of badwords; docs whose URL contains any are dropped",
@@ -971,6 +1001,7 @@ def main(argv: list[str] | None = None) -> int:
         url_col=args.url_col, url_dedup_on=args.url_dedup,
         url_dedup_policy=args.url_dedup_policy,
         domain_cap_n=args.domain_cap,
+        domain_cap_stage=args.domain_cap_stage,
         robots_df=(spark.read.parquet(args.robots) if args.robots else None),
         unimax_budget=args.unimax_budget,
         unimax_max_epochs=args.unimax_max_epochs,

@@ -452,6 +452,7 @@ def test_pipeline_url_stages(spark, tmp_path):
         url_col="url",
         url_dedup_on=True,
         domain_cap_n=5,
+        domain_cap_stage="url_layer",
         url_badwords=["casino"],
     )
     survivors = [r.doc_id for r in docs.where(F.col("doc_id") % 10 != 0).select("doc_id").collect()]
@@ -467,6 +468,51 @@ def test_pipeline_url_stages(spark, tmp_path):
     )
     assert list(audit)[:4] == ["input", "url_badwords", "url_dedup", "domain_cap"]
     assert audit["kept"] > 0
+
+
+def test_pipeline_domain_cap_after_quality_default(spark, tmp_path):
+    """Default cap placement (SCALE.md measurement): the domain_cap stage
+    runs AFTER the quality filters — the audit order shows it between
+    `quality` and `line_dedup`, and the cap math applies to the QUALITY
+    SURVIVORS (slots are not burned on docs quality drops)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    from corpus_pipeline_job import run_pipeline
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = docs.withColumn(
+        "url",
+        F.concat(
+            F.lit("http://d"),
+            (F.col("doc_id") % 2).cast("string"),
+            F.lit(".com/p/"),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    out = str(tmp_path / "corpus_cap_default")
+    audit = run_pipeline(
+        spark, docs, out, batch_id="c1", url_col="url", domain_cap_n=5
+    )
+    keys = list(audit)
+    assert keys.index("quality") < keys.index("domain_cap") < keys.index(
+        "line_dedup"
+    )
+    # cap counts among quality survivors: min(5, per-domain survivors)
+    from xmlschemavalidator_spark.engine import validate
+    from xmlschemavalidator_spark.flagship import documents_ruleset
+    from xmlschemavalidator_spark.textops import gopher_pass
+
+    ok = validate(docs, documents_ruleset(), key="doc_id").verdicts.where(
+        F.col("_doc_ok")
+    ).select("doc_id")
+    surv = (
+        docs.join(ok, "doc_id", "left_semi")
+        .where(gopher_pass(F.col("text")))
+        .select((F.col("doc_id") % 2).alias("dom"))
+        .groupBy("dom")
+        .count()
+        .collect()
+    )
+    assert audit["domain_cap"] == sum(min(5, r["count"]) for r in surv)
 
 
 def test_pipeline_url_stages_require_url_col(spark, tmp_path):

@@ -524,6 +524,65 @@ def referential_events_customer(spark, sf_dir):
     )
 
 
+# Planted-orphan variants: the clean testdata has zero referential
+# violations, so the plain checks match their oracles on 0 rows — which is
+# no evidence at all (CLAUDE.md rule). These union a deterministic handful
+# of orphan keys into the fact side so the anti-join provably FIRES and the
+# per-key counts are value-checked, not just trivially empty.
+
+_PLANTED_ORPHAN_CUSTKEYS = (-1, -1, -1, -2, -2, -3)
+_PLANTED_ORPHAN_USERIDS = (-10, -10, -10, -10, -11)
+
+
+@q(
+    "referential_orders_planted",
+    f"""WITH fact AS (
+         SELECT o_custkey FROM orders
+         UNION ALL
+         SELECT CAST(v AS BIGINT) AS o_custkey
+         FROM (VALUES {', '.join(f'({k})' for k in _PLANTED_ORPHAN_CUSTKEYS)}) t(v)
+       )
+       SELECT o_custkey, CAST(count(*) AS BIGINT) AS n
+       FROM fact WHERE o_custkey IS NULL
+          OR o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)
+       GROUP BY o_custkey""",
+)
+def referential_orders_planted(spark, sf_dir):
+    """Broadcast anti-join referential check with planted orphans (nonzero
+    by construction: counts 3/2/1 on keys -1/-2/-3 plus any real orphans)."""
+    planted = spark.createDataFrame(
+        [(k,) for k in _PLANTED_ORPHAN_CUSTKEYS], "o_custkey bigint")
+    fact = _t(spark, sf_dir, "orders").select("o_custkey").unionByName(planted)
+    return referential_violation_counts(
+        fact, "o_custkey", _t(spark, sf_dir, "customer"), "c_custkey",
+        strategy="broadcast",
+    )
+
+
+@q(
+    "referential_events_planted",
+    f"""WITH fact AS (
+         SELECT user_id FROM events
+         UNION ALL
+         SELECT CAST(v AS BIGINT) AS user_id
+         FROM (VALUES {', '.join(f'({k})' for k in _PLANTED_ORPHAN_USERIDS)}) t(v)
+       )
+       SELECT user_id, CAST(count(*) AS BIGINT) AS n
+       FROM fact WHERE user_id IS NULL
+          OR user_id NOT IN (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)
+       GROUP BY user_id""",
+)
+def referential_events_planted(spark, sf_dir):
+    """Shuffle-hash referential check with planted orphans (events → customer)."""
+    planted = spark.createDataFrame(
+        [(k,) for k in _PLANTED_ORPHAN_USERIDS], "user_id bigint")
+    fact = _t(spark, sf_dir, "events").select("user_id").unionByName(planted)
+    return referential_violation_counts(
+        fact, "user_id", _t(spark, sf_dir, "customer"), "c_custkey",
+        strategy="shuffle_hash",
+    )
+
+
 @q(
     "ks_drift_lang",
     """WITH cur AS (
@@ -741,6 +800,31 @@ def text_lang_id(spark, sf_dir):
 )
 def dedup_exact_groups(spark, sf_dir):
     return exact_duplicate_groups(_t(spark, sf_dir, "documents"), "doc_id").select(
+        "fingerprint", "n_docs"
+    )
+
+
+@q(
+    "dedup_exact_groups_planted",
+    r"""SELECT fingerprint, CAST(count(*) AS BIGINT) AS n_docs FROM (
+          SELECT md5(lower(regexp_replace(trim(coalesce(text, '')), '\s+', ' ', 'g'))) AS fingerprint
+          FROM (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000000 AS doc_id, text
+            FROM documents WHERE doc_id % 100 = 0
+          )
+        ) GROUP BY fingerprint HAVING count(*) > 1""",
+)
+def dedup_exact_groups_planted(spark, sf_dir):
+    """Exact-dup grouping with planted duplicates: re-id every 100th doc and
+    union it back, so the fingerprint groupBy provably fires on REAL corpus
+    text (≥5 groups at sf0.01) — the value-level fingerprint parity the
+    clean-corpus variant can't evidence (it matches on 0 rows)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = docs.where(F.col("doc_id") % 100 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000000))
+    return exact_duplicate_groups(docs.unionByName(dup), "doc_id").select(
         "fingerprint", "n_docs"
     )
 
@@ -9772,12 +9856,59 @@ def tfidf_cosine_pairs_docs(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+# The driver's correctness gate samples the FIRST 50 entries of queries().
+# Registration order is package-growth order (round 1 first), so an
+# unordered export would only ever show the driver the round-1 facet/type
+# operators. This curated front block is one representative per family —
+# facets/types/structural → verdicts → dataset checks → dedup (exact/line/
+# span/LSH/b-bit/SemDeDup/canonical/decontam) → DSIR → lang ID → quality →
+# tokenizers → URL layer → graph → retrieval → temporal → streaming → CUBE
+# → TPC-H → statistical analyzers — every one chosen to return NONZERO rows
+# at sf0.01 (verified; the three clean-data 0-row checks are replaced here
+# by their planted-violation variants and demoted to the tail).
+_FRONT_50 = (
+    "facet_enumeration", "facet_range", "facet_pattern",          # §2.1
+    "type_lattice", "type_union_detail",                          # §2.2/2.3
+    "structural_choice", "structural_occurs",                     # §2.4
+    "attr_required",                                              # §2.5
+    "verdicts_wide", "violations_long", "validation_summary",     # §2.6
+    "xsd_columnar_verdicts", "xsd_xml_documents",
+    "ruleset_extension_verdicts",
+    "column_stats", "length_histogram", "heavy_hitters_lang",     # §2.7
+    "uniqueness_duplicates", "referential_orders_planted",
+    "ks_drift_lang", "suggest_constraints", "incremental_revalidation",
+    "dedup_exact_groups_planted", "corpus_duplicate_lines",       # §2.8/2.9 dedup
+    "corpus_duplicate_spans", "minhash_lsh_pairs_portable",
+    "bbit_minhash_pairs_portable", "embedding_semdedup",
+    "dedup_canonical_keep", "decontamination_overlap",
+    "dsir_selection_frac", "lang_model_predict",                  # §2.9 selection/LM
+    "text_gopher_filters", "text_quality_model",
+    "main_content_extract", "wordpiece_encode_replay",
+    "url_canonicalize", "url_dedup_keep", "url_domain_cap",       # §2.10 URL
+    "robots_filter_rfc_kept",
+    "link_pagerank", "link_components",                           # §2.10 graph
+    "text_bm25_index_topk",                                       # §2.10 retrieval
+    "temporal_asof_join", "temporal_sessionize",                  # §2.10 temporal
+    "stream_cdc_apply_customer",                                  # §2.10 streaming
+    "cube_source_lang", "join_q18_large_orders",                  # OLAP/TPC-H
+    "welch_t_doc_length", "doc_size_fleiss_kappa",                # stats battery
+)
+
+
+def _front_ordered(d: dict) -> dict:
+    out = {n: d[n] for n in _FRONT_50 if n in d}
+    out.update((n, v) for n, v in d.items() if n not in out)
+    return out
+
+
 def all_queries() -> dict[str, QueryFn]:
-    return dict(_QUERIES)
+    assert all(n in _QUERIES for n in _FRONT_50), [
+        n for n in _FRONT_50 if n not in _QUERIES]
+    return _front_ordered(_QUERIES)
 
 
 def all_oracles() -> dict[str, str]:
-    return dict(_ORACLES)
+    return _front_ordered(_ORACLES)
 
 
 # ===========================================================================

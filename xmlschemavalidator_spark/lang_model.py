@@ -19,12 +19,17 @@ scoring, AND the argmax exactly:
   per-class log-likelihoods quantized to integer micro units via the
   SAME Spark-SQL ``F.log``/``floor`` shape the DSIR/quality models use
   (CLAUDE.md: floor-quantized integers are the one float-parity recipe).
-* scoring — the weight table is pivoted WIDE driver-side
-  ``(bucket, w_0..w_{C-1})`` and broadcast, so the per-gram join never
-  multiplies rows by the class count; the groupBy(doc) shuffle carries
-  ``(doc, C bigints)``. Prediction is a strictly-greater reduce over
-  the class array: highest score, ties to the earliest language code —
-  the same deterministic argmax the heuristic uses.
+* scoring — the weight table is rendered as C bucket-indexed LITERAL
+  arrays (one ``F.lit(list)`` Literal per class — the same literal-table
+  trick as PQ's ADC scoring, similarity.pq_topk) and each class score is
+  ONE integer ``aggregate`` HOF over the per-doc bucket array bound once
+  behind a projection boundary: prior + Σ w[bucket]. No explode, no
+  join, no shuffle — the whole scorer is two codegen'd narrow
+  projections, bit-identical to the former explode → broadcast-join →
+  groupBy plan (integer adds are associative). Prediction is a
+  strictly-greater reduce over the class array: highest score, ties to
+  the earliest language code — the same deterministic argmax the
+  heuristic uses.
 * weak labels — :func:`train_lang_model_weak` bootstraps from the
   stopword heuristic's confident calls (label != 'und'), the published
   recipe (heuristic teacher, model generalizes), mirroring
@@ -273,41 +278,78 @@ def train_lang_model_weak(
     )
 
 
-def _wide_weights(model: LangModel) -> DataFrame:
-    """Pivot the long weight table to ``(bucket, w_0..w_{C-1})`` so the
-    per-gram broadcast join adds C columns instead of C rows."""
-    piv = (
-        model.weights.groupBy("bucket")
-        .pivot("lang", list(model.langs))
-        .agg(F.first("w_micro"))
-    )
-    return piv.select(
-        "bucket",
-        *[F.col(f"`{lg}`").alias(f"w_{i}") for i, lg in enumerate(model.langs)],
-    )
+_BK = "_lm_buckets"
+
+
+def _collect_weight_arrays(model: LangModel) -> list[list[int]]:
+    """The C×B weight grid as per-class bucket-indexed Python lists —
+    bounded driver state by the training guard (C·B ≤ 2**21 rows)."""
+    rows = model.weights.collect()
+    by: dict[str, list[int | None]] = {
+        lg: [None] * model.n_buckets for lg in model.langs
+    }
+    for r in rows:
+        by[r["lang"]][r["bucket"]] = int(r["w_micro"])
+    out = []
+    for lg in model.langs:
+        col = by[lg]
+        if any(v is None for v in col):
+            raise ValueError(f"lang model weights incomplete for class {lg!r}")
+        out.append(col)
+    return out
+
+
+def _with_buckets(
+    df: DataFrame, model: LangModel, id_col: str, text_col: str,
+    keep_all: bool = False,
+) -> DataFrame:
+    """Bind the per-doc gram-bucket array ONCE behind a projection
+    boundary. The C score expressions downstream each scan this int
+    array; computing it inline in each of them would re-run the
+    normalize-regex + hash per class (HOF subtrees are not CSE'd —
+    CLAUDE.md hard rule, and CollapseProject keeps a non-cheap alias
+    consumed C times un-inlined)."""
+    grams = char_ngrams(F.col(text_col), model.n, model.max_chars)
+    bk = F.transform(grams, lambda g: hashed_bucket(g, model.n_buckets))
+    if keep_all:
+        return df.withColumn(_BK, bk)
+    return df.select(F.col(id_col).alias("doc"), bk.alias(_BK))
 
 
 def _doc_class_scores(
     df: DataFrame, model: LangModel, id_col: str, text_col: str
 ) -> tuple[DataFrame, list[Column]]:
-    """Shared scoring core (review finding: score_langs and predict_lang
-    carried verbatim copies): the per-doc gram-weight sums left-joined to
-    the doc universe, plus one integer score Column per class (prior +
-    sum; featureless docs score the prior)."""
-    sums = (
-        _doc_gram_buckets(df, id_col, text_col, model.n, model.max_chars, model.n_buckets)
-        .join(F.broadcast(_wide_weights(model)), "bucket")
-        .groupBy("doc")
-        .agg(*[F.sum(f"w_{i}").alias(f"s_{i}") for i in range(len(model.langs))])
-    )
-    base = df.select(F.col(id_col).alias("doc")).join(sums, "doc", "left")
-    scores = [
-        (F.coalesce(F.col(f"s_{i}"), F.lit(0)) + F.lit(model.priors[lg])).cast(
-            "bigint"
+    """Shared scoring core — the NARROW-PLAN path (VERDICT r4 item 3):
+    the weight table is rendered as C bucket-indexed LITERAL arrays
+    (one ``F.lit(list)`` Literal each, the ADC trick from
+    similarity.pq_topk), and each class score is one integer
+    ``aggregate`` over the bound bucket array: prior + Σ w[bucket].
+    No explode, no join, no shuffle — scoring is a chain of two
+    codegen'd projections. Integer adds are associative, so the scores
+    are bit-identical to the old explode→broadcast-join→groupBy plan
+    (featureless docs fold nothing and score the prior, matching the
+    old coalesce-to-0 left join)."""
+    base = _with_buckets(df, model, id_col, text_col)
+    return base, _score_columns(model)
+
+
+def _score_columns(model: LangModel) -> list[Column]:
+    arrays = _collect_weight_arrays(model)
+
+    def add_weight(w: Column):
+        # closure factory, NOT a default arg: PySpark derives the HOF
+        # arity from the Python signature, so `lambda acc, b, w=w` would
+        # register as a 3-arg merge function and fail analysis
+        return lambda acc, b: acc + F.element_at(w, b + F.lit(1)).cast("bigint")
+
+    return [
+        F.aggregate(
+            F.col(_BK),
+            F.lit(int(model.priors[lg])).cast("bigint"),
+            add_weight(F.lit(arrays[i])),
         )
         for i, lg in enumerate(model.langs)
     ]
-    return base, scores
 
 
 def score_langs(
@@ -341,24 +383,30 @@ def predict_lang(
     projection after the gram-sum aggregation; nothing class-shaped ever
     shuffles."""
     base, scores = _doc_class_scores(df, model, id_col, text_col)
+    best = _best_struct(model, scores)
+    return base.select(
+        "doc",
+        best["lang"].alias("lang_pred"),
+        best["score"].alias("score_micro"),
+    )
+
+
+def _best_struct(model: LangModel, scores: list[Column]) -> Column:
+    """Strictly-greater argmax reduce over (score, lang) pairs — ties to
+    the earliest language code, same tie-break as :func:`textops.lang_id`."""
     pairs = F.array(
         *[
             F.struct(s.alias("score"), F.lit(lg).alias("lang"))
             for lg, s in zip(model.langs, scores)
         ]
     )
-    best = F.reduce(
+    return F.reduce(
         pairs,
         F.struct(
             F.lit(-(1 << 62)).cast("bigint").alias("score"),
             F.lit("und").alias("lang"),
         ),
         lambda acc, x: F.when(x["score"] > acc["score"], x).otherwise(acc),
-    )
-    return base.select(
-        "doc",
-        best["lang"].alias("lang_pred"),
-        best["score"].alias("score_micro"),
     )
 
 
@@ -367,8 +415,11 @@ def with_lang(
 ) -> DataFrame:
     """Attach/replace the ``lang`` column with the classifier's call —
     the drop-in producer for per-lang pipeline stages (CCNet terciles,
-    budgets, report panels) when the input carries no trusted label."""
-    pred = predict_lang(df, model, id_col, text_col).select(
-        F.col("doc").alias(id_col), F.col("lang_pred").alias("lang")
-    )
-    return df.drop("lang").join(pred, id_col, "left")
+    budgets, report panels) when the input carries no trusted label.
+    With the literal-array scoring path this is a pure two-projection
+    chain over the input — no join back, no shuffle (the old plan's
+    explode → broadcast join → (doc, C bigints) groupBy → rejoin is
+    gone; VERDICT r4 item 3)."""
+    bound = _with_buckets(df.drop("lang"), model, id_col, text_col, keep_all=True)
+    best = _best_struct(model, _score_columns(model))
+    return bound.withColumn("lang", best["lang"]).drop(_BK)
