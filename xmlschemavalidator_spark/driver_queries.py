@@ -15696,6 +15696,68 @@ def nelson_aalen_user_hazard(spark, sf_dir):
     return nelson_aalen(u, "dur", "obs")
 
 
+@q("embedding_opq_report")  # no oracle: Lloyd + SVD are engine-specific
+def embedding_opq_report(spark, sf_dir):
+    """OPQ vs plain PQ at equal bytes/vector (similarity.py:opq_train —
+    Ge et al. 2013 non-parametric alternation, VERDICT r4 item 7): the
+    learned orthogonal rotation's quantization-MSE and the ADC
+    recall@10 of both code paths against brute-force cosine truth over
+    8 spread queries. Rotation is orthogonal, so cosine ranking is
+    preserved and the SAME pq_topk machinery serves both rows.
+    Rows-only by design; MSE dominance on anisotropic data pinned by
+    test_similarity.py::test_opq_beats_plain_pq_on_anisotropic_data."""
+    from xmlschemavalidator_spark.similarity import (
+        ann_recall_report,
+        apply_rotation,
+        brute_force_topk,
+        opq_train,
+        pq_mse,
+        pq_topk,
+        pq_train,
+        pq_encode,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").localCheckpoint()
+    m, k = 8, 16
+    plain_books = pq_train(emb, "embedding", m=m, k=k, iters=4)
+    R = opq_train(emb, "embedding", m=m, k=k, opq_iters=4, lloyd_iters=3)
+    rot = apply_rotation(emb, "embedding", R).localCheckpoint()
+    opq_books = pq_train(rot, "embedding", m=m, k=k, iters=4)
+
+    import numpy as np
+
+    Rm = np.array(R)
+    qrows = emb.where(F.col("vec_id") % 61 == 0).orderBy("vec_id").limit(8).collect()
+    out = []
+    for name, frame, books, rotate in (
+        ("pq", emb, plain_books, False),
+        ("opq", rot, opq_books, True),
+    ):
+        coded = pq_encode(frame, "embedding", books).localCheckpoint()
+        exact = None
+        approx = None
+        for r in qrows:
+            qv = [float(x) for x in r["embedding"]]
+            if rotate:
+                qv = [float(x) for x in np.array(qv) @ Rm]
+            e = brute_force_topk(frame, "embedding", qv, k=10).select(
+                F.lit(r["vec_id"]).cast("long").alias("query_id"), "vec_id"
+            )
+            a = pq_topk(coded, "pq_codes", qv, books, k=10).select(
+                F.lit(r["vec_id"]).cast("long").alias("query_id"), "vec_id"
+            )
+            exact = e if exact is None else exact.unionByName(e)
+            approx = a if approx is None else approx.unionByName(a)
+        rec = ann_recall_report(exact, approx).agg(
+            F.avg("recall_micro").cast("bigint").alias("r")
+        ).collect()[0]["r"]
+        mse = pq_mse(frame, "embedding", books)
+        out.append((name, int(round(mse * 1_000_000)), int(rec)))
+    return spark.createDataFrame(
+        out, "method string, mse_micro bigint, mean_recall_micro bigint"
+    ).orderBy("method")
+
+
 @q("ann_recall_ivf_vs_exact")  # no oracle: k-means lists are engine-specific
 def ann_recall_ivf_vs_exact(spark, sf_dir):
     """ANN method evaluation (similarity.py:ann_recall_report): the
