@@ -126,12 +126,112 @@ def run_at(spark, n_rows: int, workdir: str) -> tuple[dict, dict, float]:
     return audit, times, time.time() - t0
 
 
+def run_index_at(spark, docs_path: str, n_rows: int, workdir: str) -> tuple[dict, dict]:
+    """Index-path rehearsal (r4 VERDICT item 6): the persisted inverted
+    text index (build → append a 1% batch → serve a fixed query set) and
+    the persisted IVF-PQ ANN index (build over deterministic vectors
+    derived from the same doc ids → serve) — the only major STATEFUL
+    paths the pipeline rehearsal doesn't cover. Each serve runs twice
+    and must be BIT-IDENTICAL (persisted-index determinism); stage walls
+    feed the same 20M/2M ratio table. The ANN corpus runs at n_rows/4
+    (vector gen is 64 doubles/row — the ratio between the two sizes is
+    the signal, not the absolute row count)."""
+    from pyspark.sql import functions as F
+
+    from xmlschemavalidator_spark.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_topk,
+    )
+    from xmlschemavalidator_spark.textindex import (
+        append_text_index,
+        bm25_index_topk,
+        build_text_index,
+    )
+
+    times: dict = {}
+    audit: dict = {}
+
+    def stage(name, fn):
+        t0 = time.time()
+        out = fn()
+        times[name] = round(time.time() - t0, 1)
+        return out
+
+    docs = spark.read.parquet(docs_path)
+    main_docs = docs.where(F.col("doc_id") % 100 != 0).select("doc_id", "text")
+    late_docs = docs.where(F.col("doc_id") % 100 == 0).select("doc_id", "text")
+    idx = f"{workdir}/textindex_{n_rows}"
+    stage("index_build", lambda: build_text_index(
+        main_docs, "doc_id", idx, n_buckets=64, batch_id="b0"))
+    stage("index_append", lambda: append_text_index(
+        late_docs, "doc_id", idx, batch_id="b1"))
+    # fixed query set drawn from the corpus itself (2 leading words of 5
+    # spread docs) so the serves measurably hit postings
+    qdocs = docs.where(F.col("doc_id").isin([1, 11, 21, 31, 41])).orderBy(
+        "doc_id").select("text").collect()
+    queries = [
+        [w.lower() for w in (r["text"] or "").split()[:2]] or ["the"]
+        for r in qdocs
+    ]
+
+    def serve_text():
+        return [
+            [(r["doc"], r["score_micro"]) for r in
+             bm25_index_topk(spark, idx, q, k=10).collect()]
+            for q in queries
+        ]
+
+    first = stage("index_query", serve_text)
+    again = serve_text()
+    audit["index_query_deterministic"] = first == again
+    audit["index_query_hits"] = sum(len(h) for h in first)
+
+    # IVF-PQ: deterministic 64-dim vectors derived from doc ids
+    n_vec = n_rows // 4
+    vec = spark.range(n_vec).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: (F.pmod(F.xxhash64(F.col("id"), i), F.lit(2001)) - 1000)
+            / 1000.0,
+        ).alias("embedding"),
+    )
+    vec_path = f"{workdir}/vectors_{n_rows}"
+    stage("ivfpq_gen", lambda: vec.write.mode("overwrite").parquet(vec_path))
+    vdf = spark.read.parquet(vec_path)
+    ann = f"{workdir}/ivfpq_{n_rows}"
+    stage("ivfpq_build", lambda: build_ivf_pq_index(
+        vdf, "embedding", ann, k=8, m=8, pq_k=16, iters=3,
+        sample_fraction=min(1.0, 65536 / max(n_vec, 1))))
+    qvecs = [r["embedding"] for r in vdf.where(F.col("vec_id") % 9973 == 1)
+             .orderBy("vec_id").limit(5).collect()]
+
+    def serve_ann():
+        return [
+            [(r["vec_id"], r["cosine"]) for r in
+             ivf_pq_topk(spark, ann, [float(x) for x in q], k=10,
+                         nprobe=2).collect()]
+            for q in qvecs
+        ]
+
+    a1 = stage("ivfpq_query", serve_ann)
+    a2 = serve_ann()
+    audit["ivfpq_query_deterministic"] = a1 == a2
+    audit["ivfpq_query_hits"] = sum(len(h) for h in a1)
+    audit["ivfpq_rows"] = n_vec
+    return audit, times
+
+
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--small", type=int, default=2_000_000)
     p.add_argument("--big", type=int, default=20_000_000)
     p.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     p.add_argument("--ratio-bar", type=float, default=12.0)
+    p.add_argument("--no-index", action="store_true",
+                   help="skip the text-index/IVF-PQ index rehearsal phase")
+    p.add_argument("--no-pipeline", action="store_true",
+                   help="skip the composed-pipeline phase (index only)")
     args = p.parse_args()
 
     # the pipeline holds ~12 stage checkpoints live (validated feeds the
@@ -150,34 +250,62 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     workdir = tempfile.mkdtemp(prefix="scale_rehearsal_")
     try:
-        a_small, t_small, w_small = run_at(spark, args.small, workdir)
-        a_big, t_big, w_big = run_at(spark, args.big, workdir)
         rows = []
         flagged = []
-        for name in t_big:
-            s, b = t_small.get(name), t_big[name]
-            ratio = round(b / s, 2) if s and s > 0.5 else None  # sub-.5s: noise
-            rows.append({
-                "stage": name,
-                "rows_small": a_small.get(name),
-                "rows_big": a_big.get(name),
-                "sec_small": s,
-                "sec_big": b,
-                "ratio": ratio,
+
+        def ratio_rows(a_small, t_small, a_big, t_big):
+            for name in t_big:
+                s, b = t_small.get(name), t_big[name]
+                ratio = round(b / s, 2) if s and s > 0.5 else None  # sub-.5s: noise
+                rows.append({
+                    "stage": name,
+                    "rows_small": a_small.get(name),
+                    "rows_big": a_big.get(name),
+                    "sec_small": s,
+                    "sec_big": b,
+                    "ratio": ratio,
+                })
+                if ratio is not None and ratio > args.ratio_bar:
+                    flagged.append(name)
+
+        result: dict = {"small": args.small, "big": args.big}
+        a_small = a_big = {}
+        if not args.no_pipeline:
+            a_small, t_small, w_small = run_at(spark, args.small, workdir)
+            a_big, t_big, w_big = run_at(spark, args.big, workdir)
+            ratio_rows(a_small, t_small, a_big, t_big)
+            result.update({
+                "wall_small": round(w_small, 1),
+                "wall_big": round(w_big, 1),
+                "wall_ratio": round(w_big / w_small, 2),
             })
-            if ratio is not None and ratio > args.ratio_bar:
-                flagged.append(name)
-        result = {
-            "small": args.small,
-            "big": args.big,
-            "wall_small": round(w_small, 1),
-            "wall_big": round(w_big, 1),
-            "wall_ratio": round(w_big / w_small, 2),
+        if not args.no_index:
+            for n in (args.small, args.big):
+                dpath = f"{workdir}/docs_{n}"
+                if not os.path.isdir(dpath):
+                    from xmlschemavalidator_spark.datagen import documents
+
+                    documents(
+                        spark, n,
+                        partitions=spark.sparkContext.defaultParallelism * 2,
+                    ).write.mode("overwrite").parquet(dpath)
+            ia_small, it_small = run_index_at(
+                spark, f"{workdir}/docs_{args.small}", args.small, workdir)
+            ia_big, it_big = run_index_at(
+                spark, f"{workdir}/docs_{args.big}", args.big, workdir)
+            ratio_rows({}, it_small, {}, it_big)
+            result["index_audit_small"] = ia_small
+            result["index_audit_big"] = ia_big
+            for aud in (ia_small, ia_big):
+                for key in ("index_query_deterministic", "ivfpq_query_deterministic"):
+                    if not aud.get(key, False):
+                        flagged.append(f"NONDETERMINISTIC:{key}")
+        result.update({
             "stages": rows,
             "superlinear_stages": flagged,
             "audit_small": a_small,
             "audit_big": a_big,
-        }
+        })
         print(json.dumps(result, indent=2))
         return 0
     finally:
