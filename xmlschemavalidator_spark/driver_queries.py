@@ -15696,6 +15696,158 @@ def nelson_aalen_user_hazard(spark, sf_dir):
     return nelson_aalen(u, "dur", "obs")
 
 
+@q("lang_fasttext_roundtrip")  # rows-only: binary artifact IO
+def lang_fasttext_roundtrip(spark, sf_dir):
+    """fastText .bin import path (fasttext_io.py, VERDICT r4 missing
+    item 4): a supervised model written in the public binary layout is
+    read back and served by the Arrow-batched prediction UDF; the query
+    reports per-label doc counts plus the roundtrip invariants (file
+    reparse bit-exact at float32, Spark predictions == the pure-Python
+    replay on every doc). The NB export bridge is exercised too: the
+    engine's trained weight grid rides the same format. Rows-only by
+    design (binary IO); parity pinned in tests/test_fasttext_io.py."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from xmlschemavalidator_spark.fasttext_io import (
+        export_nb_as_fasttext,
+        predict_lang_fasttext,
+        read_fasttext_model,
+        write_fasttext_model,
+    )
+    from xmlschemavalidator_spark.lang_model import train_lang_model
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+        .localCheckpoint()
+    )
+    rng = np.random.default_rng(9)
+    words = ["</s>", "the", "and", "der", "und", "och", "att", "le", "la"]
+    labels = ["__label__en", "__label__de", "__label__sv"]
+    bucket, dim = 64, 8
+    inp = rng.standard_normal((len(words) + bucket, dim))
+    out_m = rng.standard_normal((len(labels), dim))
+    tmp = tempfile.mkdtemp(prefix="ft_rt_")
+    try:
+        path = f"{tmp}/model.bin"
+        write_fasttext_model(path, words, labels, inp, out_m, bucket,
+                             minn=2, maxn=3, wordNgrams=2)
+        m = read_fasttext_model(path)
+        pred = predict_lang_fasttext(docs, m, "doc_id").localCheckpoint()
+        replay_ok = all(
+            (r["lang_pred"], r["score"]) == (
+                m.predict_py(t)[0].removeprefix("__label__"),
+                round(m.predict_py(t)[1], 6),
+            )
+            for r, t in zip(
+                pred.orderBy("doc").collect(),
+                [x["text"] for x in docs.orderBy("doc_id").collect()],
+            )
+        )
+        nb = train_lang_model(
+            _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200),
+            "doc_id", n_buckets=64,
+        )
+        export_nb_as_fasttext(nb, f"{tmp}/nb.bin")
+        nb_ft = read_fasttext_model(f"{tmp}/nb.bin")
+        nb_bridge_ok = (
+            nb_ft.labels == [f"__label__{lg}" for lg in nb.langs]
+            and nb_ft.bucket == nb.n_buckets
+        )
+        counts = (
+            pred.groupBy("lang_pred")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+            .withColumn("replay_identical", F.lit(bool(replay_ok)))
+            .withColumn("nb_bridge_ok", F.lit(bool(nb_bridge_ok)))
+            .orderBy("lang_pred")
+        )
+        return counts.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@q("tokenizer_hf_roundtrip")  # rows-only: artifact IO + iterative training
+def tokenizer_hf_roundtrip(spark, sf_dir):
+    """Tokenizer artifact export/import (tokenizer_io.py, VERDICT r4
+    item 4): train all three tokenizers on the documents head, write
+    each as a HuggingFace tokenizers-JSON file, reload, re-encode, and
+    report per-family whether the reloaded model's token ids are
+    BIT-IDENTICAL to the in-engine model's (they must be — the reload
+    runs with an empty segmentation fast path, so this also proves the
+    OOV path equals the seg-table path). Rows-only by design (file IO +
+    iterative training); the same contract is pinned per-family in
+    tests/test_tokenizer_io.py."""
+    import shutil
+    import tempfile
+
+    from xmlschemavalidator_spark.bpe import bpe_encode_ids, train_bpe
+    from xmlschemavalidator_spark.tokenizer_io import (
+        load_hf_tokenizer,
+        save_hf_bpe,
+        save_hf_unigram,
+        save_hf_wordpiece,
+    )
+    from xmlschemavalidator_spark.unigram import (
+        train_unigram,
+        unigram_encode,
+        unigram_encode_ids,
+        unigram_vocab,
+    )
+    from xmlschemavalidator_spark.wordpiece import (
+        train_wordpiece,
+        wordpiece_encode,
+        wordpiece_vocab,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 80)
+        .select("doc_id", "text")
+        .localCheckpoint()
+    )
+
+    def ids_map(df):
+        return {r["doc"]: list(r["ids"]) for r in df.select("doc", "ids").collect()}
+
+    tmp = tempfile.mkdtemp(prefix="tok_hf_")
+    out = []
+    try:
+        bpe = train_bpe(docs, n_merges=40, max_words=500, min_frequency=1)
+        save_hf_bpe(bpe, f"{tmp}/bpe.json")
+        lb = load_hf_tokenizer(spark, f"{tmp}/bpe.json")
+        want = ids_map(bpe_encode_ids(docs, bpe, "doc_id"))
+        got = ids_map(bpe_encode_ids(docs, lb.model, "doc_id", vocab=lb.vocab))
+        out.append(("bpe", len(want), want == got))
+
+        wp = train_wordpiece(docs, vocab_size=80, max_words=500, min_frequency=1)
+        save_hf_wordpiece(wp, f"{tmp}/wp.json")
+        lw = load_hf_tokenizer(spark, f"{tmp}/wp.json")
+        want = ids_map(unigram_encode_ids(
+            wordpiece_encode(docs, wp, "doc_id"), wordpiece_vocab(wp)))
+        got = ids_map(unigram_encode_ids(
+            wordpiece_encode(docs, lw.model, "doc_id"), lw.vocab))
+        out.append(("wordpiece", len(want), want == got))
+
+        ug = train_unigram(docs, vocab_size=120, max_words=500, max_piece_len=6)
+        save_hf_unigram(ug, f"{tmp}/ug.json")
+        lu = load_hf_tokenizer(spark, f"{tmp}/ug.json")
+        want = ids_map(unigram_encode_ids(
+            unigram_encode(docs, ug, "doc_id"),
+            unigram_vocab(ug).select("piece", "id")))
+        got = ids_map(unigram_encode_ids(
+            unigram_encode(docs, lu.model, "doc_id"), lu.vocab))
+        out.append(("unigram", len(want), want == got))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        out, "family string, n_docs bigint, ids_identical boolean"
+    ).orderBy("family")
+
+
 @q("embedding_opq_report")  # no oracle: Lloyd + SVD are engine-specific
 def embedding_opq_report(spark, sf_dir):
     """OPQ vs plain PQ at equal bytes/vector (similarity.py:opq_train —
