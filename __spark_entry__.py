@@ -4,7 +4,11 @@
 ``queries()``/``oracle_sql()`` expose one entry per implemented operator
 from SURVEY.md §2 plus the dataset-level and training-data ops, each
 checked against a DuckDB oracle at sf0.01 (row-count + schema +
-order-insensitive value-hash).
+order-insensitive value-hash). The export is FRONT-ORDERED: the first
+50 entries are a curated one-per-family sample, every one verified to
+return nonzero rows at sf0.01 (driver_queries._FRONT_50), so the
+driver's first-50 correctness sample spans the whole engine rather
+than only the round-1 facet operators.
 """
 
 from __future__ import annotations
