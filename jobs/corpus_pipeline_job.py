@@ -382,7 +382,11 @@ def run_pipeline(
             with_lang,
         )
 
-        lang_nb = train_lang_model_weak(docs, id_col)
+        # fast (xxhash64) feature buckets: the pipeline's tags are
+        # engine-internal, so the md5-portable oracle hash — the dominant
+        # remaining cost of this stage at 20M (SCALE.md rehearsal #3) —
+        # buys nothing here; the oracle-gated queries keep portable
+        lang_nb = train_lang_model_weak(docs, id_col, hash_kind="fast")
         # checkpoint: prediction is an explode+join+agg pass — every
         # downstream stage must read its result, not re-run it
         docs = stage("lang_tagged", with_lang(docs, lang_nb, id_col))

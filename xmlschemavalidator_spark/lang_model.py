@@ -55,6 +55,21 @@ from xmlschemavalidator_spark.textops import _WS
 _MAX_CLASSES = 64
 
 
+def _bucket_col(g: Column, b: int, hash_kind: str) -> Column:
+    """Feature bucket for one gram. ``portable`` is the md5-derived
+    oracle-replayable recipe (quality_model.hashed_bucket); ``fast`` is
+    xxhash64 — ~2× cheaper per gram and the right default for the
+    PIPELINE tagger, whose labels are engine-internal (the md5 walk was
+    the dominant remaining cost of the 20M lang_tagged stage; SCALE.md
+    rehearsal #3). Training and scoring must use the SAME kind — it is
+    part of the model (persisted in meta)."""
+    if hash_kind == "portable":
+        return hashed_bucket(g, b)
+    if hash_kind == "fast":
+        return F.pmod(F.xxhash64(g), F.lit(b)).cast("int")
+    raise ValueError(f"hash_kind must be portable|fast, got {hash_kind!r}")
+
+
 def char_ngrams(text: Column, n: int = 3, max_chars: int = 1000) -> Column:
     """Array of character ``n``-grams over the normalized text prefix.
 
@@ -116,6 +131,7 @@ class LangModel:
     n: int
     max_chars: int
     alpha: float
+    hash_kind: str = "portable"
 
     def save(self, path: str) -> None:
         save_model(
@@ -127,6 +143,7 @@ class LangModel:
                 "n": self.n,
                 "max_chars": self.max_chars,
                 "alpha": self.alpha,
+                "hash_kind": self.hash_kind,
             },
             {"weights": self.weights},
         )
@@ -142,6 +159,7 @@ class LangModel:
             n=int(meta["n"]),
             max_chars=int(meta["max_chars"]),
             alpha=float(meta["alpha"]),
+            hash_kind=str(meta.get("hash_kind", "portable")),
         )
 
 
@@ -153,6 +171,7 @@ def _doc_gram_buckets(
     max_chars: int,
     b: int,
     extra_cols: tuple[str, ...] = (),
+    hash_kind: str = "portable",
 ) -> DataFrame:
     """(doc[, *extra_cols], bucket) — ``extra_cols`` ride the explode so
     training can keep the label WITHOUT re-joining the exploded gram
@@ -164,7 +183,7 @@ def _doc_gram_buckets(
         F.col(id_col).alias("doc"),
         *keep,
         F.explode(char_ngrams(F.col(text_col), model_n, max_chars)).alias("g"),
-    ).select("doc", *extra_cols, hashed_bucket(F.col("g"), b).alias("bucket"))
+    ).select("doc", *extra_cols, _bucket_col(F.col("g"), b, hash_kind).alias("bucket"))
 
 
 def train_lang_model(
@@ -176,6 +195,7 @@ def train_lang_model(
     n: int = 3,
     max_chars: int = 1000,
     alpha: float = 1.0,
+    hash_kind: str = "portable",
 ) -> LangModel:
     """Fit per-class weights from any string label column (weak labels
     fine; NULL-labeled docs are excluded). One corpus pass for gram
@@ -204,7 +224,8 @@ def train_lang_model(
     n_docs = sum(d_by_lang.values())
 
     gb = _doc_gram_buckets(
-        lab, "doc", text_col, n, max_chars, n_buckets, extra_cols=("lang",)
+        lab, "doc", text_col, n, max_chars, n_buckets, extra_cols=("lang",),
+        hash_kind=hash_kind,
     )
     crows = (
         gb.groupBy("lang", "bucket").agg(F.count(F.lit(1)).alias("c")).collect()
@@ -252,6 +273,7 @@ def train_lang_model(
         n=n,
         max_chars=max_chars,
         alpha=alpha,
+        hash_kind=hash_kind,
     )
 
 
@@ -263,18 +285,36 @@ def train_lang_model_weak(
     n: int = 3,
     max_chars: int = 1000,
     alpha: float = 1.0,
+    hash_kind: str = "portable",
+    max_train_docs: int | None = 2_000_000,
 ) -> LangModel:
     """Bootstrap from the stopword heuristic's confident calls: docs the
     heuristic labels anything but 'und' become the training set (weak
     teacher, model generalizes — the quality-model recipe applied to
-    language ID)."""
+    language ID).
+
+    ``max_train_docs`` caps the TRAINING read with the deterministic
+    content-addressed sample (the kmeans/BPE bounded-training contract):
+    NB count tables plateau long before 2M docs, and an uncapped weak
+    train was the hidden cost of the 20M lang stage (measured 322-354 s
+    of the stage's ~480 s wall — the scoring pass is 111 s). The count
+    used for the fraction is a parquet-metadata count; None disables."""
     from xmlschemavalidator_spark.textops import lang_id
 
+    if max_train_docs:
+        n_docs = df.count()
+        if n_docs > max_train_docs:
+            from xmlschemavalidator_spark.sampling import deterministic_sample
+
+            df = deterministic_sample(
+                df, id_col, max_train_docs / n_docs, salt="langnb"
+            )
     teacher = df.withColumn("_weak_lang", lang_id(F.col(text_col))).where(
         F.col("_weak_lang") != "und"
     )
     return train_lang_model(
-        teacher, id_col, "_weak_lang", text_col, n_buckets, n, max_chars, alpha
+        teacher, id_col, "_weak_lang", text_col, n_buckets, n, max_chars,
+        alpha, hash_kind,
     )
 
 
@@ -310,7 +350,9 @@ def _with_buckets(
     CLAUDE.md hard rule, and CollapseProject keeps a non-cheap alias
     consumed C times un-inlined)."""
     grams = char_ngrams(F.col(text_col), model.n, model.max_chars)
-    bk = F.transform(grams, lambda g: hashed_bucket(g, model.n_buckets))
+    bk = F.transform(
+        grams, lambda g: _bucket_col(g, model.n_buckets, model.hash_kind)
+    )
     if keep_all:
         return df.withColumn(_BK, bk)
     return df.select(F.col(id_col).alias("doc"), bk.alias(_BK))
