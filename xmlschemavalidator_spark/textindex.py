@@ -152,6 +152,34 @@ def append_text_index(
     )
 
 
+def _posting_parts(df: DataFrame, spark: SparkSession) -> int:
+    """Shuffle-partition count for the posting build, scaled to the
+    SOURCE bytes (metadata-only, the dedup._spread estimate): the
+    exploded (doc, pos, term) stream is ~10× the source text, and a
+    fixed reducer count turns the (term, doc) groupBy into a spill
+    machine at 10× the corpus (measured 22-28× on the 2M→20M rehearsal
+    with 32 reducers carrying ~2e9 rows). One partition per ~32 MB of
+    source text, floored at the cluster parallelism, capped at 4096
+    (beyond that, size spark.sql.shuffle.partitions for the cluster)."""
+    target = spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if not files:
+        return target
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    total = 0
+    for f in files:
+        try:
+            path = jvm.org.apache.hadoop.fs.Path(f)
+            total += path.getFileSystem(hconf).getFileStatus(path).getLen()
+        except Exception:
+            return target
+    return max(target, min(4096, total // (32 << 20)))
+
+
 def _write_index_batch(
     df: DataFrame,
     id_col: str,
@@ -166,6 +194,7 @@ def _write_index_batch(
     if not re.match(_BATCH_ID_OK, str(batch_id)):
         raise ValueError(f"text index: bad batch_id {batch_id!r}")
     spark = df.sparkSession
+    n_parts = _posting_parts(df, spark)
     toks = df.select(
         F.col(id_col).alias("doc"),
         F.filter(
@@ -189,20 +218,29 @@ def _write_index_batch(
         "_bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
     )
     post_dir = f"{path}/postings/_batch={batch_id}"
-    # RANGE-repartition on (_bucket, term), NOT hash-repartition on
-    # _bucket: a bucket-only hash has ≤ n_buckets distinct keys, so no
-    # matter how many tasks the cluster has, at most n_buckets of them
-    # carry the whole posting sort — at 20M docs that meant 32 tasks
-    # externally sorting ~2e9 exploded rows (measured 28.6× on the 10×
-    # rehearsal, pure spill). Ranges scale with parallelism: each task
-    # sorts a contiguous (bucket, term) slice (already term-clustered,
-    # so the within-partition sort is near-free), every bucket's rows
-    # land in few contiguous tasks, and partitionBy still lays files out
-    # per bucket — file count ~n_parts, not tasks×buckets.
-    n_parts = max(spark.sparkContext.defaultParallelism * 4, n_buckets)
-    bucketed.repartitionByRange(n_parts, "_bucket", "term").sortWithinPartitions(
-        "term"
-    ).write.mode("overwrite").partitionBy("_bucket").parquet(post_dir)
+    # Two scale rules learned on the 2M→20M rehearsal (22-28× blowups):
+    # 1. the (term, doc) groupBy must get reducers scaled to the SOURCE
+    #    size, not the session default — a fixed 32 reducers over the
+    #    ~10×-source exploded stream is an external-sort spill machine.
+    #    Scoped via the shuffle-partitions conf (NOT an explicit
+    #    repartition before the groupBy, which would satisfy the agg's
+    #    distribution and silently drop the map-side partial combine).
+    # 2. the write RANGE-repartitions on (_bucket, term), never a hash
+    #    repartition on _bucket alone: bucket-only hashing has
+    #    ≤ n_buckets distinct keys, so at most n_buckets tasks carry the
+    #    whole posting sort regardless of cluster size. Ranges give each
+    #    task a contiguous term-clustered slice (near-free sort) and
+    #    partitionBy still lays files out per bucket.
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+        bucketed.repartitionByRange(
+            int(n_parts), "_bucket", "term"
+        ).sortWithinPartitions("term").write.mode("overwrite").partitionBy(
+            "_bucket"
+        ).parquet(post_dir)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     # read back the WRITTEN postings (tiny next to the source text) so the
     # stats/corpus aggs never re-run the corpus-wide explode; the explicit
     # schema keeps an all-empty batch readable (part-less dir)
